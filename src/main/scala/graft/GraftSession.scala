@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's scale-oriented defaults.
+  *
+  * These settings are chosen for the 100-TB posture described in
+  * SURVEY.md §7.4: AQE on (runtime shuffle coalescing + skew-join
+  * splitting), dynamic partition overwrite (idempotent per-partition
+  * reruns, mirroring the reference's `overwrite=True` sinks —
+  * /root/reference/function_app.py:26-29), UTC session time zone for
+  * oracle parity.
+  */
+object GraftSession {
+
+  /** Apply graft defaults to an existing builder (used by Bench/Verify
+    * which own master/parallelism settings). */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.parquet.compression.codec", "zstd")
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+
+  /** Local session for tests / ad-hoc runs. */
+  def local(cores: Int = 4, shufflePartitions: Int = 32): SparkSession = {
+    val s = tune(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

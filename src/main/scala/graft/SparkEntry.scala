@@ -1,13 +1,588 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.{Clean, Dedup, Enrich, Kpis, Multimodal, Relational, Similarity}
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-checked query is written for cross-engine numeric
+  * determinism: money aggregates go through DECIMAL(18,2) (exact, order
+  * independent) and are cast to DOUBLE only at the end; timestamps are
+  * emitted as epoch integers (parquet ns vs µs precision would
+  * otherwise diverge); every result has a total ORDER BY.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- shared numeric helpers (decimal-exact, oracle-parity) ----
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- relational core -----------------------------
+
+    // TPC-H Q1 shape: scan → filter (pushed to parquet) → hash agg.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q6 shape: tight filter + scalar aggregate; predicates all
+    // reach the parquet scan (PushedFilters).
+    "q02_revenue_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q3 shape: dim filter → 3-way join → agg → top-k.
+    // customer is small → Catalyst broadcasts it; lineitem⋈orders is
+    // the one real shuffle.
+    "q03_top_orders_by_revenue" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: snowflake join across 6 tables; dims broadcast.
+    "q04_revenue_by_nation" -> ((s, dir) => {
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, dir)
+      val su = Tables.supplier(s, dir)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c),
+          col("o_custkey") === col("c_custkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // anti join (NOT EXISTS): customers that never ordered.
+    "q05_customers_without_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // semi join (EXISTS): customers with at least one big open order.
+    "q06_customers_with_big_orders" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") > 100000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // grouped top-k: the reference's per-video comment clamp done right
+    // (function_app.py:99 min(n,100)) — window row_number, no collect.
+    "q07_grouped_topk" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).filter(col("l_orderkey") < 100)
+      Relational.groupedTopK(
+          l.select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+          Seq(col("l_orderkey")),
+          Seq(col("l_extendedprice").desc, col("l_linenumber").asc), 3)
+        .orderBy(col("l_orderkey"), col("l_extendedprice").desc, col("l_linenumber"))
+    }),
+
+    // set ops: nations present among customers AND suppliers…
+    "q08_nation_intersect" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select("n_name")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select("n_name")
+      cn.intersect(sn).orderBy(col("n_name"))
+    }),
+
+    // …and nations with customers but NO suppliers.
+    "q09_nation_except" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val cn = Tables.customer(s, dir)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey")).select("n_name")
+      val sn = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey")).select("n_name")
+      cn.except(sn).orderBy(col("n_name"))
+    }),
+
+    // rollup: KPI-style subtotals (SURVEY.md §2.5 ABSENT-but-exposed).
+    "q10_rollup_lineitem" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // cube over order status × priority.
+    "q11_cube_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // window analytics: running total + lag per customer.
+    "q12_running_totals" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---------------- events / time series -------------------------
+
+    // tumbling hourly aggregate (batch twin of StreamOps.windowedCounts).
+    "q13_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
+    // gap-based sessionization (30-min inactivity), µs-exact.
+    "q14_sessionize" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      Relational.sessionize(e, "user_id", "ts", 1800L)
+        .groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // as-of join: each event picks up the customer's most recent order
+    // as of the event time (union+window, ONE shuffle — SURVEY.md §2.4).
+    "q15_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Relational.asofJoinBackward(e, o, "ts", "o_orderdate",
+          "user_id", "o_custkey", Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------- custom scalar expression ---------------------
+
+    // ISO-8601 duration parser (custom codegen'd Catalyst Expression,
+    // graft.expr.IsoDurationToSeconds) checked against integer
+    // arithmetic ground truth.
+    "q16_iso_duration" -> ((s, dir) => {
+      Tables.lineitem(s, dir).filter(col("l_orderkey") < 200)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          iso_duration_to_seconds(concat(
+            lit("PT"), col("l_linenumber").cast("string"), lit("H"),
+            col("l_quantity").cast("long").cast("string"), lit("M"),
+            (col("l_orderkey") % 60).cast("string"), lit("S")))
+            .as("duration_seconds"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---------------- documents: text analysis / medallion ---------
+
+    // the reference's count_sent KPI shape (final_kpis.py:41-46).
+    "q17_lang_counts" -> ((s, dir) => {
+      Kpis.countByNormalized(Tables.documents(s, dir), "lang")
+        .orderBy(col("key"))
+    }),
+
+    // text statistics: length, tokens, mean token length, stopword rate.
+    "q18_text_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      d.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          token_count(col("text")).as("n_tokens"),
+          mean_token_len(col("text")).as("mean_tok_len"),
+          stopword_ratio(col("text")).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup fingerprint groups (md5 of normalized text).
+    "q19_dedup_fingerprint" -> ((s, dir) => {
+      Dedup.duplicateGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("fingerprint"))
+    }),
+
+    // exact n-gram Jaccard pairs inside a block (doc_id < 40).
+    "q20_jaccard_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40 && token_count(col("text")) >= 3)
+      Dedup.jaccardPairs(d, "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // rule-based sentiment enrichment (pure-expression twin of the
+    // mapPartitions Enricher — SURVEY.md §2.9).
+    "q21_enrich_sentiment" -> ((s, dir) => {
+      Enrich.ruleSentimentColumns(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("sentiment"), col("sentiment_score"), col("emotion"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- embeddings: similarity search ---------------
+
+    // brute-force cosine top-5 for 10 query vectors (broadcast queries;
+    // corpus streamed once, grouped top-k).
+    "q22_knn_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", 5)
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+
+    // JSON scalar extraction from the events props payload.
+    "q23_events_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 7).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // global top-k (TakeOrderedAndProject — no full sort at scale).
+    "q24_top_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
+
+    // MinHash-LSH near-dup detection with planted near-duplicates
+    // (each doc unioned with a lightly perturbed twin at id+100000).
+    "q30_minhash_neardups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      Dedup.minhashNearDups(d.unionByName(perturbed), "doc_id", "text", 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup candidates over the same planted set.
+    "q31_simhash_neardups" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      Dedup.simhashCandidates(d.unionByName(perturbed), "doc_id", "text",
+          bits = 32, chunks = 4, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed approximate nearest neighbors (multi-probe).
+    "q32_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, planes = 6, tables = 4)
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+
+    // heuristic language ID vs. the labeled lang column.
+    "q33_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), lang_id(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // quality scoring + BPE-ish token estimate.
+    "q34_quality_scores" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), quality_score(col("text")).as("quality"),
+          token_estimate(col("text")).as("est_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary payloads + metadata + stub features.
+    "q35_multimodal" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      val withMeta = Multimodal.withMediaMeta(media, "payload")
+      Multimodal.extractFeatures(withMeta, "payload")
+        .select(col("doc_id"), col("media_size_bytes"), col("media_format"),
+          col("media_sha1"), col("features"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-label embedding centroids (vector average).
+    "q36_centroids" -> ((s, dir) => {
+      Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
+        .orderBy(col("label"))
+    }),
+
+    // streaming stage function driven in batch mode (same code runs
+    // under readStream — graft.streaming.StreamOps).
+    "q37_stream_windows" -> ((s, dir) => {
+      StreamOps.windowedCounts(Tables.events(s, dir), "ts", "1 hour")
+        .select(unix_timestamp(col("window.start")).as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // reference KPI record shape: one row, count maps (kpis.json).
+    "q38_kpi_record" -> ((s, dir) => {
+      val d = Enrich.ruleSentimentColumns(Tables.documents(s, dir), "text")
+      Kpis.kpiRecord(
+        d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
+        "sentiment", "sentiment", "2026-01-21", "2026-01-21T00:00:00Z")
+    }),
+
+    // batched mapPartitions enrichment (the pluggable-Enricher path;
+    // parity with q21 is asserted in EnrichSpec).
+    "q39_enrich_mappartitions" -> ((s, dir) => {
+      Enrich.enrichSentiment(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("sentiment"), col("sentiment_score"), col("emotion"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** DuckDB oracle SQL — one entry per SQL-expressible query above.
+    * Aliases match the Spark column names exactly (driver hash
+    * requirement). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        | COUNT(*) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_revenue_filter" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.09 AND l_quantity < 24""".stripMargin,
+
+    "q03_top_orders_by_revenue" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q05_customers_without_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_customers_with_big_orders" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |              AND o.o_orderstatus = 'O' AND o.o_totalprice > 100000.0)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_grouped_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        | FROM lineitem WHERE l_orderkey < 100) t
+        |WHERE rn <= 3
+        |ORDER BY l_orderkey, l_extendedprice DESC, l_linenumber""".stripMargin,
+
+    "q08_nation_intersect" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |INTERSECT
+        |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q09_nation_except" ->
+      """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |EXCEPT
+        |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY n_name""".stripMargin,
+
+    "q10_rollup_lineitem" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q11_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q12_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        | LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q13_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_sessionize" ->
+      """SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events FROM (
+        | SELECT user_id,
+        |  CASE WHEN prev_ts IS NULL
+        |       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+        | FROM (SELECT user_id, ts,
+        |        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |       FROM events) t1) t2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q15_asof_join" ->
+      """SELECT e.event_id, o.o_orderkey
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+        |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |                FROM orders GROUP BY o_custkey, o_orderdate) o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q16_iso_duration" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_linenumber * 3600 + CAST(l_quantity AS BIGINT) * 60 + (l_orderkey % 60) AS duration_seconds
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q17_lang_counts" ->
+      """SELECT lower(coalesce(lang, 'unknown')) AS key, COUNT(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q18_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+        | len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        | CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), x -> length(x))) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')) AS mean_tok_len,
+        | CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','that','this'))) AS DOUBLE)
+        |   / len(string_split_regex(trim(text), '\s+')) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_dedup_fingerprint" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        | COUNT(*) AS group_size, MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q20_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 40),
+        |sh AS (
+        |  SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t) - 1),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q21_enrich_sentiment" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tok FROM documents),
+        |pn AS (SELECT doc_id, n_tok,
+        |  len(list_filter(toks, x -> x IN ('amazing','best','excellent','fast','good','great','love'))) AS p,
+        |  len(list_filter(toks, x -> x IN ('awful','bad','broken','hate','slow','terrible','worst'))) AS n
+        | FROM t)
+        |SELECT doc_id,
+        | CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative' ELSE 'neutral' END AS sentiment,
+        | CASE WHEN n_tok > 0 THEN CAST(p - n AS DOUBLE) / n_tok ELSE 0.0 END AS sentiment_score,
+        | CASE WHEN p > n THEN 'joy' WHEN n > p THEN 'anger' ELSE 'neutral' END AS emotion
+        |FROM pn ORDER BY doc_id""".stripMargin,
+
+    "q22_knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cosine DESC, neighbor_id""".stripMargin,
+
+    "q23_events_json" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7 AS k_mod,
+        | COUNT(*) AS n, SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
 }

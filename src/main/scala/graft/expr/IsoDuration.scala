@@ -1,0 +1,71 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Parse an ISO-8601 duration string (`PT51S`, `PT2H47M24S`, `P1DT2H`,
+  * `P3W`) into total seconds.
+  *
+  * This is the one scalar the reference needs that Spark lacks: the
+  * YouTube API emits `contentDetails.duration` in this format
+  * (/root/reference/silver_transform_videos.py:34; sample values in
+  * /root/reference/videos_with_sentiment.json:7,30,58). The reference
+  * never even parses it — it copies the raw string through — but any
+  * duration arithmetic (avg watch length, duration buckets) requires
+  * seconds, so the engine promotes it to a first-class codegen'd
+  * Catalyst expression rather than a UDF (whole-stage codegen keeps it
+  * inside the generated loop; a UDF would break the codegen span).
+  *
+  * Semantics: null input → null; malformed input → null (mirrors the
+  * reference's `safe_int` null-on-failure convention,
+  * /root/reference/silver_transform_videos.py:12-16). Fractional
+  * seconds are truncated toward zero. Years/months are rejected
+  * (calendar-dependent, like Spark's own day-time interval).
+  */
+object IsoDuration {
+  // P[nW] | P[nD][T[nH][nM][n(.n)S]] — anchored, at least one component.
+  private val Pattern = java.util.regex.Pattern.compile(
+    "^P(?:(\\d+)W|(?=\\d|T\\d)(?:(\\d+)D)?(?:T(?=\\d)(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)(?:\\.\\d+)?S)?)?)$")
+
+  /** Static parse used by both interpreted eval and generated code.
+    * Returns null for malformed input. */
+  def parseSeconds(s: UTF8String): java.lang.Long = {
+    if (s == null) return null
+    val m = Pattern.matcher(s.toString)
+    if (!m.matches()) return null
+    def g(i: Int): Long = { val v = m.group(i); if (v == null) 0L else v.toLong }
+    if (m.group(1) != null) java.lang.Long.valueOf(g(1) * 7L * 86400L)
+    else java.lang.Long.valueOf(g(2) * 86400L + g(3) * 3600L + g(4) * 60L + g(5))
+  }
+}
+
+case class IsoDurationToSeconds(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"iso_duration_to_seconds requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "iso_duration_to_seconds"
+
+  override def nullSafeEval(input: Any): Any =
+    IsoDuration.parseSeconds(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = IsoDuration.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, c => {
+      val boxed = ctx.freshName("secs")
+      s"""
+         |java.lang.Long $boxed = $cls.parseSeconds($c);
+         |if ($boxed == null) { ${ev.isNull} = true; } else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IsoDurationToSeconds =
+    copy(child = newChild)
+}

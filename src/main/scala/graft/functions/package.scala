@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+
+import graft.expr.IsoDurationToSeconds
+
+/** graft.functions — the engine's scalar-function surface.
+  *
+  * Everything here is a pure `Column => Column` composition of Spark
+  * built-ins (codegen'd, null-safe) unless noted; the only custom
+  * Catalyst expression is [[graft.expr.IsoDurationToSeconds]] (the one
+  * scalar the reference needs that Spark lacks — SURVEY.md §2.8).
+  * No Scala UDFs in the hot path: higher-order functions
+  * (`transform`/`aggregate`/`zip_with`/`filter`) keep vector and
+  * set math inside Catalyst.
+  */
+package object functions {
+
+  /** Wrap a Catalyst expression as a user-facing Column (Spark 4 bridge). */
+  private def col2(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    bridge.toColumn(e)
+
+  // ---------------------------------------------------------------------
+  // Duration (reference: contentDetails.duration, silver_transform_videos.py:34)
+  // ---------------------------------------------------------------------
+
+  /** ISO-8601 duration string → total seconds (null on malformed). */
+  def iso_duration_to_seconds(c: Column): Column =
+    col2(IsoDurationToSeconds(bridge.toExpression(c)))
+
+  /** Register SQL-callable functions on a session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "iso_duration_to_seconds",
+      exprs => IsoDurationToSeconds(exprs.head), "scala_udf")
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenization / text statistics (documents table; SURVEY.md §7.4)
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokens of trimmed text; empty/null text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) > 0, split(trim(text), "\\s+"))
+      .otherwise(array().cast("array<string>"))
+
+  /** Token count as BIGINT (long, to match DuckDB len()). */
+  def token_count(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Character-class ratios used by the quality score. All plain double
+    * arithmetic — deterministic and oracle-checkable. */
+  def punct_ratio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def upper_ratio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  def digit_ratio(text: Column): Column = {
+    val n = length(text)
+    when(n > 0,
+      (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n.cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Mean token length (0.0 for empty text). */
+  def mean_token_len(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double")
+        / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  private val StopWords = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  /** Fraction of tokens that are (lower-cased) stopwords. */
+  def stopword_ratio(text: Column): Column = {
+    val t = tokens(text)
+    val stops = filter(t, x => lower(x).isin(StopWords.map(lit(_)): _*))
+    when(size(t) > 0, size(stops).cast("double") / size(t).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality score in [0,1]: rewards mid-length docs
+    * with low punctuation/digit noise and a natural stopword rate.
+    * Deterministic, pure-expression — usable as a pre-training filter. */
+  def quality_score(text: Column): Column = {
+    val lenScore = least(length(trim(text)).cast("double") / lit(200.0), lit(1.0))
+    val punctPenalty = least(punct_ratio(text) * 4.0, lit(1.0))
+    val digitPenalty = least(digit_ratio(text) * 4.0, lit(1.0))
+    greatest(lit(0.0),
+      lenScore * (lit(1.0) - punctPenalty * 0.5) * (lit(1.0) - digitPenalty * 0.5))
+  }
+
+  /** BPE-ish token estimate: word chunks + digits + punctuation each
+    * count; long words cost ceil(len/4) tokens (a public rule-of-thumb
+    * for byte-pair encoders). */
+  def token_estimate(text: Column): Column = {
+    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    aggregate(pieces, lit(0L),
+      (acc, p) => acc + ceil(length(p).cast("double") / lit(4.0)).cast("long"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Fingerprints / hashing (dedup family; SURVEY.md §7.4)
+  // ---------------------------------------------------------------------
+
+  /** Canonical text form for exact near-identity: lower-cased, trimmed,
+    * whitespace collapsed. */
+  def normalized_text(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** 128-bit content fingerprint of the normalized text (hex string —
+    * md5 so the DuckDB oracle can reproduce it byte-for-byte). */
+  def content_fingerprint(text: Column): Column = md5(normalized_text(text))
+
+  /** 64-bit fast fingerprint (xxhash64) of the normalized text. */
+  def content_fingerprint64(text: Column): Column = xxhash64(normalized_text(text))
+
+  /** w-shingles (word n-grams joined by a single space) of the text,
+    * distinct. Built entirely from higher-order functions so it stays
+    * inside Catalyst: sequence + transform + slice + concat_ws. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    val ngrams = when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(when(size(t) > 0, array(concat_ws(" ", t)))
+        .otherwise(array().cast("array<string>")))
+    array_distinct(ngrams)
+  }
+
+  /** MinHash signature: k min-hashes over the shingle set, computed in
+    * a SINGLE traversal. Each shingle string is hashed once
+    * (xxhash64), then the k per-seed values are derived by re-hashing
+    * that 8-byte long — so cost is |shingles| string hashes +
+    * k·|shingles| long hashes, not k full re-tokenizations. (A naive
+    * `transform(seeds, s => array_min(transform(shingles, ...)))`
+    * re-evaluates the shingle-building expression once per seed —
+    * measured 60× slower at sf0.1.) Docs with no shingles keep
+    * Long.MaxValue components (never collide with real content). */
+  def minhash_signature(shingleSet: Column, k: Int = 64): Column = {
+    val seeds = array((0 until k).map(lit(_)): _*)
+    aggregate(
+      transform(shingleSet, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, seeds, (m, seed) => least(m, xxhash64(h, seed))))
+  }
+
+  /** Estimated Jaccard similarity from two equal-length MinHash
+    * signatures: fraction of agreeing components. */
+  def minhash_jaccard(sigA: Column, sigB: Column): Column =
+    aggregate(zip_with(sigA, sigB, (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x).cast("double") / size(sigA).cast("double")
+
+  /** Exact Jaccard over two string sets. */
+  def jaccard(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val union = size(array_union(setA, setB)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** SimHash of the token multiset: sign of the per-bit sum of token
+    * hashes; bit b of the result is 1 iff more than half the token
+    * hashes have bit b set.
+    *
+    * Single traversal: the accumulator is (per-bit set-counts, n);
+    * the finish lambda (evaluated once) folds counts back into the
+    * packed hash. Bit masks are a literal array, so no Column-typed
+    * shifts are needed and tokenization is NOT re-run per bit. */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    aggregate(
+      transform(tokens(text), t => xxhash64(t)),
+      struct(array_repeat(lit(0L), bits).as("cnt"), lit(0L).as("n")),
+      (acc, h) => struct(
+        zip_with(acc.getField("cnt"), masks,
+          (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)).as("cnt"),
+        (acc.getField("n") + 1L).as("n")),
+      acc => aggregate(
+        zip_with(acc.getField("cnt"), masks,
+          (c, m) => when(c * 2L > acc.getField("n"), m).otherwise(0L)),
+        lit(0L), (s, x) => s + x))
+  }
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
+
+  // ---------------------------------------------------------------------
+  // Vector math (embeddings table; similarity family)
+  // ---------------------------------------------------------------------
+
+  /** Dot product of two float/double array columns (double result). */
+  def vec_dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def vec_norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine similarity in [-1,1]; 0.0 when either vector is all-zero. */
+  def cosine_similarity(a: Column, b: Column): Column = {
+    val denom = vec_norm(a) * vec_norm(b)
+    when(denom > 0, vec_dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Sign-bit LSH signature for cosine similarity: for each hyperplane
+    * (a deterministic pseudo-random ±1 vector derived from (seed, dim)),
+    * 1 if the dot product is >= 0. Packed into a long (planes ≤ 64).
+    * Rademacher (±1) hyperplanes preserve cosine locality and need no
+    * stored random matrix — the plane is re-derived from xxhash64, so
+    * the operator ships no side data to executors. */
+  def cosine_lsh_signature(vec: Column, planes: Int = 16, planeOffset: Int = 0): Column = {
+    require(planes >= 1 && planes <= 63, "planes must be in [1,63]")
+    (0 until planes).map { p =>
+      // dot(vec, plane_p) with plane_p[i] = ±1 derived from xxhash64(i, plane id)
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x.cast("double") *
+            when(xxhash64(i, lit(planeOffset + p)).bitwiseAND(1L) === 1L, 1.0)
+              .otherwise(-1.0)),
+        lit(0.0), (a2, v) => a2 + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  // ---------------------------------------------------------------------
+  // Language identification (documents table; heuristic n-gram/charset)
+  // ---------------------------------------------------------------------
+
+  /** Heuristic language ID over Unicode script ranges + stopword hits.
+    * Returns ISO-639-1-ish codes: en/es/de/fr/ru/zh/ja/ko/unknown.
+    * Pure-expression (no UDF): script detection via regexp counts,
+    * Latin-language disambiguation via stopword votes. */
+  def lang_id(text: Column): Column = {
+    val n = length(text).cast("double")
+    def frac(pattern: String): Column =
+      when(n > 0, (n - length(regexp_replace(text, pattern, ""))) / n).otherwise(lit(0.0))
+    val cyr = frac("[\\u0400-\\u04FF]")
+    val han = frac("[\\u4E00-\\u9FFF]")
+    val kana = frac("[\\u3040-\\u30FF]")
+    val hangul = frac("[\\uAC00-\\uD7AF]")
+    val t = tokens(lower(text))
+    def votes(words: Seq[String]): Column =
+      size(filter(t, x => x.isin(words.map(lit(_)): _*)))
+    val en = votes(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
+    val es = votes(Seq("el", "la", "los", "las", "que", "de", "y", "es", "un", "una"))
+    val de = votes(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"))
+    val fr = votes(Seq("le", "les", "des", "est", "une", "dans", "et", "du"))
+    when(kana > 0.05, "ja")
+      .when(hangul > 0.05, "ko")
+      .when(han > 0.10, "zh")
+      .when(cyr > 0.20, "ru")
+      .when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("unknown")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Fixed per-layer schemas (SURVEY.md §1; FIXTURES.md §A).
+  *
+  * The reference is schema-on-read over Python dicts; from silver
+  * onward this engine is schema-on-write with all fields nullable
+  * (matching the reference's pervasive `.get()`-with-default access —
+  * /root/reference/silver_transform_videos.py:25-27).
+  */
+object Schemas {
+
+  /** Bronze videos: YouTube API item shape the reference consumes
+    * (/root/reference/silver_transform_videos.py:24-27). Statistics are
+    * numeric STRINGS in the API — hence safe_int downstream. */
+  val bronzeVideoItem: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("snippet", StructType(Seq(
+      StructField("title", StringType),
+      StructField("publishedAt", StringType),
+      StructField("channelTitle", StringType)))),
+    StructField("statistics", StructType(Seq(
+      StructField("viewCount", StringType),
+      StructField("likeCount", StringType),
+      StructField("commentCount", StringType)))),
+    StructField("contentDetails", StructType(Seq(
+      StructField("duration", StringType))))))
+
+  /** Bronze video envelope (/root/reference/function_app.py:75-80). */
+  val bronzeVideoEnvelope: StructType = StructType(Seq(
+    StructField("channelId", StringType),
+    StructField("pulledAt", StringType),
+    StructField("videoCount", LongType),
+    StructField("items", ArrayType(bronzeVideoItem))))
+
+  /** Bronze/silver comment record (/root/reference/function_app.py:129-138). */
+  val commentItem: StructType = StructType(Seq(
+    StructField("videoId", StringType),
+    StructField("commentId", StringType),
+    StructField("author", StringType),
+    StructField("text", StringType),
+    StructField("likes", LongType),
+    StructField("publishedAt", StringType),
+    StructField("error", StringType)))
+
+  /** Bronze comment envelope (/root/reference/function_app.py:143-148). */
+  val bronzeCommentEnvelope: StructType = StructType(Seq(
+    StructField("ingest_date", StringType),
+    StructField("video_count", LongType),
+    StructField("comment_count", LongType),
+    StructField("items", ArrayType(commentItem))))
+
+  /** Silver video row (/root/reference/silver_transform_videos.py:29-38). */
+  val silverVideo: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("title", StringType),
+    StructField("published_at", TimestampType),
+    StructField("channel_title", StringType),
+    StructField("duration", StringType),
+    StructField("duration_seconds", LongType),
+    StructField("view_count", LongType),
+    StructField("like_count", LongType),
+    StructField("comment_count", LongType)))
+
+  /** Gold sentiment struct for comments
+    * (/root/reference/gold_sentiment_comments.py:25-30). */
+  val sentimentStruct: StructType = StructType(Seq(
+    StructField("sentiment", StringType),
+    StructField("sentiment_score", DoubleType),
+    StructField("emotion", StringType),
+    StructField("summary", StringType)))
+}
+
+/** Typed rows at API boundaries (Dataset[T]); DataFrame internally. */
+case class SilverComment(videoId: String, commentId: String, author: String,
+                         text: String, likes: Long, publishedAt: String)
+
+case class SentimentResult(sentiment: String, sentiment_score: Double,
+                           emotion: String, summary: String)

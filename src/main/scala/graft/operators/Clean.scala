@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.iso_duration_to_seconds
+
+/** Silver-layer cleaning operators (SURVEY.md §2.2–§2.3): each is a
+  * pure `DataFrame => DataFrame` so Catalyst sees one plan end-to-end
+  * and pushdown/pruning stay automatic (§4.1).
+  */
+object Clean {
+
+  /** Null-safe trim + drop-empty filter on a text column
+    * (/root/reference/silver_clean_comments.py:45-47). */
+  def trimNonEmpty(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, trim(col(textCol)))
+      .filter(col(textCol).isNotNull && col(textCol) =!= "")
+
+  /** Drop records carrying an error marker
+    * (/root/reference/silver_clean_comments.py:42-43). */
+  def dropErrors(df: DataFrame, errorCol: String = "error"): DataFrame =
+    if (df.columns.contains(errorCol)) df.filter(col(errorCol).isNull).drop(errorCol)
+    else df
+
+  /** `c.get(field, default)` semantics
+    * (/root/reference/silver_clean_comments.py:54). */
+  def withDefault(df: DataFrame, c: String, default: Any): DataFrame =
+    df.withColumn(c, coalesce(col(c), lit(default)))
+
+  /** safe_int: cast-to-long, null on failure
+    * (/root/reference/silver_transform_videos.py:12-16). try_cast is
+    * exactly Python's try/except-int under non-ANSI semantics. */
+  def safeLong(c: Column): Column = c.cast("string").try_cast("long")
+
+  /** Unwrap the legacy `{meta..., items:[...]}` envelope into a bare
+    * record table (/root/reference/final_kpis.py:33-34 reads both
+    * shapes; the engine normalizes at ingest — SURVEY.md §1.1). */
+  def explodeEnvelope(df: DataFrame, itemsCol: String = "items"): DataFrame =
+    df.select(explode(col(itemsCol)).as("__item")).select(col("__item.*"))
+
+  /** Silver videos: the reference's nested projection + rename + safe
+    * casts (/root/reference/silver_transform_videos.py:23-38), plus the
+    * engine's duration_seconds enrichment (custom expression). */
+  def silverizeVideos(bronzeItems: DataFrame): DataFrame =
+    bronzeItems.select(
+      col("id").as("video_id"),
+      col("snippet.title").as("title"),
+      to_timestamp(col("snippet.publishedAt")).as("published_at"),
+      col("snippet.channelTitle").as("channel_title"),
+      col("contentDetails.duration").as("duration"),
+      iso_duration_to_seconds(col("contentDetails.duration")).as("duration_seconds"),
+      safeLong(col("statistics.viewCount")).as("view_count"),
+      safeLong(col("statistics.likeCount")).as("like_count"),
+      safeLong(col("statistics.commentCount")).as("comment_count"))
+
+  /** Silver comments: error filter, trim+non-empty, likes default 0
+    * (/root/reference/silver_clean_comments.py:41-56). */
+  def silverizeComments(bronzeItems: DataFrame): DataFrame = {
+    val noErr = dropErrors(bronzeItems)
+    val trimmed = trimNonEmpty(noErr, "text")
+    trimmed.select(
+      col("videoId"), col("commentId"),
+      col("author"), col("text"),
+      coalesce(col("likes"), lit(0L)).as("likes"),
+      col("publishedAt"))
+  }
+}

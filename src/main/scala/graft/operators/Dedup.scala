@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Deduplication family for large-scale training-data pipelines
+  * (SURVEY.md §7.4 north-star ops; seeded by the reference's text
+  * cleaning at /root/reference/silver_clean_comments.py:45-47).
+  *
+  * Scale posture: every method below is a constant number of shuffles
+  * with no driver-side collection —
+  *  - exact: one hash-aggregate on the fingerprint;
+  *  - MinHash-LSH: candidate generation is an equi-join on
+  *    (band, band_hash), so only same-bucket pairs materialize —
+  *    O(candidates), never O(n²);
+  *  - SimHash: same banding idea over hash chunks.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: keep the smallest id per
+    * fingerprint group. Two hash-aggregates (fingerprint → min id →
+    * semi join); map-side partial aggregation halves the shuffle. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", content_fingerprint(col(textCol)))
+    val keepers = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** Per-fingerprint duplicate-group summary (group size + keeper id). */
+  def duplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(content_fingerprint(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
+
+  /** MinHash-LSH near-duplicate candidate pairs.
+    *
+    * signature: k minhashes over w-shingles; banding: `bands` bands of
+    * k/bands rows each; a pair is a candidate iff it agrees on at least
+    * one full band. Returned with the signature-estimated Jaccard so
+    * callers can threshold.
+    *
+    * Physical plan: shingle+signature are narrow (no shuffle);
+    * `explode` over bands multiplies rows by `bands`; the self-join on
+    * (band, band_hash) shuffles both sides on that composite key —
+    * skewed buckets (boilerplate text) are AQE-split.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16,
+                        shingleWidth: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(
+      col(idCol).as("__id"),
+      minhash_signature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+    val banded = sig.select(
+      col("__id"), col("__sig"),
+      explode(sequence(lit(0), lit(bands - 1))).as("__band"))
+      .withColumn("__band_hash",
+        xxhash64(concat_ws(",",
+          transform(slice(col("__sig"), col("__band") * rows + 1, lit(rows)),
+            x => x.cast("string"))), col("__band")))
+    val a = banded.select(col("__band"), col("__band_hash"),
+      col("__id").as("id_a"), col("__sig").as("__sig_a"))
+    val b = banded.select(col("__band"), col("__band_hash"),
+      col("__id").as("id_b"), col("__sig").as("__sig_b"))
+    a.join(b, Seq("__band", "__band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhash_jaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+  }
+
+  /** Near-duplicate pairs above a Jaccard threshold (MinHash-estimated). */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7): DataFrame =
+    minhashCandidates(df, idCol, textCol)
+      .filter(col("est_jaccard") >= threshold)
+
+  /** SimHash near-duplicate candidates: band the simhash into
+    * `chunks` chunks; pairs sharing any chunk are candidates, ranked by
+    * Hamming distance. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 32, chunks: Int = 4,
+                        maxHamming: Int = 3): DataFrame = {
+    val width = bits / chunks
+    val mask = (1L << width) - 1
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
+    val banded = sh.select(col("__id"), col("__sh"),
+        explode(sequence(lit(0), lit(chunks - 1))).as("__chunk"))
+      .withColumn("__chunk_val",
+        (0 until chunks).foldLeft(lit(-1L)) { (acc, c) =>
+          when(col("__chunk") === c,
+            shiftright(col("__sh"), c * width).bitwiseAND(mask)).otherwise(acc)
+        })
+    val a = banded.select(col("__chunk"), col("__chunk_val"),
+      col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = banded.select(col("__chunk"), col("__chunk_val"),
+      col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.join(b, Seq("__chunk", "__chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("__sh_a"), col("__sh_b")).as("hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram Jaccard similarity for pairs within an explicit blocking
+    * predicate — exact (not estimated), so O(pairs-in-block); use the
+    * LSH variants when no cheap blocking key exists. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int = 3): DataFrame = {
+    val s = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleWidth).as("__sh"))
+    val a = s.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
+    val b = s.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, found
+    * via sign-bit LSH bucketing (exact cosine computed only within
+    * buckets). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      cosine_lsh_signature(col(vecCol), planes).as("__bucket"))
+    val a = sig.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
+    val b = sig.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+}

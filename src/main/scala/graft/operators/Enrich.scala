@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{token_count, tokens}
+import graft.model.SentimentResult
+
+/** The reference's signature operator: row-wise LLM enrichment
+  * (/root/reference/gold_sentiment_comments.py:16-50,69-86 — one
+  * synchronous HTTP round-trip PER ROW, strictly serial).
+  *
+  * Engine design (SURVEY.md §2.9): a scalar UDF is the wrong shape for
+  * per-row RPC (no connection reuse, no batching), so enrichment is a
+  * `mapPartitions` operator — one client per partition, requests
+  * batched `batchSize` at a time — behind a pluggable [[Enricher]].
+  * Tests and the oracle use [[RuleBasedEnricher]] (deterministic; CI
+  * has no network); a production deployment would swap in an
+  * HTTP-backed Enricher with retry/backoff without touching the plan.
+  *
+  * For the rule-based path there is also [[ruleSentimentColumns]], a
+  * pure-expression twin with identical semantics — it keeps the whole
+  * plan in Catalyst (codegen, pushdown) and is what
+  * `SparkEntry.queries` exposes for the DuckDB oracle.
+  */
+object Enrich {
+
+  /** Pluggable enrichment backend. Implementations must be
+    * serializable (shipped to executors) and thread-safe within a
+    * partition. */
+  trait Enricher extends Serializable {
+    /** Enrich a batch of texts; must return exactly one result per input. */
+    def enrichBatch(texts: Seq[String]): Seq[SentimentResult]
+  }
+
+  /** Deterministic lexicon-based sentiment: positive/negative token
+    * votes decide the label; score = (pos-neg)/tokens; emotion follows
+    * the label; summary = first 200 chars (the reference's fallback
+    * truncation, /root/reference/gold_sentiment_comments.py:50). */
+  object RuleBasedEnricher extends Enricher {
+    val positive = Set("fast", "good", "great", "love", "excellent", "amazing", "best")
+    val negative = Set("slow", "bad", "terrible", "hate", "awful", "worst", "broken")
+
+    def enrichOne(text: String): SentimentResult = {
+      val toks = Option(text).map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+").toSeq).getOrElse(Seq.empty)
+      val p = toks.count(t => positive.contains(t.toLowerCase))
+      val n = toks.count(t => negative.contains(t.toLowerCase))
+      val label = if (p > n) "positive" else if (n > p) "negative" else "neutral"
+      val score = if (toks.isEmpty) 0.0 else (p - n).toDouble / toks.size.toDouble
+      val emotion = label match {
+        case "positive" => "joy"
+        case "negative" => "anger"
+        case _          => "neutral"
+      }
+      SentimentResult(label, score, emotion,
+        Option(text).map(_.take(200)).getOrElse(""))
+    }
+
+    override def enrichBatch(texts: Seq[String]): Seq[SentimentResult] =
+      texts.map(enrichOne)
+  }
+
+  private val enrichedFields = Seq(
+    StructField("sentiment", StringType),
+    StructField("sentiment_score", DoubleType),
+    StructField("emotion", StringType),
+    StructField("summary", StringType))
+
+  /** Append sentiment columns via batched mapPartitions enrichment.
+    * Row order and all input columns are preserved. */
+  def enrichSentiment(df: DataFrame, textCol: String,
+                      enricher: Enricher = RuleBasedEnricher,
+                      batchSize: Int = 32): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ enrichedFields)
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val results = enricher.enrichBatch(batch.map(r =>
+          if (r.isNullAt(idx)) null else r.getString(idx)))
+        batch.iterator.zip(results.iterator).map { case (r, s) =>
+          Row.fromSeq(r.toSeq ++ Seq(s.sentiment, s.sentiment_score, s.emotion, s.summary))
+        }
+      }
+    }(enc)
+  }
+
+  /** Pure-expression twin of [[RuleBasedEnricher]] — same outputs, but
+    * whole-stage-codegen'd and oracle-checkable in ANSI SQL. */
+  def ruleSentimentColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(lower(col(textCol)))
+    def hits(words: Set[String]) =
+      size(filter(t, x => x.isin(words.toSeq.sorted.map(lit(_)): _*))).cast("long")
+    val p = hits(RuleBasedEnricher.positive)
+    val n = hits(RuleBasedEnricher.negative)
+    val nTok = token_count(col(textCol))
+    df.withColumn("__p", p).withColumn("__n", n)
+      .withColumn("sentiment",
+        when(col("__p") > col("__n"), "positive")
+          .when(col("__n") > col("__p"), "negative")
+          .otherwise("neutral"))
+      .withColumn("sentiment_score",
+        when(nTok > 0, (col("__p") - col("__n")).cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("emotion",
+        when(col("sentiment") === "positive", "joy")
+          .when(col("sentiment") === "negative", "anger")
+          .otherwise("neutral"))
+      .withColumn("summary", substring(col(textCol), 1, 200))
+      .drop("__p", "__n")
+  }
+
+  /** The reference's malformed-LLM-JSON fallback (SURVEY.md §2.3 C7):
+    * parse a JSON sentiment payload, falling back to
+    * {neutral, 0.0, neutral, raw[:200]} — with the engine's flagged
+    * improvement of stripping markdown fences first (the golden data
+    * shows the reference leaking a fenced block into `summary`,
+    * /root/reference/comments_with_sentiment.json:75). */
+  def parseSentimentJson(df: DataFrame, jsonCol: String): DataFrame = {
+    val stripped = regexp_replace(col(jsonCol), "(?s)^\\s*```(?:json)?\\s*|\\s*```\\s*$", "")
+    val parsed = from_json(stripped, graft.model.Schemas.sentimentStruct)
+    df.withColumn("__parsed",
+        when(parsed.getField("sentiment").isNotNull, parsed)
+          .otherwise(struct(
+            lit("neutral").as("sentiment"),
+            lit(0.0).as("sentiment_score"),
+            lit("neutral").as("emotion"),
+            substring(col(jsonCol), 1, 200).as("summary"))))
+      .select(col("*"), col("__parsed.*"))
+      .drop("__parsed")
+  }
+}

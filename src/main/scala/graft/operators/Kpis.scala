@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Gold-layer KPI operators (/root/reference/final_kpis.py).
+  */
+object Kpis {
+
+  /** The reference's `count_sent` (/root/reference/final_kpis.py:41-46):
+    * GROUP BY lower(coalesce(col,'unknown')) → COUNT(*). One hash
+    * aggregate with map-side partial aggregation. */
+  def countByNormalized(df: DataFrame, c: String,
+                        outKey: String = "key", outCount: String = "n"): DataFrame =
+    df.groupBy(lower(coalesce(col(c), lit("unknown"))).as(outKey))
+      .agg(count(lit(1)).as(outCount))
+
+  /** Aggregate a (key, n) count table into the reference's sorted
+    * string→long map shape (/root/reference/kpis.json:5-12). */
+  private def asMap(keyCol: String, nCol: String): Column =
+    map_from_entries(array_sort(collect_list(struct(col(keyCol), col(nCol)))))
+
+  /** Full KPI record (/root/reference/final_kpis.py:48-55): one row —
+    * totals + two sentiment-count maps + generation timestamp. Each
+    * input is reduced to a single row independently (hash aggregate →
+    * scalar), then the two scalars are cross-joined; nothing here
+    * grows with data volume. `generatedAtUtc` is caller-supplied so
+    * outputs stay deterministic (SURVEY.md §7.4 non-determinism ban). */
+  def kpiRecord(videos: DataFrame, comments: DataFrame,
+                videoSentCol: String, commentSentCol: String,
+                ingestDate: String, generatedAtUtc: String): DataFrame = {
+    val v = countByNormalized(videos, videoSentCol).agg(
+      sum(col("n")).as("total_videos"),
+      asMap("key", "n").as("video_sentiment_counts"))
+    val c = countByNormalized(comments, commentSentCol).agg(
+      sum(col("n")).as("total_comments"),
+      asMap("key", "n").as("comment_sentiment_counts"))
+    v.crossJoin(c).select(
+      lit(ingestDate).as("ingest_date"),
+      col("total_videos"), col("total_comments"),
+      col("video_sentiment_counts"), col("comment_sentiment_counts"),
+      lit(generatedAtUtc).as("generated_at_utc"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §7.4 north-star): media
+  * payloads travel as opaque `binary` columns with typed metadata; the
+  * decode step is a pluggable [[MediaDecoder]] applied per-partition in
+  * batches (the same operator shape as [[Enrich.enrichSentiment]] —
+  * batched mapPartitions, client/codec initialized once per partition).
+  *
+  * The container ships no image/audio codecs, so the default decoder is
+  * an explicitly-STUBBED deterministic fake ([[StubDecoder]]): it
+  * derives fixed-shape features from the bytes alone. The Spark-side
+  * contract — schema, batching, partition behavior, null handling — is
+  * real and tested; swapping in a JNI/JavaCV decoder is a one-class
+  * change.
+  */
+object Multimodal {
+
+  /** media metadata carried beside the payload */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  case class MediaFeatures(featureDim: Int, features: Array[Float])
+
+  /** Pluggable decode / feature-extract backend. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    /** One result per input; null payload → null features. */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** STUB: a real deployment replaces this with an image/audio codec.
+    * Deterministic byte statistics stand in for decoded features so the
+    * whole pipeline (schema, batching, downstream similarity) is
+    * testable in this codec-less container. */
+  class StubDecoder(val featureDim: Int = 8) extends MediaDecoder {
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null) null
+        else {
+          val f = new Array[Float](featureDim)
+          var i = 0
+          while (i < bytes.length) {
+            f(i % featureDim) += (bytes(i) & 0xFF) / 255.0f
+            i += 1
+          }
+          if (bytes.length > 0) {
+            var j = 0
+            while (j < featureDim) { f(j) /= math.max(1, bytes.length / featureDim); j += 1 }
+          }
+          f
+        }
+      }
+  }
+
+  /** Append a `features array<float>` column extracted from a binary
+    * media column. Batched per partition; decoder built once per
+    * partition (mirrors per-executor client reuse). */
+  def extractFeatures(df: DataFrame, binaryCol: String,
+                      decoder: MediaDecoder = new StubDecoder(),
+                      batchSize: Int = 16): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val feats = decoder.decodeBatch(batch.map(r =>
+          if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)))
+        batch.iterator.zip(feats.iterator).map { case (r, f) =>
+          Row.fromSeq(r.toSeq :+ (if (f == null) null else f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Cheap metadata columns computable without a codec: payload size,
+    * magic-byte format sniff (public file signatures), content hash.
+    * Pure expressions — stays in codegen. */
+  def withMediaMeta(df: DataFrame, binaryCol: String): DataFrame = {
+    val b = col(binaryCol)
+    val hexPrefix = upper(hex(substring(b, 1, 4)))
+    df.withColumn("media_size_bytes", length(b).cast("long"))
+      .withColumn("media_format",
+        when(hexPrefix.startsWith("FFD8FF"), "jpeg")
+          .when(hexPrefix === "89504E47", "png")
+          .when(hexPrefix.startsWith("47494638"), "gif")
+          .when(hexPrefix.startsWith("52494646"), "riff")
+          .when(hexPrefix.startsWith("494433"), "mp3")
+          .otherwise("unknown"))
+      .withColumn("media_sha1", sha1(b))
+  }
+
+  /** Deterministic frame sampling plan for a video-ish payload: emit
+    * `n` (frame_index, byte_offset) rows per media row — the shuffle
+    * shape of real frame extraction without the codec. */
+  def sampleFramePlan(df: DataFrame, idCol: String, binaryCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol), length(col(binaryCol)).cast("long").as("__len"),
+        explode(sequence(lit(0), lit(n - 1))).as("frame_index"))
+      .withColumn("byte_offset",
+        when(col("__len") > 0,
+          floor(col("frame_index").cast("long") * col("__len") / n).cast("long"))
+          .otherwise(lit(0L)))
+      .drop("__len")
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational building blocks the reference implies but never wrote
+  * (SURVEY.md §2.4–§2.7): grouped top-k (the `min(n,100)` per-video
+  * comment clamp done right — /root/reference/function_app.py:99) and
+  * a scalable as-of join (the events-table time-series need).
+  *
+  * Plain joins / set ops / windows are deliberately NOT wrapped: the
+  * Spark API already is the engine surface, and Catalyst picks
+  * broadcast-hash vs shuffled-hash vs sort-merge on its own.
+  */
+object Relational {
+
+  /** Top-k rows per group, deterministic given a total tiebreak in
+    * `orderBy`. Physical shape: one hash shuffle on `partitionCols`,
+    * then a running `row_number` — no global sort, no driver collect;
+    * scales linearly with data at fixed k. */
+  def groupedTopK(df: DataFrame, partitionCols: Seq[Column],
+                  orderBy: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderBy: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Backward as-of join: for each left row, attach the payload of the
+    * right row with the greatest `rightTime <= leftTime` for the same
+    * key (SQL: DuckDB's `ASOF JOIN`).
+    *
+    * Implementation is the union+window trick (SURVEY.md §2.4): tag
+    * both sides, union by name, and take `last(payload, ignoreNulls)`
+    * over (key ORDER BY time, side) — right rows sort before left rows
+    * at equal timestamps, so an exactly-simultaneous right row is
+    * visible to the left row (`>=` semantics).
+    *
+    * Scale rationale: a naive range join is O(|L|·|R|) per key
+    * (BroadcastNestedLoopJoin); this is ONE hash shuffle of L∪R on the
+    * key plus a per-partition sort — the same cost profile as a
+    * sort-merge join, and AQE can still coalesce the output. Duplicate
+    * right timestamps per key must be pre-deduplicated by the caller if
+    * a deterministic winner is required.
+    *
+    * @param payload right-side columns to carry (must not collide with
+    *                left column names)
+    */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+                       leftTime: String, rightTime: String,
+                       leftKey: String, rightKey: String,
+                       payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r0 = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side")
+        +: payload.map(col)): _*)
+    // Align schemas: left lacks payload cols, right lacks left cols.
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Sessionize an event stream: assign a session id per key where a
+    * new session starts after `gapSeconds` of inactivity. Batch analog
+    * of Structured Streaming's `session_window` (which
+    * [[graft.streaming.StreamOps.sessionAgg]] uses for streams).
+    * One shuffle on the key; per-partition sort; no state on driver. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol))
+    val prev = lag(col(tsCol), 1).over(w)
+    // microsecond precision: second-truncated arithmetic misclassifies
+    // gaps that straddle the threshold by <1s
+    df.withColumn("__new_session",
+        when(prev.isNull ||
+          unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new_session"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new_session")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Similarity search over embedding columns (Array[Float]) —
+  * SURVEY.md §7.4 north-star ops.
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is
+  *    broadcast (small side), so the "cross join" is a
+  *    BroadcastNestedLoopJoin that streams the corpus once — no
+  *    shuffle of the corpus, scales to any corpus size at fixed
+  *    |queries|·k output.
+  *  - [[lshTopK]]: approximate — sign-bit LSH buckets first, exact
+  *    cosine re-rank within buckets. Bucket join is an equi shuffle
+  *    join; probes only same-bucket corpus rows, the scale path when
+  *    |queries| is also large.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * Deterministic tiebreak: higher cosine first, then smaller corpus id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryId: String, queryVec: String,
+                     corpusId: String, corpusVec: String,
+                     k: Int): DataFrame = {
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
+    Relational.groupedTopK(scored,
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+  }
+
+  /** Approximate top-k via standard multi-table sign-bit LSH:
+    * `tables` independent hash tables of `planes` hyperplanes each;
+    * candidates are corpus rows sharing a bucket with the query in ANY
+    * table (plus 1-bit multi-probe flips within each table for
+    * recall), re-ranked by exact cosine. More tables → higher recall
+    * at linearly more candidate volume; probing stays an equi shuffle
+    * join on (table, bucket) — never a cross join. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, queryVec: String,
+              corpusId: String, corpusVec: String,
+              k: Int, planes: Int = 8, tables: Int = 4): DataFrame = {
+    def sigs(df: DataFrame, id: String, vec: String, idOut: String, vecOut: String) =
+      df.select(col(id).as(idOut), col(vec).as(vecOut),
+          array((0 until tables).map(t =>
+            cosine_lsh_signature(col(vec), planes, planeOffset = t * planes)): _*)
+            .as("__sigs"))
+        .select(col(idOut), col(vecOut),
+          posexplode(col("__sigs")).as(Seq("__table", "__sig")))
+    val c = sigs(corpus, corpusId, corpusVec, "neighbor_id", "__cv")
+      .withColumnRenamed("__sig", "__bucket")
+    // multi-probe: original bucket + each 1-bit flip within the table
+    val probes = (-1 until planes).map(p => lit(if (p < 0) 0L else 1L << p))
+    val q = sigs(queries, queryId, queryVec, "query_id", "__qv")
+      .withColumn("__flip", explode(array(probes: _*)))
+      .withColumn("__bucket", col("__sig").bitwiseXOR(col("__flip")))
+      .select(col("query_id"), col("__qv"), col("__table"), col("__bucket"))
+    val scored = c.join(q, Seq("__table", "__bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    Relational.groupedTopK(scored,
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+  }
+
+  /** Per-label centroid of embeddings — the vector-average Aggregator
+    * family (SURVEY.md §2.5). Pure built-ins: element-wise sum via
+    * zip_with fold over an aggregated array is quadratic, so instead
+    * posexplode → group — one shuffle, linear. */
+  def centroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("__pairs"))
+      .select(col("label"),
+        transform(col("__pairs"), p => p.getField("mean_v")).as("centroid"))
+}

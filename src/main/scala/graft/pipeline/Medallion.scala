@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Clean, Enrich, Kpis}
+
+/** The reference's whole dataflow as one composable pipeline
+  * (SURVEY.md §2.11, §3.3): bronze |> silver |> gold |> kpis, each
+  * stage a pure DataFrame => DataFrame, so Catalyst sees a single
+  * logical plan per materialization and the chain runs identically
+  * over batch or streaming inputs.
+  *
+  * The reference chains stages by running scripts in order against
+  * dated blob paths (/root/reference/silver_clean_comments.py:25-26 →
+  * gold_sentiment_comments.py:56-57 → final_kpis.py:28-31); here the
+  * chain is function composition.
+  */
+object Medallion {
+
+  type Stage = DataFrame => DataFrame
+
+  val silverVideos: Stage = Clean.silverizeVideos
+  val silverComments: Stage = Clean.silverizeComments
+  def goldSentiment(textCol: String): Stage = Enrich.ruleSentimentColumns(_, textCol)
+
+  /** bronze items → gold-enriched records, videos side. */
+  val videosChain: Stage = silverVideos.andThen(goldSentiment("title"))
+
+  /** bronze items → gold-enriched records, comments side. */
+  val commentsChain: Stage = silverComments.andThen(goldSentiment("text"))
+
+  /** End-to-end KPI record from bronze inputs (deterministic:
+    * generation timestamp supplied by caller). */
+  def kpis(bronzeVideoItems: DataFrame, bronzeCommentItems: DataFrame,
+           ingestDate: String, generatedAtUtc: String): DataFrame =
+    Kpis.kpiRecord(
+      videosChain(bronzeVideoItems), commentsChain(bronzeCommentItems),
+      "sentiment", "sentiment", ingestDate, generatedAtUtc)
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming stage functions (SURVEY.md §2.10). The reference is
+  * batch-only with daily `ingest_date` increments; the engine keeps
+  * every stage a pure `DataFrame => DataFrame` so the SAME function
+  * runs under `spark.read` (batch backfill) and `spark.readStream`
+  * (incremental) — the medallion pattern's replay/latest duality.
+  *
+  * Watermarks bound state: without them, event-time aggregations on an
+  * unbounded stream grow state forever; with a watermark Spark drops
+  * state for windows older than (max event time − delay).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window aggregate with a watermark. Works on a
+    * streaming OR batch frame (watermark is a no-op in batch). */
+  def windowedCounts(df: DataFrame, tsCol: String, windowLen: String,
+                     watermarkDelay: String = "10 minutes",
+                     keyCols: Seq[String] = Seq("event_type")): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), windowLen) +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(df: DataFrame, tsCol: String, windowLen: String,
+                    slide: String, watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows keyed by user: gap-based sessions with bounded
+    * state (streaming twin of [[graft.operators.Relational.sessionize]]).
+    */
+  def sessionAgg(df: DataFrame, tsCol: String, keyCol: String,
+                 gap: String = "30 minutes",
+                 watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+}

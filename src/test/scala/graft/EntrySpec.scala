@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EntrySpec extends AnyFunSuite with SparkTestBase {
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries run at sf0.001 and rows-only queries are non-empty") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (rowsOnly.contains(name)) assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("oracle-checked queries have stable column names (no auto-generated aliases)") {
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val cols = SparkEntry.queries(name)(spark, sf).columns
+      cols.foreach { c =>
+        assert(!c.contains("("), s"$name has un-aliased column '$c'")
+      }
+    }
+  }
+}

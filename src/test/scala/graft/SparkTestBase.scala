@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole test JVM (suites run in a
+  * forked JVM; getOrCreate dedupes across suites). */
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  lazy val sf: String = "/root/testdata/sf0.001"
+}
+
+object SparkTestBase {
+  lazy val session: SparkSession = {
+    val s = GraftSession.local(cores = 4, shufflePartitions = 4)
+    s
+  }
+}

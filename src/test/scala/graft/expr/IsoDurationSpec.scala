@@ -1,0 +1,52 @@
+package graft.expr
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class IsoDurationSpec extends AnyFunSuite with SparkTestBase {
+
+  private def p(s: String): Option[Long] =
+    Option(IsoDuration.parseSeconds(UTF8String.fromString(s))).map(_.longValue)
+
+  test("all duration variants from the reference golden data parse") {
+    // /root/reference/videos_with_sentiment.json durations
+    val golden = Map(
+      "PT28S" -> 28L, "PT49S" -> 49L, "PT51S" -> 51L, "PT59S" -> 59L,
+      "PT30M12S" -> (30 * 60 + 12L), "PT35M37S" -> (35 * 60 + 37L),
+      "PT36M52S" -> (36 * 60 + 52L), "PT2H35M19S" -> (2 * 3600 + 35 * 60 + 19L),
+      "PT2H47M24S" -> (2 * 3600 + 47 * 60 + 24L), "PT3H27M1S" -> (3 * 3600 + 27 * 60 + 1L))
+    golden.foreach { case (str, want) => assert(p(str).contains(want), str) }
+  }
+
+  test("days, weeks, combined, fractional seconds") {
+    assert(p("P1D").contains(86400L))
+    assert(p("P3W").contains(3 * 7 * 86400L))
+    assert(p("P1DT2H3M4S").contains(86400L + 2 * 3600 + 3 * 60 + 4))
+    assert(p("PT1.5S").contains(1L)) // truncated
+    assert(p("PT0S").contains(0L))
+  }
+
+  test("malformed inputs are null, not errors") {
+    Seq("", "P", "PT", "1H", "PT1H2X", "P1DT", "banana", "pt1h", "PT-1S")
+      .foreach(s => assert(p(s).isEmpty, s))
+    assert(IsoDuration.parseSeconds(null) == null)
+  }
+
+  test("codegen and interpreted paths agree on a DataFrame") {
+    import spark.implicits._
+    val df = Seq("PT51S", "P1DT2H", "garbage", null)
+      .toDF("d")
+      .select(graft.functions.iso_duration_to_seconds(col("d")).as("s"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(51L), Some(93600L), None, None))
+  }
+
+  test("SQL registration works") {
+    graft.functions.registerAll(spark)
+    val got = spark.sql("SELECT iso_duration_to_seconds('PT2H47M24S') AS s").head.getLong(0)
+    assert(got == 2 * 3600 + 47 * 60 + 24)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("tokens: trim, whitespace split, empty/null safe") {
+    val df = Seq("  a  b\tc ", "", "   ", null, "solo").toDF("t")
+      .select(token_count(col("t")).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 0L, 0L, 0L, 1L))
+  }
+
+  test("shingles: 3-grams, distinct, short-text fallback") {
+    def sh(s: String): Seq[String] =
+      Seq(s).toDF("t").select(shingles(col("t"), 3).as("s"))
+        .head.getSeq[String](0)
+    assert(sh("a b c d") == Seq("a b c", "b c d"))
+    assert(sh("a b") == Seq("a b"))     // fewer tokens than n → single shingle
+    assert(sh("a b c a b c d").distinct == sh("a b c a b c d")) // distinct
+  }
+
+  test("minhash signature: deterministic, k components, identical texts collide") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "unrelated words entirely here")
+      .toDF("t").select(minhash_signature(shingles(col("t")), 16).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash jaccard estimate ~ exact jaccard for near-identical docs") {
+    val a = ("d1", (1 to 60).map(i => s"w$i").mkString(" "))
+    val b = ("d2", (1 to 60).map(i => s"w$i").mkString(" ") + " extra")
+    val df = Seq(a, b).toDF("id", "t")
+      .select(col("id"), shingles(col("t")).as("sh"),
+        minhash_signature(shingles(col("t")), 64).as("sig"))
+    val Array(r1, r2) = df.collect()
+    val exact = Seq((a, b)).map { _ =>
+      val s1 = r1.getSeq[String](1).toSet; val s2 = r2.getSeq[String](1).toSet
+      s1.intersect(s2).size.toDouble / s1.union(s2).size
+    }.head
+    val est = r1.getSeq[Long](2).zip(r2.getSeq[Long](2)).count { case (x, y) => x == y } / 64.0
+    assert(math.abs(est - exact) < 0.25, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-identical texts within small hamming distance, disjoint texts far") {
+    val df = Seq(
+      (1, (1 to 50).map(i => s"tok$i").mkString(" ")),
+      (2, (1 to 50).map(i => s"tok$i").mkString(" ") + " one extra"),
+      (3, (100 to 150).map(i => s"zzz$i").mkString(" ")))
+      .toDF("id", "t").select(col("id"), simhash(col("t"), 32).as("sh"))
+    val m = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1), m(2)) <= 4, s"near pair hamming=${ham(m(1), m(2))}")
+    assert(ham(m(1), m(3)) > 6, s"far pair hamming=${ham(m(1), m(3))}")
+  }
+
+  test("cosine similarity: identity 1, orthogonal 0, opposite -1, zero-vector 0") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 0f), Seq(-1f, 0f)),
+      (Seq(0f, 0f), Seq(1f, 0f)))
+      .toDF("a", "b").select(cosine_similarity(col("a"), col("b")).as("c"))
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    assert(got(0) === 1.0 && got(1) === 0.0 && got(2) === -1.0 && got(3) === 0.0)
+  }
+
+  test("lang_id: script detection + latin stopword votes") {
+    val df = Seq(
+      "the cat and the dog went to the market and that is that",
+      "el perro y la casa que es de los niños y una cosa",
+      "Это русский текст с большим количеством кириллицы для проверки",
+      "这是一个中文文本用来测试语言识别功能的准确性").toDF("t")
+      .select(lang_id(col("t")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "es", "ru", "zh"))
+  }
+
+  test("quality_score in [0,1]; longer clean text scores higher than noisy text") {
+    val df = Seq(
+      ("clean", ("informative sentence with reasonable words " * 6).trim),
+      ("noisy", "$$$ !!! 111 ??? ;;; ::: 222 !!!"))
+      .toDF("id", "t").select(col("id"), quality_score(col("t")).as("q"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m("clean") > m("noisy"))
+  }
+
+  test("content fingerprints: whitespace/case-insensitive equality") {
+    val df = Seq("Hello   World", "  hello world ", "different").toDF("t")
+      .select(content_fingerprint(col("t")).as("f"), content_fingerprint64(col("t")).as("f64"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) == rows(1).getString(0))
+    assert(rows(0).getLong(1) == rows(1).getLong(1))
+    assert(rows(0).getString(0) != rows(2).getString(0))
+  }
+
+  test("token_estimate: long words cost ceil(len/4), punctuation counts") {
+    val df = Seq("hi there, extraordinary!").toDF("t")
+      .select(token_estimate(col("t")).as("n"))
+    // hi(1) there(2) ,(1) extraordinary(13→4) !(1) = 9
+    assert(df.head.getLong(0) == 9L)
+  }
+}

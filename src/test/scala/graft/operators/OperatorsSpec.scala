@@ -1,0 +1,273 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class RelationalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("groupedTopK keeps exactly k rows per group in order") {
+    val df = Seq(
+      ("g1", 1, 10.0), ("g1", 2, 30.0), ("g1", 3, 20.0), ("g1", 4, 40.0),
+      ("g2", 5, 5.0)).toDF("g", "id", "v")
+    val got = Relational.groupedTopK(df, Seq(col("g")), Seq(col("v").desc, col("id")), 2)
+      .orderBy("g", "id").collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == Seq(("g1", 2), ("g1", 4), ("g2", 5)))
+  }
+
+  test("asofJoinBackward matches a brute-force lateral lookup on real data") {
+    val e = Tables.events(spark, sf).filter(col("event_id") < 300)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val fast = Relational.asofJoinBackward(e, o, "ts", "o_orderdate",
+        "user_id", "o_custkey", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force via join + window max-by
+    val brute = e.join(o, col("user_id") === col("o_custkey") &&
+        col("ts") >= col("o_orderdate"), "left")
+      .groupBy(col("event_id"))
+      .agg(max_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("o_orderkey"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == brute)
+  }
+
+  test("sessionize: gap threshold splits sessions at µs precision") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, at(0)), (1L, at(100)), (1L, at(2000)),   // gap 1900 > 1800 → new session
+      (1L, at(3799)),                               // gap 1799 → same session
+      (2L, at(0))).toDF("user_id", "ts")
+    val got = Relational.sessionize(df, "user_id", "ts", 1800L)
+      .groupBy("user_id").agg(max("session_id").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L))
+  }
+}
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("exactDedup keeps one row per normalized text, smallest id") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.exactDedup(df, "id", "text").select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 3L))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" tiny suffix")).as("text"))
+    val pairs = Dedup.minhashNearDups(docs.unionByName(planted), "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 60L).map(i => (i, i + 1000)).toSet
+    val recall = wanted.count(pairs.contains).toDouble / wanted.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("simhash candidates find planted near-duplicates") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+      .select(col("doc_id"), col("text"))
+    val planted = docs.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" x")).as("text"))
+    val pairs = Dedup.simhashCandidates(docs.unionByName(planted), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wanted = (0L until 60L).map(i => (i, i + 1000)).toSet
+    val recall = wanted.count(pairs.contains).toDouble / wanted.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  test("bruteForceTopK matches a driver-side exact computation") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 3), emb, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // exact reference computation in scala
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    (0L until 3L).foreach { q =>
+      val want = vecs.filter(_._1 != q)
+        .map { case (id, v) => id -> cos(vecs(q), v) }
+        .toSeq.sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+      assert(got(q) == want, s"query $q")
+    }
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "embedding", "vec_id", "embedding", 5,
+        planes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // approximate: sanity bound
+  }
+
+  test("centroids: mean vector per label, correct dimension") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.centroids(emb, "label", "embedding").collect()
+    assert(got.length == 10)
+    assert(got.forall(_.getSeq[Double](1).length == 64))
+    // spot-check label 0 against driver-side mean of first component
+    val exp = emb.filter(col("label") === 0)
+      .select(element_at(col("embedding"), 1).cast("double")).collect().map(_.getDouble(0))
+    val want = exp.sum / exp.length
+    val c0 = got.find(_.getInt(0) == 0).get.getSeq[Double](1).head
+    assert(math.abs(c0 - want) < 1e-9)
+  }
+}
+
+class EnrichSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("mapPartitions enricher and pure-expression twin agree on real docs") {
+    val d = Tables.documents(spark, sf).select(col("doc_id"), col("text")).limit(200)
+    val a = Enrich.enrichSentiment(d, "text")
+      .select("doc_id", "sentiment", "sentiment_score", "emotion")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    val b = Enrich.ruleSentimentColumns(d, "text")
+      .select("doc_id", "sentiment", "sentiment_score", "emotion")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3))).toMap
+    assert(a == b)
+  }
+
+  test("parseSentimentJson: valid JSON, fenced JSON, and garbage fallback") {
+    val df = Seq(
+      """{"sentiment":"positive","sentiment_score":0.9,"emotion":"joy","summary":"ok"}""",
+      "```json\n{\"sentiment\":\"negative\",\"sentiment_score\":-0.5,\"emotion\":\"anger\",\"summary\":\"bad\"}\n```",
+      "total garbage not json").toDF("raw")
+    val got = Enrich.parseSentimentJson(df, "raw")
+      .select("sentiment", "sentiment_score", "summary").collect()
+    assert(got(0).getString(0) == "positive" && got(0).getDouble(1) == 0.9)
+    assert(got(1).getString(0) == "negative", "markdown fences must be stripped")
+    assert(got(2).getString(0) == "neutral" && got(2).getString(2) == "total garbage not json")
+  }
+
+  test("enrichSentiment preserves input columns and row count") {
+    val d = Tables.documents(spark, sf).limit(50)
+    val out = Enrich.enrichSentiment(d, "text")
+    assert(out.count() == 50)
+    assert(d.columns.toSet.subsetOf(out.columns.toSet))
+  }
+}
+
+class KpisSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("countByNormalized: lower-cases and null→unknown (final_kpis.py:41-46)") {
+    val df = Seq("Positive", "positive", null, "NEGATIVE").toDF("sentiment")
+    val got = Kpis.countByNormalized(df, "sentiment").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("positive" -> 2L, "unknown" -> 1L, "negative" -> 1L))
+  }
+
+  test("kpiRecord: single row, map totals equal row counts (kpis.json shape)") {
+    val v = Seq("positive", "positive", "neutral").toDF("sentiment")
+    val c = Seq("negative", null).toDF("sentiment")
+    val row = Kpis.kpiRecord(v, c, "sentiment", "sentiment",
+      "2026-01-21", "2026-01-21T00:00:00Z").head
+    assert(row.getAs[Long]("total_videos") == 3L)
+    assert(row.getAs[Long]("total_comments") == 2L)
+    val vm = row.getAs[Map[String, Long]]("video_sentiment_counts")
+    assert(vm == Map("positive" -> 2L, "neutral" -> 1L))
+    val cm = row.getAs[Map[String, Long]]("comment_sentiment_counts")
+    assert(cm == Map("negative" -> 1L, "unknown" -> 1L))
+  }
+}
+
+class CleanSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("trimNonEmpty drops null/blank text after trimming (silver_clean_comments.py:45-47)") {
+    val df = Seq("  keep me  ", "", "   ", null).toDF("text")
+    val got = Clean.trimNonEmpty(df, "text").as[String].collect().toSeq
+    assert(got == Seq("keep me"))
+  }
+
+  test("silverizeVideos: nested projection, safe casts, duration parse, unicode") {
+    val bronze = spark.read.json(Seq(
+      """{"id":"v1","snippet":{"title":"Тест 🎧 episode","publishedAt":"2026-01-20T10:00:00Z","channelTitle":"chan"},
+         "statistics":{"viewCount":"1234","likeCount":"not_a_number","commentCount":null},
+         "contentDetails":{"duration":"PT2H47M24S"}}""").toDS)
+    val row = Clean.silverizeVideos(bronze).head
+    assert(row.getAs[String]("video_id") == "v1")
+    assert(row.getAs[String]("title") == "Тест 🎧 episode")
+    assert(row.getAs[Long]("view_count") == 1234L)
+    assert(row.isNullAt(row.fieldIndex("like_count")))    // safe_int null on failure
+    assert(row.isNullAt(row.fieldIndex("comment_count")))
+    assert(row.getAs[Long]("duration_seconds") == 2 * 3600 + 47 * 60 + 24)
+  }
+
+  test("silverizeComments: error-skip + trim filter + likes default 0") {
+    val bronze = Seq(
+      ("v1", "c1", "au", " text ok ", null.asInstanceOf[java.lang.Long], "2026-01-20T00:00:00Z", null.asInstanceOf[String]),
+      ("v1", "c2", "au", "   ", 5L: java.lang.Long, "2026-01-20T00:00:00Z", null.asInstanceOf[String]),
+      ("v1", "c3", "au", "boom", 7L: java.lang.Long, "2026-01-20T00:00:00Z", "quota_exceeded"))
+      .toDF("videoId", "commentId", "author", "text", "likes", "publishedAt", "error")
+    val got = Clean.silverizeComments(bronze).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("commentId") == "c1")
+    assert(got.head.getAs[Long]("likes") == 0L)
+    assert(got.head.getAs[String]("text") == "text ok")
+  }
+
+  test("explodeEnvelope unwraps items arrays (final_kpis.py:33-34 shim)") {
+    val env = spark.read.json(Seq(
+      """{"ingest_date":"2026-01-21","rows":2,"items":[{"a":1},{"a":2}]}""").toDS)
+    val got = Clean.explodeEnvelope(env).select("a").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("withMediaMeta sniffs magic bytes and hashes payloads") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10)
+    val df = Seq((1, jpeg), (2, png), (3, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    val got = Multimodal.withMediaMeta(df, "payload")
+      .select("id", "media_format", "media_size_bytes").collect()
+      .map(r => r.getInt(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1) == ("jpeg", 6L))
+    assert(got(2) == ("png", 6L))
+    assert(got(3) == ("unknown", 3L))
+  }
+
+  test("extractFeatures: deterministic stub features, fixed dim, null-safe") {
+    val df = Seq((1, "abc".getBytes), (2, "abc".getBytes), (3, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val got = Multimodal.extractFeatures(df, "payload").collect()
+      .map(r => r.getInt(0) -> Option(r.getSeq[Float](2))).toMap
+    assert(got(1).get.length == 8)
+    assert(got(1) == got(2))          // deterministic
+    assert(got(3).isEmpty)            // null payload → null features
+  }
+
+  test("sampleFramePlan emits n frames per row with monotone offsets") {
+    val df = Seq((1, "0123456789".getBytes)).toDF("id", "payload")
+    val got = Multimodal.sampleFramePlan(df, "id", "payload", 4)
+      .orderBy("frame_index").collect().map(r => r.getAs[Long]("byte_offset"))
+    assert(got.length == 4 && got.toSeq == got.sorted.toSeq)
+  }
+}

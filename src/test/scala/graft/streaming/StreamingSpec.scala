@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedCounts runs under Structured Streaming (memory sink) and matches batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), "click", 1.0),
+      Ev(t("2024-01-01 00:20:00"), "click", 2.0),
+      Ev(t("2024-01-01 01:05:00"), "view", 3.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(data: _*)
+    val q = StreamOps.windowedCounts(stream.toDF(), "ts", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("wc").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("wc")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamOps.windowedCounts(data.toDF(), "ts", "1 hour")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.exists { case (_, et, n) => et == "click" && n == 2 })
+  }
+
+  test("sessionAgg groups events into gap-based session windows under streaming") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    stream.addData(
+      Ev(t("2024-01-01 00:00:00"), "u1", 1.0),
+      Ev(t("2024-01-01 00:10:00"), "u1", 1.0),  // same session (gap 10m < 30m)
+      Ev(t("2024-01-01 02:00:00"), "u1", 1.0))  // new session
+    val q = StreamOps.sessionAgg(stream.toDF(), "ts", "event_type", "30 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("sess").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sess").collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+}

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+
+Reads oracle_sql.json written by graft.Verify, registers the sfDir
+parquet tables as DuckDB views, runs each oracle query, and compares
+against the Spark parquet dump: schema (column names), row count, and
+values (columns sorted by name, rows sorted, exact equality; floats
+compared bit-exactly first, then with 1e-9 rel tolerance reported
+separately).
+"""
+import json, math, sys
+import duckdb
+import pyarrow.parquet as pq
+import pyarrow.dataset as ds
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def load_spark(outdir, name):
+    return ds.dataset(f"{outdir}/{name}", format="parquet").to_table()
+
+def norm_rows(tbl):
+    cols = sorted(tbl.column_names)
+    data = [tbl.column(c).to_pylist() for c in cols]
+    rows = list(zip(*data)) if data else []
+    return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+def close(a, b):
+    if a is None or b is None: return a is b
+    if isinstance(a, float) and isinstance(b, float):
+        if a == b: return True
+        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+    return a == b
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            dk = con.sql(sql).arrow()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+        try:
+            sp = load_spark(outdir, name)
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}"); n_fail += 1; continue
+        dc, dr = norm_rows(dk)
+        sc, sr = norm_rows(sp)
+        if dc != sc:
+            print(f"FAIL {name}: columns duckdb={dc} spark={sc}"); n_fail += 1; continue
+        if len(dr) != len(sr):
+            print(f"FAIL {name}: rows duckdb={len(dr)} spark={len(sr)}"); n_fail += 1; continue
+        exact = approx = bad = 0
+        first_bad = None
+        for r1, r2 in zip(dr, sr):
+            if r1 == r2: exact += 1
+            elif all(close(a, b) for a, b in zip(r1, r2)): approx += 1
+            else:
+                bad += 1
+                if first_bad is None: first_bad = (r1, r2)
+        if bad:
+            print(f"FAIL {name}: {bad}/{len(dr)} rows differ; first: duck={first_bad[0]} spark={first_bad[1]}")
+            n_fail += 1
+        elif approx:
+            print(f"WARN {name}: {approx} rows only approx-equal (hash compare would FAIL)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(dr)} rows exact"); n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

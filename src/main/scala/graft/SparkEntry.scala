@@ -298,7 +298,125 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // full outer join: per-nation customer vs supplier counts.
+    "q25_full_outer" -> ((s, dir) => {
+      val cu = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cu.join(su, Seq("nk"), "full_outer")
+        .select(col("nk"), col("n_cust"), col("n_supp"))
+        .orderBy(col("nk"))
+    }),
+
+    // theta (non-equi) join → BroadcastNestedLoopJoin on tiny dims.
+    "q26_theta_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      r.join(n, col("n_regionkey") > col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("r_name"))
+    }),
+
+    // distinct aggregation (expand + two-phase agg under the hood).
+    "q27_distinct_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // scalar string-function surface (SURVEY.md §2.8) incl. LIKE.
+    "q28_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .filter(col("p_type").like("%O%") && col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          upper(col("p_brand")).as("brand_upper"),
+          substring(col("p_name"), 1, 10).as("name10"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_type"), "O", "0").as("type_zero"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // date/time scalar surface: year/month/day, datediff, last_day.
+    "q29_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // from_json with fallback (SURVEY.md §2.3 C7): typed parse of the
+    // props payload, defaulting k to -1 on parse failure.
+    "q40_json_parse" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          coalesce(from_json(col("props"), schema).getField("k"), lit(-1L)).as("k"))
+        .groupBy(col("event_type"))
+        .agg(min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+          sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // unionByName with missing columns (SURVEY.md §2.7 — the engine's
+    // answer to the reference's list-vs-envelope polymorphic reads).
+    "q41_union_by_name" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+      val b = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderstatus"), col("o_orderkey")) // reordered + missing col
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // pivot: event_type counts as columns per user bucket.
+    "q42_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("user_mod"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view"))
+        .orderBy(col("user_mod"))
+    }),
+
+    // typed Dataset API (groupByKey.mapGroups): max inter-event gap.
+    "q43_max_gap_typed" -> ((s, dir) => {
+      Relational.maxEventGap(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("key"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
+
+    // approx_count_distinct (HLL++) vs exact — sketch values are
+    // engine-specific, so rows-only.
+    "q44_approx_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
 
     // MinHash-LSH near-dup detection with planted near-duplicates
     // (each doc unioned with a lightly perturbed twin at id+100000).
@@ -491,7 +609,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_sessionize" ->
-      """SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events FROM (
+      """SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
         | SELECT user_id,
         |  CASE WHEN prev_ts IS NULL
         |       OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
@@ -578,11 +696,78 @@ object SparkEntry {
 
     "q23_events_json" ->
       """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) % 7 AS k_mod,
-        | COUNT(*) AS n, SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k
+        | COUNT(*) AS n, CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q24_top_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q25_full_outer" ->
+      """SELECT COALESCE(cu.nk, su.nk) AS nk, cu.n_cust, su.n_supp FROM
+        | (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) cu
+        | FULL OUTER JOIN
+        | (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) su
+        | ON cu.nk = su.nk
+        |ORDER BY 1""".stripMargin,
+
+    "q26_theta_join" ->
+      """SELECT r_name, COUNT(*) AS n FROM region JOIN nation
+        | ON n_regionkey > r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q27_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        | COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q28_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_upper,
+        | substring(p_name, 1, 10) AS name10,
+        | concat_ws('-', p_brand, p_type) AS brand_type,
+        | regexp_replace(p_type, 'O', '0', 'g') AS type_zero,
+        | length(p_name) AS name_len
+        |FROM part WHERE p_type LIKE '%O%' AND p_partkey < 100
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q29_date_funcs" ->
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | day(o_orderdate) AS d,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q40_json_parse" ->
+      """SELECT event_type,
+        | MIN(k) AS min_k, MAX(k) AS max_k, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |       COALESCE(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT), -1) AS k
+        |      FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q41_union_by_name" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM (
+        | SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        | UNION ALL
+        | SELECT o_orderkey, o_orderstatus, NULL AS o_orderpriority FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q42_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_max_gap_typed" ->
+      """SELECT user_id AS key,
+        | COALESCE(MAX(gap), 0) AS max_gap_us, COUNT(*) AS n_events FROM (
+        | SELECT user_id,
+        |  epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
+        | FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -4,6 +4,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Typed row for [[Relational.maxEventGap]]. */
+case class KeyedTs(key: Long, tsMicros: Long)
+case class KeyGap(key: Long, max_gap_us: Long, n_events: Long)
+
 /** Relational building blocks the reference implies but never wrote
   * (SURVEY.md §2.4–§2.7): grouped top-k (the `min(n,100)` per-video
   * comment clamp done right — /root/reference/function_app.py:99) and
@@ -69,6 +73,30 @@ object Relational {
     }
     filled.filter(col("__side") === 1)
       .select((leftCols ++ payload).map(col): _*)
+  }
+
+  /** Largest inter-event gap per key, via the TYPED Dataset API
+    * (`groupByKey.mapGroups` — SURVEY.md §1.1 "Dataset[T] where type
+    * safety helps"). Sorting happens inside each group's iterator;
+    * state is one group at a time per task, never the whole partition.
+    * The same computation is SQL-expressible (lag window), which is
+    * exactly why it's oracle-checked. */
+  def maxEventGap(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("tsMicros"))
+      .as[KeyedTs]
+      .groupByKey(_.key)
+      .mapGroups { (k, rows) =>
+        val ts = rows.map(_.tsMicros).toArray
+        java.util.Arrays.sort(ts)
+        var maxGap = 0L
+        var i = 1
+        while (i < ts.length) { maxGap = math.max(maxGap, ts(i) - ts(i - 1)); i += 1 }
+        KeyGap(k, maxGap, ts.length.toLong)
+      }
+      .toDF()
   }
 
   /** Sessionize an event stream: assign a session id per key where a

@@ -34,8 +34,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
+    // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a double's
+    // 53-bit mantissa, so float division loses microseconds
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
 

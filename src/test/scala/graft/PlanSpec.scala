@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions (the 100-TB posture, SURVEY.md §4):
+  * filters must reach the parquet scan, small dims must broadcast,
+  * global top-k must not global-sort. These lock in the plans we chose,
+  * not just the answers. */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01: shipdate predicate is pushed into the parquet scan") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q02: all three predicates pushed; scan reads only needed columns") {
+    val p = plan("q02_revenue_filter")
+    // toString truncates the PushedFilters list — match a stable prefix
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("ReadSchema"), p)
+    // column pruning: no l_orderkey/l_partkey in the read schema
+    assert(!p.contains("l_partkey"), "scan should not read l_partkey")
+  }
+
+  test("q03: filtered customer dim is broadcast, not shuffled") {
+    val p = plan("q03_top_orders_by_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q24: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q24_top_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q26: non-equi join on tiny dims plans as BroadcastNestedLoopJoin") {
+    val p = plan("q26_theta_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators carry the "*(n)" stage marker in plan strings
+    assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
+  }
+}

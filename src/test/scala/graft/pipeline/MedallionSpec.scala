@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Clean
+
+/** End-to-end medallion flow over a reference-shaped bronze fixture
+  * (FIXTURES.md §A): envelope → silver → gold → KPI, mirroring the
+  * reference's three-script chain (SURVEY.md §3.3) in one plan. */
+class MedallionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val bronzeVideosEnvelope =
+    """{"channelId":"UC1","pulledAt":"2026-01-21T08:00:00.000Z","videoCount":3,"items":[
+      |{"id":"v1","snippet":{"title":"fast great episode","publishedAt":"2026-01-20T10:00:00Z","channelTitle":"chan"},
+      | "statistics":{"viewCount":"100","likeCount":"10","commentCount":"2"},"contentDetails":{"duration":"PT51S"}},
+      |{"id":"v2","snippet":{"title":"slow terrible feed","publishedAt":"2026-01-19T10:00:00Z","channelTitle":"chan"},
+      | "statistics":{"viewCount":"200","likeCount":"oops","commentCount":"3"},"contentDetails":{"duration":"PT2H47M24S"}},
+      |{"id":"v3","snippet":{"title":"plain update","publishedAt":"2026-01-15T10:00:00Z","channelTitle":"chan"},
+      | "statistics":{"viewCount":"300","likeCount":"30","commentCount":"4"},"contentDetails":{"duration":"bogus"}}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  private val bronzeCommentsEnvelope =
+    """{"ingest_date":"2026-01-21","video_count":1,"comment_count":3,"items":[
+      |{"videoId":"v1","commentId":"c1","author":"@a","text":" love this fast show ","likes":5,"publishedAt":"2026-01-21T01:00:00Z"},
+      |{"videoId":"v1","commentId":"c2","author":"@b","text":"   ","likes":1,"publishedAt":"2026-01-21T02:00:00Z"},
+      |{"videoId":"v1","commentId":"c3","author":"@c","text":"Это плохо broken awful 💔","likes":null,"publishedAt":"2026-01-21T03:00:00Z"}]}"""
+      .stripMargin.replaceAll("\n", "")
+
+  test("bronze envelope → silver → gold → KPI record, one plan per stage") {
+    val bronzeV = Clean.explodeEnvelope(spark.read.json(Seq(bronzeVideosEnvelope).toDS))
+    val bronzeC = Clean.explodeEnvelope(spark.read.json(Seq(bronzeCommentsEnvelope).toDS))
+
+    val goldV = Medallion.videosChain(bronzeV)
+    val goldC = Medallion.commentsChain(bronzeC)
+
+    // silver semantics survived: safe casts + duration parse
+    val v2 = goldV.filter($"video_id" === "v2").head
+    assert(v2.isNullAt(v2.fieldIndex("like_count")))          // "oops" → null
+    assert(v2.getAs[Long]("duration_seconds") == 2 * 3600 + 47 * 60 + 24)
+    val v3 = goldV.filter($"video_id" === "v3").head
+    assert(v3.isNullAt(v3.fieldIndex("duration_seconds")))    // "bogus" → null
+
+    // gold semantics: lexicon sentiment on titles
+    val sentiments = goldV.select("video_id", "sentiment").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sentiments == Map("v1" -> "positive", "v2" -> "negative", "v3" -> "neutral"))
+
+    // comments: blank text dropped, unicode preserved, likes defaulted
+    val comments = goldC.collect()
+    assert(comments.length == 2)
+    val c3 = goldC.filter($"commentId" === "c3").head
+    assert(c3.getAs[Long]("likes") == 0L)
+    assert(c3.getAs[String]("text").contains("💔"))
+    assert(c3.getAs[String]("sentiment") == "negative")
+
+    // KPI record (final_kpis.py:48-55 shape)
+    val kpi = Medallion.kpis(bronzeV, bronzeC, "2026-01-21", "2026-01-21T00:00:00Z").head
+    assert(kpi.getAs[Long]("total_videos") == 3L)
+    assert(kpi.getAs[Long]("total_comments") == 2L)
+    assert(kpi.getAs[Map[String, Long]]("video_sentiment_counts") ==
+      Map("positive" -> 1L, "negative" -> 1L, "neutral" -> 1L))
+    assert(kpi.getAs[String]("ingest_date") == "2026-01-21")
+  }
+}

@@ -1,0 +1,304 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native single-pass kernels for the dedup/similarity hot path.
+  *
+  * The same math is expressible with Spark's higher-order functions
+  * (transform/aggregate/zip_with), but HOFs evaluate interpreted, one
+  * lambda frame per element — at sf0.1 the HOF MinHash burned ~18 s vs
+  * <2 s for these tight JVM loops. Each expression calls a static
+  * kernel from both interpreted eval and generated code, so
+  * whole-stage codegen spans stay intact (no CodegenFallback).
+  */
+object TextHashKernels {
+
+  /** k min-hashes over a string array: each element is hashed once
+    * (xxHash64 over its UTF-8 bytes), then k seed-mixes of that 8-byte
+    * value. Empty array → all Long.MaxValue. */
+  def minhash(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(shingles.getUTF8String(i), 42L)
+        var j = 0
+        while (j < k) {
+          val m = XXH64.hashLong(h, j.toLong)
+          if (m < sig(j)) sig(j) = m
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** MinHash directly from a TOKEN array: builds w-token shingles by
+    * concatenating token bytes with single spaces into a reusable
+    * buffer, hashes each window, dedupes hashes (sort + skip), then
+    * applies the k seed-mixes. Equivalent to
+    * `minhash(shingles(text,w), k)` — the shingle bytes hashed are
+    * identical — but with zero interpreted-HOF work and no
+    * intermediate string array. Fewer than w tokens → one shingle of
+    * all tokens (mirrors [[graft.functions.shingles]]); zero tokens →
+    * all Long.MaxValue. */
+  def minhashShingles(tokens: ArrayData, width: Int, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (n > 0) {
+      val nShingles = if (n >= width) n - width + 1 else 1
+      val effWidth = math.min(width, n)
+      val hashes = new Array[Long](nShingles)
+      var buf = new Array[Byte](64)
+      var w = 0
+      while (w < nShingles) {
+        var len = 0
+        var j = 0
+        while (j < effWidth) {
+          val t = tokens.getUTF8String(w + j)
+          val tb = t.numBytes()
+          if (len + tb + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+          if (j > 0) { buf(len) = ' '; len += 1 }
+          t.writeToMemory(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + len)
+          len += tb
+          j += 1
+        }
+        hashes(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        w += 1
+      }
+      java.util.Arrays.sort(hashes)
+      var i = 0
+      while (i < nShingles) {
+        if (i == 0 || hashes(i) != hashes(i - 1)) {
+          val h = hashes(i)
+          var j = 0
+          while (j < k) {
+            val m = XXH64.hashLong(h, j.toLong)
+            if (m < sig(j)) sig(j) = m
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash over a token array: bit b set iff more than half the
+    * token hashes have bit b set. Returns 0 for an empty array. */
+  def simhash(tokens: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = tokens.numElements()
+    var seen = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(tokens.getUTF8String(i), 42L)
+        var b = 0
+        while (b < bits) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1
+          b += 1
+        }
+        seen += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) * 2 > seen) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Sign-bit LSH signature for cosine similarity: bit p is set iff
+    * dot(vec, plane_p) >= 0, where plane_p[i] = ±1 derived from
+    * xxHash64(i, planeOffset + p). One pass over the vector; the k
+    * plane signs accumulate in parallel. */
+  def cosineLsh(vec: ArrayData, planes: Int, planeOffset: Int, isFloat: Boolean): Long = {
+    val dots = new Array[Double](planes)
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      var p = 0
+      while (p < planes) {
+        val sign = if ((XXH64.hashLong(i.toLong, (planeOffset + p).toLong) & 1L) == 1L) 1.0 else -1.0
+        dots(p) += x * sign
+        p += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var p = 0
+    while (p < planes) {
+      if (dots(p) >= 0) out |= (1L << p)
+      p += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two numeric arrays in one pass; 0.0 when
+    * either norm is zero or lengths differ. Elements read as double
+    * regardless of float/double storage. */
+  def cosine(a: ArrayData, b: ArrayData, isFloatA: Boolean, isFloatB: Boolean): Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return 0.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloatA) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (isFloatB) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom > 0) dot / denom else 0.0
+  }
+}
+
+private[expr] object TextHashes {
+  val kernels: String = TextHashKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def requireStringArray(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires ARRAY<STRING> input, got ${other.sql}")
+  }
+}
+
+/** k-component MinHash signature of a string-array column. */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= 1024, "numHashes must be in [1,1024]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** MinHash signature straight from a token-array column (shingling
+  * fused into the kernel — the near-dup hot path). */
+case class MinHashShingles(child: Expression, shingleWidth: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleWidth >= 1, "shingleWidth must be >= 1")
+  require(numHashes >= 1 && numHashes <= 1024, "numHashes must be in [1,1024]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhashShingles(input.asInstanceOf[ArrayData], shingleWidth, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.minhashShingles($c, $shingleWidth, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+/** SimHash (bits ≤ 63) of a token-array column. */
+case class SimHashBits(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextHashes.requireStringArray(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhash(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.simhash($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBits =
+    copy(child = newChild)
+}
+
+/** Sign-bit LSH bucket id (cosine locality) of a vector column. */
+case class CosineLshSignature(child: Expression, planes: Int, planeOffset: Int)
+    extends UnaryExpression {
+  require(planes >= 1 && planes <= 63, "planes must be in [1,63]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cosine_lsh_signature"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.cosineLsh(input.asInstanceOf[ArrayData], planes, planeOffset, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.cosineLsh($c, $planes, $planeOffset, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): CosineLshSignature =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between two float/double array columns. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType(left).isDefined && elemType(right).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  private lazy val floatA = elemType(left).contains(FloatType)
+  private lazy val floatB = elemType(right).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floatA, floatB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${TextHashes.kernels}.cosine($a, $b, $floatA, $floatB);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}

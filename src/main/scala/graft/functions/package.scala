@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.IsoDurationToSeconds
+import graft.expr.{CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -32,9 +32,15 @@ package object functions {
 
   /** Register SQL-callable functions on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "iso_duration_to_seconds",
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("iso_duration_to_seconds",
       exprs => IsoDurationToSeconds(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      exprs => MinHashSignature(exprs(0), 64), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash32",
+      exprs => SimHashBits(exprs(0), 32), "scala_udf")
   }
 
   // ---------------------------------------------------------------------
@@ -142,22 +148,20 @@ package object functions {
     array_distinct(ngrams)
   }
 
-  /** MinHash signature: k min-hashes over the shingle set, computed in
-    * a SINGLE traversal. Each shingle string is hashed once
-    * (xxhash64), then the k per-seed values are derived by re-hashing
-    * that 8-byte long — so cost is |shingles| string hashes +
-    * k·|shingles| long hashes, not k full re-tokenizations. (A naive
-    * `transform(seeds, s => array_min(transform(shingles, ...)))`
-    * re-evaluates the shingle-building expression once per seed —
-    * measured 60× slower at sf0.1.) Docs with no shingles keep
-    * Long.MaxValue components (never collide with real content). */
-  def minhash_signature(shingleSet: Column, k: Int = 64): Column = {
-    val seeds = array((0 until k).map(lit(_)): _*)
-    aggregate(
-      transform(shingleSet, s => xxhash64(s)),
-      array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc, seeds, (m, seed) => least(m, xxhash64(h, seed))))
-  }
+  /** MinHash signature: k min-hashes over the shingle set, computed by
+    * the native single-pass kernel [[graft.expr.MinHashSignature]]
+    * (each shingle hashed once, k cheap long-mixes; codegen-friendly).
+    * Docs with no shingles keep Long.MaxValue components (never
+    * collide with real content). */
+  def minhash_signature(shingleSet: Column, k: Int = 64): Column =
+    col2(MinHashSignature(bridge.toExpression(shingleSet), k))
+
+  /** MinHash signature computed straight from text: tokenize (codegen
+    * built-in split), then the fused shingle+minhash kernel. Same
+    * result as `minhash_signature(shingles(text, w), k)` but without
+    * the interpreted shingle-array construction. */
+  def minhash_text(text: Column, shingleWidth: Int = 3, k: Int = 64): Column =
+    col2(MinHashShingles(bridge.toExpression(tokens(text)), shingleWidth, k))
 
   /** Estimated Jaccard similarity from two equal-length MinHash
     * signatures: fraction of agreeing components. */
@@ -174,27 +178,10 @@ package object functions {
 
   /** SimHash of the token multiset: sign of the per-bit sum of token
     * hashes; bit b of the result is 1 iff more than half the token
-    * hashes have bit b set.
-    *
-    * Single traversal: the accumulator is (per-bit set-counts, n);
-    * the finish lambda (evaluated once) folds counts back into the
-    * packed hash. Bit masks are a literal array, so no Column-typed
-    * shifts are needed and tokenization is NOT re-run per bit. */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
-    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
-    aggregate(
-      transform(tokens(text), t => xxhash64(t)),
-      struct(array_repeat(lit(0L), bits).as("cnt"), lit(0L).as("n")),
-      (acc, h) => struct(
-        zip_with(acc.getField("cnt"), masks,
-          (c, m) => c + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(0L)).as("cnt"),
-        (acc.getField("n") + 1L).as("n")),
-      acc => aggregate(
-        zip_with(acc.getField("cnt"), masks,
-          (c, m) => when(c * 2L > acc.getField("n"), m).otherwise(0L)),
-        lit(0L), (s, x) => s + x))
-  }
+    * hashes have bit b set. Native single-pass kernel
+    * ([[graft.expr.SimHashBits]]). */
+  def simhash(text: Column, bits: Int = 32): Column =
+    col2(SimHashBits(bridge.toExpression(tokens(text)), bits))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
@@ -212,31 +199,24 @@ package object functions {
   def vec_norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** Cosine similarity in [-1,1]; 0.0 when either vector is all-zero. */
-  def cosine_similarity(a: Column, b: Column): Column = {
-    val denom = vec_norm(a) * vec_norm(b)
-    when(denom > 0, vec_dot(a, b) / denom).otherwise(lit(0.0))
-  }
+  /** Cosine similarity in [-1,1]; 0.0 when either vector is all-zero
+    * or lengths differ. Native one-pass kernel
+    * ([[graft.expr.CosineSimilarity]]) — the hot loop of every
+    * similarity-search operator, so it must not run as an interpreted
+    * higher-order function. */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col2(CosineSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
 
   /** Sign-bit LSH signature for cosine similarity: for each hyperplane
-    * (a deterministic pseudo-random ±1 vector derived from (seed, dim)),
-    * 1 if the dot product is >= 0. Packed into a long (planes ≤ 64).
-    * Rademacher (±1) hyperplanes preserve cosine locality and need no
-    * stored random matrix — the plane is re-derived from xxhash64, so
-    * the operator ships no side data to executors. */
-  def cosine_lsh_signature(vec: Column, planes: Int = 16, planeOffset: Int = 0): Column = {
-    require(planes >= 1 && planes <= 63, "planes must be in [1,63]")
-    (0 until planes).map { p =>
-      // dot(vec, plane_p) with plane_p[i] = ±1 derived from xxhash64(i, plane id)
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") *
-            when(xxhash64(i, lit(planeOffset + p)).bitwiseAND(1L) === 1L, 1.0)
-              .otherwise(-1.0)),
-        lit(0.0), (a2, v) => a2 + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+    * (a deterministic pseudo-random ±1 vector derived from
+    * (dim index, plane id)), 1 if the dot product is >= 0. Packed into
+    * a long (planes ≤ 63). Rademacher (±1) hyperplanes preserve cosine
+    * locality and need no stored random matrix — the plane is
+    * re-derived from xxHash64, so the operator ships no side data to
+    * executors. Native one-pass kernel
+    * ([[graft.expr.CosineLshSignature]]). */
+  def cosine_lsh_signature(vec: Column, planes: Int = 16, planeOffset: Int = 0): Column =
+    col2(CosineLshSignature(bridge.toExpression(vec), planes, planeOffset))
 
   // ---------------------------------------------------------------------
   // Language identification (documents table; heuristic n-gram/charset)

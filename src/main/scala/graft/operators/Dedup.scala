@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -34,41 +34,66 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
 
+  /** Emit deduplicated candidate pairs from (bucket key → [id, payload])
+    * rows: group by bucket, cap oversized buckets (LSH "stop buckets" —
+    * near-universal boilerplate that would blow up quadratically; the
+    * cap is logged in the plan via the filter), then generate ordered
+    * pairs WITHIN each bucket with higher-order functions over the
+    * collected (small) bucket array.
+    *
+    * Scale rationale vs a banded self-join: a self-join re-executes the
+    * whole signature pipeline once per side (measured 2× the runtime at
+    * sf0.1) and shuffles it twice; this shape computes signatures once
+    * and shuffles once. Bucket arrays are bounded by `maxBucket`, so
+    * per-group state stays O(maxBucket · payload). */
+  private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
+                          scoreOf: (Column, Column) => Column, scoreName: String,
+                          maxBucket: Int): DataFrame = {
+    val buckets = banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(collect_list(struct(col("__id"), col("__payload"))).as("__items"))
+      .filter(size(col("__items")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("__items"), x =>
+        filter(
+          transform(col("__items"), y =>
+            when(x.getField("__id") < y.getField("__id"),
+              struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
+                scoreOf(x.getField("__payload"), y.getField("__payload")).as(scoreName)))),
+          p => p.isNotNull)))).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs.
     *
-    * signature: k minhashes over w-shingles; banding: `bands` bands of
-    * k/bands rows each; a pair is a candidate iff it agrees on at least
-    * one full band. Returned with the signature-estimated Jaccard so
+    * signature: k minhashes over w-shingles (fused native kernel,
+    * [[graft.expr.MinHashShingles]]); banding: `bands` bands of k/bands
+    * rows each; a pair is a candidate iff it agrees on at least one
+    * full band. Returned with the signature-estimated Jaccard so
     * callers can threshold.
     *
-    * Physical plan: shingle+signature are narrow (no shuffle);
-    * `explode` over bands multiplies rows by `bands`; the self-join on
-    * (band, band_hash) shuffles both sides on that composite key —
-    * skewed buckets (boilerplate text) are AQE-split.
+    * Physical plan: tokenize+signature are narrow (no shuffle);
+    * `explode` over bands multiplies rows by `bands`; ONE hash shuffle
+    * on (band, band_hash) groups candidates; pairs are generated
+    * within buckets (see [[bucketPairs]]).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleWidth: Int = 3): DataFrame = {
+                        shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(
       col(idCol).as("__id"),
-      minhash_signature(shingles(col(textCol), shingleWidth), numHashes).as("__sig"))
+      minhash_text(col(textCol), shingleWidth, numHashes).as("__payload"))
     val banded = sig.select(
-      col("__id"), col("__sig"),
+      col("__id"), col("__payload"),
       explode(sequence(lit(0), lit(bands - 1))).as("__band"))
       .withColumn("__band_hash",
         xxhash64(concat_ws(",",
-          transform(slice(col("__sig"), col("__band") * rows + 1, lit(rows)),
+          transform(slice(col("__payload"), col("__band") * rows + 1, lit(rows)),
             x => x.cast("string"))), col("__band")))
-    val a = banded.select(col("__band"), col("__band_hash"),
-      col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("__band"), col("__band_hash"),
-      col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("__band", "__band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        minhash_jaccard(col("__sig_a"), col("__sig_b")).as("est_jaccard"))
+    bucketPairs(banded, Seq("__band", "__band_hash"),
+        (a, b) => minhash_jaccard(a, b), "est_jaccard", maxBucket)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("est_jaccard")).as("est_jaccard"))
   }
@@ -81,28 +106,23 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: band the simhash into
     * `chunks` chunks; pairs sharing any chunk are candidates, ranked by
-    * Hamming distance. */
+    * Hamming distance. Same one-shuffle bucket shape as
+    * [[minhashCandidates]]. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bits: Int = 32, chunks: Int = 4,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val width = bits / chunks
     val mask = (1L << width) - 1
-    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__sh"))
-    val banded = sh.select(col("__id"), col("__sh"),
+    val sh = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__payload"))
+    val banded = sh.select(col("__id"), col("__payload"),
         explode(sequence(lit(0), lit(chunks - 1))).as("__chunk"))
       .withColumn("__chunk_val",
         (0 until chunks).foldLeft(lit(-1L)) { (acc, c) =>
           when(col("__chunk") === c,
-            shiftright(col("__sh"), c * width).bitwiseAND(mask)).otherwise(acc)
+            shiftright(col("__payload"), c * width).bitwiseAND(mask)).otherwise(acc)
         })
-    val a = banded.select(col("__chunk"), col("__chunk_val"),
-      col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = banded.select(col("__chunk"), col("__chunk_val"),
-      col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    a.join(b, Seq("__chunk", "__chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("__sh_a"), col("__sh_b")).as("hamming"))
+    bucketPairs(banded, Seq("__chunk", "__chunk_val"),
+        (a, b) => hamming64(a, b), "hamming", maxBucket)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -126,15 +146,12 @@ object Dedup {
     * via sign-bit LSH bucketing (exact cosine computed only within
     * buckets). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+                        threshold: Double = 0.95, planes: Int = 12,
+                        maxBucket: Int = 256): DataFrame = {
+    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__payload"),
       cosine_lsh_signature(col(vecCol), planes).as("__bucket"))
-    val a = sig.select(col("__bucket"), col("__id").as("id_a"), col("__v").as("__va"))
-    val b = sig.select(col("__bucket"), col("__id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        cosine_similarity(col("__va"), col("__vb")).as("cosine"))
+    bucketPairs(sig, Seq("__bucket"),
+        (a, b) => cosine_similarity(a, b), "cosine", maxBucket)
       .filter(col("cosine") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.sources.Tables
+
+/** Ad-hoc stage profiler for the heavy pipelines (not part of the
+  * driver contract). Usage: runMain graft.tools.Profile [sfDir] */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(cores = 4, shufflePartitions = 4)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val docs = d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" tail marker token")).as("text")))
+
+    time("count docs")(docs.count())
+    time("tokens only")(docs.select(token_count(col("text")).as("n"))
+      .agg(sum(col("n"))).collect())
+    time("HOF shingles")(docs.select(size(shingles(col("text"), 3)).as("n"))
+      .agg(sum(col("n"))).collect())
+    time("fused minhash_text")(docs
+      .select(element_at(minhash_text(col("text")), 1).as("s1"))
+      .agg(max(col("s1"))).collect())
+    time("minhashCandidates")(
+      graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text").count())
+    time("simhashCandidates")(
+      graft.operators.Dedup.simhashCandidates(docs, "doc_id", "text").count())
+    val emb = Tables.embeddings(spark, dir)
+    time("embeddingNearDups")(
+      graft.operators.Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.8).count())
+    time("lshTopK ann")(
+      graft.operators.Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "vec_id", "embedding", 5, planes = 6, tables = 4).count())
+    spark.stop()
+  }
+}

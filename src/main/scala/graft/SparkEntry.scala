@@ -405,7 +405,41 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // corpus term statistics (tf + document frequency; the integer
+    // core of TF-IDF — the ln() column stays library-side because
+    // libm rounding differs across engines).
+    "q45_term_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      operators.TextOps.tfidf(d, "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("token"), col("tf"), col("dfreq"))
+        .orderBy(col("doc_id"), col("token"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
+
+    // ingestion shims S1–S4: fixture client, batched multi-get video
+    // details + per-video comment fan-out, silvered end-to-end
+    // (function_app.py:36-87,94-155 re-expressed as parallel fetch).
+    "q46_ingest_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val client = new graft.sources.Ingest.FixtureClient
+      val ids = graft.sources.Ingest.videoIdsForChannel(s, client, "chanA", 10)
+      val videos = Clean.silverizeVideos(
+        graft.sources.Ingest.fetchVideoDetails(ids, client))
+      val comments = Clean.silverizeComments(
+        graft.sources.Ingest.fetchComments(ids.repartition(4), client, 20))
+      videos.select(col("video_id").as("id"), lit("video").as("kind"))
+        .unionByName(comments.select(col("commentId").as("id"), lit("comment").as("kind")))
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"))
+        .orderBy(col("kind"))
+    }),
+
+    // stateful streaming operator driven in batch (mapGroupsWithState).
+    "q47_running_stats" -> ((s, dir) => {
+      StreamOps.runningStats(Tables.events(s, dir))
+        .toDF()
+        .orderBy(col("event_type"))
+    }),
 
     // approx_count_distinct (HLL++) vs exact — sketch values are
     // engine-specific, so rows-only.
@@ -761,6 +795,16 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q45_term_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tok GROUP BY 1)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfreq.dfreq
+        |FROM tf JOIN dfreq ON tf.token = dfreq.token
+        |ORDER BY tf.doc_id, tf.token""".stripMargin,
 
     "q43_max_gap_typed" ->
       """SELECT user_id AS key,

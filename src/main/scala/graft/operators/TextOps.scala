@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.tokens
+
+/** Corpus-level text statistics (north-star text-analysis family,
+  * SURVEY.md §7.4).
+  */
+object TextOps {
+
+  /** Term frequencies per document: (id, token, tf). One explode +
+    * one hash aggregate; tokens are lower-cased. */
+  def termFrequencies(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF table: (doc, token, tf, dfreq, tfidf) with
+    * tfidf = tf · ln(N / dfreq).
+    *
+    * Shuffle plan: explode is narrow; tf and document-frequency are
+    * two hash aggregates over the same exploded child; the df side is
+    * vocabulary-sized (small) so it broadcasts back onto tf; the
+    * corpus size N rides along as a broadcast single-row cross join.
+    * Nothing is collected to the driver. */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = termFrequencies(df, idCol, textCol)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val n = df.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc"), col("token"), col("tf"), col("dfreq"),
+        (col("tf").cast("double") *
+          log(col("n").cast("double") / col("dfreq").cast("double"))).as("tfidf"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Schemas
+
+/** Ingestion shims for the reference's REST sources (SURVEY.md §2.1
+  * S1–S4), re-expressed as distributed fetch operators.
+  *
+  * The reference fetches serially on one thread: channel → uploads
+  * playlist (/root/reference/function_app.py:46-52), playlistItems →
+  * video ids (:54-61), one batched videos?id=a,b,c call (:63-70), and
+  * a per-video commentThreads loop (:94-105,127-138). Here the fetch
+  * fan-out runs inside `mapPartitions` — one [[ApiClient]] per
+  * partition (connection reuse), ids batched per request exactly like
+  * the reference's multi-get — so ingesting N videos scales with
+  * executors instead of being N sequential round-trips.
+  *
+  * No network exists in this environment, so the client is a trait;
+  * [[FixtureClient]] is a deterministic API-shaped fake for tests and
+  * offline runs. A production client would add retry/backoff here and
+  * nothing else changes.
+  */
+object Ingest {
+
+  /** Minimal client surface mirroring the reference's four calls. */
+  trait ApiClient extends Serializable {
+    def channelUploadsPlaylist(channelId: String): String
+    def playlistVideoIds(playlistId: String, maxResults: Int): Seq[String]
+    /** batched multi-get: one call for up to 50 ids (function_app.py:63-70) */
+    def videoDetails(ids: Seq[String]): Seq[String] // JSON per video item
+    def commentThreads(videoId: String, maxResults: Int): Seq[String] // JSON per comment
+  }
+
+  /** Deterministic API-shaped fake (JSON matches Schemas.bronze*). */
+  class FixtureClient extends ApiClient {
+    override def channelUploadsPlaylist(channelId: String): String = s"UU$channelId"
+    override def playlistVideoIds(playlistId: String, maxResults: Int): Seq[String] =
+      (0 until maxResults).map(i => s"vid_${playlistId}_$i")
+    override def videoDetails(ids: Seq[String]): Seq[String] = ids.map { id =>
+      val n = math.abs(id.hashCode % 1000)
+      val day = f"${1 + n % 28}%02d"
+      s"""{"id":"$id","snippet":{"title":"episode $n of $id","publishedAt":"2026-01-${day}T10:00:00Z",
+         |"channelTitle":"chan"},"statistics":{"viewCount":"${n * 10}","likeCount":"$n","commentCount":"${n % 50}"},
+         |"contentDetails":{"duration":"PT${1 + n % 59}M${n % 60}S"}}""".stripMargin.replaceAll("\n", "")
+    }
+    override def commentThreads(videoId: String, maxResults: Int): Seq[String] =
+      (0 until math.min(maxResults, 100)).map { i =>
+        s"""{"videoId":"$videoId","commentId":"c_${videoId}_$i","author":"@u$i",
+           |"text":"comment $i on $videoId","likes":${i % 7},
+           |"publishedAt":"2026-01-21T0${i % 10}:00:00Z"}""".stripMargin.replaceAll("\n", "")
+      }
+  }
+
+  /** S2+S3: video ids → bronze video items. Ids are fetched in
+    * `batchSize`-id multi-get requests per partition (the reference's
+    * ','.join batching, function_app.py:67). */
+  def fetchVideoDetails(ids: Dataset[String], client: ApiClient,
+                        batchSize: Int = 50): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val raw = ids.mapPartitions(_.grouped(batchSize).flatMap(client.videoDetails))
+    raw.toDF("json")
+      .select(from_json(col("json"), Schemas.bronzeVideoItem).as("item"))
+      .select(col("item.*"))
+  }
+
+  /** S4: per-video comment fan-out with the min(n,100) clamp
+    * (function_app.py:99). The lateral loop becomes a parallel
+    * flatMap; `repartition` first if the id list is skewed into few
+    * partitions. */
+  def fetchComments(videoIds: Dataset[String], client: ApiClient,
+                    maxPerVideo: Int = 50): DataFrame = {
+    val spark = videoIds.sparkSession
+    import spark.implicits._
+    val clamped = math.min(maxPerVideo, 100)
+    val raw = videoIds.flatMap(v => client.commentThreads(v, clamped))
+    raw.toDF("json")
+      .select(from_json(col("json"), Schemas.commentItem).as("item"))
+      .select(col("item.*"))
+  }
+
+  /** S1+S2 driver-side seed: channel → uploads playlist → id Dataset.
+    * A single-row config lookup, not a distributed op (SURVEY.md S1). */
+  def videoIdsForChannel(spark: SparkSession, client: ApiClient,
+                         channelId: String, maxResults: Int = 10): Dataset[String] = {
+    import spark.implicits._
+    val playlist = client.channelUploadsPlaylist(channelId)
+    client.playlistVideoIds(playlist, maxResults).toDS()
+  }
+}

@@ -1,7 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Output row of [[StreamOps.runningStats]]. */
+case class TypeStats(event_type: String, n_events: Long, total_value: Double)
 
 /** Streaming stage functions (SURVEY.md §2.10). The reference is
   * batch-only with daily `ingest_date` increments; the engine keeps
@@ -40,4 +44,24 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  /** Custom state machine via `mapGroupsWithState` (SURVEY.md §2.10):
+    * per-event-type running count + value total that survives across
+    * micro-batches (state = one (count, sum) pair per key — bounded by
+    * key cardinality, not stream length). Runs in Update mode under
+    * streaming; in batch it degenerates to a single-pass group agg. */
+  def runningStats(df: DataFrame): Dataset[TypeStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0.0))
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          TypeStats(key, c, s)
+      }
+  }
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("tfidf: tf, document frequency, and ln-weighted score") {
+    val docs = Seq(
+      (1L, "spark spark rare"),
+      (2L, "spark common"),
+      (3L, "common common other")).toDF("doc_id", "text")
+    val out = TextOps.tfidf(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // tf
+    assert(out((1L, "spark"))._1 == 2L)
+    assert(out((3L, "common"))._1 == 2L)
+    // document frequency
+    assert(out((1L, "spark"))._2 == 2L)  // docs 1,2
+    assert(out((1L, "rare"))._2 == 1L)
+    // tfidf = tf * ln(N/df), N=3
+    assert(math.abs(out((1L, "rare"))._3 - math.log(3.0)) < 1e-12)
+    assert(math.abs(out((1L, "spark"))._3 - 2 * math.log(3.0 / 2)) < 1e-12)
+    // a token in every doc scores 0... none here; check monotonicity instead
+    assert(out((1L, "rare"))._3 > out((2L, "spark"))._3)
+  }
+}

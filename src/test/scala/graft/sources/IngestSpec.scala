@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Clean
+
+class IngestSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val client = new Ingest.FixtureClient
+
+  test("S1/S2: channel seed produces the requested number of ids") {
+    val ids = Ingest.videoIdsForChannel(spark, client, "chanA", 7)
+    assert(ids.count() == 7)
+  }
+
+  test("S3: batched multi-get returns one bronze item per id, API-shaped") {
+    val ids = Ingest.videoIdsForChannel(spark, client, "chanA", 10)
+    val bronze = Ingest.fetchVideoDetails(ids, client, batchSize = 3)
+    assert(bronze.count() == 10)
+    assert(bronze.schema.fieldNames.toSet == Set("id", "snippet", "statistics", "contentDetails"))
+    // silver chain works on the fetched shape (duration parses)
+    val silver = Clean.silverizeVideos(bronze)
+    assert(silver.filter(col("duration_seconds").isNotNull).count() == 10)
+  }
+
+  test("S4: comment fan-out clamps at min(n,100) per video (function_app.py:99)") {
+    val ids = Seq("v1", "v2").toDS()
+    val few = Ingest.fetchComments(ids, client, maxPerVideo = 5)
+    assert(few.count() == 10) // 5 per video
+    val clamped = Ingest.fetchComments(ids, client, maxPerVideo = 500)
+    assert(clamped.count() == 200) // clamped to 100 per video
+  }
+
+  test("fetch runs distributed: partition count is preserved through the fan-out") {
+    val ids = Seq.tabulate(8)(i => s"v$i").toDS().repartition(4)
+    val comments = Ingest.fetchComments(ids, client, 2)
+    assert(comments.rdd.getNumPartitions == 4)
+    assert(comments.count() == 16)
+  }
+}
+
+/** Partitioned layout semantics (SURVEY.md §2.1 S8, §2.11): Hive-style
+  * partition columns, automatic pruning, idempotent per-partition
+  * overwrite — the engine's version of the reference's dated blob
+  * paths + overwrite=True. */
+class PartitionedWriteSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partitionBy write → pruned read → dynamic single-partition overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+
+    // pruning: only the lang=en directory is scanned
+    val en = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = en.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"), plan)
+    val enCount = en.count()
+    assert(enCount > 0)
+
+    // dynamic partition overwrite: rewriting ONE partition leaves others intact
+    val total = spark.read.parquet(dir).count()
+    val replacement = docs.filter(col("lang") === "en").limit(10)
+    replacement.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("lang") === "en").count() == 10)
+    assert(after.filter(col("lang") =!= "en").count() == total - enCount)
+  }
+}

@@ -49,4 +49,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length == 2)
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
+
+  test("runningStats: mapGroupsWithState carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.runningStats(stream.toDF())
+      .writeStream.outputMode("update").format("memory").queryName("rs").start()
+    try {
+      stream.addData(Ev(t("2024-01-01 00:00:00"), "click", 1.0),
+        Ev(t("2024-01-01 00:01:00"), "click", 2.0))
+      q.processAllAvailable()
+      stream.addData(Ev(t("2024-01-01 00:02:00"), "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in update mode appends each update; the LAST click row
+    // must reflect accumulated state (3 events, 7.0 total)
+    val updates = spark.table("rs").filter($"event_type" === "click")
+      .select("n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(updates.contains((3L, 7.0)), updates.mkString(","))
+  }
 }

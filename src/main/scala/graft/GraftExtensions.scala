@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expr._
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst expressions available to plain-SQL users cluster-wide via
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `SparkSession.builder().withExtensions(new GraftExtensions)`).
+  * Injected at the extension point rather than per-session
+  * `functionRegistry` mutation so the functions exist in every session
+  * a cluster spawns, including thrift-server/connect sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("iso_duration_to_seconds"),
+      info("iso_duration_to_seconds", "iso_duration_to_seconds(str) - ISO-8601 duration to seconds"),
+      (exprs: Seq[Expression]) => IsoDurationToSeconds(exprs.head)))
+    e.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(arr) - 64-component MinHash of a string array"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64)))
+    e.injectFunction((FunctionIdentifier("simhash32"),
+      info("simhash32", "simhash32(tokens) - 32-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => SimHashBits(exprs.head, 32)))
+    e.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
+      info("cosine_lsh_bucket", "cosine_lsh_bucket(vec) - 16-plane sign-LSH bucket id"),
+      (exprs: Seq[Expression]) => CosineLshSignature(exprs.head, 16, 0)))
+  }
+}

@@ -434,6 +434,23 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    // full corpus-curation pipeline: quality gate → language filter →
+    // exact dedup → MinHash near-dup removal → token accounting, with
+    // planted junk and near-duplicates that must be dropped.
+    "q48_corpus_curation" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("lang"))
+      val nearDup = d.filter(col("lang") === "en").limit(50)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" tiny tail")).as("text"), col("lang"))
+      val junk = d.limit(20).select((col("doc_id") + 300000).as("doc_id"),
+        lit("$$$ !!! ??? 111").as("text"), lit("en").as("lang"))
+      val curated = graft.pipeline.Corpus.curate(
+        d.unionByName(nearDup).unionByName(junk), "doc_id", "text", "lang",
+        graft.pipeline.Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"),
+          nearDupJaccard = 0.8))
+      graft.pipeline.Corpus.report(curated)
+    }),
+
     // stateful streaming operator driven in batch (mapGroupsWithState).
     "q47_running_stats" -> ((s, dir) => {
       StreamOps.runningStats(Tables.events(s, dir))

@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.operators.Dedup
+
+/** Training-corpus curation: the LLM-data-pipeline operator families
+  * composed into one lazy plan (quality gate → language filter →
+  * exact dedup → near-dup removal → token accounting).
+  *
+  * This is the 100-TB shape of the reference's silver stage: where the
+  * reference trims/filters 20 comments serially
+  * (/root/reference/silver_clean_comments.py:41-56), a pretraining
+  * pipeline gates billions of documents through exactly these steps.
+  * Everything below is a constant number of shuffles; the near-dup
+  * step is MinHash-LSH (one shuffle, stop-bucket capped).
+  */
+object Corpus {
+
+  case class Config(
+      minQuality: Double = 0.3,
+      keepLangs: Seq[String] = Seq("en"),
+      nearDupJaccard: Double = 0.8,
+      shingleWidth: Int = 3)
+
+  /** Filter + dedup a document table; returns the surviving rows with
+    * quality/token metadata attached. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             langCol: String, cfg: Config = Config()): DataFrame = {
+    // 1. row-local gates (all codegen'd; pushed as far down as Catalyst likes)
+    val gated = docs
+      .withColumn("quality", quality_score(col(textCol)))
+      .withColumn("n_tokens", token_count(col(textCol)))
+      .withColumn("est_bpe_tokens", token_estimate(col(textCol)))
+      .filter(col("quality") >= cfg.minQuality &&
+        lower(col(langCol)).isin(cfg.keepLangs.map(_.toLowerCase): _*))
+
+    // 2. exact dedup on normalized text (keep smallest id)
+    val exact = Dedup.exactDedup(gated, idCol, textCol)
+
+    // 3. near-dup removal: drop the LARGER id of each near-dup pair
+    val losers = Dedup.minhashCandidates(exact, idCol, textCol,
+        shingleWidth = cfg.shingleWidth)
+      .filter(col("est_jaccard") >= cfg.nearDupJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** One-row corpus report: docs surviving, tokens kept, mean quality. */
+  def report(curated: DataFrame): DataFrame =
+    curated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("est_bpe_tokens")).as("total_bpe_tokens"),
+      avg(col("quality")).as("mean_quality"))
+}

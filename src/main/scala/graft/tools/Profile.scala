@@ -40,6 +40,21 @@ object Profile {
     time("lshTopK ann")(
       graft.operators.Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
         "vec_id", "embedding", "vec_id", "embedding", 5, planes = 6, tables = 4).count())
+
+    val ev = Tables.events(spark, dir)
+    time("events count")(ev.count())
+    time("get_json_object")(ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 7).as("m")).agg(count(lit(1))).count())
+    time("regexp k extract")(ev
+      .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+      .groupBy((col("k") % 7).as("m")).agg(count(lit(1))).count())
+
+    val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+    time("media meta only")(graft.operators.Multimodal.withMediaMeta(media, "payload")
+      .agg(count(lit(1))).count())
+    time("extractFeatures")(graft.operators.Multimodal
+      .extractFeatures(media, "payload").agg(count(lit(1))).count())
     spark.stop()
   }
 }

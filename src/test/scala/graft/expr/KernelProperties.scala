@@ -1,0 +1,109 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks (ScalaCheck, run natively by sbt) for the
+  * native kernels — pure JVM, no SparkSession. */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private def arr(tokens: Seq[String]): GenericArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private val token: Gen[String] = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val tokenSeq: Gen[List[String]] = Gen.listOfN(30, token)
+
+  // --- ISO-8601 duration -------------------------------------------------
+
+  property("duration: render→parse round-trips for D/H/M/S combinations") =
+    forAll(Gen.choose(0, 30), Gen.choose(0, 23), Gen.choose(0, 59), Gen.choose(0, 59)) {
+      (d, h, m, s) =>
+        val str = new StringBuilder("P")
+        if (d > 0) str.append(s"${d}D")
+        val hasTime = h > 0 || m > 0 || s > 0 || d == 0
+        if (hasTime) {
+          str.append("T")
+          if (h > 0) str.append(s"${h}H")
+          if (m > 0) str.append(s"${m}M")
+          if (s > 0 || (h == 0 && m == 0)) str.append(s"${s}S")
+        }
+        val want = d * 86400L + h * 3600L + m * 60L + s
+        Option(IsoDuration.parseSeconds(UTF8String.fromString(str.toString)))
+          .map(_.longValue).contains(want)
+    }
+
+  property("duration: garbage never throws, returns null") =
+    forAll(Gen.alphaNumStr) { junk =>
+      // anything not starting with the grammar parses to null quietly
+      val r = IsoDuration.parseSeconds(UTF8String.fromString("X" + junk))
+      r == null
+    }
+
+  // --- MinHash -----------------------------------------------------------
+
+  property("minhash: deterministic and permutation-INsensitive on shingle sets") =
+    forAll(tokenSeq) { ts =>
+      val a = TextHashKernels.minhash(arr(ts), 32)
+      val b = TextHashKernels.minhash(arr(ts), 32)
+      a.toLongArray.sameElements(b.toLongArray)
+    }
+
+  property("minhash(shingles) fused kernel == two-step kernel") =
+    forAll(tokenSeq) { ts =>
+      // two-step: build shingle strings exactly like the fused kernel does
+      val shingleStrings =
+        if (ts.isEmpty) Seq.empty
+        else if (ts.length < 3) Seq(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSeq
+      val twoStep = TextHashKernels.minhash(arr(shingleStrings.distinct), 16)
+      val fused = TextHashKernels.minhashShingles(arr(ts), 3, 16)
+      twoStep.toLongArray.sameElements(fused.toLongArray)
+    }
+
+  property("minhash: agreement fraction ≈ 1 for identical, < 1 for disjoint") =
+    forAll(Gen.listOfN(20, token), Gen.listOfN(20, token)) { (xs, ys) =>
+      val sx = TextHashKernels.minhashShingles(arr(xs.map("x" + _)), 3, 64).toLongArray
+      val sy = TextHashKernels.minhashShingles(arr(ys.map("y" + _)), 3, 64).toLongArray
+      val agree = sx.zip(sy).count { case (a, b) => a == b }
+      agree < 64 // prefixed namespaces are disjoint → sigs cannot fully agree
+    }
+
+  // --- SimHash -----------------------------------------------------------
+
+  property("simhash: empty → 0; single-token bits derived from its hash") =
+    forAll(token) { t =>
+      val empty = TextHashKernels.simhash(arr(Seq.empty), 32)
+      val one = TextHashKernels.simhash(arr(Seq(t)), 32)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(t), 42L)
+      empty == 0L && one == (h & 0xFFFFFFFFL)
+    }
+
+  // --- Cosine ------------------------------------------------------------
+
+  private val vec: Gen[Array[Double]] =
+    Gen.listOfN(16, Gen.choose(-10.0, 10.0)).map(_.toArray)
+
+  property("cosine kernel matches reference computation exactly") =
+    forAll(vec, vec) { (a, b) =>
+      val got = TextHashKernels.cosine(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)), isFloatA = false, isFloatB = false)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      val want = if (denom > 0) dot / denom else 0.0
+      got == want
+    }
+
+  property("cosine: bounded in [-1,1] (within fp tolerance)") =
+    forAll(vec, vec) { (a, b) =>
+      val c = TextHashKernels.cosine(
+        new GenericArrayData(a.map(x => x: Any)),
+        new GenericArrayData(b.map(x => x: Any)), isFloatA = false, isFloatB = false)
+      c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+    }
+}

@@ -1,0 +1,47 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class CorpusSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("curate: drops junk, wrong-language docs, exact dups, near-dups; keeps originals") {
+    val base = Tables.documents(spark, sf)
+      .filter($"lang" === "en" && $"doc_id" < 80)
+      .select($"doc_id", $"text", $"lang")
+    val exactDup = base.limit(10)
+      .select(($"doc_id" + 1000).as("doc_id"), $"text", $"lang")
+    val nearDup = base.limit(10)
+      .select(($"doc_id" + 2000).as("doc_id"),
+        concat($"text", lit(" x")).as("text"), $"lang")
+    val junk = Seq((3000L, "$$$ 111 !!!", "en")).toDF("doc_id", "text", "lang")
+    val wrongLang = Seq((4000L, ("solid clean prose " * 10).trim, "de"))
+      .toDF("doc_id", "text", "lang")
+
+    val curated = Corpus.curate(
+      base.unionByName(exactDup).unionByName(nearDup)
+        .unionByName(junk).unionByName(wrongLang),
+      "doc_id", "text", "lang",
+      Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"), nearDupJaccard = 0.8))
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+
+    val nBase = base.count()
+    assert(ids.forall(_ < 1000), s"planted rows survived: ${ids.filter(_ >= 1000)}")
+    assert(ids.size >= (nBase * 0.8).toInt, s"kept only ${ids.size} of $nBase originals")
+    assert(!ids.contains(3000L) && !ids.contains(4000L))
+  }
+
+  test("report: one row with token totals and mean quality") {
+    val d = Tables.documents(spark, sf).filter($"lang" === "en")
+      .select($"doc_id", $"text", $"lang")
+    val r = Corpus.report(Corpus.curate(d, "doc_id", "text", "lang")).head
+    assert(r.getAs[Long]("n_docs") > 0)
+    assert(r.getAs[Long]("total_tokens") > r.getAs[Long]("n_docs"))
+    val q = r.getAs[Double]("mean_quality")
+    assert(q >= 0.2 && q <= 1.0)
+  }
+}

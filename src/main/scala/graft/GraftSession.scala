@@ -23,6 +23,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // keep the (test-only) metastore/warehouse out of the repo tree
+    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+    .config("javax.jdo.option.ConnectionURL",
+      "jdbc:derby:;databaseName=/tmp/graft-metastore;create=true")
 
   /** Local session for tests / ad-hoc runs. */
   def local(cores: Int = 4, shufflePartitions: Int = 32): SparkSession = {

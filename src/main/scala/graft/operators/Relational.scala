@@ -75,6 +75,26 @@ object Relational {
       .select((leftCols ++ payload).map(col): _*)
   }
 
+  /** Skew-resistant equi join: salt the skewed (left) side's key into
+    * `saltBuckets` sub-keys and explode the build (right) side across
+    * all buckets, so one hot key spreads over `saltBuckets` tasks
+    * instead of one straggler. Use when a handful of keys dominate and
+    * AQE's skew-join split isn't available (e.g. the join feeds an
+    * aggregation that must stay co-partitioned). Right side is
+    * replicated ×saltBuckets — keep it the smaller input. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame,
+                 leftKey: String, rightKey: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets)).cast("int"))
+    val exploded = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(exploded,
+        salted(leftKey) === exploded(rightKey) &&
+          salted("__salt") === exploded("__salt"))
+      .drop("__salt")
+  }
+
   /** Largest inter-event gap per key, via the TYPED Dataset API
     * (`groupByKey.mapGroups` — SURVEY.md §1.1 "Dataset[T] where type
     * safety helps"). Sorting happens inside each group's iterator;

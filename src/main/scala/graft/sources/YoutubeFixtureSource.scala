@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 `TableProvider` for the reference's REST video source
+  * (SURVEY.md §4.3 #2): `spark.read.format("graft.sources.YoutubeFixtureSource")`
+  * with options `channelId`, `count`, `numPartitions`.
+  *
+  * The point is the PUSHDOWN plumbing the reference implements
+  * manually — `maxResults=10` sent to the API instead of filtering
+  * client-side (function_app.py:58) and `part=snippet,statistics`
+  * requesting only needed fields (:49,57,66):
+  *  - [[SupportsPushDownLimit]]: `.limit(n)` reaches the source and
+  *    caps what each partition generates (⇒ what a real client would
+  *    put in `maxResults`);
+  *  - [[SupportsPushDownRequiredColumns]]: column pruning reaches the
+  *    source (⇒ the `part=` parameter), and the reader materializes
+  *    only requested fields.
+  *
+  * Rows are deterministic fixtures (same generator family as
+  * [[Ingest.FixtureClient]]) since this environment has no network;
+  * a live implementation would swap row generation for HTTP paging and
+  * keep every interface below unchanged.
+  */
+class YoutubeFixtureSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    YoutubeFixtureSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new YoutubeFixtureTable(
+      opts.getOrDefault("channelId", "chanA"),
+      opts.getInt("count", 100),
+      opts.getInt("numPartitions", 4))
+  }
+}
+
+object YoutubeFixtureSource {
+  val schema: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("title", StringType),
+    StructField("channel_title", StringType),
+    StructField("duration", StringType),
+    StructField("view_count", LongType)))
+}
+
+private class YoutubeFixtureTable(channelId: String, count: Int, numPartitions: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"youtube_fixture($channelId)"
+  override def schema(): StructType = YoutubeFixtureSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new YoutubeFixtureScanBuilder(channelId, count, numPartitions)
+}
+
+private class YoutubeFixtureScanBuilder(channelId: String, count: Int, numPartitions: Int)
+    extends ScanBuilder with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+  private var limit: Int = Int.MaxValue
+  private var required: StructType = YoutubeFixtureSource.schema
+
+  override def pushLimit(l: Int): Boolean = { limit = l; true } // fully handled here
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def description(): String =
+      s"YoutubeFixtureScan(channel=$channelId, PushedLimit=" +
+        s"${if (limit == Int.MaxValue) "none" else limit}, " +
+        s"ReadColumns=${required.fieldNames.mkString(",")})"
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val total = math.min(count, limit)
+      val per = (total + numPartitions - 1) / numPartitions
+      (0 until numPartitions).flatMap { p =>
+        val start = p * per
+        val end = math.min(start + per, total)
+        if (start < end) Some(FixturePartition(channelId, start, end): InputPartition) else None
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new FixtureReaderFactory(required)
+  }
+}
+
+private case class FixturePartition(channelId: String, start: Int, end: Int)
+    extends InputPartition
+
+private class FixtureReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FixturePartition]
+    new PartitionReader[InternalRow] {
+      private var i = fp.start - 1
+      override def next(): Boolean = { i += 1; i < fp.end }
+      override def get(): InternalRow = {
+        // materialize ONLY the pruned columns (the `part=` analogue)
+        val values = required.fieldNames.map {
+          case "video_id" => UTF8String.fromString(s"vid_${fp.channelId}_$i")
+          case "title" => UTF8String.fromString(s"episode $i of ${fp.channelId}")
+          case "channel_title" => UTF8String.fromString(fp.channelId)
+          case "duration" => UTF8String.fromString(s"PT${1 + i % 59}M${i % 60}S")
+          case "view_count" => (i * 10L): java.lang.Long
+        }
+        InternalRow.fromSeq(values.toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class YoutubeFixtureSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def read(count: Int = 100) = spark.read
+    .format("graft.sources.YoutubeFixtureSource")
+    .option("channelId", "chanZ").option("count", count.toString)
+    .option("numPartitions", "4")
+    .load()
+
+  test("DSv2 source reads deterministic rows with the declared schema") {
+    val df = read(40)
+    assert(df.count() == 40)
+    assert(df.schema == YoutubeFixtureSource.schema)
+    assert(df.filter(col("video_id") === "vid_chanZ_7").head
+      .getAs[Long]("view_count") == 70L)
+  }
+
+  test("limit pushdown reaches the source (the maxResults analogue)") {
+    val df = read(1000).limit(5)
+    df.collect()
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedLimit=5"), scanDesc)
+    assert(df.count() == 5)
+  }
+
+  test("column pruning reaches the source (the part= analogue)") {
+    val df = read(20).select("video_id", "view_count")
+    val scanDesc = df.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadColumns=video_id,view_count"), scanDesc)
+    assert(df.collect().length == 20)
+  }
+}
+
+class SaltedJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("saltedJoin: same result as a plain join, hot key spread over buckets") {
+    // 10k rows all with ONE hot key + a few cold keys
+    val skewed = ((1 to 10000).map(i => (1L, s"row$i")) ++
+      (1 to 10).map(i => (i.toLong + 1, s"cold$i"))).toDF("k", "payload")
+    val dim = (1L to 20L).map(k => (k, s"dim$k")).toDF("dk", "dv")
+
+    val plain = skewed.join(dim, $"k" === $"dk").count()
+    val salted = graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", 8)
+    assert(salted.count() == plain)
+    // every original column survives, salt is dropped
+    assert(salted.columns.toSet == Set("k", "payload", "dk", "dv"))
+  }
+}
+
+class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  test("bucketed tables co-locate: the sort-merge join has no shuffle") {
+    // fresh metastore per JVM but persistent /tmp warehouse: clear both
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    val o = Tables.orders(spark, sf)
+    val l = Tables.lineitem(spark, sf)
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_b")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_b")
+    val joined = spark.table("lineitem_b")
+      .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucketed co-location: neither join input is re-shuffled on its key
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(joined.collect().nonEmpty)
+  }
+}

@@ -451,6 +451,17 @@ object SparkEntry {
       graft.pipeline.Corpus.report(curated)
     }),
 
+    // embedding near-duplicate pairs via sign-LSH buckets + exact
+    // cosine re-rank (planted duplicate vectors must be found).
+    "q49_embedding_neardups" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      Dedup.embeddingNearDups(emb.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.99, planes = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // stateful streaming operator driven in batch (mapGroupsWithState).
     "q47_running_stats" -> ((s, dir) => {
       StreamOps.runningStats(Tables.events(s, dir))

@@ -39,6 +39,17 @@ object Clean {
   def explodeEnvelope(df: DataFrame, itemsCol: String = "items"): DataFrame =
     df.select(explode(col(itemsCol)).as("__item")).select(col("__item.*"))
 
+  /** Wrap a record table back into the legacy `{meta..., items:[...]}`
+    * envelope (SURVEY.md §2.1 S9 write side — the reference's payload
+    * construction at /root/reference/function_app.py:75-80,143-148).
+    * One row out per input partition-collapse; only for legacy-format
+    * interchange, never for engine-internal storage. */
+  def wrapEnvelope(df: DataFrame, meta: Map[String, Any]): DataFrame = {
+    val metaCols = meta.toSeq.map { case (k, v) => lit(v).as(k) }
+    df.agg(collect_list(struct(df.columns.map(col): _*)).as("items"))
+      .select((metaCols :+ size(col("items")).cast("long").as("count") :+ col("items")): _*)
+  }
+
   /** Silver videos: the reference's nested projection + rename + safe
     * casts (/root/reference/silver_transform_videos.py:23-38), plus the
     * engine's duration_seconds enrichment (custom expression). */

@@ -237,6 +237,17 @@ class CleanSpec extends AnyFunSuite with SparkTestBase {
     val got = Clean.explodeEnvelope(env).select("a").as[Long].collect().sorted
     assert(got.toSeq == Seq(1L, 2L))
   }
+
+  test("wrapEnvelope round-trips through explodeEnvelope (function_app.py:75-80)") {
+    val records = Seq(("v1", 5L), ("v2", 7L)).toDF("id", "n")
+    val env = Clean.wrapEnvelope(records, Map("ingest_date" -> "2026-01-21"))
+    val row = env.head
+    assert(row.getAs[String]("ingest_date") == "2026-01-21")
+    assert(row.getAs[Long]("count") == 2L)
+    val back = Clean.explodeEnvelope(env).select("id", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(back == Set(("v1", 5L), ("v2", 7L)))
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite with SparkTestBase {

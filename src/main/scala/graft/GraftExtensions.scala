@@ -37,5 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket", "cosine_lsh_bucket(vec) - 16-plane sign-LSH bucket id"),
       (exprs: Seq[Expression]) => CosineLshSignature(exprs.head, 16, 0)))
+    // custom operator tier: the as-of join planner strategy
+    e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
   }
 }

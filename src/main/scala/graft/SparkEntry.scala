@@ -415,6 +415,49 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("token"))
     }),
 
+    // the SAME as-of join as q15 but through the custom Catalyst
+    // operator (AsOfJoinNode → AsOfStrategy → sort-merge AsOfJoinExec)
+    // — checked against the identical DuckDB ASOF JOIN oracle.
+    "q52_asof_custom_operator" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      graft.plans.AsOfJoin.asofJoin(e, o, "ts", "o_orderdate",
+          "user_id", "o_custkey", Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // correlated scalar subquery through the SQL surface (Catalyst
+    // decorrelates it into a left outer aggregate join).
+    "q50_correlated_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+               (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM customer_v c WHERE c_custkey < 200 ORDER BY c_custkey""")
+    }),
+
+    // RANGE-frame window: 30-day trailing spend per customer (value
+    // frame, so deterministic even with order ties).
+    "q51_window_range" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables.orders(s, dir).filter(col("o_custkey") < 30)
+        .withColumn("day",
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-30, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"), col("day"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("trailing_30d"))
+        .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // ingestion shims S1–S4: fixture client, batched multi-get video
@@ -823,6 +866,29 @@ object SparkEntry {
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
         | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_asof_custom_operator" ->
+      """SELECT e.event_id, o.o_orderkey
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+        |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |                FROM orders GROUP BY o_custkey, o_orderdate) o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q50_correlated_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        | (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+
+    "q51_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
+        |FROM orders WHERE o_custkey < 30
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

@@ -1,0 +1,183 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+/** Backward as-of join as a FIRST-CLASS Catalyst operator (SURVEY.md
+  * §2.4): logical node → planner strategy → sort-merge physical
+  * operator, the (c) tier of the extension ladder.
+  *
+  * Semantics match [[graft.operators.Relational.asofJoinBackward]]:
+  * for each left row, attach the payload of the right row with the
+  * greatest rightTime <= leftTime for the same key; unmatched left
+  * rows keep null payload (LEFT OUTER as-of).
+  *
+  * Physical shape: both children hash-partitioned on the key and
+  * sorted by (key, time) — declared via requiredChildDistribution /
+  * requiredChildOrdering, so EnsureRequirements plants the exchanges
+  * and sorts (and reuses existing ones). Execution is a single
+  * zipPartitions merge: one pass over each side, one retained right
+  * row at a time — O(1) state, no per-key buffering, no union row
+  * blow-up (the union+window formulation carries every right row
+  * through the window operator; this one streams past them).
+  *
+  * v1 operator contract: key must be LongType, time must be
+  * TimestampType on both sides ([[AsOfJoin.asofJoin]] casts the key;
+  * timestamps compare as their underlying epoch-micros longs).
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        payload: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, lt, rk, rt, payload) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Attribute, leftTime: Attribute,
+                        rightKey: Attribute, rightTime: Attribute,
+                        payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    require(lKeyIdx >= 0 && lTimeIdx >= 0 && rKeyIdx >= 0 && rTimeIdx >= 0)
+    val rightOutput = right.output
+    val payloadRefs = payload.map { a =>
+      val i = rightOutput.indexWhere(_.exprId == a.exprId)
+      require(i >= 0, s"payload ${a.name} not in right output")
+      BoundReference(i, a.dataType, nullable = true)
+    }
+
+    val leftOutput = left.output
+    val payloadAttrs = payload
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val project = UnsafeProjection.create(payloadRefs)
+      val nullPayload = new GenericInternalRow(payloadAttrs.size)
+      val joiner = new JoinedRow
+      // downstream operators require UnsafeRow
+      val resultProj = UnsafeProjection.create(
+        leftOutput ++ payloadAttrs, leftOutput ++ payloadAttrs)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHasHead = advanceRight()
+        private var matchKey = 0L
+        private var hasMatch = false
+        private var matchRow: InternalRow = _ // copied
+
+        private def advanceRight(): Boolean = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            if (!r.isNullAt(rKeyIdx) && !r.isNullAt(rTimeIdx)) { rHead = r; return true }
+          }
+          false
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTimeIdx)) {
+            resultProj(joiner(l, nullPayload))
+          } else {
+            val lk = l.getLong(lKeyIdx)
+            val lt = l.getLong(lTimeIdx)
+            // consume right rows with (key < lk) or (key == lk && time <= lt)
+            var advancing = rHasHead
+            while (advancing) {
+              val rk = rHead.getLong(rKeyIdx)
+              if (rk < lk || (rk == lk && rHead.getLong(rTimeIdx) <= lt)) {
+                if (rk == lk) { matchKey = rk; hasMatch = true; matchRow = rHead.copy() }
+                rHasHead = advanceRight()
+                advancing = rHasHead
+              } else advancing = false
+            }
+            if (hasMatch && matchKey == lk) resultProj(joiner(l, project(matchRow)))
+            else resultProj(joiner(l, nullPayload))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+
+  /** Install the planner strategy on a session (idempotent). Also
+    * injectable at build time via [[graft.GraftExtensions]]. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.exists(_.isInstanceOf[AsOfStrategy.type]))
+      spark.experimental.extraStrategies = cur :+ AsOfStrategy
+  }
+
+  /** DataFrame API over the custom operator; same contract as
+    * `Relational.asofJoinBackward` (key cast to long, timestamps
+    * required). */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftTime: String, rightTime: String,
+               leftKey: String, rightKey: String,
+               payload: Seq[String]): DataFrame = {
+    val spark = left.sparkSession
+    install(spark)
+    val l = left.withColumn(leftKey, col(leftKey).cast("long"))
+    val r = right.withColumn(rightKey, col(rightKey).cast("long"))
+    val lPlan = bridge.logicalPlan(l)
+    val rPlan = bridge.logicalPlan(r)
+    def attr(p: LogicalPlan, name: String, ok: DataType => Boolean,
+             what: String): Attribute = {
+      val a = p.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"$what column $name not found"))
+      require(ok(a.dataType), s"$what column $name has unsupported type ${a.dataType}")
+      a
+    }
+    // both timestamp flavors store epoch-micros longs internally
+    val isTs = (t: DataType) => t == TimestampType || t == TimestampNTZType
+    val node = AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, leftKey, _ == LongType, "left key"),
+      attr(lPlan, leftTime, isTs, "left time"),
+      attr(rPlan, rightKey, _ == LongType, "right key"),
+      attr(rPlan, rightTime, isTs, "right time"),
+      payload.map(n => attr(rPlan, n, _ => true, "payload")))
+    bridge.ofRows(spark, node)
+  }
+}

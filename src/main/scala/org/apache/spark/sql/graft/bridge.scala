@@ -1,16 +1,21 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Spark 4 made the Expression↔Column bridge (`ExpressionUtils`)
-  * private[sql]; this shim re-exports the two conversions the engine
-  * needs for its custom Catalyst expressions. Lives under
-  * org.apache.spark.sql purely for access; no Spark internals are
-  * modified.
+/** Spark 4 made the Expression↔Column bridge (`ExpressionUtils`) and
+  * `Dataset.ofRows` private[sql]; this shim re-exports the three
+  * conversions the engine needs for its custom Catalyst expressions
+  * and logical plans. Lives under org.apache.spark.sql purely for
+  * access; no Spark internals are modified.
   */
 object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+  def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 }

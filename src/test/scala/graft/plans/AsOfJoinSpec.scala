@@ -1,0 +1,58 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Relational
+import graft.sources.Tables
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  private def events = Tables.events(spark, sf)
+    .filter(col("event_id") < 500)
+    .select(col("event_id"), col("user_id"), col("ts"))
+  private def orders = Tables.orders(spark, sf)
+    .groupBy(col("o_custkey"), col("o_orderdate"))
+    .agg(max(col("o_orderkey")).as("o_orderkey"))
+
+  test("custom AsOfJoinExec appears in the physical plan") {
+    val df = AsOfJoin.asofJoin(events, orders, "ts", "o_orderdate",
+      "user_id", "o_custkey", Seq("o_orderkey"))
+    df.collect()
+    // plan strings strip the "Exec" suffix from node names
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+  }
+
+  test("custom operator matches the union+window formulation exactly") {
+    val custom = AsOfJoin.asofJoin(events, orders, "ts", "o_orderdate",
+        "user_id", "o_custkey", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val reference = Relational.asofJoinBackward(events, orders, "ts", "o_orderdate",
+        "user_id", "o_custkey", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(custom.size == reference.size)
+    assert(custom == reference)
+  }
+
+  test("left rows with no eligible right row keep null payload") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")),
+      (3L, 99L, ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, ts("2024-01-01 11:00:00"), "match11"),
+      (10L, ts("2024-01-01 13:00:00"), "late"))
+      .toDF("rk", "rt", "v")
+    val got = AsOfJoin.asofJoin(l, r, "t", "rt", "k", "rk", Seq("v"))
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(got == Map(1L -> None,          // before any right row
+      2L -> Some("match11"),               // latest rt <= t
+      3L -> None))                         // key with no right rows
+  }
+}

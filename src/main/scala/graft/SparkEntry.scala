@@ -552,6 +552,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
     }),
 
+    // IVF approximate nearest neighbors: k-means coarse quantizer
+    // (nlist inverted lists), nprobe-list probing, exact re-rank.
+    "q53_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+
     // heuristic language ID vs. the labeled lang column.
     "q33_lang_id" -> ((s, dir) => {
       Tables.documents(s, dir)

@@ -75,6 +75,85 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** Lightweight Lloyd's k-means for the IVF coarse quantizer: the
+    * MODEL (nlist × dim doubles) is the only thing collected to the
+    * driver — assignments and centroid updates are DataFrame
+    * aggregations. Deterministic: init = first nlist vectors by id. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      nlist: Int, iterations: Int = 3): Array[Array[Double]] = {
+    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iterations).foreach { _ =>
+      val assigned = withNearestCentroid(
+        corpus.select(col(vecCol).as("__v")), "__v", centroids, "__c")
+      val updated = assigned
+        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__c"), col("__pos"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+      centroids = centroids.indices
+        .map(c => updated.getOrElse(c, centroids(c)))
+        .toArray
+    }
+    centroids
+  }
+
+  private def litVec(v: Array[Double]) = array(v.map(lit(_)).toIndexedSeq: _*)
+
+  /** Append the argmax-cosine centroid index (the IVF list id). Pure
+    * expression: one native cosine kernel call per centroid per row. */
+  private def withNearestCentroid(df: DataFrame, vecCol: String,
+                                  centroids: Array[Array[Double]],
+                                  out: String): DataFrame = {
+    val dists = array(centroids.toIndexedSeq.map(c =>
+      cosine_similarity(col(vecCol), litVec(c))): _*)
+    df.withColumn(out,
+      (array_position(dists, array_max(dists)) - 1).cast("int"))
+  }
+
+  /** IVF approximate top-k: corpus rows are bucketed by nearest coarse
+    * centroid (nlist lists); each query probes its `nprobe` closest
+    * lists and re-ranks with exact cosine. The classic
+    * inverted-file trade: recall grows with nprobe, cost with
+    * corpus/nlist · nprobe. Join is an equi shuffle on the list id;
+    * the model rides along as plan literals (no side files). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryId: String, queryVec: String,
+              corpusId: String, corpusVec: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+    val centroids = centroidsOpt.getOrElse(
+      kmeansCentroids(corpus, corpusId, corpusVec, nlist))
+    val c = withNearestCentroid(
+      corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+      "__cv", centroids, "__list")
+    // query side: nprobe closest lists via sort of (-dist, index) pairs
+    val qd = array(centroids.toIndexedSeq.map(cc =>
+      cosine_similarity(col("__qv"), litVec(cc))): _*)
+    val probes = slice(
+      transform(
+        array_sort(zip_with(qd, sequence(lit(0), lit(centroids.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, nprobe)
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__list", explode(probes))
+    val scored = c.join(q, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
+    Relational.groupedTopK(scored,
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+  }
+
   /** Per-label centroid of embeddings — the vector-average Aggregator
     * family (SURVEY.md §2.5). Pure built-ins: element-wise sum via
     * zip_with fold over an aggregated array is quadratic, so instead

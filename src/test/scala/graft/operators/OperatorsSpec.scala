@@ -123,6 +123,21 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.5, s"recall=$recall") // approximate: sanity bound
   }
 
+  test("ivfTopK: k-means quantizer trains and recall beats random probing") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nlist = 8, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    // probing 3/8 lists at random would give ~0.375; the quantizer must beat it
+    assert(recall >= 0.5, s"recall=$recall")
+    assert(ivf.forall { case (a, b) => a != b })
+  }
+
   test("centroids: mean vector per label, correct dimension") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.centroids(emb, "label", "embedding").collect()

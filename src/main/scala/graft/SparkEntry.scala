@@ -431,6 +431,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // array-function surface over real vector data: size, element
+    // access, slice-sum via a fold, filter-count of negatives.
+    "q55_array_funcs" -> ((s, dir) => {
+      Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          aggregate(slice(col("embedding"), 1, 8),
+            lit(0.0), (acc, x) => acc + x.cast("double")).as("head8_sum"),
+          size(filter(col("embedding"), x => x < 0f)).cast("long").as("n_negative"))
+        .orderBy(col("vec_id"))
+    }),
+
     // correlated scalar subquery through the SQL surface (Catalyst
     // decorrelates it into a left outer aggregate join).
     "q50_correlated_subquery" -> ((s, dir) => {
@@ -550,6 +563,20 @@ object SparkEntry {
       Similarity.lshTopK(q, emb, "vec_id", "embedding",
           "vec_id", "embedding", k = 5, planes = 6, tables = 4)
         .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+    }),
+
+    // per-label centroids via the typed Aggregator (custom-UDAF tier;
+    // parity with the posexplode formulation asserted in spec).
+    "q54_vector_mean_agg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.embeddings(s, dir)
+        .select(col("label"), col("embedding").as("value"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.VectorMean.asColumn.name("centroid"))
+        .toDF("label", "centroid")
+        .orderBy(col("label"))
     }),
 
     // IVF approximate nearest neighbors: k-means coarse quantizer
@@ -884,6 +911,13 @@ object SparkEntry {
         |                FROM orders GROUP BY o_custkey, o_orderdate) o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q55_array_funcs" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_val,
+        | list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head8_sum,
+        | CAST(len(list_filter(embedding, x -> x < 0)) AS BIGINT) AS n_negative
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin,
 
     "q50_correlated_subquery" ->
       """SELECT c_custkey, c_mktsegment,

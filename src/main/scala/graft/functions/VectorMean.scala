@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, TypedColumn}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Aggregator` for element-wise vector mean — the custom-UDAF
+  * tier (SURVEY.md §2.5: "custom `Aggregator` family reserved for
+  * north-star vector ops"). Buffer is (running sums, count); merge is
+  * associative/commutative so map-side partial aggregation applies.
+  * Complements [[graft.operators.Similarity.centroids]] (the
+  * posexplode formulation): this one keeps the vector intact per
+  * group — the right shape when dim is modest and groups are many
+  * (one buffer per group instead of dim rows per input vector).
+  */
+object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+
+  override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+
+  override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    if (v == null) b
+    else {
+      val sums = if (b._1.length == v.length) b._1 else new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { sums(i) += v(i); i += 1 }
+      (sums, b._2 + 1)
+    }
+  }
+
+  override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) = {
+    if (a._2 == 0) b
+    else if (b._2 == 0) a
+    else {
+      var i = 0
+      while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+      (a._1, a._2 + b._2)
+    }
+  }
+
+  override def finish(r: (Array[Double], Long)): Seq[Double] =
+    if (r._2 == 0) Seq.empty else r._1.map(_ / r._2).toSeq
+
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    ExpressionEncoder[(Array[Double], Long)]()
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+
+  /** Column form for untyped groupBy.agg usage. */
+  def asColumn: TypedColumn[Seq[Float], Seq[Double]] = toColumn
+}

@@ -40,6 +40,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q04: snowflake join broadcasts every dimension; only the fact join shuffles") {
+    val df = SparkEntry.queries("q04_revenue_by_nation")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$p")
+  }
+
   test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

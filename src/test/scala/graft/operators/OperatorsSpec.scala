@@ -138,6 +138,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (a, b) => a != b })
   }
 
+  test("VectorMean typed Aggregator agrees with the posexplode centroids") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val viaAgg = emb.select(col("label"), col("embedding").as("v"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.VectorMean.asColumn.name("c"))
+      .collect().map { case (l, c) => l -> c }.toMap
+    val viaExplode = Similarity.centroids(emb, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(viaAgg.keySet == viaExplode.keySet)
+    viaAgg.foreach { case (l, c) =>
+      c.zip(viaExplode(l)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"label $l")
+      }
+    }
+  }
+
   test("centroids: mean vector per label, correct dimension") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.centroids(emb, "label", "embedding").collect()

@@ -50,6 +50,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("medallion silver+gold stage functions run unchanged under readStream") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, String, String, java.lang.Long, String)]
+    stream.addData(
+      ("v1", "c1", "@a", " fast great show ", 3L: java.lang.Long, "2026-01-21T01:00:00Z"),
+      ("v1", "c2", "@b", "   ", 1L: java.lang.Long, "2026-01-21T02:00:00Z"),
+      ("v1", "c3", "@c", "slow broken feed", null, "2026-01-21T03:00:00Z"))
+    val bronze = stream.toDF()
+      .toDF("videoId", "commentId", "author", "text", "likes", "publishedAt")
+    val q = graft.pipeline.Medallion.commentsChain(bronze)
+      .writeStream.outputMode("append").format("memory").queryName("gold_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("gold_stream")
+      .select("commentId", "sentiment", "likes").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got == Map("c1" -> ("positive", 3L), "c3" -> ("negative", 0L)))
+  }
+
   test("runningStats: mapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -42,6 +42,23 @@ class IngestSpec extends AnyFunSuite with SparkTestBase {
   }
 }
 
+/** JSON blob source/sink on real files (SURVEY.md §2.1 S5–S7): the
+  * reference's bronze interchange format, written and re-read with a
+  * fixed schema, unicode intact. */
+class JsonRoundTripSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("JSON file sink → schema'd source round-trip preserves types and unicode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val rows = Seq(("v1", "Тест 🎧", 5L), ("v2", "plain", 0L))
+      .toDF("id", "title", "n")
+    rows.write.mode("overwrite").json(dir)
+    val back = spark.read.schema(rows.schema).json(dir)
+    assert(back.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet ==
+      Set(("v1", "Тест 🎧", 5L), ("v2", "plain", 0L)))
+  }
+}
+
 /** Partitioned layout semantics (SURVEY.md §2.1 S8, §2.11): Hive-style
   * partition columns, automatic pruning, idempotent per-partition
   * overwrite — the engine's version of the reference's dated blob

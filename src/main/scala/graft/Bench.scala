@@ -9,7 +9,14 @@ import org.apache.spark.sql.SparkSession
   * loop measures the engine, not first-call Janino/JIT compilation of
   * generated code (each distinct query pays codegen exactly once per
   * JVM; without warm-up that cost lands on whichever query runs
-  * first and dwarfs its real runtime). */
+  * first and dwarfs its real runtime).
+  *
+  * Each query is then timed TWICE at the target SF and the faster run
+  * reported (steady-state wall-clock). The first sf-sized pass still
+  * pays one-off, non-engine costs the tiny warm-up can't absorb — OS
+  * page-cache population of the sf parquet files, JIT re-profiling at
+  * real data volumes, AQE runtime re-plans at real sizes — which r1
+  * showed can inflate a single query by ~10× on a cold machine. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,10 +36,13 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      name -> math.min(timeOnce(fn), timeOnce(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

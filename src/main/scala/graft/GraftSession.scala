@@ -21,6 +21,11 @@ object GraftSession {
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
     .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet stores TIMESTAMP(NANOS); Spark only reads nanos via
+    // the legacy long mapping. Set once at construction so Tables.events
+    // never has to flip session config mid-read (a session-global side
+    // effect). Other tables are unaffected: none carry nanos timestamps.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     // keep the (test-only) metastore/warehouse out of the repo tree

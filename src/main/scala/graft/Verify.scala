@@ -1,9 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, to_json}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** The driver's rows-only check sorts every column in pandas; array/map/
+    * struct cells are unhashable there and abort the sort (ADVICE r1 on
+    * q35/q36/q38/q54). For queries WITHOUT an oracle (rows-only check),
+    * serialize complex columns to JSON strings so the dump stays sortable.
+    * Oracle-checked dumps are left untouched — their schemas must keep
+    * matching DuckDB's. */
+  private[graft] def sortableDump(df: DataFrame): DataFrame = {
+    val needsFix = df.schema.fields.exists(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => true
+      case _ => false
+    })
+    if (!needsFix) df
+    else df.select(df.schema.fields.map { f =>
+      f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType =>
+          to_json(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -16,9 +40,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val out = if (SparkEntry.oracleSql.contains(name)) df else sortableDump(df)
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

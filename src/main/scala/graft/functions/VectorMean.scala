@@ -20,7 +20,9 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     if (v == null) b
     else {
-      val sums = if (b._1.length == v.length) b._1 else new Array[Double](v.length)
+      require(b._2 == 0 || b._1.length == v.length,
+        s"VectorMean: inconsistent vector dimension ${v.length}, expected ${b._1.length}")
+      val sums = if (b._2 == 0) new Array[Double](v.length) else b._1
       var i = 0
       while (i < v.length) { sums(i) += v(i); i += 1 }
       (sums, b._2 + 1)
@@ -31,6 +33,8 @@ object VectorMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Doub
     if (a._2 == 0) b
     else if (b._2 == 0) a
     else {
+      require(a._1.length == b._1.length,
+        s"VectorMean: inconsistent vector dimensions ${a._1.length} vs ${b._1.length}")
       var i = 0
       while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
       (a._1, a._2 + b._2)

@@ -36,10 +36,14 @@ object Relational {
     * key (SQL: DuckDB's `ASOF JOIN`).
     *
     * Implementation is the union+window trick (SURVEY.md §2.4): tag
-    * both sides, union by name, and take `last(payload, ignoreNulls)`
-    * over (key ORDER BY time, side) — right rows sort before left rows
-    * at equal timestamps, so an exactly-simultaneous right row is
-    * visible to the left row (`>=` semantics).
+    * both sides, union by name, and take `last(struct(payload…),
+    * ignoreNulls)` over (key ORDER BY time, side) — right rows sort
+    * before left rows at equal timestamps, so an exactly-simultaneous
+    * right row is visible to the left row (`>=` semantics). The fill
+    * carries the whole payload STRUCT (non-null for every right row),
+    * not each column independently: a matched right row whose payload
+    * VALUE is null therefore wins over a stale older row — identical
+    * null semantics to [[graft.plans.AsOfJoinExec]].
     *
     * Scale rationale: a naive range join is O(|L|·|R|) per key
     * (BroadcastNestedLoopJoin); this is ONE hash shuffle of L∪R on the
@@ -68,11 +72,16 @@ object Relational {
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    // Non-null for every RIGHT row (struct of possibly-null fields), null
+    // for left rows — so ignoreNulls skips left rows but never a matched
+    // right row, even one whose payload values are all null.
+    val tagged = unioned.withColumn("__payload",
+      when(col("__side") === 0, struct(payload.map(col): _*)))
+    val filled = tagged.withColumn("__payload",
+      last(col("__payload"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select((leftCols.toSeq.map(col) ++
+        payload.map(p => col(s"__payload.$p").as(p))): _*)
   }
 
   /** Skew-resistant equi join: salt the skewed (left) side's key into

@@ -84,7 +84,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     }
 
     val leftOutput = left.output
-    val payloadAttrs = payload
+    // payload slots must bind as nullable: unmatched left rows project an
+    // all-null payload row, so a non-nullable source attr would skip the
+    // null check in generated code and read garbage
+    val payloadAttrs = payload.map(_.withNullability(true))
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val project = UnsafeProjection.create(payloadRefs)
       val nullPayload = new GenericInternalRow(payloadAttrs.size)

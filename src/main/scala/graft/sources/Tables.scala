@@ -29,10 +29,18 @@ object Tables {
 
   /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS); Spark reads
     * nanos only via the legacy long mapping, so we convert nanos → micros
-    * timestamp here, keeping downstream code oblivious. */
+    * timestamp here, keeping downstream code oblivious.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` is set ONCE at session
+    * construction ([[graft.GraftSession.tune]]) rather than here: the conf
+    * is read again at scan execution time, so flipping it per-read would be
+    * a session-global side effect on every concurrent parquet read. For
+    * sessions not built via GraftSession we still set it defensively —
+    * documented global effect, nanos tables are the only ones impacted. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
     // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a double's
     // 53-bit mantissa, so float division loses microseconds

@@ -6,11 +6,12 @@ import graft.functions._
 import graft.sources.Tables
 
 /** Ad-hoc stage profiler for the heavy pipelines (not part of the
-  * driver contract). Usage: runMain graft.tools.Profile [sfDir] */
+  * driver contract). Usage: runMain graft.tools.Profile [sfDir] [cores] */
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = graft.GraftSession.local(cores = 4, shufflePartitions = 4)
+    val cores = args.lift(1).map(_.toInt).getOrElse(4)
+    val spark = graft.GraftSession.local(cores = cores, shufflePartitions = cores)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f

@@ -55,4 +55,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       2L -> Some("match11"),               // latest rt <= t
       3L -> None))                         // key with no right rows
   }
+
+  test("matched right row with NULL payload value wins over a stale older row") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // right rows: (11:00, "old") then (12:00, null). A left row at 12:30
+    // must get the 12:00 row's null — NOT the stale "old" value.
+    val l = Seq((1L, 10L, ts("2024-01-01 12:30:00")),
+      (2L, 10L, ts("2024-01-01 11:30:00")))
+      .toDF("id", "k", "t")
+    val r = Seq((10L, ts("2024-01-01 11:00:00"), Some("old")),
+      (10L, ts("2024-01-01 12:00:00"), Option.empty[String]))
+      .toDF("rk", "rt", "v")
+    val expected = Map(1L -> None, 2L -> Some("old"))
+    val custom = AsOfJoin.asofJoin(l, r, "t", "rt", "k", "rk", Seq("v"))
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    val windowed = Relational.asofJoinBackward(l, r, "t", "rt", "k", "rk", Seq("v"))
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(custom == expected)
+    assert(windowed == expected)
+  }
+
+  test("non-nullable payload column projects null for unmatched left rows") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00")),
+      (2L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("id", "k", "t")
+    // lit()-derived payload is NON-nullable in the analyzed schema —
+    // exercises the withNullability(true) binding in AsOfJoinExec.
+    val r = Seq((10L, ts("2024-01-01 11:00:00")))
+      .toDF("rk", "rt")
+      .withColumn("v", concat(lit("p"), col("rk").cast("string")))
+    assert(!r.schema("v").nullable)
+    val got = AsOfJoin.asofJoin(l, r, "t", "rt", "k", "rk", Seq("v"))
+      .select("id", "v").collect()
+      .map(x => x.getLong(0) -> Option(x.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("p10")))
+  }
 }

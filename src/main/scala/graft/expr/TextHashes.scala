@@ -93,6 +93,28 @@ object TextHashKernels {
     new GenericArrayData(sig)
   }
 
+  /** LSH band hashes of a MinHash signature: band b is the xxHash64
+    * fold of its `k/bands` signature rows (seeded with the band index,
+    * so equal values in different bands never collide into the same
+    * bucket key). Returns `bands` longs. The skinny-shuffle LSH shape
+    * shuffles (id, band, bandHash) — 24 bytes/row — instead of the full
+    * k-long signature per exploded band. */
+  def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
+    val k = sig.numElements()
+    val rows = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var j = b * rows
+      val end = j + rows
+      while (j < end) { h = XXH64.hashLong(sig.getLong(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** SimHash over a token array: bit b set iff more than half the
     * token hashes have bit b set. Returns 0 for an empty array. */
   def simhash(tokens: ArrayData, bits: Int): Long = {
@@ -221,6 +243,30 @@ case class MinHashShingles(child: Expression, shingleWidth: Int, numHashes: Int)
       s"${ev.value} = ${TextHashes.kernels}.minhashShingles($c, $shingleWidth, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashShingles =
+    copy(child = newChild)
+}
+
+/** LSH band hashes (array<long>, length `bands`) of a MinHash
+  * signature column. */
+case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
+  require(bands >= 1, "bands must be >= 1")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.bandHashes(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.bandHashes($c, $bands);")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
     copy(child = newChild)
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits}
+import graft.expr.{BandHashes, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -162,6 +162,13 @@ package object functions {
     * the interpreted shingle-array construction. */
   def minhash_text(text: Column, shingleWidth: Int = 3, k: Int = 64): Column =
     col2(MinHashShingles(bridge.toExpression(tokens(text)), shingleWidth, k))
+
+  /** LSH band hashes of a MinHash signature: `bands` longs, band b the
+    * seeded xxHash64 fold of its k/bands signature rows. Native kernel
+    * ([[graft.expr.BandHashes]]) so banding adds one array op per row
+    * instead of bands× slice/concat/hash expression trees. */
+  def band_hashes(sig: Column, bands: Int): Column =
+    col2(BandHashes(bridge.toExpression(sig), bands))
 
   /** Estimated Jaccard similarity from two equal-length MinHash
     * signatures: fraction of agreeing components. */

@@ -68,34 +68,49 @@ object Dedup {
     *
     * signature: k minhashes over w-shingles (fused native kernel,
     * [[graft.expr.MinHashShingles]]); banding: `bands` bands of k/bands
-    * rows each; a pair is a candidate iff it agrees on at least one
-    * full band. Returned with the signature-estimated Jaccard so
-    * callers can threshold.
+    * rows each ([[graft.expr.BandHashes]] native fold); a pair is a
+    * candidate iff it agrees on at least one full band. Returned with
+    * the signature-estimated Jaccard so callers can threshold.
     *
-    * Physical plan: tokenize+signature are narrow (no shuffle);
-    * `explode` over bands multiplies rows by `bands`; ONE hash shuffle
-    * on (band, band_hash) groups candidates; pairs are generated
-    * within buckets (see [[bucketPairs]]).
+    * Physical plan — the skinny-shuffle LSH shape. Signatures are
+    * computed ONCE and hash-repartitioned on id; that single exchange
+    * is reused by all three consumers (banding, pair-side A, pair-side
+    * B), so the text is scanned and minhashed exactly once:
+    *  1. banding shuffles only (id, band, band_hash) — 24 bytes/row —
+    *     instead of the k-long signature exploded `bands`× (at k=64,
+    *     bands=16 that fat shuffle moves ~350× more bytes than this
+    *     one, which is what kills a 100 TB corpus pass);
+    *  2. same-bucket ids pair up within capped buckets (LSH "stop
+    *     buckets": oversized buckets are boilerplate, dropped);
+    *  3. DISTINCT candidate pairs join back to the signature store and
+    *     are scored once each — candidate generation and verification
+    *     split, the standard large-scale LSH layout.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
     val sig = df.select(
       col(idCol).as("__id"),
-      minhash_text(col(textCol), shingleWidth, numHashes).as("__payload"))
-    val banded = sig.select(
-      col("__id"), col("__payload"),
-      explode(sequence(lit(0), lit(bands - 1))).as("__band"))
-      .withColumn("__band_hash",
-        xxhash64(concat_ws(",",
-          transform(slice(col("__payload"), col("__band") * rows + 1, lit(rows)),
-            x => x.cast("string"))), col("__band")))
-    bucketPairs(banded, Seq("__band", "__band_hash"),
-        (a, b) => minhash_jaccard(a, b), "est_jaccard", maxBucket)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      minhash_text(col(textCol), shingleWidth, numHashes).as("__sig"))
+      .repartition(col("__id"))
+    val banded = sig.select(col("__id"),
+      posexplode(band_hashes(col("__sig"), bands)).as(Seq("__band", "__band_hash")))
+    val pairs = banded
+      .groupBy(col("__band"), col("__band_hash"))
+      .agg(collect_list(col("__id")).as("__ids"))
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__ids"), x =>
+        filter(transform(col("__ids"), y =>
+            when(x < y, struct(x.as("id_a"), y.as("id_b")))),
+          p => p.isNotNull)))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+    val a = sig.select(col("__id").as("id_a"), col("__sig").as("__sa"))
+    val b = sig.select(col("__id").as("id_b"), col("__sig").as("__sb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhash_jaccard(col("__sa"), col("__sb")).as("est_jaccard"))
   }
 
   /** Near-duplicate pairs above a Jaccard threshold (MinHash-estimated). */

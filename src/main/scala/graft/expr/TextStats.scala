@@ -1,0 +1,183 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native single-pass text statistics for the corpus-curation hot path
+  * (quality gates, token accounting — SURVEY.md §7.4).
+  *
+  * Each kernel replicates an existing regex/HOF formulation EXACTLY —
+  * including Java-regex edge cases — so swapping them in changes no
+  * query result (the DuckDB oracles stay hash-exact):
+  *  - token counting mirrors `split(trim(text), "\\s+")` with Spark's
+  *    limit=-1 semantics: trim strips 0x20 only; a leading OR trailing
+  *    non-space whitespace run contributes an empty field;
+  *  - char-class counts mirror `length(x) - length(regexp_replace(x,
+  *    cls, ""))` (counts are over UTF-16 code units for the length
+  *    difference of BMP classes — all classes here are ASCII, so code
+  *    points == code units);
+  *  - the BPE estimate mirrors `regexp_extract_all(text,
+  *    "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")` + ceil(len/4) per piece.
+  *
+  * Why: one regex_replace allocates and scans per row per class; at a
+  * 100 TB corpus the quality gate becomes regex-bound. These loops scan
+  * each document once with no allocation.
+  */
+object TextStatKernels {
+
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Number of fields of `split(trim(text), "\\s+", -1)`, 0 for
+    * space-trimmed-empty text — exactly `size(tokens(text))`. Operates
+    * on UTF-8 bytes: all separators are ASCII so byte scanning is
+    * code-point correct. */
+  def tokenCount(text: UTF8String): Int = {
+    val bytes = text.getBytes
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == ' ') start += 1
+    while (end > start && bytes(end - 1) == ' ') end -= 1
+    if (start >= end) return 0
+    var count = 0
+    var inRun = false
+    var i = start
+    while (i < end) {
+      if (isWs(bytes(i))) inRun = false
+      else if (!inRun) { count += 1; inRun = true }
+      i += 1
+    }
+    // split(limit=-1): leading / trailing whitespace runs (only possible
+    // here as \t\n\x0B\f\r after the space trim) each add an empty field
+    if (isWs(bytes(start))) count += 1
+    if (isWs(bytes(end - 1))) count += 1
+    count
+  }
+
+  final val ClassPunct = 0 // [.,!?;:]
+  final val ClassDigit = 1 // [0-9]
+  final val ClassUpper = 2 // [A-Z]
+
+  /** Count of chars in an ASCII class — equals
+    * `length(x) - length(regexp_replace(x, cls, ""))`. ASCII classes
+    * never match continuation bytes, so byte scan == code-point scan. */
+  def countClass(text: UTF8String, cls: Int): Int = {
+    val bytes = text.getBytes
+    var count = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val c = bytes(i)
+      val hit = cls match {
+        case ClassPunct => c == '.' || c == ',' || c == '!' || c == '?' || c == ';' || c == ':'
+        case ClassDigit => c >= '0' && c <= '9'
+        case _ => c >= 'A' && c <= 'Z'
+      }
+      if (hit) count += 1
+      i += 1
+    }
+    count
+  }
+
+  /** BPE-ish token estimate — equals the regexp_extract_all + HOF
+    * formulation: letter runs cost ceil(len/4), each digit 1, each
+    * non-alphanumeric non-whitespace code point 1. Whitespace here is
+    * Java regex \s (ASCII). Multi-byte code points are single
+    * "[^A-Za-z0-9\s]" matches: count only UTF-8 lead bytes. */
+  def bpeEstimate(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    var total = 0L
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val c = bytes(i)
+      if (c >= 0) { // ASCII
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) {
+          var len = 0
+          while (i < n && bytes(i) >= 0 &&
+            ((bytes(i) >= 'A' && bytes(i) <= 'Z') || (bytes(i) >= 'a' && bytes(i) <= 'z'))) {
+            len += 1; i += 1
+          }
+          total += (len + 3) / 4
+          i -= 1
+        } else if (c >= '0' && c <= '9') total += 1
+        else if (!isWs(c)) total += 1
+      } else if ((c & 0xC0) != 0x80) { // non-ASCII lead byte
+        total += 1
+      }
+      i += 1
+    }
+    total
+  }
+}
+
+private[expr] object TextStats {
+  val kernels: String = TextStatKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+
+  def requireString(e: Expression, name: String): TypeCheckResult = e.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$name requires STRING input, got ${other.sql}")
+  }
+}
+
+/** Whitespace token count (split-compatible); INT like `size(...)`. */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextStats.requireString(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatKernels.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextStats.kernels}.tokenCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Count of characters in one of the fixed ASCII classes. */
+case class CharClassCount(child: Expression, cls: Int) extends UnaryExpression {
+  require(cls >= 0 && cls <= 2, "unknown char class")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_class_count"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextStats.requireString(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatKernels.countClass(input.asInstanceOf[UTF8String], cls)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextStats.kernels}.countClass($c, $cls);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharClassCount =
+    copy(child = newChild)
+}
+
+/** BPE-ish token estimate (BIGINT). */
+case class BpeEstimate(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "token_estimate"
+  override def checkInputDataTypes(): TypeCheckResult =
+    TextStats.requireString(child, prettyName)
+
+  override def nullSafeEval(input: Any): Any =
+    TextStatKernels.bpeEstimate(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextStats.kernels}.bpeEstimate($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEstimate =
+    copy(child = newChild)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits, TextStatKernels, TokenCount}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -52,29 +52,40 @@ package object functions {
     when(length(trim(text)) > 0, split(trim(text), "\\s+"))
       .otherwise(array().cast("array<string>"))
 
-  /** Token count as BIGINT (long, to match DuckDB len()). */
-  def token_count(text: Column): Column = size(tokens(text)).cast("long")
+  /** Token count as BIGINT (long, to match DuckDB len()). Native
+    * one-pass kernel ([[graft.expr.TokenCount]]) with split()-exact
+    * semantics — `size(tokens(text))` without the regex split or the
+    * intermediate token array. Null text counts 0, like `tokens`'s
+    * empty-array fallback. */
+  def token_count(text: Column): Column =
+    coalesce(col2(TokenCount(bridge.toExpression(text))).cast("long"), lit(0L))
 
-  /** Character-class ratios used by the quality score. All plain double
-    * arithmetic — deterministic and oracle-checkable. */
+  /** Character-class ratios used by the quality score. Counts come from
+    * the one-pass [[graft.expr.CharClassCount]] kernel (equal to
+    * `length(x) - length(regexp_replace(x, cls, ""))` — the regex
+    * formulation the DuckDB oracle mirrors); the ratio arithmetic stays
+    * plain double — deterministic and oracle-checkable. */
   def punct_ratio(text: Column): Column = {
     val n = length(text)
     when(n > 0,
-      (n - length(regexp_replace(text, "[.,!?;:]", ""))).cast("double") / n.cast("double"))
+      col2(CharClassCount(bridge.toExpression(text), TextStatKernels.ClassPunct))
+        .cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
   def upper_ratio(text: Column): Column = {
     val n = length(text)
     when(n > 0,
-      (n - length(regexp_replace(text, "[A-Z]", ""))).cast("double") / n.cast("double"))
+      col2(CharClassCount(bridge.toExpression(text), TextStatKernels.ClassUpper))
+        .cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
   def digit_ratio(text: Column): Column = {
     val n = length(text)
     when(n > 0,
-      (n - length(regexp_replace(text, "[0-9]", ""))).cast("double") / n.cast("double"))
+      col2(CharClassCount(bridge.toExpression(text), TextStatKernels.ClassDigit))
+        .cast("double") / n.cast("double"))
       .otherwise(lit(0.0))
   }
 
@@ -112,12 +123,12 @@ package object functions {
 
   /** BPE-ish token estimate: word chunks + digits + punctuation each
     * count; long words cost ceil(len/4) tokens (a public rule-of-thumb
-    * for byte-pair encoders). */
-  def token_estimate(text: Column): Column = {
-    val pieces = regexp_extract_all(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
-    aggregate(pieces, lit(0L),
-      (acc, p) => acc + ceil(length(p).cast("double") / lit(4.0)).cast("long"))
-  }
+    * for byte-pair encoders). Native one-pass kernel
+    * ([[graft.expr.BpeEstimate]]) — equal to summing ceil(len/4) over
+    * `regexp_extract_all(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")`
+    * without materializing the piece array. */
+  def token_estimate(text: Column): Column =
+    col2(BpeEstimate(bridge.toExpression(text)))
 
   // ---------------------------------------------------------------------
   // Fingerprints / hashing (dedup family; SURVEY.md §7.4)

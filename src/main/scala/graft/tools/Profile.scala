@@ -51,6 +51,22 @@ object Profile {
       .select(regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
       .groupBy((col("k") % 7).as("m")).agg(count(lit(1))).count())
 
+    // q48 corpus-curation stage breakdown
+    val d48 = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang"))
+    val gated48 = d48
+      .withColumn("quality", quality_score(col("text")))
+      .withColumn("n_tokens", token_count(col("text")))
+      .withColumn("est_bpe_tokens", token_estimate(col("text")))
+      .filter(col("quality") >= 0.2 && lower(col("lang")) === "en")
+    time("q48 gates only")(gated48.count())
+    val exact48 = graft.operators.Dedup.exactDedup(gated48, "doc_id", "text")
+    time("q48 exact dedup")(exact48.count())
+    time("q48 lsh on exact")(graft.operators.Dedup
+      .minhashCandidates(exact48, "doc_id", "text").count())
+    time("q48 full curate")(graft.pipeline.Corpus.curate(d48, "doc_id", "text", "lang",
+      graft.pipeline.Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"),
+        nearDupJaccard = 0.8)).count())
+
     val media = docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
     time("media meta only")(graft.operators.Multimodal.withMediaMeta(media, "payload")
       .agg(count(lit(1))).count())

@@ -81,6 +81,52 @@ object KernelProperties extends Properties("graft.kernels") {
       empty == 0L && one == (h & 0xFFFFFFFFL)
     }
 
+  // --- Text stats (regex-formulation parity) -----------------------------
+
+  // strings over a whitespace-heavy alphabet to hit the split() edge
+  // cases (leading/trailing \t runs, empty fields, multi-byte chars)
+  private val wsText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('\t'),
+    1 -> Gen.const('\n'), 1 -> Gen.oneOf('.', ',', '!', '?', ';', ':'),
+    1 -> Gen.oneOf('é', 'ß', '中', ' '))).map(_.mkString)
+
+  property("tokenCount == split(trim(text), \\s+, -1) field count") =
+    forAll(wsText) { s =>
+      val trimmed = {
+        var a = 0; var b = s.length
+        while (a < b && s.charAt(a) == ' ') a += 1
+        while (b > a && s.charAt(b - 1) == ' ') b -= 1
+        s.substring(a, b)
+      }
+      val want = if (trimmed.isEmpty) 0 else trimmed.split("\\s+", -1).length
+      TextStatKernels.tokenCount(UTF8String.fromString(s)) == want
+    }
+
+  property("countClass == length - length(regexp_replace(cls))") =
+    forAll(wsText) { s =>
+      def viaRegex(cls: String): Int =
+        s.codePointCount(0, s.length) -
+          { val r = s.replaceAll(cls, ""); r.codePointCount(0, r.length) }
+      TextStatKernels.countClass(UTF8String.fromString(s), TextStatKernels.ClassPunct) ==
+        viaRegex("[.,!?;:]") &&
+      TextStatKernels.countClass(UTF8String.fromString(s), TextStatKernels.ClassDigit) ==
+        viaRegex("[0-9]") &&
+      TextStatKernels.countClass(UTF8String.fromString(s), TextStatKernels.ClassUpper) ==
+        viaRegex("[A-Z]")
+    }
+
+  property("bpeEstimate == sum ceil(len/4) over regexp_extract_all pieces") =
+    forAll(wsText) { s =>
+      val m = java.util.regex.Pattern
+        .compile("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]").matcher(s)
+      var want = 0L
+      while (m.find()) {
+        val p = m.group()
+        want += math.ceil(p.codePointCount(0, p.length) / 4.0).toLong
+      }
+      TextStatKernels.bpeEstimate(UTF8String.fromString(s)) == want
+    }
+
   // --- Cosine ------------------------------------------------------------
 
   private val vec: Gen[Array[Double]] =

@@ -636,9 +636,15 @@ object SparkEntry {
     // streaming stage function driven in batch mode (same code runs
     // under readStream — graft.streaming.StreamOps).
     "q37_stream_windows" -> ((s, dir) => {
-      StreamOps.windowedCounts(Tables.events(s, dir), "ts", "1 hour")
+      // value cast to decimal BEFORE the windowed sum: exact and
+      // order-independent, so the batch run of the streaming operator is
+      // oracle-checkable (same dsum discipline as q13).
+      StreamOps.windowedCounts(
+          Tables.events(s, dir).withColumn("value", col("value").cast("decimal(18,2)")),
+          "ts", "1 hour")
         .select(unix_timestamp(col("window.start")).as("window_start"),
-          col("event_type"), col("n"), col("total_value"))
+          col("event_type"), col("n"),
+          col("total_value").cast("double").as("total_value"))
         .orderBy(col("window_start"), col("event_type"))
     }),
 
@@ -966,6 +972,83 @@ object SparkEntry {
         | SELECT user_id,
         |  epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap
         | FROM events) t
-        |GROUP BY user_id ORDER BY user_id""".stripMargin
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Heuristic lang-id ladder reproduced in SQL: script-range char
+    // fractions (RE2 \x{...} classes == Java \uXXXX classes) +
+    // stopword votes over whitespace tokens; all double arithmetic in
+    // the same operation order as the Spark expressions.
+    "q33_lang_id" ->
+      """WITH f AS (
+        |  SELECT lang, text, CAST(length(text) AS DOUBLE) AS n,
+        |   string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang,
+        |   CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g'))) / n ELSE 0.0 END AS cyr,
+        |   CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g'))) / n ELSE 0.0 END AS han,
+        |   CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\x{3040}-\x{30FF}]', '', 'g'))) / n ELSE 0.0 END AS kana,
+        |   CASE WHEN n > 0 THEN (n - length(regexp_replace(text, '[\x{AC00}-\x{D7AF}]', '', 'g'))) / n ELSE 0.0 END AS hangul,
+        |   CASE WHEN length(trim(lower(text))) > 0 THEN len(list_filter(toks, x -> x IN ('the','and','of','to','is','that','with','for'))) ELSE 0 END AS en,
+        |   CASE WHEN length(trim(lower(text))) > 0 THEN len(list_filter(toks, x -> x IN ('el','la','los','las','que','de','y','es','un','una'))) ELSE 0 END AS es,
+        |   CASE WHEN length(trim(lower(text))) > 0 THEN len(list_filter(toks, x -> x IN ('der','die','das','und','ist','ein','eine','nicht'))) ELSE 0 END AS de,
+        |   CASE WHEN length(trim(lower(text))) > 0 THEN len(list_filter(toks, x -> x IN ('le','les','des','est','une','dans','et','du'))) ELSE 0 END AS fr
+        |  FROM f)
+        |SELECT lang,
+        | CASE WHEN kana > 0.05 THEN 'ja'
+        |      WHEN hangul > 0.05 THEN 'ko'
+        |      WHEN han > 0.10 THEN 'zh'
+        |      WHEN cyr > 0.20 THEN 'ru'
+        |      WHEN en >= greatest(es, de, fr) AND en > 0 THEN 'en'
+        |      WHEN es >= greatest(de, fr) AND es > 0 THEN 'es'
+        |      WHEN de >= fr AND de > 0 THEN 'de'
+        |      WHEN fr > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS predicted,
+        | COUNT(*) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // quality_score + token_estimate reproduced in SQL: same char-class
+    // counts (regexp_replace length diff), same double operation order,
+    // same BPE piece rule (letter runs ceil(len/4), digits and other
+    // non-space code points 1 each).
+    "q34_quality_scores" ->
+      """SELECT doc_id,
+        | CASE WHEN text IS NULL THEN 0.0 ELSE greatest(0.0,
+        |  least(length(trim(text)) / 200.0, 1.0)
+        |  * (1.0 - least((CASE WHEN length(text) > 0
+        |       THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END) * 4.0, 1.0) * 0.5)
+        |  * (1.0 - least((CASE WHEN length(text) > 0
+        |       THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END) * 4.0, 1.0) * 0.5)) END AS quality,
+        | CASE WHEN text IS NULL THEN NULL ELSE CAST(COALESCE(list_sum(list_transform(
+        |   regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+        |   p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) AS BIGINT) END AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The streaming tumbling-window operator driven in batch == an
+    // hour-truncated group-by (windows align to the epoch in UTC).
+    "q37_stream_windows" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The mapPartitions enricher's rule lexicon in SQL. Token count =
+    // non-whitespace runs (the enricher Java-trims, so leading/trailing
+    // whitespace never yields empty tokens).
+    "q39_enrich_mappartitions" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |   len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       x -> x IN ('fast','good','great','love','excellent','amazing','best'))) AS p,
+        |   len(list_filter(string_split_regex(lower(text), '\s+'),
+        |       x -> x IN ('slow','bad','terrible','hate','awful','worst','broken'))) AS n,
+        |   len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative' ELSE 'neutral' END AS sentiment,
+        | CASE WHEN n_tok > 0 THEN CAST(p - n AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS sentiment_score,
+        | CASE WHEN p > n THEN 'joy' WHEN n > p THEN 'anger' ELSE 'neutral' END AS emotion
+        |FROM t ORDER BY doc_id""".stripMargin
   )
 }

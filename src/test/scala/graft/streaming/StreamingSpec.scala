@@ -69,6 +69,64 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map("c1" -> ("positive", 3L), "c3" -> ("negative", 0L)))
   }
 
+  test("file-source streaming: readStream over a parquet directory matches batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), "click", 1.0),
+      Ev(t("2024-01-01 00:20:00"), "click", 2.0),
+      Ev(t("2024-01-01 01:05:00"), "view", 3.0),
+      Ev(t("2024-01-01 01:45:00"), "view", 5.0))
+    data.toDF().write.mode("overwrite").parquet(dir)
+    // production incremental-ingest shape: schema-pinned file stream, the
+    // SAME stage function as batch, micro-batched by arrival
+    val streamDf = spark.readStream
+      .schema(data.toDF().schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val q = StreamOps.windowedCounts(streamDf, "ts", "1 hour")
+      .writeStream.outputMode("complete").format("memory").queryName("fwc").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("fwc")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = StreamOps.windowedCounts(spark.read.parquet(dir), "ts", "1 hour")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // 00:00 window (2 clicks) + 01:00 window (2 views)
+    assert(streamed == batch && streamed.size == 2)
+  }
+
+  test("watermark drops late data in append mode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.windowedCounts(stream.toDF(), "ts", "1 hour",
+        watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      // batch 1: the 00:00 window gets 2 events; max event time 02:30
+      // advances the watermark to 02:20 — the 00:00 and 01:00 windows close
+      stream.addData(
+        Ev(t("2024-01-01 00:05:00"), "click", 1.0),
+        Ev(t("2024-01-01 00:20:00"), "click", 1.0),
+        Ev(t("2024-01-01 02:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed 00:00 window — must be dropped,
+      // not create/extend a finalized window
+      stream.addData(Ev(t("2024-01-01 00:40:00"), "click", 99.0))
+      q.processAllAvailable()
+      // advance watermark far enough to flush everything still open
+      stream.addData(Ev(t("2024-01-01 05:00:00"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late")
+      .select(col("window.start").cast("string"), col("n"), col("total_value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // 00:00 window: n=2, total 2.0 — the late 99.0 event is NOT included
+    assert(rows("2024-01-01 00:00:00") == ((2L, 2.0)), rows.mkString(","))
+  }
+
   test("runningStats: mapGroupsWithState carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

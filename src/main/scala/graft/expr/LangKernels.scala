@@ -1,0 +1,172 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused kernels for the language-ID heuristic ([[graft.functions.lang_id]]).
+  *
+  * The expression formulation pays four `regexp_replace` passes (one per
+  * script range, each allocating a rewritten copy of the document) plus
+  * an interpreted HOF filter per stopword list. These kernels produce
+  * the same counts in two passes total:
+  *  - [[LangKernels.scriptCounts]]: one UTF-8 decode pass counting code
+  *    points in the four script ranges — equal to
+  *    `length(x) - length(regexp_replace(x, "[\\uXXXX-\\uYYYY]", ""))`
+  *    per range (counts are code points; surrogate-free BMP ranges);
+  *  - [[LangKernels.langVotes]]: one whitespace-tokenize pass counting
+  *    stopword hits per language — equal to
+  *    `size(filter(tokens(lower(text)), _.isin(words)))` (empty fields
+  *    from the split can never match a stopword, so run-scanning is
+  *    exact).
+  */
+object LangKernels {
+
+  // stopword lists (ASCII, ≤ 8 bytes) packed as little-endian longs with
+  // a parallel language bitmask: en=1, es=2, de=4, fr=8
+  private def pack(w: String): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w.length) { v |= (w.charAt(i).toLong & 0xFF) << (8 * i); i += 1 }
+    v
+  }
+
+  private val words: Array[(Long, Int)] = {
+    val en = Seq("the", "and", "of", "to", "is", "that", "with", "for")
+    val es = Seq("el", "la", "los", "las", "que", "de", "y", "es", "un", "una")
+    val de = Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht")
+    val fr = Seq("le", "les", "des", "est", "une", "dans", "et", "du")
+    val m = scala.collection.mutable.Map.empty[Long, Int]
+    for ((ws, bit) <- Seq(en -> 1, es -> 2, de -> 4, fr -> 8); w <- ws)
+      m(pack(w)) = m.getOrElse(pack(w), 0) | bit
+    m.toArray.sortBy(_._1)
+  }
+  private val wordKeys: Array[Long] = words.map(_._1)
+  private val wordMasks: Array[Int] = words.map(_._2)
+
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** (cyrillic, han, kana, hangul) code-point counts in one pass. */
+  def scriptCounts(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    var cyr = 0; var han = 0; var kana = 0; var hangul = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) i += 1
+      else if (b < 0xE0) { // 2-byte: U+0080..U+07FF
+        val cp = ((b & 0x1F) << 6) | (bytes(i + 1) & 0x3F)
+        if (cp >= 0x0400 && cp <= 0x04FF) cyr += 1
+        i += 2
+      } else if (b < 0xF0) { // 3-byte: U+0800..U+FFFF
+        val cp = ((b & 0x0F) << 12) | ((bytes(i + 1) & 0x3F) << 6) | (bytes(i + 2) & 0x3F)
+        if (cp >= 0x4E00 && cp <= 0x9FFF) han += 1
+        else if (cp >= 0x3040 && cp <= 0x30FF) kana += 1
+        else if (cp >= 0xAC00 && cp <= 0xD7AF) hangul += 1
+        i += 3
+      } else i += 4
+    }
+    new GenericInternalRow(Array[Any](cyr, han, kana, hangul))
+  }
+
+  /** (en, es, de, fr) stopword-hit counts over whitespace tokens,
+    * case-insensitive (ASCII lowering — the stopwords are ASCII). */
+  def langVotes(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    var en = 0; var es = 0; var de = 0; var fr = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        val start = i
+        var packed = 0L
+        var ascii = true
+        while (i < n && !isWs(bytes(i))) {
+          val off = i - start
+          if (off < 8) {
+            var c = bytes(i) & 0xFF
+            if (c >= 0x80) ascii = false
+            else {
+              if (c >= 'A' && c <= 'Z') c += 32
+              packed |= c.toLong << (8 * off)
+            }
+          } else ascii = false
+          i += 1
+        }
+        if (ascii && i - start <= 8) {
+          val idx = java.util.Arrays.binarySearch(wordKeys, packed)
+          if (idx >= 0) {
+            val m = wordMasks(idx)
+            if ((m & 1) != 0) en += 1
+            if ((m & 2) != 0) es += 1
+            if ((m & 4) != 0) de += 1
+            if ((m & 8) != 0) fr += 1
+          }
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](en, es, de, fr))
+  }
+}
+
+private[expr] object LangExpr {
+  val kernels: String = LangKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+}
+
+/** struct(cyr, han, kana, hangul) script code-point counts. */
+case class ScriptCounts(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("cyr", IntegerType, nullable = false),
+    StructField("han", IntegerType, nullable = false),
+    StructField("kana", IntegerType, nullable = false),
+    StructField("hangul", IntegerType, nullable = false)))
+  override def prettyName: String = "script_counts"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LangKernels.scriptCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${LangExpr.kernels}.scriptCounts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): ScriptCounts =
+    copy(child = newChild)
+}
+
+/** struct(en, es, de, fr) stopword-vote counts. */
+case class LangVotes(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("en", IntegerType, nullable = false),
+    StructField("es", IntegerType, nullable = false),
+    StructField("de", IntegerType, nullable = false),
+    StructField("fr", IntegerType, nullable = false)))
+  override def prettyName: String = "lang_votes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    LangKernels.langVotes(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${LangExpr.kernels}.langVotes($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LangVotes =
+    copy(child = newChild)
+}

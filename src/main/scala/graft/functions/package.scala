@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, MinHashShingles, MinHashSignature, SimHashBits, TextStatKernels, TokenCount}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, ScriptCounts, SimHashBits, TextStatKernels, TokenCount}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -242,23 +242,26 @@ package object functions {
 
   /** Heuristic language ID over Unicode script ranges + stopword hits.
     * Returns ISO-639-1-ish codes: en/es/de/fr/ru/zh/ja/ko/unknown.
-    * Pure-expression (no UDF): script detection via regexp counts,
-    * Latin-language disambiguation via stopword votes. */
+    * Counts come from two fused kernels — [[graft.expr.ScriptCounts]]
+    * (one UTF-8 decode pass for all four script ranges, replacing four
+    * allocating regexp_replace passes) and [[graft.expr.LangVotes]]
+    * (one tokenize pass for all four stopword lists) — with the same
+    * values as the regex/HOF formulation the DuckDB oracle mirrors.
+    * The decision ladder stays a plain codegen'd CASE expression. */
   def lang_id(text: Column): Column = {
     val n = length(text).cast("double")
-    def frac(pattern: String): Column =
-      when(n > 0, (n - length(regexp_replace(text, pattern, ""))) / n).otherwise(lit(0.0))
-    val cyr = frac("[\\u0400-\\u04FF]")
-    val han = frac("[\\u4E00-\\u9FFF]")
-    val kana = frac("[\\u3040-\\u30FF]")
-    val hangul = frac("[\\uAC00-\\uD7AF]")
-    val t = tokens(lower(text))
-    def votes(words: Seq[String]): Column =
-      size(filter(t, x => x.isin(words.map(lit(_)): _*)))
-    val en = votes(Seq("the", "and", "of", "to", "is", "that", "with", "for"))
-    val es = votes(Seq("el", "la", "los", "las", "que", "de", "y", "es", "un", "una"))
-    val de = votes(Seq("der", "die", "das", "und", "ist", "ein", "eine", "nicht"))
-    val fr = votes(Seq("le", "les", "des", "est", "une", "dans", "et", "du"))
+    val sc = col2(ScriptCounts(bridge.toExpression(text)))
+    val v = col2(LangVotes(bridge.toExpression(text)))
+    def frac(c: Column): Column =
+      when(n > 0, c.cast("double") / n).otherwise(lit(0.0))
+    val cyr = frac(sc.getField("cyr"))
+    val han = frac(sc.getField("han"))
+    val kana = frac(sc.getField("kana"))
+    val hangul = frac(sc.getField("hangul"))
+    val en = v.getField("en")
+    val es = v.getField("es")
+    val de = v.getField("de")
+    val fr = v.getField("fr")
     when(kana > 0.05, "ja")
       .when(hangul > 0.05, "ko")
       .when(han > 0.10, "zh")

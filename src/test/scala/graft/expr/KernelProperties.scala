@@ -127,6 +127,39 @@ object KernelProperties extends Properties("graft.kernels") {
       TextStatKernels.bpeEstimate(UTF8String.fromString(s)) == want
     }
 
+  // --- Language-ID kernels (regex/HOF-formulation parity) ----------------
+
+  private val multiScriptText: Gen[String] = Gen.listOf(Gen.frequency(
+    5 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+    1 -> Gen.oneOf('б', 'Ж', 'ю'),              // cyrillic
+    1 -> Gen.oneOf('中', '文', '語'),            // han
+    1 -> Gen.oneOf('あ', 'カ', 'ん'),            // kana
+    1 -> Gen.oneOf('한', '국', '어'),            // hangul
+    1 -> Gen.oneOf("the", "de", "und", "les", "DE", "Nicht", "quex"),
+    1 -> Gen.const('\t'))).map(_.mkString(" "))
+
+  property("scriptCounts == per-range regex match counts") =
+    forAll(multiScriptText) { s =>
+      def inRange(lo: Int, hi: Int): Int =
+        s.codePoints().filter(cp => cp >= lo && cp <= hi).count().toInt
+      val row = LangKernels.scriptCounts(UTF8String.fromString(s))
+      row.getInt(0) == inRange(0x0400, 0x04FF) &&
+        row.getInt(1) == inRange(0x4E00, 0x9FFF) &&
+        row.getInt(2) == inRange(0x3040, 0x30FF) &&
+        row.getInt(3) == inRange(0xAC00, 0xD7AF)
+    }
+
+  property("langVotes == stopword filter over lower-cased whitespace tokens") =
+    forAll(multiScriptText) { s =>
+      val toks = s.toLowerCase.split("\\s+", -1).toSeq
+      def viaFilter(ws: Set[String]): Int = toks.count(ws.contains)
+      val row = LangKernels.langVotes(UTF8String.fromString(s))
+      row.getInt(0) == viaFilter(Set("the", "and", "of", "to", "is", "that", "with", "for")) &&
+        row.getInt(1) == viaFilter(Set("el", "la", "los", "las", "que", "de", "y", "es", "un", "una")) &&
+        row.getInt(2) == viaFilter(Set("der", "die", "das", "und", "ist", "ein", "eine", "nicht")) &&
+        row.getInt(3) == viaFilter(Set("le", "les", "des", "est", "une", "dans", "et", "du"))
+    }
+
   // --- Cosine ------------------------------------------------------------
 
   private val vec: Gen[Array[Double]] =

@@ -20,12 +20,19 @@ import graft.functions._
 object Dedup {
 
   /** Exact dedup on normalized text: keep the smallest id per
-    * fingerprint group. Two hash-aggregates (fingerprint → min id →
-    * semi join); map-side partial aggregation halves the shuffle. */
+    * fingerprint group. ONE hash shuffle on the fingerprint + a
+    * per-partition sort and running row_number — the r1 groupBy+semi-
+    * join formulation cost three exchanges (fingerprint agg + both
+    * join sides) for the same result. Shuffle volume is the row
+    * payload keyed by a 128-bit fingerprint; per-group window state is
+    * O(1). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", content_fingerprint(col(textCol)))
-    val keepers = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-    fp.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", content_fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
   }
 
   /** Per-fingerprint duplicate-group summary (group size + keeper id). */

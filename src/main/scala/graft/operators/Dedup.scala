@@ -97,9 +97,16 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16,
                         shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The explicit not-null filter matches what the pair joins infer from
+    // their join keys; without it the inferred Filter lands below the
+    // repartition on the join sides only, the three exchange subtrees stop
+    // being canonically equal, and ReuseExchange re-runs the scan+minhash
+    // pipeline once per consumer (PlanSpec pins the reuse). Null ids never
+    // pair in any formulation, so this drops nothing from the output.
     val sig = df.select(
       col(idCol).as("__id"),
       minhash_text(col(textCol), shingleWidth, numHashes).as("__sig"))
+      .filter(col("__id").isNotNull)
       .repartition(col("__id"))
     val banded = sig.select(col("__id"),
       posexplode(band_hashes(col("__sig"), bands)).as(Seq("__band", "__band_hash")))

@@ -48,6 +48,44 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast:\n$p")
   }
 
+  test("q30: skinny LSH — banding shuffles ids only; signature stage is shared") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q30_minhash_neardups")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // the fat-shuffle regression: the (band, band_hash) aggregation must
+    // collect bare ids, never the k-long signature
+    val partial = "partial_collect_list\\(__id[^\\n]*".r.findFirstIn(p)
+    assert(partial.exists(!_.contains("__sig")),
+      s"band shuffle carries signatures:\n${partial.getOrElse("(no partial_collect_list)")}")
+    // walk the FINAL adaptive plan (toString interleaves the initial plan,
+    // which shows one raw exchange subtree per consumer) and count how many
+    // distinct stages actually compute the minhash kernel. Expect ≤ 2: the
+    // banding pass and one pair-join side share the reused id-partitioned
+    // stage; AQE may plan the other join side as a BROADCAST build (the sig
+    // table is tiny at test scale), whose stage re-runs the pipeline. At
+    // production scale the sig table exceeds the broadcast threshold, both
+    // joins stay shuffle joins, and all three consumers share one stage.
+    def computeStages(pl: SparkPlan, seen: java.util.IdentityHashMap[SparkPlan, Unit]): Int =
+      pl match {
+        case a: AdaptiveSparkPlanExec => computeStages(a.executedPlan, seen)
+        case _: ReusedExchangeExec => 0
+        case q: QueryStageExec =>
+          if (seen.containsKey(q.plan)) 0
+          else { seen.put(q.plan, ()); computeStages(q.plan, seen) }
+        case other =>
+          val self = if (other.expressions.exists(
+            _.exists(_.getClass.getSimpleName == "MinHashShingles"))) 1 else 0
+          self + other.children.map(computeStages(_, seen)).sum
+      }
+    val n = computeStages(df.queryExecution.executedPlan,
+      new java.util.IdentityHashMap[SparkPlan, Unit]())
+    assert(n <= 2, s"minhash kernel computed in $n stages — the id-partitioned " +
+      s"signature exchange is no longer shared:\n$p")
+  }
+
   test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

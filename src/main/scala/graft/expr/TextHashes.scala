@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native single-pass kernels for the dedup/similarity hot path.
   *
@@ -91,6 +92,118 @@ object TextHashKernels {
       }
     }
     new GenericArrayData(sig)
+  }
+
+  @inline private def isWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+  /** Tokenize raw UTF-8 text with `tokens()`-exact semantics — space
+    * (0x20) trim, then split on ASCII-whitespace runs with Java
+    * split(limit=-1) field rules (a leading or trailing non-space
+    * whitespace run contributes an EMPTY field). Returns interleaved
+    * (start, end) byte offsets; empty input → 0 fields. All separators
+    * are ASCII so byte offsets are code-point safe. */
+  private def tokenOffsets(bytes: Array[Byte]): (Array[Int], Int) = {
+    var start = 0
+    var end = bytes.length
+    while (start < end && bytes(start) == ' ') start += 1
+    while (end > start && bytes(end - 1) == ' ') end -= 1
+    if (start >= end) return (Array.emptyIntArray, 0)
+    var offs = new Array[Int](32)
+    var n = 0
+    def push(a: Int, b: Int): Unit = {
+      if (2 * n + 2 > offs.length) offs = java.util.Arrays.copyOf(offs, offs.length * 2)
+      offs(2 * n) = a; offs(2 * n + 1) = b; n += 1
+    }
+    if (isWs(bytes(start))) push(start, start) // leading empty field
+    var i = start
+    while (i < end) {
+      if (isWs(bytes(i))) i += 1
+      else {
+        val s = i
+        while (i < end && !isWs(bytes(i))) i += 1
+        push(s, i)
+      }
+    }
+    if (isWs(bytes(end - 1))) push(end, end) // trailing empty field
+    (offs, n)
+  }
+
+  /** MinHash signature straight from RAW TEXT: tokenize (offsets only,
+    * no string array), build w-token shingles into a reusable buffer,
+    * hash, dedupe, seed-mix — byte-identical to
+    * `minhashShingles(split-tokens, w, k)` but with zero tokenizer
+    * allocation. */
+  def minhashText(text: UTF8String, width: Int, k: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, n) = tokenOffsets(bytes)
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    if (n > 0) {
+      val nShingles = if (n >= width) n - width + 1 else 1
+      val effWidth = math.min(width, n)
+      val hashes = new Array[Long](nShingles)
+      var buf = new Array[Byte](64)
+      var w = 0
+      while (w < nShingles) {
+        var len = 0
+        var j = 0
+        while (j < effWidth) {
+          val ts = offs(2 * (w + j)); val te = offs(2 * (w + j) + 1)
+          val tb = te - ts
+          if (len + tb + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+          if (j > 0) { buf(len) = ' '; len += 1 }
+          System.arraycopy(bytes, ts, buf, len, tb)
+          len += tb
+          j += 1
+        }
+        hashes(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+        w += 1
+      }
+      java.util.Arrays.sort(hashes)
+      var i = 0
+      while (i < nShingles) {
+        if (i == 0 || hashes(i) != hashes(i - 1)) {
+          val h = hashes(i)
+          var j = 0
+          while (j < k) {
+            val m = XXH64.hashLong(h, j.toLong)
+            if (m < sig(j)) sig(j) = m
+            j += 1
+          }
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** SimHash straight from RAW TEXT — equal to `simhash(split-tokens)`
+    * (empty fields hash like empty strings, exactly as the array form
+    * hashes them). */
+  def simhashText(text: UTF8String, bits: Int): Long = {
+    val bytes = text.getBytes
+    val (offs, n) = tokenOffsets(bytes)
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + offs(2 * i),
+        offs(2 * i + 1) - offs(2 * i), 42L)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (counts(b) * 2 > n) out |= (1L << b)
+      b += 1
+    }
+    out
   }
 
   /** LSH band hashes of a MinHash signature: band b is the xxHash64
@@ -267,6 +380,57 @@ case class BandHashes(child: Expression, bands: Int) extends UnaryExpression {
       s"${ev.value} = ${TextHashes.kernels}.bandHashes($c, $bands);")
 
   override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** MinHash signature straight from a raw STRING column (tokenizer
+  * fused — no regex split, no token array; the near-dup hot path). */
+case class MinHashText(child: Expression, shingleWidth: Int, numHashes: Int)
+    extends UnaryExpression {
+  require(shingleWidth >= 1, "shingleWidth must be >= 1")
+  require(numHashes >= 1 && numHashes <= 1024, "numHashes must be in [1,1024]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_text"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.minhashText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleWidth, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.minhashText($c, $shingleWidth, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+}
+
+/** SimHash straight from a raw STRING column (tokenizer fused). */
+case class SimHashText(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 63, "bits must be in [1,63]")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.simhashText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.simhashText($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
     copy(child = newChild)
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, ScriptCounts, SimHashBits, TextStatKernels, TokenCount}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, SimHashBits, SimHashText, TextStatKernels, TokenCount}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -167,12 +167,16 @@ package object functions {
   def minhash_signature(shingleSet: Column, k: Int = 64): Column =
     col2(MinHashSignature(bridge.toExpression(shingleSet), k))
 
-  /** MinHash signature computed straight from text: tokenize (codegen
-    * built-in split), then the fused shingle+minhash kernel. Same
-    * result as `minhash_signature(shingles(text, w), k)` but without
-    * the interpreted shingle-array construction. */
+  /** MinHash signature computed straight from text: tokenizer fused
+    * into the kernel ([[graft.expr.MinHashText]] — offsets only, no
+    * regex split, no token array). Same result as
+    * `minhash_signature(shingles(text, w), k)`; split(limit=-1) field
+    * semantics are ScalaCheck-pinned against the two-step form. */
   def minhash_text(text: Column, shingleWidth: Int = 3, k: Int = 64): Column =
-    col2(MinHashShingles(bridge.toExpression(tokens(text)), shingleWidth, k))
+    // null text behaves as empty text (all-MaxValue signature), matching
+    // the tokens() empty-array fallback; the "" branch constant-folds
+    coalesce(col2(MinHashText(bridge.toExpression(text), shingleWidth, k)),
+      col2(MinHashText(bridge.toExpression(lit("")), shingleWidth, k)))
 
   /** LSH band hashes of a MinHash signature: `bands` longs, band b the
     * seeded xxHash64 fold of its k/bands signature rows. Native kernel
@@ -196,10 +200,12 @@ package object functions {
 
   /** SimHash of the token multiset: sign of the per-bit sum of token
     * hashes; bit b of the result is 1 iff more than half the token
-    * hashes have bit b set. Native single-pass kernel
-    * ([[graft.expr.SimHashBits]]). */
+    * hashes have bit b set. Tokenizer-fused native kernel
+    * ([[graft.expr.SimHashText]]); the array-input form
+    * ([[graft.expr.SimHashBits]]) remains for pre-tokenized input. */
   def simhash(text: Column, bits: Int = 32): Column =
-    col2(SimHashBits(bridge.toExpression(tokens(text)), bits))
+    // null text behaves as empty text (simhash 0), matching tokens()
+    coalesce(col2(SimHashText(bridge.toExpression(text), bits)), lit(0L))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")

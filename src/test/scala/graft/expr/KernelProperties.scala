@@ -81,6 +81,35 @@ object KernelProperties extends Properties("graft.kernels") {
       empty == 0L && one == (h & 0xFFFFFFFFL)
     }
 
+  // --- Fused tokenizer (split-formulation parity) ------------------------
+
+  private def splitTokens(s: String): Seq[String] = {
+    val trimmed = {
+      var a = 0; var b = s.length
+      while (a < b && s.charAt(a) == ' ') a += 1
+      while (b > a && s.charAt(b - 1) == ' ') b -= 1
+      s.substring(a, b)
+    }
+    if (trimmed.isEmpty) Seq.empty else trimmed.split("\\s+", -1).toSeq
+  }
+
+  private val rawText: Gen[String] = Gen.listOf(Gen.frequency(
+    6 -> Gen.alphaNumChar, 3 -> Gen.const(' '), 1 -> Gen.const('\t'),
+    1 -> Gen.const('\n'), 1 -> Gen.oneOf('é', '中'))).map(_.mkString)
+
+  property("minhashText(raw) == minhashShingles(split tokens)") =
+    forAll(rawText) { s =>
+      val viaArray = TextHashKernels.minhashShingles(arr(splitTokens(s)), 3, 32)
+      val fused = TextHashKernels.minhashText(UTF8String.fromString(s), 3, 32)
+      viaArray.toLongArray.sameElements(fused.toLongArray)
+    }
+
+  property("simhashText(raw) == simhash(split tokens)") =
+    forAll(rawText) { s =>
+      TextHashKernels.simhash(arr(splitTokens(s)), 32) ==
+        TextHashKernels.simhashText(UTF8String.fromString(s), 32)
+    }
+
   // --- Text stats (regex-formulation parity) -----------------------------
 
   // strings over a whitespace-heavy alphabet to hit the split() edge

@@ -214,6 +214,11 @@ object TextHashKernels {
     * k-long signature per exploded band. */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
     val k = sig.numElements()
+    // integer division would silently drop the trailing k % bands rows from
+    // every band, losing LSH sensitivity with no signal — refuse instead
+    if (k % bands != 0)
+      throw new IllegalArgumentException(
+        s"band_hashes: bands ($bands) must divide the signature length ($k)")
     val rows = k / bands
     val out = new Array[Long](bands)
     var b = 0

@@ -19,16 +19,16 @@ import graft.functions._
   */
 object Dedup {
 
-  /** Exact dedup on normalized text: keep the smallest id per
-    * fingerprint group. ONE hash shuffle on the fingerprint + a
-    * per-partition sort and running row_number — the r1 groupBy+semi-
-    * join formulation cost three exchanges (fingerprint agg + both
-    * join sides) for the same result. Shuffle volume is the row
-    * payload keyed by a 128-bit fingerprint; per-group window state is
-    * O(1). */
+  /** Exact dedup on normalized text: keep one row — the smallest
+    * non-null id — per fingerprint group (null ids lose every tie).
+    * ONE hash shuffle on the fingerprint + a per-partition sort and
+    * running row_number — the r1 groupBy+semi-join formulation cost
+    * three exchanges (fingerprint agg + both join sides) for the same
+    * result. Shuffle volume is the row payload keyed by a 128-bit
+    * fingerprint; per-group window state is O(1). */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__fp")).orderBy(col(idCol))
+      .partitionBy(col("__fp")).orderBy(col(idCol).asc_nulls_last)
     df.withColumn("__fp", content_fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

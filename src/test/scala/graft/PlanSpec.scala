@@ -76,14 +76,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
           if (seen.containsKey(q.plan)) 0
           else { seen.put(q.plan, ()); computeStages(q.plan, seen) }
         case other =>
+          val kernelNames = Set("MinHashText", "MinHashShingles")
           val self = if (other.expressions.exists(
-            _.exists(_.getClass.getSimpleName == "MinHashShingles"))) 1 else 0
+            _.exists(e => kernelNames(e.getClass.getSimpleName)))) 1 else 0
           self + other.children.map(computeStages(_, seen)).sum
       }
     val n = computeStages(df.queryExecution.executedPlan,
       new java.util.IdentityHashMap[SparkPlan, Unit]())
-    assert(n <= 2, s"minhash kernel computed in $n stages — the id-partitioned " +
-      s"signature exchange is no longer shared:\n$p")
+    // n >= 1 guards against the walk going vacuous if the kernel expression
+    // is renamed again (r2 advice: MinHashShingles → MinHashText made it 0)
+    assert(n >= 1 && n <= 2, s"minhash kernel computed in $n stages — the " +
+      s"id-partitioned signature exchange is no longer shared (or the kernel " +
+      s"class was renamed and this walk found nothing):\n$p")
   }
 
   test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {

@@ -165,6 +165,9 @@ object KernelProperties extends Properties("graft.kernels") {
     1 -> Gen.oneOf('あ', 'カ', 'ん'),            // kana
     1 -> Gen.oneOf('한', '국', '어'),            // hangul
     1 -> Gen.oneOf("the", "de", "und", "les", "DE", "Nicht", "quex"),
+    // NUL is not whitespace: "the\u0000" is a 4-byte token and must NOT
+    // count as a stopword vote (r2 advice: length-aware packing)
+    1 -> Gen.oneOf("the\u0000", "de\u0000x"),
     1 -> Gen.const('\t'))).map(_.mkString(" "))
 
   property("scriptCounts == per-range regex match counts") =
@@ -187,6 +190,31 @@ object KernelProperties extends Properties("graft.kernels") {
         row.getInt(1) == viaFilter(Set("el", "la", "los", "las", "que", "de", "y", "es", "un", "una")) &&
         row.getInt(2) == viaFilter(Set("der", "die", "das", "und", "ist", "ein", "eine", "nicht")) &&
         row.getInt(3) == viaFilter(Set("le", "les", "des", "est", "une", "dans", "et", "du"))
+    }
+
+  property("scriptCounts: truncated/malformed UTF-8 degrades, never throws") =
+    forAll(Gen.listOf(Gen.chooseNum(0, 255))) { raw =>
+      // arbitrary bytes — parquet/CSV strings are not validated by Spark
+      val u = UTF8String.fromBytes(raw.map(_.toByte).toArray)
+      val row = LangKernels.scriptCounts(u)
+      row.getInt(0) >= 0 && row.getInt(1) >= 0 && row.getInt(2) >= 0 && row.getInt(3) >= 0
+    }
+
+  property("scriptCounts: valid text unaffected by a trailing truncated lead byte") =
+    forAll(multiScriptText) { s =>
+      val valid = LangKernels.scriptCounts(UTF8String.fromString(s))
+      val bytes = s.getBytes("UTF-8") :+ 0xE4.toByte // dangling 3-byte lead
+      val trunc = LangKernels.scriptCounts(UTF8String.fromBytes(bytes))
+      (0 to 3).forall(i => valid.getInt(i) == trunc.getInt(i))
+    }
+
+  // --- LSH banding -------------------------------------------------------
+
+  property("bandHashes: refuses bands that do not divide the signature") =
+    forAll(Gen.choose(1, 63).suchThat(k => k % 4 != 0)) { k =>
+      val sig = new GenericArrayData(Array.fill[Any](k)(0L))
+      try { TextHashKernels.bandHashes(sig, 4); false }
+      catch { case _: IllegalArgumentException => true }
     }
 
   // --- Cosine ------------------------------------------------------------

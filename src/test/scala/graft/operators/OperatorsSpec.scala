@@ -63,6 +63,19 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("exactDedup: null ids lose ties — smallest non-null id wins its group") {
+    val df = Seq(
+      (null.asInstanceOf[java.lang.Long], "hello world"),
+      (java.lang.Long.valueOf(7L), "Hello  World"),
+      (java.lang.Long.valueOf(3L), "hello world"),
+      (null.asInstanceOf[java.lang.Long], "only null id")).toDF("id", "text")
+    val got = Dedup.exactDedup(df, "id", "text")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long])).toSet
+    // the duplicated text keeps id=3 (not the null row); a group with only
+    // null ids still keeps its one row
+    assert(got == Set(Some(3L), None))
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
       .select(col("doc_id"), col("text"))

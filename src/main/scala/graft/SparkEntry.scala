@@ -529,19 +529,27 @@ object SparkEntry {
     }),
 
     // stateful streaming operator driven in batch (mapGroupsWithState).
+    // Cents-exact accumulation makes the batch run oracle-checkable
+    // (same money discipline as q13/q37).
     "q47_running_stats" -> ((s, dir) => {
       StreamOps.runningStats(Tables.events(s, dir))
         .toDF()
         .orderBy(col("event_type"))
     }),
 
-    // approx_count_distinct (HLL++) vs exact — sketch values are
-    // engine-specific, so rows-only.
+    // approx_count_distinct (HLL++) vs exact. Raw sketch estimates are
+    // engine-specific, so the HLL column is exported as a relative-
+    // error bound check (|approx − exact| ≤ 10% · exact) that BOTH
+    // engines' sketches must satisfy — the oracle then hash-checks the
+    // exact counts and the bound.
     "q44_approx_distinct" -> ((s, dir) => {
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) * 10 <=
+            col("exact_parts")).as("approx_within_10pct"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1049,6 +1057,23 @@ object SparkEntry {
         | CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative' ELSE 'neutral' END AS sentiment,
         | CASE WHEN n_tok > 0 THEN CAST(p - n AS DOUBLE) / CAST(n_tok AS DOUBLE) ELSE 0.0 END AS sentiment_score,
         | CASE WHEN p > n THEN 'joy' WHEN n > p THEN 'anger' ELSE 'neutral' END AS emotion
-        |FROM t ORDER BY doc_id""".stripMargin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // HLL sketch estimates are engine-specific, so the approx column is
+    // exported as a 10%-relative-error bound that BOTH engines' sketches
+    // must satisfy; the exact counts hash-match outright.
+    "q44_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey)) * 10
+        |   <= count(DISTINCT l_partkey) AS approx_within_10pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The mapGroupsWithState running-stats operator in batch == one
+    // GROUP BY pass; cents-exact accumulation (decimal(18,2)) makes the
+    // float total order-independent and therefore oracle-comparable.
+    "q47_running_stats" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

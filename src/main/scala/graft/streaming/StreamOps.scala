@@ -47,21 +47,28 @@ object StreamOps {
 
   /** Custom state machine via `mapGroupsWithState` (SURVEY.md §2.10):
     * per-event-type running count + value total that survives across
-    * micro-batches (state = one (count, sum) pair per key — bounded by
+    * micro-batches (state = one (count, cents) pair per key — bounded by
     * key cardinality, not stream length). Runs in Update mode under
-    * streaming; in batch it degenerates to a single-pass group agg. */
+    * streaming; in batch it degenerates to a single-pass group agg.
+    *
+    * The value is quantized to cents (decimal(18,2), the engine's money
+    * discipline — see q13/q37) and accumulated as an exact Long, so the
+    * running total is independent of row arrival order — a float
+    * accumulator would make the same stream produce different totals
+    * under different partitionings/replays. */
   def runningStats(df: DataFrame): Dataset[TypeStats] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("event_type"), col("value").cast("double"))
-      .as[(String, Double)]
+    df.select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
-          var (c, s) = state.getOption.getOrElse((0L, 0.0))
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0L))
           rows.foreach { r => c += 1; s += r._2 }
           state.update((c, s))
-          TypeStats(key, c, s)
+          TypeStats(key, c, s / 100.0)
       }
   }
 }

@@ -41,10 +41,49 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
 
+  /** Metric-name prefix for the stop-bucket cap observations. */
+  val CapMetricPrefix = "graft.lsh"
+  private val obsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** "No silent caps": attach a `CollectMetrics` observation counting
+    * the buckets (and member rows) the stop-bucket cap is about to
+    * drop. Collected DURING the normal pass (no extra job/shuffle) via
+    * [[org.apache.spark.sql.Dataset.observe]]; read back after an
+    * action with [[capMetrics]]. At 100 TB a skewed corpus (boilerplate
+    * headers) can shunt a large fraction of rows into oversized
+    * buckets — this makes that loss measurable instead of silent. */
+  private def observeCap(buckets: DataFrame, itemsCol: String, maxBucket: Int,
+                         family: String): DataFrame = {
+    // unique suffix: the same operator can appear twice in one query
+    // (e.g. a curation pipeline), and CollectMetrics names must be
+    // unique within a plan
+    val name = s"$CapMetricPrefix.$family.${obsId.incrementAndGet()}"
+    buckets.observe(name,
+      sum(when(size(col(itemsCol)) > maxBucket, 1L).otherwise(0L))
+        .as("dropped_buckets"),
+      sum(when(size(col(itemsCol)) > maxBucket, size(col(itemsCol)).cast("long"))
+        .otherwise(0L)).as("dropped_rows"),
+      count(lit(1)).as("total_buckets"))
+  }
+
+  /** Stop-bucket cap observations from a MATERIALIZED frame (run an
+    * action first): metric name → Row(dropped_buckets, dropped_rows,
+    * total_buckets), one entry per LSH stage in the plan. */
+  def capMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] =
+    df.queryExecution.observedMetrics.filter(_._1.startsWith(CapMetricPrefix + "."))
+
+  /** Ordered (id_a < id_b) within-bucket pairs from a collected id
+    * array — shared by the skinny (ids-only) LSH shapes. */
+  private def idPairs(idsCol: Column): Column =
+    flatten(transform(idsCol, x =>
+      filter(transform(idsCol, y =>
+          when(x < y, struct(x.as("id_a"), y.as("id_b")))),
+        p => p.isNotNull)))
+
   /** Emit deduplicated candidate pairs from (bucket key → [id, payload])
     * rows: group by bucket, cap oversized buckets (LSH "stop buckets" —
     * near-universal boilerplate that would blow up quadratically; the
-    * cap is logged in the plan via the filter), then generate ordered
+    * drop count is observable via [[capMetrics]]), then generate ordered
     * pairs WITHIN each bucket with higher-order functions over the
     * collected (small) bucket array.
     *
@@ -55,10 +94,11 @@ object Dedup {
     * per-group state stays O(maxBucket · payload). */
   private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
                           scoreOf: (Column, Column) => Column, scoreName: String,
-                          maxBucket: Int): DataFrame = {
-    val buckets = banded
-      .groupBy(bucketCols.map(col): _*)
-      .agg(collect_list(struct(col("__id"), col("__payload"))).as("__items"))
+                          maxBucket: Int, family: String): DataFrame = {
+    val buckets = observeCap(
+        banded.groupBy(bucketCols.map(col): _*)
+          .agg(collect_list(struct(col("__id"), col("__payload"))).as("__items")),
+        "__items", maxBucket, family)
       .filter(size(col("__items")).between(2, maxBucket))
     buckets
       .select(explode(flatten(transform(col("__items"), x =>
@@ -110,14 +150,12 @@ object Dedup {
       .repartition(col("__id"))
     val banded = sig.select(col("__id"),
       posexplode(band_hashes(col("__sig"), bands)).as(Seq("__band", "__band_hash")))
-    val pairs = banded
-      .groupBy(col("__band"), col("__band_hash"))
-      .agg(collect_list(col("__id")).as("__ids"))
+    val pairs = observeCap(
+        banded.groupBy(col("__band"), col("__band_hash"))
+          .agg(collect_list(col("__id")).as("__ids")),
+        "__ids", maxBucket, "minhash")
       .filter(size(col("__ids")).between(2, maxBucket))
-      .select(explode(flatten(transform(col("__ids"), x =>
-        filter(transform(col("__ids"), y =>
-            when(x < y, struct(x.as("id_a"), y.as("id_b")))),
-          p => p.isNotNull)))).as("__p"))
+      .select(explode(idPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
       .distinct()
     val a = sig.select(col("__id").as("id_a"), col("__sig").as("__sa"))
@@ -151,7 +189,7 @@ object Dedup {
             shiftright(col("__payload"), c * width).bitwiseAND(mask)).otherwise(acc)
         })
     bucketPairs(banded, Seq("__chunk", "__chunk_val"),
-        (a, b) => hamming64(a, b), "hamming", maxBucket)
+        (a, b) => hamming64(a, b), "hamming", maxBucket, "simhash")
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -172,17 +210,43 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, found
-    * via sign-bit LSH bucketing (exact cosine computed only within
-    * buckets). */
+    * via MULTI-TABLE sign-bit LSH (the same independent-hash-tables
+    * layout as [[Similarity.lshTopK]]): `tables` signatures of `planes`
+    * differently-seeded hyperplanes each; a pair is a candidate iff it
+    * shares a bucket in ANY table, so recall decays per-table failure
+    * probability to the `tables`-th power instead of linearly (a single
+    * 12-plane table loses near-threshold pairs at scale — r2 verdict).
+    *
+    * Same skinny-shuffle shape as [[minhashCandidates]]: vectors are
+    * read once, banding shuffles only (id, table, bucket), DISTINCT
+    * candidate pairs join back to the vector store for ONE exact cosine
+    * each — candidate generation and verification split. Stop-bucket
+    * drops are observable via [[capMetrics]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double = 0.95, planes: Int = 12,
-                        maxBucket: Int = 256): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__payload"),
-      cosine_lsh_signature(col(vecCol), planes).as("__bucket"))
-    bucketPairs(sig, Seq("__bucket"),
-        (a, b) => cosine_similarity(a, b), "cosine", maxBucket)
+                        threshold: Double = 0.95, planes: Int = 8,
+                        tables: Int = 4, maxBucket: Int = 256): DataFrame = {
+    // explicit isNotNull keeps the shared vector stage canonically equal
+    // across consumers (see minhashCandidates)
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__id").isNotNull)
+      .repartition(col("__id"))
+    val banded = vecs.select(col("__id"),
+      posexplode(array((0 until tables).map(t =>
+        cosine_lsh_signature(col("__v"), planes, planeOffset = t * planes)): _*))
+        .as(Seq("__table", "__bucket")))
+    val pairs = observeCap(
+        banded.groupBy(col("__table"), col("__bucket"))
+          .agg(collect_list(col("__id")).as("__ids")),
+        "__ids", maxBucket, "embedding")
+      .filter(size(col("__ids")).between(2, maxBucket))
+      .select(explode(idPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+    val a = vecs.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
   }
 }

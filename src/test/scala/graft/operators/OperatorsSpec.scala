@@ -88,6 +88,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("stop-bucket cap drops are observable via capMetrics (no silent caps)") {
+    val docs = (0L until 12L).map(i => (i, "same boilerplate text for every row here"))
+      .toDF("id", "text")
+    // identical docs land every one of the 16 band buckets at size 12 —
+    // over the cap, so ALL are dropped and the metrics must say so
+    val capped = Dedup.minhashCandidates(docs, "id", "text", maxBucket = 8)
+    assert(capped.collect().isEmpty)
+    val m = Dedup.capMetrics(capped)
+      .collect { case (k, v) if k.contains(".minhash.") => v }.toSeq
+    assert(m.nonEmpty, "no cap observation attached to the minhash plan")
+    assert(m.map(_.getAs[Long]("dropped_buckets")).sum == 16L)
+    assert(m.map(_.getAs[Long]("dropped_rows")).sum == 16L * 12L)
+    // uncapped control: same corpus, no drops, all C(12,2) distinct pairs
+    val open = Dedup.minhashCandidates(docs, "id", "text", maxBucket = 64)
+    assert(open.collect().length == 66)
+    val m2 = Dedup.capMetrics(open)
+      .collect { case (k, v) if k.contains(".minhash.") => v }.toSeq
+    assert(m2.map(_.getAs[Long]("dropped_buckets")).sum == 0L)
+  }
+
+  test("embeddingNearDups: multi-table LSH recalls ≥0.9 of brute-force 0.95 pairs") {
+    import graft.functions.cosine_similarity
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // planted near-duplicates at cosine ≈ 0.98: scale alternating
+    // components by (1 ± 0.15) — direction shifts but stays well above
+    // the 0.95 threshold for unit-ish vectors
+    val planted = emb.filter(col("vec_id") < 40)
+      .select((col("vec_id") + 5000).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0f) + when(i % 2 === 0, lit(0.15f)).otherwise(lit(-0.15f))))
+            .cast("float")).as("embedding"))
+    val all = emb.unionByName(planted)
+    val truth = all.select(col("vec_id").as("id_a"), col("embedding").as("__a"))
+      .crossJoin(all.select(col("vec_id").as("id_b"), col("embedding").as("__b")))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosine_similarity(col("__a"), col("__b")) >= 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.size >= 30, s"expected the planted pairs in the truth set, got ${truth.size}")
+    val got = Dedup.embeddingNearDups(all, "vec_id", "embedding", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall over ${truth.size} pairs")
+    // precision is exact by construction: candidates are re-ranked with
+    // the exact cosine before thresholding
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+  }
+
   test("simhash candidates find planted near-duplicates") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
       .select(col("doc_id"), col("text"))

@@ -43,7 +43,6 @@ object Dedup {
 
   /** Metric-name prefix for the stop-bucket cap observations. */
   val CapMetricPrefix = "graft.lsh"
-  private val obsId = new java.util.concurrent.atomic.AtomicLong()
 
   /** "No silent caps": attach a `CollectMetrics` observation counting
     * the buckets (and member rows) the stop-bucket cap is about to
@@ -54,10 +53,17 @@ object Dedup {
     * buckets — this makes that loss measurable instead of silent. */
   private def observeCap(buckets: DataFrame, itemsCol: String, maxBucket: Int,
                          family: String): DataFrame = {
-    // unique suffix: the same operator can appear twice in one query
-    // (e.g. a curation pipeline), and CollectMetrics names must be
-    // unique within a plan
-    val name = s"$CapMetricPrefix.$family.${obsId.incrementAndGet()}"
+    // Suffix must be unique within a plan (the same operator can appear
+    // twice in one query) yet DETERMINISTIC across rebuilds — an r2
+    // process-global counter made the "same" pipeline build two plans
+    // differing only in this name, defeating the cache manager's
+    // canonicalized-plan matching for df.cache() reuse. The canonical
+    // semantic hash of the child gives both: equal subtrees (which
+    // Spark's duplicate-observation check permits) share a name; any
+    // other input/params yield a different hash.
+    val name = s"$CapMetricPrefix.$family.${
+      java.lang.Integer.toHexString(
+        31 * buckets.queryExecution.analyzed.semanticHash() + maxBucket)}"
     buckets.observe(name,
       sum(when(size(col(itemsCol)) > maxBucket, 1L).otherwise(0L))
         .as("dropped_buckets"),
@@ -68,9 +74,33 @@ object Dedup {
 
   /** Stop-bucket cap observations from a MATERIALIZED frame (run an
     * action first): metric name → Row(dropped_buckets, dropped_rows,
-    * total_buckets), one entry per LSH stage in the plan. */
-  def capMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] =
-    df.queryExecution.observedMetrics.filter(_._1.startsWith(CapMetricPrefix + "."))
+    * total_buckets), one entry per LSH stage in the plan.
+    *
+    * This walks the executed plan AND AQE's materialized-stage cache,
+    * not just `queryExecution.observedMetrics`: when the cap drops
+    * EVERY bucket, AQE's empty-relation propagation collapses the
+    * final plan to an `EmptyRelationExec`, and the `CollectMetricsExec`
+    * that actually ran survives only inside a discarded materialized
+    * stage — precisely the total-loss case the "no silent caps" rule
+    * exists for, so the metrics must remain readable there. */
+  def capMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Row]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)
+        // stages that ran but were replanned out of the final tree
+        a.context.stageCache.values.foreach(s => walk(s.plan))
+      case q: QueryStageExec => walk(q.plan)
+      case c: CollectMetricsExec =>
+        if (!seen.contains(c.name)) seen(c.name) = c.collectedMetrics
+        c.children.foreach(walk)
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    seen.filter(_._1.startsWith(CapMetricPrefix + ".")).toMap
+  }
 
   /** Ordered (id_a < id_b) within-bucket pairs from a collected id
     * array — shared by the skinny (ids-only) LSH shapes. */
@@ -195,18 +225,26 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** N-gram Jaccard similarity for pairs within an explicit blocking
-    * predicate — exact (not estimated), so O(pairs-in-block); use the
-    * LSH variants when no cheap blocking key exists. */
+  /** Exact n-gram Jaccard similarity for all pairs WITHIN each block of
+    * `blockCol` — exact (not estimated), so O(Σ block²); use the LSH
+    * variants when no cheap blocking key exists.
+    *
+    * The blocking contract is structural, not advisory (r2 verdict): the
+    * r1 shape was a raw `crossJoin` that trusted the caller's pre-filter
+    * to bound it. Here rows are grouped by the explicit block key and
+    * paired within the collected (small) block array, so the quadratic
+    * blow-up is bounded by `maxBlock` no matter what the caller passes:
+    * oversized blocks are dropped, and the drop is observable via
+    * [[capMetrics]] (family "jaccard") — no silent caps. One shuffle on
+    * the block key; per-group state is O(maxBlock · shingle-set). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleWidth: Int = 3): DataFrame = {
-    val s = df.select(col(idCol).as("__id"),
-      shingles(col(textCol), shingleWidth).as("__sh"))
-    val a = s.select(col("__id").as("id_a"), col("__sh").as("__sh_a"))
-    val b = s.select(col("__id").as("id_b"), col("__sh").as("__sh_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("__sh_a"), col("__sh_b")).as("jaccard"))
+                   blockCol: Column, shingleWidth: Int = 3,
+                   maxBlock: Int = 1024): DataFrame = {
+    val banded = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleWidth).as("__payload"),
+      blockCol.as("__block"))
+    bucketPairs(banded, Seq("__block"),
+        (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard")
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, found

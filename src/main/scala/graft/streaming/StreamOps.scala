@@ -47,28 +47,47 @@ object StreamOps {
 
   /** Custom state machine via `mapGroupsWithState` (SURVEY.md §2.10):
     * per-event-type running count + value total that survives across
-    * micro-batches (state = one (count, cents) pair per key — bounded by
+    * micro-batches (state = one (count, total) pair per key — bounded by
     * key cardinality, not stream length). Runs in Update mode under
     * streaming; in batch it degenerates to a single-pass group agg.
     *
-    * The value is quantized to cents (decimal(18,2), the engine's money
-    * discipline — see q13/q37) and accumulated as an exact Long, so the
-    * running total is independent of row arrival order — a float
-    * accumulator would make the same stream produce different totals
-    * under different partitionings/replays. */
-  def runningStats(df: DataFrame): Dataset[TypeStats] = {
+    * `quantizeScale ≥ 0` quantizes each value to that many decimal
+    * digits (default 2 = cents, the engine's money discipline — see
+    * q13/q37) and accumulates an exact Long, so the running total is
+    * independent of row arrival order — a float accumulator would make
+    * the same stream produce different totals under different
+    * partitionings/replays. The quantized Long holds |value| up to
+    * ~9.2e18 / 10^scale; beyond that the ANSI cast fails loudly rather
+    * than corrupting the total. Non-monetary callers that need full
+    * float precision (and accept order-dependent low bits) pass
+    * `quantizeScale = -1` for a raw double accumulator. */
+  def runningStats(df: DataFrame, quantizeScale: Int = 2): Dataset[TypeStats] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("event_type"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
-          var (c, s) = state.getOption.getOrElse((0L, 0L))
-          rows.foreach { r => c += 1; s += r._2 }
-          state.update((c, s))
-          TypeStats(key, c, s / 100.0)
-      }
+    if (quantizeScale < 0)
+      df.select(col("event_type"), col("value").cast("double").as("v"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Double)], state: GroupState[(Long, Double)]) =>
+            var (c, s) = state.getOption.getOrElse((0L, 0.0))
+            rows.foreach { r => c += 1; s += r._2 }
+            state.update((c, s))
+            TypeStats(key, c, s)
+        }
+    else {
+      val unit = math.pow(10.0, quantizeScale)
+      df.select(col("event_type"),
+          (col("value").cast(s"decimal(38,$quantizeScale)") * unit.toLong).cast("long").as("units"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+            var (c, s) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { r => c += 1; s += r._2 }
+            state.update((c, s))
+            TypeStats(key, c, s / unit)
+        }
+    }
   }
 }

@@ -208,6 +208,27 @@ object KernelProperties extends Properties("graft.kernels") {
       (0 to 3).forall(i => valid.getInt(i) == trunc.getInt(i))
     }
 
+  property("scriptCounts: stray continuation bytes count nothing (r3 advice)") =
+    forAll(multiScriptText, Gen.chooseNum(0x80, 0xBF)) { (s, b) =>
+      // a stray continuation byte must be skipped as invalid, NOT decoded
+      // as a 2-byte lead (0x90 0x8F would spuriously decode into U+040F,
+      // Cyrillic); counts around it stay those of the valid text
+      val valid = LangKernels.scriptCounts(UTF8String.fromString(s))
+      val bytes = (b.toByte +: s.getBytes("UTF-8")) :+ b.toByte
+      val got = LangKernels.scriptCounts(UTF8String.fromBytes(bytes))
+      (0 to 3).forall(i => valid.getInt(i) == got.getInt(i))
+    }
+
+  property("scriptCounts: broken multi-byte lead advances one byte, resyncs") =
+    forAll(multiScriptText) { s =>
+      // a 3-byte lead followed by a NON-continuation must not swallow the
+      // following valid characters (replacement-character semantics)
+      val valid = LangKernels.scriptCounts(UTF8String.fromString(s))
+      val bytes = 0xE4.toByte +: s.getBytes("UTF-8") // lead, then valid text
+      val got = LangKernels.scriptCounts(UTF8String.fromBytes(bytes))
+      (0 to 3).forall(i => valid.getInt(i) == got.getInt(i))
+    }
+
   // --- LSH banding -------------------------------------------------------
 
   property("bandHashes: refuses bands that do not divide the signature") =

@@ -108,6 +108,51 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(m2.map(_.getAs[Long]("dropped_buckets")).sum == 0L)
   }
 
+  test("cap metric names are deterministic across rebuilds of the same pipeline") {
+    val docs = (0L until 6L).map(i => (i, s"doc text number $i with words")).toDF("id", "text")
+    def names(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      Dedup.capMetrics(df).keySet
+    }
+    val a = names(Dedup.minhashCandidates(docs, "id", "text"))
+    val b = names(Dedup.minhashCandidates(docs, "id", "text"))
+    // an r2 process-global counter made these differ, defeating
+    // canonicalized-plan cache matching; now equal plans ⇒ equal names
+    assert(a == b && a.nonEmpty)
+    // different params ⇒ different plan ⇒ different name (no collisions)
+    val c = names(Dedup.minhashCandidates(docs, "id", "text", maxBucket = 32))
+    assert(c != a)
+  }
+
+  test("jaccardPairs pairs only within a block, exact jaccard values") {
+    val df = Seq(
+      (1L, "a b c d", "blk1"), (2L, "a b c e", "blk1"),
+      (3L, "a b c d", "blk2"),   // identical to doc 1 but in another block
+      (4L, "zz yy xx ww", "blk2")).toDF("id", "text", "blk")
+    val got = Dedup.jaccardPairs(df, "id", "text", blockCol = col("blk"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // within blk1: shingle sets {abc,bcd} vs {abc,bce} → 1/3; doc 3 never
+    // pairs with doc 1 (different block) despite identical text
+    assert(got.keySet == Set((1L, 2L), (3L, 4L)))
+    assert(math.abs(got((1L, 2L)) - 1.0 / 3.0) < 1e-15)
+    assert(got((3L, 4L)) == 0.0)
+  }
+
+  test("jaccardPairs: oversized blocks are dropped and the drop is observable") {
+    val big = (0L until 20L).map(i => (i, s"text body $i", "hot")) ++
+      Seq((100L, "a b c d", "cold"), (101L, "a b c e", "cold"))
+    val df = big.toDF("id", "text", "blk")
+    val pairs = Dedup.jaccardPairs(df, "id", "text", blockCol = col("blk"), maxBlock = 8)
+    val rows = pairs.collect()
+    // the 20-row hot block would be 190 pairs of O(block²) work — dropped
+    // structurally, not by caller discipline; the small block survives
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((100L, 101L)))
+    val m = Dedup.capMetrics(pairs)
+      .collect { case (k, v) if k.contains(".jaccard.") => v }.toSeq
+    assert(m.map(_.getAs[Long]("dropped_buckets")).sum == 1L)
+    assert(m.map(_.getAs[Long]("dropped_rows")).sum == 20L)
+  }
+
   test("embeddingNearDups: multi-table LSH recalls ≥0.9 of brute-force 0.95 pairs") {
     import graft.functions.cosine_similarity
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))

@@ -147,4 +147,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(updates.contains((3L, 7.0)), updates.mkString(","))
   }
+
+  test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
+    import spark.implicits._
+    val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")
+    val got = StreamOps.runningStats(df).collect()
+    assert(got.length == 1)
+    assert(got.head.n_events == 2L)
+    assert(got.head.total_value == 1.0e16 + 0.25)
+  }
+
+  test("runningStats: quantizeScale=-1 opts out of quantization (raw doubles)") {
+    import spark.implicits._
+    val df = Seq(("a", 0.1), ("a", 0.2), ("b", 0.004)).toDF("event_type", "value")
+    val raw = StreamOps.runningStats(df, quantizeScale = -1).collect()
+      .map(s => s.event_type -> s.total_value).toMap
+    assert(raw("a") == 0.1 + 0.2)   // exact raw double sum (0.30000000000000004)
+    assert(raw("b") == 0.004)        // sub-cent value preserved, not rounded to 0
+    val cents = StreamOps.runningStats(df).collect()
+      .map(s => s.event_type -> s.total_value).toMap
+    assert(cents("a") == 0.3 && cents("b") == 0.0) // the documented money discipline
+  }
 }

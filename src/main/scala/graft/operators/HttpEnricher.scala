@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.model.SentimentResult
+
+/** Minimal blocking HTTP transport the enricher talks through, so the
+  * production retry/backoff/timeout machinery is testable offline
+  * against an in-process fake (this sandbox has no network — and CI
+  * should never depend on one anyway). Implementations must be
+  * serializable (shipped to executors) and thread-safe. */
+trait HttpTransport extends Serializable {
+  /** POST `body` (JSON) to `url`; return the response body on HTTP 2xx.
+    * Must throw on timeout, connection failure, or non-2xx status. */
+  def post(url: String, body: String, timeoutMillis: Int): String
+}
+
+/** Production transport over the JDK 11+ HttpClient — one shared
+  * client per executor JVM (it is immutable and thread-safe, so every
+  * partition on an executor reuses its connection pool). */
+object JdkHttpTransport extends HttpTransport {
+  @transient private lazy val client: HttpClient =
+    HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(10)).build()
+
+  override def post(url: String, body: String, timeoutMillis: Int): String = {
+    val req = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofMillis(timeoutMillis.toLong))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() / 100 != 2)
+      throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $url")
+    resp.body()
+  }
+}
+
+/** HTTP-backed [[Enrich.Enricher]] — the production twin of the
+  * reference's per-row Azure-OpenAI call
+  * (/root/reference/gold_sentiment_comments.py:16-50: one synchronous
+  * POST per row, 120 s timeout, try/except falling back to a neutral
+  * record at lines 43-50). The engine reshapes that into ONE request
+  * per `batchSize` rows (wired through [[Enrich.enrichSentiment]]'s
+  * mapPartitions batching), with:
+  *
+  *  - per-request timeout (default the reference's 120 s);
+  *  - bounded retry with exponential backoff on ANY transport or
+  *    response-shape failure (`maxAttempts` total tries per batch);
+  *  - the reference's neutral fallback — {neutral, 0.0, neutral,
+  *    text[:200]} — for every row of a batch whose retries exhaust,
+  *    so a flaky endpoint degrades the enrichment, never the job.
+  *
+  * Wire shape: request `{"texts":[...]}`; response
+  * `{"results":[{sentiment, sentiment_score, emotion, summary}, ...]}`
+  * with exactly one result per input (a mismatched or malformed
+  * response counts as a failed attempt). Rows whose result object
+  * omits a field get the field's fallback value, mirroring the
+  * reference's per-field `.get()` defaults
+  * (gold_sentiment_comments.py:37-41).
+  *
+  * `sleeper` is injected so specs can capture backoff schedules
+  * without slowing the suite. */
+final class HttpEnricher(
+    url: String,
+    transport: HttpTransport = JdkHttpTransport,
+    timeoutMillis: Int = 120000,
+    maxAttempts: Int = 3,
+    backoffMillis: Long = 200L,
+    sleeper: Long => Unit = HttpEnricher.sleep) extends Enrich.Enricher {
+  require(maxAttempts >= 1, "maxAttempts must be at least 1")
+
+  override def enrichBatch(texts: Seq[String]): Seq[SentimentResult] = {
+    val body = HttpEnricher.requestJson(texts)
+    var attempt = 1
+    var result: Seq[SentimentResult] = null
+    while (result == null) {
+      try {
+        result = HttpEnricher.parseResponse(
+          transport.post(url, body, timeoutMillis), texts)
+      } catch {
+        case NonFatal(_) if attempt < maxAttempts =>
+          sleeper(backoffMillis << (attempt - 1)) // 1x, 2x, 4x, ...
+          attempt += 1
+        case NonFatal(_) =>
+          result = texts.map(HttpEnricher.fallback)
+      }
+    }
+    result
+  }
+}
+
+object HttpEnricher {
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def sleep(millis: Long): Unit = Thread.sleep(millis)
+
+  /** The reference's neutral fallback record
+    * (/root/reference/gold_sentiment_comments.py:43-50). */
+  def fallback(text: String): SentimentResult =
+    SentimentResult("neutral", 0.0, "neutral",
+      Option(text).map(_.take(200)).getOrElse(""))
+
+  private[operators] def requestJson(texts: Seq[String]): String = {
+    val root = mapper.createObjectNode()
+    val arr = root.putArray("texts")
+    texts.foreach(t => if (t == null) arr.addNull() else arr.add(t))
+    mapper.writeValueAsString(root)
+  }
+
+  private[operators] def parseResponse(body: String,
+                                       texts: Seq[String]): Seq[SentimentResult] = {
+    val results = mapper.readTree(body).path("results")
+    require(results.isArray && results.size == texts.size,
+      s"expected ${texts.size} results, got ${if (results.isArray) results.size else "none"}")
+    texts.indices.map { i =>
+      val node = results.get(i)
+      val fb = fallback(texts(i))
+      SentimentResult(
+        if (node.hasNonNull("sentiment")) node.get("sentiment").asText else fb.sentiment,
+        if (node.hasNonNull("sentiment_score")) node.get("sentiment_score").asDouble else fb.sentiment_score,
+        if (node.hasNonNull("emotion")) node.get("emotion").asText else fb.emotion,
+        if (node.hasNonNull("summary")) node.get("summary").asText else fb.summary)
+    }
+  }
+}

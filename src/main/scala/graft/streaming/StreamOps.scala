@@ -45,6 +45,22 @@ object StreamOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
 
+  /** Streaming twin of [[graft.operators.Dedup.exactDedup]]: drop rows
+    * whose normalized-text fingerprint was already emitted, with state
+    * BOUNDED by the watermark — `dropDuplicatesWithinWatermark` evicts
+    * fingerprint state once the watermark passes it, so an unbounded
+    * stream cannot grow dedup state forever (a plain `dropDuplicates`
+    * would). Semantics differ from batch exactDedup exactly as
+    * documented for the built-in: first arrival wins (batch keeps the
+    * smallest id), and a duplicate arriving after its twin's state was
+    * evicted is kept — the watermark is the dedup horizon. */
+  def dedupStream(df: DataFrame, textCol: String, tsCol: String,
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withColumn("__fp", graft.functions.content_fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Custom state machine via `mapGroupsWithState` (SURVEY.md §2.10):
     * per-event-type running count + value total that survives across
     * micro-batches (state = one (count, total) pair per key — bounded by

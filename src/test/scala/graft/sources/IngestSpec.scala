@@ -86,3 +86,45 @@ class PartitionedWriteSpec extends AnyFunSuite with SparkTestBase {
     assert(after.filter(col("lang") =!= "en").count() == total - enCount)
   }
 }
+
+/** Test-only Hadoop filesystem registered under the scheme
+  * `graftfs://`, backed by the local disk. Exists to prove the engine's
+  * sinks are path-scheme-agnostic: the reference writes every layer to
+  * Azure Blob URIs (/root/reference/function_app.py:72-73), and moving
+  * this engine there must be pure configuration (an fs.<scheme>.impl
+  * provider plus credentials), never a code change. */
+class GraftTestFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftfs"
+  override def getUri: java.net.URI = java.net.URI.create("graftfs:///")
+}
+
+class SchemeAgnosticSinkSpec extends AnyFunSuite with SparkTestBase {
+
+  test("partitioned medallion write/read works through a non-file:// scheme") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft_scheme").toString
+    val uri = s"graftfs://$local/gold"
+
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"))
+    docs.write.mode("overwrite").partitionBy("lang").parquet(uri)
+
+    // the bytes really travelled through the custom scheme onto disk
+    val onDisk = new java.io.File(s"$local/gold")
+    assert(onDisk.isDirectory && onDisk.listFiles().exists(_.getName.startsWith("lang=")))
+
+    // read back through the same scheme: lossless, and partition
+    // pruning still reaches the scan (scheme does not defeat pruning)
+    val back = spark.read.parquet(uri)
+    assert(back.count() == docs.count())
+    val en = back.filter(col("lang") === "en")
+    assert(en.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(lang"))
+    assert(en.count() == docs.filter(col("lang") === "en").count())
+
+    // dynamic single-partition overwrite is scheme-agnostic too
+    docs.filter(col("lang") === "en").limit(5)
+      .write.mode("overwrite").partitionBy("lang").parquet(uri)
+    assert(spark.read.parquet(uri).filter(col("lang") === "en").count() == 5)
+  }
+}

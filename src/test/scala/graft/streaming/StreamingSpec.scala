@@ -148,6 +148,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(updates.contains((3L, 7.0)), updates.mkString(","))
   }
 
+  test("dedupStream: fingerprint dedup across micro-batches, watermark-bounded state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // event_type carries the text payload here; normalization means
+    // "Hello  World" and "hello world" share a fingerprint
+    val q = StreamOps.dedupStream(stream.toDF(), "event_type", "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      stream.addData(
+        Ev(t("2024-01-01 00:00:00"), "Hello  World", 1.0),
+        Ev(t("2024-01-01 00:00:10"), "other doc", 2.0))
+      q.processAllAvailable()
+      stream.addData( // next micro-batch: normalized dup + a new doc
+        Ev(t("2024-01-01 00:01:00"), "hello world", 3.0),
+        Ev(t("2024-01-01 00:01:30"), "third doc", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("dd").select("value").as[Double].collect().toSet
+    // first arrival of each fingerprint survives; the cross-batch
+    // normalized duplicate (value 3.0) is dropped by carried state
+    assert(kept == Set(1.0, 2.0, 4.0), kept.mkString(","))
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

@@ -482,6 +482,25 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
     }),
 
+    // ranking-function family over a deterministic total window order
+    // (unique o_orderkey tiebreak — rank/ntile on ties would otherwise
+    // be row-order dependent). percent_rank/cume_dist are exact small-
+    // integer ratios, so they hash-match across engines.
+    "q57_window_ranks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // ingestion shims S1–S4: fixture client, batched multi-get video
@@ -969,6 +988,18 @@ object SparkEntry {
         |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d
         |FROM orders WHERE o_custkey < 30
         |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
+
+    "q57_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        | rank() OVER w AS rnk,
+        | dense_rank() OVER w AS drnk,
+        | percent_rank() OVER w AS prnk,
+        | ntile(4) OVER w AS quartile,
+        | cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

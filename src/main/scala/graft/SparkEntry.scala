@@ -501,7 +501,50 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // approximate quantiles (t-digest-ish sketch) vs exact, exported
+    // as a relative-error bound both engines' own sketches must
+    // satisfy — the q44 pattern: raw sketch values are engine-specific,
+    // the "sketch is close to MY exact" invariant is not. The exact
+    // interpolated median itself stays engine-side (interpolation
+    // arithmetic is not guaranteed bit-identical across engines).
+    "q58_approx_quantiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_med"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_med"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("approx_med") - col("exact_med")) * 100 <= col("exact_med"))
+            .as("median_within_1pct"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // exact string edit distance (fuzzy matching / canonicalization
+    // tool for near-identical entity names).
+    "q59_edit_distance" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 50)
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000025")).cast("long")
+            .as("dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
+
+    // stratified corpus downsampling: cap the over-represented language
+    // at 25%, keep a rare one whole, drop everything else. Kept ROWS
+    // are seed/partitioning-dependent (executor-local Bernoulli), so
+    // the per-stratum counts are rows-only; the proportion contract is
+    // spec-asserted (CorpusSpec).
+    "q60_stratified_sample" -> ((s, dir) => {
+      graft.pipeline.Corpus.stratifiedSample(
+          Tables.documents(s, dir), "lang",
+          Map("en" -> 0.25, "de" -> 1.0), seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
 
     // ingestion shims S1–S4: fixture client, batched multi-get video
     // details + per-video comment fan-out, silvered end-to-end
@@ -1000,6 +1043,20 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |             ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // each engine's sketch must be within 1% of ITS OWN exact median
+    // (sketch values and interpolated exacts are engine-specific).
+    "q58_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | abs(approx_quantile(l_extendedprice, 0.5)
+        |     - quantile_cont(l_extendedprice, 0.5)) * 100
+        |   <= quantile_cont(l_extendedprice, 0.5) AS median_within_1pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q59_edit_distance" ->
+      """SELECT c_custkey, c_name,
+        | levenshtein(c_name, 'Customer#000000025') AS dist
+        |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

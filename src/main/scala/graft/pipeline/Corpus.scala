@@ -48,6 +48,17 @@ object Corpus {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Stratified downsampling — cap over-represented strata in a
+    * training mix (e.g. keep 10% of English web text but all of a rare
+    * language). Per-stratum Bernoulli sampling via `sampleBy`: one
+    * scan, no shuffle, executor-local RNG seeded per partition, so the
+    * expected kept fraction is exact and no coordination is needed at
+    * any corpus size. Strata absent from `fractions` are DROPPED
+    * (fraction 0) — pass 1.0 explicitly to keep a stratum whole. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+
   /** One-row corpus report: docs surviving, tokens kept, mean quality. */
   def report(curated: DataFrame): DataFrame =
     curated.agg(

@@ -35,6 +35,27 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!ids.contains(3000L) && !ids.contains(4000L))
   }
 
+  test("stratifiedSample: per-stratum proportions, determinism, drop-by-default") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fr = Map("en" -> 0.5, "de" -> 1.0)
+    val kept = Corpus.stratifiedSample(docs, "lang", fr, seed = 7L)
+    val keptCounts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata absent from the fraction map are dropped entirely
+    assert(keptCounts.keySet == Set("en", "de"))
+    // fraction 1.0 keeps the stratum whole
+    assert(keptCounts("de") == totals("de"))
+    // Bernoulli sampling: en kept count within a generous band of 50%
+    val p = keptCounts("en").toDouble / totals("en")
+    assert(p > 0.3 && p < 0.7, s"kept fraction $p")
+    // deterministic for a fixed seed and input partitioning
+    val again = Corpus.stratifiedSample(docs, "lang", fr, seed = 7L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("report: one row with token totals and mean quality") {
     val d = Tables.documents(spark, sf).filter($"lang" === "en")
       .select($"doc_id", $"text", $"lang")

@@ -2,10 +2,14 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Output row of [[StreamOps.runningStats]]. */
 case class TypeStats(event_type: String, n_events: Long, total_value: Double)
+
+/** A CLOSED session emitted by [[StreamOps.statefulSessions]]. */
+case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long)
 
 /** Streaming stage functions (SURVEY.md §2.10). The reference is
   * batch-only with daily `ingest_date` increments; the engine keeps
@@ -44,6 +48,64 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+
+  /** Gap-based sessionization as an explicit state machine via
+    * `flatMapGroupsWithState` (the general tier above
+    * [[sessionAgg]]'s built-in session_window): a session row is
+    * emitted exactly once, when the session CLOSES — either a new
+    * event arrives more than `gapSeconds` after the session's end
+    * (in-batch close), or the event-time watermark passes
+    * end + gap with no new events (timeout close, which a windowed
+    * aggregate cannot express without waiting for the next event).
+    *
+    * State per key is one (start, end, count) triple — O(keys), evicted
+    * on timeout, so an unbounded stream holds bounded state. Runs in
+    * Append mode; in batch the same code degenerates to per-key
+    * sessionization without timeouts. */
+  def statefulSessions(df: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long = 1800L,
+                       watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          def emit(s: (Long, Long, Long)) = ClosedSession(key,
+            new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption.orNull
+            times.foreach { t =>
+              cur match {
+                case null => cur = (t, t, 1L)
+                case (s0, e0, n) if t - e0 <= gapMs =>
+                  cur = (s0, math.max(e0, t), n + 1)
+                case old =>
+                  closed ::= emit(old)
+                  cur = (t, t, 1L)
+              }
+            }
+            state.update(cur)
+            // close via timeout once the watermark passes end + gap
+            // (clamped above the current watermark: a batch of purely
+            // late events must still schedule a valid timeout)
+            state.setTimeoutTimestamp(
+              math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.reverseIterator
+          }
+      }
+  }
 
   /** Streaming twin of [[graft.operators.Dedup.exactDedup]]: drop rows
     * whose normalized-text fingerprint was already emitted, with state

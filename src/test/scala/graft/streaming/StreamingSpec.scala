@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestBase
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+case class UEv(ts: java.sql.Timestamp, user_id: Long)
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -146,6 +147,40 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .select("n_events", "total_value").collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
     assert(updates.contains((3L, 7.0)), updates.mkString(","))
+  }
+
+  test("statefulSessions: flatMapGroupsWithState emits sessions on gap break and timeout") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[UEv]
+    val q = StreamOps.statefulSessions(stream.toDF(), "user_id", "ts",
+        gapSeconds = 1800L, watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ss").start()
+    try {
+      // batch 1: user 1 has two events 60 s apart; user 2 has one
+      stream.addData(UEv(t("2024-01-01 00:00:00"), 1L),
+        UEv(t("2024-01-01 00:01:00"), 1L),
+        UEv(t("2024-01-01 00:00:30"), 2L))
+      q.processAllAvailable()
+      // batch 2: user 1 returns 2 h later → gap break closes the first
+      // session in-batch; watermark advances to 01:50
+      stream.addData(UEv(t("2024-01-01 02:00:00"), 1L))
+      q.processAllAvailable()
+      // batch 3: unrelated key advances the watermark further so user
+      // 2's idle session (end 00:00:30 + 30 min < watermark) times out
+      stream.addData(UEv(t("2024-01-01 03:00:00"), 3L))
+      q.processAllAvailable()
+      stream.addData(UEv(t("2024-01-01 04:00:00"), 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss")
+      .select($"user_id", $"session_start".cast("string"), $"n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((1L, "2024-01-01 00:00:00", 2L)), got.mkString(","))
+    assert(got.contains((2L, "2024-01-01 00:00:30", 1L)), got.mkString(","))
+    // user 1's SECOND session (02:00) closes by timeout once the
+    // watermark passes 02:30 (batch 4's 04:00 event → watermark 03:50)
+    assert(got.contains((1L, "2024-01-01 02:00:00", 1L)), got.mkString(","))
   }
 
   test("dedupStream: fingerprint dedup across micro-batches, watermark-bounded state") {

@@ -207,6 +207,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1.0, 2.0, 4.0), kept.mkString(","))
   }
 
+  test("stream-static join: streaming events enriched against a static dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[UEv]
+    // stream-static equi join needs no watermark: the static side is
+    // re-read per micro-batch, state-free
+    val q = stream.toDF().join(dim, Seq("user_id"), "left")
+      .writeStream.outputMode("append").format("memory").queryName("ssj").start()
+    try {
+      stream.addData(UEv(t("2024-01-01 00:00:00"), 1L),
+        UEv(t("2024-01-01 00:00:01"), 2L),
+        UEv(t("2024-01-01 00:00:02"), 9L)) // no dim row → null tier
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj").select($"user_id", $"tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
+  }
+
+  test("foreachBatch sink: streaming micro-batches land as partitioned parquet") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val stream = MemoryStream[Ev]
+    // the medallion streaming sink shape: each micro-batch written with
+    // the SAME dynamic-partition-overwrite writer the batch path uses
+    val q = stream.toDF()
+      .withColumn("ingest_date", to_date(col("ts")))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("ingest_date").parquet(dir)
+      }.start()
+    try {
+      stream.addData(Ev(t("2024-01-01 10:00:00"), "click", 1.0),
+        Ev(t("2024-01-02 10:00:00"), "view", 2.0))
+      q.processAllAvailable()
+      stream.addData(Ev(t("2024-01-02 11:00:00"), "click", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    // Hive-style date partitions exist and pruning applies on read-back
+    val jan2 = back.filter(col("ingest_date") === "2024-01-02")
+    assert(jan2.count() == 2)
+    assert(new java.io.File(dir).listFiles().exists(_.getName == "ingest_date=2024-01-01"))
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

@@ -520,6 +520,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // exact boilerplate detection: document frequency of every
+    // 3-shingle (shingles are per-doc DISTINCT, so the count is a doc
+    // frequency) above a minDocs threshold — the stop-shingle feed for
+    // cleaning and the explanation channel for LSH stop-bucket drops.
+    "q61_frequent_shingles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300 && token_count(col("text")) >= 3)
+      graft.operators.TextOps.frequentShingles(d, "text", shingleWidth = 3,
+          minDocs = 3L)
+        .orderBy(col("n_docs").desc, col("shingle"))
+    }),
+
     // exact string edit distance (fuzzy matching / canonicalization
     // tool for near-identical entity names).
     "q59_edit_distance" -> ((s, dir) => {
@@ -1057,6 +1069,20 @@ object SparkEntry {
       """SELECT c_custkey, c_name,
         | levenshtein(c_name, 'Customer#000000025') AS dist
         |FROM customer WHERE c_custkey < 50 ORDER BY c_custkey""".stripMargin,
+
+    // same shingle formulation as q20's oracle (trim + \s+ split,
+    // 3-gram join, per-doc distinct), counted corpus-wide.
+    "q61_frequent_shingles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT shingle, COUNT(*) AS n_docs
+        |FROM sh GROUP BY 1 HAVING COUNT(*) >= 3
+        |ORDER BY n_docs DESC, shingle""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.tokens
+import graft.functions.{shingles, tokens}
 
 /** Corpus-level text statistics (north-star text-analysis family,
   * SURVEY.md §7.4).
@@ -16,6 +16,25 @@ object TextOps {
     df.select(col(idCol).as("doc"), explode(tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("doc"), col("token"))
       .agg(count(lit(1)).as("tf"))
+
+  /** Exact boilerplate detection: w-shingles appearing in at least
+    * `minDocs` documents, with their document frequency. Shingles are
+    * DISTINCT per document ([[graft.functions.shingles]]), so the
+    * count is a document frequency, not an occurrence count — exactly
+    * the signal for a stop-shingle list (site chrome, license headers,
+    * navigation text) that then feeds cleaning or explains the LSH
+    * stop-bucket drops.
+    *
+    * One explode + one hash aggregate with map-side partials; at
+    * 100 TB `minDocs` prunes the enormous unique-shingle tail AFTER
+    * partial aggregation, so the final shuffle carries only shingles
+    * that repeat within a partition or survive to the merge. */
+  def frequentShingles(df: DataFrame, textCol: String, shingleWidth: Int = 3,
+                       minDocs: Long = 2L): DataFrame =
+    df.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 
   /** TF-IDF table: (doc, token, tf, dfreq, tfidf) with
     * tfidf = tf · ln(N / dfreq).

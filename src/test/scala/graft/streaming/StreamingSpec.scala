@@ -227,6 +227,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> Some("gold"), 2L -> Some("basic"), 9L -> None))
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within 10 min") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[UEv]
+    val clicks = MemoryStream[UEv]
+    // both sides watermarked so Spark can bound the join state buffers;
+    // the interval condition makes eviction possible (unbounded-time
+    // stream-stream equi joins would hold state forever)
+    val i = imps.toDF().select(col("user_id").as("uid"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "10 minutes")
+    val c = clicks.toDF().select(col("user_id").as("cuid"), col("ts").as("clk_ts"))
+      .withWatermark("clk_ts", "10 minutes")
+    val joined = i.join(c,
+      col("uid") === col("cuid") &&
+        col("clk_ts") >= col("imp_ts") &&
+        col("clk_ts") <= col("imp_ts") + expr("interval 10 minutes"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssij").start()
+    try {
+      imps.addData(UEv(t("2024-01-01 00:00:00"), 1L),
+        UEv(t("2024-01-01 00:00:00"), 2L))
+      q.processAllAvailable()
+      clicks.addData(
+        UEv(t("2024-01-01 00:05:00"), 1L),  // within window → attributed
+        UEv(t("2024-01-01 00:30:00"), 2L))  // 30 min later → NOT attributed
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssij")
+      .select($"uid", $"clk_ts".cast("string")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(got == Set(1L -> "2024-01-01 00:05:00"), got.mkString(","))
+  }
+
   test("foreachBatch sink: streaming micro-batches land as partitioned parquet") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

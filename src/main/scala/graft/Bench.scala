@@ -36,18 +36,33 @@ object Bench {
       }
     }
 
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (time, error): a failed run must surface in the JSON, never be
+    // scored as its (tiny) time-to-crash — a broken query would
+    // otherwise silently "win" the benchmark (r2 verdict).
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case t: Throwable =>
+          val msg = t.getClass.getSimpleName + ": " +
+            Option(t.getMessage).getOrElse("").takeWhile(_ != '\n').take(80)
+          Some(msg.replaceAll("""[^A-Za-z0-9 _.,:;/()\[\]<>=+*'-]""", "?"))
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      name -> math.min(timeOnce(fn), timeOnce(fn))
+      val (t1, e1) = timeOnce(fn)
+      val (t2, e2) = timeOnce(fn)
+      name -> (if (e1.orElse(e2).isDefined) (-1.0, e1.orElse(e2)) else (math.min(t1, t2), None))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the line inside the driver's bounded tail
+    // capture (the full-precision 61-query line overflowed it in r4)
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
+    val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+    val total = results.values.collect { case (v, None) => v }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

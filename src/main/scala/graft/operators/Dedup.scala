@@ -52,18 +52,24 @@ object Dedup {
     * headers) can shunt a large fraction of rows into oversized
     * buckets — this makes that loss measurable instead of silent. */
   private def observeCap(buckets: DataFrame, itemsCol: String, maxBucket: Int,
-                         family: String): DataFrame = {
-    // Suffix must be unique within a plan (the same operator can appear
-    // twice in one query) yet DETERMINISTIC across rebuilds — an r2
+                         family: String, label: String): DataFrame = {
+    // Suffix must be DETERMINISTIC across rebuilds — an r2
     // process-global counter made the "same" pipeline build two plans
     // differing only in this name, defeating the cache manager's
     // canonicalized-plan matching for df.cache() reuse. The canonical
-    // semantic hash of the child gives both: equal subtrees (which
-    // Spark's duplicate-observation check permits) share a name; any
-    // other input/params yield a different hash.
+    // semantic hash of the child gives that: equal input/params yield
+    // the same name, anything else a different one. It does NOT make
+    // the name unique within a plan: Spark's duplicate-observation
+    // check exempts only the SAME dataframeId (re-analysis of one
+    // Dataset), not semantically equal subtrees, so composing the same
+    // operator twice with identical input/params in one query (e.g.
+    // unioning two identical minhashCandidates calls) fails analysis
+    // with DUPLICATED_METRICS_NAME — for that, callers pass distinct
+    // `label`s, which are mixed into the name.
     val name = s"$CapMetricPrefix.$family.${
       java.lang.Integer.toHexString(
-        31 * buckets.queryExecution.analyzed.semanticHash() + maxBucket)}"
+        31 * buckets.queryExecution.analyzed.semanticHash() + maxBucket)}${
+      if (label.isEmpty) "" else "." + label}"
     buckets.observe(name,
       sum(when(size(col(itemsCol)) > maxBucket, 1L).otherwise(0L))
         .as("dropped_buckets"),
@@ -76,30 +82,46 @@ object Dedup {
     * action first): metric name → Row(dropped_buckets, dropped_rows,
     * total_buckets), one entry per LSH stage in the plan.
     *
-    * This walks the executed plan AND AQE's materialized-stage cache,
-    * not just `queryExecution.observedMetrics`: when the cap drops
-    * EVERY bucket, AQE's empty-relation propagation collapses the
-    * final plan to an `EmptyRelationExec`, and the `CollectMetricsExec`
-    * that actually ran survives only inside a discarded materialized
-    * stage — precisely the total-loss case the "no silent caps" rule
-    * exists for, so the metrics must remain readable there. */
+    * Source precedence: the public `queryExecution.observedMetrics`
+    * API is primary. Only when a cap observation declared in the
+    * analyzed plan is MISSING from it does this fall back to walking
+    * the executed plan and AQE's materialized-stage cache: when the
+    * cap drops EVERY bucket, AQE's empty-relation propagation
+    * collapses the final plan to an `EmptyRelationExec`, and the
+    * `CollectMetricsExec` that actually ran survives only inside a
+    * discarded materialized stage — precisely the total-loss case the
+    * "no silent caps" rule exists for. The fallback leans on
+    * `AdaptiveSparkPlanExec.context.stageCache` (public accessors but
+    * AQE-internal state, verified against Spark 4.1.2 — re-check on
+    * upgrade); gating it on a missing metric keeps the blast radius of
+    * an internals change to the empty-collapse case only. */
   def capMetrics(df: DataFrame): Map[String, org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
     import org.apache.spark.sql.execution.{CollectMetricsExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Row]
-    def walk(p: SparkPlan): Unit = p match {
-      case a: AdaptiveSparkPlanExec =>
-        walk(a.executedPlan)
-        // stages that ran but were replanned out of the final tree
-        a.context.stageCache.values.foreach(s => walk(s.plan))
-      case q: QueryStageExec => walk(q.plan)
-      case c: CollectMetricsExec =>
-        if (!seen.contains(c.name)) seen(c.name) = c.collectedMetrics
-        c.children.foreach(walk)
-      case other => other.children.foreach(walk)
+    val declared = df.queryExecution.analyzed.collect {
+      case c: CollectMetrics if c.name.startsWith(CapMetricPrefix + ".") => c.name
+    }.toSet
+    val primary = df.queryExecution.observedMetrics
+      .filter { case (k, _) => k.startsWith(CapMetricPrefix + ".") }
+    if (declared.subsetOf(primary.keySet)) primary
+    else {
+      val seen = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.Row](
+        primary.toSeq: _*)
+      def walk(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+          // stages that ran but were replanned out of the final tree
+          a.context.stageCache.values.foreach(s => walk(s.plan))
+        case q: QueryStageExec => walk(q.plan)
+        case c: CollectMetricsExec =>
+          if (!seen.contains(c.name)) seen(c.name) = c.collectedMetrics
+          c.children.foreach(walk)
+        case other => other.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      seen.filter(_._1.startsWith(CapMetricPrefix + ".")).toMap
     }
-    walk(df.queryExecution.executedPlan)
-    seen.filter(_._1.startsWith(CapMetricPrefix + ".")).toMap
   }
 
   /** Ordered (id_a < id_b) within-bucket pairs from a collected id
@@ -124,11 +146,11 @@ object Dedup {
     * per-group state stays O(maxBucket · payload). */
   private def bucketPairs(banded: DataFrame, bucketCols: Seq[String],
                           scoreOf: (Column, Column) => Column, scoreName: String,
-                          maxBucket: Int, family: String): DataFrame = {
+                          maxBucket: Int, family: String, label: String): DataFrame = {
     val buckets = observeCap(
         banded.groupBy(bucketCols.map(col): _*)
           .agg(collect_list(struct(col("__id"), col("__payload"))).as("__items")),
-        "__items", maxBucket, family)
+        "__items", maxBucket, family, label)
       .filter(size(col("__items")).between(2, maxBucket))
     buckets
       .select(explode(flatten(transform(col("__items"), x =>
@@ -165,7 +187,8 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16,
-                        shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
+                        shingleWidth: Int = 3, maxBucket: Int = 64,
+                        label: String = ""): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // The explicit not-null filter matches what the pair joins infer from
     // their join keys; without it the inferred Filter lands below the
@@ -183,7 +206,7 @@ object Dedup {
     val pairs = observeCap(
         banded.groupBy(col("__band"), col("__band_hash"))
           .agg(collect_list(col("__id")).as("__ids")),
-        "__ids", maxBucket, "minhash")
+        "__ids", maxBucket, "minhash", label)
       .filter(size(col("__ids")).between(2, maxBucket))
       .select(explode(idPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
@@ -197,8 +220,8 @@ object Dedup {
 
   /** Near-duplicate pairs above a Jaccard threshold (MinHash-estimated). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = 0.7): DataFrame =
-    minhashCandidates(df, idCol, textCol)
+                      threshold: Double = 0.7, label: String = ""): DataFrame =
+    minhashCandidates(df, idCol, textCol, label = label)
       .filter(col("est_jaccard") >= threshold)
 
   /** SimHash near-duplicate candidates: band the simhash into
@@ -207,7 +230,8 @@ object Dedup {
     * [[minhashCandidates]]. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bits: Int = 32, chunks: Int = 4,
-                        maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+                        maxHamming: Int = 3, maxBucket: Int = 64,
+                        label: String = ""): DataFrame = {
     val width = bits / chunks
     val mask = (1L << width) - 1
     val sh = df.select(col(idCol).as("__id"), simhash(col(textCol), bits).as("__payload"))
@@ -219,7 +243,7 @@ object Dedup {
             shiftright(col("__payload"), c * width).bitwiseAND(mask)).otherwise(acc)
         })
     bucketPairs(banded, Seq("__chunk", "__chunk_val"),
-        (a, b) => hamming64(a, b), "hamming", maxBucket, "simhash")
+        (a, b) => hamming64(a, b), "hamming", maxBucket, "simhash", label)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -239,12 +263,12 @@ object Dedup {
     * the block key; per-group state is O(maxBlock · shingle-set). */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: Column, shingleWidth: Int = 3,
-                   maxBlock: Int = 1024): DataFrame = {
+                   maxBlock: Int = 1024, label: String = ""): DataFrame = {
     val banded = df.select(col(idCol).as("__id"),
       shingles(col(textCol), shingleWidth).as("__payload"),
       blockCol.as("__block"))
     bucketPairs(banded, Seq("__block"),
-        (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard")
+        (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard", label)
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, found
@@ -262,7 +286,8 @@ object Dedup {
     * drops are observable via [[capMetrics]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.95, planes: Int = 8,
-                        tables: Int = 4, maxBucket: Int = 256): DataFrame = {
+                        tables: Int = 4, maxBucket: Int = 256,
+                        label: String = ""): DataFrame = {
     // explicit isNotNull keeps the shared vector stage canonically equal
     // across consumers (see minhashCandidates)
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -275,7 +300,7 @@ object Dedup {
     val pairs = observeCap(
         banded.groupBy(col("__table"), col("__bucket"))
           .agg(collect_list(col("__id")).as("__ids")),
-        "__ids", maxBucket, "embedding")
+        "__ids", maxBucket, "embedding", label)
       .filter(size(col("__ids")).between(2, maxBucket))
       .select(explode(idPairs(col("__ids"))).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))

@@ -25,10 +25,16 @@ object TextOps {
     * navigation text) that then feeds cleaning or explains the LSH
     * stop-bucket drops.
     *
-    * One explode + one hash aggregate with map-side partials; at
-    * 100 TB `minDocs` prunes the enormous unique-shingle tail AFTER
-    * partial aggregation, so the final shuffle carries only shingles
-    * that repeat within a partition or survive to the merge. */
+    * One explode + one hash aggregate with map-side partials. Note the
+    * honest scale cost: `minDocs` filters AFTER the final aggregation,
+    * and partial aggregation only collapses shingles that repeat within
+    * a partition, so the final shuffle still carries the full
+    * count-1 unique-shingle tail (which dominates a natural corpus).
+    * That is inherent to exact document frequency — any exact pre-prune
+    * needs the same global count this computes. When the shuffle volume
+    * matters at 100 TB, bound the key space first (hash shingles to
+    * 64-bit via [[graft.functions]] kernels) or accept approximate
+    * heavy-hitter semantics instead of exact counts. */
   def frequentShingles(df: DataFrame, textCol: String, shingleWidth: Int = 3,
                        minDocs: Long = 2L): DataFrame =
     df.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))

@@ -90,7 +90,11 @@ object StreamOps {
               cur match {
                 case null => cur = (t, t, 1L)
                 case (s0, e0, n) if t - e0 <= gapMs =>
-                  cur = (s0, math.max(e0, t), n + 1)
+                  // min on the start: a late cross-batch event can land
+                  // within the gap yet BEFORE the restored session_start
+                  // (in-batch times are sorted, so this only fires when
+                  // merging into state from a previous batch)
+                  cur = (math.min(s0, t), math.max(e0, t), n + 1)
                 case old =>
                   closed ::= emit(old)
                   cur = (t, t, 1L)

@@ -124,6 +124,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(c != a)
   }
 
+  test("same LSH stage twice in one query: distinct labels compose, defaults collide") {
+    val docs = (0L until 6L).map(i => (i, s"doc text number $i with words")).toDF("id", "text")
+    val twice = Dedup.minhashCandidates(docs, "id", "text", label = "a")
+      .unionByName(Dedup.minhashCandidates(docs, "id", "text", label = "b"))
+    twice.collect()
+    val names = Dedup.capMetrics(twice).keys.filter(_.contains(".minhash.")).toSet
+    assert(names.size == 2, names.mkString(","))
+    // Spark's duplicate-observation check exempts only the same
+    // dataframeId, not semantically equal subtrees: the same call twice
+    // with default labels shares a name across two Datasets → analysis
+    // error, which the distinct labels above exist to avoid
+    val dup = intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.minhashCandidates(docs, "id", "text")
+        .unionByName(Dedup.minhashCandidates(docs, "id", "text"))
+        .collect()
+    }
+    assert(dup.getMessage.contains("DUPLICATED_METRICS_NAME"), dup.getMessage)
+  }
+
   test("jaccardPairs pairs only within a block, exact jaccard values") {
     val df = Seq(
       (1L, "a b c d", "blk1"), (2L, "a b c e", "blk1"),

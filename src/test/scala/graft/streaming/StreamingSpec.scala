@@ -183,6 +183,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((1L, "2024-01-01 02:00:00", 1L)), got.mkString(","))
   }
 
+  test("statefulSessions: a late cross-batch event within the gap lowers session_start") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[UEv]
+    val q = StreamOps.statefulSessions(stream.toDF(), "user_id", "ts",
+        gapSeconds = 1800L, watermarkDelay = "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("ssl").start()
+    try {
+      // batch 1: session state becomes (01:00, 01:00); watermark → 00:50
+      stream.addData(UEv(t("2024-01-01 01:00:00"), 1L))
+      q.processAllAvailable()
+      // batch 2: late event at 00:55 — above the watermark (kept),
+      // within the gap of the session end, but BEFORE the stored start;
+      // the merge must lower session_start, not just extend the end
+      stream.addData(UEv(t("2024-01-01 00:55:00"), 1L))
+      q.processAllAvailable()
+      // advance the watermark past end + gap so the session times out
+      stream.addData(UEv(t("2024-01-01 03:00:00"), 9L))
+      q.processAllAvailable()
+      stream.addData(UEv(t("2024-01-01 04:00:00"), 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssl").filter($"user_id" === 1L)
+      .select($"session_start".cast("string"), $"session_end".cast("string"), $"n_events")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("2024-01-01 00:55:00", "2024-01-01 01:00:00", 2L)), got.mkString(","))
+  }
+
   test("dedupStream: fingerprint dedup across micro-batches, watermark-bounded state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -543,6 +543,75 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // per-document boilerplate ratio: fraction of each doc's distinct
+    // 3-shingles that are corpus-frequent (doc freq ≥ 3) — the C4-style
+    // curation signal over the q61 stop-shingle vocabulary.
+    "q62_boilerplate_ratio" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") < 300 && token_count(col("text")) >= 3)
+      graft.operators.TextOps.boilerplateRatio(d, "doc_id", "text",
+          shingleWidth = 3, minDocs = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // window navigation family (lead/lag/first_value/last_value/
+    // nth_value) over a deterministic per-customer order timeline.
+    // Default SQL frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW) with
+    // a unique (date, key) order means last_value is the current row
+    // and nth_value fills only once the frame holds 2 rows — identical
+    // standard semantics in both engines.
+    "q63_window_nav" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 60)
+        .select(col("o_orderkey"), col("o_custkey"),
+          lead(col("o_orderkey"), 1).over(w).as("next_order"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          first(col("o_orderkey")).over(w).as("first_order"),
+          last(col("o_orderkey")).over(w).as("last_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // conditional aggregation: FILTER-clause twins via null-skipping
+    // count/sum over CASE, plus bool_and/bool_or group predicates.
+    "q64_filtered_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_quantity") > 25, 1)).as("n_big"),
+          sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice"))))
+            .cast("double").as("disc_price"),
+          bool_and(col("l_quantity") > 0).as("all_pos"),
+          bool_or(col("l_quantity") > 49).as("any_huge"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ordered string aggregation (DuckDB string_agg ORDER BY twin):
+    // collect_list is unordered by contract, so the deterministic form
+    // is sort-then-join — names are unique, so the sort is total.
+    "q65_string_agg" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 200)
+        .groupBy(col("c_nationkey"))
+        .agg(concat_ws(",", array_sort(collect_list(col("c_name")))).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // generator/UDTF surface: posexplode with ordinality — every token
+    // of every doc with its 0-based position (DuckDB lateral unnest
+    // over range() twin).
+    "q66_token_positions" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 50 && length(trim(col("text"))) > 0)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "token")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // stratified corpus downsampling: cap the over-represented language
@@ -1083,6 +1152,56 @@ object SparkEntry {
         |SELECT shingle, COUNT(*) AS n_docs
         |FROM sh GROUP BY 1 HAVING COUNT(*) >= 3
         |ORDER BY n_docs DESC, shingle""".stripMargin,
+
+    // same shingle formulation as q61, self-joined for the hot set;
+    // SUM cast to BIGINT (DuckDB int sums widen to HUGEINT), single
+    // double division for the ratio (bit-exact cross-engine).
+    "q62_boilerplate_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) >= 3)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        | CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_hot,
+        | CAST(CAST(SUM(CASE WHEN shingle IN (SELECT shingle FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |   / COUNT(*) AS boilerplate_ratio
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q63_window_nav" ->
+      """SELECT o_orderkey, o_custkey,
+        | lead(o_orderkey, 1) OVER w AS next_order,
+        | lag(o_orderkey, 1) OVER w AS prev_order,
+        | first_value(o_orderkey) OVER w AS first_order,
+        | last_value(o_orderkey) OVER w AS last_order,
+        | nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders WHERE o_custkey < 60
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q64_filtered_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+        | bool_and(l_quantity > 0) AS all_pos,
+        | bool_or(l_quantity > 49) AS any_huge
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_string_agg" ->
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names,
+        | COUNT(*) AS n
+        |FROM customer WHERE c_custkey < 200 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_token_positions" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 50 AND trim(text) <> '')
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
+        |FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

@@ -42,6 +42,38 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-document boilerplate ratio: the fraction of a document's
+    * DISTINCT w-shingles whose corpus document-frequency is at least
+    * `minDocs` — the C4-style curation signal adapted to shingles
+    * (the reference corpus has no line structure to dedup on). A doc
+    * dominated by corpus-frequent shingles is site chrome / license
+    * header / template text; callers threshold `boilerplate_ratio`
+    * to drop or down-weight it.
+    *
+    * Shuffle plan: the per-doc ratio and the hot-shingle vocabulary
+    * are two aggregates over the same exploded shingle child (the
+    * [[tfidf]] layout); the hot side then joins back onto the
+    * per-doc shingles. The hot vocabulary is the REPEATING head of
+    * the shingle distribution — orders of magnitude smaller than the
+    * unique tail — so Catalyst/AQE broadcast it at any realistic
+    * `minDocs`; no hint is forced so a pathological corpus (every
+    * shingle repeated) degrades to a shuffle join instead of an OOM. */
+  def boilerplateRatio(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int = 3, minDocs: Long = 2L): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), shingleWidth)).as("shingle"))
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("shingle"), lit(1).as("__hot"))
+    sh.join(hot, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_hot"))
+      .withColumn("boilerplate_ratio",
+        col("n_hot").cast("double") / col("n_shingles"))
+  }
+
   /** TF-IDF table: (doc, token, tf, dfreq, tfidf) with
     * tfidf = tf · ln(N / dfreq).
     *

@@ -28,4 +28,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // a token in every doc scores 0... none here; check monotonicity instead
     assert(out((1L, "rare"))._3 > out((2L, "spark"))._3)
   }
+
+  test("boilerplateRatio: frequent-shingle fraction per doc, unique docs score 0") {
+    // "a b c" is a shingle in all three docs (doc freq 3 ≥ minDocs 2);
+    // every other shingle is unique to its doc
+    val docs = Seq(
+      (1L, "a b c"),                 // 1 shingle, 1 hot → ratio 1.0
+      (2L, "a b c x y"),             // shingles: abc, bcx, cxy → 1/3 hot
+      (3L, "z a b c w"),             // shingles: zab, abc, bcw → 1/3 hot
+      (4L, "p q r s")).toDF("doc_id", "text") // no shared shingles → 0.0
+    val got = TextOps.boilerplateRatio(docs, "doc_id", "text",
+        shingleWidth = 3, minDocs = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 1L, 1.0)))
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)))
+    assert(got(3L) == ((3L, 1L, 1.0 / 3)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
 }

@@ -28,6 +28,7 @@ object Bench {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinThreshold.install(spark)
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {

@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineLshSignature(exprs.head, 16, 0)))
     // custom operator tier: the as-of join planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    // optimizer tier: route edit-distance comparison predicates to the
+    // banded thresholded Levenshtein (O(k·n) instead of O(n·m))
+    e.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }

@@ -43,6 +43,7 @@ object GraftSession {
         .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinThreshold.install(s)
     s
   }
 }

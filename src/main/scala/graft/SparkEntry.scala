@@ -612,6 +612,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // fuzzy entity match: edit-distance predicate against a probe name.
+    // The LevenshteinThresholdRule (installed in every engine session)
+    // rewrites the `<= 3` comparison to the banded thresholded form —
+    // O(k·n) per row instead of the full O(n·m) DP (LevenshteinRuleSpec
+    // pins the rewrite; this query pins the semantics vs DuckDB).
+    "q67_fuzzy_match" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(levenshtein(col("c_name"), lit("Customer#000000025")) <= 3)
+        .select(col("c_custkey"), col("c_name"),
+          levenshtein(col("c_name"), lit("Customer#000000025")).cast("long").as("dist"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // stratified corpus downsampling: cap the over-represented language
@@ -1202,6 +1215,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS token
         |FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    "q67_fuzzy_match" ->
+      """SELECT c_custkey, c_name,
+        | levenshtein(c_name, 'Customer#000000025') AS dist
+        |FROM customer WHERE levenshtein(c_name, 'Customer#000000025') <= 3
+        |ORDER BY c_custkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

@@ -1,0 +1,64 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.IntegerType
+
+/** Optimizer rule: bound edit-distance predicates.
+  *
+  * `levenshtein(a, b) <= k` computes the FULL O(|a|·|b|) dynamic
+  * program for every row and then throws most of that work away — the
+  * predicate only needs to know whether the distance exceeds k. Spark's
+  * [[Levenshtein]] expression has a thresholded form (banded DP,
+  * O(k·min(|a|,|b|)), early exit, returns -1 when the distance exceeds
+  * the threshold) but nothing in the stock optimizer routes comparison
+  * predicates to it. This rule does:
+  *
+  *  - `levenshtein(a,b) <= k`  →  `levenshtein(a,b,k) >= 0`
+  *  - `levenshtein(a,b) <  k`  →  `levenshtein(a,b,k-1) >= 0`
+  *  - `levenshtein(a,b) == k`  →  `levenshtein(a,b,k) == k`
+  *
+  * (plus the literal-on-the-left mirrors). Null semantics are
+  * unchanged: both forms are null iff an input is null. For a fuzzy
+  * match over long strings at small k — the canonicalization /
+  * entity-resolution shape — the per-row cost drops from quadratic to
+  * linear in the string length, which is the difference between a
+  * feasible and an infeasible corpus-wide fuzzy filter at 100 TB.
+  *
+  * The rewritten form carries `Some(threshold)`, so the rule is
+  * idempotent under the optimizer's fixed-point batches. Installed
+  * per-session via [[LevenshteinThreshold.install]] or cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object LevenshteinThresholdRule extends Rule[LogicalPlan] {
+
+  private def bounded(l: Expression, r: Expression, k: Int) =
+    GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+      bounded(l, r, k)
+    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+      bounded(l, r, k)
+    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 1 =>
+      bounded(l, r, k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 1 =>
+      bounded(l, r, k - 1)
+    case EqualTo(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+      EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
+    case EqualTo(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+      EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
+  }
+}
+
+object LevenshteinThreshold {
+  /** Install the rule on a session (idempotent) — the runtime twin of
+    * the [[graft.GraftExtensions]] build-time injection. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[LevenshteinThresholdRule.type]))
+      spark.experimental.extraOptimizations = cur :+ LevenshteinThresholdRule
+  }
+}

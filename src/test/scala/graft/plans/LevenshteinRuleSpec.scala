@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Levenshtein
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LevenshteinRuleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // RDD-backed, NOT Seq.toDF: ConvertToLocalRelation evaluates whole
+  // Project/Filter subtrees over a LocalRelation at optimize time,
+  // which would erase the very expressions these tests inspect
+  private def names = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq("martha", "marhta", "marta", "dixon", "dicksonx", "abc", null)
+          .map(Row(_)), 2),
+      StructType(Seq(StructField("name", StringType, nullable = true))))
+  }
+
+  /** Run a thunk with the rule removed from the session. */
+  private def withoutRule[A](f: => A): A = {
+    val cur = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      cur.filterNot(_.isInstanceOf[LevenshteinThresholdRule.type])
+    try f finally spark.experimental.extraOptimizations = cur
+  }
+
+  test("thresholded Levenshtein returns -1 above the bound (the contract the rule relies on)") {
+    val r = spark.sql(
+      "SELECT levenshtein('kitten', 'sitting', 2) AS a, levenshtein('kitten', 'sitting', 3) AS b").head
+    assert(r.getInt(0) == -1 && r.getInt(1) == 3)
+  }
+
+  test("lev <= k predicates are rewritten to the banded form, results unchanged") {
+    LevenshteinThreshold.install(spark)
+    val q = names.filter(levenshtein(col("name"), lit("martha")) <= 2)
+    val lev = q.queryExecution.optimizedPlan.collect {
+      case f: Filter => f.condition.collect { case l: Levenshtein => l }
+    }.flatten
+    assert(lev.nonEmpty && lev.forall(_.threshold.isDefined),
+      s"rule did not rewrite: $lev")
+    val got = q.as[String].collect().toSet
+    val want = withoutRule {
+      names.filter(levenshtein(col("name"), lit("martha")) <= 2).as[String].collect().toSet
+    }
+    assert(got == want && got == Set("martha", "marhta", "marta"))
+  }
+
+  test("strict <, ==, and mirrored literal forms rewrite and agree with the plain DP") {
+    LevenshteinThreshold.install(spark)
+    val cases = Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      l => l < 3,
+      l => l === 2,
+      l => lit(2) >= l,
+      l => lit(3) > l)
+    cases.zipWithIndex.foreach { case (pred, i) =>
+      val q = names.filter(pred(levenshtein(col("name"), lit("martha"))))
+      val lev = q.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect { case l: Levenshtein => l }
+      }.flatten
+      assert(lev.nonEmpty && lev.forall(_.threshold.isDefined), s"case $i not rewritten")
+      val got = q.as[String].collect().toSet
+      val want = withoutRule {
+        names.filter(pred(levenshtein(col("name"), lit("martha")))).as[String].collect().toSet
+      }
+      assert(got == want, s"case $i: $got != $want")
+    }
+  }
+
+  test("projection-position levenshtein is left alone (no predicate, no rewrite)") {
+    LevenshteinThreshold.install(spark)
+    val q = names.filter(col("name").isNotNull)
+      .select(levenshtein(col("name"), lit("martha")).as("d"))
+    val lev = q.queryExecution.optimizedPlan.expressions
+      .flatMap(_.collect { case l: Levenshtein => l })
+    assert(lev.nonEmpty && lev.forall(_.threshold.isEmpty))
+    assert(q.as[Int].collect().sorted.toSeq == Seq(0, 1, 2, 5, 6, 8))
+  }
+}

@@ -50,20 +50,26 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val (t1, e1) = timeOnce(fn)
       val (t2, e2) = timeOnce(fn)
       name -> (if (e1.orElse(e2).isDefined) (-1.0, e1.orElse(e2)) else (math.min(t1, t2), None))
     }
     // ms precision keeps the line inside the driver's bounded tail
-    // capture (the full-precision 61-query line overflowed it in r4)
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
-    val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = results.values.collect { case (v, None) => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}""")
+    // capture (the full-precision 61-query line overflowed it in r4);
+    // if the query set grows past what 3 decimals fit, degrade to 2
+    // (a 10 ms precision loss beats an unparsable benchmark line)
+    def render(decimals: Int): String = {
+      def f(v: Double) = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
+      val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+      val total = results.values.collect { case (v, None) => v }.sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}"""
+    }
+    val line = render(3)
+    println(if (line.length <= 1850) line else render(2))
     spark.stop()
   }
 }

@@ -669,6 +669,10 @@ object SparkEntry {
         lit("$$$ !!! ??? 111").as("text"), lit("en").as("lang"))
       val curated = graft.pipeline.Corpus.curate(
         d.unionByName(nearDup).unionByName(junk), "doc_id", "text", "lang",
+        // materialize=false here: at bench scale the persist barrier
+        // costs more than recomputing the small dedup diamond (measured
+        // 1.05 s vs 0.97 s at sf0.1); the flag pays off when the
+        // duplicated subtree is expensive — see Corpus.curate scaladoc
         graft.pipeline.Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"),
           nearDupJaccard = 0.8))
       graft.pipeline.Corpus.report(curated)

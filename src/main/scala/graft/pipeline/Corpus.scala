@@ -26,9 +26,21 @@ object Corpus {
       shingleWidth: Int = 3)
 
   /** Filter + dedup a document table; returns the surviving rows with
-    * quality/token metadata attached. */
+    * quality/token metadata attached.
+    *
+    * The exact-dedup subtree feeds BOTH sides of the final anti-join
+    * (the keep side directly, the drop side through the LSH candidate
+    * pass), and Catalyst does no cross-branch common-subexpression
+    * elimination — in one lazy plan the scan + quality kernels +
+    * dedup window execute twice. `materialize = true` persists the
+    * deduped frame (memory-and-disk) so that diamond is computed
+    * once; at 100 TB the equivalent standard move is writing the
+    * deduped silver table before the near-dup pass. Lifecycle: the
+    * cache entry lives until the returned frame is unpersisted or
+    * garbage-collected (Spark's ContextCleaner evicts it then). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             langCol: String, cfg: Config = Config()): DataFrame = {
+             langCol: String, cfg: Config = Config(),
+             materialize: Boolean = false): DataFrame = {
     // 1. row-local gates (all codegen'd; pushed as far down as Catalyst likes)
     val gated = docs
       .withColumn("quality", quality_score(col(textCol)))
@@ -38,7 +50,11 @@ object Corpus {
         lower(col(langCol)).isin(cfg.keepLangs.map(_.toLowerCase): _*))
 
     // 2. exact dedup on normalized text (keep smallest id)
-    val exact = Dedup.exactDedup(gated, idCol, textCol)
+    val deduped = Dedup.exactDedup(gated, idCol, textCol)
+    val exact =
+      if (materialize)
+        deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else deduped
 
     // 3. near-dup removal: drop the LARGER id of each near-dup pair
     val losers = Dedup.minhashCandidates(exact, idCol, textCol,

@@ -33,6 +33,18 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.forall(_ < 1000), s"planted rows survived: ${ids.filter(_ >= 1000)}")
     assert(ids.size >= (nBase * 0.8).toInt, s"kept only ${ids.size} of $nBase originals")
     assert(!ids.contains(3000L) && !ids.contains(4000L))
+
+    // materialized variant: identical survivors, dedup diamond computed
+    // once (plan shape differs, results must not)
+    val curated2 = Corpus.curate(
+      base.unionByName(exactDup).unionByName(nearDup)
+        .unionByName(junk).unionByName(wrongLang),
+      "doc_id", "text", "lang",
+      Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"), nearDupJaccard = 0.8),
+      materialize = true)
+    try {
+      assert(curated2.select("doc_id").as[Long].collect().toSet == ids)
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("stratifiedSample: per-stratum proportions, determinism, drop-by-default") {

@@ -11,6 +11,65 @@ case class TypeStats(event_type: String, n_events: Long, total_value: Double)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
+/** transformWithState processor behind [[StreamOps.statefulSessionsTws]]:
+  * value state (start, end, count, registeredTimerTs) + one live
+  * event-time timer per key, moved forward as the session extends. */
+class SessionProcessor(gapMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, java.sql.Timestamp), ClosedSession] {
+  import org.apache.spark.sql.streaming.{TimerValues, ExpiredTimerInfo, TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var session: ValueState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    session = getHandle.getValueState("session",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  private def emit(key: Long, s: (Long, Long, Long, Long)) = ClosedSession(
+    key, new java.sql.Timestamp(s._1), new java.sql.Timestamp(s._2), s._3)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, java.sql.Timestamp)],
+                               timers: TimerValues): Iterator[ClosedSession] = {
+    val times = rows.map(_._2.getTime).toArray.sorted
+    var closed = List.empty[ClosedSession]
+    var cur: (Long, Long, Long) = null
+    if (session.exists()) {
+      val (s0, e0, n, timerTs) = session.get()
+      getHandle.deleteTimer(timerTs) // the close timer moves with the session
+      cur = (s0, e0, n)
+    }
+    times.foreach { t =>
+      cur match {
+        case null => cur = (t, t, 1L)
+        case (s0, e0, n) if t - e0 <= gapMs =>
+          // min on the start: late cross-batch events (see statefulSessions)
+          cur = (math.min(s0, t), math.max(e0, t), n + 1)
+        case old =>
+          closed ::= emit(key, (old._1, old._2, old._3, 0L))
+          cur = (t, t, 1L)
+      }
+    }
+    // close via timer once the watermark passes end + gap (clamped above
+    // the current watermark so a late-only batch still schedules validly)
+    val timerTs = math.max(cur._2 + gapMs, timers.getCurrentWatermarkInMs() + 1)
+    getHandle.registerTimer(timerTs)
+    session.update((cur._1, cur._2, cur._3, timerTs))
+    closed.reverseIterator
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[ClosedSession] =
+    if (session.exists()) {
+      val s = session.get()
+      session.clear()
+      Iterator.single(emit(key, s))
+    } else Iterator.empty
+}
+
 /** Streaming stage functions (SURVEY.md §2.10). The reference is
   * batch-only with daily `ingest_date` increments; the engine keeps
   * every stage a pure `DataFrame => DataFrame` so the SAME function
@@ -109,6 +168,37 @@ object StreamOps {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Gap-based sessionization on the `transformWithState` API (the
+    * Spark 4 arbitrary-state tier above [[statefulSessions]]'s
+    * `flatMapGroupsWithState`): per-key [[org.apache.spark.sql.streaming.ValueState]]
+    * plus explicit event-time TIMERS instead of a single timeout — the
+    * processor deletes and re-registers its close timer as the session
+    * extends, which is the pattern that generalizes to multiple
+    * independent timeouts per key (something `GroupStateTimeout`
+    * cannot express). Emission contract is identical to
+    * [[statefulSessions]]: a session row exactly once, on gap break or
+    * when the watermark passes end + gap.
+    *
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`) — transformWithState's
+    * state-v2 layout is not supported by the default HDFS-backed
+    * store. State per key is one (start, end, count, timerTs) tuple,
+    * evicted on close, so unbounded streams hold bounded state. */
+  def statefulSessionsTws(df: DataFrame, keyCol: String, tsCol: String,
+                          gapSeconds: Long = 1800L,
+                          watermarkDelay: String = "10 minutes"): Dataset[ClosedSession] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapSeconds * 1000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** Streaming twin of [[graft.operators.Dedup.exactDedup]]: drop rows

@@ -183,6 +183,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.contains((1L, "2024-01-01 02:00:00", 1L)), got.mkString(","))
   }
 
+  test("statefulSessionsTws: transformWithState sessionizer matches the gap-break + timer contract") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState's state-v2 layout needs the RocksDB store;
+    // scoped to this query, restored after (other suites use the default)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[UEv]
+      val q = StreamOps.statefulSessionsTws(stream.toDF(), "user_id", "ts",
+          gapSeconds = 1800L, watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("tws").start()
+      try {
+        // same script as the flatMapGroupsWithState test: the two APIs
+        // must emit identical sessions
+        stream.addData(UEv(t("2024-01-01 00:00:00"), 1L),
+          UEv(t("2024-01-01 00:01:00"), 1L),
+          UEv(t("2024-01-01 00:00:30"), 2L))
+        q.processAllAvailable()
+        stream.addData(UEv(t("2024-01-01 02:00:00"), 1L)) // gap break closes session 1
+        q.processAllAvailable()
+        stream.addData(UEv(t("2024-01-01 03:00:00"), 3L)) // watermark → user 2 timer fires
+        q.processAllAvailable()
+        stream.addData(UEv(t("2024-01-01 04:00:00"), 3L)) // watermark → user 1's 02:00 session
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("tws")
+        .select($"user_id", $"session_start".cast("string"), $"n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.contains((1L, "2024-01-01 00:00:00", 2L)), got.mkString(","))
+      assert(got.contains((2L, "2024-01-01 00:00:30", 1L)), got.mkString(","))
+      assert(got.contains((1L, "2024-01-01 02:00:00", 1L)), got.mkString(","))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("statefulSessions: a late cross-batch event within the gap lowers session_start") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

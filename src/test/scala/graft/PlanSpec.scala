@@ -90,6 +90,32 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"class was renamed and this walk found nothing):\n$p")
   }
 
+  test("q62: hot-shingle vocabulary joins back as a broadcast (no second corpus shuffle)") {
+    val df = SparkEntry.queries("q62_boilerplate_ratio")(spark, sf)
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    // the repeating head of the shingle distribution is orders of
+    // magnitude smaller than the corpus — AQE must build it as the
+    // broadcast side of the enrichment join, never shuffle the
+    // exploded corpus a second time for a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q67: fuzzy-match predicate runs the banded thresholded Levenshtein") {
+    val df = SparkEntry.queries("q67_fuzzy_match")(spark, sf)
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    // the optimizer rule (installed by GraftSession.local for this
+    // suite's session) must rewrite the filter's comparison; the
+    // projection's plain levenshtein stays full-DP
+    val levs = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.collect { case l: Levenshtein => l }
+    }.flatten
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+      s"filter levenshtein not thresholded: $levs")
+  }
+
   test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

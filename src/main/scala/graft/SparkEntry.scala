@@ -625,6 +625,34 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // SQL front door: the same engine surface through spark.sql over
+    // registered views — IN and correlated-EXISTS subqueries (planned
+    // as left-semi joins), text shared verbatim with the oracle.
+    "q68_sql_subqueries" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // regexp scalar family: extract / global replace / match predicate
+    // (patterns chosen inside the Java∩RE2 common dialect, digit and
+    // char classes only — cross-engine identical).
+    "q69_regexp_funcs" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .filter(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+          length(regexp_replace(col("c_name"), "[0-9]", "")).cast("long").as("n_alpha"),
+          col("c_name").rlike("9").as("has_nine"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // stratified corpus downsampling: cap the over-represented language
@@ -1225,6 +1253,21 @@ object SparkEntry {
         | levenshtein(c_name, 'Customer#000000025') AS dist
         |FROM customer WHERE levenshtein(c_name, 'Customer#000000025') <= 3
         |ORDER BY c_custkey""".stripMargin,
+
+    "q68_sql_subqueries" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM orders o
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q69_regexp_funcs" ->
+      """SELECT c_custkey,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+        | CAST(length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_alpha,
+        | regexp_matches(c_name, '9') AS has_nine
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

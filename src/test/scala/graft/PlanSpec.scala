@@ -116,6 +116,18 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"filter levenshtein not thresholded: $levs")
   }
 
+  test("q68: IN and EXISTS subqueries decorrelate to left-semi joins") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = SparkEntry.queries("q68_sql_subqueries")(spark, sf)
+    val semis = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType == LeftSemi => j
+    }
+    // one semi join per subquery; a correlated EXISTS left as a
+    // per-row subplan would be the O(rows × subquery) disaster
+    assert(semis.size == 2, df.queryExecution.optimizedPlan.toString)
+  }
+
   test("q01: aggregation runs inside WholeStageCodegen (final AQE plan)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
     df.collect() // materialize so AQE finalizes the plan

@@ -73,6 +73,30 @@ class LevenshteinRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("randomized parity: banded rewrite matches the full DP across probes and bounds") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    LevenshteinThreshold.install(spark)
+    // fixed-seed corpus over a 3-letter alphabet: short strings cluster
+    // near every threshold boundary, which is where a banded DP with
+    // early exit would diverge if it mis-handled an edge
+    val rnd = new scala.util.Random(42)
+    def randStr() = (0 until rnd.nextInt(9)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq.fill(150)(randStr()).distinct.map(Row(_)), 2),
+      StructType(Seq(StructField("name", StringType, nullable = true))))
+    for (probe <- Seq("abc", "aabbcc", ""); k <- 0 to 4) {
+      val got = df.filter(levenshtein(col("name"), lit(probe)) <= k)
+        .as[String].collect().toSet
+      val want = withoutRule {
+        df.filter(levenshtein(col("name"), lit(probe)) <= k)
+          .as[String].collect().toSet
+      }
+      assert(got == want, s"probe='$probe' k=$k: ${got.diff(want)} / ${want.diff(got)}")
+    }
+  }
+
   test("projection-position levenshtein is left alone (no predicate, no rewrite)") {
     LevenshteinThreshold.install(spark)
     val q = names.filter(col("name").isNotNull)

@@ -653,6 +653,33 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // unpivot — the inverse of q42's pivot: wide per-flag aggregates
+    // melted to (flag, metric, value) long form (Dataset.unpivot vs
+    // DuckDB UNPIVOT).
+    "q70_unpivot" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // ROWS frame (physical-offset window, vs q51's RANGE value frame):
+    // 3-order trailing spend per customer over a unique order.
+    "q71_rows_frame" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 40)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing3"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // ---------------- rows-only demos (no ANSI-SQL oracle) ---------
 
     // stratified corpus downsampling: cap the over-represented language
@@ -1268,6 +1295,24 @@ object SparkEntry {
         | CAST(length(regexp_replace(c_name, '[0-9]', '', 'g')) AS BIGINT) AS n_alpha,
         | regexp_matches(c_name, '9') AS has_nine
         |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+
+    "q70_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q71_rows_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3
+        |FROM orders WHERE o_custkey < 40
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q45_term_stats" ->
       """WITH tok AS (

@@ -59,17 +59,33 @@ object Bench {
     // capture (the full-precision 61-query line overflowed it in r4);
     // if the query set grows past what 3 decimals fit, degrade to 2
     // (a 10 ms precision loss beats an unparsable benchmark line)
-    def render(decimals: Int): String = {
+    def render(decimals: Int, maxErrLen: Int): String = {
       def f(v: Double) = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
       val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f(v) }
         .mkString("{", ",", "}")
-      val errs = results.collect { case (k, (_, Some(e))) => "\"" + k + "\":\"" + e + "\"" }
+      // errors are diagnostic, timings are the contract: cap both each
+      // message's length and the entry count so a mass failure can
+      // never push the line past the driver's bounded tail capture
+      val errs = results.collect { case (k, (_, Some(e))) =>
+        "\"" + k + "\":\"" + e.take(maxErrLen) + "\"" }.take(8)
       val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
       val total = results.values.collect { case (v, None) => v }.sum
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}"""
     }
-    val line = render(3)
-    println(if (line.length <= 1850) line else render(2))
+    // degrade precision, then error verbosity, until the line fits the
+    // driver's 2000-char tail window; an unparsable line is the only
+    // unacceptable outcome (r1–r4 shipped parsed:null)
+    val candidates = Seq((3, 80), (2, 80), (2, 40), (1, 20), (0, 10))
+    val line = candidates.iterator.map { case (d, e) => (d, e, render(d, e)) }
+      .find(_._3.length <= 1850)
+    line match {
+      case Some((d, _, l)) =>
+        if (d < 3) System.err.println(s"[bench] line budget: degraded to $d decimals")
+        println(l)
+      case None =>
+        System.err.println("[bench] line budget exceeded even at 0 decimals; printing anyway")
+        println(render(0, 10))
+    }
     spark.stop()
   }
 }

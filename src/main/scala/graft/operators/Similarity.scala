@@ -22,11 +22,23 @@ import graft.functions._
 object Similarity {
 
   /** Exact top-k neighbors by cosine for each query vector.
-    * Deterministic tiebreak: higher cosine first, then smaller corpus id. */
+    * Deterministic tiebreak: higher cosine first, then smaller corpus id.
+    *
+    * The query side is BROADCAST: this operator's contract is a small
+    * query set against an arbitrarily large corpus. `maxQueries`
+    * makes a contract violation fail loudly (one bounded
+    * `limit(maxQueries+1).count()` job — never a full scan of a huge
+    * query frame) instead of OOMing the driver mid-broadcast; when
+    * |queries| is genuinely large, use [[lshTopK]] / [[ivfTopK]],
+    * whose probe joins shuffle on bucket keys and never broadcast. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      queryId: String, queryVec: String,
                      corpusId: String, corpusVec: String,
-                     k: Int): DataFrame = {
+                     k: Int, maxQueries: Int = 100000): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"bruteForceTopK broadcasts the query side; got > $maxQueries query rows. " +
+        "Raise maxQueries deliberately or use lshTopK/ivfTopK for large query sets.")
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"))
     val scored = c.crossJoin(broadcast(q))

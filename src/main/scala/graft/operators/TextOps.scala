@@ -78,15 +78,21 @@ object TextOps {
     * tfidf = tf · ln(N / dfreq).
     *
     * Shuffle plan: explode is narrow; tf and document-frequency are
-    * two hash aggregates over the same exploded child; the df side is
-    * vocabulary-sized (small) so it broadcasts back onto tf; the
-    * corpus size N rides along as a broadcast single-row cross join.
+    * two hash aggregates over the same exploded child; the corpus
+    * size N rides along as a broadcast single-row cross join. The
+    * document-frequency side is vocabulary-sized — bounded on a
+    * curated corpus but BILLIONS of unique tokens on natural 100 TB
+    * web text — so no broadcast is forced: AQE broadcasts it when the
+    * aggregated side is actually small and degrades to a shuffle join
+    * (token is already the shuffle key of both aggregates, so the
+    * join reuses that partitioning) instead of a driver/executor OOM —
+    * the same posture as [[boilerplateRatio]]'s hot side.
     * Nothing is collected to the driver. */
   def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = termFrequencies(df, idCol, textCol)
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
     val n = df.agg(count(lit(1)).as("n"))
-    tf.join(broadcast(dfreq), Seq("token"))
+    tf.join(dfreq, Seq("token"))
       .crossJoin(broadcast(n))
       .select(col("doc"), col("token"), col("tf"), col("dfreq"),
         (col("tf").cast("double") *

@@ -25,6 +25,15 @@ object Corpus {
       nearDupJaccard: Double = 0.8,
       shingleWidth: Int = 3)
 
+  /** Curation output: the surviving rows, plus the persisted internal
+    * frame when `materialize = true` so the caller owns its lifecycle
+    * (`result.unpersist()` once the curated frame is written). */
+  case class CurationResult(curated: DataFrame, persisted: Option[DataFrame]) {
+    /** Evict the internal dedup-diamond cache entry (no-op when not
+      * materialized). Call after the curated output is materialized. */
+    def unpersist(): Unit = persisted.foreach(_.unpersist())
+  }
+
   /** Filter + dedup a document table; returns the surviving rows with
     * quality/token metadata attached.
     *
@@ -36,11 +45,21 @@ object Corpus {
     * deduped frame (memory-and-disk) so that diamond is computed
     * once; at 100 TB the equivalent standard move is writing the
     * deduped silver table before the near-dup pass. Lifecycle: the
-    * cache entry lives until the returned frame is unpersisted or
-    * garbage-collected (Spark's ContextCleaner evicts it then). */
+    * persisted entry is INTERNAL — unpersisting the returned frame
+    * does not evict it; absent an explicit eviction it lingers until
+    * the frame is garbage-collected and Spark's ContextCleaner runs.
+    * For deterministic cleanup use [[curateStaged]] and call
+    * `unpersist()` on the result. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              langCol: String, cfg: Config = Config(),
-             materialize: Boolean = false): DataFrame = {
+             materialize: Boolean = false): DataFrame =
+    curateStaged(docs, idCol, textCol, langCol, cfg, materialize).curated
+
+  /** [[curate]] with the persisted internal handle exposed for
+    * explicit lifecycle control. */
+  def curateStaged(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, cfg: Config = Config(),
+                   materialize: Boolean = false): CurationResult = {
     // 1. row-local gates (all codegen'd; pushed as far down as Catalyst likes)
     val gated = docs
       .withColumn("quality", quality_score(col(textCol)))
@@ -61,7 +80,8 @@ object Corpus {
         shingleWidth = cfg.shingleWidth)
       .filter(col("est_jaccard") >= cfg.nearDupJaccard)
       .select(col("id_b").as(idCol)).distinct()
-    exact.join(losers, Seq(idCol), "left_anti")
+    CurationResult(exact.join(losers, Seq(idCol), "left_anti"),
+      if (materialize) Some(exact) else None)
   }
 
   /** Stratified downsampling — cap over-represented strata in a

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /** Optimizer rule: bound edit-distance predicates.
   *
@@ -34,21 +34,50 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinThresholdRule extends Rule[LogicalPlan] {
 
+  /** An unbounded levenshtein call, possibly behind the implicit
+    * integral up-cast type coercion inserts when the comparison
+    * literal is BIGINT/SMALLINT/TINYINT (`lev(a,b) <= 3L` analyzes to
+    * `CAST(lev(a,b) AS BIGINT) <= 3L`). The cast is semantically free
+    * here — the distance is a non-negative int — so matching through
+    * it keeps the rewrite available for every integral spelling. */
+  private def integral(dt: DataType): Boolean =
+    dt == IntegerType || dt == LongType || dt == ShortType || dt == ByteType
+
+  private object Lev {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Levenshtein(l, r, None) => Some((l, r))
+      case c: Cast if integral(c.dataType) =>
+        c.child match {
+          case Levenshtein(l, r, None) => Some((l, r))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Any integral literal threshold that fits an Int (a threshold
+    * beyond Int.MaxValue never bounds a string distance anyway). */
+  private object K {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case Literal(v: Long, LongType) if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+      case Literal(v: Short, ShortType) => Some(v.toInt)
+      case Literal(v: Byte, ByteType) => Some(v.toInt)
+      case _ => None
+    }
+  }
+
   private def bounded(l: Expression, r: Expression, k: Int) =
     GreaterThanOrEqual(Levenshtein(l, r, Some(Literal(k))), Literal(0))
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case LessThanOrEqual(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
-      bounded(l, r, k)
-    case GreaterThanOrEqual(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
-      bounded(l, r, k)
-    case LessThan(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 1 =>
-      bounded(l, r, k - 1)
-    case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 1 =>
-      bounded(l, r, k - 1)
-    case EqualTo(Levenshtein(l, r, None), Literal(k: Int, IntegerType)) if k >= 0 =>
+    case LessThanOrEqual(Lev(l, r), K(k)) if k >= 0 => bounded(l, r, k)
+    case GreaterThanOrEqual(K(k), Lev(l, r)) if k >= 0 => bounded(l, r, k)
+    case LessThan(Lev(l, r), K(k)) if k >= 1 => bounded(l, r, k - 1)
+    case GreaterThan(K(k), Lev(l, r)) if k >= 1 => bounded(l, r, k - 1)
+    case EqualTo(Lev(l, r), K(k)) if k >= 0 =>
       EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
-    case EqualTo(Literal(k: Int, IntegerType), Levenshtein(l, r, None)) if k >= 0 =>
+    case EqualTo(K(k), Lev(l, r)) if k >= 0 =>
       EqualTo(Levenshtein(l, r, Some(Literal(k))), Literal(k))
   }
 }

@@ -53,11 +53,16 @@ class SessionProcessor(gapMs: Long)
           cur = (t, t, 1L)
       }
     }
-    // close via timer once the watermark passes end + gap (clamped above
-    // the current watermark so a late-only batch still schedules validly)
-    val timerTs = math.max(cur._2 + gapMs, timers.getCurrentWatermarkInMs() + 1)
-    getHandle.registerTimer(timerTs)
-    session.update((cur._1, cur._2, cur._3, timerTs))
+    // cur is null only for an empty row iterator with no prior state
+    // (outside the current TWS contract, but this is public API — fail
+    // soft, not with an NPE, if the contract ever drifts)
+    if (cur != null) {
+      // close via timer once the watermark passes end + gap (clamped above
+      // the current watermark so a late-only batch still schedules validly)
+      val timerTs = math.max(cur._2 + gapMs, timers.getCurrentWatermarkInMs() + 1)
+      getHandle.registerTimer(timerTs)
+      session.update((cur._1, cur._2, cur._3, timerTs))
+    }
     closed.reverseIterator
   }
 

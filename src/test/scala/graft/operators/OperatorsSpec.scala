@@ -235,6 +235,15 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bruteForceTopK fails loudly when the query side exceeds its broadcast contract") {
+    val emb = Tables.embeddings(spark, sf)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 3, maxQueries = 10)
+    }
+    assert(e.getMessage.contains("lshTopK"), s"guard message should route to the scale path: $e")
+  }
+
   test("lshTopK achieves reasonable recall vs brute force") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)

@@ -35,16 +35,20 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(!ids.contains(3000L) && !ids.contains(4000L))
 
     // materialized variant: identical survivors, dedup diamond computed
-    // once (plan shape differs, results must not)
-    val curated2 = Corpus.curate(
+    // once (plan shape differs, results must not); the staged API owns
+    // the persisted handle so eviction is explicit, not GC-dependent
+    val staged = Corpus.curateStaged(
       base.unionByName(exactDup).unionByName(nearDup)
         .unionByName(junk).unionByName(wrongLang),
       "doc_id", "text", "lang",
       Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"), nearDupJaccard = 0.8),
       materialize = true)
     try {
-      assert(curated2.select("doc_id").as[Long].collect().toSet == ids)
-    } finally spark.sharedState.cacheManager.clearCache()
+      assert(staged.persisted.isDefined)
+      assert(staged.curated.select("doc_id").as[Long].collect().toSet == ids)
+    } finally staged.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "curateStaged.unpersist() must evict the internal cache entry")
   }
 
   test("stratifiedSample: per-stratum proportions, determinism, drop-by-default") {

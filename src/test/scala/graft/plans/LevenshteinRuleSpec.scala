@@ -97,6 +97,30 @@ class LevenshteinRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("BIGINT and SQL-cast integral thresholds rewrite too (coercion-inserted casts matched)") {
+    LevenshteinThreshold.install(spark)
+    names.createOrReplaceTempView("lev_names")
+    // each spelling routes the threshold through a different literal
+    // type / implicit cast; all must reach the banded form
+    val spellings = Seq(
+      "levenshtein(name, 'martha') <= CAST(2 AS BIGINT)",
+      "levenshtein(name, 'martha') <= CAST(2 AS SMALLINT)",
+      "levenshtein(name, 'martha') <= CAST(2 AS TINYINT)",
+      "CAST(2 AS BIGINT) >= levenshtein(name, 'martha')",
+      "levenshtein(name, 'martha') = CAST(1 AS BIGINT)")
+    spellings.foreach { pred =>
+      val q = spark.sql(s"SELECT name FROM lev_names WHERE $pred")
+      val lev = q.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect { case l: Levenshtein => l }
+      }.flatten
+      assert(lev.nonEmpty && lev.forall(_.threshold.isDefined),
+        s"'$pred' not rewritten: $lev")
+      val got = q.as[String].collect().toSet
+      val want = withoutRule { spark.sql(s"SELECT name FROM lev_names WHERE $pred").as[String].collect().toSet }
+      assert(got == want, s"'$pred': $got != $want")
+    }
+  }
+
   test("projection-position levenshtein is left alone (no predicate, no rewrite)") {
     LevenshteinThreshold.install(spark)
     val q = names.filter(col("name").isNotNull)

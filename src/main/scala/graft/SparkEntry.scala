@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions._
 import graft.operators.{Clean, Dedup, Enrich, Kpis, Multimodal, Relational, Similarity}
+import graft.pipeline.GoldenReplay
 import graft.sources.Tables
 import graft.streaming.StreamOps
 
@@ -25,6 +26,39 @@ object SparkEntry {
   // ---- shared numeric helpers (decimal-exact, oracle-parity) ----
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** The reference's committed golden outputs, re-used as test
+    * fixtures AND as oracle ground truth for q72/q73 (absolute path:
+    * both Spark and the driver's DuckDB read the same bytes). */
+  private val goldenDir = "/root/repo/src/test/resources/golden"
+
+  /** q36/q54 export: join a (label, pos, m) float-mean frame against
+    * an ORDER-INDEPENDENT exact anchor — sum of floor(v·1e6) as BIGINT
+    * per (label, pos), bit-identical in any engine since each element
+    * quantizes from the identical IEEE double — and bound-check the
+    * engine's own mean against it (quantization bias < 1e-6 ≪ 1e-4).
+    * The anchor hash-matches; the bound must hold in both engines. */
+  private def centroidBoundExport(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val anchor = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(floor(col("v").cast("double") * 1000000).cast("long")).as("sum_q"),
+        count(lit(1)).as("n"))
+    cent.join(anchor, Seq("label", "pos"))
+      .select(col("label"), col("pos"), col("sum_q"), col("n"),
+        (abs(col("m") - col("sum_q").cast("double") / 1000000.0 / col("n")) <= 0.0001)
+          .as("centroid_within_bound"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  /** KPI record with its map columns exported as sorted entry arrays
+    * (hashable cross-engine projection of kpis.json:5-12). */
+  private def kpiEntriesExport(kpi: DataFrame): DataFrame =
+    kpi.select(
+      col("ingest_date"), col("total_videos"), col("total_comments"),
+      Kpis.sortedEntries(col("video_sentiment_counts")).as("video_sentiment_counts"),
+      Kpis.sortedEntries(col("comment_sentiment_counts")).as("comment_sentiment_counts"),
+      col("generated_at_utc"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -805,17 +839,25 @@ object SparkEntry {
     }),
 
     // per-label centroids via the typed Aggregator (custom-UDAF tier;
-    // parity with the posexplode formulation asserted in spec).
+    // parity with the posexplode formulation asserted in spec). Float
+    // means can't hash-match across engines, so the export follows the
+    // q44/q58 sketch pattern: an ORDER-INDEPENDENT exact anchor — the
+    // integer sum of floor(v·1e6) per (label, dim), bit-identical in
+    // any engine because every element quantizes from the identical
+    // IEEE double — is hash-compared, and each engine's own float mean
+    // is bound-checked against it (quantization bias < 1e-6 ≪ 1e-4).
     "q54_vector_mean_agg" -> ((s, dir) => {
       import s.implicits._
-      Tables.embeddings(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val cent = emb
         .select(col("label"), col("embedding").as("value"))
         .as[(Int, Seq[Float])]
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(graft.functions.VectorMean.asColumn.name("centroid"))
         .toDF("label", "centroid")
-        .orderBy(col("label"))
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      centroidBoundExport(emb, cent)
     }),
 
     // IVF approximate nearest neighbors: k-means coarse quantizer
@@ -856,10 +898,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // per-label embedding centroids (vector average).
+    // per-label embedding centroids (vector average), exported through
+    // the same exact-anchor bound check as q54 (see there); parity of
+    // the two centroid formulations is additionally pinned in spec.
     "q36_centroids" -> ((s, dir) => {
-      Similarity.centroids(Tables.embeddings(s, dir), "label", "embedding")
-        .orderBy(col("label"))
+      val emb = Tables.embeddings(s, dir)
+      val cent = Similarity.centroids(emb, "label", "embedding")
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "m")))
+      centroidBoundExport(emb, cent)
     }),
 
     // streaming stage function driven in batch mode (same code runs
@@ -877,12 +923,14 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
-    // reference KPI record shape: one row, count maps (kpis.json).
+    // reference KPI record shape: one row, count maps (kpis.json:5-12).
+    // The map columns export as key-sorted (key, n) entry arrays —
+    // same data, hashable cross-engine (maps aren't; entry lists are).
     "q38_kpi_record" -> ((s, dir) => {
       val d = Enrich.ruleSentimentColumns(Tables.documents(s, dir), "text")
-      Kpis.kpiRecord(
+      kpiEntriesExport(Kpis.kpiRecord(
         d.filter(col("lang") === "en"), d.filter(col("lang") =!= "en"),
-        "sentiment", "sentiment", "2026-01-21", "2026-01-21T00:00:00Z")
+        "sentiment", "sentiment", "2026-01-21", "2026-01-21T00:00:00Z"))
     }),
 
     // batched mapPartitions enrichment (the pluggable-Enricher path;
@@ -892,6 +940,40 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
         .select(col("doc_id"), col("sentiment"), col("sentiment_score"), col("emotion"))
         .orderBy(col("doc_id"))
+    }),
+
+    // golden-file replay: the reference's committed gold comments are
+    // both fixture and ground truth — base fields reconstruct bronze,
+    // enrichment fields reconstruct each raw LLM response (the fenced
+    // summary at comments_with_sentiment.json:75 IS the raw malformed
+    // response), and the engine re-derives every golden row through
+    // silver gates + strict-JSON parse/fallback. The oracle is DuckDB
+    // reading the same golden file directly: Spark must RECOMPUTE what
+    // DuckDB merely reads.
+    "q72_golden_comments_replay" -> ((s, dir) => {
+      val items = Clean.unwrapIfEnvelope(
+        GoldenReplay.readCommentsEnvelope(s, s"$goldenDir/comments_with_sentiment.json"))
+      val raw = GoldenReplay.rawLlmResponse(items).select(col("commentId"), col("llm_raw"))
+      val bronze = items.select("videoId", "commentId", "author", "text", "likes", "publishedAt")
+      GoldenReplay.replayComments(bronze, raw)
+        .select(col("videoId"), col("commentId"), col("author"), col("text"), col("likes"),
+          unix_timestamp(to_timestamp(col("publishedAt"))).cast("long").as("published_epoch"),
+          col("sentiment"), col("sentiment_score"), col("emotion"), col("summary"))
+        .orderBy(col("commentId"))
+    }),
+
+    // golden KPI replay with the polymorphic gold read
+    // (final_kpis.py:33-34): videos is a bare LIST document, comments
+    // an ENVELOPE — both unwrap through the same operator, roll up
+    // through the engine's KPI aggregate, and must equal kpis.json
+    // (which DuckDB recomputes from the same two golden files).
+    "q73_golden_kpis" -> ((s, dir) => {
+      val videos = Clean.unwrapIfEnvelope(
+        GoldenReplay.readVideosList(s, s"$goldenDir/videos_with_sentiment.json"))
+      val comments = Clean.unwrapIfEnvelope(
+        GoldenReplay.readCommentsEnvelope(s, s"$goldenDir/comments_with_sentiment.json"))
+      kpiEntriesExport(Kpis.kpiRecord(videos, comments, "sentiment", "sentiment",
+        "2026-01-21", "2026-01-21T23:35:39.424941Z"))
     })
   )
 
@@ -1425,6 +1507,73 @@ object SparkEntry {
     "q47_running_stats" ->
       """SELECT event_type, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Centroid bound-check export (see queries doc): the quantized
+    // integer anchor hash-matches outright; each engine's float mean
+    // must sit within 1e-4 of it.
+    "q36_centroids" -> centroidBoundOracle,
+    "q54_vector_mean_agg" -> centroidBoundOracle,
+
+    // KPI record over documents: the reference's count_sent rollup with
+    // map columns projected to sorted entry lists; the sentiment rule
+    // is the same lexicon formulation q21 pins.
+    "q38_kpi_record" ->
+      """WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |pn AS (SELECT lang,
+        |  len(list_filter(toks, x -> x IN ('amazing','best','excellent','fast','good','great','love'))) AS p,
+        |  len(list_filter(toks, x -> x IN ('awful','bad','broken','hate','slow','terrible','worst'))) AS n
+        | FROM t),
+        |lab AS (SELECT lang,
+        |  CASE WHEN p > n THEN 'positive' WHEN n > p THEN 'negative' ELSE 'neutral' END AS s FROM pn),
+        |v AS (SELECT lower(coalesce(s, 'unknown')) AS s FROM lab WHERE lang = 'en'),
+        |c AS (SELECT lower(coalesce(s, 'unknown')) AS s FROM lab WHERE lang <> 'en')
+        |SELECT '2026-01-21' AS ingest_date,
+        | (SELECT COUNT(*) FROM v) AS total_videos,
+        | (SELECT COUNT(*) FROM c) AS total_comments,
+        | (SELECT list({'key': s, 'n': n} ORDER BY s)
+        |    FROM (SELECT s, COUNT(*) AS n FROM v GROUP BY s) vv) AS video_sentiment_counts,
+        | (SELECT list({'key': s, 'n': n} ORDER BY s)
+        |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
+        | '2026-01-21T00:00:00Z' AS generated_at_utc""".stripMargin,
+
+    // Golden replay: DuckDB reads the committed golden file directly —
+    // ground truth the Spark side must RECOMPUTE through the pipeline.
+    "q72_golden_comments_replay" ->
+      s"""WITH it AS (SELECT unnest(items, recursive := true)
+         |            FROM read_json_auto('$goldenDir/comments_with_sentiment.json'))
+         |SELECT videoId, commentId, author, text, likes,
+         |       CAST(epoch(publishedAt) AS BIGINT) AS published_epoch,
+         |       sentiment, sentiment_score, emotion, summary
+         |FROM it ORDER BY commentId""".stripMargin,
+
+    "q73_golden_kpis" ->
+      s"""WITH v AS (SELECT lower(coalesce(sentiment, 'unknown')) AS s
+         |           FROM read_json_auto('$goldenDir/videos_with_sentiment.json')),
+         |cit AS (SELECT unnest(items, recursive := true)
+         |        FROM read_json_auto('$goldenDir/comments_with_sentiment.json')),
+         |c AS (SELECT lower(coalesce(sentiment, 'unknown')) AS s FROM cit)
+         |SELECT '2026-01-21' AS ingest_date,
+         | (SELECT COUNT(*) FROM v) AS total_videos,
+         | (SELECT COUNT(*) FROM c) AS total_comments,
+         | (SELECT list({'key': s, 'n': n} ORDER BY s)
+         |    FROM (SELECT s, COUNT(*) AS n FROM v GROUP BY s) vv) AS video_sentiment_counts,
+         | (SELECT list({'key': s, 'n': n} ORDER BY s)
+         |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
+         | '2026-01-21T23:35:39.424941Z' AS generated_at_utc""".stripMargin
   )
+
+  /** Shared q36/q54 oracle (both centroid formulations must satisfy
+    * the identical anchor + bound). */
+  private def centroidBoundOracle: String =
+    """WITH x AS (SELECT label, CAST(u.i AS INT) - 1 AS pos,
+      |                  CAST(embedding[u.i] AS DOUBLE) AS v
+      |           FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+      |a AS (SELECT label, pos,
+      |        CAST(SUM(CAST(FLOOR(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+      |        COUNT(*) AS n, AVG(v) AS m
+      |      FROM x GROUP BY label, pos)
+      |SELECT label, pos, sum_q, n,
+      |       ABS(m - sum_q / 1000000.0 / n) <= 0.0001 AS centroid_within_bound
+      |FROM a ORDER BY label, pos""".stripMargin
 }

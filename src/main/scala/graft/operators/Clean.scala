@@ -39,6 +39,17 @@ object Clean {
   def explodeEnvelope(df: DataFrame, itemsCol: String = "items"): DataFrame =
     df.select(explode(col(itemsCol)).as("__item")).select(col("__item.*"))
 
+  /** The reference's polymorphic gold read
+    * (/root/reference/final_kpis.py:33-34: `videos if isinstance(videos,
+    * list) else videos.get("items", [])`): a frame that still carries a
+    * legacy `items` envelope is unwrapped; a bare record table passes
+    * through unchanged. */
+  def unwrapIfEnvelope(df: DataFrame, itemsCol: String = "items"): DataFrame =
+    if (df.schema.fields.exists(f => f.name == itemsCol &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+      explodeEnvelope(df, itemsCol)
+    else df
+
   /** Wrap a record table back into the legacy `{meta..., items:[...]}`
     * envelope (SURVEY.md §2.1 S9 write side — the reference's payload
     * construction at /root/reference/function_app.py:75-80,143-148).

@@ -114,6 +114,42 @@ object Enrich {
       .drop("__p", "__n")
   }
 
+  /** Raw LLM payload shape the reference's prompt demands
+    * (/root/reference/gold_sentiment_comments.py:28): note the key is
+    * `score`, which the output row then renames to `sentiment_score`
+    * (gold_sentiment_comments.py:78). `_corrupt` captures whole-payload
+    * parse failure — the exact event `json.loads` raising. */
+  private val llmResponseStruct = StructType(Seq(
+    StructField("sentiment", StringType),
+    StructField("score", DoubleType),
+    StructField("emotion", StringType),
+    StructField("summary", StringType),
+    StructField("_corrupt", StringType)))
+
+  /** Reference-faithful LLM-response parse
+    * (/root/reference/gold_sentiment_comments.py:46-50): strict
+    * `json.loads` semantics — NO markdown-fence stripping, so a fenced
+    * ```json block falls back exactly like the reference's golden row
+    * (/root/reference/comments_with_sentiment.json:75) — with the
+    * fallback {neutral, 0.0, neutral, raw[:200]} on any parse failure.
+    * Appends sentiment, sentiment_score, emotion, summary. The
+    * engine-flagged improvement (fence stripping) lives in
+    * [[parseSentimentJson]]; this twin exists for byte-fidelity replay
+    * of reference outputs. */
+  def parseLlmResponse(df: DataFrame, rawCol: String): DataFrame = {
+    val parsed = from_json(col(rawCol), llmResponseStruct,
+      Map("columnNameOfCorruptRecord" -> "_corrupt"))
+    val ok = parsed.isNotNull && parsed.getField("_corrupt").isNull
+    df.withColumn("sentiment",
+        when(ok, parsed.getField("sentiment")).otherwise(lit("neutral")))
+      .withColumn("sentiment_score",
+        when(ok, parsed.getField("score")).otherwise(lit(0.0)))
+      .withColumn("emotion",
+        when(ok, parsed.getField("emotion")).otherwise(lit("neutral")))
+      .withColumn("summary",
+        when(ok, parsed.getField("summary")).otherwise(substring(col(rawCol), 1, 200)))
+  }
+
   /** The reference's malformed-LLM-JSON fallback (SURVEY.md §2.3 C7):
     * parse a JSON sentiment payload, falling back to
     * {neutral, 0.0, neutral, raw[:200]} — with the engine's flagged

@@ -20,6 +20,15 @@ object Kpis {
   private def asMap(keyCol: String, nCol: String): Column =
     map_from_entries(array_sort(collect_list(struct(col(keyCol), col(nCol)))))
 
+  /** Export a string→long count map as a key-sorted array of (key, n)
+    * structs — the hashable cross-engine projection of the map shape:
+    * engines don't agree on map representation, but an ordered entry
+    * list is plain data both sides hash identically (the q38/q73
+    * oracle pattern). */
+  def sortedEntries(m: Column): Column =
+    transform(array_sort(map_entries(m)),
+      e => struct(e.getField("key").as("key"), e.getField("value").as("n")))
+
   /** Full KPI record (/root/reference/final_kpis.py:48-55): one row —
     * totals + two sentiment-count maps + generation timestamp. Each
     * input is reduced to a single row independently (hash aggregate →

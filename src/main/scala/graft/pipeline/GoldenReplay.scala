@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Clean, Enrich}
+
+/** Replay of the reference's three COMMITTED gold outputs — its only
+  * published correctness artifact (/root/reference/kpis.json,
+  * videos_with_sentiment.json, comments_with_sentiment.json). The
+  * goldens are both the input fixture and the expected output: the
+  * base fields reconstruct bronze, the enrichment fields reconstruct
+  * each raw LLM response (a fenced summary IS the raw malformed
+  * response the reference's fallback preserved verbatim —
+  * comments_with_sentiment.json:75, gold_sentiment_comments.py:46-50),
+  * and the pipeline must reproduce every golden row bit-for-bit —
+  * silver projection, trim/error gates, strict-JSON parse + fallback,
+  * and the KPI rollup all exercised against published ground truth.
+  */
+object GoldenReplay {
+
+  /** Golden comment item in the reference's key order
+    * (function_app.py:129-136 base + gold_sentiment_comments.py:75-80). */
+  val commentItem: StructType = StructType(Seq(
+    StructField("videoId", StringType),
+    StructField("commentId", StringType),
+    StructField("author", StringType),
+    StructField("text", StringType),
+    StructField("likes", LongType),
+    StructField("publishedAt", StringType),
+    StructField("sentiment", StringType),
+    StructField("sentiment_score", DoubleType),
+    StructField("emotion", StringType),
+    StructField("summary", StringType)))
+
+  /** Gold comments envelope (gold_sentiment_comments.py:88-92). */
+  val commentEnvelope: StructType = StructType(Seq(
+    StructField("ingest_date", StringType),
+    StructField("rows", LongType),
+    StructField("items", ArrayType(commentItem))))
+
+  /** Golden video row in the reference's key order
+    * (silver_transform_videos.py:29-38 + gold_sentiment_videos.py:47-50). */
+  val videoRow: StructType = StructType(Seq(
+    StructField("video_id", StringType),
+    StructField("title", StringType),
+    StructField("published_at", StringType),
+    StructField("channel_title", StringType),
+    StructField("duration", StringType),
+    StructField("view_count", LongType),
+    StructField("like_count", LongType),
+    StructField("comment_count", LongType),
+    StructField("sentiment", StringType),
+    StructField("emotions", ArrayType(StringType)),
+    StructField("topics", ArrayType(StringType))))
+
+  /** Explicit-schema reads: inference would alphabetize keys and parse
+    * timestamps; the replay needs the reference's exact shapes. */
+  def readCommentsEnvelope(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(commentEnvelope).option("multiLine", value = true).json(path)
+
+  def readVideosList(spark: SparkSession, path: String): DataFrame =
+    // a multiLine top-level JSON array reads as one row per element
+    spark.read.schema(videoRow).option("multiLine", value = true).json(path)
+
+  /** Reconstruct each comment's raw LLM response from its golden
+    * enrichment: a fenced summary is itself the raw (unparseable)
+    * response; anything else re-serializes to the strict-JSON payload
+    * the reference's prompt demands (gold_sentiment_comments.py:28,
+    * key `score`). */
+  def rawLlmResponse(golden: DataFrame): DataFrame =
+    golden.withColumn("llm_raw",
+      when(col("summary").startsWith("```"), col("summary"))
+        .otherwise(to_json(struct(
+          col("sentiment"),
+          col("sentiment_score").as("score"),
+          col("emotion"),
+          col("summary")))))
+
+  private val baseCols = Seq("videoId", "commentId", "author", "text", "likes", "publishedAt")
+
+  /** Drive golden comment items (base fields = bronze) through
+    * silver → reference-faithful LLM parse; output rows must equal the
+    * golden items. Extra bronze rows (error-marked, blank-text) are
+    * legitimately dropped by the silver gates — the spec plants some. */
+  def replayComments(bronzeItems: DataFrame, rawByCommentId: DataFrame): DataFrame = {
+    val silver = Clean.silverizeComments(bronzeItems)
+    val joined = silver.join(rawByCommentId, Seq("commentId"))
+    Enrich.parseLlmResponse(joined, "llm_raw")
+      .select(commentItem.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Golden video rows → bronze API items (id/snippet/statistics/
+    * contentDetails, statistics as the API's numeric strings). */
+  def bronzeVideoItems(goldenVideos: DataFrame): DataFrame =
+    goldenVideos.select(
+      col("video_id").as("id"),
+      struct(
+        col("title"),
+        col("published_at").as("publishedAt"),
+        col("channel_title").as("channelTitle")).as("snippet"),
+      struct(
+        col("view_count").cast("string").as("viewCount"),
+        col("like_count").cast("string").as("likeCount"),
+        col("comment_count").cast("string").as("commentCount")).as("statistics"),
+      struct(col("duration")).as("contentDetails"))
+
+  /** Bronze video items + golden label columns → gold rows in the
+    * reference's shape ({**row, **analysis},
+    * gold_sentiment_videos.py:70): silver projection/casts recomputed
+    * by the engine, enrichment replayed from the golden labels. */
+  def replayVideos(bronzeItems: DataFrame, labels: DataFrame): DataFrame =
+    Clean.silverizeVideos(bronzeItems)
+      .withColumn("published_at",
+        date_format(col("published_at"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .drop("duration_seconds") // engine enrichment, not a reference field
+      .join(labels, Seq("video_id"))
+      .select(videoRow.fieldNames.map(col).toIndexedSeq: _*)
+}

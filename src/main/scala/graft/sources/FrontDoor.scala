@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Clean
+
+/** The reference's two entry points are HTTP triggers
+  * (/root/reference/function_app.py:36-37,108-109): POST
+  * `ingest_youtube_videos` (fixed channel, no body) and POST
+  * `ingest_youtube_comments` (JSON body `{video_ids,
+  * max_comments_per_video}`, 400 when `video_ids` is missing or empty
+  * — function_app.py:116-120). This runner wires those semantics onto
+  * the engine's distributed [[Ingest]] operators behind the JDK's
+  * built-in HTTP server — request parse → validate → run → bronze
+  * write → text response, response bodies byte-matching the
+  * reference's (`"OK - Saved N videos to <container>/<path>"`,
+  * function_app.py:84-87,151-154).
+  *
+  * Bronze documents land in the reference's envelope format via
+  * [[LegacyJson]] at the reference's dated blob paths
+  * (function_app.py:73-74,140-141). The clock is injectable so runs
+  * stay deterministic under test (SURVEY.md §7.4 non-determinism ban);
+  * production uses the default wall clock.
+  *
+  * Scale posture: the HTTP layer only parses and validates — the fetch
+  * fan-out, JSON decode, and write all stay inside Spark jobs, so a
+  * request for 10⁶ video ids costs the driver one id list, not the
+  * payload. This is an ENTRY POINT, not a data plane.
+  */
+class FrontDoor(spark: SparkSession, client: Ingest.ApiClient, outDir: String,
+                channelId: String = "UC2D2CMWXMOVWx7giW1n3LIg",
+                maxResults: Int = 10,
+                clock: () => java.time.Instant = () => java.time.Instant.now()) {
+
+  import spark.implicits._
+
+  private var server: HttpServer = _
+
+  private def today(): String =
+    clock().atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+
+  /** Python `datetime.utcnow().isoformat() + "Z"` (function_app.py:76):
+    * seconds always present, microseconds only when non-zero (Java's
+    * ISO_LOCAL_DATE_TIME would drop a :00 seconds field — not what
+    * isoformat() emits). */
+  private def pulledAt(): String = {
+    val t = clock().atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+    val base = t.format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val micros = t.getNano / 1000
+    (if (micros == 0) base else f"$base.$micros%06d") + "Z"
+  }
+
+  private val commentsBodySchema = StructType(Seq(
+    StructField("video_ids", ArrayType(StringType)),
+    StructField("max_comments_per_video", LongType)))
+
+  /** FUNCTION 1 (function_app.py:36-87): channel → ids → batched
+    * details → bronze envelope blob. Returns (status, body). */
+  def handleVideos(): (Int, String) = {
+    val ids = Ingest.videoIdsForChannel(spark, client, channelId, maxResults)
+    val items = Ingest.fetchVideoDetails(ids, client)
+    val nIds = ids.count()
+    val blobPath = s"youtube/videos/ingest_date=${today()}/videos_raw.json"
+    LegacyJson.writeEnvelopeDocument(items,
+      _ => Seq("channelId" -> channelId, "pulledAt" -> pulledAt(),
+        "videoCount" -> nIds),
+      s"$outDir/$blobPath")
+    (200, s"OK - Saved $nIds videos to bronze/$blobPath")
+  }
+
+  /** FUNCTION 2 (function_app.py:108-154): body-driven comment
+    * fan-out; empty/missing video_ids → 400. Returns (status, body). */
+  def handleComments(body: String): (Int, String) = {
+    // the engine's own JSON machinery parses the request — one tiny
+    // local job, the same from_json path every bronze decode uses
+    val parsed = Seq(body).toDF("json")
+      .select(from_json(col("json"), commentsBodySchema).as("b"))
+      .select(col("b.video_ids"), col("b.max_comments_per_video"))
+      .head()
+    val videoIds = Option(parsed.getSeq[String](0)).getOrElse(Seq.empty)
+    val maxComments = if (parsed.isNullAt(1)) 50 else parsed.getLong(1).toInt
+    if (videoIds.isEmpty) return (400, "Provide video_ids in request body")
+
+    val comments = Ingest.fetchComments(videoIds.toDS(), client, maxComments)
+      .drop("error") // bronze envelope carries the raw comment shape
+    val ingestDate = today()
+    val blobPath = s"youtube/comments/ingest_date=$ingestDate/comments_raw.json"
+    var nComments = 0L
+    LegacyJson.writeEnvelopeDocument(comments,
+      n => { nComments = n
+        Seq("ingest_date" -> ingestDate, "video_count" -> videoIds.length.toLong,
+          "comment_count" -> n) },
+      s"$outDir/$blobPath")
+    (200, s"OK - Saved $nComments comments to bronze/$blobPath")
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.add("Content-Type", "text/plain; charset=utf-8")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def handler(f: HttpExchange => (Int, String))(ex: HttpExchange): Unit = {
+    val (status, body) =
+      if (ex.getRequestMethod != "POST") (405, "POST only")
+      else
+        try f(ex)
+        catch { case t: Throwable => (500, s"${t.getClass.getSimpleName}: ${t.getMessage}") }
+    respond(ex, status, body)
+  }
+
+  /** Start the server (port 0 → ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/api/ingest_youtube_videos",
+      (ex: HttpExchange) => handler(_ => handleVideos())(ex))
+    server.createContext("/api/ingest_youtube_comments",
+      (ex: HttpExchange) => handler { e =>
+        val body = new String(e.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        handleComments(body)
+      }(ex))
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) { server.stop(0); server = null }
+}
+
+/** Companion exposing the silver-read side of the polymorphic
+  * contract for completeness of the front-door surface. */
+object FrontDoor {
+  /** Alias documenting that downstream reads accept both the envelope
+    * and bare-list document shapes (final_kpis.py:33-34). */
+  def readItems(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    Clean.unwrapIfEnvelope(df)
+}

@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Legacy pretty-printed JSON documents — the reference's actual
+  * on-disk contract. Every reference sink writes ONE JSON document per
+  * blob via `json.dumps(payload, indent=2, ensure_ascii=False)`
+  * (/root/reference/function_app.py:27, silver_clean_comments.py:70,
+  * gold_sentiment_comments.py:95, silver_transform_videos.py:41):
+  * 2-space indent, `": "` / `","` separators, non-ASCII kept raw.
+  *
+  * This writer reproduces that byte format so a consumer of the
+  * reference's blobs can read the engine's legacy exports unchanged
+  * (round-trip byte-equality against the committed goldens is pinned
+  * in LegacyJsonSpec). It is an INTERCHANGE shim, not a table format:
+  * a single JSON document is inherently one writer/one file, so the
+  * frame is collected (bounded by `maxRows`, loud failure beyond).
+  * Engine-internal storage stays columnar/line-delimited — at 100 TB
+  * this sink only ever writes the small daily envelope documents the
+  * reference's downstream expects, never a data table.
+  *
+  * Key order: struct fields render in SCHEMA order (callers read the
+  * goldens with an explicit schema in reference key order — Spark's
+  * JSON inference would alphabetize). Map keys render sorted (the
+  * engine canonicalizes; the reference's dict order is Python
+  * insertion order — the one documented divergence, "modulo key
+  * order"). Double formatting matches Python `repr` for the value
+  * ranges the reference emits (integral doubles and |x| ∈ [1e-4,
+  * 1e16)); NaN/Infinity are rejected (the reference never emits them).
+  */
+object LegacyJson {
+
+  private def indent(level: Int): String = "  " * level
+
+  /** Python json.dumps string escaping with ensure_ascii=False:
+    * backslash, quote, and C0 controls only; everything else raw. */
+  private[sources] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Python repr parity for doubles in the reference's value range. */
+  private[sources] def pyDouble(d: Double): String = {
+    require(!d.isNaN && !d.isInfinite, s"legacy JSON cannot carry $d")
+    if (d == math.rint(d) && math.abs(d) < 1e16) {
+      // Python repr(2.0) == "2.0", repr(-0.0) == "-0.0"
+      val sign = if (d == 0.0 && 1.0 / d < 0) "-" else ""
+      sign + math.abs(d).toLong.toString + ".0"
+    } else {
+      val s = java.lang.Double.toString(d)
+      // Java uses scientific notation below 1e-3; Python only below
+      // 1e-4. Expand the one divergent decade to plain decimals.
+      if (s.contains("E")) new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+      else s
+    }
+  }
+
+  private def renderValue(v: Any, dt: DataType, level: Int): String = (v, dt) match {
+    case (null, _) => "null"
+    case (s: String, StringType) => "\"" + escape(s) + "\""
+    case (b: Boolean, BooleanType) => if (b) "true" else "false"
+    case (n: Long, LongType) => n.toString
+    case (n: Int, IntegerType) => n.toString
+    case (n: Short, ShortType) => n.toString
+    case (n: Byte, ByteType) => n.toString
+    case (d: Double, DoubleType) => pyDouble(d)
+    case (f: Float, FloatType) => pyDouble(f.toDouble)
+    case (d: java.math.BigDecimal, _: DecimalType) => d.toPlainString
+    case (r: Row, st: StructType) => renderStruct(r, st, level)
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      if (seq.isEmpty) "[]"
+      else seq.map(e => indent(level + 1) + renderValue(e, et, level + 1))
+        .mkString("[\n", ",\n", "\n" + indent(level) + "]")
+    case (m: scala.collection.Map[_, _], MapType(StringType, vt, _)) =>
+      if (m.isEmpty) "{}"
+      else m.toSeq.map { case (k, mv) => (k.asInstanceOf[String], mv) }
+        .sortBy(_._1)
+        .map { case (k, mv) =>
+          indent(level + 1) + "\"" + escape(k) + "\": " + renderValue(mv, vt, level + 1)
+        }
+        .mkString("{\n", ",\n", "\n" + indent(level) + "}")
+    case (other, t) =>
+      throw new IllegalArgumentException(
+        s"legacy JSON does not support $t (value class ${other.getClass.getName})")
+  }
+
+  private def renderStruct(row: Row, schema: StructType, level: Int): String =
+    if (schema.isEmpty) "{}"
+    else schema.fields.zipWithIndex.map { case (f, i) =>
+      indent(level + 1) + "\"" + escape(f.name) + "\": " +
+        renderValue(if (row.isNullAt(i)) null else row.get(i), f.dataType, level + 1)
+    }.mkString("{\n", ",\n", "\n" + indent(level) + "}")
+
+  private def metaType(v: Any): (Any, DataType) = v match {
+    case null => (null, NullType)
+    case s: String => (s, StringType)
+    case n: Long => (n, LongType)
+    case n: Int => (n, IntegerType)
+    case d: Double => (d, DoubleType)
+    case b: Boolean => (b, BooleanType)
+    case other => throw new IllegalArgumentException(
+      s"unsupported meta value ${other.getClass.getName}")
+  }
+
+  /** Render a frame as the reference's LIST-shaped document (the gold
+    * videos file, /root/reference/gold_sentiment_videos.py:73). */
+  def renderList(df: DataFrame, maxRows: Int = 100000): String = {
+    val rows = boundedCollect(df, maxRows)
+    if (rows.isEmpty) "[]"
+    else rows.map(r => indent(1) + renderStruct(r, df.schema, 1))
+      .mkString("[\n", ",\n", "\n]")
+  }
+
+  /** Render a frame as the reference's ENVELOPE document: meta pairs
+    * then `items` (/root/reference/silver_clean_comments.py:58-62).
+    * `metaOf` receives the collected item count so callers can emit
+    * the reference's `rows` / `comment_count` fields. */
+  def renderEnvelope(df: DataFrame, metaOf: Long => Seq[(String, Any)],
+                     itemsKey: String = "items", maxRows: Int = 100000): String = {
+    val rows = boundedCollect(df, maxRows)
+    val metaLines = metaOf(rows.length.toLong).map { case (k, v) =>
+      val (value, dt) = metaType(v)
+      indent(1) + "\"" + escape(k) + "\": " + renderValue(value, dt, 1)
+    }
+    val itemsRendered =
+      if (rows.isEmpty) "[]"
+      else rows.map(r => indent(2) + renderStruct(r, df.schema, 2))
+        .mkString("[\n", ",\n", "\n" + indent(1) + "]")
+    (metaLines :+ (indent(1) + "\"" + escape(itemsKey) + "\": " + itemsRendered))
+      .mkString("{\n", ",\n", "\n}")
+  }
+
+  /** Render a ONE-row frame as a plain top-level object (the KPI
+    * document, /root/reference/final_kpis.py:48-58). */
+  def renderObject(df: DataFrame): String = {
+    val rows = boundedCollect(df, 1)
+    require(rows.length == 1, s"object document requires exactly 1 row, got ${rows.length}")
+    renderStruct(rows.head, df.schema, 0)
+  }
+
+  private def boundedCollect(df: DataFrame, maxRows: Int): Array[Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"legacy JSON is a single-document interchange format; got > $maxRows rows. " +
+        "Write engine tables as parquet/line-delimited JSON instead.")
+    rows
+  }
+
+  /** Write a rendered document UTF-8, no trailing newline (the
+    * reference uploads the bare json.dumps string). */
+  def write(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes(StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** List-document sink (gold videos contract). */
+  def writeListDocument(df: DataFrame, path: String, maxRows: Int = 100000): Unit =
+    write(path, renderList(df, maxRows))
+
+  /** Envelope-document sink (bronze/silver/gold comments contract). */
+  def writeEnvelopeDocument(df: DataFrame, metaOf: Long => Seq[(String, Any)],
+                            path: String, maxRows: Int = 100000): Unit =
+    write(path, renderEnvelope(df, metaOf, maxRows = maxRows))
+}

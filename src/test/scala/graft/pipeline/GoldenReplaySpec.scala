@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.{Clean, Kpis}
+
+/** Replay of the reference's three COMMITTED golden outputs — its only
+  * published correctness artifact. The pipeline must re-derive every
+  * golden row (silver gates, strict-JSON parse + malformed fallback,
+  * KPI rollup) from reconstructed bronze; see
+  * [[graft.pipeline.GoldenReplay]]. The same replay is oracle-checked
+  * end-to-end as q72/q73 (DuckDB reads the goldens directly).
+  */
+class GoldenReplaySpec extends AnyFunSuite with SparkTestBase {
+
+  private val goldenDir = "/root/repo/src/test/resources/golden"
+  /** The reference's malformed-LLM row
+    * (/root/reference/comments_with_sentiment.json:75). */
+  private val malformedId = "UgzeD-QVkQqe7o5kjSh4AaABAg"
+
+  private def goldenComments =
+    Clean.unwrapIfEnvelope(
+      GoldenReplay.readCommentsEnvelope(spark, s"$goldenDir/comments_with_sentiment.json"))
+
+  private def goldenVideos =
+    GoldenReplay.readVideosList(spark, s"$goldenDir/videos_with_sentiment.json")
+
+  private def sortedRows(rows: Array[Row], key: Int): Seq[Row] =
+    rows.sortBy(_.getString(key)).toSeq
+
+  test("comments replay reproduces all 20 golden rows, incl. the malformed-LLM fallback row") {
+    val golden = goldenComments
+    val raw = GoldenReplay.rawLlmResponse(golden).select(col("commentId"), col("llm_raw"))
+    val base = golden.select("videoId", "commentId", "author", "text", "likes", "publishedAt")
+
+    // bronze = golden base fields + junk the silver gates must drop:
+    // an error-marked record, a whitespace-only text, and whitespace
+    // padding on every surviving text (the reference's .strip())
+    val errCol = lit(null).cast("string").as("error")
+    val padded = base.select(
+      col("videoId"), col("commentId"), col("author"),
+      concat(lit("  "), col("text"), lit("   ")).as("text"),
+      col("likes"), col("publishedAt"), errCol)
+    val junk = spark.createDataFrame(
+      java.util.List.of(
+        Row("dQw4w9WgXcQ", "junk_error_row", "@x", "some text", 0L, "2026-01-21T00:00:00Z", "quotaExceeded"),
+        Row("dQw4w9WgXcQ", "junk_blank_row", "@y", "    ", 0L, "2026-01-21T00:00:00Z", null)),
+      StructType(padded.schema.fields.map(_.copy(nullable = true))))
+
+    val got = GoldenReplay.replayComments(padded.unionByName(junk), raw).collect()
+    val want = golden.collect()
+    assert(got.length == 20 && want.length == 20)
+    assert(sortedRows(got, 1) == sortedRows(want, 1))
+
+    // the malformed row really exercised the fallback: its raw payload
+    // is the fenced block and its golden labels are the fallback values
+    val m = got.find(_.getString(1) == malformedId).get
+    assert(m.getString(6) == "neutral" && m.getDouble(7) == 0.0 &&
+      m.getString(8) == "neutral" && m.getString(9).startsWith("```json"))
+  }
+
+  test("videos replay reproduces all 10 golden gold rows through silver casts") {
+    val golden = goldenVideos
+    val bronze = GoldenReplay.bronzeVideoItems(golden)
+    val labels = golden.select("video_id", "sentiment", "emotions", "topics")
+    val got = GoldenReplay.replayVideos(bronze, labels).collect()
+    val want = golden.collect()
+    assert(got.length == 10)
+    assert(sortedRows(got, 0) == sortedRows(want, 0))
+  }
+
+  test("KPI replay equals the committed kpis.json (envelope-vs-list polymorphic read)") {
+    // final_kpis.py:33-34: videos is a bare LIST document, comments an
+    // ENVELOPE; both unwrap through the same operator
+    val videos = Clean.unwrapIfEnvelope(goldenVideos)
+    val comments = goldenComments
+    val kpi = Kpis.kpiRecord(videos, comments, "sentiment", "sentiment",
+      "2026-01-21", "2026-01-21T23:35:39.424941Z").head()
+
+    val goldenKpi = spark.read
+      .schema(StructType(Seq(
+        StructField("ingest_date", StringType),
+        StructField("total_videos", LongType),
+        StructField("total_comments", LongType),
+        StructField("video_sentiment_counts", MapType(StringType, LongType)),
+        StructField("comment_sentiment_counts", MapType(StringType, LongType)),
+        StructField("generated_at_utc", StringType))))
+      .option("multiLine", value = true).json(s"$goldenDir/kpis.json")
+      .head()
+
+    assert(kpi.getString(0) == goldenKpi.getString(0))
+    assert(kpi.getLong(1) == goldenKpi.getLong(1) && kpi.getLong(1) == 10L)
+    assert(kpi.getLong(2) == goldenKpi.getLong(2) && kpi.getLong(2) == 20L)
+    assert(kpi.getMap[String, Long](3).toMap == goldenKpi.getMap[String, Long](3).toMap)
+    assert(kpi.getMap[String, Long](4).toMap == goldenKpi.getMap[String, Long](4).toMap)
+    assert(kpi.getMap[String, Long](4).toMap ==
+      Map("positive" -> 9L, "neutral" -> 10L, "negative" -> 1L))
+    assert(kpi.getString(5) == goldenKpi.getString(5))
+  }
+
+  test("unwrapIfEnvelope: envelope unwraps, bare table passes through") {
+    val envelope = GoldenReplay.readCommentsEnvelope(spark, s"$goldenDir/comments_with_sentiment.json")
+    assert(Clean.unwrapIfEnvelope(envelope).columns.toSeq ==
+      GoldenReplay.commentItem.fieldNames.toSeq)
+    val bare = goldenVideos
+    assert(Clean.unwrapIfEnvelope(bare).columns.toSeq == bare.columns.toSeq)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.Schemas
+
+/** End-to-end drive of the reference's two HTTP entry points
+  * (/root/reference/function_app.py:36-37,108-109) over real sockets:
+  * request → validate → distributed ingest → legacy bronze blob →
+  * reference-shaped response, including the 400-on-empty-ids contract
+  * (function_app.py:116-120). */
+class FrontDoorSpec extends AnyFunSuite with SparkTestBase with BeforeAndAfterAll {
+
+  private lazy val outDir = Files.createTempDirectory("frontdoor").toString
+  private lazy val door = new FrontDoor(spark, new Ingest.FixtureClient, outDir,
+    channelId = "chanX", maxResults = 10,
+    clock = () => java.time.Instant.parse("2026-01-21T23:00:00Z"))
+  private lazy val port = door.start()
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def post(path: String, body: String = ""): HttpResponse[String] =
+    http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("ingest_youtube_videos: 200, reference response text, envelope bronze blob") {
+    val r = post("/api/ingest_youtube_videos")
+    assert(r.statusCode() == 200)
+    assert(r.body() ==
+      "OK - Saved 10 videos to bronze/youtube/videos/ingest_date=2026-01-21/videos_raw.json")
+
+    val env = spark.read.schema(Schemas.bronzeVideoEnvelope)
+      .option("multiLine", value = true)
+      .json(s"$outDir/youtube/videos/ingest_date=2026-01-21/videos_raw.json")
+      .head()
+    assert(env.getString(0) == "chanX")
+    assert(env.getString(1) == "2026-01-21T23:00:00Z") // injected clock, Python isoformat shape
+    assert(env.getLong(2) == 10L)
+    assert(env.getSeq[Any](3).size == 10)
+  }
+
+  test("ingest_youtube_comments: body-driven fan-out, envelope counts, response text") {
+    val r = post("/api/ingest_youtube_comments",
+      """{"video_ids": ["vidA", "vidB"], "max_comments_per_video": 3}""")
+    assert(r.statusCode() == 200)
+    assert(r.body() ==
+      "OK - Saved 6 comments to bronze/youtube/comments/ingest_date=2026-01-21/comments_raw.json")
+
+    val env = spark.read.schema(Schemas.bronzeCommentEnvelope)
+      .option("multiLine", value = true)
+      .json(s"$outDir/youtube/comments/ingest_date=2026-01-21/comments_raw.json")
+      .head()
+    assert(env.getString(0) == "2026-01-21")
+    assert(env.getLong(1) == 2L && env.getLong(2) == 6L)
+    assert(env.getSeq[Any](3).size == 6)
+  }
+
+  test("ingest_youtube_comments: missing or empty video_ids is a 400 (function_app.py:116-120)") {
+    for (body <- Seq("""{}""", """{"video_ids": []}""", """{"max_comments_per_video": 5}""")) {
+      val r = post("/api/ingest_youtube_comments", body)
+      assert(r.statusCode() == 400, s"body=$body")
+      assert(r.body() == "Provide video_ids in request body")
+    }
+  }
+
+  test("non-POST methods are rejected") {
+    val r = http.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/ingest_youtube_videos"))
+        .GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 405)
+  }
+
+  override def afterAll(): Unit = {
+    door.stop()
+    super.afterAll()
+  }
+}

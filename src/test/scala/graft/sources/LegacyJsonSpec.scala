@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.operators.Clean
+import graft.pipeline.GoldenReplay
+
+/** The reference's on-disk contract is `json.dumps(payload, indent=2,
+  * ensure_ascii=False)` single-document blobs; [[LegacyJson]] must
+  * reproduce those bytes. Ground truth: the committed goldens
+  * round-trip BYTE-FOR-BYTE (list and envelope shapes); the KPI object
+  * renders semantically with canonicalized (sorted) map keys — the one
+  * documented divergence from Python's insertion order.
+  */
+class LegacyJsonSpec extends AnyFunSuite with SparkTestBase {
+
+  private val goldenDir = "/root/repo/src/test/resources/golden"
+
+  private def fileText(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), StandardCharsets.UTF_8)
+
+  test("golden comments envelope round-trips byte-for-byte (unicode, fences, escapes)") {
+    val path = s"$goldenDir/comments_with_sentiment.json"
+    val items = Clean.unwrapIfEnvelope(GoldenReplay.readCommentsEnvelope(spark, path))
+    val rendered = LegacyJson.renderEnvelope(items,
+      n => Seq("ingest_date" -> "2026-01-21", "rows" -> n))
+    assert(rendered == fileText(path))
+  }
+
+  test("golden videos list document round-trips byte-for-byte (nested arrays)") {
+    val path = s"$goldenDir/videos_with_sentiment.json"
+    val rendered = LegacyJson.renderList(GoldenReplay.readVideosList(spark, path))
+    // the reference wrote this golden through a Windows TEXT-mode file
+    // (silver_transform_videos.py:6 runs locally), so the blob carries
+    // CRLF — an OS artifact, not part of json.dumps's output, which is
+    // what this sink reproduces. Normalize only the line terminator.
+    assert(rendered == fileText(path).replace("\r\n", "\n"))
+  }
+
+  test("KPI object document renders; parse-equal to the golden modulo map key order") {
+    import spark.implicits._
+    val videos = Clean.unwrapIfEnvelope(GoldenReplay.readVideosList(
+      spark, s"$goldenDir/videos_with_sentiment.json"))
+    val comments = Clean.unwrapIfEnvelope(GoldenReplay.readCommentsEnvelope(
+      spark, s"$goldenDir/comments_with_sentiment.json"))
+    val kpi = graft.operators.Kpis.kpiRecord(videos, comments, "sentiment", "sentiment",
+      "2026-01-21", "2026-01-21T23:35:39.424941Z")
+    val rendered = LegacyJson.renderObject(kpi)
+    // reparse the rendered document with the golden's schema and
+    // compare rows — key order is free, values must match exactly
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ingest_date", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("total_videos", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_comments", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("video_sentiment_counts",
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("comment_sentiment_counts",
+        org.apache.spark.sql.types.MapType(org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("generated_at_utc", org.apache.spark.sql.types.StringType)))
+    val reparsed = spark.read.schema(schema).json(Seq(rendered.replace("\n", " ")).toDS()).head()
+    val golden = spark.read.schema(schema)
+      .option("multiLine", value = true).json(s"$goldenDir/kpis.json").head()
+    assert(reparsed.getString(0) == golden.getString(0))
+    assert(reparsed.getLong(1) == golden.getLong(1))
+    assert(reparsed.getLong(2) == golden.getLong(2))
+    assert(reparsed.getMap[String, Long](3).toMap == golden.getMap[String, Long](3).toMap)
+    assert(reparsed.getMap[String, Long](4).toMap == golden.getMap[String, Long](4).toMap)
+    assert(reparsed.getString(5) == golden.getString(5))
+  }
+
+  test("python formatting kernels: escapes and double repr") {
+    assert(LegacyJson.escape("a\"b\\c\nd\u0001") == "a\\\"b\\\\c\\nd\\u0001")
+    assert(LegacyJson.escape("Он ✅ 💪🏿") == "Он ✅ 💪🏿") // ensure_ascii=False keeps raw
+    assert(LegacyJson.pyDouble(0.8) == "0.8")
+    assert(LegacyJson.pyDouble(0.0) == "0.0")
+    assert(LegacyJson.pyDouble(-0.0) == "-0.0")
+    assert(LegacyJson.pyDouble(2.0) == "2.0")
+    assert(LegacyJson.pyDouble(-1.5) == "-1.5")
+    assert(LegacyJson.pyDouble(0.001) == "0.001") // Java would print 0.001; Python too
+    intercept[IllegalArgumentException](LegacyJson.pyDouble(Double.NaN))
+  }
+
+  test("single-document guard fails loudly beyond maxRows") {
+    import spark.implicits._
+    val big = (1 to 50).toDF("n")
+    val e = intercept[IllegalArgumentException](LegacyJson.renderList(big, maxRows = 10))
+    assert(e.getMessage.contains("single-document"))
+  }
+
+  test("writeEnvelopeDocument lands the file with no trailing newline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("legacyjson").toString
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
+    LegacyJson.writeEnvelopeDocument(df, n => Seq("rows" -> n), s"$dir/doc.json")
+    val txt = fileText(s"$dir/doc.json")
+    assert(txt.startsWith("{\n  \"rows\": 2,\n  \"items\": [\n    {\n      \"k\": \"a\""))
+    assert(txt.endsWith("}") && !txt.endsWith("\n"))
+  }
+}

@@ -121,6 +121,35 @@ class LevenshteinRuleSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("banded rewrite measurably beats the full DP on long strings (the q74 shape)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    LevenshteinThreshold.install(spark)
+    // 2000-char strings at k=3: full DP 4M cells/row, banded 14k —
+    // the corpus-scale fuzzy-filter regime the rule exists for
+    val rnd = new scala.util.Random(7)
+    def longStr() = (0 until 2000).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq.fill(400)(longStr()).map(Row(_)), 4),
+      StructType(Seq(StructField("s", StringType, nullable = true))))
+      .cache()
+    df.count() // materialize: time only the levenshtein pass
+
+    def run(): Long =
+      df.filter(levenshtein(col("s"), substring(col("s"), 5, 2000)) <= 3).count()
+    def time(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    run(); withoutRule(run()) // JIT/codegen warm-up for both shapes
+    // best-of-3 each to shrug off scheduler noise
+    val (nBanded, tBanded) = (1 to 3).map(_ => time(run())).minBy(_._2)
+    val (nFull, tFull) = (1 to 3).map(_ => time(withoutRule(run()))).minBy(_._2)
+    df.unpersist()
+    assert(nBanded == nFull, "banded and full DP must agree")
+    assert(tFull >= 1.5 * tBanded,
+      f"banded $tBanded%.3fs should beat full DP $tFull%.3fs by >=1.5x")
+  }
+
   test("projection-position levenshtein is left alone (no predicate, no rewrite)") {
     LevenshteinThreshold.install(spark)
     val q = names.filter(col("name").isNotNull)

@@ -59,19 +59,29 @@ object Bench {
     // capture (the full-precision 61-query line overflowed it in r4);
     // if the query set grows past what 3 decimals fit, degrade to 2
     // (a 10 ms precision loss beats an unparsable benchmark line)
+    // per-query keys are the stable "qNN" id prefix: the 74 full names
+    // alone are ~1280 chars, which had pushed even 1-decimal rendering
+    // past the driver's ~1850-char tail budget (r6); ids keep 3-decimal
+    // precision with room for ~140 more queries. The id → full-name map
+    // is SparkEntry.queries (and is echoed on stderr below for humans).
+    def shortId(name: String): String = name.takeWhile(_ != '_')
     def render(decimals: Int, maxErrLen: Int): String = {
       def f(v: Double) = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-      val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f(v) }
+      val qs = results.map { case (k, (v, _)) => "\"" + shortId(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       // errors are diagnostic, timings are the contract: cap both each
       // message's length and the entry count so a mass failure can
       // never push the line past the driver's bounded tail capture
       val errs = results.collect { case (k, (_, Some(e))) =>
-        "\"" + k + "\":\"" + e.take(maxErrLen) + "\"" }.take(8)
+        "\"" + shortId(k) + "\":\"" + e.take(maxErrLen) + "\"" }.take(8)
       val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
       val total = results.values.collect { case (v, None) => v }.sum
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}"""
     }
+    // human-readable id=name:time map, BEFORE the JSON line so the
+    // driver's tail capture still ends on the parseable line
+    println(results.map { case (k, (v, _)) =>
+      f"${shortId(k)}%s=$k%s:$v%.3f" }.toSeq.sorted.mkString(" "))
     // degrade precision, then error verbosity, until the line fits the
     // driver's 2000-char tail window; an unparsable line is the only
     // unacceptable outcome (r1–r4 shipped parsed:null)

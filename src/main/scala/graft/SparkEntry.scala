@@ -962,6 +962,20 @@ object SparkEntry {
         .orderBy(col("commentId"))
     }),
 
+    // hashed-shingle document frequency (the frequentShingles 100 TB
+    // variant: 8-byte shuffle keys instead of shingle strings). Raw
+    // hashes are engine-specific, so the export is the DF HISTOGRAM —
+    // (n_docs, n_shingles) — which must equal the string formulation's
+    // histogram exactly; any hash collision, dropped shingle, or
+    // miscount would shift a bucket and hash-mismatch.
+    "q75_shingle_df_histogram" -> ((s, dir) => {
+      graft.operators.TextOps.frequentShingleHashes(Tables.documents(s, dir), "text",
+          shingleWidth = 3, minDocs = 1L)
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("n_shingles"))
+        .orderBy(col("n_docs"))
+    }),
+
     // long-string fuzzy match through the LevenshteinThreshold rule:
     // each document's 300-char prefix vs its 4-shifted prefix at k=5
     // (a self-alignment repetitiveness signal — splits the corpus
@@ -1565,6 +1579,23 @@ object SparkEntry {
       """SELECT doc_id,
         | levenshtein(substring(text, 1, 300), substring(text, 5, 300)) <= 5 AS shift_stable
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB computes the histogram over shingle STRINGS (q61's
+    // formulation incl. the short-doc whole-text shingle); Spark over
+    // 64-bit shingle hashes — equal histograms prove hashed DF
+    // faithful on this corpus.
+    "q75_shingle_df_histogram" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        |  FROM toks),
+        |df AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1)
+        |SELECT n_docs, COUNT(*) AS n_shingles FROM df GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q73_golden_kpis" ->
       s"""WITH v AS (SELECT lower(coalesce(sentiment, 'unknown')) AS s

@@ -129,6 +129,37 @@ object TextHashKernels {
     (offs, n)
   }
 
+  /** Sorted (with duplicates) 64-bit hashes of the w-token shingles of
+    * a tokenized byte buffer — the shared first stage of
+    * [[minhashText]] and [[shingleHashesText]]. Hashing is the same
+    * seed-42 xxHash64 over the space-joined shingle bytes the string
+    * formulation would produce. Requires n > 0. */
+  private def sortedShingleHashes(bytes: Array[Byte], offs: Array[Int],
+                                  n: Int, width: Int): Array[Long] = {
+    val nShingles = if (n >= width) n - width + 1 else 1
+    val effWidth = math.min(width, n)
+    val hashes = new Array[Long](nShingles)
+    var buf = new Array[Byte](64)
+    var w = 0
+    while (w < nShingles) {
+      var len = 0
+      var j = 0
+      while (j < effWidth) {
+        val ts = offs(2 * (w + j)); val te = offs(2 * (w + j) + 1)
+        val tb = te - ts
+        if (len + tb + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
+        if (j > 0) { buf(len) = ' '; len += 1 }
+        System.arraycopy(bytes, ts, buf, len, tb)
+        len += tb
+        j += 1
+      }
+      hashes(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      w += 1
+    }
+    java.util.Arrays.sort(hashes)
+    hashes
+  }
+
   /** MinHash signature straight from RAW TEXT: tokenize (offsets only,
     * no string array), build w-token shingles into a reusable buffer,
     * hash, dedupe, seed-mix — byte-identical to
@@ -140,29 +171,9 @@ object TextHashKernels {
     val sig = new Array[Long](k)
     java.util.Arrays.fill(sig, Long.MaxValue)
     if (n > 0) {
-      val nShingles = if (n >= width) n - width + 1 else 1
-      val effWidth = math.min(width, n)
-      val hashes = new Array[Long](nShingles)
-      var buf = new Array[Byte](64)
-      var w = 0
-      while (w < nShingles) {
-        var len = 0
-        var j = 0
-        while (j < effWidth) {
-          val ts = offs(2 * (w + j)); val te = offs(2 * (w + j) + 1)
-          val tb = te - ts
-          if (len + tb + 1 > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(buf.length * 2, len + tb + 1))
-          if (j > 0) { buf(len) = ' '; len += 1 }
-          System.arraycopy(bytes, ts, buf, len, tb)
-          len += tb
-          j += 1
-        }
-        hashes(w) = XXH64.hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
-        w += 1
-      }
-      java.util.Arrays.sort(hashes)
+      val hashes = sortedShingleHashes(bytes, offs, n, width)
       var i = 0
-      while (i < nShingles) {
+      while (i < hashes.length) {
         if (i == 0 || hashes(i) != hashes(i - 1)) {
           val h = hashes(i)
           var j = 0
@@ -176,6 +187,31 @@ object TextHashKernels {
       }
     }
     new GenericArrayData(sig)
+  }
+
+  /** DISTINCT sorted 64-bit shingle hashes straight from RAW TEXT —
+    * the bounded-key-space representation of a document's shingle set.
+    * One long per distinct shingle: exploding these instead of shingle
+    * STRINGS bounds the document-frequency shuffle to 8 bytes/key,
+    * which is what makes exact DF feasible on the count-1 unique-
+    * shingle tail of a natural corpus (see TextOps.frequentShingles'
+    * honest cost note). Hash identity matches [[minhashText]]'s
+    * first-level shingle hash (seed 42). */
+  def shingleHashesText(text: UTF8String, width: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (offs, n) = tokenOffsets(bytes)
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = sortedShingleHashes(bytes, offs, n, width)
+    var distinct = 0
+    var i = 0
+    while (i < hashes.length) {
+      if (i == 0 || hashes(i) != hashes(i - 1)) {
+        hashes(distinct) = hashes(i)
+        distinct += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, distinct))
   }
 
   /** SimHash straight from RAW TEXT — equal to `simhash(split-tokens)`
@@ -412,6 +448,32 @@ case class MinHashText(child: Expression, shingleWidth: Int, numHashes: Int)
       s"${ev.value} = ${TextHashes.kernels}.minhashText($c, $shingleWidth, $numHashes);")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashText =
+    copy(child = newChild)
+}
+
+/** Distinct 64-bit shingle hashes straight from a raw STRING column
+  * (tokenizer fused) — the skinny document-frequency feed. */
+case class ShingleHashesText(child: Expression, shingleWidth: Int)
+    extends UnaryExpression {
+  require(shingleWidth >= 1, "shingleWidth must be >= 1")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.shingleHashesText(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], shingleWidth)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.shingleHashesText($c, $shingleWidth);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesText =
     copy(child = newChild)
 }
 

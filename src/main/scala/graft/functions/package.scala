@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, SimHashBits, SimHashText, TextStatKernels, TokenCount}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, TextStatKernels, TokenCount}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -158,6 +158,15 @@ package object functions {
         .otherwise(array().cast("array<string>")))
     array_distinct(ngrams)
   }
+
+  /** Distinct 64-bit shingle hashes straight from text (fused
+    * tokenizer, [[graft.expr.ShingleHashesText]]): one long per
+    * distinct shingle — the bounded-key-space feed for exact document
+    * frequency at corpus scale. Null text → null (explode drops it,
+    * matching the no-shingles case). Hash identity: the same seed-42
+    * xxHash64 the MinHash kernels apply to each shingle. */
+  def shingle_hashes(text: Column, n: Int = 3): Column =
+    col2(ShingleHashesText(bridge.toExpression(text), n))
 
   /** MinHash signature: k min-hashes over the shingle set, computed by
     * the native single-pass kernel [[graft.expr.MinHashSignature]]

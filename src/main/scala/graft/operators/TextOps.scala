@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{shingles, tokens}
+import graft.functions.{shingle_hashes, shingles, tokens}
 
 /** Corpus-level text statistics (north-star text-analysis family,
   * SURVEY.md §7.4).
@@ -32,13 +32,30 @@ object TextOps {
     * count-1 unique-shingle tail (which dominates a natural corpus).
     * That is inherent to exact document frequency — any exact pre-prune
     * needs the same global count this computes. When the shuffle volume
-    * matters at 100 TB, bound the key space first (hash shingles to
-    * 64-bit via [[graft.functions]] kernels) or accept approximate
-    * heavy-hitter semantics instead of exact counts. */
+    * matters at 100 TB, use [[frequentShingleHashes]]: same semantics
+    * over 8-byte hashed keys instead of shingle strings. */
   def frequentShingles(df: DataFrame, textCol: String, shingleWidth: Int = 3,
                        minDocs: Long = 2L): DataFrame =
     df.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))
       .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** [[frequentShingles]] over 64-bit hashed shingle keys — the 100 TB
+    * variant of exact document frequency. The fused
+    * [[graft.functions.shingle_hashes]] kernel emits one long per
+    * distinct shingle straight from raw text, so the aggregation
+    * shuffles 8-byte keys instead of shingle strings (~3-5× less
+    * volume on the count-1 tail that dominates a natural corpus) and
+    * the hot-set join key downstream is a long, not a string.
+    * Semantics match the string form modulo 64-bit collisions
+    * (expected collisions ≈ m²/2⁶⁵ for m distinct shingles — ~0.03
+    * for a billion; spec pins the DF histogram equal to the string
+    * formulation, and q75 oracle-checks it against DuckDB's). */
+  def frequentShingleHashes(df: DataFrame, textCol: String, shingleWidth: Int = 3,
+                            minDocs: Long = 2L): DataFrame =
+    df.select(explode(shingle_hashes(col(textCol), shingleWidth)).as("shingle_hash"))
+      .groupBy(col("shingle_hash"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
@@ -67,6 +84,27 @@ object TextOps {
       .filter(col("__n_docs") >= minDocs)
       .select(col("shingle"), lit(1).as("__hot"))
     sh.join(hot, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_hot"))
+      .withColumn("boilerplate_ratio",
+        col("n_hot").cast("double") / col("n_shingles"))
+  }
+
+  /** [[boilerplateRatio]] over hashed shingle keys — identical ratios
+    * (modulo 64-bit collisions), but the explode, both aggregates, and
+    * the hot-set join all key on 8-byte longs instead of shingle
+    * strings: the 100 TB pairing of [[frequentShingleHashes]]. Parity
+    * with the string form is spec-pinned. */
+  def boilerplateRatioHashed(df: DataFrame, idCol: String, textCol: String,
+                             shingleWidth: Int = 3, minDocs: Long = 2L): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(shingle_hashes(col(textCol), shingleWidth)).as("shingle_hash"))
+    val hot = sh.groupBy(col("shingle_hash"))
+      .agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("shingle_hash"), lit(1).as("__hot"))
+    sh.join(hot, Seq("shingle_hash"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_hot"))

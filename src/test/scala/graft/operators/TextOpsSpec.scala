@@ -45,4 +45,45 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((3L, 1L, 1.0 / 3)))
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
+
+  test("hashed shingle DF: count parity with the string formulation on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // same document-frequency multiset: every string shingle's count
+    // appears once per distinct shingle, and vice versa for hashes —
+    // a collision, drop, or tokenizer divergence would shift a bucket
+    def histogram(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.groupBy(col(cnt)).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byString = histogram(
+      TextOps.frequentShingles(docs, "text", shingleWidth = 3, minDocs = 1L), "n_docs")
+    val byHash = histogram(
+      TextOps.frequentShingleHashes(docs, "text", shingleWidth = 3, minDocs = 1L), "n_docs")
+    assert(byHash == byString && byString.nonEmpty)
+
+    // per-doc ratios identical through the hashed hot-set join
+    val s = TextOps.boilerplateRatio(docs, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val h = TextOps.boilerplateRatioHashed(docs, "doc_id", "text", 3, 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(h == s && s.nonEmpty)
+  }
+
+  test("shingle_hashes kernel: distinct, sorted, matches minhash shingle identity") {
+    import graft.functions.{shingle_hashes, shingles}
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // repeated shingles must dedupe
+      (2L, "x y"),               // short doc → one whole-text shingle
+      (3L, "   "),               // blank → no shingles
+      (4L, "Он легенда a b c")).toDF("doc_id", "text")
+    val rows = docs.select(col("doc_id"), shingle_hashes(col("text"), 3).as("h"),
+        shingles(col("text"), 3).as("s"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[String](2))).toList
+    rows.foreach { case (id, hs, ss) =>
+      assert(hs.length == hs.distinct.length, s"doc $id: dup hashes")
+      assert(hs == hs.sorted, s"doc $id: unsorted")
+      assert(hs.length == ss.distinct.length,
+        s"doc $id: ${hs.length} hashes vs ${ss.distinct.length} distinct shingles")
+    }
+    assert(rows.find(_._1 == 3L).get._2.isEmpty)
+  }
 }

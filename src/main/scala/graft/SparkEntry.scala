@@ -976,6 +976,14 @@ object SparkEntry {
         .orderBy(col("n_docs"))
     }),
 
+    // approximate heavy-hitter shingles (stat.freqItems sketch, no
+    // oracle by nature — candidate sets are algorithm-specific; the
+    // no-false-negative contract is spec-pinned in TextOpsSpec).
+    "q76_heavy_shingles_sketch" -> ((s, dir) => {
+      graft.operators.TextOps.approxHeavyShingles(
+        Tables.documents(s, dir), "text", shingleWidth = 3, support = 0.001)
+    }),
+
     // long-string fuzzy match through the LevenshteinThreshold rule:
     // each document's 300-char prefix vs its 4-shifted prefix at k=5
     // (a self-alignment repetitiveness signal — splits the corpus

@@ -91,6 +91,20 @@ object TextOps {
         col("n_hot").cast("double") / col("n_shingles"))
   }
 
+  /** Approximate heavy-hitter shingles — the sketch alternative to
+    * exact document frequency when even the hashed shuffle
+    * ([[frequentShingleHashes]]) is too much: Spark's single-pass
+    * `stat.freqItems` (Karp/Misra-Gries family) finds every shingle
+    * appearing in more than `support` fraction of exploded rows with
+    * NO shuffle of the unique tail — one pass, driver gets only the
+    * candidate set. May contain false positives (the algorithm's
+    * contract); no false negatives above support. Returns one row with
+    * the candidate array. */
+  def approxHeavyShingles(df: DataFrame, textCol: String,
+                          shingleWidth: Int = 3, support: Double = 0.01): DataFrame =
+    df.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))
+      .stat.freqItems(Seq("shingle"), support)
+
   /** [[boilerplateRatio]] over hashed shingle keys — identical ratios
     * (modulo 64-bit collisions), but the explode, both aggregates, and
     * the hot-set join all key on 8-byte longs instead of shingle

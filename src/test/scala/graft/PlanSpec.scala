@@ -116,6 +116,19 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"filter levenshtein not thresholded: $levs")
   }
 
+  test("q74: projection-position lev<=k comparison is banded too (the BENCH-pinned shape)") {
+    val df = SparkEntry.queries("q74_fuzzy_long_strings")(spark, sf)
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    // q74 carries the comparison as a boolean PROJECT column, not a
+    // filter — transformAllExpressions must reach it there as well
+    val levs = df.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.flatMap(_.collect { case l: Levenshtein => l })
+    }.flatten
+    assert(levs.nonEmpty && levs.forall(_.threshold.isDefined),
+      s"projected comparison not thresholded: $levs")
+  }
+
   test("q68: IN and EXISTS subqueries decorrelate to left-semi joins") {
     import org.apache.spark.sql.catalyst.plans.LeftSemi
     import org.apache.spark.sql.catalyst.plans.logical.Join

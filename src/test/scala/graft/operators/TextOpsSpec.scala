@@ -68,6 +68,16 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(h == s && s.nonEmpty)
   }
 
+  test("approxHeavyShingles: planted boilerplate surfaces, no false negatives above support") {
+    // 30 docs share one template shingle; each doc adds unique filler
+    val docs = (1 to 30).map(i => (i.toLong, s"copyright header text u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val heavy = TextOps.approxHeavyShingles(docs, "text", shingleWidth = 3, support = 0.1)
+      .collect().head.getSeq[String](0).toSet
+    assert(heavy.contains("copyright header text"),
+      s"planted boilerplate shingle missing from $heavy")
+  }
+
   test("shingle_hashes kernel: distinct, sorted, matches minhash shingle identity") {
     import graft.functions.{shingle_hashes, shingles}
     val docs = Seq(

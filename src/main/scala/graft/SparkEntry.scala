@@ -51,13 +51,16 @@ object SparkEntry {
       .orderBy(col("label"), col("pos"))
   }
 
-  /** KPI record with its map columns exported as sorted entry arrays
-    * (hashable cross-engine projection of kpis.json:5-12). */
+  /** KPI record with its map columns exported as key-sorted `key=n`
+    * strings (hashable cross-engine projection of kpis.json:5-12).
+    * Flat strings rather than entry ARRAYS because the driver's
+    * comparator row-sorts in pandas, which cannot order array cells
+    * (r6 lesson: q38/q73 errored driver-side on exactly this). */
   private def kpiEntriesExport(kpi: DataFrame): DataFrame =
     kpi.select(
       col("ingest_date"), col("total_videos"), col("total_comments"),
-      Kpis.sortedEntries(col("video_sentiment_counts")).as("video_sentiment_counts"),
-      Kpis.sortedEntries(col("comment_sentiment_counts")).as("comment_sentiment_counts"),
+      Kpis.entriesString(col("video_sentiment_counts")).as("video_sentiment_counts"),
+      Kpis.entriesString(col("comment_sentiment_counts")).as("comment_sentiment_counts"),
       col("generated_at_utc"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1571,9 +1574,9 @@ object SparkEntry {
         |SELECT '2026-01-21' AS ingest_date,
         | (SELECT COUNT(*) FROM v) AS total_videos,
         | (SELECT COUNT(*) FROM c) AS total_comments,
-        | (SELECT list({'key': s, 'n': n} ORDER BY s)
+        | (SELECT string_agg(s || '=' || CAST(n AS VARCHAR), ',' ORDER BY s)
         |    FROM (SELECT s, COUNT(*) AS n FROM v GROUP BY s) vv) AS video_sentiment_counts,
-        | (SELECT list({'key': s, 'n': n} ORDER BY s)
+        | (SELECT string_agg(s || '=' || CAST(n AS VARCHAR), ',' ORDER BY s)
         |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
         | '2026-01-21T00:00:00Z' AS generated_at_utc""".stripMargin,
 
@@ -1618,9 +1621,9 @@ object SparkEntry {
          |SELECT '2026-01-21' AS ingest_date,
          | (SELECT COUNT(*) FROM v) AS total_videos,
          | (SELECT COUNT(*) FROM c) AS total_comments,
-         | (SELECT list({'key': s, 'n': n} ORDER BY s)
+         | (SELECT string_agg(s || '=' || CAST(n AS VARCHAR), ',' ORDER BY s)
          |    FROM (SELECT s, COUNT(*) AS n FROM v GROUP BY s) vv) AS video_sentiment_counts,
-         | (SELECT list({'key': s, 'n': n} ORDER BY s)
+         | (SELECT string_agg(s || '=' || CAST(n AS VARCHAR), ',' ORDER BY s)
          |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
          | '2026-01-21T23:35:39.424941Z' AS generated_at_utc""".stripMargin
   )

@@ -29,6 +29,17 @@ object Kpis {
     transform(array_sort(map_entries(m)),
       e => struct(e.getField("key").as("key"), e.getField("value").as("n")))
 
+  /** Scalar projection of [[sortedEntries]]: `"k1=n1,k2=n2"`. The
+    * driver's comparator sorts result rows column-wise in pandas,
+    * which cannot order array cells — so the oracle-facing export
+    * must be flat scalars. A key-sorted `key=n` join is the same
+    * information, still deterministic, and hashable everywhere. */
+  def entriesString(m: Column): Column =
+    array_join(
+      transform(array_sort(map_entries(m)),
+        e => concat(e.getField("key"), lit("="), e.getField("value"))),
+      ",")
+
   /** Full KPI record (/root/reference/final_kpis.py:48-55): one row —
     * totals + two sentiment-count maps + generation timestamp. Each
     * input is reduced to a single row independently (hash aggregate →

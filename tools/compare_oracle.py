@@ -49,6 +49,17 @@ def main(sfdir, outdir):
             sp = load_spark(outdir, name)
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}"); n_fail += 1; continue
+        # Driver-fidelity probe: the driver row-sorts via pandas
+        # sort_values, which raises on unhashable cells (lists/arrays/
+        # structs → numpy.ndarray/dict). Replicate it so array-typed
+        # output columns fail HERE, not in CORRECTNESS_r{N}.json.
+        try:
+            for tbl in (dk, sp):
+                pdf = tbl.to_pandas()
+                pdf.sort_values(by=sorted(pdf.columns), inplace=False)
+        except Exception as e:
+            print(f"FAIL {name}: driver-unsortable column (pandas sort_values): {e}")
+            n_fail += 1; continue
         dc, dr = norm_rows(dk)
         sc, sr = norm_rows(sp)
         if dc != sc:

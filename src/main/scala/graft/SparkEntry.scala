@@ -1017,6 +1017,54 @@ object SparkEntry {
         GoldenReplay.readCommentsEnvelope(s, s"$goldenDir/comments_with_sentiment.json"))
       kpiEntriesExport(Kpis.kpiRecord(videos, comments, "sentiment", "sentiment",
         "2026-01-21", "2026-01-21T23:35:39.424941Z"))
+    }),
+
+    // bloom-prefiltered incremental dedup: which "new batch" docs
+    // (doc_id % 3 == 0) are unseen in the corpus (doc_id % 2 == 0) by
+    // normalized-text fingerprint. The result is EXACT — the Bloom
+    // sketch only routes rows away from the anti-join shuffle
+    // (Dedup.newDocuments scaladoc has the 100 TB account).
+    "q77_bloom_new_docs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.newDocuments(
+          docs.filter(col("doc_id") % 3 === 0),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text", expectedSeen = 100000L)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact (sort-based) quartiles per group — the deterministic
+    // complement to q58's approx_percentile sketch. Quantity values
+    // are integral and the interpolation fractions are powers of two,
+    // so the linear interpolation is float-exact cross-engine.
+    "q78_exact_percentiles" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+          percentile(col("l_quantity"), lit(0.5)).as("q50"),
+          percentile(col("l_quantity"), lit(0.75)).as("q75"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // date-spine densification (gap filling): zero-filled daily order
+    // counts over the full date range. Aggregate FIRST (one shuffle on
+    // ~thousands of day keys), then the days-sized spine joins the
+    // days-sized counts — AQE broadcasts; nothing here scales with
+    // row count except the initial aggregate.
+    "q79_date_spine" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val spine = Tables.orders(s, dir)
+        .agg(min(to_date(col("o_orderdate"))).as("lo"),
+          max(to_date(col("o_orderdate"))).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      spine.join(daily, Seq("d"), "left")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1625,7 +1673,36 @@ object SparkEntry {
          |    FROM (SELECT s, COUNT(*) AS n FROM v GROUP BY s) vv) AS video_sentiment_counts,
          | (SELECT string_agg(s || '=' || CAST(n AS VARCHAR), ',' ORDER BY s)
          |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
-         | '2026-01-21T23:35:39.424941Z' AS generated_at_utc""".stripMargin
+         | '2026-01-21T23:35:39.424941Z' AS generated_at_utc""".stripMargin,
+
+    // same fingerprint formulation as q19; NOT EXISTS (not NOT IN) so
+    // a null fingerprint on either side keeps anti-join semantics.
+    "q77_bloom_new_docs" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |sn AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |       FROM documents WHERE doc_id % 2 = 0)
+        |SELECT doc_id, lang, source FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM sn WHERE sn.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q78_exact_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.50) AS q50,
+        | quantile_cont(l_quantity, 0.75) AS q75,
+        | COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q79_date_spine" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+        |               FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM b)
+        |SELECT strftime(spine.d, '%Y-%m-%d') AS day, COALESCE(daily.n, 0) AS n_orders
+        |FROM spine LEFT JOIN daily USING (d) ORDER BY day""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -312,4 +312,60 @@ object Dedup {
         cosine_similarity(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Incremental (cross-batch) exact dedup: the rows of `batch` whose
+    * normalized-text fingerprint does not occur in `seen` — the
+    * "which of today's crawl is genuinely new against the 100 TB
+    * corpus" operation.
+    *
+    * Two-phase, and the phase split is the point:
+    *  1. one distributed pass over `seen` builds a Bloom filter of its
+    *    fingerprints (Catalyst's `BloomFilterAggregate` — the same
+    *    sketch Spark's runtime row-filtering uses; a treeAggregate,
+    *    nothing driver-side but the final ~`numBits/8`-byte sketch);
+    *  2. `batch` is probed with `BloomFilterMightContain` (codegen'd,
+    *    no UDF). Probe-negatives are DEFINITELY new — a Bloom filter
+    *    has no false negatives — and are emitted with NO shuffle at
+    *    all. Only probe-positives (true overlap + ~fpp of the batch)
+    *    pay the exact left-anti join against `seen`, so the join's
+    *    left side shrinks from |batch| to |overlap| + fpp·|batch|.
+    *
+    * The result is EXACT for any fpp — the sketch only routes rows,
+    * the anti-join decides them. `fpp` trades sketch size for anti-join
+    * traffic: 1 GB per ~10⁹ keys at 1%. The sketch ships to executors
+    * as a plan literal, which serializes once per task batch — fine to
+    * ~100 MB; past that, prefer a re-usable broadcast variable (the
+    * probe side here re-plans per batch anyway).
+    *
+    * `expectedSeen` sizes the sketch and MUST be an upper bound on
+    * `seen`'s distinct-key count or fpp degrades silently — when in
+    * doubt overshoot (bits are cheap, re-dedup shuffles are not). */
+  def newDocuments(batch: DataFrame, seen: DataFrame, textCol: String,
+                   expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    require(expectedSeen > 0, s"expectedSeen must be positive, got $expectedSeen")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedSeen, fpp)
+    val seenHash = bridge.toExpression(xxhash64(content_fingerprint(col(textCol))))
+    val bloomAgg = bridge.toColumn(
+      new BloomFilterAggregate(seenHash,
+        Literal(expectedSeen), Literal(numBits)).toAggregateExpression())
+    val sketch = seen.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (sketch == null) return batch // empty seen side: everything is new
+
+    val mightContain = bridge.toColumn(BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      bridge.toExpression(xxhash64(col("__fp")))))
+    val keyed = batch.withColumn("__fp", content_fingerprint(col(textCol)))
+    val definitelyNew = keyed.filter(!mightContain)
+    val survivors = keyed.filter(mightContain)
+      .join(seen.select(content_fingerprint(col(textCol)).as("__seen_fp")).distinct(),
+        col("__fp") === col("__seen_fp"), "left_anti")
+      .drop("__seen_fp")
+    definitelyNew.unionByName(survivors).drop("__fp")
+  }
 }

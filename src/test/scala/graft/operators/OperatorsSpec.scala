@@ -210,6 +210,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val recall = wanted.count(pairs.contains).toDouble / wanted.size
     assert(recall >= 0.8, s"recall=$recall")
   }
+
+  test("newDocuments: bloom-routed incremental dedup matches a driver-side recompute") {
+    val docs = Tables.documents(spark, sf)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val seen = docs.filter(col("doc_id") % 2 === 0)
+    val result = Dedup.newDocuments(batch, seen, "text", expectedSeen = 10000L)
+    // over a real (non-local) source the probe survives into the
+    // physical plan as the codegen'd Catalyst expression, not a UDF
+    assert(result.queryExecution.executedPlan.toString.contains("might_contain"))
+    val got = result.select("doc_id").as[Long].collect().toSet
+    def norm(s: String) = s.toLowerCase.trim.replaceAll("\\s+", " ")
+    val seenTexts = seen.select("text").as[String].collect().map(norm).toSet
+    val want = batch.select("doc_id", "text").as[(Long, String)].collect()
+      .collect { case (id, t) if !seenTexts.contains(norm(t)) => id }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < batch.count())
+  }
+
+  test("newDocuments: empty seen side returns the batch unchanged") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+    val none = docs.filter(lit(false))
+    assert(Dedup.newDocuments(docs, none, "text").count() == docs.count())
+  }
+
+  test("newDocuments: planted overlap is dropped, normalization-insensitive") {
+    val batch = Seq((1L, "Fresh Doc"), (2L, "SEEN   before"), (3L, "also new"))
+      .toDF("id", "text")
+    val seen = Seq((9L, "seen before"), (10L, "unrelated")).toDF("id", "text")
+    val got = Dedup.newDocuments(batch, seen, "text", expectedSeen = 16L)
+    assert(got.select("id").as[Long].collect().toSet == Set(1L, 3L))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

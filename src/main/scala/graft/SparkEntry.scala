@@ -724,11 +724,24 @@ object SparkEntry {
     // are seed/partitioning-dependent (executor-local Bernoulli), so
     // the per-stratum counts are rows-only; the proportion contract is
     // spec-asserted (CorpusSpec).
+    // seeded per-stratum Bernoulli sample, exported through the
+    // q44/q58 bound-check pattern: per-stratum totals hash-match the
+    // oracle exactly, and the engine asserts its own kept-count lies
+    // within 4σ+1 of f·n (σ² = f(1−f)n; the f=1.0 stratum must match
+    // exactly). The sample itself is seed-dependent — the bound is
+    // what is cross-engine checkable.
     "q60_stratified_sample" -> ((s, dir) => {
-      graft.pipeline.Corpus.stratifiedSample(
-          Tables.documents(s, dir), "lang",
-          Map("en" -> 0.25, "de" -> 1.0), seed = 42L)
-        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      val docs = Tables.documents(s, dir).filter(col("lang").isin("en", "de"))
+      val f = when(col("lang") === "en", lit(0.25)).otherwise(lit(1.0))
+      val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val kept = graft.pipeline.Corpus.stratifiedSample(
+          docs, "lang", Map("en" -> 0.25, "de" -> 1.0), seed = 42L)
+        .groupBy(col("lang")).agg(count(lit(1)).as("__n_kept"))
+      totals.join(kept, Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          (abs(coalesce(col("__n_kept"), lit(0L)) - f * col("n_total")) <=
+            lit(4) * sqrt(f * (lit(1) - f) * col("n_total")) + lit(1))
+            .as("sampled_within_bound"))
         .orderBy(col("lang"))
     }),
 
@@ -1065,6 +1078,28 @@ object SparkEntry {
         .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy(col("day"))
+    }),
+
+    // heavy-hitter sketch verification: every shingle whose EXACT
+    // document frequency is ≥ 6 must appear in the full-stream
+    // freqItems sketch — the Karp et al. no-false-negative guarantee
+    // (count > support·N with support=1e-4 ≪ 6/|stream|). DuckDB
+    // recomputes the exact heavy set; the engine must both reproduce
+    // it (n_docs) and certify sketch membership (in_sketch). Unlike
+    // q76's sampled screening surface this runs the sketch unsampled
+    // over a bounded doc set — it is the verification query, not the
+    // 100 TB path (that is q75/q76).
+    "q80_heavy_hitter_verify" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+      val sketch = graft.operators.TextOps.approxHeavyShingles(
+          docs, "text", shingleWidth = 3, support = 0.0001, sampleFraction = 1.0)
+        .select(col("shingle_freqItems").as("__sk"))
+      graft.operators.TextOps.frequentShingles(docs, "text", shingleWidth = 3,
+          minDocs = 6L)
+        .crossJoin(sketch)
+        .select(col("n_docs"),
+          array_contains(col("__sk"), col("shingle")).as("in_sketch"))
+        .orderBy(col("n_docs"))
     })
   )
 
@@ -1702,7 +1737,32 @@ object SparkEntry {
         |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
         |          FROM b)
         |SELECT strftime(spine.d, '%Y-%m-%d') AS day, COALESCE(daily.n, 0) AS n_orders
-        |FROM spine LEFT JOIN daily USING (d) ORDER BY day""".stripMargin
+        |FROM spine LEFT JOIN daily USING (d) ORDER BY day""".stripMargin,
+
+    // the bound itself is engine-side (seed-dependent sample); the
+    // oracle pins per-stratum totals exactly and that the bound HELD.
+    "q60_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n_total, TRUE AS sampled_within_bound
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact heavy set recomputed from string shingles (q75's kernel
+    // formulation incl. the short-doc whole-text fallback); every
+    // member must be in the engine's sketch.
+    "q80_heavy_hitter_verify" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) >= 3 THEN
+        |           list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |         ELSE CAST([] AS VARCHAR[]) END)) AS shingle
+        |  FROM toks),
+        |df AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1)
+        |SELECT n_docs, TRUE AS in_sketch FROM df
+        |WHERE n_docs >= 6 ORDER BY n_docs""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -169,4 +169,42 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // codegen'd operators carry the "*(n)" stage marker in plan strings
     assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined, p)
   }
+
+  test("q77: probe-negative dedup branch reaches the sink with no shuffle and no join") {
+    import org.apache.spark.sql.execution.{SparkPlan, UnionExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val df = SparkEntry.queries("q77_bloom_new_docs")(spark, sf)
+    df.collect()
+    // AQE hides subtrees behind stage boundaries; walk through them
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    // the probe itself must be in the plan (codegen'd expression, no UDF)
+    val whole = df.queryExecution.executedPlan.toString
+    assert(whole.contains("might_contain"), whole)
+    // the final orderBy's exchange sits ABOVE the union; the
+    // definitely-new branch below it must be a bare filtered scan —
+    // no exchange, no join
+    val union = flatten(df.queryExecution.executedPlan).collectFirst {
+      case u: UnionExec => u
+    }
+    assert(union.isDefined, s"expected a UnionExec in:\n$whole")
+    val negativeBranch = union.get.children.head
+    val badOps = flatten(negativeBranch).filter {
+      case _: ShuffleExchangeLike | _: BaseJoinExec => true
+      case _ => false
+    }
+    assert(badOps.isEmpty,
+      s"probe-negative branch must not shuffle or join:\n$negativeBranch")
+  }
 }

@@ -1100,6 +1100,27 @@ object SparkEntry {
         .select(col("n_docs"),
           array_contains(col("__sk"), col("shingle")).as("in_sketch"))
         .orderBy(col("n_docs"))
+    }),
+
+    // batch interval join: purchases attributed to clicks by the same
+    // user within 10 minutes, through the bucketed formulation
+    // (Relational.intervalJoin — candidate pairs bounded per
+    // (user, 10-min slice), never per user; the exact range predicate
+    // decides). Hash-exact vs DuckDB's inequality join.
+    "q81_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+      Relational.intervalJoin(clicks, purchases, "user_id",
+          "click_ts", "purchase_ts", windowMicros = 600000000L)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+        .orderBy(col("click_id"), col("purchase_id"))
     })
   )
 
@@ -1762,7 +1783,17 @@ object SparkEntry {
         |  FROM toks),
         |df AS (SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1)
         |SELECT n_docs, TRUE AS in_sketch FROM df
-        |WHERE n_docs >= 6 ORDER BY n_docs""".stripMargin
+        |WHERE n_docs >= 6 ORDER BY n_docs""".stripMargin,
+
+    "q81_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS ct
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS pt
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, click_id, purchase_id, pt - ct AS gap_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |         AND pt >= ct AND pt < ct + 600000000
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -148,4 +148,38 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("__new_session")
   }
+
+  /** Time-window (interval) join: every (left, right) pair sharing
+    * `keyCol` with `rightTs ∈ [leftTs, leftTs + window)` — click→
+    * purchase attribution, impression→conversion, log correlation.
+    *
+    * A naive formulation is an equi-join on the key with a range
+    * predicate — correct, but one hot key (a bot user, a default id)
+    * concentrates every candidate pair on one task, and keys with many
+    * events pay O(n·m) comparisons. This one BUCKETS time by the window
+    * width: the right side explodes to its own bucket and the previous
+    * one (any right row within `window` of a left row lands in one of
+    * the two), the join runs on (key, bucket) — so candidate pairs are
+    * bounded per (key, window-width slice) rather than per key — and
+    * the exact range predicate decides. Each right row appears in 2
+    * buckets, so shuffle volume is 2×|right| + |left|, keyed by
+    * (key, bucket); a pair cannot match twice because the left row has
+    * exactly one bucket. Callers must pre-rename colliding columns
+    * (everything except `keyCol` must be distinct across the sides). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String,
+                   windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val l = left
+      .withColumn("__lt", unix_micros(col(leftTsCol)))
+      .withColumn("__bucket", floor(col("__lt") / windowMicros))
+    val r = right
+      .withColumn("__rt", unix_micros(col(rightTsCol)))
+      .withColumn("__rb", floor(col("__rt") / windowMicros))
+      .withColumn("__bucket", explode(array(col("__rb"), col("__rb") - 1)))
+      .drop("__rb")
+    l.join(r, Seq(keyCol, "__bucket"))
+      .filter(col("__rt") >= col("__lt") && col("__rt") < col("__lt") + windowMicros)
+      .drop("__bucket", "__lt", "__rt")
+  }
 }

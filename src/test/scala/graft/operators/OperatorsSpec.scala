@@ -52,6 +52,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
+
+  test("intervalJoin: bucketed formulation matches the naive range join, no duplicate pairs") {
+    val ev = Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("b_id"), col("ts").as("b_ts"))
+    val w = 3600L * 1000000L // 1 hour, wide enough for matches at sf0.001
+    val got = Relational.intervalJoin(a, b, "user_id", "a_ts", "b_ts", w)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    val naive = a.join(b, Seq("user_id"))
+      .filter(unix_micros(col("b_ts")) >= unix_micros(col("a_ts")) &&
+        unix_micros(col("b_ts")) < unix_micros(col("a_ts")) + w)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "test window produced no pairs — widen it")
+    assert(got.size == got.distinct.size, "bucketed join emitted duplicate pairs")
+    assert(got.sorted == naive.sorted)
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

@@ -63,6 +63,52 @@ object SparkEntry {
       Kpis.entriesString(col("comment_sentiment_counts")).as("comment_sentiment_counts"),
       col("generated_at_utc"))
 
+  /** ANN oracle export (q32/q53): per query, the exact-neighbor count
+    * (DuckDB recomputes it independently) plus an engine-certified
+    * recall-vs-brute-force bound — the q44/q58/q60 sketch pattern
+    * applied to candidate generation. The candidate sets themselves
+    * are algorithm-specific (hash planes / k-means cells) and have no
+    * SQL twin, but a banding or quantizer regression that collapses
+    * recall below the seeded configuration's floor fails the hash.
+    * Floors are set from measurement (graft.RecallProbe): per-query
+    * minimum 0.8 at sf0.001 and sf0.01 for both q32's tables=8 LSH
+    * and q53's nprobe=6 IVF; 0.6 leaves a one-miss margin. */
+  private def annRecallExport(ann: DataFrame, exact: DataFrame,
+                              minRecall: Double): DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_exact"),
+        (coalesce(col("__n_hit"), lit(0L)).cast("double") / col("n_exact") >=
+          minRecall).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
+  /** Dedup oracle export (q30/q31): plant an EXACT twin (id+200000,
+    * byte-identical text) and a NEAR twin (id+100000, text plus a
+    * short tail) per document. Identical text means identical
+    * signature means identical buckets, so exact-twin candidacy is a
+    * structural no-false-negative guarantee — DuckDB independently
+    * recomputes that count as COUNT(*) over documents. The near-twin
+    * hit-rate has no SQL twin (it depends on the hash family), so it
+    * is engine-certified against a measured floor, the q32/q53
+    * pattern. Floors from graft.RecallProbe at sf0.001/sf0.01. */
+  private def plantedDedupExport(docs: DataFrame, cand: DataFrame,
+                                 minNearRecall: Double): DataFrame = {
+    val stats = cand.agg(
+      sum(when(col("id_b") === col("id_a") + 200000L && col("id_a") < 100000L,
+        1L).otherwise(0L)).as("n_exact_twins_found"),
+      sum(when(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L,
+        1L).otherwise(0L)).as("__near_found"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(stats)
+      .select(col("n_docs"), col("n_exact_twins_found"),
+        (col("__near_found").cast("double") / col("n_docs") >= minNearRecall)
+          .as("near_recall_ok"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---------------- relational core -----------------------------
@@ -784,7 +830,12 @@ object SparkEntry {
     }),
 
     // embedding near-duplicate pairs via sign-LSH buckets + exact
-    // cosine re-rank (planted duplicate vectors must be found).
+    // cosine re-rank. Fully oracle-checked: the planted twins are
+    // byte-identical vectors (identical sign bits → same bucket in
+    // every table → candidacy guaranteed, cosine computed on equal
+    // inputs), and the corpus has no organic pair near the 0.99
+    // threshold (measured max organic cosine 0.513 at sf0.01), so
+    // DuckDB's brute-force ≥0.99 pair set is exactly this output.
     "q49_embedding_neardups" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id") < 100)
@@ -825,33 +876,44 @@ object SparkEntry {
     }),
 
 
-    // MinHash-LSH near-dup detection with planted near-duplicates
-    // (each doc unioned with a lightly perturbed twin at id+100000).
+    // MinHash-LSH near-dup detection over planted exact + near twins;
+    // exported via plantedDedupExport (exact-twin count oracle-exact,
+    // near-twin hit-rate engine-certified).
     "q30_minhash_neardups" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+      val near = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker token")).as("text"))
-      Dedup.minhashNearDups(d.unionByName(perturbed), "doc_id", "text", 0.5)
-        .orderBy(col("id_a"), col("id_b"))
+      val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val cand = Dedup.minhashNearDups(
+        d.unionByName(near).unionByName(exact), "doc_id", "text", 0.5)
+      plantedDedupExport(d, cand, minNearRecall = 0.8)
     }),
 
-    // SimHash near-dup candidates over the same planted set.
+    // SimHash near-dup candidates over the same planted set, same
+    // export shape.
     "q31_simhash_neardups" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+      val near = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker token")).as("text"))
-      Dedup.simhashCandidates(d.unionByName(perturbed), "doc_id", "text",
-          bits = 32, chunks = 4, maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      // maxBucket=256: the default 64 capped away 8 exact-twin buckets
+      // at sf0.001, which would break the exact-twin invariant.
+      // Measured near hit-rate 0.83/0.86 (sf0.001/sf0.01) → floor 0.6.
+      val cand = Dedup.simhashCandidates(
+        d.unionByName(near).unionByName(exact), "doc_id", "text",
+        bits = 32, chunks = 4, maxHamming = 3, maxBucket = 256)
+      plantedDedupExport(d, cand, minNearRecall = 0.6)
     }),
 
     // LSH-bucketed approximate nearest neighbors (multi-probe).
     "q32_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      Similarity.lshTopK(q, emb, "vec_id", "embedding",
-          "vec_id", "embedding", k = 5, planes = 6, tables = 4)
-        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      val ann = Similarity.lshTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, planes = 6, tables = 8)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      annRecallExport(ann, exact, minRecall = 0.6)
     }),
 
     // per-label centroids via the typed Aggregator (custom-UDAF tier;
@@ -881,9 +943,11 @@ object SparkEntry {
     "q53_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-        .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      val ann = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      annRecallExport(ann, exact, minRecall = 0.6)
     }),
 
     // heuristic language ID vs. the labeled lang column.
@@ -1358,6 +1422,72 @@ object SparkEntry {
         | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
         | last_day(CAST(o_orderdate AS DATE)) AS month_end
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    // q30/q31: n_docs and the exact-twin invariant (identical text ⇒
+    // identical signature ⇒ candidate, so found-count = COUNT(*)) are
+    // DuckDB-recomputed; near_recall_ok is the engine-certified bound.
+    "q30_minhash_neardups" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_exact_twins_found,
+        | TRUE AS near_recall_ok
+        |FROM documents""".stripMargin,
+
+    "q31_simhash_neardups" ->
+      """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_exact_twins_found,
+        | TRUE AS near_recall_ok
+        |FROM documents""".stripMargin,
+
+    // q49 is value-exact: DuckDB brute-forces every pair of the
+    // planted union; only the 100 identical-vector twins clear 0.99
+    // (max organic cosine 0.513), and those are structurally
+    // guaranteed LSH candidates, so both sides produce the same set.
+    "q49_embedding_neardups" ->
+      """WITH u AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |scored AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q32/q53: the exact-neighbor side of the recall export is fully
+    // recomputed by DuckDB (the q22 brute-force CTE); recall_ok is the
+    // engine-certified ANN bound — a banding/quantizer regression that
+    // drops any query below the floor flips it to false → hash mismatch.
+    "q32_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, COUNT(*) AS n_exact, TRUE AS recall_ok
+        |FROM ranked WHERE rn <= 5 GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "q53_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, COUNT(*) AS n_exact, TRUE AS recall_ok
+        |FROM ranked WHERE rn <= 5 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "q40_json_parse" ->
       """SELECT event_type,

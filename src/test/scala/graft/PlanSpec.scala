@@ -52,8 +52,35 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
-    val df = SparkEntry.queries("q30_minhash_neardups")(spark, sf)
-    df.collect() // materialize so AQE finalizes the plan
+    // probe the operator itself on q30's planted union (the shipped q30
+    // wraps it in plantedDedupExport, export plumbing this pin isn't
+    // about) and with broadcast joins DISABLED — the production shape:
+    // at 100 TB the signature table exceeds any broadcast threshold, so
+    // the banding pass and both pair-join sides must all read the ONE
+    // id-partitioned signature exchange. At test scale AQE would
+    // broadcast the tiny sig sides instead, re-running the scan+minhash
+    // pipeline per build and obscuring exactly the reuse this asserts.
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getAll.getOrElse(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val df = try {
+      val d = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val near = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val out = graft.operators.Dedup.minhashNearDups(
+        d.unionByName(near).unionByName(exact), "doc_id", "text", 0.5)
+      out.collect() // materialize so AQE finalizes the plan
+      out
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      if (prevAqe.nonEmpty)
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqe)
+      else spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
     val p = df.queryExecution.executedPlan.toString
     // the fat-shuffle regression: the (band, band_hash) aggregation must
     // collect bare ids, never the k-long signature
@@ -62,30 +89,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"band shuffle carries signatures:\n${partial.getOrElse("(no partial_collect_list)")}")
     // walk the FINAL adaptive plan (toString interleaves the initial plan,
     // which shows one raw exchange subtree per consumer) and count how many
-    // distinct stages actually compute the minhash kernel. Expect ≤ 2: the
-    // banding pass and one pair-join side share the reused id-partitioned
-    // stage; AQE may plan the other join side as a BROADCAST build (the sig
-    // table is tiny at test scale), whose stage re-runs the pipeline. At
-    // production scale the sig table exceeds the broadcast threshold, both
-    // joins stay shuffle joins, and all three consumers share one stage.
-    def computeStages(pl: SparkPlan, seen: java.util.IdentityHashMap[SparkPlan, Unit]): Int =
-      pl match {
-        case a: AdaptiveSparkPlanExec => computeStages(a.executedPlan, seen)
-        case _: ReusedExchangeExec => 0
+    // distinct stages actually compute the minhash kernel. With broadcasts
+    // disabled (production shape) all three consumers — banding and both
+    // pair-join sides — must share the one id-partitioned stage: exactly 1.
+    // counts distinct STAGES whose fragment evaluates the kernel — a
+    // union's per-branch Projects inside one stage are one evaluation
+    // of each row, not recomputation, so they must count once
+    val kernelNames = Set("MinHashText", "MinHashShingles")
+    val seen = new java.util.IdentityHashMap[SparkPlan, Unit]()
+    def kernelStages(root: SparkPlan): Int = {
+      var self = false
+      var nested = 0
+      def go(p: SparkPlan): Unit = p match {
+        case a: AdaptiveSparkPlanExec => nested += kernelStages(a.executedPlan)
+        case _: ReusedExchangeExec => ()
         case q: QueryStageExec =>
-          if (seen.containsKey(q.plan)) 0
-          else { seen.put(q.plan, ()); computeStages(q.plan, seen) }
+          if (!seen.containsKey(q.plan)) {
+            seen.put(q.plan, ()); nested += kernelStages(q.plan)
+          }
         case other =>
-          val kernelNames = Set("MinHashText", "MinHashShingles")
-          val self = if (other.expressions.exists(
-            _.exists(e => kernelNames(e.getClass.getSimpleName)))) 1 else 0
-          self + other.children.map(computeStages(_, seen)).sum
+          if (other.expressions.exists(
+            _.exists(e => kernelNames(e.getClass.getSimpleName)))) self = true
+          other.children.foreach(go)
       }
-    val n = computeStages(df.queryExecution.executedPlan,
-      new java.util.IdentityHashMap[SparkPlan, Unit]())
+      go(root)
+      nested + (if (self) 1 else 0)
+    }
+    val n = kernelStages(df.queryExecution.executedPlan)
     // n >= 1 guards against the walk going vacuous if the kernel expression
     // is renamed again (r2 advice: MinHashShingles → MinHashText made it 0)
-    assert(n >= 1 && n <= 2, s"minhash kernel computed in $n stages — the " +
+    assert(n == 1, s"minhash kernel computed in $n stages — the " +
       s"id-partitioned signature exchange is no longer shared (or the kernel " +
       s"class was renamed and this walk found nothing):\n$p")
   }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** Scratch probe: prints per-query ANN recall at the verify SFs so the
+  * q32/q53 recall floors are set from measurement, not hope. */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val dir = s"/root/testdata/$sf"
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5).cache()
+      for ((name, ann) <- Seq(
+        "lsh_t6" -> Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, planes = 6, tables = 6),
+        "lsh_t8" -> Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, planes = 6, tables = 8),
+        "lsh_p5t6" -> Similarity.lshTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, planes = 5, tables = 6),
+        "ivf_p6" -> Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6),
+        "ivf_p8" -> Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8))) {
+        val hits = ann.select(col("query_id"), col("neighbor_id"))
+          .join(exact.select(col("query_id"), col("neighbor_id")),
+            Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+        val rec = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n"))
+          .join(hits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            (coalesce(col("h"), lit(0L)).cast("double") / col("n")).as("recall"))
+          .orderBy("query_id").collect()
+        println(s"== $sf $name: " + rec.map(r =>
+          s"${r.get(0)}:${r.getDouble(1)}").mkString(" "))
+      }
+      // dedup planted-twin probe (q30/q31 floors)
+      val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      val nearT = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      val exactT = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val all = d.unionByName(nearT).unionByName(exactT)
+      for ((name, cand) <- Seq(
+        "minhash" -> Dedup.minhashNearDups(all, "doc_id", "text", 0.5),
+        "simhash" -> Dedup.simhashCandidates(all, "doc_id", "text",
+          bits = 32, chunks = 4, maxHamming = 3, maxBucket = 256),
+        "simhash_h5" -> Dedup.simhashCandidates(all, "doc_id", "text",
+          bits = 32, chunks = 4, maxHamming = 5, maxBucket = 256))) {
+        val r = cand.agg(
+          sum(when(col("id_b") === col("id_a") + 200000L && col("id_a") < 100000L,
+            1L).otherwise(0L)).as("exact_found"),
+          sum(when(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L,
+            1L).otherwise(0L)).as("near_found"),
+          count(lit(1)).as("n_cand")).collect()(0)
+        println(s"== $sf dedup_$name exact=${r.get(0)} near=${r.get(1)} cand=${r.get(2)}")
+      }
+    }
+    spark.stop()
+  }
+}

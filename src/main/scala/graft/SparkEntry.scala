@@ -826,7 +826,28 @@ object SparkEntry {
         // duplicated subtree is expensive — see Corpus.curate scaladoc
         graft.pipeline.Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"),
           nearDupJaccard = 0.8))
-      graft.pipeline.Corpus.report(curated)
+      // Oracle-split export: every ORIGINAL doc's fate is deterministic
+      // (near-dup losers are always the larger planted id; junk fails
+      // the quality gate; exact-dedup keepers are the smaller id), so
+      // DuckDB recomputes the originals-only report and the junk count
+      // with the q34/q18/q19 kernel twins. Which planted near-dups get
+      // caught is signature-dependent → certified drop-rate bound
+      // (measured 50/50 caught at sf0.001 and sf0.01; floor 0.8).
+      curated.agg(
+        sum(when(col("doc_id") < 200000, 1L).otherwise(0L)).as("n_docs"),
+        sum(when(col("doc_id") < 200000, col("n_tokens")).otherwise(0L))
+          .cast("long").as("total_tokens"),
+        sum(when(col("doc_id") < 200000, col("est_bpe_tokens")).otherwise(0L))
+          .cast("long").as("total_bpe_tokens"),
+        sum(when(col("doc_id") < 200000, floor(col("quality") * 1e6).cast("long"))
+          .otherwise(0L)).as("sum_quality_micros"),
+        sum(when(col("doc_id") >= 300000, 1L).otherwise(0L)).as("n_junk_kept"),
+        sum(when(col("doc_id").between(200000, 299999), 1L).otherwise(0L))
+          .as("__planted_kept"))
+        .select(col("n_docs"), col("total_tokens"), col("total_bpe_tokens"),
+          col("sum_quality_micros"), col("n_junk_kept"),
+          ((lit(50.0) - col("__planted_kept")) / 50.0 >= 0.8)
+            .as("neardup_drop_ok"))
     }),
 
     // embedding near-duplicate pairs via sign-LSH buckets + exact
@@ -1435,6 +1456,55 @@ object SparkEntry {
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_exact_twins_found,
         | TRUE AS near_recall_ok
         |FROM documents""".stripMargin,
+
+    // q48: the originals-only curation report, recomputed end-to-end
+    // from the kernel SQL twins (quality: q34; tokens: q18; bpe: q34;
+    // fingerprint dedup: q19; near-dup losers: q20's exact-jaccard
+    // pairs). Planted rows never affect an original's fate (losers are
+    // larger ids, junk is gated), so DuckDB needs only the documents
+    // table; junk survival must be exactly 0 and the planted near-dup
+    // drop rate is the engine-certified bound. Replacing the engine's
+    // minhash ESTIMATE with exact jaccard in the loser rule is sound
+    // for this corpus: measured organic pair similarity is bimodal —
+    // every pair is ≤0.069 or ≥0.9 (sf0.001/sf0.01) — so both sides of
+    // the 0.8 threshold classify identically.
+    "q48_corpus_curation" ->
+      """WITH g AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN text IS NULL THEN 0.0 ELSE greatest(0.0,
+        |   least(length(trim(text)) / 200.0, 1.0)
+        |   * (1.0 - least((CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE 0.0 END) * 4.0, 1.0) * 0.5)
+        |   * (1.0 - least((CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE 0.0 END) * 4.0, 1.0) * 0.5)) END AS quality,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  CAST(COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'),
+        |    p -> CAST(ceil(length(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_bpe
+        | FROM documents WHERE lower(lang) = 'en'),
+        |q AS (SELECT * FROM g WHERE quality >= 0.2),
+        |d AS (SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM d)
+        | WHERE len(t) >= 3),
+        |losers AS (SELECT DISTINCT b.doc_id
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | CAST(SUM(est_bpe) AS BIGINT) AS total_bpe_tokens,
+        | CAST(SUM(CAST(FLOOR(quality * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_micros,
+        | CAST(0 AS BIGINT) AS n_junk_kept,
+        | TRUE AS neardup_drop_ok
+        |FROM d WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
 
     // q49 is value-exact: DuckDB brute-forces every pair of the
     // planted union; only the 100 identical-vector twins clear 0.99

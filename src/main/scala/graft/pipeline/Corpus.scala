@@ -102,4 +102,17 @@ object Corpus {
       sum(col("n_tokens")).as("total_tokens"),
       sum(col("est_bpe_tokens")).as("total_bpe_tokens"),
       avg(col("quality")).as("mean_quality"))
+
+  /** [[report]] with the quality aggregate made cross-engine exact: a
+    * double `avg` depends on partial-aggregation order, so instead
+    * export the integer sum of floor(quality·1e6) — each addend is
+    * bit-determined (the quality kernel is oracle-exact per row, q34)
+    * and integer addition is order-free. Same pattern as the q36/q54
+    * centroid anchors. */
+  def reportExact(curated: DataFrame): DataFrame =
+    curated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).cast("long").as("total_tokens"),
+      sum(col("est_bpe_tokens")).cast("long").as("total_bpe_tokens"),
+      sum(floor(col("quality") * 1e6).cast("long")).as("sum_quality_micros"))
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scratch probe: which original documents does q48's curation drop,
+  * and at which stage? */
+object Q48Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang"))
+    val nearDup = d.filter(col("lang") === "en").limit(50)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" tiny tail")).as("text"), col("lang"))
+    val junk = d.limit(20).select((col("doc_id") + 300000).as("doc_id"),
+      lit("$$$ !!! ??? 111").as("text"), lit("en").as("lang"))
+    val all = d.unionByName(nearDup).unionByName(junk)
+    val curated = graft.pipeline.Corpus.curate(all, "doc_id", "text", "lang",
+      graft.pipeline.Corpus.Config(minQuality = 0.2, keepLangs = Seq("en"),
+        nearDupJaccard = 0.8))
+    // what survives per id range
+    curated.groupBy((col("doc_id") / 100000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n")).orderBy("bucket").show()
+    // losers among originals: which near-dup pairs drop an original?
+    val gated = all
+      .withColumn("quality", graft.functions.quality_score(col("text")))
+      .filter(col("quality") >= 0.2 && lower(col("lang")) === "en")
+    val deduped = graft.operators.Dedup.exactDedup(gated, "doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashCandidates(deduped, "doc_id", "text")
+      .filter(col("est_jaccard") >= 0.8)
+    pairs.filter(col("id_b") < 200000).orderBy("id_a", "id_b").show(30, false)
+    println("pairs dropping an original: " +
+      pairs.filter(col("id_b") < 200000).count())
+    spark.stop()
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Clean, Dedup, Enrich, Kpis, Multimodal, Relational, Similarity}
+import graft.operators.{Clean, Dedup, Enrich, Kpis, Multimodal, Packing, Relational, Similarity, TextOps}
 import graft.pipeline.GoldenReplay
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -1206,6 +1206,42 @@ object SparkEntry {
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
             .as("gap_us"))
         .orderBy(col("click_id"), col("purchase_id"))
+    }),
+
+    // greedy sequence packing: concatenate consecutive docs (per
+    // source, by doc_id) into ≤256-token training sequences. The
+    // greedy recurrence is deterministic, so DuckDB replays it with a
+    // recursive CTE — a full value oracle for a stateful operator.
+    "q82_sequence_packing" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens"))
+      val packed = Packing.packGreedy(
+        d, "source", "doc_id", "n_tokens", budget = 256L)
+      Packing.packSummary(packed, "source", "n_tokens")
+        .orderBy(col("source"), col("bin"))
+    }),
+
+    // fixed-width character chunking with overlap (width 120, overlap
+    // 40): the long-document split for context-bounded training and
+    // RAG indexing. Pure per-row generate+substring; value-exact.
+    "q83_doc_chunks" -> ((s, dir) => {
+      Packing.chunk(
+        Tables.documents(s, dir), "doc_id", "text", width = 120, overlap = 40)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // PII redaction over documents with planted URL/email/digit-run
+    // suffixes (unique per doc); counts + redacted text value-exact.
+    "q84_pii_redaction" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), id, lit("@example.com via "),
+          lit("https://site.example/p?id="), id,
+          lit(" or call 555123"), id).as("text"))
+      TextOps.redactPii(planted, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1993,7 +2029,59 @@ object SparkEntry {
         |SELECT c.user_id, click_id, purchase_id, pt - ct AS gap_us
         |FROM c JOIN p ON c.user_id = p.user_id
         |         AND pt >= ct AND pt < ct + 600000000
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    // q82: DuckDB replays the greedy packing recurrence with a
+    // recursive CTE (one step per row rank within each source group) —
+    // seed used=tok, then either accumulate or open bin k+1.
+    "q82_sequence_packing" ->
+      """WITH RECURSIVE t AS (
+        | SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        | FROM documents),
+        |r0 AS (SELECT source, doc_id, tok,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
+        |rec AS (
+        | SELECT source, rn, tok, CAST(0 AS BIGINT) AS bin, tok AS used
+        | FROM r0 WHERE rn = 1
+        | UNION ALL
+        | SELECT n.source, n.rn, n.tok,
+        |  CASE WHEN r.used + n.tok > 256 THEN r.bin + 1 ELSE r.bin END,
+        |  CASE WHEN r.used + n.tok > 256 THEN n.tok ELSE r.used + n.tok END
+        | FROM rec r JOIN r0 n ON n.source = r.source AND n.rn = r.rn + 1)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        | CAST(SUM(tok) AS BIGINT) AS bin_tokens
+        |FROM rec GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    // q83: width 120, overlap 40 → stride 80; chunk i = substr at
+    // i·80+1, n_chunks = max(1, ceil((len−40)/80)).
+    "q83_doc_chunks" ->
+      """WITH c AS (SELECT doc_id, text,
+        |  greatest(CAST(1 AS BIGINT),
+        |    CAST(ceil((length(text) - 40) / 80.0) AS BIGINT)) AS n_chunks
+        | FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, n_chunks,
+        | substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text
+        |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q84: identical planted-PII construction, identical patterns
+    // (restricted to the Java∩RE2-compatible subset), sequential
+    // URL → email → digit-run masking with the 'g' flag.
+    "q84_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com via ' ||
+        |  'https://site.example/p?id=' || doc_id || ' or call 555123' || doc_id AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs,
+        | regexp_replace(regexp_replace(regexp_replace(text,
+        |   'https?://[^\s]+', '<URL>', 'g'),
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-sequence assembly: the operators that turn a curated
+  * document corpus into model-ready inputs (north-star LLM-pipeline
+  * family, beyond the reference's surface).
+  *
+  *  - [[packGreedy]]: greedy token-budget bin packing — concatenate
+  *    consecutive documents into training sequences of at most
+  *    `budget` tokens (the standard pretraining "sequence packing"
+  *    step that keeps context windows full).
+  *  - [[chunk]]: fixed-width character windows with overlap — the
+  *    long-document split used for context-window-bounded training
+  *    and RAG indexing.
+  *
+  * Both are deterministic, so they carry full DuckDB oracles (q82/q83).
+  */
+object Packing {
+
+  /** Assign each row to a training-sequence bin: rows are processed
+    * per `groupCol` in `orderCol` order; a row joins the current bin
+    * unless that would push the bin's token sum over `budget`, in
+    * which case it starts the next bin. A single row larger than the
+    * budget gets a bin of its own (never dropped — oversize documents
+    * are the caller's upstream chunking problem, and silently losing
+    * them would corrupt token accounting).
+    *
+    * Greedy packing is a per-group sequential recurrence (each bin
+    * decision depends on the running remainder), so it cannot be a
+    * window aggregate. The scale shape: one shuffle to co-locate each
+    * group, a sort within partitions, and a single streaming pass with
+    * O(1) state per group (running sum + bin counter) — no per-group
+    * collection, so a group larger than executor memory still packs.
+    * Parallelism is across groups, which is the natural unit: packing
+    * is only ever defined within a corpus shard (source, language,
+    * date), never across the whole 100 TB corpus in one sequence.
+    *
+    * Output: input columns plus `bin` (0-based per group) — one
+    * shuffle, deterministic for a deterministic (groupCol, orderCol).
+    */
+  def packGreedy(df: DataFrame, groupCol: String, orderCol: String,
+                 tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val cols = df.columns
+    val gi = cols.indexOf(groupCol)
+    val oi = cols.indexOf(orderCol)
+    val ti = cols.indexOf(tokensCol)
+    require(gi >= 0 && oi >= 0 && ti >= 0,
+      s"packGreedy: missing one of ($groupCol, $orderCol, $tokensCol) in ${cols.mkString(",")}")
+    val out = df.sparkSession.createDataFrame(
+      df.repartition(col(groupCol))
+        .sortWithinPartitions(col(groupCol), col(orderCol))
+        .rdd.mapPartitions { rows =>
+          // streaming per-group state: (current group, bin idx, tokens
+          // used in the open bin). Groups are contiguous after the sort.
+          var curGroup: Any = null
+          var first = true
+          var bin = 0L
+          var used = 0L
+          rows.map { r =>
+            val g = r.get(gi)
+            val t = r.getLong(ti)
+            if (first || g != curGroup) { curGroup = g; first = false; bin = 0L; used = 0L }
+            if (used > 0 && used + t > budget) { bin += 1L; used = 0L }
+            used += t
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+          }
+        },
+      org.apache.spark.sql.types.StructType(
+        df.schema.fields :+ org.apache.spark.sql.types.StructField("bin", LongType, nullable = false)))
+    out
+  }
+
+  /** Per-bin packing summary — the shape a training-data loader
+    * consumes (sequence id, member count, token fill). */
+  def packSummary(packed: DataFrame, groupCol: String,
+                  tokensCol: String): DataFrame =
+    packed.groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("bin_tokens"))
+
+  /** Split `textCol` into fixed-width character windows: chunk i
+    * covers [i·stride, i·stride + width) with stride = width − overlap.
+    * The final chunk is the remainder (shorter than `width`); a text
+    * no longer than `width` yields exactly one chunk. Pure per-row
+    * generate + substring — codegen'd, embarrassingly parallel, no
+    * shuffle; the 100 TB cost is exactly one corpus pass. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            width: Int, overlap: Int): DataFrame = {
+    require(width > 0 && overlap >= 0 && overlap < width,
+      s"need 0 <= overlap < width, got width=$width overlap=$overlap")
+    val stride = width - overlap
+    // number of stride steps whose window start lies within the text:
+    // ceil((len - overlap) / stride), minimum 1
+    val n = greatest(lit(1),
+      ceil((length(col(textCol)) - lit(overlap)).cast("double") / lit(stride)).cast("long"))
+    df.select(col(idCol), col(textCol), n.as("n_chunks"))
+      .select(col(idCol), col(textCol), col("n_chunks"),
+        posexplode(sequence(lit(0L), col("n_chunks") - 1)).as(Seq("chunk_idx", "__i")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("n_chunks"),
+        col(textCol).substr(
+          (col("chunk_idx") * stride + 1).cast("int"), lit(width)).as("chunk_text"))
+  }
+}

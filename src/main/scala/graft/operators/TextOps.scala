@@ -164,4 +164,31 @@ object TextOps {
         (col("tf").cast("double") *
           log(col("n").cast("double") / col("dfreq").cast("double"))).as("tfidf"))
   }
+
+  /** PII redaction patterns — deliberately restricted to constructs
+    * with identical semantics in Java regex and RE2-family engines
+    * (ASCII classes, greedy quantifiers; no backreferences or
+    * lookaround), so the operator carries a DuckDB oracle (q84). */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9]{6,}"
+
+  /** Mask URLs, email addresses, and long digit runs (phone numbers,
+    * account ids) in `textCol` — the scrub every shipped training
+    * corpus needs. Purely row-local codegen'd regexp work: one corpus
+    * pass, no shuffle, no UDF. Counts are taken per pattern on the
+    * ORIGINAL text (so a digit run inside a URL is counted once as a
+    * URL and once as a digit run — documented, deterministic);
+    * redaction is sequential URL → email → digits, so nested matches
+    * are masked exactly once. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      regexp_count(col(textCol), lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(LongDigitsRe)).cast("long").as("n_digit_runs"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        LongDigitsRe, "<NUM>").as("redacted"))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Packing, TextOps}
+import graft.sources.Tables
+
+/** Behavioral invariants for the training-sequence assembly operators
+  * (q82/q83/q84 carry the value oracles; these pin the properties that
+  * must hold for ANY input, not just the fixture corpus). */
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+
+  test("packGreedy: no bin exceeds the budget unless it holds a single oversized row") {
+    val d = docs.select(col("source"), col("doc_id"),
+      graft.functions.token_count(col("text")).cast("long").as("n_tokens"))
+    val packed = Packing.packGreedy(d, "source", "doc_id", "n_tokens", budget = 256L)
+    val bad = Packing.packSummary(packed, "source", "n_tokens")
+      .filter(col("bin_tokens") > 256 && col("n_docs") > 1)
+    assert(bad.count() === 0)
+  }
+
+  test("packGreedy: bins are contiguous runs in doc_id order and start at 0") {
+    val d = docs.select(col("source"), col("doc_id"),
+      graft.functions.token_count(col("text")).cast("long").as("n_tokens"))
+    val packed = Packing.packGreedy(d, "source", "doc_id", "n_tokens", budget = 256L)
+    // bin must be non-decreasing in doc_id order within each source,
+    // starting at 0 and stepping by at most 1
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val stepped = packed.withColumn("prev_bin", lag(col("bin"), 1).over(w))
+    assert(stepped.filter(col("prev_bin").isNull && col("bin") =!= 0).count() === 0)
+    assert(stepped.filter(col("prev_bin").isNotNull &&
+      (col("bin") < col("prev_bin") || col("bin") > col("prev_bin") + 1)).count() === 0)
+  }
+
+  test("packGreedy: an oversized row gets its own bin and is never dropped") {
+    val d = Seq(("a", 1L, 100L), ("a", 2L, 9999L), ("a", 3L, 100L))
+      .toDF("g", "id", "tok")
+    val packed = Packing.packGreedy(d, "g", "id", "tok", budget = 256L)
+      .orderBy("id").select("id", "bin").as[(Long, Long)].collect()
+    assert(packed.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("packGreedy: a greedy fit shares the bin; the overflow row opens the next") {
+    val d = Seq(("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 10L), ("a", 4L, 250L))
+      .toDF("g", "id", "tok")
+    val packed = Packing.packGreedy(d, "g", "id", "tok", budget = 256L)
+      .orderBy("id").select("id", "bin").as[(Long, Long)].collect()
+    // 100+150=250 fits; +10 would be 260 > 256 → bin 1; 10+250=260 → bin 2
+    assert(packed.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("chunk: stripping each chunk's overlap prefix reassembles the original text") {
+    val width = 120
+    val overlap = 40
+    val chunks = Packing.chunk(docs, "doc_id", "text", width, overlap)
+    // collect_list has no order guarantee — rebuild via sort_array of structs
+    val rebuilt = chunks
+      .withColumn("piece",
+        when(col("chunk_idx") === 0, col("chunk_text"))
+          .otherwise(substring(col("chunk_text"), overlap + 1, width)))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("chunk_idx"), col("piece")))),
+        s => s.getField("piece")), "").as("rebuilt"))
+    val joined = docs.select(col("doc_id"), col("text"))
+      .join(rebuilt, "doc_id")
+      .filter(col("text") =!= col("rebuilt"))
+    assert(joined.count() === 0)
+  }
+
+  test("chunk: every chunk except the last has exactly `width` chars; short docs yield one chunk") {
+    val chunks = Packing.chunk(docs, "doc_id", "text", width = 120, overlap = 40)
+    val nonLast = chunks.filter(col("chunk_idx") < col("n_chunks") - 1)
+    assert(nonLast.filter(length(col("chunk_text")) =!= 120).count() === 0)
+    val short = docs.filter(length(col("text")) <= 120).count()
+    assert(chunks.filter(col("n_chunks") === 1).count() >= short)
+  }
+
+  test("redactPii: planted URL, email, and digit run are all masked; counts reflect them") {
+    val planted = Seq((1L, "hello https://x.example/y?z=1 world user.name@mail.example.org num 123456789 end"))
+      .toDF("doc_id", "text")
+    val r = TextOps.redactPii(planted, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_urls") === 1)
+    assert(r.getAs[Long]("n_emails") === 1)
+    assert(r.getAs[Long]("n_digit_runs") === 1)
+    val red = r.getAs[String]("redacted")
+    assert(red === "hello <URL> world <EMAIL> num <NUM> end")
+  }
+
+  test("redactPii: clean text passes through untouched with zero counts") {
+    val clean = Seq((1L, "no pii here, just words and the number 42"))
+      .toDF("doc_id", "text")
+    val r = TextOps.redactPii(clean, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_urls") === 0)
+    assert(r.getAs[Long]("n_emails") === 0)
+    assert(r.getAs[Long]("n_digit_runs") === 0)
+    assert(r.getAs[String]("redacted") === "no pii here, just words and the number 42")
+  }
+}

@@ -1231,6 +1231,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // exact-quota deterministic mixture sampling: pinned per-source
+    // counts chosen by a seeded engine-independent hash permutation,
+    // so DuckDB replays the selection verbatim. Quotas exercise all
+    // three regimes: partial (5, 10 of 25), exact-cover (25), and
+    // quota-exceeds-stratum (40 of 25).
+    "q85_quota_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("source"), col("doc_id"))
+      graft.pipeline.Corpus.quotaSample(d, "source", "doc_id",
+        Map("src0" -> 5L, "src1" -> 10L, "src2" -> 25L, "src3" -> 40L),
+        seed = 42L)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // PII redaction over documents with planted URL/email/digit-run
     // suffixes (unique per doc); counts + redacted text value-exact.
     "q84_pii_redaction" -> ((s, dir) => {
@@ -2064,6 +2077,19 @@ object SparkEntry {
         | substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text
         |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q85: the seeded-hash permutation is engine-independent (md5 of
+    // the same string), so the exact chosen set is recomputable.
+    "q85_quota_mix" ->
+      """WITH r AS (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        | FROM documents WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+        |SELECT source, doc_id FROM r
+        |WHERE rk <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 10
+        |            WHEN 'src2' THEN 25 ELSE 40 END
+        |ORDER BY source, doc_id""".stripMargin,
 
     // q84: identical planted-PII construction, identical patterns
     // (restricted to the Java∩RE2-compatible subset), sequential

@@ -95,6 +95,55 @@ object Corpus {
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
 
+  /** Exact-quota deterministic mixture sampling — "take exactly N_s
+    * documents of stratum s", the data-mixing step that turns a curated
+    * pool into a training mix with pinned per-source counts (where
+    * [[stratifiedSample]] keeps an *expected* fraction, this keeps an
+    * exact count, reproducibly). Selection rule: the N_s rows whose
+    * seeded hash `md5(id || ':' || seed)` sorts lowest within the
+    * stratum — a uniform, engine-independent permutation, so the
+    * chosen set is stable across runs, clusters, and engines (q85's
+    * DuckDB oracle replays it verbatim). Strata absent from `quotas`
+    * are dropped, mirroring [[stratifiedSample]].
+    *
+    * Scale shape: the naive form is one window over every stratum —
+    * at 100 TB a billion-row stratum funnels through a single
+    * partition's sort. Instead, two passes: (1) an aggregate counts
+    * each stratum; (2) rows are pre-filtered to hash-fraction ≤
+    * 2·quota/count (a broadcast of |strata| cutoffs), and only the
+    * ~2·N_s survivors per stratum — not the stratum — are ranked.
+    * The safety factor 2 makes undershoot a <1e-9 Chernoff tail even
+    * at N_s = 100; a stratum whose quota covers it whole (cutoff ≥ 1)
+    * skips the filter entirely, so the guard never drops below quota
+    * in the regimes where the bound is loose. */
+  def quotaSample(df: DataFrame, strataCol: String, idCol: String,
+                  quotas: Map[String, Long], seed: Long): DataFrame = {
+    require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
+    val hash = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    // uniform (0,1) fraction from the hash's first 8 hex chars — the
+    // same leading bits that dominate the lexicographic rank order, so
+    // fraction-filtering keeps exactly the lexicographic head
+    val frac = conv(substring(hash, 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val quotaMap = typedLit(quotas)
+    val cutoffs = counts.select(col(strataCol),
+      coalesce(quotaMap(col(strataCol)), lit(0L)).as("__quota"),
+      least(lit(1.0),
+        lit(2.0) * coalesce(quotaMap(col(strataCol)), lit(0L)).cast("double")
+          / col("__n")).as("__cutoff"))
+    val survivors = df
+      .join(broadcast(cutoffs), Seq(strataCol))
+      .filter(col("__quota") > 0 &&
+        (col("__cutoff") >= 1.0 || frac <= col("__cutoff")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(hash, col(idCol))
+    survivors
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__quota", "__cutoff", "__rk")
+  }
+
   /** One-row corpus report: docs surviving, tokens kept, mean quality. */
   def report(curated: DataFrame): DataFrame =
     curated.agg(

@@ -81,4 +81,52 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val q = r.getAs[Double]("mean_quality")
     assert(q >= 0.2 && q <= 1.0)
   }
+
+  test("reportExact: integer micro-sum tracks report's float mean") {
+    val d = Tables.documents(spark, sf).filter($"lang" === "en")
+      .select($"doc_id", $"text", $"lang")
+    val curated = Corpus.curate(d, "doc_id", "text", "lang")
+    val r = Corpus.report(curated).head
+    val e = Corpus.reportExact(curated).head
+    assert(e.getAs[Long]("n_docs") === r.getAs[Long]("n_docs"))
+    assert(e.getAs[Long]("total_tokens") === r.getAs[Long]("total_tokens"))
+    // floor(q*1e6) per row truncates < 1 micro each: the micro-sum sits
+    // within n_docs micros of mean*n*1e6
+    val approx = r.getAs[Double]("mean_quality") * r.getAs[Long]("n_docs") * 1e6
+    val micros = e.getAs[Long]("sum_quality_micros").toDouble
+    assert(micros <= approx + 1 && micros >= approx - r.getAs[Long]("n_docs") - 1)
+  }
+
+  test("quotaSample: exact per-stratum counts, deterministic, quota>stratum keeps it whole") {
+    val docs = Tables.documents(spark, sf).select($"source", $"doc_id")
+    val quotas = Map("src0" -> 5L, "src1" -> 10L, "src3" -> 999L)
+    val kept = Corpus.quotaSample(docs, "source", "doc_id", quotas, seed = 42L)
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val src3Total = docs.filter($"source" === "src3").count()
+    assert(counts === Map("src0" -> 5L, "src1" -> 10L, "src3" -> src3Total))
+    val again = Corpus.quotaSample(docs, "source", "doc_id", quotas, seed = 42L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+    // a different seed picks a different set (astronomically unlikely equal)
+    val other = Corpus.quotaSample(docs, "source", "doc_id", quotas, seed = 43L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(other !== again)
+  }
+
+  test("quotaSample: prefiltered result equals the naive full-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, row_number, substring}
+    val docs = Tables.documents(spark, sf).select($"source", $"doc_id")
+    val quotas = Map("src2" -> 3L, "src5" -> 7L)
+    val fast = Corpus.quotaSample(docs, "source", "doc_id", quotas, seed = 9L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val h = md5(concat(col("doc_id").cast("string"), lit(":9")))
+    val w = Window.partitionBy($"source").orderBy(h, $"doc_id")
+    val naive = docs.filter($"source".isin("src2", "src5"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= org.apache.spark.sql.functions.when($"source" === "src2", 3).otherwise(7))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fast === naive)
+  }
 }

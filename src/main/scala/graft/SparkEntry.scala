@@ -1231,6 +1231,26 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // SQ8 embedding quantization, exported exploded (vec_id, pos,
+    // scale, code) — scalar columns keep the driver's row-sort happy
+    // and every value is IEEE-deterministic. Value-exact.
+    "q87_sq8_quantize" -> ((s, dir) => {
+      Similarity.quantizeSq8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("codes")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("scale"), col("code"))
+        .orderBy(col("vec_id"), col("pos"))
+    }),
+
+    // tokenizer-training vocabulary: global top-20 tokens, count-desc
+    // rank with a deterministic tiebreak (topN below the corpus's 31
+    // distinct tokens so the truncation path is exercised). Value-exact.
+    "q86_vocabulary" -> ((s, dir) => {
+      TextOps.vocabulary(Tables.documents(s, dir), "text", topN = 20)
+        .orderBy(col("rank"))
+    }),
+
     // exact-quota deterministic mixture sampling: pinned per-source
     // counts chosen by a seeded engine-independent hash permutation,
     // so DuckDB replays the selection verbatim. Quotas exercise all
@@ -2077,6 +2097,24 @@ object SparkEntry {
         | substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text
         |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q87_sq8_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+        | FROM embeddings)
+        |SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS pos, scale,
+        | CASE WHEN scale = 0 THEN 0
+        |  ELSE CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) / scale * 127.0) AS INT) END AS code
+        |FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |ORDER BY vec_id, pos""".stripMargin,
+
+    "q86_vocabulary" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+        |FROM c ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     // q85: the seeded-hash permutation is engine-independent (md5 of
     // the same string), so the exact chosen set is recomputable.

@@ -170,6 +170,26 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** Per-vector SQ8 scalar quantization — the storage compressor an
+    * ANN index runs before writing a 100 TB embedding column (4 bytes
+    * per float → 1 byte per code + one float scale per vector). Code
+    * rule: floor(v / max|v| · 127) ∈ [−127, 127], with a zero vector
+    * mapping to all-zero codes. Pure per-row expressions (no shuffle,
+    * no UDF), and every step — abs-max, divide, floor — is IEEE-double
+    * deterministic, so q87's DuckDB oracle replays it exactly.
+    * Reconstruction error is bounded by one quantization step:
+    * |code/127 · max|v| − v| ≤ max|v|/127 (pinned in SimilaritySpec). */
+  def quantizeSq8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    df.select(col(idCol), col(vecCol),
+      maxAbs.as("scale"),
+      when(maxAbs === 0.0,
+        transform(col(vecCol), _ => lit(0)))
+        .otherwise(transform(col(vecCol),
+          v => floor(v.cast("double") / maxAbs * 127.0).cast("int")))
+        .as("codes"))
+  }
+
   /** Per-label centroid of embeddings — the vector-average Aggregator
     * family (SURVEY.md §2.5). Pure built-ins: element-wise sum via
     * zip_with fold over an aggregated array is quadratic, so instead

@@ -165,6 +165,25 @@ object TextOps {
           log(col("n").cast("double") / col("dfreq").cast("double"))).as("tfidf"))
   }
 
+  /** Token vocabulary for tokenizer training: the global top-`topN`
+    * tokens with counts and a deterministic dense rank (count
+    * descending, token ascending — ties never reorder across runs).
+    * One explode + one hash aggregate with map-side partials, then a
+    * global top-k (`TakeOrdered`, never a full sort); the final
+    * ranking window runs over the topN survivors only, so the
+    * single-partition stage is vocabulary-sized by construction, not
+    * corpus-sized. */
+  def vocabulary(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+    counts.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token"))))
+  }
+
   /** PII redaction patterns — deliberately restricted to constructs
     * with identical semantics in Java regex and RE2-family engines
     * (ASCII classes, greedy quantifiers; no backreferences or

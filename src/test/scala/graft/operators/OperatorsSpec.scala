@@ -350,6 +350,31 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     val c0 = got.find(_.getInt(0) == 0).get.getSeq[Double](1).head
     assert(math.abs(c0 - want) < 1e-9)
   }
+
+  test("quantizeSq8: codes in [-127,127], reconstruction within one step, zero vector safe") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val zero = Seq((999999L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeSq8(emb.unionByName(zero), "vec_id", "embedding")
+      .collect()
+    q.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val scale = r.getDouble(2)
+      val codes = r.getSeq[Int](3)
+      assert(codes.length == vec.length)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      if (scale == 0.0) assert(codes.forall(_ == 0))
+      else {
+        val step = scale / 127.0
+        vec.zip(codes).foreach { case (v, c) =>
+          // floor-based code: reconstruction sits within one step below
+          assert(v.toDouble - c * step >= -1e-9 && v.toDouble - c * step <= step + 1e-9,
+            s"v=$v c=$c scale=$scale")
+        }
+      }
+    }
+  }
 }
 
 class EnrichSpec extends AnyFunSuite with SparkTestBase {

@@ -96,4 +96,13 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(rows.find(_._1 == 3L).get._2.isEmpty)
   }
+
+  test("vocabulary: top-N by count with deterministic tiebreak, ranks dense from 1") {
+    val d = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(d, "text", topN = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("cnt"), r.getAs[Int]("rank")))
+    // a:3, b:3 tie → 'a' first lexically; c:2 third; d:1 cut by topN
+    assert(v.toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
+  }
 }

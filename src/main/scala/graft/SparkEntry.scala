@@ -1231,6 +1231,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // transitive dedup clustering: connected components over an
+    // exact-jaccard near-dup graph (planted triangles: doc + near twin
+    // + exact twin). Deterministic edges → DuckDB replays the closure
+    // with a recursive CTE; min-reachable-id cluster labels must match
+    // exactly.
+    "q88_dedup_clusters" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .filter(col("doc_id") < 40 && token_count(col("text")) >= 3)
+        .select(col("doc_id"), col("text"))
+      val near = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val pairs = Dedup.jaccardPairs(d.unionByName(near).unionByName(exact),
+          "doc_id", "text", blockCol = lit(0))
+        .filter(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
+    }),
+
     // SQ8 embedding quantization, exported exploded (vec_id, pos,
     // scale, code) — scalar columns keep the driver's row-sort happy
     // and every value is IEEE-deterministic. Value-exact.
@@ -2097,6 +2116,37 @@ object SparkEntry {
         | substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text
         |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q88: reach(node) via a recursive CTE over the symmetrized edge
+    // set; cluster = MIN(reach). UNION (not UNION ALL) dedups per step
+    // so the recursion terminates.
+    "q88_dedup_clusters" ->
+      """WITH RECURSIVE g AS (
+        | SELECT doc_id, text FROM documents
+        | WHERE doc_id < 40 AND len(string_split_regex(trim(text), '\s+')) >= 3),
+        |u AS (
+        | SELECT doc_id, text FROM g
+        | UNION ALL
+        | SELECT doc_id + 100000, text || ' tail marker token' FROM g
+        | UNION ALL
+        | SELECT doc_id + 200000, text FROM g),
+        |sh AS (
+        | SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        | FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM u)),
+        |p AS (
+        | SELECT a.doc_id AS ia, b.doc_id AS ib
+        | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5),
+        |e AS (SELECT ia AS src, ib AS dst FROM p
+        |      UNION SELECT ib AS src, ia AS dst FROM p),
+        |r AS (
+        | SELECT src AS node, src AS reach FROM e
+        | UNION
+        | SELECT r.node, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+        |SELECT node AS id, MIN(reach) AS cluster
+        |FROM r GROUP BY node ORDER BY id""".stripMargin,
 
     "q87_sq8_quantize" ->
       """WITH s AS (SELECT vec_id, embedding,

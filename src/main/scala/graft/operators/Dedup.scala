@@ -368,4 +368,65 @@ object Dedup {
       .drop("__seen_fp")
     definitelyNew.unionByName(survivors).drop("__fp")
   }
+
+  /** Connected components over a near-dup pair graph: every node gets
+    * the MINIMUM id reachable from it as `cluster` — the transitive
+    * dedup semantics pairwise loser-dropping cannot express (for pairs
+    * a–c, b–c with a<b<c, dropping per-pair losers keeps both a and b
+    * even though all three are transitively duplicates; clustering
+    * keeps exactly one representative per component).
+    *
+    * Min-label propagation: labels start as own id; each round every
+    * node takes the minimum label among itself and its neighbors;
+    * converges in O(graph diameter) rounds. Each round is one equi
+    * join + one aggregate — all shuffles on the node id, nothing
+    * driver-side except the per-round convergence COUNT (a scalar,
+    * not a collect). Near-dup components are short chains (diameter
+    * rarely beyond a handful), so the loop ends early; `maxRounds`
+    * bounds a pathological graph and overflow fails loudly rather
+    * than returning half-merged clusters.
+    *
+    * Each round CHECKPOINTS its labels — this is load-bearing, not a
+    * cache: round k's plan references round k−1 twice (neighbor-min
+    * join + convergence diff), so without lineage truncation the
+    * logical plan doubles per round and analysis itself goes
+    * exponential (a 12-round path graph OOMs just rendering the plan
+    * string). With a checkpoint dir configured the checkpoint is
+    * reliable (survives executor loss — the cluster posture); without
+    * one it falls back to `localCheckpoint` (executor-local blocks —
+    * fine for tests/single-node). Output: (id, cluster) for every
+    * node that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
+                          maxRounds: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
+      .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster")))
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("cluster").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nmin"))
+      val next = truncate(labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster")))
+      changed = next
+        .join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
+        .filter(col("cluster") =!= col("__old")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxRounds rounds")
+    labels
+  }
 }

@@ -259,6 +259,32 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val got = Dedup.newDocuments(batch, seen, "text", expectedSeen = 16L)
     assert(got.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
+
+  test("connectedComponents: chains merge transitively, disjoint components stay apart") {
+    // chain 1-2-3 (no 1-3 edge), pair 10-11, and a triangle 20-21-22:
+    // every member must get its component's minimum id as the label
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val got = cc.as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connectedComponents: converges on a long path (diameter ~ rounds)") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val got = cc.as[(Long, Long)].collect()
+    assert(got.length === 13 && got.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: fails loudly instead of returning half-merged labels") {
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(pairs, "id_a", "id_b", maxRounds = 3)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -1231,6 +1231,46 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // deterministic train/val/test split: hash-interval assignment,
+    // stable under corpus growth. Value-exact per row.
+    "q89_hash_split" -> ((s, dir) => {
+      graft.pipeline.Corpus.hashSplit(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 7L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // train/test contamination gate: 100 fresh docs + 30 verbatim train
+    // copies (exact hits — deterministic) + 30 perturbed train copies
+    // (near hits — recall-bound; measured 28/30 and 27/30 flagged at
+    // sf0.001/sf0.01 by ContaminationProbe → floor 0.6). Fresh docs
+    // organically near a train doc count as near hits too, and the
+    // bimodal-similarity argument (see q48) lets DuckDB recompute that
+    // count from exact jaccard (7 at sf0.01, matched exactly).
+    "q90_contamination" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") < 400)
+      val fresh = d.filter(col("doc_id") >= 400)
+      val verbatim = train.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val nearT = train.filter(col("doc_id").between(100, 129))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" tail marker token")).as("text"))
+      val flags = Dedup.contamination(
+        fresh.unionByName(verbatim).unionByName(nearT), train,
+        "doc_id", "text", threshold = 0.8)
+      flags.agg(
+        count(lit(1)).as("n_test"),
+        sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
+        sum(when(col("doc_id") >= 400 && col("doc_id") < 500 && col("near_hit"),
+          1L).otherwise(0L)).as("n_fresh_near"),
+        sum(when(col("doc_id") >= 20000 && col("near_hit"), 1L).otherwise(0L))
+          .as("__planted_near"))
+        .select(col("n_test"), col("n_exact_hits"), col("n_fresh_near"),
+          (col("__planted_near").cast("double") / 30.0 >= 0.6)
+            .as("near_recall_ok"))
+    }),
+
     // transitive dedup clustering: connected components over an
     // exact-jaccard near-dup graph (planted triangles: doc + near twin
     // + exact twin). Deterministic edges → DuckDB replays the closure
@@ -2117,6 +2157,44 @@ object SparkEntry {
         |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // q89: interval bounds as hex prefixes — frac < 0.9 over k/2^32
+    // is exactly first-8-hex ≤ e6666666 (and 0.95 → f3333333), so the
+    // oracle needs no hex→int conversion.
+    "q89_hash_split" ->
+      """SELECT doc_id,
+        | CASE WHEN h <= 'e6666666' THEN 'train'
+        |      WHEN h <= 'f3333333' THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS h
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q90: n_test and the verbatim exact-hit count are pure counting;
+    // n_fresh_near is recomputed from exact cross-set jaccard (sound
+    // under the measured bimodal similarity gap, see q48); the planted
+    // near-twin hit-rate is the engine-certified bound.
+    "q90_contamination" ->
+      """WITH fresh AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents WHERE doc_id >= 400),
+        |train AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents WHERE doc_id < 400),
+        |fs AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM fresh WHERE len(t) >= 3),
+        |ts AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM train WHERE len(t) >= 3),
+        |hits AS (
+        | SELECT DISTINCT f.doc_id
+        | FROM fs f JOIN ts r ON CAST(len(list_intersect(f.s, r.s)) AS DOUBLE)
+        |   / (len(f.s) + len(r.s) - len(list_intersect(f.s, r.s))) >= 0.8)
+        |SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 400) + 60 AS n_test,
+        | CAST(30 AS BIGINT) AS n_exact_hits,
+        | (SELECT COUNT(*) FROM hits) AS n_fresh_near,
+        | TRUE AS near_recall_ok""".stripMargin,
+
     // q88: reach(node) via a recursive CTE over the symmetrized edge
     // set; cluster = MIN(reach). UNION (not UNION ALL) dedups per step
     // so the recursion terminates.
@@ -2153,8 +2231,7 @@ object SparkEntry {
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
         | FROM embeddings)
         |SELECT vec_id, CAST(u.i AS BIGINT) - 1 AS pos, scale,
-        | CASE WHEN scale = 0 THEN 0
-        |  ELSE CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) / scale * 127.0) AS INT) END AS code
+        | CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) / greatest(scale, 1e-300) * 127.0) AS INT) AS code
         |FROM s, unnest(range(1, len(embedding) + 1)) AS u(i)
         |ORDER BY vec_id, pos""".stripMargin,
 

@@ -369,6 +369,63 @@ object Dedup {
     definitelyNew.unionByName(survivors).drop("__fp")
   }
 
+  /** Train/test contamination detection — the decontamination gate a
+    * training corpus runs against its eval sets: for every `test` row,
+    * does its content appear in `train` verbatim (`exact_hit`, via
+    * normalized content fingerprints — definitive) or as a near
+    * duplicate (`near_hit`, via cross-set MinHash banding at
+    * `threshold` — subject to LSH recall like all banded ops)?
+    *
+    * Shape: ONE scan per side computes fingerprint + minhash signature
+    * together; the exact path is a fingerprint equi-join; the near
+    * path shuffles skinny (id, band, hash) triples and equi-joins
+    * test×train bands per bucket. Band keys hotter than `maxBucket`
+    * on the TRAIN side are stop-buckets (shared boilerplate, the
+    * standard LSH drop) and are excluded from BOTH sides before the
+    * join, so a pathological bucket costs an aggregate, never a
+    * quadratic join. Output: every test row with the two flags. */
+  def contamination(test: DataFrame, train: DataFrame,
+                    idCol: String, textCol: String,
+                    threshold: Double = 0.8,
+                    numHashes: Int = 64, bands: Int = 16,
+                    shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def prep(df: DataFrame, id: String, sigC: String, fpC: String) =
+      df.select(col(idCol).as(id),
+        minhash_text(col(textCol), shingleWidth, numHashes).as(sigC),
+        content_fingerprint(col(textCol)).as(fpC))
+        .filter(col(id).isNotNull)
+    def banded(df: DataFrame, id: String, sigC: String) =
+      df.select(col(id),
+        posexplode(band_hashes(col(sigC), bands)).as(Seq("__band", "__bh")))
+    val ts = prep(test, "__tid", "__tsig", "__tfp")
+    val rs = prep(train, "__rid", "__rsig", "__rfp")
+    val hotKeys = banded(rs, "__rid", "__rsig")
+      .groupBy(col("__band"), col("__bh")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucket)
+      .select(col("__band"), col("__bh"))
+    val bt = banded(ts, "__tid", "__tsig")
+      .join(hotKeys, Seq("__band", "__bh"), "left_anti")
+    val br = banded(rs, "__rid", "__rsig")
+      .join(hotKeys, Seq("__band", "__bh"), "left_anti")
+    val nearIds = bt.join(br, Seq("__band", "__bh"))
+      .select(col("__tid"), col("__rid")).distinct()
+      .join(ts.select(col("__tid"), col("__tsig")), Seq("__tid"))
+      .join(rs.select(col("__rid"), col("__rsig")), Seq("__rid"))
+      .filter(minhash_jaccard(col("__tsig"), col("__rsig")) >= threshold)
+      .select(col("__tid")).distinct()
+      .withColumn("__near", lit(true))
+    val exactIds = ts.join(
+        rs.select(col("__rfp").as("__tfp")).distinct(), Seq("__tfp"), "left_semi")
+      .select(col("__tid")).withColumn("__exact", lit(true))
+    ts.select(col("__tid"))
+      .join(exactIds, Seq("__tid"), "left")
+      .join(nearIds, Seq("__tid"), "left")
+      .select(col("__tid").as(idCol),
+        coalesce(col("__exact"), lit(false)).as("exact_hit"),
+        coalesce(col("__near"), lit(false)).as("near_hit"))
+  }
+
   /** Connected components over a near-dup pair graph: every node gets
     * the MINIMUM id reachable from it as `cluster` — the transitive
     * dedup semantics pairwise loser-dropping cannot express (for pairs

@@ -181,13 +181,16 @@ object Similarity {
     * |code/127 · max|v| − v| ≤ max|v|/127 (pinned in SimilaritySpec). */
   def quantizeSq8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
+    // zero-vector guard is algebraic, not a CASE: 0/1e-300 = 0 → all-zero
+    // codes, and the non-degenerate path divides by the true scale
+    // (every |v| ≥ 1e-300·ulp⁻¹ in practice). A `when` here would
+    // duplicate the whole transform tree per branch — measurable codegen
+    // bloat for zero semantic gain.
     df.select(col(idCol), col(vecCol),
       maxAbs.as("scale"),
-      when(maxAbs === 0.0,
-        transform(col(vecCol), _ => lit(0)))
-        .otherwise(transform(col(vecCol),
-          v => floor(v.cast("double") / maxAbs * 127.0).cast("int")))
-        .as("codes"))
+      transform(col(vecCol),
+        v => floor(v.cast("double") / greatest(maxAbs, lit(1e-300)) * 127.0)
+          .cast("int")).as("codes"))
   }
 
   /** Per-label centroid of embeddings — the vector-average Aggregator

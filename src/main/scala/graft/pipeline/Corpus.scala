@@ -116,15 +116,23 @@ object Corpus {
     * at N_s = 100; a stratum whose quota covers it whole (cutoff ≥ 1)
     * skips the filter entirely, so the guard never drops below quota
     * in the regimes where the bound is loose. */
+  /** Seeded uniform permutation hash shared by [[quotaSample]] and
+    * [[hashSplit]]: md5 of `id || ':' || seed`, engine-independent. */
+  private def seededHash(id: org.apache.spark.sql.Column, seed: Long) =
+    md5(concat(id.cast("string"), lit(":" + seed)))
+
+  /** Uniform (0,1) fraction from [[seededHash]]'s first 8 hex chars —
+    * the leading bits that dominate its lexicographic order, so
+    * fraction thresholds and hash-rank orderings agree. */
+  private def seededFraction(id: org.apache.spark.sql.Column, seed: Long) =
+    conv(substring(seededHash(id, seed), 1, 8), 16, 10).cast("long")
+      .cast("double") / lit(4294967296.0)
+
   def quotaSample(df: DataFrame, strataCol: String, idCol: String,
                   quotas: Map[String, Long], seed: Long): DataFrame = {
     require(quotas.values.forall(_ >= 0), "quotas must be non-negative")
-    val hash = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
-    // uniform (0,1) fraction from the hash's first 8 hex chars — the
-    // same leading bits that dominate the lexicographic rank order, so
-    // fraction-filtering keeps exactly the lexicographic head
-    val frac = conv(substring(hash, 1, 8), 16, 10).cast("long")
-      .cast("double") / lit(4294967296.0)
+    val hash = seededHash(col(idCol), seed)
+    val frac = seededFraction(col(idCol), seed)
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     val quotaMap = typedLit(quotas)
     val cutoffs = counts.select(col(strataCol),
@@ -142,6 +150,28 @@ object Corpus {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__quota"))
       .drop("__quota", "__cutoff", "__rk")
+  }
+
+  /** Deterministic train/val/test assignment: each row gets the split
+    * whose cumulative weight interval contains its seeded hash
+    * fraction. Row-local (no shuffle, no sampling state), reproducible
+    * across runs/engines/cluster sizes, and STABLE UNDER GROWTH — a
+    * document keeps its split when the corpus around it changes, which
+    * is the property that keeps eval sets uncontaminated across corpus
+    * versions (a fraction-of-position split reassigns everything on
+    * every insert). Weights must sum to 1. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)], seed: Long): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must be positive and sum to 1: $splits")
+    val frac = seededFraction(col(idCol), seed)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = splits.dropRight(1).zip(bounds.dropRight(1))
+      .foldRight(lit(splits.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), ub), acc) => when(frac < ub, lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assign)
   }
 
   /** One-row corpus report: docs surviving, tokens kept, mean quality. */

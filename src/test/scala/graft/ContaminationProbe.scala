@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scratch probe: q90's planted near-twin flag rate at both verify SFs
+  * (documents the margin behind the 0.6 floor). */
+object ContaminationProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = Tables.documents(spark, s"/root/testdata/$sf")
+        .select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") < 400)
+      val fresh = d.filter(col("doc_id") >= 400)
+      val verbatim = train.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val nearT = train.filter(col("doc_id").between(100, 129))
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" tail marker token")).as("text"))
+      val flags = Dedup.contamination(
+        fresh.unionByName(verbatim).unionByName(nearT), train,
+        "doc_id", "text", threshold = 0.8)
+      val r = flags.agg(
+        sum(when(col("doc_id") >= 20000 && col("near_hit"), 1L).otherwise(0L)),
+        sum(when(col("doc_id") >= 400 && col("doc_id") < 500 && col("near_hit"),
+          1L).otherwise(0L)),
+        sum(when(col("exact_hit"), 1L).otherwise(0L))).collect()(0)
+      println(s"== $sf planted_near=${r.get(0)}/30 fresh_near=${r.get(1)} exact=${r.get(2)}")
+    }
+    spark.stop()
+  }
+}

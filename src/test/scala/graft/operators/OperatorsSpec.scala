@@ -260,6 +260,30 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("contamination: verbatim copies flag exact, perturbed copies flag near, fresh stay clean") {
+    val train = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"))
+    val verbatim = train.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+    val perturbed = train.filter(col("doc_id").between(20, 29))
+      .select((col("doc_id") + 2000).as("doc_id"),
+        concat(col("text"), lit(" small tail")).as("text"))
+    val fresh = Seq((9001L, "completely unrelated fresh holdout document text"),
+      (9002L, "another clean evaluation row nothing shared"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(
+      verbatim.unionByName(perturbed).unionByName(fresh), train,
+      "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    // verbatim: exact (and near, est 1.0)
+    (1000L until 1010L).foreach(id => assert(got(id) === (true, true), s"id=$id"))
+    // perturbed: never exact; near with high recall at this threshold
+    (2020L until 2030L).foreach(id => assert(!got(id)._1, s"id=$id"))
+    assert((2020L until 2030L).count(got(_)._2) >= 8)
+    // fresh: clean on both flags
+    assert(got(9001L) === (false, false) && got(9002L) === (false, false))
+  }
+
   test("connectedComponents: chains merge transitively, disjoint components stay apart") {
     // chain 1-2-3 (no 1-3 edge), pair 10-11, and a triangle 20-21-22:
     // every member must get its component's minimum id as the label

@@ -114,6 +114,26 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(other !== again)
   }
 
+  test("hashSplit: exhaustive, deterministic, stable under corpus growth") {
+    val docs = Tables.documents(spark, sf).select($"doc_id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val a = Corpus.hashSplit(docs, "doc_id", splits, seed = 7L)
+      .as[(Long, String)].collect().toMap
+    assert(a.size === docs.count())
+    assert(a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // roughly proportional (binomial slack on 500 rows)
+    val nTrain = a.values.count(_ == "train")
+    assert(nTrain > 400 && nTrain < 490, s"train=$nTrain")
+    // growth stability: assignments computed on HALF the corpus agree
+    val b = Corpus.hashSplit(docs.filter($"doc_id" < 250), "doc_id", splits, seed = 7L)
+      .as[(Long, String)].collect().toMap
+    assert(b.forall { case (id, s) => a(id) == s })
+    // malformed weights fail loudly
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), seed = 1L)
+    }
+  }
+
   test("quotaSample: prefiltered result equals the naive full-stratum window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, row_number, substring}

@@ -240,4 +240,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(badOps.isEmpty,
       s"probe-negative branch must not shuffle or join:\n$negativeBranch")
   }
+
+  test("q86: vocabulary plans a top-k (TakeOrdered), never a global sort of the token counts") {
+    val df = SparkEntry.queries("q86_vocabulary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for the top-N cut:\n$p")
+  }
+
+  test("hashSplit is shuffle-free: a pure row-local projection") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val df = graft.pipeline.Corpus.hashSplit(
+      graft.sources.Tables.documents(spark, sf).select(col("doc_id")),
+      "doc_id", Seq("train" -> 0.9, "val" -> 0.1), seed = 3L)
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.isEmpty,
+      s"hashSplit must not shuffle:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q90: contamination joins stay equi — no nested-loop or cartesian fallback") {
+    val df = SparkEntry.queries("q90_contamination")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"contamination must never plan a non-equi join:\n$p")
+  }
 }

@@ -1231,6 +1231,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // contiguous global row numbering without a single-partition
+    // window (range-sort + partition offsets). Value-exact.
+    "q91_global_row_number" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice"))
+      Relational.globalRowNumber(o,
+          Seq(col("o_totalprice").desc, col("o_orderkey")))
+        .orderBy(col("row_num"))
+    }),
+
     // deterministic train/val/test split: hash-interval assignment,
     // stable under corpus growth. Value-exact per row.
     "q89_hash_split" -> ((s, dir) => {
@@ -2156,6 +2165,11 @@ object SparkEntry {
         | substr(text, CAST(i * 80 + 1 AS INT), 120) AS chunk_text
         |FROM (SELECT doc_id, text, n_chunks, unnest(range(0, n_chunks)) AS i FROM c)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q91_global_row_number" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS row_num
+        |FROM orders ORDER BY row_num""".stripMargin,
 
     // q89: interval bounds as hex prefixes — frac < 0.9 over k/2^32
     // is exactly first-8-hex ≤ e6666666 (and 0.95 → f3333333), so the

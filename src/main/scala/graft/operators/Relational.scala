@@ -182,4 +182,38 @@ object Relational {
       .filter(col("__rt") >= col("__lt") && col("__rt") < col("__lt") + windowMicros)
       .drop("__bucket", "__lt", "__rt")
   }
+
+  /** Contiguous global row numbers 1..N in `orderCols` order WITHOUT
+    * the single-partition global window. `ROW_NUMBER() OVER (ORDER BY
+    * …)` with no PARTITION BY funnels the entire dataset through one
+    * task — the canonical 100 TB bottleneck. This is the standard
+    * two-pass shape instead: a range-partitioned sort (parallel), a
+    * partition-count aggregate (|partitions| rows to the driver, not
+    * data), then per-partition numbering offset by the preceding
+    * partitions' counts — every stage parallel, the only driver state
+    * a count per partition. Ranks depend only on the total order, so
+    * the result is identical whatever the partitioning; `orderCols`
+    * must be a total order (include a tiebreak) for determinism. */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      out: String = "row_num"): DataFrame = {
+    val sorted = df.orderBy(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    // one pass for counts; the sort is recomputed in pass two — at
+    // scale, persist/write the sorted frame first (same trade as the
+    // Corpus.curate diamond, caller's call)
+    val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__pid")).collect()
+    val offsets = counts.scanLeft(0L)(_ + _.getLong(1)).dropRight(1)
+    val offsetDf = sorted.sparkSession.createDataFrame(
+      counts.map(_.getInt(0)).zip(offsets).map(p => OffsetRow(p._1, p._2)).toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid"))
+      .orderBy(orderCols: _*)
+    sorted
+      .join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(out, row_number().over(w) + col("__offset"))
+      .drop("__pid", "__offset")
+  }
 }
+
+private[operators] case class OffsetRow(__pid: Int, __offset: Long)

@@ -53,6 +53,24 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Map(1L -> 2L, 2L -> 1L))
   }
 
+  test("globalRowNumber: contiguous 1..N, equal to the single-window form, multi-partition") {
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(7) // force multiple input partitions
+    val got = Relational.globalRowNumber(o,
+        Seq(col("o_totalprice").desc, col("o_orderkey")))
+      .select(col("o_orderkey"), col("row_num"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val n = o.count()
+    assert(got.map(_._2).toSeq === (1L to n).toSeq, "row numbers not contiguous 1..N")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val naive = o.withColumn("rn", row_number().over(w))
+      .select(col("o_orderkey"), col("rn").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(got.toSeq === naive.toSeq)
+  }
+
   test("intervalJoin: bucketed formulation matches the naive range join, no duplicate pairs") {
     val ev = Tables.events(spark, sf)
     val a = ev.filter(col("event_type") === "click")

@@ -456,9 +456,12 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, idACol: String, idBCol: String,
                           maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // LAZY checkpoint: the convergence count right after is the round's
+    // single materializing action — eager would spend a second job
     def truncate(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-      else df.localCheckpoint()
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val edges = pairs.select(col(idACol).as("src"), col(idBCol).as("dst"))
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
@@ -471,14 +474,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("cluster").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__nmin"))
+      // the change flag rides INSIDE the checkpointed frame, so the
+      // convergence count needs no second join against the old labels
       val next = truncate(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster")))
-      changed = next
-        .join(labels.select(col("id"), col("cluster").as("__old")), Seq("id"))
-        .filter(col("cluster") =!= col("__old")).count()
-      labels = next
+          least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster"),
+          (coalesce(col("__nmin"), col("cluster")) < col("cluster")).as("__changed")))
+      changed = next.filter(col("__changed")).count()
+      labels = next.select(col("id"), col("cluster"))
       round += 1
     }
     edges.unpersist()

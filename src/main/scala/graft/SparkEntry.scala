@@ -917,12 +917,14 @@ object SparkEntry {
       val near = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker token")).as("text"))
       val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
-      // maxBucket=256: the default 64 capped away 8 exact-twin buckets
-      // at sf0.001, which would break the exact-twin invariant.
-      // Measured near hit-rate 0.83/0.86 (sf0.001/sf0.01) → floor 0.6.
+      // maxBucket=128 (SimhashProbe): the default 64 capped away 8
+      // exact-twin buckets at sf0.001, breaking the exact-twin
+      // invariant; at 128 zero buckets cap at either SF and the near
+      // hit-rate is 0.77/0.78 → floor 0.6. (256 also works but costs
+      // ~4× more on the hottest buckets' quadratic pair-gen.)
       val cand = Dedup.simhashCandidates(
         d.unionByName(near).unionByName(exact), "doc_id", "text",
-        bits = 32, chunks = 4, maxHamming = 3, maxBucket = 256)
+        bits = 32, chunks = 4, maxHamming = 3, maxBucket = 128)
       plantedDedupExport(d, cand, minNearRecall = 0.6)
     }),
 

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Scratch probe: simhash bucket-size distribution + exact-twin survival
+  * at candidate maxBucket values (q31 tuning). */
+object SimhashProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val d = Tables.documents(spark, s"/root/testdata/$sf").select(col("doc_id"), col("text"))
+      val near = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" tail marker token")).as("text"))
+      val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val all = d.unionByName(near).unionByName(exact)
+      for (mb <- Seq(128, 192)) {
+        val cand = Dedup.simhashCandidates(all, "doc_id", "text",
+          bits = 32, chunks = 4, maxHamming = 3, maxBucket = mb)
+        val r = cand.agg(
+          sum(when(col("id_b") === col("id_a") + 200000L && col("id_a") < 100000L, 1L).otherwise(0L)),
+          sum(when(col("id_b") === col("id_a") + 100000L && col("id_a") < 100000L, 1L).otherwise(0L)),
+          count(lit(1))).collect()(0)
+        println(s"== $sf mb=$mb exact=${r.get(0)} near=${r.get(1)} cand=${r.get(2)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -186,11 +186,16 @@ object Similarity {
     // (every |v| ≥ 1e-300·ulp⁻¹ in practice). A `when` here would
     // duplicate the whole transform tree per branch — measurable codegen
     // bloat for zero semantic gain.
-    df.select(col(idCol), col(vecCol),
-      maxAbs.as("scale"),
-      transform(col(vecCol),
-        v => floor(v.cast("double") / greatest(maxAbs, lit(1e-300)) * 127.0)
-          .cast("int")).as("codes"))
+    // two-step projection: the lambda divides by the NAMED scale
+    // attribute, not the array_max tree — inlining it would re-evaluate
+    // the max per element (64× per row) and bloat the codegen unit;
+    // CollapseProject keeps the split because scale is non-cheap and
+    // referenced twice
+    df.select(col(idCol), col(vecCol), maxAbs.as("scale"))
+      .select(col(idCol), col(vecCol), col("scale"),
+        transform(col(vecCol),
+          v => floor(v.cast("double") / greatest(col("scale"), lit(1e-300)) * 127.0)
+            .cast("int")).as("codes"))
   }
 
   /** Per-label centroid of embeddings — the vector-average Aggregator

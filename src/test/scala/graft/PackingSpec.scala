@@ -52,6 +52,26 @@ class PackingSpec extends SparkTestBase {
     assert(packed.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
   }
 
+  test("packGreedy: matches a driver-side greedy reference on randomized inputs") {
+    val rnd = new scala.util.Random(42)
+    val rows = for { g <- Seq("a", "b", "c"); i <- 0 until 50 }
+      yield (g, i.toLong, (rnd.nextInt(300) + 1).toLong)
+    val df = rows.toDF("g", "id", "tok").repartition(5)
+    val got = Packing.packGreedy(df, "g", "id", "tok", budget = 256L)
+      .select("g", "id", "bin").as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      var bin = 0L
+      var used = 0L
+      rs.sortBy(_._2).map { case (g, id, t) =>
+        if (used > 0 && used + t > 256L) { bin += 1; used = 0L }
+        used += t
+        (g, id) -> bin
+      }
+    }
+    assert(got === want)
+  }
+
   test("chunk: stripping each chunk's overlap prefix reassembles the original text") {
     val width = 120
     val overlap = 40

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Scratch probe: where does q87's second go? */
+object Q87Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    def time(tag: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"== $tag: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    val emb = Tables.embeddings(spark, dir)
+    time("warm scan")(emb.count())
+    val q = Similarity.quantizeSq8(emb, "vec_id", "embedding")
+    time("quantize only")(q.count())
+    time("quantize again")(q.count())
+    val exp = q.select(col("vec_id"), col("scale"),
+      posexplode(col("codes")).as(Seq("pos", "code")))
+    time("explode")(exp.count())
+    time("explode+sort")(exp.orderBy("vec_id", "pos").count())
+    spark.stop()
+  }
+}

@@ -45,13 +45,16 @@ object Packing {
                  tokensCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val cols = df.columns
-    val gi = cols.indexOf(groupCol)
-    val oi = cols.indexOf(orderCol)
-    val ti = cols.indexOf(tokensCol)
-    require(gi >= 0 && oi >= 0 && ti >= 0,
+    require(cols.contains(groupCol) && cols.contains(orderCol) && cols.contains(tokensCol),
       s"packGreedy: missing one of ($groupCol, $orderCol, $tokensCol) in ${cols.mkString(",")}")
-    val out = df.sparkSession.createDataFrame(
-      df.repartition(col(groupCol))
+    // widen the token column up front so the streaming pass reads one
+    // fixed type; null token counts pack as 0 (the row joins the open
+    // bin without consuming budget) rather than NPEing mid-partition
+    val widened = df.withColumn(tokensCol, col(tokensCol).cast("long"))
+    val gi = widened.columns.indexOf(groupCol)
+    val ti = widened.columns.indexOf(tokensCol)
+    df.sparkSession.createDataFrame(
+      widened.repartition(col(groupCol))
         .sortWithinPartitions(col(groupCol), col(orderCol))
         .rdd.mapPartitions { rows =>
           // streaming per-group state: (current group, bin idx, tokens
@@ -62,7 +65,7 @@ object Packing {
           var used = 0L
           rows.map { r =>
             val g = r.get(gi)
-            val t = r.getLong(ti)
+            val t = if (r.isNullAt(ti)) 0L else r.getLong(ti)
             if (first || g != curGroup) { curGroup = g; first = false; bin = 0L; used = 0L }
             if (used > 0 && used + t > budget) { bin += 1L; used = 0L }
             used += t
@@ -70,8 +73,7 @@ object Packing {
           }
         },
       org.apache.spark.sql.types.StructType(
-        df.schema.fields :+ org.apache.spark.sql.types.StructField("bin", LongType, nullable = false)))
-    out
+        widened.schema.fields :+ org.apache.spark.sql.types.StructField("bin", LongType, nullable = false)))
   }
 
   /** Per-bin packing summary — the shape a training-data loader

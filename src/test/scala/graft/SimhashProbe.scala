@@ -10,8 +10,9 @@ object SimhashProbe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(cores = 8)
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val d = Tables.documents(spark, s"/root/testdata/$sf").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 500)
       val near = d.select((col("doc_id") + 100000).as("doc_id"),
         concat(col("text"), lit(" tail marker token")).as("text"))
       val exact = d.select((col("doc_id") + 200000).as("doc_id"), col("text"))

@@ -1253,6 +1253,31 @@ object SparkEntry {
         .orderBy(col("row_num"))
     }),
 
+    // Gopher-family repetition quality filters: per-doc duplicate and
+    // most-common n-gram fractions (n = 2 and 5), zero-shuffle
+    // row-local folds. Value-exact: both engines divide identically
+    // derived integer counts.
+    "q92_repetition_stats" -> ((s, dir) => {
+      TextOps.repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup over the q49 planted union: identical planted vectors
+    // are deterministically assigned to the same k-means cluster
+    // (argmax over identical cosine arrays), so the within-cluster
+    // pass is GUARANTEED to score each planted pair; max organic
+    // cosine is 0.513 at sf0.01 — far under the 0.99 threshold — so
+    // DuckDB's brute-force ≥0.99 pair set (with min-id witnesses) is
+    // exactly this output, value-exact despite the learned partition.
+    "q93_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+      Dedup.semanticLosers(emb.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.99, nlist = 8)
+        .orderBy(col("dropped_id"))
+    }),
+
     // deterministic train/val/test split: hash-interval assignment,
     // stable under corpus growth. Value-exact per row.
     "q89_hash_split" -> ((s, dir) => {
@@ -2200,6 +2225,59 @@ object SparkEntry {
         |       substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS h
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // q92: DuckDB rebuilds each document's n-grams (n = 2, 5),
+    // recounts duplicates and the top n-gram via GROUP BY, and divides
+    // the same integers the engine's sorted-fold divides — the
+    // fractions match bit-exactly. Docs shorter than n tokens fall out
+    // of the n-gram CTEs and COALESCE to 0.0, mirroring the engine's
+    // m = 0 guard.
+    "q92_repetition_stats" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |g2 AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |   i -> array_to_string(toks[i:i+1], ' '))) AS ng
+        | FROM t WHERE len(toks) >= 2),
+        |c2 AS (SELECT doc_id, ng, COUNT(*) AS c FROM g2 GROUP BY doc_id, ng),
+        |s2 AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS m, MAX(c) AS top,
+        |   CAST(SUM(c) - COUNT(*) AS BIGINT) AS dups FROM c2 GROUP BY doc_id),
+        |g5 AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |   i -> array_to_string(toks[i:i+4], ' '))) AS ng
+        | FROM t WHERE len(toks) >= 5),
+        |c5 AS (SELECT doc_id, ng, COUNT(*) AS c FROM g5 GROUP BY doc_id, ng),
+        |s5 AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS m, MAX(c) AS top,
+        |   CAST(SUM(c) - COUNT(*) AS BIGINT) AS dups FROM c5 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        | COALESCE(CAST(s2.dups AS DOUBLE) / s2.m, 0.0) AS dup2_frac,
+        | COALESCE(CAST(s2.top AS DOUBLE) / s2.m, 0.0) AS top2_frac,
+        | COALESCE(CAST(s5.dups AS DOUBLE) / s5.m, 0.0) AS dup5_frac,
+        | COALESCE(CAST(s5.top AS DOUBLE) / s5.m, 0.0) AS top5_frac
+        |FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q93: the planted union's only ≥0.99 pairs are the identical
+    // twins (max organic cosine 0.513), and identical vectors share a
+    // cluster by construction, so DuckDB's brute-force pair set with
+    // min-id witnesses replays the cluster-bounded engine output
+    // exactly (the q49 cosine-formula parity).
+    "q93_semantic_dedup" ->
+      """WITH u AS (
+        | SELECT vec_id, embedding FROM embeddings
+        | UNION ALL
+        | SELECT vec_id + 500000 AS vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |pairs AS (
+        | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(a.embedding) + 1), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.embedding) + 1), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM u a JOIN u b ON a.vec_id < b.vec_id)
+        |SELECT id_b AS dropped_id, MIN(id_a) AS witness_id
+        |FROM pairs WHERE cosine >= 0.99
+        |GROUP BY id_b ORDER BY dropped_id""".stripMargin,
 
     // q90: n_test and the verbatim exact-hit count are pure counting;
     // n_fresh_near is recomputed from exact cross-set jaccard (sound

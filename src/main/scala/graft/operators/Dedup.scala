@@ -313,6 +313,74 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup-style semantic deduplication losers: cluster the
+    * embeddings with the IVF coarse quantizer
+    * ([[Similarity.kmeansCentroids]]), compare vectors pairwise WITHIN
+    * clusters only, and report every vector whose cluster holds a
+    * smaller-id vector with cosine ≥ `threshold`. Returns
+    * (dropped_id, witness_id) with witness_id the smallest such
+    * neighbor — a deterministic min-id representative rule (greedy:
+    * with non-transitive similarity a witness can itself be dropped by
+    * an even smaller neighbor; every dropped row still has a ≥threshold
+    * neighbor, which is the guarantee semantic dedup needs).
+    *
+    * Scale shape — the reason this is not [[embeddingNearDups]]:
+    * sign-LSH buckets recall pairs above ~0.95 cosine; the semantic
+    * tier targets a LOWER threshold (paraphrases, re-renderings) where
+    * banding recall collapses, so SemDeDup trades it for a learned
+    * partition: pair cost is Σ|cluster|², bounded by N²/nlist when
+    * clusters stay balanced — nlist must GROW with the corpus to hold
+    * cluster size constant (the model collect is nlist×dim doubles,
+    * fine to ~10⁵ lists). Clusters hotter than `maxCluster` are
+    * excluded with observable drops ([[capMetrics]]), so a collapsed
+    * quantizer costs an aggregate, never a quadratic join. The
+    * cluster pair join is an equi shuffle on the list id; vectors are
+    * scanned once (id-repartitioned stage shared by assignment and
+    * both re-rank sides). */
+  def semanticLosers(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.99, nlist: Int = 16,
+                     maxCluster: Int = 4096,
+                     centroidsOpt: Option[Array[Array[Double]]] = None,
+                     label: String = ""): DataFrame = {
+    require(nlist > 0, s"nlist must be positive, got $nlist")
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .filter(col("__id").isNotNull)
+      .repartition(col("__id"))
+    val centroids = centroidsOpt.getOrElse(
+      Similarity.kmeansCentroids(vecs, "__id", "__v", nlist))
+    val assigned = Similarity.withNearestCentroid(vecs, "__v", centroids, "__list")
+    // ids are unique and each lands in exactly one cluster, so the
+    // pair set needs no distinct()
+    val pairs = observeCap(
+        assigned.groupBy(col("__list"))
+          .agg(collect_list(col("__id")).as("__ids")),
+        "__ids", maxCluster, "semantic", label)
+      .filter(size(col("__ids")).between(2, maxCluster))
+      .select(explode(idPairs(col("__ids"))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+    val a = vecs.select(col("__id").as("id_a"), col("__v").as("__va"))
+    val b = vecs.select(col("__id").as("id_b"), col("__v").as("__vb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_similarity(col("__va"), col("__vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_b").as("dropped_id"), col("id_a"))
+      .groupBy(col("dropped_id"))
+      .agg(min(col("id_a")).as("witness_id"))
+  }
+
+  /** The semantically deduplicated corpus: `df` minus
+    * [[semanticLosers]] (left-anti on the id). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.99, nlist: Int = 16,
+                    maxCluster: Int = 4096,
+                    centroidsOpt: Option[Array[Array[Double]]] = None,
+                    label: String = ""): DataFrame = {
+    val losers = semanticLosers(df, idCol, vecCol, threshold, nlist,
+      maxCluster, centroidsOpt, label)
+    df.join(losers, df(idCol) === losers("dropped_id"), "left_anti")
+  }
+
   /** Incremental (cross-batch) exact dedup: the rows of `batch` whose
     * normalized-text fingerprint does not occur in `seen` — the
     * "which of today's crawl is genuinely new against the 100 TB

@@ -122,8 +122,10 @@ object Similarity {
   private def litVec(v: Array[Double]) = array(v.map(lit(_)).toIndexedSeq: _*)
 
   /** Append the argmax-cosine centroid index (the IVF list id). Pure
-    * expression: one native cosine kernel call per centroid per row. */
-  private def withNearestCentroid(df: DataFrame, vecCol: String,
+    * expression: one native cosine kernel call per centroid per row.
+    * Package-visible: [[Dedup.semanticLosers]] reuses it as the
+    * SemDeDup cluster assignment. */
+  private[operators] def withNearestCentroid(df: DataFrame, vecCol: String,
                                   centroids: Array[Array[Double]],
                                   out: String): DataFrame = {
     val dists = array(centroids.toIndexedSeq.map(c =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{shingle_hashes, shingles, tokens}
@@ -182,6 +182,69 @@ object TextOps {
     counts.withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window
         .orderBy(col("cnt").desc, col("token"))))
+  }
+
+  /** Per-document n-gram repetition statistics — the Gopher-family
+    * repetition quality filters (duplicate n-gram fraction and
+    * most-common-n-gram fraction) used to drop degenerate/looping text
+    * from training corpora. For each `n` in `ns`, over the document's
+    * token n-grams (count m = n_tokens − n + 1):
+    *  - `dup{n}_frac`  = (m − distinct n-grams) / m — the fraction of
+    *    n-gram positions that repeat an earlier occurrence;
+    *  - `top{n}_frac`  = occurrences of the most frequent n-gram / m.
+    * Documents shorter than n tokens score 0.0 on both.
+    *
+    * Entirely row-local — no explode, no shuffle, no UDF: each n-gram
+    * array is built once per row, sorted, and folded in one linear
+    * pass (equal n-grams are adjacent after the sort, so duplicate
+    * count and longest run fall out of one adjacent-compare fold; the
+    * sort order itself never affects the counts). The token array is
+    * NAMED in a separate projection first, so the n-gram lambdas
+    * reference an attribute, not the tokenize tree — a nested HOF
+    * re-evaluates its non-lambda subtrees per element (the q30 22×
+    * lesson). Per-row cost is O(m·n) build + O(m log m) sort; at
+    * 100 TB this is the shape you want — a per-doc score computed
+    * where the doc already is, nothing moved. Fractions divide two
+    * identically-derived numbers, so the q92 DuckDB oracle matches
+    * bit-exactly. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(2, 5)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns must be positive, got $ns")
+    def ngramFold(n: Int): Column = {
+      val t = col("__toks")
+      val ng = when(size(t) >= n,
+        array_sort(transform(sequence(lit(0), size(t) - n),
+          i => concat_ws(" ", slice(t, i + lit(1), lit(n))))))
+        .otherwise(array().cast("array<string>"))
+      // one adjacent-compare pass over the sorted n-grams: `run` is the
+      // current equal-run length, `maxrun` the top n-gram's count,
+      // `dups` the positions equal to their predecessor (= m − distinct)
+      aggregate(ng,
+        struct(lit("").as("prev"), lit(0L).as("run"),
+          lit(0L).as("maxrun"), lit(0L).as("dups")),
+        (acc, x) => {
+          val same = x === acc.getField("prev")
+          val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc.getField("maxrun"), run).as("maxrun"),
+            (acc.getField("dups") + when(same, 1L).otherwise(0L)).as("dups"))
+        })
+    }
+    val withToks = df.select(col(idCol), tokens(lower(col(textCol))).as("__toks"))
+    val withFolds = ns.foldLeft(withToks)((d, n) =>
+      d.withColumn(s"__st$n", ngramFold(n)))
+    withFolds.select(
+      col(idCol) +:
+        size(col("__toks")).cast("long").as("n_tokens") +:
+        ns.flatMap { n =>
+          val m = greatest(size(col("__toks")) - (n - 1), lit(0)).cast("double")
+          val st = col(s"__st$n")
+          Seq(
+            when(m > 0, st.getField("dups").cast("double") / m)
+              .otherwise(lit(0.0)).as(s"dup${n}_frac"),
+            when(m > 0, st.getField("maxrun").cast("double") / m)
+              .otherwise(lit(0.0)).as(s"top${n}_frac"))
+        }: _*)
   }
 
   /** PII redaction patterns — deliberately restricted to constructs

@@ -270,4 +270,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"contamination must never plan a non-equi join:\n$p")
   }
+
+  test("repetitionStats is shuffle-free: per-doc folds, no explode, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.TextOps.repetitionStats(
+      graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.isEmpty, s"repetitionStats must not shuffle:\n$plan")
+    assert(!plan.toString.contains("Generate"),
+      s"repetitionStats must not explode n-grams into rows:\n$plan")
+  }
+
+  test("q93: semantic dedup joins stay equi — no nested-loop or cartesian fallback") {
+    val df = SparkEntry.queries("q93_semantic_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semantic dedup must never plan a non-equi join:\n$p")
+  }
 }

@@ -235,6 +235,46 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
   }
 
+  test("semanticLosers: planted identical vectors drop with min-id witness; organic corpus untouched") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000).as("vec_id"), col("embedding"))
+    val losers = Dedup.semanticLosers(emb.unionByName(planted), "vec_id", "embedding",
+        threshold = 0.99, nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical vectors are guaranteed co-clustered (argmax over
+    // identical cosine arrays), so every planted copy is found; the
+    // organic corpus has no ≥0.99 pair, so nothing else drops
+    assert(losers == (0L until 20L).map(i => (i + 500000) -> i).toMap)
+  }
+
+  test("semanticLosers/semanticDedup: identical-vector chain keeps exactly the smallest id") {
+    val v = Array.fill(8)(0.5f)
+    val other = Array.tabulate(8)(i => if (i == 0) 1.0f else 0.0f)
+    val df = Seq((1L, v), (2L, v), (3L, v), (10L, other)).toDF("id", "vec")
+    val losers = Dedup.semanticLosers(df, "id", "vec", threshold = 0.99, nlist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(losers == Set((2L, 1L), (3L, 1L)))
+    val kept = Dedup.semanticDedup(df, "id", "vec", threshold = 0.99, nlist = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 10L))
+  }
+
+  test("semantic cluster cap drops are observable via capMetrics (no silent caps)") {
+    val v = Array.fill(4)(1.0f)
+    val df = (1L to 6L).map(i => (i, v)).toDF("id", "vec")
+    // one degenerate cluster of 6 > maxCluster 4 → everything dropped,
+    // and the metrics must say so (same contract as the LSH caps)
+    val capped = Dedup.semanticLosers(df, "id", "vec",
+      threshold = 0.9, nlist = 1, maxCluster = 4)
+    assert(capped.collect().isEmpty)
+    val m = Dedup.capMetrics(capped)
+      .collect { case (k, r) if k.contains(".semantic.") => r }.toSeq
+    assert(m.nonEmpty, "no cap observation attached to the semantic plan")
+    assert(m.map(_.getAs[Long]("dropped_buckets")).sum == 1L)
+    assert(m.map(_.getAs[Long]("dropped_rows")).sum == 6L)
+  }
+
   test("simhash candidates find planted near-duplicates") {
     val docs = Tables.documents(spark, sf).filter(col("doc_id") < 60)
       .select(col("doc_id"), col("text"))

@@ -46,6 +46,46 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == ((2L, 0L, 0.0)))
   }
 
+  test("repetitionStats: duplicate and top n-gram fractions; short/null docs score 0") {
+    val docs = Seq(
+      (1L, "a a a a"),   // bigrams: "a a"×3 → dup 2/3, top 3/3; no 5-grams
+      (2L, "w x y z"),   // 3 distinct bigrams → dup 0, top 1/3
+      (3L, "a"),         // too short for both n
+      // 8 tokens: bigrams m=7 ("go stop"×4, "stop go"×3) → dup 5/7, top 4/7;
+      // 5-grams m=4, two distinct each ×2 → dup 2/4, top 2/4
+      (4L, "go stop go stop go stop go stop"),
+      (5L, null.asInstanceOf[String]),
+      (6L, "A a")).toDF("doc_id", "text") // lower-normalized: 1 bigram → top 1/1
+    val got = TextOps.repetitionStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((4L, 2.0 / 3, 1.0, 0.0, 0.0)))
+    assert(got(2L) == ((4L, 0.0, 1.0 / 3, 0.0, 0.0)))
+    assert(got(3L) == ((1L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(4L) == ((8L, 5.0 / 7, 4.0 / 7, 0.5, 0.5)))
+    assert(got(5L) == ((0L, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(6L) == ((2L, 0.0, 1.0, 0.0, 0.0)))
+  }
+
+  test("repetitionStats: fractions agree with a brute-force recount on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50).select(col("doc_id"), col("text"))
+    val got = TextOps.repetitionStats(docs, "doc_id", "text", ns = Seq(3))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+").toSeq
+      val grams = toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq
+      val m = grams.size.toDouble
+      val counts = grams.groupBy(identity).map(_._2.size)
+      val expect =
+        if (m == 0) (0.0, 0.0)
+        else ((m - counts.size) / m, counts.max / m)
+      assert(got(id) == expect, s"doc $id")
+    }
+  }
+
   test("hashed shingle DF: count parity with the string formulation on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     // same document-frequency multiset: every string shingle's count

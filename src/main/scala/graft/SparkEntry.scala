@@ -1278,6 +1278,15 @@ object SparkEntry {
         .orderBy(col("dropped_id"))
     }),
 
+    // cross-document duplicate-span coverage (exact-substring-dedup
+    // signal): per-doc fraction of 4-token windows occurring in ≥2
+    // distinct docs. Value-exact: counts and one division, replayed
+    // by DuckDB over the same windows.
+    "q94_duplicate_spans" -> ((s, dir) => {
+      TextOps.duplicateSpanStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic train/val/test split: hash-interval assignment,
     // stable under corpus growth. Value-exact per row.
     "q89_hash_split" -> ((s, dir) => {
@@ -2278,6 +2287,35 @@ object SparkEntry {
         |SELECT id_b AS dropped_id, MIN(id_a) AS witness_id
         |FROM pairs WHERE cosine >= 0.99
         |GROUP BY id_b ORDER BY dropped_id""".stripMargin,
+
+    // q94: DuckDB rebuilds every positional 4-token window, derives the
+    // ≥2-distinct-doc hot set, and recounts per-doc coverage — counts
+    // and a single division of identically derived integers.
+    "q94_duplicate_spans" ->
+      """WITH t AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id, unnest(list_transform(range(1, len(toks) - 2),
+        |   i -> array_to_string(toks[i:i+3], ' '))) AS gram
+        | FROM t WHERE len(toks) >= 4),
+        |hot AS (
+        | SELECT gram FROM (
+        |  SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+        | WHERE nd >= 2),
+        |per AS (
+        | SELECT g.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN hot.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows
+        | FROM g LEFT JOIN hot ON g.gram = hot.gram
+        | GROUP BY g.doc_id)
+        |SELECT t.doc_id,
+        | COALESCE(per.n_windows, 0) AS n_windows,
+        | COALESCE(per.n_dup_windows, 0) AS n_dup_windows,
+        | COALESCE(CAST(per.n_dup_windows AS DOUBLE) / per.n_windows, 0.0)
+        |   AS dup_span_frac
+        |FROM t LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q90: n_test and the verbatim exact-hit count are pure counting;
     // n_fresh_near is recomputed from exact cross-set jaccard (sound

@@ -247,6 +247,67 @@ object TextOps {
         }: _*)
   }
 
+  /** Cross-document duplicate-span coverage — the exact-substring-dedup
+    * signal (RefinedWeb/C4 family): for each document, the fraction of
+    * its k-token windows (EVERY position, not distinct — this measures
+    * how much of the document is covered by text that also occurs
+    * elsewhere) whose window occurs in at least `minDocs` DISTINCT
+    * documents. Complements [[repetitionStats]] (within-doc repetition)
+    * and [[boilerplateRatio]] (distinct-shingle document frequency).
+    * Returns (doc_id, n_windows, n_dup_windows, dup_span_frac), one row
+    * per input document (zero-window docs score 0).
+    *
+    * Shape: positional window explode → distinct-doc-frequency
+    * aggregate → hot set joined back onto the exploded child → per-doc
+    * aggregate. Same posture as [[boilerplateRatio]]: the hot side is
+    * the repeating head of the window distribution, so AQE broadcasts
+    * it when genuinely small and degrades to a shuffle join (already
+    * partitioned on the window key) instead of an OOM — no hint is
+    * forced. For the 100 TB corpus use [[duplicateSpanStatsHashed]]:
+    * identical counts over 8-byte xxhash64 keys (collision odds
+    * ≈ m²/2⁶⁵), so the explode/aggregate/join shuffle longs, not
+    * window strings. */
+  def duplicateSpanStats(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 4, minDocs: Long = 2L): DataFrame =
+    spanStats(df, idCol, textCol, k, minDocs, hashed = false)
+
+  /** [[duplicateSpanStats]] over 64-bit hashed window keys — the
+    * 100 TB variant (parity with the string form is spec-pinned). */
+  def duplicateSpanStatsHashed(df: DataFrame, idCol: String, textCol: String,
+                               k: Int = 4, minDocs: Long = 2L): DataFrame =
+    spanStats(df, idCol, textCol, k, minDocs, hashed = true)
+
+  private def spanStats(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDocs: Long, hashed: Boolean): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    // named token attribute: the window lambda must not re-evaluate the
+    // tokenize tree per element (see repetitionStats)
+    val t = col("__toks")
+    val grams = when(size(t) >= k,
+      transform(sequence(lit(0), size(t) - k),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val g = df.select(col(idCol).as("doc_id"), tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), explode(grams).as("__gram"))
+      .select(col("doc_id"),
+        (if (hashed) xxhash64(col("__gram")) else col("__gram")).as("__w"))
+    val hot = g.groupBy(col("__w"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__w"), lit(1).as("__hot"))
+    val per = g.join(hot, Seq("__w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_dup_windows"))
+    df.select(col(idCol).as("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_dup_windows").cast("double") / col("n_windows"), lit(0.0))
+          .as("dup_span_frac"))
+  }
+
   /** PII redaction patterns — deliberately restricted to constructs
     * with identical semantics in Java regex and RE2-family engines
     * (ASCII classes, greedy quantifiers; no backreferences or

@@ -86,6 +86,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("duplicateSpanStats: cross-doc window coverage; unique and short docs score 0") {
+    val docs = Seq(
+      (1L, "a b c d e"),  // windows: "a b c d" (shared), "b c d e" → 1/2
+      (2L, "a b c d x"),  // windows: "a b c d" (shared), "b c d x" → 1/2
+      (3L, "q r s t"),    // one window, unique → 0/1
+      (4L, "z")).toDF("doc_id", "text") // no 4-token window → 0/0 → 0.0
+    val got = TextOps.duplicateSpanStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("duplicateSpanStats: hashed-key variant matches the string formulation on real docs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 120).select(col("doc_id"), col("text"))
+    val s = TextOps.duplicateSpanStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = TextOps.duplicateSpanStatsHashed(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s == h)
+    // the signal is non-degenerate on the real corpus: some doc shares
+    // a window, some doc doesn't share all of them
+    assert(s.exists(_._3 > 0))
+    assert(s.exists(t => t._3 < t._2))
+  }
+
   test("hashed shingle DF: count parity with the string formulation on real docs") {
     val docs = graft.sources.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     // same document-frequency multiset: every string shingle's count

@@ -1350,9 +1350,19 @@ object SparkEntry {
     // scale, code) — scalar columns keep the driver's row-sort happy
     // and every value is IEEE-deterministic. Value-exact.
     "q87_sq8_quantize" -> ((s, dir) => {
+      // posexplode_OUTER, deliberately: for a plain posexplode,
+      // InferFiltersFromGenerate adds `size(codes) > 0 AND
+      // isnotnull(codes)` and pushes it below the projections that
+      // name `codes` and `scale` — alias substitution re-inlines the
+      // whole quantization tree into the filter with array_max
+      // re-evaluated PER ELEMENT (the O(dim²) shape quantizeSq8's
+      // two-step projection exists to avoid), twice. Outer generate
+      // infers no such filter, and codes is a total function of the
+      // row (64 entries, never null/empty), so the semantics are
+      // identical. Measured: 0.93 s → 0.17 s at sf0.1.
       Similarity.quantizeSq8(Tables.embeddings(s, dir), "vec_id", "embedding")
         .select(col("vec_id"), col("scale"),
-          posexplode(col("codes")).as(Seq("pos", "code")))
+          posexplode_outer(col("codes")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("pos").cast("long").as("pos"),
           col("scale"), col("code"))
         .orderBy(col("vec_id"), col("pos"))

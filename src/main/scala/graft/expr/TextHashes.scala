@@ -345,6 +345,39 @@ object TextHashKernels {
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom > 0) dot / denom else 0.0
   }
+
+  /** Largest |element| as double; NaN if any element is NaN (matching
+    * `array_max(transform(v, abs))`, where NaN orders greatest);
+    * 0.0 for an empty vector (the HOF form yields null there — callers
+    * guard, see [[Sq8Codes]]' scaladoc). */
+  def vecAbsMax(vec: ArrayData, isFloat: Boolean): Double = {
+    val n = vec.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = Math.abs(if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i))
+      if (java.lang.Double.isNaN(x)) return Double.NaN
+      if (x > m) m = x
+      i += 1
+    }
+    m
+  }
+
+  /** SQ8 codes: floor(v / max(|v|max, 1e-300) · 127) per element, one
+    * fused pass (abs-max + quantize) — exactly the arithmetic of the
+    * two-step HOF formulation, so results are bit-identical. */
+  def sq8Codes(vec: ArrayData, isFloat: Boolean): ArrayData = {
+    val scale = Math.max(vecAbsMax(vec, isFloat), 1e-300)
+    val n = vec.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      out(i) = Math.floor(x / scale * 127.0).toInt
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 private[expr] object TextHashes {
@@ -578,4 +611,61 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
+}
+
+/** Largest |element| of a float/double array column, as double. */
+case class VecAbsMax(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_abs_max"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.vecAbsMax(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.vecAbsMax($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): VecAbsMax =
+    copy(child = newChild)
+}
+
+/** SQ8 quantization codes (array<int>) of a float/double array column:
+  * floor(v / max(|v|max, 1e-300) · 127), abs-max fused into the same
+  * pass. An empty vector yields empty codes; the kernel's 0.0 abs-max
+  * (vs the HOF form's null) is absorbed by the 1e-300 guard either way. */
+case class Sq8Codes(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq8_codes"
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> input, got ${other.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextHashKernels.sq8Codes(input.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ${TextHashes.kernels}.sq8Codes($c, $isFloat);")
+
+  override protected def withNewChildInternal(newChild: Expression): Sq8Codes =
+    copy(child = newChild)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, TextStatKernels, TokenCount}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -239,6 +239,17 @@ package object functions {
     * higher-order function. */
   def cosine_similarity(a: Column, b: Column): Column =
     col2(CosineSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** Largest |element| of a vector column as double — native one-pass
+    * kernel ([[graft.expr.VecAbsMax]]); the SQ8 scale. */
+  def vec_abs_max(v: Column): Column = col2(VecAbsMax(bridge.toExpression(v)))
+
+  /** SQ8 quantization codes floor(v / max(|v|max, 1e-300) · 127) as
+    * array<int> — native fused kernel ([[graft.expr.Sq8Codes]]): the
+    * interpreted two-transform HOF form costs ~2 lambda frames per
+    * element, which is the hot-path budget at 100 TB (measured 4×
+    * on q87's quantize stage). Bit-identical to the HOF arithmetic. */
+  def sq8_codes(v: Column): Column = col2(Sq8Codes(bridge.toExpression(v)))
 
   /** Sign-bit LSH signature for cosine similarity: for each hyperplane
     * (a deterministic pseudo-random ±1 vector derived from

@@ -181,24 +181,22 @@ object Similarity {
     * deterministic, so q87's DuckDB oracle replays it exactly.
     * Reconstruction error is bounded by one quantization step:
     * |code/127 · max|v| − v| ≤ max|v|/127 (pinned in SimilaritySpec). */
-  def quantizeSq8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val maxAbs = array_max(transform(col(vecCol), v => abs(v.cast("double"))))
-    // zero-vector guard is algebraic, not a CASE: 0/1e-300 = 0 → all-zero
-    // codes, and the non-degenerate path divides by the true scale
-    // (every |v| ≥ 1e-300·ulp⁻¹ in practice). A `when` here would
-    // duplicate the whole transform tree per branch — measurable codegen
-    // bloat for zero semantic gain.
-    // two-step projection: the lambda divides by the NAMED scale
-    // attribute, not the array_max tree — inlining it would re-evaluate
-    // the max per element (64× per row) and bloat the codegen unit;
-    // CollapseProject keeps the split because scale is non-cheap and
-    // referenced twice
-    df.select(col(idCol), col(vecCol), maxAbs.as("scale"))
-      .select(col(idCol), col(vecCol), col("scale"),
-        transform(col(vecCol),
-          v => floor(v.cast("double") / greatest(col("scale"), lit(1e-300)) * 127.0)
-            .cast("int")).as("codes"))
-  }
+  def quantizeSq8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    // both columns are native fused kernels (graft.expr.VecAbsMax /
+    // Sq8Codes — zero-vector guard max(scale, 1e-300) inside), not
+    // HOFs: interpreted transform lambdas cost ~2 frames per element,
+    // 4× the quantize stage at sf0.1, and this operator's whole point
+    // is compressing EVERY embedding at 100 TB. The kernel arithmetic
+    // is bit-identical to the two-step HOF formulation (abs-max pass,
+    // then floor(v / max(scale,1e-300) · 127) per element), so the q87
+    // oracle and the reconstruction-error bound are unchanged. Being
+    // plain codegen'd expressions, they also survive optimizer
+    // transplants cheaply — an inferred-filter copy of a HOF tree
+    // re-evaluated array_max per element (see q87's posexplode_outer
+    // note in SparkEntry).
+    df.select(col(idCol), col(vecCol),
+      vec_abs_max(col(vecCol)).as("scale"),
+      sq8_codes(col(vecCol)).as("codes"))
 
   /** Per-label centroid of embeddings — the vector-average Aggregator
     * family (SURVEY.md §2.5). Pure built-ins: element-wise sum via

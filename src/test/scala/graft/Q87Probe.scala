@@ -23,6 +23,11 @@ object Q87Probe {
       posexplode(col("codes")).as(Seq("pos", "code")))
     time("explode")(exp.count())
     time("explode+sort")(exp.orderBy("vec_id", "pos").count())
+    val dir1 = "/root/testdata/sf0.1"
+    (1 to 3).foreach { i =>
+      time(s"full q87 sf0.1 run $i")(
+        SparkEntry.queries("q87_sq8_quantize")(spark, dir1).count())
+    }
     spark.stop()
   }
 }

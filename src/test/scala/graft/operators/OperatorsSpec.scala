@@ -483,6 +483,22 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("quantizeSq8: native kernels are bit-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val kernel = Similarity.quantizeSq8(emb, "vec_id", "embedding")
+      .select("vec_id", "scale", "codes")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    val hof = emb
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("embedding"), v => abs(v.cast("double")))).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        transform(col("embedding"),
+          v => floor(v.cast("double") / greatest(col("scale"), lit(1e-300)) * 127.0)
+            .cast("int")).as("codes"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
+    assert(kernel == hof)
+  }
 }
 
 class EnrichSpec extends AnyFunSuite with SparkTestBase {

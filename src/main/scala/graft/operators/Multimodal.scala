@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * batches (the same operator shape as [[Enrich.enrichSentiment]] —
   * batched mapPartitions, client/codec initialized once per partition).
   *
-  * The container ships no image/audio codecs, so the default decoder is
-  * an explicitly-STUBBED deterministic fake ([[StubDecoder]]): it
-  * derives fixed-shape features from the bytes alone. The Spark-side
-  * contract — schema, batching, partition behavior, null handling — is
-  * real and tested; swapping in a JNI/JavaCV decoder is a one-class
-  * change.
+  * Decoders: [[ImageIoDecoder]] is a REAL image decoder on the JDK's
+  * bundled codecs (PNG/JPEG/GIF/BMP via `javax.imageio` — no external
+  * dependency). Audio/video codecs don't ship with the JVM, so the
+  * default decoder for arbitrary payloads remains an
+  * explicitly-STUBBED deterministic fake ([[StubDecoder]]) deriving
+  * fixed-shape features from the bytes alone; the Spark-side
+  * contract — schema, batching, partition behavior, null handling —
+  * is identical across decoders, so swapping in a JNI/JavaCV
+  * audio/video backend is a one-class change.
   */
 object Multimodal {
 
@@ -56,6 +59,57 @@ object Multimodal {
             while (j < featureDim) { f(j) /= math.max(1, bytes.length / featureDim); j += 1 }
           }
           f
+        }
+      }
+  }
+
+  /** REAL image decoder on the JDK's built-in codecs
+    * (`javax.imageio`: PNG/JPEG/GIF/BMP — zero external dependencies,
+    * works headless): features are
+    * [width, height, aspect, meanR, meanG, meanB, luma, 1.0] with
+    * channel means in [0,1]. Undecodable payloads (unknown format,
+    * truncated stream) and null payloads yield null features — the
+    * malformed-row discipline of the Enricher family, so one corrupt
+    * blob never fails a 100 TB scan. Pixel reads go through a bounded
+    * ≤64×64 sampling grid, so a 100-megapixel payload costs the same
+    * as a thumbnail; cost is decode-bound, not resolution-bound. */
+  class ImageIoDecoder extends MediaDecoder {
+    override val featureDim: Int = 8
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null) null
+        else {
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val sx = math.max(1, w / 64)
+              val sy = math.max(1, h / 64)
+              var r = 0L; var g = 0L; var b = 0L; var n = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  r += (p >> 16) & 0xFF
+                  g += (p >> 8) & 0xFF
+                  b += p & 0xFF
+                  n += 1
+                  x += sx
+                }
+                y += sy
+              }
+              val mr = (r.toDouble / n / 255.0).toFloat
+              val mg = (g.toDouble / n / 255.0).toFloat
+              val mb = (b.toDouble / n / 255.0).toFloat
+              val luma = (0.299 * mr + 0.587 * mg + 0.114 * mb).toFloat
+              Array(w.toFloat, h.toFloat, w.toFloat / h.toFloat, mr, mg, mb, luma, 1.0f)
+            }
+          } catch {
+            case _: java.io.IOException | _: RuntimeException => null
+          }
         }
       }
   }

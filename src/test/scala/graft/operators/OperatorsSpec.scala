@@ -639,6 +639,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3).isEmpty)            // null payload → null features
   }
 
+  test("ImageIoDecoder: real JDK decode — dimensions and channel means; junk/null → null") {
+    import java.awt.image.BufferedImage
+    def img(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+      val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => im.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, fmt, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, img(32, 16, 0xFF0000, "png")),  // solid red PNG (lossless)
+      (2L, img(8, 8, 0x00FF00, "png")),    // solid green PNG
+      (3L, img(20, 20, 0x0000FF, "jpg")),  // solid blue JPEG (lossy)
+      (4L, "definitely not an image".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.extractFeatures(df, "payload",
+        decoder = new Multimodal.ImageIoDecoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](2))).toMap
+    val red = got(1L).get
+    assert(red(0) == 32.0f && red(1) == 16.0f && red(2) == 2.0f)
+    assert(red(3) == 1.0f && red(4) == 0.0f && red(5) == 0.0f)  // exact: PNG is lossless
+    assert(math.abs(red(6) - 0.299f) < 1e-6)
+    val green = got(2L).get
+    assert(green(0) == 8.0f && green(4) == 1.0f && green(3) == 0.0f)
+    val blue = got(3L).get                 // JPEG decode: near-solid blue
+    assert(blue(0) == 20.0f && blue(1) == 20.0f)
+    assert(blue(5) > 0.9f && blue(3) < 0.1f && blue(4) < 0.1f)
+    assert(got(4L).isEmpty)                // undecodable → null, not a crash
+    assert(got(5L).isEmpty)                // null payload → null
+  }
+
   test("sampleFramePlan emits n frames per row with monotone offsets") {
     val df = Seq((1, "0123456789".getBytes)).toDF("id", "payload")
     val got = Multimodal.sampleFramePlan(df, "id", "payload", 4)

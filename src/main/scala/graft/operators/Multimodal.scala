@@ -11,15 +11,15 @@ import org.apache.spark.sql.types._
   * batches (the same operator shape as [[Enrich.enrichSentiment]] —
   * batched mapPartitions, client/codec initialized once per partition).
   *
-  * Decoders: [[ImageIoDecoder]] is a REAL image decoder on the JDK's
-  * bundled codecs (PNG/JPEG/GIF/BMP via `javax.imageio` — no external
-  * dependency). Audio/video codecs don't ship with the JVM, so the
-  * default decoder for arbitrary payloads remains an
-  * explicitly-STUBBED deterministic fake ([[StubDecoder]]) deriving
-  * fixed-shape features from the bytes alone; the Spark-side
-  * contract — schema, batching, partition behavior, null handling —
-  * is identical across decoders, so swapping in a JNI/JavaCV
-  * audio/video backend is a one-class change.
+  * Decoders: [[ImageIoDecoder]] (PNG/JPEG/GIF/BMP via `javax.imageio`)
+  * and [[WavDecoder]] (WAV/AIFF/AU PCM via `javax.sound.sampled`) are
+  * REAL decoders on codecs bundled with the JDK — no external
+  * dependency. Video codecs don't ship with the JVM, so the default
+  * decoder for arbitrary payloads remains an explicitly-STUBBED
+  * deterministic fake ([[StubDecoder]]) deriving fixed-shape features
+  * from the bytes alone; the Spark-side contract — schema, batching,
+  * partition behavior, null handling — is identical across decoders,
+  * so swapping in a JNI/JavaCV video backend is a one-class change.
   */
 object Multimodal {
 
@@ -109,6 +109,64 @@ object Multimodal {
             }
           } catch {
             case _: java.io.IOException | _: RuntimeException => null
+          }
+        }
+      }
+  }
+
+  /** REAL audio decoder on the JDK's bundled codecs
+    * (`javax.sound.sampled`: WAV/AIFF/AU — PCM): features are
+    * [sample_rate, channels, bits, frames, duration_ms, rms, peak,
+    * 1.0], with rms/peak over 16-bit samples normalized to [0,1].
+    * Reads at most `maxBytes` of audio data (a bounded prefix — an
+    * hour-long payload costs the same as a clip; rms/peak are then
+    * prefix statistics, documented). Undecodable and null payloads →
+    * null features, same discipline as [[ImageIoDecoder]]. */
+  class WavDecoder(maxBytes: Int = 1 << 20) extends MediaDecoder {
+    override val featureDim: Int = 8
+    override def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] =
+      payloads.map { bytes =>
+        if (bytes == null) null
+        else {
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val frames = ais.getFrameLength
+              val durationMs =
+                if (fmt.getFrameRate > 0) frames * 1000.0 / fmt.getFrameRate else 0.0
+              val buf = new Array[Byte](math.min(maxBytes,
+                math.max(fmt.getFrameSize, 1) * 4096))
+              var read = 0
+              var total = 0
+              var sumSq = 0.0
+              var peak = 0.0
+              var n = 0L
+              val sixteenBitLe = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              while (total < maxBytes && { read = ais.read(buf); read > 0 }) {
+                if (sixteenBitLe) {
+                  var i = 0
+                  while (i + 1 < read) {
+                    val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort / 32768.0
+                    sumSq += s * s
+                    val a = math.abs(s)
+                    if (a > peak) peak = a
+                    n += 1
+                    i += 2
+                  }
+                }
+                total += read
+              }
+              val rms = if (n > 0) math.sqrt(sumSq / n) else 0.0
+              Array(fmt.getSampleRate, fmt.getChannels.toFloat,
+                fmt.getSampleSizeInBits.toFloat, frames.toFloat,
+                durationMs.toFloat, rms.toFloat, peak.toFloat, 1.0f)
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException | _: RuntimeException => null
           }
         }
       }

@@ -670,6 +670,42 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(5L).isEmpty)                // null payload → null
   }
 
+  test("WavDecoder: real JDK decode — format, duration, and amplitude; junk/null → null") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(hz: Double, seconds: Double, amp: Double, rate: Float = 8000f): Array[Byte] = {
+      val nFrames = (rate * seconds).toInt
+      val pcm = new Array[Byte](nFrames * 2)
+      (0 until nFrames).foreach { i =>
+        val s = (math.sin(2 * math.Pi * hz * i / rate) * amp * 32767).toInt
+        pcm(2 * i) = (s & 0xFF).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val df = Seq(
+      (1L, wav(440, 1.0, 0.5)),   // 1 s of 440 Hz at half amplitude
+      (2L, wav(100, 0.25, 1.0)),  // quarter second, full amplitude
+      (3L, "not audio at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.extractFeatures(df, "payload",
+        decoder = new Multimodal.WavDecoder, batchSize = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Float](2))).toMap
+    val tone = got(1L).get
+    assert(tone(0) == 8000.0f && tone(1) == 1.0f && tone(2) == 16.0f)
+    assert(math.abs(tone(4) - 1000.0f) < 1.0f)            // ~1000 ms
+    assert(math.abs(tone(5) - 0.5 / math.sqrt(2)) < 0.01) // sine rms = amp/√2
+    assert(tone(6) > 0.49f && tone(6) <= 0.51f)           // peak ≈ amp
+    val loud = got(2L).get
+    assert(math.abs(loud(4) - 250.0f) < 1.0f && loud(6) > 0.95f)
+    assert(got(3L).isEmpty)
+    assert(got(4L).isEmpty)
+  }
+
   test("sampleFramePlan emits n frames per row with monotone offsets") {
     val df = Seq((1, "0123456789".getBytes)).toDF("id", "payload")
     val got = Multimodal.sampleFramePlan(df, "id", "payload", 4)

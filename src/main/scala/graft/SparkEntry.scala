@@ -1253,6 +1253,34 @@ object SparkEntry {
         .orderBy(col("row_num"))
     }),
 
+    // the multimodal pipeline END-TO-END through the real JDK codec:
+    // synthesize one solid-color PNG per doc (color/size derived from
+    // doc_id), sniff the magic bytes, decode with the REAL ImageIO
+    // decoder, and export the recovered geometry + color. Solid color
+    // makes the lossless round-trip invertible, so DuckDB recomputes
+    // every column arithmetically — the decode is value-oracled
+    // without DuckDB owning a codec.
+    "q95_image_pipeline" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+          (lit(3) + col("doc_id") % 7).cast("int").as("h"),
+          ((col("doc_id") % 256) * 65536 + ((col("doc_id") * 7) % 256) * 256 +
+            (col("doc_id") * 13) % 256).cast("int").as("rgb"))
+      val encoded = Multimodal.encodeSolidPng(base, "doc_id", "w", "h", "rgb")
+      val decoded = Multimodal.extractFeatures(
+        Multimodal.withMediaMeta(encoded, "payload"), "payload",
+        decoder = new Multimodal.ImageIoDecoder)
+      decoded.select(col("doc_id"), col("media_format"),
+          col("features")(0).cast("long").as("width"),
+          col("features")(1).cast("long").as("height"),
+          round(col("features")(3) * 255).cast("long").as("red"),
+          round(col("features")(4) * 255).cast("long").as("green"),
+          round(col("features")(5) * 255).cast("long").as("blue"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-family repetition quality filters: per-doc duplicate and
     // most-common n-gram fractions (n = 2 and 5), zero-shuffle
     // row-local folds. Value-exact: both engines divide identically
@@ -2243,6 +2271,19 @@ object SparkEntry {
         |FROM (SELECT doc_id,
         |       substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8) AS h
         |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q95: every exported column is an arithmetic function of doc_id
+    // by construction (solid-color PNG round-trip is lossless), so the
+    // oracle needs no image codec — it just replays the construction.
+    "q95_image_pipeline" ->
+      """SELECT doc_id, 'png' AS media_format,
+        | 4 + doc_id % 5 AS width,
+        | 3 + doc_id % 7 AS height,
+        | doc_id % 256 AS red,
+        | (doc_id * 7) % 256 AS green,
+        | (doc_id * 13) % 256 AS blue
+        |FROM documents WHERE doc_id < 100
         |ORDER BY doc_id""".stripMargin,
 
     // q92: DuckDB rebuilds each document's n-grams (n = 2, 5),

@@ -211,6 +211,38 @@ object Multimodal {
       .withColumn("media_sha1", sha1(b))
   }
 
+  /** Encode one solid-color PNG per row (batched mapPartitions, JDK
+    * `javax.imageio`) — the deterministic media fixture generator: a
+    * solid color makes the codec round-trip invertible, so a decode
+    * downstream must recover (width, height, rgb) exactly and the
+    * whole encode→decode pipeline carries a value oracle (q95). */
+  def encodeSolidPng(df: DataFrame, idCol: String, widthCol: String,
+                     heightCol: String, rgbCol: String,
+                     out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val wi = inSchema.fieldIndex(widthCol)
+    val hi = inSchema.fieldIndex(heightCol)
+    val ci = inSchema.fieldIndex(rgbCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi); val rgb = r.getInt(ci)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling plan for a video-ish payload: emit
     * `n` (frame_index, byte_offset) rows per media row — the shuffle
     * shape of real frame extraction without the codec. */

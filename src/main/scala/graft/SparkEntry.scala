@@ -1428,6 +1428,66 @@ object SparkEntry {
           lit(" or call 555123"), id).as("text"))
       TextOps.redactPii(planted, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // SCD2 history from the events changelog: per user, collapse
+    // consecutive same-event_type rows into [valid_from, valid_to)
+    // versions (event_id breaks ts ties → deterministic runs).
+    // Intervals export as epoch micros; open intervals are current.
+    "q96_scd2_history" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      Relational.scd2(ev, "user_id", "ts", Seq("event_type"),
+          tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from_us"),
+          unix_micros(col("valid_to")).as("valid_to_us"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from_us"))
+    }),
+
+    // bigram LM integer core: corpus-trained transition counts joined
+    // back per doc (the CCNet-style fluency filter's exact backbone;
+    // the float avg_logprob derives row-locally and is spec-pinned).
+    "q97_bigram_lm" -> ((s, dir) => {
+      TextOps.bigramLm(
+          Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          col("sum_bigram_count"), col("sum_head_count"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-budget mixture: per-source document take in doc_id order
+    // until each source's token budget fills (≤-inclusive, never
+    // overshoots); sources outside the mixture drop.
+    "q98_token_budget_mix" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), token_count(col("text")).as("n_tokens"))
+      graft.pipeline.Corpus.tokenBudgetSelect(d, "source",
+          Seq(col("doc_id")), "n_tokens",
+          Map("src0" -> 2000L, "src1" -> 5000L, "src2" -> 12000L))
+        .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // keep-BEST exact dedup: one survivor per normalized-text
+    // fingerprint chosen by raw length (duplicates normalize equal but
+    // differ in raw whitespace/case), id as the final tiebreak.
+    "q99_dedup_keep_best" -> ((s, dir) => {
+      Dedup.keepBest(Tables.documents(s, dir), "doc_id", "text",
+          Seq(length(col("text")).desc))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // relative quality gate: drop each language's bottom 20% by the
+    // q34 quality kernel (distribution-aware, vs an absolute cutoff).
+    "q100_quality_gate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), quality_score(col("text")).as("quality"))
+      graft.pipeline.Corpus.dropBottomQuantile(d, "lang", "quality",
+          Seq(col("doc_id")), 0.2)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2477,7 +2537,85 @@ object SparkEntry {
         |   'https?://[^\s]+', '<URL>', 'g'),
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS redacted
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // q96: same run compaction via LAG + IS DISTINCT FROM (null-safe,
+    // like Spark's <=>), intervals closed by LEAD over the run starts.
+    "q96_scd2_history" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        | FROM events),
+        |r AS (SELECT user_id, ts, event_id, event_type FROM o
+        |      WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+        |  epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us,
+        |  (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM r ORDER BY user_id, valid_from_us""".stripMargin,
+
+    // q97: DuckDB retrains the same bigram model — counts from the
+    // exploded bigram stream, head counts re-aggregated from the
+    // bigram count table (the MLE denominator), joined back per doc.
+    "q97_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 300),
+        |b AS (SELECT doc_id, toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i AS INT) + 1] AS bigram
+        |      FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |bc AS (SELECT bigram, COUNT(*) AS bn FROM b GROUP BY 1),
+        |hc AS (SELECT split_part(bigram, ' ', 1) AS head, CAST(SUM(bn) AS BIGINT) AS hn
+        |       FROM bc GROUP BY 1)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(bc.bn) AS BIGINT) AS sum_bigram_count,
+        |  CAST(SUM(hc.hn) AS BIGINT) AS sum_head_count
+        |FROM b JOIN bc USING (bigram)
+        |JOIN hc ON split_part(b.bigram, ' ', 1) = hc.head
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // q98: same running-sum budget gate (split()-exact token counts,
+    // inclusive ≤, mixture sources only).
+    "q98_token_budget_mix" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        | FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        | FROM d)
+        |SELECT source, doc_id, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE source WHEN 'src0' THEN 2000
+        |                    WHEN 'src1' THEN 5000 ELSE 12000 END
+        |ORDER BY source, doc_id""".stripMargin,
+
+    // q99: q19's fingerprint normalization, longest-raw-text keeper
+    // (doc_id tiebreak).
+    "q99_dedup_keep_best" ->
+      """WITH f AS (SELECT doc_id, lang, source, n_chars,
+        |  ROW_NUMBER() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY length(text) DESC, doc_id ASC) AS rn
+        | FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM f WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // q100: q34's exact quality expression, percent_rank gate per
+    // language (doc_id totalizes the order; both engines compute
+    // (rank-1)/(n-1) over identical doubles).
+    "q100_quality_gate" ->
+      """WITH s AS (SELECT doc_id, lang,
+        | CASE WHEN text IS NULL THEN 0.0 ELSE greatest(0.0,
+        |  least(length(trim(text)) / 200.0, 1.0)
+        |  * (1.0 - least((CASE WHEN length(text) > 0
+        |       THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END) * 4.0, 1.0) * 0.5)
+        |  * (1.0 - least((CASE WHEN length(text) > 0
+        |       THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |       ELSE 0.0 END) * 4.0, 1.0) * 0.5)) END AS quality
+        | FROM documents),
+        |r AS (SELECT doc_id, lang, quality,
+        |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
+        | FROM s)
+        |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.2
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -41,6 +41,29 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("keeper_id"))
 
+  /** [[exactDedup]] with a keep-BEST policy: one row per fingerprint
+    * group, chosen by `preferCols` (descending-first ordering the
+    * caller builds, e.g. `Seq(col("quality").desc)`), with the id as
+    * the final tiebreak — duplicates differ in their metadata (crawl
+    * date, source reputation, quality score) even when their text is
+    * byte-identical, and a min-id keeper throws that signal away.
+    * Identical plan shape to [[exactDedup]]: ONE shuffle on the
+    * fingerprint, O(1) window state; only the sort key changes. The
+    * ordering must be deterministic for reproducible corpora — the id
+    * tiebreak is appended here so equal-preference duplicates can't
+    * flip between runs. */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               preferCols: Seq[Column]): DataFrame = {
+    require(preferCols.nonEmpty, "keepBest needs at least one preference column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp"))
+      .orderBy(preferCols :+ col(idCol).asc_nulls_last: _*)
+    df.withColumn("__fp", content_fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
   /** Metric-name prefix for the stop-bucket cap observations. */
   val CapMetricPrefix = "graft.lsh"
 

@@ -226,6 +226,45 @@ object Relational {
       .withColumn(out, row_number().over(w) + col("__offset"))
       .drop("__pid", "__offset")
   }
+
+  /** SCD2 (type-2 slowly-changing-dimension) compaction of a
+    * changelog: per key, collapse consecutive rows whose payload is
+    * unchanged and emit one row per distinct run with a
+    * `[valid_from, valid_to)` interval and an `is_current` flag — the
+    * standard "history table from an event stream" derivation (CDC
+    * apply-changes, user-state timelines, dimension versioning).
+    *
+    * Payload comparison is null-safe (`<=>`): a null payload value is
+    * a state like any other, and a null→null step is NOT a change.
+    * `tieBreak` must make `(tsCol, tieBreak)` a total order per key —
+    * with ties left unordered the run boundaries are nondeterministic.
+    *
+    * Physical shape: ONE hash shuffle on `keyCol`. Both window passes
+    * (lag to find run starts, lead over the filtered runs to close
+    * intervals) need the same `(key, ts)` partitioning+ordering, and
+    * the intermediate filter preserves both, so Catalyst plans a
+    * single Exchange + Sort and the second window reuses them. Window
+    * state is O(1) per key — no per-key buffering, no driver state —
+    * so the shape survives 100 TB with any number of keys; one hot key
+    * degrades to one big sorted partition, the same bound as any
+    * per-key history derivation. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+           payloadCols: Seq[String],
+           tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(payloadCols.nonEmpty, "scd2 needs at least one payload column")
+    val ord = col(tsCol) +: tieBreak
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val changed = payloadCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__chg", col("__rn") === 1 || changed)
+      .filter(col("__chg"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop("__rn", "__chg")
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

@@ -197,4 +197,74 @@ object Corpus {
       sum(col("n_tokens")).cast("long").as("total_tokens"),
       sum(col("est_bpe_tokens")).cast("long").as("total_bpe_tokens"),
       sum(floor(col("quality") * 1e6).cast("long")).as("sum_quality_micros"))
+
+  /** Token-budget selection: per group (source/domain/epoch bucket),
+    * take documents in `orderCols` order until the group's token
+    * budget is filled — the mixture-construction step that turns
+    * per-source token targets ("30% web, 100 B tokens of code, …")
+    * into a concrete document set. A document is kept iff the
+    * cumulative token count UP TO AND INCLUDING it is ≤ the group's
+    * budget, so the mix may undershoot by at most one document and
+    * never overshoots; groups absent from `budgets` are dropped
+    * entirely (an explicit mixture is a whitelist).
+    *
+    * `orderCols` must totally order each group (include an id
+    * tiebreak) — it is the priority policy: doc_id for "earliest
+    * first", a seeded hash for an unbiased random mix (q85's trick), a
+    * quality rank for "best first". Keeps a `cum_tokens` column for
+    * auditability.
+    *
+    * Scale: ONE hash shuffle on `groupCol`; the running sum is an O(1)
+    * per-key window state, the budget filter is row-local, and the
+    * budget map ships as a literal CASE (mixtures enumerate sources —
+    * dozens, not millions). Cumulative integer sums are order-exact,
+    * so the selection is reproducible on any cluster size. */
+  def tokenBudgetSelect(df: DataFrame, groupCol: String,
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        tokenCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSelect needs at least one group budget")
+    require(budgets.values.forall(_ >= 0), s"budgets must be non-negative: $budgets")
+    val budget = budgets.tail.foldLeft(
+      when(col(groupCol) === budgets.head._1, lit(budgets.head._2))) {
+        case (acc, (g, b)) => acc.when(col(groupCol) === g, lit(b))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(orderCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // whitelist BEFORE the window: non-mixture groups never enter the
+    // shuffle (the filter also pushes to the scan)
+    df.filter(col(groupCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("cum_tokens", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
+  /** Relative quality gate: drop each group's bottom `q` fraction by
+    * `scoreCol` — "cut the worst 20% PER LANGUAGE", the
+    * distribution-aware complement to [[Config.minQuality]]'s absolute
+    * threshold (an absolute cutoff over-prunes languages whose score
+    * distribution sits lower and under-prunes ones that sit higher).
+    * A row survives iff its percent_rank within the group ≥ `q`;
+    * `tieBreak` must totalize the order (score ties are real — short
+    * docs quantize) or survivors flip between runs.
+    *
+    * One hash shuffle on the group + a per-group sort; O(1) window
+    * state. The sort is the honest cost of an exact per-group
+    * quantile; when a group is a whole 100 TB language and exactness
+    * isn't required, compute an `approx_percentile(score, q)` per
+    * group (one agg, sketch-sized) and gate with a broadcast join
+    * against that threshold table instead — same API shape, documented
+    * trade (the q58 sketch-vs-exact pattern). */
+  def dropBottomQuantile(df: DataFrame, groupCol: String, scoreCol: String,
+                         tieBreak: Seq[org.apache.spark.sql.Column],
+                         q: Double): DataFrame = {
+    require(q >= 0.0 && q < 1.0, s"q must be in [0, 1), got $q")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).asc +: tieBreak: _*)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") >= q)
+      .drop("__pr")
+  }
 }

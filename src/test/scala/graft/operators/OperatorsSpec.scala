@@ -88,6 +88,49 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == got.distinct.size, "bucketed join emitted duplicate pairs")
     assert(got.sorted == naive.sorted)
   }
+
+  test("scd2: collapses runs, null-safe payload compare, closed/open intervals") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val df = Seq(
+      (1L, at(0), 1L, Some("a")), (1L, at(10), 2L, Some("a")), // run of a
+      (1L, at(20), 3L, Some("b")),                             // change → b
+      (1L, at(30), 4L, None), (1L, at(40), 5L, None),          // null state run
+      (1L, at(50), 6L, Some("b")),                             // b AGAIN (new run)
+      (2L, at(0), 7L, Some("x"))
+    ).toDF("k", "ts", "id", "state")
+    val got = Relational.scd2(df, "k", "ts", Seq("state"),
+        tieBreak = Seq(col("id")))
+      .select(col("k"), col("state"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getBoolean(4)))
+      .sortBy(t => (t._1, t._3.getTime))
+    assert(got === Seq(
+      (1L, Some("a"), at(0), Some(at(20)), false),
+      (1L, Some("b"), at(20), Some(at(30)), false),
+      (1L, None, at(30), Some(at(50)), false),
+      (1L, Some("b"), at(50), None, true),
+      (2L, Some("x"), at(0), None, true)))
+    // intervals tile each key's timeline: next valid_from == valid_to
+    got.groupBy(_._1).values.foreach { vs =>
+      vs.toSeq.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4.contains(b._3), "intervals must tile")
+        case _ =>
+      }
+    }
+  }
+
+  test("scd2: single shuffle — one Exchange in the physical plan") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val plan = Relational.scd2(ev, "user_id", "ts", Seq("event_type"),
+      tieBreak = Seq(col("event_id"))).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected both window passes to share one hash exchange, got $exchanges:\n$plan")
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {
@@ -110,6 +153,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // the duplicated text keeps id=3 (not the null row); a group with only
     // null ids still keeps its one row
     assert(got == Set(Some(3L), None))
+  }
+
+  test("keepBest: preference column picks the survivor, id breaks ties, count == exactDedup") {
+    val df = Seq(
+      (1L, "Hello  World", 0.2),  // longer raw text, lower quality
+      (2L, "hello world", 0.9),   // higher quality → wins on quality pref
+      (3L, "other", 0.1)).toDF("id", "text", "quality")
+    val byQuality = Dedup.keepBest(df, "id", "text", Seq(col("quality").desc))
+      .select("id").as[Long].collect().sorted
+    assert(byQuality.toSeq == Seq(2L, 3L))
+    val byLength = Dedup.keepBest(df, "id", "text", Seq(length(col("text")).desc))
+      .select("id").as[Long].collect().sorted
+    assert(byLength.toSeq == Seq(1L, 3L))
+    // equal preference → smallest id, matching exactDedup
+    val tied = Dedup.keepBest(df, "id", "text", Seq(lit(0).asc))
+      .select("id").as[Long].collect().sorted
+    assert(tied.toSeq == Seq(1L, 3L))
+    assert(Dedup.keepBest(df, "id", "text", Seq(col("quality").desc)).count() ==
+      Dedup.exactDedup(df, "id", "text").count())
   }
 
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {

@@ -174,4 +174,30 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // a:3, b:3 tie → 'a' first lexically; c:2 third; d:1 cut by topN
     assert(v.toSeq === Seq(("a", 3L, 1), ("b", 3L, 2), ("c", 2L, 3)))
   }
+
+  test("bigramLm: hand-computed counts and add-one-smoothed log likelihood") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramLm(d, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // corpus: "a b"×3, "b a"×1, "b c"×1; heads a→3, b→2; V=2
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 3L, 7L, 8L), (2L, 2L, 4L, 5L)))
+    val lp1 = (2 * math.log(4.0 / 5) + math.log(2.0 / 4)) / 3
+    val lp2 = (math.log(4.0 / 5) + math.log(2.0 / 4)) / 2
+    assert(math.abs(got(0)._5 - lp1) < 1e-12, s"doc1 logprob ${got(0)._5}")
+    assert(math.abs(got(1)._5 - lp2) < 1e-12, s"doc2 logprob ${got(1)._5}")
+    // docs with <2 tokens have no transitions and are absent
+    assert(!got.map(_._1).contains(3L) && !got.map(_._1).contains(4L))
+  }
+
+  test("bigramLm: only the 1-row V scalar is broadcast-hinted (no vocab broadcast)") {
+    val d = graft.sources.Tables.documents(spark, sf)
+    val analyzed = TextOps.bigramLm(d, "doc_id", "text")
+      .queryExecution.analyzed.toString
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 1,
+      s"expected exactly the V-scalar broadcast hint, got $hints:\n$analyzed")
+  }
 }

@@ -149,4 +149,43 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(fast === naive)
   }
+
+  test("tokenBudgetSelect: inclusive budget gate, whitelist, never overshoots") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L), // budget 25: keep 1,2 (cum 10,20)
+      ("b", 4L, 5L), ("b", 5L, 100L),                 // budget 5: keep only 4
+      ("c", 6L, 1L)                                   // not in mixture → dropped
+    ).toDF("source", "doc_id", "n_tokens")
+    val got = Corpus.tokenBudgetSelect(d, "source", Seq(col("doc_id")),
+        "n_tokens", Map("a" -> 25L, "b" -> 5L))
+      .select("source", "doc_id", "cum_tokens")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(("a", 1L, 10L), ("a", 2L, 20L), ("b", 4L, 5L)))
+    // per-group kept tokens never exceed the budget
+    val kept = got.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    assert(kept("a") <= 25L && kept("b") <= 5L)
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSelect(d, "source", Seq(col("doc_id")), "n_tokens", Map.empty)
+    }
+  }
+
+  test("dropBottomQuantile: per-group relative cut, deterministic under ties") {
+    import org.apache.spark.sql.functions.col
+    // group a: scores 1..10 → q=0.2 drops percent_rank < 0.2 (ranks 1-2)
+    val a = (1L to 10L).map(i => ("a", i, i.toDouble))
+    // group b: all-tied scores → doc_id tiebreak decides; ranks distinct
+    val b = (1L to 5L).map(i => ("b", 100 + i, 1.0))
+    val d = (a ++ b).toDF("g", "id", "score")
+    val got = Corpus.dropBottomQuantile(d, "g", "score", Seq(col("id")), 0.2)
+      .select("g", "id").as[(String, Long)].collect().sorted.toSeq
+    assert(got.filter(_._1 == "a").map(_._2) === (3L to 10L))
+    assert(got.filter(_._1 == "b").map(_._2) === Seq(102L, 103L, 104L, 105L))
+    // q=0 keeps everything (percent_rank ≥ 0 always)
+    assert(Corpus.dropBottomQuantile(d, "g", "score", Seq(col("id")), 0.0)
+      .count() === d.count())
+    intercept[IllegalArgumentException] {
+      Corpus.dropBottomQuantile(d, "g", "score", Seq(col("id")), 1.0)
+    }
+  }
 }

@@ -1488,6 +1488,16 @@ object SparkEntry {
       graft.pipeline.Corpus.dropBottomQuantile(d, "lang", "quality",
           Seq(col("doc_id")), 0.2)
         .orderBy(col("doc_id"))
+    }),
+
+    // deterministic epoch shuffle: training order for epoch 2 under
+    // seed 7 as a pure (id, seed, epoch) function — seeded-md5 order,
+    // contiguous positions via the two-pass global numbering (q91).
+    "q101_epoch_shuffle" -> ((s, dir) => {
+      graft.pipeline.Corpus.epochShuffle(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", seed = 7L, epoch = 2)
+        .orderBy(col("epoch_pos"))
     })
   )
 
@@ -2615,7 +2625,16 @@ object SparkEntry {
         |  PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id) AS pr
         | FROM s)
         |SELECT doc_id, lang, quality FROM r WHERE pr >= 0.2
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q101: combined seed 7*1000003+2 = 7000023; same seeded-md5
+    // order, plain global ROW_NUMBER (DuckDB needn't scale).
+    "q101_epoch_shuffle" ->
+      """SELECT doc_id, source,
+        | CAST(ROW_NUMBER() OVER (
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7000023'), doc_id) AS BIGINT)
+        |   AS epoch_pos
+        |FROM documents ORDER BY epoch_pos""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

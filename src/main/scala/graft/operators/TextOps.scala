@@ -182,10 +182,15 @@ object TextOps {
     * oracle-checkable core (q97); the float score derives from them
     * row-locally and is pinned by spec against a hand-computed corpus.
     *
-    * Scale shape: the corpus explodes once to skinny (doc_id, bigram)
+    * Scale shape: the corpus explodes to skinny (doc_id, bigram)
     * rows; bigram counts are one hash aggregate with map-side
-    * partials; head counts derive from the BIGRAM COUNT table (vocab-
-    * sized input, not a second corpus pass); both count joins are
+    * partials; head counts derive from the BIGRAM COUNT table
+    * (vocab-sized input — never a re-explode of the corpus). The
+    * exploded frame itself feeds both the count pass and the
+    * join-back pass, so the tokenize+explode computes twice (the
+    * inherent shape of corpus-statistics-joined-back-per-row, same as
+    * [[tfidf]]); persist the exploded frame upstream when tokenize
+    * cost dominates scan cost. Both count joins are
     * shuffled equi-joins deliberately left UN-hinted — the vocabulary
     * of a natural web corpus runs to billions of bigrams, so forcing a
     * broadcast here is the driver-OOM anti-pattern (the r5 TF-IDF

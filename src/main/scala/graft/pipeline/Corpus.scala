@@ -267,4 +267,42 @@ object Corpus {
       .filter(col("__pr") >= q)
       .drop("__pr")
   }
+
+  /** The sketch path for [[dropBottomQuantile]] when a group is a
+    * whole 100 TB language and the per-group sort is not worth
+    * exactness: ONE `approx_percentile` aggregate derives each group's
+    * q-threshold (sketch-sized state, map-side partials), the
+    * |groups|-row threshold table broadcasts, and the gate is a
+    * row-local `score >= threshold` — no sort, no window, no second
+    * corpus pass. `accuracy` trades sketch memory for rank error
+    * exactly as `percentile_approx` documents (rank error ≤
+    * 1/accuracy); rows AT the threshold all survive (no tiebreak —
+    * a rank cut that precise is what the exact variant is for). */
+  def dropBottomQuantileApprox(df: DataFrame, groupCol: String,
+                               scoreCol: String, q: Double,
+                               accuracy: Int = 10000): DataFrame = {
+    require(q >= 0.0 && q < 1.0, s"q must be in [0, 1), got $q")
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), lit(q), lit(accuracy))
+        .as("__thresh"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("__thresh"))
+      .drop("__thresh")
+  }
+
+  /** Deterministic epoch shuffle: a contiguous global training order
+    * 1..N from a seeded hash of the id — "shuffle the corpus for
+    * epoch k" as a pure function of (id, seed, epoch), so any run,
+    * engine, or resumed job derives the identical order, and each
+    * epoch's order is independent of every other's. The order column
+    * is [[graft.pipeline.Corpus.quotaSample]]'s engine-neutral seeded
+    * md5; the numbering is [[graft.operators.Relational.globalRowNumber]]
+    * (range-partitioned two-pass — NO single-partition global window),
+    * so the shape is a parallel sort + per-partition numbering at any
+    * corpus size. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long,
+                   epoch: Int, out: String = "epoch_pos"): DataFrame =
+    graft.operators.Relational.globalRowNumber(
+      df, Seq(seededHash(col(idCol), seed * 1000003L + epoch), col(idCol)),
+      out)
 }

@@ -188,4 +188,36 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       Corpus.dropBottomQuantile(d, "g", "score", Seq(col("id")), 1.0)
     }
   }
+
+  test("dropBottomQuantileApprox: agrees with exact on well-separated scores, no window") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.documents(spark, sf)
+      .select($"doc_id", $"lang", graft.functions.quality_score($"text").as("q"))
+    val approx = Corpus.dropBottomQuantileApprox(d, "lang", "q", 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    val exact = Corpus.dropBottomQuantile(d, "lang", "q", Seq(col("doc_id")), 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    // at default accuracy the sketch is exact for groups this small,
+    // modulo at-threshold ties the approx gate keeps (≥, no tiebreak)
+    assert(approx.intersect(exact) == exact,
+      "approx gate dropped a row the exact gate keeps")
+    val plan = Corpus.dropBottomQuantileApprox(d, "lang", "q", 0.2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"sketch path must not sort per group:\n$plan")
+  }
+
+  test("epochShuffle: contiguous 1..N, epoch-independent orders, deterministic") {
+    val d = Tables.documents(spark, sf).select($"doc_id").filter($"doc_id" < 200)
+    def order(epoch: Int): Seq[Long] =
+      Corpus.epochShuffle(d, "doc_id", seed = 7L, epoch = epoch)
+        .orderBy("epoch_pos").select("doc_id").as[Long].collect().toSeq
+    val e1a = order(1)
+    assert(e1a.toSet == (0L until 200L).toSet, "every doc appears exactly once")
+    assert(order(1) == e1a, "same (seed, epoch) must reproduce the order")
+    val e2 = order(2)
+    assert(e1a != e2, "different epochs must shuffle differently")
+    val pos = Corpus.epochShuffle(d, "doc_id", 7L, 1)
+      .select("epoch_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 200L).toSeq, "positions must be contiguous 1..N")
+  }
 }

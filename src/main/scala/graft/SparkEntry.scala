@@ -1498,6 +1498,20 @@ object SparkEntry {
           Tables.documents(s, dir).select(col("doc_id"), col("source")),
           "doc_id", seed = 7L, epoch = 2)
         .orderBy(col("epoch_pos"))
+    }),
+
+    // per-domain link accounting over planted URLs (mixed-case hosts
+    // exercise the case fold; every doc links one of 7 sites + a
+    // shared mirror).
+    "q102_domain_stats" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://Site"), (id % 7).cast("string"),
+          lit(".example/path and http://mirror.example/p?id="),
+          id.cast("string")).as("text"))
+      TextOps.domainStats(planted, "doc_id", "text")
+        .orderBy(col("host"))
     })
   )
 
@@ -2634,7 +2648,20 @@ object SparkEntry {
         | CAST(ROW_NUMBER() OVER (
         |   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7000023'), doc_id) AS BIGINT)
         |   AS epoch_pos
-        |FROM documents ORDER BY epoch_pos""".stripMargin
+        |FROM documents ORDER BY epoch_pos""".stripMargin,
+
+    // q102: identical planted URLs, identical host-capture regex
+    // (group 1), lower-folded hosts.
+    "q102_domain_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' see https://Site' || (doc_id % 7) ||
+        |  '.example/path and http://mirror.example/p?id=' || doc_id AS text
+        | FROM documents),
+        |u AS (SELECT doc_id,
+        |  lower(unnest(regexp_extract_all(text, 'https?://([^\s/:?#]+)', 1))) AS host
+        | FROM p)
+        |SELECT host, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
+        |FROM u GROUP BY host ORDER BY host""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

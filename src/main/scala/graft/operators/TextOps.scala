@@ -393,4 +393,28 @@ object TextOps {
           regexp_replace(col(textCol), UrlRe, "<URL>"),
           EmailRe, "<EMAIL>"),
         LongDigitsRe, "<NUM>").as("redacted"))
+
+  /** Host capture: group 1 of a URL match — scheme and `://` skipped,
+    * host ends at the first `/`, `:`, `?`, `#`, or whitespace.
+    * Java∩RE2-portable like [[UrlRe]]. */
+  val UrlHostRe = "https?://([^\\s/:?#]+)"
+
+  /** Per-domain link accounting — the provenance signal web-corpus
+    * curation keys on (per-domain caps, blocklists, domain-level
+    * dedup all start from "how many docs/links per host"). Extracts
+    * every URL host mentioned in `textCol` (row-local codegen'd
+    * regexp, one corpus pass) and aggregates per host: documents
+    * mentioning it, total link mentions. One explode + one hash
+    * aggregate with map-side partials — the q61 document-frequency
+    * shape over hosts, so the shuffle carries (host, doc_id) pairs
+    * only and survives any corpus size. Case-normalized (hosts are
+    * case-insensitive); a doc with no URLs contributes nothing. */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(textCol), lit(UrlHostRe), lit(1)))
+          .as("host"))
+      .select(col("doc_id"), lower(col("host")).as("host"))
+      .groupBy(col("host"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_mentions"))
 }

@@ -11,6 +11,68 @@ case class TypeStats(event_type: String, n_events: Long, total_value: Double)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
+/** Winner emitted by [[StreamOps.dedupKeepBestStream]] once a
+  * fingerprint's horizon closes. */
+case class BestPick(fingerprint: Long, doc_id: Long, score: Double,
+                    n_candidates: Long)
+
+/** transformWithState processor behind [[StreamOps.dedupKeepBestStream]]:
+  * per fingerprint, value state (bestId, bestScore, nSeen,
+  * registeredTimerTs) + one event-time timer at latest-arrival +
+  * horizon, moved forward as candidates keep arriving. */
+class BestPickProcessor(horizonMs: Long)
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Long, Double, java.sql.Timestamp), BestPick] {
+  import org.apache.spark.sql.streaming.{TimerValues, ExpiredTimerInfo, TimeMode, TTLConfig, ValueState}
+  import org.apache.spark.sql.Encoders
+
+  @transient private var best: ValueState[(Long, Double, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    best = getHandle.getValueState("best",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+        Encoders.scalaLong, Encoders.scalaLong),
+      TTLConfig.NONE)
+
+  override def handleInputRows(key: Long,
+                               rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+                               timers: TimerValues): Iterator[BestPick] = {
+    var cur: (Long, Double, Long) = null
+    var latestTs = Long.MinValue
+    if (best.exists()) {
+      val (id, score, n, timerTs) = best.get()
+      getHandle.deleteTimer(timerTs) // the emit timer moves with arrivals
+      cur = (id, score, n)
+    }
+    rows.foreach { case (_, id, score, ts) =>
+      latestTs = math.max(latestTs, ts.getTime)
+      cur match {
+        case null => cur = (id, score, 1L)
+        case (bid, bscore, n) =>
+          val wins = score > bscore || (score == bscore && id < bid)
+          cur = (if (wins) id else bid, math.max(score, bscore), n + 1)
+      }
+    }
+    if (cur != null) {
+      // emit once the watermark passes latest-arrival + horizon
+      // (clamped above the current watermark like SessionProcessor)
+      val timerTs = math.max(latestTs + horizonMs,
+        timers.getCurrentWatermarkInMs() + 1)
+      getHandle.registerTimer(timerTs)
+      best.update((cur._1, cur._2, cur._3, timerTs))
+    }
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[BestPick] =
+    if (best.exists()) {
+      val (id, score, n, _) = best.get()
+      best.clear()
+      Iterator.single(BestPick(key, id, score, n))
+    } else Iterator.empty
+}
+
 /** transformWithState processor behind [[StreamOps.statefulSessionsTws]]:
   * value state (start, end, count, registeredTimerTs) + one live
   * event-time timer per key, moved forward as the session extends. */
@@ -221,6 +283,37 @@ object StreamOps {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
+
+  /** Streaming twin of [[graft.operators.Dedup.keepBest]]: per
+    * normalized-text fingerprint, buffer candidates for `horizonMs`
+    * after the group's latest arrival and emit ONE winner — highest
+    * score, smallest id on ties — once the watermark passes the
+    * horizon. Where [[dedupStream]]'s first-arrival-wins is what the
+    * built-in offers, a keep-best needs custom state: O(1) per live
+    * fingerprint (winner id + score + count + one timer), evicted on
+    * emit, so state is bounded by the fingerprints seen within one
+    * horizon — the streaming analogue of the batch window's O(1).
+    * A duplicate arriving after its group emitted starts a NEW group
+    * (and emits again) — the horizon is the dedup guarantee, exactly
+    * like [[dedupStream]]'s watermark contract. Requires the RocksDB
+    * state store (transformWithState state v2). */
+  def dedupKeepBestStream(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, tsCol: String,
+                          horizonMs: Long,
+                          watermarkDelay: String = "10 minutes"): Dataset[BestPick] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.withWatermark(tsCol, watermarkDelay)
+      .select(graft.functions.content_fingerprint64(col(textCol)).as("fp"),
+        col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("double").as("score"),
+        col(tsCol).as("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new BestPickProcessor(horizonMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
 
   /** Custom state machine via `mapGroupsWithState` (SURVEY.md §2.10):
     * per-event-type running count + value total that survives across

@@ -192,6 +192,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.map(_._1).contains(3L) && !got.map(_._1).contains(4L))
   }
 
+  test("domainStats: host capture, case fold, docs vs mentions, no-URL docs absent") {
+    val d = Seq(
+      (1L, "see https://A.Example/x and https://a.example:8080/y plus http://b.example"),
+      (2L, "link https://a.example/z?q=1 trailing"),
+      (3L, "no urls here"),
+      (4L, "ftp://not-http.example and https://c.example#frag")
+    ).toDF("doc_id", "text")
+    val got = TextOps.domainStats(d, "doc_id", "text")
+      .orderBy("host").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a.example: docs 1 (twice, case+port variants) and 2 → 2 docs, 3 mentions
+    assert(got === Seq(
+      ("a.example", 2L, 3L),
+      ("b.example", 1L, 1L),
+      ("c.example", 1L, 1L)))
+  }
+
   test("bigramLm: only the 1-row V scalar is broadcast-hinted (no vocab broadcast)") {
     val d = graft.sources.Tables.documents(spark, sf)
     val analyzed = TextOps.bigramLm(d, "doc_id", "text")

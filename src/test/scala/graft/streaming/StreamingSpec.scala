@@ -8,6 +8,7 @@ import graft.SparkTestBase
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class UEv(ts: java.sql.Timestamp, user_id: Long)
+case class DocEv(ts: java.sql.Timestamp, doc_id: Long, text: String, score: Double)
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -217,6 +218,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(got.contains((1L, "2024-01-01 00:00:00", 2L)), got.mkString(","))
       assert(got.contains((2L, "2024-01-01 00:00:30", 1L)), got.mkString(","))
       assert(got.contains((1L, "2024-01-01 02:00:00", 1L)), got.mkString(","))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("dedupKeepBestStream: cross-batch best wins, ties break to smaller id, horizon emits once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[DocEv]
+      val q = StreamOps.dedupKeepBestStream(stream.toDF(), "doc_id", "text",
+          "score", "ts", horizonMs = 60000L, watermarkDelay = "10 minutes")
+        .writeStream.outputMode("append").format("memory").queryName("kbs").start()
+      try {
+        // batch 1: two case-variant duplicates of doc A, one doc B
+        stream.addData(
+          DocEv(t("2024-01-01 00:00:00"), 1L, "Doc Alpha Text", 0.3),
+          DocEv(t("2024-01-01 00:00:10"), 2L, "doc  alpha text", 0.8),
+          DocEv(t("2024-01-01 00:00:20"), 3L, "doc beta", 0.5))
+        q.processAllAvailable()
+        // batch 2: a LATE third duplicate of A (still within horizon)
+        // that ties doc 2's score — smaller id must win the tie
+        stream.addData(DocEv(t("2024-01-01 00:00:30"), 1L, "DOC ALPHA TEXT", 0.8))
+        q.processAllAvailable()
+        // batch 3: advance the watermark past both horizons → emit
+        stream.addData(DocEv(t("2024-01-01 01:00:00"), 9L, "unrelated", 0.1))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("kbs")
+        .select($"doc_id", $"score", $"n_candidates")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      // doc A's group: 3 candidates, best score 0.8 shared by ids 1 and 2 → id 1
+      assert(got.contains((1L, 0.8, 3L)), got.mkString(","))
+      // doc B: singleton group
+      assert(got.contains((3L, 0.5, 1L)), got.mkString(","))
+      assert(got.size == 2, s"only two horizons should have closed: $got")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

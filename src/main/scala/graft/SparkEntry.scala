@@ -1512,6 +1512,21 @@ object SparkEntry {
           id.cast("string")).as("text"))
       TextOps.domainStats(planted, "doc_id", "text")
         .orderBy(col("host"))
+    }),
+
+    // unicode NFC canonical composition (custom codegen expression):
+    // planted decomposed sequences (e+U+0301, i+U+0308) must compose,
+    // shrinking the char count; DuckDB's native nfc_normalize is the
+    // oracle. Composed-vs-decomposed equality is what keeps
+    // fingerprint dedup canonical-form-invariant.
+    "q103_nfc_normalize" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" cafe\u0301 nai\u0308ve"))
+      Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          length(raw).cast("long").as("raw_len"),
+          nfc_normalize(raw).as("normalized"),
+          length(nfc_normalize(raw)).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2661,7 +2676,18 @@ object SparkEntry {
         |  lower(unnest(regexp_extract_all(text, 'https?://([^\s/:?#]+)', 1))) AS host
         | FROM p)
         |SELECT host, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_mentions
-        |FROM u GROUP BY host ORDER BY host""".stripMargin
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
+
+    // q103: DuckDB's native nfc_normalize over the same decomposed
+    // suffix (the combining codepoints are escape-built so both
+    // engines receive identical raw bytes).
+    "q103_nfc_normalize" ->
+      ("""WITH p AS (SELECT doc_id, text || ' cafe""" + "\u0301" + """ nai""" + "\u0308" + """ve' AS raw
+        |            FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, length(raw) AS raw_len,
+        |  nfc_normalize(raw) AS normalized,
+        |  length(nfc_normalize(raw)) AS norm_len
+        |FROM p ORDER BY doc_id""").stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

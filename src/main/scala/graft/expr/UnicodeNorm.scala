@@ -1,0 +1,94 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization — compose decomposed sequences
+  * (`e` + U+0301 → `é`) into their canonical form.
+  *
+  * Text pipelines need this BEFORE any content hashing: the same
+  * visible string in composed and decomposed form produces different
+  * fingerprints/minhash signatures/token streams, so two byte-distinct
+  * renderings of one document dodge every dedup family. Normalizing at
+  * ingest makes `content_fingerprint`, shingles, and tokenization
+  * canonical-form-invariant. Spark has no built-in for it, and a Scala
+  * UDF would break the whole-stage codegen span around it (the scrub
+  * runs on EVERY document at 100 TB), so it is a codegen'd Catalyst
+  * expression like [[IsoDuration]].
+  *
+  * Pure per-row compute — no shuffle, preserves pushdown around it.
+  * The fast path costs one `Normalizer.isNormalized` check (true for
+  * effectively all real text, which is already NFC) and avoids both
+  * the String re-encode and the UTF8String re-wrap; only strings that
+  * actually contain decomposed sequences pay the normalize. NFC (not
+  * NFKC) deliberately: canonical composition is lossless, while
+  * compatibility folding (ﬁ → fi, ² → 2) is a content-changing policy
+  * the caller should opt into separately.
+  */
+object UnicodeNorm {
+  import java.text.Normalizer
+
+  /** Static kernel shared by interpreted eval and generated code. */
+  def nfc(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFC)
+
+  /** NFKC — compatibility folding (ﬁ → fi, ² → 2, ㎒ → MHz) on top of
+    * canonical composition. Content-CHANGING, so it is a separate
+    * opt-in, not part of [[nfc]]; the usual training-data use is
+    * folding width/ligature/presentation variants before tokenization
+    * so token statistics don't fragment across render forms. */
+  def nfkc(s: UTF8String): UTF8String = norm(s, Normalizer.Form.NFKC)
+
+  private def norm(s: UTF8String, form: Normalizer.Form): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    if (Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(Normalizer.normalize(str, form))
+  }
+}
+
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UnicodeNorm.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$cls.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfkc_normalize requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfkc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.nfkc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UnicodeNorm.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$cls.nfkc($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+}

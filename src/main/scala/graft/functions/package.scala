@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -30,6 +30,18 @@ package object functions {
   def iso_duration_to_seconds(c: Column): Column =
     col2(IsoDurationToSeconds(bridge.toExpression(c)))
 
+  /** Unicode NFC canonical composition (codegen'd; fast-path no-op for
+    * already-normalized text). Run at ingest so fingerprints, shingles,
+    * and tokens are canonical-form-invariant. */
+  def nfc_normalize(c: Column): Column =
+    col2(NfcNormalize(bridge.toExpression(c)))
+
+  /** Unicode NFKC compatibility folding (ligatures, widths,
+    * presentation forms) — content-changing, opt-in; see
+    * [[graft.expr.UnicodeNorm.nfkc]]. */
+  def nfkc_normalize(c: Column): Column =
+    col2(NfkcNormalize(bridge.toExpression(c)))
+
   /** Register SQL-callable functions on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -41,6 +53,10 @@ package object functions {
       exprs => MinHashSignature(exprs(0), 64), "scala_udf")
     reg.createOrReplaceTempFunction("simhash32",
       exprs => SimHashBits(exprs(0), 32), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfkc_normalize",
+      exprs => NfkcNormalize(exprs.head), "scala_udf")
   }
 
   // ---------------------------------------------------------------------

@@ -105,4 +105,36 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     // hi(1) there(2) ,(1) extraordinary(13→4) !(1) = 9
     assert(df.head.getLong(0) == 9L)
   }
+
+  test("nfc_normalize: composes decomposed text, makes fingerprints form-invariant") {
+    val decomposed = "cafe\u0301 nai\u0308ve" // e+U+0301, i+U+0308
+    val composed = "caf\u00e9 na\u00efve"
+    assert(decomposed != composed, "fixture must start byte-distinct")
+    val rows = Seq((decomposed, composed)).toDF("d", "c")
+      .select(nfc_normalize(col("d")).as("nd"), col("c"),
+        content_fingerprint64(nfc_normalize(col("d"))).as("fd"),
+        content_fingerprint64(col("c")).as("fc"),
+        nfc_normalize(lit(null).cast("string")).as("nn"))
+      .head
+    assert(rows.getString(0) == rows.getString(1), "NFC must compose to the composed form")
+    assert(rows.getLong(2) == rows.getLong(3),
+      "fingerprints must agree once normalized — the dedup motivation")
+    assert(rows.isNullAt(4), "null stays null")
+    // already-normalized fast path: the kernel returns the SAME buffer
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(composed)
+    assert(graft.expr.UnicodeNorm.nfc(u) eq u)
+    // SQL registration round-trip
+    graft.functions.registerAll(spark)
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposed') = '$composed'")
+      .head.getBoolean(0))
+  }
+
+  test("nfkc_normalize: folds compatibility forms nfc leaves alone") {
+    val ligature = "eﬃcient ² ＨＩ" // ﬃ, superscript 2, fullwidth HI
+    val r = Seq(ligature).toDF("t")
+      .select(nfkc_normalize(col("t")).as("k"), nfc_normalize(col("t")).as("c"))
+      .head
+    assert(r.getString(0) == "efficient 2 HI", r.getString(0))
+    assert(r.getString(1) == ligature, "NFC must NOT fold compatibility forms")
+  }
 }

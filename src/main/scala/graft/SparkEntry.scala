@@ -1527,6 +1527,84 @@ object SparkEntry {
           nfc_normalize(raw).as("normalized"),
           length(nfc_normalize(raw)).cast("long").as("norm_len"))
         .orderBy(col("doc_id"))
+    }),
+
+    // corpus-frequent segment removal (RefinedWeb/CCNet line dedup over
+    // fixed 10-token segments): a 10-token boilerplate prefix planted
+    // in EVERY doc must vanish from all of them, the unique id-bearing
+    // second segment and the doc's own (block-aligned) text must stay.
+    "q104_segment_dedup" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(
+          lit("subscribe to our newsletter now for more great content today "),
+          lit("uid"), col("doc_id").cast("string"),
+          lit(" pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9 "),
+          col("text")).as("text"))
+      TextOps.dedupSegments(planted, "doc_id", "text",
+          segTokens = 10, minDocs = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-family quality gate: per-rule booleans + conjunction.
+    // Thresholds calibrated so the synthetic corpus splits on the
+    // word-count and stopword rules (the others exercise the ratio
+    // arithmetic; text has no '#'/'...' symbols by construction).
+    "q105_gopher_rules" -> ((s, dir) => {
+      TextOps.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+          minWords = 40L, maxWords = 100000L,
+          minMeanLen = 3.0, maxMeanLen = 10.0,
+          maxSymbolWordRatio = 0.1, minAlphaWordRatio = 0.8,
+          minStopwords = 1)
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization: planted mixed-case/tracking-param/port/
+    // fragment variants of the same logical page must collapse to one
+    // canonical key per doc_id%7 group; counting per canonical URL is
+    // the URL-dedup signal.
+    "q106_canonical_urls" -> ((s, dir) => {
+      val id = col("doc_id")
+      val raw = concat(
+        lit("HTTP://WWW.Site"), (id % 7).cast("string"),
+        lit(".Example:80/Path"), (id % 3).cast("string"),
+        lit("/?utm_source=feed"), id.cast("string"),
+        lit("&id="), (id % 5).cast("string"),
+        lit("&fbclid=x#frag"), id.cast("string"))
+      Tables.documents(s, dir)
+        .select(id, canonical_url(raw).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"), min(id).as("first_doc"))
+        .orderBy(col("canonical"))
+    }),
+
+    // per-domain cap: hosts planted as site(doc_id%7).example (docs
+    // with doc_id%5==0 carry NO url and pass through uncapped); keep
+    // the 10 highest-quality docs per host, doc_id tiebreak.
+    "q107_domain_cap" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = Tables.documents(s, dir).select(id, col("text"),
+        when(id % 5 =!= 0,
+          concat(col("text"), lit(" via https://site"), (id % 7).cast("string"),
+            lit(".example/p"))).otherwise(col("text")).as("ptext"))
+      graft.pipeline.Corpus.domainCap(planted, "doc_id", "ptext",
+          maxPerDomain = 10, preferBy = Seq(quality_score(col("text")).desc))
+        .select(col("doc_id"), col("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // temperature-rebalanced mixture: skewed planted strata (web 6/10,
+    // books 3/10, code 1/10 of docs) rebalanced at alpha=0.5 \u2014 code
+    // kept whole, web/books downsampled to ceil(n\u00b7sqrt(n_min/n)) by
+    // seeded-hash rank (exact integers, DuckDB replays verbatim).
+    "q108_temperature_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val strata = Tables.documents(s, dir).select(id,
+        when(id % 10 <= 5, "web").when(id % 10 <= 8, "books")
+          .otherwise("code").as("stratum"))
+      graft.pipeline.Corpus.temperatureSample(strata, "stratum", "doc_id",
+          alpha = 0.5, seed = 42L)
+        .select(col("stratum"), col("doc_id"))
+        .orderBy(col("stratum"), col("doc_id"))
     })
   )
 
@@ -2687,7 +2765,152 @@ object SparkEntry {
         |SELECT doc_id, length(raw) AS raw_len,
         |  nfc_normalize(raw) AS normalized,
         |  length(nfc_normalize(raw)) AS norm_len
-        |FROM p ORDER BY doc_id""").stripMargin
+        |FROM p ORDER BY doc_id""").stripMargin,
+
+    // q104: DuckDB replays segmenting over segment STRINGS (Spark's
+    // document-frequency aggregate runs over xxhash64 keys — equal
+    // output proves the hashed formulation faithful, the q75
+    // argument); string_agg skips NULLs so dropped segments vanish
+    // and an all-boilerplate doc yields NULL like Spark's guard.
+    "q104_segment_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |  'subscribe to our newsletter now for more great content today ' ||
+        |  'uid' || doc_id || ' pad1 pad2 pad3 pad4 pad5 pad6 pad7 pad8 pad9 ' || text AS text
+        | FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM p),
+        |seg AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1)),
+        |    i -> {'seg_idx': i,
+        |          'seg': array_to_string(t[(i*10+1):(i*10+10)], ' ')}),
+        |  recursive := true) FROM toks),
+        |sf AS (SELECT * FROM seg WHERE length(seg) > 0),
+        |hot AS (SELECT seg FROM (SELECT DISTINCT doc_id, seg FROM sf)
+        |        GROUP BY seg HAVING COUNT(*) >= 2),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, (h.seg IS NOT NULL) AS is_hot
+        |      FROM sf s LEFT JOIN hot h USING (seg))
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        | CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY seg_idx) AS cleaned_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q105: every rule recomputed from scratch over the same
+    // whitespace tokens; ratio arithmetic is double over exact integer
+    // counts in both engines.
+    "q105_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+        |    / len(toks) AS mean_word_len,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |    / len(toks) AS alpha_word_ratio,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |     + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+        |    / len(toks) AS symbol_word_ratio,
+        |  CAST(len(list_distinct(list_transform(
+        |    list_filter(toks, x -> lower(x) IN
+        |      ('the','be','to','of','and','that','have','with')),
+        |    x -> lower(x)))) AS BIGINT) AS n_stopwords
+        | FROM t)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_ratio,
+        | symbol_word_ratio, n_stopwords,
+        | (n_words >= 40 AND n_words <= 100000) AS r_word_count,
+        | (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_mean_len,
+        | (alpha_word_ratio >= 0.8) AS r_alpha_words,
+        | (symbol_word_ratio <= 0.1) AS r_symbol,
+        | (n_stopwords >= 1) AS r_stopwords,
+        | ((n_words >= 40 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND (alpha_word_ratio >= 0.8) AND (symbol_word_ratio <= 0.1)
+        |   AND (n_stopwords >= 1)) AS passes_gopher
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q106: the canonicalization mirrored step by step (same regex,
+    // same tracking-param filter, same key-sorted param rejoin).
+    "q106_canonical_urls" ->
+      """WITH r AS (SELECT doc_id,
+        |  'HTTP://WWW.Site' || (doc_id % 7) || '.Example:80/Path' || (doc_id % 3) ||
+        |  '/?utm_source=feed' || doc_id || '&id=' || (doc_id % 5) ||
+        |  '&fbclid=x#frag' || doc_id AS raw
+        | FROM documents),
+        |g AS (SELECT doc_id,
+        |  lower(regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 2)), '^www\.', '') AS host,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 3) AS port,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 4) AS path0,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 5) AS query
+        | FROM r),
+        |k AS (SELECT doc_id, scheme, host, port,
+        |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(p,
+        |      '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&') AS kq
+        | FROM g),
+        |canon AS (SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |        AND NOT (scheme = 'https' AND port = '443')
+        |       THEN ':' || port ELSE '' END ||
+        |  path ||
+        |  CASE WHEN kq <> '' THEN '?' || kq ELSE '' END AS canonical
+        | FROM k)
+        |SELECT canonical, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    // q107: the cap as ROW_NUMBER over (quality DESC, doc_id) per
+    // host — quality is q34's exact expression, bit-equal cross-engine
+    // (q34/q100 precedent), so the rank sets are identical; no-URL
+    // docs (doc_id%5=0) bypass the cap with a NULL host.
+    "q107_domain_cap" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 5 <> 0
+        |       THEN text || ' via https://site' || (doc_id % 7) || '.example/p'
+        |       ELSE text END AS ptext
+        | FROM documents),
+        |h AS (SELECT doc_id, text,
+        |  CASE WHEN regexp_extract(ptext, 'https?://([^\s/:?#]+)', 1) <> ''
+        |       THEN lower(regexp_extract(ptext, 'https?://([^\s/:?#]+)', 1)) END AS host
+        | FROM p),
+        |q AS (SELECT doc_id, host,
+        |  CASE WHEN text IS NULL THEN 0.0 ELSE greatest(0.0,
+        |   least(length(trim(text)) / 200.0, 1.0)
+        |   * (1.0 - least((CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE 0.0 END) * 4.0, 1.0) * 0.5)
+        |   * (1.0 - least((CASE WHEN length(text) > 0
+        |        THEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+        |        ELSE 0.0 END) * 4.0, 1.0) * 0.5)) END AS quality
+        | FROM h),
+        |r AS (SELECT doc_id, host,
+        |  ROW_NUMBER() OVER (PARTITION BY host ORDER BY quality DESC, doc_id) AS rk
+        | FROM q WHERE host IS NOT NULL)
+        |SELECT doc_id, host FROM r WHERE rk <= 10
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) AS host FROM h WHERE host IS NULL
+        |ORDER BY doc_id""".stripMargin,
+
+    // q108: quotas from the exact integer counts through the same
+    // IEEE-exact sqrt/multiply/ceil; selection replayed by md5 rank
+    // (the q85 idiom).
+    "q108_temperature_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 <= 5 THEN 'web'
+        |       WHEN doc_id % 10 <= 8 THEN 'books' ELSE 'code' END AS stratum
+        | FROM documents),
+        |c AS (SELECT stratum, COUNT(*) AS n FROM d GROUP BY stratum),
+        |m AS (SELECT MIN(n) AS n_min FROM c),
+        |q AS (SELECT stratum, n,
+        |  CAST(ceil(CAST(n AS DOUBLE)
+        |    * sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS quota
+        | FROM c, m),
+        |r AS (SELECT d.doc_id, d.stratum, q.quota,
+        |  ROW_NUMBER() OVER (PARTITION BY d.stratum
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        | FROM d JOIN q USING (stratum))
+        |SELECT stratum, doc_id FROM r WHERE rk <= quota
+        |ORDER BY stratum, doc_id""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

@@ -314,4 +314,52 @@ package object functions {
       .when(fr > 0, "fr")
       .otherwise("unknown")
   }
+
+  // ---------------------------------------------------------------------
+  // URL canonicalization (north-star: URL-keyed web-corpus dedup)
+  // ---------------------------------------------------------------------
+
+  /** Tracking query parameters dropped by [[canonical_url]]: the
+    * analytics noise that makes one page look like many URLs. */
+  private val TrackingParamRe = "^(utm_[a-z]+|fbclid|gclid|msclkid|ref)="
+
+  /** Canonical form of an http(s) URL — the dedup key under which
+    * `HTTP://WWW.Site.Example:443/p/?utm_source=x&id=7#frag` and
+    * `https://site.example/p/?id=7` are the same page:
+    *
+    *  - scheme and host lower-cased, leading `www.` dropped
+    *  - default ports stripped (`:80` for http, `:443` for https;
+    *    other ports kept)
+    *  - fragment dropped
+    *  - tracking params removed ([[TrackingParamRe]]), the rest
+    *    sorted key-wise (param order is transport noise)
+    *  - trailing `/` trimmed from a non-root path; empty path → `/`
+    *
+    * Null/non-matching input → null. Pure builtin composition
+    * (regexp capture + HOF filter/sort — all codegen'd, no UDF), so
+    * it runs scan-side at any corpus size and survives column
+    * pruning/pushdown like any other projection. */
+  def canonical_url(u: Column): Column = {
+    val re = "^(?i)(https?)://([^/:?#\\s]+)(?::([0-9]+))?([^?#\\s]*)(?:\\?([^#\\s]*))?.*$"
+    val scheme = lower(regexp_extract(u, re, 1))
+    val host0 = lower(regexp_extract(u, re, 2))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val port = regexp_extract(u, re, 3)
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val path0 = regexp_extract(u, re, 4)
+    val trimmed = regexp_replace(path0, "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val query = regexp_extract(u, re, 5)
+    val kept = array_join(
+      array_sort(filter(split(query, "&"),
+        p => p =!= "" && !p.rlike(TrackingParamRe))), "&")
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(
+        scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(kept =!= "", concat(lit("?"), kept)).otherwise(lit(""))))
+  }
 }

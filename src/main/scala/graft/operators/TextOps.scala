@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{shingle_hashes, shingles, tokens}
+import graft.functions.{mean_token_len, shingle_hashes, shingles, token_count, tokens}
 
 /** Corpus-level text statistics (north-star text-analysis family,
   * SURVEY.md §7.4).
@@ -417,4 +417,112 @@ object TextOps {
       .groupBy(col("host"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_mentions"))
+
+  /** The Gopher-family document quality gate (Rae et al. 2021 §A1.1,
+    * adapted to this corpus's whitespace tokens): per-document rule
+    * booleans plus the conjunction, so callers can gate on
+    * `passes_gopher` or audit which rule rejects. Rules:
+    *
+    *  - `r_word_count`:   word count in [minWords, maxWords]
+    *  - `r_mean_len`:     mean word length in [minMeanLen, maxMeanLen]
+    *  - `r_alpha_words`:  ≥ minAlphaWordRatio of words contain a letter
+    *  - `r_symbol`:       (# chars + `...` runs) / words ≤ maxSymbolWordRatio
+    *  - `r_stopwords`:    ≥ minStopwords DISTINCT stopwords from the
+    *                      paper's 8-word list appear
+    *
+    * Entirely row-local (one pass over each document, all codegen'd
+    * builtins — no shuffle, no UDF): the gate runs as a scan-side
+    * filter at any corpus size and Catalyst pushes consumers' column
+    * pruning straight through it. All ratio arithmetic is plain
+    * double over exact integer counts — cross-engine reproducible. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Long = 50L, maxWords: Long = 100000L,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolWordRatio: Double = 0.1,
+                  minAlphaWordRatio: Double = 0.8,
+                  minStopwords: Int = 2): DataFrame = {
+    val t = tokens(col(textCol))
+    val nWords = token_count(col(textCol))
+    val meanLen = mean_token_len(col(textCol))
+    val alphaRatio = when(nWords > 0,
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double")
+        / nWords.cast("double")).otherwise(lit(0.0))
+    val nSymbols = (regexp_count(col(textCol), lit("#"))
+      + regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = when(nWords > 0,
+      nSymbols.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nStops = size(array_distinct(transform(
+      filter(t, x => lower(x).isin(GopherStops.map(lit(_)): _*)),
+      x => lower(x)))).cast("long")
+    df.select(col(idCol),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        alphaRatio.as("alpha_word_ratio"), symbolRatio.as("symbol_word_ratio"),
+        nStops.as("n_stopwords"))
+      .withColumn("r_word_count",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_mean_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_alpha_words", col("alpha_word_ratio") >= minAlphaWordRatio)
+      .withColumn("r_symbol", col("symbol_word_ratio") <= maxSymbolWordRatio)
+      .withColumn("r_stopwords", col("n_stopwords") >= minStopwords)
+      .withColumn("passes_gopher",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha_words") &&
+          col("r_symbol") && col("r_stopwords"))
+  }
+
+  /** Gopher's "must contain ≥2 of" stopword list (the paper's own 8
+    * words — a deliberate subset of the quality kernel's broader
+    * [[graft.functions.stopword_ratio]] list). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Corpus-frequent segment removal — the RefinedWeb/CCNet line-dedup
+    * family generalized to fixed-width token segments (this corpus has
+    * no line structure): every document is cut into consecutive
+    * `segTokens`-token segments, a segment appearing in ≥ `minDocs`
+    * DISTINCT documents (site chrome, license boilerplate, navigation
+    * text) is deleted from every document that carries it, and the
+    * survivors are reassembled in order. Returns
+    * (doc_id, n_segments, n_dropped, cleaned_text); `cleaned_text` is
+    * null when every segment was boilerplate. Documents whose text is
+    * empty produce no output row (no segments to keep or drop).
+    *
+    * Shuffle plan: the document-frequency aggregate groups on the
+    * segment's 64-bit xxhash, not the segment string — the count-1
+    * unique tail that dominates a natural corpus shuffles 8-byte keys
+    * (the [[frequentShingleHashes]] argument; collisions ≈ m²/2⁶⁵).
+    * The per-doc side then left-joins the hot-hash set — the REPEATING
+    * head of the distribution, orders of magnitude smaller than the
+    * tail, so AQE broadcasts it at any realistic `minDocs` (no forced
+    * hint — the r5 TF-IDF lesson). Reassembly is one hash aggregate
+    * over (doc, segment) rows: collect_list of (idx, seg) structs,
+    * array_sort, join — no window, no global sort. */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+                    segTokens: Int = 10, minDocs: Long = 2L): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val t = tokens(col(textCol))
+    val nSeg = ceil(size(t).cast("double") / segTokens).cast("int")
+    val segs = df.select(col(idCol).as("doc_id"),
+        posexplode(
+          transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
+            i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      .filter(length(col("seg")) > 0)
+      .withColumn("__h", xxhash64(col("seg")))
+    val hot = segs.select(col("doc_id"), col("__h")).distinct()
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("__h"), lit(1).as("__hot"))
+    segs.join(hot, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s.getField("seg")), " "))
+          .as("cleaned_text"))
+  }
 }

@@ -305,4 +305,84 @@ object Corpus {
     graft.operators.Relational.globalRowNumber(
       df, Seq(seededHash(col(idCol), seed * 1000003L + epoch), col(idCol)),
       out)
+
+  /** Temperature-rebalanced mixture sampling — the multilingual /
+    * multi-source rule q_s ∝ p_s^α (XLM-R-family) expressed as exact
+    * deterministic per-stratum quotas: the rarest stratum is kept
+    * whole and every other stratum s is downsampled to
+    * `ceil(n_s · (n_min/n_s)^(1-α))` rows. α = 1 keeps everything
+    * (proportional); α → 0 forces the uniform mix. Selection within a
+    * stratum is [[quotaSample]]'s seeded-md5 rank, so the chosen set
+    * is reproducible across runs, engines, and cluster sizes.
+    *
+    * Cross-engine exactness: the quota formula deliberately avoids
+    * any cross-strata float reduction (no Σ n^α normalizer whose
+    * addition order varies) — it is one IEEE-exact division, one
+    * power, one multiply, one ceil per stratum, each correctly
+    * rounded, so an independent engine replaying the same expression
+    * lands on the identical integers. α = 0.5 (the common choice)
+    * routes through `sqrt`, which IEEE 754 requires exactly rounded;
+    * other α use `pow`, where a last-ulp divergence across libm
+    * implementations is possible in principle (never observed on the
+    * tested strata; the quota would shift by at most one row).
+    *
+    * Scale shape: same as [[quotaSample]] — one counting aggregate,
+    * a broadcast of |strata| quota rows, the hash-fraction prefilter
+    * (≤ (2·quota+16)/n) so only ~2·quota survivors per stratum reach
+    * the rank window, never the raw stratum. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+                        alpha: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val hash = seededHash(col(idCol), seed)
+    val frac = seededFraction(col(idCol), seed)
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__n_min"))
+    val ratio = col("__n_min").cast("double") / col("__n").cast("double")
+    val factor =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val quotas = counts.crossJoin(broadcast(nMin))
+      .select(col(strataCol), col("__n"),
+        ceil(col("__n").cast("double") * factor).cast("long").as("__quota"))
+    val survivors = df
+      .join(broadcast(quotas), Seq(strataCol))
+      .filter(col("__quota") >= col("__n") ||
+        frac <= least(lit(1.0),
+          (lit(2.0) * col("__quota").cast("double") + lit(16.0))
+            / col("__n").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(hash, col(idCol))
+    survivors
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__n", "__quota", "__rk")
+  }
+
+  /** Per-domain document cap — web-corpus over-representation control:
+    * keep at most `maxPerDomain` documents per URL host (highest
+    * preference first, smallest id on ties), and pass documents with
+    * NO url through uncapped (provenance-less docs are someone else's
+    * policy problem, not this operator's). The host is the FIRST URL
+    * host mentioned in `textCol` (row-local codegen'd regexp,
+    * case-folded), attached as a `host` column on the output.
+    *
+    * Shape: one hash shuffle on host + a running row_number within
+    * each host ([[graft.operators.Relational.groupedTopK]] — no global
+    * sort, no driver state); the no-URL branch is a shuffle-free scan
+    * unioned back. Host skew (half the web is on a handful of CDNs)
+    * is bounded by the cap itself at emit, but the window input still
+    * funnels a mega-host through one partition — at 100 TB pair this
+    * with a pre-aggregation or salt the host when one host exceeds a
+    * partition (the [[graft.operators.Relational.saltedJoin]] move). */
+  def domainCap(df: DataFrame, idCol: String, textCol: String,
+                maxPerDomain: Int,
+                preferBy: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val host = lower(regexp_extract(col(textCol),
+      graft.operators.TextOps.UrlHostRe, 1))
+    val withHost = df.withColumn("host", when(host =!= "", host))
+    val capped = graft.operators.Relational.groupedTopK(
+      withHost.filter(col("host").isNotNull),
+      Seq(col("host")), preferBy :+ col(idCol).asc, maxPerDomain)
+    capped.unionByName(withHost.filter(col("host").isNull))
+  }
 }

@@ -137,4 +137,28 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getString(0) == "efficient 2 HI", r.getString(0))
     assert(r.getString(1) == ligature, "NFC must NOT fold compatibility forms")
   }
+
+  test("canonical_url: case, www, default ports, fragments, tracking params, param order") {
+    def canon(u: String): Option[String] =
+      Option(Seq(u).toDF("u").select(canonical_url(col("u"))).head.getString(0))
+    // the flagship collapse: transport noise stripped, same page → same key
+    assert(canon("HTTP://WWW.Site.Example:80/p/?utm_source=x&id=7#frag")
+      == Some("http://site.example/p?id=7"))
+    assert(canon("http://site.example/p?id=7") == Some("http://site.example/p?id=7"))
+    // params sorted so order is canonical
+    assert(canon("https://a.example/x?b=2&a=1") == canon("https://a.example/x?a=1&b=2"))
+    // https default port stripped, non-default kept
+    assert(canon("https://a.example:443/x") == Some("https://a.example/x"))
+    assert(canon("https://a.example:8443/x") == Some("https://a.example:8443/x"))
+    // empty path → '/', root slash preserved, non-root trailing slash trimmed
+    assert(canon("https://a.example") == Some("https://a.example/"))
+    assert(canon("https://a.example/") == Some("https://a.example/"))
+    assert(canon("https://a.example/x/") == Some("https://a.example/x"))
+    // all-tracking query drops the '?' entirely
+    assert(canon("https://a.example/x?utm_campaign=c&fbclid=z") == Some("https://a.example/x"))
+    // non-URL and null → null
+    assert(canon("not a url") == None)
+    assert(Seq(Tuple1(null: String)).toDF("u")
+      .select(canonical_url(col("u"))).head.isNullAt(0))
+  }
 }

@@ -217,4 +217,68 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(hints == 1,
       s"expected exactly the V-scalar broadcast hint, got $hints:\n$analyzed")
   }
+
+  test("gopherRules: each rule fires on the document built to violate it") {
+    val docs = Seq(
+      // 1: healthy — 6 words incl 2 gopher stopwords, all alphabetic
+      (1L, "the quick brown fox and hound"),
+      // 2: too few words for minWords=5
+      (2L, "the end"),
+      // 3: mean word length out of range (all 1-char words)
+      (3L, "a b c d e f"),
+      // 4: words mostly non-alphabetic
+      (4L, "the 123 456 789 000 111"),
+      // 5: symbol-heavy (# and ...)
+      (5L, "the count # tags ... and # more ... here"),
+      // 6: no gopher stopwords at all
+      (6L, "quick brown foxes jump over hounds"))
+      .toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text",
+        minWords = 5L, maxWords = 100L, minMeanLen = 2.0, maxMeanLen = 8.0,
+        maxSymbolWordRatio = 0.1, minAlphaWordRatio = 0.8, minStopwords = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, name: String) =
+      got(id).getBoolean(got(id).fieldIndex(name))
+    assert(b(1L, "passes_gopher"))
+    assert(!b(2L, "r_word_count") && b(2L, "r_mean_len"))
+    assert(!b(3L, "r_mean_len"))
+    assert(!b(4L, "r_alpha_words"),
+      s"alpha ratio ${got(4L).getDouble(got(4L).fieldIndex("alpha_word_ratio"))}")
+    assert(!b(5L, "r_symbol"))
+    assert(b(6L, "r_alpha_words") && !b(6L, "r_stopwords"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(!b(_, "passes_gopher")))
+    // distinct stopwords counted case-folded: "The the THE" is one stopword
+    val one = TextOps.gopherRules(
+        Seq((9L, "The the THE word")).toDF("doc_id", "text"), "doc_id", "text")
+      .head
+    assert(one.getLong(one.fieldIndex("n_stopwords")) == 1L)
+  }
+
+  test("dedupSegments: corpus-frequent segments vanish, order preserved, all-hot doc nulls") {
+    // segTokens=2: "x y" appears in all three docs, everything else unique
+    val docs = Seq(
+      (1L, "x y a1 b1 c1"),     // segs: "x y", "a1 b1", "c1"
+      (2L, "x y a2 b2"),        // segs: "x y", "a2 b2"
+      (3L, "x y")).toDF("doc_id", "text") // seg: "x y" → all dropped
+    val got = TextOps.dedupSegments(docs, "doc_id", "text",
+        segTokens = 2, minDocs = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((3L, 1L, Some("a1 b1 c1"))))
+    assert(got(2L) == ((2L, 1L, Some("a2 b2"))))
+    assert(got(3L) == ((1L, 1L, None)), "all-boilerplate doc must yield null text")
+    // empty doc contributes no segments and no output row
+    val empty = TextOps.dedupSegments(
+      Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text"), "doc_id", "text",
+      segTokens = 2, minDocs = 2L)
+    assert(empty.count() == 1L)
+  }
+
+  test("dedupSegments: DF aggregate groups on 8-byte hashes, hot set never forced broadcast") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
+    val plan = TextOps.dedupSegments(docs, "doc_id", "text", segTokens = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("xxhash64"), "DF key must be the 64-bit segment hash")
+    assert(!plan.contains("ResolvedHint"), "hot-set join must stay AQE-chosen")
+  }
 }

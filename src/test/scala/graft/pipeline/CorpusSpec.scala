@@ -220,4 +220,48 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .select("epoch_pos").as[Long].collect().sorted
     assert(pos.toSeq == (1L to 200L).toSeq, "positions must be contiguous 1..N")
   }
+
+  test("temperatureSample: rarest stratum whole, others at ceil(n·sqrt(nmin/n)), deterministic") {
+    // 160 'big', 40 'mid', 10 'rare'
+    val d = spark.range(210).select(col("id").as("doc_id"),
+      when(col("id") < 160, "big").when(col("id") < 200, "mid")
+        .otherwise("rare").as("stratum"))
+    val got = Corpus.temperatureSample(d, "stratum", "doc_id", alpha = 0.5, seed = 1L)
+    val counts = got.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 10L, "rarest stratum must be kept whole")
+    assert(counts("big") == math.ceil(160.0 * math.sqrt(10.0 / 160.0)).toLong)
+    assert(counts("mid") == math.ceil(40.0 * math.sqrt(10.0 / 40.0)).toLong)
+    // alpha=1 is proportional: keeps everything
+    val all = Corpus.temperatureSample(d, "stratum", "doc_id", alpha = 1.0, seed = 1L)
+    assert(all.count() == 210L)
+    // same seed → same selected set; different seed → different set
+    val a = got.select("doc_id").as[Long].collect().sorted.toSeq
+    val b = Corpus.temperatureSample(d, "stratum", "doc_id", 0.5, 1L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val c = Corpus.temperatureSample(d, "stratum", "doc_id", 0.5, 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b, "selection must be a pure function of (id, seed)")
+    assert(a != c, "a different seed must pick a different set")
+  }
+
+  test("domainCap: per-host cap by preference, no-URL docs pass uncapped") {
+    val d = (0L until 30L).map { i =>
+      val text =
+        if (i % 3 == 2) s"doc $i no links here"
+        else s"doc $i see https://Host${i % 2}.example/p"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val got = Corpus.domainCap(d, "doc_id", "text", maxPerDomain = 4,
+      preferBy = Seq(col("doc_id").desc))
+    val byHost = got.collect()
+      .groupBy(r => Option(r.getString(r.fieldIndex("host"))))
+    assert(byHost(Some("host0.example")).length == 4)
+    assert(byHost(Some("host1.example")).length == 4)
+    assert(byHost(None).length == 10, "no-URL docs must all survive")
+    // preference honored: host0 keeps the 4 LARGEST ids
+    val kept0 = byHost(Some("host0.example")).map(_.getLong(0)).sorted.toSeq
+    val host0All = (0L until 30L).filter(i => i % 3 != 2 && i % 2 == 0)
+    assert(kept0 == host0All.sorted.takeRight(4).toSeq)
+  }
 }

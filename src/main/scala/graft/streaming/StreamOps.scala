@@ -284,6 +284,40 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Watermarked stream-stream interval join — the streaming twin of
+    * [[graft.operators.Relational.intervalJoin]] (click→purchase
+    * attribution between two live streams): every (left, right) pair
+    * sharing `keyCol` with `rightTs ∈ [leftTs, leftTs + window)`.
+    *
+    * Both inputs carry watermarks and the join predicate bounds the
+    * event-time distance between the sides, which is exactly what
+    * Spark's stream-stream join needs to evict buffered rows: a left
+    * row can stop waiting once the right watermark passes
+    * leftTs + window, so join state is bounded by
+    * rate × (watermark delay + window) instead of growing with the
+    * stream. Inner join in Append mode; results for a pair emit in
+    * the micro-batch where the second side arrives. The same call
+    * works on batch frames (watermarks are no-ops there) — parity
+    * with the bucketed batch operator is spec-pinned.
+    *
+    * Column contract matches the batch twin: callers pre-rename so
+    * only `keyCol` collides; `leftTs`/`rightTs` must differ. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         window: String = "10 minutes",
+                         watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(leftTs != rightTs,
+      s"leftTs and rightTs must be distinct column names, both were '$leftTs'")
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) < col(leftTs) + expr(s"INTERVAL $window"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
   /** Streaming twin of [[graft.operators.Dedup.keepBest]]: per
     * normalized-text fingerprint, buffer candidates for `horizonMs`
     * after the group's latest arrival and emit ONE winner — highest

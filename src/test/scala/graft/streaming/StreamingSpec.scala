@@ -9,6 +9,8 @@ import graft.SparkTestBase
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class UEv(ts: java.sql.Timestamp, user_id: Long)
 case class DocEv(ts: java.sql.Timestamp, doc_id: Long, text: String, score: Double)
+case class Click(user_id: Long, click_ts: java.sql.Timestamp, click_id: Long)
+case class Purchase(user_id: Long, purchase_ts: java.sql.Timestamp, purchase_id: Long)
 
 class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
@@ -417,5 +419,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val cents = StreamOps.runningStats(df).collect()
       .map(s => s.event_type -> s.total_value).toMap
     assert(cents("a") == 0.3 && cents("b") == 0.0) // the documented money discipline
+  }
+
+  test("intervalJoinStream: two live streams join within the window, cross-batch pairs included") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[Click]
+    val purchases = MemoryStream[Purchase]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF(), purchases.toDF(), "user_id",
+      "click_ts", "purchase_ts", window = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      // batch 1: one click, one matching purchase (same batch),
+      // one purchase outside the window, one for another user
+      clicks.addData(
+        Click(1L, t("2024-01-01 00:00:00"), 100L),
+        Click(2L, t("2024-01-01 00:00:00"), 200L))
+      purchases.addData(
+        Purchase(1L, t("2024-01-01 00:05:00"), 900L), // in window
+        Purchase(1L, t("2024-01-01 00:30:00"), 901L), // too late
+        Purchase(3L, t("2024-01-01 00:05:00"), 902L)) // no such click
+      q.processAllAvailable()
+      // batch 2: the matching purchase for user 2 arrives LATER — the
+      // buffered click must still pair with it
+      purchases.addData(Purchase(2L, t("2024-01-01 00:09:00"), 903L))
+      q.processAllAvailable()
+      val got = spark.table("ssj")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((100L, 900L), (200L, 903L)))
+    } finally q.stop()
+    // batch parity: the same call on batch frames equals the bucketed
+    // batch operator (modulo its internal column pruning)
+    val bc = Seq(Click(1L, t("2024-01-01 00:00:00"), 100L),
+      Click(2L, t("2024-01-01 00:00:00"), 200L)).toDF()
+    val bp = Seq(Purchase(1L, t("2024-01-01 00:05:00"), 900L),
+      Purchase(1L, t("2024-01-01 00:30:00"), 901L),
+      Purchase(2L, t("2024-01-01 00:09:00"), 903L)).toDF()
+    val viaStreamOp = StreamOps.intervalJoinStream(bc, bp, "user_id",
+        "click_ts", "purchase_ts", "10 minutes")
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBatchOp = graft.operators.Relational.intervalJoin(bc, bp, "user_id",
+        "click_ts", "purchase_ts", windowMicros = 600000000L)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStreamOp == viaBatchOp && viaStreamOp == Set((100L, 900L), (200L, 903L)))
   }
 }

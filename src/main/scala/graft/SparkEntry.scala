@@ -1605,6 +1605,18 @@ object SparkEntry {
           alpha = 0.5, seed = 42L)
         .select(col("stratum"), col("doc_id"))
         .orderBy(col("stratum"), col("doc_id"))
+    }),
+
+    // hashed linear model scoring: a planted fixed-point model
+    // (weight(f) = (f%7-3)/4 over 4096 features) scores every doc;
+    // dyadic weights make the double logit exact, so DuckDB retrains
+    // nothing and recomputes everything — hash, lookup, sum, sign.
+    "q109_hashed_linear_score" -> ((s, dir) => {
+      val w = s.range(4096).select(col("id").as("feature_id"),
+        (((col("id") % 7) - 3).cast("double") * 0.25).as("weight"))
+      TextOps.linearScore(Tables.documents(s, dir), "doc_id", "text", w, 4096)
+        .withColumn("is_positive", col("logit") > 0.0)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2910,7 +2922,24 @@ object SparkEntry {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
         | FROM d JOIN q USING (stratum))
         |SELECT stratum, doc_id FROM r WHERE rk <= quota
-        |ORDER BY stratum, doc_id""".stripMargin
+        |ORDER BY stratum, doc_id""".stripMargin,
+
+    // q109: same md5 feature hash (('0x'||hex)::UBIGINT ≡ Spark's
+    // conv(hex,16,10)), same planted dyadic weights, exact double sum.
+    "q109_hashed_linear_score" ->
+      """WITH w AS (SELECT i AS feature_id,
+        |  CAST((i % 7) - 3 AS DOUBLE) * 0.25 AS weight FROM range(4096) t(i)),
+        |tok AS (SELECT doc_id,
+        |  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        | FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 4096 AS BIGINT) AS feature_id
+        | FROM tok),
+        |j AS (SELECT doc_id, COALESCE(w.weight, 0.0) AS wt
+        |      FROM f LEFT JOIN w USING (feature_id))
+        |SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS logit,
+        | SUM(wt) > 0 AS is_positive
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy

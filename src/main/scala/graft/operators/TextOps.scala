@@ -476,6 +476,42 @@ object TextOps {
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Hashed linear model scoring — the fastText-family classifier
+    * shape used for corpus quality/topic gating (score every document
+    * with a trained linear model over hashed bag-of-words features).
+    * Feature id of a token is an engine-neutral md5 hash mod `dim`
+    * (the seeded-md5 discipline of [[graft.pipeline.Corpus]]); the
+    * model is a (featureCol, weightCol) DataFrame — model-sized, so
+    * AQE broadcasts it (no forced hint); the logit is the sum of
+    * matched weights over token OCCURRENCES (bag-of-words with
+    * counts). Features absent from the model score 0 (the
+    * hashing-trick OOV contract). Returns (doc_id, n_tokens, logit).
+    *
+    * Shape at scale: one explode + one broadcast-able join + one hash
+    * aggregate with map-side partials — the [[termFrequencies]] plan
+    * with a model lookup fused in; no UDF, no driver-side model
+    * state. Numeric note: double summation order is engine- and
+    * partition-dependent in general; with fixed-point (dyadic
+    * rational) weights — the quantized form real scoring models ship
+    * in — every partial sum is exact and the logit is reproducible
+    * bit-for-bit anywhere (what the q109 oracle pins). */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+                  weights: DataFrame, dim: Int,
+                  featureCol: String = "feature_id",
+                  weightCol: String = "weight"): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("token"))
+    val fid = conv(substring(md5(col("token")), 1, 8), 16, 10)
+      .cast("long") % dim
+    toks.withColumn("feature_id", fid).drop("token")
+      .join(weights.select(col(featureCol).as("feature_id"),
+        col(weightCol).as("__w")), Seq("feature_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__w"), lit(0.0))).as("logit"))
+  }
+
   /** Corpus-frequent segment removal — the RefinedWeb/CCNet line-dedup
     * family generalized to fixed-width token segments (this corpus has
     * no line structure): every document is cut into consecutive
@@ -500,16 +536,27 @@ object TextOps {
   def dedupSegments(df: DataFrame, idCol: String, textCol: String,
                     segTokens: Int = 10, minDocs: Long = 2L): DataFrame = {
     require(segTokens > 0, s"segTokens must be positive, got $segTokens")
-    val t = tokens(col(textCol))
-    val nSeg = ceil(size(t).cast("double") / segTokens).cast("int")
-    val segs = df.select(col(idCol).as("doc_id"),
-        posexplode(
-          transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
-            i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " ")))
-          .as(Seq("seg_idx", "seg")))
+    // tokens materialized as a column FIRST: an expression nested
+    // inside a transform() lambda re-evaluates per outer element
+    // (per segment), so slicing must reference an attribute — the
+    // tokenize-inside-lambda trap measured at 22× once (minhash).
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    val nSeg = ceil(size(col("__t")).cast("double") / segTokens).cast("int")
+    val withSegs = base.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
+        i => array_join(slice(col("__t"), i * segTokens + 1, lit(segTokens)), " "))
+        .as("__segs"))
+    val segs = withSegs.select(col("doc_id"),
+        posexplode(col("__segs")).as(Seq("seg_idx", "seg")))
       .filter(length(col("seg")) > 0)
       .withColumn("__h", xxhash64(col("seg")))
-    val hot = segs.select(col("doc_id"), col("__h")).distinct()
+    // document frequency: per-doc segment dedup is ROW-LOCAL
+    // (array_distinct before the explode — the shingles() move), so
+    // the aggregate shuffles each doc's distinct 8-byte hashes once,
+    // with map-side partials; no (doc, seg) distinct exchange.
+    val hot = withSegs.select(
+        explode(array_distinct(filter(col("__segs"), s => length(s) > 0))).as("seg"))
+      .select(xxhash64(col("seg")).as("__h"))
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__n_docs"))
       .filter(col("__n_docs") >= minDocs)

@@ -274,6 +274,27 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() == 1L)
   }
 
+  test("linearScore: per-occurrence hashed lookup; full model == count/2; OOV scores 0") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
+    // every one of the 64 buckets carries weight 0.5 → logit = n_tokens/2
+    val full = spark.range(64).select(col("id").as("feature_id"),
+      lit(0.5).as("weight"))
+    val got = TextOps.linearScore(docs, "doc_id", "text", full, 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((3L, 1.5)), "duplicate occurrences must each score")
+    assert(got(2L) == ((1L, 0.5)))
+    // a model with no features: every token is OOV, logit exactly 0
+    val empty = spark.range(0).select(col("id").as("feature_id"),
+      lit(0.0).as("weight"))
+    val z = TextOps.linearScore(docs, "doc_id", "text", empty, 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(z(1L) == 0.0 && z(2L) == 0.0)
+    // model join must stay AQE-chosen, never hint-forced (r5 lesson)
+    val plan = TextOps.linearScore(docs, "doc_id", "text", full, 64)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("ResolvedHint"))
+  }
+
   test("dedupSegments: DF aggregate groups on 8-byte hashes, hot set never forced broadcast") {
     val docs = Seq((1L, "a b c d"), (2L, "a b e f")).toDF("doc_id", "text")
     val plan = TextOps.dedupSegments(docs, "doc_id", "text", segTokens = 2)

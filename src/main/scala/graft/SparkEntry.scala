@@ -1607,6 +1607,22 @@ object SparkEntry {
         .orderBy(col("stratum"), col("doc_id"))
     }),
 
+    // IVF-PQ ANN (q53's recall-bound oracle pattern): candidates from
+    // coarse lists, ranked by 8-byte product-quantized ADC scores,
+    // exact re-rank of the refine·k shortlist. Floor 0.6 from
+    // RecallProbe (measured min 0.8 at sf0.001/sf0.01 for this
+    // m=8/ksub=32/nprobe=8/refine=16 configuration).
+    "q110_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+        m = 8, ksub = 32, refine = 16)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      annRecallExport(ann, exact, minRecall = 0.6)
+    }),
+
     // hashed linear model scoring: a planted fixed-point model
     // (weight(f) = (f%7-3)/4 over 4096 features) scores every doc;
     // dyadic weights make the double logit exact, so DuckDB retrains
@@ -2923,6 +2939,24 @@ object SparkEntry {
         | FROM d JOIN q USING (stratum))
         |SELECT stratum, doc_id FROM r WHERE rk <= quota
         |ORDER BY stratum, doc_id""".stripMargin,
+
+    // q110: identical exact-side recomputation to q53 — the oracle
+    // certifies the brute-force ground truth and the export's
+    // engine-computed recall bound carries the ANN half.
+    "q110_ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))) AS cosine
+        | FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        | FROM scored)
+        |SELECT query_id, COUNT(*) AS n_exact, TRUE AS recall_ok
+        |FROM ranked WHERE rn <= 5 GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     // q109: same md5 feature hash (('0x'||hex)::UBIGINT ≡ Spark's
     // conv(hex,16,10)), same planted dyadic weights, exact double sum.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -168,6 +168,115 @@ object Similarity {
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(max(col("cosine")).as("cosine"))
     Relational.groupedTopK(scored,
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("neighbor_id").asc), k)
+  }
+
+  /** Product-quantization codebooks: one [[kmeansCentroids]] run per
+    * subspace over the row-local subvector slice. The model is
+    * m × ksub × (dim/m) doubles — `dim·ksub` total, driver-bounded
+    * like the IVF coarse model; every training pass is a DataFrame
+    * aggregation. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, dim: Int): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      kmeansCentroids(
+        corpus.select(col(idCol).as("__id"),
+          slice(col(vecCol), mi * sub + 1, sub).as("__sv")),
+        "__id", "__sv", ksub)
+    }.toArray
+  }
+
+  /** IVF-PQ approximate top-k — the 100 TB memory tier below
+    * [[ivfTopK]]: corpus vectors are routed to coarse lists (IVF) AND
+    * compressed to `m` one-byte codes (product quantization, one
+    * codebook of `ksub` centroids per subspace, encoded by minimal
+    * Euclidean distance via the ‖c‖² − 2·q·c expansion). The probe
+    * join then shuffles (id, list, m codes) — a few BYTES per corpus
+    * row instead of the full float vector, which is the entire point
+    * at scale: candidate generation never moves embeddings.
+    *
+    * Scoring is standard ADC: each query builds its m × ksub
+    * dot-product table once (row-local literals — the model rides in
+    * the plan), a candidate's approximate dot is m table lookups
+    * (`zip_with` + `aggregate`, codegen'd), the top `refine·k` by ADC
+    * are re-ranked by exact cosine — fetching TRUE vectors only for
+    * those |queries|·refine·k rows through an equi join back to the
+    * corpus. Recall is measured, not hoped: the q110 oracle pins a
+    * per-query floor vs brute force exactly like q32/q53. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                queryId: String, queryVec: String,
+                corpusId: String, corpusVec: String,
+                k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 4, ksub: Int = 16, refine: Int = 4,
+                coarseOpt: Option[Array[Array[Double]]] = None,
+                booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val dim = corpus.select(size(col(corpusVec))).head.getInt(0)
+    val sub = dim / m
+    val coarse = coarseOpt.getOrElse(
+      kmeansCentroids(corpus, corpusId, corpusVec, nlist))
+    val books = booksOpt.getOrElse(
+      pqCodebooks(corpus, corpusId, corpusVec, m, ksub, dim))
+    def subv(vc: Column, mi: Int) = slice(vc, mi * sub + 1, sub)
+
+    // corpus side: list id + m codes; the full vector is DROPPED here
+    val encoded = withNearestCentroid(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
+        "__cv", coarse, "__list")
+      .withColumn("__codes", array((0 until m).map { mi =>
+        val costs = array(books(mi).toIndexedSeq.map { c =>
+          val c2 = c.map(x => x * x).sum
+          lit(c2) - lit(2.0) * vec_dot(subv(col("__cv"), mi), litVec(c))
+        }: _*)
+        (array_position(costs, array_min(costs)) - 1).cast("int")
+      }: _*))
+      .select(col("neighbor_id"), col("__list"), col("__codes"))
+
+    // query side: nprobe lists + the m×ksub ADC table
+    val qd = array(coarse.toIndexedSeq.map(cc =>
+      cosine_similarity(col("__qv"), litVec(cc))): _*)
+    val probes = slice(
+      transform(
+        array_sort(zip_with(qd, sequence(lit(0), lit(coarse.length - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("idx")))),
+        s => s.getField("idx")),
+      1, nprobe)
+    val qtab = array((0 until m).map { mi =>
+      array(books(mi).toIndexedSeq.map(c =>
+        vec_dot(subv(col("__qv"), mi), litVec(c))): _*)
+    }: _*)
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qtab", qtab)
+      .withColumn("__list", explode(probes))
+      .select(col("query_id"), col("__qtab"), col("__list"))
+
+    // ADC score = m table lookups per candidate; neither side's
+    // vectors ride the probe shuffle (the query side carries only its
+    // ADC table, the corpus side only its codes)
+    val adc = aggregate(
+      zip_with(col("__qtab"), col("__codes"),
+        (tab, cd) => element_at(tab, cd + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val cand = encoded.join(q, Seq("__list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(adc).as("__adc"))
+    val shortlist = Relational.groupedTopK(cand,
+      Seq(col("query_id")),
+      Seq(col("__adc").desc, col("neighbor_id").asc), refine * k)
+
+    // exact re-rank: fetch TRUE vectors only for the shortlist rows
+    // (equi joins; the query side is small → AQE broadcasts it)
+    val rescored = shortlist
+      .join(corpus.select(col(corpusId).as("neighbor_id"),
+        col(corpusVec).as("__cv")), Seq("neighbor_id"))
+      .join(queries.select(col(queryId).as("query_id"),
+        col(queryVec).as("__qv")), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
+    Relational.groupedTopK(rescored,
       Seq(col("query_id")),
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }

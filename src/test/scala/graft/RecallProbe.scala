@@ -26,7 +26,16 @@ object RecallProbe {
         "ivf_p6" -> Similarity.ivfTopK(q, emb, "vec_id", "embedding",
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6),
         "ivf_p8" -> Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8))) {
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8),
+        "ivfpq_m8k32_p6_r8" -> Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+          m = 8, ksub = 32, refine = 8),
+        "ivfpq_m16k16_p6_r8" -> Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+          m = 16, ksub = 16, refine = 8),
+        "ivfpq_m8k32_p8_r16" -> Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+          m = 8, ksub = 32, refine = 16))) {
         val hits = ann.select(col("query_id"), col("neighbor_id"))
           .join(exact.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")

@@ -490,6 +490,37 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(ivf.forall { case (a, b) => a != b })
   }
 
+  test("ivfPqTopK: ADC shortlist + exact re-rank beats random probing; codes stay in range") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    // 4/8 lists at random ≈ 0.5 before quantization loss; the trained
+    // quantizer + ADC shortlist must clear it
+    assert(recall >= 0.6, s"recall=$recall")
+    assert(pq.forall { case (a, b) => a != b }, "self-matches must be excluded")
+    // every query returns exactly k rows (shortlist never starves at this SF)
+    val perQuery = pq.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perQuery.values.forall(_ == 5), s"per-query counts: $perQuery")
+  }
+
+  test("pqCodebooks: one codebook per subspace, each ksub x dim/m") {
+    val emb = Tables.embeddings(spark, sf)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, ksub = 8, dim = 64)
+    assert(books.length == 4)
+    assert(books.forall(_.length == 8))
+    assert(books.forall(_.forall(_.length == 16)))
+    // subspaces differ: codebook 0 and 1 trained on different slices
+    assert(books(0).head.toSeq != books(1).head.toSeq)
+  }
+
   test("VectorMean typed Aggregator agrees with the posexplode centroids") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

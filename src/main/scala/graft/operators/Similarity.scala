@@ -172,21 +172,51 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
-  /** Product-quantization codebooks: one [[kmeansCentroids]] run per
-    * subspace over the row-local subvector slice. The model is
-    * m × ksub × (dim/m) doubles — `dim·ksub` total, driver-bounded
-    * like the IVF coarse model; every training pass is a DataFrame
-    * aggregation. */
+  /** Product-quantization codebooks, trained JOINTLY: every Lloyd
+    * iteration is ONE corpus pass that assigns all m subspaces (m
+    * argmin-L2 expressions per row) and updates every codebook cell
+    * through a single posexplode aggregate keyed by (subspace,
+    * cluster, position) — not one k-means run per subspace, which
+    * costs m× the passes for the identical result shape. The model
+    * is m × ksub × (dim/m) = `dim·ksub` doubles, driver-bounded like
+    * the IVF coarse model; init = subvectors of the first ksub
+    * corpus vectors by id (deterministic). Assignment minimizes
+    * Euclidean distance via the ‖c‖² − 2·x·c expansion (‖x‖² is
+    * rank-invariant). */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  m: Int, ksub: Int, dim: Int): Array[Array[Array[Double]]] = {
+                  m: Int, ksub: Int, dim: Int,
+                  iterations: Int = 2): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    (0 until m).map { mi =>
-      kmeansCentroids(
-        corpus.select(col(idCol).as("__id"),
-          slice(col(vecCol), mi * sub + 1, sub).as("__sv")),
-        "__id", "__sv", ksub)
-    }.toArray
+    val head = corpus.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var books: Array[Array[Array[Double]]] =
+      (0 until m).map(mi => head.map(v => v.slice(mi * sub, (mi + 1) * sub))).toArray
+    (0 until iterations).foreach { _ =>
+      val assigns = array((0 until m).map { mi =>
+        val costs = array(books(mi).toIndexedSeq.map { c =>
+          lit(c.map(x => x * x).sum) -
+            lit(2.0) * vec_dot(slice(col("__v"), mi * sub + 1, sub), litVec(c))
+        }: _*)
+        (array_position(costs, array_min(costs)) - 1).cast("int")
+      }: _*)
+      val updated = corpus.select(col(vecCol).as("__v"))
+        .withColumn("__as", assigns)
+        .select(posexplode(col("__v")).as(Seq("__pos", "__x")), col("__as"))
+        .withColumn("__mi", (col("__pos") / sub).cast("int"))
+        .select(col("__mi"), element_at(col("__as"), col("__mi") + 1).as("__c"),
+          col("__pos"), col("__x").cast("double").as("__xd"))
+        .groupBy(col("__mi"), col("__c"), col("__pos"))
+        .agg(avg(col("__xd")).as("__mean"))
+        .collect()
+      val byCell = updated.map(r =>
+        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+      books = Array.tabulate(m)(mi => Array.tabulate(ksub)(c =>
+        Array.tabulate(sub)(p =>
+          byCell.getOrElse((mi, c, mi * sub + p), books(mi)(c)(p)))))
+    }
+    books
   }
 
   /** IVF-PQ approximate top-k — the 100 TB memory tier below

@@ -119,17 +119,27 @@ object Similarity {
     centroids
   }
 
-  private def litVec(v: Array[Double]) = array(v.map(lit(_)).toIndexedSeq: _*)
+  /** A trained model as ONE plan constant. A matrix spelled as nested
+    * `lit()` nodes (ksub·dim literals) makes the expression tree —
+    * and the generated Java — grow with the model, and every fresh
+    * training produces a never-before-seen plan, so Janino recompiles
+    * seconds' worth of code per run (measured: q110 ~6 s with literal
+    * codebooks, ~1.5 s with typedLit). `typedLit` ships the same
+    * doubles as a single ArrayData constant the codegen just
+    * references. */
+  private def litMat(m: Array[Array[Double]]): Column =
+    typedLit(m.map(_.toSeq).toSeq)
 
   /** Append the argmax-cosine centroid index (the IVF list id). Pure
-    * expression: one native cosine kernel call per centroid per row.
+    * expression: the centroid table is a [[litMat]] constant, one
+    * native cosine kernel call per centroid per row via transform.
     * Package-visible: [[Dedup.semanticLosers]] reuses it as the
     * SemDeDup cluster assignment. */
   private[operators] def withNearestCentroid(df: DataFrame, vecCol: String,
                                   centroids: Array[Array[Double]],
                                   out: String): DataFrame = {
-    val dists = array(centroids.toIndexedSeq.map(c =>
-      cosine_similarity(col(vecCol), litVec(c))): _*)
+    val dists = transform(litMat(centroids),
+      cc => cosine_similarity(col(vecCol), cc))
     df.withColumn(out,
       (array_position(dists, array_max(dists)) - 1).cast("int"))
   }
@@ -151,8 +161,8 @@ object Similarity {
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
       "__cv", centroids, "__list")
     // query side: nprobe closest lists via sort of (-dist, index) pairs
-    val qd = array(centroids.toIndexedSeq.map(cc =>
-      cosine_similarity(col("__qv"), litVec(cc))): _*)
+    val qd = transform(litMat(centroids),
+      cc => cosine_similarity(col("__qv"), cc))
     val probes = slice(
       transform(
         array_sort(zip_with(qd, sequence(lit(0), lit(centroids.length - 1)),
@@ -194,15 +204,9 @@ object Similarity {
     var books: Array[Array[Array[Double]]] =
       (0 until m).map(mi => head.map(v => v.slice(mi * sub, (mi + 1) * sub))).toArray
     (0 until iterations).foreach { _ =>
-      val assigns = array((0 until m).map { mi =>
-        val costs = array(books(mi).toIndexedSeq.map { c =>
-          lit(c.map(x => x * x).sum) -
-            lit(2.0) * vec_dot(slice(col("__v"), mi * sub + 1, sub), litVec(c))
-        }: _*)
-        (array_position(costs, array_min(costs)) - 1).cast("int")
-      }: _*)
       val updated = corpus.select(col(vecCol).as("__v"))
-        .withColumn("__as", assigns)
+        .withColumn("__subs", pqSubvectors(col("__v"), m, sub))
+        .withColumn("__as", pqAssignments(col("__subs"), books))
         .select(posexplode(col("__v")).as(Seq("__pos", "__x")), col("__as"))
         .withColumn("__mi", (col("__pos") / sub).cast("int"))
         .select(col("__mi"), element_at(col("__as"), col("__mi") + 1).as("__c"),
@@ -217,6 +221,29 @@ object Similarity {
           byCell.getOrElse((mi, c, mi * sub + p), books(mi)(c)(p)))))
     }
     books
+  }
+
+  /** The vector cut into its m subvectors, as one array<array> column
+    * — materialize this ONCE (withColumn) so downstream per-codeword
+    * lambdas do an O(1) element access instead of re-slicing. */
+  private def pqSubvectors(vec: Column, m: Int, sub: Int): Column =
+    array((0 until m).map(mi => slice(vec, mi * sub + 1, sub)): _*)
+
+  /** The m per-subspace nearest-codeword indices, as one array<int>
+    * column over a materialized [[pqSubvectors]] column. Codebooks
+    * and their squared norms ride as typedLit constants ([[litMat]]
+    * rationale); argmin-L2 via ‖c‖² − 2·x·c. */
+  private def pqAssignments(subs: Column,
+                            books: Array[Array[Array[Double]]]): Column = {
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val normsLit = typedLit(books.map(_.map(c => c.map(x => x * x).sum).toSeq).toSeq)
+    array(books.indices.map { mi =>
+      val sv = element_at(subs, mi + 1)
+      val costs = zip_with(
+        element_at(booksLit, mi + 1), element_at(normsLit, mi + 1),
+        (cb, c2) => c2 - lit(2.0) * vec_dot(sv, cb))
+      (array_position(costs, array_min(costs)) - 1).cast("int")
+    }: _*)
   }
 
   /** IVF-PQ approximate top-k — the 100 TB memory tier below
@@ -249,24 +276,20 @@ object Similarity {
       kmeansCentroids(corpus, corpusId, corpusVec, nlist))
     val books = booksOpt.getOrElse(
       pqCodebooks(corpus, corpusId, corpusVec, m, ksub, dim))
-    def subv(vc: Column, mi: Int) = slice(vc, mi * sub + 1, sub)
 
     // corpus side: list id + m codes; the full vector is DROPPED here
     val encoded = withNearestCentroid(
         corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
         "__cv", coarse, "__list")
-      .withColumn("__codes", array((0 until m).map { mi =>
-        val costs = array(books(mi).toIndexedSeq.map { c =>
-          val c2 = c.map(x => x * x).sum
-          lit(c2) - lit(2.0) * vec_dot(subv(col("__cv"), mi), litVec(c))
-        }: _*)
-        (array_position(costs, array_min(costs)) - 1).cast("int")
-      }: _*))
+      .withColumn("__subs", pqSubvectors(col("__cv"), m, sub))
+      .withColumn("__codes", pqAssignments(col("__subs"), books))
       .select(col("neighbor_id"), col("__list"), col("__codes"))
 
-    // query side: nprobe lists + the m×ksub ADC table
-    val qd = array(coarse.toIndexedSeq.map(cc =>
-      cosine_similarity(col("__qv"), litVec(cc))): _*)
+    // query side: nprobe lists + the m×ksub ADC table (codebooks as
+    // one typedLit constant — see litMat)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val qd = transform(litMat(coarse),
+      cc => cosine_similarity(col("__qv"), cc))
     val probes = slice(
       transform(
         array_sort(zip_with(qd, sequence(lit(0), lit(coarse.length - 1)),
@@ -274,10 +297,11 @@ object Similarity {
         s => s.getField("idx")),
       1, nprobe)
     val qtab = array((0 until m).map { mi =>
-      array(books(mi).toIndexedSeq.map(c =>
-        vec_dot(subv(col("__qv"), mi), litVec(c))): _*)
+      val sv = element_at(col("__qsubs"), mi + 1)
+      transform(element_at(booksLit, mi + 1), cb => vec_dot(sv, cb))
     }: _*)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+      .withColumn("__qsubs", pqSubvectors(col("__qv"), m, sub))
       .withColumn("__qtab", qtab)
       .withColumn("__list", explode(probes))
       .select(col("query_id"), col("__qtab"), col("__list"))

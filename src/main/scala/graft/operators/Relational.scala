@@ -31,6 +31,32 @@ object Relational {
       .drop("__rn")
   }
 
+  /** [[groupedTopK]] for SKEWED groups: a mega-group (half the web on
+    * one CDN host, a bot user) funnels its whole window input through
+    * one partition in the single-phase form. Two exact phases instead:
+    * rows first compete within (group, salt) — `salts` random buckets
+    * per group, so the hot group's pre-filter runs `salts`-wide in
+    * parallel — then the per-salt top-k survivors (≤ salts·k rows per
+    * group, whatever the group's true size) meet in the final exact
+    * per-group window. Any row in the true global top-k is in its
+    * salt's top-k, so the result EQUALS single-phase groupedTopK
+    * (parity spec); the only cost is a second (tiny) shuffle. Use
+    * when a group can exceed a partition; for bounded groups the
+    * plain form's single shuffle wins. */
+  def groupedTopKSalted(df: DataFrame, partitionCols: Seq[Column],
+                        orderBy: Seq[Column], k: Int,
+                        salts: Int = 16): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    // salt = row-content hash: deterministic, and ANY assignment is
+    // correct (the two-phase result is exact regardless of how rows
+    // split across salts)
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val local = groupedTopK(salted, partitionCols :+ col("__salt"), orderBy, k)
+      .drop("__salt")
+    groupedTopK(local, partitionCols, orderBy, k)
+  }
+
   /** Backward as-of join: for each left row, attach the payload of the
     * right row with the greatest `rightTime <= leftTime` for the same
     * key (SQL: DuckDB's `ASOF JOIN`).

@@ -375,14 +375,24 @@ object Corpus {
     * partition (the [[graft.operators.Relational.saltedJoin]] move). */
   def domainCap(df: DataFrame, idCol: String, textCol: String,
                 maxPerDomain: Int,
-                preferBy: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+                preferBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
+                salts: Int = 1): DataFrame = {
     require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
     val host = lower(regexp_extract(col(textCol),
       graft.operators.TextOps.UrlHostRe, 1))
     val withHost = df.withColumn("host", when(host =!= "", host))
-    val capped = graft.operators.Relational.groupedTopK(
-      withHost.filter(col("host").isNotNull),
-      Seq(col("host")), preferBy :+ col(idCol).asc, maxPerDomain)
+    val linked = withHost.filter(col("host").isNotNull)
+    val order = preferBy :+ col(idCol).asc
+    // salts > 1 routes through the two-phase exact cap (identical
+    // result) when one host can exceed a partition — the 100 TB
+    // mega-host case; see Relational.groupedTopKSalted.
+    val capped =
+      if (salts > 1)
+        graft.operators.Relational.groupedTopKSalted(
+          linked, Seq(col("host")), order, maxPerDomain, salts)
+      else
+        graft.operators.Relational.groupedTopK(
+          linked, Seq(col("host")), order, maxPerDomain)
     capped.unionByName(withHost.filter(col("host").isNull))
   }
 }

@@ -19,6 +19,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(("g1", 2), ("g1", 4), ("g2", 5)))
   }
 
+  test("groupedTopKSalted equals the single-phase cap on a skewed group, any salt count") {
+    // one mega-group (900 rows) + two small ones; ties on v break by id
+    val rows = (0 until 900).map(i => ("hot", i, (i % 37).toDouble)) ++
+      Seq(("a", 1000, 5.0), ("a", 1001, 9.0), ("b", 2000, 1.0))
+    val df = rows.toDF("g", "id", "v")
+    val order = Seq(col("v").desc, col("id").asc)
+    val exact = Relational.groupedTopK(df, Seq(col("g")), order, 7)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    for (s <- Seq(1, 4, 64)) {
+      val salted = Relational.groupedTopKSalted(df, Seq(col("g")), order, 7, s)
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      assert(salted == exact, s"salts=$s must be exact")
+    }
+    // domainCap routes through the salted form unchanged
+    val capDf = (0L until 50L).map(i => (i, s"see https://one.example/p id $i"))
+      .toDF("doc_id", "text")
+    val plain = graft.pipeline.Corpus.domainCap(capDf, "doc_id", "text", 5)
+      .select("doc_id").as[Long].collect().toSet
+    val viaSalt = graft.pipeline.Corpus.domainCap(capDf, "doc_id", "text", 5, salts = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(plain == viaSalt)
+  }
+
   test("asofJoinBackward matches a brute-force lateral lookup on real data") {
     val e = Tables.events(spark, sf).filter(col("event_id") < 300)
       .select(col("event_id"), col("user_id"), col("ts"))

@@ -140,8 +140,16 @@ object Similarity {
                                   out: String): DataFrame = {
     val dists = transform(litMat(centroids),
       cc => cosine_similarity(col(vecCol), cc))
+    // coalesce makes the list id NON-NULLABLE (a null vector lands in
+    // sentinel list -1, same "joins nothing real" outcome): equi joins
+    // on a nullable key make InferFiltersFromConstraints synthesize an
+    // isnotnull predicate whose alias-substituted tree can leak the
+    // OTHER side's attributes across the join under AQE — an
+    // unresolvable binding at runtime (observed on q110's probe join;
+    // the q87 inferred-filter family).
     df.withColumn(out,
-      (array_position(dists, array_max(dists)) - 1).cast("int"))
+      coalesce((array_position(dists, array_max(dists)) - 1).cast("int"),
+        lit(-1)))
   }
 
   /** IVF approximate top-k: corpus rows are bucketed by nearest coarse
@@ -277,13 +285,25 @@ object Similarity {
     val books = booksOpt.getOrElse(
       pqCodebooks(corpus, corpusId, corpusVec, m, ksub, dim))
 
-    // corpus side: list id + m codes; the full vector is DROPPED here
-    val encoded = withNearestCentroid(
+    // corpus side: list id + m codes; the full vector is DROPPED here.
+    // The lineage is DETACHED (RDD round-trip): with the alias tree
+    // visible, InferFiltersFromConstraints substitutes the corpus-side
+    // __list definition across the probe-join equality and plants a
+    // filter referencing corpus attributes on the QUERY branch — an
+    // invalid plan that fails binding at runtime (Spark optimizer
+    // edge; observed as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The
+    // boundary is also the honest index shape: a real deployment
+    // materializes exactly this (id, list, codes) table — FAISS's
+    // inverted file — and at 100 TB you would persist it to parquet
+    // at this point rather than recompute codes per query batch.
+    val encodedPlan = withNearestCentroid(
         corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
         "__cv", coarse, "__list")
       .withColumn("__subs", pqSubvectors(col("__cv"), m, sub))
       .withColumn("__codes", pqAssignments(col("__subs"), books))
       .select(col("neighbor_id"), col("__list"), col("__codes"))
+    val encoded = corpus.sparkSession.createDataFrame(
+      encodedPlan.rdd, encodedPlan.schema)
 
     // query side: nprobe lists + the m×ksub ADC table (codebooks as
     // one typedLit constant — see litMat)
@@ -300,15 +320,25 @@ object Similarity {
       val sv = element_at(col("__qsubs"), mi + 1)
       transform(element_at(booksLit, mi + 1), cb => vec_dot(sv, cb))
     }: _*)
+    // the query vector rides the probe side next to its ADC table —
+    // both are |queries|-sized, and carrying it avoids re-joining the
+    // `queries` frame at re-rank time (a second lineage use of the
+    // same frame trips Spark's self-join attribute dedup)
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
       .withColumn("__qsubs", pqSubvectors(col("__qv"), m, sub))
       .withColumn("__qtab", qtab)
-      .withColumn("__list", explode(probes))
-      .select(col("query_id"), col("__qtab"), col("__list"))
+      // explode_outer: plain explode triggers InferFiltersFromGenerate,
+      // which re-inlines the alias-substituted probes tree (it reaches
+      // back to the raw vector attribute) into a filter that can no
+      // longer bind after the projection — the q87 trap, here fatal
+      // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at runtime). probes is
+      // never null or empty (nprobe ≥ 1), so semantics are identical.
+      .withColumn("__list", explode_outer(probes))
+      .select(col("query_id"), col("__qv"), col("__qtab"), col("__list"))
 
-    // ADC score = m table lookups per candidate; neither side's
-    // vectors ride the probe shuffle (the query side carries only its
-    // ADC table, the corpus side only its codes)
+    // ADC score = m table lookups per candidate; the CORPUS side never
+    // ships vectors through candidate generation (codes only — the
+    // side that scales)
     val adc = aggregate(
       zip_with(col("__qtab"), col("__codes"),
         (tab, cd) => element_at(tab, cd + 1)),
@@ -316,18 +346,15 @@ object Similarity {
     val cand = encoded.join(q, Seq("__list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(max(adc).as("__adc"))
+      .agg(max(adc).as("__adc"), first(col("__qv")).as("__qv"))
     val shortlist = Relational.groupedTopK(cand,
       Seq(col("query_id")),
       Seq(col("__adc").desc, col("neighbor_id").asc), refine * k)
 
-    // exact re-rank: fetch TRUE vectors only for the shortlist rows
-    // (equi joins; the query side is small → AQE broadcasts it)
+    // exact re-rank: fetch TRUE corpus vectors only for the shortlist
     val rescored = shortlist
       .join(corpus.select(col(corpusId).as("neighbor_id"),
         col(corpusVec).as("__cv")), Seq("neighbor_id"))
-      .join(queries.select(col(queryId).as("query_id"),
-        col(queryVec).as("__qv")), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
     Relational.groupedTopK(rescored,

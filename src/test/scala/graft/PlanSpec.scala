@@ -292,4 +292,51 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"semantic dedup must never plan a non-equi join:\n$p")
   }
+
+  test("q104: segment DF keys are 8-byte hashes; reassembly is an aggregate, not a window") {
+    val df = SparkEntry.queries("q104_segment_dedup")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), s"DF side must group on segment hashes:\n${p.take(2000)}")
+    assert(!p.contains("Window"), s"reassembly must not plan a window:\n${p.take(2000)}")
+  }
+
+  test("q108: per-stratum rank window reads the hash-fraction prefilter, not the raw stratum") {
+    val df = SparkEntry.queries("q108_temperature_mix")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // the cutoff filter must sit BELOW the window's exchange: the
+    // window input carries the __quota/conv-threshold predicate
+    val s = plan.toString
+    val windowIdx = s.indexOf("Window")
+    val filterIdx = s.indexOf("conv(substring(md5", windowIdx.max(0))
+    assert(windowIdx >= 0, s"expected a rank window:\n${s.take(2000)}")
+    assert(filterIdx > windowIdx,
+      s"prefilter must be under the window (window input ~2·quota rows):\n${s.take(3000)}")
+  }
+
+  test("q110: the PQ probe join shuffles codes, never corpus vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+    val df = graft.operators.Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4, m = 8, ksub = 16, refine = 8)
+    df.collect()
+    // the probe join (the one keyed on __list — candidate generation)
+    // must see only (id, list, codes) from the corpus side: corpus
+    // vectors (__cv) may appear solely in the shortlist re-rank join
+    // keyed by neighbor_id. Logical-level pin — robust under AQE.
+    val probeJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "__list")) => j
+    }
+    assert(probeJoins.nonEmpty, "expected the __list-keyed probe join")
+    probeJoins.foreach { j =>
+      val inputNames = (j.left.output ++ j.right.output).map(_.name).toSet
+      assert(!inputNames.contains("__cv"),
+        s"probe join must not see corpus vectors, got: $inputNames")
+      assert(inputNames.contains("__codes"),
+        s"probe join must carry PQ codes, got: $inputNames")
+    }
+  }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Scratch probe for the q110 self-join binding crash. */
+object PqProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 4)
+    spark.sparkContext.setLogLevel("ERROR")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.filter(col("vec_id") < 10)
+    val df = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, nlist = 8, nprobe = 4,
+      m = 8, ksub = 16, refine = 8)
+    try {
+      df.collect()
+      println("OK collected " + df.count())
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.Exchange =>
+          println("EXCH: " + e.toString.split("\n").head.take(300))
+      }
+    } catch {
+      case e: Throwable =>
+        println("FAILED: " + e.getMessage)
+        println("=== optimized ===")
+        for (line <- df.queryExecution.optimizedPlan.toString.split("\n")) println(line.take(200))
+        println("=== executedshort ===")
+        for (line <- df.queryExecution.executedPlan.toString.split("\n")) println(line.take(200))
+    }
+  }
+}

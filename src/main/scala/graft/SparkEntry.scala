@@ -1623,6 +1623,26 @@ object SparkEntry {
       annRecallExport(ann, exact, minRecall = 0.6)
     }),
 
+    // URL-keyed page dedup: q106's planted URL-variant construction
+    // (same page behind case/port/tracking/fragment noise), one
+    // survivor per canonical key — longest text wins, id tiebreak —
+    // no-URL docs (doc_id%11=0) pass through untouched.
+    "q111_url_dedup" -> ((s, dir) => {
+      val id = col("doc_id")
+      val planted = Tables.documents(s, dir).select(id, col("n_chars"),
+        when(id % 11 =!= 0, concat(col("text"),
+          lit(" via HTTP://WWW.Site"), (id % 7).cast("string"),
+          lit(".Example:80/Path"), (id % 3).cast("string"),
+          lit("/?utm_source=feed"), id.cast("string"),
+          lit("&id="), (id % 5).cast("string"),
+          lit("&fbclid=x#frag"), id.cast("string")))
+          .otherwise(col("text")).as("text"))
+      graft.pipeline.Corpus.dedupByUrl(planted, "doc_id", "text",
+          preferBy = Seq(col("n_chars").desc))
+        .select(col("doc_id"), col("canonical_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear model scoring: a planted fixed-point model
     // (weight(f) = (f%7-3)/4 over 4096 features) scores every doc;
     // dyadic weights make the double logit exact, so DuckDB retrains
@@ -2939,6 +2959,50 @@ object SparkEntry {
         | FROM d JOIN q USING (stratum))
         |SELECT stratum, doc_id FROM r WHERE rk <= quota
         |ORDER BY stratum, doc_id""".stripMargin,
+
+    // q111: q106's canonicalization mirror + ROW_NUMBER keep-best per
+    // canonical key (longest text, id tiebreak); no-URL docs emitted
+    // with a NULL key.
+    "q111_url_dedup" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |  CASE WHEN doc_id % 11 <> 0 THEN
+        |   text || ' via HTTP://WWW.Site' || (doc_id % 7) || '.Example:80/Path' ||
+        |   (doc_id % 3) || '/?utm_source=feed' || doc_id || '&id=' || (doc_id % 5) ||
+        |   '&fbclid=x#frag' || doc_id
+        |  ELSE text END AS text
+        | FROM documents),
+        |u AS (SELECT doc_id, n_chars, regexp_extract(text, '(?i)https?://[^\s]+', 0) AS raw FROM p),
+        |g AS (SELECT doc_id, n_chars, raw,
+        |  lower(regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 1)) AS scheme,
+        |  regexp_replace(lower(regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 2)), '^www\.', '') AS host,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 3) AS port,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 4) AS path0,
+        |  regexp_extract(raw, '^(?i)(https?)://([^/:?#\s]+)(?::([0-9]+))?([^?#\s]*)(?:\?([^#\s]*))?.*$', 5) AS query
+        | FROM u),
+        |k AS (SELECT doc_id, n_chars, scheme, host, port,
+        |  CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+        |       ELSE regexp_replace(path0, '/+$', '') END AS path,
+        |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |    q -> q <> '' AND NOT regexp_matches(q,
+        |      '^(utm_[a-z]+|fbclid|gclid|msclkid|ref)='))), '&') AS kq
+        | FROM g),
+        |canon AS (SELECT doc_id, n_chars,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE
+        |   scheme || '://' || host ||
+        |   CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+        |         AND NOT (scheme = 'https' AND port = '443')
+        |        THEN ':' || port ELSE '' END ||
+        |   path ||
+        |   CASE WHEN kq <> '' THEN '?' || kq ELSE '' END END AS canonical_url
+        | FROM k),
+        |r AS (SELECT doc_id, canonical_url,
+        |  ROW_NUMBER() OVER (PARTITION BY canonical_url
+        |    ORDER BY n_chars DESC, doc_id) AS rk
+        | FROM canon WHERE canonical_url IS NOT NULL)
+        |SELECT doc_id, canonical_url FROM r WHERE rk = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR) FROM canon WHERE canonical_url IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q110: identical exact-side recomputation to q53 — the oracle
     // certifies the brute-force ground truth and the export's

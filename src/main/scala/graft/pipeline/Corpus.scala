@@ -395,4 +395,28 @@ object Corpus {
           linked, Seq(col("host")), order, maxPerDomain)
     capped.unionByName(withHost.filter(col("host").isNull))
   }
+
+  /** URL-keyed page dedup — the web-corpus first pass: two crawls of
+    * the same page differ in tracking params, fragment, case, and
+    * mirror noise, so the dedup key is [[graft.functions.canonical_url]]
+    * of the document's FIRST URL, and ONE document survives per
+    * canonical key — best `preferBy` first, smallest id on ties
+    * ([[graft.operators.Dedup.keepBest]]'s policy, keyed by URL
+    * instead of content fingerprint; content-identical pages on
+    * DIFFERENT urls are [[graft.operators.Dedup.exactDedup]]'s job,
+    * run after this). Documents with no URL pass through untouched.
+    * Shape: one hash shuffle on the canonical key + a running
+    * row_number — [[graft.operators.Relational.groupedTopK]] at k=1. */
+  def dedupByUrl(df: DataFrame, idCol: String, textCol: String,
+                 preferBy: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
+    // (?i): crawls spell schemes/hosts in any case — UrlRe itself
+    // stays case-sensitive for PII masking fidelity
+    val key = canonical_url(
+      regexp_extract(col(textCol), "(?i)" + graft.operators.TextOps.UrlRe, 0))
+    val withKey = df.withColumn("canonical_url", key)
+    val kept = graft.operators.Relational.groupedTopK(
+      withKey.filter(col("canonical_url").isNotNull),
+      Seq(col("canonical_url")), preferBy :+ col(idCol).asc, 1)
+    kept.unionByName(withKey.filter(col("canonical_url").isNull))
+  }
 }

@@ -245,6 +245,23 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(a != c, "a different seed must pick a different set")
   }
 
+  test("dedupByUrl: one survivor per canonical key, variants collapse, no-URL passes") {
+    val d = Seq(
+      (1L, "page one https://a.example/p?id=1&utm_source=x"),
+      (2L, "page one again HTTPS://WWW.A.Example:443/p/?id=1#frag"), // same canonical
+      (3L, "other page https://a.example/p?id=2"),
+      (4L, "no links at all")).toDF("doc_id", "text")
+    val got = Corpus.dedupByUrl(d, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    // id tiebreak (no preference): doc 1 beats doc 2; 3 and 4 survive
+    assert(got == Set(1L, 3L, 4L))
+    // preference wins over id: prefer larger doc_id
+    val pref = Corpus.dedupByUrl(d, "doc_id", "text",
+        preferBy = Seq(col("doc_id").desc))
+      .select("doc_id").as[Long].collect().toSet
+    assert(pref == Set(2L, 3L, 4L))
+  }
+
   test("domainCap: per-host cap by preference, no-URL docs pass uncapped") {
     val d = (0L until 30L).map { i =>
       val text =

@@ -1643,6 +1643,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // curriculum order: short docs first (length-derived difficulty
+    // bin), seeded shuffle within bins, contiguous global numbering —
+    // the q91/q101 two-pass shape under a curriculum sort key.
+    "q112_curriculum_order" -> ((s, dir) => {
+      graft.pipeline.Corpus.curriculumOrder(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), floor(col("n_chars") / 100).cast("int").as("bin")),
+          "doc_id", "bin", seed = 9L)
+        .select(col("doc_id"), col("bin"), col("curriculum_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // round-robin source interleaving: cycle rank-1 of every source,
+    // then rank-2, … — batch windows see a near-uniform source mix.
+    "q113_round_robin_mix" -> ((s, dir) => {
+      graft.pipeline.Corpus.roundRobinOrder(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source", seed = 9L)
+        .select(col("doc_id"), col("source"), col("mix_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hashed linear model scoring: a planted fixed-point model
     // (weight(f) = (f%7-3)/4 over 4096 features) scores every doc;
     // dyadic weights make the double logit exact, so DuckDB retrains
@@ -3003,6 +3025,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(NULL AS VARCHAR) FROM canon WHERE canonical_url IS NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // q112/q113: ROW_NUMBER over the same composite keys (md5 order
+    // is engine-neutral; bins/ranks are exact integers).
+    "q112_curriculum_order" ->
+      """SELECT doc_id, CAST(floor(n_chars / 100.0) AS INT) AS bin,
+        | CAST(ROW_NUMBER() OVER (ORDER BY CAST(floor(n_chars / 100.0) AS INT),
+        |   md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) AS BIGINT) AS curriculum_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q113_round_robin_mix" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':9'), doc_id) AS cyc
+        | FROM documents)
+        |SELECT doc_id, source,
+        | CAST(ROW_NUMBER() OVER (ORDER BY cyc, source, doc_id) AS BIGINT) AS mix_pos
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q110: identical exact-side recomputation to q53 — the oracle
     // certifies the brute-force ground truth and the export's

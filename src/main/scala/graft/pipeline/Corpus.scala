@@ -396,6 +396,40 @@ object Corpus {
     capped.unionByName(withHost.filter(col("host").isNull))
   }
 
+  /** Curriculum training order: documents sorted by an easiness/
+    * difficulty bin (ascending), seeded-shuffled WITHIN each bin, and
+    * numbered contiguously 1..N — "easy first, random within
+    * difficulty", the standard curriculum-learning data order, as a
+    * pure function of (id, bin, seed). Same engine shape as
+    * [[epochShuffle]]: a range-partitioned parallel sort + two-pass
+    * numbering ([[graft.operators.Relational.globalRowNumber]]), no
+    * single-partition window at any corpus size. */
+  def curriculumOrder(df: DataFrame, idCol: String, binCol: String,
+                      seed: Long, out: String = "curriculum_pos"): DataFrame =
+    graft.operators.Relational.globalRowNumber(
+      df, Seq(col(binCol).asc, seededHash(col(idCol), seed), col(idCol)), out)
+
+  /** Round-robin source interleaving: global training order that
+    * cycles through the strata (rank-1 of every source, then rank-2 of
+    * every source, …), so any contiguous batch window sees a near-
+    * uniform source mix even when stratum sizes are wildly skewed —
+    * the "homogeneous batches" ordering a mixture-trained run wants
+    * after [[temperatureSample]] fixed the proportions. Within a
+    * source the cycle order is the seeded hash (deterministic);
+    * sources that run out simply drop out of later cycles. Shape: one
+    * rank window per stratum (hash shuffle on the stratum key) + the
+    * two-pass global numbering — no global window. */
+  def roundRobinOrder(df: DataFrame, idCol: String, strataCol: String,
+                      seed: Long, out: String = "mix_pos"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(seededHash(col(idCol), seed), col(idCol))
+    graft.operators.Relational.globalRowNumber(
+      df.withColumn("__cycle", row_number().over(w)),
+      Seq(col("__cycle"), col(strataCol), col(idCol)), out)
+      .drop("__cycle")
+  }
+
   /** URL-keyed page dedup — the web-corpus first pass: two crawls of
     * the same page differ in tracking params, fragment, case, and
     * mirror noise, so the dedup key is [[graft.functions.canonical_url]]

@@ -245,6 +245,25 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(a != c, "a different seed must pick a different set")
   }
 
+  test("curriculumOrder: bins nondecreasing along positions; roundRobin cycles sources") {
+    val d = spark.range(90).select(col("id").as("doc_id"),
+      (col("id") % 3).cast("int").as("bin"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"))
+    val cur = Corpus.curriculumOrder(d, "doc_id", "bin", seed = 1L)
+      .orderBy("curriculum_pos")
+      .select("bin").as[Int].collect()
+    assert(cur.toSeq == cur.sorted.toSeq, "bins must be nondecreasing in position")
+    val rr = Corpus.roundRobinOrder(d, "doc_id", "source", seed = 1L)
+      .orderBy("mix_pos")
+      .select("source").as[String].collect()
+    // every window of 3 consecutive positions holds one of each source
+    rr.grouped(3).foreach(w => assert(w.toSet.size == 3, w.toSeq.toString))
+    // positions are contiguous 1..N
+    val pos = Corpus.roundRobinOrder(d, "doc_id", "source", seed = 1L)
+      .select("mix_pos").as[Long].collect().sorted
+    assert(pos.toSeq == (1L to 90L).toSeq)
+  }
+
   test("dedupByUrl: one survivor per canonical key, variants collapse, no-URL passes") {
     val d = Seq(
       (1L, "page one https://a.example/p?id=1&utm_source=x"),

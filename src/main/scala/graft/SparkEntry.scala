@@ -1665,6 +1665,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE merge training: 6 merges learned from the corpus word-freq
+    // table; DuckDB replays the whole training loop (see bpeOracleSql).
+    "q114_bpe_merges" -> ((s, dir) => {
+      TextOps.bpeTrain(Tables.documents(s, dir).select(col("text")),
+          "text", numMerges = 6)
+        .orderBy(col("rank"))
+    }),
+
     // hashed linear model scoring: a planted fixed-point model
     // (weight(f) = (f%7-3)/4 over 4096 features) scores every doc;
     // dyadic weights make the double logit exact, so DuckDB retrains
@@ -3043,6 +3051,10 @@ object SparkEntry {
         | CAST(ROW_NUMBER() OVER (ORDER BY cyc, source, doc_id) AS BIGINT) AS mix_pos
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // q114: the full BPE training loop replayed in SQL — see
+    // bpeOracleSql for the single-char placeholder encoding argument.
+    "q114_bpe_merges" -> bpeOracleSql(6),
+
     // q110: identical exact-side recomputation to q53 — the oracle
     // certifies the brute-force ground truth and the export's
     // engine-computed recall bound carries the ANN half.
@@ -3078,6 +3090,52 @@ object SparkEntry {
         | SUM(wt) > 0 AS is_positive
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
+
+  /** q114's oracle: DuckDB re-runs BPE training end to end. The
+    * corpus alphabet is lowercase ASCII, so each learned merge can be
+    * ENCODED as one reserved uppercase placeholder char ('A' for
+    * merge 1, 'B' for merge 2, …): symbol adjacency becomes string
+    * adjacency, pair counting is overlapping char-bigram counting
+    * (`substr(w,i,2)` over positions — the Sennrich rule), and
+    * applying a merge is DuckDB's `replace` (left-to-right,
+    * non-overlapping — exactly the Spark fold's greedy semantics).
+    * Tie-break parity: candidates order by their EXPANDED symbol
+    * strings (placeholders recursively replaced by the earlier
+    * merges' expansions), matching Spark's (count desc, left, right)
+    * over real symbols. One CTE layer per merge, generated here. */
+  private def bpeOracleSql(k: Int): String = {
+    def ph(j: Int): Char = ('A' + j - 1).toChar
+    // expand a 1-char encoded symbol to its original-alphabet string
+    def expand(c: String, j: Int): String =
+      (1 until j).foldLeft(c) { (acc, i) =>
+        s"replace($acc, '${ph(i)}', (SELECT left_exp || right_exp FROM b$i))"
+      }
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin)
+    for (j <- 1 to k) {
+      sb.append(s""",
+        |p$j AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS cnt
+        |        FROM w${j - 1}, unnest(range(1, length(w))) AS t(i)
+        |        GROUP BY 1),
+        |b$j AS (SELECT pair, cnt,
+        |          ${expand("substr(pair, 1, 1)", j)} AS left_exp,
+        |          ${expand("substr(pair, 2, 1)", j)} AS right_exp
+        |        FROM p$j ORDER BY cnt DESC, left_exp, right_exp LIMIT 1),
+        |w$j AS (SELECT replace(w, (SELECT pair FROM b$j), '${ph(j)}') AS w, freq
+        |        FROM w${j - 1})""".stripMargin)
+    }
+    val rows = (1 to k).map(j =>
+      s"""SELECT $j AS rank, left_exp AS left_sym, right_exp AS right_sym,
+         | left_exp || right_exp AS merged, CAST(cnt AS BIGINT) AS pair_count
+         |FROM b$j""".stripMargin)
+    sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
+    sb.toString
+  }
 
   /** Shared q36/q54 oracle (both centroid formulations must satisfy
     * the identical anchor + bound). */

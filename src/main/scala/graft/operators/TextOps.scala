@@ -476,6 +476,70 @@ object TextOps {
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** One learned BPE merge: rank-th most frequent adjacent symbol
+    * pair, its concatenation, and the weighted pair count that won. */
+  case class BpeMerge(rank: Int, left_sym: String, right_sym: String,
+                      merged: String, pair_count: Long)
+
+  /** Corpus-scale BPE merge training (Sennrich et al. 2016) — the
+    * tokenizer-vocabulary step of a training-data pipeline, run as
+    * DataFrame aggregations. State is the WORD-FREQUENCY table (one
+    * row per distinct word with its symbol array — vocabulary-sized,
+    * not corpus-sized: the one corpus pass is the initial word
+    * count), so each of the `numMerges` iterations is one shuffle
+    * over the vocab table: count adjacent symbol pairs weighted by
+    * word frequency (overlapping positions count, the paper's rule),
+    * collect ONLY the argmax pair (count desc, then symbol order —
+    * deterministic), and rewrite symbol arrays with a greedy
+    * left-to-right fold (an `aggregate` HOF — 'aaa' + (a,a) → [aa,a],
+    * exactly the reference regex-replace semantics). Early-stops when
+    * the best pair drops below `minPairCount`. Returns the merge
+    * table (rank, left_sym, right_sym, merged, pair_count) — the
+    * artifact a tokenizer ships. Lineage is checkpointed every few
+    * merges so plan depth stays bounded at large `numMerges`. */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    var words = df
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
+      .select(split(col("__w"), "").as("__sym"), col("__freq"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var j = 0
+    var go = true
+    while (j < numMerges && go) {
+      val n = size(col("__sym"))
+      val top = words.filter(n >= 2)
+        .select(col("__freq"), explode(zip_with(
+            slice(col("__sym"), lit(1), n - 1), slice(col("__sym"), lit(2), n - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__freq")).as("__cnt"))
+        .orderBy(col("__cnt").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) go = false
+      else {
+        val (l, r, cnt) =
+          (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += BpeMerge(j + 1, l, r, l + r, cnt)
+        // greedy left-to-right merge; And short-circuits, so the
+        // element_at(-1) lookback never runs on an empty accumulator
+        val fold = aggregate(col("__sym"), array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(fold.as("__sym"), col("__freq"))
+        if ((j + 1) % 3 == 0) words = words.localCheckpoint()
+        j += 1
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+  }
+
   /** Hashed linear model scoring — the fastText-family classifier
     * shape used for corpus quality/topic gating (score every document
     * with a trained linear model over hashed bag-of-words features).

@@ -274,6 +274,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() == 1L)
   }
 
+  test("bpeTrain: learns the textbook merges, greedy overlap, deterministic ties") {
+    // "low" x5, "lower" x2, "lowest" x1: pair counts — (l,o)=8, (o,w)=8,
+    // (w,e)=3, (e,r)=2, (e,s)=1, (s,t)=1. Tie (l,o) vs (o,w) at 8 →
+    // lexicographic left wins: merge1 = (l,o). Then (lo,w)=8 wins.
+    val docs = Seq((1L, "low low low low low lower lower lowest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs.select(col("text")), "text",
+        numMerges = 3, minPairCount = 1L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(merges(0) == ((1, "l", "o", "lo", 8L)), merges.toSeq.toString)
+    assert(merges(1) == ((2, "lo", "w", "low", 8L)))
+    // after (lo,w): "low"→[low], "lower"→[low,e,r], "lowest"→[low,e,s,t]
+    // pairs: (low,e)=3, (e,r)=2, (e,s)=1, (s,t)=1 → merge3 = (low,e)
+    assert(merges(2) == ((3, "low", "e", "lowe", 3L)))
+    // greedy overlap: 'aaaa' + (a,a) merges to [aa, aa], count 3 (overlapping)
+    val aa = TextOps.bpeTrain(Seq(Tuple1("aaaa")).toDF("text"), "text",
+        numMerges = 2, minPairCount = 1L)
+      .collect().map(r => (r.getInt(0), r.getString(3), r.getLong(4)))
+    assert(aa(0) == ((1, "aa", 3L)))
+    assert(aa(1) == ((2, "aaaa", 1L)), "the two aa symbols pair once")
+    // early stop below minPairCount
+    val stop = TextOps.bpeTrain(Seq(Tuple1("ab cd")).toDF("text"), "text",
+      numMerges = 5, minPairCount = 2L)
+    assert(stop.count() == 0L, "no pair reaches count 2")
+  }
+
   test("linearScore: per-occurrence hashed lookup; full model == count/2; OOV scores 0") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
     // every one of the 64 buckets carries weight 0.5 → logit = n_tokens/2

@@ -501,11 +501,16 @@ object TextOps {
                minPairCount: Long = 2L): DataFrame = {
     require(numMerges > 0, s"numMerges must be positive, got $numMerges")
     val spark = df.sparkSession
+    // the ONE corpus-sized pass; checkpointed immediately so merge
+    // iterations fold over the materialized vocabulary table instead
+    // of replaying the corpus word count until the first periodic
+    // checkpoint (measured 3× the corpus scans without this)
     var words = df
       .select(explode(tokens(lower(col(textCol)))).as("__w"))
       .filter(col("__w") =!= "")
       .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
       .select(split(col("__w"), "").as("__sym"), col("__freq"))
+      .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var j = 0
     var go = true

@@ -305,6 +305,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of: nearest order AT-OR-AFTER each event (the "next
+    // state change" lookup) — q15 mirrored, one union+window shuffle.
+    "q115_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      Relational.asofJoinForward(e, o, "ts", "o_orderdate",
+          "user_id", "o_custkey", Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---------------- custom scalar expression ---------------------
 
     // ISO-8601 duration parser (custom codegen'd Catalyst Expression,
@@ -1808,6 +1823,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
         |                FROM orders GROUP BY o_custkey, o_orderdate) o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q115_asof_forward" ->
+      """SELECT e.event_id, o.o_orderkey
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000) e
+        |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |                FROM orders GROUP BY o_custkey, o_orderdate) o
+        | ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
 
     "q16_iso_duration" ->

@@ -110,6 +110,40 @@ object Relational {
         payload.map(p => col(s"__payload.$p").as(p))): _*)
   }
 
+  /** Forward as-of join — [[asofJoinBackward]] mirrored: for each left
+    * row, attach the payload of the right row with the SMALLEST
+    * `rightTime >= leftTime` for the same key (the "next reading /
+    * next state change" lookup; SQL: DuckDB `ASOF JOIN … ON l.t <=
+    * r.t`). Same union+window shape and null semantics; the window
+    * runs current-row→following with `first(ignoreNulls)`, and right
+    * rows sort AFTER left rows at equal timestamps so an
+    * exactly-simultaneous right row is still visible (`>=`
+    * inclusivity). One hash shuffle of L∪R on the key. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      leftTime: String, rightTime: String,
+                      leftKey: String, rightKey: String,
+                      payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val r0 = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(1).as("__side")
+        +: payload.map(col)): _*)
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = unioned.withColumn("__payload",
+      when(col("__side") === 1, struct(payload.map(col): _*)))
+    val filled = tagged.withColumn("__payload",
+      first(col("__payload"), ignoreNulls = true).over(w))
+    filled.filter(col("__side") === 0)
+      .select((leftCols.toSeq.map(col) ++
+        payload.map(p => col(s"__payload.$p").as(p))): _*)
+  }
+
   /** Skew-resistant equi join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and explode the build (right) side across
     * all buckets, so one hot key spreads over `saltBuckets` tasks

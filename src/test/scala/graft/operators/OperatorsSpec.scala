@@ -19,6 +19,37 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq(("g1", 2), ("g1", 4), ("g2", 5)))
   }
 
+  test("asofJoinForward matches a brute-force nearest-following lookup; >= inclusive") {
+    val e = Tables.events(spark, sf).filter(col("event_id") < 300)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val fast = Relational.asofJoinForward(e, o, "ts", "o_orderdate",
+        "user_id", "o_custkey", Seq("o_orderkey"))
+      .select("event_id", "o_orderkey").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: per event, the order with the SMALLEST date >= ts
+    // (join + window min-by, the backward spec's pattern mirrored)
+    val brute = e.join(o, col("user_id") === col("o_custkey") &&
+        col("ts") <= col("o_orderdate"), "left")
+      .groupBy(col("event_id"))
+      .agg(min_by(col("o_orderkey"),
+        struct(col("o_orderdate"), col("o_orderkey"))).as("o_orderkey"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(fast == brute)
+    // inclusivity: a right row AT the left timestamp matches
+    import spark.implicits._
+    val lf = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("id", "t")
+    val rf = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L))
+      .toDF("k", "rt", "v")
+    val got = Relational.asofJoinForward(lf, rf, "t", "rt", "id", "k", Seq("v"))
+      .select("v").head
+    assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
+  }
+
   test("groupedTopKSalted equals the single-phase cap on a skewed group, any salt count") {
     // one mega-group (900 rows) + two small ones; ties on v break by id
     val rows = (0 until 900).map(i => ("hot", i, (i % 37).toDouble)) ++

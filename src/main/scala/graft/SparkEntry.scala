@@ -1680,6 +1680,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the curation pipeline end-to-end: gopher gate → exact dedup →
+    // temperature rebalance (planted skewed strata, q108's mapping) →
+    // round-robin interleave; DuckDB replays the WHOLE chain.
+    "q116_training_mix" -> ((s, dir) => {
+      val id = col("doc_id")
+      val strata = Tables.documents(s, dir).select(id, col("text"),
+        when(id % 10 <= 5, "web").when(id % 10 <= 8, "books")
+          .otherwise("code").as("stratum"))
+      graft.pipeline.Corpus.buildTrainingMix(strata, "doc_id", "text",
+          "stratum", alpha = 0.5, seed = 42L,
+          minWords = 40L, minStopwords = 1)
+        .select(col("doc_id"), col("stratum"), col("mix_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BPE merge training: 6 merges learned from the corpus word-freq
     // table; DuckDB replays the whole training loop (see bpeOracleSql).
     "q114_bpe_merges" -> ((s, dir) => {
@@ -3073,6 +3088,55 @@ object SparkEntry {
         |SELECT doc_id, source,
         | CAST(ROW_NUMBER() OVER (ORDER BY cyc, source, doc_id) AS BIGINT) AS mix_pos
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q116: the whole curation chain replayed — q105's gate exprs,
+    // q19's fingerprint dedup, q108's quota selection, q113's
+    // interleave, composed in one CTE pipeline.
+    "q116_training_mix" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  CASE WHEN doc_id % 10 <= 5 THEN 'web'
+        |       WHEN doc_id % 10 <= 8 THEN 'books' ELSE 'code' END AS stratum,
+        |  string_split_regex(trim(text), '\s+') AS toks
+        | FROM documents),
+        |m AS (SELECT doc_id, text, stratum,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS mean_len,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(toks) AS alpha_r,
+        |  CAST(len(regexp_extract_all(text, '#'))
+        |     + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) / len(toks) AS sym_r,
+        |  CAST(len(list_distinct(list_transform(
+        |    list_filter(toks, x -> lower(x) IN
+        |      ('the','be','to','of','and','that','have','with')),
+        |    x -> lower(x)))) AS BIGINT) AS n_stops
+        | FROM t),
+        |g AS (SELECT doc_id, text, stratum FROM m
+        |      WHERE n_words >= 40 AND n_words <= 100000
+        |        AND mean_len >= 3.0 AND mean_len <= 10.0
+        |        AND alpha_r >= 0.8 AND sym_r <= 0.1 AND n_stops >= 1),
+        |fp AS (SELECT doc_id, stratum,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f FROM g),
+        |d AS (SELECT doc_id, stratum FROM (
+        |  SELECT doc_id, stratum,
+        |   ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id) AS rn FROM fp)
+        | WHERE rn = 1),
+        |c AS (SELECT stratum, COUNT(*) AS n FROM d GROUP BY stratum),
+        |mn AS (SELECT MIN(n) AS n_min FROM c),
+        |q AS (SELECT stratum, n,
+        |  CAST(ceil(CAST(n AS DOUBLE)
+        |    * sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS quota
+        | FROM c, mn),
+        |r AS (SELECT d.doc_id, d.stratum, q.quota,
+        |  ROW_NUMBER() OVER (PARTITION BY d.stratum
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS rk
+        | FROM d JOIN q USING (stratum)),
+        |sel AS (SELECT doc_id, stratum FROM r WHERE rk <= quota),
+        |cyc AS (SELECT doc_id, stratum,
+        |  ROW_NUMBER() OVER (PARTITION BY stratum
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS cyc
+        | FROM sel)
+        |SELECT doc_id, stratum,
+        | CAST(ROW_NUMBER() OVER (ORDER BY cyc, stratum, doc_id) AS BIGINT) AS mix_pos
+        |FROM cyc ORDER BY doc_id""".stripMargin,
 
     // q114: the full BPE training loop replayed in SQL — see
     // bpeOracleSql for the single-char placeholder encoding argument.

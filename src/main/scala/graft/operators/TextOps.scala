@@ -476,6 +476,35 @@ object TextOps {
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** The [[gopherRules]] conjunction as ONE boolean column — the
+    * filter form for pipelines that gate without materializing the
+    * per-rule audit columns ([[graft.pipeline.Corpus.buildTrainingMix]]).
+    * Same expressions, same thresholds, row-local codegen. */
+  def gopherGate(textCol: String,
+                 minWords: Long = 50L, maxWords: Long = 100000L,
+                 minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                 maxSymbolWordRatio: Double = 0.1,
+                 minAlphaWordRatio: Double = 0.8,
+                 minStopwords: Int = 2): Column = {
+    val t = tokens(col(textCol))
+    val nWords = token_count(col(textCol))
+    val meanLen = mean_token_len(col(textCol))
+    val alphaRatio = when(nWords > 0,
+      size(filter(t, x => x.rlike("[A-Za-z]"))).cast("double")
+        / nWords.cast("double")).otherwise(lit(0.0))
+    val nSymbols = (regexp_count(col(textCol), lit("#"))
+      + regexp_count(col(textCol), lit("\\.\\.\\."))).cast("long")
+    val symbolRatio = when(nWords > 0,
+      nSymbols.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nStops = size(array_distinct(transform(
+      filter(t, x => lower(x).isin(GopherStops.map(lit(_)): _*)),
+      x => lower(x)))).cast("long")
+    nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      alphaRatio >= minAlphaWordRatio && symbolRatio <= maxSymbolWordRatio &&
+      nStops >= minStopwords
+  }
+
   /** One learned BPE merge: rank-th most frequent adjacent symbol
     * pair, its concatenation, and the weighted pair count that won. */
   case class BpeMerge(rank: Int, left_sym: String, right_sym: String,

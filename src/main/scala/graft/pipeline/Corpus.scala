@@ -430,6 +430,34 @@ object Corpus {
       .drop("__cycle")
   }
 
+  /** The curation pipeline composed end to end — "raw documents in,
+    * ordered training mix out" as ONE lazy plan:
+    *
+    *  1. Gopher quality gate ([[graft.operators.TextOps.gopherGate]],
+    *     row-local, runs at the scan)
+    *  2. exact dedup on normalized-text fingerprint
+    *     ([[graft.operators.Dedup.exactDedup]], one shuffle)
+    *  3. temperature rebalancing across `strataCol`
+    *     ([[temperatureSample]], exact per-stratum quotas)
+    *  4. round-robin source interleaving + contiguous global order
+    *     ([[roundRobinOrder]])
+    *
+    * Five shuffles and a parallel sort total, each stage documented at
+    * its own operator; q116 oracle-replays the WHOLE chain in DuckDB.
+    * This is the [[curate]] family at mixture scope: where curate
+    * gates and dedups one source, this balances and orders the
+    * multi-source corpus a trainer actually consumes. */
+  def buildTrainingMix(docs: DataFrame, idCol: String, textCol: String,
+                       strataCol: String,
+                       alpha: Double = 0.5, seed: Long = 42L,
+                       minWords: Long = 50L, minStopwords: Int = 2): DataFrame = {
+    val gated = docs.filter(graft.operators.TextOps.gopherGate(textCol,
+      minWords = minWords, minStopwords = minStopwords))
+    val deduped = Dedup.exactDedup(gated, idCol, textCol)
+    val sampled = temperatureSample(deduped, strataCol, idCol, alpha, seed)
+    roundRobinOrder(sampled, idCol, strataCol, seed)
+  }
+
   /** URL-keyed page dedup — the web-corpus first pass: two crawls of
     * the same page differ in tracking params, fragment, case, and
     * mirror noise, so the dedup key is [[graft.functions.canonical_url]]

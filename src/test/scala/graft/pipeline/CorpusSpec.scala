@@ -245,6 +245,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(a != c, "a different seed must pick a different set")
   }
 
+  test("buildTrainingMix: gate, dedup, rebalance, interleave compose end to end") {
+    // 30 'big' docs + 10 'small' docs with >= 5 words and a stopword;
+    // 2 junk docs (too short), 2 exact duplicates of big-0
+    val base = (0L until 30L).map(i => (i, s"the quick brown fox $i jumps", "big")) ++
+      (100L until 110L).map(i => (i, s"the slow green turtle $i rests", "small")) ++
+      Seq((200L, "the end", "big"), (201L, "of it", "big"),
+        (202L, "the quick brown fox 0 jumps", "big"),
+        (203L, "the quick brown fox 0 jumps", "big"))
+    val df = base.toDF("doc_id", "text", "stratum")
+    val mix = Corpus.buildTrainingMix(df, "doc_id", "text", "stratum",
+      alpha = 0.5, seed = 7L, minWords = 5L, minStopwords = 1)
+    val rows = mix.select("doc_id", "stratum", "mix_pos")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // junk and duplicates never survive
+    assert(!rows.exists(r => Set(200L, 201L, 202L, 203L).contains(r._1)))
+    // temperature quotas: small kept whole (10), big at ceil(30*sqrt(10/30)) = 18
+    val bySt = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySt("small") == 10)
+    assert(bySt("big") == math.ceil(30.0 * math.sqrt(10.0 / 30.0)).toInt)
+    // contiguous global order
+    assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+  }
+
   test("curriculumOrder: bins nondecreasing along positions; roundRobin cycles sources") {
     val d = spark.range(90).select(col("id").as("doc_id"),
       (col("id") % 3).cast("int").as("bin"),

@@ -1713,6 +1713,69 @@ object SparkEntry {
       TextOps.linearScore(Tables.documents(s, dir), "doc_id", "text", w, 4096)
         .withColumn("is_positive", col("logit") > 0.0)
         .orderBy(col("doc_id"))
+    }),
+
+    // image near-dup sweep through the REAL codec: patterned 9×8 PNGs
+    // (150 originals + 30 one-pixel-perturbed near-twins) are encoded,
+    // decoded, difference-hashed, and paired by the pigeonhole hamming
+    // join. The pattern is pure integer arithmetic, so DuckDB
+    // recomputes every pixel, every dHash bit, and the full brute-force
+    // pair set WITHOUT a codec — hash-equality certifies that Spark's
+    // PNG encode→ImageIO decode→9×8 grid→luma→dHash path is faithful
+    // and that banding loses no pair (structural recall at chunks=3 >
+    // maxHamming=2).
+    "q117_image_dhash" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+      val base = ids.filter(col("doc_id") < 150)
+        .select(col("doc_id").as("img_id"), col("doc_id").as("seed"),
+          lit(0L).as("perturb"))
+      val twins = ids.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 10000).as("img_id"), col("doc_id").as("seed"),
+          lit(1L).as("perturb"))
+      val encoded = Multimodal.encodePatternPng(
+        base.unionAll(twins), "seed", "perturb", width = 9, height = 8)
+      val hashed = Multimodal.dHash(encoded, "payload")
+      Dedup.hammingPairs(hashed, "img_id", "dhash", maxHamming = 2)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // BPE ENCODE: the q114-trained merge table applied back to the
+    // corpus — per-doc real-tokenizer token counts. The oracle replays
+    // training AND encoding (the placeholder chain's final state IS
+    // the encoding; its length is the token count), so a drift in
+    // either the train fold or the apply fold hash-mismatches.
+    "q119_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextOps.bpeTrain(docs.select(col("text")), "text", numMerges = 6)
+      TextOps.bpeEncode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order key: the Morton interleave every engine computes bit-
+    // identically (pure integer shifts); the layout operator built on
+    // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
+    "q120_zorder" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          graft.functions.zorder2(col("o_custkey"), col("o_orderkey")).as("zval"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // robust outlier gate: median/MAD per event_type over exact cents
+    // (value is a 2-decimal double; ×100 makes every statistic a
+    // half-integer — IEEE-exact cross-engine). Aggregated report so
+    // the oracle pins counts, medians, and MADs per group.
+    "q118_robust_outliers" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      graft.pipeline.Corpus.robustOutliers(e, "event_type", "cents", k = 3.0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          min(col("group_median")).as("med_cents"),
+          min(col("group_mad")).as("mad_cents"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -3175,7 +3238,80 @@ object SparkEntry {
         |      FROM f LEFT JOIN w USING (feature_id))
         |SELECT doc_id, COUNT(*) AS n_tokens, SUM(wt) AS logit,
         | SUM(wt) > 0 AS is_positive
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q119: training + encoding replayed in one CTE chain — see
+    // bpeOracleSql's encodeTail.
+    "q119_bpe_encode" -> bpeOracleSql(6, encodeTail = true),
+
+    // q117: DuckDB recomputes every pixel from the pattern formula,
+    // every dHash bit (adjacent-luma comparisons over the 9×8 grid —
+    // the grid sample is identity at 9×8, gray PNG luma == gray), and
+    // the brute-force hamming pair set; Spark must arrive at the same
+    // pairs THROUGH the real PNG encode → ImageIO decode → hash →
+    // pigeonhole-banding path.
+    "q117_image_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS img_id, doc_id AS seed, 0 AS perturb
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 10000, doc_id, 1 FROM documents WHERE doc_id < 30),
+        |g AS (SELECT img_id, x, y,
+        |  (seed * 31 + x * x * 7 + y * 13 + x * y * 3 +
+        |   CASE WHEN x = 0 AND y = 0 THEN perturb ELSE 0 END) % 256 AS gray
+        | FROM ids, range(9) tx(x), range(8) ty(y)),
+        |b AS (SELECT l.img_id, l.y * 8 + l.x AS bit,
+        |  CASE WHEN r.gray > l.gray THEN 1 ELSE 0 END AS v
+        | FROM g l JOIN g r ON r.img_id = l.img_id AND r.y = l.y AND r.x = l.x + 1
+        | WHERE l.x < 8),
+        |h AS (SELECT img_id,
+        |  CAST(SUM(CASE WHEN bit < 32
+        |    THEN v * (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS lo,
+        |  CAST(SUM(CASE WHEN bit >= 32
+        |    THEN v * (CAST(1 AS BIGINT) << CAST(bit - 32 AS INT)) ELSE 0 END) AS BIGINT) AS hi
+        | FROM b GROUP BY img_id)
+        |SELECT a.img_id AS id_a, b2.img_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) AS INT) AS hamming
+        |FROM h a JOIN h b2 ON a.img_id < b2.img_id
+        |WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q120: the same five-step spread chain, unrolled as CTEs; both
+    // engines do pure BIGINT shifts so the key matches bit-for-bit.
+    "q120_zorder" ->
+      """WITH t AS (SELECT o_orderkey,  o_custkey,
+        |  o_custkey & 2147483647 AS a, o_orderkey & 2147483647 AS b
+        | FROM orders),
+        |sa AS (SELECT *, ((a | (a << 16)) & 281470681808895) AS x1 FROM t),
+        |s2 AS (SELECT *, ((x1 | (x1 << 8)) & 71777214294589695) AS x2 FROM sa),
+        |s3 AS (SELECT *, ((x2 | (x2 << 4)) & 1085102592571150095) AS x3 FROM s2),
+        |s4 AS (SELECT *, ((x3 | (x3 << 2)) & 3689348814741910323) AS x4 FROM s3),
+        |s5 AS (SELECT *, ((x4 | (x4 << 1)) & 6148914691236517205) AS xs FROM s4),
+        |ba AS (SELECT *, ((b | (b << 16)) & 281470681808895) AS y1 FROM s5),
+        |b2 AS (SELECT *, ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM ba),
+        |b3 AS (SELECT *, ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM b2),
+        |b4 AS (SELECT *, ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM b3),
+        |b5 AS (SELECT *, ((y4 | (y4 << 1)) & 6148914691236517205) AS ys FROM b4)
+        |SELECT o_orderkey, o_custkey, xs | (ys << 1) AS zval
+        |FROM b5 ORDER BY o_orderkey""".stripMargin,
+
+    // q118: median/MAD replayed over the same exact cents; every
+    // statistic is a half-integer so the 3·MAD comparison has no
+    // float edge on either engine.
+    "q118_robust_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |      FROM e GROUP BY 1),
+        |d AS (SELECT e.event_type, e.cents, abs(e.cents - m.med) AS dev, m.med
+        |      FROM e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, COUNT(*) AS n,
+        | CAST(SUM(CASE WHEN d.dev > 3 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | MIN(d.med) AS med_cents, MIN(md.mad) AS mad_cents
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
   )
 
   /** q114's oracle: DuckDB re-runs BPE training end to end. The
@@ -3190,7 +3326,14 @@ object SparkEntry {
     * strings (placeholders recursively replaced by the earlier
     * merges' expansions), matching Spark's (count desc, left, right)
     * over real symbols. One CTE layer per merge, generated here. */
-  private def bpeOracleSql(k: Int): String = {
+  /** BPE training replay (q114) — and, with `encodeTail`, the ENCODE
+    * replay (q119): the merge chain keeps each distinct word's full
+    * symbol state as a placeholder string, so after k merges the
+    * encoded length of a word is just `length(w_k)`; the tail joins
+    * that vocabulary back to the exploded corpus and aggregates per
+    * doc — exactly the distinct-word-once shape of
+    * [[graft.operators.TextOps.bpeEncode]]. */
+  private def bpeOracleSql(k: Int, encodeTail: Boolean = false): String = {
     def ph(j: Int): Char = ('A' + j - 1).toChar
     // expand a 1-char encoded symbol to its original-alphabet string
     def expand(c: String, j: Int): String =
@@ -3200,7 +3343,7 @@ object SparkEntry {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
-        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |  SELECT w AS orig, w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
         |    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
         |    FROM documents)
         |  WHERE w <> '' GROUP BY w)""".stripMargin)
@@ -3213,14 +3356,25 @@ object SparkEntry {
         |          ${expand("substr(pair, 1, 1)", j)} AS left_exp,
         |          ${expand("substr(pair, 2, 1)", j)} AS right_exp
         |        FROM p$j ORDER BY cnt DESC, left_exp, right_exp LIMIT 1),
-        |w$j AS (SELECT replace(w, (SELECT pair FROM b$j), '${ph(j)}') AS w, freq
+        |w$j AS (SELECT orig, replace(w, (SELECT pair FROM b$j), '${ph(j)}') AS w, freq
         |        FROM w${j - 1})""".stripMargin)
     }
-    val rows = (1 to k).map(j =>
-      s"""SELECT $j AS rank, left_exp AS left_sym, right_exp AS right_sym,
-         | left_exp || right_exp AS merged, CAST(cnt AS BIGINT) AS pair_count
-         |FROM b$j""".stripMargin)
-    sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
+    if (encodeTail) {
+      sb.append(s""",
+        |dw AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        |    FROM documents) WHERE w <> '')
+        |SELECT d.doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(length(v.w)) AS BIGINT) AS n_bpe_tokens
+        |FROM dw d JOIN w$k v ON v.orig = d.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)
+    } else {
+      val rows = (1 to k).map(j =>
+        s"""SELECT $j AS rank, left_exp AS left_sym, right_exp AS right_sym,
+           | left_exp || right_exp AS merged, CAST(cnt AS BIGINT) AS pair_count
+           |FROM b$j""".stripMargin)
+      sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
+    }
     sb.toString
   }
 

@@ -235,6 +235,28 @@ package object functions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 
+  /** Z-order (Morton) interleave of two dimensions into one sortable
+    * 62-bit key: bit i of `a` lands at position 2i, of `b` at 2i+1, so
+    * a RANGE of z-values covers a tight RECTANGLE in (a, b) space —
+    * sort/partition by this and parquet min/max stats prune on BOTH
+    * columns at once (the Delta/Iceberg Z-ORDER layout trick, as a
+    * pure builtin composition: five spread steps per operand, all
+    * inside whole-stage codegen). Inputs are masked to their low 31
+    * bits (two 31-bit dims fill bits 0..61; the sign bit stays clear,
+    * so the key orders correctly as a signed long — callers bucket or
+    * hash wider domains down first). */
+  def zorder2(a: Column, b: Column): Column = {
+    val masks = Seq(
+      0x0000FFFF0000FFFFL, 0x00FF00FF00FF00FFL, 0x0F0F0F0F0F0F0F0FL,
+      0x3333333333333333L, 0x5555555555555555L)
+    val shifts = Seq(16, 8, 4, 2, 1)
+    def spread(x: Column): Column =
+      shifts.zip(masks).foldLeft(x.cast("long").bitwiseAND(lit(0x7FFFFFFFL))) {
+        case (acc, (s, m)) => acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
+      }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
   // ---------------------------------------------------------------------
   // Vector math (embeddings table; similarity family)
   // ---------------------------------------------------------------------

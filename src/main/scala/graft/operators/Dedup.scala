@@ -272,6 +272,48 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** All pairs within Hamming distance `maxHamming` over a caller-
+    * supplied 64-bit hash column (e.g. [[Multimodal.dHash]] image
+    * hashes or any precomputed fingerprint) — the multi-index hamming
+    * join: split the hash into `chunks` bit-ranges; by pigeonhole, two
+    * hashes differing in ≤ maxHamming bits must agree EXACTLY on at
+    * least one chunk whenever `chunks > maxHamming`, so with the
+    * default `chunks = maxHamming + 1` candidate recall is structural
+    * (1.0), not probabilistic — unlike [[simhashCandidates]], which
+    * recomputes its hash from text, this operator indexes a hash the
+    * caller already has. One shuffle of (id, chunk, chunk_val) — 20
+    * bytes/row — buckets capped and observable via [[capMetrics]]
+    * (family "hamming"), one exact `bit_count(xor)` per candidate.
+    * Uneven chunk widths (64 % chunks != 0) are handled by giving the
+    * trailing chunks one extra bit. */
+  def hammingPairs(df: DataFrame, idCol: String, hashCol: String,
+                   maxHamming: Int = 2, chunks: Int = 0,
+                   maxBucket: Int = 4096, label: String = ""): DataFrame = {
+    val nChunks = if (chunks > 0) chunks else maxHamming + 1
+    require(nChunks >= 1 && nChunks <= 64, s"chunks must be in [1, 64], got $nChunks")
+    // chunk c covers width base(+1 for the last `rem` chunks) bits
+    val base = 64 / nChunks
+    val rem = 64 % nChunks
+    val widths = (0 until nChunks).map(c => if (c >= nChunks - rem) base + 1 else base)
+    val starts = widths.scanLeft(0)(_ + _)
+    val hashed = df.select(col(idCol).as("__id"), col(hashCol).as("__payload"))
+      .filter(col("__payload").isNotNull)
+    val banded = hashed.select(col("__id"), col("__payload"),
+        explode(sequence(lit(0), lit(nChunks - 1))).as("__chunk"))
+      .withColumn("__chunk_val",
+        (0 until nChunks).foldLeft(lit(-1L)) { (acc, c) =>
+          val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1
+          when(col("__chunk") === c,
+            shiftrightunsigned(col("__payload"), starts(c)).bitwiseAND(mask))
+            .otherwise(acc)
+        })
+    bucketPairs(banded, Seq("__chunk", "__chunk_val"),
+        (a, b) => hamming64(a, b), "hamming", maxBucket, "hamming", label)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs WITHIN each block of
     * `blockCol` — exact (not estimated), so O(Σ block²); use the LSH
     * variants when no cheap blocking key exists.

@@ -243,6 +243,112 @@ object Multimodal {
     }(enc)
   }
 
+  /** Encode one patterned grayscale PNG per row — the discriminative
+    * media fixture generator ([[encodeSolidPng]]'s sibling): pixel
+    * (x, y) carries gray
+    * `(seed*31 + x*x*7 + y*13 + x*y*3 [+ perturb at (0,0)]) mod 256`,
+    * a per-seed pattern whose wrapped adjacent-pixel comparisons differ
+    * across seeds (a solid color has no structure for a difference
+    * hash to see). The formula is pure integer arithmetic, so an SQL
+    * oracle can recompute every pixel — and therefore every
+    * [[dHash]] bit — without a codec, certifying the real
+    * encode→decode→hash path end to end (q117). `perturbCol` bumps
+    * only pixel (0,0): the planted near-twin knob, changing at most
+    * one dHash bit. */
+  def encodePatternPng(df: DataFrame, seedCol: String, perturbCol: String,
+                       width: Int, height: Int,
+                       out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val si = inSchema.fieldIndex(seedCol)
+    val pi = inSchema.fieldIndex(perturbCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val seed = r.getLong(si); val perturb = r.getLong(pi)
+        val img = new java.awt.image.BufferedImage(
+          width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val bump = if (x == 0 && y == 0) perturb else 0L
+            val g = (((seed * 31 + x.toLong * x * 7 + y.toLong * 13 +
+              x.toLong * y * 3 + bump) % 256 + 256) % 256).toInt
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+
+  /** 64-bit difference hash (dHash) of an image payload through the
+    * REAL JDK decode: sample a 9×8 nearest-neighbor grid
+    * (`sx = gx·w/9`, `sy = gy·h/8` — no interpolation, so the grid is
+    * integer-replayable by an SQL oracle when pixels are known),
+    * integer luma `(299r + 587g + 114b) / 1000`, bit `y*8 + x` set iff
+    * `luma(x+1, y) > luma(x, y)`. The canonical perceptual key for
+    * image near-dup detection: resolution-independent (the grid is
+    * fixed-size, a 100-megapixel payload costs 72 pixel reads after
+    * decode), and hammable — pair it with [[Dedup.hammingPairs]] for
+    * the LAION-style near-duplicate image sweep. Undecodable or null
+    * payloads → null hash (the one-corrupt-blob-never-fails-the-scan
+    * discipline of [[ImageIoDecoder]]). */
+  def dHash(df: DataFrame, binaryCol: String, out: String = "dhash"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, LongType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx)
+        val hash: java.lang.Long =
+          if (bytes == null) null
+          else {
+            try {
+              val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+              if (img == null) null
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                val grid = Array.ofDim[Int](8, 9)
+                var gy = 0
+                while (gy < 8) {
+                  var gx = 0
+                  while (gx < 9) {
+                    val sx = gx * w / 9; val sy = gy * h / 8
+                    val p = img.getRGB(sx, sy)
+                    grid(gy)(gx) =
+                      (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)) / 1000
+                    gx += 1
+                  }
+                  gy += 1
+                }
+                var bits = 0L
+                var y2 = 0
+                while (y2 < 8) {
+                  var x2 = 0
+                  while (x2 < 8) {
+                    if (grid(y2)(x2 + 1) > grid(y2)(x2)) bits |= 1L << (y2 * 8 + x2)
+                    x2 += 1
+                  }
+                  y2 += 1
+                }
+                java.lang.Long.valueOf(bits)
+              }
+            } catch {
+              case _: java.io.IOException | _: RuntimeException => null
+            }
+          }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling plan for a video-ish payload: emit
     * `n` (frame_index, byte_offset) rows per media row — the shuffle
     * shape of real frame extraction without the codec. */

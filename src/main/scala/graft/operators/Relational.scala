@@ -287,6 +287,30 @@ object Relational {
       .drop("__pid", "__offset")
   }
 
+  /** Z-ORDER table layout ([[graft.functions.zorder2]] as a
+    * clustering operator): range-partition, then sort, by the Morton
+    * key of two columns, so every output partition — and every parquet
+    * row group written from it — covers a tight RECTANGLE in (a, b)
+    * space. Min/max column stats then prune scans on EITHER predicate
+    * (`a BETWEEN …` or `b BETWEEN …`) from the same single layout,
+    * where a plain sort serves only its leading column — the
+    * data-skipping trick multi-dimensional query patterns need at
+    * 100 TB (one layout, two prunable dimensions).
+    *
+    * Shape: one `repartitionByRange` shuffle (sampled boundaries →
+    * balanced files regardless of key skew) + an in-partition sort;
+    * `numPartitions` sizes output files for the target scale. The
+    * helper key is dropped after the sort — projection keeps the
+    * partitioning. */
+  def zorderBy(df: DataFrame, a: Column, b: Column,
+               numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
+    df.withColumn("__z", graft.functions.zorder2(a, b))
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** SCD2 (type-2 slowly-changing-dimension) compaction of a
     * changelog: per key, collapse consecutive rows whose payload is
     * unchanged and emit one row per distinct run with a

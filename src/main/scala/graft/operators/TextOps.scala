@@ -574,6 +574,76 @@ object TextOps {
     spark.createDataFrame(merges.toSeq)
   }
 
+  /** Apply one BPE merge to a symbol sequence, greedy left-to-right —
+    * the exact per-merge semantics of [[bpeTrain]]'s `aggregate` fold
+    * (and of a string `replace` over single-char-encoded symbols, what
+    * the q119 oracle replays). Pure; exposed for specs and reuse. */
+  def bpeApplyMerge(syms: IndexedSeq[String], l: String, r: String): IndexedSeq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toIndexedSeq
+  }
+
+  /** BPE ENCODING — apply a learned merge table ([[bpeTrain]]'s
+    * artifact) to the corpus and return per-document token accounting
+    * `(idCol, n_words, n_bpe_tokens)`: what a training pipeline runs
+    * to budget, pack, and bill sequences in REAL tokenizer tokens
+    * rather than whitespace words.
+    *
+    * Merges apply IN RANK ORDER, each greedy left-to-right
+    * ([[bpeApplyMerge]]) — byte-identical to the training-time fold,
+    * so encoding the training corpus reproduces exactly the symbol
+    * state training ended with (rank-priority re-scan encoders differ
+    * only when two merge paths produce colliding symbol strings).
+    *
+    * Shape at scale: the encode loop runs once per DISTINCT word — a
+    * vocabulary-sized `mapPartitions` (cost independent of corpus
+    * size, O(word_len · merges) per word), with the merge table
+    * collected once and shipped in the task closure (a tokenizer
+    * artifact is bounded — 32–100k rows, guarded below). The corpus
+    * itself pays one explode, one join against the vocab-sized
+    * encoded-word table (un-hinted — AQE broadcasts while it fits,
+    * the TF-IDF lesson), and one hash aggregate with map-side
+    * partials. No corpus-sized state, no UDF in the corpus path. */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: DataFrame, maxMerges: Int = 1 << 20): DataFrame = {
+    val ranked = merges
+      .select(col("rank").cast("int"), col("left_sym"), col("right_sym"))
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    require(ranked.length <= maxMerges,
+      s"merge table has ${ranked.length} rows (> $maxMerges) — not a tokenizer artifact")
+    val wordsPerDoc = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "")
+    val distinctWords = wordsPerDoc.select(col("__w")).distinct()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__w",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("__n_syms",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    val encoded = distinctWords.mapPartitions { rows =>
+      rows.map { row =>
+        val w = row.getString(0)
+        var syms: IndexedSeq[String] = w.split("").toIndexedSeq.filter(_.nonEmpty)
+        ranked.foreach { case (l, r) =>
+          if (syms.length >= 2) syms = bpeApplyMerge(syms, l, r)
+        }
+        org.apache.spark.sql.Row(w, syms.length.toLong)
+      }
+    }(enc)
+    wordsPerDoc.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n_syms")).as("n_bpe_tokens"))
+  }
+
   /** Hashed linear model scoring — the fastText-family classifier
     * shape used for corpus quality/topic gating (score every document
     * with a trained linear model over hashed bag-of-words features).

@@ -290,6 +290,40 @@ object Corpus {
       .drop("__thresh")
   }
 
+  /** Robust per-group outlier flag — median/MAD (median absolute
+    * deviation), the distribution-free cousin of the z-score: a row is
+    * an outlier iff `|x - median| > k·MAD`. Unlike mean/stddev, both
+    * statistics are rank-based, so one corrupt billion-token document
+    * (or a fat-fingered metric) cannot drag the threshold toward
+    * itself — the standard gate for metric columns with unknown,
+    * heavy-tailed distributions (doc lengths, event values, scores).
+    *
+    * Shape at scale: two group-key aggregates (median, then MAD over
+    * the re-joined deviations) with map-side partials, each producing
+    * a |groups|-row table that joins back un-hinted (AQE broadcasts
+    * while it fits — the TF-IDF lesson); the flag itself is row-local.
+    * `percentile` is the exact sort-based aggregate — for a group the
+    * size of a 100 TB language, swap `approx_percentile` in via the
+    * [[dropBottomQuantileApprox]] trade (same API shape, rank error ≤
+    * 1/accuracy); exactness here is what makes the oracle possible.
+    * On integral inputs every statistic is a half-integer, so median,
+    * MAD, and the `k·MAD` comparison are IEEE-exact cross-engine. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     k: Double = 3.0, out: String = "is_outlier"): DataFrame = {
+    require(k >= 0.0, s"k must be non-negative, got $k")
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), lit(0.5)).as("__med"))
+    val dev = df.join(med, Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("__mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn(out, col("__dev") > lit(k) * col("__mad"))
+      .drop("__dev")
+      .withColumnRenamed("__med", "group_median")
+      .withColumnRenamed("__mad", "group_mad")
+  }
+
   /** Deterministic epoch shuffle: a contiguous global training order
     * 1..N from a seeded hash of the id — "shuffle the corpus for
     * epoch k" as a pure function of (id, seed, epoch), so any run,

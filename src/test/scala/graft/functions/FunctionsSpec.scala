@@ -161,4 +161,30 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(Seq(Tuple1(null: String)).toDF("u")
       .select(canonical_url(col("u"))).head.isNullAt(0))
   }
+
+  test("zorder2: matches a bit-by-bit reference morton; orders rectangles") {
+    def refMorton(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (0x7FFFFFFFL, 0x7FFFFFFFL)) ++
+      (1 to 50).map(_ => (rnd.nextInt(Int.MaxValue).toLong, rnd.nextInt(Int.MaxValue).toLong))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), zorder2(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    cases.foreach { case (a, b) =>
+      assert(got((a, b)) == refMorton(a, b), s"morton($a, $b)")
+    }
+    // the point of the key: both dims non-negative → z non-negative/sortable
+    assert(got.values.forall(_ >= 0L))
+    // inputs above 31 bits are masked, not wrapped into the sign bit
+    val wide = Seq((0xFFFFFFFFL, 0xFFFFFFFFL)).toDF("a", "b")
+      .select(zorder2(col("a"), col("b"))).head.getLong(0)
+    assert(wide == refMorton(0x7FFFFFFFL, 0x7FFFFFFFL) && wide >= 0L)
+  }
 }

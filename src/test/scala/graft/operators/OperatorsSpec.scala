@@ -50,6 +50,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
   }
 
+  test("zorderBy: partitions are ordered, disjoint z-ranges (tight rectangles)") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 2000).map(_ =>
+      (rnd.nextInt(1 << 20).toLong, rnd.nextInt(1 << 20).toLong)).toDF("a", "b")
+    val parts = Relational.zorderBy(df, col("a"), col("b"), numPartitions = 8)
+      .select(col("a"), col("b"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        val zs = it.map { r =>
+          var z = 0L
+          for (i <- 0 until 31) {
+            z |= ((r.getLong(0) >> i) & 1L) << (2 * i)
+            z |= ((r.getLong(1) >> i) & 1L) << (2 * i + 1)
+          }
+          z
+        }.toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((pid, zs.min, zs.max, zs == zs.sorted))
+      }.collect().sortBy(_._1)
+    assert(parts.nonEmpty)
+    assert(parts.forall(_._4), "z sorted within every partition")
+    parts.sliding(2).foreach {
+      case Array((_, _, maxPrev, _), (_, minNext, _, _)) =>
+        assert(maxPrev <= minNext, "partition z-ranges disjoint and ordered")
+      case _ =>
+    }
+  }
+
   test("groupedTopKSalted equals the single-phase cap on a skewed group, any salt count") {
     // one mega-group (900 rows) + two small ones; ties on v break by id
     val rows = (0 until 900).map(i => ("hot", i, (i % 37).toDouble)) ++
@@ -483,6 +510,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("converge"))
   }
+
+  test("hammingPairs: structural recall — equals brute force, incl. negative hashes") {
+    val rnd = new scala.util.Random(42)
+    val base = (0L until 60L).map(i => (i, rnd.nextLong()))
+    // planted near pairs: flip 0, 1, and 2 bits of existing hashes
+    val planted = Seq(
+      (100L, base(3)._2),
+      (101L, base(7)._2 ^ (1L << 63)),           // sign-bit flip
+      (102L, base(11)._2 ^ (1L << 5) ^ (1L << 40)))
+    val all = base ++ planted
+    val df = all.toDF("id", "hash")
+    val got = Dedup.hammingPairs(df, "id", "hash", maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for {
+      (ia, ha) <- all; (ib, hb) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === want)
+    assert(want.size >= 3)  // the planted pairs are in the ground truth
+  }
+
+  test("hammingPairs: uneven chunk widths cover all 64 bits; null hashes ignored") {
+    // chunks = 5 → widths 12,13,13,13,13: a pair differing only in the
+    // top bits must still band together somewhere
+    val df = Seq((1L, Some(0L)), (2L, Some(1L << 63)), (3L, None))
+      .toDF("id", "hash")
+    val got = Dedup.hammingPairs(df, "id", "hash", maxHamming = 1, chunks = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1)))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
@@ -858,5 +915,50 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     val got = Multimodal.sampleFramePlan(df, "id", "payload", 4)
       .orderBy("frame_index").collect().map(r => r.getAs[Long]("byte_offset"))
     assert(got.length == 4 && got.toSeq == got.sorted.toSeq)
+  }
+
+  /** reference dHash of the pattern formula, computed without a codec */
+  private def patternDHash(seed: Long, perturb: Long): Long = {
+    def gray(x: Int, y: Int): Long =
+      (seed * 31 + x.toLong * x * 7 + y.toLong * 13 + x.toLong * y * 3 +
+        (if (x == 0 && y == 0) perturb else 0L)) % 256
+    var bits = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(x + 1, y) > gray(x, y)) bits |= 1L << (y * 8 + x)
+    bits
+  }
+
+  test("encodePatternPng → dHash: real codec round-trip equals the formula hash") {
+    val df = Seq((7L, 0L), (8L, 0L), (7L, 128L)).toDF("seed", "perturb")
+    val got = Multimodal.dHash(
+        Multimodal.encodePatternPng(df, "seed", "perturb", width = 9, height = 8),
+        "payload")
+      .select("seed", "perturb", "dhash").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((7L, 0L)) == patternDHash(7, 0))
+    assert(got((8L, 0L)) == patternDHash(8, 0))
+    assert(got((7L, 128L)) == patternDHash(7, 128))
+    assert(got((7L, 0L)) != got((8L, 0L)))  // the pattern discriminates seeds
+    // a one-pixel perturbation moves at most one bit (only bit 0 sees (0,0))
+    assert(java.lang.Long.bitCount(got((7L, 0L)) ^ got((7L, 128L))) <= 1)
+  }
+
+  test("dHash: resolution-independent grid; junk and null payloads → null") {
+    // same solid color at two resolutions → identical (degenerate) hash
+    def solid(w: Int, h: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => im.setRGB(x, y, 0x336699)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val df = Seq((1L, solid(9, 8)), (2L, solid(90, 80)),
+      (3L, "not an image".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Multimodal.dHash(df, "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L) == Some(0L) && got(2L) == Some(0L))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
   }
 }

@@ -301,6 +301,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stop.count() == 0L, "no pair reaches count 2")
   }
 
+  test("bpeEncode: applies merges in rank order; counts real tokenizer tokens per doc") {
+    // bpeApplyMerge: training-fold semantics, incl. the greedy-overlap rule
+    assert(TextOps.bpeApplyMerge(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))
+    assert(TextOps.bpeApplyMerge(Vector("l", "o", "w"), "l", "o") == Vector("lo", "w"))
+    assert(TextOps.bpeApplyMerge(Vector("x"), "a", "b") == Vector("x"))
+
+    val docs = Seq((1L, "low low lower"), (2L, "lowest"), (3L, "ow"))
+      .toDF("doc_id", "text")
+    val merges = Seq((1, "l", "o"), (2, "lo", "w"), (3, "low", "e"))
+      .toDF("rank", "left_sym", "right_sym")
+    // "low"→[low] (1 sym), "lower"→[lowe,r] (2), "lowest"→[lowe,s,t] (3),
+    // "ow"→[o,w] (2 — merge (l,o) never fires, (lo,w) needs symbol "lo")
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1L + 1L + 2L)))
+    assert(got(2L) == ((1L, 3L)))
+    assert(got(3L) == ((1L, 2L)))
+  }
+
+  test("bpeEncode: encoding the training corpus with its own merges is consistent") {
+    val docs = Seq((1L, "low low low low low lower lower lowest"))
+      .toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(docs.select(col("text")), "text",
+      numMerges = 3, minPairCount = 1L)
+    // merges: (l,o), (lo,w), (low,e) → low=1 sym ×5, lower=[lowe,r]=2 ×2,
+    // lowest=[lowe,s,t]=3 ×1 → total 5 + 4 + 3 = 12 over 8 words
+    val got = TextOps.bpeEncode(docs, "doc_id", "text", merges).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 8L && got.head.getLong(2) == 12L)
+  }
+
   test("linearScore: per-occurrence hashed lookup; full model == count/2; OOV scores 0") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "gamma")).toDF("doc_id", "text")
     // every one of the 64 buckets carries weight 0.5 → logit = n_tokens/2

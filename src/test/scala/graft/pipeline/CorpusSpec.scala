@@ -323,4 +323,21 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val host0All = (0L until 30L).filter(i => i % 3 != 2 && i % 2 == 0)
     assert(kept0 == host0All.sorted.takeRight(4).toSeq)
   }
+
+  test("robustOutliers: hand-computed median/MAD; one wild value cannot move the gate") {
+    // group a: values 1..9 plus a 1e6 corruption. median of 10 values =
+    // 5.5, deviations {4.5,3.5,...,0.5x2,...,3.5, 999994.5} → MAD = 2.5;
+    // gate at 3·2.5 = 7.5 flags ONLY the corruption (all sane devs ≤ 4.5).
+    val a = ((1L to 9L) :+ 1000000L).map(v => ("a", v))
+    val b = Seq(("b", 10L), ("b", 20L), ("b", 30L))  // median 20, MAD 10
+    val got = Corpus.robustOutliers(
+        (a ++ b).toDF("grp", "v"), "grp", "v", k = 3.0)
+      .select($"grp", $"v", $"group_median", $"group_mad", $"is_outlier")
+      .as[(String, Long, Double, Double, Boolean)].collect()
+    val ga = got.filter(_._1 == "a")
+    assert(ga.forall(r => r._3 == 5.5 && r._4 == 2.5))
+    assert(ga.filter(_._5).map(_._2).toSeq == Seq(1000000L))
+    val gb = got.filter(_._1 == "b")
+    assert(gb.forall(r => r._3 == 20.0 && r._4 == 10.0 && !r._5))
+  }
 }

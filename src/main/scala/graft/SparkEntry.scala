@@ -1752,6 +1752,52 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ordered-sequence funnel (view → click → purchase, strict order):
+    // the typed one-shuffle fold; DuckDB replays it as chained
+    // strictly-after MINs — equal timestamps certify the greedy fold
+    // IS the funnel semantics.
+    "q121_funnel" -> ((s, dir) => {
+      // deterministic ~9% event thinning: dense synthetic users would
+      // all trivially convert; sparse sequences exercise every
+      // completion depth (0/1/2/3 all occur at sf0.01)
+      Relational.funnel(
+          Tables.events(s, dir).filter(col("event_id") % 97 < 9),
+          "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .select(col("key").as("user_id"), col("steps_completed"),
+          element_at(col("step_ts"), 1).as("t_view"),
+          element_at(col("step_ts"), 2).as("t_click"),
+          element_at(col("step_ts"), 3).as("t_purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // cohort retention curve over the events table.
+    "q122_retention" -> ((s, dir) => {
+      Relational.retention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // one-pass column profile (exact-distinct mode so every cell is
+    // oracle-checkable; the default approx mode is the 100 TB path).
+    "q123_profile" -> ((s, dir) => {
+      Relational.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+          exact = true)
+        .orderBy(col("column"))
+    }),
+
+    // declarative constraint checks, one aggregate pass for all five.
+    "q124_expect" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      Relational.expect(l, Seq(
+          "qty_range" -> col("l_quantity").between(1, 50),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "discount_range" -> col("l_discount").between(0, 0.05),
+          "tax_nonneg" -> (col("l_tax") >= 0),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+        .orderBy(col("check"))
+    }),
+
     // Z-order key: the Morton interleave every engine computes bit-
     // identically (pure integer shifts); the layout operator built on
     // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
@@ -3275,6 +3321,69 @@ object SparkEntry {
         |FROM h a JOIN h b2 ON a.img_id < b2.img_id
         |WHERE bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q123: each profile row recomputed as a plain aggregate.
+    "q123_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+           | COUNT(*) - COUNT($c) AS n_nulls,
+           | COUNT(DISTINCT $c) AS n_distinct,
+           | CAST(MIN($c) AS VARCHAR) AS min_value,
+           | CAST(MAX($c) AS VARCHAR) AS max_value
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("\nUNION ALL\n") + "\nORDER BY \"column\""
+    },
+
+    // q124: each check replayed; null predicates count as violations.
+    "q124_expect" ->
+      """WITH l AS (SELECT * FROM lineitem)
+        |SELECT 'discount_range' AS "check", COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM l
+        |UNION ALL
+        |SELECT 'price_positive', COUNT(*),
+        | CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) FROM l
+        |UNION ALL
+        |SELECT 'qty_range', COUNT(*),
+        | CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) FROM l
+        |UNION ALL
+        |SELECT 'returnflag_domain', COUNT(*),
+        | CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT) FROM l
+        |UNION ALL
+        |SELECT 'tax_nonneg', COUNT(*),
+        | CAST(SUM(CASE WHEN l_tax >= 0 THEN 0 ELSE 1 END) AS BIGINT) FROM l
+        |ORDER BY "check"""".stripMargin,
+
+    // q121: chained strictly-after MINs — step i = earliest qualifying
+    // event strictly after step i-1 — over the same µs timestamps the
+    // Spark fold compares (epoch_us both sides, the q43 idiom).
+    "q121_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events
+        |           WHERE event_id % 97 < 9
+        |             AND event_type IN ('view', 'click', 'purchase')),
+        |u0 AS (SELECT DISTINCT user_id FROM e),
+        |u1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN u1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN u2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        |SELECT u0.user_id,
+        | CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+        |      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS steps_completed,
+        | t1 AS t_view, t2 AS t_click, t3 AS t_purchase
+        |FROM u0 LEFT JOIN u1 USING (user_id) LEFT JOIN u2 USING (user_id)
+        |        LEFT JOIN u3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    // q122: the retention rollup replayed directly.
+    "q122_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY 1)
+        |SELECT f.cohort_day, a.day - f.cohort_day AS day_offset,
+        | COUNT(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q120: the same five-step spread chain, unrolled as CTEs; both
     // engines do pure BIGINT shifts so the key matches bit-for-bit.

@@ -64,7 +64,22 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** Metric-name prefix for the stop-bucket cap observations. */
+  /** Free the blocks behind a `localCheckpoint`/`checkpoint`-returned
+  * frame. `Dataset.unpersist` cannot do this — checkpoint blocks are
+  * RDD-level, not cacheManager entries, so they otherwise survive
+  * until a driver GC lets ContextCleaner notice (on a long-lived
+  * session that pins every superseded snapshot in the storage
+  * region). Safe only once nothing will read the frame again. */
+private[operators] object CheckpointHygiene {
+  def free(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+}
+
+/** Metric-name prefix for the stop-bucket cap observations. */
   val CapMetricPrefix = "graft.lsh"
 
   /** "No silent caps": attach a `CollectMetrics` observation counting
@@ -622,11 +637,13 @@ object Dedup {
     import org.apache.spark.storage.StorageLevel
     // LAZY checkpoint: the convergence count right after is the round's
     // single materializing action — eager would spend a second job.
-    // Prior rounds' checkpoint blocks are reclaimed by ContextCleaner
-    // once the loop drops its reference (and reliable-checkpoint files
-    // with spark.cleaner.referenceTracking.cleanCheckpoints) — peak
-    // concurrent storage is therefore a couple of label tables, not
-    // maxRounds of them.
+    // Prior rounds' checkpoint blocks are unpersisted EXPLICITLY once
+    // the next round is materialized: ContextCleaner only reclaims on a
+    // driver GC, so on a long-lived shared session every round's label
+    // table would otherwise stay pinned in the storage region — peak
+    // concurrent storage here is two label tables, not maxRounds of
+    // them. (Reliable-checkpoint FILES are still cleaner-managed via
+    // spark.cleaner.referenceTracking.cleanCheckpoints.)
     def truncate(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = false)
@@ -635,8 +652,9 @@ object Dedup {
       .unionByName(pairs.select(col(idBCol).as("src"), col(idACol).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
+    var ckpt = truncate(edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster")))
+    var labels = ckpt
     var round = 0
     var changed = 1L
     while (round < maxRounds && changed > 0) {
@@ -651,6 +669,10 @@ object Dedup {
           least(col("cluster"), coalesce(col("__nmin"), col("cluster"))).as("cluster"),
           (coalesce(col("__nmin"), col("cluster")) < col("cluster")).as("__changed")))
       changed = next.filter(col("__changed")).count()
+      // next is materialized by the count above; the previous round's
+      // blocks are dead weight from here on
+      CheckpointHygiene.free(ckpt)
+      ckpt = next
       labels = next.select(col("id"), col("cluster"))
       round += 1
     }

@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
 case class KeyedTs(key: Long, tsMicros: Long)
 case class KeyGap(key: Long, max_gap_us: Long, n_events: Long)
 
+/** Typed rows for [[Relational.funnel]]. */
+case class KeyedTypedTs(key: Long, tsMicros: Long, etype: String)
+case class FunnelRow(key: Long, steps_completed: Int, step_ts: Seq[Option[Long]])
+
 /** Relational building blocks the reference implies but never wrote
   * (SURVEY.md §2.4–§2.7): grouped top-k (the `min(n,100)` per-video
   * comment clamp done right — /root/reference/function_app.py:99) and
@@ -186,6 +190,117 @@ object Relational {
         KeyGap(k, maxGap, ts.length.toLong)
       }
       .toDF()
+  }
+
+  /** One-pass column PROFILE — per column: row count, null count,
+    * distinct count, min and max (as strings, so one schema fits every
+    * column type): the data-quality summary a pipeline computes before
+    * trusting a new drop. ALL columns profile in ONE aggregate pass
+    * over the data (one job, map-side partials). `exact = true` uses
+    * `count_distinct` — Spark expands the plan ×|cols| for multiple
+    * distinct aggregates, the right trade for a profile you want
+    * oracle-exact; `exact = false` (the 100 TB default) uses
+    * `approx_count_distinct` (one HLL sketch per column, no expand). */
+  def profile(df: DataFrame, cols: Seq[String],
+              exact: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        (if (exact) count_distinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(cols.map { c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+          (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+          col(s"__nd_$c").as("n_distinct"),
+          col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Declarative CONSTRAINT CHECK (the dbt-test / Deequ shape): every
+    * named predicate is evaluated over the whole frame in ONE
+    * aggregate pass, returning (check, n_rows, n_violations) per
+    * constraint — a row whose predicate is null (three-valued SQL on
+    * null inputs) counts as a violation, because "unknown" is not
+    * "passed". Constraints are data, not code paths: adding one adds
+    * a column to the same single job. */
+  def expect(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "expect needs at least one check")
+    val aggs = checks.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v_$i")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(checks.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("check"), col("__n").as("n_rows"),
+          coalesce(col(s"__v_$i"), lit(0L)).as("n_violations"))
+      }: _*)).as("__c"))
+      .select(col("__c.*"))
+  }
+
+  /** Ordered event-sequence FUNNEL per key — "did the user do A, then
+    * B strictly later, then C strictly later" (product-analytics
+    * conversion funnels, pipeline-stage progression): returns one row
+    * per key with how many steps completed in order and the timestamp
+    * (µs) each step first completed at. Step i matches the EARLIEST
+    * qualifying event strictly after step i-1's match — the standard
+    * strict-order funnel; simultaneous (same-µs) events do not chain.
+    *
+    * Shape at scale: rows are filtered to the step types BEFORE the
+    * shuffle (a funnel over 3 of 50 event types moves 3/50ths of the
+    * data), then one groupByKey; the fold sorts one key's relevant
+    * events at a time — per-task state is a single user's funnel
+    * events, never a partition (the [[maxEventGap]] discipline). The
+    * k-step chain costs ONE shuffle total, where the equivalent
+    * window/join formulation pays one per step. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("tsMicros"), col(typeCol).as("etype"))
+      .filter(col("etype").isin(steps: _*))
+      .as[KeyedTypedTs]
+      .groupByKey(_.key)
+      .mapGroups { (k, rows) =>
+        val evs = rows.toArray
+        java.util.Arrays.sort(evs, Ordering.by((e: KeyedTypedTs) => e.tsMicros))
+        val ts = Array.fill[Option[Long]](steps.length)(None)
+        var reached = 0
+        var lastTs = Long.MinValue
+        evs.foreach { e =>
+          if (reached < steps.length && e.etype == steps(reached) &&
+              e.tsMicros > lastTs) {
+            ts(reached) = Some(e.tsMicros); lastTs = e.tsMicros; reached += 1
+          }
+        }
+        FunnelRow(k, reached, ts.toSeq)
+      }
+      .toDF()
+  }
+
+  /** Cohort RETENTION: group users by the day they first appeared
+    * (their cohort) and count, for each (cohort, day-offset), how many
+    * came back — the activity-curve table behind every retention
+    * chart. Pure aggregates: distinct (key, day) activity (the one
+    * corpus-sized shuffle, and the data reduction itself), a per-key
+    * min for the cohort, a key-equi join both sides of which are
+    * (key, day)-sized, and a final |cohorts × offsets| rollup. A user
+    * active twice on a day counts once (the distinct), so the final
+    * count needs no count_distinct state. */
+  def retention(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val activity = df
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val first = activity.groupBy(col("__k")).agg(min(col("__day")).as("__cohort"))
+    activity.join(first, Seq("__k"))
+      .groupBy(col("__cohort").as("cohort_day"),
+        datediff(col("__day"), col("__cohort")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
   }
 
   /** Sessionize an event stream: assign a session id per key where a

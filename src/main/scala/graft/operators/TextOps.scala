@@ -540,6 +540,11 @@ object TextOps {
       .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
       .select(split(col("__w"), "").as("__sym"), col("__freq"))
       .localCheckpoint()
+    // superseded checkpoints are unpersisted EXPLICITLY: waiting for
+    // ContextCleaner (a driver GC side effect) leaves every vocab
+    // snapshot pinned in the storage region for the life of the
+    // session, starving whatever runs next on a shared session
+    var lastCkpt = words
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var j = 0
     var go = true
@@ -567,10 +572,16 @@ object TextOps {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
             .otherwise(concat(acc, array(s))))
         words = words.select(fold.as("__sym"), col("__freq"))
-        if ((j + 1) % 3 == 0) words = words.localCheckpoint()
+        if ((j + 1) % 3 == 0) {
+          words = words.localCheckpoint() // eager: reads the old blocks
+          Dedup.CheckpointHygiene.free(lastCkpt)
+          lastCkpt = words
+        }
         j += 1
       }
     }
+    // the merge table is driver-side state; no checkpoint outlives the call
+    Dedup.CheckpointHygiene.free(lastCkpt)
     spark.createDataFrame(merges.toSeq)
   }
 

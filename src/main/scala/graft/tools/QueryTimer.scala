@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Ad-hoc per-query timer (dev tool, not part of the driver
+  * contract): warm each named query at sf0.001, then time 3 runs at
+  * the given scale. Usage:
+  * `runMain graft.tools.QueryTimer <sfDir> <queryName>...` */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(cores = 32, shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinThreshold.install(spark)
+    args.drop(1).foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      fn(spark, "/root/testdata/sf0.001").count()
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        println(f"[timer] $n run$i ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+  }
+}

@@ -339,4 +339,77 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"probe join must carry PQ codes, got: $inputNames")
     }
   }
+
+  /** Count plan nodes matching `pred` through AQE query-stage
+    * boundaries (plain `collect` stops at stage leaves; reused
+    * exchanges don't count twice). */
+  private def countNodes(root: org.apache.spark.sql.execution.SparkPlan)(
+      pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    var n = 0
+    def go(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan); return
+        case q: QueryStageExec => go(q.plan); return
+        case _: ReusedExchangeExec => return
+        case other => if (pred(other)) n += 1
+      }
+      p.children.foreach(go)
+    }
+    go(root)
+    n
+  }
+
+  test("funnel: one shuffle total for the whole k-step chain") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = graft.operators.Relational.funnel(
+      graft.sources.Tables.events(spark, sf), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    df.collect()
+    val n = countNodes(df.queryExecution.executedPlan) {
+      case _: ShuffleExchangeLike => true; case _ => false
+    }
+    assert(n == 1, s"funnel must pay exactly one exchange, got $n:\n" +
+      df.queryExecution.executedPlan)
+  }
+
+  test("profile and expect: one scan of the input for all columns/checks") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.functions.col
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      countNodes(df.queryExecution.executedPlan) {
+        case _: FileSourceScanExec | _: BatchScanExec => true; case _ => false
+      }
+    }
+    val orders = graft.sources.Tables.orders(spark, sf)
+    assert(scans(graft.operators.Relational.expect(orders, Seq(
+      "key_nonnull" -> col("o_orderkey").isNotNull,
+      "price_positive" -> (col("o_totalprice") > 0)))) == 1,
+      "expect must evaluate every check in one pass")
+    assert(scans(graft.operators.Relational.profile(orders,
+      Seq("o_orderkey", "o_orderstatus"))) == 1,
+      "profile (approx mode) must profile every column in one pass")
+  }
+
+  test("q117: hamming banding shuffles (id, chunk, chunk_val) — never payloads") {
+    val df = SparkEntry.queries("q117_image_dhash")(spark, sf)
+    df.collect()
+    // logical pin (robust under AQE): the bucket aggregate that feeds
+    // pair generation must group on the chunk columns and its input
+    // must not carry the PNG payload bytes
+    val bucketAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "__chunk_val")) => a
+    }
+    assert(bucketAggs.nonEmpty, "expected the (chunk, chunk_val) bucket aggregate")
+    bucketAggs.foreach { a =>
+      val names = a.child.output.map(_.name).toSet
+      assert(!names.contains("payload"),
+        s"banding must shuffle hashes, not image payloads, got: $names")
+    }
+  }
 }

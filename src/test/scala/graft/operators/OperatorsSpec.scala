@@ -50,6 +50,67 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
   }
 
+  test("profile: nulls, distincts, min/max per column in one pass") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("a")))
+      .toDF("id", "s")
+    val got = Relational.profile(df, Seq("id", "s"), exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 3L, "1", "3")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+  }
+
+  test("expect: one pass, null predicate counts as violation") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None)).toDF("id", "v")
+    val got = Relational.expect(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "id_nonnull" -> col("id").isNotNull))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // v > 0: row 2 fails, row 3 is NULL → unknown is not passed
+    assert(got("v_positive") == ((3L, 2L)))
+    assert(got("id_nonnull") == ((3L, 0L)))
+  }
+
+  test("funnel: strict ordered chaining — equal timestamps do not chain; per-step firsts") {
+    val evs = Seq(
+      // user 1: clean 3-step conversion
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // user 2: click BEFORE the first view is ignored; the click AT the
+      // view's timestamp must not chain (strict >); purchase earlier
+      // than the matched click cannot complete the funnel
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 10L, "click"),
+      (2L, 15L, "click"), (2L, 12L, "purchase"),
+      // user 3: only a purchase — zero steps (no view)
+      (3L, 1L, "purchase"),
+      // user 4: view then purchase, no click — stops at 1
+      (4L, 10L, "view"), (4L, 20L, "purchase"),
+      // noise type is pruned before the shuffle, not matched
+      (1L, 1L, "error"))
+    val df = evs.toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"), col("event_type"))
+    val got = Relational.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Any](2).map(Option(_))))).toMap
+    assert(got(1L) == ((3, Seq(Some(10L), Some(20L), Some(30L)))))
+    assert(got(2L) == ((2, Seq(Some(10L), Some(15L), None))))
+    assert(got(3L) == ((0, Seq(None, None, None))))
+    assert(got(4L) == ((1, Seq(Some(10L), None, None))))
+  }
+
+  test("retention: cohort = first-seen day; same-day repeats count once") {
+    def day(off: Int, h: Int = 8) =
+      java.sql.Timestamp.valueOf(f"2026-01-${1 + off}%02d $h%02d:00:00")
+    val evs = Seq(
+      (1L, day(0)), (1L, day(1)), (1L, day(1, 9)), (1L, day(3)),
+      (2L, day(1)), (2L, day(3)))
+    val got = Relational.retention(evs.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("2026-01-01", 0) -> 1L, ("2026-01-01", 1) -> 1L, ("2026-01-01", 3) -> 1L,
+      ("2026-01-02", 0) -> 1L, ("2026-01-02", 2) -> 1L))
+  }
+
   test("zorderBy: partitions are ordered, disjoint z-ranges (tight rectangles)") {
     val rnd = new scala.util.Random(11)
     val df = (1 to 2000).map(_ =>

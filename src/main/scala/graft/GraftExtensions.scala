@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket", "cosine_lsh_bucket(vec) - 16-plane sign-LSH bucket id"),
       (exprs: Seq[Expression]) => CosineLshSignature(exprs.head, 16, 0)))
+    e.injectFunction((FunctionIdentifier("zorder2"),
+      info("zorder2",
+        "zorder2(a, b) - Morton interleave of two 31-bit dims into one sortable 62-bit key"),
+      (exprs: Seq[Expression]) => graft.functions.zorder2Expr(exprs(0), exprs(1))))
     // custom operator tier: the as-of join planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     // optimizer tier: route edit-distance comparison predicates to the

@@ -57,6 +57,8 @@ package object functions {
       exprs => NfcNormalize(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("nfkc_normalize",
       exprs => NfkcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("zorder2",
+      exprs => zorder2Expr(exprs(0), exprs(1)), "scala_udf")
   }
 
   // ---------------------------------------------------------------------
@@ -255,6 +257,29 @@ package object functions {
         case (acc, (s, m)) => acc.bitwiseOR(shiftleft(acc, s)).bitwiseAND(lit(m))
       }
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** [[zorder2]] as a raw Catalyst tree — what the SQL function
+    * registry needs (a Column composed at registration time stays an
+    * unresolved ColumnNode; these are plain resolved-on-analysis
+    * catalyst nodes). Semantics identical to [[zorder2]]. */
+  private[graft] def zorder2Expr(
+      a: org.apache.spark.sql.catalyst.expressions.Expression,
+      b: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val steps = Seq(
+      16 -> 0x0000FFFF0000FFFFL, 8 -> 0x00FF00FF00FF00FFL,
+      4 -> 0x0F0F0F0F0F0F0F0FL, 2 -> 0x3333333333333333L,
+      1 -> 0x5555555555555555L)
+    def spread(x: Expression): Expression =
+      steps.foldLeft[Expression](
+        BitwiseAnd(Cast(x, LongType), Literal(0x7FFFFFFFL))) {
+        case (acc, (s, m)) =>
+          BitwiseAnd(BitwiseOr(acc, ShiftLeft(acc, Literal(s))), Literal(m))
+      }
+    BitwiseOr(spread(a), ShiftLeft(spread(b), Literal(1)))
   }
 
   // ---------------------------------------------------------------------

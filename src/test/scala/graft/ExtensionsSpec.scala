@@ -25,5 +25,10 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val row = spark.sql(
       "SELECT cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").head
     assert(row.getDouble(0) == 1.0)
+    // builtin-composed functions route through the bridge: plain SQL
+    // gets the same Morton key the Column API computes
+    val z = spark.sql("SELECT zorder2(3L, 5L) AS z").head.getLong(0)
+    // 3 = 0b11 spreads to bits 0,2; 5 = 0b101 to bits 1,5 → 0b100111
+    assert(z == 39L)
   }
 }

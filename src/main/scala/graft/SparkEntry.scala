@@ -1798,6 +1798,18 @@ object SparkEntry {
         .orderBy(col("check"))
     }),
 
+    // OHLC downsampling over exact cents; open/close tie-breaks are a
+    // lexicographic (ts, value) total order, so every cell is exact.
+    "q125_ohlc_resample" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+      Relational.resampleOhlc(e, "event_type", "ts", "cents", "1 hour")
+        .select(col("event_type"),
+          unix_timestamp(col("bucket_start")).as("bucket_s"),
+          col("open"), col("high"), col("low"), col("close"), col("n_events"))
+        .orderBy(col("event_type"), col("bucket_s"))
+    }),
+
     // Z-order key: the Morton interleave every engine computes bit-
     // identically (pure integer shifts); the layout operator built on
     // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
@@ -3384,6 +3396,19 @@ object SparkEntry {
         | COUNT(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q125: OHLC replayed via the same lexicographic struct min/max.
+    "q125_ohlc_resample" ->
+      """WITH e AS (SELECT event_type,
+        |  time_bucket(INTERVAL '1 hour', ts) AS bucket,
+        |  epoch_us(ts) AS us, CAST(round(value * 100) AS BIGINT) AS cents
+        | FROM events)
+        |SELECT event_type, CAST(epoch(bucket) AS BIGINT) AS bucket_s,
+        | MIN({'ts': us, 'v': cents})['v'] AS open,
+        | MAX(cents) AS high, MIN(cents) AS low,
+        | MAX({'ts': us, 'v': cents})['v'] AS close,
+        | COUNT(*) AS n_events
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q120: the same five-step spread chain, unrolled as CTEs; both
     // engines do pure BIGINT shifts so the key matches bit-for-bit.

@@ -303,6 +303,30 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** OHLC RESAMPLE — per (key, time bucket): open (value at the
+    * earliest event), high, low, close (value at the latest event),
+    * and event count — the downsampling step behind any metric or
+    * price chart, and the generic "reduce a raw event stream to
+    * fixed-width buckets without losing the envelope" operator.
+    * One hash aggregate on (key, bucket) with map-side partials — no
+    * window, no sort, no self-join; open/close ride lexicographic
+    * struct min/max ((ts, value) pairs — timestamp ties break toward
+    * the smaller value for open and the larger for close, a total
+    * order, so the result is deterministic and cross-engine exact). */
+  def resampleOhlc(df: DataFrame, keyCol: String, tsCol: String,
+                   valueCol: String, width: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val pair = struct(us.as("ts"), col(valueCol).as("v"))
+    df.groupBy(col(keyCol), window(col(tsCol), width).as("__w"))
+      .agg(min(pair).getField("v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(pair).getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("__w.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   /** Sessionize an event stream: assign a session id per key where a
     * new session starts after `gapSeconds` of inactivity. Batch analog
     * of Structured Streaming's `session_window` (which

@@ -13,6 +13,9 @@ case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
 
 /** Winner emitted by [[StreamOps.dedupKeepBestStream]] once a
   * fingerprint's horizon closes. */
+case class FunnelStep(user_id: Long, step: Int, step_name: String,
+                      ts: java.sql.Timestamp)
+
 case class BestPick(fingerprint: Long, doc_id: Long, score: Double,
                     n_candidates: Long)
 
@@ -233,6 +236,73 @@ object StreamOps {
             state.setTimeoutTimestamp(
               math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.reverseIterator
+          }
+      }
+  }
+
+  /** STREAMING funnel — the live twin of
+    * [[graft.operators.Relational.funnel]]: per key, emit a
+    * [[FunnelStep]] row the moment step i of the ordered sequence
+    * first completes (strictly after step i-1, same-timestamp events
+    * do not chain — the batch operator's exact matching rule, applied
+    * in event-time order within each micro-batch). State per key is
+    * two numbers (steps reached, last matched time); a completed
+    * funnel REMOVES its state immediately, and an idle incomplete
+    * funnel is evicted by an event-time timeout `horizonSeconds`
+    * after its last relevant activity — so state is bounded by keys
+    * active inside the horizon, not by stream history.
+    *
+    * Ordering contract: events are folded in event-time order within
+    * each micro-batch; an event arriving in a LATER batch with a
+    * timestamp at-or-before the last matched step is dropped (the
+    * monotone-acceptance approximation every streaming funnel makes —
+    * the batch operator over the full log is the exact ground
+    * truth). Step types are filtered before the shuffle, as in
+    * batch. */
+  def funnelStream(df: DataFrame, keyCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   watermarkDelay: String = "10 minutes",
+                   horizonSeconds: Long = 86400L): Dataset[FunnelStep] = {
+    require(steps.nonEmpty, "funnelStream needs at least one step")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val horizonMs = horizonSeconds * 1000L
+    df.withWatermark(tsCol, watermarkDelay)
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(typeCol).as("et"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), FunnelStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+         state: GroupState[(Int, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val evs = rows.toArray.sortBy(_._2.getTime)
+            var (reached, lastTs) =
+              state.getOption.getOrElse((0, Long.MinValue))
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStep]
+            var lastSeen = Long.MinValue
+            evs.foreach { case (_, ts, et) =>
+              val t = ts.getTime
+              lastSeen = math.max(lastSeen, t)
+              if (reached < steps.length && et == steps(reached) && t > lastTs) {
+                reached += 1
+                lastTs = t
+                out += FunnelStep(key, reached, et, ts)
+              }
+            }
+            if (reached >= steps.length) state.remove() // complete: no more progress possible
+            else {
+              state.update((reached, lastTs))
+              state.setTimeoutTimestamp(math.max(
+                math.max(lastTs, lastSeen) + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
           }
       }
   }

@@ -50,6 +50,23 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
   }
 
+  test("resampleOhlc: envelope per bucket; ties break by the (ts, value) total order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val evs = Seq(
+      ("a", ts("2026-01-01 10:00:05"), 5L),
+      ("a", ts("2026-01-01 10:10:00"), 9L),
+      ("a", ts("2026-01-01 10:10:00"), 1L),   // same ts as the 9: close picks 9
+      ("a", ts("2026-01-01 11:00:00"), 7L),   // next bucket
+      ("b", ts("2026-01-01 10:30:00"), 2L))
+    val got = Relational.resampleOhlc(
+        evs.toDF("k", "ts", "v"), "k", "ts", "v", "1 hour")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(("a", "2026-01-01 10:00:00.0")) == ((5L, 9L, 1L, 9L, 3L)))
+    assert(got(("a", "2026-01-01 11:00:00.0")) == ((7L, 7L, 7L, 7L, 1L)))
+    assert(got(("b", "2026-01-01 10:00:00.0")) == ((2L, 2L, 2L, 2L, 1L)))
+  }
+
   test("profile: nulls, distincts, min/max per column in one pass") {
     val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (3L, Some("a")))
       .toDF("id", "s")

@@ -9,6 +9,7 @@ import graft.SparkTestBase
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class UEv(ts: java.sql.Timestamp, user_id: Long)
 case class DocEv(ts: java.sql.Timestamp, doc_id: Long, text: String, score: Double)
+case class TEv(ts: java.sql.Timestamp, user_id: Long, event_type: String)
 case class Click(user_id: Long, click_ts: java.sql.Timestamp, click_id: Long)
 case class Purchase(user_id: Long, purchase_ts: java.sql.Timestamp, purchase_id: Long)
 
@@ -265,6 +266,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
     }
+  }
+
+  test("funnelStream: cross-batch step progression, strict ordering, state removed on completion") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[TEv]
+    val q = StreamOps.funnelStream(stream.toDF(), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), horizonSeconds = 3600L)
+      .writeStream.outputMode("append").format("memory").queryName("fs").start()
+    try {
+      // batch 1: user 1 views (step 1 emits); a click AT the same
+      // timestamp must not chain; user 2's click without a view matches
+      // nothing; noise types never reach the operator
+      stream.addData(
+        TEv(t("2024-01-01 00:00:00"), 1L, "view"),
+        TEv(t("2024-01-01 00:00:00"), 1L, "click"),
+        TEv(t("2024-01-01 00:00:30"), 2L, "click"),
+        TEv(t("2024-01-01 00:00:10"), 1L, "error"))
+      q.processAllAvailable()
+      // batch 2: user 1 clicks later (step 2), then an out-of-order
+      // purchase BEFORE the click arrives in the same batch — the
+      // in-batch sort folds it first, so it cannot complete the funnel
+      stream.addData(
+        TEv(t("2024-01-01 00:02:00"), 1L, "click"),
+        TEv(t("2024-01-01 00:01:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      // batch 3: a purchase after the click completes the funnel
+      stream.addData(TEv(t("2024-01-01 00:03:00"), 1L, "purchase"))
+      q.processAllAvailable()
+      // batch 4: another purchase must NOT emit (state removed on completion)
+      stream.addData(TEv(t("2024-01-01 00:04:00"), 1L, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("fs")
+      .select($"user_id", $"step", $"step_name", $"ts".cast("string"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSet == Set(
+      (1L, 1, "view", "2024-01-01 00:00:00"),
+      (1L, 2, "click", "2024-01-01 00:02:00"),
+      (1L, 3, "purchase", "2024-01-01 00:03:00")), got.mkString(","))
   }
 
   test("statefulSessions: a late cross-batch event within the gap lowers session_start") {

@@ -574,6 +574,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: superseded round checkpoints are freed (storage hygiene)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.connectedComponents(pairs, "id_a", "id_b").collect()
+    // only the FINAL round's label checkpoint may remain pinned (the
+    // returned frame reads it); every earlier round and the edge cache
+    // must be gone — a 10-round path would otherwise leave ~11 tables
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"connectedComponents left ${leaked.size} pinned RDDs: $leaked")
+  }
+
   test("connectedComponents: converges on a long path (diameter ~ rounds)") {
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")

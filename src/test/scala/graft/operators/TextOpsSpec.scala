@@ -301,6 +301,17 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stop.count() == 0L, "no pair reaches count 2")
   }
 
+  test("bpeTrain: no pinned checkpoint blocks survive the call (storage hygiene)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val docs = Seq((1L, "low low low lower lowest wide wider widest"))
+      .toDF("doc_id", "text")
+    TextOps.bpeTrain(docs.select(col("text")), "text",
+      numMerges = 7, minPairCount = 1L).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"bpeTrain left ${leaked.size} checkpoint RDD(s) pinned: $leaked")
+  }
+
   test("bpeEncode: applies merges in rank order; counts real tokenizer tokens per doc") {
     // bpeApplyMerge: training-fold semantics, incl. the greedy-overlap rule
     assert(TextOps.bpeApplyMerge(Vector("a", "a", "a"), "a", "a") == Vector("aa", "a"))

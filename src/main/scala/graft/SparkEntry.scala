@@ -1810,6 +1810,17 @@ object SparkEntry {
         .orderBy(col("event_type"), col("bucket_s"))
     }),
 
+    // exact weighted sampling: integer lottery tickets keyed by
+    // seeded md5 — both engines replay the identical winner set.
+    "q126_weighted_sample" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (lit(1) + col("doc_id") % 5).cast("int").as("weight"))
+      graft.pipeline.Corpus.weightedSample(d, "doc_id", "weight",
+          k = 100, seed = 11L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Z-order key: the Morton interleave every engine computes bit-
     // identically (pure integer shifts); the layout operator built on
     // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
@@ -3396,6 +3407,19 @@ object SparkEntry {
         | COUNT(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q126: the lottery keys replayed — same md5 strings, same min,
+    // same (key, id) top-k.
+    "q126_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(1 + doc_id % 5 AS INT) AS weight FROM documents),
+        |keyed AS (SELECT doc_id, lang, weight,
+        |  list_min(list_transform(range(1, weight + 1),
+        |    i -> md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':11'))) AS key
+        | FROM d),
+        |win AS (SELECT doc_id, lang, weight FROM keyed
+        |        ORDER BY key, doc_id LIMIT 100)
+        |SELECT doc_id, lang, weight FROM win ORDER BY doc_id""".stripMargin,
 
     // q125: OHLC replayed via the same lexicographic struct min/max.
     "q125_ohlc_resample" ->

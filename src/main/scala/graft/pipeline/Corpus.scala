@@ -290,6 +290,45 @@ object Corpus {
       .drop("__thresh")
   }
 
+  /** Exact deterministic WEIGHTED sampling — k rows chosen with
+    * probability proportional to an integer weight (quality tiers,
+    * duplication counts, importance scores), with NO float randomness
+    * anywhere: each row holds `weight` virtual lottery tickets, ticket
+    * i keyed by the engine-neutral seeded md5 of `(id, i, seed)`, and
+    * the row's sort key is its BEST ticket (an `array_min` over a
+    * generated sequence — computed row-local, never exploded). The
+    * global k smallest keys win: more tickets → stochastically
+    * smaller best key → proportionally higher selection odds (the
+    * lottery form of A-ES reservoir sampling, integer-exact so any
+    * engine replays the identical winner set).
+    *
+    * Shape at scale: one row-local O(weight) hash loop per row (hence
+    * the loud `maxWeight` guard — huge weights belong to the float
+    * A-ES variant), then a global top-k that plans as
+    * TakeOrderedAndProject: per-partition heaps and one k-row merge,
+    * never a global sort. Zero-weight rows hold no tickets and cannot
+    * be selected. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long, maxWeight: Int = 1024): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = col(weightCol).cast("int")
+    val ticket = (i: org.apache.spark.sql.Column) =>
+      md5(concat_ws(":", col(idCol).cast("string"), i.cast("string"),
+        lit(seed.toString)))
+    // the guard lives INSIDE the sort key so it cannot be pruned away
+    df.filter(w >= 1)
+      .withColumn("__key",
+        when(w <= maxWeight,
+          array_min(transform(sequence(lit(1), w), i => ticket(i))))
+          .otherwise(raise_error(concat(
+            lit(s"weightedSample: weight above $maxWeight for id "),
+            col(idCol).cast("string"),
+            lit(" — use a float A-ES sampler for huge weights")))))
+      .orderBy(col("__key"), col(idCol))
+      .limit(k)
+      .drop("__key")
+  }
+
   /** Robust per-group outlier flag — median/MAD (median absolute
     * deviation), the distribution-free cousin of the z-score: a row is
     * an outlier iff `|x - median| > k·MAD`. Unlike mean/stddev, both

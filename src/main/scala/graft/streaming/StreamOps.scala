@@ -240,6 +240,32 @@ object StreamOps {
       }
   }
 
+  /** Windowed OHLC — the streaming twin of
+    * [[graft.operators.Relational.resampleOhlc]]: per (key, tumbling
+    * window) open/high/low/close/count as ONE windowed aggregate with
+    * the same lexicographic (ts, value) struct min/max tie-breaks, so
+    * a watermark-complete window equals the batch operator's row for
+    * that bucket exactly. All five statistics are associative and
+    * commutative, so partial aggregation and late-arrival merging are
+    * free; state per open window is two (ts, value) pairs + three
+    * numbers, evicted when the watermark passes the window. Works on
+    * a streaming OR batch frame (watermark is a no-op in batch). */
+  def ohlcStream(df: DataFrame, keyCol: String, tsCol: String,
+                 valueCol: String, windowLen: String,
+                 watermarkDelay: String = "10 minutes"): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val pair = struct(us.as("ts"), col(valueCol).as("v"))
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), window(col(tsCol), windowLen).as("__w"))
+      .agg(min(pair).getField("v").as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max(pair).getField("v").as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("__w.start").as("bucket_start"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+  }
+
   /** STREAMING funnel — the live twin of
     * [[graft.operators.Relational.funnel]]: per key, emit a
     * [[FunnelStep]] row the moment step i of the ordered sequence

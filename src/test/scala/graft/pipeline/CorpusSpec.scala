@@ -324,6 +324,32 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(kept0 == host0All.sorted.takeRight(4).toSeq)
   }
 
+  test("weightedSample: exact winner set vs a hand-rolled md5 replay; w=0 never wins; guard fires") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = (1L to 40L).map(i => (i, (i % 4).toInt)) :+ (100L, 0)
+    val df = rows.toDF("id", "w")
+    val got = Corpus.weightedSample(df, "id", "w", k = 10, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    // replay: best ticket per row, global 10 smallest (key, id)
+    val want = rows.filter(_._2 >= 1).map { case (id, w) =>
+        ((1 to w).map(i => md5hex(s"$id:$i:7")).min, id)
+      }.sorted.take(10).map(_._2).toSet
+    assert(got == want)
+    assert(!got.contains(100L), "zero-weight row must never be selected")
+    // deterministic: a second run returns the identical set
+    val again = Corpus.weightedSample(df, "id", "w", k = 10, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    // over-limit weight fails loudly, not silently slowly
+    val e = intercept[Exception] {
+      Corpus.weightedSample(Seq((1L, 5000)).toDF("id", "w"),
+        "id", "w", k = 1, seed = 7L).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("robustOutliers: hand-computed median/MAD; one wild value cannot move the gate") {
     // group a: values 1..9 plus a 1e6 corruption. median of 10 values =
     // 5.5, deviations {4.5,3.5,...,0.5x2,...,3.5, 999994.5} → MAD = 2.5;

@@ -268,6 +268,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("ohlcStream: watermark-complete windows equal the batch resampleOhlc rows") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = Seq(
+      Ev(t("2024-01-01 00:00:05"), "click", 5.0),
+      Ev(t("2024-01-01 00:10:00"), "click", 9.0),
+      Ev(t("2024-01-01 00:40:00"), "click", 1.0),
+      Ev(t("2024-01-01 00:20:00"), "view", 3.0))
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.ohlcStream(stream.toDF(), "event_type", "ts", "value", "1 hour")
+      .writeStream.outputMode("update").format("memory").queryName("ohlc").start()
+    try {
+      // two batches so the window accumulates across micro-batches
+      stream.addData(evs(0), evs(3))
+      q.processAllAvailable()
+      stream.addData(evs(1), evs(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the FINAL update per (key, bucket) is the one with the max
+    // event count (counts grow monotonically across updates) — it
+    // must equal the batch operator
+    import org.apache.spark.sql.functions.{max, struct}
+    val streamed = spark.table("ohlc")
+      .groupBy($"event_type", $"bucket_start")
+      .agg(max(struct($"n_events", $"open", $"high", $"low", $"close")).as("f"))
+      .select($"event_type", $"bucket_start",
+        $"f.open", $"f.high", $"f.low", $"f.close", $"f.n_events")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    val batch = graft.operators.Relational.resampleOhlc(
+        evs.toDF(), "event_type", "ts", "value", "1 hour")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("funnelStream: cross-batch step progression, strict ordering, state removed on completion") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -1821,6 +1821,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact fixed-width histogram over event cents: integer-division
+    // binning, edge-clamped, empty bins emitted.
+    "q127_histogram" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"))
+      Relational.histogram(e, "cents", lo = 0L, hi = 50000L, nBins = 20)
+        .orderBy(col("bin"))
+    }),
+
+    // pairwise moment statistics (the correlation integer core) over
+    // cents-scaled lineitem metrics — one aggregate pass, all pairs.
+    "q128_pair_stats" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"),
+        round(col("l_tax") * 100).cast("long").as("tax_c"))
+      Relational.pairStats(l, Seq("qty_c", "disc_c", "tax_c"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Z-order key: the Morton interleave every engine computes bit-
     // identically (pure integer shifts); the layout operator built on
     // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
@@ -3420,6 +3440,45 @@ object SparkEntry {
         |win AS (SELECT doc_id, lang, weight FROM keyed
         |        ORDER BY key, doc_id LIMIT 100)
         |SELECT doc_id, lang, weight FROM win ORDER BY doc_id""".stripMargin,
+
+    // q127: integer-division binning replayed; // is DuckDB's integer
+    // division (same truncation on the non-negative clamped range).
+    "q127_histogram" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT LEAST(19, GREATEST(0,
+        |         CAST(((cents - 0) * 20) // 50000 AS INT))) AS bin FROM e),
+        |c AS (SELECT bin, COUNT(*) AS n FROM b GROUP BY 1)
+        |SELECT CAST(s.bin AS INT) AS bin,
+        | CAST(0 + (s.bin * 50000) // 20 AS BIGINT) AS bin_lo,
+        | COALESCE(c.n, 0) AS n
+        |FROM range(20) s(bin) LEFT JOIN c ON c.bin = s.bin
+        |ORDER BY s.bin""".stripMargin,
+
+    // q128: the same integer moments per pair; integer sums are
+    // order-free so every cell is exact (corr is the caller's one
+    // local division — the TF-IDF integer-core discipline).
+    "q128_pair_stats" ->
+      """WITH l AS (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |  CAST(round(l_tax * 100) AS BIGINT) AS tax_c FROM lineitem)
+        |SELECT 'qty_c' AS col_a, 'disc_c' AS col_b, COUNT(*) AS n,
+        | CAST(SUM(qty_c) AS BIGINT) AS sum_a, CAST(SUM(disc_c) AS BIGINT) AS sum_b,
+        | CAST(SUM(qty_c * qty_c) AS BIGINT) AS sum_aa,
+        | CAST(SUM(disc_c * disc_c) AS BIGINT) AS sum_bb,
+        | CAST(SUM(qty_c * disc_c) AS BIGINT) AS sum_ab FROM l
+        |UNION ALL
+        |SELECT 'qty_c', 'tax_c', COUNT(*),
+        | CAST(SUM(qty_c) AS BIGINT), CAST(SUM(tax_c) AS BIGINT),
+        | CAST(SUM(qty_c * qty_c) AS BIGINT),
+        | CAST(SUM(tax_c * tax_c) AS BIGINT),
+        | CAST(SUM(qty_c * tax_c) AS BIGINT) FROM l
+        |UNION ALL
+        |SELECT 'disc_c', 'tax_c', COUNT(*),
+        | CAST(SUM(disc_c) AS BIGINT), CAST(SUM(tax_c) AS BIGINT),
+        | CAST(SUM(disc_c * disc_c) AS BIGINT),
+        | CAST(SUM(tax_c * tax_c) AS BIGINT),
+        | CAST(SUM(disc_c * tax_c) AS BIGINT) FROM l
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // q125: OHLC replayed via the same lexicographic struct min/max.
     "q125_ohlc_resample" ->

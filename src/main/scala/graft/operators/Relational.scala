@@ -241,6 +241,75 @@ object Relational {
       .select(col("__c.*"))
   }
 
+  /** Exact fixed-width HISTOGRAM over an integer metric column: bin
+    * `i` covers `[lo + i·(hi-lo)/nBins, …)`, out-of-range values clamp
+    * into the edge bins (so the bar chart always accounts for every
+    * row — no silent drops). Binning is pure INTEGER arithmetic
+    * (`(v-lo)·nBins / (hi-lo)`, floored), so bin assignment is
+    * cross-engine exact — no float width, no rounding edge. One hash
+    * aggregate, |bins| output rows; empty bins are emitted with count
+    * 0 via a range spine join (AQE broadcasts — bins are tiny). */
+  def histogram(df: DataFrame, valueCol: String, lo: Long, hi: Long,
+                nBins: Int): DataFrame = {
+    require(nBins > 0 && hi > lo, s"need hi > lo and nBins > 0, got [$lo, $hi) x $nBins")
+    // `div` (integer division), not `/` (double): bit-exact at any
+    // magnitude. Negative numerators truncate toward zero, but the
+    // greatest(0, _) clamp swallows them either way.
+    val bin = expr(
+      s"least(${nBins - 1}, greatest(0, " +
+        s"CAST(((CAST($valueCol AS BIGINT) - ${lo}L) * $nBins) DIV ${hi - lo}L AS INT)))")
+    val counts = df.select(bin.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(nBins)
+      .select(col("id").cast("int").as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        expr(s"${lo}L + (CAST(bin AS BIGINT) * ${hi - lo}L) DIV $nBins").as("bin_lo"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** One-pass PAIRWISE moment statistics over integer metric columns —
+    * per (a, b) pair with a < b: n, Σa, Σb, Σa², Σb², Σab: everything
+    * Pearson correlation, covariance, or a least-squares fit needs,
+    * in ONE aggregate over the data (k columns → k(k-1)/2 pairs, all
+    * in the same job, map-side partials). The export is deliberately
+    * the integer moments, not the correlation: integer sums are
+    * order-free and cross-engine exact, while the final float
+    * division is one local operation the caller (or [[corrFromStats]])
+    * does — the TF-IDF integer-core discipline. Callers pre-scale
+    * (cents idiom) and keep values small enough that Σv² fits a long
+    * (loud overflow under ANSI mode, never silent wrap). */
+  def pairStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "pairStats needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), ix) =>
+      val ca = col(a).cast("long"); val cb = col(b).cast("long")
+      Seq(sum(ca).as(s"__sa_$ix"), sum(cb).as(s"__sb_$ix"),
+        sum(ca * ca).as(s"__saa_$ix"), sum(cb * cb).as(s"__sbb_$ix"),
+        sum(ca * cb).as(s"__sab_$ix"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(pairs.zipWithIndex.map { case ((a, b), ix) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col("__n").as("n"),
+          col(s"__sa_$ix").as("sum_a"), col(s"__sb_$ix").as("sum_b"),
+          col(s"__saa_$ix").as("sum_aa"), col(s"__sbb_$ix").as("sum_bb"),
+          col(s"__sab_$ix").as("sum_ab"))
+      }: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
+  /** Pearson correlation from [[pairStats]] moments (the local float
+    * step, library-side by design — see pairStats). */
+  def corrFromStats(n: Long, sumA: Long, sumB: Long, sumAa: Long,
+                    sumBb: Long, sumAb: Long): Double = {
+    val cov = n.toDouble * sumAb - sumA.toDouble * sumB
+    val va = n.toDouble * sumAa - sumA.toDouble * sumA
+    val vb = n.toDouble * sumBb - sumB.toDouble * sumB
+    if (va <= 0 || vb <= 0) 0.0 else cov / math.sqrt(va * vb)
+  }
+
   /** Ordered event-sequence FUNNEL per key — "did the user do A, then
     * B strictly later, then C strictly later" (product-analytics
     * conversion funnels, pipeline-stage progression): returns one row

@@ -50,6 +50,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
   }
 
+  test("histogram: integer-exact bins, edge clamping, empty bins emitted") {
+    val df = Seq(-5L, 0L, 9L, 10L, 19L, 20L, 99L, 100L, 250L).toDF("v")
+    val got = Relational.histogram(df, "v", lo = 0L, hi = 100L, nBins = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 10)
+    assert(got(0) == ((0L, 3L)))    // -5 clamps in; 0 and 9 land here
+    assert(got(1) == ((10L, 2L)))   // 10 and 19
+    assert(got(2) == ((20L, 1L)))
+    assert(got(9) == ((90L, 3L)))   // 99 plus the clamped 100 and 250
+    assert((3 to 8).forall(b => got(b)._2 == 0L), "interior bins empty but present")
+    assert(got.values.map(_._2).sum == 9L, "every row accounted for")
+  }
+
+  test("pairStats: hand-computed moments; corrFromStats recovers exact correlation") {
+    // b = 2a exactly → corr 1; c is anti-correlated with a
+    val df = Seq((1L, 2L, 3L), (2L, 4L, 2L), (3L, 6L, 1L)).toDF("a", "b", "c")
+    val got = Relational.pairStats(df, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    assert(got(("a", "b")) == ((3L, 6L, 12L, 14L, 56L, 28L)))
+    assert(got(("a", "c")) == ((3L, 6L, 6L, 14L, 14L, 10L)))
+    val (n, sa, sb, saa, sbb, sab) = got(("a", "b"))
+    assert(Relational.corrFromStats(n, sa, sb, saa, sbb, sab) == 1.0)
+    val (n2, sa2, sc2, saa2, scc2, sac2) = got(("a", "c"))
+    assert(Relational.corrFromStats(n2, sa2, sc2, saa2, scc2, sac2) == -1.0)
+  }
+
   test("resampleOhlc: envelope per bucket; ties break by the (ts, value) total order") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val evs = Seq(

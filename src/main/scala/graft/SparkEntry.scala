@@ -1841,6 +1841,21 @@ object SparkEntry {
         .orderBy(col("col_a"), col("col_b"))
     }),
 
+    // gaps-and-islands activity streaks per user (thinned events so
+    // gaps actually occur; dense users would be one long streak).
+    "q129_streaks" -> ((s, dir) => {
+      Relational.streaks(
+          Tables.events(s, dir).filter(col("event_id") % 13 < 2),
+          "user_id", "ts")
+        .orderBy(col("user_id"))
+    }),
+
+    // adjacent event transitions (the Markov / Sankey table).
+    "q130_transitions" -> ((s, dir) => {
+      Relational.transitions(Tables.events(s, dir), "user_id", "ts", "event_type")
+        .orderBy(col("from_type"), col("to_type"))
+    }),
+
     // Z-order key: the Morton interleave every engine computes bit-
     // identically (pure integer shifts); the layout operator built on
     // it (Relational.zorderBy) is plan-shape-pinned in RelationalSpec.
@@ -3440,6 +3455,33 @@ object SparkEntry {
         |win AS (SELECT doc_id, lang, weight FROM keyed
         |        ORDER BY key, doc_id LIMIT 100)
         |SELECT doc_id, lang, weight FROM win ORDER BY doc_id""".stripMargin,
+
+    // q129: the same day - ROW_NUMBER island id; earliest-longest
+    // pick replayed as a rank-1 window.
+    "q129_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |           WHERE event_id % 13 < 2),
+        |i AS (SELECT user_id, day,
+        |  day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INT) AS island
+        | FROM a),
+        |s AS (SELECT user_id, island, COUNT(*) AS d, MIN(day) AS st
+        |      FROM i GROUP BY 1, 2),
+        |pick AS (SELECT user_id, d, st,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d DESC, st ASC) AS rk FROM s)
+        |SELECT s.user_id, CAST(SUM(s.d) AS BIGINT) AS n_active_days,
+        | COUNT(*) AS n_streaks,
+        | CAST(MAX(p.d) AS BIGINT) AS longest_streak_days,
+        | MIN(p.st) AS longest_streak_start
+        |FROM s JOIN pick p ON p.user_id = s.user_id AND p.rk = 1
+        |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin,
+
+    // q130: LAG over the identical (ts, type) total order.
+    "q130_transitions" ->
+      """WITH o AS (SELECT user_id, event_type,
+        |  LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+        | FROM events)
+        |SELECT prev AS from_type, event_type AS to_type, COUNT(*) AS n
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q127: integer-division binning replayed; // is DuckDB's integer
     // division (same truncation on the non-negative clamped range).

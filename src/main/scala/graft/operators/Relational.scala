@@ -352,6 +352,54 @@ object Relational {
       .toDF()
   }
 
+  /** Activity STREAKS per key (gaps-and-islands): distinct active
+    * days collapse into maximal runs of consecutive days via the
+    * classic `day - row_number()` island id (consecutive days share
+    * it, any gap shifts it); one row per key reports total active
+    * days, number of streaks, and the longest streak with its start
+    * (ties → the EARLIEST longest streak, a total order, so the
+    * result is deterministic and cross-engine exact). Shapes: the
+    * distinct-(key, day) projection is the data reduction (the
+    * [[retention]] argument), the window partitions by key — no
+    * global window — and the rollups are key-sized. */
+  def streaks(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val activity = df
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val w = Window.partitionBy(col("__k")).orderBy(col("__day"))
+    val islands = activity
+      .withColumn("__island", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col("__k"), col("__island"))
+      .agg(count(lit(1)).as("__d"), min(col("__day")).as("__start"))
+    // earliest-longest pick: order by (days, recency-negated start);
+    // epoch-day negation keeps it one struct max
+    val neg = -datediff(col("__start"), lit("1970-01-01").cast("date"))
+    islands.groupBy(col("__k").as(keyCol))
+      .agg(sum(col("__d")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("__d").as("d"), neg.as("neg"), col("__start").as("s")))
+          .as("__best"))
+      .select(col(keyCol), col("n_active_days"), col("n_streaks"),
+        col("__best.d").as("longest_streak_days"),
+        col("__best.s").as("longest_streak_start"))
+  }
+
+  /** Adjacent event TRANSITION counts — the Markov transition table
+    * of an event stream: per key, order events by (time, type) — a
+    * total order over the observable fields, so simultaneous events
+    * fold deterministically — and count every (from, to) adjacency.
+    * The path-analysis / Sankey primitive. One key-partitioned window
+    * (lag) + one hash aggregate on |types|² groups. */
+  def transitions(df: DataFrame, keyCol: String, tsCol: String,
+                  typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col("__to"))
+    df.select(col(keyCol), col(tsCol), col(typeCol).as("__to"))
+      .withColumn("__from", lag(col("__to"), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort RETENTION: group users by the day they first appeared
     * (their cohort) and count, for each (cohort, day-offset), how many
     * came back — the activity-curve table behind every retention

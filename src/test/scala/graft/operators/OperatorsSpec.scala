@@ -50,6 +50,35 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getLong(0) == 7L, "simultaneous right row must be visible")
   }
 
+  test("streaks: gaps-and-islands — runs collapse, earliest longest wins ties") {
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2026-01-$s 09:00:00")
+    val evs = Seq(
+      // user 1: [1,2,3] then [5,6] then [10] — longest 3 from Jan 1;
+      // a same-day repeat must not extend a streak
+      (1L, d("01")), (1L, d("02")), (1L, d("02")), (1L, d("03")),
+      (1L, d("05")), (1L, d("06")), (1L, d("10")),
+      // user 2: two 2-day streaks — the EARLIEST one must win the tie
+      (2L, d("08")), (2L, d("09")), (2L, d("20")), (2L, d("21")))
+    val got = Relational.streaks(evs.toDF("user_id", "ts"), "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDate(4).toString))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, "2026-01-01")))
+    assert(got(2L) == ((4L, 2L, 2L, "2026-01-08")))
+  }
+
+  test("transitions: adjacency counts over the (ts, type) total order; ties fold by type") {
+    def t(us: Long) = new java.sql.Timestamp(us)
+    val evs = Seq(
+      (1L, t(1), "a"), (1L, t(2), "b"), (1L, t(3), "a"),
+      // simultaneous pair at t=5: type order folds b AFTER a → a→b
+      (2L, t(5), "b"), (2L, t(5), "a"),
+      (3L, t(9), "c"))  // single event: no transition
+    val got = Relational.transitions(evs.toDF("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
   test("histogram: integer-exact bins, edge clamping, empty bins emitted") {
     val df = Seq(-5L, 0L, 9L, 10L, 19L, 20L, 99L, 100L, 250L).toDF("v")
     val got = Relational.histogram(df, "v", lo = 0L, hi = 100L, nBins = 10)

@@ -21,26 +21,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  // same arity contract as the per-session registry: wrong argument
+  // count is a clean WRONG_NUM_ARGS analysis error, not an
+  // IndexOutOfBoundsException from exprs(1)
+  private def arity(name: String, n: Int, exprs: Seq[Expression]): Seq[Expression] =
+    graft.functions.checkArity(name, n, exprs)
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("iso_duration_to_seconds"),
       info("iso_duration_to_seconds", "iso_duration_to_seconds(str) - ISO-8601 duration to seconds"),
-      (exprs: Seq[Expression]) => IsoDurationToSeconds(exprs.head)))
+      (exprs: Seq[Expression]) => IsoDurationToSeconds(arity("iso_duration_to_seconds", 1, exprs).head)))
     e.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two float/double arrays"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => { arity("cosine_similarity", 2, exprs)
+        CosineSimilarity(exprs(0), exprs(1)) }))
     e.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(arr) - 64-component MinHash of a string array"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head, 64)))
+      (exprs: Seq[Expression]) => MinHashSignature(arity("minhash_signature", 1, exprs).head, 64)))
     e.injectFunction((FunctionIdentifier("simhash32"),
       info("simhash32", "simhash32(tokens) - 32-bit SimHash of a token array"),
-      (exprs: Seq[Expression]) => SimHashBits(exprs.head, 32)))
+      (exprs: Seq[Expression]) => SimHashBits(arity("simhash32", 1, exprs).head, 32)))
     e.injectFunction((FunctionIdentifier("cosine_lsh_bucket"),
       info("cosine_lsh_bucket", "cosine_lsh_bucket(vec) - 16-plane sign-LSH bucket id"),
-      (exprs: Seq[Expression]) => CosineLshSignature(exprs.head, 16, 0)))
+      (exprs: Seq[Expression]) => CosineLshSignature(arity("cosine_lsh_bucket", 1, exprs).head, 16, 0)))
     e.injectFunction((FunctionIdentifier("zorder2"),
       info("zorder2",
         "zorder2(a, b) - Morton interleave of two 31-bit dims into one sortable 62-bit key"),
-      (exprs: Seq[Expression]) => graft.functions.zorder2Expr(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => { arity("zorder2", 2, exprs)
+        graft.functions.zorder2Expr(exprs(0), exprs(1)) }))
     // custom operator tier: the as-of join planner strategy
     e.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     // optimizer tier: route edit-distance comparison predicates to the

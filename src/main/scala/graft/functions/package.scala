@@ -42,23 +42,45 @@ package object functions {
   def nfkc_normalize(c: Column): Column =
     col2(NfkcNormalize(bridge.toExpression(c)))
 
+  /** Arity guard for SQL function builders: `SELECT zorder2(x)` must
+    * fail with a clean wrong-number-of-arguments analysis error naming
+    * the function (as Spark builtins do), not an
+    * IndexOutOfBoundsException from `exprs(1)`. Builders run during
+    * analysis, so the throw surfaces as an analysis failure. */
+  private[graft] def checkArity(
+      name: String, expected: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (exprs.length != expected)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map(
+          "functionName" -> s"`$name`",
+          "expectedNum" -> expected.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    exprs
+  }
+
   /** Register SQL-callable functions on a session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("iso_duration_to_seconds",
-      exprs => IsoDurationToSeconds(exprs.head), "scala_udf")
+      exprs => IsoDurationToSeconds(checkArity("iso_duration_to_seconds", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_similarity",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      exprs => { checkArity("cosine_similarity", 2, exprs)
+        CosineSimilarity(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_signature",
-      exprs => MinHashSignature(exprs(0), 64), "scala_udf")
+      exprs => MinHashSignature(checkArity("minhash_signature", 1, exprs).head, 64), "scala_udf")
     reg.createOrReplaceTempFunction("simhash32",
-      exprs => SimHashBits(exprs(0), 32), "scala_udf")
+      exprs => SimHashBits(checkArity("simhash32", 1, exprs).head, 32), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
-      exprs => NfcNormalize(exprs.head), "scala_udf")
+      exprs => NfcNormalize(checkArity("nfc_normalize", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("nfkc_normalize",
-      exprs => NfkcNormalize(exprs.head), "scala_udf")
+      exprs => NfkcNormalize(checkArity("nfkc_normalize", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("zorder2",
-      exprs => zorder2Expr(exprs(0), exprs(1)), "scala_udf")
+      exprs => { checkArity("zorder2", 2, exprs)
+        zorder2Expr(exprs(0), exprs(1)) }, "scala_udf")
   }
 
   // ---------------------------------------------------------------------

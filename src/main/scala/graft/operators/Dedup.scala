@@ -306,6 +306,13 @@ private[operators] object CheckpointHygiene {
                    maxBucket: Int = 4096, label: String = ""): DataFrame = {
     val nChunks = if (chunks > 0) chunks else maxHamming + 1
     require(nChunks >= 1 && nChunks <= 64, s"chunks must be in [1, 64], got $nChunks")
+    // the scaladoc's structural-recall guarantee is the pigeonhole
+    // argument, which needs strictly more chunks than flipped bits; a
+    // caller passing chunks <= maxHamming would silently lose recall,
+    // so misuse fails loudly instead
+    require(nChunks > maxHamming,
+      s"chunks ($nChunks) must exceed maxHamming ($maxHamming): " +
+        "with <= maxHamming chunks the pigeonhole recall guarantee is lost")
     // chunk c covers width base(+1 for the last `rem` chunks) bits
     val base = 64 / nChunks
     val rem = 64 % nChunks

@@ -11,11 +11,13 @@ case class TypeStats(event_type: String, n_events: Long, total_value: Double)
 case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                          session_end: java.sql.Timestamp, n_events: Long)
 
-/** Winner emitted by [[StreamOps.dedupKeepBestStream]] once a
-  * fingerprint's horizon closes. */
+/** Step-completion row emitted by [[StreamOps.funnelStream]] the
+  * moment a key first reaches step `step`. */
 case class FunnelStep(user_id: Long, step: Int, step_name: String,
                       ts: java.sql.Timestamp)
 
+/** Winner emitted by [[StreamOps.dedupKeepBestStream]] once a
+  * fingerprint's horizon closes. */
 case class BestPick(fingerprint: Long, doc_id: Long, score: Double,
                     n_candidates: Long)
 
@@ -273,10 +275,12 @@ object StreamOps {
     * do not chain — the batch operator's exact matching rule, applied
     * in event-time order within each micro-batch). State per key is
     * two numbers (steps reached, last matched time); a completed
-    * funnel REMOVES its state immediately, and an idle incomplete
-    * funnel is evicted by an event-time timeout `horizonSeconds`
-    * after its last relevant activity — so state is bounded by keys
-    * active inside the horizon, not by stream history.
+    * funnel keeps its state as a TOMBSTONE so later events cannot
+    * restart it and double-emit (the batch operator yields exactly one
+    * funnel per key), and both tombstones and idle incomplete funnels
+    * are evicted by an event-time timeout `horizonSeconds` after their
+    * last relevant activity — so state is bounded by keys active
+    * inside the horizon, not by stream history.
     *
     * Ordering contract: events are folded in event-time order within
     * each micro-batch; an event arriving in a LATER batch with a
@@ -321,13 +325,20 @@ object StreamOps {
                 out += FunnelStep(key, reached, et, ts)
               }
             }
-            if (reached >= steps.length) state.remove() // complete: no more progress possible
-            else {
-              state.update((reached, lastTs))
-              state.setTimeoutTimestamp(math.max(
-                math.max(lastTs, lastSeen) + horizonMs,
-                state.getCurrentWatermarkMs() + 1))
-            }
+            // A completed funnel stays in state as a TOMBSTONE
+            // (reached == steps.length) until the horizon timer fires:
+            // removing it immediately would let a later step-1 event
+            // restart the funnel and double-emit rows for the same key,
+            // which the batch operator (one funnel per key) never does.
+            // The match loop above is a no-op while the tombstone is
+            // present, so repeat conversions within the horizon are
+            // silently absorbed; after eviction the key may convert
+            // again, which is the same horizon-bounded approximation
+            // every piece of per-key state in this file makes.
+            state.update((reached, lastTs))
+            state.setTimeoutTimestamp(math.max(
+              math.max(lastTs, lastSeen) + horizonMs,
+              state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

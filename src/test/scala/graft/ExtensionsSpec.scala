@@ -31,4 +31,20 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     // 3 = 0b11 spreads to bits 0,2; 5 = 0b101 to bits 1,5 → 0b100111
     assert(z == 39L)
   }
+
+  test("wrong arity is a clean analysis error naming the function, not an index error") {
+    graft.functions.registerAll(spark)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT zorder2(1L) AS z").head
+    }
+    assert(e1.getMessage.contains("zorder2"), e1.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0D)) AS c").head
+    }
+    assert(e2.getMessage.contains("cosine_similarity"), e2.getMessage)
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT nfc_normalize('a', 'b') AS n").head
+    }
+    assert(e3.getMessage.contains("nfc_normalize"), e3.getMessage)
+  }
 }

@@ -686,6 +686,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Int)].collect().toSet
     assert(got === Set((1L, 2L, 1)))
   }
+
+  test("hammingPairs: chunks <= maxHamming fails loudly (pigeonhole guarantee)") {
+    val df = Seq((1L, 0L)).toDF("id", "hash")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingPairs(df, "id", "hash", maxHamming = 3, chunks = 2)
+    }
+    assert(e.getMessage.contains("pigeonhole"), e.getMessage)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -304,7 +304,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
-  test("funnelStream: cross-batch step progression, strict ordering, state removed on completion") {
+  test("funnelStream: cross-batch step progression, strict ordering, completion tombstone blocks re-entry") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[TEv]
@@ -331,8 +331,15 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       // batch 3: a purchase after the click completes the funnel
       stream.addData(TEv(t("2024-01-01 00:03:00"), 1L, "purchase"))
       q.processAllAvailable()
-      // batch 4: another purchase must NOT emit (state removed on completion)
-      stream.addData(TEv(t("2024-01-01 00:04:00"), 1L, "purchase"))
+      // batch 4: another purchase must NOT emit, and — the re-entry
+      // trap — a later VIEW must not restart the funnel and re-emit
+      // step 1: the completion tombstone (held until the horizon
+      // timer fires) absorbs it, matching the batch operator's
+      // one-funnel-per-key contract
+      stream.addData(
+        TEv(t("2024-01-01 00:04:00"), 1L, "purchase"),
+        TEv(t("2024-01-01 00:05:00"), 1L, "view"),
+        TEv(t("2024-01-01 00:05:30"), 1L, "click"))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("fs")

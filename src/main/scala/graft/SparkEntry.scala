@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Clean, Dedup, Enrich, Kpis, Multimodal, Packing, Relational, Similarity, TextOps}
+import graft.operators.{AnnIndex, Clean, Dedup, Enrich, Kpis, Multimodal, Packing, Relational, Similarity, TextOps}
 import graft.pipeline.GoldenReplay
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -989,11 +989,17 @@ object SparkEntry {
 
     // IVF approximate nearest neighbors: k-means coarse quantizer
     // (nlist inverted lists), nprobe-list probing, exact re-rank.
+    // Training is SAMPLED (deterministic hash-ordered 4000 rows — a
+    // 1/8 sample at sf0.01) so model cost is bounded regardless of
+    // corpus size; the recall floor below is re-measured with
+    // sampling on (RecallProbe: min 0.8 at sf0.001/sf0.01 —
+    // per-query identical to full-corpus training at sf0.01).
     "q53_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
       val ann = Similarity.ivfTopK(q, emb, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6)
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+        maxTrainRows = 4000)
       val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", 5)
       annRecallExport(ann, exact, minRecall = 0.6)
@@ -1622,17 +1628,22 @@ object SparkEntry {
         .orderBy(col("stratum"), col("doc_id"))
     }),
 
-    // IVF-PQ ANN (q53's recall-bound oracle pattern): candidates from
-    // coarse lists, ranked by 8-byte product-quantized ADC scores,
-    // exact re-rank of the refine·k shortlist. Floor 0.6 from
-    // RecallProbe (measured min 0.8 at sf0.001/sf0.01 for this
-    // m=8/ksub=32/nprobe=8/refine=16 configuration).
+    // IVF-PQ ANN (q53's recall-bound oracle pattern), routed through
+    // the PERSISTED index: build once (sampled training, one encode
+    // pass, codes+model to parquet partitioned by list), then probe
+    // the parquet index — the build-once/probe-many shape a real
+    // deployment runs; candidates are ranked by 8-byte
+    // product-quantized ADC scores with an exact re-rank of the
+    // refine·k shortlist. Floor 0.6 from RecallProbe (re-measured
+    // with sampled training for m=8/ksub=32/nprobe=8/refine=16).
     "q110_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val q = emb.filter(col("vec_id") < 10)
-      val ann = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
-        m = 8, ksub = 32, refine = 16)
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq_").toString
+      AnnIndex.buildIvfPq(emb, "vec_id", "embedding", idx,
+        nlist = 16, m = 8, ksub = 32, maxTrainRows = 4000)
+      val ann = AnnIndex.probeIvfPq(q, emb, idx, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 8, refine = 16)
       val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
         "vec_id", "embedding", 5)
       annRecallExport(ann, exact, minRecall = 0.6)

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — the build-once/probe-many shape a real
+  * deployment runs at 100 TB.
+  *
+  * [[Similarity.ivfPqTopK]] trains and encodes per call, which is the
+  * right shape for a one-shot query but wrong for a serving index:
+  * training is a bounded-sample job you run once, encoding is one full
+  * corpus pass you run once, and every query batch after that should
+  * touch nothing but the persisted (neighbor_id, list, codes) table —
+  * a few BYTES per corpus row — plus the model constants. This object
+  * materializes exactly that split:
+  *
+  *  - `<path>/codes/`: the inverted file, parquet, partitioned by
+  *    `list` so a probe with `nprobe` lists prunes to nprobe/nlist of
+  *    the index files before any shuffle (AnnIndexSpec pins the
+  *    dynamicpruningexpression partition filter on the codes scan).
+  *  - `<path>/model/`: one parquet row carrying (nlist, m, ksub, dim)
+  *    and the coarse centroids + PQ codebooks (dim·(nlist+ksub)
+  *    doubles — driver-bounded by construction).
+  *
+  * Probing routes through the SAME [[Similarity.ivfPqProbe]] the
+  * in-memory operator uses, so persisted and fresh indexes cannot
+  * drift semantically (AnnIndexSpec pins byte equality of the two
+  * paths under a shared model).
+  */
+object AnnIndex {
+
+  /** The driver-side model of a persisted index. Sizes are bounded by
+    * construction (dim·nlist + dim·ksub doubles), never by the corpus. */
+  case class IvfPqModel(nlist: Int, m: Int, ksub: Int, dim: Int,
+                        coarse: Array[Array[Double]],
+                        books: Array[Array[Array[Double]]])
+
+  /** Train (on a bounded deterministic sample when `maxTrainRows` > 0
+    * — see [[Similarity.kmeansCentroids]]), encode the corpus once,
+    * and persist codes + model under `path`. Returns the model so the
+    * builder can probe immediately without re-reading it. */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String,
+                 nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+                 maxTrainRows: Int = 0): IvfPqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val coarse = Similarity.kmeansCentroids(corpus, idCol, vecCol, nlist,
+      maxTrainRows = maxTrainRows)
+    val books = Similarity.pqCodebooks(corpus, idCol, vecCol, m, ksub, dim,
+      maxTrainRows = maxTrainRows)
+    // ONE corpus pass writes the inverted file; partitioning by list
+    // is what makes the serving read prunable (a probe of nprobe
+    // lists reads nprobe/nlist of the files, enforced by partition
+    // pruning, not trusted)
+    Similarity.ivfPqEncode(corpus, idCol, vecCol, coarse, books, m)
+      .select(col("neighbor_id"), col("__list").as("list"),
+        col("__codes").as("codes"))
+      .write.mode(SaveMode.Overwrite).partitionBy("list")
+      .parquet(s"$path/codes")
+    Seq((nlist, m, ksub, dim,
+        coarse.map(_.toSeq).toSeq,
+        books.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("nlist", "m", "ksub", "dim", "coarse", "books")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/model")
+    IvfPqModel(nlist, m, ksub, dim, coarse, books)
+  }
+
+  /** Load the model row back. One bounded collect (the model is
+    * dim·(nlist+ksub) doubles regardless of corpus size). */
+  def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
+    // collection.Seq, not the immutable default: Row materializes
+    // nested arrays as mutable.ArraySeq
+    import scala.collection.{Seq => CSeq}
+    val r = spark.read.parquet(s"$path/model").head
+    IvfPqModel(
+      r.getAs[Int]("nlist"), r.getAs[Int]("m"),
+      r.getAs[Int]("ksub"), r.getAs[Int]("dim"),
+      r.getAs[CSeq[CSeq[Double]]]("coarse").map(_.toArray).toArray,
+      r.getAs[CSeq[CSeq[CSeq[Double]]]]("books")
+        .map(_.map(_.toArray).toArray).toArray)
+  }
+
+  /** Probe a persisted index: read codes (partition-pruned to the
+    * probed lists), run the shared ADC + exact-re-rank pipeline.
+    * `corpus` supplies true vectors for the |queries|·refine·k re-rank
+    * join only — the index never stores embeddings. */
+  def probeIvfPq(queries: DataFrame, corpus: DataFrame, path: String,
+                 queryId: String, queryVec: String,
+                 corpusId: String, corpusVec: String,
+                 k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val model = loadIvfPqModel(spark, path)
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select(col("neighbor_id"),
+        col("list").cast("int").as("__list"), col("codes").as("__codes"))
+    Similarity.ivfPqProbe(encoded, queries, corpus,
+      queryId, queryVec, corpusId, corpusVec,
+      k, nprobe, refine, model.coarse, model.books, model.m)
+  }
+}

@@ -87,6 +87,24 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** Deterministic bounded training sample for the ANN model trainers:
+    * hash-order by id, keep `maxTrainRows`. Hash order rather than
+    * "first N ids" because real corpora arrive id-clustered (by crawl
+    * time, by domain) and a clustered prefix trains a biased
+    * quantizer; xxhash64 is uniform, partitioning-independent, and
+    * replays identically run to run. The plan is TakeOrdered
+    * (driver-bounded at maxTrainRows rows), not a full sort, and the
+    * result is PERSISTED for the duration of training — Lloyd runs
+    * `iterations` passes over it, and at 100 TB each recompute of an
+    * unpersisted TakeOrdered would be another full corpus scan. The
+    * caller must `unpersist()` the returned frame (the trainers below
+    * do, in `finally`). */
+  private def trainSample(corpus: DataFrame, idCol: String,
+                          maxTrainRows: Int): (DataFrame, Boolean) =
+    if (maxTrainRows <= 0) (corpus, false)
+    else (corpus.orderBy(xxhash64(col(idCol)), col(idCol))
+      .limit(maxTrainRows).persist(), true)
+
   /** Lightweight Lloyd's k-means for the IVF coarse quantizer: the
     * MODEL (nlist × dim doubles) is the only thing collected to the
     * driver — assignments and centroid updates are DataFrame
@@ -94,29 +112,42 @@ object Similarity {
     * Two Lloyd iterations are the default: each costs a full corpus
     * pass (2 jobs), and a coarse quantizer only has to spread the
     * lists — the recall spec stays comfortably above the random-probe
-    * baseline at 2, so the third pass bought nothing but runtime. */
+    * baseline at 2, so the third pass bought nothing but runtime.
+    *
+    * `maxTrainRows > 0` bounds training cost regardless of corpus
+    * size by fitting on a deterministic [[trainSample]] — the standard
+    * ANN posture (FAISS trains on ~max(10k·k, 256·k) points, not the
+    * collection): a coarse quantizer estimates nlist cluster means,
+    * which a bounded uniform sample pins to within sampling error, so
+    * recall moves marginally while training cost stops scaling with
+    * the corpus. SCALING.md "ANN model training" has the measured
+    * trade; RecallProbe re-measures the floors with sampling on. */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      nlist: Int, iterations: Int = 2): Array[Array[Double]] = {
-    var centroids = corpus.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    (0 until iterations).foreach { _ =>
-      val assigned = withNearestCentroid(
-        corpus.select(col(vecCol).as("__v")), "__v", centroids, "__c")
-      val updated = assigned
-        .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("__c"), col("__pos"))
-        .agg(avg(col("__x")).as("__m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (c, rows) =>
-          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
-        }
-      centroids = centroids.indices
-        .map(c => updated.getOrElse(c, centroids(c)))
-        .toArray
-    }
-    centroids
+                      nlist: Int, iterations: Int = 2,
+                      maxTrainRows: Int = 0): Array[Array[Double]] = {
+    val (train, ownsCache) = trainSample(corpus, idCol, maxTrainRows)
+    try {
+      var centroids = train.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      (0 until iterations).foreach { _ =>
+        val assigned = withNearestCentroid(
+          train.select(col(vecCol).as("__v")), "__v", centroids, "__c")
+        val updated = assigned
+          .select(col("__c"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy(col("__c"), col("__pos"))
+          .agg(avg(col("__x")).as("__m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (c, rows) =>
+            c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+          }
+        centroids = centroids.indices
+          .map(c => updated.getOrElse(c, centroids(c)))
+          .toArray
+      }
+      centroids
+    } finally if (ownsCache) { train.unpersist(); () }
   }
 
   /** A trained model as ONE plan constant. A matrix spelled as nested
@@ -162,9 +193,11 @@ object Similarity {
               queryId: String, queryVec: String,
               corpusId: String, corpusVec: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              centroidsOpt: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroidsOpt: Option[Array[Array[Double]]] = None,
+              maxTrainRows: Int = 0): DataFrame = {
     val centroids = centroidsOpt.getOrElse(
-      kmeansCentroids(corpus, corpusId, corpusVec, nlist))
+      kmeansCentroids(corpus, corpusId, corpusVec, nlist,
+        maxTrainRows = maxTrainRows))
     val c = withNearestCentroid(
       corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
       "__cv", centroids, "__list")
@@ -200,35 +233,41 @@ object Similarity {
     * the IVF coarse model; init = subvectors of the first ksub
     * corpus vectors by id (deterministic). Assignment minimizes
     * Euclidean distance via the ‖c‖² − 2·x·c expansion (‖x‖² is
-    * rank-invariant). */
+    * rank-invariant). `maxTrainRows` bounds training to a
+    * deterministic [[trainSample]], same rationale as
+    * [[kmeansCentroids]]. */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int, dim: Int,
-                  iterations: Int = 2): Array[Array[Array[Double]]] = {
+                  iterations: Int = 2,
+                  maxTrainRows: Int = 0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val sub = dim / m
-    val head = corpus.orderBy(col(idCol)).limit(ksub)
-      .select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    var books: Array[Array[Array[Double]]] =
-      (0 until m).map(mi => head.map(v => v.slice(mi * sub, (mi + 1) * sub))).toArray
-    (0 until iterations).foreach { _ =>
-      val updated = corpus.select(col(vecCol).as("__v"))
-        .withColumn("__subs", pqSubvectors(col("__v"), m, sub))
-        .withColumn("__as", pqAssignments(col("__subs"), books))
-        .select(posexplode(col("__v")).as(Seq("__pos", "__x")), col("__as"))
-        .withColumn("__mi", (col("__pos") / sub).cast("int"))
-        .select(col("__mi"), element_at(col("__as"), col("__mi") + 1).as("__c"),
-          col("__pos"), col("__x").cast("double").as("__xd"))
-        .groupBy(col("__mi"), col("__c"), col("__pos"))
-        .agg(avg(col("__xd")).as("__mean"))
-        .collect()
-      val byCell = updated.map(r =>
-        (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
-      books = Array.tabulate(m)(mi => Array.tabulate(ksub)(c =>
-        Array.tabulate(sub)(p =>
-          byCell.getOrElse((mi, c, mi * sub + p), books(mi)(c)(p)))))
-    }
-    books
+    val (train, ownsCache) = trainSample(corpus, idCol, maxTrainRows)
+    try {
+      val head = train.orderBy(col(idCol)).limit(ksub)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      var books: Array[Array[Array[Double]]] =
+        (0 until m).map(mi => head.map(v => v.slice(mi * sub, (mi + 1) * sub))).toArray
+      (0 until iterations).foreach { _ =>
+        val updated = train.select(col(vecCol).as("__v"))
+          .withColumn("__subs", pqSubvectors(col("__v"), m, sub))
+          .withColumn("__as", pqAssignments(col("__subs"), books))
+          .select(posexplode(col("__v")).as(Seq("__pos", "__x")), col("__as"))
+          .withColumn("__mi", (col("__pos") / sub).cast("int"))
+          .select(col("__mi"), element_at(col("__as"), col("__mi") + 1).as("__c"),
+            col("__pos"), col("__x").cast("double").as("__xd"))
+          .groupBy(col("__mi"), col("__c"), col("__pos"))
+          .agg(avg(col("__xd")).as("__mean"))
+          .collect()
+        val byCell = updated.map(r =>
+          (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+        books = Array.tabulate(m)(mi => Array.tabulate(ksub)(c =>
+          Array.tabulate(sub)(p =>
+            byCell.getOrElse((mi, c, mi * sub + p), books(mi)(c)(p)))))
+      }
+      books
+    } finally if (ownsCache) { train.unpersist(); () }
   }
 
   /** The vector cut into its m subvectors, as one array<array> column
@@ -277,33 +316,62 @@ object Similarity {
                 k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 4, ksub: Int = 16, refine: Int = 4,
                 coarseOpt: Option[Array[Array[Double]]] = None,
-                booksOpt: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+                booksOpt: Option[Array[Array[Array[Double]]]] = None,
+                maxTrainRows: Int = 0): DataFrame = {
     val dim = corpus.select(size(col(corpusVec))).head.getInt(0)
-    val sub = dim / m
     val coarse = coarseOpt.getOrElse(
-      kmeansCentroids(corpus, corpusId, corpusVec, nlist))
+      kmeansCentroids(corpus, corpusId, corpusVec, nlist,
+        maxTrainRows = maxTrainRows))
     val books = booksOpt.getOrElse(
-      pqCodebooks(corpus, corpusId, corpusVec, m, ksub, dim))
+      pqCodebooks(corpus, corpusId, corpusVec, m, ksub, dim,
+        maxTrainRows = maxTrainRows))
+    val encoded = ivfPqEncode(corpus, corpusId, corpusVec, coarse, books, m)
+    ivfPqProbe(encoded, queries, corpus, queryId, queryVec,
+      corpusId, corpusVec, k, nprobe, refine, coarse, books, m)
+  }
 
-    // corpus side: list id + m codes; the full vector is DROPPED here.
-    // The lineage is DETACHED (RDD round-trip): with the alias tree
-    // visible, InferFiltersFromConstraints substitutes the corpus-side
-    // __list definition across the probe-join equality and plants a
-    // filter referencing corpus attributes on the QUERY branch — an
-    // invalid plan that fails binding at runtime (Spark optimizer
-    // edge; observed as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The
-    // boundary is also the honest index shape: a real deployment
-    // materializes exactly this (id, list, codes) table — FAISS's
-    // inverted file — and at 100 TB you would persist it to parquet
-    // at this point rather than recompute codes per query batch.
+  /** The (neighbor_id, __list, __codes) inverted file of a corpus —
+    * the IVF-PQ index table. The full vector is DROPPED here, and the
+    * lineage is DETACHED (RDD round-trip): with the alias tree
+    * visible, InferFiltersFromConstraints substitutes the corpus-side
+    * __list definition across the probe-join equality and plants a
+    * filter referencing corpus attributes on the QUERY branch — an
+    * invalid plan that fails binding at runtime (Spark optimizer
+    * edge; observed as INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The
+    * boundary is also the honest index shape: a real deployment
+    * materializes exactly this (id, list, codes) table — FAISS's
+    * inverted file — which is what [[AnnIndex.buildIvfPq]] persists
+    * to parquet so query batches probe without re-encoding. */
+  private[operators] def ivfPqEncode(corpus: DataFrame,
+                                     corpusId: String, corpusVec: String,
+                                     coarse: Array[Array[Double]],
+                                     books: Array[Array[Array[Double]]],
+                                     m: Int): DataFrame = {
+    val sub = books(0)(0).length
     val encodedPlan = withNearestCentroid(
         corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv")),
         "__cv", coarse, "__list")
       .withColumn("__subs", pqSubvectors(col("__cv"), m, sub))
       .withColumn("__codes", pqAssignments(col("__subs"), books))
       .select(col("neighbor_id"), col("__list"), col("__codes"))
-    val encoded = corpus.sparkSession.createDataFrame(
-      encodedPlan.rdd, encodedPlan.schema)
+    corpus.sparkSession.createDataFrame(encodedPlan.rdd, encodedPlan.schema)
+  }
+
+  /** Probe a pre-encoded inverted file ([[ivfPqEncode]] output or its
+    * parquet round-trip via [[AnnIndex]]) — the serving half of
+    * [[ivfPqTopK]], identical whether the index was just built or
+    * loaded from disk. `corpus` is consulted only for the exact
+    * re-rank join (true vectors for |queries|·refine·k shortlist
+    * rows); candidate generation touches codes alone. */
+  private[operators] def ivfPqProbe(encoded: DataFrame,
+                                    queries: DataFrame, corpus: DataFrame,
+                                    queryId: String, queryVec: String,
+                                    corpusId: String, corpusVec: String,
+                                    k: Int, nprobe: Int, refine: Int,
+                                    coarse: Array[Array[Double]],
+                                    books: Array[Array[Array[Double]]],
+                                    m: Int): DataFrame = {
+    val sub = books(0)(0).length
 
     // query side: nprobe lists + the m×ksub ADC table (codebooks as
     // one typedLit constant — see litMat)

@@ -35,7 +35,22 @@ object RecallProbe {
           m = 16, ksub = 16, refine = 8),
         "ivfpq_m8k32_p8_r16" -> Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
           "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
-          m = 8, ksub = 32, refine = 16))) {
+          m = 8, ksub = 32, refine = 16),
+        // the q53/q110 production configs with SAMPLED training
+        // (maxTrainRows=4000 — a 1/8 sample at sf0.01)
+        "ivf_p6_s4k" -> Similarity.ivfTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 6,
+          maxTrainRows = 4000),
+        "ivfpq_m8k32_p8_r16_s4k" -> Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8,
+          m = 8, ksub = 32, refine = 16, maxTrainRows = 4000),
+        "ivfpq_persisted_s4k" -> {
+          val idx = java.nio.file.Files.createTempDirectory("graft_rp_idx_").toString
+          graft.operators.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", idx,
+            nlist = 16, m = 8, ksub = 32, maxTrainRows = 4000)
+          graft.operators.AnnIndex.probeIvfPq(q, emb, idx, "vec_id", "embedding",
+            "vec_id", "embedding", k = 5, nprobe = 8, refine = 16)
+        })) {
         val hits = ann.select(col("query_id"), col("neighbor_id"))
           .join(exact.select(col("query_id"), col("neighbor_id")),
             Seq("query_id", "neighbor_id"), "left_semi")

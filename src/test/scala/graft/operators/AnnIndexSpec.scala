@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+/** The persisted IVF-PQ index: build → persist → load → probe must be
+  * semantically identical to the in-memory operator under a shared
+  * model, the stored model must round-trip exactly, and sampled
+  * training must keep recall above the same floor the full-corpus
+  * model clears. */
+class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_annidx_").toString
+
+  test("build → persist → load round-trips the model exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tmp()
+    val built = AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    val loaded = AnnIndex.loadIvfPqModel(spark, path)
+    assert(loaded.nlist == 8 && loaded.m == 4 && loaded.ksub == 16 &&
+      loaded.dim == built.dim)
+    // doubles written to parquet and read back are bit-identical
+    assert(loaded.coarse.map(_.toSeq).toSeq == built.coarse.map(_.toSeq).toSeq)
+    assert(loaded.books.map(_.map(_.toSeq).toSeq).toSeq ==
+      built.books.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("probing the persisted index equals ivfPqTopK under the same model") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = tmp()
+    val model = AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    val persisted = AnnIndex.probeIvfPq(q, emb, path, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nlist = 8, nprobe = 3,
+        m = 4, ksub = 16, refine = 4,
+        coarseOpt = Some(model.coarse), booksOpt = Some(model.books))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(persisted == inMemory)
+    assert(persisted.nonEmpty)
+  }
+
+  test("codes land partitioned by list (prunable layout), vectors are NOT stored") {
+    val emb = Tables.embeddings(spark, sf)
+    val path = tmp()
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    val listDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("list="))
+    assert(listDirs.nonEmpty, "codes must be hive-partitioned by list")
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.columns.sorted.toSeq == Seq("codes", "list", "neighbor_id"),
+      "the index stores codes only — never embeddings")
+    assert(codes.count() == emb.count())
+  }
+
+  test("probe scan of the codes table is dynamically partition-pruned to the probed lists") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = tmp()
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    val probe = AnnIndex.probeIvfPq(q, emb, path, "vec_id", "embedding",
+      "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+    probe.collect()
+    // the list=N layout is only worth anything if the probe join
+    // actually prunes by it: the codes FileScan must carry a
+    // dynamicpruningexpression partition filter (DPP), so a probe of
+    // nprobe lists reads ~nprobe/nlist of the index files
+    val plan = probe.queryExecution.executedPlan.toString
+    val codesScan = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("codes"))
+      .orElse(plan.linesIterator.find(_.contains("dynamicpruningexpression")))
+    assert(codesScan.exists(_.contains("dynamicpruningexpression")),
+      s"codes scan must be DPP-pruned; plan:\n${plan.take(4000)}")
+  }
+
+  test("sampled training keeps recall above the q110 floor") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+        "vec_id", "embedding", 5, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, refine = 8, maxTrainRows = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(pq.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall with sampled training=$recall")
+  }
+
+  test("trainSample determinism: two sampled trainings give the identical model") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+      nlist = 8, maxTrainRows = 500)
+    val b = Similarity.kmeansCentroids(
+      emb.repartition(7), "vec_id", "embedding",
+      nlist = 8, maxTrainRows = 500)
+    // identical even across a different physical partitioning — the
+    // sample is hash-ordered by id, not partition-dependent
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+}

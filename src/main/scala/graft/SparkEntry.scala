@@ -1022,14 +1022,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // multimodal plumbing: binary payloads + metadata + stub features.
+    // multimodal plumbing over REAL payloads (r7 verdict: the stub
+    // decoder on text-cast bytes was rows-only; q95's invertible
+    // construction makes it value-exact): one solid-color PNG per
+    // document (geometry/color from doc_id arithmetic, a different
+    // derivation than q95's 100-row pipeline), magic-byte sniff +
+    // real JDK decode, recovered geometry and color oracle-checked
+    // row-by-row. payload size and sha1 are encoder-dependent bytes
+    // (not arithmetic facts), so they export as a presence bit —
+    // their exact values are spec territory (MultimodalSpec).
     "q35_multimodal" -> ((s, dir) => {
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      val withMeta = Multimodal.withMediaMeta(media, "payload")
-      Multimodal.extractFeatures(withMeta, "payload")
-        .select(col("doc_id"), col("media_size_bytes"), col("media_format"),
-          col("media_sha1"), col("features"))
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (lit(8) + col("doc_id") % 9).cast("int").as("w"),
+          (lit(5) + col("doc_id") % 11).cast("int").as("h"),
+          (((col("doc_id") * 37) % 256) * 65536 +
+            ((col("doc_id") * 11) % 256) * 256 +
+            (col("doc_id") * 3) % 256).cast("int").as("rgb"))
+      val encoded = Multimodal.encodeSolidPng(base, "doc_id", "w", "h", "rgb")
+      val meta = Multimodal.withMediaMeta(encoded, "payload")
+      Multimodal.extractFeatures(meta, "payload",
+          decoder = new Multimodal.ImageIoDecoder)
+        .select(col("doc_id"), col("media_format"),
+          (col("media_size_bytes") > 0 && col("media_sha1").isNotNull)
+            .as("has_payload"),
+          col("features")(0).cast("long").as("width"),
+          col("features")(1).cast("long").as("height"),
+          round(col("features")(3) * 255).cast("long").as("red"),
+          round(col("features")(4) * 255).cast("long").as("green"),
+          round(col("features")(5) * 255).cast("long").as("blue"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1149,6 +1170,32 @@ object SparkEntry {
         GoldenReplay.readCommentsEnvelope(s, s"$goldenDir/comments_with_sentiment.json"))
       kpiEntriesExport(Kpis.kpiRecord(videos, comments, "sentiment", "sentiment",
         "2026-01-21", "2026-01-21T23:35:39.424941Z"))
+    }),
+
+    // golden VIDEOS replay — the third committed reference artifact
+    // (/root/reference/videos_with_sentiment.json, producer
+    // gold_sentiment_videos.py:62-74) gets the q72 treatment: golden
+    // rows → bronze API items (statistics as numeric strings) →
+    // engine silver projection/casts → {**row, **analysis} merge from
+    // the golden labels → must equal the golden file row-by-row,
+    // which DuckDB reads from the same bytes. published_at
+    // round-trips the engine's timestamp parse and exports as epoch
+    // (q72 convention); array fields export '|'-joined (the driver's
+    // row sort cannot hash arrays).
+    "q131_golden_videos_replay" -> ((s, dir) => {
+      val golden = Clean.unwrapIfEnvelope(
+        GoldenReplay.readVideosList(s, s"$goldenDir/videos_with_sentiment.json"))
+      val labels = golden.select("video_id", "sentiment", "emotions", "topics")
+      GoldenReplay.replayVideos(GoldenReplay.bronzeVideoItems(golden), labels)
+        .select(col("video_id"), col("title"),
+          unix_timestamp(to_timestamp(col("published_at"))).cast("long")
+            .as("published_epoch"),
+          col("channel_title"), col("duration"),
+          col("view_count"), col("like_count"), col("comment_count"),
+          col("sentiment"),
+          array_join(col("emotions"), "|").as("emotions_joined"),
+          array_join(col("topics"), "|").as("topics_joined"))
+        .orderBy(col("video_id"))
     }),
 
     // bloom-prefiltered incremental dedup: which "new batch" docs
@@ -2624,6 +2671,16 @@ object SparkEntry {
          |    FROM (SELECT s, COUNT(*) AS n FROM c GROUP BY s) cc) AS comment_sentiment_counts,
          | '2026-01-21T23:35:39.424941Z' AS generated_at_utc""".stripMargin,
 
+    "q131_golden_videos_replay" ->
+      s"""SELECT video_id, title,
+         |       CAST(epoch(published_at) AS BIGINT) AS published_epoch,
+         |       channel_title, duration, view_count, like_count, comment_count,
+         |       sentiment,
+         |       array_to_string(emotions, '|') AS emotions_joined,
+         |       array_to_string(topics, '|') AS topics_joined
+         |FROM read_json_auto('$goldenDir/videos_with_sentiment.json')
+         |ORDER BY video_id""".stripMargin,
+
     // same fingerprint formulation as q19; NOT EXISTS (not NOT IN) so
     // a null fingerprint on either side keeps anti-join semantics.
     "q77_bloom_new_docs" ->
@@ -2755,6 +2812,19 @@ object SparkEntry {
         | (doc_id * 7) % 256 AS green,
         | (doc_id * 13) % 256 AS blue
         |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    // q35: the solid-PNG construction is invertible, so every decoded
+    // column is doc_id arithmetic; 'png' pins the magic-byte sniff
+    // (a broken sniff would emit 'unknown' on the Spark side).
+    "q35_multimodal" ->
+      """SELECT doc_id, 'png' AS media_format, TRUE AS has_payload,
+        | 8 + doc_id % 9 AS width,
+        | 5 + doc_id % 11 AS height,
+        | (doc_id * 37) % 256 AS red,
+        | (doc_id * 11) % 256 AS green,
+        | (doc_id * 3) % 256 AS blue
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // q92: DuckDB rebuilds each document's n-grams (n = 2, 5),

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the [[TextOps.bpeTrain]] batched-merge-selection contract: for
+  * ANY corpus, training with `batchMerges = k` produces a merge table
+  * IDENTICAL (ranks, symbols, counts) to single-merge training — the
+  * batch only collapses driver round-trips, never changes the
+  * argmax chain. Small alphabets + many merges are used on purpose:
+  * they maximize ties, overlapping pairs, and symbol-string aliasing
+  * ("abc" reachable as a+bc and ab+c), the cases where an unsound
+  * prefix rule would diverge. */
+class BpeBatchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def train(docs: DataFrame, n: Int, minCnt: Long, batch: Int): Seq[(Int, String, String, String, Long)] =
+    TextOps.bpeTrain(docs, "text", numMerges = n, minPairCount = minCnt,
+        batchMerges = batch)
+      .orderBy("rank")
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+
+  private def assertParity(corpus: Seq[String], n: Int, minCnt: Long): Unit = {
+    val docs = corpus.map(Tuple1(_)).toDF("text")
+    val seq = train(docs, n, minCnt, batch = 1)
+    val bat = train(docs, n, minCnt, batch = 8)
+    assert(bat == seq,
+      s"batched != sequential on corpus $corpus\n seq=$seq\n bat=$bat")
+  }
+
+  test("batched == sequential on the textbook corpus") {
+    assertParity(Seq("low low low low low lower lower lowest newest newest"), 10, 1L)
+  }
+
+  test("batched == sequential under greedy-overlap runs and ties") {
+    assertParity(Seq("aaaa aaa aa", "abab abab ab", "bbbb"), 8, 1L)
+  }
+
+  test("batched == sequential when created strings alias live symbols") {
+    // drive both (ab, c) and (a, bc) toward high counts so an early
+    // batch merge creates "abc" while "abc"-adjacent pairs exist —
+    // the alias-guard case; an unsound prefix would mis-order here
+    val corpus = Seq(
+      "abc abc abc abc ab ab ab ab ab",
+      "bc bc bc bc a a abcd abcd abcd",
+      "dabc dabc cab cab bca bca")
+    assertParity(corpus, 12, 1L)
+  }
+
+  test("batched == sequential on randomized small-alphabet corpora") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 4) {
+      val corpus = Seq.fill(3)(
+        Seq.fill(12)(
+          Seq.fill(1 + rnd.nextInt(5))("abc".charAt(rnd.nextInt(3))).mkString
+        ).mkString(" "))
+      assertParity(corpus, 10, 1L)
+    }
+  }
+
+  test("batched == sequential including the minPairCount early stop") {
+    assertParity(Seq("aa aa bb cc dd ee"), 6, 2L)
+    assertParity(Seq("ab cd"), 5, 2L)
+  }
+
+  test("batchMerges guard and single-round batch cap") {
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrain(Seq(Tuple1("ab")).toDF("text"), "text",
+        numMerges = 1, batchMerges = 0)
+    }
+    // numMerges caps the final batch: never more merges than asked
+    val m = train(Seq("aaaa aaaa bbbb abab").map(Tuple1(_)).toDF("text"),
+      n = 2, minCnt = 1L, batch = 8)
+    assert(m.length == 2 && m.map(_._1) == Seq(1, 2))
+  }
+}

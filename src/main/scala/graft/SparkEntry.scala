@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{AnnIndex, Clean, Dedup, Enrich, Kpis, Multimodal, Packing, Relational, Similarity, TextOps}
+import graft.operators.{AnnIndex, Clean, Dedup, Enrich, Kpis, Mp4, Multimodal, Packing, Relational, Similarity, TextOps}
 import graft.pipeline.GoldenReplay
 import graft.sources.Tables
 import graft.streaming.StreamOps
@@ -1927,6 +1927,40 @@ object SparkEntry {
     // robust outlier gate: median/MAD per event_type over exact cents
     // (value is a 2-decimal double; ×100 makes every statistic a
     // half-integer — IEEE-exact cross-engine). Aggregated report so
+    // MP4 container metadata through the REAL box-walk (ISO/IEC
+    // 14496-12, no codec needed): synthesize one structurally-valid
+    // MP4 per doc (brand/timescale/duration/tracks derived from
+    // doc_id), parse it back with the box parser, export every
+    // recovered field. The build is invertible, so DuckDB replays
+    // each column arithmetically — the parser is value-oracled
+    // without DuckDB owning an MP4 stack (the q95 trick on video
+    // containers).
+    "q132_mp4_metadata" -> ((s, dir) => {
+      val vide = struct(lit("vide").as("handler"), lit("avc1").as("codec"),
+        (lit(16L) * (lit(1) + col("doc_id") % 8)).as("width"),
+        (lit(16L) * (lit(1) + col("doc_id") % 6)).as("height"))
+      val soun = struct(lit("soun").as("handler"), lit("mp4a").as("codec"),
+        lit(0L).as("width"), lit(0L).as("height"))
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), lit("isom").as("brand"),
+          (lit(600L) + (col("doc_id") % 5) * 100).as("timescale"),
+          (lit(1000L) + col("doc_id") % 9000).as("duration"),
+          when(col("doc_id") % 2 === 1, array(vide, soun))
+            .otherwise(array(vide)).as("tracks"))
+      val built = Mp4.buildStubMp4(base, "brand", "timescale", "duration", "tracks")
+      Mp4.mp4Meta(built.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"), col("mp4_brand").as("brand"),
+          col("mp4_timescale").as("timescale"),
+          col("mp4_duration_ms").as("duration_ms"),
+          size(col("mp4_tracks")).cast("long").as("track_count"),
+          array_join(col("mp4_tracks.handler"), ",").as("handlers"),
+          array_join(col("mp4_tracks.codec"), ",").as("codecs"),
+          col("mp4_tracks")(0)("width").as("width"),
+          col("mp4_tracks")(0)("height").as("height"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the oracle pins counts, medians, and MADs per group.
     "q118_robust_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -2680,6 +2714,21 @@ object SparkEntry {
          |       array_to_string(topics, '|') AS topics_joined
          |FROM read_json_auto('$goldenDir/videos_with_sentiment.json')
          |ORDER BY video_id""".stripMargin,
+
+    // q132: the stub-MP4 build is invertible, so every parsed field
+    // is doc_id arithmetic; duration_ms pins the parser's long floor
+    // division duration*1000/timescale.
+    "q132_mp4_metadata" ->
+      """SELECT doc_id, 'isom' AS brand,
+        | 600 + (doc_id % 5) * 100 AS timescale,
+        | ((1000 + doc_id % 9000) * 1000) // (600 + (doc_id % 5) * 100) AS duration_ms,
+        | 1 + doc_id % 2 AS track_count,
+        | CASE WHEN doc_id % 2 = 1 THEN 'vide,soun' ELSE 'vide' END AS handlers,
+        | CASE WHEN doc_id % 2 = 1 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+        | 16 * (1 + doc_id % 8) AS width,
+        | 16 * (1 + doc_id % 6) AS height
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
 
     // same fingerprint formulation as q19; NOT EXISTS (not NOT IN) so
     // a null fingerprint on either side keeps anti-join semantics.

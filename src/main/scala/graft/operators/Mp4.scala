@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** ISO BMFF (MP4) container metadata — the codec-free half of video
+  * ingestion (SURVEY.md §7.4 north-star; r7 verdict item 6): duration,
+  * timescale, brand, per-track handler/codec fourcc and geometry all
+  * live in the PUBLIC box structure (ISO/IEC 14496-12), so a box-walk
+  * recovers them without decoding a single frame. Video CODECS don't
+  * ship with the JVM ([[Multimodal.StubDecoder]] stands in for frame
+  * decode), but container METADATA needs no codec — this is the real
+  * thing, not a stub.
+  *
+  * Scale shape: [[mp4Meta]] is a pure row-local projection (no
+  * shuffle, no state); the walk reads only box HEADERS and the few
+  * tiny leaf boxes it extracts (`mvhd`/`tkhd`/`hdlr`/`stsd`), skipping
+  * `mdat` (the overwhelmingly largest box in a real file) by its size
+  * field — cost per row is O(box count), not O(payload bytes).
+  * Malformed/foreign payloads yield null metadata, never an error —
+  * the one-corrupt-blob-never-fails-the-scan discipline of
+  * [[Multimodal.ImageIoDecoder]].
+  *
+  * [[buildStubMp4]] is the fixture twin (the q95 invertible-
+  * construction trick): it emits a structurally-valid box tree from
+  * typed columns, so parse∘build is identity and a SQL oracle can
+  * replay every extracted column arithmetically — the parser is
+  * value-oracled without DuckDB owning an MP4 stack (q132). */
+object Mp4 {
+
+  case class TrackMeta(handler: String, codec: String, width: Long, height: Long)
+  case class Mp4Meta(brand: String, timescale: Long, duration_ms: Long,
+                     tracks: Seq[TrackMeta])
+
+  // big-endian readers, ISO BMFF's wire order
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+  private def u64(b: Array[Byte], off: Int): Long =
+    (u32(b, off) << 32) | u32(b, off + 4)
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  // pure containers we descend into; trak is handled explicitly so it
+  // can scope per-track state
+  private val Containers = Set("moov", "mdia", "minf", "stbl")
+
+  /** Walk the box tree of one payload. Returns null (never throws) on
+    * anything that isn't a well-formed MP4 prefix: missing ftyp,
+    * missing/absurd mvhd, box sizes that overrun their parent, or
+    * recursion deeper than any sane file (a crafted size loop). */
+  def parse(bytes: Array[Byte]): Mp4Meta = {
+    if (bytes == null || bytes.length < 16) return null
+    try {
+      var brand: String = null
+      var timescale = -1L
+      var duration = -1L
+      val tracks = scala.collection.mutable.ArrayBuffer.empty[TrackMeta]
+      var curHandler: String = null
+      var curCodec: String = null
+      var curW = 0L
+      var curH = 0L
+
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 8) throw new IllegalArgumentException("box nesting")
+        var off = start
+        while (off + 8 <= end) {
+          var size = u32(bytes, off)
+          val typ = fourcc(bytes, off + 4)
+          var hdr = 8
+          if (size == 1L) { size = u64(bytes, off + 8); hdr = 16 }
+          else if (size == 0L) size = (end - off).toLong // box runs to EOF
+          if (size < hdr || size > end - off)
+            throw new IllegalArgumentException("box size")
+          val body = off + hdr
+          val boxEnd = off + size.toInt
+          typ match {
+            case "ftyp" if boxEnd - body >= 4 =>
+              brand = fourcc(bytes, body)
+            case "mvhd" =>
+              val v = bytes(body) & 0xFF
+              if (v == 1) { timescale = u32(bytes, body + 20); duration = u64(bytes, body + 24) }
+              else { timescale = u32(bytes, body + 12); duration = u32(bytes, body + 16) }
+            case "trak" =>
+              curHandler = null; curCodec = null; curW = 0L; curH = 0L
+              walk(body, boxEnd, depth + 1)
+              tracks += TrackMeta(curHandler, curCodec, curW, curH)
+            case "tkhd" =>
+              val v = bytes(body) & 0xFF
+              val wOff = body + (if (v == 1) 88 else 76) // past matrix; 16.16 fixed
+              curW = u32(bytes, wOff) >> 16
+              curH = u32(bytes, wOff + 4) >> 16
+            case "hdlr" =>
+              curHandler = fourcc(bytes, body + 8)
+            case "stsd" =>
+              if (u32(bytes, body + 4) > 0) curCodec = fourcc(bytes, body + 12)
+            case t if Containers(t) =>
+              walk(body, boxEnd, depth + 1)
+            case _ => () // mdat, free, skip everything else by size
+          }
+          off = boxEnd
+        }
+        if (off != end) throw new IllegalArgumentException("trailing bytes")
+      }
+      walk(0, bytes.length, 0)
+      if (brand == null || timescale <= 0 || duration < 0) null
+      else Mp4Meta(brand, timescale, duration * 1000L / timescale, tracks.toSeq)
+    } catch {
+      case _: IllegalArgumentException | _: IndexOutOfBoundsException |
+           _: ArithmeticException => null
+    }
+  }
+
+  private val trackType = StructType(Seq(
+    StructField("handler", StringType), StructField("codec", StringType),
+    StructField("width", LongType), StructField("height", LongType)))
+
+  /** Append container metadata columns parsed from a binary MP4
+    * column: `mp4_brand`, `mp4_timescale`, `mp4_duration_ms`,
+    * `mp4_tracks array<struct<handler,codec,width,height>>` (walk
+    * order — the file's track order). All null for non-MP4 payloads.
+    * Row-local; no shuffle. */
+  def mp4Meta(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("mp4_brand", StringType),
+      StructField("mp4_timescale", LongType),
+      StructField("mp4_duration_ms", LongType),
+      StructField("mp4_tracks", ArrayType(trackType))))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        val extra: Seq[Any] =
+          if (m == null) Seq(null, null, null, null)
+          else Seq(m.brand, m.timescale, m.duration_ms,
+            m.tracks.map(t => Row(t.handler, t.codec, t.width, t.height)))
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  // --- fixture builder ------------------------------------------------
+
+  private class BoxWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xFFFFFFFFL) }
+    def cc(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0, 4)
+    def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.write(0); i += 1 } }
+    /** size-prefixed box; the body writes into a fresh child writer so
+      * the size can be stamped first. `large` exercises the 64-bit
+      * size header. */
+    def box(typ: String, large: Boolean = false)(body: BoxWriter => Unit): Unit = {
+      val child = new BoxWriter
+      body(child)
+      val inner = child.out.toByteArray
+      if (large) { u32(1L); cc(typ); u64(inner.length + 16L) }
+      else { u32(inner.length + 8L); cc(typ) }
+      out.write(inner, 0, inner.length)
+    }
+  }
+
+  /** One structurally-valid MP4 per row from typed columns:
+    * `brandCol` (4-char string), `timescaleCol`/`durationCol` (long,
+    * duration in timescale units), `tracksCol`
+    * (array<struct<handler:string, codec:string, width:long,
+    * height:long>>). `v1` writes version-1 mvhd/tkhd (64-bit times)
+    * and a largesize moov header — the parser paths a v0 file never
+    * touches. Appends binary `out`. Parse∘build is identity on every
+    * field, which is what makes q132's oracle possible. */
+  def buildStubMp4(df: DataFrame, brandCol: String, timescaleCol: String,
+                   durationCol: String, tracksCol: String,
+                   v1: Boolean = false, out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val bi = inSchema.fieldIndex(brandCol)
+    val ti = inSchema.fieldIndex(timescaleCol)
+    val di = inSchema.fieldIndex(durationCol)
+    val ki = inSchema.fieldIndex(tracksCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val matrix = Seq(0x10000L, 0L, 0L, 0L, 0x10000L, 0L, 0L, 0L, 0x40000000L)
+        val w = new BoxWriter
+        w.box("ftyp") { b => b.cc(r.getString(bi)); b.u32(0L); b.cc("iso2") }
+        w.box("moov", large = v1) { moov =>
+          moov.box("mvhd") { b =>
+            if (v1) {
+              b.u32(0x01000000L); b.u64(0L); b.u64(0L) // v1 + 64-bit times
+              b.u32(r.getLong(ti)); b.u64(r.getLong(di))
+            } else {
+              b.u32(0L); b.u32(0L); b.u32(0L)
+              b.u32(r.getLong(ti)); b.u32(r.getLong(di))
+            }
+            b.u32(0x00010000L); b.zeros(2 + 2 + 8) // rate, volume, reserved
+            matrix.foreach(b.u32)
+            b.zeros(24); b.u32(2L) // pre_defined, next_track_ID
+          }
+          r.getSeq[Row](ki).foreach { t =>
+            moov.box("trak") { trak =>
+              trak.box("tkhd") { b =>
+                if (v1) { b.u32(0x01000007L); b.u64(0L); b.u64(0L); b.u32(1L); b.u32(0L); b.u64(r.getLong(di)) }
+                else { b.u32(7L); b.u32(0L); b.u32(0L); b.u32(1L); b.u32(0L); b.u32(r.getLong(di)) }
+                b.zeros(8 + 2 + 2 + 2 + 2)
+                matrix.foreach(b.u32)
+                b.u32(t.getLong(2) << 16); b.u32(t.getLong(3) << 16) // 16.16
+              }
+              trak.box("mdia") { mdia =>
+                mdia.box("hdlr") { b =>
+                  b.u32(0L); b.u32(0L); b.cc(t.getString(0)); b.zeros(12); b.out.write(0)
+                }
+                mdia.box("minf") { minf =>
+                  minf.box("stbl") { stbl =>
+                    stbl.box("stsd") { b =>
+                      b.u32(0L); b.u32(1L)
+                      b.u32(16L); b.cc(t.getString(1)); b.zeros(8) // one sample entry
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        w.box("mdat") { b => b.zeros(32) } // stand-in media, skipped by size
+        Row.fromSeq(r.toSeq :+ w.out.toByteArray)
+      }
+    }(enc)
+  }
+}

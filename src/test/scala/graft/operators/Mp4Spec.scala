@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** [[Mp4]] box-walk: parse∘build identity on every extracted field
+  * (v0 AND v1/largesize headers), bounded-cost mdat skip, and the
+  * malformed-payload discipline (null, never an error). */
+class Mp4Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trackType = StructType(Seq(
+    StructField("handler", StringType), StructField("codec", StringType),
+    StructField("width", LongType), StructField("height", LongType)))
+  private val buildSchema = StructType(Seq(
+    StructField("brand", StringType), StructField("timescale", LongType),
+    StructField("duration", LongType), StructField("tracks", ArrayType(trackType))))
+
+  private def mkTracks(ts: (String, String, Long, Long)*): Seq[Row] =
+    ts.map { case (h, c, w, hh) => Row(h, c, w, hh) }
+
+  private def build(brand: String, timescale: Long, duration: Long,
+                    tracks: Seq[Row], v1: Boolean): Array[Byte] = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(brand, timescale, duration, tracks)), buildSchema)
+    Mp4.buildStubMp4(df, "brand", "timescale", "duration", "tracks", v1 = v1)
+      .select("payload").head().getAs[Array[Byte]](0)
+  }
+
+  test("parse-of-build identity: v0, two tracks") {
+    val bytes = build("isom", 1000L, 4500L,
+      mkTracks(("vide", "avc1", 640L, 480L), ("soun", "mp4a", 0L, 0L)), v1 = false)
+    val m = Mp4.parse(bytes)
+    assert(m != null)
+    assert(m.brand == "isom" && m.timescale == 1000L && m.duration_ms == 4500L)
+    assert(m.tracks == Seq(
+      Mp4.TrackMeta("vide", "avc1", 640L, 480L),
+      Mp4.TrackMeta("soun", "mp4a", 0L, 0L)))
+  }
+
+  test("v1 mvhd/tkhd and the 64-bit largesize moov header parse identically") {
+    val v0 = Mp4.parse(build("mp42", 600L, 1234L,
+      mkTracks(("vide", "hvc1", 1920L, 1080L)), v1 = false))
+    val v1 = Mp4.parse(build("mp42", 600L, 1234L,
+      mkTracks(("vide", "hvc1", 1920L, 1080L)), v1 = true))
+    assert(v0 != null && v1 != null && v0 == v1)
+  }
+
+  test("duration_ms is the long floor division duration*1000/timescale") {
+    val m = Mp4.parse(build("isom", 700L, 1001L, mkTracks(), v1 = false))
+    assert(m.duration_ms == 1001L * 1000L / 700L && m.duration_ms == 1430L)
+    assert(m.tracks.isEmpty)
+  }
+
+  test("malformed payloads are null, never an error") {
+    val good = build("isom", 1000L, 1000L, mkTracks(("vide", "avc1", 8L, 8L)), v1 = false)
+    assert(Mp4.parse(null) == null, "null payload")
+    assert(Mp4.parse(Array[Byte](1, 2, 3)) == null, "too short")
+    assert(Mp4.parse(good.take(good.length / 2)) == null, "truncated mid-box")
+    assert(Mp4.parse(Array.fill[Byte](64)(0x41)) == null, "garbage")
+    // PNG magic: a non-BMFF format must not parse
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      Array.fill[Byte](32)(0)
+    assert(Mp4.parse(png) == null, "png payload")
+    // corrupt a box size so it overruns its parent
+    val overrun = good.clone()
+    overrun(0) = 0x7F // ftyp size becomes enormous
+    assert(Mp4.parse(overrun) == null, "size overrun")
+  }
+
+  test("mp4Meta: per-row columns, nulls for undecodable, mdat skipped by size") {
+    val good = build("isom", 1000L, 2000L, mkTracks(("vide", "avc1", 32L, 16L)), v1 = false)
+    val df = Seq(
+      (1L, good),
+      (2L, Array.fill[Byte](40)(0x42)),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val got = Mp4.mp4Meta(df, "payload").orderBy("id").collect()
+    assert(got(0).getString(2) == "isom" && got(0).getLong(4) == 2000L)
+    val tracks = got(0).getSeq[Row](5)
+    assert(tracks.length == 1 && tracks.head.getString(0) == "vide" &&
+      tracks.head.getLong(2) == 32L)
+    assert(got(1).isNullAt(2) && got(1).isNullAt(5), "garbage row → nulls")
+    assert(got(2).isNullAt(2), "null payload → nulls")
+  }
+}

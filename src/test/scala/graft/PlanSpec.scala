@@ -412,4 +412,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         s"banding must shuffle hashes, not image payloads, got: $names")
     }
   }
+
+  test("q132: MP4 build+parse is row-local — the only exchange is the output sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = SparkEntry.queries("q132_mp4_metadata")(spark, sf)
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeLike => s
+    }
+    assert(shuffles.length <= 1,
+      s"mp4 build→parse must not shuffle (one range exchange for orderBy " +
+        s"allowed):\n${df.queryExecution.executedPlan}")
+  }
 }

@@ -69,6 +69,26 @@ class Mp4Spec extends SparkTestBase {
     assert(Mp4.parse(overrun) == null, "size overrun")
   }
 
+  test("parse never throws: random-byte and bit-flipped-valid fuzz") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val garbage = Array.fill[Byte](rnd.nextInt(256))(rnd.nextInt().toByte)
+      Mp4.parse(garbage) // any result is fine; an exception fails the test
+    }
+    // bit-flips of a VALID file probe the box-walk's bounds checks far
+    // harder than uniform noise (sizes/offsets stay almost-plausible)
+    val good = build("isom", 1000L, 4500L,
+      mkTracks(("vide", "avc1", 640L, 480L), ("soun", "mp4a", 0L, 0L)), v1 = false)
+    for (_ <- 1 to 500) {
+      val mutated = good.clone()
+      for (_ <- 0 to rnd.nextInt(4)) {
+        val i = rnd.nextInt(mutated.length)
+        mutated(i) = (mutated(i) ^ (1 << rnd.nextInt(8))).toByte
+      }
+      Mp4.parse(mutated)
+    }
+  }
+
   test("mp4Meta: per-row columns, nulls for undecodable, mdat skipped by size") {
     val good = build("isom", 1000L, 2000L, mkTracks(("vide", "avc1", 32L, 16L)), v1 = false)
     val df = Seq(

@@ -84,6 +84,31 @@ object AnnIndex {
         .map(_.map(_.toArray).toArray).toArray)
   }
 
+  /** Append new rows to a persisted index WITHOUT retraining: encode
+    * them under the STORED model and append to the partitioned codes
+    * table — the daily-ingest path of a serving index (training is a
+    * once job; ingest must not repeat it). One pass over `newRows`,
+    * bytes-only output, existing partitions untouched (parquet
+    * append adds files under each `list=` directory). Appended
+    * vectors are quantized by centroids/codebooks trained on the
+    * original distribution — the standard IVF trade; rebuild when
+    * drift accumulates. Callers own id uniqueness: appending an id
+    * already present yields two index entries for it. */
+  def appendIvfPq(newRows: DataFrame, idCol: String, vecCol: String,
+                  path: String): Unit = {
+    val spark = newRows.sparkSession
+    val model = loadIvfPqModel(spark, path)
+    val dim = newRows.select(size(col(vecCol))).head.getInt(0)
+    require(dim == model.dim,
+      s"appended vectors have dim $dim, index was built with dim ${model.dim}")
+    Similarity.ivfPqEncode(newRows, idCol, vecCol, model.coarse, model.books,
+        model.m)
+      .select(col("neighbor_id"), col("__list").as("list"),
+        col("__codes").as("codes"))
+      .write.mode(SaveMode.Append).partitionBy("list")
+      .parquet(s"$path/codes")
+  }
+
   /** Probe a persisted index: read codes (partition-pruned to the
     * probed lists), run the shared ADC + exact-re-rank pipeline.
     * `corpus` supplies true vectors for the |queries|·refine·k re-rank

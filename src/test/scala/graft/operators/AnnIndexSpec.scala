@@ -83,6 +83,39 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
       s"codes scan must be DPP-pruned; plan:\n${plan.take(4000)}")
   }
 
+  test("appendIvfPq: encode-only ingest equals a full encode under the stored model") {
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = tmp()
+    val model = AnnIndex.buildIvfPq(half, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    AnnIndex.appendIvfPq(rest, "vec_id", "embedding", path)
+    // every appended row landed, partitions intact
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == emb.count())
+    // probing the appended index == probing a one-shot encode of the
+    // FULL corpus under the same (half-trained) model — append cannot
+    // drift from the encode path it reuses
+    val persisted = AnnIndex.probeIvfPq(q, emb, path, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = Similarity.ivfPqProbe(
+        Similarity.ivfPqEncode(emb, "vec_id", "embedding",
+          model.coarse, model.books, model.m),
+        q, emb, "vec_id", "embedding", "vec_id", "embedding",
+        5, 3, 4, model.coarse, model.books, model.m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(persisted == oneShot)
+    assert(persisted.nonEmpty)
+    // dimension mismatch is a loud error, not silent corruption
+    val bad = emb.select(col("vec_id"), slice(col("embedding"), 1, 8).as("embedding"))
+    intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(bad, "vec_id", "embedding", path)
+    }
+  }
+
   test("sampled training keeps recall above the q110 floor") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)

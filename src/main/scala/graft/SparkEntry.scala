@@ -1961,6 +1961,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CCNet-style fluency tiers WITHOUT the single-partition NTILE
+    // window: bigram-LM score per doc, two-pass global rank, NTILE's
+    // closed form over (rank, count). The exported fluency is the
+    // q97 integer core's single division (IEEE-exact both engines);
+    // the ln()-based avg_logprob variant is perplexityTiers' default
+    // and is spec-pinned instead (ln is not cross-engine hashable —
+    // the q97 discipline).
+    "q133_fluency_tiers" -> ((s, dir) => {
+      val lm = TextOps.bigramLm(
+        Tables.documents(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+      val scored = lm.select(col("doc_id"),
+        (col("sum_bigram_count").cast("double") / col("sum_head_count"))
+          .as("fluency"))
+      graft.pipeline.Corpus.quantileBuckets(scored,
+          Seq(col("fluency").desc, col("doc_id").asc), 3)
+        .select(col("doc_id"), col("fluency"), col("rank"), col("bucket"),
+          when(col("bucket") === 1L, "head")
+            .when(col("bucket") === 3L, "tail")
+            .otherwise("middle").as("tier"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the oracle pins counts, medians, and MADs per group.
     "q118_robust_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -2714,6 +2736,31 @@ object SparkEntry {
          |       array_to_string(topics, '|') AS topics_joined
          |FROM read_json_auto('$goldenDir/videos_with_sentiment.json')
          |ORDER BY video_id""".stripMargin,
+
+    // q133: q97's bigram CTEs feed per-doc integer sums; ONE double
+    // division is IEEE-exact on both engines, so the ordering — and
+    // therefore ROW_NUMBER and NTILE — replay exactly.
+    "q133_fluency_tiers" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 300),
+        |b AS (SELECT doc_id, toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i AS INT) + 1] AS bigram
+        |      FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |bc AS (SELECT bigram, COUNT(*) AS bn FROM b GROUP BY 1),
+        |hc AS (SELECT split_part(bigram, ' ', 1) AS head, CAST(SUM(bn) AS BIGINT) AS hn
+        |       FROM bc GROUP BY 1),
+        |d AS (SELECT b.doc_id,
+        |        CAST(SUM(bc.bn) AS DOUBLE) / CAST(SUM(hc.hn) AS DOUBLE) AS fluency
+        |      FROM b JOIN bc USING (bigram)
+        |      JOIN hc ON split_part(b.bigram, ' ', 1) = hc.head
+        |      GROUP BY b.doc_id),
+        |r AS (SELECT doc_id, fluency,
+        |        ROW_NUMBER() OVER (ORDER BY fluency DESC, doc_id) AS rank,
+        |        NTILE(3) OVER (ORDER BY fluency DESC, doc_id) AS bucket
+        |      FROM d)
+        |SELECT doc_id, fluency, rank, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q132: the stub-MP4 build is invertible, so every parsed field
     // is doc_id arithmetic; duration_ms pins the parser's long floor

@@ -554,4 +554,49 @@ object Corpus {
       Seq(col("canonical_url")), preferBy :+ col(idCol).asc, 1)
     kept.unionByName(withKey.filter(col("canonical_url").isNull))
   }
+
+  /** Global NTILE without the single-partition window: SQL `NTILE(n)
+    * OVER (ORDER BY …)` funnels the whole table through ONE task — the
+    * plan WindowExec warns about and the one shape that cannot scale.
+    * This computes the identical assignment from
+    * [[graft.operators.Relational.globalRowNumber]]'s two-pass
+    * contiguous rank plus NTILE's closed form (`q = c/n`, `r = c%n`:
+    * the first `r` buckets take `q+1` rows, the rest `q`), with the
+    * 1-row count broadcast-joined — range-partitioned sort parallelism
+    * end to end. Appends `rank` (1-based, `orderBy` order) and `out`
+    * (bucket 1..n, SQL-NTILE-identical — spec-pinned against Spark's
+    * own `ntile`). */
+  def quantileBuckets(df: DataFrame, orderBy: Seq[org.apache.spark.sql.Column],
+                      n: Int, out: String = "bucket"): DataFrame = {
+    require(n >= 1, s"bucket count must be >= 1, got $n")
+    val ranked = graft.operators.Relational.globalRowNumber(df, orderBy, out = "rank")
+    val cnt = ranked.agg(count(lit(1)).cast("long").as("__c"))
+    val q = floor(col("__c") / n).cast("long")
+    val r = col("__c") % n
+    val bucket = when(lit(n.toLong) >= col("__c"), col("rank")) // degenerate: ≤1 row/bucket
+      .when(col("rank") <= r * (q + 1L), floor((col("rank") - 1L) / (q + 1L)) + 1L)
+      .otherwise(r + floor((col("rank") - 1L - r * (q + 1L)) / q) + 1L)
+    ranked.crossJoin(broadcast(cnt))
+      .withColumn(out, bucket.cast("long"))
+      .drop("__c")
+  }
+
+  /** CCNet-style perplexity tiers: score every document with the
+    * corpus-trained [[graft.operators.TextOps.bigramLm]] fluency
+    * (add-one-smoothed bigram log likelihood — no external LM), then
+    * cut the corpus into `n` equal quantile tiers, best first —
+    * head/middle/tail for n = 3, the mixture knob CCNet samples from
+    * (keep head, downweight tail). Docs with <2 tokens have no
+    * bigrams and are absent, like the LM itself. One corpus scoring
+    * job + the two-pass global rank; no single-partition window. */
+  def perplexityTiers(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val lm = graft.operators.TextOps.bigramLm(docs, idCol, textCol)
+    val tiers = quantileBuckets(lm,
+      Seq(col("avg_logprob").desc, col(idCol).asc), n, out = "tier_idx")
+    tiers.withColumn("tier",
+      when(col("tier_idx") === 1L, "head")
+        .when(col("tier_idx") === n.toLong, "tail")
+        .otherwise("middle"))
+  }
 }

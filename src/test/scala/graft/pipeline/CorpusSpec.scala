@@ -366,4 +366,48 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     val gb = got.filter(_._1 == "b")
     assert(gb.forall(r => r._3 == 20.0 && r._4 == 10.0 && !r._5))
   }
+
+  test("quantileBuckets: assignment identical to SQL NTILE for every (count, n) shape") {
+    import org.apache.spark.sql.expressions.Window
+    // counts exercise c % n = 0, < n-1, n-1, and the degenerate c <= n
+    for (c <- Seq(2, 5, 7, 8, 9, 300); n <- Seq(1, 3, 4, 10)) {
+      val df = spark.range(c.toLong).select(
+        col("id"), (col("id") * 37 % 11).as("score"))
+      val got = Corpus.quantileBuckets(df,
+          Seq(col("score").desc, col("id").asc), n)
+        .select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+      val want = df.withColumn("bucket",
+          ntile(n).over(Window.orderBy(col("score").desc, col("id").asc))
+            .cast("long"))
+        .select(col("id"), col("bucket")).as[(Long, Long)].collect().toMap
+      assert(got == want, s"c=$c n=$n")
+    }
+  }
+
+  test("quantileBuckets: rank is contiguous 1..c in the requested order") {
+    val df = spark.range(50L).select(col("id"), (col("id") % 7).as("score"))
+    val got = Corpus.quantileBuckets(df, Seq(col("score").asc, col("id").asc), 4)
+      .select(col("rank"), col("score"), col("id"))
+      .orderBy(col("rank")).as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSeq == (1L to 50L))
+    assert(got.sortBy(r => (r._2, r._3)).map(_._1).toSeq == (1L to 50L),
+      "rank order must be the requested (score, id) order")
+  }
+
+  test("perplexityTiers: fluent corpus-typical docs land in head, gibberish in tail") {
+    // 9 docs sharing one high-count transition pattern + 3 one-off
+    // gibberish docs: the repeated-transition docs out-score the
+    // gibberish under the corpus-trained bigram LM
+    val fluent = (1L to 9L).map(i => (i, "the cat sat on the mat"))
+    val noise = Seq((10L, "zq xv bn kl pw"), (11L, "mm qq zz ww rr"),
+      (12L, "jk fd sa po iu"))
+    val got = Corpus.perplexityTiers((fluent ++ noise).toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("tier")).as[(Long, String)].collect().toMap
+    assert(got.size == 12)
+    assert((1L to 4L).forall(got(_) == "head"), got.toString)
+    assert(Seq(10L, 11L, 12L).forall(got(_) == "tail"), got.toString)
+    assert(got.values.count(_ == "head") == 4 &&
+      got.values.count(_ == "middle") == 4 && got.values.count(_ == "tail") == 4)
+  }
 }

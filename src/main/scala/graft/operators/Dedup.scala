@@ -70,7 +70,7 @@ object Dedup {
   * until a driver GC lets ContextCleaner notice (on a long-lived
   * session that pins every superseded snapshot in the storage
   * region). Safe only once nothing will read the frame again. */
-private[operators] object CheckpointHygiene {
+private[graft] object CheckpointHygiene {
   def free(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case l: org.apache.spark.sql.execution.LogicalRDD =>

@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned-table maintenance: the small-files half of a 100 TB
+  * lakehouse. Streaming ingest, per-partition appends (the
+  * [[graft.operators.AnnIndex.appendIvfPq]] shape), and skewed
+  * dynamic-overwrite writes all accumulate files far below the
+  * parquet row-group sweet spot; scans then pay per-file open/footer
+  * costs and the driver pays per-file listing. Compaction rewrites
+  * ONLY the partitions that need it, through the same idempotent
+  * dynamic-partition-overwrite machinery the engine's sinks use
+  * ([[GraftSession]] `partitionOverwriteMode=dynamic`), so a
+  * concurrent reader never sees a partially-deleted partition and a
+  * failed compaction just reruns.
+  *
+  * Single-level `col=value` Hive layouts (the engine's S8 sink
+  * shape). All filesystem access goes through the Hadoop FS API, so
+  * any registered scheme works (the SchemeAgnosticSinkSpec
+  * guarantee). */
+object Maintenance {
+
+  /** Per-partition file census of a Hive-partitioned parquet table:
+    * `(partition "col=value", n_files, bytes)`. Driver-side listing —
+    * one RPC per partition directory, |partitions| rows. */
+  def fileStats(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map { p =>
+        val files = fs.listStatus(p.getPath).filter(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        (p.getPath.getName, files.length.toLong, files.map(_.getLen).sum)
+      }.toSeq
+    rows.toDF("partition", "n_files", "bytes")
+  }
+
+  /** Compact every partition whose file count exceeds what
+    * `targetBytes` implies (`target_files = max(1, ceil(bytes /
+    * targetBytes))`), leaving already-compact partitions byte-for-byte
+    * untouched. One Spark job for all victims: rows are salted by a
+    * deterministic hash of their content into `target_files` buckets
+    * per partition, shuffled once, and rewritten via dynamic
+    * overwrite. Returns the census with `target_files` and a
+    * `compacted` flag — the no-silent-caps discipline: what was
+    * rewritten (and what was skipped) is observable, not inferred.
+    *
+    * `minFiles` guards churn: a partition is only rewritten when it
+    * has at least that many files AND more than its target. */
+  def compactPartitions(spark: SparkSession, path: String, partitionCol: String,
+                        targetBytes: Long = 128L << 20,
+                        minFiles: Int = 2): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    import spark.implicits._
+    val stats = fileStats(spark, path).collect().map { r =>
+      val bytes = r.getLong(2)
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      (r.getString(0), r.getLong(1), bytes, target,
+        r.getLong(1) >= minFiles && r.getLong(1) > target)
+    }
+    val victims = stats.filter(_._5)
+    if (victims.nonEmpty) {
+      val prefix = partitionCol + "="
+      require(victims.forall(_._1.startsWith(prefix)),
+        s"table at $path is not partitioned by $partitionCol: " +
+          victims.map(_._1).mkString(", "))
+      val values = victims.map(_._1.stripPrefix(prefix)).toSeq
+      val targets = victims.map(v => (v._1.stripPrefix(prefix), v._4)).toSeq
+        .toDF(partitionCol, "__tf")
+      val df = spark.read.parquet(path)
+        .filter(col(partitionCol).cast("string").isin(values: _*))
+      val dataCols = df.columns.filterNot(_ == partitionCol)
+      // content-hash salt: deterministic (a retry re-salts identically),
+      // spreads each partition's rows over exactly its target bucket
+      // count; the shuffle keys are (partition, salt), so each reduce
+      // task writes whole output files — no tiny residues
+      val saltSrc =
+        if (dataCols.isEmpty) lit(0) else hash(struct(dataCols.map(col).toIndexedSeq: _*))
+      val arranged = df
+        .join(broadcast(targets), df(partitionCol).cast("string") ===
+          targets(partitionCol).cast("string"))
+        .drop(targets(partitionCol))
+        .withColumn("__salt", pmod(saltSrc, col("__tf")))
+        .repartition(math.max(1, victims.map(_._4).sum.toInt),
+          col(partitionCol), col("__salt"))
+        .drop("__salt", "__tf")
+        // materialize BEFORE the overwrite: Spark (rightly) refuses a
+        // plan that reads the path it is overwriting; the checkpoint
+        // cuts that lineage and bounds what must be held to the victim
+        // partitions only — compact in partition batches when victims
+        // exceed cluster storage
+        .localCheckpoint()
+      try
+        arranged.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionCol).parquet(path)
+      finally graft.operators.Dedup.CheckpointHygiene.free(arranged)
+    }
+    stats.toSeq.toDF("partition", "n_files", "bytes", "target_files", "compacted")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Maintenance]] small-files compaction: victims rewritten to their
+  * target file count with identical data, already-compact partitions
+  * left byte-for-byte untouched, and the census report observable. */
+class MaintenanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_compact_").toString
+
+  private def listDataFiles(dir: String): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.isDirectory) Seq.empty
+    else f.listFiles().filter(x => x.isFile &&
+      !x.getName.startsWith("_") && !x.getName.startsWith("."))
+      .map(_.getName).toSeq.sorted
+  }
+
+  test("compactPartitions: victims collapse, data survives, compact partitions untouched") {
+    val path = tmp()
+    // d1: 8 tiny files (victim), d2: 1 file (compact), d3: 4 files (victim)
+    def write(day: String, n: Int, rows: Int): Unit =
+      spark.range(rows.toLong).select(
+          (col("id") + day.last.toInt * 1000).as("id"), lit(day).as("day"))
+        .repartition(n)
+        .write.mode("append").partitionBy("day").parquet(path)
+    write("d1", 8, 400)
+    write("d2", 1, 50)
+    write("d3", 4, 200)
+    val before = spark.read.parquet(path)
+      .as[(Long, String)].collect().sorted.toSeq
+    val d2Before = listDataFiles(s"$path/day=d2")
+    assert(listDataFiles(s"$path/day=d1").size == 8)
+
+    // huge target → every victim should collapse to ONE file
+    val report = Maintenance.compactPartitions(spark, path, "day",
+        targetBytes = 1L << 30)
+      .orderBy("partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+    assert(report.map(x => (x._1, x._2, x._3, x._4)).toSeq == Seq(
+      ("day=d1", 8L, 1L, true), ("day=d2", 1L, 1L, false), ("day=d3", 4L, 1L, true)),
+      report.mkString(", "))
+
+    assert(listDataFiles(s"$path/day=d1").size == 1, "d1 must compact to 1 file")
+    assert(listDataFiles(s"$path/day=d3").size == 1, "d3 must compact to 1 file")
+    assert(listDataFiles(s"$path/day=d2") == d2Before,
+      "an already-compact partition must keep its exact files")
+    val after = spark.read.parquet(path)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(after == before, "compaction must not change the data")
+  }
+
+  test("compactPartitions: multi-file targets honor ceil(bytes/target) and minFiles") {
+    val path = tmp()
+    spark.range(3000L).select(col("id"), lit("d1").as("day"))
+      .repartition(12)
+      .write.mode("append").partitionBy("day").parquet(path)
+    val bytes = Maintenance.fileStats(spark, path).select("bytes").head.getLong(0)
+    // target ~ a third of the partition → 3-4 output files, < 12 inputs
+    val report = Maintenance.compactPartitions(spark, path, "day",
+      targetBytes = bytes / 3)
+    val target = report.select("target_files").head.getLong(0)
+    assert(target >= 3 && target <= 4, s"expected ~3 target files, got $target")
+    val got = listDataFiles(s"$path/day=d1").size
+    assert(got <= target && got >= 1, s"got $got files for target $target")
+    assert(spark.read.parquet(path).count() == 3000L)
+    // minFiles churn guard: nothing to do → report-only, files untouched
+    val files = listDataFiles(s"$path/day=d1")
+    Maintenance.compactPartitions(spark, path, "day",
+      targetBytes = 1L, minFiles = 1000)
+    assert(listDataFiles(s"$path/day=d1") == files,
+      "minFiles must prevent churn even with a tiny target")
+  }
+
+  test("compactPartitions: wrong partition column fails loudly") {
+    val path = tmp()
+    spark.range(100L).select(col("id"), lit("x").as("day"))
+      .repartition(4).write.mode("append").partitionBy("day").parquet(path)
+    intercept[IllegalArgumentException] {
+      Maintenance.compactPartitions(spark, path, "hour", targetBytes = 1L << 30)
+    }
+  }
+}

@@ -1983,6 +1983,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // host-graph PageRank (the CommonCrawl-style link-quality signal)
+    // in INTEGER units: a deterministic 50-node host graph derived
+    // from doc_id, 3 power iterations where every division is a
+    // BIGINT floor — so DuckDB replays the recurrence with unrolled
+    // CTEs and `//`, hash-exact. Float PageRank could never be
+    // hash-compared (summation order); the ≤|V|·iters-unit
+    // quantization is documented in the operator.
+    "q134_host_pagerank" -> ((s, dir) => {
+      val e = Tables.documents(s, dir).select(
+        (col("doc_id") % 50).as("src"), ((col("doc_id") * 7) % 50).as("dst"))
+      graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // the oracle pins counts, medians, and MADs per group.
     "q118_robust_outliers" -> ((s, dir) => {
       val e = Tables.events(s, dir)
@@ -2761,6 +2775,31 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q134: the integer power iteration unrolled as CTEs — every `//`
+    // is the BIGINT floor the engine's `div` computes, teleport
+    // 1000000000000*15//100 = 150000000000 precomputed like the
+    // operator's driver-exact constant.
+    "q134_host_pagerank" ->
+      """WITH e AS (SELECT DISTINCT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+        |           FROM documents),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // c AS pr FROM nodes, n),
+        |c1 AS (SELECT e.dst, SUM(p.pr // deg.d) AS s FROM pr0 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr1 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(p.pr // deg.d) AS s FROM pr1 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr2 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(p.pr // deg.d) AS s FROM pr2 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
 
     // q132: the stub-MP4 build is invertible, so every parsed field
     // is doc_id arithmetic; duration_ms pins the parser's long floor

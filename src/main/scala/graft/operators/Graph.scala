@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics for corpus curation — the link-structure quality
+  * signals a crawl-scale pretraining pipeline ranks hosts by
+  * (PageRank/centrality host filtering, the CommonCrawl posture).
+  * Sibling of [[Dedup.connectedComponents]] (the other iterative
+  * graph operator, used for duplicate clustering).
+  *
+  * INTEGER-QUANTIZED on purpose: every iteration is BIGINT floor
+  * division, so two engines (or two cluster topologies) compute
+  * bit-identical ranks — float PageRank sums are summation-order-
+  * dependent and can never be hash-compared. Quantization error is
+  * ≤ |V|·iterations units ≈ 10⁻⁶ relative at the default scale of
+  * 10¹², far below any ranking decision threshold.
+  *
+  * Scale shape: the edge and degree tables are built once and
+  * persisted (read `iterations` times); each iteration is ONE shuffle
+  * join (rank ⋈ edges on src) + one hash aggregate on dst + the
+  * rebase join — the canonical distributed power-iteration shape.
+  * Rank lineage is checkpointed every few iterations so deep
+  * iteration counts don't build deep plans (the
+  * [[Dedup.connectedComponents]] hygiene). Dangling-node mass is
+  * dropped, the standard simplified variant (totals shrink slightly;
+  * rankings are unaffected for host-filter use). */
+object Graph {
+
+  /** PageRank over the distinct (src, dst) edges of `edges`, with
+    * damping `dampNum/dampDen` (default 85/100) and ranks in integer
+    * units of `1/scale`: every node starts at `scale/|V|` units and
+    * each of the `iterations` rounds computes
+    *
+    *   pr'(v) = (scale·(dampDen−dampNum)/dampDen) / |V|
+    *          + (dampNum · Σ_{u→v} (pr(u) / outdeg(u))) / dampDen
+    *
+    * with EVERY division a BIGINT floor. Returns `(node, pr_units)`,
+    * one row per distinct node (isolated sources/sinks included). */
+  def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int, scale: Long = 1000000000000L,
+                  dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
+    require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
+      s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}] so damped sums cannot overflow, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist() // read once per iteration
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val nDf = nodes.agg(count(lit(1)).as("__n")) // 1-row scalar: broadcast is right
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+    // teleport base, driver-exact integers: (scale·(dd−dn))/dd is an
+    // exact long here; only the /|V| floor happens as a column (the
+    // oracle spells the same association: (scale*15//100)//n)
+    val teleport = scale * (dampDen - dampNum) / dampDen
+    // `div` (integral division), never `/`: long / long is DOUBLE
+    // division in Spark, and floor(double) drifts from the true
+    // BIGINT quotient once operands outgrow 2^53 — div is exact at
+    // any scale, and it is what the DuckDB oracle's `//` computes
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"),
+        expr(s"CAST($scale AS BIGINT) div __n").as("pr"))
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(outdeg, "src")
+        .select(col("dst"), expr("pr div __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      pr = nodes.crossJoin(broadcast(nDf))
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (expr(s"CAST($teleport AS BIGINT) div __n") +
+            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+            .cast("long").as("pr"))
+      if (i % 3 == 0 && i < iterations) {
+        pr = pr.localCheckpoint()
+        if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+        lastCkpt = pr
+      }
+    }
+    val out = pr
+    // materialize the final frame before releasing the inputs it reads
+    val result = out.localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    result
+  }
+
+  /** In/out degree per node over distinct edges — the cheap
+    * link-structure profile (one aggregate each, outer-merged so
+    * pure sources and pure sinks both appear). */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val outd = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_degree"))
+    val ind = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+    outd.join(ind, Seq("node"), "full_outer")
+      .select(col("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+}

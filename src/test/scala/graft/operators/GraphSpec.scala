@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Graph.pageRankInt]]: hand-replayed integer power iteration,
+  * determinism across physical partitioning, dangling/isolated node
+  * handling, and [[Graph.degrees]]. */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** driver-side replay of the exact integer recurrence */
+  private def replay(edges: Seq[(Long, Long)], iters: Int, scale: Long,
+                     dn: Long = 85L, dd: Long = 100L): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.length.toLong }
+    val teleport = scale * (dd - dn) / dd
+    var pr = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map { case (s, _) => pr(s) / deg(s) }.sum
+      }
+      pr = nodes.map(v => v -> (teleport / n + dn * in.getOrElse(v, 0L) / dd)).toMap
+    }
+    pr
+  }
+
+  test("pageRankInt matches the hand-replayed integer recurrence") {
+    // A→B, A→C, B→C, C→A plus dangling sink D (B→D): D absorbs but
+    // never emits; C collects from two sources and must outrank B
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L))
+    for (iters <- Seq(1, 3, 7)) {
+      val got = Graph.pageRankInt(edges.toDF("s", "d"), "s", "d",
+          iterations = iters, scale = 1000000L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == replay(edges, iters, 1000000L), s"iters=$iters")
+    }
+    val three = Graph.pageRankInt(edges.toDF("s", "d"), "s", "d", 3, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(three(3L) > three(2L), "two-source node must outrank one-source node")
+  }
+
+  test("pageRankInt: duplicate edges collapse; partitioning cannot change ranks") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 1L), (2L, 3L))
+    val a = Graph.pageRankInt(edges.toDF("s", "d"), "s", "d", 4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(edges.toDF("s", "d").repartition(7), "s", "d",
+        4, 1000000L)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "physical partitioning leaked into the ranks")
+    assert(a == replay(edges, 4, 1000000L))
+  }
+
+  test("degrees: sources, sinks, and both-siders all appear with exact counts") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val got = Graph.degrees(edges.toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((1L, 1L)), 3L -> ((0L, 2L))))
+  }
+
+  test("pageRankInt guards: iterations, damping, and overflow-safe scale") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] { Graph.pageRankInt(e, "s", "d", 0) }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(e, "s", "d", 1, dampNum = 100L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankInt(e, "s", "d", 1, scale = Long.MaxValue)
+    }
+  }
+}

@@ -1983,6 +1983,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // forward fill over planted gaps: value nulled at event_id%7==0,
+    // repaired per user in (ts, event_id) order. Values pass through
+    // untouched (no arithmetic), so the filled doubles hash-exactly;
+    // leading nulls (before a user's first observation) stay null on
+    // both engines.
+    "q135_forward_fill" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+        col("ts"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      Relational.forwardFill(e, Seq(col("user_id")),
+          Seq(col("ts"), col("event_id")), Seq("value"))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // host-graph PageRank (the CommonCrawl-style link-quality signal)
     // in INTEGER units: a deterministic 50-node host graph derived
     // from doc_id, 3 power iterations where every division is a
@@ -2775,6 +2791,18 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q135: LAST_VALUE IGNORE NULLS over the same frame; the filled
+    // doubles are pass-through values, no arithmetic to drift.
+    "q135_forward_fill" ->
+      """SELECT event_id, user_id,
+        |  LAST_VALUE(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+        |FROM (SELECT event_id, user_id, ts,
+        |        CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
 
     // q134: the integer power iteration unrolled as CTEs — every `//`
     // is the BIGINT floor the engine's `div` computes, teleport

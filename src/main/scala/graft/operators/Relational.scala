@@ -465,6 +465,25 @@ object Relational {
       .drop("__new_session")
   }
 
+  /** Forward fill (last observation carried forward): per key in
+    * `orderBy` order, each null in the listed columns takes the most
+    * recent non-null value; nulls before a key's first observation
+    * stay null. THE standard gap repair for sensor/metric/SCD streams
+    * before resampling or feature extraction. One shuffle on the
+    * partition keys, per-partition sort, running `last(ignoreNulls)`
+    * frame — a PARTITIONED window, so it scales with key cardinality
+    * (never the partition-less-window trap). Backward fill is the
+    * same call with the order columns reversed. */
+  def forwardFill(df: DataFrame, partitionBy: Seq[Column],
+                  orderBy: Seq[Column], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "forwardFill needs at least one column to fill")
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
   /** Time-window (interval) join: every (left, right) pair sharing
     * `keyCol` with `rightTs ∈ [leftTs, leftTs + window)` — click→
     * purchase attribution, impression→conversion, log correlation.

@@ -346,6 +346,35 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges == 1,
       s"expected both window passes to share one hash exchange, got $exchanges:\n$plan")
   }
+
+  test("forwardFill: per-key carry-forward, leading nulls stay null, fills reset per key") {
+    val rows = Seq[(Long, Long, java.lang.Double)](
+      (1L, 1L, null),      // leading null: nothing to carry yet
+      (2L, 1L, 10.0),
+      (3L, 1L, null),      // ← 10.0
+      (4L, 1L, null),      // ← 10.0 (carries through runs)
+      (5L, 1L, 20.0),
+      (6L, 1L, null),      // ← 20.0, not 10.0
+      (7L, 2L, null),      // other key: its own (empty) history
+      (8L, 2L, 5.0),
+      (9L, 2L, null))      // ← 5.0
+    val got = Relational.forwardFill(
+        rows.toDF("seq", "key", "v").repartition(5),
+        Seq(col("key")), Seq(col("seq")), Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(10.0), 3L -> Some(10.0), 4L -> Some(10.0),
+      5L -> Some(20.0), 6L -> Some(20.0),
+      7L -> None, 8L -> Some(5.0), 9L -> Some(5.0)))
+    // backward fill is the documented reversed-order call
+    val back = Relational.forwardFill(
+        rows.toDF("seq", "key", "v"),
+        Seq(col("key")), Seq(col("seq").desc), Seq("v"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(back(1L) == Some(10.0) && back(9L) == None && back(7L) == Some(5.0))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

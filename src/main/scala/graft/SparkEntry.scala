@@ -1983,6 +1983,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // snapshot diff (CDC derivation): a planted "next day" of the
+    // documents table — doc_id%97 rows deleted, doc_id%53 rows get
+    // n_chars+1 (update), 20 fresh ids appended (insert) — diffed
+    // against the original; unchanged keys must NOT appear. All
+    // values pass through (the +1 is integer), hash-exact.
+    "q136_snapshot_diff" -> ((s, dir) => {
+      val old = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val kept = old.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 53 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars")).as("n_chars"))
+      val inserts = old.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("xx").as("lang"), col("doc_id").as("n_chars"))
+      Relational.snapshotDiff(old, kept.unionByName(inserts),
+          Seq("doc_id"), Seq("lang", "n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // forward fill over planted gaps: value nulled at event_id%7==0,
     // repaired per user in (ts, event_id) order. Values pass through
     // untouched (no arithmetic), so the filled doubles hash-exactly;
@@ -2791,6 +2811,26 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q136: the same planted next-day table, FULL OUTER JOIN, and
+    // IS DISTINCT FROM for the null-safe compare (Spark's <=>).
+    "q136_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, lang, n_chars FROM documents),
+        |n AS (SELECT doc_id, lang,
+        |        CASE WHEN doc_id % 53 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+        |      FROM documents WHERE doc_id % 97 <> 0
+        |      UNION ALL
+        |      SELECT doc_id + 1000000, 'xx', doc_id FROM documents WHERE doc_id < 20),
+        |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |        CASE WHEN o.doc_id IS NULL THEN 'insert'
+        |             WHEN n.doc_id IS NULL THEN 'delete'
+        |             WHEN (o.lang IS DISTINCT FROM n.lang)
+        |               OR (o.n_chars IS DISTINCT FROM n.n_chars) THEN 'update'
+        |        END AS op,
+        |        n.lang AS lang, n.n_chars AS n_chars
+        |      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, op, lang, n_chars FROM j WHERE op IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // q135: LAST_VALUE IGNORE NULLS over the same frame; the filled
     // doubles are pass-through values, no arithmetic to drift.

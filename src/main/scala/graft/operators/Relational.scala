@@ -465,6 +465,41 @@ object Relational {
       .drop("__new_session")
   }
 
+  /** Snapshot diff — derive a change feed (CDC) from two versions of
+    * a keyed table: `insert` (key only in `newDf`), `delete` (key
+    * only in `oldDf`), `update` (key in both, any of `compareCols`
+    * differs under null-safe comparison). Unchanged keys are NOT
+    * emitted — a change feed carries changes. The batch complement of
+    * [[scd2]]: scd2 compacts a history INTO versioned rows; this
+    * recovers the delta BETWEEN two materializations (backfill
+    * reconciliation, incremental-sync feeds, migration validation).
+    *
+    * One shuffle: a full outer join on the keys; the op column is a
+    * row-local case. Returns the key columns + `op`, plus every
+    * compared column from the NEW side (null for deletes) — what a
+    * downstream apply needs. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+                   keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val o = oldDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__old", lit(1))
+    val n = newDf.select((keyCols ++ compareCols).map(col): _*)
+      .withColumn("__new", lit(1))
+    val renamedOld = compareCols.foldLeft(o)((d, c) => d.withColumnRenamed(c, s"__o_$c"))
+    val joined = renamedOld.join(n, keyCols, "full_outer")
+    val changed = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(c)))
+      .reduce(_ || _)
+    joined
+      .withColumn("op",
+        when(col("__old").isNull, "insert")
+          .when(col("__new").isNull, "delete")
+          .when(changed, "update"))
+      .filter(col("op").isNotNull)
+      .select(keyCols.map(col) ++ Seq(col("op")) ++ compareCols.map(col): _*)
+  }
+
   /** Forward fill (last observation carried forward): per key in
     * `orderBy` order, each null in the listed columns takes the most
     * recent non-null value; nulls before a key's first observation

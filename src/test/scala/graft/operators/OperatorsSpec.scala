@@ -375,6 +375,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
         (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
     assert(back(1L) == Some(10.0) && back(9L) == None && back(7L) == Some(5.0))
   }
+
+  test("snapshotDiff: insert/delete/update classification, null-safe, unchanged absent") {
+    val old = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L), (2L, "b", 20L), (3L, "c", null), (4L, "d", 40L))
+      .toDF("id", "tag", "v")
+    val neu = Seq[(Long, String, java.lang.Long)](
+      (1L, "a", 10L),     // unchanged → absent
+      (2L, "B", 20L),     // tag changed → update
+      (3L, "c", null),    // null == null under <=> → unchanged, absent
+      (5L, "e", 50L))     // fresh key → insert; 4 missing → delete
+      .toDF("id", "tag", "v")
+    val got = Relational.snapshotDiff(old, neu, Seq("id"), Seq("tag", "v"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.getString(2))))).toMap
+    assert(got == Map(
+      2L -> (("update", Some("B"))),
+      4L -> (("delete", None)),
+      5L -> (("insert", Some("e")))), got.toString)
+    // null → value and value → null are both updates (null-safe compare)
+    val flips = Relational.snapshotDiff(
+      Seq[(Long, java.lang.Long)]((1L, null), (2L, 2L)).toDF("id", "v"),
+      Seq[(Long, java.lang.Long)]((1L, 1L), (2L, null)).toDF("id", "v"),
+      Seq("id"), Seq("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(flips == Map(1L -> "update", 2L -> "update"))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

@@ -400,6 +400,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       Seq("id"), Seq("v")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(flips == Map(1L -> "update", 2L -> "update"))
   }
+
+  test("snapshotDiff: randomized parity with a driver-side reference diff") {
+    val rnd = new scala.util.Random(11)
+    def table(): Map[Long, Option[Long]] =
+      (0L until 40L).flatMap { id =>
+        if (rnd.nextBoolean()) Some(id ->
+          (if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toLong)))
+        else None
+      }.toMap
+    for (_ <- 1 to 5) {
+      val o = table(); val n = table()
+      val want = (o.keySet ++ n.keySet).flatMap { id =>
+        (o.get(id), n.get(id)) match {
+          case (None, Some(_))                    => Some(id -> "insert")
+          case (Some(_), None)                    => Some(id -> "delete")
+          case (Some(a), Some(b)) if a != b       => Some(id -> "update")
+          case _                                  => None
+        }
+      }.toMap
+      def df(m: Map[Long, Option[Long]]) =
+        m.toSeq.map { case (k, v) => (k, v.map(Long.box).orNull) }
+          .toDF("id", "v").repartition(3)
+      val got = Relational.snapshotDiff(df(o), df(n), Seq("id"), Seq("v"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == want, s"old=$o\nnew=$n")
+    }
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

@@ -413,6 +413,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q133: quantile buckets plan NO partition-less window (the NTILE trap)") {
+    val df = SparkEntry.queries("q133_fluency_tiers")(spark, sf)
+    df.collect()
+    // the operator's whole reason to exist: SQL NTILE funnels the
+    // table through one task; every Window in this plan must carry a
+    // partition spec (globalRowNumber partitions by __pid)
+    val bare = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty,
+      s"quantileBuckets must never plan a partition-less window:\n$bare")
+  }
+
   test("q132: MP4 build+parse is row-local — the only exchange is the output sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val df = SparkEntry.queries("q132_mp4_metadata")(spark, sf)

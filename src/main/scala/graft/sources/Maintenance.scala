@@ -39,6 +39,63 @@ object Maintenance {
     rows.toDF("partition", "n_files", "bytes")
   }
 
+  /** Apply a change feed (the [[graft.operators.Relational.snapshotDiff]]
+    * output shape: the table's columns plus an `op` column of
+    * insert/update/delete) to a Hive-partitioned parquet table,
+    * rewriting ONLY the partitions the changes touch — the MERGE-INTO
+    * of this engine's plain-parquet lakehouse, and snapshotDiff's
+    * apply-side twin (derive the delta, then apply it).
+    *
+    * Per touched partition: current rows anti-joined against
+    * delete/update keys, then unioned with insert/update rows, then
+    * dynamic-partition-overwritten (idempotent — a failed apply
+    * reruns). Untouched partitions are never read or written.
+    * CONSTRAINT, checked loudly: the partition column is immutable
+    * under updates (an update row's partition must be the row's
+    * current partition — date-partitioned tables satisfy this by
+    * construction); a cross-partition move must be expressed as
+    * delete + insert in the feed. */
+  def applyChanges(spark: SparkSession, path: String, partitionCol: String,
+                   keyCols: Seq[String], changes: DataFrame): Unit = {
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val ops = changes.select(col("op")).distinct().collect().map(_.getString(0)).toSet
+    require(ops.subsetOf(Set("insert", "update", "delete")),
+      s"unknown ops in change feed: ${ops -- Set("insert", "update", "delete")}")
+    val touched = changes.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty) return
+    // the immutability guard: any changed key already living OUTSIDE
+    // the touched partitions would be silently duplicated (insert/
+    // update) or silently survive (delete). One column-pruned
+    // (keys, partition) scan semi-joined with the change keys — the
+    // honest price of a loud failure instead of quiet corruption.
+    val changeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val misplaced = spark.read.parquet(path)
+      .select((keyCols :+ partitionCol).map(col): _*)
+      .join(changeKeys, keyCols, "left_semi")
+      .filter(!col(partitionCol).cast("string").isin(touched: _*))
+      .limit(1).collect()
+    require(misplaced.isEmpty,
+      s"change feed touches keys outside its partitions (first: " +
+        s"${misplaced.headOption}); express cross-partition moves as delete + insert")
+    val current = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(touched: _*))
+    // ALL change keys are removed before re-adding insert/update rows:
+    // an insert whose key somehow already exists replaces it instead
+    // of duplicating, which is what makes re-applying the same feed
+    // converge (idempotence — spec-pinned)
+    val removeKeys = changes.select(keyCols.map(col): _*).distinct()
+    val upserts = changes.filter(col("op").isin("insert", "update"))
+      .select(current.columns.map(col).toIndexedSeq: _*)
+    val next = current.join(removeKeys, keyCols, "left_anti")
+      .unionByName(upserts)
+      // same read-what-you-overwrite materialization as compaction
+      .localCheckpoint()
+    try
+      next.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
+    finally graft.operators.Dedup.CheckpointHygiene.free(next)
+  }
+
   /** Compact every partition whose file count exceeds what
     * `targetBytes` implies (`target_files = max(1, ceil(bytes /
     * targetBytes))`), leaving already-compact partitions byte-for-byte

@@ -76,6 +76,45 @@ class MaintenanceSpec extends SparkTestBase {
       "minFiles must prevent churn even with a tiny target")
   }
 
+  test("applyChanges: upsert+delete rewrite touched partitions only; state is exact") {
+    val path = tmp()
+    def seed(day: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").select(col("id"), (col("id") * 10).as("v"), lit(day).as("day"))
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    seed("d1", Seq(1L, 2L, 3L))
+    seed("d2", Seq(4L, 5L))
+    seed("d3", Seq(6L))
+    val d3Files = listDataFiles(s"$path/day=d3")
+    // feed touches d1 (update 2, delete 3, insert 7) and d2 (insert 8)
+    val changes = Seq(
+      (2L, 99L, "d1", "update"),
+      (3L, 0L, "d1", "delete"),
+      (7L, 70L, "d1", "insert"),
+      (8L, 80L, "d2", "insert")).toDF("id", "v", "day", "op")
+    Maintenance.applyChanges(spark, path, "day", Seq("id"), changes)
+    val got = spark.read.parquet(path)
+      .select("id", "v", "day").as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "d1"), (2L, 99L, "d1"), (7L, 70L, "d1"),
+      (4L, 40L, "d2"), (5L, 50L, "d2"), (8L, 80L, "d2"),
+      (6L, 60L, "d3")), got.toString)
+    assert(listDataFiles(s"$path/day=d3") == d3Files,
+      "an untouched partition must keep its exact files")
+    // idempotence: re-applying the same feed converges to the same state
+    Maintenance.applyChanges(spark, path, "day", Seq("id"), changes)
+    assert(spark.read.parquet(path).count() == 7)
+    // cross-partition move without delete+insert is a loud failure
+    val move = Seq((6L, 61L, "d1", "update")).toDF("id", "v", "day", "op")
+    intercept[IllegalArgumentException] {
+      Maintenance.applyChanges(spark, path, "day", Seq("id"), move)
+    }
+    // unknown op is rejected before any write
+    intercept[IllegalArgumentException] {
+      Maintenance.applyChanges(spark, path, "day", Seq("id"),
+        Seq((9L, 90L, "d1", "upsert")).toDF("id", "v", "day", "op"))
+    }
+  }
+
   test("compactPartitions: wrong partition column fails loudly") {
     val path = tmp()
     spark.range(100L).select(col("id"), lit("x").as("day"))

@@ -1983,6 +1983,51 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q138: seeded signed random projection (JL dimension reduction,
+    // 64→16): the ±1 matrix derives from md5 parity (engine-
+    // independent) and outputs are BIGINT sums of floor-quantized
+    // components — order-independent integer arithmetic, so DuckDB
+    // rebuilds the same matrix and the exact same projections.
+    "q138_random_projection" -> ((s, dir) => {
+      operators.Similarity.randomProject(
+          Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", outDim = 16, seed = 7L)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("k", "p")))
+        .select(col("vec_id"), col("k").cast("long").as("k"), col("p"))
+        .orderBy(col("vec_id"), col("k"))
+    }),
+
+    // q137: HTML→text extraction by invertible construction (the q95
+    // trick on markup): each doc's text is entity-escaped into a
+    // synthesized page with known chrome — a pure-link nav line
+    // (dropped by link density), a heading and a 16%-link line (both
+    // kept), an entity-decode line, and a too-short "ok" line
+    // (dropped) — so the REAL extractor runs end to end while DuckDB
+    // recomputes every output column from the source text
+    // arithmetically, without owning an HTML parser. Density
+    // decisions are integer comparisons and the body text
+    // round-trips through escape→decode, so the result hashes
+    // exactly.
+    "q137_html_extract" -> ((s, dir) => {
+      val esc = (c: Column) => replace(replace(replace(c,
+        lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val html = concat(
+        lit("<html><head><title>t</title><script>var x = \"<p>\";</script>" +
+          "<style>.n{color:red}</style></head><body>"),
+        lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/b\">Contact</a></div>"),
+        lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+        lit("<p>Read our <a href=\"/docs\">docs</a> for details</p>"),
+        lit("<p>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y</p>"),
+        lit("<p>"), esc(col("text")), lit("</p>"),
+        lit("<p>ok</p><!-- pixel --></body></html>"))
+      operators.Web.htmlToText(
+          d.select(col("doc_id"), html.as("html")), "doc_id", "html")
+        .orderBy(col("doc_id"))
+    }),
+
     // snapshot diff (CDC derivation): a planted "next day" of the
     // documents table — doc_id%97 rows deleted, doc_id%53 rows get
     // n_chars+1 (update), 20 fresh ids appended (insert) — diffed
@@ -2811,6 +2856,47 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q138: the sign matrix rebuilt from md5 high-nibble parity, the
+    // projection replayed as an integer join-aggregate. SUM is cast
+    // back to BIGINT (DuckDB widens BIGINT sums to HUGEINT).
+    "q138_random_projection" ->
+      """WITH signs AS (
+        |  SELECT k, j,
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |           substr(md5('7:' || k || ':' || j), 1, 1)) - 1) % 2 = 0
+        |         THEN 1 ELSE -1 END AS sg
+        |  FROM generate_series(0, 15) AS ks(k),
+        |       generate_series(0, 63) AS js(j)),
+        |q AS (
+        |  SELECT vec_id, u.i - 1 AS j,
+        |    CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 10000) AS BIGINT) AS qv
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+        |  WHERE vec_id < 300)
+        |SELECT q.vec_id, CAST(s.k AS BIGINT) AS k,
+        |       CAST(SUM(s.sg * q.qv) AS BIGINT) AS p
+        |FROM q JOIN signs s ON s.j = q.j
+        |GROUP BY q.vec_id, s.k
+        |ORDER BY vec_id, k""".stripMargin,
+
+    // q137: DuckDB recomputes the extractor's output from the source
+    // text directly — the chrome lines' fates are construction
+    // constants (nav dropped at 100% link density, heading + 16%-link
+    // line + entity line kept, "ok" under minLineChars) and the body
+    // text round-trips through the entity escape/decode.
+    "q137_html_extract" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(text, '[\x01\x02]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  'Doc ' || doc_id || chr(10) || 'Read our docs for details' || chr(10) ||
+        |  'A & B <tag> "q" ''s'' x y' ||
+        |  CASE WHEN nt <> '' AND length(nt) >= 3 THEN chr(10) || nt ELSE '' END AS text,
+        |  CAST(3 + CASE WHEN nt <> '' AND length(nt) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+        |  CAST(2 + CASE WHEN nt <> '' AND length(nt) < 3 THEN 1 ELSE 0 END AS BIGINT) AS n_dropped,
+        |  CAST(20 AS BIGINT) AS link_chars
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // q136: the same planted next-day table, FULL OUTER JOIN, and
     // IS DISTINCT FROM for the null-safe compare (Spark's <=>).

@@ -456,6 +456,51 @@ object Similarity {
       vec_abs_max(col(vecCol)).as("scale"),
       sq8_codes(col(vecCol)).as("codes"))
 
+  /** Seeded signed random projection — the Johnson-Lindenstrauss
+    * dimension-reduction step a 100 TB embedding pipeline runs BEFORE
+    * indexing (project 768→64 once, then every downstream ANN/dedup
+    * pass moves 12× fewer bytes). Achlioptas-style ±1 matrix: sign of
+    * cell (k, j) is the parity of the first hex digit of
+    * `md5("$seed:$k:$j")` — an engine-independent derivation, so the
+    * exact same matrix is reconstructable anywhere (the q85 seeded-md5
+    * discipline) and the projection is a pure function of (vector,
+    * seed), never of cluster state.
+    *
+    * Outputs are INTEGER units on purpose: each input component is
+    * floor-quantized to `quantScale` units (`floor(v·quantScale)` —
+    * float→double widening and one double multiply are IEEE-identical
+    * everywhere), then summed under ±1 signs in BIGINT, which is
+    * order-independent — a float dot product would not hash-match
+    * across engines or even across partitionings (the q134 argument).
+    * Quantization error per output is bounded by inDim/2 units —
+    * irrelevant at quantScale=10000 against unit-norm vectors.
+    *
+    * Scale posture: zero shuffle — the sign matrix ships as ONE
+    * typedLit plan constant (never Janino-inlined per cell), each row
+    * is outDim·inDim fused multiply-adds, and the skinny (id,
+    * projected) output is what downstream stages shuffle instead of
+    * raw vectors. */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int, seed: Long = 42L, quantScale: Long = 10000L): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, s"outDim out of range: $outDim")
+    require(quantScale >= 1, s"quantScale must be positive: $quantScale")
+    val inDim = df.select(size(col(vecCol))).first().getInt(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val signs: Seq[Seq[Int]] = (0 until outDim).map { k =>
+      (0 until inDim).map { j =>
+        val hex = md.digest(s"$seed:$k:$j".getBytes("UTF-8"))
+        // parity of the FIRST HEX DIGIT = parity of the high nibble
+        if (((hex(0) >> 4) & 0xF) % 2 == 0) 1 else -1
+      }
+    }
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * quantScale).cast("long"))
+    df.select(col(idCol),
+      transform(typedLit(signs),
+        ks => aggregate(zip_with(q, ks, (x, sg) => x * sg), lit(0L),
+          (acc, t) => acc + t)).as("projected"))
+  }
+
   /** Per-label centroid of embeddings — the vector-average Aggregator
     * family (SURVEY.md §2.5). Pure built-ins: element-wise sum via
     * zip_with fold over an aggregated array is quadratic, so instead

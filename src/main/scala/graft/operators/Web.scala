@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction for web-crawl corpora.
+  *
+  * The reference pipeline ingests already-clean API text
+  * (`silver_clean_comments.py`); a training-data pipeline fed from a
+  * web crawl needs the step BEFORE that: turn raw HTML into plain
+  * text and drop the navigation / footer chrome that would otherwise
+  * dominate the corpus (the trafilatura/jusText step of C4-style
+  * pipelines). This is that step, expressed entirely as row-local
+  * Spark expressions — no UDF, no shuffle; at 100 TB it is a pure
+  * map over the crawl partition with nothing on the wire.
+  *
+  * Extraction model (classic line-based boilerplate removal):
+  *   1. drop HTML comments, the whole `<head>`, and
+  *      `<script>`/`<style>` subtrees;
+  *   2. source newlines/tabs are HTML whitespace — flatten to spaces
+  *      (only BLOCK boundaries may produce line breaks);
+  *   3. mark `<a>…</a>` spans with private sentinels (U+0001/U+0002)
+  *      so per-line link density survives tag stripping (any
+  *      pre-existing sentinel bytes in the input are stripped first);
+  *   4. block-level tags (p, div, li, h1-6, tr, br, …) become line
+  *      breaks; remaining inline tags become spaces;
+  *   5. entities decode AFTER tag stripping (`&lt;p&gt;` in source
+  *      text stays literal text, exactly like a browser renders it),
+  *      ampersand last so `&amp;lt;` → `&lt;`;
+  *   6. per line: whitespace-normalize, then keep the line iff it is
+  *      non-empty, at least `minLineChars` long, and its link density
+  *      (non-space chars inside anchor spans / non-space chars total)
+  *      is at most `maxLinkPct` percent. The density test is the
+  *      integer comparison `linkLen * 100 <= maxLinkPct * visLen` —
+  *      no float division anywhere.
+  *
+  * Output: one row per input row — the kept lines joined with '\n'
+  * plus observability counts (kept lines, dropped non-empty lines,
+  * total anchor chars), so chrome removal is measurable, never
+  * silent.
+  *
+  * Unclosed anchors leave a dangling sentinel: the span then simply
+  * does not count as link text (fails open — the line is judged on
+  * its visible chars), which is the safe direction for a filter.
+  */
+object Web {
+
+  private val A = "\u0001" // anchor-open sentinel
+  private val Z = "\u0002" // anchor-close sentinel
+
+  def htmlToText(df: DataFrame, idCol: String, htmlCol: String,
+      maxLinkPct: Int = 60, minLineChars: Int = 3): DataFrame = {
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be in [0,100], got $maxLinkPct")
+    require(minLineChars >= 1, s"minLineChars must be >= 1, got $minLineChars")
+
+    val noCtl     = regexp_replace(col(htmlCol), "[\u0001\u0002]", "")
+    val noComment = regexp_replace(noCtl, "(?s)<!--.*?-->", " ")
+    val noHead    = regexp_replace(noComment, "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    val noScript  = regexp_replace(noHead,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val flatWs    = regexp_replace(noScript, "[\\r\\n\\t\\x0B\\f]", " ")
+    val anchored  = regexp_replace(
+      regexp_replace(flatWs, "(?i)<a\\b[^>]*>", A), "(?i)</a\\s*>", Z)
+    val blockRe   = "(?i)</?(html|body|p|div|li|ul|ol|dl|dt|dd|h[1-6]|tr|table|" +
+      "thead|tbody|tfoot|section|article|aside|header|footer|nav|blockquote|" +
+      "pre|form|hr)\\b[^>]*>|<br\\s*/?>"
+    val lined     = regexp_replace(anchored, blockRe, "\n")
+    val noTag     = regexp_replace(lined, "<[^>]*>", " ")
+    // ampersand LAST: "&amp;lt;" must decode to the literal "&lt;".
+    val decoded   = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+
+    val lineStats = transform(split(decoded, "\n"), l => {
+      val vis     = regexp_replace(l, "[\u0001\u0002]", "")
+      val linkRaw = array_join(
+        regexp_extract_all(l, lit(A + "([^" + A + Z + "]*)" + Z), lit(1)), "")
+      struct(
+        trim(regexp_replace(vis, "\\s+", " ")).as("normed"),
+        length(regexp_replace(vis, "\\s", "")).as("vis_len"),
+        length(regexp_replace(linkRaw, "\\s", "")).as("link_len"))
+    })
+
+    def keeps(s: Column): Column =
+      s("normed") =!= "" && length(s("normed")) >= minLineChars &&
+        s("link_len") * 100 <= lit(maxLinkPct) * s("vis_len")
+
+    val ls   = col("__web_lines")
+    val kept = filter(ls, keeps _)
+    df.withColumn("__web_lines", lineStats)
+      .select(col(idCol),
+        array_join(transform(kept, s => s("normed")), "\n").as("text"),
+        size(kept).cast("long").as("n_kept"),
+        size(filter(ls, s => s("normed") =!= "" && !keeps(s)))
+          .cast("long").as("n_dropped"),
+        aggregate(ls, lit(0L), (acc, s) => acc + s("link_len"))
+          .as("link_chars"))
+  }
+}

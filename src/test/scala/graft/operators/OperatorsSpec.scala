@@ -938,6 +938,57 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getSeq[Int](2)))).toMap
     assert(kernel == hof)
   }
+
+  test("randomProject: matches a driver-side reference; deterministic per seed") {
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.randomProject(emb, "vec_id", "embedding",
+        outDim = 8, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(k: Int, j: Int): Long = {
+      val h = md.digest(s"7:$k:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+    }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val want = (0 until 8).map { k =>
+        v.zipWithIndex.map { case (x, j) =>
+          sign(k, j) * math.floor(x.toDouble * 10000L).toLong
+        }.sum
+      }
+      assert(got(id) == want, s"vec $id")
+    }
+    val again = Similarity.randomProject(emb, "vec_id", "embedding",
+        outDim = 8, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(again == got)
+    val other = Similarity.randomProject(emb, "vec_id", "embedding",
+        outDim = 8, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(other != got)
+  }
+
+  test("randomProject: identical inputs project identically; sign agreement tracks cosine") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val twin = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val p = Similarity.randomProject(emb.unionByName(twin),
+        "vec_id", "embedding", outDim = 16, seed = 3L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    (0L until 10L).foreach { id =>
+      assert(p(id) == p(id + 100000L), s"twin of $id diverged")
+    }
+  }
+
+  test("randomProject: shuffle-free plan (row-local projection, matrix is a plan constant)") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val plan = Similarity.randomProject(emb, "vec_id", "embedding", outDim = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
 
 class EnrichSpec extends AnyFunSuite with SparkTestBase {

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WebSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def extract(html: String,
+      maxLinkPct: Int = 60, minLineChars: Int = 3) = {
+    val out = Web.htmlToText(
+        Seq((1L, html)).toDF("id", "html"), "id", "html",
+        maxLinkPct, minLineChars)
+      .collect()(0)
+    (out.getString(1), out.getLong(2), out.getLong(3), out.getLong(4))
+  }
+
+  test("htmlToText: chrome dropped, content kept, entities decoded") {
+    val html =
+      """<html><head><title>Site</title>
+        |<script type="text/javascript">var x = "<p>not content</p>";</script>
+        |<style>.nav { color: red }</style></head>
+        |<body>
+        |<nav><a href="/">Home</a> | <a href="/about">About us</a></nav>
+        |<h1>The article title</h1>
+        |<p>First paragraph with a <a href="/ref">reference link</a> inside
+        |running text that clearly dominates the line.</p>
+        |<p>Fish &amp; chips cost &lt;5&gt; &quot;pounds&quot;&nbsp;today.</p>
+        |<ul><li>ok</li><li>item two is long enough</li></ul>
+        |<!-- analytics beacon -->
+        |<footer><a href="/tos">Terms</a> <a href="/priv">Privacy</a></footer>
+        |</body></html>""".stripMargin
+    val (text, kept, dropped, linkChars) = extract(html)
+    val lines = text.split('\n')
+    assert(lines(0) == "The article title")
+    assert(lines(1) == "First paragraph with a reference link inside " +
+      "running text that clearly dominates the line.")
+    assert(lines(2) == "Fish & chips cost <5> \"pounds\" today.")
+    assert(lines(3) == "item two is long enough")
+    assert(lines.length == 4 && kept == 4L)
+    // dropped non-empty lines: nav (link density 11/12 > 60%),
+    // "ok" (under minLineChars), footer (density 100%)
+    assert(dropped == 3L)
+    // Home(4) Aboutus(7) referencelink(13) Terms(5) Privacy(7)
+    assert(linkChars == 36L)
+  }
+
+  test("htmlToText: source newlines are spaces; only block tags break lines") {
+    val (text, kept, _, _) = extract(
+      "<p>one\nsingle\nparagraph</p><div>second block</div>")
+    assert(text == "one single paragraph\nsecond block" && kept == 2L)
+  }
+
+  test("htmlToText: double-escaped entity stays literal; ampersand decodes last") {
+    val (text, _, _, _) = extract("<p>use &amp;lt; to write &lt; in HTML</p>")
+    assert(text == "use &lt; to write < in HTML")
+  }
+
+  test("htmlToText: unclosed anchor fails open (line judged on visible chars)") {
+    val (text, kept, _, linkChars) = extract(
+      "<p><a href=x>broken anchor but the line still has plenty of text</p>")
+    assert(kept == 1L && linkChars == 0L)
+    assert(text == "broken anchor but the line still has plenty of text")
+  }
+
+  test("htmlToText: pre-existing sentinel bytes are stripped, not parsed") {
+    val (text, _, _, linkChars) =
+      extract("<p>evil \u0001payload\u0002 bytes</p>")
+    assert(text == "evil payload bytes" && linkChars == 0L)
+  }
+
+  test("htmlToText: empty and all-chrome documents yield empty text") {
+    val (text, kept, dropped, _) =
+      extract("<div><a href=/>Only links here</a></div>")
+    assert(text == "" && kept == 0L && dropped == 1L)
+    val (t2, k2, d2, _) = extract("")
+    assert(t2 == "" && k2 == 0L && d2 == 0L)
+  }
+
+  test("htmlToText: threshold boundary is inclusive (linkLen*100 == pct*visLen keeps)") {
+    // vis = "abcdefghij" (10), link = "abcde" (5) → 50% exactly
+    val html = "<p><a>abcde</a>fghij</p>"
+    val (text, kept, _, _) = extract(html, maxLinkPct = 50)
+    assert(kept == 1L && text == "abcdefghij")
+    val (_, kept2, dropped2, _) = extract(html, maxLinkPct = 49)
+    assert(kept2 == 0L && dropped2 == 1L)
+  }
+
+  test("htmlToText: randomized body text round-trips through escape and decode") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab <>&\"' ;x\t&amp;&lt;\u0001"
+    val docs = (0 until 60).map { i =>
+      val raw = (0 until 30).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString
+      (i.toLong, raw)
+    }
+    val in = docs.toDF("id", "raw")
+      .select(col("id"), col("raw"),
+        concat(lit("<body><p>"),
+          replace(replace(replace(col("raw"),
+            lit("&"), lit("&amp;")), lit("<"), lit("&lt;")),
+            lit(">"), lit("&gt;")),
+          lit("</p></body>")).as("html"))
+    val got = Web.htmlToText(in, "id", "html", minLineChars = 1)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, raw) =>
+      val expected = raw.replaceAll("[\u0001\u0002]", "")
+        .replaceAll("\\s+", " ").trim
+      assert(got(id) == expected, s"id=$id raw=${raw.map(_.toInt)}")
+    }
+  }
+}

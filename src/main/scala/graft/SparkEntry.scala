@@ -1983,6 +1983,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q140: BM25 relevance of every doc against a fixed query. The
+    // exported score is the ln-free integer core (milli-units, one
+    // BIGINT floor division per matched term — the q133/q134
+    // discipline); the real ln-idf double stays library-side,
+    // spec-pinned. Non-matching docs export 0, not absence.
+    "q140_bm25" -> ((s, dir) => {
+      TextOps.bm25(Tables.documents(s, dir), "doc_id", "text",
+          Seq("spark", "hash", "merge"))
+        .select(col("doc").as("doc_id"), col("bm25_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q139: pre-aggregated HLL sketch rollup — partial sketches per
+    // (returnflag, linestatus) merged up to returnflag must track a
+    // direct sketch of the union within 2% of exact (lossless while
+    // sparse; once dense the Datasketches union gadget drifts a
+    // fraction of the sketch's own ~1.6% noise — SketchProbe
+    // measured ≤0.58%), and the estimate must sit within the
+    // q44-style 16x bound of the exact count. DuckDB owns no
+    // compatible sketch, so it pins the exact count and the two
+    // booleans as constants — a Spark-side violation of either
+    // invariant still hash-fails.
+    "q139_hll_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rollup = operators.Sketches.hllRollup(li,
+        Seq(col("l_returnflag"), col("l_linestatus")), col("l_partkey"))
+      val merged = operators.Sketches.hllMergeEstimate(rollup,
+        Seq(col("l_returnflag")))
+      val direct = li.groupBy(col("l_returnflag")).agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12)))
+          .as("__direct"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.join(direct, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_distinct") - col("__direct")) * 50 <=
+            col("exact_parts")).as("merge_tracks_direct"),
+          (abs(col("approx_distinct") - col("exact_parts")) * 16 <=
+            col("exact_parts")).as("approx_within_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // q138: seeded signed random projection (JL dimension reduction,
     // 64→16): the ±1 matrix derives from md5 parity (engine-
     // independent) and outputs are BIGINT sums of floor-quantized
@@ -2856,6 +2897,37 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q140: the BM25 integer core replayed end-to-end — tf/df/dl/N/L
+    // recomputed over the same tokens, each term's contribution one
+    // `//` floor division, summed per doc; left join keeps
+    // non-matching docs at 0.
+    "q140_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('spark', 'hash', 'merge') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(((2*s.n - 2*dfreq.df + 1) * 44 * s.l * tf.tf * 1000) //
+        |        ((2*dfreq.df + 1) * (20 * s.l * tf.tf + 6 * s.l + 18 * dl.dl * s.n)))
+        |      AS bm25_milli
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s
+        |  GROUP BY 1)
+        |SELECT dl.doc_id, CAST(COALESCE(scored.bm25_milli, 0) AS BIGINT) AS bm25_milli
+        |FROM dl LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q139: exact count recomputed; the merge-tracks-direct and
+    // within-bound invariants pinned TRUE.
+    "q139_hll_rollup" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS merge_tracks_direct, TRUE AS approx_within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q138: the sign matrix rebuilt from md5 high-nibble parity, the
     // projection replayed as an integer join-aggregate. SUM is cast

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-aggregated distinct-count sketch tables — the 100 TB answer to
+  * "distinct users per X over any date range" without rescanning raw
+  * data.
+  *
+  * The pattern: materialize ONE small sketch row per (grain, day)
+  * partition as data lands ([[hllRollup]] — a few KB per group,
+  * Datasketches HLL via Spark's `hll_sketch_agg`), then answer any
+  * coarser rollup by merging sketches ([[hllMergeEstimate]]). A year
+  * of daily sketches over 100 TB of events is ~4 K rows × 4 KB — the
+  * merge runs on a laptop while the raw scan would take the cluster.
+  *
+  * Merge semantics, honestly: while sketches are in sparse/coupon
+  * mode the union is lossless — merged partials estimate EXACTLY
+  * like a direct sketch of the union (SketchProbe: equal at
+  * sf0.001). Once a sketch goes dense, Datasketches' union gadget
+  * (HLL_8 target, mode transitions) can drift a fraction of the
+  * sketch's own noise from the direct form — measured ≤0.58% at
+  * sf0.01/sf0.1 where the direct estimate's error is itself ~1.3%.
+  * q139 pins merged-tracks-direct at 2% and the spec pins the same
+  * bound; neither claims bit-equality the library doesn't promise.
+  *
+  * Estimate error vs exact is the standard HLL bound ~1.04/√2^lgK
+  * (≈1.6% at the default lgK=12), bound-checked against the exact
+  * count in the oracle the same way q44 checks
+  * `approx_count_distinct`.
+  */
+object Sketches {
+
+  /** One sketch row per group: the pre-aggregation a deployment runs
+    * once per ingest partition. Output: dims ++ (hll_sketch BINARY,
+    * partial_rows BIGINT). */
+  def hllRollup(df: DataFrame, dims: Seq[Column], value: Column,
+      lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4,21], got $lgK")
+    df.groupBy(dims: _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("hll_sketch"),
+        count(lit(1)).as("partial_rows"))
+  }
+
+  /** Merge rollup sketches up to a coarser grain and estimate the
+    * distinct count. Input is [[hllRollup]] output (or a union of
+    * many); only sketch bytes move, never raw values. */
+  def hllMergeEstimate(rollup: DataFrame, dims: Seq[Column],
+      sketch: Column = col("hll_sketch")): DataFrame =
+    rollup.groupBy(dims: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(sketch, lit(false)))
+        .as("approx_distinct"))
+}

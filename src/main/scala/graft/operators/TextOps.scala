@@ -165,6 +165,85 @@ object TextOps {
           log(col("n").cast("double") / col("dfreq").cast("double"))).as("tfidf"))
   }
 
+  /** BM25 relevance scoring of every document against a fixed query —
+    * the retrieval-quality signal a training-data pipeline uses to
+    * mine topical subsets from a web corpus ("find the docs that
+    * look like math/code/medical text") and the standard first-stage
+    * ranker in front of embedding re-rank.
+    *
+    * Okapi BM25 with k1=1.2, b=0.75: per matched term,
+    * idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)), summed over
+    * the query terms. Two scores per document:
+    *
+    *  - `bm25` (double): the real thing, Lucene-flavoured
+    *    idf = ln(1 + (N−df+0.5)/(df+0.5)). ln is library-side only —
+    *    libm rounding differs across engines (the q45/q97
+    *    discipline) — so this column is spec-pinned, not
+    *    oracle-hashed.
+    *  - `bm25_milli` (BIGINT): the oracle-exact integer core. With
+    *    k1=6/5 and b=3/4 every factor is rational: avgdl = L/N
+    *    (L = Σ dl), the tf part becomes 44·L·tf / (20·L·tf + 6·L +
+    *    18·dl·N), the idf surrogate is the ln-free odds ratio
+    *    (2N−2df+1)/(2df+1), and each term contributes
+    *    (idfNum·44·L·tf·10³) div (idfDen·(20·L·tf+6·L+18·dl·N)) —
+    *    a pure BIGINT floor-division recurrence DuckDB replays with
+    *    `//` (q114/q134 discipline), summed exactly per doc. Same
+    *    monotonicity in (tf, dl, df) as BM25; tie-broken identically
+    *    on any engine.
+    *
+    * Docs matching no query term score (0, 0) and are kept — a
+    * retrieval filter that silently dropped non-matches would bias
+    * the corpus mix measurement.
+    *
+    * Scale shape: one corpus explode filtered TO THE QUERY TERMS
+    * (skinny — |terms| rows per doc max) + a per-doc length pass from
+    * the same tokenize; df/N/L are term- or 1-row-sized aggregates
+    * broadcast as scalars (the only broadcasts — the r5 lesson);
+    * final per-doc aggregate is one shuffle on doc id. Integer
+    * domain: terms ≤ ~40, idfNum ≤ 2N+1 — products stay far under
+    * 2⁶³ for corpora to ~10⁹ docs × 10⁵ avg tokens; milli units (not micro)
+    * keep the widest product ~2¹⁵ under the BIGINT edge at that
+    * scale, and overflow throws under ANSI rather than silently
+    * wrapping. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"terms must be 1..64 query tokens, got ${terms.size}")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "query terms must be non-empty and lower-case (tokens are lower-cased)")
+    val toked = df.select(col(idCol).as("doc"),
+      tokens(lower(col(textCol))).as("__toks"))
+    val dl = toked.select(col("doc"), size(col("__toks")).cast("long").as("dl"))
+    val tf = toked
+      .select(col("doc"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc"),
+        // real BM25 (k1=1.2, b=0.75, Lucene idf) — library-side ln
+        (log(lit(1.0) + (col("n") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("dl") * col("n") / col("l"))))
+          .as("__s"),
+        // integer core: milli-units, one BIGINT floor division per term
+        expr("""((2*n - 2*df + 1) * 44 * l * tf * 1000L) div
+               |((2*df + 1) * (20 * l * tf + 6 * l + 18 * dl * n))"""
+          .stripMargin.replace("\n", " ")).as("__m"))
+      .groupBy(col("doc"))
+      .agg(sum(col("__s")).as("bm25"), sum(col("__m")).as("bm25_milli"))
+    dl.select(col("doc"))
+      .join(scored, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("bm25"), lit(0.0)).as("bm25"),
+        coalesce(col("bm25_milli"), lit(0L)).as("bm25_milli"))
+  }
+
   /** Per-document bigram language-model statistics — the corpus-
     * fluency quality signal (the CCNet/KenLM-family filter: score each
     * document by how typical its word transitions are of the corpus,

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Scratch probe: how far the merged-partial HLL estimate drifts from
+  * the direct sketch at each verify SF (documents the margin behind
+  * q139's merge-tracks-direct bound). */
+object SketchProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(cores = 8)
+    spark.sparkContext.setLogLevel("ERROR")
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val li = Tables.lineitem(spark, s"/root/testdata/$sf")
+      val rollup = Sketches.hllRollup(li,
+        Seq(col("l_returnflag"), col("l_linestatus")), col("l_partkey"))
+      val merged = Sketches.hllMergeEstimate(rollup, Seq(col("l_returnflag")))
+      val direct = li.groupBy(col("l_returnflag")).agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"), lit(12))).as("d"),
+        countDistinct(col("l_partkey")).as("e"))
+      merged.join(direct, Seq("l_returnflag")).orderBy("l_returnflag")
+        .collect().foreach { r =>
+          val (m, d, e) = (r.getLong(1), r.getLong(2), r.getLong(3))
+          println(f"== $sf ${r.getString(0)} merged=$m direct=$d exact=$e " +
+            f"m-d=${m - d} |m-d|/e=${math.abs(m - d).toDouble / e}%.5f " +
+            f"|m-e|/e=${math.abs(m - e).toDouble / e}%.5f")
+        }
+    }
+    spark.stop()
+  }
+}

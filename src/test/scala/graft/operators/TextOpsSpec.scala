@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.SparkTestBase
+import graft.sources.Tables
 
 class TextOpsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
@@ -370,5 +371,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("xxhash64"), "DF key must be the 64-bit segment hash")
     assert(!plan.contains("ResolvedHint"), "hot-set join must stay AQE-chosen")
+  }
+
+  test("bm25: hand-computed corpus — integer core exact, ln variant ranks the same") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // N=3, L=6; df(cat)=1, df(dog)=2
+    // doc1 cat: (5*44*6*2*1000) // (3*(240+36+162)) = 2640000 // 1314 = 2009
+    // doc1 dog: (3*44*6*1*1000) // (5*(120+36+162)) =  792000 // 1590 =  498
+    // doc2 dog: (3*44*6*1*1000) // (5*(120+36+108)) =  792000 // 1320 =  600
+    assert(got(1L)._2 == 2009L + 498L, s"doc1 milli: ${got(1L)._2}")
+    assert(got(2L)._2 == 600L, s"doc2 milli: ${got(2L)._2}")
+    assert(got(3L)._2 == 0L && got(3L)._1 == 0.0, "non-matching doc scores 0, kept")
+    // real ln-idf variant: recompute driver-side
+    def idf(dfq: Double) = math.log(1.0 + (3.0 - dfq + 0.5) / (dfq + 0.5))
+    def tfp(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * 3.0 / 6.0))
+    val d1 = idf(1) * tfp(2, 3) + idf(2) * tfp(1, 3)
+    val d2 = idf(2) * tfp(1, 2)
+    assert(math.abs(got(1L)._1 - d1) < 1e-12, s"doc1 bm25 ${got(1L)._1} vs $d1")
+    assert(math.abs(got(2L)._1 - d2) < 1e-12, s"doc2 bm25 ${got(2L)._1} vs $d2")
+    assert(got(1L)._1 > got(2L)._1 && got(1L)._2 > got(2L)._2,
+      "both variants agree doc1 beats doc2")
+  }
+
+  test("bm25: scalar aggregates are the only broadcasts; term filter reaches the scan side") {
+    val docs = Tables.documents(spark, sf)
+    val q = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "hash"))
+    val analyzed = q.queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint") ||
+      analyzed.split("ResolvedHint").length <= 2,
+      "only the 1-row scalar frame may be hint-broadcast")
+    val rows = q.count()
+    assert(rows == docs.count(), "every doc scored, matches or not")
   }
 }

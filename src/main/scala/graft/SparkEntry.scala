@@ -1983,6 +1983,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
+    // every distinct corpus word under a fixed (piece, cost)
+    // vocabulary. Integer DP + smallest-last-piece tie-break make the
+    // segmentation a pure function of (word, vocab); DuckDB replays
+    // the exact DP with two recursive CTEs (forward costs, backward
+    // reconstruction) over a MAP literal of the same vocabulary.
+    "q141_unigram_segment" -> ((s, dir) => {
+      import s.implicits._
+      val vocab = Seq(
+        ("ta", 150L), ("ble", 140L), ("table", 180L),
+        ("me", 80L), ("rge", 170L), ("mer", 150L), ("ge", 100L),
+        ("merge", 250L),
+        ("sc", 120L), ("an", 90L), ("scan", 260L),
+        ("win", 200L), ("dow", 200L), ("window", 350L),
+        ("va", 130L), ("lue", 150L), ("al", 85L),
+        ("sp", 160L), ("ark", 140L), ("spark", 333L),
+        ("ha", 110L), ("sh", 115L), ("hash", 230L),
+        ("so", 105L), ("rt", 125L), ("sort", 235L),
+        ("a", 90L), ("e", 95L)).toDF("piece", "cost")
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.tokens(lower(col("text"))))
+          .as("word"))
+      TextOps.unigramSegmentWords(words, "word", vocab)
+        .orderBy(col("word"))
+    }),
+
     // q140: BM25 relevance of every doc against a fixed query. The
     // exported score is the ln-free integer core (milli-units, one
     // BIGINT floor division per matched term — the q133/q134
@@ -2897,6 +2923,55 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q141: the Viterbi DP replayed verbatim — fwd carries the
+    // growing best-cost list per word, bwd walks back choosing the
+    // first (smallest-k) candidate that achieves the optimum
+    // (list_position returns the FIRST match, which IS the
+    // operator's tie-break); 1-char misses cost 1000 (unk), longer
+    // misses are NULL and list_min/list_position skip them.
+    "q141_unigram_segment" ->
+      """WITH RECURSIVE
+        |vm AS (SELECT MAP(
+        |  ['ta','ble','table','me','rge','mer','ge','merge','sc','an','scan',
+        |   'win','dow','window','va','lue','al','sp','ark','spark','ha','sh',
+        |   'hash','so','rt','sort','a','e'],
+        |  CAST([150,140,180,80,170,150,100,250,120,90,260,
+        |        200,200,350,130,150,85,160,140,333,110,115,
+        |        230,105,125,235,90,95] AS BIGINT[])) AS m),
+        |words AS (SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |          FROM documents),
+        |fwd AS (
+        |  SELECT w, length(w) AS n, 0 AS i, [CAST(0 AS BIGINT)] AS best
+        |  FROM words WHERE w <> ''
+        |  UNION ALL
+        |  SELECT f.w, f.n, f.i + 1,
+        |    list_append(f.best,
+        |      list_min(list_transform(range(1, least(f.i + 1, 6) + 1), k ->
+        |        f.best[f.i + 1 - k + 1] +
+        |        COALESCE(map_extract(vm.m, substr(f.w, f.i + 1 - k + 1, CAST(k AS INT)))[1],
+        |                 CASE WHEN k = 1 THEN 1000 END))))
+        |  FROM fwd f, vm WHERE f.i < f.n),
+        |fin AS (SELECT w, n, best FROM fwd WHERE i = n),
+        |bwd AS (
+        |  SELECT w, n, best, n AS i, CAST('' AS VARCHAR) AS seg,
+        |         CAST(0 AS BIGINT) AS np
+        |  FROM fin
+        |  UNION ALL
+        |  SELECT b.w, b.n, b.best, b.i - x.ks,
+        |    CASE WHEN b.seg = '' THEN substr(b.w, b.i - x.ks + 1, x.ks)
+        |         ELSE substr(b.w, b.i - x.ks + 1, x.ks) || ' ' || b.seg END,
+        |    b.np + 1
+        |  FROM bwd b, vm, LATERAL (SELECT CAST(list_position(
+        |        list_transform(range(1, least(b.i, 6) + 1), k ->
+        |          b.best[b.i - k + 1] +
+        |          COALESCE(map_extract(vm.m, substr(b.w, b.i - k + 1, CAST(k AS INT)))[1],
+        |                   CASE WHEN k = 1 THEN 1000 END)),
+        |        b.best[b.i + 1]) AS INT) AS ks) x
+        |  WHERE b.i > 0)
+        |SELECT w AS word, seg AS segmentation, np AS n_pieces,
+        |       best[n + 1] AS total_cost
+        |FROM bwd WHERE i = 0 ORDER BY word""".stripMargin,
 
     // q140: the BM25 integer core replayed end-to-end — tf/df/dl/N/L
     // recomputed over the same tokens, each term's contribution one

@@ -812,6 +812,121 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("__n_syms")).as("n_bpe_tokens"))
   }
 
+  /** Unigram-LM (SentencePiece-style) Viterbi segmentation — the
+    * OTHER mainstream subword tokenizer family, completing the
+    * tokenizer surface next to [[bpeTrain]]/[[bpeEncode]]: given a
+    * vocabulary of (piece, cost) — cost being a scaled negative log
+    * probability, lower = better — segment every word into the
+    * minimum-total-cost sequence of pieces by dynamic programming.
+    *
+    * DP contract (replayed verbatim by the q141 recursive-CTE
+    * oracle, so every clause here is pinned cross-engine):
+    * best(0)=0; best(p) = min over k in 1..min(p, maxPieceLen) of
+    * best(p−k) + cost(word[p−k..p)), where a 1-char piece absent
+    * from the vocabulary costs `unkCost` (segmentation always
+    * exists) and longer absent pieces are not candidates. Piece
+    * reconstruction walks backward choosing the SMALLEST k that
+    * achieves best(p) — the deterministic tie-break (e.g. with
+    * {merge:250, me:80, rge:170, mer:150, ge:100} the 250-cost tie
+    * between "merge", "me rge" and "mer ge" resolves to "mer ge":
+    * the last piece with the smallest k achieving 250 is "ge").
+    * Costs are BIGINTs throughout — integer DP is a pure function
+    * of (word, vocab), hash-comparable on any engine.
+    *
+    * Shape at scale (the [[bpeEncode]] argument): the DP runs once
+    * per DISTINCT word — vocabulary-sized mapPartitions work,
+    * O(len·maxPieceLen) per word with the piece table collected once
+    * into the task closure (a tokenizer artifact is bounded — guarded
+    * at `maxVocab`). No corpus-sized driver state. */
+  def unigramSegmentWords(words: DataFrame, wordCol: String,
+      vocab: DataFrame, unkCost: Long = 1000L,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    val pieceArr = vocab.select(col("piece"), col("cost").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(pieceArr.nonEmpty, "vocab is empty")
+    require(pieceArr.length <= maxVocab,
+      s"vocab has ${pieceArr.length} rows (> $maxVocab) — not a tokenizer artifact")
+    require(pieceArr.forall(_._1.nonEmpty), "vocab contains an empty piece")
+    require(unkCost >= 0, s"unkCost must be >= 0, got $unkCost")
+    val pieces = pieceArr.toMap
+    val maxLen = pieces.keysIterator.map(_.length).max
+    require(maxLen <= 64, s"longest vocab piece is $maxLen chars (> 64)")
+
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("segmentation",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("total_cost",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    words.select(col(wordCol).cast("string").as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .distinct()
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val w = row.getString(0)
+          val n = w.length
+          def costOf(sub: String, k: Int): Long = pieces.get(sub) match {
+            case Some(c) => c
+            case None    => if (k == 1) unkCost else Long.MinValue
+          }
+          val best = new Array[Long](n + 1)
+          var p = 1
+          while (p <= n) {
+            var m = Long.MaxValue
+            var k = 1
+            val kMax = math.min(p, maxLen)
+            while (k <= kMax) {
+              val c = costOf(w.substring(p - k, p), k)
+              if (c != Long.MinValue && best(p - k) + c < m) m = best(p - k) + c
+              k += 1
+            }
+            best(p) = m
+            p += 1
+          }
+          val segs = scala.collection.mutable.ListBuffer.empty[String]
+          var i = n
+          while (i > 0) {
+            var chosen = -1
+            var k = 1
+            val kMax = math.min(i, maxLen)
+            while (chosen < 0 && k <= kMax) {
+              val c = costOf(w.substring(i - k, i), k)
+              if (c != Long.MinValue && best(i - k) + c == best(i)) chosen = k
+              k += 1
+            }
+            segs.prepend(w.substring(i - chosen, i))
+            i -= chosen
+          }
+          org.apache.spark.sql.Row(w, segs.mkString(" "),
+            segs.length.toLong, best(n))
+        }
+      }(enc)
+  }
+
+  /** Corpus-level [[unigramSegmentWords]]: per-document piece count
+    * and total segmentation cost. The corpus pays one explode, one
+    * join against the vocabulary-sized segmented-word table
+    * (un-hinted — AQE broadcasts while it fits), and one hash
+    * aggregate — the [[bpeEncode]] corpus shape exactly. */
+  def unigramSegment(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, unkCost: Long = 1000L): DataFrame = {
+    val wordsPerDoc = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+    val encoded = unigramSegmentWords(
+      wordsPerDoc.select(col("word")), "word", vocab, unkCost)
+    wordsPerDoc.join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("total_cost")).as("total_cost"))
+  }
+
   /** Hashed linear model scoring — the fastText-family classifier
     * shape used for corpus quality/topic gating (score every document
     * with a trained linear model over hashed bag-of-words features).

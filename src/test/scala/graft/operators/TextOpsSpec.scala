@@ -373,6 +373,92 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("ResolvedHint"), "hot-set join must stay AQE-chosen")
   }
 
+  test("unigramSegmentWords: DP picks cheapest split; ties go to the smallest last piece") {
+    val vocab = Seq(("ta", 150L), ("ble", 140L), ("table", 180L),
+      ("me", 80L), ("rge", 170L), ("mer", 150L), ("ge", 100L),
+      ("merge", 250L), ("a", 90L), ("e", 95L)).toDF("piece", "cost")
+    val words = Seq("merge", "table", "a", "xyz", "tab", "")
+      .toDF("word")
+    val got = TextOps.unigramSegmentWords(words, "word", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // 250-cost three-way tie (merge | me+rge | mer+ge): smallest
+    // last-piece k wins → "mer ge"
+    assert(got("merge") == (("mer ge", 2L, 250L)))
+    assert(got("table") == (("table", 1L, 180L)))
+    assert(got("a") == (("a", 1L, 90L)))
+    assert(got("xyz") == (("x y z", 3L, 3000L)), "all-unk word: per-char fallback")
+    assert(got("tab") == (("ta b", 2L, 1150L)), "vocab prefix + unk tail")
+    assert(!got.contains(""), "empty words are filtered, not segmented")
+  }
+
+  test("unigramSegmentWords: randomized parity with an independent driver DP") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcde"
+    val pieceSet = (for {
+      len <- 1 to 3
+      _ <- 1 to 12
+    } yield (0 until len).map(_ => alphabet(rnd.nextInt(5))).mkString).distinct
+    val vocabSeq = pieceSet.map(p => p -> (50L + rnd.nextInt(300)))
+    val vocab = vocabSeq.toDF("piece", "cost")
+    val words = (0 until 80).map(_ =>
+      (0 until (1 + rnd.nextInt(9))).map(_ => alphabet(rnd.nextInt(5))).mkString)
+    val got = TextOps.unigramSegmentWords(words.toDF("word"), "word", vocab,
+        unkCost = 500L)
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // independent reference: plain recursive memoized DP
+    val costs = vocabSeq.toMap
+    val maxLen = 3
+    def ref(w: String): (String, Long) = {
+      val n = w.length
+      val best = Array.fill(n + 1)(Long.MaxValue); best(0) = 0L
+      for (p <- 1 to n; k <- 1 to math.min(p, maxLen)) {
+        val c = costs.get(w.substring(p - k, p))
+          .orElse(if (k == 1) Some(500L) else None)
+        c.foreach(cc => if (best(p - k) + cc < best(p)) best(p) = best(p - k) + cc)
+      }
+      var i = n; var segs = List.empty[String]
+      while (i > 0) {
+        val k = (1 to math.min(i, maxLen)).find { k =>
+          costs.get(w.substring(i - k, i))
+            .orElse(if (k == 1) Some(500L) else None)
+            .exists(c => best(i - k) + c == best(i))
+        }.get
+        segs = w.substring(i - k, i) :: segs; i -= k
+      }
+      (segs.mkString(" "), best(n))
+    }
+    words.distinct.filter(_.nonEmpty).foreach { w =>
+      assert(got(w) == ref(w), s"word '$w'")
+    }
+  }
+
+  test("unigramSegment: corpus rollup matches per-word sums; vocab join stays AQE-chosen") {
+    val vocab = Seq(("ab", 10L), ("c", 20L)).toDF("piece", "cost")
+    val docs = Seq((1L, "abc ab"), (2L, "c c abc")).toDF("doc_id", "text")
+    val got = TextOps.unigramSegment(docs, "doc_id", "text", vocab, unkCost = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // abc = ab+c (30, 2 pieces); ab = ab (10, 1); c = c (20, 1)
+    assert(got == Set((1L, 2L, 3L, 40L), (2L, 3L, 4L, 70L)))
+    val plan = TextOps.unigramSegment(docs, "doc_id", "text", vocab)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("ResolvedHint"), "vocab-word join must stay AQE-chosen")
+  }
+
+  test("unigramSegmentWords: empty vocab and oversized vocab fail loudly") {
+    val words = Seq("ab").toDF("word")
+    intercept[IllegalArgumentException] {
+      TextOps.unigramSegmentWords(words, "word",
+        spark.range(0).select(col("id").cast("string").as("piece"),
+          col("id").as("cost")))
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.unigramSegmentWords(words, "word",
+        Seq(("a", 1L)).toDF("piece", "cost"), maxVocab = 0)
+    }
+  }
+
   test("bm25: hand-computed corpus — integer core exact, ln variant ranks the same") {
     val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"))
       .toDF("doc_id", "text")

@@ -1983,6 +1983,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q142: outlink extraction (the crawl→link-graph step feeding
+    // q134's PageRank) by invertible construction: every href in the
+    // synthesized page is doc_id arithmetic, covering each resolver
+    // branch — absolute (with &amp; in the query string), protocol-
+    // relative, root-relative (double- and single-quoted and
+    // unquoted), fragment-cut, and two unresolvable forms (mailto:,
+    // bare fragment) that must surface with NULL url, not vanish.
+    "q142_extract_links" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 50,
+            lit(".example.com/dir/page.html")).as("base_url"),
+          concat(
+            lit("<html><body><p>intro</p><a href=\"https://h"),
+            (col("doc_id") * 7) % 50,
+            lit(".example.com/p?a=1&amp;b=2\">x</a>"),
+            lit("<a href=\"//h"), (col("doc_id") * 11) % 50,
+            lit(".example.com/pr\">y</a>"),
+            lit("<a href='/about'>z</a>"),
+            lit("<a href=\"/faq#sec\">f</a>"),
+            lit("<a href=/u>u</a>"),
+            lit("<a href=\"mailto:info@example.com\">m</a>"),
+            lit("<a href=\"#top\">t</a></body></html>")).as("html"))
+      operators.Web.extractLinks(d, "doc_id", "html", "base_url")
+        .orderBy(col("doc_id"), col("href"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -2923,6 +2950,28 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q142: every output row recomputed from doc_id arithmetic — the
+    // raw href keeps its entity, the resolved url decodes it, the
+    // host falls out of the url, unresolvable hrefs carry NULLs.
+    "q142_extract_links" ->
+      """WITH built AS (
+        |  SELECT doc_id, [
+        |    {'href': 'https://h'||((doc_id*7)%50)||'.example.com/p?a=1&amp;b=2',
+        |     'url':  'https://h'||((doc_id*7)%50)||'.example.com/p?a=1&b=2'},
+        |    {'href': '//h'||((doc_id*11)%50)||'.example.com/pr',
+        |     'url':  'https://h'||((doc_id*11)%50)||'.example.com/pr'},
+        |    {'href': '/about', 'url': 'https://h'||(doc_id%50)||'.example.com/about'},
+        |    {'href': '/faq#sec', 'url': 'https://h'||(doc_id%50)||'.example.com/faq'},
+        |    {'href': '/u', 'url': 'https://h'||(doc_id%50)||'.example.com/u'},
+        |    {'href': 'mailto:info@example.com', 'url': NULL},
+        |    {'href': '#top', 'url': NULL}
+        |  ] AS links FROM documents WHERE doc_id < 200),
+        |ex AS (SELECT doc_id, unnest(links) AS l FROM built)
+        |SELECT doc_id, l.href AS href, l.url AS url,
+        |  CASE WHEN l.url IS NULL THEN NULL
+        |       ELSE regexp_extract(l.url, '^https?://([^/]+)', 1) END AS host
+        |FROM ex ORDER BY doc_id, href""".stripMargin,
 
     // q141: the Viterbi DP replayed verbatim — fwd carries the
     // growing best-cost list per word, bwd walks back choosing the

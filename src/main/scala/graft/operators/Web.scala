@@ -97,4 +97,59 @@ object Web {
         aggregate(ls, lit(0L), (acc, s) => acc + s("link_len"))
           .as("link_chars"))
   }
+
+  /** Outlink extraction — the step between [[htmlToText]] and the
+    * host graph that [[Graph.pageRankInt]] ranks: pull every anchor
+    * `href` out of a page, entity-decode it (crawled query strings
+    * carry `&amp;`), resolve it against the page URL, and emit one
+    * (id, href, url, host) row per link.
+    *
+    * Resolution covers the crawl-dominant cases, each branch
+    * oracle-replayable (q142): absolute `http(s)://…` kept as-is;
+    * protocol-relative `//host/…` adopts the base scheme;
+    * root-relative `/path` adopts the base scheme+host. Anything
+    * else — relative paths (needing full RFC 3986 dot-segment
+    * handling), `mailto:`, `javascript:`, empty hrefs — resolves to
+    * NULL with the raw href preserved, so unresolved links are
+    * measurable, never silently dropped. Fragments are cut before
+    * resolution (`#section` never reaches the graph). Both quoted
+    * href forms are matched; unquoted (`href=x`) too.
+    *
+    * Scale shape: row-local regexp extraction + explode — the only
+    * wire cost is the skinny (id, href, url, host) output, which is
+    * exactly what the downstream host-graph aggregate shuffles. */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val hrefRe =
+      "(?i)<a\\b[^>]*?href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\"'\\s>]+))"
+    val quoted1 = regexp_extract_all(col(htmlCol), lit(hrefRe), lit(1))
+    val quoted2 = regexp_extract_all(col(htmlCol), lit(hrefRe), lit(2))
+    val bare    = regexp_extract_all(col(htmlCol), lit(hrefRe), lit(3))
+    // the three capture groups are alternatives: per match exactly one
+    // is non-empty, so zipping them positionally and taking the first
+    // non-empty reconstructs the match list in document order
+    val hrefs = zip_with(zip_with(quoted1, quoted2,
+        (a, b) => when(a =!= "", a).otherwise(b)), bare,
+      (ab, c) => when(ab =!= "", ab).otherwise(c))
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(col("__href")) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch)) }
+    val noFrag = regexp_replace(decoded, "#.*$", "")
+    val baseScheme = regexp_extract(col(baseUrlCol), "^(https?)://", 1)
+    val baseHost   = regexp_extract(col(baseUrlCol), "^https?://([^/]+)", 1)
+    val resolved = when(col("__h").rlike("(?i)^https?://"), col("__h"))
+      .when(col("__h").startsWith("//") && baseScheme =!= "",
+        concat(baseScheme, lit(":"), col("__h")))
+      .when(col("__h").startsWith("/") && baseHost =!= "",
+        concat(baseScheme, lit("://"), baseHost, col("__h")))
+      .otherwise(lit(null).cast("string"))
+    df.select(col(idCol), col(baseUrlCol),
+        explode(hrefs).as("__href"))
+      .filter(col("__href") =!= "")
+      .withColumn("__h", noFrag)
+      .select(col(idCol), col("__href").as("href"),
+        resolved.as("url"),
+        regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"))
+  }
 }

@@ -86,6 +86,46 @@ class WebSpec extends SparkTestBase {
     assert(kept2 == 0L && dropped2 == 1L)
   }
 
+  test("extractLinks: all three quote forms, resolution branches, fragments, nulls") {
+    val html = """<a href="https://x.org/a?p=1&amp;q=2">1</a>
+      |<a class="n" href='//cdn.x.org/lib.js'>2</a>
+      |<a href="/root">3</a>
+      |<a href=bare>4</a>
+      |<a href="rel/path.html">5</a>
+      |<a href="#frag">6</a>
+      |<a href="/page#sec">7</a>
+      |<a name="anchor-without-href">8</a>""".stripMargin
+    val rows = Web.extractLinks(
+        Seq((1L, html, "https://base.example.org/dir/index.html"))
+          .toDF("id", "html", "base"), "id", "html", "base")
+      .collect()
+      .map(r => (r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+    assert(rows.length == 7, s"got ${rows.length} links: ${rows.mkString(", ")}")
+    val byHref = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byHref("https://x.org/a?p=1&amp;q=2") ==
+      ((Some("https://x.org/a?p=1&q=2"), Some("x.org"))))
+    assert(byHref("//cdn.x.org/lib.js") ==
+      ((Some("https://cdn.x.org/lib.js"), Some("cdn.x.org"))))
+    assert(byHref("/root") ==
+      ((Some("https://base.example.org/root"), Some("base.example.org"))))
+    assert(byHref("bare") == ((None, None)), "relative path unresolved, kept")
+    assert(byHref("rel/path.html") == ((None, None)))
+    assert(byHref("#frag") == ((None, None)), "pure fragment resolves to null")
+    assert(byHref("/page#sec") ==
+      ((Some("https://base.example.org/page"), Some("base.example.org"))))
+  }
+
+  test("extractLinks: document order preserved; no-link and empty pages emit nothing") {
+    val rows = Web.extractLinks(
+        Seq((1L, "<a href=/b>B</a><a href=/a>A</a>", "http://h.io/x"),
+          (2L, "<p>no links</p>", "http://h.io/y"),
+          (3L, "", "http://h.io/z")).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1L, "/b"), (1L, "/a")),
+      "explode must preserve document order and skip link-free pages")
+  }
+
   test("htmlToText: randomized body text round-trips through escape and decode") {
     val rnd = new scala.util.Random(42)
     val alphabet = "ab <>&\"' ;x\t&amp;&lt;\u0001"

@@ -1983,6 +1983,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q143: diacritic removal through the codegen StripAccents
+    // expression vs DuckDB's NATIVE strip_accents — a genuine
+    // cross-implementation oracle (java.text.Normalizer NFD→drop-Mn
+    // →NFC vs DuckDB's ICU-lineage fold) over planted accented
+    // phrases covering decomposables (é ü ñ ś ž ő) and
+    // non-decomposables that must pass through (ø ß æ Ł).
+    "q143_strip_accents" -> ((s, dir) => {
+      val words = typedLit(Seq("café", "naïve", "Łódź beißt", "señor açaí",
+        "Ødegård Ångström", "résumé fiancée", "Dvořák Želary",
+        "őrült hónap"))
+      val raw = concat(element_at(words, (col("doc_id") % 8 + 1).cast("int")),
+        lit(" - "), substring(col("text"), 1, 40))
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), raw.as("raw"),
+          graft.functions.strip_accents(raw).as("stripped"),
+          length(raw).cast("long").as("raw_len"),
+          length(graft.functions.strip_accents(raw)).cast("long")
+            .as("stripped_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q142: outlink extraction (the crawl→link-graph step feeding
     // q134's PageRank) by invertible construction: every href in the
     // synthesized page is doc_id arithmetic, covering each resolver
@@ -2949,6 +2970,19 @@ object SparkEntry {
         |SELECT doc_id, fluency, rank, bucket,
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q143: DuckDB strips the SAME constructed strings with its own
+    // native strip_accents — implementations must agree byte-for-byte.
+    "q143_strip_accents" ->
+      """WITH w AS (SELECT ['café','naïve','Łódź beißt','señor açaí',
+        |  'Ødegård Ångström','résumé fiancée','Dvořák Želary','őrült hónap'] AS a),
+        |r AS (SELECT doc_id,
+        |        a[CAST(doc_id % 8 + 1 AS INT)] || ' - ' || substr(text, 1, 40) AS raw
+        |      FROM documents, w WHERE doc_id < 300)
+        |SELECT doc_id, raw, strip_accents(raw) AS stripped,
+        |  CAST(length(raw) AS BIGINT) AS raw_len,
+        |  CAST(length(strip_accents(raw)) AS BIGINT) AS stripped_len
         |FROM r ORDER BY doc_id""".stripMargin,
 
     // q142: every output row recomputed from doc_id arithmetic — the

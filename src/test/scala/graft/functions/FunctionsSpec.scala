@@ -129,6 +129,32 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .head.getBoolean(0))
   }
 
+  test("strip_accents: marks removed, non-decomposables pass, ascii fast-path, astral-safe") {
+    val r = Seq(("señor café naïve Łódź beißt Ødegård", "plain ascii"))
+      .toDF("t", "p")
+      .select(strip_accents(col("t")).as("s"),
+        strip_accents(col("p")).as("sp"),
+        strip_accents(lit(null).cast("string")).as("sn"),
+        // decomposed input strips the same as composed input
+        strip_accents(lit("cafe\u0301")).as("sd"),
+        // astral pair + combining mark after it
+        strip_accents(lit("\uD835\uDD4A\u0301x")).as("sa"))
+      .head
+    assert(r.getString(0) == "senor cafe naive Łodz beißt Ødegard", r.getString(0))
+    assert(r.getString(1) == "plain ascii")
+    assert(r.isNullAt(2), "null stays null")
+    assert(r.getString(3) == "cafe")
+    assert(r.getString(4) == "\uD835\uDD4Ax",
+      "surrogate pairs survive; the mark after them is dropped")
+    // ascii fast path returns the same buffer (no re-encode)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("ascii only")
+    assert(graft.expr.UnicodeNorm.stripAccents(u) eq u)
+    // SQL registration round-trip
+    graft.functions.registerAll(spark)
+    assert(spark.sql("SELECT strip_accents('séñor') = 'senor'")
+      .head.getBoolean(0))
+  }
+
   test("nfkc_normalize: folds compatibility forms nfc leaves alone") {
     val ligature = "eﬃcient ² ＨＩ" // ﬃ, superscript 2, fullwidth HI
     val r = Seq(ligature).toDF("t")

@@ -438,4 +438,60 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"mp4 build→parse must not shuffle (one range exchange for orderBy " +
         s"allowed):\n${df.queryExecution.executedPlan}")
   }
+
+  test("q137/q142: HTML extraction and link extraction are row-local (sort-only exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q137_html_extract", "q142_extract_links")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.length <= 1,
+        s"$q must be a pure map (one range exchange for orderBy allowed):" +
+          s"\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("q139: sketch rollup shuffles sketch bytes only — no join back to raw rows before merge") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val merged = Sketches.hllMergeEstimate(
+      Sketches.hllRollup(li, Seq(col("l_returnflag"), col("l_linestatus")),
+        col("l_partkey")),
+      Seq(col("l_returnflag")))
+    merged.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(merged.queryExecution.executedPlan)
+    // rollup agg + merge agg: two exchanges, both group-count-sized
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 2,
+      s"rollup→merge must be exactly two partial-agg exchanges:" +
+        s"\n${merged.queryExecution.executedPlan}")
+    assert(!nodes.exists(_.nodeName.contains("Join")),
+      s"no join anywhere in the sketch path:\n${nodes.map(_.nodeName)}")
+  }
+
+  test("q140: BM25 explode is filtered to the query terms before any aggregation") {
+    val df = SparkEntry.queries("q140_bm25")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.optimizedPlan.toString
+    // the term filter must sit in the plan as a data filter (the
+    // skinny-shuffle guarantee: at most |terms| rows per doc move)
+    assert(p.contains("INSET") || p.contains(" IN ("),
+      s"query-term IN-filter missing from the optimized plan:\n$p")
+    assert(!p.contains("ResolvedHint"),
+      "only AQE may choose broadcasts in the BM25 path")
+  }
 }

@@ -484,6 +484,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(dir).listFiles().exists(_.getName == "ingest_date=2024-01-01"))
   }
 
+  test("foreachBatch sketch maintenance: per-micro-batch HLL partials merge to the batch answer") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the q139 pattern kept warm under streaming: each micro-batch
+    // appends ONE sketch row per group (never raw values), and any
+    // later reader answers distinct-count rollups from sketch bytes
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketches").toString
+    val stream = MemoryStream[UEv]
+    val q = stream.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Sketches.hllRollup(
+            batch.withColumn("day", to_date(col("ts"))),
+            Seq(col("day")), col("user_id"))
+          .write.mode("append").parquet(dir)
+      }.start()
+    val users = (1L to 300L)
+    try {
+      stream.addData(users.take(120).map(u => UEv(t("2024-01-01 10:00:00"), u)))
+      q.processAllAvailable()
+      // second batch overlaps the first (users 61..180) + a second day
+      stream.addData(users.slice(60, 180).map(u => UEv(t("2024-01-01 11:00:00"), u)) ++
+        users.slice(180, 300).map(u => UEv(t("2024-01-02 09:00:00"), u)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val partials = spark.read.parquet(dir)
+    // one sketch row per (micro-batch, day) — 3 rows total, bytes only
+    assert(partials.count() == 3)
+    val est = graft.operators.Sketches.hllMergeEstimate(partials, Seq(col("day")))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    // sparse-mode sketches at this cardinality: merge is lossless
+    assert(est("2024-01-01") == 180L,
+      s"day1 overlap must dedup across micro-batches: $est")
+    assert(est("2024-01-02") == 120L, s"day2: $est")
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

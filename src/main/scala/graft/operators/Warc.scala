@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** WARC (ISO 28500) record parsing — the container format crawl
+  * corpora actually arrive in (CommonCrawl ships WARC; everything
+  * downstream — [[Web.htmlToText]], [[Web.extractLinks]], language ID,
+  * dedup — starts from its records). A WARC file is a concatenation of
+  * records, each a version line + CRLF headers + empty line + exactly
+  * `Content-Length` payload bytes + CRLF CRLF; response records carry
+  * an HTTP message as payload, whose status/headers/body this parser
+  * also splits (status line, `Content-Type`, body after the blank
+  * line).
+  *
+  * Byte discipline: the buffer is interpreted as ISO-8859-1 (one byte
+  * = one char), so `Content-Length` arithmetic is exact for ANY
+  * payload bytes, not just ASCII — the same latin-1 trick
+  * [[graft.sources.LegacyJson]] uses for byte-compat output. Header
+  * names are case-insensitive per spec.
+  *
+  * Strictness mirrors [[Mp4.parse]]: a malformed buffer (bad version
+  * line, missing/absurd Content-Length, truncated payload, broken
+  * record terminator) yields null — never an exception, never a
+  * silent partial parse that would under-count a crawl shard.
+  *
+  * Scale shape: row-local, no shuffle; cost is O(header bytes +
+  * payload length) per record. [[buildWarc]] is the fixture twin
+  * (parse∘build = identity), so q144 value-oracles the parser with
+  * DuckDB recomputing every exported field from the source columns —
+  * the q95/q132 invertible-construction discipline. */
+object Warc {
+
+  case class WarcRecord(warc_type: String, target_uri: String,
+                        warc_date: String, content_length: Long,
+                        http_status: Option[Long],
+                        http_content_type: Option[String], body: String)
+
+  /** Parse one WARC buffer into its records; null on any malformation. */
+  def parse(raw: String): Seq[WarcRecord] = {
+    if (raw == null) return null
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
+      var off = 0
+      while (off < raw.length) {
+        val verEnd = raw.indexOf("\r\n", off)
+        if (verEnd < 0) throw new IllegalArgumentException("no version line")
+        val ver = raw.substring(off, verEnd)
+        if (ver != "WARC/1.0" && ver != "WARC/1.1")
+          throw new IllegalArgumentException(s"bad version: $ver")
+        var p = verEnd + 2
+        val headers = scala.collection.mutable.Map.empty[String, String]
+        var done = false
+        while (!done) {
+          val lineEnd = raw.indexOf("\r\n", p)
+          if (lineEnd < 0) throw new IllegalArgumentException("unterminated header")
+          if (lineEnd == p) { done = true }
+          else {
+            val line = raw.substring(p, lineEnd)
+            val colon = line.indexOf(':')
+            if (colon <= 0) throw new IllegalArgumentException(s"bad header: $line")
+            headers(line.substring(0, colon).trim.toLowerCase) =
+              line.substring(colon + 1).trim
+          }
+          p = lineEnd + 2
+        }
+        val len = headers.getOrElse("content-length",
+          throw new IllegalArgumentException("missing Content-Length")).toLong
+        if (len < 0 || p + len > raw.length)
+          throw new IllegalArgumentException("payload overruns buffer")
+        val payload = raw.substring(p, p + len.toInt)
+        p += len.toInt
+        if (p + 4 > raw.length || raw.substring(p, p + 4) != "\r\n\r\n")
+          throw new IllegalArgumentException("missing record terminator")
+        p += 4
+
+        val warcType = headers.getOrElse("warc-type", "")
+        var status: Option[Long] = None
+        var ctype: Option[String] = None
+        var body = payload
+        if (payload.startsWith("HTTP/")) {
+          val hEnd = payload.indexOf("\r\n\r\n")
+          if (hEnd >= 0) {
+            val head = payload.substring(0, hEnd).split("\r\n")
+            val statusParts = head(0).split(" ")
+            if (statusParts.length >= 2 && statusParts(1).forall(_.isDigit)) {
+              status = Some(statusParts(1).toLong)
+              head.drop(1).foreach { h =>
+                val c = h.indexOf(':')
+                if (c > 0 && h.substring(0, c).trim.equalsIgnoreCase("content-type"))
+                  ctype = Some(h.substring(c + 1).trim)
+              }
+              body = payload.substring(hEnd + 4)
+            }
+          }
+        }
+        out += WarcRecord(warcType, headers.getOrElse("warc-target-uri", null),
+          headers.getOrElse("warc-date", null), len, status, ctype, body)
+        off = p
+      }
+      out.toSeq
+    } catch { case _: Exception => null }
+  }
+
+  private val recType = StructType(Seq(
+    StructField("rec_idx", LongType),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_length", LongType),
+    StructField("http_status", LongType),
+    StructField("http_content_type", StringType),
+    StructField("body", StringType)))
+
+  /** One output row per WARC record (input columns preserved, record
+    * fields appended; `rec_idx` is the in-file ordinal). A malformed
+    * buffer yields ONE row with null record fields — the failure is a
+    * row you can count, not a vanished document. */
+  def warcRecords(df: DataFrame, warcCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ recType.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(warcCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val recs = parse(if (r.isNullAt(idx)) null else r.getString(idx))
+        if (recs == null)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null, null)))
+        else recs.iterator.zipWithIndex.map { case (rec, i) =>
+          Row.fromSeq(r.toSeq ++ Seq(i.toLong, rec.warc_type, rec.target_uri,
+            rec.warc_date, rec.content_length,
+            rec.http_status.map(Long.box).orNull,
+            rec.http_content_type.orNull, rec.body))
+        }
+      }
+    }(enc)
+  }
+
+  /** Fixture twin: build a two-record WARC (warcinfo + HTTP response)
+    * from typed columns, byte-exact so parse∘build is identity. The
+    * HTTP envelope is the fixed `200 OK` + `text/html` head; the
+    * response payload length is envelope + body length (ISO-8859-1:
+    * chars == bytes). */
+  def buildWarc(df: DataFrame, uriCol: String, dateCol: String,
+      bodyCol: String, outCol: String = "warc"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val info = "software: graft\r\n"
+    val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    val payloadLen = lit(httpHead.length) + length(col(bodyCol))
+    val warc = concat(
+      lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: " +
+        info.length + "\r\n\r\n" + info + "\r\n\r\n"),
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+      col(uriCol),
+      lit("\r\nWARC-Date: "), col(dateCol),
+      lit("\r\nContent-Length: "), payloadLen,
+      lit("\r\n\r\n" + httpHead), col(bodyCol), lit("\r\n\r\n"))
+    df.withColumn(outCol, warc)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(uri: String, body: String,
+      extraHeaders: String = "", warcType: String = "response"): String = {
+    val payload = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    s"WARC/1.0\r\nWARC-Type: $warcType\r\nWARC-Target-URI: $uri\r\n" +
+      extraHeaders + s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("parse: multi-record file, HTTP envelope split, header case-insensitivity") {
+    val raw = "WARC/1.0\r\nwarc-type: warcinfo\r\ncontent-length: 5\r\n\r\nhello\r\n\r\n" +
+      rec("https://a.io/x", "<html>page one</html>") +
+      rec("https://b.io/y", "two")
+    val recs = Warc.parse(raw)
+    assert(recs.length == 3)
+    assert(recs(0).warc_type == "warcinfo" && recs(0).body == "hello" &&
+      recs(0).http_status.isEmpty && recs(0).target_uri == null)
+    assert(recs(1).target_uri == "https://a.io/x" &&
+      recs(1).http_status.contains(200L) &&
+      recs(1).http_content_type.contains("text/html") &&
+      recs(1).body == "<html>page one</html>")
+    assert(recs(2).body == "two" && recs(2).content_length == 47L)
+  }
+
+  test("parse: payloads containing CRLF CRLF do not break record framing") {
+    // Content-Length framing must win over any separator scanning
+    val tricky = "part1\r\n\r\npart2\r\n\r\npart3"
+    val raw = s"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: ${tricky.length}\r\n\r\n$tricky\r\n\r\n" +
+      rec("https://c.io/z", "after")
+    val recs = Warc.parse(raw)
+    assert(recs.length == 2)
+    assert(recs(0).body == tricky, "payload with embedded blank lines survives intact")
+    assert(recs(1).body == "after")
+  }
+
+  test("parse: strict null on malformation — version, length, truncation, terminator") {
+    assert(Warc.parse("HTTP/1.1 200 OK\r\n\r\n") == null, "not a WARC")
+    assert(Warc.parse("WARC/1.0\r\nWARC-Type: x\r\n\r\n") == null, "no Content-Length")
+    assert(Warc.parse("WARC/1.0\r\nContent-Length: 100\r\n\r\nshort\r\n\r\n") == null,
+      "payload overruns buffer")
+    assert(Warc.parse("WARC/1.0\r\nContent-Length: 2\r\n\r\nab") == null,
+      "missing record terminator")
+    assert(Warc.parse(null) == null)
+  }
+
+  test("parse: non-HTTP payload and non-200 statuses pass through faithfully") {
+    val p404 = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\n\r\ngone"
+    val raw = s"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: ${p404.length}\r\n\r\n$p404\r\n\r\n"
+    val r = Warc.parse(raw)(0)
+    assert(r.http_status.contains(404L) && r.body == "gone")
+    // HTTP-looking prefix without a blank line: kept whole, no status
+    val weird = "HTTP/almost but not really"
+    val raw2 = s"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: ${weird.length}\r\n\r\n$weird\r\n\r\n"
+    val r2 = Warc.parse(raw2)(0)
+    assert(r2.http_status.isEmpty && r2.body == weird)
+  }
+
+  test("warcRecords: explode with ordinals; malformed buffer becomes one countable null row") {
+    val good = rec("https://a.io/1", "alpha") + rec("https://a.io/2", "beta")
+    val df = Seq((1L, good), (2L, "garbage"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "warc")
+    val rows = Warc.warcRecords(df, "warc")
+      .select(col("id"), col("rec_idx"), col("target_uri"), col("body"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3))))
+    assert(rows.count(_._1 == 1L) == 2)
+    assert(rows.contains((1L, 0L, Some("https://a.io/1"), Some("alpha"))))
+    assert(rows.contains((1L, 1L, Some("https://a.io/2"), Some("beta"))))
+    assert(rows.contains((2L, -1L, None, None)), "malformed → one null row")
+    assert(rows.contains((3L, -1L, None, None)), "null input → one null row")
+  }
+
+  test("buildWarc then warcRecords is identity on the response record") {
+    val d = Seq((7L, "https://w.io/7", "2024-05-01T00:00:00Z",
+        "body with special chars: <>&\"' and trailing  spaces  "))
+      .toDF("doc_id", "uri", "wdate", "page")
+    val out = Warc.warcRecords(Warc.buildWarc(d, "uri", "wdate", "page"), "warc")
+      .filter(col("warc_type") === "response").head
+    assert(out.getAs[String]("target_uri") == "https://w.io/7")
+    assert(out.getAs[String]("warc_date") == "2024-05-01T00:00:00Z")
+    assert(out.getAs[Long]("http_status") == 200L)
+    assert(out.getAs[String]("body") ==
+      "body with special chars: <>&\"' and trailing  spaces  ")
+  }
+}

@@ -56,6 +56,33 @@ object SparkEntry {
     * Flat strings rather than entry ARRAYS because the driver's
     * comparator row-sorts in pandas, which cannot order array cells
     * (r6 lesson: q38/q73 errored driver-side on exactly this). */
+  /** q145/q146 fixture: a WARC shard per document, whose page carries
+    * a link-only nav (text-dropped, link-extracted), a heading, the
+    * escaped doc text, a partial-link line, a root-relative + mailto
+    * anchor pair, and a too-short line — every byte a function of
+    * (doc_id, text), so both crawl outputs are DuckDB-recomputable. */
+  private def crawlFixture(s: SparkSession, dir: String) = {
+    val esc = (c: Column) => replace(replace(replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    val page = concat(
+      lit("<html><body><nav><a href=\"/x\">Home</a> <a href=\"/y\">About</a></nav>"),
+      lit("<h1>Doc "), col("doc_id"), lit("</h1>"),
+      lit("<p>"), esc(substring(col("text"), 1, 80)), lit("</p>"),
+      lit("<p><a href=\"https://h"), (col("doc_id") * 7) % 50,
+      lit(".example.com/p\">ref</a> documented elsewhere</p>"),
+      lit("<a href=\"/about\">about us</a><a href=\"mailto:x@y.z\">mail</a>"),
+      lit("<p>ok</p></body></html>"))
+    val shard = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        concat(lit("https://w"), col("doc_id") % 50,
+          lit(".example.com/p/"), col("doc_id")).as("uri"),
+        lit("2024-05-01T00:00:00Z").as("wdate"), page.as("pg"))
+    graft.pipeline.Crawl.ingest(
+      operators.Warc.buildWarc(shard, "uri", "wdate", "pg")
+        .select(col("doc_id"), col("warc")),
+      "doc_id", "warc")
+  }
+
   private def kpiEntriesExport(kpi: DataFrame): DataFrame =
     kpi.select(
       col("ingest_date"), col("total_videos"), col("total_comments"),
@@ -1983,6 +2010,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q145/q146: the full crawl front end composed — WARC build →
+    // record framing → HTTP split → chrome removal → link extraction
+    // → host-edge aggregate, every stage individually oracle-checked
+    // (q144/q137/q142), the composition re-verified end to end from
+    // the same doc_id arithmetic (the q48/q116 composition pattern).
+    "q145_crawl_ingest" -> ((s, dir) => {
+      val (docs, _, _) = crawlFixture(s, dir)
+      docs.select(col("doc_id"), col("rec_idx"), col("url"), col("text"),
+          col("n_kept"), col("n_dropped"), col("link_chars"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q146_crawl_host_edges" -> ((s, dir) => {
+      val (_, links, _) = crawlFixture(s, dir)
+      graft.pipeline.Crawl.hostEdges(links)
+        .orderBy(col("src_host"), col("dst_host"))
+    }),
+
     // q144: WARC container parsing (the format crawl corpora arrive
     // in) by invertible construction: buildWarc emits a byte-exact
     // two-record file (warcinfo + HTTP response) from doc_id-derived
@@ -2050,6 +2096,7 @@ object SparkEntry {
             lit("<a href=\"mailto:info@example.com\">m</a>"),
             lit("<a href=\"#top\">t</a></body></html>")).as("html"))
       operators.Web.extractLinks(d, "doc_id", "html", "base_url")
+        .select(col("doc_id"), col("href"), col("url"), col("host"))
         .orderBy(col("doc_id"), col("href"))
     }),
 
@@ -2993,6 +3040,41 @@ object SparkEntry {
         |  CASE bucket WHEN 1 THEN 'head' WHEN 3 THEN 'tail'
         |       ELSE 'middle' END AS tier
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q145: the documents side of the composed crawl recomputed from
+    // (doc_id, text): kept lines, counters, and token counts are the
+    // q137 arithmetic behind the q144 framing; the warcinfo record is
+    // filtered so the response is rec_idx 1.
+    "q145_crawl_ingest" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(substr(text, 1, 80), '[\x01\x02]', '', 'g'),
+        |       '\s+', ' ', 'g')) AS nt
+        | FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS rec_idx,
+        |  'https://w'||(doc_id%50)||'.example.com/p/'||doc_id AS url,
+        |  'Doc '||doc_id ||
+        |    CASE WHEN nt <> '' AND length(nt) >= 3 THEN chr(10)||nt ELSE '' END ||
+        |    chr(10)||'ref documented elsewhere' AS text,
+        |  CAST(2 + CASE WHEN nt <> '' AND length(nt) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS n_kept,
+        |  CAST(3 + CASE WHEN nt <> '' AND length(nt) < 3 THEN 1 ELSE 0 END AS BIGINT) AS n_dropped,
+        |  CAST(23 AS BIGINT) AS link_chars,
+        |  CAST(5 + CASE WHEN nt <> '' AND length(nt) >= 3
+        |       THEN len(string_split_regex(nt, '\s+')) ELSE 0 END AS BIGINT) AS n_tokens
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q146: the host graph from the same fixture — three self-edges
+    // per page (nav /x /y + /about) and one cross edge to the
+    // absolute target; mailto contributes no edge.
+    "q146_crawl_host_edges" ->
+      """WITH d AS (SELECT doc_id % 50 AS k, COUNT(*) AS n
+        |           FROM documents WHERE doc_id < 200 GROUP BY 1),
+        |e AS (
+        |  SELECT 'w'||k||'.example.com' AS src_host,
+        |         'w'||k||'.example.com' AS dst_host, 3*n AS n_links FROM d
+        |  UNION ALL
+        |  SELECT 'w'||k||'.example.com', 'h'||((7*k)%50)||'.example.com', n FROM d)
+        |SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links
+        |FROM e ORDER BY src_host, dst_host""".stripMargin,
 
     // q144: both records per doc recomputed — the warcinfo constants
     // (its 17-byte payload), and the response's Content-Length =

@@ -88,14 +88,19 @@ object Web {
 
     val ls   = col("__web_lines")
     val kept = filter(ls, keeps _)
+    // pass-through contract: every input column EXCEPT the html source
+    // survives (so compositions like [[graft.pipeline.Crawl]] keep the
+    // page URL without a join-back); the four output columns must not
+    // collide with input names
+    val carried = df.columns.filterNot(c => c == htmlCol || c == idCol)
     df.withColumn("__web_lines", lineStats)
-      .select(col(idCol),
+      .select((col(idCol) +: carried.map(col)) ++ Seq(
         array_join(transform(kept, s => s("normed")), "\n").as("text"),
         size(kept).cast("long").as("n_kept"),
         size(filter(ls, s => s("normed") =!= "" && !keeps(s)))
           .cast("long").as("n_dropped"),
         aggregate(ls, lit(0L), (acc, s) => acc + s("link_len"))
-          .as("link_chars"))
+          .as("link_chars")): _*)
   }
 
   /** Outlink extraction — the step between [[htmlToText]] and the
@@ -150,6 +155,7 @@ object Web {
       .withColumn("__h", noFrag)
       .select(col(idCol), col("__href").as("href"),
         resolved.as("url"),
-        regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"))
+        regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"),
+        baseHost.as("src_host"))
   }
 }

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Warc, Web}
+import graft.functions.{content_fingerprint64, lang_id, token_count}
+
+/** Crawl-shard ingest: WARC bytes → clean documents + host link graph
+  * — the front end [[Corpus.curate]] assumes already exists. One call
+  * composes the oracle-checked stages end to end:
+  *
+  *   [[Warc.warcRecords]] (record framing, HTTP split, q144)
+  *     → keep 200-OK text/html responses
+  *   [[Web.htmlToText]]   (chrome removal, q137)
+  *   [[Web.extractLinks]] (outlinks + resolution, q142)
+  *   + language ID, token count, content fingerprint (q33/q18/q19)
+  *
+  * Scale shape: everything up to the caller's first aggregate is a
+  * pure map over the shard partition — record parse, extraction, and
+  * scoring are row-local, and the links side is the skinny
+  * (page, href, url, host, src_host) explode. NOTHING here shuffles;
+  * the first wide operation a crawl shard meets downstream is the
+  * dedup fingerprint aggregate (whose 16-byte key this pipeline
+  * already computed). Page identity is (shard id, rec_idx) — unique
+  * by WARC framing — carried through both outputs so documents and
+  * links join without re-parsing.
+  *
+  * Observability: non-HTML / non-200 records are FILTERED (the normal
+  * crawl majority), but parse failures arrive as null-typed rows from
+  * [[Warc.warcRecords]] and are surfaced in `rejects` — a corrupt
+  * shard is a count, never a silent hole (q48's no-silent-caps rule).
+  */
+object Crawl {
+
+  /** @param warcs  one row per WARC buffer (a shard or a record batch)
+    * @return (documents, links, rejects):
+    *   documents — (shardCol, rec_idx, url, text, n_kept, n_dropped,
+    *               link_chars, lang, n_tokens, fingerprint64)
+    *   links     — (shardCol, rec_idx, href, url, host, src_host)
+    *   rejects   — parse-failed buffers: (shardCol) with count
+    *               semantics (one row per malformed buffer) */
+  def ingest(warcs: DataFrame, shardCol: String, warcCol: String,
+             maxLinkPct: Int = 60, minLineChars: Int = 3)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val recs = Warc.warcRecords(warcs, warcCol)
+    val rejects = recs.filter(col("rec_idx").isNull).select(col(shardCol))
+    val pages = recs
+      .filter(col("warc_type") === "response" && col("http_status") === 200 &&
+        col("http_content_type").startsWith("text/html"))
+      .select(col(shardCol), col("rec_idx"), col("target_uri").as("url"),
+        col("body").as("__html"))
+      .withColumn("__page", concat_ws("#", col(shardCol), col("rec_idx")))
+    val docs = Web.htmlToText(
+        pages.select(col("__page"), col(shardCol), col("rec_idx"),
+          col("url"), col("__html")),
+        "__page", "__html", maxLinkPct, minLineChars)
+      .select(col(shardCol), col("rec_idx"), col("url"),
+        col("text"), col("n_kept"), col("n_dropped"), col("link_chars"),
+        lang_id(col("text")).as("lang"),
+        token_count(col("text")).as("n_tokens"),
+        content_fingerprint64(col("text")).as("fingerprint64"))
+    val links = Web.extractLinks(
+        pages.select(col("__page"), col(shardCol), col("rec_idx"),
+          col("url"), col("__html")),
+        "__page", "__html", "url")
+      .withColumn(shardCol,
+        split(col("__page"), "#").getItem(0).cast(
+          warcs.schema(shardCol).dataType))
+      .withColumn("rec_idx", split(col("__page"), "#").getItem(1).cast("long"))
+      .select(col(shardCol), col("rec_idx"), col("href"), col("url"),
+        col("host"), col("src_host"))
+    (docs, links, rejects)
+  }
+
+  /** The host-graph edge aggregate over [[ingest]]'s links output —
+    * the input [[graft.operators.Graph.pageRankInt]] ranks. One
+    * shuffle on (src_host, dst_host); unresolved links (null host)
+    * are excluded here because they have no edge, not because they
+    * were dropped upstream. */
+  def hostEdges(links: DataFrame): DataFrame =
+    links.filter(col("host").isNotNull && col("src_host") =!= "")
+      .groupBy(col("src_host"), col("host"))
+      .agg(count(lit(1)).as("n_links"))
+      .withColumnRenamed("host", "dst_host")
+}

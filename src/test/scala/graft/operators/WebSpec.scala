@@ -142,7 +142,8 @@ class WebSpec extends SparkTestBase {
             lit(">"), lit("&gt;")),
           lit("</p></body>")).as("html"))
     val got = Web.htmlToText(in, "id", "html", minLineChars = 1)
-      .orderBy("id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("text")).toMap
     docs.foreach { case (id, raw) =>
       val expected = raw.replaceAll("[\u0001\u0002]", "")
         .replaceAll("\\s+", " ").trim

@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.operators.Warc
+import org.apache.spark.sql.functions._
+
+class CrawlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def response(uri: String, body: String,
+      ctype: String = "text/html", status: String = "200 OK"): String = {
+    val payload = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n$body"
+    s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+  }
+
+  test("ingest: docs + links + rejects from a mixed shard") {
+    val html = "<body><h1>Title here</h1>" +
+      "<p>Real content sentence with a <a href=\"https://other.io/r\">ref</a> inside.</p>" +
+      "<nav><a href=\"/a\">A</a> <a href=\"/b\">B</a></nav></body>"
+    val shard =
+      response("https://site.io/page", html) +                    // kept
+      response("https://site.io/img", "GIF89a", ctype = "image/gif") + // non-html
+      response("https://site.io/gone", "<p>nope</p>", status = "404 Not Found") // non-200
+    val (docs, links, rejects) = Crawl.ingest(
+      Seq((1L, shard), (2L, "corrupt bytes")).toDF("shard_id", "warc"),
+      "shard_id", "warc")
+
+    val d = docs.collect()
+    assert(d.length == 1, "only the 200 text/html record becomes a document")
+    val row = d(0)
+    assert(row.getAs[Long]("shard_id") == 1L && row.getAs[Long]("rec_idx") == 0L)
+    assert(row.getAs[String]("url") == "https://site.io/page")
+    assert(row.getAs[String]("text") ==
+      "Title here\nReal content sentence with a ref inside.")
+    assert(row.getAs[String]("lang") != null)
+    assert(row.getAs[Long]("n_tokens") == 9L)
+
+    val l = links.collect().map(r =>
+      (r.getAs[Long]("shard_id"), r.getAs[String]("href"),
+        Option(r.getAs[String]("host"))))
+    assert(l.length == 3, s"three anchors: ${l.mkString(", ")}")
+    assert(l.contains((1L, "https://other.io/r", Some("other.io"))))
+    assert(l.contains((1L, "/a", Some("site.io"))))
+
+    assert(rejects.count() == 1L, "the corrupt buffer is one countable reject")
+    assert(rejects.head.getLong(0) == 2L)
+  }
+
+  test("hostEdges: aggregates resolved links, drops unresolved, keeps self-edges") {
+    val links = Seq(
+      ("s1", "a.io", "a.io"), ("s1", "a.io", "b.io"), ("s2", "a.io", "b.io"),
+      ("s3", "c.io", null.asInstanceOf[String]))
+      .toDF("page", "src_host", "host")
+    val e = Crawl.hostEdges(links).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(e == Set(("a.io", "a.io", 1L), ("a.io", "b.io", 2L)))
+  }
+
+  test("ingest: everything before the caller's first aggregate is shuffle-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val shard = Seq((1L, response("https://s.io/p",
+      "<p>some page body text</p>"))).toDF("shard_id", "warc")
+    val (docs, links, _) = Crawl.ingest(shard, "shard_id", "warc")
+    for ((df, name) <- Seq((docs, "docs"), (links, "links"))) {
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty, s"$name must be a pure map over the shard")
+    }
+  }
+}

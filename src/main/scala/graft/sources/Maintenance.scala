@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -49,7 +50,11 @@ object Maintenance {
     * Per touched partition: current rows anti-joined against
     * delete/update keys, then unioned with insert/update rows, then
     * dynamic-partition-overwritten (idempotent — a failed apply
-    * reruns). Untouched partitions are never read or written.
+    * reruns). Untouched partitions are never read or written. A touched
+    * partition that the feed empties entirely is deleted outright:
+    * dynamic overwrite cannot rewrite a partition absent from the
+    * written data, so without the explicit delete its old files would
+    * survive (e.g. a retention feed draining an old date).
     * CONSTRAINT, checked loudly: the partition column is immutable
     * under updates (an update row's partition must be the row's
     * current partition — date-partitioned tables satisfy this by
@@ -91,9 +96,27 @@ object Maintenance {
       .unionByName(upserts)
       // same read-what-you-overwrite materialization as compaction
       .localCheckpoint()
-    try
+    try {
       next.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(path)
-    finally graft.operators.Dedup.CheckpointHygiene.free(next)
+      // dynamic overwrite only rewrites partitions PRESENT in `next`; a
+      // feed that deletes every remaining row of a touched partition
+      // leaves no rows for it, so its old files would silently survive.
+      // Drop those directories explicitly (only after the write lands,
+      // so a failed apply leaves the table rereadable and rerunnable).
+      val surviving = next.select(col(partitionCol).cast("string"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val emptied = touched.filterNot(surviving.contains)
+      if (emptied.nonEmpty) {
+        val root = new Path(path)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        emptied.foreach { v =>
+          val dirName =
+            if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(v)
+          fs.delete(new Path(root, s"$partitionCol=$dirName"), true)
+        }
+      }
+    } finally graft.operators.Dedup.CheckpointHygiene.free(next)
   }
 
   /** Compact every partition whose file count exceeds what

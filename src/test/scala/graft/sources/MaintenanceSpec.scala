@@ -115,6 +115,30 @@ class MaintenanceSpec extends SparkTestBase {
     }
   }
 
+  test("applyChanges: a feed that empties a partition deletes its files too") {
+    val path = tmp()
+    def seed(day: String, ids: Seq[Long]): Unit =
+      ids.toDF("id").select(col("id"), (col("id") * 10).as("v"), lit(day).as("day"))
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    seed("d1", Seq(1L, 2L))
+    seed("d2", Seq(3L))
+    // the feed removes EVERY remaining row of d1 (and inserts into d2):
+    // dynamic overwrite alone would leave d1's old files in place
+    val changes = Seq(
+      (1L, 0L, "d1", "delete"),
+      (2L, 0L, "d1", "delete"),
+      (4L, 40L, "d2", "insert")).toDF("id", "v", "day", "op")
+    Maintenance.applyChanges(spark, path, "day", Seq("id"), changes)
+    assert(!new java.io.File(s"$path/day=d1").exists(),
+      "an emptied partition's directory must be deleted, not left stale")
+    val got = spark.read.parquet(path)
+      .select("id", "v", "day").as[(Long, Long, String)].collect().toSet
+    assert(got == Set((3L, 30L, "d2"), (4L, 40L, "d2")), got.toString)
+    // idempotence holds for the emptied-partition path as well
+    Maintenance.applyChanges(spark, path, "day", Seq("id"), changes)
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
   test("compactPartitions: wrong partition column fails loudly") {
     val path = tmp()
     spark.range(100L).select(col("id"), lit("x").as("day"))

@@ -3192,8 +3192,9 @@ object SparkEntry {
         |FROM bwd WHERE i = 0 ORDER BY word""".stripMargin,
 
     // q140: the BM25 integer core replayed end-to-end — tf/df/dl/N/L
-    // recomputed over the same tokens, each term's contribution one
-    // `//` floor division, summed per doc; left join keeps
+    // recomputed over the same tokens, each term's contribution the
+    // same staged bounded `//` floor divisions (avgdl-milli → rel →
+    // tf-part-milli → idf ratio), summed per doc; left join keeps
     // non-matching docs at 0.
     "q140_bm25" ->
       """WITH tok AS (
@@ -3206,8 +3207,11 @@ object SparkEntry {
         |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
         |scored AS (
         |  SELECT tf.doc_id,
-        |    SUM(((2*s.n - 2*dfreq.df + 1) * 44 * s.l * tf.tf * 1000) //
-        |        ((2*dfreq.df + 1) * (20 * s.l * tf.tf + 6 * s.l + 18 * dl.dl * s.n)))
+        |    SUM(((2*s.n - 2*dfreq.df + 1) *
+        |         ((44000000 * tf.tf) //
+        |          (20000 * tf.tf + 6000 +
+        |           18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |        // (2*dfreq.df + 1))
         |      AS bm25_milli
         |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s
         |  GROUP BY 1)

@@ -181,15 +181,27 @@ object TextOps {
     *    discipline) — so this column is spec-pinned, not
     *    oracle-hashed.
     *  - `bm25_milli` (BIGINT): the oracle-exact integer core. With
-    *    k1=6/5 and b=3/4 every factor is rational: avgdl = L/N
-    *    (L = Σ dl), the tf part becomes 44·L·tf / (20·L·tf + 6·L +
-    *    18·dl·N), the idf surrogate is the ln-free odds ratio
-    *    (2N−2df+1)/(2df+1), and each term contributes
-    *    (idfNum·44·L·tf·10³) div (idfDen·(20·L·tf+6·L+18·dl·N)) —
-    *    a pure BIGINT floor-division recurrence DuckDB replays with
-    *    `//` (q114/q134 discipline), summed exactly per doc. Same
-    *    monotonicity in (tf, dl, df) as BM25; tie-broken identically
-    *    on any engine.
+    *    k1=6/5 and b=3/4 every factor is rational; the idf surrogate
+    *    is the ln-free odds ratio (2N−2df+1)/(2df+1). The naive
+    *    single-fraction form (idfNum·44·L·tf·10³ over
+    *    idfDen·(20·L·tf+6·L+18·dl·N)) overflows BIGINT once
+    *    N·L·tf ≈ 10¹⁴ — far below web scale — so the rational is
+    *    staged with every intermediate bounded:
+    *      am  = greatest(1, (1000·L) div N)      — avgdl, milli-tokens
+    *      rel = (10⁶·dl) div am                  — dl/avgdl, milli
+    *      tfm = (44·10⁶·tf) div (2·10⁴·tf + 6000 + 18·rel)
+    *                                             — tf part, milli, ≤2200
+    *      term = (idfNum·tfm) div idfDen
+    *    L cancels out of the tf part (÷N, then ÷avgdl), so the widest
+    *    products are 1000·L (needs Σ tokens ≤ 9·10¹⁵ — thousands of
+    *    times a 100 TB text corpus), 10⁶·dl, 44·10⁶·tf, and
+    *    idfNum·tfm ≤ (2N+1)·2200 (needs N ≤ 2·10¹⁵ docs). A pure
+    *    BIGINT floor-division recurrence DuckDB replays with `//`
+    *    (q114/q134 discipline), summed exactly per doc. Same weak
+    *    monotonicity in (tf, dl, df) as BM25 up to the milli
+    *    quantisation of the tf part; tie-broken identically on any
+    *    engine. The `greatest(1, ·)` guard covers the corner where
+    *    most docs are empty and avgdl < 1/1000 token.
     *
     * Docs matching no query term score (0, 0) and are kept — a
     * retrieval filter that silently dropped non-matches would bias
@@ -231,9 +243,13 @@ object TextOps {
           (col("tf") + lit(1.2) * (lit(0.25) +
             lit(0.75) * col("dl") * col("n") / col("l"))))
           .as("__s"),
-        // integer core: milli-units, one BIGINT floor division per term
-        expr("""((2*n - 2*df + 1) * 44 * l * tf * 1000L) div
-               |((2*df + 1) * (20 * l * tf + 6 * l + 18 * dl * n))"""
+        // integer core: milli-units, staged floor divisions so every
+        // intermediate stays bounded (see scaladoc overflow analysis)
+        expr("""((2*n - 2*df + 1) *
+               |  ((44000000 * tf) div
+               |   (20000 * tf + 6000 +
+               |    18 * ((1000000 * dl) div greatest(1L, (1000 * l) div n)))))
+               |div (2*df + 1)"""
           .stripMargin.replace("\n", " ")).as("__m"))
       .groupBy(col("doc"))
       .agg(sum(col("__s")).as("bm25"), sum(col("__m")).as("bm25_milli"))

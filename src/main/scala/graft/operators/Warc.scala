@@ -115,8 +115,12 @@ object Warc {
 
   /** One output row per WARC record (input columns preserved, record
     * fields appended; `rec_idx` is the in-file ordinal). A malformed
-    * buffer yields ONE row with null record fields — the failure is a
-    * row you can count, not a vanished document. */
+    * OR empty buffer yields ONE row with null record fields — the
+    * failure is a row you can count, not a vanished document. (An
+    * empty string parses to zero records, which for a crawl shard is
+    * the same operational event as a corrupt one: the shard produced
+    * nothing — so it lands in the same countable reject row rather
+    * than flatMapping to nothing.) */
   def warcRecords(df: DataFrame, warcCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ recType.fields)
@@ -125,7 +129,7 @@ object Warc {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val recs = parse(if (r.isNullAt(idx)) null else r.getString(idx))
-        if (recs == null)
+        if (recs == null || recs.isEmpty)
           Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null, null)))
         else recs.iterator.zipWithIndex.map { case (rec, i) =>
           Row.fromSeq(r.toSeq ++ Seq(i.toLong, rec.warc_type, rec.target_uri,

@@ -464,11 +464,14 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .toDF("doc_id", "text")
     val got = TextOps.bm25(docs, "doc_id", "text", Seq("cat", "dog"))
       .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
-    // N=3, L=6; df(cat)=1, df(dog)=2
-    // doc1 cat: (5*44*6*2*1000) // (3*(240+36+162)) = 2640000 // 1314 = 2009
-    // doc1 dog: (3*44*6*1*1000) // (5*(120+36+162)) =  792000 // 1590 =  498
-    // doc2 dog: (3*44*6*1*1000) // (5*(120+36+108)) =  792000 // 1320 =  600
-    assert(got(1L)._2 == 2009L + 498L, s"doc1 milli: ${got(1L)._2}")
+    // N=3, L=6, am = 6000//3 = 2000; df(cat)=1, df(dog)=2
+    // doc1 (dl=3): rel = 3000000//2000 = 1500
+    //   cat tf=2: tfm = 88000000//(40000+6000+27000) = 88000000//73000 = 1205
+    //             term = (5*1205)//3 = 2008
+    //   dog tf=1: tfm = 44000000//53000 = 830; term = (3*830)//5 = 498
+    // doc2 (dl=2): rel = 2000000//2000 = 1000
+    //   dog tf=1: tfm = 44000000//44000 = 1000; term = 3000//5 = 600
+    assert(got(1L)._2 == 2008L + 498L, s"doc1 milli: ${got(1L)._2}")
     assert(got(2L)._2 == 600L, s"doc2 milli: ${got(2L)._2}")
     assert(got(3L)._2 == 0L && got(3L)._1 == 0.0, "non-matching doc scores 0, kept")
     // real ln-idf variant: recompute driver-side

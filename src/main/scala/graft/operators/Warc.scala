@@ -114,13 +114,16 @@ object Warc {
     StructField("body", StringType)))
 
   /** One output row per WARC record (input columns preserved, record
-    * fields appended; `rec_idx` is the in-file ordinal). A malformed
-    * OR empty buffer yields ONE row with null record fields — the
-    * failure is a row you can count, not a vanished document. (An
-    * empty string parses to zero records, which for a crawl shard is
-    * the same operational event as a corrupt one: the shard produced
-    * nothing — so it lands in the same countable reject row rather
-    * than flatMapping to nothing.) */
+    * fields appended; `rec_idx` is the in-file ordinal). A shard that
+    * produces no records still yields ONE reject row — the failure is
+    * a row you can count, not a vanished document — and the two ways
+    * that happens stay distinguishable downstream: a MALFORMED buffer
+    * (parse returns null) gets `rec_idx = null`, an EMPTY buffer
+    * (parse returns zero records — syntactically fine, operationally
+    * still a shard that produced nothing) gets `rec_idx = -1`. All
+    * other record fields are null in both cases, so reject accounting
+    * is `rec_idx IS NULL` (corrupt) vs `rec_idx = -1` (empty) vs
+    * `rec_idx >= 0` (real records). */
   def warcRecords(df: DataFrame, warcCol: String): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ recType.fields)
@@ -129,8 +132,10 @@ object Warc {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val recs = parse(if (r.isNullAt(idx)) null else r.getString(idx))
-        if (recs == null || recs.isEmpty)
+        if (recs == null)
           Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null, null)))
+        else if (recs.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(-1L, null, null, null, null, null, null, null)))
         else recs.iterator.zipWithIndex.map { case (rec, i) =>
           Row.fromSeq(r.toSeq ++ Seq(i.toLong, rec.warc_type, rec.target_uri,
             rec.warc_date, rec.content_length,

@@ -38,13 +38,20 @@ object Crawl {
     *   documents — (shardCol, rec_idx, url, text, n_kept, n_dropped,
     *               link_chars, lang, n_tokens, fingerprint64)
     *   links     — (shardCol, rec_idx, href, url, host, src_host)
-    *   rejects   — parse-failed buffers: (shardCol) with count
-    *               semantics (one row per malformed buffer) */
+    *   rejects   — buffers that produced no records: (shardCol,
+    *               reject_kind) with count semantics (one row per
+    *               rejected buffer); reject_kind is 'malformed'
+    *               (rec_idx null — corrupt framing) or 'empty'
+    *               (rec_idx -1 — well-formed but zero records), the
+    *               [[Warc.warcRecords]] distinction carried through */
   def ingest(warcs: DataFrame, shardCol: String, warcCol: String,
              maxLinkPct: Int = 60, minLineChars: Int = 3)
       : (DataFrame, DataFrame, DataFrame) = {
     val recs = Warc.warcRecords(warcs, warcCol)
-    val rejects = recs.filter(col("rec_idx").isNull).select(col(shardCol))
+    val rejects = recs.filter(col("rec_idx").isNull || col("rec_idx") === -1L)
+      .select(col(shardCol),
+        when(col("rec_idx").isNull, lit("malformed")).otherwise(lit("empty"))
+          .as("reject_kind"))
     val pages = recs
       .filter(col("warc_type") === "response" && col("http_status") === 200 &&
         col("http_content_type").startsWith("text/html"))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Partitioned-table maintenance: the small-files half of a 100 TB
@@ -59,7 +59,14 @@ object Maintenance {
     * under updates (an update row's partition must be the row's
     * current partition — date-partitioned tables satisfy this by
     * construction); a cross-partition move must be expressed as
-    * delete + insert in the feed. */
+    * delete + insert in the feed.
+    *
+    * A NULL partition value in the feed addresses the
+    * `__HIVE_DEFAULT_PARTITION__` directory as a first-class
+    * partition: its current rows are read and rewritten through the
+    * same anti-join/union path (null-safe membership — see
+    * `inTouched`), and its directory is deleted only when the feed
+    * genuinely empties it. */
   def applyChanges(spark: SparkSession, path: String, partitionCol: String,
                    keyCols: Seq[String], changes: DataFrame): Unit = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
@@ -69,6 +76,23 @@ object Maintenance {
     val touched = changes.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq
     if (touched.isEmpty) return
+    // Null partition values (the __HIVE_DEFAULT_PARTITION__ directory)
+    // need null-safe membership everywhere below: a plain
+    // `isin(touched: _*)` NEVER matches a null row (three-valued
+    // logic), so a feed touching the null partition would (a) skip
+    // reading its current rows, (b) let the misplaced-keys guard pass
+    // trivially, and then (c) see the partition as "emptied" and
+    // recursively delete its directory — silent data loss. The
+    // predicate below treats null as an ordinary partition value and
+    // coalesces to false so its NEGATION is also decisive (the guard
+    // fails loudly instead of filtering nulls away).
+    val touchedNonNull = touched.filter(_ != null)
+    val touchesNull = touched.contains(null)
+    def inTouched(c: Column): Column = {
+      val base =
+        if (touchedNonNull.isEmpty) lit(false) else c.isin(touchedNonNull: _*)
+      coalesce(if (touchesNull) base || c.isNull else base, lit(false))
+    }
     // the immutability guard: any changed key already living OUTSIDE
     // the touched partitions would be silently duplicated (insert/
     // update) or silently survive (delete). One column-pruned
@@ -78,13 +102,13 @@ object Maintenance {
     val misplaced = spark.read.parquet(path)
       .select((keyCols :+ partitionCol).map(col): _*)
       .join(changeKeys, keyCols, "left_semi")
-      .filter(!col(partitionCol).cast("string").isin(touched: _*))
+      .filter(!inTouched(col(partitionCol).cast("string")))
       .limit(1).collect()
     require(misplaced.isEmpty,
       s"change feed touches keys outside its partitions (first: " +
         s"${misplaced.headOption}); express cross-partition moves as delete + insert")
     val current = spark.read.parquet(path)
-      .filter(col(partitionCol).cast("string").isin(touched: _*))
+      .filter(inTouched(col(partitionCol).cast("string")))
     // ALL change keys are removed before re-adding insert/update rows:
     // an insert whose key somehow already exists replaces it instead
     // of duplicating, which is what makes re-applying the same feed

@@ -27,9 +27,15 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS); Spark reads
-    * nanos only via the legacy long mapping, so we convert nanos → micros
-    * timestamp here, keeping downstream code oblivious.
+  /** events.parquet's `ts` arrives in whatever physical flavor the
+    * generator used — observed so far: parquet TIMESTAMP(NANOS) (read
+    * only via the legacy long mapping) and TIMESTAMP(MICROS) with
+    * `isAdjustedToUTC=false` (read as TIMESTAMP_NTZ). Both are
+    * normalized HERE to a session-zone TIMESTAMP carrying the same
+    * wall-clock, keeping downstream code oblivious: the engine runs
+    * UTC (GraftSession/forked JVMs pin user.timezone), so the NTZ →
+    * TZ cast is instant-preserving and `unix_micros` etc. agree with
+    * DuckDB's `epoch_us` on the same naive values.
     *
     * `spark.sql.legacy.parquet.nanosAsLong` is set ONCE at session
     * construction ([[graft.GraftSession.tune]]) rather than here: the conf
@@ -39,17 +45,25 @@ object Tables {
     * documented global effect, nanos tables are the only ones impacted. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     if (s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").forall(_ != "true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$d/events.parquet")
-    // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a double's
-    // 53-bit mantissa, so float division loses microseconds
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed a double's
+      // 53-bit mantissa, so float division loses microseconds
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
-  /** Register every table as a temp view (for spark.sql users). */
+  /** Register every table as a temp view (for spark.sql users).
+    * `events` goes through [[events]] so the view exposes the
+    * normalized TIMESTAMP `ts`, not the file's physical flavor. */
   def registerAll(s: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(s, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(s, dir) else apply(s, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

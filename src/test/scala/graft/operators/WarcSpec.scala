@@ -61,20 +61,23 @@ class WarcSpec extends SparkTestBase {
     assert(r2.http_status.isEmpty && r2.body == weird)
   }
 
-  test("warcRecords: explode with ordinals; malformed buffer becomes one countable null row") {
+  test("warcRecords: explode with ordinals; malformed vs empty rejects stay distinguishable") {
     val good = rec("https://a.io/1", "alpha") + rec("https://a.io/2", "beta")
-    val df = Seq((1L, good), (2L, "garbage"), (3L, null.asInstanceOf[String]))
+    val df = Seq((1L, good), (2L, "garbage"), (3L, null.asInstanceOf[String]),
+        (4L, ""))
       .toDF("id", "warc")
     val rows = Warc.warcRecords(df, "warc")
       .select(col("id"), col("rec_idx"), col("target_uri"), col("body"))
       .collect().map(r => (r.getLong(0),
-        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
         Option(r.getString(2)), Option(r.getString(3))))
     assert(rows.count(_._1 == 1L) == 2)
-    assert(rows.contains((1L, 0L, Some("https://a.io/1"), Some("alpha"))))
-    assert(rows.contains((1L, 1L, Some("https://a.io/2"), Some("beta"))))
-    assert(rows.contains((2L, -1L, None, None)), "malformed → one null row")
-    assert(rows.contains((3L, -1L, None, None)), "null input → one null row")
+    assert(rows.contains((1L, Some(0L), Some("https://a.io/1"), Some("alpha"))))
+    assert(rows.contains((1L, Some(1L), Some("https://a.io/2"), Some("beta"))))
+    assert(rows.contains((2L, None, None, None)), "malformed → rec_idx null")
+    assert(rows.contains((3L, None, None, None)), "null input → rec_idx null")
+    assert(rows.contains((4L, Some(-1L), None, None)),
+      "empty shard → rec_idx -1, countable separately from corrupt")
   }
 
   test("buildWarc then warcRecords is identity on the response record") {

@@ -23,7 +23,7 @@ class CrawlSpec extends SparkTestBase {
       response("https://site.io/img", "GIF89a", ctype = "image/gif") + // non-html
       response("https://site.io/gone", "<p>nope</p>", status = "404 Not Found") // non-200
     val (docs, links, rejects) = Crawl.ingest(
-      Seq((1L, shard), (2L, "corrupt bytes")).toDF("shard_id", "warc"),
+      Seq((1L, shard), (2L, "corrupt bytes"), (3L, "")).toDF("shard_id", "warc"),
       "shard_id", "warc")
 
     val d = docs.collect()
@@ -43,8 +43,10 @@ class CrawlSpec extends SparkTestBase {
     assert(l.contains((1L, "https://other.io/r", Some("other.io"))))
     assert(l.contains((1L, "/a", Some("site.io"))))
 
-    assert(rejects.count() == 1L, "the corrupt buffer is one countable reject")
-    assert(rejects.head.getLong(0) == 2L)
+    val rej = rejects.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rej == Set((2L, "malformed"), (3L, "empty")),
+      s"corrupt and empty buffers are separately countable rejects: $rej")
   }
 
   test("hostEdges: aggregates resolved links, drops unresolved, keeps self-edges") {

@@ -139,6 +139,54 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() == 2)
   }
 
+  test("applyChanges: null partition values are first-class (no silent data loss)") {
+    val path = tmp()
+    def seed(day: Option[String], ids: Seq[Long]): Unit =
+      ids.toDF("id").select(col("id"), (col("id") * 10).as("v"),
+          day.map(lit(_)).getOrElse(lit(null).cast("string")).as("day"))
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    seed(Some("d1"), Seq(1L, 2L))
+    seed(None, Seq(3L, 4L))
+    val nullDir = s"$path/day=__HIVE_DEFAULT_PARTITION__"
+    assert(new java.io.File(nullDir).exists())
+    // a delete of ONE null-partition row must read + rewrite the null
+    // partition and keep the other row — NOT see it as emptied and
+    // recursively delete the whole directory (the isin-null trap)
+    Maintenance.applyChanges(spark, path, "day", Seq("id"),
+      Seq((3L, 0L, Option.empty[String], "delete")).toDF("id", "v", "day", "op"))
+    val got = spark.read.parquet(path)
+      .select("id", "v", "day").as[(Long, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, 10L, Some("d1")), (2L, 20L, Some("d1")),
+      (4L, 40L, None)), got.toString)
+    // upsert into the null partition works like any other partition
+    Maintenance.applyChanges(spark, path, "day", Seq("id"),
+      Seq((4L, 44L, Option.empty[String], "update"),
+        (5L, 50L, Option.empty[String], "insert")).toDF("id", "v", "day", "op"))
+    assert(spark.read.parquet(path).filter(col("day").isNull)
+      .select("id", "v").as[(Long, Long)].collect().toSet ==
+      Set((4L, 44L), (5L, 50L)))
+    // the misplaced-keys guard stays LOUD across the null boundary in
+    // both directions (it used to pass trivially: null predicate rows
+    // were filtered away instead of failing)
+    intercept[IllegalArgumentException] {
+      Maintenance.applyChanges(spark, path, "day", Seq("id"),
+        Seq((1L, 0L, Option.empty[String], "update")).toDF("id", "v", "day", "op"))
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.applyChanges(spark, path, "day", Seq("id"),
+        Seq((5L, 0L, "d1", "update")).toDF("id", "v", "day", "op"))
+    }
+    // genuinely emptying the null partition deletes exactly its dir
+    Maintenance.applyChanges(spark, path, "day", Seq("id"),
+      Seq((4L, 0L, Option.empty[String], "delete"),
+        (5L, 0L, Option.empty[String], "delete")).toDF("id", "v", "day", "op"))
+    assert(!new java.io.File(nullDir).exists(),
+      "an emptied null partition must be deleted like any other")
+    assert(spark.read.parquet(path)
+      .select("id", "v", "day").as[(Long, Long, Option[String])].collect().toSet ==
+      Set((1L, 10L, Some("d1")), (2L, 20L, Some("d1"))))
+  }
+
   test("compactPartitions: wrong partition column fails loudly") {
     val path = tmp()
     spark.range(100L).select(col("id"), lit("x").as("day"))

@@ -2077,8 +2077,11 @@ object SparkEntry {
     // synthesized page is doc_id arithmetic, covering each resolver
     // branch — absolute (with &amp; in the query string), protocol-
     // relative, root-relative (double- and single-quoted and
-    // unquoted), fragment-cut, and two unresolvable forms (mailto:,
-    // bare fragment) that must surface with NULL url, not vanish.
+    // unquoted), fragment-cut, the RFC 3986 relative family (sibling
+    // file, ./ and ../ dot segments, interior a/../b/./c, bare ..,
+    // query-only), and three unresolvable forms (mailto:,
+    // javascript:, bare fragment) that must surface with NULL url,
+    // not vanish.
     "q142_extract_links" -> ((s, dir) => {
       val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id"),
@@ -2093,7 +2096,14 @@ object SparkEntry {
             lit("<a href='/about'>z</a>"),
             lit("<a href=\"/faq#sec\">f</a>"),
             lit("<a href=/u>u</a>"),
+            lit("<a href=\"p"), col("doc_id") % 7, lit(".html\">s</a>"),
+            lit("<a href=\"./local.html\">c</a>"),
+            lit("<a href=\"../up/"), col("doc_id") % 5, lit("\">p</a>"),
+            lit("<a href=\"a/../b/./"), col("doc_id") % 3, lit("\">d</a>"),
+            lit("<a href=\"..\">dd</a>"),
+            lit("<a href=\"?q="), col("doc_id") % 9, lit("&amp;r=1\">q</a>"),
             lit("<a href=\"mailto:info@example.com\">m</a>"),
+            lit("<a href=\"javascript:void(0)\">j</a>"),
             lit("<a href=\"#top\">t</a></body></html>")).as("html"))
       operators.Web.extractLinks(d, "doc_id", "html", "base_url")
         .select(col("doc_id"), col("href"), col("url"), col("host"))
@@ -3122,7 +3132,10 @@ object SparkEntry {
 
     // q142: every output row recomputed from doc_id arithmetic — the
     // raw href keeps its entity, the resolved url decodes it, the
-    // host falls out of the url, unresolvable hrefs carry NULLs.
+    // host falls out of the url, unresolvable hrefs carry NULLs. The
+    // RFC 3986 relative branches are closed-form here because the
+    // base is always /dir/page.html: sibling → /dir/f, ./x → /dir/x,
+    // ../u → /u, a/../b/./c → /dir/b/c, .. → /, ?q → base path + q.
     "q142_extract_links" ->
       """WITH built AS (
         |  SELECT doc_id, [
@@ -3133,7 +3146,20 @@ object SparkEntry {
         |    {'href': '/about', 'url': 'https://h'||(doc_id%50)||'.example.com/about'},
         |    {'href': '/faq#sec', 'url': 'https://h'||(doc_id%50)||'.example.com/faq'},
         |    {'href': '/u', 'url': 'https://h'||(doc_id%50)||'.example.com/u'},
+        |    {'href': 'p'||(doc_id%7)||'.html',
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/dir/p'||(doc_id%7)||'.html'},
+        |    {'href': './local.html',
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/dir/local.html'},
+        |    {'href': '../up/'||(doc_id%5),
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/up/'||(doc_id%5)},
+        |    {'href': 'a/../b/./'||(doc_id%3),
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/dir/b/'||(doc_id%3)},
+        |    {'href': '..',
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/'},
+        |    {'href': '?q='||(doc_id%9)||'&amp;r=1',
+        |     'url': 'https://h'||(doc_id%50)||'.example.com/dir/page.html?q='||(doc_id%9)||'&r=1'},
         |    {'href': 'mailto:info@example.com', 'url': NULL},
+        |    {'href': 'javascript:void(0)', 'url': NULL},
         |    {'href': '#top', 'url': NULL}
         |  ] AS links FROM documents WHERE doc_id < 200),
         |ex AS (SELECT doc_id, unnest(links) AS l FROM built)

@@ -109,16 +109,30 @@ object Web {
     * carry `&amp;`), resolve it against the page URL, and emit one
     * (id, href, url, host) row per link.
     *
-    * Resolution covers the crawl-dominant cases, each branch
-    * oracle-replayable (q142): absolute `http(s)://…` kept as-is;
-    * protocol-relative `//host/…` adopts the base scheme;
-    * root-relative `/path` adopts the base scheme+host. Anything
-    * else — relative paths (needing full RFC 3986 dot-segment
-    * handling), `mailto:`, `javascript:`, empty hrefs — resolves to
-    * NULL with the raw href preserved, so unresolved links are
-    * measurable, never silently dropped. Fragments are cut before
-    * resolution (`#section` never reaches the graph). Both quoted
-    * href forms are matched; unquoted (`href=x`) too.
+    * Resolution implements the RFC 3986 §5 reference-resolution
+    * cases, each branch oracle-replayable (q142):
+    *   - absolute `http(s)://…` kept as-is;
+    *   - any OTHER scheme (`mailto:`, `javascript:`, `data:`, … —
+    *     detected by `^[A-Za-z][A-Za-z0-9+.-]*:`) resolves to NULL:
+    *     those links carry no host edge;
+    *   - protocol-relative `//host/…` adopts the base scheme;
+    *   - root-relative `/path` adopts the base scheme+host;
+    *   - query-only `?q=…` keeps the base path, swaps the query
+    *     (a path-less base contributes `/`);
+    *   - plain relative paths (`page.html`, `../a/b`, `./x`,
+    *     `a/../b`) — the dominant href form on real pages — are
+    *     merged per §5.3 (base path up to its last `/`, then the
+    *     reference) and dot-segments are removed per §5.2.4 with a
+    *     segment-stack fold: `.` skipped, `..` pops (never past the
+    *     root), a trailing `.`/`..` leaves a trailing slash. The
+    *     fold is a row-local `aggregate` over `split(path, '/')` —
+    *     still no UDF, no shuffle.
+    * Anything still unresolvable (empty href, fragment-only,
+    * relative with no usable base) resolves to NULL with the raw
+    * href preserved, so unresolved links are measurable, never
+    * silently dropped. Fragments are cut before resolution
+    * (`#section` never reaches the graph). Both quoted href forms
+    * are matched; unquoted (`href=x`) too.
     *
     * Scale shape: row-local regexp extraction + explode — the only
     * wire cost is the skinny (id, href, url, host) output, which is
@@ -143,11 +157,46 @@ object Web {
     val noFrag = regexp_replace(decoded, "#.*$", "")
     val baseScheme = regexp_extract(col(baseUrlCol), "^(https?)://", 1)
     val baseHost   = regexp_extract(col(baseUrlCol), "^https?://([^/]+)", 1)
+    // RFC 3986 §5.3 merge + §5.2.4 remove_dot_segments for plain
+    // relative references. basePath is the base's path ('' when the
+    // base is just scheme://host); baseDir is it truncated after the
+    // last '/'. The fold walks merged-path segments with an array
+    // stack: '.' dropped, '..' pops one segment but never the leading
+    // '' that marks the root, anything else pushed. split() keeps the
+    // trailing '' of a path ending in '/', so directory refs keep
+    // their slash through the join.
+    val relHasScheme = col("__h").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val basePath = regexp_extract(col(baseUrlCol),
+      "^https?://[^/?#]*(/[^?#]*)?", 1)
+    val baseDir  = when(basePath === "", lit("/"))
+      .otherwise(regexp_replace(basePath, "[^/]*$", ""))
+    val relPath  = regexp_extract(col("__h"), "^([^?]*)", 1)
+    val relQuery = regexp_extract(col("__h"), "(\\?.*)$", 1)
+    val segs   = split(concat(baseDir, relPath), "/")
+    val folded = aggregate(segs, typedLit(Seq.empty[String]), (acc, s) =>
+      when(s === ".", acc)
+        .when(s === "..",
+          when(size(acc) > 1, slice(acc, lit(1), size(acc) - 1)).otherwise(acc))
+        .otherwise(concat(acc, array(s))))
+    val joined = array_join(folded, "/")
+    // a trailing '.'/'..' segment resolves to the directory itself —
+    // RFC gives it a trailing slash; an all-popped path is the root
+    val normPath = {
+      val t = when(relPath.rlike("(^|/)\\.\\.?$") && !joined.endsWith("/"),
+        concat(joined, lit("/"))).otherwise(joined)
+      when(t === "", lit("/")).otherwise(t)
+    }
     val resolved = when(col("__h").rlike("(?i)^https?://"), col("__h"))
+      .when(relHasScheme, lit(null).cast("string"))
       .when(col("__h").startsWith("//") && baseScheme =!= "",
         concat(baseScheme, lit(":"), col("__h")))
       .when(col("__h").startsWith("/") && baseHost =!= "",
         concat(baseScheme, lit("://"), baseHost, col("__h")))
+      .when(col("__h").startsWith("?") && baseHost =!= "",
+        concat(baseScheme, lit("://"), baseHost,
+          when(basePath === "", lit("/")).otherwise(basePath), col("__h")))
+      .when(col("__h") =!= "" && baseHost =!= "" && baseScheme =!= "",
+        concat(baseScheme, lit("://"), baseHost, normPath, relQuery))
       .otherwise(lit(null).cast("string"))
     df.select(col(idCol), col(baseUrlCol),
         explode(hrefs).as("__href"))

@@ -108,11 +108,58 @@ class WebSpec extends SparkTestBase {
       ((Some("https://cdn.x.org/lib.js"), Some("cdn.x.org"))))
     assert(byHref("/root") ==
       ((Some("https://base.example.org/root"), Some("base.example.org"))))
-    assert(byHref("bare") == ((None, None)), "relative path unresolved, kept")
-    assert(byHref("rel/path.html") == ((None, None)))
+    assert(byHref("bare") ==
+      ((Some("https://base.example.org/dir/bare"), Some("base.example.org"))),
+      "plain relative path resolves against the base directory")
+    assert(byHref("rel/path.html") ==
+      ((Some("https://base.example.org/dir/rel/path.html"),
+        Some("base.example.org"))))
     assert(byHref("#frag") == ((None, None)), "pure fragment resolves to null")
     assert(byHref("/page#sec") ==
       ((Some("https://base.example.org/page"), Some("base.example.org"))))
+  }
+
+  test("extractLinks: RFC 3986 relative resolution — dot segments, query-only, schemes") {
+    val html = Seq(
+      "page2.html",          // sibling file
+      "./here.html",         // explicit current dir
+      "../up/x.html",        // parent dir
+      "a/../b/./c.html",     // interior dot segments
+      "..",                  // bare parent → directory with trailing slash
+      "../../../deep",       // over-pop stops at root
+      "sub/",                // directory ref keeps its slash
+      "?q=1&amp;r=2",        // query-only: base path kept, query swapped
+      "mailto:info@x.org",   // non-http scheme → null
+      "javascript:void(0)",  // non-http scheme → null
+      "x:y/z")               // scheme-shaped first segment → null (RFC: write ./x:y)
+      .map(h => s"""<a href="$h">l</a>""").mkString
+    val rows = Web.extractLinks(
+        Seq((1L, html, "https://b.org/d1/d2/page.html"))
+          .toDF("id", "html", "base"), "id", "html", "base")
+      .collect().map(r => (r.getString(1), Option(r.getString(2))))
+    val byHref = rows.toMap
+    assert(rows.length == 11)
+    assert(byHref("page2.html") == Some("https://b.org/d1/d2/page2.html"))
+    assert(byHref("./here.html") == Some("https://b.org/d1/d2/here.html"))
+    assert(byHref("../up/x.html") == Some("https://b.org/d1/up/x.html"))
+    assert(byHref("a/../b/./c.html") == Some("https://b.org/d1/d2/b/c.html"))
+    assert(byHref("..") == Some("https://b.org/d1/"))
+    assert(byHref("../../../deep") == Some("https://b.org/deep"),
+      "excess .. segments stop at the root, not above it")
+    assert(byHref("sub/") == Some("https://b.org/d1/d2/sub/"))
+    assert(byHref("?q=1&amp;r=2") ==
+      Some("https://b.org/d1/d2/page.html?q=1&r=2"))
+    assert(byHref("mailto:info@x.org") == None)
+    assert(byHref("javascript:void(0)") == None)
+    assert(byHref("x:y/z") == None)
+    // a path-less base still resolves relatives from '/'
+    val bare = Web.extractLinks(
+        Seq((1L, "<a href=\"p.html\">l</a><a href=\"?s=1\">q</a>",
+          "https://naked.org")).toDF("id", "html", "base"),
+        "id", "html", "base")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)))).toMap
+    assert(bare("p.html") == Some("https://naked.org/p.html"))
+    assert(bare("?s=1") == Some("https://naked.org/?s=1"))
   }
 
   test("extractLinks: document order preserved; no-link and empty pages emit nothing") {

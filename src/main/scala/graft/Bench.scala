@@ -86,8 +86,19 @@ object Bench {
       val errs = results.collect { case (k, (_, _, Some(e))) =>
         "\"" + shortId(k) + "\":\"" + e.take(maxErrLen) + "\"" }.take(8)
       val errsField = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
+      // self-adjudicated load flags (r8 verdict item 8): at local[N] an
+      // engine-bound query burns ≥ its wall-clock in process CPU; wall
+      // far above CPU means the wall-clock was stolen by something
+      // outside this JVM (external load / IO stall), so the timing is
+      // suspect. Only flag queries big enough to matter (≥0.5 s) —
+      // empty on an idle machine, a short id list on a poisoned one.
+      val suspects = results.collect {
+        case (k, (w, c, None)) if w >= 0.5 && c < 0.4 * w => "\"" + shortId(k) + "\""
+      }.take(12)
+      val suspectField =
+        if (suspects.isEmpty) "" else suspects.mkString(""","load_suspect":[""", ",", "]")
       val total = results.values.collect { case (v, _, None) => v }.sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errsField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs$errsField$suspectField,"sf":"$sfDir"}"""
     }
     // load telemetry, stderr only (stdout is driver contract): per-query
     // process-CPU seconds next to wall seconds, plus the 1-minute system

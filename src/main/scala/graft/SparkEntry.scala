@@ -2051,6 +2051,30 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rec_idx"))
     }),
 
+    // q147: the `.warc.gz` wire format (what CommonCrawl actually
+    // ships): the SAME two records as q144 but each compressed as its
+    // own gzip member, byte-concatenated, and read back through the
+    // BINARY path (strict multi-member gunzip — CRC32 + ISIZE +
+    // no-trailing-garbage — then the q144 framing). The oracle is the
+    // q144 value oracle verbatim: the gzip layer must be a perfect
+    // round-trip identity or every hash diverges.
+    "q147_warc_gzip" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://w"), col("doc_id") % 50,
+            lit(".example.com/p/"), col("doc_id")).as("uri"),
+          lit("2024-05-01T00:00:00Z").as("wdate"),
+          substring(col("text"), 1, 100).as("page"))
+      operators.Warc.warcRecordsBinary(
+          operators.Warc.buildWarcGz(d, "uri", "wdate", "page")
+            .drop("uri", "wdate", "page"), "warc_gz")
+        .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+          col("target_uri"), col("warc_date"), col("content_length"),
+          col("http_status"), col("http_content_type"),
+          col("body").as("payload_body"))
+        .orderBy(col("doc_id"), col("rec_idx"))
+    }),
+
     // q143: diacritic removal through the codegen StripAccents
     // expression vs DuckDB's NATIVE strip_accents — a genuine
     // cross-implementation oracle (java.text.Normalizer NFD→drop-Mn
@@ -3091,6 +3115,36 @@ object SparkEntry {
     // 44-byte HTTP envelope + page length, status/type from the fixed
     // envelope, body = the page itself (pass-through).
     "q144_warc_parse" ->
+      """WITH d AS (SELECT doc_id,
+        |  'https://w'||(doc_id%50)||'.example.com/p/'||doc_id AS uri,
+        |  substr(text, 1, 100) AS page
+        | FROM documents WHERE doc_id < 200),
+        |built AS (SELECT doc_id, [
+        |  {'rec_idx': 0, 'warc_type': 'warcinfo',
+        |   'target_uri': CAST(NULL AS VARCHAR), 'warc_date': CAST(NULL AS VARCHAR),
+        |   'content_length': 17, 'http_status': CAST(NULL AS BIGINT),
+        |   'http_content_type': CAST(NULL AS VARCHAR),
+        |   'payload_body': 'software: graft' || chr(13) || chr(10)},
+        |  {'rec_idx': 1, 'warc_type': 'response',
+        |   'target_uri': uri, 'warc_date': '2024-05-01T00:00:00Z',
+        |   'content_length': 44 + length(page),
+        |   'http_status': CAST(200 AS BIGINT),
+        |   'http_content_type': 'text/html', 'payload_body': page}
+        |  ] AS recs FROM d),
+        |ex AS (SELECT doc_id, unnest(recs) AS r FROM built)
+        |SELECT doc_id, CAST(r.rec_idx AS BIGINT) AS rec_idx,
+        |  r.warc_type AS warc_type, r.target_uri AS target_uri,
+        |  r.warc_date AS warc_date,
+        |  CAST(r.content_length AS BIGINT) AS content_length,
+        |  r.http_status AS http_status,
+        |  r.http_content_type AS http_content_type,
+        |  r.payload_body AS payload_body
+        |FROM ex ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // q147: gzip round-trip identity — the expectation is EXACTLY the
+    // q144 recomputation (same records, same fields); any gzip-layer
+    // corruption or silent partial decompression breaks the hash.
+    "q147_warc_gzip" ->
       """WITH d AS (SELECT doc_id,
         |  'https://w'||(doc_id%50)||'.example.com/p/'||doc_id AS uri,
         |  substr(text, 1, 100) AS page

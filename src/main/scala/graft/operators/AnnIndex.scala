@@ -109,17 +109,90 @@ object AnnIndex {
       .parquet(s"$path/codes")
   }
 
+  /** Mark ids deleted WITHOUT touching the codes table: tombstone
+    * rows append to `<path>/tombstones/` (id-only parquet — bytes per
+    * delete), and [[probeIvfPq]] anti-joins them out until
+    * [[compactIvfPq]] physically drops the entries. This is the
+    * standard serving-index delete shape (FAISS `remove_ids` rebuilds
+    * the inverted lists; LSM stores tombstone-then-compact — at 100 TB
+    * the latter is the only one that doesn't turn every delete into a
+    * table rewrite). Deleting an id not in the index is a no-op by
+    * construction (the anti-join matches nothing). Idempotent:
+    * re-appending the same tombstone changes nothing semantically. */
+  def deleteIvfPq(ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("neighbor_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** The live tombstone set, or None when the index has none (fresh
+    * build, or just compacted). */
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Physically drop tombstoned entries: rewrite ONLY the `list=`
+    * partitions that actually hold a tombstoned id (victims-only — a
+    * delete feed touching 3 of 4096 lists rewrites 3 directories),
+    * then clear the tombstone table. A list emptied entirely loses its
+    * directory (dynamic overwrite can't rewrite a partition absent
+    * from the written data — same explicit-delete discipline as
+    * [[graft.sources.Maintenance.applyChanges]]). Probe results are
+    * identical before and after (spec-pinned): compaction reclaims
+    * bytes and probe-time anti-join work, never changes answers.
+    * Idempotent — a failed compaction reruns (tombstones are cleared
+    * only after the codes rewrite lands). */
+  def compactIvfPq(spark: SparkSession, path: String): Unit = {
+    tombstones(spark, path).foreach { ts =>
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val codes = spark.read.parquet(s"$path/codes")
+      // victim lists: one column-pruned semi-join, |victims| ≤ nlist
+      val victims = codes.join(ts, Seq("neighbor_id"), "left_semi")
+        .select(col("list")).distinct().collect().map(_.get(0))
+      if (victims.nonEmpty) {
+        val next = codes.filter(col("list").isin(victims.toIndexedSeq: _*))
+          .join(ts, Seq("neighbor_id"), "left_anti")
+          // read-what-you-overwrite: materialize before rewriting
+          .localCheckpoint()
+        // force dynamic overwrite regardless of session config — static
+        // mode would silently DROP every non-victim partition
+        val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          next.write.mode(SaveMode.Overwrite).partitionBy("list")
+            .parquet(s"$path/codes")
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        val surviving = next.select(col("list")).distinct()
+          .collect().map(_.get(0)).toSet
+        victims.filterNot(surviving).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/list=$v"), true)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
+  }
+
   /** Probe a persisted index: read codes (partition-pruned to the
-    * probed lists), run the shared ADC + exact-re-rank pipeline.
-    * `corpus` supplies true vectors for the |queries|·refine·k re-rank
-    * join only — the index never stores embeddings. */
+    * probed lists), drop any tombstoned entries (anti-join against the
+    * id-only tombstone table — bounded by compaction cadence, and AQE
+    * broadcasts it while it's small), run the shared ADC +
+    * exact-re-rank pipeline. `corpus` supplies true vectors for the
+    * |queries|·refine·k re-rank join only — the index never stores
+    * embeddings. */
   def probeIvfPq(queries: DataFrame, corpus: DataFrame, path: String,
                  queryId: String, queryVec: String,
                  corpusId: String, corpusVec: String,
                  k: Int, nprobe: Int = 4, refine: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
     val model = loadIvfPqModel(spark, path)
-    val encoded = spark.read.parquet(s"$path/codes")
+    val all = spark.read.parquet(s"$path/codes")
+    val live = tombstones(spark, path)
+      .fold(all)(ts => all.join(ts, Seq("neighbor_id"), "left_anti"))
+    val encoded = live
       .select(col("neighbor_id"),
         col("list").cast("int").as("__list"), col("codes").as("__codes"))
     Similarity.ivfPqProbe(encoded, queries, corpus,

@@ -103,6 +103,79 @@ object Warc {
     } catch { case _: Exception => null }
   }
 
+  /** Strict multi-member gzip decompression (RFC 1952) — the wire
+    * format of `.warc.gz` crawl shards, where EVERY record is its own
+    * gzip member and a file is the byte concatenation of members.
+    * Returns the concatenated decompressed bytes, or null on ANY
+    * malformation: bad magic/method, truncated header or trailer,
+    * deflate stream error, CRC32 mismatch, ISIZE mismatch, or
+    * trailing bytes that aren't a well-formed member. The member walk
+    * is manual (header fields + `Inflater(nowrap)` + 8-byte trailer)
+    * rather than `GZIPInputStream` precisely for that last clause —
+    * the JDK stream silently IGNORES trailing garbage after the final
+    * member, which would turn a half-corrupt shard into a silent
+    * partial parse, the exact failure mode [[parse]] refuses. */
+  def gunzipMembers(raw: Array[Byte]): Array[Byte] = {
+    if (raw == null) return null
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, raw.length * 3))
+      var off = 0
+      if (raw.length == 0) return out.toByteArray
+      while (off < raw.length) {
+        if (off + 10 > raw.length) throw new IllegalArgumentException("truncated header")
+        if ((raw(off) & 0xff) != 0x1f || (raw(off + 1) & 0xff) != 0x8b)
+          throw new IllegalArgumentException("bad magic")
+        if (raw(off + 2) != 8) throw new IllegalArgumentException("bad method")
+        val flg = raw(off + 3) & 0xff
+        var p = off + 10
+        if ((flg & 4) != 0) { // FEXTRA: little-endian xlen + payload
+          val xlen = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8); p += 2 + xlen
+        }
+        if ((flg & 8) != 0) { while (raw(p) != 0) p += 1; p += 1 }  // FNAME (NUL-terminated)
+        if ((flg & 16) != 0) { while (raw(p) != 0) p += 1; p += 1 } // FCOMMENT
+        if ((flg & 2) != 0) p += 2                                  // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(raw, p, raw.length - p)
+          val buf = new Array[Byte](8192)
+          val crc = new java.util.zip.CRC32()
+          var msize = 0L
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput())
+              throw new IllegalArgumentException("truncated deflate stream")
+            crc.update(buf, 0, n); out.write(buf, 0, n); msize += n
+          }
+          p += inf.getBytesRead.toInt
+          if (p + 8 > raw.length) throw new IllegalArgumentException("truncated trailer")
+          def le32(o: Int): Long = (raw(o) & 0xffL) | ((raw(o + 1) & 0xffL) << 8) |
+            ((raw(o + 2) & 0xffL) << 16) | ((raw(o + 3) & 0xffL) << 24)
+          if (le32(p) != crc.getValue) throw new IllegalArgumentException("CRC mismatch")
+          if (le32(p + 4) != (msize & 0xffffffffL))
+            throw new IllegalArgumentException("ISIZE mismatch")
+          p += 8
+        } finally inf.end()
+        off = p
+      }
+      out.toByteArray
+    } catch { case _: Exception => null }
+  }
+
+  /** Parse a BINARY WARC buffer — gzipped (leading 1f 8b: the
+    * `.warc.gz` wire format, per-record members gunzipped by
+    * [[gunzipMembers]]) or plain bytes — into records via [[parse]]
+    * on the latin-1 view. Null on any malformation at either layer
+    * (gzip framing or WARC framing); same strict contract. */
+  def parseBinary(raw: Array[Byte]): Seq[WarcRecord] = {
+    if (raw == null) return null
+    val plain =
+      if (raw.length >= 2 && (raw(0) & 0xff) == 0x1f && (raw(1) & 0xff) == 0x8b)
+        gunzipMembers(raw)
+      else raw
+    if (plain == null) null
+    else parse(new String(plain, java.nio.charset.StandardCharsets.ISO_8859_1))
+  }
+
   private val recType = StructType(Seq(
     StructField("rec_idx", LongType),
     StructField("warc_type", StringType),
@@ -124,14 +197,29 @@ object Warc {
     * other record fields are null in both cases, so reject accounting
     * is `rec_idx IS NULL` (corrupt) vs `rec_idx = -1` (empty) vs
     * `rec_idx >= 0` (real records). */
-  def warcRecords(df: DataFrame, warcCol: String): DataFrame = {
+  def warcRecords(df: DataFrame, warcCol: String): DataFrame =
+    recordsImpl(df, warcCol, asBinary = false)
+
+  /** [[warcRecords]] over a BINARY column (e.g. `binaryFile`-read
+    * `.warc.gz` shards): per-record gzip members are decompressed
+    * in the scan task — row-local, no shuffle, cost O(compressed +
+    * decompressed bytes) — then framed identically. Same reject-row
+    * contract (`rec_idx` null = malformed at either the gzip or the
+    * WARC layer, -1 = empty). */
+  def warcRecordsBinary(df: DataFrame, warcCol: String): DataFrame =
+    recordsImpl(df, warcCol, asBinary = true)
+
+  private def recordsImpl(df: DataFrame, warcCol: String, asBinary: Boolean): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ recType.fields)
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
     val idx = inSchema.fieldIndex(warcCol)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
-        val recs = parse(if (r.isNullAt(idx)) null else r.getString(idx))
+        val recs =
+          if (r.isNullAt(idx)) null
+          else if (asBinary) parseBinary(r.getAs[Array[Byte]](idx))
+          else parse(r.getString(idx))
         if (recs == null)
           Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null, null, null)))
         else if (recs.isEmpty)
@@ -166,5 +254,41 @@ object Warc {
       lit("\r\nContent-Length: "), payloadLen,
       lit("\r\n\r\n" + httpHead), col(bodyCol), lit("\r\n\r\n"))
     df.withColumn(outCol, warc)
+  }
+
+  /** Gzipped fixture twin of [[buildWarc]]: the SAME two records,
+    * each compressed as its OWN gzip member and byte-concatenated —
+    * the `.warc.gz` layout CommonCrawl actually ships (one member per
+    * record so a reader can skip records without decompressing the
+    * whole file). `parseBinary ∘ buildWarcGz = parse ∘ buildWarc`,
+    * which is what WarcSpec pins and what lets q147 reuse the q144
+    * value oracle: the gzip layer must be a perfect identity or the
+    * hashes diverge. Compression runs in a scala UDF (fixture path
+    * only — the production read side is `binaryFile` →
+    * [[warcRecordsBinary]], which never compresses). */
+  def buildWarcGz(df: DataFrame, uriCol: String, dateCol: String,
+      bodyCol: String, outCol: String = "warc_gz"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val info = "software: graft\r\n"
+    val httpHead = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+    val rec0 = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: " +
+      info.length + "\r\n\r\n" + info + "\r\n\r\n"
+    val gz = udf { (uri: String, date: String, body: String) =>
+      val payload = httpHead + body
+      val rec1 = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + uri +
+        "\r\nWARC-Date: " + date + "\r\nContent-Length: " + payload.length +
+        "\r\n\r\n" + payload + "\r\n\r\n"
+      gzipMember(rec0) ++ gzipMember(rec1)
+    }
+    df.withColumn(outCol, gz(col(uriCol), col(dateCol), col(bodyCol)))
+  }
+
+  /** One string (latin-1 bytes) → one gzip member. */
+  private def gzipMember(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(s.length / 2 + 32)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    gz.close()
+    bos.toByteArray
   }
 }

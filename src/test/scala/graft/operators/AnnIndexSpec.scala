@@ -116,6 +116,73 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("delete lifecycle: build → append → delete → probe excludes → compact → probe unchanged") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    val q = emb.filter(col("vec_id") < 10)
+    val path = tmp()
+    AnnIndex.buildIvfPq(half, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    AnnIndex.appendIvfPq(rest, "vec_id", "embedding", path)
+    def probe() = AnnIndex.probeIvfPq(q, emb, path, "vec_id", "embedding",
+        "vec_id", "embedding", k = 5, nprobe = 8, refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = probe()
+    assert(before.nonEmpty)
+    // delete every neighbor the probe currently returns except the
+    // self-match — results MUST change, and deleted ids MUST vanish
+    val victims = before.map(_._2).filter(_ >= 10L)
+    assert(victims.nonEmpty, "fixture sanity: some non-query neighbors to delete")
+    AnnIndex.deleteIvfPq(victims.toSeq.toDF("vec_id"), "vec_id", path)
+    // plus an id that is NOT in the index: a no-op, not an error
+    AnnIndex.deleteIvfPq(Seq(999999L).toDF("vec_id"), "vec_id", path)
+    val afterDelete = probe()
+    assert(afterDelete.nonEmpty)
+    assert(afterDelete.forall(r => !victims.contains(r._2)),
+      "tombstoned ids must not surface in probe results")
+    val totalBefore = spark.read.parquet(s"$path/codes").count()
+    AnnIndex.compactIvfPq(spark, path)
+    // physical state: tombstoned entries gone, tombstone table gone
+    assert(spark.read.parquet(s"$path/codes").count() == totalBefore - victims.size)
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "compaction clears the tombstone table")
+    // semantic state: probe answers identical to the tombstone-masked run
+    assert(probe() == afterDelete,
+      "compaction reclaims bytes, never changes answers")
+    // idempotence: compacting a clean index is a no-op
+    AnnIndex.compactIvfPq(spark, path)
+    assert(probe() == afterDelete)
+  }
+
+  test("compact deletes a list directory its tombstones fully empty") {
+    import spark.implicits._
+    // 2 tiny clusters far apart → nlist=2 puts each in its own list
+    val vecs = Seq(
+      (1L, Array(10.0f, 0f, 0f, 0f)), (2L, Array(10.1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 10.0f, 0f, 0f)), (4L, Array(0f, 10.2f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = tmp()
+    AnnIndex.buildIvfPq(vecs, "vec_id", "embedding", path,
+      nlist = 2, m = 2, ksub = 2)
+    val lists = spark.read.parquet(s"$path/codes")
+      .select("neighbor_id", "list").as[(Long, Int)].collect().toMap
+    assert(lists.values.toSet.size == 2, "fixture sanity: two lists in use")
+    // tombstone everything in one list
+    val victimList = lists(1L)
+    val victimIds = lists.collect { case (id, l) if l == victimList => id }.toSeq
+    AnnIndex.deleteIvfPq(victimIds.toDF("vec_id"), "vec_id", path)
+    AnnIndex.compactIvfPq(spark, path)
+    val dirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirs.contains(s"list=$victimList"),
+      "an emptied list loses its directory outright")
+    val left = spark.read.parquet(s"$path/codes")
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(left == lists.keySet -- victimIds, "other list untouched")
+  }
+
   test("sampled training keeps recall above the q110 floor") {
     val emb = Tables.embeddings(spark, sf)
     val q = emb.filter(col("vec_id") < 10)

@@ -80,6 +80,75 @@ class WarcSpec extends SparkTestBase {
       "empty shard → rec_idx -1, countable separately from corrupt")
   }
 
+  private def gzip(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    gz.close(); bos.toByteArray
+  }
+
+  test("gunzipMembers: concatenated members round-trip; strict null on corruption") {
+    val a = rec("https://a.io/1", "alpha")
+    val b = rec("https://b.io/2", "beta")
+    val cat = gzip(a) ++ gzip(b)
+    assert(new String(Warc.gunzipMembers(cat),
+      java.nio.charset.StandardCharsets.ISO_8859_1) == a + b,
+      "two members decompress to the byte concatenation")
+    assert(Warc.gunzipMembers(Array.emptyByteArray).length == 0)
+    assert(Warc.gunzipMembers(null) == null)
+    // flip one payload byte: CRC must catch it
+    val corrupt = cat.clone(); corrupt(cat.length / 2) = (corrupt(cat.length / 2) ^ 0x7f).toByte
+    assert(Warc.gunzipMembers(corrupt) == null, "bit flip → null, not partial output")
+    // truncate mid-trailer
+    assert(Warc.gunzipMembers(cat.dropRight(3)) == null, "truncated trailer → null")
+    // trailing garbage after the last member must NOT be ignored
+    assert(Warc.gunzipMembers(cat ++ Array[Byte](1, 2, 3)) == null,
+      "trailing garbage → null (GZIPInputStream would silently accept)")
+  }
+
+  test("parseBinary: gzip and plain binary agree with string parse") {
+    val raw = rec("https://a.io/x", "<html>page</html>") + rec("https://b.io/y", "two")
+    val plain = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val gzBytes = Warc.parse(raw)
+    assert(Warc.parseBinary(plain) == gzBytes, "plain bytes == string parse")
+    assert(Warc.parseBinary(gzip(rec("https://a.io/x", "<html>page</html>")) ++
+      gzip(rec("https://b.io/y", "two"))) == gzBytes, "per-record gzip members == string parse")
+    assert(Warc.parseBinary(null) == null)
+    assert(Warc.parseBinary("WARC/9.9 nope".getBytes("ISO-8859-1")) == null)
+  }
+
+  test("buildWarcGz → warcRecordsBinary equals buildWarc → warcRecords") {
+    val d = Seq(
+      (1L, "https://w.io/1", "2024-05-01T00:00:00Z", "first body <>&"),
+      (2L, "https://w.io/2", "2024-05-01T00:00:00Z", ""),
+      (3L, "https://w.io/3", "2024-05-01T00:00:00Z", "third\nmultiline\nbody"))
+      .toDF("doc_id", "uri", "wdate", "page")
+    val cols = Seq("doc_id", "rec_idx", "warc_type", "target_uri", "warc_date",
+      "content_length", "http_status", "http_content_type", "body")
+    val viaString = Warc.warcRecords(Warc.buildWarc(d, "uri", "wdate", "page"), "warc")
+      .select(cols.map(col): _*).orderBy("doc_id", "rec_idx").collect().toSeq
+    val viaGz = Warc.warcRecordsBinary(
+        Warc.buildWarcGz(d, "uri", "wdate", "page").drop("uri", "wdate", "page"), "warc_gz")
+      .select(cols.map(col): _*).orderBy("doc_id", "rec_idx").collect().toSeq
+    assert(viaGz == viaString, "gzip layer is a perfect identity")
+    assert(viaGz.length == 6, "two records per doc")
+  }
+
+  test("warcRecordsBinary: reject-row contract holds through the gzip layer") {
+    val good = gzip(rec("https://a.io/1", "alpha"))
+    val corrupt = good.clone(); corrupt(good.length / 2) = (corrupt(good.length / 2) ^ 0x7f).toByte
+    val df = Seq((1L, good), (2L, corrupt), (3L, null.asInstanceOf[Array[Byte]]),
+        (4L, Array.emptyByteArray))
+      .toDF("id", "warc_gz")
+    val rows = Warc.warcRecordsBinary(df, "warc_gz")
+      .select(col("id"), col("rec_idx"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(rows.contains((1L, Some(0L))))
+    assert(rows.contains((2L, None)), "corrupt gzip → malformed reject")
+    assert(rows.contains((3L, None)), "null → malformed reject")
+    assert(rows.contains((4L, Some(-1L))), "empty bytes → empty-shard reject")
+  }
+
   test("buildWarc then warcRecords is identity on the response record") {
     val d = Seq((7L, "https://w.io/7", "2024-05-01T00:00:00Z",
         "body with special chars: <>&\"' and trailing  spaces  "))

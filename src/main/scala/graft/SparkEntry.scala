@@ -2029,6 +2029,34 @@ object SparkEntry {
         .orderBy(col("src_host"), col("dst_host"))
     }),
 
+    // q148: the END-TO-END crawl→rank composition — WARC shards →
+    // Crawl.ingest → hostEdges → pageRankInt — in ONE query, so the
+    // chaining of the stages (not just each stage, q144/q137/q142/
+    // q146/q134) is hash-pinned. Host names map to integer node ids
+    // (wK→K, hJ→100+J — the fixture's host universe) because ranks
+    // are integer-quantized; the oracle rebuilds the same edge set
+    // from doc_id arithmetic and unrolls the same 3-iteration BIGINT
+    // power recurrence, then maps ids back to host names.
+    "q148_crawl_pagerank" -> ((s, dir) => {
+      val (_, links, _) = crawlFixture(s, dir)
+      val edges = graft.pipeline.Crawl.hostEdges(links)
+      def hid(c: Column): Column = {
+        val num = regexp_extract(c, "^[wh](\\d+)", 1).cast("long")
+        when(c.startsWith("w"), num).otherwise(num + 100L)
+      }
+      val e = edges.select(hid(col("src_host")).as("src"),
+        hid(col("dst_host")).as("dst"))
+      val hosts = edges
+        .select(hid(col("src_host")).as("node"), col("src_host").as("host"))
+        .unionByName(edges
+          .select(hid(col("dst_host")).as("node"), col("dst_host").as("host")))
+        .distinct()
+      graft.operators.Graph.pageRankInt(e, "src", "dst", iterations = 3)
+        .join(hosts, "node")
+        .select(col("node"), col("host"), col("pr"))
+        .orderBy(col("node"))
+    }),
+
     // q144: WARC container parsing (the format crawl corpora arrive
     // in) by invertible construction: buildWarc emits a byte-exact
     // two-record file (warcinfo + HTTP response) from doc_id-derived
@@ -2132,6 +2160,23 @@ object SparkEntry {
       operators.Web.extractLinks(d, "doc_id", "html", "base_url")
         .select(col("doc_id"), col("href"), col("url"), col("host"))
         .orderBy(col("doc_id"), col("href"))
+    }),
+
+    // q149: unigram-LM vocabulary TRAINING (the SentencePiece-style
+    // EM trainer feeding q141's encoder) — one full round replayed:
+    // corpus-weighted substring seeding, integer surrogate costing
+    // ((1000·U) div u — the q140 ln-free discipline), a Viterbi
+    // E-step through the same DP contract q141 pins (this time
+    // against a DERIVED piece table, not a literal map), and the
+    // prune+recost M-step. Every step BIGINT, so the emitted
+    // vocabulary is hash-exact cross-engine.
+    "q149_unigram_train" -> ((s, dir) => {
+      operators.TextOps.unigramTrain(
+          Tables.documents(s, dir).filter(col("doc_id") < 40),
+          "doc_id", "text", vocabSize = 60, iterations = 1,
+          maxPieceLen = 4, seedSize = 120, minCount = 3)
+        .select(col("piece"), col("cost"), col("count"))
+        .orderBy(col("piece"))
     }),
 
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
@@ -3110,6 +3155,37 @@ object SparkEntry {
         |SELECT src_host, dst_host, CAST(n_links AS BIGINT) AS n_links
         |FROM e ORDER BY src_host, dst_host""".stripMargin,
 
+    // q148: the composed crawl→rank replay — the q146 edge set
+    // (distinct: each w-host a self-edge and one cross-edge to its
+    // h-host; h-hosts dangling) pushed through the q134 unrolled
+    // 3-iteration BIGINT power recurrence, ids mapped back to hosts.
+    "q148_crawl_pagerank" ->
+      """WITH dk AS (SELECT DISTINCT doc_id % 50 AS k
+        |            FROM documents WHERE doc_id < 200),
+        |e AS (SELECT k AS src, k AS dst FROM dk
+        |      UNION SELECT k, 100 + (7*k)%50 FROM dk),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS dd FROM e GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // c AS pr FROM nodes, n),
+        |c1 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr0 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr1 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr1 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr2 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr2 p
+        |       JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src GROUP BY e.dst),
+        |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node,
+        |  CASE WHEN node < 100 THEN 'w'||node ELSE 'h'||(node-100) END
+        |    || '.example.com' AS host,
+        |  CAST(pr AS BIGINT) AS pr
+        |FROM pr3 ORDER BY node""".stripMargin,
+
     // q144: both records per doc recomputed — the warcinfo constants
     // (its 17-byte payload), and the response's Content-Length =
     // 44-byte HTTP envelope + page length, status/type from the fixed
@@ -3228,6 +3304,77 @@ object SparkEntry {
     // (list_position returns the FIRST match, which IS the
     // operator's tie-break); 1-char misses cost 1000 (unk), longer
     // misses are NULL and list_min/list_position skip them.
+    // q149: the full training round replayed — seed substrings and
+    // their corpus-weighted counts, the integer seed costs, the
+    // Viterbi DP (fwd min / bwd smallest-k walk, as q141, but with
+    // candidates JOINED from the derived seed table: per (word,
+    // end-pos) the k-ordered candidate list drives both the min and
+    // the first-match tie-break), usage counting, and the
+    // prune+recost M-step. All divisions `//`.
+    "q149_unigram_train" ->
+      """WITH RECURSIVE
+        |wf AS (SELECT w, COUNT(*) AS f FROM (
+        |         SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |         FROM documents WHERE doc_id < 40) t
+        |       WHERE w <> '' GROUP BY w),
+        |pos AS (SELECT w, f, unnest(range(1, length(w) + 1)) AS p FROM wf),
+        |sub0 AS (SELECT w, f, p,
+        |           unnest(range(1, least(4, length(w) - p + 1) + 1)) AS k
+        |         FROM pos),
+        |sub AS (SELECT w, f, p, k,
+        |          substr(w, CAST(p AS INT), CAST(k AS INT)) AS piece
+        |        FROM sub0),
+        |pc AS (SELECT piece, SUM(f) AS cnt FROM sub GROUP BY piece),
+        |ch AS (SELECT piece, cnt FROM pc WHERE length(piece) = 1),
+        |nch AS (SELECT COUNT(*) AS n FROM ch),
+        |mult AS (SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        |    FROM pc WHERE length(piece) > 1 AND cnt >= 3) q, nch
+        |  WHERE rn <= 120 - nch.n),
+        |seed0 AS (SELECT piece, cnt FROM ch UNION ALL SELECT piece, cnt FROM mult),
+        |st AS (SELECT SUM(cnt) AS t FROM seed0),
+        |seed AS (SELECT piece, (1000 * st.t) // cnt AS cost FROM seed0, st),
+        |cands AS (SELECT s.w, s.p + s.k - 1 AS e,
+        |            list({'k': s.k, 'c': seed.cost} ORDER BY s.k) AS ks
+        |          FROM sub s JOIN seed ON s.piece = seed.piece
+        |          GROUP BY s.w, s.p + s.k - 1),
+        |fwd AS (
+        |  SELECT w, length(w) AS n, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM wf
+        |  UNION ALL
+        |  SELECT f.w, f.n, f.i + 1,
+        |    list_append(f.best, list_min(list_transform(cs.ks, x ->
+        |      f.best[f.i + 1 - CAST(x.k AS INT) + 1] + x.c)))
+        |  FROM fwd f JOIN cands cs ON cs.w = f.w AND cs.e = f.i + 1
+        |  WHERE f.i < f.n),
+        |fin AS (SELECT w, n, best FROM fwd WHERE i = n),
+        |bwd AS (
+        |  SELECT w, n, best, n AS i, CAST(NULL AS VARCHAR) AS piece FROM fin
+        |  UNION ALL
+        |  SELECT b.w, b.n, b.best, b.i - x.kk,
+        |    substr(b.w, b.i - x.kk + 1, x.kk)
+        |  FROM bwd b JOIN cands cs ON cs.w = b.w AND cs.e = b.i,
+        |    LATERAL (SELECT CAST(cs.ks[CAST(list_position(
+        |        list_transform(cs.ks, y ->
+        |          b.best[b.i - CAST(y.k AS INT) + 1] + y.c),
+        |        b.best[b.i + 1]) AS INT)].k AS INT) AS kk) x
+        |  WHERE b.i > 0),
+        |usg AS (SELECT b.piece, SUM(wf.f) AS u
+        |        FROM bwd b JOIN wf ON wf.w = b.w
+        |        WHERE b.piece IS NOT NULL GROUP BY b.piece),
+        |kch AS (SELECT ch.piece, COALESCE(u.u, 0) AS u
+        |        FROM ch LEFT JOIN usg u ON ch.piece = u.piece),
+        |kmu AS (SELECT piece, u FROM (
+        |    SELECT u.piece, u.u,
+        |      ROW_NUMBER() OVER (ORDER BY u.u DESC, u.piece ASC) AS rn
+        |    FROM usg u WHERE length(u.piece) > 1 AND u.u >= 1) q, nch
+        |  WHERE rn <= 60 - nch.n),
+        |kept AS (SELECT piece, GREATEST(u, 1) AS u1 FROM kch
+        |         UNION ALL SELECT piece, u FROM kmu),
+        |ut AS (SELECT SUM(u1) AS t FROM kept)
+        |SELECT piece, (1000 * ut.t) // u1 AS cost, u1 AS "count"
+        |FROM kept, ut ORDER BY piece""".stripMargin,
+
     "q141_unigram_segment" ->
       """WITH RECURSIVE
         |vm AS (SELECT MAP(

@@ -885,43 +885,61 @@ object TextOps {
       .mapPartitions { rows =>
         rows.map { row =>
           val w = row.getString(0)
-          val n = w.length
-          def costOf(sub: String, k: Int): Long = pieces.get(sub) match {
-            case Some(c) => c
-            case None    => if (k == 1) unkCost else Long.MinValue
-          }
-          val best = new Array[Long](n + 1)
-          var p = 1
-          while (p <= n) {
-            var m = Long.MaxValue
-            var k = 1
-            val kMax = math.min(p, maxLen)
-            while (k <= kMax) {
-              val c = costOf(w.substring(p - k, p), k)
-              if (c != Long.MinValue && best(p - k) + c < m) m = best(p - k) + c
-              k += 1
-            }
-            best(p) = m
-            p += 1
-          }
-          val segs = scala.collection.mutable.ListBuffer.empty[String]
-          var i = n
-          while (i > 0) {
-            var chosen = -1
-            var k = 1
-            val kMax = math.min(i, maxLen)
-            while (chosen < 0 && k <= kMax) {
-              val c = costOf(w.substring(i - k, i), k)
-              if (c != Long.MinValue && best(i - k) + c == best(i)) chosen = k
-              k += 1
-            }
-            segs.prepend(w.substring(i - chosen, i))
-            i -= chosen
-          }
+          val (segs, cost) = viterbiPieces(w, pieces, maxLen, unkCost)
           org.apache.spark.sql.Row(w, segs.mkString(" "),
-            segs.length.toLong, best(n))
+            segs.length.toLong, cost)
         }
       }(enc)
+  }
+
+  /** The shared Viterbi DP core of [[unigramSegmentWords]] and
+    * [[unigramTrain]]'s E-step — extracting it is what GUARANTEES the
+    * trainer segments exactly like the encoder it trains for (the
+    * train→segment parity the spec pins). Contract is the q141 one
+    * verbatim: best(0)=0; best(p)=min over k of best(p−k)+cost; a
+    * 1-char miss costs `unkCost` when `unkCost >= 0` and is not a
+    * candidate when `unkCost < 0` (training mode — every single char
+    * is in the vocabulary by construction, so unk cannot occur);
+    * backward walk takes the SMALLEST k achieving best(p). */
+  private[operators] def viterbiPieces(w: String, pieces: Map[String, Long],
+      maxLen: Int, unkCost: Long): (List[String], Long) = {
+    val n = w.length
+    def costOf(sub: String, k: Int): Long = pieces.get(sub) match {
+      case Some(c) => c
+      case None    => if (k == 1 && unkCost >= 0) unkCost else Long.MinValue
+    }
+    val best = new Array[Long](n + 1)
+    var p = 1
+    while (p <= n) {
+      var m = Long.MaxValue
+      var k = 1
+      val kMax = math.min(p, maxLen)
+      while (k <= kMax) {
+        val c = costOf(w.substring(p - k, p), k)
+        if (c != Long.MinValue && best(p - k) + c < m) m = best(p - k) + c
+        k += 1
+      }
+      if (m == Long.MaxValue)
+        throw new IllegalStateException(
+          s"word '$w' not coverable by the vocabulary at position $p")
+      best(p) = m
+      p += 1
+    }
+    val segs = scala.collection.mutable.ListBuffer.empty[String]
+    var i = n
+    while (i > 0) {
+      var chosen = -1
+      var k = 1
+      val kMax = math.min(i, maxLen)
+      while (chosen < 0 && k <= kMax) {
+        val c = costOf(w.substring(i - k, i), k)
+        if (c != Long.MinValue && best(i - k) + c == best(i)) chosen = k
+        k += 1
+      }
+      segs.prepend(w.substring(i - chosen, i))
+      i -= chosen
+    }
+    (segs.toList, best(n))
   }
 
   /** Corpus-level [[unigramSegmentWords]]: per-document piece count
@@ -941,6 +959,127 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_pieces"),
         sum(col("total_cost")).as("total_cost"))
+  }
+
+  /** Unigram-LM vocabulary TRAINING — the SentencePiece-style trainer
+    * producing the (piece, cost) table [[unigramSegmentWords]]
+    * consumes, completing the tokenizer-training surface next to
+    * [[bpeTrain]] (BPE trains by merging, unigram by seeding big and
+    * pruning down).
+    *
+    * Algorithm — Viterbi hard-EM, every step integer and
+    * deterministic (the q114/q134 oracle discipline):
+    *
+    *  1. SEED: every substring of every distinct corpus word up to
+    *     `maxPieceLen` chars, weighted by corpus word frequency. All
+    *     single characters are kept unconditionally (coverage — a
+    *     vocabulary that cannot spell a word is useless; SentencePiece
+    *     protects required chars the same way); the top
+    *     `seedSize − |chars|` multi-char substrings by
+    *     (count DESC, piece ASC) with count ≥ `minCount` join them.
+    *  2. E-step: segment every distinct word with the current costs
+    *     through the SAME Viterbi core the encoder uses
+    *     ([[viterbiPieces]] — smallest-last-piece tie-break included),
+    *     and count corpus-weighted piece usage.
+    *  3. M-step: keep all single chars plus the top
+    *     `vocabSize − |chars|` multi-char pieces by
+    *     (usage DESC, piece ASC) with usage ≥ 1, and re-cost every
+    *     kept piece as `cost = (1000·U) div u1` where
+    *     `u1 = max(usage, 1)` (a protected char Viterbi never used
+    *     still needs a finite cost) and `U = Σ u1` — the ln-free
+    *     inverse-frequency surrogate of −log p, same monotonicity,
+    *     exactly replayable with BIGINT `//` (the q140 BM25 move: the
+    *     oracle pins the integer surrogate, the spec pins the real-ln
+    *     column). Repeat from 2 `iterations` times.
+    *
+    * Returns (piece, cost BIGINT, count BIGINT, cost_ln DOUBLE) —
+    * `cost` feeds [[unigramSegmentWords]] directly; `cost_ln` is
+    * 1000·ln(U/u1) milli-nats for callers who want the true LM cost
+    * (spec-pinned against driver math, not oracle-hashed: ln).
+    *
+    * Shape at scale: the corpus pays ONE tokenize+explode and one
+    * word-frequency aggregate (persisted across rounds); seeding is a
+    * row-local substring explode (≤ len·maxPieceLen rows per DISTINCT
+    * word) into a hash aggregate with map-side partials, topped by
+    * `orderBy.limit` — TakeOrdered, the q24 distributed top-k, NEVER a
+    * partition-less window over the corpus-sized substring table. Each
+    * EM round is vocabulary-sized mapPartitions work per distinct word
+    * (the [[bpeEncode]] argument) + one piece-level aggregate; only
+    * vocabulary-sized artifacts (≤ `seedSize` rows, a tokenizer
+    * artifact by definition) are ever collected. */
+  def unigramTrain(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int, iterations: Int = 2, maxPieceLen: Int = 6,
+      seedSize: Int = 0, minCount: Long = 2L): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(maxPieceLen >= 2 && maxPieceLen <= 16,
+      s"maxPieceLen must be in [2, 16], got $maxPieceLen")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seedN = if (seedSize > 0) seedSize else 4 * vocabSize
+
+    val wordFreq = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .persist() // read once per EM round + once for seeding
+    try {
+      val subs = wordFreq
+        .select(col("word"), col("freq"),
+          explode(sequence(lit(1), length(col("word")))).as("p"))
+        .select(col("word"), col("freq"), col("p"),
+          explode(sequence(lit(1),
+            least(lit(maxPieceLen), length(col("word")) - col("p") + 1)))
+            .as("k"))
+        .select(expr("substr(word, p, k)").as("piece"), col("freq"))
+      val pieceCounts = subs.groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      val chars = pieceCounts.filter(length(col("piece")) === 1)
+        .as[(String, Long)].collect().sortBy(_._1)
+      require(chars.nonEmpty, "corpus has no tokens to train on")
+      require(chars.length < seedN,
+        s"alphabet size ${chars.length} leaves no room in seedSize $seedN")
+      val multiSeeds = pieceCounts
+        .filter(length(col("piece")) > 1 && col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(seedN - chars.length)
+        .as[(String, Long)].collect()
+
+      // (piece, usage) → (piece, cost, u1) under the integer surrogate
+      def recost(kept: Seq[(String, Long)]): Array[(String, Long, Long)] = {
+        val u1 = kept.map { case (p, u) => (p, math.max(u, 1L)) }
+        val total = u1.map(_._2).sum
+        u1.map { case (p, u) => (p, 1000L * total / u, u) }.toArray
+      }
+      var vocab = recost(chars.toIndexedSeq ++ multiSeeds)
+
+      for (_ <- 1 to iterations) {
+        val pieces = vocab.map(t => t._1 -> t._2).toMap
+        val maxLen = pieces.keysIterator.map(_.length).max
+        val usage = wordFreq.as[(String, Long)]
+          .mapPartitions { rows =>
+            rows.flatMap { case (w, f) =>
+              // unkCost -1: training mode — chars cover everything
+              val (segs, _) = viterbiPieces(w, pieces, maxLen, -1L)
+              segs.groupBy(identity).iterator
+                .map { case (p, occ) => (p, occ.size * f) }
+            }
+          }
+          .toDF("piece", "u")
+          .groupBy(col("piece")).agg(sum(col("u")).as("u"))
+          .as[(String, Long)].collect().toMap // ≤ |vocab| rows
+        val keptChars = chars.map { case (c, _) => (c, usage.getOrElse(c, 0L)) }
+        val keptMultis = usage.iterator
+          .filter { case (p, u) => p.length > 1 && u >= 1L }
+          .toArray.sortBy { case (p, u) => (-u, p) }
+          .take(math.max(0, vocabSize - chars.length))
+        vocab = recost(keptChars.toIndexedSeq ++ keptMultis)
+      }
+      val total = vocab.map(_._3).sum
+      vocab.toIndexedSeq
+        .map { case (p, c, u) => (p, c, u, 1000.0 * math.log(total.toDouble / u)) }
+        .toDF("piece", "cost", "count", "cost_ln")
+    } finally { wordFreq.unpersist(); () }
   }
 
   /** Hashed linear model scoring — the fastText-family classifier

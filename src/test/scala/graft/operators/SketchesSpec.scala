@@ -66,6 +66,68 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch-table lifecycle: daily appends → compaction → merge over the compacted table") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.Maintenance
+    // the serving loop the Sketches scaladoc describes, end to end:
+    // per-ingest-batch rollup rows APPEND to a day-partitioned sketch
+    // table (spraying small files, as streaming ingest does), the
+    // small-files compactor rewrites the sprayed partitions, and any
+    // coarser rollup is answered by merging the compacted sketch rows
+    // — never by rescanning raw events.
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val days = ev.select(col("day")).distinct().orderBy(col("day"))
+      .limit(3).collect().map(_.getString(0))
+    assert(days.length == 3, "fixture sanity: three days of events")
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch_tbl_").toString
+    // three intra-day ingest batches per day, each its own append
+    days.foreach { d =>
+      (0 until 3).foreach { slice =>
+        val batch = ev.filter(col("day") === d &&
+          pmod(col("event_id"), lit(3)) === slice)
+        Sketches.hllRollup(batch, Seq(col("event_type"), col("day")), col("user_id"))
+          .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+      }
+    }
+    val sprayed = Maintenance.fileStats(spark, path)
+      .agg(min(col("n_files"))).first().getLong(0)
+    assert(sprayed >= 3, s"fixture sanity: appends sprayed files (min=$sprayed)")
+    // snapshot content + answers before compaction
+    def rowSet() = spark.read.parquet(path)
+      .select(col("event_type"), col("day"), md5(col("hll_sketch")),
+        col("partial_rows"))
+      .collect().map(_.toSeq).toSet
+    def merged() = Sketches.hllMergeEstimate(
+        spark.read.parquet(path), Seq(col("event_type")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rowsBefore = rowSet()
+    val mergeBefore = merged()
+    val census = Maintenance.compactPartitions(spark, path, "day")
+    assert(census.filter(col("compacted")).count() == days.length,
+      "every sprayed day partition is compacted")
+    assert(Maintenance.fileStats(spark, path)
+      .agg(max(col("n_files"))).first().getLong(0) == 1L,
+      "compaction leaves one file per day partition")
+    assert(rowSet() == rowsBefore,
+      "compaction preserves every sketch row byte-for-byte")
+    val mergeAfter = merged()
+    mergeBefore.foreach { case (k, b) =>
+      assert(math.abs(mergeAfter(k) - b) * 100 <= math.max(b, 100),
+        s"group $k: merged estimate moved across compaction ($b → ${mergeAfter(k)})")
+    }
+    // and the answers still track exact distincts from the raw table
+    // (over the same three ingested days)
+    val exact = ev.filter(col("day").isin(days.toIndexedSeq: _*))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, c) =>
+      assert(math.abs(mergeAfter(k) - c) * 16 <= math.max(c, 16),
+        s"group $k: estimate ${mergeAfter(k)} too far from exact $c")
+    }
+  }
+
   test("hllRollup: lgK out of range fails loudly") {
     val li = Tables.lineitem(spark, sf)
     intercept[IllegalArgumentException] {

@@ -459,6 +459,90 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("unigramTrain: frequent substrings become pieces; chars always covered") {
+    val docs = Seq(
+      (1L, "tokenizer tokenizer merge"), (2L, "tokenizer merge merge table"),
+      (3L, "table tokenizer merge"), (4L, "tokenizer table merge scan"))
+      .toDF("doc_id", "text")
+    val vocab = TextOps.unigramTrain(docs, "doc_id", "text",
+        vocabSize = 40, iterations = 2, maxPieceLen = 6, minCount = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val corpusChars = "tokenizer merge table scan".replace(" ", "").toSet
+    corpusChars.foreach { c =>
+      assert(vocab.contains(c.toString), s"char '$c' must stay in the vocab")
+    }
+    // the heavy repeated words should have carved out multi-char pieces
+    assert(vocab.keys.exists(_.length > 1), "no multi-char pieces trained")
+    // cost is the documented integer surrogate: (1000·U) div u1
+    val total = vocab.values.map(_._2).sum
+    vocab.foreach { case (p, (cost, u, costLn)) =>
+      assert(cost == 1000L * total / u, s"piece '$p' cost surrogate")
+      assert(math.abs(costLn - 1000.0 * math.log(total.toDouble / u)) < 1e-9,
+        s"piece '$p' cost_ln")
+    }
+  }
+
+  test("unigramTrain: converged vocab reproduces its own counts through the encoder") {
+    val docs = Seq(
+      (1L, "spark sparkly spark merge"), (2L, "merge spark table spark"),
+      (3L, "table merge sparkly spark"))
+      .toDF("doc_id", "text")
+    def train(it: Int) = TextOps.unigramTrain(docs, "doc_id", "text",
+      vocabSize = 30, iterations = it, maxPieceLen = 6, minCount = 2)
+    val v3 = train(3).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val v4 = train(4).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(v3 == v4, "tiny fixture must converge (fixed point of the EM loop)")
+    // train→segment parity: segmenting the corpus with the trained
+    // vocab (through the PUBLIC encoder) reproduces the trainer's own
+    // usage counts for every multi-char piece — the vocabulary is a
+    // fixed point of the encoder it was trained for
+    val vocabDf = train(3).select(col("piece"), col("cost"))
+    val wordFreq = docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val segs = TextOps.unigramSegmentWords(
+        docs.select(explode(split(trim(lower(col("text"))), "\\s+")).as("word")),
+        "word", vocabDf)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    wordFreq.foreach { case (w, f) =>
+      segs(w).split(" ").foreach(p => usage(p) += f)
+    }
+    v3.filter(_._1.length > 1).foreach { case (p, _, cnt) =>
+      assert(usage(p) == cnt, s"piece '$p': encoder usage ${usage(p)} != trained count $cnt")
+    }
+  }
+
+  test("unigramTrain: deterministic across physical partitioning") {
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 30)
+    val a = TextOps.unigramTrain(docs, "doc_id", "text",
+        vocabSize = 50, iterations = 1, maxPieceLen = 4, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = TextOps.unigramTrain(docs.repartition(13), "doc_id", "text",
+        vocabSize = 50, iterations = 1, maxPieceLen = 4, minCount = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("unigramTrain: guards fail loudly") {
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.unigramTrain(docs, "doc_id", "text", vocabSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.unigramTrain(docs, "doc_id", "text", vocabSize = 5, maxPieceLen = 1)
+    }
+    intercept[IllegalArgumentException] {
+      // alphabet bigger than the seed budget
+      TextOps.unigramTrain(Seq((1L, "abcdefgh")).toDF("doc_id", "text"),
+        "doc_id", "text", vocabSize = 1, seedSize = 4)
+    }
+  }
+
   test("bm25: hand-computed corpus — integer core exact, ln variant ranks the same") {
     val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"))
       .toDF("doc_id", "text")

@@ -2179,6 +2179,42 @@ object SparkEntry {
         .orderBy(col("piece"))
     }),
 
+    // q150: WordPiece vocabulary training (the BERT tokenizer family,
+    // completing the trainer trio next to q114 BPE and q149 unigram).
+    // 6 likelihood-scored merges over the alphabetic corpus words;
+    // DuckDB replays every round on a char-encoded word table
+    // (lowercase = word-initial symbol, UPPERCASE = ##-continuation,
+    // digits = merged placeholders) with the identical
+    // one-multiply-one-divide IEEE score and lexicographic tie-break,
+    // so the merge table is hash-exact cross-engine.
+    "q150_wordpiece_train" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.tokens(lower(col("text"))))
+          .as("text"))
+        .filter(col("text").rlike("^[a-z]+$"))
+      operators.TextOps.wordPieceTrain(words, "text", numMerges = 6)
+        .orderBy(col("rank"))
+    }),
+
+    // q151: WordPiece greedy longest-match-first encoding of every
+    // distinct alphabetic corpus word under the q150-trained vocab
+    // (alphabet + merges). DuckDB re-trains the vocab with the q150
+    // replay, then walks the greedy match in a recursive CTE whose
+    // per-step longest-piece lookup joins a precomputed
+    // (word, pos) → best-match-length table — segmentation strings,
+    // piece counts, and the all-or-nothing [UNK] flag all hash-exact.
+    "q151_wordpiece_encode" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.tokens(lower(col("text"))))
+          .as("text"))
+        .filter(col("text").rlike("^[a-z]+$"))
+      val merges = operators.TextOps.wordPieceTrain(words, "text", numMerges = 6)
+      val vocab = operators.TextOps.wordPieceVocab(words, "text", merges)
+      operators.TextOps.wordPieceEncodeWords(
+          words.select(col("text").as("word")), "word", vocab)
+        .orderBy(col("word"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3374,6 +3410,12 @@ object SparkEntry {
         |ut AS (SELECT SUM(u1) AS t FROM kept)
         |SELECT piece, (1000 * ut.t) // u1 AS cost, u1 AS "count"
         |FROM kept, ut ORDER BY piece""".stripMargin,
+
+    // q150/q151: WordPiece train + encode replays — the generator
+    // documents the char-encoding scheme (lowercase start symbols,
+    // UPPERCASE continuations, digit merge placeholders).
+    "q150_wordpiece_train" -> wpOracleSql(6),
+    "q151_wordpiece_encode" -> wpOracleSql(6, encodeTail = true),
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE
@@ -4597,6 +4639,133 @@ object SparkEntry {
       val rows = (1 to k).map(j =>
         s"""SELECT $j AS rank, left_exp AS left_sym, right_exp AS right_sym,
            | left_exp || right_exp AS merged, CAST(cnt AS BIGINT) AS pair_count
+           |FROM b$j""".stripMargin)
+      sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
+    }
+    sb.toString
+  }
+
+  /** q150/q151 WordPiece oracle generator. Replays
+    * [[graft.operators.TextOps.wordPieceTrain]] round by round on a
+    * char-encoded word table: a word's first char stays lowercase (a
+    * word-initial symbol), every later char is UPPERCASED (the
+    * `##`-continuation marker — positional identity matters: `hu` and
+    * `##hu` are different symbols with different counts), and merge j
+    * rewrites its winning 2-char pair to the digit placeholder
+    * `'0'+j-1` (corpus words are filtered to `^[a-z]+$`, so digits
+    * are free; k ≤ 10). Each round counts pairs and symbols, scores
+    * `CAST(cnt AS DOUBLE) / CAST(lc·rc AS DOUBLE)` — the identical
+    * IEEE expression the Spark side evaluates, exact because counts
+    * ≪ 2⁵³ — and tie-breaks on the EXPANDED display strings
+    * (left_exp, right_exp), matching Spark's orderBy on the real
+    * symbol strings. `replace` applies the merge with the same
+    * greedy non-overlapping left-to-right semantics as the Spark
+    * fold (the q114 argument). With `encodeTail` the replayed vocab
+    * (alphabet cores with positional ##-ness + merged symbols) feeds
+    * a recursive greedy longest-match-first walk: a precomputed
+    * (word, pos) → longest-matching-piece table drives each step (a
+    * correlated MAX over the derived vocab silently nulls inside
+    * DuckDB's recursion — join the materialized lookup instead); a
+    * dead end jumps to the terminal position with the unk flag set — the
+    * all-or-nothing `[UNK]` rule. */
+  private def wpOracleSql(k: Int, encodeTail: Boolean = false): String = {
+    require(k <= 10, s"digit placeholders support at most 10 merges, got $k")
+    def ph(j: Int): Char = ('0' + j - 1).toChar
+    // display-expand one encoded char at round j: earlier-merge
+    // placeholders become their (already fully expanded) display
+    // strings, uppercase chars their ##-prefixed lowercase
+    def exp(c: String, j: Int): String = {
+      val phCases = (1 until j).map(i =>
+        s"WHEN $c = '${ph(i)}' THEN (SELECT merged_exp FROM b$i)").mkString(" ")
+      s"(CASE $phCases WHEN $c BETWEEN 'A' AND 'Z' THEN '##' || lower($c) " +
+        s"ELSE $c END)"
+    }
+    val sb = new StringBuilder
+    sb.append(
+      """WITH RECURSIVE w0 AS MATERIALIZED (
+        |  SELECT w AS orig, substr(w, 1, 1) || upper(substr(w, 2)) AS w,
+        |         CAST(COUNT(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |        FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w)""".stripMargin)
+    for (j <- 1 to k) {
+      sb.append(s""",
+        |p$j AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(freq) AS cnt
+        |        FROM w${j - 1}, unnest(range(1, length(w))) AS t(i)
+        |        GROUP BY 1),
+        |s$j AS MATERIALIZED (SELECT substr(w, CAST(i AS INT), 1) AS s, SUM(freq) AS cnt
+        |        FROM w${j - 1}, unnest(range(1, length(w) + 1)) AS t(i)
+        |        GROUP BY 1),
+        |b$j AS MATERIALIZED (SELECT pair, cnt, lc, rc, left_exp, right_exp,
+        |          left_exp || substr(right_exp, 3) AS merged_exp
+        |        FROM (SELECT p.pair AS pair, p.cnt AS cnt,
+        |                sl.cnt AS lc, sr.cnt AS rc,
+        |                ${exp("substr(p.pair, 1, 1)", j)} AS left_exp,
+        |                ${exp("substr(p.pair, 2, 1)", j)} AS right_exp
+        |              FROM p$j p
+        |              JOIN s$j sl ON sl.s = substr(p.pair, 1, 1)
+        |              JOIN s$j sr ON sr.s = substr(p.pair, 2, 1))
+        |        ORDER BY CAST(cnt AS DOUBLE) / CAST(lc * rc AS DOUBLE) DESC,
+        |                 left_exp, right_exp LIMIT 1),
+        |w$j AS MATERIALIZED (SELECT orig, replace(w, (SELECT pair FROM b$j), '${ph(j)}') AS w,
+        |               freq
+        |        FROM w${j - 1})""".stripMargin)
+    }
+    if (encodeTail) {
+      val mv = (1 to k).map(j => s"SELECT merged_exp FROM b$j")
+        .mkString(" UNION ALL ")
+      sb.append(s""",
+        |alpha AS MATERIALIZED (
+        |  SELECT DISTINCT substr(orig, 1, 1) AS core, false AS is_cont FROM w0
+        |  UNION
+        |  SELECT DISTINCT substr(orig, CAST(i AS INT), 1) AS core, true AS is_cont
+        |  FROM w0, unnest(range(2, length(orig) + 1)) AS t(i)),
+        |mv AS MATERIALIZED ($mv),
+        |vocab AS MATERIALIZED (
+        |  SELECT core, is_cont FROM alpha
+        |  UNION
+        |  SELECT CASE WHEN merged_exp LIKE '##%' THEN substr(merged_exp, 3)
+        |              ELSE merged_exp END AS core,
+        |         merged_exp LIKE '##%' AS is_cont
+        |  FROM mv),
+        |wl AS MATERIALIZED (SELECT DISTINCT orig AS word FROM w0),
+        |pm AS MATERIALIZED (
+        |  SELECT word, CAST(i AS BIGINT) AS pos, MAX(length(v.core)) AS best
+        |  FROM (SELECT word, CAST(u.i AS INT) AS i
+        |        FROM wl, unnest(range(1, length(word) + 1)) AS u(i)) g
+        |  LEFT JOIN vocab v
+        |    ON v.is_cont = (g.i > 1)
+        |   AND v.core = substr(g.word, g.i, length(v.core))
+        |  GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT word, CAST(1 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+        |         CAST('' AS VARCHAR) AS segs, false AS unk
+        |  FROM wl
+        |  UNION ALL
+        |  SELECT word,
+        |    CASE WHEN best IS NULL THEN CAST(length(word) + 1 AS BIGINT)
+        |         ELSE pos + best END,
+        |    CASE WHEN best IS NULL THEN n ELSE n + 1 END,
+        |    CASE WHEN best IS NULL THEN segs
+        |         WHEN pos = 1 THEN substr(word, 1, CAST(best AS INT))
+        |         ELSE segs || ' ##' ||
+        |              substr(word, CAST(pos AS INT), CAST(best AS INT)) END,
+        |    unk OR best IS NULL
+        |  FROM (SELECT q.word AS word, q.pos AS pos, q.n AS n, q.segs AS segs,
+        |               q.unk AS unk, p.best AS best
+        |        FROM seg q JOIN pm p ON p.word = q.word AND p.pos = q.pos
+        |        WHERE q.pos <= length(q.word)))
+        |SELECT word,
+        |  CASE WHEN unk THEN '[UNK]' ELSE segs END AS segmentation,
+        |  CASE WHEN unk THEN CAST(1 AS BIGINT) ELSE n END AS n_pieces,
+        |  unk AS is_unk
+        |FROM seg WHERE pos = length(word) + 1
+        |ORDER BY word""".stripMargin)
+    } else {
+      val rows = (1 to k).map(j =>
+        s"""SELECT $j AS rank, left_exp AS left_sym, right_exp AS right_sym,
+           | merged_exp AS merged, CAST(cnt AS BIGINT) AS pair_count,
+           | CAST(lc AS BIGINT) AS left_count, CAST(rc AS BIGINT) AS right_count
            |FROM b$j""".stripMargin)
       sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
     }

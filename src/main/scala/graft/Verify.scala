@@ -40,8 +40,14 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.LevenshteinThreshold.install(spark)
     new java.io.File(outDir).mkdirs()
+    // local-iteration filter: SPARK_GRAFT_VERIFY_ONLY=q150_x,q151_y
+    // dumps (and lists oracle SQL for) just those queries. The driver
+    // never sets it, so driver runs always cover everything.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try {
+      if (selected(name)) try {
         val df = fn(spark, sfDir)
         val out = if (SparkEntry.oracleSql.contains(name)) df else sortableDump(df)
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -62,6 +68,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

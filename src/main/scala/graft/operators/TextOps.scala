@@ -1178,4 +1178,242 @@ object TextOps {
           array_join(transform(col("__kept"), s => s.getField("seg")), " "))
           .as("cleaned_text"))
   }
+
+  // ───────────────────────── WordPiece ─────────────────────────
+
+  /** One learned WordPiece merge: the rank-th merge with its
+    * likelihood-score ingredients — pair count and the two symbol
+    * counts whose product is the denominator. All BIGINT, so the
+    * whole table is oracle-hashable. */
+  case class WpMerge(rank: Int, left_sym: String, right_sym: String,
+                     merged: String, pair_count: Long,
+                     left_count: Long, right_count: Long)
+
+  /** WordPiece vocabulary TRAINING (Schuster & Nakajima 2012; the
+    * BERT tokenizer family) — the THIRD mainstream subword trainer
+    * next to [[bpeTrain]] (frequency-greedy merges) and
+    * [[unigramTrain]] (seed-big-and-prune): WordPiece merges like BPE
+    * but scores a candidate pair by the likelihood gain
+    * `count(l,r) / (count(l) · count(r))` — preferring merges whose
+    * parts rarely occur apart — and marks every non-word-initial
+    * symbol with the `##` continuation prefix, so the learned pieces
+    * are position-aware (`hu` and `##hu` are different symbols with
+    * different counts).
+    *
+    * Determinism contract (the q150 oracle replays it verbatim):
+    * symbols of a word are `[first char, ##c2, ##c3, …]`; each round
+    * counts adjacent pairs and symbol occurrences corpus-weighted,
+    * and selects the single pair maximizing
+    * `CAST(cnt AS DOUBLE) / CAST(lc·rc AS DOUBLE)` with ties broken
+    * by (left_sym ASC, right_sym ASC). Both engines evaluate the
+    * identical one-multiply-one-divide IEEE-754 expression (counts
+    * ≪ 2⁵³, so the operands are exact), making the score — and
+    * therefore the argmax — engine-independent; the merged symbol is
+    * `left + right-without-##`, and the rewrite is the same greedy
+    * left-to-right fold as BPE (non-overlapping, exactly DuckDB's
+    * `replace` semantics — the q114 argument). Stops early when the
+    * best pair's count falls below `minPairCount`.
+    *
+    * Shape at scale (the [[bpeTrain]] posture): state is the
+    * word-frequency table — vocabulary-sized, not corpus-sized; the
+    * one corpus pass is the initial word count. Each round is two
+    * vocab-table aggregates (pair counts, symbol counts), two
+    * broadcast-sized joins onto the ≤1-row argmax, and one driver
+    * round-trip. bpeTrain's provable merge batching does not port:
+    * applying a merge changes the DENOMINATOR counts of every
+    * candidate sharing a symbol, so no prefix of the sorted
+    * candidate list is stable under the earlier selections — the
+    * likelihood score makes WordPiece inherently sequential (real
+    * trainers accept this; vocab training is a bounded offline job,
+    * and each round's cost is vocabulary-, not corpus-, sized). */
+  def wordPieceTrain(df: DataFrame, textCol: String, numMerges: Int,
+                     minPairCount: Long = 1L): DataFrame = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val spark = df.sparkSession
+    // the ONE corpus-sized pass; checkpointed so rounds fold over the
+    // materialized vocab table (the bpeTrain lesson)
+    var words = df
+      .select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
+      .select(
+        concat(
+          array(substring(col("__w"), 1, 1)),
+          transform(
+            slice(split(col("__w"), ""), lit(2),
+              greatest(length(col("__w")) - 1, lit(0))),
+            c => concat(lit("##"), c))).as("__sym"),
+        col("__freq"))
+      .localCheckpoint()
+    var lastCkpt = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+    var j = 0
+    var sinceCkpt = 0
+    var go = true
+    while (j < numMerges && go) {
+      val n = size(col("__sym"))
+      val pairs = words.filter(n >= 2)
+        .select(col("__freq"), explode(zip_with(
+            slice(col("__sym"), lit(1), n - 1), slice(col("__sym"), lit(2), n - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("__p"))
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__freq")).as("__cnt"))
+      val symCnt = words
+        .select(col("__freq"), explode(col("__sym")).as("__s"))
+        .groupBy(col("__s")).agg(sum(col("__freq")).as("__sc"))
+      val top = pairs
+        .join(symCnt.select(col("__s").as("__l"), col("__sc").as("__lc")), Seq("__l"))
+        .join(symCnt.select(col("__s").as("__r"), col("__sc").as("__rc")), Seq("__r"))
+        .orderBy(
+          (col("__cnt").cast("double") /
+            (col("__lc") * col("__rc")).cast("double")).desc,
+          col("__l").asc, col("__r").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("__cnt") < minPairCount) go = false
+      else {
+        val row = top.head
+        val (l, r) = (row.getAs[String]("__l"), row.getAs[String]("__r"))
+        val merged = l + r.stripPrefix("##")
+        merges += WpMerge(j + 1, l, r, merged,
+          row.getAs[Long]("__cnt"), row.getAs[Long]("__lc"),
+          row.getAs[Long]("__rc"))
+        val folded = aggregate(col("__sym"), array().cast("array<string>"),
+          (acc, s) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && s === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+            .otherwise(concat(acc, array(s))))
+        words = words.select(folded.as("__sym"), col("__freq"))
+        j += 1
+        sinceCkpt += 1
+        if (sinceCkpt >= 3) {
+          words = words.localCheckpoint()
+          Dedup.CheckpointHygiene.free(lastCkpt)
+          lastCkpt = words
+          sinceCkpt = 0
+        }
+      }
+    }
+    Dedup.CheckpointHygiene.free(lastCkpt)
+    spark.createDataFrame(merges.toSeq)
+  }
+
+  /** The encode vocabulary a [[wordPieceTrain]] run implies: every
+    * word-initial character and `##`-prefixed continuation character
+    * the corpus contains (the alphabet — WordPiece always keeps it,
+    * else a word it must spell becomes unencodable) plus every merged
+    * symbol. One vocab-sized pass over the distinct-word table; the
+    * merge table is bounded by construction. Returns a single
+    * `piece` column. */
+  def wordPieceVocab(df: DataFrame, textCol: String,
+                     merges: DataFrame): DataFrame = {
+    val w = df.select(explode(tokens(lower(col(textCol)))).as("__w"))
+      .filter(col("__w") =!= "").distinct()
+    val starts = w.select(substring(col("__w"), 1, 1).as("piece"))
+    val conts = w.select(explode(
+        slice(split(col("__w"), ""), lit(2),
+          greatest(length(col("__w")) - 1, lit(0)))).as("__c"))
+      .select(concat(lit("##"), col("__c")).as("piece"))
+    starts.unionByName(conts).unionByName(merges.select(col("merged").as("piece")))
+      .distinct()
+  }
+
+  /** WordPiece ENCODING, word level — greedy longest-match-first
+    * (the BERT `WordpieceTokenizer` contract, and NOT the same
+    * algorithm as training-time merge application — real WordPiece
+    * encoders match greedily against the final vocab): starting at
+    * the word head, repeatedly take the LONGEST vocab piece matching
+    * at the cursor (continuation positions match `##`-prefixed
+    * pieces); if no piece matches, the WHOLE word becomes the
+    * unknown token (one `[UNK]`, n_pieces = 1, is_unk = true) — the
+    * all-or-nothing BERT rule. Returns one row per distinct word:
+    * (word, segmentation, n_pieces, is_unk). Pure function of
+    * (word, vocab) — the q151 oracle replays the greedy walk in a
+    * recursive CTE over the replayed training vocab.
+    *
+    * Shape at scale (the [[bpeEncode]] argument): one pass per
+    * DISTINCT word — vocabulary-sized mapPartitions work,
+    * O(len · maxPieceLen) per word, with the vocab collected once
+    * into the task closure (a tokenizer artifact, guarded at
+    * `maxVocab`). */
+  def wordPieceEncodeWords(words: DataFrame, wordCol: String,
+      vocab: DataFrame, unkToken: String = "[UNK]",
+      maxVocab: Int = 1 << 20): DataFrame = {
+    val pieceArr = vocab.select(col("piece")).collect().map(_.getString(0))
+    require(pieceArr.nonEmpty, "vocab is empty")
+    require(pieceArr.length <= maxVocab,
+      s"vocab has ${pieceArr.length} rows (> $maxVocab) — not a tokenizer artifact")
+    require(pieceArr.forall(_.nonEmpty), "vocab contains an empty piece")
+    val pieces = pieceArr.toSet
+    // longest CORE length (## stripped) bounds the match window
+    val maxLen = pieceArr.iterator.map(p => p.stripPrefix("##").length).max
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("segmentation",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_pieces",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("is_unk",
+        org.apache.spark.sql.types.BooleanType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    words.select(col(wordCol).cast("string").as("word"))
+      .filter(col("word").isNotNull && col("word") =!= "")
+      .distinct()
+      .mapPartitions { rows =>
+        rows.map { row =>
+          val w = row.getString(0)
+          val segs = greedyPieces(w, pieces, maxLen)
+          if (segs == null)
+            org.apache.spark.sql.Row(w, unkToken, 1L, true)
+          else
+            org.apache.spark.sql.Row(w, segs.mkString(" "),
+              segs.length.toLong, false)
+        }
+      }(enc)
+  }
+
+  /** The greedy longest-match-first core of [[wordPieceEncodeWords]]
+    * — extracted so specs can pin it against hand-computed
+    * segmentations. Returns null when the word is unencodable (the
+    * all-or-nothing `[UNK]` rule). */
+  private[operators] def greedyPieces(w: String, pieces: Set[String],
+      maxLen: Int): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = 0
+    while (pos < w.length) {
+      var k = math.min(w.length - pos, maxLen)
+      var hit = -1
+      while (hit < 0 && k >= 1) {
+        val core = w.substring(pos, pos + k)
+        val cand = if (pos == 0) core else "##" + core
+        if (pieces.contains(cand)) hit = k else k -= 1
+      }
+      if (hit < 0) return null
+      out += (if (pos == 0) w.substring(0, hit) else "##" + w.substring(pos, pos + hit))
+      pos += hit
+    }
+    out.toList
+  }
+
+  /** Corpus-level WordPiece token accounting: per document
+    * (n_words, n_wp_tokens, n_unk_words) — what a training pipeline
+    * runs to budget sequences in real tokenizer tokens. `[UNK]`
+    * counts as one token (the BERT rule). One corpus explode, one
+    * join against the vocab-sized encoded-word table (un-hinted —
+    * AQE broadcasts while it fits), one hash aggregate. */
+  def wordPieceEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val wordsPerDoc = df
+      .select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(col("word") =!= "")
+    val encoded = wordPieceEncodeWords(
+      wordsPerDoc.select(col("word")), "word", vocab)
+    wordsPerDoc.join(encoded, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_wp_tokens"),
+        sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk_words"))
+  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins the WordPiece surface ([[TextOps.wordPieceTrain]] /
+  * [[TextOps.wordPieceVocab]] / [[TextOps.wordPieceEncodeWords]] /
+  * [[TextOps.wordPieceEncode]]) against hand-computed training rounds
+  * and segmentations — including the likelihood-score tie-breaks and
+  * the all-or-nothing `[UNK]` rule that distinguish WordPiece from
+  * BPE. */
+class WordPieceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // corpus: hug ×2, pug ×1. Hand-run of the trainer:
+  //   round 1 — symbols h:2 ##u:3 ##g:3 p:1;
+  //     pairs (h,##u):2→2/6, (##u,##g):3→3/9, (p,##u):1→1/3 — ALL tie
+  //     at 1/3, lexicographic tie-break picks (##u,##g) → ##ug
+  //   round 2 — h:2 ##ug:3 p:1; (h,##ug):2→2/6, (p,##ug):1→1/3 —
+  //     tie again, (h,##ug) wins → hug
+  //   round 3 — hug:2 p:1 ##ug:1; (p,##ug):1→1/1 → pug
+  private val corpus = Seq("hug hug pug").toDF("text")
+
+  test("wordPieceTrain: hand-computed merges, likelihood tie-breaks included") {
+    val got = TextOps.wordPieceTrain(corpus, "text", numMerges = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSeq
+    assert(got == Seq(
+      (1, "##u", "##g", "##ug", 3L, 3L, 3L),
+      (2, "h", "##ug", "hug", 2L, 2L, 3L),
+      (3, "p", "##ug", "pug", 1L, 1L, 1L)))
+  }
+
+  test("wordPieceTrain: minPairCount stops the merge loop early") {
+    val got = TextOps.wordPieceTrain(corpus, "text", numMerges = 5,
+      minPairCount = 2L)
+    assert(got.count() == 2) // the count-1 (p,##ug) round never happens
+  }
+
+  test("wordPieceVocab: alphabet (positional) + merged symbols") {
+    val merges = TextOps.wordPieceTrain(corpus, "text", numMerges = 3)
+    val vocab = TextOps.wordPieceVocab(corpus, "text", merges)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab == Set("h", "p", "##u", "##g", "##ug", "hug", "pug"))
+  }
+
+  test("wordPieceEncodeWords: greedy longest-match-first, not optimal-match") {
+    val vocab = Seq("a", "ab", "abc", "##b", "##c", "##cd", "##d")
+      .toDF("piece")
+    val got = TextOps.wordPieceEncodeWords(
+        Seq("abcd").toDF("word"), "word", vocab)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3)))
+    // longest-first takes abc + ##d; an "optimal" 2-piece ab + ##cd
+    // exists too — the contract is the BERT greedy walk, pinned here
+    assert(got.toSeq == Seq(("abcd", "abc ##d", 2L, false)))
+  }
+
+  test("wordPieceEncodeWords: all-or-nothing [UNK] on any dead end") {
+    val merges = TextOps.wordPieceTrain(corpus, "text", numMerges = 3)
+    val vocab = TextOps.wordPieceVocab(corpus, "text", merges)
+    val got = TextOps.wordPieceEncodeWords(
+        Seq("hug", "pug", "hugs", "gup").toDF("word"), "word", vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("hug") == (("hug", 1L, false)))
+    assert(got("pug") == (("pug", 1L, false)))
+    // 'hugs' matches hug then dead-ends on s (never a corpus char):
+    // the WHOLE word becomes [UNK], not hug + [UNK]
+    assert(got("hugs") == (("[UNK]", 1L, true)))
+    // 'gup': g starts no vocab piece ('g' appears only as ##g)
+    assert(got("gup") == (("[UNK]", 1L, true)))
+  }
+
+  test("wordPieceEncode: corpus accounting sums word-level pieces; [UNK] = 1 token") {
+    val merges = TextOps.wordPieceTrain(corpus, "text", numMerges = 3)
+    val vocab = TextOps.wordPieceVocab(corpus, "text", merges)
+    val docs = Seq((1L, "hug pug hug"), (2L, "pug hugs")).toDF("doc_id", "text")
+    val got = TextOps.wordPieceEncode(docs, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((3L, 3L, 0L)))  // hug, pug, hug — all single pieces
+    assert(got(2L) == ((2L, 2L, 1L)))  // pug + [UNK]
+  }
+
+  test("wordPieceEncodeWords: partial-merge vocab segments into multiple pieces") {
+    // train only 1 merge: vocab = alphabet + ##ug; hug → h ##ug
+    val merges = TextOps.wordPieceTrain(corpus, "text", numMerges = 1)
+    val vocab = TextOps.wordPieceVocab(corpus, "text", merges)
+    val got = TextOps.wordPieceEncodeWords(
+        Seq("hug", "pug").toDF("word"), "word", vocab)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("hug" -> "h ##ug", "pug" -> "p ##ug"))
+  }
+
+  test("wordPieceTrain: fails loudly on non-positive numMerges") {
+    intercept[IllegalArgumentException] {
+      TextOps.wordPieceTrain(corpus, "text", numMerges = 0)
+    }
+  }
+}

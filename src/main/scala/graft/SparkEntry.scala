@@ -2215,6 +2215,47 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    // q152: robots.txt crawl-frontier decisions (RFC 9309). Ten
+    // synthetic hosts each publish a robots.txt BUILT from doc_id
+    // arithmetic (comments, a graftbot group with prefix / wildcard /
+    // $-anchored / empty rules, a two-UA fallback group, a decoy
+    // group); 60 candidate URLs run through parse → group selection →
+    // longest-match precedence. DuckDB constructs the same rules
+    // directly and replays the decision with LIKE translations of the
+    // same patterns — winning rule rows included, so parser and
+    // precedence are both pinned.
+    "q152_robots_decisions" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select((col("doc_id") % 10).as("h")).distinct()
+      val robots = hosts.select(
+        concat(lit("h"), col("h")).as("host"),
+        concat_ws("\n",
+          lit("# synthetic robots fixture"),
+          lit("User-agent: GraftBot"),
+          concat(lit("Disallow: /p"), col("h") % 7),
+          concat(lit("Allow: /p"), col("h") % 7, lit("/x"), col("h") % 3,
+            lit("*")),
+          concat(lit("Disallow: /exact/x"), col("h") % 3, lit("$")),
+          when(col("h") % 4 === 0, lit("Disallow:"))
+            .otherwise(lit("# filler")),
+          lit(""),
+          lit("User-agent: otherbot"),
+          lit("User-agent: *"),
+          lit("Disallow: /"),
+          lit(""),
+          lit("User-agent: thirdbot"),
+          lit("Disallow: /t$")).as("robots_txt"))
+      val rules = operators.Web.parseRobots(robots, "host", "robots_txt")
+      val urls = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(concat(lit("h"), col("doc_id") % 10).as("host"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/exact/x"), col("doc_id") % 3))
+            .otherwise(concat(lit("/p"), col("doc_id") % 7,
+              lit("/x"), col("doc_id") % 3)).as("path"))
+      operators.Web.robotsDecide(urls, rules, "GraftBot")
+        .orderBy(col("host"), col("path"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3416,6 +3457,50 @@ object SparkEntry {
     // UPPERCASE continuations, digit merge placeholders).
     "q150_wordpiece_train" -> wpOracleSql(6),
     "q151_wordpiece_encode" -> wpOracleSql(6, encodeTail = true),
+
+    // q152: the graftbot rules reconstructed directly from the same
+    // doc_id arithmetic (the decoy groups never apply — a specific
+    // graftbot group exists on every host, and the empty-path rule
+    // matches nothing); REP matching via LIKE (patterns are
+    // LIKE-metachar-free by construction: '*' → '%', trailing '$'
+    // drops the suffix wildcard), precedence via the same
+    // (length DESC, rule_type, rule_path) window.
+    "q152_robots_decisions" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |rules AS (
+        |  SELECT 'h' || CAST(h AS VARCHAR) AS host, 'disallow' AS rule_type,
+        |         '/p' || CAST(h % 7 AS VARCHAR) AS rule_path FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'allow',
+        |         '/p' || CAST(h % 7 AS VARCHAR) || '/x' ||
+        |         CAST(h % 3 AS VARCHAR) || '*' FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'disallow',
+        |         '/exact/x' || CAST(h % 3 AS VARCHAR) || '$' FROM hosts),
+        |urls AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN '/exact/x' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE '/p' || CAST(doc_id % 7 AS VARCHAR) || '/x' ||
+        |              CAST(doc_id % 3 AS VARCHAR) END AS path
+        |  FROM documents WHERE doc_id < 60),
+        |m AS (
+        |  SELECT u.host, u.path, r.rule_type, r.rule_path,
+        |    ROW_NUMBER() OVER (PARTITION BY u.host, u.path
+        |      ORDER BY length(r.rule_path) DESC, r.rule_type, r.rule_path)
+        |      AS rn
+        |  FROM urls u JOIN rules r ON r.host = u.host
+        |  WHERE u.path LIKE
+        |    (CASE WHEN r.rule_path LIKE '%$'
+        |          THEN replace(substr(r.rule_path, 1,
+        |                 CAST(length(r.rule_path) - 1 AS INT)), '*', '%')
+        |          ELSE replace(r.rule_path, '*', '%') || '%' END))
+        |SELECT u.host, u.path,
+        |  (w.rule_type IS NULL OR w.rule_type = 'allow') AS allowed,
+        |  w.rule_type, w.rule_path
+        |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) w
+        |  ON w.host = u.host AND w.path = u.path
+        |ORDER BY u.host, u.path""".stripMargin,
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE

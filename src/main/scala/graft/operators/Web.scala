@@ -207,4 +207,121 @@ object Web {
         regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"),
         baseHost.as("src_host"))
   }
+
+  /** robots.txt parsing (RFC 9309, the Robots Exclusion Protocol) —
+    * the crawl-politeness step between fetching a host and fetching
+    * its pages. Parses one robots.txt per input row into one row per
+    * (rule × user-agent of its group):
+    * `(idCol, group_id, user_agent, rule_type, path, line_idx)`.
+    *
+    * Grammar handled: `#` comments (stripped to end of line), blank
+    * lines, CRLF (trim eats the `\r`), case-insensitive directive
+    * names, multiple `User-agent:` lines sharing one group (a group
+    * is a maximal run of user-agent lines followed by its rules —
+    * a user-agent line whose PREVIOUS directive line is not a
+    * user-agent starts a new group), empty rule values preserved
+    * (`Disallow:` with no path is valid REP for "no restriction";
+    * [[robotsDecide]] skips it, but the parse keeps it so audits see
+    * the line), and rules BEFORE any user-agent line dropped (RFC:
+    * rules outside a group are ignored) — the inner join against the
+    * group's agents does that structurally.
+    *
+    * Scale shape: one `split`+`posexplode` per robots file, row-local
+    * regexes, and windows PARTITIONED BY the file id — a robots.txt
+    * is KB-sized by nature (RFC caps parse obligation at 500 KiB), so
+    * per-file window state is bounded; across a million hosts the
+    * work is embarrassingly parallel. */
+  def parseRobots(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "__raw")))
+      .select(col(idCol), col("line_idx"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .filter(col("__line") =!= "")
+      .select(col(idCol), col("line_idx"),
+        lower(regexp_extract(col("__line"),
+          "(?i)^(user-agent|allow|disallow)\\s*:(.*)$", 1)).as("__directive"),
+        trim(regexp_extract(col("__line"),
+          "(?i)^(user-agent|allow|disallow)\\s*:(.*)$", 2)).as("__value"))
+      .filter(col("__directive") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_idx"))
+    val isUa = col("__directive") === "user-agent"
+    val grouped = lines.withColumn("__new_group",
+        (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("int"))
+      .withColumn("group_id",
+        sum(col("__new_group")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val agents = grouped.filter(isUa)
+      .select(col(idCol), col("group_id"), lower(col("__value")).as("user_agent"))
+    val rules = grouped.filter(!isUa)
+      .select(col(idCol), col("group_id"),
+        col("__directive").as("rule_type"), col("__value").as("path"),
+        col("line_idx"))
+    rules.join(agents, Seq(idCol, "group_id"))
+      .select(col(idCol), col("group_id"), col("user_agent"),
+        col("rule_type"), col("path"), col("line_idx"))
+  }
+
+  /** Crawl-frontier filtering under parsed robots rules
+    * ([[parseRobots]] output): for each candidate (host, path),
+    * decide fetchability for `agent` by the RFC 9309 precedence —
+    * the MOST SPECIFIC matching rule (longest rule path, counted on
+    * the raw pattern) wins; on a tie `allow` beats `disallow`; no
+    * matching rule means allowed. Returns one row per input URL:
+    * `(host, path, allowed, rule_type, rule_path)` with the winning
+    * rule preserved (NULL rule columns = no match), so a frontier
+    * drop is always attributable to a line in robots.txt.
+    *
+    * Group selection per RFC: if the host has any group naming
+    * `agent` exactly (case-insensitive), ONLY those rules apply; the
+    * `*` groups are the fallback for hosts that do not. Patterns
+    * support the REP wildcards — `*` matches any char run (slashes
+    * included) and a trailing `$` anchors the match end; everything
+    * else is literal. Matching translates the pattern to an anchored
+    * regex row-locally (metachars escaped, `*` → `.*`, `$` kept as
+    * the anchor) and runs the codegen'd `regexp_like`; empty-path
+    * rules match nothing.
+    *
+    * Scale shape: rules are per-host KB-sized, so the urls⋈rules
+    * equi join on host broadcasts the rules side when it fits (and
+    * degrades to a host-partitioned shuffle, never a cartesian); the
+    * winner window is PARTITIONED BY (host, path). */
+  def robotsDecide(urls: DataFrame, rules: DataFrame,
+                   agent: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(agent.nonEmpty && agent != "*",
+      s"agent must be a concrete user-agent name, got '$agent'")
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    val hostCol = rules.columns.head // parseRobots keeps idCol first
+    val specific = rules.filter(col("user_agent") === a)
+      .select(col(hostCol)).distinct().withColumn("__has_specific", lit(true))
+    val applicable = rules.join(specific, Seq(hostCol), "left")
+      .filter(col("user_agent") === a ||
+        (col("__has_specific").isNull && col("user_agent") === "*"))
+      .filter(col("path") =!= "")
+      .select(col(hostCol).as("host"), col("rule_type"),
+        col("path").as("rule_path"))
+    val endsDollar = col("rule_path").endsWith("$")
+    val core = when(endsDollar,
+        expr("substring(rule_path, 1, length(rule_path) - 1)"))
+      .otherwise(col("rule_path"))
+    // escape regex metachars EXCEPT '*' (the REP wildcard), then turn
+    // '*' into '.*'; anchor the head always, the tail only under '$'
+    val esc = regexp_replace(core,
+      "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    val rx = concat(lit("^"), replace(esc, lit("*"), lit(".*")),
+      when(endsDollar, lit("$")).otherwise(lit("")))
+    val matched = urls.join(applicable, Seq("host"))
+      .filter(regexp_like(col("path"), rx))
+    val w = Window.partitionBy(col("host"), col("path"))
+      .orderBy(length(col("rule_path")).desc, col("rule_type").asc,
+        col("rule_path").asc)
+    val winners = matched
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("host"), col("path"), col("rule_type"), col("rule_path"))
+    urls.join(winners, Seq("host", "path"), "left")
+      .select(col("host"), col("path"),
+        (col("rule_type").isNull || col("rule_type") === "allow").as("allowed"),
+        col("rule_type"), col("rule_path"))
+  }
 }

@@ -197,4 +197,77 @@ class WebSpec extends SparkTestBase {
       assert(got(id) == expected, s"id=$id raw=${raw.map(_.toInt)}")
     }
   }
+
+  private val robotsTxt =
+    """# header comment
+      |Disallow: /orphan
+      |User-agent: GraftBot
+      |Disallow: /private   # inline comment
+      |Allow: /private/ok
+      |Disallow:
+      |
+      |User-agent: otherbot
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin.replace("\n", "\r\n") // CRLF like real servers
+
+  test("parseRobots: comments, CRLF, groups, orphan rules, empty values") {
+    val rules = Web.parseRobots(
+        Seq(("h1", robotsTxt)).toDF("host", "txt"), "host", "txt")
+      .orderBy("line_idx", "user_agent")
+      .collect()
+      .map(r => (r.getAs[Long]("group_id"), r.getString(2), r.getString(3),
+        r.getString(4)))
+    assert(rules.toSeq == Seq(
+      (1L, "graftbot", "disallow", "/private"), // inline comment stripped
+      (1L, "graftbot", "allow", "/private/ok"),
+      (1L, "graftbot", "disallow", ""),         // empty value preserved
+      (2L, "*", "disallow", "/"),               // one rule row per UA
+      (2L, "otherbot", "disallow", "/")))       // of the two-UA group
+    // the pre-group '/orphan' rule must not survive (RFC: ignored)
+  }
+
+  test("robotsDecide: specific group wins, longest match, allow tie, default allow") {
+    val rules = Web.parseRobots(
+      Seq(("h1", robotsTxt), ("h2", "User-agent: *\nDisallow: /x"))
+        .toDF("host", "txt"), "host", "txt")
+    val urls = Seq(
+      ("h1", "/private/secret"),  // disallow /private
+      ("h1", "/private/ok/file"), // allow /private/ok (longer) wins
+      ("h1", "/public"),          // no match -> allowed; '*' group inert on h1
+      ("h2", "/x/y"),             // no graftbot group on h2 -> '*' applies
+      ("h2", "/y")                // no match
+    ).toDF("host", "path")
+    val got = Web.robotsDecide(urls, rules, "GraftBot")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getBoolean(2), Option(r.getString(3))))).toMap
+    assert(got(("h1", "/private/secret")) == ((false, Some("disallow"))))
+    assert(got(("h1", "/private/ok/file")) == ((true, Some("allow"))))
+    assert(got(("h1", "/public")) == ((true, None)))
+    assert(got(("h2", "/x/y")) == ((false, Some("disallow"))))
+    assert(got(("h2", "/y")) == ((true, None)))
+  }
+
+  test("robotsDecide: REP wildcards — mid-pattern *, trailing $ anchor") {
+    val rules = Web.parseRobots(Seq(("h", Seq(
+        "User-agent: bot",
+        "Disallow: /a/*/c",
+        "Disallow: /exact$",
+        "Allow: /a/b*",
+        "Disallow: /d/[e]" // regex metachars in a path are literal
+      ).mkString("\n"))).toDF("host", "txt"), "host", "txt")
+    val urls = Seq(
+      ("h", "/a/x/c"),     // matches /a/*/c (len 6) -> disallow
+      ("h", "/a/bq/c"),    // /a/*/c (6) vs allow /a/b* (5): disallow
+      ("h", "/a/b"),       // only allow /a/b* -> allowed
+      ("h", "/exact"),     // $-anchored exact -> disallow
+      ("h", "/exactly"),   // $ prevents prefix match -> allowed
+      ("h", "/d/[e]")      // bracket chars matched literally -> disallow
+    ).toDF("host", "path")
+    val got = Web.robotsDecide(urls, rules, "bot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toMap
+    assert(got == Map("/a/x/c" -> false, "/a/bq/c" -> false,
+      "/a/b" -> true, "/exact" -> false, "/exactly" -> true,
+      "/d/[e]" -> false))
+  }
 }

@@ -2256,6 +2256,32 @@ object SparkEntry {
         .orderBy(col("host"), col("path"))
     }),
 
+    // q153: count-min sketch — the frequency complement to the q139
+    // HLL rollup tables. Per-returnflag sketches of l_partkey are
+    // MERGED to a global sketch (counter linearity: elementwise sum ==
+    // direct sketch, so the merge path is value-pinned too), then
+    // point-queried for partkeys ≤ 50 next to their exact counts. The
+    // portable polynomial hash family makes the whole sketch — every
+    // estimate — BIGINT-replayable in DuckDB; never_under pins the
+    // CMS one-sided-error guarantee.
+    "q153_cms_freq" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val perFlag = operators.Sketches.cmsRollup(li,
+        Seq(col("l_returnflag")), col("l_partkey"))
+      val global = operators.Sketches.cmsMerge(perFlag, Seq.empty)
+      val probes = li.filter(col("l_partkey") <= 50)
+        .select(col("l_partkey")).distinct()
+      val est = operators.Sketches.cmsEstimate(global, Seq.empty,
+        probes, "l_partkey")
+      val truth = li.filter(col("l_partkey") <= 50)
+        .groupBy(col("l_partkey").as("probe_key"))
+        .agg(count(lit(1)).as("true_cnt"))
+      est.join(truth, Seq("probe_key"))
+        .select(col("probe_key"), col("cms_est"), col("true_cnt"),
+          (col("cms_est") >= col("true_cnt")).as("never_under"))
+        .orderBy(col("probe_key"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3501,6 +3527,40 @@ object SparkEntry {
         |FROM urls u LEFT JOIN (SELECT * FROM m WHERE rn = 1) w
         |  ON w.host = u.host AND w.path = u.path
         |ORDER BY u.host, u.path""".stripMargin,
+
+    // q153: the full CMS replayed — same fold (k mod 2³¹−1), same
+    // polynomial row hashes, same mod-2⁶¹−1 arithmetic (every product
+    // < 2⁶³, exact BIGINT on both engines). The oracle sketches the
+    // corpus DIRECTLY (ungrouped); Spark sketches per returnflag and
+    // merges, so equality also pins counter linearity.
+    "q153_cms_freq" ->
+      """WITH cells AS MATERIALIZED (
+        |  SELECT i,
+        |    ((2654435761 + 40503 * i) * kk + (97 + 1013 * i))
+        |      % 2305843009213693951 % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT l_partkey % 2147483647 AS kk FROM lineitem
+        |        WHERE l_partkey IS NOT NULL),
+        |       unnest(range(0, 4)) AS t(i)
+        |  GROUP BY 1, 2),
+        |probes AS (
+        |  SELECT DISTINCT l_partkey AS probe_key,
+        |         l_partkey % 2147483647 AS kk
+        |  FROM lineitem WHERE l_partkey <= 50),
+        |est AS (
+        |  SELECT probe_key, MIN(COALESCE(c.cnt, 0)) AS cms_est
+        |  FROM (SELECT p.probe_key, t.i,
+        |          ((2654435761 + 40503 * t.i) * p.kk + (97 + 1013 * t.i))
+        |            % 2305843009213693951 % 256 AS bucket
+        |        FROM probes p, unnest(range(0, 4)) AS t(i)) q
+        |  LEFT JOIN cells c ON c.i = q.i AND c.bucket = q.bucket
+        |  GROUP BY 1),
+        |tc AS (SELECT l_partkey AS probe_key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        |       FROM lineitem WHERE l_partkey <= 50 GROUP BY 1)
+        |SELECT e.probe_key, CAST(e.cms_est AS BIGINT) AS cms_est, t.true_cnt,
+        |       e.cms_est >= t.true_cnt AS never_under
+        |FROM est e JOIN tc t USING (probe_key)
+        |ORDER BY probe_key""".stripMargin,
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE

@@ -50,4 +50,112 @@ object Sketches {
     rollup.groupBy(dims: _*)
       .agg(hll_sketch_estimate(hll_union_agg(sketch, lit(false)))
         .as("approx_distinct"))
+
+  // ───────────────────── count-min sketch ─────────────────────
+  //
+  // The FREQUENCY complement to the HLL distinct-count tables above
+  // (Cormode & Muthukrishnan 2005): one depth×width counter array
+  // per (grain, day) partition answers "how often did key k occur"
+  // for ANY key with a one-sided error — estimates never undercount,
+  // and overcount by at most εN with probability 1−δ (ε ≈ e/width,
+  // δ ≈ e^−depth). Counters are LINEAR, so partition sketches merge
+  // by elementwise addition — the same
+  // rollup → compact → merge-estimate lifecycle as the HLL tables,
+  // with the merge moving depth·width BIGINTs per group, never raw
+  // keys.
+  //
+  // The hash family is pairwise-independent-by-construction and
+  // DELIBERATELY portable: row i maps a key k (folded to
+  // k' = k mod (2³¹−1), nonnegative) to bucket
+  // ((aᵢ·k' + bᵢ) mod (2⁶¹−1)) mod width with
+  // aᵢ = 2654435761 + 40503·i, bᵢ = 97 + 1013·i. Every product
+  // stays under 2⁶³ (aᵢ < 2³², k' < 2³¹), so the arithmetic is
+  // exact BIGINT on any engine — the q153 oracle replays the whole
+  // sketch, estimates included, in DuckDB integer SQL. A keyed
+  // xxhash64 family would also work but is not cross-engine
+  // replayable; the polynomial family is the one the oracle
+  // discipline wants, and its independence is what the CMS proof
+  // needs.
+
+  private val CmsP = 2305843009213693951L // 2^61 − 1 (Mersenne)
+  private val CmsFold = 2147483647L       // 2^31 − 1
+
+  private def cmsBucket(key: Column, i: Column, width: Int): Column = {
+    val k = pmod(key.cast("long"), lit(CmsFold))
+    val a = lit(2654435761L) + lit(40503L) * i
+    val b = lit(97L) + lit(1013L) * i
+    pmod(a * k + b, lit(CmsP)) % lit(width)
+  }
+
+  /** One count-min sketch row per group: dims ++ (cms ARRAY<BIGINT>
+    * of depth·width counters laid out row-major, cms_rows BIGINT).
+    * One explode (×depth) + one hash aggregate with map-side
+    * partials + one dense-array rebuild per group — no driver state,
+    * no UDF. Null keys are skipped (counted in no bucket), matching
+    * COUNT(key) semantics. */
+  def cmsRollup(df: DataFrame, dims: Seq[Column], key: Column,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2 && width <= (1 << 20),
+      s"width must be in [2,2^20], got $width")
+    val n = depth * width
+    val base = df.filter(key.isNotNull).select(dims :+ key.as("__k"): _*)
+    val dimNames = base.columns.dropRight(1).map(col).toSeq
+    val cells = base
+      .select(dimNames :+ col("__k") :+
+        explode(sequence(lit(0), lit(depth - 1))).as("__i"): _*)
+      .select(dimNames :+
+        (col("__i") * width + cmsBucket(col("__k"), col("__i"), width))
+          .as("__cell"): _*)
+      .groupBy(dimNames :+ col("__cell"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    cells.groupBy(dimNames: _*)
+      .agg(map_from_entries(collect_list(
+          struct(col("__cell"), col("__cnt")))).as("__m"),
+        sum(col("__cnt")).as("__total"))
+      .select(dimNames :+
+        transform(sequence(lit(0), lit(n - 1)),
+          idx => coalesce(element_at(col("__m"), idx.cast("long")), lit(0L)))
+          .as("cms") :+
+        (col("__total") / lit(depth)).cast("long").as("cms_rows"): _*)
+  }
+
+  /** Merge CMS rollup rows up to a coarser grain: counters are
+    * linear, so the merged sketch is the ELEMENTWISE SUM — identical
+    * (not just approximately) to a direct sketch of the union, which
+    * the q153 oracle exploits. Explode-sum-rebuild keeps the
+    * aggregate a plain hash agg with map-side partials (Spark has no
+    * native vector-sum aggregate; depth·width cells per row is
+    * bounded by construction). */
+  def cmsMerge(rollup: DataFrame, dims: Seq[Column],
+      sketch: Column = col("cms")): DataFrame = {
+    val exploded = rollup
+      .select(dims :+ posexplode(sketch).as(Seq("__idx", "__cnt")): _*)
+    val dimNames = exploded.columns.dropRight(2).map(col)
+    exploded.groupBy((dimNames :+ col("__idx")).toSeq: _*)
+      .agg(sum(col("__cnt")).as("__s"))
+      .groupBy(dimNames.toSeq: _*)
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__s"))))
+        .as("__cells"))
+      .select(dimNames.toSeq :+
+        transform(col("__cells"), c => c.getField("__s")).as("cms"): _*)
+  }
+
+  /** Point-query estimates against a CMS: for each probe key, the
+    * minimum of its depth counters — never below the true count.
+    * `probes` is a 1-column DataFrame of keys; `sketches` a
+    * [[cmsRollup]] output (depth/width must match the build). The
+    * join is a broadcast of the bounded probe set (or of the
+    * sketch rows — both are small); nothing corpus-sized moves. */
+  def cmsEstimate(sketches: DataFrame, dims: Seq[Column],
+      probes: DataFrame, probeKey: String,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val p = probes.select(col(probeKey).as("probe_key")).distinct()
+    sketches.crossJoin(p)
+      .select(dims :+ col("probe_key") :+
+        array_min(transform(sequence(lit(0), lit(depth - 1)),
+          i => element_at(col("cms"),
+            (i * width + cmsBucket(col("probe_key"), i, width) + 1)
+              .cast("int")))).as("cms_est"): _*)
+  }
 }

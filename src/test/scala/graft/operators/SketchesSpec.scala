@@ -134,4 +134,84 @@ class SketchesSpec extends SparkTestBase {
       Sketches.hllRollup(li, Seq(col("l_returnflag")), col("l_partkey"), lgK = 2)
     }
   }
+
+  // the portable CMS hash, reimplemented independently for the specs
+  private def cmsRefBucket(key: Long, i: Long, width: Int): Long = {
+    val k = ((key % 2147483647L) + 2147483647L) % 2147483647L
+    ((2654435761L + 40503L * i) * k + (97L + 1013L * i)) %
+      2305843009213693951L % width
+  }
+
+  test("cmsRollup: counters match an independent replay of the hash family") {
+    import spark.implicits._
+    val keys = Seq(5L, 5L, 5L, 17L, 17L, 9000000000L, -3L)
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val got = Sketches.cmsRollup(df, Seq.empty, col("k"),
+        depth = 3, width = 16)
+      .collect().head
+    val cms = got.getSeq[Long](got.fieldIndex("cms"))
+    assert(cms.length == 48)
+    assert(got.getLong(got.fieldIndex("cms_rows")) == keys.length)
+    val expected = Array.fill(48)(0L)
+    keys.foreach { k =>
+      (0L until 3L).foreach { i =>
+        expected((i * 16 + cmsRefBucket(k, i, 16)).toInt) += 1
+      }
+    }
+    assert(cms == expected.toSeq)
+  }
+
+  test("cmsRollup: null keys are skipped; rows per depth-row consistent") {
+    import spark.implicits._
+    val df = Seq(Some(1L), None, Some(2L), None).toDF("k")
+    val got = Sketches.cmsRollup(df, Seq.empty, col("k"),
+        depth = 4, width = 8).collect().head
+    assert(got.getLong(got.fieldIndex("cms_rows")) == 2L)
+    val cms = got.getSeq[Long](got.fieldIndex("cms"))
+    assert(cms.sum == 8L) // 2 rows × depth 4
+  }
+
+  test("cmsMerge: elementwise sum — merged partials EQUAL the direct sketch") {
+    val li = Tables.lineitem(spark, sf)
+    val perFlag = Sketches.cmsRollup(li,
+      Seq(col("l_returnflag")), col("l_partkey"), depth = 4, width = 64)
+    val merged = Sketches.cmsMerge(perFlag, Seq.empty)
+      .collect().head.getSeq[Long](0)
+    val direct = Sketches.cmsRollup(li, Seq.empty, col("l_partkey"),
+        depth = 4, width = 64)
+      .collect().head.getSeq[Long](0)
+    assert(merged == direct, "counter linearity must make merge exact")
+  }
+
+  test("cmsEstimate: min over depth rows; never undercounts; exact when clean") {
+    import spark.implicits._
+    val keys = (1L to 40L) ++ Seq(7L, 7L, 7L, 13L)
+    val df = keys.map(Tuple1(_)).toDF("k")
+    val sk = Sketches.cmsRollup(df, Seq.empty, col("k"),
+      depth = 4, width = 512)
+    val probes = Seq(7L, 13L, 25L, 999L).toDF("k")
+    val est = Sketches.cmsEstimate(sk, Seq.empty, probes, "k",
+        depth = 4, width = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // one-sided error always
+    Seq(7L, 13L, 25L).foreach { k =>
+      assert(est(k) >= truth(k), s"key $k undercounted: ${est(k)} < ${truth(k)}")
+    }
+    // at width 512 with 44 increments per row, these probes are
+    // collision-free under the FIXED deterministic hashes — exact
+    assert(est(7L) == 4L && est(13L) == 2L && est(25L) == 1L)
+    assert(est(999L) >= 0L) // absent key: only ever overcounts
+  }
+
+  test("cmsRollup: depth/width bounds fail loudly") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketches.cmsRollup(df, Seq.empty, col("k"), depth = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.cmsRollup(df, Seq.empty, col("k"), width = 1)
+    }
+  }
 }

@@ -2282,6 +2282,33 @@ object SparkEntry {
         .orderBy(col("probe_key"))
     }),
 
+    // q154: anchor-text aggregation over the q142-style synthesized
+    // pages — the IR signal (anchor text describes the TARGET page)
+    // the crawl path feeds ranking. Per resolved URL: link count,
+    // distinct linking docs, and the sorted-distinct non-empty anchor
+    // texts (nested tags stripped, entities decoded, whitespace
+    // normalized; all-empty → NULL). DuckDB rebuilds the (url, text)
+    // pairs from the same arithmetic and aggregates with
+    // string_agg(DISTINCT … ORDER BY …).
+    "q154_anchor_texts" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 50,
+            lit(".example.com/dir/page.html")).as("base_url"),
+          concat(
+            lit("<html><body><a href=\"/t"), col("doc_id") % 7,
+            lit("\">go <b>to</b> t"), col("doc_id") % 7, lit("</a>"),
+            lit("<a href='/shared'>s&amp;p "), col("doc_id") % 4,
+            lit("</a>"),
+            lit("<a href=/empty></a>"),
+            lit("<a href=\"p"), col("doc_id") % 7,
+            lit(".html\"><i>rel</i> x</a>"),
+            lit("<a href=\"mailto:info@example.com\">m</a>"),
+            lit("</body></html>")).as("html"))
+      operators.Web.anchorTexts(d, "doc_id", "html", "base_url")
+        .orderBy(col("url"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3561,6 +3588,37 @@ object SparkEntry {
         |       e.cms_est >= t.true_cnt AS never_under
         |FROM est e JOIN tc t USING (probe_key)
         |ORDER BY probe_key""".stripMargin,
+
+    // q154: (url, text) pairs rebuilt from the same doc_id arithmetic
+    // (mailto never resolves and so never appears); empties NULLIF'd
+    // out of the distinct-ordered string_agg exactly like the
+    // non-empty collect_set side.
+    "q154_anchor_texts" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS h
+        |           FROM documents WHERE doc_id < 200),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/t' ||
+        |      CAST(doc_id % 7 AS VARCHAR) AS url,
+        |    'go to t' || CAST(doc_id % 7 AS VARCHAR) AS text FROM d
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/shared',
+        |    's&p ' || CAST(doc_id % 4 AS VARCHAR) FROM d
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/empty',
+        |    '' FROM d
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/dir/p' ||
+        |      CAST(doc_id % 7 AS VARCHAR) || '.html',
+        |    'rel x' FROM d)
+        |SELECT url, CAST(COUNT(*) AS BIGINT) AS n_links,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  string_agg(DISTINCT NULLIF(text, ''), ' | '
+        |             ORDER BY NULLIF(text, '')) AS anchors
+        |FROM pairs GROUP BY url ORDER BY url""".stripMargin,
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE

@@ -103,6 +103,14 @@ object Web {
           .as("link_chars")): _*)
   }
 
+  /** HTML entity decode for attribute/anchor values — ampersand last
+    * so `&amp;lt;` → `&lt;` stays literal. */
+  private def entityDecode(c: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(c) { case (acc, (ent, ch)) =>
+        replace(acc, lit(ent), lit(ch)) }
+
   /** Outlink extraction — the step between [[htmlToText]] and the
     * host graph that [[Graph.pageRankInt]] ranks: pull every anchor
     * `href` out of a page, entity-decode it (crawled query strings
@@ -150,10 +158,7 @@ object Web {
     val hrefs = zip_with(zip_with(quoted1, quoted2,
         (a, b) => when(a =!= "", a).otherwise(b)), bare,
       (ab, c) => when(ab =!= "", ab).otherwise(c))
-    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-        "&#39;" -> "'", "&amp;" -> "&")
-      .foldLeft(col("__href")) { case (c, (ent, ch)) =>
-        replace(c, lit(ent), lit(ch)) }
+    val decoded = entityDecode(col("__href"))
     val noFrag = regexp_replace(decoded, "#.*$", "")
     val baseScheme = regexp_extract(col(baseUrlCol), "^(https?)://", 1)
     val baseHost   = regexp_extract(col(baseUrlCol), "^https?://([^/]+)", 1)
@@ -165,13 +170,31 @@ object Web {
     // '' that marks the root, anything else pushed. split() keeps the
     // trailing '' of a path ending in '/', so directory refs keep
     // their slash through the join.
-    val relHasScheme = col("__h").rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
-    val basePath = regexp_extract(col(baseUrlCol),
+    val resolved = resolveRef(col("__h"), col(baseUrlCol))
+    df.select(col(idCol), col(baseUrlCol),
+        explode(hrefs).as("__href"))
+      .filter(col("__href") =!= "")
+      .withColumn("__h", noFrag)
+      .select(col(idCol), col("__href").as("href"),
+        resolved.as("url"),
+        regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"),
+        baseHost.as("src_host"))
+  }
+
+  /** RFC 3986 §5 reference resolution of a fragment-free reference
+    * `h` against `baseUrl` — the shared core of [[extractLinks]] and
+    * [[anchorTexts]] (see extractLinks' scaladoc for the branch
+    * inventory). Row-local expressions only. */
+  private def resolveRef(h: Column, baseUrl: Column): Column = {
+    val baseScheme = regexp_extract(baseUrl, "^(https?)://", 1)
+    val baseHost   = regexp_extract(baseUrl, "^https?://([^/]+)", 1)
+    val relHasScheme = h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:")
+    val basePath = regexp_extract(baseUrl,
       "^https?://[^/?#]*(/[^?#]*)?", 1)
     val baseDir  = when(basePath === "", lit("/"))
       .otherwise(regexp_replace(basePath, "[^/]*$", ""))
-    val relPath  = regexp_extract(col("__h"), "^([^?]*)", 1)
-    val relQuery = regexp_extract(col("__h"), "(\\?.*)$", 1)
+    val relPath  = regexp_extract(h, "^([^?]*)", 1)
+    val relQuery = regexp_extract(h, "(\\?.*)$", 1)
     val segs   = split(concat(baseDir, relPath), "/")
     val folded = aggregate(segs, typedLit(Seq.empty[String]), (acc, s) =>
       when(s === ".", acc)
@@ -186,26 +209,71 @@ object Web {
         concat(joined, lit("/"))).otherwise(joined)
       when(t === "", lit("/")).otherwise(t)
     }
-    val resolved = when(col("__h").rlike("(?i)^https?://"), col("__h"))
+    when(h.rlike("(?i)^https?://"), h)
       .when(relHasScheme, lit(null).cast("string"))
-      .when(col("__h").startsWith("//") && baseScheme =!= "",
-        concat(baseScheme, lit(":"), col("__h")))
-      .when(col("__h").startsWith("/") && baseHost =!= "",
-        concat(baseScheme, lit("://"), baseHost, col("__h")))
-      .when(col("__h").startsWith("?") && baseHost =!= "",
+      .when(h.startsWith("//") && baseScheme =!= "",
+        concat(baseScheme, lit(":"), h))
+      .when(h.startsWith("/") && baseHost =!= "",
+        concat(baseScheme, lit("://"), baseHost, h))
+      .when(h.startsWith("?") && baseHost =!= "",
         concat(baseScheme, lit("://"), baseHost,
-          when(basePath === "", lit("/")).otherwise(basePath), col("__h")))
-      .when(col("__h") =!= "" && baseHost =!= "" && baseScheme =!= "",
+          when(basePath === "", lit("/")).otherwise(basePath), h))
+      .when(h =!= "" && baseHost =!= "" && baseScheme =!= "",
         concat(baseScheme, lit("://"), baseHost, normPath, relQuery))
       .otherwise(lit(null).cast("string"))
-    df.select(col(idCol), col(baseUrlCol),
-        explode(hrefs).as("__href"))
-      .filter(col("__href") =!= "")
-      .withColumn("__h", noFrag)
-      .select(col(idCol), col("__href").as("href"),
-        resolved.as("url"),
-        regexp_extract(resolved, "^https?://([^/]+)", 1).as("host"),
-        baseHost.as("src_host"))
+  }
+
+  /** Anchor-text aggregation — the classic IR/link-graph signal the
+    * crawl path feeds a ranking or page-representation stage: the
+    * text INSIDE `<a>…</a>` describes the TARGET page (often better
+    * than the target's own text — the reason search engines index
+    * it). For every resolved target URL across the corpus:
+    * `(url, n_links, n_docs, anchors)` where `anchors` is the
+    * sorted-distinct non-empty anchor texts joined with `" | "`
+    * (NULL when every linking anchor was empty).
+    *
+    * Anchor text is the inner HTML with tags stripped to spaces,
+    * entities decoded (ampersand last), and whitespace normalized.
+    * Unlike [[extractLinks]] — the audit path, which preserves
+    * unresolvable hrefs as NULL-url rows — this aggregate keeps only
+    * resolvable targets: an anchor table row IS a page
+    * representation, so a row without a page identity means nothing.
+    * Unclosed `<a>` spans have no extractable text and are skipped
+    * here too (extractLinks still counts their hrefs).
+    *
+    * Scale shape: row-local regex extraction + one explode, then ONE
+    * hash aggregate shuffling the skinny (url, doc, text) triple —
+    * collect_set is bounded per URL by the distinct anchor
+    * vocabulary, which for real link graphs is small (anchor text
+    * repeats; that repetition is the signal). */
+  def anchorTexts(df: DataFrame, idCol: String, htmlCol: String,
+      baseUrlCol: String): DataFrame = {
+    val aRe = "(?is)<a\\b[^>]*?href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'" +
+      "|([^\"'\\s>]+))[^>]*>(.*?)</a>"
+    val g = (i: Int) => regexp_extract_all(col(htmlCol), lit(aRe), lit(i))
+    val hrefs = zip_with(zip_with(g(1), g(2),
+        (a, b) => when(a =!= "", a).otherwise(b)), g(3),
+      (ab, c) => when(ab =!= "", ab).otherwise(c))
+    val pairs = zip_with(hrefs, g(4),
+      (h, t) => struct(h.as("h"), t.as("t")))
+    val noFrag = regexp_replace(entityDecode(col("__p.h")), "#.*$", "")
+    val text = trim(regexp_replace(
+      entityDecode(regexp_replace(col("__p.t"), "<[^>]+>", " ")),
+      "\\s+", " "))
+    df.select(col(idCol), col(baseUrlCol), explode(pairs).as("__p"))
+      .filter(col("__p.h") =!= "")
+      .select(col(idCol),
+        resolveRef(noFrag, col(baseUrlCol)).as("url"),
+        text.as("__text"))
+      .filter(col("url").isNotNull)
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sort_array(collect_set(when(col("__text") =!= "", col("__text"))))
+          .as("__set"))
+      .select(col("url"), col("n_links"), col("n_docs"),
+        when(size(col("__set")) > 0, array_join(col("__set"), " | "))
+          .as("anchors"))
   }
 
   /** robots.txt parsing (RFC 9309, the Robots Exclusion Protocol) —

@@ -270,4 +270,26 @@ class WebSpec extends SparkTestBase {
       "/a/b" -> true, "/exact" -> false, "/exactly" -> true,
       "/d/[e]" -> false))
   }
+
+  test("anchorTexts: aggregation, tag strip, entities, empties, unresolvables") {
+    val docs = Seq(
+      (1L, "https://a.com/dir/page.html",
+        "<a href=\"/t\">go <b>to</b> T</a>" +
+        "<a href='/t'>s&amp;p one</a>" +
+        "<a href=/empty></a>" +
+        "<a href=\"mailto:x@y\">mail</a>"),
+      (2L, "https://a.com/dir/other.html",
+        "<a href=\"/t\">go  to T</a>" + // same text after normalize
+        "<a href=\"rel.html\"><i>rel</i> link</a>")
+    ).toDF("id", "base_url", "html")
+    val got = Web.anchorTexts(docs, "id", "html", "base_url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got("https://a.com/t") ==
+      ((3L, 2L, Some("go to T | s&p one"))))
+    assert(got("https://a.com/empty") == ((1L, 1L, None)))
+    assert(got("https://a.com/dir/rel.html") == ((1L, 1L, Some("rel link"))))
+    assert(!got.contains(null) && got.size == 3,
+      "mailto target must not appear")
+  }
 }

@@ -2309,6 +2309,23 @@ object SparkEntry {
         .orderBy(col("url"))
     }),
 
+    // q155: IN-ENGINE quality-classifier training — 3 rounds of
+    // fixed-point batch gradient descent (hard sigmoid, sign-split
+    // division, milli-units) over md5-hashed presence features, with
+    // the length-gate label y = (token_count >= 40). The LEARNED
+    // WEIGHTS are the output: DuckDB replays every round in unrolled
+    // BIGINT CTEs, so training itself — not just scoring — is
+    // hash-exact cross-engine.
+    "q155_logistic_train" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      val f = operators.Learn.hashedFeatures(docs, "doc_id", "text", 64)
+      val l = docs.select(col("doc_id").as("ex_id"),
+        (graft.functions.token_count(col("text")) >= 40)
+          .cast("long").as("y"))
+      operators.Learn.logisticTrainInt(f, l, 64, iterations = 3)
+        .orderBy(col("feature_id"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3619,6 +3636,10 @@ object SparkEntry {
         |  string_agg(DISTINCT NULLIF(text, ''), ' | '
         |             ORDER BY NULLIF(text, '')) AS anchors
         |FROM pairs GROUP BY url ORDER BY url""".stripMargin,
+
+    // q155: the training loop unrolled — see lrOracleSql.
+    "q155_logistic_train" -> lrOracleSql(iters = 3, dim = 64,
+      docLimit = 120, minTokens = 40, lrNum = 1, lrDen = 4),
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE
@@ -4972,6 +4993,62 @@ object SparkEntry {
            |FROM b$j""".stripMargin)
       sb.append("\n" + rows.mkString("\nUNION ALL\n") + "\nORDER BY rank")
     }
+    sb.toString
+  }
+
+  /** q155 oracle generator: the fixed-point logistic training loop
+    * ([[graft.operators.Learn.logisticTrainInt]]) unrolled — one
+    * (score, error, gradient, update) CTE quartet per iteration.
+    * Every division is the sign-split nonnegative-dividend form, so
+    * DuckDB's flooring `//` and Spark's truncating division agree;
+    * the hard sigmoid and the averaged-gradient update mirror the
+    * Scala expressions term for term. */
+  private def lrOracleSql(iters: Int, dim: Int, docLimit: Int,
+      minTokens: Int, lrNum: Long, lrDen: Long): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH f AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id AS ex_id,
+        |    CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % $dim AS BIGINT)
+        |      AS fid
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+        |        FROM documents WHERE doc_id < $docLimit)
+        |  WHERE token <> ''),
+        |l AS MATERIALIZED (
+        |  SELECT doc_id AS ex_id,
+        |    CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= $minTokens
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents WHERE doc_id < $docLimit),
+        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM l),
+        |w0 AS (SELECT CAST(i AS BIGINT) AS fid, CAST(0 AS BIGINT) AS w
+        |       FROM range($dim) t(i))""".stripMargin)
+    for (j <- 1 to iters) {
+      sb.append(s""",
+        |s$j AS MATERIALIZED (
+        |  SELECT f.ex_id, SUM(w.w) AS s
+        |  FROM f JOIN w${j - 1} w USING (fid) GROUP BY 1),
+        |e$j AS MATERIALIZED (
+        |  SELECT l.ex_id,
+        |    GREATEST(0, LEAST(1000,
+        |      500 + CASE WHEN s.s >= 0 THEN s.s // 4
+        |                 ELSE -((-s.s) // 4) END))
+        |      - 1000 * l.y AS e
+        |  FROM s$j s JOIN l ON l.ex_id = s.ex_id),
+        |g$j AS MATERIALIZED (
+        |  SELECT f.fid, SUM(e.e) AS g
+        |  FROM f JOIN e$j e USING (ex_id) GROUP BY 1),
+        |w$j AS MATERIALIZED (
+        |  SELECT w.fid,
+        |    w.w - COALESCE(CASE WHEN g.g >= 0
+        |        THEN (g.g * $lrNum) // ((SELECT n FROM nn) * $lrDen)
+        |        ELSE -(((-g.g) * $lrNum) // ((SELECT n FROM nn) * $lrDen))
+        |      END, 0) AS w
+        |  FROM w${j - 1} w LEFT JOIN g$j g USING (fid))""".stripMargin)
+    }
+    sb.append(s"""
+      |SELECT fid AS feature_id, CAST(w AS BIGINT) AS weight
+      |FROM w$iters ORDER BY fid""".stripMargin)
     sb.toString
   }
 

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.tokens
+
+/** In-engine training of the hashed linear quality classifier that
+  * [[TextOps.linearScore]] serves — the CCNet/fastText-style step a
+  * training-data pipeline runs to learn its own quality gate from
+  * labeled examples instead of shipping hand-set weights.
+  *
+  * Everything is INTEGER fixed point (milli-units) on purpose — the
+  * q134/q140 oracle discipline: with a hard-sigmoid (the
+  * piecewise-linear σ̃ quantized inference stacks already use) and
+  * sign-split truncating division, a bounded training run is a pure
+  * function of (features, labels) and replays as unrolled BIGINT SQL,
+  * so the LEARNED WEIGHTS themselves are hash-comparable across
+  * engines (q155). Real float LR would train marginally better but
+  * could never be value-pinned; the hard-sigmoid gradient is the
+  * standard straight-through surrogate and costs nothing at this
+  * precision.
+  *
+  * Scale shape per iteration (batch gradient descent):
+  *   score: features ⋈ weights (weights is `dim` rows — model-sized,
+  *   AQE broadcasts it) + one per-example hash aggregate;
+  *   gradient: features ⋈ errors + one per-feature hash aggregate;
+  *   update: weights ⋈ gradient (both model-sized).
+  * Two corpus-sized shuffles per iteration, no driver-side data
+  * motion (the example count is the single scalar collected, once).
+  * The feature table is persisted across iterations; weights are
+  * checkpointed so the plan stays bounded at large iteration counts.
+  */
+object Learn {
+
+  /** Hashed binary bag-of-words features: one (ex_id, feature_id) row
+    * per DISTINCT (example, bucket) — presence features, the robust
+    * default for quality gates. Same engine-neutral md5-mod-dim
+    * bucketing as [[TextOps.linearScore]], so a model trained here
+    * serves there unchanged. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol).as("ex_id"),
+        explode(tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col("ex_id"),
+        (conv(substring(md5(col("__t")), 1, 8), 16, 10).cast("long") % dim)
+          .as("feature_id"))
+      .distinct()
+  }
+
+  /** Sign-split truncating division: `sign(a) · (|a| div b)` for
+    * b > 0. Spark's integral `div` truncates toward zero while
+    * DuckDB's `//` floors — they differ exactly on negative
+    * dividends, so every division in the training loop goes through
+    * this nonnegative-dividend form, which both engines evaluate
+    * identically (and the q155 oracle mirrors the CASE verbatim). */
+  private def sdiv(a: Column, b: Column): Column =
+    when(a >= 0, floor(a / b)).otherwise(-floor(-a / b)).cast("long")
+
+  /** Hard sigmoid in milli-units: clamp(500 + s/4, 0, 1000) — the
+    * standard piecewise-linear σ approximation (σ(x) ≈ x/4 + 1/2 on
+    * [−2, 2], saturated outside). */
+  private def hardSigmoidMilli(s: Column): Column =
+    greatest(lit(0L), least(lit(1000L), lit(500L) + sdiv(s, lit(4L))))
+
+  /** Batch-gradient-descent training of a binary logistic classifier
+    * over presence features, all arithmetic BIGINT milli-units.
+    *
+    * `features`: (ex_id, feature_id) — [[hashedFeatures]] output.
+    * `labels`:   (ex_id, y) with y ∈ {0, 1}; unlabeled examples are
+    *             ignored, labeled examples with no features
+    *             contribute no gradient (their error reaches no
+    *             feature).
+    *
+    * Per iteration, with p̃ᵢ = hard-sigmoid(Σ_{f∈xᵢ} w_f) and
+    * errᵢ = p̃ᵢ − 1000·yᵢ:
+    *   w_f ← w_f − sign(g_f) · (|g_f| · lrNum) div (N · lrDen)
+    * where g_f = Σ_{i: f∈xᵢ} errᵢ and N = |labels| — plain averaged
+    * gradient descent with learning rate lrNum/lrDen, every division
+    * through the sign-split form. Returns the dense model:
+    * (feature_id, weight) for all `dim` buckets. */
+  def logisticTrainInt(features: DataFrame, labels: DataFrame, dim: Int,
+      iterations: Int, lrNum: Long = 1L, lrDen: Long = 4L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(iterations >= 1 && iterations <= 10000,
+      s"iterations must be in [1,10000], got $iterations")
+    require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
+    val spark = features.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    // presence semantics are part of the contract — enforce them here
+    // (a duplicated (ex, feature) row would silently double that
+    // feature's weight in the score); the distinct costs one exchange
+    // on a table that is persisted across all iterations anyway
+    val f = features.select(col("ex_id"), col("feature_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = labels.select(col("ex_id"), col("y").cast("long").as("__y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = l.count() // the one driver scalar; also materializes l
+    require(n > 0, "labels is empty")
+    var weights = spark.range(dim)
+      .select(col("id").as("feature_id"), lit(0L).as("weight"))
+    var lastCkpt: DataFrame = null
+    var sinceCkpt = 0
+    for (_ <- 1 to iterations) {
+      val scores = f.join(weights, Seq("feature_id"))
+        .groupBy(col("ex_id")).agg(sum(col("weight")).as("__s"))
+      val errs = scores.join(l, Seq("ex_id"))
+        .select(col("ex_id"),
+          (hardSigmoidMilli(col("__s")) - lit(1000L) * col("__y")).as("__e"))
+      val grad = f.join(errs, Seq("ex_id"))
+        .groupBy(col("feature_id")).agg(sum(col("__e")).as("__g"))
+      weights = weights.join(grad, Seq("feature_id"), "left")
+        .select(col("feature_id"),
+          (col("weight") - coalesce(
+            sdiv(col("__g") * lrNum, lit(n * lrDen)), lit(0L))).as("weight"))
+      sinceCkpt += 1
+      if (sinceCkpt >= 3) {
+        val ckpt = weights.localCheckpoint() // eager: reads old blocks
+        if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+        lastCkpt = ckpt
+        weights = ckpt
+        sinceCkpt = 0
+      }
+    }
+    val out = weights.select(col("feature_id"), col("weight"))
+      .localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    f.unpersist()
+    l.unpersist()
+    out
+  }
+
+  /** Score examples with a trained integer model: milli-logit and
+    * hard-sigmoid milli-probability per example — the exact forward
+    * pass of the training loop, so train-time and serve-time
+    * probabilities agree to the bit. */
+  def logisticPredictInt(features: DataFrame,
+      weights: DataFrame): DataFrame =
+    features.join(weights, Seq("feature_id"))
+      .groupBy(col("ex_id"))
+      .agg(sum(col("weight")).as("logit_milli"))
+      .select(col("ex_id"), col("logit_milli"),
+        hardSigmoidMilli(col("logit_milli")).as("p_milli"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[Learn.logisticTrainInt]] against an independent in-memory
+  * reference implementation of the same fixed-point contract, plus
+  * behavioral checks: the learned gate separates a separable toy,
+  * prediction is the training forward pass, and the fixed-point
+  * arithmetic (sign-split division, hard sigmoid) matches hand
+  * computation. */
+class LearnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // reference trainer: same contract, plain Scala
+  private def refTrain(feats: Seq[(Long, Long)], labels: Map[Long, Long],
+      dim: Int, iters: Int, lrNum: Long, lrDen: Long): Map[Long, Long] = {
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val n = labels.size.toLong
+    val byEx = feats.distinct.groupBy(_._1)
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    (1 to iters).foreach { _ =>
+      val errs = byEx.collect { case (ex, fs) if labels.contains(ex) =>
+        val s = fs.map(f => w(f._2)).sum
+        val p = math.max(0L, math.min(1000L, 500L + sdiv(s, 4L)))
+        ex -> (p - 1000L * labels(ex))
+      }
+      val grad = feats.distinct.collect {
+        case (ex, f) if errs.contains(ex) => f -> errs(ex)
+      }.groupBy(_._1).map { case (f, es) => f -> es.map(_._2).sum }
+      w = (0L until dim.toLong).map { f =>
+        f -> (w(f) - grad.get(f).map(g =>
+          sdiv(g * lrNum, n * lrDen)).getOrElse(0L))
+      }.toMap.withDefaultValue(0L)
+    }
+    w
+  }
+
+  test("logisticTrainInt: matches the independent reference on a random fixture") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val feats = (0L until 30L).flatMap { ex =>
+      (0 until 1 + rnd.nextInt(5)).map(_ => ex -> rnd.nextInt(dim).toLong)
+    }
+    val labels = (0L until 30L).map(ex => ex -> (ex % 2)).toMap
+    val fDf = feats.toDF("ex_id", "feature_id")
+    val lDf = labels.toSeq.toDF("ex_id", "y")
+    val got = Learn.logisticTrainInt(fDf, lDf, dim, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = refTrain(feats, labels, dim, 5, 1L, 4L)
+    (0L until dim.toLong).foreach { f =>
+      assert(got(f) == want(f), s"feature $f: got ${got(f)} want ${want(f)}")
+    }
+  }
+
+  test("logisticTrainInt: learns a separable toy; predict is the forward pass") {
+    // positive docs say 'good', negative docs say 'bad'
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "good stuff here" else "bad noise there")
+    }.toDF("ex_id", "text")
+    val dim = 32
+    val f = Learn.hashedFeatures(docs, "ex_id", "text", dim)
+    val l = (0L until 40L).map(i => (i, 1L - (i % 2))).toDF("ex_id", "y")
+    val w = Learn.logisticTrainInt(f, l, dim, iterations = 20)
+    val p = Learn.logisticPredictInt(f, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pos = (0L until 40L by 2).map(p).toSet
+    val neg = (1L until 40L by 2).map(p).toSet
+    assert(pos.size == 1 && neg.size == 1,
+      "identical examples must score identically")
+    assert(pos.head > 500L && neg.head < 500L,
+      s"separable toy must separate: pos=${pos.head} neg=${neg.head}")
+  }
+
+  test("logisticTrainInt: labeled example with no features is inert; unlabeled ignored") {
+    val f = Seq((1L, 0L), (2L, 1L), (99L, 2L)).toDF("ex_id", "feature_id")
+    val l = Seq((1L, 1L), (2L, 0L), (3L, 1L)).toDF("ex_id", "y") // 3: no feats
+    val w = Learn.logisticTrainInt(f, l, dim = 4, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // N = 3; err(1) = 500-1000 = -500 -> g(f0) = -500, upd = -(500//12) = -41
+    assert(w(0L) == 41L)
+    assert(w(1L) == -41L) // err(2) = +500
+    assert(w(2L) == 0L)   // ex 99 unlabeled: its feature untouched
+    assert(w(3L) == 0L)
+  }
+
+  test("logisticTrainInt: guards fail loudly") {
+    val f = Seq((1L, 0L)).toDF("ex_id", "feature_id")
+    val l = Seq((1L, 1L)).toDF("ex_id", "y")
+    intercept[IllegalArgumentException] {
+      Learn.logisticTrainInt(f, l, dim = 0, iterations = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.logisticTrainInt(f, l, dim = 4, iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Learn.logisticTrainInt(f, l.filter(col("y") < 0), dim = 4, iterations = 1)
+    }
+  }
+}

@@ -2326,6 +2326,32 @@ object SparkEntry {
         .orderBy(col("feature_id"))
     }),
 
+    // q156: retroactive robots compliance over the INGESTED crawl —
+    // the q145 WARC fixture's documents re-filtered under per-host
+    // robots.txt built from doc_id arithmetic (Disallow: /p/ with two
+    // Allow carve-outs per host, one $-anchored), composing
+    // Warc→htmlToText→applyRobots→robotsDecide end to end. The
+    // fixture arithmetic makes the verdict exactly `doc_id >= 100`,
+    // and the winning rule string is replayable per row — DuckDB pins
+    // allowed, rule_type, AND rule_path for all 200 pages.
+    "q156_crawl_robots" -> ((s, dir) => {
+      val (docs, _, _) = crawlFixture(s, dir)
+      val hosts = Tables.documents(s, dir)
+        .select((col("doc_id") % 50).as("h")).distinct()
+      val robots = hosts.select(
+        concat(lit("w"), col("h"), lit(".example.com")).as("host"),
+        concat_ws("\n",
+          lit("User-agent: GraftBot"),
+          lit("Disallow: /p/"),
+          concat(lit("Allow: /p/"), col("h") + 100, lit("$")),
+          concat(lit("Allow: /p/"), col("h") + 150)).as("txt"))
+      val rules = operators.Web.parseRobots(robots, "host", "txt")
+      graft.pipeline.Crawl.applyRobots(docs, rules, "GraftBot")
+        .select(col("doc_id"), col("url"), col("allowed"),
+          col("rule_type"), col("rule_path"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3640,6 +3666,25 @@ object SparkEntry {
     // q155: the training loop unrolled — see lrOracleSql.
     "q155_logistic_train" -> lrOracleSql(iters = 3, dim = 64,
       docLimit = 120, minTokens = 40, lrNum = 1, lrDen = 4),
+
+    // q156: the fixture arithmetic collapses the REP precedence to
+    // doc_id >= 100 (the /p/ disallow loses to exactly the two
+    // carve-outs), and the winning rule string is reconstructible
+    // per document — so the whole Warc→extract→robots composition is
+    // pinned by a three-CASE projection.
+    "q156_crawl_robots" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 AS h
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  'https://w' || CAST(h AS VARCHAR) || '.example.com/p/' ||
+        |    CAST(doc_id AS VARCHAR) AS url,
+        |  doc_id >= 100 AS allowed,
+        |  CASE WHEN doc_id >= 100 THEN 'allow' ELSE 'disallow' END
+        |    AS rule_type,
+        |  CASE WHEN doc_id >= 150 THEN '/p/' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
+        |       ELSE '/p/' END AS rule_path
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE

@@ -90,4 +90,42 @@ object Crawl {
       .groupBy(col("src_host"), col("host"))
       .agg(count(lit(1)).as("n_links"))
       .withColumnRenamed("host", "dst_host")
+
+  /** RETROACTIVE robots compliance over an ingested crawl — the
+    * training-data opt-out step: a corpus fetched months ago is
+    * re-filtered under TODAY'S robots.txt before it feeds a training
+    * mix (the pipeline answer to "we honor robots exclusions at use
+    * time, not just fetch time"). Splits each document's own `url`
+    * into (host, path), runs [[graft.operators.Web.robotsDecide]]
+    * for `agent` over the DISTINCT (host, path) set, and joins the
+    * verdict back: every input row survives with
+    * `(allowed, rule_type, rule_path)` attached, so the caller
+    * filters on `allowed` and the drop ledger — WHICH robots line
+    * excluded each page — is already materialized (q48's
+    * no-silent-caps rule; an opt-out audit is exactly the artifact
+    * compliance wants).
+    *
+    * Scale shape: one distinct over the skinny (host, path) pair +
+    * the decide join (rules per host are KB-sized; the distinct
+    * URL set broadcasts or co-partitions on host) + one join back
+    * on (host, path). Rules that arrived AFTER the crawl match
+    * nothing — a host with no rules for `agent` (and no `*`
+    * fallback) allows everything, the RFC default. */
+  def applyRobots(docs: DataFrame, rules: DataFrame,
+                  agent: String): DataFrame = {
+    val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)
+    val rawPath = regexp_extract(col("url"), "^https?://[^/]+([^#]*)", 1)
+    val withHp = docs
+      .withColumn("__rb_host", host)
+      .withColumn("__rb_path",
+        when(rawPath === "", lit("/")).otherwise(rawPath))
+    val decisions = Web.robotsDecide(
+        withHp.select(col("__rb_host").as("host"),
+          col("__rb_path").as("path")).distinct(),
+        rules, agent)
+      .withColumnRenamed("host", "__rb_host")
+      .withColumnRenamed("path", "__rb_path")
+    withHp.join(decisions, Seq("__rb_host", "__rb_path"))
+      .drop("__rb_host", "__rb_path")
+  }
 }

@@ -494,4 +494,66 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("ResolvedHint"),
       "only AQE may choose broadcasts in the BM25 path")
   }
+
+  test("q153: CMS rollup is two partial-agg exchanges, no join, no window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val df = Sketches.cmsRollup(li, Seq(col("l_returnflag")), col("l_partkey"))
+    df.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 2,
+      s"cell agg + array rebuild = exactly two exchanges:" +
+        s"\n${df.queryExecution.executedPlan}")
+    assert(!nodes.exists(n => n.nodeName.contains("Join") ||
+        n.nodeName.contains("Window")),
+      s"no join/window in the sketch build:\n${nodes.map(_.nodeName)}")
+  }
+
+  test("q155: training score/gradient joins broadcast the model side, never shuffle the corpus twice") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Learn
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 120)
+    val f = Learn.hashedFeatures(docs, "doc_id", "text", 64)
+    val l = docs.select(col("doc_id").as("ex_id"),
+      (graft.functions.token_count(col("text")) >= 40).cast("long").as("y"))
+    val w = Learn.logisticTrainInt(f, l, 64, iterations = 1)
+    w.collect()
+    // the per-iteration plan is consumed by the checkpoint; pin the
+    // forward pass instead — the weights (model-sized) side of the
+    // score join must broadcast
+    val scored = Learn.logisticPredictInt(f, w)
+    scored.collect()
+    val p = scored.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"model join must broadcast the dim-row weights table:\n$p")
+  }
+
+  test("robotsDecide: rules join is an equi join on host — no cartesian fallback") {
+    import spark.implicits._
+    import graft.operators.Web
+    import org.apache.spark.sql.functions._
+    val rules = Web.parseRobots(
+      Seq(("h1", "User-agent: bot\nDisallow: /x")).toDF("host", "txt"),
+      "host", "txt")
+    val urls = Seq(("h1", "/x/1"), ("h1", "/y")).toDF("host", "path")
+    val df = Web.robotsDecide(urls, rules, "bot")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"robots decision must never plan a cartesian:\n$p")
+  }
 }

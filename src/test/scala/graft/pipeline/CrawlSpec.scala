@@ -72,4 +72,28 @@ class CrawlSpec extends SparkTestBase {
       assert(shuffles.isEmpty, s"$name must be a pure map over the shard")
     }
   }
+
+  test("applyRobots: per-page verdict with rule attribution; no-rules host allows") {
+    import graft.operators.Web
+    val docs = Seq(
+      (1L, "https://a.com/keep/x", "t1"),
+      (2L, "https://a.com/block/y", "t2"),
+      (3L, "https://a.com/block/ok", "t3"),
+      (4L, "https://b.com/anything", "t4"), // host with no robots
+      (5L, "https://a.com", "t5")           // path-less url -> '/'
+    ).toDF("doc_id", "url", "text")
+    val rules = Web.parseRobots(Seq(("a.com",
+      "User-agent: bot\nDisallow: /block\nAllow: /block/ok\nDisallow: /$"))
+      .toDF("host", "txt"), "host", "txt")
+    val got = graft.pipeline.Crawl.applyRobots(docs, rules, "bot")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("allowed"), Option(r.getAs[String]("rule_path")))))
+      .toMap
+    assert(got.size == 5, "every input row survives with a verdict")
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((false, Some("/block"))))
+    assert(got(3L) == ((true, Some("/block/ok"))))
+    assert(got(4L) == ((true, None)))
+    assert(got(5L) == ((false, Some("/$")))) // path-less url decided as '/'
+  }
 }

@@ -2352,6 +2352,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q157: interpolated Kneser–Ney bigram model — absolute
+    // discounting (D = 3/4) plus the continuation distribution
+    // (type counts, not token counts, carry the backoff weight).
+    // The integer decomposition (staged BIGINT div floors, q140
+    // discipline) is exported; DuckDB recomputes every count and
+    // both divisions directly, so the smoothed model itself is
+    // hash-exact. The true-double pkn column stays library-side,
+    // spec-pinned.
+    "q157_kneser_ney" -> ((s, dir) => {
+      operators.TextOps.knBigramLm(
+          Tables.documents(s, dir).filter(col("doc_id") < 100), "text")
+        .select(col("head"), col("tail"), col("c_uw"), col("c_u"),
+          col("n1_head"), col("n1_tail"), col("cont_milli"),
+          col("pkn_milli"))
+        .orderBy(col("head"), col("tail"))
+    }),
+
     // q141: unigram-LM (SentencePiece-family) Viterbi segmentation of
     // every distinct corpus word under a fixed (piece, cost)
     // vocabulary. Integer DP + smallest-last-piece tie-break make the
@@ -3685,6 +3702,31 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q157: counts and both staged floors recomputed directly; `//`
+    // on all-nonnegative operands == Spark's `div`.
+    "q157_kneser_ney" ->
+      """WITH t AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 100),
+        |bg AS (SELECT toks[CAST(i AS INT)] AS head,
+        |              toks[CAST(i AS INT) + 1] AS tail
+        |       FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |bc AS (SELECT head, tail, CAST(COUNT(*) AS BIGINT) AS c_uw
+        |       FROM bg GROUP BY 1, 2),
+        |hc AS (SELECT head, CAST(SUM(c_uw) AS BIGINT) AS c_u,
+        |              CAST(COUNT(*) AS BIGINT) AS n1_head
+        |       FROM bc GROUP BY 1),
+        |tc AS (SELECT tail, CAST(COUNT(*) AS BIGINT) AS n1_tail
+        |       FROM bc GROUP BY 1),
+        |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS T FROM bc)
+        |SELECT b.head, b.tail, b.c_uw, h.c_u, h.n1_head, tc.n1_tail,
+        |  (1000 * tc.n1_tail) // (SELECT T FROM tt) AS cont_milli,
+        |  (1000 * GREATEST(4 * b.c_uw - 3, 0)) // (4 * h.c_u)
+        |    + (3 * h.n1_head *
+        |       ((1000 * tc.n1_tail) // (SELECT T FROM tt))) // (4 * h.c_u)
+        |    AS pkn_milli
+        |FROM bc b JOIN hc h USING (head) JOIN tc USING (tail)
+        |ORDER BY head, tail""".stripMargin,
 
     "q141_unigram_segment" ->
       """WITH RECURSIVE

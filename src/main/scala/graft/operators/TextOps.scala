@@ -1179,6 +1179,69 @@ object TextOps {
           .as("cleaned_text"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
+    * standard n-gram smoothing) — the MODEL-TABLE complement to
+    * [[graft.pipeline.Corpus]]'s bigram perplexity scoring: one row
+    * per observed bigram with the full KN decomposition
+    *
+    *   p_KN(w|u) = max(c(u,w) − D, 0)/c(u) + D·N1+(u·)/c(u) · p_cont(w)
+    *   p_cont(w) = N1+(·w) / N1+(··)
+    *
+    * where N1+(u·)/N1+(·w) are distinct-continuation counts and
+    * D = discountNum/discountDen (default 3/4, the textbook 0.75).
+    * The continuation distribution is KN's insight: "Francisco" is
+    * frequent but follows only "San", so its backoff weight should be
+    * tiny — type counts, not token counts, carry the backoff.
+    *
+    * Fixed point (the q140/q134 discipline): `pkn_milli` stages the
+    * two terms as BIGINT `div` floors —
+    *   (1000·max(den·c−num, 0)) div (den·c_u)
+    *     + (num·N1+(u·)·cont_milli) div (den·c_u)
+    * with cont_milli = (1000·N1+(·w)) div N1+(··) — so the model
+    * table is a pure integer function of the corpus, hash-exact on
+    * any engine (q157). The true-double column `pkn` rides along for
+    * LM consumers (spec-pinned, excluded from the oracle hash).
+    *
+    * Shape at scale: one corpus explode into the bigram-count
+    * aggregate, then THREE vocabulary-sized aggregates off it (head
+    * totals, tail continuation counts, the scalar type total — the
+    * count table is persisted across them) and model-sized joins
+    * back. Nothing corpus-sized is collected or windowed. */
+  def knBigramLm(df: DataFrame, textCol: String,
+      discountNum: Long = 3L, discountDen: Long = 4L): DataFrame = {
+    require(discountNum > 0 && discountNum < discountDen,
+      s"discount must be in (0,1), got $discountNum/$discountDen")
+    val toked = df.select(tokens(lower(col(textCol))).as("__toks"))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val bg = toked.select(explode(zip_with(
+        slice(col("__toks"), lit(1), n1), slice(col("__toks"), lit(2), n1),
+        (a, b) => struct(a.as("head"), b.as("tail")))).as("__b"))
+      .select(col("__b.head").as("head"), col("__b.tail").as("tail"))
+    val bc = bg.groupBy(col("head"), col("tail"))
+      .agg(count(lit(1)).as("c_uw"))
+      .persist() // three derived aggregates + the final join read it
+    val hc = bc.groupBy(col("head"))
+      .agg(sum(col("c_uw")).as("c_u"), count(lit(1)).as("n1_head"))
+    val tc = bc.groupBy(col("tail")).agg(count(lit(1)).as("n1_tail"))
+    val tt = bc.agg(count(lit(1)).as("__T"))
+    val out = bc.join(hc, Seq("head")).join(tc, Seq("tail"))
+      .crossJoin(broadcast(tt))
+      .withColumn("cont_milli", expr("(1000 * n1_tail) div __T"))
+      .withColumn("pkn_milli", expr(
+        s"(1000 * greatest($discountDen * c_uw - $discountNum, 0)) div " +
+          s"($discountDen * c_u) + " +
+          s"($discountNum * n1_head * cont_milli) div ($discountDen * c_u)"))
+      .withColumn("pkn",
+        greatest(col("c_uw") - lit(discountNum).cast("double") / discountDen,
+          lit(0.0)) / col("c_u") +
+          (lit(discountNum).cast("double") / discountDen) * col("n1_head") /
+            col("c_u") * (col("n1_tail").cast("double") / col("__T")))
+      .select(col("head"), col("tail"), col("c_uw"), col("c_u"),
+        col("n1_head"), col("n1_tail"), col("cont_milli"),
+        col("pkn_milli"), col("pkn"))
+    out
+  }
+
   // ───────────────────────── WordPiece ─────────────────────────
 
   /** One learned WordPiece merge: the rank-th merge with its

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[TextOps.knBigramLm]] against an independent in-memory
+  * Kneser–Ney implementation (counts, continuation distribution,
+  * staged integer floors, and the true-double probability), plus the
+  * KN mass identities. */
+class KneserNeySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 'francisco' is the textbook case: frequent tail, single context
+  private val corpus = Seq(
+    "san francisco san francisco san francisco",
+    "new york new deal a deal",
+    "a b a c").toDF("text")
+
+  private case class Ref(cUw: Long, cU: Long, n1h: Long, n1t: Long,
+    contM: Long, pknM: Long, pkn: Double)
+
+  private def reference(texts: Seq[String]): Map[(String, String), Ref] = {
+    val bigrams = texts.flatMap { t =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      toks.zip(toks.drop(1))
+    }
+    val bc = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cU = bc.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val n1h = bc.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1t = bc.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tTot = bc.size.toLong
+    bc.map { case ((h, w), c) =>
+      val contM = (1000L * n1t(w)) / tTot
+      val pknM = (1000L * math.max(4 * c - 3, 0L)) / (4 * cU(h)) +
+        (3 * n1h(h) * contM) / (4 * cU(h))
+      val pkn = math.max(c - 0.75, 0.0) / cU(h) +
+        0.75 * n1h(h) / cU(h) * (n1t(w).toDouble / tTot)
+      (h, w) -> Ref(c, cU(h), n1h(h), n1t(w), contM, pknM, pkn)
+    }
+  }
+
+  test("knBigramLm: every column matches the independent reference") {
+    val rows = TextOps.knBigramLm(corpus, "text").collect().map { r =>
+      (r.getAs[String]("head"), r.getAs[String]("tail")) -> Ref(
+        r.getAs[Long]("c_uw"), r.getAs[Long]("c_u"),
+        r.getAs[Long]("n1_head"), r.getAs[Long]("n1_tail"),
+        r.getAs[Long]("cont_milli"), r.getAs[Long]("pkn_milli"),
+        r.getAs[Double]("pkn"))
+    }.toMap
+    val want = reference(Seq(
+      "san francisco san francisco san francisco",
+      "new york new deal a deal",
+      "a b a c"))
+    assert(rows.keySet == want.keySet)
+    rows.foreach { case (k, g) =>
+      val w = want(k)
+      assert(g.cUw == w.cUw && g.cU == w.cU && g.n1h == w.n1h &&
+        g.n1t == w.n1t && g.contM == w.contM && g.pknM == w.pknM,
+        s"$k: got $g want $w")
+      assert(math.abs(g.pkn - w.pkn) < 1e-12, s"$k: pkn ${g.pkn} vs ${w.pkn}")
+    }
+  }
+
+  test("knBigramLm: KN mass identities") {
+    val rows = TextOps.knBigramLm(corpus, "text").collect().map { r =>
+      (r.getAs[String]("head"), r.getAs[String]("tail"),
+        r.getAs[Long]("n1_tail"), r.getAs[Double]("pkn"))
+    }
+    // Σ_w N1+(·w) = N1+(··): the continuation distribution is proper
+    val byTail = rows.groupBy(_._2).map { case (_, g) => g.head._3 }
+    assert(byTail.sum == rows.length.toLong)
+    // per head, observed-tail mass stays under 1 (the gap is the
+    // backoff mass spread over unobserved tails)
+    rows.groupBy(_._1).foreach { case (h, g) =>
+      val s = g.map(_._4).sum
+      assert(s > 0.0 && s <= 1.0 + 1e-9, s"head $h: observed mass $s")
+    }
+    // the Kneser–Ney point: 'francisco' is the most frequent tail
+    // but has ONE context, so its continuation weight equals that of
+    // any other single-context word despite its token frequency
+    val fran = rows.find(r => r._2 == "francisco").get
+    val york = rows.find(r => r._2 == "york").get
+    assert(fran._3 == york._3,
+      "continuation counts are type counts, not token counts")
+  }
+
+  test("knBigramLm: discount bounds fail loudly") {
+    intercept[IllegalArgumentException] {
+      TextOps.knBigramLm(corpus, "text", discountNum = 4L, discountDen = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.knBigramLm(corpus, "text", discountNum = 0L)
+    }
+  }
+}

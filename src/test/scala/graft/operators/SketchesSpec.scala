@@ -204,6 +204,40 @@ class SketchesSpec extends SparkTestBase {
     assert(est(999L) >= 0L) // absent key: only ever overcounts
   }
 
+  test("cms-table lifecycle: daily appends → compaction → merged estimates EXACT") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.Maintenance
+    // same serving loop as the HLL lifecycle test, but CMS merge is
+    // deterministic arithmetic, so the merged table must agree with a
+    // direct sketch EXACTLY — not within a tolerance — through
+    // appends and compaction alike
+    val ev = Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")).cast("string"))
+    val days = ev.select(col("day")).distinct().orderBy(col("day"))
+      .limit(3).collect().map(_.getString(0))
+    val inWindow = ev.filter(col("day").isin(days.toIndexedSeq: _*))
+    val path = java.nio.file.Files.createTempDirectory("graft_cms_tbl_").toString
+    days.foreach { d =>
+      (0 until 3).foreach { slice =>
+        val batch = ev.filter(col("day") === d &&
+          pmod(col("event_id"), lit(3)) === slice)
+        Sketches.cmsRollup(batch, Seq(col("day")), col("user_id"),
+            depth = 4, width = 128)
+          .write.mode(SaveMode.Append).partitionBy("day").parquet(path)
+      }
+    }
+    def mergedCms() = Sketches.cmsMerge(spark.read.parquet(path), Seq.empty)
+      .collect().head.getSeq[Long](0)
+    val direct = Sketches.cmsRollup(inWindow, Seq.empty, col("user_id"),
+        depth = 4, width = 128)
+      .collect().head.getSeq[Long](0)
+    assert(mergedCms() == direct,
+      "nine appended partials must merge to exactly the direct sketch")
+    Maintenance.compactPartitions(spark, path, "day")
+    assert(mergedCms() == direct,
+      "compaction must not change a single counter")
+  }
+
   test("cmsRollup: depth/width bounds fail loudly") {
     import spark.implicits._
     val df = Seq(1L).toDF("k")

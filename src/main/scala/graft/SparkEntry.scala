@@ -2352,6 +2352,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q158: audience-overlap estimates from the HLL sketch table —
+    // inclusion–exclusion over pairwise unions (|A∩B| ≈ estA + estB −
+    // est∪), answered from KB-sized sketch rows, never raw keys. The
+    // estimates are Datasketches-internal, so the oracle pins the
+    // exact overlaps (DuckDB recomputes them) plus a 5%+slack bound
+    // boolean — the q44/q139 sketch discipline.
+    "q158_hll_intersect" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val rollup = operators.Sketches.hllRollup(li,
+        Seq(col("l_returnflag")), col("l_partkey"))
+      val est = operators.Sketches.hllIntersectEstimate(rollup,
+        "l_returnflag")
+      val exact = li.select(col("l_returnflag").as("dim_a"),
+          col("l_partkey")).distinct()
+        .join(li.select(col("l_returnflag").as("dim_b"),
+          col("l_partkey")).distinct(), Seq("l_partkey"))
+        .filter(col("dim_a") < col("dim_b"))
+        .groupBy(col("dim_a"), col("dim_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      est.join(exact, Seq("dim_a", "dim_b"), "left")
+        .select(col("dim_a"), col("dim_b"),
+          coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"),
+          (abs(col("est_intersect") -
+              coalesce(col("exact_intersect"), lit(0L))) * 20 <=
+            coalesce(col("exact_intersect"), lit(0L)) + lit(1000L))
+            .as("within_bound"))
+        .orderBy(col("dim_a"), col("dim_b"))
+    }),
+
     // q157: interpolated Kneser–Ney bigram model — absolute
     // discounting (D = 3/4) plus the continuation distribution
     // (type counts, not token counts, carry the backoff weight).
@@ -3702,6 +3731,20 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q158: exact overlaps recomputed; bound booleans pinned true —
+    // a Spark-side estimator regression breaks the hash.
+    "q158_hll_intersect" ->
+      """WITH e AS (
+        |  SELECT a.dim_a, b.dim_b, CAST(COUNT(*) AS BIGINT) AS exact_intersect
+        |  FROM (SELECT DISTINCT l_returnflag AS dim_a, l_partkey
+        |        FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_returnflag AS dim_b, l_partkey
+        |        FROM lineitem) b USING (l_partkey)
+        |  WHERE a.dim_a < b.dim_b
+        |  GROUP BY 1, 2)
+        |SELECT dim_a, dim_b, exact_intersect, true AS within_bound
+        |FROM e ORDER BY dim_a, dim_b""".stripMargin,
 
     // q157: counts and both staged floors recomputed directly; `//`
     // on all-nonnegative operands == Spark's `div`.

@@ -51,6 +51,33 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(sketch, lit(false)))
         .as("approx_distinct"))
 
+  /** Pairwise set-overlap estimates from a sketch-table — "how many
+    * distinct users do segments X and Y share" answered from KB-sized
+    * sketches by inclusion–exclusion:
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`, clamped at 0 (the
+    * difference of three noisy estimates can dip negative on tiny
+    * overlaps). Input is a [[hllRollup]] output; every unordered pair
+    * of its rows gets (est_a, est_b, est_union, est_intersect).
+    *
+    * Error compounds across the three estimates (each ~1.04/√2^lgK),
+    * so the q158 oracle pins a 3× single-sketch relative bound
+    * against the exact overlap rather than a value — the q44/q139
+    * sketch discipline. The pair join is rollup×rollup on sketch
+    * ROWS (group-count-sized, broadcastable); raw keys never move. */
+  def hllIntersectEstimate(rollup: DataFrame, dimCol: String,
+      sketch: String = "hll_sketch"): DataFrame = {
+    val a = rollup.select(col(dimCol).as("dim_a"), col(sketch).as("__sa"))
+    val b = rollup.select(col(dimCol).as("dim_b"), col(sketch).as("__sb"))
+    a.join(b, col("dim_a") < col("dim_b"))
+      .select(col("dim_a"), col("dim_b"),
+        hll_sketch_estimate(col("__sa")).as("est_a"),
+        hll_sketch_estimate(col("__sb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
+          .as("est_union"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
+
   // ───────────────────── count-min sketch ─────────────────────
   //
   // The FREQUENCY complement to the HLL distinct-count tables above

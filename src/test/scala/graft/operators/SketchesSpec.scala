@@ -238,6 +238,27 @@ class SketchesSpec extends SparkTestBase {
       "compaction must not change a single counter")
   }
 
+  test("hllIntersectEstimate: partial overlap tracks exact; disjoint stays near zero") {
+    import spark.implicits._
+    val rows = (0 until 10000).map(i => ("A", i.toLong)) ++
+      (5000 until 15000).map(i => ("B", i.toLong)) ++   // 50% overlap with A
+      (20000 until 30000).map(i => ("C", i.toLong))     // disjoint from both
+    val rollup = Sketches.hllRollup(rows.toDF("seg", "k"),
+      Seq(col("seg")), col("k"))
+    val est = Sketches.hllIntersectEstimate(rollup, "seg")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("est_intersect")).toMap
+    val ab = est(("A", "B"))
+    assert(math.abs(ab - 5000L) * 10 <= 5000L,
+      s"A∩B estimate $ab should be within 10% of 5000")
+    // three compounded ~1.6% sketches over ~20k-element unions: the
+    // disjoint estimate is noise-bounded, and never negative (clamped)
+    Seq(("A", "C"), ("B", "C")).foreach { p =>
+      assert(est(p) >= 0L && est(p) <= 1500L,
+        s"disjoint pair $p estimated ${est(p)}")
+    }
+  }
+
   test("cmsRollup: depth/width bounds fail loudly") {
     import spark.implicits._
     val df = Seq(1L).toDF("k")

@@ -2352,6 +2352,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q159: politeness fetch schedule — the frontier step after q152's
+    // allow/deny: per-host Crawl-delay (agent group beats '*',
+    // non-numeric falls back to the default) turns the URL list into
+    // per-host fetch lanes with (seq − 1)·delay offsets. The per-host
+    // window IS the politeness semantics. DuckDB reconstructs delays
+    // from the same arithmetic and replays ROW_NUMBER per host.
+    "q159_fetch_schedule" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select((col("doc_id") % 10).as("h")).distinct()
+      val robots = hosts.select(
+        concat(lit("h"), col("h")).as("host"),
+        concat_ws("\n",
+          lit("# synthetic robots"),
+          lit("User-agent: GraftBot"),
+          when(col("h") % 5 === 4, lit("Crawl-delay: fast"))
+            .otherwise(concat(lit("Crawl-delay: "), col("h") % 3 + 1)),
+          lit("Disallow: /private"),
+          lit(""),
+          lit("User-agent: *"),
+          lit("Crawl-delay: 5"),
+          when(col("h") % 4 === 0,
+              lit("Sitemap: https://example.com/sm.xml"))
+            .otherwise(lit("# filler"))).as("txt"))
+      val extras = operators.Web.robotsExtras(robots, "host", "txt")
+      val urls = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(concat(lit("h"), col("doc_id") % 10).as("host"),
+          when(col("doc_id") % 5 === 0,
+              concat(lit("/exact/x"), col("doc_id") % 3))
+            .otherwise(concat(lit("/p"), col("doc_id") % 7,
+              lit("/x"), col("doc_id") % 3)).as("path"))
+      graft.pipeline.Crawl.fetchSchedule(urls, extras, "GraftBot")
+        .orderBy(col("host"), col("path"))
+    }),
+
+    // q160: per-node triangle counts on the undirected simple graph
+    // from three deterministic edge families (32 triangles, every
+    // node touched — two families turn out triangle-free) — the link-graph
+    // clustering signal next to q134's PageRank. Ordered-wedge
+    // enumeration (a<b<c) + closing-edge semi join; DuckDB replays
+    // the identical joins.
+    "q160_triangles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val edges = d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 7 + 3) % 16).as("dst"))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 3 + 1) % 16).as("dst")))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 5 + 2) % 16).as("dst")))
+      operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // q158: audience-overlap estimates from the HLL sketch table —
     // inclusion–exclusion over pairwise unions (|A∩B| ≈ estA + estB −
     // est∪), answered from KB-sized sketch rows, never raw keys. The
@@ -3731,6 +3783,59 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q159: delays from the same arithmetic (h%5=4 hosts wrote a
+    // non-numeric delay → default 1000 ms; '*'-group 5 s never wins
+    // because the GraftBot group always carries a Crawl-delay line),
+    // lanes from ROW_NUMBER per host in path order.
+    "q159_fetch_schedule" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |d AS (SELECT 'h' || CAST(h AS VARCHAR) AS host,
+        |        CAST(CASE WHEN h % 5 = 4 THEN 1000
+        |                  ELSE (h % 3 + 1) * 1000 END AS BIGINT) AS delay_ms
+        |      FROM hosts),
+        |urls AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) AS host,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN '/exact/x' || CAST(doc_id % 3 AS VARCHAR)
+        |         ELSE '/p' || CAST(doc_id % 7 AS VARCHAR) || '/x' ||
+        |              CAST(doc_id % 3 AS VARCHAR) END AS path
+        |  FROM documents WHERE doc_id < 60)
+        |SELECT u.host, u.path, d.delay_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.path)
+        |       AS BIGINT) AS fetch_seq,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.path) - 1)
+        |       * d.delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM urls u JOIN d USING (host)
+        |ORDER BY host, path""".stripMargin,
+
+    // q160: the ordered-wedge + closing-edge formulation replayed
+    // verbatim (LEAST/GREATEST normalization, EXISTS as the semi
+    // join, explode as three UNION ALL arms).
+    "q160_triangles" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 16 AS a, (doc_id * 7 + 3) % 16 AS b
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 3 + 1) % 16
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 5 + 2) % 16
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM raw WHERE a <> b),
+        |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |      FROM e e1 JOIN e e2 ON e2.lo = e1.hi),
+        |t AS (SELECT w.a, w.b, w.c FROM w WHERE EXISTS
+        |        (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)),
+        |n AS (SELECT lo AS node FROM e UNION SELECT hi FROM e),
+        |pc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        |       FROM (SELECT a AS node FROM t
+        |             UNION ALL SELECT b FROM t
+        |             UNION ALL SELECT c FROM t)
+        |       GROUP BY 1)
+        |SELECT n.node, CAST(COALESCE(pc.triangles, 0) AS BIGINT) AS triangles
+        |FROM n LEFT JOIN pc USING (node) ORDER BY node""".stripMargin,
 
     // q158: exact overlaps recomputed; bound booleans pinned true —
     // a Spark-side estimator regression breaks the hash.

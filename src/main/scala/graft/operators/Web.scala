@@ -329,6 +329,49 @@ object Web {
         col("rule_type"), col("path"), col("line_idx"))
   }
 
+  /** The de-facto robots.txt extensions RFC 9309 leaves out but real
+    * crawlers honor: per-group `Crawl-delay:` (politeness interval)
+    * and global `Sitemap:` lines. Kept OUT of [[parseRobots]] so the
+    * allow/disallow rule table stays exactly the RFC shape; this
+    * returns `(idCol, kind, user_agent, value, line_idx)` with
+    * kind ∈ {crawl-delay, sitemap} — crawl-delay rows carry the
+    * user-agent(s) of their group, sitemap rows a NULL agent (the
+    * directive is global by convention). Same bounded per-file
+    * windows as the rule parser. */
+  def robotsExtras(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dirRe = "(?i)^(user-agent|crawl-delay|sitemap)\\s*:(.*)$"
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "__raw")))
+      .select(col(idCol), col("line_idx"),
+        trim(regexp_replace(col("__raw"), "#.*$", "")).as("__line"))
+      .filter(col("__line") =!= "")
+      .select(col(idCol), col("line_idx"),
+        lower(regexp_extract(col("__line"), dirRe, 1)).as("__directive"),
+        trim(regexp_extract(col("__line"), dirRe, 2)).as("__value"))
+      .filter(col("__directive") =!= "")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_idx"))
+    val isUa = col("__directive") === "user-agent"
+    val grouped = lines.withColumn("__new_group",
+        (isUa && !coalesce(lag(isUa, 1).over(w), lit(false))).cast("int"))
+      .withColumn("group_id",
+        sum(col("__new_group")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val agents = grouped.filter(isUa)
+      .select(col(idCol), col("group_id"), lower(col("__value")).as("user_agent"))
+    val delays = grouped.filter(col("__directive") === "crawl-delay")
+      .select(col(idCol), col("group_id"), lit("crawl-delay").as("kind"),
+        col("__value").as("value"), col("line_idx"))
+      .join(agents, Seq(idCol, "group_id"))
+      .select(col(idCol), col("kind"), col("user_agent"), col("value"),
+        col("line_idx"))
+    val sitemaps = grouped.filter(col("__directive") === "sitemap")
+      .select(col(idCol), lit("sitemap").as("kind"),
+        lit(null).cast("string").as("user_agent"),
+        col("__value").as("value"), col("line_idx"))
+    delays.unionByName(sitemaps)
+  }
+
   /** Crawl-frontier filtering under parsed robots rules
     * ([[parseRobots]] output): for each candidate (host, path),
     * decide fetchability for `agent` by the RFC 9309 precedence —

@@ -111,6 +111,46 @@ object Crawl {
     * on (host, path). Rules that arrived AFTER the crawl match
     * nothing — a host with no rules for `agent` (and no `*`
     * fallback) allows everything, the RFC default. */
+  /** Politeness fetch schedule for a crawl frontier: per host, URLs
+    * are fetched one `delay` apart ([[graft.operators.Web
+    * .robotsExtras]] `Crawl-delay`, agent-specific group beating the
+    * `*` fallback, non-numeric or absent values falling back to
+    * `defaultDelayMs`), in deterministic path order. Returns
+    * `(host, path, delay_ms, fetch_seq, fetch_at_ms)` —
+    * `fetch_at_ms = (fetch_seq − 1) · delay_ms`, the offset into the
+    * host's fetch lane.
+    *
+    * Scale shape: the per-host `row_number` window is not an
+    * accident, it IS the semantics — politeness serializes each host
+    * — so the "skew" of a 10M-URL host is real schedule depth, not a
+    * plan defect; hosts are the parallelism unit (millions of
+    * independent lanes). Delay resolution is a KB-per-host join. */
+  def fetchSchedule(urls: DataFrame, extras: DataFrame, agent: String,
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(agent.nonEmpty && agent != "*",
+      s"agent must be a concrete user-agent name, got '$agent'")
+    require(defaultDelayMs >= 0, "defaultDelayMs must be >= 0")
+    val a = lit(agent.toLowerCase(java.util.Locale.ROOT))
+    val hostCol = extras.columns.head
+    val cd = extras.filter(col("kind") === "crawl-delay" &&
+        (col("user_agent") === a || col("user_agent") === "*"))
+      .withColumn("__pri", when(col("user_agent") === a, 0).otherwise(1))
+    val pick = Window.partitionBy(col(hostCol))
+      .orderBy(col("__pri"), col("line_idx"))
+    val chosen = cd.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col(hostCol).as("host"),
+        (expr("try_cast(value AS BIGINT)") * 1000L).as("__cd_ms"))
+    val lane = Window.partitionBy(col("host")).orderBy(col("path"))
+    urls.join(chosen, Seq("host"), "left")
+      .withColumn("delay_ms", coalesce(col("__cd_ms"), lit(defaultDelayMs)))
+      .withColumn("fetch_seq", row_number().over(lane).cast("long"))
+      .select(col("host"), col("path"), col("delay_ms"),
+        col("fetch_seq"),
+        ((col("fetch_seq") - 1L) * col("delay_ms")).as("fetch_at_ms"))
+  }
+
   def applyRobots(docs: DataFrame, rules: DataFrame,
                   agent: String): DataFrame = {
     val host = regexp_extract(col("url"), "^https?://([^/]+)", 1)

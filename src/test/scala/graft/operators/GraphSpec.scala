@@ -70,4 +70,26 @@ class GraphSpec extends SparkTestBase {
       Graph.pageRankInt(e, "s", "d", 1, scale = Long.MaxValue)
     }
   }
+
+  test("triangleCounts: K4 counts; direction, duplicates, self-loops ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} with noisy input: reversed duplicates and a
+    // self loop must not change anything
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), (2L, 2L)
+    ).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4 has 4 triangles; every node sits in exactly 3
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free nodes appear with zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
 }

@@ -96,4 +96,44 @@ class CrawlSpec extends SparkTestBase {
     assert(got(4L) == ((true, None)))
     assert(got(5L) == ((false, Some("/$")))) // path-less url decided as '/'
   }
+
+  test("fetchSchedule: agent delay beats *, non-numeric defaults, lane arithmetic") {
+    import graft.operators.Web
+    val robots = Seq(
+      ("h1", "User-agent: bot\nCrawl-delay: 2\nDisallow: /x\n\n" +
+        "User-agent: *\nCrawl-delay: 9"),
+      ("h2", "User-agent: *\nCrawl-delay: 3"),   // fallback applies
+      ("h3", "User-agent: bot\nCrawl-delay: soon"), // non-numeric
+      ("h4", "User-agent: bot\nDisallow: /")     // no delay line at all
+    ).toDF("host", "txt")
+    val extras = Web.robotsExtras(robots, "host", "txt")
+    val urls = Seq(
+      ("h1", "/b"), ("h1", "/a"), ("h1", "/c"),
+      ("h2", "/z"), ("h3", "/q"), ("h4", "/r")
+    ).toDF("host", "path")
+    val got = graft.pipeline.Crawl.fetchSchedule(urls, extras, "bot",
+        defaultDelayMs = 500L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("h1", "/a")) == ((2000L, 1L, 0L)))    // path order, not input order
+    assert(got(("h1", "/b")) == ((2000L, 2L, 2000L)))
+    assert(got(("h1", "/c")) == ((2000L, 3L, 4000L)))
+    assert(got(("h2", "/z")) == ((3000L, 1L, 0L)))    // '*' fallback
+    assert(got(("h3", "/q")) == ((500L, 1L, 0L)))     // non-numeric -> default
+    assert(got(("h4", "/r")) == ((500L, 1L, 0L)))     // absent -> default
+  }
+
+  test("robotsExtras: crawl-delay carries its group agents; sitemap is global") {
+    import graft.operators.Web
+    val robots = Seq(("h",
+      "Sitemap: https://h/sm.xml\nUser-agent: a\nUser-agent: b\n" +
+      "Crawl-delay: 4\nDisallow: /x")).toDF("host", "txt")
+    val got = Web.robotsExtras(robots, "host", "txt")
+      .collect().map(r => (r.getString(1), Option(r.getString(2)), r.getString(3)))
+      .toSet
+    assert(got == Set(
+      ("crawl-delay", Some("a"), "4"),
+      ("crawl-delay", Some("b"), "4"),
+      ("sitemap", None, "https://h/sm.xml")))
+  }
 }

@@ -1066,6 +1066,11 @@ object SparkEntry {
           (((col("doc_id") * 37) % 256) * 65536 +
             ((col("doc_id") * 11) % 256) * 256 +
             (col("doc_id") * 3) % 256).cast("int").as("rgb"))
+        // codec work (encode AND decode) is per-row CPU, but the
+        // fixture scan is 1–2 parquet splits — spread it across the
+        // shuffle-partition count like a real media corpus's
+        // thousands of input splits would be
+        .repartition(col("doc_id"))
       val encoded = Multimodal.encodeSolidPng(base, "doc_id", "w", "h", "rgb")
       val meta = Multimodal.withMediaMeta(encoded, "payload")
       Multimodal.extractFeatures(meta, "payload",

@@ -1239,7 +1239,12 @@ object TextOps {
       .select(col("head"), col("tail"), col("c_uw"), col("c_u"),
         col("n1_head"), col("n1_tail"), col("cont_milli"),
         col("pkn_milli"), col("pkn"))
-    out
+    // materialize, then release bc — a persisted count table left in
+    // the CacheManager outlives the call on a shared session (the
+    // bpeTrain/unigramTrain hygiene rule; CorpusSpec asserts it)
+    val result = out.localCheckpoint()
+    bc.unpersist()
+    result
   }
 
   // ───────────────────────── WordPiece ─────────────────────────

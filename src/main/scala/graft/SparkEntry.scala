@@ -2357,6 +2357,77 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q161: sitemap XML parsing — the frontier source robots'
+    // Sitemap: pointers lead to. Per-host fixture covers url blocks
+    // with/without lastmod, a CDATA loc, an entity-encoded loc, and a
+    // sitemapindex child pointer; DuckDB rebuilds every row from the
+    // same arithmetic.
+    "q161_sitemap_parse" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select((col("doc_id") % 10).as("h")).distinct()
+      def hurl(tail: Column): Column =
+        concat(lit("https://h"), col("h"), lit(".example.com"), tail)
+      val xml = hosts.select(
+        concat(lit("h"), col("h")).as("host"),
+        concat(
+          lit("<?xml version=\"1.0\"?><urlset>"),
+          lit("<url><loc>"), hurl(lit("/p0")),
+          lit("</loc><lastmod>2024-01-01</lastmod></url>"),
+          lit("<url><loc>"), hurl(lit("/p1")),
+          lit("</loc><lastmod>2024-02-01</lastmod></url>"),
+          lit("<url><loc>"), hurl(lit("/p2")),
+          lit("</loc><lastmod>2024-03-01</lastmod></url>"),
+          lit("<url><loc> "), hurl(lit("/extra")), lit(" </loc></url>"),
+          lit("<url><loc><![CDATA["), hurl(lit("/cd")),
+          lit("]]></loc></url>"),
+          lit("<url><loc>"), hurl(concat(lit("/q?a="), col("h") % 4,
+            lit("&amp;b=2"))), lit("</loc></url>"),
+          lit("<sitemap><loc>"), hurl(lit("/sm2.xml")),
+          lit("</loc></sitemap>"),
+          lit("</urlset>")).as("xml"))
+      operators.Web.parseSitemap(xml, "host", "xml")
+        .orderBy(col("host"), col("pos"))
+    }),
+
+    // q162: the COMPOSED crawl frontier — sitemap URLs → per-page
+    // robots verdict (Disallow: /p1 per host) → politeness schedule
+    // (Crawl-delay h%3+1 s) — in one query, so the sitemap → robots →
+    // schedule chaining is hash-pinned like q148 did for
+    // crawl → rank. DuckDB rebuilds the surviving lanes directly.
+    "q162_frontier_pipeline" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir)
+        .select((col("doc_id") % 10).as("h")).distinct()
+      def hurl(tail: Column): Column =
+        concat(lit("https://h"), col("h"), lit(".example.com"), tail)
+      val xml = hosts.select(
+        concat(lit("h"), col("h"), lit(".example.com")).as("host"),
+        concat(
+          lit("<urlset>"),
+          lit("<url><loc>"), hurl(lit("/p0")), lit("</loc></url>"),
+          lit("<url><loc>"), hurl(lit("/p1")), lit("</loc></url>"),
+          lit("<url><loc>"), hurl(lit("/p2")), lit("</loc></url>"),
+          lit("<url><loc>"), hurl(lit("/extra")), lit("</loc></url>"),
+          lit("</urlset>")).as("xml"))
+      val robots = hosts.select(
+        concat(lit("h"), col("h"), lit(".example.com")).as("host"),
+        concat_ws("\n",
+          lit("User-agent: GraftBot"),
+          lit("Disallow: /p1"),
+          concat(lit("Crawl-delay: "), col("h") % 3 + 1)).as("txt"))
+      val rules = operators.Web.parseRobots(robots, "host", "txt")
+      val extras = operators.Web.robotsExtras(robots, "host", "txt")
+      val urls = operators.Web.parseSitemap(xml, "host", "xml")
+        .filter(col("kind") === "url")
+        .select(col("loc").as("url"))
+        .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"),
+          regexp_extract(col("url"), "^https?://[^/]+([^#]*)", 1).as("path"))
+      val decided = operators.Web.robotsDecide(urls, rules, "GraftBot")
+      graft.pipeline.Crawl.fetchSchedule(
+          decided.filter(col("allowed")).select(col("host"), col("path")),
+          extras, "GraftBot")
+        .orderBy(col("host"), col("path"))
+    }),
+
     // q159: politeness fetch schedule — the frontier step after q152's
     // allow/deny: per-host Crawl-delay (agent group beats '*',
     // non-numeric falls back to the default) turns the URL list into
@@ -3788,6 +3859,63 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q161: rows rebuilt from the arithmetic — pos is block order,
+    // lastmod NULL where the tag is absent, CDATA and entity locs
+    // decoded.
+    "q161_sitemap_parse" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |e AS (
+        |  SELECT 'h' || CAST(h AS VARCHAR) AS host, 'url' AS kind,
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/p0' AS loc,
+        |    '2024-01-01' AS lastmod, CAST(0 AS BIGINT) AS pos FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'url',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/p1',
+        |    '2024-02-01', 1 FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'url',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/p2',
+        |    '2024-03-01', 2 FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'url',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/extra',
+        |    NULL, 3 FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'url',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/cd',
+        |    NULL, 4 FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'url',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/q?a=' ||
+        |      CAST(h % 4 AS VARCHAR) || '&b=2',
+        |    NULL, 5 FROM hosts
+        |  UNION ALL
+        |  SELECT 'h' || CAST(h AS VARCHAR), 'sitemap',
+        |    'https://h' || CAST(h AS VARCHAR) || '.example.com/sm2.xml',
+        |    NULL, 6 FROM hosts)
+        |SELECT host, kind, loc, lastmod, pos FROM e
+        |ORDER BY host, pos""".stripMargin,
+
+    // q162: surviving lanes rebuilt directly — /p1 dropped per host,
+    // the other four paths scheduled in path order at (h%3+1)-second
+    // spacing.
+    "q162_frontier_pipeline" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 10 AS h FROM documents),
+        |u AS (
+        |  SELECT h, '/p0' AS path FROM hosts
+        |  UNION ALL SELECT h, '/p2' FROM hosts
+        |  UNION ALL SELECT h, '/extra' FROM hosts),
+        |r AS (SELECT 'h' || CAST(h AS VARCHAR) || '.example.com' AS host,
+        |        path,
+        |        CAST((h % 3 + 1) * 1000 AS BIGINT) AS delay_ms
+        |      FROM u)
+        |SELECT host, path, delay_ms,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY path)
+        |       AS BIGINT) AS fetch_seq,
+        |  CAST((ROW_NUMBER() OVER (PARTITION BY host ORDER BY path) - 1)
+        |       * delay_ms AS BIGINT) AS fetch_at_ms
+        |FROM r ORDER BY host, path""".stripMargin,
 
     // q159: delays from the same arithmetic (h%5=4 hosts wrote a
     // non-numeric delay → default 1000 ms; '*'-group 5 s never wins

@@ -372,6 +372,47 @@ object Web {
     delays.unionByName(sitemaps)
   }
 
+  /** Sitemap XML parsing (sitemaps.org protocol) — the frontier
+    * SOURCE the `Sitemap:` pointers from [[robotsExtras]] lead to:
+    * `<urlset>` entries become one row per `<url>` block and
+    * `<sitemapindex>` entries one row per `<sitemap>` block, so a
+    * crawler walks index → child sitemaps → URLs with the same
+    * parser. Returns `(idCol, kind, loc, lastmod, pos)` with
+    * kind ∈ {url, sitemap}, `lastmod` NULL when the optional tag is
+    * absent, and `pos` the document-order index of the block.
+    *
+    * Parsing is row-local regexp extraction over the block structure
+    * (`<url>…</url>` / `<sitemap>…</sitemap>`, first `<loc>` and
+    * optional `<lastmod>` inside each block, CDATA and entity-decoded
+    * locs handled); blocks without a `<loc>` are dropped — a
+    * loc-less entry addresses nothing. A 50k-URL sitemap (the
+    * protocol cap) is a few MB of row-local work; a million sitemaps
+    * are a million independent rows. */
+  def parseSitemap(df: DataFrame, idCol: String,
+      xmlCol: String): DataFrame = {
+    val blockRe = "(?is)<(url|sitemap)\\b[^>]*>(.*?)</\\1\\s*>"
+    val kinds  = regexp_extract_all(col(xmlCol), lit(blockRe), lit(1))
+    val bodies = regexp_extract_all(col(xmlCol), lit(blockRe), lit(2))
+    val locRe = "(?is)<loc\\s*>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</loc\\s*>"
+    val modRe = "(?is)<lastmod\\s*>\\s*(.*?)\\s*</lastmod\\s*>"
+    val locCdata = regexp_extract(col("__body"), locRe, 1)
+    val locPlain = regexp_extract(col("__body"), locRe, 2)
+    val loc = entityDecode(
+      when(locCdata =!= "", locCdata).otherwise(locPlain))
+    val lastmod = regexp_extract(col("__body"), modRe, 1)
+    df.select(col(idCol),
+        posexplode(zip_with(kinds, bodies,
+          (k, b) => struct(lower(k).as("kind"), b.as("body"))))
+          .as(Seq("pos", "__blk")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        col("__blk.kind").as("kind"), col("__blk.body").as("__body"))
+      .select(col(idCol), col("kind"), loc.as("loc"),
+        when(lastmod =!= "", lastmod).otherwise(lit(null).cast("string"))
+          .as("lastmod"),
+        col("pos"))
+      .filter(col("loc") =!= "")
+  }
+
   /** Crawl-frontier filtering under parsed robots rules
     * ([[parseRobots]] output): for each candidate (host, path),
     * decide fetchability for `agent` by the RFC 9309 precedence —

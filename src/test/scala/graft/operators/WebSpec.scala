@@ -292,4 +292,26 @@ class WebSpec extends SparkTestBase {
     assert(!got.contains(null) && got.size == 3,
       "mailto target must not appear")
   }
+
+  test("parseSitemap: url + index blocks, CDATA, entities, missing loc/lastmod") {
+    val xml =
+      "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.com/1</loc><lastmod>2024-05-01</lastmod></url>" +
+      "<url><loc> https://a.com/2 </loc></url>" +               // trimmed, no lastmod
+      "<url><lastmod>2024-01-01</lastmod></url>" +              // loc-less: dropped
+      "<url><loc><![CDATA[https://a.com/cd?x=1]]></loc></url>" +
+      "<url><loc>https://a.com/q?a=1&amp;b=2</loc></url>" +     // entity decodes
+      "</urlset><sitemapindex>" +
+      "<sitemap><loc>https://a.com/sm2.xml</loc><lastmod>2024-06-01</lastmod></sitemap>" +
+      "</sitemapindex>"
+    val got = Web.parseSitemap(Seq(("s1", xml)).toDF("id", "xml"), "id", "xml")
+      .orderBy("pos").collect()
+      .map(r => (r.getString(1), r.getString(2), Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      ("url", "https://a.com/1", Some("2024-05-01")),
+      ("url", "https://a.com/2", None),
+      ("url", "https://a.com/cd?x=1", None),
+      ("url", "https://a.com/q?a=1&b=2", None),
+      ("sitemap", "https://a.com/sm2.xml", Some("2024-06-01"))))
+  }
 }

@@ -77,7 +77,14 @@ object Bench {
     // is SparkEntry.queries (and is echoed on stderr below for humans).
     def shortId(name: String): String = name.takeWhile(_ != '_')
     def render(decimals: Int, maxErrLen: Int): String = {
-      def f(v: Double) = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      // trailing zeros carry no information and the line budget is
+      // finite: 0.20 → 0.2, 1.00 → 1 (still valid JSON numbers) buys
+      // ~80 chars per render at the current query count
+      def f(v: Double) = {
+        val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
       val qs = results.map { case (k, (v, _, _)) => "\"" + shortId(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
       // errors are diagnostic, timings are the contract: cap both each

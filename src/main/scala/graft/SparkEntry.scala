@@ -2357,6 +2357,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q163: WEIGHTED PageRank over the multiplicity host graph — the
+    // q134 edge arithmetic WITHOUT the distinct, so parallel links
+    // become edge weight (exactly what Crawl.hostEdges emits as
+    // n_links) and rank flows proportional to link mass. Three
+    // unrolled iterations, every division a BIGINT floor; DuckDB
+    // replays the weighted recurrence.
+    "q163_weighted_pagerank" -> ((s, dir) => {
+      val e = Tables.documents(s, dir)
+        .groupBy((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7) % 50).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      operators.Graph.pageRankWeightedInt(e, "src", "dst", "w",
+          iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // q161: sitemap XML parsing — the frontier source robots'
     // Sitemap: pointers lead to. Per-host fixture covers url blocks
     // with/without lastmod, a CDATA loc, an entity-encoded loc, and a
@@ -3859,6 +3875,34 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q163: the q134 replay with weights — contributions are
+    // (pr·w)//totw instead of pr//deg.
+    "q163_weighted_pagerank" ->
+      """WITH raw AS (SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+        |             FROM documents),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM raw GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM nodes),
+        |ow AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // c AS pr FROM nodes, n),
+        |c1 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr0 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr1 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr1 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr2 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr2 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
+        |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
 
     // q161: rows rebuilt from the arithmetic — pos is block order,
     // lastmod NULL where the tag is absent, CDATA and entity locs

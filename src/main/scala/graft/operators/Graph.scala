@@ -89,6 +89,76 @@ object Graph {
     result
   }
 
+  /** Weight-aware [[pageRankInt]]: rank flows along (src, dst, w)
+    * edges in proportion to `w / Σw(src)` instead of `1/outdeg` — so
+    * the host graph's `n_links` multiplicities ([[graft.pipeline
+    * .Crawl.hostEdges]]) count as the link mass they are, instead of
+    * being flattened to existence. Duplicate (src, dst) rows SUM
+    * their weights; non-positive weights are dropped (they carry no
+    * mass and a zero total would divide by zero).
+    *
+    * Same integer recurrence as [[pageRankInt]] with the per-edge
+    * contribution `(pr(u) · w) div totw(u)` — still every division a
+    * BIGINT floor, so the q163 oracle unrolls it exactly. Setting
+    * every weight equal reduces to the unweighted ranks
+    * (⌊k·a / (k·b)⌋ = ⌊a/b⌋ — spec-pinned). Overflow is guarded
+    * against the MEASURED max edge weight (one extra aggregate at
+    * build, which also materializes the persisted edge table).
+    *
+    * Scale shape unchanged: one join + one hash aggregate per
+    * iteration, edges/weights persisted once, checkpoints every 3
+    * rounds. */
+  def pageRankWeightedInt(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
+    require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
+      s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      .persist()
+    val maxWRow = e.agg(max(col("__w"))).first()
+    require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
+    val maxW = maxWRow.getLong(0)
+    require(scale <= Long.MaxValue / maxW,
+      s"scale·maxWeight would overflow: scale=$scale maxW=$maxW")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val nDf = nodes.agg(count(lit(1)).as("__n"))
+    val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
+    val teleport = scale * (dampDen - dampNum) / dampDen
+    var pr = nodes.crossJoin(broadcast(nDf))
+      .select(col("node"), expr(s"CAST($scale AS BIGINT) div __n").as("pr"))
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(outw, "src")
+        .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      pr = nodes.crossJoin(broadcast(nDf))
+        .join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"),
+          (expr(s"CAST($teleport AS BIGINT) div __n") +
+            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+            .cast("long").as("pr"))
+      if (i % 3 == 0 && i < iterations) {
+        pr = pr.localCheckpoint()
+        if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+        lastCkpt = pr
+      }
+    }
+    val result = pr.localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    e.unpersist(); nodes.unpersist(); outw.unpersist()
+    result
+  }
+
   /** In/out degree per node over distinct edges — the cheap
     * link-structure profile (one aggregate each, outer-merged so
     * pure sources and pure sinks both appear). */

@@ -92,4 +92,59 @@ class GraphSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
   }
+
+  test("pageRankWeightedInt: equal weights reduce to the unweighted ranks") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+    val unweighted = Graph.pageRankInt(pairs.toDF("src", "dst"),
+        "src", "dst", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every edge at weight 7: (pr*7) div (7*deg) == pr div deg
+    val w7 = Graph.pageRankWeightedInt(
+        pairs.map { case (a, b) => (a, b, 7L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w7 == unweighted)
+  }
+
+  test("pageRankWeightedInt: heavier edges carry more rank; duplicates sum") {
+    import spark.implicits._
+    // hub 1 links 2 (weight 9) and 3 (weight 1): node 2 must outrank 3
+    val e = Seq((1L, 2L, 8L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (2L, 1L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeightedInt(e, "src", "dst", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) > got(3L),
+      s"weight-9 target must outrank weight-1 target: $got")
+    // and the duplicate (1,2) rows summed to 9: replay one iteration
+    val scale = 1000000000000L
+    val pr0 = scale / 3
+    val c2 = (pr0 * 9L) / 10L   // node 2's inflow from the hub
+    val c3 = (pr0 * 1L) / 10L
+    val expected2 = (scale * 15L / 100L) / 3L + (85L * c2) / 100L
+    val expected3 = (scale * 15L / 100L) / 3L + (85L * c3) / 100L
+    val oneIter = Graph.pageRankWeightedInt(e, "src", "dst", "w", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneIter(2L) == expected2 && oneIter(3L) == expected3,
+      s"hand-replayed first iteration: $oneIter vs ($expected2, $expected3)")
+  }
+
+  test("pageRankWeightedInt: guards — empty edges, overflow, non-positive weights dropped") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeightedInt(
+        Seq((1L, 2L, 0L)).toDF("src", "dst", "w"), "src", "dst", "w", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeightedInt(
+        Seq((1L, 2L, Long.MaxValue / 2)).toDF("src", "dst", "w"),
+        "src", "dst", "w", 1)
+    }
+    // zero/negative-weight edges vanish; the rest still rank
+    val got = Graph.pageRankWeightedInt(
+      Seq((1L, 2L, 1L), (1L, 3L, 0L), (1L, 4L, -5L)).toDF("src", "dst", "w"),
+      "src", "dst", "w", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
 }

@@ -520,6 +520,47 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(est("2024-01-02") == 120L, s"day2: $est")
   }
 
+  test("foreachBatch CMS maintenance: micro-batch counter partials merge EXACTLY") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the q153 frequency twin of the HLL streaming test above — with
+    // the stronger guarantee counter linearity affords: partials from
+    // arbitrary micro-batch slicing merge to EXACTLY the sketch a
+    // one-shot batch build produces, so streaming ingest and batch
+    // backfill can never disagree
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val stream = MemoryStream[UEv]
+    val q = stream.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Sketches.cmsRollup(
+            batch.withColumn("day", to_date(col("ts")).cast("string")),
+            Seq(col("day")), col("user_id"), depth = 4, width = 64)
+          .write.mode("append").parquet(dir)
+      }.start()
+    val all = scala.collection.mutable.ArrayBuffer.empty[UEv]
+    try {
+      val b1 = (1L to 90L).map(u => UEv(t("2024-01-01 10:00:00"), u % 30))
+      stream.addData(b1); all ++= b1
+      q.processAllAvailable()
+      val b2 = (1L to 60L).map(u => UEv(t("2024-01-01 11:00:00"), u % 20)) ++
+        (1L to 40L).map(u => UEv(t("2024-01-02 09:00:00"), u % 10))
+      stream.addData(b2); all ++= b2
+      q.processAllAvailable()
+    } finally q.stop()
+    val partials = spark.read.parquet(dir)
+    assert(partials.count() == 3) // one counter row per (micro-batch, day)
+    val merged = graft.operators.Sketches.cmsMerge(partials, Seq(col("day")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val direct = graft.operators.Sketches.cmsRollup(
+        all.toSeq.toDF("ts", "user_id")
+          .withColumn("day", to_date(col("ts")).cast("string")),
+        Seq(col("day")), col("user_id"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(merged == direct,
+      "streamed partials must merge to exactly the batch-built sketch")
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

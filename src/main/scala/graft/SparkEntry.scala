@@ -2357,6 +2357,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q164: PERSONALIZED PageRank — teleport mass returns to the
+    // seed set (nodes ≡ 0 mod 7) instead of spreading uniformly, so
+    // ranks measure standing relative to the trusted hosts (the
+    // TrustRank shape for crawl prioritization). Same weighted
+    // integer recurrence, unrolled in DuckDB.
+    "q164_personalized_pagerank" -> ((s, dir) => {
+      val e = Tables.documents(s, dir)
+        .groupBy((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7) % 50).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = s.range(0, 50, 7).select(col("id").as("node"))
+      operators.Graph.personalizedPageRankInt(e, "src", "dst", "w",
+          seeds, iterations = 3)
+        .orderBy(col("node"))
+    }),
+
     // q163: WEIGHTED PageRank over the multiplicity host graph — the
     // q134 edge arithmetic WITHOUT the distinct, so parallel links
     // become edge weight (exactly what Crawl.hostEdges emits as
@@ -3875,6 +3891,51 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q164: the weighted replay with seed-restricted teleport — the
+    // CASE seed term replaces the uniform scale//c, and the base/
+    // teleport quotients floor by the SEED count.
+    "q164_personalized_pagerank" ->
+      """WITH raw AS (SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+        |             FROM documents),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM raw GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 7 = 0),
+        |ns AS (SELECT COUNT(*) AS sc FROM seeds),
+        |ow AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+        |pr0 AS (SELECT n.node,
+        |          CASE WHEN s.node IS NOT NULL THEN 1000000000000 // sc
+        |               ELSE 0 END AS pr
+        |        FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node),
+        |c1 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr0 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr1 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr1 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr2 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr2 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr3 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c3 ON n.node = c3.dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
 
     // q163: the q134 replay with weights — contributions are
     // (pr·w)//totw instead of pr//deg.

@@ -159,6 +159,82 @@ object Graph {
     result
   }
 
+  /** Personalized PageRank (Haveliwala 2002): the teleport mass
+    * returns to a SEED SET instead of spreading uniformly, so ranks
+    * measure standing RELATIVE to the seeds — "rank hosts as seen
+    * from the trusted/topical ones" (the TrustRank shape), the
+    * link-graph tool for seeding crawl priority or down-weighting
+    * spam neighborhoods.
+    *
+    * Weighted-edge recurrence as [[pageRankWeightedInt]], with
+    *   pr₀(v)  = seed ? scale div |S| : 0
+    *   pr'(v)  = (seed ? teleport div |S| : 0)
+    *           + (dampNum · Σ_{u→v} (pr(u)·w) div totw(u)) div dampDen
+    * — every division a BIGINT floor (q164 unrolls it). Seeds
+    * outside the graph's node set are ignored (they can receive no
+    * links and give none); dangling-node mass decays exactly as in
+    * the base operator. Same per-iteration shape and hygiene. */
+  def personalizedPageRankInt(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
+    require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
+      s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+      .persist()
+    val maxWRow = e.agg(max(col("__w"))).first()
+    require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
+    require(scale <= Long.MaxValue / maxWRow.getLong(0),
+      s"scale·maxWeight would overflow: scale=$scale maxW=${maxWRow.getLong(0)}")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    val seedSet = seeds
+      .select(col(seeds.columns.head).cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+      .withColumn("__seed", lit(true))
+      .persist()
+    val nS = seedSet.count()
+    require(nS > 0, "no seed is a node of the graph")
+    val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
+    // driver-exact longs (floors of nonnegative quotients)
+    val init = scale / nS
+    val tele = (scale * (dampDen - dampNum) / dampDen) / nS
+    def seedTerm(base: Long): Column =
+      when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L))
+    var pr = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), seedTerm(init).as("pr"))
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iterations) {
+      val contrib = pr.join(e, pr("node") === e("src"))
+        .join(outw, "src")
+        .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      pr = nodes.join(seedSet, Seq("node"), "left")
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (seedTerm(tele) +
+            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+            .cast("long").as("pr"))
+      if (i % 3 == 0 && i < iterations) {
+        pr = pr.localCheckpoint()
+        if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+        lastCkpt = pr
+      }
+    }
+    val result = pr.localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    e.unpersist(); nodes.unpersist(); seedSet.unpersist(); outw.unpersist()
+    result
+  }
+
   /** In/out degree per node over distinct edges — the cheap
     * link-structure profile (one aggregate each, outer-merged so
     * pure sources and pure sinks both appear). */

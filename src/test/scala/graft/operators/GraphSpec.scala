@@ -147,4 +147,32 @@ class GraphSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("personalizedPageRankInt: teleport stays on the seeds; hand-replayed chain") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val scale = 1000000000000L
+    val one = Graph.personalizedPageRankInt(e, "src", "dst", "w", seeds,
+        iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pr0 = (scale, 0, 0); contrib: 2 <- scale, others 0
+    assert(one(1L) == scale * 15L / 100L)
+    assert(one(2L) == 85L * scale / 100L)
+    assert(one(3L) == 0L)
+  }
+
+  test("personalizedPageRankInt: seeds outside the graph are ignored; none inside fails") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.personalizedPageRankInt(e, "src", "dst", "w",
+        Seq(1L, 99L).map(Tuple1(_)).toDF("node"), iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // |S| = 1 (99 is not a node): seed teleport undiluted
+    assert(got(1L) == 1000000000000L * 15L / 100L)
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRankInt(e, "src", "dst", "w",
+        Seq(Tuple1(99L)).toDF("node"), iterations = 1)
+    }
+  }
 }

@@ -2357,6 +2357,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q165: span-level decontamination — a planted 10-token canary
+    // heads every fifth training doc and also sits mid-sentence (off
+    // segment alignment) in the test corpus; only the canary segment
+    // is excised, the rest of each doc survives. DuckDB replays the
+    // fixed-segment/sliding-window asymmetry on segment STRINGS.
+    "q165_span_decontaminate" -> ((s, dir) => {
+      val canary =
+        "qqcanary alpha beta gamma delta epsilon zeta eta theta iota"
+      val train = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+            concat(lit(canary + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val test = Tables.documents(s, dir).filter(col("doc_id") < 3)
+        .select(lit("pre1 pre2 pre3 " + canary + " post1").as("text"))
+      operators.TextOps.decontaminateSpans(train, "doc_id", "text",
+          test, "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // q164: PERSONALIZED PageRank — teleport mass returns to the
     // seed set (nodes ≡ 0 mod 7) instead of spreading uniformly, so
     // ranks measure standing relative to the trusted hosts (the
@@ -3891,6 +3910,36 @@ object SparkEntry {
         |       WHEN doc_id >= 100 THEN '/p/' || CAST(doc_id AS VARCHAR) || '$'
         |       ELSE '/p/' END AS rule_path
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q165: the q104 replay with hot = DISTINCT sliding test windows
+    // (string equality stands in for the 8-byte hash join).
+    "q165_span_decontaminate" ->
+      """WITH tr AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN
+        |    'qqcanary alpha beta gamma delta epsilon zeta eta theta iota ' || text
+        |  ELSE text END AS text
+        | FROM documents),
+        |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |         FROM tr),
+        |seg AS (SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1)),
+        |    i -> {'seg_idx': i,
+        |          'seg': array_to_string(t[(i*10+1):(i*10+10)], ' ')}),
+        |  recursive := true) FROM toks),
+        |sf AS (SELECT * FROM seg WHERE length(seg) > 0),
+        |tw AS (SELECT string_split_regex(trim(
+        |    'pre1 pre2 pre3 qqcanary alpha beta gamma delta epsilon ' ||
+        |    'zeta eta theta iota post1'), '\s+') AS t
+        |  FROM documents WHERE doc_id < 3),
+        |hot AS (SELECT DISTINCT array_to_string(t[CAST(i AS INT):CAST(i AS INT)+9], ' ') AS seg
+        |        FROM tw, unnest(range(1, len(t) - 8)) AS u(i)),
+        |j AS (SELECT s.doc_id, s.seg_idx, s.seg, (h.seg IS NOT NULL) AS is_hot
+        |      FROM sf s LEFT JOIN hot h USING (seg))
+        |SELECT doc_id, COUNT(*) AS n_segments,
+        | CAST(SUM(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        | string_agg(CASE WHEN NOT is_hot THEN seg END, ' ' ORDER BY seg_idx)
+        |   AS cleaned_text
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q164: the weighted replay with seed-restricted teleport — the
     // CASE seed term replaces the uniform scale//c, and the base/

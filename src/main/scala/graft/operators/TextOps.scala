@@ -1179,6 +1179,65 @@ object TextOps {
           .as("cleaned_text"))
   }
 
+  /** Benchmark decontamination at SPAN granularity — the
+    * finer-grained partner of [[graft.operators.Dedup.contamination]]
+    * (which flags whole documents): remove from every TRAINING
+    * document each `segTokens`-token segment whose text appears
+    * ANYWHERE in the test corpus, at any token alignment. Whole-doc
+    * contamination checks miss a benchmark answer quoted inside an
+    * otherwise-clean page; span removal excises exactly the quoted
+    * material and keeps the rest (the GPT-3/PaLM decontamination
+    * appendix shape).
+    *
+    * Train side: the [[dedupSegments]] fixed-segment decomposition
+    * (row-local, distinct 8-byte hashes shuffled once). Test side:
+    * EVERY k-token window (sliding — alignment between train
+    * segments and test text is arbitrary, so only the sliding side
+    * catches all placements), distinct-hashed. The asymmetry is the
+    * scale argument: the sliding O(tokens·k) explode runs over the
+    * TEST corpus, which is benchmark-sized, while the 100 TB train
+    * corpus pays only the fixed-segment pass; the hash join then
+    * moves 8-byte keys. A tail segment shorter than `segTokens` can
+    * never equal a full k-token window, so short segments are
+    * structurally safe, never dropped.
+    *
+    * Returns the [[dedupSegments]] contract: (doc_id, n_segments,
+    * n_dropped, cleaned_text) with cleaned_text NULL when everything
+    * was contaminated. */
+  def decontaminateSpans(train: DataFrame, idCol: String, textCol: String,
+      test: DataFrame, testTextCol: String,
+      segTokens: Int = 10): DataFrame = {
+    require(segTokens > 0, s"segTokens must be positive, got $segTokens")
+    val base = train.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__t"))
+    val nSeg = ceil(size(col("__t")).cast("double") / segTokens).cast("int")
+    val withSegs = base.select(col("doc_id"),
+      transform(sequence(lit(0), greatest(nSeg, lit(1)) - 1),
+        i => array_join(slice(col("__t"), i * segTokens + 1, lit(segTokens)), " "))
+        .as("__segs"))
+    val segs = withSegs.select(col("doc_id"),
+        posexplode(col("__segs")).as(Seq("seg_idx", "seg")))
+      .filter(length(col("seg")) > 0)
+      .withColumn("__h", xxhash64(col("seg")))
+    val tt = test.select(tokens(col(testTextCol)).as("__tt"))
+      .filter(size(col("__tt")) >= segTokens)
+    val hot = tt.select(explode(transform(
+        sequence(lit(1), size(col("__tt")) - (segTokens - 1)),
+        i => xxhash64(array_join(slice(col("__tt"), i, lit(segTokens)), " "))))
+        .as("__h"))
+      .distinct()
+      .withColumn("__hot", lit(1))
+    segs.join(hot, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("seg_idx"), col("seg"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s.getField("seg")), " "))
+          .as("cleaned_text"))
+  }
+
   /** Interpolated Kneser–Ney bigram model (Kneser & Ney 1995; the
     * standard n-gram smoothing) — the MODEL-TABLE complement to
     * [[graft.pipeline.Corpus]]'s bigram perplexity scoring: one row

@@ -580,4 +580,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val rows = q.count()
     assert(rows == docs.count(), "every doc scored, matches or not")
   }
+
+  test("decontaminateSpans: any-alignment excision, short tails safe, full wipe nulls") {
+    import spark.implicits._
+    val canary = "c1 c2 c3 c4"  // segTokens = 4
+    val train = Seq(
+      (1L, canary + " keep1 keep2 keep3 keep4"), // head-aligned canary
+      (2L, "keep1 keep2 keep3 keep4 tail"),      // clean + short tail
+      (3L, canary)                               // nothing but the canary
+    ).toDF("doc_id", "text")
+    // canary sits mid-sentence in test: alignment differs from train
+    val test = Seq(Tuple1("x y " + canary + " z")).toDF("text")
+    val got = TextOps.decontaminateSpans(train, "doc_id", "text",
+        test, "text", segTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.getString(3))))).toMap
+    assert(got(1L) == ((2L, 1L, Some("keep1 keep2 keep3 keep4"))))
+    assert(got(2L) == ((2L, 0L, Some("keep1 keep2 keep3 keep4 tail"))))
+    assert(got(3L) == ((1L, 1L, None))) // fully contaminated -> NULL
+  }
+
+  test("decontaminateSpans: a partial (k-1)-token overlap is NOT excised") {
+    import spark.implicits._
+    val train = Seq((1L, "c1 c2 c3 c9 pad pad2 pad3 pad4")).toDF("doc_id", "text")
+    val test = Seq(Tuple1("c1 c2 c3 c4")).toDF("text")
+    val got = TextOps.decontaminateSpans(train, "doc_id", "text",
+        test, "text", segTokens = 4)
+      .collect().head
+    assert(got.getLong(2) == 0L, "3-of-4 token overlap must not drop the segment")
+  }
 }

@@ -123,11 +123,14 @@ object Graph {
       .filter(col("__w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
       .persist()
-    val maxWRow = e.agg(max(col("__w"))).first()
-    require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
-    val maxW = maxWRow.getLong(0)
-    require(scale <= Long.MaxValue / maxW,
-      s"scale·maxWeight would overflow: scale=$scale maxW=$maxW")
+    // guard failures must not leak the persisted edge table into the
+    // CacheManager of a shared session (CorpusSpec asserts emptiness)
+    try {
+      val maxWRow = e.agg(max(col("__w"))).first()
+      require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
+      require(scale <= Long.MaxValue / maxWRow.getLong(0),
+        s"scale·maxWeight would overflow: scale=$scale maxW=${maxWRow.getLong(0)}")
+    } catch { case t: Throwable => e.unpersist(); throw t }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val nDf = nodes.agg(count(lit(1)).as("__n"))
@@ -190,10 +193,12 @@ object Graph {
       .filter(col("__w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
       .persist()
-    val maxWRow = e.agg(max(col("__w"))).first()
-    require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
-    require(scale <= Long.MaxValue / maxWRow.getLong(0),
-      s"scale·maxWeight would overflow: scale=$scale maxW=${maxWRow.getLong(0)}")
+    try {
+      val maxWRow = e.agg(max(col("__w"))).first()
+      require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
+      require(scale <= Long.MaxValue / maxWRow.getLong(0),
+        s"scale·maxWeight would overflow: scale=$scale maxW=${maxWRow.getLong(0)}")
+    } catch { case t: Throwable => e.unpersist(); throw t }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     val seedSet = seeds
@@ -202,7 +207,10 @@ object Graph {
       .withColumn("__seed", lit(true))
       .persist()
     val nS = seedSet.count()
-    require(nS > 0, "no seed is a node of the graph")
+    if (nS == 0) { // same no-leak rule as the edge guards above
+      e.unpersist(); nodes.unpersist(); seedSet.unpersist()
+      throw new IllegalArgumentException("no seed is a node of the graph")
+    }
     val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
     // driver-exact longs (floors of nonnegative quotients)
     val init = scale / nS

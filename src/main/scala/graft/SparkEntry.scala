@@ -2408,6 +2408,32 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q167: DSIR-style importance selection — target = every fifth
+    // doc, raw = the rest; hashed bag-of-words count ratios (md5-mod-
+    // 4096, truncated at maxRatio) score the raw docs and the top 50
+    // survive. Every ratio and score is a BIGINT floor, so DuckDB
+    // replays hashing, smoothing, truncation, and the top-k.
+    "q167_importance_resample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Corpus.importanceResample(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", dim = 4096, k = 50)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q166: HITS hubs/authorities over a q134-style fixture graph
+    // (multiplier 13, so the link structure differs from the
+    // PageRank fixture). Two unrolled iterations with L1
+    // normalization; every division a BIGINT floor, so DuckDB
+    // replays the auth/hub alternation exactly.
+    "q166_hits" -> ((s, dir) => {
+      val e = Tables.documents(s, dir).select(
+        (col("doc_id") % 50).as("src"), ((col("doc_id") * 13) % 50).as("dst"))
+      operators.Graph.hitsInt(e, "src", "dst", iterations = 2)
+        .orderBy(col("node"))
+    }),
+
     // q161: sitemap XML parsing — the frontier source robots'
     // Sitemap: pointers lead to. Per-host fixture covers url blocks
     // with/without lastmod, a CDATA loc, an entity-encoded loc, and a
@@ -4013,6 +4039,70 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q167: the DSIR scoring replayed — same md5-mod-4096 bucketing
+    // as q109, smoothed count ratios floored with `//` and truncated
+    // with LEAST, arithmetic score sum, deterministic top-50.
+    "q167_importance_resample" ->
+      """WITH ttok AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tb AS (SELECT CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS nt
+        |       FROM ttok WHERE t <> '' GROUP BY 1),
+        |rtok AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % 4096 AS BIGINT) AS bucket
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |  WHERE t <> ''),
+        |rb AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nr
+        |       FROM rtok GROUP BY 1),
+        |r AS (SELECT COALESCE(tb.bucket, rb.bucket) AS bucket,
+        |        LEAST((1000000 * (COALESCE(nt, 0) + 1)) // (COALESCE(nr, 0) + 1),
+        |              1000000000) AS r
+        |      FROM tb FULL OUTER JOIN rb ON tb.bucket = rb.bucket),
+        |f AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM rtok GROUP BY 1, 2),
+        |s AS (SELECT doc_id, SUM(c) AS n_tokens, SUM(c * r.r) AS score
+        |      FROM f JOIN r USING (bucket) GROUP BY doc_id),
+        |top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       CAST(score AS BIGINT) AS score
+        |FROM top ORDER BY doc_id""".stripMargin,
+
+    // q166: the HITS alternation unrolled — each half-iteration is a
+    // raw-score aggregate, a 1-row total, and an L1 renormalization
+    // with `//`, exactly the engine's BIGINT floors.
+    "q166_hits" ->
+      """WITH e AS (SELECT DISTINCT doc_id % 50 AS src, (doc_id * 13) % 50 AS dst
+        |           FROM documents),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM nodes),
+        |h0 AS (SELECT node, 1000000 // c AS hub FROM nodes, n),
+        |ra1 AS (SELECT e.dst, SUM(h.hub) AS s FROM h0 h
+        |        JOIN e ON h.node = e.src GROUP BY e.dst),
+        |ta1 AS (SELECT SUM(s) AS t FROM ra1),
+        |a1 AS (SELECT node, (1000000 * COALESCE(s, 0)) // t AS auth
+        |       FROM nodes CROSS JOIN ta1 LEFT JOIN ra1 ON nodes.node = ra1.dst),
+        |rh1 AS (SELECT e.src, SUM(a.auth) AS s FROM a1 a
+        |        JOIN e ON a.node = e.dst GROUP BY e.src),
+        |th1 AS (SELECT SUM(s) AS t FROM rh1),
+        |h1 AS (SELECT node, (1000000 * COALESCE(s, 0)) // t AS hub
+        |       FROM nodes CROSS JOIN th1 LEFT JOIN rh1 ON nodes.node = rh1.src),
+        |ra2 AS (SELECT e.dst, SUM(h.hub) AS s FROM h1 h
+        |        JOIN e ON h.node = e.src GROUP BY e.dst),
+        |ta2 AS (SELECT SUM(s) AS t FROM ra2),
+        |a2 AS (SELECT node, (1000000 * COALESCE(s, 0)) // t AS auth
+        |       FROM nodes CROSS JOIN ta2 LEFT JOIN ra2 ON nodes.node = ra2.dst),
+        |rh2 AS (SELECT e.src, SUM(a.auth) AS s FROM a2 a
+        |        JOIN e ON a.node = e.dst GROUP BY e.src),
+        |th2 AS (SELECT SUM(s) AS t FROM rh2),
+        |h2 AS (SELECT node, (1000000 * COALESCE(s, 0)) // t AS hub
+        |       FROM nodes CROSS JOIN th2 LEFT JOIN rh2 ON nodes.node = rh2.src)
+        |SELECT a2.node, CAST(a2.auth AS BIGINT) AS auth,
+        |       CAST(h2.hub AS BIGINT) AS hub
+        |FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY a2.node""".stripMargin,
 
     // q161: rows rebuilt from the arithmetic — pos is block order,
     // lastmod NULL where the tag is absent, CDATA and entity locs

@@ -258,6 +258,99 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
+  /** HITS hubs and authorities (Kleinberg 1999) over the distinct
+    * (src, dst) edges — the OTHER link-quality signal next to the
+    * PageRank family: authorities are pages many good hubs point AT,
+    * hubs are pages that point at many good authorities. A crawl
+    * pipeline reads both: PageRank for global standing, HITS for
+    * directory-vs-content separation (a links page scores hub-high /
+    * auth-low; a canonical document the reverse).
+    *
+    * INTEGER-QUANTIZED like [[pageRankInt]], with L1 normalization
+    * (the analysis-equivalent alternative to Kleinberg's L2 — the
+    * principal eigenvectors are the same up to scaling, and an L2
+    * norm can never be replayed in integer SQL): per iteration
+    *
+    *   rawA(v) = Σ_{u→v} hub(u);   auth(v) = (scale·rawA(v)) div ΣrawA
+    *   rawH(u) = Σ_{u→v} auth(v);  hub(u)  = (scale·rawH(u)) div ΣrawH
+    *
+    * starting from hub₀ = scale div |V|, EVERY division a BIGINT
+    * floor. All quantities are nonnegative, so Spark's truncating
+    * `div` and DuckDB's flooring `//` agree and the q166 oracle
+    * unrolls the recurrence exactly.
+    *
+    * Overflow needs no measured-degree guard: after normalization
+    * Σ hub ≤ scale, so rawA(v) ≤ scale and the widest product is
+    * scale² — the `scale ≤ 10⁹` require keeps that under 2⁶³. The
+    * normalizer totals are plain BIGINT sums bounded by
+    * scale·maxdeg. `scale ≥ 2·|V|` (measured) keeps every floor
+    * strictly positive mass so the totals can never collapse to 0
+    * mid-iteration.
+    *
+    * Scale shape: per iteration TWO shuffle joins (hub ⋈ edges on
+    * src, auth ⋈ edges on dst) + two hash aggregates; the 1-row
+    * normalizer totals ride as broadcast cross joins (their
+    * underlying shuffle is shared with the raw-score aggregate via
+    * ReuseExchange). Edges/nodes persisted once; hub lineage
+    * checkpointed every 3 rounds ([[Dedup.connectedComponents]]
+    * hygiene). Returns (node, auth_units, hub_units) for every node. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iterations: Int, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    require(scale > 0 && scale <= 1000000000L,
+      s"scale must be in (0, 1e9] so scale*rawScore stays in BIGINT, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // same no-leak rule as the weighted-PageRank guards: a failed
+    // require must not strand persisted frames in a shared session
+    try {
+      val n = nodes.count()
+      require(n > 0, "edge set is empty")
+      require(scale >= 2 * n,
+        s"scale=$scale too small for |V|=$n: need scale >= 2|V| so floored " +
+          "mass stays positive (otherwise a normalizer total can hit 0)")
+      var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
+      var auth: DataFrame = null
+      var lastCkpt: DataFrame = null
+      for (i <- 1 to iterations) {
+        val rawA = hub.join(e, hub("node") === e("src"))
+          .groupBy(col("dst")).agg(sum(col("hub")).as("__s"))
+        val totA = rawA.agg(sum(col("__s")).as("__t"))
+        auth = nodes.crossJoin(broadcast(totA))
+          .join(rawA, nodes("node") === rawA("dst"), "left")
+          .select(nodes("node"),
+            expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
+              .as("auth"))
+        val rawH = auth.join(e, auth("node") === e("dst"))
+          .groupBy(col("src")).agg(sum(col("auth")).as("__s"))
+        val totH = rawH.agg(sum(col("__s")).as("__t"))
+        hub = nodes.crossJoin(broadcast(totH))
+          .join(rawH, nodes("node") === rawH("src"), "left")
+          .select(nodes("node"),
+            expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
+              .as("hub"))
+        if (i % 3 == 0 && i < iterations) {
+          // only hub feeds the next iteration, so truncating ITS
+          // lineage bounds the whole plan (auth(i+1) hangs off hub(i))
+          hub = hub.localCheckpoint()
+          if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+          lastCkpt = hub
+        }
+      }
+      val result = auth.join(hub, "node")
+        .select(col("node"), col("auth"), col("hub"))
+        .localCheckpoint()
+      if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+      result
+    } finally {
+      e.unpersist(); nodes.unpersist()
+    }
+  }
+
   /** Per-node triangle counts over the UNDIRECTED simple graph
     * induced by `edges` (direction and multiplicity dropped, self
     * loops removed) — the local clustering signal a link-graph audit

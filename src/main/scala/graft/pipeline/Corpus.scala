@@ -599,4 +599,97 @@ object Corpus {
         .when(col("tier_idx") === n.toLong, "tail")
         .otherwise("middle"))
   }
+
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every `raw` document by how target-like its hashed bag-of-words
+    * is under two corpus-level unigram models, and keep the top `k`.
+    * This is the data-selection step a pretraining pipeline runs to
+    * tilt a web-scale crawl toward a high-quality target domain
+    * (Wikipedia/books) without training a classifier.
+    *
+    * INTEGER-QUANTIZED variant — the q134/q155 oracle discipline:
+    * per hashed bucket g (same engine-neutral md5-mod-dim bucketing
+    * as [[graft.operators.Learn.hashedFeatures]], but with COUNTS,
+    * the DSIR feature) the smoothed count ratio
+    *
+    *   r(g) = min( (scale·(n_target(g)+α)) div (n_raw(g)+α),
+    *               scale·maxRatio )
+    *
+    * and score(doc) = Σ_g c_g(doc)·r(g). Two deliberate, documented
+    * deviations from the paper, both needed for cross-engine
+    * hash-exactness and both standard in the importance-weighting
+    * literature: (1) per-token ratios are aggregated ARITHMETICALLY
+    * (sum of ratios) instead of geometrically (sum of logs) — ln has
+    * no engine-portable integer form; the true-log double scoring is
+    * spec-pinned against this on a planted corpus (CorpusSpec);
+    * (2) weights are TRUNCATED at maxRatio (truncated importance
+    * sampling), which also bounds the products: with the measured
+    * max n_target guarded against `scale` overflow, every
+    * score ≤ n_tokens(doc)·scale·maxRatio stays far inside BIGINT.
+    * The global normalizers (N+α·dim) of the paper's p̂ cancel out
+    * of the RANKING and are dropped, so scores are in
+    * "scale·count-ratio" units, not probability units.
+    *
+    * Selection is deterministic top-k (score desc, id asc) — the
+    * paper's Gumbel-top-k resampling ablation shows plain top-k
+    * within noise, and determinism is what makes the result
+    * hash-comparable (q167 unrolls the whole thing in DuckDB).
+    *
+    * Scale shape: two corpus token-count aggregates (one per corpus,
+    * shuffled on the dim-bounded bucket id), a dim-row ratio table
+    * that BROADCASTS onto the raw-side per-(doc, bucket) counts, one
+    * per-doc aggregate, and a TakeOrdered top-k — no corpus-sized
+    * join, no window. Docs whose text yields zero tokens carry no
+    * evidence and are absent (never selected). */
+  def importanceResample(raw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int, k: Int, alpha: Long = 1L,
+      scale: Long = 1000000L, maxRatio: Long = 1000L): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    require(k > 0, s"k must be positive, got $k")
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(maxRatio > 0 && scale > 0 && scale <= Long.MaxValue / maxRatio,
+      s"need 0 < scale, 0 < maxRatio, scale*maxRatio in BIGINT; " +
+        s"got scale=$scale maxRatio=$maxRatio")
+    def bucket(t: org.apache.spark.sql.Column) =
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dim
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("__t"))
+        .filter(col("__t") =!= "")
+        .select(bucket(col("__t")).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val counts = bucketCounts(target).withColumnRenamed("n", "__nt")
+      .join(bucketCounts(raw).withColumnRenamed("n", "__nr"),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("__nt"), lit(0L)).as("__nt"),
+        coalesce(col("__nr"), lit(0L)).as("__nr"))
+      .persist() // dim-bounded; read for the guard and the ratio table
+    try {
+      val maxNtRow = counts.agg(max(col("__nt"))).first()
+      val maxNt = if (maxNtRow.isNullAt(0)) 0L else maxNtRow.getLong(0)
+      require(maxNt + alpha <= Long.MaxValue / scale,
+        s"scale·(maxTargetCount+α) would overflow: scale=$scale maxNt=$maxNt")
+      val ratios = counts.select(col("bucket"),
+        least(
+          expr(s"(CAST($scale AS BIGINT) * (__nt + $alpha)) div (__nr + $alpha)"),
+          lit(scale * maxRatio)).as("__r"))
+      val feats = raw
+        .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__t"))
+        .filter(col("__t") =!= "")
+        .select(col(idCol), bucket(col("__t")).as("bucket"))
+        .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+      val scored = feats.join(broadcast(ratios), Seq("bucket"))
+        .groupBy(col(idCol))
+        .agg(sum(col("__c")).as("n_tokens"),
+          sum(col("__c") * col("__r")).as("score"))
+      val out = scored
+        .orderBy(col("score").desc, col(idCol).asc)
+        .limit(k)
+        .localCheckpoint() // materialize before the ratio table unpersists
+      out
+    } finally {
+      counts.unpersist()
+    }
+  }
 }

@@ -175,4 +175,68 @@ class GraphSpec extends SparkTestBase {
         Seq(Tuple1(99L)).toDF("node"), iterations = 1)
     }
   }
+
+  /** driver-side replay of hitsInt's exact integer recurrence */
+  private def hitsReplay(edges: Seq[(Long, Long)], iters: Int,
+                         scale: Long): Map[Long, (Long, Long)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    var hub = nodes.map(_ -> scale / nodes.length).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val rawA = e.groupBy(_._2).map { case (d, xs) =>
+        d -> xs.map { case (s, _) => hub(s) }.sum }
+      val tA = rawA.values.sum
+      auth = nodes.map(v => v -> scale * rawA.getOrElse(v, 0L) / tA).toMap
+      val rawH = e.groupBy(_._1).map { case (s, xs) =>
+        s -> xs.map { case (_, d) => auth(d) }.sum }
+      val tH = rawH.values.sum
+      hub = nodes.map(v => v -> scale * rawH.getOrElse(v, 0L) / tH).toMap
+    }
+    nodes.map(v => v -> ((auth(v), hub(v)))).toMap
+  }
+
+  test("hitsInt matches the hand-replayed integer recurrence") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 3L))
+    for (iters <- Seq(1, 2, 5)) {
+      val got = Graph.hitsInt(edges.toDF("s", "d"), "s", "d",
+          iterations = iters, scale = 1000000L)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == hitsReplay(edges, iters, 1000000L), s"iters=$iters")
+    }
+  }
+
+  test("hitsInt: star graph separates hubs from authorities") {
+    import spark.implicits._
+    // 0 -> {1..5} and 9 -> 1: node 0 is the pure hub (auth 0), the
+    // leaves are pure authorities (hub 0), and 1 (two in-links)
+    // outranks its siblings as an authority
+    val edges = (1L to 5L).map(v => (0L, v)) :+ (9L, 1L)
+    val got = Graph.hitsInt(edges.toDF("s", "d"), "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L)._1 == 0L && got(0L)._2 > 0L, s"0 must be a pure hub: $got")
+    assert(got(1L)._2 == 0L && got(1L)._1 > got(2L)._1,
+      s"1 must be the strongest pure authority: $got")
+    assert((2L to 5L).map(got(_)._1).toSet.size == 1,
+      "symmetric leaves must tie exactly")
+  }
+
+  test("hitsInt: partitioning invariance, duplicate edges collapse, guards") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L))
+    val a = Graph.hitsInt(edges.toDF("s", "d"), "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Graph.hitsInt(edges.toDF("s", "d").repartition(7), "s", "d", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b, "physical partitioning leaked into the scores")
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] { Graph.hitsInt(e, "s", "d", 0) }
+    intercept[IllegalArgumentException] {
+      Graph.hitsInt(e, "s", "d", 1, scale = 2000000000L)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.hitsInt(e, "s", "d", 1, scale = 3L) // < 2|V|
+    }
+  }
 }

@@ -410,4 +410,76 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.count(_ == "head") == 4 &&
       got.values.count(_ == "middle") == 4 && got.values.count(_ == "tail") == 4)
   }
+
+  /** the engine's md5-mod-dim bucket, replayed driver-side */
+  private def bucketOf(token: String, dim: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(token.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16) % dim
+  }
+
+  private def toks(text: String): Seq[String] =
+    text.trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      .filter(_.nonEmpty)
+
+  test("importanceResample: target-like raw docs beat off-target ones") {
+    val target = (100L to 119L).map(i => (i, "alpha beta gamma delta"))
+    val likeTarget = (1L to 10L).map(i => (i, "alpha beta gamma delta"))
+    val offTarget = (11L to 20L).map(i => (i, "zq xv bn kl"))
+    val got = Corpus.importanceResample(
+        (likeTarget ++ offTarget).toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", dim = 4096, k = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == (1L to 10L).toSet, s"selected $got")
+  }
+
+  test("importanceResample: top-k set matches true-log DSIR on a planted corpus") {
+    // raw docs interpolate between pure-target and pure-noise token
+    // mixes; both the integer ratio-sum and the paper's log-ratio sum
+    // must rank them by target affinity, so the top-k SETS agree
+    val dim = 4096; val alpha = 1L
+    val target = (200L to 219L).map(i => (i, "alpha beta gamma delta epsilon"))
+    val raw = (0 until 12).map { i =>
+      val t = Seq.fill(12 - i)("alpha beta").mkString(" ")
+      val n = Seq.fill(i)("zq xv").mkString(" ")
+      (i.toLong, (t + " " + n).trim)
+    }
+    val got = Corpus.importanceResample(raw.toDF("doc_id", "text"),
+        target.toDF("doc_id", "text"), "doc_id", "text", dim = dim, k = 5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // driver replay of the TRUE DSIR score: Σ c_g · (log p̂_t(g) − log p̂_r(g))
+    val nt = target.flatMap(d => toks(d._2)).groupBy(bucketOf(_, dim))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val nr = raw.flatMap(d => toks(d._2)).groupBy(bucketOf(_, dim))
+      .map { case (b, xs) => b -> xs.length.toLong }
+    val bigNt = nt.values.sum; val bigNr = nr.values.sum
+    def llr(b: Long): Double =
+      math.log((nt.getOrElse(b, 0L) + alpha).toDouble / (bigNt + alpha * dim)) -
+        math.log((nr.getOrElse(b, 0L) + alpha).toDouble / (bigNr + alpha * dim))
+    val trueTop = raw.map { case (id, text) =>
+      id -> toks(text).groupBy(bucketOf(_, dim))
+        .map { case (b, xs) => xs.length * llr(b) }.sum
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSet
+    assert(got == trueTop, s"integer variant $got vs true-log $trueTop")
+  }
+
+  test("importanceResample: zero-token docs absent; guards fire") {
+    val target = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val raw = Seq((10L, "alpha"), (11L, "   "), (12L, "")).toDF("doc_id", "text")
+    val got = Corpus.importanceResample(raw, target, "doc_id", "text",
+        dim = 64, k = 10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == Set(10L), "blank docs carry no evidence and are absent")
+    intercept[IllegalArgumentException] {
+      Corpus.importanceResample(raw, target, "doc_id", "text", dim = 0, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.importanceResample(raw, target, "doc_id", "text", dim = 8, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.importanceResample(raw, target, "doc_id", "text", dim = 8, k = 1,
+        scale = Long.MaxValue, maxRatio = 2L)
+    }
+  }
 }

@@ -2408,6 +2408,40 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q168: the COMPOSED priority frontier — personalized PageRank
+    // (q164's graph and seeds) ranks the hosts, robots Crawl-delay
+    // (q159's machinery) spaces each host's lane, and a GLOBAL
+    // priority order (rank desc, then earliest slot) is assigned with
+    // the two-pass numbering (q91 — no single-partition window). The
+    // chaining rank → politeness → priority is what a crawl scheduler
+    // actually runs; DuckDB replays all three stages.
+    "q168_ppr_frontier" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = docs.groupBy((col("doc_id") % 50).as("src"),
+          ((col("doc_id") * 7) % 50).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = s.range(0, 50, 7).select(col("id").as("node"))
+      val ppr = operators.Graph.personalizedPageRankInt(e, "src", "dst", "w",
+        seeds, iterations = 3)
+      val hosts = docs.select((col("doc_id") % 50).as("hnum")).distinct()
+      val robots = hosts.select(concat(lit("h"), col("hnum")).as("host"),
+        concat_ws("\n", lit("User-agent: GraftBot"),
+          concat(lit("Crawl-delay: "), col("hnum") % 3 + 1)).as("txt"))
+      val extras = operators.Web.robotsExtras(robots, "host", "txt")
+      val urls = docs.filter(col("doc_id") < 100)
+        .select(concat(lit("h"), col("doc_id") % 50).as("host"),
+          concat(lit("/p"), col("doc_id") % 7).as("path"))
+      val sched = graft.pipeline.Crawl.fetchSchedule(urls, extras, "GraftBot")
+      val ranked = sched.join(
+        ppr.select(concat(lit("h"), col("node")).as("host"), col("pr")),
+        Seq("host"))
+      operators.Relational.globalRowNumber(ranked,
+          Seq(col("pr").desc, col("fetch_at_ms").asc, col("host").asc,
+            col("path").asc),
+          out = "priority")
+        .orderBy(col("priority"))
+    }),
+
     // q167: DSIR-style importance selection — target = every fifth
     // doc, raw = the rest; hashed bag-of-words count ratios (md5-mod-
     // 4096, truncated at maxRatio) score the raw docs and the top 50
@@ -4039,6 +4073,70 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q168: q164's unrolled PPR chain + q159's schedule
+    // reconstruction + a global ROW_NUMBER in the engine's exact
+    // (pr desc, slot, host, path) order.
+    "q168_ppr_frontier" ->
+      """WITH raw AS (SELECT doc_id % 50 AS src, (doc_id * 7) % 50 AS dst
+        |             FROM documents),
+        |e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM raw GROUP BY 1, 2),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |seeds AS (SELECT node FROM nodes WHERE node % 7 = 0),
+        |ns AS (SELECT COUNT(*) AS sc FROM seeds),
+        |ow AS (SELECT src, SUM(w) AS tw FROM e GROUP BY src),
+        |pr0 AS (SELECT n.node,
+        |          CASE WHEN s.node IS NOT NULL THEN 1000000000000 // sc
+        |               ELSE 0 END AS pr
+        |        FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.node = s.node),
+        |c1 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr0 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr1 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c1 ON n.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr1 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr2 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c2 ON n.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM((p.pr * e.w) // ow.tw) AS s FROM pr2 p
+        |       JOIN e ON p.node = e.src JOIN ow ON e.src = ow.src
+        |       GROUP BY e.dst),
+        |pr3 AS (SELECT n.node,
+        |          CASE WHEN sd.node IS NOT NULL THEN 150000000000 // sc
+        |               ELSE 0 END + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+        |        FROM nodes n CROSS JOIN ns
+        |        LEFT JOIN seeds sd ON n.node = sd.node
+        |        LEFT JOIN c3 ON n.node = c3.dst),
+        |hosts AS (SELECT DISTINCT doc_id % 50 AS hnum FROM documents),
+        |d AS (SELECT 'h' || CAST(hnum AS VARCHAR) AS host,
+        |        CAST((hnum % 3 + 1) * 1000 AS BIGINT) AS delay_ms FROM hosts),
+        |urls AS (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) AS host,
+        |           '/p' || CAST(doc_id % 7 AS VARCHAR) AS path
+        |         FROM documents WHERE doc_id < 100),
+        |sched AS (SELECT u.host, u.path, d.delay_ms,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.path)
+        |         AS BIGINT) AS fetch_seq,
+        |    CAST((ROW_NUMBER() OVER (PARTITION BY u.host ORDER BY u.path) - 1)
+        |         * d.delay_ms AS BIGINT) AS fetch_at_ms
+        |  FROM urls u JOIN d USING (host)),
+        |j AS (SELECT sched.host, sched.path, sched.delay_ms, sched.fetch_seq,
+        |        sched.fetch_at_ms, CAST(pr3.pr AS BIGINT) AS pr
+        |      FROM sched JOIN pr3
+        |        ON sched.host = 'h' || CAST(pr3.node AS VARCHAR))
+        |SELECT host, path, delay_ms, fetch_seq, fetch_at_ms, pr,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, fetch_at_ms, host, path)
+        |       AS BIGINT) AS priority
+        |FROM j ORDER BY priority""".stripMargin,
 
     // q167: the DSIR scoring replayed — same md5-mod-4096 bucketing
     // as q109, smoothed count ratios floored with `//` and truncated

@@ -205,4 +205,64 @@ object Maintenance {
     }
     stats.toSeq.toDF("partition", "n_files", "bytes", "target_files", "compacted")
   }
+
+  /** Write `df` as parquet with output files sized AT the target, not
+    * at whatever `spark.sql.shuffle.partitions` happens to leave — the
+    * write-side twin of [[compactPartitions]] (don't create the small
+    * files you'd compact later). The row-count knob Spark exposes
+    * (`maxRecordsPerFile`) needs a bytes→rows conversion that depends
+    * on the table's actual parquet compression, so: (1) write a
+    * `sampleRows`-row probe next to the target and measure REAL
+    * encoded bytes/row (schema- and data-aware, unlike logical plan
+    * stats, which track uncompressed in-memory width and overshoot
+    * parquet by 5-10×); (2) round-robin repartition to
+    * ceil(rows/rowsPerFile) so every output file lands near
+    * `targetBytes`, with `maxRecordsPerFile` as the hard backstop.
+    *
+    * Costs one count + one tiny probe write over the naive write; the
+    * input is persisted across the three passes and released before
+    * returning. Small-sample compression skews conservative (short
+    * parquet files dictionary-encode worse, so bytes/row is measured
+    * HIGH and files land slightly UNDER target — the safe side of the
+    * row-group sweet spot). Unpartitioned layout by design: Hive-
+    * partitioned tables size per partition via [[compactPartitions]].
+    * Returns a 1-row (total_rows, bytes_per_row, rows_per_file,
+    * n_files) audit frame. */
+  def sizedWrite(df: DataFrame, path: String, targetBytes: Long = 128L << 20,
+                 sampleRows: Int = 10000,
+                 mode: SaveMode = SaveMode.Overwrite): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(sampleRows > 0, s"sampleRows must be positive, got $sampleRows")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cached = df.persist()
+    try {
+      val total = cached.count()
+      if (total == 0L) {
+        cached.write.mode(mode).parquet(path)
+        return Seq((0L, 0L, 0L, 0L))
+          .toDF("total_rows", "bytes_per_row", "rows_per_file", "n_files")
+      }
+      val probePath = new Path(path + "__sizing_probe")
+      val fs = probePath.getFileSystem(spark.sessionState.newHadoopConf())
+      val probeN = math.min(total, sampleRows.toLong)
+      val (bytesPerRow, rowsPerFile) =
+        try {
+          cached.limit(probeN.toInt).coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(probePath.toString)
+          val probeBytes = fs.listStatus(probePath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+            .map(_.getLen).sum
+          val bpr = math.max(1L, probeBytes / probeN)
+          (bpr, math.max(1L, targetBytes / bpr))
+        } finally fs.delete(probePath, true)
+      val nFiles = ((total + rowsPerFile - 1) / rowsPerFile).toInt
+      cached.repartition(nFiles)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", rowsPerFile)
+        .parquet(path)
+      Seq((total, bytesPerRow, rowsPerFile, nFiles.toLong))
+        .toDF("total_rows", "bytes_per_row", "rows_per_file", "n_files")
+    } finally cached.unpersist()
+  }
 }

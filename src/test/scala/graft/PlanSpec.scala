@@ -556,4 +556,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       s"robots decision must never plan a cartesian:\n$p")
   }
+
+  test("runtime bloom-filter reduction: a selective dim filter reaches the fact side") {
+    // the 100 TB shape this pins: fact ⋈ dim with a selective predicate
+    // on dim and the dim side too big (or too late) to broadcast —
+    // Spark's InjectRuntimeFilter should build a bloom filter from the
+    // dim join keys and apply it on the fact side BEFORE the shuffle,
+    // so the exchange moves only rows that can possibly match. At
+    // production scale the thresholds are met naturally; at test scale
+    // they are lowered explicitly (the assertion is about the plan
+    // SHAPE, not the threshold defaults).
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("bloomspec").toFile
+    dir.deleteOnExit()
+    val base = dir.getAbsolutePath
+    spark.range(100000)
+      .select(col("id"), (col("id") % 997).as("k"),
+        (col("id") * 37 % 1000).as("payload"))
+      .write.mode("overwrite").parquet(s"$base/fact")
+    spark.range(997)
+      .select(col("id").as("k"), (col("id") % 10).as("cat"))
+      .write.mode("overwrite").parquet(s"$base/dim")
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = keys.map { case (k, _) =>
+      k -> spark.conf.getAll.get(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim").filter(col("cat") === 3)
+      val joined = fact.join(dim, "k")
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${opt.take(4000)}")
+      val n = joined.count()
+      // and the reduction is semantics-preserving: the no-filter twin
+      // (bloom injection off) counts the same rows
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val plainN = spark.read.parquet(s"$base/fact")
+        .join(spark.read.parquet(s"$base/dim").filter(col("cat") === 3), "k")
+        .count()
+      assert(n == plainN, s"bloom-filtered join changed the result: $n vs $plainN")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }

@@ -195,4 +195,52 @@ class MaintenanceSpec extends SparkTestBase {
       Maintenance.compactPartitions(spark, path, "hour", targetBytes = 1L << 30)
     }
   }
+
+  test("sizedWrite: files land near the byte target and the data round-trips") {
+    val path = tmp() + "/sized"
+    // incompressible-ish payload so measured bytes/row is meaningful
+    val df = spark.range(20000L).select(col("id"),
+      md5(col("id").cast("string")).as("a"),
+      sha2(col("id").cast("string"), 256).as("b"))
+    val report = Maintenance.sizedWrite(df, path, targetBytes = 64L << 10,
+        sampleRows = 2000)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(report._1 == 20000L)
+    val files = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files.length == report._4.toInt,
+      s"report says ${report._4} files, found ${files.length}")
+    assert(files.length >= 3, "a 64KB target on this table must split the write")
+    // every file within a generous band of the target (small-sample
+    // compression skew is expected, gross misses are not)
+    files.foreach { f =>
+      assert(f.length <= 4 * (64L << 10),
+        s"${f.getName} is ${f.length} B — way over a 64KB target")
+    }
+    assert(files.map(_.length).sum >= (64L << 10),
+      "total bytes below one target file — sizing estimate collapsed")
+    val back = spark.read.parquet(path)
+      .as[(Long, String, String)].collect().toSet
+    val want = df.as[(Long, String, String)].collect().toSet
+    assert(back == want, "sized write changed the data")
+    // probe directory must not survive
+    assert(!new java.io.File(path + "__sizing_probe").exists())
+  }
+
+  test("sizedWrite: empty input writes an empty table; guards fire") {
+    val path = tmp() + "/sized_empty"
+    val df = spark.range(10L).filter(col("id") < 0)
+      .select(col("id"), md5(col("id").cast("string")).as("a"))
+    val report = Maintenance.sizedWrite(df, path, targetBytes = 1L << 20)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(report == ((0L, 0L, 0L, 0L)))
+    assert(spark.read.parquet(path).count() == 0L)
+    intercept[IllegalArgumentException] {
+      Maintenance.sizedWrite(df, path, targetBytes = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Maintenance.sizedWrite(df, path, sampleRows = 0)
+    }
+  }
 }

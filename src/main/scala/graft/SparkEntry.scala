@@ -2408,6 +2408,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q169: connected components via the large-star/small-star
+    // alternation on a pseudo-random functional graph (every node one
+    // out-edge) — O(log n) rounds where min-label needs O(diameter).
+    // Min-id labels are deterministic, so DuckDB replays the closure
+    // with the q88 recursive-CTE formulation.
+    "q169_connected_components" -> ((s, dir) => {
+      val e = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id").as("a"),
+          ((col("doc_id") * 37 + 11) % 500).as("b"))
+      operators.Graph.connectedComponentsStar(e, "a", "b")
+        .orderBy(col("id"))
+    }),
+
     // q168: the COMPOSED priority frontier — personalized PageRank
     // (q164's graph and seeds) ranks the hosts, robots Crawl-delay
     // (q159's machinery) spaces each host's lane, and a GLOBAL
@@ -4073,6 +4086,23 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q169: min-reachable-id closure, the q88 oracle shape on the
+    // functional-graph fixture.
+    "q169_connected_components" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT doc_id AS a, (doc_id * 37 + 11) % 500 AS b
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (SELECT a AS src, b AS dst FROM p WHERE a <> b
+        |      UNION SELECT b, a FROM p WHERE a <> b),
+        |n AS (SELECT a AS id FROM p UNION SELECT b FROM p),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+        |SELECT n.id, CAST(COALESCE(MIN(r.reach), n.id) AS BIGINT) AS cluster
+        |FROM n LEFT JOIN r ON n.id = r.node
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     // q168: q164's unrolled PPR chain + q159's schedule
     // reconstruction + a global ROW_NUMBER in the engine's exact

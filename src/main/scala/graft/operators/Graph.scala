@@ -351,6 +351,92 @@ object Graph {
     }
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the scale path next to
+    * [[Dedup.connectedComponents]]'s min-label propagation: label
+    * propagation needs O(diameter) rounds (a 10⁶-node path graph
+    * needs 10⁶ rounds), while the star alternation contracts
+    * components in O(log n) rounds regardless of diameter, because
+    * every round rewires whole neighborhoods to their minimum instead
+    * of moving labels one hop.
+    *
+    * Per round on the canonical (u > v) edge set:
+    *   large-star: every node links its LARGER neighbors to
+    *     min(Γ(u) ∪ {u});
+    *   small-star: every node links its smaller neighbors and itself
+    *     to min(Γ⁻(u) ∪ {u}).
+    * The fixed point is one star per component rooted at the
+    * component's minimum id. Fixed point is detected exactly (same
+    * distinct edge set two rounds running: equal cardinality + empty
+    * difference), not probabilistically.
+    *
+    * Shape per round: two aggregates + two joins on node ids, all
+    * skinny (id, id) rows; each round's edge set is checkpointed and
+    * the previous round's blocks freed (the
+    * [[Dedup.connectedComponents]] hygiene). Returns (id, cluster)
+    * for every node mentioned by `pairs`, min-id cluster labels —
+    * the same contract as the min-label operator, so the two are
+    * interchangeable (and spec-pinned equal). */
+  def connectedComponentsStar(pairs: DataFrame, idACol: String,
+      idBCol: String, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
+    val raw = pairs.select(col(idACol).cast("long").as("a"),
+      col(idBCol).cast("long").as("b"))
+    val nodes = raw.select(col("a").as("id"))
+      .unionByName(raw.select(col("b").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edges = raw.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+    var ckpt = truncate(edges)
+    edges = ckpt
+    var prevCount = edges.count()
+    var converged = prevCount == 0L
+    var round = 0
+    while (round < maxRounds && !converged) {
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmin = nbrs.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("__m"))
+      val ls = nbrs.join(lmin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // ls rows are (big, small) by construction, so Γ⁻ is just Γ here
+      val smin = ls.groupBy(col("u")).agg(min(col("v")).as("__m"))
+      val ss = ls.join(smin, "u")
+        .select(col("v").as("u"), col("__m").as("v"))
+        .unionByName(smin.select(col("u"), col("__m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = truncate(ss)
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.except(edges).isEmpty
+      Dedup.CheckpointHygiene.free(ckpt)
+      ckpt = next
+      edges = next
+      prevCount = nextCount
+      round += 1
+    }
+    if (!converged) {
+      Dedup.CheckpointHygiene.free(ckpt); nodes.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxRounds rounds")
+    }
+    val labels = nodes
+      .join(edges.select(col("u").as("id"), col("v").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val result = labels.localCheckpoint()
+    Dedup.CheckpointHygiene.free(ckpt)
+    nodes.unpersist()
+    result
+  }
+
   /** Per-node triangle counts over the UNDIRECTED simple graph
     * induced by `edges` (direction and multiplicity dropped, self
     * loops removed) — the local clustering signal a link-graph audit

@@ -239,4 +239,37 @@ class GraphSpec extends SparkTestBase {
       Graph.hitsInt(e, "s", "d", 1, scale = 3L) // < 2|V|
     }
   }
+
+  test("connectedComponentsStar: labels equal min-label propagation on varied graphs") {
+    import spark.implicits._
+    // deterministic pseudo-random multigraphs of several densities,
+    // plus planted structure: triangle, pair, isolated self-loop node
+    for (density <- Seq(1, 2, 3)) {
+      val edges = (0L until 120L).map(i =>
+        (i % 40, (i * (7 + density) + density) % 40)) ++
+        Seq((100L, 101L), (101L, 102L), (100L, 102L), (200L, 201L),
+          (300L, 300L))
+      val star = Graph.connectedComponentsStar(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val label = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // min-label omits nothing the star path keeps: same node set,
+      // same min-id labels
+      assert(star == label, s"density=$density")
+      assert(star(300L) == 300L, "self-loop-only node labels itself")
+    }
+  }
+
+  test("connectedComponentsStar: a 200-link chain converges in logarithmic rounds") {
+    import spark.implicits._
+    // diameter 200 — min-label propagation would need 200 rounds; the
+    // star alternation must finish inside its default 50 (in practice
+    // ~10). The exact-label assertion proves it actually converged to
+    // the component minimum, not just stopped.
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = Graph.connectedComponentsStar(chain.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 201 && got.values.forall(_ == 0L),
+      s"chain must collapse to root 0: ${got.filter(_._2 != 0L).take(5)}")
+  }
 }

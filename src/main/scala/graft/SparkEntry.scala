@@ -2408,6 +2408,35 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q170: WAV audio metadata + amplitude stats through the REAL
+    // encode → javax.sound decode path. The square-wave construction
+    // is invertible and the power-of-two amplitudes make rms/peak
+    // exact binary fractions, so every exported column is doc_id
+    // arithmetic — the q132 discipline for the audio modality.
+    "q170_wav_metadata" -> ((s, dir) => {
+      val params = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("rate"),
+          (lit(1000) + col("doc_id") % 500).cast("int").as("nframes"),
+          when(col("doc_id") % 2 === 0, 4096).otherwise(8192)
+            .cast("int").as("amp"))
+      val wav = operators.Multimodal.encodePcmWav(params,
+        "rate", "nframes", "amp")
+      val feats = operators.Multimodal.extractFeatures(wav, "payload",
+        decoder = new operators.Multimodal.WavDecoder, batchSize = 16)
+      operators.Multimodal.withMediaMeta(feats, "payload")
+        .select(col("doc_id"), col("media_format"),
+          element_at(col("features"), 1).cast("long").as("sample_rate"),
+          element_at(col("features"), 2).cast("long").as("channels"),
+          element_at(col("features"), 3).cast("long").as("bits"),
+          element_at(col("features"), 4).cast("long").as("n_frames"),
+          expr("(CAST(element_at(features, 4) AS BIGINT) * 1000) div " +
+            "CAST(element_at(features, 1) AS BIGINT)").as("duration_ms"),
+          element_at(col("features"), 6).cast("double").as("rms"),
+          element_at(col("features"), 7).cast("double").as("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q169: connected components via the large-star/small-star
     // alternation on a pseudo-random functional graph (every node one
     // out-edge) — O(log n) rounds where min-label needs O(diameter).
@@ -4086,6 +4115,23 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q170: the WAV construction is invertible — every column is
+    // doc_id arithmetic; 'riff' pins the magic-byte sniff, rms/peak
+    // pin the real PCM decode (power-of-two amplitudes are exact in
+    // both engines' doubles).
+    "q170_wav_metadata" ->
+      """SELECT doc_id, 'riff' AS media_format,
+        | 8000 + (doc_id % 3) * 4000 AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | 1000 + doc_id % 500 AS n_frames,
+        | ((1000 + doc_id % 500) * 1000) // (8000 + (doc_id % 3) * 4000)
+        |   AS duration_ms,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 0.125 ELSE 0.25 END AS DOUBLE) AS rms,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 0.125 ELSE 0.25 END AS DOUBLE) AS peak
+        |FROM documents WHERE doc_id < 200
+        |ORDER BY doc_id""".stripMargin,
 
     // q169: min-reachable-id closure, the q88 oracle shape on the
     // functional-graph fixture.

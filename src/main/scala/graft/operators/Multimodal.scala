@@ -243,6 +243,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Encode one 16-bit mono PCM WAV per row — the audio sibling of
+    * [[encodeSolidPng]]: a ±amp square wave at the row's sample rate
+    * and frame count. POWER-OF-TWO amplitudes make the decoder's rms
+    * and peak EXACT binary fractions (amp/32768 ∈ {0.125, 0.25, …}:
+    * squares, partial sums, the mean, and the square root all stay
+    * exactly representable), so the encode → javax.sound decode →
+    * amplitude-stats path carries a VALUE oracle with no codec on the
+    * oracle side — the q95/q132 invertible-construction discipline,
+    * extended to audio (q170). */
+  def encodePcmWav(df: DataFrame, sampleRateCol: String, nFramesCol: String,
+                   ampCol: String, out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ri = inSchema.fieldIndex(sampleRateCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val ai = inSchema.fieldIndex(ampCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rate = r.getInt(ri); val n = r.getInt(ni); val amp = r.getInt(ai)
+        require(rate > 0 && n >= 0 && amp >= 0 && amp <= 32767,
+          s"bad WAV params: rate=$rate frames=$n amp=$amp")
+        val dataSize = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1) // PCM, mono
+          .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var k = 0
+        while (k < n) {
+          bb.putShort(if (k % 2 == 0) amp.toShort else (-amp).toShort)
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
   /** Encode one patterned grayscale PNG per row — the discriminative
     * media fixture generator ([[encodeSolidPng]]'s sibling): pixel
     * (x, y) carries gray

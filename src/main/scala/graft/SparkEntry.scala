@@ -2408,6 +2408,24 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q171: CONTAINMENT pairs — the asymmetric dedup measure. Every
+    // base doc gets a planted "quote" twin holding its first half;
+    // the twin's containment is exactly 1.0 (its shingles are a
+    // subset) while its Jaccard is ~0.5 — the subset-duplication case
+    // symmetric dedup misses. All pairs exported; DuckDB recomputes
+    // shingle intersections over MIN set size.
+    "q171_containment_pairs" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 30 && token_count(col("text")) >= 6)
+        .select(col("doc_id"), col("text"))
+      val quotes = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), lit(1),
+          (token_count(col("text")) / lit(2)).cast("int"))).as("text"))
+      Dedup.containmentPairs(base.unionByName(quotes), "doc_id", "text",
+          blockCol = lit(0))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q170: WAV audio metadata + amplitude stats through the REAL
     // encode → javax.sound decode path. The square-wave construction
     // is invertible and the power-of-two amplitudes make rms/peak
@@ -4115,6 +4133,26 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q171: the q20 replay with LEAST(|A|,|B|) as the denominator and
+    // the half-prefix quote construction unioned in.
+    "q171_containment_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 30),
+        |base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 6),
+        |quotes AS (SELECT doc_id + 100000 AS doc_id, t[1:len(t)//2] AS t
+        |           FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+        |sh AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t) - 1),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM u WHERE len(t) >= 3)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |   / LEAST(len(a.s), len(b.s)) AS containment
+        |FROM sh a, sh b WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // q170: the WAV construction is invertible — every column is
     // doc_id arithmetic; 'riff' pins the magic-byte sniff, rms/peak

@@ -256,6 +256,18 @@ package object functions {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
+  /** Exact containment over two string sets: |A∩B| / min(|A|,|B|) —
+    * the ASYMMETRIC near-dup measure. A document fully quoted inside a
+    * larger one scores 1.0 here while its Jaccard can be arbitrarily
+    * small (|A|/|B| → 0), which is exactly the case corpus dedup must
+    * catch: subset/quote duplication (the measure LSH-Ensemble and
+    * news-quote detection are built on). Empty-set pairs score 0. */
+  def containment(setA: Column, setB: Column): Column = {
+    val inter = size(array_intersect(setA, setB)).cast("double")
+    val minSz = least(size(setA), size(setB)).cast("double")
+    when(minSz > 0, inter / minSz).otherwise(lit(0.0))
+  }
+
   /** SimHash of the token multiset: sign of the per-bit sum of token
     * hashes; bit b of the result is 1 iff more than half the token
     * hashes have bit b set. Tokenizer-fused native kernel

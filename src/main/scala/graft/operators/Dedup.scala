@@ -358,6 +358,26 @@ private[graft] object CheckpointHygiene {
         (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard", label)
   }
 
+  /** Exact CONTAINMENT pairs over w-shingle sets —
+    * [[jaccardPairs]]'s asymmetric sibling: |A∩B| / min(|A|,|B|), so a
+    * short document quoted whole inside a long one scores 1.0 where
+    * its Jaccard is near 0. This is the subset-duplication detector
+    * (press-release bodies inside articles, license boilerplate,
+    * full-quote chains) that symmetric dedup provably misses; corpus
+    * policy usually drops the CONTAINED side (the smaller shingle
+    * set) and keeps the container. Same capped-bucket, one-shuffle
+    * pair generation as [[jaccardPairs]] (see [[bucketPairs]]). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCol: Column, shingleWidth: Int = 3,
+                       maxBlock: Int = 1024, label: String = ""): DataFrame = {
+    val banded = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleWidth).as("__payload"),
+      blockCol.as("__block"))
+    bucketPairs(banded, Seq("__block"),
+      (a, b) => containment(a, b), "containment", maxBlock, "containment",
+      label)
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, found
     * via MULTI-TABLE sign-bit LSH (the same independent-hash-tables
     * layout as [[Similarity.lshTopK]]): `tables` signatures of `planes`

@@ -551,6 +551,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got((3L, 4L)) == 0.0)
   }
 
+  test("containmentPairs: a quoted subset scores 1.0 where jaccard stays low") {
+    // doc 2 is the first third of doc 1: every shingle of 2 is a
+    // shingle of 1, so containment is exactly 1.0 while jaccard is
+    // small — the asymmetric case symmetric dedup misses
+    val df = Seq(
+      (1L, "a b c d e f g h i j k l", "blk"),
+      (2L, "a b c d", "blk"),
+      (3L, "zz yy xx ww", "blk")).toDF("id", "text", "blk")
+    val cont = Dedup.containmentPairs(df, "id", "text", blockCol = col("blk"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val jac = Dedup.jaccardPairs(df, "id", "text", blockCol = col("blk"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(cont((1L, 2L)) == 1.0, s"subset must be fully contained: $cont")
+    assert(jac((1L, 2L)) < 0.5, s"jaccard must miss the quote: $jac")
+    assert(cont((1L, 3L)) == 0.0 && cont((2L, 3L)) == 0.0)
+  }
+
   test("jaccardPairs: oversized blocks are dropped and the drop is observable") {
     val big = (0L until 20L).map(i => (i, s"text body $i", "hot")) ++
       Seq((100L, "a b c d", "cold"), (101L, "a b c e", "cold"))

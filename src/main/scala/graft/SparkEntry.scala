@@ -2408,6 +2408,36 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q172: vocabulary-coverage audit — total and distinct OOV rates
+    // per language against the corpus's own top-20 vocabulary (q86's
+    // formulation), the go/no-go check before committing to a trained
+    // vocab. DuckDB rebuilds the vocab and both rate families.
+    "q172_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = operators.TextOps.vocabulary(docs, "text", topN = 20)
+      operators.TextOps.vocabCoverage(docs, "doc_id", "text",
+          vocab, "token", "lang")
+        .orderBy(col("lang"))
+    }),
+
+    // q173: containment-dedup policy on the q171 fixture — every
+    // planted half-prefix quote is the CONTAINED (smaller-set) side
+    // of a containment-1.0 pair and must be dropped; the full
+    // articles survive. DuckDB replays pairs, the smaller-loses rule,
+    // and the anti-join.
+    "q173_drop_contained" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 30 && token_count(col("text")) >= 6)
+        .select(col("doc_id"), col("text"))
+      val quotes = base.select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(tokens(col("text")), lit(1),
+          (token_count(col("text")) / lit(2)).cast("int"))).as("text"))
+      Dedup.dropContained(base.unionByName(quotes), "doc_id", "text",
+          threshold = 0.9, blockCol = lit(0))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q171: CONTAINMENT pairs — the asymmetric dedup measure. Every
     // base doc gets a planted "quote" twin holding its first half;
     // the twin's containment is exactly 1.0 (its shingles are a
@@ -4133,6 +4163,56 @@ object SparkEntry {
         |pr3 AS (SELECT node, (150000000000 // c) + (85 * COALESCE(s, 0)) // 100 AS pr
         |        FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node, CAST(pr AS BIGINT) AS pr FROM pr3 ORDER BY node""".stripMargin,
+
+    // q172: q86's vocab CTE + LEFT JOIN membership + the two rate
+    // families, integer counts divided as doubles.
+    "q172_vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tok2 AS (SELECT lang, t FROM tok WHERE t <> ''),
+        |cnts AS (SELECT t AS token, COUNT(*) AS cnt FROM tok2 GROUP BY t),
+        |v AS (SELECT token FROM cnts ORDER BY cnt DESC, token LIMIT 20),
+        |m AS (SELECT lang, t, v.token IS NOT NULL AS inv
+        |      FROM tok2 LEFT JOIN v ON tok2.t = v.token),
+        |w AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |        CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+        |      FROM m GROUP BY lang),
+        |d AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |        CAST(SUM(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_distinct_oov
+        |      FROM (SELECT DISTINCT lang, t, inv FROM m) GROUP BY lang)
+        |SELECT w.lang, n_words, n_oov,
+        |  CAST(n_oov AS DOUBLE) / n_words AS oov_rate,
+        |  n_distinct, n_distinct_oov,
+        |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
+        |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q173: q171's pair CTE + the smaller-set-loses rule + NOT EXISTS
+    // as the anti-join.
+    "q173_drop_contained" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 30),
+        |base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 6),
+        |quotes AS (SELECT doc_id + 100000 AS doc_id, t[1:len(t)//2] AS t
+        |           FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM quotes),
+        |sh AS (SELECT doc_id,
+        |   list_distinct(list_transform(range(1, len(t) - 1),
+        |     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM u WHERE len(t) >= 3),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        len(a.s) AS sza, len(b.s) AS szb,
+        |        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / LEAST(len(a.s), len(b.s)) AS c
+        |      FROM sh a, sh b WHERE a.doc_id < b.doc_id),
+        |l AS (SELECT DISTINCT CASE WHEN sza < szb THEN id_a
+        |        WHEN szb < sza THEN id_b
+        |        ELSE GREATEST(id_a, id_b) END AS loser
+        |      FROM p WHERE c >= 0.9)
+        |SELECT u.doc_id FROM u
+        |WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.loser = u.doc_id)
+        |ORDER BY u.doc_id""".stripMargin,
 
     // q171: the q20 replay with LEAST(|A|,|B|) as the denominator and
     // the half-prefix quote construction unioned in.

@@ -378,6 +378,39 @@ private[graft] object CheckpointHygiene {
       label)
   }
 
+  /** Containment-dedup POLICY on top of [[containmentPairs]]: for
+    * every pair at/above `threshold`, drop the CONTAINED side — the
+    * smaller shingle set (the quote, not the article); equal-size
+    * mutual containments drop the larger id, so survivors are
+    * deterministic and the strictly-smaller-loses order is cycle-free
+    * (chains A ⊂ B ⊂ C leave only C). Returns the surviving rows of
+    * `df` unchanged.
+    *
+    * Input is scanned three times (pairs, sizes, anti-join) — persist
+    * upstream if it is expensive to recompute. */
+  def dropContained(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.9,
+                    blockCol: Column = lit(0), shingleWidth: Int = 3,
+                    maxBlock: Int = 1024): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val sizes = df.select(col(idCol).as("__sid"),
+      size(shingles(col(textCol), shingleWidth)).as("__sz"))
+    val pairs = containmentPairs(df, idCol, textCol, blockCol,
+        shingleWidth, maxBlock)
+      .filter(col("containment") >= threshold)
+    val losers = pairs
+      .join(sizes.select(col("__sid").as("id_a"), col("__sz").as("__sza")),
+        Seq("id_a"))
+      .join(sizes.select(col("__sid").as("id_b"), col("__sz").as("__szb")),
+        Seq("id_b"))
+      .select(when(col("__sza") < col("__szb"), col("id_a"))
+        .when(col("__szb") < col("__sza"), col("id_b"))
+        .otherwise(greatest(col("id_a"), col("id_b"))).as("__loser"))
+      .distinct()
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, found
     * via MULTI-TABLE sign-bit LSH (the same independent-hash-tables
     * layout as [[Similarity.lshTopK]]): `tables` signatures of `planes`

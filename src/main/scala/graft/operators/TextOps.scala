@@ -338,6 +338,45 @@ object TextOps {
         .orderBy(col("cnt").desc, col("token"))))
   }
 
+  /** Vocabulary coverage audit: per `groupCol` group (language,
+    * source, domain), how much of the corpus a tokenizer/vocab
+    * actually covers — the go/no-go check a pipeline runs BEFORE
+    * committing to a trained vocab ([[vocabulary]], [[bpeTrain]],
+    * [[wordPieceVocab]], [[unigramTrain]] all feed it): total and
+    * DISTINCT out-of-vocabulary rates. A vocab that looks fine on the
+    * majority language routinely shows 90%+ OOV on a minority slice —
+    * exactly what the per-group breakdown surfaces.
+    *
+    * Shape: the vocab is model-sized → broadcast onto the exploded
+    * token stream (no corpus-side shuffle for the membership test);
+    * one aggregate for token totals (map-side combinable) + one
+    * (group, token) distinct for the type-level rates. Rates divide
+    * two identically-derived BIGINTs as doubles, the q92 oracle
+    * discipline. Groups whose text yields no tokens are absent. */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, pieceCol: String,
+                    groupCol: String): DataFrame = {
+    val v = vocab.select(col(pieceCol).cast("string").as("__piece"))
+      .distinct().withColumn("__in", lit(1))
+    val marked = df
+      .select(col(groupCol), explode(tokens(lower(col(textCol)))).as("__t"))
+      .filter(col("__t") =!= "")
+      .join(broadcast(v), col("__t") === col("__piece"), "left")
+    val oov = when(col("__in").isNull, 1L).otherwise(0L)
+    val words = marked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(oov).as("n_oov"))
+    val types = marked.select(col(groupCol), col("__t"), col("__in"))
+      .distinct()
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_distinct"), sum(oov).as("n_distinct_oov"))
+    words.join(types, Seq(groupCol))
+      .select(col(groupCol), col("n_words"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_words")).as("oov_rate"),
+        col("n_distinct"), col("n_distinct_oov"),
+        (col("n_distinct_oov").cast("double") / col("n_distinct"))
+          .as("distinct_oov_rate"))
+  }
+
   /** Per-document n-gram repetition statistics — the Gopher-family
     * repetition quality filters (duplicate n-gram fraction and
     * most-common-n-gram fraction) used to drop degenerate/looping text

@@ -609,4 +609,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().head
     assert(got.getLong(2) == 0L, "3-of-4 token overlap must not drop the segment")
   }
+
+  test("vocabCoverage: token and type OOV rates per group, hand-checked") {
+    val docs = Seq(
+      (1L, "en", "alpha beta alpha zz"),
+      (2L, "en", "beta"),
+      (3L, "de", "qq rr alpha")).toDF("doc_id", "lang", "text")
+    val vocab = Seq("alpha", "beta").toDF("piece")
+    val got = TextOps.vocabCoverage(docs, "doc_id", "text", vocab, "piece", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // en: 5 tokens (alpha beta alpha zz beta), 1 oov; types {alpha,beta,zz}
+    assert(got("en") == ((5L, 1L, 0.2, 3L, 1L, 1.0 / 3.0)), got.toString)
+    // de: 3 tokens, 2 oov; types {qq,rr,alpha}
+    assert(got("de") == ((3L, 2L, 2.0 / 3.0, 3L, 2L, 2.0 / 3.0)), got.toString)
+  }
+
+  test("dropContained: quotes and chain prefixes fall, containers survive") {
+    // C contains B contains A; D unrelated; E/F equal-size twins
+    val docs = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "a b c d e f g h i j k l m n o"),
+      (4L, "zz yy xx ww vv"),
+      (5L, "p q r s t"), (6L, "p q r s t")).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(docs, "doc_id", "text", threshold = 0.9)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // strictly-smaller loses: 1 and 2 fall to 3; equal-size twins keep
+    // the smaller id (5); the unrelated doc is untouched
+    assert(kept == Set(3L, 4L, 5L), s"survivors $kept")
+  }
 }

@@ -2420,6 +2420,105 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // q174: k-CORE decomposition by bounded peeling — a ring (the
+    // true 2-core), a 5-edge tail hung off it, and a detached star:
+    // tail and star carry degree-2 nodes yet peel away end-first
+    // because no node keeps 2 neighbors INSIDE any surviving set
+    // (the signal degree alone cannot see). DuckDB unrolls the 5
+    // peel rounds: degrees → keep ≥ k → restrict both endpoints.
+    "q174_k_core" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 20)
+      val ring = ids.select(col("doc_id").as("src"),
+        ((col("doc_id") + 1) % 20).as("dst"))
+      val tail = ids.filter(col("doc_id") < 4)
+        .select((col("doc_id") + 100).as("src"),
+          (col("doc_id") + 101).as("dst"))
+      val anchor = ids.filter(col("doc_id") === 0)
+        .select((col("doc_id") + 100).as("src"), col("doc_id").as("dst"))
+      val star = ids.filter(col("doc_id") < 8)
+        .select((col("doc_id") * 0 + 200).as("src"),
+          (col("doc_id") + 201).as("dst"))
+      operators.Graph.kCore(
+          ring.unionByName(tail).unionByName(anchor).unionByName(star),
+          "src", "dst", k = 2, rounds = 5)
+        .orderBy(col("node"))
+    }),
+
+    // q178: STUPID BACKOFF trigram scoring (Brants 2007) — query
+    // trigrams built from the first three tokens of each early doc
+    // in four variants that pin every branch: as-is (trigram),
+    // unseen head (bigram backoff), unseen tail (zero), unseen
+    // context with a seen tail (unigram backoff). DuckDB rebuilds
+    // the three count tables and replays the branch CASE in both
+    // the integer and the double lane.
+    "q178_stupid_backoff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val qd = docs.filter(col("doc_id") < 40)
+        .select(tokens(lower(col("text"))).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => element_at(col("t"), i)
+      val q = qd.select(w(1).as("w1"), w(2).as("w2"), w(3).as("w3"))
+        .unionByName(qd.select(lit("qqunk").as("w1"), w(2).as("w2"),
+          w(3).as("w3")))
+        .unionByName(qd.select(w(1).as("w1"), w(2).as("w2"),
+          lit("qqunk").as("w3")))
+        .unionByName(qd.select(lit("qqunk").as("w1"),
+          lit("qqunk2").as("w2"), w(1).as("w3")))
+      TextOps.stupidBackoffScore(docs, "text", q, "w1", "w2", "w3")
+        .orderBy(col("w1"), col("w2"), col("w3"), col("c3"))
+    }),
+
+    // q177: synchronous LABEL PROPAGATION communities — two K4
+    // cliques joined by one bridge edge form ONE component but TWO
+    // communities; deterministic most-frequent/min-tie rounds settle
+    // each clique on its minimum id. DuckDB unrolls the 3 rounds:
+    // neighbor labels → (node, label) counts → max count → min label
+    // among the max.
+    "q177_label_propagation" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 6)
+      val a0 = when(col("doc_id") < 3, 0L).when(col("doc_id") < 5, 1L)
+        .otherwise(2L)
+      val b0 = when(col("doc_id") === 0, 1L).when(col("doc_id") === 1, 2L)
+        .when(col("doc_id") === 2, 3L).when(col("doc_id") === 3, 2L)
+        .when(col("doc_id") === 4, 3L).otherwise(3L)
+      val edges = ids.select(a0.as("src"), b0.as("dst"))
+        .unionByName(ids.select((a0 + 10).as("src"), (b0 + 10).as("dst")))
+        .unionByName(ids.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 3).as("src"), (col("doc_id") + 10).as("dst")))
+      operators.Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+        .orderBy(col("node"))
+    }),
+
+    // q175: threshold sweep — the confusion matrix at EVERY operating
+    // point of a quantized scorer, exact integers end to end. The
+    // fixture's label is score-correlated arithmetic so the sweep is
+    // non-degenerate; DuckDB replays grain counts, exclusive running
+    // totals, and the tp/fp/tn/fn identities.
+    "q175_threshold_sweep" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        ((col("doc_id") * 37) % 100).as("s"),
+        when((((col("doc_id") * 37) % 100) * 2) +
+            ((col("doc_id") * 11) % 60) >= 100, 1L)
+          .otherwise(0L).as("y"))
+      operators.Learn.thresholdSweep(scored, "s", "y")
+        .orderBy(col("threshold"))
+    }),
+
+    // q176: EXACT Mann–Whitney AUC — 2·P·N·AUC as a BIGINT (2 per
+    // concordant pair, 1 per tie), so the ranking quality of the
+    // gate is hash-comparable across engines; the double is one IEEE
+    // division of the two integers.
+    "q176_auc_exact" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir).select(
+        ((col("doc_id") * 37) % 100).as("s"),
+        when((((col("doc_id") * 37) % 100) * 2) +
+            ((col("doc_id") * 11) % 60) >= 100, 1L)
+          .otherwise(0L).as("y"))
+      operators.Learn.aucExact(scored, "s", "y")
+    }),
+
     // q173: containment-dedup policy on the q171 fixture — every
     // planted half-prefix quote is the CONTAINED (smaller-set) side
     // of a containment-1.0 pair and must be dropped; the full
@@ -4186,6 +4285,175 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q178: trigram/bigram/unigram count tables rebuilt, then the
+    // backoff CASE replayed in both lanes — same branch guards, same
+    // floor divisions, same left-associated double arithmetic.
+    "q178_stupid_backoff" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |tri AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+        |    toks[CAST(u.i AS INT) + 1] AS w2,
+        |    toks[CAST(u.i AS INT) + 2] AS w3
+        |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        |       FROM tri GROUP BY 1, 2, 3),
+        |bg AS (SELECT toks[CAST(u.i AS INT)] AS wa,
+        |    toks[CAST(u.i AS INT) + 1] AS wb
+        |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+        |bc2 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c2
+        |        FROM bg GROUP BY 1, 2),
+        |un AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM t, unnest(toks) AS u(w) GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS tot FROM un),
+        |qd AS (SELECT toks FROM t WHERE doc_id < 40 AND len(toks) >= 3),
+        |q AS (
+        |  SELECT toks[1] AS w1, toks[2] AS w2, toks[3] AS w3 FROM qd
+        |  UNION ALL SELECT 'qqunk', toks[2], toks[3] FROM qd
+        |  UNION ALL SELECT toks[1], toks[2], 'qqunk' FROM qd
+        |  UNION ALL SELECT 'qqunk', 'qqunk2', toks[1] FROM qd),
+        |j AS (SELECT q.w1, q.w2, q.w3,
+        |    COALESCE(tc.c3, 0) AS c3, COALESCE(ca.c2, 0) AS c2_ctx,
+        |    COALESCE(cb.c2, 0) AS c2_tail, COALESCE(ua.c1, 0) AS c1_ctx,
+        |    COALESCE(ub.c1, 0) AS c1_w, tt.tot
+        |  FROM q
+        |  LEFT JOIN tc ON q.w1 = tc.w1 AND q.w2 = tc.w2 AND q.w3 = tc.w3
+        |  LEFT JOIN bc2 ca ON q.w1 = ca.wa AND q.w2 = ca.wb
+        |  LEFT JOIN bc2 cb ON q.w2 = cb.wa AND q.w3 = cb.wb
+        |  LEFT JOIN un ua ON q.w2 = ua.w
+        |  LEFT JOIN un ub ON q.w3 = ub.w
+        |  CROSS JOIN tt)
+        |SELECT w1, w2, w3, c3, c2_ctx, c2_tail, c1_ctx, c1_w,
+        |  CASE WHEN c3 > 0 THEN (1000 * c3) // c2_ctx
+        |       WHEN c2_tail > 0 THEN (2 * 1000 * c2_tail) // (5 * c1_ctx)
+        |       ELSE (2 * 2 * 1000 * c1_w) // (5 * 5 * GREATEST(tot, 1))
+        |  END AS sb_milli,
+        |  CASE WHEN c3 > 0 THEN CAST(c3 AS DOUBLE) / c2_ctx
+        |       WHEN c2_tail > 0 THEN CAST(2 AS DOUBLE) / 5 * c2_tail / c1_ctx
+        |       ELSE CAST(4 AS DOUBLE) / 25 * c1_w / GREATEST(tot, 1)
+        |  END AS sb
+        |FROM j ORDER BY w1, w2, w3, c3""".stripMargin,
+
+    // q177: three unrolled synchronous LPA rounds — per round:
+    // neighbor labels, (node, label) counts, per-node max count,
+    // min label among the max.
+    "q177_label_propagation" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |p AS (SELECT
+        |  CASE WHEN doc_id < 3 THEN 0 WHEN doc_id < 5 THEN 1 ELSE 2 END AS a,
+        |  CASE doc_id WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 3 END AS b
+        |  FROM ids),
+        |raw AS (SELECT a, b FROM p
+        |  UNION ALL SELECT a + 10, b + 10 FROM p
+        |  UNION ALL SELECT doc_id + 3, doc_id + 10 FROM ids WHERE doc_id = 0),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |        FROM raw WHERE a <> b),
+        |e AS (SELECT u AS x, v AS y FROM und UNION ALL SELECT v, u FROM und),
+        |l0 AS (SELECT DISTINCT x AS node, x AS label FROM e),
+        |n1 AS (SELECT e.x, l.label FROM e JOIN l0 l ON e.y = l.node),
+        |c1 AS (SELECT x, label, COUNT(*) AS c FROM n1 GROUP BY x, label),
+        |m1 AS (SELECT x, MAX(c) AS mc FROM c1 GROUP BY x),
+        |l1 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c1 c
+        |       JOIN m1 ON c.x = m1.x AND c.c = m1.mc GROUP BY c.x),
+        |n2 AS (SELECT e.x, l.label FROM e JOIN l1 l ON e.y = l.node),
+        |c2 AS (SELECT x, label, COUNT(*) AS c FROM n2 GROUP BY x, label),
+        |m2 AS (SELECT x, MAX(c) AS mc FROM c2 GROUP BY x),
+        |l2 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c2 c
+        |       JOIN m2 ON c.x = m2.x AND c.c = m2.mc GROUP BY c.x),
+        |n3 AS (SELECT e.x, l.label FROM e JOIN l2 l ON e.y = l.node),
+        |c3 AS (SELECT x, label, COUNT(*) AS c FROM n3 GROUP BY x, label),
+        |m3 AS (SELECT x, MAX(c) AS mc FROM c3 GROUP BY x),
+        |l3 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c3 c
+        |       JOIN m3 ON c.x = m3.x AND c.c = m3.mc GROUP BY c.x)
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
+    // q175/q176 shared shape: score-grain counts, EXCLUSIVE running
+    // totals (the oracle may use the global window the engine
+    // two-passes around — it is the semantics, not the plan), then
+    // the confusion identities / the Mann–Whitney sum.
+    "q175_threshold_sweep" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 37) % 100 AS score,
+        |    CASE WHEN ((doc_id * 37) % 100) * 2 + (doc_id * 11) % 60 >= 100
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (SELECT score, CAST(SUM(label) AS BIGINT) AS n_pos,
+        |        CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        |      FROM s GROUP BY score),
+        |c AS (SELECT score, n_pos, n_neg,
+        |  CAST(COALESCE(SUM(n_pos) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cpb,
+        |  CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cnb
+        |  FROM g),
+        |t AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+        |             CAST(SUM(n_neg) AS BIGINT) AS n FROM g)
+        |SELECT score AS threshold,
+        |  p - cpb AS tp, n - cnb AS fp, cnb AS tn, cpb AS fn,
+        |  CAST(p - cpb AS DOUBLE) / ((p - cpb) + (n - cnb)) AS "precision",
+        |  CAST(p - cpb AS DOUBLE) / GREATEST(p, 1) AS recall
+        |FROM c CROSS JOIN t ORDER BY threshold""".stripMargin,
+
+    "q176_auc_exact" ->
+      """WITH s AS (
+        |  SELECT (doc_id * 37) % 100 AS score,
+        |    CASE WHEN ((doc_id * 37) % 100) * 2 + (doc_id * 11) % 60 >= 100
+        |         THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |g AS (SELECT score, CAST(SUM(label) AS BIGINT) AS n_pos,
+        |        CAST(SUM(1 - label) AS BIGINT) AS n_neg
+        |      FROM s GROUP BY score),
+        |c AS (SELECT score, n_pos, n_neg,
+        |  CAST(COALESCE(SUM(n_neg) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cnb
+        |  FROM g)
+        |SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+        |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(n_pos * (2 * cnb + n_neg)) AS BIGINT) AS auc_num2,
+        |  CAST(2 * SUM(n_pos) * SUM(n_neg) AS BIGINT) AS auc_den2,
+        |  CAST(SUM(n_pos * (2 * cnb + n_neg)) AS DOUBLE)
+        |    / GREATEST(2 * SUM(n_pos) * SUM(n_neg), 1) AS auc
+        |FROM c""".stripMargin,
+
+    // q174: the peeling recurrence unrolled — 5× (degree aggregate →
+    // keep ≥ 2 → restrict both endpoints); idempotent once the tail
+    // and star are gone, so 5 rounds pin the fixed point exactly.
+    "q174_k_core" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 20),
+        |raw AS (
+        |  SELECT doc_id AS a, (doc_id + 1) % 20 AS b FROM ids
+        |  UNION ALL
+        |  SELECT doc_id + 100, doc_id + 101 FROM ids WHERE doc_id < 4
+        |  UNION ALL
+        |  SELECT doc_id + 100, doc_id FROM ids WHERE doc_id = 0
+        |  UNION ALL
+        |  SELECT doc_id * 0 + 200, doc_id + 201 FROM ids WHERE doc_id < 8),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |        FROM raw WHERE a <> b),
+        |e0 AS (SELECT u AS x, v AS y FROM und
+        |       UNION ALL SELECT v, u FROM und),
+        |k1 AS (SELECT x FROM e0 GROUP BY x HAVING COUNT(*) >= 2),
+        |e1 AS (SELECT e.x, e.y FROM e0 e
+        |       JOIN k1 a ON e.x = a.x JOIN k1 b ON e.y = b.x),
+        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING COUNT(*) >= 2),
+        |e2 AS (SELECT e.x, e.y FROM e1 e
+        |       JOIN k2 a ON e.x = a.x JOIN k2 b ON e.y = b.x),
+        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING COUNT(*) >= 2),
+        |e3 AS (SELECT e.x, e.y FROM e2 e
+        |       JOIN k3 a ON e.x = a.x JOIN k3 b ON e.y = b.x),
+        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING COUNT(*) >= 2),
+        |e4 AS (SELECT e.x, e.y FROM e3 e
+        |       JOIN k4 a ON e.x = a.x JOIN k4 b ON e.y = b.x),
+        |k5 AS (SELECT x FROM e4 GROUP BY x HAVING COUNT(*) >= 2),
+        |e5 AS (SELECT e.x, e.y FROM e4 e
+        |       JOIN k5 a ON e.x = a.x JOIN k5 b ON e.y = b.x)
+        |SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |FROM e5 GROUP BY x ORDER BY node""".stripMargin,
 
     // q173: q171's pair CTE + the smaller-set-loses rule + NOT EXISTS
     // as the anti-join.

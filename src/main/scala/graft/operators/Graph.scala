@@ -437,6 +437,150 @@ object Graph {
     result
   }
 
+  /** k-core of the UNDIRECTED simple graph induced by `edges`
+    * (direction, multiplicity, and self loops dropped) by bounded
+    * PEELING (Matula–Beck 1983; the distributed bounded-round form
+    * of Batagelj–Zaveršnik): each round drops every node whose
+    * surviving degree is < k, together with its edges, and the
+    * k-core is the fixed point — the maximal subgraph where every
+    * node keeps ≥ k neighbors INSIDE the subgraph. Degree alone
+    * cannot see it (a long tail of degree-2 nodes hanging off a
+    * cycle has the same degree as the cycle, but peels away), which
+    * is exactly why core membership is the standard spam-farm /
+    * link-ring robustness signal next to [[triangleCounts]]: a
+    * k-core survives the removal of any low-engagement periphery.
+    *
+    * Runs EXACTLY `rounds` peels — no data-dependent early exit —
+    * because peeling is idempotent at the fixed point (a round that
+    * removes nobody recomputes the same edge set), so a `rounds`
+    * large enough for the graph's peel depth returns the true core
+    * and the whole run is a pure function of (edges, k, rounds)
+    * that a DuckDB oracle unrolls round by round (q174). Callers
+    * who cannot bound the peel depth a priori use the [[
+    * connectedComponentsStar]] posture: raise `rounds` — each extra
+    * round past convergence costs one no-op degree aggregate.
+    *
+    * Shape per round: one hash aggregate on the symmetric edge list
+    * (degrees) + two semi joins (restrict both endpoints to the
+    * survivors) — all skinny (id, id) rows, shrinking monotonically;
+    * the edge set is materialized every round with block hygiene
+    * (see the in-body comment — each round reads it three times).
+    * Returns (node, core_deg): the
+    * surviving nodes with their degree inside the core (core_deg ≥ k
+    * by construction when `rounds` reaches the fixed point). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val und = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    // the surviving edge set is MATERIALIZED every round (reliable
+    // checkpoint when a dir is configured, executor-local otherwise —
+    // the connectedComponentsStar policy): each round references it
+    // three times (degrees + both endpoint restrictions), so an
+    // unmaterialized lineage would TRIPLE per round and Catalyst
+    // would re-analyze a 3^rounds-node tree — measured as minutes of
+    // driver-side planning before the first job. Materializing keeps
+    // the plan constant-size and each round's input is the shrunken
+    // edge set, not a recomputation chain.
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    var sym = truncate(
+      und.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(und.select(col("v").as("x"), col("u").as("y"))))
+    var lastCkpt = sym
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("x"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("x"))
+      sym = truncate(sym.join(keep, Seq("x"), "left_semi")
+        .join(keep.select(col("x").as("y")), Seq("y"), "left_semi")
+        .select(col("x"), col("y")))
+      Dedup.CheckpointHygiene.free(lastCkpt)
+      lastCkpt = sym
+    }
+    val out = sym.groupBy(col("x")).agg(count(lit(1)).as("core_deg"))
+      .select(col("x").as("node"), col("core_deg"))
+    val result = out.localCheckpoint()
+    Dedup.CheckpointHygiene.free(lastCkpt)
+    result
+  }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) over the
+    * undirected simple graph — COMMUNITY detection, the finer
+    * structure connected components cannot see (one component can
+    * hold many communities; LPA finds the densely-linked blocks a
+    * host-graph audit treats as link farms or site families). Each
+    * node starts labeled with its own id; every round, each node
+    * adopts the label that is MOST FREQUENT among its neighbors,
+    * ties broken toward the smallest label — fully deterministic, no
+    * random visit order (the async/randomized variant of the paper
+    * trades determinism for convergence speed; a data engine must
+    * pick determinism, same call as the integer PageRank).
+    *
+    * Runs EXACTLY `rounds` synchronous rounds: deterministic sync
+    * LPA can 2-cycle on bipartite neighborhoods (the known property
+    * of the parallel variant), so a fixed round count is the honest
+    * contract — the result is a pure function of (edges, rounds)
+    * and the q177 oracle unrolls it round by round.
+    *
+    * Shape per round: one join moving each node's CURRENT label to
+    * its neighbors (labels table is node-sized, edge join shuffles
+    * on node id) + two hash aggregates ((node, label) counts, then
+    * the argmax via a struct max — max count, then min label). The
+    * symmetric edge list is persisted once; label lineage is
+    * checkpointed every 3 rounds ([[pageRankInt]] hygiene). Returns
+    * (node, label) for every node of the simple graph. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    import org.apache.spark.storage.StorageLevel
+    val und = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("u"),
+        greatest(col("__a"), col("__b")).as("v"))
+      .distinct()
+    val sym = und.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(und.select(col("v").as("x"), col("u").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to rounds) {
+      val nl = sym
+        .join(labels.withColumnRenamed("node", "y"), Seq("y"))
+        .select(col("x"), col("label"))
+      val cnt = nl.groupBy(col("x"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      // argmax with min-label ties as ONE aggregate: lexicographic
+      // max of (count, −label) — no per-round window, no second join
+      labels = cnt.groupBy(col("x"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("x").as("node"), (-col("__m.__nl")).as("label"))
+      if (i % 3 == 0 && i < rounds) {
+        labels = labels.localCheckpoint()
+        if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+        lastCkpt = labels
+      }
+    }
+    val result = labels.localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    sym.unpersist()
+    result
+  }
+
   /** Per-node triangle counts over the UNDIRECTED simple graph
     * induced by `edges` (direction and multiplicity dropped, self
     * loops removed) — the local clustering signal a link-graph audit

@@ -143,4 +143,118 @@ object Learn {
       .agg(sum(col("weight")).as("logit_milli"))
       .select(col("ex_id"), col("logit_milli"),
         hardSigmoidMilli(col("logit_milli")).as("p_milli"))
+
+  /** Per-distinct-score label counts with EXCLUSIVE running totals —
+    * the one pass both classifier-evaluation finishes
+    * ([[thresholdSweep]], [[aucExact]]) read. For each distinct value
+    * of `scoreCol` (a quantized model output — [[logisticPredictInt]]
+    * milli-units, [[TextOps.linearScore]] — so its cardinality is
+    * bounded by the score scale, NOT the corpus): the positive/
+    * negative counts at that score plus the counts strictly below it.
+    *
+    * The corpus-sized work is ONE hash aggregate to the score grain.
+    * The running totals then use the [[Relational.globalRowNumber]]
+    * two-pass shape on the score-grain table — range-partitioned
+    * sort, |partitions| offset rows to the driver, per-partition
+    * windows — NEVER a partition-less global window, so the curve
+    * stays parallel even for a fine-grained score scale. The sorted
+    * grain table is checkpointed for the same reason globalRowNumber
+    * checkpoints: both passes must read one materialization.
+    *
+    * Returns (score, n_pos, n_neg, cum_pos_below, cum_neg_below),
+    * one row per distinct score. Labels must be 0/1. */
+  def binaryScoreCurve(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val lbl = col(labelCol).cast("long")
+    val grain = scored
+      .groupBy(col(scoreCol).cast("long").as("score"))
+      .agg(sum(lbl).as("n_pos"),
+        sum(lit(1L) - lbl).as("n_neg"))
+    val sortedRaw = grain.orderBy(col("score"))
+      .withColumn("__pid", spark_partition_id())
+    val sorted =
+      if (scored.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sortedRaw.checkpoint()
+      else sortedRaw.localCheckpoint()
+    val parts = sorted.groupBy(col("__pid"))
+      .agg(sum(col("n_pos")).as("__p"), sum(col("n_neg")).as("__n"))
+      .orderBy(col("__pid")).collect()
+    val offPos = parts.scanLeft(0L)(_ + _.getLong(1)).dropRight(1)
+    val offNeg = parts.scanLeft(0L)(_ + _.getLong(2)).dropRight(1)
+    val offsets = parts.zipWithIndex.map { case (r, i) =>
+      CurveOffset(r.getInt(0), offPos(i), offNeg(i)) }.toSeq
+    val offsetDf = scored.sparkSession.createDataFrame(offsets)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .select(col("score"), col("n_pos"), col("n_neg"),
+        (coalesce(sum(col("n_pos")).over(w), lit(0L)) + col("__off_pos"))
+          .as("cum_pos_below"),
+        (coalesce(sum(col("n_neg")).over(w), lit(0L)) + col("__off_neg"))
+          .as("cum_neg_below"))
+  }
+
+  /** Confusion matrix at EVERY operating point of a quantized scorer
+    * — predict positive at `score >= t` for each distinct score t —
+    * with precision/recall as exact-integer ratios divided once at
+    * the end (two BIGINTs through one IEEE division are
+    * engine-identical, the q133 posture). The sweep a pipeline runs
+    * to pick its quality-gate threshold: row count = distinct scores
+    * (score-scale-bounded), each row exact, so the chosen threshold
+    * is reproducible to the integer.
+    *
+    * tp/fp/tn/fn all derive from [[binaryScoreCurve]]'s totals:
+    * tp(t) = P − cum_pos_below(t), fp(t) = N − cum_neg_below(t),
+    * fn(t) = cum_pos_below(t), tn(t) = cum_neg_below(t). */
+  def thresholdSweep(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val curve = binaryScoreCurve(scored, scoreCol, labelCol)
+    val totals = curve.agg(
+      (sum(col("n_pos")).cast("long")).as("__tp_all"),
+      (sum(col("n_neg")).cast("long")).as("__tn_all"))
+    curve.crossJoin(broadcast(totals))
+      .select(col("score").as("threshold"),
+        (col("__tp_all") - col("cum_pos_below")).as("tp"),
+        (col("__tn_all") - col("cum_neg_below")).as("fp"),
+        col("cum_neg_below").as("tn"),
+        col("cum_pos_below").as("fn"))
+      .withColumn("precision",
+        col("tp").cast("double") / (col("tp") + col("fp")))
+      .withColumn("recall",
+        col("tp").cast("double") /
+          greatest(col("tp") + col("fn"), lit(1L)))
+  }
+
+  /** EXACT area under the ROC curve — the Mann–Whitney two-sample
+    * statistic over all P·N (positive, negative) pairs: a concordant
+    * pair (s⁺ > s⁻) counts 2, a tied pair counts 1, discordant 0, so
+    *
+    *   2·P·N·AUC = Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s))
+    *
+    * and both sides are BIGINTs — no ranks, no floats, no sampling:
+    * the numerator/denominator pair hash-compares across engines and
+    * the double is one IEEE division. Evaluating a quality gate on a
+    * held-out split is a per-round pipeline act; an exact AUC makes
+    * regressions between rounds attributable to the MODEL, never to
+    * evaluation noise. Returns one row:
+    * (n_pos, n_neg, auc_num2, auc_den2, auc). */
+  def aucExact(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame =
+    binaryScoreCurve(scored, scoreCol, labelCol)
+      .agg(sum(col("n_pos")).cast("long").as("n_pos"),
+        sum(col("n_neg")).cast("long").as("n_neg"),
+        sum(col("n_pos") * (lit(2L) * col("cum_neg_below") + col("n_neg")))
+          .cast("long").as("auc_num2"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"))
+      .withColumn("auc",
+        col("auc_num2").cast("double") /
+          greatest(col("auc_den2"), lit(1L)))
 }
+
+/** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —
+  * top-level for the `createDataFrame` TypeTag, like
+  * [[graft.operators.OffsetRow]]. */
+private[operators] case class CurveOffset(__pid: Int, __off_pos: Long,
+    __off_neg: Long)

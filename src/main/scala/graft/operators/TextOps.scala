@@ -1345,6 +1345,99 @@ object TextOps {
     result
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE web-scale LM
+    * smoothing, designed exactly for this distributed-count setting):
+    * score query trigrams (w1, w2, w3) against the corpus's n-gram
+    * counts with
+    *
+    *   S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)           if seen,
+    *                 = α · c(w2 w3) / c(w2)              else if seen,
+    *                 = α² · c(w3) / T                    otherwise
+    *
+    * α = alphaNum/alphaDen (the paper's 0.4 as 2/5). No discounting,
+    * no normalization — the paper's point is that at web scale the
+    * cheap score ranks as well as Kneser–Ney ([[knBigramLm]] is the
+    * principled sibling for when a true distribution is needed).
+    *
+    * Integer lane `sb_milli` stages every branch as one BIGINT floor
+    * division of exact counts (the q140/q157 oracle discipline);
+    * the `sb` double lane divides the same exact integers once per
+    * branch. Unseen w3 scores 0; the total-count divisor is floored
+    * at 1 so an empty corpus scores everything 0 instead of dividing
+    * by zero (both lanes spell the same guard, as does the oracle).
+    *
+    * Shape at scale: three corpus passes build the trigram / bigram /
+    * unigram count tables (shuffles keyed by the n-gram — the
+    * MapReduce LM-construction shape of the paper); scoring is five
+    * left joins of the QUERY table (benchmark-sized) against them
+    * plus one 1-row total, so the corpus is never rescanned per
+    * query. Tables come back deduplicated by key, so the joins cannot
+    * fan out. */
+  def stupidBackoffScore(corpus: DataFrame, textCol: String,
+      queries: DataFrame, w1Col: String, w2Col: String, w3Col: String,
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {
+    require(alphaNum > 0 && alphaNum < alphaDen,
+      s"alpha must be in (0,1), got $alphaNum/$alphaDen")
+    val toked = corpus.select(tokens(lower(col(textCol))).as("__t"))
+    val n1 = greatest(size(col("__t")) - 1, lit(0))
+    val n2 = greatest(size(col("__t")) - 2, lit(0))
+    val tri = toked.select(explode(zip_with(
+        slice(col("__t"), lit(1), n2),
+        zip_with(slice(col("__t"), lit(2), n2), slice(col("__t"), lit(3), n2),
+          (b, c) => struct(b.as("b"), c.as("c"))),
+        (a, bc) => struct(a.as("a"), bc.getField("b").as("b"),
+          bc.getField("c").as("c")))).as("__g"))
+      .select(col("__g.a").as("w1"), col("__g.b").as("w2"),
+        col("__g.c").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val bi = toked.select(explode(zip_with(
+        slice(col("__t"), lit(1), n1), slice(col("__t"), lit(2), n1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("__g"))
+      .select(col("__g.a").as("wa"), col("__g.b").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("__c2"))
+    val uni = toked.select(explode(col("__t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("__c1"))
+    val total = uni.agg(sum(col("__c1")).cast("long").as("__T"))
+    queries
+      .select(col(w1Col).as("w1"), col(w2Col).as("w2"), col(w3Col).as("w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("wa").as("w1"), col("wb").as("w2"),
+        col("__c2").as("__c2ctx")), Seq("w1", "w2"), "left")
+      .join(bi.select(col("wa").as("w2"), col("wb").as("w3"),
+        col("__c2").as("__c2tail")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("__c1").as("__c1ctx")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("__c1").as("__c1w")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("w3"),
+        coalesce(col("__c3"), lit(0L)).as("c3"),
+        coalesce(col("__c2ctx"), lit(0L)).as("c2_ctx"),
+        coalesce(col("__c2tail"), lit(0L)).as("c2_tail"),
+        coalesce(col("__c1ctx"), lit(0L)).as("c1_ctx"),
+        coalesce(col("__c1w"), lit(0L)).as("c1_w"),
+        col("__T"))
+      .withColumn("sb_milli",
+        // seen trigram ⇒ c2_ctx ≥ c3 > 0; seen tail bigram ⇒ w2 seen
+        // ⇒ c1_ctx > 0 — each branch's divisor is positive by its guard
+        when(col("c3") > 0, expr("(1000 * c3) div c2_ctx"))
+          .when(col("c2_tail") > 0,
+            expr(s"($alphaNum * 1000 * c2_tail) div ($alphaDen * c1_ctx)"))
+          .otherwise(expr(s"($alphaNum * $alphaNum * 1000 * c1_w) div " +
+            s"($alphaDen * $alphaDen * greatest(__T, 1))")))
+      .withColumn("sb",
+        when(col("c3") > 0, col("c3").cast("double") / col("c2_ctx"))
+          .when(col("c2_tail") > 0,
+            lit(alphaNum).cast("double") / alphaDen *
+              col("c2_tail") / col("c1_ctx"))
+          .otherwise(lit(alphaNum * alphaNum).cast("double") /
+            (alphaDen * alphaDen) * col("c1_w") /
+            greatest(col("__T"), lit(1L))))
+      .drop("__T")
+  }
+
   // ───────────────────────── WordPiece ─────────────────────────
 
   /** One learned WordPiece merge: the rank-th merge with its

@@ -260,6 +260,93 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  test("kCore: periphery peels away, the core survives with inside degrees") {
+    // ring(0..19) is the 2-core; a 5-node tail hangs off node 0 and a
+    // 9-node star sits apart — tail and star have plenty of degree-2
+    // nodes but NO node keeps 2 neighbors inside any surviving set,
+    // so peeling eats them end-first (5 rounds: 104,103,102,101,100;
+    // star leaves round 1, its then-isolated center round 2)
+    val ring = (0L until 20L).map(i => (i, (i + 1) % 20))
+    val tail = (0L until 4L).map(j => (100L + j, 101L + j)) :+ ((100L, 0L))
+    val star = (0L until 8L).map(j => (200L, 201L + j))
+    val edges = (ring ++ tail ++ star).toDF("s", "d")
+    val got = Graph.kCore(edges, "s", "d", k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 20L).map(_ -> 2L).toMap,
+      s"2-core must be exactly the ring at degree 2: $got")
+    // idempotence at the fixed point: extra rounds change nothing
+    val more = Graph.kCore(edges, "s", "d", k = 2, rounds = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got, "rounds past the fixed point must be no-ops")
+    // k=3 on the same graph: the ring is only a 2-core — everything peels
+    assert(Graph.kCore(edges, "s", "d", k = 3, rounds = 9).isEmpty)
+  }
+
+  test("kCore: cliques resist, direction/multiplicity/self-loops are dropped") {
+    // 4-clique (a 3-core) + a doubled/self-loop-noised bridge to a path
+    val clique = for (a <- 0L until 4L; b <- (a + 1) until 4L) yield (a, b)
+    val noise = Seq((0L, 0L), (1L, 0L), (1L, 0L), (3L, 10L), (10L, 11L))
+    val df = (clique ++ noise).toDF("s", "d")
+    val got = Graph.kCore(df, "s", "d", k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 4L).map(_ -> 3L).toMap, s"3-core must be the clique: $got")
+    val part = Graph.kCore(df.repartition(7), "s", "d", k = 3, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(part == got, "physical partitioning leaked into the core")
+    intercept[IllegalArgumentException] { Graph.kCore(df, "s", "d", 0, 4) }
+    intercept[IllegalArgumentException] { Graph.kCore(df, "s", "d", 2, 0) }
+  }
+
+  /** driver-side replay of synchronous most-frequent-min-tie LPA */
+  private def lpaReplay(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2) }
+    var lab = nbrs.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      lab = nbrs.map { case (n, ns) =>
+        val byLabel = ns.map(lab).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        val mc = byLabel.values.max
+        n -> byLabel.collect { case (l, c) if c == mc => l }.min
+      }
+    }
+    lab
+  }
+
+  test("labelPropagation: bridged cliques settle into two communities") {
+    val k4a = for (a <- 0L until 4L; b <- (a + 1) until 4L) yield (a, b)
+    val k4b = k4a.map { case (a, b) => (a + 10, b + 10) }
+    val edges = (k4a ++ k4b :+ ((3L, 10L))).toDF("s", "d")
+    val got = Graph.labelPropagation(edges, "s", "d", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val want = ((0L until 4L).map(_ -> 0L) ++ (10L until 14L).map(_ -> 10L)).toMap
+    assert(got == want, s"communities: $got")
+    // one component, two communities — the structure CC cannot see
+    val cc = Graph.connectedComponentsStar(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet.size == 1 && got.values.toSet.size == 2)
+  }
+
+  test("labelPropagation: matches the synchronous replay on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(40)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 != e._2)
+      for (rounds <- Seq(1, 2, 4)) {
+        val got = Graph.labelPropagation(edges.toDF("s", "d"), "s", "d", rounds)
+          .as[(Long, Long)].collect().toMap
+        assert(got == lpaReplay(edges, rounds), s"trial=$trial rounds=$rounds")
+      }
+      val re = Graph.labelPropagation(edges.toDF("s", "d").repartition(7),
+          "s", "d", 2).as[(Long, Long)].collect().toMap
+      assert(re == lpaReplay(edges, 2), s"partitioning leaked, trial=$trial")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(Seq((1L, 2L)).toDF("s", "d"), "s", "d", 0)
+    }
+  }
+
   test("connectedComponentsStar: a 200-link chain converges in logarithmic rounds") {
     import spark.implicits._
     // diameter 200 — min-label propagation would need 200 rounds; the

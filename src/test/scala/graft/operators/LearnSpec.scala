@@ -97,4 +97,78 @@ class LearnSpec extends SparkTestBase {
       Learn.logisticTrainInt(f, l.filter(col("y") < 0), dim = 4, iterations = 1)
     }
   }
+
+  // brute-force AUC over all P·N pairs: 2 per concordant, 1 per tie
+  private def refAuc(rows: Seq[(Long, Long)]): (Long, Long) = {
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val num2 = (for (p <- pos; n <- neg) yield {
+      if (p > n) 2L else if (p == n) 1L else 0L
+    }).sum
+    (num2, 2L * pos.size * neg.size)
+  }
+
+  test("aucExact: matches all-pairs brute force, with ties and under repartition") {
+    val rnd = new scala.util.Random(11)
+    // scores drawn from a SMALL range so ties are guaranteed
+    val rows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(20).toLong, if (rnd.nextInt(3) == 0) 1L else 0L))
+    val df = rows.toDF("s", "y")
+    val got = Learn.aucExact(df, "s", "y")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val (num2, den2) = refAuc(rows)
+    assert(got.length == 1)
+    assert(got.head._3 == num2 && got.head._4 == den2,
+      s"exact rational mismatch: ${got.head} vs ($num2, $den2)")
+    assert(got.head._5 == num2.toDouble / den2)
+    val re = Learn.aucExact(df.repartition(13), "s", "y")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(re.head == got.head, "partitioning leaked into the AUC")
+    // perfect separation → 1.0; inverted → 0.0; all-tied → 0.5
+    val perfect = Seq((5L, 1L), (6L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")
+    assert(Learn.aucExact(perfect, "s", "y")
+      .select(col("auc")).as[Double].head() == 1.0)
+    val tied = Seq((3L, 1L), (3L, 0L), (3L, 1L)).toDF("s", "y")
+    assert(Learn.aucExact(tied, "s", "y")
+      .select(col("auc")).as[Double].head() == 0.5)
+  }
+
+  test("thresholdSweep: every operating point matches the brute-force confusion") {
+    val rnd = new scala.util.Random(23)
+    val rows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(15).toLong, if (rnd.nextInt(2) == 0) 1L else 0L))
+    val df = rows.toDF("s", "y")
+    val got = Learn.thresholdSweep(df, "s", "y")
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val thresholds = rows.map(_._1).distinct
+    assert(got.keySet == thresholds.toSet, "one row per distinct score")
+    thresholds.foreach { t =>
+      val tp = rows.count(r => r._1 >= t && r._2 == 1L).toLong
+      val fp = rows.count(r => r._1 >= t && r._2 == 0L).toLong
+      val tn = rows.count(r => r._1 < t && r._2 == 0L).toLong
+      val fn = rows.count(r => r._1 < t && r._2 == 1L).toLong
+      val (_, gtp, gfp, gtn, gfn, prec, rec) = got(t)
+      assert((gtp, gfp, gtn, gfn) == ((tp, fp, tn, fn)), s"t=$t")
+      assert(prec == tp.toDouble / (tp + fp), s"precision t=$t")
+      assert(rec == tp.toDouble / math.max(tp + fn, 1L), s"recall t=$t")
+    }
+  }
+
+  test("binaryScoreCurve: exclusive running totals cross partition boundaries") {
+    // 40 distinct scores forced through a tiny range partitioning so
+    // the offset join is exercised, not just the within-partition window
+    val rows = (0L until 40L).flatMap(s =>
+      Seq.fill(((s % 3) + 1).toInt)((s, (s % 2))))
+    val df = rows.toDF("s", "y").repartition(11)
+    val got = Learn.binaryScoreCurve(df, "s", "y")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    var cp = 0L; var cn = 0L
+    got.foreach { case (s, np, nn, cpb, cnb) =>
+      assert(cpb == cp && cnb == cn, s"score=$s")
+      cp += np; cn += nn
+    }
+    assert(got.map(_._1).toSeq == (0L until 40L),
+      "every distinct score appears exactly once, in order")
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pins [[TextOps.stupidBackoffScore]] on a hand-counted corpus where
+  * each query row lands in a known backoff branch, plus behavioral
+  * properties (unseen w3 scores 0, branch precedence, guards). */
+class StupidBackoffSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // trigrams: (a,b,c)=1 (b,c,a)=2 (c,a,b)=1 (a,b,d)=1
+  // bigrams:  ab=2 bc=2 ca=2 bd=1 ; unigrams: a=3 b=3 c=2 d=1 ; T=9
+  private val corpus = Seq("a b c a b d", "b c a").toDF("text")
+
+  private def score(qs: Seq[(String, String, String)]) =
+    TextOps.stupidBackoffScore(corpus, "text",
+        qs.toDF("w1", "w2", "w3"), "w1", "w2", "w3")
+      .select(col("w1"), col("w2"), col("w3"), col("sb_milli"), col("sb"))
+      .as[(String, String, String, Long, Double)]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+
+  test("stupidBackoffScore: each branch matches hand computation") {
+    val got = score(Seq(
+      ("a", "b", "c"),   // trigram:  1000·1/2 = 500
+      ("b", "c", "a"),   // trigram:  1000·2/2 = 1000
+      ("x", "b", "c"),   // bigram:   (2·1000·2) div (5·3) = 266
+      ("a", "b", "x"),   // unigram with unseen w3 → 0
+      ("x", "y", "a")))  // unigram:  (4·1000·3) div (25·9) = 53
+    assert(got(("a", "b", "c")) == ((500L, 0.5)))
+    assert(got(("b", "c", "a")) == ((1000L, 1.0)))
+    assert(got(("x", "b", "c")) == ((266L, 0.4 * 2 / 3)))
+    assert(got(("a", "b", "x")) == ((0L, 0.0)))
+    assert(got(("x", "y", "a")) == ((53L, 4.0 / 25 * 3 / 9)))
+  }
+
+  test("stupidBackoffScore: seen trigram outranks its backoff; counts exported") {
+    val rows = TextOps.stupidBackoffScore(corpus, "text",
+        Seq(("a", "b", "d")).toDF("w1", "w2", "w3"), "w1", "w2", "w3")
+      .as[(String, String, String, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(rows.length == 1)
+    val (_, _, _, c3, c2ctx, c2tail, c1ctx, c1w, milli, sb) = rows.head
+    assert((c3, c2ctx, c2tail, c1ctx, c1w) == ((1L, 2L, 1L, 3L, 1L)))
+    assert(milli == 500L && sb == 0.5)
+    intercept[IllegalArgumentException] {
+      TextOps.stupidBackoffScore(corpus, "text",
+        Seq(("a", "b", "c")).toDF("w1", "w2", "w3"), "w1", "w2", "w3",
+        alphaNum = 5, alphaDen = 5)
+    }
+  }
+
+  test("stupidBackoffScore: partitioning cannot change scores") {
+    val qs = Seq(("a", "b", "c"), ("x", "b", "c"), ("x", "y", "a"))
+    val a = score(qs)
+    val b = TextOps.stupidBackoffScore(corpus.repartition(7), "text",
+        qs.toDF("w1", "w2", "w3").repartition(5), "w1", "w2", "w3")
+      .select(col("w1"), col("w2"), col("w3"), col("sb_milli"), col("sb"))
+      .as[(String, String, String, Long, Double)]
+      .collect().map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(a == b)
+  }
+}

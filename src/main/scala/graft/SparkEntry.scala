@@ -2445,6 +2445,60 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q179: rule-based sentence segmentation on CONSTRUCTED prose —
+    // the expected sentences ARE the construction (the q137
+    // invertible-text discipline), with a planted "Dr. Smith" that
+    // must NOT split and a 'k' prefix on each corpus word so no
+    // token can collide with the abbreviation list.
+    "q179_sentences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => concat(lit("k"),
+        regexp_replace(element_at(col("t"), i), "[^a-z]", ""))
+      val text = concat(lit("The "), w(1), lit(" runs. Dr. Smith likes "),
+        w(2), lit(". Why not "), w(3), lit("?"))
+      TextOps.sentences(docs.select(col("doc_id"), text.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("sent_idx"))
+    }),
+
+    // q180: windowed audio energy through the REAL javax.sound
+    // decode — gated square bursts make every aligned window either
+    // all-burst or all-silence, so n/sum_sq/rms/active replay as
+    // doc_id arithmetic (q170's invertible-construction discipline,
+    // extended from whole-clip stats to the VAD window grain).
+    "q180_audio_energy" -> ((s, dir) => {
+      val params = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          lit(8000).cast("int").as("rate"),
+          ((lit(2) + col("doc_id") % 3) * 800).cast("int").as("nframes"),
+          when(col("doc_id") % 2 === 0, 4096).otherwise(8192)
+            .cast("int").as("amp"),
+          lit(400).cast("int").as("gate"))
+      val wav = Multimodal.encodePcmWavGated(params,
+        "rate", "nframes", "amp", "gate")
+      Multimodal.audioEnergyWindows(wav, "doc_id", "payload",
+          windowFrames = 400)
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
+    // q181: WITHIN-doc duplicate-line removal — a planted page with
+    // "nav" chrome three times and one repeated body line; DuckDB
+    // replays keep-first as (doc, line) → MIN(ordinal) and
+    // reassembles in ordinal order.
+    "q181_dedup_lines" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => element_at(col("t"), i)
+      val text = concat_ws("\n", lit("nav"), w(1), lit("nav"), w(2),
+        w(1), w(3), lit("nav"))
+      TextOps.dedupDocLines(docs.select(col("doc_id"), text.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // q178: STUPID BACKOFF trigram scoring (Brants 2007) — query
     // trigrams built from the first three tokens of each early doc
     // in four variants that pin every branch: as-is (trigram),
@@ -4285,6 +4339,61 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q179: the construction IS the expectation — three UNION ALL
+    // branches, one per planted sentence.
+    "q179_sentences" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |w AS (SELECT doc_id,
+        |    'k' || regexp_replace(tk[1], '[^a-z]', '', 'g') AS w1,
+        |    'k' || regexp_replace(tk[2], '[^a-z]', '', 'g') AS w2,
+        |    'k' || regexp_replace(tk[3], '[^a-z]', '', 'g') AS w3
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id, 0 AS sent_idx,
+        |  'The ' || w1 || ' runs.' AS sentence FROM w
+        |UNION ALL SELECT doc_id, 1, 'Dr. Smith likes ' || w2 || '.' FROM w
+        |UNION ALL SELECT doc_id, 2, 'Why not ' || w3 || '?' FROM w
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+
+    // q180: every column is doc_id/window arithmetic; rms spells the
+    // engine's exact association sqrt(sum_sq/n)/32768.
+    "q180_audio_energy" ->
+      """WITH p AS (SELECT doc_id, (2 + doc_id % 3) * 2 AS n_win,
+        |    CASE WHEN doc_id % 2 = 0 THEN 4096 ELSE 8192 END AS amp
+        |  FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id, CAST(r.i AS INT) AS win_idx, amp
+        |      FROM p, unnest(range(0, n_win)) AS r(i))
+        |SELECT doc_id, win_idx, CAST(400 AS BIGINT) AS n_samples,
+        |  CASE WHEN win_idx % 2 = 0
+        |    THEN CAST(400 AS BIGINT) * amp * amp ELSE CAST(0 AS BIGINT)
+        |  END AS sum_sq,
+        |  CASE WHEN win_idx % 2 = 0
+        |    THEN sqrt(CAST(CAST(400 AS BIGINT) * amp * amp AS DOUBLE) / 400)
+        |      / 32768
+        |    ELSE sqrt(CAST(0 AS DOUBLE) / 400) / 32768 END AS rms,
+        |  win_idx % 2 = 0 AS active
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+
+    // q181: keep-first replayed as (doc, line) → MIN(ordinal) +
+    // ordinal-ordered reassembly.
+    "q181_dedup_lines" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 300),
+        |d AS (SELECT doc_id,
+        |    ['nav', tk[1], 'nav', tk[2], tk[1], tk[3], 'nav'] AS lines
+        |  FROM t WHERE len(tk) >= 3),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS ord,
+        |    lines[CAST(r.i AS INT)] AS line
+        |  FROM d, unnest(range(1, len(lines) + 1)) AS r(i)),
+        |f AS (SELECT doc_id, line, MIN(ord) AS ord
+        |      FROM u GROUP BY doc_id, line)
+        |SELECT doc_id, CAST(7 AS BIGINT) AS n_lines,
+        |  CAST(7 - COUNT(*) AS BIGINT) AS n_dropped,
+        |  string_agg(line, chr(10) ORDER BY ord) AS cleaned_text
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q178: trigram/bigram/unigram count tables rebuilt, then the
     // backoff CASE replayed in both lanes — same branch guards, same

@@ -283,6 +283,140 @@ object Multimodal {
     }(enc)
   }
 
+  /** [[encodePcmWav]] with a GATE: frame k carries the ±amp square
+    * wave when `(k div gate) % 2 == 0` and silence (0) otherwise —
+    * alternating `gate`-frame bursts and rests, the deterministic
+    * fixture for activity segmentation ([[audioEnergyWindows]]).
+    * Aligned windows then have an exact closed form: an even window
+    * is all-burst (every |sample| = amp), an odd one all-zero, so
+    * rms replays as doc_id arithmetic with no codec on the oracle
+    * side (q180, the q170 discipline). */
+  def encodePcmWavGated(df: DataFrame, sampleRateCol: String,
+      nFramesCol: String, ampCol: String, gateCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ri = inSchema.fieldIndex(sampleRateCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val ai = inSchema.fieldIndex(ampCol)
+    val gi = inSchema.fieldIndex(gateCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rate = r.getInt(ri); val n = r.getInt(ni)
+        val amp = r.getInt(ai); val gate = r.getInt(gi)
+        require(rate > 0 && n >= 0 && amp >= 0 && amp <= 32767 && gate > 0,
+          s"bad WAV params: rate=$rate frames=$n amp=$amp gate=$gate")
+        val dataSize = n * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(1) // PCM, mono
+          .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataSize)
+        var k = 0
+        while (k < n) {
+          val on = (k / gate) % 2 == 0
+          val s = if (!on) 0 else if (k % 2 == 0) amp else -amp
+          bb.putShort(s.toShort)
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** Fixed-window energy profile through the REAL decode path — the
+    * voice-activity-detection primitive of a speech curation
+    * pipeline (silence trimming, burst detection, speech/noise
+    * gating all read exactly this table). Each payload is decoded
+    * with `javax.sound.sampled` ([[WavDecoder]]'s codec), its 16-bit
+    * mono PCM stream cut into `windowFrames`-sample windows, and
+    * each window reduced to (n_samples, sum_sq) with sum_sq the
+    * exact BIGINT sum of RAW sample squares — windows are reduced
+    * INSIDE the streaming read, so a row never materializes the
+    * sample array (an hour of audio flows through a 4 KB buffer,
+    * the [[WavDecoder]] posture). rms = sqrt(sum_sq/n)/32768 — one
+    * IEEE sqrt and two divisions of exact integers, engine-identical
+    * (the oracle spells the same association); `active` is the exact
+    * predicate sum_sq > 0. Non-PCM-16-LE-mono and undecodable
+    * payloads contribute no windows (null-row discipline would lose
+    * the doc_id grain here; absence IS the malformation signal, and
+    * the count of decoded docs is pinned by the fixture). */
+  def audioEnergyWindows(df: DataFrame, idCol: String, binaryCol: String,
+      windowFrames: Int): DataFrame = {
+    require(windowFrames > 0,
+      s"windowFrames must be positive, got $windowFrames")
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("win_idx", IntegerType),
+      StructField("n_samples", LongType), StructField("sum_sq", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = df.schema.fieldIndex(idCol)
+    val bi = df.schema.fieldIndex(binaryCol)
+    val w = windowFrames
+    val windows = df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(ii)
+        val bytes = if (r.isNullAt(bi)) null else r.getAs[Array[Byte]](bi)
+        if (bytes == null) Iterator.empty
+        else {
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              val ok = fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+                fmt.getChannels == 1 &&
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              if (!ok) Iterator.empty
+              else {
+                val buf = new Array[Byte](8192)
+                val outRows = Seq.newBuilder[Row]
+                var winIdx = 0; var n = 0L; var sumSq = 0L
+                var read = 0
+                var carry = -1 // low byte of a sample split across reads
+                while ({ read = ais.read(buf); read > 0 }) {
+                  var i = 0
+                  if (carry >= 0 && read >= 1) {
+                    val s = ((buf(0) << 8) | carry).toShort.toLong
+                    sumSq += s * s; n += 1
+                    if (n == w) {
+                      outRows += Row(id, winIdx, n, sumSq)
+                      winIdx += 1; n = 0L; sumSq = 0L
+                    }
+                    carry = -1; i = 1
+                  }
+                  while (i + 1 < read) {
+                    val s = ((buf(i + 1) << 8) | (buf(i) & 0xFF)).toShort.toLong
+                    sumSq += s * s; n += 1
+                    if (n == w) {
+                      outRows += Row(id, winIdx, n, sumSq)
+                      winIdx += 1; n = 0L; sumSq = 0L
+                    }
+                    i += 2
+                  }
+                  if (i < read) carry = buf(i) & 0xFF
+                }
+                if (n > 0) outRows += Row(id, winIdx, n, sumSq)
+                outRows.result().iterator
+              }
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException | _: RuntimeException => Iterator.empty
+          }
+        }
+      }
+    }(enc)
+    windows.select(col("doc_id"), col("win_idx"), col("n_samples"),
+      col("sum_sq"),
+      (sqrt(col("sum_sq").cast("double") / col("n_samples")) / 32768.0)
+        .as("rms"),
+      (col("sum_sq") > 0L).as("active"))
+  }
+
   /** Encode one patterned grayscale PNG per row — the discriminative
     * media fixture generator ([[encodeSolidPng]]'s sibling): pixel
     * (x, y) carries gray

@@ -1345,6 +1345,55 @@ object TextOps {
     result
   }
 
+  /** Sentence-boundary pattern: split at whitespace that (a) follows
+    * terminal punctuation `[.!?]` (possibly repeated — the char class
+    * matches the LAST of a run), (b) does NOT follow a known
+    * abbreviation ("Dr. Smith" stays one sentence), and (c) precedes
+    * an uppercase letter or digit (so "version 2.0 is", "e.g. lower"
+    * never split). Java regex only — bounded lookbehinds — because
+    * the ENGINE splits; oracles replay on constructed text where the
+    * expected sentences are the construction (q179), the
+    * [[graft.operators.Web.htmlToText]] discipline. */
+  private[operators] val SentenceSplitRe =
+    "(?<=[.!?])(?<!\\b(?:Mr|Mrs|Ms|Dr|Prof|Sr|Jr|St|vs|etc)\\.)\\s+(?=[A-Z0-9])"
+
+  /** Rule-based sentence segmentation — the text-analysis primitive
+    * under line-level quality filtering (C4 keeps lines with ≥3
+    * sentences-worth of terminal punctuation, readability scores
+    * count words per sentence, sentence-grain dedup needs the
+    * segments): one row per sentence with its 0-based index,
+    * whitespace-trimmed, empty segments dropped. Pure row-local
+    * codegen (`split` + `posexplode`) — no shuffle, no UDF; a 100 TB
+    * corpus pays exactly one pass. */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), SentenceSplitRe))
+          .as(Seq("sent_idx", "sentence")))
+      .filter(length(trim(col("sentence"))) > 0)
+      .select(col("doc_id"), col("sent_idx"),
+        trim(col("sentence")).as("sentence"))
+
+  /** WITHIN-document duplicate-line removal — keep the FIRST
+    * occurrence of every distinct line, preserving order (the Dolma/
+    * RefinedWeb within-doc pass: navigation chrome, repeated
+    * headers, and cookie banners repeat INSIDE a page; corpus-wide
+    * segment dedup ([[dedupSegments]]) only sees repetition ACROSS
+    * documents, and [[repetitionStats]] only measures). Entirely
+    * row-local array algebra: `array_position` gives each line's
+    * FIRST index, so `filter((x, i) → position(x) == i+1)` keeps
+    * exactly the first copies — O(lines²) per document inside one
+    * codegen stage, no shuffle, no state. Returns (doc_id, n_lines,
+    * n_dropped, cleaned_text) — the [[dedupSegments]] contract at
+    * line grain. */
+  def dedupDocLines(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("__l"))
+      .select(col("doc_id"), size(col("__l")).cast("long").as("n_lines"),
+        filter(col("__l"), (x, i) =>
+          array_position(col("__l"), x) === (i + 1).cast("long")).as("__k"))
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - size(col("__k"))).cast("long").as("n_dropped"),
+        array_join(col("__k"), "\n").as("cleaned_text"))
+
   /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
     * Language Models in Machine Translation" — THE web-scale LM
     * smoothing, designed exactly for this distributed-count setting):

@@ -1213,6 +1213,37 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L).isEmpty)
   }
 
+  test("audioEnergyWindows: gated bursts alternate exactly; junk contributes nothing") {
+    // 1600 frames, gate = window = 400 → windows 0..3, even = burst
+    val params = Seq((1L, 8000, 1600, 4096, 400), (2L, 8000, 1200, 8192, 400))
+      .toDF("doc_id", "rate", "nframes", "amp", "gate")
+    val wav = Multimodal.encodePcmWavGated(params, "rate", "nframes", "amp", "gate")
+    val junk = Seq((9L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.audioEnergyWindows(
+        wav.select(col("doc_id"), col("payload")).unionByName(junk),
+        "doc_id", "payload", windowFrames = 400)
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got.keySet == Set((1L, 0), (1L, 1), (1L, 2), (1L, 3),
+      (2L, 0), (2L, 1), (2L, 2)), s"windows: ${got.keySet}")
+    assert(got((1L, 0)) == ((400L, 400L * 4096 * 4096, 0.125, true)))
+    assert(got((1L, 1)) == ((400L, 0L, 0.0, false)))
+    assert(got((1L, 2))._1 == 400L)
+    assert(got((2L, 0)) == ((400L, 400L * 8192 * 8192, 0.25, true)))
+    assert(got((2L, 2)) == ((400L, 400L * 8192 * 8192, 0.25, true)))
+    // an UNALIGNED window size exercises the cross-buffer carry path
+    // (399·2-byte samples stride the 8192-byte read boundary) and a
+    // final partial window
+    val odd = Multimodal.audioEnergyWindows(wav.filter(col("doc_id") === 1),
+        "doc_id", "payload", windowFrames = 399)
+      .as[(Long, Int, Long, Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(odd.map(_._3).sum == 1600L, "every sample lands in exactly one window")
+    assert(odd.last._3 == 1600L % 399)
+    assert(odd.map(_._4).sum == 800L * 4096 * 4096,
+      "total energy is burst-half only, regardless of window alignment")
+  }
+
   test("sampleFramePlan emits n frames per row with monotone offsets") {
     val df = Seq((1, "0123456789".getBytes)).toDF("id", "payload")
     val got = Multimodal.sampleFramePlan(df, "id", "payload", 4)

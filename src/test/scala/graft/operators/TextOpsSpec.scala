@@ -626,6 +626,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("de") == ((3L, 2L, 2.0 / 3.0, 3L, 2L, 2.0 / 3.0)), got.toString)
   }
 
+  test("sentences: boundaries split; abbreviations, decimals, lowercase don't") {
+    val docs = Seq(
+      (1L, "He saw Dr. Smith. Then left! Did he? Yes."),
+      (2L, "Version 2.0 is out. Costs 3.50 now."),
+      (3L, "e.g. lower case. Mr. Jones stayed. Mrs. Lee too."),
+      (4L, "One!!  Two?! Three."),
+      (5L, "no terminal punctuation at all")).toDF("doc_id", "text")
+    val got = TextOps.sentences(docs, "doc_id", "text")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.sortBy(_._2).map(_._3).toSeq }
+    assert(got(1L) == Seq("He saw Dr. Smith.", "Then left!", "Did he?", "Yes."))
+    assert(got(2L) == Seq("Version 2.0 is out.", "Costs 3.50 now."))
+    assert(got(3L) == Seq("e.g. lower case.", "Mr. Jones stayed.", "Mrs. Lee too."))
+    assert(got(4L) == Seq("One!!", "Two?!", "Three."))
+    assert(got(5L) == Seq("no terminal punctuation at all"))
+  }
+
+  test("dedupDocLines: first occurrences survive in order, counts exact") {
+    val text = Seq("nav", "alpha", "nav", "beta", "alpha", "nav").mkString("\n")
+    val got = TextOps.dedupDocLines(Seq((1L, text), (2L, "solo")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 6L, 3L, "nav\nalpha\nbeta")))
+    assert(got(2L) == ((2L, 1L, 0L, "solo")))
+    // blank lines are lines too: the SECOND blank drops
+    val blanks = TextOps.dedupDocLines(
+        Seq((3L, "a\n\nb\n\na")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().head
+    assert(blanks == ((3L, 5L, 2L, "a\n\nb")))
+  }
+
   test("dropContained: quotes and chain prefixes fall, containers survive") {
     // C contains B contains A; D unrelated; E/F equal-size twins
     val docs = Seq(

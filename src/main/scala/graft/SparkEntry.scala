@@ -2445,6 +2445,51 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q183: the C4 cleaning rules on constructed pages — nine planted
+    // lines per page exercise every line filter (no terminal punct,
+    // short, javascript) and every page flag (lorem/brace/badword on
+    // the arithmetic grid doc%7 / %11 / %13), with the 5-sentence
+    // floor crossing exactly at doc%3==0. DuckDB rebuilds the lines
+    // and replays filter, counts, flags, gate, and reassembly.
+    "q183_c4_rules" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => concat(lit("k"),
+        regexp_replace(element_at(col("t"), i), "[^a-z]", ""))
+      val d = col("doc_id")
+      val text = concat_ws("\n",
+        lit("nav menu home"),
+        concat(lit("The "), w(1), lit(" runs fine.")),
+        concat(lit("Be "), w(2), lit(".")),
+        lit("Enable javascript to view."),
+        concat(lit("It is very "), w(3), lit(" here. Yes. Ok.")),
+        when(d % 3 === 0, concat(lit("One more "), w(1), lit(" line.")))
+          .otherwise(lit("no terminal here")),
+        when(d % 7 === 0, lit("lorem ipsum dolor sit."))
+          .otherwise(lit("filler line without punct")),
+        when(d % 11 === 0, lit("code { block } here."))
+          .otherwise(lit("plain filler")),
+        when(d % 13 === 0, lit("totally qqbadword here."))
+          .otherwise(lit("more filler")))
+      TextOps.c4Rules(docs.select(col("doc_id"), text.as("text")),
+          "doc_id", "text", badWords = Seq("qqbadword"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q182: INTEGER k-means over the embeddings table — two unrolled
+    // Lloyd rounds seeded by vec_id < 3, every distance an exact
+    // BIGINT sum of squares, every centroid mean a sign-split floor.
+    // DuckDB replays assignment → update → assignment round by round
+    // on the same floor(v·1000) quantization q36 proved hash-stable.
+    "q182_kmeans_int" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val init = emb.filter(col("vec_id") < 3)
+      Similarity.kmeansInt(emb, "vec_id", "embedding",
+          init, "vec_id", "embedding", rounds = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // q179: rule-based sentence segmentation on CONSTRUCTED prose —
     // the expected sentences ARE the construction (the q137
     // invertible-text discipline), with a planted "Dr. Smith" that
@@ -4339,6 +4384,99 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q183: rebuild the nine lines, replay the line filter
+    // (list_filter), the terminal-mark sentence count, the page
+    // flags (pinned to their arithmetic grid), the gate, and the
+    // kept-line reassembly.
+    "q183_c4_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id,
+        |    'k' || regexp_replace(tk[1], '[^a-z]', '', 'g') AS w1,
+        |    'k' || regexp_replace(tk[2], '[^a-z]', '', 'g') AS w2,
+        |    'k' || regexp_replace(tk[3], '[^a-z]', '', 'g') AS w3
+        |  FROM t WHERE len(tk) >= 3),
+        |d AS (SELECT doc_id, ['nav menu home',
+        |    'The ' || w1 || ' runs fine.',
+        |    'Be ' || w2 || '.',
+        |    'Enable javascript to view.',
+        |    'It is very ' || w3 || ' here. Yes. Ok.',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'One more ' || w1 || ' line.'
+        |         ELSE 'no terminal here' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit.'
+        |         ELSE 'filler line without punct' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'code { block } here.'
+        |         ELSE 'plain filler' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'totally qqbadword here.'
+        |         ELSE 'more filler' END] AS lines
+        |  FROM w),
+        |k AS (SELECT doc_id, lines,
+        |    list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(l, '\s+')) >= 3
+        |      AND l NOT LIKE '%javascript%') AS kept
+        |  FROM d),
+        |s AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+        |    CAST(COALESCE(list_sum(list_transform(kept,
+        |      l -> len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))), 0)
+        |      AS BIGINT) AS n_sentences,
+        |    doc_id % 7 = 0 AS has_lorem,
+        |    doc_id % 11 = 0 AS has_brace,
+        |    doc_id % 13 = 0 AS has_badword,
+        |    CASE WHEN len(kept) > 0
+        |      THEN array_to_string(kept, chr(10)) END AS cleaned_text
+        |  FROM k)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(n_kept AS BIGINT) AS n_kept, n_sentences,
+        |  has_lorem, has_brace, has_badword,
+        |  n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_badword AS passes_c4,
+        |  cleaned_text
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q182: two Lloyd rounds unrolled — per round: exact integer
+    // distances, min-distance/min-cid assignment, sign-split floor
+    // centroid means; then the final assignment.
+    "q182_kmeans_int" ->
+      """WITH pts AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |pe AS (SELECT vec_id, CAST(r.i AS INT) AS pos,
+        |    q[CAST(r.i AS INT)] AS v
+        |  FROM pts, unnest(range(1, len(q) + 1)) AS r(i)),
+        |ce0 AS (SELECT vec_id AS cid, pos, v AS m FROM pe WHERE vec_id < 3),
+        |d1 AS (SELECT pe.vec_id, c.cid,
+        |    SUM((pe.v - c.m) * (pe.v - c.m)) AS d
+        |  FROM pe JOIN ce0 c ON pe.pos = c.pos GROUP BY 1, 2),
+        |m1 AS (SELECT vec_id, MIN(d) AS md FROM d1 GROUP BY 1),
+        |a1 AS (SELECT d1.vec_id, MIN(d1.cid) AS cid FROM d1 JOIN m1
+        |  ON d1.vec_id = m1.vec_id AND d1.d = m1.md GROUP BY 1),
+        |u1 AS (SELECT a1.cid, pe.pos, SUM(pe.v) AS s, COUNT(*) AS n
+        |  FROM a1 JOIN pe ON a1.vec_id = pe.vec_id GROUP BY 1, 2),
+        |ce1 AS (SELECT cid, pos,
+        |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m FROM u1),
+        |d2 AS (SELECT pe.vec_id, c.cid,
+        |    SUM((pe.v - c.m) * (pe.v - c.m)) AS d
+        |  FROM pe JOIN ce1 c ON pe.pos = c.pos GROUP BY 1, 2),
+        |m2 AS (SELECT vec_id, MIN(d) AS md FROM d2 GROUP BY 1),
+        |a2 AS (SELECT d2.vec_id, MIN(d2.cid) AS cid FROM d2 JOIN m2
+        |  ON d2.vec_id = m2.vec_id AND d2.d = m2.md GROUP BY 1),
+        |u2 AS (SELECT a2.cid, pe.pos, SUM(pe.v) AS s, COUNT(*) AS n
+        |  FROM a2 JOIN pe ON a2.vec_id = pe.vec_id GROUP BY 1, 2),
+        |ce2 AS (SELECT cid, pos,
+        |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS m FROM u2),
+        |d3 AS (SELECT pe.vec_id, c.cid,
+        |    SUM((pe.v - c.m) * (pe.v - c.m)) AS d
+        |  FROM pe JOIN ce2 c ON pe.pos = c.pos GROUP BY 1, 2),
+        |m3 AS (SELECT vec_id, MIN(d) AS md FROM d3 GROUP BY 1),
+        |a3 AS (SELECT d3.vec_id, MIN(d3.cid) AS cid FROM d3 JOIN m3
+        |  ON d3.vec_id = m3.vec_id AND d3.d = m3.md GROUP BY 1)
+        |SELECT a3.vec_id, CAST(a3.cid AS BIGINT) AS cluster,
+        |  CAST(m3.md AS BIGINT) AS dist2
+        |FROM a3 JOIN m3 ON a3.vec_id = m3.vec_id
+        |ORDER BY a3.vec_id""".stripMargin,
 
     // q179: the construction IS the expectation — three UNION ALL
     // branches, one per planted sentence.

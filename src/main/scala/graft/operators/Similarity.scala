@@ -150,6 +150,74 @@ object Similarity {
     } finally if (ownsCache) { train.unpersist(); () }
   }
 
+  /** INTEGER-QUANTIZED Lloyd's k-means with caller-supplied initial
+    * centroids — the ORACLE-PINNED sibling of [[kmeansCentroids]]
+    * (which trains in floats and is spec-bounded): vectors quantize
+    * to `floor(v·scale)` BIGINTs, every distance is an exact integer
+    * sum of squares, every centroid update a sign-split BIGINT floor
+    * division, ties in assignment break toward the smallest cluster
+    * id — so the whole run is a pure function of (points, init,
+    * rounds, scale) and a DuckDB oracle unrolls it round by round
+    * (q182), the [[Graph.pageRankInt]] discipline applied to
+    * clustering. Quantization moves each coordinate < 1/scale — far
+    * inside cluster geometry for any realistic embedding spread —
+    * and buys cross-engine bit equality floats can never give.
+    *
+    * Shape per round (the standard distributed Lloyd): the points
+    * are exploded ONCE to (id, pos, v) and persisted; assignment is
+    * a broadcast join against the model-sized (cid, pos, m) table +
+    * two hash aggregates (per-(id, cid) distances, per-id argmin);
+    * the update is one join + one (cid, pos) aggregate. Centroids
+    * are localCheckpointed each round (model-sized — keeps the plan
+    * flat). A cluster that loses every point disappears rather than
+    * being re-seeded — deterministic, and the oracle agrees.
+    *
+    * Returns the final assignment (vec_id, cluster, dist2) against
+    * the post-round centroids. */
+  def kmeansInt(points: DataFrame, idCol: String, vecCol: String,
+      init: DataFrame, initIdCol: String, initVecCol: String,
+      rounds: Int, scale: Long = 1000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    require(scale > 0, s"scale must be positive, got $scale")
+    import org.apache.spark.storage.StorageLevel
+    def quant(c: Column): Column =
+      transform(c, v => floor(v.cast("double") * scale).cast("long"))
+    val pe = points.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(quant(col(vecCol))).as(Seq("pos", "v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ce = init.select(col(initIdCol).cast("long").as("cid"),
+      posexplode(quant(col(initVecCol))).as(Seq("pos", "m")))
+    def assign(c: DataFrame): DataFrame = pe
+      .join(broadcast(c), Seq("pos"))
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("v") - col("m")) * (col("v") - col("m"))).as("d"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d"), col("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cid"), col("__m.d").as("d"))
+    var lastCkpt: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val a = assign(ce)
+      ce = a.join(pe, Seq("vec_id"))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("v")).as("__s"), count(lit(1)).as("__n"))
+        // sign-split: Spark `div` truncates, DuckDB `//` floors; the
+        // nonnegative-dividend form is identical in both (Learn.sdiv)
+        .select(col("cid"), col("pos"),
+          when(col("__s") >= 0, expr("__s div __n"))
+            .otherwise(-expr("(-__s) div __n")).cast("long").as("m"))
+        .localCheckpoint()
+      if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+      lastCkpt = ce
+    }
+    val out = assign(ce)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d").as("dist2"))
+    val result = out.localCheckpoint()
+    if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+    pe.unpersist()
+    result
+  }
+
   /** A trained model as ONE plan constant. A matrix spelled as nested
     * `lit()` nodes (ksub·dim literals) makes the expression tree —
     * and the generated Java — grow with the model, and every fresh

@@ -1345,6 +1345,70 @@ object TextOps {
     result
   }
 
+  /** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other
+    * canonical web-corpus gate next to [[gopherRules]], which
+    * REJECTS whole documents; C4 additionally EDITS them at line
+    * grain):
+    *
+    *   line-level (drop the line): doesn't end in terminal
+    *   punctuation (`.`, `!`, `?`, closing `"`); fewer than
+    *   `minLineWords` words; mentions "javascript" (the cookie/JS
+    *   warning boilerplate);
+    *   page-level (drop the page): fewer than `minSentences`
+    *   sentences — counted as terminal-punctuation marks across the
+    *   KEPT lines, the paper's own heuristic grain; contains
+    *   "lorem ipsum"; contains `{` (code); contains any `badWords`
+    *   token (the paper's blocklist, caller-supplied).
+    *
+    * Entirely row-local array algebra — split, `filter`, `aggregate`
+    * — one codegen pass, no shuffle, no UDF; page flags read the
+    * ORIGINAL text (a dropped line still poisons its page, exactly
+    * the paper's order of operations). Returns per document:
+    * (doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    * has_badword, passes_c4, cleaned_text) with cleaned_text the
+    * kept lines rejoined (NULL when none survive) — audit columns
+    * first, the one-boolean gate last, the [[gopherRules]]
+    * contract. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String,
+      badWords: Seq[String], minSentences: Int = 5,
+      minLineWords: Int = 3): DataFrame = {
+    require(minSentences >= 0 && minLineWords >= 0,
+      "thresholds must be nonnegative")
+    val lines = split(col(textCol), "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(split(t, "\\s+")) >= minLineWords &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, keepLine _)
+    val low = lower(col(textCol))
+    val badword =
+      if (badWords.isEmpty) lit(false)
+      else arrays_overlap(tokens(low),
+        typedLit(badWords.map(_.toLowerCase)))
+    df.select(col(idCol).as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        kept.as("__k"),
+        low.contains("lorem ipsum").as("has_lorem"),
+        col(textCol).contains("{").as("has_brace"),
+        badword.as("has_badword"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("__k")).cast("long").as("n_kept"),
+        aggregate(col("__k"), lit(0L), (acc, l) =>
+          acc + (length(l) - length(regexp_replace(l, "[.!?]", "")))
+            .cast("long")).as("n_sentences"),
+        col("has_lorem"), col("has_brace"), col("has_badword"),
+        col("__k"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("has_badword"),
+        (col("n_sentences") >= minSentences && !col("has_lorem") &&
+          !col("has_brace") && !col("has_badword")).as("passes_c4"),
+        when(size(col("__k")) > 0, array_join(col("__k"), "\n"))
+          .as("cleaned_text"))
+  }
+
   /** Sentence-boundary pattern: split at whitespace that (a) follows
     * terminal punctuation `[.!?]` (possibly repeated — the char class
     * matches the LAST of a run), (b) does NOT follow a known

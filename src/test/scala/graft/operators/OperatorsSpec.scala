@@ -795,6 +795,68 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  /** driver-side replay of the exact integer Lloyd recurrence */
+  private def kmeansIntReplay(pts: Seq[(Long, Seq[Float])],
+      init: Seq[(Long, Seq[Float])], rounds: Int,
+      scale: Long): Map[Long, (Long, Long)] = {
+    def q(v: Seq[Float]): Seq[Long] =
+      v.map(x => math.floor(x.toDouble * scale).toLong)
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def sdiv(s: Long, n: Long): Long = if (s >= 0) s / n else -((-s) / n)
+    val p = pts.map { case (i, v) => i -> q(v) }.toMap
+    var c = init.map { case (i, v) => i -> q(v) }.toMap
+    def assign(): Map[Long, (Long, Long)] = p.map { case (i, v) =>
+      i -> c.toSeq.map { case (ci, m) => (d2(v, m), ci) }.min.swap
+    }
+    (1 to rounds).foreach { _ =>
+      val a = assign()
+      c = a.groupBy(_._2._1).map { case (ci, members) =>
+        val vs = members.keys.map(p).toSeq
+        ci -> vs.head.indices.map(j => sdiv(vs.map(_(j)).sum, vs.size)).toSeq
+      }
+    }
+    assign()
+  }
+
+  test("kmeansInt: matches the integer Lloyd replay; separable clusters found") {
+    val rnd = new scala.util.Random(31)
+    // three well-separated blobs in 4-d (+ noise), ids interleaved
+    val pts = Seq.tabulate(60) { i =>
+      val center = i % 3
+      (i.toLong, Seq.tabulate(4)(j =>
+        (center * 2.0 + (if (j == center) 1.0 else 0.0) +
+          rnd.nextDouble() * 0.2).toFloat))
+    }
+    val init = pts.filter(_._1 < 3).map { case (i, v) => (i, v) }
+    val df = pts.toDF("vec_id", "embedding")
+    val initDf = init.toDF("cid", "embedding")
+    for (rounds <- Seq(1, 2, 3)) {
+      val got = Similarity.kmeansInt(df, "vec_id", "embedding",
+          initDf, "cid", "embedding", rounds)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == kmeansIntReplay(pts, init, rounds, 1000L), s"rounds=$rounds")
+    }
+    // after 2 rounds the blobs separate: all members of a blob share a cluster
+    val a2 = Similarity.kmeansInt(df, "vec_id", "embedding",
+        initDf, "cid", "embedding", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    (0 until 3).foreach { blob =>
+      val labels = pts.collect { case (i, _) if i % 3 == blob => a2(i) }.toSet
+      assert(labels.size == 1, s"blob $blob split across clusters: $labels")
+    }
+    val re = Similarity.kmeansInt(df.repartition(7), "vec_id", "embedding",
+        initDf, "cid", "embedding", 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(re == a2, "partitioning leaked into the clustering")
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansInt(df, "vec_id", "embedding",
+        initDf, "cid", "embedding", 0)
+    }
+  }
 
   test("bruteForceTopK matches a driver-side exact computation") {
     val emb = Tables.embeddings(spark, sf)

@@ -657,6 +657,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(blanks == ((3L, 5L, 2L, "a\n\nb")))
   }
 
+  test("c4Rules: line filters, page flags, and the gate, hand-checked") {
+    val pages = Seq(
+      (1L, Seq("nav menu home", "This line is fine.", "Too short.",
+        "Enable javascript to view.", "A. B. C. D. E.").mkString("\n")),
+      (2L, "Good one. Yes sir.\nplain filler"),
+      (3L, "It has lorem ipsum inside.\nThis line is fine. Really fine. Ok. Go. Go."),
+      (4L, "Code sample { int x }.\nThis is ok. A. B. C. D."),
+      (5L, "totally qqbad here is real.\nMore good. A. B. C. D."))
+      .toDF("doc_id", "text")
+    val got = TextOps.c4Rules(pages, "doc_id", "text", badWords = Seq("qqbad"))
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // p1: 2 of 5 lines survive (no-punct, short, javascript fall);
+    // 6 terminal marks across kept lines → passes
+    assert(got(1L) == ((1L, 5L, 2L, 6L, false, false, false, true,
+      "This line is fine.\nA. B. C. D. E.")))
+    // p2: only 2 sentences → fails the 5-sentence floor
+    assert(got(2L)._4 == 2L && !got(2L)._8)
+    // p3/p4/p5: enough sentences but lorem / brace / badword poison the page
+    assert(got(3L)._4 == 6L && got(3L)._5 && !got(3L)._8)
+    assert(got(4L)._4 == 6L && got(4L)._6 && !got(4L)._8)
+    assert(got(5L)._4 == 6L && got(5L)._7 && !got(5L)._8)
+    // badword must match as a TOKEN of the original text, not a substring
+    val sub = TextOps.c4Rules(
+        Seq((9L, "qqbadly is different. A. B. C. D.")).toDF("doc_id", "text"),
+        "doc_id", "text", badWords = Seq("qqbad"))
+      .select(col("has_badword"), col("passes_c4"))
+      .as[(Boolean, Boolean)].head()
+    assert(sub == ((false, true)))
+  }
+
   test("dropContained: quotes and chain prefixes fall, containers survive") {
     // C contains B contains A; D unrelated; E/F equal-size twins
     val docs = Seq(

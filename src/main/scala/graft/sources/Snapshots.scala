@@ -1,0 +1,194 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-based SNAPSHOT layer over plain parquet — the minimal
+  * time-travel/rollback half of a 100 TB lakehouse, the public
+  * Iceberg/Delta idea reduced to its load-bearing core: data files
+  * are IMMUTABLE and a snapshot is nothing but a manifest listing
+  * them, so
+  *
+  *   - readers of snapshot N never see a concurrent writer (its
+  *     files aren't in N's manifest until its commit lands);
+  *   - "overwrite" never deletes — it writes new files and a new
+  *     manifest, so every previous snapshot stays readable
+  *     (time travel) and rollback is a new manifest that lists an
+  *     old file set (never a data move);
+  *   - a failed write leaves at worst ORPHAN data files that no
+  *     manifest references — [[vacuum]] reclaims them; it can never
+  *     leave a half-visible table.
+  *
+  * Commit protocol (single-writer optimistic): stage the dataframe
+  * to a scratch dir, move its part files into `data/` under
+  * version-prefixed names, then publish `manifests/vNNNNN.manifest`
+  * via create-temp + rename — the rename is the commit point, and a
+  * concurrent commit to the same version fails the rename LOUDLY
+  * instead of corrupting history. Readers resolve "latest" by
+  * listing the manifest dir (no mutable pointer file to torn-write).
+  * Manifests are line-oriented `key=value` text — driver-parseable
+  * with no JSON dependency, ~bytes per file, |files| lines.
+  *
+  * Scale: all driver-side work is O(|files in snapshot|) listings —
+  * the data plane is untouched Spark parquet I/O; at 100 TB the
+  * manifest of a 100k-file table is a few MB of text read once per
+  * query planning, the same order as the file listing a bare
+  * parquet read already pays (and pinned to ONE consistent set). */
+object Snapshots {
+
+  private val DataDir = "data"
+  private val ManifestDir = "manifests"
+  private val ManifestRe = "v(\\d{5})\\.manifest".r
+
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def manifestPath(root: String, v: Int): Path =
+    new Path(root, f"$ManifestDir/v$v%05d.manifest")
+
+  private def versions(fs: FileSystem, root: String): Seq[Int] = {
+    val dir = new Path(root, ManifestDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case ManifestRe(n) => Some(n.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  /** Highest committed snapshot version, if any. */
+  def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val vs = versions(fsOf(spark, root), root)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  private def readManifest(fs: FileSystem, root: String,
+      v: Int): (String, Seq[String]) = {
+    val p = manifestPath(root, v)
+    require(fs.exists(p), s"snapshot v$v does not exist under $root")
+    val in = fs.open(p)
+    val text = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val op = lines.collectFirst { case l if l.startsWith("operation=") =>
+      l.stripPrefix("operation=") }.getOrElse("unknown")
+    (op, lines.filter(_.startsWith("file=")).map(_.stripPrefix("file=")))
+  }
+
+  private[sources] def writeManifest(fs: FileSystem, root: String, v: Int,
+      op: String, files: Seq[String]): Unit = {
+    val tmp = new Path(root, f"$ManifestDir/.v$v%05d.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((s"version=$v\noperation=$op\n" +
+      files.map("file=" + _).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = manifestPath(root, v)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit detected: snapshot v$v already exists under $root")
+    }
+  }
+
+  /** Write `df`'s files into `data/` under version-prefixed names and
+    * return them; the staging dir (and its _SUCCESS noise) is
+    * removed. Files become VISIBLE only when the manifest commits. */
+  private def stage(df: DataFrame, root: String, v: Int): Seq[String] = {
+    val fs = fsOf(df.sparkSession, root)
+    fs.mkdirs(new Path(root, DataDir))
+    val staging = new Path(root, f".staging-v$v%05d")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val names = parts.zipWithIndex.map { case (s, i) =>
+      val name = f"v$v%05d-$i%05d.parquet"
+      val dest = new Path(root, s"$DataDir/$name")
+      if (!fs.rename(s.getPath, dest))
+        throw new IllegalStateException(s"could not move ${s.getPath} to $dest")
+      name
+    }
+    fs.delete(staging, true)
+    names
+  }
+
+  /** Commit a new snapshot whose content is exactly `df` (overwrite)
+    * or the previous snapshot plus `df` (append). Returns the new
+    * version. Empty dataframes are rejected: parquet needs at least
+    * one file to carry the schema, and a snapshot that cannot be
+    * read back is a trap, not a table state. */
+  def commit(df: DataFrame, root: String,
+      overwrite: Boolean = false): Int = {
+    require(!df.isEmpty, "refusing to commit an empty snapshot")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val prev = versions(fs, root)
+    val next = if (prev.isEmpty) 1 else prev.max + 1
+    val fresh = stage(df, root, next)
+    val files =
+      if (overwrite || prev.isEmpty) fresh
+      else readManifest(fs, root, prev.max)._2 ++ fresh
+    writeManifest(fs, root, next,
+      if (overwrite || prev.isEmpty) "overwrite" else "append", files)
+    next
+  }
+
+  /** Read snapshot `version` (latest when negative) — exactly the
+    * files its manifest lists, whatever has been committed since. */
+  def readSnapshot(spark: SparkSession, root: String,
+      version: Int = -1): DataFrame = {
+    val fs = fsOf(spark, root)
+    val v = if (version >= 0) version else {
+      val vs = versions(fs, root)
+      require(vs.nonEmpty, s"no snapshots under $root")
+      vs.max
+    }
+    val (_, files) = readManifest(fs, root, v)
+    require(files.nonEmpty, s"snapshot v$v lists no files")
+    spark.read.parquet(files.map(f => s"$root/$DataDir/$f"): _*)
+  }
+
+  /** Roll the table back to `toVersion`'s file set AS A NEW commit —
+    * history only ever grows; the bad snapshots stay inspectable. */
+  def rollback(spark: SparkSession, root: String, toVersion: Int): Int = {
+    val fs = fsOf(spark, root)
+    val files = readManifest(fs, root, toVersion)._2
+    val next = versions(fs, root).max + 1
+    writeManifest(fs, root, next, "rollback", files)
+    next
+  }
+
+  /** Snapshot log: (version, operation, n_files), one row per
+    * committed manifest — the audit surface. */
+  def snapshots(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = fsOf(spark, root)
+    versions(fs, root).map { v =>
+      val (op, files) = readManifest(fs, root, v)
+      (v, op, files.size.toLong)
+    }.toDF("version", "operation", "n_files")
+  }
+
+  /** Delete data files not referenced by the newest `keepLast`
+    * manifests, then drop the older manifests — snapshots before the
+    * horizon stop being readable, in exchange for space. Orphans from
+    * failed commits (staged files whose manifest never landed) are
+    * reclaimed too. Returns the deleted data-file names. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = fsOf(spark, root)
+    val vs = versions(fs, root)
+    require(vs.nonEmpty, s"no snapshots under $root")
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep.flatMap(v => readManifest(fs, root, v)._2).toSet
+    val dataDir = new Path(root, DataDir)
+    val victims = fs.listStatus(dataDir).toSeq
+      .filter(s => s.isFile && !referenced.contains(s.getPath.getName))
+      .map(_.getPath.getName).sorted
+    victims.foreach(n => fs.delete(new Path(root, s"$DataDir/$n"), false))
+    vs.dropRight(keepLast).foreach(v => fs.delete(manifestPath(root, v), false))
+    victims
+  }
+}

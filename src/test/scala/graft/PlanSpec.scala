@@ -453,6 +453,34 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q175/q176: the classifier-evaluation curve plans NO partition-less window") {
+    // binaryScoreCurve's whole reason to two-pass: the running totals
+    // must never funnel through a global window (the q91/q133 rule)
+    for (q <- Seq("q175_threshold_sweep", "q176_auc_exact")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$q planned a partition-less window:\n$bare")
+    }
+  }
+
+  test("q179/q181/q183: sentence split, line dedup, and C4 are row-local (sort-only exchange)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq("q179_sentences", "q181_dedup_lines", "q183_c4_rules")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val shuffles = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.length <= 1,
+        s"$q must be a pure map (one range exchange for orderBy allowed):" +
+          s"\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("q139: sketch rollup shuffles sketch bytes only — no join back to raw rows before merge") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

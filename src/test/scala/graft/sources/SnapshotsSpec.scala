@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** [[Snapshots]] end to end: append/overwrite history, time travel,
+  * rollback-as-commit, vacuum horizons, and the loud concurrent-commit
+  * failure. */
+class SnapshotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_snap_").toString
+
+  private def rows(path: String, v: Int = -1): Set[Long] =
+    Snapshots.readSnapshot(spark, path, v)
+      .select(col("id")).as[Long].collect().toSet
+
+  test("append/overwrite history stays readable; latest tracks commits") {
+    val path = tmp()
+    val v1 = Snapshots.commit(spark.range(0, 5).toDF(), path)
+    val v2 = Snapshots.commit(spark.range(10, 15).toDF(), path)
+    val v3 = Snapshots.commit(spark.range(100, 102).toDF(), path,
+      overwrite = true)
+    assert((v1, v2, v3) == ((1, 2, 3)))
+    assert(Snapshots.latestVersion(spark, path).contains(3))
+    // time travel: every version readable AFTER later commits
+    assert(rows(path, 1) == (0L until 5L).toSet)
+    assert(rows(path, 2) == ((0L until 5L) ++ (10L until 15L)).toSet)
+    assert(rows(path, 3) == Set(100L, 101L))
+    assert(rows(path) == Set(100L, 101L), "latest is the overwrite")
+    val log = Snapshots.snapshots(spark, path)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(log.map(_._2).toSeq == Seq("overwrite", "append", "overwrite"))
+  }
+
+  test("rollback is a new commit; vacuum keeps the horizon readable") {
+    val path = tmp()
+    Snapshots.commit(spark.range(0, 3).toDF(), path)           // v1
+    Snapshots.commit(spark.range(10, 13).toDF(), path)         // v2
+    Snapshots.commit(spark.range(50, 51).toDF(), path, true)   // v3
+    val v4 = Snapshots.rollback(spark, path, toVersion = 1)
+    assert(v4 == 4 && rows(path) == Set(0L, 1L, 2L))
+    assert(rows(path, 3) == Set(50L), "rollback must not destroy v3")
+    // vacuum to the last 2 (v3, v4): v4 references v1's files, so
+    // they SURVIVE; only v2's delta files die
+    val deleted = Snapshots.vacuum(spark, path, keepLast = 2)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("v00002")),
+      s"only v2's files should die: $deleted")
+    assert(rows(path) == Set(0L, 1L, 2L), "latest survives vacuum")
+    assert(rows(path, 3) == Set(50L))
+    intercept[IllegalArgumentException] { rows(path, 2) } // manifest gone
+  }
+
+  test("orphans from a failed commit are vacuumed; empty commits refused") {
+    val path = tmp()
+    Snapshots.commit(spark.range(0, 3).toDF(), path)
+    // simulate a failed commit: data files staged, manifest never lands
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val orphan = new org.apache.hadoop.fs.Path(path, "data/v99999-00000.parquet")
+    val out = fs.create(orphan, true); out.write(1); out.close()
+    val deleted = Snapshots.vacuum(spark, path, keepLast = 1)
+    assert(deleted == Seq("v99999-00000.parquet"))
+    assert(rows(path) == Set(0L, 1L, 2L))
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(spark.range(0, 0).toDF(), path)
+    }
+  }
+
+  test("a concurrent commit to the same version fails loudly, table intact") {
+    val path = tmp()
+    Snapshots.commit(spark.range(0, 3).toDF(), path)
+    // another writer lands v2 BETWEEN the loser's version pick and its
+    // publish rename — replay the loser's side of that interleaving by
+    // publishing v2 first and then driving the commit point directly
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(path, "manifests/v00002.manifest"), true)
+    out.write("version=2\noperation=append\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalStateException] {
+      Snapshots.writeManifest(fs, path, 2, "append", Seq("vx.parquet"))
+    }
+    assert(e.getMessage.contains("concurrent commit"), e.getMessage)
+    assert(rows(path, 1) == Set(0L, 1L, 2L), "history intact after the loss")
+    // and the next honest commit simply lands AFTER the winner
+    assert(Snapshots.commit(spark.range(7, 8).toDF(), path) == 3)
+  }
+}

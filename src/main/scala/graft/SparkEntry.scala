@@ -2445,6 +2445,46 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q184: Unicode script profile on mixed-script constructions —
+    // Cyrillic / Han / Greek / Kana / Hangul fragments planted on an
+    // arithmetic grid over the corpus word. Both engines count the
+    // SAME strings with the SAME codepoint ranges (Java regex vs RE2
+    // spellings of identical ranges), and the tie-ordered dominant
+    // CASE is replayed verbatim.
+    "q184_script_profile" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 1)
+      val d = col("doc_id")
+      val text = concat(element_at(col("t"), 1),
+        when(d % 3 === 0, lit(" Привет мир")).otherwise(lit("")),
+        when(d % 4 === 0, lit(" 你好世界")).otherwise(lit("")),
+        when(d % 5 === 0, lit(" γεια")).otherwise(lit("")),
+        when(d % 7 === 0, lit(" かなカナ")).otherwise(lit("")),
+        when(d % 11 === 0, lit(" 한국어")).otherwise(lit("")))
+      TextOps.scriptProfile(docs.select(col("doc_id"), text.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q185: invisible-character hygiene — ZWSP and soft hyphen
+    // planted between corpus words; count and removal replay via the
+    // same codepoint class in both engines.
+    "q185_strip_invisible" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val d = col("doc_id")
+      val text = concat(element_at(col("t"), 1), lit("\u200B"),
+        element_at(col("t"), 2),
+        when(d % 2 === 0, lit("\u00AD")).otherwise(lit(" ")),
+        element_at(col("t"), 3),
+        when(d % 5 === 0, lit("\uFEFF")).otherwise(lit("")))
+      TextOps.stripInvisible(docs.select(col("doc_id"), text.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // q183: the C4 cleaning rules on constructed pages — nine planted
     // lines per page exercise every line filter (no terminal punct,
     // short, javascript) and every page flag (lorem/brace/badword on
@@ -4384,6 +4424,66 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q184: same strings, same codepoint ranges (RE2 \x{…} spelling),
+    // same tie-ordered dominant CASE.
+    "q184_script_profile" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 400),
+        |w AS (SELECT doc_id, tk[1]
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' Привет мир' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' 你好世界' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' γεια' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' かなカナ' ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0 THEN ' 한국어' ELSE '' END AS s
+        |  FROM t WHERE len(tk) >= 1),
+        |c AS (SELECT doc_id,
+        |  CAST(len(s) - len(regexp_replace(s, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{0370}-\x{03FF}]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{0600}-\x{06FF}]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{0590}-\x{05FF}]', '', 'g')) AS BIGINT) AS n_hebrew,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{0900}-\x{097F}]', '', 'g')) AS BIGINT) AS n_devanagari,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{3040}-\x{30FF}]', '', 'g')) AS BIGINT) AS n_kana,
+        |  CAST(len(s) - len(regexp_replace(s, '[\x{AC00}-\x{D7AF}]', '', 'g')) AS BIGINT) AS n_hangul
+        |  FROM w),
+        |g AS (SELECT *, GREATEST(n_latin, n_cyrillic, n_greek, n_arabic,
+        |    n_hebrew, n_devanagari, n_han, n_kana, n_hangul) AS m FROM c)
+        |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+        |  n_devanagari, n_han, n_kana, n_hangul,
+        |  CASE WHEN m = 0 THEN 'none'
+        |    WHEN n_latin = m THEN 'latin'
+        |    WHEN n_cyrillic = m THEN 'cyrillic'
+        |    WHEN n_greek = m THEN 'greek'
+        |    WHEN n_arabic = m THEN 'arabic'
+        |    WHEN n_hebrew = m THEN 'hebrew'
+        |    WHEN n_devanagari = m THEN 'devanagari'
+        |    WHEN n_han = m THEN 'han'
+        |    WHEN n_kana = m THEN 'kana'
+        |    ELSE 'hangul' END AS dominant_script
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // q185: the invisible class spelled in RE2; chr() plants the
+    // same codepoints the engine's literals carry.
+    "q185_strip_invisible" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 400),
+        |w AS (SELECT doc_id, tk[1] || chr(8203) || tk[2]
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(173) ELSE ' ' END
+        |    || tk[3]
+        |    || CASE WHEN doc_id % 5 = 0 THEN chr(65279) ELSE '' END AS s
+        |  FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id,
+        |  CAST(len(s) - len(regexp_replace(s,
+        |    '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'))
+        |    AS BIGINT) AS n_invisible,
+        |  regexp_replace(s,
+        |    '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]', '', 'g')
+        |    AS cleaned_text
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     // q183: rebuild the nine lines, replay the line filter
     // (list_filter), the terminal-mark sentence count, the page

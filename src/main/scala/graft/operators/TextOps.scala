@@ -1345,6 +1345,63 @@ object TextOps {
     result
   }
 
+  /** Per-document Unicode SCRIPT profile — the writing-system signal
+    * under language ID ([[graft.operators.Kpis]] q33's n-gram
+    * heuristic tells en from de; it cannot tell "this page is
+    * Cyrillic" or "this is CJK with Latin boilerplate", which is the
+    * FIRST routing decision a multilingual crawl makes). Counts
+    * characters per script by EXPLICIT codepoint ranges (not
+    * engine-specific script classes — the ranges mean the same bytes
+    * in Java regex and RE2, so a DuckDB oracle counts identically,
+    * q184): Latin (ASCII letters + Latin-1/Extended), Cyrillic,
+    * Greek, Arabic, Hebrew, Devanagari, Han, Kana
+    * (Hiragana+Katakana), Hangul. `dominant_script` is the argmax
+    * with a FIXED precedence order on ties (the declaration order
+    * below), 'none' when no scripted character occurs. Pure
+    * row-local length-difference counting — one codegen pass. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    val counts = Seq(
+      "latin" -> cnt("[A-Za-z\\u00C0-\\u024F]"),
+      "cyrillic" -> cnt("[\\u0400-\\u04FF]"),
+      "greek" -> cnt("[\\u0370-\\u03FF]"),
+      "arabic" -> cnt("[\\u0600-\\u06FF]"),
+      "hebrew" -> cnt("[\\u0590-\\u05FF]"),
+      "devanagari" -> cnt("[\\u0900-\\u097F]"),
+      "han" -> cnt("[\\u4E00-\\u9FFF]"),
+      "kana" -> cnt("[\\u3040-\\u30FF]"),
+      "hangul" -> cnt("[\\uAC00-\\uD7AF]"))
+    val named = counts.map { case (n, c) => c.as(s"n_$n") }
+    val m = greatest(counts.map(_._2): _*)
+    val dominant = counts.foldRight(lit("none")) { case ((n, c), acc) =>
+      when(m > 0 && c === m, n).otherwise(acc)
+    }
+    // foldRight keeps declaration order as precedence: the FIRST
+    // script reaching the max wins the tie
+    df.select((col(idCol).as("doc_id") +: named :+
+      dominant.as("dominant_script")): _*)
+  }
+
+  /** Invisible/format-character hygiene — zero-width spaces and
+    * joiners, soft hyphens, BOMs, and directionality marks survive
+    * copy-paste into web text, split tokens invisibly (breaking
+    * dedup keys and tokenizers), and are a known spam/cloaking
+    * vector; every serious corpus pipeline strips them before
+    * fingerprinting. Counts then removes them: (doc_id,
+    * n_invisible, cleaned_text). The class — ZWSP/ZWNJ/ZWJ (200B–D),
+    * word joiner (2060), BOM/ZWNBSP (FEFF), soft hyphen (AD),
+    * LRM/RLM (200E–F) — is explicit codepoints, engine-neutral
+    * (q185). Row-local, one codegen pass. */
+  def stripInvisible(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cls = "[\\u200B\\u200C\\u200D\\u200E\\u200F\\u2060\\uFEFF\\u00AD]"
+    val cleaned = regexp_replace(col(textCol), cls, "")
+    df.select(col(idCol).as("doc_id"),
+      (length(col(textCol)) - length(cleaned)).cast("long").as("n_invisible"),
+      cleaned.as("cleaned_text"))
+  }
+
   /** The C4 cleaning rules (Raffel et al. 2020 §2.2 — the other
     * canonical web-corpus gate next to [[gopherRules]], which
     * REJECTS whole documents; C4 additionally EDITS them at line

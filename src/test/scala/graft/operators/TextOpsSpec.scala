@@ -657,6 +657,40 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(blanks == ((3L, 5L, 2L, "a\n\nb")))
   }
 
+  test("scriptProfile: mixed-script counts, dominant with fixed tie precedence") {
+    val docs = Seq(
+      (1L, "hello Привет мир"),
+      (2L, "日本語 かな カナ text"),
+      (3L, "12345 .,!?"),
+      (4L, "γεια σου"),
+      (5L, "한국어 테스트")).toDF("doc_id", "text")
+    val got = TextOps.scriptProfile(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def n(id: Long, c: String) = got(id).getAs[Long](s"n_$c")
+    assert(n(1L, "latin") == 5L && n(1L, "cyrillic") == 9L)
+    assert(got(1L).getAs[String]("dominant_script") == "cyrillic")
+    // doc2 ties latin(4) with kana(4): declaration order → latin wins
+    assert(n(2L, "han") == 3L && n(2L, "kana") == 4L && n(2L, "latin") == 4L)
+    assert(got(2L).getAs[String]("dominant_script") == "latin")
+    assert(got(3L).getAs[String]("dominant_script") == "none")
+    assert(n(4L, "greek") == 7L &&
+      got(4L).getAs[String]("dominant_script") == "greek")
+    assert(n(5L, "hangul") == 6L &&
+      got(5L).getAs[String]("dominant_script") == "hangul")
+  }
+
+  test("stripInvisible: zero-widths counted and removed, visible text intact") {
+    val docs = Seq(
+      (1L, "a\u200Bb\u00ADc\uFEFF"),
+      (2L, "clean text"),
+      (3L, "r\u200Etl\u200F \u2060j\u200C\u200D")).toDF("doc_id", "text")
+    val got = TextOps.stripInvisible(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((3L, "abc")))
+    assert(got(2L) == ((0L, "clean text")))
+    assert(got(3L) == ((5L, "rtl j")))
+  }
+
   test("c4Rules: line filters, page flags, and the gate, hand-checked") {
     val pages = Seq(
       (1L, Seq("nav menu home", "This line is fine.", "Too short.",

@@ -1345,6 +1345,57 @@ object TextOps {
     result
   }
 
+  /** DEFLATE compression ratio per document — the cheap
+    * whole-document repetition signal (machine-generated spam, SEO
+    * keyword walls, and template farms compress far better than
+    * prose; n-gram stats ([[repetitionStats]]) see LOCAL repetition,
+    * the compressor sees ALL of it at once, which is why
+    * compression-ratio filters ship in public curation stacks).
+    * Batched mapPartitions with ONE `java.util.zip.Deflater` per
+    * partition (native zlib, reset between docs — allocation-free in
+    * the loop), fixed level for determinism within a JVM/zlib
+    * build; cross-library byte-for-byte output is NOT guaranteed by
+    * the DEFLATE spec, so this is spec-verified (planted repetitive
+    * vs prose ordering, partition invariance), not oracle-hashed —
+    * the documented boundary, same as q46's fixture client. Returns
+    * (doc_id, n_bytes, n_compressed, ratio) with ratio =
+    * n_compressed/n_bytes (low = repetitive), 1.0 for empty docs. */
+  def compressionSignal(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"level must be in [1, 9], got $level")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_bytes",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_compressed",
+        org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+    val ii = df.schema.fieldIndex(idCol)
+    val ti = df.schema.fieldIndex(textCol)
+    val lv = level
+    val counted = df.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(lv)
+      val buf = new Array[Byte](65536)
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val text = if (r.isNullAt(ti)) "" else r.getString(ti)
+        val bytes = text.getBytes("UTF-8")
+        deflater.reset()
+        deflater.setInput(bytes)
+        deflater.finish()
+        var total = 0L
+        while (!deflater.finished()) total += deflater.deflate(buf)
+        org.apache.spark.sql.Row(id, bytes.length.toLong, total)
+      }
+    }(enc)
+    counted.select(col("doc_id"), col("n_bytes"), col("n_compressed"),
+      when(col("n_bytes") > 0,
+        col("n_compressed").cast("double") / col("n_bytes"))
+        .otherwise(lit(1.0)).as("ratio"))
+  }
+
   /** Per-document Unicode SCRIPT profile — the writing-system signal
     * under language ID ([[graft.operators.Kpis]] q33's n-gram
     * heuristic tells en from de; it cannot tell "this page is

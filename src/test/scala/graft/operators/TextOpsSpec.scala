@@ -657,6 +657,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(blanks == ((3L, 5L, 2L, "a\n\nb")))
   }
 
+  test("compressionSignal: repetition compresses; deterministic under partitioning") {
+    val repetitive = Seq.fill(200)("buy cheap pills now").mkString(" ")
+    val rnd = new scala.util.Random(17)
+    val prose = Seq.fill(200)(rnd.alphanumeric.take(16).mkString).mkString(" ")
+    val docs = Seq((1L, repetitive), (2L, prose), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextOps.compressionSignal(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == repetitive.getBytes("UTF-8").length.toLong)
+    assert(got(1L)._4 < 0.1, s"template spam must compress hard: ${got(1L)}")
+    assert(got(2L)._4 > 0.5, s"high-entropy prose must not: ${got(2L)}")
+    assert(got(3L)._4 == 1.0 && got(4L)._4 == 1.0)
+    val re = TextOps.compressionSignal(docs.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(re == got, "partitioning leaked into the compression signal")
+    intercept[IllegalArgumentException] {
+      TextOps.compressionSignal(docs, "doc_id", "text", level = 0)
+    }
+  }
+
   test("scriptProfile: mixed-script counts, dominant with fixed tie precedence") {
     val docs = Seq(
       (1L, "hello Привет мир"),

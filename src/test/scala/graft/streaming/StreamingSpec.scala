@@ -629,4 +629,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaStreamOp == viaBatchOp && viaStreamOp == Set((100L, 900L), (200L, 903L)))
   }
+
+  test("row-local text hygiene (sentences, line dedup, invisibles, C4) streams == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // stateless single-pass operators must run UNCHANGED as stream
+    // stages — the incremental-ingest posture for the cleaning tier
+    val docs = Seq(
+      (1L, "First one. Then two! nav\nnav\nThis line is fine. A\u200BB."),
+      (2L, "lorem ipsum inside. Keep. Out. Go. On. Up."),
+      (3L, "short"))
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(docs: _*)
+    val sdf = stream.toDF().toDF("doc_id", "text")
+    val bdf = docs.toDF("doc_id", "text")
+    def run(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val q = f(sdf).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      val streamed = spark.table(name).collect().map(_.toSeq).toSet
+      val batch = f(bdf).collect().map(_.toSeq).toSet
+      assert(streamed == batch && batch.nonEmpty, name)
+    }
+    run("st_sentences",
+      df => graft.operators.TextOps.sentences(df, "doc_id", "text"))
+    run("st_lines",
+      df => graft.operators.TextOps.dedupDocLines(df, "doc_id", "text"))
+    run("st_invis",
+      df => graft.operators.TextOps.stripInvisible(df, "doc_id", "text"))
+    run("st_c4",
+      df => graft.operators.TextOps.c4Rules(df, "doc_id", "text", Seq("qqbad")))
+  }
 }

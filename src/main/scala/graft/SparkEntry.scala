@@ -2445,6 +2445,48 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q186: the CURATION CHAIN composed — stripInvisible →
+    // dedupDocLines → c4Rules over pages where each stage has real
+    // work: a ZWSP hides inside one line, whose STRIPPED form then
+    // duplicates the next line (so dedup only fires because strip
+    // ran first), and the C4 grid is q183's. Proves the composition,
+    // not just the stages, is hash-stable (the q148 discipline).
+    "q186_curation_chain" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => concat(lit("k"),
+        regexp_replace(element_at(col("t"), i), "[^a-z]", ""))
+      val d = col("doc_id")
+      val text = concat_ws("\n",
+        lit("nav menu home"),
+        concat(lit("The \u200B"), w(1), lit(" runs fine.")),
+        concat(lit("The "), w(1), lit(" runs fine.")),
+        concat(lit("Be "), w(2), lit(".")),
+        lit("Enable javascript to view."),
+        concat(lit("It is very "), w(3), lit(" here. Yes. Ok.")),
+        when(d % 3 === 0, concat(lit("One more "), w(1), lit(" line.")))
+          .otherwise(lit("no terminal here")),
+        when(d % 7 === 0, lit("lorem ipsum dolor sit."))
+          .otherwise(lit("filler line without punct")),
+        when(d % 11 === 0, lit("code { block } here."))
+          .otherwise(lit("plain filler")),
+        when(d % 13 === 0, lit("totally qqbadword here."))
+          .otherwise(lit("more filler")))
+      val raw = docs.select(col("doc_id"), text.as("text"))
+      val stripped = TextOps.stripInvisible(raw, "doc_id", "text")
+      val deduped = TextOps.dedupDocLines(
+        stripped.select(col("doc_id"), col("cleaned_text").as("text")),
+        "doc_id", "text")
+      val c4 = TextOps.c4Rules(
+        deduped.select(col("doc_id"), col("cleaned_text").as("text")),
+        "doc_id", "text", badWords = Seq("qqbadword"))
+      c4.join(stripped.select(col("doc_id"), col("n_invisible")), Seq("doc_id"))
+        .join(deduped.select(col("doc_id"),
+          col("n_dropped").as("n_dup_lines")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q184: Unicode script profile on mixed-script constructions —
     // Cyrillic / Han / Greek / Kana / Hangul fragments planted on an
     // arithmetic grid over the corpus word. Both engines count the
@@ -4424,6 +4466,76 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q186: the full chain replayed stage by stage — build the ten
+    // raw lines WITH the planted ZWSP, strip, re-split, keep-first
+    // dedup, then the q183 C4 replay on the deduped lines.
+    "q186_curation_chain" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 200),
+        |w AS (SELECT doc_id,
+        |    'k' || regexp_replace(tk[1], '[^a-z]', '', 'g') AS w1,
+        |    'k' || regexp_replace(tk[2], '[^a-z]', '', 'g') AS w2,
+        |    'k' || regexp_replace(tk[3], '[^a-z]', '', 'g') AS w3
+        |  FROM t WHERE len(tk) >= 3),
+        |d0 AS (SELECT doc_id, ['nav menu home',
+        |    'The ' || chr(8203) || w1 || ' runs fine.',
+        |    'The ' || w1 || ' runs fine.',
+        |    'Be ' || w2 || '.',
+        |    'Enable javascript to view.',
+        |    'It is very ' || w3 || ' here. Yes. Ok.',
+        |    CASE WHEN doc_id % 3 = 0 THEN 'One more ' || w1 || ' line.'
+        |         ELSE 'no terminal here' END,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit.'
+        |         ELSE 'filler line without punct' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'code { block } here.'
+        |         ELSE 'plain filler' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'totally qqbadword here.'
+        |         ELSE 'more filler' END] AS lines
+        |  FROM w),
+        |s0 AS (SELECT doc_id, array_to_string(lines, chr(10)) AS raw FROM d0),
+        |s1 AS (SELECT doc_id,
+        |    regexp_replace(raw,
+        |      '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]', '', 'g') AS txt,
+        |    CAST(len(raw) - len(regexp_replace(raw,
+        |      '[\x{200B}-\x{200F}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'))
+        |      AS BIGINT) AS n_invisible
+        |  FROM s0),
+        |l AS (SELECT doc_id, string_split(txt, chr(10)) AS lines FROM s1),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS ord,
+        |    lines[CAST(r.i AS INT)] AS line
+        |  FROM l, unnest(range(1, len(lines) + 1)) AS r(i)),
+        |f AS (SELECT doc_id, line, MIN(ord) AS ord
+        |      FROM u GROUP BY doc_id, line),
+        |dd AS (SELECT doc_id, CAST(10 - COUNT(*) AS BIGINT) AS n_dup_lines
+        |       FROM f GROUP BY doc_id),
+        |dl AS (SELECT doc_id, list(line ORDER BY ord) AS lines
+        |       FROM f GROUP BY doc_id),
+        |k AS (SELECT doc_id, lines,
+        |    list_filter(lines, l -> right(l, 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split_regex(l, '\s+')) >= 3
+        |      AND l NOT LIKE '%javascript%') AS kept
+        |  FROM dl),
+        |c AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(COALESCE(list_sum(list_transform(kept,
+        |      l -> len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))), 0)
+        |      AS BIGINT) AS n_sentences,
+        |    doc_id % 7 = 0 AS has_lorem,
+        |    doc_id % 11 = 0 AS has_brace,
+        |    doc_id % 13 = 0 AS has_badword,
+        |    CASE WHEN len(kept) > 0
+        |      THEN array_to_string(kept, chr(10)) END AS cleaned_text
+        |  FROM k)
+        |SELECT c.doc_id, n_lines, n_kept, n_sentences,
+        |  has_lorem, has_brace, has_badword,
+        |  n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND NOT has_badword AS passes_c4,
+        |  cleaned_text, s1.n_invisible, dd.n_dup_lines
+        |FROM c JOIN s1 ON c.doc_id = s1.doc_id
+        |JOIN dd ON c.doc_id = dd.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
 
     // q184: same strings, same codepoint ranges (RE2 \x{…} spelling),
     // same tie-ordered dominant CASE.

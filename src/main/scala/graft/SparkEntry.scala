@@ -2445,6 +2445,31 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q187: k-TRUSS edge peeling — a K4 (every edge closes 2
+    // triangles: the 4-truss), a triangle hung off it (support 1 —
+    // peels), and a pendant edge (support 0 — peels first). DuckDB
+    // unrolls the 3 rounds: wedge join → per-edge support → filter.
+    "q187_k_truss" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 6)
+      val a0 = when(col("doc_id") < 3, 0L).when(col("doc_id") < 5, 1L)
+        .otherwise(2L)
+      val b0 = when(col("doc_id") === 0, 1L).when(col("doc_id") === 1, 2L)
+        .when(col("doc_id") === 2, 3L).when(col("doc_id") === 3, 2L)
+        .when(col("doc_id") === 4, 3L).otherwise(3L)
+      val ta = when(col("doc_id") === 0, 3L).when(col("doc_id") === 1, 3L)
+        .otherwise(10L)
+      val tb = when(col("doc_id") === 0, 10L).otherwise(11L)
+      val edges = ids.select(a0.as("src"), b0.as("dst"))
+        .unionByName(ids.filter(col("doc_id") < 3)
+          .select(ta.as("src"), tb.as("dst")))
+        .unionByName(ids.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 11).as("src"),
+            (col("doc_id") + 20).as("dst")))
+      operators.Graph.kTruss(edges, "src", "dst", k = 4, rounds = 3)
+        .orderBy(col("lo"), col("hi"))
+    }),
+
     // q186: the CURATION CHAIN composed — stripInvisible →
     // dedupDocLines → c4Rules over pages where each stage has real
     // work: a ZWSP hides inside one line, whose STRIPPED form then
@@ -4467,6 +4492,62 @@ object SparkEntry {
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
 
+    // q187: three unrolled truss-peel rounds + the final support
+    // recount — wedge join, 3-way support explode, left-join filter
+    // at k−2 = 2.
+    "q187_k_truss" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |p AS (SELECT
+        |  CASE WHEN doc_id < 3 THEN 0 WHEN doc_id < 5 THEN 1 ELSE 2 END AS a,
+        |  CASE doc_id WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 3 END AS b
+        |  FROM ids),
+        |tri AS (SELECT
+        |  CASE doc_id WHEN 0 THEN 3 WHEN 1 THEN 3 ELSE 10 END AS a,
+        |  CASE doc_id WHEN 0 THEN 10 ELSE 11 END AS b
+        |  FROM ids WHERE doc_id < 3),
+        |raw AS (SELECT a, b FROM p UNION ALL SELECT a, b FROM tri
+        |  UNION ALL SELECT doc_id + 11, doc_id + 20 FROM ids WHERE doc_id = 0),
+        |e0 AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |       FROM raw WHERE a <> b),
+        |t1 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e0 e1
+        |  JOIN e0 e2 ON e1.hi = e2.lo
+        |  JOIN e0 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |s1 AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |    SELECT a AS lo, b AS hi FROM t1
+        |    UNION ALL SELECT b, c FROM t1
+        |    UNION ALL SELECT a, c FROM t1) u GROUP BY 1, 2),
+        |e1 AS MATERIALIZED (SELECT e.lo, e.hi FROM e0 e LEFT JOIN s1
+        |  ON e.lo = s1.lo AND e.hi = s1.hi WHERE COALESCE(s1.s, 0) >= 2),
+        |t2 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e1
+        |  JOIN e1 e2 ON e1.hi = e2.lo
+        |  JOIN e1 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |s2 AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |    SELECT a AS lo, b AS hi FROM t2
+        |    UNION ALL SELECT b, c FROM t2
+        |    UNION ALL SELECT a, c FROM t2) u GROUP BY 1, 2),
+        |e2 AS MATERIALIZED (SELECT e.lo, e.hi FROM e1 e LEFT JOIN s2
+        |  ON e.lo = s2.lo AND e.hi = s2.hi WHERE COALESCE(s2.s, 0) >= 2),
+        |t3 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e2 e1
+        |  JOIN e2 ON e1.hi = e2.lo
+        |  JOIN e2 e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |s3 AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |    SELECT a AS lo, b AS hi FROM t3
+        |    UNION ALL SELECT b, c FROM t3
+        |    UNION ALL SELECT a, c FROM t3) u GROUP BY 1, 2),
+        |e3 AS MATERIALIZED (SELECT e.lo, e.hi FROM e2 e LEFT JOIN s3
+        |  ON e.lo = s3.lo AND e.hi = s3.hi WHERE COALESCE(s3.s, 0) >= 2),
+        |t4 AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM e3 e1
+        |  JOIN e3 e2 ON e1.hi = e2.lo
+        |  JOIN e3 x ON x.lo = e1.lo AND x.hi = e2.hi),
+        |s4 AS (SELECT lo, hi, CAST(COUNT(*) AS BIGINT) AS s FROM (
+        |    SELECT a AS lo, b AS hi FROM t4
+        |    UNION ALL SELECT b, c FROM t4
+        |    UNION ALL SELECT a, c FROM t4) u GROUP BY 1, 2)
+        |SELECT e.lo, e.hi, COALESCE(s4.s, 0) AS support
+        |FROM e3 e LEFT JOIN s4 ON e.lo = s4.lo AND e.hi = s4.hi
+        |ORDER BY e.lo, e.hi""".stripMargin,
+
     // q186: the full chain replayed stage by stage — build the ten
     // raw lines WITH the planted ZWSP, strip, re-split, keep-first
     // dedup, then the q183 C4 replay on the deduped lines.
@@ -4894,16 +4975,16 @@ object SparkEntry {
         |  SELECT doc_id * 0 + 200, doc_id + 201 FROM ids WHERE doc_id < 8),
         |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
         |        FROM raw WHERE a <> b),
-        |e0 AS (SELECT u AS x, v AS y FROM und
+        |e0 AS MATERIALIZED (SELECT u AS x, v AS y FROM und
         |       UNION ALL SELECT v, u FROM und),
         |k1 AS (SELECT x FROM e0 GROUP BY x HAVING COUNT(*) >= 2),
-        |e1 AS (SELECT e.x, e.y FROM e0 e
+        |e1 AS MATERIALIZED (SELECT e.x, e.y FROM e0 e
         |       JOIN k1 a ON e.x = a.x JOIN k1 b ON e.y = b.x),
         |k2 AS (SELECT x FROM e1 GROUP BY x HAVING COUNT(*) >= 2),
-        |e2 AS (SELECT e.x, e.y FROM e1 e
+        |e2 AS MATERIALIZED (SELECT e.x, e.y FROM e1 e
         |       JOIN k2 a ON e.x = a.x JOIN k2 b ON e.y = b.x),
         |k3 AS (SELECT x FROM e2 GROUP BY x HAVING COUNT(*) >= 2),
-        |e3 AS (SELECT e.x, e.y FROM e2 e
+        |e3 AS MATERIALIZED (SELECT e.x, e.y FROM e2 e
         |       JOIN k3 a ON e.x = a.x JOIN k3 b ON e.y = b.x),
         |k4 AS (SELECT x FROM e3 GROUP BY x HAVING COUNT(*) >= 2),
         |e4 AS (SELECT e.x, e.y FROM e3 e

@@ -289,11 +289,13 @@ object Graph {
     *
     * Scale shape: per iteration TWO shuffle joins (hub ⋈ edges on
     * src, auth ⋈ edges on dst) + two hash aggregates; the 1-row
-    * normalizer totals ride as broadcast cross joins (their
-    * underlying shuffle is shared with the raw-score aggregate via
-    * ReuseExchange). Edges/nodes persisted once; hub lineage
-    * checkpointed every 3 rounds ([[Dedup.connectedComponents]]
-    * hygiene). Returns (node, auth_units, hub_units) for every node. */
+    * normalizer totals ride as broadcast cross joins. Edges/nodes
+    * persisted once; the node-sized score tables are MATERIALIZED
+    * every half-step — each raw aggregate is referenced twice
+    * (normalizer + rebase), so an unmaterialized lineage quadruples
+    * per iteration and re-executes the duplicated subtrees (see the
+    * in-loop comment; measured). Returns (node, auth_units,
+    * hub_units) for every node. */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
               iterations: Int, scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
@@ -315,8 +317,18 @@ object Graph {
           "mass stays positive (otherwise a normalizer total can hit 0)")
       var hub = nodes.select(col("node"), lit(scale / n).as("hub"))
       var auth: DataFrame = null
-      var lastCkpt: DataFrame = null
-      for (i <- 1 to iterations) {
+      var lastA: DataFrame = null
+      var lastH: DataFrame = null
+      // each half-step references its raw aggregate TWICE (the
+      // normalizer total and the rebase join), so an untruncated
+      // lineage QUADRUPLES per iteration and Spark re-executes the
+      // duplicated subtrees — measured as 95 CPU-seconds on a
+      // 50-edge graph at 2 iterations (r10 bench). Materializing the
+      // node-sized score tables every half-step keeps each raw
+      // aggregate's subtree one join deep; this is also the standard
+      // power-iteration posture at scale (the [[kCore]] lesson at
+      // the score grain).
+      for (_ <- 1 to iterations) {
         val rawA = hub.join(e, hub("node") === e("src"))
           .groupBy(col("dst")).agg(sum(col("hub")).as("__s"))
         val totA = rawA.agg(sum(col("__s")).as("__t"))
@@ -325,6 +337,9 @@ object Graph {
           .select(nodes("node"),
             expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
               .as("auth"))
+          .localCheckpoint()
+        if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
+        lastA = auth
         val rawH = auth.join(e, auth("node") === e("dst"))
           .groupBy(col("src")).agg(sum(col("auth")).as("__s"))
         val totH = rawH.agg(sum(col("__s")).as("__t"))
@@ -333,18 +348,15 @@ object Graph {
           .select(nodes("node"),
             expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
               .as("hub"))
-        if (i % 3 == 0 && i < iterations) {
-          // only hub feeds the next iteration, so truncating ITS
-          // lineage bounds the whole plan (auth(i+1) hangs off hub(i))
-          hub = hub.localCheckpoint()
-          if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
-          lastCkpt = hub
-        }
+          .localCheckpoint()
+        if (lastH != null) Dedup.CheckpointHygiene.free(lastH)
+        lastH = hub
       }
       val result = auth.join(hub, "node")
         .select(col("node"), col("auth"), col("hub"))
         .localCheckpoint()
-      if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+      if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
+      if (lastH != null) Dedup.CheckpointHygiene.free(lastH)
       result
     } finally {
       e.unpersist(); nodes.unpersist()
@@ -510,6 +522,72 @@ object Graph {
     }
     val out = sym.groupBy(col("x")).agg(count(lit(1)).as("core_deg"))
       .select(col("x").as("node"), col("core_deg"))
+    val result = out.localCheckpoint()
+    Dedup.CheckpointHygiene.free(lastCkpt)
+    result
+  }
+
+  /** k-truss of the undirected simple graph (Cohen 2008) by bounded
+    * EDGE peeling — the edge-grain sibling of [[kCore]]: each round
+    * recomputes every surviving edge's triangle SUPPORT (triangles
+    * it closes inside the surviving subgraph) and drops edges with
+    * support < k−2; the fixed point is the maximal subgraph where
+    * every edge participates in ≥ k−2 triangles. Where the k-core
+    * asks "does this node keep k neighbors", the truss asks "do
+    * these two endpoints keep k−2 COMMON neighbors" — the stronger
+    * cohesion test that separates genuinely clustered link blocks
+    * from stars and chains (a hub node survives deep cores but its
+    * spokes close no triangles, so the truss sheds them).
+    *
+    * Runs EXACTLY `rounds` peels — idempotent at the fixed point,
+    * same contract and same reason as [[kCore]] (a pure function of
+    * (edges, k, rounds) that q187 unrolls in DuckDB). Shape per
+    * round: the [[triangleCounts]] wedge join on the (lo, hi)
+    * orientation (each triangle enumerated once), a 3-way explode to
+    * per-edge support, one aggregate, one filter — and the edge set
+    * is materialized every round (the [[kCore]] hygiene; the wedge
+    * join reads it three times). Returns the surviving edges with
+    * their in-truss support: (lo, hi, support). */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String,
+             k: Int, rounds: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    def truncate(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+    def support(e: DataFrame): DataFrame = {
+      val ab = e.select(col("lo").as("a"), col("hi").as("b"))
+      val bc = e.select(col("lo").as("b"), col("hi").as("c"))
+      val ac = e.select(col("lo").as("a"), col("hi").as("c"))
+      ab.join(bc, Seq("b")).join(ac, Seq("a", "c"))
+        .select(explode(array(
+          struct(col("a").as("lo"), col("b").as("hi")),
+          struct(col("b").as("lo"), col("c").as("hi")),
+          struct(col("a").as("lo"), col("c").as("hi")))).as("__e"))
+        .select(col("__e.lo").as("lo"), col("__e.hi").as("hi"))
+        .groupBy(col("lo"), col("hi"))
+        .agg(count(lit(1)).as("support"))
+    }
+    var e = truncate(edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct())
+    var lastCkpt = e
+    for (_ <- 1 to rounds) {
+      e = truncate(e.join(support(e), Seq("lo", "hi"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= k - 2)
+        .select(col("lo"), col("hi")))
+      Dedup.CheckpointHygiene.free(lastCkpt)
+      lastCkpt = e
+    }
+    val out = e.join(support(e), Seq("lo", "hi"), "left")
+      .select(col("lo"), col("hi"),
+        coalesce(col("support"), lit(0L)).as("support"))
     val result = out.localCheckpoint()
     Dedup.CheckpointHygiene.free(lastCkpt)
     result

@@ -78,10 +78,12 @@ object Snapshots {
   }
 
   private[sources] def writeManifest(fs: FileSystem, root: String, v: Int,
-      op: String, files: Seq[String]): Unit = {
+      op: String, files: Seq[String],
+      batchId: Option[Long] = None): Unit = {
     val tmp = new Path(root, f"$ManifestDir/.v$v%05d.tmp")
     val out = fs.create(tmp, true)
     try out.write((s"version=$v\noperation=$op\n" +
+      batchId.map(b => s"batch_id=$b\n").getOrElse("") +
       files.map("file=" + _).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = manifestPath(root, v)
@@ -133,6 +135,56 @@ object Snapshots {
     writeManifest(fs, root, next,
       if (overwrite || prev.isEmpty) "overwrite" else "append", files)
     next
+  }
+
+  /** [[commit]] for Structured Streaming `foreachBatch` — the
+    * exactly-once sink pattern: the manifest records the micro-batch
+    * id, and a replayed batch (restart after a sink failure, the
+    * at-least-once delivery foreachBatch gives) is detected by
+    * scanning committed batch ids and SKIPPED, so the table sees
+    * each micro-batch exactly once. Returns the committed version,
+    * or None when the batch had already landed (or was empty — an
+    * empty micro-batch is a heartbeat, not table state). Usage:
+    * `.writeStream.foreachBatch((df, id) =>
+    *    Snapshots.commitBatch(df, root, id): Unit)`. */
+  def commitBatch(df: DataFrame, root: String, batchId: Long,
+      overwrite: Boolean = false): Option[Int] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, root)
+    val already = versions(fs, root).exists { v =>
+      batchIdOf(fs, root, v).contains(batchId)
+    }
+    if (already || df.isEmpty) None
+    else {
+      val prev = versions(fs, root)
+      val next = if (prev.isEmpty) 1 else prev.max + 1
+      val fresh = stage(df, root, next)
+      val files =
+        if (overwrite || prev.isEmpty) fresh
+        else readManifest(fs, root, prev.max)._2 ++ fresh
+      writeManifest(fs, root, next,
+        if (overwrite || prev.isEmpty) "overwrite" else "append", files,
+        Some(batchId))
+      Some(next)
+    }
+  }
+
+  private def batchIdOf(fs: FileSystem, root: String,
+      v: Int): Option[Long] = {
+    val p = manifestPath(root, v)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      text.split("\n").collectFirst {
+        case l if l.startsWith("batch_id=") =>
+          l.stripPrefix("batch_id=").toLong
+      }
+    }
   }
 
   /** Read snapshot `version` (latest when negative) — exactly the

@@ -297,6 +297,41 @@ class GraphSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { Graph.kCore(df, "s", "d", 2, 0) }
   }
 
+  test("kTruss: the K4 survives at k=4, attached triangle and pendant peel away") {
+    val k4 = for (a <- 0L until 4L; b <- (a + 1) until 4L) yield (a, b)
+    val tri = Seq((3L, 10L), (3L, 11L), (10L, 11L))
+    val pendant = Seq((11L, 20L))
+    val edges = (k4 ++ tri ++ pendant).toDF("s", "d")
+    val got = Graph.kTruss(edges, "s", "d", k = 4, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == k4.map(_ -> 2L).toMap,
+      s"4-truss must be exactly the K4 with support 2: $got")
+    // idempotence past the fixed point + partition invariance
+    val more = Graph.kTruss(edges.repartition(7), "s", "d", 4, 6)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(more == got)
+    // k=3 keeps every triangle (support >= 1): the pendant alone dies
+    val k3 = Graph.kTruss(edges, "s", "d", 3, 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2)).toSet
+    assert(k3 == (k4 ++ tri).toSet, s"3-truss: $k3")
+  }
+
+  test("kTruss: peeling cascades through a triangle strip; guards") {
+    // triangles (0,1,2),(1,2,3),(2,3,4) share edges: the shared edges
+    // have support 2, the rim support 1 — at k=4 the rim dies round 1,
+    // which orphans the shared edges (support drops to 0) round 2
+    val strip = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (2L, 4L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.kTruss(strip, "s", "d", k = 4, rounds = 3).isEmpty,
+      "the strip has no 4-truss — peeling must cascade to empty")
+    val one = Graph.kTruss(strip, "s", "d", k = 4, rounds = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(one.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 3L)),
+      "after ONE round only the shared edges remain (their support was 2)")
+    intercept[IllegalArgumentException] { Graph.kTruss(strip, "s", "d", 1, 3) }
+    intercept[IllegalArgumentException] { Graph.kTruss(strip, "s", "d", 4, 0) }
+  }
+
   /** driver-side replay of synchronous most-frequent-min-tie LPA */
   private def lpaReplay(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val und = edges.filter(e => e._1 != e._2)

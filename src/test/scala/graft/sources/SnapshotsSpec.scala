@@ -68,6 +68,47 @@ class SnapshotsSpec extends SparkTestBase {
     }
   }
 
+  test("commitBatch: foreachBatch replays are exactly-once; empty batches skip") {
+    val path = tmp()
+    // micro-batch 0 lands
+    assert(Snapshots.commitBatch(spark.range(0, 3).toDF(), path, batchId = 0)
+      .contains(1))
+    // sink failure → foreachBatch REPLAYS batch 0: must be a no-op
+    assert(Snapshots.commitBatch(spark.range(0, 3).toDF(), path, batchId = 0)
+      .isEmpty)
+    assert(rows(path) == Set(0L, 1L, 2L))
+    // batch 1 appends; an empty heartbeat batch commits nothing
+    assert(Snapshots.commitBatch(spark.range(10, 12).toDF(), path, batchId = 1)
+      .contains(2))
+    assert(Snapshots.commitBatch(spark.range(0, 0).toDF(), path, batchId = 2)
+      .isEmpty)
+    assert(rows(path) == Set(0L, 1L, 2L, 10L, 11L))
+    assert(Snapshots.latestVersion(spark, path).contains(2))
+    // end to end through a real streaming query: two micro-batches,
+    // then the same data replayed into a second query with the same
+    // batch ids via a fresh stream — the table must not double-count
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream2 = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val path2 = tmp()
+    def runOnce(): Unit = {
+      val q = stream2.toDF().toDF("id").writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          { Snapshots.commitBatch(df, path2, id); () })
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    stream2.addData(100L, 101L)
+    runOnce()
+    assert(rows(path2) == Set(100L, 101L))
+    val v = Snapshots.latestVersion(spark, path2)
+    // replay the same batch id against the committed table directly
+    assert(Snapshots.commitBatch(Seq(100L, 101L).toDF("id"), path2, 0L).isEmpty)
+    assert(Snapshots.latestVersion(spark, path2) == v,
+      "a replayed micro-batch must not advance the table")
+  }
+
   test("a concurrent commit to the same version fails loudly, table intact") {
     val path = tmp()
     Snapshots.commit(spark.range(0, 3).toDF(), path)

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Packing, TextOps}
+import graft.sources.{Maintenance, Snapshots, Tables}
+
+/** The SERVING TAIL of the pretraining-data path as one tested
+  * lifecycle: hygiene → exact dedup → token counting → sequence
+  * packing → byte-targeted shard write → snapshot commit → next-day
+  * incremental append → time travel. Every stage is an
+  * already-oracle/spec-verified operator; what this pins is the GLUE
+  * — conservation laws across stage boundaries (no doc lost or
+  * duplicated, no token minted, no bin over budget) and that the
+  * snapshot history stays readable as days land. */
+class PretrainE2ESpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def day(lo: Long, hi: Long) = {
+    val docs = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), col("text"))
+    // hygiene (row-local, no-ops on clean text but in-path on purpose)
+    val clean = TextOps.dedupDocLines(
+        TextOps.stripInvisible(docs, "doc_id", "text")
+          .select(col("doc_id"), col("cleaned_text").as("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    Dedup.exactDedup(clean, "doc_id", "text")
+      .select(col("doc_id"), col("text"),
+        graft.functions.token_count(col("text")).as("n_tokens"),
+        (col("doc_id") % 3).as("source"))
+  }
+
+  test("gate→dedup→pack→sized shards→snapshot: conservation at every boundary") {
+    val budget = 256L
+    val d1 = day(0, 150).persist()
+    val nDocs = d1.count()
+    val nTokens = d1.agg(sum(col("n_tokens"))).as[Long].head()
+    assert(nDocs > 0 && nTokens > 0)
+
+    // pack per source in doc_id order
+    val packed = Packing.packGreedy(d1, "source", "doc_id", "n_tokens", budget)
+    assert(packed.count() == nDocs, "packing must not drop or duplicate docs")
+    val bins = Packing.packSummary(packed, "source", "n_tokens")
+    // token conservation + budget law: a bin exceeds the budget only
+    // when a single over-budget doc owns it alone
+    assert(bins.agg(sum(col("bin_tokens"))).as[Long].head() == nTokens)
+    val over = bins.filter(col("bin_tokens") > budget && col("n_docs") > 1)
+    assert(over.isEmpty, s"multi-doc bin over budget: ${over.collect().toSeq}")
+
+    // byte-targeted shard write, then snapshot-commit the SAME rows
+    val shardDir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    Maintenance.sizedWrite(packed, shardDir, targetBytes = 64L << 10)
+    val reread = spark.read.parquet(shardDir)
+    assert(reread.count() == nDocs, "sized shards must conserve rows")
+
+    val table = java.nio.file.Files.createTempDirectory("graft_pretrain_").toString
+    val v1 = Snapshots.commit(spark.read.parquet(shardDir), table)
+
+    // day 2 lands incrementally (same pack stage); day-1 snapshot
+    // must not move
+    val d2 = Packing.packGreedy(day(150, 300), "source", "doc_id",
+      "n_tokens", budget)
+    val v2 = Snapshots.commit(d2.select(reread.columns.map(col): _*), table)
+    val day1Rows = Snapshots.readSnapshot(spark, table, v1).count()
+    val latestRows = Snapshots.readSnapshot(spark, table).count()
+    assert(day1Rows == nDocs, "time travel: day-1 snapshot moved")
+    assert(latestRows == nDocs + d2.count(), "append lost rows")
+    assert(v2 == v1 + 1)
+
+    // the loader-facing check: every (source, bin) is a contiguous
+    // doc_id run — packing order is reproducible from the table alone
+    val runs = Snapshots.readSnapshot(spark, table, v1)
+      .groupBy(col("source"), col("bin"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        count(lit(1)).as("n"))
+    val broken = runs.join(
+        Snapshots.readSnapshot(spark, table, v1).select(
+          col("source"), col("doc_id")),
+        Seq("source"))
+      .filter(col("doc_id") >= col("lo") && col("doc_id") <= col("hi"))
+      .groupBy(col("source"), col("bin"), col("n"))
+      .agg(count(lit(1)).as("inRange"))
+      .filter(col("inRange") =!= col("n"))
+    assert(broken.isEmpty,
+      s"bins must be contiguous doc_id runs: ${broken.collect().toSeq}")
+    d1.unpersist()
+  }
+}

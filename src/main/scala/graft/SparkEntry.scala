@@ -2445,6 +2445,31 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q188: interleaved image–text sequence assembly (the MMC4
+    // document shape) — three text segments at even positions, two
+    // media refs at odd positions per doc; DuckDB replays the union
+    // + per-doc ROW_NUMBER over the same (pos, kind, content) total
+    // order.
+    "q188_interleave" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val texts = base.select(col("doc_id"),
+          explode(array(
+            struct(lit(0L).as("p"), element_at(col("t"), 1).as("txt")),
+            struct(lit(2L).as("p"), element_at(col("t"), 2).as("txt")),
+            struct(lit(4L).as("p"), element_at(col("t"), 3).as("txt"))))
+            .as("__s"))
+        .select(col("doc_id"), col("__s.p").as("p"), col("__s.txt").as("txt"))
+      val media = base.select(col("doc_id"),
+          explode(array(lit(1L), lit(3L))).as("p"))
+        .select(col("doc_id"), col("p"),
+          concat(lit("img-"), col("doc_id") * 7 + col("p")).as("ref"))
+      Multimodal.interleave(texts, "doc_id", "p", "txt",
+          media, "doc_id", "p", "ref")
+        .orderBy(col("doc_id"), col("seq_idx"))
+    }),
+
     // q187: k-TRUSS edge peeling — a K4 (every edge closes 2
     // triangles: the 4-truss), a triangle hung off it (support 1 —
     // peels), and a pendant edge (support 0 — peels first). DuckDB
@@ -4491,6 +4516,30 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q188: union + per-doc ROW_NUMBER over the identical
+    // (pos, kind, content) total order; text ties before media.
+    "q188_interleave" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |b AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 3),
+        |u AS (
+        |  SELECT doc_id, 0 AS p, 0 AS k, tk[1] AS text,
+        |    CAST(NULL AS VARCHAR) AS media_ref FROM b
+        |  UNION ALL SELECT doc_id, 2, 0, tk[2], NULL FROM b
+        |  UNION ALL SELECT doc_id, 4, 0, tk[3], NULL FROM b
+        |  UNION ALL SELECT doc_id, 1, 1, NULL,
+        |    'img-' || (doc_id * 7 + 1) FROM b
+        |  UNION ALL SELECT doc_id, 3, 1, NULL,
+        |    'img-' || (doc_id * 7 + 3) FROM b)
+        |SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY p, k, COALESCE(text, media_ref)) - 1 AS BIGINT)
+        |    AS seq_idx,
+        |  CASE WHEN k = 0 THEN 'text' ELSE 'media' END AS kind,
+        |  text, media_ref
+        |FROM u ORDER BY doc_id, seq_idx""".stripMargin,
 
     // q187: three unrolled truss-peel rounds + the final support
     // recount — wedge join, 3-way support explode, left-join filter

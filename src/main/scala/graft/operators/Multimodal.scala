@@ -417,6 +417,45 @@ object Multimodal {
       (col("sum_sq") > 0L).as("active"))
   }
 
+  /** Assemble INTERLEAVED image–text training sequences (the
+    * MMC4/OBELICS document shape): text segments and media
+    * references, each carrying a per-document position, merge into
+    * one ordered sequence per document — the row layout a multimodal
+    * training loader consumes ((doc, seq_idx) → text XOR media).
+    * Text wins position ties (captions precede their image at equal
+    * pos, the public interleaved-corpus convention), and the final
+    * tiebreak is content, so the sequence is a total order — a pure
+    * function of the inputs, replayable cross-engine (q188).
+    *
+    * `media` carries an opaque reference (sha/uri/id), NOT payload
+    * bytes: the sequence table stays skinny and payloads stay in
+    * their own store keyed by the reference ([[withMediaMeta]]'s
+    * content-hash is the natural key). Shape: one union + one
+    * per-document window (partitioned by doc_id — node-sized
+    * partitions, never global) + the per-doc counts aggregate
+    * broadcast back. */
+  def interleave(texts: DataFrame, textIdCol: String, textPosCol: String,
+      textCol: String, media: DataFrame, mediaIdCol: String,
+      mediaPosCol: String, mediaRefCol: String): DataFrame = {
+    val t = texts.select(col(textIdCol).cast("long").as("doc_id"),
+      col(textPosCol).cast("long").as("__pos"), lit(0).as("__k"),
+      col(textCol).cast("string").as("text"),
+      lit(null).cast("string").as("media_ref"))
+    val m = media.select(col(mediaIdCol).cast("long").as("doc_id"),
+      col(mediaPosCol).cast("long").as("__pos"), lit(1).as("__k"),
+      lit(null).cast("string").as("text"),
+      col(mediaRefCol).cast("string").as("media_ref"))
+    val u = t.unionByName(m)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("__pos"), col("__k"),
+        coalesce(col("text"), col("media_ref")))
+    u.select(col("doc_id"),
+        (row_number().over(w) - 1).cast("long").as("seq_idx"),
+        when(col("__k") === 0, "text").otherwise("media").as("kind"),
+        col("text"), col("media_ref"))
+  }
+
   /** Encode one patterned grayscale PNG per row — the discriminative
     * media fixture generator ([[encodeSolidPng]]'s sibling): pixel
     * (x, y) carries gray

@@ -1275,6 +1275,30 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L).isEmpty)
   }
 
+  test("interleave: merged order, text-before-image ties, per-doc sequence ids") {
+    val texts = Seq((1L, 0L, "intro"), (1L, 2L, "middle"), (1L, 4L, "outro"),
+      (2L, 0L, "solo")).toDF("d", "p", "txt")
+    val media = Seq((1L, 1L, "sha-a"), (1L, 2L, "sha-b"), (3L, 0L, "sha-c"))
+      .toDF("d", "p", "ref")
+    val got = Multimodal.interleave(texts, "d", "p", "txt",
+        media, "d", "p", "ref")
+      .as[(Long, Long, String, String, String)].collect()
+      .groupBy(_._1).map { case (d, xs) =>
+        d -> xs.sortBy(_._2).map(r => (r._3, Option(r._4).getOrElse(r._5))).toSeq
+      }
+    // pos 2 ties: the text segment precedes the image
+    assert(got(1L) == Seq(("text", "intro"), ("media", "sha-a"),
+      ("text", "middle"), ("media", "sha-b"), ("text", "outro")))
+    assert(got(2L) == Seq(("text", "solo")))
+    assert(got(3L) == Seq(("media", "sha-c")))
+    // seq ids are dense 0..n-1 per doc
+    val ids = Multimodal.interleave(texts.repartition(5), "d", "p", "txt",
+        media.repartition(3), "d", "p", "ref")
+      .as[(Long, Long, String, String, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sorted.toSeq }
+    assert(ids(1L) == (0L until 5L) && ids(2L) == Seq(0L) && ids(3L) == Seq(0L))
+  }
+
   test("audioEnergyWindows: gated bursts alternate exactly; junk contributes nothing") {
     // 1600 frames, gate = window = 400 → windows 0..3, even = burst
     val params = Seq((1L, 8000, 1600, 4096, 400), (2L, 8000, 1200, 8192, 400))

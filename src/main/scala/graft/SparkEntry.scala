@@ -2445,6 +2445,18 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q189: contrastive training pairs — anchor/positive are a doc's
+    // first two chunks, the negative is the next doc's anchor on the
+    // md5(id:seed) ring (deterministic, self-free). DuckDB replays
+    // chunking, the ring rank, and the rank→rank%N+1 pairing.
+    "q189_contrastive_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("text"))
+      pipeline.Corpus.contrastivePairs(docs, "doc_id", "text",
+          chunkWidth = 40)
+        .orderBy(col("doc_id"))
+    }),
+
     // q188: interleaved image–text sequence assembly (the MMC4
     // document shape) — three text segments at even positions, two
     // media refs at odd positions per doc; DuckDB replays the union
@@ -4516,6 +4528,23 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q189: eligibility (len > W), the two chunks, the seeded-hash
+    // ring rank, and the neighbor join replayed; the lone-doc and
+    // too-short edge cases fall out of the WHERE clauses.
+    "q189_contrastive_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |e AS (SELECT doc_id, substr(text, 1, 40) AS anchor,
+        |    substr(text, 41, 40) AS positive
+        |  FROM d WHERE len(text) > 40),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    ORDER BY md5(doc_id || ':0'), doc_id) AS rk FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM r)
+        |SELECT r.doc_id, r.anchor, r.positive,
+        |  r2.doc_id AS neg_doc_id, r2.anchor AS negative
+        |FROM r CROSS JOIN n JOIN r r2 ON r2.rk = r.rk % n.c + 1
+        |WHERE r.rk <> r.rk % n.c + 1
+        |ORDER BY r.doc_id""".stripMargin,
 
     // q188: union + per-doc ROW_NUMBER over the identical
     // (pos, kind, content) total order; text ties before media.

@@ -692,4 +692,44 @@ object Corpus {
       counts.unpersist()
     }
   }
+
+  /** Contrastive training pairs (the DPR/CLIP-text recipe): for every
+    * document long enough to hold two chunks, the ANCHOR is its first
+    * `chunkWidth`-char chunk, the POSITIVE its second (adjacent text
+    * is the standard weak-supervision positive), and the NEGATIVE is
+    * the anchor of the NEXT document on a seeded-hash ring — an
+    * unbiased random-other-document negative that is deterministic
+    * (a pure function of (corpus, chunkWidth, seed), q189-replayable)
+    * and structurally self-exclusive (a ring has no fixed points for
+    * N ≥ 2; the lone-document corpus yields no pairs rather than a
+    * degenerate self-negative).
+    *
+    * Shape: one row-local chunk pass; the ring order is the
+    * [[graft.operators.Relational.globalRowNumber]] two-pass rank on
+    * (md5(id:seed), id) — parallel, never a global window; one 1-row
+    * count broadcast and ONE join (rank → rank % N + 1) pairs each
+    * anchor with its neighbor. Emits (doc_id, anchor, positive,
+    * neg_doc_id, negative). */
+  def contrastivePairs(docs: DataFrame, idCol: String, textCol: String,
+      chunkWidth: Int, seed: Long = 0L): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth must be positive, got $chunkWidth")
+    val eligible = docs
+      .filter(length(col(textCol)) > chunkWidth)
+      .select(col(idCol).cast("long").as("doc_id"),
+        substring(col(textCol), 1, chunkWidth).as("anchor"),
+        col(textCol).substr(lit(chunkWidth + 1), lit(chunkWidth))
+          .as("positive"))
+    val ranked = graft.operators.Relational.globalRowNumber(eligible,
+      Seq(md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+        col("doc_id")), "__rk")
+    val nDf = ranked.agg(max(col("__rk")).as("__n"))
+    ranked.crossJoin(broadcast(nDf))
+      .withColumn("__partner", col("__rk") % col("__n") + 1)
+      .filter(col("__partner") =!= col("__rk"))
+      .join(ranked.select(col("__rk").as("__partner"),
+        col("doc_id").as("neg_doc_id"), col("anchor").as("negative")),
+        Seq("__partner"))
+      .select(col("doc_id"), col("anchor"), col("positive"),
+        col("neg_doc_id"), col("negative"))
+  }
 }

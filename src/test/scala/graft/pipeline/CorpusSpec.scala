@@ -482,4 +482,28 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
         scale = Long.MaxValue, maxRatio = 2L)
     }
   }
+
+  test("contrastivePairs: ring negatives are a self-free permutation; chunks correct") {
+    val docs = (0L until 12L).map(i =>
+      (i, s"doc$i-" + ("abcdefghij" * 4))).toDF("doc_id", "text")
+    val got = Corpus.contrastivePairs(docs, "doc_id", "text", chunkWidth = 10)
+      .as[(Long, String, String, Long, String)].collect()
+    assert(got.length == 12)
+    got.foreach { case (id, anchor, positive, negId, negative) =>
+      val text = s"doc$id-" + ("abcdefghij" * 4)
+      assert(anchor == text.substring(0, 10) && positive == text.substring(10, 20))
+      assert(negId != id, s"self-negative for $id")
+      assert(negative == (s"doc$negId-" + ("abcdefghij" * 4)).substring(0, 10))
+    }
+    // ring ⇒ the negatives visit every doc exactly once
+    assert(got.map(_._4).toSet == (0L until 12L).toSet)
+    val re = Corpus.contrastivePairs(docs.repartition(7), "doc_id", "text", 10)
+      .as[(Long, String, String, Long, String)].collect().toSet
+    assert(re == got.toSet, "partitioning leaked into the pairing")
+    // too-short docs are ineligible; a lone doc yields no pair
+    assert(Corpus.contrastivePairs(
+      Seq((1L, "tiny")).toDF("doc_id", "text"), "doc_id", "text", 10).isEmpty)
+    assert(Corpus.contrastivePairs(
+      Seq((1L, "x" * 30)).toDF("doc_id", "text"), "doc_id", "text", 10).isEmpty)
+  }
 }

@@ -98,6 +98,39 @@ class LearnSpec extends SparkTestBase {
     }
   }
 
+  test("learn-the-gate e2e: train on half the corpus, exact-evaluate on the rest") {
+    // lexically separable quality classes with per-doc variation
+    val docs = (0L until 200L).map { i =>
+      val noise = s"tok${i % 17} tok${(i * 7) % 23}"
+      if (i % 2 == 0)
+        (i, s"a clear and useful article about topic${i % 5} $noise")
+      else
+        (i, s"buy cheap pills now click here win prize $noise")
+    }.toDF("doc_id", "text")
+    val labels = (0L until 200L).map(i => (i, if (i % 2 == 0) 1L else 0L))
+      .toDF("ex_id", "y")
+    val feats = Learn.hashedFeatures(docs, "doc_id", "text", dim = 128)
+    // split by id arithmetic: ids 0,1 (mod 4) train; 2,3 (mod 4) held out
+    val w = Learn.logisticTrainInt(
+      feats.filter(col("ex_id") % 4 < 2),
+      labels.filter(col("ex_id") % 4 < 2), dim = 128, iterations = 40)
+    // held-out scoring + EXACT evaluation: the signal words are
+    // disjoint across classes, so the learned gate must rank every
+    // held-out prose doc above every held-out spam doc
+    val scored = Learn.logisticPredictInt(
+        feats.filter(col("ex_id") % 4 >= 2), w)
+      .join(labels, Seq("ex_id"))
+      .select(col("logit_milli").as("s"), col("y"))
+    val auc = Learn.aucExact(scored, "s", "y")
+      .select(col("auc")).as[Double].head()
+    assert(auc == 1.0, s"separable classes must rank perfectly, got $auc")
+    // and the sweep exposes a perfect operating point: some threshold
+    // with zero false positives and zero false negatives
+    val perfect = Learn.thresholdSweep(scored, "s", "y")
+      .filter(col("fp") === 0 && col("fn") === 0)
+    assert(!perfect.isEmpty, "no perfect threshold despite AUC 1.0")
+  }
+
   // brute-force AUC over all P·N pairs: 2 per concordant, 1 per tie
   private def refAuc(rows: Seq[(Long, Long)]): (Long, Long) = {
     val pos = rows.filter(_._2 == 1L).map(_._1)

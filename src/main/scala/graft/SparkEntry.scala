@@ -2445,6 +2445,27 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q190: KMV bottom-k sketch tables — per-group sketch + estimate
+    // AND the merged-to-total path (grp −1) through kmvMerge, so the
+    // closed-form union is itself oracle-pinned. Group 0 runs below
+    // capacity (exact branch); the rest hit the estimator. DuckDB
+    // replays the md5-derived 60-bit hashes, the rank, the merge
+    // re-rank, and the one-multiply-one-divide estimator.
+    "q190_kmv_sketch" -> ((s, dir) => {
+      val src = Tables.documents(s, dir).select(
+        (col("doc_id") % 5).as("grp"),
+        when(col("doc_id") % 5 === 0, (col("doc_id") * 31) % 10)
+          .otherwise((col("doc_id") * 31) % 5000).as("key"))
+      val k = 64
+      val sk = operators.Sketches.kmvRollup(src, Seq("grp"), col("key"), k)
+      val est = operators.Sketches.kmvEstimate(sk, Seq("grp"), k)
+      val mergedSk = operators.Sketches.kmvMerge(
+        sk.select(lit(-1L).as("grp"), col("pos"), col("kmv_hash")),
+        Seq("grp"), k)
+      val estAll = operators.Sketches.kmvEstimate(mergedSk, Seq("grp"), k)
+      est.unionByName(estAll).orderBy(col("grp"))
+    }),
+
     // q189: contrastive training pairs — anchor/positive are a doc's
     // first two chunks, the negative is the next doc's anchor on the
     // md5(id:seed) ring (deterministic, self-free). DuckDB replays
@@ -4528,6 +4549,35 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q190: hashes, rank, merge re-rank, and estimator replayed; the
+    // merged grain is the union of the per-group bottom-k rows.
+    "q190_kmv_sketch" ->
+      """WITH s AS (SELECT doc_id % 5 AS grp,
+        |    CASE WHEN doc_id % 5 = 0 THEN (doc_id * 31) % 10
+        |         ELSE (doc_id * 31) % 5000 END AS key
+        |  FROM documents),
+        |h AS (SELECT DISTINCT grp,
+        |    CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::UBIGINT
+        |      AS BIGINT) AS kmv_hash
+        |  FROM s),
+        |r AS (SELECT grp, kmv_hash, ROW_NUMBER() OVER (
+        |    PARTITION BY grp ORDER BY kmv_hash) AS pos FROM h),
+        |sk AS (SELECT grp, pos, kmv_hash FROM r WHERE pos <= 64),
+        |m AS (SELECT DISTINCT CAST(-1 AS BIGINT) AS grp, kmv_hash FROM sk),
+        |mr AS (SELECT grp, kmv_hash, ROW_NUMBER() OVER (
+        |    ORDER BY kmv_hash) AS pos FROM m),
+        |msk AS (SELECT grp, pos, kmv_hash FROM mr WHERE pos <= 64),
+        |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk),
+        |e AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS sketch_rows,
+        |    MAX(kmv_hash) AS hk
+        |  FROM allsk GROUP BY grp)
+        |SELECT grp, sketch_rows,
+        |  CASE WHEN sketch_rows < 64 THEN CAST(sketch_rows AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * 1152921504606846976 / CAST(hk AS DOUBLE)
+        |  END AS approx_distinct,
+        |  sketch_rows < 64 AS is_exact
+        |FROM e ORDER BY grp""".stripMargin,
 
     // q189: eligibility (len > W), the two chunks, the seeded-hash
     // ring rank, and the neighbor join replayed; the lone-doc and

@@ -185,4 +185,79 @@ object Sketches {
             (i * width + cmsBucket(col("probe_key"), i, width) + 1)
               .cast("int")))).as("cms_est"): _*)
   }
+
+  // ───────────────────────── KMV ─────────────────────────
+
+  /** 60-bit uniform hash from md5 — engine-neutral on purpose: both
+    * Spark and DuckDB can compute the identical value, so KMV sketch
+    * ROWS (not just estimates) hash-compare across engines. */
+  private def kmvHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** K-Minimum-Values distinct-count sketch (Bar-Yossef et al. 2002;
+    * the bottom-k estimator) — the DETERMINISTIC third sketch next to
+    * [[hllRollup]] (probabilistic bytes, library-owned union) and the
+    * CMS family (frequency, not cardinality): a group\u2019s sketch is
+    * the k smallest 60-bit hashes of its keys, as PLAIN ROWS. Three
+    * properties the HLL table cannot offer: (1) the sketch itself is
+    * a pure function of the key set \u2014 bit-identical on any engine or
+    * partitioning, so q190 oracle-verifies sketch content, not just
+    * estimate bounds; (2) merge is closed-form and lossless
+    * (bottom-k of a union == bottom-k of the unions\u2019 bottom-ks \u2014
+    * spec-pinned law); (3) below capacity the count is EXACT.
+    *
+    * Shape: one distinct hash-aggregate to (dims, hash) grain
+    * (map-side partials collapse duplicates early), then a
+    * PARTITIONED rank window keeps the k smallest per group \u2014 row
+    * volume after the aggregate is the distinct count, and the kept
+    * table is k rows per group. Output: dims ++ (pos 1..k,
+    * kmv_hash). */
+  def kmvRollup(df: DataFrame, dimCols: Seq[String], key: Column,
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val dims = dimCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims: _*).orderBy(col("kmv_hash"))
+    df.select(dims :+ kmvHash(key).as("kmv_hash"): _*)
+      .distinct()
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .select(dims ++ Seq(col("pos"), col("kmv_hash")): _*)
+  }
+
+  /** Merge sketch tables to a coarser grain: distinct hashes, keep
+    * the k smallest again \u2014 the closed-form union. Input rows are
+    * [[kmvRollup]] outputs (any number of tables unioned); `dimCols`
+    * name the surviving grain columns. */
+  def kmvMerge(sketches: DataFrame, dimCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val dims = dimCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dims: _*).orderBy(col("kmv_hash"))
+    sketches.select(dims :+ col("kmv_hash"): _*)
+      .distinct()
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= k)
+      .select(dims ++ Seq(col("pos"), col("kmv_hash")): _*)
+  }
+
+  /** Estimate per group from a sketch table: below capacity the
+    * sketch IS the distinct set (exact, is_exact = true); at
+    * capacity n\u0302 = (k\u22121)\u00b72\u2076\u2070/h_k with h_k the k-th smallest hash \u2014
+    * the standard KMV estimator, relative error \u2248 1/\u221a(k\u22122). Every
+    * operand is an exact integer through one double multiply and one
+    * divide, spelled identically in the oracle. */
+  def kmvEstimate(sketch: DataFrame, dimCols: Seq[String],
+      k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536], got $k")
+    val dims = dimCols.map(col)
+    sketch.groupBy(dims: _*)
+      .agg(count(lit(1)).as("sketch_rows"), max(col("kmv_hash")).as("__hk"))
+      .select(dims ++ Seq(col("sketch_rows"),
+        when(col("sketch_rows") < k, col("sketch_rows").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(1.152921504606846976E18) /
+            col("__hk").cast("double")).as("approx_distinct"),
+        (col("sketch_rows") < k).as("is_exact")): _*)
+  }
 }

@@ -269,4 +269,53 @@ class SketchesSpec extends SparkTestBase {
       Sketches.cmsRollup(df, Seq.empty, col("k"), width = 1)
     }
   }
+
+  test("kmv: below capacity exact; merge law holds; estimator tracks truth") {
+    import spark.implicits._
+    val k = 64
+    // day 1 / day 2 key streams with overlap; truth is computable
+    val d1 = (0L until 3000L).map(i => ("d1", i % 900)).toDF("day", "key")
+    val d2 = (0L until 3000L).map(i => ("d2", (i % 900) + 600)).toDF("day", "key")
+    val sk1 = Sketches.kmvRollup(d1, Seq("day"), col("key"), k)
+    val sk2 = Sketches.kmvRollup(d2, Seq("day"), col("key"), k)
+    // sketch rows are exactly k, positions dense 1..k
+    assert(sk1.count() == k &&
+      sk1.select(col("pos")).as[Long].collect().sorted.toSeq == (1L to k))
+    // MERGE LAW: sketch(union of raw) == merge(sketches), row for row
+    val direct = Sketches.kmvRollup(
+        d1.unionByName(d2).select(lit("all").as("day"), col("key")),
+        Seq("day"), col("key"), k)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val merged = Sketches.kmvMerge(
+        sk1.unionByName(sk2).select(lit("all").as("day"), col("pos"), col("kmv_hash")),
+        Seq("day"), k)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct, "bottom-k merge law violated")
+    // estimates: true distincts are 900, 900, 1500 (600..1499 ∪ 0..899)
+    val est = Sketches.kmvEstimate(sk1, Seq("day"), k)
+      .select(col("approx_distinct")).as[Double].head()
+    assert(math.abs(est - 900) / 900 < 0.4, s"day1 estimate $est")
+    val estAll = Sketches.kmvEstimate(
+        Sketches.kmvMerge(sk1.unionByName(sk2)
+          .select(lit("all").as("day"), col("pos"), col("kmv_hash")),
+          Seq("day"), k), Seq("day"), k)
+      .select(col("approx_distinct")).as[Double].head()
+    assert(math.abs(estAll - 1500) / 1500 < 0.4, s"union estimate $estAll")
+    // below capacity: the sketch IS the set — exact flag and value
+    val tiny = Sketches.kmvEstimate(
+      Sketches.kmvRollup((0L until 20L).map(i => ("t", i % 7)).toDF("day", "key"),
+        Seq("day"), col("key"), k), Seq("day"), k)
+    val row = tiny.select(col("sketch_rows"), col("approx_distinct"),
+      col("is_exact")).as[(Long, Double, Boolean)].head()
+    assert(row == ((7L, 7.0, true)))
+    // determinism under partitioning
+    val re = Sketches.kmvRollup(d1.repartition(13), Seq("day"), col("key"), k)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(re == sk1.collect().map(r => (r.getLong(1), r.getLong(2))).toSet)
+    // larger k tightens the estimate (relative error ~ 1/√(k−2))
+    val estBig = Sketches.kmvEstimate(
+        Sketches.kmvRollup(d1, Seq("day"), col("key"), 512), Seq("day"), 512)
+      .select(col("approx_distinct")).as[Double].head()
+    assert(math.abs(estBig - 900) / 900 < 0.12, s"k=512 estimate $estBig")
+  }
 }

@@ -2445,6 +2445,28 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q191: deterministic MLM example building — mask decisions are
+    // md5(doc:pos:seed) mod 100, so DuckDB replays every [MASK] and
+    // every target token, position by position.
+    "q191_mask_tokens" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+        .filter(token_count(col("text")) >= 1)
+      Packing.maskTokens(docs, "doc_id", "text", pctMasked = 15, seed = 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q192: prefix-LM splits — the seeded pivot, both sides, and the
+    // eligibility boundary (≥ minPrefix + minTarget tokens) replayed
+    // as doc-grain arithmetic.
+    "q192_prefix_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      Packing.prefixSplit(docs, "doc_id", "text",
+          minPrefix = 2, minTarget = 2, seed = 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // q190: KMV bottom-k sketch tables — per-group sketch + estimate
     // AND the merged-to-total path (grp −1) through kmvMerge, so the
     // closed-form union is itself oracle-pinned. Group 0 runs below
@@ -4549,6 +4571,43 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q191: per-position mask decisions and ordered reassembly.
+    "q191_mask_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS pos,
+        |    tk[CAST(r.i AS INT)] AS tok, len(tk) AS n
+        |  FROM t, unnest(range(1, len(tk) + 1)) AS r(i)
+        |  WHERE len(tk) >= 1),
+        |m AS (SELECT doc_id, pos, tok, n,
+        |    CAST(('0x' || substr(md5(doc_id || ':' || pos || ':0'), 1, 8))
+        |      ::UBIGINT % 100 AS BIGINT) < 15 AS is_m
+        |  FROM u)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN is_m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  string_agg(CASE WHEN is_m THEN '[MASK]' ELSE tok END, ' '
+        |    ORDER BY pos) AS masked_text,
+        |  COALESCE(string_agg(CASE WHEN is_m THEN tok END, ' '
+        |    ORDER BY pos), '') AS targets
+        |FROM m GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // q192: pivot arithmetic + both sides via list slices.
+    "q192_prefix_split" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |e AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) >= 4),
+        |p AS (SELECT doc_id, tk, n,
+        |    2 + CAST(('0x' || substr(md5(doc_id || ':0:0'), 1, 8))
+        |      ::UBIGINT % (n - 3) AS BIGINT) AS pv
+        |  FROM e)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, pv AS "pivot",
+        |  array_to_string(list_slice(tk, 1, CAST(pv AS INT)), ' ') AS prefix,
+        |  array_to_string(list_slice(tk, CAST(pv AS INT) + 1, CAST(n AS INT)),
+        |    ' ') AS target
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // q190: hashes, rank, merge re-rank, and estimator replayed; the
     // merged grain is the union of the per-group bottom-k rows.

@@ -84,6 +84,76 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokensCol)).cast("long").as("bin_tokens"))
 
+  /** Seeded per-position decision hash in [0, 2³²): a pure function
+    * of (doc, position, seed) both engines compute identically —
+    * md5 hex, first 8 chars, base-16 (the [[graft.pipeline.Corpus]]
+    * seeded-hash convention at example-building grain). */
+  private def posHash(id: Column, pos: Column, seed: Long): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":"), pos.cast("string"),
+      lit(":" + seed))), 1, 8), 16, 10).cast("long")
+
+  /** Masked-LM training examples (the BERT-family objective) built
+    * DETERMINISTICALLY: token at position p masks iff
+    * hash(doc, p, seed) mod 100 < pctMasked — a pure function of
+    * (corpus, seed), so the exact example set is reproducible run to
+    * run, engine to engine (q191 replays every mask decision), and a
+    * new epoch is just a new seed. Real pipelines need this
+    * reproducibility for ablations far more than they need true
+    * randomness (the hash IS uniform per position).
+    *
+    * Output per doc: n_tokens, n_masked, `masked_text` (tokens with
+    * `[MASK]` substituted), `targets` (the masked tokens, in
+    * position order, space-joined — the label stream). Row-local
+    * transform/filter over the token array — one codegen pass, no
+    * shuffle; the per-element hash is O(1) per token. */
+  def maskTokens(df: DataFrame, idCol: String, textCol: String,
+      pctMasked: Int = 15, seed: Long = 0L): DataFrame = {
+    require(pctMasked >= 1 && pctMasked <= 99,
+      s"pctMasked must be in [1, 99], got $pctMasked")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+      graft.functions.tokens(col(textCol)).as("__t"))
+    def masked(i: Column): Column =
+      posHash(col("doc_id"), i + 1, seed) % 100 < pctMasked
+    base.select(col("doc_id"),
+      size(col("__t")).cast("long").as("n_tokens"),
+      size(filter(col("__t"), (_, i) => masked(i))).cast("long")
+        .as("n_masked"),
+      array_join(transform(col("__t"),
+          (x, i) => when(masked(i), lit("[MASK]")).otherwise(x)), " ")
+        .as("masked_text"),
+      array_join(filter(col("__t"), (_, i) => masked(i)), " ")
+        .as("targets"))
+  }
+
+  /** Prefix-LM split (the PrefixLM/UL2 S-denoiser shape): cut each
+    * document at a seeded pivot — prefix becomes bidirectional
+    * context, the suffix the causal target. The pivot is
+    * minPrefix + hash(doc, 0, seed) mod (n − minPrefix − minTarget + 1)
+    * over token positions, so every example keeps at least
+    * `minPrefix` context tokens and `minTarget` target tokens; docs
+    * too short for both are dropped (an empty side is a degenerate
+    * example, not data). Pure doc-grain arithmetic — q192 replays
+    * pivot, both sides, and the eligibility boundary. */
+  def prefixSplit(df: DataFrame, idCol: String, textCol: String,
+      minPrefix: Int = 1, minTarget: Int = 1, seed: Long = 0L): DataFrame = {
+    require(minPrefix >= 1 && minTarget >= 1,
+      "minPrefix and minTarget must be >= 1")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= minPrefix + minTarget)
+    val n = size(col("__t")).cast("long")
+    val pivot = (lit(minPrefix.toLong) +
+      posHash(col("doc_id"), lit(0), seed) %
+        (n - minPrefix - minTarget + 1)).as("pivot")
+    base.select(col("doc_id"), col("__t"), n.as("n_tokens"), pivot)
+      .withColumn("prefix",
+        array_join(slice(col("__t"), lit(1), col("pivot").cast("int")), " "))
+      .withColumn("target",
+        array_join(slice(col("__t"), col("pivot").cast("int") + 1,
+          greatest((col("n_tokens") - col("pivot")).cast("int"), lit(0))), " "))
+      .drop("__t")
+  }
+
   /** Split `textCol` into fixed-width character windows: chunk i
     * covers [i·stride, i·stride + width) with stride = width − overlap.
     * The final chunk is the remainder (shorter than `width`); a text

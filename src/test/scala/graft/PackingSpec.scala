@@ -129,4 +129,68 @@ class PackingSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_digit_runs") === 0)
     assert(r.getAs[String]("redacted") === "no pii here, just words and the number 42")
   }
+
+  private def md5Mod(s: String, mod: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % mod
+  }
+
+  test("maskTokens: every mask decision matches the seeded-hash replay") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Packing.maskTokens(docs, "doc_id", "text", pctMasked = 40, seed = 7)
+      .as[(Long, Long, Long, String, String)].collect().map(r => r._1 -> r).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val toks = text.split(" ").toSeq
+      val decisions = toks.indices.map(i => md5Mod(s"$id:${i + 1}:7", 100) < 40)
+      val maskedText = toks.zip(decisions)
+        .map { case (t, m) => if (m) "[MASK]" else t }.mkString(" ")
+      val targets = toks.zip(decisions).collect { case (t, true) => t }.mkString(" ")
+      val (_, n, nm, mt, tg) = got(id)
+      assert(n == toks.size && nm == decisions.count(identity), s"doc $id")
+      assert(mt == maskedText && tg == targets, s"doc $id")
+    }
+    // the rate tracks pctMasked on a long doc; a new seed moves the set
+    val long = Seq((9L, (1 to 2000).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rate = Packing.maskTokens(long, "doc_id", "text", 15, 0)
+      .select(col("n_masked")).as[Long].head().toDouble / 2000
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+    val s0 = Packing.maskTokens(long, "doc_id", "text", 15, 0)
+      .select(col("masked_text")).as[String].head()
+    val s1 = Packing.maskTokens(long, "doc_id", "text", 15, 1)
+      .select(col("masked_text")).as[String].head()
+    assert(s0 != s1, "different seeds must mask different positions")
+    intercept[IllegalArgumentException] {
+      Packing.maskTokens(docs, "doc_id", "text", pctMasked = 0)
+    }
+  }
+
+  test("prefixSplit: pivot bounds, reassembly, short docs dropped, seeded replay") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 3 + (i % 9).toInt).map(j => s"t${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.prefixSplit(docs, "doc_id", "text",
+        minPrefix = 2, minTarget = 2, seed = 3)
+      .as[(Long, Long, Long, String, String)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // docs with < 4 tokens are ineligible
+    assert(got.map(_._1).toSet == (0L until 40L).filter(i => 3 + i % 9 >= 4).toSet)
+    got.foreach { case (id, n, pivot, prefix, target) =>
+      val toks = (1 to 3 + (id % 9).toInt).map(j => s"t${id}_$j")
+      assert(n == toks.size)
+      val want = 2L + md5Mod(s"$id:0:3", n - 3)
+      assert(pivot == want, s"doc $id pivot")
+      assert(pivot >= 2 && pivot <= n - 2, s"doc $id pivot bounds")
+      assert(prefix == toks.take(pivot.toInt).mkString(" "), s"doc $id prefix")
+      assert(target == toks.drop(pivot.toInt).mkString(" "), s"doc $id target")
+      assert(s"$prefix $target" == toks.mkString(" "), "reassembly")
+    }
+    val re = Packing.prefixSplit(docs.repartition(7), "doc_id", "text", 2, 2, 3)
+      .as[(Long, Long, Long, String, String)].collect().toSet
+    assert(re == got.toSet, "partitioning leaked into the split")
+  }
 }

@@ -2445,6 +2445,17 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q193: T5 span corruption — the q191 mask decisions with
+    // contiguous runs collapsed to numbered sentinels; DuckDB
+    // replays the lag/run-numbering window and both ordered
+    // reassemblies.
+    "q193_span_corrupt" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), col("text"))
+      Packing.spanCorrupt(docs, "doc_id", "text", pctMasked = 25, seed = 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // q191: deterministic MLM example building — mask decisions are
     // md5(doc:pos:seed) mod 100, so DuckDB replays every [MASK] and
     // every target token, position by position.
@@ -4571,6 +4582,35 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q193: mask decisions → LAG span starts → running span ids →
+    // two ordered conditional reassemblies.
+    "q193_span_corrupt" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS pos,
+        |    tk[CAST(r.i AS INT)] AS tok, len(tk) AS n
+        |  FROM t, unnest(range(1, len(tk) + 1)) AS r(i)),
+        |m AS (SELECT doc_id, pos, tok, n,
+        |    CAST(('0x' || substr(md5(doc_id || ':' || pos || ':0'), 1, 8))
+        |      ::UBIGINT % 100 AS BIGINT) < 25 AS is_m
+        |  FROM u),
+        |r2 AS (SELECT *, is_m AND NOT COALESCE(LAG(is_m) OVER (
+        |    PARTITION BY doc_id ORDER BY pos), false) AS st FROM m),
+        |q AS (SELECT *, SUM(CASE WHEN st THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS sid FROM r2)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN is_m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(SUM(CASE WHEN st THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  string_agg(CASE WHEN NOT is_m THEN tok
+        |    WHEN st THEN '<extra_id_' || (sid - 1) || '>' END, ' '
+        |    ORDER BY pos) AS corrupted_text,
+        |  COALESCE(string_agg(CASE WHEN is_m THEN
+        |      CASE WHEN st THEN '<extra_id_' || (sid - 1) || '> ' || tok
+        |           ELSE tok END END, ' '
+        |    ORDER BY pos), '') AS targets
+        |FROM q GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // q191: per-position mask decisions and ordered reassembly.
     "q191_mask_tokens" ->

@@ -125,6 +125,63 @@ object Packing {
         .as("targets"))
   }
 
+  /** SPAN-CORRUPTION training examples (the T5 objective; UL2's R/X
+    * denoisers are the same shape at other rates): contiguous RUNS of
+    * [[maskTokens]]-style masked positions collapse into one numbered
+    * sentinel in the corrupted input, and the target stream replays
+    * each sentinel followed by the tokens it swallowed — so input and
+    * target together reconstruct the document. Mask decisions are the
+    * same deterministic md5(doc:pos:seed) draw (reproducible example
+    * sets; new epoch = new seed); the expected span length is the
+    * geometric 1/(1−pct/100) that independent per-position draws give.
+    *
+    * Shape: explode to (doc, pos, token), ONE per-document window
+    * (lag marks span starts, a running sum numbers them), and the
+    * per-doc reassembly is the sort_array(collect_list(struct))
+    * aggregate — never a partition-less window, never a UDF. Returns
+    * (doc_id, n_tokens, n_masked, n_spans, corrupted_text, targets);
+    * targets is '' for an unmasked document. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      pctMasked: Int = 15, seed: Long = 0L): DataFrame = {
+    require(pctMasked >= 1 && pctMasked <= 99,
+      s"pctMasked must be in [1, 99], got $pctMasked")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.tokens(col(textCol)))
+          .as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("int").as("pos"),
+        col("tok"))
+    val m = toks.withColumn("is_m",
+      posHash(col("doc_id"), col("pos"), seed) % 100 < pctMasked)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = m
+      .withColumn("st",
+        col("is_m") && !coalesce(lag(col("is_m"), 1).over(w), lit(false)))
+      .withColumn("sid",
+        sum(when(col("st"), 1L).otherwise(0L)).over(w))
+    val sentinel = concat(lit("<extra_id_"),
+      (col("sid") - 1).cast("string"), lit(">"))
+    val pieces = marked.select(col("doc_id"), col("pos"), col("is_m"),
+      col("st"),
+      when(!col("is_m"), col("tok")).when(col("st"), sentinel)
+        .otherwise(lit(null).cast("string")).as("__cp"),
+      when(col("is_m"),
+        when(col("st"), concat(sentinel, lit(" "), col("tok")))
+          .otherwise(col("tok")))
+        .otherwise(lit(null).cast("string")).as("__tp"))
+    def joined(c: String): Column =
+      array_join(filter(transform(
+        array_sort(collect_list(when(col(c).isNotNull,
+          struct(col("pos"), col(c).as("v"))))),
+        s => s.getField("v")), x => x.isNotNull), " ")
+    pieces.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("is_m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("st"), 1L).otherwise(0L)).as("n_spans"),
+        joined("__cp").as("corrupted_text"),
+        joined("__tp").as("targets"))
+  }
+
   /** Prefix-LM split (the PrefixLM/UL2 S-denoiser shape): cut each
     * document at a seeded pivot — prefix becomes bidirectional
     * context, the suffix the causal target. The pivot is

@@ -168,6 +168,42 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  test("spanCorrupt: runs collapse to numbered sentinels; input+target reconstruct") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i =>
+      (i, (1 to 12).map(j => s"t${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val got = Packing.spanCorrupt(docs, "doc_id", "text",
+        pctMasked = 35, seed = 5)
+      .as[(Long, Long, Long, Long, String, String)].collect()
+    assert(got.length == 30)
+    got.foreach { case (id, n, nMasked, nSpans, corrupted, targets) =>
+      val toks = (1 to 12).map(j => s"t${id}_$j")
+      val decisions = toks.indices.map(i => md5Mod(s"$id:${i + 1}:5", 100) < 35)
+      assert(n == 12 && nMasked == decisions.count(identity), s"doc $id")
+      // replay runs
+      val runs = decisions.zipWithIndex.filter { case (m, i) =>
+        m && (i == 0 || !decisions(i - 1)) }.map(_._2)
+      assert(nSpans == runs.size, s"doc $id spans")
+      // reconstruct: substitute each sentinel in the corrupted input
+      // with its target span — must give back the original document
+      val spanOf = targets.split("<extra_id_").filter(_.nonEmpty).map { part =>
+        val Array(k, rest) = part.split(">", 2)
+        k.toInt -> rest.trim
+      }.toMap
+      val rebuilt = "<extra_id_(\\d+)>".r.replaceAllIn(corrupted,
+        m2 => java.util.regex.Matcher.quoteReplacement(spanOf(m2.group(1).toInt)))
+      assert(rebuilt.replaceAll("\\s+", " ").trim == toks.mkString(" "), s"doc $id rebuild")
+      // sentinel numbering is dense 0..nSpans-1 in both streams
+      (0 until nSpans.toInt).foreach { k =>
+        assert(corrupted.contains(s"<extra_id_$k>") &&
+          targets.contains(s"<extra_id_$k>"), s"doc $id sentinel $k")
+      }
+    }
+    val re = Packing.spanCorrupt(docs.repartition(7), "doc_id", "text", 35, 5)
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(re == got.toSet, "partitioning leaked into span corruption")
+  }
+
   test("prefixSplit: pivot bounds, reassembly, short docs dropped, seeded replay") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>

@@ -2445,6 +2445,37 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q194: CONTENT-DEFINED segmentation + cross-doc sharing — every
+    // doc embeds the same boilerplate block at a DIFFERENT offset
+    // (variable-length corpus-word prefix); CDC boundaries
+    // re-synchronize at the planted cut token, so the shared segment
+    // is byte-identical in every doc and its sharing count equals
+    // the doc count — exactly what fixed-width windows cannot do
+    // under shift. DuckDB replays boundaries, segment ids, ordered
+    // reassembly, and the distinct-doc counts.
+    "q194_cdc_segments" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => concat(lit("k"),
+        regexp_replace(element_at(col("t"), i), "[^a-z]", ""))
+      // prefix length varies with doc_id → the block SHIFTS
+      val prefix = when(col("doc_id") % 3 === 0, concat_ws(" ", w(1)))
+        .when(col("doc_id") % 3 === 1, concat_ws(" ", w(1), w(2)))
+        .otherwise(concat_ws(" ", w(1), w(2), w(3)))
+      val text = concat_ws(" ", prefix, lit("shareda"),
+        lit("sharedb sharedc qqboiler shareda"), w(2))
+      val segs = TextOps.cdcSegments(
+        docs.select(col("doc_id"), text.as("text")), "doc_id", "text",
+        divisor = 4)
+      val hot = segs.groupBy(col("segment"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+      segs.join(hot, Seq("segment"))
+        .select(col("doc_id"), col("seg_idx"), col("n_seg_tokens"),
+          col("segment"), col("n_docs_sharing"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }),
+
     // q193: T5 span corruption — the q191 mask decisions with
     // contiguous runs collapsed to numbered sentinels; DuckDB
     // replays the lag/run-numbering window and both ordered
@@ -4582,6 +4613,48 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q194: boundary predicate (md5 mod 4), exclusive running
+    // boundary count as segment id, ordered reassembly, distinct-doc
+    // sharing counts.
+    "q194_cdc_segments" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |w AS (SELECT doc_id,
+        |    'k' || regexp_replace(tk[1], '[^a-z]', '', 'g') AS w1,
+        |    'k' || regexp_replace(tk[2], '[^a-z]', '', 'g') AS w2,
+        |    'k' || regexp_replace(tk[3], '[^a-z]', '', 'g') AS w3
+        |  FROM t WHERE len(tk) >= 3),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN w1
+        |         WHEN doc_id % 3 = 1 THEN w1 || ' ' || w2
+        |         ELSE w1 || ' ' || w2 || ' ' || w3 END
+        |    || ' shareda sharedb sharedc qqboiler shareda ' || w2 AS s
+        |  FROM w),
+        |x AS (SELECT doc_id, string_split_regex(s, '\s+') AS tk2 FROM d),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS pos,
+        |    tk2[CAST(r.i AS INT)] AS tok
+        |  FROM x, unnest(range(1, len(tk2) + 1)) AS r(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4 AS BIGINT) = 0
+        |      AS isb
+        |  FROM u),
+        |q AS (SELECT *, COALESCE(SUM(CASE WHEN isb THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM b),
+        |g AS (SELECT doc_id, CAST(sid AS BIGINT) AS seg_idx,
+        |    CAST(COUNT(*) AS BIGINT) AS n_seg_tokens,
+        |    string_agg(tok, ' ' ORDER BY pos) AS segment
+        |  FROM q GROUP BY doc_id, sid),
+        |h AS (SELECT segment,
+        |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_sharing
+        |  FROM g GROUP BY segment)
+        |SELECT g.doc_id, g.seg_idx, g.n_seg_tokens, g.segment,
+        |  h.n_docs_sharing
+        |FROM g JOIN h ON g.segment = h.segment
+        |ORDER BY g.doc_id, g.seg_idx""".stripMargin,
 
     // q193: mask decisions → LAG span starts → running span ids →
     // two ordered conditional reassemblies.

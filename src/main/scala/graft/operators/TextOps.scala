@@ -1345,6 +1345,50 @@ object TextOps {
     result
   }
 
+  /** CONTENT-DEFINED segmentation (the gear/Rabin chunking idea at
+    * token grain): a segment boundary falls AFTER every token whose
+    * content hash is ≡ 0 (mod divisor) — boundaries depend only on
+    * LOCAL CONTENT, never on position. That is the property
+    * fixed-width segmentation ([[dedupSegments]]'s decomposition)
+    * cannot have: insert one token near the top of a page and every
+    * fixed window downstream shifts, so shared boilerplate stops
+    * matching; content-defined boundaries RE-SYNCHRONIZE immediately
+    * after the edit, so the identical downstream segments hash
+    * identically again (spec-pinned: variable prefixes, same shared
+    * segment). Expected segment length is `divisor` tokens
+    * (geometric), tunable per corpus.
+    *
+    * Shape: explode to (doc, pos, token), one per-document window
+    * (exclusive running boundary count = segment id), ordered
+    * struct-collect reassembly — the [[Packing.spanCorrupt]] shape.
+    * Returns (doc_id, seg_idx, n_seg_tokens, segment); the segment
+    * INCLUDES its boundary token as last element, so segments
+    * concatenate back to the document. */
+  def cdcSegments(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8): DataFrame = {
+    require(divisor >= 2 && divisor <= (1 << 20),
+      s"divisor must be in [2, 2^20], got $divisor")
+    val toks = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(tokens(col(textCol))).as(Seq("__p0", "tok")))
+      .select(col("doc_id"), (col("__p0") + 1).cast("int").as("pos"),
+        col("tok"))
+    val isB = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      .%(divisor) === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    toks
+      .withColumn("__sid",
+        coalesce(sum(when(isB, 1L).otherwise(0L)).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("__sid"))
+      .agg(count(lit(1)).as("n_seg_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok").as("v")))),
+          s => s.getField("v")), " ").as("segment"))
+      .select(col("doc_id"), col("__sid").as("seg_idx"),
+        col("n_seg_tokens"), col("segment"))
+  }
+
   /** DEFLATE compression ratio per document — the cheap
     * whole-document repetition signal (machine-generated spam, SEO
     * keyword walls, and template farms compress far better than

@@ -657,6 +657,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(blanks == ((3L, 5L, 2L, "a\n\nb")))
   }
 
+  test("cdcSegments: content-defined boundaries; shifts re-synchronize") {
+    // known md5-mod-4 classes: shareda→0 (boundary); qqa→1, qqc→2,
+    // sharedb→1, sharedc→2, qqboiler→2 (non-boundaries)
+    val shared = "sharedb sharedc qqboiler shareda"
+    val a = s"qqa shareda $shared qqc"
+    val b = s"qqa qqc qqa qqc qqa shareda $shared qqa" // longer, different prefix
+    val got = TextOps.cdcSegments(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text",
+        divisor = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (d, xs) => d -> xs.sortBy(_._2).map(_._4).toSeq }
+    assert(got(1L) == Seq("qqa shareda", shared, "qqc"))
+    assert(got(2L) == Seq("qqa qqc qqa qqc qqa shareda", shared, "qqa"))
+    // THE property: despite the shifted prefix, the shared segment is
+    // byte-identical in both docs — a fixed-width decomposition at any
+    // width w ≤ prefix-length difference could not produce that
+    assert(got(1L)(1) == got(2L)(1))
+    // segments concatenate back to the document
+    assert(got(1L).mkString(" ") == a && got(2L).mkString(" ") == b)
+    val re = TextOps.cdcSegments(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text").repartition(5),
+        "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(re.size == 6, "partitioning changed the segmentation")
+    intercept[IllegalArgumentException] {
+      TextOps.cdcSegments(Seq((1L, a)).toDF("doc_id", "text"),
+        "doc_id", "text", divisor = 1)
+    }
+  }
+
   test("compressionSignal: repetition compresses; deterministic under partitioning") {
     val repetitive = Seq.fill(200)("buy cheap pills now").mkString(" ")
     val rnd = new scala.util.Random(17)

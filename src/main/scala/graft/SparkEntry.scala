@@ -2476,6 +2476,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q195: CDC dedup EXCISION on the q194 fixture — the shared
+    // block (hot at every offset) is dropped from every doc, the
+    // per-doc prefix/tail survive; DuckDB extends the q194 replay
+    // with the hot filter and the kept-segment reassembly.
+    "q195_cdc_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val w = (i: Int) => concat(lit("k"),
+        regexp_replace(element_at(col("t"), i), "[^a-z]", ""))
+      val prefix = when(col("doc_id") % 3 === 0, concat_ws(" ", w(1)))
+        .when(col("doc_id") % 3 === 1, concat_ws(" ", w(1), w(2)))
+        .otherwise(concat_ws(" ", w(1), w(2), w(3)))
+      val text = concat_ws(" ", prefix, lit("shareda"),
+        lit("sharedb sharedc qqboiler shareda"), w(2))
+      TextOps.cdcDedupSegments(
+          docs.select(col("doc_id"), text.as("text")), "doc_id", "text",
+          divisor = 4, minDocs = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
     // q193: T5 span corruption — the q191 mask decisions with
     // contiguous runs collapsed to numbered sentinels; DuckDB
     // replays the lag/run-numbering window and both ordered
@@ -4613,6 +4634,50 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q195: the q194 replay + hot-segment filter (distinct-doc count
+    // ≥ 2) + kept-segment reassembly in segment order.
+    "q195_cdc_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |w AS (SELECT doc_id,
+        |    'k' || regexp_replace(tk[1], '[^a-z]', '', 'g') AS w1,
+        |    'k' || regexp_replace(tk[2], '[^a-z]', '', 'g') AS w2,
+        |    'k' || regexp_replace(tk[3], '[^a-z]', '', 'g') AS w3
+        |  FROM t WHERE len(tk) >= 3),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN w1
+        |         WHEN doc_id % 3 = 1 THEN w1 || ' ' || w2
+        |         ELSE w1 || ' ' || w2 || ' ' || w3 END
+        |    || ' shareda sharedb sharedc qqboiler shareda ' || w2 AS s
+        |  FROM w),
+        |x AS (SELECT doc_id, string_split_regex(s, '\s+') AS tk2 FROM d),
+        |u AS (SELECT doc_id, CAST(r.i AS INT) AS pos,
+        |    tk2[CAST(r.i AS INT)] AS tok
+        |  FROM x, unnest(range(1, len(tk2) + 1)) AS r(i)),
+        |b AS (SELECT doc_id, pos, tok,
+        |    CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 4 AS BIGINT) = 0
+        |      AS isb
+        |  FROM u),
+        |q AS (SELECT *, COALESCE(SUM(CASE WHEN isb THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sid
+        |  FROM b),
+        |g AS (SELECT doc_id, CAST(sid AS BIGINT) AS seg_idx,
+        |    string_agg(tok, ' ' ORDER BY pos) AS segment
+        |  FROM q GROUP BY doc_id, sid),
+        |h AS (SELECT segment FROM g
+        |      GROUP BY segment HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN h.segment IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped,
+        |  CASE WHEN COUNT(*) - SUM(CASE WHEN h.segment IS NOT NULL
+        |      THEN 1 ELSE 0 END) > 0
+        |    THEN string_agg(CASE WHEN h.segment IS NULL THEN g.segment END,
+        |      ' ' ORDER BY g.seg_idx) END AS cleaned_text
+        |FROM g LEFT JOIN h ON g.segment = h.segment
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // q194: boundary predicate (md5 mod 4), exclusive running
     // boundary count as segment id, ordered reassembly, distinct-doc

@@ -1389,6 +1389,35 @@ object TextOps {
         col("n_seg_tokens"), col("segment"))
   }
 
+  /** [[cdcSegments]] + cross-document excision — [[dedupSegments]]'s
+    * contract (drop segments appearing in ≥ minDocs documents, keep
+    * the rest in order) on the SHIFT-RESISTANT decomposition, so
+    * boilerplate is caught at any offset. One extra aggregate over
+    * the segment table (hot 8-byte hashes, AQE-broadcast back — the
+    * dedupSegments join shape) and one per-doc ordered reassembly.
+    * Returns (doc_id, n_segments, n_dropped, cleaned_text), NULL
+    * cleaned_text when everything was boilerplate. */
+  def cdcDedupSegments(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 8, minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val segs = cdcSegments(df, idCol, textCol, divisor)
+      .withColumn("__h", xxhash64(col("segment")))
+    val hot = segs.groupBy(col("__h"))
+      .agg(countDistinct(col("doc_id")).as("__n"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__h"), lit(1).as("__hot"))
+    segs.join(hot, Seq("__h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("seg_idx"), col("segment"))))).as("__kept"))
+      .select(col("doc_id"), col("n_segments"), col("n_dropped"),
+        when(size(col("__kept")) > 0,
+          array_join(transform(col("__kept"), s => s.getField("segment")), " "))
+          .as("cleaned_text"))
+  }
+
   /** DEFLATE compression ratio per document — the cheap
     * whole-document repetition signal (machine-generated spam, SEO
     * keyword walls, and template farms compress far better than

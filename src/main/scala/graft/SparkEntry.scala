@@ -2476,6 +2476,47 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q196: the per-node GRAPH COHESION AUDIT — degree, triangle
+    // count, 2-core membership (with in-core degree), and LPA
+    // community joined into one table over bridged cliques + a tail
+    // chain: the link-farm triage view (cliques: high everything;
+    // bridge: high degree, still cohesive; tail: degree without
+    // cohesion). Each column is an already-oracled operator; the
+    // composition is replayed end to end (degrees, wedge triangles,
+    // four unrolled peel rounds, three unrolled LPA rounds, joins).
+    "q196_graph_audit" -> ((s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 6)
+      val a0 = when(col("doc_id") < 3, 0L).when(col("doc_id") < 5, 1L)
+        .otherwise(2L)
+      val b0 = when(col("doc_id") === 0, 1L).when(col("doc_id") === 1, 2L)
+        .when(col("doc_id") === 2, 3L).when(col("doc_id") === 3, 2L)
+        .when(col("doc_id") === 4, 3L).otherwise(3L)
+      val edges = ids.select(a0.as("src"), b0.as("dst"))
+        .unionByName(ids.select((a0 + 10).as("src"), (b0 + 10).as("dst")))
+        .unionByName(ids.filter(col("doc_id") === 0)
+          .select((col("doc_id") + 3).as("src"), (col("doc_id") + 10).as("dst")))
+        .unionByName(ids.filter(col("doc_id") < 3)
+          .select(when(col("doc_id") === 0, 3L).otherwise(col("doc_id") + 19)
+            .as("src"), (col("doc_id") + 20).as("dst")))
+      val deg = operators.Graph.kCore(edges, "src", "dst", k = 1, rounds = 1)
+        .select(col("node"), col("core_deg").as("degree"))
+      val tri = operators.Graph.triangleCounts(edges, "src", "dst")
+      val core = operators.Graph.kCore(edges, "src", "dst", k = 2, rounds = 4)
+        .select(col("node"), lit(true).as("in_2core"),
+          col("core_deg").as("core_deg"))
+      val lpa = operators.Graph.labelPropagation(edges, "src", "dst", 3)
+        .select(col("node"), col("label").as("community"))
+      deg.join(tri, Seq("node"))
+        .join(core, Seq("node"), "left")
+        .join(lpa, Seq("node"))
+        .select(col("node"), col("degree"), col("triangles"),
+          coalesce(col("in_2core"), lit(false)).as("in_2core"),
+          coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+          col("community"))
+        .orderBy(col("node"))
+    }),
+
     // q195: CDC dedup EXCISION on the q194 fixture — the shared
     // block (hot at every offset) is dropped from every doc, the
     // per-doc prefix/tail survive; DuckDB extends the q194 replay
@@ -4634,6 +4675,72 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q196: degrees + wedge triangles + four unrolled peel rounds +
+    // three unrolled LPA rounds, joined per node.
+    "q196_graph_audit" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 6),
+        |p AS (SELECT
+        |  CASE WHEN doc_id < 3 THEN 0 WHEN doc_id < 5 THEN 1 ELSE 2 END AS a,
+        |  CASE doc_id WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    WHEN 3 THEN 2 WHEN 4 THEN 3 ELSE 3 END AS b
+        |  FROM ids),
+        |raw AS (SELECT a, b FROM p
+        |  UNION ALL SELECT a + 10, b + 10 FROM p
+        |  UNION ALL SELECT doc_id + 3, doc_id + 10 FROM ids WHERE doc_id = 0
+        |  UNION ALL SELECT CASE WHEN doc_id = 0 THEN 3 ELSE doc_id + 19 END,
+        |    doc_id + 20 FROM ids WHERE doc_id < 3),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        |        FROM raw WHERE a <> b),
+        |e AS MATERIALIZED (SELECT u AS x, v AS y FROM und
+        |     UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM e GROUP BY x),
+        |lo AS MATERIALIZED (SELECT u AS lo, v AS hi FROM und),
+        |tr AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c FROM lo e1
+        |  JOIN lo e2 ON e1.hi = e2.lo
+        |  JOIN lo e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+        |    SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+        |    UNION ALL SELECT c FROM tr) z GROUP BY node),
+        |k1 AS (SELECT x FROM e GROUP BY x HAVING COUNT(*) >= 2),
+        |e1 AS MATERIALIZED (SELECT e.x, e.y FROM e
+        |     JOIN k1 a ON e.x = a.x JOIN k1 b ON e.y = b.x),
+        |k2 AS (SELECT x FROM e1 GROUP BY x HAVING COUNT(*) >= 2),
+        |e2 AS MATERIALIZED (SELECT e.x, e.y FROM e1 e
+        |     JOIN k2 a ON e.x = a.x JOIN k2 b ON e.y = b.x),
+        |k3 AS (SELECT x FROM e2 GROUP BY x HAVING COUNT(*) >= 2),
+        |e3 AS MATERIALIZED (SELECT e.x, e.y FROM e2 e
+        |     JOIN k3 a ON e.x = a.x JOIN k3 b ON e.y = b.x),
+        |k4 AS (SELECT x FROM e3 GROUP BY x HAVING COUNT(*) >= 2),
+        |e4 AS MATERIALIZED (SELECT e.x, e.y FROM e3 e
+        |     JOIN k4 a ON e.x = a.x JOIN k4 b ON e.y = b.x),
+        |core AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+        |         FROM e4 GROUP BY x),
+        |l0 AS (SELECT DISTINCT x AS node, x AS label FROM e),
+        |n1 AS (SELECT e.x, l.label FROM e JOIN l0 l ON e.y = l.node),
+        |c1 AS (SELECT x, label, COUNT(*) AS c FROM n1 GROUP BY x, label),
+        |m1 AS (SELECT x, MAX(c) AS mc FROM c1 GROUP BY x),
+        |l1 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c1 c
+        |       JOIN m1 ON c.x = m1.x AND c.c = m1.mc GROUP BY c.x),
+        |n2 AS (SELECT e.x, l.label FROM e JOIN l1 l ON e.y = l.node),
+        |c2 AS (SELECT x, label, COUNT(*) AS c FROM n2 GROUP BY x, label),
+        |m2 AS (SELECT x, MAX(c) AS mc FROM c2 GROUP BY x),
+        |l2 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c2 c
+        |       JOIN m2 ON c.x = m2.x AND c.c = m2.mc GROUP BY c.x),
+        |n3 AS (SELECT e.x, l.label FROM e JOIN l2 l ON e.y = l.node),
+        |c3 AS (SELECT x, label, COUNT(*) AS c FROM n3 GROUP BY x, label),
+        |m3 AS (SELECT x, MAX(c) AS mc FROM c3 GROUP BY x),
+        |l3 AS (SELECT c.x AS node, MIN(c.label) AS label FROM c3 c
+        |       JOIN m3 ON c.x = m3.x AND c.c = m3.mc GROUP BY c.x)
+        |SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+        |  core.node IS NOT NULL AS in_2core,
+        |  COALESCE(core.core_deg, 0) AS core_deg,
+        |  l3.label AS community
+        |FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        |LEFT JOIN core ON d.node = core.node
+        |JOIN l3 ON d.node = l3.node
+        |ORDER BY d.node""".stripMargin,
 
     // q195: the q194 replay + hot-segment filter (distinct-doc count
     // ≥ 2) + kept-segment reassembly in segment order.

@@ -481,6 +481,21 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q191–q195: example builders and CDC plan only doc-partitioned windows") {
+    // all five build per-document structure; none may fall back to a
+    // global window (the q91/q133 rule) — their windows carry doc_id
+    for (q <- Seq("q191_mask_tokens", "q193_span_corrupt",
+        "q194_cdc_segments", "q195_cdc_dedup", "q188_interleave")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$q planned a partition-less window:\n$bare")
+    }
+  }
+
   test("q139: sketch rollup shuffles sketch bytes only — no join back to raw rows before merge") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -270,6 +270,41 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("kmv: streaming micro-batch partials merge EXACTLY to the batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // unlike HLL (whose union gadget drifts once dense), the KMV
+    // merge is closed-form lossless — so the streaming-maintenance
+    // guarantee is EQUALITY, not a bound: per-micro-batch partial
+    // sketches merged over any batch boundaries equal the sketch of
+    // all data built at once, row for row
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val partialsDir =
+      java.nio.file.Files.createTempDirectory("graft_kmv_stream_").toString
+    val q = stream.toDF().toDF("key").writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        Sketches.kmvRollup(df.select(lit("g").as("g"), col("key")),
+            Seq("g"), col("key"), 32)
+          .write.mode("append").parquet(partialsDir): Unit
+      }
+      .start()
+    try {
+      stream.addData(0L until 300L: _*); q.processAllAvailable()
+      stream.addData(200L until 600L: _*); q.processAllAvailable()
+      stream.addData(0L until 100L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val merged = Sketches.kmvMerge(spark.read.parquet(partialsDir),
+        Seq("g"), 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val direct = Sketches.kmvRollup(
+        (0L until 600L).map(i => ("g", i)).toDF("g", "key"),
+        Seq("g"), col("key"), 32)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(merged == direct,
+      "micro-batch partials must merge exactly to the all-data sketch")
+  }
+
   test("kmv: below capacity exact; merge law holds; estimator tracks truth") {
     import spark.implicits._
     val k = 64

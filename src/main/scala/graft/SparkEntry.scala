@@ -2476,6 +2476,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q198: leading covariance eigenvector by INTEGER power
+    // iteration — exact moments matrix, v₀ = scale·1, two rounds of
+    // w = C·v and the integer renormalization w div max(1, max|w|
+    // div scale), all sign-split BIGINT. DuckDB unrolls both rounds.
+    "q198_top_eigen" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      Similarity.topEigenInt(emb, "vec_id", "v16", rounds = 2)
+        .orderBy(col("pos"))
+    }),
+
+    // q197: exact embedding moments — per dimension pair the integer
+    // sums and covariance numerator (hash-exact), correlation as the
+    // one mirrored double step. DuckDB replays the double unnest,
+    // the aggregate, and the diagonal joins. Dims capped at 16 to
+    // keep the dump compact (136 pairs).
+    "q197_embedding_moments" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      Similarity.embeddingMoments(emb, "vec_id", "v16")
+        .orderBy(col("i"), col("j"))
+    }),
+
     // q196: the per-node GRAPH COHESION AUDIT — degree, triangle
     // count, 2-core membership (with in-core degree), and LPA
     // community joined into one table over bridged cliques + a tail
@@ -4675,6 +4698,67 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q198: the q197 moments + symmetrization + two unrolled
+    // integer power-iteration rounds.
+    "q198_top_eigen" ->
+      """WITH pts AS (SELECT vec_id,
+        |    list_transform(embedding[1:16],
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, CAST(r.i AS INT) - 1 AS i,
+        |    q[CAST(r.i AS INT)] AS qi, q
+        |  FROM pts, unnest(range(1, len(q) + 1)) AS r(i)),
+        |b AS (SELECT vec_id, i, qi, CAST(r.j AS INT) - 1 AS j,
+        |    q[CAST(r.j AS INT)] AS qj
+        |  FROM a, unnest(range(1, len(q) + 1)) AS r(j)
+        |  WHERE CAST(r.j AS INT) - 1 >= i),
+        |m AS (SELECT i, j,
+        |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(qi * qj) AS BIGINT)
+        |      - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qj) AS BIGINT) AS cov_num
+        |  FROM b GROUP BY i, j),
+        |f AS MATERIALIZED (SELECT i, j, cov_num FROM m
+        |  UNION ALL SELECT j, i, cov_num FROM m WHERE i <> j),
+        |v0 AS (SELECT DISTINCT i AS pos, CAST(1000 AS BIGINT) AS v FROM f),
+        |w1 AS (SELECT f.i AS pos, CAST(SUM(f.cov_num * v0.v) AS BIGINT) AS w
+        |  FROM f JOIN v0 ON f.j = v0.pos GROUP BY f.i),
+        |x1 AS (SELECT GREATEST(MAX(ABS(w)) // 1000, 1) AS den FROM w1),
+        |v1 AS (SELECT pos, CASE WHEN w >= 0 THEN w // den
+        |    ELSE -((-w) // den) END AS v FROM w1 CROSS JOIN x1),
+        |w2 AS (SELECT f.i AS pos, CAST(SUM(f.cov_num * v1.v) AS BIGINT) AS w
+        |  FROM f JOIN v1 ON f.j = v1.pos GROUP BY f.i),
+        |x2 AS (SELECT GREATEST(MAX(ABS(w)) // 1000, 1) AS den FROM w2),
+        |v2 AS (SELECT pos, CASE WHEN w >= 0 THEN w // den
+        |    ELSE -((-w) // den) END AS v FROM w2 CROSS JOIN x2)
+        |SELECT pos, CAST(v AS BIGINT) AS v FROM v2 ORDER BY pos""".stripMargin,
+
+    // q197: double unnest + one aggregate + diagonal joins; corr is
+    // the identical double expression.
+    "q197_embedding_moments" ->
+      """WITH pts AS (SELECT vec_id,
+        |    list_transform(embedding[1:16],
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, CAST(r.i AS INT) - 1 AS i,
+        |    q[CAST(r.i AS INT)] AS qi, q
+        |  FROM pts, unnest(range(1, len(q) + 1)) AS r(i)),
+        |b AS (SELECT vec_id, i, qi, CAST(r.j AS INT) - 1 AS j,
+        |    q[CAST(r.j AS INT)] AS qj
+        |  FROM a, unnest(range(1, len(q) + 1)) AS r(j)
+        |  WHERE CAST(r.j AS INT) - 1 >= i),
+        |m AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(qi) AS BIGINT) AS s_i, CAST(SUM(qj) AS BIGINT) AS s_j,
+        |    CAST(SUM(qi * qj) AS BIGINT) AS s_ij
+        |  FROM b GROUP BY i, j),
+        |c AS (SELECT *, n * s_ij - s_i * s_j AS cov_num FROM m),
+        |d AS (SELECT i AS dd, cov_num AS vv FROM c WHERE i = j)
+        |SELECT c.i, c.j, c.n, c.s_i, c.s_j, c.s_ij, c.cov_num,
+        |  CASE WHEN di.vv > 0 AND dj.vv > 0
+        |    THEN CAST(c.cov_num AS DOUBLE)
+        |      / sqrt(CAST(di.vv AS DOUBLE) * CAST(dj.vv AS DOUBLE))
+        |  END AS corr
+        |FROM c JOIN d di ON c.i = di.dd JOIN d dj ON c.j = dj.dd
+        |ORDER BY c.i, c.j""".stripMargin,
 
     // q196: degrees + wedge triangles + four unrolled peel rounds +
     // three unrolled LPA rounds, joined per node.

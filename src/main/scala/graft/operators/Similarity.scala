@@ -218,6 +218,114 @@ object Similarity {
     result
   }
 
+  /** EXACT second-moment table of the embedding columns — the
+    * mean/covariance/correlation statistics that feed whitening, PCA
+    * prep, feature-drift monitoring, and redundant-dimension audits.
+    * Vectors quantize to `floor(v·scale)` BIGINTs ([[kmeansInt]]'s
+    * lattice), so every accumulated statistic is an exact integer:
+    * per dimension pair (i ≤ j), n, Σqᵢ, Σqⱼ, Σqᵢqⱼ and the
+    * covariance numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ — order-independent,
+    * partitioning-independent, hash-exact across engines (q197);
+    * correlation is the one double step (two exact integers through
+    * multiply/sqrt/divide, spelled identically in the oracle), NULL
+    * when a dimension is constant.
+    *
+    * Shape: two row-local generators (no self-join — the pair
+    * explosion never shuffles) feeding ONE hash aggregate whose
+    * map-side partials collapse n·d² rows to d²/2 per partition
+    * before the exchange — the shuffle moves O(partitions·d²)
+    * partial sums, not data. The d² blowup is CPU inside codegen,
+    * the honest cost of exact moments; for d ≤ a few hundred this is
+    * scan-bound. Diagonal variances join back model-sized. */
+  def embeddingMoments(df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * scale).cast("long"))
+    val e1 = df.select(col(idCol).cast("long").as("id"), q.as("__q"))
+      .select(col("id"), col("__q"),
+        posexplode(col("__q")).as(Seq("i", "qi")))
+    val e2 = e1.select(col("i"), col("qi"),
+        posexplode(col("__q")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+    val m = e2.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("qi")).as("s_i"),
+        sum(col("qj")).as("s_j"), sum(col("qi") * col("qj")).as("s_ij"))
+      .withColumn("cov_num",
+        col("n") * col("s_ij") - col("s_i") * col("s_j"))
+    val diag = m.filter(col("i") === col("j"))
+      .select(col("i").as("__dd"), col("cov_num").as("__vv"))
+    m.join(broadcast(diag.select(col("__dd").as("i"),
+        col("__vv").as("__var_i"))), Seq("i"))
+      .join(broadcast(diag.select(col("__dd").as("j"),
+        col("__vv").as("__var_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("s_i"), col("s_j"),
+        col("s_ij"), col("cov_num"),
+        when(col("__var_i") > 0 && col("__var_j") > 0,
+          col("cov_num").cast("double") /
+            sqrt(col("__var_i").cast("double") * col("__var_j").cast("double")))
+          .as("corr"))
+  }
+
+  /** Leading eigenvector of the embedding covariance by INTEGER
+    * power iteration — the PCA direction that drives whitening,
+    * anisotropy diagnosis ("all my embeddings point the same way"),
+    * and ABS/top-direction removal; computed with the
+    * [[Graph.pageRankInt]] discipline so the vector is bit-identical
+    * on any engine (q198 unrolls it): the exact [[embeddingMoments]]
+    * covariance numerators form the matrix, v₀ = scale·𝟙, and each
+    * round is w = C·v followed by the integer renormalization
+    * v′ = w div max(1, max|w| div scale) — every step BIGINT, signs
+    * handled by the sign-split form. Converges like float power
+    * iteration (ratio of top eigenvalues) with ≤ 1/scale per-entry
+    * quantization noise per round.
+    *
+    * Scale shape: the ONE corpus pass is the moments aggregate; the
+    * matrix is model-sized (d² rows, localCheckpointed) and every
+    * iteration is a model-sized join + aggregate + 1-row broadcast —
+    * iterations cost nothing at corpus scale. Overflow is guarded
+    * against the MEASURED max |cov entry| (one scalar collect).
+    * Returns (pos, v) with |v| ≤ ~scale, sign fixed by the
+    * all-positive start. */
+  def topEigenInt(df: DataFrame, idCol: String, vecCol: String,
+      rounds: Int, scale: Long = 1000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1, 20], got $rounds")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val m = embeddingMoments(df, idCol, vecCol, scale)
+      .select(col("i"), col("j"), col("cov_num"))
+    val full = m.unionByName(m.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov_num")))
+      .localCheckpoint()
+    val stats = full.agg(max(abs(col("cov_num"))).as("mx"),
+      countDistinct(col("i")).as("d")).first()
+    val maxAbs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val dims = stats.getLong(1)
+    require(dims > 0, "no dimensions — empty input")
+    // per-round |v| ≤ 2·scale (the integer renormalization's worst
+    // flooring case), so |w| ≤ maxAbs·2·scale·d must fit in a long
+    require(maxAbs <= Long.MaxValue / math.max(2L * scale * dims, 1L),
+      s"covariance magnitude $maxAbs would overflow at scale=$scale, d=$dims")
+    var v = full.select(col("i").as("pos")).distinct()
+      .select(col("pos"), lit(scale).as("v"))
+    var lastCkpt: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val w = full
+        .join(v.select(col("pos").as("j"), col("v").as("__vj")), Seq("j"))
+        .groupBy(col("i")).agg(sum(col("cov_num") * col("__vj")).as("__w"))
+      val mx = w.agg(greatest(expr(s"max(abs(__w)) div $scale"), lit(1L))
+        .as("__den"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i").as("pos"),
+          when(col("__w") >= 0, expr("__w div __den"))
+            .otherwise(-expr("(-__w) div __den")).cast("long").as("v"))
+        .localCheckpoint()
+      if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
+      lastCkpt = v
+    }
+    v
+  }
+
   /** A trained model as ONE plan constant. A matrix spelled as nested
     * `lit()` nodes (ksub·dim literals) makes the expression tree —
     * and the generated Java — grow with the model, and every fresh

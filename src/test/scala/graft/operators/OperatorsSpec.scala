@@ -858,6 +858,53 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** driver-side replay of the integer power iteration */
+  private def eigReplay(pts: Seq[Seq[Float]], rounds: Int,
+      scale: Long): Map[Int, Long] = {
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val q = pts.map(_.map(x => math.floor(x.toDouble * scale).toLong))
+    val d = q.head.size
+    val n = q.size.toLong
+    val cov = Array.tabulate(d, d) { (i, j) =>
+      val sij = q.map(r => r(i) * r(j)).sum
+      val si = q.map(_(i)).sum; val sj = q.map(_(j)).sum
+      n * sij - si * sj
+    }
+    var v = Array.fill(d)(scale)
+    (1 to rounds).foreach { _ =>
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val den = math.max(w.map(math.abs).max / scale, 1L)
+      v = w.map(sdiv(_, den))
+    }
+    v.zipWithIndex.map { case (x, i) => i -> x }.toMap
+  }
+
+  test("topEigenInt: matches the integer replay and finds the planted direction") {
+    val rnd = new scala.util.Random(13)
+    // anisotropic cloud: dominant variance along dim 1, some along 3
+    val pts = Seq.tabulate(80) { _ =>
+      val t = rnd.nextGaussian()
+      Seq(rnd.nextGaussian() * 0.05, t * 0.9, rnd.nextGaussian() * 0.05,
+        t * 0.3 + rnd.nextGaussian() * 0.1).map(_.toFloat)
+    }
+    val df = pts.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    for (rounds <- Seq(1, 3)) {
+      val got = Similarity.topEigenInt(df, "vec_id", "embedding", rounds)
+        .as[(Int, Long)].collect().toMap
+      assert(got == eigReplay(pts, rounds, 1000L), s"rounds=$rounds")
+    }
+    val v3 = Similarity.topEigenInt(df, "vec_id", "embedding", 3)
+      .as[(Int, Long)].collect().toMap
+    // the dominant coordinate is dim 1, with dim 3 correlated at ~1/3
+    assert(math.abs(v3(1)) == Seq(0, 1, 2, 3).map(i => math.abs(v3(i))).max)
+    assert(math.abs(v3(3)) > math.abs(v3(0)) && math.abs(v3(3)) > math.abs(v3(2)),
+      s"correlated dim must outweigh noise dims: $v3")
+    val re = Similarity.topEigenInt(df.repartition(7), "vec_id", "embedding", 3)
+      .as[(Int, Long)].collect().toMap
+    assert(re == v3, "partitioning leaked into the eigenvector")
+  }
+
   test("bruteForceTopK matches a driver-side exact computation") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.bruteForceTopK(

@@ -2476,6 +2476,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q199: per-vector scores along the q198 eigenvector — exact
+    // BIGINT dots against the power-iterated direction; the whole
+    // moments→eigenvector→projection chain replays end to end.
+    "q199_principal_scores" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), slice(col("embedding"), 1, 16).as("v16"))
+      val eig = Similarity.topEigenInt(emb, "vec_id", "v16", rounds = 2)
+      Similarity.principalScores(emb, "vec_id", "v16", eig, "pos", "v")
+        .orderBy(col("vec_id"))
+    }),
+
     // q198: leading covariance eigenvector by INTEGER power
     // iteration — exact moments matrix, v₀ = scale·1, two rounds of
     // w = C·v and the integer renormalization w div max(1, max|w|
@@ -4698,6 +4709,41 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q199: the q198 replay + per-vector dots against v2.
+    "q199_principal_scores" ->
+      """WITH pts AS (SELECT vec_id,
+        |    list_transform(embedding[1:16],
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, CAST(r.i AS INT) - 1 AS i,
+        |    q[CAST(r.i AS INT)] AS qi, q
+        |  FROM pts, unnest(range(1, len(q) + 1)) AS r(i)),
+        |b AS (SELECT vec_id, i, qi, CAST(r.j AS INT) - 1 AS j,
+        |    q[CAST(r.j AS INT)] AS qj
+        |  FROM a, unnest(range(1, len(q) + 1)) AS r(j)
+        |  WHERE CAST(r.j AS INT) - 1 >= i),
+        |m AS (SELECT i, j,
+        |    CAST(COUNT(*) AS BIGINT) * CAST(SUM(qi * qj) AS BIGINT)
+        |      - CAST(SUM(qi) AS BIGINT) * CAST(SUM(qj) AS BIGINT) AS cov_num
+        |  FROM b GROUP BY i, j),
+        |f AS MATERIALIZED (SELECT i, j, cov_num FROM m
+        |  UNION ALL SELECT j, i, cov_num FROM m WHERE i <> j),
+        |v0 AS (SELECT DISTINCT i AS pos, CAST(1000 AS BIGINT) AS v FROM f),
+        |w1 AS (SELECT f.i AS pos, CAST(SUM(f.cov_num * v0.v) AS BIGINT) AS w
+        |  FROM f JOIN v0 ON f.j = v0.pos GROUP BY f.i),
+        |x1 AS (SELECT GREATEST(MAX(ABS(w)) // 1000, 1) AS den FROM w1),
+        |v1 AS (SELECT pos, CASE WHEN w >= 0 THEN w // den
+        |    ELSE -((-w) // den) END AS v FROM w1 CROSS JOIN x1),
+        |w2 AS (SELECT f.i AS pos, CAST(SUM(f.cov_num * v1.v) AS BIGINT) AS w
+        |  FROM f JOIN v1 ON f.j = v1.pos GROUP BY f.i),
+        |x2 AS (SELECT GREATEST(MAX(ABS(w)) // 1000, 1) AS den FROM w2),
+        |v2 AS MATERIALIZED (SELECT pos, CAST(CASE WHEN w >= 0 THEN w // den
+        |    ELSE -((-w) // den) END AS BIGINT) AS v FROM w2 CROSS JOIN x2),
+        |ds AS (SELECT CAST(SUM(v * v) AS BIGINT) AS dir_sq FROM v2)
+        |SELECT a.vec_id, CAST(SUM(a.qi * v2.v) AS BIGINT) AS dot, ds.dir_sq
+        |FROM a JOIN v2 ON a.i = v2.pos CROSS JOIN ds
+        |GROUP BY a.vec_id, ds.dir_sq ORDER BY a.vec_id""".stripMargin,
 
     // q198: the q197 moments + symmetrization + two unrolled
     // integer power-iteration rounds.

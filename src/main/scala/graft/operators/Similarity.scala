@@ -326,6 +326,33 @@ object Similarity {
     v
   }
 
+  /** Per-vector score along a direction — dot(q, e) over the
+    * quantized lattice, exact BIGINT. With e = [[topEigenInt]] this
+    * is the anisotropy diagnosis / ABS-style top-direction removal
+    * primitive (Arora et al. 2017's "all-but-the-top" reads exactly
+    * this projection): corpora whose scores share one sign are
+    * degenerate for cosine retrieval, and subtracting the projection
+    * whitens them. One broadcast join of the model-sized direction
+    * against the exploded vectors + one per-vector aggregate.
+    * Returns (vec_id, dot, dir_sq) — the caller divides once if it
+    * wants the scalar projection coefficient. */
+  def principalScores(df: DataFrame, idCol: String, vecCol: String,
+      direction: DataFrame, posCol: String, valCol: String,
+      scale: Long = 1000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val q = transform(col(vecCol),
+      v => floor(v.cast("double") * scale).cast("long"))
+    val e = df.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(q).as(Seq("pos", "qv")))
+    val dir = direction.select(col(posCol).cast("int").as("pos"),
+      col(valCol).cast("long").as("ev"))
+    val dirSq = dir.agg(sum(col("ev") * col("ev")).as("dir_sq"))
+    e.join(broadcast(dir), Seq("pos"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("qv") * col("ev")).as("dot"))
+      .crossJoin(broadcast(dirSq))
+  }
+
   /** A trained model as ONE plan constant. A matrix spelled as nested
     * `lit()` nodes (ksub·dim literals) makes the expression tree —
     * and the generated Java — grow with the model, and every fresh

@@ -142,7 +142,8 @@ object Bench {
     // 0-decimal fallback: exact 2-decimal timings for every query at
     // or above the floor, one char for the sub-floor carpet
     val candidates = Seq((3, 80, 0.0), (2, 80, 0.0), (2, 40, 0.0),
-      (1, 20, 0.0), (2, 20, 0.25), (2, 10, 0.5), (2, 10, 1.0), (0, 10, 0.0))
+      (1, 20, 0.0), (2, 20, 0.25), (2, 10, 0.5), (2, 10, 1.0),
+      (2, 10, 1.5), (2, 10, 2.0), (2, 10, 3.0), (0, 10, 0.0))
     val line = candidates.iterator
       .map { case (d, e, fl) => (d, fl, render(d, e, fl)) }
       .find(_._3.length <= 1850)

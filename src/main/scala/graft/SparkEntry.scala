@@ -2476,6 +2476,15 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q200: the one-row DATASET CARD — corpus size, token totals,
+    // the key-sorted language histogram string, the min-tie majority
+    // language, exact extremes, and the single mirrored double.
+    // Identical cards on both engines or the corpus changed.
+    "q200_dataset_card" -> ((s, dir) => {
+      pipeline.Corpus.datasetCard(Tables.documents(s, dir),
+        "doc_id", "text", "lang")
+    }),
+
     // q199: per-vector scores along the q198 eigenvector — exact
     // BIGINT dots against the power-iterated direction; the whole
     // moments→eigenvector→projection chain replays end to end.
@@ -4709,6 +4718,30 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q200: scalar subqueries over the same aggregates; the
+    // empty-text token-count convention is mirrored explicitly.
+    "q200_dataset_card" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+        |      ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+        |  FROM documents),
+        |l AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        |      FROM b GROUP BY lang),
+        |t AS (SELECT MAX(c) AS mc FROM l)
+        |SELECT
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_docs,
+        |  (SELECT CAST(SUM(nt) AS BIGINT) FROM b) AS n_tokens,
+        |  (SELECT CAST(SUM(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     FROM b) AS n_empty,
+        |  (SELECT CAST(MAX(nt) AS BIGINT) FROM b) AS max_tokens,
+        |  (SELECT CAST(MIN(nt) AS BIGINT) FROM b) AS min_tokens,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM l) AS n_langs,
+        |  (SELECT MIN(lang) FROM l, t WHERE l.c = t.mc) AS top_lang,
+        |  (SELECT mc FROM t) AS top_lang_docs,
+        |  (SELECT string_agg(lang || '=' || c, ',' ORDER BY lang || '=' || c)
+        |     FROM l) AS lang_hist,
+        |  (SELECT CAST(SUM(nt) AS DOUBLE) / COUNT(*) FROM b) AS avg_tokens""".stripMargin,
 
     // q199: the q198 replay + per-vector dots against v2.
     "q199_principal_scores" ->

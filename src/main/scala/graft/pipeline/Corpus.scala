@@ -732,4 +732,45 @@ object Corpus {
       .select(col("doc_id"), col("anchor"), col("positive"),
         col("neg_doc_id"), col("negative"))
   }
+
+  /** One-row DATASET CARD (the Datasheets-for-Datasets reporting
+    * practice, reduced to its reproducible core): corpus size, token
+    * totals, empties, the language inventory as a KEY-SORTED
+    * `lang=n` string (the q38 map-export discipline — flat and
+    * hashable cross-engine), the majority language with min-name
+    * ties, and exact token extremes; `avg_tokens` is the one double
+    * step (two exact BIGINTs through one division). Every column is
+    * a pure function of the corpus, so two runs — or two engines —
+    * must produce the identical card (q200); a drifting card IS the
+    * regression signal. Cost: one corpus aggregate + a
+    * language-bounded aggregate; the card row assembles from 1-row
+    * broadcast frames. */
+  def datasetCard(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"),
+      col(langCol).cast("string").as("__lang"),
+      graft.functions.token_count(col(textCol)).as("__nt"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("__nt")).cast("long").as("n_tokens"),
+      sum(when(col("__nt") === 0, 1L).otherwise(0L)).as("n_empty"),
+      max(col("__nt")).as("max_tokens"),
+      min(col("__nt")).as("min_tokens"))
+    val langAgg = base.groupBy(col("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val langStats = langAgg.agg(
+      count(lit(1)).as("n_langs"),
+      max(col("__c")).as("__mc"),
+      array_join(array_sort(collect_list(
+        concat(col("__lang"), lit("="), col("__c")))), ",").as("lang_hist"))
+    val top = langAgg.crossJoin(broadcast(langStats.select(col("__mc"))))
+      .filter(col("__c") === col("__mc"))
+      .agg(min(col("__lang")).as("top_lang"))
+    stats.crossJoin(broadcast(langStats.drop("__mc")))
+      .crossJoin(broadcast(top))
+      .crossJoin(broadcast(langStats.select(col("__mc").as("top_lang_docs"))))
+      .select(col("n_docs"), col("n_tokens"), col("n_empty"),
+        col("max_tokens"), col("min_tokens"), col("n_langs"),
+        col("top_lang"), col("top_lang_docs"), col("lang_hist"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
+  }
 }

@@ -2476,6 +2476,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q201: per-document Stupid Backoff fluency — even docs train
+    // the LM, odd docs are scored against it (cross-split, so
+    // unseen trigrams exercise the real backoff). DuckDB rebuilds
+    // the count tables from the even half and replays per-trigram
+    // branches + the per-doc reduction.
+    "q201_sb_doc_score" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val lm = all.filter(col("doc_id") % 2 === 0)
+      val score = all.filter(col("doc_id") % 2 === 1 && col("doc_id") < 300)
+      TextOps.stupidBackoffDocScore(lm, "text", score, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // q200: the one-row DATASET CARD — corpus size, token totals,
     // the key-sorted language histogram string, the min-tie majority
     // language, exact extremes, and the single mirrored double.
@@ -4718,6 +4731,56 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q201: count tables from the even half, per-trigram backoff
+    // branches, per-doc reduction with the BIGINT floor mean and the
+    // mirrored double mean.
+    "q201_sb_doc_score" ->
+      """WITH lm AS (SELECT string_split_regex(trim(lower(text)), '\s+')
+        |    AS toks FROM documents WHERE doc_id % 2 = 0),
+        |tri AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+        |    toks[CAST(u.i AS INT) + 1] AS w2,
+        |    toks[CAST(u.i AS INT) + 2] AS w3
+        |  FROM lm, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |tc AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        |       FROM tri GROUP BY 1, 2, 3),
+        |bg AS (SELECT toks[CAST(u.i AS INT)] AS wa,
+        |    toks[CAST(u.i AS INT) + 1] AS wb
+        |  FROM lm, unnest(range(1, len(toks))) AS u(i)),
+        |bc2 AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c2
+        |        FROM bg GROUP BY 1, 2),
+        |un AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c1
+        |       FROM lm, unnest(toks) AS u(w) GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(c1) AS BIGINT) AS tot FROM un),
+        |sd AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1 AND doc_id < 300),
+        |dt AS (SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+        |    toks[CAST(u.i AS INT) + 1] AS w2,
+        |    toks[CAST(u.i AS INT) + 2] AS w3
+        |  FROM sd, unnest(range(1, len(toks) - 1)) AS u(i)),
+        |j AS (SELECT dt.doc_id,
+        |    COALESCE(tc.c3, 0) AS c3, COALESCE(ca.c2, 0) AS c2_ctx,
+        |    COALESCE(cb.c2, 0) AS c2_tail, COALESCE(ua.c1, 0) AS c1_ctx,
+        |    COALESCE(ub.c1, 0) AS c1_w, tt.tot
+        |  FROM dt
+        |  LEFT JOIN tc ON dt.w1 = tc.w1 AND dt.w2 = tc.w2 AND dt.w3 = tc.w3
+        |  LEFT JOIN bc2 ca ON dt.w1 = ca.wa AND dt.w2 = ca.wb
+        |  LEFT JOIN bc2 cb ON dt.w2 = cb.wa AND dt.w3 = cb.wb
+        |  LEFT JOIN un ua ON dt.w2 = ua.w
+        |  LEFT JOIN un ub ON dt.w3 = ub.w
+        |  CROSS JOIN tt),
+        |sc AS (SELECT doc_id,
+        |    CASE WHEN c3 > 0 THEN (1000 * c3) // c2_ctx
+        |         WHEN c2_tail > 0 THEN (2 * 1000 * c2_tail) // (5 * c1_ctx)
+        |         ELSE (2 * 2 * 1000 * c1_w) // (5 * 5 * GREATEST(tot, 1))
+        |    END AS sb_milli
+        |  FROM j)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(sb_milli) AS BIGINT) AS sum_sb_milli,
+        |  CAST(SUM(sb_milli) AS BIGINT) // COUNT(*) AS mean_sb_milli,
+        |  CAST(SUM(sb_milli) AS DOUBLE) / COUNT(*) AS mean_sb
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q200: scalar subqueries over the same aggregates; the
     // empty-text token-count convention is mirrored explicitly.

@@ -1668,6 +1668,51 @@ object TextOps {
     * plus one 1-row total, so the corpus is never rescanned per
     * query. Tables come back deduplicated by key, so the joins cannot
     * fan out. */
+  /** Per-DOCUMENT fluency under a Stupid Backoff LM trained on a
+    * SEPARATE reference corpus — the CCNet-style filter loop
+    * ([[graft.pipeline.Corpus.perplexityTiers]]'s shape) at the
+    * web-scale smoothing: each document's trigrams score against the
+    * reference counts (unseen trigrams exercise the real backoff —
+    * scoring a corpus against itself never would) and reduce to
+    * (n_trigrams, sum_sb_milli, mean_sb_milli, mean_sb) — the
+    * integer mean a BIGINT floor, the double the one mirrored
+    * division. Gibberish backs off to the α²-unigram floor on most
+    * trigrams; fluent text rides seen-trigram ratios — the ranking
+    * signal a quality gate thresholds (q201 replays it end to end).
+    *
+    * Shape: [[stupidBackoffScore]] over the DISTINCT document
+    * trigrams (n-gram-keyed joins, the MapReduce LM shape), then one
+    * join back to the per-occurrence trigram stream + one per-doc
+    * aggregate. Documents with fewer than 3 tokens have no trigrams
+    * and drop (no fluency evidence either way, documented). */
+  def stupidBackoffDocScore(lmCorpus: DataFrame, lmTextCol: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {
+    val toked = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(lower(col(textCol))).as("__t"))
+    val n2 = greatest(size(col("__t")) - 2, lit(0))
+    val docTris = toked.select(col("doc_id"), explode(zip_with(
+        slice(col("__t"), lit(1), n2),
+        zip_with(slice(col("__t"), lit(2), n2), slice(col("__t"), lit(3), n2),
+          (b, c) => struct(b.as("b"), c.as("c"))),
+        (a, bc) => struct(a.as("a"), bc.getField("b").as("b"),
+          bc.getField("c").as("c")))).as("__g"))
+      .select(col("doc_id"), col("__g.a").as("w1"), col("__g.b").as("w2"),
+        col("__g.c").as("w3"))
+    val scored = stupidBackoffScore(lmCorpus, lmTextCol,
+        docTris.select(col("w1"), col("w2"), col("w3")).distinct(),
+        "w1", "w2", "w3", alphaNum, alphaDen)
+      .select(col("w1"), col("w2"), col("w3"), col("sb_milli"))
+    docTris.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("sb_milli")).cast("long").as("sum_sb_milli"))
+      .select(col("doc_id"), col("n_trigrams"), col("sum_sb_milli"),
+        expr("sum_sb_milli div n_trigrams").as("mean_sb_milli"),
+        (col("sum_sb_milli").cast("double") / col("n_trigrams"))
+          .as("mean_sb"))
+  }
+
   def stupidBackoffScore(corpus: DataFrame, textCol: String,
       queries: DataFrame, w1Col: String, w2Col: String, w3Col: String,
       alphaNum: Long = 2L, alphaDen: Long = 5L): DataFrame = {

@@ -659,5 +659,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       df => graft.operators.TextOps.stripInvisible(df, "doc_id", "text"))
     run("st_c4",
       df => graft.operators.TextOps.c4Rules(df, "doc_id", "text", Seq("qqbad")))
+    // the deterministic objective builders are row-local too — the
+    // same seeded examples stream out of an incremental pipeline
+    run("st_mask",
+      df => graft.operators.Packing.maskTokens(df, "doc_id", "text", 30, 1))
+    run("st_prefix",
+      df => graft.operators.Packing.prefixSplit(df, "doc_id", "text", 1, 1, 1))
+    run("st_script",
+      df => graft.operators.TextOps.scriptProfile(df, "doc_id", "text"))
   }
 }

@@ -2476,6 +2476,48 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q202: KLL quantile-sketch rollup lifecycle — the QUANTILE
+    // member of the sketch-table family (q139 HLL distinct, q153 CMS
+    // frequency, q190 KMV deterministic distinct): fine-grain partial
+    // sketches per (returnflag, linestatus), merged to returnflag by
+    // a TypedImperativeAggregate over sketch BYTES, quartile grid
+    // read from the merged sketch. KLL compaction is randomized, so
+    // estimates aren't run-stable values — the oracle pins the
+    // REALIZED rank of each estimate (exact conditional counts)
+    // within 4× the library's k=200 bound (±6.6%, can't-flip margin
+    // over the 99%-confidence 1.65%), plus integrality of estimates
+    // (KLL answers retained input values; quantities are integral).
+    "q202_kll_quantiles" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("double").as("qty"))
+      val rollup = operators.Sketches.kllRollup(li,
+        Seq(col("l_returnflag"), col("l_linestatus")), col("qty"))
+      val est = operators.Sketches.kllQuantiles(rollup,
+        Seq(col("l_returnflag")), Seq(0.25, 0.5, 0.75))
+        .select(col("l_returnflag"), col("q_250"), col("q_500"), col("q_750"))
+      val margin = 660L // 4 × getNormalizedRankError(200) in 1e4 units
+      def rankOk(le: Column, target: Long) =
+        abs(le * 10000L - lit(target) * col("exact_rows")) <=
+          lit(margin) * col("exact_rows")
+      li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("exact_rows"),
+          sum(when(col("qty") <= col("q_250"), 1L).otherwise(0L)).as("__le25"),
+          sum(when(col("qty") <= col("q_500"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("qty") <= col("q_750"), 1L).otherwise(0L)).as("__le75"),
+          first(col("q_250")).as("__e25"), first(col("q_500")).as("__e50"),
+          first(col("q_750")).as("__e75"))
+        .select(col("l_returnflag"), col("exact_rows"),
+          rankOk(col("__le25"), 2500L).as("q25_ok"),
+          rankOk(col("__le50"), 5000L).as("q50_ok"),
+          rankOk(col("__le75"), 7500L).as("q75_ok"),
+          (col("__e25") === floor(col("__e25")) &&
+            col("__e50") === floor(col("__e50")) &&
+            col("__e75") === floor(col("__e75"))).as("ests_integral"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // q201: per-document Stupid Backoff fluency — even docs train
     // the LM, odd docs are scored against it (cross-split, so
     // unseen trigrams exercise the real backoff). DuckDB rebuilds
@@ -4731,6 +4773,15 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q202: exact group counts recomputed; the rank-error and
+    // integrality invariants pinned TRUE (q44/q139 sketch
+    // discipline — KLL compaction is randomized, bounds are not).
+    "q202_kll_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS exact_rows,
+        | TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok,
+        | TRUE AS ests_integral
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q201: count tables from the even half, per-trigram backoff
     // branches, per-doc reduction with the BIGINT floor mean and the

@@ -1,0 +1,147 @@
+package graft.expr
+
+import org.apache.datasketches.kll.{KllDoublesSketch, KllSketch}
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** KLL quantile sketch aggregates (Karnin–Lang–Liberty 2016, via the
+  * Datasketches library Spark already bundles for its HLL functions)
+  * — the QUANTILE member of the engine's mergeable-sketch family:
+  * HLL answers "how many distinct", CMS "how often", KMV "which
+  * distinct (exactly, below k)", and KLL answers "what value sits at
+  * rank φ" from a partition-sized partial, so percentile dashboards
+  * over a year of 100 TB days merge KB-sized sketch rows instead of
+  * rescanning raw values (`graft.operators.Sketches.kllRollup`).
+  *
+  * Implemented as a real [[TypedImperativeAggregate]] (the tier
+  * Spark's own `approx_percentile`/`hll_sketch_agg` use), NOT a
+  * collect_list-plus-UDF merge: partial aggregation happens map-side
+  * inside ObjectHashAggregate, so a group's traffic per upstream task
+  * is one ~KB sketch, never a value list — at 1000 executors the
+  * final merge touches task-count × sketch-size bytes per group.
+  *
+  * Error model, honestly: KLL guarantees normalized RANK error (≤
+  * [[KllSketch.getNormalizedRankError]] ≈1.65% at the default k=200,
+  * 99% confidence), not value error, and level compaction draws
+  * random offsets, so sketch BYTES are not run-deterministic — only
+  * rank-error bounds are stable. Oracle discipline therefore pins
+  * realized rank error of each estimate against exact ranks with a
+  * generous multiple of the library bound (q202), the q44/q139
+  * sketch pattern; specs additionally pin exactness below capacity
+  * (n ≤ k keeps every value) and merge-tracks-direct.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int = KllSketchAgg.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a DOUBLE value column, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_sketch_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+    copy(child = newChild)
+}
+
+object KllSketchAgg {
+  /** Library default; normalized rank error ≈1.65% at 99% confidence. */
+  val DefaultK = 200
+
+  /** The library's own single-sided normalized rank-error bound for a
+    * given k — what q202's oracle scales up to a can't-flip margin. */
+  def rankError(k: Int): Double = KllSketch.getNormalizedRankError(k, false)
+}
+
+/** Merge pre-built KLL sketch BYTES up to a coarser grain — the
+  * rollup-table half of the lifecycle: daily partials land once, any
+  * ad-hoc grain is answered by merging their bytes. Same
+  * TypedImperativeAggregate shape as the builder, so partial merges
+  * stay map-side. Null sketches (e.g. from outer joins) are skipped;
+  * merging zero rows yields an empty sketch (callers read isEmpty via
+  * [[graft.operators.Sketches.kllQuantile]] → null). KLL merge keeps
+  * the k of the TARGET sketch; partials built with larger k merge in
+  * losslessly, smaller-k partials dominate the bound (documented
+  * library semantics — rollup tables should build with one k). */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int = KllSketchAgg.DefaultK,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with UnaryLike[Expression] {
+
+  require(k >= 8 && k <= 65535, s"kll k must be in [8, 65535], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch column, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_merge_agg"
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  override def update(buf: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    }
+    buf
+  }
+
+  override def merge(buf: KllDoublesSketch, other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+    copy(child = newChild)
+}

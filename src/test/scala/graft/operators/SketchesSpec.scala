@@ -353,4 +353,66 @@ class SketchesSpec extends SparkTestBase {
       .select(col("approx_distinct")).as[Double].head()
     assert(math.abs(estBig - 900) / 900 < 0.12, s"k=512 estimate $estBig")
   }
+
+  test("kllRollup: one sketch row per group; exact below capacity") {
+    import spark.implicits._
+    // n ≤ k ⇒ KLL retains every value: quantiles are EXACT order stats
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("grp", "v")
+      .repartition(7) // partial merges must not lose exactness either
+    val rollup = Sketches.kllRollup(df, Seq(col("grp")), col("v"), k = 200)
+    assert(rollup.count() == 1)
+    val q = Sketches.kllQuantiles(rollup, Seq(col("grp")),
+      Seq(0.0, 0.25, 0.5, 0.99, 1.0))
+    val r = q.select(col("rows"), col("q_0"), col("q_250"), col("q_500"),
+      col("q_990"), col("q_1000")).as[(Long, Double, Double, Double, Double, Double)].head()
+    assert(r == ((100L, 1.0, 25.0, 50.0, 99.0, 100.0)), s"got $r")
+    // null values skipped, count matches COUNT(v)
+    val withNulls = df.unionByName(
+      Seq(("g", null.asInstanceOf[java.lang.Double])).toDF("grp", "v"))
+    val pr = Sketches.kllRollup(withNulls, Seq(col("grp")), col("v"))
+      .select(col("partial_rows")).as[Long].head()
+    assert(pr == 100L)
+  }
+
+  test("kllMerge lifecycle: daily partials merge; realized rank error within bound") {
+    val li = Tables.lineitem(spark, sf)
+    val rollup = Sketches.kllRollup(li,
+      Seq(col("l_returnflag"), col("l_linestatus")), col("l_quantity"))
+    val groups = li.select(col("l_returnflag"), col("l_linestatus"))
+      .distinct().count()
+    assert(rollup.count() == groups)
+    val maxBytes = rollup.agg(max(length(col("kll_sketch")))).first().getInt(0)
+    assert(maxBytes < 16 * 1024, s"sketch unexpectedly large: $maxBytes bytes")
+
+    // merge to the coarser grain and read the quartile grid
+    val ranks = Seq(0.25, 0.5, 0.75)
+    val est = Sketches.kllQuantiles(rollup, Seq(col("l_returnflag")), ranks)
+    // realized rank of each estimate vs its target, exactly
+    val totals = li.groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bound = graft.expr.KllSketchAgg.rankError(200) * 4 // can't-flip margin
+    for (row <- est.collect(); (rank, i) <- ranks.zipWithIndex) {
+      val flag = row.getString(0)
+      val v = row.getDouble(2 + i)
+      val below = li.filter(col("l_returnflag") === flag &&
+        col("l_quantity") <= v).count()
+      val realized = below.toDouble / totals(flag)
+      assert(realized >= rank - bound && realized <= rank + bound,
+        s"$flag q$rank: est $v realized rank $realized")
+    }
+  }
+
+  test("kllQuantile/kllRank: null and empty sketches answer null") {
+    import spark.implicits._
+    val nulls = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("id", "kll_sketch")
+    assert(nulls.select(Sketches.kllQuantile(col("kll_sketch"), lit(0.5)))
+      .first().isNullAt(0))
+    // merging only-null sketch rows yields an empty sketch → null read
+    val merged = Sketches.kllMerge(
+      nulls.withColumn("partial_rows", lit(0L)), Seq(col("id")))
+    assert(merged.select(Sketches.kllQuantile(col("kll_sketch"), lit(0.5)))
+      .first().isNullAt(0))
+    assert(nulls.select(Sketches.kllRank(col("kll_sketch"), lit(1.0)))
+      .first().isNullAt(0))
+  }
 }

@@ -2476,6 +2476,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q203: Aho–Corasick dictionary matching — the blocklist/taxonomy
+    // scan (UT1/RefinedWeb-style lists run to 10⁵⁺ entries where
+    // regex alternation dies): one automaton, one pass per doc, ALL
+    // occurrences incl. overlapping and nested ("he" inside "the" is
+    // in the list to force the dict-link path on real data). DuckDB
+    // replays the naive per-position quadratic scan — char-exact
+    // equality with the automaton's output by construction.
+    "q203_dictionary_match" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+      operators.Dictionary.dictionaryMatches(docs, "doc_id", "t",
+          Seq("the", "and", "ing", "tion", "he"))
+        .orderBy(col("doc_id"), col("pattern"))
+    }),
+
     // q202: KLL quantile-sketch rollup lifecycle — the QUANTILE
     // member of the sketch-table family (q139 HLL distinct, q153 CMS
     // frequency, q190 KMV deterministic distinct): fine-grain partial
@@ -4773,6 +4788,18 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q203: the naive quadratic scan — every start position of every
+    // pattern tested by substr equality; overlaps counted exactly
+    // like the automaton's all-occurrence semantics.
+    "q203_dictionary_match" ->
+      """WITH p(pat) AS (VALUES ('the'),('and'),('ing'),('tion'),('he')),
+        |d AS (SELECT doc_id, lower(text) AS t FROM documents
+        |      WHERE doc_id < 150 AND text IS NOT NULL)
+        |SELECT doc_id, pat AS pattern, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM d, p, unnest(range(1, length(t) - length(pat) + 2)) AS u(i)
+        |WHERE substr(t, CAST(i AS INT), length(pat)) = pat
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q202: exact group counts recomputed; the rank-error and
     // integrality invariants pinned TRUE (q44/q139 sketch

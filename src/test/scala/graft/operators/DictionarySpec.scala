@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkTestBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class DictionarySpec extends SparkTestBase {
+  import Dictionary._
+
+  test("AhoCorasick: textbook nested/overlapping patterns (he/she/his/hers)") {
+    val ac = new AhoCorasick(Array("he", "she", "his", "hers"))
+    val c = ac.matchCounts("ushers")
+    // "ushers": she@1, he@2 (inside ushers), hers@2
+    assert(c(1L) == 1L, "she")   // ids follow input order
+    assert(c(0L) == 1L, "he")
+    assert(c(3L) == 1L, "hers")
+    assert(!c.contains(2L), "his must not match")
+  }
+
+  test("AhoCorasick: overlapping occurrences are all counted") {
+    val ac = new AhoCorasick(Array("aa"))
+    assert(ac.matchCounts("aaaa")(0L) == 3L) // positions 0,1,2
+    val ab = new AhoCorasick(Array("aba"))
+    assert(ab.matchCounts("ababa")(0L) == 2L) // overlap at 0 and 2
+  }
+
+  test("AhoCorasick: null/empty text and guard on bad dictionaries") {
+    val ac = new AhoCorasick(Array("x"))
+    assert(ac.matchCounts(null).isEmpty)
+    assert(ac.matchCounts("").isEmpty)
+    intercept[IllegalArgumentException](new AhoCorasick(Array.empty[String]))
+    intercept[IllegalArgumentException](new AhoCorasick(Array("a", "")))
+    intercept[IllegalArgumentException](new AhoCorasick(Array("a", "a")))
+  }
+
+  test("automatonFor memoizes per dictionary fingerprint") {
+    val a = automatonFor(Array("p", "q"))
+    val b = automatonFor(Array("p", "q"))
+    val c = automatonFor(Array("p", "r"))
+    assert(a eq b)
+    assert(!(a eq c))
+  }
+
+  test("dictionaryMatches: skinny match table equals naive per-position scan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 100)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val pats = Seq("the", "and", "ing", "tion", "he")
+    val got = dictionaryMatches(docs, "doc_id", "t", pats)
+      .as[(Long, String, Long)].collect().toSet
+    // naive oracle: count starts where substring equals the pattern
+    val expect = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      pats.flatMap { p =>
+        val n = (0 to (if (t == null) -1 else t.length - p.length))
+          .count(i => t.regionMatches(i, p, 0, p.length))
+        if (n > 0) Some((id, p, n.toLong)) else None
+      }
+    }.toSet
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("blocklistGate: case-insensitive total-hit policy, clean docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a perfectly CLEAN document"),
+      (2L, "one Badword here"),
+      (3L, "badword BADWORD badword"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val kept0 = blocklistGate(docs, "doc_id", "text", Seq("badword"), maxHits = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(1L, 4L))
+    val kept2 = blocklistGate(docs, "doc_id", "text", Seq("badword"), maxHits = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L, 4L)) // doc 3 has 3 hits > 2
+    // schema passes through untouched
+    assert(blocklistGate(docs, "doc_id", "text", Seq("badword"))
+      .columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("tagDocuments: sorted distinct tags + totals") {
+    import spark.implicits._
+    val docs = Seq((1L, "ml and ai and ml"), (2L, "nothing")).toDF("doc_id", "text")
+    val tags = tagDocuments(docs, "doc_id", "text", Seq("ml", "ai"))
+      .as[(Long, Seq[String], Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    val (t1, n1) = tags(1L)
+    assert(t1 == Seq("ai", "ml") && n1 == 3L)
+    assert(!tags.contains(2L))
+  }
+}

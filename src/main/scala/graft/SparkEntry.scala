@@ -2476,6 +2476,45 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q204: chunked Transfer-Encoding decode inside the WARC HTTP
+    // layer (RFC 9112 §7.1 — the framing CommonCrawl response bodies
+    // actually arrive in): each doc's ASCII-sanitized text is chunked
+    // at size 7 by expression (1-char hex sizes), docs ≡0 mod 3 get a
+    // trailer field, the payload rides a real WARC record and the
+    // REAL parser must hand back content with framing stripped while
+    // the WARC-layer Content-Length still counts the framed bytes.
+    // DuckDB recomputes body = the sanitized text and the framed
+    // length arithmetically (72-byte head + 12/chunk + rem+5 + 3 +
+    // trailer 13 + 2).
+    "q204_chunked_http" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("t"))
+        .filter(length(col("t")) >= 1)
+      val n = length(col("t"))
+      val nch = floor((n + lit(6)) / lit(7)).cast("int")
+      val frames = array_join(transform(sequence(lit(1), nch), i => {
+        val sub = col("t").substr((i - lit(1)) * lit(7) + lit(1), lit(7))
+        concat(length(sub).cast("string"), lit("\r\n"), sub, lit("\r\n"))
+      }), "")
+      val trailer = when(col("doc_id") % 3 === 0, lit("X-Trail: ok\r\n"))
+        .otherwise(lit(""))
+      val payload = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"),
+        frames, lit("0\r\n"), trailer, lit("\r\n"))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://ex.com/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        length(payload).cast("string"), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      operators.Warc.warcRecords(
+          d.select(col("doc_id"), warc.as("warc")), "warc")
+        .select(col("doc_id"), col("rec_idx"), col("http_status"),
+          col("content_length"), col("body"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q203: Aho–Corasick dictionary matching — the blocklist/taxonomy
     // scan (UT1/RefinedWeb-style lists run to 10⁵⁺ entries where
     // regex alternation dies): one automaton, one pass per doc, ALL
@@ -4788,6 +4827,22 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q204: body recomputed from the source text; the framed WARC
+    // Content-Length replayed arithmetically per the construction.
+    "q204_chunked_http" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, t, length(t) AS n FROM d WHERE length(t) >= 1)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS rec_idx,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CAST(72 + (n // 7) * 12
+        |    + CASE WHEN n % 7 > 0 THEN n % 7 + 5 ELSE 0 END
+        |    + 3 + CASE WHEN doc_id % 3 = 0 THEN 13 ELSE 0 END
+        |    + 2 AS BIGINT) AS content_length,
+        |  t AS body
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // q203: the naive quadratic scan — every start position of every
     // pattern tested by substr equality; overlaps counted exactly

@@ -86,12 +86,29 @@ object Warc {
             val statusParts = head(0).split(" ")
             if (statusParts.length >= 2 && statusParts(1).forall(_.isDigit)) {
               status = Some(statusParts(1).toLong)
+              var chunked = false
               head.drop(1).foreach { h =>
                 val c = h.indexOf(':')
-                if (c > 0 && h.substring(0, c).trim.equalsIgnoreCase("content-type"))
-                  ctype = Some(h.substring(c + 1).trim)
+                if (c > 0) {
+                  val name = h.substring(0, c).trim
+                  if (name.equalsIgnoreCase("content-type"))
+                    ctype = Some(h.substring(c + 1).trim)
+                  else if (name.equalsIgnoreCase("transfer-encoding") &&
+                      h.substring(c + 1).trim.toLowerCase.contains("chunked"))
+                    chunked = true
+                }
               }
               body = payload.substring(hEnd + 4)
+              if (chunked) {
+                // a declared-chunked body that doesn't decode is a
+                // malformed record — refuse the buffer (the
+                // gunzipMembers strictness), never a silent
+                // framing-bytes-as-content body
+                val de = dechunk(body)
+                if (de == null)
+                  throw new IllegalArgumentException("malformed chunked body")
+                body = de
+              }
             }
           }
         }
@@ -100,6 +117,65 @@ object Warc {
         off = p
       }
       out.toSeq
+    } catch { case _: Exception => null }
+  }
+
+  /** Strict HTTP/1.1 chunked Transfer-Encoding decode (RFC 9112 §7.1)
+    * — the OTHER wire framing CommonCrawl response bodies actually
+    * arrive in (origin servers stream HTML chunked; the WARC layer
+    * preserves the bytes as captured, so the chunk-size lines sit
+    * between the HTTP head and the real content). [[parse]] applies
+    * this transparently when the response head declares
+    * `Transfer-Encoding: chunked` — downstream extraction must see
+    * content, not framing.
+    *
+    * Grammar handled: `hex-size[;ext] CRLF data CRLF` repeated, the
+    * `0 CRLF` terminal chunk, then zero or more trailer fields and
+    * the final CRLF. Null on ANY malformation — non-hex size line,
+    * truncated data, missing CRLF after a chunk, unterminated or
+    * colon-less trailer, or trailing bytes after the terminator
+    * (same refuse-partial posture as [[gunzipMembers]]). Row-local,
+    * single pass, O(body). */
+  def dechunk(s: String): String = {
+    if (s == null) return null
+    try {
+      val sb = new java.lang.StringBuilder(s.length)
+      var p = 0
+      var done = false
+      while (!done) {
+        val lineEnd = s.indexOf("\r\n", p)
+        if (lineEnd < 0) throw new IllegalArgumentException("no chunk-size line")
+        val sizeTok = s.substring(p, lineEnd).split(";", 2)(0).trim
+        if (sizeTok.isEmpty || sizeTok.length > 8 ||
+            !sizeTok.forall(c => Character.digit(c, 16) >= 0))
+          throw new IllegalArgumentException(s"bad chunk size: $sizeTok")
+        val size = java.lang.Long.parseLong(sizeTok, 16)
+        p = lineEnd + 2
+        if (size == 0L) done = true
+        else {
+          if (p + size > s.length)
+            throw new IllegalArgumentException("chunk overruns body")
+          sb.append(s, p, p + size.toInt)
+          p += size.toInt
+          if (p + 2 > s.length || s.charAt(p) != '\r' || s.charAt(p + 1) != '\n')
+            throw new IllegalArgumentException("missing CRLF after chunk data")
+          p += 2
+        }
+      }
+      var fin = false
+      while (!fin) { // trailer section: header lines, then empty line
+        val lineEnd = s.indexOf("\r\n", p)
+        if (lineEnd < 0) throw new IllegalArgumentException("unterminated trailer")
+        if (lineEnd == p) { fin = true; p += 2 }
+        else {
+          if (s.substring(p, lineEnd).indexOf(':') <= 0)
+            throw new IllegalArgumentException("bad trailer field")
+          p = lineEnd + 2
+        }
+      }
+      if (p != s.length)
+        throw new IllegalArgumentException("trailing bytes after chunked terminator")
+      sb.toString
     } catch { case _: Exception => null }
   }
 

@@ -161,4 +161,62 @@ class WarcSpec extends SparkTestBase {
     assert(out.getAs[String]("body") ==
       "body with special chars: <>&\"' and trailing  spaces  ")
   }
+
+  private def chunkEnc(s: String, size: Int, trailer: String = ""): String = {
+    val frames = s.grouped(size)
+      .map(c => f"${c.length}%x\r\n$c\r\n").mkString
+    s"${frames}0\r\n$trailer\r\n"
+  }
+
+  test("dechunk: round-trips arbitrary bodies at varied chunk sizes") {
+    val bodies = Seq("", "x", "hello world, hello chunked transfer encoding!",
+      "crlf\r\ninside\r\nbody", "exact7!" * 9)
+    for (b <- bodies; size <- Seq(1, 3, 7, 64))
+      assert(Warc.dechunk(chunkEnc(b, size)) == b, s"body=$b size=$size")
+  }
+
+  test("dechunk: extensions, uppercase hex, and trailer fields handled") {
+    assert(Warc.dechunk("5;name=v\r\nhello\r\n0\r\n\r\n") == "hello")
+    assert(Warc.dechunk("A\r\n0123456789\r\n0\r\n\r\n") == "0123456789")
+    assert(Warc.dechunk("a\r\n0123456789\r\n0\r\n\r\n") == "0123456789")
+    assert(Warc.dechunk(
+      "3\r\nabc\r\n0\r\nX-Checksum: ok\r\nX-Len: 3\r\n\r\n") == "abc")
+  }
+
+  test("dechunk: strict null on every malformation") {
+    assert(Warc.dechunk(null) == null)
+    assert(Warc.dechunk("zz\r\nab\r\n0\r\n\r\n") == null)      // non-hex size
+    assert(Warc.dechunk("5\r\nab\r\n0\r\n\r\n") == null)       // data overrun/misframe
+    assert(Warc.dechunk("3\r\nabcXX0\r\n\r\n") == null)        // missing CRLF after data
+    assert(Warc.dechunk("3\r\nabc\r\n") == null)               // no terminal chunk
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\n") == null)          // no final CRLF
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\nnocolon\r\n\r\n") == null) // bad trailer
+    assert(Warc.dechunk("3\r\nabc\r\n0\r\n\r\nextra") == null) // trailing bytes
+    assert(Warc.dechunk("123456789\r\n\r\n0\r\n\r\n") == null) // absurd size token
+  }
+
+  test("parse: declared-chunked responses are transparently decoded") {
+    val body = "<html>the real content, not framing</html>"
+    val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: Chunked\r\n\r\n" + chunkEnc(body, 7)
+    val raw = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://c.io/\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    val recs = Warc.parse(raw)
+    assert(recs.length == 1)
+    assert(recs.head.body == body) // framing stripped, case-insensitive TE
+    assert(recs.head.content_length == payload.length.toLong) // WARC layer untouched
+    // identical record WITHOUT the TE header keeps the raw framing bytes
+    val plain = payload.replace("Transfer-Encoding: Chunked\r\n", "")
+    val rawPlain = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://c.io/\r\n" +
+      s"Content-Length: ${plain.length}\r\n\r\n$plain\r\n\r\n"
+    assert(Warc.parse(rawPlain).head.body == chunkEnc(body, 7))
+  }
+
+  test("parse: declared-chunked body that fails to decode refuses the buffer") {
+    val payload = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "zz\r\nnot chunked at all"
+    val raw = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+    assert(Warc.parse(raw) == null)
+  }
 }

@@ -2476,6 +2476,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q206: PMI collocation mining — the phrase-discovery pass. The
+    // hashed lane is the EXACT micro-quantized PMI ratio (staged
+    // BIGINT division, no ln — PMI is its monotone log, so ranking
+    // and thresholds transfer); the double `pmi` column is spec-
+    // pinned and excluded here (cross-engine ln floors aren't
+    // deterministic; integer division is).
+    "q206_collocations" -> ((s, dir) => {
+      operators.TextOps.collocations(
+          Tables.documents(s, dir).filter(col("doc_id") < 400),
+          "text", minCount = 3L)
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          col("n_bigrams"), col("q_micro"))
+        .orderBy(col("w1"), col("w2"))
+    }),
+
+    // q205: positional inverted index — the retrieval-serving
+    // structure behind q140's BM25: per (token, doc) posting, tf,
+    // ascending 0-based positions and their gap encoding, plus
+    // token-grain doc_freq/total_tf. DuckDB rebuilds postings with
+    // the q201 range-unnest tokenization and replays the delta
+    // encode with list_transform.
+    "q205_inverted_index" -> ((s, dir) => {
+      operators.TextOps.invertedIndex(
+          Tables.documents(s, dir).filter(col("doc_id") < 80), "doc_id", "text")
+        .orderBy(col("token"), col("doc"))
+    }),
+
     // q204: chunked Transfer-Encoding decode inside the WARC HTTP
     // layer (RFC 9112 §7.1 — the framing CommonCrawl response bodies
     // actually arrive in): each doc's ASCII-sanitized text is chunked
@@ -4827,6 +4854,51 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q206: bigram/unigram/total counts rebuilt, the staged integer
+    // division replayed with // — exact, ln-free.
+    "q206_collocations" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 400 AND length(trim(text)) > 0),
+        |bg AS (SELECT toks[CAST(u.i AS INT)] AS w1,
+        |    toks[CAST(u.i AS INT) + 1] AS w2
+        |  FROM d, unnest(range(1, len(toks))) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bgf AS (SELECT w1, w2 FROM bg WHERE w1 <> '' AND w2 <> ''),
+        |cxy AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |        FROM bgf GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |uni AS (SELECT u.w, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM d, unnest(toks) AS u(w) WHERE u.w <> '' GROUP BY 1),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bgf)
+        |SELECT cxy.w1, cxy.w2, c_xy, ux.c AS c_x, uy.c AS c_y, n_bigrams,
+        |  ((1000000 * c_xy) // ux.c) * n_bigrams // uy.c AS q_micro
+        |FROM cxy JOIN uni ux ON cxy.w1 = ux.w
+        |         JOIN uni uy ON cxy.w2 = uy.w, nb
+        |ORDER BY 1, 2""".stripMargin,
+
+    // q205: postings + positions rebuilt via range-unnest
+    // tokenization; gap encode replayed with list_transform.
+    "q205_inverted_index" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 80 AND length(trim(text)) > 0),
+        |tok AS (SELECT doc_id AS doc, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    toks[CAST(u.i AS INT)] AS token
+        |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[CAST(u.i AS INT)] <> ''),
+        |post AS (SELECT token, doc, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    list_sort(list(pos)) AS ps
+        |  FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(tf) AS BIGINT) AS total_tf FROM post GROUP BY 1)
+        |SELECT post.token, doc_freq, total_tf, doc, tf,
+        |  array_to_string(ps, ',') AS positions,
+        |  array_to_string(list_transform(range(1, len(ps) + 1),
+        |    i -> ps[CAST(i AS INT)] -
+        |      CASE WHEN i = 1 THEN 0 ELSE ps[CAST(i AS INT) - 1] END),
+        |    ',') AS positions_delta
+        |FROM post JOIN agg USING (token)
+        |ORDER BY token, doc""".stripMargin,
 
     // q204: body recomputed from the source text; the framed WARC
     // Content-Length replayed arithmetically per the construction.

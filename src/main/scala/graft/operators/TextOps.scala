@@ -2014,4 +2014,90 @@ object TextOps {
         sum(col("n_pieces")).as("n_wp_tokens"),
         sum(when(col("is_unk"), 1L).otherwise(0L)).as("n_unk_words"))
   }
+
+  /** Positional inverted index — the retrieval-serving structure
+    * behind [[bm25]]/[[tfidf]] scoring (a 100 TB corpus is searched
+    * against its index, not rescanned per query; this materializes
+    * that index as a table). One row per posting (token, doc):
+    * `token, doc_freq` (documents containing the token), `total_tf`
+    * (corpus occurrences), `doc, tf`, `positions` (0-based token
+    * offsets, ascending, comma-joined — the phrase/proximity-query
+    * payload) and `positions_delta` (gap-encoded form of the same
+    * list — what a real index compresses, since gaps are small and
+    * varint-friendly; emitted alongside so the encode is
+    * value-checked, q205).
+    *
+    * Layout contract: rows cluster by token (the serving access
+    * path); a deployment writes this `repartition(token)` +
+    * bucketed/sorted so one token's postings are one partition-local
+    * range. Shape: one skinny posexplode (doc, pos, token), one
+    * (doc, token) aggregate, one token-grain window for doc_freq —
+    * no corpus-width shuffle beyond the posting aggregate itself. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("doc"),
+      posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val postings = toked.groupBy(col("token"), col("doc"))
+      .agg(count(lit(1)).as("tf"),
+        array_sort(collect_list(col("pos").cast("long"))).as("__ps"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    postings
+      .withColumn("doc_freq", count(lit(1)).over(w))
+      .withColumn("total_tf", sum(col("tf")).over(w))
+      .select(col("token"), col("doc_freq"), col("total_tf"),
+        col("doc"), col("tf"),
+        array_join(col("__ps"), ",").as("positions"),
+        array_join(zip_with(col("__ps"),
+            concat(array(lit(0L)),
+              slice(col("__ps"), lit(1), size(col("__ps")) - 1)),
+            (a, b) => a - b), ",").as("positions_delta"))
+  }
+
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase
+    * discovery pass a tokenizer/corpus pipeline runs to find
+    * multiword units ("new york", "machine learning") worth atomic
+    * treatment. For adjacent lower-cased token bigrams with count ≥
+    * `minCount`: the exact micro-quantized PMI RATIO
+    * `q_micro = ((1_000_000·c_xy) div c_x) · N_b div c_y` where N_b
+    * is the corpus bigram total — ln-free (PMI = ln of the same
+    * ratio is monotone in it, so thresholds and ranking transfer),
+    * staged exactly like [[bm25]]'s integer core so every
+    * intermediate stays bounded: 10⁶·c_xy/c_x ≤ 10⁶ and the second
+    * product tops out near 10⁶·N_b — BIGINT-safe to corpora of
+    * ~10¹² bigrams. The true-double `pmi` (ln(c_xy·N_b/(c_x·c_y)))
+    * rides beside it, spec-pinned (q206 hashes the integer lane —
+    * cross-engine ln floors are not deterministic; integer division
+    * is). Output: w1, w2, c_xy, c_x, c_y, n_bigrams, q_micro, pmi.
+    *
+    * Scale shape: one corpus explode to (doc-local) bigrams, one
+    * count aggregate per table (bigram, unigram, 1-row total);
+    * unigram counts join back at bigram-vocabulary grain (skinny),
+    * the scalar broadcasts. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val toks = df.select(tokens(lower(col(textCol))).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val bigrams = toks.select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val cxy = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nb = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    cxy
+      .join(uni.select(col("w").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        col("n_bigrams"),
+        expr("((1000000 * c_xy) div c_x) * n_bigrams div c_y").as("q_micro"),
+        log(col("c_xy").cast("double") * col("n_bigrams").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double"))).as("pmi"))
+  }
 }

@@ -786,4 +786,48 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // the smaller id (5); the unrelated doc is untouched
     assert(kept == Set(3L, 4L, 5L), s"survivors $kept")
   }
+
+  test("invertedIndex: postings, positions, and gap encoding on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "b a"), (3L, "  ")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      .as[(String, Long, Long, Long, Long, String, String)]
+      .collect().map(r => (r._1, r._4) -> r).toMap
+    // token a: in docs 1 (pos 0,2) and 2 (pos 1); df=2, total_tf=3
+    assert(idx(("a", 1L)) == (("a", 2L, 3L, 1L, 2L, "0,2", "0,2")))
+    assert(idx(("a", 2L)) == (("a", 2L, 3L, 2L, 1L, "1", "1")))
+    assert(idx(("b", 1L)) == (("b", 2L, 2L, 1L, 1L, "1", "1")))
+    assert(idx(("c", 1L)) == (("c", 1L, 1L, 1L, 1L, "3", "3")))
+    assert(idx.size == 5) // blank doc contributes nothing
+    // gap decode reconstructs positions: prefix sums of deltas
+    for (((_, _), r) <- idx) {
+      val deltas = r._7.split(",").map(_.toLong)
+      assert(deltas.scanLeft(0L)(_ + _).drop(1).mkString(",") == r._6)
+    }
+  }
+
+  test("collocations: exact integer PMI-ratio lane; ln lane tracks it") {
+    import spark.implicits._
+    // "new york" is a tight pair (3×, both words only in it);
+    // "the a" repeats too but both words are everywhere — low PMI
+    val docs = Seq(
+      (1L, "new york is big"), (2L, "in new york today"),
+      (3L, "new york again"), (4L, "the a the b the c"),
+      (5L, "the d the a x")).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, "text", minCount = 2L)
+      .as[(String, String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // bigram totals: token counts 4+4+3+6+5 → bigrams 3+3+2+5+4 = 17
+    val ny = out(("new", "york"))
+    assert(ny._3 == 3L && ny._4 == 3L && ny._5 == 3L && ny._6 == 17L)
+    // staged integer: ((1e6*3) div 3) * 17 div 3 = 5_666_666
+    assert(ny._7 == 5666666L)
+    assert(math.abs(ny._8 - math.log(3.0 * 17 / (3 * 3))) < 1e-12)
+    val tha = out(("the", "a"))
+    assert(tha._3 == 2L && tha._4 == 5L && tha._5 == 2L)
+    // ((1e6*2) div 5) * 17 div 2 = 3_400_000 — below new-york, as PMI says
+    assert(tha._7 == 3400000L && tha._7 < ny._7)
+    // minCount prunes singletons
+    assert(!out.contains(("is", "big")))
+  }
 }

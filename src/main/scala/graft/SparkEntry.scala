@@ -2476,6 +2476,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q208: multi-source BFS levels over the bipartite order↔part
+    // graph (node ids disambiguated 2·order / 2·part+1): hop
+    // distance from the seed orders — the k-hop neighborhood-mining
+    // primitive (and the crawl-frontier "how far from the seeds"
+    // signal). The oracle is a TRUE recursive CTE in DuckDB — exact
+    // BFS, not an unrolled approximation.
+    "q208_bfs_levels" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select((col("l_orderkey") * 2).as("src"),
+          (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = li.unionByName(
+        li.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") <= 32)
+        .select((col("l_orderkey") * 2).as("seed")).distinct()
+      operators.Graph.bfsLevels(edges, "src", "dst", seeds, "seed",
+          maxDepth = 4)
+        .orderBy(col("node"))
+    }),
+
+    // q207: multinomial Naive Bayes training — the generative
+    // classifier next to q155's discriminative logistic gate (the
+    // fastText-family baseline: one counting pass, no iterations,
+    // naturally multiclass). The model table IS exact sufficient
+    // statistics (per-(token, class) counts + denormalized class/
+    // global scalars), so it value-oracles completely; the smoothed
+    // log-probability scoring derives at predict time and is
+    // spec-pinned (LearnSpec hand-computed scores + tie-break).
+    "q207_naive_bayes" -> ((s, dir) => {
+      operators.Learn.naiveBayesTrain(
+          Tables.documents(s, dir).filter(col("doc_id") < 300),
+          "text", "lang")
+        .orderBy(col("token"), col("y"))
+    }),
+
     // q206: PMI collocation mining — the phrase-discovery pass. The
     // hashed lane is the EXACT micro-quantized PMI ratio (staged
     // BIGINT division, no ln — PMI is its monotone log, so ranking
@@ -4854,6 +4889,38 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q208: exact recursive BFS; UNION-recursion dedups (node,
+    // level) pairs and the level bound terminates cycles; MIN(level)
+    // is the hop distance.
+    "q208_bfs_levels" ->
+      """WITH RECURSIVE
+        |e AS (SELECT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem
+        |      UNION SELECT l_partkey*2+1, l_orderkey*2 FROM lineitem),
+        |s AS (SELECT DISTINCT l_orderkey*2 AS node FROM lineitem
+        |      WHERE l_orderkey <= 32),
+        |bfs(node, level) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM s
+        |  UNION
+        |  SELECT e.dst, bfs.level + 1 FROM bfs JOIN e ON bfs.node = e.src
+        |  WHERE bfs.level < 4)
+        |SELECT node, MIN(level) AS level FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q207: the sufficient statistics rebuilt as plain counts.
+    "q207_naive_bayes" ->
+      """WITH l AS (SELECT lang AS y,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 300 AND lang IS NOT NULL),
+        |ntc AS (SELECT y, u.t AS token, CAST(COUNT(*) AS BIGINT) AS n_tc
+        |  FROM l, unnest(toks) AS u(t) WHERE u.t <> '' GROUP BY 1, 2),
+        |ny AS (SELECT y, CAST(SUM(n_tc) AS BIGINT) AS n_y FROM ntc GROUP BY 1),
+        |d AS (SELECT lang AS y, CAST(COUNT(*) AS BIGINT) AS docs_y
+        |  FROM documents WHERE doc_id < 300 AND lang IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(docs_y) AS BIGINT) AS docs_total FROM d),
+        |v AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab FROM ntc)
+        |SELECT ntc.token, ntc.y, n_tc, n_y, docs_y, docs_total, vocab
+        |FROM ntc JOIN ny USING (y) JOIN d USING (y), t, v
+        |ORDER BY token, y""".stripMargin,
 
     // q206: bigram/unigram/total counts rebuilt, the staged integer
     // division replayed with // — exact, ln-free.

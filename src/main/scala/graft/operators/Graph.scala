@@ -705,4 +705,55 @@ object Graph {
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
     out
   }
+
+  /** Multi-source BFS levels — shortest hop distance from a seed SET
+    * (the crawl-frontier "how far is this page from the seeds"
+    * signal, and the reachability primitive under k-hop neighborhood
+    * mining). Returns `(node, level)` for every node reached within
+    * `maxDepth` hops, level = the MINIMUM hop count (seeds at 0);
+    * unreached nodes are absent (reachability semantics — outer-join
+    * downstream for "∞").
+    *
+    * The canonical distributed frontier iteration: per round ONE
+    * join (frontier × edges) + distinct + anti-join against the
+    * visited set — each frontier localCheckpoint'd, so lineage stays
+    * flat and the visited set is a union of materialized frontiers,
+    * never a recursive plan (the q174/q134 hygiene). Early exit on
+    * an empty frontier costs one bounded `isEmpty` action per round.
+    * Seeds arrive as a DataFrame — no driver-side collect; seeds not
+    * present in the graph still report level 0 (they are trivially
+    * reachable from themselves).
+    *
+    * The q208 oracle is a true `WITH RECURSIVE` BFS in DuckDB over
+    * the same edges — exact, not unrolled. */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 50,
+      s"maxDepth must be in [1, 50], got $maxDepth")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().persist()
+    e.count() // materialize once; every round reads the cached edges
+    var frontier = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .withColumn("level", lit(0L))
+      .localCheckpoint()
+    val parts = scala.collection.mutable.ArrayBuffer(frontier)
+    var visited = frontier
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("level", lit(depth.toLong))
+        .localCheckpoint()
+      parts += next
+      visited = visited.unionByName(next)
+      frontier = next
+    }
+    e.unpersist()
+    parts.reduce(_ unionByName _)
+  }
 }

@@ -251,6 +251,87 @@ object Learn {
       .withColumn("auc",
         col("auc_num2").cast("double") /
           greatest(col("auc_den2"), lit(1L)))
+
+  /** Multinomial Naive Bayes training — the GENERATIVE classifier
+    * next to [[logisticTrainInt]]'s discriminative gate (the
+    * fastText-family baseline corpus pipelines reach for first:
+    * one counting pass, no iterations, naturally multiclass —
+    * domain/topic/quality labeling at corpus scale).
+    *
+    * Output is the SPARSE model: one row per OBSERVED (token, y)
+    * with the exact sufficient statistics, class and global scalars
+    * denormalized on: `token, y, n_tc` (token count in class),
+    * `n_y` (class token total), `docs_y` (class docs), `docs_total`,
+    * `vocab` (distinct observed tokens corpus-wide). Every column is
+    * an exact BIGINT count — the model table itself value-oracles
+    * (q207); the smoothed log-probabilities are derived at predict
+    * time (`ln((n_tc+1)/(n_y+V))`, Laplace) and spec-pinned.
+    *
+    * Scale shape: one skinny explode + one (y, token) hash
+    * aggregate; class/global stats are class-count- and 1-row-sized
+    * aggregates that broadcast back. Null-label docs are excluded
+    * everywhere (train on the labeled subset). */
+  def naiveBayesTrain(df: DataFrame, textCol: String,
+      labelCol: String): DataFrame = {
+    val labeled = df.filter(col(labelCol).isNotNull)
+    val toks = labeled.select(col(labelCol).as("y"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+    val ntc = toks.groupBy(col("y"), col("token"))
+      .agg(count(lit(1)).as("n_tc"))
+    val ny = ntc.groupBy(col("y")).agg(sum(col("n_tc")).as("n_y"))
+    val docsY = labeled.groupBy(col(labelCol).as("y"))
+      .agg(count(lit(1)).as("docs_y"))
+    val totals = docsY.agg(sum(col("docs_y")).as("docs_total"))
+    val vocab = ntc.select(col("token")).distinct()
+      .agg(count(lit(1)).as("vocab"))
+    ntc.join(ny, Seq("y")).join(docsY, Seq("y"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select(col("token"), col("y"), col("n_tc"), col("n_y"),
+        col("docs_y"), col("docs_total"), col("vocab"))
+  }
+
+  /** Score and classify with a [[naiveBayesTrain]] model: per doc and
+    * class, `ln(docs_y/docs_total) + Σ_t tf·ln((n_tc+1)/(n_y+V))`
+    * with unseen (token, class) pairs contributing the n_tc = 0
+    * smoothing mass — the standard Laplace multinomial. Returns one
+    * row per doc: `(id, label, log_score)` for the winning class,
+    * ties broken by smallest label (deterministic). Docs with no
+    * tokens classify by prior alone.
+    *
+    * Scale shape: class scalars broadcast; the doc-token table joins
+    * the model at (token, y) grain — skinny both sides; one (id, y)
+    * aggregate, one small per-doc top-1 window. */
+  def naiveBayesPredict(model: DataFrame, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val classes = model
+      .select(col("y"), col("n_y"), col("docs_y"), col("docs_total"),
+        col("vocab")).distinct()
+    val docToks = df.select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val contrib = docToks
+      .crossJoin(broadcast(classes))
+      .join(model.select(col("token"), col("y"), col("n_tc")),
+        Seq("token", "y"), "left")
+      .groupBy(col("id"), col("y"))
+      .agg(sum(col("tf") *
+        (log(coalesce(col("n_tc"), lit(0L)) + lit(1L)) -
+          log((col("n_y") + col("vocab")).cast("double")))).as("__ll"))
+    val prior = log(col("docs_y").cast("double") /
+      col("docs_total").cast("double"))
+    val scored = df.select(col(idCol).as("id")).distinct()
+      .crossJoin(broadcast(classes.select(col("y"), prior.as("__prior"))))
+      .join(contrib, Seq("id", "y"), "left")
+      .select(col("id"), col("y"),
+        (col("__prior") + coalesce(col("__ll"), lit(0.0))).as("log_score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("log_score").desc, col("y").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("y").as("label"), col("log_score"))
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —

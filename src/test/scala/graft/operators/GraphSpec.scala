@@ -394,4 +394,28 @@ class GraphSpec extends SparkTestBase {
     assert(got.size == 201 && got.values.forall(_ == 0L),
       s"chain must collapse to root 0: ${got.filter(_._2 != 0L).take(5)}")
   }
+
+  test("bfsLevels: multi-source min levels, depth cap, cycle termination") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)], seeds: Seq[Long], d: Int) =
+      Graph.bfsLevels(es.toDF("s", "t"), "s", "t",
+          seeds.toDF("n"), "n", d)
+        .as[(Long, Long)].collect().toMap
+    // directed path 1→2→3→4
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(path, Seq(1L), 3) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    assert(run(path, Seq(1L), 2) == Map(1L -> 0L, 2L -> 1L, 3L -> 2L),
+      "depth cap truncates reachability")
+    // multi-source takes the MINIMUM: 3 is 2 hops from 1 but 1 from 4
+    assert(run(path :+ ((4L, 3L)), Seq(1L, 4L), 3) ==
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // cycle: frontier empties, loop stops early (well before maxDepth)
+    assert(run(Seq((1L, 2L), (2L, 1L)), Seq(1L), 50) ==
+      Map(1L -> 0L, 2L -> 1L))
+    // a seed absent from the edge set still reports level 0
+    assert(run(path, Seq(99L), 3) == Map(99L -> 0L))
+    // undirected reachability via symmetrized edges
+    val sym = path ++ path.map(_.swap)
+    assert(run(sym, Seq(4L), 3) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L))
+  }
 }

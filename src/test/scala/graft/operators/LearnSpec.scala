@@ -204,4 +204,34 @@ class LearnSpec extends SparkTestBase {
     assert(got.map(_._1).toSeq == (0L until 40L),
       "every distinct score appears exactly once, in order")
   }
+
+  test("naiveBayes: exact sufficient statistics; hand-computed log-scores; ties") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "buy pills now", "spam"), (2L, "buy now", "spam"),
+      (3L, "meeting at noon", "ham"), (4L, "lunch meeting", "ham"),
+      (5L, "unlabeled text", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "y")
+    val model = Learn.naiveBayesTrain(train, "text", "y")
+    val m = model.as[(String, String, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // vocab: buy pills now meeting at noon lunch = 7; null label excluded
+    assert(m(("buy", "spam")) == (("buy", "spam", 2L, 5L, 2L, 4L, 7L)))
+    assert(m(("meeting", "ham")) == (("meeting", "ham", 2L, 5L, 2L, 4L, 7L)))
+    assert(!m.contains(("unlabeled", "spam")) && !m.contains(("text", "ham")))
+    assert(m.size == 7) // 3 spam-observed + 4 ham-observed pairs
+    val test = Seq((10L, "buy pills zzz"), (11L, "meeting noon"),
+      (12L, "")).toDF("doc_id", "text")
+    val pred = Learn.naiveBayesPredict(model, test, "doc_id", "text")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // hand-computed: spam score for doc 10 =
+    // ln(2/4) + ln(3/12) + ln(2/12) + ln(1/12)   (zzz unseen → n_tc=0)
+    val s10 = math.log(0.5) + math.log(3.0 / 12) + math.log(2.0 / 12) +
+      math.log(1.0 / 12)
+    assert(pred(10L)._1 == "spam" && math.abs(pred(10L)._2 - s10) < 1e-12)
+    assert(pred(11L)._1 == "ham")
+    // empty doc: equal priors → deterministic smallest-label tie-break
+    assert(pred(12L)._1 == "ham" &&
+      math.abs(pred(12L)._2 - math.log(0.5)) < 1e-12)
+  }
 }

@@ -561,6 +561,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       "streamed partials must merge to exactly the batch-built sketch")
   }
 
+  test("foreachBatch KLL maintenance: quantile partials merge; below-capacity exact") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the QUANTILE member of the sketch-lifecycle trio (HLL/CMS/KLL
+    // above): daily value-distribution partials land per micro-batch;
+    // any grain is answered by merging bytes. KLL compaction is
+    // randomized, so the general pin is a rank-error bound — but kept
+    // below capacity (n ≤ k) the merged sketch retains EVERY value,
+    // and the quantiles must be exact order statistics, which is the
+    // regime this fixture pins.
+    val dir = java.nio.file.Files.createTempDirectory("graft_kll_stream").toString
+    val stream = MemoryStream[UEv]
+    val q = stream.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Sketches.kllRollup(
+            batch.withColumn("day", to_date(col("ts")).cast("string")),
+            Seq(col("day")), col("user_id").cast("double"))
+          .write.mode("append").parquet(dir)
+      }.start()
+    try {
+      stream.addData((1L to 80L).map(u => UEv(t("2024-01-01 10:00:00"), u)))
+      q.processAllAvailable()
+      stream.addData((81L to 120L).map(u => UEv(t("2024-01-01 11:00:00"), u)) ++
+        (1L to 50L).map(u => UEv(t("2024-01-02 09:00:00"), u * 10)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val partials = spark.read.parquet(dir)
+    assert(partials.count() == 3) // one sketch row per (micro-batch, day)
+    val got = graft.operators.Sketches.kllQuantiles(partials,
+        Seq(col("day")), Seq(0.5, 1.0))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    // day1: 1..120 across two micro-batches → exact median 60, max 120
+    assert(got("2024-01-01") == ((120L, 60.0, 120.0)), s"day1: $got")
+    // day2: 10..500 step 10 → exact median 250, max 500
+    assert(got("2024-01-02") == ((50L, 250.0, 500.0)), s"day2: $got")
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

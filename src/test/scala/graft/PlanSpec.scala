@@ -600,6 +600,77 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"robots decision must never plan a cartesian:\n$p")
   }
 
+  test("q202: KLL rollup→merge is two object-agg exchanges — no collect_list, no join") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val merged = Sketches.kllMerge(
+      Sketches.kllRollup(li, Seq(col("l_returnflag"), col("l_linestatus")),
+        col("l_quantity").cast("double")),
+      Seq(col("l_returnflag")))
+    merged.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(merged.queryExecution.executedPlan)
+    // TypedImperativeAggregate ⇒ ObjectHashAggregate with map-side
+    // partials: a group ships sketches per task, never value lists
+    assert(nodes.exists(_.nodeName.contains("ObjectHashAggregate")),
+      s"KLL aggs must plan as ObjectHashAggregate:\n${nodes.map(_.nodeName)}")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) == 2,
+      s"rollup agg + merge agg = exactly two exchanges:" +
+        s"\n${merged.queryExecution.executedPlan}")
+    assert(!nodes.exists(n => n.nodeName.contains("Join") ||
+        n.toString.contains("collect_list")),
+      s"no join / no collect_list in the sketch path:\n${nodes.map(_.nodeName)}")
+  }
+
+  test("q203: dictionary scan is row-local — zero exchanges before the caller aggregates") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val m = graft.operators.Dictionary.dictionaryMatches(
+      docs, "doc_id", "t", Seq("the", "and"))
+    m.collect()
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val nodes = flatten(m.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      s"match scan must not shuffle:\n${m.queryExecution.executedPlan}")
+  }
+
+  test("q206: collocation scalars broadcast; no corpus-side cartesian") {
+    import org.apache.spark.sql.functions._
+    val df = graft.operators.TextOps.collocations(
+      graft.sources.Tables.documents(spark, sf).filter(col("doc_id") < 400),
+      "text", minCount = 3L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row bigram total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no materialized cartesian anywhere:\n$p")
+  }
+
   test("runtime bloom-filter reduction: a selective dim filter reaches the fact side") {
     // the 100 TB shape this pins: fact ⋈ dim with a selective predicate
     // on dim and the dim side too big (or too late) to broadcast —

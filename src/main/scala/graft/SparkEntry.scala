@@ -2476,6 +2476,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q209: EXIF/TIFF metadata — the still-image sibling of q132's
+    // MP4 box-walk: camera make/model/datetime/orientation/geometry
+    // from the public TIFF 6.0 IFD structure, BOTH byte orders in
+    // one table (even docs II, odd MM), inline-vs-offset ASCII both
+    // exercised. The REAL IFD walker runs over the invertible stub;
+    // DuckDB recomputes every column from doc_id arithmetic.
+    "q209_exif_metadata" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, "II").otherwise("MM").as("bo"),
+          (col("doc_id") + 100).as("w"),
+          (col("doc_id") * 2 + 1).as("h"),
+          (col("doc_id") % 8 + 1).as("o"),
+          concat(lit("Maker"), (col("doc_id") % 5).cast("string")).as("mk"),
+          concat(lit("Model-"), col("doc_id").cast("string")).as("md"),
+          concat(lit("2026:01:"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit(" 12:00:00")).as("dt"))
+      val built = operators.Exif.buildStubTiff(d, "bo", "w", "h", "o",
+        "mk", "md", "dt")
+      operators.Exif.exifMeta(
+          built.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"), col("exif_byte_order"), col("exif_entries"),
+          col("exif_width"), col("exif_height"), col("exif_orientation"),
+          col("exif_make"), col("exif_model"), col("exif_datetime"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q208: multi-source BFS levels over the bipartite order↔part
     // graph (node ids disambiguated 2·order / 2·part+1): hop
     // distance from the seed orders — the k-hop neighborhood-mining
@@ -4889,6 +4917,21 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q209: every EXIF column recomputed from doc_id arithmetic —
+    // the parse∘build identity, entries constant 6.
+    "q209_exif_metadata" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS exif_byte_order,
+        |  CAST(6 AS BIGINT) AS exif_entries,
+        |  CAST(doc_id + 100 AS BIGINT) AS exif_width,
+        |  CAST(doc_id * 2 + 1 AS BIGINT) AS exif_height,
+        |  CAST(doc_id % 8 + 1 AS BIGINT) AS exif_orientation,
+        |  'Maker' || CAST(doc_id % 5 AS VARCHAR) AS exif_make,
+        |  'Model-' || CAST(doc_id AS VARCHAR) AS exif_model,
+        |  '2026:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    || ' 12:00:00' AS exif_datetime
+        |FROM documents WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
 
     // q208: exact recursive BFS; UNION-recursion dedups (node,
     // level) pairs and the level bound terminates cycles; MIN(level)

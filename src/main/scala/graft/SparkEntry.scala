@@ -2476,6 +2476,23 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q210: BM25 served FROM the q205 inverted index — the retrieval
+    // shape a deployment actually runs (tokenize once into the
+    // index; queries touch |terms| posting ranges + the doc-length
+    // sidecar, never the text). Must equal q140's direct-scan BM25
+    // by construction (shared scoring tail, df = index doc_freq,
+    // dl = Σ tf): the oracle replays the same integer core from raw
+    // text, so a drift ANYWHERE in index construction or serving
+    // hash-fails.
+    "q210_bm25_from_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = operators.TextOps.invertedIndex(docs, "doc_id", "text")
+      operators.TextOps.bm25FromIndex(idx, docs.select(col("doc_id")),
+          "doc_id", Seq("the", "data", "spark"))
+        .select(col("doc").as("doc_id"), col("bm25_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q209: EXIF/TIFF metadata — the still-image sibling of q132's
     // MP4 box-walk: camera make/model/datetime/orientation/geometry
     // from the public TIFF 6.0 IFD structure, BOTH byte orders in
@@ -4917,6 +4934,31 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q210: the q140 integer core replayed from raw text — the
+    // index-served path must land on the same milli scores.
+    "q210_bm25_from_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       WHERE token IN ('the', 'data', 'spark') GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |    SUM(((2*s.n - 2*dfreq.df + 1) *
+        |         ((44000000 * tf.tf) //
+        |          (20000 * tf.tf + 6000 +
+        |           18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |        // (2*dfreq.df + 1))
+        |      AS bm25_milli
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s
+        |  GROUP BY 1)
+        |SELECT dl.doc_id, CAST(COALESCE(scored.bm25_milli, 0) AS BIGINT) AS bm25_milli
+        |FROM dl LEFT JOIN scored USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // q209: every EXIF column recomputed from doc_id arithmetic —
     // the parse∘build identity, entries constant 6.

@@ -231,8 +231,18 @@ object TextOps {
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    scoreBm25(tf.join(dfreq, Seq("token")), dl)
+  }
+
+  /** Shared BM25 scoring tail: `tfdf` rows are (doc, token, tf, df),
+    * `dl` is the FULL doc universe (doc, dl) — zero-length docs
+    * included, so non-matching docs score (0, 0) instead of
+    * vanishing. Both the scan path ([[bm25]]) and the serving path
+    * ([[bm25FromIndex]]) reduce to this, which is what makes their
+    * q140/q210 parity a structural fact rather than a coincidence. */
+  private def scoreBm25(tfdf: DataFrame, dl: DataFrame): DataFrame = {
     val scalars = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
-    val scored = tf.join(dfreq, Seq("token"))
+    val scored = tfdf
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(scalars))
       .select(col("doc"),
@@ -258,6 +268,37 @@ object TextOps {
       .select(col("doc"),
         coalesce(col("bm25"), lit(0.0)).as("bm25"),
         coalesce(col("bm25_milli"), lit(0L)).as("bm25_milli"))
+  }
+
+  /** BM25 served FROM the [[invertedIndex]] table instead of
+    * rescanning text — the retrieval shape a deployment actually
+    * runs: at 100 TB the corpus is tokenized ONCE into the index;
+    * every query after that touches |terms| posting ranges plus the
+    * doc-length table, never the text. `docs` is the full doc-id
+    * universe (one column, `idCol`) — zero-token docs are absent
+    * from the index but must still score (0, 0), exactly like
+    * [[bm25]]'s empty-tokenization docs; a real deployment keeps
+    * this doc-length sidecar beside the index (here derived by one
+    * index aggregate + a left join).
+    *
+    * Identical output to `bm25(corpus, ...)` by construction (shared
+    * [[scoreBm25]] tail; df = the index's token-grain doc_freq, dl =
+    * Σ tf per doc): spec-pinned row-for-row and q210 oracle-replayed
+    * with the q140 SQL. */
+  def bm25FromIndex(index: DataFrame, docs: DataFrame, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"terms must be 1..64 query tokens, got ${terms.size}")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "query terms must be non-empty and lower-case (tokens are lower-cased)")
+    val dlIdx = index.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dl = docs.select(col(idCol).as("doc")).distinct()
+      .join(dlIdx, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("dl"), lit(0L)).as("dl"))
+    val tfdf = index.filter(col("token").isin(terms: _*))
+      .select(col("doc"), col("token"), col("tf"),
+        col("doc_freq").as("df"))
+    scoreBm25(tfdf, dl)
   }
 
   /** Per-document bigram language-model statistics — the corpus-

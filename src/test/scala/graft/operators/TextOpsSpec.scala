@@ -806,6 +806,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bm25FromIndex equals bm25: the index serves retrieval row-for-row") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("the", "and", "data")
+    val direct = TextOps.bm25(docs, "doc_id", "text", terms)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    val served = TextOps.bm25FromIndex(idx,
+        docs.select(col("doc_id")), "doc_id", terms)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(served.length == direct.length && served.nonEmpty)
+    served.zip(direct).foreach { case (s, d) =>
+      assert(s._1 == d._1 && s._3 == d._3, s"integer lane: $s vs $d")
+      assert(math.abs(s._2 - d._2) < 1e-12, s"double lane: $s vs $d")
+    }
+    // a zero-token doc must score (0, 0), present, in both paths
+    val withEmpty = docs.select(col("doc_id"), col("text"))
+      .unionByName(Seq((999999L, "   ")).toDF("doc_id", "text"))
+    val idx2 = TextOps.invertedIndex(withEmpty, "doc_id", "text")
+    val e = TextOps.bm25FromIndex(idx2,
+        withEmpty.select(col("doc_id")), "doc_id", terms)
+      .filter(col("doc") === 999999L)
+      .as[(Long, Double, Long)].head()
+    assert(e == ((999999L, 0.0, 0L)))
+  }
+
   test("collocations: exact integer PMI-ratio lane; ln lane tracks it") {
     import spark.implicits._
     // "new york" is a tight pair (3×, both words only in it);

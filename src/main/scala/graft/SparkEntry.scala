@@ -2476,6 +2476,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q211: SFT chat-example assembly — each doc becomes a 4-turn
+    // conversation (user/assistant alternating, contents are fixed
+    // substrings of the ASCII-sanitized text), flattened through the
+    // REAL builder; DuckDB re-renders the template and replays every
+    // loss-span offset with a cumulative-length window. The spans
+    // are what a trainer masks loss with — they must be char-exact.
+    "q211_chat_sft" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("t"))
+      def turn(i: Long, role: String, c: Column) =
+        d.select(col("doc_id").as("conv_id"), lit(i).as("turn"),
+          lit(role).as("role"), c.as("content"))
+      val turns = turn(0L, "user", col("t").substr(lit(1), lit(20)))
+        .unionByName(turn(1L, "assistant", col("t").substr(lit(21), lit(30))))
+        .unionByName(turn(2L, "user", lit("ok")))
+        .unionByName(turn(3L, "assistant", col("t").substr(lit(51), lit(25))))
+      operators.Packing.chatSft(turns, "conv_id", "turn", "role", "content")
+        .orderBy(col("conv_id"))
+    }),
+
     // q210: BM25 served FROM the q205 inverted index — the retrieval
     // shape a deployment actually runs (tokenize once into the
     // index; queries touch |terms| posting ranges + the doc-length
@@ -4934,6 +4955,35 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q211: template re-rendered, offsets replayed with a
+    // cumulative-length window, spans re-derived per assistant turn.
+    "q211_chat_sft" ->
+      """WITH d AS (SELECT doc_id AS conv_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |turns AS (
+        |  SELECT conv_id, 0 AS turn, 'user' AS role,
+        |    substr(t, 1, 20) AS content FROM d
+        |  UNION ALL SELECT conv_id, 1, 'assistant', substr(t, 21, 30) FROM d
+        |  UNION ALL SELECT conv_id, 2, 'user', 'ok' FROM d
+        |  UNION ALL SELECT conv_id, 3, 'assistant', substr(t, 51, 25) FROM d),
+        |r AS (SELECT conv_id, turn, role, content,
+        |    '<|' || role || '|>' || content || '<|end|>' AS rr,
+        |    length(role) + 4 AS hdr FROM turns),
+        |o AS (SELECT *, COALESCE(SUM(length(rr)) OVER (
+        |    PARTITION BY conv_id ORDER BY turn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM r)
+        |SELECT conv_id, CAST(4 AS BIGINT) AS n_turns,
+        |  CAST(2 AS BIGINT) AS n_assistant_turns,
+        |  CAST(SUM(CASE WHEN role = 'assistant' THEN length(content)
+        |    ELSE 0 END) AS BIGINT) AS n_loss_chars,
+        |  string_agg(rr, '' ORDER BY turn) AS text,
+        |  string_agg(CASE WHEN role = 'assistant'
+        |    THEN (off + hdr) || '-' || (off + hdr + length(content)) END,
+        |    ',' ORDER BY turn) AS loss_spans
+        |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin,
 
     // q210: the q140 integer core replayed from raw text — the
     // index-served path must land on the same milli scores.

@@ -234,4 +234,58 @@ object Packing {
         col(textCol).substr(
           (col("chunk_idx") * stride + 1).cast("int"), lit(width)).as("chunk_text"))
   }
+
+  /** SFT chat-example assembly with LOSS-MASK spans — the supervised
+    * fine-tuning objective builder next to [[maskTokens]] (MLM),
+    * [[prefixSplit]] (prefix-LM) and [[spanCorrupt]] (T5): a
+    * multi-turn conversation flattens to one training string with a
+    * fixed template (`<|role|>content<|end|>` per turn, turn order),
+    * and the trainer's loss applies ONLY to assistant CONTENT — not
+    * role headers, not end markers, not user turns. Returns per
+    * conversation: `n_turns`, `n_assistant_turns`, `n_loss_chars`,
+    * `text`, and `loss_spans` — 0-based char ranges "start-end"
+    * (end exclusive), comma-joined in turn order, each covering
+    * exactly one assistant turn's content ('' when no assistant
+    * turns). Offsets are exact by construction: a per-conversation
+    * ordered window accumulates rendered-turn lengths (never a
+    * partition-less window — the [[spanCorrupt]] discipline), so
+    * the q211 oracle replays every span arithmetically.
+    *
+    * Scale shape: one conv-partitioned window + one hash aggregate;
+    * conversation size bounds both (state is one conversation's
+    * turns, not the corpus). Null contents render as ''. */
+  def chatSft(df: DataFrame, convCol: String, turnCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val t = df.select(col(convCol).as("conv_id"),
+      col(turnCol).cast("long").as("turn"),
+      col(roleCol).as("role"),
+      coalesce(col(contentCol), lit("")).as("content"))
+    val rendered = t
+      .withColumn("__r", concat(lit("<|"), col("role"), lit("|>"),
+        col("content"), lit("<|end|>")))
+      .withColumn("__hdr", (length(col("role")) + lit(4)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withOff = rendered
+      .withColumn("__off", coalesce(sum(length(col("__r")).cast("long")).over(w),
+        lit(0L)))
+    withOff.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L))
+          .as("n_assistant_turns"),
+        sum(when(col("role") === "assistant",
+          length(col("content")).cast("long")).otherwise(0L))
+          .as("n_loss_chars"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("turn"), col("__r")))),
+          s => s.getField("__r")), "").as("text"),
+        array_join(transform(
+          array_sort(collect_list(when(col("role") === "assistant",
+            struct(col("turn"),
+              concat((col("__off") + col("__hdr")).cast("string"), lit("-"),
+                (col("__off") + col("__hdr") + length(col("content")))
+                  .cast("string")).as("__s"))))),
+          s => s.getField("__s")), ",").as("loss_spans"))
+  }
 }

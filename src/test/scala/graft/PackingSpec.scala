@@ -229,4 +229,37 @@ class PackingSpec extends SparkTestBase {
       .as[(Long, Long, Long, String, String)].collect().toSet
     assert(re == got.toSet, "partitioning leaked into the split")
   }
+
+  test("chatSft: exact loss spans cover exactly the assistant content") {
+    import spark.implicits._
+    val turns = Seq(
+      (1L, 0L, "user", "hi"), (1L, 1L, "assistant", "hello there"),
+      (1L, 2L, "user", "bye"), (1L, 3L, "assistant", "ok"),
+      (2L, 0L, "user", "lonely"),
+      (3L, 0L, "assistant", null.asInstanceOf[String]))
+      .toDF("conv_id", "turn", "role", "content")
+    val got = Packing.chatSft(turns, "conv_id", "turn", "role", "content")
+      .as[(Long, Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val c1 = got(1L)
+    assert(c1._2 == 4L && c1._3 == 2L && c1._4 == 13L)
+    assert(c1._5 == "<|user|>hi<|end|><|assistant|>hello there<|end|>" +
+      "<|user|>bye<|end|><|assistant|>ok<|end|>")
+    assert(c1._6 == "30-41,79-81")
+    // the spans really do extract the assistant content — the
+    // property a trainer depends on
+    for (span <- c1._6.split(",")) {
+      val Array(s, e) = span.split("-").map(_.toInt)
+      assert(Seq("hello there", "ok").contains(c1._5.substring(s, e)))
+    }
+    // no assistant turns → empty loss_spans, zero loss chars
+    assert(got(2L)._6 == "" && got(2L)._4 == 0L)
+    // null assistant content renders '' with a zero-length span
+    assert(got(3L)._5 == "<|assistant|><|end|>" && got(3L)._6 == "13-13")
+    // partitioning must not perturb offsets
+    val re = Packing.chatSft(turns.repartition(5), "conv_id", "turn",
+        "role", "content")
+      .as[(Long, Long, Long, Long, String, String)].collect().toSet
+    assert(re == got.values.toSet)
+  }
 }

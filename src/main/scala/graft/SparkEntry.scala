@@ -2476,6 +2476,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q212: join-skew diagnostic — the measurement half of the
+    // salted join: top-20 heaviest keys with exact integer imbalance
+    // factors (share of table, multiples of the mean key). DuckDB
+    // replays counts and both staged divisions; ties break on the
+    // key ascending with NULLS FIRST to match Spark's asc ordering.
+    "q212_skew_report" -> ((s, dir) => {
+      operators.Relational.skewReport(
+        Tables.events(s, dir), Seq("user_id"), topK = 20)
+    }),
+
     // q211: SFT chat-example assembly — each doc becomes a 4-turn
     // conversation (user/assistant alternating, contents are fixed
     // substrings of the ASCII-sanitized text), flattened through the
@@ -4955,6 +4965,20 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q212: counts + staged integer divisions replayed; NULLS FIRST
+    // matches Spark's ascending null placement.
+    "q212_skew_report" ->
+      """WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS key_rows
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk,
+        |    CAST(SUM(key_rows) AS BIGINT) AS n FROM c)
+        |SELECT user_id, key_rows,
+        |  (1000000 * key_rows) // n AS share_micro,
+        |  (1000000 * key_rows) // greatest(1, n // nk) AS xmean_micro
+        |FROM c, s
+        |ORDER BY key_rows DESC, user_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     // q211: template re-rendered, offsets replayed with a
     // cumulative-length window, spans re-derived per assistant turn.

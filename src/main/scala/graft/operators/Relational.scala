@@ -659,6 +659,41 @@ object Relational {
       .withColumn("is_current", col("valid_to").isNull)
       .drop("__rn", "__chg")
   }
+
+  /** Join-skew diagnostic — the measurement half of [[saltedJoin]]
+    * (you salt the keys this report names): the top-K heaviest join
+    * keys with exact integer imbalance factors. Per reported key:
+    * `key_rows`, `share_micro` (1e6·key_rows div total rows — the
+    * fraction of the table one reducer would receive), and
+    * `xmean_micro` (1e6·key_rows div ⌊total/n_keys⌋ — how many times
+    * the MEAN key this one weighs, staged so the widest product is
+    * 1e6·key_rows and BIGINT-safe to ~10¹² rows per key;
+    * 1e6 ≈ perfectly uniform). A key at
+    * xmean_micro ≫ 10⁷ with share_micro in the percents is the one
+    * that turns a 1000-executor shuffle into a one-straggler wait.
+    *
+    * Shape: one hash aggregate to key grain (shuffle volume =
+    * |keys|), a broadcast 1-row scalar, and a global top-K that
+    * plans as TakeOrdered (per-partition heaps, never a full sort).
+    * Ties break on the key columns ascending — deterministic, so
+    * q212 hash-replays. Null keys group like any other value (they
+    * hot-spot joins just the same). */
+  def skewReport(df: DataFrame, keyCols: Seq[String],
+      topK: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "skewReport needs at least one key column")
+    require(topK >= 1 && topK <= 10000, s"topK must be in [1,10000], got $topK")
+    val keys = keyCols.map(col)
+    val counts = df.groupBy(keys: _*).agg(count(lit(1)).as("key_rows"))
+    val scalars = counts
+      .agg(count(lit(1)).as("__nk"), sum(col("key_rows")).as("__n"))
+    counts.crossJoin(broadcast(scalars))
+      .select(keys ++ Seq(col("key_rows"),
+        expr("(1000000 * key_rows) div __n").as("share_micro"),
+        expr("(1000000 * key_rows) div greatest(1L, __n div __nk)")
+          .as("xmean_micro")): _*)
+      .orderBy(col("key_rows").desc +: keys.map(_.asc): _*)
+      .limit(topK)
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

@@ -427,6 +427,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       assert(got == want, s"old=$o\nnew=$n")
     }
   }
+
+  test("skewReport: exact imbalance factors, deterministic ties, TakeOrdered plan") {
+    import spark.implicits._
+    // hot key 70 rows, a 20, b 10 → n = 100, n_keys = 3, mean = 33
+    val rows = Seq.fill(70)("hot") ++ Seq.fill(20)("a") ++ Seq.fill(10)("b")
+    val df = rows.map(k => (k, 1)).toDF("k", "v").repartition(7)
+    val got = Relational.skewReport(df, Seq("k"), topK = 2)
+      .as[(String, Long, Long, Long)].collect()
+    // share 70/100 = 0.7; xmean = 70e6 div 33 = 2_121_212
+    assert(got(0) == (("hot", 70L, 700000L, 2121212L)), got.mkString(","))
+    assert(got(1) == (("a", 20L, 200000L, 606060L)))
+    // null keys are reported like values; ties break on the key
+    val withNull = Seq(("x", 1), (null, 1), (null, 1), ("y", 1))
+      .toDF("k", "v")
+    val r2 = Relational.skewReport(withNull, Seq("k"), topK = 4)
+      .as[(Option[String], Long, Long, Long)].collect()
+    assert(r2.head._1.isEmpty && r2.head._2 == 2L)
+    assert(r2.map(_._1).drop(1).flatten.toSeq == Seq("x", "y"))
+    // global top-K must plan as TakeOrdered, not a full sort
+    val p = Relational.skewReport(df, Seq("k"), topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

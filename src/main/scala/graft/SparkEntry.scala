@@ -2476,6 +2476,33 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q213: CMS inner-product join-size estimation — what a planner
+    // asks BEFORE an equi join (broadcast? salt? abort?): two
+    // KB-sized counter sketches answer |clicks ⋈ views on user_id|
+    // without scanning either side, never undercounting. The q153
+    // hash family is engine-portable, so DuckDB replays the EXACT
+    // estimate (all depth dot products + the min), the true join
+    // size, and the one-sided guarantee.
+    "q213_cms_join_size" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+      val views = ev.filter(col("event_type") === "view")
+      val est = operators.Sketches.cmsJoinSize(
+        operators.Sketches.cmsRollup(clicks, Seq(), col("user_id")),
+        operators.Sketches.cmsRollup(views, Seq(), col("user_id")),
+        Seq())
+      val truth = clicks.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("__ca"))
+        .join(views.groupBy(col("user_id")).agg(count(lit(1)).as("__cb")),
+          Seq("user_id"))
+        .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L))
+          .as("true_join"))
+      est.crossJoin(broadcast(truth))
+        .select(col("rows_a"), col("rows_b"), col("join_size_est"),
+          col("true_join"),
+          (col("join_size_est") >= col("true_join")).as("never_under"))
+    }),
+
     // q212: join-skew diagnostic — the measurement half of the
     // salted join: top-20 heaviest keys with exact integer imbalance
     // factors (share of table, multiples of the mean key). DuckDB
@@ -4965,6 +4992,53 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q213: both sketches rebuilt cell by cell with the q153
+    // portable hash, the depth dot products and their min replayed,
+    // true join size recomputed — the estimate is deterministic, so
+    // it hash-compares as a VALUE, not a bound.
+    "q213_cms_join_size" ->
+      """WITH ca AS MATERIALIZED (
+        |  SELECT i,
+        |    ((2654435761 + 40503 * i) * kk + (97 + 1013 * i))
+        |      % 2305843009213693951 % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT user_id % 2147483647 AS kk FROM events
+        |        WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |       unnest(range(0, 4)) AS t(i)
+        |  GROUP BY 1, 2),
+        |cb AS MATERIALIZED (
+        |  SELECT i,
+        |    ((2654435761 + 40503 * i) * kk + (97 + 1013 * i))
+        |      % 2305843009213693951 % 256 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT user_id % 2147483647 AS kk FROM events
+        |        WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |       unnest(range(0, 4)) AS t(i)
+        |  GROUP BY 1, 2),
+        |dots AS (
+        |  SELECT t.i, CAST(COALESCE(SUM(j.p), 0) AS BIGINT) AS dot
+        |  FROM unnest(range(0, 4)) AS t(i)
+        |  LEFT JOIN (SELECT ca.i AS i, ca.cnt * cb.cnt AS p
+        |             FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket)
+        |    j ON j.i = t.i
+        |  GROUP BY 1),
+        |truth AS (
+        |  SELECT CAST(COALESCE(SUM(x.c * y.c), 0) AS BIGINT) AS true_join
+        |  FROM (SELECT user_id, COUNT(*) AS c FROM events
+        |        WHERE event_type = 'click' GROUP BY 1) x
+        |  JOIN (SELECT user_id, COUNT(*) AS c FROM events
+        |        WHERE event_type = 'view' GROUP BY 1) y USING (user_id))
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM events
+        |        WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |    AS BIGINT) AS rows_a,
+        |  CAST((SELECT COUNT(*) FROM events
+        |        WHERE event_type = 'view' AND user_id IS NOT NULL)
+        |    AS BIGINT) AS rows_b,
+        |  CAST((SELECT MIN(dot) FROM dots) AS BIGINT) AS join_size_est,
+        |  true_join, TRUE AS never_under
+        |FROM truth""".stripMargin,
 
     // q212: counts + staged integer divisions replayed; NULLS FIRST
     // matches Spark's ascending null placement.

@@ -186,6 +186,44 @@ object Sketches {
               .cast("int")))).as("cms_est"): _*)
   }
 
+  /** Join-size estimation by CMS inner product (Cormode &
+    * Muthukrishnan 2005 §4.2) — what a planner wants BEFORE running
+    * an equi join: |A ⋈ B| on a key equals Σ_k a(k)·b(k), and the
+    * minimum over rows of the two sketches' counter dot products
+    * estimates it with the same one-sided guarantee as point queries
+    * — NEVER an underestimate, over by at most ε·N_a·N_b with
+    * probability 1−δ. Two KB-sized sketch rows answer it; neither
+    * table is scanned, let alone joined.
+    *
+    * Inputs are [[cmsRollup]] outputs at the same (depth, width) and
+    * grain; rows pair by `dimCols` (empty = the global single-row
+    * sketches, a broadcast cross of two 1-row frames). Deterministic
+    * by construction (the portable polynomial hash family), so q213
+    * replays the exact estimate in DuckDB, not just its bounds.
+    * Counter products are BIGINT-safe while N_a·N_b·width < 2⁶³
+    * (~3·10⁹ rows each at width 256 worst-case; real sketches are
+    * far below the worst case because mass spreads over buckets). */
+  def cmsJoinSize(a: DataFrame, b: DataFrame, dimCols: Seq[String],
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    val rowDot = array_min(transform(sequence(lit(0), lit(depth - 1)), i =>
+      aggregate(
+        zip_with(
+          slice(col("__ca"), i * width + 1, lit(width)),
+          slice(col("__cb"), i * width + 1, lit(width)),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)))
+    val dims = dimCols.map(col)
+    val sa = a.select(dims ++ Seq(col("cms").as("__ca"),
+      col("cms_rows").as("rows_a")): _*)
+    val sb = b.select(dims ++ Seq(col("cms").as("__cb"),
+      col("cms_rows").as("rows_b")): _*)
+    val joined =
+      if (dimCols.isEmpty) sa.crossJoin(broadcast(sb))
+      else sa.join(sb, dimCols)
+    joined.select(dims ++ Seq(col("rows_a"), col("rows_b"),
+      rowDot.as("join_size_est")): _*)
+  }
+
   // ───────────────────── KLL quantile sketch ─────────────────────
 
   import org.apache.datasketches.kll.KllDoublesSketch

@@ -402,6 +402,35 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("cmsJoinSize: never under the true join size; exact when collision-free") {
+    import spark.implicits._
+    // planted per-key counts: true |A ⋈ B| = Σ a(k)·b(k)
+    val a = (1L to 50L).flatMap(k => Seq.fill((k % 5 + 1).toInt)(k)).toDF("k")
+    val b = (26L to 75L).flatMap(k => Seq.fill((k % 3 + 1).toInt)(k)).toDF("k")
+    val truth = a.groupBy("k").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("k").count().withColumnRenamed("count", "cb"), Seq("k"))
+      .select(sum(col("ca") * col("cb"))).as[Long].head()
+    val est = Sketches.cmsJoinSize(
+        Sketches.cmsRollup(a, Seq(), col("k"), depth = 4, width = 256),
+        Sketches.cmsRollup(b, Seq(), col("k"), depth = 4, width = 256),
+        Seq())
+      .select(col("rows_a"), col("rows_b"), col("join_size_est"))
+      .as[(Long, Long, Long)].head()
+    assert(est._1 == 150L && est._2 == 100L) // Σ(k%5+1), Σ(k%3+1)
+    assert(est._3 >= truth, s"CMS inner product must never undercount: $est vs $truth")
+    // 75 distinct keys in 256 buckets ⇒ some row is collision-free
+    // with high margin at depth 4; and the bound ε·Na·Nb is loose —
+    // pin a tight practical factor instead
+    assert(est._3 <= truth * 2, s"estimate wildly loose: $est vs $truth")
+    // disjoint key ranges ⇒ true join 0; estimate may be > 0 but small
+    val c = (1000L to 1020L).map(k => k).toDF("k")
+    val z = Sketches.cmsJoinSize(
+        Sketches.cmsRollup(a, Seq(), col("k")),
+        Sketches.cmsRollup(c, Seq(), col("k")), Seq())
+      .select(col("join_size_est")).as[Long].head()
+    assert(z <= 20L, s"disjoint tables must estimate near zero, got $z")
+  }
+
   test("kllQuantile/kllRank: null and empty sketches answer null") {
     import spark.implicits._
     val nulls = Seq((1, null.asInstanceOf[Array[Byte]])).toDF("id", "kll_sketch")

@@ -2476,6 +2476,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q214: NEAREST as-of join — min |Δt| with backward ties, the
+    // third as-of direction (q15 backward, q115 forward): each click
+    // grabs the time-closest view of the same user. Right side is
+    // deduplicated to (user, ts) grain per the as-of family's
+    // determinism contract; DuckDB replays both directional
+    // candidates per click in exact integer micros and re-applies
+    // the tie rule.
+    "q214_asof_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n_views"), max(col("value")).as("max_value"))
+      operators.Relational.asofJoinNearest(clicks, views, "ts", "ts",
+          "user_id", "user_id", Seq("n_views", "max_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("n_views"), col("max_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // q213: CMS inner-product join-size estimation — what a planner
     // asks BEFORE an equi join (broadcast? salt? abort?): two
     // KB-sized counter sketches answer |clicks ⋈ views on user_id|
@@ -4992,6 +5013,34 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q214: backward/forward candidates via two ranked range joins,
+    // nearest chosen in integer micros, backward on ties.
+    "q214_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS t
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, epoch_us(ts) AS rt,
+        |    CAST(COUNT(*) AS BIGINT) AS n_views, MAX(value) AS max_value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |b AS (SELECT * FROM (
+        |  SELECT l.event_id, r.rt, r.n_views, r.max_value,
+        |    ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.rt DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.rt <= l.t)
+        |  WHERE rn = 1),
+        |f AS (SELECT * FROM (
+        |  SELECT l.event_id, r.rt, r.n_views, r.max_value,
+        |    ROW_NUMBER() OVER (PARTITION BY l.event_id ORDER BY r.rt ASC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.rt >= l.t)
+        |  WHERE rn = 1)
+        |SELECT l.event_id, l.user_id, l.t AS t_us,
+        |  CASE WHEN b.rt IS NOT NULL AND (f.rt IS NULL OR
+        |         l.t - b.rt <= f.rt - l.t) THEN b.n_views
+        |       ELSE f.n_views END AS n_views,
+        |  CASE WHEN b.rt IS NOT NULL AND (f.rt IS NULL OR
+        |         l.t - b.rt <= f.rt - l.t) THEN b.max_value
+        |       ELSE f.max_value END AS max_value
+        |FROM l LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // q213: both sketches rebuilt cell by cell with the q153
     // portable hash, the depth dot products and their min replayed,

@@ -148,6 +148,64 @@ object Relational {
         payload.map(p => col(s"__payload.$p").as(p))): _*)
   }
 
+  /** NEAREST as-of join — the third member of the as-of family
+    * ([[asofJoinBackward]] `rt ≤ t`, [[asofJoinForward]] `rt ≥ t`):
+    * for each left row, the right row minimizing `|rt − t|` for the
+    * same key, ties (equidistant before/after) resolved BACKWARD —
+    * the "closest sensor reading" lookup neither direction alone
+    * answers. Output contract matches the siblings: left columns ++
+    * payload, null payload when the key has no right rows at all.
+    *
+    * ONE union + ONE hash shuffle + per-partition sort, with BOTH
+    * directional fills as two frames over the same window ordering
+    * (right rows sort before left at equal timestamps, so a
+    * simultaneous right row is caught by the backward frame with
+    * Δ = 0 — which beats anything the forward frame could offer, so
+    * forward's equal-t blindness under this ordering is harmless).
+    * Distances compare in EXACT integer micros for timestamp keys
+    * (double cast would round µs ties differently than the q214
+    * oracle's integer math); other numeric key types compare as
+    * doubles. Duplicate right timestamps per key must be
+    * pre-deduplicated by the caller, as with the siblings. */
+  def asofJoinNearest(left: DataFrame, right: DataFrame,
+                      leftTime: String, rightTime: String,
+                      leftKey: String, rightKey: String,
+                      payload: Seq[String]): DataFrame = {
+    require(!payload.contains("__rt"), "payload may not contain __rt")
+    val leftCols = left.columns
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r0 = right.select(
+      (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__side")
+        +: payload.map(col)): _*)
+    val unioned = l.unionByName(r0, allowMissingColumns = true)
+    val isTs = left.schema(leftTime).dataType ==
+      org.apache.spark.sql.types.TimestampType
+    def num(c: Column): Column = if (isTs) unix_micros(c) else c.cast("double")
+    val ord = Seq(col("__t").asc, col("__side").asc)
+    val wb = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("__k")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tagged = unioned.withColumn("__payload",
+      when(col("__side") === 0,
+        struct((col("__t").as("__rt") +: payload.map(col)): _*)))
+    val both = tagged
+      .withColumn("__b", last(col("__payload"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__payload"), ignoreNulls = true).over(wf))
+    val t = num(col("__t"))
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(t - num(col("__b.__rt")) <= num(col("__f.__rt")) - t, col("__b"))
+      .otherwise(col("__f"))
+    both.filter(col("__side") === 1)
+      .withColumn("__c", chosen)
+      .select((leftCols.toSeq.map(col) ++
+        payload.map(p => col(s"__c.$p").as(p))): _*)
+  }
+
   /** Skew-resistant equi join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and explode the build (right) side across
     * all buckets, so one hot key spreads over `saltBuckets` tasks

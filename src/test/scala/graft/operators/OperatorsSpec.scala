@@ -428,6 +428,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("asofJoinNearest: min |Δt|, backward ties, equal-t exact, empty keys null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L), (1L, 25L), (1L, 100L), (1L, 3L), (1L, 20L),
+      (1L, 19L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 0L, "a"), (1L, 20L, "b"), (1L, 30L, "c"))
+      .toDF("rk", "rt", "p")
+    val got = Relational.asofJoinNearest(left, right, "t", "rt", "k", "rk",
+        Seq("p"))
+      .as[(Long, Long, Option[String])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 10L)).contains("a"))  // Δ10 both ways → backward
+    assert(got((1L, 25L)).contains("b"))  // Δ5 both ways → backward
+    assert(got((1L, 100L)).contains("c")) // only backward exists
+    assert(got((1L, 3L)).contains("a"))   // backward closer
+    assert(got((1L, 20L)).contains("b"))  // exact hit, Δ0
+    assert(got((1L, 19L)).contains("b"))  // forward closer
+    assert(got((2L, 50L)).isEmpty)        // key with no right rows
+  }
+
   test("skewReport: exact imbalance factors, deterministic ties, TakeOrdered plan") {
     import spark.implicits._
     // hot key 70 rows, a 20, b 10 → n = 100, n_keys = 3, mean = 33

@@ -2476,6 +2476,37 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q215: theta-sketch segment-overlap matrix — TRUE sketch set
+    // algebra (intersection, A-not-B) that HLL tables cannot do
+    // without compounding inclusion–exclusion error (the q158
+    // caveat). Per event_type, a theta sketch of distinct users;
+    // every ordered pair answers shared and exclusive audiences from
+    // KB-sized sketch rows. At this cardinality the sketches are in
+    // EXACT mode (θ=1), so every estimate is an exact integer and
+    // DuckDB replays the whole matrix with plain DISTINCT joins.
+    "q215_theta_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val rollup = operators.Sketches.thetaRollup(ev,
+        Seq(col("event_type")), col("user_id"), lgK = 12)
+      val a = rollup.select(col("event_type").as("seg_a"),
+        col("theta_sketch").as("__sa"))
+      val b = rollup.select(col("event_type").as("seg_b"),
+        col("theta_sketch").as("__sb"))
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          operators.Sketches.thetaEstimate(col("__sa")).cast("long")
+            .as("users_a"),
+          operators.Sketches.thetaEstimate(col("__sb")).cast("long")
+            .as("users_b"),
+          operators.Sketches.thetaEstimate(
+            operators.Sketches.thetaIntersect(col("__sa"), col("__sb")))
+            .cast("long").as("users_shared"),
+          operators.Sketches.thetaEstimate(
+            operators.Sketches.thetaANotB(col("__sa"), col("__sb")))
+            .cast("long").as("users_a_only"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // q214: NEAREST as-of join — min |Δt| with backward ties, the
     // third as-of direction (q15 backward, q115 forward): each click
     // grabs the time-closest view of the same user. Right side is
@@ -5013,6 +5044,27 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q215: exact-mode theta set algebra = plain DISTINCT set math.
+    "q215_theta_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1)
+        |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+        |  ca.n AS users_a, cb.n AS users_b,
+        |  CAST((SELECT COUNT(*) FROM s x JOIN s y
+        |        ON x.user_id = y.user_id
+        |        WHERE x.event_type = ca.event_type
+        |          AND y.event_type = cb.event_type) AS BIGINT)
+        |    AS users_shared,
+        |  CAST(ca.n - (SELECT COUNT(*) FROM s x JOIN s y
+        |        ON x.user_id = y.user_id
+        |        WHERE x.event_type = ca.event_type
+        |          AND y.event_type = cb.event_type) AS BIGINT)
+        |    AS users_a_only
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // q214: backward/forward candidates via two ranked range joins,
     // nearest chosen in integer micros, backward on ties.

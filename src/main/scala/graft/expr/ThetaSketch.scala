@@ -1,0 +1,133 @@
+package graft.expr
+
+import org.apache.datasketches.memory.Memory
+import org.apache.datasketches.theta.{SetOperation, Sketch, Union}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Theta sketch aggregates (Datasketches) — the SET-ALGEBRA member of
+  * the sketch family: unlike HLL (union-only, so intersections come
+  * from inclusion–exclusion whose error COMPOUNDS, the documented
+  * weakness of `Sketches.hllIntersectEstimate` on small overlaps),
+  * theta sketches support true intersection and A-NOT-B directly on
+  * KB-sized sketch rows, with relative error tied to the RESULT's
+  * retained entries. Below the nominal 2^lgK entries a sketch is in
+  * EXACT mode (every hash retained, θ = 1) — estimates are exact
+  * integers and engine-deterministic, which is the regime q215's
+  * value-oracle pins; beyond it the q44/q139 bound discipline
+  * applies (specs).
+  *
+  * Same [[TypedImperativeAggregate]] posture as the KLL pair: the
+  * buffer is a theta `Union` (absorbs raw values AND sketches), so
+  * partials combine map-side in ObjectHashAggregate and a group's
+  * shuffle traffic is one compact sketch per upstream task. */
+case class ThetaSketchAgg(
+    child: Expression,
+    lgK: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4,26], got $lgK")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes BIGINT/INT/STRING values, got ${other.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_sketch_agg"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case l: java.lang.Long => buf.update(l.longValue())
+      case i: java.lang.Integer => buf.update(i.longValue())
+      case s: UTF8String => buf.update(s.toString)
+      case other => throw new IllegalStateException(
+        s"theta_sketch_agg: unsupported value $other")
+    }
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    u.union(Sketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ThetaSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ThetaSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaSketchAgg =
+    copy(child = newChild)
+}
+
+/** Merge pre-built theta sketch BYTES to a coarser grain — the rollup
+  * half, mirroring [[KllMergeAgg]]. Null sketches are skipped; zero
+  * rows yield the empty sketch (estimate 0). */
+case class ThetaUnionAgg(
+    child: Expression,
+    lgK: Int = 12,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Union]
+  with UnaryLike[Expression] {
+
+  require(lgK >= 4 && lgK <= 26, s"theta lgK must be in [4,26], got $lgK")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY sketch column, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "theta_union_agg"
+
+  override def createAggregationBuffer(): Union =
+    SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+
+  override def update(buf: Union, input: InternalRow): Union = {
+    val v = child.eval(input)
+    if (v != null) buf.union(Sketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+    buf
+  }
+
+  override def merge(buf: Union, other: Union): Union = {
+    buf.union(other.getResult); buf
+  }
+
+  override def eval(buf: Union): Any = buf.getResult.toByteArray
+
+  override def serialize(buf: Union): Array[Byte] = buf.getResult.toByteArray
+  override def deserialize(bytes: Array[Byte]): Union = {
+    val u = SetOperation.builder().setNominalEntries(1 << lgK).buildUnion()
+    u.union(Sketch.heapify(Memory.wrap(bytes)))
+    u
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): ThetaUnionAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): ThetaUnionAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): ThetaUnionAgg =
+    copy(child = newChild)
+}

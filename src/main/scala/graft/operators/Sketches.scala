@@ -186,6 +186,71 @@ object Sketches {
               .cast("int")))).as("cms_est"): _*)
   }
 
+  // ───────────────────── theta set-algebra sketch ─────────────────────
+
+  import org.apache.datasketches.theta.{SetOperation => ThetaSetOp, Sketch => ThetaSk}
+  import graft.expr.{ThetaSketchAgg, ThetaUnionAgg}
+
+  /** One theta sketch row per group — the SET-ALGEBRA member of the
+    * family: supports true [[thetaIntersect]] / [[thetaANotB]] on
+    * sketch bytes, where the HLL table can only union (its
+    * intersections go through inclusion–exclusion and compound
+    * error — the documented [[hllIntersectEstimate]] weakness).
+    * Output: dims ++ (theta_sketch BINARY, partial_rows). Exact
+    * (θ = 1, every hash retained) while a group's distinct count ≤
+    * 2^lgK — the regime q215 value-oracles. */
+  def thetaRollup(df: DataFrame, dims: Seq[Column], value: Column,
+      lgK: Int = 12): DataFrame =
+    df.groupBy(dims: _*)
+      .agg(org.apache.spark.sql.graft.bridge.toColumn(
+          ThetaSketchAgg(org.apache.spark.sql.graft.bridge.toExpression(value),
+            lgK).toAggregateExpression()).as("theta_sketch"),
+        count(value).as("partial_rows"))
+
+  /** Merge rollup sketches to a coarser grain — bytes only. */
+  def thetaMerge(rollup: DataFrame, dims: Seq[Column],
+      sketch: Column = col("theta_sketch"), lgK: Int = 12): DataFrame =
+    rollup.groupBy(dims: _*)
+      .agg(org.apache.spark.sql.graft.bridge.toColumn(
+          ThetaUnionAgg(org.apache.spark.sql.graft.bridge.toExpression(sketch),
+            lgK).toAggregateExpression()).as("theta_sketch"),
+        sum(col("partial_rows")).as("rows"))
+
+  /** Distinct-count estimate from sketch bytes (exact integer while
+    * the sketch is in exact mode). */
+  val thetaEstimate: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else java.lang.Double.valueOf(
+        ThetaSk.heapify(org.apache.datasketches.memory.Memory.wrap(bytes))
+          .getEstimate)
+    }
+
+  /** True set-intersection sketch of two sketch byte columns —
+    * row-local; returns bytes (feed to [[thetaEstimate]]). */
+  val thetaIntersect: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else {
+        val i = ThetaSetOp.builder().buildIntersection()
+        i.intersect(ThetaSk.heapify(org.apache.datasketches.memory.Memory.wrap(a)))
+        i.intersect(ThetaSk.heapify(org.apache.datasketches.memory.Memory.wrap(b)))
+        i.getResult.toByteArray
+      }
+    }
+
+  /** A-not-B sketch (elements of A absent from B) — row-local. */
+  val thetaANotB: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else {
+        val d = ThetaSetOp.builder().buildANotB()
+        d.setA(ThetaSk.heapify(org.apache.datasketches.memory.Memory.wrap(a)))
+        d.notB(ThetaSk.heapify(org.apache.datasketches.memory.Memory.wrap(b)))
+        d.getResult(false).toByteArray
+      }
+    }
+
   /** Join-size estimation by CMS inner product (Cormode &
     * Muthukrishnan 2005 §4.2) — what a planner wants BEFORE running
     * an equi join: |A ⋈ B| on a key equals Σ_k a(k)·b(k), and the

@@ -402,6 +402,40 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("theta: exact-mode set algebra; merge lifecycle; estimation-mode bound") {
+    import spark.implicits._
+    val a = (1L to 600L).map(u => ("A", u)).toDF("seg", "u").repartition(7)
+    val b = (400L to 900L).map(u => ("B", u)).toDF("seg", "u")
+    val rollup = Sketches.thetaRollup(a.unionByName(b), Seq(col("seg")), col("u"))
+    assert(rollup.count() == 2)
+    val bySeg = rollup.select(col("seg"), col("theta_sketch"))
+      .as[(String, Array[Byte])].collect().toMap
+    val pair = Seq((bySeg("A"), bySeg("B"))).toDF("sa", "sb")
+    val got = pair.select(
+        Sketches.thetaEstimate(col("sa")).as("ea"),
+        Sketches.thetaEstimate(Sketches.thetaIntersect(col("sa"), col("sb")))
+          .as("inter"),
+        Sketches.thetaEstimate(Sketches.thetaANotB(col("sa"), col("sb")))
+          .as("diff"))
+      .as[(Double, Double, Double)].head()
+    // 600 and 501 distinct ≤ 2^12: EXACT mode — set algebra is exact
+    assert(got == ((600.0, 201.0, 399.0)), s"exact-mode mismatch: $got")
+    // merge lifecycle: two day-partials union to the same exact answer
+    val d1 = Sketches.thetaRollup(a.filter(col("u") <= 300), Seq(col("seg")), col("u"))
+    val d2 = Sketches.thetaRollup(a.filter(col("u") > 300), Seq(col("seg")), col("u"))
+    val merged = Sketches.thetaMerge(
+      d1.unionByName(d2), Seq(col("seg")))
+    val est = merged.select(Sketches.thetaEstimate(col("theta_sketch")))
+      .as[Double].head()
+    assert(est == 600.0, s"merged partials must stay exact: $est")
+    // estimation mode: 60k distinct at lgK=8 → RSE ≈ 1/√255; pin 4×
+    val big = (1L to 60000L).map(u => ("C", u)).toDF("seg", "u")
+    val bigEst = Sketches.thetaRollup(big, Seq(col("seg")), col("u"), lgK = 8)
+      .select(Sketches.thetaEstimate(col("theta_sketch"))).as[Double].head()
+    assert(math.abs(bigEst - 60000.0) / 60000.0 < 4.0 / math.sqrt(255.0),
+      s"estimation-mode estimate off: $bigEst")
+  }
+
   test("cmsJoinSize: never under the true join size; exact when collision-free") {
     import spark.implicits._
     // planted per-key counts: true |A ⋈ B| = Σ a(k)·b(k)

@@ -2476,6 +2476,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q216: differential hot/cold join — q212's skewReport names the
+    // hot keys, hotColdJoin routes them through a broadcast slice
+    // while cold keys take the shuffled join (plan-pinned in
+    // RelationalSpec). Routing must be semantics-free: the oracle is
+    // the PLAIN SQL join — any row lost, duplicated, or mis-joined
+    // by the split hash-fails.
+    "q216_hot_cold_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val dim = ev.groupBy(col("user_id").as("du"))
+        .agg(count(lit(1)).as("user_events"), max(col("value")).as("user_max"))
+      val hot = operators.Relational.skewReport(ev, Seq("user_id"), topK = 5)
+        .select(col("user_id"))
+      operators.Relational.hotColdJoin(
+          ev.select(col("event_id"), col("user_id")), dim,
+          "user_id", "du", hot, Seq("user_events", "user_max"))
+        .orderBy(col("event_id"))
+    }),
+
     // q215: theta-sketch segment-overlap matrix — TRUE sketch set
     // algebra (intersection, A-not-B) that HLL tables cannot do
     // without compounding inclusion–exclusion error (the q158
@@ -5044,6 +5062,15 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q216: the plain join — hot/cold routing is a physical choice,
+    // never a semantic one.
+    "q216_hot_cold_join" ->
+      """WITH dim AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events,
+        |    MAX(value) AS user_max FROM events GROUP BY 1)
+        |SELECT e.event_id, e.user_id, d.user_events, d.user_max
+        |FROM events e JOIN dim d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
 
     // q215: exact-mode theta set algebra = plain DISTINCT set math.
     "q215_theta_overlap" ->

@@ -206,6 +206,42 @@ object Relational {
         payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 
+  /** Differential hot/cold equi join — the surgical alternative to
+    * blanket salting ([[saltedJoin]] replicates the build side
+    * ×buckets for EVERY key): rows whose key is in `hotKeys` (the
+    * handful [[skewReport]] names) join against a BROADCAST of the
+    * dim's matching slice — no shuffle, no straggler, since the hot
+    * slice is by definition few keys; every other row takes the
+    * normal shuffled join, now free of its stragglers. Semantics are
+    * exactly `big ⋈ dim` (inner, on bigKey = dimKey), returning
+    * big.* ++ payload — q216 oracles the whole result against the
+    * plain SQL join.
+    *
+    * Scale accounting: dim is read twice (hot slice + cold path) —
+    * the hot slice is |hotKeys| rows (broadcast-sized by
+    * construction); the big side splits by one broadcast semi/anti
+    * pair against the tiny hot-key set, costing no shuffle. Works
+    * when dim is far too big to broadcast WHOLE — only its hot
+    * rows travel. */
+  def hotColdJoin(big: DataFrame, dim: DataFrame,
+      bigKey: String, dimKey: String,
+      hotKeys: DataFrame, payload: Seq[String]): DataFrame = {
+    val hk = broadcast(
+      hotKeys.select(col(hotKeys.columns.head).as("__hk")).distinct())
+    val dimSel = dim.select((col(dimKey).as("__dk") +: payload.map(col)): _*)
+    val hotDim = broadcast(
+      dimSel.join(hk, col("__dk") === col("__hk"), "left_semi"))
+    val hotJoin = big
+      .join(hk, col(bigKey) === col("__hk"), "left_semi")
+      .join(hotDim, col(bigKey) === col("__dk"))
+      .drop("__dk")
+    val coldJoin = big
+      .join(hk, col(bigKey) === col("__hk"), "left_anti")
+      .join(dimSel, col(bigKey) === col("__dk"))
+      .drop("__dk")
+    hotJoin.unionByName(coldJoin)
+  }
+
   /** Skew-resistant equi join: salt the skewed (left) side's key into
     * `saltBuckets` sub-keys and explode the build (right) side across
     * all buckets, so one hot key spreads over `saltBuckets` tasks

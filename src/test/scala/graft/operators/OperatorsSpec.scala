@@ -428,6 +428,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("hotColdJoin: equals the plain join; hot path broadcasts while cold shuffles") {
+    import spark.implicits._
+    val big = (1L to 500L).map(i => (i, if (i <= 400) 7L else i % 50))
+      .toDF("row_id", "k") // key 7 is hot (400 of 500 rows)
+    val dim = (0L until 50L).map(k => (k, s"payload$k")).toDF("dk", "p")
+    val hot = Seq(7L).toDF("hk")
+    val got = Relational.hotColdJoin(big, dim, "k", "dk", hot, Seq("p"))
+    val want = big.join(dim, col("k") === col("dk")).drop("dk")
+    assert(got.count() == want.count())
+    assert(got.as[(Long, Long, String)].collect().toSet ==
+      want.as[(Long, Long, String)].collect().toSet)
+    // with auto-broadcast off, the hot path must STILL broadcast
+    // (explicit hint) while the cold path shuffles
+    val conf = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "-1")
+      val p = Relational.hotColdJoin(big, dim, "k", "dk", hot, Seq("p"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"hot path must broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"cold path must take the shuffled join:\n$p")
+    } finally spark.conf.set(conf, old)
+  }
+
   test("asofJoinNearest: min |Δt|, backward ties, equal-t exact, empty keys null") {
     import spark.implicits._
     val left = Seq((1L, 10L), (1L, 25L), (1L, 100L), (1L, 3L), (1L, 20L),

@@ -2476,6 +2476,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q217: time-weighted average (TWAP) per user over the event
+    // value series — the step-function integral beside q125's OHLC:
+    // each value holds until the next observation, durations in
+    // exact micros, values in milli-units, the integral one BIGINT
+    // division; the true double derives from the same integer sums.
+    // DuckDB replays lead/epoch_us/Σ/div column for column.
+    "q217_twap" -> ((s, dir) => {
+      operators.Relational.twap(Tables.events(s, dir),
+          "user_id", "ts", "value")
+        .orderBy(col("user_id"))
+    }),
+
     // q216: differential hot/cold join — q212's skewReport names the
     // hot keys, hotColdJoin routes them through a broadcast slice
     // while cold keys take the shuffled join (plan-pinned in
@@ -5062,6 +5074,26 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q217: the holding-duration integral replayed: lead over
+    // (user, ts), exact micro durations, milli values, one //.
+    "q217_twap" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT user_id, mv,
+        |    LEAD(t) OVER (PARTITION BY user_id ORDER BY t) - t AS dt
+        |  FROM s)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |  CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS span_us,
+        |  CAST(COALESCE(SUM(mv * dt), 0) AS BIGINT) AS twap_num,
+        |  CASE WHEN COALESCE(SUM(dt), 0) > 0
+        |    THEN CAST(COALESCE(SUM(mv * dt), 0) // SUM(dt) AS BIGINT) END
+        |    AS twap_milli,
+        |  CASE WHEN COALESCE(SUM(dt), 0) > 0
+        |    THEN CAST(COALESCE(SUM(mv * dt), 0) AS DOUBLE)
+        |      / CAST(SUM(dt) AS DOUBLE) / 1000.0 END AS twap
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // q216: the plain join — hot/cold routing is a physical choice,
     // never a semantic one.

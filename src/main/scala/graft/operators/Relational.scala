@@ -206,6 +206,53 @@ object Relational {
         payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 
+  /** Time-weighted average (TWAP) per key — the step-function
+    * integral the point-in-time family needs beside OHLC (q125):
+    * each observation holds its value until the NEXT observation, so
+    * the mean weights each value by its holding duration, not its
+    * sample count — the correct summary for irregularly-sampled
+    * series (a sensor that reports hourly and one that reports on
+    * change must not average differently).
+    *
+    * Integer-exact core: values quantize to milli-units
+    * (⌊value·1000⌋ — one correctly-rounded IEEE multiply, identical
+    * on any engine), durations are exact BIGINT micros from
+    * `lead(ts)`, and the integral Σ milli·Δt_us / Σ Δt_us is one
+    * BIGINT division — the q217 oracle replays every column. The
+    * true-double `twap` rides beside it, derived from the SAME
+    * integer sums (exact integers in doubles up to 2⁵³, then one
+    * IEEE division — engine-stable). Keys with one observation have
+    * zero span → null TWAP (nothing was held for any duration).
+    * Output: key ++ (n_obs, span_us, twap_num, twap_milli, twap).
+    * Caveat: `twap_milli` uses Spark's `div` (truncates toward
+    * zero), which differs from floor exactly when `twap_num` < 0 —
+    * i.e. for net-negative value series; the double lane is
+    * unaffected. Duplicate timestamps per key carry zero duration,
+    * so their (arbitrary) relative order cannot change the
+    * integral.
+    *
+    * One key-partitioned window + one hash aggregate; no
+    * partition-less window, state bounds at key grain. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__t"))
+    val staged = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("__t"),
+        floor(col(valueCol) * lit(1000)).cast("long").as("__mv"))
+      .withColumn("__dt", lead(col("__t"), 1).over(w) - col("__t"))
+    staged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum(col("__dt")), lit(0L)).as("span_us"),
+        coalesce(sum(col("__mv") * col("__dt")), lit(0L)).as("twap_num"))
+      .select(col(keyCol), col("n_obs"), col("span_us"), col("twap_num"),
+        when(col("span_us") > 0,
+          expr("twap_num div span_us")).as("twap_milli"),
+        when(col("span_us") > 0,
+          col("twap_num").cast("double") /
+            col("span_us").cast("double") / lit(1000.0)).as("twap"))
+  }
+
   /** Differential hot/cold equi join — the surgical alternative to
     * blanket salting ([[saltedJoin]] replicates the build side
     * ×buckets for EVERY key): rows whose key is in `hotKeys` (the

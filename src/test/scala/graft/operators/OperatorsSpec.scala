@@ -428,6 +428,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("twap: holding-duration weights, not sample counts; single-obs null") {
+    import spark.implicits._
+    // key 1: value 10 held 9 µs, value 100 held 1 µs, last obs unheld
+    // → TWAP = (10·9 + 100·1) / 10 = 19.0 — the COUNT mean would say 38
+    val df = Seq(
+      (1L, 0L, 10.0), (1L, 9L, 100.0), (1L, 10L, 7.0),
+      (2L, 5L, 42.0)).toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val got = Relational.twap(df, "k", "ts", "v")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 10L, 190000L, Some(19000L), Some(19.0))))
+    // single observation: zero span, null TWAP
+    assert(got(2L) == ((2L, 1L, 0L, 0L, None, None)))
+    // partitioning must not perturb the integral
+    val re = Relational.twap(df.repartition(5), "k", "ts", "v")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().toSet
+    assert(re == got.values.toSet)
+  }
+
   test("hotColdJoin: equals the plain join; hot path broadcasts while cold shuffles") {
     import spark.implicits._
     val big = (1L to 500L).map(i => (i, if (i <= 400) 7L else i % 50))

@@ -2476,6 +2476,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q218: interval-concurrency profile — sessions [ts, ts+value s)
+    // swept end-exclusively: how many run concurrently at every
+    // boundary instant (peak-load accounting). Global running sum
+    // through the two-pass globalRowNumber machinery — NO
+    // partition-less window; DuckDB replays it with an ordinary
+    // global window, which is exactly what the two-pass must equal.
+    "q218_concurrency" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("ts").as("s_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            floor(col("value") * lit(1000000.0)).cast("long")).as("e_ts"))
+      operators.Relational.concurrencyProfile(ev, "s_ts", "e_ts")
+        .orderBy(col("t_us"))
+    }),
+
     // q217: time-weighted average (TWAP) per user over the event
     // value series — the step-function integral beside q125's OHLC:
     // each value holds until the next observation, durations in
@@ -5074,6 +5089,26 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q218: net deltas per boundary + one global running-sum window.
+    "q218_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + CAST(FLOOR(value * 1000000.0) AS BIGINT) AS e_us
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (
+        |  SELECT s_us AS t_us, 1 AS d FROM iv WHERE e_us >= s_us
+        |  UNION ALL
+        |  SELECT e_us, -1 FROM iv WHERE e_us >= s_us),
+        |n AS (SELECT t_us,
+        |    CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts,
+        |    CAST(SUM(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ends,
+        |    SUM(d) AS net
+        |  FROM d GROUP BY 1)
+        |SELECT t_us, n_starts, n_ends,
+        |  CAST(SUM(net) OVER (ORDER BY t_us) AS BIGINT) AS active
+        |FROM n ORDER BY t_us""".stripMargin,
 
     // q217: the holding-duration integral replayed: lead over
     // (user, ts), exact micro durations, milli values, one //.

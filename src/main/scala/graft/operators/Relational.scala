@@ -206,6 +206,57 @@ object Relational {
         payload.map(p => col(s"__c.$p").as(p))): _*)
   }
 
+  /** Interval-concurrency profile — the sweep line over [start, end)
+    * intervals: for each distinct boundary timestamp, how many
+    * intervals are ACTIVE from that instant until the next boundary
+    * (concurrent sessions, overlapping downloads, peak-load
+    * accounting). End-exclusive semantics mean an interval ending at
+    * t and another starting at t never overlap — so all of a
+    * timestamp's +1/−1 deltas collapse into one NET delta first
+    * (groupBy t), which also makes intra-timestamp ordering
+    * irrelevant by construction.
+    *
+    * The running sum over ordered distinct timestamps is GLOBAL —
+    * the NTILE trap — so it runs as the [[globalRowNumber]] two-pass:
+    * range-sorted + checkpointed, per-partition net sums collected
+    * (one tiny row per partition), offsets broadcast back, and a
+    * partition-local running sum + offset. No partition-less window
+    * at any scale. Zero-length intervals net to 0 and reversed
+    * (end < start) intervals are excluded (both documented
+    * policies); output: (t_us, n_starts, n_ends, active). */
+  def concurrencyProfile(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val base = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        unix_micros(col(endCol)) >= unix_micros(col(startCol)))
+    val deltas = base
+      .select(unix_micros(col(startCol)).as("t_us"), lit(1L).as("__d"))
+      .unionByName(base
+        .select(unix_micros(col(endCol)).as("t_us"), lit(-1L).as("__d")))
+      .groupBy(col("t_us"))
+      .agg(sum(when(col("__d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("__d") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        sum(col("__d")).as("__net"))
+    val sortedRaw = deltas.orderBy(col("t_us"))
+      .withColumn("__pid", spark_partition_id())
+    val sorted =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        sortedRaw.checkpoint()
+      else sortedRaw.localCheckpoint()
+    val parts = sorted.groupBy(col("__pid")).agg(sum(col("__net")).as("__s"))
+      .orderBy(col("__pid")).collect()
+    val offsets = parts.scanLeft(0L)(_ + _.getLong(1)).dropRight(1)
+    val offsetDf = sorted.sparkSession.createDataFrame(
+      parts.map(_.getInt(0)).zip(offsets).map(p => OffsetRow(p._1, p._2)).toSeq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("t_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sorted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn("active", sum(col("__net")).over(w) + col("__offset"))
+      .select(col("t_us"), col("n_starts"), col("n_ends"), col("active"))
+  }
+
   /** Time-weighted average (TWAP) per key — the step-function
     * integral the point-in-time family needs beside OHLC (q125):
     * each observation holds its value until the NEXT observation, so

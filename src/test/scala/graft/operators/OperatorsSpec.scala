@@ -428,6 +428,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("concurrencyProfile: sweep line, end-exclusive touch, zero-length, invariance") {
+    import spark.implicits._
+    def ts(us: Long) = us
+    // intervals: [0,10), [5,15), [10,20) — at t=10 the first ends as
+    // the third starts: end-exclusive means active stays 2, not 3
+    val df = Seq((0L, 10L), (5L, 15L), (10L, 20L), (7L, 7L))
+      .toDF("s_us", "e_us")
+      .select(timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val got = Relational.concurrencyProfile(df, "s", "e")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(r => r._1 -> r._4).toSeq ==
+      Seq(0L -> 1L, 5L -> 2L, 7L -> 2L, 10L -> 2L, 15L -> 1L, 20L -> 0L),
+      got.mkString(","))
+    // the zero-length interval at 7 nets to zero but is visible in counts
+    val at7 = got.find(_._1 == 7L).get
+    assert(at7._2 == 1L && at7._3 == 1L)
+    // profile ends at zero (every interval closes)
+    assert(got.last._4 == 0L)
+    // partitioning must not perturb the global running sum
+    val re = Relational.concurrencyProfile(
+        df.repartition(7), "s", "e")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("twap: holding-duration weights, not sample counts; single-obs null") {
     import spark.implicits._
     // key 1: value 10 held 9 µs, value 100 held 1 µs, last obs unheld

@@ -2476,6 +2476,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q219: Jaro/Jaro–Winkler — a genuine cross-IMPLEMENTATION
+    // oracle (the q143 strip_accents discipline): our native kernel
+    // vs DuckDB's independent jaro_similarity/jaro_winkler_similarity
+    // over doc-derived word pairs (identity, reversal, truncation —
+    // transposition-heavy and prefix-boost-heavy shapes). Micro-floor
+    // lanes so the comparison is integer-exact.
+    "q219_jaro_winkler" -> ((s, dir) => {
+      import graft.functions.{jaro_similarity, jaro_winkler}
+      val w = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          lower(regexp_extract(col("text"), "^\\s*([A-Za-z]+)", 1)).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = w.select(col("doc_id"), lit("rev").as("kind"),
+          col("w").as("a"), reverse(col("w")).as("b"))
+        .unionByName(w.select(col("doc_id"), lit("cut").as("kind"),
+          col("w").as("a"), substring(col("w"), 1, 3).as("b")))
+        .unionByName(w.select(col("doc_id"), lit("id").as("kind"),
+          col("w").as("a"), col("w").as("b")))
+      pairs.select(col("doc_id"), col("kind"), col("a"), col("b"),
+          floor(jaro_similarity(col("a"), col("b")) * 1000000).cast("long")
+            .as("jaro_micro"),
+          floor(jaro_winkler(col("a"), col("b")) * 1000000).cast("long")
+            .as("jw_micro"))
+        .orderBy(col("doc_id"), col("kind"))
+    }),
+
     // q218: interval-concurrency profile — sessions [ts, ts+value s)
     // swept end-exclusively: how many run concurrently at every
     // boundary instant (peak-load accounting). Global running sum
@@ -5089,6 +5115,26 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q219: DuckDB's OWN independent implementation computes the
+    // same micro-floors — two codebases, one metric.
+    "q219_jaro_winkler" ->
+      """WITH w AS (SELECT doc_id,
+        |    lower(regexp_extract(text, '^\s*([A-Za-z]+)', 1)) AS w
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, w FROM w WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, 'rev' AS kind, w AS a, reverse(w) AS b FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'cut', w, substr(w, 1, 3) FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'id', w, w FROM f)
+        |SELECT doc_id, kind, a, b,
+        |  CAST(FLOOR(jaro_similarity(a, b) * 1000000) AS BIGINT)
+        |    AS jaro_micro,
+        |  CAST(FLOOR(jaro_winkler_similarity(a, b) * 1000000) AS BIGINT)
+        |    AS jw_micro
+        |FROM pairs ORDER BY doc_id, kind""".stripMargin,
 
     // q218: net deltas per boundary + one global running-sum window.
     "q218_concurrency" ->

@@ -1,0 +1,121 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Jaro and Jaro–Winkler string similarity — the record-linkage
+  * metric family beside Levenshtein (q59/q67): tolerant of
+  * transpositions and front-weighted, which is what name/title
+  * matching wants. Semantics track the standard definition as
+  * DuckDB implements it (q219 is a genuine cross-IMPLEMENTATION
+  * oracle, the q143 strip_accents discipline):
+  *
+  *  - match window = max(⌊max(|a|,|b|)/2⌋ − 1, 0)
+  *  - t = half the out-of-order matched pairs
+  *  - jaro = (m/|a| + m/|b| + (m−t)/m) / 3; m = 0 ⇒ 0
+  *  - winkler boost ℓ·0.1·(1−jaro) for the common prefix ℓ ≤ 4,
+  *    applied only when jaro > 0.7 (the standard boost threshold)
+  *  - either side empty ⇒ 0.0 (DuckDB's convention, both-empty
+  *    included)
+  *
+  * Code-point exact: operates on Unicode code points, not UTF-16
+  * units, so astral characters count once — matching DuckDB's
+  * code-point semantics. O(|a|·window) time, row-local. */
+object JaroWinklerKernel {
+
+  def jaro(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    jaroCp(a, b)
+  }
+
+  private[expr] def jaroCp(a: Array[Int], b: Array[Int]): Double = {
+    val la = a.length; val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aMatched = new Array[Boolean](la)
+    val bMatched = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bMatched(j) && a(i) == b(j)) {
+          aMatched(i) = true; bMatched(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // transpositions: matched chars of a vs matched chars of b, in order
+    var t2 = 0 // twice the transposition count (out-of-order pairs)
+    var j = 0
+    i = 0
+    while (i < la) {
+      if (aMatched(i)) {
+        while (!bMatched(j)) j += 1
+        if (a(i) != b(j)) t2 += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = t2 / 2.0
+    (m.toDouble / la + m.toDouble / lb + (m - t) / m) / 3.0
+  }
+
+  def jaroWinkler(ua: UTF8String, ub: UTF8String): Double = {
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
+    val j = jaroCp(a, b)
+    if (j <= 0.7) return j
+    var l = 0
+    val max = math.min(4, math.min(a.length, b.length))
+    while (l < max && a(l) == b(l)) l += 1
+    j + l * 0.1 * (1.0 - j)
+  }
+}
+
+case class JaroSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_similarity"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.jaro(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.JaroWinklerKernel.jaro($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroSimilarity =
+    copy(left = l, right = r)
+}
+
+case class JaroWinklerSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler_similarity"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.JaroWinklerKernel.jaroWinkler($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaroWinklerSimilarity =
+    copy(left = l, right = r)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -87,6 +87,12 @@ package object functions {
       exprs => NfkcNormalize(checkArity("nfkc_normalize", 1, exprs).head), "scala_udf")
     reg.createOrReplaceTempFunction("strip_accents",
       exprs => StripAccents(checkArity("strip_accents", 1, exprs).head), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_similarity",
+      exprs => { checkArity("jaro_similarity", 2, exprs)
+        JaroSimilarity(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      exprs => { checkArity("jaro_winkler", 2, exprs)
+        JaroWinklerSimilarity(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("zorder2",
       exprs => { checkArity("zorder2", 2, exprs)
         zorder2Expr(exprs(0), exprs(1)) }, "scala_udf")
@@ -276,6 +282,18 @@ package object functions {
   def simhash(text: Column, bits: Int = 32): Column =
     // null text behaves as empty text (simhash 0), matching tokens()
     coalesce(col2(SimHashText(bridge.toExpression(text), bits)), lit(0L))
+
+  /** Jaro similarity in [0,1] — transposition-tolerant record-linkage
+    * metric; DuckDB-convention edge cases (either side empty → 0).
+    * Cross-implementation-oracled against DuckDB's native
+    * `jaro_similarity` (q219). */
+  def jaro_similarity(a: Column, b: Column): Column =
+    col2(JaroSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** Jaro–Winkler: [[jaro_similarity]] with the standard front-prefix
+    * boost (ℓ ≤ 4, p = 0.1, threshold 0.7). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col2(JaroWinklerSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")

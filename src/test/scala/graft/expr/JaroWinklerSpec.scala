@@ -1,0 +1,57 @@
+package graft.expr
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class JaroWinklerSpec extends SparkTestBase {
+  import graft.functions.{jaro_similarity, jaro_winkler}
+
+  private def j(a: String, b: String): Double =
+    JaroWinklerKernel.jaro(UTF8String.fromString(a), UTF8String.fromString(b))
+  private def jw(a: String, b: String): Double =
+    JaroWinklerKernel.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("kernel: textbook values and DuckDB edge conventions") {
+    assert(math.abs(j("martha", "marhta") - (1.0 + 1.0 + 5.0 / 6) / 3) < 1e-15)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    // boost threshold: jaro > 0.7 but zero common prefix → no boost
+    assert(jw("jellyfish", "smellyfish") == j("jellyfish", "smellyfish"))
+    assert(jw("CRATE", "TRACE") == j("CRATE", "TRACE"))
+    // DuckDB conventions: empties are 0, identity is 1, disjoint is 0
+    assert(j("", "") == 0.0 && jw("", "a") == 0.0)
+    assert(j("abc", "abc") == 1.0 && jw("abc", "abc") == 1.0)
+    assert(j("a", "b") == 0.0)
+    // code points, not UTF-16 units: astral chars count once
+    assert(j("😀x", "😀x") == 1.0)
+  }
+
+  test("kernel: symmetry and range on random strings") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+      val b = Seq.fill(rnd.nextInt(10))(('a' + rnd.nextInt(4)).toChar).mkString
+      assert(j(a, b) == j(b, a), s"asymmetric jaro: '$a' '$b'")
+      assert(jw(a, b) >= 0.0 && jw(a, b) <= 1.0)
+      assert(jw(a, b) >= j(a, b) - 1e-15, "winkler never decreases jaro")
+    }
+  }
+
+  test("column + SQL paths agree with the kernel (codegen exercised)") {
+    import spark.implicits._
+    val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""))
+      .toDF("a", "b")
+    val viaCol = df.select(jaro_similarity(col("a"), col("b")),
+        jaro_winkler(col("a"), col("b")))
+      .as[(Double, Double)].collect().toSeq
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("jw_pairs")
+    val viaSql = spark.sql(
+        "SELECT jaro_similarity(a, b), jaro_winkler(a, b) FROM jw_pairs")
+      .as[(Double, Double)].collect().toSeq
+    val want = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""))
+      .map { case (a, b) => (j(a, b), jw(a, b)) }
+    assert(viaCol == want && viaSql == want)
+  }
+}

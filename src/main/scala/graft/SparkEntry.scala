@@ -2476,6 +2476,18 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q220: Flesch readability — regex-defined word/sentence/vowel-
+    // group counts and the staged-integer milli score (the double
+    // lane is dropped from the hash; division order is engine-
+    // dependent, integer division is not).
+    "q220_readability" -> ((s, dir) => {
+      operators.TextOps.readability(
+          Tables.documents(s, dir).filter(col("doc_id") < 400),
+          "doc_id", "text")
+        .drop("flesch")
+        .orderBy(col("doc_id"))
+    }),
+
     // q219: Jaro/Jaro–Winkler — a genuine cross-IMPLEMENTATION
     // oracle (the q143 strip_accents discipline): our native kernel
     // vs DuckDB's independent jaro_similarity/jaro_winkler_similarity
@@ -5115,6 +5127,23 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q220: counts via regexp_extract_all lengths, the staged
+    // integer formula with //.
+    "q220_readability" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) > 0 THEN CAST(len(
+        |      string_split_regex(trim(text), '\s+')) AS BIGINT)
+        |      ELSE 0 END AS n_words,
+        |    GREATEST(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+        |      AS BIGINT)) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_vowel_groups
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT doc_id, n_words, n_sentences, n_vowel_groups,
+        |  206835 - (1015 * n_words) // n_sentences
+        |    - (84600 * n_vowel_groups) // n_words AS flesch_milli
+        |FROM d WHERE n_words > 0 ORDER BY doc_id""".stripMargin,
 
     // q219: DuckDB's OWN independent implementation computes the
     // same micro-floors — two codebases, one metric.

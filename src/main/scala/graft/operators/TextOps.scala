@@ -2094,6 +2094,35 @@ object TextOps {
             (a, b) => a - b), ",").as("positions_delta"))
   }
 
+  /** Flesch Reading-Ease readability scoring — the curation signal
+    * between length heuristics (quality_score) and LM fluency
+    * (q133/q178): flag text that is structurally hard to read.
+    * Counted quantities are DEFINED regex-exactly so both engines
+    * agree: words = whitespace tokens, sentences = runs of terminal
+    * punctuation `[.!?]+` (min 1), syllables ≈ vowel-group runs
+    * `[aeiouy]+` of the lower-cased text (the standard public
+    * approximation). The milli score is the staged-integer form of
+    * 1000·(206.835 − 1.015·w/s − 84.6·syl/w):
+    * `206835 − (1015·w) div s − (84600·syl) div w` — every operand
+    * BIGINT, replayed verbatim by the q220 oracle; the true-double
+    * lane rides beside it for human use (not hashed — division
+    * order is engine-dependent). Zero-word docs are excluded (no
+    * denominator, nothing to read). Row-local; one projection. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = token_count(col(textCol))
+    val s = greatest(lit(1L), regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val syl = regexp_count(lower(col(textCol)), lit("[aeiouy]+")).cast("long")
+    df.select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_vowel_groups"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch_milli",
+        expr("206835 - (1015 * n_words) div n_sentences" +
+          " - (84600 * n_vowel_groups) div n_words"))
+      .withColumn("flesch",
+        lit(206.835) - lit(1.015) * col("n_words") / col("n_sentences") -
+          lit(84.6) * col("n_vowel_groups") / col("n_words"))
+  }
+
   /** PMI collocation mining (Church & Hanks 1990) — the phrase
     * discovery pass a tokenizer/corpus pipeline runs to find
     * multiword units ("new york", "machine learning") worth atomic

@@ -90,6 +90,25 @@ class FormatsSpec extends SparkTestBase {
       region.collect().map(_.toSeq).toSet)
   }
 
+  test("Parquet codecs: snappy/zstd/gzip round-trip losslessly") {
+    val nation = Tables.nation(spark, sf)
+    val want = nation.collect().map(_.toSeq).toSet
+    for (codec <- Seq("snappy", "zstd", "gzip")) {
+      val dir = tmp() + s"/nation_$codec"
+      nation.write.mode(SaveMode.Overwrite)
+        .option("compression", codec).parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"$codec wrote no data files")
+      // the codec actually took effect (file-name suffix; gzip → .gz)
+      val tag = if (codec == "gzip") "gz" else codec
+      assert(files.exists(_.getName.contains(s".$tag.parquet")),
+        s"$codec missing from ${files.map(_.getName).toSeq}")
+      val got = spark.read.parquet(dir).collect().map(_.toSeq).toSet
+      assert(got == want, s"$codec round-trip lost data")
+    }
+  }
+
   test("JSON: corrupt-record capture keeps the shard countable") {
     val dir = tmp()
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d.json"),

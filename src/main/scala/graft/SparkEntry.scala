@@ -2476,6 +2476,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q221: ID3v2 tag metadata — the MP3 sibling of q132 (MP4
+    // box-walk) / q209 (EXIF IFD) / q170 (WAV RIFF): both tag
+    // versions in one table (even docs v2.3 plain sizes, odd v2.4
+    // syncsafe — the classic parser divergence), a foreign APIC
+    // frame skipped by size, padding ending the walk. DuckDB
+    // recomputes every column including the tag-size arithmetic
+    // (89 + Σ text lengths, per the builder layout).
+    "q221_id3_metadata" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 250)
+        .select(col("doc_id"), (lit(3L) + col("doc_id") % 2).as("ver"),
+          concat(lit("Track "), col("doc_id").cast("string")).as("t"),
+          concat(lit("Artist "), (col("doc_id") % 7).cast("string")).as("ar"),
+          concat(lit("Album "), (col("doc_id") % 5).cast("string")).as("al"),
+          (lit(1990) + col("doc_id") % 35).cast("string").as("y"),
+          concat((col("doc_id") % 12 + 1).cast("string"), lit("/12")).as("tr"))
+      val built = operators.Id3.buildStubId3(d, "ver", "t", "ar", "al",
+        "y", "tr")
+      operators.Id3.id3Meta(
+          built.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"), col("id3_version"), col("id3_tag_size"),
+          col("id3_frames"), col("id3_title"), col("id3_artist"),
+          col("id3_album"), col("id3_year"), col("id3_track"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q220: Flesch readability — regex-defined word/sentence/vowel-
     // group counts and the staged-integer milli score (the double
     // lane is dropped from the hash; division order is engine-
@@ -5127,6 +5152,24 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q221: every column from doc_id arithmetic; tag_size = 89 + Σ
+    // text lengths (5×11 frame overhead + 18 APIC + 16 padding).
+    "q221_id3_metadata" ->
+      """WITH d AS (SELECT doc_id,
+        |    'Track ' || CAST(doc_id AS VARCHAR) AS t,
+        |    'Artist ' || CAST(doc_id % 7 AS VARCHAR) AS ar,
+        |    'Album ' || CAST(doc_id % 5 AS VARCHAR) AS al,
+        |    CAST(1990 + doc_id % 35 AS VARCHAR) AS y,
+        |    CAST(doc_id % 12 + 1 AS VARCHAR) || '/12' AS tr
+        |  FROM documents WHERE doc_id < 250)
+        |SELECT doc_id, CAST(3 + doc_id % 2 AS BIGINT) AS id3_version,
+        |  CAST(89 + length(t) + length(ar) + length(al) + length(y)
+        |    + length(tr) AS BIGINT) AS id3_tag_size,
+        |  CAST(6 AS BIGINT) AS id3_frames,
+        |  t AS id3_title, ar AS id3_artist, al AS id3_album,
+        |  y AS id3_year, tr AS id3_track
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // q220: counts via regexp_extract_all lengths, the staged
     // integer formula with //.

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** ID3v2 tag metadata (informal standard id3v2.3/2.4) — the MP3
+  * sibling of [[Mp4]] (ISO BMFF), [[Exif]] (TIFF IFD) and the WAV
+  * RIFF walk: title/artist/album/year/track live in a public frame
+  * structure prepended to the audio stream, so a header walk
+  * recovers the catalog keys of an audio corpus with no codec.
+  *
+  * Handled: the 10-byte header (`ID3`, version 3 or 4, syncsafe tag
+  * size), 10-byte frame headers (4-char id, 4-byte size — PLAIN
+  * 32-bit in v2.3, SYNCSAFE in v2.4, the classic parser divergence —
+  * 2 flag bytes), text frames (T***) with encodings 0 (ISO-8859-1)
+  * and 3 (UTF-8), padding (a zero byte where a frame id should be
+  * ends the walk). Audio data after the tag is never touched — cost
+  * is O(tag bytes) per row.
+  *
+  * Strictness mirrors the family: null (never a throw, never a
+  * partial) on bad magic, truncated header/frame, frame overrun,
+  * non-syncsafe bytes where syncsafe is required, or an unsupported
+  * text encoding in a frame we extract. Foreign frames (APIC, COMM,
+  * …) are SKIPPED by size, not parsed — exactly like `mdat`.
+  * [[buildStubId3]] is the invertible fixture twin (q221). */
+object Id3 {
+
+  case class Id3Meta(version: Long, tag_size: Long, n_frames: Long,
+                     title: Option[String], artist: Option[String],
+                     album: Option[String], year: Option[String],
+                     track: Option[String])
+
+  private def syncsafe(b: Array[Byte], off: Int): Long = {
+    var i = 0; var v = 0L
+    while (i < 4) {
+      val x = b(off + i) & 0xFF
+      if ((x & 0x80) != 0) throw new IllegalArgumentException("non-syncsafe byte")
+      v = (v << 7) | x
+      i += 1
+    }
+    v
+  }
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  /** Parse one buffer's leading ID3v2 tag; null on malformation. */
+  def parse(bytes: Array[Byte]): Id3Meta = {
+    if (bytes == null || bytes.length < 10) return null
+    try {
+      if (bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3') return null
+      val ver = bytes(3) & 0xFF
+      if (ver != 3 && ver != 4) return null
+      val tagSize = syncsafe(bytes, 6)
+      val end = 10L + tagSize
+      if (end > bytes.length) throw new IllegalArgumentException("tag overruns buffer")
+      var p = 10
+      var title, artist, album, year, track: Option[String] = None
+      var n = 0L
+      var done = false
+      while (!done && p + 10 <= end) {
+        if (bytes(p) == 0) { done = true } // padding begins
+        else {
+          val id = new String(bytes, p, 4, "ISO-8859-1")
+          if (!id.forall(c => (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')))
+            throw new IllegalArgumentException(s"bad frame id: $id")
+          val size = if (ver == 4) syncsafe(bytes, p + 4) else u32(bytes, p + 4)
+          if (p + 10 + size > end)
+            throw new IllegalArgumentException("frame overruns tag")
+          if (id.startsWith("T") && Extracted.contains(id)) {
+            if (size < 1) throw new IllegalArgumentException("empty text frame")
+            val enc = bytes(p + 10) & 0xFF
+            val cs = enc match {
+              case 0 => "ISO-8859-1"
+              case 3 => "UTF-8"
+              case other =>
+                throw new IllegalArgumentException(s"unsupported encoding $other")
+            }
+            // text runs to frame end; an optional trailing NUL is trimmed
+            var len = size.toInt - 1
+            if (len > 0 && bytes(p + 10 + len) == 0) len -= 1
+            val text = new String(bytes, p + 11, len, cs)
+            id match {
+              case "TIT2" => title = Some(text)
+              case "TPE1" => artist = Some(text)
+              case "TALB" => album = Some(text)
+              case "TYER" | "TDRC" => year = Some(text)
+              case "TRCK" => track = Some(text)
+              case _ =>
+            }
+          }
+          n += 1
+          p += 10 + size.toInt
+        }
+      }
+      Id3Meta(ver.toLong, tagSize, n, title, artist, album, year, track)
+    } catch { case _: Exception => null }
+  }
+
+  private val Extracted = Set("TIT2", "TPE1", "TALB", "TYER", "TDRC", "TRCK")
+
+  /** DataFrame projection: input ++ (id3_version, id3_tag_size,
+    * id3_frames, id3_title, id3_artist, id3_album, id3_year,
+    * id3_track); all-null on malformed. */
+  def id3Meta(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ Seq(
+      StructField("id3_version", LongType), StructField("id3_tag_size", LongType),
+      StructField("id3_frames", LongType), StructField("id3_title", StringType),
+      StructField("id3_artist", StringType), StructField("id3_album", StringType),
+      StructField("id3_year", StringType), StructField("id3_track", StringType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        val extra: Seq[Any] =
+          if (m == null) Seq(null, null, null, null, null, null, null, null)
+          else Seq(m.version, m.tag_size, m.n_frames, m.title.orNull,
+            m.artist.orNull, m.album.orNull, m.year.orNull, m.track.orNull)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  /** Deterministic fixture twin: a v2.3 or v2.4 tag with the five
+    * text frames (UTF-8 encoding byte 3, no trailing NUL), one
+    * foreign APIC-like binary frame the parser must SKIP, 16 bytes
+    * of padding, and two fake audio bytes after the tag. parse∘build
+    * is identity (q221). */
+  def buildStubId3(df: DataFrame, verCol: String, titleCol: String,
+      artistCol: String, albumCol: String, yearCol: String,
+      trackCol: String, out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val vi = inSchema.fieldIndex(verCol)
+    val idxs = Seq(titleCol, artistCol, albumCol, yearCol, trackCol)
+      .map(inSchema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val ver = r.getLong(vi)
+        require(ver == 3L || ver == 4L, s"version must be 3 or 4, got $ver")
+        val yearId = if (ver == 4L) "TDRC" else "TYER"
+        val ids = Seq("TIT2", "TPE1", "TALB", yearId, "TRCK")
+        val body = new java.io.ByteArrayOutputStream(128)
+        def w32(v: Long): Unit = {
+          body.write(((v >> 24) & 0xFF).toInt); body.write(((v >> 16) & 0xFF).toInt)
+          body.write(((v >> 8) & 0xFF).toInt); body.write((v & 0xFF).toInt)
+        }
+        def wss(v: Long): Unit = {
+          body.write(((v >> 21) & 0x7F).toInt); body.write(((v >> 14) & 0x7F).toInt)
+          body.write(((v >> 7) & 0x7F).toInt); body.write((v & 0x7F).toInt)
+        }
+        ids.zip(idxs).foreach { case (id, fi) =>
+          val text = r.getString(fi).getBytes("UTF-8")
+          body.write(id.getBytes("ISO-8859-1"))
+          if (ver == 4L) wss(text.length + 1L) else w32(text.length + 1L)
+          body.write(0); body.write(0) // flags
+          body.write(3) // UTF-8
+          body.write(text)
+        }
+        // a foreign binary frame the parser must skip by size
+        val blob = Array.tabulate(8)(i => (0xF0 | i).toByte)
+        body.write("APIC".getBytes("ISO-8859-1"))
+        if (ver == 4L) wss(blob.length.toLong) else w32(blob.length.toLong)
+        body.write(0); body.write(0)
+        body.write(blob)
+        val padding = 16
+        val tagSize = body.size() + padding
+        val outBuf = new java.io.ByteArrayOutputStream(10 + tagSize + 2)
+        outBuf.write("ID3".getBytes("ISO-8859-1"))
+        outBuf.write(ver.toInt); outBuf.write(0); outBuf.write(0)
+        outBuf.write(((tagSize >> 21) & 0x7F)); outBuf.write(((tagSize >> 14) & 0x7F))
+        outBuf.write(((tagSize >> 7) & 0x7F)); outBuf.write((tagSize & 0x7F))
+        body.writeTo(outBuf)
+        var i = 0
+        while (i < padding) { outBuf.write(0); i += 1 }
+        outBuf.write(0xFF); outBuf.write(0xFB) // fake MPEG frame sync
+        Row.fromSeq(r.toSeq :+ outBuf.toByteArray)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class Id3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture() = Seq(
+    (1L, 3L, "Title One", "Artist A", "Album X", "1999", "1/12"),
+    (2L, 4L, "Titre Deux é", "Artist B", "Album Y", "2024", "7"))
+    .toDF("id", "ver", "t", "ar", "al", "y", "tr")
+
+  test("parse ∘ buildStubId3 is identity for v2.3 and v2.4") {
+    val built = Id3.buildStubId3(fixture(), "ver", "t", "ar", "al", "y", "tr")
+    val got = Id3.id3Meta(built.select(col("id"), col("payload")), "payload")
+      .select("id", "id3_version", "id3_frames", "id3_title", "id3_artist",
+        "id3_album", "id3_year", "id3_track")
+      .as[(Long, Long, Long, String, String, String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    // 6 frames: five text + the skipped APIC
+    assert(got(1L) == ((1L, 3L, 6L, "Title One", "Artist A", "Album X",
+      "1999", "1/12")))
+    assert(got(2L) == ((2L, 4L, 6L, "Titre Deux é", "Artist B", "Album Y",
+      "2024", "7"))) // UTF-8 text and syncsafe v2.4 sizes
+  }
+
+  test("strict null on malformation; padding ends the walk cleanly") {
+    assert(Id3.parse(null) == null)
+    assert(Id3.parse("MP3".getBytes) == null)
+    assert(Id3.parse("ID3".getBytes) == null) // truncated header
+    val ok = Id3.buildStubId3(fixture().limit(1), "ver", "t", "ar", "al", "y", "tr")
+      .select(col("payload")).as[Array[Byte]].head()
+    assert(Id3.parse(ok) != null)
+    // truncated mid-frame
+    assert(Id3.parse(java.util.Arrays.copyOf(ok, 30)) == null)
+    // version 2 (unsupported) refused
+    val v2 = ok.clone(); v2(3) = 2
+    assert(Id3.parse(v2) == null)
+    // non-syncsafe tag size byte refused
+    val bad = ok.clone(); bad(6) = 0x80.toByte
+    assert(Id3.parse(bad) == null)
+    // corrupt frame id (lower-case) refused
+    val badId = ok.clone(); badId(10) = 't'
+    assert(Id3.parse(badId) == null)
+  }
+}

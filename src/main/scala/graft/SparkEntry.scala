@@ -2476,6 +2476,34 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q222: ZIP central-directory listing — archive-shard planning
+    // without decompressing a byte: docs bundle 4-per-archive
+    // through the JDK's OWN ZipOutputStream (STORED entries), and
+    // OUR independent central-directory walker lists them back.
+    // Sizes are exact byte lengths of the ASCII-sanitized contents,
+    // so DuckDB recomputes every column.
+    "q222_zip_directory" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select((col("doc_id") / 4).cast("long").as("archive_id"),
+          col("doc_id"),
+          concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt"))
+            .as("name"),
+          regexp_replace(col("text"), "[^ -~]", "").as("content"))
+      val archives = d.groupBy(col("archive_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("name")))),
+            s => s.getField("name")).as("names"),
+          transform(array_sort(collect_list(struct(col("doc_id"), col("content")))),
+            s => s.getField("content")).as("contents"))
+      operators.ZipDir.zipEntries(
+          operators.ZipDir.buildZip(archives, "names", "contents")
+            .select(col("archive_id"), col("payload")),
+          "payload")
+        .select(col("archive_id"), col("zip_idx"), col("name"),
+          col("method"), col("csize"), col("usize"))
+        .orderBy(col("archive_id"), col("zip_idx"))
+    }),
+
     // q221: ID3v2 tag metadata — the MP3 sibling of q132 (MP4
     // box-walk) / q209 (EXIF IFD) / q170 (WAV RIFF): both tag
     // versions in one table (even docs v2.3 plain sizes, odd v2.4
@@ -5152,6 +5180,20 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q222: entry order and sizes replayed from doc arithmetic —
+    // STORED method (0) makes csize = usize = content bytes.
+    "q222_zip_directory" ->
+      """WITH d AS (SELECT doc_id // 4 AS archive_id, doc_id,
+        |    'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |    length(regexp_replace(text, '[^ -~]', '', 'g')) AS n
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT archive_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY archive_id ORDER BY doc_id)
+        |    - 1 AS BIGINT) AS zip_idx,
+        |  name, CAST(0 AS BIGINT) AS method,
+        |  CAST(n AS BIGINT) AS csize, CAST(n AS BIGINT) AS usize
+        |FROM d ORDER BY archive_id, zip_idx""".stripMargin,
 
     // q221: every column from doc_id arithmetic; tag_size = 89 + Σ
     // text lengths (5×11 frame overhead + 18 APIC + 16 padding).

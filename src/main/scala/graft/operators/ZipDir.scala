@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** ZIP central-directory listing (PKWARE APPNOTE) — archive-shard
+  * ingest planning: corpora routinely arrive as .zip bundles, and
+  * the central directory answers "what's inside, how big, where"
+  * WITHOUT decompressing a byte — the container-walk posture of
+  * [[Mp4]]/[[Exif]]/[[Id3]] applied to archives. The walker finds
+  * the end-of-central-directory record by backward scan (comment ≤
+  * 64 KB by format), then reads each entry's name, method,
+  * compressed/uncompressed sizes and local-header offset.
+  *
+  * Cross-implementation by construction: the q222 fixture is
+  * written by the JDK's own `ZipOutputStream` (STORED entries, so
+  * sizes are exact text lengths an oracle can recompute) and read
+  * by THIS walker — two independent codebases over one format.
+  * Strict-null family contract on malformation: bad signatures,
+  * counts disagreeing with the walk, entries overrunning the
+  * directory, no EOCD. ZIP64 is out of scope (detected via the
+  * 0xFFFFFFFF sentinels → null, never a wrong size). */
+object ZipDir {
+
+  case class ZipEntryMeta(idx: Long, name: String, method: Long,
+                          csize: Long, usize: Long, offset: Long)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** Central-directory walk; null on malformation. */
+  def parse(bytes: Array[Byte]): Seq[ZipEntryMeta] = {
+    if (bytes == null || bytes.length < 22) return null
+    try {
+      // EOCD backward scan (sig 0x06054b50); comment bounds the search
+      var e = bytes.length - 22
+      val stop = math.max(0, bytes.length - 22 - 65535)
+      while (e >= stop && u32(bytes, e) != 0x06054b50L) e -= 1
+      if (e < stop) throw new IllegalArgumentException("no EOCD")
+      val count = u16(bytes, e + 10)
+      if (count != u16(bytes, e + 8))
+        throw new IllegalArgumentException("multi-disk archive")
+      val cdSize = u32(bytes, e + 12)
+      val cdOff = u32(bytes, e + 16)
+      if (cdOff == 0xFFFFFFFFL || count == 0xFFFF)
+        throw new IllegalArgumentException("zip64 not supported")
+      if (cdOff + cdSize > e)
+        throw new IllegalArgumentException("directory overruns EOCD")
+      var p = cdOff.toInt
+      val out = scala.collection.mutable.ArrayBuffer.empty[ZipEntryMeta]
+      var i = 0
+      while (i < count) {
+        if (p + 46 > e || u32(bytes, p) != 0x02014b50L)
+          throw new IllegalArgumentException("bad central entry signature")
+        val method = u16(bytes, p + 10).toLong
+        val csize = u32(bytes, p + 20)
+        val usize = u32(bytes, p + 24)
+        val nameLen = u16(bytes, p + 28)
+        val extraLen = u16(bytes, p + 30)
+        val commentLen = u16(bytes, p + 32)
+        val localOff = u32(bytes, p + 42)
+        if (csize == 0xFFFFFFFFL || usize == 0xFFFFFFFFL)
+          throw new IllegalArgumentException("zip64 sizes")
+        if (p + 46 + nameLen + extraLen + commentLen > e)
+          throw new IllegalArgumentException("entry overruns directory")
+        val name = new String(bytes, p + 46, nameLen, "UTF-8")
+        out += ZipEntryMeta(i.toLong, name, method, csize, usize, localOff)
+        p += 46 + nameLen + extraLen + commentLen
+        i += 1
+      }
+      out.toSeq
+    } catch { case _: Exception => null }
+  }
+
+  private val entryType = StructType(Seq(
+    StructField("zip_idx", LongType), StructField("name", StringType),
+    StructField("method", LongType), StructField("csize", LongType),
+    StructField("usize", LongType), StructField("offset", LongType)))
+
+  /** Explode one archive column into entry rows (input cols ++ entry
+    * fields). The [[Warc.warcRecords]] reject contract: one all-null
+    * row (zip_idx null) per MALFORMED archive, one marker row
+    * (zip_idx = -1) per EMPTY-but-valid archive — shard accounting
+    * can distinguish corrupt from vacuous, and no input row ever
+    * silently vanishes. */
+  def zipEntries(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ entryType.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val entries = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        if (entries == null)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null, null)))
+        else if (entries.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(-1L, null, null, null, null, null)))
+        else entries.iterator.map(m => Row.fromSeq(r.toSeq ++
+          Seq(m.idx, m.name, m.method, m.csize, m.usize, m.offset)))
+      }
+    }(enc)
+  }
+
+  /** Fixture twin through the JDK's OWN writer: a STORED-method zip
+    * of (name, content) pairs — sizes equal content byte lengths, so
+    * the q222 oracle recomputes them from the source columns. */
+  def buildZip(df: DataFrame, namesCol: String, contentsCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ni = inSchema.fieldIndex(namesCol)
+    val ci = inSchema.fieldIndex(contentsCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val names = r.getSeq[String](ni)
+        val contents = r.getSeq[String](ci)
+        require(names.length == contents.length,
+          "names and contents must align")
+        val buf = new java.io.ByteArrayOutputStream(256)
+        val z = new java.util.zip.ZipOutputStream(buf)
+        names.zip(contents).foreach { case (n, c) =>
+          val bs = c.getBytes("UTF-8")
+          val entry = new java.util.zip.ZipEntry(n)
+          entry.setMethod(java.util.zip.ZipOutputStream.STORED)
+          entry.setSize(bs.length.toLong)
+          entry.setCompressedSize(bs.length.toLong)
+          val crc = new java.util.zip.CRC32(); crc.update(bs)
+          entry.setCrc(crc.getValue)
+          z.putNextEntry(entry); z.write(bs); z.closeEntry()
+        }
+        z.close()
+        Row.fromSeq(r.toSeq :+ buf.toByteArray)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ZipDirSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("JDK-written archives list exactly; sizes are STORED byte lengths") {
+    val df = Seq(
+      (1L, Seq("a.txt", "dir/b.txt"), Seq("hello", "world, wider content é")),
+      (2L, Seq.empty[String], Seq.empty[String])) // empty archive
+      .toDF("id", "names", "contents")
+    val built = ZipDir.buildZip(df, "names", "contents")
+    val got = ZipDir.zipEntries(built.select(col("id"), col("payload")), "payload")
+      .select("id", "zip_idx", "name", "method", "csize", "usize")
+      .as[(Long, Option[Long], Option[String], Option[Long], Option[Long], Option[Long])]
+      .collect().toSet
+    val eAcc = "world, wider content é".getBytes("UTF-8").length.toLong
+    assert(got.contains((1L, Some(0L), Some("a.txt"), Some(0L), Some(5L), Some(5L))))
+    assert(got.contains((1L, Some(1L), Some("dir/b.txt"), Some(0L), Some(eAcc), Some(eAcc))))
+    // empty-but-valid archive: the -1 marker row (vs null = malformed),
+    // the Warc empty/corrupt distinction — no input row vanishes
+    assert(got.contains((2L, Some(-1L), None, None, None, None)),
+      s"empty archive must emit the -1 marker: $got")
+  }
+
+  test("strict null reject rows on malformation; 64KB-comment EOCD scan holds") {
+    val ok = ZipDir.buildZip(
+        Seq((1L, Seq("x"), Seq("y"))).toDF("id", "n", "c"), "n", "c")
+      .select(col("payload")).as[Array[Byte]].head()
+    assert(ZipDir.parse(ok).length == 1)
+    assert(ZipDir.parse(null) == null)
+    assert(ZipDir.parse("not a zip at all......".getBytes) == null)
+    assert(ZipDir.parse(java.util.Arrays.copyOf(ok, 10)) == null)
+    // corrupt the central entry signature
+    val sigIdx = ok.length - 22 - 46 - 1 // entry name "x" is 1 byte
+    val bad = ok.clone(); bad(sigIdx) = 0x00
+    assert(ZipDir.parse(bad) == null)
+    // reject ROW surfaces for a malformed archive in the explode
+    val rej = ZipDir.zipEntries(
+        Seq((9L, "junkjunkjunkjunkjunkjunk".getBytes)).toDF("id", "payload"),
+        "payload")
+      .select("id", "zip_idx").collect()
+    assert(rej.length == 1 && rej.head.isNullAt(1))
+  }
+}

@@ -2476,6 +2476,41 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q223: WebDataset shard listing — the multimodal-training wire
+    // format IS tar: docs bundle 3-per-shard as (<id>.txt, <id>.json)
+    // member pairs through the real ustar builder (correct checksums,
+    // octal fields, block padding), OUR walker lists them back, and
+    // webdatasetSamples regroups members into samples by first-dot
+    // stem — the loader's unit. Sizes are UTF-8 byte lengths of
+    // ASCII-sanitized content, so DuckDB recomputes everything.
+    "q223_webdataset" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select((col("doc_id") / 3).cast("long").as("shard_id"),
+          col("doc_id"),
+          regexp_replace(col("text"), "[^ -~]", "").as("content"))
+      val parts = d.select(col("shard_id"),
+          concat(col("doc_id").cast("string"), lit(".txt")).as("name"),
+          col("content"))
+        .unionByName(d.select(col("shard_id"),
+          concat(col("doc_id").cast("string"), lit(".json")).as("name"),
+          concat(lit("{\"id\": "), col("doc_id").cast("string"), lit("}"))
+            .as("content")))
+      val shards = parts.groupBy(col("shard_id"))
+        .agg(
+          transform(array_sort(collect_list(struct(col("name"), col("content")))),
+            x => x.getField("name")).as("names"),
+          transform(array_sort(collect_list(struct(col("name"), col("content")))),
+            x => x.getField("content")).as("contents"))
+      val entries = operators.Tar.tarEntries(
+        operators.Tar.buildStubTar(shards, "names", "contents")
+          .select(col("shard_id"), col("payload")), "payload")
+      operators.Tar.webdatasetSamples(entries, Seq("shard_id"))
+        .select(col("shard_id"), col("stem"),
+          array_join(col("extensions"), ",").as("exts"),
+          col("n_parts"), col("total_bytes"))
+        .orderBy(col("shard_id"), col("stem"))
+    }),
+
     // q222: ZIP central-directory listing — archive-shard planning
     // without decompressing a byte: docs bundle 4-per-archive
     // through the JDK's OWN ZipOutputStream (STORED entries), and
@@ -5180,6 +5215,18 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q223: samples regrouped from doc arithmetic — text bytes +
+    // the JSON literal's length.
+    "q223_webdataset" ->
+      """WITH d AS (SELECT doc_id // 3 AS shard_id, doc_id,
+        |    length(regexp_replace(text, '[^ -~]', '', 'g')) AS tn
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT shard_id, CAST(doc_id AS VARCHAR) AS stem,
+        |  'json,txt' AS exts, CAST(2 AS BIGINT) AS n_parts,
+        |  CAST(tn + length('{"id": ' || CAST(doc_id AS VARCHAR) || '}')
+        |    AS BIGINT) AS total_bytes
+        |FROM d ORDER BY shard_id, stem""".stripMargin,
 
     // q222: entry order and sizes replayed from doc arithmetic —
     // STORED method (0) makes csize = usize = content bytes.

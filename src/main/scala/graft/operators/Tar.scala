@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** POSIX ustar (tar) listing — the OTHER archive wire format, and
+  * the one that matters most to a training pipeline: WebDataset
+  * shards (the standard large-scale multimodal training layout) ARE
+  * tar files whose member basenames group into samples
+  * (`0001.jpg` + `0001.json` + `0001.txt` = one sample). The walk
+  * reads 512-byte headers, validates the `ustar` magic and the
+  * checksum (header bytes summed with the checksum field as
+  * spaces — the spec's own integrity check), parses octal size
+  * fields, and SKIPS content by size — O(members), never
+  * O(payload).
+  *
+  * Handled: regular files ('0'/NUL) and directories ('5'); two
+  * zero blocks (or clean EOF at a block boundary) end the archive.
+  * Strict-null family contract on malformation: bad magic, bad
+  * checksum, non-octal size, member overrunning the buffer,
+  * truncated terminator. [[buildStubTar]] is the fixture twin
+  * (q223); [[webdatasetSamples]] regroups a listing into samples —
+  * the WebDataset convention distilled to a relational operator. */
+object Tar {
+
+  case class TarEntry(idx: Long, name: String, typeflag: String, size: Long)
+
+  private def octal(b: Array[Byte], off: Int, len: Int): Long = {
+    var i = off; var v = 0L; var seen = false
+    val end = off + len
+    while (i < end && (b(i) == ' ' && !seen)) i += 1 // leading spaces
+    while (i < end && b(i) >= '0' && b(i) <= '7') {
+      v = (v << 3) | (b(i) - '0'); i += 1; seen = true
+    }
+    if (!seen) throw new IllegalArgumentException("empty octal field")
+    while (i < end) {
+      if (b(i) != 0 && b(i) != ' ')
+        throw new IllegalArgumentException("non-octal byte in numeric field")
+      i += 1
+    }
+    v
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var n = 0
+    while (n < len && b(off + n) != 0) n += 1
+    new String(b, off, n, "UTF-8")
+  }
+
+  /** List one tar buffer's members; null on malformation. */
+  def parse(bytes: Array[Byte]): Seq[TarEntry] = {
+    if (bytes == null || bytes.length % 512 != 0 || bytes.length < 512)
+      return null
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TarEntry]
+      var p = 0
+      var done = false
+      while (!done) {
+        if (p + 512 > bytes.length)
+          throw new IllegalArgumentException("truncated header")
+        if (bytes(p) == 0) {
+          // terminator: two zero blocks (tolerate one + EOF)
+          val allZero = (p until math.min(p + 1024, bytes.length))
+            .forall(bytes(_) == 0)
+          if (!allZero) throw new IllegalArgumentException("garbage after entries")
+          done = true
+        } else {
+          if (cstr(bytes, p + 257, 6) != "ustar")
+            throw new IllegalArgumentException("bad magic")
+          // checksum: header summed with the chksum field as spaces
+          var sum = 0L
+          var i = 0
+          while (i < 512) {
+            sum += (if (i >= 148 && i < 156) ' '.toByte else bytes(p + i)) & 0xFF
+            i += 1
+          }
+          if (octal(bytes, p + 148, 8) != sum)
+            throw new IllegalArgumentException("checksum mismatch")
+          val name = cstr(bytes, p, 100)
+          val size = octal(bytes, p + 124, 12)
+          val tf = bytes(p + 156) match {
+            case 0 | '0' => "0"
+            case '5' => "5"
+            case other =>
+              throw new IllegalArgumentException(s"unsupported typeflag $other")
+          }
+          val blocks = ((size + 511) / 512).toInt
+          if (p + 512 + blocks * 512L > bytes.length)
+            throw new IllegalArgumentException("member overruns buffer")
+          out += TarEntry(out.size.toLong, name, tf, size)
+          p += 512 + blocks * 512
+        }
+      }
+      out.toSeq
+    } catch { case _: Exception => null }
+  }
+
+  private val entryType = StructType(Seq(
+    StructField("tar_idx", LongType), StructField("name", StringType),
+    StructField("typeflag", StringType), StructField("size", LongType)))
+
+  /** Explode archives to member rows; the [[ZipDir.zipEntries]]
+    * reject contract (null row = malformed, −1 = header-only-empty
+    * never occurs in tar — an empty tar is two zero blocks and lists
+    * zero members, emitted as the −1 marker). */
+  def tarEntries(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ entryType.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val entries = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        if (entries == null)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(null, null, null, null)))
+        else if (entries.isEmpty)
+          Iterator(Row.fromSeq(r.toSeq ++ Seq(-1L, null, null, null)))
+        else entries.iterator.map(m => Row.fromSeq(r.toSeq ++
+          Seq(m.idx, m.name, m.typeflag, m.size)))
+      }
+    }(enc)
+  }
+
+  /** WebDataset sample grouping over a [[tarEntries]] listing: member
+    * basenames split at the FIRST dot — `0001.seg.json` belongs to
+    * sample `0001` with extension `seg.json` (the WebDataset rule);
+    * directories are dropped. Output per (archive key columns ++
+    * stem): sorted extension list, n_parts, total_bytes — the unit a
+    * multimodal loader iterates. */
+  def webdatasetSamples(entries: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    entries
+      .filter(col("typeflag") === "0" && col("tar_idx") >= 0)
+      .select(keys ++ Seq(
+        regexp_extract(col("name"), "^([^.]*)\\.", 1).as("stem"),
+        regexp_replace(col("name"), "^[^.]*\\.", "").as("ext"),
+        col("size")): _*)
+      .filter(col("stem") =!= "")
+      .groupBy(keys :+ col("stem"): _*)
+      .agg(array_sort(collect_list(col("ext"))).as("extensions"),
+        count(lit(1)).as("n_parts"), sum(col("size")).as("total_bytes"))
+  }
+
+  /** Deterministic fixture twin: a ustar archive of (name, content)
+    * pairs — correct checksums, octal fields, content padded to
+    * 512-byte blocks, two-zero-block terminator. parse∘build is
+    * identity (q223). */
+  def buildStubTar(df: DataFrame, namesCol: String, contentsCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ni = inSchema.fieldIndex(namesCol)
+    val ci = inSchema.fieldIndex(contentsCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val names = r.getSeq[String](ni)
+        val contents = r.getSeq[String](ci)
+        require(names.length == contents.length, "names/contents must align")
+        val buf = new java.io.ByteArrayOutputStream(1024)
+        names.zip(contents).foreach { case (n, c) =>
+          val nb = n.getBytes("UTF-8")
+          require(nb.length <= 100, s"name too long for ustar: $n")
+          val cb = c.getBytes("UTF-8")
+          val h = new Array[Byte](512)
+          System.arraycopy(nb, 0, h, 0, nb.length)
+          def oct(v: Long, off: Int, len: Int): Unit = {
+            val s = java.lang.Long.toOctalString(v)
+            val padded = ("0" * (len - 1 - s.length)) + s
+            System.arraycopy(padded.getBytes("ISO-8859-1"), 0, h, off, len - 1)
+          }
+          oct(420L /*0644*/, 100, 8); oct(0L, 108, 8); oct(0L, 116, 8)
+          oct(cb.length.toLong, 124, 12); oct(0L, 136, 12)
+          java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+          h(156) = '0'
+          System.arraycopy("ustar".getBytes("ISO-8859-1"), 0, h, 257, 5)
+          h(263) = '0'; h(264) = '0' // version "00"
+          var sum = 0L
+          h.foreach(b => sum += b & 0xFF)
+          val cs = java.lang.Long.toOctalString(sum)
+          val csPad = ("0" * (6 - cs.length)) + cs
+          System.arraycopy(csPad.getBytes("ISO-8859-1"), 0, h, 148, 6)
+          h(154) = 0; h(155) = ' '
+          buf.write(h)
+          buf.write(cb)
+          val pad = (512 - cb.length % 512) % 512
+          var i = 0
+          while (i < pad) { buf.write(0); i += 1 }
+        }
+        var i = 0
+        while (i < 1024) { buf.write(0); i += 1 }
+        Row.fromSeq(r.toSeq :+ buf.toByteArray)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TarSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parse ∘ buildStubTar is identity; checksums hold; sizes skip content") {
+    val df = Seq(
+      (1L, Seq("0001.jpg", "0001.json", "0002.jpg"),
+        Seq("fakejpegbytes", "{\"label\": 3}", "x" * 600)), // >1 block
+      (2L, Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "names", "contents")
+    val built = Tar.buildStubTar(df, "names", "contents")
+    val got = Tar.tarEntries(built.select(col("id"), col("payload")), "payload")
+      .select("id", "tar_idx", "name", "typeflag", "size")
+      .as[(Long, Option[Long], Option[String], Option[String], Option[Long])]
+      .collect().toSet
+    assert(got.contains((1L, Some(0L), Some("0001.jpg"), Some("0"), Some(13L))))
+    assert(got.contains((1L, Some(1L), Some("0001.json"), Some("0"), Some(12L))))
+    assert(got.contains((1L, Some(2L), Some("0002.jpg"), Some("0"), Some(600L))))
+    assert(got.contains((2L, Some(-1L), None, None, None))) // empty marker
+    // cross-check against the JDK-adjacent truth: java can't read tar,
+    // so verify the byte layout invariants directly
+    val bytes = built.filter(col("id") === 1).select(col("payload"))
+      .as[Array[Byte]].head()
+    assert(bytes.length % 512 == 0)
+    assert(new String(bytes, 257, 5, "ISO-8859-1") == "ustar")
+  }
+
+  test("strict null on malformation") {
+    assert(Tar.parse(null) == null)
+    assert(Tar.parse(new Array[Byte](100)) == null)  // not block-aligned
+    val ok = Tar.buildStubTar(
+        Seq((1L, Seq("a.txt"), Seq("hi"))).toDF("id", "n", "c"), "n", "c")
+      .select(col("payload")).as[Array[Byte]].head()
+    assert(Tar.parse(ok).length == 1)
+    val badMagic = ok.clone(); badMagic(257) = 'X'
+    assert(Tar.parse(badMagic) == null)
+    val badSum = ok.clone(); badSum(0) = 'z' // name change breaks checksum
+    assert(Tar.parse(badSum) == null)
+    val badSize = ok.clone(); badSize(124) = '9' // non-octal digit
+    assert(Tar.parse(badSize) == null)
+    assert(Tar.parse(java.util.Arrays.copyOf(ok, 512)) == null) // truncated
+  }
+
+  test("webdatasetSamples: first-dot stems group multimodal parts") {
+    val df = Seq((7L, Seq("0001.jpg", "0001.seg.json", "0001.txt", "0002.jpg"),
+        Seq("img1", "{}", "caption", "img2")))
+      .toDF("id", "names", "contents")
+    val entries = Tar.tarEntries(
+      Tar.buildStubTar(df, "names", "contents")
+        .select(col("id"), col("payload")), "payload")
+    val got = Tar.webdatasetSamples(entries, Seq("id"))
+      .as[(Long, String, Seq[String], Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got("0001") == ((7L, "0001", Seq("jpg", "seg.json", "txt"), 3L,
+      4L + 2L + 7L)))
+    assert(got("0002") == ((7L, "0002", Seq("jpg"), 1L, 4L)))
+  }
+}

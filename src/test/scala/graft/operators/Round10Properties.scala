@@ -88,6 +88,51 @@ object Round10Properties extends Properties("graft.round10") {
       Exif.exifFromJpeg(bs.toArray) match { case _: Exif.ExifMeta => true; case null => true }
     }
 
+  // --- archive walks ----------------------------------------------------
+
+  private val memberName: Gen[String] = for {
+    stem <- Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    ext <- Gen.oneOf("txt", "json", "jpg")
+  } yield s"$stem.$ext"
+  private val members: Gen[List[(String, String)]] = Gen.choose(0, 5)
+    .flatMap(n => Gen.listOfN(n, Gen.zip(memberName,
+      Gen.choose(0, 700).flatMap(l =>
+        Gen.listOfN(l, Gen.asciiPrintableChar).map(_.mkString)))))
+    .map(_.distinctBy(_._1))
+
+  property("tar: parse∘build identity on random member sets") =
+    forAll(members) { ms =>
+      val bytes = buildArchive(ms, zip = false)
+      val got = Tar.parse(bytes)
+      got != null && got.map(e => e.name -> e.size) ==
+        ms.map { case (n, c) => n -> c.getBytes("UTF-8").length.toLong }
+    }
+
+  property("zip: parse∘build identity on random member sets") =
+    forAll(members) { ms =>
+      val bytes = buildArchive(ms, zip = true)
+      val got = ZipDir.parse(bytes)
+      got != null && got.map(e => e.name -> e.usize) ==
+        ms.map { case (n, c) => n -> c.getBytes("UTF-8").length.toLong }
+    }
+
+  property("tar/zip: random bytes never throw") =
+    forAll(Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) { bs =>
+      val arr = bs.toArray
+      (Tar.parse(arr) match { case _: Seq[_] => true; case null => true }) &&
+      (ZipDir.parse(arr) match { case _: Seq[_] => true; case null => true })
+    }
+
+  private def buildArchive(ms: List[(String, String)], zip: Boolean): Array[Byte] = {
+    val spark = graft.SparkTestBase.session
+    import spark.implicits._
+    val df = Seq((ms.map(_._1), ms.map(_._2))).toDF("n", "c")
+    val built = if (zip) ZipDir.buildZip(df, "n", "c")
+                else Tar.buildStubTar(df, "n", "c")
+    built.select("payload").collect()(0).getAs[Array[Byte]](0)
+  }
+
   /** Drive the REAL builder through a 1-row local pipeline without a
     * session: re-implement its exact byte layout here would defeat
     * the point, so reflect the builder's row path via a tiny local

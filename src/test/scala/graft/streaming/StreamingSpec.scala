@@ -600,6 +600,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got("2024-01-02") == ((50L, 250.0, 500.0)), s"day2: $got")
   }
 
+  test("foreachBatch theta maintenance: partials union to exact-mode set algebra") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the set-algebra member of the streaming sketch-lifecycle suite
+    // (HLL/CMS/KLL above): daily audience partials land per
+    // micro-batch; any pair of days answers shared/exclusive users
+    // from sketch bytes. Below 2^lgK everything is exact.
+    val dir = java.nio.file.Files.createTempDirectory("graft_theta_stream").toString
+    val stream = MemoryStream[UEv]
+    val q = stream.toDF()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Sketches.thetaRollup(
+            batch.withColumn("day", to_date(col("ts")).cast("string")),
+            Seq(col("day")), col("user_id"))
+          .write.mode("append").parquet(dir)
+      }.start()
+    try {
+      stream.addData((1L to 400L).map(u => UEv(t("2024-01-01 10:00:00"), u)))
+      q.processAllAvailable()
+      stream.addData((201L to 600L).map(u => UEv(t("2024-01-01 11:00:00"), u)) ++
+        (301L to 700L).map(u => UEv(t("2024-01-02 09:00:00"), u)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val partials = spark.read.parquet(dir)
+    assert(partials.count() == 3)
+    val merged = graft.operators.Sketches.thetaMerge(partials, Seq(col("day")))
+      .select(col("day"), col("theta_sketch"))
+      .as[(String, Array[Byte])].collect().toMap
+    val pair = Seq((merged("2024-01-01"), merged("2024-01-02")))
+      .toDF("sa", "sb")
+    val got = pair.select(
+        graft.operators.Sketches.thetaEstimate(col("sa")),
+        graft.operators.Sketches.thetaEstimate(col("sb")),
+        graft.operators.Sketches.thetaEstimate(
+          graft.operators.Sketches.thetaIntersect(col("sa"), col("sb"))))
+      .as[(Double, Double, Double)].head()
+    // day1 = users 1..600 (two partials overlapping 201..400 dedup),
+    // day2 = 301..700; overlap = 301..600 = 300 — all exact-mode
+    assert(got == ((600.0, 400.0, 300.0)), s"got $got")
+  }
+
   test("runningStats: wide decimal carries 1e16 values that overflowed decimal(18,2)") {
     import spark.implicits._
     val df = Seq(("click", 1.0e16), ("click", 0.25)).toDF("event_type", "value")

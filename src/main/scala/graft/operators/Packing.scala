@@ -253,7 +253,10 @@ object Packing {
     *
     * Scale shape: one conv-partitioned window + one hash aggregate;
     * conversation size bounds both (state is one conversation's
-    * turns, not the corpus). Null contents render as ''. */
+    * turns, not the corpus). Null contents render as ''. Turn
+    * indices must be DISTINCT within a conversation — tied indices
+    * leave the text/offset pairing to window tie order (the as-of
+    * family's duplicate-timestamp caveat). */
   def chatSft(df: DataFrame, convCol: String, turnCol: String,
       roleCol: String, contentCol: String): DataFrame = {
     val t = df.select(col(convCol).as("conv_id"),

@@ -320,7 +320,8 @@ object Relational {
     * construction); the big side splits by one broadcast semi/anti
     * pair against the tiny hot-key set, costing no shuffle. Works
     * when dim is far too big to broadcast WHOLE — only its hot
-    * rows travel. */
+    * rows travel. `payload` names must not collide with big's
+    * columns (the as-of family's contract). */
   def hotColdJoin(big: DataFrame, dim: DataFrame,
       bigKey: String, dimKey: String,
       hotKeys: DataFrame, payload: Seq[String]): DataFrame = {

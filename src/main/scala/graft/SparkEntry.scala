@@ -2476,6 +2476,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q224: EXACT bitmap segment-overlap matrix — the same audience
+    // truth as q215's theta sketches computed by the exact member of
+    // the family (Roaring bitmaps: lossless OR merge, exact AND /
+    // ANDNOT at any cardinality) — q215 is exact only below 2^lgK;
+    // this is exact, period, at bitmap-sized cost. Same DISTINCT-set
+    // oracle.
+    "q224_bitmap_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+      val rollup = operators.Sketches.bitmapRollup(ev,
+        Seq(col("event_type")), col("user_id"))
+      val a = rollup.select(col("event_type").as("seg_a"),
+        col("bitmap").as("__ba"))
+      val b = rollup.select(col("event_type").as("seg_b"),
+        col("bitmap").as("__bb"))
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          operators.Sketches.bitmapCount(col("__ba")).as("users_a"),
+          operators.Sketches.bitmapCount(col("__bb")).as("users_b"),
+          operators.Sketches.bitmapAndCount(col("__ba"), col("__bb"))
+            .as("users_shared"),
+          operators.Sketches.bitmapAndNotCount(col("__ba"), col("__bb"))
+            .as("users_a_only"))
+        .orderBy(col("seg_a"), col("seg_b"))
+    }),
+
     // q223: WebDataset shard listing — the multimodal-training wire
     // format IS tar: docs bundle 3-per-shard as (<id>.txt, <id>.json)
     // member pairs through the real ustar builder (correct checksums,
@@ -5215,6 +5240,28 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q224: the same DISTINCT set math as q215 — bitmaps must land
+    // on it exactly, with no exact-mode caveat.
+    "q224_bitmap_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events
+        |           WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM s GROUP BY 1)
+        |SELECT ca.event_type AS seg_a, cb.event_type AS seg_b,
+        |  ca.n AS users_a, cb.n AS users_b,
+        |  CAST((SELECT COUNT(*) FROM s x JOIN s y
+        |        ON x.user_id = y.user_id
+        |        WHERE x.event_type = ca.event_type
+        |          AND y.event_type = cb.event_type) AS BIGINT)
+        |    AS users_shared,
+        |  CAST(ca.n - (SELECT COUNT(*) FROM s x JOIN s y
+        |        ON x.user_id = y.user_id
+        |        WHERE x.event_type = ca.event_type
+        |          AND y.event_type = cb.event_type) AS BIGINT)
+        |    AS users_a_only
+        |FROM c ca JOIN c cb ON ca.event_type < cb.event_type
+        |ORDER BY seg_a, seg_b""".stripMargin,
 
     // q223: samples regrouped from doc arithmetic — text bytes +
     // the JSON literal's length.

@@ -1,0 +1,128 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.roaringbitmap.longlong.Roaring64Bitmap
+
+/** Roaring bitmap aggregates (RoaringBitmap, already on Spark's
+  * classpath) — the EXACT member of the distinct-count family: where
+  * HLL (q139) estimates with ~1.6% error and KMV (q190) is exact
+  * only below k, a compressed bitmap of 64-bit keys is exact at ANY
+  * cardinality, merges losslessly (bitwise OR), and supports the
+  * full set algebra (AND / ANDNOT) that q215's theta sketches only
+  * approximate past their nominal entries. The cost model is the
+  * honest difference: bitmap size grows with the key set (runs and
+  * containers compress dense ranges to ~2 bytes/key worst case,
+  * often far less for clustered ids) while HLL stays at 2^lgK —
+  * bitmaps are the right tool for int-keyed audiences up to ~10⁸
+  * distinct per group, HLL beyond.
+  *
+  * Same [[TypedImperativeAggregate]] posture as the KLL/theta pairs:
+  * partials combine map-side; `runOptimize` before serialization
+  * keeps shuffled bytes run-compressed. */
+object BitmapAgg {
+  private[graft] def toBytes(b: Roaring64Bitmap): Array[Byte] = {
+    b.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream(math.max(64, b.getSizeInBytes))
+    b.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+  private[graft] def fromBytes(bytes: Array[Byte]): Roaring64Bitmap = {
+    val b = new Roaring64Bitmap
+    b.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    b
+  }
+}
+
+/** Build a bitmap from BIGINT/INT key values (nulls skipped). */
+case class BitmapBuildAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes BIGINT/INT keys, got ${other.sql}")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_build_agg"
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap
+
+  override def update(buf: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case l: java.lang.Long => buf.addLong(l.longValue())
+      case i: java.lang.Integer => buf.addLong(i.longValue())
+      case other => throw new IllegalStateException(s"bitmap_build_agg: $other")
+    }
+    buf
+  }
+
+  override def merge(buf: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    buf.or(other); buf
+  }
+
+  override def eval(buf: Roaring64Bitmap): Any = BitmapAgg.toBytes(buf)
+  override def serialize(buf: Roaring64Bitmap): Array[Byte] = BitmapAgg.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap =
+    BitmapAgg.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapBuildAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapBuildAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapBuildAgg =
+    copy(child = newChild)
+}
+
+/** OR-merge pre-built bitmap BYTES to a coarser grain (lossless —
+  * the exact-table lifecycle). Null sketches skipped. */
+case class BitmapUnionAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Roaring64Bitmap]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a BINARY bitmap column, got ${child.dataType.sql}")
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bitmap_union_agg"
+
+  override def createAggregationBuffer(): Roaring64Bitmap = new Roaring64Bitmap
+
+  override def update(buf: Roaring64Bitmap, input: InternalRow): Roaring64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.or(BitmapAgg.fromBytes(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: Roaring64Bitmap, other: Roaring64Bitmap): Roaring64Bitmap = {
+    buf.or(other); buf
+  }
+
+  override def eval(buf: Roaring64Bitmap): Any = BitmapAgg.toBytes(buf)
+  override def serialize(buf: Roaring64Bitmap): Array[Byte] = BitmapAgg.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): Roaring64Bitmap =
+    BitmapAgg.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): BitmapUnionAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BitmapUnionAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BitmapUnionAgg =
+    copy(child = newChild)
+}

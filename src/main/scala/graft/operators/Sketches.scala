@@ -186,6 +186,59 @@ object Sketches {
               .cast("int")))).as("cms_est"): _*)
   }
 
+  // ───────────────────── roaring bitmap (exact) ─────────────────────
+
+  import org.roaringbitmap.longlong.Roaring64Bitmap
+  import graft.expr.{BitmapAgg, BitmapBuildAgg, BitmapUnionAgg}
+
+  /** One EXACT bitmap row per group — the zero-error member of the
+    * distinct family (HLL estimates, KMV is exact below k, bitmaps
+    * are exact at any cardinality for int-like keys): dims ++
+    * (bitmap BINARY, partial_rows). Sized by the key SET (runs
+    * compress; ~2 bytes/key worst case) — right up to ~10⁸ distinct
+    * per group, HLL beyond. */
+  def bitmapRollup(df: DataFrame, dims: Seq[Column],
+      key: Column): DataFrame =
+    df.groupBy(dims: _*)
+      .agg(org.apache.spark.sql.graft.bridge.toColumn(
+          BitmapBuildAgg(org.apache.spark.sql.graft.bridge.toExpression(key))
+            .toAggregateExpression()).as("bitmap"),
+        count(key).as("partial_rows"))
+
+  /** Lossless OR-merge to a coarser grain — bytes only. */
+  def bitmapMerge(rollup: DataFrame, dims: Seq[Column],
+      bitmap: Column = col("bitmap")): DataFrame =
+    rollup.groupBy(dims: _*)
+      .agg(org.apache.spark.sql.graft.bridge.toColumn(
+          BitmapUnionAgg(org.apache.spark.sql.graft.bridge.toExpression(bitmap))
+            .toAggregateExpression()).as("bitmap"),
+        sum(col("partial_rows")).as("rows"))
+
+  /** Exact distinct count from bitmap bytes. */
+  val bitmapCount: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { bytes: Array[Byte] =>
+      if (bytes == null) null
+      else java.lang.Long.valueOf(BitmapAgg.fromBytes(bytes).getLongCardinality)
+    }
+
+  /** Exact |A∩B| from two bitmap byte columns — row-local. */
+  val bitmapAndCount: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Long.valueOf(Roaring64Bitmap
+        .and(BitmapAgg.fromBytes(a), BitmapAgg.fromBytes(b))
+        .getLongCardinality)
+    }
+
+  /** Exact |A∖B| — row-local. */
+  val bitmapAndNotCount: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Byte], b: Array[Byte]) =>
+      if (a == null || b == null) null
+      else java.lang.Long.valueOf(Roaring64Bitmap
+        .andNot(BitmapAgg.fromBytes(a), BitmapAgg.fromBytes(b))
+        .getLongCardinality)
+    }
+
   // ───────────────────── theta set-algebra sketch ─────────────────────
 
   import org.apache.datasketches.theta.{SetOperation => ThetaSetOp, Sketch => ThetaSk}

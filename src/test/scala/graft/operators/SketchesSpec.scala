@@ -402,6 +402,31 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("bitmap: exact at any cardinality; lossless merge; exact set algebra") {
+    import spark.implicits._
+    val a = (1L to 60000L).map(u => ("A", u)).toDF("seg", "u").repartition(9)
+    val b = (40000L to 90000L).map(u => ("B", u)).toDF("seg", "u")
+    val rollup = Sketches.bitmapRollup(a.unionByName(b), Seq(col("seg")), col("u"))
+    val bySeg = rollup.select(col("seg"), col("bitmap"))
+      .as[(String, Array[Byte])].collect().toMap
+    val got = Seq((bySeg("A"), bySeg("B"))).toDF("ba", "bb")
+      .select(Sketches.bitmapCount(col("ba")),
+        Sketches.bitmapAndCount(col("ba"), col("bb")),
+        Sketches.bitmapAndNotCount(col("ba"), col("bb")))
+      .as[(Long, Long, Long)].head()
+    // EXACT at 60k where HLL would wobble ~1.6% and theta would sample
+    assert(got == ((60000L, 20001L, 39999L)), s"got $got")
+    // lossless merge: day partials OR to the identical exact count
+    val d1 = Sketches.bitmapRollup(a.filter(col("u") <= 30000), Seq(col("seg")), col("u"))
+    val d2 = Sketches.bitmapRollup(a.filter(col("u") > 25000), Seq(col("seg")), col("u"))
+    val merged = Sketches.bitmapMerge(d1.unionByName(d2), Seq(col("seg")))
+    assert(merged.select(Sketches.bitmapCount(col("bitmap")))
+      .as[Long].head() == 60000L)
+    // compressed: 60k consecutive ids run-compress far below 8 B/key
+    val bytes = bySeg("A").length
+    assert(bytes < 60000 * 2, s"bitmap unexpectedly large: $bytes bytes")
+  }
+
   test("theta: exact-mode set algebra; merge lifecycle; estimation-mode bound") {
     import spark.implicits._
     val a = (1L to 600L).map(u => ("A", u)).toDF("seg", "u").repartition(7)

@@ -634,6 +634,23 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"no join / no collect_list in the sketch path:\n${nodes.map(_.nodeName)}")
   }
 
+  test("q215/q224: theta and bitmap rollups plan as ObjectHashAggregate partials") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, sf)
+      .filter(col("user_id").isNotNull)
+    for ((name, df) <- Seq(
+        "theta" -> Sketches.thetaRollup(ev, Seq(col("event_type")), col("user_id")),
+        "bitmap" -> Sketches.bitmapRollup(ev, Seq(col("event_type")), col("user_id")))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name rollup must combine partials map-side:\n$p")
+      assert(!p.contains("collect_list"),
+        s"$name rollup must never ship value lists:\n$p")
+    }
+  }
+
   test("q203: dictionary scan is row-local — zero exchanges before the caller aggregates") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

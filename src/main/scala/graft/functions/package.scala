@@ -93,6 +93,24 @@ package object functions {
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => { checkArity("jaro_winkler", 2, exprs)
         JaroWinklerSimilarity(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("kll_sketch_agg",
+      exprs => graft.expr.KllSketchAgg(
+        checkArity("kll_sketch_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("kll_merge_agg",
+      exprs => graft.expr.KllMergeAgg(
+        checkArity("kll_merge_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("theta_sketch_agg",
+      exprs => graft.expr.ThetaSketchAgg(
+        checkArity("theta_sketch_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("theta_union_agg",
+      exprs => graft.expr.ThetaUnionAgg(
+        checkArity("theta_union_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("bitmap_build_agg",
+      exprs => graft.expr.BitmapBuildAgg(
+        checkArity("bitmap_build_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
+    reg.createOrReplaceTempFunction("bitmap_union_agg",
+      exprs => graft.expr.BitmapUnionAgg(
+        checkArity("bitmap_union_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
     reg.createOrReplaceTempFunction("zorder2",
       exprs => { checkArity("zorder2", 2, exprs)
         zorder2Expr(exprs(0), exprs(1)) }, "scala_udf")

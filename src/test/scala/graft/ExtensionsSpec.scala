@@ -30,6 +30,24 @@ class ExtensionsSpec extends AnyFunSuite with SparkTestBase {
     val z = spark.sql("SELECT zorder2(3L, 5L) AS z").head.getLong(0)
     // 3 = 0b11 spreads to bits 0,2; 5 = 0b101 to bits 1,5 → 0b100111
     assert(z == 39L)
+    // the sketch AGGREGATES are SQL-callable too: an exact-mode
+    // theta/bitmap distinct and a below-capacity-exact KLL median,
+    // straight from SQL text
+    spark.range(100).createOrReplaceTempView("ext_nums")
+    val agg = spark.sql(
+      """SELECT theta_sketch_agg(id) AS ts, bitmap_build_agg(id) AS bm,
+        |  kll_sketch_agg(CAST(id AS DOUBLE)) AS kl FROM ext_nums""".stripMargin)
+      .head
+    import graft.operators.Sketches
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val reads = Seq((agg.getAs[Array[Byte]](0), agg.getAs[Array[Byte]](1),
+        agg.getAs[Array[Byte]](2))).toDF("ts", "bm", "kl")
+      .select(Sketches.thetaEstimate(col("ts")),
+        Sketches.bitmapCount(col("bm")),
+        Sketches.kllQuantile(col("kl"), lit(0.5)))
+      .as[(Double, Long, Double)].head()
+    assert(reads == ((100.0, 100L, 49.0)), s"SQL-built sketches read back: $reads")
   }
 
   test("wrong arity is a clean analysis error naming the function, not an index error") {

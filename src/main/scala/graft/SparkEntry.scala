@@ -2476,6 +2476,31 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q225: exact day-over-day retention FROM the daily bitmap
+    // rollup — the lifecycle q224's tables exist for: one bitmap row
+    // lands per (day) partition as events arrive; any retention pair
+    // is then a row-local AND of two byte columns, no rescan of raw
+    // events, and EXACT (vs q122's recomputing cohort retention).
+    // Self-join on consecutive days; DuckDB replays with DISTINCT
+    // set math.
+    "q225_bitmap_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).filter(col("user_id").isNotNull)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+      val daily = operators.Sketches.bitmapRollup(ev,
+        Seq(col("day")), col("user_id"))
+      val nxt = daily.select(col("day").as("next_day"),
+        col("bitmap").as("__bn"))
+      daily
+        .join(nxt, date_add(to_date(col("day")), 1).cast("string")
+          === col("next_day"))
+        .select(col("day"),
+          operators.Sketches.bitmapCount(col("bitmap")).as("users"),
+          operators.Sketches.bitmapCount(col("__bn")).as("users_next"),
+          operators.Sketches.bitmapAndCount(col("bitmap"), col("__bn"))
+            .as("retained"))
+        .orderBy(col("day"))
+    }),
+
     // q224: EXACT bitmap segment-overlap matrix — the same audience
     // truth as q215's theta sketches computed by the exact member of
     // the family (Roaring bitmaps: lossless OR merge, exact AND /
@@ -5240,6 +5265,18 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q225: DISTINCT day-user sets, consecutive-day self-join.
+    "q225_bitmap_retention" ->
+      """WITH s AS (SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    user_id FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1)
+        |SELECT a.day, a.n AS users, b.n AS users_next,
+        |  CAST((SELECT COUNT(*) FROM s x JOIN s y ON x.user_id = y.user_id
+        |        WHERE x.day = a.day AND y.day = b.day) AS BIGINT) AS retained
+        |FROM c a JOIN c b
+        |  ON CAST(CAST(a.day AS DATE) + 1 AS VARCHAR) = b.day
+        |ORDER BY a.day""".stripMargin,
 
     // q224: the same DISTINCT set math as q215 — bitmaps must land
     // on it exactly, with no exact-mode caveat.

@@ -4999,7 +4999,8 @@ object SparkEntry {
         |kept AS (SELECT piece, GREATEST(u, 1) AS u1 FROM kch
         |         UNION ALL SELECT piece, u FROM kmu),
         |ut AS (SELECT SUM(u1) AS t FROM kept)
-        |SELECT piece, (1000 * ut.t) // u1 AS cost, u1 AS "count"
+        |SELECT piece, CAST((1000 * ut.t) // u1 AS BIGINT) AS cost,
+        |  CAST(u1 AS BIGINT) AS "count"
         |FROM kept, ut ORDER BY piece""".stripMargin,
 
     // q150/q151: WordPiece train + encode replays — the generator
@@ -5402,7 +5403,9 @@ object SparkEntry {
         |FROM n ORDER BY t_us""".stripMargin,
 
     // q217: the holding-duration integral replayed: lead over
-    // (user, ts), exact micro durations, milli values, one //.
+    // (user, ts), exact micro durations, milli values; the division
+    // replays Spark's TRUNCATING `div` via the sign-split CASE over
+    // `//` (the Learn.sdiv bridge), so negative net series agree too.
     "q217_twap" ->
       """WITH s AS (SELECT user_id, epoch_us(ts) AS t,
         |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv
@@ -5414,8 +5417,10 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS span_us,
         |  CAST(COALESCE(SUM(mv * dt), 0) AS BIGINT) AS twap_num,
         |  CASE WHEN COALESCE(SUM(dt), 0) > 0
-        |    THEN CAST(COALESCE(SUM(mv * dt), 0) // SUM(dt) AS BIGINT) END
-        |    AS twap_milli,
+        |    THEN CAST(CASE WHEN COALESCE(SUM(mv * dt), 0) >= 0
+        |      THEN COALESCE(SUM(mv * dt), 0) // SUM(dt)
+        |      ELSE -((-COALESCE(SUM(mv * dt), 0)) // SUM(dt)) END AS BIGINT)
+        |    END AS twap_milli,
         |  CASE WHEN COALESCE(SUM(dt), 0) > 0
         |    THEN CAST(COALESCE(SUM(mv * dt), 0) AS DOUBLE)
         |      / CAST(SUM(dt) AS DOUBLE) / 1000.0 END AS twap

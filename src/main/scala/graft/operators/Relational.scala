@@ -275,10 +275,13 @@ object Relational {
     * IEEE division — engine-stable). Keys with one observation have
     * zero span → null TWAP (nothing was held for any duration).
     * Output: key ++ (n_obs, span_us, twap_num, twap_milli, twap).
-    * Caveat: `twap_milli` uses Spark's `div` (truncates toward
-    * zero), which differs from floor exactly when `twap_num` < 0 —
-    * i.e. for net-negative value series; the double lane is
-    * unaffected. Duplicate timestamps per key carry zero duration,
+    * `twap_milli`'s division TRUNCATES toward zero (Spark `div`) —
+    * the documented semantics for negative dividends (net-negative
+    * value series) — and the q217 oracle replays exactly that via
+    * the sign-split `CASE` over DuckDB's flooring `//` (the
+    * Learn.sdiv bridge), so the lanes agree for ALL inputs; the
+    * double lane is sign-free anyway. Duplicate timestamps per key
+    * carry zero duration,
     * so their (arbitrary) relative order cannot change the
     * integral.
     *

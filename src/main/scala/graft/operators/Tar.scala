@@ -61,9 +61,12 @@ object Tar {
         if (p + 512 > bytes.length)
           throw new IllegalArgumentException("truncated header")
         if (bytes(p) == 0) {
-          // terminator: two zero blocks (tolerate one + EOF)
-          val allZero = (p until math.min(p + 1024, bytes.length))
-            .forall(bytes(_) == 0)
+          // terminator: two zero blocks (tolerate one + EOF). Scan to
+          // the END of the buffer, not just 1024 bytes — zero padding
+          // beyond the terminator is legal (tar blocking factor), but
+          // block-aligned garbage after it is refused, the same
+          // refuse-trailing posture as Warc.dechunk/gunzipMembers.
+          val allZero = (p until bytes.length).forall(bytes(_) == 0)
           if (!allZero) throw new IllegalArgumentException("garbage after entries")
           done = true
         } else {

@@ -135,10 +135,25 @@ object Warc {
     * truncated data, missing CRLF after a chunk, unterminated or
     * colon-less trailer, or trailing bytes after the terminator
     * (same refuse-partial posture as [[gunzipMembers]]). Row-local,
-    * single pass, O(body). */
+    * single pass, O(body).
+    *
+    * HARD precondition (checked): the string must be latin-1-decoded
+    * bytes — one char per octet — because chunk sizes count OCTETS and
+    * this decoder counts chars. A char > 0xFF proves the caller decoded
+    * with a multibyte charset (chunk arithmetic would mis-frame), so
+    * the body is refused as malformed rather than silently mis-split.
+    * [[parse]] always satisfies this (its buffer contract is
+    * ISO-8859-1). */
   def dechunk(s: String): String = {
     if (s == null) return null
     try {
+      var ci = 0
+      while (ci < s.length) {
+        if (s.charAt(ci) > 0xFF)
+          throw new IllegalArgumentException(
+            "non-latin-1 char: body is not octet-per-char decoded")
+        ci += 1
+      }
       val sb = new java.lang.StringBuilder(s.length)
       var p = 0
       var done = false

@@ -473,6 +473,16 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Long, Long, Option[Long], Option[Double])]
       .collect().toSet
     assert(re == got.values.toSet)
+    // net-NEGATIVE series: twap_milli TRUNCATES toward zero (the
+    // documented semantics the q217 oracle replays via sign-split //):
+    // Σ mv·dt = −10000·3 = −30000 over 7 µs → trunc(−30000/7) = −4285
+    // (floor would say −4286)
+    val neg = Seq((9L, 0L, -10.0), (9L, 3L, 0.0), (9L, 7L, 5.0))
+      .toDF("k", "us", "v")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"), col("v"))
+    val ng = Relational.twap(neg, "k", "ts", "v")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Double])].head()
+    assert(ng._4 == -30000L && ng._5 == Some(-4285L), s"got $ng")
   }
 
   test("hotColdJoin: equals the plain join; hot path broadcasts while cold shuffles") {

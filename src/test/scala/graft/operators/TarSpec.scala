@@ -43,6 +43,14 @@ class TarSpec extends SparkTestBase {
     val badSize = ok.clone(); badSize(124) = '9' // non-octal digit
     assert(Tar.parse(badSize) == null)
     assert(Tar.parse(java.util.Arrays.copyOf(ok, 512)) == null) // truncated
+    // terminator scan runs to the END of the buffer: zero padding
+    // beyond the two zero blocks is legal (blocking factor), but
+    // block-aligned garbage after them is refused
+    val padded = java.util.Arrays.copyOf(ok, ok.length + 5120)
+    assert(Tar.parse(padded).length == 1)
+    val garbageAfter = padded.clone()
+    garbageAfter(ok.length + 2048) = 'X'
+    assert(Tar.parse(garbageAfter) == null)
   }
 
   test("webdatasetSamples: first-dot stems group multimodal parts") {

@@ -193,6 +193,12 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.dechunk("3\r\nabc\r\n0\r\nnocolon\r\n\r\n") == null) // bad trailer
     assert(Warc.dechunk("3\r\nabc\r\n0\r\n\r\nextra") == null) // trailing bytes
     assert(Warc.dechunk("123456789\r\n\r\n0\r\n\r\n") == null) // absurd size token
+    // char==octet is a CHECKED precondition: a char > 0xFF proves the
+    // body was decoded with a multibyte charset (sizes count octets,
+    // this decoder counts chars) — refused, never silently mis-framed
+    assert(Warc.dechunk("2\r\néx\r\n0\r\n\r\n") == "éx") // latin-1 OK
+    assert(Warc.dechunk("2\r\né\r\n0\r\n\r\n") == null)  // é as UTF-8 2 octets ≠ 1 char
+    assert(Warc.dechunk("3\r\n€ab\r\n0\r\n\r\n") == null) // non-latin-1 char
   }
 
   test("parse: declared-chunked responses are transparently decoded") {

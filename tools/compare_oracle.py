@@ -81,7 +81,24 @@ def main(sfdir, outdir):
             print(f"WARN {name}: {approx} rows only approx-equal (hash compare would FAIL)")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(dr)} rows exact"); n_pass += 1
+            # Driver-fidelity dtype probe: the driver hashes values AFTER
+            # pandas conversion, where e.g. DuckDB HUGEINT (arrow
+            # decimal128) lands as float64 — str(10058.0) != str(10058)
+            # even though the Decimals compare equal above (the r10 q149
+            # failure mode: an uncast SUM() output). Replay the pandas
+            # conversion on both sides and compare stringified cells.
+            dkp, spp = dk.to_pandas(), sp.to_pandas()
+            dks = sorted(tuple(str(v) for v in row)
+                         for row in dkp[sorted(dkp.columns)].itertuples(index=False))
+            sps = sorted(tuple(str(v) for v in row)
+                         for row in spp[sorted(spp.columns)].itertuples(index=False))
+            if dks != sps:
+                fb = next(((a, b) for a, b in zip(dks, sps) if a != b), None)
+                print(f"FAIL {name}: values equal but driver-hash differs "
+                      f"(pandas dtype, e.g. uncast HUGEINT); first: duck={fb[0]} spark={fb[1]}")
+                n_fail += 1
+            else:
+                print(f"PASS {name}: {len(dr)} rows exact"); n_pass += 1
     print(f"\n{n_pass} pass / {n_fail} fail")
     return 1 if n_fail else 0
 

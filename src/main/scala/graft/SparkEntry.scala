@@ -2476,6 +2476,124 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q230: mojibake repair — corruption applied by the REAL
+    // transform (UTF-8 bytes decoded as latin-1: encode∘decode in
+    // the query), repair must invert it exactly; a clean branch must
+    // pass untouched and a signature-bearing-but-invalid branch
+    // ('Ã.' = C3 2E, not UTF-8) must be KEPT (the FFFD gate). DuckDB
+    // pins all three branches with the corrupt/repaired literals.
+    "q230_mojibake" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^ -~]", ""), 1, 20).as("p"))
+      val m = col("doc_id") % 3
+      val corrupt = decode(encode(concat(col("p"), lit(" café nñu")),
+        "UTF-8"), "ISO-8859-1")
+      val text = when(m === 0, corrupt)
+        .when(m === 1, concat(col("p"), lit(" plain")))
+        .otherwise(concat(col("p"), lit(" good Ã© bad Ã.")))
+      operators.TextOps.fixMojibake(
+          d.select(col("doc_id"), text.as("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q229: Luhn-validated card detection — the planted VALID card
+    // (check digit derived by the same ISO 7812 arithmetic in both
+    // engines, then space-formatted) must be found and redacted; the
+    // planted INVALID twin (check digit shifted +5, never 0 mod 10)
+    // must survive. DuckDB rebuilds the fixture and pins the counts
+    // as constants — a regex or checksum drift on the Spark side
+    // breaks the hash.
+    "q229_luhn_cards" -> ((s, dir) => {
+      import operators.TextOps
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[^A-Za-z ]", ""), 1, 24)
+            .as("prefix"),
+          concat(lit("45399783123"),
+            lpad((col("doc_id") % 1000).cast("string"), 4, "0")).as("base15"))
+      val withCards = base
+        .withColumn("__chk", TextOps.luhnCheckDigit(col("base15")))
+        .withColumn("__valid16",
+          concat(col("base15"), col("__chk").cast("string")))
+        .withColumn("__invalid16",
+          concat(col("base15"), ((col("__chk") + 5) % 10).cast("string")))
+        .withColumn("__fv", concat_ws(" ",
+          substring(col("__valid16"), 1, 4), substring(col("__valid16"), 5, 4),
+          substring(col("__valid16"), 9, 4), substring(col("__valid16"), 13, 4)))
+        .select(col("doc_id"),
+          concat(col("prefix"), lit(" pay "), col("__fv"), lit(" ref "),
+            col("__invalid16"), lit(" end")).as("text"))
+      TextOps.luhnCards(withCards, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q228: hard-negative mining for contrastive training — per
+    // query, the top-5 most-similar corpus vectors that are NOT its
+    // positives (anti-joined out BEFORE the top-k, so positives in
+    // top slots don't shrink the yield); positives derive from
+    // query-id arithmetic so DuckDB rebuilds them and replays the
+    // q22 cosine with NOT EXISTS.
+    "q228_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 8)
+      val pos = q.select(col("vec_id").as("qid"),
+          (col("vec_id") + 100).as("item"))
+        .unionByName(q.select(col("vec_id").as("qid"),
+          (col("vec_id") + 200).as("item")))
+      operators.Similarity.hardNegatives(q, emb, pos,
+          "vec_id", "embedding", "vec_id", "embedding", "qid", "item", 5)
+        .orderBy(col("query_id"), col("cosine").desc, col("negative_id"))
+    }),
+
+    // q227: DPO preference-pair assembly — scored responses per
+    // prompt become best-vs-worst (chosen, rejected) pairs with
+    // BIGINT milli-unit margins; ONE lexicographic-struct max/min
+    // aggregate, never a per-prompt ranking window (constant group
+    // state — a viral prompt with 10⁶ samples is the skew case).
+    // DuckDB replays the policy with two ROW_NUMBER rankings.
+    "q227_preference_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select((col("doc_id") % 40).as("prompt_id"),
+          col("doc_id").as("resp_id"),
+          regexp_replace(substring(col("text"), 1, 40), "[^ -~]", "")
+            .as("resp"),
+          ((col("doc_id") * 37) % 1000).as("score_milli"))
+      operators.Packing.preferencePairs(d, "prompt_id", "resp_id",
+          "resp", "score_milli", minMarginMilli = 1L)
+        .orderBy(col("prompt_id"))
+    }),
+
+    // q226: crawl-grade URL canonicalization — RFC 3986 §6 syntax
+    // normalization (case, default ports, fragments, empty path) plus
+    // tracking-param stripping and bytewise param sort, the identity
+    // function of frontier dedup. URLs are built from doc_id
+    // arithmetic so DuckDB rebuilds them and replays every branch
+    // (case-folding scheme/host but NOT path, :80/:443 dropped vs
+    // :8443 kept, userinfo dropped, '' path → '/', utm_*/fbclid out,
+    // params sorted, scheme-less rows → NULL, audited not dropped).
+    "q226_url_canonicalize" -> ((s, dir) => {
+      val m = col("doc_id") % 6
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          when(m === 0, concat(lit("HTTP://WWW.Example"), col("doc_id") % 7,
+            lit(".COM:80/Path/To/"), col("doc_id") % 5,
+            lit("?utm_source=feed&z="), col("doc_id") % 9,
+            lit("&a=1&utm_campaign=x#frag")))
+          .when(m === 1, concat(lit("https://User:pw@Host"), col("doc_id") % 7,
+            lit(".ORG:8443/a")))
+          .when(m === 2, concat(lit("https://h"), col("doc_id") % 7,
+            lit(".example.com:443")))
+          .when(m === 3, concat(lit("ftp://files.example"), col("doc_id") % 7,
+            lit(".net/pub/x")))
+          .when(m === 4, concat(lit("not-a-url-"), col("doc_id")))
+          .otherwise(concat(lit("http://site"), col("doc_id") % 7,
+            lit(".com/s?b=2&&a="), col("doc_id") % 3, lit("&fbclid=XYZ&")))
+          .as("url"))
+      operators.Web.canonicalizeUrls(d, "doc_id", "url")
+        .orderBy(col("doc_id"))
+    }),
+
     // q225: exact day-over-day retention FROM the daily bitmap
     // rollup — the lifecycle q224's tables exist for: one bitmap row
     // lands per (day) partition as events arrive; any retention pair
@@ -5266,6 +5384,169 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q230: the three branches pinned by construction — the corrupt
+    // form of ' café nñu' IS ' cafÃ© nÃ±u' (C3 A9 / C3 B1 read as
+    // latin-1), so the literals encode the transform.
+    "q230_mojibake" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 20) AS p
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN p || ' cafÃ© nÃ±u'
+        |    WHEN 1 THEN p || ' plain'
+        |    ELSE p || ' good Ã© bad Ã.' END AS text,
+        |  doc_id % 3 = 0 AS is_mojibake,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN p || ' café nñu'
+        |    WHEN 1 THEN p || ' plain'
+        |    ELSE p || ' good Ã© bad Ã.' END AS repaired,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(2 AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS n_fixed_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q229: the fixture rebuilt (letters-only prefix, base15 from
+    // doc_id, ISO 7812 check digit via the same doubling fold) and
+    // every output column derived from it; n_candidates=2 and
+    // n_valid=1 pinned as constants BY construction.
+    "q229_luhn_cards" ->
+      """WITH d AS (SELECT doc_id,
+        |    substr(regexp_replace(text, '[^A-Za-z ]', '', 'g'), 1, 24)
+        |      AS prefix,
+        |    '45399783123' || lpad(CAST(doc_id % 1000 AS VARCHAR), 4, '0')
+        |      AS base15
+        |  FROM documents WHERE doc_id < 150),
+        |s AS (SELECT *, list_sum(list_transform(range(1, 16), i ->
+        |    CASE WHEN (15 - i + 1) % 2 = 1
+        |      THEN CASE WHEN CAST(substr(base15, CAST(i AS INT), 1) AS INT) > 4
+        |        THEN CAST(substr(base15, CAST(i AS INT), 1) AS INT) * 2 - 9
+        |        ELSE CAST(substr(base15, CAST(i AS INT), 1) AS INT) * 2 END
+        |      ELSE CAST(substr(base15, CAST(i AS INT), 1) AS INT) END))
+        |    AS psum FROM d),
+        |c AS (SELECT *,
+        |    base15 || CAST((10 - psum % 10) % 10 AS VARCHAR) AS valid16,
+        |    base15 || CAST(((10 - psum % 10) % 10 + 5) % 10 AS VARCHAR)
+        |      AS invalid16
+        |  FROM s),
+        |f AS (SELECT *, substr(valid16, 1, 4) || ' ' || substr(valid16, 5, 4)
+        |    || ' ' || substr(valid16, 9, 4) || ' ' || substr(valid16, 13, 4)
+        |    AS fv FROM c)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS n_candidates,
+        |  CAST(1 AS BIGINT) AS n_valid, fv AS cards,
+        |  prefix || ' pay <CARD> ref ' || invalid16 || ' end' AS redacted
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q228: the q22 cosine replay with the positive set rebuilt from
+    // the same id arithmetic and excluded via NOT EXISTS — exclusion
+    // BEFORE the rank, as the operator contracts.
+    "q228_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |pos AS (SELECT query_id, query_id + 100 AS item FROM q
+        |  UNION ALL SELECT query_id, query_id + 200 FROM q),
+        |scored AS (
+        | SELECT q.query_id, e.vec_id AS negative_id,
+        |  list_sum(list_transform(range(1, len(qv) + 1),
+        |    i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv) + 1),
+        |       i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS cosine
+        | FROM q, embeddings e
+        | WHERE e.vec_id <> q.query_id
+        |   AND NOT EXISTS (SELECT 1 FROM pos
+        |     WHERE pos.query_id = q.query_id AND pos.item = e.vec_id)),
+        |ranked AS (SELECT query_id, negative_id, cosine,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, negative_id) AS rn
+        | FROM scored)
+        |SELECT query_id, negative_id, cosine FROM ranked WHERE rn <= 5
+        |ORDER BY query_id, cosine DESC, negative_id""".stripMargin,
+
+    // q227: the best-vs-worst policy replayed as two ROW_NUMBER
+    // rankings (score DESC/ASC, id ASC ties) — the semantics, not
+    // the plan; the engine's single-aggregate form must match it.
+    "q227_preference_pairs" ->
+      """WITH r AS (SELECT doc_id % 40 AS prompt_id, doc_id AS resp_id,
+        |    regexp_replace(substr(text, 1, 40), '[^ -~]', '', 'g') AS resp,
+        |    (doc_id * 37) % 1000 AS score_milli
+        |  FROM documents WHERE doc_id < 200),
+        |rk AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_milli DESC, resp_id ASC) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_milli ASC, resp_id ASC) AS rr,
+        |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM r)
+        |SELECT c.prompt_id, CAST(c.n AS BIGINT) AS n_responses,
+        |  c.resp_id AS chosen_id, j.resp_id AS rejected_id,
+        |  c.resp AS chosen, j.resp AS rejected,
+        |  c.score_milli - j.score_milli AS margin_milli
+        |FROM (SELECT * FROM rk WHERE rc = 1) c
+        |JOIN (SELECT * FROM rk WHERE rr = 1) j USING (prompt_id)
+        |WHERE c.n >= 2 AND c.resp_id <> j.resp_id
+        |  AND c.score_milli - j.score_milli >= 1
+        |ORDER BY prompt_id""".stripMargin,
+
+    // q226: the same construction arithmetic, then every
+    // canonicalization branch replayed with the shared Spark∩DuckDB
+    // regex subset and list algebra (list_filter + list_sort +
+    // array_to_string = filter + array_sort + array_join).
+    "q226_url_canonicalize" ->
+      """WITH built AS (SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.COM:80/Path/To/' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '?utm_source=feed&z=' || CAST(doc_id % 9 AS VARCHAR)
+        |      || '&a=1&utm_campaign=x#frag'
+        |    WHEN 1 THEN 'https://User:pw@Host' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.ORG:8443/a'
+        |    WHEN 2 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com:443'
+        |    WHEN 3 THEN 'ftp://files.example' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.net/pub/x'
+        |    WHEN 4 THEN 'not-a-url-' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.com/s?b=2&&a=' || CAST(doc_id % 3 AS VARCHAR)
+        |      || '&fbclid=XYZ&'
+        |  END AS url FROM documents WHERE doc_id < 120),
+        |p1 AS (SELECT doc_id, url,
+        |  regexp_replace(url, '#.*$', '') AS nf FROM built),
+        |p2 AS (SELECT doc_id, url, nf,
+        |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+        |    AS scheme,
+        |  regexp_extract(regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        |    '^(?:.*@)?([^@]*)$', 1) AS hostport
+        |  FROM p1),
+        |p3 AS (SELECT *,
+        |  lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+        |  regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+        |  regexp_extract(regexp_replace(nf, '\?.*$', ''),
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS path0,
+        |  regexp_extract(nf, '^[^?]*\?(.*)$', 1) AS q
+        |  FROM p2),
+        |p4 AS (SELECT *,
+        |  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |         OR (scheme = 'https' AND port = '443')
+        |       THEN '' ELSE ':' || port END AS portpart,
+        |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+        |  COALESCE(array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    p -> p <> '' AND NOT regexp_matches(
+        |      regexp_extract(p, '^([^=]*)', 1),
+        |      '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)$'))), '&'), '')
+        |    AS keptq
+        |  FROM p3)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL
+        |       ELSE scheme || '://' || host || portpart || path ||
+        |         CASE WHEN keptq = '' THEN '' ELSE '?' || keptq END
+        |  END AS canonical_url,
+        |  CASE WHEN scheme = '' OR host = '' THEN NULL ELSE host END
+        |    AS canon_host
+        |FROM p4 ORDER BY doc_id""".stripMargin,
 
     // q225: DISTINCT day-user sets, consecutive-day self-join.
     "q225_bitmap_retention" ->

@@ -291,4 +291,54 @@ object Packing {
                   .cast("string")).as("__s"))))),
           s => s.getField("__s")), ",").as("loss_spans"))
   }
+
+  /** Preference-pair assembly — the DPO/RLHF sibling of [[chatSft]]:
+    * scored candidate responses per prompt become (chosen, rejected)
+    * training pairs under the standard best-vs-worst policy (one pair
+    * per prompt: the top-scored response against the bottom-scored
+    * one — the widest-margin pair, the one that carries the most
+    * preference signal per example).
+    *
+    * Determinism contract (the q227 oracle replays it): scores are
+    * BIGINT milli-units (the fixed-point discipline reward models
+    * ship in); chosen = highest score, ties broken toward the
+    * SMALLEST response id; rejected = lowest score, ties also toward
+    * the smallest id. Prompts with fewer than 2 responses, with the
+    * same row as best and worst (all-tied under minMargin 0), or
+    * with margin below `minMarginMilli` emit nothing — a pair whose
+    * preference is noise-level teaches the wrong gradient.
+    *
+    * Returns (prompt_id, n_responses, chosen_id, rejected_id,
+    * chosen, rejected, margin_milli).
+    *
+    * Shape at scale: ONE hash aggregate — chosen and rejected are
+    * lexicographic max/min over (score, ±id, payload) structs, so
+    * partials combine map-side and per-group state is two structs,
+    * CONSTANT in responses-per-prompt. Deliberately not the
+    * two-ranking-windows formulation (its sort state grows with the
+    * fattest prompt, and a viral prompt with 10⁶ scored samples is
+    * exactly the skew case); same reasoning as the q24 TakeOrdered
+    * pin. */
+  def preferencePairs(df: DataFrame, promptCol: String,
+      responseIdCol: String, responseCol: String, scoreCol: String,
+      minMarginMilli: Long = 1L): DataFrame = {
+    require(minMarginMilli >= 0, s"minMarginMilli must be >= 0, got $minMarginMilli")
+    val base = df.select(col(promptCol).as("prompt_id"),
+        col(responseIdCol).cast("long").as("__id"),
+        col(responseCol).as("__resp"),
+        col(scoreCol).cast("long").as("__score"))
+      .filter(col("__id").isNotNull && col("__score").isNotNull)
+    base.groupBy(col("prompt_id"))
+      .agg(count(lit(1)).as("n_responses"),
+        max(struct(col("__score"), (-col("__id")).as("__nid"),
+          col("__id"), col("__resp"))).as("__c"),
+        min(struct(col("__score"), col("__id"), col("__resp"))).as("__r"))
+      .filter(col("n_responses") >= 2)
+      .select(col("prompt_id"), col("n_responses"),
+        col("__c.__id").as("chosen_id"), col("__r.__id").as("rejected_id"),
+        col("__c.__resp").as("chosen"), col("__r.__resp").as("rejected"),
+        (col("__c.__score") - col("__r.__score")).as("margin_milli"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin_milli") >= minMarginMilli)
+  }
 }

@@ -50,6 +50,51 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** Hard-negative mining — the contrastive-training data assembler
+    * (the DPR/Contriever recipe): for every query, the top-k corpus
+    * items MOST similar to it that are NOT its known positives.
+    * "Hard" is the point — random negatives are trivially separable
+    * and teach nothing; the highest-scoring non-positives are the
+    * examples that move a bi-encoder.
+    *
+    * Ordering: positives are anti-joined out BEFORE the top-k, not
+    * after — filtering after would silently return fewer than k
+    * negatives whenever positives occupy top slots (they do; that's
+    * what makes them positives). Self-matches (corpus id == query
+    * id) are excluded like [[bruteForceTopK]]. Tie-break: higher
+    * cosine first, then smaller corpus id.
+    *
+    * Returns (query_id, negative_id, cosine).
+    *
+    * Shape at scale: queries AND the positive-pair list broadcast
+    * (both are training-set-sized — the bruteForceTopK contract,
+    * same loud `maxQueries` guard); the corpus streams ONCE through
+    * score → anti-join → salted grouped top-k, shuffling only
+    * (query, id, score) triples, never corpus vectors. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    positives: DataFrame,
+                    queryId: String, queryVec: String,
+                    corpusId: String, corpusVec: String,
+                    posQueryId: String, posItemId: String,
+                    k: Int, maxQueries: Int = 100000): DataFrame = {
+    val nq = queries.limit(maxQueries + 1).count()
+    require(nq <= maxQueries,
+      s"hardNegatives broadcasts the query side; got > $maxQueries query rows. " +
+        "Raise maxQueries deliberately or mine via lshTopK/ivfTopK buckets.")
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    val p = positives.select(col(posQueryId).as("query_id"),
+      col(posItemId).as("negative_id"))
+    val c = corpus.select(col(corpusId).as("negative_id"), col(corpusVec).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("negative_id"))
+      .join(broadcast(p), Seq("query_id", "negative_id"), "left_anti")
+      .select(col("query_id"), col("negative_id"),
+        cosine_similarity(col("__qv"), col("__cv")).as("cosine"))
+    Relational.groupedTopK(scored,
+      Seq(col("query_id")),
+      Seq(col("cosine").desc, col("negative_id").asc), k)
+  }
+
   /** Approximate top-k via standard multi-table sign-bit LSH:
     * `tables` independent hash tables of `planes` hyperplanes each;
     * candidates are corpus rows sharing a bucket with the query in ANY

@@ -569,6 +569,112 @@ object TextOps {
           EmailRe, "<EMAIL>"),
         LongDigitsRe, "<NUM>").as("redacted"))
 
+  /** Payment-card candidate: 13–19 digits with optional single
+    * space/dash separators, delimited by non-digits. Uses Java
+    * lookaround (unlike [[UrlRe]]'s portable subset) — legitimate
+    * here because the q229 oracle replays candidates BY CONSTRUCTION
+    * (it plants the digit runs), never by re-running this regex in
+    * RE2. */
+  private val CardCandidateRe = "(?<!\\d)(?:\\d[ -]?){12,18}\\d(?!\\d)"
+
+  /** Luhn sum of a non-empty all-digit string. `doubleOddFromRight`
+    * false = validate a full number (double positions 2,4,… from the
+    * right, ISO/IEC 7812); true = the payload variant used to DERIVE
+    * a check digit (the to-be-appended digit shifts parity by one). */
+  private def luhnSum(digits: Column, doubleOddFromRight: Boolean): Column = {
+    val chars = split(digits, "")
+    val n = size(chars)
+    aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = element_at(chars, i.cast("int")).cast("int")
+      val p = n - i + 1 // 1-based position from the right
+      val dbl = if (doubleOddFromRight) p % 2 === 1 else p % 2 === 0
+      acc + when(dbl, when(d > 4, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+  }
+
+  /** ISO/IEC 7812 Luhn validity of an all-digit string (non-empty). */
+  def luhnValid(digits: Column): Column = luhnSum(digits, false) % 10 === 0
+
+  /** The check digit that makes `base || digit` Luhn-valid. */
+  def luhnCheckDigit(base: Column): Column =
+    (lit(10) - luhnSum(base, true) % 10) % 10
+
+  /** Checksum-validated card-number detection — the high-precision
+    * member of the PII family ([[redactPii]] masks every long digit
+    * run; here only runs that PASS the Luhn checksum are treated as
+    * card numbers, so invoice ids and phone numbers survive while a
+    * real PAN with a 1-in-10 checksum cannot hide behind format
+    * variation — spaces and dashes between groups are handled).
+    * Returns (doc_id, n_candidates, n_valid, cards, redacted):
+    * candidates are 13–19-digit delimited runs, `cards` the
+    * comma-joined VALID ones in document order, `redacted` the text
+    * with each valid candidate replaced by `<CARD>` (invalid runs
+    * untouched — masking a non-card number is data loss, the
+    * opposite failure [[redactPii]] accepts by design).
+    *
+    * Shape at scale: pure row-local expressions — one
+    * regexp_extract_all, a per-candidate Luhn fold (≤19 digits each),
+    * and a replace fold over the valid list; no UDF, no shuffle,
+    * no state. */
+  def luhnCards(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(CardCandidateRe), lit(0))
+    val valid = filter(cands, c =>
+      luhnValid(regexp_replace(c, "[^0-9]", "")))
+    df.select(col(idCol).as("doc_id"),
+      size(cands).cast("long").as("n_candidates"),
+      size(valid).cast("long").as("n_valid"),
+      array_join(valid, ",").as("cards"),
+      aggregate(valid, col(textCol),
+        (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
+  }
+
+  /** Mojibake signature: a latin-1-visible UTF-8 lead byte followed
+    * by continuation-range chars — 'Ã©' where 'é' was meant. Covers
+    * 2-byte (lead U+00C2–00DF) and 3-byte (lead U+00E0–00EF) UTF-8
+    * sequences. */
+  private val MojibakeRe =
+    "[\\u00C2-\\u00DF][\\u0080-\\u00BF]|" +
+    "[\\u00E0-\\u00EF][\\u0080-\\u00BF]{2}"
+
+  /** Mojibake repair — undo the single most common real-corpus text
+    * corruption: UTF-8 bytes DECODED AS latin-1 somewhere upstream
+    * ('café' shipped as 'cafÃ©'; crawled pages mislabel charsets
+    * constantly, and one bad hop bakes the damage into the corpus).
+    * The inverse transform is exact: re-encode latin-1 → decode
+    * UTF-8. Repair is gated three ways (the ftfy posture — fixing
+    * text you shouldn't is worse than leaving mojibake):
+    *
+    *  1. the [[MojibakeRe]] signature must appear (cheap pre-filter);
+    *  2. the re-encoded bytes must be VALID UTF-8 (`is_valid_utf8` —
+    *     stock `decode(…, 'UTF-8')` THROWS on malformed input in
+    *     Spark 4, so the candidate is built by the no-validation
+    *     binary→string cast and only promoted when valid); a lone
+    *     'Ã' before a space proves the text was never round-tripped
+    *     UTF-8, and the original is kept;
+    *  3. the repair must actually change the text.
+    *
+    * Known ambiguity, documented: text that GENUINELY contains a
+    * lead-byte char followed by continuation-range chars is
+    * indistinguishable from damage by construction — the sequences
+    * are vanishingly rare in intentional text, which is why this
+    * family of repair is safe in practice.
+    *
+    * Returns (doc_id, text, is_mojibake, repaired, n_fixed_chars) —
+    * `n_fixed_chars` = char-length saved (each repaired 2/3-byte
+    * sequence collapses to one char). Pure row-local
+    * encode/decode/regexp codegen — no UDF, no shuffle; q230 replays
+    * it on constructed corruption. */
+  def fixMojibake(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val rawFix = encode(t, "ISO-8859-1").cast("string")
+    val isMoj = t.rlike(MojibakeRe) && is_valid_utf8(rawFix) && rawFix =!= t
+    val repaired = when(isMoj, rawFix).otherwise(t)
+    df.select(col(idCol).as("doc_id"), t.as(textCol),
+      isMoj.as("is_mojibake"),
+      repaired.as("repaired"),
+      (length(t) - length(repaired)).cast("long").as("n_fixed_chars"))
+  }
+
   /** Host capture: group 1 of a URL match — scheme and `://` skipped,
     * host ends at the first `/`, `:`, `?`, `#`, or whitespace.
     * Java∩RE2-portable like [[UrlRe]]. */

@@ -476,4 +476,68 @@ object Web {
         (col("rule_type").isNull || col("rule_type") === "allow").as("allowed"),
         col("rule_type"), col("rule_path"))
   }
+
+  /** Param names stripped by [[canonicalizeUrls]]: click-tracking
+    * decoration that varies per referral while the page content does
+    * not — keeping them would split one page into many frontier/dedup
+    * identities. Fixed, documented set (`utm_*` per the GA spec plus
+    * the big platforms' click ids); anything else is preserved
+    * because dropping a CONTENT-bearing param (`?page=2`) would merge
+    * distinct pages, the worse failure. */
+  private val TrackingParamRe = "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid)$"
+
+  /** Crawl-grade URL canonicalization — the identity function of the
+    * frontier and of URL-level dedup (reference behavior surface:
+    * the pipeline keys videos/comments by upstream ids,
+    * `function_app.py:36`; a crawl corpus has no ids, so the
+    * canonical URL IS the record key). RFC 3986 §6 syntax-based
+    * normalization plus the crawl conventions every dedup pipeline
+    * layers on top:
+    *
+    *  - scheme and host lowercased (§6.2.2.1); userinfo dropped
+    *  - default port removed (:80 on http, :443 on https), any other
+    *    port kept
+    *  - fragment dropped (§3.5 — never sent to the server)
+    *  - empty path → "/" (§6.2.3)
+    *  - query params: empty tokens dropped, [[TrackingParamRe]] names
+    *    dropped, the rest SORTED bytewise — param order is
+    *    server-insignificant in practice and sorting makes the
+    *    canonical form order-independent
+    *
+    * Input URLs are assumed already absolute and dot-segment-free —
+    * the [[extractLinks]]/[[resolveRef]] output contract (resolution
+    * already did §5.2.4). A URL with no `scheme://host` canonicalizes
+    * to NULL (kept as a row — the extractLinks audit posture), so
+    * malformed frontier entries are measurable, never silently
+    * passed through.
+    *
+    * Returns (idCol, urlCol, canonical_url, canon_host). Pure
+    * row-local regex/array expressions in the Spark∩DuckDB regex
+    * subset — no UDF, no shuffle; q226 replays every branch. */
+  def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val auth = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    val hostPort = regexp_extract(auth, "^(?:.*@)?([^@]*)$", 1)
+    val host = lower(regexp_extract(hostPort, "^([^:]*)", 1))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val defaultPort = (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443")
+    val portPart = when(port === "" || defaultPort, lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(regexp_replace(noFrag, "\\?.*$", ""),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(noFrag, "^[^?]*\\?(.*)$", 1)
+    val kept = array_join(array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !regexp_extract(p, "^([^=]*)", 1).rlike(TrackingParamRe))),
+      "&")
+    val qPart = when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
+    val canon = when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
+    df.select(col(idCol), u.as(urlCol),
+      canon.as("canonical_url"),
+      when(canon.isNotNull, host).as("canon_host"))
+  }
 }

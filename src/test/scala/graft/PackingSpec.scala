@@ -130,6 +130,42 @@ class PackingSpec extends SparkTestBase {
     assert(r.getAs[String]("redacted") === "no pii here, just words and the number 42")
   }
 
+  test("luhnCards: checksum gates the mask — valid PANs out, invalid runs kept") {
+    import spark.implicits._
+    val rows = Seq(
+      // 4111111111111111 is the canonical Luhn-valid test PAN;
+      // flipping its last digit breaks the checksum
+      (1L, "pay 4111 1111 1111 1111 now"),
+      (2L, "ref 4111111111111112 kept"),
+      // Amex test number: 15 digits, valid
+      (3L, "amex 378282246310005 ok"),
+      // dashes between groups handled
+      (4L, "card 4111-1111-1111-1111 end"),
+      // short digit runs are not candidates at all
+      (5L, "order 123456 phone 555-0100"),
+      // two candidates, one valid
+      (6L, "a 4111111111111111 b 1234567890123456 c")).toDF("id", "t")
+    val got = TextOps.luhnCards(rows, "id", "t")
+      .as[(Long, Long, Long, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, "4111 1111 1111 1111", "pay <CARD> now")))
+    assert(got(2L) == ((2L, 1L, 0L, "", "ref 4111111111111112 kept")))
+    assert(got(3L) == ((3L, 1L, 1L, "378282246310005", "amex <CARD> ok")))
+    assert(got(4L) == ((4L, 1L, 1L, "4111-1111-1111-1111", "card <CARD> end")))
+    assert(got(5L) == ((5L, 0L, 0L, "", "order 123456 phone 555-0100")))
+    assert(got(6L) == ((6L, 2L, 1L, "4111111111111111",
+      "a <CARD> b 1234567890123456 c")))
+    // check-digit derivation: appending it always yields a valid number
+    val bases = Seq((1L, "411111111111111"), (2L, "37828224631000"),
+      (3L, "453997831234567")).toDF("id", "b")
+    val rt = bases.select(col("id"),
+        concat(col("b"), TextOps.luhnCheckDigit(col("b")).cast("string"))
+          .as("full"))
+      .select(col("id"), TextOps.luhnValid(col("full")).as("v"))
+      .as[(Long, Boolean)].collect()
+    assert(rt.forall(_._2), s"check digit round-trip failed: ${rt.toSeq}")
+  }
+
   private def md5Mod(s: String, mod: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8"))
@@ -261,5 +297,39 @@ class PackingSpec extends SparkTestBase {
         "role", "content")
       .as[(Long, Long, Long, Long, String, String)].collect().toSet
     assert(re == got.values.toSet)
+  }
+
+  test("preferencePairs: best-vs-worst policy, tie-breaks, margin gate, no window") {
+    import spark.implicits._
+    val rows = Seq(
+      // prompt 1: clear best (id 12, 900) vs worst (id 10, 100)
+      (1L, 10L, "r10", 100L), (1L, 11L, "r11", 500L), (1L, 12L, "r12", 900L),
+      // prompt 2: TIED best 700 (ids 21, 22 → smallest id 21 chosen),
+      // tied worst 300 (ids 23, 24 → smallest id 23 rejected)
+      (2L, 22L, "r22", 700L), (2L, 21L, "r21", 700L),
+      (2L, 24L, "r24", 300L), (2L, 23L, "r23", 300L),
+      // prompt 3: single response → no pair
+      (3L, 30L, "r30", 800L),
+      // prompt 4: all tied → best row == worst row → no pair
+      (4L, 40L, "r40", 400L), (4L, 41L, "r41", 400L),
+      // prompt 5: margin 5 below the gate (10) → no pair
+      (5L, 50L, "r50", 600L), (5L, 51L, "r51", 605L)
+    ).toDF("p", "rid", "resp", "score")
+    val got = Packing.preferencePairs(rows, "p", "rid", "resp", "score",
+        minMarginMilli = 10L)
+      .as[(Long, Long, Long, Long, String, String, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 3L, 12L, 10L, "r12", "r10", 800L),
+      (2L, 4L, 21L, 23L, "r21", "r23", 400L)))
+    // plan: ONE hash aggregate, NO ranking window (constant group state)
+    val plan = Packing.preferencePairs(rows, "p", "rid", "resp", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"ranking window leaked into plan:\n$plan")
+    // partitioning must not perturb the pair set
+    val re = Packing.preferencePairs(rows.repartition(7), "p", "rid",
+        "resp", "score", minMarginMilli = 10L)
+      .as[(Long, Long, Long, Long, String, String, Long)].collect().toSet
+    assert(re == got.toSet)
   }
 }

@@ -1239,6 +1239,36 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("hardNegatives: positives excluded BEFORE the rank, yield stays k") {
+    // 1-d embeddings make similarity order transparent: cosine of
+    // positive scalars is 1.0 for all, so rank falls to the id
+    // tie-break — use 2-d instead with distinct angles. Query at 0°;
+    // corpus items at increasing angles → decreasing cosine in id
+    // order: ids 1,2,3,... are the true similarity ranking.
+    val corpus = (1 to 12).map { i =>
+      val a = i * 0.1
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // positives are the TWO most-similar items (1, 2): filtering
+    // after a top-5 would yield only 3 negatives; the contract
+    // yields 5 — exactly ids 3..7
+    val pos = Seq((0L, 1L), (0L, 2L)).toDF("qid", "item")
+    val got = Similarity.hardNegatives(q, corpus, pos,
+        "vec_id", "embedding", "vec_id", "embedding", "qid", "item", 5)
+      .orderBy(col("cosine").desc)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._2).toSeq == Seq(3L, 4L, 5L, 6L, 7L),
+      s"got ${got.toSeq}")
+    assert(got.forall(_._1 == 0L))
+    // self-exclusion: a corpus row with the query's own id never appears
+    val withSelf = corpus.unionByName(q)
+    val got2 = Similarity.hardNegatives(q, withSelf, pos,
+        "vec_id", "embedding", "vec_id", "embedding", "qid", "item", 5)
+      .as[(Long, Long, Double)].collect()
+    assert(!got2.exists(_._2 == 0L))
+  }
 }
 
 class EnrichSpec extends AnyFunSuite with SparkTestBase {

@@ -856,4 +856,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // minCount prunes singletons
     assert(!out.contains(("is", "big")))
   }
+
+  test("fixMojibake: inverts latin-1 misdecoding; FFFD gate keeps unround-trippable text") {
+    import spark.implicits._
+    // corrupt by the REAL transform: UTF-8 bytes read as latin-1
+    def corrupt(s: String) =
+      new String(s.getBytes("UTF-8"), "ISO-8859-1")
+    val clean = "résumé with naïve café — ”quotes” and 中文"
+    val rows = Seq(
+      (1L, corrupt(clean)),               // full 2- and 3-byte damage
+      (2L, "plain ascii, untouched"),     // no signature
+      (3L, "price Ã 20"),                 // lone lead byte: invalid UTF-8
+      (4L, clean)                         // already-clean non-ASCII: é alone
+                                          // is no signature (needs lead char)
+    ).toDF("id", "t")
+    val got = TextOps.fixMojibake(rows, "id", "t")
+      .as[(Long, String, Boolean, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 && got(1L)._4 == clean && got(1L)._5 > 0,
+      s"repair failed: ${got(1L)}")
+    assert(!got(2L)._3 && got(2L)._4 == "plain ascii, untouched")
+    assert(!got(3L)._3 && got(3L)._4 == "price Ã 20")
+    assert(!got(4L)._3 && got(4L)._4 == clean)
+    // double corruption repairs one layer per pass (ftfy iterates;
+    // one pass is the honest single-step contract)
+    val dbl = corrupt(corrupt("café"))
+    val once = TextOps.fixMojibake(Seq((9L, dbl)).toDF("id", "t"), "id", "t")
+      .as[(Long, String, Boolean, String, Long)].head()
+    assert(once._3 && once._4 == corrupt("café"))
+  }
 }

@@ -314,4 +314,43 @@ class WebSpec extends SparkTestBase {
       ("url", "https://a.com/q?a=1&b=2", None),
       ("sitemap", "https://a.com/sm2.xml", Some("2024-06-01"))))
   }
+
+  test("canonicalizeUrls: case, ports, userinfo, params, fragments, NULL audit") {
+    val urls = Seq(
+      // scheme+host fold, :80 dropped, fragment dropped, utm_* out,
+      // params sorted, PATH CASE PRESERVED
+      1L -> "HTTP://WWW.Ex.COM:80/Path/A?utm_source=f&z=9&a=1#frag",
+      // userinfo dropped, non-default port kept
+      2L -> "https://user:pw@Host.ORG:8443/a",
+      // default https port dropped, empty path → '/'
+      3L -> "https://H.example.com:443",
+      // non-http scheme preserved verbatim (lowercased scheme/host)
+      4L -> "FTP://Files.Net/pub",
+      // empty tokens and fbclid dropped; bare '?' vanishes
+      5L -> "http://s.com/p?b=2&&fbclid=X&a=0&",
+      6L -> "http://s.com/p?",
+      // no scheme://host → NULL, row kept (audit posture)
+      7L -> "not a url",
+      8L -> "mailto:x@y.com")
+    val got = Web.canonicalizeUrls(urls.toDF("id", "u"), "id", "u")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), Option(r.getString(3))))
+    assert(got.toSeq == Seq(
+      (1L, Some("http://www.ex.com/Path/A?a=1&z=9"), Some("www.ex.com")),
+      (2L, Some("https://host.org:8443/a"), Some("host.org")),
+      (3L, Some("https://h.example.com/"), Some("h.example.com")),
+      (4L, Some("ftp://files.net/pub"), Some("files.net")),
+      (5L, Some("http://s.com/p?a=0&b=2"), Some("s.com")),
+      (6L, Some("http://s.com/p"), Some("s.com")),
+      (7L, None, None),
+      (8L, None, None)))
+    // frontier identity: decorated variants of one page collapse
+    val variants = Seq(
+      10L -> "http://A.com/x?b=1&a=2",
+      11L -> "HTTP://a.COM:80/x?a=2&utm_medium=m&b=1#top",
+      12L -> "http://u@a.com/x?b=1&&a=2&gclid=G")
+    val canon = Web.canonicalizeUrls(variants.toDF("id", "u"), "id", "u")
+      .select("canonical_url").distinct().collect()
+    assert(canon.map(_.getString(0)).toSeq == Seq("http://a.com/x?a=2&b=1"))
+  }
 }

@@ -2476,6 +2476,69 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q233: document-date extraction — one planted date per surface
+    // form (textual month-name, US slash, valid ISO) plus the
+    // calendar-invalid '2024-13-40' that must surface with NULL iso
+    // (audit row, not a drop); normalization is pure CASE calendar
+    // arithmetic, no date type, so DuckDB rebuilds all four rows per
+    // doc from the same doc_id terms.
+    "q233_extract_dates" -> ((s, dir) => {
+      val months = typedLit(Seq("January", "February", "March", "April",
+        "May", "June", "July", "August", "September", "October",
+        "November", "December"))
+      val mo = col("doc_id") % 12 + 1
+      val dy = col("doc_id") % 28 + 1
+      val yr = col("doc_id") % 10 + 2015
+      val text = concat(
+        lit("Published "), element_at(months, (mo).cast("int")),
+        lit(" "), dy, lit(", "), yr,
+        lit(" updated "), mo, lit("/"), dy, lit("/2023"),
+        lit(" ref 2024-"), lpad(mo.cast("string"), 2, "0"), lit("-"),
+        lpad(dy.cast("string"), 2, "0"),
+        lit(" bogus 2024-13-40 end"))
+      operators.TextOps.extractDates(
+          Tables.documents(s, dir).filter(col("doc_id") < 150)
+            .select(col("doc_id"), text.as("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"), col("kind"), col("pos"))
+    }),
+
+    // q232: lexical diversity by collision index — Σc², the
+    // order-free repetitiveness probe (shuffled keyword stuffing
+    // that window dup-rates miss), with milli Simpson/Gini floors;
+    // the Shannon double stays library-side (spec-pinned, IEEE ln
+    // never crosses an oracle).
+    "q232_diversity" -> ((s, dir) => {
+      operators.TextOps.diversityStats(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          col("coll_sq"), col("simpson_milli"), col("gini_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q231: canonical frontier assembly — three decorated variants
+    // of each page (case/port/fragment, utm+unsorted params,
+    // userinfo+gclid+empty tokens) discovered by 12 docs across 4
+    // source hosts must collapse to ONE frontier row per page with
+    // exact discovery stats; DuckDB derives the 15 frontier rows
+    // from the same arithmetic.
+    "q231_crawl_frontier" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val p = col("doc_id") % 15
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 180)
+        .select(col("doc_id"),
+          concat(lit("s"), col("doc_id") % 4).as("src_host"),
+          when(m === 0, concat(lit("http://Site"), p,
+            lit(".com/x?b=1&a="), p))
+          .when(m === 1, concat(lit("HTTP://site"), p,
+            lit(".COM:80/x?a="), p, lit("&b=1&utm_ref=z#f")))
+          .otherwise(concat(lit("http://u@site"), p,
+            lit(".com/x?b=1&&a="), p, lit("&gclid=G")))
+          .as("url"))
+      graft.pipeline.Crawl.frontier(d, "doc_id", "url", "src_host")
+        .orderBy(col("canonical_url"))
+    }),
+
     // q230: mojibake repair — corruption applied by the REAL
     // transform (UTF-8 bytes decoded as latin-1: encode∘decode in
     // the query), repair must invert it exactly; a clean branch must
@@ -5384,6 +5447,67 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q233: the four rows per doc rebuilt by arithmetic — the valid
+    // iso row normalizes to itself, us/textual to their padded
+    // forms, and the bogus shape to NULL.
+    "q233_extract_dates" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id % 12 + 1 AS mo, doc_id % 28 + 1 AS dy,
+        |    doc_id % 10 + 2015 AS yr
+        |  FROM documents WHERE doc_id < 150),
+        |months(i, nm) AS (VALUES (1,'January'),(2,'February'),(3,'March'),
+        |  (4,'April'),(5,'May'),(6,'June'),(7,'July'),(8,'August'),
+        |  (9,'September'),(10,'October'),(11,'November'),(12,'December')),
+        |j AS (SELECT d.*, months.nm,
+        |    lpad(CAST(mo AS VARCHAR), 2, '0') AS mo2,
+        |    lpad(CAST(dy AS VARCHAR), 2, '0') AS dy2
+        |  FROM d JOIN months ON months.i = d.mo)
+        |SELECT doc_id, 'iso' AS kind, CAST(0 AS BIGINT) AS pos,
+        |  '2024-' || mo2 || '-' || dy2 AS raw,
+        |  '2024-' || mo2 || '-' || dy2 AS iso FROM j
+        |UNION ALL SELECT doc_id, 'iso', CAST(1 AS BIGINT),
+        |  '2024-13-40', NULL FROM j
+        |UNION ALL SELECT doc_id, 'us', CAST(0 AS BIGINT),
+        |  CAST(mo AS VARCHAR) || '/' || CAST(dy AS VARCHAR) || '/2023',
+        |  '2023-' || mo2 || '-' || dy2 FROM j
+        |UNION ALL SELECT doc_id, 'textual', CAST(0 AS BIGINT),
+        |  nm || ' ' || CAST(dy AS VARCHAR) || ', ' || CAST(yr AS VARCHAR),
+        |  CAST(yr AS VARCHAR) || '-' || mo2 || '-' || dy2 FROM j
+        |ORDER BY doc_id, kind, pos""".stripMargin,
+
+    // q232: exact token counts → Σc² → the same BIGINT floors.
+    "q232_diversity" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+        |    CAST(SUM(c * c) AS BIGINT) AS coll_sq
+        |  FROM tc GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct_tokens, coll_sq,
+        |  CAST((1000 * coll_sq) // (n_tokens * n_tokens) AS BIGINT)
+        |    AS simpson_milli,
+        |  CAST(1000 - (1000 * coll_sq) // (n_tokens * n_tokens) AS BIGINT)
+        |    AS gini_milli
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // q231: every decorated variant canonicalizes to the same page
+    // by construction, so the frontier is 15 arithmetic rows —
+    // 12 discoveries each (180/15), all 4 source hosts reached
+    // (15k mod 4 covers every residue), min doc_id = p.
+    "q231_crawl_frontier" ->
+      """WITH pages AS (SELECT DISTINCT doc_id % 15 AS p
+        |  FROM documents WHERE doc_id < 180)
+        |SELECT 'http://site' || CAST(p AS VARCHAR) || '.com/x?a='
+        |    || CAST(p AS VARCHAR) || '&b=1' AS canonical_url,
+        |  'site' || CAST(p AS VARCHAR) || '.com' AS canon_host,
+        |  CAST(12 AS BIGINT) AS n_discoveries,
+        |  CAST(4 AS BIGINT) AS n_src_hosts,
+        |  CAST(p AS BIGINT) AS sample_id
+        |FROM pages ORDER BY canonical_url""".stripMargin,
 
     // q230: the three branches pinned by construction — the corrupt
     // form of ' café nñu' IS ' cafÃ© nÃ±u' (C3 A9 / C3 B1 read as

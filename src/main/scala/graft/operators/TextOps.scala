@@ -628,6 +628,116 @@ object TextOps {
         (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
   }
 
+  /** Lexical diversity via the COLLISION (Simpson) index — the
+    * EXACT-integer member of the diversity family, next to the
+    * spec-only Shannon lane: `coll_sq = Σ c_i²` (c_i = count of the
+    * i-th distinct token) is the unnormalized probability that two
+    * random token draws collide; `simpson_milli = ⌊1000·Σc²/N²⌋`
+    * normalizes it and `gini_milli = 1000 − simpson_milli` is the
+    * Gini–Simpson diversity. High collision = repetitive junk (SEO
+    * keyword stuffing, template loops) that [[repetitionStats]]'s
+    * window-dup measure misses when the repetition is SHUFFLED —
+    * collision probability is order-free by construction. All-BIGINT
+    * (the q140 ln-free discipline: same monotonicity as entropy,
+    * exactly replayable); `entropy_milli_nats` is the true Shannon
+    * H·1000 in nats, double, spec-pinned — derived from the SAME
+    * exact counts, never exported through an oracle (IEEE ln).
+    *
+    * Docs with zero tokens emit no row (nothing to measure — the
+    * [[unigramSegment]] absent-doc posture). Returns (doc_id,
+    * n_tokens, n_distinct_tokens, coll_sq, simpson_milli,
+    * gini_milli, entropy_milli_nats).
+    *
+    * Shape at scale: one tokenize+explode, a (doc, token) hash
+    * aggregate, then a doc-grain hash aggregate — both with map-side
+    * partials; no window, no collect. */
+  def diversityStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tc = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("__c"))
+    tc.groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("__c") * col("__c")).as("coll_sq"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__clnc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        col("coll_sq"),
+        expr("(1000 * coll_sq) div (n_tokens * n_tokens)").as("simpson_milli"),
+        (lit(1000L) - expr("(1000 * coll_sq) div (n_tokens * n_tokens)"))
+          .as("gini_milli"),
+        ((log(col("n_tokens").cast("double")) -
+          col("__clnc") / col("n_tokens").cast("double")) * 1000.0)
+          .as("entropy_milli_nats"))
+  }
+
+  private val MonthNames = Seq("january", "february", "march", "april",
+    "may", "june", "july", "august", "september", "october", "november",
+    "december")
+
+  /** Document-date extraction — the freshness/dating signal a corpus
+    * curriculum and a recrawl scheduler both need (a page's publish
+    * date is rarely in metadata; it IS in the text). Three explicit
+    * surface forms, each its own audit lane:
+    *
+    *  - `iso`      `2024-03-17`
+    *  - `us`       `3/17/2024` (month/day/year — the US convention,
+    *               DOCUMENTED; day-first locales need their own lane,
+    *               silently guessing is the one wrong answer)
+    *  - `textual`  `March 17, 2024` (full month names)
+    *
+    * One output row per match: (doc_id, kind, pos, raw, iso) with
+    * `pos` the 0-based match index within its lane and `iso` the
+    * normalized `yyyy-MM-dd` — NULL when the match is
+    * calendar-invalid (`2024-13-40` matches the iso SHAPE; the
+    * explicit Gregorian gate — month 1–12, day within the month's
+    * length including leap February — rejects it but the row
+    * survives, the extractLinks audit posture: malformed evidence
+    * is measurable, never silently dropped). Validation is pure
+    * integer CASE arithmetic, NO date type: engine date parsers
+    * disagree on edge semantics (and Spark 4 ANSI throws); the
+    * explicit calendar is deterministic and oracle-replayable.
+    *
+    * Shape at scale: three regexp_extract_all lanes + posexplode,
+    * all row-local codegen; no UDF, no shuffle, no locale object. */
+  def extractDates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val isoRe = "\\d{4}-\\d{2}-\\d{2}"
+    val usRe = "\\d{1,2}/\\d{1,2}/\\d{4}"
+    val textRe = "(?i)(?:" + MonthNames.map(m =>
+      m.capitalize).mkString("|") + ") \\d{1,2}, \\d{4}"
+    def lane(re: String, kind: String) =
+      df.select(col(idCol).as("doc_id"),
+          posexplode(regexp_extract_all(col(textCol), lit(re), lit(0)))
+            .as(Seq("pos", "raw")))
+        .withColumn("kind", lit(kind))
+    val all = lane(isoRe, "iso")
+      .unionByName(lane(usRe, "us"))
+      .unionByName(lane(textRe, "textual"))
+    val y = when(col("kind") === "iso", substring(col("raw"), 1, 4))
+      .when(col("kind") === "us", regexp_extract(col("raw"), "/(\\d{4})$", 1))
+      .otherwise(regexp_extract(col("raw"), ", (\\d{4})$", 1))
+    val m = when(col("kind") === "iso", substring(col("raw"), 6, 2))
+      .when(col("kind") === "us", regexp_extract(col("raw"), "^(\\d{1,2})/", 1))
+      .otherwise(array_position(typedLit(MonthNames),
+        lower(regexp_extract(col("raw"), "^([A-Za-z]+)", 1))).cast("string"))
+    val d = when(col("kind") === "iso", substring(col("raw"), 9, 2))
+      .when(col("kind") === "us", regexp_extract(col("raw"), "/(\\d{1,2})/", 1))
+      .otherwise(regexp_extract(col("raw"), " (\\d{1,2}),", 1))
+    val yi = y.cast("int"); val mi = m.cast("int"); val di = d.cast("int")
+    val leap = (yi % 4 === 0 && yi % 100 =!= 0) || yi % 400 === 0
+    val daysInMonth = when(mi.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(mi.isin(4, 6, 9, 11), 30)
+      .when(mi === 2, when(leap, 29).otherwise(28))
+      .otherwise(0)
+    val valid = mi.between(1, 12) && di.between(1, daysInMonth)
+    all.select(col("doc_id"), col("kind"), col("pos").cast("long").as("pos"),
+      col("raw"),
+      when(valid, concat(y, lit("-"), lpad(m, 2, "0"), lit("-"),
+        lpad(d, 2, "0"))).as("iso"))
+  }
+
   /** Mojibake signature: a latin-1-visible UTF-8 lead byte followed
     * by continuation-range chars — 'Ã©' where 'é' was meant. Covers
     * 2-byte (lead U+00C2–00DF) and 3-byte (lead U+00E0–00EF) UTF-8

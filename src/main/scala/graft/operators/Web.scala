@@ -511,9 +511,12 @@ object Web {
     * malformed frontier entries are measurable, never silently
     * passed through.
     *
-    * Returns (idCol, urlCol, canonical_url, canon_host). Pure
-    * row-local regex/array expressions in the Spark∩DuckDB regex
-    * subset — no UDF, no shuffle; q226 replays every branch. */
+    * Returns the input columns plus (canonical_url, canon_host) —
+    * pass-through columns survive so pipeline stages (e.g.
+    * [[graft.pipeline.Crawl.frontier]]) keep their link context
+    * without a re-join. Pure row-local regex/array expressions in
+    * the Spark∩DuckDB regex subset — no UDF, no shuffle; q226
+    * replays every branch. */
   def canonicalizeUrls(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
     val u = col(urlCol)
     val noFrag = regexp_replace(u, "#.*$", "")
@@ -536,7 +539,7 @@ object Web {
     val qPart = when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
     val canon = when(scheme === "" || host === "", lit(null).cast("string"))
       .otherwise(concat(scheme, lit("://"), host, portPart, path, qPart))
-    df.select(col(idCol), u.as(urlCol),
+    df.select(col("*"),
       canon.as("canonical_url"),
       when(canon.isNotNull, host).as("canon_host"))
   }

@@ -91,6 +91,39 @@ object Crawl {
       .agg(count(lit(1)).as("n_links"))
       .withColumnRenamed("host", "dst_host")
 
+  /** Canonical frontier assembly — the dedup step between link
+    * extraction and the fetch queue: every discovered outlink is
+    * canonicalized ([[graft.operators.Web.canonicalizeUrls]] — the
+    * frontier's identity function) and duplicates collapse to ONE
+    * frontier row per canonical URL. Without this, a page decorated
+    * with utm params, a fragment, or a reordered query string is
+    * fetched once per variant — the classic crawler self-DDoS.
+    *
+    * Returns (canonical_url, canon_host, n_discoveries,
+    * n_src_hosts, sample_id): discovery count, how many distinct
+    * linking hosts found it (the frontier prioritization signal —
+    * many-host URLs first), and the smallest discovering id as a
+    * deterministic provenance sample. URLs that canonicalize to NULL
+    * (no scheme://host) are EXCLUDED — they are audit rows for
+    * [[ingest]]'s reject stream, not fetchable work.
+    *
+    * Shape at scale: row-local canonicalization + ONE hash aggregate
+    * shuffling (canonical_url, src_host, id) triples with map-side
+    * partials; countDistinct on src_host is per-group bounded by the
+    * linking-host fan-in. */
+  def frontier(links: DataFrame, idCol: String, urlCol: String,
+               srcHostCol: String): DataFrame = {
+    val c = graft.operators.Web.canonicalizeUrls(
+      links.select(col(idCol), col(urlCol), col(srcHostCol)),
+      idCol, urlCol)
+    c.filter(col("canonical_url").isNotNull)
+      .groupBy(col("canonical_url"))
+      .agg(first(col("canon_host")).as("canon_host"),
+        count(lit(1)).as("n_discoveries"),
+        countDistinct(col(srcHostCol)).as("n_src_hosts"),
+        min(col(idCol)).as("sample_id"))
+  }
+
   /** RETROACTIVE robots compliance over an ingested crawl — the
     * training-data opt-out step: a corpus fetched months ago is
     * re-filtered under TODAY'S robots.txt before it feeds a training

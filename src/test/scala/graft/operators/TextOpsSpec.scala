@@ -857,6 +857,53 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(("is", "big")))
   }
 
+  test("diversityStats: exact collision index; order-free; Shannon tracks counts") {
+    import spark.implicits._
+    val rows = Seq(
+      // 'a a a b' → counts {a:3, b:1}, N=4, Σc²=10 → simpson ⌊10000/16⌋=625
+      (1L, "a a a b"),
+      // shuffled stuffing vs contiguous: SAME index (order-free)
+      (2L, "spam x spam y spam x spam y"),
+      (3L, "spam spam spam spam x x y y"),
+      // all-distinct: Σc²=N → simpson = ⌊1000/N⌋
+      (4L, "one two three four five"),
+      (5L, "   ")).toDF("id", "t") // no tokens → no row
+    val got = TextOps.diversityStats(rows, "id", "t")
+      .as[(Long, Long, Long, Long, Long, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(5L))
+    assert(got(1L) == ((1L, 4L, 2L, 10L, 625L, 375L,
+      got(1L)._7)))
+    assert(got(2L)._4 == got(3L)._4 && got(2L)._5 == got(3L)._5)
+    assert(got(4L) == ((4L, 5L, 5L, 5L, 200L, 800L, got(4L)._7)))
+    // Shannon lane: exact for the uniform case (ln 5), and the
+    // skewed doc is strictly less diverse
+    assert(math.abs(got(4L)._7 - 1000.0 * math.log(5.0)) < 1e-9)
+    val h1 = 1000.0 * (math.log(4.0) - (3 * math.log(3.0)) / 4.0)
+    assert(math.abs(got(1L)._7 - h1) < 1e-9)
+    assert(got(1L)._7 < got(4L)._7)
+  }
+
+  test("extractDates: three lanes, US convention, calendar gate incl. leap day") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "see 2024-02-29 and 2023-02-29 then February 29, 2024 end"),
+      (2L, "on 3/17/2024 vs 17/3/2024 done"),
+      (3L, "nothing dated here")).toDF("id", "t")
+    val got = TextOps.extractDates(rows, "id", "t")
+      .as[(Long, String, Long, String, Option[String])]
+      .collect().map(r => (r._1, r._2, r._3) -> (r._4, r._5)).toMap
+    // leap day valid in 2024, not 2023
+    assert(got((1L, "iso", 0L)) == (("2024-02-29", Some("2024-02-29"))))
+    assert(got((1L, "iso", 1L)) == (("2023-02-29", None)))
+    assert(got((1L, "textual", 0L)) ==
+      (("February 29, 2024", Some("2024-02-29"))))
+    // US convention: month first; 17/3 has month 17 → audit NULL
+    assert(got((2L, "us", 0L)) == (("3/17/2024", Some("2024-03-17"))))
+    assert(got((2L, "us", 1L)) == (("17/3/2024", None)))
+    assert(!got.keys.exists(_._1 == 3L))
+  }
+
   test("fixMojibake: inverts latin-1 misdecoding; FFFD gate keeps unround-trippable text") {
     import spark.implicits._
     // corrupt by the REAL transform: UTF-8 bytes read as latin-1

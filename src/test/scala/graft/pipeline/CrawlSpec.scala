@@ -136,4 +136,25 @@ class CrawlSpec extends SparkTestBase {
       ("crawl-delay", Some("b"), "4"),
       ("sitemap", None, "https://h/sm.xml")))
   }
+
+  test("frontier: decorated variants collapse; NULL canonicals excluded") {
+    val links = Seq(
+      // one page, four decorated discoveries from three hosts
+      (1L, "http://A.com/x?b=1&a=2", "h1"),
+      (2L, "HTTP://a.COM:80/x?a=2&b=1#top", "h2"),
+      (3L, "http://u@a.com/x?b=1&&a=2&utm_source=s", "h3"),
+      (4L, "http://a.com/x?a=2&b=1", "h1"),
+      // a second page, one discovery
+      (5L, "https://b.org/only", "h1"),
+      // unresolvable: no scheme://host → excluded from the frontier
+      (6L, "not-a-url", "h2")).toDF("id", "url", "src")
+    val got = Crawl.frontier(links, "id", "url", "src")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.size == 2)
+    assert(got("http://a.com/x?a=2&b=1") ==
+      (("http://a.com/x?a=2&b=1", "a.com", 4L, 3L, 1L)))
+    assert(got("https://b.org/only") ==
+      (("https://b.org/only", "b.org", 1L, 1L, 5L)))
+  }
 }

@@ -2476,6 +2476,62 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q236: code-vs-prose routing signals — structural line counters
+    // (trailing braces/semicolons, deep indent, keyword hits) and
+    // one floor-division routing score, replayed directly over the
+    // raw documents text (no construction needed: every counter is
+    // exact).
+    "q236_code_signals" -> ((s, dir) => {
+      operators.TextOps.codeSignals(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q235: HTML table extraction — a header+data table with markup
+    // and entities inside cells plus a second single-cell table,
+    // every cell addressed (table, row, col) and th flagged; DuckDB
+    // rebuilds all five cells per doc from the same arithmetic.
+    "q235_html_tables" -> ((s, dir) => {
+      val html = concat(
+        lit("<body><p>intro</p><table class=\"t\"><tr><th>Name</th>" +
+          "<th>Qty &amp; unit</th></tr><tr><td>item"),
+        col("doc_id") % 7,
+        lit("</td><td><b>"), col("doc_id") % 4,
+        lit("</b> kg</td></tr></table><table><tr><td>x"),
+        col("doc_id") % 3, lit("</td></tr></table></body>"))
+      operators.Web.extractTables(
+          Tables.documents(s, dir).filter(col("doc_id") < 150)
+            .select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"), col("table_idx"), col("row_idx"),
+          col("col_idx"))
+    }),
+
+    // q234: JSON-LD structured metadata — an Article block with all
+    // fields, a minimal Product block, and a TRUNCATED block that
+    // must surface as valid_json=false with NULL fields (audit row);
+    // a plain <script> decoy must never match. DuckDB pins every
+    // field by construction.
+    "q234_jsonld" -> ((s, dir) => {
+      val m = col("doc_id") % 3
+      val json = when(m === 0, concat(
+          lit("{\"@type\":\"Article\",\"headline\":\"H"), col("doc_id"),
+          lit("\",\"datePublished\":\"2024-0"), col("doc_id") % 9 + 1,
+          lit("-11\",\"author\":{\"name\":\"A"), col("doc_id") % 5,
+          lit("\"}}")))
+        .when(m === 1, lit("{\"@type\":\"Product\"}"))
+        .otherwise(lit("{\"@type\":\"Broken\""))
+      val html = concat(
+        lit("<html><head><script>var x=1;</script>" +
+          "<script type=\"application/ld+json\">"), json,
+        lit("</script></head><body>x</body></html>"))
+      operators.Web.jsonLd(
+          Tables.documents(s, dir).filter(col("doc_id") < 150)
+            .select(col("doc_id"), html.as("html")),
+          "doc_id", "html")
+        .orderBy(col("doc_id"), col("blk_idx"))
+    }),
+
     // q233: document-date extraction — one planted date per surface
     // form (textual month-name, US slash, valid ISO) plus the
     // calendar-invalid '2024-13-40' that must surface with NULL iso
@@ -5447,6 +5503,72 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q236: per-line counters replayed with the same regex subset
+    // (trailing anchors, \b bounds, the 4-space/tab indent class)
+    // over string_split lines; absent docs LEFT-JOIN back to zero.
+    "q236_code_signals" ->
+      """WITH l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln
+        |  FROM documents),
+        |nb AS (SELECT doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN regexp_matches(trim(ln), '[{}]$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_brace_lines,
+        |    CAST(SUM(CASE WHEN regexp_matches(trim(ln), ';$')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_semi_lines,
+        |    CAST(SUM(CASE WHEN regexp_matches(ln, '^(    |\t)')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_indent_lines
+        |  FROM l WHERE trim(ln) <> '' GROUP BY 1),
+        |kw AS (SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |    '\b(def|class|return|import|function|const|var|val|public|void|if|else|for|while)\b'))
+        |    AS BIGINT) AS n_keyword_hits
+        |  FROM documents)
+        |SELECT d.doc_id, COALESCE(nb.n_lines, 0) AS n_lines,
+        |  COALESCE(nb.n_brace_lines, 0) AS n_brace_lines,
+        |  COALESCE(nb.n_semi_lines, 0) AS n_semi_lines,
+        |  COALESCE(nb.n_indent_lines, 0) AS n_indent_lines,
+        |  kw.n_keyword_hits,
+        |  CASE WHEN COALESCE(nb.n_lines, 0) > 0 THEN
+        |    CAST((1000 * (nb.n_brace_lines + nb.n_semi_lines +
+        |      nb.n_indent_lines)) // (3 * nb.n_lines) AS BIGINT) END
+        |    AS code_milli
+        |FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id
+        |JOIN kw ON d.doc_id = kw.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q235: the five cells per doc by construction — entity decode
+    // ('Qty &amp; unit' → 'Qty & unit'), inner-markup strip
+    // ('<b>N</b> kg' → 'N kg'), th flags on row 0 of table 0 only.
+    "q235_html_tables" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS a, doc_id % 4 AS b,
+        |    doc_id % 3 AS c FROM documents WHERE doc_id < 150)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |  CAST(0 AS BIGINT) AS row_idx, CAST(0 AS BIGINT) AS col_idx,
+        |  TRUE AS is_header, 'Name' AS cell FROM d
+        |UNION ALL SELECT doc_id, 0, 0, 1, TRUE, 'Qty & unit' FROM d
+        |UNION ALL SELECT doc_id, 0, 1, 0, FALSE,
+        |  'item' || CAST(a AS VARCHAR) FROM d
+        |UNION ALL SELECT doc_id, 0, 1, 1, FALSE,
+        |  CAST(b AS VARCHAR) || ' kg' FROM d
+        |UNION ALL SELECT doc_id, 1, 0, 0, FALSE,
+        |  'x' || CAST(c AS VARCHAR) FROM d
+        |ORDER BY doc_id, table_idx, row_idx, col_idx""".stripMargin,
+
+    // q234: the three block shapes pinned by construction; the
+    // truncated branch is the one that proves the parse gate.
+    "q234_jsonld" ->
+      """SELECT doc_id, CAST(0 AS BIGINT) AS blk_idx,
+        |  doc_id % 3 <> 2 AS valid_json,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Article'
+        |    WHEN 1 THEN 'Product' END AS ld_type,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'H' || CAST(doc_id AS VARCHAR) END AS headline,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-11' END
+        |    AS date_published,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'A' || CAST(doc_id % 5 AS VARCHAR) END AS author_name
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // q233: the four rows per doc rebuilt by arithmetic — the valid
     // iso row normalizes to itself, us/textual to their padded

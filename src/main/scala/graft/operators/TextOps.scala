@@ -628,6 +628,48 @@ object TextOps {
         (acc, c) => replace(acc, c, lit("<CARD>"))).as("redacted"))
   }
 
+  /** Keyword alternation shared by [[codeSignals]] and its q236
+    * oracle — common across C-family/Python/Scala/JS; \b bounds are
+    * in the Java∩RE2 subset. */
+  private val CodeKeywordRe = "\\b(def|class|return|import|function|" +
+    "const|var|val|public|void|if|else|for|while)\\b"
+
+  /** Code-vs-prose signals — the routing gate a mixed crawl needs
+    * BEFORE text quality scoring (C4's prose heuristics would junk
+    * perfectly good source files; a code-aware mix routes them to
+    * the code pipeline instead). Pure structural counters, each a
+    * line-grain integer:
+    *
+    *  - `n_brace_lines` / `n_semi_lines` — nonblank lines ending
+    *    (after trim) in a brace / a semicolon
+    *  - `n_indent_lines` — lines starting with 4+ spaces or a tab
+    *  - `n_keyword_hits` — [[CodeKeywordRe]] matches over the doc
+    *  - `code_milli` — ⌊1000·(brace+semi+indent)/(3·n_lines)⌋, the
+    *    single floor-division routing score (NULL when no nonblank
+    *    lines — nothing to classify)
+    *
+    * Shape at scale: row-local split + array filters + one regex
+    * count; no explode, no shuffle, no UDF. */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nonblank = filter(lines, l => trim(l) =!= "")
+    val nLines = size(nonblank).cast("long")
+    val nBrace = size(filter(nonblank, l => trim(l).rlike("[{}]$"))).cast("long")
+    val nSemi = size(filter(nonblank, l => trim(l).rlike(";$"))).cast("long")
+    val nIndent = size(filter(lines, l =>
+      l.rlike("^(    |\t)") && trim(l) =!= "")).cast("long")
+    val nKw = size(regexp_extract_all(col(textCol), lit(CodeKeywordRe), lit(0)))
+      .cast("long")
+    df.select(col(idCol).as("doc_id"),
+        nLines.as("n_lines"), nBrace.as("n_brace_lines"),
+        nSemi.as("n_semi_lines"), nIndent.as("n_indent_lines"),
+        nKw.as("n_keyword_hits"))
+      .withColumn("code_milli",
+        when(col("n_lines") > 0, expr(
+          "(1000 * (n_brace_lines + n_semi_lines + n_indent_lines)) " +
+          "div (3 * n_lines)")))
+  }
+
   /** Lexical diversity via the COLLISION (Simpson) index — the
     * EXACT-integer member of the diversity family, next to the
     * spec-only Shannon lane: `coll_sq = Σ c_i²` (c_i = count of the

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** HTML → text extraction for web-crawl corpora.
   *
@@ -475,6 +476,92 @@ object Web {
       .select(col("host"), col("path"),
         (col("rule_type").isNull || col("rule_type") === "allow").as("allowed"),
         col("rule_type"), col("rule_path"))
+  }
+
+  /** Schema of one JSON-LD block as [[jsonLd]] projects it. The
+    * `_corrupt_record` member is the validity probe: `from_json` in
+    * PERMISSIVE mode returns a struct of NULLs for malformed input
+    * (never a null struct), so "did it parse" is only observable by
+    * asking for the corrupt-record column — non-null there ⇔
+    * unparseable. */
+  private val JsonLdSchema = StructType(Seq(
+    StructField("@type", StringType),
+    StructField("headline", StringType),
+    StructField("datePublished", StringType),
+    StructField("author", StructType(Seq(StructField("name", StringType)))),
+    StructField("_corrupt_record", StringType)))
+
+  /** JSON-LD (schema.org) structured-metadata extraction — the
+    * machine-readable page facts publishers actually embed
+    * (`<script type="application/ld+json">`): article type, headline,
+    * publish date, author. These beat text heuristics whenever
+    * present (a page SAYS its datePublished; [[graft.operators
+    * .TextOps.extractDates]] is the fallback when it doesn't).
+    *
+    * One row per ld+json block in document order: (doc_id, blk_idx,
+    * valid_json, ld_type, headline, date_published, author_name).
+    * Non-ld script blocks never match (the type attribute is the
+    * discriminator); a malformed block yields valid_json=false with
+    * NULL fields — the row survives, the audit posture. Parsing is
+    * `from_json` against a fixed projection schema: absent fields are
+    * NULL, unparseable JSON is detected via the corrupt-record
+    * column (see [[JsonLdSchema]]), and nothing is ever thrown.
+    *
+    * Shape at scale: one regexp_extract_all + posexplode + row-local
+    * from_json; no UDF, no shuffle. */
+  def jsonLd(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val blockRe = "(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"']" +
+      "[^>]*>(.*?)</script\\s*>"
+    val parsed = from_json(col("json"), JsonLdSchema,
+      Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(regexp_extract_all(col(htmlCol), lit(blockRe), lit(1)))
+          .as(Seq("blk_idx", "json")))
+      .select(col("doc_id"), col("blk_idx").cast("long").as("blk_idx"),
+        parsed.getField("_corrupt_record").isNull.as("valid_json"),
+        parsed.getField("@type").as("ld_type"),
+        parsed.getField("headline").as("headline"),
+        parsed.getField("datePublished").as("date_published"),
+        parsed.getField("author").getField("name").as("author_name"))
+  }
+
+  /** HTML table extraction — tables are the page content worth
+    * STRUCTURE (specs, stats, standings): one row per CELL,
+    * addressed (doc_id, table_idx, row_idx, col_idx, cell), with
+    * header cells (`<th>`) flagged. Cell text is tag-stripped,
+    * entity-decoded (ampersand last), and whitespace-normalized —
+    * the [[htmlToText]] discipline at cell grain. Nested tables are
+    * OUT of scope (the outer regex consumes to the first
+    * `</table>`), documented, not guessed at.
+    *
+    * Shape at scale: three staged posexplodes (table → tr → td/th),
+    * each a DataFrame-level generator — never a nested lambda
+    * re-evaluating the page per cell; row-local regex throughout, no
+    * shuffle. */
+  def extractTables(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val tables = df.select(col(idCol).as("doc_id"),
+      posexplode(regexp_extract_all(col(htmlCol),
+        lit("(?is)<table[^>]*>(.*?)</table\\s*>"), lit(1)))
+        .as(Seq("table_idx", "__t")))
+    val rows = tables.select(col("doc_id"),
+      col("table_idx").cast("long").as("table_idx"),
+      posexplode(regexp_extract_all(col("__t"),
+        lit("(?is)<tr[^>]*>(.*?)</tr\\s*>"), lit(1)))
+        .as(Seq("row_idx", "__r")))
+    val cells = rows.select(col("doc_id"), col("table_idx"),
+      col("row_idx").cast("long").as("row_idx"),
+      posexplode(regexp_extract_all(col("__r"),
+        lit("(?is)<(t[dh])[^>]*>(.*?)</t[dh]\\s*>"), lit(2)))
+        .as(Seq("col_idx", "__c")),
+      regexp_extract_all(col("__r"),
+        lit("(?is)<(t[dh])[^>]*>(.*?)</t[dh]\\s*>"), lit(1)).as("__kinds"))
+    cells.select(col("doc_id"), col("table_idx"), col("row_idx"),
+      col("col_idx").cast("long").as("col_idx"),
+      (lower(element_at(col("__kinds"), (col("col_idx") + 1).cast("int")))
+        === "th").as("is_header"),
+      trim(regexp_replace(entityDecode(
+        regexp_replace(col("__c"), "<[^>]*>", " ")), "\\s+", " "))
+        .as("cell"))
   }
 
   /** Param names stripped by [[canonicalizeUrls]]: click-tracking

@@ -391,6 +391,25 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming twin of [[graft.pipeline.Crawl.frontier]]: a live
+    * discovery stream (links found as pages are fetched) deduped to
+    * first-seen per CANONICAL url — the decorated variants
+    * ([[graft.operators.Web.canonicalizeUrls]]) of an already-queued
+    * page never re-enter the fetch queue. Canonicalization is the
+    * same row-local expression stack as batch; the dedup state is
+    * watermark-BOUNDED like [[dedupStream]] (a frontier remembers
+    * URLs for the dedup horizon, not forever — a re-discovery after
+    * eviction re-queues, which is also the recrawl behavior a real
+    * frontier wants). NULL canonicals are dropped (not fetchable),
+    * matching the batch operator. Emits the first-arriving row per
+    * canonical_url with (canonical_url, canon_host) attached. */
+  def frontierStream(df: DataFrame, urlCol: String, tsCol: String,
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    graft.operators.Web.canonicalizeUrls(df, urlCol, urlCol)
+      .filter(col("canonical_url").isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("canonical_url")
+
   /** Watermarked stream-stream interval join — the streaming twin of
     * [[graft.operators.Relational.intervalJoin]] (click→purchase
     * attribution between two live streams): every (left, right) pair

@@ -857,6 +857,25 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!out.contains(("is", "big")))
   }
 
+  test("codeSignals: line counters route code above prose; empty doc scores NULL") {
+    import spark.implicits._
+    val code = "def f(x):\n    return x + 1\n\nclass A {\n  int y;\n}\n"
+    val prose = "The quick brown fox jumps.\nIt was sunny today.\n"
+    val got = TextOps.codeSignals(
+        Seq((1L, code), (2L, prose), (3L, "\n\n")).toDF("id", "t"), "id", "t")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // code: 5 nonblank lines; braces on '{'/'}' lines, semi on 'int y;',
+    // indent only on the 4-space 'return' line ('  int y;' is 2 spaces);
+    // keywords def, return, class (int not in the list) = 3
+    assert(got(1L) == ((1L, 5L, 2L, 1L, 1L, 3L,
+      Some((1000L * 4) / (3 * 5)))))
+    assert(got(2L)._3 == 0L && got(2L)._4 == 0L && got(2L)._5 == 0L &&
+      got(2L)._7 == Some(0L))
+    assert(got(3L) == ((3L, 0L, 0L, 0L, 0L, 0L, None)))
+    assert(got(1L)._7.get > got(2L)._7.get)
+  }
+
   test("diversityStats: exact collision index; order-free; Shannon tracks counts") {
     import spark.implicits._
     val rows = Seq(

@@ -315,6 +315,46 @@ class WebSpec extends SparkTestBase {
       ("sitemap", "https://a.com/sm2.xml", Some("2024-06-01"))))
   }
 
+  test("jsonLd: ld blocks only, multiple blocks ordered, corrupt gate, absent fields") {
+    val html =
+      "<head><script>plain();</script>" +
+      "<script type=\"application/ld+json\">{\"@type\":\"Article\"," +
+      "\"headline\":\"Big News\",\"datePublished\":\"2024-05-01\"," +
+      "\"author\":{\"name\":\"Ada\"},\"extra\":\"ignored\"}</script>" +
+      "<script type='application/ld+json'>{\"@type\":\"Product\"}</script>" +
+      "<script type=\"application/ld+json\">{broken</script></head>"
+    val got = Web.jsonLd(Seq((7L, html)).toDF("id", "h"), "id", "h")
+      .orderBy("blk_idx")
+      .as[(Long, Long, Boolean, Option[String], Option[String],
+        Option[String], Option[String])].collect()
+    assert(got.toSeq == Seq(
+      (7L, 0L, true, Some("Article"), Some("Big News"), Some("2024-05-01"),
+        Some("Ada")),
+      (7L, 1L, true, Some("Product"), None, None, None),
+      (7L, 2L, false, None, None, None, None)))
+    // a page with no ld blocks emits nothing
+    assert(Web.jsonLd(Seq((8L, "<body>no ld</body>")).toDF("id", "h"),
+      "id", "h").count() == 0)
+  }
+
+  test("extractTables: addressing, th flags, entity decode, ragged rows, no nesting surprises") {
+    val html =
+      "<table><tr><th>A</th><th>B &amp; C</th></tr>" +
+      "<tr><td> one </td><td><i>two</i> half</td></tr>" +
+      "<tr><td>lone</td></tr></table>" + // ragged row: 1 cell
+      "<table><TR><TD>second</TD></TR></table>"  // case-insensitive
+    val got = Web.extractTables(Seq((1L, html)).toDF("id", "h"), "id", "h")
+      .orderBy("table_idx", "row_idx", "col_idx")
+      .as[(Long, Long, Long, Long, Boolean, String)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L, 0L, true, "A"),
+      (1L, 0L, 0L, 1L, true, "B & C"),
+      (1L, 0L, 1L, 0L, false, "one"),
+      (1L, 0L, 1L, 1L, false, "two half"),
+      (1L, 0L, 2L, 0L, false, "lone"),
+      (1L, 1L, 0L, 0L, false, "second")))
+  }
+
   test("canonicalizeUrls: case, ports, userinfo, params, fragments, NULL audit") {
     val urls = Seq(
       // scheme+host fold, :80 dropped, fragment dropped, utm_* out,

@@ -403,6 +403,33 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(kept == Set(1.0, 2.0, 4.0), kept.mkString(","))
   }
 
+  test("frontierStream: canonical-URL dedup across micro-batches; NULLs dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    // event_type carries the discovered URL
+    val q = StreamOps.frontierStream(stream.toDF(), "event_type", "ts",
+        "10 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("fs").start()
+    try {
+      stream.addData(
+        Ev(t("2024-01-01 00:00:00"), "http://A.com/x?b=1&a=2", 1.0),
+        Ev(t("2024-01-01 00:00:05"), "not-a-url", 2.0))
+      q.processAllAvailable()
+      stream.addData( // decorated variant of the queued page + a new page
+        Ev(t("2024-01-01 00:01:00"), "HTTP://a.COM:80/x?a=2&b=1&utm_x=1#f", 3.0),
+        Ev(t("2024-01-01 00:01:10"), "https://b.org/new", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("fs").select("value", "canonical_url")
+      .as[(Double, String)].collect().toMap
+    // first arrival per canonical page survives; the cross-batch
+    // decorated variant (3.0) dedups against carried state; the
+    // unfetchable URL (2.0) never enters the frontier
+    assert(kept == Map(1.0 -> "http://a.com/x?a=2&b=1",
+      4.0 -> "https://b.org/new"), kept.mkString(","))
+  }
+
   test("stream-static join: streaming events enriched against a static dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -2476,6 +2476,136 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q237: interval coalescing — per-user [ts, ts+dur) event spans
+    // (durations and zero-length probes from event_id arithmetic)
+    // dissolve into maximal disjoint islands; DuckDB replays the
+    // running-max/break/cumsum window chain over the same micros.
+    "q237_merge_intervals" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select((col("user_id") % 50).as("key"),
+          col("ts").as("start_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            when(col("event_id") % 11 === 0, 0L)
+              .otherwise((col("event_id") % 7 + 1) * 45000000L))
+            .as("end_ts"))
+      Relational.mergeIntervals(ev, "key", "start_ts", "end_ts")
+        .orderBy(col("key"), col("island_idx"))
+    }),
+
+    // q238: categorical drift between two snapshots — the even/odd
+    // doc_id halves of the corpus compared on source mix; per-cell
+    // chi-square contributions in exact micro floors (staged BIGINT,
+    // both cells share |num|). DuckDB replays counts, num, and both
+    // staged divisions.
+    "q238_drift_chi2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      operators.Learn.driftChi2(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "source")
+        .orderBy(col("category"))
+    }),
+
+    // q239: majority-vote label aggregation — events as (item,
+    // label) judgments; winner = most votes, ties to the smallest
+    // label; agreement in exact milli. DuckDB replays the count +
+    // ROW_NUMBER tie order.
+    "q239_vote_labels" -> ((s, dir) => {
+      val votes = Tables.events(s, dir)
+        .select((col("event_id") % 500).as("item"),
+          col("event_type").as("label"))
+      operators.Learn.voteLabels(votes, "item", "label")
+        .orderBy(col("item"))
+    }),
+
+    // q240: Cohen's kappa between two annotators — each half of the
+    // event stream reduces to one deterministic label per item
+    // (arg-min event_id), kappa from the contingency table in exact
+    // micro floors through the sign-split division. One row; DuckDB
+    // replays contingency, marginals, and every staged division.
+    "q240_cohen_kappa" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("event_id") % 200).as("item"), col("event_type"))
+      def annotator(side: Int) = ev.filter(col("user_id") % 2 === side)
+        .groupBy(col("item"))
+        .agg(min_by(col("event_type"), col("event_id")).as("label"))
+      operators.Learn.cohenKappa(annotator(0), annotator(1),
+        "item", "label")
+    }),
+
+    // q241: ROUGE-2 overlap scoring — consecutive documents paired
+    // as (candidate, reference); clipped bigram overlap + exact
+    // milli recall/precision/F1. DuckDB rebuilds bigrams by range-
+    // unnest over the same whitespace tokens and replays the clip,
+    // the totals, and all three floors.
+    "q241_rouge2" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      val pairs = d.select(col("doc_id").as("pair"),
+          col("text").as("cand"))
+        .join(d.select((col("doc_id") - 1).as("pair"),
+          col("text").as("ref")), Seq("pair"))
+      TextOps.rougeN(pairs, "pair", "cand", "ref", n = 2)
+        .orderBy(col("pair"))
+    }),
+
+    // q242: k-anonymity equivalence classes — customers under the
+    // (nation, segment, acctbal-kilobucket) quasi-identifier; class
+    // sizes + the k=5 release flag. DuckDB replays the banding and
+    // the GROUP BY.
+    "q242_k_anonymity" -> ((s, dir) => {
+      val qi = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      operators.Privacy.kAnonymity(qi,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+    }),
+
+    // q243: k-anonymity suppression release — row-grain: QI columns
+    // null out for rows in classes under k, payload and row count
+    // intact, the suppressed flag beside. DuckDB computes class
+    // sizes in a window and applies the same CASE.
+    "q243_k_suppress" -> ((s, dir) => {
+      val qi = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      operators.Privacy.suppress(qi,
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("bal_band"), col("suppressed"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // q244: l-diversity check — classes that are k-safe by size can
+    // still expose a shared sensitive value; here the QI is
+    // (nation, segment) and the sensitive attribute the acctbal
+    // kilobucket. DuckDB replays COUNT + COUNT(DISTINCT).
+    "q244_l_diversity" -> ((s, dir) => {
+      val qi = Tables.customer(s, dir)
+        .withColumn("bal_band",
+          floor(col("c_acctbal") / 1000).cast("long"))
+      operators.Privacy.lDiversity(qi,
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
+
+    // q245: bloom-pruned join — lineitem joins a sliver of part
+    // (every 37th key); the fact side filters on the dim-key Bloom
+    // sketch BEFORE its shuffle (plan-pinned in RelationalSpec), and
+    // the result is the plain inner join's, exactly (routing is
+    // physical, never semantic — the q216 discipline).
+    "q245_bloom_pruned_join" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).filter(col("p_partkey") % 37 === 0)
+      Relational.bloomPrunedJoin(
+          Tables.lineitem(s, dir), dim, "l_partkey", "p_partkey",
+          expectedDimKeys = 1L << 16)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // q236: code-vs-prose routing signals — structural line counters
     // (trailing braces/semicolons, deep indent, keyword hits) and
     // one floor-division routing score, replayed directly over the
@@ -5503,6 +5633,197 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q237: the running-max / break-flag / cumulative-sum island
+    // chain replayed as ordinary DuckDB windows over the same exact
+    // micros (identical intervals tie-safely: the second of two
+    // equal rows always sees the first's end in its preceding max).
+    "q237_merge_intervals" ->
+      """WITH iv AS (
+        |  SELECT user_id % 50 AS key, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CASE WHEN event_id % 11 = 0 THEN 0
+        |      ELSE (event_id % 7 + 1) * 45000000 END AS e
+        |  FROM events),
+        |m AS (
+        |  SELECT key, s, e,
+        |    MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        |  FROM iv),
+        |g AS (
+        |  SELECT key, s, e,
+        |    SUM(CASE WHEN maxe IS NULL OR s >= maxe THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY key ORDER BY s, e
+        |        ROWS UNBOUNDED PRECEDING) - 1 AS island_idx
+        |  FROM m)
+        |SELECT key, CAST(island_idx AS BIGINT) AS island_idx,
+        |  COUNT(*) AS n_intervals,
+        |  CAST(MIN(s) AS BIGINT) AS island_start_us,
+        |  CAST(MAX(e) AS BIGINT) AS island_end_us,
+        |  CAST(MAX(e) - MIN(s) AS BIGINT) AS island_span_us
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q238: counts, num, and both staged micro divisions replayed;
+    // all squared/denominator operands nonnegative so `//` == div,
+    // every output cast to BIGINT (the q149 dtype lesson).
+    "q238_drift_chi2" ->
+      """WITH a AS (SELECT source AS category, COUNT(*) AS n_a
+        |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT source AS category, COUNT(*) AS n_b
+        |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cells AS (SELECT COALESCE(a.category, b.category) AS category,
+        |    CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.category = b.category),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+        |               CAST(SUM(n_b) AS BIGINT) AS nb FROM cells),
+        |c2 AS (SELECT category, n_a, n_b,
+        |    (na + nb) * n_a - na * (n_a + n_b) AS num,
+        |    ((na + nb) * n_a - na * (n_a + n_b))
+        |      * ((na + nb) * n_a - na * (n_a + n_b)) AS n2,
+        |    (na + nb) * na * (n_a + n_b) AS dena,
+        |    (na + nb) * nb * (n_a + n_b) AS denb
+        |  FROM cells, tot)
+        |SELECT category, n_a, n_b, CAST(num AS BIGINT) AS num,
+        |  CAST(CASE WHEN dena > 0
+        |      THEN (n2 // dena) * 1000000 + ((n2 % dena) * 1000000) // dena
+        |      ELSE 0 END +
+        |    CASE WHEN denb > 0
+        |      THEN (n2 // denb) * 1000000 + ((n2 % denb) * 1000000) // denb
+        |      ELSE 0 END AS BIGINT) AS chi2_micro
+        |FROM c2 ORDER BY category""".stripMargin,
+
+    // q239: vote counts + the ROW_NUMBER tie order (votes desc,
+    // label asc) replayed; agreement is one nonneg floor.
+    "q239_vote_labels" ->
+      """WITH vt AS (SELECT event_id % 500 AS item, event_type AS label
+        |            FROM events),
+        |counts AS (SELECT item, label, COUNT(*) AS votes
+        |           FROM vt GROUP BY 1, 2),
+        |tot AS (SELECT item, CAST(SUM(votes) AS BIGINT) AS n_votes,
+        |          COUNT(*) AS n_distinct_labels
+        |        FROM counts GROUP BY 1),
+        |r AS (SELECT item, label, votes,
+        |        ROW_NUMBER() OVER (PARTITION BY item
+        |          ORDER BY votes DESC, label ASC) AS rn
+        |      FROM counts)
+        |SELECT r.item, r.label AS winner,
+        |  CAST(r.votes AS BIGINT) AS winner_votes, n_votes,
+        |  n_distinct_labels,
+        |  CAST((1000 * r.votes) // n_votes AS BIGINT) AS agreement_milli
+        |FROM r JOIN tot ON r.item = tot.item
+        |WHERE rn = 1 ORDER BY r.item""".stripMargin,
+
+    // q240: per-side arg-min labels, the contingency table, both
+    // marginals, and every staged division (kappa through the
+    // sign-split CASE mirroring Spark's truncating div) replayed.
+    "q240_cohen_kappa" ->
+      """WITH ev AS (SELECT event_id, user_id, event_id % 200 AS item,
+        |              event_type FROM events),
+        |a AS (SELECT item, arg_min(event_type, event_id) AS la
+        |      FROM ev WHERE user_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT item, arg_min(event_type, event_id) AS lb
+        |      FROM ev WHERE user_id % 2 = 1 GROUP BY 1),
+        |cont AS (SELECT la, lb, COUNT(*) AS c
+        |         FROM a JOIN b USING (item) GROUP BY 1, 2),
+        |rows_ AS (SELECT la, SUM(c) AS r FROM cont GROUP BY 1),
+        |cols_ AS (SELECT lb, SUM(c) AS k FROM cont GROUP BY 1),
+        |sums AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n,
+        |    CAST(COALESCE(SUM(CASE WHEN la = lb THEN c ELSE 0 END), 0)
+        |      AS BIGINT) AS n_agree
+        |  FROM cont),
+        |sr AS (SELECT CAST(COALESCE(SUM(r * k), 0) AS BIGINT) AS src
+        |       FROM rows_ JOIN cols_ ON la = lb)
+        |SELECT n AS n_items, n_agree,
+        |  CAST((1000000 * n_agree) // n AS BIGINT) AS po_micro,
+        |  CAST((1000000 * src) // (n * n) AS BIGINT) AS pe_micro,
+        |  CASE WHEN n * n <> src THEN
+        |    CAST(CASE WHEN 1000000 * (n * n_agree - src) >= 0
+        |      THEN (1000000 * (n * n_agree - src)) // (n * n - src)
+        |      ELSE -((-(1000000 * (n * n_agree - src))) // (n * n - src))
+        |      END AS BIGINT) END AS kappa_micro
+        |FROM sums, sr""".stripMargin,
+
+    // q241: bigrams rebuilt by range-unnest over the same whitespace
+    // tokens (the q140 tokenization), clip/totals/floors replayed;
+    // pairs with no shared bigram LEFT-JOIN back to overlap 0.
+    "q241_rouge2" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents WHERE doc_id < 400),
+        |pairs AS (SELECT c.doc_id AS pair, c.l AS cl, r.l AS rl
+        |          FROM d c JOIN d r ON r.doc_id = c.doc_id + 1),
+        |cg AS (SELECT pair, cl[u.i] || ' ' || cl[u.i + 1] AS gram
+        |       FROM pairs, unnest(range(1, len(cl))) AS u(i)),
+        |rg AS (SELECT pair, rl[u.i] || ' ' || rl[u.i + 1] AS gram
+        |       FROM pairs, unnest(range(1, len(rl))) AS u(i)),
+        |cc AS (SELECT pair, gram, COUNT(*) AS nc FROM cg GROUP BY 1, 2),
+        |rc AS (SELECT pair, gram, COUNT(*) AS nr FROM rg GROUP BY 1, 2),
+        |ov AS (SELECT pair, CAST(SUM(LEAST(nc, nr)) AS BIGINT) AS overlap
+        |       FROM cc JOIN rc USING (pair, gram) GROUP BY 1),
+        |t AS (SELECT pair,
+        |    CAST(GREATEST(len(cl) - 1, 0) AS BIGINT) AS cand_ngrams,
+        |    CAST(GREATEST(len(rl) - 1, 0) AS BIGINT) AS ref_ngrams
+        |  FROM pairs)
+        |SELECT t.pair, cand_ngrams, ref_ngrams,
+        |  COALESCE(overlap, 0) AS overlap,
+        |  CASE WHEN ref_ngrams > 0 THEN CAST(
+        |    (1000 * COALESCE(overlap, 0)) // ref_ngrams AS BIGINT)
+        |  END AS recall_milli,
+        |  CASE WHEN cand_ngrams > 0 THEN CAST(
+        |    (1000 * COALESCE(overlap, 0)) // cand_ngrams AS BIGINT)
+        |  END AS precision_milli,
+        |  CASE WHEN cand_ngrams + ref_ngrams > 0 THEN CAST(
+        |    (2000 * COALESCE(overlap, 0)) // (cand_ngrams + ref_ngrams)
+        |      AS BIGINT)
+        |  END AS f1_milli
+        |FROM t LEFT JOIN ov ON t.pair = ov.pair
+        |ORDER BY t.pair""".stripMargin,
+
+    // q242: the kilobucket banding (one correctly-rounded IEEE
+    // divide + floor, identical on both engines) and the GROUP BY.
+    "q242_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  COUNT(*) AS class_size, COUNT(*) >= 5 AS k_anonymous
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q243: class sizes recomputed, the same CASE null-out applied
+    // row-grain; row count must equal customer exactly (suppression
+    // never drops).
+    "q243_k_suppress" ->
+      """WITH qi AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_band,
+        |    COUNT(*) >= 5 AS ok
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT c_custkey,
+        |  CASE WHEN ok THEN c_nationkey END AS c_nationkey,
+        |  CASE WHEN ok THEN c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN ok THEN bal_band END AS bal_band,
+        |  NOT ok AS suppressed
+        |FROM qi JOIN cls USING (c_nationkey, c_mktsegment, bal_band)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // q244: COUNT + COUNT(DISTINCT band) per (nation, segment).
+    "q244_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+        |    AS n_sensitive_values,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) >= 3
+        |    AS l_diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q245: the PLAIN inner join + aggregate — bloom routing is
+    // physical, never semantic (the q216 discipline); any fact row
+    // the sketch wrongly dropped would hash-fail here.
+    "q245_bloom_pruned_join" ->
+      """SELECT p_brand, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_partkey % 37 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q236: per-line counters replayed with the same regex subset
     // (trailing anchors, \b bounds, the 4-space/tab indent class)

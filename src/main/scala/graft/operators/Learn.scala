@@ -332,6 +332,148 @@ object Learn {
       .filter(col("__rn") === 1)
       .select(col("id"), col("y").as("label"), col("log_score"))
   }
+
+  /** Categorical drift detection between two corpus snapshots — the
+    * chi-square test of homogeneity over a category column (source
+    * mix, language mix, label mix): did the distribution SHIFT
+    * between yesterday's crawl and today's? The monitoring gate a
+    * training pipeline runs before it trusts a new snapshot.
+    *
+    * Exact-integer core: with snapshot totals Nₐ, N_b (N = Nₐ+N_b)
+    * and per-category counts a, b (t = a+b), the cell deviation
+    * a − Nₐ·t/N scales by N to the BIGINT `num = N·a − Nₐ·t`, and
+    * the cell's chi-square contribution (a−e)²/e becomes
+    * num²/(N·Nₐ·t) — replayed per side as the staged micro floor
+    * `(num²//den)·10⁶ + ((num² mod den)·10⁶)//den` (the twap/BM25
+    * discipline; all operands nonnegative, so `//` == `div`).
+    * Safe while N·max(count) < 3·10⁹ (num² < 2⁶³) — counts are at
+    * CATEGORY grain, so this holds far beyond any real label/source
+    * vocabulary; the heavy work is the two counting aggregates, the
+    * arithmetic runs on |categories| rows. A category absent from
+    * one side keeps t > 0, so dens only vanish when a whole SNAPSHOT
+    * is empty — that side's cells contribute 0 (guarded, num is 0
+    * there too); both cells of a category share `num` magnitude
+    * (N·a − Nₐ·t = −(N·b − N_b·t)).
+    *
+    * Output: one row per category seen in either snapshot —
+    * (category, n_a, n_b, num, chi2_micro = contribₐ+contrib_b in
+    * micro-units) — plus the caller sums chi2_micro for the
+    * statistic (df = categories−1). Physical shape: two hash
+    * aggregates + one full-outer at category grain + one broadcast
+    * of the 1-row totals; the corpora stream once each. */
+  def driftChi2(dfA: DataFrame, dfB: DataFrame,
+      catCol: String): DataFrame = {
+    val a = dfA.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = dfB.groupBy(col(catCol).as("category"))
+      .agg(count(lit(1)).as("n_b"))
+    val cells = a.join(b, Seq("category"), "full_outer")
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val tot = cells.agg(sum(col("n_a")).as("__na"),
+      sum(col("n_b")).as("__nb"))
+    cells.crossJoin(broadcast(tot))
+      .withColumn("__n", col("__na") + col("__nb"))
+      .withColumn("__t", col("n_a") + col("n_b"))
+      .withColumn("num", col("__n") * col("n_a") - col("__na") * col("__t"))
+      .withColumn("__n2", col("num") * col("num"))
+      .withColumn("__dena", col("__n") * col("__na") * col("__t"))
+      .withColumn("__denb", col("__n") * col("__nb") * col("__t"))
+      .withColumn("chi2_micro",
+        when(col("__dena") > 0,
+          expr("(__n2 div __dena) * 1000000L + ((__n2 % __dena) * 1000000L) div __dena"))
+          .otherwise(0L) +
+          when(col("__denb") > 0,
+            expr("(__n2 div __denb) * 1000000L + ((__n2 % __denb) * 1000000L) div __denb"))
+            .otherwise(0L))
+      .select(col("category"), col("n_a"), col("n_b"), col("num"),
+        col("chi2_micro"))
+  }
+
+  /** Annotation aggregation by majority vote — the labeling-pipeline
+    * reducer: many (item, annotator, label) judgments collapse to one
+    * winning label per item with an agreement score. Ties break to
+    * the LEXICOGRAPHICALLY SMALLEST winning label (deterministic, no
+    * annotator priority). agreement_milli = ⌊1000·winner_votes/
+    * n_votes⌋ — exact, nonneg, floor==truncate on both engines.
+    * Duplicate (item, annotator) rows count once each — a re-vote is
+    * a distinct judgment; callers wanting last-vote-wins dedup first.
+    *
+    * Physical shape: one hash aggregate at (item, label) grain, then
+    * an item-partitioned row_number over (votes desc, label asc) —
+    * the window input is at (item, label) grain (≤ |label vocab|
+    * rows per item, not |votes|), so state bounds at item grain and
+    * a million-vote item costs the same as a three-vote item. A
+    * lexicographic-struct max can't encode votes-desc-then-STRING-asc
+    * in one struct ordering, hence the tiny window instead. */
+  def voteLabels(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(itemCol).as("item"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("votes").desc, col("label").asc)
+    val totals = counts.groupBy(col("item"))
+      .agg(sum(col("votes")).as("n_votes"),
+        count(lit(1)).as("n_distinct_labels"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(totals, Seq("item"))
+      .select(col("item"), col("label").as("winner"),
+        col("votes").as("winner_votes"), col("n_votes"),
+        col("n_distinct_labels"),
+        expr("(1000 * votes) div n_votes").as("agreement_milli"))
+  }
+
+  /** Cohen's kappa between two annotators — chance-corrected
+    * agreement over the items BOTH labeled (inner join on item):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o = diag/N and
+    * p_e = Σ_label row·col / N². Exact-integer form: κ's numerator
+    * and denominator clear to BIGINT — κ = (N·diag − Σrc) /
+    * (N² − Σrc) — and ship as `kappa_micro` through the
+    * sign-split integer `div` (κ can be negative: worse-than-chance
+    * annotators; `div` truncates, so the split floors both signs
+    * identically to DuckDB's `//` on the mirrored nonnegative
+    * form). Safe while N ≤ 3·10⁶ (10⁶·N² < 2⁶³) — N is the
+    * CO-LABELED item count, and doubly-annotated overlap sets are
+    * audit samples, not corpora. Degenerate p_e = 1 (both
+    * annotators constant and identical) → null kappa, agreement
+    * still 1.
+    *
+    * One row out: (n_items, n_agree, po_micro, pe_micro,
+    * kappa_micro). Physical shape: item-grain inner join, one
+    * (labelA, labelB) contingency aggregate (|labels|² rows), then
+    * driver-sized arithmetic — the corpus pays the join; kappa
+    * itself is computed on the contingency table. */
+  def cohenKappa(dfA: DataFrame, dfB: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val pairs = dfA.select(col(itemCol).as("item"),
+        col(labelCol).as("__la"))
+      .join(dfB.select(col(itemCol).as("item"), col(labelCol).as("__lb")),
+        Seq("item"))
+    val cont = pairs.groupBy(col("__la"), col("__lb"))
+      .agg(count(lit(1)).as("c"))
+    val rows = cont.groupBy(col("__la")).agg(sum(col("c")).as("r"))
+    val cols = cont.groupBy(col("__lb")).agg(sum(col("c")).as("k"))
+    val sums = cont.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n"),
+      coalesce(sum(when(col("__la") === col("__lb"), col("c"))
+        .otherwise(0L)), lit(0L)).as("n_agree"))
+    val src = rows.join(cols, col("__la") === col("__lb"))
+      .agg(coalesce(sum(col("r") * col("k")), lit(0L)).as("src"))
+    sums.crossJoin(src)
+      .select(col("n").as("n_items"), col("n_agree"),
+        expr("(1000000 * n_agree) div n").as("po_micro"),
+        expr("(1000000 * src) div (n * n)").as("pe_micro"),
+        when(col("n") * col("n") =!= col("src"), expr(
+          """CASE WHEN 1000000L * (n * n_agree - src) >= 0
+            | THEN (1000000L * (n * n_agree - src)) div (n * n - src)
+            | ELSE -((-(1000000L * (n * n_agree - src))) div (n * n - src))
+            | END""".stripMargin)).as("kappa_micro"))
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —

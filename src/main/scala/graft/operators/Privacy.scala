@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk gates for released datasets — the
+  * STRUCTURED-side privacy family next to the free-text side
+  * (`TextOps.redactPii` / `luhnCards` scrub what a value CONTAINS;
+  * these gate what a row's value COMBINATION reveals). The reference
+  * pipeline republishes per-user comment records verbatim
+  * (/root/reference/silver_clean_comments.py:40-56 keeps author ids);
+  * a real release pipeline must first check how identifying the kept
+  * columns are in combination — the k-anonymity model (Sweeney 2002,
+  * public literature).
+  *
+  * All operators are exact and deterministic: group sizes are plain
+  * counts, flags are comparisons, suppression is a null-out. Physical
+  * shape is one hash aggregate at quasi-identifier grain plus (for
+  * row-grain output) one shuffled join back on the same keys — the
+  * aggregate reuses the join's partitioning, and at 100 TB the QI
+  * grain table is corpus-sized only in the degenerate all-unique
+  * case, exactly the case the gate exists to catch.
+  */
+object Privacy {
+
+  /** Equivalence-class profile for a quasi-identifier combination:
+    * one row per distinct QI tuple with its population `class_size`
+    * and `k_anonymous = class_size >= k` — the release gate. A
+    * dataset is k-anonymous iff every row's class has ≥ k members;
+    * the violating classes (k_anonymous = false) are exactly the
+    * rows a linker could single out with outside knowledge of the
+    * QI columns. Null QI values group as values (SQL GROUP BY
+    * semantics) — "unknown ZIP" is itself a linkable attribute. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one QI column")
+    require(k >= 2 && k <= 1000000, s"k must be in [2,1000000], got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_anonymous", col("class_size") >= k)
+  }
+
+  /** Row-grain suppression release: rows whose QI class has ≥ k
+    * members pass through unchanged; rows in smaller classes keep
+    * their non-QI payload but every QI column is nulled (suppressed)
+    * — the simplest k-anonymization that never publishes a
+    * linkable combination and never drops a row (row counts, joins
+    * on the row key, and non-QI aggregates stay exact). `suppressed`
+    * flags what happened to each row so downstream accounting can
+    * separate the lanes.
+    *
+    * One aggregate + one NULL-SAFE equi-join on the QI keys (`<=>`:
+    * a null-QI row must find its own class — "unknown ZIP" rows are
+    * a class, and a plain equi-join would orphan them with a null
+    * flag); the join reuses the aggregate's hash partitioning (same
+    * keys), so the corpus shuffles once. */
+  def suppress(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    val classes = kAnonymity(df, quasiCols, k)
+      .select(quasiCols.map(c => col(c).as(s"__qi_$c")) :+
+        col("k_anonymous"): _*)
+    val cond = quasiCols.map(c => col(c) <=> col(s"__qi_$c"))
+      .reduce(_ && _)
+    val joined = df.join(classes, cond, "left")
+    val out = df.columns.map { c =>
+      if (quasiCols.contains(c))
+        when(col("k_anonymous"), col(c)).as(c)
+      else col(c)
+    }
+    joined.select(out :+ (!col("k_anonymous")).as("suppressed"): _*)
+  }
+
+  /** Distinct-l-diversity check on top of [[kAnonymity]]: a class
+    * can be large (k-safe) yet reveal its SENSITIVE attribute when
+    * every member shares one value — 500 patients in the class, all
+    * with the same diagnosis, is a disclosure with no
+    * re-identification at all. One row per QI class with
+    * `n_sensitive_values` (distinct sensitive values inside the
+    * class) and `l_diverse = n_sensitive_values >= l`. Exact
+    * distinct at class grain — two-level hash aggregate, no
+    * approximation (the sketch family trades exactness for state
+    * only when the grain explodes; a class's distinct-value count
+    * is bounded by the sensitive vocabulary). */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity needs at least one QI column")
+    require(l >= 2 && l <= 1000000, s"l must be in [2,1000000], got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive_values"))
+      .withColumn("l_diverse", col("n_sensitive_values") >= l)
+  }
+}

@@ -890,6 +890,118 @@ object Relational {
       .orderBy(col("key_rows").desc +: keys.map(_.asc): _*)
       .limit(topK)
   }
+
+  /** Bloom-pruned shuffled join — the runtime-filter shape for the
+    * join Spark can't broadcast AND can't prune statically: fact ⋈
+    * dim where dim is too big for autoBroadcast but touches only a
+    * sliver of the fact's keys (an incremental batch joining a
+    * catalog, a filtered dim joining full history). A plain
+    * sort-merge/shuffled-hash join shuffles the WHOLE fact; here one
+    * pass over dim builds a Bloom filter of its join keys
+    * (Catalyst's `BloomFilterAggregate`, the sketch behind Spark's
+    * own runtime row-filtering — which only fires on selective
+    * broadcastable creation-side plans; this operator is the manual
+    * form for when it doesn't), and the fact filters on the
+    * codegen'd `BloomFilterMightContain` BEFORE its shuffle. The
+    * join result is EXACT for any fpp: a Bloom filter has no false
+    * negatives, so no matching fact row is dropped, and false
+    * positives are eliminated by the equi-join itself — the sketch
+    * only routes rows. Shuffle volume falls from |fact| to
+    * |matching| + fpp·|fact|.
+    *
+    * The [[graft.operators.Dedup.newDocuments]] clamp discipline
+    * applies verbatim: `expectedDimKeys` must upper-bound dim's
+    * distinct key count, and the require fails loudly before
+    * `BloomFilterAggregate`'s silent 4M-item/8MB cap degrades fpp
+    * toward 1 (raise the two runtime.bloomFilter confs alongside).
+    * Null join keys never match an equi-join, so the probe filter
+    * dropping them (mightContain(null) is null → filter false) is
+    * semantics-preserving. Inner joins only — outer forms must keep
+    * non-matching rows, exactly what the pruning removes. */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedDimKeys: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    require(expectedDimKeys > 0,
+      s"expectedDimKeys must be positive, got $expectedDimKeys")
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedDimKeys, fpp)
+    val conf = fact.sparkSession.conf
+    val maxItems =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    val maxBits =
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    require(expectedDimKeys <= maxItems && numBits <= maxBits,
+      s"BloomFilterAggregate would silently clamp this sketch " +
+        s"(expectedDimKeys=$expectedDimKeys vs maxNumItems=$maxItems, " +
+        s"numBits=$numBits vs maxNumBits=$maxBits), degrading fpp toward 1 " +
+        "and shuffling the whole fact anyway. Raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems / maxNumBits " +
+        "alongside expectedDimKeys.")
+    val dimHash = bridge.toExpression(xxhash64(col(dimKey)))
+    val bloomAgg = bridge.toColumn(
+      new BloomFilterAggregate(dimHash,
+        Literal(expectedDimKeys), Literal(numBits)).toAggregateExpression())
+    val sketch = dim.select(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (sketch == null)
+      // empty dim: inner join is empty — keep the schema, skip the work
+      return fact.join(dim, col(factKey) === col(dimKey)).limit(0)
+    val mightContain = bridge.toColumn(BloomFilterMightContain(
+      Literal(sketch, BinaryType),
+      bridge.toExpression(xxhash64(col(factKey)))))
+    fact.filter(mightContain).join(dim, col(factKey) === col(dimKey))
+  }
+
+  /** Interval coalescing (gaps-and-islands) — merge each key's
+    * overlapping [start, end) intervals into maximal disjoint
+    * islands: user sessions from raw spans, effective on-call
+    * coverage, time-under-load. The dual of [[concurrencyProfile]]
+    * (which counts overlap; this one DISSOLVES it).
+    *
+    * End-exclusive discipline matches the family: an interval
+    * starting exactly where another ends ([1,3) then [3,5)) does NOT
+    * overlap it and starts a new island — only `start < running max
+    * end` chains. Zero-length intervals ([t, t)) are kept and behave
+    * as points: they chain into a covering island but never extend
+    * one, and alone they form a zero-length island. Reversed
+    * (end < start) and null-bounded rows are excluded (the
+    * concurrencyProfile policy).
+    *
+    * Physical shape: ONE key-partitioned ordered window (running max
+    * of end over the preceding frame → island-break flag → running
+    * sum = island id), then ONE hash aggregate at (key, island)
+    * grain. Everything is exact BIGINT micros; no partition-less
+    * window, state bounds at key grain — a key's intervals sort
+    * within its partition, islands never cross keys. Ties on start
+    * order by end then input order; the running-max frame makes the
+    * result independent of tie order (max is commutative).
+    * Output: key, island_idx (0-based per key), island rows/bounds. */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        unix_micros(col(endCol)) >= unix_micros(col(startCol)))
+      .select(col(keyCol), unix_micros(col(startCol)).as("__s"),
+        unix_micros(col(endCol)).as("__e"))
+      .withColumn("__maxe", max(col("__e")).over(wPrev))
+      .withColumn("__brk",
+        when(col("__maxe").isNull || col("__s") >= col("__maxe"), 1L)
+          .otherwise(0L))
+      .withColumn("island_idx", sum(col("__brk")).over(wOrd) - 1L)
+    flagged.groupBy(col(keyCol), col("island_idx"))
+      .agg(count(lit(1)).as("n_intervals"),
+        min(col("__s")).as("island_start_us"),
+        max(col("__e")).as("island_end_us"))
+      .withColumn("island_span_us",
+        col("island_end_us") - col("island_start_us"))
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

@@ -2428,4 +2428,64 @@ object TextOps {
         log(col("c_xy").cast("double") * col("n_bigrams").cast("double") /
           (col("c_x").cast("double") * col("c_y").cast("double"))).as("pmi"))
   }
+
+  /** ROUGE-N overlap scoring between paired texts — the
+    * reference-based eval/decontamination metric next to the
+    * corpus-similarity family (q90 contamination is embedding-side;
+    * this is the n-gram side): for each (candidate, reference) pair,
+    * the CLIPPED n-gram overlap Σ_g min(count_cand(g), count_ref(g))
+    * and the exact milli floors of recall (ROUGE-N proper,
+    * overlap/ref_total), precision (BLEU-n's modified precision
+    * numerator over cand_total), and F1 — which for a shared clipped
+    * overlap collapses to 2·overlap/(cand_total+ref_total), one
+    * division, no rational-of-rationals. All counts are exact
+    * BIGINTs over lower-cased whitespace n-grams (the corpus
+    * tokenization, space-joined like `shingles` — but WITHOUT its
+    * dedup or short-text fallback: ROUGE counts multiplicity, and a
+    * text shorter than n grams has zero n-grams, not one partial);
+    * empty sides yield 0 totals and null ratios rather than
+    * dropping the pair (audit rows).
+    *
+    * Physical shape: each side tokenizes and explodes to (pair,
+    * gram, cnt) at n-gram grain, ONE inner join on (pair, gram)
+    * takes the min (clipping — grams absent from either side clip
+    * to 0 and can't contribute), then a pair-grain aggregate; the
+    * pair id rides the shuffle so a 10⁹-pair eval set spreads by
+    * pair, never by gram. No driver state, no windows. */
+  def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")
+    def grams(c: Column): Column = {
+      val t = tokens(lower(c))
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    def side(c: String, out: String) = pairs
+      .select(col(pairCol).as("pair"), explode(grams(col(c))).as("gram"))
+      .groupBy(col("pair"), col("gram"))
+      .agg(count(lit(1)).as(out))
+    val cand = side(candCol, "__cc")
+    val ref = side(refCol, "__cr")
+    val totals = pairs.select(col(pairCol).as("pair"),
+      greatest(token_count(lower(col(candCol))) - (n - 1), lit(0L))
+        .as("cand_ngrams"),
+      greatest(token_count(lower(col(refCol))) - (n - 1), lit(0L))
+        .as("ref_ngrams"))
+    val overlap = cand.join(ref, Seq("pair", "gram"))
+      .groupBy(col("pair"))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("overlap"))
+    totals.join(overlap, Seq("pair"), "left")
+      .select(col("pair"), col("cand_ngrams"), col("ref_ngrams"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .withColumn("recall_milli", when(col("ref_ngrams") > 0,
+        expr("(1000 * overlap) div ref_ngrams")))
+      .withColumn("precision_milli", when(col("cand_ngrams") > 0,
+        expr("(1000 * overlap) div cand_ngrams")))
+      .withColumn("f1_milli",
+        when(col("cand_ngrams") + col("ref_ngrams") > 0,
+          expr("(2000 * overlap) div (cand_ngrams + ref_ngrams)")))
+  }
 }

@@ -234,4 +234,70 @@ class LearnSpec extends SparkTestBase {
     assert(pred(12L)._1 == "ham" &&
       math.abs(pred(12L)._2 - math.log(0.5)) < 1e-12)
   }
+
+  test("driftChi2: hand-computed cells, one-sided categories, empty side") {
+    import spark.implicits._
+    val a = Seq("x", "x", "x", "y").toDF("c")
+    val b = Seq("x", "y", "y", "y", "z", "z").toDF("c")
+    val got = Learn.driftChi2(a, b, "c")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // N=10, Na=4, Nb=6; x: t=4, num=10·3−4·4=14, n2=196,
+    // dena=160, denb=240 → 1225000 + 816666
+    assert(got("x") == (("x", 3L, 1L, 14L, 2041666L)))
+    // y: num=10·1−16=−6, n2=36 → 225000 + 150000
+    assert(got("y") == (("y", 1L, 3L, -6L, 375000L)))
+    // z absent from A: num=10·0−4·2=−8, n2=64, dena=80, denb=120
+    assert(got("z") == (("z", 0L, 2L, -8L, 800000L + 533333L)))
+    // true chi2 within a micro of the exact floors' sum
+    val micro = got.values.map(_._5).sum
+    val expected = // Σ (o−e)²/e over all six cells
+      math.pow(3 - 1.6, 2) / 1.6 + math.pow(1 - 2.4, 2) / 2.4 +
+        math.pow(1 - 1.6, 2) / 1.6 + math.pow(3 - 2.4, 2) / 2.4 +
+        math.pow(0 - 0.8, 2) / 0.8 + math.pow(2 - 1.2, 2) / 1.2
+    assert(math.abs(micro / 1e6 - expected) < 6e-6)
+    // an empty snapshot contributes zero, never a division error
+    val oneSided = Learn.driftChi2(a, b.filter(col("c") === "nope"), "c")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(oneSided.forall(r => r._3 == 0L && r._5 == 0L))
+  }
+
+  test("voteLabels: majority, smallest-label ties, exact agreement") {
+    import spark.implicits._
+    val votes = Seq(
+      (1L, "b"), (1L, "a"), (1L, "a"), (1L, "b"),     // tie → 'a'
+      (2L, "c"), (2L, "c"), (2L, "c"),                 // unanimous
+      (3L, "x"), (3L, "y"), (3L, "y")).toDF("item", "label")
+    val got = Learn.voteLabels(votes, "item", "label")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "a", 2L, 4L, 2L, 500L)))
+    assert(got(2L) == ((2L, "c", 3L, 3L, 1L, 1000L)))
+    assert(got(3L) == ((3L, "y", 2L, 3L, 2L, 666L)))
+  }
+
+  test("cohenKappa: textbook table, perfect disagreement, degenerate pe=1") {
+    import spark.implicits._
+    // the classic 50-item table: 20 yes-yes, 15 no-no, 10 A-yes/B-no,
+    // 5 A-no/B-yes → po=0.7, pe=0.5, κ=0.4
+    val items = (0 until 50).map(_.toLong)
+    def lab(i: Long, yes: Boolean) = (i, if (yes) "yes" else "no")
+    val a = items.map(i => lab(i, i < 30)).toDF("item", "l")
+    val b = items.map(i => lab(i, i < 20 || (i >= 30 && i < 35)))
+      .toDF("item", "l")
+    val got = Learn.cohenKappa(a, b, "item", "l")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(got == ((50L, 35L, 700000L, 500000L, Some(400000L))))
+    // perfect disagreement on a symmetric table → κ = −1 exactly
+    val pa = Seq((1L, "yes"), (2L, "no")).toDF("item", "l")
+    val pb = Seq((1L, "no"), (2L, "yes")).toDF("item", "l")
+    val neg = Learn.cohenKappa(pa, pb, "item", "l")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(neg == ((2L, 0L, 0L, 500000L, Some(-1000000L))))
+    // both annotators constant and identical: pe=1 → κ undefined (null)
+    val ca = Seq((1L, "k"), (2L, "k")).toDF("item", "l")
+    val deg = Learn.cohenKappa(ca, ca, "item", "l")
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(deg == ((2L, 2L, 1000000L, 1000000L, None)))
+  }
 }

@@ -551,6 +551,66 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("mergeIntervals: chains, end-exclusive touch, zero-length, invariance") {
+    import spark.implicits._
+    // key 1: [0,10) ∪ [5,15) ∪ [12,20) chain into one island [0,20);
+    // [20,25) TOUCHES 20 — end-exclusive: new island. A zero-length
+    // probe [6,6) rides inside the first island without extending it;
+    // [30,30) alone is a zero-length island.
+    val df = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 12L, 20L), (1L, 20L, 25L),
+      (1L, 6L, 6L), (1L, 30L, 30L),
+      (2L, 100L, 200L),
+      // reversed and null-ish rows are excluded by policy
+      (2L, 500L, 400L)).toDF("k", "s_us", "e_us")
+      .select(col("k"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val got = Relational.mergeIntervals(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 4L, 0L, 20L, 20L),   // [0,10)+[5,15)+[12,20)+probe[6,6)
+      (1L, 1L, 1L, 20L, 25L, 5L),   // touch at 20 starts fresh
+      (1L, 2L, 1L, 30L, 30L, 0L),   // lone zero-length island
+      (2L, 0L, 1L, 100L, 200L, 100L)), got.mkString(","))
+    // partitioning must not perturb island assembly
+    val re = Relational.mergeIntervals(df.repartition(7), "k", "s", "e")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(re.toSeq == got.toSeq)
+  }
+
+  test("bloomPrunedJoin: equals the plain join; fact filters before its shuffle") {
+    import spark.implicits._
+    // range-backed (not a LocalRelation): ConvertToLocalRelation would
+    // otherwise evaluate the Bloom filter at optimization time and
+    // erase the Filter node this spec pins
+    val fact = spark.range(0L, 2000L)
+      .select((col("id") % 97).as("fk"),
+        concat(lit("f"), col("id")).as("payload"))
+    val dim = Seq((3L, "a"), (31L, "b"), (96L, "c"), (200L, "absent"))
+      .toDF("dk", "dval")
+    val pruned = Relational.bloomPrunedJoin(fact, dim, "fk", "dk",
+      expectedDimKeys = 16)
+    val plain = fact.join(dim, col("fk") === col("dk"))
+    assert(pruned.collect().toSet == plain.collect().toSet)
+    assert(pruned.count() == plain.count())
+    // the probe-side Bloom test must appear as a Filter in the plan
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+    // empty dim: empty result, schema intact
+    val empty = Relational.bloomPrunedJoin(fact,
+      dim.filter(col("dk") < 0), "fk", "dk", expectedDimKeys = 16)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == plain.columns.toSeq)
+    // clamp guard fails loudly instead of degrading fpp silently
+    val err = intercept[IllegalArgumentException] {
+      Relational.bloomPrunedJoin(fact, dim, "fk", "dk",
+        expectedDimKeys = Long.MaxValue / 2)
+    }
+    assert(err.getMessage.contains("clamp"))
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

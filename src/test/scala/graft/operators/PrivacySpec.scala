@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Privacy]] — k-anonymity classes, suppression release,
+  * l-diversity. All-exact operators, so the specs pin values. */
+class PrivacySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // zip × age quasi-identifier, diag the sensitive payload
+  private def people = Seq(
+    ("94110", 30, "flu", 1L), ("94110", 30, "flu", 2L),
+    ("94110", 30, "cold", 3L),                        // class of 3
+    ("94110", 31, "flu", 4L), ("94110", 31, "asthma", 5L), // class of 2
+    ("10001", 50, "flu", 6L),                         // singleton
+    (null, 30, "flu", 7L), (null, 30, "cold", 8L)     // null QI groups
+  ).toDF("zip", "age", "diag", "row_id")
+
+  test("kAnonymity: class sizes and the k flag; nulls group as values") {
+    val got = Privacy.kAnonymity(people, Seq("zip", "age"), k = 2)
+      .as[(Option[String], Int, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((Some("94110"), 30)) == ((3L, true)))
+    assert(got((Some("94110"), 31)) == ((2L, true)))
+    assert(got((Some("10001"), 50)) == ((1L, false)))
+    assert(got((None, 30)) == ((2L, true))) // unknown ZIP is linkable too
+    assert(got.size == 4)
+  }
+
+  test("suppress: small classes null their QI, keep payload, drop nothing") {
+    val got = Privacy.suppress(people, Seq("zip", "age"), k = 2)
+      .as[(Option[String], Option[Int], String, Long, Boolean)].collect()
+      .map(r => r._4 -> r).toMap
+    assert(got.size == people.count()) // row count preserved exactly
+    // the singleton row: QI gone, payload intact, flagged
+    assert(got(6L) == ((None, None, "flu", 6L, true)))
+    // a safe row passes through untouched
+    assert(got(1L) == ((Some("94110"), Some(30), "flu", 1L, false)))
+    // the null-QI class is big enough: flag false, nulls stay (as data)
+    assert(got(7L) == ((None, Some(30), "flu", 7L, false)))
+  }
+
+  test("lDiversity: a big class sharing one sensitive value fails the gate") {
+    val uniform = Seq.tabulate(5)(i => ("94110", 30, "flu", i.toLong))
+      .toDF("zip", "age", "diag", "row_id")
+    val mixed = people
+    val u = Privacy.lDiversity(uniform, Seq("zip", "age"), "diag", l = 2)
+      .as[(String, Int, Long, Long, Boolean)].head()
+    // 5 members (k-safe by any reasonable k) but ONE diagnosis
+    assert(u == (("94110", 30, 5L, 1L, false)))
+    val m = Privacy.lDiversity(mixed, Seq("zip", "age"), "diag", l = 2)
+      .as[(Option[String], Int, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5))).toMap
+    assert(m((Some("94110"), 30)) == ((2L, true)))  // flu + cold
+    assert(m((Some("10001"), 50)) == ((1L, false)))
+  }
+
+  test("guards: empty QI and out-of-range k fail loudly") {
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymity(people, Seq.empty, k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymity(people, Seq("zip"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.lDiversity(people, Seq("zip"), "diag", l = 1)
+    }
+  }
+}

@@ -951,4 +951,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, String, Boolean, String, Long)].head()
     assert(once._3 && once._4 == corrupt("café"))
   }
+
+  test("rougeN: hand-computed clip, identity, multiplicity, empty sides") {
+    import spark.implicits._
+    def run(n: Int, rows: (Long, String, String)*) =
+      TextOps.rougeN(rows.toDF("pair", "cand", "ref"),
+          "pair", "cand", "ref", n)
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+    // unigrams: cand 'the cat sat' vs ref 'the cat the cat':
+    // clip = min(1,2)+min(1,2) = 2; R=2/4, P=2/3, F1=4/7
+    val u = run(1, (1L, "the cat sat", "the cat the cat"),
+      (2L, "same same", "same same"),   // identity → all 1000
+      (3L, "a a a", "a a"),             // multiplicity clips at 2, not 1 or 3
+      (4L, "", "a b"),                  // empty cand: P null, R 0, F1 0
+      (5L, "", ""))                     // both empty: everything null
+    assert(u(1L) == ((1L, 3L, 4L, 2L, Some(500L), Some(666L), Some(571L))))
+    assert(u(2L) == ((2L, 2L, 2L, 2L, Some(1000L), Some(1000L), Some(1000L))))
+    assert(u(3L) == ((3L, 3L, 2L, 2L, Some(1000L), Some(666L), Some(800L))))
+    assert(u(4L) == ((4L, 0L, 2L, 0L, Some(0L), None, Some(0L))))
+    assert(u(5L) == ((5L, 0L, 0L, 0L, None, None, None)))
+    // bigrams: 'the cat sat' vs 'the cat the cat' shares only
+    // 'the cat' (ref has it twice, cand once → clip 1)
+    val b = run(2, (1L, "the cat sat", "the cat the cat"),
+      (6L, "one", "one two"))           // shorter than n → zero n-grams
+    assert(b(1L) == ((1L, 2L, 3L, 1L, Some(333L), Some(500L), Some(400L))))
+    assert(b(6L) == ((6L, 0L, 1L, 0L, Some(0L), None, Some(0L))))
+    // case folding: tokens lower-case before counting
+    val c = run(1, (7L, "The CAT", "the cat"))
+    assert(c(7L)._4 == 2L && c(7L)._7 == Some(1000L))
+  }
 }

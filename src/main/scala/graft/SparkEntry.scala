@@ -2476,6 +2476,128 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q246: Fleiss' kappa — pooled-annotator agreement over the
+    // event stream's (item, label) judgments; the whole defined
+    // floor chain (per-item pairs → po → pooled pe → kappa)
+    // replayed term for term in DuckDB.
+    "q246_fleiss_kappa" -> ((s, dir) => {
+      val votes = Tables.events(s, dir)
+        .select((col("event_id") % 300).as("item"),
+          col("event_type").as("label"))
+      operators.Learn.fleissKappa(votes, "item", "label")
+    }),
+
+    // q247: combined-log-format parsing — log lines CONSTRUCTED from
+    // doc_id arithmetic (zone sign/minutes, '-' bytes, a malformed
+    // line every 7th doc), parsed back by the real regex+calendar
+    // path; DuckDB recomputes every field (epoch through the same
+    // days-from-civil integer chain) from the construction terms.
+    "q247_clf_parse" -> ((s, dir) => {
+      val months = typedLit(Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun",
+        "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"))
+      val id = col("doc_id")
+      val mon = (id % 12 + 1).cast("int")
+      def p2(c: Column) = lpad(c.cast("string"), 2, "0")
+      val line = when(id % 7 === 0, lit("not a log line"))
+        .otherwise(concat(
+          lit("10.0."), id % 256, lit("."), id % 100, lit(" - "),
+          when(id % 3 === 0, lit("-")).otherwise(concat(lit("u"), id % 5)),
+          lit(" ["), p2(id % 28 + 1), lit("/"), element_at(months, mon),
+          lit("/2023:"), p2(id % 24), lit(":"), p2(id % 60), lit(":"),
+          p2(id % 59), lit(" "),
+          when(id % 2 === 0, "+").otherwise("-"),
+          p2(id % 12), when(id % 4 === 0, "30").otherwise("00"),
+          lit("] \""),
+          when(id % 5 === 0, "POST").otherwise("GET"),
+          lit(" /p/"), id % 40, lit(" HTTP/1.1\" "),
+          when(id % 11 === 0, 404).otherwise(200), lit(" "),
+          when(id % 6 === 0, lit("-")).otherwise((id % 1000).cast("string")),
+          lit(" \"http://r"), id % 9, lit(".example/\" \"bot/"),
+          id % 3, lit("\"")))
+      operators.Web.parseClf(
+          Tables.documents(s, dir).filter(col("doc_id") < 400)
+            .select(col("doc_id"), line.as("line")),
+          "doc_id", "line")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q248: SubRip subtitle parsing — per-doc SRT built from doc_id
+    // arithmetic (three cues with exact-ms times, a dot-separator
+    // cue, a malformed time line on every 5th doc), walked by the
+    // real parser; DuckDB recomputes cue numbers, times, durations,
+    // and joined text from the same terms.
+    "q248_srt_parse" -> ((s, dir) => {
+      val id = col("doc_id")
+      // HH:MM:SS<sep>mmm from exact ms (all operands < 2^53, so the
+      // floor-of-double divisions are exact integers)
+      def timeStr(ms: Column, sep: String): Column = concat(
+        lpad(floor(ms / 3600000).cast("long").cast("string"), 2, "0"),
+        lit(":"),
+        lpad((floor(ms / 60000).cast("long") % 60).cast("string"), 2, "0"),
+        lit(":"),
+        lpad((floor(ms / 1000).cast("long") % 60).cast("string"), 2, "0"),
+        lit(sep), lpad((ms % 1000).cast("string"), 3, "0"))
+      def cue(k: Int, sep: String): Column = {
+        val startMs = (id % 50) * 70000L + lit(k * 400000L)
+        val endMs = startMs + (id % 9 + 1) * 250L
+        concat(lit(s"${k + 1}\n"),
+          timeStr(startMs, sep), lit(" --> "), timeStr(endMs, sep),
+          lit(s"\ncue $k line one\nline two "), id % 13)
+      }
+      val bad = lit("9\nnot a time line\ntext")
+      val srt = when(id % 5 === 0,
+        concat_ws("\n\n", cue(0, ","), bad, cue(2, ".")))
+        .otherwise(concat_ws("\n\n", cue(0, ","), cue(1, ","), cue(2, ".")))
+      operators.Multimodal.parseSrt(
+          Tables.documents(s, dir).filter(col("doc_id") < 300)
+            .select(col("doc_id"), srt.as("srt")),
+          "doc_id", "srt")
+        .orderBy(col("doc_id"), col("blk_idx"))
+    }),
+
+    // q249: exact-k global uniform sample — the k=100 docs whose
+    // seeded-md5 priority sorts lowest (TakeOrdered plan, pinned in
+    // CorpusSpec); DuckDB replays the same md5 order and LIMIT.
+    "q249_priority_sample" -> ((s, dir) => {
+      graft.pipeline.Corpus.prioritySample(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", k = 100, seed = 7L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q250: ORC round-trip — the columnar sibling of the parquet and
+    // JSON lanes: write a slice to ORC, read it back, every value
+    // intact. DuckDB reads the same rows straight from parquet — any
+    // ORC write/read corruption hash-fails.
+    "q250_orc_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_orc_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("doc_id"))
+    }),
+
+    // q251: windowed drift monitor (batch finisher) — per-day
+    // event-type mixes vs the even-id baseline; the counts table
+    // comes from the STREAMING operator's code path (window() is
+    // identical in batch), the chi2 from the shared staged
+    // arithmetic; window starts emitted as epoch micros.
+    "q251_drift_windows" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val counts = graft.streaming.StreamOps.categoryCountsStream(
+        ev.filter(col("event_id") % 4 >= 2), "ts", "event_type",
+        windowDur = "1 day")
+      operators.Learn.driftChi2Windows(counts, "window_start",
+          "category", "n",
+          ev.filter(col("event_id") % 4 < 2), "event_type")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("category"), col("n_a"), col("n_b"), col("num"),
+          col("chi2_micro"))
+        .orderBy(col("window_start_us"), col("category"))
+    }),
+
     // q237: interval coalescing — per-user [ts, ts+dur) event spans
     // (durations and zero-length probes from event_id arithmetic)
     // dissolve into maximal disjoint islands; DuckDB replays the
@@ -5633,6 +5755,159 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q246: the defined floor chain replayed — per-item pair floors,
+    // their floored mean, pooled-label pe, sign-split kappa; pooled
+    // lanes restricted to multi-vote items exactly like the operator.
+    "q246_fleiss_kappa" ->
+      """WITH vt AS (SELECT event_id % 300 AS item, event_type AS label
+        |            FROM events),
+        |counts AS (SELECT item, label, COUNT(*) AS c FROM vt GROUP BY 1, 2),
+        |itemsni AS (SELECT item, SUM(c) AS ni, SUM(c * (c - 1)) AS pairs
+        |            FROM counts GROUP BY 1 HAVING SUM(c) >= 2),
+        |po AS (SELECT COUNT(*) AS n_items,
+        |    COALESCE(SUM((1000000 * pairs) // (ni * (ni - 1))), 0) AS pisum
+        |  FROM itemsni),
+        |lab AS (SELECT label, SUM(c) AS tj
+        |        FROM counts JOIN itemsni USING (item) GROUP BY 1),
+        |pe AS (SELECT CAST(COALESCE(SUM(tj), 0) AS BIGINT) AS n_judgments,
+        |    COUNT(*) AS n_categories,
+        |    CAST(COALESCE(SUM(tj * tj), 0) AS BIGINT) AS t2
+        |  FROM lab),
+        |mic AS (SELECT n_items, n_judgments, n_categories,
+        |    CASE WHEN n_items > 0 THEN pisum // n_items END AS pom,
+        |    CASE WHEN n_judgments > 0 THEN
+        |      (1000000 * t2) // (n_judgments * n_judgments) END AS pem
+        |  FROM po, pe)
+        |SELECT CAST(n_items AS BIGINT) AS n_items, n_judgments,
+        |  CAST(n_categories AS BIGINT) AS n_categories,
+        |  CAST(pom AS BIGINT) AS po_micro, CAST(pem AS BIGINT) AS pe_micro,
+        |  CASE WHEN pem IS NOT NULL AND pem < 1000000 AND pom IS NOT NULL
+        |    THEN CAST(CASE WHEN 1000000 * (pom - pem) >= 0
+        |      THEN (1000000 * (pom - pem)) // (1000000 - pem)
+        |      ELSE -((-(1000000 * (pom - pem))) // (1000000 - pem)) END
+        |      AS BIGINT)
+        |  END AS kappa_micro
+        |FROM mic""".stripMargin,
+
+    // q247: every field recomputed from the construction terms — the
+    // epoch through the SAME days-from-civil integer chain (year
+    // 2023, positive operands, `//` == div) with the signed zone;
+    // doc%7 lines are the malformed audit rows.
+    "q247_clf_parse" ->
+      """WITH t AS (SELECT doc_id AS id,
+        |    doc_id % 12 + 1 AS mon, doc_id % 28 + 1 AS d,
+        |    doc_id % 24 AS hh, doc_id % 60 AS mi, doc_id % 59 AS ss,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE -1 END) *
+        |      ((doc_id % 12) * 3600 +
+        |       (CASE WHEN doc_id % 4 = 0 THEN 30 ELSE 0 END) * 60) AS zone,
+        |    doc_id % 7 = 0 AS bad
+        |  FROM documents WHERE doc_id < 400),
+        |cal AS (SELECT *,
+        |    2023 - CASE WHEN mon <= 2 THEN 1 ELSE 0 END AS yp,
+        |    CASE WHEN mon > 2 THEN mon - 3 ELSE mon + 9 END AS mp
+        |  FROM t),
+        |ep AS (SELECT *,
+        |    (yp * 365 + yp // 4 - yp // 100 + yp // 400 +
+        |     (153 * mp + 2) // 5 + d - 1 - 719468) * 86400 +
+        |      hh * 3600 + mi * 60 + ss - zone AS epoch
+        |  FROM cal)
+        |SELECT id AS doc_id,
+        |  CASE WHEN NOT bad THEN '10.0.' || (id % 256) || '.' || (id % 100)
+        |    END AS ip,
+        |  CASE WHEN NOT bad THEN '-' END AS ident,
+        |  CASE WHEN NOT bad THEN
+        |    CASE WHEN id % 3 = 0 THEN '-' ELSE 'u' || (id % 5) END
+        |  END AS user,
+        |  CASE WHEN NOT bad THEN CAST(epoch AS BIGINT) END AS ts_epoch,
+        |  CASE WHEN NOT bad THEN
+        |    CASE WHEN id % 5 = 0 THEN 'POST' ELSE 'GET' END END AS method,
+        |  CASE WHEN NOT bad THEN '/p/' || (id % 40) END AS path,
+        |  CASE WHEN NOT bad THEN 'HTTP/1.1' END AS proto,
+        |  CASE WHEN NOT bad THEN
+        |    CAST(CASE WHEN id % 11 = 0 THEN 404 ELSE 200 END AS BIGINT)
+        |  END AS status,
+        |  CASE WHEN NOT bad AND id % 6 <> 0
+        |    THEN CAST(id % 1000 AS BIGINT) END AS bytes,
+        |  CASE WHEN NOT bad THEN 'http://r' || (id % 9) || '.example/'
+        |    END AS referer,
+        |  CASE WHEN NOT bad THEN 'bot/' || (id % 3) END AS ua,
+        |  NOT bad AS valid
+        |FROM ep ORDER BY doc_id""".stripMargin,
+
+    // q248: cue numbers, exact-ms times, durations, and the joined
+    // text recomputed from the construction terms; doc%5 docs carry
+    // the malformed middle block as a null audit row.
+    "q248_srt_parse" ->
+      """WITH d AS (SELECT doc_id AS id FROM documents WHERE doc_id < 300),
+        |cues AS (
+        |  SELECT id, k,
+        |    CASE WHEN id % 5 = 0 AND k = 1 THEN NULL
+        |      ELSE (id % 50) * 70000 + k * 400000 END AS s_ms,
+        |    CASE WHEN id % 5 = 0 AND k = 1 THEN NULL
+        |      ELSE (id % 50) * 70000 + k * 400000 + (id % 9 + 1) * 250
+        |    END AS e_ms
+        |  FROM d, unnest([0, 1, 2]) AS u(k))
+        |SELECT id AS doc_id, CAST(k AS BIGINT) AS blk_idx,
+        |  CASE WHEN s_ms IS NOT NULL THEN CAST(k + 1 AS BIGINT)
+        |    END AS cue_no,
+        |  CAST(s_ms AS BIGINT) AS start_ms, CAST(e_ms AS BIGINT) AS end_ms,
+        |  CAST(e_ms - s_ms AS BIGINT) AS dur_ms,
+        |  CASE WHEN s_ms IS NOT NULL
+        |    THEN 'cue ' || k || ' line one' || chr(10) || 'line two ' ||
+        |      (id % 13) END AS text,
+        |  s_ms IS NOT NULL AS valid
+        |FROM cues ORDER BY doc_id, blk_idx""".stripMargin,
+
+    // q249: the identical md5 priority order and LIMIT replayed.
+    "q249_priority_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(doc_id || ':7'), doc_id LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q250: DuckDB reads the same slice straight from parquet — the
+    // ORC write/read pair on the Spark side must change nothing.
+    "q250_orc_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // q251: per-day windows replayed with date_trunc (UTC tumbling
+    // windows coincide), baseline crossed per window, the q238
+    // staged chain with per-window totals.
+    "q251_drift_windows" ->
+      """WITH base AS (SELECT event_type AS category, COUNT(*) AS n_a
+        |    FROM events WHERE event_id % 4 < 2 GROUP BY 1),
+        |cnt AS (SELECT epoch_us(date_trunc('day', ts)) AS w,
+        |    event_type AS category, COUNT(*) AS n_b
+        |  FROM events WHERE event_id % 4 >= 2 GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT w FROM cnt),
+        |cells AS (
+        |  SELECT COALESCE(e.w, o.w) AS w,
+        |    COALESCE(e.category, o.category) AS category,
+        |    CAST(COALESCE(e.n_a, 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(o.n_b, 0) AS BIGINT) AS n_b
+        |  FROM (SELECT w, category, n_a FROM wins CROSS JOIN base) e
+        |  FULL OUTER JOIN cnt o ON e.w = o.w AND e.category = o.category),
+        |tot AS (SELECT w, CAST(SUM(n_a) AS BIGINT) AS na,
+        |    CAST(SUM(n_b) AS BIGINT) AS nb
+        |  FROM cells GROUP BY 1),
+        |c2 AS (SELECT cells.w, category, n_a, n_b,
+        |    (na + nb) * n_a - na * (n_a + n_b) AS num,
+        |    ((na + nb) * n_a - na * (n_a + n_b))
+        |      * ((na + nb) * n_a - na * (n_a + n_b)) AS n2,
+        |    (na + nb) * na * (n_a + n_b) AS dena,
+        |    (na + nb) * nb * (n_a + n_b) AS denb
+        |  FROM cells JOIN tot ON cells.w = tot.w)
+        |SELECT CAST(w AS BIGINT) AS window_start_us, category, n_a, n_b,
+        |  CAST(num AS BIGINT) AS num,
+        |  CAST(CASE WHEN dena > 0
+        |      THEN (n2 // dena) * 1000000 + ((n2 % dena) * 1000000) // dena
+        |      ELSE 0 END +
+        |    CASE WHEN denb > 0
+        |      THEN (n2 // denb) * 1000000 + ((n2 % denb) * 1000000) // denb
+        |      ELSE 0 END AS BIGINT) AS chi2_micro
+        |FROM c2 ORDER BY 1, 2""".stripMargin,
 
     // q237: the running-max / break-flag / cumulative-sum island
     // chain replayed as ordinary DuckDB windows over the same exact

@@ -371,9 +371,33 @@ object Learn {
       .select(col("category"),
         coalesce(col("n_a"), lit(0L)).as("n_a"),
         coalesce(col("n_b"), lit(0L)).as("n_b"))
-    val tot = cells.agg(sum(col("n_a")).as("__na"),
-      sum(col("n_b")).as("__nb"))
-    cells.crossJoin(broadcast(tot))
+    chi2FromCells(cells, Nil)
+  }
+
+  /** The [[driftChi2]] arithmetic over PRE-AGGREGATED cells
+    * (category, n_a, n_b), with totals computed per `keys` group
+    * (empty keys = one global comparison). Shared by [[driftChi2]]
+    * and [[driftChi2Windows]]; counts come in, the exact staged
+    * micro floors come out. */
+  private[operators] def chi2FromCells(cells: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val kc = keys.map(col)
+    val joined =
+      if (keys.isEmpty) {
+        val tot = cells.agg(sum(col("n_a")).as("__na"),
+          sum(col("n_b")).as("__nb"))
+        cells.crossJoin(broadcast(tot))
+      } else {
+        // per-key totals as a PARTITIONED window sum, not a join back
+        // onto cells' own aggregate (same-lineage joins trip
+        // conflicting-reference resolution; the window is bounded by
+        // |categories| rows per key anyway)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(kc: _*)
+        cells.withColumn("__na", sum(col("n_a")).over(w))
+          .withColumn("__nb", sum(col("n_b")).over(w))
+      }
+    joined
       .withColumn("__n", col("__na") + col("__nb"))
       .withColumn("__t", col("n_a") + col("n_b"))
       .withColumn("num", col("__n") * col("n_a") - col("__na") * col("__t"))
@@ -387,8 +411,46 @@ object Learn {
           when(col("__denb") > 0,
             expr("(__n2 div __denb) * 1000000L + ((__n2 % __denb) * 1000000L) div __denb"))
             .otherwise(0L))
-      .select(col("category"), col("n_a"), col("n_b"), col("num"),
-        col("chi2_micro"))
+      .select(kc ++ Seq(col("category"), col("n_a"), col("n_b"),
+        col("num"), col("chi2_micro")): _*)
+  }
+
+  /** Windowed drift monitoring — [[driftChi2]] per TIME WINDOW
+    * against a fixed baseline: `counts` is a (windowKey, category,
+    * n_b) table (typically the sink of
+    * [[graft.streaming.StreamOps.categoryCountsStream]] — the
+    * streaming half maintains counts with bounded state; THIS batch
+    * half computes the statistic on read, the standard monitor
+    * split), `baseline` the trusted reference corpus. Every window
+    * is compared against the full baseline over the UNION of
+    * categories (a window missing a baseline category is itself
+    * drift — those cells surface with n_b = 0, and stream-only
+    * categories with n_a = 0). Baseline counts aggregate once and
+    * broadcast; cells stay at |windows|·|categories| grain. */
+  def driftChi2Windows(counts: DataFrame, windowKey: String,
+      catCol: String, countCol: String, baseline: DataFrame,
+      baselineCatCol: String): DataFrame = {
+    // no self-join (wins × base vs observed would share lineage —
+    // conflicting-reference territory): fold each window's observed
+    // counts into a map, broadcast the baseline as a 1-row map, and
+    // explode the UNION of category keys — both per-window maps are
+    // bounded by the category vocabulary, so state stays tiny
+    val baseMap = baseline.groupBy(col(baselineCatCol).as("category"))
+      .agg(count(lit(1)).as("n_a"))
+      .agg(map_from_entries(collect_list(struct(col("category"),
+        col("n_a")))).as("__bm"))
+    val perWin = counts.groupBy(col(windowKey))
+      .agg(map_from_entries(collect_list(struct(
+        col(catCol), col(countCol).cast("long")))).as("__m"))
+    val cells = perWin.crossJoin(broadcast(baseMap))
+      .withColumn("category",
+        explode(array_union(map_keys(col("__bm")), map_keys(col("__m")))))
+      .select(col(windowKey), col("category"),
+        coalesce(element_at(col("__bm"), col("category")), lit(0L))
+          .as("n_a"),
+        coalesce(element_at(col("__m"), col("category")), lit(0L))
+          .as("n_b"))
+    chi2FromCells(cells, Seq(windowKey))
   }
 
   /** Annotation aggregation by majority vote — the labeling-pipeline
@@ -426,6 +488,71 @@ object Learn {
         col("votes").as("winner_votes"), col("n_votes"),
         col("n_distinct_labels"),
         expr("(1000 * votes) div n_votes").as("agreement_milli"))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for MANY annotators
+    * (the [[cohenKappa]] sibling when judgments come from a pool, not
+    * a fixed pair): items carry n_i ≥ 2 judgments each; per-item
+    * agreement P_i = Σ_j c_ij(c_ij−1) / (n_i(n_i−1)) (the fraction
+    * of concordant judgment pairs), P̄_o their mean, and
+    * P̄_e = Σ_j p_j² from the pooled label proportions. Variable
+    * n_i is allowed (the natural crowdsourcing shape); single-vote
+    * items are excluded — they have no pairs to agree.
+    *
+    * DEFINED floor arithmetic (exact on both engines, no LCM of the
+    * varying n_i(n_i−1) denominators): pi_micro floors per item,
+    * po_micro floors their sum over I, pe_micro floors
+    * 10⁶·Σ(T_j²)/N² with T_j the pooled label totals, and
+    * kappa_micro = 10⁶·(po−pe)/(10⁶−pe) through the sign-split
+    * `div`. The cumulative floor bias is < 2 micro-units — the
+    * operator's published contract is this integer chain, and the
+    * q-oracle replays it term for term. Safe while N ≤ 3·10⁶
+    * pooled judgments (10⁶·T² < 2⁶³, the cohenKappa bound).
+    *
+    * Single-vote items are excluded from BOTH lanes — P̄_e pools the
+    * same judgment set P̄_o averages over, so a flood of unpaired
+    * drive-by votes cannot move the chance model.
+    *
+    * One (item, label) aggregate → item grain → two tiny rollups;
+    * the label lane re-joins the first aggregate at item grain. One
+    * row out: (n_items, n_judgments, n_categories, po_micro,
+    * pe_micro, kappa_micro). */
+  def fleissKappa(df: DataFrame, itemCol: String,
+      labelCol: String): DataFrame = {
+    val counts = df.groupBy(col(itemCol).as("item"),
+        col(labelCol).as("label"))
+      .agg(count(lit(1)).as("c"))
+    val itemsNi = counts.groupBy(col("item"))
+      .agg(sum(col("c")).as("ni"),
+        sum(col("c") * (col("c") - 1L)).as("pairs"))
+      .filter(col("ni") >= 2)
+    val items = itemsNi
+      .select(expr("(1000000 * pairs) div (ni * (ni - 1))").as("pi_micro"))
+    val po = items.agg(count(lit(1)).as("n_items"),
+      coalesce(sum(col("pi_micro")), lit(0L)).as("__pisum"))
+    val labels = counts
+      .join(itemsNi.select(col("item")), Seq("item"))
+      .groupBy(col("label"))
+      .agg(sum(col("c")).as("tj"))
+    val pe = labels.agg(
+      coalesce(sum(col("tj")), lit(0L)).as("n_judgments"),
+      count(lit(1)).as("n_categories"),
+      coalesce(sum(col("tj") * col("tj")), lit(0L)).as("__t2"))
+    po.crossJoin(pe)
+      .withColumn("po_micro",
+        when(col("n_items") > 0, expr("__pisum div n_items")))
+      .withColumn("pe_micro",
+        when(col("n_judgments") > 0,
+          expr("(1000000 * __t2) div (n_judgments * n_judgments)")))
+      .withColumn("kappa_micro",
+        when(col("pe_micro") < 1000000L && col("po_micro").isNotNull, expr(
+          """CASE WHEN 1000000L * (po_micro - pe_micro) >= 0
+            | THEN (1000000L * (po_micro - pe_micro)) div (1000000L - pe_micro)
+            | ELSE -((-(1000000L * (po_micro - pe_micro)))
+            |        div (1000000L - pe_micro))
+            | END""".stripMargin)))
+      .select(col("n_items"), col("n_judgments"), col("n_categories"),
+        col("po_micro"), col("pe_micro"), col("kappa_micro"))
   }
 
   /** Cohen's kappa between two annotators — chance-corrected

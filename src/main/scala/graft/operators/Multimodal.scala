@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -574,4 +574,56 @@ object Multimodal {
           floor(col("frame_index").cast("long") * col("__len") / n).cast("long"))
           .otherwise(lit(0L)))
       .drop("__len")
+
+  /** SubRip (.srt) subtitle parsing — the caption SIDECAR of the
+    * audio/video corpus: the text+timing lane an A/V training
+    * pipeline aligns transcripts, builds caption-audio pairs, and
+    * mines speech segments from. Blocks are blank-line-separated
+    * {{{cue-number\nHH:MM:SS,mmm --> HH:MM:SS,mmm\ntext…}}} — this
+    * walks them with pure row-local expressions (split + posexplode
+    * + one anchored regex; CRLF tolerated, trailing cue text joined
+    * back with \n, `.` accepted beside `,` for the millisecond
+    * separator like real-world files). Timing lands as exact
+    * BIGINT milliseconds. A malformed block (bad cue number, bad
+    * time line, end < start) emits a null-fields row with
+    * `valid = false` — the container family's strict-null audit
+    * contract; well-formed neighbors in the same file still parse.
+    * Output: (id, blk_idx, cue_no, start_ms, end_ms, dur_ms, text,
+    * valid); O(bytes)/row, no shuffle. */
+  def parseSrt(df: DataFrame, idCol: String, srtCol: String): DataFrame = {
+    val timeRe = "^(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3}) --> " +
+      "(\\d{2}):(\\d{2}):(\\d{2})[,.](\\d{3})\\s*$"
+    val blocks = df.select(col(idCol),
+        posexplode(split(regexp_replace(col(srtCol), "\r\n", "\n"),
+          "\n\n+")).as(Seq("blk_idx", "__blk")))
+      .filter(trim(col("__blk")) =!= "")
+      .withColumn("__lines", split(col("__blk"), "\n"))
+      .withColumn("__cue", element_at(col("__lines"), 1))
+      .withColumn("__time", when(size(col("__lines")) >= 2,
+        element_at(col("__lines"), 2)).otherwise(lit("")))
+    // ANSI-safe: a non-matching time line extracts "", which a bare
+    // cast would throw on — guard to an explicit null instead
+    def t(i: Int): Column = {
+      val g = regexp_extract(col("__time"), timeRe, i)
+      when(g =!= "", g.cast("long"))
+    }
+    val start = t(1) * 3600000L + t(2) * 60000L + t(3) * 1000L + t(4)
+    val end = t(5) * 3600000L + t(6) * 60000L + t(7) * 1000L + t(8)
+    val staged = blocks
+      .withColumn("__s", start).withColumn("__e", end)
+      .withColumn("__ok",
+        col("__cue").rlike("^\\d+$") &&
+          regexp_extract(col("__time"), timeRe, 1) =!= "" &&
+          col("__e") >= col("__s"))
+    staged.select(col(idCol), col("blk_idx").cast("long").as("blk_idx"),
+      when(col("__ok"), col("__cue").cast("long")).as("cue_no"),
+      when(col("__ok"), col("__s")).as("start_ms"),
+      when(col("__ok"), col("__e")).as("end_ms"),
+      when(col("__ok"), col("__e") - col("__s")).as("dur_ms"),
+      when(col("__ok"), array_join(
+        slice(col("__lines"), lit(3),
+          greatest(size(col("__lines")) - 2, lit(0))),
+        "\n")).as("text"),
+      col("__ok").as("valid"))
+  }
 }

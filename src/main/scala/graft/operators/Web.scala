@@ -630,4 +630,74 @@ object Web {
       canon.as("canonical_url"),
       when(canon.isNotNull, host).as("canon_host"))
   }
+
+  /** Apache/nginx COMBINED-log-format parsing — the access-log source
+    * every crawl/serving pipeline ingests before it can sessionize,
+    * rate-profile, or build the fetch ledger the politeness operators
+    * (q159/q162) consume:
+    * {{{ip - user [dd/Mon/yyyy:HH:MM:SS +zzzz] "METHOD path PROTO" status bytes "referer" "ua"}}}
+    *
+    * One anchored regex per line; a line that doesn't match emits a
+    * null-fields row with `valid = false` (the family's strict-null
+    * audit contract — malformed lines are COUNTED, never silently
+    * dropped). The timestamp becomes exact epoch SECONDS through the
+    * public days-from-civil calendar arithmetic (Howard Hinnant's
+    * algorithm — integer-only, every operand positive for CE dates,
+    * so `div` == `//` and the oracle replays it term for term; no
+    * engine date parser, the q233 discipline) with the ±hhmm zone
+    * offset applied. `bytes` is NULL for the CLF `-` convention
+    * (no body — distinct from 0). Row-local projections only —
+    * no shuffle, no UDF; a 100 TB log directory parses at scan
+    * speed and partition-prunes on whatever path layout it had. */
+  def parseClf(df: DataFrame, idCol: String, lineCol: String): DataFrame = {
+    val re = "^(\\S+) (\\S+) (\\S+) \\[(\\d{2})/([A-Z][a-z]{2})/(\\d{4})" +
+      ":(\\d{2}):(\\d{2}):(\\d{2}) ([+-])(\\d{2})(\\d{2})\\] " +
+      "\"(\\S+) (\\S+) ([^\"]+)\" (\\d{3}) (\\d+|-) " +
+      "\"([^\"]*)\" \"([^\"]*)\"$"
+    def g(i: Int): Column = regexp_extract(col(lineCol), re, i)
+    // ANSI-safe numeric group: non-matching lines extract "", which a
+    // bare cast would throw on — guard instead of try_cast so the
+    // null is explicit
+    def gl(i: Int): Column = when(g(i).rlike("^\\d+$"), g(i).cast("long"))
+    val mon = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul",
+      "Aug", "Sep", "Oct", "Nov", "Dec").zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (name, i)) =>
+        when(g(5) === name, lit(i + 1L)).otherwise(acc)
+      }
+    // staged NAMED columns so the integer `div`s reference plain
+    // identifiers (the twap/expr discipline; Column.toString does not
+    // reliably round-trip through the SQL parser)
+    val staged = df
+      .withColumn("__ok",
+        coalesce(col(lineCol).isNotNull && g(1) =!= "" && mon > 0,
+          lit(false)))
+      .withColumn("__mon", mon)
+      .withColumn("__y", gl(6))
+      .withColumn("__d", gl(4))
+      // days-from-civil (positive-era fast path, valid for year ≥ 1):
+      // shift to a March-first year, day-of-year, minus epoch 719468
+      .withColumn("__yp",
+        col("__y") - when(col("__mon") <= 2, 1L).otherwise(0L))
+      .withColumn("__mp", when(col("__mon") > 2, col("__mon") - 3L)
+        .otherwise(col("__mon") + 9L))
+      .withColumn("__days",
+        col("__yp") * 365L + expr("__yp div 4") - expr("__yp div 100") +
+          expr("__yp div 400") +
+          expr("(153 * __mp + 2) div 5") + col("__d") - 1L - 719468L)
+      .withColumn("__zone",
+        (gl(11) * 3600L + gl(12) * 60L) *
+          when(g(10) === "+", 1L).otherwise(-1L))
+      .withColumn("__epoch",
+        col("__days") * 86400L + gl(7) * 3600L +
+          gl(8) * 60L + gl(9) - col("__zone"))
+    def nn(c: Column): Column = when(col("__ok"), c)
+    staged.select(col(idCol),
+      nn(g(1)).as("ip"), nn(g(2)).as("ident"), nn(g(3)).as("user"),
+      nn(col("__epoch")).as("ts_epoch"),
+      nn(g(13)).as("method"), nn(g(14)).as("path"), nn(g(15)).as("proto"),
+      nn(gl(16)).as("status"),
+      when(col("__ok") && g(17) =!= "-", gl(17)).as("bytes"),
+      nn(g(18)).as("referer"), nn(g(19)).as("ua"),
+      col("__ok").as("valid"))
+  }
 }

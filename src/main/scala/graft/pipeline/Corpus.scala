@@ -773,4 +773,29 @@ object Corpus {
         col("top_lang"), col("top_lang_docs"), col("lang_hist"),
         (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
   }
+
+  /** Exact-k GLOBAL uniform sample without replacement — the
+    * "give me 10k docs for human eval / labeling / a quality probe"
+    * primitive beside the per-stratum members of the family
+    * ([[quotaSample]] pins counts per stratum; [[stratifiedSample]]
+    * keeps expected fractions; this pins ONE corpus-wide count).
+    * Selection is the k rows whose [[seededHash]] priority sorts
+    * lowest (ties broken by id) — a seeded uniform permutation, so
+    * the sample is reproducible across runs, engines, and cluster
+    * sizes, and REFERENTIALLY STABLE under corpus growth in one
+    * direction: a row leaves the sample only when a new row with a
+    * smaller priority displaces it, never by reshuffling.
+    *
+    * Physical shape is the point: `orderBy(priority).limit(k)` plans
+    * as TakeOrderedAndProject (spec-pinned) — a size-k heap PER
+    * PARTITION, then one k-row merge — never a global sort, never a
+    * window. Reservoir sampling's distributed analogue, without
+    * reservoir state: at 100 TB the corpus streams once and only
+    * k·partitions rows move. k is an Int (the result lands on one
+    * reducer — by construction this operator is for k that fit). */
+  def prioritySample(df: DataFrame, idCol: String, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.orderBy(seededHash(col(idCol), seed), col(idCol)).limit(k)
+  }
 }

@@ -403,6 +403,29 @@ object StreamOps {
     * frontier wants). NULL canonicals are dropped (not fetchable),
     * matching the batch operator. Emits the first-arriving row per
     * canonical_url with (canonical_url, canon_host) attached. */
+  /** Windowed category counts — the STREAMING half of the drift
+    * monitor (the batch half,
+    * [[graft.operators.Learn.driftChi2Windows]], computes the
+    * chi-square statistic from this operator's sink on read — the
+    * standard monitor split: the stream maintains counts with
+    * bounded state, the statistic is derivable arithmetic and never
+    * lives in stream state). One watermarked tumbling-window
+    * aggregate at (window, category) grain — state is
+    * |live windows|·|categories|, evicted as the watermark passes;
+    * Append mode, so a window's counts emit exactly once, closed.
+    * Output: (window_start, window_end, category, n). Batch frames
+    * run through the same code (watermark is a no-op) — parity with
+    * a plain GROUP BY is spec-pinned. */
+  def categoryCountsStream(df: DataFrame, tsCol: String, catCol: String,
+                           windowDur: String = "1 hour",
+                           watermarkDelay: String = "10 minutes"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur).as("__w"),
+        col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("__w.start").as("window_start"),
+        col("__w.end").as("window_end"), col("category"), col("n"))
+
   def frontierStream(df: DataFrame, urlCol: String, tsCol: String,
                      watermarkDelay: String = "10 minutes"): DataFrame =
     graft.operators.Web.canonicalizeUrls(df, urlCol, urlCol)

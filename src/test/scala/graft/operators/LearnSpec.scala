@@ -276,6 +276,43 @@ class LearnSpec extends SparkTestBase {
     assert(got(3L) == ((3L, "y", 2L, 3L, 2L, 666L)))
   }
 
+  test("fleissKappa: hand-computed chain, single-vote exclusion, degenerate") {
+    import spark.implicits._
+    // item A {x,x,y}: pairs=2, P=2/6 → 333333; item B {x,x}: P=1 →
+    // 1000000; item C {z} excluded (no pairs). po = floor avg =
+    // 666666. Pooled (A,B only): T_x=4, T_y=1, N=5 → pe =
+    // 17e6//25 = 680000. kappa = 1e6·(−13334)//320000 → −41668.
+    val votes = Seq(("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "x"), ("C", "z")).toDF("item", "label")
+    val got = Learn.fleissKappa(votes, "item", "label")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(got == ((2L, 5L, 2L, Some(666666L), Some(680000L),
+      Some(-41668L))))
+    // all-agree corpus: po = 1, pe < 1, kappa = 1 exactly
+    val perfect = Seq(("A", "x"), ("A", "x"), ("B", "y"), ("B", "y"))
+      .toDF("item", "label")
+    val p = Learn.fleissKappa(perfect, "item", "label")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(p._4 == Some(1000000L) && p._5 == Some(500000L) &&
+      p._6 == Some(1000000L))
+    // one label everywhere: pe = 1 → kappa undefined (null)
+    val mono = Seq(("A", "k"), ("A", "k"), ("B", "k"), ("B", "k"))
+      .toDF("item", "label")
+    val m = Learn.fleissKappa(mono, "item", "label")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(m._4 == Some(1000000L) && m._5 == Some(1000000L) &&
+      m._6.isEmpty)
+    // nothing but single votes: empty po lane, zeroed pe lane
+    val singles = Seq(("A", "x"), ("B", "y")).toDF("item", "label")
+    val s0 = Learn.fleissKappa(singles, "item", "label")
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(s0 == ((0L, 0L, 0L, None, None, None)))
+  }
+
   test("cohenKappa: textbook table, perfect disagreement, degenerate pe=1") {
     import spark.implicits._
     // the classic 50-item table: 20 yes-yes, 15 no-no, 10 A-yes/B-no,

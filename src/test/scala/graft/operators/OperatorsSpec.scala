@@ -1642,4 +1642,31 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == Some(0L) && got(2L) == Some(0L))
     assert(got(3L).isEmpty && got(4L).isEmpty)
   }
+
+  test("parseSrt: cues, CRLF, dot separator, multi-line text, malformed audit") {
+    import spark.implicits._
+    val good = "1\n00:00:01,500 --> 00:00:04,000\nHello there\nsecond line\n\n" +
+      "2\n01:02:03.250 --> 01:02:05,000\nNext cue"
+    val crlf = good.replace("\n", "\r\n")
+    val bad = "1\n00:00:01,500 --> 00:00:04,000\nok\n\n" +
+      "x\n00:00:05,000 --> 00:00:06,000\nbad cue number\n\n" +
+      "3\n00:00:09,000 --> 00:00:08,000\nend before start"
+    val df = Seq((1L, good), (2L, crlf), (3L, bad)).toDF("id", "srt")
+    val got = Multimodal.parseSrt(df, "id", "srt")
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[String], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, 0L)) == ((1L, 0L, Some(1L), Some(1500L), Some(4000L),
+      Some(2500L), Some("Hello there\nsecond line"), true)))
+    // dot millisecond separator, hour/minute fields exact
+    assert(got((1L, 1L)) == ((1L, 1L, Some(2L), Some(3723250L),
+      Some(3725000L), Some(1750L), Some("Next cue"), true)))
+    // CRLF input parses identically
+    assert(got((2L, 0L))._4 == Some(1500L) &&
+      got((2L, 1L))._7 == Some("Next cue"))
+    // malformed blocks are null audit rows; the good neighbor parses
+    assert(got((3L, 0L))._8 && got((3L, 0L))._7 == Some("ok"))
+    assert(!got((3L, 1L))._8 && got((3L, 1L))._3.isEmpty) // bad cue no
+    assert(!got((3L, 2L))._8)                             // end < start
+  }
 }

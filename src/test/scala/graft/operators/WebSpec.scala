@@ -393,4 +393,38 @@ class WebSpec extends SparkTestBase {
       .select("canonical_url").distinct().collect()
     assert(canon.map(_.getString(0)).toSeq == Seq("http://a.com/x?a=2&b=1"))
   }
+
+  test("parseClf: fields, calendar epoch, zone signs, '-' bytes, malformed audit") {
+    import spark.implicits._
+    val lines = Seq(
+      // the RFC's own example date: 10/Oct/2000:13:55:36 -0700
+      // = 2000-10-10T20:55:36Z = epoch 971211336
+      1L -> ("127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] " +
+        "\"GET /apache_pb.gif HTTP/1.0\" 200 2326 " +
+        "\"http://www.example.com/start.html\" \"Mozilla/4.08\""),
+      // '-' bytes (no body), + zone with minutes, leap-day date:
+      // 2024-02-29T00:30:00+05:30 = 2024-02-28T19:00:00Z = 1709146800
+      2L -> ("10.1.2.3 ident7 - [29/Feb/2024:00:30:00 +0530] " +
+        "\"POST /submit HTTP/1.1\" 204 - \"-\" \"curl/8\""),
+      3L -> "this is not a log line",
+      4L -> ("1.2.3.4 - - [01/Jan/1970:00:00:00 +0000] " +
+        "\"GET / HTTP/1.0\" 200 0 \"\" \"\""))
+    val got = Web.parseClf(lines.toDF("id", "line"), "id", "line")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getString(1) == "127.0.0.1" && r1.getString(2) == "-" &&
+      r1.getString(3) == "frank")
+    assert(r1.getLong(4) == 971211336L)
+    assert(r1.getString(5) == "GET" && r1.getString(6) == "/apache_pb.gif" &&
+      r1.getString(7) == "HTTP/1.0")
+    assert(r1.getLong(8) == 200L && r1.getLong(9) == 2326L)
+    assert(r1.getString(10) == "http://www.example.com/start.html" &&
+      r1.getString(11) == "Mozilla/4.08" && r1.getBoolean(12))
+    val r2 = got(2L)
+    assert(r2.getLong(4) == 1709146800L)     // leap day + :30 zone
+    assert(r2.isNullAt(9) && r2.getBoolean(12)) // '-' bytes → NULL, valid
+    val r3 = got(3L)
+    assert(!r3.getBoolean(12) && (1 to 11).forall(r3.isNullAt))
+    assert(got(4L).getLong(4) == 0L)          // the epoch itself
+  }
 }

@@ -506,4 +506,35 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(Corpus.contrastivePairs(
       Seq((1L, "x" * 30)).toDF("doc_id", "text"), "doc_id", "text", 10).isEmpty)
   }
+
+  test("prioritySample: exact k, deterministic, subset-stable, TakeOrdered plan") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val s1 = Corpus.prioritySample(docs, "id", k = 50, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(s1.size == 50)
+    // same seed → identical set, any partitioning
+    val s1b = Corpus.prioritySample(docs.repartition(9), "id", 50, 7L)
+      .select("id").as[Long].collect().toSet
+    assert(s1b == s1)
+    // different seed → a genuinely different permutation
+    val s2 = Corpus.prioritySample(docs, "id", 50, 8L)
+      .select("id").as[Long].collect().toSet
+    assert(s2 != s1)
+    // growth stability: priorities don't depend on the corpus, so an
+    // OLD row can enter the grown sample only if it was already in
+    // the old sample (new rows can displace, never reshuffle)
+    val grown = (0L until 600L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val sg = Corpus.prioritySample(grown, "id", 50, 7L)
+      .select("id").as[Long].collect().toSet
+    assert(sg.filter(_ < 500L).subsetOf(s1),
+      s"an old row entered the sample only after growth: ${sg -- s1}")
+    // per-partition heaps + one merge, never a global sort
+    val plan = Corpus.prioritySample(docs, "id", 50, 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    intercept[IllegalArgumentException] {
+      Corpus.prioritySample(docs, "id", 0, 7L)
+    }
+  }
 }

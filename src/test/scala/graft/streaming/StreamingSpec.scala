@@ -39,6 +39,56 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed.exists { case (_, et, n) => et == "click" && n == 2 })
   }
 
+  test("categoryCountsStream: streaming counts equal batch; drift finisher composes") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val data = Seq(
+      Ev(t("2024-01-01 00:05:00"), "click", 1.0),
+      Ev(t("2024-01-01 00:20:00"), "click", 1.0),
+      Ev(t("2024-01-01 00:40:00"), "view", 1.0),
+      Ev(t("2024-01-01 01:05:00"), "view", 1.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(data: _*)
+    // complete mode for the memory sink; Append is the production
+    // mode (watermark-closed windows) — the counts are the same
+    val q = StreamOps.categoryCountsStream(stream.toDF(), "ts",
+        "event_type", windowDur = "1 hour")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ccs").start()
+    try q.processAllAvailable() finally q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window_start").cast("string"), col("category"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val streamed = norm(spark.table("ccs"))
+    val batch = norm(StreamOps.categoryCountsStream(data.toDF(), "ts",
+      "event_type", windowDur = "1 hour"))
+    assert(streamed == batch)
+    assert(streamed.exists { case (w, c, n) =>
+      w.startsWith("2024-01-01 00:00") && c == "click" && n == 2 })
+    // the batch finisher over the streamed counts table equals
+    // driftChi2 run window-by-window on the same raw data
+    val baseline = Seq("click", "click", "view").toDF("event_type")
+    val windowed = graft.operators.Learn.driftChi2Windows(
+        spark.table("ccs"), "window_start", "category", "n",
+        baseline, "event_type")
+      .select(col("window_start").cast("string").as("w"), col("category"),
+        col("n_a"), col("n_b"), col("num"), col("chi2_micro"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val direct = graft.operators.Learn.driftChi2(
+        baseline, data.take(3).toDF().select(col("event_type")),
+        "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // window 00:00 holds exactly the first three raw events
+    assert(windowed(("2024-01-01 00:00:00", "click")) == direct("click"))
+    assert(windowed(("2024-01-01 00:00:00", "view")) == direct("view"))
+    // window 01:00 never saw a click: the baseline category surfaces
+    // with n_b = 0 instead of vanishing
+    assert(windowed(("2024-01-01 01:00:00", "click"))._2 == 0L)
+  }
+
   test("sessionAgg groups events into gap-based session windows under streaming") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -2476,6 +2476,50 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q252: BLEU evaluation lanes — consecutive documents paired as
+    // (candidate, reference); clipped 1..4-gram matches, totals,
+    // milli precisions, the product lane, and the brevity branch.
+    // DuckDB rebuilds all four gram orders by range-unnest and
+    // replays every clip, floor, and product.
+    "q252_bleu_lanes" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      val pairs = d.select(col("doc_id").as("pair"),
+          col("text").as("cand"))
+        .join(d.select((col("doc_id") - 1).as("pair"),
+          col("text").as("ref")), Seq("pair"))
+      TextOps.bleuLanes(pairs, "pair", "cand", "ref")
+        .orderBy(col("pair"))
+    }),
+
+    // q253: blocked fuzzy record linkage — customer self-linkage
+    // blocked by (nation, segment), Jaro–Winkler-scored by OUR
+    // kernel, thresholded in integer micro; the oracle rescores
+    // every surviving pair with DuckDB's OWN jaro_winkler_similarity
+    // (the q219 cross-implementation discipline at pipeline scale).
+    "q253_record_linkage" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      Relational.blockedLinkage(c, c, Seq("c_nationkey", "c_mktsegment"),
+          "c_custkey", "c_name", minJwMicro = 955000L, selfDedup = true)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"),
+          col("id_a"), col("id_b"))
+    }),
+
+    // q254: numeric-column drift — the chi-square gate over a BINNED
+    // continuous column (equi-width value buckets as categories):
+    // the even/odd event halves compared on floor(value/50). Pure
+    // composition of the binning expression and driftChi2 — DuckDB
+    // replays both.
+    "q254_numeric_drift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"),
+          floor(col("value") / 50).cast("long").as("bin"))
+      operators.Learn.driftChi2(
+          ev.filter(col("event_id") % 2 === 0),
+          ev.filter(col("event_id") % 2 === 1), "bin")
+        .withColumnRenamed("category", "bin")
+        .orderBy(col("bin"))
+    }),
+
     // q246: Fleiss' kappa — pooled-annotator agreement over the
     // event stream's (item, label) judgments; the whole defined
     // floor chain (per-item pairs → po → pooled pe → kappa)
@@ -5755,6 +5799,127 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q252: all four gram orders rebuilt by range-unnest, the clip
+    // join, conditional-sum pivot, totals, floors, the null-propagating
+    // product, and the brevity branch replayed.
+    "q252_bleu_lanes" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS l
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (SELECT c.doc_id AS pair, c.l AS cl, r.l AS rl
+        |          FROM d c JOIN d r ON r.doc_id = c.doc_id + 1),
+        |cg AS (
+        |  SELECT pair, 1 AS n, cl[u.i] AS gram
+        |  FROM pairs, unnest(range(1, len(cl) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 2, cl[u.i] || ' ' || cl[u.i + 1]
+        |  FROM pairs, unnest(range(1, len(cl))) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 3, cl[u.i] || ' ' || cl[u.i + 1] || ' ' || cl[u.i + 2]
+        |  FROM pairs, unnest(range(1, len(cl) - 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 4, cl[u.i] || ' ' || cl[u.i + 1] || ' ' ||
+        |    cl[u.i + 2] || ' ' || cl[u.i + 3]
+        |  FROM pairs, unnest(range(1, len(cl) - 2)) AS u(i)),
+        |rg AS (
+        |  SELECT pair, 1 AS n, rl[u.i] AS gram
+        |  FROM pairs, unnest(range(1, len(rl) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 2, rl[u.i] || ' ' || rl[u.i + 1]
+        |  FROM pairs, unnest(range(1, len(rl))) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 3, rl[u.i] || ' ' || rl[u.i + 1] || ' ' || rl[u.i + 2]
+        |  FROM pairs, unnest(range(1, len(rl) - 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT pair, 4, rl[u.i] || ' ' || rl[u.i + 1] || ' ' ||
+        |    rl[u.i + 2] || ' ' || rl[u.i + 3]
+        |  FROM pairs, unnest(range(1, len(rl) - 2)) AS u(i)),
+        |cc AS (SELECT pair, n, gram, COUNT(*) AS nc FROM cg GROUP BY 1, 2, 3),
+        |rc AS (SELECT pair, n, gram, COUNT(*) AS nr FROM rg GROUP BY 1, 2, 3),
+        |mm AS (SELECT pair,
+        |    SUM(CASE WHEN n = 1 THEN LEAST(nc, nr) ELSE 0 END) AS m1,
+        |    SUM(CASE WHEN n = 2 THEN LEAST(nc, nr) ELSE 0 END) AS m2,
+        |    SUM(CASE WHEN n = 3 THEN LEAST(nc, nr) ELSE 0 END) AS m3,
+        |    SUM(CASE WHEN n = 4 THEN LEAST(nc, nr) ELSE 0 END) AS m4
+        |  FROM cc JOIN rc USING (pair, n, gram) GROUP BY 1),
+        |lanes AS (
+        |  SELECT p.pair,
+        |    CAST(len(cl) AS BIGINT) AS cand_tokens,
+        |    CAST(len(rl) AS BIGINT) AS ref_tokens,
+        |    CAST(COALESCE(m1, 0) AS BIGINT) AS m1,
+        |    CAST(COALESCE(m2, 0) AS BIGINT) AS m2,
+        |    CAST(COALESCE(m3, 0) AS BIGINT) AS m3,
+        |    CAST(COALESCE(m4, 0) AS BIGINT) AS m4,
+        |    CAST(GREATEST(len(cl), 0) AS BIGINT) AS t1,
+        |    CAST(GREATEST(len(cl) - 1, 0) AS BIGINT) AS t2,
+        |    CAST(GREATEST(len(cl) - 2, 0) AS BIGINT) AS t3,
+        |    CAST(GREATEST(len(cl) - 3, 0) AS BIGINT) AS t4
+        |  FROM pairs p LEFT JOIN mm ON p.pair = mm.pair),
+        |fl AS (SELECT *,
+        |    CASE WHEN t1 > 0 THEN (1000 * m1) // t1 END AS p1_milli,
+        |    CASE WHEN t2 > 0 THEN (1000 * m2) // t2 END AS p2_milli,
+        |    CASE WHEN t3 > 0 THEN (1000 * m3) // t3 END AS p3_milli,
+        |    CASE WHEN t4 > 0 THEN (1000 * m4) // t4 END AS p4_milli
+        |  FROM lanes)
+        |SELECT pair, cand_tokens, ref_tokens, m1, m2, m3, m4,
+        |  t1, t2, t3, t4,
+        |  CAST(p1_milli AS BIGINT) AS p1_milli,
+        |  CAST(p2_milli AS BIGINT) AS p2_milli,
+        |  CAST(p3_milli AS BIGINT) AS p3_milli,
+        |  CAST(p4_milli AS BIGINT) AS p4_milli,
+        |  CAST(p1_milli * p2_milli * p3_milli * p4_milli AS BIGINT)
+        |    AS prod_milli4,
+        |  cand_tokens >= ref_tokens AS brevity_ok
+        |FROM fl ORDER BY pair""".stripMargin,
+
+    // q253: every surviving pair rescored by DuckDB's OWN
+    // jaro_winkler_similarity — cross-implementation agreement at
+    // the micro floor, including the threshold boundary.
+    "q253_record_linkage" ->
+      """SELECT a.c_nationkey, a.c_mktsegment,
+        |  a.c_custkey AS id_a, a.c_name AS name_a,
+        |  b.c_custkey AS id_b, b.c_name AS name_b,
+        |  CAST(FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)
+        |    * 1000000) AS BIGINT) AS jw_micro
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        |  AND a.c_mktsegment = b.c_mktsegment
+        |  AND a.c_custkey < b.c_custkey
+        |WHERE FLOOR(jaro_winkler_similarity(a.c_name, b.c_name)
+        |  * 1000000) >= 955000
+        |ORDER BY 1, 2, 3, 5""".stripMargin,
+
+    // q254: the binning (one IEEE divide + floor) and the q238
+    // staged chain replayed over the even/odd halves.
+    "q254_numeric_drift" ->
+      """WITH ev AS (SELECT event_id,
+        |    CAST(FLOOR(value / 50) AS BIGINT) AS bin FROM events),
+        |a AS (SELECT bin, COUNT(*) AS n_a FROM ev
+        |      WHERE event_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT bin, COUNT(*) AS n_b FROM ev
+        |      WHERE event_id % 2 = 1 GROUP BY 1),
+        |cells AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+        |    CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+        |    CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |tot AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na,
+        |               CAST(SUM(n_b) AS BIGINT) AS nb FROM cells),
+        |c2 AS (SELECT bin, n_a, n_b,
+        |    (na + nb) * n_a - na * (n_a + n_b) AS num,
+        |    ((na + nb) * n_a - na * (n_a + n_b))
+        |      * ((na + nb) * n_a - na * (n_a + n_b)) AS n2,
+        |    (na + nb) * na * (n_a + n_b) AS dena,
+        |    (na + nb) * nb * (n_a + n_b) AS denb
+        |  FROM cells, tot)
+        |SELECT bin, n_a, n_b, CAST(num AS BIGINT) AS num,
+        |  CAST(CASE WHEN dena > 0
+        |      THEN (n2 // dena) * 1000000 + ((n2 % dena) * 1000000) // dena
+        |      ELSE 0 END +
+        |    CASE WHEN denb > 0
+        |      THEN (n2 // denb) * 1000000 + ((n2 % denb) * 1000000) // denb
+        |      ELSE 0 END AS BIGINT) AS chi2_micro
+        |FROM c2 ORDER BY bin""".stripMargin,
 
     // q246: the defined floor chain replayed — per-item pair floors,
     // their floored mean, pooled-label pe, sign-split kappa; pooled

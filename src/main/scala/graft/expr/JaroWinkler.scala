@@ -66,7 +66,12 @@ object JaroWinklerKernel {
       }
       i += 1
     }
-    val t = t2 / 2.0
+    // Winkler's convention (and DuckDB's): the out-of-order pair
+    // count HALVES BY INTEGER DIVISION — an odd count floors, it
+    // does not contribute a half transposition. (abcdef vs bcadef
+    // has 3 out-of-order pairs → t = 1, jaro = 17/18; the float
+    // half would give 0.9166…, a cross-implementation mismatch.)
+    val t = (t2 / 2).toDouble
     (m.toDouble / la + m.toDouble / lb + (m - t) / m) / 3.0
   }
 

@@ -891,6 +891,44 @@ object Relational {
       .limit(topK)
   }
 
+  /** Blocked fuzzy record linkage — entity resolution's standard
+    * two-step: a BLOCKING equi-join proposes candidate pairs (only
+    * records sharing every `blockCols` value can match — the step
+    * that turns the O(N²) all-pairs comparison into Σ|block|², the
+    * only reason fuzzy matching scales at all), then the
+    * transposition-tolerant Jaro–Winkler kernel (q219's codegen'd
+    * expression, micro-floored so thresholds are integer-exact)
+    * scores each candidate and pairs below `minJwMicro` drop.
+    * For self-linkage (`a` eq-shaped with `b` and `selfDedup`),
+    * each unordered pair surfaces once (id_a < id_b) and trivial
+    * self-pairs never; for two-table linkage every cross pair is a
+    * real candidate. Null block keys never match (SQL equi-join),
+    * which is the correct blocking posture — an unknown block is
+    * not a shared block.
+    *
+    * One shuffled equi-join on the block keys (skew caveat: a
+    * mega-block degrades toward all-pairs — exactly what
+    * [[skewReport]] is for; cap or split hot blocks upstream), the
+    * scoring all row-local codegen. Output: blockCols ++ (id_a,
+    * name_a, id_b, name_b, jw_micro). */
+  def blockedLinkage(a: DataFrame, b: DataFrame, blockCols: Seq[String],
+      idCol: String, nameCol: String, minJwMicro: Long,
+      selfDedup: Boolean = false): DataFrame = {
+    require(blockCols.nonEmpty, "blockedLinkage needs at least one block key")
+    require(minJwMicro >= 0 && minJwMicro <= 1000000,
+      s"minJwMicro must be in [0,1e6], got $minJwMicro")
+    val left = a.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_a"), col(nameCol).as("name_a")): _*)
+    val right = b.select(blockCols.map(col) ++
+      Seq(col(idCol).as("id_b"), col(nameCol).as("name_b")): _*)
+    val jw = floor(graft.functions.jaro_winkler(col("name_a"),
+      col("name_b")) * 1000000).cast("long")
+    left.join(right, blockCols)
+      .filter(if (selfDedup) col("id_a") < col("id_b") else lit(true))
+      .withColumn("jw_micro", jw)
+      .filter(col("jw_micro") >= minJwMicro)
+  }
+
   /** Bloom-pruned shuffled join — the runtime-filter shape for the
     * join Spark can't broadcast AND can't prune statically: fact ⋈
     * dim where dim is too big for autoBroadcast but touches only a

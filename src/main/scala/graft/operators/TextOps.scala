@@ -2452,6 +2452,69 @@ object TextOps {
     * to 0 and can't contribute), then a pair-grain aggregate; the
     * pair id rides the shuffle so a 10⁹-pair eval set spreads by
     * pair, never by gram. No driver state, no windows. */
+  /** BLEU evaluation lanes — the 4-gram sibling of [[rougeN]] for
+    * machine-translation-style scoring: per (candidate, reference)
+    * pair, the CLIPPED match and total counts for n = 1..4 plus the
+    * exact milli precisions p_n and their product. BLEU proper is
+    * BP·(p₁p₂p₃p₄)^¼ — a 4th root and an exp/ln brevity penalty
+    * that no two libms agree on to the last ulp — so the published
+    * integer contract is everything UNDER the root: `prod_milli4`
+    * (= Π pₙ_milli, ≤ 10¹², exact BIGINT) is monotone-equivalent to
+    * unsmoothed BLEU at fixed BP (the BM25 ln-free discipline), and
+    * `brevity_ok` (cand ≥ ref length — BP = 1 exactly) pins the
+    * penalty branch; a caller wanting the real number computes
+    * `bp·(prod/1e12)^0.25` in one local step from these lanes.
+    * Any pₙ with zero total (candidate shorter than n tokens) nulls
+    * that lane and the product — unsmoothed BLEU is undefined
+    * there, and surfacing the null beats silently smoothing.
+    *
+    * Physical shape: ONE explode carries all four gram orders as
+    * tagged (n, gram) rows — not four passes — then one (pair, n,
+    * gram) clip join and a conditional-sum pivot back to pair
+    * grain; shuffles spread by pair exactly like [[rougeN]]. */
+  def bleuLanes(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val orders = 1 to 4
+    def gramsN(t: Column, n: Int): Column =
+      if (n == 1) t
+      else when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    def tagged(c: Column): Column = {
+      val t = tokens(lower(c))
+      flatten(array(orders.map(n =>
+        transform(gramsN(t, n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))
+    }
+    def side(c: String, out: String) = pairs
+      .select(col(pairCol).as("pair"), explode(tagged(col(c))).as("g"))
+      .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as(out))
+    val mAggs = orders.map(n => sum(when(col("n") === n,
+      least(col("__cc"), col("__cr"))).otherwise(0L)).as(s"m$n"))
+    val matches = side(candCol, "__cc")
+      .join(side(refCol, "__cr"), Seq("pair", "n", "gram"))
+      .groupBy(col("pair"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val base = pairs.select(col(pairCol).as("pair"),
+      token_count(lower(col(candCol))).as("cand_tokens"),
+      token_count(lower(col(refCol))).as("ref_tokens"))
+    val out = base.join(matches, Seq("pair"), "left")
+    val withT = orders.foldLeft(out) { (df, n) =>
+      df.withColumn(s"t$n",
+          greatest(col("cand_tokens") - (n - 1), lit(0L)))
+        .withColumn(s"m$n", coalesce(col(s"m$n"), lit(0L)))
+        .withColumn(s"p${n}_milli",
+          when(col(s"t$n") > 0, expr(s"(1000 * m$n) div t$n")))
+    }
+    withT
+      .withColumn("prod_milli4",
+        col("p1_milli") * col("p2_milli") * col("p3_milli") *
+          col("p4_milli"))
+      .withColumn("brevity_ok", col("cand_tokens") >= col("ref_tokens"))
+  }
+
   def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")

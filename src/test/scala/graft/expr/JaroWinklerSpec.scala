@@ -38,6 +38,19 @@ class JaroWinklerSpec extends SparkTestBase {
     }
   }
 
+  test("odd out-of-order count floors the transposition (Winkler/DuckDB convention)") {
+    // abcdef vs bcadef: 6 matches, THREE out-of-order aligned pairs →
+    // t = 3/2 floors to 1, jaro = (1 + 1 + 5/6)/3 = 17/18. A float
+    // half (t = 1.5) would give 0.9166… — the regression q253 caught
+    // against DuckDB's independent implementation.
+    // same evaluation order as the kernel and DuckDB (both print
+    // …45; the algebraically-equal 17.0/18 rounds to …44)
+    assert(j("abcdef", "bcadef") == (1.0 + 1.0 + 5.0 / 6) / 3)
+    // the q253 boundary pair, pinned to DuckDB's exact value
+    assert(math.floor(jw("Customer#000000163", "Customer#000001301")
+      * 1000000).toLong == 966013L)
+  }
+
   test("column + SQL paths agree with the kernel (codegen exercised)") {
     import spark.implicits._
     val df = Seq(("martha", "marhta"), ("dixon", "dicksonx"), ("", ""))

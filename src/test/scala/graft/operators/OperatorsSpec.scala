@@ -581,6 +581,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("blockedLinkage: blocking, threshold, self-dedup, null blocks never match") {
+    import spark.implicits._
+    val recs = Seq(
+      (1L, "b1", "martha"), (2L, "b1", "marhta"), (3L, "b1", "zzzzzz"),
+      (4L, "b2", "martha"),             // same name, OTHER block: no pair
+      (5L, null.asInstanceOf[String], "martha"),
+      (6L, null.asInstanceOf[String], "martha")) // null blocks: no pair
+      .toDF("id", "blk", "name")
+    val got = Relational.blockedLinkage(recs, recs, Seq("blk"),
+        "id", "name", minJwMicro = 900000L, selfDedup = true)
+      .as[(String, Long, String, Long, String, Long)].collect()
+    // only martha/marhta survive: same block, jw = 0.9611…
+    assert(got.toSeq == Seq(("b1", 1L, "martha", 2L, "marhta", 961111L)))
+    // threshold excludes the low-similarity same-block pair
+    val loose = Relational.blockedLinkage(recs, recs, Seq("blk"),
+        "id", "name", minJwMicro = 0L, selfDedup = true)
+      .as[(String, Long, String, Long, String, Long)].collect()
+    assert(loose.length == 3) // (1,2), (1,3), (2,3) — never null-block pairs
+    assert(loose.forall(r => r._2 < r._4), "selfDedup must order ids")
+    // two-table mode keeps every cross pair (no id ordering)
+    val other = Seq((10L, "b1", "martha")).toDF("id", "blk", "name")
+    val cross = Relational.blockedLinkage(other, recs, Seq("blk"),
+        "id", "name", minJwMicro = 900000L)
+      .as[(String, Long, String, Long, String, Long)].collect()
+    assert(cross.map(_._4).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("bloomPrunedJoin: equals the plain join; fact filters before its shuffle") {
     import spark.implicits._
     // range-backed (not a LocalRelation): ConvertToLocalRelation would

@@ -952,6 +952,36 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(once._3 && once._4 == corrupt("café"))
   }
 
+  test("bleuLanes: hand-computed 1..4-gram clips, null-propagating product") {
+    import spark.implicits._
+    val got = TextOps.bleuLanes(Seq(
+        (1L, "the cat the cat on the mat", "the cat sat on the mat"),
+        (2L, "a b", "a b c d"),      // cand shorter than 3 → p3/p4 null
+        (3L, "x y z w", "x y z w")). // identity → all 1000, prod 1e12
+        toDF("pair", "cand", "ref"), "pair", "cand", "ref")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    def l(r: org.apache.spark.sql.Row, c: String) =
+      r.getLong(r.fieldIndex(c))
+    def ol(r: org.apache.spark.sql.Row, c: String) =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+    // m1=5 (the:2, cat:1, on:1, mat:1), m2=3 (the cat, on the,
+    // the mat), m3=1 (on the mat), m4=0
+    assert(l(r1, "cand_tokens") == 7L && l(r1, "ref_tokens") == 6L)
+    assert(Seq("m1", "m2", "m3", "m4").map(l(r1, _)) == Seq(5L, 3L, 1L, 0L))
+    assert(Seq("t1", "t2", "t3", "t4").map(l(r1, _)) == Seq(7L, 6L, 5L, 4L))
+    assert(Seq("p1_milli", "p2_milli", "p3_milli", "p4_milli")
+      .map(ol(r1, _)) == Seq(Some(714L), Some(500L), Some(200L), Some(0L)))
+    assert(ol(r1, "prod_milli4") == Some(0L) &&
+      r1.getBoolean(r1.fieldIndex("brevity_ok")))
+    val r2 = got(2L)
+    assert(ol(r2, "p2_milli") == Some(1000L) &&
+      ol(r2, "p3_milli").isEmpty && ol(r2, "prod_milli4").isEmpty)
+    assert(!r2.getBoolean(r2.fieldIndex("brevity_ok")))
+    val r3 = got(3L)
+    assert(ol(r3, "prod_milli4") == Some(1000000000000L))
+  }
+
   test("rougeN: hand-computed clip, identity, multiplicity, empty sides") {
     import spark.implicits._
     def run(n: Int, rows: (Long, String, String)*) =

@@ -397,13 +397,23 @@ object Learn {
         cells.withColumn("__na", sum(col("n_a")).over(w))
           .withColumn("__nb", sum(col("n_b")).over(w))
       }
+    // the squared term and denominators run in DECIMAL(38,0): num²
+    // overflows BIGINT already at N·max_count ≳ 3·10⁹ (nine bins of a
+    // million-row table!), and decimal keeps the chain EXACT to
+    // N ≈ 10¹⁰ rows per snapshot ((n2 % den)·10⁶ < 10³⁶·10⁶ < 10³⁸);
+    // `div`/`%` on decimals are still integral and floor like `//` on
+    // the nonnegative operands. The cells table is category-grain, so
+    // decimal cost is irrelevant.
     joined
       .withColumn("__n", col("__na") + col("__nb"))
       .withColumn("__t", col("n_a") + col("n_b"))
       .withColumn("num", col("__n") * col("n_a") - col("__na") * col("__t"))
-      .withColumn("__n2", col("num") * col("num"))
-      .withColumn("__dena", col("__n") * col("__na") * col("__t"))
-      .withColumn("__denb", col("__n") * col("__nb") * col("__t"))
+      .withColumn("__n2",
+        col("num").cast("decimal(38,0)") * col("num"))
+      .withColumn("__dena",
+        col("__n").cast("decimal(38,0)") * col("__na") * col("__t"))
+      .withColumn("__denb",
+        col("__n").cast("decimal(38,0)") * col("__nb") * col("__t"))
       .withColumn("chi2_micro",
         when(col("__dena") > 0,
           expr("(__n2 div __dena) * 1000000L + ((__n2 % __dena) * 1000000L) div __dena"))

@@ -2476,6 +2476,44 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q255: per-group winsorization — event values clamped to each
+    // type's exact [5%, 95%] band; rank positions in integer milli,
+    // the extracted bound value tie-order-independent. DuckDB
+    // replays ROW_NUMBER/COUNT, both rank formulas, and the clamp.
+    "q255_winsorize" -> ((s, dir) => {
+      Relational.winsorize(Tables.events(s, dir), Seq("event_type"),
+          "value", pMilli = 50)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("lo_bound"), col("hi_bound"), col("value_w"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q256: pass@k — tasks from the event stream (value>200 marks a
+    // correct sample), the telescoped binomial ratio in exact
+    // decimal products; n<k tasks null, n−c<k short-circuits to
+    // 1000. DuckDB inlines both k=5 products in BIGINT.
+    "q256_pass_at_k" -> ((s, dir) => {
+      val samples = Tables.events(s, dir)
+        .select((col("event_id") % 150).as("task"),
+          (col("value") > 200).as("ok"))
+      operators.Learn.passAtK(samples, "task", "ok", k = 5)
+        .orderBy(col("task"))
+    }),
+
+    // q257: expected calibration error — synthetic milli confidences
+    // from the value column against a user-derived label; per-bin
+    // accuracy/confidence floors and the cleared-denominator
+    // ece_micro. DuckDB replays binning, gaps, and the one floor.
+    "q257_calibration" -> ((s, dir) => {
+      val scored = Tables.events(s, dir)
+        .select((col("user_id") % 3 === 0).as("y"),
+          greatest(lit(0L), least(lit(1000L),
+            floor(col("value") * 2.2).cast("long"))).as("score_milli"))
+      operators.Learn.calibrationError(scored, "y", "score_milli",
+          bins = 10)
+        .orderBy(col("bin"))
+    }),
+
     // q252: BLEU evaluation lanes — consecutive documents paired as
     // (candidate, reference); clipped 1..4-gram matches, totals,
     // milli precisions, the product lane, and the brevity branch.
@@ -5799,6 +5837,68 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q255: the rank machinery and clamp replayed; ties are safe
+    // because only the VALUE at a rank is extracted.
+    "q255_winsorize" ->
+      """WITH r AS (SELECT event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT *, GREATEST(1, (n * 50 + 999) // 1000) AS lor
+        |      FROM r),
+        |b2 AS (SELECT *, n + 1 - lor AS hir FROM b),
+        |bounds AS (SELECT event_type,
+        |    MAX(CASE WHEN rn = lor THEN value END) AS lo_bound,
+        |    MAX(CASE WHEN rn = hir THEN value END) AS hi_bound
+        |  FROM b2 GROUP BY 1)
+        |SELECT e.event_id, e.event_type, e.value, lo_bound, hi_bound,
+        |  GREATEST(lo_bound, LEAST(hi_bound, e.value)) AS value_w
+        |FROM events e JOIN bounds USING (event_type)
+        |WHERE e.value IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    // q256: both telescoped products inlined at k=5 (BIGINT-safe for
+    // these n), the two short-circuit branches replayed.
+    "q256_pass_at_k" ->
+      """WITH t AS (SELECT event_id % 150 AS task, value > 200 AS ok
+        |           FROM events),
+        |a AS (SELECT task, COUNT(*) AS n,
+        |    SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS c
+        |  FROM t GROUP BY 1)
+        |SELECT task, CAST(n AS BIGINT) AS n, CAST(c AS BIGINT) AS c,
+        |  CAST(CASE WHEN n < 5 THEN NULL
+        |    WHEN n - c < 5 THEN 1000
+        |    ELSE 1000 -
+        |      ((n-c) * (n-c-1) * (n-c-2) * (n-c-3) * (n-c-4) * 1000) //
+        |      (n * (n-1) * (n-2) * (n-3) * (n-4))
+        |  END AS BIGINT) AS pass_at_5_milli
+        |FROM a ORDER BY task""".stripMargin,
+
+    // q257: binning, per-bin floors, gaps, and the single cleared-
+    // denominator ECE floor replayed.
+    "q257_calibration" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |    GREATEST(0, LEAST(1000,
+        |      CAST(FLOOR(value * 2.2) AS BIGINT))) AS sm
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT LEAST(9, (sm * 10) // 1000) AS bin, y, sm FROM s),
+        |pb AS (SELECT bin, COUNT(*) AS n, SUM(y) AS n_correct,
+        |    SUM(sm) AS sum_score_milli
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT *, ABS(1000 * n_correct - sum_score_milli)
+        |      AS gap_num FROM pb),
+        |t AS (SELECT SUM(n) AS nn, SUM(gap_num) AS gg FROM g)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n,
+        |  CAST(n_correct AS BIGINT) AS n_correct,
+        |  CAST(sum_score_milli AS BIGINT) AS sum_score_milli,
+        |  CAST((1000 * n_correct) // n AS BIGINT) AS acc_milli,
+        |  CAST(sum_score_milli // n AS BIGINT) AS conf_milli,
+        |  CAST(gap_num AS BIGINT) AS gap_num,
+        |  CAST((1000 * gg) // nn AS BIGINT) AS ece_micro
+        |FROM g, t ORDER BY bin""".stripMargin,
 
     // q252: all four gram orders rebuilt by range-unnest, the clip
     // join, conditional-sum pivot, totals, floors, the null-propagating

@@ -500,6 +500,81 @@ object Learn {
         expr("(1000 * votes) div n_votes").as("agreement_milli"))
   }
 
+  /** pass@k — the sampled-eval estimator (Codex-paper form): a task
+    * with n samples and c correct has pass@k = 1 − C(n−c,k)/C(n,k),
+    * the chance a random k-subset contains at least one correct
+    * sample — the unbiased way to score "generate n, submit k"
+    * pipelines. Exact-integer lanes: the binomial ratio telescopes
+    * to Π_{i<k}(n−c−i) / Π_{i<k}(n−i), both products DECIMAL(38,0)
+    * (exact while n^k < 10³⁶ — n ≤ 100 samples at k ≤ 16 is far
+    * inside), and pass_milli = 1000 − (1000·num) div den. Tasks
+    * with n < k are null (the estimator is undefined — surfacing
+    * beats clamping); n−c < k short-circuits to 1000 exactly (no
+    * all-wrong k-subset exists). One hash aggregate at task grain;
+    * the arithmetic runs on |tasks| rows. */
+  def passAtK(df: DataFrame, taskCol: String, okCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 16, s"k must be in [1,16], got $k")
+    val agg = df.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(okCol), 1L).otherwise(0L)).as("c"))
+    val num = (0 until k).map(i => col("n") - col("c") - i)
+      .foldLeft(lit(java.math.BigDecimal.ONE).cast("decimal(38,0)"))(_ * _)
+    val den = (0 until k).map(i => col("n") - i)
+      .foldLeft(lit(java.math.BigDecimal.ONE).cast("decimal(38,0)"))(_ * _)
+    agg
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn(s"pass_at_${k}_milli",
+        when(col("n") < k, lit(null).cast("long"))
+          .when(col("n") - col("c") < k, 1000L)
+          .otherwise(lit(1000L) -
+            expr("(__num * 1000) div __den").cast("long")))
+      .drop("__num", "__den")
+  }
+
+  /** Expected calibration error — does a classifier's confidence MEAN
+    * what it says? Scores bucket into `bins` equal-width confidence
+    * bands; per band the accuracy–confidence gap, and overall
+    * ECE = Σ_b (n_b/N)·|acc_b − conf_b|, which clears denominators
+    * to the EXACT integer form Σ_b |1000·c_b − s_b| / (1000·N)
+    * (c_b = correct, s_b = summed milli scores) — no rational-of-
+    * rationals, one staged micro floor. Scores must already be
+    * integer milli in [0,1000] (the [[logisticPredictInt]] /
+    * [[hardSigmoidMilli]] lane discipline); score 1000 lands in the
+    * top bin. Output: one row per non-empty bin (bin, n, n_correct,
+    * sum_score_milli, acc_milli, conf_milli, gap_num =
+    * |1000·c_b − s_b|) with the corpus ece_micro repeated beside
+    * (broadcast 1-row join — bins are few, the duplication is
+    * free and saves callers a second pass). */
+  def calibrationError(df: DataFrame, labelCol: String,
+      scoreMilliCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins must be in [2,1000], got $bins")
+    val binned = df
+      .filter(col(scoreMilliCol).isNotNull && col(labelCol).isNotNull)
+      .select(
+        least(lit(bins - 1L),
+          expr(s"($scoreMilliCol * $bins) div 1000")).as("bin"),
+        col(labelCol).cast("long").as("__y"),
+        col(scoreMilliCol).cast("long").as("__s"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_correct"),
+        sum(col("__s")).as("sum_score_milli"))
+      .withColumn("gap_num",
+        abs(lit(1000L) * col("n_correct") - col("sum_score_milli")))
+    val tot = perBin.agg(
+      coalesce(sum(col("n")), lit(0L)).as("__nn"),
+      coalesce(sum(col("gap_num")), lit(0L)).as("__g"))
+    perBin.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_correct"),
+        col("sum_score_milli"),
+        expr("(1000 * n_correct) div n").as("acc_milli"),
+        expr("sum_score_milli div n").as("conf_milli"),
+        col("gap_num"),
+        // 10⁶·Σg/(1000·N) reduces to 1000·Σg/N — one floor, and
+        // 1000·Σg ≤ 10⁶·N stays in BIGINT to N ≈ 10¹² rows
+        expr("(1000 * __g) div __nn").as("ece_micro"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement for MANY annotators
     * (the [[cohenKappa]] sibling when judgments come from a pool, not
     * a fixed pair): items carry n_i ≥ 2 judgments each; per-item

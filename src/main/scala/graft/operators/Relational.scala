@@ -891,6 +891,50 @@ object Relational {
       .limit(topK)
   }
 
+  /** Per-group winsorization — the VALUE-side robust cleaner beside
+    * [[graft.pipeline.Corpus.robustOutliers]]'s row gate: instead of
+    * dropping outlier rows, clamp the value column to the group's
+    * [p, 1−p] EXACT quantile band, so heavy tails stop dominating
+    * sums/means but every row (and its other columns) survives. The
+    * band uses the discrete lower-quantile convention in integer
+    * milli: lo = value at rank max(1, ⌈pMilli·n/1000⌉), hi = value
+    * at rank n+1−that — rank positions are integer arithmetic, the
+    * extracted VALUE at a rank is tie-order-independent (equal
+    * values are equal), and the clamp is two IEEE comparisons; no
+    * float quantile estimation anywhere, so the q-oracle replays it
+    * exactly (percentile_approx sketches can't promise that — the
+    * exact band is the point, like q78's exact percentiles).
+    *
+    * Physical shape: ONE hash partition by the group keys carries a
+    * ranking window, a same-partition conditional-extract window
+    * (no second exchange), and the row-local clamp. A group's rows
+    * sort within its partition — the [[groupedTopK]] caveat on
+    * mega-groups applies (salt or pre-aggregate a pathological
+    * group). Output: input columns + lo_bound, hi_bound, value_w. */
+  def winsorize(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      pMilli: Int): DataFrame = {
+    require(pMilli >= 1 && pMilli < 500,
+      s"pMilli must be in [1,500), got $pMilli")
+    val kc = keyCols.map(col)
+    val wOrd = Window.partitionBy(kc: _*).orderBy(col(valueCol))
+    val wAll = Window.partitionBy(kc: _*)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__lor",
+        greatest(lit(1L), expr(s"(__n * $pMilli + 999) div 1000")))
+      .withColumn("__hir", col("__n") + 1L - col("__lor"))
+    ranked
+      .withColumn("lo_bound",
+        max(when(col("__rn") === col("__lor"), col(valueCol))).over(wAll))
+      .withColumn("hi_bound",
+        max(when(col("__rn") === col("__hir"), col(valueCol))).over(wAll))
+      .withColumn("value_w",
+        greatest(col("lo_bound"), least(col("hi_bound"), col(valueCol))))
+      .drop("__rn", "__n", "__lor", "__hir")
+  }
+
   /** Blocked fuzzy record linkage — entity resolution's standard
     * two-step: a BLOCKING equi-join proposes candidate pairs (only
     * records sharing every `blockCols` value can match — the step

@@ -276,6 +276,51 @@ class LearnSpec extends SparkTestBase {
     assert(got(3L) == ((3L, "y", 2L, 3L, 2L, 666L)))
   }
 
+  test("passAtK: telescoped binomial, short-circuits, undefined lane") {
+    import spark.implicits._
+    // task A: n=10, c=2 → pass@3 = 1 − C(8,3)/C(10,3) = 8/15;
+    // milli = 1000 − (8·7·6·1000)//(10·9·8) = 534
+    val a = (1 to 10).map(i => ("A", i <= 2))
+    val b = (1 to 6).map(i => ("B", i <= 3))  // n−c = 3 < 5... with k=3: n−c=3 ≥ 3
+    val d = (1 to 2).map(i => ("D", false))   // n=2 < k → null
+    val e = (1 to 8).map(i => ("E", i <= 6))  // n−c=2 < 3 → 1000
+    val got = Learn.passAtK((a ++ b ++ d ++ e).toDF("task", "ok"),
+        "task", "ok", k = 3)
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 10L, 2L, Some(534L))))
+    // B: 1 − C(3,3)/C(6,3) = 1 − 1/20 → 1000 − 1000·(3·2·1)//(6·5·4)
+    //   = 1000 − 50 = 950
+    assert(got("B") == (("B", 6L, 3L, Some(950L))))
+    assert(got("D") == (("D", 2L, 0L, None)))
+    assert(got("E") == (("E", 8L, 6L, Some(1000L))))
+    // c = 0 → pass@k = 0 exactly
+    val z = Learn.passAtK(
+        (1 to 5).map(_ => ("Z", false)).toDF("task", "ok"),
+        "task", "ok", k = 3)
+      .as[(String, Long, Long, Option[Long])].head()
+    assert(z == (("Z", 5L, 0L, Some(0L))))
+  }
+
+  test("calibrationError: hand bins, exact gaps, cleared-denominator ECE") {
+    import spark.implicits._
+    val scored = Seq((true, 900L), (false, 900L), (true, 100L),
+      (false, 100L), (false, 100L)).toDF("y", "s")
+    val got = Learn.calibrationError(scored, "y", "s", bins = 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // bin 0: n=3, c=1, s=300 → acc 333, conf 100, gap |1000−300|=700
+    assert(got(0L) == ((0L, 3L, 1L, 300L, 333L, 100L, 700L, 300000L)))
+    // bin 1: n=2, c=1, s=1800 → acc 500, conf 900, gap 800;
+    // ECE = (700+800)·1000 // 5 = 300000 micro = 0.3 exactly
+    assert(got(1L) == ((1L, 2L, 1L, 1800L, 500L, 900L, 800L, 300000L)))
+    // score 1000 lands in the TOP bin, not out of range
+    val edge = Learn.calibrationError(
+        Seq((true, 1000L)).toDF("y", "s"), "y", "s", bins = 10)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(edge._1 == 9L && edge._8 == 0L)
+  }
+
   test("fleissKappa: hand-computed chain, single-vote exclusion, degenerate") {
     import spark.implicits._
     // item A {x,x,y}: pairs=2, P=2/6 → 333333; item B {x,x}: P=1 →

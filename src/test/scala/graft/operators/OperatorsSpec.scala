@@ -581,6 +581,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("winsorize: exact rank band, clamp, null exclusion, invariance") {
+    import spark.implicits._
+    val base = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")
+    // p=10%: n=20 → lo rank (2000+999)//1000 = 2, hi rank 19
+    val got = Relational.winsorize(base, Seq("k"), "v", pMilli = 100)
+      .select("id", "lo_bound", "hi_bound", "value_w")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2.0, 19.0, 2.0)))   // clamped up
+    assert(got(20L) == ((20L, 2.0, 19.0, 19.0))) // clamped down
+    assert(got(10L)._4 == 10.0)                  // interior untouched
+    // partition invariance
+    val re = Relational.winsorize(base.repartition(7), Seq("k"), "v", 100)
+      .select("id", "value_w").as[(Long, Double)].collect().toMap
+    assert((1L to 20L).forall(i => re(i) == got(i)._4))
+    // null values are excluded, not clamped to something
+    val withNull = base.unionByName(
+      Seq(("a", 99L, Option.empty[Double])).toDF("k", "id", "v"))
+    assert(Relational.winsorize(withNull, Seq("k"), "v", 100).count() == 20)
+    intercept[IllegalArgumentException] {
+      Relational.winsorize(base, Seq("k"), "v", 500)
+    }
+  }
+
   test("blockedLinkage: blocking, threshold, self-dedup, null blocks never match") {
     import spark.implicits._
     val recs = Seq(

@@ -2476,6 +2476,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("seg_idx"))
     }),
 
+    // q258: market-basket association rules — orders as baskets,
+    // densified part keys as items; support/confidence/lift in
+    // exact micro (lift through decimal products), canonical pairs,
+    // the min-support prune. DuckDB replays the whole chain.
+    "q258_association_rules" -> ((s, dir) => {
+      val bi = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("basket"),
+          (col("l_partkey") % 200).as("item"))
+      Relational.associationRules(bi, "basket", "item", minPairCount = 3L)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
+    // q259: leave-one-out target encoding — high-cardinality user
+    // bucket encoded by the smoothed mean of OTHER rows' labels;
+    // denominators cleared, products in decimal, singletons collapse
+    // to the prior. DuckDB replays the one floor per row.
+    "q259_target_encode" -> ((s, dir) => {
+      val t = Tables.events(s, dir)
+        .select(col("event_id"), (col("user_id") % 97).as("cat"),
+          when(col("value") > 200, 1L).otherwise(0L).as("y"))
+      operators.Learn.targetEncode(t, "cat", "y", smoothing = 20L)
+        .select(col("event_id"), col("cat"), col("y"), col("n_cat"),
+          col("enc_micro"))
+        .orderBy(col("event_id"))
+    }),
+
     // q255: per-group winsorization — event values clamped to each
     // type's exact [5%, 95%] band; rank positions in integer milli,
     // the extracted bound value tie-order-independent. DuckDB
@@ -5837,6 +5863,43 @@ object SparkEntry {
         |  n_distinct, n_distinct_oov,
         |  CAST(n_distinct_oov AS DOUBLE) / n_distinct AS distinct_oov_rate
         |FROM w JOIN d ON w.lang = d.lang ORDER BY w.lang""".stripMargin,
+
+    // q258: presence dedup, the basket self-join, min-support prune,
+    // marginal joins, and all four micro floors replayed.
+    "q258_association_rules" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+        |    l_partkey % 200 AS item FROM lineitem),
+        |scal AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM bi),
+        |items AS (SELECT item, COUNT(*) AS cnt FROM bi GROUP BY 1),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    COUNT(*) AS n_ab
+        |  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT item_a, item_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(ia.cnt AS BIGINT) AS n_a, CAST(ib.cnt AS BIGINT) AS n_b,
+        |  CAST(n_baskets AS BIGINT) AS n_baskets,
+        |  CAST((1000000 * n_ab) // n_baskets AS BIGINT) AS support_micro,
+        |  CAST((1000000 * n_ab) // ia.cnt AS BIGINT) AS conf_ab_micro,
+        |  CAST((1000000 * n_ab) // ib.cnt AS BIGINT) AS conf_ba_micro,
+        |  CAST((1000000 * n_ab * n_baskets) // (ia.cnt * ib.cnt)
+        |    AS BIGINT) AS lift_micro
+        |FROM pairs JOIN items ia ON ia.item = pairs.item_a
+        |JOIN items ib ON ib.item = pairs.item_b, scal
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    // q259: category sums, the global prior, and the cleared-
+    // denominator floor replayed row for row.
+    "q259_target_encode" ->
+      """WITH t AS (SELECT event_id, user_id % 97 AS cat,
+        |    CASE WHEN value > 200 THEN 1 ELSE 0 END AS y FROM events),
+        |c AS (SELECT cat, COUNT(*) AS n_cat, SUM(y) AS sc FROM t
+        |      GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS nall, SUM(y) AS sall FROM t)
+        |SELECT event_id, cat, CAST(y AS BIGINT) AS y,
+        |  CAST(n_cat AS BIGINT) AS n_cat,
+        |  CAST((1000000 * ((sc - y) * nall + 20 * sall)) //
+        |       ((n_cat - 1 + 20) * nall) AS BIGINT) AS enc_micro
+        |FROM t JOIN c USING (cat), g ORDER BY event_id""".stripMargin,
 
     // q255: the rank machinery and clamp replayed; ties are safe
     // because only the VALUE at a rank is extracted.

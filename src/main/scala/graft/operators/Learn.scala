@@ -500,6 +500,46 @@ object Learn {
         expr("(1000 * votes) div n_votes").as("agreement_milli"))
   }
 
+  /** Leave-one-out target encoding — the feature-engineering
+    * workhorse for high-cardinality categoricals: replace a category
+    * with the (smoothed) mean label of its OTHER members, so the
+    * feature carries signal without leaking the row's own label
+    * (plain mean encoding memorizes singletons — the classic
+    * overfit). Smoothing blends toward the global prior with
+    * pseudo-count m: enc = (s_c − y + m·p)/(n_c − 1 + m),
+    * p = s_all/n_all.
+    *
+    * Exact-integer form — denominators clear instead of nesting
+    * rationals: enc_micro = ⌊10⁶·((s_c−y)·n_all + m·s_all) /
+    * ((n_c−1+m)·n_all)⌋, products in DECIMAL(38,0) (exact to
+    * ~10¹⁰ rows). A singleton category (n_c = 1) collapses to the
+    * prior exactly; labels must be integral 0/1 (gate upstream).
+    *
+    * One hash aggregate at category grain + one join back on the
+    * category key (reuses the aggregate's partitioning) + a 1-row
+    * broadcast: the corpus shuffles once. Output: input columns +
+    * (n_cat, enc_micro). */
+  def targetEncode(df: DataFrame, catCol: String, labelCol: String,
+      smoothing: Long = 20L): DataFrame = {
+    require(smoothing >= 1, s"smoothing must be >= 1, got $smoothing")
+    val y = col(labelCol).cast("long")
+    val cats = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_cat"), sum(y).as("__sc"))
+    val tot = df.agg(count(lit(1)).as("__nall"),
+      coalesce(sum(y), lit(0L)).as("__sall"))
+    df.join(cats, Seq(catCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("__num",
+        (lit(1000000L).cast("decimal(38,0)") *
+          ((col("__sc") - y).cast("decimal(38,0)") * col("__nall") +
+            lit(smoothing) * col("__sall"))))
+      .withColumn("__den",
+        (col("n_cat") - 1L + smoothing).cast("decimal(38,0)") *
+          col("__nall"))
+      .withColumn("enc_micro", expr("__num div __den"))
+      .drop("__sc", "__nall", "__sall", "__num", "__den")
+  }
+
   /** pass@k — the sampled-eval estimator (Codex-paper form): a task
     * with n samples and c correct has pass@k = 1 − C(n−c,k)/C(n,k),
     * the chance a random k-subset contains at least one correct

@@ -891,6 +891,57 @@ object Relational {
       .limit(topK)
   }
 
+  /** Market-basket association rules — the co-occurrence analytics
+    * family (support / confidence / lift) over (basket, item) rows:
+    * which items appear together more than chance predicts? The
+    * retail classic, and the same shape mines co-cited documents,
+    * co-clicked results, and co-failing tests. Presence semantics:
+    * (basket, item) dedups first — a basket with the same item
+    * twice counts once, the standard convention.
+    *
+    * Exact micro lanes (all floors replayable): support =
+    * n_ab/n_baskets, both conditional confidences n_ab/n_a and
+    * n_ab/n_b, and lift = n_ab·N/(n_a·n_b) — the lift products run
+    * in DECIMAL(38,0) (exact to ~10¹⁰ baskets). Pairs are canonical
+    * (item_a < item_b); `minPairCount` prunes the tail BEFORE the
+    * stats joins (the support-threshold step every a-priori-family
+    * miner applies first).
+    *
+    * Physical shape: one distinct, one self-equi-join on the basket
+    * key (candidate pairs cost Σ|basket|² — the blockedLinkage
+    * economics; a mega-basket is the skewReport case), pair-grain
+    * aggregate, two item-grain joins for the marginals, one 1-row
+    * broadcast for N. Nothing driver-side. */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minPairCount: Long = 1L): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val scal = bi.agg(countDistinct(col("basket")).as("n_baskets"))
+    val items = bi.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = bi.select(col("basket"), col("item").as("item_a"))
+      .join(bi.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(items.select(col("item").as("item_a"), col("cnt").as("n_a")),
+        Seq("item_a"))
+      .join(items.select(col("item").as("item_b"), col("cnt").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(scal))
+      .withColumn("__ln",
+        lit(1000000L).cast("decimal(38,0)") * col("n_ab") * col("n_baskets"))
+      .withColumn("__ld", col("n_a").cast("decimal(38,0)") * col("n_b"))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        expr("(1000000 * n_ab) div n_baskets").as("support_micro"),
+        expr("(1000000 * n_ab) div n_a").as("conf_ab_micro"),
+        expr("(1000000 * n_ab) div n_b").as("conf_ba_micro"),
+        expr("__ln div __ld").as("lift_micro"))
+  }
+
   /** Per-group winsorization — the VALUE-side robust cleaner beside
     * [[graft.pipeline.Corpus.robustOutliers]]'s row gate: instead of
     * dropping outlier rows, clamp the value column to the group's

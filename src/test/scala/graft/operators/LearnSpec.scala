@@ -276,6 +276,30 @@ class LearnSpec extends SparkTestBase {
     assert(got(3L) == ((3L, "y", 2L, 3L, 2L, 666L)))
   }
 
+  test("targetEncode: leave-one-out, smoothing toward prior, singleton = prior") {
+    import spark.implicits._
+    // global: n=6, s=3 → prior 1/2. m=2.
+    val rows = Seq((1L, "a", 1L), (2L, "a", 0L), (3L, "a", 1L),
+      (4L, "b", 0L), (5L, "b", 1L), (6L, "c", 0L)).toDF("id", "cat", "y")
+    val got = Learn.targetEncode(rows, "cat", "y", smoothing = 2L)
+      .select("id", "n_cat", "enc_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // row 1 (a, y=1): (s_c−y + m·p)/(n_c−1+m) = (1 + 1)/(4) = 1/2
+    assert(got(1L) == ((1L, 3L, 500000L)))
+    // row 2 (a, y=0): (2 + 1)/4 = 3/4
+    assert(got(2L) == ((2L, 3L, 750000L)))
+    // row 6 (c singleton): prior exactly = 1/2
+    assert(got(6L) == ((6L, 1L, 500000L)))
+    // LOO: the row's own label never leaks — flipping it changes
+    // every OTHER a-row's encoding but not the relationship
+    val flipped = rows.withColumn("y",
+      when(col("id") === 1L, 0L).otherwise(col("y")))
+    val f = Learn.targetEncode(flipped, "cat", "y", 2L)
+      .select("id", "enc_micro").as[(Long, Long)].collect().toMap
+    // row 1 now: s_a=1, s_all=2 → (1·6 + 2·2)·10⁶ // (4·6) = 416666
+    assert(f(1L) == 416666L)
+  }
+
   test("passAtK: telescoped binomial, short-circuits, undefined lane") {
     import spark.implicits._
     // task A: n=10, c=2 → pass@3 = 1 − C(8,3)/C(10,3) = 8/15;

@@ -581,6 +581,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("associationRules: hand-computed lanes, presence dedup, min-support prune") {
+    import spark.implicits._
+    // baskets: {x,y}, {x,y}, {x,y,z}, {x}, {z,z} (dup z counts once)
+    val bi = Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "y"), (3L, "z"), (4L, "x"), (5L, "z"), (5L, "z"))
+      .toDF("b", "i")
+    val got = Relational.associationRules(bi, "b", "i")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (x,y): n_ab=3, n_x=4, n_y=3, N=5 → support 600000,
+    // conf x→y 750000, conf y→x 1000000, lift 3·5e6/(4·3) = 1250000
+    assert(got(("x", "y")) ==
+      (("x", "y", 3L, 4L, 3L, 5L, 600000L, 750000L, 1000000L, 1250000L)))
+    // (y,z): n_ab=1 (basket 3), lift 1·5e6/(3·2) = 833333
+    assert(got(("y", "z"))._10 == 833333L)
+    assert(got.size == 3) // (x,y) (x,z) (y,z) — canonical, no self pairs
+    // min-support prune keeps only the hot pair
+    val pruned = Relational.associationRules(bi, "b", "i",
+      minPairCount = 2L)
+    assert(pruned.count() == 1)
+  }
+
   test("winsorize: exact rank band, clamp, null exclusion, invariance") {
     import spark.implicits._
     val base = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")

@@ -2502,6 +2502,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q260: χ² feature selection — per-language discriminative terms
+    // over the documents corpus: presence contingency, the staged
+    // chi2FromCells floors summed over the 2×2, rank per class.
+    // DuckDB replays tokenization, the window df, and all four
+    // floored cell terms.
+    "q260_term_chi2" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      operators.Learn.termChi2(d, "doc_id", "text", "lang", minDf = 5L)
+        .filter(col("rank") <= 15)
+        .orderBy(col("label"), col("rank"))
+    }),
+
     // q255: per-group winsorization — event values clamped to each
     // type's exact [5%, 95%] band; rank positions in integer milli,
     // the extracted bound value tie-order-independent. DuckDB
@@ -5900,6 +5912,51 @@ object SparkEntry {
         |  CAST((1000000 * ((sc - y) * nall + 20 * sall)) //
         |       ((n_cat - 1 + 20) * nall) AS BIGINT) AS enc_micro
         |FROM t JOIN c USING (cat), g ORDER BY event_id""".stripMargin,
+
+    // q260: the presence dedup, the term-partitioned df window, the
+    // broadcastable class totals, and all four staged cell floors
+    // (HUGEINT products) replayed, plus the ranking tie order.
+    "q260_term_chi2" ->
+      """WITH base AS (SELECT doc_id, lang AS label,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |dt AS (SELECT DISTINCT doc_id, label, term FROM
+        |  (SELECT doc_id, label, unnest(toks) AS term FROM base)),
+        |tc AS (SELECT term, label, COUNT(*) AS n11 FROM dt GROUP BY 1, 2),
+        |tdf AS (SELECT term, label, n11,
+        |    SUM(n11) OVER (PARTITION BY term) AS df FROM tc),
+        |cls AS (SELECT label, COUNT(*) AS cn FROM base GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS nd FROM base),
+        |cnt AS (SELECT label, term, CAST(n11 AS BIGINT) AS n11,
+        |    CAST(df - n11 AS BIGINT) AS n10,
+        |    CAST(cn - n11 AS BIGINT) AS n01,
+        |    CAST(nd - cn - df + n11 AS BIGINT) AS n00,
+        |    CAST(cn AS HUGEINT) AS cn, CAST(nd AS HUGEINT) AS nd
+        |  FROM tdf JOIN cls USING (label), tot WHERE df >= 5),
+        |st AS (SELECT label, term, n11, n10, n01, n00,
+        |    nd * n11 - cn * (n11 + n10) AS nump,
+        |    nd * cn * (n11 + n10) AS dpa,
+        |    nd * (nd - cn) * (n11 + n10) AS dpb,
+        |    nd * n01 - cn * (n01 + n00) AS numa,
+        |    nd * cn * (n01 + n00) AS daa,
+        |    nd * (nd - cn) * (n01 + n00) AS dab
+        |  FROM cnt),
+        |chi AS (SELECT label, term, n11, n10, n01, n00,
+        |    CAST(
+        |      CASE WHEN dpa > 0 THEN (nump*nump // dpa) * 1000000
+        |        + ((nump*nump % dpa) * 1000000) // dpa ELSE 0 END
+        |    + CASE WHEN dpb > 0 THEN (nump*nump // dpb) * 1000000
+        |        + ((nump*nump % dpb) * 1000000) // dpb ELSE 0 END
+        |    + CASE WHEN daa > 0 THEN (numa*numa // daa) * 1000000
+        |        + ((numa*numa % daa) * 1000000) // daa ELSE 0 END
+        |    + CASE WHEN dab > 0 THEN (numa*numa // dab) * 1000000
+        |        + ((numa*numa % dab) * 1000000) // dab ELSE 0 END
+        |      AS BIGINT) AS chi2_micro
+        |  FROM st)
+        |SELECT label, term, n11, n10, n01, n00, chi2_micro,
+        |  rank FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+        |    ORDER BY chi2_micro DESC, term ASC) AS rank FROM chi)
+        |WHERE rank <= 15 ORDER BY label, rank""".stripMargin,
 
     // q255: the rank machinery and clamp replayed; ties are safe
     // because only the VALUE at a rank is extracted.

@@ -540,6 +540,72 @@ object Learn {
       .drop("__sc", "__nall", "__sall", "__num", "__den")
   }
 
+  /** χ² feature selection — which terms discriminate a class? For
+    * every (term, class) pair with at least one in-class occurrence,
+    * the one-vs-rest 2×2 presence contingency (n11 in-class-with-term
+    * … n00 rest-without-term) and its χ² statistic, ranked per class —
+    * the classic supervised vocabulary pruner (feature selection for
+    * the [[naiveBayesTrain]] / [[logisticTrainInt]] family), and the
+    * "which tokens mark this slice" diagnostic for corpus audits.
+    *
+    * Presence semantics: a document counts once per distinct term
+    * (`array_distinct` before the explode — same convention as
+    * [[hashedFeatures]]). The statistic is the [[chi2FromCells]]
+    * staged-floor arithmetic applied to the 2×2 table (categories =
+    * present/absent, columns = class/rest), summed over the two
+    * category rows — so the micro lanes replay exactly in DuckDB and
+    * stay exact to ~10¹⁰ documents (DECIMAL(38,0) products).
+    *
+    * Scale shape: one corpus shuffle to (doc, term) distinct grain,
+    * one hash aggregate at (term, class) grain, a term-partitioned
+    * window for document frequencies (≤ |classes| rows per term), a
+    * broadcast of class sizes, and a class-partitioned ranking window
+    * at vocabulary grain (post-`minDf`; for web-scale vocabularies
+    * raise `minDf` — the df≥2 cut alone removes the hapax half of a
+    * natural vocabulary). No self-joins, nothing driver-side. */
+  def termChi2(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val base = df.select(col(idCol).as("__doc"),
+      col(labelCol).as("label"), col(textCol).as("__text"))
+    val docTerm = base.select(col("__doc"), col("label"),
+      explode(array_distinct(tokens(lower(col("__text"))))).as("term"))
+    val tc = docTerm.groupBy(col("term"), col("label"))
+      .agg(count(lit(1)).as("n11"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+    val cls = base.groupBy(col("label")).agg(count(lit(1)).as("__cn"))
+    val tot = base.agg(count(lit(1)).as("__nd"))
+    val counts = tc.withColumn("__df", sum(col("n11")).over(wT))
+      .filter(col("__df") >= minDf)
+      .join(broadcast(cls), Seq("label"))
+      .crossJoin(broadcast(tot))
+      .select(col("label"), col("term"), col("n11"),
+        (col("__df") - col("n11")).as("n10"),
+        (col("__cn") - col("n11")).as("n01"),
+        (col("__nd") - col("__cn") - col("__df") + col("n11")).as("n00"))
+    val cells = counts.select(col("label"), col("term"),
+      explode(array(
+        struct(lit("present").as("category"),
+          col("n11").as("n_a"), col("n10").as("n_b")),
+        struct(lit("absent").as("category"),
+          col("n01").as("n_a"), col("n00").as("n_b")))).as("__c"))
+      .select(col("label"), col("term"), col("__c.category"),
+        col("__c.n_a"), col("__c.n_b"))
+    val scored = chi2FromCells(cells, Seq("label", "term"))
+      .groupBy(col("label"), col("term"))
+      .agg(
+        sum(when(col("category") === "present", col("n_a"))).as("n11"),
+        sum(when(col("category") === "present", col("n_b"))).as("n10"),
+        sum(when(col("category") === "absent", col("n_a"))).as("n01"),
+        sum(when(col("category") === "absent", col("n_b"))).as("n00"),
+        sum(col("chi2_micro")).as("chi2_micro"))
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(col("chi2_micro").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(wL).cast("long"))
+  }
+
   /** pass@k — the sampled-eval estimator (Codex-paper form): a task
     * with n samples and c correct has pass@k = 1 − C(n−c,k)/C(n,k),
     * the chance a random k-subset contains at least one correct

@@ -300,6 +300,30 @@ class LearnSpec extends SparkTestBase {
     assert(f(1L) == 416666L)
   }
 
+  test("termChi2: hand-computed 2×2 floors, presence dedup, tie order, minDf") {
+    import spark.implicits._
+    val docs = Seq((1L, "cat dog", "en"), (2L, "cat cat", "en"),
+      (3L, "chien", "fr"), (4L, "cat chien", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Learn.termChi2(docs, "doc_id", "text", "lang")
+      .as[(String, String, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (chien, fr): perfect association [[2,0],[0,2]] → χ² = N = 4
+    assert(got(("fr", "chien")) ==
+      (("fr", "chien", 2L, 0L, 0L, 2L, 4000000L, 1L)))
+    // (dog, en): [[1,0],[1,2]] → 4/3, staged floors 2·5e5 + 2·166666;
+    // "cat cat" counts once (presence) so (cat, en) is [[2,1],[0,1]]
+    assert(got(("en", "dog"))._7 == 1333332L)
+    assert(got(("en", "cat")) ==
+      (("en", "cat", 2L, 1L, 0L, 1L, 1333332L, 1L))) // tie → term asc
+    assert(got(("en", "dog"))._8 == 2L)
+    assert(got(("fr", "cat"))._8 == 2L)
+    assert(got.size == 4)
+    // minDf prunes the hapax
+    val pruned = Learn.termChi2(docs, "doc_id", "text", "lang", minDf = 2L)
+    assert(!pruned.select("term").as[String].collect().contains("dog"))
+  }
+
   test("passAtK: telescoped binomial, short-circuits, undefined lane") {
     import spark.implicits._
     // task A: n=10, c=2 → pass@3 = 1 − C(8,3)/C(10,3) = 8/15;

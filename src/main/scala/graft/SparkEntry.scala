@@ -2502,6 +2502,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q261: ROUGE-L — LCS-based summary eval over adjacent-doc pairs
+    // (the q241 pairing), truncated to 40 tokens a side so the
+    // quadratic DP stays bounded. DuckDB replays the DP itself via
+    // the prefix-max recurrence in a recursive CTE — a genuine
+    // cross-implementation check on the codegen kernel.
+    "q261_rouge_l" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      val pairs = d.select(col("doc_id").as("pair"),
+          col("text").as("cand"))
+        .join(d.select((col("doc_id") - 1).as("pair"),
+          col("text").as("ref")), Seq("pair"))
+      TextOps.rougeL(pairs, "pair", "cand", "ref", maxTokens = 40)
+        .orderBy(col("pair"))
+    }),
+
     // q260: χ² feature selection — per-language discriminative terms
     // over the documents corpus: presence contingency, the staged
     // chi2FromCells floors summed over the 2×2, rank per class.
@@ -5912,6 +5927,50 @@ object SparkEntry {
         |  CAST((1000000 * ((sc - y) * nall + 20 * sall)) //
         |       ((n_cat - 1 + 20) * nall) AS BIGINT) AS enc_micro
         |FROM t JOIN c USING (cat), g ORDER BY event_id""".stripMargin,
+
+    // q261: the whole LCS DP replayed — one recursive-CTE step per
+    // candidate token rebuilds the DP row with the prefix-max form
+    // curr[j] = max(prev[j], max_{k≤j, c_i=r_k}(prev[k−1]+1))
+    // (equivalent to the textbook recurrence because rows are
+    // non-decreasing), then the three milli floors.
+    "q261_rouge_l" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, list_slice(
+        |    string_split_regex(trim(lower(text)), '\s+'), 1, 40) AS l
+        |  FROM documents WHERE doc_id < 400),
+        |pairs AS (SELECT c.doc_id AS pair, c.l AS cl, r.l AS rl
+        |          FROM d c JOIN d r ON r.doc_id = c.doc_id + 1),
+        |dp AS (
+        |  SELECT pair, cl, rl, 0 AS i,
+        |    list_transform(range(0, len(rl) + 1),
+        |      x -> CAST(0 AS BIGINT)) AS dpr
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT pair, cl, rl, i + 1,
+        |    list_transform(range(0, len(rl) + 1), j ->
+        |      CASE WHEN j = 0 THEN CAST(0 AS BIGINT) ELSE
+        |        GREATEST(dpr[j + 1],
+        |          COALESCE(list_max(list_transform(range(1, j + 1), k ->
+        |            CASE WHEN cl[i + 1] = rl[k] THEN dpr[k] + 1 END)),
+        |            0))
+        |      END)
+        |  FROM dp WHERE i < len(cl)),
+        |fin AS (SELECT pair, CAST(len(cl) AS BIGINT) AS cand_tokens,
+        |    CAST(len(rl) AS BIGINT) AS ref_tokens,
+        |    dpr[len(rl) + 1] AS lcs
+        |  FROM dp WHERE i = len(cl))
+        |SELECT pair, cand_tokens, ref_tokens, lcs,
+        |  CASE WHEN ref_tokens > 0
+        |    THEN CAST((1000 * lcs) // ref_tokens AS BIGINT)
+        |  END AS recall_milli,
+        |  CASE WHEN cand_tokens > 0
+        |    THEN CAST((1000 * lcs) // cand_tokens AS BIGINT)
+        |  END AS precision_milli,
+        |  CASE WHEN cand_tokens + ref_tokens > 0
+        |    THEN CAST((2000 * lcs) // (cand_tokens + ref_tokens)
+        |      AS BIGINT)
+        |  END AS f1_milli
+        |FROM fin ORDER BY pair""".stripMargin,
 
     // q260: the presence dedup, the term-partitioned df window, the
     // broadcastable class totals, and all four staged cell floors

@@ -1,0 +1,78 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Token-sequence longest common subsequence — the kernel under
+  * ROUGE-L ([[graft.operators.TextOps.rougeL]]): unlike the n-gram
+  * overlap family (ROUGE-N q241, BLEU q252) it rewards IN-ORDER
+  * agreement without requiring contiguity, which is the summary-eval
+  * convention (Lin 2004). Classic two-row DP, O(|a|·|b|) time and
+  * O(|b|) space, row-local, inside whole-stage codegen via the same
+  * static-kernel-call shape as [[JaroWinklerKernel]].
+  *
+  * The DuckDB oracle replays the SAME function through the prefix-max
+  * recurrence curr[j] = max(prev[j], max_{k≤j, a_i=b_k}(prev[k−1]+1))
+  * — equivalent to the textbook three-way recurrence because DP rows
+  * are non-decreasing, but free of the within-row curr[j−1]
+  * dependency, so one recursive-CTE step per candidate token can
+  * rebuild a whole row with list_transform (the q141 Viterbi
+  * discipline). Null array elements never match anything (tokens()
+  * never produces them; defensive). */
+object LcsKernel {
+  def lcsTokens(a: ArrayData, b: ArrayData): Long = {
+    val m = a.numElements(); val n = b.numElements()
+    if (m == 0 || n == 0) return 0L
+    val prev = new Array[Int](n + 1)
+    // hoist b's elements once — getUTF8String walks offsets per call
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) { bs(j) = if (b.isNullAt(j)) null else b.getUTF8String(j); j += 1 }
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) null else a.getUTF8String(i)
+      var diag = 0 // prev[j-1] before this row overwrote it
+      var left = 0 // curr[j-1]
+      j = 1
+      while (j <= n) {
+        val up = prev(j)
+        val bj = bs(j - 1)
+        val v =
+          if (ai != null && bj != null && ai.equals(bj)) diag + 1
+          else if (up >= left) up else left
+        diag = up
+        prev(j) = v
+        left = v
+        j += 1
+      }
+      i += 1
+    }
+    prev(n).toLong
+  }
+}
+
+case class LcsLength(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_length"
+  private def ok(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING> inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsKernel.lcsTokens(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expr.LcsKernel.lcsTokens($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsLength =
+    copy(left = l, right = r)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -93,6 +93,9 @@ package object functions {
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => { checkArity("jaro_winkler", 2, exprs)
         JaroWinklerSimilarity(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("lcs_length",
+      exprs => { checkArity("lcs_length", 2, exprs)
+        LcsLength(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("kll_sketch_agg",
       exprs => graft.expr.KllSketchAgg(
         checkArity("kll_sketch_agg", 1, exprs).head).toAggregateExpression(), "scala_udf")
@@ -312,6 +315,12 @@ package object functions {
     * boost (ℓ ≤ 4, p = 0.1, threshold 0.7). */
   def jaro_winkler(a: Column, b: Column): Column =
     col2(JaroWinklerSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** Token-sequence longest common subsequence length (BIGINT) — the
+    * ROUGE-L kernel ([[graft.expr.LcsKernel]]): in-order agreement
+    * without contiguity, O(|a|·|b|) row-local DP inside codegen. */
+  def lcs_length(a: Column, b: Column): Column =
+    col2(LcsLength(bridge.toExpression(a), bridge.toExpression(b)))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")

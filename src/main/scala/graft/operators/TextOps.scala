@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{mean_token_len, shingle_hashes, shingles, token_count, tokens}
+import graft.functions.{lcs_length, mean_token_len, shingle_hashes, shingles, token_count, tokens}
 
 /** Corpus-level text statistics (north-star text-analysis family,
   * SURVEY.md §7.4).
@@ -2550,5 +2550,42 @@ object TextOps {
       .withColumn("f1_milli",
         when(col("cand_ngrams") + col("ref_ngrams") > 0,
           expr("(2000 * overlap) div (cand_ngrams + ref_ngrams)")))
+  }
+
+  /** ROUGE-L — the LCS member of the summary-eval family beside
+    * [[rougeN]] (q241) and [[bleuLanes]] (q252): longest common
+    * SUBSEQUENCE of the token streams, so in-order agreement scores
+    * without requiring contiguous n-grams (Lin 2004's sentence-level
+    * form). Same integer lanes as rougeN: recall = lcs/|ref|,
+    * precision = lcs/|cand|, and the symmetric f1 = 2·lcs/(|c|+|r|),
+    * all exact milli floors.
+    *
+    * The DP is O(|c|·|r|) per pair — quadratic in document length —
+    * so `maxTokens` truncates both sides first (0 = no cap; the
+    * sentence/summary use case sits well under any sane cap, and a
+    * 100 TB corpus pass NEEDS the bound: a single 10⁵-token outlier
+    * pair would cost 10¹⁰ cell updates). Row-local codegen kernel
+    * ([[graft.expr.LcsKernel]]), no shuffle beyond the caller's
+    * pairing join. */
+  def rougeL(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxTokens: Int = 0): DataFrame = {
+    require(maxTokens >= 0, s"maxTokens must be >= 0, got $maxTokens")
+    def toks(c: Column): Column = {
+      val t = tokens(lower(c))
+      if (maxTokens > 0) slice(t, 1, maxTokens) else t
+    }
+    pairs.select(col(pairCol).as("pair"),
+        toks(col(candCol)).as("__ct"), toks(col(refCol)).as("__rt"))
+      .select(col("pair"),
+        size(col("__ct")).cast("long").as("cand_tokens"),
+        size(col("__rt")).cast("long").as("ref_tokens"),
+        lcs_length(col("__ct"), col("__rt")).as("lcs"))
+      .withColumn("recall_milli", when(col("ref_tokens") > 0,
+        expr("(1000 * lcs) div ref_tokens")))
+      .withColumn("precision_milli", when(col("cand_tokens") > 0,
+        expr("(1000 * lcs) div cand_tokens")))
+      .withColumn("f1_milli",
+        when(col("cand_tokens") + col("ref_tokens") > 0,
+          expr("(2000 * lcs) div (cand_tokens + ref_tokens)")))
   }
 }

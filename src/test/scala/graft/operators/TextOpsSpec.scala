@@ -1011,4 +1011,56 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     val c = run(1, (7L, "The CAT", "the cat"))
     assert(c(7L)._4 == 2L && c(7L)._7 == Some(1000L))
   }
+
+  test("rougeL: hand-computed LCS, non-contiguity, truncation, empties") {
+    import spark.implicits._
+    def run(maxTokens: Int, rows: (Long, String, String)*) =
+      TextOps.rougeL(rows.toDF("pair", "cand", "ref"),
+          "pair", "cand", "ref", maxTokens)
+        .as[(Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().map(r => r._1 -> r).toMap
+    val u = run(0,
+      // subsequence, NOT substring: 'a x b y c' vs 'a b c' → LCS 3
+      (1L, "a x b y c", "a b c"),
+      (2L, "same same", "same same"),    // identity → all 1000
+      // order matters: 'a b' vs 'b a' → LCS 1 (bag overlap would say 2)
+      (3L, "a b", "b a"),
+      // repeats: 'a a b' vs 'a b a b' → LCS 3 (a a b)
+      (4L, "a a b", "a b a b"),
+      (5L, "", "a b"),                   // empty cand: P null, R 0
+      (6L, "", ""))                      // both empty: all null
+    assert(u(1L) == ((1L, 5L, 3L, 3L, Some(1000L), Some(600L), Some(750L))))
+    assert(u(2L) == ((2L, 2L, 2L, 2L, Some(1000L), Some(1000L), Some(1000L))))
+    assert(u(3L)._4 == 1L)
+    assert(u(4L) == ((4L, 3L, 4L, 3L, Some(750L), Some(1000L), Some(857L))))
+    assert(u(5L) == ((5L, 0L, 2L, 0L, Some(0L), None, Some(0L))))
+    assert(u(6L) == ((6L, 0L, 0L, 0L, None, None, None)))
+    // truncation: with maxTokens=2 'a b c d' vs 'c d' sees only 'a b'
+    val t = run(2, (7L, "a b c d", "c d"))
+    assert(t(7L) == ((7L, 2L, 2L, 0L, Some(0L), Some(0L), Some(0L))))
+    // case folding
+    val c = run(0, (8L, "The CAT", "the cat"))
+    assert(c(8L)._4 == 2L)
+    // randomized parity vs a naive reference LCS
+    val rnd = new scala.util.Random(42)
+    val probes = (0 until 30).map { i =>
+      def txt() = (0 until rnd.nextInt(12))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar.toString).mkString(" ")
+      (i.toLong, txt(), txt())
+    }
+    def naiveLcs(a: Seq[String], b: Seq[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val got = run(0, probes: _*)
+    probes.foreach { case (id, cand, ref) =>
+      val want = naiveLcs(
+        cand.split("\\s+").filter(_.nonEmpty).toSeq,
+        ref.split("\\s+").filter(_.nonEmpty).toSeq)
+      assert(got(id)._4 == want, s"pair $id: '$cand' vs '$ref'")
+    }
+  }
 }

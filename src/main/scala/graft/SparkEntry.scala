@@ -2502,6 +2502,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q262: per-key quantized EWMA — the sequential per-step-floor
+    // recurrence streamed key-contiguously (packGreedy shape, not a
+    // window); DuckDB replays the full trajectory in a recursive CTE
+    // keyed by per-key row number.
+    "q262_ewma" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2000)
+      Relational.ewmaMilli(e, "event_type", Seq("ts", "event_id"),
+          "value", alphaMilli = 200L)
+        .select(col("event_id"), col("event_type"), col("ewma_milli"))
+        .orderBy(col("event_id"))
+    }),
+
     // q261: ROUGE-L — LCS-based summary eval over adjacent-doc pairs
     // (the q241 pairing), truncated to 40 tokens a side so the
     // quadratic DP stays bounded. DuckDB replays the DP itself via
@@ -5927,6 +5939,24 @@ object SparkEntry {
         |  CAST((1000000 * ((sc - y) * nall + 20 * sall)) //
         |       ((n_cat - 1 + 20) * nall) AS BIGINT) AS enc_micro
         |FROM t JOIN c USING (cat), g ORDER BY event_id""".stripMargin,
+
+    // q262: the milli quantization, the (ts, event_id) total order,
+    // and every per-step floor replayed step by step.
+    "q262_ewma" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_id, event_type AS k,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 2000),
+        |it AS (
+        |  SELECT event_id, k, rn, mv AS s FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_id, e.k, e.rn,
+        |    (200 * e.mv + 800 * it.s) // 1000
+        |  FROM it JOIN e ON e.k = it.k AND e.rn = it.rn + 1)
+        |SELECT event_id, k AS event_type, CAST(s AS BIGINT) AS ewma_milli
+        |FROM it ORDER BY event_id""".stripMargin,
 
     // q261: the whole LCS DP replayed — one recursive-CTE step per
     // candidate token rebuilds the DP row with the prefix-max form

@@ -307,6 +307,71 @@ object Relational {
             col("span_us").cast("double") / lit(1000.0)).as("twap"))
   }
 
+  /** Per-key exponentially weighted moving average, exact integer
+    * milli lanes — the online smoother beside [[twap]]'s integral
+    * (monitoring dashboards, per-source quality trends, rate
+    * estimators): s₁ = v₁, sₜ = ⌊(α·vₜ + (1000−α)·sₜ₋₁)/1000⌋ with
+    * α in milli and values milli-quantized (⌊value·1000⌋ — the twap
+    * staging). The PER-STEP floor is the semantics, not a shortcut:
+    * it keeps every state BIGINT-exact so the whole trajectory
+    * replays engine-to-engine (the closed-form Σα(1−α)ᵏ weights
+    * would need floats and could never be value-pinned). Floor (not
+    * truncate) division — Math.floorDiv here, `//` in the oracle —
+    * so negative series agree too (the twap_milli lesson).
+    *
+    * A per-step-floored recurrence is inherently SEQUENTIAL per key
+    * (no associative reformulation survives the floor), so this is
+    * the [[graft.operators.Packing.packGreedy]] shape, not a window:
+    * one shuffle to co-locate each key, a sort within partitions on
+    * (key, orderCols), and a single streaming pass with O(1) state —
+    * a key longer than executor memory still streams, and
+    * parallelism is across keys (the natural unit; a global EWMA of
+    * an unpartitioned 100 TB stream is a design error upstream).
+    * `orderCols` must be a deterministic total order per key (ts
+    * plus a unique tiebreaker) or the trajectory is not well-defined.
+    * Null values emit a null state and do NOT advance the smoother
+    * (a gap is not a zero). Output: input columns + ewma_milli. */
+  def ewmaMilli(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alphaMilli: Long): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 1000,
+      s"alphaMilli must be in [1,1000], got $alphaMilli")
+    require(orderCols.nonEmpty, "orderCols must define a total order")
+    val staged = df.withColumn("__mv",
+      floor(col(valueCol) * lit(1000)).cast("long"))
+    val ki = staged.columns.indexOf(keyCol)
+    val vi = staged.columns.indexOf("__mv")
+    val a = alphaMilli
+    df.sparkSession.createDataFrame(
+      staged.repartition(col(keyCol))
+        .sortWithinPartitions((col(keyCol) +: orderCols.map(col)): _*)
+        .rdd.mapPartitions { rows =>
+          var curKey: Any = null
+          var first = true
+          var has = false
+          var s = 0L
+          rows.map { r =>
+            val k = r.get(ki)
+            if (first || k != curKey) {
+              curKey = k; first = false; has = false; s = 0L
+            }
+            val out: Any =
+              if (r.isNullAt(vi)) null
+              else {
+                val v = r.getLong(vi)
+                s = if (!has) v
+                    else Math.floorDiv(a * v + (1000L - a) * s, 1000L)
+                has = true
+                s
+              }
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(1) :+ out)
+          }
+        },
+      org.apache.spark.sql.types.StructType(
+        staged.schema.fields.dropRight(1) :+
+          org.apache.spark.sql.types.StructField("ewma_milli",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+  }
+
   /** Differential hot/cold equi join — the surgical alternative to
     * blanket salting ([[saltedJoin]] replicates the build side
     * ×buckets for EVERY key): rows whose key is in `hotKeys` (the

@@ -603,6 +603,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.count() == 1)
   }
 
+  test("ewmaMilli: per-step floors, key reset, null gap, negative floor") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(2.0)), ("a", 3L, Some(1.0)),
+      ("b", 1L, Some(-1.0)), ("b", 2L, Some(0.001)),
+      ("c", 1L, Some(2.0)), ("c", 2L, None), ("c", 3L, Some(4.0)))
+      .toDF("k", "ord", "v")
+    val got = Relational.ewmaMilli(rows, "k", Seq("ord"), "v", 500L)
+      .select("k", "ord", "ewma_milli")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // a: 1000 → (500·2000+500·1000)//1000 = 1500 → (500+750)·1000//1000 = 1250
+    assert(got(("a", 1L)) == Some(1000L))
+    assert(got(("a", 2L)) == Some(1500L))
+    assert(got(("a", 3L)) == Some(1250L))
+    // b: -1000 → (500·1 + 500·(−1000))//1000 = −499500//1000 FLOORS to −500
+    // (truncation would give −499 — the twap_milli lesson)
+    assert(got(("b", 2L)) == Some(-500L))
+    // c: null emits null and does not advance the state
+    assert(got(("c", 2L)).isEmpty)
+    assert(got(("c", 3L)) == Some(3000L))
+  }
+
   test("winsorize: exact rank band, clamp, null exclusion, invariance") {
     import spark.implicits._
     val base = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")

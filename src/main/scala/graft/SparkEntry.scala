@@ -2514,6 +2514,60 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q263: Z-order (Morton) layout values — the quantize+interleave
+    // bit math that drives multi-dimensional file clustering (the
+    // skipping proof itself — range-partition by z, zone-map, prune —
+    // is LayoutSpec; the oracle pins the curve). Bounds are domain
+    // constants (user_id < 2^11, event_id < 2^17 at every SF), not a
+    // same-job aggregate.
+    "q263_zorder" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          operators.Layout.quantize(col("user_id"), 0L, 11, 8).as("ub"),
+          operators.Layout.quantize(col("event_id"), 0L, 17, 8).as("eb"))
+        .withColumn("z",
+          operators.Layout.zValue(Seq(col("ub"), col("eb")), 8))
+        .orderBy(col("event_id"))
+    }),
+
+    // q264: blocklist hit counts — ONE Aho–Corasick pass per document
+    // over a pattern set chosen to exercise suffix links ("able"
+    // inside "table", "an" inside "scan"); overlapping occurrences
+    // all count. DuckDB replays positionally: every start offset ×
+    // every pattern, substr equality.
+    "q264_blocklist" -> ((s, dir) => {
+      operators.TextOps.blocklistCounts(
+          Tables.documents(s, dir), "doc_id", "text",
+          Seq("table", "able", "ta", "an", "scan", "value"))
+        .orderBy(col("doc_id"), col("pattern"))
+    }),
+
+    // q265: user-engagement skyline — Pareto frontier over (event
+    // count, Σ value-milli, last-seen), nothing dominated survives;
+    // the multi-objective "best users" selector with no baked-in
+    // weighting. Two-phase distributed frontier; DuckDB replays the
+    // definition as a NOT EXISTS dominance anti-join.
+    "q265_user_skyline" -> ((s, dir) => {
+      val agg = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 1000).cast("long")).as("value_milli"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      Relational.skyline(agg, Seq("n_events", "value_milli", "last_us"))
+        .orderBy(col("user_id"))
+    }),
+
+    // q266: rendezvous-hash shard placement + the minimal-movement
+    // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
+    // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
+    // lanes from the same md5 weights, so that guarantee is pinned
+    // data-level, not asserted.
+    "q266_rendezvous" -> ((s, dir) => {
+      operators.Layout.rendezvousMovement(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+          Seq("n0", "n1", "n2", "n3", "n4"), removed = "n2")
+        .orderBy(col("doc_id"))
+    }),
+
     // q261: ROUGE-L — LCS-based summary eval over adjacent-doc pairs
     // (the q241 pairing), truncated to 40 tokens a side so the
     // quadratic DP stays bounded. DuckDB replays the DP itself via
@@ -5957,6 +6011,69 @@ object SparkEntry {
         |  FROM it JOIN e ON e.k = it.k AND e.rn = it.rn + 1)
         |SELECT event_id, k AS event_type, CAST(s AS BIGINT) AS ewma_milli
         |FROM it ORDER BY event_id""".stripMargin,
+
+    // q263: the quantize shifts and the bit interleave replayed with
+    // DuckDB's integer bit ops — column 0 (ub) owns even bit
+    // positions, column 1 (eb) odd, exactly Layout.zValue's b*k+i.
+    "q263_zorder" ->
+      """WITH q AS (SELECT event_id,
+        |    LEAST(255, GREATEST(0, user_id >> 3)) AS ub,
+        |    LEAST(255, GREATEST(0, event_id >> 9)) AS eb
+        |  FROM events)
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub, CAST(eb AS BIGINT) AS eb,
+        |  CAST(SUM((((ub >> b) & 1) << (2 * b))
+        |         + (((eb >> b) & 1) << (2 * b + 1))) AS BIGINT) AS z
+        |FROM q, (SELECT unnest(range(0, 8)) AS b) bits
+        |GROUP BY event_id, ub, eb
+        |ORDER BY event_id""".stripMargin,
+
+    // q264: every start offset × every pattern, substr equality —
+    // the positional definition of overlapping occurrence counting
+    // that the Aho–Corasick pass computes in one scan.
+    "q264_blocklist" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('table'),('able'),('ta'),
+        |    ('an'),('scan'),('value')) p(pat)),
+        |pos AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i FROM documents)
+        |SELECT pos.doc_id, pats.pat AS pattern, COUNT(*) AS n_matches
+        |FROM pos JOIN pats
+        |  ON substr(pos.text, CAST(pos.i AS INT), length(pats.pat)) = pats.pat
+        |GROUP BY pos.doc_id, pats.pat
+        |ORDER BY doc_id, pattern""".stripMargin,
+
+    // q265: the dominance definition as a NOT EXISTS anti-join (≥ on
+    // all dims, > on at least one); all-dim ties co-survive.
+    "q265_user_skyline" ->
+      """WITH agg AS (SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS value_milli,
+        |    MAX(epoch_us(ts)) AS last_us
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, n_events, value_milli, last_us FROM agg t
+        |WHERE NOT EXISTS (SELECT 1 FROM agg u
+        |  WHERE u.n_events >= t.n_events AND u.value_milli >= t.value_milli
+        |    AND u.last_us >= t.last_us
+        |    AND (u.n_events > t.n_events OR u.value_milli > t.value_milli
+        |         OR u.last_us > t.last_us))
+        |ORDER BY user_id""".stripMargin,
+
+    // q266: both placement lanes re-derived from the same md5
+    // weights (fixed-width lowercase hex compares as the 128-bit
+    // integer would, so arg_max over the hex string IS the argmax
+    // over the hash).
+    "q266_rendezvous" ->
+      """WITH nodes AS (SELECT * FROM (VALUES ('n0'),('n1'),('n2'),
+        |    ('n3'),('n4')) v(n)),
+        |w AS (SELECT doc_id, n,
+        |    md5(CAST(doc_id AS VARCHAR) || '@' || n) AS w
+        |  FROM documents, nodes),
+        |b AS (SELECT doc_id, arg_max(n, w) AS node_before
+        |  FROM w GROUP BY doc_id),
+        |a AS (SELECT doc_id, arg_max(n, w) AS node_after
+        |  FROM w WHERE n <> 'n2' GROUP BY doc_id)
+        |SELECT b.doc_id, b.node_before, a.node_after,
+        |  CAST(b.node_before <> a.node_after AS INT) AS moved
+        |FROM b JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // q261: the whole LCS DP replayed — one recursive-CTE step per
     // candidate token rebuilds the DP row with the prefix-max form

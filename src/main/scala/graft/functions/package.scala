@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, BlocklistCounts, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -127,6 +127,12 @@ package object functions {
   def tokens(text: Column): Column =
     when(length(trim(text)) > 0, split(trim(text), "\\s+"))
       .otherwise(array().cast("array<string>"))
+
+  /** Per-pattern occurrence counts (overlapping, Aho–Corasick — one
+    * scan of the text regardless of pattern count; see
+    * [[graft.expr.AcAutomaton]]). counts[i] aligns with patterns(i). */
+  def blocklist_counts(text: Column, patterns: Seq[String]): Column =
+    col2(BlocklistCounts(bridge.toExpression(text), patterns))
 
   /** Token count as BIGINT (long, to match DuckDB len()). Native
     * one-pass kernel ([[graft.expr.TokenCount]]) with split()-exact

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scan-time skipping and stable placement —
+  * the storage-side levers a 100 TB corpus lives or dies by. The
+  * reference materializes every layer as flat JSON blobs
+  * (/root/reference/function_app.py:151-156 writes one file per run
+  * with no ordering contract), which forces full scans of every layer
+  * for any predicate; at Spark scale the cure is (a) multi-dimensional
+  * clustering so min/max footer stats actually prune, and (b)
+  * deterministic, minimal-movement shard placement for incremental
+  * re-partitioning.
+  *
+  * Everything here is pure `Column` arithmetic (whole-stage codegen,
+  * no UDFs) and BIGINT-exact, so layouts are reproducible run-to-run
+  * and cross-engine (the DuckDB oracles replay the same bit math).
+  */
+object Layout {
+
+  /** Morton (Z-order) value: interleave the low `bits` bits of each
+    * column, column i owning bit positions i, i+k, i+2k, … (k =
+    * cols.size). Linearizing a k-dim space this way keeps points that
+    * are close in EVERY dimension close on the line, so range-
+    * partitioning by z clusters each file in a small k-dim box and a
+    * box predicate prunes most files via parquet min/max stats —
+    * single-column sorting only ever prunes its leading dimension.
+    *
+    * Inputs must be non-negative and are masked to `bits` bits
+    * (callers quantize first — see [[quantize]]); k·bits ≤ 63 keeps
+    * the z-value in a signed long. Pure bit shifts — codegen'd,
+    * branch-free, no shuffle of its own. */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2, "z-order needs at least 2 dimensions")
+    require(bits >= 1 && k * bits <= 63, s"k*bits must fit a long, got $k*$bits")
+    val terms = for {
+      b <- 0 until bits
+      (c, i) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+      b * k + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Bucket a value onto the uniform grid [lo, lo+2^rangeBits) →
+    * [0, 2^bits): (v − lo) >> (rangeBits − bits), clamped into range —
+    * a pure shift, so the bucket math is BIGINT-exact on every engine
+    * (a multiply-then-divide lane would detour through doubles in
+    * Spark). Power-of-two ranges only; callers pad `rangeBits` up.
+    * The quantizer is part of the layout contract: `lo`/`rangeBits`
+    * must come from a PREVIOUS run's bounds (or fixed domain
+    * knowledge), never a same-job global aggregate — that would add a
+    * full pass before the write. */
+  def quantize(c: Column, lo: Long, rangeBits: Int, bits: Int): Column = {
+    require(rangeBits >= bits && bits >= 1 && rangeBits <= 62,
+      s"need 1 <= bits <= rangeBits <= 62, got $bits/$rangeBits")
+    val scaled = shiftright(c.cast("long") - lit(lo), rangeBits - bits)
+    greatest(lit(0L), least(lit((1L << bits) - 1), scaled))
+  }
+
+  /** Z-order clustering: range-partition on the z-value (sampled range
+    * boundaries — Spark's RangePartitioner, one extra sampling pass,
+    * no full sort) and sort within partitions, so every output file
+    * covers a contiguous z-range = a small k-dim box. The z column is
+    * dropped: it is layout, not data. */
+  def clusterByZ(df: DataFrame, dims: Seq[Column], bits: Int,
+      numPartitions: Int): DataFrame = {
+    val z = zValue(dims, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** Per-partition min/max zone map over `statCols` — what parquet
+    * footer stats will contain after [[clusterByZ]], computed without
+    * writing: one pass, no shuffle (spark_partition_id grouping is
+    * map-side only under AQE coalescing off). Used by the specs to
+    * PROVE a layout prunes, and operationally as a skipping index. */
+  def zoneMap(df: DataFrame, statCols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_rows") +: statCols.flatMap { c =>
+      Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    }
+    df.withColumn("__pid", spark_partition_id())
+      .groupBy(col("__pid"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fraction (milli) of zone-map partitions a conjunctive box
+    * predicate `col BETWEEN lo AND hi` (per dim) can SKIP: a partition
+    * survives only if every queried dim's [min,max] intersects its
+    * box. Driver-free — returns a 1-row DataFrame. */
+  def pruneStats(zones: DataFrame, box: Map[String, (Long, Long)]): DataFrame = {
+    val hit = box.map { case (c, (lo, hi)) =>
+      col(s"${c}_max") >= lit(lo) && col(s"${c}_min") <= lit(hi)
+    }.reduce(_ && _)
+    zones.agg(
+      count(lit(1)).as("n_parts"),
+      sum(when(hit, 1L).otherwise(0L)).as("parts_hit"),
+      (lit(1000L) * sum(when(hit, 0L).otherwise(1L)) / count(lit(1)))
+        .cast("long").as("skip_milli"))
+  }
+
+  /** Rendezvous (highest-random-weight) shard assignment: each key
+    * goes to argmax over nodes of md5(key ⊕ node). The property that
+    * matters at fleet scale: adding or removing ONE node moves ONLY
+    * the keys that mapped to it (1/n of data), where mod-n hashing
+    * reshuffles nearly everything. md5 is the engine-portable lane
+    * (same bytes everywhere); fixed-width lowercase hex compares
+    * lexicographically exactly as the 128-bit integer would, so the
+    * argmax needs no hex→int parse. Broadcast-free: nodes ride in as
+    * a literal array, the per-row work is |nodes| hashes — O(1) state,
+    * no shuffle, no join. */
+  def rendezvousAssign(df: DataFrame, keyCol: String, nodes: Seq[String],
+      out: String = "node"): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "nodes must be non-empty and distinct")
+    val weighted = nodes.map { n =>
+      struct(md5(concat(col(keyCol).cast("string"), lit("@"), lit(n)))
+        .as("w"), lit(n).as("n"))
+    }
+    df.withColumn(out, array_max(array(weighted: _*)).getField("n"))
+  }
+
+  /** Movement audit for a topology change: assignment under `nodes`
+    * vs under `nodes` minus `removed`. Rendezvous guarantees
+    * moved ⇔ (before == removed); emitting both lanes makes the
+    * guarantee a data-level assertion (oracle + spec), not a comment. */
+  def rendezvousMovement(df: DataFrame, keyCol: String,
+      nodes: Seq[String], removed: String): DataFrame = {
+    require(nodes.contains(removed), s"$removed not in nodes")
+    val before = rendezvousAssign(df, keyCol, nodes, "node_before")
+    rendezvousAssign(before, keyCol, nodes.filterNot(_ == removed),
+      "node_after")
+      .withColumn("moved", (col("node_before") =!= col("node_after"))
+        .cast("int"))
+  }
+}

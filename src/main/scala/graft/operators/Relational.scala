@@ -372,6 +372,65 @@ object Relational {
             org.apache.spark.sql.types.LongType, nullable = true)))
   }
 
+  /** Skyline (Pareto frontier) over long-typed `dims`, all maximized:
+    * keep rows not dominated by any other row (p dominates q ⇔ p ≥ q
+    * on every dim and p > q on at least one; exact ties on all dims
+    * dominate neither way, so duplicates co-survive). The
+    * multi-objective "best documents" selector — quality vs length vs
+    * recency — where any single weighted score bakes in an arbitrary
+    * tradeoff.
+    *
+    * Physical shape is the classic two-phase distributed skyline:
+    * (1) a LOCAL frontier per partition (imperative frontier scan —
+    * genuinely sequential, the sanctioned mapPartitions case), which
+    * shrinks n to the partition frontiers, then (2) the same scan
+    * once over the unioned candidates on one partition. Correct
+    * because dominance is transitive: any global survivor survives
+    * its own partition, and any globally dominated row is dominated
+    * by some phase-2 survivor. Phase-2 input is Σ local frontiers —
+    * for real corpora orders of magnitude below n (frontier size
+    * concentrates around O(ln^{k-1} n) for independent dims); a
+    * pathological all-frontier input degrades to a single-node
+    * O(f²) pass, observable, not silent. */
+  def skyline(df: DataFrame, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "skyline needs at least one dimension")
+    val idx = dims.map(d => df.columns.indexOf(d))
+    require(idx.forall(_ >= 0), s"missing dim among ${dims.mkString(",")}")
+    val schema = df.schema
+    dims.foreach { d =>
+      require(schema(d).dataType == org.apache.spark.sql.types.LongType,
+        s"skyline dims must be LONG, $d is ${schema(d).dataType}")
+    }
+    def localFrontier(it: Iterator[org.apache.spark.sql.Row])
+        : Iterator[org.apache.spark.sql.Row] = {
+      val frontier = scala.collection.mutable.ArrayBuffer
+        .empty[(Array[Long], org.apache.spark.sql.Row)]
+      def dominates(a: Array[Long], b: Array[Long]): Boolean = {
+        var ge = true; var gt = false; var i = 0
+        while (i < a.length && ge) {
+          if (a(i) < b(i)) ge = false
+          else if (a(i) > b(i)) gt = true
+          i += 1
+        }
+        ge && gt
+      }
+      it.foreach { r =>
+        val v = idx.map(i => r.getLong(i)).toArray
+        if (!frontier.exists(f => dominates(f._1, v))) {
+          val keep = frontier.filterNot(f => dominates(v, f._1))
+          frontier.clear()
+          frontier ++= keep
+          frontier += ((v, r))
+        }
+      }
+      frontier.iterator.map(_._2)
+    }
+    val local = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions(localFrontier), schema)
+    df.sparkSession.createDataFrame(
+      local.coalesce(1).rdd.mapPartitions(localFrontier), schema)
+  }
+
   /** Differential hot/cold equi join — the surgical alternative to
     * blanket salting ([[saltedJoin]] replicates the build side
     * ×buckets for EVERY key): rows whose key is in `hotKeys` (the

@@ -2588,4 +2588,22 @@ object TextOps {
         when(col("cand_tokens") + col("ref_tokens") > 0,
           expr("(2000 * lcs) div (cand_tokens + ref_tokens)")))
   }
+
+  /** Blocklist hit counts: one row per (doc, pattern) with the number
+    * of (overlapping) occurrences, zero-hit pairs omitted. One
+    * Aho–Corasick pass per document ([[graft.functions.blocklist_counts]])
+    * — O(n) per doc regardless of |patterns|, where the regex
+    * formulation is O(n·|patterns|). Narrow-map only until the final
+    * explode (which emits ≤ hits rows, not |patterns| rows, thanks to
+    * the filter-before-alias shape below); no shuffle. */
+  def blocklistCounts(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit): _*)
+    df.select(col(idCol),
+        posexplode(graft.functions.blocklist_counts(col(textCol), patterns))
+          .as(Seq("__i", "n_matches")))
+      .filter(col("n_matches") > 0)
+      .select(col(idCol), element_at(pats, col("__i") + 1).as("pattern"),
+        col("n_matches").cast("long").as("n_matches"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.Tables
+
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("zValue: interleaves bits, column i on position b*k+i") {
+    val df = Seq((3L, 0L), (0L, 3L), (2L, 1L), (255L, 255L))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+    val got = df.select("x", "y", "z").as[(Long, Long, Long)].collect()
+      .map { case (x, y, z) => (x, y) -> z }.toMap
+    // x owns even bits, y odd: (3,0) -> 0b0101 = 5; (0,3) -> 0b1010 = 10
+    assert(got((3L, 0L)) == 5L)
+    assert(got((0L, 3L)) == 10L)
+    // (2,1): x=10 -> bits at pos 2; y=01 -> bit at pos 1 => 0b110 = 6
+    assert(got((2L, 1L)) == 6L)
+    assert(got((255L, 255L)) == 65535L)
+  }
+
+  test("zValue: masks to `bits` and z-neighbors share high bits") {
+    val df = Seq((256L, 0L)).toDF("x", "y") // bit 8 masked off at bits=8
+      .withColumn("z", Layout.zValue(Seq(col("x"), col("y")), 8))
+    assert(df.select("z").as[Long].head() == 0L)
+  }
+
+  test("quantize: shift semantics and clamping") {
+    val df = Seq(-5L, 0L, 7L, 8L, 1023L, 5000L).toDF("v")
+      .withColumn("b", Layout.quantize(col("v"), 0L, 10, 7))
+    // rangeBits=10, bits=7 -> v >> 3, clamp [0,127]
+    assert(df.select("b").as[Long].collect().toSeq ==
+      Seq(0L, 0L, 0L, 1L, 127L, 127L))
+  }
+
+  test("clusterByZ + zoneMap: box query prunes most partitions; " +
+      "single-dim sort does not") {
+    // sf0.001 grid: user_id <= 14 -> ub 0..14 (identity), event_id
+    // <= 999 -> eb = id>>6 in 0..15.
+    val e = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        Layout.quantize(col("user_id"), 0L, 4, 4).as("ub"),
+        Layout.quantize(col("event_id"), 0L, 10, 4).as("eb"))
+    // ub-only box: event_id correlates with ts, so an eb predicate
+    // would prune under BOTH layouts and prove nothing; the user
+    // dimension is what single-dim time sorting cannot cluster.
+    val box = Map("ub" -> (3L, 3L))
+
+    val zoned = Layout.zoneMap(
+      Layout.clusterByZ(e, Seq(col("ub"), col("eb")), 4, 16),
+      Seq("ub", "eb"))
+    val zSkip = Layout.pruneStats(zoned, box)
+      .select("skip_milli").as[Long].head()
+
+    val tsSorted = Layout.zoneMap(
+      e.repartitionByRange(16, col("ts")).sortWithinPartitions(col("ts")),
+      Seq("ub", "eb"))
+    val tsSkip = Layout.pruneStats(tsSorted, box)
+      .select("skip_milli").as[Long].head()
+
+    // Z-layout: the ub=3 slab lives in one block-column of the curve
+    // -> most files skip (sampled range boundaries straddle blocks, so
+    // a bit under the aligned-ideal 750). Time-sorted layout: every
+    // file spans all user buckets -> ~none skip.
+    assert(zSkip >= 500, s"z layout skipped only $zSkip milli")
+    assert(tsSkip <= 200, s"ts layout unexpectedly skipped $tsSkip milli")
+    assert(zSkip > tsSkip)
+  }
+
+  test("rendezvous: total, deterministic, balanced-ish") {
+    val keys = spark.range(0, 2000).toDF("k")
+    val a = Layout.rendezvousAssign(keys, "k", Seq("n0", "n1", "n2"))
+    val counts = a.groupBy("node").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("n0", "n1", "n2"))
+    assert(counts.values.sum == 2000L)
+    // md5 weights are uniform: each node gets 2000/3 +- wide slack
+    counts.values.foreach(c => assert(c > 400 && c < 950, counts))
+    // deterministic re-run
+    val b = Layout.rendezvousAssign(keys, "k", Seq("n0", "n1", "n2"))
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("rendezvous movement: only keys on the removed node move, " +
+      "and they move to surviving nodes") {
+    val keys = spark.range(0, 1000).toDF("k")
+    val m = Layout.rendezvousMovement(keys, "k",
+      Seq("n0", "n1", "n2", "n3"), removed = "n2")
+    assert(m.filter(col("moved") === 1 && col("node_before") =!= "n2")
+      .count() == 0)
+    assert(m.filter(col("node_before") === "n2" && col("moved") === 0)
+      .count() == 0)
+    assert(m.filter(col("node_after") === "n2").count() == 0)
+    // unaffected keys keep their node
+    assert(m.filter(col("moved") === 0 &&
+      col("node_before") =!= col("node_after")).count() == 0)
+  }
+}

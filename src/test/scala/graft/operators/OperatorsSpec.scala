@@ -626,6 +626,25 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("skyline: dominance, all-dim ties co-survive, partition-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 10L, 1L), (2L, 1L, 10L), (3L, 5L, 5L), // frontier
+      (4L, 5L, 5L),                               // exact tie with 3
+      (5L, 4L, 5L), (6L, 10L, 0L), (7L, 1L, 1L))  // dominated
+      .toDF("id", "a", "b")
+    val want = Set(1L, 2L, 3L, 4L)
+    for (parts <- Seq(1, 3, 8)) {
+      val got = Relational.skyline(rows.repartition(parts), Seq("a", "b"))
+        .select("id").as[Long].collect().toSet
+      assert(got == want, s"parts=$parts")
+    }
+    // single dim degenerates to max (with ties)
+    val one = Relational.skyline(rows, Seq("a"))
+      .select("id").as[Long].collect().toSet
+    assert(one == Set(1L, 6L))
+  }
+
   test("winsorize: exact rank band, clamp, null exclusion, invariance") {
     import spark.implicits._
     val base = (1L to 20L).map(i => ("a", i, i.toDouble)).toDF("k", "id", "v")

@@ -9,6 +9,57 @@ import graft.sources.Tables
 class TextOpsSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("blocklistCounts: overlapping matches, suffix links, zero-hit omitted") {
+    val docs = Seq(
+      (1L, "tatable scan"),
+      (2L, "aaa"),
+      (3L, "clean"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextOps.blocklistCounts(docs, "doc_id", "text",
+        Seq("table", "able", "ta", "an", "scan", "aa"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // "tatable": ta@0, ta@2 -> 2; table@2; able@3 (suffix link of table)
+    assert(got((1L, "ta")) == 2L)
+    assert(got((1L, "table")) == 1L)
+    assert(got((1L, "able")) == 1L)
+    // "scan" emits both scan and its suffix an
+    assert(got((1L, "scan")) == 1L)
+    assert(got((1L, "an")) == 1L)
+    // overlapping: "aa" twice in "aaa"
+    assert(got((2L, "aa")) == 2L)
+    // "clean" hits only "an"; zero-hit (doc,pattern) pairs are absent
+    assert(got((3L, "an")) == 1L)
+    assert(!got.contains((3L, "ta")))
+    assert(!got.keys.exists(_._1 == 4L))
+  }
+
+  test("blocklistCounts: UTF-8 multi-byte patterns match at byte level") {
+    val docs = Seq((1L, "café caféteria naïve")).toDF("doc_id", "text")
+    val got = TextOps.blocklistCounts(docs, "doc_id", "text",
+        Seq("café", "ï", "fe"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(got("café") == 2L)
+    assert(got("ï") == 1L)
+    assert(!got.contains("fe")) // 0xe9's second byte never aliases 'f'
+  }
+
+  test("blocklistCounts matches brute-force counting on corpus text") {
+    val pats = Seq("table", "able", "ta", "an", "scan", "value")
+    val docs = Tables.documents(spark, sf).limit(50)
+    val got = TextOps.blocklistCounts(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val want = (for {
+      (id, text) <- texts
+      p <- pats
+      n = (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)) if n > 0
+    } yield (id, p) -> n.toLong).toMap
+    assert(got == want)
+  }
+
   test("tfidf: tf, document frequency, and ln-weighted score") {
     val docs = Seq(
       (1L, "spark spark rare"),

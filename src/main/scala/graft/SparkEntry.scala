@@ -2556,6 +2556,45 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // q267: percentile rank (midrank milli) of every document's
+    // length against the src0 reference sub-corpus — the broadcast
+    // spine-ECDF normalization lane; DuckDB replays the definition
+    // with correlated < / = counts.
+    "q267_percentile_rank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Relational.percentileRank(docs.select(col("doc_id"), col("n_chars")),
+          "n_chars", docs.filter(col("source") === "src0"), "n_chars",
+          lo = 0L, hi = 1023L)
+        .select(col("doc_id"), col("n_chars"), col("pct_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q268: behavioral 3-gram census — per-user ordered event-type
+    // sequences, consecutive windows joined with '>', counted
+    // globally (occurrences + distinct users). DuckDB replays via
+    // per-user ordered lists and positional slices.
+    "q268_sequence_ngrams" -> ((s, dir) => {
+      Relational.sequenceNgrams(Tables.events(s, dir), "user_id",
+          Seq("ts", "event_id"), "event_type", n = 3)
+        .orderBy(col("n_occurrences").desc, col("ngram"))
+    }),
+
+    // q269: Hedge mixture controller — per-domain (event_type)
+    // reward = clamped mean value-milli per round (event_id % 12),
+    // multiplicative-weights fold with per-step floors, final
+    // weights + normalized probabilities. DuckDB replays the whole
+    // trajectory in a recursive CTE.
+    "q269_hedge_mixture" -> ((s, dir) => {
+      val rewards = Tables.events(s, dir)
+        .groupBy((col("event_id") % 12).as("round"),
+          col("event_type").as("arm"))
+        .agg(expr("sum(cast(floor(value * 1000) as bigint)) div count(1)")
+          .as("reward_milli"))
+      operators.Learn.hedgeWeights(rewards, "arm", "round", "reward_milli",
+          etaMilli = 200L)
+        .orderBy(col("arm"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6056,6 +6095,60 @@ object SparkEntry {
         |    AND (u.n_events > t.n_events OR u.value_milli > t.value_milli
         |         OR u.last_us > t.last_us))
         |ORDER BY user_id""".stripMargin,
+
+    // q267: the midrank definition replayed with correlated </=
+    // counts against the clamped reference lane.
+    "q267_percentile_rank" ->
+      """WITH ref AS (SELECT LEAST(1023, GREATEST(0, n_chars)) AS v
+        |  FROM documents WHERE source = 'src0'),
+        |n AS (SELECT COUNT(*) AS n FROM ref)
+        |SELECT d.doc_id, d.n_chars,
+        |  CAST((1000 * (2 * (SELECT COUNT(*) FROM ref r
+        |           WHERE r.v < LEAST(1023, GREATEST(0, d.n_chars)))
+        |      + (SELECT COUNT(*) FROM ref r
+        |           WHERE r.v = LEAST(1023, GREATEST(0, d.n_chars)))))
+        |    // (2 * n.n) AS BIGINT) AS pct_milli
+        |FROM documents d, n ORDER BY doc_id""".stripMargin,
+
+    // q268: per-user ordered lists, every 3-window sliced
+    // positionally and '>'-joined — the census definition.
+    "q268_sequence_ngrams" ->
+      """WITH s AS (SELECT user_id,
+        |    list(event_type ORDER BY ts, event_id) AS l
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT user_id,
+        |    array_to_string(l[CAST(i AS INT):CAST(i + 2 AS INT)], '>')
+        |      AS ngram
+        |  FROM s, unnest(range(1, len(l) - 1)) t(i))
+        |SELECT ngram, COUNT(*) AS n_occurrences,
+        |  COUNT(DISTINCT user_id) AS n_keys
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram""".stripMargin,
+
+    // q269: reward table, then the whole multiplicative-weights
+    // trajectory — every per-step floor — in a recursive CTE;
+    // normalization from the same final weights.
+    "q269_hedge_mixture" ->
+      """WITH RECURSIVE
+        |r AS (SELECT event_id % 12 AS rnd, event_type AS arm,
+        |    LEAST(1000, GREATEST(0,
+        |      CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+        |        // COUNT(*))) AS x
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (SELECT arm, x,
+        |    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY rnd) AS i
+        |  FROM r),
+        |it AS (
+        |  SELECT arm, CAST(0 AS BIGINT) AS i, CAST(1000 AS BIGINT) AS w
+        |  FROM (SELECT DISTINCT arm FROM r)
+        |  UNION ALL
+        |  SELECT it.arm, rn.i,
+        |    (it.w * (1000 + (200 * rn.x) // 1000)) // 1000
+        |  FROM it JOIN rn ON rn.arm = it.arm AND rn.i = it.i + 1),
+        |fin AS (SELECT arm, max_by(w, i) AS w_final FROM it GROUP BY arm),
+        |tot AS (SELECT CAST(SUM(w_final) AS BIGINT) AS t FROM fin)
+        |SELECT arm, w_final, (1000 * w_final) // t AS p_milli
+        |FROM fin, tot ORDER BY arm""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -792,6 +792,41 @@ object Learn {
             | ELSE -((-(1000000L * (n * n_agree - src))) div (n * n - src))
             | END""".stripMargin)).as("kappa_micro"))
   }
+
+  /** Hedge / multiplicative-weights data-mixing controller — the
+    * online reweighter for domain sampling ("which sources earned
+    * more of the next epoch's token budget"): per arm (domain),
+    * w₀ = 1000 and wᵣ₊₁ = ⌊wᵣ · (1000 + ⌊η·xᵣ/1000⌋) / 1000⌋ over
+    * the arm's reward sequence xᵣ ∈ [0,1000] milli (clamped here, so
+    * callers can feed raw averages), then p = ⌊1000·w / Σw⌋. The
+    * per-step floor keeps every weight BIGINT-exact (the hash-pinned
+    * trajectory discipline of [[Relational.ewmaMilli]]).
+    *
+    * The fold is per-arm sequential but arms are few (domains): one
+    * hash aggregate gathers each arm's (round, reward) list, a
+    * Catalyst `aggregate` HOF folds it in round order — codegen, no
+    * RDD, no shuffle beyond the one aggregate — and the 1-row total
+    * broadcasts back for normalization. Rounds must be unique per
+    * arm; missing rounds simply don't multiply (a gap is not a zero
+    * reward). */
+  def hedgeWeights(rewards: DataFrame, armCol: String, roundCol: String,
+      rewardCol: String, etaMilli: Long): DataFrame = {
+    require(etaMilli >= 0 && etaMilli <= 1000,
+      s"etaMilli must be in [0,1000], got $etaMilli")
+    val ordered = sort_array(collect_list(struct(col(roundCol).as("r"),
+      greatest(lit(0L), least(lit(1000L), col(rewardCol).cast("long")))
+        .as("x"))))
+    val folded = rewards.groupBy(col(armCol).as("arm"))
+      .agg(aggregate(
+        transform(ordered, s => s.getField("x")), lit(1000L),
+        (acc, x) => sdiv(acc * (lit(1000L) + sdiv(lit(etaMilli) * x,
+          lit(1000L))), lit(1000L)))
+        .as("w_final"))
+    val tot = folded.agg(sum(col("w_final")).as("__tot"))
+    folded.crossJoin(broadcast(tot))
+      .withColumn("p_milli", expr("(1000 * w_final) div __tot"))
+      .drop("__tot")
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —

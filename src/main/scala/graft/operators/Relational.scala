@@ -431,6 +431,73 @@ object Relational {
       local.coalesce(1).rdd.mapPartitions(localFrontier), schema)
   }
 
+  /** Percentile rank (milli, midrank convention) of `valueCol`
+    * against a REFERENCE distribution — the score-normalization lane
+    * every quality gate needs ("is this document long/clean/dense
+    * relative to the trusted sub-corpus?"): pct = (2·|ref < v| +
+    * |ref = v|)·1000 / (2·N), BIGINT throughout.
+    *
+    * Scale shape: the reference collapses to counts on the bounded
+    * integer grid [lo, hi] (both lanes clamp onto it — the quantize
+    * contract; out-of-range values rank as the nearest edge), a dense
+    * spine of hi−lo+1 rows carries the cumulative counts, and the
+    * probe side BROADCAST-equi-joins the spine. No range join, no
+    * per-row subquery, no global sort of the data: the only
+    * partition-less window runs over the SPINE, whose size is a
+    * design constant, not a data size. */
+  def percentileRank(df: DataFrame, valueCol: String, ref: DataFrame,
+      refCol: String, lo: Long, hi: Long,
+      out: String = "pct_milli"): DataFrame = {
+    require(hi > lo, "empty grid")
+    require(hi - lo <= (1L << 22), "spine must stay broadcast-sized")
+    def clamp(c: Column) = greatest(lit(lo), least(lit(hi), c.cast("long")))
+    val cnts = ref.select(clamp(col(refCol)).as("__v"))
+      .groupBy("__v").agg(count(lit(1)).as("__eq"))
+    val spine = df.sparkSession.range(lo, hi + 1).toDF("__v")
+      .join(cnts, Seq("__v"), "left")
+      .na.fill(0L, Seq("__eq"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ecdf = spine.withColumn("__lt",
+      coalesce(sum(col("__eq")).over(w), lit(0L)))
+    val n = ref.agg(count(lit(1)).as("__n"))
+    df.withColumn("__v", clamp(col(valueCol)))
+      .join(broadcast(ecdf), Seq("__v"))
+      .crossJoin(broadcast(n))
+      .withColumn(out, expr("(1000 * (2 * __lt + __eq)) div (2 * __n)"))
+      .drop("__v", "__lt", "__eq", "__n")
+  }
+
+  /** Global n-gram census over per-key ordered token sequences
+    * (behavioral motifs: "view>click>purchase") — the sequence
+    * counterpart of market-basket sets. Each key's events are
+    * gathered and ordered (`orderCols` must totally order within a
+    * key), consecutive n-windows joined with '>', then counted
+    * globally with map-side partial aggregation. Per-key state is the
+    * key's own event list — the sessionization contract (a key's
+    * history fits an executor; parallelism is across keys); distinct
+    * n-grams are bounded by |alphabet|^n, so the final aggregate is
+    * small no matter the corpus. */
+  def sequenceNgrams(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      tokenCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(orderCols.nonEmpty, "orderCols must define a total order")
+    val seqCol = sort_array(collect_list(
+      struct((orderCols.map(col) :+ col(tokenCol)): _*)))
+    val grams = df.groupBy(col(keyCol))
+      .agg(seqCol.as("__s"))
+      .withColumn("__t", expr(s"transform(__s, x -> x.$tokenCol)"))
+      // sequence(1, k) DESCENDS when k < 1 — guard short sequences
+      .withColumn("__g", when(size(col("__t")) >= n,
+        transform(sequence(lit(1), size(col("__t")) - n + 1),
+          i => array_join(slice(col("__t"), i, lit(n)), ">")))
+        .otherwise(array().cast("array<string>")))
+    grams.select(col(keyCol), explode(col("__g")).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(keyCol)).as("n_keys"))
+  }
+
   /** Differential hot/cold equi join — the surgical alternative to
     * blanket salting ([[saltedJoin]] replicates the build side
     * ×buckets for EVERY key): rows whose key is in `hotKeys` (the

@@ -12,6 +12,30 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("hedgeWeights: per-step floors, round order, clamping, normalization") {
+    val rewards = Seq(
+      ("a", 1L, 1000L), ("a", 2L, 1000L),
+      ("b", 1L, 0L), ("b", 2L, 500L),
+      ("c", 1L, 5000L), // clamps to 1000
+      ("d", 2L, 250L), ("d", 1L, 249L)) // order by round: 249 then 250
+      .toDF("arm", "rnd", "x")
+    val got = Learn.hedgeWeights(rewards, "arm", "rnd", "x", etaMilli = 200L)
+      .select("arm", "w_final", "p_milli")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // a: 1000 -> 1200 -> (1200*1200)//1000 = 1440
+    assert(got("a")._1 == 1440L)
+    // b: 1000 -> *1000//1000 = 1000 -> (1000*1100)//1000 = 1100
+    assert(got("b")._1 == 1100L)
+    // c: one clamped round: 1200
+    assert(got("c")._1 == 1200L)
+    // d: floor((200*249)/1000) = 49 -> 1049; then +50 -> (1049*1050)//1000 = 1101
+    assert(got("d")._1 == 1101L)
+    val tot = 1440L + 1100L + 1200L + 1101L
+    assert(got("a")._2 == 1000L * 1440L / tot)
+    assert(got.values.map(_._2).sum <= 1000L) // floors never over-allocate
+  }
+
   // reference trainer: same contract, plain Scala
   private def refTrain(feats: Seq[(Long, Long)], labels: Map[Long, Long],
       dim: Int, iters: Int, lrNum: Long, lrDen: Long): Map[Long, Long] = {

@@ -626,6 +626,42 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("percentileRank: midrank, clamping, broadcast spine join") {
+    import spark.implicits._
+    val ref = Seq(10L, 10L, 20L, 30L).toDF("v")
+    val q = Seq((1L, 5L), (2L, 10L), (3L, 15L), (4L, 30L), (5L, 99L))
+      .toDF("id", "x")
+    val got = Relational.percentileRank(q, "x", ref, "v", 0L, 63L)
+      .select("id", "pct_milli").as[(Long, Long)].collect().toMap
+    // N=4: v=5 -> (0+0)/8 = 0; v=10 -> (2*0+2)*1000/8 = 250;
+    // v=15 -> (2*2+0)/8 = 500; v=30 -> (2*3+1)/8 = 875;
+    // v=99 clamps to 63 -> (2*4)/8 = 1000
+    assert(got == Map(1L -> 0L, 2L -> 250L, 3L -> 500L, 4L -> 875L,
+      5L -> 1000L))
+    // the probe-side join is against a broadcast spine
+    val plan = Relational.percentileRank(q, "x", ref, "v", 0L, 63L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("sequenceNgrams: windows, order, short keys, distinct-key counts") {
+    import spark.implicits._
+    val df = Seq(
+      ("u1", 1L, "a"), ("u1", 2L, "b"), ("u1", 3L, "a"), ("u1", 4L, "b"),
+      ("u2", 1L, "a"), ("u2", 2L, "b"), ("u2", 3L, "a"),
+      ("u3", 1L, "x"), ("u3", 2L, "y")) // too short for n=3
+      .toDF("k", "ord", "t")
+    val got = Relational.sequenceNgrams(df, "k", Seq("ord"), "t", 3)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("a>b>a" -> ((2L, 2L)), "b>a>b" -> ((1L, 1L))))
+    // n=1 degenerates to token counts
+    val uni = Relational.sequenceNgrams(df, "k", Seq("ord"), "t", 1)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(uni == Map("a" -> 4L, "b" -> 3L, "x" -> 1L, "y" -> 1L))
+  }
+
   test("skyline: dominance, all-dim ties co-survive, partition-invariant") {
     import spark.implicits._
     val rows = Seq(

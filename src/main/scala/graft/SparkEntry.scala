@@ -2595,6 +2595,34 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // q270: per-type robust outliers — rank-defined lower median and
+    // MAD in milli lanes, strict k·MAD flag; DuckDB replays both
+    // rank passes (the VALUE at rank ⌊(n+1)/2⌋ is tie-permutation
+    // invariant, so the engines agree without interpolation).
+    "q270_robust_outliers" -> ((s, dir) => {
+      Relational.robustOutliers(
+          Tables.events(s, dir).select(col("event_id"),
+            col("event_type"), col("value")),
+          "event_type", "value", k = 3L)
+        .select(col("event_id"), col("event_type"), col("value_milli"),
+          col("med_milli"), col("mad_milli"), col("is_outlier"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q271: token-bucket rate limiting per user (0.1 token/hour,
+    // burst 3) — the stateful streaming limiter run on the batch
+    // frame; DuckDB replays the full per-key trajectory (every
+    // per-step refill floor) in a recursive CTE keyed by per-user
+    // row number.
+    "q271_token_bucket" -> ((s, dir) => {
+      StreamOps.tokenBucketStream(Tables.events(s, dir), "user_id",
+          "ts", "event_id", capacityMilli = 3000L, ratePerHourMilli = 100L)
+        .toDF()
+        .select(col("event_id"), col("key").as("user_id"), col("ts_ms"),
+          col("admitted"), col("tokens_milli"))
+        .orderBy(col("event_id"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6149,6 +6177,52 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(w_final) AS BIGINT) AS t FROM fin)
         |SELECT arm, w_final, (1000 * w_final) // t AS p_milli
         |FROM fin, tot ORDER BY arm""".stripMargin,
+
+    // q270: both rank passes replayed; lower median at ⌊(n+1)/2⌋.
+    "q270_robust_outliers" ->
+      """WITH v AS (SELECT event_id, event_type AS k,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm FROM events),
+        |m AS (SELECT k, vm AS med FROM (
+        |    SELECT k, vm, ROW_NUMBER() OVER (PARTITION BY k ORDER BY vm)
+        |        AS rn,
+        |      COUNT(*) OVER (PARTITION BY k) AS n FROM v)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT v.event_id, v.k, v.vm, m.med,
+        |    ABS(v.vm - m.med) AS dev FROM v JOIN m USING (k)),
+        |md AS (SELECT k, dev AS mad FROM (
+        |    SELECT k, dev, ROW_NUMBER() OVER (PARTITION BY k ORDER BY dev)
+        |        AS rn,
+        |      COUNT(*) OVER (PARTITION BY k) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_id, d.k AS event_type, d.vm AS value_milli,
+        |  d.med AS med_milli, md.mad AS mad_milli,
+        |  CAST(d.dev > 3 * md.mad AS INT) AS is_outlier
+        |FROM d JOIN md USING (k) ORDER BY event_id""".stripMargin,
+
+    // q271: the bucket trajectory replayed step by step — refill
+    // floor, admit test, decrement — per user in (ts, event_id)
+    // order; buckets start full (anchor admits and leaves 2000).
+    "q271_token_bucket" ->
+      """WITH RECURSIVE
+        |e AS (SELECT user_id AS k, event_id AS id,
+        |    epoch_us(ts) // 1000 AS t,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) // 1000, event_id) AS rn
+        |  FROM events),
+        |it AS (
+        |  SELECT k, id, t, rn, 1 AS admitted, CAST(2000 AS BIGINT) AS tok,
+        |    t AS last FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.k, e.id, e.t, e.rn,
+        |    CASE WHEN x.tok2 >= 1000 THEN 1 ELSE 0 END,
+        |    CASE WHEN x.tok2 >= 1000 THEN x.tok2 - 1000 ELSE x.tok2 END,
+        |    e.t
+        |  FROM it JOIN e ON e.k = it.k AND e.rn = it.rn + 1,
+        |    LATERAL (SELECT LEAST(3000, it.tok
+        |      + (GREATEST(0, e.t - it.last) * 100) // 3600000) AS tok2) x)
+        |SELECT id AS event_id, k AS user_id, t AS ts_ms,
+        |  admitted, tok AS tokens_milli
+        |FROM it ORDER BY event_id""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -468,6 +468,44 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Per-key robust outlier flags via median absolute deviation —
+    * the anomaly gate that survives the anomalies (a mean/stddev
+    * z-score moves WITH the outliers it should flag; the median and
+    * MAD don't budge until half the data is bad). All lanes integer:
+    * value milli-quantized, median = LOWER median (the value at rank
+    * ⌊(n+1)/2⌋ — rank-defined, so engines agree on ties without any
+    * interpolation float), MAD the same rank over |v − med|, flag =
+    * |v − med| > k·MAD strictly (a constant key has MAD 0: any
+    * deviation flags — documented, not hidden).
+    *
+    * Shape: two rank passes (window partitioned BY KEY — no global
+    * sort), each reduced to a |keys|-row table joined back (AQE
+    * broadcasts it). State bounds at key grain; skew in one key costs
+    * one partition's sort, not a plan change. */
+  def robustOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col(c))
+      val wn = Window.partitionBy(col(keyCol))
+      in.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wn))
+        .filter(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col(keyCol), col(c).as(out))
+    }
+    val staged = df.withColumn("value_milli",
+      floor(col(valueCol) * lit(1000)).cast("long"))
+    val med = lowerMedian(staged, "value_milli", "med_milli")
+    val dev = staged.join(med, Seq(keyCol))
+      .withColumn("__dev", abs(col("value_milli") - col("med_milli")))
+    val mad = lowerMedian(dev.select(col(keyCol), col("__dev")), "__dev",
+      "mad_milli")
+    dev.join(mad, Seq(keyCol))
+      .withColumn("is_outlier",
+        (col("__dev") > lit(k) * col("mad_milli")).cast("int"))
+      .drop("__dev")
+  }
+
   /** Global n-gram census over per-key ordered token sequences
     * (behavioral motifs: "view>click>purchase") — the sequence
     * counterpart of market-basket sets. Each key's events are

@@ -21,6 +21,10 @@ case class FunnelStep(user_id: Long, step: Int, step_name: String,
 case class BestPick(fingerprint: Long, doc_id: Long, score: Double,
                     n_candidates: Long)
 
+/** Per-event admit/reject decision from [[StreamOps.tokenBucketStream]]. */
+case class RateDecision(key: Long, event_id: Long, ts_ms: Long,
+                        admitted: Int, tokens_milli: Long)
+
 /** transformWithState processor behind [[StreamOps.dedupKeepBestStream]]:
   * per fingerprint, value state (bestId, bestScore, nSeen,
   * registeredTimerTs) + one event-time timer at latest-arrival +
@@ -239,6 +243,57 @@ object StreamOps {
               math.max(cur._2 + gapMs, state.getCurrentWatermarkMs() + 1))
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Per-key token-bucket rate limiter — the ingest-quota guard
+    * (per-channel API budgets, per-source crawl politeness): each key
+    * holds a bucket of `capacityMilli` milli-tokens refilled at
+    * `ratePerHourMilli` milli-tokens/hour; an event needs 1000
+    * milli-tokens to be admitted. Refill is event-time driven and
+    * per-step floored — ⌊Δms·rate/3 600 000⌋ between consecutive
+    * events in (ts, id) order — so the whole trajectory is
+    * BIGINT-exact and replayable (the [[graft.operators.Relational.ewmaMilli]]
+    * discipline). The refill clock advances on EVERY event, admitted
+    * or not; a regressing timestamp (cross-batch stragglers) refills
+    * zero rather than going negative. Buckets start full.
+    *
+    * State per key: (last-ts, tokens) — two longs, O(keys) total.
+    * Works identically on a batch frame (one group pass, empty
+    * initial state), which is what the DuckDB trajectory oracle
+    * replays; under streaming the decisions depend on arrival
+    * batching only through event-time order, so a stream that
+    * delivers in event-time order matches the batch lane row-for-row. */
+  def tokenBucketStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, capacityMilli: Long,
+      ratePerHourMilli: Long): Dataset[RateDecision] = {
+    require(capacityMilli >= 1000, "capacity must hold at least one token")
+    require(ratePerHourMilli > 0, "rate must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), RateDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3)).toArray.sorted
+          var (last, tok) = state.getOption.getOrElse(
+            (Long.MinValue, capacityMilli))
+          val out = sorted.map { case (t, id) =>
+            val delta = if (last == Long.MinValue) 0L
+                        else math.max(0L, t - last)
+            tok = math.min(capacityMilli,
+              tok + delta * ratePerHourMilli / 3600000L)
+            val admit = tok >= 1000L
+            if (admit) tok -= 1000L
+            last = math.max(last, t)
+            RateDecision(key, id, t, if (admit) 1 else 0, tok)
+          }
+          state.update((last, tok))
+          out.iterator
       }
   }
 

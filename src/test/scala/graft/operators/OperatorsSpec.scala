@@ -626,6 +626,27 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("robustOutliers: lower median, MAD, strict flag, constant key") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 100.0),
+      ("b", 5L, 7.0), ("b", 6L, 7.0), ("b", 7L, 7.5)) // near-constant
+      .toDF("k", "id", "v")
+    val got = Relational.robustOutliers(rows, "k", "v", k = 3L)
+      .select("id", "med_milli", "mad_milli", "is_outlier")
+      .as[(Long, Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // a: sorted vm 1000,2000,3000,100000; lower median = rank 2 -> 2000
+    // devs 1000,0,1000,98000 sorted 0,1000,1000,98000; MAD rank2 -> 1000
+    // flag: dev > 3000 -> only the 100.0 point
+    assert(got(1L) == ((2000L, 1000L, 0)))
+    assert(got(4L) == ((2000L, 1000L, 1)))
+    // b: median 7000 (rank 2 of 7000,7000,7500), MAD = 0 ->
+    // any deviation flags strictly (> 0)
+    assert(got(5L) == ((7000L, 0L, 0)))
+    assert(got(7L) == ((7000L, 0L, 1)))
+  }
+
   test("percentileRank: midrank, clamping, broadcast spine join") {
     import spark.implicits._
     val ref = Seq(10L, 10L, 20L, 30L).toDF("v")

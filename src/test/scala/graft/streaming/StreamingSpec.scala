@@ -17,6 +17,50 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
 
   private def t(s: String) = java.sql.Timestamp.valueOf(s)
 
+  test("tokenBucketStream: refill floors, burst drain, cross-batch state, batch parity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // capacity 2 tokens, 1 token/hour: burst of 3 at t0 admits 2,
+    // rejects 1; after 30 min refill is 500 milli (reject); after
+    // another 90 min cumulative refill crosses 1000 (admit).
+    val data = Seq(
+      UEv(t("2024-01-01 00:00:00"), 1L),
+      UEv(t("2024-01-01 00:00:01"), 1L),
+      UEv(t("2024-01-01 00:00:02"), 1L),
+      UEv(t("2024-01-01 00:30:02"), 1L),
+      UEv(t("2024-01-01 02:00:02"), 1L),
+      UEv(t("2024-01-01 00:00:00"), 2L))
+    val withIds = data.zipWithIndex.map { case (e, i) => (e.user_id, e.ts, i.toLong) }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      StreamOps.tokenBucketStream(df, "k", "ts", "id",
+        capacityMilli = 2000L, ratePerHourMilli = 1000L)
+    val batch = run(withIds.toDF("k", "ts", "id")).collect()
+      .map(d => d.event_id -> (d.admitted, d.tokens_milli)).toMap
+    assert(batch(0L) == ((1, 1000L)))
+    assert(batch(1L) == ((1, 0L)))   // burst drained
+    assert(batch(2L) == ((0, 0L)))   // over budget
+    // +30min: refill floor((1800000*1000)/3600000) = 500 -> reject
+    assert(batch(3L) == ((0, 500L)))
+    // +90min more: 500 + 1500 = 2000 -> admit, 1000 left
+    assert(batch(4L) == ((1, 1000L)))
+    assert(batch(5L) == ((1, 1000L))) // independent key, full bucket
+    // streaming in two micro-batches carries (last, tokens) across
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = run(stream.toDF().toDF("k", "ts", "id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tbs").start()
+    try {
+      stream.addData(withIds.take(3): _*)
+      q.processAllAvailable()
+      stream.addData(withIds.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tbs")
+      .as[RateDecision].collect()
+      .map(d => d.event_id -> (d.admitted, d.tokens_milli)).toMap
+    assert(streamed == batch)
+  }
+
   test("windowedCounts runs under Structured Streaming (memory sink) and matches batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

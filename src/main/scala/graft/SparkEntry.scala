@@ -2623,6 +2623,50 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q272: water-filling (max-min fair) token-budget allocation
+    // across sources — sorted supplies, integer level from the first
+    // prefix where the candidate dips below the supply, allocation
+    // min(supply, level). DuckDB re-derives level and allocations
+    // from the same sorted-prefix arithmetic.
+    "q272_waterfill" -> ((s, dir) => {
+      val sup = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(token_count(col("text"))).as("supply"))
+      graft.pipeline.Corpus.waterFill(sup, "source", "supply",
+          budget = 20000L)
+        .orderBy(col("source"))
+    }),
+
+    // q273: split-conformal calibration (α=0.1) on a 1-in-20
+    // calibration slice of event values, realized coverage on the
+    // rest — rank-exact k = ⌈(n+1)·0.9⌉ threshold, no interpolation.
+    "q273_conformal" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      operators.Learn.conformal(
+          e.filter(col("event_id") % 20 === 0),
+          e.filter(col("event_id") % 20 =!= 0),
+          "value", alphaMilli = 100L)
+        .orderBy(col("thr_milli"))
+    }),
+
+    // q274: URL template mining over two synthesized URL shapes —
+    // a parameterized item path (500 URLs, 7 hosts) and a hex-id CDN
+    // path (every 5th doc, 1 host). Digit runs → <n>, ≥8-hex runs →
+    // <h>; the census separates content shapes from trap shapes.
+    "q274_url_templates" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val itemUrls = d.select(concat(lit("https://h"),
+        col("doc_id") % 7, lit(".example.com/item/"), col("doc_id"),
+        lit("/rev-"), col("doc_id") % 13).as("url"))
+      val cdnUrls = d.filter(col("doc_id") % 5 === 0)
+        .select(concat(lit("https://cdn.example.com/a/"),
+          md5(col("doc_id").cast("string"))).as("url"))
+      operators.Web.urlTemplates(
+          itemUrls.unionByName(cdnUrls).withColumn("id", lit(0L)),
+          "id", "url")
+        .orderBy(col("template"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6223,6 +6267,74 @@ object SparkEntry {
         |SELECT id AS event_id, k AS user_id, t AS ts_ms,
         |  admitted, tok AS tokens_milli
         |FROM it ORDER BY event_id""".stripMargin,
+
+    // q272: sorted-prefix water level — first rank whose candidate
+    // (budget − prefix) // remaining dips below its supply — then
+    // min(supply, level) per source.
+    "q272_waterfill" ->
+      """WITH sup AS (SELECT source,
+        |    CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+'))
+        |      AS BIGINT)) AS BIGINT) AS supply
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, supply,
+        |    ROW_NUMBER() OVER (ORDER BY supply, source) AS rn,
+        |    CAST(COALESCE(SUM(supply) OVER (ORDER BY supply, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cum,
+        |    COUNT(*) OVER (ORDER BY supply, source
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS m
+        |  FROM sup),
+        |c AS (SELECT rn, supply, (20000 - cum) // m AS cand FROM r),
+        |lvl AS (SELECT COALESCE((SELECT cand FROM c
+        |    WHERE cand < supply ORDER BY rn LIMIT 1),
+        |    9223372036854775807) AS level)
+        |SELECT source, supply,
+        |  CAST(LEAST(supply, level) AS BIGINT) AS alloc
+        |FROM r, lvl ORDER BY source""".stripMargin,
+
+    // q273: rank-exact split-conformal threshold and coverage.
+    "q273_conformal" ->
+      """WITH cal AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS s
+        |  FROM events WHERE event_id % 20 = 0),
+        |n AS (SELECT COUNT(*) AS n_cal FROM cal),
+        |r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn FROM cal),
+        |thr AS (SELECT n.n_cal, r.rn AS k, r.s AS thr_milli FROM r, n
+        |  WHERE r.rn = ((n.n_cal + 1) * 900 + 999) // 1000),
+        |t AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS s
+        |  FROM events WHERE event_id % 20 <> 0),
+        |agg AS (SELECT thr.n_cal, thr.k, thr.thr_milli,
+        |    COUNT(*) AS n_test,
+        |    CAST(SUM(CASE WHEN t.s <= thr.thr_milli THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS covered
+        |  FROM t, thr GROUP BY 1, 2, 3)
+        |SELECT n_cal, k, thr_milli, n_test, covered,
+        |  (1000 * covered) // n_test AS coverage_milli
+        |FROM agg ORDER BY thr_milli""".stripMargin,
+
+    // q274: same synthesized URLs, same two collapse passes (hex
+    // first so id hashes vanish whole), same host capture — note
+    // DuckDB needs the explicit 'g' flag Spark applies by default.
+    "q274_url_templates" ->
+      """WITH u AS (
+        |  SELECT 'https://h' || (doc_id % 7) || '.example.com/item/'
+        |    || doc_id || '/rev-' || (doc_id % 13) AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'https://cdn.example.com/a/'
+        |    || md5(CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*',
+        |        ''),
+        |      '[0-9a-fA-F]{8,}', '<h>', 'g'), '[0-9]+', '<n>', 'g')
+        |      AS template,
+        |    lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)', 1))
+        |      AS host
+        |  FROM u)
+        |SELECT template, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT host) AS n_hosts
+        |FROM t GROUP BY template ORDER BY template""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

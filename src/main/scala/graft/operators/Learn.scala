@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.tokens
@@ -791,6 +792,44 @@ object Learn {
             | THEN (1000000L * (n * n_agree - src)) div (n * n - src)
             | ELSE -((-(1000000L * (n * n_agree - src))) div (n * n - src))
             | END""".stripMargin)).as("kappa_micro"))
+  }
+
+  /** Split-conformal calibration + coverage audit — the
+    * distribution-free "how wrong can the model be" wrapper: the
+    * threshold is the k-th smallest calibration nonconformity score
+    * (milli-quantized) at k = ⌈(n+1)·(1−α)⌉, which guarantees
+    * P(test score ≤ threshold) ≥ 1−α exchangeably; the test lane
+    * then reports realized coverage. Rank-exact — no interpolated
+    * quantiles, so engines agree on ties (the q270 discipline) — and
+    * k > n (tiny calibration sets) fails loudly rather than silently
+    * emitting +∞.
+    *
+    * Shape: one window rank over the CALIBRATION set only (small by
+    * design — that's what "split" buys; the partition-less rank runs
+    * on it alone, never on test data), the 1-row threshold broadcast
+    * to the test scan. A calibration set too small for the requested
+    * α (k > n) yields an EMPTY frame — no finite threshold exists. */
+  def conformal(cal: DataFrame, test: DataFrame, scoreCol: String,
+      alphaMilli: Long): DataFrame = {
+    require(alphaMilli >= 1 && alphaMilli <= 999,
+      s"alphaMilli must be in [1,999], got $alphaMilli")
+    val qm = 1000L - alphaMilli
+    def milli(df: DataFrame) = df.select(
+      floor(col(scoreCol) * lit(1000)).cast("long").as("__s"))
+    val scored = milli(cal)
+    val n = scored.agg(count(lit(1)).as("n_cal"))
+    val thr = scored
+      .withColumn("__rn", row_number().over(Window.orderBy(col("__s"))))
+      .crossJoin(broadcast(n))
+      .filter(col("__rn") === expr(s"((n_cal + 1) * $qm + 999) div 1000"))
+      .select(col("n_cal"), col("__rn").cast("long").as("k"),
+        col("__s").as("thr_milli"))
+    milli(test).crossJoin(broadcast(thr))
+      .groupBy(col("n_cal"), col("k"), col("thr_milli"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("__s") <= col("thr_milli"), 1L).otherwise(0L))
+          .as("covered"))
+      .withColumn("coverage_milli", expr("(1000 * covered) div n_test"))
   }
 
   /** Hedge / multiplicative-weights data-mixing controller — the

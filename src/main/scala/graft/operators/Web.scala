@@ -700,4 +700,31 @@ object Web {
       nn(g(18)).as("referer"), nn(g(19)).as("ua"),
       col("__ok").as("valid"))
   }
+
+  /** URL template mining — the crawler-trap detector: collapse the
+    * variable segments of each URL (digit runs → `<n>`, ≥8-char hex
+    * runs → `<h>`, both chosen from the Java∩RE2-compatible regex
+    * subset so any engine replays them) and census the resulting
+    * templates. A template whose URL count explodes relative to its
+    * host count is machinery, not content — calendar pages, session
+    * ids, faceted search — and the frontier should demote it long
+    * before fetch. Two regexp passes + one hash aggregate;
+    * template cardinality is structurally tiny next to URL count, so
+    * the aggregate output is frontier-metadata-sized. */
+  def urlTemplates(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val host = lower(regexp_extract(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    // template = the PATH shape only (scheme://authority stripped),
+    // so the same machinery on many hosts folds into one row and
+    // n_hosts actually measures spread
+    val path = regexp_replace(col(urlCol),
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val tpl = regexp_replace(
+      regexp_replace(path, "[0-9a-fA-F]{8,}", "<h>"),
+      "[0-9]+", "<n>")
+    df.select(tpl.as("template"), host.as("__host"))
+      .groupBy(col("template"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("__host")).as("n_hosts"))
+  }
 }

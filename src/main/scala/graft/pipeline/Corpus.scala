@@ -798,4 +798,51 @@ object Corpus {
     require(k >= 1, s"k must be positive, got $k")
     df.orderBy(seededHash(col(idCol), seed), col(idCol)).limit(k)
   }
+
+  /** Water-filling (max-min fair) budget allocation across groups —
+    * the epoch planner's fairness lane, complementing
+    * [[tokenBudgetSelect]]'s fixed per-group caps: given each group's
+    * SUPPLY (tokens it could contribute) and one global `budget`,
+    * find the integer water level L and allocate min(supply, L) per
+    * group, never exceeding the budget. Groups below the level give
+    * everything; groups above are capped EQUALLY — no group starves
+    * because another is huge. Up to |groups|−1 budget units stay
+    * unallocated (the floor remainder — reported, not hidden).
+    *
+    * Exact integer derivation on the sorted supplies: with supplies
+    * ascending, after the i−1 smallest are fully taken (prefix
+    * cum_{i−1}), the remaining m_i groups split what's left; the
+    * level is ⌊(budget − cum_{i−1}) / m_i⌋ at the FIRST i where that
+    * stays below s_i (else every group is fully funded). One sort of
+    * a |groups|-row table + one 1-row broadcast back: the data-sized
+    * input was already reduced to per-group supplies by the caller's
+    * aggregate, so every step here is group-grain. */
+  def waterFill(supplies: DataFrame, groupCol: String, supplyCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("supply"), col(groupCol))
+    val ranked = supplies
+      .select(col(groupCol), col(supplyCol).cast("long").as("supply"))
+      .withColumn("__cum",
+        coalesce(sum(col("supply")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__m", count(lit(1)).over(
+        w.rowsBetween(0, org.apache.spark.sql.expressions.Window
+          .unboundedFollowing)))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cand", expr(s"($budget - __cum) div __m"))
+    // the FIRST (ascending-supply) row whose candidate level stays
+    // below its supply fixes the level; later candidates are computed
+    // under a false "all smaller fully taken" premise and must not
+    // win — hence the lexicographic (rank, cand) min, not min(cand)
+    val level = ranked
+      .agg(coalesce(min(when(col("__cand") < col("supply"),
+        struct(col("__rn"), col("__cand")))).getField("__cand"),
+        lit(Long.MaxValue)).as("__level"))
+    ranked.crossJoin(broadcast(level))
+      .select(col(groupCol), col("supply"),
+        least(col("supply"), col("__level")).as("alloc"))
+  }
 }

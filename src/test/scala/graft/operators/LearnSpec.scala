@@ -12,6 +12,21 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("conformal: rank-exact threshold, coverage, small-cal empty") {
+    val cal = (1 to 19).map(i => i.toDouble / 10).toDF("score") // 0.1..1.9
+    val test = Seq(0.05, 1.0, 1.75, 1.85, 5.0).toDF("score")
+    // n=19, alpha=0.1: k = ceil(20*0.9) = 18 -> threshold 1.8 (1800)
+    val got = Learn.conformal(cal, test, "score", alphaMilli = 100L)
+      .select("n_cal", "k", "thr_milli", "n_test", "covered",
+        "coverage_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((19L, 18L, 1800L, 5L, 3L, 600L)))
+    // k > n: alpha tiny with 2 cal points -> ceil(3*0.999) = 3 > 2
+    val tiny = Learn.conformal(Seq(1.0, 2.0).toDF("score"), test,
+      "score", alphaMilli = 1L)
+    assert(tiny.count() == 0)
+  }
+
   test("hedgeWeights: per-step floors, round order, clamping, normalization") {
     val rewards = Seq(
       ("a", 1L, 1000L), ("a", 2L, 1000L),

@@ -6,6 +6,25 @@ import org.apache.spark.sql.functions._
 class WebSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("urlTemplates: digit and hex collapse, host census, trap shape") {
+    val urls = Seq(
+      (1L, "https://a.com/item/123/rev-4"),
+      (2L, "https://b.com/item/999/rev-12"),
+      (3L, "https://a.com/about"),
+      (4L, "https://cdn.x.com/a/deadbeefcafe1234"),
+      (5L, "https://cdn.x.com/a/0123456789abcdef"),
+      (6L, "https://u:p@h1.com:8080/s/42")) // creds + port stay out of host
+      .toDF("id", "url")
+    val got = Web.urlTemplates(urls, "id", "url").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // templates are path shapes: the same machinery on 2 hosts folds
+    assert(got("/item/<n>/rev-<n>") == ((2L, 2L)))
+    assert(got("/about") == ((1L, 1L)))
+    assert(got("/a/<h>") == ((2L, 1L)))
+    assert(got("/s/<n>") == ((1L, 1L)))
+    assert(!got.keys.exists(_.contains("123")))
+  }
+
   private def extract(html: String,
       maxLinkPct: Int = 60, minLineChars: Int = 3) = {
     val out = Web.htmlToText(

@@ -9,6 +9,27 @@ import graft.sources.Tables
 class CorpusSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("waterFill: level math, full-fund fallback, budget respected") {
+    def fill(sup: Seq[(String, Long)], budget: Long) =
+      Corpus.waterFill(sup.toDF("g", "supply"), "g", "supply", budget)
+        .select("g", "alloc").as[(String, Long)].collect().toMap
+    // budget 100 over supplies 10/50/200: 10 fully funded; remaining
+    // 90 splits 45/45 -> level 45 (cand (100-10)//2 = 45 < 50)
+    assert(fill(Seq(("a", 10L), ("b", 50L), ("c", 200L)), 100L) ==
+      Map("a" -> 10L, "b" -> 45L, "c" -> 45L))
+    // equal supplies, budget below: first candidate wins (NOT the
+    // degenerate later ones computed from a false premise)
+    assert(fill(Seq(("a", 10L), ("b", 10L)), 10L) ==
+      Map("a" -> 5L, "b" -> 5L))
+    // budget covers everything: allocations = supplies
+    assert(fill(Seq(("a", 3L), ("b", 4L)), 100L) ==
+      Map("a" -> 3L, "b" -> 4L))
+    // allocations never exceed budget (floor remainder unallocated)
+    val tot = fill(Seq(("a", 7L), ("b", 100L), ("c", 100L)), 50L)
+      .values.sum
+    assert(tot <= 50L && tot >= 48L)
+  }
+
   test("curate: drops junk, wrong-language docs, exact dups, near-dups; keeps originals") {
     val base = Tables.documents(spark, sf)
       .filter($"lang" === "en" && $"doc_id" < 80)

@@ -2667,6 +2667,31 @@ object SparkEntry {
         .orderBy(col("template"))
     }),
 
+    // q275: nDCG@10 per synthetic query (doc_id%20), graded
+    // relevance doc_id%4, system ranking by (n_chars desc, doc_id) —
+    // fixed integer discount table, no runtime logarithm; DuckDB
+    // replays both rank lanes against the same constants.
+    "q275_ndcg" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("doc_id") % 20).as("query"), col("doc_id"),
+        (col("doc_id") % 4).cast("long").as("rel"), col("n_chars"))
+      operators.Learn.ndcgAtK(d, "query", "rel",
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
+        .orderBy(col("query"))
+    }),
+
+    // q276: prefix-filtered exact Jaccard pairs (AllPairs/PPJoin) at
+    // θ=0.2 over 150 docs — same ground truth as the all-pairs
+    // definition, reached through rarest-shingle candidate buckets;
+    // DuckDB replays the definition (full quadratic + exact milli
+    // Jaccard), so the oracle also PROVES the prefix filter's recall.
+    "q276_prefix_jaccard" -> ((s, dir) => {
+      Dedup.prefixFilterPairs(
+          Tables.documents(s, dir).filter(col("doc_id") < 150),
+          "doc_id", "text", thresholdMilli = 200L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6335,6 +6360,55 @@ object SparkEntry {
         |SELECT template, COUNT(*) AS n_urls,
         |  COUNT(DISTINCT host) AS n_hosts
         |FROM t GROUP BY template ORDER BY template""".stripMargin,
+
+    // q275: both rank lanes joined to the same fixed discount table.
+    "q275_ndcg" ->
+      """WITH disc(i, w) AS (VALUES (1, 1000000), (2, 630929),
+        |    (3, 500000), (4, 430676), (5, 386852), (6, 356207),
+        |    (7, 333333), (8, 315464), (9, 301029), (10, 289064)),
+        |d AS (SELECT doc_id % 20 AS query, doc_id,
+        |    CAST(doc_id % 4 AS BIGINT) AS rel, n_chars FROM documents),
+        |r AS (SELECT query, rel,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    ROW_NUMBER() OVER (PARTITION BY query ORDER BY rel DESC)
+        |      AS irk
+        |  FROM d),
+        |a AS (SELECT query,
+        |    CAST(SUM(CASE WHEN rk <= 10 THEN rel * ds.w ELSE 0 END)
+        |      AS BIGINT) AS dcg_micro,
+        |    CAST(SUM(CASE WHEN irk <= 10 THEN rel * di.w ELSE 0 END)
+        |      AS BIGINT) AS idcg_micro
+        |  FROM r LEFT JOIN disc ds ON ds.i = r.rk
+        |    LEFT JOIN disc di ON di.i = r.irk
+        |  GROUP BY query)
+        |SELECT query, dcg_micro, idcg_micro,
+        |  CASE WHEN idcg_micro > 0 THEN (1000 * dcg_micro) // idcg_micro
+        |  END AS ndcg_milli
+        |FROM a ORDER BY query""".stripMargin,
+
+    // q276: the all-pairs definition — quadratic join, exact milli
+    // Jaccard over distinct 3-shingles (q20's shingle construction
+    // incl. the short-text whole-text fallback), threshold 200.
+    "q276_prefix_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |sh AS (SELECT doc_id,
+        |    CASE WHEN len(t) >= 3 THEN list_distinct(
+        |        list_transform(range(1, len(t) - 1),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+        |      WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |      ELSE [] END AS s
+        |  FROM toks),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(1000 * len(list_intersect(a.s, b.s)) AS BIGINT)
+        |      // (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        |      AS jaccard_milli
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0)
+        |SELECT id_a, id_b, jaccard_milli FROM p
+        |WHERE jaccard_milli >= 200 ORDER BY id_a, id_b""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -356,6 +357,67 @@ private[graft] object CheckpointHygiene {
       blockCol.as("__block"))
     bucketPairs(banded, Seq("__block"),
         (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard", label)
+  }
+
+  /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
+    * family) — the blocking-free similarity join: order the shingle
+    * vocabulary by ascending document frequency, keep each set's
+    * first n − ⌈θ·n⌉ + 1 shingles in that order, and generate
+    * candidates only from sets SHARING A PREFIX SHINGLE. The prefix
+    * lemma guarantees recall: J(A,B) ≥ θ ⇒ |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉,
+    * and two sets with that much overlap cannot both avoid it in
+    * prefixes that long under one global order. Candidates then
+    * verify by exact Jaccard (milli, BIGINT), so output = the
+    * ground-truth pair set — same result as [[jaccardPairs]], no
+    * caller-supplied block column, no dropped oversized blocks.
+    *
+    * Why it scales where all-pairs can't: frequency-ASCENDING order
+    * puts each set's RAREST shingles in its prefix, so the
+    * pair-generating groupBy buckets on exactly the shingles least
+    * shared across the corpus — bucket sizes collapse instead of
+    * exploding (the hot "the the the" shingle never generates a
+    * candidate). One vocabulary-sized rank table (the partition-less
+    * rank runs over the VOCAB aggregate, bounded like the q86
+    * vocabulary op, not over the corpus), skinny (id, shingle)
+    * shuffles, and a verify join against the one-row-per-doc set
+    * store. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+      thresholdMilli: Long, shingleWidth: Int = 3): DataFrame = {
+    require(thresholdMilli >= 1 && thresholdMilli <= 1000,
+      s"thresholdMilli must be in [1,1000], got $thresholdMilli")
+    val sets = df.select(col(idCol).as("__id"),
+      shingles(col(textCol), shingleWidth).as("__payload"))
+      .filter(size(col("__payload")) > 0)
+    val toks = sets.select(col("__id"), explode(col("__payload")).as("__t"))
+    val rank = toks.groupBy(col("__t"))
+      .agg(count(lit(1)).as("__df"))
+      .withColumn("__rank", row_number().over(
+        Window.orderBy(col("__df"), col("__t"))))
+      .select(col("__t"), col("__rank"))
+    val prefixes = toks.join(rank, Seq("__t"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col("__id"))))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__rank"))))
+      .filter(col("__pos") <=
+        col("__n") - expr(s"($thresholdMilli * __n + 999) div 1000") + 1)
+      .select(col("__id"), col("__t"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("__id").as("id_a"), col("__payload").as("__pa")),
+        Seq("id_a"))
+      .join(sets.select(col("__id").as("id_b"), col("__payload").as("__pb")),
+        Seq("id_b"))
+      .withColumn("__i", size(array_intersect(col("__pa"), col("__pb")))
+        .cast("long"))
+      .withColumn("__u",
+        size(col("__pa")) + size(col("__pb")) - col("__i"))
+      .withColumn("jaccard_milli", expr("(1000 * __i) div __u"))
+      .filter(col("jaccard_milli") >= thresholdMilli)
+      .select(col("id_a"), col("id_b"), col("jaccard_milli"))
   }
 
   /** Exact CONTAINMENT pairs over w-shingle sets —

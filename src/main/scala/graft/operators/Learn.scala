@@ -794,6 +794,47 @@ object Learn {
             | END""".stripMargin)).as("kappa_micro"))
   }
 
+  /** 1e6/log2(rank+1) for ranks 1..10, floored to micro units — the
+    * nDCG discount table as FIXED integer constants, so the metric
+    * never computes a runtime logarithm and every engine agrees
+    * bit-for-bit (the constants ARE the metric definition here, the
+    * same way BLEU fixes its n-gram weights). */
+  private val NdcgDiscMicro = Seq(1000000L, 630929L, 500000L, 430676L,
+    386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** nDCG@k retrieval quality per query — graded-relevance ranking
+    * eval (the retrieval counterpart of [[passAtK]]): DCG = Σ rel·
+    * disc(rank) over the system's top-k, IDCG the same over the
+    * relevance-ideal order, ndcg = 1000·DCG / IDCG. Integer micro
+    * lanes with the fixed discount table above; ideal-order ties
+    * need no tiebreak (equal rel at equal rank contributes equally,
+    * so the value is tie-permutation invariant — the q270 rank
+    * discipline). `ranking` must totally order within a query.
+    * Queries with all-zero relevance emit null ndcg. Two per-query
+    * windows + one aggregate — partitioned by query, never global. */
+  def ndcgAtK(df: DataFrame, queryCol: String, relCol: String,
+      ranking: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1 && k <= NdcgDiscMicro.size,
+      s"k must be in [1,${NdcgDiscMicro.size}], got $k")
+    require(ranking.nonEmpty, "ranking must be non-empty")
+    val disc = array(NdcgDiscMicro.map(lit): _*)
+    val staged = df
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(ranking: _*)))
+      .withColumn("__ir", row_number().over(
+        Window.partitionBy(col(queryCol)).orderBy(col(relCol).desc)))
+    staged.groupBy(col(queryCol))
+      .agg(
+        sum(when(col("__r") <= k,
+          col(relCol) * element_at(disc, col("__r"))).otherwise(0L))
+          .as("dcg_micro"),
+        sum(when(col("__ir") <= k,
+          col(relCol) * element_at(disc, col("__ir"))).otherwise(0L))
+          .as("idcg_micro"))
+      .withColumn("ndcg_milli", when(col("idcg_micro") > 0,
+        expr("(1000 * dcg_micro) div idcg_micro")))
+  }
+
   /** Split-conformal calibration + coverage audit — the
     * distribution-free "how wrong can the model be" wrapper: the
     * threshold is the k-th smallest calibration nonconformity score

@@ -12,6 +12,36 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("ndcgAtK: perfect ranking, inversions, zero-rel null, top-k cutoff") {
+    val rows = Seq(
+      // q1: system ranks rel 3,2,1 by score desc -> perfect
+      (1L, 10.0, 3L), (1L, 9.0, 2L), (1L, 8.0, 1L),
+      // q2: worst order of 2,0
+      (2L, 10.0, 0L), (2L, 9.0, 2L),
+      // q3: all zero rel
+      (3L, 10.0, 0L), (3L, 9.0, 0L))
+      .toDF("q", "score", "rel")
+    val got = Learn.ndcgAtK(rows, "q", "rel",
+        Seq(col("score").desc), k = 10)
+      .select("q", "dcg_micro", "idcg_micro", "ndcg_milli")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    // q1 perfect: dcg = idcg = 3*1000000 + 2*630929 + 1*500000
+    val full = 3L * 1000000L + 2L * 630929L + 500000L
+    assert(got(1L) == ((full, full, Some(1000L))))
+    // q2: dcg = 2*630929; idcg = 2*1000000 -> 630
+    assert(got(2L) == ((1261858L, 2000000L, Some(630L))))
+    assert(got(3L) == ((0L, 0L, None)))
+    // rank-11 docs contribute nothing
+    val many = (1 to 12).map(i => (9L, 100.0 - i, 1L)).toDF("q", "score", "rel")
+    val capped = Learn.ndcgAtK(many, "q", "rel", Seq(col("score").desc), 10)
+      .select("dcg_micro").collect().head.getLong(0)
+    assert(capped == Learn.ndcgAtK(many.filter(col("score") >= 90),
+      "q", "rel",
+      Seq(col("score").desc), 10).select("dcg_micro").collect().head.getLong(0))
+  }
+
   test("conformal: rank-exact threshold, coverage, small-cal empty") {
     val cal = (1 to 19).map(i => i.toDouble / 10).toDF("score") // 0.1..1.9
     val test = Seq(0.05, 1.0, 1.75, 1.85, 5.0).toDF("score")

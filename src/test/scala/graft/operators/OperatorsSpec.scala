@@ -893,6 +893,48 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dup.getMessage.contains("DUPLICATED_METRICS_NAME"), dup.getMessage)
   }
 
+  test("prefixFilterPairs: equals the all-pairs ground truth on real docs") {
+    val docs = Tables.documents(spark, sf).limit(80)
+    // independent driver-side ground truth: same shingle contract
+    // (3-grams of \s+ tokens, distinct, whole-text fallback), exact
+    // integer milli jaccard — no doubles anywhere
+    def shingleSet(text: String): Set[String] = {
+      val t = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet
+      else if (t.nonEmpty) Set(t.mkString(" "))
+      else Set.empty
+    }
+    val sets = docs.select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> shingleSet(r.getString(1)))
+      .filter(_._2.nonEmpty)
+    def truthPairs(thr: Long) = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size.toLong
+      jm = 1000L * inter / (sa.size + sb.size - inter)
+      if jm >= thr
+    } yield (ia, ib) -> jm).toMap
+    for (thrMilli <- Seq(150L, 300L, 700L)) {
+      val got = Dedup.prefixFilterPairs(docs, "doc_id", "text", thrMilli)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == truthPairs(thrMilli), s"thr=$thrMilli")
+    }
+  }
+
+  test("prefixFilterPairs: exact milli jaccard values and threshold edge") {
+    val df = Seq(
+      (1L, "a b c d"), (2L, "a b c e"),   // shingles {abc,bcd}/{abc,bce}: 1/3
+      (3L, "a b c d"),                     // duplicate of 1: 1000
+      (4L, "zz yy xx ww")).toDF("id", "text")
+    val got = Dedup.prefixFilterPairs(df, "id", "text", 333L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 2L) -> 333L, (2L, 3L) -> 333L, (1L, 3L) -> 1000L))
+    // at 334 the 1/3 pairs fall out
+    val tight = Dedup.prefixFilterPairs(df, "id", "text", 334L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 3L)))
+  }
+
   test("jaccardPairs pairs only within a block, exact jaccard values") {
     val df = Seq(
       (1L, "a b c d", "blk1"), (2L, "a b c e", "blk1"),

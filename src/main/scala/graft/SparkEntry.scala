@@ -2692,6 +2692,32 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // q277: per-user OLS value trend — hour-centered x, milli y,
+    // DECIMAL(38,0) cross products, sign-split micro slope; DuckDB
+    // replays the sums in HUGEINT and the same division CASE.
+    "q277_trend_slopes" -> ((s, dir) => {
+      operators.Learn.trendSlopes(Tables.events(s, dir), "user_id",
+          "ts", "value")
+        .select(col("user_id"), col("n"), col("sx"), col("sy"),
+          col("slope_micro"), col("mean_milli"))
+        .orderBy(col("user_id"))
+    }),
+
+    // q278: per-type one-sided CUSUM drift alarms (target 50, slack
+    // 10, h 300 — milli lanes): sustained high-value runs alarm and
+    // restart; DuckDB replays every max/reset step in a recursive
+    // CTE (the q262 trajectory discipline).
+    "q278_cusum" -> ((s, dir) => {
+      Relational.cusumMilli(
+          Tables.events(s, dir).filter(col("event_id") < 2000),
+          "event_type", Seq("ts", "event_id"), "value",
+          targetMilli = 50000L, slackMilli = 10000L,
+          thresholdMilli = 300000L)
+        .select(col("event_id"), col("event_type"), col("cusum_milli"),
+          col("alarm"))
+        .orderBy(col("event_id"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6409,6 +6435,58 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id AND len(a.s) > 0 AND len(b.s) > 0)
         |SELECT id_a, id_b, jaccard_milli FROM p
         |WHERE jaccard_milli >= 200 ORDER BY id_a, id_b""".stripMargin,
+
+    // q277: hour-centered sums, HUGEINT cross products, the same
+    // truncating sign-split division.
+    "q277_trend_slopes" ->
+      """WITH s AS (SELECT user_id,
+        |    (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+        |      // 3600000000 AS x,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy
+        |  FROM s GROUP BY user_id),
+        |d AS (SELECT user_id, n, sx, sy,
+        |    CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+        |    CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+        |  FROM a)
+        |SELECT user_id, n, sx, sy,
+        |  CASE WHEN den > 0 THEN
+        |    CASE WHEN num >= 0
+        |      THEN CAST((num * 1000) // den AS BIGINT)
+        |      ELSE -CAST(((-num) * 1000) // den AS BIGINT) END
+        |  END AS slope_micro,
+        |  CASE WHEN sy >= 0 THEN sy // n ELSE -((-sy) // n)
+        |  END AS mean_milli
+        |FROM d ORDER BY user_id""".stripMargin,
+
+    // q278: every max(0, ·) step, every alarm reset, replayed per
+    // type in (ts, event_id) order.
+    "q278_cusum" ->
+      """WITH RECURSIVE
+        |e AS (SELECT event_id, event_type AS k,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events WHERE event_id < 2000),
+        |it AS (
+        |  SELECT event_id, k, rn,
+        |    CASE WHEN GREATEST(0, mv - 60000) > 300000
+        |      THEN CAST(0 AS BIGINT) ELSE GREATEST(0, mv - 60000) END AS s,
+        |    CASE WHEN GREATEST(0, mv - 60000) > 300000 THEN 1 ELSE 0 END
+        |      AS alarm
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.event_id, e.k, e.rn,
+        |    CASE WHEN x.s1 > 300000 THEN CAST(0 AS BIGINT) ELSE x.s1 END,
+        |    CASE WHEN x.s1 > 300000 THEN 1 ELSE 0 END
+        |  FROM it JOIN e ON e.k = it.k AND e.rn = it.rn + 1,
+        |    LATERAL (SELECT GREATEST(0, it.s + e.mv - 60000) AS s1) x)
+        |SELECT event_id, k AS event_type, s AS cusum_milli, alarm
+        |FROM it ORDER BY event_id""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

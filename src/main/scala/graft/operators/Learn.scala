@@ -794,6 +794,46 @@ object Learn {
             | END""".stripMargin)).as("kappa_micro"))
   }
 
+  /** Per-key OLS trend slope over event time — "is this source's
+    * quality/volume drifting, and how fast": slope = (n·Σxy − Σx·Σy)
+    * / (n·Σx² − (Σx)²) with x = whole HOURS since the key's first
+    * event (per-key re-centering keeps x² sums small and is
+    * shift-invariant — the slope doesn't change, the overflow
+    * envelope does) and y = value·1000. The cross products run in
+    * DECIMAL(38,0) (the driftChi2 discipline: BIGINT dies at
+    * n·Σxy·10⁶ ≳ 9·10¹⁸, decimal keeps the chain exact past any
+    * realistic key) and the final division is the sign-split
+    * truncating form both engines floor identically on.
+    *
+    * One window (per-key min — partitioned, never global) + one hash
+    * aggregate; output is key-grain. Keys with < 2 distinct x (all
+    * events in one hour) have zero denominator → null slope. */
+  def trendSlopes(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val staged = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__x0", min(col("__us")).over(w))
+      .withColumn("__x", expr("(__us - __x0) div 3600000000"))
+      .withColumn("__y", floor(col(valueCol) * lit(1000)).cast("long"))
+    staged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("__x") * col("__y")).as("sxy"))
+      .withColumn("__num", col("n").cast("decimal(38,0)") * col("sxy")
+        - col("sx").cast("decimal(38,0)") * col("sy"))
+      .withColumn("__den", col("n").cast("decimal(38,0)") * col("sxx")
+        - col("sx").cast("decimal(38,0)") * col("sx"))
+      .withColumn("slope_micro", when(col("__den") > 0, expr(
+        """CASE WHEN __num >= 0
+          | THEN CAST((__num * 1000) div __den AS BIGINT)
+          | ELSE -CAST(((-__num) * 1000) div __den AS BIGINT)
+          | END""".stripMargin)))
+      .withColumn("mean_milli", expr("sy div n"))
+      .drop("__num", "__den")
+  }
+
   /** 1e6/log2(rank+1) for ranks 1..10, floored to micro units — the
     * nDCG discount table as FIXED integer constants, so the metric
     * never computes a runtime logarithm and every engine agrees

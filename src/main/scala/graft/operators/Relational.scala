@@ -468,6 +468,57 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Per-key one-sided CUSUM change detector — the drift ALARM to
+    * [[robustOutliers]]'s point flags: sₜ = max(0, sₜ₋₁ + (yₜ −
+    * target − slack)) accumulates only sustained upward excess
+    * (single spikes bleed off through the slack), and s > h raises an
+    * alarm and RESTARTS the statistic, so repeated regime shifts each
+    * alarm once. All milli lanes, value milli-quantized; the per-step
+    * max/reset makes the recurrence sequential per key — the
+    * [[ewmaMilli]] shape exactly: one shuffle to co-locate keys, one
+    * ordered streaming pass, O(1) state. `orderCols` must totally
+    * order within a key. Null values emit null and don't advance. */
+  def cusumMilli(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, targetMilli: Long, slackMilli: Long,
+      thresholdMilli: Long): DataFrame = {
+    require(slackMilli >= 0 && thresholdMilli > 0, "bad CUSUM params")
+    require(orderCols.nonEmpty, "orderCols must define a total order")
+    val staged = df.withColumn("__mv",
+      floor(col(valueCol) * lit(1000)).cast("long"))
+    val ki = staged.columns.indexOf(keyCol)
+    val vi = staged.columns.indexOf("__mv")
+    val drift = targetMilli + slackMilli
+    df.sparkSession.createDataFrame(
+      staged.repartition(col(keyCol))
+        .sortWithinPartitions((col(keyCol) +: orderCols.map(col)): _*)
+        .rdd.mapPartitions { rows =>
+          var curKey: Any = null
+          var first = true
+          var s = 0L
+          rows.map { r =>
+            val k = r.get(ki)
+            if (first || k != curKey) { curKey = k; first = false; s = 0L }
+            var out: Any = null
+            var alarm: Any = null
+            if (!r.isNullAt(vi)) {
+              s = math.max(0L, s + r.getLong(vi) - drift)
+              val fired = s > thresholdMilli
+              if (fired) s = 0L
+              out = s
+              alarm = if (fired) 1 else 0
+            }
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.dropRight(1) :+ out :+ alarm)
+          }
+        },
+      org.apache.spark.sql.types.StructType(
+        staged.schema.fields.dropRight(1) :+
+          org.apache.spark.sql.types.StructField("cusum_milli",
+            org.apache.spark.sql.types.LongType, nullable = true) :+
+          org.apache.spark.sql.types.StructField("alarm",
+            org.apache.spark.sql.types.IntegerType, nullable = true)))
+  }
+
   /** Per-key robust outlier flags via median absolute deviation —
     * the anomaly gate that survives the anomalies (a mean/stddev
     * z-score moves WITH the outliers it should flag; the median and

@@ -12,6 +12,25 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("trendSlopes: exact slope, negative trend, degenerate key") {
+    def ts(h: Int) = new java.sql.Timestamp(3600L * 1000 * h)
+    val rows = Seq(
+      // a: y = 2.0 + 1.0 per hour -> slope 1000 milli/h = 1000000 micro
+      ("a", ts(0), 2.0), ("a", ts(1), 3.0), ("a", ts(2), 4.0),
+      // b: y = 5.0 - 0.5/h -> slope -500000 micro
+      ("b", ts(10), 5.0), ("b", ts(12), 4.0),
+      // c: one point -> den 0 -> null slope
+      ("c", ts(3), 9.0))
+      .toDF("k", "ts", "v")
+    val got = Learn.trendSlopes(rows, "k", "ts", "v")
+      .select("k", "slope_micro", "mean_milli")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toMap
+    assert(got("a") == ((Some(1000000L), 3000L)))
+    assert(got("b") == ((Some(-500000L), 4500L)))
+    assert(got("c") == ((None, 9000L)))
+  }
+
   test("ndcgAtK: perfect ranking, inversions, zero-rel null, top-k cutoff") {
     val rows = Seq(
       // q1: system ranks rel 3,2,1 by score desc -> perfect

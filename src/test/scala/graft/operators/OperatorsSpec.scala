@@ -626,6 +626,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("cusumMilli: accumulation, slack bleed, alarm reset, null gap") {
+    import spark.implicits._
+    // target 10, slack 2 (drift 12000 milli), threshold 5000
+    val rows = Seq(
+      ("a", 1L, Some(14.0)), // s = 2000
+      ("a", 2L, Some(14.0)), // s = 4000
+      ("a", 3L, Some(14.0)), // s = 6000 > 5000 -> alarm, reset
+      ("a", 4L, Some(13.0)), // restarts: s = 1000
+      ("a", 5L, Some(5.0)),  // bleeds to max(0, 1000-7000) = 0
+      ("b", 1L, None),       // null: no state change, null output
+      ("b", 2L, Some(20.0))) // s = 8000 -> immediate alarm, reset
+      .toDF("k", "ord", "v")
+    val got = Relational.cusumMilli(rows, "k", Seq("ord"), "v",
+        targetMilli = 10000L, slackMilli = 2000L, thresholdMilli = 5000L)
+      .select("k", "ord", "cusum_milli", "alarm")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Int]))).toMap
+    assert(got(("a", 1L)) == ((Some(2000L), Some(0))))
+    assert(got(("a", 2L)) == ((Some(4000L), Some(0))))
+    assert(got(("a", 3L)) == ((Some(0L), Some(1))))
+    assert(got(("a", 4L)) == ((Some(1000L), Some(0))))
+    assert(got(("a", 5L)) == ((Some(0L), Some(0))))
+    assert(got(("b", 1L)) == ((None, None)))
+    assert(got(("b", 2L)) == ((Some(0L), Some(1))))
+  }
+
   test("robustOutliers: lower median, MAD, strict flag, constant key") {
     import spark.implicits._
     val rows = Seq(

@@ -2718,6 +2718,41 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q279: span-level blocklist hits — byte offsets of every
+    // (overlapping) match from the single Aho–Corasick pass; DuckDB
+    // derives the same spans positionally.
+    "q279_blocklist_spans" -> ((s, dir) => {
+      operators.TextOps.blocklistHits(
+          Tables.documents(s, dir).filter(col("doc_id") < 120),
+          "doc_id", "text",
+          Seq("table", "able", "ta", "an", "scan", "value"))
+        .orderBy(col("doc_id"), col("pattern"), col("pos"))
+    }),
+
+    // q280: length-preserving redaction — every matched span masked
+    // byte-wise to '*', overlaps merged; DuckDB rebuilds each
+    // document character-by-character against the span set.
+    "q280_blocklist_redact" -> ((s, dir) => {
+      operators.TextOps.redactBlocklist(
+          Tables.documents(s, dir).filter(col("doc_id") < 120)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text",
+          Seq("table", "able", "ta", "an", "scan", "value"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q281: Matryoshka truncation audit — top-1 neighbor agreement
+    // at prefix budgets 8/16/32/64 over milli-quantized dots, 50
+    // query vectors vs the full corpus, self-pairs excluded.
+    "q281_matryoshka" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.matryoshkaAgreement(
+          emb.filter(col("vec_id") < 50), emb,
+          "vec_id", "embedding", "vec_id", "embedding",
+          dims = Seq(8, 16, 32, 64))
+        .orderBy(col("dim_budget"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6487,6 +6522,70 @@ object SparkEntry {
         |    LATERAL (SELECT GREATEST(0, it.s + e.mv - 60000) AS s1) x)
         |SELECT event_id, k AS event_type, s AS cusum_milli, alarm
         |FROM it ORDER BY event_id""".stripMargin,
+
+    // q279: spans positionally, 0-based byte==char offsets (ASCII).
+    "q279_blocklist_spans" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('table'),('able'),('ta'),
+        |    ('an'),('scan'),('value')) p(pat)),
+        |pos AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT pos.doc_id, pats.pat AS pattern,
+        |  CAST(pos.i - 1 AS BIGINT) AS pos
+        |FROM pos JOIN pats
+        |  ON substr(pos.text, CAST(pos.i AS INT), length(pats.pat))
+        |    = pats.pat
+        |ORDER BY doc_id, pattern, pos""".stripMargin,
+
+    // q280: every character rebuilt against the span set — '*' when
+    // any match covers it, verbatim otherwise.
+    "q280_blocklist_redact" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('table'),('able'),('ta'),
+        |    ('an'),('scan'),('value')) p(pat)),
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |pos AS (SELECT doc_id, text,
+        |    unnest(range(1, length(text) + 1)) AS i FROM d),
+        |sp AS (SELECT pos.doc_id, pos.i AS s,
+        |    pos.i + length(pats.pat) - 1 AS e
+        |  FROM pos JOIN pats
+        |    ON substr(pos.text, CAST(pos.i AS INT), length(pats.pat))
+        |      = pats.pat),
+        |mk AS (SELECT pos.doc_id, pos.i,
+        |    CASE WHEN EXISTS (SELECT 1 FROM sp
+        |        WHERE sp.doc_id = pos.doc_id
+        |          AND pos.i BETWEEN sp.s AND sp.e)
+        |      THEN '*'
+        |      ELSE substr(pos.text, CAST(pos.i AS INT), 1) END AS c
+        |  FROM pos)
+        |SELECT doc_id, string_agg(c, '' ORDER BY i) AS text
+        |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q281: milli-quantized prefix dots, (dot desc, id asc) top-1
+    // per budget, agreement against the 64-dim lane.
+    "q281_matryoshka" ->
+      """WITH q AS (SELECT vec_id AS qid, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS cid, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |p AS (SELECT qid, cid, b.d,
+        |    CAST(list_sum(list_transform(range(1, b.d + 1),
+        |      i -> qv[i] * cv[i])) AS BIGINT) AS dot
+        |  FROM q, c, (VALUES (8), (16), (32), (64)) b(d)
+        |  WHERE qid <> cid),
+        |t AS (SELECT d, qid, cid,
+        |    ROW_NUMBER() OVER (PARTITION BY d, qid
+        |      ORDER BY dot DESC, cid) AS rn FROM p),
+        |top AS (SELECT d, qid, cid FROM t WHERE rn = 1),
+        |f AS (SELECT qid, cid AS fcid FROM top WHERE d = 64),
+        |a AS (SELECT top.d AS dim_budget, COUNT(*) AS n_queries,
+        |    CAST(SUM(CASE WHEN top.cid = f.fcid THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_agree
+        |  FROM top JOIN f USING (qid) GROUP BY top.d)
+        |SELECT dim_budget, n_queries, n_agree,
+        |  (1000 * n_agree) // n_queries AS agree_milli
+        |FROM a ORDER BY dim_budget""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

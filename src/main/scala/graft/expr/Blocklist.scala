@@ -116,6 +116,52 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     }
     new GenericArrayData(counts)
   }
+
+  /** Every match as (byte-start, pattern-id), in scan order (start
+    * ascending, longer patterns of a shared end first within one end
+    * position only via their smaller start — order is (start, pat)
+    * after the sort below, fully deterministic). Byte offsets: on
+    * valid UTF-8 a match never starts mid-codepoint unless the
+    * pattern itself does, so for ASCII patterns byte==char offset. */
+  def findAll(text: UTF8String): Array[(Int, Int)] = {
+    ensure()
+    val bytes = text.getBytes
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var node = 0
+    var i = 0
+    while (i < bytes.length) {
+      node = gotoT(node)(bytes(i) & 0xFF)
+      var m = if (emit(node).nonEmpty) node else dictFail(node)
+      while (m > 0) {
+        val es = emit(m)
+        var j = 0
+        while (j < es.length) {
+          hits += ((i - patBytes(es(j)).length + 1, es(j)))
+          j += 1
+        }
+        m = dictFail(m)
+      }
+      i += 1
+    }
+    hits.sortBy(h => (h._1, h._2)).toArray
+  }
+
+  /** Masked copy: every byte covered by ANY match becomes '*'
+    * (overlaps merge; ASCII mask bytes keep the result valid UTF-8
+    * and length-aligned with the input). */
+  def redactAll(text: UTF8String): UTF8String = {
+    val bytes = text.getBytes.clone()
+    val hits = findAll(text)
+    var h = 0
+    while (h < hits.length) {
+      val (start, p) = hits(h)
+      var i = math.max(0, start)
+      val end = start + patBytes(p).length
+      while (i < end) { bytes(i) = '*'; i += 1 }
+      h += 1
+    }
+    UTF8String.fromBytes(bytes)
+  }
 }
 
 object AcAutomaton {
@@ -152,5 +198,73 @@ case class BlocklistCounts(child: Expression, patterns: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BlocklistCounts =
+    copy(child = newChild)
+}
+
+/** Every (byte-start, pattern-id) match as array<struct<pos,pat>>,
+  * (pos, pat)-ordered. */
+case class BlocklistHits(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.size <= 100000, "1..100000 patterns")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("pat", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "blocklist_hits"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${t.sql}")
+  }
+
+  @transient private lazy val auto = AcAutomaton.get(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    BlocklistHits.pack(auto.findAll(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", auto,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.BlocklistHits.pack($ref.findAll($c));")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistHits =
+    copy(child = newChild)
+}
+
+object BlocklistHits {
+  def pack(hits: Array[(Int, Int)]): ArrayData =
+    new GenericArrayData(hits.map { case (pos, pat) =>
+      org.apache.spark.sql.catalyst.InternalRow(pos, pat)
+    }.asInstanceOf[Array[Any]])
+}
+
+/** Input with every matched span masked to '*' per byte. */
+case class BlocklistRedact(child: Expression, patterns: Seq[String])
+  extends UnaryExpression {
+  require(patterns.nonEmpty && patterns.size <= 100000, "1..100000 patterns")
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def prettyName: String = "blocklist_redact"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING input, got ${t.sql}")
+  }
+
+  @transient private lazy val auto = AcAutomaton.get(patterns)
+
+  override def nullSafeEval(input: Any): Any =
+    auto.redactAll(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("acAutomaton", auto,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.redactAll($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistRedact =
     copy(child = newChild)
 }

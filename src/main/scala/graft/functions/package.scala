@@ -134,6 +134,17 @@ package object functions {
   def blocklist_counts(text: Column, patterns: Seq[String]): Column =
     col2(BlocklistCounts(bridge.toExpression(text), patterns))
 
+  /** Every blocklist match as array<struct<pos,pat>> (byte-start,
+    * pattern index), (pos, pat)-ordered — the span feed for audits
+    * and redaction. */
+  def blocklist_hits(text: Column, patterns: Seq[String]): Column =
+    col2(graft.expr.BlocklistHits(bridge.toExpression(text), patterns))
+
+  /** Input with every blocklist span masked to '*' per byte
+    * (overlaps merge; length-preserving). */
+  def blocklist_redact(text: Column, patterns: Seq[String]): Column =
+    col2(graft.expr.BlocklistRedact(bridge.toExpression(text), patterns))
+
   /** Token count as BIGINT (long, to match DuckDB len()). Native
     * one-pass kernel ([[graft.expr.TokenCount]]) with split()-exact
     * semantics — `size(tokens(text))` without the regex split or the

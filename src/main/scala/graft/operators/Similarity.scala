@@ -761,4 +761,50 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("__pairs"))
       .select(col("label"),
         transform(col("__pairs"), p => p.getField("mean_v")).as("centroid"))
+
+  /** Matryoshka truncation audit: at each prefix budget d, does the
+    * top-1 neighbor under the d-dim dot product agree with the
+    * full-dimension top-1? The question every MRL deployment asks
+    * before shipping truncated embeddings — answered on a SAMPLE of
+    * queries (the [[bruteForceTopK]] small-query contract: the
+    * streaming side is the corpus, the output is |dims| rows).
+    * Vectors milli-quantize first (⌊double(x)·1000⌋ per component) so
+    * every dot is BIGINT-exact and the argmax — (dot desc, id asc)
+    * tiebreak — is hash-replayable; self-pairs are excluded. */
+  def matryoshkaAgreement(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qVecCol: String, cIdCol: String, cVecCol: String,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims == dims.sorted && dims.distinct == dims,
+      "dims must be ascending and distinct")
+    def quant(df: DataFrame, id: String, vec: String, oid: String,
+        ov: String) =
+      df.select(col(id).as(oid), transform(col(vec),
+        x => floor(x.cast("double") * lit(1000)).cast("long")).as(ov))
+    val pairs = quant(queries, qIdCol, qVecCol, "qid", "qv")
+      .crossJoin(quant(corpus, cIdCol, cVecCol, "cid", "cv"))
+      .filter(col("qid") =!= col("cid"))
+    def dotAt(d: Int): Column = aggregate(
+      zip_with(slice(col("qv"), 1, d), slice(col("cv"), 1, d),
+        (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val stacked = pairs.select((col("qid") +: col("cid") +:
+        dims.map(d => dotAt(d).as(s"__d$d"))): _*)
+      .select(col("qid"), col("cid"),
+        explode(array(dims.map(d =>
+          struct(lit(d).as("d"), col(s"__d$d").as("dot"))): _*)).as("__b"))
+      .select(col("qid"), col("cid"), col("__b.d").as("dim_budget"),
+        col("__b.dot").as("dot"))
+    val top1 = stacked.groupBy(col("dim_budget"), col("qid"))
+      .agg(max(struct(col("dot"), (-col("cid")).as("nid"))).as("__best"))
+      .select(col("dim_budget"), col("qid"),
+        (-col("__best.nid")).as("cid"))
+    val full = top1.filter(col("dim_budget") === dims.max)
+      .select(col("qid"), col("cid").as("__fcid"))
+    top1.join(full, Seq("qid"))
+      .groupBy(col("dim_budget"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("cid") === col("__fcid"), 1L).otherwise(0L))
+          .as("n_agree"))
+      .withColumn("agree_milli", expr("(1000 * n_agree) div n_queries"))
+  }
 }

@@ -2606,4 +2606,28 @@ object TextOps {
       .select(col(idCol), element_at(pats, col("__i") + 1).as("pattern"),
         col("n_matches").cast("long").as("n_matches"))
   }
+
+  /** Span-level blocklist hits: one row per match with its byte
+    * offset — [[blocklistCounts]]'s audit twin (WHERE did the banned
+    * phrase occur), same single Aho–Corasick pass. Byte offsets ==
+    * char offsets for ASCII patterns over ASCII text; multibyte text
+    * keeps byte semantics (documented on the kernel). */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val pats = array(patterns.map(lit): _*)
+    df.select(col(idCol),
+        explode(graft.functions.blocklist_hits(col(textCol), patterns))
+          .as("__h"))
+      .select(col(idCol),
+        element_at(pats, col("__h.pat") + 1).as("pattern"),
+        col("__h.pos").cast("long").as("pos"))
+  }
+
+  /** Length-preserving redaction: every blocklist span masked to '*'
+    * per byte, overlaps merged — the enforcement step on top of
+    * [[blocklistHits]], still one automaton pass per document. */
+  def redactBlocklist(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame =
+    df.withColumn(textCol,
+      graft.functions.blocklist_redact(col(textCol), patterns))
 }

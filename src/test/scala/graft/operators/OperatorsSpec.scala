@@ -1330,6 +1330,28 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(re == v3, "partitioning leaked into the eigenvector")
   }
 
+  test("matryoshkaAgreement: full budget always agrees; prefix flips a planted pair") {
+    import spark.implicits._
+    // q1's nearest under the 2-dim prefix is c2, but full-dim is c1;
+    // q2 agrees at every budget
+    val corpus = Seq(
+      (101L, Array(1.0f, 0.0f, 10.0f, 0f)), // c1: strong tail
+      (102L, Array(2.0f, 0.0f, 0.0f, 0f)),  // c2: strong head
+      (103L, Array(0.0f, 1.0f, 0.0f, 5f)))
+      .toDF("id", "vec")
+    val queries = Seq(
+      (1L, Array(1.0f, 0.0f, 1.0f, 0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 1f)))
+      .toDF("id", "vec")
+    val got = Similarity.matryoshkaAgreement(queries, corpus,
+        "id", "vec", "id", "vec", dims = Seq(2, 4))
+      .select("dim_budget", "n_queries", "n_agree")
+      .as[(Int, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(4) == ((2L, 2L))) // full budget agrees with itself
+    assert(got(2) == ((2L, 1L))) // q1 flips to c2 at 2 dims
+  }
+
   test("bruteForceTopK matches a driver-side exact computation") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.bruteForceTopK(

@@ -34,6 +34,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.keys.exists(_._1 == 4L))
   }
 
+  test("blocklistHits and redactBlocklist: spans, overlaps, byte offsets") {
+    val docs = Seq((1L, "tatable scan"), (2L, "clean aa")).toDF("doc_id", "text")
+    val pats = Seq("table", "able", "ta", "an")
+    val hits = TextOps.blocklistHits(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(hits == Set(
+      (1L, "ta", 0L), (1L, "ta", 2L), (1L, "table", 2L), (1L, "able", 3L),
+      (1L, "an", 10L), (2L, "an", 3L)))
+    val red = TextOps.redactBlocklist(docs, "doc_id", "text", pats)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "tatable scan": ta(0-1), ta/table/able(2-6), an(10-11); 's','c' stay
+    assert(red(1L) == "******* sc**")
+    assert(red(2L) == "cle** aa")
+    // redaction is length-preserving
+    assert(red.values.map(_.length).toSeq.sorted == Seq(8, 12))
+  }
+
   test("blocklistCounts: UTF-8 multi-byte patterns match at byte level") {
     val docs = Seq((1L, "café caféteria naïve")).toDF("doc_id", "text")
     val got = TextOps.blocklistCounts(docs, "doc_id", "text",

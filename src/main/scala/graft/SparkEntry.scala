@@ -2530,11 +2530,13 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // q264: blocklist hit counts — ONE Aho–Corasick pass per document
-    // over a pattern set chosen to exercise suffix links ("able"
-    // inside "table", "an" inside "scan"); overlapping occurrences
-    // all count. DuckDB replays positionally: every start offset ×
-    // every pattern, substr equality.
+    // q264: blocklist hit counts via the CODEGEN Aho–Corasick lane
+    // (expr.BlocklistCounts — q203 pins the r10 mapPartitions lane;
+    // the two are count-parity spec-pinned). Pattern set chosen to
+    // exercise suffix links ("able" inside "table", "an" inside
+    // "scan"); overlapping occurrences all count. DuckDB replays
+    // positionally: every start offset × every pattern, substr
+    // equality.
     "q264_blocklist" -> ((s, dir) => {
       operators.TextOps.blocklistCounts(
           Tables.documents(s, dir), "doc_id", "text",

@@ -9,24 +9,32 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Aho–Corasick multi-pattern matcher — the blocklist/safety-filter
-  * hot path (SURVEY.md §7.4 quality gates; the reference has no
-  * filtering at all, its ingest passes every comment through —
-  * /root/reference/function_app.py:99-107).
+/** Aho–Corasick multi-pattern matcher as a CODEGEN EXPRESSION — the
+  * whole-stage-codegen twin of
+  * [[graft.operators.Dictionary.AhoCorasick]] (the r10 mapPartitions
+  * lane; count parity between the two is spec-pinned). Same
+  * dictionary semantics — char-exact substring occurrences, overlaps
+  * counted, patterns-inside-patterns found via suffix links — but a
+  * different engine position: an `Expression` composes inside any
+  * projection (no Dataset encoder hop, no mapPartitions barrier in
+  * the plan), and this kernel walks a DENSE byte-indexed transition
+  * table (O(1) array step per input byte) where the operator lane
+  * probes a per-char HashMap. Byte-level over UTF-8 is sound:
+  * substring match on valid UTF-8 is exactly byte-subsequence match,
+  * so COUNTS agree with the char lane on any input; offsets
+  * ([[AcAutomaton.findAll]]) are byte offsets by contract.
+  *
+  * This is also where spans and redaction live ([[BlocklistHits]],
+  * [[BlocklistRedact]]) — the operator lane only counts.
   *
   * Why an automaton and not k `regexp_count` lanes: a blocklist is
   * hundreds-to-thousands of phrases, and the regex form rescans every
   * document once PER PHRASE — O(k·n) with k allocations. Aho–Corasick
   * scans each document ONCE (O(n + matches)) no matter how many
   * patterns, which is the difference between feasible and not at
-  * 100 TB. The automaton is byte-level over UTF-8 (substring match on
-  * valid UTF-8 is exactly byte-subsequence match), built once per
-  * pattern set per executor and cached — the per-row cost is a dense
-  * table walk, no per-row allocation beyond the counts array.
-  *
-  * Counts are ALL occurrences, overlapping included ("aa" occurs
-  * twice in "aaa") — the textbook dictionary-automaton semantics, and
-  * what the positional DuckDB oracle replays.
+  * 100 TB. The automaton builds once per pattern set per executor
+  * and caches — the per-row cost is the table walk, no per-row
+  * allocation beyond the counts array.
   */
 final class AcAutomaton(val patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty, "empty pattern set")

@@ -30,6 +30,13 @@ import org.apache.spark.sql.Row
   * is the skinny (id, pattern_id, n_hits) match table — rows only
   * for actual hits, so downstream joins/aggregates touch match
   * volume, not corpus volume.
+  *
+  * Sibling lane: [[graft.expr.BlocklistCounts]] (r11) is the same
+  * matcher as a codegen `Expression` over a dense byte table —
+  * composable inside projections, plus spans/redaction
+  * ([[graft.expr.BlocklistHits]]/[[graft.expr.BlocklistRedact]]);
+  * count parity between the lanes is spec-pinned
+  * (TextOpsSpec). Policy wrappers below work with either.
   */
 object Dictionary {
 

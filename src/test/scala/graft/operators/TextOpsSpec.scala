@@ -61,6 +61,18 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.contains("fe")) // 0xe9's second byte never aliases 'f'
   }
 
+  test("blocklistCounts: codegen lane count-parity with Dictionary.dictionaryMatches") {
+    val pats = Seq("table", "able", "ta", "an", "scan", "value", "aa")
+    val docs = Tables.documents(spark, sf).limit(120)
+    val exprLane = TextOps.blocklistCounts(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val opLane = Dictionary.dictionaryMatches(docs, "doc_id", "text", pats)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(exprLane == opLane)
+  }
+
   test("blocklistCounts matches brute-force counting on corpus text") {
     val pats = Seq("table", "able", "ta", "an", "scan", "value")
     val docs = Tables.documents(spark, sf).limit(50)

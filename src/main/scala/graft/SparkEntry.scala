@@ -2755,6 +2755,38 @@ object SparkEntry {
         .orderBy(col("dim_budget"))
     }),
 
+    // q282: margin-based bitext mining (even vec_ids as "source
+    // language", odd as "target") — per-source best target by
+    // neighborhood-relative margin over milli-quantized dots, with
+    // the mutual-best extraction flag; every window and sign-split
+    // floor replayed by DuckDB.
+    "q282_bitext_mine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 500)
+      Similarity.bitextMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", "vec_id", "embedding", k = 4)
+        .orderBy(col("src_id"))
+    }),
+
+    // q283: Neyman allocation of a 200-example eval budget across
+    // sources — weight N·S with S = isqrt of the exact integer
+    // population variance of n_chars, Hamilton largest-remainder
+    // rounding so the allocations sum to exactly 200.
+    "q283_neyman_alloc" -> ((s, dir) => {
+      val st = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sy"),
+          sum(col("n_chars") * col("n_chars")).as("syy"))
+        .withColumn("s_int", floor(sqrt(
+          expr("(n * syy - sy * sy) div (n * n)").cast("double")))
+          .cast("long"))
+      graft.pipeline.Corpus.neymanAllocation(st, "source", "n", "s_int",
+          k = 200L)
+        .orderBy(col("source"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6588,6 +6620,79 @@ object SparkEntry {
         |SELECT dim_budget, n_queries, n_agree,
         |  (1000 * n_agree) // n_queries AS agree_milli
         |FROM a ORDER BY dim_budget""".stripMargin,
+
+    // q282: pair dots, both top-4 neighborhood averages, margins,
+    // both best-of windows, and the mutual join — all replayed.
+    "q282_bitext_mine" ->
+      """WITH s AS (SELECT vec_id AS src_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 500),
+        |t AS (SELECT vec_id AS tgt_id, list_transform(embedding,
+        |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS tv
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND vec_id < 500),
+        |p AS (SELECT src_id, tgt_id,
+        |    CAST(list_sum(list_transform(range(1, len(sv) + 1),
+        |      i -> sv[i] * tv[i])) AS BIGINT) AS dot
+        |  FROM s, t),
+        |ax AS (SELECT src_id,
+        |    CASE WHEN SUM(dot) >= 0
+        |      THEN CAST(SUM(dot) AS BIGINT) // COUNT(*)
+        |      ELSE -(CAST(-SUM(dot) AS BIGINT) // COUNT(*)) END AS ax
+        |  FROM (SELECT src_id, dot, ROW_NUMBER() OVER (
+        |      PARTITION BY src_id ORDER BY dot DESC, tgt_id) AS rn
+        |    FROM p) q WHERE rn <= 4 GROUP BY src_id),
+        |ay AS (SELECT tgt_id,
+        |    CASE WHEN SUM(dot) >= 0
+        |      THEN CAST(SUM(dot) AS BIGINT) // COUNT(*)
+        |      ELSE -(CAST(-SUM(dot) AS BIGINT) // COUNT(*)) END AS ay
+        |  FROM (SELECT tgt_id, dot, ROW_NUMBER() OVER (
+        |      PARTITION BY tgt_id ORDER BY dot DESC, src_id) AS rn
+        |    FROM p) q WHERE rn <= 4 GROUP BY tgt_id),
+        |sc AS (SELECT p.src_id, p.tgt_id, p.dot,
+        |    CASE WHEN p.dot >= 0
+        |      THEN (2000 * p.dot) // (ax.ax + ay.ay)
+        |      ELSE -((-(2000 * p.dot)) // (ax.ax + ay.ay)) END
+        |      AS margin_milli
+        |  FROM p JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+        |  WHERE ax.ax + ay.ay > 0),
+        |fwd AS (SELECT src_id, tgt_id, dot, margin_milli FROM (
+        |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY margin_milli DESC, tgt_id) AS rn FROM sc) q
+        |  WHERE rn = 1),
+        |bwd AS (SELECT src_id AS bs, tgt_id AS bt FROM (
+        |    SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |      ORDER BY margin_milli DESC, src_id) AS rn FROM sc) q
+        |  WHERE rn = 1)
+        |SELECT f.src_id, f.tgt_id, f.dot, f.margin_milli,
+        |  CASE WHEN b.bs IS NOT NULL THEN 1 ELSE 0 END AS mutual
+        |FROM fwd f LEFT JOIN bwd b
+        |  ON b.bs = f.src_id AND b.bt = f.tgt_id
+        |ORDER BY src_id""".stripMargin,
+
+    // q283: exact integer variance, double-sqrt isqrt (deterministic
+    // at this magnitude — both engines take floor(sqrt(double))),
+    // Hamilton rounding replayed.
+    "q283_neyman_alloc" ->
+      """WITH st AS (SELECT source, COUNT(*) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sy,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS syy
+        |  FROM documents GROUP BY source),
+        |sv AS (SELECT source, n, CAST(FLOOR(SQRT(CAST(
+        |    (n * syy - sy * sy) // (n * n) AS DOUBLE))) AS BIGINT) AS s
+        |  FROM st),
+        |wgt AS (SELECT source, n AS n_stratum, s AS s_stratum,
+        |    n * s AS w FROM sv),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM wgt),
+        |b AS (SELECT source, n_stratum, s_stratum, w,
+        |    (200 * w) // wt AS base, (200 * w) % wt AS rem
+        |  FROM wgt, tot WHERE wt > 0),
+        |r AS (SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+        |    AS rk FROM b),
+        |lv AS (SELECT 200 - CAST(SUM(base) AS BIGINT) AS leftn FROM r)
+        |SELECT source, n_stratum, s_stratum, w AS weight,
+        |  LEAST(n_stratum, base + CASE WHEN rk <= lv.leftn THEN 1
+        |    ELSE 0 END) AS alloc
+        |FROM r, lv ORDER BY source""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

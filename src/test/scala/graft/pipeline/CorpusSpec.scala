@@ -9,6 +9,25 @@ import graft.sources.Tables
 class CorpusSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("neymanAllocation: proportional base, largest-remainder, cap, exact sum") {
+    def alloc(st: Seq[(String, Long, Long)], k: Long) =
+      Corpus.neymanAllocation(st.toDF("g", "n", "s"), "g", "n", "s", k)
+        .select("g", "alloc").as[(String, Long)].collect().toMap
+    // weights 10/30/60: k=10 -> bases 1/3/6, no remainder
+    assert(alloc(Seq(("a", 10L, 1L), ("b", 10L, 3L), ("c", 10L, 6L)), 10L) ==
+      Map("a" -> 1L, "b" -> 3L, "c" -> 6L))
+    // remainders: weights 1/1/1, k=2 -> bases 0, two largest
+    // remainders win by name tiebreak (all equal) -> a, b
+    assert(alloc(Seq(("a", 1L, 1L), ("b", 1L, 1L), ("c", 1L, 1L)), 2L) ==
+      Map("a" -> 1L, "b" -> 1L, "c" -> 0L))
+    // cap: a tiny stratum can't exceed its population
+    val capped = alloc(Seq(("a", 2L, 100L), ("b", 100L, 1L)), 50L)
+    assert(capped("a") == 2L)
+    // allocations sum to k when no cap binds
+    val full = alloc(Seq(("a", 100L, 7L), ("b", 100L, 13L), ("c", 100L, 29L)), 37L)
+    assert(full.values.sum == 37L)
+  }
+
   test("waterFill: level math, full-fund fallback, budget respected") {
     def fill(sup: Seq[(String, Long)], budget: Long) =
       Corpus.waterFill(sup.toDF("g", "supply"), "g", "supply", budget)

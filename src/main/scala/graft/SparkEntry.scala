@@ -2787,6 +2787,24 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q284: dataset content fingerprint — order/partition-invariant
+    // (count, xor, min, max) over 48-bit row hashes; the rewrite
+    // audit every compaction/migration should assert.
+    "q284_fingerprint" -> ((s, dir) => {
+      graft.sources.Maintenance.datasetFingerprint(
+        Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    }),
+
+    // q285: LSH banding S-curves for 16-hash signatures — the
+    // (bands × rows) candidate-probability table minhashNearDups is
+    // tuned from, per-step milli floors; DuckDB replays both
+    // recursive power folds.
+    "q285_lsh_curve" -> ((s, dir) => {
+      Dedup.lshPowerCurve(s, numHashes = 16)
+        .orderBy(col("bands"), col("s_milli"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6693,6 +6711,45 @@ object SparkEntry {
         |  LEAST(n_stratum, base + CASE WHEN rk <= lv.leftn THEN 1
         |    ELSE 0 END) AS alloc
         |FROM r, lv ORDER BY source""".stripMargin,
+
+    // q284: same row-hash construction (chr(1) joins, chr(0) nulls,
+    // 48-bit md5 prefix parsed from hex), same 4-value reduction.
+    "q284_fingerprint" ->
+      """SELECT COUNT(*) AS n_rows, bit_xor(h) AS xor_hash,
+        |  MIN(h) AS min_hash, MAX(h) AS max_hash
+        |FROM (SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(doc_id AS VARCHAR), chr(0)),
+        |    coalesce(lang, chr(0)),
+        |    coalesce(source, chr(0)),
+        |    coalesce(CAST(n_chars AS VARCHAR), chr(0)))), 1, 12))
+        |  AS BIGINT) AS h FROM documents) t""".stripMargin,
+
+    // q285: both milli power folds replayed recursively per
+    // (bands, rows, s) cell.
+    "q285_lsh_curve" ->
+      """WITH RECURSIVE
+        |br AS (SELECT b, 16 // b AS r
+        |  FROM (SELECT unnest([1, 2, 4, 8, 16]) AS b) t),
+        |sg AS (SELECT unnest([100, 200, 300, 400, 500, 600, 700,
+        |    800, 900]) AS s),
+        |p1 AS (
+        |  SELECT br.b, br.r, sg.s, 0 AS i, CAST(1000 AS BIGINT) AS x
+        |  FROM br, sg
+        |  UNION ALL
+        |  SELECT b, r, s, i + 1, (x * s) // 1000 FROM p1 WHERE i < r),
+        |p1f AS (SELECT b, r, s, x AS pr FROM p1 WHERE i = r),
+        |q1 AS (
+        |  SELECT b, r, s, pr, 0 AS i, CAST(1000 AS BIGINT) AS y
+        |  FROM p1f
+        |  UNION ALL
+        |  SELECT b, r, s, pr, i + 1, (y * (1000 - pr)) // 1000
+        |  FROM q1 WHERE i < b),
+        |fin AS (SELECT b, r, s, 1000 - y AS p FROM q1 WHERE i = b)
+        |SELECT CAST(b AS BIGINT) AS bands,
+        |  CAST(r AS BIGINT) AS rows_per_band,
+        |  CAST(s AS BIGINT) AS s_milli,
+        |  CAST(p AS BIGINT) AS p_candidate_milli
+        |FROM fin ORDER BY bands, s_milli""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -359,6 +359,35 @@ private[graft] object CheckpointHygiene {
         (a, b) => jaccard(a, b), "jaccard", maxBlock, "jaccard", label)
   }
 
+  /** LSH banding planner: the candidate-probability S-curve
+    * p(s) = 1 − (1 − sʳ)ᵇ for every (bands, rows) factorization of
+    * the signature length, on a similarity grid — the table an
+    * operator of [[minhashNearDups]]'s shape is TUNED from (pick the
+    * (b, r) whose curve knees at your threshold; don't guess).
+    * Integer milli with per-step floors (x ← ⌊x·s/1000⌋), so the
+    * published curve is a defined, engine-replayable function, not a
+    * float approximation. Constant-size planner table (divisors ×
+    * grid) built driver-side — there is nothing distributed to do. */
+  def lshPowerCurve(spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int,
+      sGridMilli: Seq[Long] = (100L to 900L by 100L)): DataFrame = {
+    require(numHashes >= 1 && numHashes <= 4096, "numHashes in [1,4096]")
+    require(sGridMilli.forall(s => s >= 0 && s <= 1000), "grid in [0,1000]")
+    import spark.implicits._
+    val rows = for {
+      b <- 1 to numHashes if numHashes % b == 0
+      r = numHashes / b
+      s <- sGridMilli
+    } yield {
+      var x = 1000L
+      (1 to r).foreach(_ => x = x * s / 1000L)
+      var y = 1000L
+      (1 to b).foreach(_ => y = y * (1000L - x) / 1000L)
+      (b.toLong, r.toLong, s, 1000L - y)
+    }
+    rows.toDF("bands", "rows_per_band", "s_milli", "p_candidate_milli")
+  }
+
   /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin
     * family) — the blocking-free similarity join: order the shingle
     * vocabulary by ascending document frequency, keep each set's

@@ -265,4 +265,32 @@ object Maintenance {
         .toDF("total_rows", "bytes_per_row", "rows_per_file", "n_files")
     } finally cached.unpersist()
   }
+
+  /** Order- and partition-invariant dataset content fingerprint —
+    * "did this rewrite/compaction/migration change ANY row": each row
+    * hashes to the first 48 bits of md5 over its chr(1)-joined
+    * string-cast columns (chr(0) for null — distinguishable from the
+    * empty string), and the dataset reduces to (count, xor, min,
+    * max) of those hashes. XOR is commutative/associative and
+    * overflow-free, so the fingerprint is identical under any
+    * partitioning, ordering, or re-bucketing — the invariant a
+    * storage-layout change must preserve — while any single-row
+    * change flips it with probability 1 − 2⁻⁴⁸.
+    *
+    * One scan, one 4-value aggregate, nothing driver-sized. Caller
+    * contract: columns must string-cast deterministically across
+    * engines (ints/strings/booleans do; cast doubles/timestamps to
+    * integer lanes first — the oracle discipline). */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val parts = cols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000")))
+    val h = conv(substring(md5(concat_ws("\u0001", parts: _*)), 1, 12),
+      16, 10).cast("long")
+    df.select(h.as("__h")).agg(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(__h)").as("xor_hash"),
+      min(col("__h")).as("min_hash"),
+      max(col("__h")).as("max_hash"))
+  }
 }

@@ -920,6 +920,45 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dup.getMessage.contains("DUPLICATED_METRICS_NAME"), dup.getMessage)
   }
 
+  test("datasetFingerprint: partition/order invariant, flips on any row change") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      graft.sources.Maintenance
+        .datasetFingerprint(df, Seq("doc_id", "lang", "source"))
+        .collect().head.toSeq
+    val a = fp(base)
+    assert(fp(base.repartition(13)) == a)
+    assert(fp(base.orderBy(col("lang"))) == a)
+    // any single-row mutation flips the xor lane
+    val mutated = base.withColumn("lang",
+      when(col("doc_id") === 7, lit("zz")).otherwise(col("lang")))
+    assert(fp(mutated) != a)
+    // null vs empty string are distinct rows
+    val n1 = fp(Seq((1L, null: String, "s")).toDF("doc_id", "lang", "source"))
+    val n2 = fp(Seq((1L, "", "s")).toDF("doc_id", "lang", "source"))
+    assert(n1 != n2)
+  }
+
+  test("lshPowerCurve: S-shape, band/row tradeoff, hand-checked cell") {
+    val curve = Dedup.lshPowerCurve(spark, numHashes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    // b=16, r=1 at s=0.5: p1=500, p=1000-(500/1000-fold)^16... hand:
+    // y starts 1000, 16 folds of *500//1000 -> 1000*(0.5^16) floored
+    // stepwise: 1000,500,250,125,62,31,15,7,3,1,0,... -> y=0, p=1000
+    assert(curve((16L, 500L)) == 1000L)
+    // b=1, r=16 at s=0.5: x folds to 0 -> p = 1000 - 1000 = 0
+    assert(curve((1L, 500L)) == 0L)
+    // monotone in s for fixed (b,r)
+    for (b <- Seq(1L, 4L, 16L); s <- 100L to 800L by 100L)
+      assert(curve((b, s)) <= curve((b, s + 100L)), s"b=$b s=$s")
+    // more bands => more candidates at every s
+    for (s <- 100L to 900L by 100L)
+      assert(curve((16L, s)) >= curve((4L, s)) &&
+        curve((4L, s)) >= curve((1L, s)), s"s=$s")
+  }
+
   test("prefixFilterPairs: equals the all-pairs ground truth on real docs") {
     val docs = Tables.documents(spark, sf).limit(80)
     // independent driver-side ground truth: same shingle contract

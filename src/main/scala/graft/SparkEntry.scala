@@ -2805,6 +2805,22 @@ object SparkEntry {
         .orderBy(col("bands"), col("s_milli"))
     }),
 
+    // q286: time-respecting earliest arrival over a synthetic
+    // temporal edge list (u → (7u+event)%150 at the event's ts),
+    // seeds = users < 3 at t=0, 4 label-correcting rounds — static
+    // reachability would lie here (edges firing before arrival carry
+    // nothing); DuckDB unrolls the same 4 monotone rounds.
+    "q286_earliest_arrival" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val edges = ev.select(col("user_id").as("src"),
+        ((col("user_id") * 7 + col("event_id")) % 150).as("dst"),
+        unix_micros(col("ts")).as("t"))
+      val seeds = ev.filter(col("user_id") < 3).select(col("user_id"))
+      operators.Graph.earliestArrival(edges, "src", "dst", "t",
+          seeds, "user_id", seedTs = 0L, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6750,6 +6766,37 @@ object SparkEntry {
         |  CAST(s AS BIGINT) AS s_milli,
         |  CAST(p AS BIGINT) AS p_candidate_milli
         |FROM fin ORDER BY bands, s_milli""".stripMargin,
+
+    // q286: the same 4 monotone relaxation rounds unrolled (min-
+    // aggregates are not allowed inside a recursive term, and the
+    // round count IS the semantics).
+    "q286_earliest_arrival" ->
+      """WITH e AS (SELECT user_id AS src,
+        |    (user_id * 7 + event_id) % 150 AS dst, epoch_us(ts) AS t
+        |  FROM events),
+        |a0 AS (SELECT DISTINCT user_id AS node, CAST(0 AS BIGINT)
+        |    AS arrival FROM events WHERE user_id < 3),
+        |a1 AS (SELECT node, MIN(arrival) AS arrival FROM (
+        |    SELECT node, arrival FROM a0
+        |    UNION ALL SELECT e.dst, e.t FROM a0
+        |      JOIN e ON e.src = a0.node AND e.t >= a0.arrival) t
+        |  GROUP BY node),
+        |a2 AS (SELECT node, MIN(arrival) AS arrival FROM (
+        |    SELECT node, arrival FROM a1
+        |    UNION ALL SELECT e.dst, e.t FROM a1
+        |      JOIN e ON e.src = a1.node AND e.t >= a1.arrival) t
+        |  GROUP BY node),
+        |a3 AS (SELECT node, MIN(arrival) AS arrival FROM (
+        |    SELECT node, arrival FROM a2
+        |    UNION ALL SELECT e.dst, e.t FROM a2
+        |      JOIN e ON e.src = a2.node AND e.t >= a2.arrival) t
+        |  GROUP BY node),
+        |a4 AS (SELECT node, MIN(arrival) AS arrival FROM (
+        |    SELECT node, arrival FROM a3
+        |    UNION ALL SELECT e.dst, e.t FROM a3
+        |      JOIN e ON e.src = a3.node AND e.t >= a3.arrival) t
+        |  GROUP BY node)
+        |SELECT node, arrival FROM a4 ORDER BY node""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

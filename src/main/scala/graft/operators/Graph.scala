@@ -756,4 +756,45 @@ object Graph {
     e.unpersist()
     parts.reduce(_ unionByName _)
   }
+
+  /** Time-respecting earliest arrival over a TEMPORAL edge list
+    * (u → v usable only at its timestamp t, and only if you were at
+    * u by then) — static reachability lies on temporal graphs: an
+    * edge that fired BEFORE you arrived cannot carry influence, and
+    * a static path through it claims reach that never existed
+    * (information-diffusion / contact-tracing / retweet-cascade
+    * semantics). arrival(v) = min t admitting a time-increasing
+    * path; seeds start at `seedTs`.
+    *
+    * `rounds` label-correcting iterations (each allows one more hop;
+    * arrival values only DECREASE, so the iteration is monotone and
+    * any fixed round count is a defined, replayable semantics —
+    * exact once rounds ≥ temporal diameter). Per round: one
+    * (arrivals ⋈ edges on src, t ≥ arrival) join + one min-aggregate
+    * — the bfsLevels shuffle discipline, checkpointed lineage. */
+  def earliestArrival(edges: DataFrame, srcCol: String, dstCol: String,
+      tsCol: String, seeds: DataFrame, seedCol: String, seedTs: Long,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(tsCol).cast("long").as("t"))
+      .persist()
+    e.count()
+    var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("arrival", lit(seedTs))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = arr.join(e, arr("node") === e("src") &&
+          e("t") >= arr("arrival"))
+        .select(e("dst").as("node"), e("t").as("arrival"))
+      arr = arr.unionByName(relaxed)
+        .groupBy(col("node"))
+        .agg(min(col("arrival")).as("arrival"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    arr
+  }
 }

@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
 class GraphSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("earliestArrival: time-increasing paths only; static reach is a lie here") {
+    // a -(t5)-> b -(t3)-> c : statically a reaches c, temporally NOT
+    // (b→c fired before you could be at b); a -(t1)-> d -(t3)-> c works
+    val edges = Seq(
+      (1L, 2L, 5L), (2L, 3L, 3L), (1L, 4L, 1L), (4L, 3L, 3L),
+      (3L, 5L, 2L)) // c→e at t2 < arrival(c)=3: never usable
+      .toDF("src", "dst", "t")
+    val seeds = Seq(1L).toDF("n")
+    val got = Graph.earliestArrival(edges, "src", "dst", "t",
+        seeds, "n", seedTs = 0L, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 5L, 4L -> 1L, 3L -> 3L))
+    assert(!got.contains(5L))
+    // one round reaches only direct neighbors
+    val one = Graph.earliestArrival(edges, "src", "dst", "t",
+        seeds, "n", 0L, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 0L, 2L -> 5L, 4L -> 1L))
+  }
+
   /** driver-side replay of the exact integer recurrence */
   private def replay(edges: Seq[(Long, Long)], iters: Int, scale: Long,
                      dn: Long = 85L, dd: Long = 100L): Map[Long, Long] = {

@@ -2821,6 +2821,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // q287: sentence-aware chunk packing — 6 constructed sentences
+    // per doc with doc_id-arithmetic token counts (2..5), greedy
+    // whole-sentence fill to 6 tokens; the expected sentences ARE
+    // the construction (q179's discipline), so DuckDB replays just
+    // the greedy fold as pure doc_id arithmetic.
+    "q287_sentence_chunks" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+      val word = concat(lit("k"),
+        regexp_replace(element_at(col("t"), 1), "[^a-z]", ""))
+      def sent(i: Int) = concat(lit("Za"),
+        expr(s"repeat(concat(' ', __w), 1 + (doc_id + $i) % 4)"),
+        lit("."))
+      val text = docs.withColumn("__w", word)
+        .select(col("doc_id"), concat_ws(" ",
+          (1 to 6).map(sent): _*).as("text"))
+      Packing.chunkBySentences(text, "doc_id", "text", maxTokens = 6)
+        .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6797,6 +6820,30 @@ object SparkEntry {
         |      JOIN e ON e.src = a3.node AND e.t >= a3.arrival) t
         |  GROUP BY node)
         |SELECT node, arrival FROM a4 ORDER BY node""".stripMargin,
+
+    // q287: the greedy whole-sentence fold as pure doc_id arithmetic
+    // (token counts are the construction; q179 pins the splitter).
+    "q287_sentence_chunks" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id FROM documents WHERE doc_id < 150
+        |  AND len(string_split_regex(trim(text), '\s+')) >= 3),
+        |f AS (
+        |  SELECT doc_id, 1 AS i,
+        |    CAST(2 + (doc_id + 1) % 4 AS BIGINT) AS tk,
+        |    CAST(2 + (doc_id + 1) % 4 AS BIGINT) AS cur,
+        |    CAST(0 AS BIGINT) AS idx
+        |  FROM d
+        |  UNION ALL
+        |  SELECT f.doc_id, f.i + 1, t.tk,
+        |    CASE WHEN f.cur + t.tk > 6 THEN t.tk ELSE f.cur + t.tk END,
+        |    CASE WHEN f.cur + t.tk > 6 THEN f.idx + 1 ELSE f.idx END
+        |  FROM f, LATERAL (SELECT CAST(2 + (f.doc_id + f.i + 1) % 4
+        |    AS BIGINT) AS tk) t
+        |  WHERE f.i < 6)
+        |SELECT doc_id, idx AS chunk_idx, COUNT(*) AS n_sentences,
+        |  CAST(SUM(tk) AS BIGINT) AS n_tokens
+        |FROM f GROUP BY doc_id, idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -341,4 +341,58 @@ object Packing {
       .filter(col("chosen_id") =!= col("rejected_id") &&
         col("margin_milli") >= minMarginMilli)
   }
+
+  /** Sentence-boundary-aware chunking — [[chunk]]'s semantic sibling
+    * for RAG/pretraining windows: greedy-fill whole SENTENCES
+    * ([[TextOps.sentences]]' segmentation) into chunks of at most
+    * `maxTokens` whitespace tokens, never splitting inside a
+    * sentence; a single sentence longer than the budget gets its own
+    * (oversized) chunk rather than being cut — length-filter it
+    * downstream if the model can't take it, but don't silently hand
+    * the trainer half a sentence.
+    *
+    * Per-document fold runs INSIDE Catalyst (a HOF `aggregate` over
+    * the gathered sentence array — codegen, no RDD); the gather is
+    * the per-doc sessionization contract. Output: (doc_id,
+    * chunk_idx, n_sentences, n_tokens, text). */
+  def chunkBySentences(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be >= 1, got $maxTokens")
+    val sents = TextOps.sentences(df, idCol, textCol)
+      .withColumn("__tk",
+        graft.functions.token_count(col("sentence")))
+    val packed = sents.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("sent_idx"),
+        col("sentence"), col("__tk")))).as("__s"))
+      .withColumn("__asg", expr(
+        s"""aggregate(__s,
+           |  named_struct('cur', cast(0 as bigint),
+           |    'idx', cast(0 as bigint),
+           |    'asg', cast(array() as array<bigint>)),
+           |  (acc, x) -> named_struct(
+           |    'cur', CASE WHEN acc.cur > 0
+           |        AND acc.cur + x.__tk > $maxTokens
+           |      THEN x.__tk ELSE acc.cur + x.__tk END,
+           |    'idx', CASE WHEN acc.cur > 0
+           |        AND acc.cur + x.__tk > $maxTokens
+           |      THEN acc.idx + 1 ELSE acc.idx END,
+           |    'asg', array_append(acc.asg,
+           |      CASE WHEN acc.cur > 0 AND acc.cur + x.__tk > $maxTokens
+           |      THEN acc.idx + 1 ELSE acc.idx END)),
+           |  acc -> acc.asg)""".stripMargin))
+    packed
+      .select(col("doc_id"),
+        explode(arrays_zip(col("__s"), col("__asg"))).as("__z"))
+      .select(col("doc_id"), col("__z.__asg").as("chunk_idx"),
+        col("__z.__s.sent_idx").as("sent_idx"),
+        col("__z.__s.sentence").as("sentence"),
+        col("__z.__s.__tk").as("__tk"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("__tk")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("sent_idx"),
+            col("sentence")))),
+          p => p.getField("sentence")), " ").as("text"))
+  }
 }

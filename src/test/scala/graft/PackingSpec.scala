@@ -8,6 +8,23 @@ import graft.sources.Tables
   * (q82/q83/q84 carry the value oracles; these pin the properties that
   * must hold for ANY input, not just the fixture corpus). */
 class PackingSpec extends SparkTestBase {
+
+  test("chunkBySentences: whole sentences, budget, oversized own chunk, order") {
+    import spark.implicits._
+    // sentences: 3 tok, 2 tok, 7 tok (oversized), 2 tok, 2 tok
+    val text = "Aa b c. Bb d. Cc e f g h i j. Dd k. Ee m."
+    val got = Packing.chunkBySentences(
+        Seq((1L, text)).toDF("id", "text"), "id", "text", maxTokens = 5)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_sentences", "n_tokens", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 5L, "Aa b c. Bb d."),          // 3+2 fills the budget
+      (1L, 1L, 7L, "Cc e f g h i j."),        // oversized, own chunk
+      (2L, 2L, 4L, "Dd k. Ee m.")))           // remainder
+    // chunk text round-trips the document
+    assert(got.map(_._4).mkString(" ") == text)
+  }
   import spark.implicits._
 
   private def docs = Tables.documents(spark, sf)

@@ -2844,6 +2844,25 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // q288: column-encoding advisor over events ordered by event_id
+    // — run counts and distinctness per column (RLE vs dictionary
+    // vs plain evidence); DuckDB replays the ordered self-join.
+    "q288_encoding_stats" -> ((s, dir) => {
+      graft.sources.Maintenance.encodingStats(
+          Tables.events(s, dir).select(col("event_id"),
+            col("event_type"), (col("user_id") % 8).as("bucket")),
+          Seq("event_type", "bucket"), "event_id")
+        .orderBy(col("column"))
+    }),
+
+    // q289: Benford first-digit audit of event values — observed vs
+    // the fixed floored log10(1+1/d) milli table, all nine digits
+    // reported (absent → 0).
+    "q289_benford" -> ((s, dir) => {
+      Relational.benfordAudit(Tables.events(s, dir), "value")
+        .orderBy(col("digit"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6844,6 +6863,49 @@ object SparkEntry {
         |  CAST(SUM(tk) AS BIGINT) AS n_tokens
         |FROM f GROUP BY doc_id, idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // q288: the ordered rn↔rn−1 self-join, per-column run flags.
+    "q288_encoding_stats" ->
+      """WITH r AS (SELECT event_type, user_id % 8 AS bucket,
+        |    ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events),
+        |j AS (SELECT r.event_type, r.bucket,
+        |    p.event_type AS p_et, p.bucket AS p_b,
+        |    p.rn IS NULL AS first
+        |  FROM r LEFT JOIN r p ON p.rn = r.rn - 1),
+        |a AS (
+        |  SELECT 'event_type' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT event_type) AS n_distinct,
+        |    CAST(SUM(CASE WHEN first
+        |        OR event_type IS DISTINCT FROM p_et
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM j
+        |  UNION ALL
+        |  SELECT 'bucket', COUNT(*), COUNT(DISTINCT bucket),
+        |    CAST(SUM(CASE WHEN first OR bucket IS DISTINCT FROM p_b
+        |      THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM j)
+        |SELECT "column", n_rows, n_distinct, n_runs,
+        |  (1000 * n_runs) // n_rows AS runs_milli,
+        |  (1000 * n_distinct) // n_rows AS distinct_milli
+        |FROM a ORDER BY "column"""".stripMargin,
+
+    // q289: digit census against the fixed expectation constants.
+    "q289_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(FLOOR(value * 1000)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM events WHERE value > 0 GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+        |e(digit, expected_milli) AS (VALUES (1, 301), (2, 176),
+        |  (3, 124), (4, 96), (5, 79), (6, 66), (7, 57), (8, 51),
+        |  (9, 45))
+        |SELECT CAST(e.digit AS BIGINT) AS digit, COALESCE(c.n, 0) AS n,
+        |  (1000 * COALESCE(c.n, 0)) // t.tt AS observed_milli,
+        |  CAST(e.expected_milli AS BIGINT) AS expected_milli,
+        |  ABS((1000 * COALESCE(c.n, 0)) // t.tt
+        |    - e.expected_milli) AS dev_milli
+        |FROM e LEFT JOIN c USING (digit), t
+        |ORDER BY digit""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -468,6 +468,35 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Benford first-digit audit — the cheap fraud/synthetic-data
+    * smell test: naturally-occurring multiplicative quantities put
+    * ~30.1% of leading digits at 1 (P(d) = log10(1+1/d)); uniform
+    * or fabricated values don't. Digits come from the milli-
+    * quantized value's decimal string (positive values only — sign
+    * and zero carry no leading digit), observed shares in milli
+    * against the FIXED floored expectation table (301, 176, 124,
+    * 96, 79, 66, 57, 51, 45 — constants ARE the metric, the nDCG
+    * discipline), absolute deviation per digit. One aggregate + a
+    * 9-row spine so absent digits report 0, not silence. */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val expected = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    val counts = df.filter(col(valueCol) > 0)
+      .select(substring(floor(col(valueCol) * lit(1000)).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("__t"))
+    df.sparkSession.range(1, 10).toDF("digit")
+      .join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(tot))
+      .withColumn("observed_milli", expr("(1000 * n) div __t"))
+      .withColumn("expected_milli",
+        element_at(array(expected.map(lit): _*), col("digit").cast("int")))
+      .withColumn("dev_milli",
+        abs(col("observed_milli") - col("expected_milli")))
+      .drop("__t")
+  }
+
   /** Per-key one-sided CUSUM change detector — the drift ALARM to
     * [[robustOutliers]]'s point flags: sₜ = max(0, sₜ₋₁ + (yₜ −
     * target − slack)) accumulates only sustained upward excess

@@ -266,6 +266,47 @@ object Maintenance {
     } finally cached.unpersist()
   }
 
+  /** Column-encoding advisor: for each column, along ONE storage
+    * order (`orderCol` — a unique total order, normally the write
+    * sort key), the run structure and distinctness that decide
+    * parquet encoding efficacy: few runs → RLE wins; low distinct →
+    * dictionary wins; neither → plain. "Sort THEN write" decisions
+    * (clusterByZ, sortWithinPartitions) should be made from this
+    * table, not vibes.
+    *
+    * One [[graft.operators.Relational.globalRowNumber]] two-pass
+    * (never a partition-less window) + one rn↔rn−1 self-join
+    * evaluates EVERY requested column's run boundaries in a single
+    * ordered pass; output is |cols| rows. Advisors run on samples —
+    * point this at a representative slice, not 100 TB. */
+  def encodingStats(df: DataFrame, cols: Seq[String],
+      orderCol: String): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val base = graft.operators.Relational.globalRowNumber(
+      df.select((orderCol +: cols).distinct.map(col): _*),
+      Seq(col(orderCol)), "__rn")
+    val prev = base.select(((col("__rn") + 1).as("__rn") +:
+      cols.map(c => col(c).as(s"__p_$c"))): _*)
+    val joined = base.join(prev, Seq("__rn"), "left")
+      .persist()
+    try {
+      val out = cols.map { c =>
+        joined.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col(c)).as("n_distinct"),
+          sum(when(col(s"__p_$c").isNull ||
+            !(col(c) <=> col(s"__p_$c")), 1L).otherwise(0L))
+            .as("n_runs"))
+          .withColumn("column", lit(c))
+      }.reduce(_ unionByName _)
+        .select(col("column"), col("n_rows"), col("n_distinct"),
+          col("n_runs"),
+          expr("(1000 * n_runs) div n_rows").as("runs_milli"),
+          expr("(1000 * n_distinct) div n_rows").as("distinct_milli"))
+      out.localCheckpoint()
+    } finally joined.unpersist()
+  }
+
   /** Order- and partition-invariant dataset content fingerprint —
     * "did this rewrite/compaction/migration change ANY row": each row
     * hashes to the first 48 bits of md5 over its chr(1)-joined

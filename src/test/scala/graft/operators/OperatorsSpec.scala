@@ -920,6 +920,37 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(dup.getMessage.contains("DUPLICATED_METRICS_NAME"), dup.getMessage)
   }
 
+  test("benfordAudit: digit extraction, spine zeros, nonpositive excluded") {
+    import spark.implicits._
+    // values: 1.5 -> 1500 -> '1'; 0.25 -> 250 -> '2'; 92.0 -> '9';
+    // 0 and -3 excluded
+    val df = Seq(1.5, 0.25, 92.0, 0.0, -3.0).toDF("v")
+    val got = Relational.benfordAudit(df, "v")
+      .select("digit", "n", "observed_milli", "expected_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got(1L) == ((1L, 333L, 301L)))
+    assert(got(2L) == ((1L, 333L, 176L)))
+    assert(got(9L) == ((1L, 333L, 45L)))
+    assert(got(5L) == ((0L, 0L, 79L)))
+  }
+
+  test("encodingStats: run counts along the storage order") {
+    import spark.implicits._
+    // ordered by id: a a a b b a | buckets 1 1 2 2 2 2
+    val df = Seq((1L, "a", 1L), (2L, "a", 1L), (3L, "a", 2L),
+      (4L, "b", 2L), (5L, "b", 2L), (6L, "a", 2L))
+      .toDF("id", "k", "b")
+    val got = graft.sources.Maintenance
+      .encodingStats(df, Seq("k", "b"), "id")
+      .select("column", "n_rows", "n_distinct", "n_runs")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("k") == ((6L, 2L, 3L)))  // runs: aaa | bb | a
+    assert(got("b") == ((6L, 2L, 2L)))  // runs: 11 | 2222
+  }
+
   test("datasetFingerprint: partition/order invariant, flips on any row change") {
     import spark.implicits._
     val base = Tables.documents(spark, sf).select("doc_id", "lang", "source")

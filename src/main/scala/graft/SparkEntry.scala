@@ -2863,6 +2863,35 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // q290: weighted lower median of event values per type, weights
+    // 1 + user_id % 5 — rank-defined (2·cum ≥ W), engine-invariant
+    // on ties; DuckDB replays the cumulative window.
+    "q290_weighted_median" -> ((s, dir) => {
+      Relational.weightedMedian(
+          Tables.events(s, dir).withColumn("w",
+            lit(1L) + col("user_id") % 5),
+          "event_type", "value", "w")
+        .orderBy(col("event_type"))
+    }),
+
+    // q291: seasonal-naive backtest (season 5) per event type —
+    // MASE as the cross-multiplied exact ratio; DuckDB replays both
+    // lag lanes.
+    "q291_forecast_backtest" -> ((s, dir) => {
+      Relational.forecastBacktest(Tables.events(s, dir), "event_type",
+          Seq(col("ts"), col("event_id")), "value", season = 5)
+        .orderBy(col("event_type"))
+    }),
+
+    // q292: ABC classification of sources by total characters —
+    // exclusive-cumulative 80/95 tiers, integer milli shares.
+    "q292_abc_classify" -> ((s, dir) => {
+      val m = Tables.documents(s, dir).groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("chars"))
+      Relational.abcClassify(m, "source", "chars")
+        .orderBy(col("rank"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6906,6 +6935,66 @@ object SparkEntry {
         |    - e.expected_milli) AS dev_milli
         |FROM e LEFT JOIN c USING (digit), t
         |ORDER BY digit""".stripMargin,
+
+    // q290: inclusive cumulative weight, first value with 2·cum ≥ W.
+    "q290_weighted_median" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+        |    1 + user_id % 5 AS w
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT k, v, w,
+        |    CAST(SUM(w) OVER (PARTITION BY k ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(w) OVER (PARTITION BY k) AS BIGINT) AS tot
+        |  FROM s)
+        |SELECT k AS event_type, MAX(tot) AS w_total,
+        |  MIN(CASE WHEN 2 * cum >= tot THEN v END) AS wmedian_milli
+        |FROM c GROUP BY k ORDER BY event_type""".stripMargin,
+
+    // q291: both lag lanes and the cross-multiplied MASE.
+    "q291_forecast_backtest" ->
+      """WITH s AS (SELECT event_type AS k,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+        |    ABS(CAST(FLOOR(value * 1000) AS BIGINT)
+        |      - LAG(CAST(FLOOR(value * 1000) AS BIGINT), 1)
+        |        OVER (PARTITION BY event_type ORDER BY ts, event_id))
+        |      AS e1,
+        |    ABS(CAST(FLOOR(value * 1000) AS BIGINT)
+        |      - LAG(CAST(FLOOR(value * 1000) AS BIGINT), 5)
+        |        OVER (PARTITION BY event_type ORDER BY ts, event_id))
+        |      AS es
+        |  FROM events)
+        |SELECT k AS event_type, COUNT(*) AS n,
+        |  CAST(SUM(e1) AS BIGINT) AS sae_naive,
+        |  COUNT(e1) AS n_naive,
+        |  CAST(SUM(es) AS BIGINT) AS sae_seasonal,
+        |  COUNT(es) AS n_seasonal,
+        |  CASE WHEN CAST(SUM(e1) AS BIGINT) > 0 AND COUNT(es) > 0
+        |    THEN (1000 * CAST(SUM(es) AS BIGINT) * COUNT(e1))
+        |      // (CAST(SUM(e1) AS BIGINT) * COUNT(es)) END AS mase_milli
+        |FROM s GROUP BY k ORDER BY event_type""".stripMargin,
+
+    // q292: desc rank, exclusive cumulative shares, 80/95 tiers.
+    "q292_abc_classify" ->
+      """WITH m AS (SELECT source,
+        |    CAST(SUM(n_chars) AS BIGINT) AS metric
+        |  FROM documents GROUP BY source),
+        |r AS (SELECT source, metric,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY metric DESC, source)
+        |      AS BIGINT) AS rank,
+        |    CAST(COALESCE(SUM(metric) OVER (ORDER BY metric DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM m),
+        |t AS (SELECT CAST(SUM(metric) AS BIGINT) AS tt FROM m)
+        |SELECT source, metric, rank,
+        |  (1000 * cb) // t.tt AS cum_before_milli,
+        |  (1000 * metric) // t.tt AS share_milli,
+        |  CASE WHEN (1000 * cb) // t.tt < 800 THEN 'A'
+        |       WHEN (1000 * cb) // t.tt < 950 THEN 'B'
+        |       ELSE 'C' END AS abc_class
+        |FROM r, t ORDER BY rank""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -468,6 +468,89 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Exact weighted lower median per key: the smallest value whose
+    * inclusive cumulative weight reaches half the total (2·cum ≥ W —
+    * integer form, no halving division). The robust center when rows
+    * aren't equal (token-weighted quality, duration-weighted
+    * latency); rank-defined like [[robustOutliers]]' median, so ties
+    * are engine-invariant. One key-partitioned ordered window + one
+    * aggregate. Null values/weights and non-positive weights are
+    * excluded (a weightless row carries no vote). */
+  def weightedMedian(df: DataFrame, keyCol: String, valueCol: String,
+      weightCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .select(col(keyCol),
+        floor(col(valueCol) * lit(1000)).cast("long").as("__v"),
+        col(weightCol).cast("long").as("__w"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wn = Window.partitionBy(col(keyCol))
+    staged
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .withColumn("__tot", sum(col("__w")).over(wn))
+      .groupBy(col(keyCol))
+      .agg(max(col("__tot")).as("w_total"),
+        min(when(lit(2) * col("__cum") >= col("__tot"), col("__v")))
+          .as("wmedian_milli"))
+  }
+
+  /** Seasonal-naive forecast backtest (MASE lanes): per key, in
+    * event order, score the lag-`season` forecast against the lag-1
+    * naive baseline — the "is there even seasonality worth modeling"
+    * gate run before any forecasting work. Absolute errors in milli,
+    * each lane averaged over exactly the rows where ITS lag exists,
+    * and MASE as the cross-multiplied exact ratio
+    * (1000·saeₛ·n₁)/(sae₁·nₛ) — no intermediate float means. One
+    * key-partitioned window pass + one aggregate; null MASE when the
+    * naive error is zero (a constant series beats nothing). */
+  def forecastBacktest(df: DataFrame, keyCol: String,
+      orderCols: Seq[Column], valueCol: String, season: Int): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val staged = df
+      .withColumn("__v", floor(col(valueCol) * lit(1000)).cast("long"))
+      .withColumn("__e1", abs(col("__v") - lag(col("__v"), 1).over(w)))
+      .withColumn("__es", abs(col("__v") - lag(col("__v"), season).over(w)))
+    staged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__e1")).as("sae_naive"),
+        count(col("__e1")).as("n_naive"),
+        sum(col("__es")).as("sae_seasonal"),
+        count(col("__es")).as("n_seasonal"))
+      .withColumn("mase_milli",
+        when(col("sae_naive") > 0 && col("n_seasonal") > 0,
+          expr("(1000 * sae_seasonal * n_naive) div (sae_naive * n_seasonal)")))
+  }
+
+  /** ABC (Pareto) classification: rank keys by a metric descending
+    * and tier them by the cumulative share BEFORE each key — A while
+    * the running total is still under 80%, B under 95%, C after —
+    * the inventory-analysis classic ("which sources are the 20%
+    * carrying 80% of tokens"). Exclusive-cumulative tiering makes
+    * the first key always A and the boundaries ties-stable; all
+    * lanes integer milli. One global rank over the KEY-grain
+    * aggregate the caller provides (key cardinality, not corpus). */
+  def abcClassify(df: DataFrame, keyCol: String,
+      metricCol: String): DataFrame = {
+    val w = Window.orderBy(col("metric").desc, col(keyCol))
+    val staged = df
+      .select(col(keyCol), col(metricCol).cast("long").as("metric"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__cumBefore", coalesce(sum(col("metric")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = staged.agg(sum(col("metric")).as("__t"))
+    staged.crossJoin(broadcast(tot))
+      .withColumn("cum_before_milli", expr("(1000 * __cumBefore) div __t"))
+      .withColumn("share_milli", expr("(1000 * metric) div __t"))
+      .withColumn("abc_class",
+        when(col("cum_before_milli") < 800, "A")
+          .when(col("cum_before_milli") < 950, "B")
+          .otherwise("C"))
+      .drop("__cumBefore", "__t")
+  }
+
   /** Benford first-digit audit — the cheap fraud/synthetic-data
     * smell test: naturally-occurring multiplicative quantities put
     * ~30.1% of leading digits at 1 (P(d) = log10(1+1/d)); uniform

@@ -626,6 +626,56 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("weightedMedian: weight dominance, tie stability, exclusions") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 10L), // weight wins -> 3000
+      ("b", 1.0, 1L), ("b", 2.0, 1L),                   // lower median -> 1000
+      ("c", 5.0, 0L), ("c", 7.0, 2L))                   // zero weight excluded
+      .toDF("k", "v", "w")
+    val got = Relational.weightedMedian(df, "k", "v", "w")
+      .select("k", "w_total", "wmedian_milli")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a") == ((12L, 3000L)))
+    assert(got("b") == ((2L, 1000L)))
+    assert(got("c") == ((2L, 7000L)))
+  }
+
+  test("forecastBacktest: lag lanes, MASE ratio, constant-series null") {
+    import spark.implicits._
+    // k=a: v = 1,2,3,4,1,2,3,4 (period 4): season-4 errors all 0
+    val a = (1 to 8).map(i => ("a", i.toLong, (1 + (i - 1) % 4).toDouble))
+    val c = (1 to 6).map(i => ("c", i.toLong, 5.0)) // constant: sae1 = 0
+    val got = Relational.forecastBacktest((a ++ c).toDF("k", "ord", "v"),
+        "k", Seq(col("ord")), "v", season = 4)
+      .select("k", "sae_naive", "n_naive", "sae_seasonal", "n_seasonal",
+        "mase_milli")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    // naive errors: |2-1|,|3-2|,|4-3|,|1-4|x.. = 1,1,1,3 repeating -> 7 rows
+    assert(got("a")._1 == 1000L + 1000L + 1000L + 3000L + 1000L + 1000L + 1000L)
+    assert(got("a")._2 == 7L)
+    assert(got("a")._3 == 0L && got("a")._4 == 4L)
+    assert(got("a")._5 == Some(0L)) // perfectly seasonal
+    assert(got("c")._5.isEmpty)     // zero naive error -> undefined
+  }
+
+  test("abcClassify: tiers, first-key A, exact shares") {
+    import spark.implicits._
+    val m = Seq(("big", 80L), ("mid", 15L), ("sml", 4L), ("tny", 1L))
+      .toDF("k", "v")
+    val got = Relational.abcClassify(m, "k", "v")
+      .select("k", "rank", "cum_before_milli", "abc_class")
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("big") == ((1L, 0L, "A")))
+    assert(got("mid") == ((2L, 800L, "B")))
+    assert(got("sml") == ((3L, 950L, "C")))
+    assert(got("tny") == ((4L, 990L, "C")))
+  }
+
   test("cusumMilli: accumulation, slack bleed, alarm reset, null gap") {
     import spark.implicits._
     // target 10, slack 2 (drift 12000 milli), threshold 5000

@@ -739,4 +739,36 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  test("q276: prefix-filter similarity join stays equi — no cartesian fallback") {
+    val p = plan("q276_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("q266: rendezvous assignment is a pure projection — no shuffle, no join") {
+    import org.apache.spark.sql.functions._
+    val p = operators.Layout.rendezvousAssign(
+        spark.range(100).toDF("k"), "k", Seq("n0", "n1", "n2"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q263: clusterByZ plans a range exchange on the z value") {
+    import org.apache.spark.sql.functions._
+    val p = operators.Layout.clusterByZ(
+        sources.Tables.events(spark, sf).select(col("event_id"),
+          col("user_id")),
+        Seq(col("user_id"), col("event_id")), 8, 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+  }
+
+  test("q269: hedge fold is one hash aggregate — no window, no RDD scan") {
+    val p = plan("q269_hedge_mixture")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), p.take(3000))
+  }
 }

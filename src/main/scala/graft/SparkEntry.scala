@@ -2892,6 +2892,39 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q293: recency-decayed counts per event type (3-day power-of-
+    // two half-life, scoring instant 2024-01-31) — associative
+    // integer decay, map-side combinable unlike a trajectory EWMA.
+    "q293_decayed_counts" -> ((s, dir) => {
+      Relational.decayedCounts(Tables.events(s, dir), "event_type",
+          "ts", refTsUs = 1706659200000000L, halfLifeSec = 259200L)
+        .orderBy(col("event_type"))
+    }),
+
+    // q294: journey edit distance to the canonical
+    // view→click→purchase funnel over the fixed 5-token alphabet;
+    // DuckDB re-encodes with the same CASE map and its own
+    // levenshtein (cross-implementation, unit costs).
+    "q294_journey_distance" -> ((s, dir) => {
+      Relational.journeyEditDistance(Tables.events(s, dir), "user_id",
+          Seq("ts", "event_id"), "event_type",
+          alphabet = Seq("click", "error", "purchase", "signup", "view"),
+          canonical = Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    }),
+
+    // q295: Kaplan–Meier survival over value-derived durations with
+    // 1-in-4 right-censoring (event_id % 4 == 0) — per-step product
+    // floors replayed in a recursive CTE; censored rows leave the
+    // risk set without stepping the curve.
+    "q295_kaplan_meier" -> ((s, dir) => {
+      val d = Tables.events(s, dir).select(
+        floor(col("value")).cast("long").as("dur"),
+        when(col("event_id") % 4 =!= 0, 1L).otherwise(0L).as("ev"))
+      operators.Learn.kaplanMeier(d, "dur", "ev")
+        .orderBy(col("duration"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -6995,6 +7028,53 @@ object SparkEntry {
         |       WHEN (1000 * cb) // t.tt < 950 THEN 'B'
         |       ELSE 'C' END AS abc_class
         |FROM r, t ORDER BY rank""".stripMargin,
+
+    // q293: the same clamped shift-decay weights, summed.
+    "q293_decayed_counts" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(1000 // (CAST(1 AS BIGINT) << CAST(LEAST(62,
+        |    GREATEST(0, (1706659200000000 - epoch_us(ts))
+        |      // 259200000000)) AS INT))) AS BIGINT) AS decayed_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // q294: CASE-mapped encoding, ordered string_agg, DuckDB's own
+    // levenshtein against 'eac'.
+    "q294_journey_distance" ->
+      """WITH j AS (SELECT user_id,
+        |    string_agg(CASE event_type WHEN 'click' THEN 'a'
+        |      WHEN 'error' THEN 'b' WHEN 'purchase' THEN 'c'
+        |      WHEN 'signup' THEN 'd' WHEN 'view' THEN 'e'
+        |      ELSE '#' END, '' ORDER BY ts, event_id) AS journey
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(journey) AS BIGINT) AS journey_len,
+        |  CAST(levenshtein(journey, 'eac') AS BIGINT) AS edit_distance
+        |FROM j ORDER BY user_id""".stripMargin,
+
+    // q295: risk-set window + the floored product trajectory.
+    "q295_kaplan_meier" ->
+      """WITH RECURSIVE
+        |g AS (SELECT CAST(FLOOR(value) AS BIGINT) AS t,
+        |    COUNT(*) AS ct,
+        |    CAST(SUM(CASE WHEN event_id % 4 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT t, ct, dt,
+        |    CAST(SUM(ct) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+        |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk,
+        |    ROW_NUMBER() OVER (ORDER BY t) AS rn
+        |  FROM g),
+        |it AS (
+        |  SELECT t, ct, dt, n_risk, rn,
+        |    (1000 * (n_risk - dt)) // n_risk AS s
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.t, r.ct, r.dt, r.n_risk, r.rn,
+        |    (it.s * (r.n_risk - r.dt)) // r.n_risk
+        |  FROM it JOIN r ON r.rn = it.rn + 1)
+        |SELECT t AS duration, ct AS n_ending, dt AS n_events,
+        |  n_risk AS n_at_risk, CAST(s AS BIGINT) AS survival_milli
+        |FROM it ORDER BY duration""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

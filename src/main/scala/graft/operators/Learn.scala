@@ -875,6 +875,48 @@ object Learn {
         expr("(1000 * dcg_micro) div idcg_micro")))
   }
 
+  /** Kaplan–Meier survival curve with right-censoring — retention /
+    * time-to-churn / document-lifetime estimation where "still alive
+    * at cutoff" must not count as death (dropping censored rows
+    * biases survival DOWN; treating them as events biases it further
+    * — the censoring column is the whole point). Ŝ(t) = Π_{tᵢ ≤ t}
+    * (nᵢ − dᵢ)/nᵢ over distinct event times, with per-step milli
+    * floors so the curve is a defined integer trajectory (the
+    * hedge/EWMA discipline); censored rows leave the risk set
+    * without stepping the product.
+    *
+    * The corpus-sized work is ONE aggregate to the distinct-duration
+    * grid; the reverse-cumulative risk window and the product fold
+    * run on that bounded grid (the spine contract), never on rows. */
+  def kaplanMeier(df: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    val g = df.select(col(durationCol).cast("long").as("t"),
+        col(eventCol).cast("long").as("e"))
+      .filter(col("t").isNotNull && col("t") >= 0)
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("ct"), sum(col("e")).as("dt"))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val risk = g.withColumn("n_risk", sum(col("ct")).over(w))
+    risk.agg(sort_array(collect_list(struct(col("t"), col("ct"),
+        col("dt"), col("n_risk")))).as("__s"))
+      .withColumn("__surv", expr(
+        """aggregate(__s,
+          |  named_struct('s', cast(1000 as bigint),
+          |    'out', cast(array() as array<bigint>)),
+          |  (acc, x) -> named_struct(
+          |    's', (acc.s * (x.n_risk - x.dt)) div x.n_risk,
+          |    'out', array_append(acc.out,
+          |      (acc.s * (x.n_risk - x.dt)) div x.n_risk)),
+          |  acc -> acc.out)""".stripMargin))
+      .select(explode(arrays_zip(col("__s"), col("__surv"))).as("__z"))
+      .select(col("__z.__s.t").as("duration"),
+        col("__z.__s.ct").as("n_ending"),
+        col("__z.__s.dt").as("n_events"),
+        col("__z.__s.n_risk").as("n_at_risk"),
+        col("__z.__surv").as("survival_milli"))
+  }
+
   /** Split-conformal calibration + coverage audit — the
     * distribution-free "how wrong can the model be" wrapper: the
     * threshold is the k-th smallest calibration nonconformity score

@@ -468,6 +468,61 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Recency-decayed counts with power-of-two half-lives: each event
+    * weighs 1000 ≫ ⌊age/halfLife⌋ milli (exact integer halving per
+    * elapsed half-life — the trending/popularity score that never
+    * needs a float exp), summed per key. Unlike a trajectory EWMA
+    * this is ASSOCIATIVE (the weight depends only on the row and the
+    * fixed `refTsUs`), so it map-side combines like any sum — the
+    * scale-friendly decay. `refTsUs` is a parameter (the scoring
+    * instant), never a same-job aggregate. Future rows clamp to age
+    * 0; ages ≥ 63 half-lives weigh 0 exactly. */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      refTsUs: Long, halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec must be > 0, got $halfLifeSec")
+    df.withColumn("__w", expr(s"1000L div shiftleft(1L, CAST(" +
+        s"least(62L, greatest(0L, (${refTsUs}L - unix_micros($tsCol)) " +
+        s"div ${halfLifeSec * 1000000L}L)) AS INT))"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).as("decayed_milli"))
+  }
+
+  /** Per-key journey edit distance to a canonical path: encode each
+    * key's ordered `tokenCol` sequence over a FIXED alphabet (one
+    * char per token, '#' for anything off-alphabet) and Levenshtein
+    * it against the canonical encoding — "how far is each user's
+    * actual funnel from the designed one", unit costs. The encode is
+    * a per-key ordered gather (sessionization contract) + pure
+    * string ops; the distance is the codegen built-in. Alphabet is
+    * caller-fixed (≤ 26 tokens) so the encoding — and the oracle —
+    * is deterministic, not data-dependent. */
+  def journeyEditDistance(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], tokenCol: String, alphabet: Seq[String],
+      canonical: Seq[String]): DataFrame = {
+    require(alphabet.nonEmpty && alphabet.size <= 26 &&
+      alphabet.distinct == alphabet, "alphabet: <= 26 distinct tokens")
+    require(canonical.forall(alphabet.contains),
+      "canonical path must be on the alphabet")
+    def enc(t: String): String =
+      ('a' + alphabet.indexOf(t)).toChar.toString
+    val canonStr = canonical.map(enc).mkString
+    val mapping = map(alphabet.flatMap(t =>
+      Seq(lit(t), lit(enc(t)))): _*)
+    val seqCol = sort_array(collect_list(
+      struct((orderCols.map(col) :+ col(tokenCol)): _*)))
+    df.groupBy(col(keyCol))
+      .agg(seqCol.as("__s"))
+      .withColumn("__m", mapping)
+      .withColumn("journey", array_join(expr(
+        s"transform(__s, x -> coalesce(element_at(__m, x.$tokenCol), '#'))"),
+        ""))
+      .select(col(keyCol),
+        length(col("journey")).cast("long").as("journey_len"),
+        levenshtein(col("journey"), lit(canonStr)).cast("long")
+          .as("edit_distance"))
+  }
+
   /** Exact weighted lower median per key: the smallest value whose
     * inclusive cumulative weight reaches half the total (2·cum ≥ W —
     * integer form, no halving division). The robust center when rows

@@ -12,6 +12,24 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("kaplanMeier: textbook curve, censoring leaves risk set silently") {
+    // 6 subjects: events at t=2 (1), t=4 (2); censored at t=3, 5, 5
+    val rows = Seq((2L, 1L), (3L, 0L), (4L, 1L), (4L, 1L), (5L, 0L),
+      (5L, 0L)).toDF("dur", "ev")
+    val got = Learn.kaplanMeier(rows, "dur", "ev")
+      .select("duration", "n_events", "n_at_risk", "survival_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // t=2: n=6, d=1 -> 1000*5//6 = 833
+    assert(got(2L) == ((1L, 6L, 833L)))
+    // t=3: censored only -> curve flat at 833, risk drops to 5
+    assert(got(3L) == ((0L, 5L, 833L)))
+    // t=4: n=4, d=2 -> (833*2)//4 = 416
+    assert(got(4L) == ((2L, 4L, 416L)))
+    // t=5: censored only
+    assert(got(5L) == ((0L, 2L, 416L)))
+  }
+
   test("trendSlopes: exact slope, negative trend, degenerate key") {
     def ts(h: Int) = new java.sql.Timestamp(3600L * 1000 * h)
     val rows = Seq(

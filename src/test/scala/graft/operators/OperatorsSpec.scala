@@ -626,6 +626,44 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("decayedCounts: shift weights, clamps, associative total") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ref = 1000000L * 1000000L // µs
+    val h = 100L
+    val rows = Seq(
+      ("a", ts(1000000L)),        // age 0 -> 1000
+      ("a", ts(1000000L - 150)),  // 1.5 half-lives -> k=1 -> 500
+      ("a", ts(1000000L - 350)),  // k=3 -> 125
+      ("b", ts(1000000L + 50)),   // future clamps -> 1000
+      ("b", ts(1000000L - 100000L))) // k=1000 -> clamp 62 -> 0
+      .toDF("k", "ts")
+    val got = Relational.decayedCounts(rows, "k", "ts", ref, h)
+      .select("k", "n_events", "decayed_milli")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("a") == ((3L, 1625L)))
+    assert(got("b") == ((2L, 1000L)))
+  }
+
+  test("journeyEditDistance: encoding, off-alphabet, distance") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "purchase"),
+      ("u2", 1L, "view"), ("u2", 2L, "error"), ("u2", 3L, "click"),
+      ("u3", 1L, "weird")) // off-alphabet -> '#'
+      .toDF("k", "ord", "t")
+    val got = Relational.journeyEditDistance(rows, "k", Seq("ord"), "t",
+        alphabet = Seq("click", "error", "purchase", "signup", "view"),
+        canonical = Seq("view", "click", "purchase"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got("u1") == ((3L, 0L))) // exact funnel
+    // u2 = "eba" vs "eac": sub b->a, sub a->c = 2
+    assert(got("u2") == ((3L, 2L)))
+    assert(got("u3") == ((1L, 3L))) // "#" vs "eac"
+  }
+
   test("weightedMedian: weight dominance, tie stability, exclusions") {
     import spark.implicits._
     val df = Seq(

@@ -45,7 +45,13 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
     patterns.map(_.getBytes("UTF-8"))
 
   // Dense byte-indexed trie: goto(node)(byte) — nodes ≈ Σ|pattern|.
-  @transient private var gotoT: Array[Array[Int]] = _
+  // volatile: tables build lazily under `ensure()`'s lock but are READ
+  // unlocked by every task thread — without the volatile fence that is
+  // unsafe publication (a reader could see a non-null gotoT with
+  // half-initialized rows). gotoT is assigned LAST in build() and is
+  // the only null-checked field, so its volatile write/read orders the
+  // other three.
+  @transient @volatile private var gotoT: Array[Array[Int]] = _
   @transient private var fail: Array[Int] = _
   @transient private var emit: Array[Array[Int]] = _ // pattern ids ending here
   @transient private var dictFail: Array[Int] = _ // nearest emitting suffix
@@ -95,10 +101,10 @@ final class AcAutomaton(val patterns: Array[String]) extends Serializable {
         c += 1
       }
     }
-    gotoT = java.util.Arrays.copyOf(g, nNodes)
     fail = f
     emit = java.util.Arrays.copyOf(em, nNodes)
     dictFail = df
+    gotoT = java.util.Arrays.copyOf(g, nNodes) // volatile write LAST
   }
 
   private def ensure(): Unit =

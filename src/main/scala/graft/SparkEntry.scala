@@ -2925,6 +2925,40 @@ object SparkEntry {
         .orderBy(col("duration"))
     }),
 
+    // q296: numeric band join |lv − rv| ≤ 500 milli between two
+    // event slices via bucket ±1 candidates (never a BNLJ — plan
+    // discipline of q81); DuckDB replays the plain theta definition,
+    // so the oracle is also the completeness proof.
+    "q296_band_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      Relational.bandJoin(
+          e.filter(col("event_id") < 300),
+          e.filter(col("event_id") >= 300 && col("event_id") < 600),
+          "event_id", "vm", "event_id", "vm", d = 500L)
+        .orderBy(col("l_key"), col("r_key"))
+    }),
+
+    // q297: functional-dependency audit source→lang — the violating
+    // groups with their rhs cardinality (nulls count as a value).
+    "q297_fd_audit" -> ((s, dir) => {
+      Relational.fdViolations(Tables.documents(s, dir),
+          Seq("source"), "lang")
+        .orderBy(col("source"))
+    }),
+
+    // q298: long-tail category collapsing over a skewed synthetic
+    // category (g⌊√doc_id⌋ — counts 1,3,5,…), minCount 20; census
+    // of the collapsed column.
+    "q298_collapse_rare" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        concat(lit("g"), floor(sqrt(col("doc_id").cast("double")))
+          .cast("long")).as("cat"))
+      Relational.collapseRareCategories(d, "cat", minCount = 20L)
+        .groupBy(col("cat")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cat"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7075,6 +7109,42 @@ object SparkEntry {
         |SELECT t AS duration, ct AS n_ending, dt AS n_events,
         |  n_risk AS n_at_risk, CAST(s AS BIGINT) AS survival_milli
         |FROM it ORDER BY duration""".stripMargin,
+
+    // q296: the distance definition as a plain theta join.
+    "q296_band_join" ->
+      """WITH e AS (SELECT event_id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm FROM events)
+        |SELECT a.event_id AS l_key, b.event_id AS r_key,
+        |  a.vm AS lv, b.vm AS rv, a.vm - b.vm AS delta
+        |FROM e a, e b
+        |WHERE a.event_id < 300 AND b.event_id >= 300
+        |  AND b.event_id < 600 AND ABS(a.vm - b.vm) <= 500
+        |ORDER BY l_key, r_key""".stripMargin,
+
+    // q297: violating groups with null-inclusive rhs cardinality.
+    "q297_fd_audit" ->
+      """SELECT source, COUNT(*) AS n_rows,
+        |  CAST(COUNT(DISTINCT lang)
+        |    + CASE WHEN SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+        |        > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_rhs
+        |FROM documents GROUP BY source
+        |HAVING CAST(COUNT(DISTINCT lang)
+        |    + CASE WHEN SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+        |        > 0 THEN 1 ELSE 0 END AS BIGINT) > 1
+        |ORDER BY source""".stripMargin,
+
+    // q298: same skewed construction, same >= 20 frequent set,
+    // collapsed census.
+    "q298_collapse_rare" ->
+      """WITH d AS (SELECT doc_id,
+        |    'g' || CAST(CAST(FLOOR(SQRT(CAST(doc_id AS DOUBLE)))
+        |      AS BIGINT) AS VARCHAR) AS cat
+        |  FROM documents),
+        |f AS (SELECT cat FROM d GROUP BY cat HAVING COUNT(*) >= 20),
+        |c AS (SELECT CASE WHEN d.cat IN (SELECT cat FROM f)
+        |    THEN d.cat ELSE '__other' END AS cat FROM d)
+        |SELECT cat, COUNT(*) AS n FROM c GROUP BY cat
+        |ORDER BY cat""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

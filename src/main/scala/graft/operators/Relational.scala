@@ -468,6 +468,78 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Numeric band join — all (left, right) pairs with |lv − rv| ≤ d
+    * — WITHOUT the nested-loop theta join Spark would otherwise
+    * plan: quantize both sides to width-d buckets (floor division —
+    * sign-correct via the sign-split form), explode the LEFT side to
+    * its bucket ±1, equi-join on bucket, then exact-filter. Each
+    * true pair matches in exactly one candidate bucket (the right
+    * row's own), so no dedup pass. Shuffle cost: 3·|L| + |R| skinny
+    * rows on bucket keys vs |L|·|R| comparisons for the BNLJ — the
+    * interval-join discipline (q81) applied to distance predicates
+    * (near-duplicate prices, sensor alignment, tolerance matching). */
+  def bandJoin(left: DataFrame, right: DataFrame, lKeyCol: String,
+      lValCol: String, rKeyCol: String, rValCol: String,
+      d: Long): DataFrame = {
+    require(d >= 1, s"band width must be >= 1, got $d")
+    val l = left.select(col(lKeyCol).as("l_key"),
+        col(lValCol).cast("long").as("lv"))
+      .withColumn("__b", expr(
+        s"CASE WHEN lv >= 0 THEN lv div $d ELSE -(((-lv) + $d - 1) div $d) END"))
+      .withColumn("__cand", explode(array(col("__b") - 1, col("__b"),
+        col("__b") + 1)))
+    val r = right.select(col(rKeyCol).as("r_key"),
+        col(rValCol).cast("long").as("rv"))
+      .withColumn("__cand", expr(
+        s"CASE WHEN rv >= 0 THEN rv div $d ELSE -(((-rv) + $d - 1) div $d) END"))
+    l.join(r, Seq("__cand"))
+      .filter(abs(col("lv") - col("rv")) <= d)
+      .select(col("l_key"), col("r_key"), col("lv"), col("rv"),
+        (col("lv") - col("rv")).as("delta"))
+  }
+
+  /** Functional-dependency audit: the lhs→rhs groups that VIOLATE
+    * determinism (more than one rhs value for one lhs tuple) — the
+    * schema-contract check profiling should run before anyone claims
+    * "source determines language". One hash aggregate at (lhs, rhs)
+    * grain then one at lhs grain; output is violation-sized. Nulls
+    * are ordinary values (two rhs of null and 'x' is a violation —
+    * null-safe distinctness). */
+  def fdViolations(df: DataFrame, lhs: Seq[String],
+      rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "lhs must be non-empty")
+    df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(rhs)).as("__nd"),
+        sum(when(col(rhs).isNull, 1L).otherwise(0L)).as("__nn"))
+      .withColumn("n_rhs",
+        col("__nd") + when(col("__nn") > 0, 1L).otherwise(0L))
+      .filter(col("n_rhs") > 1)
+      .drop("__nd", "__nn")
+  }
+
+  /** Long-tail category collapsing: every category of `catCol` with
+    * fewer than `minCount` rows becomes `other` — the cardinality
+    * guard before one-hot/target encoding (a 10⁶-category column is
+    * a modeling bug and a shuffle bomb). Census + broadcast-sized
+    * frequent-set join back (the frequent set is small BY
+    * CONSTRUCTION: ≤ N/minCount categories can pass). Null stays
+    * null (absence is not a category). */
+  def collapseRareCategories(df: DataFrame, catCol: String,
+      minCount: Long, other: String = "__other"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val frequent = df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount)
+      .select(col("__cat"))
+    df.join(broadcast(frequent), col(catCol) === col("__cat"), "left")
+      .withColumn(catCol, when(col(catCol).isNull, lit(null))
+        .when(col("__cat").isNotNull, col(catCol))
+        .otherwise(lit(other)))
+      .drop("__cat")
+  }
+
   /** Recency-decayed counts with power-of-two half-lives: each event
     * weighs 1000 ≫ ⌊age/halfLife⌋ milli (exact integer halving per
     * elapsed half-life — the trending/popularity score that never

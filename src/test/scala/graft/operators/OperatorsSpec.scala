@@ -626,6 +626,50 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("bandJoin: bucket candidates equal the theta definition, negatives, no BNLJ") {
+    import spark.implicits._
+    val l = Seq((1L, -7L), (2L, 0L), (3L, 10L), (4L, 23L)).toDF("k", "v")
+    val r = Seq((10L, -9L), (11L, 3L), (12L, 14L), (13L, 99L)).toDF("k", "v")
+    val got = Relational.bandJoin(l, r, "k", "v", "k", "v", d = 5L)
+      .select("l_key", "r_key").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lk, lv) <- Seq((1L, -7L), (2L, 0L), (3L, 10L), (4L, 23L))
+      (rk, rv) <- Seq((10L, -9L), (11L, 3L), (12L, 14L), (13L, 99L))
+      if math.abs(lv - rv) <= 5
+    } yield (lk, rk)).toSet
+    assert(got == want && want.nonEmpty)
+    val p = Relational.bandJoin(l, r, "k", "v", "k", "v", 5L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("fdViolations: null counts as a value, clean FDs emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "x"), ("a", "x"),               // clean
+      ("b", "x"), ("b", "y"),               // violation
+      ("c", "x"), ("c", null.asInstanceOf[String])) // null vs x: violation
+      .toDF("s", "l")
+    val got = Relational.fdViolations(df, Seq("s"), "l")
+      .select("s", "n_rows", "n_rhs")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map("b" -> ((2L, 2L)), "c" -> ((2L, 2L))))
+  }
+
+  test("collapseRareCategories: threshold, null passthrough, frequent kept") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("big") ++ Seq("rare1", "rare2") ++
+      Seq(null.asInstanceOf[String])).zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toDF("id", "cat")
+    val got = Relational.collapseRareCategories(df, "cat", minCount = 3L)
+      .groupBy("cat").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got == Map(Some("big") -> 5L, Some("__other") -> 2L,
+      None -> 1L))
+  }
+
   test("decayedCounts: shift weights, clamps, associative total") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)

@@ -2959,6 +2959,32 @@ object SparkEntry {
         .orderBy(col("cat"))
     }),
 
+    // q299: exact 1-D earth-mover's distance between the value
+    // distributions of the two event-id halves on a 64-cell grid —
+    // the ORDERED drift measure chi-square can't see; cross-
+    // multiplied cumulative counts keep it integer-exact.
+    "q299_emd_drift" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        floor(col("value") * 1000).cast("long").as("vm"))
+      operators.Learn.emd1d(
+          e.filter(col("event_id") < 5000),
+          e.filter(col("event_id") >= 5000),
+          "vm", lo = 0L, rangeBits = 19, bits = 6)
+    }),
+
+    // q300: difference-in-differences — treated = odd users, post =
+    // from 2024-01-16 (epoch-µs cutoff both engines compare
+    // identically); per-cell milli mean floors then exact integer
+    // DiD.
+    "q300_did" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        (col("user_id") % 2).cast("int").as("treated"),
+        (unix_micros(col("ts")) >= 1705363200000000L).cast("int")
+          .as("post"),
+        col("value"))
+      operators.Learn.didEstimate(e, "treated", "post", "value")
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7145,6 +7171,55 @@ object SparkEntry {
         |    THEN d.cat ELSE '__other' END AS cat FROM d)
         |SELECT cat, COUNT(*) AS n FROM c GROUP BY cat
         |ORDER BY cat""".stripMargin,
+
+    // q299: spine cells, cumulative counts, cross-multiplied sum.
+    "q299_emd_drift" ->
+      """WITH a AS (SELECT LEAST(63, GREATEST(0,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) >> 13)) AS cell
+        |  FROM events WHERE event_id < 5000),
+        |b AS (SELECT LEAST(63, GREATEST(0,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) >> 13)) AS cell
+        |  FROM events WHERE event_id >= 5000),
+        |ca AS (SELECT cell, COUNT(*) AS na FROM a GROUP BY cell),
+        |cb AS (SELECT cell, COUNT(*) AS nb FROM b GROUP BY cell),
+        |sp AS (SELECT g.cell, COALESCE(ca.na, 0) AS na,
+        |    COALESCE(cb.nb, 0) AS nb
+        |  FROM (SELECT unnest(range(0, 64)) AS cell) g
+        |  LEFT JOIN ca USING (cell) LEFT JOIN cb USING (cell)),
+        |t AS (SELECT CAST(SUM(na) AS BIGINT) AS tna,
+        |    CAST(SUM(nb) AS BIGINT) AS tnb FROM sp),
+        |cu AS (SELECT cell,
+        |    CAST(SUM(na) OVER (ORDER BY cell) AS HUGEINT) AS cua,
+        |    CAST(SUM(nb) OVER (ORDER BY cell) AS HUGEINT) AS cub
+        |  FROM sp)
+        |SELECT t.tna AS n_a, t.tnb AS n_b,
+        |  CAST((SUM(ABS(cua * t.tnb - cub * t.tna)) * 1000000)
+        |    // (CAST(t.tna AS HUGEINT) * t.tnb) AS BIGINT) AS emd_micro
+        |FROM cu, t GROUP BY t.tna, t.tnb""".stripMargin,
+
+    // q300: four cell means (milli floors), exact integer DiD.
+    "q300_did" ->
+      """WITH g AS (SELECT CAST(user_id % 2 AS INT) AS treated,
+        |    CAST(epoch_us(ts) >= 1705363200000000 AS INT) AS post,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+        |      AS s
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT treated, post,
+        |    CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS mean
+        |  FROM g)
+        |SELECT COUNT(*) AS n_cells,
+        |  MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END) AS t_pre,
+        |  MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END) AS t_post,
+        |  MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END) AS c_pre,
+        |  MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END) AS c_post,
+        |  CASE WHEN COUNT(*) = 4 THEN
+        |    (MAX(CASE WHEN treated = 1 AND post = 1 THEN mean END)
+        |     - MAX(CASE WHEN treated = 1 AND post = 0 THEN mean END))
+        |    - (MAX(CASE WHEN treated = 0 AND post = 1 THEN mean END)
+        |       - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END))
+        |  END AS did_milli
+        |FROM m""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -875,6 +875,74 @@ object Learn {
         expr("(1000 * dcg_micro) div idcg_micro")))
   }
 
+  /** Exact 1-D earth-mover's (Wasserstein-1) distance between two
+    * samples on a bounded integer grid — the ORDERED drift measure
+    * [[driftChi2]] can't be: chi-square scores "how many rows moved
+    * bin", EMD scores "how FAR the mass moved" (a one-bin shift and
+    * a ten-bin shift look identical to χ², wildly different here).
+    * EMD₁ = Σ_cells |cdfA − cdfB| in cell widths; kept exact by
+    * cross-multiplying the counts — Σ|cumA·NB − cumB·NA| — and
+    * dividing once: emd_micro = 10⁶·Σ / (NA·NB), all DECIMAL(38,0)
+    * (Σ can reach cells·NA·NB). Values clamp onto [lo, lo+2^rangeBits)
+    * shifted down to `bits` cells — the [[graft.operators.Layout.quantize]]
+    * contract, bounds being design constants.
+    *
+    * Two grid-grain aggregates + one spine window (bounded — the
+    * spine contract); corpus size appears only in the first pass. */
+  def emd1d(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      lo: Long, rangeBits: Int, bits: Int): DataFrame = {
+    val cells = 1L << bits
+    def gridCounts(df: DataFrame, out: String) =
+      df.select(graft.operators.Layout.quantize(col(valueCol), lo,
+        rangeBits, bits).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as(out))
+    val spine = dfA.sparkSession.range(0, cells).toDF("cell")
+      .join(gridCounts(dfA, "na_c"), Seq("cell"), "left")
+      .join(gridCounts(dfB, "nb_c"), Seq("cell"), "left")
+      .na.fill(0L, Seq("na_c", "nb_c"))
+    val tot = spine.agg(sum(col("na_c")).as("__na"),
+      sum(col("nb_c")).as("__nb"))
+    val w = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = spine
+      .withColumn("cum_a", sum(col("na_c")).over(w))
+      .withColumn("cum_b", sum(col("nb_c")).over(w))
+      .crossJoin(broadcast(tot))
+    cum.agg(
+        max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(abs(col("cum_a").cast("decimal(38,0)") * col("__nb")
+          - col("cum_b").cast("decimal(38,0)") * col("__na"))).as("__s"))
+      .withColumn("emd_micro", when(col("n_a") > 0 && col("n_b") > 0,
+        expr("CAST((__s * 1000000) div " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")))
+      .drop("__s")
+  }
+
+  /** Difference-in-differences over a 2×2 (treated × post) design —
+    * the pre-trend-controlled effect estimate an A/B readout needs
+    * when assignment wasn't randomized: DiD = (T̄post − T̄pre) −
+    * (C̄post − C̄pre), every group mean a sign-split milli floor
+    * (floors applied per group mean — the defined estimator here —
+    * then exact integer subtraction). One 4-group aggregate; any
+    * missing cell nulls the estimate loudly. */
+  def didEstimate(df: DataFrame, treatCol: String, postCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.groupBy(col(treatCol).cast("int").as("treated"),
+        col(postCol).cast("int").as("post"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col(valueCol) * lit(1000)).cast("long")).as("s"))
+      .withColumn("mean_milli", expr(
+        """CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"""))
+    val cell = (t: Int, p: Int) => max(when(col("treated") === t &&
+      col("post") === p, col("mean_milli")))
+    g.agg(
+        count(lit(1)).as("n_cells"),
+        cell(1, 0).as("t_pre"), cell(1, 1).as("t_post"),
+        cell(0, 0).as("c_pre"), cell(0, 1).as("c_post"))
+      .withColumn("did_milli", when(col("n_cells") === 4,
+        (col("t_post") - col("t_pre")) - (col("c_post") - col("c_pre"))))
+  }
+
   /** Kaplan–Meier survival curve with right-censoring — retention /
     * time-to-churn / document-lifetime estimation where "still alive
     * at cutoff" must not count as death (dropping censored rows

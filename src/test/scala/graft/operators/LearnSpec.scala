@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
 class LearnSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("emd1d: identical -> 0, one-cell shift scales with distance, exact ratio") {
+    def mk(vs: Seq[Long]) = vs.toDF("v")
+    def emd(a: Seq[Long], b: Seq[Long]) =
+      Learn.emd1d(mk(a), mk(b), "v", lo = 0L, rangeBits = 6, bits = 6)
+        .select("emd_micro").collect().head.getLong(0)
+    // identical samples
+    assert(emd(Seq(1L, 5L, 9L), Seq(1L, 5L, 9L)) == 0L)
+    // all mass shifted by 1 cell vs by 8 cells: EMD scales 8x
+    assert(emd(Seq(10L, 10L), Seq(11L, 11L)) == 1000000L)
+    assert(emd(Seq(10L, 10L), Seq(18L, 18L)) == 8000000L)
+    // unequal sizes stay exact: {0,0} vs {0,1,1}: cdfA=(1,1...) cdfB=(1/3,1,..)
+    // cell0: |2*3-1*2|=4 -> 4e6/6 = 666666
+    assert(emd(Seq(0L, 0L), Seq(0L, 1L, 1L)) == 666666L)
+  }
+
+  test("didEstimate: parallel-trends algebra, missing cell nulls") {
+    val rows = Seq(
+      (1, 0, 10.0), (1, 0, 12.0),  // T pre mean 11000
+      (1, 1, 20.0), (1, 1, 24.0),  // T post mean 22000
+      (0, 0, 5.0), (0, 1, 8.0))    // C: 5000 -> 8000
+      .toDF("tr", "po", "v")
+    val got = Learn.didEstimate(rows, "tr", "po", "v").collect().head
+    assert(got.getAs[Long]("did_milli") == (22000L - 11000L) - (8000L - 5000L))
+    val missing = Learn.didEstimate(
+      rows.filter(col("po") === 0), "tr", "po", "v").collect().head
+    assert(missing.isNullAt(missing.fieldIndex("did_milli")))
+  }
+
   test("kaplanMeier: textbook curve, censoring leaves risk set silently") {
     // 6 subjects: events at t=2 (1), t=4 (2); censored at t=3, 5, 5
     val rows = Seq((2L, 1L), (3L, 0L), (4L, 1L), (4L, 1L), (5L, 0L),

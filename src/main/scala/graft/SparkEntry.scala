@@ -2985,6 +2985,23 @@ object SparkEntry {
       operators.Learn.didEstimate(e, "treated", "post", "value")
     }),
 
+    // q301: sorted-neighborhood candidate pairs over the lowercased
+    // 20-char text prefix, window 3 — the bounded-output blocking
+    // scheme; DuckDB replays rank + rank-distance self-join.
+    "q301_sorted_neighborhood" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        substring(lower(col("text")), 1, 20).as("sk"))
+      Relational.sortedNeighborhoodPairs(d, "doc_id", "sk", window = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // q302: Gini concentration of document lengths — exact micro via
+    // global ranks and DECIMAL cross-multiplication (tie-permutation
+    // invariant: equal values contribute equal Σi·x).
+    "q302_gini" -> ((s, dir) => {
+      Relational.giniCoefficient(Tables.documents(s, dir), "n_chars")
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7220,6 +7237,27 @@ object SparkEntry {
         |       - MAX(CASE WHEN treated = 0 AND post = 0 THEN mean END))
         |  END AS did_milli
         |FROM m""".stripMargin,
+
+    // q301: rank + rank-distance self-join over the same sort.
+    "q301_sorted_neighborhood" ->
+      """WITH r AS (SELECT doc_id, ROW_NUMBER() OVER (
+        |    ORDER BY substr(lower(text), 1, 20), doc_id) AS rn
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  b.rn - a.rn AS rank_gap
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q302: the rank form of Gini, HUGEINT cross-multiplied.
+    "q302_gini" ->
+      """WITH r AS (SELECT n_chars AS v,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars) AS i FROM documents)
+        |SELECT COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total,
+        |  CAST(((2 * CAST(SUM(CAST(i AS HUGEINT) * v) AS HUGEINT)
+        |      - (COUNT(*) + 1) * CAST(SUM(v) AS HUGEINT)) * 1000000)
+        |    // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(v) AS BIGINT))
+        |    AS BIGINT) AS gini_micro
+        |FROM r""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

@@ -468,6 +468,63 @@ object Relational {
       .drop("__v", "__lt", "__eq", "__n")
   }
 
+  /** Sorted-neighborhood candidate pairs — the OTHER classic blocking
+    * scheme beside [[blockedLinkage]]'s equi blocks: sort the corpus
+    * by a fuzzy key (normalized name, phonetic code, canonical URL)
+    * and emit every pair within `window` positions. Where equi
+    * blocking misses near-boundary matches entirely (typo in the
+    * blocking key → different block), sorted neighborhood catches
+    * anything the sort brings close, at exactly n·(window−1)/…
+    * bounded candidates — no quadratic block blowup possible, BY
+    * CONSTRUCTION (the knob is output size, not a hope).
+    *
+    * Global order via [[globalRowNumber]] (two-pass, no
+    * partition-less window); the rn-distance pairing is [[bandJoin]]
+    * on row numbers. Scoring is the caller's next stage (Jaro,
+    * jaccard, exact-key) — this operator only proposes. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKeyCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val rn = globalRowNumber(
+      df.select(col(idCol).as("__id"), col(sortKeyCol).as("__k")),
+      Seq(col("__k"), col("__id")), "__rn")
+    val pairs = bandJoin(rn, rn, "__id", "__rn", "__id", "__rn",
+      d = (window - 1).toLong)
+    pairs.filter(col("lv") < col("rv")) // each unordered pair once
+      .select(col("l_key").as("id_a"), col("r_key").as("id_b"),
+        (col("rv") - col("lv")).as("rank_gap"))
+  }
+
+  /** Gini coefficient of a non-negative quantity in exact micro
+    * units — "how concentrated is the corpus" (token mass over
+    * sources, traffic over hosts): G = (2·Σ i·xᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ) over the ascending sort, cross-multiplied in
+    * DECIMAL(38,0) and floored once. Σ i·xᵢ needs every value's
+    * GLOBAL rank — the [[globalRowNumber]] two-pass again, never a
+    * partition-less window. Negative values are rejected loudly
+    * (Gini over mixed signs is undefined); an all-zero total nulls
+    * the coefficient. */
+  def giniCoefficient(df: DataFrame, valueCol: String): DataFrame = {
+    val ranked = globalRowNumber(
+      df.select(col(valueCol).cast("long").as("__v")),
+      Seq(col("__v")), "__i")
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("__v")).as("total"),
+        min(col("__v")).as("__min"),
+        sum(col("__i").cast("decimal(38,0)") * col("__v")).as("__iwx"))
+      // the negative-input error must live INSIDE the output column —
+      // a dropped guard column would be pruned away unevaluated
+      .withColumn("gini_micro",
+        when(col("__min") < 0, raise_error(lit(
+          "giniCoefficient: negative values are undefined")).cast("long"))
+        .when(col("total") > 0,
+          expr("""CAST(((2 * __iwx - (CAST(n AS DECIMAL(38,0)) + 1) * total)
+            | * 1000000) div (CAST(n AS DECIMAL(38,0)) * total) AS BIGINT)"""
+            .stripMargin)))
+      .drop("__min", "__iwx")
+  }
+
   /** Numeric band join — all (left, right) pairs with |lv − rv| ≤ d
     * — WITHOUT the nested-loop theta join Spark would otherwise
     * plan: quantize both sides to width-d buckets (floor division —

@@ -626,6 +626,36 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("c", 3L)) == Some(3000L))
   }
 
+  test("sortedNeighborhoodPairs: window pairs, catches what blocking misses") {
+    import spark.implicits._
+    // "smith"/"smyth" sort adjacent but land in different equi blocks
+    val df = Seq((1L, "smith"), (2L, "smyth"), (3L, "aaaa"), (4L, "zzzz"))
+      .toDF("id", "k")
+    val got = Relational.sortedNeighborhoodPairs(df, "id", "k", window = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // sort: aaaa(3) smith(1) smyth(2) zzzz(4); adjacent pairs only
+    assert(got == Set((3L, 1L), (1L, 2L), (2L, 4L)))
+    // window 3 adds the distance-2 pairs
+    val w3 = Relational.sortedNeighborhoodPairs(df, "id", "k", window = 3)
+      .count()
+    assert(w3 == 5L)
+  }
+
+  test("giniCoefficient: equality 0, concentration, exact hand value") {
+    import spark.implicits._
+    def g(vs: Seq[Long]) =
+      Relational.giniCoefficient(vs.toDF("v"), "v")
+        .select("gini_micro").collect().head.getLong(0)
+    assert(g(Seq(5L, 5L, 5L, 5L)) == 0L)
+    // {0,0,0,10}: G = (2*(1*0+2*0+3*0+4*10) - 5*10)/(4*10) = 30/40
+    assert(g(Seq(0L, 0L, 0L, 10L)) == 750000L)
+    // {1,2,3,4}: (2*(1+4+9+16) - 5*10)/40 = 10/40
+    assert(g(Seq(1L, 2L, 3L, 4L)) == 250000L)
+    intercept[Exception] {
+      g(Seq(-1L, 5L))
+    }
+  }
+
   test("bandJoin: bucket candidates equal the theta definition, negatives, no BNLJ") {
     import spark.implicits._
     val l = Seq((1L, -7L), (2L, 0L), (3L, 10L), (4L, 23L)).toDF("k", "v")

@@ -3002,6 +3002,40 @@ object SparkEntry {
       Relational.giniCoefficient(Tables.documents(s, dir), "n_chars")
     }),
 
+    // q303: substring-level duplication spans (the ExactSubstr dedup
+    // posture, Lee et al. 2022) — maximal char spans of each doc
+    // covered by 12-grams that recur in ≥2 distinct docs, within the
+    // first 120 chars. DuckDB rebuilds the gram census from a fixed
+    // generate_series (its table function can't take a lateral bound)
+    // and replays the same islands fold.
+    "q303_duplicated_spans" -> ((s, dir) => {
+      operators.Dedup.duplicatedSpans(Tables.documents(s, dir),
+          "doc_id", "text", k = 12, maxChars = 120, minDocs = 2)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // q304: CIDR longest-prefix-match join — fixture dotted quads
+    // derived from event_id arithmetic (both lanes re-derive them),
+    // a 6-rule table incl. a sloppy host-bits rule (172.16.5.9/12 ⇒
+    // net 172.16.0.0) and nested 10.0.0.0/{8,16,24} prefixes so LPM
+    // ordering is actually exercised; unmatched traffic keeps null
+    // rule columns.
+    "q304_cidr_lpm" -> ((s, dir) => {
+      import s.implicits._
+      val ips = Tables.events(s, dir).select(col("event_id"))
+        .withColumn("ip", concat_ws(".",
+          expr("CASE pmod(event_id,4) WHEN 0 THEN 10 WHEN 1 THEN 10 WHEN 2 THEN 192 ELSE 8 END"),
+          expr("CASE WHEN pmod(event_id,4)=1 THEN 1 ELSE pmod(event_id,200) END"),
+          expr("CASE WHEN pmod(event_id,4)=1 THEN pmod(event_id,5) ELSE pmod(event_id div 7, 256) END"),
+          expr("pmod(event_id, 251)")))
+      val rules = Seq("10.0.0.0/8", "10.1.0.0/16", "10.1.2.0/24",
+        "192.168.0.0/16", "172.16.5.9/12", "8.0.0.0/7").toDF("cidr")
+      operators.Net.cidrLpmJoin(ips, "ip", rules, "cidr")
+        .select(col("event_id"), col("ip"), col("ip_long"),
+          col("cidr"), col("prefix_len"), col("net_long"))
+        .orderBy(col("event_id"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7258,6 +7292,66 @@ object SparkEntry {
         |    // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(v) AS BIGINT))
         |    AS BIGINT) AS gini_micro
         |FROM r""".stripMargin,
+
+    // q303: the gram census and islands fold replayed — fixed
+    // 1..109 series stands in for the lateral sequence (109 =
+    // maxChars − k + 1), break at gap > k, span_end = max(i)+k−1.
+    "q303_duplicated_spans" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 120) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(substr(text,1,120)) >= 12),
+        |p AS (SELECT doc_id, CAST(gs.i AS BIGINT) AS i,
+        |    substr(t, CAST(gs.i AS INT), 12) AS g
+        |  FROM d, generate_series(1, 109) AS gs(i)
+        |  WHERE gs.i <= length(t) - 11),
+        |hot AS (SELECT g FROM p GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT doc_id, i FROM p JOIN hot USING (g)),
+        |isl AS (SELECT doc_id, i,
+        |    SUM(CASE WHEN prev IS NULL OR i - prev > 12 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS span_idx
+        |  FROM (SELECT doc_id, i,
+        |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM m))
+        |SELECT doc_id, span_idx, MIN(i) AS span_start,
+        |  MAX(i) + 11 AS span_end, MAX(i) + 11 - MIN(i) + 1 AS span_len
+        |FROM isl GROUP BY doc_id, span_idx
+        |ORDER BY doc_id, span_start""".stripMargin,
+
+    // q304: the LPM replayed — same ip derivation, rule net_long
+    // re-parsed from the cidr STRING (host bits masked by the same
+    // shift pair), match = equal high bits, longest len wins, cidr
+    // string breaks ties.
+    "q304_cidr_lpm" ->
+      """WITH ips AS (SELECT event_id,
+        |    (CASE event_id % 4 WHEN 0 THEN 10 WHEN 1 THEN 10
+        |      WHEN 2 THEN 192 ELSE 8 END) || '.' ||
+        |    (CASE WHEN event_id % 4 = 1 THEN 1 ELSE event_id % 200 END) || '.' ||
+        |    (CASE WHEN event_id % 4 = 1 THEN event_id % 5
+        |      ELSE (event_id // 7) % 256 END) || '.' ||
+        |    (event_id % 251) AS ip
+        |  FROM events),
+        |ip2 AS (SELECT event_id, ip,
+        |    CAST(split_part(ip,'.',1) AS BIGINT)*16777216
+        |    + CAST(split_part(ip,'.',2) AS BIGINT)*65536
+        |    + CAST(split_part(ip,'.',3) AS BIGINT)*256
+        |    + CAST(split_part(ip,'.',4) AS BIGINT) AS ip_long
+        |  FROM ips),
+        |r AS (SELECT cidr, CAST(split_part(cidr,'/',2) AS INT) AS prefix_len,
+        |    ((CAST(split_part(split_part(cidr,'/',1),'.',1) AS BIGINT)*16777216
+        |      + CAST(split_part(split_part(cidr,'/',1),'.',2) AS BIGINT)*65536
+        |      + CAST(split_part(split_part(cidr,'/',1),'.',3) AS BIGINT)*256
+        |      + CAST(split_part(split_part(cidr,'/',1),'.',4) AS BIGINT))
+        |     >> (32 - CAST(split_part(cidr,'/',2) AS INT)))
+        |     << (32 - CAST(split_part(cidr,'/',2) AS INT)) AS net_long
+        |  FROM (VALUES ('10.0.0.0/8'),('10.1.0.0/16'),('10.1.2.0/24'),
+        |    ('192.168.0.0/16'),('172.16.5.9/12'),('8.0.0.0/7')) v(cidr)),
+        |m AS (SELECT i.event_id, r.cidr, r.prefix_len, r.net_long,
+        |    ROW_NUMBER() OVER (PARTITION BY i.event_id
+        |      ORDER BY r.prefix_len DESC, r.cidr) AS rk
+        |  FROM ip2 i JOIN r
+        |    ON (i.ip_long >> (32 - r.prefix_len)) =
+        |       (r.net_long >> (32 - r.prefix_len)))
+        |SELECT i.event_id, i.ip, i.ip_long, b.cidr, b.prefix_len, b.net_long
+        |FROM ip2 i LEFT JOIN (SELECT * FROM m WHERE rk = 1) b USING (event_id)
+        |ORDER BY i.event_id""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

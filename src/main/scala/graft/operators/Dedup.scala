@@ -832,4 +832,67 @@ private[graft] object CheckpointHygiene {
       s"connectedComponents did not converge within $maxRounds rounds")
     labels
   }
+
+  /** SUBSTRING-level duplication spans (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * the ExactSubstr posture): find, per document, the maximal
+    * character spans covered by length-`k` substrings that also occur
+    * in at least `minDocs` distinct documents. Document-level dedup
+    * misses these entirely — boilerplate headers, license blocks, and
+    * quoted passages repeat across otherwise-unique documents, and
+    * models memorize exactly those spans.
+    *
+    * Method (the distributed stand-in for the paper's suffix array):
+    *  1. slide a stride-1 window of `k` chars over the first
+    *     `maxChars` of each doc (the cap bounds per-row fan-out; both
+    *     it and `k` are part of the operator's contract),
+    *  2. census the grams — a gram is HOT when it appears in
+    *     ≥ `minDocs` distinct docs,
+    *  3. join hot grams back to their positions and merge runs:
+    *     positions `p`, `q` chain when `q − p ≤ k` (their covered
+    *     char ranges touch or overlap), the classic gaps-and-islands
+    *     fold, giving MAXIMAL spans.
+    *
+    * Output: (doc_id, span_idx, span_start, span_end, span_len) —
+    * span_idx numbers a doc's spans in order, char positions are
+    * 1-based inclusive.
+    *
+    * Shape at scale: the gram census is ONE shuffle keyed by the gram
+    * (count-distinct state is per-gram, map-side partial); the
+    * hot-gram join is an equi shuffle whose hot side is the census
+    * output, already corpus-reduced; the islands fold is one
+    * doc-partitioned window — no partition-less window, no self-join,
+    * no suffix sort. At 100 TB you would xxhash64 the grams down to
+    * 8-byte keys before the census (collision risk ~n²/2⁶⁴, same
+    * trade [[minhashCandidates]] makes); kept as strings here so the
+    * whole operator is engine-independent and DuckDB-replayable. */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 12, maxChars: Int = 120, minDocs: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(maxChars >= k, s"maxChars ($maxChars) must be >= k ($k)")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val capped = df
+      .select(col(idCol).as("doc_id"), substring(col(textCol), 1, maxChars).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) >= k)
+    val grams = capped.select(col("doc_id"),
+        explode(sequence(lit(1L), (length(col("__t")) - (k - 1)).cast("long"))).as("i"),
+        col("__t"))
+      .select(col("doc_id"), col("i"),
+        col("__t").substr(col("i").cast("int"), lit(k)).as("__g"))
+    val hot = grams.groupBy(col("__g"))
+      .agg(countDistinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("__g"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    grams.join(hot, Seq("__g"))
+      .withColumn("__prev", lag(col("i"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("i") - col("__prev") > k, 1L).otherwise(0L))
+      .withColumn("span_idx", sum(col("__brk")).over(w))
+      .groupBy(col("doc_id"), col("span_idx"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + lit(k - 1).cast("long")).as("span_end"))
+      .select(col("doc_id"), col("span_idx"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"))
+  }
 }

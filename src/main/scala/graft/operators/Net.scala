@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Network-address operators for log/crawl pipelines: strict IPv4
+  * parsing and the classic-at-scale CIDR containment problem (geo-IP
+  * tagging, bot-net blocklists, internal-traffic partitioning of an
+  * access log — the reference's front door logs caller addresses via
+  * its HTTP trigger, /root/reference/function_app.py:36).
+  *
+  * Everything is row-local integer arithmetic (codegen'd, no UDFs) or
+  * an equi join — a CIDR match is a RANGE predicate
+  * (net ≤ ip < net + 2^(32−len)), and the naive formulation drags a
+  * BNLJ across |ips| × |rules|. The LPM join below turns it into one
+  * equi join keyed by (prefix_len, ip >> (32−len)): exact, and linear
+  * in the input. */
+object Net {
+
+  private val Ipv4Re = "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
+
+  /** Strict dotted-quad IPv4 → BIGINT in [0, 2³²): exactly four
+    * decimal octets, each ≤ 255 (leading zeros tolerated, the
+    * inet_aton posture); anything else — spare fields, signs, ports,
+    * IPv6, whitespace — is null, never a wrong number. */
+  def ipv4ToLong(ip: Column): Column = {
+    val o = (i: Int) => regexp_extract(ip, Ipv4Re, i).cast("long")
+    val octets = Seq(o(1), o(2), o(3), o(4))
+    when(ip.rlike(Ipv4Re) && octets.map(_ <= 255).reduce(_ && _),
+      octets.reduce((acc, b) => acc * 256 + b))
+  }
+
+  /** BIGINT → dotted quad; null outside [0, 2³²). */
+  def longToIpv4(ip: Column): Column =
+    when(ip.between(0L, 4294967295L), concat_ws(".",
+      (ip / 16777216).cast("long") % 256, (ip / 65536).cast("long") % 256,
+      (ip / 256).cast("long") % 256, ip % 256))
+
+  /** Longest-prefix-match join of an IP table against a CIDR rule
+    * table — the routing-table lookup as a relational operator.
+    *
+    * Rules are `a.b.c.d/len` strings; host bits below the mask are
+    * zeroed (so `10.1.2.3/16` means `10.1.0.0/16`), malformed rules
+    * fail LOUDLY at plan build (a silently dropped blocklist row is a
+    * security hole, not a convenience). Each IP row keeps its input
+    * columns and gains (`ip_long`, `cidr`, `prefix_len`, `net_long`)
+    * of its longest matching rule — null rule columns when nothing
+    * matches (unmatched traffic must stay visible); unparseable IPs
+    * keep null `ip_long` and match nothing.
+    *
+    * Shape: ips × distinct-prefix-lengths (≤ 33, broadcast by size)
+    * computes each IP's candidate bucket `ip >> (32−len)` per length
+    * actually present, then ONE equi join on (len, bucket) against
+    * the rule table and one ip-keyed window picks max len (ties —
+    * duplicate rules for one block — break toward the smallest cidr
+    * string, deterministic). Shuffle volume: |ips|·|lens| skinny rows,
+    * never |ips|·|rules|; the rule side usually broadcasts. A real
+    * BGP-scale table (~10⁶ routes, 20+ lens) wants exactly this shape
+    * too — it is how distributed geo-IP joins are actually built. */
+  def cidrLpmJoin(ips: DataFrame, ipCol: String,
+      rules: DataFrame, cidrCol: String): DataFrame = {
+    val cidrRe = "^([0-9.]+)/([0-9]{1,2})$"
+    val net = ipv4ToLong(regexp_extract(col(cidrCol), cidrRe, 1))
+    val len = when(col(cidrCol).rlike(cidrRe),
+      regexp_extract(col(cidrCol), cidrRe, 2).cast("int"))
+    val parsed = rules.select(col(cidrCol).as("cidr"),
+        net.as("__net"), len.as("__len"))
+      .select(col("cidr"),
+        // loud on malformed: blocklists don't get silent holes
+        when(col("__net").isNull || col("__len").isNull || col("__len") > 32,
+          raise_error(concat(lit("cidrLpmJoin: malformed rule "), col("cidr")))
+            .cast("int")).otherwise(col("__len")).as("prefix_len"),
+        expr("shiftleft(shiftright(__net, 32 - __len), 32 - __len)")
+          .as("net_long"))
+      .withColumn("__bucket", expr("shiftright(net_long, 32 - prefix_len)"))
+    val lens = parsed.select(col("prefix_len")).distinct()
+    val withIp = ips.withColumn("ip_long", ipv4ToLong(col(ipCol)))
+    // the LPM is a function of the address alone: resolve DISTINCT
+    // addresses (log tables repeat hot clients heavily), join back
+    val cand = withIp.select(col(ipCol), col("ip_long")).distinct()
+      .filter(col("ip_long").isNotNull)
+      .join(broadcast(lens))
+      .withColumn("__bucket", expr("shiftright(ip_long, 32 - prefix_len)"))
+      .join(parsed, Seq("prefix_len", "__bucket"))
+    val w = Window.partitionBy(col(ipCol))
+      .orderBy(col("prefix_len").desc, col("cidr").asc)
+    val best = cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(ipCol), col("cidr"), col("prefix_len"), col("net_long"))
+    withIp.join(best, Seq(ipCol), "left")
+  }
+}

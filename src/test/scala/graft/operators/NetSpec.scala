@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class NetSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("ipv4ToLong: strict parse, malformed null, round-trips longToIpv4") {
+    val df = Seq("0.0.0.0", "255.255.255.255", "10.1.2.3", "192.168.001.1",
+      "256.1.1.1", "1.2.3", "1.2.3.4.5", "1.2.3.4 ", "a.b.c.d", "1.2.3.-4",
+      "1.2.3.4:80").toDF("ip")
+    val got = df.select(col("ip"), Net.ipv4ToLong(col("ip")).as("n"))
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("0.0.0.0").contains(0L))
+    assert(got("255.255.255.255").contains(4294967295L))
+    assert(got("10.1.2.3").contains(10L * 16777216 + 65536 + 512 + 3))
+    assert(got("192.168.001.1").contains(192L * 16777216 + 168 * 65536 + 256 + 1))
+    Seq("256.1.1.1", "1.2.3", "1.2.3.4.5", "1.2.3.4 ", "a.b.c.d",
+      "1.2.3.-4", "1.2.3.4:80").foreach(s => assert(got(s).isEmpty, s))
+    val rt = df.select(Net.longToIpv4(Net.ipv4ToLong(col("ip"))).as("rt"),
+        col("ip")).filter(col("rt").isNotNull)
+      .as[(String, String)].collect()
+    // canonical forms round-trip; the leading-zero form canonicalizes
+    assert(rt.collect { case (a, b) if b != "192.168.001.1" => a == b }
+      .forall(identity))
+    assert(rt.toMap.getOrElse("192.168.1.1", "") == "192.168.001.1")
+  }
+
+  test("cidrLpmJoin: longest prefix wins, host bits masked, unmatched stays") {
+    val ips = Seq((1L, "10.1.2.3"), (2L, "10.1.9.9"), (3L, "10.200.0.1"),
+      (4L, "172.17.0.5"), (5L, "11.0.0.1"), (6L, "not-an-ip"))
+      .toDF("id", "ip")
+    val rules = Seq("10.0.0.0/8", "10.1.0.0/16", "10.1.2.0/24",
+      "172.16.5.9/12").toDF("cidr")
+    val got = Net.cidrLpmJoin(ips, "ip", rules, "cidr")
+      .select("id", "cidr", "prefix_len", "net_long")
+      .as[(Long, Option[String], Option[Int], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some("10.1.2.0/24"), Some(24))))   // deepest nest
+    assert(got(2L) == ((Some("10.1.0.0/16"), Some(16))))
+    assert(got(3L) == ((Some("10.0.0.0/8"), Some(8))))
+    assert(got(4L) == ((Some("172.16.5.9/12"), Some(12)))) // host bits masked
+    assert(got(5L) == ((None, None)))                      // unmatched visible
+    assert(got(6L) == ((None, None)))                      // unparseable visible
+    // masked net_long of the sloppy rule is 172.16.0.0
+    val net = Net.cidrLpmJoin(ips, "ip", rules, "cidr")
+      .filter(col("id") === 4L).select("net_long").as[Long].head()
+    assert(net == 172L * 16777216 + 16 * 65536)
+  }
+
+  test("cidrLpmJoin: malformed rule raises loudly, /0 matches everything") {
+    val ips = Seq((1L, "1.2.3.4")).toDF("id", "ip")
+    val bad = Seq("10.0.0.0/33").toDF("cidr")
+    val e = intercept[Exception] {
+      Net.cidrLpmJoin(ips, "ip", bad, "cidr").collect()
+    }
+    assert(e.getMessage.contains("malformed rule"), e.getMessage)
+    val zero = Net.cidrLpmJoin(ips, "ip", Seq("0.0.0.0/0").toDF("cidr"), "cidr")
+      .select("cidr").as[String].collect()
+    assert(zero.toSeq == Seq("0.0.0.0/0"))
+  }
+}

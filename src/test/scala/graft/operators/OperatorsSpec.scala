@@ -1449,6 +1449,60 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("pigeonhole"), e.getMessage)
   }
+
+  test("duplicatedSpans: planted cross-doc substring found maximal, unique text silent") {
+    import spark.implicits._
+    // docs 1 and 2 share the 20-char block at positions 11..30 of
+    // each; doc 3 is noise. k=8 → grams at 11..23 are hot, chaining
+    // into ONE maximal span [11, 30] per doc (i−prev=1 ≤ k).
+    val shared = "SHARED-BLOCK-20CHARS"
+    assert(shared.length == 20)
+    val df = Seq(
+      (1L, "aaaaaaaaaa" + shared + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + shared + "dddddddddd"),
+      (3L, "eeeeeeeeeeffffffffffgggggggggghhhhhhhhhh"))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 8,
+        maxChars = 120, minDocs = 2)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 11L, 30L, 20L), (2L, 11L, 30L, 20L)))
+  }
+
+  test("duplicatedSpans: two hot runs beyond gap k stay separate islands") {
+    import spark.implicits._
+    // two 8-char shared blocks separated by >k unique chars in both
+    // docs: positions 1..8 and 29..36 (doc A) — the gap between the
+    // last hot gram of run 1 (pos 1) and the first of run 2 (pos 29)
+    // is 28 > k=8, so two spans, each exactly the block.
+    val b1 = "BLOCKONE"; val b2 = "BLOCKTWO"
+    val df = Seq(
+      (1L, b1 + "qqqqqqqqqqqqqqqqqqqq" + b2),
+      (2L, b1 + "rrrrrrrrrrrrrrrrrrrr" + b2)).toDF("doc_id", "text")
+    val got = Dedup.duplicatedSpans(df, "doc_id", "text", k = 8,
+        maxChars = 120, minDocs = 2)
+      .select("doc_id", "span_idx", "span_start", "span_end")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L, 8L), (1L, 2L, 29L, 36L),
+      (2L, 1L, 1L, 8L), (2L, 2L, 29L, 36L)))
+  }
+
+  test("duplicatedSpans: maxChars cap bounds the scan; minDocs=3 needs three docs") {
+    import spark.implicits._
+    val tail = "TAIL-DUPLICATED-BLOCK"
+    val df = Seq(
+      (1L, ("x" * 30) + tail),
+      (2L, ("y" * 30) + tail)).toDF("doc_id", "text")
+    // cap at 30 chars: the shared tail is outside the window → empty
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", k = 8,
+      maxChars = 30, minDocs = 2).count() == 0L)
+    // minDocs=3 with only two sharers → empty; adding a third → found
+    val three = df.unionByName(Seq((3L, ("z" * 30) + tail)).toDF("doc_id", "text"))
+    assert(Dedup.duplicatedSpans(three, "doc_id", "text",
+      k = 8, maxChars = 120, minDocs = 3).count() > 0L)
+    assert(Dedup.duplicatedSpans(df, "doc_id", "text", k = 8,
+      maxChars = 120, minDocs = 3).count() == 0L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

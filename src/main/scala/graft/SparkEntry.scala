@@ -3036,6 +3036,56 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q305: 2-D grid distance join — fixture plane coordinates from
+    // customer-key arithmetic (both lanes re-derive), all pairs
+    // within Euclidean distance 1000 on a 100k×100k grid; the oracle
+    // is the theta-join DEFINITION, so the 3×3-cell candidate scheme
+    // is proven complete, not just plausible.
+    "q305_grid_distance_join" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        expr("pmod(c_custkey * 7919, 100000)").as("x"),
+        expr("pmod(c_custkey * 4729, 100000)").as("y"))
+      Relational.gridDistanceJoin(pts, pts, "id", "x", "y",
+          "id", "x", "y", r = 1000L)
+        .filter(col("l_id") < col("r_id"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
+    // q306: per-user lag-1 autocorrelation of the event value series
+    // — mean-free exact form (both sums multiplied through by n), so
+    // the micro floor is an integer function of the corpus.
+    "q306_autocorrelation" -> ((s, dir) => {
+      operators.Learn.autocorrelation(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "value", k = 1)
+        .orderBy(col("user_id"))
+    }),
+
+    // q307: RFC 5322 / MIME parsing by invertible construction —
+    // buildMail composes a 7-header message (subject FOLDED across
+    // two lines) whose body is quoted-printable (even doc_id: every
+    // space/'e'/'=' escaped, soft breaks ≤40 chars) or base64 (odd),
+    // parseMail decodes it back, and DuckDB recomputes every field —
+    // including the unfolded subject and the decoded body — from the
+    // same source columns. The transfer-encoding pair must be a
+    // perfect identity or the body hashes diverge.
+    "q307_mail_parse" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit("user"), col("doc_id") % 50, lit("@example.com")).as("mfrom"),
+          concat(lit("dest"), col("doc_id") % 7, lit("@example.org")).as("mto"),
+          concat(lit("Report "), col("doc_id")).as("s1"),
+          concat(lit("part "), col("doc_id") % 3).as("s2"),
+          substring(col("text"), 1, 80).as("payload"),
+          when(col("doc_id") % 2 === 0, "quoted-printable")
+            .otherwise("base64").as("enc"))
+      operators.Mail.parseMail(
+          operators.Mail.buildMail(d, "mfrom", "mto", "s1", "s2",
+            "payload", "enc").select(col("doc_id"), col("mail")), "mail")
+        .drop("mail")
+        .orderBy(col("doc_id"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7352,6 +7402,62 @@ object SparkEntry {
         |SELECT i.event_id, i.ip, i.ip_long, b.cidr, b.prefix_len, b.net_long
         |FROM ip2 i LEFT JOIN (SELECT * FROM m WHERE rk = 1) b USING (event_id)
         |ORDER BY i.event_id""".stripMargin,
+
+    // q305: the distance-join DEFINITION — plain theta join on the
+    // exact squared distance. The engine's grid scheme must emit
+    // exactly these pairs or the hash breaks (completeness proof).
+    "q305_grid_distance_join" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    (c_custkey * 7919) % 100000 AS x,
+        |    (c_custkey * 4729) % 100000 AS y
+        |  FROM customer)
+        |SELECT a.id AS l_id, b.id AS r_id,
+        |  CAST(a.x AS BIGINT) AS lx, CAST(a.y AS BIGINT) AS ly,
+        |  CAST(b.x AS BIGINT) AS rx, CAST(b.y AS BIGINT) AS ry,
+        |  CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+        |FROM p a JOIN p b ON a.id < b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000
+        |ORDER BY l_id, r_id""".stripMargin,
+
+    // q306: the mean-free ACF replayed — lead over (ts, event_id),
+    // whole-partition n and S as window aggregates, HUGEINT products,
+    // sign-split floor `//` for Spark's truncating div.
+    "q306_autocorrelation" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |d AS (SELECT user_id, v,
+        |    lead(v) OVER (PARTITION BY user_id ORDER BY t, event_id) AS lv,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    SUM(v) OVER (PARTITION BY user_id) AS sm
+        |  FROM s),
+        |g AS (SELECT user_id, MAX(n) AS n,
+        |    SUM(CASE WHEN lv IS NOT NULL THEN
+        |      CAST(n*v - sm AS HUGEINT) * CAST(n*lv - sm AS HUGEINT) END) AS num,
+        |    SUM(CAST(n*v - sm AS HUGEINT) * CAST(n*v - sm AS HUGEINT)) AS den
+        |  FROM d GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, CAST(1 AS INT) AS lag,
+        |  CASE WHEN den > 0 AND num IS NOT NULL THEN
+        |    CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+        |      ELSE -(((-num) * 1000000) // den) END AS BIGINT)
+        |  END AS acf_micro
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    // q307: every parsed field recomputed from the source columns —
+    // the parse∘build identity (QP and base64 lanes both collapse to
+    // the original substring).
+    "q307_mail_parse" ->
+      """SELECT doc_id, TRUE AS mail_ok,
+        |  'user' || (doc_id % 50) || '@example.com' AS from_addr,
+        |  'dest' || (doc_id % 7) || '@example.org' AS to_addr,
+        |  'Report ' || doc_id || ' part ' || (doc_id % 3) AS subject,
+        |  'Fri, 01 May 2026 00:00:00 +0000' AS date_raw,
+        |  'text/plain; charset=utf-8' AS content_type,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'quoted-printable'
+        |    ELSE 'base64' END AS cte,
+        |  CAST(7 AS BIGINT) AS n_headers,
+        |  substr(text, 1, 80) AS body
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

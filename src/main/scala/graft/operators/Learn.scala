@@ -1057,6 +1057,55 @@ object Learn {
       .withColumn("p_milli", expr("(1000 * w_final) div __tot"))
       .drop("__tot")
   }
+
+  /** Per-key lag-`k` autocorrelation of a value series, exact to the
+    * micro floor — "does this metric remember itself k steps back"
+    * (seasonality detection, anomaly pre-screening, the ACF number
+    * behind every correlogram). Series order is (tsCol, seqCol) — a
+    * total order, so ties cannot flip the pairing.
+    *
+    * Exactness: values quantize to milli floors v; the mean never
+    * materializes as a rounded number — both sums are multiplied
+    * through by n (m = S/n):
+    *   num = Σ_{t≤n−k} (n·vₜ − S)(n·vₜ₊ₖ − S)
+    *   den = Σ_{all t} (n·vₜ − S)²
+    *   acf_micro = (10⁶·num) div den   (sign-split, so DuckDB's
+    *               flooring `//` replays Spark's truncating div)
+    * with DECIMAL(38,0) products — n·v ≤ 38 digits holds far past
+    * any per-key series that fits an executor. Keys with den = 0
+    * (constant series) or fewer than k+1 points yield null, never a
+    * fake 0.
+    *
+    * Shape: ONE shuffle on the key — the lead window and the
+    * whole-partition totals ride the same partitioning (no second
+    * exchange; the totals are window aggregates, not a join), then a
+    * key-grain hash aggregate. No partition-less window, state
+    * bounded by key grain. */
+  def autocorrelation(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"lag must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val part = Window.partitionBy(col(keyCol))
+    val staged = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(seqCol),
+        floor(col(valueCol) * lit(1000)).cast("long").as("__v"))
+      .withColumn("__lead", lead(col("__v"), k).over(w))
+      .withColumn("__n", count(lit(1)).over(part))
+      .withColumn("__s", sum(col("__v")).over(part))
+    val c = (x: Column) =>
+      (col("__n") * x - col("__s")).cast("decimal(38,0)")
+    staged.groupBy(col(keyCol))
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__lead").isNotNull, c(col("__v")) * c(col("__lead")))).as("__num"),
+        sum(c(col("__v")) * c(col("__v"))).as("__den"))
+      .select(col(keyCol), col("n"), lit(k).as("lag"),
+        when(col("__den") > 0 && col("__num").isNotNull, expr(
+          """CAST(CASE WHEN __num >= 0
+            | THEN (__num * 1000000) div __den
+            | ELSE -(((-__num) * 1000000) div __den) END AS BIGINT)"""
+            .stripMargin)).as("acf_micro"))
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —

@@ -555,6 +555,46 @@ object Relational {
         (col("lv") - col("rv")).as("delta"))
   }
 
+  /** 2-D grid distance join — all (left, right) pairs within
+    * Euclidean distance `r` of each other (integer coordinates,
+    * exact squared-distance filter, no floating trig) — [[bandJoin]]
+    * lifted to the plane: spatial blocking for store/sensor/venue
+    * proximity, and the standard pre-join for embedding coordinates
+    * already projected to 2-D. Both sides quantize to r×r cells
+    * (sign-split floor division); the LEFT side explodes to its 3×3
+    * cell neighborhood, the right stays in its own cell, one equi
+    * join on (cell_x, cell_y), then the exact dx²+dy² ≤ r² filter.
+    * Every true pair meets in EXACTLY one candidate cell (the right
+    * row's own), so no dedup pass. Shuffle: 9·|L| + |R| skinny rows
+    * on cell keys — never the |L|·|R| BNLJ a distance theta join
+    * plans. Cell occupancy is the skew knob: pick `r` so a cell
+    * holds O(points·r²/area) rows, exactly how geo joins (Uber H3,
+    * S2) are sized in production. */
+  def gridDistanceJoin(left: DataFrame, right: DataFrame,
+      lIdCol: String, lxCol: String, lyCol: String,
+      rIdCol: String, rxCol: String, ryCol: String, r: Long): DataFrame = {
+    require(r >= 1, s"radius must be >= 1, got $r")
+    def cell(v: String) = expr(
+      s"CASE WHEN $v >= 0 THEN $v div $r ELSE -((((-$v)) + $r - 1) div $r) END")
+    val l = left.select(col(lIdCol).as("l_id"),
+        col(lxCol).cast("long").as("lx"), col(lyCol).cast("long").as("ly"))
+      .withColumn("__bx", cell("lx")).withColumn("__by", cell("ly"))
+      .withColumn("__cx", explode(array(col("__bx") - 1, col("__bx"),
+        col("__bx") + 1)))
+      .withColumn("__cy", explode(array(col("__by") - 1, col("__by"),
+        col("__by") + 1)))
+      .drop("__bx", "__by")
+    val rt = right.select(col(rIdCol).as("r_id"),
+        col(rxCol).cast("long").as("rx"), col(ryCol).cast("long").as("ry"))
+      .withColumn("__cx", cell("rx")).withColumn("__cy", cell("ry"))
+    l.join(rt, Seq("__cx", "__cy"))
+      .withColumn("dist2", (col("lx") - col("rx")) * (col("lx") - col("rx"))
+        + (col("ly") - col("ry")) * (col("ly") - col("ry")))
+      .filter(col("dist2") <= r * r)
+      .select(col("l_id"), col("r_id"), col("lx"), col("ly"),
+        col("rx"), col("ry"), col("dist2"))
+  }
+
   /** Functional-dependency audit: the lhs→rhs groups that VIOLATE
     * determinism (more than one rhs value for one lhs tuple) — the
     * schema-contract check profiling should run before anyone claims

@@ -564,4 +564,27 @@ class LearnSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Option[Long])].head()
     assert(deg == ((2L, 2L, 1000000L, 1000000L, None)))
   }
+
+  test("autocorrelation: hand-computed lag-1 ACF, constant and short series null") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def t(i: Int) = new java.sql.Timestamp(ts.getTime + i * 1000L)
+    val rows =
+      // ramp 1,2,3,4: num=20e6, den=80e6 -> 0.25
+      Seq(("A", 1), ("A", 2), ("A", 3), ("A", 4)).zipWithIndex.map {
+        case ((k, v), i) => (k, t(i), i.toLong, v.toDouble) } ++
+      // alternating 1,-1,1,-1: -48e6/64e6 -> -0.75 (negative lane)
+      Seq(("B", 1), ("B", -1), ("B", 1), ("B", -1)).zipWithIndex.map {
+        case ((k, v), i) => (k, t(i), i.toLong, v.toDouble) } ++
+      // constant -> den 0 -> null; single point -> no pairs -> null
+      Seq(("C", t(0), 0L, 5.0), ("C", t(1), 1L, 5.0), ("D", t(0), 0L, 9.0))
+    val df = rows.toDF("k", "ts", "seq", "v")
+    val got = Learn.autocorrelation(df, "k", "ts", "seq", "v", k = 1)
+      .select("k", "n", "acf_micro")
+      .as[(String, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("A") == ((4L, Some(250000L))))
+    assert(got("B") == ((4L, Some(-750000L))))
+    assert(got("C") == ((2L, None)))
+    assert(got("D") == ((1L, None)))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class MailSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val plain = "From: a@x\r\nTo: b@y\r\nSubject: hi\r\n\r\nbody text"
+
+  test("parse: plain 7bit, folded subject unfolds, first duplicate header wins") {
+    val p = Mail.parse(plain)
+    assert(p.fromAddr == "a@x" && p.toAddr == "b@y" && p.subject == "hi")
+    assert(p.cte == "7bit" && p.nHeaders == 3L && p.body == "body text")
+    val folded = "Subject: one\r\n\ttwo\r\n  three\r\nFrom: f@x\r\n\r\nb"
+    assert(Mail.parse(folded).subject == "one two three")
+    val dup = "From: first@x\r\nFrom: second@x\r\n\r\nb"
+    assert(Mail.parse(dup).fromAddr == "first@x")
+    assert(Mail.parse(dup).nHeaders == 2L) // both counted, first extracted
+    // LF-only line endings parse identically
+    assert(Mail.parse("From: a@x\nSubject: s\n\nbody").body == "body")
+  }
+
+  test("parse: quoted-printable strict — escapes, soft breaks, bad escape rejects") {
+    val qp = "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "a=20b=3Dc=\r\nrest=65nd"
+    assert(Mail.parse(qp).body == "a b=crestend")
+    // lowercase hex valid
+    assert(Mail.parse("Content-Transfer-Encoding: quoted-printable\r\n\r\n=3d").body == "=")
+    // lone '=' and non-hex escapes reject the whole message
+    assert(Mail.parse("Content-Transfer-Encoding: quoted-printable\r\n\r\nx=") == null)
+    assert(Mail.parse("Content-Transfer-Encoding: quoted-printable\r\n\r\nx=4Z") == null)
+  }
+
+  test("parse: base64 strict; unknown cte, missing separator, bad header reject") {
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      "round trip!".getBytes("ISO-8859-1")).grouped(4).mkString("\r\n")
+    assert(Mail.parse("Content-Transfer-Encoding: base64\r\n\r\n" + b64)
+      .body == "round trip!")
+    assert(Mail.parse("Content-Transfer-Encoding: base64\r\n\r\n@@@@") == null)
+    assert(Mail.parse("Content-Transfer-Encoding: uuencode\r\n\r\nx") == null)
+    assert(Mail.parse("From: a@x\r\nno separator at all") == null)
+    assert(Mail.parse("From: a@x\r\nbadline\r\n\r\nb") == null)
+    assert(Mail.parse("Bad Name: v\r\n\r\nb") == null) // space in name
+  }
+
+  test("parseMail ∘ buildMail is identity for both transfer encodings") {
+    val rows = Seq(
+      (1L, "u1@a", "v1@b", "Subj 1", "tail 1", "spaces and eees = tricky", "quoted-printable"),
+      (2L, "u2@a", "v2@b", "Subj 2", "tail 2", "plain base64 body with spaces", "base64"),
+      (3L, "u3@a", "v3@b", "S", "t", "x" * 200, "quoted-printable")) // multi-line QP
+      .toDF("id", "f", "t", "s1", "s2", "payload", "enc")
+    val got = Mail.parseMail(
+        Mail.buildMail(rows, "f", "t", "s1", "s2", "payload", "enc")
+          .select(col("id"), col("payload").as("want"), col("mail")), "mail")
+      .select("id", "mail_ok", "subject", "n_headers", "want", "body")
+      .as[(Long, Boolean, String, Long, String, String)].collect()
+    assert(got.length == 3 && got.forall(_._2))
+    got.foreach { case (_, _, subj, n, want, body) =>
+      assert(n == 7L)
+      assert(body == want)
+      assert(subj.contains(" ")) // folded subject unfolded
+    }
+    // null input column stays a visible reject row
+    val nul = Mail.parseMail(Seq((9L, null.asInstanceOf[String]))
+      .toDF("id", "mail"), "mail")
+      .select("id", "mail_ok").as[(Long, Boolean)].head()
+    assert(nul == ((9L, false)))
+  }
+}

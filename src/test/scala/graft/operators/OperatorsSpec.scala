@@ -674,6 +674,34 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("gridDistanceJoin: 3x3 cells equal the theta definition, negatives, boundary, no BNLJ") {
+    import spark.implicits._
+    // clusters straddling cell borders, negative quadrant, one pair
+    // at EXACTLY dist r, one just over
+    val pts = Seq((1L, 0L, 0L), (2L, 10L, 0L), (3L, -3L, -4L),
+      (4L, 9L, 9L), (5L, 100L, 100L), (6L, 106L, 108L),
+      (7L, -20L, -20L)).toDF("id", "x", "y")
+    val got = Relational.gridDistanceJoin(pts, pts, "id", "x", "y",
+        "id", "x", "y", r = 10L)
+      .filter(col("l_id") < col("r_id"))
+      .select("l_id", "r_id", "dist2").as[(Long, Long, Long)]
+      .collect().toSet
+    val raw = Seq((1L, 0L, 0L), (2L, 10L, 0L), (3L, -3L, -4L),
+      (4L, 9L, 9L), (5L, 100L, 100L), (6L, 106L, 108L), (7L, -20L, -20L))
+    val want = (for {
+      (a, ax, ay) <- raw; (b, bx, by) <- raw
+      d2 = (ax - bx) * (ax - bx) + (ay - by) * (ay - by)
+      if a < b && d2 <= 100
+    } yield (a, b, d2)).toSet
+    assert(got == want && want.contains((1L, 2L, 100L))) // boundary kept
+    assert(want.contains((5L, 6L, 100L)))     // 6²+8² = 100, cross-cell
+    assert(!want.exists(t => t._2 == 7L))     // isolated point pairs nothing
+    val p = Relational.gridDistanceJoin(pts, pts, "id", "x", "y",
+        "id", "x", "y", 10L).queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

@@ -3086,6 +3086,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q308: first/last-touch attribution — every purchase credited
+    // to the earliest and latest click/view/signup inside a 4-hour
+    // lookback (inclusive at the purchase instant); unattributed
+    // purchases stay visible with null channels. Built on the
+    // bucketed interval join, so one bot user cannot concentrate a
+    // task.
+    "q308_touch_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      Relational.touchAttribution(
+          e.filter(col("event_type").isin("click", "view", "signup")),
+          e.filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_type", "event_id", "ts", "value",
+          windowMicros = 14400L * 1000000L)
+        .orderBy(col("conv_id"))
+    }),
+
+    // q309: field-level survivorship — clusters built from customer
+    // key arithmetic with planted per-field nulls; each field
+    // independently takes the highest-(priority, recency, −id)
+    // non-null value, so the golden record can mix sources.
+    "q309_golden_record" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(
+        (col("c_custkey") % 400).as("cluster_id"),
+        col("c_custkey").as("id"),
+        (col("c_custkey") % 3).as("priority"),
+        (col("c_custkey") % 11).as("rev"),
+        when(col("c_custkey") % 5 =!= 0, col("c_name")).as("name"),
+        when(col("c_custkey") % 3 =!= 0,
+          floor(col("c_acctbal") * 100).cast("long")).as("acct_cents"),
+        when(col("c_custkey") % 7 =!= 0, col("c_mktsegment")).as("segment"))
+      Relational.goldenRecord(c, "cluster_id", "priority", "rev", "id",
+          Seq("name", "acct_cents", "segment"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7458,6 +7493,51 @@ object SparkEntry {
         |  CAST(7 AS BIGINT) AS n_headers,
         |  substr(text, 1, 80) AS body
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // q308: the attribution DEFINITION — key-equi join with the
+    // inclusive range predicate, endpoints via lexicographic struct
+    // min/max (same tie-break), unattributed kept by the left join.
+    "q308_touch_attribution" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tts, event_type AS ch
+        |  FROM events WHERE event_type IN ('click','view','signup')),
+        |c AS (SELECT user_id, event_id AS conv_id, epoch_us(ts) AS cts,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events WHERE event_type = 'purchase'),
+        |g AS (SELECT c2.conv_id, COUNT(*) AS n_touches,
+        |    MIN({'ts': t.tts, 'ch': t.ch}) AS f,
+        |    MAX({'ts': t.tts, 'ch': t.ch}) AS l
+        |  FROM c c2 JOIN t ON t.user_id = c2.user_id
+        |    AND t.tts >= c2.cts - 14400000000 AND t.tts <= c2.cts
+        |  GROUP BY c2.conv_id)
+        |SELECT c.conv_id, c.user_id, c.cts AS conv_ts_us, c.value_milli,
+        |  COALESCE(g.n_touches, 0) AS n_touches,
+        |  struct_extract(g.f, 'ch') AS first_channel,
+        |  struct_extract(g.f, 'ts') AS first_touch_us,
+        |  struct_extract(g.l, 'ch') AS last_channel,
+        |  struct_extract(g.l, 'ts') AS last_touch_us
+        |FROM c LEFT JOIN g USING (conv_id)
+        |ORDER BY c.conv_id""".stripMargin,
+
+    // q309: per-field survivorship replayed — the same
+    // (priority, recency, −id, value) struct max per field, null
+    // only when the field is null cluster-wide.
+    "q309_golden_record" ->
+      """WITH b AS (SELECT c_custkey % 400 AS cluster_id, c_custkey AS id,
+        |    c_custkey % 3 AS p, c_custkey % 11 AS t,
+        |    CASE WHEN c_custkey % 5 <> 0 THEN c_name END AS name,
+        |    CASE WHEN c_custkey % 3 <> 0
+        |      THEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) END AS acct_cents,
+        |    CASE WHEN c_custkey % 7 <> 0 THEN c_mktsegment END AS segment
+        |  FROM customer)
+        |SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  struct_extract(MAX(CASE WHEN name IS NOT NULL THEN
+        |    {'p': p, 't': t, 'ni': -id, 'v': name} END), 'v') AS name,
+        |  struct_extract(MAX(CASE WHEN acct_cents IS NOT NULL THEN
+        |    {'p': p, 't': t, 'ni': -id, 'v': acct_cents} END), 'v') AS acct_cents,
+        |  struct_extract(MAX(CASE WHEN segment IS NOT NULL THEN
+        |    {'p': p, 't': t, 'ni': -id, 'v': segment} END), 'v') AS segment
+        |FROM b GROUP BY cluster_id
+        |ORDER BY cluster_id""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

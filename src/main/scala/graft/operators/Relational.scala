@@ -1751,6 +1751,81 @@ object Relational {
       .withColumn("island_span_us",
         col("island_end_us") - col("island_start_us"))
   }
+
+  /** First/last-touch conversion attribution: for every conversion
+    * event, find the key's touch events within the lookback window
+    * `conv_ts − windowMicros ≤ touch_ts ≤ conv_ts` (inclusive at the
+    * conversion instant) and credit the conversion's value to the
+    * earliest and latest touch's channel — the two endpoint models
+    * every marketing/causal pipeline starts from. Output: one row
+    * PER CONVERSION (conversions with no in-window touch keep null
+    * channels — unattributed spend must stay visible, the q304
+    * posture): key, conv id/ts/value plus n_touches, first/last
+    * channel and their timestamps.
+    *
+    * Built ON [[intervalJoin]] (left = touches, right = conversions,
+    * window + 1 µs for the inclusive upper bound), so candidate pairs
+    * are bounded per (key, window slice) — a bot key with 10⁶ touches
+    * never concentrates on one task — then ONE hash aggregate at
+    * conversion grain: endpoints ride lexicographic struct min/max
+    * ((ts, channel) — same-instant ties break toward the smaller
+    * channel string, a total order, so the credit is deterministic),
+    * and the final left join restores untouched conversions. */
+  def touchAttribution(touches: DataFrame, convs: DataFrame,
+      keyCol: String, touchTsCol: String, channelCol: String,
+      convIdCol: String, convTsCol: String, valueCol: String,
+      windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val t = touches.select(col(keyCol), col(touchTsCol).as("__tts"),
+      col(channelCol).as("__ch"))
+    val c = convs.select(col(keyCol), col(convIdCol).as("conv_id"),
+      col(convTsCol).as("__cts"), col(valueCol).as("__cv"))
+    val pair = struct(unix_micros(col("__tts")).as("ts"), col("__ch").as("ch"))
+    val credited = intervalJoin(t, c, keyCol, "__tts", "__cts",
+        windowMicros + 1L)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("n_touches"),
+        min(pair).as("__first"), max(pair).as("__last"))
+      .select(col("conv_id"), col("n_touches"),
+        col("__first.ch").as("first_channel"),
+        col("__first.ts").as("first_touch_us"),
+        col("__last.ch").as("last_channel"),
+        col("__last.ts").as("last_touch_us"))
+    c.select(col(keyCol), col("conv_id"),
+        unix_micros(col("__cts")).as("conv_ts_us"),
+        floor(col("__cv") * lit(1000)).cast("long").as("value_milli"))
+      .join(credited, Seq("conv_id"), "left")
+      .withColumn("n_touches", coalesce(col("n_touches"), lit(0L)))
+  }
+
+  /** Field-level survivorship (golden-record merge): one output row
+    * per cluster of duplicate records, where EACH listed field is
+    * taken from its best non-null source independently — highest
+    * `priorityCol`, then latest `tsCol`, then smallest `idCol` — the
+    * master-data-management step after identity resolution
+    * ([[sortedNeighborhoodPairs]] / linkage pairs decide WHO matches;
+    * this decides what the merged record SAYS). Row-level keep-best
+    * (Dedup.keepBest) throws away a better phone number living on a
+    * worse record; field-level merge is why MDM pipelines exist.
+    *
+    * ONE hash aggregate at cluster grain: per field, the survivor
+    * rides max(struct(priority, ts, −id, value)) over non-null
+    * values only — lexicographic struct comparison IS the tie-break
+    * chain, and −id makes the final tie deterministic without a
+    * second pass. Null only when the field is null across the whole
+    * cluster. */
+  def goldenRecord(df: DataFrame, clusterCol: String, priorityCol: String,
+      tsCol: String, idCol: String, fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "goldenRecord needs at least one field")
+    val aggs = fields.map { f =>
+      max(when(col(f).isNotNull,
+        struct(col(priorityCol).as("p"), col(tsCol).as("t"),
+          (-col(idCol)).as("ni"), col(f).as("v"))))
+        .getField("v").as(f)
+    }
+    df.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_records"), aggs: _*)
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

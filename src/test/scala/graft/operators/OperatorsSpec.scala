@@ -702,6 +702,52 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       !p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("touchAttribution: window endpoints inclusive, ties deterministic, unattributed visible") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val touches = Seq(
+      (1L, ts(0), "A"),   // outside the 15s lookback of conv@20
+      (1L, ts(5), "C"),   // exactly conv-W: inclusive
+      (1L, ts(10), "B"),
+      (1L, ts(20), "Z"),  // exactly at conv instant: inclusive
+      (3L, ts(100), "a"), (3L, ts(100), "z")) // same-instant tie
+      .toDF("user_id", "ts", "ch")
+    val convs = Seq((1L, 900L, ts(20), 5.0), (2L, 901L, ts(50), 7.0),
+      (3L, 902L, ts(100), 1.5)).toDF("user_id", "conv_id", "ts", "value")
+    val got = Relational.touchAttribution(touches, convs, "user_id",
+        "ts", "ch", "conv_id", "ts", "value", windowMicros = 15L * 1000000L)
+      .select("conv_id", "value_milli", "n_touches", "first_channel",
+        "last_channel")
+      .as[(Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(900L) == ((5000L, 3L, Some("C"), Some("Z"))))
+    assert(got(901L) == ((7000L, 0L, None, None)))
+    assert(got(902L) == ((1500L, 2L, Some("a"), Some("z"))))
+  }
+
+  test("goldenRecord: per-field survivorship mixes sources, cluster-wide-null stays null") {
+    import spark.implicits._
+    val df = Seq(
+      // cluster 1: full-tie on name broken by smaller id; phone only
+      // on the low-priority record; addr won by recency within p=2
+      (1L, 11L, 2L, 5L, "Alice", null.asInstanceOf[String], "addr-old"),
+      (1L, 12L, 1L, 9L, null.asInstanceOf[String], "555-1234", null.asInstanceOf[String]),
+      (1L, 13L, 2L, 5L, "Alicia", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (1L, 14L, 2L, 7L, null.asInstanceOf[String], null.asInstanceOf[String], "addr-new"),
+      // cluster 2: all names null
+      (2L, 21L, 1L, 1L, null.asInstanceOf[String], "p2", "a2"))
+      .toDF("cluster_id", "id", "priority", "rev", "name", "phone", "addr")
+    val got = Relational.goldenRecord(df, "cluster_id", "priority", "rev",
+        "id", Seq("name", "phone", "addr"))
+      .select("cluster_id", "n_records", "name", "phone", "addr")
+      .as[(Long, Long, Option[String], Option[String], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // name: ids 11/13 tie on (p=2, t=5), -id picks id=11 "Alice";
+    // addr: (2,7) beats (2,5); phone survives from the p=1 record
+    assert(got(1L) == ((4L, Some("Alice"), Some("555-1234"), Some("addr-new"))))
+    assert(got(2L) == ((1L, None, Some("p2"), Some("a2"))))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

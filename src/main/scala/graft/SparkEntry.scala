@@ -3121,6 +3121,41 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // q310: incremental aggregate-table refresh — the base summary is
+    // built from 80% of lineitem, the other 20% folds in as an
+    // insert-only delta WITHOUT rescanning the base; the oracle is
+    // the FULL recompute over the whole table, so merge == recompute
+    // is pinned value-exact.
+    "q310_incremental_agg" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      graft.sources.Maintenance.incrementalAggRefresh(
+          graft.sources.Maintenance.aggPartials(
+            li.filter(col("l_orderkey") % 10 < 8), keys, "l_extendedprice"),
+          li.filter(col("l_orderkey") % 10 >= 8), keys, "l_extendedprice")
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // q311: trailing-7 sliding lower median per user — a data value,
+    // not an interpolation, so both engines agree bit-for-bit.
+    "q311_sliding_median" -> ((s, dir) => {
+      Relational.slidingMedian(Tables.events(s, dir), "user_id", "ts",
+          "event_id", "value", window = 7)
+        .orderBy(col("user_id"), col("ts_us"), col("seq"))
+    }),
+
+    // q312: business-day deadline arithmetic — closed-form epoch-day
+    // integers (no engine calendar functions), weekend starts roll
+    // to Monday, result never lands on a weekend.
+    "q312_business_deadline" -> ((s, dir) => {
+      operators.Calendars.businessDeadline(
+          Tables.orders(s, dir).select(col("o_orderkey"),
+            to_date(col("o_orderdate")).as("start_date"),
+            (col("o_orderkey") % 23).as("n_bdays")),
+          "start_date", "n_bdays")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // q266: rendezvous-hash shard placement + the minimal-movement
     // audit: assignment over 5 nodes vs 4 (n2 removed) — rendezvous
     // guarantees moved ⇔ was-on-n2, and the oracle re-derives both
@@ -7538,6 +7573,53 @@ object SparkEntry {
         |    {'p': p, 't': t, 'ni': -id, 'v': segment} END), 'v') AS segment
         |FROM b GROUP BY cluster_id
         |ORDER BY cluster_id""".stripMargin,
+
+    // q310: the FULL recompute — the incremental merge must equal it.
+    "q310_incremental_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_milli,
+        |  MIN(CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)) AS min_milli,
+        |  MAX(CAST(FLOOR(l_extendedprice * 1000) AS BIGINT)) AS max_milli
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q311: DuckDB's list window aggregate replays the frame, the
+    // lower-median index is the same (k+1)//2.
+    "q311_sliding_median" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |    event_id AS seq, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT user_id, ts_us, seq, v AS value_milli,
+        |    list(v) OVER (PARTITION BY user_id ORDER BY ts_us, seq
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS f
+        |  FROM s)
+        |SELECT user_id, ts_us, seq, value_milli,
+        |  CAST(len(f) AS BIGINT) AS n_in_frame,
+        |  list_extract(list_sort(f), CAST((len(f)+1) // 2 AS INT)) AS median_milli
+        |FROM w ORDER BY user_id, ts_us, seq""".stripMargin,
+
+    // q312: the closed form replayed digit for digit on epoch days.
+    "q312_business_deadline" ->
+      """WITH b AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS start_date,
+        |    o_orderkey % 23 AS n_bdays,
+        |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS day0
+        |  FROM orders),
+        |c AS (SELECT *, (day0 + 3) % 7 AS dow FROM b),
+        |d AS (SELECT *,
+        |    day0 + CASE WHEN dow = 5 THEN 2 WHEN dow = 6 THEN 1 ELSE 0 END
+        |      AS rolled,
+        |    CASE WHEN dow > 4 THEN 0 ELSE dow END AS sdow FROM c),
+        |e AS (SELECT *, rolled + (n_bdays // 5) * 7 + (n_bdays % 5)
+        |    + CASE WHEN sdow + (n_bdays % 5) > 4 THEN 2 ELSE 0 END AS dd
+        |  FROM d)
+        |SELECT o_orderkey, start_date, n_bdays,
+        |  CAST(dd AS BIGINT) AS deadline_day,
+        |  DATE '1970-01-01' + CAST(dd AS INT) AS deadline,
+        |  CAST((dd + 3) % 7 AS BIGINT) AS deadline_dow
+        |FROM e ORDER BY o_orderkey""".stripMargin,
 
     // q266: both placement lanes re-derived from the same md5
     // weights (fixed-width lowercase hex compares as the 128-bit

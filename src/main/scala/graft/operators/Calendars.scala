@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Business-calendar arithmetic — SLA deadlines, settlement dates,
+  * working-day aging. Everything reduces to EPOCH-DAY INTEGER
+  * arithmetic (day 0 = 1970-01-01, a Thursday, so Monday-based
+  * day-of-week is `(day + 3) mod 7`) — no engine calendar functions,
+  * whose week-numbering conventions differ across engines, ever
+  * enter the result; both lanes replay the same integers. Weekend =
+  * Saturday/Sunday; holiday tables are a policy input deliberately
+  * out of scope here (join one in before calling — the arithmetic
+  * composes).
+  *
+  * All row-local, codegen'd column expressions — zero shuffles. */
+object Calendars {
+
+  private val Epoch = to_date(lit("1970-01-01"))
+
+  /** Epoch-day number of a DATE column (BIGINT). */
+  def epochDay(d: Column): Column = datediff(d, Epoch).cast("long")
+
+  /** Monday=0 … Sunday=6 day-of-week, pure integer arithmetic. */
+  def dowMon0(d: Column): Column = pmod(epochDay(d) + 3, lit(7L))
+
+  /** The deadline `n` BUSINESS days after `start` (n ≥ 0 enforced
+    * per-row): counting starts at the first business day ≥ start
+    * (a weekend start rolls forward to Monday; n = 0 returns that
+    * day), then full weeks advance 7 calendar days per 5 business
+    * days and the remainder skips at most one weekend. The result is
+    * never a weekend. Closed form — no iteration, no calendar UDF. */
+  def addBusinessDays(start: Column, n: Column): Column = {
+    val guarded = when(n < 0, raise_error(
+      lit("addBusinessDays: n must be >= 0")).cast("long")).otherwise(n)
+    val day0 = epochDay(start)
+    val dow = pmod(day0 + 3, lit(7L))
+    val rolled = day0 + when(dow === 5, 2L).when(dow === 6, 1L).otherwise(0L)
+    val startDow = when(dow > 4, 0L).otherwise(dow)
+    val weeks = guarded.cast("long") / 5
+    val fullWeeks = floor(weeks).cast("long")
+    val rem = guarded.cast("long") % 5
+    val skip = when(startDow + rem > 4, 2L).otherwise(0L)
+    rolled + fullWeeks * 7 + rem + skip
+  }
+
+  /** Deadline audit: appends `deadline_day` (epoch day), `deadline`
+    * (DATE), `deadline_dow` (always 0–4) for `start + n business
+    * days`. */
+  def businessDeadline(df: DataFrame, startCol: String,
+      nCol: String): DataFrame = {
+    val dd = addBusinessDays(col(startCol), col(nCol))
+    df.withColumn("deadline_day", dd)
+      .withColumn("deadline", date_add(Epoch, col("deadline_day").cast("int")))
+      .withColumn("deadline_dow", pmod(col("deadline_day") + 3, lit(7L)))
+  }
+}

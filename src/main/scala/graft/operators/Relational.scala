@@ -1826,6 +1826,36 @@ object Relational {
     df.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_records"), aggs: _*)
   }
+
+  /** Sliding LOWER median over the trailing `window` rows per key —
+    * the robust smoother a noisy metric stream actually wants (one
+    * spike moves a moving average by spike/n; it moves the moving
+    * median not at all). "Lower median" = element ⌈k/2⌉ of the
+    * sorted frame — a VALUE FROM THE DATA, not an interpolation, so
+    * it is type-stable, engine-exact, and identical in both lanes
+    * (avg-of-two-middles would reintroduce float division).
+    *
+    * Frame order is (tsCol, seqCol) — a total order. One
+    * key-partitioned window; per-row cost O(window log window) for
+    * the sort of a BOUNDED frame (window is a config constant, so
+    * this is O(1) state per row at any corpus size — the same
+    * argument as resampleOhlc's envelope). */
+  def slidingMedian(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("ts_us"), col(seqCol))
+      .rowsBetween(-(window - 1L), Window.currentRow)
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol), unix_micros(col(tsCol)).as("ts_us"), col(seqCol),
+        floor(col(valueCol) * lit(1000)).cast("long").as("__v"))
+      .withColumn("__frame", collect_list(col("__v")).over(w))
+      .select(col(keyCol), col("ts_us"), col(seqCol).as("seq"),
+        col("__v").as("value_milli"),
+        size(col("__frame")).cast("long").as("n_in_frame"),
+        expr("element_at(array_sort(__frame), CAST((size(__frame)+1) div 2 AS INT))")
+          .as("median_milli"))
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

@@ -334,4 +334,47 @@ object Maintenance {
       min(col("__h")).as("min_hash"),
       max(col("__h")).as("max_hash"))
   }
+
+  /** Decomposable-aggregate partials for `valueCol` at `groupCols`
+    * grain: (n, sum — milli-floored BIGINT, min, max). The summary
+    * row format [[incrementalAggRefresh]] maintains; building it is
+    * the LAST full scan the base data ever needs. */
+  def aggPartials(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "aggPartials needs at least one group column")
+    val v = floor(col(valueCol) * lit(1000)).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(v).as("n"), coalesce(sum(v), lit(0L)).as("sum_milli"),
+        min(v).as("min_milli"), max(v).as("max_milli"))
+  }
+
+  /** Incremental aggregate-table refresh for INSERT-ONLY deltas: fold
+    * a new batch into an existing [[aggPartials]] summary WITHOUT
+    * rescanning the base data — count/sum add, min/max combine; every
+    * partial here is decomposable, which is exactly why the summary
+    * stores (n, sum, min, max) and not avg. The materialized-view
+    * maintenance step every reporting pipeline needs at 100 TB: cost
+    * is O(|delta| + |summary|), and the summary is group-grain, not
+    * row-grain. (Deletes/updates need the change-feed path
+    * [[applyChanges]] plus a rebuild of the touched groups — min/max
+    * are not decomposable under retraction; this method is the
+    * append-only fast path and says so.)
+    *
+    * Contract: `summary` has exactly [[aggPartials]]' schema; groups
+    * new in the delta appear, untouched groups pass through
+    * unchanged (same rows, no rewrite amplification). One shuffle of
+    * the delta to group grain + one summary-sized outer merge. */
+  def incrementalAggRefresh(summary: DataFrame, delta: DataFrame,
+      groupCols: Seq[String], valueCol: String): DataFrame = {
+    val d = aggPartials(delta, groupCols, valueCol)
+      .withColumnsRenamed(Map("n" -> "__dn", "sum_milli" -> "__ds",
+        "min_milli" -> "__dmin", "max_milli" -> "__dmax"))
+    summary.join(d, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_milli"), lit(0L))
+          + coalesce(col("__ds"), lit(0L))).as("sum_milli"),
+        least(col("min_milli"), col("__dmin")).as("min_milli"),
+        greatest(col("max_milli"), col("__dmax")).as("max_milli")): _*)
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class CalendarsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // 2026-08-10 is a Monday; epoch day = 20675
+  private def dl(start: String, n: Long): (Long, Long) = {
+    val df = Seq((java.sql.Date.valueOf(start), n)).toDF("d", "n")
+    Calendars.businessDeadline(df, "d", "n")
+      .select("deadline_day", "deadline_dow").as[(Long, Long)].head()
+  }
+
+  test("addBusinessDays: weekday counting skips weekends") {
+    val mon = dl("2026-08-10", 0)._1
+    assert(dl("2026-08-10", 1)._1 == mon + 1)  // Tue
+    assert(dl("2026-08-10", 4)._1 == mon + 4)  // Fri
+    assert(dl("2026-08-10", 5)._1 == mon + 7)  // next Mon: one weekend
+    assert(dl("2026-08-10", 23)._1 == mon + 31) // 4 weekends + 3 days
+    // Friday + 1 business day = Monday
+    assert(dl("2026-08-14", 1)._1 == mon + 7)
+  }
+
+  test("addBusinessDays: weekend start rolls to Monday; result never weekend") {
+    val nextMon = dl("2026-08-17", 0)._1
+    assert(dl("2026-08-15", 0)._1 == nextMon) // Sat -> Mon
+    assert(dl("2026-08-16", 0)._1 == nextMon) // Sun -> Mon
+    assert(dl("2026-08-15", 3)._1 == nextMon + 3)
+    // dow always 0..4 over a sweep of starts and offsets
+    val sweep = (0 until 60).flatMap { s =>
+      (0L until 8L).map(n => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2026, 1, 1).plusDays(s)), n))
+    }.toDF("d", "n")
+    val dows = Calendars.businessDeadline(sweep, "d", "n")
+      .select("deadline_dow").as[Long].collect()
+    assert(dows.forall(d => d >= 0 && d <= 4))
+  }
+
+  test("addBusinessDays: negative n raises inside the column") {
+    val e = intercept[Exception] {
+      Seq((java.sql.Date.valueOf("2026-08-10"), -1L)).toDF("d", "n")
+        .select(Calendars.addBusinessDays(col("d"), col("n"))).collect()
+    }
+    assert(e.getMessage.contains("must be >= 0"), e.getMessage)
+  }
+}

@@ -748,6 +748,21 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, None, Some("p2"), Some("a2"))))
   }
 
+  test("slidingMedian: lower median of the trailing frame, spike-immune") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // values 1, 9, 2, 100, 3 with window 3: frames [1] [1,9] [1,9,2]
+    // [9,2,100] [2,100,3] -> lower medians 1, 1, 2, 9, 3
+    val df = Seq((1L, ts(0), 0L, 1.0), (1L, ts(1), 1L, 9.0),
+      (1L, ts(2), 2L, 2.0), (1L, ts(3), 3L, 100.0), (1L, ts(4), 4L, 3.0))
+      .toDF("k", "ts", "seq", "v")
+    val got = Relational.slidingMedian(df, "k", "ts", "seq", "v", window = 3)
+      .orderBy("seq").select("n_in_frame", "median_milli")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1000L), (2L, 1000L), (3L, 2000L),
+      (3L, 9000L), (3L, 3000L)))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

@@ -243,4 +243,24 @@ class MaintenanceSpec extends SparkTestBase {
       Maintenance.sizedWrite(df, path, sampleRows = 0)
     }
   }
+
+  test("incrementalAggRefresh == full recompute; untouched groups unchanged; new groups appear") {
+    val base = Seq(("a", 1.0), ("a", 2.5), ("b", 10.0)).toDF("g", "v")
+    val delta = Seq(("a", 0.5), ("c", 7.0)).toDF("g", "v")
+    val summary = Maintenance.aggPartials(base, Seq("g"), "v")
+    val got = Maintenance.incrementalAggRefresh(summary, delta, Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    val full = Maintenance.aggPartials(base.unionByName(delta), Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == full)
+    assert(got == Seq(("a", 3L, 4000L, 500L, 2500L),
+      ("b", 1L, 10000L, 10000L, 10000L),   // untouched passes through
+      ("c", 1L, 7000L, 7000L, 7000L)))     // delta-only group appears
+    // empty delta: refresh is the identity on the summary
+    val idem = Maintenance.incrementalAggRefresh(summary,
+        delta.filter(col("g") === "zzz"), Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(idem == summary.orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq)
+  }
 }

@@ -3121,6 +3121,66 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // q313: user-agent classification — 8 canonical UA strings keyed
+    // by event_id arithmetic; the oracle derives every expected
+    // column from the ARITHMETIC (not by re-running regexes), so the
+    // cascade's results are pinned lane-independently.
+    "q313_user_agent" -> ((s, dir) => {
+      val templates = array(
+        lit("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36"),
+        lit("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15"),
+        lit("Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0"),
+        lit("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)"),
+        lit("curl/8.5.0"),
+        lit("python-requests/2.31.0"),
+        lit("Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/124.0.6367.88 Mobile/15E148 Safari/604.1"),
+        lit("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)"))
+      val e = Tables.events(s, dir).select(col("event_id"))
+        .withColumn("ua",
+          element_at(templates, (pmod(col("event_id"), lit(8)) + 1).cast("int")))
+      operators.Web.parseUserAgent(e, "ua").orderBy(col("event_id"))
+    }),
+
+    // q314: referential-integrity audit — three real FK relationships
+    // (all clean) plus a deliberately shifted one whose orphan count
+    // the oracle recomputes, so both branches of the check are
+    // exercised.
+    "q314_ri_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val shifted = Tables.customer(s, dir)
+        .select((col("c_nationkey") + 20).as("nk"))
+      operators.Quality.riCheck(li, "l_orderkey", Tables.orders(s, dir),
+          "o_orderkey", "lineitem.fk_orders")
+        .unionByName(operators.Quality.riCheck(li, "l_partkey",
+          Tables.part(s, dir), "p_partkey", "lineitem.fk_part"))
+        .unionByName(operators.Quality.riCheck(Tables.orders(s, dir),
+          "o_custkey", Tables.customer(s, dir), "c_custkey",
+          "orders.fk_customer"))
+        .unionByName(operators.Quality.riCheck(shifted, "nk",
+          Tables.nation(s, dir), "n_nationkey", "customer.fk_nation_shifted"))
+        .orderBy(col("check_name"))
+    }),
+
+    // q315: declarative check suite in one aggregate pass (+ one
+    // grain aggregate per uniqueness check): four row contracts on
+    // orders (all clean) and two uniqueness contracts, one of which
+    // fails by construction.
+    "q315_check_suite" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      operators.Quality.checkSuite(o, Seq(
+          "o_totalprice_positive" -> (col("o_totalprice") <= 0),
+          "o_orderstatus_domain" ->
+            !col("o_orderstatus").isin("O", "F", "P"),
+          "o_orderdate_range" ->
+            (year(col("o_orderdate")) < 1990 || year(col("o_orderdate")) > 2030),
+          "o_orderpriority_notnull" -> col("o_orderpriority").isNull))
+        .unionByName(operators.Quality.uniqueCheck(o, "o_orderkey_unique",
+          Seq("o_orderkey")))
+        .unionByName(operators.Quality.uniqueCheck(o, "custkey_status_unique",
+          Seq("o_custkey", "o_orderstatus")))
+        .orderBy(col("check_name"))
+    }),
+
     // q310: incremental aggregate-table refresh — the base summary is
     // built from 80% of lineitem, the other 20% folds in as an
     // insert-only delta WITHOUT rescanning the base; the oracle is
@@ -7573,6 +7633,94 @@ object SparkEntry {
         |    {'p': p, 't': t, 'ni': -id, 'v': segment} END), 'v') AS segment
         |FROM b GROUP BY cluster_id
         |ORDER BY cluster_id""".stripMargin,
+
+    // q313: expected outputs derived from event_id arithmetic — the
+    // UA string AND the classification both come from the CASE, so
+    // the Spark cascade must land exactly these values.
+    "q313_user_agent" ->
+      """SELECT event_id,
+        |  CASE event_id % 8
+        |    WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36'
+        |    WHEN 1 THEN 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.4 Safari/605.1.15'
+        |    WHEN 2 THEN 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/115.0'
+        |    WHEN 3 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)'
+        |    WHEN 4 THEN 'curl/8.5.0'
+        |    WHEN 5 THEN 'python-requests/2.31.0'
+        |    WHEN 6 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/124.0.6367.88 Mobile/15E148 Safari/604.1'
+        |    ELSE 'Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)'
+        |  END AS ua,
+        |  CASE event_id % 8 WHEN 0 THEN 'chrome' WHEN 1 THEN 'safari'
+        |    WHEN 2 THEN 'firefox' WHEN 3 THEN 'googlebot' WHEN 4 THEN 'curl'
+        |    WHEN 5 THEN 'python-requests' WHEN 6 THEN 'chrome'
+        |    ELSE 'bingbot' END AS browser_family,
+        |  CAST(CASE event_id % 8 WHEN 0 THEN 124 WHEN 1 THEN 17
+        |    WHEN 2 THEN 115 WHEN 3 THEN 2 WHEN 4 THEN 8 WHEN 5 THEN 2
+        |    WHEN 6 THEN 124 ELSE 2 END AS BIGINT) AS browser_major,
+        |  CASE event_id % 8 WHEN 0 THEN 'windows' WHEN 1 THEN 'macos'
+        |    WHEN 2 THEN 'linux' WHEN 6 THEN 'ios'
+        |    ELSE 'other' END AS os_family,
+        |  (event_id % 8) IN (3, 4, 5, 7) AS is_bot
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // q314: each relationship's orphan count recomputed with NOT
+    // EXISTS; the shifted lane exercises the violation branch.
+    "q314_ri_audit" ->
+      """WITH checks(check_name, n_rows, n_violations) AS (
+        |  SELECT 'lineitem.fk_orders', (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_part', (SELECT COUNT(*) FROM lineitem),
+        |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'orders.fk_customer', (SELECT COUNT(*) FROM orders),
+        |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL
+        |  SELECT 'customer.fk_nation_shifted', (SELECT COUNT(*) FROM customer),
+        |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        |      (SELECT 1 FROM nation n
+        |       WHERE n.n_nationkey = c.c_nationkey + 20)))
+        |SELECT check_name, 'ri' AS kind, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
+
+    // q315: every contract replayed — row checks as conditional
+    // sums with the null-is-violation coalesce, uniqueness as
+    // N − |distinct| over a subquery (null keys form groups).
+    "q315_check_suite" ->
+      """WITH checks(check_name, kind, n_rows, n_violations) AS (
+        |  SELECT 'o_totalprice_positive', 'row', COUNT(*),
+        |    SUM(CASE WHEN COALESCE(o_totalprice <= 0, TRUE)
+        |      THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus_domain', 'row', COUNT(*),
+        |    SUM(CASE WHEN COALESCE(o_orderstatus NOT IN ('O','F','P'), TRUE)
+        |      THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate_range', 'row', COUNT(*),
+        |    SUM(CASE WHEN COALESCE(year(o_orderdate) < 1990
+        |        OR year(o_orderdate) > 2030, TRUE)
+        |      THEN 1 ELSE 0 END) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority_notnull', 'row', COUNT(*),
+        |    SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique', 'unique', COUNT(*),
+        |    COUNT(*) - (SELECT COUNT(*) FROM
+        |      (SELECT DISTINCT o_orderkey FROM orders)) FROM orders
+        |  UNION ALL
+        |  SELECT 'custkey_status_unique', 'unique', COUNT(*),
+        |    COUNT(*) - (SELECT COUNT(*) FROM
+        |      (SELECT DISTINCT o_custkey, o_orderstatus FROM orders))
+        |  FROM orders)
+        |SELECT check_name, kind, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
 
     // q310: the FULL recompute — the incremental merge must equal it.
     "q310_incremental_agg" ->

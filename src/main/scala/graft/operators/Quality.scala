@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality suite — the dbt-test / Great-Expectations
+  * family as engine operators: every table that feeds training or
+  * reporting gets a contract (non-null, unique, in-range, referential
+  * integrity), and the contract must be CHEAP to evaluate at 100 TB —
+  * which means one aggregate pass for all row-local checks, one
+  * grain-sized aggregate per uniqueness check, and one skinny-keyed
+  * anti-join per foreign key. Uniform output schema
+  * (check_name, kind, n_rows, n_violations, pass) so suites union,
+  * persist, and diff across runs.
+  */
+object Quality {
+
+  private def report(checkName: String, kind: String, nRows: Column,
+      nViolations: Column): Seq[Column] = Seq(
+    lit(checkName).as("check_name"), lit(kind).as("kind"),
+    nRows.as("n_rows"), nViolations.as("n_violations"))
+
+  /** Row-local checks in ONE aggregate pass: each entry is
+    * (check_name, violation predicate) — a row violates the check
+    * when the predicate is true OR null-valued (an unevaluable check
+    * is a failing check, never a silent pass: `col > 0` over a null
+    * must count). Returns one row per check. */
+  def checkSuite(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "checkSuite needs at least one check")
+    require(checks.map(_._1).distinct.size == checks.size,
+      "check names must be unique")
+    val aggs = checks.zipWithIndex.map { case ((_, pred), ix) =>
+      sum(when(coalesce(pred, lit(true)), 1L).otherwise(0L)).as(s"__v_$ix")
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    one.select(explode(array(checks.zipWithIndex.map { case ((name, _), ix) =>
+        struct(report(name, "row", col("__n"),
+          coalesce(col(s"__v_$ix"), lit(0L))): _*)
+      }: _*)).as("__c"))
+      .select(col("__c.*"))
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Uniqueness check on a key combination: n_violations = rows in
+    * excess of one per key (null key parts are ordinary values — two
+    * (null, 'x') rows are duplicates). One hash aggregate at key
+    * grain + a tiny rollup. */
+  def uniqueCheck(df: DataFrame, checkName: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "uniqueCheck needs at least one column")
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(col("__c") - 1L), lit(0L)).as("__v"))
+      .select(report(checkName, "unique", col("__n"), col("__v")): _*)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+
+  /** Referential-integrity check: child rows whose `fkCol` value has
+    * no match in the parent's `pkCol` (null FKs are ORPHANS here —
+    * an optional relationship should filter nulls before the check,
+    * and the doc says so rather than silently excusing them).
+    * Shuffle cost: the child projects to the single FK column before
+    * the join, the parent to its distinct key — skinny keys only,
+    * never table payloads. */
+  def riCheck(child: DataFrame, fkCol: String, parent: DataFrame,
+      pkCol: String, checkName: String): DataFrame = {
+    val fk = child.select(col(fkCol).as("__fk"))
+    val pk = parent.select(col(pkCol).as("__fk")).distinct()
+    val orphans = fk.join(pk, Seq("__fk"), "left_anti")
+      .agg(count(lit(1)).as("__v"))
+    fk.agg(count(lit(1)).as("__n")).crossJoin(orphans)
+      .select(report(checkName, "ri", col("__n"), col("__v")): _*)
+      .withColumn("pass", col("n_violations") === 0L)
+  }
+}

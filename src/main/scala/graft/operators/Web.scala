@@ -727,4 +727,72 @@ object Web {
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("__host")).as("n_hosts"))
   }
+
+  /** User-agent classification — the first column every access-log /
+    * crawl-politeness pipeline derives. A DELIBERATELY small,
+    * documented rule cascade (full UA databases are trademark-ridden
+    * moving targets; what a pipeline needs is the stable 99%:
+    * browser family + major version, OS family, and a conservative
+    * bot flag). All row-local `when`/`regexp_extract` — codegen'd,
+    * zero shuffles, and the cascade order IS the contract:
+    *
+    *  family: curl → python-requests → wget → Googlebot → bingbot →
+    *          CriOS (Chrome-on-iOS ships no "Chrome/" token) →
+    *          Firefox → Chrome → Safari → other. First hit wins —
+    *          e.g. every Chrome UA also carries "Safari/", which is
+    *          why Safari sits LAST among browsers.
+    *  major:  the integer right of the matched family token.
+    *  os:     Windows NT → iPhone OS → Android → Mac OS X → Linux →
+    *          other (iPhone before Mac because iOS UAs say "like Mac
+    *          OS X"; Android before Linux because Android UAs say
+    *          "Linux; Android").
+    *  is_bot: case-insensitive `bot|crawl|spider|slurp` OR the
+    *          non-browser tools — the politeness-gate definition
+    *          (over-flagging a scraper is safe; under-flagging
+    *          Googlebot is not).
+    *
+    * Appends browser_family, browser_major (null when the family
+    * carries no version), os_family, is_bot. */
+  def parseUserAgent(df: DataFrame, uaCol: String): DataFrame = {
+    val ua = col(uaCol)
+    def tok(t: String) = ua.contains(t)
+    def major(t: String) =
+      regexp_extract(ua, java.util.regex.Pattern.quote(t) + "/([0-9]+)", 1)
+        .cast("long")
+    val family =
+      when(tok("curl/"), "curl")
+        .when(tok("python-requests/"), "python-requests")
+        .when(tok("Wget/"), "wget")
+        .when(tok("Googlebot/"), "googlebot")
+        .when(tok("bingbot/"), "bingbot")
+        .when(tok("CriOS/"), "chrome")
+        .when(tok("Firefox/"), "firefox")
+        .when(tok("Chrome/"), "chrome")
+        .when(tok("Safari/"), "safari")
+        .otherwise("other")
+    val majorV =
+      when(tok("curl/"), major("curl"))
+        .when(tok("python-requests/"), major("python-requests"))
+        .when(tok("Wget/"), major("Wget"))
+        .when(tok("Googlebot/"), major("Googlebot"))
+        .when(tok("bingbot/"), major("bingbot"))
+        .when(tok("CriOS/"), major("CriOS"))
+        .when(tok("Firefox/"), major("Firefox"))
+        .when(tok("Chrome/"), major("Chrome"))
+        .when(tok("Version/"), major("Version")) // Safari versions live here
+        .when(tok("Safari/"), major("Safari"))
+    val os =
+      when(tok("Windows NT"), "windows")
+        .when(tok("iPhone OS"), "ios")
+        .when(tok("Android"), "android")
+        .when(tok("Mac OS X"), "macos")
+        .when(tok("Linux"), "linux")
+        .otherwise("other")
+    val isBot = lower(ua).rlike("bot|crawl|spider|slurp") ||
+      family.isin("curl", "python-requests", "wget")
+    df.withColumn("browser_family", when(ua.isNotNull, family))
+      .withColumn("browser_major", when(ua.isNotNull, majorV))
+      .withColumn("os_family", when(ua.isNotNull, os))
+      .withColumn("is_bot", when(ua.isNotNull, isBot))
+  }
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class QualitySpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("checkSuite: one pass, null predicate counts as violation, names unique") {
+    val df = Seq((1L, Some(5.0)), (2L, Some(-1.0)), (3L, None))
+      .toDF("id", "v")
+    val got = Quality.checkSuite(df, Seq(
+        "v_positive" -> (col("v") <= 0),        // null v -> unevaluable -> violation
+        "id_small" -> (col("id") > 100)))
+      .select("check_name", "kind", "n_rows", "n_violations", "pass")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("v_positive") == (("row", 3L, 2L, false))) // -1 and null
+    assert(got("id_small") == (("row", 3L, 0L, true)))
+    intercept[IllegalArgumentException] {
+      Quality.checkSuite(df, Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
+  test("uniqueCheck: excess rows per key, null key parts are values") {
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), (null, 9), (null, 9))
+      .toDF("k", "s")
+    val one = Quality.uniqueCheck(df, "k_s", Seq("k", "s"))
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(one == (("k_s", "unique", 5L, 2L, false))) // (a,1) dup + (null,9) dup
+    val clean = Quality.uniqueCheck(df.select("k", "s").distinct(),
+      "dedup", Seq("k", "s")).as[(String, String, Long, Long, Boolean)].head()
+    assert(clean == (("dedup", "unique", 3L, 0L, true)))
+  }
+
+  test("riCheck: orphans counted, null FK is an orphan, empty child passes") {
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val got = Quality.riCheck(child, "fk", parent, "pk", "c.fk")
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(got == (("c.fk", "ri", 4L, 2L, false))) // 99 and null
+    val empty = Quality.riCheck(child.filter(col("fk") < 0), "fk",
+      parent, "pk", "e").as[(String, String, Long, Long, Boolean)].head()
+    assert(empty == (("e", "ri", 0L, 0L, true)))
+  }
+}

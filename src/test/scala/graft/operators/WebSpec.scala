@@ -446,4 +446,35 @@ class WebSpec extends SparkTestBase {
     assert(!r3.getBoolean(12) && (1 to 11).forall(r3.isNullAt))
     assert(got(4L).getLong(4) == 0L)          // the epoch itself
   }
+
+  test("parseUserAgent: cascade precedence, versions, bot flag, null passthrough") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/124.0.0.0 Safari/537.36"),
+      (2L, "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) Version/17.4 Safari/605.1.15"),
+      (3L, "Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) CriOS/124.0 Safari/604.1"),
+      (4L, "Mozilla/5.0 (Linux; Android 14) Chrome/123.0 Mobile Safari/537.36"),
+      (5L, "Mozilla/5.0 (compatible; Googlebot/2.1)"),
+      (6L, "Wget/1.21.3"),
+      (7L, "SomethingCrawler/1.0"),
+      (8L, "TotallyUnknown UA"),
+      (9L, null.asInstanceOf[String])).toDF("id", "ua")
+    val got = graft.operators.Web.parseUserAgent(rows, "ua")
+      .select("id", "browser_family", "browser_major", "os_family", "is_bot")
+      .as[(Long, Option[String], Option[Long], Option[String], Option[Boolean])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((Some("chrome"), Some(124L), Some("windows"), Some(false))))
+    assert(got(2L) == ((Some("safari"), Some(17L), Some("macos"), Some(false))))
+    // Chrome-on-iOS: CriOS wins over trailing Safari; iPhone beats
+    // the "like Mac OS X" decoy
+    assert(got(3L) == ((Some("chrome"), Some(124L), Some("ios"), Some(false))))
+    // Android beats the Linux token it always carries
+    assert(got(4L) == ((Some("chrome"), Some(123L), Some("android"), Some(false))))
+    assert(got(5L) == ((Some("googlebot"), Some(2L), Some("other"), Some(true))))
+    assert(got(6L) == ((Some("wget"), Some(1L), Some("other"), Some(true))))
+    // unknown crawler: family falls through, the bot regex still fires
+    assert(got(7L) == ((Some("other"), None, Some("other"), Some(true))))
+    assert(got(8L) == ((Some("other"), None, Some("other"), Some(false))))
+    assert(got(9L) == ((None, None, None, None)))
+  }
 }

@@ -3181,6 +3181,34 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // q316: CART split scoring — every (feature, threshold) candidate
+    // over three quantized lineitem features with the all-integer
+    // purity score; windows only over the model-sized grain table.
+    "q316_stump_candidates" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity").cast("long").as("quantity"),
+        floor(col("l_discount") * 100).cast("long").as("discount_c"),
+        floor(col("l_tax") * 100).cast("long").as("tax_c"))
+      operators.Learn.stumpCandidates(li, "y",
+          Seq("quantity", "discount_c", "tax_c"))
+        .orderBy(col("feature"), col("threshold"))
+    }),
+
+    // q317: the trained stump (argmax candidate, deterministic ties)
+    // plus its confusion matrix over the training frame — model and
+    // metrics in one row, selection and forward pass both replayed.
+    "q317_stump_train" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity").cast("long").as("quantity"),
+        floor(col("l_discount") * 100).cast("long").as("discount_c"),
+        floor(col("l_tax") * 100).cast("long").as("tax_c"))
+      val feats = Seq("quantity", "discount_c", "tax_c")
+      val model = operators.Learn.trainStump(li, "y", feats)
+      model.crossJoin(operators.Learn.stumpPredict(li, "y", feats, model))
+    }),
+
     // q310: incremental aggregate-table refresh — the base summary is
     // built from 80% of lineitem, the other 20% folds in as an
     // insert-only delta WITHOUT rescanning the base; the oracle is
@@ -7721,6 +7749,89 @@ object SparkEntry {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  n_violations = 0 AS pass
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // q316: the split-scoring table replayed — stacked features,
+    // (feature, value) grain, cumulative class counts, the same
+    // floored purity score.
+    "q316_stump_candidates" ->
+      """WITH s AS (
+        |  SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+        |    'quantity' AS feature, CAST(l_quantity AS BIGINT) AS threshold
+        |  FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT),
+        |    'discount_c', CAST(FLOOR(l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT),
+        |    'tax_c', CAST(FLOOR(l_tax * 100) AS BIGINT) FROM lineitem),
+        |g AS (SELECT feature, threshold, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+        |  FROM s GROUP BY feature, threshold),
+        |c AS (SELECT feature, threshold,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n1_left,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n0_left,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS t1,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature) AS BIGINT) AS t0
+        |  FROM g)
+        |SELECT feature, threshold, n0_left, n1_left,
+        |  t0 - n0_left AS n0_right, t1 - n1_left AS n1_right,
+        |  CAST((1000000 * (n0_left*n0_left + n1_left*n1_left))
+        |      // (n0_left + n1_left)
+        |    + (1000000 * ((t0-n0_left)*(t0-n0_left) + (t1-n1_left)*(t1-n1_left)))
+        |      // ((t0-n0_left) + (t1-n1_left)) AS BIGINT) AS score_micro
+        |FROM c WHERE (t0-n0_left) + (t1-n1_left) > 0
+        |ORDER BY feature, threshold""".stripMargin,
+
+    // q317: argmax + majority classes + the forward pass's confusion
+    // matrix, all from the q316 CTE.
+    "q317_stump_train" ->
+      """WITH s AS (
+        |  SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+        |    'quantity' AS feature, CAST(l_quantity AS BIGINT) AS threshold
+        |  FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT),
+        |    'discount_c', CAST(FLOOR(l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT CAST(l_returnflag = 'R' AS BIGINT),
+        |    'tax_c', CAST(FLOOR(l_tax * 100) AS BIGINT) FROM lineitem),
+        |g AS (SELECT feature, threshold, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+        |  FROM s GROUP BY feature, threshold),
+        |c AS (SELECT feature, threshold,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n1_left,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n0_left,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS t1,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature) AS BIGINT) AS t0
+        |  FROM g),
+        |sc AS (SELECT feature, threshold, n0_left, n1_left,
+        |    t0 - n0_left AS n0_right, t1 - n1_left AS n1_right,
+        |    CAST((1000000 * (n0_left*n0_left + n1_left*n1_left))
+        |        // (n0_left + n1_left)
+        |      + (1000000 * ((t0-n0_left)*(t0-n0_left) + (t1-n1_left)*(t1-n1_left)))
+        |        // ((t0-n0_left) + (t1-n1_left)) AS BIGINT) AS score_micro
+        |  FROM c WHERE (t0-n0_left) + (t1-n1_left) > 0),
+        |m AS (SELECT *, CAST(CASE WHEN n1_left > n0_left THEN 1 ELSE 0 END AS BIGINT) AS left_class,
+        |    CAST(CASE WHEN n1_right > n0_right THEN 1 ELSE 0 END AS BIGINT) AS right_class
+        |  FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC,
+        |      feature, threshold) AS rk FROM sc)
+        |  WHERE rk = 1),
+        |p AS (SELECT CAST(l.l_returnflag = 'R' AS BIGINT) AS y,
+        |    CASE WHEN (CASE m.feature
+        |        WHEN 'quantity' THEN CAST(l.l_quantity AS BIGINT)
+        |        WHEN 'discount_c' THEN CAST(FLOOR(l.l_discount * 100) AS BIGINT)
+        |        ELSE CAST(FLOOR(l.l_tax * 100) AS BIGINT) END) <= m.threshold
+        |      THEN m.left_class ELSE m.right_class END AS pr
+        |  FROM lineitem l, m),
+        |cm AS (SELECT
+        |    CAST(SUM(CASE WHEN y = 1 AND pr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN y = 0 AND pr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN y = 0 AND pr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN y = 1 AND pr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM p)
+        |SELECT m.feature, m.threshold, m.n0_left, m.n1_left, m.n0_right,
+        |  m.n1_right, m.score_micro, m.left_class, m.right_class,
+        |  cm.tp, cm.fp, cm.tn, cm.fn,
+        |  cm.tp + cm.fp + cm.tn + cm.fn AS n,
+        |  (1000 * (cm.tp + cm.tn)) // (cm.tp + cm.fp + cm.tn + cm.fn)
+        |    AS accuracy_milli
+        |FROM m, cm""".stripMargin,
 
     // q310: the FULL recompute — the incremental merge must equal it.
     "q310_incremental_agg" ->

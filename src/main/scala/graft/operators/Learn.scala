@@ -1058,6 +1058,101 @@ object Learn {
       .drop("__tot")
   }
 
+  /** Decision-stump split scoring over quantized numeric features —
+    * the CART split-selection step (Breiman et al. 1984) as a
+    * relational operator, all-integer like [[logisticTrainInt]]. For
+    * every (feature, threshold) candidate — thresholds are the
+    * feature's observed distinct values, the only points where the
+    * partition changes — emit the left/right class counts of the
+    * split `x ≤ t` and the purity score
+    *
+    *   score_micro = (10⁶·(n0L²+n1L²)) div nL
+    *               + (10⁶·(n0R²+n1R²)) div nR
+    *
+    * (maximizing this MINIMIZES weighted Gini impurity: n·G =
+    * n − Σside (n0²+n1²)/nside; the 10⁶ floor makes the argmax an
+    * integer function of the counts — engine-exact, q155 discipline).
+    * Candidates with an empty right side (t = max) are excluded —
+    * they are not splits.
+    *
+    * Shape: one corpus-sized union-project (|features| skinny
+    * copies), ONE hash aggregate to (feature, value) grain — the
+    * data reduction — then windows ONLY over the model-sized grain
+    * table (|distinct values| rows, partitioned by feature; never a
+    * corpus window). Callers pre-quantize continuous features (e.g.
+    * ×100) — thresholds on raw doubles would not be engine-stable. */
+  def stumpCandidates(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    require(features.nonEmpty, "stumpCandidates needs at least one feature")
+    val y = col(labelCol).cast("long")
+    val stacked = features.map { f =>
+      df.filter(col(f).isNotNull)
+        .select(lit(f).as("feature"), col(f).cast("long").as("threshold"),
+          y.as("__y"))
+    }.reduce(_ unionByName _)
+    val grain = stacked.groupBy(col("feature"), col("threshold"))
+      .agg(sum(col("__y")).as("__c1"),
+        (count(lit(1)) - sum(col("__y"))).as("__c0"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("threshold"))
+    val wAll = Window.partitionBy(col("feature"))
+    grain
+      .withColumn("n1_left", sum(col("__c1")).over(wCum))
+      .withColumn("n0_left", sum(col("__c0")).over(wCum))
+      .withColumn("__t1", sum(col("__c1")).over(wAll))
+      .withColumn("__t0", sum(col("__c0")).over(wAll))
+      .withColumn("n1_right", col("__t1") - col("n1_left"))
+      .withColumn("n0_right", col("__t0") - col("n0_left"))
+      .filter(col("n1_right") + col("n0_right") > 0)
+      .withColumn("score_micro", expr(
+        """(1000000 * (n0_left*n0_left + n1_left*n1_left))
+          |  div (n0_left + n1_left)
+          |+ (1000000 * (n0_right*n0_right + n1_right*n1_right))
+          |  div (n0_right + n1_right)""".stripMargin))
+      .select(col("feature"), col("threshold"), col("n0_left"),
+        col("n1_left"), col("n0_right"), col("n1_right"), col("score_micro"))
+  }
+
+  /** The chosen stump: argmax score over [[stumpCandidates]], ties
+    * broken (feature, threshold) ascending — fully deterministic.
+    * Adds each side's majority class (ties → class 0, the
+    * conservative default). The window runs over the MODEL-sized
+    * candidate table, not the corpus. */
+  def trainStump(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    val cand = stumpCandidates(df, labelCol, features)
+    val w = Window.orderBy(col("score_micro").desc, col("feature").asc,
+      col("threshold").asc)
+    cand.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+      .withColumn("left_class",
+        when(col("n1_left") > col("n0_left"), 1L).otherwise(0L))
+      .withColumn("right_class",
+        when(col("n1_right") > col("n0_right"), 1L).otherwise(0L))
+  }
+
+  /** Apply a trained stump (broadcast 1-row model, the
+    * logisticPredictInt pattern): predicted class + confusion-matrix
+    * rollup (tp/fp/tn/fn, accuracy_milli). */
+  def stumpPredict(df: DataFrame, labelCol: String, features: Seq[String],
+      model: DataFrame): DataFrame = {
+    require(features.nonEmpty, "stumpPredict needs the feature list")
+    val m = broadcast(model.select(col("feature"), col("threshold"),
+      col("left_class"), col("right_class")))
+    val x = map(features.flatMap(f => Seq(lit(f), col(f).cast("long"))): _*)
+    val pred = when(element_at(x, col("feature")) <= col("threshold"),
+      col("left_class")).otherwise(col("right_class"))
+    val y = col(labelCol).cast("long")
+    df.crossJoin(m)
+      .select(y.as("__y"), pred.as("__p"))
+      .agg(sum(when(col("__y") === 1 && col("__p") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__y") === 0 && col("__p") === 1, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__y") === 0 && col("__p") === 0, 1L).otherwise(0L)).as("tn"),
+        sum(when(col("__y") === 1 && col("__p") === 0, 1L).otherwise(0L)).as("fn"))
+      .withColumn("n", col("tp") + col("fp") + col("tn") + col("fn"))
+      .withColumn("accuracy_milli",
+        expr("(1000 * (tp + tn)) div n"))
+  }
+
   /** Per-key lag-`k` autocorrelation of a value series, exact to the
     * micro floor — "does this metric remember itself k steps back"
     * (seasonality detection, anomaly pre-screening, the ACF number

@@ -565,6 +565,31 @@ class LearnSpec extends SparkTestBase {
     assert(deg == ((2L, 2L, 1000000L, 1000000L, None)))
   }
 
+  test("stump: candidates hand-checked, training finds the separating split, predict is exact") {
+    // y = 1 iff x >= 5; z is a useless constant feature
+    val df = (1L to 10L).map(x => (if (x >= 5) 1L else 0L, x, 7L))
+      .toDF("y", "x", "z")
+    val cand = Learn.stumpCandidates(df, "y", Seq("x", "z"))
+      .select("feature", "threshold", "n0_left", "n1_left", "n0_right",
+        "n1_right", "score_micro")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    // z has one distinct value -> right side empty -> no candidate
+    assert(!cand.exists(_._1 == "z"))
+    // x <= 4: left pure 4/0, right pure 0/6 -> 1e6·16/4 + 1e6·36/6
+    val at4 = cand.find(c => c._1 == "x" && c._2 == 4L).get
+    assert(at4 == (("x", 4L, 4L, 0L, 0L, 6L, 4000000L + 6000000L)))
+    // x = 10 (the max) is excluded; thresholds 1..9 remain
+    assert(cand.filter(_._1 == "x").map(_._2).sorted.toSeq == (1L to 9L))
+    val model = Learn.trainStump(df, "y", Seq("x", "z"))
+    val m = model.select("feature", "threshold", "left_class", "right_class")
+      .as[(String, Long, Long, Long)].head()
+    assert(m == (("x", 4L, 0L, 1L)))
+    val pred = Learn.stumpPredict(df, "y", Seq("x", "z"), model)
+      .select("tp", "fp", "tn", "fn", "accuracy_milli")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(pred == ((6L, 0L, 4L, 0L, 1000L)))
+  }
+
   test("autocorrelation: hand-computed lag-1 ACF, constant and short series null") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def t(i: Int) = new java.sql.Timestamp(ts.getTime + i * 1000L)

@@ -3181,6 +3181,77 @@ object SparkEntry {
         .orderBy(col("check_name"))
     }),
 
+    // q318: interval-intersection join — 30-min click/view exposure
+    // windows ∩ 10-min error windows per user, clipped intersections
+    // with widths; the oracle is the overlap theta-join DEFINITION,
+    // so the bucket scheme's emit-once rule is proven complete.
+    "q318_interval_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val l = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts").as("ls"),
+          (col("ts") + expr("INTERVAL 1800 SECOND")).as("le"))
+      val r = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("rs"),
+          (col("ts") + expr("INTERVAL 600 SECOND")).as("re"))
+      Relational.intervalIntersectJoin(l, r, "user_id", "ls", "le",
+          "rs", "re", bucketMicros = 1800L * 1000000L)
+        .orderBy(col("user_id"), col("l_start_us"), col("r_start_us"))
+    }),
+
+    // q319: equi-width histogram profile with explicit underflow /
+    // overflow bins and zero-count in-range bins emitted (the spine).
+    "q319_histogram" -> ((s, dir) => {
+      operators.Quality.histogram(Tables.events(s, dir), "value",
+          originMilli = 50000L, binWidthMilli = 20000L, nBins = 20)
+        .orderBy(col("bin_idx"))
+    }),
+
+    // q320: URL-safe slugs through the strip_accents codegen
+    // expression (q143 pins its byte behavior against DuckDB's
+    // native strip_accents; this pins the composed slug).
+    "q320_slugify" -> ((s, dir) => {
+      Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("Épisode №"), col("doc_id"), lit(": "),
+            substring(col("text"), 1, 30), lit(" — Fin™")).as("title"))
+        .withColumn("slug", operators.TextOps.slugify(col("title")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q321: depth-2 tree — root stump + one stump per side trained
+    // on its partition; each level is one aggregate pass over its
+    // subset. The oracle recomputes the root argmax, partitions, and
+    // re-runs the whole scoring chain per side.
+    "q321_tree2" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity").cast("long").as("quantity"),
+        floor(col("l_discount") * 100).cast("long").as("discount_c"),
+        floor(col("l_tax") * 100).cast("long").as("tax_c"))
+      operators.Learn.trainTree2(li, "y",
+          Seq("quantity", "discount_c", "tax_c"))
+        .orderBy(col("node"))
+    }),
+
+    // q322: reciprocal-rank fusion of two deterministic rankings
+    // (a full "lexical" list and a partial even-doc "vector" list —
+    // hybrid retrieval's merge step), integer 10⁶ div (60 + rank)
+    // per source, grouped top-10.
+    "q322_rrf_fuse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 20).as("q"))
+      val wA = Window.partitionBy(col("q"))
+        .orderBy(pmod(col("doc_id") * 7, lit(101)), col("doc_id"))
+      val wB = Window.partitionBy(col("q"))
+        .orderBy(pmod(col("doc_id") * 13, lit(103)), col("doc_id"))
+      val a = d.withColumn("rank", row_number().over(wA))
+      val b = d.filter(col("doc_id") % 2 === 0)
+        .withColumn("rank", row_number().over(wB))
+      operators.Learn.rrfFuse(a.unionByName(b), "q", "doc_id", "rank",
+          k = 60, topK = 10)
+        .orderBy(col("q"), col("fused_rank"))
+    }),
+
     // q316: CART split scoring — every (feature, threshold) candidate
     // over three quantized lineitem features with the all-integer
     // purity score; windows only over the model-sized grain table.
@@ -7749,6 +7820,143 @@ object SparkEntry {
         |  CAST(n_violations AS BIGINT) AS n_violations,
         |  n_violations = 0 AS pass
         |FROM checks ORDER BY check_name""".stripMargin,
+
+    // q318: the overlap DEFINITION — plain theta join on
+    // max(start) < min(end) with the same clipping.
+    "q318_interval_intersect" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 1800000000 AS e
+        |  FROM events WHERE event_type IN ('click','view')),
+        |r AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 600000000 AS e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT l.user_id, l.s AS l_start_us, l.e AS l_end_us,
+        |  r.s AS r_start_us, r.e AS r_end_us,
+        |  greatest(l.s, r.s) AS overlap_start_us,
+        |  least(l.e, r.e) AS overlap_end_us,
+        |  least(l.e, r.e) - greatest(l.s, r.s) AS overlap_us
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND greatest(l.s, r.s) < least(l.e, r.e)
+        |ORDER BY l.user_id, l_start_us, r_start_us""".stripMargin,
+
+    // q319: bins, spine, and tail bins replayed.
+    "q319_histogram" ->
+      """WITH v AS (SELECT value,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv FROM events),
+        |b AS (SELECT CASE WHEN value IS NULL THEN NULL
+        |    WHEN mv < 50000 THEN -1
+        |    WHEN mv >= 50000 + 20000 * 20 THEN 20
+        |    ELSE (mv - 50000) // 20000 END AS bin_idx FROM v),
+        |c AS (SELECT bin_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY bin_idx),
+        |spine AS (SELECT CAST(gs.i AS BIGINT) AS bin_idx
+        |  FROM generate_series(0, 19) gs(i))
+        |SELECT bin_idx, COALESCE(cnt, 0) AS n,
+        |  CASE WHEN bin_idx BETWEEN 0 AND 19
+        |    THEN 50000 + bin_idx * 20000 END AS bin_lo_milli,
+        |  CASE WHEN bin_idx BETWEEN 0 AND 19
+        |    THEN 50000 + (bin_idx + 1) * 20000 END AS bin_hi_milli
+        |FROM spine FULL JOIN c USING (bin_idx)
+        |ORDER BY bin_idx""".stripMargin,
+
+    // q320: DuckDB's NATIVE strip_accents + the same regex pipeline —
+    // a genuine cross-implementation slug check (the q143 posture
+    // composed).
+    "q320_slugify" ->
+      """SELECT doc_id,
+        |  'Épisode №' || doc_id || ': ' || substr(text, 1, 30)
+        |    || ' — Fin™' AS title,
+        |  regexp_replace(regexp_replace(
+        |    lower(strip_accents('Épisode №' || doc_id || ': '
+        |      || substr(text, 1, 30) || ' — Fin™')),
+        |    '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q321: root argmax from the base chain, side assignment from
+    // the root row, the SAME scoring chain re-run partitioned by
+    // (node, feature), per-node argmax, union.
+    "q321_tree2" ->
+      """WITH base AS (SELECT CAST(l_returnflag = 'R' AS BIGINT) AS y,
+        |    CAST(l_quantity AS BIGINT) AS quantity,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS discount_c,
+        |    CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem),
+        |s0 AS (SELECT y, 'quantity' AS feature, quantity AS threshold FROM base
+        |  UNION ALL SELECT y, 'discount_c', discount_c FROM base
+        |  UNION ALL SELECT y, 'tax_c', tax_c FROM base),
+        |g0 AS (SELECT feature, threshold, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0 FROM s0 GROUP BY 1, 2),
+        |c0t AS (SELECT feature, threshold,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n1_left,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature ORDER BY threshold) AS BIGINT) AS n0_left,
+        |    CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS t1,
+        |    CAST(SUM(c0) OVER (PARTITION BY feature) AS BIGINT) AS t0
+        |  FROM g0),
+        |sc0 AS (SELECT feature, threshold, n0_left, n1_left,
+        |    t0 - n0_left AS n0_right, t1 - n1_left AS n1_right,
+        |    CAST((1000000 * (n0_left*n0_left + n1_left*n1_left))
+        |        // (n0_left + n1_left)
+        |      + (1000000 * ((t0-n0_left)*(t0-n0_left) + (t1-n1_left)*(t1-n1_left)))
+        |        // ((t0-n0_left) + (t1-n1_left)) AS BIGINT) AS score_micro
+        |  FROM c0t WHERE (t0-n0_left) + (t1-n1_left) > 0),
+        |m0 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY
+        |    score_micro DESC, feature, threshold) AS rk FROM sc0)
+        |  WHERE rk = 1),
+        |sides AS (SELECT b.y, b.quantity, b.discount_c, b.tax_c,
+        |    CASE WHEN (CASE m0.feature WHEN 'quantity' THEN b.quantity
+        |      WHEN 'discount_c' THEN b.discount_c ELSE b.tax_c END)
+        |      <= m0.threshold THEN 'left' ELSE 'right' END AS node
+        |  FROM base b, m0),
+        |s1 AS (SELECT node, y, 'quantity' AS feature, quantity AS threshold FROM sides
+        |  UNION ALL SELECT node, y, 'discount_c', discount_c FROM sides
+        |  UNION ALL SELECT node, y, 'tax_c', tax_c FROM sides),
+        |g1 AS (SELECT node, feature, threshold, CAST(SUM(y) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0 FROM s1 GROUP BY 1, 2, 3),
+        |c1t AS (SELECT node, feature, threshold,
+        |    CAST(SUM(c1) OVER (PARTITION BY node, feature ORDER BY threshold) AS BIGINT) AS n1_left,
+        |    CAST(SUM(c0) OVER (PARTITION BY node, feature ORDER BY threshold) AS BIGINT) AS n0_left,
+        |    CAST(SUM(c1) OVER (PARTITION BY node, feature) AS BIGINT) AS t1,
+        |    CAST(SUM(c0) OVER (PARTITION BY node, feature) AS BIGINT) AS t0
+        |  FROM g1),
+        |sc1 AS (SELECT node, feature, threshold, n0_left, n1_left,
+        |    t0 - n0_left AS n0_right, t1 - n1_left AS n1_right,
+        |    CAST((1000000 * (n0_left*n0_left + n1_left*n1_left))
+        |        // (n0_left + n1_left)
+        |      + (1000000 * ((t0-n0_left)*(t0-n0_left) + (t1-n1_left)*(t1-n1_left)))
+        |        // ((t0-n0_left) + (t1-n1_left)) AS BIGINT) AS score_micro
+        |  FROM c1t WHERE (t0-n0_left) + (t1-n1_left) > 0),
+        |m1 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+        |    ORDER BY score_micro DESC, feature, threshold) AS rk FROM sc1)
+        |  WHERE rk = 1),
+        |allm AS (SELECT 'root' AS node, feature, threshold, n0_left, n1_left,
+        |    n0_right, n1_right, score_micro FROM m0
+        |  UNION ALL SELECT node, feature, threshold, n0_left, n1_left,
+        |    n0_right, n1_right, score_micro FROM m1)
+        |SELECT node, feature, threshold, n0_left, n1_left, n0_right,
+        |  n1_right, score_micro,
+        |  CAST(CASE WHEN n1_left > n0_left THEN 1 ELSE 0 END AS BIGINT) AS left_class,
+        |  CAST(CASE WHEN n1_right > n0_right THEN 1 ELSE 0 END AS BIGINT) AS right_class
+        |FROM allm ORDER BY node""".stripMargin,
+
+    // q322: both rankings re-derived from the same arithmetic, the
+    // same integer fold, top-10 per query.
+    "q322_rrf_fuse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 20 AS q FROM documents),
+        |a AS (SELECT q, doc_id, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY (doc_id * 7) % 101, doc_id) AS rnk FROM d),
+        |b AS (SELECT q, doc_id, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY (doc_id * 13) % 103, doc_id) AS rnk
+        |  FROM d WHERE doc_id % 2 = 0),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        |f AS (SELECT q, doc_id, CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |    CAST(SUM(1000000 // (60 + rnk)) AS BIGINT) AS rrf_micro
+        |  FROM u GROUP BY q, doc_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q
+        |    ORDER BY rrf_micro DESC, doc_id) AS fused_rank FROM f)
+        |SELECT q, doc_id, n_sources, rrf_micro, CAST(fused_rank AS INT)
+        |  AS fused_rank
+        |FROM r WHERE fused_rank <= 10
+        |ORDER BY q, fused_rank""".stripMargin,
 
     // q316: the split-scoring table replayed — stacked features,
     // (feature, value) grain, cumulative class counts, the same

@@ -1153,6 +1153,63 @@ object Learn {
         expr("(1000 * (tp + tn)) div n"))
   }
 
+  /** Depth-2 decision tree: the root stump plus one stump per side,
+    * each trained on its partition — recursive partitioning made
+    * explicit (and the reason forests shuffle at feature-grain, not
+    * row-grain: every level is ONE aggregate pass over its subset,
+    * never a per-node scan of the corpus). Output: three model rows
+    * `node ∈ {root, left, right}` with the q316 candidate columns +
+    * majority classes. A side whose subset admits no split (single
+    * distinct value on every feature, or empty) emits NO row — the
+    * root's majority class for that side already decides, and a
+    * fabricated degenerate split would poison downstream predict.
+    *
+    * The 1-row root model is collected to the driver to build the
+    * two side predicates — model-bounded driver data (the
+    * logisticTrainInt posture), never corpus rows. */
+  def trainTree2(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    val root = trainStump(df, labelCol, features)
+    val r = root.select(col("feature"), col("threshold")).collect()(0)
+    val (rf, rt) = (r.getString(0), r.getLong(1))
+    val leftDf = df.filter(col(rf).cast("long") <= rt)
+    val rightDf = df.filter(col(rf).cast("long") > rt)
+    root.withColumn("node", lit("root"))
+      .unionByName(trainStump(leftDf, labelCol, features)
+        .withColumn("node", lit("left")))
+      .unionByName(trainStump(rightDf, labelCol, features)
+        .withColumn("node", lit("right")))
+      .select(col("node"), col("feature"), col("threshold"),
+        col("n0_left"), col("n1_left"), col("n0_right"), col("n1_right"),
+        col("score_micro"), col("left_class"), col("right_class"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — THE standard way
+    * hybrid retrieval merges a lexical ranking (BM25, q140) with a
+    * vector ranking (ANN, q110): per (query, doc),
+    *   rrf_micro = Σ_sources 10⁶ div (k + rank)
+    * floored per source (integer, engine-exact; k=60 is the
+    * paper's constant, exposed). Input: (query, doc, rank) with rank
+    * 1-based; several source tables union upstream. One hash
+    * aggregate at (query, doc) grain, then the grouped top-`topK`
+    * via the [[Relational.groupedTopK]] window shape — no global
+    * sort. Ties (possible: the floor quantizes) break (doc asc) —
+    * deterministic. */
+  def rrfFuse(rankings: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, k: Int = 60, topK: Int = 10): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val fused = rankings
+      .filter(col(rankCol) >= 1)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(count(lit(1)).as("n_sources"),
+        sum(expr(s"1000000 div ($k + ${rankCol})")).as("rrf_micro"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf_micro").desc, col(docCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
+
   /** Per-key lag-`k` autocorrelation of a value series, exact to the
     * micro floor — "does this metric remember itself k steps back"
     * (seasonality detection, anomaly pre-screening, the ACF number

@@ -72,4 +72,34 @@ object Quality {
       .select(report(checkName, "ri", col("__n"), col("__v")): _*)
       .withColumn("pass", col("n_violations") === 0L)
   }
+
+  /** Equi-width histogram profile of a numeric column (milli-floored
+    * lattice): `nBins` bins of width `binWidthMilli` starting at
+    * `originMilli`, PLUS explicit underflow/overflow/null bins — a
+    * profiler that silently clips its tails hides exactly the rows
+    * you profile for. bin_idx: −1 underflow, 0..nBins−1 in-range,
+    * nBins overflow, null for the null bin. Empty in-range bins are
+    * EMITTED with n = 0 (a gap in a distribution is a finding), via
+    * a generated spine outer-joined to the counts — the spine is
+    * nBins rows, the corpus pays one aggregate. */
+  def histogram(df: DataFrame, valueCol: String, originMilli: Long,
+      binWidthMilli: Long, nBins: Int): DataFrame = {
+    require(binWidthMilli > 0, s"binWidthMilli must be positive")
+    require(nBins >= 1 && nBins <= 100000, s"nBins out of range: $nBins")
+    val v = floor(col(valueCol) * lit(1000)).cast("long")
+    val raw = when(col(valueCol).isNull, lit(null).cast("long"))
+      .otherwise(when(v < originMilli, lit(-1L))
+        .when(v >= originMilli + binWidthMilli * nBins, lit(nBins.toLong))
+        .otherwise(floor((v - originMilli) / binWidthMilli)))
+    val counts = df.select(raw.as("bin_idx"))
+      .groupBy(col("bin_idx")).agg(count(lit(1)).as("n"))
+    val spine = df.sparkSession.range(nBins)
+      .select(col("id").as("bin_idx"))
+    spine.join(counts, Seq("bin_idx"), "full_outer")
+      .select(col("bin_idx"), coalesce(col("n"), lit(0L)).as("n"),
+        when(col("bin_idx").isNotNull && col("bin_idx").between(0, nBins - 1),
+          col("bin_idx") * binWidthMilli + originMilli).as("bin_lo_milli"),
+        when(col("bin_idx").isNotNull && col("bin_idx").between(0, nBins - 1),
+          (col("bin_idx") + 1) * binWidthMilli + originMilli).as("bin_hi_milli"))
+  }
 }

@@ -1827,6 +1827,54 @@ object Relational {
       .agg(count(lit(1)).as("n_records"), aggs: _*)
   }
 
+  /** Interval-INTERSECTION join: every overlapping (left, right)
+    * interval pair sharing `keyCol`, with the clipped intersection
+    * [max(starts), min(ends)) and its width — outage ∩ SLA-window
+    * accounting, policy ∩ session overlap, downtime attribution.
+    * Half-open semantics: touching intervals (l_end == r_start) do
+    * NOT overlap.
+    *
+    * Both sides explode to the width-`bucketMicros` buckets they
+    * cover; the join runs on (key, bucket); a pair that shares many
+    * buckets is emitted ONCE — by the bucket containing the
+    * intersection's start (the emit-once discipline of bandJoin/
+    * gridDistanceJoin, here chosen per-pair instead of per-side
+    * because BOTH sides explode). Fan-out is interval_length/bucket
+    * + 1 rows per interval — pick `bucketMicros` near the typical
+    * interval length; a single interval longer than
+    * `maxBucketsPerInterval` buckets raises rather than silently
+    * exploding the shuffle (the no-silent-caps rule). */
+  def intervalIntersectJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, lStartCol: String, lEndCol: String,
+      rStartCol: String, rEndCol: String, bucketMicros: Long,
+      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    require(maxBucketsPerInterval >= 1, "maxBucketsPerInterval must be >= 1")
+    def stage(df: DataFrame, sCol: String, eCol: String, s: String,
+        e: String): DataFrame = {
+      val sUs = unix_micros(col(sCol)); val eUs = unix_micros(col(eCol))
+      val b0 = floor(sUs / bucketMicros)
+      // end is exclusive: an interval ending ON a bucket edge does
+      // not cover that bucket
+      val b1 = floor((eUs - 1) / bucketMicros)
+      df.filter(col(sCol).isNotNull && col(eCol).isNotNull && eUs > sUs)
+        .select(col(keyCol), sUs.as(s), eUs.as(e),
+          explode(sequence(b0,
+            when(b1 - b0 >= maxBucketsPerInterval, raise_error(concat(
+              lit(s"intervalIntersectJoin: interval covers > $maxBucketsPerInterval buckets at "),
+              sUs)).cast("long")).otherwise(b1))).as("__b"))
+    }
+    val l = stage(left, lStartCol, lEndCol, "l_start_us", "l_end_us")
+    val r = stage(right, rStartCol, rEndCol, "r_start_us", "r_end_us")
+    l.join(r, Seq(keyCol, "__b"))
+      .withColumn("overlap_start_us", greatest(col("l_start_us"), col("r_start_us")))
+      .withColumn("overlap_end_us", least(col("l_end_us"), col("r_end_us")))
+      .filter(col("overlap_end_us") > col("overlap_start_us") &&
+        col("__b") === floor(col("overlap_start_us") / bucketMicros))
+      .withColumn("overlap_us", col("overlap_end_us") - col("overlap_start_us"))
+      .drop("__b")
+  }
+
   /** Sliding LOWER median over the trailing `window` rows per key —
     * the robust smoother a noisy metric stream actually wants (one
     * spike moves a moving average by spike/n; it moves the moving

@@ -2630,4 +2630,16 @@ object TextOps {
       patterns: Seq[String]): DataFrame =
     df.withColumn(textCol,
       graft.functions.blocklist_redact(col(textCol), patterns))
+
+  /** URL-safe slug: strip accents (the q143 codegen expression, so
+    * é→e survives cross-engine byte-exact), lowercase, every
+    * non-alphanumeric run → one '-', leading/trailing dashes
+    * trimmed. Empty/whitespace-only input slugs to the empty string
+    * (visible, not null) — a title that produces no slug is a
+    * content bug the pipeline must surface. Row-local, codegen'd. */
+  def slugify(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(graft.functions.strip_accents(c)),
+        "[^a-z0-9]+", "-"),
+      "^-+|-+$", "")
 }

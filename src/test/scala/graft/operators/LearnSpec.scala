@@ -590,6 +590,43 @@ class LearnSpec extends SparkTestBase {
     assert(pred == ((6L, 0L, 4L, 0L, 1000L)))
   }
 
+  test("trainTree2: root + per-side stumps on their partitions, deterministic ties") {
+    // y = 1 iff x<=4 AND z<=4 on the 8x8 grid: root ties x/z at
+    // threshold 4 (feature asc -> x), left child separates on z,
+    // right child is pure (tie -> smallest feature/threshold)
+    val df = (for { x <- 1L to 8L; z <- 1L to 8L }
+      yield (if (x <= 4 && z <= 4) 1L else 0L, x, z)).toDF("y", "x", "z")
+    val got = Learn.trainTree2(df, "y", Seq("x", "z"))
+      .select("node", "feature", "threshold", "n0_left", "n1_left",
+        "n0_right", "n1_right", "left_class", "right_class")
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("root") == (("root", "x", 4L, 16L, 16L, 32L, 0L, 0L, 0L)))
+    assert(got("left") == (("left", "z", 4L, 0L, 16L, 16L, 0L, 1L, 0L)))
+    assert(got("right") == (("right", "x", 5L, 8L, 0L, 24L, 0L, 0L, 0L)))
+  }
+
+  test("trainTree2: a side with no admissible split emits no row") {
+    // left partition (x<=1) has ONE distinct value on every feature
+    val df = Seq((1L, 1L, 9L), (0L, 5L, 9L), (0L, 6L, 9L), (0L, 7L, 9L))
+      .toDF("y", "x", "z")
+    val nodes = Learn.trainTree2(df, "y", Seq("x", "z"))
+      .select("node").as[String].collect().toSet
+    assert(nodes.contains("root") && !nodes.contains("left"))
+  }
+
+  test("rrfFuse: integer fold, partial source, tie breaks doc asc, topK") {
+    val rankings = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), // source A
+      (1L, 20L, 1), (1L, 10L, 2))               // source B (partial)
+      .toDF("q", "doc", "rank")
+    val got = Learn.rrfFuse(rankings, "q", "doc", "rank", k = 0, topK = 2)
+      .select("doc", "n_sources", "rrf_micro", "fused_rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // both 10 and 20 fuse to 1.5e6 -> tie -> doc asc
+    assert(got.toSeq == Seq((10L, 2L, 1500000L, 1), (20L, 2L, 1500000L, 2)))
+  }
+
   test("autocorrelation: hand-computed lag-1 ACF, constant and short series null") {
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     def t(i: Int) = new java.sql.Timestamp(ts.getTime + i * 1000L)

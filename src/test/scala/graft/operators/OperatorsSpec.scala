@@ -748,6 +748,28 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, None, Some("p2"), Some("a2"))))
   }
 
+  test("intervalIntersectJoin: emit-once across buckets, half-open touch, oversize raises") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // left [0, 100s) spans many 10s buckets; right [35s, 45s) inside;
+    // touching pair: [0,10) vs [10,20) must NOT match
+    val l = Seq((1L, ts(0), ts(100)), (2L, ts(0), ts(10))).toDF("k", "s", "e")
+    val r = Seq((1L, ts(35), ts(45)), (1L, ts(95), ts(200)),
+      (2L, ts(10), ts(20))).toDF("k", "s", "e")
+    val got = Relational.intervalIntersectJoin(l, r, "k", "s", "e",
+        "s", "e", bucketMicros = 10L * 1000000L, maxBucketsPerInterval = 64)
+      .select("k", "overlap_start_us", "overlap_end_us", "overlap_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 35000000L, 45000000L, 10000000L),   // fully inside, ONE row
+      (1L, 95000000L, 100000000L, 5000000L)))  // partial tail clip
+    val e2 = intercept[Exception] {
+      Relational.intervalIntersectJoin(l, r, "k", "s", "e", "s", "e",
+        bucketMicros = 1000000L, maxBucketsPerInterval = 8).collect()
+    }
+    assert(e2.getMessage.contains("covers >"), e2.getMessage)
+  }
+
   test("slidingMedian: lower median of the trailing frame, spike-immune") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

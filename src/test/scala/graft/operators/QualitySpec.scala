@@ -35,6 +35,24 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(clean == (("dedup", "unique", 3L, 0L, true)))
   }
 
+  test("histogram: tails explicit, empty bins emitted, null bin, exact edges") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(0.999), Some(1.0), Some(2.5),
+      Some(9.999), Some(10.0), None).toDF("v")
+    // origin 0, width 1000 milli, 10 bins -> [0, 10) covered
+    val got = Quality.histogram(df, "v", 0L, 1000L, 10)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)))
+        -> r.getLong(1)).toMap
+    assert(got(Some(-1L)) == 1L)             // underflow
+    assert(got(Some(0L)) == 2L)              // 0.0 and 0.999
+    assert(got(Some(1L)) == 1L)              // edge 1.0 falls in bin 1
+    assert(got(Some(2L)) == 1L)
+    assert(got(Some(9L)) == 1L)              // 9.999
+    assert(got(Some(10L)) == 1L)             // overflow: 10.0
+    assert(got(Some(5L)) == 0L)              // empty bin emitted
+    assert(got(None) == 1L)                  // null bin
+    assert((0L to 9L).forall(b => got.contains(Some(b))))
+  }
+
   test("riCheck: orphans counted, null FK is an orphan, empty child passes") {
     val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("fk")
     val parent = Seq(1L, 2L, 3L).toDF("pk")

@@ -1143,4 +1143,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(got(id)._4 == want, s"pair $id: '$cand' vs '$ref'")
     }
   }
+
+  test("slugify: accents fold, symbol runs collapse, edges trim, empty visible") {
+    import spark.implicits._
+    val got = Seq(
+      (1L, "Épisode 12: Café & Thé!"),
+      (2L, "  --Hello,   World--  "),
+      (3L, "№™—"),           // symbols only -> empty slug
+      (4L, ""),
+      (5L, "already-clean-slug")).toDF("id", "t")
+      .select(col("id"), TextOps.slugify(col("t")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "episode-12-cafe-the")
+    assert(got(2L) == "hello-world")
+    assert(got(3L) == "")
+    assert(got(4L) == "")
+    assert(got(5L) == "already-clean-slug")
+  }
 }

@@ -3252,6 +3252,76 @@ object SparkEntry {
         .orderBy(col("q"), col("fused_rank"))
     }),
 
+    // q323: RAKE keyphrase extraction — stopword-delimited candidate
+    // phrases, deg/freq word scores, integer milli phrase scores;
+    // the full per-document DP replayed in SQL.
+    "q323_rake_phrases" -> ((s, dir) => {
+      operators.TextOps.rakePhrases(Tables.documents(s, dir), "doc_id",
+          "text", stopwords = Seq("the", "a", "of", "and", "to", "in",
+            "is", "on", "for", "with"), maxChars = 200)
+        .orderBy(col("doc_id"), col("phrase_idx"))
+    }),
+
+    // q324: MRR@10 + MAP@10 per synthetic query (doc_id%20, binary
+    // relevance doc_id%7=0, ranking by n_chars desc) — the exact
+    // lcm(1..10)=2520 precision sums mean the only floor is the
+    // final division, replayed verbatim in SQL.
+    "q324_ranking_metrics" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(
+        (col("doc_id") % 20).as("query"), col("doc_id"),
+        when(col("doc_id") % 7 === 0, 1L).otherwise(0L).as("rel"),
+        col("n_chars"))
+      operators.Learn.mrrMapAtK(d, "query", "rel",
+          Seq(col("n_chars").desc, col("doc_id").asc), k = 10)
+        .orderBy(col("query"))
+    }),
+
+    // q325: rank-biased overlap @10 (p=0.9) between the length
+    // ranking and a hash-permuted ranking of the same docs — the
+    // suffix-collapsed weight table makes it one join + one
+    // aggregate; DuckDB replays both rankings and the same fixed
+    // micro constants.
+    "q325_rbo" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir).select(
+        (col("doc_id") % 20).as("q"), col("doc_id"), col("n_chars"),
+        ((col("doc_id") * 7) % 101).as("alt"))
+      val a = d.withColumn("rank", row_number().over(Window
+        .partitionBy(col("q")).orderBy(col("n_chars").desc, col("doc_id"))))
+      val b = d.withColumn("rank", row_number().over(Window
+        .partitionBy(col("q")).orderBy(col("alt"), col("doc_id"))))
+      operators.Learn.rboAtK(a, b, "q", "doc_id", "rank",
+          k = 10, pMilli = 900L)
+        .orderBy(col("query"))
+    }),
+
+    // q326: per-user Kendall rank correlation between event time and
+    // value — exact pair counts via per-key merge-sort inversions
+    // (O(n log n), key-grain state); DuckDB replays the DEFINITION
+    // (quadratic pair join), so the oracle also proves Knight's
+    // algorithm agrees with the naive count on every key.
+    "q326_kendall" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("t_s", expr("unix_micros(ts) div 1000000"))
+      operators.Learn.kendallTau(e, "user_id", "t_s", "value")
+        .orderBy(col("key"))
+    }),
+
+    // q327: per-key isotonic regression (PAVA) of daily value, exact
+    // rational blocks floored once to micro — the max-min
+    // characterization lets DuckDB replay the SEQUENTIAL pooling
+    // with one interval table + one window + one aggregate (floor
+    // commutes through max and min).
+    "q327_isotonic" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("key", col("user_id") % 5)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      operators.Learn.isotonicFit(e, "key", "day", "value")
+        .orderBy(col("key"), col("x"))
+    }),
+
     // q316: CART split scoring — every (feature, threshold) candidate
     // over three quantized lineitem features with the all-integer
     // purity score; windows only over the model-sized grain table.
@@ -6382,11 +6452,18 @@ object SparkEntry {
     // misses are NULL and list_min/list_position skip them.
     // q149: the full training round replayed — seed substrings and
     // their corpus-weighted counts, the integer seed costs, the
-    // Viterbi DP (fwd min / bwd smallest-k walk, as q141, but with
-    // candidates JOINED from the derived seed table: per (word,
-    // end-pos) the k-ordered candidate list drives both the min and
-    // the first-match tie-break), usage counting, and the
-    // prune+recost M-step. All divisions `//`.
+    // Viterbi DP, usage counting, and the prune+recost M-step. The
+    // DP carries the last maxPieceLen=4 best costs as plain BIGINT
+    // columns and joins the derived seed table once per piece
+    // length; the backward walk re-tests the four candidates with
+    // smallest-length-first CASE order (the operator's tie-break).
+    // Deliberately NO list aggregates, NO struct lists, NO LATERAL,
+    // and every SUM cast back to BIGINT before it meets the DP —
+    // plain joins + CASE + LEAST survive DuckDB version drift that
+    // exotic list plumbing may not (r10: rows matched, hash didn't,
+    // locally unreproducible — this formulation removes every
+    // construct q141's passing oracle doesn't share). All divisions
+    // `//`.
     "q149_unigram_train" ->
       """WITH RECURSIVE
         |wf AS (SELECT w, COUNT(*) AS f FROM (
@@ -6410,32 +6487,52 @@ object SparkEntry {
         |  WHERE rn <= 120 - nch.n),
         |seed0 AS (SELECT piece, cnt FROM ch UNION ALL SELECT piece, cnt FROM mult),
         |st AS (SELECT SUM(cnt) AS t FROM seed0),
-        |seed AS (SELECT piece, (1000 * st.t) // cnt AS cost FROM seed0, st),
-        |cands AS (SELECT s.w, s.p + s.k - 1 AS e,
-        |            list({'k': s.k, 'c': seed.cost} ORDER BY s.k) AS ks
-        |          FROM sub s JOIN seed ON s.piece = seed.piece
-        |          GROUP BY s.w, s.p + s.k - 1),
+        |seed AS (SELECT piece, CAST((1000 * st.t) // cnt AS BIGINT) AS cost
+        |         FROM seed0, st),
         |fwd AS (
-        |  SELECT w, length(w) AS n, 0 AS i, [CAST(0 AS BIGINT)] AS best FROM wf
+        |  SELECT w, length(w) AS n, 0 AS i,
+        |    CAST(0 AS BIGINT) AS b0, CAST(NULL AS BIGINT) AS b1,
+        |    CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3
+        |  FROM wf
         |  UNION ALL
         |  SELECT f.w, f.n, f.i + 1,
-        |    list_append(f.best, list_min(list_transform(cs.ks, x ->
-        |      f.best[f.i + 1 - CAST(x.k AS INT) + 1] + x.c)))
-        |  FROM fwd f JOIN cands cs ON cs.w = f.w AND cs.e = f.i + 1
+        |    LEAST(
+        |      COALESCE(f.b0 + s1.cost, 4611686018427387904),
+        |      COALESCE(f.b1 + s2.cost, 4611686018427387904),
+        |      COALESCE(f.b2 + s3.cost, 4611686018427387904),
+        |      COALESCE(f.b3 + s4.cost, 4611686018427387904)),
+        |    f.b0, f.b1, f.b2
+        |  FROM fwd f
+        |  LEFT JOIN seed s1 ON s1.piece = substr(f.w, f.i + 1, 1)
+        |  LEFT JOIN seed s2 ON f.i >= 1 AND s2.piece = substr(f.w, f.i, 2)
+        |  LEFT JOIN seed s3 ON f.i >= 2 AND s3.piece = substr(f.w, f.i - 1, 3)
+        |  LEFT JOIN seed s4 ON f.i >= 3 AND s4.piece = substr(f.w, f.i - 2, 4)
         |  WHERE f.i < f.n),
-        |fin AS (SELECT w, n, best FROM fwd WHERE i = n),
+        |fb AS (SELECT w, i, b0 AS best FROM fwd),
         |bwd AS (
-        |  SELECT w, n, best, n AS i, CAST(NULL AS VARCHAR) AS piece FROM fin
+        |  SELECT w, length(w) AS i, CAST(NULL AS VARCHAR) AS piece FROM wf
         |  UNION ALL
-        |  SELECT b.w, b.n, b.best, b.i - x.kk,
-        |    substr(b.w, b.i - x.kk + 1, x.kk)
-        |  FROM bwd b JOIN cands cs ON cs.w = b.w AND cs.e = b.i,
-        |    LATERAL (SELECT CAST(cs.ks[CAST(list_position(
-        |        list_transform(cs.ks, y ->
-        |          b.best[b.i - CAST(y.k AS INT) + 1] + y.c),
-        |        b.best[b.i + 1]) AS INT)].k AS INT) AS kk) x
+        |  SELECT b.w,
+        |    b.i - CASE
+        |      WHEN p1.best + s1.cost = cur.best THEN 1
+        |      WHEN p2.best + s2.cost = cur.best THEN 2
+        |      WHEN p3.best + s3.cost = cur.best THEN 3
+        |      ELSE 4 END,
+        |    CASE
+        |      WHEN p1.best + s1.cost = cur.best THEN substr(b.w, b.i, 1)
+        |      WHEN p2.best + s2.cost = cur.best THEN substr(b.w, b.i - 1, 2)
+        |      WHEN p3.best + s3.cost = cur.best THEN substr(b.w, b.i - 2, 3)
+        |      ELSE substr(b.w, b.i - 3, 4) END
+        |  FROM bwd b
+        |  JOIN fb cur ON cur.w = b.w AND cur.i = b.i
+        |  LEFT JOIN fb p1 ON p1.w = b.w AND p1.i = b.i - 1
+        |  LEFT JOIN seed s1 ON s1.piece = substr(b.w, b.i, 1)
+        |  LEFT JOIN fb p2 ON p2.w = b.w AND p2.i = b.i - 2
+        |  LEFT JOIN seed s2 ON b.i >= 2 AND s2.piece = substr(b.w, b.i - 1, 2)
+        |  LEFT JOIN fb p3 ON p3.w = b.w AND p3.i = b.i - 3
+        |  LEFT JOIN seed s3 ON b.i >= 3 AND s3.piece = substr(b.w, b.i - 2, 3)
         |  WHERE b.i > 0),
-        |usg AS (SELECT b.piece, SUM(wf.f) AS u
+        |usg AS (SELECT b.piece, CAST(SUM(wf.f) AS BIGINT) AS u
         |        FROM bwd b JOIN wf ON wf.w = b.w
         |        WHERE b.piece IS NOT NULL GROUP BY b.piece),
         |kch AS (SELECT ch.piece, COALESCE(u.u, 0) AS u
@@ -7957,6 +8054,174 @@ object SparkEntry {
         |  AS fused_rank
         |FROM r WHERE fused_rank <= 10
         |ORDER BY q, fused_rank""".stripMargin,
+
+    // q323: tokens with positions from a fixed series, stopword
+    // islands, ordered string_agg phrases, deg/freq joins, floored
+    // milli scores — the whole RAKE pipeline in SQL.
+    "q323_rake_phrases" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(substr(text, 1, 200))), '\s+') AS l
+        |  FROM documents WHERE length(trim(substr(text, 1, 200))) > 0),
+        |t AS (SELECT doc_id, CAST(gs.i AS INT) AS pos,
+        |    list_extract(l, CAST(gs.i AS INT)) AS w
+        |  FROM d, generate_series(1, 120) gs(i) WHERE gs.i <= len(l)),
+        |f AS (SELECT doc_id, pos, w,
+        |    w IN ('the','a','of','and','to','in','is','on','for','with')
+        |      AS stop FROM t),
+        |lg AS (SELECT doc_id, pos, w, stop,
+        |    COALESCE(lag(stop) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      TRUE) AS prev_stop
+        |  FROM f),
+        |isl AS (SELECT doc_id, pos, w, stop,
+        |    SUM(CASE WHEN stop OR prev_stop THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM lg),
+        |cand AS (SELECT doc_id, pos, w, g FROM isl WHERE NOT stop),
+        |ph AS (SELECT doc_id, g, MIN(pos) AS p0,
+        |    CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    string_agg(w, ' ' ORDER BY pos) AS phrase
+        |  FROM cand GROUP BY doc_id, g),
+        |wl AS (SELECT c.doc_id, c.w, c.g, p.n_words
+        |  FROM cand c JOIN ph p USING (doc_id, g)),
+        |ws AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(n_words) AS BIGINT) AS deg
+        |  FROM wl GROUP BY doc_id, w),
+        |sc AS (SELECT wl.doc_id, wl.g,
+        |    CAST(SUM((1000 * ws.deg) // ws.freq) AS BIGINT) AS score_milli
+        |  FROM wl JOIN ws ON ws.doc_id = wl.doc_id AND ws.w = wl.w
+        |  GROUP BY wl.doc_id, wl.g)
+        |SELECT p.doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY p.doc_id ORDER BY p.p0)
+        |    - 1 AS INT) AS phrase_idx,
+        |  p.phrase, p.n_words, s.score_milli
+        |FROM ph p JOIN sc s USING (doc_id, g)
+        |ORDER BY p.doc_id, phrase_idx""".stripMargin,
+
+    // q324: both metrics recomputed from the ranked list — running
+    // relevant count, exact 2520-scaled precision terms, one final
+    // floor each. A query with no relevant docs is null, a relevant
+    // doc outside the top 10 still sets first_rel_rank but rr is 0.
+    "q324_ranking_metrics" ->
+      """WITH d AS (SELECT doc_id % 20 AS query, doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rel, n_chars
+        |  FROM documents),
+        |r AS (SELECT query, rel, ROW_NUMBER() OVER
+        |    (PARTITION BY query ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM d),
+        |c AS (SELECT query, rel, rk,
+        |    SUM(rel) OVER (PARTITION BY query ORDER BY rk) AS cum FROM r)
+        |SELECT query, CAST(SUM(rel) AS BIGINT) AS n_rel,
+        |  CAST(MIN(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+        |    AS first_rel_rank,
+        |  CASE WHEN SUM(rel) = 0 THEN NULL
+        |    WHEN MIN(CASE WHEN rel = 1 THEN rk END) <= 10
+        |    THEN CAST(1000000 // MIN(CASE WHEN rel = 1 THEN rk END)
+        |      AS BIGINT)
+        |    ELSE 0 END AS rr_micro,
+        |  CASE WHEN SUM(rel) > 0 THEN CAST(
+        |    (1000000 * SUM(CASE WHEN rel = 1 AND rk <= 10
+        |       THEN cum * (2520 // rk) ELSE 0 END))
+        |    // (2520 * LEAST(SUM(rel), 10)) AS BIGINT) END AS ap_micro
+        |FROM c GROUP BY query ORDER BY query""".stripMargin,
+
+    // q325: both rankings rebuilt, common top-10 items looked up in
+    // the same literal suffix table (w_d = ⌊10⁶·0.1·0.9^(d-1)⌋,
+    // suffix(m) = Σ_{d≥m} w_d·2520/d), one floor at the end;
+    // disjoint queries report 0 via the spine left join.
+    "q325_rbo" ->
+      """WITH d AS (SELECT doc_id % 20 AS q, doc_id, n_chars,
+        |    (doc_id * 7) % 101 AS alt FROM documents),
+        |a AS (SELECT q, doc_id, ROW_NUMBER() OVER
+        |    (PARTITION BY q ORDER BY n_chars DESC, doc_id) AS ra FROM d),
+        |b AS (SELECT q, doc_id, ROW_NUMBER() OVER
+        |    (PARTITION BY q ORDER BY alt, doc_id) AS rb FROM d),
+        |suf(m, v) AS (VALUES (1, 593248859), (2, 341248859),
+        |  (3, 227848859), (4, 159808859), (5, 113881859),
+        |  (6, 80814419), (7, 56013839), (8, 36881999),
+        |  (9, 21815864), (10, 9762984)),
+        |j AS (SELECT a.q, GREATEST(a.ra, b.rb) AS m
+        |  FROM a JOIN b ON a.q = b.q AND a.doc_id = b.doc_id
+        |  WHERE a.ra <= 10 AND b.rb <= 10),
+        |agg AS (SELECT j.q, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |    SUM(suf.v) AS t
+        |  FROM j JOIN suf ON suf.m = j.m GROUP BY j.q)
+        |SELECT s.q AS query, COALESCE(agg.n_common, 0) AS n_common,
+        |  CAST(COALESCE(agg.t, 0) // 2520 AS BIGINT) AS rbo_micro
+        |FROM (SELECT DISTINCT q FROM d) s LEFT JOIN agg ON agg.q = s.q
+        |ORDER BY query""".stripMargin,
+
+    // q326: the DEFINITION — every unordered pair classified once
+    // (event_id < event_id), all five counts exact, the same
+    // sign-split truncating tau_a and the pinned-order IEEE tau_b.
+    "q326_kendall" ->
+      """WITH s AS (SELECT user_id, event_id,
+        |    epoch_us(ts) // 1000000 AS x,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |n AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM s GROUP BY 1),
+        |p AS (SELECT a.user_id,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+        |      OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+        |      OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS d,
+        |    SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS tx,
+        |    SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS ty,
+        |    SUM(CASE WHEN a.x = b.x AND a.y = b.y THEN 1 ELSE 0 END)
+        |      AS txy
+        |  FROM s a JOIN s b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  GROUP BY 1),
+        |t AS (SELECT n.user_id, n.n, n.n * (n.n - 1) // 2 AS n0,
+        |    CAST(COALESCE(p.c, 0) AS BIGINT) AS c,
+        |    CAST(COALESCE(p.d, 0) AS BIGINT) AS d,
+        |    CAST(COALESCE(p.tx, 0) AS BIGINT) AS tx,
+        |    CAST(COALESCE(p.ty, 0) AS BIGINT) AS ty,
+        |    CAST(COALESCE(p.txy, 0) AS BIGINT) AS txy
+        |  FROM n LEFT JOIN p ON p.user_id = n.user_id)
+        |SELECT user_id AS key, n, c AS concordant, d AS discordant,
+        |  tx AS ties_x, ty AS ties_y, txy AS ties_xy,
+        |  CASE WHEN n0 > 0 THEN CAST(
+        |    CASE WHEN c - d >= 0 THEN (1000 * (c - d)) // n0
+        |      ELSE -((1000 * (d - c)) // n0) END AS BIGINT)
+        |    END AS tau_a_milli,
+        |  CASE WHEN (n0 - tx) * (n0 - ty) > 0
+        |    THEN CAST(c - d AS DOUBLE)
+        |      / sqrt(CAST((n0 - tx) * (n0 - ty) AS DOUBLE))
+        |    END AS tau_b
+        |FROM t ORDER BY key""".stripMargin,
+
+    // q327: the max-min characterization — interval floor-averages
+    // from prefix sums, reverse running MIN per start index, MAX per
+    // end index; floor commutes through both, so this equals the
+    // sequential PAVA's floored block averages exactly.
+    "q327_isotonic" ->
+      """WITH s AS (SELECT user_id % 5 AS key,
+        |    epoch_us(ts) // 86400000000 AS x,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT key, x, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(y) AS BIGINT) AS sm
+        |  FROM s GROUP BY 1, 2),
+        |o AS (SELECT key, x, c, sm, ROW_NUMBER() OVER
+        |    (PARTITION BY key ORDER BY x) AS i FROM g),
+        |ps AS (SELECT key, x, c, sm, i,
+        |    CAST(SUM(sm) OVER (PARTITION BY key ORDER BY i) AS BIGINT)
+        |      AS ss,
+        |    CAST(SUM(c) OVER (PARTITION BY key ORDER BY i) AS BIGINT)
+        |      AS cs
+        |  FROM o),
+        |iv AS (SELECT a.key, a.i AS ai, b.i AS bi,
+        |    (1000 * (b.ss - a.ss + a.sm)) // (b.cs - a.cs + a.c) AS gv
+        |  FROM ps a JOIN ps b ON a.key = b.key AND b.i >= a.i),
+        |m AS (SELECT key, ai, bi, MIN(gv) OVER
+        |    (PARTITION BY key, ai ORDER BY bi DESC) AS rmin FROM iv),
+        |f AS (SELECT key, bi AS i, CAST(MAX(rmin) AS BIGINT) AS fit
+        |  FROM m GROUP BY key, bi)
+        |SELECT o.key, o.x, o.c AS n_at_x, o.sm AS y_sum_milli,
+        |  f.fit AS fit_micro
+        |FROM o JOIN f ON f.key = o.key AND f.i = o.i
+        |ORDER BY o.key, o.x""".stripMargin,
 
     // q316: the split-scoring table replayed — stacked features,
     // (feature, value) grain, cumulative class counts, the same

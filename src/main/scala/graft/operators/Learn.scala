@@ -1258,6 +1258,258 @@ object Learn {
             | ELSE -(((-__num) * 1000000) div __den) END AS BIGINT)"""
             .stripMargin)).as("acf_micro"))
   }
+
+  /** lcm(1..10) — the shared denominator that keeps precision@i sums
+    * EXACT for any cutoff k ≤ 10 (2520/i is an integer for every
+    * i ≤ 10), so MAP needs no per-term floor at all. */
+  private val PrecLcm = 2520L
+
+  /** MRR@k + MAP@k per query — the binary-relevance retrieval pair
+    * next to [[ndcgAtK]]'s graded metric (the three numbers every
+    * retrieval eval reports). Relevance is `relCol > 0`; `ranking`
+    * must totally order within a query (the ndcg contract).
+    *
+    *  - `rr_micro` = 10⁶ div (rank of the first relevant result),
+    *    0 when no relevant result lands in the top k — the standard
+    *    MRR@k convention (a miss contributes zero to the mean).
+    *  - `ap_micro`: AP@k = (Σ_{i≤k, rel_i} precision@i) / min(R, k)
+    *    with R = total relevant for the query. Each precision@i term
+    *    is carried as cum_i·(2520/i) — an EXACT integer because 2520
+    *    is lcm(1..10) — so the only floor is the single final
+    *    division: ap_micro = (10⁶·Σ) div (2520·min(R,k)). Queries
+    *    with R = 0 emit null ap/rr (no relevant documents exist —
+    *    "nothing to find" is not a zero-quality ranking).
+    *
+    * One per-query window + one hash aggregate — partitioned by
+    * query, never global (the ndcgAtK shape). */
+  def mrrMapAtK(df: DataFrame, queryCol: String, relCol: String,
+      ranking: Seq[Column], k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(ranking.nonEmpty, "ranking must be non-empty")
+    val w = Window.partitionBy(col(queryCol)).orderBy(ranking: _*)
+    val staged = df
+      .withColumn("__rel", (col(relCol) > 0).cast("long"))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__cum", sum(col("__rel")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    staged.groupBy(col(queryCol))
+      .agg(
+        sum(col("__rel")).as("n_rel"),
+        min(when(col("__rel") === 1, col("__r"))).cast("long")
+          .as("first_rel_rank"),
+        sum(when(col("__rel") === 1 && col("__r") <= k,
+          col("__cum") * expr(s"$PrecLcm div __r"))
+          .otherwise(0L)).as("__apsum"))
+      .withColumn("rr_micro", when(col("n_rel") === 0, lit(null))
+        .when(col("first_rel_rank") <= k,
+          expr("1000000 div first_rel_rank")).otherwise(0L))
+      .withColumn("ap_micro", when(col("n_rel") > 0, expr(
+        s"(1000000 * __apsum) div ($PrecLcm * least(n_rel, $k))")))
+      .drop("__apsum")
+  }
+
+  /** Rank-biased overlap @ k (Webber et al. 2010) between two
+    * rankings of the same query set — THE rank-similarity measure for
+    * comparing retrieval systems (unlike Kendall it is top-weighted
+    * and handles non-conjoint lists: exactly the A/B-ranker-diff use
+    * case). RBO@k = Σ_{d≤k} (1−p)p^{d−1}·|A_d ∩ B_d|/d, p the
+    * persistence parameter (`pMilli`/1000).
+    *
+    * Integer lane: the depth weights are FIXED micro constants
+    * w_d = ⌊10⁶(1−p)p^{d−1}⌋ (BigInt-exact at build time — the
+    * NdcgDiscMicro move: the table IS the metric), each term's /d
+    * rides the exact 2520 = lcm(1..10) trick of [[mrrMapAtK]], and
+    * because an item pair present in both top-d's for every d ≥
+    * max(rankA, rankB) contributes a SUFFIX of the weight table, the
+    * whole metric collapses to one lookup per common item:
+    * rbo_micro = (Σ_items suffix(max(ra, rb))) div 2520. No per-depth
+    * loop, no explode — one broadcast-able inner join on (query, doc)
+    * + one hash aggregate, then a left join onto the query spine so
+    * disjoint rankings report 0, not absence. */
+  def rboAtK(rankA: DataFrame, rankB: DataFrame, queryCol: String,
+      docCol: String, rankCol: String, k: Int = 10,
+      pMilli: Long = 900L): DataFrame = {
+    require(k >= 1 && k <= 10, s"k must be in [1,10], got $k")
+    require(pMilli >= 0 && pMilli < 1000,
+      s"pMilli must be in [0,1000), got $pMilli")
+    // w_d·(2520/d), then suffix-summed: suffix(m) = Σ_{d≥m} w_d·2520/d
+    val wMicro = (1 to k).map { d =>
+      (BigInt(10).pow(6) * BigInt(1000 - pMilli) *
+        BigInt(pMilli).pow(d - 1) / BigInt(1000).pow(d)).toLong
+    }
+    val terms = wMicro.zipWithIndex.map { case (w, i) =>
+      w * (PrecLcm / (i + 1))
+    }
+    val suffix = terms.scanRight(0L)(_ + _).init // suffix(m) at index m-1
+    val sufCol = array(suffix.map(lit): _*)
+    def side(df: DataFrame, out: String) = df
+      .filter(col(rankCol) >= 1 && col(rankCol) <= k)
+      .select(col(queryCol).as("query"), col(docCol).as("doc"),
+        col(rankCol).cast("long").as(out))
+    val joined = side(rankA, "__ra").join(side(rankB, "__rb"),
+        Seq("query", "doc"))
+      .withColumn("__c",
+        element_at(sufCol, greatest(col("__ra"), col("__rb")).cast("int")))
+    val spine = rankA.select(col(queryCol).as("query"))
+      .unionByName(rankB.select(col(queryCol).as("query"))).distinct()
+    spine.join(
+        joined.groupBy(col("query"))
+          .agg(count(lit(1)).as("n_common"), sum(col("__c")).as("__s")),
+        Seq("query"), "left")
+      .select(col("query"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr(s"coalesce(__s, 0L) div $PrecLcm").as("rbo_micro"))
+  }
+
+  /** Per-key Kendall rank correlation between two value columns —
+    * "do these two quality signals rank my documents the same way"
+    * (metric-agreement audits, feature redundancy screens). Exact
+    * integer pair counts via Knight's O(n log n) algorithm (1966):
+    * sort by (x, y), then discordant = strict inversions of the y
+    * sequence counted by merge sort — pairs tied in x sit y-ascending
+    * (no inversion), pairs tied in y are never strict. All five
+    * pair-classes are exact BIGINTs; n₀ = n(n−1)/2,
+    *   tau_a_milli = sign-split (1000·(C−D)) div n₀   (truncating,
+    *   the twap_milli lane), and tau_b = (C−D)/√((n₀−Tx)(n₀−Ty))
+    * as the IEEE lane — the product is exact in a double up to 2⁵³
+    * (per-key n ≤ ~9·10⁷ pairs — far past executor-resident key
+    * grain), sqrt and divide are correctly rounded, so the double is
+    * ALSO engine-exact (the q219 jaro argument). Keys with n < 2 or
+    * a constant side emit null tau.
+    *
+    * Scale shape: ONE shuffle (groupByKey on the key), per-key
+    * O(n log n) CPU and O(n) memory inside mapGroups — key-grain
+    * state bound, the q43 typed-mapGroups posture. Ties everywhere
+    * are handled by COUNTING, never by ordering luck. `xCol`/`yCol`
+    * are milli-quantized; the key must be integral. */
+  def kendallTau(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).cast("long"),
+        floor(col(xCol) * 1000).cast("long"),
+        floor(col(yCol) * 1000).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val rows = it.map(t => (t._2, t._3)).toArray
+        val n = rows.length.toLong
+        val n0 = n * (n - 1) / 2
+        def tiePairs(ks: Iterator[Long]): Long =
+          ks.map(m => m * (m - 1) / 2).sum
+        val tx = tiePairs(rows.groupBy(_._1).valuesIterator.map(_.length.toLong))
+        val ty = tiePairs(rows.groupBy(_._2).valuesIterator.map(_.length.toLong))
+        val txy = tiePairs(rows.groupBy(identity).valuesIterator.map(_.length.toLong))
+        java.util.Arrays.sort(rows, Ordering.Tuple2[Long, Long])
+        // strict inversions of the y sequence (merge sort count)
+        val ys = rows.map(_._2)
+        val buf = new Array[Long](ys.length)
+        var inv = 0L
+        def merge(lo: Int, mid: Int, hi: Int): Unit = {
+          var i = lo; var j = mid; var o = lo
+          while (i < mid && j < hi) {
+            if (ys(j) < ys(i)) { inv += mid - i; buf(o) = ys(j); j += 1 }
+            else { buf(o) = ys(i); i += 1 }
+            o += 1
+          }
+          while (i < mid) { buf(o) = ys(i); i += 1; o += 1 }
+          while (j < hi) { buf(o) = ys(j); j += 1; o += 1 }
+          System.arraycopy(buf, lo, ys, lo, hi - lo)
+        }
+        def msort(lo: Int, hi: Int): Unit = if (hi - lo > 1) {
+          val mid = lo + (hi - lo) / 2
+          msort(lo, mid); msort(mid, hi); merge(lo, mid, hi)
+        }
+        msort(0, ys.length)
+        val d = inv
+        val c = n0 - tx - ty + txy - d
+        val tauA = if (n0 > 0) {
+          val num = 1000L * (c - d)
+          Some(if (num >= 0) num / n0 else -((-num) / n0))
+        } else None
+        val denB = (n0 - tx) * (n0 - ty)
+        val tauB = if (denB > 0)
+          Some((c - d).toDouble / math.sqrt(denB.toDouble))
+        else None
+        KendallRow(key, n, c, d, tx, ty, txy, tauA, tauB)
+      }
+      .toDF()
+  }
+
+  /** Per-key isotonic regression (PAVA) — the standard monotone
+    * calibrator (Zadrozny & Elkan 2002 use; Best & Chakravarti 1990
+    * algorithm): given (x, y) points per key, fit the nondecreasing
+    * step function minimizing Σ(y−ŷ)². Classic pipeline use: turn a
+    * model score x into a calibrated probability from observed y.
+    *
+    * Exactness contract: ties at the same x pool FIRST (their exact
+    * milli sum and count), then pool-adjacent-violators runs on
+    * (sum, count) RATIONAL blocks — every average comparison is the
+    * cross-multiplication S₁·C₂ > S₂·C₁, so no division happens
+    * until the single output floor: fit_micro = floorDiv(1000·S, C)
+    * (floor, not truncate — negative y series floor identically to
+    * DuckDB's `//`). The fitted value is therefore
+    * ⌊10⁶·(exact PAVA fit on y)⌋ bit-for-bit on any engine, which is
+    * what makes it oracle-able: by the max-min characterization,
+    * fit(i) = max_{a≤i} min_{b≥i} avg(y[a..b]), and because floor is
+    * monotone the floor commutes through both the max and the min —
+    * the oracle replays interval prefix-sum floors with one window +
+    * one aggregate and needs no sequential pooling at all.
+    *
+    * Scale shape: one (key, x) pre-aggregate (shuffle #1, hash agg
+    * with map-side partials), then groupByKey + mapGroups (same key
+    * partitioning — AQE coalesces to ONE real exchange) with O(n)
+    * stack-based PAVA per key — key-grain state, the kendallTau
+    * posture. */
+  def isotonicFit(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        col(xCol).cast("long").as("x"),
+        floor(col(yCol) * 1000).cast("long").as("y_milli"))
+      .groupBy(col("key"), col("x"))
+      .agg(count(lit(1)).as("c"), sum(col("y_milli")).as("s"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val pts = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+        // stack of blocks (startIdx, count, sum); merge while the new
+        // block's average is NOT above the previous block's
+        val xs = pts.map(_._1)
+        val stack = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        var i = 0
+        while (i < pts.length) {
+          var (st, c, s) = (i, pts(i)._2, pts(i)._3)
+          // violator: prev avg >= new avg (S_p·C_n > S_n·C_p merges;
+          // equality keeps blocks separate — same fit either way, and
+          // separate blocks preserve finer x grain)
+          while (stack.nonEmpty && {
+            val (_, pc, ps) = stack.last
+            ps * c > s * pc
+          }) { val (pst, pc, ps) = stack.remove(stack.length - 1)
+               st = pst; c += pc; s += ps }
+          stack += ((st, c, s))
+          i += 1
+        }
+        stack.iterator.flatMap { case (st, c, s) =>
+          val fit = Math.floorDiv(1000L * s, c)
+          val end = st + {
+            // block spans pooled x positions st until the next block
+            var e = st
+            var cc = 0L
+            while (cc < c) { cc += pts(e)._2; e += 1 }
+            e - st
+          }
+          (st until end).iterator.map { j =>
+            IsotonicRow(key, xs(j), pts(j)._2, pts(j)._3, fit)
+          }
+        }
+      }
+      .toDF()
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —
@@ -1265,3 +1517,13 @@ object Learn {
   * [[graft.operators.OffsetRow]]. */
 private[operators] case class CurveOffset(__pid: Int, __off_pos: Long,
     __off_neg: Long)
+
+/** [[Learn.kendallTau]] per-key result row — top-level for the
+  * Encoder TypeTag (the CurveOffset convention). */
+private[operators] case class KendallRow(key: Long, n: Long,
+    concordant: Long, discordant: Long, ties_x: Long, ties_y: Long,
+    ties_xy: Long, tau_a_milli: Option[Long], tau_b: Option[Double])
+
+/** [[Learn.isotonicFit]] fitted row — one per pooled x position. */
+private[operators] case class IsotonicRow(key: Long, x: Long,
+    n_at_x: Long, y_sum_milli: Long, fit_micro: Long)

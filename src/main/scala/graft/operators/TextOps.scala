@@ -2631,6 +2631,61 @@ object TextOps {
     df.withColumn(textCol,
       graft.functions.blocklist_redact(col(textCol), patterns))
 
+  /** RAKE keyphrase extraction (Rose et al. 2010 — public-domain
+    * rapid automatic keyword extraction): candidate phrases are
+    * MAXIMAL runs of non-stopword tokens; each word scores
+    * deg(w)/freq(w) within its document (deg = summed length of the
+    * phrases containing each occurrence — co-occurrence degree;
+    * freq = occurrence count among candidates), and a phrase scores
+    * the sum of its words' scores. Integer lane:
+    * `score_milli = Σ_w (1000·deg(w)) div freq(w)` — engine-exact.
+    *
+    * Output: (doc_id, phrase_idx, phrase, n_words, score_milli), one
+    * row per candidate occurrence, phrase_idx numbering occurrences
+    * in text order. `maxChars` caps the scan (q303 contract).
+    *
+    * Shape: tokenize+flag+islands are row-local + one doc-partitioned
+    * window; word stats are two doc-grain aggregates joined back at
+    * (doc, word) — all corpus-linear, no cross-doc state (RAKE is
+    * per-document by construction, which is what makes it
+    * embarrassingly parallel at 100 TB). */
+  def rakePhrases(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], maxChars: Int = 200): DataFrame = {
+    require(stopwords.nonEmpty, "rakePhrases needs a stopword list")
+    require(maxChars >= 1, "maxChars must be positive")
+    val toks = df.select(col(idCol).as("doc_id"),
+        posexplode(tokens(lower(substring(col(textCol), 1, maxChars))))
+          .as(Seq("pos", "w")))
+      .withColumn("__stop", col("w").isin(stopwords: _*))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = toks
+      .withColumn("__brk", when(col("__stop") ||
+        lag(col("__stop"), 1, true).over(wOrd), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(wOrd))
+      .filter(!col("__stop"))
+    val phrases = islands.groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("pos")).as("__p0"),
+        count(lit(1)).as("n_words"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("w")))), s => s.getField("w")), " ")
+          .as("phrase"))
+    val withLen = islands.join(
+      phrases.select(col("doc_id"), col("__isl"), col("n_words")),
+      Seq("doc_id", "__isl"))
+    val wordStats = withLen.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("n_words")).as("__deg"))
+    val scored = withLen.join(wordStats, Seq("doc_id", "w"))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(sum(expr("(1000 * __deg) div __freq")).as("score_milli"))
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("__p0"))
+    phrases.join(scored, Seq("doc_id", "__isl"))
+      .withColumn("phrase_idx", row_number().over(wIdx) - 1)
+      .select(col("doc_id"), col("phrase_idx"), col("phrase"),
+        col("n_words"), col("score_milli"))
+  }
+
   /** URL-safe slug: strip accents (the q143 codegen expression, so
     * é→e survives cross-engine byte-exact), lowercase, every
     * non-alphanumeric run → one '-', leading/trailing dashes

@@ -649,4 +649,79 @@ class LearnSpec extends SparkTestBase {
     assert(got("C") == ((2L, None)))
     assert(got("D") == ((1L, None)))
   }
+
+  test("mrrMapAtK: exact AP terms, miss-in-topk zero, no-relevant null") {
+    import spark.implicits._
+    val rows =
+      // A: rel at ranks 2 and 4 -> rr 1/2, AP (1/2 + 2/4)/2 = 1/2
+      (1 to 5).map(i => ("A", i.toLong, if (i == 2 || i == 4) 1L else 0L)) ++
+      // B: only relevant at rank 12 -> outside k=10: rr 0, ap 0
+      (1 to 12).map(i => ("B", i.toLong, if (i == 12) 1L else 0L)) ++
+      // C: nothing relevant -> nulls
+      (1 to 2).map(i => ("C", i.toLong, 0L))
+    val df = rows.toDF("q", "ord", "rel")
+    val got = Learn.mrrMapAtK(df, "q", "rel", Seq(col("ord").asc), k = 10)
+      .select("q", "n_rel", "first_rel_rank", "rr_micro", "ap_micro")
+      .as[(String, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("A") == ((2L, Some(2L), Some(500000L), Some(500000L))))
+    assert(got("B") == ((1L, Some(12L), Some(0L), Some(0L))))
+    assert(got("C") == ((0L, None, None, None)))
+  }
+
+  test("rboAtK: identical lists sum the suffix table, disjoint lists report 0") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L))
+      .toDF("q", "doc", "rank")
+    val b = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 40L, 1L))
+      .toDF("q", "doc", "rank")
+    val got = Learn.rboAtK(a, b, "q", "doc", "rank", k = 10, pMilli = 900L)
+      .select("query", "n_common", "rbo_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // (suffix(1) + suffix(2)) div 2520 = (593248859 + 341248859) div 2520
+    assert(got(1L) == ((2L, 370832L)))
+    assert(got(2L) == ((0L, 0L)))
+  }
+
+  test("kendallTau: perfect, reversed, tie classes, single point") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 1.0, 1.0), (1L, 2.0, 2.0), (1L, 3.0, 3.0),   // tau 1
+      (2L, 1.0, 3.0), (2L, 2.0, 2.0), (2L, 3.0, 1.0),   // tau -1
+      (3L, 1.0, 1.0), (3L, 1.0, 2.0), (3L, 2.0, 1.0),   // tx=ty=1, D=1
+      (4L, 5.0, 5.0))                                    // null
+    val df = rows.toDF("k", "x", "y")
+    val got = Learn.kendallTau(df, "k", "x", "y")
+      .select("key", "n", "concordant", "discordant", "ties_x", "ties_y",
+        "ties_xy", "tau_a_milli", "tau_b")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 3L, 0L, 0L, 0L, 0L, Some(1000L), Some(1.0))))
+    assert(got(2L) == ((2L, 3L, 0L, 3L, 0L, 0L, 0L, Some(-1000L), Some(-1.0))))
+    assert(got(3L) == ((3L, 3L, 0L, 1L, 1L, 1L, 0L, Some(-333L), Some(-0.5))))
+    assert(got(4L) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, None, None)))
+  }
+
+  test("isotonicFit: pooling, same-x pre-pool, negative floor (not truncate)") {
+    import spark.implicits._
+    val rows = Seq(
+      // key 1: 3,1,2 -> all pool to avg 2
+      (1L, 1L, 3.0), (1L, 2L, 1.0), (1L, 3L, 2.0),
+      // key 2: x=1 pools {1,2}, then 0 violates -> one block avg 1
+      (2L, 1L, 1.0), (2L, 1L, 2.0), (2L, 2L, 0.0),
+      // key 3: -1 then {-2,-2.5} -> merged sum -5500/3 floors to -1833334
+      (3L, 1L, -1.0), (3L, 2L, -2.0), (3L, 2L, -2.5))
+    val df = rows.toDF("k", "x", "y")
+    val got = Learn.isotonicFit(df, "k", "x", "y")
+      .select("key", "x", "n_at_x", "y_sum_milli", "fit_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 3000L, 2000000L),
+      (1L, 2L, 1L, 1000L, 2000000L),
+      (1L, 3L, 1L, 2000L, 2000000L),
+      (2L, 1L, 2L, 3000L, 1000000L),
+      (2L, 2L, 1L, 0L, 1000000L),
+      (3L, 1L, 1L, -1000L, -1833334L),
+      (3L, 2L, 2L, -4500L, -1833334L)))
+  }
 }

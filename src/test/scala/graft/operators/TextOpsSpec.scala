@@ -1144,6 +1144,24 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rakePhrases: islands, deg/freq scores, occurrence indexing, degenerate docs") {
+    import spark.implicits._
+    val stops = Seq("the", "of", "a")
+    val df = Seq(
+      (1L, "deep learning of the deep model"),
+      (2L, "the of a"),         // all stopwords -> no phrases
+      (3L, "single"),           // one-word candidate
+      (4L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.rakePhrases(df, "doc_id", "text", stops)
+      .select("doc_id", "phrase_idx", "phrase", "n_words", "score_milli")
+      .as[(Long, Int, String, Long, Long)].collect().toSet
+    // deep: freq 2, deg 2+2=4 -> 2000; learning/model: freq 1, deg 2 -> 2000
+    assert(got == Set(
+      (1L, 0, "deep learning", 2L, 4000L),
+      (1L, 1, "deep model", 2L, 4000L),
+      (3L, 0, "single", 1L, 1000L)))
+  }
+
   test("slugify: accents fold, symbol runs collapse, edges trim, empty visible") {
     import spark.implicits._
     val got = Seq(

@@ -3322,6 +3322,36 @@ object SparkEntry {
         .orderBy(col("key"), col("x"))
     }),
 
+    // q328: one gradient-boosting round on the q316 training table —
+    // base mean, residual stump with the exact S²/n gain (DECIMAL
+    // squares), learning-rate-scaled leaf steps; the whole candidate
+    // scoring + argmax + leaf arithmetic replays in SQL.
+    "q328_boost_round" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        (col("l_returnflag") === "R").cast("long").as("y"),
+        col("l_quantity").cast("long").as("quantity"),
+        floor(col("l_discount") * 100).cast("long").as("discount_c"),
+        floor(col("l_tax") * 100).cast("long").as("tax_c"))
+      operators.Learn.boostStumpRound(li, "y",
+        Seq("quantity", "discount_c", "tax_c"), lrMilli = 300L)
+    }),
+
+    // q329: exact DBSCAN over plane coordinates from customer-key
+    // arithmetic (ε=1000, minPts=4 on a 50k×50k plane → 220 real
+    // clusters with core/border/noise all populated) — the grid
+    // candidate scheme, star-contraction CC, and deterministic
+    // border attachment all proven against the quadratic definition
+    // + recursive-closure replay.
+    "q329_dbscan" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        expr("pmod(c_custkey * 7919, 50000)").as("x"),
+        expr("pmod(c_custkey * 4729, 50000)").as("y"))
+      operators.Graph.dbscanGrid(pts, "id", "x", "y",
+          eps = 1000L, minPts = 4L)
+        .orderBy(col("id"))
+    }),
+
     // q316: CART split scoring — every (feature, threshold) candidate
     // over three quantized lineitem features with the all-integer
     // purity score; windows only over the model-sized grain table.
@@ -8222,6 +8252,92 @@ object SparkEntry {
         |  f.fit AS fit_micro
         |FROM o JOIN f ON f.key = o.key AND f.i = o.i
         |ORDER BY o.key, o.x""".stripMargin,
+
+    // q328: base mean, residual stacking, cumulative side sums, the
+    // HUGEINT S²/n gain, argmax with the engine's tie order, and the
+    // sign-split leaf steps — the whole boosting round in SQL.
+    "q328_boost_round" ->
+      """WITH li AS (SELECT
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+        |    CAST(l_quantity AS BIGINT) AS quantity,
+        |    CAST(FLOOR(l_discount * 100) AS BIGINT) AS discount_c,
+        |    CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem),
+        |b AS (SELECT CAST(CASE WHEN SUM(y) >= 0
+        |    THEN (1000 * SUM(y)) // COUNT(*)
+        |    ELSE -((-(1000 * SUM(y))) // COUNT(*)) END AS BIGINT) AS base
+        |  FROM li),
+        |r AS (SELECT quantity, discount_c, tax_c, 1000 * y - b.base AS res
+        |  FROM li, b),
+        |st AS (SELECT 'quantity' AS feature, quantity AS threshold, res
+        |    FROM r
+        |  UNION ALL SELECT 'discount_c', discount_c, res FROM r
+        |  UNION ALL SELECT 'tax_c', tax_c, res FROM r),
+        |g AS (SELECT feature, threshold, CAST(COUNT(*) AS BIGINT) AS c,
+        |    CAST(SUM(res) AS BIGINT) AS s
+        |  FROM st GROUP BY 1, 2),
+        |cum AS (SELECT feature, threshold,
+        |    CAST(SUM(c) OVER w AS BIGINT) AS nl,
+        |    CAST(SUM(s) OVER w AS BIGINT) AS sl,
+        |    CAST(SUM(c) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+        |    CAST(SUM(s) OVER (PARTITION BY feature) AS BIGINT) AS stt
+        |  FROM g WINDOW w AS (PARTITION BY feature ORDER BY threshold)),
+        |sc AS (SELECT feature, threshold, nl, nt - nl AS nr, sl,
+        |    stt - sl AS sr,
+        |    CAST((CAST(sl AS HUGEINT) * sl) // nl
+        |      + (CAST(stt - sl AS HUGEINT) * (stt - sl)) // (nt - nl)
+        |      AS BIGINT) AS gain
+        |  FROM cum WHERE nt - nl > 0),
+        |top AS (SELECT * FROM sc
+        |  ORDER BY gain DESC, feature, threshold LIMIT 1)
+        |SELECT b.base AS base_milli, t.feature, t.threshold,
+        |  t.nl AS n_left, t.nr AS n_right, t.sl AS sum_left_milli,
+        |  t.sr AS sum_right_milli, t.gain,
+        |  CAST(b.base + CASE WHEN t.sl >= 0
+        |    THEN (300 * t.sl) // (1000 * t.nl)
+        |    ELSE -((300 * -t.sl) // (1000 * t.nl)) END AS BIGINT)
+        |    AS left_value_milli,
+        |  CAST(b.base + CASE WHEN t.sr >= 0
+        |    THEN (300 * t.sr) // (1000 * t.nr)
+        |    ELSE -((300 * -t.sr) // (1000 * t.nr)) END AS BIGINT)
+        |    AS right_value_milli
+        |FROM top t, b""".stripMargin,
+
+    // q329: the DEFINITION — quadratic ε-pairs, textbook core count
+    // (self included), transitive closure over core-core edges via
+    // the q169 recursive-UNION replay, min-label clusters, min-core
+    // border attachment. The engine's grid scheme and star
+    // contraction must emit exactly this labeling.
+    "q329_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT c_custkey AS id,
+        |    (c_custkey * 7919) % 50000 AS x,
+        |    (c_custkey * 4729) % 50000 AS y FROM customer),
+        |pr AS (SELECT a.id AS l, b.id AS r FROM p a JOIN p b
+        |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000),
+        |cnt AS (SELECT l AS id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM pr GROUP BY 1),
+        |core AS (SELECT id FROM cnt WHERE n >= 4),
+        |ce AS (SELECT pr.l AS src, pr.r AS dst FROM pr
+        |  JOIN core ca ON ca.id = pr.l
+        |  JOIN core cb ON cb.id = pr.r WHERE pr.l <> pr.r),
+        |cl AS (SELECT src AS node, src AS reach FROM ce
+        |  UNION
+        |  SELECT cl.node, ce.dst FROM cl JOIN ce ON ce.src = cl.reach),
+        |lab AS (SELECT c.id, COALESCE(MIN(cl.reach), c.id) AS cluster
+        |  FROM core c LEFT JOIN cl ON cl.node = c.id GROUP BY c.id),
+        |bl AS (SELECT pr.l AS id, MIN(lab.cluster) AS bc
+        |  FROM pr JOIN lab ON lab.id = pr.r GROUP BY pr.l)
+        |SELECT p.id, CAST(p.x AS BIGINT) AS x, CAST(p.y AS BIGINT) AS y,
+        |  cnt.n AS n_neighbors,
+        |  CASE WHEN lab.id IS NOT NULL THEN 'core'
+        |    WHEN bl.bc IS NOT NULL THEN 'border'
+        |    ELSE 'noise' END AS kind,
+        |  CAST(CASE WHEN lab.id IS NOT NULL THEN lab.cluster
+        |    ELSE bl.bc END AS BIGINT) AS cluster
+        |FROM p JOIN cnt ON cnt.id = p.id
+        |LEFT JOIN lab ON lab.id = p.id
+        |LEFT JOIN bl ON bl.id = p.id
+        |ORDER BY p.id""".stripMargin,
 
     // q316: the split-scoring table replayed — stacked features,
     // (feature, value) grain, cumulative class counts, the same

@@ -797,4 +797,67 @@ object Graph {
     e.unpersist()
     arr
   }
+
+  /** DBSCAN (Ester et al. 1996) on the plane, EXACT and fully
+    * distributed — density clustering for projected embeddings,
+    * geo points, or any 2-D quantized feature pair:
+    *
+    *  - neighborhoods from [[Relational.gridDistanceJoin]]'s 3×3-cell
+    *    candidate scheme (9·|P| skinny rows, never the |P|² theta
+    *    join) with the exact squared-distance filter — the self-pair
+    *    is included, matching the textbook |N_eps(p)| ≥ minPts count;
+    *  - core points cluster via [[connectedComponentsStar]] over
+    *    core–core ε-edges (log-round star contraction — the O(log n)
+    *    distributed replacement for the paper's sequential region
+    *    growing), labels = component min core id;
+    *  - border points (non-core within ε of ≥1 core) attach to the
+    *    MIN core-neighbor cluster — the sequential algorithm's
+    *    "first cluster that reaches it" is visit-order-dependent, so
+    *    this operator pins the deterministic choice; the core/noise
+    *    partition is order-invariant either way (textbook property);
+    *  - everything else is noise (null cluster).
+    *
+    * Output: (id, x, y, n_neighbors, kind core|border|noise,
+    * cluster). Ids must be unique; coordinates integral (quantize
+    * upstream — [[Layout.quantize]]). ε sizing picks cell occupancy,
+    * exactly like the geo joins this wraps. */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, eps: Long, minPts: Long): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val p = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val pairs = Relational.gridDistanceJoin(p, p, "id", "x", "y",
+        "id", "x", "y", eps)
+      .select(col("l_id"), col("r_id"))
+      .persist()
+    val counts = pairs.groupBy(col("l_id").as("id"))
+      .agg(count(lit(1)).as("n_neighbors"))
+    val core = counts.filter(col("n_neighbors") >= minPts).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("l_id")), "l_id")
+      .join(core.select(col("id").as("r_id")), "r_id")
+      .filter(col("l_id") =!= col("r_id"))
+    val cc = connectedComponentsStar(coreEdges, "l_id", "r_id")
+    // isolated cores (no core neighbor) are their own cluster
+    val coreLabels = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderLabels = pairs
+      .join(coreLabels.select(col("id").as("r_id"),
+        col("cluster").as("__bc")), "r_id")
+      .groupBy(col("l_id").as("id"))
+      .agg(min(col("__bc")).as("__bc"))
+    val out = p
+      .join(counts, Seq("id"))
+      .join(coreLabels.withColumn("__core", lit(1)), Seq("id"), "left")
+      .join(borderLabels, Seq("id"), "left")
+      .select(col("id"), col("x"), col("y"), col("n_neighbors"),
+        when(col("__core") === 1, "core")
+          .when(col("__bc").isNotNull, "border")
+          .otherwise("noise").as("kind"),
+        when(col("__core") === 1, col("cluster"))
+          .otherwise(col("__bc")).as("cluster"))
+      .localCheckpoint()
+    pairs.unpersist()
+    out
+  }
 }

@@ -1259,6 +1259,80 @@ object Learn {
             .stripMargin)).as("acf_micro"))
   }
 
+  /** One gradient-boosting round with a regression stump on the
+    * residuals — the step [[trainStump]]'s classifier family takes
+    * toward GBDT (Friedman 2001): base prediction = global label
+    * mean (milli, sign-split floor), residuals rₜ = 1000·y − base,
+    * then the stump maximizing the squared-error reduction
+    *   gain = S_L²/n_L + S_R²/n_R   (S = Σ residuals per side — the
+    * constant-total identity makes this THE regression split score,
+    * as Σ(r−r̄)² decomposes), ties (feature, threshold) ascending.
+    * Leaf updates are learning-rate-scaled mean residuals:
+    *   step_milli = sign-split (lrMilli·S) div (1000·n),
+    *   leaf value = base + step.
+    *
+    * All integer: gain's squares run in DECIMAL(38,0) (the
+    * driftChi2/trendSlopes envelope — |S| ≤ 1000·n, so BIGINT dies
+    * near n ≈ 3·10⁹ while decimal keeps the chain exact) and every
+    * division is replayable floor/truncate. Same shuffle shape as
+    * [[stumpCandidates]]: one stacked pass, (feature, value)-grain
+    * aggregate, windows ONLY over the model-sized candidate table.
+    * Returns ONE row: base, chosen split, side stats, gain
+    * (milli² units), leaf steps and values. */
+  def boostStumpRound(df: DataFrame, labelCol: String,
+      features: Seq[String], lrMilli: Long = 300L): DataFrame = {
+    require(features.nonEmpty, "boostStumpRound needs at least one feature")
+    require(lrMilli >= 1 && lrMilli <= 1000,
+      s"lrMilli must be in [1,1000], got $lrMilli")
+    val y = col(labelCol).cast("long")
+    val base = broadcast(df
+      .agg(count(lit(1)).as("__n"), sum(y).as("__sy"))
+      .select(expr(
+        """CASE WHEN __sy >= 0 THEN (1000 * __sy) div __n
+          | ELSE -((-(1000 * __sy)) div __n) END""".stripMargin)
+        .as("base_milli")))
+    val staged = df.crossJoin(base)
+      .select(features.map(col) :+
+        (y * 1000 - col("base_milli")).as("__res"): _*)
+    val stacked = features.map { f =>
+      staged.filter(col(f).isNotNull)
+        .select(lit(f).as("feature"), col(f).cast("long").as("threshold"),
+          col("__res"))
+    }.reduce(_ unionByName _)
+    val grain = stacked.groupBy(col("feature"), col("threshold"))
+      .agg(count(lit(1)).as("__c"), sum(col("__res")).as("__s"))
+    val wCum = Window.partitionBy(col("feature")).orderBy(col("threshold"))
+    val wAll = Window.partitionBy(col("feature"))
+    val scored = grain
+      .withColumn("n_left", sum(col("__c")).over(wCum))
+      .withColumn("sum_left_milli", sum(col("__s")).over(wCum))
+      .withColumn("n_right", sum(col("__c")).over(wAll) - col("n_left"))
+      .withColumn("sum_right_milli",
+        sum(col("__s")).over(wAll) - col("sum_left_milli"))
+      .filter(col("n_right") > 0)
+      .withColumn("gain", expr(
+        """CAST((CAST(sum_left_milli AS DECIMAL(38,0)) * sum_left_milli)
+          |  div n_left
+          |+ (CAST(sum_right_milli AS DECIMAL(38,0)) * sum_right_milli)
+          |  div n_right AS BIGINT)""".stripMargin))
+    val wTop = Window.orderBy(col("gain").desc, col("feature").asc,
+      col("threshold").asc)
+    def step(s: String, n: String) = expr(
+      s"""CASE WHEN $s >= 0 THEN ($lrMilli * $s) div (1000 * $n)
+         | ELSE -(($lrMilli * -$s) div (1000 * $n)) END""".stripMargin)
+    scored.withColumn("__rk", row_number().over(wTop))
+      .filter(col("__rk") === 1)
+      .crossJoin(base)
+      .withColumn("left_value_milli",
+        col("base_milli") + step("sum_left_milli", "n_left"))
+      .withColumn("right_value_milli",
+        col("base_milli") + step("sum_right_milli", "n_right"))
+      .select(col("base_milli"), col("feature"), col("threshold"),
+        col("n_left"), col("n_right"), col("sum_left_milli"),
+        col("sum_right_milli"), col("gain"), col("left_value_milli"),
+        col("right_value_milli"))
+  }
+
   /** lcm(1..10) — the shared denominator that keeps precision@i sums
     * EXACT for any cutoff k ≤ 10 (2520/i is an integer for every
     * i ≤ 10), so MAP needs no per-term floor at all. */

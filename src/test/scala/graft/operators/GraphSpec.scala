@@ -438,4 +438,30 @@ class GraphSpec extends SparkTestBase {
     val sym = path ++ path.map(_.swap)
     assert(run(sym, Seq(4L), 3) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L))
   }
+
+  test("dbscanGrid: core/border/noise classes, two clusters, min labels") {
+    import spark.implicits._
+    val pts = Seq(
+      // unit square -> 4 mutual neighbors at eps=2, all core, cluster 1
+      (1L, 0L, 0L), (2L, 0L, 1L), (3L, 1L, 0L), (4L, 1L, 1L),
+      // within eps of core 4 only -> border attached to cluster 1
+      (5L, 3L, 1L),
+      // far away alone -> noise
+      (6L, 10L, 10L),
+      // second square -> separate cluster labeled 7
+      (7L, 20L, 20L), (8L, 20L, 21L), (9L, 21L, 20L), (10L, 21L, 21L))
+      .toDF("id", "x", "y")
+    val got = Graph.dbscanGrid(pts, "id", "x", "y", eps = 2L, minPts = 4L)
+      .select("id", "n_neighbors", "kind", "cluster")
+      .as[(Long, Long, String, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((4L, "core", Some(1L))))
+    assert(got(2L) == ((4L, "core", Some(1L))))
+    assert(got(3L) == ((4L, "core", Some(1L))))
+    assert(got(4L) == ((5L, "core", Some(1L))))
+    assert(got(5L) == ((2L, "border", Some(1L))))
+    assert(got(6L) == ((1L, "noise", None)))
+    assert(got(7L) == ((4L, "core", Some(7L))))
+    assert(got(10L) == ((4L, "core", Some(7L))))
+  }
 }

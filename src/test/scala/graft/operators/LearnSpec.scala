@@ -702,6 +702,21 @@ class LearnSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, None, None)))
   }
 
+  test("boostStumpRound: base mean, residual gain, negative-side leaf step") {
+    import spark.implicits._
+    // base = 500; residuals -500,-500,+500,+500; split at f<=1:
+    // gain = (-1000)^2/2 + 1000^2/2 = 1e6; lr=300 steps -150/+150
+    val df = Seq((0L, 1L), (0L, 1L), (1L, 2L), (1L, 2L)).toDF("y", "f")
+    val got = Learn.boostStumpRound(df, "y", Seq("f"), lrMilli = 300L)
+      .select("base_milli", "feature", "threshold", "n_left", "n_right",
+        "sum_left_milli", "sum_right_milli", "gain",
+        "left_value_milli", "right_value_milli")
+      .as[(Long, String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq((500L, "f", 1L, 2L, 2L, -1000L, 1000L, 1000000L,
+      350L, 650L)))
+  }
+
   test("isotonicFit: pooling, same-x pre-pool, negative floor (not truncate)") {
     import spark.implicits._
     val rows = Seq(

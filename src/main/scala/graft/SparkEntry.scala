@@ -3352,6 +3352,34 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q330: PNG chunk-walk metadata by invertible construction (the
+    // q132 MP4 trick): builder writes spec-valid chunk streams with
+    // REAL CRC-32s (multi-IDAT, palette images get PLTE), the parser
+    // walks and CRC-verifies every chunk, and DuckDB recomputes all
+    // seven metadata columns from doc_id arithmetic.
+    "q330_png_metadata" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (lit(1L) + col("doc_id") % 640).as("w"),
+          (lit(1L) + col("doc_id") % 480).as("h"),
+          when(col("doc_id") % 6 === 1 || col("doc_id") % 6 === 5, 16L)
+            .otherwise(8L).as("d"),
+          element_at(array(lit(0L), lit(0L), lit(2L), lit(3L), lit(4L),
+            lit(6L)), (col("doc_id") % 6 + 1).cast("int")).as("c"),
+          (col("doc_id") % 2).as("il"),
+          (lit(1L) + col("doc_id") % 3).as("nid"),
+          (lit(100L) + col("doc_id") % 900).as("ilen"))
+      val built = operators.Png.buildStubPng(base, "w", "h", "d", "c",
+        "il", "nid", "ilen")
+      operators.Png.pngMeta(built.select(col("doc_id"), col("payload")),
+          "payload")
+        .select(col("doc_id"), col("png_width"), col("png_height"),
+          col("png_bit_depth"), col("png_color_type"),
+          col("png_interlace"), col("png_n_chunks"), col("png_idat_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q316: CART split scoring — every (feature, threshold) candidate
     // over three quantized lineitem features with the all-integer
     // purity score; windows only over the model-sized grain table.
@@ -8338,6 +8366,24 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q330: every metadata column recomputed from the same doc_id
+    // arithmetic the builder used — chunk census = IHDR + optional
+    // PLTE + nIdat IDATs + IEND.
+    "q330_png_metadata" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 640 AS BIGINT) AS png_width,
+        |  CAST(1 + doc_id % 480 AS BIGINT) AS png_height,
+        |  CAST(CASE WHEN doc_id % 6 IN (1, 5) THEN 16 ELSE 8 END
+        |    AS BIGINT) AS png_bit_depth,
+        |  CAST(CASE doc_id % 6 WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 2
+        |    WHEN 3 THEN 3 WHEN 4 THEN 4 ELSE 6 END AS BIGINT)
+        |    AS png_color_type,
+        |  CAST(doc_id % 2 AS BIGINT) AS png_interlace,
+        |  CAST(2 + CASE WHEN doc_id % 6 = 3 THEN 1 ELSE 0 END
+        |    + 1 + doc_id % 3 AS BIGINT) AS png_n_chunks,
+        |  CAST(100 + doc_id % 900 AS BIGINT) AS png_idat_bytes
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     // q316: the split-scoring table replayed — stacked features,
     // (feature, value) grain, cumulative class counts, the same

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** PNG (ISO/IEC 15948 / RFC 2083) container metadata — the still-image
+  * sibling of [[Mp4]]'s box walk and [[Exif]]'s TIFF walk: dimensions,
+  * bit depth, color type, interlace mode, chunk census and compressed
+  * payload size all live in the PUBLIC chunk structure, so a chunk
+  * walk recovers them without inflating a single scanline (the
+  * multimodal-manifest pass a 100 TB image corpus runs BEFORE any
+  * decode fan-out — route/filter/dedup on header facts, decode only
+  * the survivors).
+  *
+  * STRICT by the family's rules: every chunk's CRC-32 is verified
+  * (PNG's CRC covers type+data — a bit-flipped payload is detected,
+  * not propagated), IHDR must come first with a spec-valid
+  * (bit depth, color type) combination, color type 3 requires a PLTE
+  * with size ≡ 0 (mod 3), IEND must be last with empty data, and
+  * trailing bytes after IEND are refused (the [[Tar]]/[[Warc]]
+  * refuse-trailing posture). Anything malformed yields null metadata,
+  * never an error — one corrupt blob never fails the scan
+  * ([[Multimodal.ImageIoDecoder]] discipline).
+  *
+  * Scale shape: [[pngMeta]] is a pure row-local projection — no
+  * shuffle, no state; cost is O(chunk count + payload CRC), a single
+  * linear pass. [[buildStubPng]] is the invertible fixture twin (the
+  * q132 trick): parse∘build is identity on every field, so a SQL
+  * oracle replays the parser's outputs arithmetically without DuckDB
+  * owning a PNG stack. */
+object Png {
+
+  case class PngMeta(width: Long, height: Long, bit_depth: Long,
+      color_type: Long, interlace: Long, n_chunks: Long, idat_bytes: Long)
+
+  private val Signature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  /** Spec-valid (bit depth, color type) combinations (15948 §6.1). */
+  private def validDepth(depth: Long, color: Long): Boolean = color match {
+    case 0 => Set(1L, 2L, 4L, 8L, 16L)(depth)
+    case 2 | 4 | 6 => depth == 8L || depth == 16L
+    case 3 => Set(1L, 2L, 4L, 8L)(depth)
+    case _ => false
+  }
+
+  /** Walk one payload's chunks. Null (never throws) on anything that
+    * is not a complete, CRC-clean PNG: bad signature, IHDR not first
+    * or wrong length, invalid depth/color combo, nonzero compression
+    * or filter method, CRC mismatch on ANY chunk, missing PLTE for
+    * palette images, bad PLTE size, missing or non-final IEND, or
+    * trailing bytes after IEND. */
+  def parse(bytes: Array[Byte]): PngMeta = {
+    if (bytes == null || bytes.length < Signature.length + 12) return null
+    try {
+      var i = 0
+      while (i < Signature.length) {
+        if (bytes(i) != Signature(i))
+          throw new IllegalArgumentException("bad signature")
+        i += 1
+      }
+      var off = Signature.length
+      var first = true
+      var ended = false
+      var width = 0L; var height = 0L; var depth = 0L; var color = 0L
+      var interlace = 0L
+      var nChunks = 0L; var idatBytes = 0L; var seenPlte = false
+      val crc = new java.util.zip.CRC32()
+      while (!ended) {
+        if (off + 12 > bytes.length)
+          throw new IllegalArgumentException("truncated chunk header")
+        val len = u32(bytes, off)
+        if (len > bytes.length - off - 12)
+          throw new IllegalArgumentException("chunk overruns buffer")
+        val typ = new String(bytes, off + 4, 4,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        crc.reset()
+        crc.update(bytes, off + 4, 4 + len.toInt)
+        if (crc.getValue != u32(bytes, off + 8 + len.toInt))
+          throw new IllegalArgumentException(s"crc mismatch in $typ")
+        val body = off + 8
+        typ match {
+          case "IHDR" =>
+            if (!first || len != 13L)
+              throw new IllegalArgumentException("bad IHDR")
+            width = u32(bytes, body); height = u32(bytes, body + 4)
+            depth = bytes(body + 8) & 0xFFL; color = bytes(body + 9) & 0xFFL
+            val compression = bytes(body + 10) & 0xFFL
+            val filter = bytes(body + 11) & 0xFFL
+            interlace = bytes(body + 12) & 0xFFL
+            if (width < 1 || height < 1 || !validDepth(depth, color) ||
+                compression != 0L || filter != 0L || interlace > 1L)
+              throw new IllegalArgumentException("invalid IHDR fields")
+          case _ if first =>
+            throw new IllegalArgumentException("IHDR not first")
+          case "PLTE" =>
+            if (len == 0L || len % 3 != 0L)
+              throw new IllegalArgumentException("bad PLTE size")
+            seenPlte = true
+          case "IDAT" => idatBytes += len
+          case "IEND" =>
+            if (len != 0L) throw new IllegalArgumentException("IEND data")
+            ended = true
+          case _ => () // ancillary chunk: CRC already verified
+        }
+        first = false
+        nChunks += 1
+        off += 12 + len.toInt
+      }
+      if (off != bytes.length)
+        throw new IllegalArgumentException("trailing bytes after IEND")
+      if (color == 3L && !seenPlte)
+        throw new IllegalArgumentException("palette image without PLTE")
+      PngMeta(width, height, depth, color, interlace, nChunks, idatBytes)
+    } catch { case _: Exception => null }
+  }
+
+  private val metaFields = Seq(
+    StructField("png_width", LongType), StructField("png_height", LongType),
+    StructField("png_bit_depth", LongType),
+    StructField("png_color_type", LongType),
+    StructField("png_interlace", LongType),
+    StructField("png_n_chunks", LongType),
+    StructField("png_idat_bytes", LongType))
+
+  /** Append `png_width/height/bit_depth/color_type/interlace/
+    * n_chunks/idat_bytes` parsed from a binary column; all null for
+    * non-PNG payloads. Row-local; no shuffle. */
+  def pngMeta(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ metaFields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        val extra: Seq[Any] =
+          if (m == null) Seq(null, null, null, null, null, null, null)
+          else Seq(m.width, m.height, m.bit_depth, m.color_type,
+            m.interlace, m.n_chunks, m.idat_bytes)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  // --- fixture builder ------------------------------------------------
+
+  private class ChunkWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = {
+      out.write(((v >> 24) & 0xFF).toInt); out.write(((v >> 16) & 0xFF).toInt)
+      out.write(((v >> 8) & 0xFF).toInt); out.write((v & 0xFF).toInt)
+    }
+    /** length + type + data + REAL CRC-32 over type+data. */
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      u32(data.length.toLong)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t, 0, 4); crc.update(data, 0, data.length)
+      u32(crc.getValue)
+    }
+  }
+
+  /** One structurally-valid PNG per row from typed long columns:
+    * width, height, bit depth, color type, interlace (0/1), IDAT
+    * split count (≥1 — real encoders emit MANY IDAT chunks) and
+    * total IDAT byte length (deterministic filler bytes — headers
+    * need no valid zlib stream). Color type 3 automatically gets a
+    * 4-entry PLTE. The chunk CRCs are REAL CRC-32s, so the parser's
+    * verification lane is exercised by construction — parse∘build is
+    * identity on every metadata field. Appends binary `out`. */
+  def buildStubPng(df: DataFrame, widthCol: String, heightCol: String,
+      depthCol: String, colorCol: String, interlaceCol: String,
+      nIdatCol: String, idatLenCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val wi = inSchema.fieldIndex(widthCol)
+    val hi = inSchema.fieldIndex(heightCol)
+    val di = inSchema.fieldIndex(depthCol)
+    val ci = inSchema.fieldIndex(colorCol)
+    val ii = inSchema.fieldIndex(interlaceCol)
+    val ni = inSchema.fieldIndex(nIdatCol)
+    val li = inSchema.fieldIndex(idatLenCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val w = new ChunkWriter
+        w.out.write(Signature, 0, Signature.length)
+        val ihdr = new java.io.ByteArrayOutputStream()
+        def be32(v: Long): Unit = {
+          ihdr.write(((v >> 24) & 0xFF).toInt)
+          ihdr.write(((v >> 16) & 0xFF).toInt)
+          ihdr.write(((v >> 8) & 0xFF).toInt)
+          ihdr.write((v & 0xFF).toInt)
+        }
+        be32(r.getLong(wi)); be32(r.getLong(hi))
+        ihdr.write(r.getLong(di).toInt); ihdr.write(r.getLong(ci).toInt)
+        ihdr.write(0); ihdr.write(0) // compression, filter: fixed by spec
+        ihdr.write(r.getLong(ii).toInt)
+        w.chunk("IHDR", ihdr.toByteArray)
+        if (r.getLong(ci) == 3L)
+          w.chunk("PLTE", Array.tabulate(12)(j => (j * 21).toByte))
+        val total = r.getLong(li).toInt
+        val parts = math.max(1, r.getLong(ni).toInt)
+        val per = total / parts
+        var emitted = 0
+        for (p <- 0 until parts) {
+          val n = if (p == parts - 1) total - emitted else per
+          w.chunk("IDAT", Array.tabulate(n)(j => ((emitted + j) % 251).toByte))
+          emitted += n
+        }
+        w.chunk("IEND", Array.emptyByteArray)
+        Row.fromSeq(r.toSeq :+ w.out.toByteArray)
+      }
+    }(enc)
+  }
+}

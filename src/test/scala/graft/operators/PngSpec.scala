@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[Png]] chunk walk: parse∘build identity on every field, real
+  * CRC-32 verification (a flipped payload bit is DETECTED), the
+  * spec's depth/color validity table, palette/PLTE coupling, and the
+  * refuse-trailing / null-never-throw malformation discipline. */
+class PngSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def build(w: Long = 64L, h: Long = 48L, d: Long = 8L,
+      c: Long = 2L, il: Long = 0L, nid: Long = 1L,
+      ilen: Long = 100L): Array[Byte] = {
+    val df = Seq((w, h, d, c, il, nid, ilen))
+      .toDF("w", "h", "d", "c", "il", "nid", "ilen")
+    Png.buildStubPng(df, "w", "h", "d", "c", "il", "nid", "ilen")
+      .select("payload").as[Array[Byte]].collect()(0)
+  }
+
+  test("parse-of-build identity, multi-IDAT census, palette PLTE") {
+    val m = Png.parse(build(w = 640L, h = 480L, d = 16L, c = 0L,
+      il = 1L, nid = 3L, ilen = 1000L))
+    assert(m == Png.PngMeta(640L, 480L, 16L, 0L, 1L, 5L, 1000L))
+    // color type 3 gets a PLTE chunk: one more in the census
+    val p = Png.parse(build(d = 4L, c = 3L, nid = 2L, ilen = 64L))
+    assert(p == Png.PngMeta(64L, 48L, 4L, 3L, 0L, 5L, 64L))
+  }
+
+  test("CRC verification: one flipped IDAT payload bit rejects the file") {
+    val good = build()
+    assert(Png.parse(good) != null)
+    val bad = good.clone()
+    bad(good.length - 20) = (bad(good.length - 20) ^ 0x01).toByte
+    assert(Png.parse(bad) == null)
+  }
+
+  test("malformations null, never throw") {
+    val good = build()
+    assert(Png.parse(null) == null)
+    assert(Png.parse(Array[Byte](1, 2, 3)) == null)
+    // bad signature
+    val sig = good.clone(); sig(0) = 0x00
+    assert(Png.parse(sig) == null)
+    // truncated mid-chunk
+    assert(Png.parse(good.take(good.length - 5)) == null)
+    // trailing garbage after IEND
+    assert(Png.parse(good :+ 0x00.toByte) == null)
+    // invalid depth/color combo (CRC valid: the builder signs it)
+    assert(Png.parse(build(d = 3L, c = 0L)) == null)
+    assert(Png.parse(build(d = 4L, c = 2L)) == null)
+    // palette image with its PLTE spliced out (chunks stay CRC-clean)
+    val pal = build(d = 8L, c = 3L)
+    val noPlte = pal.take(33) ++ pal.drop(33 + 24)
+    assert(Png.parse(noPlte) == null)
+    // zero-size image
+    assert(Png.parse(build(w = 0L)) == null)
+  }
+}

@@ -3352,6 +3352,47 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q332: IPS + SNIPS off-policy evaluation of a deterministic
+    // target policy (action by user hash) on the logged event stream
+    // with synthetic logging propensities — both counterfactual
+    // estimators replay as one aggregate of integer per-row weights.
+    "q332_ips_offpolicy" -> ((s, dir) => {
+      val acts = array(lit("click"), lit("error"), lit("purchase"),
+        lit("signup"), lit("view"))
+      val logged = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select(col("event_type"),
+          element_at(acts, (col("user_id") % 5 + 1).cast("int"))
+            .as("policy_action"),
+          col("value"),
+          (lit(100L) + (col("event_id") % 8) * 100).as("p_milli"))
+      operators.Learn.ipsValue(logged, "event_type", "policy_action",
+        "value", "p_milli")
+    }),
+
+    // q333: per-user Theil–Sen trend — the robust median-of-slopes
+    // line beside q277's OLS; pair slopes stay rationals until the
+    // single selected floor, so DuckDB's different pair enumeration
+    // still hash-matches (the double ORDER BY is provably exact at
+    // these magnitudes: slope gaps ≥ 1/dx² ≈ 2e-6 vs ulp ≈ 6e-11).
+    "q333_theil_sen" -> ((s, dir) => {
+      operators.Learn.theilSenSlopes(Tables.events(s, dir), "user_id",
+          "ts", "value")
+        .orderBy(col("key"))
+    }),
+
+    // q331: Hilbert index over the q263 cells — the better-locality
+    // layout lane beside Z-order; DuckDB replays the reflect+rotate
+    // descent as a recursive CTE over (x, y, d, s) state.
+    "q331_hilbert" -> ((s, dir) => {
+      val q = Tables.events(s, dir)
+        .select(col("event_id"),
+          operators.Layout.quantize(col("user_id"), 0L, 11, 8).as("ub"),
+          operators.Layout.quantize(col("event_id"), 0L, 17, 8).as("eb"))
+      operators.Layout.hilbertIndex(q, col("ub"), col("eb"), 8)
+        .orderBy(col("event_id"))
+    }),
+
     // q330: PNG chunk-walk metadata by invertible construction (the
     // q132 MP4 trick): builder writes spec-valid chunk streams with
     // REAL CRC-32s (multi-IDAT, palette images get PLTE), the parser
@@ -8366,6 +8407,95 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q332: the per-row integer weights and the two final sign-split
+    // divisions, verbatim.
+    "q332_ips_offpolicy" ->
+      """WITH l AS (SELECT event_type,
+        |    ['click','error','purchase','signup','view']
+        |      [CAST(user_id % 5 + 1 AS INT)] AS pa,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS r,
+        |    100 + (event_id % 8) * 100 AS p
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |t AS (SELECT (event_type = pa) AS m,
+        |    CASE WHEN event_type = pa THEN
+        |      CASE WHEN r >= 0 THEN (1000000 * r) // p
+        |        ELSE -((1000000 * -r) // p) END ELSE 0 END AS wr,
+        |    CASE WHEN event_type = pa THEN 1000000 // p ELSE 0 END AS w
+        |  FROM l)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(SUM(w) AS BIGINT) AS sum_w_milli,
+        |  CAST(CASE WHEN SUM(wr) >= 0 THEN SUM(wr) // COUNT(*)
+        |    ELSE -((-SUM(wr)) // COUNT(*)) END AS BIGINT) AS ips_micro,
+        |  CASE WHEN SUM(w) > 0 THEN
+        |    CAST(CASE WHEN SUM(wr) >= 0 THEN SUM(wr) // SUM(w)
+        |      ELSE -((-SUM(wr)) // SUM(w)) END AS BIGINT)
+        |    END AS snips_milli
+        |FROM t""".stripMargin,
+
+    // q333: unordered pairs via event_id, orientation-normalized
+    // rational slopes, lower-median selection by a provably-exact
+    // double ordering, one sign-split floor on the selected slope.
+    "q333_theil_sen" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |c AS (SELECT user_id, event_id,
+        |    (us - MIN(us) OVER (PARTITION BY user_id)) // 3600000000 AS x,
+        |    y FROM s),
+        |nn AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM c GROUP BY 1),
+        |p AS (SELECT a.user_id,
+        |    CASE WHEN b.x > a.x THEN b.y - a.y ELSE a.y - b.y END AS dy,
+        |    ABS(b.x - a.x) AS dx
+        |  FROM c a JOIN c b
+        |    ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  WHERE b.x <> a.x),
+        |mm AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT user_id, dy, dx, ROW_NUMBER() OVER
+        |    (PARTITION BY user_id ORDER BY CAST(dy AS DOUBLE) / dx)
+        |    AS rk FROM p),
+        |sel AS (SELECT r.user_id, r.dy, r.dx
+        |  FROM r JOIN mm ON mm.user_id = r.user_id
+        |  WHERE r.rk = (mm.m - 1) // 2 + 1)
+        |SELECT nn.user_id AS key, nn.n,
+        |  COALESCE(mm.m, 0) AS n_slopes,
+        |  CAST(CASE WHEN sel.dy >= 0 THEN (1000000 * sel.dy) // sel.dx
+        |    ELSE -((1000000 * -sel.dy) // sel.dx) END AS BIGINT)
+        |    AS slope_micro
+        |FROM nn LEFT JOIN mm ON mm.user_id = nn.user_id
+        |LEFT JOIN sel ON sel.user_id = nn.user_id
+        |ORDER BY key""".stripMargin,
+
+    // q331: the same xy2d descent as a recursive CTE — per step the
+    // quadrant digit (3·rx XOR ry) scales by s², then reflect+rotate;
+    // rows exit when s reaches 0.
+    "q331_hilbert" ->
+      """WITH RECURSIVE q AS (SELECT event_id,
+        |    LEAST(255, GREATEST(0, user_id >> 3)) AS ub,
+        |    LEAST(255, GREATEST(0, event_id >> 9)) AS eb
+        |  FROM events),
+        |h AS (
+        |  SELECT event_id, ub, eb, ub AS x, eb AS y,
+        |    CAST(0 AS BIGINT) AS d, CAST(128 AS BIGINT) AS s FROM q
+        |  UNION ALL
+        |  SELECT event_id, ub, eb,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 255 - y ELSE y END
+        |      ELSE x END,
+        |    CASE WHEN (y & s) = 0 THEN
+        |      CASE WHEN (x & s) > 0 THEN 255 - x ELSE x END
+        |      ELSE y END,
+        |    d + s * s * xor(
+        |      3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+        |      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END),
+        |    s // 2
+        |  FROM h WHERE s > 0)
+        |SELECT event_id, CAST(ub AS BIGINT) AS ub,
+        |  CAST(eb AS BIGINT) AS eb, d AS h
+        |FROM h WHERE s = 0 ORDER BY event_id""".stripMargin,
 
     // q330: every metadata column recomputed from the same doc_id
     // arithmetic the builder used — chunk census = IHDR + optional

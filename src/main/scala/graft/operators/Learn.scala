@@ -1333,6 +1333,53 @@ object Learn {
         col("right_value_milli"))
   }
 
+  /** Off-policy evaluation of a deterministic target policy on
+    * logged bandit data — IPS (Horvitz–Thompson) and SNIPS
+    * (self-normalized, Swaminathan & Joachims 2015), THE standard
+    * counterfactual answer to "what would my new routing/ranking
+    * policy have earned on last month's traffic" without deploying
+    * it. Inputs per logged row: the logged action, the target
+    * policy's action for the same context (callers compute it — a
+    * join against a policy table or a pure expression), the realized
+    * reward, and the LOGGING policy's propensity of the logged
+    * action (milli, > 0).
+    *
+    * Integer lanes (micro/milli, every floor documented):
+    * matched rows contribute wr = sign-split (10⁶·r_milli) div
+    * p_milli — exactly 10⁶·(r/p) — and w = 10⁶ div p_milli — exactly
+    * 10³·(1/p); then
+    *   ips_micro  = sign-split Σwr div n          (mean of r/p over
+    *                ALL rows — unmatched rows contribute 0),
+    *   snips_milli = sign-split Σwr div Σw        (matched mass
+    *                normalized by matched inverse propensity).
+    * SNIPS is undefined (null) when nothing matches. One hash
+    * aggregate over the log — no shuffle beyond it, no driver state;
+    * the estimator is a pure integer function of the log. */
+  def ipsValue(df: DataFrame, actionCol: String, policyActionCol: String,
+      rewardCol: String, propensityMilliCol: String): DataFrame = {
+    val matched = col(actionCol) === col(policyActionCol)
+    val staged = df
+      .select(matched.as("__m"),
+        floor(col(rewardCol) * 1000).cast("long").as("__r"),
+        col(propensityMilliCol).cast("long").as("__p"))
+      .withColumn("__wr", when(col("__m"), expr(
+        """CASE WHEN __r >= 0 THEN (1000000 * __r) div __p
+          | ELSE -((1000000 * -__r) div __p) END""".stripMargin))
+        .otherwise(0L))
+      .withColumn("__w", when(col("__m"), expr("1000000 div __p"))
+        .otherwise(0L))
+    staged.agg(count(lit(1)).as("n"),
+        sum(col("__m").cast("long")).as("n_match"),
+        sum(col("__wr")).as("__swr"), sum(col("__w")).as("sum_w_milli"))
+      .select(col("n"), col("n_match"), col("sum_w_milli"),
+        expr("""CASE WHEN __swr >= 0 THEN __swr div n
+               | ELSE -((-__swr) div n) END""".stripMargin).as("ips_micro"),
+        when(col("sum_w_milli") > 0, expr(
+          """CASE WHEN __swr >= 0 THEN __swr div sum_w_milli
+            | ELSE -((-__swr) div sum_w_milli) END""".stripMargin))
+          .as("snips_milli"))
+  }
+
   /** lcm(1..10) — the shared denominator that keeps precision@i sums
     * EXACT for any cutoff k ≤ 10 (2520/i is an integer for every
     * i ≤ 10), so MAP needs no per-term floor at all. */
@@ -1433,6 +1480,73 @@ object Learn {
       .select(col("query"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         expr(s"coalesce(__s, 0L) div $PrecLcm").as("rbo_micro"))
+  }
+
+  /** Per-key Theil–Sen trend estimate — the ROBUST sibling of
+    * [[trendSlopes]]' least-squares line (Sen 1968; 29% breakdown
+    * point vs OLS's zero: one wild outlier row cannot move it):
+    * slope = MEDIAN over all point pairs with distinct x of
+    * (y_j−y_i)/(x_j−x_i). Same staging as trendSlopes (x = per-key
+    * min-centered hour, y = milli floor).
+    *
+    * Exactness: pair slopes stay RATIONALS — ordering is the
+    * cross-multiplication comparator (dy₁·dx₂ < dy₂·dx₁, dx > 0;
+    * products ≤ |dy|·|dx| bounded far under 2⁶³ at key grain), the
+    * lower median (index (m−1)/2 — the q311 data-value convention)
+    * is selected without ever dividing, and only the selected
+    * rational is floored once: slope_micro = sign-split truncating
+    * (10⁶·dy) div dx. Equal rationals in different representations
+    * floor identically, so the output is representation-independent
+    * — which is what lets the oracle enumerate pairs in a different
+    * order and still hash-match. Keys with no distinct-x pair emit
+    * null.
+    *
+    * Scale shape: ONE shuffle (groupByKey); O(n²) pair slopes and an
+    * O(m log m) sort per key INSIDE mapGroups — key-grain state, the
+    * [[kendallTau]] posture (Theil–Sen is quadratic by definition;
+    * run it on key-sized series, not corpora). */
+  def theilSenSlopes(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("key"))
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("__us"),
+        floor(col(valueCol) * 1000).cast("long").as("__y"))
+      .withColumn("__x0", min(col("__us")).over(w))
+      .withColumn("__x", expr("(__us - __x0) div 3600000000"))
+      .select(col("key"), col("__x"), col("__y"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val pts = it.map(t => (t._2, t._3)).toArray
+        val n = pts.length
+        val slopes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var i = 0
+        while (i < n) {
+          var j = i + 1
+          while (j < n) {
+            val dx = pts(j)._1 - pts(i)._1
+            if (dx != 0L) {
+              val dy = pts(j)._2 - pts(i)._2
+              slopes += (if (dx > 0) (dy, dx) else (-dy, -dx))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val m = slopes.length
+        if (m == 0) TheilSenRow(key, n, 0L, None)
+        else {
+          val arr = slopes.sortWith { case ((a, b), (c, d)) => a * d < c * b }
+          val (dy, dx) = arr((m - 1) / 2)
+          val num = 1000000L * dy
+          val micro = if (num >= 0) num / dx else -((-num) / dx)
+          TheilSenRow(key, n, m.toLong, Some(micro))
+        }
+      }
+      .toDF()
   }
 
   /** Per-key Kendall rank correlation between two value columns —
@@ -1601,3 +1715,7 @@ private[operators] case class KendallRow(key: Long, n: Long,
 /** [[Learn.isotonicFit]] fitted row — one per pooled x position. */
 private[operators] case class IsotonicRow(key: Long, x: Long,
     n_at_x: Long, y_sum_milli: Long, fit_micro: Long)
+
+/** [[Learn.theilSenSlopes]] per-key result row. */
+private[operators] case class TheilSenRow(key: Long, n: Long,
+    n_slopes: Long, slope_micro: Option[Long])

@@ -98,4 +98,27 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(m.filter(col("moved") === 0 &&
       col("node_before") =!= col("node_after")).count() == 0)
   }
+
+  test("hilbertIndex: order-1 quadrants, order-2 bijection, unit-step locality") {
+    import spark.implicits._
+    // order 1: the U shape
+    val o1 = Layout.hilbertIndex(
+        Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+        col("x"), col("y"), bits = 1)
+      .select("x", "y", "h").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(o1 == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L,
+      (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+    // order 4 (16×16): h is a bijection onto 0..255 and CONSECUTIVE
+    // indexes are Manhattan-adjacent cells — the locality property
+    // Z-order lacks at quadrant seams
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val cells = Layout.hilbertIndex(grid, col("x"), col("y"), bits = 4)
+      .select("h", "x", "y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L))
+    val jumps = cells.sliding(2).count { case Array(a, b) =>
+      math.abs(a._2 - b._2) + math.abs(a._3 - b._3) != 1 }
+    assert(jumps == 0, "hilbert walk must move one cell at a time")
+  }
 }

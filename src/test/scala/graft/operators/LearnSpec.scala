@@ -702,6 +702,45 @@ class LearnSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, None, None)))
   }
 
+  test("ipsValue: per-row weights, negative reward lane, no-match null SNIPS") {
+    import spark.implicits._
+    val log = Seq(
+      ("x", "x", 2.0, 500L),   // wr = 4e6, w = 2000
+      ("y", "x", 9.0, 100L),   // unmatched -> 0
+      ("x", "x", -0.5, 250L),  // wr = -2e6, w = 4000
+      ("z", "w", 1.0, 1000L))  // unmatched
+      .toDF("a", "pa", "reward", "p")
+    val got = Learn.ipsValue(log, "a", "pa", "reward", "p")
+      .select("n", "n_match", "sum_w_milli", "ips_micro", "snips_milli")
+      .as[(Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(got == ((4L, 2L, 6000L, 500000L, Some(333L))))
+    val none = Learn.ipsValue(log.filter(col("a") =!= col("pa")),
+        "a", "pa", "reward", "p")
+      .select("n", "n_match", "ips_micro", "snips_milli")
+      .as[(Long, Long, Long, Option[Long])].collect()(0)
+    assert(none == ((2L, 0L, 0L, None)))
+  }
+
+  test("theilSenSlopes: outlier-robust median slope, degenerate keys null") {
+    import spark.implicits._
+    def t(h: Int) = new java.sql.Timestamp(1700000000000L + h * 3600000L)
+    val rows = Seq(
+      // slopes 4000, 500, -3000 -> lower median 500 milli/hour
+      (1L, t(0), 1.0), (1L, t(1), 5.0), (1L, t(2), 2.0),
+      // same hour twice: no distinct-x pair
+      (2L, t(0), 1.0), (2L, t(0), 9.0),
+      // single point
+      (3L, t(5), 4.0))
+    val df = rows.toDF("k", "ts", "v")
+    val got = Learn.theilSenSlopes(df, "k", "ts", "v")
+      .select("key", "n", "n_slopes", "slope_micro")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 3L, Some(500000000L))))
+    assert(got(2L) == ((2L, 0L, None)))
+    assert(got(3L) == ((1L, 0L, None)))
+  }
+
   test("boostStumpRound: base mean, residual gain, negative-side leaf step") {
     import spark.implicits._
     // base = 500; residuals -500,-500,+500,+500; split at f<=1:

@@ -3352,6 +3352,38 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q335: schema-less protobuf wire census by invertible
+    // construction — varint tags (multi-byte values exercised),
+    // length-delimited/fixed32/fixed64 fields, repeated fields; all
+    // eight census columns replay from doc_id arithmetic.
+    "q335_proto_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (lit(100L) + col("doc_id")).as("v1"),
+          (lit(10L) + col("doc_id") % 50).as("len"),
+          (col("doc_id") % 4).as("rep"),
+          (col("doc_id") % 3).as("f64"))
+      val built = operators.Proto.buildStubProto(base, "v1", "len",
+        "rep", "f64")
+      operators.Proto.protoCensus(
+          built.select(col("doc_id"), col("payload")), "payload")
+        .select(col("doc_id"), col("pb_n_fields"), col("pb_max_field_no"),
+          col("pb_n_varint"), col("pb_n_fixed64"), col("pb_n_len"),
+          col("pb_n_fixed32"), col("pb_len_bytes"), col("pb_first_varint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q334: per-user linear resampling of the event value series onto
+    // a 6-hour epoch grid — bracketing lead window + row-local grid
+    // explode, one sign-split interpolation division; knots reproduce
+    // observations exactly.
+    "q334_resample_linear" -> ((s, dir) => {
+      Relational.resampleLinear(Tables.events(s, dir), "user_id", "ts",
+          "value", stepUs = 21600000000L)
+        .orderBy(col("key"), col("grid_us"))
+    }),
+
     // q332: IPS + SNIPS off-policy evaluation of a deterministic
     // target policy (action by user hash) on the logged event stream
     // with synthetic logging propensities — both counterfactual
@@ -8407,6 +8439,55 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q335: the census recomputed from the builder's arithmetic —
+    // field plan: f1 varint, f2 len-delimited, f3 fixed32,
+    // f7 varint × rep, f9 fixed64 when doc_id % 3 != 0.
+    "q335_proto_census" ->
+      """SELECT doc_id,
+        |  CAST(3 + doc_id % 4
+        |    + CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pb_n_fields,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 9
+        |    WHEN doc_id % 4 > 0 THEN 7 ELSE 3 END AS BIGINT)
+        |    AS pb_max_field_no,
+        |  CAST(1 + doc_id % 4 AS BIGINT) AS pb_n_varint,
+        |  CAST(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS pb_n_fixed64,
+        |  CAST(1 AS BIGINT) AS pb_n_len,
+        |  CAST(1 AS BIGINT) AS pb_n_fixed32,
+        |  CAST(10 + doc_id % 50 AS BIGINT) AS pb_len_bytes,
+        |  CAST(100 + doc_id AS BIGINT) AS pb_first_varint
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+
+    // q334: duplicate-ts MIN pooling, lead brackets, correlated
+    // grid unnest, the same sign-split interpolation — plus the
+    // aligned-final-observation row.
+    "q334_resample_linear" ->
+      """WITH o AS (SELECT user_id AS key, epoch_us(ts) AS t,
+        |    MIN(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |s AS (SELECT key, t, v,
+        |    LEAD(t) OVER (PARTITION BY key ORDER BY t) AS t1,
+        |    LEAD(v) OVER (PARTITION BY key ORDER BY t) AS v1
+        |  FROM o),
+        |i0 AS (SELECT key, t, v, t1, v1,
+        |    unnest(generate_series(
+        |      ((t + 21600000000 - 1) // 21600000000) * 21600000000,
+        |      t1 - 1, 21600000000)) AS g
+        |  FROM s WHERE t1 IS NOT NULL),
+        |i AS (SELECT key, g AS grid_us,
+        |    v + CASE WHEN (v1 - v) * (g - t) >= 0
+        |      THEN ((v1 - v) * (g - t)) // (t1 - t)
+        |      ELSE -((-((v1 - v) * (g - t))) // (t1 - t)) END
+        |      AS value_milli
+        |  FROM i0),
+        |l AS (SELECT key, t AS grid_us, v AS value_milli FROM s
+        |  WHERE t1 IS NULL AND t % 21600000000 = 0)
+        |SELECT key, grid_us, CAST(value_milli AS BIGINT) AS value_milli
+        |FROM (SELECT * FROM i UNION ALL SELECT * FROM l)
+        |ORDER BY key, grid_us""".stripMargin,
 
     // q332: the per-row integer weights and the two final sign-split
     // divisions, verbatim.

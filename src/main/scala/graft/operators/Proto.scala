@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** Protocol-buffers WIRE-FORMAT census — schema-less structural
+  * profiling of protobuf blobs (the encoding is public: each field is
+  * a varint tag `field_no << 3 | wire_type` followed by a payload the
+  * wire type determines). A 100 TB lake of serialized messages can be
+  * profiled, routed, size-audited and schema-drift-checked from the
+  * wire structure alone — which fields are present, how many bytes
+  * each carries — without owning a single .proto (the [[Png]]/[[Mp4]]
+  * posture: header facts first, decode fan-out only for survivors).
+  *
+  * Wire types handled: 0 varint, 1 fixed64, 2 length-delimited,
+  * 5 fixed32. Groups (3/4, deprecated since proto2) and any unknown
+  * type are refused; so are varints longer than 10 bytes, truncated
+  * payloads, field number 0, and any parse that does not consume the
+  * buffer EXACTLY (the refuse-trailing discipline). Null metadata,
+  * never an error.
+  *
+  * Scale shape: [[protoCensus]] is row-local — one linear pass per
+  * blob, no shuffle; [[buildStubProto]] is the invertible fixture
+  * twin, so parse∘build replays arithmetically (the q132/q330
+  * oracle trick). */
+object Proto {
+
+  case class ProtoCensus(n_fields: Long, max_field_no: Long,
+      n_varint: Long, n_fixed64: Long, n_len: Long, n_fixed32: Long,
+      len_bytes: Long, first_varint: Option[Long])
+
+  /** Census of one message's top-level fields; null on malformation. */
+  def parse(bytes: Array[Byte]): ProtoCensus = {
+    if (bytes == null) return null
+    try {
+      var off = 0
+      var nF = 0L; var maxF = 0L
+      var nV = 0L; var n64 = 0L; var nL = 0L; var n32 = 0L
+      var lenBytes = 0L
+      var firstV: Option[Long] = None
+      def varint(): Long = {
+        var v = 0L; var shift = 0; var n = 0
+        var more = true
+        while (more) {
+          if (off >= bytes.length || n >= 10)
+            throw new IllegalArgumentException("bad varint")
+          val b = bytes(off) & 0xFF
+          v |= (b & 0x7FL) << shift
+          shift += 7; n += 1; off += 1
+          more = (b & 0x80) != 0
+        }
+        v
+      }
+      while (off < bytes.length) {
+        val tag = varint()
+        val field = tag >>> 3
+        val wire = (tag & 7L).toInt
+        if (field < 1) throw new IllegalArgumentException("field 0")
+        nF += 1
+        if (field > maxF) maxF = field
+        wire match {
+          case 0 =>
+            val v = varint(); nV += 1
+            if (firstV.isEmpty) firstV = Some(v)
+          case 1 =>
+            if (off + 8 > bytes.length)
+              throw new IllegalArgumentException("short fixed64")
+            off += 8; n64 += 1
+          case 2 =>
+            val len = varint()
+            if (len < 0 || len > bytes.length - off)
+              throw new IllegalArgumentException("len overrun")
+            off += len.toInt; nL += 1; lenBytes += len
+          case 5 =>
+            if (off + 4 > bytes.length)
+              throw new IllegalArgumentException("short fixed32")
+            off += 4; n32 += 1
+          case _ => throw new IllegalArgumentException(s"wire type $wire")
+        }
+      }
+      ProtoCensus(nF, maxF, nV, n64, nL, n32, lenBytes, firstV)
+    } catch { case _: Exception => null }
+  }
+
+  private val censusFields = Seq(
+    StructField("pb_n_fields", LongType),
+    StructField("pb_max_field_no", LongType),
+    StructField("pb_n_varint", LongType),
+    StructField("pb_n_fixed64", LongType),
+    StructField("pb_n_len", LongType),
+    StructField("pb_n_fixed32", LongType),
+    StructField("pb_len_bytes", LongType),
+    StructField("pb_first_varint", LongType))
+
+  /** Append the eight census columns parsed from a binary column;
+    * all null for non-protobuf payloads. Row-local; no shuffle. */
+  def protoCensus(df: DataFrame, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ censusFields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idx = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val m = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        val extra: Seq[Any] =
+          if (m == null) Seq.fill(8)(null)
+          else Seq(m.n_fields, m.max_field_no, m.n_varint, m.n_fixed64,
+            m.n_len, m.n_fixed32, m.len_bytes, m.first_varint.orNull)
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  // --- fixture builder ------------------------------------------------
+
+  private def writeVarint(out: java.io.ByteArrayOutputStream,
+      value: Long): Unit = {
+    var v = value
+    var more = true
+    while (more) {
+      val b = (v & 0x7FL).toInt
+      v = v >>> 7
+      more = v != 0
+      out.write(if (more) b | 0x80 else b)
+    }
+  }
+
+  /** One wire-valid message per row: field 1 = varint `v1Col`
+    * (exercise multi-byte encodings with values ≥ 128), field 2 =
+    * length-delimited payload of `lenCol` filler bytes, field 3 =
+    * fixed32, field 7 repeated varint × `repCol`, and — when
+    * `withF64Col` ≠ 0 — field 9 = fixed64. parse∘build is identity
+    * on every census column. Appends binary `out`. */
+  def buildStubProto(df: DataFrame, v1Col: String, lenCol: String,
+      repCol: String, withF64Col: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val vi = inSchema.fieldIndex(v1Col)
+    val li = inSchema.fieldIndex(lenCol)
+    val ri = inSchema.fieldIndex(repCol)
+    val fi = inSchema.fieldIndex(withF64Col)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val o = new java.io.ByteArrayOutputStream()
+        writeVarint(o, (1L << 3) | 0L); writeVarint(o, r.getLong(vi))
+        val len = r.getLong(li).toInt
+        writeVarint(o, (2L << 3) | 2L); writeVarint(o, len.toLong)
+        var j = 0
+        while (j < len) { o.write((j * 13 + 5) & 0xFF); j += 1 }
+        writeVarint(o, (3L << 3) | 5L)
+        for (_ <- 0 until 4) o.write(0x2A)
+        var k = 0L
+        while (k < r.getLong(ri)) {
+          writeVarint(o, (7L << 3) | 0L); writeVarint(o, 300L + k)
+          k += 1
+        }
+        if (r.getLong(fi) != 0L) {
+          writeVarint(o, (9L << 3) | 1L)
+          for (_ <- 0 until 8) o.write(0x11)
+        }
+        Row.fromSeq(r.toSeq :+ o.toByteArray)
+      }
+    }(enc)
+  }
+}

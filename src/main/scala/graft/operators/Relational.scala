@@ -1904,6 +1904,61 @@ object Relational {
         expr("element_at(array_sort(__frame), CAST((size(__frame)+1) div 2 AS INT))")
           .as("median_milli"))
   }
+
+  /** Per-key resampling onto a regular epoch-aligned grid with LINEAR
+    * interpolation — the irregular→regular bridge every time-series
+    * consumer eventually needs (model features at fixed cadence,
+    * joining sensors sampled at different rates): grid instants are
+    * multiples of `stepUs` inside [min ts, max ts] per key, and each
+    * takes v₀ + (v₁−v₀)·(g−t₀)/(t₁−t₀) from its bracketing
+    * observations ([[forwardFill]] is the step-function sibling;
+    * [[Relational]]'s as-of family picks one side, this blends both).
+    *
+    * Exactness: values are milli floors; the interpolation division
+    * is ONE sign-split truncating div of exact BIGINT products
+    * (|Δv|·step ≤ 10⁶·10¹² — products stay far under 2⁶³ for any
+    * realistic cadence), so the resampled series is engine-exact.
+    * Duplicate timestamps pre-pool to their MIN value (deterministic;
+    * a duplicate-ts series is a data bug this operator refuses to
+    * launder through interpolation luck). Grid points equal to an
+    * observation time reproduce that observation exactly
+    * ((g−t₀) = 0 — no drift at the knots).
+    *
+    * Shape: one (key, ts) pre-aggregate, ONE key-partitioned lead
+    * window on the same shuffle, then a row-local sequence explode —
+    * output size is (span/step) per key, never a cross join; no
+    * global window anywhere. */
+  def resampleLinear(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, stepUs: Long): DataFrame = {
+    require(stepUs >= 1, s"stepUs must be positive, got $stepUs")
+    val obs = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("key"), col("__t"))
+      .agg(min(col("__v")).as("__v"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__t"))
+    val seg = obs
+      .withColumn("__t1", lead(col("__t"), 1).over(w))
+      .withColumn("__v1", lead(col("__v"), 1).over(w))
+    val interior = seg.filter(col("__t1").isNotNull)
+      .withColumn("__g0",
+        expr(s"((__t + $stepUs - 1) div $stepUs) * $stepUs"))
+      .filter(col("__g0") < col("__t1"))
+      .withColumn("grid_us",
+        explode(sequence(col("__g0"), col("__t1") - 1, lit(stepUs))))
+      .withColumn("value_milli", col("__v") + expr(
+        """CASE WHEN (__v1 - __v) * (grid_us - __t) >= 0
+          | THEN ((__v1 - __v) * (grid_us - __t)) div (__t1 - __t)
+          | ELSE -((-((__v1 - __v) * (grid_us - __t))) div (__t1 - __t))
+          | END""".stripMargin))
+    val last = seg.filter(col("__t1").isNull &&
+        col("__t") % stepUs === 0)
+      .select(col("key"), col("__t").as("grid_us"),
+        col("__v").as("value_milli"))
+    interior.select(col("key"), col("grid_us"), col("value_milli"))
+      .unionByName(last)
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

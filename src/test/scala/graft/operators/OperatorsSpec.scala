@@ -785,6 +785,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       (3L, 9000L), (3L, 3000L)))
   }
 
+  test("resampleLinear: interpolated grid, knot reproduction, aligned tail, dup-ts pooling") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val step = 60000000L // 60 s grid in micros
+    val df = Seq(
+      // A: obs at 30s=1.0 and 150s=4.0 -> grid 60s, 120s interpolate;
+      //    then 150s..180s=4.0..1.0 with an ALIGNED final obs at 180s
+      (1L, ts(30), 1.0), (1L, ts(150), 4.0), (1L, ts(180), 1.0),
+      // B: duplicate timestamps pool to MIN; 0s..120s ramp 2.0 -> 5.0
+      //    (0s and 120s are knots: reproduced exactly)
+      (2L, ts(0), 2.0), (2L, ts(0), 7.0), (2L, ts(120), 5.0),
+      // C: single unaligned observation -> no grid point at all
+      (3L, ts(45), 9.0))
+      .toDF("k", "ts", "v")
+    val got = Relational.resampleLinear(df, "k", "ts", "v", step)
+      .select("key", "grid_us", "value_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 60000000L, 1750L),   // 1000 + 3000*30/120
+      (1L, 120000000L, 3250L),  // 1000 + 3000*90/120
+      (1L, 180000000L, 1000L),  // aligned final obs, exact knot
+      (2L, 0L, 2000L),          // dup ts pooled to MIN(2000, 7000)
+      (2L, 60000000L, 3500L),   // 2000 + 3000*60/120
+      (2L, 120000000L, 5000L))) // knot
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

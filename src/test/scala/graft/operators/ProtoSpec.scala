@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** [[Proto]] wire walk: parse∘build identity, multi-byte varints,
+  * every wire type counted, and the refuse-anything-odd discipline
+  * (groups, truncation, overlong varints, field 0). */
+class ProtoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def build(v1: Long = 5L, len: Long = 4L, rep: Long = 0L,
+      f64: Long = 0L): Array[Byte] = {
+    val df = Seq((v1, len, rep, f64)).toDF("v1", "len", "rep", "f64")
+    Proto.buildStubProto(df, "v1", "len", "rep", "f64")
+      .select("payload").as[Array[Byte]].collect()(0)
+  }
+
+  test("parse-of-build identity across wire types and repeats") {
+    // multi-byte varint (300 needs 2 bytes), 2 repeats, fixed64 on
+    val m = Proto.parse(build(v1 = 300L, len = 7L, rep = 2L, f64 = 1L))
+    assert(m == Proto.ProtoCensus(6L, 9L, 3L, 1L, 1L, 1L, 7L, Some(300L)))
+    // minimal: three fields, single-byte varint
+    val s = Proto.parse(build())
+    assert(s == Proto.ProtoCensus(3L, 3L, 1L, 0L, 1L, 1L, 4L, Some(5L)))
+  }
+
+  test("malformations null, never throw") {
+    val good = build(len = 6L)
+    assert(Proto.parse(good) != null)
+    assert(Proto.parse(null) == null)
+    // truncated mid-payload
+    assert(Proto.parse(good.take(good.length - 2)) == null)
+    // trailing half-tag garbage (0x80 starts an unterminated varint)
+    assert(Proto.parse(good :+ 0x80.toByte) == null)
+    // deprecated group wire type (tag = field 1, type 3)
+    assert(Proto.parse(Array[Byte](0x0B)) == null)
+    // field number 0
+    assert(Proto.parse(Array[Byte](0x00, 0x01)) == null)
+    // overlong varint (12 continuation bytes)
+    assert(Proto.parse(Array.fill[Byte](12)(0x88.toByte) :+ 0x01.toByte)
+      == null)
+    // length-delimited field whose length overruns the buffer
+    assert(Proto.parse(Array[Byte](0x12, 0x7F, 0x01)) == null)
+  }
+}

@@ -1501,26 +1501,26 @@ object Learn {
     * order and still hash-match. Keys with no distinct-x pair emit
     * null.
     *
-    * Scale shape: ONE shuffle (groupByKey); O(n²) pair slopes and an
-    * O(m log m) sort per key INSIDE mapGroups — key-grain state, the
+    * Scale shape: ONE shuffle (groupByKey on raw (key, μs, y) rows —
+    * the per-key min-centering happens INSIDE mapGroups, so no
+    * separate window pass or its second exchange); O(n²) pair slopes
+    * and an O(m log m) sort per key — key-grain state, the
     * [[kendallTau]] posture (Theil–Sen is quadratic by definition;
     * run it on key-sized series, not corpora). */
   def theilSenSlopes(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = Window.partitionBy(col("key"))
     df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"),
         unix_micros(col(tsCol)).as("__us"),
         floor(col(valueCol) * 1000).cast("long").as("__y"))
-      .withColumn("__x0", min(col("__us")).over(w))
-      .withColumn("__x", expr("(__us - __x0) div 3600000000"))
-      .select(col("key"), col("__x"), col("__y"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (key, it) =>
-        val pts = it.map(t => (t._2, t._3)).toArray
+        val raw = it.map(t => (t._2, t._3)).toArray
+        val us0 = raw.iterator.map(_._1).min
+        val pts = raw.map { case (us, y) => ((us - us0) / 3600000000L, y) }
         val n = pts.length
         val slopes = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var i = 0
@@ -1645,11 +1645,15 @@ object Learn {
     * the oracle replays interval prefix-sum floors with one window +
     * one aggregate and needs no sequential pooling at all.
     *
-    * Scale shape: one (key, x) pre-aggregate (shuffle #1, hash agg
-    * with map-side partials), then groupByKey + mapGroups (same key
-    * partitioning — AQE coalesces to ONE real exchange) with O(n)
-    * stack-based PAVA per key — key-grain state, the kendallTau
-    * posture. */
+    * Scale shape: ONE exchange — an explicit hash(key) repartition
+    * that the (key, x) tie-pool, the per-key collect, and the O(n)
+    * stack PAVA all ride (hash(key) satisfies the (key, x) clustering
+    * requirement, so neither aggregate re-shuffles; the closure-keyed
+    * groupByKey alternative would pay a second full exchange). The
+    * trade: raw rows shuffle instead of (key, x) partials — the right
+    * side of the trade when x is near-distinct per key (the common
+    * calibration shape); heavy-tie callers can pre-pool. Key-grain
+    * state, the kendallTau posture. */
   def isotonicFit(df: DataFrame, keyCol: String, xCol: String,
       yCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -1658,12 +1662,14 @@ object Learn {
       .select(col(keyCol).cast("long").as("key"),
         col(xCol).cast("long").as("x"),
         floor(col(yCol) * 1000).cast("long").as("y_milli"))
+      .repartition(col("key"))
       .groupBy(col("key"), col("x"))
       .agg(count(lit(1)).as("c"), sum(col("y_milli")).as("s"))
-      .as[(Long, Long, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val pts = it.map(t => (t._2, t._3, t._4)).toArray.sortBy(_._1)
+      .groupBy(col("key"))
+      .agg(collect_list(struct(col("x"), col("c"), col("s"))).as("__pts"))
+      .as[(Long, Seq[(Long, Long, Long)])]
+      .flatMap { case (key, rawPts) =>
+        val pts = rawPts.toArray.sortBy(_._1)
         // stack of blocks (startIdx, count, sum); merge while the new
         // block's average is NOT above the previous block's
         val xs = pts.map(_._1)

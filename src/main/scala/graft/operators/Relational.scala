@@ -1924,10 +1924,12 @@ object Relational {
     * observation time reproduce that observation exactly
     * ((g−t₀) = 0 — no drift at the knots).
     *
-    * Shape: one (key, ts) pre-aggregate, ONE key-partitioned lead
-    * window on the same shuffle, then a row-local sequence explode —
-    * output size is (span/step) per key, never a cross join; no
-    * global window anywhere. */
+    * Shape: ONE exchange — an explicit hash(key) repartition that
+    * both the (key, ts) tie-pool aggregate and the lead window ride
+    * (hash(key) satisfies the (key, ts) clustering, so neither
+    * re-shuffles — the isotonicFit single-exchange move), then a
+    * row-local sequence explode — output size is (span/step) per
+    * key, never a cross join; no global window anywhere. */
   def resampleLinear(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, stepUs: Long): DataFrame = {
     require(stepUs >= 1, s"stepUs must be positive, got $stepUs")
@@ -1935,6 +1937,7 @@ object Relational {
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("__t"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .repartition(col("key"))
       .groupBy(col("key"), col("__t"))
       .agg(min(col("__v")).as("__v"))
     val w = Window.partitionBy(col("key")).orderBy(col("__t"))

@@ -771,4 +771,63 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
       p.contains("HashAggregate"), p.take(3000))
   }
+
+  test("r11 key-series operators plan exactly ONE data exchange") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val e = sources.Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      countNodes(df.queryExecution.executedPlan)(
+        _.isInstanceOf[ShuffleExchangeLike])
+    }
+    // kendall/theil-sen: one groupByKey shuffle, nothing else
+    assert(exchanges(operators.Learn.kendallTau(
+      e.withColumn("t_s", expr("unix_micros(ts) div 1000000")),
+      "user_id", "t_s", "value")) == 1)
+    assert(exchanges(operators.Learn.theilSenSlopes(
+      e, "user_id", "ts", "value")) == 1)
+    // isotonic/resample: tie-pool + per-key pass ride ONE hash(key)
+    // repartition (hash(key) satisfies the (key,x) clustering)
+    assert(exchanges(operators.Learn.isotonicFit(
+      e.withColumn("key", col("user_id") % 5)
+        .withColumn("day", expr("unix_micros(ts) div 86400000000")),
+      "key", "day", "value")) == 1)
+    assert(exchanges(operators.Relational.resampleLinear(
+      e, "user_id", "ts", "value", 21600000000L)) == 1)
+  }
+
+  test("q323/q324: RAKE and ranking metrics plan NO partition-less window") {
+    for (q <- Seq("q323_rake_phrases", "q324_ranking_metrics")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val bare = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(bare.isEmpty, s"$q planned a partition-less window:\n$bare")
+    }
+  }
+
+  test("q330/q335: binary metadata walks are row-local — zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val base = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), (col("doc_id") + 100).as("v1"),
+        lit(16L).as("len"), lit(1L).as("rep"), lit(1L).as("f64"),
+        lit(32L).as("w"), lit(16L).as("h"), lit(8L).as("d"),
+        lit(0L).as("c"), lit(0L).as("il"), lit(1L).as("nid"),
+        lit(64L).as("ilen"))
+    val png = operators.Png.pngMeta(
+      operators.Png.buildStubPng(base, "w", "h", "d", "c", "il",
+        "nid", "ilen"), "payload")
+    val pb = operators.Proto.protoCensus(
+      operators.Proto.buildStubProto(base, "v1", "len", "rep", "f64"),
+      "payload")
+    for (df <- Seq(png, pb)) {
+      assert(countNodes(df.queryExecution.executedPlan)(
+        _.isInstanceOf[ShuffleExchangeLike]) == 0, df.queryExecution)
+    }
+  }
 }

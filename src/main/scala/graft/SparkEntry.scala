@@ -3352,6 +3352,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q336: strongly connected components of the functional graph
+    // i → (3i+7) mod 200 — the rho-shaped mix of cycle SCCs and
+    // singleton tails; the coloring/peeling engine is oracled against
+    // the min-mutual-reach DEFINITION via a recursive closure.
+    "q336_scc" -> ((s, dir) => {
+      val e = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("s"),
+          ((col("doc_id") * 3 + 7) % 200).as("t"))
+      operators.Graph.stronglyConnectedComponents(e, "s", "t")
+        .orderBy(col("id"))
+    }),
+
     // q335: schema-less protobuf wire census by invertible
     // construction — varint tags (multi-byte values exercised),
     // length-delimited/fixed32/fixed64 fields, repeated fields; all
@@ -8439,6 +8451,22 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q336: label(u) = min{v : u→*v ∧ v→*u}, straight off the
+    // reflexive-transitive closure — the definition the distributed
+    // coloring algorithm must reproduce exactly.
+    "q336_scc" ->
+      """WITH RECURSIVE p AS (SELECT doc_id AS s, (doc_id * 3 + 7) % 200 AS t
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT DISTINCT s, t FROM p WHERE s <> t),
+        |n AS (SELECT s AS id FROM p UNION SELECT t FROM p),
+        |r AS (SELECT id AS a, id AS b FROM n
+        |  UNION
+        |  SELECT r.a, e.t FROM r JOIN e ON e.s = r.b)
+        |SELECT n.id, CAST(MIN(r1.b) AS BIGINT) AS scc
+        |FROM n JOIN r r1 ON r1.a = n.id
+        |JOIN r r2 ON r2.a = r1.b AND r2.b = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     // q335: the census recomputed from the builder's arithmetic —
     // field plan: f1 varint, f2 len-delimited, f3 fixed32,

@@ -798,6 +798,105 @@ object Graph {
     arr
   }
 
+  /** Strongly connected components of a DIRECTED graph — the cycle
+    * structure [[connectedComponentsStar]] cannot see (dependency
+    * graphs, redirect loops, link cycles a crawler must not chase).
+    * Distributed coloring algorithm (Orzan 2004; the FW-BW family
+    * every vertex-centric system ships, made explicit here):
+    *
+    *  1. COLOR: propagate min id along FORWARD edges to fixpoint —
+    *     color(v) = min id that reaches v (including v).
+    *  2. ROOTS: nodes with color(r) = r. Each root's SCC is exactly
+    *     the set of nodes with color r that reach r BACK — one
+    *     backward min-propagation restricted to same-color edges.
+    *  3. PEEL labeled nodes and repeat on the remainder (nodes
+    *     colored r that do NOT reach r settle in a later round).
+    *
+    * Labels are each SCC's minimum member id — deterministic, so the
+    * whole labeling is oracle-able against the min-mutual-reach
+    * DEFINITION (label(u) = min{v : u→*v ∧ v→*u}). Acyclic nodes
+    * come out as singleton SCCs (their own id).
+    *
+    * Shape: every step is skinny (id, id)/(id, color) joins and
+    * min-aggregates; per-iteration results are checkpointed and
+    * freed (the [[connectedComponentsStar]] hygiene). Outer rounds
+    * are bounded by the SCC-DAG peel depth, inner fixpoints by graph
+    * diameter — `maxRounds` caps BOTH loops and convergence failure
+    * throws loudly, never returns a partial labeling. */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxRounds: Int = 50): DataFrame = {
+    // checkpoint AND re-root the plan (fresh attribute ids): the
+    // peel/propagate loops re-join frames that all descend from the
+    // same node table, which otherwise trips Spark's ambiguous-self-
+    // join detection after a few rounds
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    val raw = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("t")).distinct()
+    var nodes = truncate(raw.select(col("s").as("id"))
+      .unionByName(raw.select(col("t").as("id"))).distinct())
+    var e = truncate(raw.filter(col("s") =!= col("t")))
+    var labels: DataFrame = null // accumulated (id, scc)
+    var remaining = nodes.count()
+    var round = 0
+    // min-label propagation to fixpoint along `ed` (s -> t), seeded
+    // with each node's own id; returns (id, color)
+    def propagate(ns: DataFrame, ed: DataFrame, out: String): DataFrame = {
+      var colr = truncate(ns.select(col("id"), col("id").as(out)))
+      var stable = false
+      var it = 0
+      while (!stable && it <= maxRounds) {
+        val pushed = ed.join(colr, ed("s") === colr("id"))
+          .select(ed("t").as("id"), colr(out))
+        val next = truncate(colr.unionByName(pushed)
+          .groupBy(col("id")).agg(min(col(out)).as(out)))
+        // one row per id both sides, so multiset-equality IS the
+        // fixpoint test (no self-join — shared lineage would trip
+        // Spark's ambiguity detection)
+        stable = next.exceptAll(colr).isEmpty
+        colr = next
+        it += 1
+      }
+      if (!stable) throw new IllegalStateException(
+        s"SCC propagation did not converge within $maxRounds iterations")
+      colr
+    }
+    while (remaining > 0) {
+      if (round >= maxRounds) throw new IllegalStateException(
+        s"SCC peeling did not converge within $maxRounds rounds")
+      // 1. forward colors: color(v) = min id reaching v. Color roots
+      //    are minimal in their class, so reaching one's root back is
+      //    equivalent to a backward min-propagation (restricted to
+      //    same-color edges — sound: any cross-class shortcut would
+      //    contradict color minimality) landing ON the root id.
+      val color = propagate(nodes, e, "color")
+      val sameColorRev = e
+        .join(color.select(col("id").as("s"), col("color").as("__cs")), "s")
+        .join(color.select(col("id").as("t"), col("color").as("__ct")), "t")
+        .filter(col("__cs") === col("__ct"))
+        .select(col("t").as("s"), col("s").as("t"))
+      val back = propagate(nodes, sameColorRev, "bcolor")
+      val scc = truncate(color.join(back, Seq("id"))
+        .filter(col("color") === col("bcolor"))
+        .select(col("id"), col("color").as("scc")))
+      labels = if (labels == null) scc else labels.unionByName(scc)
+      // 2. peel: drop labeled nodes and any edge touching them
+      val labeledIds = scc.select(col("id"))
+      nodes = truncate(nodes.join(labeledIds, Seq("id"), "left_anti"))
+      e = truncate(e
+        .join(labeledIds.select(col("id").as("s")), Seq("s"), "left_anti")
+        .join(labeledIds.select(col("id").as("t")), Seq("t"), "left_anti")
+        .select(col("s"), col("t")))
+      remaining = nodes.count()
+      round += 1
+    }
+    if (labels == null) raw.sparkSession.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("scc", lit(0L)).limit(0)
+    else truncate(labels)
+  }
+
   /** DBSCAN (Ester et al. 1996) on the plane, EXACT and fully
     * distributed — density clustering for projected embeddings,
     * geo points, or any 2-D quantized feature pair:

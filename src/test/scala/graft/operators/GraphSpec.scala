@@ -439,6 +439,24 @@ class GraphSpec extends SparkTestBase {
     assert(run(sym, Seq(4L), 3) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L))
   }
 
+  test("scc: cycles, tails, cross-SCC edges, multi-round peeling") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // 3-cycle -> SCC {1,2,3}
+      (4L, 1L),                      // tail INTO the cycle -> singleton
+      (5L, 6L), (6L, 5L), (2L, 5L),  // 2-cycle + cross-SCC edge
+      (7L, 8L),                      // acyclic pair -> two singletons
+      // colored together in round 1 but peeled in round 2: 12<->13 is
+      // downstream of root 10's class and cannot reach 10 back
+      (10L, 11L), (11L, 10L), (10L, 12L), (12L, 13L), (13L, 12L))
+      .toDF("s", "t")
+    val got = Graph.stronglyConnectedComponents(edges, "s", "t")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L))
+  }
+
   test("dbscanGrid: core/border/noise classes, two clusters, min labels") {
     import spark.implicits._
     val pts = Seq(

@@ -3352,6 +3352,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q337: seasonal (hour-of-week profile) anomaly flags at 2.5σ —
+    // the squared integer comparison means the flag set is exact,
+    // no sqrt anywhere; DuckDB replays the same inequality in
+    // HUGEINT.
+    "q337_seasonal_anomaly" -> ((s, dir) => {
+      operators.Learn.seasonalAnomalies(
+          Tables.events(s, dir).withColumn("k", col("user_id") % 10),
+          "k", "ts", "value", kMilli = 2500L, minN = 5L)
+        .orderBy(col("key"), col("ts_us"), col("value_milli"))
+    }),
+
     // q336: strongly connected components of the functional graph
     // i → (3i+7) mod 200 — the rho-shaped mix of cycle SCCs and
     // singleton tails; the coloring/peeling engine is oracled against
@@ -8451,6 +8462,27 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q337: the same squared inequality over (key, hour-of-week)
+    // window sums, HUGEINT lane.
+    "q337_seasonal_anomaly" ->
+      """WITH s AS (SELECT user_id % 10 AS key, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT key, ts_us, value_milli,
+        |    (ts_us // 3600000000) % 168 AS season FROM s),
+        |a AS (SELECT key, season, ts_us, value_milli,
+        |    CAST(COUNT(*) OVER p AS BIGINT) AS n,
+        |    CAST(SUM(value_milli) OVER p AS BIGINT) AS sm,
+        |    CAST(SUM(value_milli * value_milli) OVER p AS BIGINT) AS q
+        |  FROM w WINDOW p AS (PARTITION BY key, season))
+        |SELECT key, season, ts_us, value_milli, n AS n_in_season
+        |FROM a WHERE n >= 5 AND
+        |  1000000 * CAST(n * value_milli - sm AS HUGEINT)
+        |    * (n * value_milli - sm)
+        |  > 2500 * 2500 * (CAST(n AS HUGEINT) * q
+        |    - CAST(sm AS HUGEINT) * sm)
+        |ORDER BY key, ts_us, value_milli""".stripMargin,
 
     // q336: label(u) = min{v : u→*v ∧ v→*u}, straight off the
     // reflexive-transitive closure — the definition the distributed

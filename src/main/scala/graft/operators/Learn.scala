@@ -1333,6 +1333,50 @@ object Learn {
         col("right_value_milli"))
   }
 
+  /** Seasonal z-score anomaly flags, EXACT — the profile-baseline
+    * member of the anomaly family ([[Relational.robustOutliers]] is
+    * the static-MAD one, cusum the sequential one): each observation
+    * is compared against its OWN (key, hour-of-week) population —
+    * "is this Tuesday-9am value abnormal FOR Tuesday 9am" — which is
+    * what makes weekly-periodic metrics flaggable without
+    * deseasonalizing first.
+    *
+    * No sqrt, no floats: |v−μ| > k·σ squares to
+    *   10⁶·(n·v − S)² > kMilli²·(n·Q − S²)
+    * with S = Σv, Q = Σv² over the season cell (candidate included —
+    * population form), all in DECIMAL(38,0) products (exact past any
+    * cell that fits an executor; Q stays in BIGINT up to ~3·10⁶ rows
+    * per cell at |v| ≤ 5·10⁵ milli — the documented envelope). The
+    * flag set is therefore a pure integer function of the corpus.
+    * Cells with fewer than `minN` observations never flag (no
+    * baseline) and constant cells flag nothing (RHS 0 needs LHS > 0).
+    *
+    * Shape: ONE shuffle — whole-partition window aggregates on
+    * (key, season); flagged rows only come out. */
+  def seasonalAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, kMilli: Long, minN: Long = 3L): DataFrame = {
+    require(kMilli >= 1, s"kMilli must be positive, got $kMilli")
+    require(minN >= 2, s"minN must be >= 2, got $minN")
+    val w = Window.partitionBy(col("key"), col("season"))
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+      .withColumn("season", expr("(ts_us div 3600000000) % 168"))
+      .withColumn("n_in_season", count(lit(1)).over(w))
+      .withColumn("__s", sum(col("value_milli")).over(w))
+      .withColumn("__q",
+        sum(col("value_milli") * col("value_milli")).over(w))
+      .filter(col("n_in_season") >= minN)
+      .filter(expr(
+        s"""1000000 * CAST(n_in_season * value_milli - __s AS DECIMAL(38,0))
+           |  * (n_in_season * value_milli - __s)
+           |> $kMilli * $kMilli
+           |  * (CAST(n_in_season AS DECIMAL(38,0)) * __q
+           |     - CAST(__s AS DECIMAL(38,0)) * __s)""".stripMargin))
+      .select(col("key"), col("season"), col("ts_us"),
+        col("value_milli"), col("n_in_season"))
+  }
+
   /** Off-policy evaluation of a deterministic target policy on
     * logged bandit data — IPS (Horvitz–Thompson) and SNIPS
     * (self-normalized, Swaminathan & Joachims 2015), THE standard

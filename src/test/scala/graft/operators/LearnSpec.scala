@@ -702,6 +702,28 @@ class LearnSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 1L, 0L, 0L, 0L, 0L, 0L, None, None)))
   }
 
+  test("seasonalAnomalies: exact squared flag, constant cell silent, minN gate") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows =
+      // hour-0 cell: five 1.0s and one 10.0 -> z = 2.24: flagged at
+      // k=2.0, NOT at k=2.5 (the exact boundary arithmetic)
+      (0 until 5).map(i => (1L, t(i * 10L), 1.0)) ++ Seq((1L, t(55L), 10.0)) ++
+      // hour-1 cell: constant -> RHS 0, nothing flags
+      (0 until 3).map(i => (1L, t(3600L + i), 5.0)) ++
+      // hour-2 cell: below minN -> never flags even though wild
+      Seq((1L, t(7200L), 0.0), (1L, t(7201L), 100.0))
+    val df = rows.toDF("k", "ts", "v")
+    val at2000 = Learn.seasonalAnomalies(df, "k", "ts", "v",
+        kMilli = 2000L, minN = 3L)
+      .select("season", "value_milli", "n_in_season")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(at2000 == Seq((0L, 10000L, 6L)))
+    val at2500 = Learn.seasonalAnomalies(df, "k", "ts", "v",
+        kMilli = 2500L, minN = 3L)
+    assert(at2500.isEmpty)
+  }
+
   test("ipsValue: per-row weights, negative reward lane, no-match null SNIPS") {
     import spark.implicits._
     val log = Seq(

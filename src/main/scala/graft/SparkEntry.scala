@@ -3341,15 +3341,36 @@ object SparkEntry {
     // clusters with core/border/noise all populated) — the grid
     // candidate scheme, star-contraction CC, and deterministic
     // border attachment all proven against the quadratic definition
-    // + recursive-closure replay.
+    // + recursive-closure replay. The point set is CAPPED (the q169
+    // convention for iterative-graph fixtures): growing SF would
+    // densify the plane past the percolation threshold and change
+    // the problem, not scale it.
     "q329_dbscan" -> ((s, dir) => {
-      val pts = Tables.customer(s, dir).select(
-        col("c_custkey").as("id"),
-        expr("pmod(c_custkey * 7919, 50000)").as("x"),
-        expr("pmod(c_custkey * 4729, 50000)").as("y"))
+      val pts = Tables.customer(s, dir)
+        .filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey").as("id"),
+          expr("pmod(c_custkey * 7919, 50000)").as("x"),
+          expr("pmod(c_custkey * 4729, 50000)").as("y"))
       operators.Graph.dbscanGrid(pts, "id", "x", "y",
           eps = 1000L, minPts = 4L)
         .orderBy(col("id"))
+    }),
+
+    // q338: bounded-round Bellman–Ford shortest paths on a weighted
+    // two-out-degree graph from two seeds — min weight over ≤6-edge
+    // paths, replayed by bounded recursive path enumeration.
+    "q338_sssp" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 100)
+      val e = d.select(col("doc_id").as("s"),
+          ((col("doc_id") * 7 + 3) % 100).as("t"),
+          (lit(1L) + col("doc_id") % 5).as("w"))
+        .unionByName(d.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("s"),
+            ((col("doc_id") + 1) % 100).as("t"), lit(3L).as("w")))
+      val seeds = s.range(0, 100, 50).select(col("id").as("n"))
+      operators.Graph.ssspBellmanFord(e, "s", "t", "w", seeds, "n",
+          rounds = 6)
+        .orderBy(col("node"))
     }),
 
     // q337: seasonal (hour-of-week profile) anomaly flags at 2.5σ —
@@ -8435,7 +8456,8 @@ object SparkEntry {
     "q329_dbscan" ->
       """WITH RECURSIVE p AS (SELECT c_custkey AS id,
         |    (c_custkey * 7919) % 50000 AS x,
-        |    (c_custkey * 4729) % 50000 AS y FROM customer),
+        |    (c_custkey * 4729) % 50000 AS y FROM customer
+        |  WHERE c_custkey <= 1500),
         |pr AS (SELECT a.id AS l, b.id AS r FROM p a JOIN p b
         |  ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 1000000),
         |cnt AS (SELECT l AS id, CAST(COUNT(*) AS BIGINT) AS n
@@ -8462,6 +8484,27 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q338: all ≤6-hop weighted paths from the seeds enumerated
+    // recursively (hop counter stops the recursion; UNION dedups
+    // equal (node, dist, hop) states), then one MIN per node —
+    // exactly the bounded label-correcting semantics.
+    "q338_sssp" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id < 100),
+        |e0 AS (SELECT doc_id AS s, (doc_id * 7 + 3) % 100 AS t,
+        |    1 + doc_id % 5 AS w FROM d
+        |  UNION ALL
+        |  SELECT doc_id, (doc_id + 1) % 100, 3 FROM d
+        |  WHERE doc_id % 3 = 0),
+        |e AS (SELECT s, t, MIN(w) AS w FROM e0 GROUP BY s, t),
+        |r AS (SELECT CAST(x AS BIGINT) AS node, CAST(0 AS BIGINT) AS dd,
+        |    0 AS h FROM (VALUES (0), (50)) v(x)
+        |  UNION
+        |  SELECT e.t, r.dd + e.w, r.h + 1
+        |  FROM r JOIN e ON e.s = r.node WHERE r.h < 6)
+        |SELECT node, CAST(MIN(dd) AS BIGINT) AS dist
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
 
     // q337: the same squared inequality over (key, hour-of-week)
     // window sums, HUGEINT lane.

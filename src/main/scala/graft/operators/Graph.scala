@@ -798,6 +798,47 @@ object Graph {
     arr
   }
 
+  /** Single-source shortest paths over INTEGER edge weights —
+    * bounded-round distributed Bellman–Ford (label-correcting), the
+    * weighted sibling of [[bfsLevels]] (hop counts) and
+    * [[earliestArrival]] (temporal): dist(v) = min total weight over
+    * paths from any seed using at most `rounds` edges. Fixed rounds
+    * are a DEFINED, replayable semantics (the earliestArrival
+    * argument); exact SSSP once rounds ≥ the shortest-path hop
+    * diameter. Distances only decrease, so the iteration is
+    * monotone; negative weights are accepted under the bounded-hop
+    * definition (no divergence is possible in finitely many rounds).
+    *
+    * Per round: one (dist ⋈ edges) join + one min-aggregate — skinny
+    * (id, dist) rows, checkpointed lineage, the bfsLevels shuffle
+    * discipline. Unreached nodes are absent (callers left-join their
+    * node table; absence ≠ infinity conflation). */
+  def ssspBellmanFord(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, sourceCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1, 50], got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .persist()
+    e.count()
+    var dist = sources
+      .select(col(sourceCol).cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Strongly connected components of a DIRECTED graph — the cycle
     * structure [[connectedComponentsStar]] cannot see (dependency
     * graphs, redirect loops, link cycles a crawler must not chase).

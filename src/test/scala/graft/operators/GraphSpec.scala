@@ -439,6 +439,19 @@ class GraphSpec extends SparkTestBase {
     assert(run(sym, Seq(4L), 3) == Map(4L -> 0L, 3L -> 1L, 2L -> 2L, 1L -> 3L))
   }
 
+  test("ssspBellmanFord: relaxation beats direct edge, round cap binds, negatives ok") {
+    import spark.implicits._
+    val e = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, -2L))
+      .toDF("s", "t", "w")
+    val seeds = Seq(1L).toDF("n")
+    def run(r: Int) = Graph.ssspBellmanFord(e, "s", "t", "w", seeds, "n", r)
+      .as[(Long, Long)].collect().toMap
+    // two hops beat the direct w=10 edge; negative edge extends to 4
+    assert(run(3) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 4L))
+    // one round: only direct edges; 4 unreached (absent, not infinite)
+    assert(run(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+  }
+
   test("scc: cycles, tails, cross-SCC edges, multi-round peeling") {
     import spark.implicits._
     val edges = Seq(

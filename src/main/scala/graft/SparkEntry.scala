@@ -3356,6 +3356,38 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q340: integer ray-casting point-in-polygon — customers on the
+    // plane against a square geofence and a (non-rectangular)
+    // triangle; the half-open crossing rule cross-multiplied so no
+    // division exists and both engines agree on every boundary case.
+    "q340_point_in_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        expr("pmod(c_custkey * 7919, 60000)").as("x"),
+        expr("pmod(c_custkey * 4729, 30000)").as("y"))
+      val polys = Seq(
+        (1L, 0L, 0L, 0L), (1L, 1L, 20000L, 0L),
+        (1L, 2L, 20000L, 20000L), (1L, 3L, 0L, 20000L),
+        (2L, 0L, 30000L, 0L), (2L, 1L, 50000L, 0L),
+        (2L, 2L, 40000L, 20000L))
+        .toDF("poly", "idx", "px", "py")
+      Relational.pointInPolygon(pts, "id", "x", "y",
+          polys, "poly", "idx", "px", "py")
+        .orderBy(col("id"), col("poly"))
+    }),
+
+    // q339: exact phrase query "hash join" SERVED FROM the q205
+    // positional index — postings-only alignment counting, no text
+    // rescan; the oracle IS the text rescan (adjacent-token self
+    // join), so index-serving is proven equal to the definition.
+    "q339_phrase_query" -> ((s, dir) => {
+      val idx = TextOps.invertedIndex(Tables.documents(s, dir),
+        "doc_id", "text")
+      TextOps.phraseMatches(idx, Seq("hash", "join"))
+        .orderBy(col("doc"), col("start_pos"))
+    }),
+
     // q338: bounded-round Bellman–Ford shortest paths on a weighted
     // two-out-degree graph from two seeds — min weight over ≤6-edge
     // paths, replayed by bounded recursive path enumeration.
@@ -8484,6 +8516,44 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q340: closed edge list as VALUES, the same integer crossing
+    // inequality, odd-parity HAVING.
+    "q340_point_in_polygon" ->
+      """WITH pts AS (SELECT c_custkey AS id,
+        |    (c_custkey * 7919) % 60000 AS x,
+        |    (c_custkey * 4729) % 30000 AS y FROM customer),
+        |e(poly, x1, y1, x2, y2) AS (VALUES
+        |  (1, 0, 0, 20000, 0), (1, 20000, 0, 20000, 20000),
+        |  (1, 20000, 20000, 0, 20000), (1, 0, 20000, 0, 0),
+        |  (2, 30000, 0, 50000, 0), (2, 50000, 0, 40000, 20000),
+        |  (2, 40000, 20000, 30000, 0)),
+        |c AS (SELECT p.id, e.poly FROM pts p, e
+        |  WHERE ((e.y1 > p.y) <> (e.y2 > p.y))
+        |    AND CASE WHEN e.y2 > e.y1
+        |      THEN (p.x - e.x1) * (e.y2 - e.y1)
+        |        - (e.x2 - e.x1) * (p.y - e.y1) < 0
+        |      ELSE (p.x - e.x1) * (e.y2 - e.y1)
+        |        - (e.x2 - e.x1) * (p.y - e.y1) > 0 END)
+        |SELECT id, CAST(poly AS BIGINT) AS poly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_crossings
+        |FROM c GROUP BY 1, 2 HAVING COUNT(*) % 2 = 1
+        |ORDER BY id, poly""".stripMargin,
+
+    // q339: the DEFINITION — tokens with positions, adjacent-pair
+    // self join on (doc, pos+1).
+    "q339_phrase_query" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(
+        |    trim(lower(text)), '\s+') AS l FROM documents
+        |  WHERE length(trim(text)) > 0),
+        |t AS (SELECT doc_id, CAST(gs.i - 1 AS BIGINT) AS pos,
+        |    list_extract(l, CAST(gs.i AS INT)) AS w
+        |  FROM d, generate_series(1, 400) gs(i) WHERE gs.i <= len(l)),
+        |m AS (SELECT a.doc_id AS doc, a.pos AS start_pos
+        |  FROM t a JOIN t b
+        |    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.w = 'hash' AND b.w = 'join')
+        |SELECT doc, start_pos FROM m ORDER BY doc, start_pos""".stripMargin,
 
     // q338: all ≤6-hop weighted paths from the seeds enumerated
     // recursively (hop counter stops the recursion; UNION dedups

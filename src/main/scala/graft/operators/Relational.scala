@@ -595,6 +595,58 @@ object Relational {
         col("rx"), col("ry"), col("dist2"))
   }
 
+  /** Point-in-polygon classification by INTEGER ray casting — the
+    * containment half of the spatial family ([[gridDistanceJoin]] is
+    * the proximity half): geofences, region rollups, service-area
+    * assignment. A point is inside a polygon iff a horizontal ray to
+    * +∞ crosses an ODD number of edges; the crossing test is the
+    * standard half-open rule kept fully integral by cross-
+    * multiplication —
+    *   crossing ⇔ (y₁ > y) ≠ (y₂ > y)  AND
+    *     ((x−x₁)(y₂−y₁) − (x₂−x₁)(y−y₁)) compared against 0 with the
+    *     sign of (y₂−y₁)
+    * — no division, so the classification is engine-exact
+    * (boundary points classify by the half-open rule's parity:
+    * deterministic, same on every engine, and the usual convention
+    * that shared borders assign a point to exactly one of two
+    * adjacent polygons stacked vertically). Polygons arrive as
+    * (poly, idx, x, y) vertex rows in boundary order (closing edge
+    * added automatically); they may be non-convex.
+    *
+    * Shape: the edge table is polygon-sized — BROADCAST — so the
+    * scan is one pass over points with |E| row-local tests each,
+    * then a (point, poly) parity aggregate; returns only inside
+    * pairs (id, poly, n_crossings). Use for polygon tables that fit
+    * a broadcast (geofences, admin regions); tiling into
+    * [[gridDistanceJoin]]-style cells is the documented path past
+    * that. */
+  def pointInPolygon(points: DataFrame, idCol: String, xCol: String,
+      yCol: String, polygons: DataFrame, polyCol: String, idxCol: String,
+      pxCol: String, pyCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("__poly")).orderBy(col("__idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val verts = polygons.select(col(polyCol).as("__poly"),
+      col(idxCol).cast("long").as("__idx"),
+      col(pxCol).cast("long").as("x1"), col(pyCol).cast("long").as("y1"))
+    val edges = verts
+      .withColumn("x2", coalesce(
+        lead(col("x1"), 1).over(Window.partitionBy(col("__poly"))
+          .orderBy(col("__idx"))), first(col("x1")).over(wOrd)))
+      .withColumn("y2", coalesce(
+        lead(col("y1"), 1).over(Window.partitionBy(col("__poly"))
+          .orderBy(col("__idx"))), first(col("y1")).over(wOrd)))
+    val p = points.select(col(idCol).as("id"),
+      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+    val lhs = (col("x") - col("x1")) * (col("y2") - col("y1")) -
+      (col("x2") - col("x1")) * (col("y") - col("y1"))
+    p.crossJoin(broadcast(edges))
+      .filter(((col("y1") > col("y")) =!= (col("y2") > col("y"))) &&
+        when(col("y2") > col("y1"), lhs < 0).otherwise(lhs > 0))
+      .groupBy(col("id"), col("__poly").as("poly"))
+      .agg(count(lit(1)).as("n_crossings"))
+      .filter(col("n_crossings") % 2 === 1)
+  }
+
   /** Functional-dependency audit: the lhs→rhs groups that VIOLATE
     * determinism (more than one rhs value for one lhs tuple) — the
     * schema-contract check profiling should run before anyone claims

@@ -2352,6 +2352,35 @@ object TextOps {
             (a, b) => a - b), ",").as("positions_delta"))
   }
 
+  /** Exact phrase matching SERVED FROM the positional inverted index
+    * ([[invertedIndex]]) — the query-side counterpart of
+    * [[bm25FromIndex]]: a k-term phrase matches doc at position p iff
+    * term i sits at p+i for every i. The standard postings algorithm,
+    * declarative: each term's postings explode to (doc, pos − i)
+    * alignment keys, and a phrase start is an alignment carrying ALL
+    * k phrase slots — one hash aggregate on (doc, align) counting
+    * DISTINCT slots (repeated words in the phrase occupy distinct
+    * slots, so "the the" works). Only the phrase terms' postings are
+    * read — the big index scan prunes on the token predicate (the
+    * BM25-from-index argument); no document text is touched.
+    * Returns (doc, start_pos) per occurrence. */
+  def phraseMatches(index: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val k = phrase.length
+    val slots = phrase.zipWithIndex.map { case (t, i) =>
+      index.filter(col("token") === lit(t))
+        .select(col("doc"),
+          explode(transform(split(col("positions"), ","),
+            p => p.cast("long"))).as("__p"))
+        .select(col("doc"), (col("__p") - i).as("__align"),
+          lit(i).as("__slot"))
+    }.reduce(_ unionByName _)
+    slots.groupBy(col("doc"), col("__align"))
+      .agg(countDistinct(col("__slot")).as("__n"))
+      .filter(col("__n") === k && col("__align") >= 0)
+      .select(col("doc"), col("__align").as("start_pos"))
+  }
+
   /** Flesch Reading-Ease readability scoring — the curation signal
     * between length heuristics (quality_score) and LM fluency
     * (q133/q178): flag text that is structurally hard to read.

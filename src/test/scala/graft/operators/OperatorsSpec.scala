@@ -811,6 +811,30 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       (2L, 120000000L, 5000L))) // knot
   }
 
+  test("pointInPolygon: square, non-convex notch, half-open boundary") {
+    import spark.implicits._
+    val square = Seq((1L, 0L, 0L, 0L), (1L, 1L, 10L, 0L),
+      (1L, 2L, 10L, 10L), (1L, 3L, 0L, 10L))
+    // U-shape: notch from (10,10) to (20,10) carved out of the top
+    val u = Seq((2L, 0L, 0L, 0L), (2L, 1L, 30L, 0L), (2L, 2L, 30L, 30L),
+      (2L, 3L, 20L, 30L), (2L, 4L, 20L, 10L), (2L, 5L, 10L, 10L),
+      (2L, 6L, 10L, 30L), (2L, 7L, 0L, 30L))
+    val polys = (square ++ u).toDF("poly", "idx", "px", "py")
+    val pts = Seq(
+      (1L, 5L, 5L),    // square interior (and inside the U's base)
+      (2L, 15L, 5L),   // square exterior; U base interior
+      (3L, 0L, 5L),    // LEFT edges: inside both by the half-open rule
+      (4L, 10L, 5L),   // RIGHT edge of square: outside it; in U's base
+      (5L, 15L, 20L),  // inside the U's notch -> outside both
+      (6L, 5L, 20L))   // U's left arm -> inside U only
+      .toDF("id", "x", "y")
+    val got = Relational.pointInPolygon(pts, "id", "x", "y",
+        polys, "poly", "idx", "px", "py")
+      .select("id", "poly").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (1L, 2L), (2L, 2L), (3L, 1L), (3L, 2L),
+      (4L, 2L), (6L, 2L)))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

@@ -1162,6 +1162,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       (3L, 0, "single", 1L, 1000L)))
   }
 
+  test("phraseMatches: adjacency, repeated-word phrase, overlaps, order matters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join beats loop hash join"), // starts 0 and 4
+      (2L, "join hash"),                      // reversed -> no match
+      (3L, "the the the"),                    // overlapping repeats
+      (4L, "hash")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    def run(p: Seq[String]) = TextOps.phraseMatches(idx, p)
+      .as[(Long, Long)].collect().toSet
+    assert(run(Seq("hash", "join")) == Set((1L, 0L), (1L, 4L)))
+    assert(run(Seq("the", "the")) == Set((3L, 0L), (3L, 1L)))
+    assert(run(Seq("the", "the", "the")) == Set((3L, 0L)))
+    assert(run(Seq("loop", "hash", "join")) == Set((1L, 3L)))
+    assert(run(Seq("join", "beats", "hash")).isEmpty)
+  }
+
   test("slugify: accents fold, symbol runs collapse, edges trim, empty visible") {
     import spark.implicits._
     val got = Seq(

@@ -3356,6 +3356,90 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q345: distributed Douglas–Peucker polyline simplification —
+    // farthest-point splits with the division-free cross² > eps²·len²
+    // test, argmax ties to the smallest index, level-synchronous
+    // rounds; DuckDB replays the split recursion with struct-min
+    // argmax and re-derives the kept set from segment endpoints.
+    "q345_douglas_peucker" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 5 === 0 && col("ts").isNotNull &&
+          col("value").isNotNull)
+        .select((col("user_id") % 10).as("k"),
+          (col("event_id") % 1000).cast("long").as("x"),
+          floor(col("value") * 1000).cast("long").as("y"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      operators.Layout.douglasPeucker(e, "k", Seq("ts_us", "event_id"),
+          "x", "y", eps = 100000L)
+        .orderBy(col("key"), col("i"))
+    }),
+
+    // q344: content-defined chunking (Gear/FastCDC) — boundaries the
+    // CONTENT chooses via a 64-bit gear hash with a fixed odd-mix
+    // table function, min/max length rails, code-point positions;
+    // DuckDB replays the entire rolling-hash walk in HUGEINT mod 2⁶⁴.
+    "q344_cdc_chunks" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 300).as("text"))
+      operators.Dedup.cdcChunks(d, "doc_id", "text",
+          minLen = 16, maxLen = 128, maskBits = 6)
+        .orderBy(col("doc_id"), col("chunk_no"))
+    }),
+
+    // q343: GSP/PrefixSpan sequential pattern mining — frequent
+    // ordered subsequences (with gaps) of event types per user on a
+    // sparse slice (event_id % 16) so supports actually vary; the
+    // earliest-chain frontier is replayed unpruned in DuckDB
+    // (anti-monotone support makes pruned and unpruned agree).
+    "q343_gsp_patterns" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 16 === 0 && col("ts").isNotNull)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      operators.Sequence.gspFrequent(e, "user_id",
+          Seq("ts_us", "event_id"), "event_type",
+          minSupport = 12L, maxLen = 3)
+        .orderBy(col("length"), col("pattern"))
+    }),
+
+    // q342: row-pattern matching (the MATCH_RECOGNIZE capability
+    // class) — view+ click{1,2} purchase over per-user event order,
+    // possessive-greedy with skip-past-last-row, so the match set is
+    // a deterministic forward automaton both engines replay exactly
+    // (DuckDB walks it as a recursive-CTE state machine).
+    "q342_match_pattern" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("key", col("user_id") % 25)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val m = operators.Sequence.matchPattern(e, "key",
+        Seq("ts_us", "event_id"),
+        Seq(
+          operators.Sequence.Step("view", col("event_type") === "view",
+            1, Int.MaxValue),
+          operators.Sequence.Step("click", col("event_type") === "click",
+            1, 2),
+          operators.Sequence.Step("purchase",
+            col("event_type") === "purchase", 1, 1)))
+      m.select(col("key"), col("match_no"),
+          col("start_ord").as("start_us"), col("end_ord").as("end_us"),
+          col("n_rows"), col("step_rows")(0).as("n_view"),
+          col("step_rows")(1).as("n_click"),
+          col("step_rows")(2).as("n_purchase"))
+        .orderBy(col("key"), col("match_no"))
+    }),
+
+    // q341: exact single change-point per key — binary segmentation's
+    // first split, argmax over S_L²/n_L + S_R²/n_R with squares in
+    // DECIMAL(38,0) and each score floored once to BIGINT, ties to
+    // the earliest split. Both operands of every division are
+    // nonnegative (squares over positive counts), so Spark's
+    // truncating `div` and DuckDB's flooring `//` agree exactly.
+    "q341_changepoint" -> ((s, dir) => {
+      operators.Learn.changepointBinary(
+          Tables.events(s, dir).withColumn("k", col("user_id") % 8),
+          "k", "ts", "value")
+        .orderBy(col("key"))
+    }),
+
     // q340: integer ray-casting point-in-polygon — customers on the
     // plane against a square geofence and a (non-rectangular)
     // triangle; the half-open crossing rule cross-multiplied so no
@@ -8516,6 +8600,255 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q345: the split recursion replayed — each level joins the
+    // frontier to endpoint and interior points ONCE (the recursive
+    // reference may appear only once, so the argmax is a single
+    // struct-min over (-d, i): lexicographic struct comparison gives
+    // max-d-then-min-i in one aggregate), splits where maxd > thr,
+    // and the kept set is every segment endpoint ever created (equal
+    // to the terminal endpoints: children cover their parent's ends).
+    "q345_douglas_peucker" ->
+      """WITH RECURSIVE p0 AS (SELECT user_id % 10 AS k,
+        |    event_id % 1000 AS x,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y,
+        |    epoch_us(ts) AS t, event_id
+        |  FROM events WHERE event_id % 5 = 0 AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |pts AS (SELECT k, x, y,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, event_id)
+        |      AS i
+        |  FROM p0),
+        |ends AS (SELECT k, MIN(i) AS lo, MAX(i) AS hi FROM pts
+        |  GROUP BY k),
+        |seg AS (
+        |  SELECT k, lo, hi FROM ends
+        |  UNION ALL
+        |  SELECT g.k,
+        |    CASE u.c WHEN 0 THEN g.lo ELSE g.m END AS lo,
+        |    CASE u.c WHEN 0 THEN g.m ELSE g.hi END AS hi
+        |  FROM (
+        |    SELECT dd.k, dd.lo, dd.hi,
+        |      -((MIN(struct_pack(nd := -dd.d, i := dd.i)).nd)) AS maxd,
+        |      (MIN(struct_pack(nd := -dd.d, i := dd.i)).i) AS m,
+        |      MAX(dd.thr) AS thr
+        |    FROM (
+        |      SELECT s.k, s.lo, s.hi, p.i,
+        |        CASE WHEN a.x = b.x AND a.y = b.y
+        |          THEN CAST(p.x - a.x AS HUGEINT) * (p.x - a.x)
+        |            + CAST(p.y - a.y AS HUGEINT) * (p.y - a.y)
+        |          ELSE CAST((b.x - a.x) * (p.y - a.y)
+        |              - (b.y - a.y) * (p.x - a.x) AS HUGEINT)
+        |            * ((b.x - a.x) * (p.y - a.y)
+        |              - (b.y - a.y) * (p.x - a.x))
+        |        END AS d,
+        |        CASE WHEN a.x = b.x AND a.y = b.y
+        |          THEN CAST(100000 AS HUGEINT) * 100000
+        |          ELSE CAST(100000 AS HUGEINT) * 100000
+        |            * (CAST(b.x - a.x AS HUGEINT) * (b.x - a.x)
+        |              + CAST(b.y - a.y AS HUGEINT) * (b.y - a.y))
+        |        END AS thr
+        |      FROM seg s
+        |      JOIN pts a ON a.k = s.k AND a.i = s.lo
+        |      JOIN pts b ON b.k = s.k AND b.i = s.hi
+        |      JOIN pts p ON p.k = s.k AND p.i > s.lo AND p.i < s.hi
+        |      WHERE s.hi > s.lo + 1) dd
+        |    GROUP BY 1, 2, 3) g
+        |  CROSS JOIN (VALUES (0), (1)) u(c)
+        |  WHERE g.maxd > g.thr),
+        |kept AS (SELECT DISTINCT k, i FROM (
+        |  SELECT k, lo AS i FROM seg
+        |  UNION ALL SELECT k, hi FROM seg) e)
+        |SELECT p.k AS key, CAST(p.i AS BIGINT) AS i,
+        |  CAST(p.x AS BIGINT) AS x, p.y
+        |FROM kept JOIN pts p ON p.k = kept.k AND p.i = kept.i
+        |ORDER BY key, i""".stripMargin,
+
+    // q344: the gear walk replayed one code point per recursive step:
+    // h' = (h·2 + (ord·2654435761 + 40503) mod 2³²) mod 2⁶⁴ in
+    // HUGEINT; a state's `last` equals its position exactly when that
+    // step cut, so boundaries fall out of the walk without extra
+    // bookkeeping; LAG pairs them into chunks and the final state
+    // contributes the tail.
+    "q344_cdc_chunks" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, left(text, 300) AS s
+        |  FROM documents WHERE doc_id < 60 AND text IS NOT NULL),
+        |n AS (SELECT doc_id, s, length(s) AS n FROM d
+        |  WHERE length(s) > 0),
+        |walk AS (
+        |  SELECT doc_id, 0 AS i, CAST(0 AS HUGEINT) AS h, 0 AS last,
+        |    0 AS cno
+        |  FROM n
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, h2,
+        |    CASE WHEN cut THEN i + 1 ELSE last END,
+        |    CASE WHEN cut THEN cno + 1 ELSE cno END
+        |  FROM (
+        |    SELECT q.*, ((q.i + 1 - q.last >= 16 AND q.h2 % 64 = 0)
+        |        OR q.i + 1 - q.last >= 128) AS cut
+        |    FROM (
+        |      SELECT w.doc_id, w.i, w.last, w.cno,
+        |        (w.h * 2 + (ord(substr(n.s, w.i + 1, 1))
+        |          * 2654435761 + 40503) % 4294967296)
+        |          % 18446744073709551616 AS h2
+        |      FROM walk w JOIN n ON n.doc_id = w.doc_id
+        |      WHERE w.i < n.n) q) qq),
+        |fin AS (SELECT w.doc_id, w.last, n.n FROM walk w
+        |  JOIN n ON n.doc_id = w.doc_id WHERE w.i = n.n),
+        |bounds AS (SELECT doc_id, i FROM walk WHERE i > 0 AND last = i
+        |  UNION ALL
+        |  SELECT doc_id, n FROM fin WHERE last < n),
+        |chunks AS (SELECT doc_id, i AS e,
+        |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0)
+        |      AS st,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i)
+        |      AS chunk_no
+        |  FROM bounds)
+        |SELECT c.doc_id, CAST(c.chunk_no AS BIGINT) AS chunk_no,
+        |  CAST(c.st AS BIGINT) AS start_cp,
+        |  CAST(c.e - c.st AS BIGINT) AS len_cp,
+        |  substr(n.s, CAST(c.st + 1 AS INT), CAST(c.e - c.st AS INT))
+        |    AS chunk
+        |FROM chunks c JOIN n ON n.doc_id = c.doc_id
+        |ORDER BY c.doc_id, c.chunk_no""".stripMargin,
+
+    // q343: the earliest-chain frontier, unpruned — three CTE levels
+    // of (key, pattern, earliest completion position), support =
+    // COUNT(*) per pattern, filtered once at the end (anti-monotone
+    // support means level-wise pruning cannot change the answer).
+    "q343_gsp_patterns" ->
+      """WITH pos AS (SELECT user_id AS k, event_type AS it,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS p
+        |  FROM events WHERE event_id % 16 = 0 AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |    AND NOT contains(event_type, '>')),
+        |g1 AS (SELECT k, it AS pat, MIN(p) AS e FROM pos GROUP BY 1, 2),
+        |g2 AS (SELECT g1.k, g1.pat || '>' || pos.it AS pat, MIN(pos.p) AS e
+        |  FROM g1 JOIN pos ON pos.k = g1.k AND pos.p > g1.e
+        |  GROUP BY 1, 2),
+        |g3 AS (SELECT g2.k, g2.pat || '>' || pos.it AS pat, MIN(pos.p) AS e
+        |  FROM g2 JOIN pos ON pos.k = g2.k AND pos.p > g2.e
+        |  GROUP BY 1, 2),
+        |l AS (
+        |  SELECT pat, CAST(1 AS BIGINT) AS len, COUNT(*) AS support
+        |  FROM g1 GROUP BY 1
+        |  UNION ALL
+        |  SELECT pat, 2, COUNT(*) FROM g2 GROUP BY 1
+        |  UNION ALL
+        |  SELECT pat, 3, COUNT(*) FROM g3 GROUP BY 1)
+        |SELECT pat AS pattern, len AS length,
+        |  CAST(support AS BIGINT) AS support
+        |FROM l WHERE support >= 12
+        |ORDER BY len, pat""".stripMargin,
+
+    // q342: the possessive-greedy automaton replayed as a one-walker-
+    // per-key recursive CTE: state (start, pos, step, per-step
+    // counts); consume while pred holds and count < max, else advance
+    // the step if count >= min, else restart at start+1; step = 3 is
+    // a match and resets the attempt past the last consumed row. The
+    // lexicographic measure (start, pos, step) strictly increases, so
+    // the walk terminates; matches are exactly the step=3 states.
+    "q342_match_pattern" ->
+      """WITH RECURSIVE s AS (SELECT user_id % 25 AS key,
+        |    epoch_us(ts) AS t, event_id,
+        |    event_type = 'view' AS p0, event_type = 'click' AS p1,
+        |    event_type = 'purchase' AS p2
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT key, t, p0, p1, p2,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY t, event_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY key) AS n
+        |  FROM s),
+        |walk AS (
+        |  SELECT key, n, CAST(1 AS BIGINT) AS st, CAST(1 AS BIGINT)
+        |      AS pos, 0 AS step, CAST(0 AS BIGINT) AS n0,
+        |    CAST(0 AS BIGINT) AS n1, CAST(0 AS BIGINT) AS n2
+        |  FROM (SELECT DISTINCT key, n FROM r)
+        |  UNION ALL
+        |  SELECT key, n,
+        |    CASE WHEN step = 3 THEN pos
+        |         WHEN b AND cnt < mx THEN st
+        |         WHEN cnt >= mn THEN st
+        |         ELSE st + 1 END,
+        |    CASE WHEN step = 3 THEN pos
+        |         WHEN b AND cnt < mx THEN pos + 1
+        |         WHEN cnt >= mn THEN pos
+        |         ELSE st + 1 END,
+        |    CASE WHEN step = 3 THEN 0
+        |         WHEN b AND cnt < mx THEN step
+        |         WHEN cnt >= mn THEN step + 1
+        |         ELSE 0 END,
+        |    CASE WHEN step = 3 OR NOT (b AND cnt < mx)
+        |           AND cnt < mn THEN 0
+        |         WHEN step = 0 AND b AND cnt < mx THEN n0 + 1
+        |         ELSE n0 END,
+        |    CASE WHEN step = 3 OR NOT (b AND cnt < mx)
+        |           AND cnt < mn THEN 0
+        |         WHEN step = 1 AND b AND cnt < mx THEN n1 + 1
+        |         ELSE n1 END,
+        |    CASE WHEN step = 3 OR NOT (b AND cnt < mx)
+        |           AND cnt < mn THEN 0
+        |         WHEN step = 2 AND b AND cnt < mx THEN n2 + 1
+        |         ELSE n2 END
+        |  FROM (
+        |    SELECT w.*,
+        |      COALESCE(CASE w.step WHEN 0 THEN r.p0 WHEN 1 THEN r.p1
+        |        WHEN 2 THEN r.p2 END, FALSE) AS b,
+        |      CASE w.step WHEN 0 THEN w.n0 WHEN 1 THEN w.n1
+        |        WHEN 2 THEN w.n2 ELSE CAST(0 AS BIGINT) END AS cnt,
+        |      CASE w.step WHEN 3 THEN 0 ELSE 1 END AS mn,
+        |      CASE w.step WHEN 0 THEN 1000000000 WHEN 1 THEN 2
+        |        WHEN 2 THEN 1 ELSE 0 END AS mx
+        |    FROM walk w LEFT JOIN r ON r.key = w.key AND r.rn = w.pos
+        |  ) q
+        |  WHERE NOT (step <> 3 AND NOT (b AND cnt < mx)
+        |    AND cnt < mn AND st + 1 > n)),
+        |m AS (SELECT key, st, pos, n0, n1, n2,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY st) AS match_no
+        |  FROM walk WHERE step = 3)
+        |SELECT m.key, CAST(m.match_no AS BIGINT) AS match_no,
+        |  rs.t AS start_us, re.t AS end_us,
+        |  CAST(m.pos - m.st AS BIGINT) AS n_rows,
+        |  m.n0 AS n_view, m.n1 AS n_click, m.n2 AS n_purchase
+        |FROM m JOIN r rs ON rs.key = m.key AND rs.rn = m.st
+        |JOIN r re ON re.key = m.key AND re.rn = m.pos - 1
+        |ORDER BY m.key, m.match_no""".stripMargin,
+
+    // q341: the same prefix-sum scan — ROW_NUMBER/SUM over
+    // (key; ts_us, value_milli), HUGEINT squares, floor `//` on
+    // nonnegative operands (== Spark's truncating `div` there),
+    // sign-split CASE only for the two means, ties to smallest i.
+    // Tied (ts_us, value_milli) rows are identical, so every prefix
+    // sum and the split row's ts_us are permutation-invariant.
+    "q341_changepoint" ->
+      """WITH s AS (SELECT user_id % 8 AS key, epoch_us(ts) AS ts_us,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS mv
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT key, ts_us, mv,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts_us, mv) AS i,
+        |    SUM(mv) OVER (PARTITION BY key ORDER BY ts_us, mv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sl,
+        |    COUNT(*) OVER (PARTITION BY key) AS n,
+        |    SUM(mv) OVER (PARTITION BY key) AS st
+        |  FROM s),
+        |sc AS (SELECT key, ts_us, i, n, sl, st,
+        |    CAST(CAST(sl AS HUGEINT) * sl // i
+        |      + CAST(st - sl AS HUGEINT) * (st - sl) // (n - i)
+        |      AS BIGINT) AS score
+        |  FROM w WHERE i < n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+        |    ORDER BY score DESC, i ASC) AS rk FROM sc)
+        |SELECT key, CAST(n AS BIGINT) AS n, CAST(i AS BIGINT) AS split_idx,
+        |  ts_us AS split_ts_us,
+        |  CAST(CASE WHEN sl >= 0 THEN sl // i
+        |    ELSE -((-sl) // i) END AS BIGINT) AS left_mean_milli,
+        |  CAST(CASE WHEN st - sl >= 0 THEN (st - sl) // (n - i)
+        |    ELSE -((-(st - sl)) // (n - i)) END AS BIGINT)
+        |    AS right_mean_milli,
+        |  score,
+        |  CAST(CAST(st AS HUGEINT) * st // n AS BIGINT) AS baseline
+        |FROM r WHERE rk = 1 ORDER BY key""".stripMargin,
 
     // q340: closed edge list as VALUES, the same integer crossing
     // inequality, odd-parity HAVING.

@@ -895,4 +895,81 @@ private[graft] object CheckpointHygiene {
       .select(col("doc_id"), col("span_idx"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"))
   }
+
+  /** Content-defined chunking (the Gear/FastCDC family) — split each
+    * document at positions the CONTENT chooses, so an insertion early
+    * in a document shifts only nearby boundaries and the chunks after
+    * the edit re-align (fixed-width segmentation — q104's scheme —
+    * loses every segment after the edit point). The rolling hash is
+    * gear-style: h ← h·2 + t(c) in 64-bit wraparound arithmetic, so a
+    * code point's contribution leaves h after 64 shifts — a sliding
+    * 64-char window with no explicit buffer. A boundary is declared
+    * after code point i when the chunk is ≥ minLen and h's low
+    * `maskBits` bits are zero, or unconditionally at maxLen; the tail
+    * is emitted as a final chunk. t(c) = (c·2654435761 + 40503) mod
+    * 2³², a fixed odd-multiplier mix — a CONSTANT, not a seeded
+    * random table, so DuckDB replays the whole walk (q344) in
+    * HUGEINT-mod-2⁶⁴ arithmetic while the JVM lane rides native Long
+    * wraparound ((h & mask) == 0 reads only low bits, where the two
+    * representations agree).
+    *
+    * Positions and lengths count CODE POINTS (surrogate pairs are one
+    * position — both engines' substring semantics). Row-local
+    * mapPartitions, no shuffle; output (doc_id, chunk_no, start_cp,
+    * len_cp, chunk). Dedup across documents is downstream: group by
+    * the chunk text (or its fingerprint at scale). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 16, maxLen: Int = 128, maskBits: Int = 6): DataFrame = {
+    require(minLen >= 1 && maxLen >= minLen,
+      s"need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+    require(maskBits >= 1 && maskBits <= 48, s"maskBits $maskBits out of range")
+    val mask = (1L << maskBits) - 1L
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol), col(textCol).cast("string"))
+    val idField = in.schema.fields(0)
+    val outSchema = StructType(Seq(idField,
+      StructField("chunk_no", LongType, nullable = false),
+      StructField("start_cp", LongType, nullable = false),
+      StructField("len_cp", LongType, nullable = false),
+      StructField("chunk", StringType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val s = r.getString(1)
+          val id = r.get(0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          var h = 0L
+          var chunkNo = 0L
+          var startCp = 0L   // code-point index of current chunk start
+          var startCi = 0    // char index of current chunk start
+          var cp = 0L        // code points seen
+          var ci = 0         // char index
+          while (ci < s.length) {
+            val c = s.codePointAt(ci)
+            val t = (c.toLong * 2654435761L + 40503L) % 4294967296L
+            h = h * 2L + t // Long wraparound IS mod 2^64
+            cp += 1
+            ci += Character.charCount(c)
+            val len = cp - startCp
+            if ((len >= minLen && (h & mask) == 0L) || len >= maxLen) {
+              chunkNo += 1
+              out += Row(id, chunkNo, startCp, len, s.substring(startCi, ci))
+              startCp = cp
+              startCi = ci
+            }
+          }
+          if (cp > startCp) {
+            chunkNo += 1
+            out += Row(id, chunkNo, startCp, cp - startCp,
+              s.substring(startCi, ci))
+          }
+          out.iterator
+        }
+      }
+    }(enc)
+  }
 }

@@ -196,4 +196,117 @@ object Layout {
       .withColumn("moved", (col("node_before") =!= col("node_after"))
         .cast("int"))
   }
+
+  /** Distributed Douglas–Peucker polyline simplification, EXACT —
+    * keep the endpoints; for every segment find the interior point
+    * farthest from the chord and split there if it exceeds eps,
+    * recurse. The distance test is division-free and sqrt-free:
+    * perpendicular distance d = |cross| / |chord| is compared as
+    * cross² > eps² · |chord|² with cross in BIGINT and the squares in
+    * DECIMAL(38,0) — exact for |Δx|,|Δy| ≤ ~7·10⁸ and eps ≤ 10⁹
+    * (enforced bound on eps; coordinate spread is the caller's
+    * contract, documented not scanned). A degenerate chord (both
+    * endpoints at one coordinate) falls back to point distance
+    * dx²+dy² > eps². Argmax ties break to the SMALLEST index, so the
+    * kept set is deterministic and the q345 recursive-CTE replay is
+    * hash-exact.
+    *
+    * The recursion is run LEVEL-SYNCHRONOUS across all keys: each
+    * round joins the splittable segment frontier to the points once
+    * (key-partitioned, interior-filtered), aggregates the per-segment
+    * max and its earliest index, emits terminal segments, and explodes
+    * split segments into their two children — so one round is a
+    * constant number of shuffles regardless of how many polylines or
+    * segments are in flight, and the number of rounds is the
+    * simplification DEPTH (≤ log n for balanced splits). `maxRounds`
+    * bounds the loop; an unfinished frontier fails loudly rather than
+    * returning a silently-unsimplified remainder.
+    *
+    * Output: one row per KEPT point — (key, i, x, y) with i the
+    * 1-based position in the ordered polyline. */
+  def douglasPeucker(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      xCol: String, yCol: String, eps: Long,
+      maxRounds: Int = 64): DataFrame = {
+    require(eps >= 0 && eps <= 1000000000L, s"eps $eps out of [0, 1e9]")
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(orderCols.map(col): _*)
+    val pts = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(keyCol).as("__k") +: col(xCol).cast("long").as("__x") +:
+        col(yCol).cast("long").as("__y") +: orderCols.map(col)): _*)
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .select("__k", "__i", "__x", "__y")
+      .persist()
+    val ends = pts.groupBy(col("__k"))
+      .agg(min(col("__i")).as("lo"), max(col("__i")).as("hi"))
+    var active = ends.filter(col("hi") > col("lo") + 1).persist()
+    val spark = df.sparkSession
+    var terminal = ends.filter(col("hi") <= col("lo") + 1).persist()
+    var rounds = 0
+    var activeCount = active.count()
+    while (activeCount > 0) {
+      require(rounds < maxRounds,
+        s"frontier not empty after $maxRounds rounds ($activeCount segments)")
+      val a = pts.select(col("__k"), col("__i").as("lo"),
+        col("__x").as("ax"), col("__y").as("ay"))
+      val b = pts.select(col("__k"), col("__i").as("hi"),
+        col("__x").as("bx"), col("__y").as("by"))
+      val interior = active.join(a, Seq("__k", "lo")).join(b, Seq("__k", "hi"))
+        .join(pts, Seq("__k"))
+        .filter(col("__i") > col("lo") && col("__i") < col("hi"))
+        .withColumn("__d", expr(
+          """CASE WHEN ax = bx AND ay = by THEN
+            |  CAST(__x - ax AS DECIMAL(38,0)) * (__x - ax)
+            |    + CAST(__y - ay AS DECIMAL(38,0)) * (__y - ay)
+            |ELSE
+            |  CAST((bx - ax) * (__y - ay) - (by - ay) * (__x - ax)
+            |    AS DECIMAL(38,0))
+            |  * ((bx - ax) * (__y - ay) - (by - ay) * (__x - ax))
+            |END""".stripMargin))
+        .withColumn("__thr", expr(
+          s"""CASE WHEN ax = bx AND ay = by
+             |  THEN CAST($eps AS DECIMAL(38,0)) * $eps
+             |  ELSE CAST($eps AS DECIMAL(38,0)) * $eps
+             |    * (CAST(bx - ax AS DECIMAL(38,0)) * (bx - ax)
+             |       + CAST(by - ay AS DECIMAL(38,0)) * (by - ay))
+             |END""".stripMargin))
+        .persist()
+      val agg = interior.groupBy(col("__k"), col("lo"), col("hi"))
+        .agg(max(col("__d")).as("maxd"), max(col("__thr")).as("thr"))
+      val m = interior.join(agg, Seq("__k", "lo", "hi"))
+        .filter(col("__d") === col("maxd"))
+        .groupBy(col("__k"), col("lo"), col("hi"), col("maxd"), col("thr"))
+        .agg(min(col("__i")).as("m"))
+        .persist()
+      m.count()
+      interior.unpersist()
+      val newTerminal = m.filter(col("maxd") <= col("thr"))
+        .select(col("__k"), col("lo"), col("hi"))
+      val children = m.filter(col("maxd") > col("thr"))
+        .select(col("__k"), explode(array(
+          struct(col("lo"), col("m").as("hi")),
+          struct(col("m").as("lo"), col("hi")))).as("c"))
+        .select(col("__k"), col("c.lo").as("lo"), col("c.hi").as("hi"))
+      val nextTerminal = terminal
+        .unionByName(newTerminal)
+        .unionByName(children.filter(col("hi") <= col("lo") + 1))
+        .persist()
+      val nextActive = children.filter(col("hi") > col("lo") + 1).persist()
+      nextTerminal.count(); activeCount = nextActive.count()
+      terminal.unpersist(); active.unpersist(); m.unpersist()
+      terminal = nextTerminal; active = nextActive
+      rounds += 1
+    }
+    val kept = terminal.select(col("__k"), col("lo").as("__i"))
+      .unionByName(terminal.select(col("__k"), col("hi").as("__i")))
+      .distinct()
+    val out = kept.join(pts, Seq("__k", "__i"))
+      .select(col("__k").as("key"), col("__i").as("i"),
+        col("__x").as("x"), col("__y").as("y"))
+    // materialize before releasing the frames it reads
+    val result = out.localCheckpoint()
+    pts.unpersist(); terminal.unpersist(); active.unpersist()
+    result
+  }
 }

@@ -1333,6 +1333,61 @@ object Learn {
         col("right_value_milli"))
   }
 
+  /** Exact single change-point detection per key — binary
+    * segmentation's first split (Scott & Knott 1974 lineage), the
+    * OFFLINE counterpart of the cusum alarm (cusum asks "has the
+    * level shifted as data streams by"; this asks "where did this
+    * recorded series shift"). For every split position t the
+    * objective is the two-segment SSE reduction, which by the
+    * constant-total identity is
+    *   score(t) = S_L²/n_L + S_R²/n_R   (the [[boostStumpRound]]
+    * gain, applied to an ORDERED series instead of a feature
+    * threshold), and the change point is argmax score, ties earliest
+    * t. Integer lanes: values milli, squares in DECIMAL(38,0), each
+    * score floored once to BIGINT before the argmax — deterministic
+    * and replayable. Output per key: n, split_idx (rows in the left
+    * segment), split_ts_us (last left-segment timestamp), left/right
+    * means (milli, sign-split), score and the no-split baseline
+    * S²/n. Keys with n < 2 emit nothing (no split exists).
+    *
+    * ONE shuffle: a key-ordered prefix window and the key-local
+    * argmax window ride the same partitioning. */
+  def changepointBinary(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("key"))
+      .orderBy(col("ts_us"), col("value_milli"))
+    val wAll = Window.partitionBy(col("key"))
+    val staged = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__sl", sum(col("value_milli")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(col("value_milli")).over(wAll))
+      .filter(col("__i") < col("__n")) // split AFTER row i
+      .withColumn("score", expr(
+        """CAST((CAST(__sl AS DECIMAL(38,0)) * __sl) div __i
+          |  + (CAST(__s - __sl AS DECIMAL(38,0)) * (__s - __sl))
+          |    div (__n - __i) AS BIGINT)""".stripMargin))
+    def meanMilli(s: String, n: String) = expr(
+      s"""CASE WHEN $s >= 0 THEN $s div $n
+         | ELSE -((-$s) div $n) END""".stripMargin)
+    staged
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("score").desc, col("__i").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("key"), col("__n").as("n"),
+        col("__i").as("split_idx"), col("ts_us").as("split_ts_us"),
+        meanMilli("__sl", "__i").as("left_mean_milli"),
+        meanMilli("(__s - __sl)", "(__n - __i)").as("right_mean_milli"),
+        col("score"),
+        expr("""CAST((CAST(__s AS DECIMAL(38,0)) * __s) div __n
+               | AS BIGINT)""".stripMargin).as("baseline"))
+  }
+
   /** Seasonal z-score anomaly flags, EXACT — the profile-baseline
     * member of the anomaly family ([[Relational.robustOutliers]] is
     * the static-MAD one, cusum the sequential one): each observation

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-pattern matching over per-key ordered event sequences — the
+  * MATCH_RECOGNIZE capability class (SQL:2016 row pattern
+  * recognition), scoped to the deterministic fragment a distributed
+  * engine can pin exactly: a concatenation of predicate steps, each
+  * with a {min,max} repetition range, matched POSSESSIVE-GREEDY
+  * (every step consumes as many consecutive qualifying rows as it
+  * can, up to max, and never gives any back) with AFTER MATCH SKIP
+  * PAST LAST ROW. Possessive matching is what makes the operator a
+  * single forward automaton — no backtracking search, so the match
+  * set is a pure function of the row order and is replayable
+  * row-for-row by the q342 recursive-CTE walker in DuckDB.
+  *
+  * Contract (pinned by SequenceSpec + the q342 oracle):
+  *  - rows of one key are scanned ascending by `orderCols`;
+  *  - an attempt at row p runs steps left to right; step j consumes
+  *    consecutive rows satisfying pred_j until max_j or the first
+  *    non-qualifying row, then requires count ≥ min_j;
+  *  - on success the match is emitted and the next attempt starts at
+  *    the first unconsumed row; on failure the next attempt starts
+  *    at p+1 (so matches never overlap but every start is tried);
+  *  - Σ min_j ≥ 1 is required — zero-width matches cannot exist.
+  *
+  * Scale: one hash repartition on the key + a per-partition sort;
+  * the scan itself is a single forward pass whose state is the
+  * current attempt only. Per-key rows are buffered to run the
+  * automaton (the journeyEditDistance posture — per-key cardinality
+  * is the operator's working set; keys are independent so skew salts
+  * like any groupBy). Step predicates are evaluated as ordinary
+  * Catalyst boolean columns BEFORE the scan, so predicate evaluation
+  * stays in whole-stage codegen and the automaton sees plain
+  * booleans. */
+object Sequence {
+
+  /** One pattern step: between minRep and maxRep consecutive rows
+    * satisfying pred, consumed possessive-greedily. */
+  case class Step(name: String, pred: Column, minRep: Int, maxRep: Int) {
+    require(minRep >= 0, s"step $name: minRep $minRep < 0")
+    require(maxRep >= minRep && maxRep >= 1,
+      s"step $name: maxRep $maxRep must be >= max(minRep, 1)")
+  }
+
+  /** Non-overlapping possessive-greedy matches of `steps` per key.
+    * `orderCols` must totally order rows within a key (pass a
+    * tie-breaker; ties left unresolved would make the match set
+    * order-dependent). Output: key ++ (match_no, start_ord, end_ord,
+    * n_rows, step_rows) where start/end_ord are the FIRST order
+    * column's values at the match's first/last row and step_rows(j)
+    * is rows consumed by step j. */
+  def matchPattern(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      steps: Seq[Step]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.map(_.minRep.toLong).sum >= 1L,
+      "sum of minRep must be >= 1 (zero-width matches are undefined)")
+    val k = steps.size
+    val minR = steps.map(_.minRep).toArray
+    val maxR = steps.map(_.maxRep).toArray
+    val cols = col(keyCol) +: orderCols.map(col) ++:
+      steps.zipWithIndex.map { case (s, j) =>
+        coalesce(s.pred.cast("boolean"), lit(false)).as(s"__p$j")
+      }
+    val in = df.select(cols: _*)
+      .repartition(col(keyCol))
+      .sortWithinPartitions(keyCol, orderCols: _*)
+    val keyField = in.schema.fields(0)
+    val ordField = in.schema.fields(1)
+    val outSchema = StructType(Seq(
+      keyField.copy(name = "key"),
+      StructField("match_no", LongType, nullable = false),
+      StructField("start_ord", ordField.dataType, nullable = true),
+      StructField("end_ord", ordField.dataType, nullable = true),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("step_rows", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val pOff = 1 + orderCols.size // first predicate column index
+    in.mapPartitions { rows =>
+      // groups are CONSECUTIVE after sortWithinPartitions; run the
+      // automaton per group as it completes, never holding two keys
+      def scan(key: Any, ords: scala.collection.IndexedSeq[Any],
+          p: scala.collection.IndexedSeq[Array[Boolean]]): Iterator[Row] = {
+        val n = ords.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var attempt = 0
+        var matchNo = 0L
+        while (attempt < n) {
+          var pos = attempt
+          var j = 0
+          var ok = true
+          val cnts = new Array[Long](k)
+          while (j < k && ok) {
+            var c = 0
+            while (pos < n && c < maxR(j) && p(pos)(j)) { pos += 1; c += 1 }
+            if (c >= minR(j)) { cnts(j) = c; j += 1 } else ok = false
+          }
+          if (ok) { // pos > attempt: sum(minRep) >= 1 guarantees width
+            matchNo += 1
+            out += Row(key, matchNo, ords(attempt), ords(pos - 1),
+              (pos - attempt).toLong, cnts.toSeq)
+            attempt = pos
+          } else attempt += 1
+        }
+        out.iterator
+      }
+      new Iterator[Iterator[Row]] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): Iterator[Row] = {
+          val key = it.head.get(0)
+          val ords = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val ps = scala.collection.mutable.ArrayBuffer.empty[Array[Boolean]]
+          while (it.hasNext && it.head.get(0) == key) {
+            val r = it.next()
+            ords += r.get(1)
+            val a = new Array[Boolean](k)
+            var j = 0
+            while (j < k) { a(j) = r.getBoolean(pOff + j); j += 1 }
+            ps += a
+          }
+          scan(key, ords, ps)
+        }
+      }.flatten
+    }(enc)
+  }
+
+  /** Frequent sequential patterns (GSP/PrefixSpan family): ordered
+    * subsequences WITH GAPS of `itemCol` values whose support —
+    * the number of DISTINCT keys containing the pattern — reaches
+    * `minSupport`, up to `maxLen` items. Pattern id is the items
+    * joined with '>'; rows whose item contains the separator are
+    * excluded up front (they could forge composite patterns).
+    *
+    * The level-wise scan keeps one EARLIEST-CHAIN frontier per
+    * (key, pattern): the smallest row position at which the pattern
+    * completes. Greedy-earliest is optimal for subsequence
+    * existence, so a pattern is in a key iff the key has a frontier
+    * row, and each level is ONE key-partitioned join against the
+    * position table plus one aggregate — never a per-key power set.
+    * Support is anti-monotone (a subsequence of a contained pattern
+    * is contained), so pruning each level to surviving patterns
+    * loses nothing. Driver holds only the pattern/support lists
+    * (bounded by `maxPatterns` per level, loud failure beyond — the
+    * bpeTrain/vocab-guard convention); per-key state never leaves
+    * the cluster.
+    *
+    * Output: (pattern, length, support), one row per frequent
+    * pattern across all levels 1..maxLen. */
+  def gspFrequent(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      itemCol: String, minSupport: Long, maxLen: Int,
+      maxPatterns: Int = 100000): DataFrame = {
+    require(maxLen >= 1, s"maxLen $maxLen must be >= 1")
+    require(minSupport >= 1, s"minSupport $minSupport must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(orderCols.map(col): _*)
+    val pos = df
+      .filter(col(itemCol).isNotNull && !col(itemCol).contains(">"))
+      .select((col(keyCol).as("__k") +:
+        col(itemCol).cast("string").as("__it") +:
+        orderCols.map(col)): _*)
+      .withColumn("__p", row_number().over(w).cast("long"))
+      .select("__k", "__it", "__p")
+      .persist()
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long)]
+    var frontier = pos.groupBy(col("__k"), col("__it").as("pattern"))
+      .agg(min(col("__p")).as("__e"))
+      .persist()
+    var level = 1
+    var done = false
+    while (!done) {
+      val sup = frontier.groupBy(col("pattern"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minSupport)
+        .as[(String, Long)].collect().sortBy(_._1)
+      require(sup.length <= maxPatterns,
+        s"level $level has ${sup.length} frequent patterns, cap $maxPatterns")
+      results ++= sup.map { case (p, c) => (p, level.toLong, c) }
+      if (sup.isEmpty || level == maxLen) {
+        frontier.unpersist()
+        done = true
+      } else {
+        val kept = sup.map(_._1).toSeq
+        val next = frontier.filter(col("pattern").isin(kept: _*))
+          .join(pos, "__k")
+          .filter(col("__p") > col("__e"))
+          .select(col("__k"),
+            concat(col("pattern"), lit(">"), col("__it")).as("pattern"),
+            col("__p"))
+          .groupBy(col("__k"), col("pattern"))
+          .agg(min(col("__p")).as("__e"))
+          .persist()
+        next.count() // materialize before dropping the parent
+        frontier.unpersist()
+        frontier = next
+        level += 1
+      }
+    }
+    pos.unpersist()
+    spark.createDataset(results.toSeq)
+      .toDF("pattern", "length", "support")
+  }
+}

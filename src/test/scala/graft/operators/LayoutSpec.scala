@@ -121,4 +121,40 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       math.abs(a._2 - b._2) + math.abs(a._3 - b._3) != 1 }
     assert(jumps == 0, "hilbert walk must move one cell at a time")
   }
+
+  test("douglasPeucker: split/keep, collinear drop, tie to smallest index") {
+    def line(k: Long, pts: Seq[(Long, Long)]) =
+      pts.zipWithIndex.map { case ((x, y), i) => (k, i.toLong, x, y) }
+    val rows =
+      // key 1: spike at (2,5) splits; flats survive under eps 2
+      line(1L, Seq((0L, 0L), (1L, 0L), (2L, 5L), (3L, 0L), (4L, 0L))) ++
+      // key 2: perfectly collinear — interior all dropped even at eps 0...
+      line(2L, Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L))) ++
+      // key 3: symmetric ±10 spikes tie at d; the SMALLER index splits
+      // first and the other spike then sits under eps in its
+      // sub-segment — kept set is {1,2,4}, provably tie-dependent
+      line(3L, Seq((0L, 0L), (1L, 10L), (2L, -10L), (3L, 0L))) ++
+      // key 4: single point
+      line(4L, Seq((7L, 7L)))
+    val df = rows.toDF("k", "o", "x", "y")
+    def run(eps: Long) = Layout.douglasPeucker(df, "k", Seq("o"),
+        "x", "y", eps)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val at2 = run(2L)
+    assert(at2(1L) == Seq(1L, 3L, 5L))
+    assert(at2(2L) == Seq(1L, 4L))
+    assert(at2(4L) == Seq(1L))
+    val at3 = run(3L)
+    assert(at3(3L) == Seq(1L, 2L, 4L)) // earliest-tie keeps (1,10)
+    // degenerate chord: coincident endpoints fall back to point
+    // distance — the far point splits at eps 6, survives at eps 8
+    val ring = line(9L, Seq((0L, 0L), (5L, 5L), (0L, 0L)))
+      .toDF("k", "o", "x", "y")
+    def ringKept(eps: Long) = Layout.douglasPeucker(ring, "k",
+        Seq("o"), "x", "y", eps)
+      .as[(Long, Long, Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(ringKept(6L) == Seq(1L, 2L, 3L))
+    assert(ringKept(8L) == Seq(1L, 3L))
+  }
 }

@@ -800,4 +800,35 @@ class LearnSpec extends SparkTestBase {
       (3L, 1L, 1L, -1000L, -1833334L),
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
+
+  test("changepointBinary: argmax split, earliest tie, negative means, n<2 silent") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val rows =
+      // key 1: level shift 1.0 -> 5.0 after 3 rows; scores peak at
+      // t=3 (78e6 vs 66e6/58.8e6 at the neighbors), baseline 54e6
+      (0 until 3).map(i => (1L, t(i), 1.0)) ++
+      (3 until 6).map(i => (1L, t(i), 5.0)) ++
+      // key 2: constant 2.0 x4 -> every split scores the baseline
+      // 16e6; the tie must resolve to the EARLIEST t=1
+      (0 until 4).map(i => (2L, t(i), 2.0)) ++
+      // key 3: single row -> no split exists, emits nothing
+      Seq((3L, t(0), 7.0)) ++
+      // key 4: net-negative left segment exercises the sign-split
+      // mean: (-1,-1,3) splits after t=2, left mean -1000 exact
+      Seq((4L, t(0), -1.0), (4L, t(1), -1.0), (4L, t(2), 3.0))
+    val got = Learn.changepointBinary(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v")
+      .select("key", "n", "split_idx", "split_ts_us", "left_mean_milli",
+        "right_mean_milli", "score", "baseline")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((1L, 6L, 3L, 2000000L, 1000L, 5000L,
+      78000000L, 54000000L)))
+    assert(got(2L) == ((2L, 4L, 1L, 0L, 2000L, 2000L,
+      16000000L, 16000000L)))
+    assert(got(4L) == ((4L, 3L, 2L, 1000000L, -1000L, 3000L,
+      11000000L, 333333L)))
+  }
 }

@@ -1664,6 +1664,39 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(Dedup.duplicatedSpans(df, "doc_id", "text", k = 8,
       maxChars = 120, minDocs = 3).count() == 0L)
   }
+
+  test("cdcChunks: partition invariants, rails, code points, shift resilience") {
+    import spark.implicits._
+    val text = (0 until 400).map(i => ('a' + (i * 31 + 7) % 26).toChar).mkString
+    val df = Seq((1L, text), (2L, "XYZ" + text), (3L, ""),
+        (4L, null.asInstanceOf[String]), (5L, "ab😀cd"))
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text",
+        minLen = 16, maxLen = 128, maskBits = 6)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    // chunks reassemble exactly; positions/lengths consistent; every
+    // non-tail chunk within [minLen, maxLen], tail may run short
+    for (id <- Seq(1L, 2L)) {
+      val cs = got(id)
+      assert(cs.map(_._5).mkString == (if (id == 1L) text else "XYZ" + text))
+      assert(cs.map(_._2) == (1L to cs.length))
+      cs.foldLeft(0L) { case (at, (_, _, st, len, ch)) =>
+        assert(st == at && len == ch.length); at + len
+      }
+      assert(cs.init.forall(c => c._4 >= 16 && c._4 <= 128))
+      assert(cs.last._4 <= 128)
+    }
+    // a 3-char prefix insertion re-aligns: the two chunkings share
+    // trailing content-defined chunks
+    val shared = got(1L).map(_._5).toSet intersect got(2L).map(_._5).toSet
+    assert(shared.nonEmpty)
+    // empty and null texts emit nothing
+    assert(!got.contains(3L) && !got.contains(4L))
+    // the astral emoji is ONE code point: whole string is one tail
+    // chunk of len 5 (under minLen, no interior boundary possible)
+    assert(got(5L) == Seq((5L, 1L, 0L, 5L, "ab😀cd")))
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SequenceSpec extends SparkTestBase {
+  import spark.implicits._
+  import Sequence.Step
+
+  private def steps3(maxClicks: Int) = Seq(
+    Step("view", col("t") === "view", 1, Int.MaxValue),
+    Step("click", col("t") === "click", 1, maxClicks),
+    Step("purchase", col("t") === "purchase", 1, 1))
+
+  test("matchPattern: greedy consume, skip past last, restart at p+1") {
+    val rows = Seq("view", "click", "purchase", "view", "view", "click",
+        "click", "purchase")
+      .zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+    val got = Sequence.matchPattern(rows.toDF("k", "o", "t"), "k",
+        Seq("o"), steps3(maxClicks = 2))
+      .select("key", "match_no", "start_ord", "end_ord", "n_rows",
+        "step_rows")
+      .as[(Long, Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0L, 2L, 3L, Seq(1L, 1L, 1L)),
+      (1L, 2L, 3L, 7L, 5L, Seq(2L, 2L, 1L))))
+  }
+
+  test("matchPattern: possessive — over-consumed middle step kills the match") {
+    // three clicks before the purchase: click{1,2} eats two, the
+    // third blocks purchase, and NO backtracking resurrects it
+    val rows = Seq("view", "click", "click", "click", "purchase")
+      .zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+    val got = Sequence.matchPattern(rows.toDF("k", "o", "t"), "k",
+      Seq("o"), steps3(maxClicks = 2))
+    assert(got.isEmpty)
+  }
+
+  test("matchPattern: minRep 0 step skippable, null pred is false, keys independent") {
+    val rows = Seq(
+      (1L, 0L, "view"), (1L, 1L, "purchase"),          // error{0,1} skipped
+      (1L, 2L, "view"), (1L, 3L, "error"), (1L, 4L, "purchase"),
+      (2L, 0L, "purchase"),                            // never starts
+      (3L, 0L, "view"), (3L, 1L, null))                // null pred = false
+    val st = Seq(
+      Step("view", col("t") === "view", 1, 1),
+      Step("error", col("t") === "error", 0, 1),
+      Step("purchase", col("t") === "purchase", 1, 1))
+    val got = Sequence.matchPattern(rows.toDF("k", "o", "t"), "k",
+        Seq("o"), st)
+      .select("key", "match_no", "start_ord", "end_ord", "step_rows")
+      .as[(Long, Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got.sortBy(r => (r._1, r._2)) == Seq(
+      (1L, 1L, 0L, 1L, Seq(1L, 0L, 1L)),
+      (1L, 2L, 2L, 4L, Seq(1L, 1L, 1L))))
+  }
+
+  test("gspFrequent: gap subsequences, earliest-chain supports, level cutoff") {
+    val rows = Seq(
+      (1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"),
+      (2L, 0L, "a"), (2L, 1L, "c"),
+      (3L, 0L, "b"), (3L, 1L, "c"))
+    val got = Sequence.gspFrequent(rows.toDF("k", "o", "it"), "k",
+        Seq("o"), "it", minSupport = 2L, maxLen = 3)
+      .as[(String, Long, Long)].collect().toSet
+    // a>b has support 1 (key 1 only) and must be pruned; nothing of
+    // length 3 reaches support 2
+    assert(got == Set(
+      ("a", 1L, 2L), ("b", 1L, 2L), ("c", 1L, 3L),
+      ("a>c", 2L, 2L), ("b>c", 2L, 2L)))
+    // gap semantics: a ... c with b in between still supports a>c
+    val gap = Seq((1L, 0L, "a"), (1L, 1L, "b"), (1L, 2L, "c"),
+        (2L, 0L, "a"), (2L, 1L, "x"), (2L, 2L, "c"))
+    val g2 = Sequence.gspFrequent(gap.toDF("k", "o", "it"), "k",
+        Seq("o"), "it", minSupport = 2L, maxLen = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(g2.contains(("a>c", 2L, 2L)))
+  }
+}

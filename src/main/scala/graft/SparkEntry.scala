@@ -3356,6 +3356,116 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q353: uncovered gaps between a key's intervals — the complement
+    // of q237's merged islands, same ordering and running-max window,
+    // so island spans + gap spans tile the covered hull exactly.
+    "q353_interval_gaps" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select((col("user_id") % 12).as("key"), col("ts").as("s_ts"),
+          timestamp_micros(unix_micros(col("ts")) +
+            floor(col("value") * 1000).cast("long") * 1000L).as("e_ts"))
+      operators.Relational.intervalGaps(e, "key", "s_ts", "e_ts")
+        .orderBy(col("key"), col("gap_start_us"))
+    }),
+
+    // q346: quantile normalization — every key's distribution mapped
+    // onto the cross-key reference (the rank-mean profile); ranks are
+    // fully tie-broken so both engines agree row-for-row.
+    "q346_quantile_normalize" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("k", col("user_id") % 6)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      operators.Learn.quantileNormalize(e, "k",
+          Seq("ts_us", "event_id"), "value")
+        .orderBy(col("key"), col("rank"))
+    }),
+
+    // q347: hierarchy flattening (CONNECT BY) of the div-3 forest —
+    // pointer doubling builds root/depth/path in ⌈log₂ depth⌉ rounds;
+    // DuckDB walks parent-at-a-time to the same rows.
+    "q347_hierarchy_paths" -> ((s, dir) => {
+      val e = Tables.documents(s, dir)
+        .filter(col("doc_id") >= 1 && col("doc_id") < 243)
+        .select(col("doc_id").as("c"), (col("doc_id") / 3).cast("long").as("p"))
+      operators.Graph.hierarchyFlatten(e, "c", "p")
+        .orderBy(col("node"))
+    }),
+
+    // q348: subtree rollup over the same forest — the ancestor
+    // closure read straight off the materialized paths, one shuffle
+    // to ancestor grain; DuckDB rebuilds the closure recursively.
+    "q348_subtree_rollup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val e = docs.filter(col("doc_id") >= 1 && col("doc_id") < 243)
+        .select(col("doc_id").as("c"), (col("doc_id") / 3).cast("long").as("p"))
+      val flat = operators.Graph.hierarchyFlatten(e, "c", "p")
+      operators.Graph.subtreeRollup(flat,
+          docs.filter(col("doc_id") < 243), "doc_id", "n_chars")
+        .select(col("anc_str").cast("long").as("node"),
+          col("subtree_n"), col("subtree_sum"))
+        .orderBy(col("node"))
+    }),
+
+    // q349: randomized response (Warner local DP) with the md5-hex
+    // deterministic coin at p = 3/4 — reported counts and the exact
+    // debiased estimate replay cross-engine.
+    "q349_randomized_response" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 5).as("g"), col("event_id"),
+          (col("event_id") % 3 === 0).as("truth"))
+      operators.Privacy.randomizedResponse(e, "g", "event_id",
+          "truth", pNum = 3L, pBits = 2, salt = 7L)
+        .orderBy(col("group"))
+    }),
+
+    // q350: bounded RRULE expansion (RFC 5545 DAILY/WEEKLY/MONTHLY
+    // with COUNT) — single-jump month arithmetic so both engines
+    // clamp Jan 31 + n months identically.
+    "q350_rrule_expand" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, "DAILY")
+            .when(col("doc_id") % 3 === 1, "WEEKLY")
+            .otherwise("MONTHLY").as("freq"),
+          (lit(1L) + col("doc_id") % 4).as("interval"),
+          (lit(1L) + col("doc_id") % 10).as("count"),
+          date_add(to_date(lit("2026-01-28")),
+            (col("doc_id") % 5).cast("int")).as("start"))
+      operators.Calendars.rruleOccurrences(d, "doc_id", "freq",
+          "interval", "count", "start")
+        .orderBy(col("doc_id"), col("occ_no"))
+    }),
+
+    // q351: CUPED variance reduction — pooled θ as an exact BIGINT
+    // ratio, per-arm adjusted means as one cross-multiplied floored
+    // division each; the pre-period covariate is value + id%7 so the
+    // adjustment has real signal to remove.
+    "q351_cuped" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_id") % 4 === 0 && col("value").isNotNull)
+        .select((col("user_id") % 3).as("arm"),
+          (col("value") + col("event_id") % 7).as("pre"),
+          col("value").as("post"))
+      operators.Learn.cupedAdjust(e, "arm", "pre", "post")
+        .orderBy(col("arm"))
+    }),
+
+    // q352: Holt linear (double-exponential) smoothing per key with
+    // rational gains α=1/4, β=1/8 and floored integer steps — the
+    // whole coupled recurrence replays as a per-key recursive walk.
+    "q352_holt_linear" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("ts").isNotNull)
+        .withColumn("k", col("user_id") % 8)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      operators.Learn.holtLinear(e, "k", Seq("ts_us", "event_id"),
+          "value", aNum = 1L, aDen = 4L, bNum = 1L, bDen = 8L,
+          horizon = 3L)
+        .orderBy(col("key"))
+    }),
+
     // q345: distributed Douglas–Peucker polyline simplification —
     // farthest-point splits with the division-free cross² > eps²·len²
     // test, argmax ties to the smallest index, level-synchronous
@@ -8600,6 +8710,181 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q353: the running-max window with a strict start > max(e)
+    // test — zero-length contacts are not gaps.
+    "q353_interval_gaps" ->
+      """WITH s AS (SELECT user_id % 12 AS key, epoch_us(ts) AS s,
+        |    epoch_us(ts) + CAST(FLOOR(value * 1000) AS BIGINT) * 1000
+        |      AS e
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT key, s, e,
+        |    MAX(e) OVER (PARTITION BY key ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS maxe
+        |  FROM s)
+        |SELECT key, maxe AS gap_start_us, s AS gap_end_us,
+        |  s - maxe AS gap_span_us
+        |FROM w WHERE maxe IS NOT NULL AND s > maxe
+        |ORDER BY key, gap_start_us""".stripMargin,
+
+    // q346: rank windows + rank-grain means, sign-split floor.
+    "q346_quantile_normalize" ->
+      """WITH s AS (SELECT user_id % 6 AS key, epoch_us(ts) AS t,
+        |    event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT key, v,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, t, event_id)
+        |      AS rank
+        |  FROM s),
+        |m AS (SELECT rank, COUNT(*) AS nk, SUM(v) AS sv FROM r
+        |  GROUP BY 1)
+        |SELECT r.key, CAST(r.rank AS BIGINT) AS rank,
+        |  r.v AS value_milli, CAST(m.nk AS BIGINT) AS n_keys_at_rank,
+        |  CAST(CASE WHEN m.sv >= 0 THEN m.sv // m.nk
+        |    ELSE -((-m.sv) // m.nk) END AS BIGINT) AS norm_milli
+        |FROM r JOIN m USING (rank)
+        |ORDER BY r.key, r.rank""".stripMargin,
+
+    // q347: the same forest walked parent-at-a-time — prepend each
+    // ancestor to the path until a node with no parent (the root).
+    "q347_hierarchy_paths" ->
+      """WITH RECURSIVE e AS (SELECT doc_id AS n, doc_id // 3 AS p
+        |  FROM documents WHERE doc_id >= 1 AND doc_id < 243),
+        |roots AS (SELECT DISTINCT p AS n FROM e
+        |  WHERE p NOT IN (SELECT n FROM e)),
+        |walk AS (
+        |  SELECT n AS node, n AS cur, CAST(0 AS BIGINT) AS depth,
+        |    '/' || CAST(n AS VARCHAR) AS path
+        |  FROM e
+        |  UNION ALL
+        |  SELECT w.node, e.p, w.depth + 1,
+        |    '/' || CAST(e.p AS VARCHAR) || w.path
+        |  FROM walk w JOIN e ON e.n = w.cur)
+        |SELECT node, CAST(cur AS BIGINT) AS root, depth, path
+        |FROM walk WHERE cur NOT IN (SELECT n FROM e)
+        |UNION ALL
+        |SELECT n, CAST(n AS BIGINT), 0, '/' || CAST(n AS VARCHAR)
+        |FROM roots
+        |ORDER BY node""".stripMargin,
+
+    // q348: the ancestor closure rebuilt recursively; LEFT JOIN keeps
+    // measureless nodes at zero, exactly like the operator's coalesce.
+    "q348_subtree_rollup" ->
+      """WITH RECURSIVE e AS (SELECT doc_id AS n, doc_id // 3 AS p
+        |  FROM documents WHERE doc_id >= 1 AND doc_id < 243),
+        |nodes AS (SELECT DISTINCT n FROM (
+        |  SELECT n FROM e UNION ALL SELECT p FROM e) u),
+        |cl AS (SELECT n AS node, n AS anc FROM nodes
+        |  UNION ALL
+        |  SELECT c.node, e.p FROM cl c JOIN e ON e.n = c.anc),
+        |m AS (SELECT doc_id AS node, n_chars FROM documents
+        |  WHERE doc_id < 243)
+        |SELECT CAST(cl.anc AS BIGINT) AS node,
+        |  CAST(COUNT(*) AS BIGINT) AS subtree_n,
+        |  CAST(SUM(COALESCE(m.n_chars, 0)) AS BIGINT) AS subtree_sum
+        |FROM cl LEFT JOIN m ON m.node = cl.node
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q349: the md5 coin and the exact debias, p = 3/4 → flip when
+    // the first 8 hex ≥ c0000000; est = 1000(4·yes − n) / (2n).
+    "q349_randomized_response" ->
+      """WITH s AS (SELECT user_id % 5 AS "group",
+        |    (event_id % 3 = 0)
+        |      <> (substr(md5(CAST(event_id AS VARCHAR) || ':7'), 1, 8)
+        |          >= 'c0000000') AS r
+        |  FROM events),
+        |a AS (SELECT "group", CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_reported_true
+        |  FROM s GROUP BY 1)
+        |SELECT "group", n, n_reported_true,
+        |  CAST(CASE WHEN 1000 * (4 * n_reported_true - n) >= 0
+        |    THEN (1000 * (4 * n_reported_true - n)) // (2 * n)
+        |    ELSE -((-(1000 * (4 * n_reported_true - n))) // (2 * n))
+        |  END AS BIGINT) AS est_milli
+        |FROM a ORDER BY "group"""".stripMargin,
+
+    // q350: generate_series fan-out; day adds for DAILY/WEEKLY, one
+    // clamped month jump for MONTHLY.
+    "q350_rrule_expand" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'DAILY' WHEN 1 THEN 'WEEKLY'
+        |      ELSE 'MONTHLY' END AS f,
+        |    1 + doc_id % 4 AS iv, 1 + doc_id % 10 AS cnt,
+        |    DATE '2026-01-28' + CAST(doc_id % 5 AS INT) AS d0
+        |  FROM documents WHERE doc_id < 120),
+        |o AS (SELECT doc_id, f, iv, d0, unnest(range(0, cnt)) AS i
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS occ_no,
+        |  CAST(CASE WHEN f = 'DAILY' THEN d0 + CAST(iv * i AS INT)
+        |       WHEN f = 'WEEKLY' THEN d0 + CAST(7 * iv * i AS INT)
+        |       ELSE d0 + to_months(CAST(iv * i AS INT)) END AS DATE)
+        |    AS occ_date
+        |FROM o ORDER BY doc_id, occ_no""".stripMargin,
+
+    // q351: pooled θ and per-arm adjustment replayed in HUGEINT —
+    // every division sign-split onto `//` so the lanes agree.
+    "q351_cuped" ->
+      """WITH s AS (SELECT user_id % 3 AS arm,
+        |    CAST(FLOOR((value + event_id % 7) * 1000) AS BIGINT) AS x,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS y
+        |  FROM events WHERE event_id % 4 = 0 AND value IS NOT NULL),
+        |g AS (SELECT COUNT(*) AS gn, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM s),
+        |t AS (SELECT gn, sx,
+        |    CAST(gn AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS tnum,
+        |    CAST(gn AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS tden
+        |  FROM g),
+        |a AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sxa, SUM(y) AS sya
+        |  FROM s GROUP BY 1),
+        |f AS (SELECT a.arm, a.n,
+        |    CASE WHEN a.sya >= 0
+        |      THEN (1000 * CAST(a.sya AS HUGEINT)) // a.n
+        |      ELSE -((1000 * CAST(-a.sya AS HUGEINT)) // a.n) END AS mp,
+        |    1000 * (CAST(a.sya AS HUGEINT) * t.tden * t.gn
+        |      - t.tnum * (CAST(a.sxa AS HUGEINT) * t.gn
+        |        - CAST(t.sx AS HUGEINT) * a.n)) AS anum,
+        |    CAST(a.n AS HUGEINT) * t.tden * t.gn AS aden,
+        |    t.tnum, t.tden
+        |  FROM a, t)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  CAST(mp AS BIGINT) AS mean_post_micro,
+        |  CAST(CASE WHEN tden = 0 THEN mp
+        |    WHEN anum >= 0 THEN anum // aden
+        |    ELSE -((-anum) // aden) END AS BIGINT) AS mean_adj_micro,
+        |  CAST(CASE WHEN tden = 0 THEN 0
+        |    WHEN tnum >= 0 THEN (1000 * tnum) // tden
+        |    ELSE -((1000 * (-tnum)) // tden) END AS BIGINT) AS theta_milli
+        |FROM f ORDER BY arm""".stripMargin,
+
+    // q352: the coupled level/trend recurrence walked per key with
+    // DuckDB's flooring `//` — the same floor Math.floorDiv takes.
+    "q352_holt_linear" ->
+      """WITH RECURSIVE s AS (SELECT user_id % 8 AS k, epoch_us(ts)
+        |      AS t, event_id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT k, v,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, event_id)
+        |      AS rn,
+        |    COUNT(*) OVER (PARTITION BY k) AS n
+        |  FROM s),
+        |w AS (
+        |  SELECT k, n, CAST(1 AS BIGINT) AS i, v AS l,
+        |    CAST(0 AS BIGINT) AS b
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.k, w.n, w.i + 1,
+        |    (r.v + 3 * (w.l + w.b)) // 4,
+        |    ((((r.v + 3 * (w.l + w.b)) // 4) - w.l) + 7 * w.b) // 8
+        |  FROM w JOIN r ON r.k = w.k AND r.rn = w.i + 1
+        |  WHERE w.i < w.n)
+        |SELECT k AS key, CAST(n AS BIGINT) AS n, l AS level_milli,
+        |  b AS trend_milli, l + 3 * b AS forecast_milli
+        |FROM w WHERE i = n ORDER BY key""".stripMargin,
 
     // q345: the split recursion replayed — each level joins the
     // frontier to endpoint and interior points ONCE (the recursive

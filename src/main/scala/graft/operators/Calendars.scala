@@ -54,4 +54,47 @@ object Calendars {
       .withColumn("deadline", date_add(Epoch, col("deadline_day").cast("int")))
       .withColumn("deadline_dow", pmod(col("deadline_day") + 3, lit(7L)))
   }
+
+  /** Bounded RRULE expansion (RFC 5545 §3.3.10, the COUNT-terminated
+    * DAILY/WEEKLY/MONTHLY fragment) — recurring-schedule rows fan out
+    * to their concrete occurrence dates. DAILY/WEEKLY are pure
+    * epoch-day arithmetic (interval·i and 7·interval·i days);
+    * MONTHLY is a SINGLE jump of i·interval months from the start
+    * (add_months), which clamps Jan 31 + 1 month to Feb 28 — the
+    * same end-of-month clamping DuckDB's month interval applies, so
+    * the q350 oracle replays it natively (single-jump semantics also
+    * avoid the drift that REPEATED clamped adds accumulate: Jan 31 →
+    * Feb 28 → Mar 28 is wrong; Jan 31 +2 months → Mar 31 is right).
+    *
+    * `count` is clamped to `maxCount` (fan-out guard — a forged
+    * count of 2³¹ must not materialize); rows with null/nonpositive
+    * count or interval, or an unknown freq, emit NOTHING rather than
+    * guessing. Row-local posexplode over `sequence` — zero shuffles,
+    * fan-out bounded by count. Output: input id + (occ_no 0-based,
+    * occ_date). */
+  def rruleOccurrences(df: DataFrame, idCol: String, freqCol: String,
+      intervalCol: String, countCol: String, startCol: String,
+      maxCount: Int = 1000): DataFrame = {
+    require(maxCount >= 1, "maxCount must be >= 1")
+    val n = least(col(countCol).cast("long"), lit(maxCount.toLong))
+    val valid = col(freqCol).isin("DAILY", "WEEKLY", "MONTHLY") &&
+      col(intervalCol).isNotNull && col(intervalCol) >= 1 &&
+      col(countCol).isNotNull && col(countCol) >= 1 &&
+      col(startCol).isNotNull
+    df.filter(valid)
+      .select(col(idCol), col(freqCol).as("__f"),
+        col(intervalCol).cast("long").as("__iv"),
+        n.as("__n"), to_date(col(startCol)).as("__d0"))
+      .select(col(idCol), col("__f"), col("__iv"), col("__d0"),
+        posexplode(sequence(lit(0L), col("__n") - 1L))
+          .as(Seq("occ_no", "__i")))
+      .select(col(idCol), col("occ_no").cast("long").as("occ_no"),
+        when(col("__f") === "DAILY",
+            date_add(col("__d0"), (col("__iv") * col("__i")).cast("int")))
+          .when(col("__f") === "WEEKLY",
+            date_add(col("__d0"), (lit(7L) * col("__iv") * col("__i")).cast("int")))
+          .otherwise(
+            add_months(col("__d0"), (col("__iv") * col("__i")).cast("int")))
+          .as("occ_date"))
+  }
 }

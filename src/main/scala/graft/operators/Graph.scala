@@ -1000,4 +1000,98 @@ object Graph {
     pairs.unpersist()
     out
   }
+
+  /** Hierarchy flattening (the CONNECT BY / recursive-org-chart
+    * capability): given single-parent (child, parent) edges, emit for
+    * every node its root, depth, and materialized root-to-node path
+    * ("/root/…/node"). Roots are parents that never appear as a
+    * child; they emit themselves at depth 0.
+    *
+    * The walk is POINTER DOUBLING, not parent-at-a-time: each round
+    * joins every unfinished node's current ancestor pointer to that
+    * ancestor's own pointer, doubling the hop distance — a depth-d
+    * forest finishes in ⌈log₂ d⌉ rounds of one self-join each, the
+    * shape that makes 100-level hierarchies cost 7 shuffles instead
+    * of 100. Path segments concatenate in the same doubling (upper
+    * half ++ lower half), so the full path needs no second pass.
+    * `maxDepth` bounds the walk; a frontier still unfinished then
+    * (deeper chain, or a CYCLE — which single-parent edges can still
+    * form) fails loudly. Multi-parent children are rejected up front
+    * with one duplicate-key count.
+    *
+    * Output: (node, root, depth, path), every node in the edge set
+    * plus the roots. Node render uses the string form of the column
+    * (path is a display artifact; IDs stay typed in node/root). */
+  def hierarchyFlatten(edges: DataFrame, childCol: String,
+      parentCol: String, maxDepth: Int = 4096): DataFrame = {
+    require(maxDepth >= 1, "maxDepth must be >= 1")
+    val e = edges
+      .filter(col(childCol).isNotNull && col(parentCol).isNotNull)
+      .select(col(childCol).as("node"), col(parentCol).as("anc"))
+      .distinct()
+      .persist()
+    val dupes = e.groupBy(col("node")).count().filter(col("count") > 1).count()
+    require(dupes == 0, s"$dupes children have multiple parents")
+    val roots = e.select(col("anc").as("node")).distinct()
+      .join(e.select(col("node")), Seq("node"), "left_anti")
+      .persist()
+    // pointer state: node → anc at distance d, path = "/…/node"
+    // covering (anc, node]
+    var ptr = e.select(col("node"), col("anc"), lit(1L).as("d"),
+      concat(lit("/"), col("node").cast("string")).as("p"))
+      .persist()
+    var rounds = 0
+    var frontier = ptr.join(roots.select(col("node").as("anc")),
+      Seq("anc"), "left_anti")
+    var frontierCount = frontier.count()
+    while (frontierCount > 0) {
+      rounds += 1
+      require((1L << math.min(rounds, 62)) <= 2L * maxDepth,
+        s"hierarchy deeper than maxDepth $maxDepth or cyclic")
+      val up = ptr.select(col("node").as("anc"), col("anc").as("anc2"),
+        col("d").as("d2"), col("p").as("p2"))
+      val advanced = ptr.join(up, Seq("anc"), "left")
+        .select(col("node"),
+          coalesce(col("anc2"), col("anc")).as("anc"),
+          (col("d") + coalesce(col("d2"), lit(0L))).as("d"),
+          concat(coalesce(col("p2"), lit("")), col("p")).as("p"))
+        .persist()
+      advanced.count()
+      ptr.unpersist()
+      ptr = advanced
+      frontier = ptr.join(roots.select(col("node").as("anc")),
+        Seq("anc"), "left_anti")
+      frontierCount = frontier.count()
+    }
+    val rootRows = roots.select(col("node"), col("node").as("root"),
+      lit(0L).as("depth"),
+      concat(lit("/"), col("node").cast("string")).as("path"))
+    val out = ptr.select(col("node"), col("anc").as("root"),
+        col("d").as("depth"),
+        concat(lit("/"), col("anc").cast("string"), col("p")).as("path"))
+      .unionByName(rootRows)
+      .localCheckpoint()
+    ptr.unpersist(); e.unpersist(); roots.unpersist()
+    out
+  }
+
+  /** Subtree rollup over a [[hierarchyFlatten]] result: for every
+    * node, the count and measure-sum over its subtree (itself
+    * included). The ancestor closure falls out of the materialized
+    * path: each node's measure row explodes the path's node list and
+    * aggregates per ancestor — n·depth intermediate rows, the
+    * standard hierarchy-flattening cost, ONE shuffle to the ancestor
+    * grain (no iterative upward propagation). */
+  def subtreeRollup(flat: DataFrame, measures: DataFrame,
+      nodeCol: String, valueCol: String): DataFrame = {
+    val m = measures.select(col(nodeCol).cast("string").as("__n"),
+      col(valueCol).cast("long").as("__v"))
+    flat.select(col("node"), col("path"))
+      .join(m, col("node").cast("string") === col("__n"), "left")
+      .select(col("path"), coalesce(col("__v"), lit(0L)).as("__v"))
+      .select(explode(expr("slice(split(path, '/'), 2, 1000000)"))
+        .as("anc_str"), col("__v"))
+      .groupBy(col("anc_str"))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("__v")).as("subtree_sum"))
+  }
 }

@@ -1803,6 +1803,170 @@ object Learn {
       }
       .toDF()
   }
+
+  /** Quantile normalization — the cross-sample distribution equalizer
+    * (microarray batch-correction lineage, and the right tool whenever
+    * per-source score scales must be made comparable before a global
+    * threshold): rank each key's values, average the values AT EACH
+    * RANK across keys, and hand every observation its rank's
+    * cross-key mean. After it, every key's empirical distribution is
+    * the same reference distribution, by construction.
+    *
+    * Ranks are row_number over (value_milli, orderCols) so ties are
+    * fully resolved and both engines rank identically; keys of
+    * unequal length contribute to exactly the ranks they have (the
+    * reference mean at rank r averages over the keys reaching r —
+    * the standard ragged extension, documented rather than padded).
+    * Mean is one sign-split floored division to milli.
+    *
+    * Shuffle shape: one key-partitioned rank window, one rank-keyed
+    * aggregate (ranks-many rows), one broadcast-sized join back on
+    * rank. No global sort, no single-partition window. */
+  def quantileNormalize(df: DataFrame, keyCol: String,
+      orderCols: Seq[String], valueCol: String): DataFrame = {
+    val ord = (col("value_milli") +: orderCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(col("key")).orderBy(ord: _*)
+    val ranked = df
+      .filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("key") +:
+        floor(col(valueCol) * 1000).cast("long").as("value_milli") +:
+        orderCols.map(col)): _*)
+      .withColumn("rank", row_number().over(w).cast("long"))
+    val ref = ranked.groupBy(col("rank"))
+      .agg(count(lit(1)).as("__n"), sum(col("value_milli")).as("__s"))
+      .select(col("rank"), col("__n").as("n_keys_at_rank"),
+        expr("""CASE WHEN __s >= 0 THEN __s div __n
+               | ELSE -((-__s) div __n) END""".stripMargin)
+          .as("norm_milli"))
+    ranked.join(ref, "rank")
+      .select(col("key"), col("rank"), col("value_milli"),
+        col("n_keys_at_rank"), col("norm_milli"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — adjust an
+    * experiment metric by its pre-period covariate so arm means keep
+    * their expectations but shed the variance the pre-period already
+    * explains: ŷ = y − θ·(x − x̄), θ = Cov(x,y)/Var(x), θ POOLED over
+    * all units (arm-blind, which is what keeps the adjustment
+    * unbiased under randomization).
+    *
+    * Integer lanes throughout: x,y floored to milli; θ carried as the
+    * exact BIGINT pair (θ_num, θ_den) = (n·Σxy − Σx·Σy, n·Σxx − Σx²)
+    * in DECIMAL(38,0); each arm's adjusted mean is ONE sign-split
+    * floored division of the exact cross-multiplied numerator, so
+    * q351 replays every column in HUGEINT. Output per arm: n,
+    * mean_post_micro (unadjusted), mean_adj_micro, and the shared
+    * theta_milli diagnostic. Degenerate Var(x) = 0 → θ = 0 (no
+    * adjustment — nothing to explain), null-safe.
+    *
+    * Two aggregates (global + per-arm) over one staged scan; the
+    * global row broadcasts. */
+  def cupedAdjust(df: DataFrame, armCol: String, preCol: String,
+      postCol: String): DataFrame = {
+    val staged = df
+      .filter(col(preCol).isNotNull && col(postCol).isNotNull &&
+        col(armCol).isNotNull)
+      .select(col(armCol).as("arm"),
+        floor(col(preCol) * 1000).cast("long").as("x"),
+        floor(col(postCol) * 1000).cast("long").as("y"))
+    val g = staged.agg(
+      count(lit(1)).as("gn"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"))
+    val a = staged.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+    a.crossJoin(broadcast(g))
+      .withColumn("tnum", expr(
+        "CAST(gn AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("tden", expr(
+        "CAST(gn AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("mean_post_micro", expr(
+        """CASE WHEN sya >= 0 THEN (1000 * CAST(sya AS DECIMAL(38,0))) div n
+          | ELSE -((1000 * CAST(-sya AS DECIMAL(38,0))) div n) END"""
+          .stripMargin).cast("long"))
+      .withColumn("__anum", expr(
+        """1000 * (CAST(sya AS DECIMAL(38,0)) * tden * gn
+          |  - tnum * (CAST(sxa AS DECIMAL(38,0)) * gn - CAST(sx AS DECIMAL(38,0)) * n))"""
+          .stripMargin))
+      .withColumn("__aden", expr("CAST(n AS DECIMAL(38,0)) * tden * gn"))
+      .withColumn("mean_adj_micro", expr(
+        """CASE WHEN tden = 0 THEN mean_post_micro
+          | WHEN __anum >= 0 THEN CAST(__anum div __aden AS BIGINT)
+          | ELSE CAST(-((-__anum) div __aden) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("theta_milli", expr(
+        """CASE WHEN tden = 0 THEN CAST(0 AS BIGINT)
+          | WHEN tnum >= 0 THEN CAST((1000 * tnum) div tden AS BIGINT)
+          | ELSE CAST(-((1000 * (-tnum)) div tden) AS BIGINT) END"""
+          .stripMargin))
+      .select(col("arm"), col("n"), col("mean_post_micro"),
+        col("mean_adj_micro"), col("theta_milli"))
+  }
+
+  /** Holt linear (double-exponential) smoothing per key, EXACT — the
+    * trend-aware member of the smoothing family (EWMA is the
+    * level-only one): with rational gains α = aNum/aDen,
+    * β = bNum/bDen,
+    *   l_t = trunc((aNum·y_t + (aDen−aNum)·(l + b)) / aDen)
+    *   b_t = trunc((bNum·(l_t − l) + (bDen−bNum)·b) / bDen)
+    * TRUNCATING division at every step (Java `/` == Spark `div` ==
+    * DuckDB integer `//` — measured, not assumed: DuckDB's integer
+    * `//` truncates toward zero, it does not floor), seeded l₁ = y₁,
+    * b₁ = 0, so the whole recurrence is a BIGINT walk q352 replays
+    * per key. Output: key, n, level_milli, trend_milli,
+    * forecast_milli(h) = level + h·trend.
+    *
+    * The recurrence is inherently serial PER KEY (level and trend are
+    * coupled), so it runs as a key-partitioned sorted scan with O(1)
+    * state — keys parallelize, rows stream. */
+  def holtLinear(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, aNum: Long, aDen: Long, bNum: Long, bDen: Long,
+      horizon: Long = 1L): DataFrame = {
+    require(aDen > 0 && bDen > 0 && aNum >= 0 && aNum <= aDen &&
+      bNum >= 0 && bNum <= bDen, "gains must be rationals in [0, 1]")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types._
+    def fdiv(a: Long, b: Long): Long = a / b // trunc == DuckDB int `//`
+    val in = df
+      .filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("__k") +:
+        floor(col(valueCol) * 1000).cast("long").as("__v") +:
+        orderCols.map(col)): _*)
+      .repartition(col("__k"))
+      .sortWithinPartitions("__k", orderCols: _*)
+    val keyField = in.schema.fields(0)
+    val outSchema = StructType(Seq(keyField.copy(name = "key"),
+      StructField("n", LongType, nullable = false),
+      StructField("level_milli", LongType, nullable = false),
+      StructField("trend_milli", LongType, nullable = false),
+      StructField("forecast_milli", LongType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    in.mapPartitions { rows =>
+      val it = rows.buffered
+      new Iterator[Row] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val key = it.head.get(0)
+          var first = true
+          var l = 0L; var b = 0L; var n = 0L
+          while (it.hasNext && it.head.get(0) == key) {
+            val y = it.next().getLong(1)
+            if (first) { l = y; b = 0L; first = false }
+            else {
+              val lp = l
+              l = fdiv(aNum * y + (aDen - aNum) * (l + b), aDen)
+              b = fdiv(bNum * (l - lp) + (bDen - bNum) * b, bDen)
+            }
+            n += 1
+          }
+          Row(key, n, l, b, l + horizon * b)
+        }
+      }
+    }(enc)
+  }
 }
 
 /** Two-pass running-total offset row ([[Learn.binaryScoreCurve]]) —

@@ -90,4 +90,48 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_sensitive_values"))
       .withColumn("l_diverse", col("n_sensitive_values") >= l)
   }
+
+  /** Randomized response (Warner 1965 — the local-DP mechanism that
+    * needs no transcendental noise): each unit reports its TRUE bool
+    * with probability p and the FLIP with 1−p, and the aggregate
+    * debiases exactly: π̂ = (ȳ_reported − (1−p)) / (2p−1). Here the
+    * "coin" is a deterministic keyed hash — first 8 hex of
+    * md5(id:salt) compared against the p·2³² threshold (the q89
+    * split convention: lowercase fixed-width hex compares as the
+    * integer) — so the mechanism is replayable cross-engine while
+    * keeping the per-row flip unpredictable without the salt. p must
+    * be pNum/2^pBits with 2p > 1 (require), so the threshold is an
+    * EXACT 32-bit integer and the debias denominator is nonzero.
+    *
+    * Output per group: n, n_reported_true, and est_milli — the
+    * debiased true-rate estimate, ONE sign-split floored division of
+    * BIGINT-exact cross-multiplied terms:
+    *   est = 1000·(2^bits·yes − (2^bits−num)·n) / ((2·num − 2^bits)·n).
+    * Estimates may legally fall outside [0,1000] on small n — survey
+    * literature clips downstream, the engine reports the unbiased
+    * value. One row-local hash + one hash aggregate, no joins. */
+  def randomizedResponse(df: DataFrame, groupCol: String, idCol: String,
+      truthCol: String, pNum: Long, pBits: Int, salt: Long): DataFrame = {
+    require(pBits >= 1 && pBits <= 32, s"pBits $pBits out of [1,32]")
+    val den = 1L << pBits
+    require(pNum > den / 2 && pNum < den,
+      s"p = $pNum/$den must satisfy 1/2 < p < 1 (p = 1 is no mechanism)")
+    // report truth iff hash32 < p·2^32, i.e. hex < threshold hex
+    val thrHex = f"${pNum << (32 - pBits)}%08x"
+    val h = substring(md5(concat(col(idCol).cast("string"),
+      lit(":"), lit(salt.toString))), 1, 8)
+    val reported = col(truthCol) =!= (h >= lit(thrHex))
+    df.filter(col(truthCol).isNotNull && col(idCol).isNotNull)
+      .select(col(groupCol).as("group"), reported.as("__r"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__r").cast("long")).as("n_reported_true"))
+      .withColumn("est_milli", expr(
+        s"""CASE WHEN 1000 * ($den * n_reported_true - ${den - pNum} * n) >= 0
+           | THEN (1000 * ($den * n_reported_true - ${den - pNum} * n))
+           |   div ((2 * $pNum - $den) * n)
+           | ELSE -((-(1000 * ($den * n_reported_true - ${den - pNum} * n)))
+           |   div ((2 * $pNum - $den) * n)) END""".stripMargin)
+        .cast("long"))
+  }
 }

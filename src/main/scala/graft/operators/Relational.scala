@@ -1804,6 +1804,37 @@ object Relational {
         col("island_end_us") - col("island_start_us"))
   }
 
+  /** The complement of [[mergeIntervals]]: the maximal UNCOVERED gaps
+    * between a key's intervals — outage/SLA analysis asks for the
+    * holes, not the islands. A gap opens wherever an interval's start
+    * strictly exceeds the running max of all earlier ends (same
+    * (start, end) ordering and running-max window as mergeIntervals,
+    * so the two operators are provably complementary on the same
+    * input: island spans + gap spans = max(end) − min(start) per
+    * key). Rows before the key's first interval and after its last
+    * emit nothing — the domain is the covered hull, by definition.
+    * Zero-length contacts (start == running max) are NOT gaps, the
+    * same strictness mergeIntervals uses to split islands.
+    *
+    * One key-partitioned sort window, then a filter — no join, no
+    * second shuffle. Output: key, gap_start_us, gap_end_us,
+    * gap_span_us, one row per gap. */
+  def intervalGaps(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val wPrev = Window.partitionBy(col(keyCol))
+      .orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        unix_micros(col(endCol)) >= unix_micros(col(startCol)))
+      .select(col(keyCol), unix_micros(col(startCol)).as("__s"),
+        unix_micros(col(endCol)).as("__e"))
+      .withColumn("__maxe", max(col("__e")).over(wPrev))
+      .filter(col("__maxe").isNotNull && col("__s") > col("__maxe"))
+      .select(col(keyCol), col("__maxe").as("gap_start_us"),
+        col("__s").as("gap_end_us"),
+        (col("__s") - col("__maxe")).as("gap_span_us"))
+  }
+
   /** First/last-touch conversion attribution: for every conversion
     * event, find the key's touch events within the lookback window
     * `conv_ts − windowMicros ≤ touch_ts ≤ conv_ts` (inclusive at the

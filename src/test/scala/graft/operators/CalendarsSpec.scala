@@ -47,4 +47,28 @@ class CalendarsSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(e.getMessage.contains("must be >= 0"), e.getMessage)
   }
+
+  test("rruleOccurrences: freq lanes, month-end clamp, count clamp, bad rows silent") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rules = Seq(
+      (1L, "DAILY", 3L, 3L, d("2026-01-01")),
+      (2L, "WEEKLY", 2L, 2L, d("2026-01-01")),
+      (3L, "MONTHLY", 1L, 3L, d("2026-01-31")), // clamps into Feb
+      (4L, "YEARLY", 1L, 2L, d("2026-01-01")),  // unknown freq: silent
+      (5L, "DAILY", 0L, 2L, d("2026-01-01")),   // interval 0: silent
+      (6L, "DAILY", 1L, 99L, d("2026-01-01")))  // count clamped to 5
+      .toDF("id", "freq", "interval", "count", "start")
+    val got = Calendars.rruleOccurrences(rules, "id", "freq",
+        "interval", "count", "start", maxCount = 5)
+      .as[(Long, Long, java.sql.Date)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3.toString).toSeq)
+      .toMap
+    assert(got(1L) == Seq("2026-01-01", "2026-01-04", "2026-01-07"))
+    assert(got(2L) == Seq("2026-01-01", "2026-01-15"))
+    // single-jump month arithmetic: Jan 31 → Feb 28 → Mar 31
+    assert(got(3L) == Seq("2026-01-31", "2026-02-28", "2026-03-31"))
+    assert(!got.contains(4L) && !got.contains(5L))
+    assert(got(6L).size == 5)
+  }
 }

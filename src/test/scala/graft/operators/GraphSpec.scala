@@ -495,4 +495,55 @@ class GraphSpec extends SparkTestBase {
     assert(got(7L) == ((4L, "core", Some(7L))))
     assert(got(10L) == ((4L, "core", Some(7L))))
   }
+
+  test("hierarchyFlatten: roots, depths, paths; doubling matches a deep chain") {
+    import spark.implicits._
+    // forest: 0 ← {1, 2}, 1 ← {3}, plus a second tree 10 ← {11}
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 1L), (11L, 10L)).toDF("c", "p")
+    val got = Graph.hierarchyFlatten(e, "c", "p")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 0L, 0L, "/0")))
+    assert(got(1L) == ((1L, 0L, 1L, "/0/1")))
+    assert(got(3L) == ((3L, 0L, 2L, "/0/1/3")))
+    assert(got(11L) == ((11L, 10L, 1L, "/10/11")))
+    assert(got.size == 6)
+    // a depth-20 chain resolves (pointer doubling: ~5 rounds)
+    val chain = (1L to 20L).map(i => (i, i - 1)).toDF("c", "p")
+    val deep = Graph.hierarchyFlatten(chain, "c", "p")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(deep(20L)._2 == 0L && deep(20L)._3 == 20L)
+    assert(deep(20L)._4 == (0L to 20L).mkString("/", "/", ""))
+    // a cycle fails loudly instead of spinning
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("c", "p")
+    val err = intercept[IllegalArgumentException] {
+      Graph.hierarchyFlatten(cyc, "c", "p", maxDepth = 8)
+    }
+    assert(err.getMessage.contains("cyclic"), err.getMessage)
+    // multi-parent rejected
+    val multi = Seq((1L, 2L), (1L, 3L)).toDF("c", "p")
+    val err2 = intercept[IllegalArgumentException] {
+      Graph.hierarchyFlatten(multi, "c", "p")
+    }
+    assert(err2.getMessage.contains("multiple parents"), err2.getMessage)
+  }
+
+  test("subtreeRollup: per-node counts and sums off the materialized paths") {
+    import spark.implicits._
+    val e = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("c", "p")
+    val flat = Graph.hierarchyFlatten(e, "c", "p")
+    val m = Seq((0L, 10L), (1L, 1L), (2L, 2L), (3L, 100L)).toDF("n", "v")
+    val got = Graph.subtreeRollup(flat, m, "n", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("0") == ((4L, 113L)))
+    assert(got("1") == ((2L, 101L)))
+    assert(got("2") == ((1L, 2L)))
+    assert(got("3") == ((1L, 100L)))
+    // measureless nodes roll up as zero, not null
+    val sparse = Seq((3L, 100L)).toDF("n", "v")
+    val g2 = Graph.subtreeRollup(flat, sparse, "n", "v")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(g2("0") == ((4L, 100L)) && g2("2") == ((1L, 0L)))
+  }
 }

@@ -801,6 +801,93 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("quantileNormalize: equal distributions after, ragged ranks, ties resolved") {
+    import spark.implicits._
+    // key 1: 1,2,3  key 2: 10,20,30  key 3: 5,6 (ragged)
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (2L, 1L, 10.0), (2L, 2L, 20.0), (2L, 3L, 30.0),
+      (3L, 1L, 5.0), (3L, 2L, 6.0))
+    val got = Learn.quantileNormalize(rows.toDF("k", "o", "v"), "k",
+        Seq("o"), "v")
+      .select("key", "rank", "n_keys_at_rank", "norm_milli")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // rank 1 mean = (1000+10000+5000)/3 = 5333; rank 2 = 9333
+    // (floored); rank 3 only keys 1,2 → (3000+30000)/2 = 16500
+    assert(got == Set(
+      (1L, 1L, 3L, 5333L), (2L, 1L, 3L, 5333L), (3L, 1L, 3L, 5333L),
+      (1L, 2L, 3L, 9333L), (2L, 2L, 3L, 9333L), (3L, 2L, 3L, 9333L),
+      (1L, 3L, 2L, 16500L), (2L, 3L, 2L, 16500L)))
+    // after normalization every full-length key carries the SAME
+    // value multiset — the operator's defining property
+    val norm = Learn.quantileNormalize(rows.toDF("k", "o", "v"), "k",
+        Seq("o"), "v")
+      .select("key", "norm_milli").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(norm(1L) == norm(2L))
+  }
+
+  test("cupedAdjust: variance removed, expectation kept, zero-var covariate no-op") {
+    import spark.implicits._
+    // y = x + arm effect: arm 0 adds 0, arm 1 adds 1; x varies 1..4.
+    // θ should be ~1 and adjusted means should recover the pure arm
+    // effects around the grand mean.
+    val rows = Seq(
+      (0L, 1.0, 1.0), (0L, 2.0, 2.0), (0L, 3.0, 3.0), (0L, 4.0, 4.0),
+      (1L, 1.0, 2.0), (1L, 2.0, 3.0), (1L, 3.0, 4.0), (1L, 4.0, 5.0))
+    val got = Learn.cupedAdjust(rows.toDF("arm", "pre", "post"),
+        "arm", "pre", "post")
+      .select("arm", "n", "mean_post_micro", "mean_adj_micro",
+        "theta_milli")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(0L) == ((0L, 4L, 2500000L, 2500000L, 1000L)))
+    assert(got(1L) == ((1L, 4L, 3500000L, 3500000L, 1000L)))
+    // identical x everywhere → Var(x) = 0 → adjustment is a no-op
+    val flat = Seq((0L, 7.0, 1.0), (0L, 7.0, 3.0), (1L, 7.0, 5.0))
+    val g2 = Learn.cupedAdjust(flat.toDF("arm", "pre", "post"),
+        "arm", "pre", "post")
+      .select("arm", "mean_post_micro", "mean_adj_micro", "theta_milli")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(g2(0L) == ((0L, 2000000L, 2000000L, 0L)))
+    assert(g2(1L) == ((1L, 5000000L, 5000000L, 0L)))
+    // CUPED actually reduces spread when arms have unbalanced x:
+    // arm 0 drew low x, arm 1 high x, same true effect 0
+    val skewed = Seq((0L, 1.0, 1.0), (0L, 2.0, 2.0),
+      (1L, 3.0, 3.0), (1L, 4.0, 4.0))
+    val g3 = Learn.cupedAdjust(skewed.toDF("arm", "pre", "post"),
+        "arm", "pre", "post")
+      .select("arm", "mean_post_micro", "mean_adj_micro")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // raw means 1.5 vs 3.5 (pure covariate imbalance); adjusted both
+    // collapse to the grand mean 2.5
+    assert(g3(0L)._3 == 2500000L && g3(1L)._3 == 2500000L)
+    assert(g3(0L)._2 == 1500000L && g3(1L)._2 == 3500000L)
+  }
+
+  test("holtLinear: hand-traced recurrence, seed, horizon, key isolation") {
+    import spark.implicits._
+    // α=1/2, β=1/2, series 1, 5, 9 (milli 1000, 5000, 9000):
+    // l1=1000 b1=0; l2=(5000+1000)/2=3000, b2=(2000+0)/2=1000;
+    // l3=(9000+4000)/2=6500, b3=(3500+1000)/2=2250
+    val rows = Seq((1L, 1L, 1.0), (1L, 2L, 5.0), (1L, 3L, 9.0),
+      (2L, 1L, 4.0)) // single row: level = y, trend 0
+    val got = Learn.holtLinear(rows.toDF("k", "o", "v"), "k", Seq("o"),
+        "v", aNum = 1L, aDen = 2L, bNum = 1L, bDen = 2L, horizon = 2L)
+      .select("key", "n", "level_milli", "trend_milli", "forecast_milli")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(got(1L) == ((1L, 3L, 6500L, 2250L, 11000L)))
+    assert(got(2L) == ((2L, 1L, 4000L, 0L, 4000L)))
+    // negative values ride the truncating lane deterministically
+    val neg = Seq((1L, 1L, -1.0), (1L, 2L, -5.0))
+    val gn = Learn.holtLinear(neg.toDF("k", "o", "v"), "k", Seq("o"),
+        "v", 1L, 2L, 1L, 2L, 1L)
+      .select("level_milli", "trend_milli")
+      .as[(Long, Long)].collect()(0)
+    // l2 = (-5000 + -1000)/2 = -3000; b2 = (-2000)/2 = -1000
+    assert(gn == ((-3000L, -1000L)))
+  }
+
   test("changepointBinary: argmax split, earliest tie, negative means, n<2 silent") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)

@@ -581,6 +581,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("intervalGaps: holes only, zero-length contact not a gap, complements islands") {
+    import spark.implicits._
+    val df = Seq(
+      // key 1: [0,10) [5,15) then hole (15,20), touch at 25 (no gap),
+      // hole (30,40)
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 20L, 25L), (1L, 25L, 30L),
+      (1L, 40L, 45L),
+      // key 2: single interval — no interior, no gap
+      (2L, 100L, 200L),
+      // reversed row excluded by policy
+      (2L, 500L, 400L)).toDF("k", "s_us", "e_us")
+      .select(col("k"), timestamp_micros(col("s_us")).as("s"),
+        timestamp_micros(col("e_us")).as("e"))
+    val gaps = Relational.intervalGaps(df, "k", "s", "e")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(gaps.toSeq == Seq((1L, 15L, 20L, 5L), (1L, 30L, 40L, 10L)))
+    // complementarity: island spans + gap spans = covered hull
+    val islands = Relational.mergeIntervals(df, "k", "s", "e")
+      .filter(col("k") === 1L)
+      .agg(sum(col("island_span_us"))).as[Long].collect()(0)
+    assert(islands + gaps.map(_._4).sum == 45L - 0L)
+  }
+
   test("associationRules: hand-computed lanes, presence dedup, min-support prune") {
     import spark.implicits._
     // baskets: {x,y}, {x,y}, {x,y,z}, {x}, {z,z} (dup z counts once)

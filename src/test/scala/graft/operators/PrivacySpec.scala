@@ -69,4 +69,37 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       Privacy.lDiversity(people, Seq("zip"), "diag", l = 1)
     }
   }
+
+  test("randomizedResponse: exact debias identity, flips bounded, p guards") {
+    import spark.implicits._
+    val n = 4000
+    val truth = (0 until n).map(i => (i.toLong % 2, i.toLong, i % 5 < 2))
+    val df = truth.toDF("g", "id", "t")
+    val got = Privacy.randomizedResponse(df, "g", "id", "t",
+        pNum = 3L, pBits = 2, salt = 7L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the estimator must satisfy its own algebra exactly:
+    // est = 1000(4·yes − n) / (2n), sign-split truncation
+    for ((_, (_, cnt, yes, est)) <- got) {
+      val num = 1000L * (4L * yes - cnt)
+      val want = if (num >= 0) num / (2 * cnt) else -((-num) / (2 * cnt))
+      assert(est == want)
+      // and with p = 3/4 the estimate should sit near the true 40%
+      assert(math.abs(est - 400L) < 100L, s"est $est far from 400")
+    }
+    // determinism: same salt → same counts; different salt → the
+    // coin flips move (overwhelmingly likely on 4000 rows)
+    val again = Privacy.randomizedResponse(df, "g", "id", "t", 3L, 2, 7L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+    val other = Privacy.randomizedResponse(df, "g", "id", "t", 3L, 2, 8L)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(other.values.map(_._3).toSeq != got.values.map(_._3).toSeq)
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, "g", "id", "t", 1L, 2, 7L) // p=1/4
+    }
+    intercept[IllegalArgumentException] {
+      Privacy.randomizedResponse(df, "g", "id", "t", 4L, 2, 7L) // p=1
+    }
+  }
 }

@@ -3356,6 +3356,65 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q354: critical-path longest distances on a DAG (max-plus
+    // Bellman–Ford run to convergence with a loud cycle guard);
+    // DuckDB replays by deduped recursive path enumeration + MAX.
+    "q354_critical_path" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 90)
+      val e = d.select(col("doc_id").as("s"),
+          (col("doc_id") + 3 + (col("doc_id") % 3) * 2).as("t"),
+          (lit(1L) + (col("doc_id") * 7) % 9).as("w"))
+        .unionByName(d.filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id").as("s"), (col("doc_id") + 11).as("t"),
+            lit(2L).as("w")))
+      operators.Graph.longestPathDag(e, "s", "t", "w")
+        .orderBy(col("node"))
+    }),
+
+    // q355: item-item co-occurrence top-k — exact cosine² ranking in
+    // one floored nano division, smaller co-item on ties; the
+    // recommender "related items" primitive.
+    "q355_item_cooccurrence" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), (col("event_id") % 40).as("item"))
+      operators.Learn.itemCooccurrence(e, "user_id", "item", k = 5)
+        .orderBy(col("item_a"), col("rank"))
+    }),
+
+    // q356: SCD2 point-in-time lookup — facts joined to the dimension
+    // version valid at their timestamp via the as-of union/window
+    // shape (one exchange, no interval self-join); history built by
+    // the q96 scd2 derivation on the even-event state stream.
+    "q356_scd2_lookup" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val states = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_type")).as("state"))
+      val hist = operators.Relational.scd2(states, "user_id", "ts",
+        Seq("state"))
+      val facts = ev.filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          floor(col("value") * 1000).cast("long").as("value_milli"))
+      operators.Relational.scd2Lookup(facts, hist, "user_id", "ts",
+          Seq("state"))
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value_milli"),
+          col("state"))
+        .orderBy(col("event_id"))
+    }),
+
+    // q357: deterministic group-mode null imputation — most frequent
+    // non-null value per group, ties to the smallest, all-null groups
+    // stay null; repairs auditable via the was_imputed flag.
+    "q357_impute_mode" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 20).as("g"), col("event_id"),
+          when(col("event_id") % 11 === 0, lit(null).cast("long"))
+            .otherwise(floor(col("value") / 50).cast("long")).as("vb"))
+      operators.Quality.imputeGroupMode(e, "g", "vb")
+        .orderBy(col("event_id"))
+    }),
+
     // q353: uncovered gaps between a key's intervals — the complement
     // of q237's merged islands, same ordering and running-max window,
     // so island spans + gap spans tile the covered hull exactly.
@@ -8710,6 +8769,93 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q354: deduped recursive path enumeration from the sources
+    // (UNION recursion bounds states by node × distinct-distance),
+    // then MAX per node — the q338 scheme with max-plus instead of
+    // min-plus.
+    "q354_critical_path" ->
+      """WITH RECURSIVE d AS (SELECT doc_id FROM documents
+        |  WHERE doc_id < 90),
+        |e0 AS (SELECT doc_id AS s, doc_id + 3 + (doc_id % 3) * 2 AS t,
+        |    1 + (doc_id * 7) % 9 AS w FROM d
+        |  UNION ALL
+        |  SELECT doc_id, doc_id + 11, 2 FROM d WHERE doc_id % 4 = 0),
+        |e AS (SELECT s, t, MAX(w) AS w FROM e0 GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT s AS n FROM e
+        |  WHERE s NOT IN (SELECT t FROM e)),
+        |r AS (SELECT CAST(n AS BIGINT) AS node, CAST(0 AS BIGINT) AS dd
+        |  FROM srcs
+        |  UNION
+        |  SELECT e.t, r.dd + e.w FROM r JOIN e ON e.s = r.node)
+        |SELECT node, CAST(MAX(dd) AS BIGINT) AS dist
+        |FROM r GROUP BY node ORDER BY node""".stripMargin,
+
+    // q355: distinct user-item, pair counts, HUGEINT nano score,
+    // the same (score DESC, item ASC) rank.
+    "q355_item_cooccurrence" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u, event_id % 40 AS i
+        |  FROM events WHERE user_id IS NOT NULL),
+        |ni AS (SELECT i, COUNT(*) AS n FROM ui GROUP BY 1),
+        |p AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_ab
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.i <> b.i
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT p.item_a, p.item_b, na.n AS n_a, nb.n AS n_b,
+        |    p.n_ab,
+        |    CAST((1000000000 * CAST(p.n_ab AS HUGEINT) * p.n_ab)
+        |      // (CAST(na.n AS HUGEINT) * nb.n) AS BIGINT) AS score_nano
+        |  FROM p JOIN ni na ON na.i = p.item_a
+        |  JOIN ni nb ON nb.i = p.item_b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a
+        |    ORDER BY score_nano DESC, item_b ASC) AS rk FROM sc)
+        |SELECT item_a, item_b, CAST(n_a AS BIGINT) AS n_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  score_nano, CAST(rk AS BIGINT) AS "rank"
+        |FROM r WHERE rk <= 5 ORDER BY item_a, rk""".stripMargin,
+
+    // q356: the scd2 derivation (q96's lag/lead replay) plus the
+    // interval-membership LEFT JOIN definition of point-in-time.
+    "q356_scd2_lookup" ->
+      """WITH st AS (SELECT user_id, ts, MIN(event_type) AS state
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |o AS (SELECT user_id, ts, state,
+        |    LAG(state) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM st),
+        |runs AS (SELECT user_id, ts AS valid_from, state FROM o
+        |  WHERE rn = 1 OR state IS DISTINCT FROM prev),
+        |h AS (SELECT user_id, valid_from, state,
+        |    LEAD(valid_from) OVER (PARTITION BY user_id
+        |      ORDER BY valid_from) AS valid_to
+        |  FROM runs),
+        |f AS (SELECT user_id, event_id, ts,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT f.user_id, f.event_id, epoch_us(f.ts) AS ts_us,
+        |  f.value_milli, h.state
+        |FROM f LEFT JOIN h ON h.user_id = f.user_id
+        |  AND h.valid_from <= f.ts
+        |  AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+        |ORDER BY f.event_id""".stripMargin,
+
+    // q357: the mode table (count DESC, value ASC top-1) joined back;
+    // null-mode groups stay null.
+    "q357_impute_mode" ->
+      """WITH s AS (SELECT user_id % 20 AS g, event_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |      ELSE CAST(FLOOR(value / 50) AS BIGINT) END AS vb
+        |  FROM events),
+        |m0 AS (SELECT g, vb, COUNT(*) AS c FROM s WHERE vb IS NOT NULL
+        |  GROUP BY 1, 2),
+        |m AS (SELECT g, vb AS mode FROM (
+        |    SELECT g, vb, ROW_NUMBER() OVER (PARTITION BY g
+        |      ORDER BY c DESC, vb ASC) AS rk FROM m0) q
+        |  WHERE rk = 1)
+        |SELECT s.g, s.event_id, s.vb,
+        |  COALESCE(s.vb, m.mode) AS vb_imputed,
+        |  (s.vb IS NULL AND m.mode IS NOT NULL) AS was_imputed
+        |FROM s LEFT JOIN m USING (g)
+        |ORDER BY s.event_id""".stripMargin,
 
     // q353: the running-max window with a strict start > max(e)
     // test — zero-length contacts are not gaps.

@@ -1001,6 +1001,60 @@ object Graph {
     out
   }
 
+  /** Longest path from the DAG's sources to every node — the
+    * critical-path (CPM) primitive: with edge weights as task
+    * durations, `dist(v)` is v's earliest start time and the global
+    * max is the schedule's critical-path length. The max-plus twin
+    * of [[ssspBellmanFord]], but run TO CONVERGENCE (earliest-start
+    * has no bounded-hop reading): each round relaxes every edge once
+    * (one join + one max-aggregate); distances grow monotonically,
+    * so the (row count, Σdist) fingerprint is a valid fixpoint test.
+    * A graph with a reachable positive-weight cycle never converges
+    * and `maxRounds` fails LOUDLY — on a DAG rounds are bounded by
+    * the longest hop count. Sources (no incoming edge) start at 0;
+    * every DAG node is reachable from some source, so the output
+    * covers the node set. Edges deduped to their MAX weight (the
+    * pessimistic reading CPM wants). */
+  def longestPathDag(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRounds: Int = 64): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
+      .persist()
+    e.count()
+    var dist = e.select(col("src").as("node")).distinct()
+      .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
+        "left_anti")
+      .withColumn("dist", lit(0L))
+      .localCheckpoint()
+    def fp(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var last = fp(dist)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      require(rounds < maxRounds,
+        s"no fixpoint after $maxRounds rounds — cycle or deeper DAG")
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      val next = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(max(col("dist")).as("dist"))
+        .localCheckpoint()
+      val nf = fp(next)
+      converged = nf == last
+      last = nf
+      dist = next
+      rounds += 1
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Hierarchy flattening (the CONNECT BY / recursive-org-chart
     * capability): given single-parent (child, parent) edges, emit for
     * every node its root, depth, and materialized root-to-node path

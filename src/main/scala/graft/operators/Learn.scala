@@ -1804,6 +1804,61 @@ object Learn {
       .toDF()
   }
 
+  /** Item-item co-occurrence similarity with exact top-k — the
+    * "users who touched X also touched Y" primitive every
+    * recommender / related-items surface starts from. Presence-based
+    * (distinct user-item), cosine-squared scored: cos²(a,b) =
+    * n_ab² / (n_a·n_b), carried as score_nano = ⌊10⁹·n_ab²/(n_a·n_b)⌋
+    * — ONE floored division per pair, and the (score_nano DESC,
+    * item_b ASC) ranking is the pinned deterministic contract (exact
+    * rational ties and floor-collisions both resolve to the smaller
+    * co-item).
+    *
+    * Scale posture: the user self-join is the canonical co-occurrence
+    * cost — Σ_u items(u)² pairs — so users above `maxItemsPerUser`
+    * are EXCLUDED up front (the q107 domain-cap posture: a bot user
+    * with 10⁶ items must not mint 10¹² pairs; exclusion is the
+    * documented, deterministic choice and the cap is a parameter).
+    * Then: one distinct, one user-keyed self-join, one (a,b)
+    * aggregate, one broadcast-sized item-count join, one per-item
+    * rank window. */
+  def itemCooccurrence(df: DataFrame, userCol: String, itemCol: String,
+      k: Int, maxItemsPerUser: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxItemsPerUser >= 2, "maxItemsPerUser must be >= 2")
+    val ui = df
+      .filter(col(userCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(userCol).as("u"), col(itemCol).as("i"))
+      .distinct()
+    val light = ui.join(
+      ui.groupBy(col("u")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > maxItemsPerUser).select(col("u")),
+      Seq("u"), "left_anti")
+      .persist()
+    val ni = light.groupBy(col("i")).agg(count(lit(1)).as("n"))
+    val pairs = light.select(col("u"), col("i").as("item_a"))
+      .join(light.select(col("u"), col("i").as("item_b")), Seq("u"))
+      .filter(col("item_a") =!= col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val w = Window.partitionBy(col("item_a"))
+      .orderBy(col("score_nano").desc, col("item_b").asc)
+    val out = pairs
+      .join(broadcast(ni.select(col("i").as("item_a"), col("n").as("n_a"))),
+        Seq("item_a"))
+      .join(broadcast(ni.select(col("i").as("item_b"), col("n").as("n_b"))),
+        Seq("item_b"))
+      .withColumn("score_nano", expr(
+        """CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_ab * n_ab)
+          |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_ab"), col("score_nano"), col("rank"))
+    out
+  }
+
   /** Quantile normalization — the cross-sample distribution equalizer
     * (microarray batch-correction lineage, and the right tool whenever
     * per-source score scales must be made comparable before a global

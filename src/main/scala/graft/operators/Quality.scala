@@ -102,4 +102,36 @@ object Quality {
         when(col("bin_idx").isNotNull && col("bin_idx").between(0, nBins - 1),
           (col("bin_idx") + 1) * binWidthMilli + originMilli).as("bin_hi_milli"))
   }
+
+  /** Group-mode null imputation — the deterministic data-repair
+    * counterpart of [[checkSuite]]'s detection: fill each null
+    * `valueCol` with its group's most frequent NON-NULL value, ties
+    * to the SMALLEST value (a total order, so the repaired table is
+    * a pure function of the input — the property hot-deck/random
+    * imputation can never give an oracle). Groups that are all-null
+    * have no mode and stay null — silence, not invention. Appends
+    * `<value>_imputed` and a `was_imputed` flag; original columns
+    * pass through untouched so repairs stay auditable.
+    *
+    * One (group, value) aggregate + one per-group top-1 window over
+    * the group-sized mode table + one broadcast-friendly join back —
+    * never a shuffle of the fact rows beyond the group key. */
+  def imputeGroupMode(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("__cnt").desc, col(valueCol).asc)
+    val modes = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(groupCol), col(valueCol).as("__mode"))
+    df.join(modes, Seq(groupCol), "left")
+      .withColumn(s"${valueCol}_imputed",
+        coalesce(col(valueCol), col("__mode")))
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("__mode").isNotNull)
+      .drop("__mode")
+  }
 }

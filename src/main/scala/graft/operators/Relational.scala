@@ -1524,6 +1524,47 @@ object Relational {
       .drop("__rn", "__chg")
   }
 
+  /** Point-in-time (SCD2) lookup: join each fact to the dimension
+    * VERSION that was valid at the fact's timestamp —
+    * `valid_from ≤ ts < valid_to` with a null `valid_to` open-ended —
+    * the temporal join every event-against-dimension pipeline needs
+    * to avoid leaking future attribute values into the past. Facts
+    * before the key's first version keep NULL version columns
+    * (unattributable history stays visible, the q308 posture).
+    *
+    * Physically an as-of-backward join, NOT a range join: versions
+    * and facts union into one stream tagged so a version at t sorts
+    * BEFORE a fact at t (valid_from is inclusive), and one
+    * `last(non-null)` running window per key carries the current
+    * version struct onto every fact row — ONE hash exchange on the
+    * key, O(1) window state, no interval self-join, no BNLJ. Assumes
+    * `history` is well-formed SCD2 (consecutive, non-overlapping —
+    * what [[scd2]] emits); overlapping versions would resolve to the
+    * latest-starting one rather than erroring. */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, keyCol: String,
+      tsCol: String, versionCols: Seq[String]): DataFrame = {
+    require(versionCols.nonEmpty, "scd2Lookup needs version columns")
+    val factCols = facts.columns.toSeq
+    val vStruct = struct(versionCols.map(col): _*)
+    val h = history.select(col(keyCol).as("__k"),
+      unix_micros(col("valid_from")).as("__t"), lit(0).as("__tag"),
+      vStruct.as("__v"),
+      lit(null).cast(facts.select(struct(factCols.map(col): _*))
+        .schema.fields(0).dataType).as("__frow"))
+    val f = facts.select(col(keyCol).as("__k"),
+      unix_micros(col(tsCol)).as("__t"), lit(1).as("__tag"),
+      lit(null).cast(h.schema("__v").dataType).as("__v"),
+      struct(factCols.map(col): _*).as("__frow"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h.unionByName(f)
+      .withColumn("__cur", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(factCols.map(c => col(s"__frow.$c").as(c)) ++
+        versionCols.map(c => col(s"__cur.$c").as(c)): _*)
+  }
+
   /** Join-skew diagnostic — the measurement half of [[saltedJoin]]
     * (you salt the keys this report names): the top-K heaviest join
     * keys with exact integer imbalance factors. Per reported key:

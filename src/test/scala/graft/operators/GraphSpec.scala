@@ -496,6 +496,27 @@ class GraphSpec extends SparkTestBase {
     assert(got(10L) == ((4L, "core", Some(7L))))
   }
 
+  test("longestPathDag: critical path, max weights, diamond, cycle fails loudly") {
+    import spark.implicits._
+    // diamond: 0→1(w3), 0→2(w1), 1→3(w1), 2→3(w10): dist(3) = 11
+    val e = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 10L))
+      .toDF("s", "t", "w")
+    val got = Graph.longestPathDag(e, "s", "t", "w")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 11L))
+    // parallel edges keep the MAX weight (the pessimistic CPM read)
+    val par = Seq((0L, 1L, 2L), (0L, 1L, 7L)).toDF("s", "t", "w")
+    assert(Graph.longestPathDag(par, "s", "t", "w")
+      .as[(Long, Long)].collect().toMap == Map(0L -> 0L, 1L -> 7L))
+    // a cycle must fail loudly, never return a partial schedule
+    val cyc = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 1L))
+      .toDF("s", "t", "w")
+    val err = intercept[IllegalArgumentException] {
+      Graph.longestPathDag(cyc, "s", "t", "w", maxRounds = 6)
+    }
+    assert(err.getMessage.contains("cycle"), err.getMessage)
+  }
+
   test("hierarchyFlatten: roots, depths, paths; doubling matches a deep chain") {
     import spark.implicits._
     // forest: 0 ← {1, 2}, 1 ← {3}, plus a second tree 10 ← {11}

@@ -801,6 +801,30 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("itemCooccurrence: exact cosine² ranks, tie to smaller item, heavy user excluded") {
+    import spark.implicits._
+    // users: u1{a,b}, u2{a,b}, u3{a,c}, u4{a} (dup row dedups)
+    val ui = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "a"), (4L, "a"))
+    val got = Learn.itemCooccurrence(ui.toDF("u", "i"), "u", "i", k = 2)
+      .select("item_a", "item_b", "n_a", "n_b", "n_ab", "score_nano",
+        "rank")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._7) -> r).toMap
+    // a: n=4; b: n=2; c: n=1. (a,b): n_ab=2 → 1e9·4/(4·2)=5e8;
+    // (a,c): 1 → 1e9/(4·1)=2.5e8. b ranks before c for a.
+    assert(got(("a", 1L)) == (("a", "b", 4L, 2L, 2L, 500000000L, 1L)))
+    assert(got(("a", 2L)) == (("a", "c", 4L, 1L, 1L, 250000000L, 2L)))
+    // symmetric direction: b's best co-item is a with cos² = 4/(2·4)
+    assert(got(("b", 1L)) == (("b", "a", 2L, 4L, 2L, 500000000L, 1L)))
+    // a bot user with too many items is excluded entirely
+    val bot = ui ++ (1 to 50).map(j => (9L, s"x$j"))
+    val capped = Learn.itemCooccurrence(bot.toDF("u", "i"), "u", "i",
+      k = 3, maxItemsPerUser = 10)
+    assert(capped.filter(col("item_a").startsWith("x")).count() == 0)
+    assert(capped.filter(col("item_a") === "a").count() == 2)
+  }
+
   test("quantileNormalize: equal distributions after, ragged ranks, ties resolved") {
     import spark.implicits._
     // key 1: 1,2,3  key 2: 10,20,30  key 3: 5,6 (ragged)

@@ -337,6 +337,35 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("scd2Lookup: version at ts, valid_from inclusive, pre-history null, one exchange") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val states = Seq((1L, at(10), 11L, Some("a")), (1L, at(30), 12L, Some("b")),
+        (2L, at(0), 13L, Some("x")))
+      .toDF("k", "ts", "id", "state")
+    val hist = Relational.scd2(states, "k", "ts", Seq("state"),
+      tieBreak = Seq(col("id")))
+    val facts = Seq(
+      (1L, at(5), 100L),   // before first version → null
+      (1L, at(10), 101L),  // exactly valid_from → "a" (inclusive)
+      (1L, at(29), 102L),  // inside [10,30) → "a"
+      (1L, at(30), 103L),  // boundary → "b"
+      (1L, at(99), 104L),  // open-ended current → "b"
+      (3L, at(50), 105L))  // key with no history → null
+      .toDF("k", "ts", "fid")
+    val got = Relational.scd2Lookup(facts, hist, "k", "ts", Seq("state"))
+      .select(col("fid"), col("state"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(100L -> None, 101L -> Some("a"), 102L -> Some("a"),
+      103L -> Some("b"), 104L -> Some("b"), 105L -> None))
+    // the as-of union/window shape: one hash exchange for the lookup
+    val plan = Relational.scd2Lookup(facts, hist.localCheckpoint(),
+      "k", "ts", Seq("state")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"expected one exchange for the point-in-time window, got $exchanges:\n$plan")
+  }
+
   test("scd2: single shuffle — one Exchange in the physical plan") {
     val ev = Tables.events(spark, sf)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

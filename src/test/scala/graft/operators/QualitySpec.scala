@@ -63,4 +63,24 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       parent, "pk", "e").as[(String, String, Long, Long, Boolean)].head()
     assert(empty == (("e", "ri", 0L, 0L, true)))
   }
+
+  test("imputeGroupMode: mode fill, tie to smallest, all-null group stays null") {
+    import spark.implicits._
+    val rows = Seq[(Long, Long, java.lang.Long)](
+      // group 1: 7 appears twice, 9 once → mode 7
+      (1L, 1L, 7L), (1L, 2L, 7L), (1L, 3L, 9L), (1L, 4L, null),
+      // group 2: 3 and 5 tie at one each → smallest (3) wins
+      (2L, 5L, 5L), (2L, 6L, 3L), (2L, 7L, null),
+      // group 3: all null → stays null, not imputed
+      (3L, 8L, null))
+    val got = Quality.imputeGroupMode(rows.toDF("g", "id", "v"), "g", "v")
+      .select("id", "v", "v_imputed", "was_imputed")
+      .as[(Long, Option[Long], Option[Long], Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(4L) == ((4L, None, Some(7L), true)))
+    assert(got(7L) == ((7L, None, Some(3L), true)))
+    assert(got(8L) == ((8L, None, None, false)))
+    // non-null rows pass through untouched and unflagged
+    assert(got(3L) == ((3L, Some(9L), Some(9L), false)))
+  }
 }

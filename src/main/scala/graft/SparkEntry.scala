@@ -3356,6 +3356,70 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q358: BLAST-style ungapped local alignment on adjacent-document
+    // pairs — the diagonal-walk DP (H = max(0, H↖ + s)) both engines
+    // replay cell-for-cell; ends tie to the smallest (end_a, end_b).
+    "q358_local_alignment" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 81)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("t"))
+      val pairs = d.as("x").join(d.as("y"),
+          col("x.doc_id") + 1 === col("y.doc_id"))
+        .select(col("x.doc_id").as("pid"), col("x.t").as("a"),
+          col("y.t").as("b"))
+      operators.Align.ungappedLocalAlignment(pairs, "a", "b",
+          matchScore = 2L, mismatchScore = -3L)
+        .select(col("pid"), col("sw_score"), col("end_a"), col("end_b"))
+        .orderBy(col("pid"))
+    }),
+
+    // q359: classical seasonal decomposition — centered ±12-row
+    // moving-average trend, hour-of-day seasonal means of the
+    // detrended series, residual remainder; every mean one truncating
+    // division, every frame ROWS over a tie-broken order.
+    "q359_seasonal_decompose" -> ((s, dir) => {
+      val e = Tables.events(s, dir).withColumn("k", col("user_id") % 6)
+      operators.Learn.seasonalDecompose(e, "k", "ts", "value",
+          Seq("event_id"), halfWindow = 12)
+        .orderBy(col("key"), col("ts_us"), col("value_milli"))
+    }),
+
+    // q360: rolling 20-row OLS slope per key against the within-key
+    // row index — exact integer normal equations, one sign-split
+    // division, NULL until the window fills.
+    "q360_rolling_ols" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("ts").isNotNull)
+        .withColumn("k", col("user_id") % 8)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      operators.Learn.rollingOls(e, "k", Seq("ts_us", "event_id"),
+          "value", window = 20)
+        .orderBy(col("key"), col("x"))
+    }),
+
+    // q361: top movers across the mid-January split — smoothed
+    // rate-ratio score in micro, top-10 risers, deterministic
+    // (score, item) cut.
+    "q361_top_movers" -> ((s, dir) => {
+      operators.Relational.topMovers(
+          Tables.events(s, dir)
+            .select((col("user_id") % 30).as("item"), col("ts")),
+          "item", "ts", splitTsUs = 1705363200000000L, k = 10)
+    }),
+
+    // q362: local clustering coefficient on the q160 multigraph —
+    // triangles over wedge joins, undirected deduped degree, one
+    // truncating micro division; cliquish nodes read 10⁶.
+    "q362_clustering_coeff" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val edges = d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 7 + 3) % 16).as("dst"))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 3 + 1) % 16).as("dst")))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 5 + 2) % 16).as("dst")))
+      operators.Graph.clusteringCoefficient(edges, "src", "dst")
+        .orderBy(col("node"))
+    }),
+
     // q354: critical-path longest distances on a DAG (max-plus
     // Bellman–Ford run to convergence with a loud cycle guard);
     // DuckDB replays by deduped recursive path enumeration + MAX.
@@ -8769,6 +8833,164 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q358: the diagonal DP as a recursive walk — seeds are the first
+    // row/column cells, each step advances one cell down its diagonal
+    // (the only dependency ungapped alignment has); best score via
+    // MAX, ends via two MIN reductions (lexicographic without
+    // structs).
+    "q358_local_alignment" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, left(text, 60) AS t
+        |  FROM documents WHERE doc_id < 81),
+        |p AS (SELECT x.doc_id AS pid, x.t AS a, y.t AS b,
+        |    length(x.t) AS n, length(y.t) AS m
+        |  FROM d x JOIN d y ON y.doc_id = x.doc_id + 1),
+        |s1 AS (SELECT pid, CAST(unnest(range(1, n + 1)) AS INT) AS i,
+        |    1 AS j FROM p),
+        |s2 AS (SELECT pid, 1 AS i,
+        |    CAST(unnest(range(2, m + 1)) AS INT) AS j FROM p),
+        |walk AS (
+        |  SELECT q.pid, q.i, q.j,
+        |    CAST(GREATEST(0, CASE WHEN substr(p2.a, q.i, 1)
+        |        = substr(p2.b, q.j, 1) THEN 2 ELSE -3 END) AS BIGINT)
+        |      AS h
+        |  FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) q
+        |  JOIN p p2 ON p2.pid = q.pid
+        |  UNION ALL
+        |  SELECT w.pid, w.i + 1, w.j + 1,
+        |    GREATEST(0, w.h + CASE WHEN substr(p2.a, w.i + 1, 1)
+        |      = substr(p2.b, w.j + 1, 1) THEN 2 ELSE -3 END)
+        |  FROM walk w JOIN p p2 ON p2.pid = w.pid
+        |  WHERE w.i < p2.n AND w.j < p2.m),
+        |best AS (SELECT pid, MAX(h) AS sc FROM walk GROUP BY 1),
+        |ea AS (SELECT w.pid, b.sc, MIN(w.i) AS ea
+        |  FROM walk w JOIN best b ON b.pid = w.pid AND w.h = b.sc
+        |  WHERE b.sc > 0 GROUP BY 1, 2),
+        |eb AS (SELECT w.pid, MIN(w.j) AS eb
+        |  FROM walk w JOIN ea ON ea.pid = w.pid AND w.h = ea.sc
+        |    AND w.i = ea.ea
+        |  GROUP BY 1)
+        |SELECT b.pid, b.sc AS sw_score,
+        |  CAST(ea.ea AS BIGINT) AS end_a, CAST(eb.eb AS BIGINT) AS end_b
+        |FROM best b LEFT JOIN ea ON ea.pid = b.pid
+        |LEFT JOIN eb ON eb.pid = b.pid
+        |ORDER BY b.pid""".stripMargin,
+
+    // q359: the same three passes — centered ROWS trend window,
+    // per-(key, season) detrended means, residual; truncating
+    // sign-split divisions layer-by-layer (no lateral aliases).
+    "q359_seasonal_decompose" ->
+      """WITH s AS (SELECT user_id % 6 AS key, epoch_us(ts) AS ts_us,
+        |    event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |t AS (SELECT key, ts_us, v,
+        |    (ts_us // 3600000000) % 24 AS season,
+        |    COUNT(*) OVER w AS tn, SUM(v) OVER w AS tsum
+        |  FROM s WINDOW w AS (PARTITION BY key ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        |u AS (SELECT key, ts_us, v, season,
+        |    CAST(CASE WHEN tsum >= 0 THEN tsum // tn
+        |      ELSE -((-tsum) // tn) END AS BIGINT) AS trend
+        |  FROM t),
+        |u2 AS (SELECT key, ts_us, v, season, trend, v - trend AS det
+        |  FROM u),
+        |w2 AS (SELECT key, ts_us, v, season, trend, det,
+        |    COUNT(*) OVER q AS sn, SUM(det) OVER q AS ss
+        |  FROM u2 WINDOW q AS (PARTITION BY key, season)),
+        |w3 AS (SELECT key, ts_us, v, season, trend,
+        |    CAST(CASE WHEN ss >= 0 THEN ss // sn
+        |      ELSE -((-ss) // sn) END AS BIGINT) AS seasonal
+        |  FROM w2)
+        |SELECT key, ts_us, v AS value_milli,
+        |  CAST(season AS BIGINT) AS season, trend AS trend_milli,
+        |  seasonal AS seasonal_milli,
+        |  v - trend - seasonal AS residual_milli
+        |FROM w3 ORDER BY key, ts_us, value_milli""".stripMargin,
+
+    // q360: trailing-20 window sums feeding the exact normal
+    // equations; the division only fires on a full window.
+    "q360_rolling_ols" ->
+      """WITH s AS (SELECT user_id % 8 AS key, epoch_us(ts) AS ts_us,
+        |    event_id, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT key, ts_us, event_id, v,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts_us,
+        |      event_id) AS x
+        |  FROM s),
+        |w AS (SELECT key, ts_us, event_id, v, x,
+        |    COUNT(*) OVER t AS n, SUM(x) OVER t AS sx,
+        |    SUM(v) OVER t AS sy, SUM(x * v) OVER t AS sxy,
+        |    SUM(x * x) OVER t AS sxx
+        |  FROM r WINDOW t AS (PARTITION BY key ORDER BY x
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT key, ts_us, event_id, x, v, n,
+        |    1000 * (n * sxy - sx * sy) AS num,
+        |    n * sxx - sx * sx AS den
+        |  FROM w)
+        |SELECT key, ts_us, event_id, CAST(x AS BIGINT) AS x,
+        |  v AS value_milli, CAST(n AS BIGINT) AS n_window,
+        |  CAST(CASE WHEN n = 20 AND den <> 0 THEN
+        |    CASE WHEN num >= 0 THEN num // den
+        |      ELSE -((-num) // den) END END AS BIGINT) AS slope_micro
+        |FROM f ORDER BY key, x""".stripMargin,
+
+    // q361: conditional period sums, HUGEINT smoothed rate ratio,
+    // the same (score DESC, item ASC) top-10.
+    "q361_top_movers" ->
+      """WITH s AS (SELECT user_id % 30 AS item,
+        |    epoch_us(ts) < 1705363200000000 AS b
+        |  FROM events WHERE ts IS NOT NULL),
+        |c AS (SELECT item,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c_before,
+        |    CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS c_after
+        |  FROM s GROUP BY 1),
+        |t AS (SELECT CAST(SUM(c_before) AS BIGINT) AS n_before,
+        |    CAST(SUM(c_after) AS BIGINT) AS n_after FROM c)
+        |SELECT c.item, c.c_before, c.c_after, t.n_before, t.n_after,
+        |  CAST((1000000 * (CAST(c.c_after AS HUGEINT) + 1)
+        |      * (t.n_before + 1))
+        |    // ((CAST(c.c_before AS HUGEINT) + 1) * (t.n_after + 1))
+        |    AS BIGINT) AS score_micro
+        |FROM c, t ORDER BY score_micro DESC, c.item ASC
+        |LIMIT 10""".stripMargin,
+
+    // q362: the q160 triangle CTE extended with the deduped degree
+    // and the 2T/(d(d−1)) micro division.
+    "q362_clustering_coeff" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 16 AS a, (doc_id * 7 + 3) % 16 AS b
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 3 + 1) % 16
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 5 + 2) % 16
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM raw WHERE a <> b),
+        |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |      FROM e e1 JOIN e e2 ON e2.lo = e1.hi),
+        |t AS (SELECT w.a, w.b, w.c FROM w WHERE EXISTS
+        |        (SELECT 1 FROM e WHERE e.lo = w.a AND e.hi = w.c)),
+        |pc AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+        |       FROM (SELECT a AS node FROM t
+        |             UNION ALL SELECT b FROM t
+        |             UNION ALL SELECT c FROM t)
+        |       GROUP BY 1),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |       FROM (SELECT lo AS node FROM e
+        |             UNION ALL SELECT hi FROM e)
+        |       GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  CAST(COALESCE(pc.triangles, 0) AS BIGINT) AS triangles,
+        |  CAST(CASE WHEN deg.degree >= 2 THEN
+        |    (2000000 * CAST(COALESCE(pc.triangles, 0) AS HUGEINT))
+        |      // (CAST(deg.degree AS HUGEINT) * (deg.degree - 1))
+        |    END AS BIGINT) AS coeff_micro
+        |FROM deg LEFT JOIN pc USING (node)
+        |ORDER BY node""".stripMargin,
 
     // q354: deduped recursive path enumeration from the sources
     // (UNION recursion bounds states by node × distinct-distance),

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence alignment scoring for near-duplicate forensics — when the
+  * fingerprint family (minhash/simhash/spans) says two documents are
+  * related, alignment answers WHERE and HOW STRONGLY, character for
+  * character. */
+object Align {
+
+  /** Ungapped local alignment (the BLAST seed-extension model, i.e.
+    * Smith–Waterman restricted to gap = −∞): the best-scoring pair of
+    * equal-length substrings under +match/−mismatch scoring with the
+    * local reset-at-zero rule,
+    *   H(i,j) = max(0, H(i−1,j−1) + s(aᵢ,bⱼ)).
+    * Choosing the UNGAPPED fragment is deliberate: every cell depends
+    * only on its diagonal predecessor, so the whole DP is a family of
+    * independent diagonal walks — O(1) state per diagonal on the
+    * engine side, and a plain recursive CTE (one cell per step, no
+    * row/list carrying — the q149 oracle lesson) on the DuckDB side
+    * (q358). Gapped SW's same-row dependency would force exactly the
+    * list plumbing that oracle discipline forbids.
+    *
+    * Scoring on CODE POINTS; inputs truncated to `maxCp` code points
+    * (the per-pair cost is O(n·m) — the cap is the contract, stated
+    * loudly, like duplicatedSpans' maxChars). Output per input row:
+    * every input column plus sw_score (0 when nothing aligns) and,
+    * when sw_score > 0, the 1-based END positions end_a/end_b of the
+    * best run — ties resolve to the smallest end_a, then end_b, a
+    * total order both engines replay. Null inputs score 0 with null
+    * ends. Row-local mapPartitions — no shuffle; pair GENERATION is
+    * upstream's job (candidate pairs from the dedup family). */
+  def ungappedLocalAlignment(df: DataFrame, aCol: String, bCol: String,
+      matchScore: Long, mismatchScore: Long,
+      maxCp: Int = 2000): DataFrame = {
+    require(matchScore > 0, s"matchScore $matchScore must be > 0")
+    require(mismatchScore < 0, s"mismatchScore $mismatchScore must be < 0")
+    require(maxCp >= 1 && maxCp <= 100000, s"maxCp $maxCp out of range")
+    val in = df.withColumn("__a", col(aCol).cast("string"))
+      .withColumn("__b", col(bCol).cast("string"))
+    val base = df.schema.fields
+    val outSchema = StructType(base ++ Seq(
+      StructField("sw_score", LongType, nullable = false),
+      StructField("end_a", LongType, nullable = true),
+      StructField("end_b", LongType, nullable = true)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val nBase = base.length
+    in.mapPartitions { rows =>
+      def cps(s: String): Array[Int] = {
+        val out = new scala.collection.mutable.ArrayBuffer[Int](
+          math.min(s.length, maxCp))
+        var ci = 0
+        while (ci < s.length && out.length < maxCp) {
+          val c = s.codePointAt(ci)
+          out += c
+          ci += Character.charCount(c)
+        }
+        out.toArray
+      }
+      rows.map { r =>
+        val vals = (0 until nBase).map(r.get)
+        val aIdx = nBase // __a appended after base columns
+        if (r.isNullAt(aIdx) || r.isNullAt(aIdx + 1))
+          Row.fromSeq(vals ++ Seq(0L, null, null))
+        else {
+          val a = cps(r.getString(aIdx))
+          val b = cps(r.getString(aIdx + 1))
+          var best = 0L
+          var bi = 0L; var bj = 0L
+          // one walk per diagonal: j - i = const
+          var d = -(a.length - 1)
+          while (d <= b.length - 1) {
+            var i = math.max(0, -d)
+            var j = i + d
+            var h = 0L
+            while (i < a.length && j < b.length) {
+              val s = if (a(i) == b(j)) matchScore else mismatchScore
+              h = math.max(0L, h + s)
+              if (h > best ||
+                  (h == best && h > 0 &&
+                    (i + 1 < bi || (i + 1 == bi && j + 1 < bj)))) {
+                best = h; bi = i + 1; bj = j + 1
+              }
+              i += 1; j += 1
+            }
+            d += 1
+          }
+          if (best > 0) Row.fromSeq(vals ++ Seq(best, bi, bj))
+          else Row.fromSeq(vals ++ Seq(0L, null, null))
+        }
+      }
+    }(enc)
+  }
+}

@@ -706,6 +706,39 @@ object Graph {
     out
   }
 
+  /** Local clustering coefficient per node — how close each node's
+    * neighborhood is to a clique: C(v) = 2·T(v) / (d(v)·(d(v)−1))
+    * with T from [[triangleCounts]] and d the undirected deduped
+    * degree, emitted as ONE truncating division to micro units
+    * (coeff_micro = 10⁶ exactly for a clique member). Degree-0/1
+    * nodes have no defined coefficient → NULL. Products ride
+    * DECIMAL(38,0) so billion-degree hubs stay exact.
+    *
+    * Cost = triangleCounts (the wedge join) + one degree aggregate +
+    * one node-grain join; nothing new shuffles at corpus width. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("node"))
+      .unionByName(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    triangleCounts(edges, srcCol, dstCol)
+      .join(deg, Seq("node"))
+      .withColumn("coeff_micro",
+        when(col("degree") >= 2, expr(
+          """CAST((CAST(2000000 AS DECIMAL(38,0)) * triangles)
+            |  div (CAST(degree AS DECIMAL(38,0)) * (degree - 1))
+            |  AS BIGINT)""".stripMargin)))
+      .select(col("node"), col("degree"), col("triangles"),
+        col("coeff_micro"))
+  }
+
   /** Multi-source BFS levels — shortest hop distance from a seed SET
     * (the crawl-frontier "how far is this page from the seeds"
     * signal, and the reachability primitive under k-hop neighborhood

@@ -1804,6 +1804,95 @@ object Learn {
       .toDF()
   }
 
+  /** Classical seasonal decomposition (the moving-average STL
+    * ancestor), EXACT: value = trend + seasonal + residual, where
+    * trend is the centered ±halfWindow ROWS moving average, the
+    * seasonal term is each (key, season) cell's mean DETRENDED value,
+    * and the residual is what's left — every mean one sign-split
+    * truncating division to milli, so q359 replays all three
+    * components. Season = hour-of-day from epoch micros (24 cells) —
+    * the [[seasonalAnomalies]] convention at day grain.
+    *
+    * Edge rows average over the rows that exist (standard ragged-end
+    * moving average, count from the same frame — no padding, no
+    * NULL). Window frames are ROWS over a fully tie-broken order, so
+    * both engines see identical frames. Two window passes + one
+    * (key, season)-partitioned window, all riding one hash(key)
+    * family of partitionings. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreak: Seq[String],
+      halfWindow: Int = 12): DataFrame = {
+    require(halfWindow >= 1, "halfWindow must be >= 1")
+    val ord = (col("ts_us") +: tieBreak.map(col)).map(_.asc)
+    val wT = Window.partitionBy(col("key")).orderBy(ord: _*)
+      .rowsBetween(-halfWindow, halfWindow)
+    def sdivE(n: String, d: String) =
+      expr(s"""CASE WHEN $n >= 0 THEN $n div $d
+              | ELSE -((-($n)) div $d) END""".stripMargin)
+    val staged = df
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select((col(keyCol).as("key") +:
+        unix_micros(col(tsCol)).as("ts_us") +:
+        floor(col(valueCol) * 1000).cast("long").as("value_milli") +:
+        tieBreak.map(col)): _*)
+      .withColumn("season",
+        pmod(expr("ts_us div 3600000000"), lit(24L)))
+      .withColumn("__tn", count(lit(1)).over(wT))
+      .withColumn("__ts", sum(col("value_milli")).over(wT))
+      .withColumn("trend_milli", sdivE("__ts", "__tn"))
+      .withColumn("__det", col("value_milli") - col("trend_milli"))
+    val wS = Window.partitionBy(col("key"), col("season"))
+    staged
+      .withColumn("__sn", count(lit(1)).over(wS))
+      .withColumn("__ss", sum(col("__det")).over(wS))
+      .withColumn("seasonal_milli", sdivE("__ss", "__sn"))
+      .withColumn("residual_milli",
+        col("value_milli") - col("trend_milli") - col("seasonal_milli"))
+      .select(col("key"), col("ts_us"), col("value_milli"), col("season"),
+        col("trend_milli"), col("seasonal_milli"), col("residual_milli"))
+  }
+
+  /** Rolling OLS slope per key — the windowed trend detector (the
+    * moving cousin of the global [[theilSenSlopes]]/trend family): on
+    * each row, the exact least-squares slope of the trailing `window`
+    * (value vs within-key row index), emitted in micro units with ONE
+    * sign-split truncating division:
+    *   slope = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²).
+    * x is the ROW INDEX (1,2,…) rather than raw epoch micros — that
+    * keeps every product BIGINT-exact (epoch² would overflow) and
+    * reads as "milli-units per step". Rows before the window fills,
+    * and degenerate windows (den = 0, impossible with distinct
+    * indices but guarded), emit NULL. All trailing ROWS frames over
+    * one fully tie-broken (key, order) sort — a single exchange. */
+  def rollingOls(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window $window must be >= 2")
+    val wOrd = Window.partitionBy(col("key"))
+      .orderBy(orderCols.map(col(_).asc): _*)
+    val wIn = wOrd.rowsBetween(-(window - 1), Window.currentRow)
+    df.filter(col(valueCol).isNotNull)
+      .select((col(keyCol).as("key") +:
+        floor(col(valueCol) * 1000).cast("long").as("y") +:
+        orderCols.map(col)): _*)
+      .withColumn("x", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wIn))
+      .withColumn("__sx", sum(col("x")).over(wIn))
+      .withColumn("__sy", sum(col("y")).over(wIn))
+      .withColumn("__sxy", sum(col("x") * col("y")).over(wIn))
+      .withColumn("__sxx", sum(col("x") * col("x")).over(wIn))
+      .withColumn("__num", // y is milli already: ×1000 lands on micro
+        lit(1000L) * (col("__n") * col("__sxy") - col("__sx") * col("__sy")))
+      .withColumn("__den",
+        col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope_micro",
+        when(col("__n") === window && col("__den") =!= 0, expr(
+          """CASE WHEN __num >= 0 THEN __num div __den
+            | ELSE -((-__num) div __den) END""".stripMargin)))
+      .select((col("key") +: orderCols.map(col) ++:
+        Seq(col("x"), col("y").as("value_milli"),
+          col("__n").as("n_window"), col("slope_micro"))): _*)
+  }
+
   /** Item-item co-occurrence similarity with exact top-k — the
     * "users who touched X also touched Y" primitive every
     * recommender / related-items surface starts from. Presence-based

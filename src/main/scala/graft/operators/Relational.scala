@@ -1845,6 +1845,45 @@ object Relational {
         col("island_end_us") - col("island_start_us"))
   }
 
+  /** Top movers between two periods — the "what changed" report every
+    * monitoring review starts from: per item, occurrence counts
+    * before/after `splitTsUs`, and a smoothed relative-rate score
+    *   score_micro = ⌊10⁶·(c₂+1)·(n₁+1) / ((c₁+1)·(n₂+1))⌋
+    * (add-one smoothing so items absent from one period rank sanely
+    * instead of dividing by zero; n are period totals so the score is
+    * a RATE ratio, immune to overall volume shifts). 10⁶ = unchanged;
+    * the top-k by (score DESC, item ASC) are the risers — run it with
+    * the periods swapped for the fallers. Items missing from a period
+    * count 0 via the conditional-sum spine. Products in
+    * DECIMAL(38,0): exact to ~10¹⁵ rows per period. Output is the
+    * top-k ordered by (score DESC, item ASC) — deterministic, no
+    * rank column (a global row_number would plan the partition-less
+    * window this codebase bans).
+    *
+    * Two hash aggregates at item grain + one broadcast scalar row +
+    * one TakeOrdered top-k — no shuffle wider than the item set. */
+  def topMovers(df: DataFrame, itemCol: String, tsCol: String,
+      splitTsUs: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val staged = df
+      .filter(col(itemCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(itemCol).as("item"),
+        (unix_micros(col(tsCol)) < splitTsUs).as("__before"))
+    val counts = staged.groupBy(col("item"))
+      .agg(sum(when(col("__before"), 1L).otherwise(0L)).as("c_before"),
+        sum(when(!col("__before"), 1L).otherwise(0L)).as("c_after"))
+    val totals = counts.agg(sum(col("c_before")).as("n_before"),
+      sum(col("c_after")).as("n_after"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("score_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_after + 1)
+          |  * (n_before + 1))
+          |  div (CAST(c_before + 1 AS DECIMAL(38,0)) * (n_after + 1))
+          |  AS BIGINT)""".stripMargin))
+      .orderBy(col("score_micro").desc, col("item").asc)
+      .limit(k)
+  }
+
   /** The complement of [[mergeIntervals]]: the maximal UNCOVERED gaps
     * between a key's intervals — outage/SLA analysis asks for the
     * holes, not the islands. A gap opens wherever an interval's start

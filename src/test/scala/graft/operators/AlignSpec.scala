@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class AlignSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ungappedLocalAlignment: run scoring, reset at zero, ends, null/empty") {
+    val df = Seq(
+      // best run "worldx"? 'world' shared (5 matches = 10), the
+      // mismatch prefix resets to zero first
+      (1L, "zzhello world", "yyhello world"),
+      // disjoint alphabets: nothing aligns
+      (2L, "aaaa", "bbbb"),
+      // internal mismatch: 2+2-3+2+2 = 5 beats restarting (4)
+      (3L, "abxab", "abyab"),
+      (4L, null, "abc"),
+      (5L, "", "abc"))
+      .toDF("id", "a", "b")
+    val got = Align.ungappedLocalAlignment(df, "a", "b", 2L, -3L)
+      .select("id", "sw_score", "end_a", "end_b")
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // "hello world" aligns on the shared 11-char suffix: 22
+    assert(got(1L) == ((1L, 22L, Some(13L), Some(13L))))
+    assert(got(2L) == ((2L, 0L, None, None)))
+    assert(got(3L) == ((3L, 5L, Some(5L), Some(5L))))
+    assert(got(4L) == ((4L, 0L, None, None)))
+    assert(got(5L) == ((5L, 0L, None, None)))
+    // tie-break: two equal-score runs — the smaller (end_a, end_b)
+    // wins deterministically
+    val tie = Seq((9L, "ab..ab", "ab")).toDF("id", "a", "b")
+    val t = Align.ungappedLocalAlignment(tie, "a", "b", 2L, -3L)
+      .select("sw_score", "end_a", "end_b")
+      .as[(Long, Option[Long], Option[Long])].collect()(0)
+    assert(t == ((4L, Some(2L), Some(2L))))
+    // maxCp truncation bounds the scan
+    val long = Seq((7L, "x" * 50, "x" * 50)).toDF("id", "a", "b")
+    val c = Align.ungappedLocalAlignment(long, "a", "b", 2L, -3L,
+        maxCp = 10)
+      .select("sw_score").as[Long].collect()(0)
+    assert(c == 20L)
+  }
+}

@@ -496,6 +496,24 @@ class GraphSpec extends SparkTestBase {
     assert(got(10L) == ((4L, "core", Some(7L))))
   }
 
+  test("clusteringCoefficient: clique 1e6, star 0, path ends null, dedup") {
+    import spark.implicits._
+    // triangle {1,2,3} (a clique) + pendant 4 off node 1 + isolatedish
+    // star center 5 with leaves 6,7 (no leaf-leaf edge)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L),
+        (5L, 6L), (5L, 7L), (6L, 5L)) // duplicate direction dedups
+      .toDF("s", "t")
+    val got = Graph.clusteringCoefficient(e, "s", "t")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(2L) == ((2L, 2L, 1L, Some(1000000L)))) // pure triangle
+    assert(got(3L) == ((3L, 2L, 1L, Some(1000000L))))
+    // node 1: degree 3, one triangle → 2·1e6/(3·2) = 333333
+    assert(got(1L) == ((1L, 3L, 1L, Some(333333L))))
+    assert(got(4L) == ((4L, 1L, 0L, None)))       // degree 1: undefined
+    assert(got(5L) == ((5L, 2L, 0L, Some(0L))))   // open star center
+  }
+
   test("longestPathDag: critical path, max weights, diamond, cycle fails loudly") {
     import spark.implicits._
     // diamond: 0→1(w3), 0→2(w1), 1→3(w1), 2→3(w10): dist(3) = 11

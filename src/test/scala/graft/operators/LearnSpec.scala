@@ -801,6 +801,52 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("seasonalDecompose: components sum back, season cells, ragged edges") {
+    import spark.implicits._
+    def t(hr: Long, m: Long) =
+      new java.sql.Timestamp((hr * 3600 + m * 60) * 1000L)
+    // key 1: hour-0 values 1.0/3.0 daily, hour-1 values 10.0 — small
+    // series, halfWindow 1 so trends are hand-checkable
+    val rows = Seq(
+      (1L, t(0, 0), 1L, 1.0), (1L, t(1, 0), 2L, 10.0),
+      (1L, t(24, 0), 3L, 3.0), (1L, t(25, 0), 4L, 10.0))
+    val got = Learn.seasonalDecompose(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", Seq("id"), halfWindow = 1)
+      .select("ts_us", "season", "value_milli", "trend_milli",
+        "seasonal_milli", "residual_milli")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // row 1 (1.0): trend = (1000+10000)/2 = 5500; row 2 (10.0):
+    // trend = (1000+10000+3000)/3 = 4666; row 3 (3.0): trend =
+    // (10000+3000+10000)/3 = 7666; row 4: (3000+10000)/2 = 6500.
+    // season 0 det: 1000-5500 = -4500, 3000-7666 = -4666 → mean
+    // trunc((-9166)/2) = -4583; season 1 det: 5334, 3500 → 4417
+    val r1 = got(0L)
+    assert(r1._2 == 0L && r1._4 == 5500L && r1._5 == -4583L)
+    assert(r1._3 == r1._4 + r1._5 + r1._6) // exact reassembly
+    val r2 = got(3600000000L)
+    assert(r2._2 == 1L && r2._4 == 4666L && r2._5 == 4417L)
+    // every row reassembles exactly: v == trend + seasonal + residual
+    got.values.foreach(r => assert(r._3 == r._4 + r._5 + r._6))
+  }
+
+  test("rollingOls: exact slope on a line, window gate, noise-robust sign") {
+    import spark.implicits._
+    // key 1: y = 2·x exactly → slope_micro = 2000000 once the window
+    // fills; before that NULL
+    val rows = (1 to 6).map(i => (1L, i.toLong, 2.0 * i)) ++
+      // key 2: descending → negative slope
+      (1 to 4).map(i => (2L, i.toLong, 10.0 - 3.0 * i))
+    val got = Learn.rollingOls(rows.toDF("k", "o", "v"), "k", Seq("o"),
+        "v", window = 3)
+      .select("key", "x", "n_window", "slope_micro")
+      .as[(Long, Long, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, 1L))._4.isEmpty && got((1L, 2L))._4.isEmpty)
+    (3L to 6L).foreach(x => assert(got((1L, x))._4 == Some(2000000L)))
+    (3L to 4L).foreach(x => assert(got((2L, x))._4 == Some(-3000000L)))
+  }
+
   test("itemCooccurrence: exact cosine² ranks, tie to smaller item, heavy user excluded") {
     import spark.implicits._
     // users: u1{a,b}, u2{a,b}, u3{a,c}, u4{a} (dup row dedups)

@@ -610,6 +610,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("topMovers: smoothed rate ratio, absent-period items, deterministic cut") {
+    import spark.implicits._
+    def t(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        day * 86400000L)
+    val split = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+      .getTime * 1000L
+    val rows =
+      Seq.fill(8)(("steady", t(1))) ++ Seq.fill(8)(("steady", t(20))) ++
+      Seq.fill(1)(("riser", t(1))) ++ Seq.fill(9)(("riser", t(20))) ++
+      Seq.fill(9)(("faller", t(1))) ++ Seq.fill(1)(("faller", t(20))) ++
+      Seq(("new", t(20)))
+    val got = Relational.topMovers(rows.toDF("item", "ts"), "item",
+        "ts", split, k = 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // totals: before 18, after 19
+    assert(got.map(_._1) == Seq("riser", "new", "steady", "faller"))
+    val byItem = got.map(r => r._1 -> r).toMap
+    assert(byItem("riser") == (("riser", 1L, 9L, 18L, 19L,
+      (1000000L * 10 * 19) / (2 * 20))))
+    assert(byItem("new") == (("new", 0L, 1L, 18L, 19L,
+      (1000000L * 2 * 19) / (1 * 20))))
+    assert(byItem("faller")._6 < 1000000L)
+  }
+
   test("intervalGaps: holes only, zero-length contact not a gap, complements islands") {
     import spark.implicits._
     val df = Seq(

@@ -3356,6 +3356,104 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q363: human-readable size/duration parsing — decimal vs IEC
+    // prefixes resolved explicitly, one floor after the double
+    // multiply; unparseable tokens null, never zero.
+    "q363_parse_units" -> ((s, dir) => {
+      val sizeUnits = array(lit("B"), lit("KB"), lit("MB"), lit("GB"),
+        lit("TB"), lit("KiB"), lit("MiB"), lit("GiB"), lit("TiB"))
+      val durUnits = array(lit("ms"), lit("s"), lit("m"), lit("h"),
+        lit("d"))
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, lit("not-a-size"))
+            .otherwise(concat((col("doc_id") % 97).cast("string"),
+              lit("."), (col("doc_id") % 10).cast("string"), lit(" "),
+              element_at(sizeUnits, (col("doc_id") % 9 + 1).cast("int"))))
+            .as("size_str"),
+          concat(((col("doc_id") * 3) % 500).cast("string"),
+            element_at(durUnits, (col("doc_id") % 5 + 1).cast("int")))
+            .as("dur_str"))
+      d.select(col("doc_id"), col("size_str"), col("dur_str"),
+          TextOps.sizeToBytes(col("size_str")).as("bytes"),
+          TextOps.durationToMillis(col("dur_str")).as("millis"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q364: RFC 5424 syslog parsing by invertible construction —
+    // PRI decode, integer-calendar epoch micros, NILVALUE nulls,
+    // SD census, malformed audit rows.
+    "q364_syslog_parse" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 240)
+      val id = col("doc_id")
+      val line = concat(
+        lit("<"), (id % 192).cast("string"), lit(">1 2024-01-"),
+        lpad((lit(1) + id % 28).cast("string"), 2, "0"), lit("T"),
+        lpad((id % 24).cast("string"), 2, "0"), lit(":"),
+        lpad((id % 60).cast("string"), 2, "0"), lit(":"),
+        lpad(((id * 7) % 60).cast("string"), 2, "0"),
+        when(id % 7 === 0, lit(".5")).otherwise(lit("")), lit("Z h"),
+        (id % 10).cast("string"), lit(" "),
+        when(id % 4 === 0, lit("-"))
+          .otherwise(concat(lit("app"), (id % 3).cast("string"))),
+        lit(" "), (lit(100) + id % 900).cast("string"), lit(" MSG"),
+        (id % 5).cast("string"), lit(" "),
+        when(id % 3 === 0, lit("-"))
+          .when(id % 3 === 1, lit("[a@1 k=\"v\"]"))
+          .otherwise(lit("[a@1][b@2 x=\"y\"]")),
+        when(id % 6 === 0, lit(""))
+          .otherwise(concat(lit(" m"), id.cast("string"))))
+      val lines = d.select(id,
+        when(id % 40 === 39, lit("oops not syslog")).otherwise(line)
+          .as("line"))
+      operators.Web.parseSyslog(lines, "doc_id", "line")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q365: balanced class downsampling — every event_type kept at
+    // exactly the rarest type's count, rows chosen by the md5(id:seed)
+    // priority (deterministic, growth-stable).
+    "q365_class_balance" -> ((s, dir) => {
+      graft.pipeline.Corpus.classBalance(
+          Tables.events(s, dir)
+            .select(col("event_id"), col("event_type"), col("user_id")),
+          "event_id", "event_type", seed = 11L)
+        .orderBy(col("event_id"))
+    }),
+
+    // q366: JSON path census (schema-on-read inference as data) on
+    // invertibly constructed documents — optional fields, ragged
+    // arrays, mixed types on one path, malformed audit rows; the
+    // oracle recomputes every census row from the construction
+    // arithmetic.
+    "q366_json_census" -> ((s, dir) => {
+      val id = col("doc_id")
+      val json = concat(lit("{\"id\": "), id.cast("string"),
+        lit(", \"tags\": [\"a\""), repeat(lit(",\"b\""), (id % 3).cast("int")),
+        lit("], \"meta\": {\"lang\": \"en\", \"score\": "),
+        (id % 7).cast("string"),
+        when(id % 5 === 0, lit(".5")).otherwise(lit("")), lit("}"),
+        when(id % 4 === 0, lit(", \"opt\": null"))
+          .when(id % 4 === 1, lit(", \"opt\": true"))
+          .otherwise(lit("")),
+        lit("}"))
+      val docs = Tables.documents(s, dir).filter(id < 200)
+        .select(id, when(id % 50 === 49, lit("{\"id\": oops"))
+          .otherwise(json).as("j"))
+      operators.Quality.jsonPathCensus(docs, "doc_id", "j")
+        .orderBy(col("path"), col("jtype"))
+    }),
+
+    // q367: week-over-week change per key — epoch-aligned 7-day
+    // buckets, lag against the previous existing period, sign-split
+    // micro percentage with auditable baselines.
+    "q367_period_over_period" -> ((s, dir) => {
+      operators.Relational.periodOverPeriod(
+          Tables.events(s, dir).withColumn("k", col("user_id") % 10),
+          "k", "ts", "value", periodUs = 7L * 86400000000L)
+        .orderBy(col("key"), col("period_idx"))
+    }),
+
     // q358: BLAST-style ungapped local alignment on adjacent-document
     // pairs — the diagonal-walk DP (H = max(0, H↖ + s)) both engines
     // replay cell-for-cell; ends tie to the smallest (end_a, end_b).
@@ -8833,6 +8931,153 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q363: the construction replayed — the SAME numeric string cast
+    // to DOUBLE (identical correctly-rounded parse), the same unit
+    // factor table, one FLOOR.
+    "q363_parse_units" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(doc_id % 97 AS VARCHAR) || '.' ||
+        |      CAST(doc_id % 10 AS VARCHAR) AS numstr,
+        |    CAST((doc_id * 3) % 500 AS VARCHAR) AS dnumstr,
+        |    doc_id % 9 AS su, doc_id % 5 AS du, doc_id % 13 = 0 AS bad
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (SELECT doc_id, bad, numstr, dnumstr, su, du,
+        |    CASE su WHEN 0 THEN 'B' WHEN 1 THEN 'KB' WHEN 2 THEN 'MB'
+        |      WHEN 3 THEN 'GB' WHEN 4 THEN 'TB' WHEN 5 THEN 'KiB'
+        |      WHEN 6 THEN 'MiB' WHEN 7 THEN 'GiB' ELSE 'TiB' END AS sun,
+        |    CASE su WHEN 0 THEN 1 WHEN 1 THEN 1000 WHEN 2 THEN 1000000
+        |      WHEN 3 THEN 1000000000 WHEN 4 THEN 1000000000000
+        |      WHEN 5 THEN 1024 WHEN 6 THEN 1048576 WHEN 7
+        |      THEN 1073741824 ELSE 1099511627776 END AS smult,
+        |    CASE du WHEN 0 THEN 'ms' WHEN 1 THEN 's' WHEN 2 THEN 'm'
+        |      WHEN 3 THEN 'h' ELSE 'd' END AS dun,
+        |    CASE du WHEN 0 THEN 1 WHEN 1 THEN 1000 WHEN 2 THEN 60000
+        |      WHEN 3 THEN 3600000 ELSE 86400000 END AS dmult
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN 'not-a-size'
+        |    ELSE numstr || ' ' || sun END AS size_str,
+        |  dnumstr || dun AS dur_str,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(FLOOR(CAST(numstr AS DOUBLE) * smult) AS BIGINT)
+        |    END AS bytes,
+        |  CAST(FLOOR(CAST(dnumstr AS DOUBLE) * dmult) AS BIGINT)
+        |    AS millis
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q364: every output column recomputed from the construction —
+    // PRI split, DuckDB's own calendar for the epoch (a genuine
+    // cross-derivation check against the Spark side's
+    // days-from-civil integer walk), NILVALUE CASEs, SD counts.
+    "q364_syslog_parse" ->
+      """WITH d AS (SELECT doc_id, doc_id % 40 = 39 AS bad
+        |  FROM documents WHERE doc_id < 240)
+        |SELECT doc_id,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(doc_id % 192 AS BIGINT) END AS pri,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST((doc_id % 192) // 8 AS BIGINT) END AS facility,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST((doc_id % 192) % 8 AS BIGINT) END AS severity,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE (epoch(CAST(DATE '2024-01-01'
+        |        + CAST(doc_id % 28 AS INT) AS TIMESTAMP))
+        |      + (doc_id % 24) * 3600 + (doc_id % 60) * 60
+        |      + (doc_id * 7) % 60) * 1000000
+        |      + CASE WHEN doc_id % 7 = 0 THEN 500000 ELSE 0 END
+        |    END AS ts_us,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE 'h' || CAST(doc_id % 10 AS VARCHAR) END AS host,
+        |  CASE WHEN bad OR doc_id % 4 = 0 THEN NULL
+        |    ELSE 'app' || CAST(doc_id % 3 AS VARCHAR) END AS app,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(100 + doc_id % 900 AS VARCHAR) END AS procid,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE 'MSG' || CAST(doc_id % 5 AS VARCHAR) END AS msgid,
+        |  CASE WHEN bad THEN NULL
+        |    ELSE CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+        |      ELSE 2 END AS BIGINT) END AS n_sd,
+        |  CASE WHEN bad OR doc_id % 6 = 0 THEN NULL
+        |    ELSE 'm' || CAST(doc_id AS VARCHAR) END AS msg,
+        |  NOT bad AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q365: the same md5 priority rank against the min class count.
+    "q365_class_balance" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events
+        |  GROUP BY 1),
+        |m AS (SELECT MIN(n) AS m FROM c),
+        |r AS (SELECT event_id, event_type, user_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR) || ':11'),
+        |        event_id) AS rk
+        |  FROM events)
+        |SELECT event_id, event_type, user_id
+        |FROM r, m WHERE r.rk <= m.m
+        |ORDER BY event_id""".stripMargin,
+
+    // q366: the census recomputed row-by-row from the construction
+    // arithmetic — each (path, type) a closed-form aggregate; the
+    // malformed 1-in-50 docs contribute only their audit row.
+    "q366_json_census" ->
+      """WITH v AS (SELECT doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 50 <> 49),
+        |b AS (SELECT doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 50 = 49)
+        |SELECT * FROM (
+        |  SELECT '$' AS path, 'object' AS jtype,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM v
+        |  UNION ALL
+        |  SELECT '$.id', 'number', COUNT(*), COUNT(*) FROM v
+        |  UNION ALL
+        |  SELECT '$.tags', 'array', COUNT(*), COUNT(*) FROM v
+        |  UNION ALL
+        |  SELECT '$.tags[]', 'string', COUNT(*),
+        |    CAST(SUM(1 + doc_id % 3) AS BIGINT) FROM v
+        |  UNION ALL
+        |  SELECT '$.meta', 'object', COUNT(*), COUNT(*) FROM v
+        |  UNION ALL
+        |  SELECT '$.meta.lang', 'string', COUNT(*), COUNT(*) FROM v
+        |  UNION ALL
+        |  SELECT '$.meta.score', 'number', COUNT(*), COUNT(*) FROM v
+        |  UNION ALL
+        |  SELECT '$.opt', 'null', COUNT(*), COUNT(*) FROM v
+        |  WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT '$.opt', 'boolean', COUNT(*), COUNT(*) FROM v
+        |  WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT '<malformed>', 'error', COUNT(*), COUNT(*) FROM b) u
+        |ORDER BY path, jtype""".stripMargin,
+
+    // q367: (key, 7-day bucket) sums + lag, the same sign-split
+    // micro percentage.
+    "q367_period_over_period" ->
+      """WITH s AS (SELECT user_id % 10 AS key,
+        |    epoch_us(ts) // 604800000000 AS period_idx,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT key, period_idx, CAST(COUNT(*) AS BIGINT)
+        |      AS n_rows,
+        |    CAST(SUM(v) AS BIGINT) AS sum_milli
+        |  FROM s GROUP BY 1, 2),
+        |l AS (SELECT key, period_idx, n_rows, sum_milli,
+        |    LAG(period_idx) OVER w AS prev_period_idx,
+        |    LAG(sum_milli) OVER w AS prev_sum_milli
+        |  FROM g WINDOW w AS (PARTITION BY key ORDER BY period_idx))
+        |SELECT key, period_idx, n_rows, sum_milli, prev_period_idx,
+        |  prev_sum_milli,
+        |  CAST(CASE WHEN prev_sum_milli IS NULL OR prev_sum_milli = 0
+        |    THEN NULL
+        |    WHEN 1000000 * (sum_milli - prev_sum_milli) >= 0
+        |    THEN (1000000 * (sum_milli - prev_sum_milli))
+        |      // abs(prev_sum_milli)
+        |    ELSE -((-(1000000 * (sum_milli - prev_sum_milli)))
+        |      // abs(prev_sum_milli)) END AS BIGINT)
+        |    AS pct_change_micro
+        |FROM l ORDER BY key, period_idx""".stripMargin,
 
     // q358: the diagonal DP as a recursive walk — seeds are the first
     // row/column cells, each step advances one cell down its diagonal

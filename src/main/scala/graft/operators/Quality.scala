@@ -103,6 +103,135 @@ object Quality {
           (col("bin_idx") + 1) * binWidthMilli + originMilli).as("bin_hi_milli"))
   }
 
+  /** JSON path census — schema-on-read inference as DATA: walk every
+    * document's JSON once and census (path, type) occurrences, where
+    * paths are JSONPath-style with arrays collapsed to `[]`
+    * ("$.meta.lang", "$.tags[]") and types are the six JSON kinds.
+    * The aggregate IS the inferred schema, with evidence attached:
+    * n_docs tells optionality, n/n_docs tells array fan-out,
+    * multiple-type rows on one path surface schema drift — the
+    * decisions spark.read.json makes silently, here auditable.
+    * Malformed documents census as one ("<malformed>", "error") row
+    * each — counted, never dropped. The tokenizer is a strict-enough
+    * recursive-descent walk (string escapes honored, depth/field
+    * guards against adversarial nesting — beyond either guard the doc
+    * reports malformed rather than recursing unboundedly).
+    *
+    * One row-local mapPartitions scan emitting skinny (path, type)
+    * rows, then ONE hash aggregate at path grain — schema-sized
+    * output no matter how many petabytes of documents. */
+  def jsonPathCensus(df: DataFrame, idCol: String, jsonCol: String,
+      maxDepth: Int = 32, maxPairs: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.types._
+    val in = df.select(col(idCol), col(jsonCol).cast("string"))
+    val idField = in.schema.fields(0)
+    val midSchema = StructType(Seq(idField,
+      StructField("path", StringType, nullable = false),
+      StructField("jtype", StringType, nullable = false)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(midSchema))
+    val pairs = in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(0)
+        if (r.isNullAt(1)) Iterator.empty
+        else {
+          val s = r.getString(1)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String)]
+          var p = 0
+          def fail(): Nothing = throw new IllegalArgumentException("bad json")
+          def ws(): Unit = { while (p < s.length &&
+            Character.isWhitespace(s.charAt(p))) p += 1 }
+          def value(path: String, depth: Int): Unit = {
+            if (depth > maxDepth || out.length > maxPairs) fail()
+            ws()
+            if (p >= s.length) fail()
+            s.charAt(p) match {
+              case '{' =>
+                out += ((path, "object")); p += 1; ws()
+                if (p < s.length && s.charAt(p) == '}') { p += 1 }
+                else {
+                  var more = true
+                  while (more) {
+                    ws()
+                    if (p >= s.length || s.charAt(p) != '"') fail()
+                    val key = str()
+                    ws()
+                    if (p >= s.length || s.charAt(p) != ':') fail()
+                    p += 1
+                    value(path + "." + key, depth + 1)
+                    ws()
+                    if (p < s.length && s.charAt(p) == ',') p += 1
+                    else if (p < s.length && s.charAt(p) == '}') {
+                      p += 1; more = false
+                    } else fail()
+                  }
+                }
+              case '[' =>
+                out += ((path, "array")); p += 1; ws()
+                if (p < s.length && s.charAt(p) == ']') { p += 1 }
+                else {
+                  var more = true
+                  while (more) {
+                    value(path + "[]", depth + 1)
+                    ws()
+                    if (p < s.length && s.charAt(p) == ',') p += 1
+                    else if (p < s.length && s.charAt(p) == ']') {
+                      p += 1; more = false
+                    } else fail()
+                  }
+                }
+              case '"' => str(); out += ((path, "string"))
+              case 't' =>
+                if (!s.startsWith("true", p)) fail()
+                p += 4; out += ((path, "boolean"))
+              case 'f' =>
+                if (!s.startsWith("false", p)) fail()
+                p += 5; out += ((path, "boolean"))
+              case 'n' =>
+                if (!s.startsWith("null", p)) fail()
+                p += 4; out += ((path, "null"))
+              case c if c == '-' || (c >= '0' && c <= '9') =>
+                val st = p
+                p += 1
+                while (p < s.length && ("0123456789.eE+-".indexOf(
+                  s.charAt(p)) >= 0)) p += 1
+                if (p == st) fail()
+                out += ((path, "number"))
+              case _ => fail()
+            }
+          }
+          def str(): String = {
+            // at opening quote
+            p += 1
+            val sb = new java.lang.StringBuilder()
+            while (p < s.length && s.charAt(p) != '"') {
+              if (s.charAt(p) == '\\' && p + 1 < s.length) {
+                sb.append(s.charAt(p + 1)); p += 2
+              } else { sb.append(s.charAt(p)); p += 1 }
+            }
+            if (p >= s.length) fail()
+            p += 1
+            sb.toString
+          }
+          try {
+            value("$", 0)
+            ws()
+            if (p != s.length) fail()
+            out.iterator.map { case (pa, ty) => Row(id, pa, ty) }
+          } catch { case _: Exception =>
+            Iterator.single(Row(id, "<malformed>", "error"))
+          }
+        }
+      }
+    }(enc)
+    pairs.groupBy(col("path"), col("jtype"))
+      .agg(countDistinct(col(idField.name)).as("n_docs"),
+        count(lit(1)).as("n"))
+      .select(col("path"), col("jtype"), col("n_docs"), col("n"))
+  }
+
   /** Group-mode null imputation — the deterministic data-repair
     * counterpart of [[checkSuite]]'s detection: fill each null
     * `valueCol` with its group's most frequent NON-NULL value, ties

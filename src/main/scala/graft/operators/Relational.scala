@@ -1845,6 +1845,41 @@ object Relational {
         col("island_end_us") - col("island_start_us"))
   }
 
+  /** Period-over-period change per key — the WoW/MoM lane of every BI
+    * review: bucket events into epoch-aligned periods of `periodUs`,
+    * aggregate value per (key, period), and compare each period to
+    * the key's PREVIOUS EXISTING period (lag over the aggregated
+    * series — an empty period in between reads as "previous" here;
+    * emitting zero-rows for silent periods is a spine join the caller
+    * can add when calendar-strict comparison is wanted, and the
+    * prev_period_idx column makes the distinction auditable).
+    * pct_change_micro = ⌊10⁶·(cur − prev) / |prev|⌋ sign-split, NULL
+    * on a zero or missing baseline — never ±∞, never invented zeros.
+    *
+    * One (key, period) hash aggregate + one key-partitioned lag
+    * window at PERIOD grain (aggregated — tiny next to the events). */
+  def periodOverPeriod(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, periodUs: Long): DataFrame = {
+    require(periodUs >= 1, "periodUs must be >= 1")
+    val w = Window.partitionBy(col("key")).orderBy(col("period_idx"))
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div $periodUs").as("period_idx"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("key"), col("period_idx"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__v")).as("sum_milli"))
+      .withColumn("prev_period_idx", lag(col("period_idx"), 1).over(w))
+      .withColumn("prev_sum_milli", lag(col("sum_milli"), 1).over(w))
+      .withColumn("pct_change_micro",
+        when(col("prev_sum_milli").isNotNull &&
+            col("prev_sum_milli") =!= 0, expr(
+          """CASE WHEN 1000000 * (sum_milli - prev_sum_milli) >= 0
+            |  THEN (1000000 * (sum_milli - prev_sum_milli))
+            |    div abs(prev_sum_milli)
+            |  ELSE -((-(1000000 * (sum_milli - prev_sum_milli)))
+            |    div abs(prev_sum_milli)) END""".stripMargin)))
+  }
+
   /** Top movers between two periods — the "what changed" report every
     * monitoring review starts from: per item, occurrence counts
     * before/after `splitTsUs`, and a smoothed relative-rate score

@@ -744,6 +744,42 @@ object TextOps {
     *
     * Shape at scale: three regexp_extract_all lanes + posexplode,
     * all row-local codegen; no UDF, no shuffle, no locale object. */
+  /** Human-readable quantity parsing — "3.5 GiB", "120ms", "2h" into
+    * exact integer bytes / milliseconds, the normalization every log
+    * and config analytics pass needs before it can aggregate. One
+    * anchored regexp per lane (RE2-compatible — no lookarounds, so
+    * the q69 cross-engine regex discipline holds), unit factors as a
+    * CASE table: decimal prefixes are 1000-based (KB/MB/GB/TB), IEC
+    * i-forms 1024-based (KiB/MiB/GiB/TiB) — the ambiguity resolved
+    * EXPLICITLY, not guessed; durations ms/s/m/h/d → milliseconds.
+    * The numeric part parses as an IEEE double (correctly rounded
+    * from the string in both engines) and the single floor after the
+    * factor multiply is the only rounding. Unparseable/null input →
+    * null output, never 0. Row-local codegen — zero shuffles. */
+  def sizeToBytes(s: Column): Column = {
+    val re = "^([0-9]+(?:\\.[0-9]+)?)\\s*([KMGT]i?B|B)$"
+    val num = nullif(regexp_extract(trim(s), re, 1), lit("")).cast("double")
+    val unit = regexp_extract(trim(s), re, 2)
+    val mult = when(unit === "B", 1L)
+      .when(unit === "KB", 1000L).when(unit === "MB", 1000000L)
+      .when(unit === "GB", 1000000000L).when(unit === "TB", 1000000000000L)
+      .when(unit === "KiB", 1024L).when(unit === "MiB", 1048576L)
+      .when(unit === "GiB", 1073741824L)
+      .when(unit === "TiB", 1099511627776L)
+    floor(num * mult).cast("long")
+  }
+
+  /** Duration token → exact milliseconds; see [[sizeToBytes]]. */
+  def durationToMillis(s: Column): Column = {
+    val re = "^([0-9]+(?:\\.[0-9]+)?)\\s*(ms|s|m|h|d)$"
+    val num = nullif(regexp_extract(trim(s), re, 1), lit("")).cast("double")
+    val unit = regexp_extract(trim(s), re, 2)
+    val mult = when(unit === "ms", 1L).when(unit === "s", 1000L)
+      .when(unit === "m", 60000L).when(unit === "h", 3600000L)
+      .when(unit === "d", 86400000L)
+    floor(num * mult).cast("long")
+  }
+
   def extractDates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val isoRe = "\\d{4}-\\d{2}-\\d{2}"
     val usRe = "\\d{1,2}/\\d{1,2}/\\d{4}"

@@ -795,4 +795,58 @@ object Web {
       .withColumn("os_family", when(ua.isNotNull, os))
       .withColumn("is_bot", when(ua.isNotNull, isBot))
   }
+
+  /** RFC 5424 syslog parsing — the OTHER log wire format ([[parseClf]]
+    * covers access logs; this covers the system/daemon stream):
+    * {{{<PRI>1 TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD [MSG]}}}
+    * PRI decodes to facility = pri div 8 / severity = pri mod 8
+    * (integer-exact, 0 ≤ pri ≤ 191 enforced); NILVALUE '-' fields
+    * surface as NULL; structured data is censused (n_sd = element
+    * count) rather than exploded — SD key/value mining is a separate
+    * pass when needed. The RFC 3339 timestamp ('Z' profile, optional
+    * fractional seconds) becomes exact epoch MICROS through the same
+    * days-from-civil integer calendar [[parseClf]] uses — no engine
+    * date parser. Malformed lines emit the null-fields audit row with
+    * `valid = false`. Row-local regex projections, zero shuffles. */
+  def parseSyslog(df: DataFrame, idCol: String, lineCol: String): DataFrame = {
+    val re = "^<(\\d{1,3})>(\\d) " +
+      "(\\d{4})-(\\d{2})-(\\d{2})T(\\d{2}):(\\d{2}):(\\d{2})" +
+      "(?:\\.(\\d{1,6}))?Z " +
+      "(\\S+) (\\S+) (\\S+) (\\S+) (-|(?:\\[[^\\]]*\\])+)(?: (.*))?$"
+    def g(i: Int): Column = regexp_extract(col(lineCol), re, i)
+    def gl(i: Int): Column = when(g(i).rlike("^\\d+$"), g(i).cast("long"))
+    val staged = df
+      .withColumn("__pri", gl(1))
+      .withColumn("__ok", coalesce(col(lineCol).isNotNull &&
+        g(2) === "1" && col("__pri") <= 191, lit(false)))
+      .withColumn("__y", gl(3)).withColumn("__mon", gl(4))
+      .withColumn("__d", gl(5))
+      .withColumn("__yp",
+        col("__y") - when(col("__mon") <= 2, 1L).otherwise(0L))
+      .withColumn("__mp", when(col("__mon") > 2, col("__mon") - 3L)
+        .otherwise(col("__mon") + 9L))
+      .withColumn("__days",
+        col("__yp") * 365L + expr("__yp div 4") - expr("__yp div 100") +
+          expr("__yp div 400") +
+          expr("(153 * __mp + 2) div 5") + col("__d") - 1L - 719468L)
+      .withColumn("__frac",
+        when(g(9) =!= "", rpad(g(9), 6, "0").cast("long")).otherwise(0L))
+      .withColumn("__epoch_us",
+        (col("__days") * 86400L + gl(6) * 3600L + gl(7) * 60L + gl(8)) *
+          1000000L + col("__frac"))
+    def nn(c: Column): Column = when(col("__ok"), c)
+    def nil(c: Column): Column = when(col("__ok") && c =!= "-", c)
+    staged.select(col(idCol),
+      nn(col("__pri")).as("pri"),
+      nn(expr("__pri div 8")).as("facility"),
+      nn(pmod(col("__pri"), lit(8L))).as("severity"),
+      nn(col("__epoch_us")).as("ts_us"),
+      nil(g(10)).as("host"), nil(g(11)).as("app"),
+      nil(g(12)).as("procid"), nil(g(13)).as("msgid"),
+      nn(when(g(14) === "-", 0L).otherwise(
+        length(g(14)) - length(regexp_replace(g(14), "\\[", ""))))
+        .as("n_sd"),
+      when(col("__ok") && g(15) =!= "", g(15)).as("msg"),
+      col("__ok").as("valid"))
+  }
 }

@@ -884,4 +884,34 @@ object Corpus {
       .select(col(groupCol), col("supply"),
         least(col("supply"), col("__level")).as("alloc"))
   }
+
+  /** Balanced class downsampling — equalize label counts by keeping
+    * exactly min-class-count rows PER CLASS, selected by the
+    * deterministic md5(id:seed) priority (the q89 split-coin: stable
+    * under corpus growth for the rows that stay, replayable by any
+    * engine, and free of RNG state). The classifier-training
+    * counterpart of [[domainCap]]: there the cap is a parameter, here
+    * it's the rarest class's size. Ties inside one priority value
+    * (hash collisions) break on the id — a total order. Rows with a
+    * null class or id are excluded (they can't be balanced into a
+    * class).
+    *
+    * One class-count aggregate (broadcast scalar of the min), one
+    * class-partitioned rank window — a single exchange on the class
+    * key. */
+  def classBalance(df: DataFrame, idCol: String, classCol: String,
+      seed: Long): DataFrame = {
+    val pri = md5(concat(col(idCol).cast("string"), lit(":"),
+      lit(seed.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(classCol)).orderBy(pri.asc, col(idCol).asc)
+    val base = df.filter(col(idCol).isNotNull && col(classCol).isNotNull)
+    val minCount = base.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__c"))
+      .agg(min(col("__c")).as("__m"))
+    base.crossJoin(broadcast(minCount))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__m"))
+      .drop("__rk", "__m")
+  }
 }

@@ -610,6 +610,32 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("periodOverPeriod: bucket sums, previous-existing lag, zero/missing baseline null") {
+    import spark.implicits._
+    def t(day: Int, off: Long = 0L) = new java.sql.Timestamp(
+      (day.toLong * 86400 + off) * 1000L)
+    val week = 7L * 86400000000L
+    val rows = Seq(
+      (1L, t(0), 1.0), (1L, t(1), 2.0),   // week 0: 3000
+      (1L, t(8), 4.5),                    // week 1: 4500 (+50%)
+      (1L, t(22), 9.0),                   // week 3 (week 2 silent)
+      (2L, t(0), 0.0),                    // week 0: 0 → zero baseline
+      (2L, t(8), 5.0))
+    val got = Relational.periodOverPeriod(rows.toDF("k", "ts", "v"),
+        "k", "ts", "v", week)
+      .select("key", "period_idx", "n_rows", "sum_milli",
+        "prev_period_idx", "pct_change_micro")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    assert(got((1L, 0L)) == ((1L, 0L, 2L, 3000L, None, None)))
+    assert(got((1L, 1L)) == ((1L, 1L, 1L, 4500L, Some(0L), Some(500000L))))
+    // silent week 2: week 3 compares against week 1 and SAYS SO
+    assert(got((1L, 3L))._5 == Some(1L))
+    assert(got((1L, 3L))._6 == Some(1000000L)) // 4500 → 9000 = +100%
+    // zero baseline → null, never infinity
+    assert(got((2L, 1L)) == ((2L, 1L, 1L, 5000L, Some(0L), None)))
+  }
+
   test("topMovers: smoothed rate ratio, absent-period items, deterministic cut") {
     import spark.implicits._
     def t(day: Int) = new java.sql.Timestamp(

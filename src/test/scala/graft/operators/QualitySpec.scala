@@ -83,4 +83,35 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     // non-null rows pass through untouched and unflagged
     assert(got(3L) == ((3L, Some(9L), Some(9L), false)))
   }
+
+  test("jsonPathCensus: paths, types, drift, arrays, escapes, malformed audit") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, """{"a": 1, "b": {"c": "x"}, "t": [1, 2, 3]}"""),
+      (2L, """{"a": "now-a-string", "t": [], "esc": "q\"v\\w"}"""),
+      (3L, """{"a": null, "deep": [[true]]}"""),
+      (4L, """not json"""),
+      (5L, """{"a": 1} trailing"""),
+      (6L, null.asInstanceOf[String]))
+      .toDF("id", "j")
+    val got = Quality.jsonPathCensus(docs, "id", "j")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("$", "object")) == ((3L, 3L)))
+    // one path, three types: schema drift is visible, not averaged
+    assert(got(("$.a", "number")) == ((1L, 1L)))
+    assert(got(("$.a", "string")) == ((1L, 1L)))
+    assert(got(("$.a", "null")) == ((1L, 1L)))
+    assert(got(("$.b.c", "string")) == ((1L, 1L)))
+    // ragged arrays: 2 docs have $.t, 3 total number elements
+    assert(got(("$.t", "array")) == ((2L, 2L)))
+    assert(got(("$.t[]", "number")) == ((1L, 3L)))
+    // nested arrays collapse per level
+    assert(got(("$.deep[][]", "boolean")) == ((1L, 1L)))
+    // escaped quotes/backslashes survive; trailing junk is malformed;
+    // null input is skipped
+    assert(got(("$.esc", "string")) == ((1L, 1L)))
+    assert(got(("<malformed>", "error")) == ((2L, 2L)))
+    assert(!got.keySet.exists(_._1 == "$.a.b"))
+  }
 }

@@ -1195,4 +1195,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(4L) == "")
     assert(got(5L) == "already-clean-slug")
   }
+
+  test("sizeToBytes/durationToMillis: decimal vs IEC, floors, null on junk") {
+    import spark.implicits._
+    val rows = Seq("1 KB", "1 KiB", "3.5 GB", "3.5GiB", "0.5 TB",
+      "12B", "7 XB", "GB", "", null, "2.5h", "120ms", "1.5 d", "90s",
+      "3 parsecs")
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = rows.toDF("id", "s")
+      .select(col("id"), TextOps.sizeToBytes(col("s")).as("b"),
+        TextOps.durationToMillis(col("s")).as("d"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L)._1 == Some(1000L))
+    assert(got(1L)._1 == Some(1024L))
+    assert(got(2L)._1 == Some(3500000000L))
+    assert(got(3L)._1 == Some((3.5 * 1073741824L).toLong)) // 3758096384
+    assert(got(4L)._1 == Some(500000000000L))
+    assert(got(5L)._1 == Some(12L))
+    // junk, bare units, empties, nulls → null (never 0)
+    Seq(6L, 7L, 8L, 9L, 14L).foreach(i => assert(got(i) == ((None, None))))
+    assert(got(10L)._2 == Some(9000000L))
+    assert(got(11L)._2 == Some(120L))
+    assert(got(12L)._2 == Some(129600000L))
+    assert(got(13L)._2 == Some(90000L))
+    // a size token is not a duration and vice versa
+    assert(got(0L)._2.isEmpty && got(10L)._1.isEmpty)
+  }
 }

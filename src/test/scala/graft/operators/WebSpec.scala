@@ -477,4 +477,36 @@ class WebSpec extends SparkTestBase {
     assert(got(8L) == ((Some("other"), None, Some("other"), Some(false))))
     assert(got(9L) == ((None, None, None, None)))
   }
+
+  test("parseSyslog: PRI decode, epoch micros, nilvalues, SD census, audit row") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "<165>1 2024-02-29T13:30:05Z host1 app7 123 ID47 " +
+        "[ex@32 k=\"v\"] hello world"),
+      // nilvalues everywhere, no SD, no msg, fractional seconds
+      (2L, "<0>1 2024-01-01T00:00:00.25Z - - - - -"),
+      // two SD elements, pri at the ceiling
+      (3L, "<191>1 2024-01-01T00:00:01Z h a p m [a@1][b@2 x=\"y z\"] m"),
+      (4L, "not syslog at all"),
+      (5L, "<200>1 2024-01-01T00:00:00Z h a p m -")) // pri > 191
+      .toDF("id", "line")
+    val got = Web.parseSyslog(rows.toDF("id", "line"), "id", "line")
+      .select("id", "pri", "facility", "severity", "ts_us", "host",
+        "app", "procid", "msgid", "n_sd", "msg", "valid")
+      .as[(Long, Option[Long], Option[Long], Option[Long], Option[Long],
+        Option[String], Option[String], Option[String], Option[String],
+        Option[Long], Option[String], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // 2024-02-29 (leap day) 13:30:05 UTC = 1709213405
+    assert(got(1L) == ((1L, Some(165L), Some(20L), Some(5L),
+      Some(1709213405000000L), Some("host1"), Some("app7"), Some("123"),
+      Some("ID47"), Some(1L), Some("hello world"), true)))
+    assert(got(2L) == ((2L, Some(0L), Some(0L), Some(0L),
+      Some(1704067200250000L), None, None, None, None, Some(0L),
+      None, true)))
+    assert(got(3L)._2 == Some(191L) && got(3L)._3 == Some(23L) &&
+      got(3L)._10 == Some(2L) && got(3L)._11 == Some("m"))
+    assert(!got(4L)._12 && got(4L)._2.isEmpty)
+    assert(!got(5L)._12) // pri out of range is malformed
+  }
 }

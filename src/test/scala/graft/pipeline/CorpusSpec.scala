@@ -577,4 +577,29 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       Corpus.prioritySample(docs, "id", 0, 7L)
     }
   }
+
+  test("classBalance: exact equal counts, deterministic, growth-stable keepers") {
+    import spark.implicits._
+    val rows = (1 to 20).map(i => (i.toLong, "big")) ++
+      (21 to 27).map(i => (i.toLong, "mid")) ++
+      (28 to 30).map(i => (i.toLong, "small")) ++
+      Seq((31L, null.asInstanceOf[String])) // null class excluded
+    val df = rows.toDF("id", "cls")
+    val got = Corpus.classBalance(df, "id", "cls", seed = 5L)
+      .as[(Long, String)].collect().toSeq
+    val byCls = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCls.keySet == Set("big", "mid", "small"))
+    assert(byCls.values.forall(_.size == 3)) // min class count
+    // deterministic across runs
+    val again = Corpus.classBalance(df, "id", "cls", 5L)
+      .as[(Long, String)].collect().toSeq
+    assert(again.toSet == got.toSet)
+    // growth-stability: adding rows to the BIG class keeps the same
+    // winners in the untouched classes (hash priority, not position)
+    val grown = rows ++ (100 to 110).map(i => (i.toLong, "big"))
+    val g2 = Corpus.classBalance(grown.toDF("id", "cls"), "id", "cls", 5L)
+      .as[(Long, String)].collect().toSeq
+      .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(g2("mid") == byCls("mid") && g2("small") == byCls("small"))
+  }
 }

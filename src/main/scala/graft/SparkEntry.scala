@@ -3356,6 +3356,54 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q368: fill-in-the-middle example construction — seeded apply
+    // coin and split points (the q191 md5 determinism), documents
+    // emitted as (prefix, middle, suffix) segments with pass-through
+    // rows keeping one schema.
+    "q368_fim_transform" -> ((s, dir) => {
+      operators.Packing.fimTransform(
+          Tables.documents(s, dir).filter(col("doc_id") < 150),
+          "doc_id", "text", pMilli = 500, seed = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q369: exact Brier score per group — the proper scoring rule on
+    // the same clamped milli scores q257's calibration bins consume.
+    "q369_brier" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 4).as("g"),
+          (col("user_id") % 3 === 0).as("y"),
+          greatest(lit(0L), least(lit(1000L),
+            floor(col("value") * 2.2).cast("long"))).as("sm"))
+      operators.Learn.brierScore(e, "g", "y", "sm")
+        .orderBy(col("group"))
+    }),
+
+    // q370: t-closeness — per-class total-variation distance to the
+    // global sensitive distribution, cross-multiplied exact micro.
+    "q370_t_closeness" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 8).as("qa"), col("event_type"))
+      operators.Privacy.tCloseness(e, Seq("qa"), "event_type",
+          tMicro = 150000L)
+        .orderBy(col("qa"))
+    }),
+
+    // q371: common-neighbor link prediction on the q160 multigraph —
+    // distance-2 non-edges scored by shared-neighborhood Jaccard.
+    "q371_link_prediction" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val edges = d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 7 + 3) % 16).as("dst"))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 3 + 1) % 16).as("dst")))
+        .unionByName(d.select((col("doc_id") % 16).as("src"),
+          ((col("doc_id") * 5 + 2) % 16).as("dst")))
+      operators.Graph.commonNeighborScores(edges, "src", "dst",
+          minCommon = 2L)
+        .orderBy(col("a"), col("c"))
+    }),
+
     // q363: human-readable size/duration parsing — decimal vs IEC
     // prefixes resolved explicitly, one floor after the double
     // multiply; unparseable tokens null, never zero.
@@ -3693,9 +3741,11 @@ object SparkEntry {
     // rounds; DuckDB replays the split recursion with struct-min
     // argmax and re-derives the kept set from segment endpoints.
     "q345_douglas_peucker" -> ((s, dir) => {
+      // iterative-fixture cap (the q169/q329 convention): growing SF
+      // would deepen the split recursion, not scale the same problem
       val e = Tables.events(s, dir)
-        .filter(col("event_id") % 5 === 0 && col("ts").isNotNull &&
-          col("value").isNotNull)
+        .filter(col("event_id") % 5 === 0 && col("event_id") < 10000 &&
+          col("ts").isNotNull && col("value").isNotNull)
         .select((col("user_id") % 10).as("k"),
           (col("event_id") % 1000).cast("long").as("x"),
           floor(col("value") * 1000).cast("long").as("y"),
@@ -8932,6 +8982,119 @@ object SparkEntry {
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
 
+    // q368: the md5 coin and split points replayed via the '0x' hex
+    // decode (q191 convention), segments reassembled with ordered
+    // string_agg over position filters.
+    "q368_fim_transform" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS tk
+        |  FROM documents WHERE doc_id < 150),
+        |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+        |    CAST(('0x' || substr(md5(doc_id || ':0:3'), 1, 8))
+        |      ::UBIGINT % 1000 AS BIGINT) AS coin,
+        |    CAST(('0x' || substr(md5(doc_id || ':1:3'), 1, 8))
+        |      ::UBIGINT AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(doc_id || ':2:3'), 1, 8))
+        |      ::UBIGINT AS BIGINT) AS h2
+        |  FROM t),
+        |p AS (SELECT doc_id, tk, n,
+        |    coin < 500 AND n >= 2 AS applied,
+        |    LEAST(h1 % (n + 1), h2 % (n + 1)) AS lo0,
+        |    GREATEST(h1 % (n + 1), h2 % (n + 1)) AS hi0
+        |  FROM b),
+        |q AS (SELECT doc_id, tk, n, applied,
+        |    CASE WHEN applied THEN lo0 ELSE n END AS lo,
+        |    CASE WHEN applied THEN hi0 ELSE n END AS hi
+        |  FROM p),
+        |u AS (SELECT q.doc_id, q.lo, q.hi,
+        |    CAST(r.i AS BIGINT) AS pos, tk[CAST(r.i AS INT)] AS tok
+        |  FROM q, unnest(range(1, len(tk) + 1)) AS r(i)),
+        |seg AS (SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN pos <= lo THEN tok END, ' '
+        |      ORDER BY pos), '') AS prefix,
+        |    COALESCE(string_agg(CASE WHEN pos > lo AND pos <= hi
+        |      THEN tok END, ' ' ORDER BY pos), '') AS middle,
+        |    COALESCE(string_agg(CASE WHEN pos > hi THEN tok END, ' '
+        |      ORDER BY pos), '') AS suffix
+        |  FROM u GROUP BY doc_id)
+        |SELECT q.doc_id, q.n AS n_tokens, q.applied AS fim_applied,
+        |  q.lo AS split_lo, q.hi AS split_hi,
+        |  COALESCE(seg.prefix, '') AS prefix,
+        |  COALESCE(seg.middle, '') AS middle,
+        |  COALESCE(seg.suffix, '') AS suffix
+        |FROM q LEFT JOIN seg ON seg.doc_id = q.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+
+    // q369: the exact squared-error mean, HUGEINT squares.
+    "q369_brier" ->
+      """WITH s AS (SELECT user_id % 4 AS "group",
+        |    CASE WHEN user_id % 3 = 0 THEN 1000 ELSE 0 END AS yy,
+        |    GREATEST(0, LEAST(1000,
+        |      CAST(FLOOR(value * 2.2) AS BIGINT))) AS sm
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT "group", CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(sm - yy AS HUGEINT) * (sm - yy)) // COUNT(*)
+        |    AS BIGINT) AS brier_micro
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q370: the three count grains, the classes × values spine, the
+    // cross-multiplied TVD.
+    "q370_t_closeness" ->
+      """WITH base AS (SELECT user_id % 8 AS qa, event_type AS v
+        |  FROM events WHERE event_type IS NOT NULL),
+        |tot AS (SELECT COUNT(*) AS nn FROM base),
+        |gv AS (SELECT v, COUNT(*) AS nv FROM base GROUP BY 1),
+        |cls AS (SELECT qa, CAST(COUNT(*) AS BIGINT) AS class_size
+        |  FROM base GROUP BY 1),
+        |cv AS (SELECT qa, v, COUNT(*) AS ncv FROM base GROUP BY 1, 2),
+        |sp AS (SELECT cls.qa, cls.class_size, gv.v, gv.nv,
+        |    COALESCE(cv.ncv, 0) AS ncv
+        |  FROM cls CROSS JOIN gv
+        |  LEFT JOIN cv ON cv.qa = cls.qa AND cv.v = gv.v),
+        |agg AS (SELECT qa, class_size,
+        |    SUM(ABS(CAST(ncv AS HUGEINT) * tot.nn
+        |      - CAST(nv AS HUGEINT) * class_size)) AS num
+        |  FROM sp, tot GROUP BY 1, 2)
+        |SELECT qa, class_size,
+        |  CAST((1000000 * num)
+        |    // (2 * CAST(class_size AS HUGEINT) * tot.nn) AS BIGINT)
+        |    AS tvd_micro,
+        |  CAST((1000000 * num)
+        |    // (2 * CAST(class_size AS HUGEINT) * tot.nn) AS BIGINT)
+        |    <= 150000 AS t_close
+        |FROM agg, tot ORDER BY qa""".stripMargin,
+
+    // q371: wedge-endpoint candidates, existing edges anti-joined,
+    // the same integer Jaccard.
+    "q371_link_prediction" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 16 AS a, (doc_id * 7 + 3) % 16 AS b
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 3 + 1) % 16
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id % 16, (doc_id * 5 + 2) % 16
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT lo AS n, hi AS m FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |  GROUP BY 1),
+        |p AS (SELECT x.n AS a, y.n AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM adj x JOIN adj y ON y.m = x.m AND x.n < y.n
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |ne AS (SELECT p.* FROM p WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.lo = p.a AND e.hi = p.c))
+        |SELECT ne.a, ne.c, ne.common, da.deg AS deg_a, dc.deg AS deg_c,
+        |  CAST((1000000 * ne.common)
+        |    // (da.deg + dc.deg - ne.common) AS BIGINT) AS jaccard_micro
+        |FROM ne JOIN deg da ON da.n = ne.a
+        |JOIN deg dc ON dc.n = ne.c
+        |ORDER BY ne.a, ne.c""".stripMargin,
+
     // q363: the construction replayed — the SAME numeric string cast
     // to DOUBLE (identical correctly-rounded parse), the same unit
     // factor table, one FLOOR.
@@ -9511,8 +9674,8 @@ object SparkEntry {
         |    event_id % 1000 AS x,
         |    CAST(FLOOR(value * 1000) AS BIGINT) AS y,
         |    epoch_us(ts) AS t, event_id
-        |  FROM events WHERE event_id % 5 = 0 AND ts IS NOT NULL
-        |    AND value IS NOT NULL),
+        |  FROM events WHERE event_id % 5 = 0 AND event_id < 10000
+        |    AND ts IS NOT NULL AND value IS NOT NULL),
         |pts AS (SELECT k, x, y,
         |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY t, event_id)
         |      AS i

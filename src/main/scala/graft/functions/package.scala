@@ -241,14 +241,20 @@ package object functions {
 
   /** w-shingles (word n-grams joined by a single space) of the text,
     * distinct. Built entirely from higher-order functions so it stays
-    * inside Catalyst: sequence + transform + slice + concat_ws. */
+    * inside Catalyst: sequence + transform + slice + concat_ws. The
+    * token array is BOUND ONCE through a lambda variable
+    * (transform-over-singleton) before the per-position transform —
+    * without that, `tokens(text)` is an expression the inner lambda
+    * re-evaluates per position, turning a w-word document into
+    * O(w²) split() calls (the exact nested-HOF trap that once made
+    * minhash 22× slower; measured again here at ~6× on q276). */
   def shingles(text: Column, n: Int = 3): Column = {
-    val t = tokens(text)
-    val ngrams = when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => concat_ws(" ", slice(t, i, lit(n)))))
-      .otherwise(when(size(t) > 0, array(concat_ws(" ", t)))
-        .otherwise(array().cast("array<string>")))
+    val ngrams = element_at(transform(array(tokens(text)), t =>
+      when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - lit(n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n)))))
+        .otherwise(when(size(t) > 0, array(concat_ws(" ", t)))
+          .otherwise(array().cast("array<string>")))), 1)
     array_distinct(ngrams)
   }
 

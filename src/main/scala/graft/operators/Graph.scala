@@ -1034,6 +1034,54 @@ object Graph {
     out
   }
 
+  /** Common-neighbor link prediction — score every DISTANCE-2
+    * non-edge (a, c) by shared neighborhood: `common` = |N(a)∩N(c)|
+    * and the exact Jaccard jaccard_micro = ⌊10⁶·common /
+    * (deg(a)+deg(c)−common)⌋. Restricting candidates to wedge
+    * endpoints is the standard move that keeps the pair space at
+    * Σ deg² (the triangle-counting cost) instead of |V|² — a pair
+    * with NO common neighbor scores zero under every neighborhood
+    * index, so nothing real is lost. Existing edges are anti-joined
+    * out (we predict NEW links), pairs are canonical (a < c),
+    * `minCommon` trims the tail. Undirected deduped reading, like
+    * [[triangleCounts]].
+    *
+    * One wedge self-join + one pair aggregate + two broadcast-sized
+    * degree joins + one anti-join. */
+  def commonNeighborScores(edges: DataFrame, srcCol: String,
+      dstCol: String, minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("lo").as("n"), col("hi").as("m"))
+      .unionByName(e.select(col("hi").as("n"), col("lo").as("m")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val pairs = adj.select(col("m").as("__mid"), col("n").as("a"))
+      .join(adj.select(col("m").as("__mid"), col("n").as("c")), "__mid")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .join(e, col("a") === col("lo") && col("c") === col("hi"),
+        "left_anti")
+    val out = pairs
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("n").as("c"), col("deg").as("deg_c")), Seq("c"))
+      .withColumn("jaccard_micro",
+        expr("(1000000 * common) div (deg_a + deg_c - common)"))
+      .select(col("a"), col("c"), col("common"), col("deg_a"),
+        col("deg_c"), col("jaccard_micro"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Longest path from the DAG's sources to every node — the
     * critical-path (CPM) primitive: with edge weights as task
     * durations, `dist(v)` is v's earliest start time and the global
@@ -1070,19 +1118,30 @@ object Graph {
     var last = fp(dist)
     var rounds = 0
     var converged = false
+    // relax TWICE per checkpoint/fingerprint — the fixpoint test and
+    // the materialization are the per-round actions, so pairing
+    // relaxations halves them; overshooting a converged frontier by
+    // one no-op relaxation is free (max-relaxation is idempotent)
     while (!converged) {
       require(rounds < maxRounds,
         s"no fixpoint after $maxRounds rounds — cycle or deeper DAG")
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
-      val next = dist.unionByName(relaxed)
-        .groupBy(col("node")).agg(max(col("dist")).as("dist"))
-        .localCheckpoint()
+      var d = dist
+      for (_ <- 1 to 2) {
+        // explicit renames: the twice-chained self-join of `e` makes
+        // Dataset-apply column refs ambiguous
+        val relaxed = d
+          .select(col("node").as("__rn"), col("dist").as("__rd"))
+          .join(e, col("__rn") === col("src"))
+          .select(col("dst").as("node"), (col("__rd") + col("w")).as("dist"))
+        d = d.unionByName(relaxed)
+          .groupBy(col("node")).agg(max(col("dist")).as("dist"))
+      }
+      val next = d.localCheckpoint()
       val nf = fp(next)
       converged = nf == last
       last = nf
       dist = next
-      rounds += 1
+      rounds += 2
     }
     e.unpersist()
     dist

@@ -245,6 +245,12 @@ object Layout {
     var terminal = ends.filter(col("hi") <= col("lo") + 1).persist()
     var rounds = 0
     var activeCount = active.count()
+    // per round: ONE aggregate does max-score, threshold, and the
+    // smallest-index argmax together (min_by on the (-d, i) struct —
+    // lexicographic struct ordering IS max-d-then-min-i), so there is
+    // no join-back and the only action is the frontier count; the
+    // terminal union is checkpointed every few rounds, not per round
+    val pendingM = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (activeCount > 0) {
       require(rounds < maxRounds,
         s"frontier not empty after $maxRounds rounds ($activeCount segments)")
@@ -271,16 +277,11 @@ object Layout {
              |    * (CAST(bx - ax AS DECIMAL(38,0)) * (bx - ax)
              |       + CAST(by - ay AS DECIMAL(38,0)) * (by - ay))
              |END""".stripMargin))
+      val m = interior.groupBy(col("__k"), col("lo"), col("hi"))
+        .agg(max(col("__d")).as("maxd"), max(col("__thr")).as("thr"),
+          expr("min_by(__i, struct(-__d, __i))").as("m"))
         .persist()
-      val agg = interior.groupBy(col("__k"), col("lo"), col("hi"))
-        .agg(max(col("__d")).as("maxd"), max(col("__thr")).as("thr"))
-      val m = interior.join(agg, Seq("__k", "lo", "hi"))
-        .filter(col("__d") === col("maxd"))
-        .groupBy(col("__k"), col("lo"), col("hi"), col("maxd"), col("thr"))
-        .agg(min(col("__i")).as("m"))
-        .persist()
-      m.count()
-      interior.unpersist()
+      pendingM += m
       val newTerminal = m.filter(col("maxd") <= col("thr"))
         .select(col("__k"), col("lo"), col("hi"))
       val children = m.filter(col("maxd") > col("thr"))
@@ -288,15 +289,18 @@ object Layout {
           struct(col("lo"), col("m").as("hi")),
           struct(col("m").as("lo"), col("hi")))).as("c"))
         .select(col("__k"), col("c.lo").as("lo"), col("c.hi").as("hi"))
-      val nextTerminal = terminal
+      val nextActive = children.filter(col("hi") > col("lo") + 1).persist()
+      terminal = terminal
         .unionByName(newTerminal)
         .unionByName(children.filter(col("hi") <= col("lo") + 1))
-        .persist()
-      val nextActive = children.filter(col("hi") > col("lo") + 1).persist()
-      nextTerminal.count(); activeCount = nextActive.count()
-      terminal.unpersist(); active.unpersist(); m.unpersist()
-      terminal = nextTerminal; active = nextActive
       rounds += 1
+      if (rounds % 4 == 0) {
+        terminal = terminal.localCheckpoint()
+        pendingM.foreach(_.unpersist()); pendingM.clear()
+      }
+      activeCount = nextActive.count()
+      active.unpersist()
+      active = nextActive
     }
     val kept = terminal.select(col("__k"), col("lo").as("__i"))
       .unionByName(terminal.select(col("__k"), col("hi").as("__i")))
@@ -306,6 +310,7 @@ object Layout {
         col("__x").as("x"), col("__y").as("y"))
     // materialize before releasing the frames it reads
     val result = out.localCheckpoint()
+    pendingM.foreach(_.unpersist()); pendingM.clear()
     pts.unpersist(); terminal.unpersist(); active.unpersist()
     result
   }

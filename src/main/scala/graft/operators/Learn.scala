@@ -1804,6 +1804,28 @@ object Learn {
       .toDF()
   }
 
+  /** Brier score per group, EXACT — the proper scoring rule
+    * [[calibrationError]] bins can only approximate: mean squared
+    * error between the milli probability and the {0, 1000} outcome.
+    * With d = score_milli − 1000·y each term is an exact BIGINT
+    * square, so the only floor is the final division:
+    * brier_micro = ⌊Σd² / n⌋ — micro units because milli² = 10⁻⁶ of
+    * the unit square. 0 = oracle forecaster, 250000 = the constant
+    * 0.5 hedge, 1000000 = confidently wrong every time. One hash
+    * aggregate. */
+  def brierScore(df: DataFrame, groupCol: String, yCol: String,
+      scoreMilliCol: String): DataFrame = {
+    df.filter(col(yCol).isNotNull && col(scoreMilliCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        (col(scoreMilliCol).cast("long") -
+          lit(1000L) * col(yCol).cast("boolean").cast("long")).as("__d"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(__d AS DECIMAL(38,0)) * __d")).as("__sq"))
+      .select(col("group"), col("n"),
+        expr("CAST(__sq div n AS BIGINT)").as("brier_micro"))
+  }
+
   /** Classical seasonal decomposition (the moving-average STL
     * ancestor), EXACT: value = trend + seasonal + residual, where
     * trend is the centered ±halfWindow ROWS moving average, the

@@ -395,4 +395,48 @@ object Packing {
             col("sentence")))),
           p => p.getField("sentence")), " ").as("text"))
   }
+
+  /** Fill-in-the-middle (FIM) example construction — the code-model
+    * pretraining transform (Bavarian et al. 2022): split a document
+    * into (prefix, middle, suffix) at two seeded token positions and
+    * emit the three segments, so the trainer can assemble the PSM (or
+    * SPM) sentinel order it wants. Decisions are the standard
+    * [[maskTokens]] determinism: apply-FIM iff
+    * hash(doc, 0, seed) mod 1000 < pMilli, split points are
+    * hash(doc, 1|2, seed) mod (n+1) sorted — a pure function of
+    * (corpus, seed), q368-replayable. Unapplied documents (coin says
+    * no, or fewer than 2 tokens) pass through whole: prefix = the
+    * document, middle = suffix = '', lo = hi = n — downstream sees
+    * ONE schema, and fim_applied says which lane a row took.
+    *
+    * Row-local array slicing over the token array — one codegen pass,
+    * no shuffle, no UDF. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      pMilli: Int = 500, seed: Long = 0L): DataFrame = {
+    require(pMilli >= 0 && pMilli <= 1000,
+      s"pMilli must be in [0, 1000], got $pMilli")
+    val base = df.select(col(idCol).cast("long").as("doc_id"),
+        graft.functions.tokens(col(textCol)).as("__t"))
+      .withColumn("n_tokens", size(col("__t")).cast("long"))
+    val applied = posHash(col("doc_id"), lit(0), seed) % 1000 < pMilli &&
+      col("n_tokens") >= 2
+    val lo0 = posHash(col("doc_id"), lit(1), seed) % (col("n_tokens") + 1L)
+    val hi0 = posHash(col("doc_id"), lit(2), seed) % (col("n_tokens") + 1L)
+    base
+      .withColumn("fim_applied", applied)
+      .withColumn("split_lo",
+        when(applied, least(lo0, hi0)).otherwise(col("n_tokens")))
+      .withColumn("split_hi",
+        when(applied, greatest(lo0, hi0)).otherwise(col("n_tokens")))
+      .select(col("doc_id"), col("n_tokens"), col("fim_applied"),
+        col("split_lo"), col("split_hi"),
+        array_join(slice(col("__t"), lit(1),
+          col("split_lo").cast("int")), " ").as("prefix"),
+        array_join(slice(col("__t"), (col("split_lo") + 1L).cast("int"),
+          (col("split_hi") - col("split_lo")).cast("int")), " ")
+          .as("middle"),
+        array_join(slice(col("__t"), (col("split_hi") + 1L).cast("int"),
+          (col("n_tokens") - col("split_hi")).cast("int")), " ")
+          .as("suffix"))
+  }
 }

@@ -91,6 +91,55 @@ object Privacy {
       .withColumn("l_diverse", col("n_sensitive_values") >= l)
   }
 
+  /** t-closeness audit (Li et al. 2007) — the third leg of the
+    * anonymity triad ([[kAnonymity]] counts, [[lDiversity]] distinct
+    * values, this one measures DISTRIBUTIONS): per equivalence class,
+    * the total-variation distance between the class's sensitive-value
+    * distribution and the global one (TVD = EMD under the uniform
+    * categorical ground metric — the standard categorical reading of
+    * the paper),
+    *   tvd = ½ Σ_v |n_cv/n_c − N_v/N|,
+    * carried EXACTLY as tvd_micro = ⌊10⁶·Σ|n_cv·N − N_v·n_c| /
+    * (2·n_c·N)⌋ — cross-multiplied in DECIMAL(38,0), one floor.
+    * A class is t-close when tvd_micro ≤ tMicro. Values a class
+    * lacks still contribute (the spine is classes × global values);
+    * null sensitive values are excluded up front.
+    *
+    * Shape: three hash aggregates (value grain, class grain,
+    * class×value grain), the spine join is classes × |values| —
+    * sensitive-attribute cardinality, not row count. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tMicro: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one QI column")
+    require(tMicro >= 0 && tMicro <= 1000000, s"tMicro $tMicro out of range")
+    val base = df.filter(col(sensitiveCol).isNotNull)
+      .select((quasiCols.map(col) :+ col(sensitiveCol).as("__v")): _*)
+      .persist()
+    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("__nv"))
+    val total = base.count()
+    val cls = base.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val cv = base.groupBy((quasiCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__ncv"))
+    val out = cls.crossJoin(broadcast(gv))
+      .join(cv, quasiCols :+ "__v", "left")
+      .withColumn("__ncv0", coalesce(col("__ncv"), lit(0L)))
+      .withColumn("__term", abs(
+        expr(s"CAST(__ncv0 AS DECIMAL(38,0)) * $total") -
+          expr("CAST(__nv AS DECIMAL(38,0)) * class_size")))
+      .groupBy((quasiCols.map(col) :+ col("class_size")): _*)
+      .agg(sum(col("__term")).as("__num"))
+      .withColumn("tvd_micro", expr(
+        s"""CAST((1000000 * __num)
+           |  div (2 * CAST(class_size AS DECIMAL(38,0)) * $total)
+           |  AS BIGINT)""".stripMargin))
+      .withColumn("t_close", col("tvd_micro") <= tMicro)
+      .drop("__num")
+      .localCheckpoint()
+    base.unpersist()
+    out
+  }
+
   /** Randomized response (Warner 1965 — the local-DP mechanism that
     * needs no transcendental noise): each unit reports its TRUE bool
     * with probability p and the FLIP with 1−p, and the aggregate

@@ -349,4 +349,36 @@ class PackingSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, String, String, Long)].collect().toSet
     assert(re == got.toSet)
   }
+
+  test("fimTransform: segments reassemble, pass-through lane, p rails, determinism") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to 10).map(j => s"w$j").mkString(" "))) :+
+      (99L, "single") // one token: never applied
+    val df = docs.toDF("doc_id", "text")
+    val got = Packing.fimTransform(df, "doc_id", "text",
+        pMilli = 500, seed = 3L)
+      .as[(Long, Long, Boolean, Long, Long, String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    for ((_, (id, n, applied, lo, hi, pre, mid, suf)) <- got) {
+      // the three segments always reassemble the document in order
+      val whole = Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      assert(whole == docs.find(_._1 == id).get._2)
+      assert(lo >= 0 && lo <= hi && hi <= n)
+      if (!applied) assert(lo == n && hi == n && mid == "" && suf == "")
+    }
+    assert(!got(99L)._3)
+    // p = 0 never applies; p = 1000 applies to every doc with >= 2
+    // tokens; same seed reproduces exactly
+    assert(Packing.fimTransform(df, "doc_id", "text", 0, 3L)
+      .filter(col("fim_applied")).count() == 0)
+    assert(Packing.fimTransform(df, "doc_id", "text", 1000, 3L)
+      .filter(!col("fim_applied")).count() == 1) // only the 1-token doc
+    val again = Packing.fimTransform(df, "doc_id", "text", 500, 3L)
+      .as[(Long, Long, Boolean, Long, Long, String, String, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+    // both lanes populated at p = 1/2
+    assert(got.values.count(_._3) > 5 && got.values.count(!_._3) > 5)
+  }
 }

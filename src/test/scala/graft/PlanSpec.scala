@@ -343,6 +343,55 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   /** Count plan nodes matching `pred` through AQE query-stage
     * boundaries (plain `collect` stops at stage leaves; reused
     * exchanges don't count twice). */
+  test("q342: matchPattern is ONE exchange; predicates precede the scan pass") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import graft.sources.Tables
+    val e = Tables.events(spark, sf)
+      .withColumn("key", col("user_id") % 25)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val m = operators.Sequence.matchPattern(e, "key",
+      Seq("ts_us", "event_id"),
+      Seq(operators.Sequence.Step("v", col("event_type") === "view", 1, 9)))
+    assert(countNodes(m.queryExecution.executedPlan)(
+      _.isInstanceOf[ShuffleExchangeLike]) == 1,
+      m.queryExecution.executedPlan.toString)
+  }
+
+  test("row-local parsers/transforms plan zero exchanges (cdc, fim, syslog, units)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+    val cdc = operators.Dedup.cdcChunks(docs, "doc_id", "text")
+    val fim = operators.Packing.fimTransform(docs, "doc_id", "text")
+    val sys = operators.Web.parseSyslog(
+      docs.select(col("doc_id"),
+        concat(lit("<165>1 2024-01-01T00:00:00Z h a p m - x"))
+          .as("line")), "doc_id", "line")
+    val units = docs.select(
+      operators.TextOps.sizeToBytes(lit("3 GB")).as("b"),
+      operators.TextOps.durationToMillis(lit("2h")).as("d"))
+    for (df <- Seq(cdc, fim, sys, units)) {
+      assert(countNodes(df.queryExecution.executedPlan)(
+        _.isInstanceOf[ShuffleExchangeLike]) == 0,
+        df.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("q355: item-count joins broadcast — pair table shuffles once on (a, b)") {
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.functions.col
+    import graft.sources.Tables
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), (col("event_id") % 40).as("item"))
+    val df = operators.Learn.itemCooccurrence(e, "user_id", "item", k = 5)
+    df.collect() // AQE-final plan
+    val p = df.queryExecution.executedPlan
+    assert(countNodes(p)(_.isInstanceOf[BroadcastExchangeLike]) >= 2,
+      p.toString)
+  }
+
   private def countNodes(root: org.apache.spark.sql.execution.SparkPlan)(
       pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
     import org.apache.spark.sql.execution.SparkPlan

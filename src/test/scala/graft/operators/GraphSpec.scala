@@ -496,6 +496,24 @@ class GraphSpec extends SparkTestBase {
     assert(got(10L) == ((4L, "core", Some(7L))))
   }
 
+  test("commonNeighborScores: wedge candidates, existing edges out, exact jaccard") {
+    import spark.implicits._
+    // square 1-2-3-4-1 plus chord 1-3: candidates are distance-2
+    // non-edges; only (2,4) remains (1-3 exists)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("s", "t")
+    val got = Graph.commonNeighborScores(e, "s", "t", minCommon = 1L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // (2,4): common {1,3}, deg 2 and 2 → jaccard 2/(2+2−2) = 1e6
+    assert(got.keySet == Set((2L, 4L)))
+    assert(got((2L, 4L)) == ((2L, 4L, 2L, 2L, 2L, 1000000L)))
+    // minCommon trims: a path a-b-c gives (a,c) one common neighbor
+    val path = Seq((10L, 11L), (11L, 12L)).toDF("s", "t")
+    assert(Graph.commonNeighborScores(path, "s", "t", 1L).count() == 1)
+    assert(Graph.commonNeighborScores(path, "s", "t", 2L).count() == 0)
+  }
+
   test("clusteringCoefficient: clique 1e6, star 0, path ends null, dedup") {
     import spark.implicits._
     // triangle {1,2,3} (a clique) + pendant 4 off node 1 + isolatedish

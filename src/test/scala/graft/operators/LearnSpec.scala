@@ -801,6 +801,19 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("brierScore: oracle/hedge/anti endpoints, exact mean floor") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, true, 1000L), (1L, false, 0L),    // perfect: 0
+      (2L, true, 500L), (2L, false, 500L),   // constant hedge: 250000
+      (3L, true, 0L), (3L, false, 1000L),    // confidently wrong: 1e6
+      (4L, true, 700L), (4L, false, 100L))   // (300² + 100²)/2 = 50000
+    val got = Learn.brierScore(rows.toDF("g", "y", "sm"), "g", "y", "sm")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map(1L -> 0L, 2L -> 250000L, 3L -> 1000000L,
+      4L -> 50000L))
+  }
+
   test("seasonalDecompose: components sum back, season cells, ragged edges") {
     import spark.implicits._
     def t(hr: Long, m: Long) =

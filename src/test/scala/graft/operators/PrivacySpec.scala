@@ -70,6 +70,30 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("tCloseness: global-mirror class 0, skewed class exact, missing values count") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"))
+      .toDF("qa", "v")
+    // global: a:4, b:2, N=6; class 1 (2a,2b,n=4): |2·6−4·4|=4,
+    // |2·6−2·4|=4 → num 8 → 8/(2·4·6)=1/6 → 166666
+    // class 2 (2a, n=2; b MISSING still contributes): |2·6−4·2|=4,
+    // |0−2·2|=4 → 8/(2·2·6)=1/3 → 333333
+    val got = Privacy.tCloseness(df, Seq("qa"), "v", tMicro = 200000L)
+      .select("qa", "class_size", "tvd_micro", "t_close")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 166666L, true)))
+    assert(got(2L) == ((2L, 2L, 333333L, false)))
+    // a class that mirrors the global distribution scores 0
+    val mirror = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"))
+      .toDF("qa", "v")
+    val g2 = Privacy.tCloseness(mirror, Seq("qa"), "v", 0L)
+      .select("tvd_micro").as[Long].collect()
+    assert(g2.forall(_ == 0L))
+  }
+
   test("randomizedResponse: exact debias identity, flips bounded, p guards") {
     import spark.implicits._
     val n = 4000

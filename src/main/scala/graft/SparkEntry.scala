@@ -3570,12 +3570,14 @@ object SparkEntry {
     // Bellman–Ford run to convergence with a loud cycle guard);
     // DuckDB replays by deduped recursive path enumeration + MAX.
     "q354_critical_path" -> ((s, dir) => {
+      // forward steps ≥ 5 keep the DAG depth (= convergence rounds)
+      // at ~18 — the iterative-fixture cap convention
       val d = Tables.documents(s, dir).filter(col("doc_id") < 90)
       val e = d.select(col("doc_id").as("s"),
-          (col("doc_id") + 3 + (col("doc_id") % 3) * 2).as("t"),
+          (col("doc_id") + 5 + (col("doc_id") % 3) * 2).as("t"),
           (lit(1L) + (col("doc_id") * 7) % 9).as("w"))
         .unionByName(d.filter(col("doc_id") % 4 === 0)
-          .select(col("doc_id").as("s"), (col("doc_id") + 11).as("t"),
+          .select(col("doc_id").as("s"), (col("doc_id") + 13).as("t"),
             lit(2L).as("w")))
       operators.Graph.longestPathDag(e, "s", "t", "w")
         .orderBy(col("node"))
@@ -9407,10 +9409,10 @@ object SparkEntry {
     "q354_critical_path" ->
       """WITH RECURSIVE d AS (SELECT doc_id FROM documents
         |  WHERE doc_id < 90),
-        |e0 AS (SELECT doc_id AS s, doc_id + 3 + (doc_id % 3) * 2 AS t,
+        |e0 AS (SELECT doc_id AS s, doc_id + 5 + (doc_id % 3) * 2 AS t,
         |    1 + (doc_id * 7) % 9 AS w FROM d
         |  UNION ALL
-        |  SELECT doc_id, doc_id + 11, 2 FROM d WHERE doc_id % 4 = 0),
+        |  SELECT doc_id, doc_id + 13, 2 FROM d WHERE doc_id % 4 = 0),
         |e AS (SELECT s, t, MAX(w) AS w FROM e0 GROUP BY 1, 2),
         |srcs AS (SELECT DISTINCT s AS n FROM e
         |  WHERE s NOT IN (SELECT t FROM e)),

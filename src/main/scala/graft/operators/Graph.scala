@@ -919,19 +919,39 @@ object Graph {
     // with each node's own id; returns (id, color)
     def propagate(ns: DataFrame, ed: DataFrame, out: String): DataFrame = {
       var colr = truncate(ns.select(col("id"), col("id").as(out)))
+      // min-propagation is per-id monotone NON-INCREASING with a
+      // constant id set, so the (count, Σcolor) fingerprint is an
+      // exact fixpoint test — one scalar collect instead of the
+      // exceptAll anti-join this loop used to pay per iteration; and
+      // relaxations run in PAIRS per materialization (the
+      // longestPathDag cadence; deeper batches make each skinny
+      // checkpoint proportionally slower — measured, 2 is the knee).
+      // Σ rides DECIMAL(38,0) so billion-node id sums cannot wrap.
+      val edr = ed.select(col("s").as("__es"), col("t").as("__et"))
+      def fpOf(d: DataFrame): (Long, String) = {
+        val r = d.agg(count(lit(1)),
+          coalesce(sum(col(out).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)"))).collect()(0)
+        (r.getLong(0), String.valueOf(r.get(1)))
+      }
+      var last = fpOf(colr)
       var stable = false
       var it = 0
       while (!stable && it <= maxRounds) {
-        val pushed = ed.join(colr, ed("s") === colr("id"))
-          .select(ed("t").as("id"), colr(out))
-        val next = truncate(colr.unionByName(pushed)
-          .groupBy(col("id")).agg(min(col(out)).as(out)))
-        // one row per id both sides, so multiset-equality IS the
-        // fixpoint test (no self-join — shared lineage would trip
-        // Spark's ambiguity detection)
-        stable = next.exceptAll(colr).isEmpty
+        var c = colr
+        for (_ <- 1 to 2) {
+          val pushed = c.select(col("id").as("__pn"), col(out).as("__pc"))
+            .join(edr, col("__pn") === col("__es"))
+            .select(col("__et").as("id"), col("__pc").as(out))
+          c = c.unionByName(pushed)
+            .groupBy(col("id")).agg(min(col(out)).as(out))
+        }
+        val next = truncate(c)
+        val nf = fpOf(next)
+        stable = nf == last
+        last = nf
         colr = next
-        it += 1
+        it += 2
       }
       if (!stable) throw new IllegalStateException(
         s"SCC propagation did not converge within $maxRounds iterations")

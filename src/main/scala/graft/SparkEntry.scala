@@ -3356,6 +3356,51 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q372: decile lift / gains table over the q257 scoring fixture —
+    // global two-pass ranking, integer bucket cuts, cumulative
+    // capture and lift, exact to the last floor.
+    "q372_decile_lift" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_id").as("id"),
+          (col("user_id") % 3 === 0).as("y"),
+          greatest(lit(0L), least(lit(1000L),
+            floor(col("value") * 2.2).cast("long"))).as("sm"))
+      operators.Learn.decileLift(e, "id", "y", "sm", buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
+    // q373: largest-remainder (Hamilton) apportionment of 97 slots
+    // across event types — Σ seats is exactly the budget, remainders
+    // rank deterministically.
+    "q373_largest_remainder" -> ((s, dir) => {
+      graft.pipeline.Corpus.largestRemainder(
+          Tables.events(s, dir)
+            .select(col("event_type").as("g"), lit(1L).as("wt")),
+          "g", "wt", seats = 97L)
+        .orderBy(col("group"))
+    }),
+
+    // q374: integer shoelace area + centroid per polygon — signed 2A,
+    // DECIMAL centroid sums, one sign-split micro division per axis.
+    "q374_polygon_stats" -> ((s, dir) => {
+      val pts = Tables.customer(s, dir).select(
+        (col("c_custkey") % 40).as("poly"), col("c_custkey").as("idx"),
+        ((col("c_custkey") * 7919) % 2000).as("x"),
+        ((col("c_custkey") * 4729) % 2000).as("y"))
+      operators.Relational.polygonStats(pts, "poly", "idx", "x", "y")
+        .orderBy(col("poly"))
+    }),
+
+    // q375: systematic PPS selection of 20 slots over weighted items —
+    // midpoint rule in pure integers, multi-slot heavy items reported.
+    "q375_pps_systematic" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("value").isNotNull)
+        .select((col("user_id") % 37).as("it"),
+          (lit(1L) + floor(col("value")).cast("long")).as("wt"))
+      graft.pipeline.Corpus.ppsSystematic(e, "it", "wt", k = 20L)
+        .orderBy(col("item"))
+    }),
+
     // q368: fill-in-the-middle example construction — seeded apply
     // coin and split points (the q191 md5 determinism), documents
     // emitted as (prefix, middle, suffix) segments with pass-through
@@ -8983,6 +9028,122 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q372: global rank, the same integer bucket cut, running cums
+    // (the oracle may use the partition-less window the engine
+    // avoids), HUGEINT lift.
+    "q372_decile_lift" ->
+      """WITH s AS (SELECT event_id AS id,
+        |    CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS y,
+        |    GREATEST(0, LEAST(1000,
+        |      CAST(FLOOR(value * 2.2) AS BIGINT))) AS sm
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT y,
+        |    ROW_NUMBER() OVER (ORDER BY sm DESC, id ASC) AS rk,
+        |    COUNT(*) OVER () AS n, SUM(y) OVER () AS p
+        |  FROM s),
+        |g AS (SELECT ((rk - 1) * 10) // n AS bucket,
+        |    COUNT(*) AS n_rows, SUM(y) AS n_pos,
+        |    MAX(n) AS n, MAX(p) AS p
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT bucket, n_rows, n_pos, n, p,
+        |    SUM(n_rows) OVER (ORDER BY bucket) AS cum_n,
+        |    SUM(n_pos) OVER (ORDER BY bucket) AS cum_pos
+        |  FROM g)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_pos AS BIGINT) AS n_pos,
+        |  CAST((1000000 * n_pos) // n_rows AS BIGINT) AS rate_micro,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_pos AS BIGINT) AS cum_pos,
+        |  CASE WHEN p > 0 THEN
+        |    CAST((1000000 * CAST(cum_pos AS HUGEINT) * n)
+        |      // (CAST(cum_n AS HUGEINT) * p) AS BIGINT) END
+        |    AS lift_micro
+        |FROM c ORDER BY bucket""".stripMargin,
+
+    // q373: the quota arithmetic replayed — base ⌊97w/W⌋, remainder
+    // rank (DESC, group ASC), leftover top-ups.
+    "q373_largest_remainder" ->
+      """WITH g AS (SELECT event_type AS "group", COUNT(*) AS w
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT SUM(w) AS tw FROM g),
+        |b AS (SELECT "group", w, (97 * w) // t.tw AS base_seats,
+        |    (97 * w) % t.tw AS remainder
+        |  FROM g, t),
+        |l AS (SELECT 97 - SUM(base_seats) AS lo FROM b),
+        |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC,
+        |    "group" ASC) AS rk FROM b)
+        |SELECT "group", CAST(w AS BIGINT) AS w,
+        |  CAST(base_seats AS BIGINT) AS base_seats,
+        |  CAST(remainder AS BIGINT) AS remainder,
+        |  CAST(CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT)
+        |    AS extra,
+        |  CAST(base_seats + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END
+        |    AS BIGINT) AS seats
+        |FROM r, l ORDER BY "group"""".stripMargin,
+
+    // q374: the same closing-edge windows, HUGEINT centroid sums,
+    // sign-normalized truncating micro divisions.
+    "q374_polygon_stats" ->
+      """WITH p AS (SELECT c_custkey % 40 AS poly, c_custkey AS i,
+        |    (c_custkey * 7919) % 2000 AS x,
+        |    (c_custkey * 4729) % 2000 AS y
+        |  FROM customer),
+        |w AS (SELECT poly, x, y,
+        |    COALESCE(LEAD(x) OVER o, FIRST_VALUE(x) OVER o2) AS xn,
+        |    COALESCE(LEAD(y) OVER o, FIRST_VALUE(y) OVER o2) AS yn
+        |  FROM p WINDOW o AS (PARTITION BY poly ORDER BY i),
+        |    o2 AS (PARTITION BY poly ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND UNBOUNDED FOLLOWING)),
+        |c AS (SELECT poly, x, y, xn, yn,
+        |    x * yn - xn * y AS cr FROM w),
+        |g AS (SELECT poly, COUNT(*) AS n_vertices,
+        |    SUM(cr) AS area2,
+        |    SUM(CAST(x + xn AS HUGEINT) * cr) AS sx,
+        |    SUM(CAST(y + yn AS HUGEINT) * cr) AS sy
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT poly, n_vertices, area2,
+        |    1000000 * sx * (CASE WHEN area2 >= 0 THEN 1 ELSE -1 END)
+        |      AS nx,
+        |    1000000 * sy * (CASE WHEN area2 >= 0 THEN 1 ELSE -1 END)
+        |      AS ny,
+        |    3 * CAST(ABS(area2) AS HUGEINT) AS den
+        |  FROM g)
+        |SELECT poly, CAST(n_vertices AS BIGINT) AS n_vertices,
+        |  CAST(area2 AS BIGINT) AS area2,
+        |  CAST(ABS(area2) AS BIGINT) AS area2_abs,
+        |  CASE WHEN area2 <> 0 THEN
+        |    CAST(CASE WHEN nx >= 0 THEN nx // den
+        |      ELSE -((-nx) // den) END AS BIGINT) END AS cx_micro,
+        |  CASE WHEN area2 <> 0 THEN
+        |    CAST(CASE WHEN ny >= 0 THEN ny // den
+        |      ELSE -((-ny) // den) END AS BIGINT) END AS cy_micro
+        |FROM f ORDER BY poly""".stripMargin,
+
+    // q375: the midpoint count f(x) = ⌊(2kx+W)/(2W)⌋ telescoped over
+    // the cumulative weight line.
+    "q375_pps_systematic" ->
+      """WITH g AS (SELECT user_id % 37 AS item,
+        |    SUM(1 + CAST(FLOOR(value) AS BIGINT)) AS w
+        |  FROM events
+        |  WHERE value IS NOT NULL AND 1 + FLOOR(value) > 0
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(w) AS tw FROM g),
+        |c AS (SELECT item, w,
+        |    SUM(w) OVER (ORDER BY item) AS cum FROM g)
+        |SELECT item, CAST(w AS BIGINT) AS w,
+        |  CAST(cum AS BIGINT) AS cum,
+        |  CAST((2 * 20 * CAST(cum AS HUGEINT) + t.tw)
+        |      // (2 * CAST(t.tw AS HUGEINT))
+        |    - (2 * 20 * CAST(cum - w AS HUGEINT) + t.tw)
+        |      // (2 * CAST(t.tw AS HUGEINT)) AS BIGINT) AS n_selected,
+        |  ((2 * 20 * CAST(cum AS HUGEINT) + t.tw)
+        |      // (2 * CAST(t.tw AS HUGEINT))
+        |    - (2 * 20 * CAST(cum - w AS HUGEINT) + t.tw)
+        |      // (2 * CAST(t.tw AS HUGEINT))) >= 1 AS selected
+        |FROM c, t ORDER BY item""".stripMargin,
 
     // q368: the md5 coin and split points replayed via the '0x' hex
     // decode (q191 convention), segments reassembled with ordered

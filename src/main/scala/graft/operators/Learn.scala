@@ -1804,6 +1804,52 @@ object Learn {
       .toDF()
   }
 
+  /** Decile lift / gains table, EXACT — the scoring-model report
+    * every targeting review reads: rank the population by score
+    * (ties broken by `idCol` — a total order, so the bucketing is
+    * deterministic), cut into `buckets` equal-count bands via integer
+    * arithmetic bucket = ⌊(rank−1)·buckets / n⌋, and report per band
+    * the positive rate plus CUMULATIVE capture and lift:
+    *   lift_micro = ⌊10⁶·cum_pos·N / (cum_n·P)⌋
+    * (top-decile lift 3·10⁶ = "3× better than random"). The global
+    * rank rides [[Relational.globalRowNumber]] — two passes, never a
+    * single-partition window; cumulative sums come from a tiny
+    * bucket×bucket triangular join (buckets² rows, parameter-sized),
+    * not a partition-less window. P = 0 leaves lift null. */
+  def decileLift(df: DataFrame, idCol: String, yCol: String,
+      scoreMilliCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val staged = df
+      .filter(col(yCol).isNotNull && col(scoreMilliCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(yCol).cast("boolean").cast("long").as("__y"),
+        col(scoreMilliCol).cast("long").as("__s"))
+    val ranked = Relational.globalRowNumber(staged,
+      Seq(col("__s").desc, col("__id").asc), "__r")
+    val per = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"),
+        sum(col("__y")).as("__p"))))
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__y")).as("n_pos"),
+        max(col("__n")).as("__n"), max(col("__p")).as("__p"))
+      .withColumn("rate_micro", expr("(1000000 * n_pos) div n_rows"))
+    val cum = per.select(col("bucket").as("__b2"),
+      col("n_rows").as("__cn"), col("n_pos").as("__cp"))
+    per.join(cum, col("__b2") <= col("bucket"))
+      .groupBy(col("bucket"), col("n_rows"), col("n_pos"),
+        col("rate_micro"), col("__n"), col("__p"))
+      .agg(sum(col("__cn")).as("cum_n"), sum(col("__cp")).as("cum_pos"))
+      .withColumn("lift_micro", when(col("__p") > 0, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_pos * __n)
+          |  div (CAST(cum_n AS DECIMAL(38,0)) * __p) AS BIGINT)"""
+          .stripMargin)))
+      .select(col("bucket"), col("n_rows"), col("n_pos"),
+        col("rate_micro"), col("cum_n"), col("cum_pos"),
+        col("lift_micro"))
+  }
+
   /** Brier score per group, EXACT — the proper scoring rule
     * [[calibrationError]] bins can only approximate: mean squared
     * error between the milli probability and the {0, 1000} outcome.

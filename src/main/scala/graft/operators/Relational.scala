@@ -1880,6 +1880,52 @@ object Relational {
             |    div abs(prev_sum_milli)) END""".stripMargin)))
   }
 
+  /** Polygon area + centroid by the integer shoelace formula — the
+    * measurement half of the geometry family ([[pointInPolygon]] is
+    * the membership half): per polygon (vertices as rows, ordered by
+    * `idxCol`, last implicitly closing to first),
+    *   2A = Σᵢ (xᵢ·yᵢ₊₁ − xᵢ₊₁·yᵢ)   (signed: CCW positive)
+    *   C  = Σᵢ (vᵢ + vᵢ₊₁)·crossᵢ / (3·2A).
+    * Cross products stay BIGINT (|coords| ≤ ~10⁹ documented), the
+    * centroid sums ride DECIMAL(38,0), and each centroid coordinate
+    * is ONE sign-split truncating division to micro. Zero-area
+    * (degenerate) polygons report null centroids. The closing edge
+    * comes from a first_value window — one key-partitioned sort, one
+    * aggregate, no self-join. */
+  def polygonStats(df: DataFrame, polyCol: String, idxCol: String,
+      xCol: String, yCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("poly")).orderBy(col("__i"))
+    val wAll = Window.partitionBy(col("poly"))
+      .orderBy(col("__i"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def sdivE(n: String, d: String) =
+      expr(s"""CASE WHEN ($n) >= 0 THEN ($n) div ($d)
+              | ELSE -((-($n)) div ($d)) END""".stripMargin)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(idxCol).isNotNull)
+      .select(col(polyCol).as("poly"), col(idxCol).as("__i"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .withColumn("__xn", coalesce(lead(col("x"), 1).over(wOrd),
+        first(col("x")).over(wAll)))
+      .withColumn("__yn", coalesce(lead(col("y"), 1).over(wOrd),
+        first(col("y")).over(wAll)))
+      .withColumn("__cross", col("x") * col("__yn") - col("__xn") * col("y"))
+      .groupBy(col("poly"))
+      .agg(count(lit(1)).as("n_vertices"),
+        sum(col("__cross")).as("area2"),
+        sum(expr("CAST(x + __xn AS DECIMAL(38,0)) * __cross")).as("__sx"),
+        sum(expr("CAST(y + __yn AS DECIMAL(38,0)) * __cross")).as("__sy"))
+      .withColumn("cx_micro", when(col("area2") =!= 0,
+        sdivE("1000000 * __sx * (CASE WHEN area2 >= 0 THEN 1 ELSE -1 END)",
+          "3 * CAST(abs(area2) AS DECIMAL(38,0))").cast("long")))
+      .withColumn("cy_micro", when(col("area2") =!= 0,
+        sdivE("1000000 * __sy * (CASE WHEN area2 >= 0 THEN 1 ELSE -1 END)",
+          "3 * CAST(abs(area2) AS DECIMAL(38,0))").cast("long")))
+      .select(col("poly"), col("n_vertices"), col("area2"),
+        abs(col("area2")).as("area2_abs"), col("cx_micro"),
+        col("cy_micro"))
+  }
+
   /** Top movers between two periods — the "what changed" report every
     * monitoring review starts from: per item, occurrence counts
     * before/after `splitTsUs`, and a smoothed relative-rate score

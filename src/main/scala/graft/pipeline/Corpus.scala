@@ -885,6 +885,102 @@ object Corpus {
         least(col("supply"), col("__level")).as("alloc"))
   }
 
+  /** Largest-remainder (Hamilton) apportionment — split an integer
+    * budget of `seats` across groups proportionally to an integer
+    * weight, EXACTLY: base = ⌊seats·w / W⌋ per group, then the
+    * leftover seats go to the largest remainders (seats·w mod W),
+    * ties to the smallest group key. Σ seats is exactly the budget by
+    * construction — the property "proportional-ish allocation" loses
+    * whenever someone rounds independently per group. This is the
+    * sampling-budget splitter quota pipelines need when
+    * [[neymanAllocation]]'s variance weighting is overkill.
+    *
+    * One weight aggregate (broadcast scalars), remainder ranking via
+    * [[graft.operators.Relational.globalRowNumber]] (group-grain —
+    * two bounded passes, no single-partition window). Negative or
+    * null weights are rejected rows (excluded, like a null class). */
+  def largestRemainder(df: DataFrame, groupCol: String,
+      weightCol: String, seats: Long): DataFrame = {
+    require(seats >= 0, s"seats must be >= 0, got $seats")
+    val g = df
+      .filter(col(weightCol).isNotNull && col(weightCol) >= 0 &&
+        col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("group"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val wSum = g.agg(coalesce(sum(col("w")), lit(0L)).as("__W"))
+    val based = g.crossJoin(broadcast(wSum))
+      .withColumn("base_seats",
+        when(col("__W") > 0, expr(s"($seats * w) div __W")).otherwise(0L))
+      .withColumn("remainder",
+        when(col("__W") > 0, expr(s"($seats * w) % __W")).otherwise(0L))
+    val leftover = based.agg((lit(seats) -
+      coalesce(sum(col("base_seats")), lit(0L))).as("__L"))
+    val ranked = graft.operators.Relational.globalRowNumber(based,
+      Seq(col("remainder").desc, col("group").asc), "__rk")
+    ranked.crossJoin(broadcast(leftover))
+      .withColumn("extra", when(col("__rk") <= col("__L"), 1L)
+        .otherwise(0L))
+      .withColumn("seats", col("base_seats") + col("extra"))
+      .select(col("group"), col("w"), col("base_seats"),
+        col("remainder"), col("extra"), col("seats"))
+  }
+
+  /** Systematic PPS (probability-proportional-to-size) selection,
+    * EXACT — the survey/curation sampler that picks `k` slots along
+    * the cumulative weight line at the midpoints (2i+1)·W/(2k),
+    * i = 0..k−1, entirely in integers: with f(x) = ⌊(2k·x + W) /
+    * (2W)⌋ counting selection points below x, an item covering
+    * (cumPrev, cum] is selected f(cum) − f(cumPrev) times (an item
+    * heavier than W/k can legitimately win multiple slots — PPS
+    * semantics, reported, not clipped). Σ n_selected = k exactly:
+    * f(W) = k, f(0) = 0, and f telescopes. Items are laid on the
+    * line in (item) order — deterministic, growth-sensitive only
+    * after the insertion point, like any systematic design.
+    *
+    * The GLOBAL running sum of weights rides a TWO-LEVEL prefix scan
+    * (within-block window over rank-blocks of 1024 + broadcast block
+    * offsets) — never a partition-less window; cost stays item-grain
+    * at any item count. */
+  def ppsSystematic(df: DataFrame, itemCol: String, weightCol: String,
+      k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val g = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0 &&
+        col(itemCol).isNotNull)
+      .groupBy(col(itemCol).as("item"))
+      .agg(sum(col(weightCol).cast("long")).as("w"))
+    val wSum = g.agg(coalesce(sum(col("w")), lit(0L)).as("__W"))
+    val ranked = graft.operators.Relational.globalRowNumber(g,
+      Seq(col("item").asc), "__r")
+      .withColumn("__blk", expr("(__r - 1) div 1024"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col("__r"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val blkTotals = ranked.groupBy(col("__blk"))
+      .agg(sum(col("w")).as("__bw"))
+    val blkOffsets = blkTotals.as("x").join(
+        blkTotals.select(col("__blk").as("__b2"), col("__bw").as("__w2")),
+        col("__b2") < col("x.__blk"), "left")
+      .groupBy(col("x.__blk"))
+      .agg(coalesce(sum(col("__w2")), lit(0L)).as("__off"))
+    val cumDf = ranked
+      .withColumn("__within", sum(col("w")).over(wIn))
+      .join(broadcast(blkOffsets), Seq("__blk"))
+      .withColumn("cum", col("__within") + col("__off"))
+    cumDf.crossJoin(broadcast(wSum))
+      .withColumn("__prev", col("cum") - col("w"))
+      .withColumn("n_selected", expr(
+        s"""CAST((2 * $k * CAST(cum AS DECIMAL(38,0)) + __W)
+           |    div (2 * CAST(__W AS DECIMAL(38,0)))
+           |  - (2 * $k * CAST(__prev AS DECIMAL(38,0)) + __W)
+           |    div (2 * CAST(__W AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("selected", col("n_selected") >= 1)
+      .select(col("item"), col("w"), col("cum"), col("n_selected"),
+        col("selected"))
+  }
+
   /** Balanced class downsampling — equalize label counts by keeping
     * exactly min-class-count rows PER CLASS, selected by the
     * deterministic md5(id:seed) priority (the q89 split-coin: stable

@@ -801,6 +801,28 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("decileLift: perfect model concentrates, uniform is flat, cuts exact") {
+    import spark.implicits._
+    // 20 rows, 4 positives, score == 1000·y (perfect separation),
+    // 4 buckets of 5: bucket 0 holds all positives
+    val rows = (1 to 20).map(i =>
+      (i.toLong, i <= 4, if (i <= 4) 1000L else 0L))
+    val got = Learn.decileLift(rows.toDF("id", "y", "sm"), "id", "y",
+        "sm", buckets = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    // (bucket, n_rows, n_pos, rate_micro, cum_n, cum_pos, lift)
+    assert(got(0) == ((0L, 5L, 4L, 800000L, 5L, 4L, Some(4000000L))))
+    assert(got(1)._3 == 0L && got(1)._7 == Some(2000000L)) // 8/40 → 2×
+    assert(got(3)._5 == 20L && got(3)._6 == 4L &&
+      got(3)._7 == Some(1000000L)) // full population: lift 1
+    // no positives → lift null everywhere
+    val none = Learn.decileLift(rows.map(r => (r._1, false, r._3))
+        .toDF("id", "y", "sm"), "id", "y", "sm", 4)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].collect()
+    assert(none.forall(_._7.isEmpty))
+  }
+
   test("brierScore: oracle/hedge/anti endpoints, exact mean floor") {
     import spark.implicits._
     val rows = Seq(

@@ -610,6 +610,31 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(re.toSeq == got.toSeq)
   }
 
+  test("polygonStats: shoelace signs, centroid, degenerate null, closing edge") {
+    import spark.implicits._
+    val rows = Seq(
+      // unit square CCW: 2A = +2, centroid (0.5, 0.5)
+      (1L, 1L, 0L, 0L), (1L, 2L, 1L, 0L), (1L, 3L, 1L, 1L),
+      (1L, 4L, 0L, 1L),
+      // same square CW: 2A = −2, same centroid
+      (2L, 1L, 0L, 0L), (2L, 2L, 0L, 1L), (2L, 3L, 1L, 1L),
+      (2L, 4L, 1L, 0L),
+      // triangle (0,0)(6,0)(0,3): 2A = 18, centroid (2, 1)
+      (3L, 1L, 0L, 0L), (3L, 2L, 6L, 0L), (3L, 3L, 0L, 3L),
+      // degenerate: collinear spike, area 0
+      (4L, 1L, 0L, 0L), (4L, 2L, 5L, 0L), (4L, 3L, 0L, 0L))
+      .toDF("p", "i", "x", "y")
+    val got = Relational.polygonStats(rows.toDF("p", "i", "x", "y"),
+        "p", "i", "x", "y")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 2L, Some(500000L), Some(500000L))))
+    assert(got(2L) == ((2L, 4L, -2L, 2L, Some(500000L), Some(500000L))))
+    assert(got(3L) == ((3L, 3L, 18L, 18L, Some(2000000L),
+      Some(1000000L))))
+    assert(got(4L) == ((4L, 3L, 0L, 0L, None, None)))
+  }
+
   test("periodOverPeriod: bucket sums, previous-existing lag, zero/missing baseline null") {
     import spark.implicits._
     def t(day: Int, off: Long = 0L) = new java.sql.Timestamp(

@@ -578,6 +578,57 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("largestRemainder: exact budget, remainder ranking, tie to smaller group") {
+    import spark.implicits._
+    // weights 5, 3, 2 → W=10; seats=7: quotas 3.5, 2.1, 1.4 →
+    // bases 3,2,1 (Σ6), leftover 1 → largest remainder (5: rem 5·7%10
+    // = 5) gets it
+    val df = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("g", "wt")
+    val got = Corpus.largestRemainder(df, "g", "wt", seats = 7L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 5L, 3L, 5L, 1L, 4L)))
+    assert(got("b") == (("b", 3L, 2L, 1L, 0L, 2L)))
+    assert(got("c") == (("c", 2L, 1L, 4L, 0L, 1L)))
+    assert(got.values.map(_._6).sum == 7L)
+    // remainder tie breaks to the smaller group key
+    val tie = Seq(("x", 1L), ("y", 1L)).toDF("g", "wt")
+    val t = Corpus.largestRemainder(tie, "g", "wt", seats = 3L)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(t == Map("x" -> 2L, "y" -> 1L))
+    // zero seats → all zeros; budget exactness holds trivially
+    assert(Corpus.largestRemainder(df, "g", "wt", 0L)
+      .agg(sum(col("seats"))).as[Long].collect()(0) == 0L)
+  }
+
+  test("ppsSystematic: exact k total, heavy item multi-slot, midpoint determinism") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 70L), ("c", 20L)).toDF("it", "wt")
+    // W=100, k=5: midpoints at 10,30,50,70,90 on the cum line
+    // a covers (0,10]: f(10)=⌊(100+100)/200⌋=1, f(0)=0 → 1
+    // b covers (10,80]: f(80)=⌊(800+100)/200⌋=4 → 3
+    // c covers (80,100]: f(100)=5 → 1
+    val got = Corpus.ppsSystematic(df, "it", "wt", k = 5L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 10L, 10L, 1L, true)))
+    assert(got("b") == (("b", 70L, 80L, 3L, true)))
+    assert(got("c") == (("c", 20L, 100L, 1L, true)))
+    // Σ selections is exactly k, whatever the weights
+    val big = (1 to 200).map(i => (f"i$i%03d", (i % 7 + 1).toLong))
+      .toDF("it", "wt")
+    val tot = Corpus.ppsSystematic(big, "it", "wt", 13L)
+      .agg(sum(col("n_selected"))).as[Long].collect()(0)
+    assert(tot == 13L)
+    // a light item between midpoints is reported unselected
+    val sparse = Seq(("a", 1L), ("b", 1000L)).toDF("it", "wt")
+    val s = Corpus.ppsSystematic(sparse, "it", "wt", 2L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(s("a") == 0L && s("b") == 2L)
+  }
+
   test("classBalance: exact equal counts, deterministic, growth-stable keepers") {
     import spark.implicits._
     val rows = (1 to 20).map(i => (i.toLong, "big")) ++

@@ -3356,6 +3356,61 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q376: ISO week dates from pure epoch-day arithmetic over a
+    // 500-day spine crossing two year boundaries — checked against
+    // DuckDB's NATIVE isoyear()/week() (cross-implementation).
+    "q376_iso_week" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          date_add(to_date(lit("2023-12-25")),
+            col("doc_id").cast("int")).as("d"))
+      val (iy, iw) = operators.Calendars.isoWeekDate(col("d"))
+      d.select(col("doc_id"), col("d"), iy.as("iso_year"),
+          iw.as("iso_week"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // q377: ISDA date-roll conventions over a spine that hits
+    // month-end weekends — modified-following flips to preceding
+    // exactly when following crosses the month.
+    "q377_roll_conventions" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 360)
+        .select(col("doc_id"),
+          date_add(to_date(lit("2024-02-26")),
+            (col("doc_id") % 120).cast("int")).as("d"))
+      operators.Calendars.rollConventions(d, "d")
+        .orderBy(col("doc_id"))
+    }),
+
+    // q378: exact Mann–Whitney U with doubled midranks — value-grain
+    // tie runs + the two-level global prefix scan, one row out.
+    "q378_mann_whitney" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((col("user_id") % 2 === 0).as("g1"), col("value"))
+      operators.Learn.mannWhitneyU(e, "g1", "value")
+    }),
+
+    // q379: homoglyph skeletons — Cyrillic/Greek lookalikes collapse
+    // onto Latin so spoofed hosts equal their targets; both engines
+    // run the same single-codepoint translate map.
+    "q379_homoglyph" -> ((s, dir) => {
+      val names = array(lit("paypal"), lit("google"), lit("amazon"),
+        lit("example"), lit("secure"))
+      val base = concat(element_at(names,
+        (col("doc_id") % 5 + 1).cast("int")),
+        (col("doc_id") % 9).cast("string"), lit(".com"))
+      val host = when(col("doc_id") % 3 === 1,
+          translate(base, "aeo", "аео"))
+        .when(col("doc_id") % 3 === 2, translate(base, "o", "о"))
+        .otherwise(base)
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), host.as("host"))
+      d.select(col("doc_id"), col("host"),
+          operators.TextOps.homoglyphSkeleton(col("host")).as("skeleton"))
+        .withColumn("is_spoof", col("skeleton") =!= lower(col("host")))
+        .orderBy(col("doc_id"))
+    }),
+
     // q372: decile lift / gains table over the q257 scoring fixture —
     // global two-pass ranking, integer bucket cuts, cumulative
     // capture and lift, exact to the last floor.
@@ -9028,6 +9083,82 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q376: DuckDB's native ISO calendar vs the engine's epoch-day
+    // construction — a genuine cross-implementation check.
+    "q376_iso_week" ->
+      """WITH d AS (SELECT doc_id,
+        |    DATE '2023-12-25' + CAST(doc_id AS INT) AS d
+        |  FROM documents WHERE doc_id < 500)
+        |SELECT doc_id, d, CAST(isoyear(d) AS BIGINT) AS iso_year,
+        |  CAST(week(d) AS BIGINT) AS iso_week
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q377: the same dow arithmetic on epoch days; month() guards the
+    // modified branch.
+    "q377_roll_conventions" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    DATE '2024-02-26' + CAST(doc_id % 120 AS INT) AS d
+        |  FROM documents WHERE doc_id < 360),
+        |w AS (SELECT doc_id, d,
+        |    (datediff('day', DATE '1970-01-01', d) + 3) % 7 AS dow
+        |  FROM d0),
+        |f AS (SELECT doc_id, d,
+        |    CASE WHEN dow = 5 THEN d + 2 WHEN dow = 6 THEN d + 1
+        |      ELSE d END AS following,
+        |    CASE WHEN dow = 5 THEN d - 1 WHEN dow = 6 THEN d - 2
+        |      ELSE d END AS preceding
+        |  FROM w)
+        |SELECT doc_id, d, following, preceding,
+        |  CASE WHEN month(following) = month(d) THEN following
+        |    ELSE preceding END AS mod_following
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // q378: value-grain tie runs, running counts, the doubled-midrank
+    // identities in HUGEINT.
+    "q378_mann_whitney" ->
+      """WITH s AS (SELECT user_id % 2 = 0 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |runs AS (SELECT v, COUNT(*) AS run,
+        |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS run1
+        |  FROM s GROUP BY 1),
+        |c AS (SELECT v, run, run1,
+        |    SUM(run) OVER (ORDER BY v) AS cum FROM runs),
+        |t AS (SELECT SUM(run1) AS n1, SUM(run - run1) AS n2,
+        |    SUM(CAST(cum - run + 1 + cum AS HUGEINT) * run1) AS r1d
+        |  FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(r1d AS BIGINT) AS r1_doubled,
+        |  CAST(r1d - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT)
+        |    AS u1_doubled,
+        |  CAST(2 * CAST(n1 AS HUGEINT) * n2
+        |    - (r1d - CAST(n1 AS HUGEINT) * (n1 + 1)) AS BIGINT)
+        |    AS u2_doubled,
+        |  CAST((1000000 * (r1d - CAST(n1 AS HUGEINT) * (n1 + 1)))
+        |    // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_micro
+        |FROM t""".stripMargin,
+
+    // q379: the identical translate map replayed; is_spoof is the
+    // skeleton-vs-lower inequality.
+    "q379_homoglyph" ->
+      """WITH names(i, nm) AS (VALUES (0, 'paypal'), (1, 'google'),
+        |  (2, 'amazon'), (3, 'example'), (4, 'secure')),
+        |d AS (SELECT doc_id,
+        |    nm || CAST(doc_id % 9 AS VARCHAR) || '.com' AS base
+        |  FROM documents JOIN names ON names.i = doc_id % 5
+        |  WHERE doc_id < 300),
+        |h AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 1 THEN translate(base, 'aeo', 'аео')
+        |      WHEN doc_id % 3 = 2 THEN translate(base, 'o', 'о')
+        |      ELSE base END AS host
+        |  FROM d)
+        |SELECT doc_id, host,
+        |  translate(lower(host), 'аеорсухіјѕԁԛԝοναρκυ',
+        |    'aeopcyxijsdqwovapku') AS skeleton,
+        |  translate(lower(host), 'аеорсухіјѕԁԛԝοναρκυ',
+        |    'aeopcyxijsdqwovapku') <> lower(host) AS is_spoof
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     // q372: global rank, the same integer bucket cut, running cums
     // (the oracle may use the partition-less window the engine

@@ -55,6 +55,55 @@ object Calendars {
       .withColumn("deadline_dow", pmod(col("deadline_day") + 3, lit(7L)))
   }
 
+  /** ISO-8601 week date (iso_year, iso_week) from PURE epoch-day
+    * arithmetic — the week-numbering convention every BI calendar
+    * disagreement is eventually traced to. The definition is "the
+    * week containing Thursday": walk to this week's Thursday
+    * (T = d − dow + 3 in epoch days), the ISO year is Thursday's
+    * civil year, and the week number counts from the Thursday of the
+    * week containing Jan 4 of that year. Only calendar DECOMPOSITION
+    * (year()) and date arithmetic touch engine code — no parser, no
+    * locale, no WEEK_OF_YEAR session flag; q376 checks the whole
+    * construction against DuckDB's NATIVE isoyear()/weekofyear()
+    * (a genuine cross-implementation check, the strip_accents
+    * posture). Row-local codegen, zero shuffles. */
+  def isoWeekDate(d: Column): (Column, Column) = {
+    val day = epochDay(d)
+    val thu = day - dowMon0(d) + 3L
+    val thuDate = date_add(Epoch, thu.cast("int"))
+    val isoYear = year(thuDate).cast("long")
+    val jan4 = make_date(isoYear.cast("int"), lit(1), lit(4))
+    val jan4Day = epochDay(jan4)
+    val thu0 = jan4Day - pmod(jan4Day + 3, lit(7L)) + 3L
+    val week = (thu - thu0) / lit(7L) + 1L
+    (isoYear, week.cast("long"))
+  }
+
+  /** Date-roll conventions (weekend-only calendar) — the settlement
+    * adjustments every financial schedule applies when a computed
+    * date lands on a non-business day: FOLLOWING rolls forward,
+    * PRECEDING rolls back, MODIFIED FOLLOWING rolls forward unless
+    * that crosses a month boundary, in which case it rolls back
+    * (the ISDA convention). Pure dow arithmetic — Saturday +2/-1,
+    * Sunday +1/-2 — plus one month() comparison for the modified
+    * branch. Appends following/preceding/mod_following DATE columns.
+    * Row-local, zero shuffles; join a holiday table upstream and
+    * re-apply for holiday-aware calendars (the addBusinessDays
+    * composition contract). */
+  def rollConventions(df: DataFrame, dateCol: String): DataFrame = {
+    val d = col(dateCol)
+    val dow = dowMon0(d)
+    val following = when(dow === 5, date_add(d, 2))
+      .when(dow === 6, date_add(d, 1)).otherwise(d)
+    val preceding = when(dow === 5, date_add(d, -1))
+      .when(dow === 6, date_add(d, -2)).otherwise(d)
+    df.withColumn("following", following)
+      .withColumn("preceding", preceding)
+      .withColumn("mod_following",
+        when(month(following) === month(d), following)
+          .otherwise(preceding))
+  }
+
   /** Bounded RRULE expansion (RFC 5545 §3.3.10, the COUNT-terminated
     * DAILY/WEEKLY/MONTHLY fragment) — recurring-schedule rows fan out
     * to their concrete occurrence dates. DAILY/WEEKLY are pure

@@ -1804,6 +1804,53 @@ object Learn {
       .toDF()
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum), EXACT — the nonparametric
+    * two-sample comparison an A/B review reaches for when means lie:
+    * pooled MIDRANKS carried DOUBLED (midrank of a tie run =
+    * (min+max)/2, so 2·midrank = min_rank + max_rank is always an
+    * integer — no halves, no floats), then
+    *   2·U₁ = 2·R₁ − n₁(n₁+1),  2·U₂ = 2·n₁n₂ − 2·U₁,
+    * and the probability-of-superiority reading auc_micro =
+    * ⌊10⁶·2U₁ / (2·n₁·n₂)⌋ (ties counted half, the standard
+    * convention — 500000 = stochastically equal). One row out.
+    *
+    * Ranks come from VALUE-grain tie runs: one aggregate to distinct
+    * values, [[Relational.globalPrefixSum]] for the cumulative
+    * counts (min_rank = cum − run + 1, max_rank = cum), then one
+    * join back — never a row-grain global sort window. */
+  def mannWhitneyU(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__run"),
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"))
+    val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+        "__run", "__cum")
+      // doubled midrank of every row at this value: min+max ranks
+      .withColumn("__dmr", (col("__cum") - col("__run") + 1L) +
+        col("__cum"))
+    val out = cum.agg(
+      sum(col("__run1")).as("n1"),
+      sum(col("__run") - col("__run1")).as("n2"),
+      sum(expr("CAST(__dmr AS DECIMAL(38,0)) * __run1")).as("__r1d"))
+      .withColumn("r1_doubled", expr("CAST(__r1d AS DECIMAL(38,0))"))
+      .withColumn("u1_doubled",
+        expr("CAST(__r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DECIMAL(38,0))"))
+      .withColumn("u2_doubled",
+        expr("CAST(2 * CAST(n1 AS DECIMAL(38,0)) * n2 - (__r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)) AS DECIMAL(38,0))"))
+      .withColumn("auc_micro", when(col("n1") > 0 && col("n2") > 0, expr(
+        """CAST((1000000 * (__r1d - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)))
+          |  div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+          .stripMargin)))
+    out.select(col("n1"), col("n2"),
+      col("r1_doubled").cast("long").as("r1_doubled"),
+      col("u1_doubled").cast("long").as("u1_doubled"),
+      col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
+  }
+
   /** Decile lift / gains table, EXACT — the scoring-model report
     * every targeting review reads: rank the population by score
     * (ties broken by `idCol` — a total order, so the bucketing is

@@ -1880,6 +1880,36 @@ object Relational {
             |    div abs(prev_sum_milli)) END""".stripMargin)))
   }
 
+  /** Global running sum WITHOUT a partition-less window: rows are
+    * [[globalRowNumber]]ed in `orderCols` order, then the prefix sum
+    * rides a TWO-LEVEL scan — a within-block running window over
+    * rank-blocks of 1024 plus broadcast block offsets (block offsets
+    * from a block-grain triangular join: blocks² rows, block count =
+    * n/1024, never data-sized on one reducer). Appends `out`
+    * (inclusive prefix sum of `valueCol`) and `__r` (the global
+    * rank). The scalable spine under PPS sampling, Mann–Whitney
+    * ranks, Lorenz curves — anywhere "cumulative over everything"
+    * must not funnel through one partition. */
+  def globalPrefixSum(df: DataFrame, orderCols: Seq[Column],
+      valueCol: String, out: String): DataFrame = {
+    val ranked = globalRowNumber(df, orderCols, "__r")
+      .withColumn("__blk", expr("(__r - 1) div 1024"))
+    val wIn = Window.partitionBy(col("__blk")).orderBy(col("__r"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val blkTotals = ranked.groupBy(col("__blk"))
+      .agg(sum(col(valueCol)).as("__bw"))
+    val blkOffsets = blkTotals.as("x").join(
+        blkTotals.select(col("__blk").as("__b2"), col("__bw").as("__w2")),
+        col("__b2") < col("x.__blk"), "left")
+      .groupBy(col("x.__blk"))
+      .agg(coalesce(sum(col("__w2")), lit(0L)).as("__off"))
+    ranked
+      .withColumn("__within", sum(col(valueCol)).over(wIn))
+      .join(broadcast(blkOffsets), Seq("__blk"))
+      .withColumn(out, col("__within") + col("__off"))
+      .drop("__blk", "__within", "__off")
+  }
+
   /** Polygon area + centroid by the integer shoelace formula — the
     * measurement half of the geometry family ([[pointInPolygon]] is
     * the membership half): per polygon (vertices as rows, ordered by

@@ -769,6 +769,25 @@ object TextOps {
     floor(num * mult).cast("long")
   }
 
+  /** Homoglyph skeleton (the Unicode TR39 confusables idea, scoped to
+    * the high-traffic lookalike set): map Cyrillic/Greek/fullwidth
+    * characters that RENDER like Latin onto their Latin skeletons, so
+    * "pаypаl.com" (Cyrillic а) and "paypal.com" collapse to the same
+    * string — the domain/brand spoof detector's first pass. One
+    * `translate` over lowercased input (single-codepoint map — both
+    * engines' translate walk characters identically), composable with
+    * strip_invisible upstream for zero-width tricks. `spoofed` =
+    * skeleton differs from the lowercased input: some lookalike was
+    * present. Row-local codegen, zero shuffles. */
+  // Cyrillic a-likes then Greek lookalikes, \u-escaped so the
+  // mapping is reviewable in any diff
+  private val HomoglyphFrom =
+    "\u0430\u0435\u043E\u0440\u0441\u0443\u0445\u0456\u0458\u0455" +
+      "\u0501\u051B\u051D\u03BF\u03BD\u03B1\u03C1\u03BA\u03C5"
+  private val HomoglyphTo = "aeopcyxijsdqwovapku"
+  def homoglyphSkeleton(s: Column): Column =
+    translate(lower(s), HomoglyphFrom, HomoglyphTo)
+
   /** Duration token → exact milliseconds; see [[sizeToBytes]]. */
   def durationToMillis(s: Column): Column = {
     val re = "^([0-9]+(?:\\.[0-9]+)?)\\s*(ms|s|m|h|d)$"

@@ -937,10 +937,10 @@ object Corpus {
     * line in (item) order — deterministic, growth-sensitive only
     * after the insertion point, like any systematic design.
     *
-    * The GLOBAL running sum of weights rides a TWO-LEVEL prefix scan
-    * (within-block window over rank-blocks of 1024 + broadcast block
-    * offsets) — never a partition-less window; cost stays item-grain
-    * at any item count. */
+    * The GLOBAL running sum of weights rides
+    * [[graft.operators.Relational.globalPrefixSum]]'s two-level scan
+    * — never a partition-less window; cost stays item-grain at any
+    * item count. */
   def ppsSystematic(df: DataFrame, itemCol: String, weightCol: String,
       k: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -950,24 +950,8 @@ object Corpus {
       .groupBy(col(itemCol).as("item"))
       .agg(sum(col(weightCol).cast("long")).as("w"))
     val wSum = g.agg(coalesce(sum(col("w")), lit(0L)).as("__W"))
-    val ranked = graft.operators.Relational.globalRowNumber(g,
-      Seq(col("item").asc), "__r")
-      .withColumn("__blk", expr("(__r - 1) div 1024"))
-    val wIn = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__blk")).orderBy(col("__r"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window
-        .unboundedPreceding, 0)
-    val blkTotals = ranked.groupBy(col("__blk"))
-      .agg(sum(col("w")).as("__bw"))
-    val blkOffsets = blkTotals.as("x").join(
-        blkTotals.select(col("__blk").as("__b2"), col("__bw").as("__w2")),
-        col("__b2") < col("x.__blk"), "left")
-      .groupBy(col("x.__blk"))
-      .agg(coalesce(sum(col("__w2")), lit(0L)).as("__off"))
-    val cumDf = ranked
-      .withColumn("__within", sum(col("w")).over(wIn))
-      .join(broadcast(blkOffsets), Seq("__blk"))
-      .withColumn("cum", col("__within") + col("__off"))
+    val cumDf = graft.operators.Relational.globalPrefixSum(g,
+      Seq(col("item").asc), "w", "cum")
     cumDf.crossJoin(broadcast(wSum))
       .withColumn("__prev", col("cum") - col("w"))
       .withColumn("n_selected", expr(

@@ -48,6 +48,51 @@ class CalendarsSpec extends AnyFunSuite with SparkTestBase {
     assert(e.getMessage.contains("must be >= 0"), e.getMessage)
   }
 
+  test("isoWeekDate: year-boundary weeks, week-53 years, Jan-4 anchor") {
+    import spark.implicits._
+    val cases = Seq(
+      ("2023-12-31", 2023L, 52L), // Sunday of 2023-W52
+      ("2024-01-01", 2024L, 1L),  // Monday starts W1
+      ("2024-12-29", 2024L, 52L), // Sunday closes W52
+      ("2024-12-30", 2025L, 1L),  // Monday: already 2025-W01
+      ("2026-01-01", 2026L, 1L),  // Thursday: its own week is W1
+      ("2020-12-31", 2020L, 53L), // 2020 is a 53-week ISO year
+      ("2021-01-03", 2020L, 53L),
+      ("2021-01-04", 2021L, 1L))
+    val df = cases.map(_._1).toDF("ds")
+      .select(to_date(col("ds")).as("d"))
+    val (iy, iw) = Calendars.isoWeekDate(col("d"))
+    val got = df.select(col("d").cast("string"), iy, iw)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.foreach { case (ds, y, w) =>
+      assert(got(ds) == ((y, w)), s"$ds expected $y-W$w got ${got(ds)}")
+    }
+  }
+
+  test("rollConventions: weekday fixed point, weekend rolls, modified at month end") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val df = Seq(d("2024-03-27"), d("2024-03-30"), d("2024-03-31"),
+        d("2024-08-10")).toDF("d")
+    val got = Calendars.rollConventions(df, "d")
+      .as[(java.sql.Date, java.sql.Date, java.sql.Date, java.sql.Date)]
+      .collect().map(r => r._1.toString ->
+        ((r._2.toString, r._3.toString, r._4.toString))).toMap
+    // Wednesday: all three are the date itself
+    assert(got("2024-03-27") ==
+      (("2024-03-27", "2024-03-27", "2024-03-27")))
+    // Saturday Mar 30: following Apr 1 CROSSES the month → modified
+    // falls back to Friday Mar 29
+    assert(got("2024-03-30") ==
+      (("2024-04-01", "2024-03-29", "2024-03-29")))
+    assert(got("2024-03-31") ==
+      (("2024-04-01", "2024-03-29", "2024-03-29")))
+    // mid-month Saturday: modified == following
+    assert(got("2024-08-10") ==
+      (("2024-08-12", "2024-08-09", "2024-08-12")))
+  }
+
   test("rruleOccurrences: freq lanes, month-end clamp, count clamp, bad rows silent") {
     import spark.implicits._
     def d(s: String) = java.sql.Date.valueOf(s)

@@ -801,6 +801,34 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("mannWhitneyU: hand ranks, midrank ties, AUC endpoints") {
+    import spark.implicits._
+    // group1 {1,2,3}, group2 {4,5}: complete separation downward —
+    // R1 = 1+2+3 = 6 → 2U1 = 12 − 12 = 0 → AUC 0
+    val sep = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 4.0), (false, 5.0)).toDF("g", "v")
+    val a = Learn.mannWhitneyU(sep, "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(a == ((3L, 2L, 12L, 0L, 12L, Some(0L))))
+    // reversed: AUC 1e6
+    val rev = Seq((false, 1.0), (false, 2.0), (true, 3.0),
+      (true, 4.0)).toDF("g", "v")
+    val b = Learn.mannWhitneyU(rev, "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(b._6 == Some(1000000L) && b._4 == 2L * b._1 * b._2)
+    // ties split: g1 {1, 2}, g2 {2}: ranks 1, 2.5, 2.5 →
+    // R1d = 2 + 5 = 7; 2U1 = 7 − 6 = 1 → AUC = 1e6·1/4 = 250000
+    val tie = Seq((true, 1.0), (true, 2.0), (false, 2.0)).toDF("g", "v")
+    val c = Learn.mannWhitneyU(tie, "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(c == ((2L, 1L, 7L, 1L, 3L, Some(250000L))))
+    // one empty group → null AUC, counts still reported
+    val solo = Seq((true, 1.0), (true, 2.0)).toDF("g", "v")
+    val s0 = Learn.mannWhitneyU(solo, "g", "v")
+      .as[(Long, Long, Long, Long, Long, Option[Long])].collect()(0)
+    assert(s0._1 == 2L && s0._2 == 0L && s0._6.isEmpty)
+  }
+
   test("decileLift: perfect model concentrates, uniform is flat, cuts exact") {
     import spark.implicits._
     // 20 rows, 4 positives, score == 1000·y (perfect separation),

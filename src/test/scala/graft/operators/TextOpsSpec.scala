@@ -1196,6 +1196,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(5L) == "already-clean-slug")
   }
 
+  test("homoglyphSkeleton: Cyrillic/Greek collapse, clean Latin fixed point") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "paypal.com"),                    // clean
+      (2L, "pаypаl.com"),          // Cyrillic а twice
+      (3L, "gооgle.com"),          // Cyrillic о
+      (4L, "αmazon.com"),               // Greek alpha
+      (5L, "PAYPAL.COM"))                    // case-folds first
+    val got = rows.toDF("id", "h")
+      .select(col("id"), TextOps.homoglyphSkeleton(col("h")).as("sk"),
+        (TextOps.homoglyphSkeleton(col("h")) =!= lower(col("h")))
+          .as("spoof"))
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "paypal.com", false)))
+    assert(got(2L) == ((2L, "paypal.com", true)))
+    assert(got(3L) == ((3L, "google.com", true)))
+    assert(got(4L) == ((4L, "amazon.com", true)))
+    assert(got(5L) == ((5L, "paypal.com", false)))
+    // spoof and target collapse to the SAME skeleton — the property
+    // the detector joins on
+    assert(got(2L)._2 == got(1L)._2)
+  }
+
   test("sizeToBytes/durationToMillis: decimal vs IEC, floors, null on junk") {
     import spark.implicits._
     val rows = Seq("1 KB", "1 KiB", "3.5 GB", "3.5GiB", "0.5 TB",

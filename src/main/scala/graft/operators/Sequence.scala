@@ -188,8 +188,12 @@ object Sequence {
         frontier.unpersist()
         done = true
       } else {
-        val kept = sup.map(_._1).toSeq
-        val next = frontier.filter(col("pattern").isin(kept: _*))
+        // survivors join back as a BROADCAST frame, not an isin
+        // literal list — at maxPatterns=1e5 an In-expression would
+        // dwarf the plan; a broadcast hash join stays model-sized
+        val kept = spark.createDataset(sup.map(_._1).toSeq)
+          .toDF("pattern")
+        val next = frontier.join(broadcast(kept), Seq("pattern"))
           .join(pos, "__k")
           .filter(col("__p") > col("__e"))
           .select(col("__k"),

@@ -87,7 +87,11 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       assert(staged.persisted.isDefined)
       assert(staged.curated.select("doc_id").as[Long].collect().toSet == ids)
     } finally staged.unpersist()
-    assert(spark.sharedState.cacheManager.isEmpty,
+    // assert THIS handle's entry was evicted — a global
+    // cacheManager.isEmpty check races with other suites' live
+    // persists when the shared session runs the full suite
+    assert(staged.persisted.get.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE,
       "curateStaged.unpersist() must evict the internal cache entry")
   }
 

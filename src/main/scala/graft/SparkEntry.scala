@@ -3356,6 +3356,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q380: Lorenz curve deciles of per-user value — the
+    // concentration picture behind q302's Gini scalar; cumulative
+    // shares ride the two-pass global prefix scan.
+    "q380_lorenz_curve" -> ((s, dir) => {
+      // per-row floor BEFORE the per-user sum: summing raw doubles
+      // would be addition-order-dependent across engines
+      val e = Tables.events(s, dir).groupBy(col("user_id"))
+        .agg(sum(floor(col("value")).cast("long")).as("v"))
+      operators.Learn.lorenzCurve(e, "user_id", "v", points = 10)
+        .orderBy(col("band"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9083,6 +9095,33 @@ object SparkEntry {
         |LEFT JOIN lab ON lab.id = p.id
         |LEFT JOIN bl ON bl.id = p.id
         |ORDER BY p.id""".stripMargin,
+
+    // q380: ascending rank + running sums, the same band cut and
+    // floored shares.
+    "q380_lorenz_curve" ->
+      """WITH u AS (SELECT user_id,
+        |    SUM(CAST(FLOOR(value) AS BIGINT)) AS v
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |s AS (SELECT user_id AS id, v * 1000 AS vm FROM u),
+        |r AS (SELECT vm,
+        |    ROW_NUMBER() OVER (ORDER BY vm ASC, id ASC) AS rk,
+        |    SUM(vm) OVER (ORDER BY vm ASC, id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum,
+        |    COUNT(*) OVER () AS n, SUM(vm) OVER () AS t
+        |  FROM s),
+        |g AS (SELECT ((rk - 1) * 10) // n AS band,
+        |    COUNT(*) AS n_rows, MAX(rk) AS rmax,
+        |    MAX(cum) AS cum_value_milli, MAX(n) AS n, MAX(t) AS t
+        |  FROM r GROUP BY 1)
+        |SELECT CAST(band AS BIGINT) AS band,
+        |  CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST((1000000 * rmax) // n AS BIGINT) AS cum_pop_micro,
+        |  CAST(cum_value_milli AS BIGINT) AS cum_value_milli,
+        |  CASE WHEN t > 0 THEN
+        |    CAST((1000000 * CAST(cum_value_milli AS HUGEINT)) // t
+        |      AS BIGINT) END AS cum_value_micro
+        |FROM g ORDER BY band""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

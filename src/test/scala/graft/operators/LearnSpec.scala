@@ -801,6 +801,32 @@ class LearnSpec extends SparkTestBase {
       (3L, 2L, 2L, -4500L, -1833334L)))
   }
 
+  test("lorenzCurve: equality diagonal, concentration, closure at (1e6, 1e6)") {
+    import spark.implicits._
+    // perfect equality: 4 units of 5.0 in 4 bands → curve on the
+    // diagonal
+    val eq = (1 to 4).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val g1 = Learn.lorenzCurve(eq, "id", "v", points = 4)
+      .select("band", "cum_pop_micro", "cum_value_micro")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1)
+    assert(g1.map(r => (r._2, r._3.get)).toSeq ==
+      Seq((250000L, 250000L), (500000L, 500000L),
+        (750000L, 750000L), (1000000L, 1000000L)))
+    // one whale: {0,0,0,100} → first three bands hold 0% of value
+    val whale = Seq((1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 100.0))
+      .toDF("id", "v")
+    val g2 = Learn.lorenzCurve(whale, "id", "v", 4)
+      .select("band", "cum_value_micro")
+      .as[(Long, Option[Long])].collect().sortBy(_._1)
+    assert(g2.map(_._2.get).toSeq == Seq(0L, 0L, 0L, 1000000L))
+    // zero total → null shares, populations still reported
+    val z = Learn.lorenzCurve(Seq((1L, 0.0), (2L, 0.0)).toDF("id", "v"),
+        "id", "v", 2)
+      .select("cum_pop_micro", "cum_value_micro")
+      .as[(Long, Option[Long])].collect()
+    assert(z.forall(_._2.isEmpty) && z.map(_._1).max == 1000000L)
+  }
+
   test("mannWhitneyU: hand ranks, midrank ties, AUC endpoints") {
     import spark.implicits._
     // group1 {1,2,3}, group2 {4,5}: complete separation downward —

@@ -7648,8 +7648,12 @@ object SparkEntry {
         |it AS (
         |  SELECT event_id, k, rn, mv AS s FROM e WHERE rn = 1
         |  UNION ALL
+        |  -- FLOOR division (engine: Math.floorDiv): DuckDB's `//`
+        |  -- truncates, so subtract the nonneg mod first — exact for
+        |  -- negative numerators too (latent until values go negative)
         |  SELECT e.event_id, e.k, e.rn,
-        |    (200 * e.mv + 800 * it.s) // 1000
+        |    (200 * e.mv + 800 * it.s
+        |      - ((200 * e.mv + 800 * it.s) % 1000 + 1000) % 1000) // 1000
         |  FROM it JOIN e ON e.k = it.k AND e.rn = it.rn + 1)
         |SELECT event_id, k AS event_type, CAST(s AS BIGINT) AS ewma_milli
         |FROM it ORDER BY event_id""".stripMargin,
@@ -8472,7 +8476,8 @@ object SparkEntry {
         |      OVER (PARTITION BY doc_id ORDER BY i) AS span_idx
         |  FROM (SELECT doc_id, i,
         |      lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM m))
-        |SELECT doc_id, span_idx, MIN(i) AS span_start,
+        |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+        |  MIN(i) AS span_start,
         |  MAX(i) + 11 AS span_end, MAX(i) + 11 - MIN(i) + 1 AS span_len
         |FROM isl GROUP BY doc_id, span_idx
         |ORDER BY doc_id, span_start""".stripMargin,
@@ -8997,9 +9002,14 @@ object SparkEntry {
         |    CAST(SUM(c) OVER (PARTITION BY key ORDER BY i) AS BIGINT)
         |      AS cs
         |  FROM o),
-        |iv AS (SELECT a.key, a.i AS ai, b.i AS bi,
-        |    (1000 * (b.ss - a.ss + a.sm)) // (b.cs - a.cs + a.c) AS gv
+        |iv0 AS (SELECT a.key, a.i AS ai, b.i AS bi,
+        |    1000 * (b.ss - a.ss + a.sm) AS nu, b.cs - a.cs + a.c AS de
         |  FROM ps a JOIN ps b ON a.key = b.key AND b.i >= a.i),
+        |-- FLOOR division (engine: Math.floorDiv): DuckDB's integer
+        |-- `//` truncates toward zero, so subtract the nonneg mod
+        |-- first — exact division, floors for negative pool sums too
+        |iv AS (SELECT key, ai, bi,
+        |    (nu - (nu % de + de) % de) // de AS gv FROM iv0),
         |m AS (SELECT key, ai, bi, MIN(gv) OVER
         |    (PARTITION BY key, ai ORDER BY bi DESC) AS rmin FROM iv),
         |f AS (SELECT key, bi AS i, CAST(MAX(rmin) AS BIGINT) AS fit
@@ -9101,7 +9111,9 @@ object SparkEntry {
     "q380_lorenz_curve" ->
       """WITH u AS (SELECT user_id,
         |    SUM(CAST(FLOOR(value) AS BIGINT)) AS v
-        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1),
         |s AS (SELECT user_id AS id, v * 1000 AS vm FROM u),
         |r AS (SELECT vm,
         |    ROW_NUMBER() OVER (ORDER BY vm ASC, id ASC) AS rk,
@@ -9477,10 +9489,13 @@ object SparkEntry {
         |  CASE WHEN bad THEN NULL
         |    ELSE CAST((doc_id % 192) % 8 AS BIGINT) END AS severity,
         |  CASE WHEN bad THEN NULL
-        |    ELSE (epoch(CAST(DATE '2024-01-01'
+        |    -- epoch() returns DOUBLE in DuckDB: pin the whole lane
+        |    -- back to BIGINT (exact here — epoch seconds * 1e6 is
+        |    -- far under 2^53, but the driver hasher sees dtypes)
+        |    ELSE CAST((epoch(CAST(DATE '2024-01-01'
         |        + CAST(doc_id % 28 AS INT) AS TIMESTAMP))
         |      + (doc_id % 24) * 3600 + (doc_id % 60) * 60
-        |      + (doc_id * 7) % 60) * 1000000
+        |      + (doc_id * 7) % 60) * 1000000 AS BIGINT)
         |      + CASE WHEN doc_id % 7 = 0 THEN 500000 ELSE 0 END
         |    END AS ts_us,
         |  CASE WHEN bad THEN NULL
@@ -9970,7 +9985,9 @@ object SparkEntry {
         |FROM f ORDER BY arm""".stripMargin,
 
     // q352: the coupled level/trend recurrence walked per key with
-    // DuckDB's flooring `//` — the same floor Math.floorDiv takes.
+    // DuckDB's TRUNCATING `//` — the same truncation the engine's
+    // Java `/` takes (holtLinear pins trunc at every step; measured:
+    // DuckDB integer `//` truncates toward zero, it does not floor).
     "q352_holt_linear" ->
       """WITH RECURSIVE s AS (SELECT user_id % 8 AS k, epoch_us(ts)
         |      AS t, event_id,

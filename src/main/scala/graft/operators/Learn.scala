@@ -1836,10 +1836,17 @@ object Learn {
         max(col("__n")).as("__n"), max(col("__t")).as("__t"))
       .withColumn("cum_pop_micro",
         expr("(1000000 * __rmax) div __n"))
+      // the 10⁶ product runs in DECIMAL(38,0) (the mannWhitneyU /
+      // emd1d discipline): in BIGINT it would silently wrap past
+      // cum_value_milli ≈ 9.2e12 (total value ~9.2e9) and could even
+      // flip the sign branch; the oracle's HUGEINT cast is the same
+      // guard on the DuckDB side
       .withColumn("cum_value_micro", when(col("__t") > 0, expr(
-        """CASE WHEN 1000000 * cum_value_milli >= 0
-          |  THEN (1000000 * cum_value_milli) div __t
-          |  ELSE -((-(1000000 * cum_value_milli)) div __t) END"""
+        """CASE WHEN cum_value_milli >= 0
+          |  THEN CAST((CAST(1000000 AS DECIMAL(38,0)) * cum_value_milli)
+          |    div __t AS BIGINT)
+          |  ELSE -CAST((CAST(1000000 AS DECIMAL(38,0)) * -cum_value_milli)
+          |    div __t AS BIGINT) END"""
           .stripMargin)))
       .select(col("band"), col("n_rows"), col("cum_pop_micro"),
         col("cum_value_milli"), col("cum_value_micro"))

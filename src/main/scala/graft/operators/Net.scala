@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   * in the input. */
 object Net {
 
-  private val Ipv4Re = "^([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})\\.([0-9]{1,3})$"
-
   /** Strict dotted-quad IPv4 → BIGINT in [0, 2³²): exactly four
     * decimal octets, each ≤ 255 (leading zeros tolerated, the
     * inet_aton posture); anything else — spare fields, signs, ports,
-    * IPv6, whitespace — is null, never a wrong number. */
+    * IPv6, whitespace — is null, never a wrong number.
+    *
+    * One `split` per row (no regex engine in the hot path — the
+    * previous rlike + 4× regexp_extract form ran 9 regex evaluations
+    * per call and dominated q304's bench time): each field must be
+    * 1–3 characters, all ASCII digits (pinned via translate-to-empty,
+    * which also rejects signs/whitespace/unicode digits that a bare
+    * cast would accept), and ≤ 255 after the cast. A trailing dot
+    * (`1.2.3.4.`) yields a 5th empty field and fails the arity check
+    * because split with limit -1 keeps trailing empties. */
   def ipv4ToLong(ip: Column): Column = {
-    val o = (i: Int) => regexp_extract(ip, Ipv4Re, i).cast("long")
+    val parts = split(ip, "\\.", -1)
+    val o = (i: Int) => {
+      val f = element_at(parts, i)
+      when(length(f).between(1, 3) &&
+        length(translate(f, "0123456789", "")) === 0, f.cast("long"))
+    }
     val octets = Seq(o(1), o(2), o(3), o(4))
-    when(ip.rlike(Ipv4Re) && octets.map(_ <= 255).reduce(_ && _),
+    when(size(parts) === 4 &&
+      octets.map(c => c.isNotNull && c <= 255).reduce(_ && _),
       octets.reduce((acc, b) => acc * 256 + b))
   }
 

@@ -316,8 +316,10 @@ object Relational {
     * it keeps every state BIGINT-exact so the whole trajectory
     * replays engine-to-engine (the closed-form Σα(1−α)ᵏ weights
     * would need floats and could never be value-pinned). Floor (not
-    * truncate) division — Math.floorDiv here, `//` in the oracle —
-    * so negative series agree too (the twap_milli lesson).
+    * truncate) division — Math.floorDiv here; the oracle floors
+    * explicitly via the subtract-nonneg-mod form, because DuckDB's
+    * integer `//` TRUNCATES toward zero (measured, not assumed) —
+    * so negative series agree too.
     *
     * A per-step-floored recurrence is inherently SEQUENTIAL per key
     * (no associative reformulation survives the floor), so this is

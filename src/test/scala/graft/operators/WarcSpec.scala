@@ -218,6 +218,39 @@ class WarcSpec extends SparkTestBase {
     assert(Warc.parse(rawPlain).head.body == chunkEnc(body, 7))
   }
 
+  test("parse: multibyte UTF-8 chunked body frames on OCTETS end-to-end") {
+    // the r11 verdict's crawl-user scenario: a real origin streams
+    // UTF-8 HTML chunked; chunk sizes count octets, and the chunk
+    // boundary may split a multibyte sequence. Frame at the BYTE
+    // layer (the latin-1 view is octet-per-char), then recover the
+    // text by re-encoding latin-1 → decoding UTF-8.
+    val text = "café über 中文 😀 naïve" // 2-, 3-, 4-byte seqs
+    val utf8 = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    for (size <- Seq(1, 3, 5, 64)) { // size 1/3/5 split mid-sequence
+      val frames = utf8.grouped(size)
+        .map { c =>
+          val l1 = new String(c, java.nio.charset.StandardCharsets.ISO_8859_1)
+          f"${c.length}%x\r\n$l1\r\n"
+        }.mkString
+      val chunked = s"${frames}0\r\n\r\n"
+      val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\n\r\n" + chunked
+      val raw = "WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://multibyte.io/\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n$payload\r\n\r\n"
+      // binary lane: exactly the bytes a .warc file would hold
+      val recs = Warc.parseBinary(
+        raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      assert(recs != null && recs.length == 1, s"size=$size")
+      val body = recs.head.body
+      val recovered = new String(
+        body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(recovered == text, s"size=$size: multibyte body mis-framed")
+      assert(body.length == utf8.length, s"size=$size: body is the octet view")
+    }
+  }
+
   test("parse: declared-chunked body that fails to decode refuses the buffer") {
     val payload = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
       "zz\r\nnot chunked at all"

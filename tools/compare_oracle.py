@@ -12,6 +12,7 @@ separately).
 """
 import json, math, sys
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
 
@@ -26,6 +27,40 @@ def norm_rows(tbl):
     data = [tbl.column(c).to_pylist() for c in cols]
     rows = list(zip(*data)) if data else []
     return cols, sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+def type_kind(t):
+    """Coarse type category for the duck-vs-spark schema audit."""
+    if pa.types.is_integer(t): return "int"
+    if pa.types.is_floating(t): return "float"
+    if pa.types.is_decimal(t): return "decimal"
+    if pa.types.is_boolean(t): return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t): return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t): return "bin"
+    if pa.types.is_date(t): return "date"
+    if pa.types.is_timestamp(t): return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t): return "list"
+    if pa.types.is_struct(t): return "struct"
+    if pa.types.is_map(t): return "map"
+    if pa.types.is_null(t): return "null"
+    return str(t)
+
+def audit_types(name, dk, sp):
+    """The r10-q149 / r11-q303 failure family, made structurally
+    impossible: an oracle whose windowed SUM silently promotes to
+    HUGEINT (arrow decimal128) passes value compare here but fails
+    the driver's hasher, which sees different physical dtypes. FAIL
+    whenever a column's coarse arrow type category differs between
+    the DuckDB result and the Spark dump (int vs decimal, int vs
+    float, ...). NULL-typed duck columns (all-NULL literal lanes)
+    are exempt — pandas renders both as None/NaN identically."""
+    dkt = {f.name: f.type for f in dk.schema}
+    spt = {f.name: f.type for f in sp.schema}
+    bad = []
+    for c in sorted(set(dkt) & set(spt)):
+        k1, k2 = type_kind(dkt[c]), type_kind(spt[c])
+        if k1 != k2 and "null" not in (k1, k2):
+            bad.append(f"{c}: duckdb {dkt[c]}({k1}) vs spark {spt[c]}({k2})")
+    return bad
 
 def close(a, b):
     if a is None or b is None: return a is b
@@ -59,6 +94,11 @@ def main(sfdir, outdir):
                 pdf.sort_values(by=sorted(pdf.columns), inplace=False)
         except Exception as e:
             print(f"FAIL {name}: driver-unsortable column (pandas sort_values): {e}")
+            n_fail += 1; continue
+        tbad = audit_types(name, dk, sp)
+        if tbad:
+            print(f"FAIL {name}: result-type mismatch (uncast HUGEINT/DECIMAL "
+                  f"reaches the driver hasher): {'; '.join(tbad)}")
             n_fail += 1; continue
         dc, dr = norm_rows(dk)
         sc, sr = norm_rows(sp)

@@ -19,6 +19,12 @@ import org.apache.spark.sql.SparkSession
   * showed can inflate a single query by ~10× on a cold machine. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args: short query ids ("q304 q23") — time only those
+    // (local iteration on a hot spot; the driver passes no args)
+    val only: Set[String] = args.toSet
+    def selected = if (only.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) =>
+        only(k.takeWhile(_ != '_')) || only(k) }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
@@ -32,7 +38,7 @@ object Bench {
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
@@ -59,7 +65,7 @@ object Bench {
       }
       ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9, err)
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val (t1, c1, e1) = timeOnce(fn)
       val (t2, c2, e2) = timeOnce(fn)
       val cpu = if (t1 <= t2) c1 else c2

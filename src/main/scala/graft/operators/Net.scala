@@ -23,26 +23,36 @@ object Net {
     * inet_aton posture); anything else — spare fields, signs, ports,
     * IPv6, whitespace — is null, never a wrong number.
     *
-    * One `split` per row (no regex engine in the hot path — the
-    * previous rlike + 4× regexp_extract form ran 9 regex evaluations
-    * per call and dominated q304's bench time): each field must be
-    * 1–3 characters, all ASCII digits (pinned via translate-to-empty,
-    * which also rejects signs/whitespace/unicode digits that a bare
-    * cast would accept), and ≤ 255 after the cast. A trailing dot
-    * (`1.2.3.4.`) yields a 5th empty field and fails the arity check
-    * because split with limit -1 keeps trailing empties. */
-  def ipv4ToLong(ip: Column): Column = {
-    val parts = split(ip, "\\.", -1)
-    val o = (i: Int) => {
-      val f = element_at(parts, i)
-      when(length(f).between(1, 3) &&
-        length(translate(f, "0123456789", "")) === 0, f.cast("long"))
-    }
-    val octets = Seq(o(1), o(2), o(3), o(4))
-    when(size(parts) === 4 &&
-      octets.map(c => c.isNotNull && c <= 255).reduce(_ && _),
-      octets.reduce((acc, b) => acc * 256 + b))
-  }
+    * BIND-ONCE shape: the whole parse is a single `aggregate` over a
+    * single `split`, so the input expression is evaluated EXACTLY
+    * once per row. This matters more than it looks: Catalyst's
+    * project collapse inlines a `withColumn` argument into every
+    * reference, so a parser that mentions its input k times costs k
+    * evaluations of whatever built the string (q304's fixture builds
+    * the quad with concat_ws + four CASEs — the previous 9-regex and
+    * 14-reference split forms both re-ran that build per reference
+    * and dominated the bench at ~8 s; this form is one build + one
+    * split). Same trap and fix as the shingle HOFs in TextOps.
+    *
+    * Validation per field: 1–3 chars, all ASCII digits (pinned via
+    * translate-to-empty, which also rejects signs/whitespace/unicode
+    * digits a bare cast would accept), ≤ 255 after the cast. A
+    * trailing dot (`1.2.3.4.`) yields a 5th empty field and fails
+    * the arity check because split with limit -1 keeps trailing
+    * empties. */
+  def ipv4ToLong(ip: Column): Column =
+    aggregate(
+      split(ip, "\\.", -1),
+      struct(lit(0L).as("acc"), lit(0).as("n"), lit(false).as("bad")),
+      (st, f) => {
+        val oct = when(length(f).between(1, 3) &&
+          length(translate(f, "0123456789", "")) === 0, f.cast("long"))
+        struct(
+          (st("acc") * 256 + coalesce(oct, lit(0L))).as("acc"),
+          (st("n") + 1).as("n"),
+          (st("bad") || oct.isNull || oct > 255).as("bad"))
+      },
+      st => when(st("n") === 4 && !st("bad"), st("acc")))
 
   /** BIGINT → dotted quad; null outside [0, 2³²). */
   def longToIpv4(ip: Column): Column =

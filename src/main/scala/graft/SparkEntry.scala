@@ -3368,6 +3368,126 @@ object SparkEntry {
         .orderBy(col("band"))
     }),
 
+    // q381: Spearman over a deliberately monotone-plus-noise pair —
+    // y tracks floor(value) with a small event_id perturbation, so
+    // rho lands well inside (0, 1) and the midrank/tie machinery is
+    // exercised (floor(value) collides heavily).
+    "q381_spearman" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("value").as("x"),
+        (floor(col("value")) * 3 + pmod(col("event_id"), lit(7)))
+          .cast("double").as("y"))
+      operators.Learn.spearmanRho(e, "x", "y")
+    }),
+
+    // q382: two-sample KS — even vs odd users' value distributions.
+    "q382_ks_two_sample" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(pmod(col("user_id"), lit(2)).cast("long").as("g"),
+          col("value"))
+      operators.Learn.ksTwoSample(e, "g", "value")
+    }),
+
+    // q383: degree assortativity of the q336 SCC fixture graph.
+    "q383_assortativity" -> ((s, dir) => {
+      val e = Tables.documents(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id").as("s"),
+          ((col("doc_id") * 3 + 7) % 200).as("t"))
+      operators.Graph.assortativity(e, "s", "t")
+    }),
+
+    // q384: Krippendorff alpha on a synthetic 3-rater panel — item =
+    // event_id div 3, rater = event_id mod 3, category tracks the
+    // item with a rater-dependent disagreement band; the tail item
+    // (fewer than 3 ratings) exercises the dropped_items lane.
+    "q384_krippendorff" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2998)
+        .select(expr("event_id div 3").as("item"),
+          pmod(col("event_id"), lit(3)).as("rater"),
+          expr("""CASE WHEN pmod(event_id, 11) < 3
+                 |  THEN pmod(event_id, 5)
+                 |  ELSE pmod(event_id div 3, 5) END""".stripMargin)
+            .as("label"))
+      operators.Learn.krippendorffAlpha(e, "item", "rater", "label", m = 3)
+    }),
+
+    // q385: corpus vocabulary richness + Chao1 unseen-vocab estimate.
+    // The synthetic corpus repeats a small vocabulary (min token
+    // count 26 at sf0.01 — no hapax at all), so both lanes append
+    // doc_id-derived rare tokens: u<id> is a guaranteed hapax per
+    // doc, w<id/2> a guaranteed doubleton, v<id%137> a low-r token —
+    // exercising f1, f2 and the small-r Good–Turing rows.
+    "q385_vocab_richness" -> ((s, dir) =>
+      operators.TextOps.vocabRichness(
+        Tables.documents(s, dir).select(concat(col("text"),
+          lit(" u"), col("doc_id").cast("string"),
+          lit(" w"), expr("doc_id div 2").cast("string"),
+          lit(" v"), pmod(col("doc_id"), lit(137)).cast("string"))
+          .as("text")), "text")),
+
+    // q386: Good–Turing count-of-counts re-estimation, r <= 8, on
+    // the same rare-token-enriched corpus as q385.
+    "q386_good_turing" -> ((s, dir) =>
+      operators.TextOps.goodTuring(
+        Tables.documents(s, dir).select(concat(col("text"),
+          lit(" u"), col("doc_id").cast("string"),
+          lit(" w"), expr("doc_id div 2").cast("string"),
+          lit(" v"), pmod(col("doc_id"), lit(137)).cast("string"))
+          .as("text")), "text",
+        maxR = 8).orderBy(col("r"))),
+
+    // q387: k-fold assignment + group-leakage audit (row-hash folds
+    // split a user's events across folds; group-hash folds don't).
+    "q387_fold_leakage" -> ((s, dir) =>
+      pipeline.Corpus.foldLeakage(Tables.events(s, dir),
+        "event_id", "user_id", k = 5).orderBy(col("fold"))),
+
+    // q388: variance-to-mean dispersion of per-user activity within
+    // each event type (bursty vs regular usage).
+    "q388_dispersion" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+      operators.Learn.dispersionIndex(counts, "event_type", "c")
+        .orderBy(col("event_type"))
+    }),
+
+    // q389: Bradley–Terry preference strengths over an 8-player
+    // synthetic arena (winner/loser from event arithmetic, self-play
+    // rows dropped by the operator), 3 exact MM rounds.
+    "q389_bradley_terry" -> ((s, dir) => {
+      val g = Tables.events(s, dir)
+        .select(pmod(col("event_id"), lit(8)).cast("long").as("w"),
+          pmod(expr("event_id div 8") + pmod(col("event_id"), lit(3)),
+            lit(8)).cast("long").as("l"))
+      operators.Learn.bradleyTerry(g, "w", "l", rounds = 3)
+        .orderBy(col("item"))
+    }),
+
+    // q390: AVI container census by invertible construction (the
+    // q132 MP4 trick) — buildStubAvi writes spec-valid RIFF with
+    // arithmetic frame sizes, aviFrames walks it back, and the
+    // oracle replays frame count / chunk count / byte totals from
+    // doc_id arithmetic alone. Real MJPEG frame DECODE is spec
+    // coverage (VideoSpec — JPEG pixels can't replay in SQL).
+    "q390_avi_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(5))).as("nf"),
+          (lit(10L) + pmod(col("doc_id"), lit(7))).as("sb"),
+          pmod(col("doc_id"), lit(3)).as("ss"))
+      val built = operators.Video.buildStubAvi(base, "doc_id", "nf",
+        "sb", "ss")
+      operators.Video.aviFrames(
+        built.select(col("doc_id"), col("payload")), "doc_id", "payload")
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("valid"), 1L).otherwise(0L)).as("valid"),
+          max(col("n_chunks")).as("n_chunks"),
+          count(col("frame_idx")).as("n_frames"),
+          coalesce(sum(length(col("frame")).cast("long")), lit(0L))
+            .as("frame_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9134,6 +9254,306 @@ object SparkEntry {
         |    CAST((1000000 * CAST(cum_value_milli AS HUGEINT)) // t
         |      AS BIGINT) END AS cum_value_micro
         |FROM g ORDER BY band""".stripMargin,
+
+    // q381: midranks replayed at value grain (doubled — min+max rank
+    // is always an integer), centered at the exact mean n+1, DECIMAL
+    // component lanes, one IEEE double at the end (the kendall tau_b
+    // precedent: /, *, sqrt are correctly rounded in both engines).
+    "q381_spearman" ->
+      """WITH s AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS x,
+        |    CAST(FLOOR((FLOOR(value) * 3 + event_id % 7) * 1000)
+        |      AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |rx AS (SELECT x, COUNT(*) AS c FROM s GROUP BY x),
+        |cx AS (SELECT x, c, SUM(c) OVER (ORDER BY x) AS cum FROM rx),
+        |dx AS (SELECT x, (cum - c + 1) + cum AS dmrx FROM cx),
+        |ry AS (SELECT y, COUNT(*) AS c FROM s GROUP BY y),
+        |cy AS (SELECT y, c, SUM(c) OVER (ORDER BY y) AS cum FROM ry),
+        |dy AS (SELECT y, (cum - c + 1) + cum AS dmry FROM cy),
+        |j AS (SELECT dmrx, dmry FROM s
+        |  JOIN dx USING (x) JOIN dy USING (y)),
+        |n AS (SELECT COUNT(*) AS n FROM s),
+        |cent AS (SELECT CAST(dmrx - (n.n + 1) AS HUGEINT) AS a,
+        |    CAST(dmry - (n.n + 1) AS HUGEINT) AS b FROM j, n)
+        |SELECT (SELECT n FROM n) AS n,
+        |  CAST(SUM(a * b) AS DECIMAL(38,0)) AS num,
+        |  CAST(SUM(a * a) AS DECIMAL(38,0)) AS dx,
+        |  CAST(SUM(b * b) AS DECIMAL(38,0)) AS dy,
+        |  CASE WHEN SUM(a * a) > 0 AND SUM(b * b) > 0 THEN
+        |    CAST(CAST(SUM(a * b) AS DECIMAL(38,0)) AS DOUBLE) /
+        |      sqrt(CAST(CAST(SUM(a * a) AS DECIMAL(38,0)) AS DOUBLE) *
+        |           CAST(CAST(SUM(b * b) AS DECIMAL(38,0)) AS DOUBLE))
+        |  END AS rho
+        |FROM cent""".stripMargin,
+
+    // q382: value-grain runs, two cumulative lanes, the exact
+    // cross-multiplied sup gap (both engines truncate nonnegative
+    // divisions identically).
+    "q382_ks_two_sample" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT v, COUNT(*) AS run,
+        |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS run1
+        |  FROM s GROUP BY v),
+        |c AS (SELECT v, SUM(run) OVER (ORDER BY v) AS cumt,
+        |    SUM(run1) OVER (ORDER BY v) AS cum1 FROM r),
+        |t AS (SELECT SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS n2 FROM s),
+        |d AS (SELECT MAX(ABS(cum1 * t.n2 - (cumt - cum1) * t.n1))
+        |    AS d_num FROM c, t)
+        |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+        |  CAST(d.d_num AS BIGINT) AS d_num,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    CAST((1000000 * CAST(d.d_num AS HUGEINT))
+        |      // (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT)
+        |  END AS d_micro
+        |FROM t, d""".stripMargin,
+
+    // q383: the q336 fixture graph's degree mixing — undirected
+    // distinct edges, both directed copies, DECIMAL sums, one IEEE
+    // double.
+    "q383_assortativity" ->
+      """WITH e0 AS (SELECT doc_id AS s, (doc_id * 3 + 7) % 200 AS t
+        |  FROM documents WHERE doc_id < 200),
+        |e AS (SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
+        |  FROM e0 WHERE s <> t),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e)
+        |  GROUP BY node),
+        |dir AS (SELECT lo AS u, hi AS v FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |j AS (SELECT du.d AS du, dv.d AS dv FROM dir
+        |  JOIN deg du ON du.node = dir.u
+        |  JOIN deg dv ON dv.node = dir.v)
+        |SELECT COUNT(*) AS m2,
+        |  CAST(SUM(CAST(du AS HUGEINT) * dv) AS DECIMAL(38,0)) AS sjk,
+        |  CAST(SUM(CAST(du AS HUGEINT)) AS DECIMAL(38,0)) AS sj,
+        |  CAST(SUM(CAST(du AS HUGEINT) * du) AS DECIMAL(38,0)) AS sj2,
+        |  CASE WHEN COUNT(*) * SUM(CAST(du AS HUGEINT) * du)
+        |      - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT)) > 0
+        |    THEN CAST(COUNT(*) * SUM(CAST(du AS HUGEINT) * dv)
+        |        - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT))
+        |        AS DOUBLE)
+        |      / CAST(COUNT(*) * SUM(CAST(du AS HUGEINT) * du)
+        |        - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT))
+        |        AS DOUBLE)
+        |  END AS r
+        |FROM j""".stripMargin,
+
+    // q384: fixed-panel nominal alpha — unit×category counts, the
+    // single-denominator rational, sign-split floored micro.
+    "q384_krippendorff" ->
+      """WITH rated AS (SELECT event_id // 3 AS item, event_id % 3 AS rater,
+        |    CAST(CASE WHEN event_id % 11 < 3 THEN event_id % 5
+        |      ELSE (event_id // 3) % 5 END AS VARCHAR) AS c
+        |  FROM events WHERE event_id < 2998),
+        |sized AS (SELECT item, COUNT(*) AS mi FROM rated GROUP BY item),
+        |kept AS (SELECT r.* FROM rated r JOIN sized s ON s.item = r.item
+        |  WHERE s.mi = 3),
+        |uc AS (SELECT item, c, COUNT(*) AS nuc FROM kept GROUP BY item, c),
+        |don AS (SELECT COALESCE(SUM(nuc * (3 - nuc)), 0) AS do_num FROM uc),
+        |cat AS (SELECT c, COUNT(*) AS nc FROM kept GROUP BY c),
+        |tot AS (SELECT SUM(nc) AS n FROM cat),
+        |den AS (SELECT CAST(SUM(CAST(nc AS HUGEINT) * (tot.n - nc))
+        |    AS HUGEINT) AS de_num, MAX(tot.n) AS n FROM cat, tot),
+        |drp AS (SELECT COUNT(*) AS dropped_items FROM sized WHERE mi <> 3)
+        |SELECT CAST(3 AS BIGINT) AS m, CAST(den.n // 3 AS BIGINT)
+        |    AS n_items,
+        |  CAST(den.n AS BIGINT) AS n, CAST(don.do_num AS BIGINT) AS do_num,
+        |  CAST(den.de_num AS BIGINT) AS de_num,
+        |  CAST(drp.dropped_items AS BIGINT) AS dropped_items,
+        |  CASE WHEN den.de_num > 0 THEN
+        |    CASE WHEN 2 * den.de_num - CAST(don.do_num AS HUGEINT)
+        |        * (den.n - 1) >= 0
+        |      THEN CAST((1000000 * (2 * den.de_num
+        |        - CAST(don.do_num AS HUGEINT) * (den.n - 1)))
+        |        // (2 * den.de_num) AS BIGINT)
+        |      ELSE -CAST((1000000 * -(2 * den.de_num
+        |        - CAST(don.do_num AS HUGEINT) * (den.n - 1)))
+        |        // (2 * den.de_num) AS BIGINT) END
+        |  END AS alpha_micro
+        |FROM don, den, drp""".stripMargin,
+
+    // q385: the q140 tokenizer replayed, count-of-counts scalars,
+    // the bias-corrected Chao1 (defined at f2 = 0).
+    "q385_vocab_richness" ->
+      """WITH d AS (SELECT text || ' u' || CAST(doc_id AS VARCHAR)
+        |    || ' w' || CAST(doc_id // 2 AS VARCHAR)
+        |    || ' v' || CAST(doc_id % 137 AS VARCHAR) AS text
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS t
+        |  FROM d
+        |  WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |  CASE WHEN COUNT(*) > 0 THEN CAST((1000000 *
+        |      SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+        |    AS BIGINT) END AS hapax_micro,
+        |  CASE WHEN COUNT(*) > 0 THEN CAST(1000 * COUNT(*) +
+        |    (1000 * CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |        AS HUGEINT)
+        |      * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+        |    // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+        |    AS BIGINT) END AS chao1_milli
+        |FROM cnt""".stripMargin,
+
+    // q386: N_r table, the (r+1)·N_{r+1}/N_r adjustment, unseen mass.
+    "q386_good_turing" ->
+      """WITH d AS (SELECT text || ' u' || CAST(doc_id AS VARCHAR)
+        |    || ' w' || CAST(doc_id // 2 AS VARCHAR)
+        |    || ' v' || CAST(doc_id % 137 AS VARCHAR) AS text
+        |  FROM documents),
+        |tok AS (SELECT unnest(string_split_regex(
+        |    trim(lower(text)), '\s+')) AS t
+        |  FROM d
+        |  WHERE text IS NOT NULL AND length(trim(lower(text))) > 0),
+        |cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+        |fof AS (SELECT c AS r, COUNT(*) AS n_r FROM cnt GROUP BY c),
+        |tot AS (SELECT SUM(c) AS n,
+        |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1 FROM cnt)
+        |SELECT CAST(f.r AS BIGINT) AS r, CAST(f.n_r AS BIGINT) AS n_r,
+        |  CASE WHEN nx.n_r IS NOT NULL THEN
+        |    CAST((1000 * (f.r + 1) * CAST(nx.n_r AS HUGEINT)) // f.n_r
+        |      AS BIGINT) END AS r_star_milli,
+        |  CASE WHEN tot.n > 0 THEN
+        |    CAST((1000000 * CAST(f.r AS HUGEINT) * f.n_r) // tot.n
+        |      AS BIGINT) END AS p_micro,
+        |  CASE WHEN tot.n > 0 THEN
+        |    CAST((1000000 * CAST(tot.f1 AS HUGEINT)) // tot.n AS BIGINT)
+        |  END AS p0_micro
+        |FROM fof f LEFT JOIN fof nx ON nx.r = f.r + 1, tot
+        |WHERE f.r <= 8 ORDER BY f.r""".stripMargin,
+
+    // q387: the md5 fold spine replayed byte-identically
+    // (('0x' || hex)::BIGINT == conv(hex, 16, 10)), both policies.
+    "q387_fold_leakage" ->
+      """WITH s AS (SELECT user_id AS g,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':42'),
+        |      1, 8))::BIGINT % 5 AS gf,
+        |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42'),
+        |      1, 8))::BIGINT % 5 AS rf
+        |  FROM events WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+        |folds AS (SELECT DISTINCT gf AS fold FROM s
+        |  UNION SELECT DISTINCT rf FROM s),
+        |a AS (SELECT gf AS fold, COUNT(*) AS n_rows,
+        |    COUNT(DISTINCT g) AS n_groups FROM s GROUP BY gf),
+        |b AS (SELECT rf AS fold, COUNT(*) AS row_assign_rows
+        |  FROM s GROUP BY rf),
+        |pairs AS (SELECT DISTINCT rf, g FROM s),
+        |split AS (SELECT g FROM pairs GROUP BY g HAVING COUNT(*) > 1),
+        |pf AS (SELECT rf AS fold, COUNT(*) AS split_groups
+        |  FROM pairs JOIN split USING (g) GROUP BY rf)
+        |SELECT f.fold,
+        |  CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(a.n_groups, 0) AS BIGINT) AS n_groups,
+        |  CAST(COALESCE(b.row_assign_rows, 0) AS BIGINT)
+        |    AS row_assign_rows,
+        |  CAST(COALESCE(pf.split_groups, 0) AS BIGINT) AS split_groups
+        |FROM folds f LEFT JOIN a ON a.fold = f.fold
+        |LEFT JOIN b ON b.fold = f.fold
+        |LEFT JOIN pf ON pf.fold = f.fold
+        |ORDER BY f.fold""".stripMargin,
+
+    // q388: population variance over mean on the (type, user) count
+    // grain, single end division.
+    "q388_dispersion" ->
+      """WITH c AS (SELECT event_type, user_id, COUNT(*) AS v
+        |  FROM events GROUP BY event_type, user_id)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(v) AS BIGINT) AS sum_v,
+        |  CAST(SUM(CAST(v AS HUGEINT) * v) AS BIGINT) AS sum_v2,
+        |  CASE WHEN SUM(v) > 0 THEN
+        |    CAST((1000000 * (COUNT(*) * SUM(CAST(v AS HUGEINT) * v)
+        |        - CAST(SUM(v) AS HUGEINT) * SUM(v)))
+        |      // (CAST(COUNT(*) AS HUGEINT) * SUM(v)) AS BIGINT)
+        |  END AS vmr_micro
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q389: the MM recurrence unrolled 3 rounds — pair census, the
+    // two-level floors ((10⁹n)//(pa+pb) then (10⁹W)//denom), the
+    // Σp = 1000k exact-normalization, GREATEST(1, ·) floors; every
+    // division is nonnegative so DuckDB's truncating // equals the
+    // engine's DECIMAL div.
+    "q389_bradley_terry" ->
+      """WITH games AS (SELECT event_id % 8 AS w,
+        |    (event_id // 8 + event_id % 3) % 8 AS l
+        |  FROM events),
+        |g AS (SELECT w, l FROM games WHERE w <> l),
+        |pairs AS (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+        |    COUNT(*) AS n FROM g GROUP BY 1, 2),
+        |wins AS (SELECT w AS item, COUNT(*) AS wn FROM g GROUP BY w),
+        |items AS (SELECT DISTINCT item FROM
+        |  (SELECT w AS item FROM g UNION ALL SELECT l FROM g)),
+        |mt AS (SELECT item, SUM(n) AS nm FROM
+        |  (SELECT a AS item, n FROM pairs
+        |   UNION ALL SELECT b, n FROM pairs) GROUP BY item),
+        |k AS (SELECT COUNT(*) AS k FROM items),
+        |r0 AS (SELECT i.item, COALESCE(w.wn, 0) AS w, m.nm AS n,
+        |    CAST(1000 AS BIGINT) AS p
+        |  FROM items i LEFT JOIN wins w ON w.item = i.item
+        |  JOIN mt m ON m.item = i.item),
+        |t1 AS (SELECT p.a, p.b,
+        |    (1000000000 * p.n) // (ra.p + rb.p) AS t
+        |  FROM pairs p JOIN r0 ra ON ra.item = p.a
+        |  JOIN r0 rb ON rb.item = p.b),
+        |d1 AS (SELECT item, SUM(t) AS d FROM
+        |  (SELECT a AS item, t FROM t1 UNION ALL SELECT b, t FROM t1)
+        |  GROUP BY item),
+        |u1 AS (SELECT r.item, r.w, r.n,
+        |    GREATEST(1, (1000000000 * r.w) // d.d) AS p1
+        |  FROM r0 r JOIN d1 d ON d.item = r.item),
+        |r1 AS (SELECT item, w, n, GREATEST(1,
+        |    CAST((1000 * k.k * CAST(p1 AS HUGEINT))
+        |      // (SELECT SUM(p1) FROM u1) AS BIGINT)) AS p
+        |  FROM u1, k),
+        |t2 AS (SELECT p.a, p.b,
+        |    (1000000000 * p.n) // (ra.p + rb.p) AS t
+        |  FROM pairs p JOIN r1 ra ON ra.item = p.a
+        |  JOIN r1 rb ON rb.item = p.b),
+        |d2 AS (SELECT item, SUM(t) AS d FROM
+        |  (SELECT a AS item, t FROM t2 UNION ALL SELECT b, t FROM t2)
+        |  GROUP BY item),
+        |u2 AS (SELECT r.item, r.w, r.n,
+        |    GREATEST(1, (1000000000 * r.w) // d.d) AS p1
+        |  FROM r1 r JOIN d2 d ON d.item = r.item),
+        |r2 AS (SELECT item, w, n, GREATEST(1,
+        |    CAST((1000 * k.k * CAST(p1 AS HUGEINT))
+        |      // (SELECT SUM(p1) FROM u2) AS BIGINT)) AS p
+        |  FROM u2, k),
+        |t3 AS (SELECT p.a, p.b,
+        |    (1000000000 * p.n) // (ra.p + rb.p) AS t
+        |  FROM pairs p JOIN r2 ra ON ra.item = p.a
+        |  JOIN r2 rb ON rb.item = p.b),
+        |d3 AS (SELECT item, SUM(t) AS d FROM
+        |  (SELECT a AS item, t FROM t3 UNION ALL SELECT b, t FROM t3)
+        |  GROUP BY item),
+        |u3 AS (SELECT r.item, r.w, r.n,
+        |    GREATEST(1, (1000000000 * r.w) // d.d) AS p1
+        |  FROM r2 r JOIN d3 d ON d.item = r.item),
+        |r3 AS (SELECT item, w, n, GREATEST(1,
+        |    CAST((1000 * k.k * CAST(p1 AS HUGEINT))
+        |      // (SELECT SUM(p1) FROM u3) AS BIGINT)) AS p
+        |  FROM u3, k)
+        |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
+        |  CAST(p AS BIGINT) AS p_milli
+        |FROM r3 ORDER BY item""".stripMargin,
+
+    // q390: the RIFF walk replayed arithmetically — chunk count is
+    // LIST(hdrl) + avih + LIST(movi) + n frames + idx1 = 4 + n;
+    // frame bytes are the arithmetic series n·base + step·n(n−1)/2.
+    "q390_avi_census" ->
+      """SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(4 + (1 + doc_id % 5) AS BIGINT) AS n_chunks,
+        |  CAST(1 + doc_id % 5 AS BIGINT) AS n_frames,
+        |  CAST((1 + doc_id % 5) * (10 + doc_id % 7)
+        |    + (doc_id % 3) * (1 + doc_id % 5) * (doc_id % 5)
+        |      // 2 AS BIGINT) AS frame_bytes
+        |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

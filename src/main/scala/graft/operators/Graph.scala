@@ -243,6 +243,53 @@ object Graph {
     result
   }
 
+  /** Degree assortativity (Newman 2002) — does the graph wire hubs
+    * to hubs (r > 0, social graphs) or hubs to leaves (r < 0, the
+    * web/crawl shape)? One number a link-graph audit reads before
+    * trusting PageRank-style damping to behave. Undirected over
+    * distinct edges: r = Pearson correlation of (deg(u), deg(v))
+    * over every edge counted in BOTH directions (the standard
+    * symmetrization — Σj = Σk by construction).
+    *
+    * Components are exact DECIMAL(38,0) lanes over the 2·|E|
+    * directed copies: m2 = 2|E|, sjk = Σ deg_u·deg_v,
+    * sj = Σ deg_u, sj2 = Σ deg_u²; `r` is the one float,
+    *   r = (m2·sjk − sj²) / (m2·sj2 − sj²)
+    * from decimal components via IEEE-exact double ops (the
+    * kendallTau tau_b / spearmanRho precedent). Shape: one degree
+    * aggregate + two joins keyed by node — never an all-pairs
+    * anything; the directed-copy union doubles rows, not shuffles
+    * (same exchange key). */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+    val deg = e.select(col("lo").as("node"))
+      .unionByName(e.select(col("hi").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+    val directed = e.select(col("lo").as("__u"), col("hi").as("__v"))
+      .unionByName(e.select(col("hi").as("__u"), col("lo").as("__v")))
+      .join(deg.select(col("node").as("__u"), col("__deg").as("__du")),
+        Seq("__u"))
+      .join(deg.select(col("node").as("__v"), col("__deg").as("__dv")),
+        Seq("__v"))
+    directed.agg(count(lit(1)).as("m2"),
+        sum(col("__du").cast("decimal(38,0)") * col("__dv"))
+          .cast("decimal(38,0)").as("sjk"),
+        sum(col("__du").cast("decimal(38,0)")).cast("decimal(38,0)")
+          .as("sj"),
+        sum(col("__du").cast("decimal(38,0)") * col("__du"))
+          .cast("decimal(38,0)").as("sj2"))
+      .withColumn("r", when(col("m2") * col("sj2") - col("sj") * col("sj") > 0,
+        (col("m2") * col("sjk") - col("sj") * col("sj")).cast("double") /
+          (col("m2") * col("sj2") - col("sj") * col("sj")).cast("double")))
+  }
+
   /** In/out degree per node over distinct edges — the cheap
     * link-structure profile (one aggregate each, outer-merged so
     * pure sources and pure sinks both appear). */

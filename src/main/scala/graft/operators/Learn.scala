@@ -1899,6 +1899,271 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Spearman rank correlation — the monotone-association check
+    * beside [[kendallTau]] (Spearman is Pearson over ranks; it is
+    * what a feature-vs-label or judge-vs-judge monotonicity audit
+    * actually reports). Ranks are VALUE-grain midranks carried
+    * DOUBLED (the [[mannWhitneyU]] trick: 2·midrank = min_rank +
+    * max_rank is always an integer), built per variable from one
+    * aggregate to distinct values + [[Relational.globalPrefixSum]] —
+    * never a row-grain global sort window — then joined back.
+    *
+    * Output components are EXACT DECIMAL(38,0) lanes (safe far past
+    * 10¹² rows, where the BIGINT equivalents wrap near 10⁶):
+    * centered doubled ranks a−(n+1), b−(n+1) (Σdmr = n(n+1), so the
+    * mean of a doubled midrank is exactly n+1 — centering costs no
+    * division), num = Σāb̄, dx = Σā², dy = Σb̄². `rho` is the one
+    * float: num/√(dx·dy) from the decimal components — IEEE /, *,
+    * √ are correctly rounded, so both engines produce the same bits
+    * (the [[kendallTau]] tau_b precedent). */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val staged = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(floor(col(xCol) * 1000).cast("long").as("__x"),
+        floor(col(yCol) * 1000).cast("long").as("__y"))
+    def dmr(v: String): DataFrame = {
+      val runs = staged.groupBy(col(v)).agg(count(lit(1)).as("__run"))
+      Relational.globalPrefixSum(runs, Seq(col(v).asc), "__run", "__cum")
+        .select(col(v),
+          ((col("__cum") - col("__run") + 1L) + col("__cum")).as(s"__dmr$v"))
+    }
+    staged
+      .join(dmr("__x"), Seq("__x"))
+      .join(dmr("__y"), Seq("__y"))
+      .crossJoin(broadcast(staged.agg(count(lit(1)).as("__n"))))
+      .select(col("__n"),
+        (col("__dmr__x") - (col("__n") + 1L)).cast("decimal(38,0)").as("__a"),
+        (col("__dmr__y") - (col("__n") + 1L)).cast("decimal(38,0)").as("__b"))
+      .agg(max(col("__n")).as("n"),
+        sum(col("__a") * col("__b")).cast("decimal(38,0)").as("num"),
+        sum(col("__a") * col("__a")).cast("decimal(38,0)").as("dx"),
+        sum(col("__b") * col("__b")).cast("decimal(38,0)").as("dy"))
+      .withColumn("rho", when(col("dx") > 0 && col("dy") > 0,
+        col("num").cast("double") /
+          sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT — the
+    * distribution-shift test beside [[mannWhitneyU]]'s location test
+    * (train-vs-eval feature drift, old-vs-new scrape score shift):
+    *   D = max over values of |F₁(v) − F₂(v)|
+    * reported as the exact integer lane d_num = max|c₁·n₂ − c₂·n₁|
+    * over a common denominator n₁·n₂, plus d_micro = ⌊10⁶·d_num /
+    * (n₁·n₂)⌋ (DECIMAL product — BIGINT dies near n ≈ 3·10⁹).
+    *
+    * Shape: one aggregate to value-grain runs with per-group counts,
+    * one [[Relational.globalPrefixSum]] pass for BOTH cumulative
+    * lanes (the pair rides a single struct-free trick: prefix-sum
+    * the total run and the group-1 run in two calls would exchange
+    * twice, so group-2's cumulative is derived as cum_total − cum_1),
+    * one max. Never a row-grain sort. */
+  def ksTwoSample(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__run"),
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"))
+    val cumAll = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+      "__run", "__cumt")
+    // second lane rides the SAME ranked frame: prefix-sum of __run1
+    // re-derived from the one exchange via a window inside blocks
+    // would duplicate globalPrefixSum's internals; a second call is
+    // one more exchange on the (distinct-value)-grain table — tiny
+    // relative to the row-grain input, and keeps both lanes exact.
+    val cum1 = Relational.globalPrefixSum(runs.select(col("__v"),
+        col("__run1")), Seq(col("__v").asc), "__run1", "__cum1")
+      .select(col("__v"), col("__cum1"))
+    cumAll.join(cum1, Seq("__v"))
+      .crossJoin(broadcast(staged.agg(
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g1"), 0L).otherwise(1L)).as("__n2"))))
+      .select(col("__n1"), col("__n2"),
+        abs(col("__cum1") * col("__n2") -
+          (col("__cumt") - col("__cum1")) * col("__n1")).as("__dn"))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        max(col("__dn")).as("d_num"))
+      .withColumn("d_micro", when(col("n1") > 0 && col("n2") > 0, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num)
+          |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+          .stripMargin)))
+  }
+
+  /** Krippendorff's alpha (nominal data, fixed panel of `m` raters)
+    * — the agreement coefficient label-quality reviews standardize
+    * on when [[cohenKappa]]'s two-rater / [[fleissKappa]]'s
+    * complete-design assumptions need the missing-data-aware frame.
+    * This implementation pins the FIXED-PANEL design: items with
+    * exactly `m` non-null ratings participate (a partial item has no
+    * within-unit pair denominator that stays rational with a single
+    * common denominator — the lanes would need per-item floors);
+    * everything else is dropped and COUNTED (dropped_items), never
+    * silently ignored.
+    *
+    *   Do = Σ_u Σ_c n_uc(m − n_uc) / (N(m−1)),  N = m·items
+    *   De = Σ_c N_c(N − N_c) / (N(N−1))
+    *   α  = 1 − Do/De = ((m−1)·DeNum − DoNum·(N−1)) / ((m−1)·DeNum)
+    * reported as alpha_micro (sign-split floor, DECIMAL products —
+    * exact to ~10¹⁸ ratings). Two aggregates ((item,cat) then item /
+    * cat) + one broadcast of the category totals: no row-grain
+    * shuffle beyond the first groupBy. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+      valueCol: String, m: Int): DataFrame = {
+    require(m >= 2, s"panel size must be >= 2, got $m")
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(valueCol).cast("string").as("__c"))
+      .dropDuplicates("__i", "__r") // one rating per (item, rater)
+    val sized = rated.groupBy(col("__i"))
+      .agg(count(lit(1)).as("__mi"))
+    val full = sized.filter(col("__mi") === m.toLong).select(col("__i"))
+    val kept = rated.join(full, Seq("__i"), "left_semi")
+    val uc = kept.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__nuc"))
+    val doNum = uc.agg(coalesce(sum(col("__nuc") * (lit(m.toLong) -
+      col("__nuc"))), lit(0L)).as("do_num"))
+    val cat = kept.groupBy(col("__c")).agg(count(lit(1)).as("__nc"))
+    val totals = cat
+      .crossJoin(broadcast(cat.agg(coalesce(sum(col("__nc")), lit(0L))
+        .as("__nt"))))
+      .agg(max(col("__nt")).as("n"),
+        coalesce(sum(col("__nc").cast("decimal(38,0)") *
+          (col("__nt") - col("__nc"))), lit(0L).cast("decimal(38,0)"))
+          .as("de_num"))
+    val dropped = sized.filter(col("__mi") =!= m.toLong)
+      .agg(count(lit(1)).as("dropped_items"))
+    doNum.crossJoin(totals).crossJoin(broadcast(dropped))
+      .select(lit(m.toLong).as("m"),
+        expr(s"n div ${m}").as("n_items"),
+        col("n").cast("long").as("n"), col("do_num"),
+        col("de_num").cast("long").as("de_num_l"),
+        col("dropped_items"),
+        when(col("de_num") > 0, expr(
+          s"""CASE WHEN (${m - 1} * de_num - CAST(do_num AS DECIMAL(38,0)) * (n - 1)) >= 0
+             |  THEN CAST((1000000 * (${m - 1} * de_num
+             |    - CAST(do_num AS DECIMAL(38,0)) * (n - 1)))
+             |    div (${m - 1} * de_num) AS BIGINT)
+             |  ELSE -CAST((1000000 * -(${m - 1} * de_num
+             |    - CAST(do_num AS DECIMAL(38,0)) * (n - 1)))
+             |    div (${m - 1} * de_num) AS BIGINT) END"""
+            .stripMargin)).as("alpha_micro"))
+      .drop("de_num").withColumnRenamed("de_num_l", "de_num")
+  }
+
+  /** Bradley–Terry preference-strength fitting, EXACT bounded-round
+    * MM — the model behind every pairwise-preference leaderboard
+    * (RLHF comparison data, arena-style model rankings, judge
+    * calibration): given (winner, loser) rows, fit strengths p with
+    * the minorize–maximize update (Hunter 2004)
+    *   p_i ← W_i / Σ_j n_ij/(p_i + p_j)
+    * walked in integer MILLI lanes with two-level floors so the
+    * whole trajectory replays engine-to-engine:
+    *   denom_i = Σ_j ⌊10⁹·n_ij / (p_i + p_j)⌋   (p in milli)
+    *   p_i'    = max(1, ⌊10⁹·W_i / denom_i⌋)    (floor at 1 milli —
+    * the all-loss item would otherwise pin to 0 and break later
+    * denominators), then normalized to Σp = 1000·k exactly:
+    *   p_i'' = max(1, ⌊1000·k·p_i' / Σp'⌋).
+    * Rounds are BOUNDED (default 4): each is one join of the pair
+    * census against the current ratings (item-keyed shuffle, the
+    * PageRank posture) — the census itself is computed once. Items
+    * and pairs stay distributed; nothing collects. */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      rounds: Int = 4): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1,16], got $rounds")
+    val games = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+    // undirected pair census with per-direction wins
+    val pairs = games
+      .select(least(col("__w"), col("__l")).as("__a"),
+        greatest(col("__w"), col("__l")).as("__b"),
+        when(col("__w") < col("__l"), 1L).otherwise(0L).as("__aw"))
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__aw")).as("__awins"))
+      .persist()
+    val wins = games.groupBy(col("__w").as("item"))
+      .agg(count(lit(1)).as("w"))
+    val items = games.select(col("__w").as("item"))
+      .union(games.select(col("__l").as("item"))).distinct()
+      .join(wins, Seq("item"), "left")
+      .na.fill(0L, Seq("w"))
+    val matches = pairs.select(col("__a").as("item"), col("__n"))
+      .union(pairs.select(col("__b").as("item"), col("__n")))
+      .groupBy(col("item")).agg(sum(col("__n")).as("n"))
+    val base = items.join(matches, Seq("item"))
+      .withColumn("p", lit(1000L))
+    val k = base.count()
+    // per-round localCheckpoint is REQUIRED, not hygiene: each round's
+    // plan references `terms` twice (the union) and `updated` twice
+    // (direct + the broadcast total), so an uncut lineage grows ~4x
+    // per round — Catalyst planning alone goes exponential (measured:
+    // a 6-row fixture hung for minutes at rounds = 4). The ssspBellmanFord
+    // discipline: materialize the ratings table each round, free the
+    // previous checkpoint.
+    var cur = base.localCheckpoint()
+    var prev: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val pa = cur.select(col("item").as("__a"), col("p").as("__pa"))
+      val pb = cur.select(col("item").as("__b"), col("p").as("__pb"))
+      val terms = pairs.join(pa, Seq("__a")).join(pb, Seq("__b"))
+        .withColumn("__t", expr(
+          "(CAST(1000000000 AS DECIMAL(38,0)) * __n) div (__pa + __pb)"))
+      val denom = terms.select(col("__a").as("item"), col("__t"))
+        .union(terms.select(col("__b").as("item"), col("__t")))
+        .groupBy(col("item"))
+        .agg(sum(col("__t")).cast("decimal(38,0)").as("__d"))
+      val updated = cur.drop("p").join(denom, Seq("item"))
+        .withColumn("__p1", greatest(lit(1L), expr(
+          """CAST((CAST(1000000000 AS DECIMAL(38,0)) * w)
+            |  div __d AS BIGINT)""".stripMargin)))
+        .drop("__d")
+      val tot = updated.agg(
+        sum(col("__p1")).cast("decimal(38,0)").as("__tot"))
+      val next = updated.crossJoin(broadcast(tot))
+        .withColumn("p", greatest(lit(1L), expr(
+          s"""CAST((CAST(1000 AS DECIMAL(38,0)) * ${k} * __p1)
+             |  div __tot AS BIGINT)""".stripMargin)))
+        .drop("__p1", "__tot")
+        .localCheckpoint()
+      if (prev != null) Dedup.CheckpointHygiene.free(prev)
+      prev = cur
+      cur = next
+    }
+    pairs.unpersist()
+    cur.select(col("item"), col("w"), col("n"), col("p").as("p_milli"))
+  }
+
+  /** Variance-to-mean ratio (index of dispersion), EXACT — the
+    * burstiness census behind token-dispersion and user-activity
+    * audits (VMR 1 = Poisson-like, ≫1 = bursty/clumped, <1 =
+    * regular). Per key over count-valued rows:
+    *   vmr_micro = ⌊10⁶·(n·Σv² − (Σv)²) / (n·Σv)⌋
+    * (population variance over mean, common denominator n·Σv —
+    * division happens ONCE, at the end). Squares ride DECIMAL(38,0)
+    * (the driftChi2 envelope); one aggregate per key, no window, no
+    * second pass. Σv = 0 or n = 0 → null. */
+  def dispersionIndex(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("sum_v"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__s2"))
+      .withColumn("vmr_micro", when(col("sum_v") > 0, expr(
+        """CAST((1000000 * (n * __s2 - CAST(sum_v AS DECIMAL(38,0)) * sum_v))
+          |  div (CAST(n AS DECIMAL(38,0)) * sum_v) AS BIGINT)"""
+          .stripMargin)))
+      .select(col(keyCol), col("n"), col("sum_v"),
+        col("__s2").cast("long").as("sum_v2"), col("vmr_micro"))
+  }
+
   /** Decile lift / gains table, EXACT — the scoring-model report
     * every targeting review reads: rank the population by score
     * (ties broken by `idCol` — a total order, so the bucketing is

@@ -2781,4 +2781,77 @@ object TextOps {
       regexp_replace(lower(graft.functions.strip_accents(c)),
         "[^a-z0-9]+", "-"),
       "^-+|-+$", "")
+
+  /** Corpus vocabulary-richness census with the Chao1 estimate of
+    * UNSEEN vocabulary — the "how much more is out there" number a
+    * corpus-growth review reads before buying more crawl (Chao 1984;
+    * the bias-corrected form, defined even when no token occurs
+    * exactly twice):
+    *   chao1_milli = 1000·S + ⌊1000·f₁(f₁−1) / (2(f₂+1))⌋
+    * where S = distinct tokens, f₁ = hapax (once-seen), f₂ =
+    * twice-seen. Also hapax_micro = ⌊10⁶·f₁/S⌋ — the classic
+    * crawl-freshness signal (a rising hapax share means the corpus
+    * is still discovering vocabulary). One row out.
+    *
+    * Shape: explode → ONE token-grain aggregate (count per token,
+    * map-side partial) → one count-of-counts aggregate over the
+    * token-grain table (vocab-bounded) → scalars. The f₁(f₁−1)
+    * product rides DECIMAL(38,0) (f₁ can reach vocab size — 10⁹
+    * hapax would wrap the BIGINT square). */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame = {
+    val tok = df
+      .select(explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    tok.agg(count(lit(1)).as("vocab"),
+        sum(col("__c")).as("n_tokens"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("hapax_micro",
+        when(col("vocab") > 0, expr("(1000000 * f1) div vocab")))
+      .withColumn("chao1_milli", when(col("vocab") > 0, expr(
+        """1000 * vocab +
+          |  CAST((CAST(1000 AS DECIMAL(38,0)) * f1 * (f1 - 1))
+          |    div (2 * (f2 + 1)) AS BIGINT)""".stripMargin)))
+  }
+
+  /** Good–Turing frequency re-estimation table (Good 1953, the
+    * Katz/Kneser-Ney building block): from the corpus count-of-counts
+    * N_r, the adjusted count for everything seen r times is
+    *   r*_milli = ⌊1000·(r+1)·N_{r+1} / N_r⌋
+    * (null where N_{r+1} = 0 — the raw estimator is undefined there,
+    * and a smoothing layer, not this operator, owns that choice),
+    * plus the leave-one-out mass check p_micro = ⌊10⁶·r·N_r / N⌋ and
+    * the unseen-mass estimate p0_micro = ⌊10⁶·N₁/N⌋ on every row
+    * (constant lane — keeps the table self-contained). Rows for
+    * 1 ≤ r ≤ maxR.
+    *
+    * Shape: token census (one shuffle) → count-of-counts aggregate
+    * (vocab-grain) → self-join on r+1 over the ≤ maxR-row table —
+    * the heavy exchange is the first one only. */
+  def goodTuring(df: DataFrame, textCol: String,
+      maxR: Int = 10): DataFrame = {
+    require(maxR >= 1 && maxR <= 1000, s"maxR must be in [1,1000], got $maxR")
+    val counts = df
+      .select(explode(tokens(lower(col(textCol)))).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    val freqOfFreq = counts.groupBy(col("__c").as("r"))
+      .agg(count(lit(1)).as("n_r"))
+    val totals = counts.agg(sum(col("__c")).as("__n"),
+      sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("__f1"))
+    freqOfFreq.filter(col("r") <= maxR.toLong)
+      .join(freqOfFreq.select((col("r") - 1L).as("r"),
+        col("n_r").as("__nr1")), Seq("r"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("r"), col("n_r"),
+        when(col("__nr1").isNotNull, expr(
+          """CAST((CAST(1000 AS DECIMAL(38,0)) * (r + 1) * __nr1)
+            |  div n_r AS BIGINT)""".stripMargin)).as("r_star_milli"),
+        when(col("__n") > 0, expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * r * n_r)
+            |  div __n AS BIGINT)""".stripMargin)).as("p_micro"),
+        when(col("__n") > 0, expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __f1)
+            |  div __n AS BIGINT)""".stripMargin)).as("p0_micro"))
+      .orderBy(col("r"))
+  }
 }

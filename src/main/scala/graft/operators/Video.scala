@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** AVI (RIFF) container walk + MJPEG frame decode — the one video
+  * path a pure JVM can take END TO END: Motion-JPEG stores every
+  * frame as an ordinary JPEG, and the JDK ships a real JPEG codec
+  * (`javax.imageio`), so an MJPEG-AVI needs no external codec at all.
+  * This closes the frame-decode boundary that [[Mp4]] (metadata-only)
+  * and [[Multimodal.StubDecoder]] (explicit fake) left open: for
+  * MJPEG payloads, [[decodeFrames]] is REAL decoded-pixel features;
+  * other codecs still stop at container metadata by design (no JVM
+  * codec exists — documented boundary, SCALING.md).
+  *
+  * Wire format (public: Microsoft RIFF/AVI spec, OpenDML): a RIFF
+  * file is `'RIFF' size 'AVI ' chunks…`, each chunk
+  * `fourcc u32le-size data [pad-to-even]`; `'LIST' size listType
+  * children…` nests. Frames live in the `movi` LIST as `##dc`
+  * (compressed) / `##db` (uncompressed DIB) chunks, stream number in
+  * the two digit chars. The walk reads only chunk HEADERS plus the
+  * frame payload slices it emits — O(chunk count + frame bytes), no
+  * decode unless asked.
+  *
+  * Strictness contract (the [[Tar]]/[[Warc]] family): a malformed
+  * buffer — bad magic, chunk overrunning its parent, odd RIFF size,
+  * trailing bytes after the RIFF envelope — yields a NULL census row
+  * (`valid = false` frames lane never half-parses); one corrupt blob
+  * never fails a 100 TB scan.
+  *
+  * Scale shape: [[aviFrames]] is a row-local flatMap (zero exchange,
+  * plan-pinned in VideoSpec); [[decodeFrames]] adds per-frame ImageIO
+  * decode, still row-local. Frame bytes are emitted as slices so a
+  * downstream repartition can spread decode cost; the decode step
+  * itself is the [[Multimodal.ImageIoDecoder]] batched-mapPartitions
+  * shape. */
+object Video {
+
+  case class AviFrame(frame_idx: Long, stream: Int, fourcc: String,
+                      bytes: Array[Byte])
+  case class AviParsed(n_chunks: Long, frames: Seq[AviFrame])
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def cc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Parse one AVI buffer; null on ANY malformation (never throws).
+    * Counts every chunk walked (headers only) and materializes the
+    * `##dc`/`##db` frame payloads in file order. */
+  def parse(bytes: Array[Byte]): AviParsed = {
+    if (bytes == null || bytes.length < 12) return null
+    try {
+      if (cc(bytes, 0) != "RIFF") return null
+      val riffSize = u32le(bytes, 4)
+      // RIFF size counts everything after the 8-byte header; the
+      // envelope must cover the buffer EXACTLY (trailing bytes after
+      // the envelope are refused — the Tar/dechunk posture)
+      if (riffSize + 8 != bytes.length) return null
+      if (cc(bytes, 8) != "AVI ") return null
+      var nChunks = 0L
+      val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+      def isFrameCc(f: String): Boolean =
+        f.length == 4 && f(0).isDigit && f(1).isDigit &&
+          (f.endsWith("dc") || f.endsWith("db"))
+      // walk children of [lo, hi); depth-bounded against size loops
+      def walk(lo: Int, hi: Int, depth: Int): Unit = {
+        if (depth > 16) throw new IllegalArgumentException("depth")
+        var p = lo
+        while (p < hi) {
+          if (p + 8 > hi) throw new IllegalArgumentException("chunk header")
+          val f = cc(bytes, p)
+          val sz = u32le(bytes, p + 4)
+          if (sz > Int.MaxValue || p + 8 + sz > hi)
+            throw new IllegalArgumentException("chunk overruns parent")
+          nChunks += 1
+          if (f == "LIST") {
+            if (sz < 4) throw new IllegalArgumentException("short LIST")
+            walk(p + 12, p + 8 + sz.toInt, depth + 1)
+          } else if (isFrameCc(f)) {
+            frames += AviFrame(frames.length.toLong,
+              (f(0) - '0') * 10 + (f(1) - '0'), f,
+              java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + sz.toInt))
+          }
+          p += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+        }
+        if (p != hi) throw new IllegalArgumentException("ragged parent")
+      }
+      walk(12, bytes.length, 0)
+      AviParsed(nChunks, frames.toSeq)
+    } catch { case _: Exception => null }
+  }
+
+  private val frameType = StructType(Seq(
+    StructField("frame_idx", LongType), StructField("stream", IntegerType),
+    StructField("fourcc", StringType), StructField("frame", BinaryType)))
+
+  /** Explode AVI payloads to one row per frame chunk (+ a census
+    * row with null frame fields and valid=false for malformed
+    * buffers, so corruption is countable, not invisible). Row-local:
+    * zero exchange. */
+  def aviFrames(df: DataFrame, idCol: String, binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val idx = inSchema.fieldIndex(binaryCol)
+    val idIdx = inSchema.fieldIndex(idCol)
+    val outSchema = StructType(Seq(inSchema.fields(idIdx),
+      StructField("valid", BooleanType, nullable = false),
+      StructField("n_chunks", LongType)) ++ frameType.fields)
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.get(idIdx)
+        val p = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
+        if (p == null) Iterator(Row(id, false, null, null, null, null, null))
+        else if (p.frames.isEmpty)
+          Iterator(Row(id, true, p.n_chunks, null, null, null, null))
+        else p.frames.iterator.map(f =>
+          Row(id, true, p.n_chunks, f.frame_idx, f.stream, f.fourcc, f.bytes))
+      }
+    }(enc)
+  }
+
+  /** REAL frame decode for MJPEG streams: each `##dc` payload is a
+    * standalone JPEG, decoded by the JDK codec into the
+    * [[Multimodal.ImageIoDecoder]] feature vector (w, h, aspect,
+    * mean RGB, luma). Non-JPEG frames (other codecs) and corrupt
+    * frames yield null features — countable, never throwing. */
+  def decodeFrames(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val frames = aviFrames(df, idCol, binaryCol)
+      .filter(col("valid") && col("frame").isNotNull)
+    Multimodal.extractFeatures(frames, "frame",
+      new Multimodal.ImageIoDecoder)
+  }
+
+  // --- fixture builder (the Mp4.buildStubMp4 invertible trick) -------
+
+  /** Assemble a structurally-valid single-stream MJPEG AVI from frame
+    * payloads: RIFF(AVI LIST(hdrl avih) LIST(movi 00dc…) idx1). The
+    * avih carries frame count + geometry so [[parse]]∘build is
+    * deterministic and a SQL oracle can replay the census
+    * arithmetically. */
+  /** Fixture twin of [[aviFrames]] (the q132/Mp4 invertible-
+    * construction trick): per row, assemble an MJPEG AVI whose frame
+    * payloads are deterministic byte runs — frame j has size
+    * `sizeBase + j·sizeStep` filled with byte `(id + j) % 251` — so
+    * a SQL oracle can replay the whole census (frame count, chunk
+    * count, total bytes) arithmetically without owning an AVI
+    * stack. */
+  def buildStubAvi(df: DataFrame, idCol: String, nFramesCol: String,
+      sizeBaseCol: String, sizeStepCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val bi = inSchema.fieldIndex(sizeBaseCol)
+    val si = inSchema.fieldIndex(sizeStepCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii); val n = r.getLong(ni).toInt
+        val base = r.getLong(bi).toInt; val step = r.getLong(si).toInt
+        val frames = (0 until n).map { j =>
+          Array.fill[Byte](base + j * step)(((id + j) % 251).toByte)
+        }
+        Row.fromSeq(r.toSeq :+ buildAvi(frames))
+      }
+    }(enc)
+  }
+
+  private class RiffWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    def u32le(v: Long): Unit = {
+      out.write((v & 0xFF).toInt); out.write(((v >> 8) & 0xFF).toInt)
+      out.write(((v >> 16) & 0xFF).toInt); out.write(((v >> 24) & 0xFF).toInt)
+    }
+    def cc(s: String): Unit =
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), 0, 4)
+    def chunk(typ: String, body: Array[Byte]): Unit = {
+      cc(typ); u32le(body.length.toLong); out.write(body, 0, body.length)
+      if ((body.length & 1) == 1) out.write(0) // chunks pad to even
+    }
+    def list(listType: String)(body: RiffWriter => Unit): Unit = {
+      val child = new RiffWriter
+      body(child)
+      val inner = child.out.toByteArray
+      cc("LIST"); u32le(inner.length + 4L); cc(listType)
+      out.write(inner, 0, inner.length)
+    }
+  }
+
+  def buildAvi(frames: Seq[Array[Byte]], width: Long = 64L,
+      height: Long = 64L): Array[Byte] = {
+    // avih: 56-byte main header (frame period, flags, counts, geometry)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33333)               // usec per frame (~30 fps)
+    avih.putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames.length)       // total frames
+    avih.putInt(0).putInt(1)         // initial frames, streams
+    avih.putInt(frames.map(_.length).foldLeft(0)(math.max))
+    avih.putInt(width.toInt).putInt(height.toInt)
+    avih.putInt(0).putInt(0).putInt(0).putInt(0)
+    val w = new RiffWriter
+    w.list("hdrl")(h => h.chunk("avih", avih.array()))
+    w.list("movi")(m => frames.foreach(f => m.chunk("00dc", f)))
+    w.chunk("idx1", Array.emptyByteArray)
+    val payload = w.out.toByteArray
+    val whole = new RiffWriter
+    whole.cc("RIFF"); whole.u32le(payload.length + 4L); whole.cc("AVI ")
+    whole.out.write(payload, 0, payload.length)
+    whole.out.toByteArray
+  }
+}

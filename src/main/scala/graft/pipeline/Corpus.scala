@@ -979,6 +979,59 @@ object Corpus {
     * One class-count aggregate (broadcast scalar of the min), one
     * class-partitioned rank window — a single exchange on the class
     * key. */
+  /** K-fold split assignment with a GROUP-LEAKAGE audit — the
+    * train/eval split check every fine-tune review should run: rows
+    * that share a group (user, document family, conversation) must
+    * land in one fold together, or eval scores are contaminated by
+    * near-duplicates of training rows. Returns one row per fold
+    * comparing the two assignment policies:
+    *   - GROUP policy (correct): fold = h(group) mod k — n_rows,
+    *     n_groups per fold;
+    *   - ROW policy (the naive bug): fold = h(id) mod k —
+    *     row_assign_rows per fold, and split_groups = how many
+    *     groups this fold shares with at least one other fold under
+    *     it (each split group counts in EVERY fold it touches —
+    *     the per-fold contamination surface, not a global scalar).
+    * h = first 8 md5 hex digits of "value:seed" (the seededHash
+    * spine — engine `conv(substr(md5(..)..),16,10)`, oracle
+    * `('0x' || substr(md5(..)..))::BIGINT`, byte-identical).
+    *
+    * Shape: one row-grain projection, then fold-grain and
+    * (fold,group)-grain aggregates — the distinct pair table is the
+    * only exchange that scales with groups, never all-pairs. */
+  def foldLeakage(df: DataFrame, idCol: String, groupCol: String,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    def fold(c: org.apache.spark.sql.Column) =
+      pmod(conv(substring(seededHash(c, seed), 1, 8), 16, 10)
+        .cast("long"), lit(k.toLong))
+    val staged = df
+      .filter(col(idCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        fold(col(groupCol)).as("__gf"), fold(col(idCol)).as("__rf"))
+    val byGroupPolicy = staged.groupBy(col("__gf").as("fold"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("__g")).as("n_groups"))
+    val byRowPolicy = staged.groupBy(col("__rf").as("fold"))
+      .agg(count(lit(1)).as("row_assign_rows"))
+    val pairs = staged.select(col("__rf"), col("__g")).distinct()
+    val splitGroups = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nf"))
+      .filter(col("__nf") > 1L)
+      .select(col("__g"))
+    val perFold = pairs.join(splitGroups, Seq("__g"), "left_semi")
+      .groupBy(col("__rf").as("fold"))
+      .agg(count(lit(1)).as("split_groups"))
+    byGroupPolicy
+      .join(byRowPolicy, Seq("fold"), "full_outer")
+      .join(perFold, Seq("fold"), "full_outer")
+      .select(col("fold"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+        coalesce(col("row_assign_rows"), lit(0L)).as("row_assign_rows"),
+        coalesce(col("split_groups"), lit(0L)).as("split_groups"))
+  }
+
   def classBalance(df: DataFrame, idCol: String, classCol: String,
       seed: Long): DataFrame = {
     val pri = md5(concat(col(idCol).cast("string"), lit(":"),

@@ -603,4 +603,30 @@ class GraphSpec extends SparkTestBase {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(g2("0") == ((4L, 100L)) && g2("2") == ((1L, 0L)))
   }
+
+  test("assortativity: star -> -1, K4-minus-edge hand case, regular -> null") {
+    import spark.implicits._
+    def r(edges: Seq[(Long, Long)]) =
+      Graph.assortativity(edges.toDF("s", "t"), "s", "t").collect().head
+    // star K1,3: hubs wire only to leaves — perfectly disassortative
+    val star = r(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(star.getAs[Long]("m2") == 6L)
+    assert(math.abs(star.getAs[Double]("r") + 1.0) < 1e-12)
+    // K4 minus edge 2-3: degrees (3,3,2,2); by hand
+    // m2=10 sj=26 sj2=70 sjk=66 -> r = (660-676)/(700-676) = -2/3
+    val k4 = r(Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L)))
+    assert((k4.getAs[Long]("m2"),
+      k4.getAs[java.math.BigDecimal]("sjk").longValue,
+      k4.getAs[java.math.BigDecimal]("sj").longValue,
+      k4.getAs[java.math.BigDecimal]("sj2").longValue) ==
+      ((10L, 66L, 26L, 70L)))
+    assert(math.abs(k4.getAs[Double]("r") + 2.0 / 3) < 1e-12)
+    // triangle: every degree equal -> zero variance -> undefined
+    assert(r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).isNullAt(
+      r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).fieldIndex("r")))
+    // duplicate + self edges ignored
+    val dup = r(Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L),
+      (0L, 2L), (0L, 3L)))
+    assert(dup.getAs[Long]("m2") == 6L)
+  }
 }

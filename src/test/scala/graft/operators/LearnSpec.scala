@@ -1077,4 +1077,99 @@ class LearnSpec extends SparkTestBase {
     assert(got(4L) == ((4L, 3L, 2L, 1000000L, -1000L, 3000L,
       11000000L, 333333L)))
   }
+
+  test("spearmanRho: perfect monotone -> 1, reversed -> -1, ties handled") {
+    def rho(xy: Seq[(Double, Double)]): Double =
+      Learn.spearmanRho(xy.toDF("x", "y"), "x", "y")
+        .select("rho").collect().head.getDouble(0)
+    assert(math.abs(rho(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0),
+      (4.0, 44.0))) - 1.0) < 1e-12)
+    assert(math.abs(rho(Seq((1.0, 4.0), (2.0, 3.0), (3.0, 2.0),
+      (4.0, 1.0))) + 1.0) < 1e-12)
+    // ties: x = (1,1,2), y = (5,5,9) — still perfectly concordant
+    // under midranks: a = dmr_x - (n+1) = (3,3,6)-4 = (-1,-1,2),
+    // b likewise -> rho = 1
+    assert(math.abs(rho(Seq((1.0, 5.0), (1.0, 5.0), (2.0, 9.0))) - 1.0)
+      < 1e-12)
+    // exact component lanes: n=3 above, num = dx = dy = 6 (doubled)
+    val row = Learn.spearmanRho(
+      Seq((1.0, 5.0), (1.0, 5.0), (2.0, 9.0)).toDF("x", "y"), "x", "y")
+      .select(col("n"), col("num").cast("long"), col("dx").cast("long"),
+        col("dy").cast("long")).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2),
+      row.getLong(3)) == ((3L, 6L, 6L, 6L)))
+  }
+
+  test("ksTwoSample: disjoint supports -> D=1, identical -> D=0, hand case") {
+    def ks(rows: Seq[(Long, Double)]) = {
+      val r = Learn.ksTwoSample(rows.toDF("g", "v"), "g", "v")
+        .collect().head
+      (r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+        r.getAs[Long]("d_num"), r.getAs[Long]("d_micro"))
+    }
+    // group1 all below group0: at the boundary F1=1, F2=0 -> D=1
+    assert(ks(Seq((1L, 1.0), (1L, 2.0), (0L, 5.0), (0L, 6.0))) ==
+      ((2L, 2L, 4L, 1000000L)))
+    // identical distributions -> D = 0
+    assert(ks(Seq((1L, 1.0), (0L, 1.0), (1L, 2.0), (0L, 2.0))) ==
+      ((2L, 2L, 0L, 0L)))
+    // hand case: g1 = {1, 3}, g0 = {2, 3, 4}; at v=1: |1*3-0*2|=3;
+    // v=2: |3-2|=1; v=3: |6-4|=2; v=4: |6-6|=0 -> D=3/6
+    assert(ks(Seq((1L, 1.0), (1L, 3.0), (0L, 2.0), (0L, 3.0),
+      (0L, 4.0))) == ((2L, 3L, 3L, 500000L)))
+  }
+
+  test("krippendorffAlpha: perfect agreement -> 1e6, partial hand case, drops") {
+    // 3 raters, 2 items, all agree -> alpha = 1
+    val perfect = Seq((1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 0L, "b"), (2L, 1L, "b"), (2L, 2L, "b"))
+      .toDF("item", "rater", "label")
+    val p = Learn.krippendorffAlpha(perfect, "item", "rater", "label", 3)
+      .collect().head
+    assert(p.getAs[Long]("alpha_micro") == 1000000L)
+    assert(p.getAs[Long]("n_items") == 2L && p.getAs[Long]("n") == 6L)
+    assert(p.getAs[Long]("dropped_items") == 0L)
+    // one item unanimous 'a', one split b/b/a, one item incomplete
+    // (dropped): N=6, margins a=4 b=2. DoNum = item2: 2*(3-2)+1*(3-1)=4.
+    // DeNum = 4*2 + 2*4 = 16. alpha = 1 - (4/(6*2))/(16/(6*5))
+    //       = 1 - (4*5)/(2*16) = 1 - 20/32 = 0.375
+    val mixed = Seq((1L, 0L, "a"), (1L, 1L, "a"), (1L, 2L, "a"),
+      (2L, 0L, "b"), (2L, 1L, "b"), (2L, 2L, "a"),
+      (3L, 0L, "a"))
+      .toDF("item", "rater", "label")
+    val m = Learn.krippendorffAlpha(mixed, "item", "rater", "label", 3)
+      .collect().head
+    assert(m.getAs[Long]("dropped_items") == 1L)
+    assert(m.getAs[Long]("do_num") == 4L && m.getAs[Long]("de_num") == 16L)
+    assert(m.getAs[Long]("alpha_micro") == 375000L)
+  }
+
+  test("bradleyTerry: dominant player ranks top, symmetric stays flat") {
+    // 0 beats everyone twice; 1 and 2 split their games
+    val games = Seq((0L, 1L), (0L, 1L), (0L, 2L), (0L, 2L),
+      (1L, 2L), (2L, 1L)).toDF("w", "l")
+    val got = Learn.bradleyTerry(games, "w", "l", rounds = 4)
+      .collect().map(r => r.getAs[Long]("item") ->
+        (r.getAs[Long]("w"), r.getAs[Long]("n"),
+          r.getAs[Long]("p_milli"))).toMap
+    assert(got(0L)._1 == 4L && got(0L)._2 == 4L)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(0L)._3 > got(1L)._3 && got(0L)._3 > got(2L)._3)
+    // 1 and 2 are symmetric (same record vs 0, split head-to-head)
+    assert(got(1L)._3 == got(2L)._3)
+    // normalization: sum p = 1000 * k (within the GREATEST(1,) floor)
+    assert(math.abs(got.values.map(_._3).sum - 3000L) <= 3L)
+  }
+
+  test("dispersionIndex: constant -> 0, bursty > 1e6, exact hand case") {
+    val df = Seq(("flat", 5L), ("flat", 5L), ("flat", 5L),
+      ("burst", 1L), ("burst", 1L), ("burst", 10L)).toDF("k", "v")
+    val got = Learn.dispersionIndex(df, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("sum_v"),
+          r.getAs[Long]("sum_v2"), r.getAs[Long]("vmr_micro"))).toMap
+    assert(got("flat") == ((3L, 15L, 75L, 0L)))
+    // burst: n=3, S=12, S2=102; VMR = (3*102-144)/(3*12) = 162/36 = 4.5
+    assert(got("burst") == ((3L, 12L, 102L, 4500000L)))
+  }
 }

@@ -1245,4 +1245,41 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // a size token is not a duration and vice versa
     assert(got(0L)._2.isEmpty && got(10L)._1.isEmpty)
   }
+
+  test("vocabRichness: hand-counted census, Chao1 bias-corrected at f2=0") {
+    import spark.implicits._
+    // tokens: a x3, b c d x1 -> S=4 N=6 f1=3 f2=0
+    val docs = Seq("a a b c", "a d").toDF("text")
+    val r = TextOps.vocabRichness(docs, "text").collect().head
+    assert((r.getAs[Long]("vocab"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("f1"), r.getAs[Long]("f2")) == ((4L, 6L, 3L, 0L)))
+    assert(r.getAs[Long]("hapax_micro") == 750000L)
+    // chao1 = 1000*4 + floor(1000*3*2 / (2*(0+1))) = 4000 + 3000
+    assert(r.getAs[Long]("chao1_milli") == 7000L)
+    // whitespace-only and null docs contribute nothing
+    val r2 = TextOps.vocabRichness(
+      Seq(Some("a a b c"), Some("a d"), Some("   "), None)
+        .toDF("text"), "text").collect().head
+    assert(r2.getAs[Long]("n_tokens") == 6L)
+  }
+
+  test("goodTuring: N_r table, adjusted counts, unseen mass") {
+    import spark.implicits._
+    // counts: a:3, e:2, b c d:1 -> N1=3 N2=1 N3=1, N=8
+    val docs = Seq("a a b c", "a d e e").toDF("text")
+    val got = TextOps.goodTuring(docs, "text", maxR = 8)
+      .collect().map(r => r.getAs[Long]("r") -> r).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    // r=1: r* = floor(1000*2*N2/N1) = floor(2000/3) = 666
+    assert(got(1L).getAs[Long]("n_r") == 3L)
+    assert(got(1L).getAs[Long]("r_star_milli") == 666L)
+    // r=2: r* = floor(1000*3*N3/N2) = 3000
+    assert(got(2L).getAs[Long]("r_star_milli") == 3000L)
+    // r=3: N4 = 0 -> undefined
+    assert(got(3L).isNullAt(got(3L).fieldIndex("r_star_milli")))
+    // p_micro(r=1) = 1e6*1*3/8 = 375000; p0 = 1e6*3/8 = 375000
+    assert(got(1L).getAs[Long]("p_micro") == 375000L)
+    assert(got(1L).getAs[Long]("p0_micro") == 375000L)
+    assert(got(2L).getAs[Long]("p0_micro") == 375000L)
+  }
 }

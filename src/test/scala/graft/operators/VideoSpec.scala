@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** AVI container walk + real MJPEG decode: build→parse round-trip
+  * (frame bytes identical), strict-null malformations, and an
+  * end-to-end decode of REAL JPEG frames written by the JDK codec —
+  * the pure-JVM video path (r11 verdict stretch item 8). */
+class VideoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def jpeg(rgb: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("parse: build->parse round-trips frame bytes, counts, streams") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7),
+      Array[Byte](9)) // odd sizes exercise even-padding
+    val p = Video.parse(Video.buildAvi(frames))
+    assert(p != null)
+    // chunks: LIST(hdrl) + avih + LIST(movi) + 3 frames + idx1
+    assert(p.n_chunks == 7L)
+    assert(p.frames.map(_.bytes.toSeq) == frames.map(_.toSeq))
+    assert(p.frames.map(_.frame_idx) == Seq(0L, 1L, 2L))
+    assert(p.frames.forall(f => f.stream == 0 && f.fourcc == "00dc"))
+    // empty stream: zero frames still a valid file
+    val empty = Video.parse(Video.buildAvi(Seq.empty))
+    assert(empty != null && empty.frames.isEmpty && empty.n_chunks == 4L)
+  }
+
+  test("parse: strict null on every malformation") {
+    val good = Video.buildAvi(Seq(Array[Byte](1, 2, 3)))
+    assert(Video.parse(null) == null)
+    assert(Video.parse(Array[Byte](1, 2)) == null)
+    assert(Video.parse("JUNK".getBytes ++ good.drop(4)) == null) // bad magic
+    assert(Video.parse(good.dropRight(1)) == null)     // envelope short
+    assert(Video.parse(good ++ Array[Byte](0)) == null) // trailing byte
+    val wrongType = good.clone(); wrongType(8) = 'X'
+    assert(Video.parse(wrongType) == null)             // not 'AVI '
+    val overrun = good.clone()
+    // corrupt the avih chunk size to overrun its parent LIST
+    // (avih size field sits at offset 12+8+4+4 = 28)
+    overrun(28) = 0xFF.toByte
+    assert(Video.parse(overrun) == null)
+  }
+
+  test("aviFrames: frame rows + malformed census row, zero exchange") {
+    val good = Video.buildAvi(Seq(Array[Byte](1, 2), Array[Byte](3)))
+    val df = Seq((1L, good), (2L, Array[Byte](9, 9, 9)),
+      (3L, Video.buildAvi(Seq.empty))).toDF("id", "payload")
+    val got = Video.aviFrames(df, "id", "payload")
+    val rows = got.collect()
+    assert(rows.count(r => r.getLong(0) == 1L && r.getBoolean(1)) == 2)
+    val bad = rows.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && !bad.head.getBoolean(1))
+    val empty = rows.filter(_.getLong(0) == 3L)
+    assert(empty.length == 1 && empty.head.getBoolean(1) &&
+      empty.head.isNullAt(3))
+    // row-local: no exchange anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"aviFrames must not shuffle:\n$plan")
+  }
+
+  test("decodeFrames: REAL JPEG frames decode to real pixel features") {
+    val red = jpeg(0xFF0000); val green = jpeg(0x00FF00)
+    val avi = Video.buildAvi(Seq(red, green), width = 8L, height = 8L)
+    val df = Seq((7L, avi)).toDF("id", "payload")
+    val got = Video.decodeFrames(df, "id", "payload")
+      .select(col("frame_idx"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == 2)
+    // features = [w, h, aspect, meanR, meanG, meanB, luma, 1.0]
+    val r0 = got(0L); val g1 = got(1L)
+    assert(r0(0) == 8.0f && r0(1) == 8.0f)
+    // red frame: R channel dominates; green frame: G dominates
+    assert(r0(3) > 0.8f && r0(4) < 0.3f, s"red frame means: $r0")
+    assert(g1(4) > 0.8f && g1(3) < 0.3f, s"green frame means: $g1")
+    // a corrupt frame yields null features, not a throw
+    val mixed = Video.buildAvi(Seq(red, Array[Byte](0, 1, 2)))
+    val m = Video.decodeFrames(Seq((8L, mixed)).toDF("id", "payload"),
+      "id", "payload").select(col("frame_idx"), col("features"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(m == Map(0L -> false, 1L -> true))
+  }
+}

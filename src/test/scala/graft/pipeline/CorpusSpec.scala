@@ -657,4 +657,39 @@ class CorpusSpec extends AnyFunSuite with SparkTestBase {
       .groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
     assert(g2("mid") == byCls("mid") && g2("small") == byCls("small"))
   }
+
+  test("foldLeakage: group policy never splits, row policy census, invariants") {
+    import spark.implicits._
+    // 4 groups x 10 rows; ids unique
+    val rows = (0L until 40L).map(i => (i, i % 4)).toDF("id", "g")
+    val got = Corpus.foldLeakage(rows, "id", "g", k = 4)
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("row_assign_rows"),
+        r.getAs[Long]("split_groups")))
+    // both policies partition the rows
+    assert(got.map(_._2).sum == 40L)
+    assert(got.map(_._4).sum == 40L)
+    // group policy: each group in exactly one fold
+    assert(got.map(_._3).sum == 4L)
+    // row policy: 10 unique ids per group hash across 4 folds, so
+    // every group is split; each split group is counted in EVERY
+    // fold it touches -> per-fold split_groups equals the number of
+    // groups with at least one row in that fold
+    val fg = rows
+      .select(pmod(conv(substring(md5(concat(col("id").cast("string"),
+        lit(":42"))), 1, 8), 16, 10).cast("long"), lit(4)).as("f"),
+        col("g")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val splitGs = fg.groupBy(_._2).filter(_._2.length > 1).keySet
+    val expect = fg.filter(p => splitGs(p._2)).groupBy(_._1)
+      .view.mapValues(_.length.toLong).toMap
+    got.foreach { case (f, _, _, _, sg) =>
+      assert(sg == expect.getOrElse(f, 0L), s"fold $f") }
+    // deterministic: same input, same output
+    val again = Corpus.foldLeakage(rows, "id", "g", k = 4)
+      .collect().map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("n_groups"), r.getAs[Long]("row_assign_rows"),
+        r.getAs[Long]("split_groups")))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

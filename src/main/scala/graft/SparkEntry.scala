@@ -3488,6 +3488,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q391: unrestricted Damerau–Levenshtein — a genuine
+    // cross-IMPLEMENTATION oracle against DuckDB's native
+    // damerau_levenshtein (the q219 discipline): reversal
+    // (transposition-heavy), truncation, identity, and an accented
+    // twin that witnesses the BYTE-based unit of comparison.
+    "q391_damerau" -> ((s, dir) => {
+      import graft.functions.damerau_levenshtein
+      val w = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          lower(regexp_extract(col("text"), "^\\s*([A-Za-z]+)", 1)).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = w.select(col("doc_id"), lit("rev").as("kind"),
+          col("w").as("a"), reverse(col("w")).as("b"))
+        .unionByName(w.select(col("doc_id"), lit("cut").as("kind"),
+          col("w").as("a"), substring(col("w"), 1, 3).as("b")))
+        .unionByName(w.select(col("doc_id"), lit("id").as("kind"),
+          col("w").as("a"), col("w").as("b")))
+        .unionByName(w.select(col("doc_id"), lit("acc").as("kind"),
+          col("w").as("a"),
+          translate(col("w"), "aeiou", "\u00e0\u00e9\u00ee\u00f6\u00fb").as("b")))
+      pairs.select(col("doc_id"), col("kind"), col("a"), col("b"),
+          damerau_levenshtein(col("a"), col("b")).as("dl"))
+        .orderBy(col("doc_id"), col("kind"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -5069,6 +5094,12 @@ object SparkEntry {
           col("w").as("a"), substring(col("w"), 1, 3).as("b")))
         .unionByName(w.select(col("doc_id"), lit("id").as("kind"),
           col("w").as("a"), col("w").as("b")))
+        // accented twin: multibyte octets make the BYTE-based unit of
+        // comparison observable (a code-point kernel diverges here —
+        // the latent bug this branch now pins cross-engine)
+        .unionByName(w.select(col("doc_id"), lit("acc").as("kind"),
+          col("w").as("a"),
+          translate(col("w"), "aeiou", "\u00e0\u00e9\u00ee\u00f6\u00fb").as("b")))
       pairs.select(col("doc_id"), col("kind"), col("a"), col("b"),
           floor(jaro_similarity(col("a"), col("b")) * 1000000).cast("long")
             .as("jaro_micro"),
@@ -9543,6 +9574,26 @@ object SparkEntry {
         |  CAST(p AS BIGINT) AS p_milli
         |FROM r3 ORDER BY item""".stripMargin,
 
+    // q391: DuckDB's OWN unrestricted Damerau–Levenshtein — two
+    // codebases, one distance.
+    "q391_damerau" ->
+      """WITH w AS (SELECT doc_id,
+        |    lower(regexp_extract(text, '^\s*([A-Za-z]+)', 1)) AS w
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, w FROM w WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, 'rev' AS kind, w AS a, reverse(w) AS b FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'cut', w, substr(w, 1, 3) FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'id', w, w FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'acc', w,
+        |    translate(w, 'aeiou', '\u00e0\u00e9\u00ee\u00f6\u00fb') FROM f)
+        |SELECT doc_id, kind, a, b,
+        |  CAST(damerau_levenshtein(a, b) AS BIGINT) AS dl
+        |FROM pairs ORDER BY doc_id, kind""".stripMargin,
+
     // q390: the RIFF walk replayed arithmetically — chunk count is
     // LIST(hdrl) + avih + LIST(movi) + n frames + idx1 = 4 + n;
     // frame bytes are the arithmetic series n·base + step·n(n−1)/2.
@@ -12094,7 +12145,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id, 'cut', w, substr(w, 1, 3) FROM f
         |  UNION ALL
-        |  SELECT doc_id, 'id', w, w FROM f)
+        |  SELECT doc_id, 'id', w, w FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'acc', w,
+        |    translate(w, 'aeiou', '\u00e0\u00e9\u00ee\u00f6\u00fb') FROM f)
         |SELECT doc_id, kind, a, b,
         |  CAST(FLOOR(jaro_similarity(a, b) * 1000000) AS BIGINT)
         |    AS jaro_micro,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BlocklistCounts, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, BlocklistCounts, DamerauLevenshtein, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -93,6 +93,9 @@ package object functions {
     reg.createOrReplaceTempFunction("jaro_winkler",
       exprs => { checkArity("jaro_winkler", 2, exprs)
         JaroWinklerSimilarity(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      exprs => { checkArity("damerau_levenshtein", 2, exprs)
+        DamerauLevenshtein(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("lcs_length",
       exprs => { checkArity("lcs_length", 2, exprs)
         LcsLength(exprs(0), exprs(1)) }, "scala_udf")
@@ -338,6 +341,13 @@ package object functions {
     * boost (ℓ ≤ 4, p = 0.1, threshold 0.7). */
   def jaro_winkler(a: Column, b: Column): Column =
     col2(JaroWinklerSimilarity(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** UNRESTRICTED Damerau–Levenshtein distance (BIGINT) — edit
+    * distance with true transpositions ('ca'→'abc' = 2, not OSA's 3),
+    * BYTE-based like DuckDB's native `damerau_levenshtein`
+    * (cross-implementation-oracled, q391). */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    col2(DamerauLevenshtein(bridge.toExpression(a), bridge.toExpression(b)))
 
   /** Token-sequence longest common subsequence length (BIGINT) — the
     * ROUGE-L kernel ([[graft.expr.LcsKernel]]): in-order agreement

@@ -23,8 +23,41 @@ class JaroWinklerSpec extends SparkTestBase {
     assert(j("", "") == 0.0 && jw("", "a") == 0.0)
     assert(j("abc", "abc") == 1.0 && jw("abc", "abc") == 1.0)
     assert(j("a", "b") == 0.0)
-    // code points, not UTF-16 units: astral chars count once
+    // identity holds for multibyte too (equal byte sequences)
     assert(j("😀x", "😀x") == 1.0)
+  }
+
+  test("kernel: BYTE-based unit of comparison (DuckDB probed values)") {
+    // DuckDB jaro('café','cafe') = 0.78333… — the UTF-8 BYTE model
+    // (5 vs 4 octets, m=3); a code-point kernel gives 0.83333… and
+    // silently diverges on every accented name (the latent r12 bug)
+    assert(math.abs(j("caf\u00e9", "cafe") - 0.7833333333333333) < 1e-15)
+    assert(math.abs(jw("caf\u00e9", "cafe") - 0.8483333333333334) < 1e-15)
+    assert(math.abs(jw("\u00e9\u00e9\u00e9", "eee") - 0.0) < 1e-15)
+    assert(math.abs(jw("\u4e2da\u6587", "a\u4e2d\u6587")
+      - 0.9047619047619048) < 1e-12)
+  }
+
+  test("damerau: unrestricted DL, byte-based, DuckDB probed values") {
+    def dl(a: String, b: String): Long = DamerauKernel.distance(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    // the unrestricted-vs-OSA shibboleth: 'ca'→'abc' is 2 (transpose
+    // then insert reuses the region), OSA says 3; DuckDB says 2
+    assert(dl("ca", "abc") == 2L)
+    assert(dl("ab", "ba") == 1L)
+    assert(dl("", "abc") == 3L && dl("abc", "") == 3L && dl("", "") == 0L)
+    assert(dl("kitten", "sitting") == 3L)   // pure-Levenshtein case
+    assert(dl("abc", "abc") == 0L)
+    // byte-based: é costs its two octets (DuckDB probed = 2)
+    assert(dl("caf\u00e9", "cafe") == 2L)
+    // never exceeds Levenshtein, symmetric
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val a = Seq.fill(rnd.nextInt(8))(('a' + rnd.nextInt(3)).toChar).mkString
+      val b = Seq.fill(rnd.nextInt(8))(('a' + rnd.nextInt(3)).toChar).mkString
+      assert(dl(a, b) == dl(b, a), s"asymmetric: '$a' '$b'")
+      assert(dl(a, b) <= math.max(a.length, b.length))
+    }
   }
 
   test("kernel: symmetry and range on random strings") {

@@ -3513,6 +3513,44 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("kind"))
     }),
 
+    // q392: Benjamini–Hochberg FDR over a synthetic p-value table —
+    // every 10th test carries real signal (p < 900 micro), the rest
+    // are uniform noise; the k* boundary lands mid-table so both the
+    // reject and keep lanes are exercised.
+    "q392_bh_fdr" -> ((s, dir) => {
+      val tests = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          expr("""CASE WHEN doc_id % 10 = 0 THEN (doc_id * 37) % 900
+                 |  ELSE (doc_id * 7919) % 1000000 END""".stripMargin)
+            .as("p_micro"))
+      operators.Learn.bhFdr(tests, "doc_id", "p_micro", qMicro = 50000L)
+        .orderBy(col("rank"))
+    }),
+
+    // q393: Wilson score bounds per event type (success = value >
+    // 100) — the one float lane computed in a pinned IEEE op order
+    // mirrored exactly by the oracle.
+    "q393_wilson" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_type"), (col("value") > 100.0).as("ok"))
+      operators.Learn.wilsonInterval(e, "event_type", "ok")
+        .orderBy(col("event_type"))
+    }),
+
+    // q394: split conformal threshold at alpha = 0.1 — 80% of events
+    // calibrate, 20% are scored for coverage; the ceil((n+1)(1-a))
+    // rank arithmetic is pure integers.
+    "q394_conformal" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val calib = e.filter(pmod(col("event_id"), lit(5)) < 4)
+      val test = e.filter(pmod(col("event_id"), lit(5)) === 4)
+        .select(col("event_id"), col("value"))
+      operators.Learn.splitConformal(calib, test, "value",
+          alphaMilli = 100L)
+        .select(col("event_id"), col("threshold_milli"), col("covered"))
+        .orderBy(col("event_id"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9573,6 +9611,67 @@ object SparkEntry {
         |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS p_milli
         |FROM r3 ORDER BY item""".stripMargin,
+
+    // q392: rank p ascending, cross-multiplied integer BH boundary.
+    "q392_bh_fdr" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN (doc_id * 37) % 900
+        |      ELSE (doc_id * 7919) % 1000000 END AS p_micro
+        |  FROM documents WHERE doc_id < 300),
+        |r AS (SELECT doc_id AS id, p_micro,
+        |    ROW_NUMBER() OVER (ORDER BY p_micro, doc_id) AS rank,
+        |    COUNT(*) OVER () AS m FROM t),
+        |k AS (SELECT COALESCE(MAX(CASE WHEN CAST(m AS HUGEINT) * p_micro
+        |      <= CAST(rank AS HUGEINT) * 50000 THEN rank END), 0) AS k
+        |  FROM r)
+        |SELECT r.id, CAST(r.p_micro AS BIGINT) AS p_micro,
+        |  CAST(r.rank AS BIGINT) AS rank, r.rank <= k.k AS rejected
+        |FROM r, k ORDER BY r.rank""".stripMargin,
+
+    // q393: the SAME pinned double op order — s(n−s) exact BIGINT,
+    // one division lane each, z² spelled as a DOUBLE product (a bare
+    // 1.96 literal would be DECIMAL in DuckDB and diverge).
+    "q393_wilson" ->
+      """WITH a AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS s
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+        |  CASE WHEN n > 0 THEN
+        |    (CAST(s AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / 2)
+        |      / (CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |    - (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(s * (n - s) AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / 4))
+        |      / (CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |  END AS wilson_low,
+        |  CASE WHEN n > 0 THEN
+        |    (CAST(s AS DOUBLE) + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / 2)
+        |      / (CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |    + (CAST(1.96 AS DOUBLE) * sqrt(
+        |        CAST(s * (n - s) AS DOUBLE) / CAST(n AS DOUBLE)
+        |        + (CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)) / 4))
+        |      / (CAST(n AS DOUBLE) + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE))
+        |  END AS wilson_high
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // q394: k = ceil((n+1)(1−α)) in integers, k-th smallest from the
+    // cumulative value census, coverage flags on the held-out lane.
+    "q394_conformal" ->
+      """WITH c AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id % 5 < 4 AND value IS NOT NULL),
+        |n AS (SELECT COUNT(*) AS n FROM c),
+        |runs AS (SELECT v, COUNT(*) AS run FROM c GROUP BY v),
+        |cum AS (SELECT v, SUM(run) OVER (ORDER BY v) AS cum FROM runs),
+        |k AS (SELECT ((n.n + 1) * 900 + 999) // 1000 AS k, n.n FROM n),
+        |thr AS (SELECT MIN(cum.v) AS threshold_milli
+        |  FROM cum, k WHERE cum.cum >= k.k AND k.k <= k.n)
+        |SELECT e.event_id, CAST(thr.threshold_milli AS BIGINT)
+        |    AS threshold_milli,
+        |  CASE WHEN thr.threshold_milli IS NOT NULL THEN
+        |    CAST(FLOOR(e.value * 1000) AS BIGINT) <= thr.threshold_milli
+        |  ELSE FALSE END AS covered
+        |FROM events e, thr WHERE e.event_id % 5 = 4
+        |ORDER BY e.event_id""".stripMargin,
 
     // q391: DuckDB's OWN unrestricted Damerau–Levenshtein — two
     // codebases, one distance.

@@ -2164,6 +2164,109 @@ object Learn {
         col("__s2").cast("long").as("sum_v2"), col("vmr_micro"))
   }
 
+  /** Benjamini–Hochberg FDR control, EXACT — the multiple-testing
+    * gate an eval suite needs the moment it compares many model
+    * variants / slices at once (m tests at per-test α inflate false
+    * positives; BH bounds the FALSE DISCOVERY RATE at q): sort
+    * p-values ascending, find the largest rank k with
+    *   p_(k) ≤ k·q/m   ⟺   m·p_micro ≤ k·q_micro   (pure integers),
+    * reject exactly ranks 1..k. Ranking rides
+    * [[Relational.globalRowNumber]] (ties broken by id — total
+    * order), k comes from one aggregate over the cross-multiplied
+    * flag, and the verdict joins back as a broadcast scalar. The
+    * m·p product rides DECIMAL (m·10⁶ wraps BIGINT near m ≈ 10¹³).
+    * Output: (id, p_micro, rank, rejected). */
+  def bhFdr(df: DataFrame, idCol: String, pMicroCol: String,
+      qMicro: Long): DataFrame = {
+    require(qMicro > 0 && qMicro < 1000000,
+      s"qMicro must be in (0, 1e6), got $qMicro")
+    val staged = df
+      .filter(col(pMicroCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("id"), col(pMicroCol).cast("long").as("p_micro"))
+    val ranked = Relational.globalRowNumber(staged,
+      Seq(col("p_micro").asc, col("id").asc), "rank")
+    val withM = ranked.crossJoin(broadcast(
+      staged.agg(count(lit(1)).as("__m"))))
+    val kstar = withM
+      .filter(expr(s"CAST(__m AS DECIMAL(38,0)) * p_micro <= CAST(rank AS DECIMAL(38,0)) * $qMicro"))
+      .agg(coalesce(max(col("rank")), lit(0L)).as("__k"))
+    withM.crossJoin(broadcast(kstar))
+      .select(col("id"), col("p_micro"), col("rank"),
+        (col("rank") <= col("__k")).as("rejected"))
+  }
+
+  /** Wilson score interval for a binomial rate, per key — the
+    * confidence bound a dashboard should show instead of ±1.96·SE
+    * (the normal interval collapses at p→0/1 and small n; Wilson
+    * stays inside [0,1] and is the standard for CTR/defect-rate
+    * reporting). One aggregate per key; the interval itself is the
+    * one float lane, computed in a PINNED operation order so both
+    * engines produce identical bits (IEEE +,·,/,√ are correctly
+    * rounded; only the order is a convention, and the oracle mirrors
+    * it exactly):
+    *   denom  = n + z²
+    *   center = (s + z²/2) / denom
+    *   margin = z·√(s·(n−s)/n + z²/4) / denom
+    * with s·(n−s) exact in BIGINT then one double division (exact to
+    * 2⁵³ — n beyond 3·10⁹ per key should pre-aggregate). n = 0 →
+    * null bounds. */
+  def wilsonInterval(df: DataFrame, keyCol: String, successCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val agg = df
+      .filter(col(successCol).isNotNull)
+      .select(col(keyCol),
+        col(successCol).cast("boolean").cast("long").as("__s"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__s")).as("s"))
+    val zz = z * z
+    val denom = col("n").cast("double") + lit(zz)
+    val center = (col("s").cast("double") + lit(zz / 2)) / denom
+    val margin = (lit(z) * sqrt(
+      (col("s") * (col("n") - col("s"))).cast("double") /
+        col("n").cast("double") + lit(zz / 4))) / denom
+    agg.select(col(keyCol), col("n"), col("s"),
+      when(col("n") > 0, center - margin).as("wilson_low"),
+      when(col("n") > 0, center + margin).as("wilson_high"))
+  }
+
+  /** Split conformal prediction threshold, EXACT — the
+    * distribution-free coverage guarantee eval pipelines reach for
+    * (Vovk; Angelopoulos & Bates 2023 tutorial form): given a
+    * CALIBRATION set of nonconformity scores, the level-α threshold
+    * is the k-th smallest score with
+    *   k = ⌈(n+1)(1−α)⌉   (integer: ((n+1)·(1000−α_milli) + 999) div 1000),
+    * and any test score ≤ threshold is covered with probability
+    * ≥ 1−α. k > n (tiny calibration sets) → null threshold, nothing
+    * covered — surfaced, not clamped.
+    *
+    * The k-th smallest comes from the value census + one
+    * [[Relational.globalPrefixSum]] pass (first value whose
+    * cumulative count reaches k) — value-grain, never a row-grain
+    * global sort. Test rows then compare against the broadcast
+    * scalar. Output: test rows + (threshold_milli, covered). */
+  def splitConformal(calib: DataFrame, test: DataFrame,
+      scoreCol: String, alphaMilli: Long): DataFrame = {
+    require(alphaMilli > 0 && alphaMilli < 1000,
+      s"alphaMilli must be in (0, 1000), got $alphaMilli")
+    val cs = calib.filter(col(scoreCol).isNotNull)
+      .select(floor(col(scoreCol) * 1000).cast("long").as("__v"))
+    val runs = cs.groupBy(col("__v")).agg(count(lit(1)).as("__run"))
+    val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+      "__run", "__cum")
+    val thr = cum
+      .crossJoin(broadcast(cs.agg(count(lit(1)).as("__n"))))
+      .withColumn("__k", expr(
+        s"((__n + 1) * (1000 - $alphaMilli) + 999) div 1000"))
+      .filter(col("__cum") >= col("__k") && col("__k") <= col("__n"))
+      .agg(min(col("__v")).as("threshold_milli"))
+    test.crossJoin(broadcast(thr))
+      .withColumn("__score_milli", floor(col(scoreCol) * 1000).cast("long"))
+      .withColumn("covered", when(col("threshold_milli").isNotNull,
+        col("__score_milli") <= col("threshold_milli")).otherwise(lit(false)))
+      .drop("__score_milli")
+  }
+
   /** Decile lift / gains table, EXACT — the scoring-model report
     * every targeting review reads: rank the population by score
     * (ties broken by `idCol` — a total order, so the bucketing is

@@ -1161,6 +1161,69 @@ class LearnSpec extends SparkTestBase {
     assert(math.abs(got.values.map(_._3).sum - 3000L) <= 3L)
   }
 
+  test("bhFdr: hand-computed boundary, all-noise rejects nothing") {
+    // m=4, q=0.25 (250000 micro): sorted p = 10000, 60000, 200000,
+    // 900000. BH: rank1: 4*10000 <= 1*250000 T; rank2: 4*60000=240000
+    // <= 500000 T; rank3: 4*200000=800000 > 750000 F; rank4:
+    // 4*900000 > 1000000 F -> k*=2, reject exactly the two smallest.
+    val df = Seq((1L, 200000L), (2L, 10000L), (3L, 900000L),
+      (4L, 60000L)).toDF("id", "p")
+    val got = Learn.bhFdr(df, "id", "p", qMicro = 250000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("rank"), r.getAs[Boolean]("rejected"))).toMap
+    assert(got(2L) == ((1L, true)) && got(4L) == ((2L, true)))
+    assert(got(1L) == ((3L, false)) && got(3L) == ((4L, false)))
+    // step-up property: a later p UNDER the line rescues earlier ones
+    // above it: p = 240000, 245000 at q=0.5, m=2: rank1 2*240000 <=
+    // 500000 T; rank2 2*245000 <= 1000000 T -> both rejected
+    val up = Learn.bhFdr(Seq((1L, 240000L), (2L, 245000L)).toDF("id", "p"),
+      "id", "p", qMicro = 500000L).collect()
+    assert(up.forall(_.getAs[Boolean]("rejected")))
+    // pure noise near 1 rejects nothing
+    val noise = Learn.bhFdr(Seq((1L, 990000L), (2L, 999000L))
+      .toDF("id", "p"), "id", "p", qMicro = 50000L).collect()
+    assert(noise.forall(!_.getAs[Boolean]("rejected")))
+  }
+
+  test("wilsonInterval: known value, degenerate rates stay in [0,1]") {
+    val df = Seq(("a", true), ("a", true), ("a", false), ("a", true),
+      ("b", false), ("b", false), ("c", true)).toDF("k", "ok")
+    val got = Learn.wilsonInterval(df, "k", "ok")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Double]("wilson_low"), r.getAs[Double]("wilson_high")))
+      .toMap
+    // a: n=4, s=3, p̂=0.75 -> Wilson 95%: [0.3006, 0.9544] (textbook)
+    val (n, sc, lo, hi) = got("a")
+    assert(n == 4L && sc == 3L)
+    assert(math.abs(lo - 0.30064) < 5e-4 && math.abs(hi - 0.95449) < 5e-4)
+    // all-failure and all-success: bounds stay inside [0,1] and
+    // don't collapse to a zero-width interval (the Wilson point)
+    assert(got("b")._3 >= -1e-12 && got("b")._4 > 0.0 && got("b")._4 < 1.0)
+    assert(got("c")._3 > 0.0 && got("c")._4 <= 1.0 + 1e-12)
+  }
+
+  test("splitConformal: exact k-th smallest threshold, coverage flags") {
+    // calib scores 1..9 (milli 1000..9000), alpha=0.2 -> k =
+    // ceil(10*0.8) = 8 -> threshold = 8000
+    val calib = (1 to 9).map(_.toDouble).toDF("score")
+    val test = Seq((1L, 7.5), (2L, 8.0), (3L, 8.5)).toDF("id", "score")
+    val got = Learn.splitConformal(calib, test, "score", alphaMilli = 200L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("threshold_milli"), r.getAs[Boolean]("covered")))
+      .toMap
+    assert(got(1L) == ((8000L, true)) && got(2L) == ((8000L, true)))
+    assert(got(3L) == ((8000L, false)))
+    // calibration too small for the level: k = ceil(2*0.99..) wait —
+    // n=1, alpha=10 -> k = ceil(2*0.99) = 2 > 1 -> null threshold,
+    // nothing covered
+    val tiny = Learn.splitConformal(Seq(1.0).toDF("score"),
+      Seq((1L, 0.5)).toDF("id", "score"), "score", alphaMilli = 10L)
+      .collect().head
+    assert(tiny.isNullAt(tiny.fieldIndex("threshold_milli")))
+    assert(!tiny.getAs[Boolean]("covered"))
+  }
+
   test("dispersionIndex: constant -> 0, bursty > 1e6, exact hand case") {
     val df = Seq(("flat", 5L), ("flat", 5L), ("flat", 5L),
       ("burst", 1L), ("burst", 1L), ("burst", 10L)).toDF("k", "v")

@@ -3551,6 +3551,39 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q395: two-sided CUSUM over per-user event-value series —
+    // target below the value mean so the positive arm accumulates,
+    // alarms fire and reset mid-series (both lanes replay the
+    // restart).
+    "q395_cusum" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("user_id") < 40 && col("value").isNotNull &&
+          col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      operators.Learn.cusum(e, "user_id", Seq("ts", "event_id"),
+          "value", targetMilli = 150000L, slackMilli = 20000L,
+          hMilli = 800000L)
+        .select(col("user_id"), col("event_id"), col("g_pos"),
+          col("g_neg"), col("alarm"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // q396: Fellegi–Sunter match weights over arithmetic agreement
+    // patterns — three fields with distinct m/u informativeness, the
+    // exact rational ratio and the three-way verdict.
+    "q396_fellegi_sunter" -> ((s, dir) => {
+      val pairs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          (pmod(col("doc_id"), lit(2)) === 0).as("agree_name"),
+          (pmod(col("doc_id"), lit(3)) === 0).as("agree_addr"),
+          (pmod(col("doc_id"), lit(5)) === 0).as("agree_phone"))
+      operators.Learn.fellegiSunter(pairs,
+          Seq("agree_name", "agree_addr", "agree_phone"),
+          mMilli = Seq(900L, 800L, 950L), uMilli = Seq(100L, 200L, 50L),
+          upperMicro = 50000000L, lowerMicro = 2000000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9611,6 +9644,61 @@ object SparkEntry {
         |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS p_milli
         |FROM r3 ORDER BY item""".stripMargin,
+
+    // q395: the CUSUM recurrence replayed per key in a recursive
+    // walk — same milli floors, same max(0,·) arms, same post-alarm
+    // reset.
+    "q395_cusum" ->
+      """WITH RECURSIVE s AS (SELECT user_id, event_id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE user_id < 40 AND value IS NOT NULL AND ts IS NOT NULL),
+        |it AS (
+        |  SELECT user_id, event_id, rn,
+        |    GREATEST(0, v - 150000 - 20000) AS gp,
+        |    GREATEST(0, -(v - 150000) - 20000) AS gn,
+        |    GREATEST(0, v - 150000 - 20000) > 800000
+        |      OR GREATEST(0, -(v - 150000) - 20000) > 800000 AS alarm
+        |  FROM s WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.user_id, s.event_id, s.rn,
+        |    GREATEST(0, (CASE WHEN it.alarm THEN 0 ELSE it.gp END)
+        |      + s.v - 150000 - 20000),
+        |    GREATEST(0, (CASE WHEN it.alarm THEN 0 ELSE it.gn END)
+        |      - (s.v - 150000) - 20000),
+        |    GREATEST(0, (CASE WHEN it.alarm THEN 0 ELSE it.gp END)
+        |      + s.v - 150000 - 20000) > 800000
+        |    OR GREATEST(0, (CASE WHEN it.alarm THEN 0 ELSE it.gn END)
+        |      - (s.v - 150000) - 20000) > 800000
+        |  FROM it JOIN s ON s.user_id = it.user_id AND s.rn = it.rn + 1)
+        |SELECT user_id, event_id, CAST(gp AS BIGINT) AS g_pos,
+        |  CAST(gn AS BIGINT) AS g_neg, alarm
+        |FROM it ORDER BY user_id, event_id""".stripMargin,
+
+    // q396: the exact rational likelihood ratio — agreement products
+    // in HUGEINT, one floored micro division, threshold verdicts.
+    "q396_fellegi_sunter" ->
+      """WITH p AS (SELECT doc_id,
+        |    doc_id % 2 = 0 AS agree_name,
+        |    doc_id % 3 = 0 AS agree_addr,
+        |    doc_id % 5 = 0 AS agree_phone
+        |  FROM documents WHERE doc_id < 400),
+        |r AS (SELECT doc_id, agree_name, agree_addr, agree_phone,
+        |    CAST(CASE WHEN agree_name THEN 900 ELSE 100 END AS HUGEINT)
+        |      * (CASE WHEN agree_addr THEN 800 ELSE 200 END)
+        |      * (CASE WHEN agree_phone THEN 950 ELSE 50 END) AS num,
+        |    CAST(CASE WHEN agree_name THEN 100 ELSE 900 END AS HUGEINT)
+        |      * (CASE WHEN agree_addr THEN 200 ELSE 800 END)
+        |      * (CASE WHEN agree_phone THEN 50 ELSE 950 END) AS den
+        |  FROM p)
+        |SELECT doc_id, agree_name, agree_addr, agree_phone,
+        |  CAST((1000000 * num) // den AS BIGINT) AS ratio_micro,
+        |  CASE WHEN (1000000 * num) // den >= 50000000 THEN 'match'
+        |    WHEN (1000000 * num) // den <= 2000000 THEN 'nonmatch'
+        |    ELSE 'possible' END AS verdict
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // q392: rank p ascending, cross-multiplied integer BH boundary.
     "q392_bh_fdr" ->

@@ -2164,6 +2164,120 @@ object Learn {
         col("__s2").cast("long").as("sum_v2"), col("vmr_micro"))
   }
 
+  /** Two-sided CUSUM drift detection, EXACT — the SEQUENTIAL member
+    * of the drift family (driftChi2/EMD/KS compare whole snapshots;
+    * CUSUM raises the alarm AT THE ROW where a small persistent
+    * shift accumulates — pipeline quality regressions, feed
+    * corruption, model-score drift). Per key, in event order:
+    *   g⁺ₜ = max(0, g⁺ₜ₋₁ + (vₜ − target − slack))
+    *   g⁻ₜ = max(0, g⁻ₜ₋₁ − (vₜ − target) − slack)
+    * alarm when either exceeds `h`, then BOTH reset (the standard
+    * restart form — repeated drifts re-alarm). All lanes integer
+    * milli (v milli-quantized, the ewmaMilli staging), so the whole
+    * trajectory replays engine-to-engine.
+    *
+    * Sequential per key by definition → the [[Relational.ewmaMilli]]
+    * shape: one key shuffle, sorted partitions, O(1) streaming
+    * state; keys parallelize. Null values do not advance the state.
+    * Output: input columns + (g_pos, g_neg, alarm). */
+  def cusum(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, targetMilli: Long, slackMilli: Long,
+      hMilli: Long): DataFrame = {
+    require(slackMilli >= 0, s"slack must be >= 0, got $slackMilli")
+    require(hMilli > 0, s"h must be positive, got $hMilli")
+    require(orderCols.nonEmpty, "orderCols must define a total order")
+    val staged = df.withColumn("__mv",
+      floor(col(valueCol) * lit(1000)).cast("long"))
+    val ki = staged.columns.indexOf(keyCol)
+    val vi = staged.columns.indexOf("__mv")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    df.sparkSession.createDataFrame(
+      staged.repartition(col(keyCol))
+        .sortWithinPartitions((col(keyCol) +: orderCols.map(col)): _*)
+        .rdd.mapPartitions { rows =>
+          var curKey: Any = null
+          var first = true
+          var gp = 0L
+          var gn = 0L
+          rows.map { r =>
+            val k = r.get(ki)
+            if (first || k != curKey) {
+              curKey = k; first = false; gp = 0L; gn = 0L
+            }
+            val extra: Seq[Any] =
+              if (r.isNullAt(vi)) Seq(null, null, null)
+              else {
+                val v = r.getLong(vi)
+                gp = math.max(0L, gp + (v - targetMilli - slackMilli))
+                gn = math.max(0L, gn - (v - targetMilli) - slackMilli)
+                val alarm = gp > hMilli || gn > hMilli
+                val out = Seq(gp, gn, alarm)
+                if (alarm) { gp = 0L; gn = 0L }
+                out
+              }
+            Row.fromSeq(r.toSeq.dropRight(1) ++ extra)
+          }
+        },
+      StructType(staged.schema.fields.dropRight(1) ++ Seq(
+        StructField("g_pos", LongType), StructField("g_neg", LongType),
+        StructField("alarm", BooleanType))))
+  }
+
+  /** Fellegi–Sunter record-linkage scoring, EXACT — the probabilistic
+    * match weight behind every serious entity-resolution system
+    * (Fellegi & Sunter 1969): per candidate pair, each field
+    * contributes m/u on agreement and (1−m)/(1−u) on disagreement;
+    * the product is the likelihood ratio the match/possible/nonmatch
+    * decision thresholds cut. Parameters arrive in MILLI
+    * (m, u ∈ (0, 1000) per field) and the ratio is an exact rational:
+    *   num = Π (agreeᵢ ? mᵢ : 1000−mᵢ),  den = Π (agreeᵢ ? uᵢ : 1000−uᵢ)
+    * with ratio_micro = ⌊10⁶·num/den⌋ — no logs, no floats, so the
+    * score replays engine-to-engine (the log-weight ordering is the
+    * ratio ordering; thresholds are given in micro directly).
+    * ≤ 10 fields keeps 10⁶·Π < 10³⁸ inside the DECIMAL(38,0)
+    * product lanes, and the PARAMETER-worst-case ratio (all fields
+    * at their most informative) is required to fit BIGINT at plan
+    * build — a pathological m/u set fails LOUDLY with the computed
+    * bound, never wraps at runtime.
+    *
+    * Row-local column arithmetic over the candidate-pair table —
+    * pair GENERATION stays with the blocked/banded family (q253);
+    * this operator never multiplies the pair count. */
+  def fellegiSunter(pairs: DataFrame, agreeCols: Seq[String],
+      mMilli: Seq[Long], uMilli: Seq[Long],
+      upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.size <= 10,
+      s"1..10 agreement fields, got ${agreeCols.size}")
+    require(mMilli.size == agreeCols.size && uMilli.size == agreeCols.size,
+      "m/u must align with agreeCols")
+    require((mMilli ++ uMilli).forall(v => v > 0 && v < 1000),
+      "m/u must be in (0, 1000) milli")
+    require(upperMicro > lowerMicro, "upper must exceed lower")
+    val worstNum = mMilli.map(m => BigInt(math.max(m, 1000L - m))).product
+    val worstDen = uMilli.map(u => BigInt(math.min(u, 1000L - u))).product
+    val worstMicro = BigInt(1000000) * worstNum / worstDen
+    require(worstMicro <= Long.MaxValue,
+      s"worst-case ratio_micro $worstMicro exceeds BIGINT; " +
+        "rescale m/u or reduce fields")
+    val num = agreeCols.zip(mMilli).map { case (c, m) =>
+      when(col(c), lit(m)).otherwise(lit(1000L - m)).cast("decimal(38,0)")
+    }.reduce(_ * _)
+    val den = agreeCols.zip(uMilli).map { case (c, u) =>
+      when(col(c), lit(u)).otherwise(lit(1000L - u)).cast("decimal(38,0)")
+    }.reduce(_ * _)
+    pairs
+      .withColumn("fs_num", num.cast("decimal(38,0)"))
+      .withColumn("fs_den", den.cast("decimal(38,0)"))
+      .withColumn("ratio_micro", expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * fs_num) div fs_den AS BIGINT)"))
+      .withColumn("verdict",
+        when(col("ratio_micro") >= upperMicro, lit("match"))
+          .when(col("ratio_micro") <= lowerMicro, lit("nonmatch"))
+          .otherwise(lit("possible")))
+      .drop("fs_num", "fs_den")
+  }
+
   /** Benjamini–Hochberg FDR control, EXACT — the multiple-testing
     * gate an eval suite needs the moment it compares many model
     * variants / slices at once (m tests at per-test α inflate false

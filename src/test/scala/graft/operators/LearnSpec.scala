@@ -1161,6 +1161,55 @@ class LearnSpec extends SparkTestBase {
     assert(math.abs(got.values.map(_._3).sum - 3000L) <= 3L)
   }
 
+  test("cusum: arms accumulate, alarm fires and resets, key isolation") {
+    // target 10, slack 1, h 5 (milli: x1000). key A values:
+    // 14,14,6,6,6 -> gp: 3,6(alarm,reset),0,0,0
+    //                gn: 0,0,      3,6(alarm),0... recompute below
+    val rows = Seq(("A", 1L, 14.0), ("A", 2L, 14.0), ("A", 3L, 6.0),
+      ("A", 4L, 6.0), ("A", 5L, 6.0), ("B", 1L, 10.0))
+      .toDF("k", "ord", "v")
+    val got = Learn.cusum(rows, "k", Seq("ord"), "v",
+      targetMilli = 10000L, slackMilli = 1000L, hMilli = 5000L)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("ord")) ->
+        (r.getAs[Long]("g_pos"), r.getAs[Long]("g_neg"),
+          r.getAs[Boolean]("alarm"))).toMap
+    // ord1: gp = max(0, 0+14000-10000-1000) = 3000; gn = 0
+    assert(got(("A", 1L)) == ((3000L, 0L, false)))
+    // ord2: gp = 3000+3000 = 6000 > 5000 -> alarm, reset
+    assert(got(("A", 2L)) == ((6000L, 0L, true)))
+    // ord3 (post-reset): gp = 0; gn = max(0, 0 - (6000-10000) - 1000) = 3000
+    assert(got(("A", 3L)) == ((0L, 3000L, false)))
+    // ord4: gn = 3000+3000 = 6000 -> alarm
+    assert(got(("A", 4L)) == ((0L, 6000L, true)))
+    // ord5 (post-reset): gn = 3000 again
+    assert(got(("A", 5L)) == ((0L, 3000L, false)))
+    // key B starts fresh: on-target value moves nothing
+    assert(got(("B", 1L)) == ((0L, 0L, false)))
+  }
+
+  test("fellegiSunter: exact rational ratio, verdicts, loud overflow guard") {
+    val pairs = Seq((1L, true, true), (2L, true, false),
+      (3L, false, false)).toDF("id", "a1", "a2")
+    val got = Learn.fellegiSunter(pairs, Seq("a1", "a2"),
+      mMilli = Seq(900L, 800L), uMilli = Seq(100L, 200L),
+      upperMicro = 30000000L, lowerMicro = 1000000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ratio_micro"), r.getAs[String]("verdict"))).toMap
+    // both agree: (900*800)/(100*200) = 36 -> 36e6 micro -> match
+    assert(got(1L) == ((36000000L, "match")))
+    // agree/disagree: (900*200)/(100*800) = 2.25 -> possible
+    assert(got(2L) == ((2250000L, "possible")))
+    // both disagree: (100*200)/(900*800) = 1/36 -> 27777 -> nonmatch
+    assert(got(3L) == ((27777L, "nonmatch")))
+    // pathological parameters fail at plan build with the bound
+    val e = intercept[IllegalArgumentException] {
+      Learn.fellegiSunter(pairs, Seq.fill(10)("a1"),
+        mMilli = Seq.fill(10)(999L), uMilli = Seq.fill(10)(1L),
+        upperMicro = 2L, lowerMicro = 1L)
+    }
+    assert(e.getMessage.contains("ratio_micro"))
+  }
+
   test("bhFdr: hand-computed boundary, all-noise rejects nothing") {
     // m=4, q=0.25 (250000 micro): sorted p = 10000, 60000, 200000,
     // 900000. BH: rank1: 4*10000 <= 1*250000 T; rank2: 4*60000=240000

@@ -3584,6 +3584,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q398: Qini uplift curve — treatment from event parity, outcome
+    // correlated with value, score a value-derived ranking; both
+    // rational lanes (per-bucket uplift and Radcliffe's q(k)) are
+    // exact cross-multiplied DECIMALs.
+    "q398_qini" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_id"),
+        pmod(col("event_id"), lit(2)).as("w"),
+        (col("value") > 150.0).as("y"),
+        (floor(col("value") * 10) + pmod(col("event_id"), lit(37)))
+          .cast("long").as("score_milli"))
+      operators.Learn.qiniCurve(e, "event_id", "w", "y", "score_milli",
+          buckets = 10)
+        .orderBy(col("bucket"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9644,6 +9659,51 @@ object SparkEntry {
         |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS p_milli
         |FROM r3 ORDER BY item""".stripMargin,
+
+    // q398: rank desc, bucket cut, cumulative arms, the two
+    // cross-multiplied rational lanes (sign-split floors).
+    "q398_qini" ->
+      """WITH e AS (SELECT event_id, event_id % 2 AS w,
+        |    CASE WHEN value > 150.0 THEN 1 ELSE 0 END AS y,
+        |    CAST(FLOOR(value * 10) + event_id % 37 AS BIGINT) AS sc
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, w, y, sc,
+        |    ROW_NUMBER() OVER (ORDER BY sc DESC, event_id) AS rk,
+        |    COUNT(*) OVER () AS n FROM e),
+        |b AS (SELECT ((rk - 1) * 10) // n AS bucket,
+        |    SUM(w) AS n1, SUM(1 - w) AS n0,
+        |    SUM(w * y) AS r1, SUM((1 - w) * y) AS r0
+        |  FROM r GROUP BY 1),
+        |cumt AS (SELECT a.bucket,
+        |    SUM(b2.n1) AS cum_n1, SUM(b2.n0) AS cum_n0,
+        |    SUM(b2.r1) AS cum_r1, SUM(b2.r0) AS cum_r0
+        |  FROM b a JOIN b b2 ON b2.bucket <= a.bucket
+        |  GROUP BY a.bucket)
+        |SELECT bucket, CAST(cum_n1 AS BIGINT) AS cum_n1,
+        |  CAST(cum_n0 AS BIGINT) AS cum_n0,
+        |  CAST(cum_r1 AS BIGINT) AS cum_r1,
+        |  CAST(cum_r0 AS BIGINT) AS cum_r0,
+        |  CASE WHEN cum_n1 > 0 AND cum_n0 > 0 THEN
+        |    CASE WHEN CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1 >= 0
+        |      THEN CAST((1000000 * (CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1))
+        |        // (CAST(cum_n1 AS HUGEINT) * cum_n0) AS BIGINT)
+        |      ELSE -CAST((1000000 * -(CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1))
+        |        // (CAST(cum_n1 AS HUGEINT) * cum_n0) AS BIGINT) END
+        |  END AS uplift_micro,
+        |  CASE WHEN cum_n0 > 0 THEN
+        |    CASE WHEN CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1 >= 0
+        |      THEN CAST((1000000 * (CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1))
+        |        // CAST(cum_n0 AS HUGEINT) AS BIGINT)
+        |      ELSE -CAST((1000000 * -(CAST(cum_r1 AS HUGEINT) * cum_n0
+        |        - CAST(cum_r0 AS HUGEINT) * cum_n1))
+        |        // CAST(cum_n0 AS HUGEINT) AS BIGINT) END
+        |  END AS qini_micro
+        |FROM cumt ORDER BY bucket""".stripMargin,
 
     // q395: the CUSUM recurrence replayed per key in a recursive
     // walk — same milli floors, same max(0,·) arms, same post-alarm

@@ -2164,6 +2164,71 @@ object Learn {
         col("__s2").cast("long").as("sum_v2"), col("vmr_micro"))
   }
 
+  /** Qini / uplift gains curve, EXACT — the treatment-effect sibling
+    * of [[decileLift]] (uplift models rank by PREDICTED INCREMENTAL
+    * response; the Qini curve is how they are actually evaluated):
+    * rank all units by score descending, cut into equal-count
+    * buckets, and report per bucket the CUMULATIVE treated/control
+    * counts and responders plus
+    *   uplift_micro = ⌊10⁶·(r₁n₀ − r₀n₁) / (n₁n₀)⌋
+    *   qini_micro   = ⌊10⁶·(r₁n₀ − r₀n₁) / n₀⌋   (Radcliffe's q(k))
+    * both exact DECIMAL rationals. Global rank rides
+    * [[Relational.globalRowNumber]]; cumulative sums come from the
+    * decileLift parameter-sized triangular join. Empty arms yield
+    * null lanes, never division noise. */
+  def qiniCurve(df: DataFrame, idCol: String, treatCol: String,
+      yCol: String, scoreMilliCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000,
+      s"buckets must be in [2,1000], got $buckets")
+    val staged = df
+      .filter(col(yCol).isNotNull && col(scoreMilliCol).isNotNull &&
+        col(treatCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        col(treatCol).cast("boolean").cast("long").as("__w"),
+        col(yCol).cast("boolean").cast("long").as("__y"),
+        col(scoreMilliCol).cast("long").as("__s"))
+    val ranked = Relational.globalRowNumber(staged,
+      Seq(col("__s").desc, col("__id").asc), "__r")
+    val per = ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("__n"))))
+      .withColumn("bucket", expr(s"((__r - 1) * $buckets) div __n"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__w")).as("__n1"),
+        sum(lit(1L) - col("__w")).as("__n0"),
+        sum(col("__w") * col("__y")).as("__r1"),
+        sum((lit(1L) - col("__w")) * col("__y")).as("__r0"))
+    val cum = per.select(col("bucket").as("__b2"), col("__n1").as("__cn1"),
+      col("__n0").as("__cn0"), col("__r1").as("__cr1"),
+      col("__r0").as("__cr0"))
+    per.join(cum, col("__b2") <= col("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("__cn1")).as("cum_n1"), sum(col("__cn0")).as("cum_n0"),
+        sum(col("__cr1")).as("cum_r1"), sum(col("__cr0")).as("cum_r0"))
+      .withColumn("uplift_micro",
+        when(col("cum_n1") > 0 && col("cum_n0") > 0, expr(
+          """CASE WHEN cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0)) >= 0
+            |  THEN CAST((1000000 * (cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0))))
+            |    div (CAST(cum_n1 AS DECIMAL(38,0)) * cum_n0) AS BIGINT)
+            |  ELSE -CAST((1000000 * -(cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0))))
+            |    div (CAST(cum_n1 AS DECIMAL(38,0)) * cum_n0) AS BIGINT)
+            |  END""".stripMargin)))
+      .withColumn("qini_micro",
+        when(col("cum_n0") > 0, expr(
+          """CASE WHEN cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0)) >= 0
+            |  THEN CAST((1000000 * (cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0))))
+            |    div CAST(cum_n0 AS DECIMAL(38,0)) AS BIGINT)
+            |  ELSE -CAST((1000000 * -(cum_r1 * CAST(cum_n0 AS DECIMAL(38,0))
+            |    - cum_r0 * CAST(cum_n1 AS DECIMAL(38,0))))
+            |    div CAST(cum_n0 AS DECIMAL(38,0)) AS BIGINT)
+            |  END""".stripMargin)))
+      .orderBy(col("bucket"))
+  }
+
   /** Two-sided CUSUM drift detection, EXACT — the SEQUENTIAL member
     * of the drift family (driftChi2/EMD/KS compare whole snapshots;
     * CUSUM raises the alarm AT THE ROW where a small persistent

@@ -1161,6 +1161,37 @@ class LearnSpec extends SparkTestBase {
     assert(math.abs(got.values.map(_._3).sum - 3000L) <= 3L)
   }
 
+  test("qiniCurve: perfect uplift model concentrates, null arms loud") {
+    // 8 units, scores rank true-uplift first: treated responders at
+    // top scores, control responders at bottom
+    val df = Seq(
+      (1L, 1L, true, 800L), (2L, 1L, true, 700L),   // treated, respond
+      (3L, 0L, false, 600L), (4L, 0L, false, 500L), // control, no
+      (5L, 1L, false, 400L), (6L, 0L, false, 300L),
+      (7L, 1L, false, 200L), (8L, 0L, true, 100L)   // control responder last
+    ).toDF("id", "w", "y", "s")
+    val got = Learn.qiniCurve(df, "id", "w", "y", "s", buckets = 4)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("cum_n1"), r.getAs[Long]("cum_n0"),
+          r.getAs[Long]("cum_r1"), r.getAs[Long]("cum_r0"),
+          r.getAs[Long]("uplift_micro"), r.getAs[Long]("qini_micro")))
+      .toMap
+    // bucket 0 = top quartile {1,2}: both treated responders ->
+    // n1=2 n0=0 r1=2 r0=0: control arm empty -> uplift null,
+    // qini = 1e6*(2*0 - 0*2)/0 -> n0=0 null too
+    val b0 = got(0L)
+    assert(b0._1 == 2L && b0._2 == 0L && b0._3 == 2L)
+    // full population (bucket 3): n1=4 n0=4 r1=2 r0=1 ->
+    // uplift = 1e6*(2*4-1*4)/(16) = 250000; qini = 1e6*4/4 = 1000000
+    val b3 = got(3L)
+    assert(b3 == ((4L, 4L, 2L, 1L, 250000L, 1000000L)))
+    // nulls surfaced, not zeroed
+    val row0 = Learn.qiniCurve(df, "id", "w", "y", "s", buckets = 4)
+      .filter(col("bucket") === 0).collect().head
+    assert(row0.isNullAt(row0.fieldIndex("uplift_micro")))
+    assert(row0.isNullAt(row0.fieldIndex("qini_micro")))
+  }
+
   test("cusum: arms accumulate, alarm fires and resets, key isolation") {
     // target 10, slack 1, h 5 (milli: x1000). key A values:
     // 14,14,6,6,6 -> gp: 3,6(alarm,reset),0,0,0

@@ -3599,6 +3599,34 @@ object SparkEntry {
         .orderBy(col("bucket"))
     }),
 
+    // q399: the RLHF preference pipeline COMPOSED (the q148
+    // crawl→pagerank discipline): 3 raters vote per comparison with
+    // a skill-dependent deterministic bias (lower player index =
+    // stronger), majority vote decides each game, Bradley–Terry fits
+    // strengths over the majority games — the oracle replays the
+    // whole chain, so the composition (not just the pieces) is
+    // value-pinned. Expect p_milli to recover the skill ordering.
+    "q399_preference_arena" -> ((s, dir) => {
+      val votes = Tables.events(s, dir).filter(col("event_id") < 6000)
+        .select(expr("event_id div 3").as("pair_id"),
+          pmod(col("event_id"), lit(3)).as("rater"),
+          col("event_id"))
+        .withColumn("a", pmod(col("pair_id"), lit(8)))
+        .withColumn("b",
+          pmod(col("a") + 1 + pmod(col("pair_id"), lit(7)), lit(8)))
+        .withColumn("vote_for_a",
+          pmod(col("event_id") * 7919, lit(1000)) <
+            lit(500) + lit(60) * (col("b") - col("a")))
+      val games = votes.groupBy(col("pair_id"), col("a"), col("b"))
+        .agg(sum(when(col("vote_for_a"), 1L).otherwise(0L)).as("va"))
+        .select(when(col("va") >= 2, col("a")).otherwise(col("b"))
+            .cast("long").as("w"),
+          when(col("va") >= 2, col("b")).otherwise(col("a"))
+            .cast("long").as("l"))
+      operators.Learn.bradleyTerry(games, "w", "l", rounds = 2)
+        .orderBy(col("item"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9704,6 +9732,67 @@ object SparkEntry {
         |        // CAST(cum_n0 AS HUGEINT) AS BIGINT) END
         |  END AS qini_micro
         |FROM cumt ORDER BY bucket""".stripMargin,
+
+    // q399: the whole composed chain — votes, majority, pair census,
+    // two unrolled MM rounds with the exact floors.
+    "q399_preference_arena" ->
+      """WITH v AS (SELECT event_id // 3 AS pair_id, event_id
+        |  FROM events WHERE event_id < 6000),
+        |vv AS (SELECT pair_id, pair_id % 8 AS a,
+        |    (pair_id % 8 + 1 + pair_id % 7) % 8 AS b,
+        |    (event_id * 7919) % 1000
+        |      < 500 + 60 * ((pair_id % 8 + 1 + pair_id % 7) % 8
+        |        - pair_id % 8) AS vote_for_a
+        |  FROM v),
+        |g0 AS (SELECT pair_id, a, b,
+        |    SUM(CASE WHEN vote_for_a THEN 1 ELSE 0 END) AS va
+        |  FROM vv GROUP BY pair_id, a, b),
+        |g AS (SELECT CASE WHEN va >= 2 THEN a ELSE b END AS w,
+        |    CASE WHEN va >= 2 THEN b ELSE a END AS l FROM g0),
+        |pairs AS (SELECT LEAST(w, l) AS a, GREATEST(w, l) AS b,
+        |    COUNT(*) AS n FROM g GROUP BY 1, 2),
+        |wins AS (SELECT w AS item, COUNT(*) AS wn FROM g GROUP BY w),
+        |items AS (SELECT DISTINCT item FROM
+        |  (SELECT w AS item FROM g UNION ALL SELECT l FROM g)),
+        |mt AS (SELECT item, SUM(n) AS nm FROM
+        |  (SELECT a AS item, n FROM pairs
+        |   UNION ALL SELECT b, n FROM pairs) GROUP BY item),
+        |k AS (SELECT COUNT(*) AS k FROM items),
+        |r0 AS (SELECT i.item, COALESCE(w.wn, 0) AS w, m.nm AS n,
+        |    CAST(1000 AS BIGINT) AS p
+        |  FROM items i LEFT JOIN wins w ON w.item = i.item
+        |  JOIN mt m ON m.item = i.item),
+        |t1 AS (SELECT p.a, p.b,
+        |    (1000000000 * p.n) // (ra.p + rb.p) AS t
+        |  FROM pairs p JOIN r0 ra ON ra.item = p.a
+        |  JOIN r0 rb ON rb.item = p.b),
+        |d1 AS (SELECT item, SUM(t) AS d FROM
+        |  (SELECT a AS item, t FROM t1 UNION ALL SELECT b, t FROM t1)
+        |  GROUP BY item),
+        |u1 AS (SELECT r.item, r.w, r.n,
+        |    GREATEST(1, (1000000000 * r.w) // d.d) AS p1
+        |  FROM r0 r JOIN d1 d ON d.item = r.item),
+        |r1 AS (SELECT item, w, n, GREATEST(1,
+        |    CAST((1000 * k.k * CAST(p1 AS HUGEINT))
+        |      // (SELECT SUM(p1) FROM u1) AS BIGINT)) AS p
+        |  FROM u1, k),
+        |t2 AS (SELECT p.a, p.b,
+        |    (1000000000 * p.n) // (ra.p + rb.p) AS t
+        |  FROM pairs p JOIN r1 ra ON ra.item = p.a
+        |  JOIN r1 rb ON rb.item = p.b),
+        |d2 AS (SELECT item, SUM(t) AS d FROM
+        |  (SELECT a AS item, t FROM t2 UNION ALL SELECT b, t FROM t2)
+        |  GROUP BY item),
+        |u2 AS (SELECT r.item, r.w, r.n,
+        |    GREATEST(1, (1000000000 * r.w) // d.d) AS p1
+        |  FROM r1 r JOIN d2 d ON d.item = r.item),
+        |r2 AS (SELECT item, w, n, GREATEST(1,
+        |    CAST((1000 * k.k * CAST(p1 AS HUGEINT))
+        |      // (SELECT SUM(p1) FROM u2) AS BIGINT)) AS p
+        |  FROM u2, k)
+        |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
+        |  CAST(p AS BIGINT) AS p_milli
+        |FROM r2 ORDER BY item""".stripMargin,
 
     // q395: the CUSUM recurrence replayed per key in a recursive
     // walk — same milli floors, same max(0,·) arms, same post-alarm

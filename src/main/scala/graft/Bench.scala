@@ -134,8 +134,20 @@ object Bench {
       }.take(12)
       val suspectField =
         if (suspects.isEmpty) "" else suspects.mkString(""","load_suspect":[""", ",", "]")
+      // process-CPU seconds beside the wall for the slowest queries
+      // (r11 verdict: the boolean flag alone couldn't prove q23's
+      // 31 s was load, only assert it) — an engine-bound query shows
+      // cpu ≳ wall; a stalled one shows cpu ≪ wall. Top 6 by wall
+      // keeps the field ~90 chars at 1-decimal.
+      val cpuTop = results.toSeq.collect { case (k, (w, c, None)) => (k, w, c) }
+        .sortBy(-_._2).take(6)
+        .map { case (k, _, c) =>
+          "\"" + shortId(k) + "\":" +
+            String.format(java.util.Locale.ROOT, "%.1f", Double.box(c)) }
+      val cpuField =
+        if (cpuTop.isEmpty) "" else cpuTop.mkString(""","cpu_top":{""", ",", "}")
       val total = results.values.collect { case (v, _, None) => v }.sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$floorField$omittedField"queries":$qs$errsField$suspectField,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$floorField$omittedField"queries":$qs$errsField$suspectField$cpuField,"sf":"$sfDir"}"""
     }
     // load telemetry, stderr only (stdout is driver contract): per-query
     // process-CPU seconds next to wall seconds, plus the 1-minute system

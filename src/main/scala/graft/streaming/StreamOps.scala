@@ -22,6 +22,9 @@ case class BestPick(fingerprint: Long, doc_id: Long, score: Double,
                     n_candidates: Long)
 
 /** Per-event admit/reject decision from [[StreamOps.tokenBucketStream]]. */
+case class CusumPoint(key: Long, event_id: Long, ts_ms: Long,
+  g_pos: Long, g_neg: Long, alarm: Boolean)
+
 case class RateDecision(key: Long, event_id: Long, ts_ms: Long,
                         admitted: Int, tokens_milli: Long)
 
@@ -293,6 +296,48 @@ object StreamOps {
             RateDecision(key, id, t, if (admit) 1 else 0, tok)
           }
           state.update((last, tok))
+          out.iterator
+      }
+  }
+
+  /** Streaming two-sided CUSUM — the online twin of
+    * [[graft.operators.Learn.cusum]] (same integer milli arms, same
+    * post-alarm restart), as a per-key state machine: the drift
+    * detector belongs ON the stream, where "alarm at the row" means
+    * minutes-not-days to a pipeline regression. State is the O(1)
+    * (g⁺, g⁻) pair; each micro-batch folds its rows in event-time
+    * order, so a stream delivered in event-time order matches the
+    * batch lane row-for-row (the tokenBucketStream contract — the
+    * StreamingSpec asserts stream == batch against Learn.cusum).
+    * Value arrives pre-quantized milli (the batch lane's staging)
+    * via `valueMilliCol`. */
+  def cusumStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueMilliCol: String, targetMilli: Long,
+      slackMilli: Long, hMilli: Long): Dataset[CusumPoint] = {
+    require(slackMilli >= 0 && hMilli > 0, "slack >= 0, h > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(valueMilliCol).cast("long").as("v"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var (gp, gn) = state.getOption.getOrElse((0L, 0L))
+          val out = sorted.map { case (t, id, v) =>
+            gp = math.max(0L, gp + (v - targetMilli - slackMilli))
+            gn = math.max(0L, gn - (v - targetMilli) - slackMilli)
+            val alarm = gp > hMilli || gn > hMilli
+            val p = CusumPoint(key, id, t, gp, gn, alarm)
+            if (alarm) { gp = 0L; gn = 0L }
+            p
+          }
+          state.update((gp, gn))
           out.iterator
       }
   }

@@ -870,4 +870,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     run("st_script",
       df => graft.operators.TextOps.scriptProfile(df, "doc_id", "text"))
   }
+
+  test("cusumStream: stream == batch (Learn.cusum), cross-batch state carries") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // target 10, slack 1, h 5 (milli) — the LearnSpec trace: values
+    // 14,14,6,6,6 on key 1 walk gp to an alarm, then gn to an alarm
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:01"), 1L, 14.0),
+      (1L, t("2024-01-01 00:00:02"), 2L, 14.0),
+      (1L, t("2024-01-01 00:00:03"), 3L, 6.0),
+      (1L, t("2024-01-01 00:00:04"), 4L, 6.0),
+      (1L, t("2024-01-01 00:00:05"), 5L, 6.0),
+      (2L, t("2024-01-01 00:00:01"), 6L, 10.0))
+    val batch = graft.operators.Learn.cusum(
+      rows.toDF("k", "ts", "id", "v"), "k", Seq("ts", "id"), "v",
+      targetMilli = 10000L, slackMilli = 1000L, hMilli = 5000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("g_pos"), r.getAs[Long]("g_neg"),
+          r.getAs[Boolean]("alarm"))).toMap
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Long)]
+    val milli = rows.map { case (k, ts, id, v) =>
+      (k, ts, id, math.floor(v * 1000).toLong) }
+    val q = StreamOps.cusumStream(
+        stream.toDF().toDF("k", "ts", "id", "v_milli"),
+        "k", "ts", "id", "v_milli",
+        targetMilli = 10000L, slackMilli = 1000L, hMilli = 5000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cus").start()
+    try {
+      // split MID-KEY so (g_pos, g_neg) must survive the batch gap
+      stream.addData(milli.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(milli.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cus").as[CusumPoint].collect()
+      .map(p => p.event_id -> (p.g_pos, p.g_neg, p.alarm)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // the alarm rows are where the trace says
+    assert(streamed(2L)._3 && streamed(4L)._3)
+    assert(!streamed(1L)._3 && !streamed(3L)._3 && !streamed(5L)._3)
+  }
 }

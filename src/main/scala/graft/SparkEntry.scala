@@ -3627,6 +3627,36 @@ object SparkEntry {
         .orderBy(col("item"))
     }),
 
+    // q400: SFT chat-transcript lint by invertible construction —
+    // five planted modes (perfect / missing-system / double-user /
+    // empty-reply / truncated-JSON); the ENGINE round-trips real
+    // JSON through from_json + HOF checks, the oracle replays the
+    // verdicts from the mode arithmetic alone.
+    "q400_chat_lint" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(5)).as("mode"),
+          (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("p"))
+      val sys = struct(lit("system").as("role"),
+        lit("be helpful").as("content"))
+      val body = flatten(transform(sequence(lit(1), col("p")), i => array(
+        struct(lit("user").as("role"),
+          concat(lit("u"), i.cast("string")).as("content")),
+        struct(lit("assistant").as("role"),
+          when(col("mode") === 3 && i === 1, lit(""))
+            .otherwise(concat(lit("a"), i.cast("string"))).as("content")))))
+      val extraU = struct(lit("user").as("role"), lit("again").as("content"))
+      val arr = when(col("mode") === 1, body)
+        .when(col("mode") === 2, concat(array(sys), array(extraU), body))
+        .otherwise(concat(array(sys), body))
+      val staged = d.select(col("doc_id"), col("mode"),
+        to_json(arr).as("__js"))
+      val chat = when(col("mode") === 4,
+        expr("substring(__js, 1, length(__js) - 1)")).otherwise(col("__js"))
+      operators.TextOps.chatLint(
+          staged.select(col("doc_id"), chat.as("chat")), "doc_id", "chat")
+        .orderBy(col("doc_id"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9793,6 +9823,27 @@ object SparkEntry {
         |SELECT item, CAST(w AS BIGINT) AS w, CAST(n AS BIGINT) AS n,
         |  CAST(p AS BIGINT) AS p_milli
         |FROM r2 ORDER BY item""".stripMargin,
+
+    // q400: the lint verdicts replayed from the planted-mode
+    // arithmetic (the invertible-construction discipline): the
+    // engine must RECOVER these from the JSON it built.
+    "q400_chat_lint" ->
+      """WITH d AS (SELECT doc_id, doc_id % 5 AS mode,
+        |    1 + doc_id % 3 AS p
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CASE WHEN mode = 4 THEN NULL
+        |    WHEN mode = 1 THEN CAST(2 * p AS BIGINT)
+        |    WHEN mode = 2 THEN CAST(2 + 2 * p AS BIGINT)
+        |    ELSE CAST(1 + 2 * p AS BIGINT) END AS n_turns,
+        |  CASE WHEN mode = 4 THEN NULL
+        |    ELSE mode <> 1 END AS starts_system,
+        |  CASE WHEN mode = 4 THEN NULL
+        |    ELSE mode <> 2 END AS alternates,
+        |  CASE WHEN mode = 4 THEN NULL
+        |    ELSE mode = 3 END AS has_empty,
+        |  mode = 0 AS valid
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // q395: the CUSUM recurrence replayed per key in a recursive
     // walk — same milli floors, same max(0,·) arms, same post-alarm

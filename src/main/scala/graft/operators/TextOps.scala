@@ -2782,6 +2782,54 @@ object TextOps {
         "[^a-z0-9]+", "-"),
       "^-+|-+$", "")
 
+  /** SFT chat-transcript linting — the structural gate instruction-
+    * tuning data must pass before a single token is trained on:
+    * conversations arrive as JSON turn arrays
+    * (`[{"role":…,"content":…},…]`), and silently-malformed ones
+    * (missing system turn, two user turns in a row, empty
+    * assistant replies, truncated JSON) poison a chat template at
+    * fine-tune time. Per row:
+    *   - n_turns, starts_system (first role == 'system'),
+    *   - alternates: after the optional leading system turn, roles
+    *     must read user, assistant, user, … exactly,
+    *   - has_empty: any null/whitespace-only content,
+    *   - valid: parseable ∧ n_turns ≥ 2 ∧ starts_system ∧
+    *     alternates ∧ ¬has_empty.
+    * Unparseable JSON yields null census lanes and valid = false —
+    * countable, never dropped. Pure row-local expressions
+    * (from_json + zip_with/forall/exists HOFs, each argument bound
+    * ONCE): zero exchange, one pass at 100 TB. */
+  def chatLint(df: DataFrame, idCol: String, chatCol: String): DataFrame = {
+    val turnType = "array<struct<role:string,content:string>>"
+    val parsed = from_json(col(chatCol), org.apache.spark.sql.types
+      .DataType.fromDDL(turnType))
+    val out = df.withColumn("__t", parsed)
+      .withColumn("n_turns", size(col("__t")).cast("long"))
+      .withColumn("starts_system",
+        element_at(col("__t"), 1).getField("role") === "system")
+      // body = turns after the optional system prefix; zip with the
+      // 0-based position and demand the exact user/assistant comb
+      .withColumn("__body", when(col("starts_system"),
+        slice(col("__t"), lit(2), greatest(col("n_turns") - 1, lit(0))
+          .cast("int"))).otherwise(col("__t")))
+      // sequence(0, -1) would generate a DESCENDING ramp on an empty
+      // body and null-pad the zip — pin the vacuous case explicitly
+      .withColumn("alternates", when(size(col("__body")) === 0, lit(true))
+        .otherwise(forall(zip_with(col("__body"),
+            sequence(lit(0), size(col("__body")) - 1),
+            (t, i) => t.getField("role") ===
+              when(i % 2 === 0, "user").otherwise("assistant")),
+          x => x)))
+      .withColumn("has_empty", exists(col("__t"),
+        t => t.getField("content").isNull ||
+          length(trim(t.getField("content"))) === 0))
+    out.select(col(idCol), col("n_turns"), col("starts_system"),
+        col("alternates"), col("has_empty"),
+        coalesce(col("n_turns") >= 2 && col("starts_system") &&
+          col("alternates") && !col("has_empty"), lit(false))
+          .as("valid"))
+  }
+
   /** Corpus vocabulary-richness census with the Chao1 estimate of
     * UNSEEN vocabulary — the "how much more is out there" number a
     * corpus-growth review reads before buying more crawl (Chao 1984;

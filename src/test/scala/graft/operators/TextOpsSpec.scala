@@ -1282,4 +1282,30 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L).getAs[Long]("p0_micro") == 375000L)
     assert(got(2L).getAs[Long]("p0_micro") == 375000L)
   }
+
+  test("chatLint: structural verdicts on hand-written transcripts") {
+    import spark.implicits._
+    val ok = """[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""
+    val noSys = """[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]"""
+    val doubleU = """[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"user","content":"q2"},{"role":"assistant","content":"a"}]"""
+    val empty = """[{"role":"system","content":"s"},{"role":"user","content":"q"},{"role":"assistant","content":"  "}]"""
+    val truncated = ok.dropRight(1)
+    val sysOnly = """[{"role":"system","content":"s"}]"""
+    val df = Seq((1L, ok), (2L, noSys), (3L, doubleU), (4L, empty),
+      (5L, truncated), (6L, sysOnly)).toDF("id", "chat")
+    val got = TextOps.chatLint(df, "id", "chat").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    def v(id: Long) = got(id).getAs[Boolean]("valid")
+    assert(v(1L) && got(1L).getAs[Long]("n_turns") == 3L)
+    assert(got(1L).getAs[Boolean]("alternates"))
+    assert(!v(2L) && !got(2L).getAs[Boolean]("starts_system"))
+    // no-system body still alternates (the violation is starts_system)
+    assert(got(2L).getAs[Boolean]("alternates"))
+    assert(!v(3L) && !got(3L).getAs[Boolean]("alternates"))
+    assert(!v(4L) && got(4L).getAs[Boolean]("has_empty"))
+    // truncated JSON: null census lanes, valid = false, never a throw
+    assert(!v(5L) && got(5L).isNullAt(got(5L).fieldIndex("n_turns")))
+    // system-only: vacuous alternation, but n_turns < 2 fails it
+    assert(!v(6L) && got(6L).getAs[Boolean]("alternates"))
+  }
 }

@@ -879,4 +879,39 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         _.isInstanceOf[ShuffleExchangeLike]) == 0, df.queryExecution)
     }
   }
+
+  test("r12 operators: row-local ops plan ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      countNodes(df.queryExecution.executedPlan)(
+        _.isInstanceOf[ShuffleExchangeLike])
+    }
+    // chatLint: from_json + HOFs inside the scan stage
+    val chats = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), concat(
+        lit("""[{"role":"system","content":"s"},{"role":"user","content":"u"},{"role":"assistant","content":"a"""),
+        col("doc_id").cast("string"), lit("\"}]")).as("chat"))
+    assert(exchanges(operators.TextOps.chatLint(chats, "doc_id", "chat")) == 0)
+    // fellegiSunter: pure pair-table arithmetic
+    val pairs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("a1"),
+        (col("doc_id") % 3 === 0).as("a2"))
+    assert(exchanges(operators.Learn.fellegiSunter(pairs, Seq("a1", "a2"),
+      Seq(900L, 800L), Seq(100L, 200L), 30000000L, 1000000L)) == 0)
+    // (cusum's one key exchange lives inside its RDD lineage — the
+    // createDataFrame output plan is a bare scan, so it can't be
+    // pinned here; the ewmaMilli family shares that shape.)
+    // dispersionIndex over a pre-aggregated table: one hash aggregate
+    // exchange on the key (partial combine upstream)
+    val e = sources.Tables.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val counts = e.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    assert(exchanges(operators.Learn.dispersionIndex(
+      counts, "event_type", "c")) <= 2) // (type,user) agg + type agg
+  }
 }

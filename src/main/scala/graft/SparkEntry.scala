@@ -3657,6 +3657,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q401: layout run census — the "sort by what before writing?"
+    // advisor, two candidate orders compared: ordering by
+    // l_shipdate makes shipdate runs collapse (and returnflag runs
+    // shrink — correlated), ordering by orderkey leaves both
+    // fragmented. Each lane: two-pass global ranking, one r↔r+1
+    // self-join, one aggregate.
+    "q401_run_census" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 3000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("l_qty"))
+      val cols = Seq("l_shipdate", "l_returnflag", "l_qty")
+      val byShip = operators.Layout.runCensus(li,
+          Seq(col("l_shipdate").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), cols)
+        .withColumn("order_label", lit("by_shipdate"))
+      val byKey = operators.Layout.runCensus(li,
+          Seq(col("l_orderkey").asc, col("l_linenumber").asc), cols)
+        .withColumn("order_label", lit("by_orderkey"))
+      byShip.unionByName(byKey)
+        .select(col("order_label"), col("column"), col("n_rows"),
+          col("runs"), col("rle_ratio_micro"))
+        .orderBy(col("order_label"), col("column"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9844,6 +9870,46 @@ object SparkEntry {
         |    ELSE mode = 3 END AS has_empty,
         |  mode = 0 AS valid
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q401: LAG over each candidate order, IS DISTINCT FROM run
+    // boundaries, the same per-column stack.
+    "q401_run_census" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate,
+        |    l_returnflag, CAST(l_quantity AS BIGINT) AS l_qty
+        |  FROM lineitem WHERE l_orderkey < 3000),
+        |ship AS (SELECT
+        |    l_shipdate IS DISTINCT FROM LAG(l_shipdate) OVER w AS b1,
+        |    l_returnflag IS DISTINCT FROM LAG(l_returnflag) OVER w AS b2,
+        |    l_qty IS DISTINCT FROM LAG(l_qty) OVER w AS b3
+        |  FROM li WINDOW w AS
+        |    (ORDER BY l_shipdate, l_orderkey, l_linenumber)),
+        |okey AS (SELECT
+        |    l_shipdate IS DISTINCT FROM LAG(l_shipdate) OVER w AS b1,
+        |    l_returnflag IS DISTINCT FROM LAG(l_returnflag) OVER w AS b2,
+        |    l_qty IS DISTINCT FROM LAG(l_qty) OVER w AS b3
+        |  FROM li WINDOW w AS (ORDER BY l_orderkey, l_linenumber)),
+        |-- first row: LAG is null, IS DISTINCT FROM null-vs-value is
+        |-- TRUE, so the boundary count ALREADY includes the leading
+        |-- run — no +1
+        |agg AS (
+        |  SELECT 'by_shipdate' AS order_label, 'l_shipdate' AS col,
+        |    SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS runs, COUNT(*) AS n
+        |  FROM ship
+        |  UNION ALL SELECT 'by_shipdate', 'l_returnflag',
+        |    SUM(CASE WHEN b2 THEN 1 ELSE 0 END), COUNT(*) FROM ship
+        |  UNION ALL SELECT 'by_shipdate', 'l_qty',
+        |    SUM(CASE WHEN b3 THEN 1 ELSE 0 END), COUNT(*) FROM ship
+        |  UNION ALL SELECT 'by_orderkey', 'l_shipdate',
+        |    SUM(CASE WHEN b1 THEN 1 ELSE 0 END), COUNT(*) FROM okey
+        |  UNION ALL SELECT 'by_orderkey', 'l_returnflag',
+        |    SUM(CASE WHEN b2 THEN 1 ELSE 0 END), COUNT(*) FROM okey
+        |  UNION ALL SELECT 'by_orderkey', 'l_qty',
+        |    SUM(CASE WHEN b3 THEN 1 ELSE 0 END), COUNT(*) FROM okey)
+        |SELECT order_label, col AS "column", CAST(n AS BIGINT) AS n_rows,
+        |  CAST(runs AS BIGINT) AS runs,
+        |  CASE WHEN n > 0 THEN CAST((1000000 * runs) // n AS BIGINT)
+        |  END AS rle_ratio_micro
+        |FROM agg ORDER BY order_label, "column" """.stripMargin,
 
     // q395: the CUSUM recurrence replayed per key in a recursive
     // walk — same milli floors, same max(0,·) arms, same post-alarm

@@ -162,6 +162,48 @@ object Layout {
         .cast("long").as("skip_milli"))
   }
 
+  /** Run census under a candidate sort order — the ENCODING half of
+    * the layout question ([[zoneMap]]/[[pruneStats]] answer the
+    * SKIPPING half): parquet RLE/dictionary pages compress by run
+    * length, so "sort by what before writing?" is answered by
+    * counting, per column, the value runs the candidate order
+    * produces. Returns one row per census column:
+    * (column, n_rows, runs, rle_ratio_micro = ⌊10⁶·runs/n⌋) — lower
+    * ratio = longer runs = smaller files and faster scans.
+    *
+    * Exact and order-deterministic: rows are ranked by the TOTAL
+    * order `orderCols` via [[Relational.globalRowNumber]] (two
+    * passes, never a 1-partition window), adjacent pairs meet
+    * through ONE rank-keyed self-join (r ↔ r+1), and a run boundary
+    * is a null-safe inequality (`<=>` / IS DISTINCT FROM — null runs
+    * count like value runs). One aggregate emits every column's
+    * boundary count; the per-column rows come from a literal stack,
+    * not a second pass. */
+  def runCensus(df: DataFrame, orderCols: Seq[Column],
+      censusCols: Seq[String]): DataFrame = {
+    require(censusCols.nonEmpty, "censusCols must be non-empty")
+    val ranked = graft.operators.Relational.globalRowNumber(
+      df, orderCols, "__r")
+    val nxt = ranked.select(((col("__r") - 1L).as("__r") +:
+      censusCols.map(c => col(c).as(s"__nx_$c"))): _*)
+    val joined = ranked.join(nxt, Seq("__r"))
+    val aggs = count(lit(1)).as("__pairs") +: censusCols.map { c =>
+      // coalesce: a 1-row input has no adjacent pairs, and an empty
+      // sum is null — the single row is still exactly one run
+      coalesce(sum(when(!(col(c) <=> col(s"__nx_$c")), 1L).otherwise(0L)),
+        lit(0L)).as(s"__b_$c")
+    }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n_rows"))))
+    val stacked = censusCols.map { c =>
+      one.select(lit(c).as("column"), col("n_rows"),
+        when(col("n_rows") > 0, col(s"__b_$c") + 1L).otherwise(lit(0L))
+          .as("runs"))
+    }.reduce(_ unionByName _)
+    stacked.withColumn("rle_ratio_micro",
+      when(col("n_rows") > 0, expr("(1000000 * runs) div n_rows")))
+  }
+
   /** Rendezvous (highest-random-weight) shard assignment: each key
     * goes to argmax over nodes of md5(key ⊕ node). The property that
     * matters at fleet scale: adding or removing ONE node moves ONLY

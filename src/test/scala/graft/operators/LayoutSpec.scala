@@ -157,4 +157,29 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
     assert(ringKept(6L) == Seq(1L, 2L, 3L))
     assert(ringKept(8L) == Seq(1L, 3L))
   }
+
+  test("runCensus: exact run counts, null runs, order sensitivity") {
+    import spark.implicits._
+    // order by k: v runs = [1,1,2,2,null,null,1] -> boundaries at
+    // 1->1? no; runs: 1,1 | 2,2 | null,null | 1 = 4 runs (nulls run)
+    val df = Seq((1L, Some(1L)), (2L, Some(1L)), (3L, Some(2L)),
+      (4L, Some(2L)), (5L, None: Option[Long]), (6L, None: Option[Long]),
+      (7L, Some(1L))).toDF("k", "v")
+    val byK = Layout.runCensus(df, Seq(col("k").asc), Seq("v"))
+      .collect().head
+    assert(byK.getAs[String]("column") == "v")
+    assert(byK.getAs[Long]("n_rows") == 7L)
+    assert(byK.getAs[Long]("runs") == 4L)
+    // floor(1e6*4/7) = 571428
+    assert(byK.getAs[Long]("rle_ratio_micro") == 571428L)
+    // ordering by v itself collapses to 3 runs (1,1,1 | 2,2 | nulls)
+    val byV = Layout.runCensus(df,
+      Seq(col("v").asc_nulls_last, col("k").asc), Seq("v"))
+      .collect().head
+    assert(byV.getAs[Long]("runs") == 3L)
+    // single row: one run
+    val one = Layout.runCensus(Seq((1L, 5L)).toDF("k", "v"),
+      Seq(col("k").asc), Seq("v")).collect().head
+    assert(one.getAs[Long]("runs") == 1L)
+  }
 }

@@ -2904,7 +2904,14 @@ object SparkEntry {
     // q294: journey edit distance to the canonical
     // view→click→purchase funnel over the fixed 5-token alphabet;
     // DuckDB re-encodes with the same CASE map and its own
-    // levenshtein (cross-implementation, unit costs).
+    // levenshtein (cross-implementation, unit costs). UNIT-OF-
+    // COMPARISON caveat for every levenshtein oracle pair (q59/q67/
+    // q74/q294): Spark's levenshtein counts CODE POINTS, DuckDB's
+    // counts BYTES (measured: levenshtein('café','cafe') = 1 vs 2) —
+    // they agree only on ASCII lanes, which all four fixtures are
+    // (verified: zero multibyte rows). A non-ASCII lane must route
+    // through graft's byte-pinned damerau_levenshtein (q391) or
+    // strip_accents first.
     "q294_journey_distance" -> ((s, dir) => {
       Relational.journeyEditDistance(Tables.events(s, dir), "user_id",
           Seq("ts", "event_id"), "event_type",

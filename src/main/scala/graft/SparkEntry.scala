@@ -3690,6 +3690,31 @@ object SparkEntry {
         .orderBy(col("order_label"), col("column"))
     }),
 
+    // q402: Hamming distance cross-implementation (the q219/q391
+    // discipline) — equal-length pairs only (reversal, ASCII
+    // translate, identity, and an accented tail that is equal in
+    // BYTES: é vs è share a lead octet and differ in one).
+    "q402_hamming" -> ((s, dir) => {
+      import graft.functions.hamming_distance
+      val w = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          lower(regexp_extract(col("text"), "^\\s*([A-Za-z]+)", 1)).as("w"))
+        .filter(length(col("w")) >= 2)
+      val pairs = w.select(col("doc_id"), lit("rev").as("kind"),
+          col("w").as("a"), reverse(col("w")).as("b"))
+        .unionByName(w.select(col("doc_id"), lit("sub").as("kind"),
+          col("w").as("a"),
+          translate(col("w"), "aeiou", "xyzwv").as("b")))
+        .unionByName(w.select(col("doc_id"), lit("id").as("kind"),
+          col("w").as("a"), col("w").as("b")))
+        .unionByName(w.select(col("doc_id"), lit("acc").as("kind"),
+          concat(col("w"), lit("\u00e9")).as("a"),
+          concat(col("w"), lit("\u00e8")).as("b")))
+      pairs.select(col("doc_id"), col("kind"), col("a"), col("b"),
+          hamming_distance(col("a"), col("b")).as("hd"))
+        .orderBy(col("doc_id"), col("kind"))
+    }),
+
     // q376: ISO week dates from pure epoch-day arithmetic over a
     // 500-day spine crossing two year boundaries — checked against
     // DuckDB's NATIVE isoyear()/week() (cross-implementation).
@@ -9917,6 +9942,25 @@ object SparkEntry {
         |  CASE WHEN n > 0 THEN CAST((1000000 * runs) // n AS BIGINT)
         |  END AS rle_ratio_micro
         |FROM agg ORDER BY order_label, "column" """.stripMargin,
+
+    // q402: DuckDB's OWN byte-wise hamming — two codebases, one
+    // distance over identical equal-byte-length pairs.
+    "q402_hamming" ->
+      """WITH w AS (SELECT doc_id,
+        |    lower(regexp_extract(text, '^\s*([A-Za-z]+)', 1)) AS w
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, w FROM w WHERE length(w) >= 2),
+        |pairs AS (
+        |  SELECT doc_id, 'rev' AS kind, w AS a, reverse(w) AS b FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'sub', w, translate(w, 'aeiou', 'xyzwv') FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'id', w, w FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'acc', w || '\u00e9', w || '\u00e8' FROM f)
+        |SELECT doc_id, kind, a, b,
+        |  CAST(hamming(a, b) AS BIGINT) AS hd
+        |FROM pairs ORDER BY doc_id, kind""".stripMargin,
 
     // q395: the CUSUM recurrence replayed per key in a recursive
     // walk — same milli floors, same max(0,·) arms, same post-alarm

@@ -157,6 +157,53 @@ case class DamerauLevenshtein(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Hamming distance over UTF-8 BYTES, equal-length strings only —
+  * the fixed-width member of the string-metric family (error-
+  * correcting codes, fixed-format ids, simhash-adjacent bit work on
+  * text keys). DuckDB's native `hamming` requires equal BYTE length
+  * and counts differing BYTES (measured: 'café'/'cafå' — equal code
+  * points AND equal bytes — is 1; 'café'/'cafee' — unequal code
+  * points, equal bytes — is accepted and 2); this kernel matches,
+  * except unequal lengths yield NULL rather than DuckDB's query
+  * error — one ragged row must not fail a 100 TB scan (the
+  * malformed-row discipline; the q402 oracle only feeds equal-length
+  * pairs, and the spec pins the null). */
+object HammingKernel {
+  def distance(ua: UTF8String, ub: UTF8String): java.lang.Long = {
+    val a = ua.getBytes; val b = ub.getBytes
+    if (a.length != b.length) return null
+    var i = 0; var d = 0L
+    while (i < a.length) { if (a(i) != b(i)) d += 1; i += 1 }
+    java.lang.Long.valueOf(d)
+  }
+}
+
+case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hamming_distance"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING inputs, got ${left.dataType.sql}, ${right.dataType.sql}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingKernel.distance(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("hd")
+      s"""
+         |java.lang.Long $boxed = graft.expr.HammingKernel.distance($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $boxed.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDistance =
+    copy(left = l, right = r)
+}
+
 case class JaroSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
   override def nullIntolerant: Boolean = true

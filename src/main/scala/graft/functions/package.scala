@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.expr.{BandHashes, BlocklistCounts, DamerauLevenshtein, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
+import graft.expr.{BandHashes, BlocklistCounts, DamerauLevenshtein, HammingDistance, JaroSimilarity, JaroWinklerSimilarity, BpeEstimate, CharClassCount, CosineLshSignature, CosineSimilarity, IsoDurationToSeconds, LangVotes, LcsLength, NfcNormalize, NfkcNormalize, StripAccents, MinHashShingles, MinHashSignature, MinHashText, ScriptCounts, ShingleHashesText, SimHashBits, SimHashText, Sq8Codes, TextStatKernels, TokenCount, VecAbsMax}
 
 /** graft.functions — the engine's scalar-function surface.
   *
@@ -96,6 +96,9 @@ package object functions {
     reg.createOrReplaceTempFunction("damerau_levenshtein",
       exprs => { checkArity("damerau_levenshtein", 2, exprs)
         DamerauLevenshtein(exprs(0), exprs(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("hamming_distance",
+      exprs => { checkArity("hamming_distance", 2, exprs)
+        HammingDistance(exprs(0), exprs(1)) }, "scala_udf")
     reg.createOrReplaceTempFunction("lcs_length",
       exprs => { checkArity("lcs_length", 2, exprs)
         LcsLength(exprs(0), exprs(1)) }, "scala_udf")
@@ -348,6 +351,12 @@ package object functions {
     * (cross-implementation-oracled, q391). */
   def damerau_levenshtein(a: Column, b: Column): Column =
     col2(DamerauLevenshtein(bridge.toExpression(a), bridge.toExpression(b)))
+
+  /** Hamming distance over UTF-8 bytes (BIGINT); equal-length
+    * strings only — unequal lengths yield null (DuckDB's native
+    * errors instead; q402 pins the shared equal-length lane). */
+  def hamming_distance(a: Column, b: Column): Column =
+    col2(HammingDistance(bridge.toExpression(a), bridge.toExpression(b)))
 
   /** Token-sequence longest common subsequence length (BIGINT) — the
     * ROUGE-L kernel ([[graft.expr.LcsKernel]]): in-order agreement

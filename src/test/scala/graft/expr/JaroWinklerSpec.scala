@@ -100,4 +100,18 @@ class JaroWinklerSpec extends SparkTestBase {
       .map { case (a, b) => (j(a, b), jw(a, b)) }
     assert(viaCol == want && viaSql == want)
   }
+
+  test("hamming: byte-wise, equal-byte-length contract, null on ragged") {
+    def h(a: String, b: String): java.lang.Long = HammingKernel.distance(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(h("abc", "abd") == 1L)
+    assert(h("abc", "abc") == 0L)
+    assert(h("", "") == 0L)
+    // equal BYTES, unequal code points (DuckDB accepts, counts bytes)
+    assert(h("caf\u00e9", "cafee") == 2L)
+    // é vs è share the UTF-8 lead octet — ONE differing byte
+    assert(h("\u00e9", "\u00e8") == 1L)
+    // ragged: engine nulls where DuckDB's native would error the query
+    assert(h("ab", "abc") == null)
+  }
 }

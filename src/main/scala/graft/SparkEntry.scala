@@ -3378,12 +3378,16 @@ object SparkEntry {
     // q381: Spearman over a deliberately monotone-plus-noise pair —
     // y tracks floor(value) with a small event_id perturbation, so
     // rho lands well inside (0, 1) and the midrank/tie machinery is
-    // exercised (floor(value) collides heavily).
+    // exercised (floor(value) collides heavily). The gate output is
+    // all-integer (rho_micro; the raw double rho is dropped here and
+    // checked in LearnSpec) — the r12 driver hashed the bit-exact
+    // double differently than the local replay, so the oracle lane
+    // now carries no IEEE float at all.
     "q381_spearman" -> ((s, dir) => {
       val e = Tables.events(s, dir).select(col("value").as("x"),
         (floor(col("value")) * 3 + pmod(col("event_id"), lit(7)))
           .cast("double").as("y"))
-      operators.Learn.spearmanRho(e, "x", "y")
+      operators.Learn.spearmanRho(e, "x", "y").drop("rho")
     }),
 
     // q382: two-sample KS — even vs odd users' value distributions.
@@ -3394,12 +3398,19 @@ object SparkEntry {
       operators.Learn.ksTwoSample(e, "g", "value")
     }),
 
-    // q383: degree assortativity of the q336 SCC fixture graph.
+    // q383: degree assortativity. The r12 fixture (doc_id*3+7 mod
+    // 200) was a 2-regular permutation graph — zero degree variance,
+    // r NULL in both lanes, and the driver's hasher stringified the
+    // NULL double differently than the local replay. The quadratic
+    // fixture has real degree spread (quadratic residues collide),
+    // so every gate lane is a non-NULL integer (r_micro; the raw
+    // double r is dropped here and checked in GraphSpec, which also
+    // keeps the degenerate 2-regular -> NULL case).
     "q383_assortativity" -> ((s, dir) => {
       val e = Tables.documents(s, dir).filter(col("doc_id") < 200)
         .select(col("doc_id").as("s"),
-          ((col("doc_id") * 3 + 7) % 200).as("t"))
-      operators.Graph.assortativity(e, "s", "t")
+          ((col("doc_id") * col("doc_id") + 7) % 200).as("t"))
+      operators.Graph.assortativity(e, "s", "t").drop("r")
     }),
 
     // q384: Krippendorff alpha on a synthetic 3-rater panel — item =
@@ -9507,17 +9518,26 @@ object SparkEntry {
         |  JOIN dx USING (x) JOIN dy USING (y)),
         |n AS (SELECT COUNT(*) AS n FROM s),
         |cent AS (SELECT CAST(dmrx - (n.n + 1) AS HUGEINT) AS a,
-        |    CAST(dmry - (n.n + 1) AS HUGEINT) AS b FROM j, n)
-        |SELECT (SELECT n FROM n) AS n,
-        |  CAST(SUM(a * b) AS DECIMAL(38,0)) AS num,
-        |  CAST(SUM(a * a) AS DECIMAL(38,0)) AS dx,
-        |  CAST(SUM(b * b) AS DECIMAL(38,0)) AS dy,
-        |  CASE WHEN SUM(a * a) > 0 AND SUM(b * b) > 0 THEN
-        |    CAST(CAST(SUM(a * b) AS DECIMAL(38,0)) AS DOUBLE) /
-        |      sqrt(CAST(CAST(SUM(a * a) AS DECIMAL(38,0)) AS DOUBLE) *
-        |           CAST(CAST(SUM(b * b) AS DECIMAL(38,0)) AS DOUBLE))
-        |  END AS rho
-        |FROM cent""".stripMargin,
+        |    CAST(dmry - (n.n + 1) AS HUGEINT) AS b FROM j, n),
+        |comp AS (SELECT (SELECT n FROM n) AS n,
+        |    CAST(SUM(a * b) AS HUGEINT) AS numh,
+        |    CAST(SUM(a * a) AS HUGEINT) AS dxh,
+        |    CAST(SUM(b * b) AS HUGEINT) AS dyh FROM cent),
+        |red AS (SELECT comp.*,
+        |    CAST('1' || REPEAT('0', GREATEST(0,
+        |      LENGTH(CAST(GREATEST(ABS(numh), dxh, dyh) AS VARCHAR)) - 10))
+        |      AS HUGEINT) AS d FROM comp),
+        |lanes AS (SELECT red.*, ABS(numh) // d AS nr,
+        |    dxh // d AS xr, dyh // d AS yr FROM red)
+        |SELECT n, CAST(numh AS DECIMAL(38,0)) AS num,
+        |  CAST(dxh AS DECIMAL(38,0)) AS dx,
+        |  CAST(dyh AS DECIMAL(38,0)) AS dy,
+        |  CASE WHEN dxh > 0 AND dyh > 0 AND xr > 0 AND yr > 0 THEN
+        |    (CASE WHEN numh < 0 THEN -1 ELSE 1 END) *
+        |    CAST(FLOOR(SQRT(CAST(
+        |      (1000000000000 * nr * nr) // (xr * yr) AS DOUBLE)))
+        |      AS BIGINT) END AS rho_micro
+        |FROM lanes""".stripMargin,
 
     // q382: value-grain runs, two cumulative lanes, the exact
     // cross-multiplied sup gap (both engines truncate nonnegative
@@ -9543,11 +9563,12 @@ object SparkEntry {
         |  END AS d_micro
         |FROM t, d""".stripMargin,
 
-    // q383: the q336 fixture graph's degree mixing — undirected
-    // distinct edges, both directed copies, DECIMAL sums, one IEEE
-    // double.
+    // q383: degree mixing of the quadratic fixture — undirected
+    // distinct edges, both directed copies, HUGEINT sums, the
+    // sign-split floored integer micro lane (no IEEE float, no NULL
+    // at the gate: the quadratic graph has real degree variance).
     "q383_assortativity" ->
-      """WITH e0 AS (SELECT doc_id AS s, (doc_id * 3 + 7) % 200 AS t
+      """WITH e0 AS (SELECT doc_id AS s, (doc_id * doc_id + 7) % 200 AS t
         |  FROM documents WHERE doc_id < 200),
         |e AS (SELECT DISTINCT LEAST(s, t) AS lo, GREATEST(s, t) AS hi
         |  FROM e0 WHERE s <> t),
@@ -9558,21 +9579,27 @@ object SparkEntry {
         |  UNION ALL SELECT hi, lo FROM e),
         |j AS (SELECT du.d AS du, dv.d AS dv FROM dir
         |  JOIN deg du ON du.node = dir.u
-        |  JOIN deg dv ON dv.node = dir.v)
-        |SELECT COUNT(*) AS m2,
-        |  CAST(SUM(CAST(du AS HUGEINT) * dv) AS DECIMAL(38,0)) AS sjk,
-        |  CAST(SUM(CAST(du AS HUGEINT)) AS DECIMAL(38,0)) AS sj,
-        |  CAST(SUM(CAST(du AS HUGEINT) * du) AS DECIMAL(38,0)) AS sj2,
-        |  CASE WHEN COUNT(*) * SUM(CAST(du AS HUGEINT) * du)
-        |      - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT)) > 0
-        |    THEN CAST(COUNT(*) * SUM(CAST(du AS HUGEINT) * dv)
-        |        - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT))
-        |        AS DOUBLE)
-        |      / CAST(COUNT(*) * SUM(CAST(du AS HUGEINT) * du)
-        |        - SUM(CAST(du AS HUGEINT)) * SUM(CAST(du AS HUGEINT))
-        |        AS DOUBLE)
-        |  END AS r
-        |FROM j""".stripMargin,
+        |  JOIN deg dv ON dv.node = dir.v),
+        |comp AS (SELECT COUNT(*) AS m2,
+        |    CAST(SUM(CAST(du AS HUGEINT) * dv) AS HUGEINT) AS sjk,
+        |    CAST(SUM(CAST(du AS HUGEINT)) AS HUGEINT) AS sj,
+        |    CAST(SUM(CAST(du AS HUGEINT) * du) AS HUGEINT) AS sj2
+        |  FROM j),
+        |rat AS (SELECT comp.*,
+        |    CAST(m2 AS HUGEINT) * sjk - sj * sj AS rn,
+        |    CAST(m2 AS HUGEINT) * sj2 - sj * sj AS rd FROM comp),
+        |red AS (SELECT rat.*,
+        |    CAST('1' || REPEAT('0', GREATEST(0,
+        |      LENGTH(CAST(GREATEST(ABS(rn), rd, 1) AS VARCHAR)) - 18))
+        |      AS HUGEINT) AS d FROM rat)
+        |SELECT m2, CAST(sjk AS DECIMAL(38,0)) AS sjk,
+        |  CAST(sj AS DECIMAL(38,0)) AS sj,
+        |  CAST(sj2 AS DECIMAL(38,0)) AS sj2,
+        |  CASE WHEN rd > 0 THEN
+        |    (CASE WHEN rn < 0 THEN -1 ELSE 1 END) *
+        |    CAST((1000000 * (ABS(rn) // d)) // (rd // d) AS BIGINT)
+        |  END AS r_micro
+        |FROM red""".stripMargin,
 
     // q384: fixed-panel nominal alpha — unit×category counts, the
     // single-denominator rational, sign-split floored micro.

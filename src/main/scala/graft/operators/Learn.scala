@@ -1912,10 +1912,26 @@ object Learn {
     * 10¹² rows, where the BIGINT equivalents wrap near 10⁶):
     * centered doubled ranks a−(n+1), b−(n+1) (Σdmr = n(n+1), so the
     * mean of a doubled midrank is exactly n+1 — centering costs no
-    * division), num = Σāb̄, dx = Σā², dy = Σb̄². `rho` is the one
-    * float: num/√(dx·dy) from the decimal components — IEEE /, *,
-    * √ are correctly rounded, so both engines produce the same bits
-    * (the [[kendallTau]] tau_b precedent). */
+    * division), num = Σāb̄, dx = Σā², dy = Σb̄².
+    *
+    * The headline lane is `rho_micro`, an EXACT INTEGER (the r12
+    * verdict's ask — q381's raw-double `rho` was bit-exact in local
+    * replay yet red at the driver's hasher, so the gate lane now
+    * follows the house integer-micro convention):
+    *   rho_micro = sgn(num) · ⌊√⌊10¹²·num²/(dx·dy)⌋⌋
+    * where the inner ratio is pure floored integer arithmetic after
+    * reducing num/dx/dy by ONE shared power-of-ten D (digit-length
+    * of the max component minus 10 — shared D preserves the ratio
+    * exactly, floors perturb it by ≤ D/term ≈ 10⁻⁹ relative, far
+    * under micro granularity), and the outer √ runs on an integer
+    * ≤ ~10¹² — exactly representable in double, IEEE-correctly-
+    * rounded in both engines, and never within half-ulp of an
+    * integer boundary (√(m²−1) ≈ m − 1/(2m), half-ulp at m ≈ 10⁶
+    * is ~10⁻¹⁰), so FLOOR(SQRT(...)) is deterministic isqrt.
+    * `rho` (the raw IEEE double) is kept for library users and the
+    * ScalaTest spec but dropped from the oracle-checked q381 output.
+    * Pathology guard: if one variance is > 10¹⁰× the other the
+    * reduced lane floors to 0 → NULL (both engines), documented. */
   def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val staged = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
@@ -1938,9 +1954,24 @@ object Learn {
         sum(col("__a") * col("__b")).cast("decimal(38,0)").as("num"),
         sum(col("__a") * col("__a")).cast("decimal(38,0)").as("dx"),
         sum(col("__b") * col("__b")).cast("decimal(38,0)").as("dy"))
+      .withColumn("__dv", expr(
+        """CAST(CONCAT('1', REPEAT('0', GREATEST(0,
+          |  LENGTH(CAST(GREATEST(ABS(num), dx, dy) AS STRING)) - 10)))
+          |  AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("__nr", expr("CAST(ABS(num) div __dv AS DECIMAL(38,0))"))
+      .withColumn("__xr", expr("dx div __dv"))
+      .withColumn("__yr", expr("dy div __dv"))
+      .withColumn("rho_micro", expr(
+        """CASE WHEN dx > 0 AND dy > 0 AND __xr > 0 AND __yr > 0 THEN
+          |  (CASE WHEN num < 0 THEN -1L ELSE 1L END) *
+          |  CAST(FLOOR(SQRT(CAST(
+          |    (CAST(1000000000000 AS DECIMAL(38,0)) * __nr * __nr)
+          |      div (CAST(__xr AS DECIMAL(38,0)) * __yr)
+          |    AS DOUBLE))) AS BIGINT) END""".stripMargin))
       .withColumn("rho", when(col("dx") > 0 && col("dy") > 0,
         col("num").cast("double") /
           sqrt(col("dx").cast("double") * col("dy").cast("double"))))
+      .drop("__dv", "__nr", "__xr", "__yr")
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic, EXACT — the
@@ -1949,7 +1980,10 @@ object Learn {
     *   D = max over values of |F₁(v) − F₂(v)|
     * reported as the exact integer lane d_num = max|c₁·n₂ − c₂·n₁|
     * over a common denominator n₁·n₂, plus d_micro = ⌊10⁶·d_num /
-    * (n₁·n₂)⌋ (DECIMAL product — BIGINT dies near n ≈ 3·10⁹).
+    * (n₁·n₂)⌋. BOTH the cross-products and the 10⁶ scaling run in
+    * DECIMAL(38,0) — BIGINT silently wraps (non-ANSI) once each arm
+    * exceeds ~3·10⁹ rows while the DuckDB HUGEINT oracle stays
+    * exact; only the final reported d_num narrows to BIGINT.
     *
     * Shape: one aggregate to value-grain runs with per-group counts,
     * one [[Relational.globalPrefixSum]] pass for BOTH cumulative
@@ -1980,15 +2014,24 @@ object Learn {
       .crossJoin(broadcast(staged.agg(
         sum(when(col("__g1"), 1L).otherwise(0L)).as("__n1"),
         sum(when(col("__g1"), 0L).otherwise(1L)).as("__n2"))))
+      // the cross-products themselves in DECIMAL(38,0) — BIGINT
+      // silently wraps (non-ANSI) once each arm exceeds ~3e9 rows,
+      // while the DuckDB oracle's HUGEINT lane stays exact (r12
+      // advice; the mannWhitneyU discipline)
       .select(col("__n1"), col("__n2"),
-        abs(col("__cum1") * col("__n2") -
-          (col("__cumt") - col("__cum1")) * col("__n1")).as("__dn"))
+        abs(col("__cum1").cast("decimal(38,0)") * col("__n2") -
+          (col("__cumt") - col("__cum1")).cast("decimal(38,0)") *
+            col("__n1")).as("__dn"))
       .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
-        max(col("__dn")).as("d_num"))
+        max(col("__dn")).as("__dnd"))
       .withColumn("d_micro", when(col("n1") > 0 && col("n2") > 0, expr(
-        """CAST((CAST(1000000 AS DECIMAL(38,0)) * d_num)
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __dnd)
           |  div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
           .stripMargin)))
+      // the reported d_num lane stays BIGINT (oracle-schema parity);
+      // d_micro above divides the DECIMAL before any narrowing
+      .withColumn("d_num", col("__dnd").cast("long"))
+      .select("n1", "n2", "d_num", "d_micro")
   }
 
   /** Krippendorff's alpha (nominal data, fixed panel of `m` raters)
@@ -2251,10 +2294,16 @@ object Learn {
     require(slackMilli >= 0, s"slack must be >= 0, got $slackMilli")
     require(hMilli > 0, s"h must be positive, got $hMilli")
     require(orderCols.nonEmpty, "orderCols must define a total order")
-    val staged = df.withColumn("__mv",
+    // collision-proof staging name: if the input already carries a
+    // column with the candidate name, withColumn would REPLACE it in
+    // place (not append), and the positional dropRight below would
+    // silently discard the caller's real last column (r12 advice)
+    val mv = Iterator.from(0).map(i => s"__mv$i")
+      .find(n => !df.columns.contains(n)).get
+    val staged = df.withColumn(mv,
       floor(col(valueCol) * lit(1000)).cast("long"))
     val ki = staged.columns.indexOf(keyCol)
-    val vi = staged.columns.indexOf("__mv")
+    val vi = staged.columns.indexOf(mv)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     df.sparkSession.createDataFrame(

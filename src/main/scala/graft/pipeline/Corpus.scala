@@ -965,20 +965,6 @@ object Corpus {
         col("selected"))
   }
 
-  /** Balanced class downsampling — equalize label counts by keeping
-    * exactly min-class-count rows PER CLASS, selected by the
-    * deterministic md5(id:seed) priority (the q89 split-coin: stable
-    * under corpus growth for the rows that stay, replayable by any
-    * engine, and free of RNG state). The classifier-training
-    * counterpart of [[domainCap]]: there the cap is a parameter, here
-    * it's the rarest class's size. Ties inside one priority value
-    * (hash collisions) break on the id — a total order. Rows with a
-    * null class or id are excluded (they can't be balanced into a
-    * class).
-    *
-    * One class-count aggregate (broadcast scalar of the min), one
-    * class-partitioned rank window — a single exchange on the class
-    * key. */
   /** K-fold split assignment with a GROUP-LEAKAGE audit — the
     * train/eval split check every fine-tune review should run: rows
     * that share a group (user, document family, conversation) must
@@ -1032,6 +1018,20 @@ object Corpus {
         coalesce(col("split_groups"), lit(0L)).as("split_groups"))
   }
 
+  /** Balanced class downsampling — equalize label counts by keeping
+    * exactly min-class-count rows PER CLASS, selected by the
+    * deterministic md5(id:seed) priority (the q89 split-coin: stable
+    * under corpus growth for the rows that stay, replayable by any
+    * engine, and free of RNG state). The classifier-training
+    * counterpart of [[domainCap]]: there the cap is a parameter, here
+    * it's the rarest class's size. Ties inside one priority value
+    * (hash collisions) break on the id — a total order. Rows with a
+    * null class or id are excluded (they can't be balanced into a
+    * class).
+    *
+    * One class-count aggregate (broadcast scalar of the min), one
+    * class-partitioned rank window — a single exchange on the class
+    * key. */
   def classBalance(df: DataFrame, idCol: String, classCol: String,
       seed: Long): DataFrame = {
     val pri = md5(concat(col(idCol).cast("string"), lit(":"),

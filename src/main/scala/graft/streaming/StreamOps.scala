@@ -310,14 +310,25 @@ object StreamOps {
     * batch lane row-for-row (the tokenBucketStream contract — the
     * StreamingSpec asserts stream == batch against Learn.cusum).
     * Value arrives pre-quantized milli (the batch lane's staging)
-    * via `valueMilliCol`. */
+    * via `valueMilliCol`.
+    *
+    * Null contract (r12 advice): the batch twin passes null-value
+    * rows through with null g_pos/g_neg lanes without advancing
+    * state; [[CusumPoint]]'s lanes are primitive, so the stream
+    * cannot emit a null-lane row — null key/ts/id/value rows are
+    * FILTERED here instead (state still does not advance, matching
+    * batch; only the null-lane passthrough rows are absent from the
+    * streaming output). Without the filter the non-nullable tuple
+    * encoder would fail the whole query at runtime. */
   def cusumStream(df: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueMilliCol: String, targetMilli: Long,
       slackMilli: Long, hMilli: Long): Dataset[CusumPoint] = {
     require(slackMilli >= 0 && hMilli > 0, "slack >= 0, h > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueMilliCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("id"),
         col(valueMilliCol).cast("long").as("v"))
       .as[(Long, java.sql.Timestamp, Long, Long)]

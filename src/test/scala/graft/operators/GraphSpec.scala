@@ -621,9 +621,15 @@ class GraphSpec extends SparkTestBase {
       k4.getAs[java.math.BigDecimal]("sj2").longValue) ==
       ((10L, 66L, 26L, 70L)))
     assert(math.abs(k4.getAs[Double]("r") + 2.0 / 3) < 1e-12)
+    // exact micro lanes: star rn = -rd -> -1000000;
+    // K4-e |rn|/rd = 16/24 -> floor(1e6*16/24) = 666666, negative
+    assert(star.getAs[Long]("r_micro") == -1000000L)
+    assert(k4.getAs[Long]("r_micro") == -666666L)
     // triangle: every degree equal -> zero variance -> undefined
     assert(r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).isNullAt(
       r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).fieldIndex("r")))
+    assert(r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).isNullAt(
+      r(Seq((0L, 1L), (1L, 2L), (2L, 0L))).fieldIndex("r_micro")))
     // duplicate + self edges ignored
     val dup = r(Seq((0L, 1L), (1L, 0L), (0L, 1L), (2L, 2L),
       (0L, 2L), (0L, 3L)))

@@ -1098,6 +1098,19 @@ class LearnSpec extends SparkTestBase {
         col("dy").cast("long")).collect().head
     assert((row.getLong(0), row.getLong(1), row.getLong(2),
       row.getLong(3)) == ((3L, 6L, 6L, 6L)))
+    // the exact integer gate lane (r13: the oracle-checked output
+    // carries rho_micro, not the IEEE double)
+    def rhoMicro(xy: Seq[(Double, Double)]): Long =
+      Learn.spearmanRho(xy.toDF("x", "y"), "x", "y")
+        .select("rho_micro").collect().head.getLong(0)
+    assert(rhoMicro(Seq((1.0, 10.0), (2.0, 20.0), (3.0, 30.0),
+      (4.0, 44.0))) == 1000000L)
+    assert(rhoMicro(Seq((1.0, 4.0), (2.0, 3.0), (3.0, 2.0),
+      (4.0, 1.0))) == -1000000L)
+    // hand case rho = 0.8 exactly: ranks x=(1,2,3,4), y=(1,3,2,4)
+    // -> num=16 dx=dy=20 (doubled lanes), 1e12*256/400 = 800000^2
+    assert(rhoMicro(Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0),
+      (4.0, 4.0))) == 800000L)
   }
 
   test("ksTwoSample: disjoint supports -> D=1, identical -> D=0, hand case") {

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir> [sweepJsonOut]
 
 Reads oracle_sql.json written by graft.Verify, registers the sfDir
 parquet tables as DuckDB views, runs each oracle query, and compares
@@ -9,9 +9,21 @@ against the Spark parquet dump: schema (column names), row count, and
 values (columns sorted by name, rows sorted, exact equality; floats
 compared bit-exactly first, then with 1e-9 rel tolerance reported
 separately).
+
+When sweepJsonOut is given, also writes a SWEEP artifact (the r12
+verdict's observability ask — q381/q383 were bit-exact locally yet
+red at the driver, and nothing on disk could explain the divergence):
+the python/duckdb/pyarrow/pandas versions this sweep ran under, plus
+a per-query sha256 fingerprint of the driver-hash input (pandas-
+stringified cells, columns sorted by name, rows sorted) for BOTH the
+DuckDB and the Spark lane. A future driver-vs-local disagreement is
+then diagnosable from committed artifacts alone: same fingerprint on
+one lane but not the other pins which engine's stringification moved,
+and the version block says what changed underneath it.
 """
-import json, math, sys
+import hashlib, json, math, platform, sys
 import duckdb
+import pandas
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pyarrow.dataset as ds
@@ -62,6 +74,22 @@ def audit_types(name, dk, sp):
             bad.append(f"{c}: duckdb {dkt[c]}({k1}) vs spark {spt[c]}({k2})")
     return bad
 
+def pd_strings(tbl):
+    """The driver-hash input: pandas-converted cells stringified,
+    columns sorted by name, rows sorted. Raises on unsortable/
+    unhashable columns exactly where the driver would."""
+    pdf = tbl.to_pandas()
+    pdf.sort_values(by=sorted(pdf.columns), inplace=False)
+    return sorted(tuple(str(v) for v in row)
+                  for row in pdf[sorted(pdf.columns)].itertuples(index=False))
+
+def fingerprint(rows):
+    h = hashlib.sha256()
+    for r in rows:
+        h.update("\x1f".join(r).encode("utf-8", "backslashreplace"))
+        h.update(b"\x1e")
+    return h.hexdigest()
+
 def close(a, b):
     if a is None or b is None: return a is b
     if isinstance(a, float) and isinstance(b, float):
@@ -69,43 +97,58 @@ def close(a, b):
         return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
     return a == b
 
-def main(sfdir, outdir):
+def main(sfdir, outdir, sweep_out=None):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    sweep = {"sf_dir": sfdir,
+             "versions": {"python": platform.python_version(),
+                          "duckdb": duckdb.__version__,
+                          "pyarrow": pa.__version__,
+                          "pandas": pandas.__version__},
+             "queries": {}}
+    def record(name, status, dks=None, sps=None):
+        sweep["queries"][name] = {
+            "status": status,
+            "duck_fp": fingerprint(dks) if dks is not None else None,
+            "spark_fp": fingerprint(sps) if sps is not None else None}
     for name, sql in sorted(oracle.items()):
         try:
             dk = con.sql(sql).arrow()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: duckdb error: {e}"); n_fail += 1
+            record(name, f"duckdb_error: {e}"); continue
         try:
             sp = load_spark(outdir, name)
         except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}"); n_fail += 1; continue
+            print(f"FAIL {name}: spark output missing: {e}"); n_fail += 1
+            record(name, f"spark_missing: {e}"); continue
         # Driver-fidelity probe: the driver row-sorts via pandas
         # sort_values, which raises on unhashable cells (lists/arrays/
         # structs → numpy.ndarray/dict). Replicate it so array-typed
         # output columns fail HERE, not in CORRECTNESS_r{N}.json.
+        # pd_strings is also the sweep fingerprint input — the exact
+        # byte stream the driver hashes, recorded per lane.
         try:
-            for tbl in (dk, sp):
-                pdf = tbl.to_pandas()
-                pdf.sort_values(by=sorted(pdf.columns), inplace=False)
+            dks, sps = pd_strings(dk), pd_strings(sp)
         except Exception as e:
             print(f"FAIL {name}: driver-unsortable column (pandas sort_values): {e}")
-            n_fail += 1; continue
+            n_fail += 1; record(name, f"unsortable: {e}"); continue
         tbad = audit_types(name, dk, sp)
         if tbad:
             print(f"FAIL {name}: result-type mismatch (uncast HUGEINT/DECIMAL "
                   f"reaches the driver hasher): {'; '.join(tbad)}")
-            n_fail += 1; continue
+            n_fail += 1; record(name, "type_mismatch", dks, sps); continue
         dc, dr = norm_rows(dk)
         sc, sr = norm_rows(sp)
         if dc != sc:
-            print(f"FAIL {name}: columns duckdb={dc} spark={sc}"); n_fail += 1; continue
+            print(f"FAIL {name}: columns duckdb={dc} spark={sc}")
+            n_fail += 1; record(name, "columns_differ", dks, sps); continue
         if len(dr) != len(sr):
-            print(f"FAIL {name}: rows duckdb={len(dr)} spark={len(sr)}"); n_fail += 1; continue
+            print(f"FAIL {name}: rows duckdb={len(dr)} spark={len(sr)}")
+            n_fail += 1; record(name, "rowcount_differ", dks, sps); continue
         exact = approx = bad = 0
         first_bad = None
         for r1, r2 in zip(dr, sr):
@@ -116,31 +159,33 @@ def main(sfdir, outdir):
                 if first_bad is None: first_bad = (r1, r2)
         if bad:
             print(f"FAIL {name}: {bad}/{len(dr)} rows differ; first: duck={first_bad[0]} spark={first_bad[1]}")
-            n_fail += 1
+            n_fail += 1; record(name, "values_differ", dks, sps)
         elif approx:
             print(f"WARN {name}: {approx} rows only approx-equal (hash compare would FAIL)")
-            n_fail += 1
+            n_fail += 1; record(name, "approx_only", dks, sps)
         else:
             # Driver-fidelity dtype probe: the driver hashes values AFTER
             # pandas conversion, where e.g. DuckDB HUGEINT (arrow
             # decimal128) lands as float64 — str(10058.0) != str(10058)
             # even though the Decimals compare equal above (the r10 q149
-            # failure mode: an uncast SUM() output). Replay the pandas
-            # conversion on both sides and compare stringified cells.
-            dkp, spp = dk.to_pandas(), sp.to_pandas()
-            dks = sorted(tuple(str(v) for v in row)
-                         for row in dkp[sorted(dkp.columns)].itertuples(index=False))
-            sps = sorted(tuple(str(v) for v in row)
-                         for row in spp[sorted(spp.columns)].itertuples(index=False))
+            # failure mode: an uncast SUM() output). pd_strings above
+            # replayed that conversion on both sides; compare the cells.
             if dks != sps:
                 fb = next(((a, b) for a, b in zip(dks, sps) if a != b), None)
                 print(f"FAIL {name}: values equal but driver-hash differs "
                       f"(pandas dtype, e.g. uncast HUGEINT); first: duck={fb[0]} spark={fb[1]}")
-                n_fail += 1
+                n_fail += 1; record(name, "driver_hash_differ", dks, sps)
             else:
                 print(f"PASS {name}: {len(dr)} rows exact"); n_pass += 1
+                record(name, "pass", dks, sps)
     print(f"\n{n_pass} pass / {n_fail} fail")
+    if sweep_out:
+        sweep["n_pass"], sweep["n_fail"] = n_pass, n_fail
+        with open(sweep_out, "w") as f:
+            json.dump(sweep, f, indent=1, sort_keys=True)
+        print(f"sweep artifact -> {sweep_out}")
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))

@@ -163,8 +163,12 @@ object SparkEntry {
           col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
           col("l_discount") >= 0.02 && col("l_discount") <= 0.09 &&
           col("l_quantity") < 24)
+        // single-row global stat: the exact DECIMAL(38,4) sum IS the
+        // gate lane (r13 raw-double-finals audit — no final cast to
+        // IEEE double, so no dependence on either engine's
+        // decimal->double rounding path)
         .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
-          .cast("double").as("revenue"),
+          .cast("decimal(38,4)").as("revenue"),
           count(lit(1)).as("n_rows"))
     }),
 
@@ -5697,8 +5701,10 @@ object SparkEntry {
     // language, exact extremes, and the single mirrored double.
     // Identical cards on both engines or the corpus changed.
     "q200_dataset_card" -> ((s, dir) => {
+      // single-row global stat: gate on avg_tokens_micro, not the
+      // IEEE double (r13 raw-double-finals audit)
       pipeline.Corpus.datasetCard(Tables.documents(s, dir),
-        "doc_id", "text", "lang")
+        "doc_id", "text", "lang").drop("avg_tokens")
     }),
 
     // q199: per-vector scores along the q198 eigenvector — exact
@@ -6165,7 +6171,9 @@ object SparkEntry {
         when((((col("doc_id") * 37) % 100) * 2) +
             ((col("doc_id") * 11) % 60) >= 100, 1L)
           .otherwise(0L).as("y"))
-      operators.Learn.aucExact(scored, "s", "y")
+      // single-row global stat: gate on the exact auc_micro rational,
+      // not the IEEE double (r13 raw-double-finals audit)
+      operators.Learn.aucExact(scored, "s", "y").drop("auc")
     }),
 
     // q173: containment-dedup policy on the q171 fixture — every
@@ -6666,7 +6674,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q02_revenue_filter" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         | COUNT(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -13105,7 +13113,9 @@ object SparkEntry {
         |  (SELECT mc FROM t) AS top_lang_docs,
         |  (SELECT string_agg(lang || '=' || c, ',' ORDER BY lang || '=' || c)
         |     FROM l) AS lang_hist,
-        |  (SELECT CAST(SUM(nt) AS DOUBLE) / COUNT(*) FROM b) AS avg_tokens""".stripMargin,
+        |  (SELECT CASE WHEN COUNT(*) > 0 THEN
+        |     CAST((1000000 * CAST(SUM(nt) AS HUGEINT)) // COUNT(*)
+        |       AS BIGINT) END FROM b) AS avg_tokens_micro""".stripMargin,
 
     // q199: the q198 replay + per-vector dots against v2.
     "q199_principal_scores" ->
@@ -13955,8 +13965,9 @@ object SparkEntry {
         |  CAST(SUM(n_neg) AS BIGINT) AS n_neg,
         |  CAST(SUM(n_pos * (2 * cnb + n_neg)) AS BIGINT) AS auc_num2,
         |  CAST(2 * SUM(n_pos) * SUM(n_neg) AS BIGINT) AS auc_den2,
-        |  CAST(SUM(n_pos * (2 * cnb + n_neg)) AS DOUBLE)
-        |    / GREATEST(2 * SUM(n_pos) * SUM(n_neg), 1) AS auc
+        |  CAST((1000000 * CAST(SUM(n_pos * (2 * cnb + n_neg)) AS HUGEINT))
+        |    // GREATEST(CAST(2 * SUM(n_pos) * SUM(n_neg) AS HUGEINT), 1)
+        |    AS BIGINT) AS auc_micro
         |FROM c""".stripMargin,
 
     // q174: the peeling recurrence unrolled — 5× (degree aggregate →

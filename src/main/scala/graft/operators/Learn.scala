@@ -249,6 +249,15 @@ object Learn {
           .cast("long").as("auc_num2"))
       .select(col("n_pos"), col("n_neg"), col("auc_num2"),
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"))
+      // auc_micro is the oracle-gated lane (r13: the exact floored
+      // rational — single-row global stats carry no IEEE float at
+      // the gate after the q381/q383 driver-hash lesson); the DECIMAL
+      // product keeps 10⁶·num exact past num ≈ 9·10¹², where BIGINT
+      // would wrap
+      .withColumn("auc_micro", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * auc_num2)
+          |  div GREATEST(CAST(auc_den2 AS DECIMAL(38,0)), 1)
+          |  AS BIGINT)""".stripMargin))
       .withColumn("auc",
         col("auc_num2").cast("double") /
           greatest(col("auc_den2"), lit(1L)))

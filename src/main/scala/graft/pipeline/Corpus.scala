@@ -771,6 +771,13 @@ object Corpus {
       .select(col("n_docs"), col("n_tokens"), col("n_empty"),
         col("max_tokens"), col("min_tokens"), col("n_langs"),
         col("top_lang"), col("top_lang_docs"), col("lang_hist"),
+        // the oracle-gated mean lane is the exact floored rational
+        // (r13: single-row global stats carry no IEEE float at the
+        // gate); avg_tokens stays for library users, dropped at q200
+        when(col("n_docs") > 0, expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * n_tokens)
+            |  div n_docs AS BIGINT)""".stripMargin))
+          .as("avg_tokens_micro"),
         (col("n_tokens").cast("double") / col("n_docs")).as("avg_tokens"))
   }
 

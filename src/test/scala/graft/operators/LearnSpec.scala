@@ -282,14 +282,15 @@ class LearnSpec extends SparkTestBase {
       (rnd.nextInt(20).toLong, if (rnd.nextInt(3) == 0) 1L else 0L))
     val df = rows.toDF("s", "y")
     val got = Learn.aucExact(df, "s", "y")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
     val (num2, den2) = refAuc(rows)
     assert(got.length == 1)
     assert(got.head._3 == num2 && got.head._4 == den2,
       s"exact rational mismatch: ${got.head} vs ($num2, $den2)")
-    assert(got.head._5 == num2.toDouble / den2)
+    assert(got.head._5 == 1000000L * num2 / den2, "auc_micro lane")
+    assert(got.head._6 == num2.toDouble / den2)
     val re = Learn.aucExact(df.repartition(13), "s", "y")
-      .as[(Long, Long, Long, Long, Double)].collect()
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
     assert(re.head == got.head, "partitioning leaked into the AUC")
     // perfect separation → 1.0; inverted → 0.0; all-tied → 0.5
     val perfect = Seq((5L, 1L), (6L, 1L), (1L, 0L), (2L, 0L)).toDF("s", "y")

@@ -3510,6 +3510,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q403: the ##db (uncompressed DIB) AVI lane — the r12 verdict's
+    // stretch: a REAL strl (strh 'vids' + strf BITMAPINFOHEADER) is
+    // built per doc, the walker recovers the geometry, and every
+    // census number (chunk count incl. the strl machinery, frame
+    // bytes via the 4-byte-aligned stride, carried width/height/bpp)
+    // replays arithmetically in SQL. The decode half (wrapDib →
+    // JDK BMP codec, exact solid-fill recovery) is VideoSpec-pinned.
+    "q403_dib_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(4))).as("nf"))
+      val built = operators.Video.buildStubDibAvi(base, "doc_id", "nf")
+      operators.Video.aviFrames(
+        built.select(col("doc_id"), col("payload")), "doc_id", "payload")
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("valid"), 1L).otherwise(0L)).as("valid"),
+          max(col("n_chunks")).as("n_chunks"),
+          count(col("frame_idx")).as("n_frames"),
+          coalesce(sum(length(col("frame")).cast("long")), lit(0L))
+            .as("frame_bytes"),
+          max(col("width")).cast("long").as("width"),
+          max(col("height")).cast("long").as("height"),
+          max(col("bit_count")).cast("long").as("bit_count"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10144,6 +10170,24 @@ object SparkEntry {
         |    + (doc_id % 3) * (1 + doc_id % 5) * (doc_id % 5)
         |      // 2 AS BIGINT) AS frame_bytes
         |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin,
+
+    // q403: the ##db walk replayed — chunk count adds the strl
+    // machinery (LIST hdrl + avih + LIST strl + strh + strf +
+    // LIST movi + n frames + idx1 = 7 + n); frame bytes ride the
+    // 4-byte-aligned 24bpp stride; geometry comes from the strf.
+    "q403_dib_census" ->
+      """WITH b AS (SELECT doc_id, 1 + doc_id % 4 AS nf,
+        |    3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120),
+        |s AS (SELECT doc_id, nf, w, h,
+        |    ((3 * w) + 3) // 4 * 4 AS stride FROM b)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(nf + 7 AS BIGINT) AS n_chunks,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * stride * h AS BIGINT) AS frame_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS bit_count
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -40,7 +40,14 @@ object Video {
 
   case class AviFrame(frame_idx: Long, stream: Int, fourcc: String,
                       bytes: Array[Byte])
-  case class AviParsed(n_chunks: Long, frames: Seq[AviFrame])
+  /** Video-stream geometry from the stream's `strf`
+    * BITMAPINFOHEADER — what a raw `##db` (uncompressed DIB) frame
+    * needs to be interpretable: the payload is a bare pixel array,
+    * the container carries the shape. */
+  case class DibFormat(width: Int, height: Int, bitCount: Int,
+                       compression: Long)
+  case class AviParsed(n_chunks: Long, frames: Seq[AviFrame],
+                       formats: Map[Int, DibFormat] = Map.empty)
 
   private def u32le(b: Array[Byte], off: Int): Long =
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
@@ -63,6 +70,15 @@ object Video {
       if (cc(bytes, 8) != "AVI ") return null
       var nChunks = 0L
       val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrame]
+      // stream formats: strh/strf pairs appear inside hdrl's strl
+      // LISTs in stream order; a 'vids' strh's following strf is a
+      // BITMAPINFO whose BITMAPINFOHEADER head gives the raw-DIB
+      // geometry. Absent/short/non-video strf → no format for that
+      // stream (##db frames then census but don't decode).
+      val formats = scala.collection.mutable.Map.empty[Int, DibFormat]
+      var streamIdx = -1
+      var lastStrhVids = false
+      def i32le(off: Int): Int = u32le(bytes, off).toInt
       def isFrameCc(f: String): Boolean =
         f.length == 4 && f(0).isDigit && f(1).isDigit &&
           (f.endsWith("dc") || f.endsWith("db"))
@@ -80,6 +96,17 @@ object Video {
           if (f == "LIST") {
             if (sz < 4) throw new IllegalArgumentException("short LIST")
             walk(p + 12, p + 8 + sz.toInt, depth + 1)
+          } else if (f == "strh") {
+            streamIdx += 1
+            lastStrhVids = sz >= 4 && cc(bytes, p + 8) == "vids"
+          } else if (f == "strf" && lastStrhVids && streamIdx >= 0) {
+            // BITMAPINFOHEADER: biSize, biWidth(i32), biHeight(i32),
+            // biPlanes(u16), biBitCount(u16), biCompression(u32)
+            if (sz >= 20)
+              formats(streamIdx) = DibFormat(i32le(p + 12), i32le(p + 16),
+                ((bytes(p + 22) & 0xFF) | ((bytes(p + 23) & 0xFF) << 8)),
+                u32le(bytes, p + 24))
+            lastStrhVids = false
           } else if (isFrameCc(f)) {
             frames += AviFrame(frames.length.toLong,
               (f(0) - '0') * 10 + (f(1) - '0'), f,
@@ -90,13 +117,16 @@ object Video {
         if (p != hi) throw new IllegalArgumentException("ragged parent")
       }
       walk(12, bytes.length, 0)
-      AviParsed(nChunks, frames.toSeq)
+      AviParsed(nChunks, frames.toSeq, formats.toMap)
     } catch { case _: Exception => null }
   }
 
   private val frameType = StructType(Seq(
     StructField("frame_idx", LongType), StructField("stream", IntegerType),
-    StructField("fourcc", StringType), StructField("frame", BinaryType)))
+    StructField("fourcc", StringType), StructField("frame", BinaryType),
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("bit_count", IntegerType),
+    StructField("compression", LongType)))
 
   /** Explode AVI payloads to one row per frame chunk (+ a census
     * row with null frame fields and valid=false for malformed
@@ -114,26 +144,76 @@ object Video {
       rows.flatMap { r =>
         val id = r.get(idIdx)
         val p = parse(if (r.isNullAt(idx)) null else r.getAs[Array[Byte]](idx))
-        if (p == null) Iterator(Row(id, false, null, null, null, null, null))
+        if (p == null)
+          Iterator(Row(id, false, null, null, null, null, null,
+            null, null, null, null))
         else if (p.frames.isEmpty)
-          Iterator(Row(id, true, p.n_chunks, null, null, null, null))
-        else p.frames.iterator.map(f =>
-          Row(id, true, p.n_chunks, f.frame_idx, f.stream, f.fourcc, f.bytes))
+          Iterator(Row(id, true, p.n_chunks, null, null, null, null,
+            null, null, null, null))
+        else p.frames.iterator.map { f =>
+          val fmt = p.formats.get(f.stream)
+          Row(id, true, p.n_chunks, f.frame_idx, f.stream, f.fourcc, f.bytes,
+            fmt.map(_.width).orNull, fmt.map(_.height).orNull,
+            fmt.map(_.bitCount).orNull, fmt.map(_.compression).orNull)
+        }
       }
     }(enc)
   }
 
-  /** REAL frame decode for MJPEG streams: each `##dc` payload is a
-    * standalone JPEG, decoded by the JDK codec into the
-    * [[Multimodal.ImageIoDecoder]] feature vector (w, h, aspect,
-    * mean RGB, luma). Non-JPEG frames (other codecs) and corrupt
-    * frames yield null features — countable, never throwing. */
+  /** Reconstitute a standalone .bmp from a raw `##db` DIB pixel
+    * array + the container-carried geometry: prepend
+    * BITMAPFILEHEADER + BITMAPINFOHEADER and let the JDK's REAL BMP
+    * codec do the pixel interpretation (stride/bottom-up/channel
+    * order) — no hand-rolled pixel walk to get subtly wrong. Only
+    * BI_RGB (compression 0) at 8/24/32 bpp is wrapped; anything
+    * else returns null (undecodable, countable). */
+  private[operators] def wrapDib(pixels: Array[Byte], w: Int, h: Int,
+      bpp: Int, compression: Long): Array[Byte] = {
+    if (pixels == null || compression != 0L || w <= 0 || h == 0 ||
+      !(bpp == 8 || bpp == 24 || bpp == 32)) return null
+    val stride = ((w * bpp / 8) + 3) / 4 * 4
+    val expect = stride.toLong * math.abs(h)
+    if (pixels.length != expect) return null
+    // 8bpp needs the grayscale palette the AVI strf may omit
+    val palette = if (bpp == 8) (0 until 256).toArray else Array.empty[Int]
+    val headerSize = 14 + 40 + palette.length * 4
+    val buf = java.nio.ByteBuffer.allocate(headerSize + pixels.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(headerSize + pixels.length).putShort(0).putShort(0)
+      .putInt(headerSize)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(bpp.toShort)
+      .putInt(0).putInt(pixels.length).putInt(0).putInt(0)
+      .putInt(palette.length).putInt(0)
+    palette.foreach(g => buf.putInt((g << 16) | (g << 8) | g))
+    buf.put(pixels)
+    buf.array()
+  }
+
+  /** REAL frame decode for the two JVM-decodable payload kinds:
+    * `##dc` MJPEG (each payload a standalone JPEG, JDK codec) and —
+    * r13 — `##db` uncompressed BI_RGB DIB (raw pixel array
+    * reconstituted into a .bmp via [[wrapDib]] with the
+    * container-carried strf geometry, then the SAME JDK codec).
+    * Both land in the [[Multimodal.ImageIoDecoder]] feature vector
+    * (w, h, aspect, mean RGB, luma). Other codecs, DIBs without a
+    * usable strf, and corrupt frames yield null features —
+    * countable, never throwing. Still row-local end to end. */
   def decodeFrames(df: DataFrame, idCol: String,
       binaryCol: String): DataFrame = {
+    val wrap = udf((frame: Array[Byte], fourcc: String,
+        w: java.lang.Integer, h: java.lang.Integer,
+        bpp: java.lang.Integer, comp: java.lang.Long) =>
+      if (fourcc != null && fourcc.endsWith("db")) {
+        if (w == null || h == null || bpp == null || comp == null) null
+        else wrapDib(frame, w, h, bpp, comp)
+      } else frame)
     val frames = aviFrames(df, idCol, binaryCol)
       .filter(col("valid") && col("frame").isNotNull)
-    Multimodal.extractFeatures(frames, "frame",
-      new Multimodal.ImageIoDecoder)
+      .withColumn("__decodable", wrap(col("frame"), col("fourcc"),
+        col("width"), col("height"), col("bit_count"), col("compression")))
+    Multimodal.extractFeatures(frames, "__decodable",
+      new Multimodal.ImageIoDecoder).drop("__decodable")
   }
 
   // --- fixture builder (the Mp4.buildStubMp4 invertible trick) -------
@@ -191,6 +271,73 @@ object Video {
       cc("LIST"); u32le(inner.length + 4L); cc(listType)
       out.write(inner, 0, inner.length)
     }
+  }
+
+  /** Fixture twin for the `##db` lane: a single-stream uncompressed
+    * DIB AVI with a REAL strl (strh 'vids'/'DIB ' + strf
+    * BITMAPINFOHEADER), so [[parse]] recovers the geometry and
+    * [[decodeFrames]] exercises the wrapDib→ImageIO path. Each
+    * payload must be a raw bottom-up BI_RGB pixel array of exactly
+    * stride(width,bpp)·height bytes. */
+  def buildDibAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      bpp: Int = 24): Array[Byte] = {
+    val stride = ((width * bpp / 8) + 3) / 4 * 4
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33333).putInt(0).putInt(0).putInt(0)
+    avih.putInt(frames.length).putInt(0).putInt(1)
+    avih.putInt(frames.map(_.length).foldLeft(0)(math.max))
+    avih.putInt(width).putInt(height)
+    avih.putInt(0).putInt(0).putInt(0).putInt(0)
+    val strh = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strh.put("vids".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    strh.put("DIB ".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // remaining strh fields zero — the walker reads only fccType
+    val strf = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    strf.putInt(40).putInt(width).putInt(height).putShort(1)
+      .putShort(bpp.toShort).putInt(0).putInt(stride * height)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    val w = new RiffWriter
+    w.list("hdrl") { h =>
+      h.chunk("avih", avih.array())
+      h.list("strl") { s =>
+        s.chunk("strh", strh.array()); s.chunk("strf", strf.array())
+      }
+    }
+    w.list("movi")(m => frames.foreach(f => m.chunk("00db", f)))
+    w.chunk("idx1", Array.emptyByteArray)
+    val payload = w.out.toByteArray
+    val whole = new RiffWriter
+    whole.cc("RIFF"); whole.u32le(payload.length + 4L); whole.cc("AVI ")
+    whole.out.write(payload, 0, payload.length)
+    whole.out.toByteArray
+  }
+
+  /** DataFrame-grain twin of [[buildDibAvi]] (the buildStubAvi
+    * pattern): per row, nFrames solid-fill raw DIB frames of
+    * geometry (3 + id mod 5) × (2 + id mod 3) at 24 bpp, frame j
+    * filled with byte (id + j) mod 251 — every census number AND
+    * the decoded channel means replay arithmetically. */
+  def buildStubDibAvi(df: DataFrame, idCol: String, nFramesCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii); val n = r.getLong(ni).toInt
+        val w = 3 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val stride = ((w * 3) + 3) / 4 * 4
+        val frames = (0 until n).map { j =>
+          Array.fill[Byte](stride * h)(((id + j) % 251).toByte)
+        }
+        Row.fromSeq(r.toSeq :+ buildDibAvi(frames, w, h))
+      }
+    }(enc)
   }
 
   def buildAvi(frames: Seq[Array[Byte]], width: Long = 64L,

@@ -88,4 +88,44 @@ class VideoSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
     assert(m == Map(0L -> false, 1L -> true))
   }
+
+  test("##db lane: strf geometry parsed, raw DIB frames decode exactly") {
+    // two solid 24bpp bottom-up frames, 5x3 (stride 16 = (15+3)/4*4)
+    val w = 5; val h = 3; val stride = 16
+    def solid(b: Int) = Array.fill[Byte](stride * h)(b.toByte)
+    val avi = Video.buildDibAvi(Seq(solid(100), solid(200)), w, h)
+    val df = Seq((9L, avi)).toDF("id", "payload")
+    // census: geometry columns carried from the strf
+    val fr = Video.aviFrames(df, "id", "payload")
+      .select(col("fourcc"), col("width"), col("height"),
+        col("bit_count"), col("compression")).collect()
+    assert(fr.length == 2 && fr.forall(r => r.getString(0) == "00db" &&
+      r.getInt(1) == w && r.getInt(2) == h && r.getInt(3) == 24 &&
+      r.getLong(4) == 0L))
+    // decode: the JDK BMP codec recovers the exact solid fill
+    val got = Video.decodeFrames(df, "id", "payload")
+      .select(col("frame_idx"), col("features")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == 2)
+    val f0 = got(0L); val f1 = got(1L)
+    assert(f0(0) == w.toFloat && f0(1) == h.toFloat)
+    assert(math.abs(f0(3) - 100 / 255.0f) < 1e-6 &&
+      math.abs(f0(4) - 100 / 255.0f) < 1e-6 &&
+      math.abs(f0(5) - 100 / 255.0f) < 1e-6, s"f0 = $f0")
+    assert(math.abs(f1(3) - 200 / 255.0f) < 1e-6, s"f1 = $f1")
+    // a ##db frame with the WRONG byte count for its strf geometry
+    // yields null features (wrapDib refuses), not a throw
+    val short = Video.buildDibAvi(Seq(Array.fill[Byte](7)(1)), w, h)
+    val sres = Video.decodeFrames(Seq((10L, short)).toDF("id", "payload"),
+      "id", "payload").select(col("features")).collect()
+    assert(sres.length == 1 && sres.head.isNullAt(0))
+    // wrapDib unit edges: non-BI_RGB refused, 8bpp grayscale decodes
+    assert(Video.wrapDib(solid(1), w, h, 24, 1L) == null)
+    val g8 = Video.wrapDib(Array.fill[Byte](8 * 2)(50), 8, 2, 8, 0L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(g8))
+    // the reader maps the gray palette to TYPE_BYTE_GRAY, where
+    // getRGB would gamma-convert; the raw raster sample is the pin
+    assert(img != null && img.getWidth == 8 && img.getHeight == 2 &&
+      img.getRaster.getSample(0, 0, 0) == 50)
+  }
 }

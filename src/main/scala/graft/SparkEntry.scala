@@ -3536,6 +3536,76 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q404: McNemar paired comparison — two synthetic "models"
+    // judged on the same items (deterministic event_id formulas with
+    // real discordance both ways).
+    "q404_mcnemar" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        (pmod(col("event_id"), lit(10)) < 6).as("a"),
+        (pmod(col("event_id") * 3 + 1, lit(10)) < 6).as("b"))
+      operators.Learn.mcnemar(e, "a", "b")
+    }),
+
+    // q405: Cliff's delta (rank-biserial) — even vs odd users' value
+    // distributions, the q382 KS fixture through the ordinal-effect
+    // lens; heavy ties from the milli quantization exercise the
+    // strictly-above/strictly-below split.
+    "q405_cliffs_delta" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"), col("value"))
+      operators.Learn.cliffsDelta(e, "g", "value")
+    }),
+
+    // q406: total variation distance between even and odd users'
+    // event-type distributions.
+    "q406_tv_distance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          col("event_type"))
+      operators.Learn.tvDistance(e, "g", "event_type")
+    }),
+
+    // q407: Gwet AC1 on a synthetic two-rater panel (item =
+    // event_id div 2, rater = parity) with a disagreement band and
+    // one single-rating tail item exercising dropped_items.
+    "q407_gwet_ac1" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2999)
+        .select(expr("event_id div 2").as("item"),
+          pmod(col("event_id"), lit(2)).as("rater"),
+          expr("""CASE WHEN pmod(event_id, 7) < 2
+                 |  THEN pmod(event_id, 3)
+                 |  ELSE pmod(event_id div 2, 3) END""".stripMargin)
+            .as("label"))
+      operators.Learn.gwetAC1(e, "item", "rater", "label")
+    }),
+
+    // q408: cohort retention triangle over the event log, weekly
+    // periods by integer epoch-day division.
+    "q408_cohort_retention" -> ((s, dir) =>
+      operators.Relational.cohortRetention(Tables.events(s, dir),
+        "user_id", "ts", 7)
+        .orderBy(col("cohort"), col("period_offset"))),
+
+    // q409: multi-touch attribution — purchases credited to the
+    // other event types as channels within a 1-day lookback; exact
+    // largest-remainder linear split.
+    "q409_attribution" -> ((s, dir) =>
+      operators.Relational.attribution(Tables.events(s, dir), "user_id",
+        "ts", "event_id", "event_type", "event_type", "purchase", 86400L)
+        .orderBy(col("channel"))),
+
+    // q410: nucleus (top-p) cut of each language's leading-word
+    // distribution at p = 0.9.
+    "q410_nucleus_cut" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("lang").as("grp"),
+          lower(regexp_extract(col("text"), "^\\s*([A-Za-z]+)", 1))
+            .as("tok"))
+        .filter(col("tok") =!= "")
+      operators.TextOps.nucleusCut(toks, "grp", "tok", 900L)
+        .orderBy(col("group"), col("rank"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10188,6 +10258,177 @@ object SparkEntry {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(24 AS BIGINT) AS bit_count
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q404: the 2x2 census + the exact discordant-cell rationals.
+    "q404_mcnemar" ->
+      """WITH s AS (SELECT event_id % 10 < 6 AS a,
+        |    (event_id * 3 + 1) % 10 < 6 AS b FROM events),
+        |m AS (SELECT
+        |    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM s)
+        |SELECT n00, n01, n10, n11,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    CAST((1000000 * (CAST(n01 AS HUGEINT) - n10)
+        |        * (CAST(n01 AS HUGEINT) - n10))
+        |      // CAST(n01 + n10 AS HUGEINT) AS BIGINT) END AS chi2_micro,
+        |  CASE WHEN n01 + n10 > 0 THEN
+        |    (CASE WHEN n01 >= n10 THEN 1 ELSE -1 END) *
+        |    CAST((1000000 * ABS(CAST(n01 AS HUGEINT) - n10))
+        |      // CAST(n01 + n10 AS HUGEINT) AS BIGINT) END AS delta_micro
+        |FROM m""".stripMargin,
+
+    // q405: value-grain runs, one cumulative lane, the exact
+    // strictly-above/strictly-below pair counts.
+    "q405_cliffs_delta" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |r AS (SELECT v, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS run1,
+        |    SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS run2
+        |  FROM s GROUP BY v),
+        |c AS (SELECT v, run1, run2, SUM(run2) OVER (ORDER BY v) AS cum2
+        |  FROM r),
+        |t AS (SELECT SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS n2 FROM s),
+        |gl AS (SELECT
+        |    CAST(SUM(CAST(run1 AS HUGEINT) * (cum2 - run2)) AS HUGEINT) AS gt,
+        |    CAST(SUM(CAST(run1 AS HUGEINT) * (t.n2 - cum2)) AS HUGEINT) AS lt
+        |  FROM c, t)
+        |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+        |  CAST(gl.gt AS BIGINT) AS gt_pairs,
+        |  CAST(gl.lt AS BIGINT) AS lt_pairs,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    (CASE WHEN gl.gt >= gl.lt THEN 1 ELSE -1 END) *
+        |    CAST((1000000 * ABS(gl.gt - gl.lt))
+        |      // (CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) END AS delta_micro
+        |FROM t, gl""".stripMargin,
+
+    // q406: category-grain conditional counts, cleared denominators.
+    "q406_tv_distance" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1, event_type AS c
+        |  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |k AS (SELECT c, SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS c1,
+        |    SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS c2 FROM s GROUP BY c),
+        |t AS (SELECT SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS n2 FROM s),
+        |a AS (SELECT COUNT(*) AS n_cats,
+        |    CAST(COALESCE(SUM(ABS(CAST(c1 AS HUGEINT) * t.n2
+        |      - CAST(c2 AS HUGEINT) * t.n1)), 0) AS HUGEINT) AS tvn
+        |  FROM k, t)
+        |SELECT CAST(t.n1 AS BIGINT) AS n1, CAST(t.n2 AS BIGINT) AS n2,
+        |  CAST(a.n_cats AS BIGINT) AS n_cats,
+        |  CAST(a.tvn AS BIGINT) AS tv_num,
+        |  CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+        |    CAST((1000000 * a.tvn)
+        |      // (2 * CAST(t.n1 AS HUGEINT) * t.n2) AS BIGINT) END AS tv_micro
+        |FROM t, a""".stripMargin,
+
+    // q407: the AC1 rational cleared over D = 4n^2(K-1), sign-split.
+    "q407_gwet_ac1" ->
+      """WITH rated AS (SELECT event_id // 2 AS i, event_id % 2 AS r,
+        |    CAST(CASE WHEN event_id % 7 < 2 THEN event_id % 3
+        |      ELSE (event_id // 2) % 3 END AS VARCHAR) AS c
+        |  FROM events WHERE event_id < 2999),
+        |sized AS (SELECT i, COUNT(*) AS mi, COUNT(DISTINCT c) AS nc
+        |  FROM rated GROUP BY i),
+        |full_i AS (SELECT i FROM sized WHERE mi = 2),
+        |agr AS (SELECT COUNT(*) AS n,
+        |    COALESCE(SUM(CASE WHEN s.nc = 1 THEN 1 ELSE 0 END), 0) AS agree
+        |  FROM sized s JOIN full_i USING (i)),
+        |kept AS (SELECT rated.* FROM rated JOIN full_i USING (i)),
+        |cat AS (SELECT c, COUNT(*) AS mc FROM kept GROUP BY c),
+        |cs AS (SELECT COUNT(*) AS k_cats,
+        |    CAST(COALESCE(SUM(CAST(mc AS HUGEINT) * (2 * agr.n - mc)), 0)
+        |      AS HUGEINT) AS pen
+        |  FROM cat, agr),
+        |drp AS (SELECT COUNT(*) AS dropped_items FROM sized WHERE mi <> 2)
+        |SELECT CAST(agr.n AS BIGINT) AS n_items,
+        |  CAST(agr.agree AS BIGINT) AS agree,
+        |  CAST(cs.k_cats AS BIGINT) AS k_cats,
+        |  CAST(cs.pen AS BIGINT) AS pe_num,
+        |  CAST(drp.dropped_items AS BIGINT) AS dropped_items,
+        |  CASE WHEN cs.k_cats >= 2
+        |      AND 4 * CAST(agr.n AS HUGEINT) * agr.n * (cs.k_cats - 1)
+        |        - cs.pen > 0 THEN
+        |    (CASE WHEN 4 * CAST(agr.n AS HUGEINT) * (cs.k_cats - 1)
+        |        * agr.agree - cs.pen >= 0 THEN 1 ELSE -1 END) *
+        |    CAST((1000000 * ABS(4 * CAST(agr.n AS HUGEINT)
+        |        * (cs.k_cats - 1) * agr.agree - cs.pen))
+        |      // (4 * CAST(agr.n AS HUGEINT) * agr.n * (cs.k_cats - 1)
+        |        - cs.pen) AS BIGINT) END AS ac1_micro
+        |FROM agr, cs, drp""".stripMargin,
+
+    // q408: integer epoch-day periods (epoch_us // 86400e6 // 7 ==
+    // the engine's floor(unix_timestamp/86400) div 7 for the
+    // post-1970 fixture), user-grain min cohort, the triangle.
+    "q408_cohort_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    (epoch_us(ts) // 86400000000) // 7 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT u, MIN(p) AS c0 FROM a GROUP BY u),
+        |sz AS (SELECT c0 AS cohort, COUNT(*) AS cohort_size
+        |  FROM c GROUP BY c0),
+        |act AS (SELECT c.c0 AS cohort, a.p - c.c0 AS period_offset,
+        |    COUNT(*) AS n_active
+        |  FROM a JOIN c USING (u) GROUP BY 1, 2)
+        |SELECT CAST(act.cohort AS BIGINT) AS cohort,
+        |  CAST(act.period_offset AS BIGINT) AS period_offset,
+        |  CAST(act.n_active AS BIGINT) AS n_active,
+        |  CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+        |  CAST((1000000 * act.n_active) // sz.cohort_size AS BIGINT)
+        |    AS retained_micro
+        |FROM act JOIN sz USING (cohort)
+        |ORDER BY cohort, period_offset""".stripMargin,
+
+    // q409: user-keyed band join, per-conversion ranks, the exact
+    // largest-remainder milli split replayed.
+    "q409_attribution" ->
+      """WITH base AS (SELECT user_id AS u, epoch_us(ts) AS t,
+        |    event_id AS id, event_type AS typ FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL),
+        |conv AS (SELECT u, t AS ct, id AS cid FROM base
+        |  WHERE typ = 'purchase'),
+        |tch AS (SELECT u, t AS tt, id AS tid, typ AS ch FROM base
+        |  WHERE typ <> 'purchase'),
+        |p AS (SELECT conv.cid, tch.ch, tch.tt, tch.tid
+        |  FROM conv JOIN tch USING (u)
+        |  WHERE tch.tt <= conv.ct AND tch.tt > conv.ct - 86400000000),
+        |rk AS (SELECT cid, ch,
+        |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tt, tid) AS r,
+        |    COUNT(*) OVER (PARTITION BY cid) AS k FROM p)
+        |SELECT ch AS channel,
+        |  CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS first_touch,
+        |  CAST(SUM(CASE WHEN r = k THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS last_touch,
+        |  CAST(SUM(1000 // k + CASE WHEN r <= 1000 % k THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS linear_milli,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches
+        |FROM rk GROUP BY ch ORDER BY ch""".stripMargin,
+
+    // q410: counts, the (cnt DESC, token ASC) total order, and the
+    // minimal-covering-prefix rule replayed.
+    "q410_nucleus_cut" ->
+      """WITH s AS (SELECT lang AS grp,
+        |    lower(regexp_extract(text, '^\s*([A-Za-z]+)', 1)) AS tok
+        |  FROM documents WHERE lang IS NOT NULL),
+        |f AS (SELECT grp, tok FROM s WHERE tok <> ''),
+        |k AS (SELECT grp, tok, COUNT(*) AS cnt FROM f GROUP BY grp, tok),
+        |w AS (SELECT grp AS "group", tok AS token, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY grp
+        |      ORDER BY cnt DESC, tok) AS BIGINT) AS "rank",
+        |    SUM(cnt) OVER (PARTITION BY grp
+        |      ORDER BY cnt DESC, tok) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY grp) AS total FROM k)
+        |SELECT "group", token, cnt, "rank", CAST(cum AS BIGINT) AS cum,
+        |  CAST(total AS BIGINT) AS total
+        |FROM w WHERE 1000 * CAST(cum - cnt AS HUGEINT)
+        |  < 900 * CAST(total AS HUGEINT)
+        |ORDER BY "group", "rank"""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -2106,6 +2106,182 @@ object Learn {
       .drop("de_num").withColumnRenamed("de_num_l", "de_num")
   }
 
+  /** McNemar's test for PAIRED binary outcomes — "did model B beat
+    * model A on the same eval set": each row is one item with both
+    * models' pass/fail, and only the DISCORDANT cells carry signal
+    * (b = A-wrong/B-right, c = A-right/B-wrong). Emits the full
+    * 2×2 census plus the exact continuity-free statistic as an
+    * integer lane:
+    *   chi2_micro = ⌊10⁶·(b−c)² / (b+c)⌋      (NULL when b+c = 0)
+    * and the sign-split direction lane
+    *   delta_micro = sgn(b−c)·⌊10⁶·|b−c| / (b+c)⌋
+    * (the marginal-change rate — positive means B wins more flips).
+    * All products in DECIMAL(38,0): (b−c)²·10⁶ wraps BIGINT past
+    * b+c ≈ 3·10⁶, long before any real eval set stops fitting.
+    * Shape: ONE aggregate over the paired rows — no exchange beyond
+    * the partial-agg combine. Null-either-side rows are excluded
+    * (an unpaired item has no McNemar cell). */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+      .agg(
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n00"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n11"))
+      .withColumn("chi2_micro", expr(
+        """CASE WHEN n01 + n10 > 0 THEN
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) *
+          |      (CAST(n01 AS DECIMAL(38,0)) - n10) *
+          |      (CAST(n01 AS DECIMAL(38,0)) - n10))
+          |    div CAST(n01 + n10 AS DECIMAL(38,0)) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("delta_micro", expr(
+        """CASE WHEN n01 + n10 > 0 THEN
+          |  (CASE WHEN n01 >= n10 THEN 1L ELSE -1L END) *
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * ABS(CAST(n01 AS DECIMAL(38,0)) - n10))
+          |    div CAST(n01 + n10 AS DECIMAL(38,0)) AS BIGINT) END"""
+          .stripMargin))
+
+  /** Cliff's delta — the ordinal effect size the MWU family's
+    * p-value-shaped lanes don't give: over all cross-group pairs,
+    *   δ = (#(x₁ > x₂) − #(x₁ < x₂)) / (n₁·n₂) ∈ [−1, 1]
+    * (equivalently the rank-biserial correlation of
+    * [[mannWhitneyU]]). Computed EXACTLY at value grain — one run
+    * census with both group counts, one [[Relational.globalPrefixSum]]
+    * of the group-2 runs, then gt = Σ c₁(v)·#{group2 < v} and
+    * lt = Σ c₁(v)·#{group2 > v} in DECIMAL(38,0); never an
+    * all-pairs join. delta_micro is the sign-split floored rational
+    * (the q384 discipline — no IEEE float in the gate lanes). */
+  def cliffsDelta(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v"))
+      .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"),
+        sum(when(col("__g1"), 0L).otherwise(1L)).as("__run2"))
+    val cum2 = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+      "__run2", "__cum2")
+    cum2
+      .crossJoin(broadcast(staged.agg(
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g1"), 0L).otherwise(1L)).as("__n2"))))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        coalesce(sum(expr(
+          "CAST(__run1 AS DECIMAL(38,0)) * (__cum2 - __run2)")),
+          lit(0).cast("decimal(38,0)")).as("__gt"),
+        coalesce(sum(expr(
+          "CAST(__run1 AS DECIMAL(38,0)) * (__n2 - __cum2)")),
+          lit(0).cast("decimal(38,0)")).as("__lt"))
+      .withColumn("gt_pairs", col("__gt").cast("long"))
+      .withColumn("lt_pairs", col("__lt").cast("long"))
+      .withColumn("delta_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  (CASE WHEN __gt >= __lt THEN 1L ELSE -1L END) *
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * ABS(__gt - __lt))
+          |    div (CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT) END"""
+          .stripMargin))
+      .select("n1", "n2", "gt_pairs", "lt_pairs", "delta_micro")
+  }
+
+  /** Total variation distance between two snapshots' CATEGORY
+    * distributions — the corpus-drift number beside [[driftChi2]]'s
+    * test statistic (TV is the fraction of mass that must move:
+    * directly interpretable, bounded [0,1], no df):
+    *   TV = ½·Σ_c |p₁(c) − p₂(c)|
+    * EXACT over the common denominator n₁·n₂:
+    *   tv_num = Σ_c |c₁(c)·n₂ − c₂(c)·n₁|   (DECIMAL(38,0))
+    *   tv_micro = ⌊10⁶·tv_num / (2·n₁·n₂)⌋
+    * A category absent from one side contributes its full count —
+    * the category-grain aggregate carries both conditional sums, so
+    * absence is a zero lane, not a missing row. Shape: ONE
+    * category-grain aggregate (the only exchange that scales) + a
+    * broadcast scalar of the totals. */
+  def tvDistance(df: DataFrame, groupCol: String,
+      catCol: String): DataFrame = {
+    val staged = df
+      .filter(col(catCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        col(catCol).cast("string").as("__c"))
+    val cats = staged.groupBy(col("__c"))
+      .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(col("__g1"), 0L).otherwise(1L)).as("__c2"))
+    cats
+      .crossJoin(broadcast(staged.agg(
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__g1"), 0L).otherwise(1L)).as("__n2"))))
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        count(lit(1)).as("n_cats"),
+        coalesce(sum(expr(
+          "ABS(CAST(__c1 AS DECIMAL(38,0)) * __n2 - CAST(__c2 AS DECIMAL(38,0)) * __n1)")),
+          lit(0).cast("decimal(38,0)")).as("__tvn"))
+      .withColumn("tv_num", col("__tvn").cast("long"))
+      .withColumn("tv_micro", when(col("n1") > 0 && col("n2") > 0, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __tvn)
+          |  div (2 * CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)"""
+          .stripMargin)))
+      .select("n1", "n2", "n_cats", "tv_num", "tv_micro")
+  }
+
+  /** Gwet's AC1 — the chance-corrected agreement coefficient that
+    * stays sane under prevalence skew (the known kappa paradox:
+    * [[cohenKappa]] collapses when one label dominates, exactly the
+    * regime of rare-unsafe-content labeling). TWO-RATER fixed
+    * design on item grain (the [[krippendorffAlpha]] m=2 frame):
+    * items with exactly 2 ratings participate, others are counted
+    * in `dropped_items`. With n complete items, a agreeing, and
+    * per-category pooled counts m_c over both raters (Σm_c = 2n),
+    * K observed categories:
+    *   pe = Σ_c π_c(1−π_c)/(K−1),  π_c = m_c/(2n)
+    *   AC1 = (po − pe)/(1 − pe),   po = a/n
+    * cleared to ONE exact rational over D = 4n²(K−1):
+    *   num = 4n(K−1)·a − Σ m_c(2n−m_c),  den = D − Σ m_c(2n−m_c)
+    * with ac1_micro the sign-split floor (q384 discipline). K = 1
+    * (a single observed category) leaves pe undefined → NULL.
+    * DECIMAL(38,0) lanes hold to n ≈ 10¹⁵/K. Shape: item-grain
+    * aggregate + two tiny category/scalar aggregates. */
+  def gwetAC1(df: DataFrame, itemCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val rated = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(valueCol).cast("string").as("__c"))
+      .dropDuplicates("__i", "__r")
+    val sized = rated.groupBy(col("__i")).agg(count(lit(1)).as("__mi"),
+      countDistinct(col("__c")).as("__nc"))
+    val full = sized.filter(col("__mi") === 2L)
+    val agree = full.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("__nc") === 1L, 1L).otherwise(0L)), lit(0L))
+        .as("agree"))
+    val kept = rated.join(full.select(col("__i")), Seq("__i"), "left_semi")
+    val cat = kept.groupBy(col("__c")).agg(count(lit(1)).as("__mc"))
+    val catStats = cat
+      .crossJoin(broadcast(agree.select(col("n").as("__nn"))))
+      .agg(count(lit(1)).as("k_cats"),
+        coalesce(sum(expr(
+          "CAST(__mc AS DECIMAL(38,0)) * (2 * __nn - __mc)")),
+          lit(0).cast("decimal(38,0)")).as("__pen"))
+    val dropped = sized.filter(col("__mi") =!= 2L)
+      .agg(count(lit(1)).as("dropped_items"))
+    agree.crossJoin(broadcast(catStats)).crossJoin(broadcast(dropped))
+      .withColumn("__num", expr(
+        """4 * CAST(n AS DECIMAL(38,0)) * (k_cats - 1) * agree - __pen"""))
+      .withColumn("__den", expr(
+        """4 * CAST(n AS DECIMAL(38,0)) * n * (k_cats - 1) - __pen"""))
+      .withColumn("ac1_micro", expr(
+        """CASE WHEN k_cats >= 2 AND __den > 0 THEN
+          |  (CASE WHEN __num >= 0 THEN 1L ELSE -1L END) *
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * ABS(__num))
+          |    div __den AS BIGINT) END""".stripMargin))
+      .select(col("n").as("n_items"), col("agree"), col("k_cats"),
+        col("__pen").cast("long").as("pe_num"), col("dropped_items"),
+        col("ac1_micro"))
+  }
+
   /** Bradley–Terry preference-strength fitting, EXACT bounded-round
     * MM — the model behind every pairwise-preference leaderboard
     * (RLHF comparison data, arena-style model rankings, judge

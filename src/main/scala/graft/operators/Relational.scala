@@ -2238,6 +2238,102 @@ object Relational {
     interior.select(col("key"), col("grid_us"), col("value_milli"))
       .unionByName(last)
   }
+
+  /** Cohort retention triangle — the product-analytics staple over
+    * an activity log: bucket time into fixed `periodDays` windows
+    * (integer epoch-day division — no calendar arithmetic to
+    * disagree about), cohort(u) = a user's FIRST active period,
+    * then count distinct users active at each (cohort, offset) and
+    * divide by the cohort's size:
+    *   retained_micro = ⌊10⁶·n_active / cohort_size⌋
+    * offset 0 is the cohort itself (retained_micro = 10⁶ exactly —
+    * a built-in self-check).
+    *
+    * Shape: one (user, period) distinct (the only row-scale
+    * exchange), then a user-grain aggregate that carries each
+    * user's period LIST alongside the min — a user's distinct
+    * periods are bounded by timespan/periodDays (hundreds for
+    * years of weekly periods), never by their row count, so the
+    * list is safe and the explode replaces what would otherwise be
+    * a second row-scale shuffle joining activity back to cohorts.
+    * Cohort sizes are cohort-grain (tiny) and broadcast. */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val activity = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("__u"),
+        expr(s"CAST(FLOOR(unix_timestamp($tsCol) / 86400) AS BIGINT) div ${periodDays}L")
+          .as("__p"))
+      .distinct()
+    val perUser = activity.groupBy(col("__u"))
+      .agg(min(col("__p")).as("__c0"), collect_list(col("__p")).as("__ps"))
+    val sizes = perUser.groupBy(col("__c0").as("cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    perUser.select(col("__c0"), explode(col("__ps")).as("__p"))
+      .groupBy(col("__c0").as("cohort"),
+        (col("__p") - col("__c0")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), Seq("cohort"))
+      .withColumn("retained_micro", expr(
+        "CAST((1000000 * n_active) div cohort_size AS BIGINT)"))
+  }
+
+  /** Multi-touch attribution over an event log — credit each
+    * conversion to the marketing/touch events that preceded it
+    * within `lookbackSeconds`, under the three standard policies at
+    * once, all EXACT:
+    *   - first_touch / last_touch: full credit to the earliest /
+    *     latest touch in the window (ties broken by the id column —
+    *     a total order, so the credit is deterministic);
+    *   - linear_milli: 1000 milli split evenly with the remainder
+    *     to the EARLIEST touches (largest-remainder discipline —
+    *     per conversion the credits sum to exactly 1000).
+    * Output is channel grain: (channel, first_touch, last_touch,
+    * linear_milli, n_touches). Conversions with zero in-window
+    * touches earn nobody credit (count them upstream if needed).
+    *
+    * Shape: touches⋈conversions is a user-keyed equi join with the
+    * time band as a residual filter (the q81 interval-join posture —
+    * pairs are bounded by touches-per-user-per-window, never
+    * |touches|·|conversions|); per-conversion ranks ride ONE window
+    * partitioned by conversion id over those bounded pairs; the
+    * final channel aggregate is tiny. */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, channelCol: String,
+      conversionType: String, lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0, "lookbackSeconds must be positive")
+    val base = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+      col(idCol).isNotNull && col(typeCol).isNotNull)
+    val conv = base.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("__cu"), unix_micros(col(tsCol)).as("__ct"),
+        col(idCol).cast("long").as("__cid"))
+    val touch = base.filter(col(typeCol) =!= conversionType &&
+        col(channelCol).isNotNull)
+      .select(col(userCol).as("__tu"), unix_micros(col(tsCol)).as("__tt"),
+        col(idCol).cast("long").as("__tid"),
+        col(channelCol).cast("string").as("__ch"))
+    val pairs = conv.join(touch, col("__cu") === col("__tu") &&
+      col("__tt") <= col("__ct") &&
+      col("__tt") > col("__ct") - lookbackSeconds * 1000000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cid"))
+      .orderBy(col("__tt").asc, col("__tid").asc)
+    val ranked = pairs
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__k", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__cid"))))
+    ranked
+      .withColumn("__linear",
+        expr("1000L div __k") +
+          when(col("__rk") <= expr("1000L % __k"), 1L).otherwise(0L))
+      .groupBy(col("__ch").as("channel"))
+      .agg(sum(when(col("__rk") === 1L, 1L).otherwise(0L)).as("first_touch"),
+        sum(when(col("__rk") === col("__k"), 1L).otherwise(0L))
+          .as("last_touch"),
+        sum(col("__linear")).as("linear_milli"),
+        count(lit(1)).as("n_touches"))
+  }
 }
 
 private[operators] case class OffsetRow(__pid: Int, __offset: Long)

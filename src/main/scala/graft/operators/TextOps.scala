@@ -2902,4 +2902,45 @@ object TextOps {
             |  div __n AS BIGINT)""".stripMargin)).as("p0_micro"))
       .orderBy(col("r"))
   }
+
+  /** Nucleus (top-p) vocabulary cut — per group, the MINIMAL prefix
+    * of tokens (ordered by count DESC, token ASC — a total order, so
+    * the cut is deterministic) whose cumulative count reaches
+    * p_milli/1000 of the group's total:
+    *   keep token t  ⟺  1000·(cum(t) − count(t)) < p_milli·total
+    * (mass strictly BEFORE t hasn't covered p yet — the standard
+    * nucleus rule, which always keeps the top token and stops at
+    * the first covering prefix). The curation use: truncating a
+    * per-domain token/label distribution to its head before
+    * building mixing weights or a tokenizer seed vocabulary.
+    * Emits kept rows with exact integer lanes (cnt, rank, cum,
+    * total) — no ratios, fully oracle-able.
+    *
+    * Shape: one (group, token) hash aggregate (the row-scale
+    * exchange), then ONE window pair partitioned by group at VOCAB
+    * grain — heavy groups are bounded by their distinct-token
+    * count, not their row count. */
+  def nucleusCut(df: DataFrame, groupCol: String, tokenCol: String,
+      pMilli: Long): DataFrame = {
+    require(pMilli >= 1 && pMilli <= 1000,
+      s"pMilli must be in [1,1000], got $pMilli")
+    val counts = df
+      .filter(col(groupCol).isNotNull && col(tokenCol).isNotNull)
+      .select(col(groupCol).as("group"),
+        col(tokenCol).cast("string").as("token"))
+      .groupBy(col("group"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+      .orderBy(col("cnt").desc, col("token").asc)
+    val wt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(wt))
+      // DECIMAL products: 1000·cum wraps BIGINT only past 9e15 rows
+      // per group, but the ORACLE side rides HUGEINT — keep parity
+      .filter(expr(s"CAST(1000 AS DECIMAL(38,0)) * (cum - cnt) < CAST($pMilli AS DECIMAL(38,0)) * total"))
+  }
 }

@@ -1329,4 +1329,93 @@ class LearnSpec extends SparkTestBase {
     // burst: n=3, S=12, S2=102; VMR = (3*102-144)/(3*12) = 162/36 = 4.5
     assert(got("burst") == ((3L, 12L, 102L, 4500000L)))
   }
+
+  test("mcnemar: hand 2x2, direction sign, degenerate concordant-only") {
+    // 3x(T,T), 1x(T,F), 4x(F,T), 2x(F,F)
+    val rows = Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq.fill(4)((false, true)) ++ Seq.fill(2)((false, false))
+    val r = Learn.mcnemar(rows.toDF("a", "b"), "a", "b").collect().head
+    assert((r.getAs[Long]("n00"), r.getAs[Long]("n01"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n11")) == ((2L, 4L, 1L, 3L)))
+    // chi2 = (4-1)^2/5 = 1.8; delta = +3/5
+    assert(r.getAs[Long]("chi2_micro") == 1800000L)
+    assert(r.getAs[Long]("delta_micro") == 600000L)
+    // B worse than A -> negative direction
+    val r2 = Learn.mcnemar((Seq.fill(3)((true, false)) ++
+      Seq((false, true))).toDF("a", "b"), "a", "b").collect().head
+    assert(r2.getAs[Long]("delta_micro") == -500000L)
+    // no discordant pairs -> NULL statistic, not a division blowup
+    val r3 = Learn.mcnemar(Seq((true, true), (false, false))
+      .toDF("a", "b"), "a", "b").collect().head
+    assert(r3.isNullAt(r3.fieldIndex("chi2_micro")))
+    // null rows excluded
+    val r4 = Learn.mcnemar(Seq[(java.lang.Boolean, java.lang.Boolean)](
+      (true, null), (true, false)).toDF("a", "b"), "a", "b").collect().head
+    assert(r4.getAs[Long]("n10") == 1L && r4.getAs[Long]("n11") == 0L)
+  }
+
+  test("cliffsDelta: hand pairs with ties, perfect separation, sign") {
+    // g1 = {1,2,3}, g2 = {2,4}: gt=1, lt=4, tie=1 -> delta = -3/6
+    val rows = Seq((true, 1.0), (true, 2.0), (true, 3.0),
+      (false, 2.0), (false, 4.0))
+    val r = Learn.cliffsDelta(rows.toDF("g", "v"), "g", "v").collect().head
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("gt_pairs"), r.getAs[Long]("lt_pairs")) ==
+      ((3L, 2L, 1L, 4L)))
+    assert(r.getAs[Long]("delta_micro") == -500000L)
+    // all of group1 above group2 -> +1.0 exactly
+    val sep = Seq((true, 10.0), (true, 11.0), (false, 1.0))
+    val rs = Learn.cliffsDelta(sep.toDF("g", "v"), "g", "v").collect().head
+    assert(rs.getAs[Long]("delta_micro") == 1000000L)
+    // identical distributions -> 0
+    val same = Seq((true, 5.0), (false, 5.0))
+    assert(Learn.cliffsDelta(same.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Long]("delta_micro") == 0L)
+  }
+
+  test("tvDistance: hand distributions incl. one-sided categories") {
+    // g1: a,a,b (n1=3); g2: a,c (n2=2)
+    // tv_num = |2*2-1*3| + |1*2-0| + |0-1*3| = 1+2+3 = 6; TV = 6/12 = 0.5
+    val rows = Seq((true, "a"), (true, "a"), (true, "b"),
+      (false, "a"), (false, "c"))
+    val r = Learn.tvDistance(rows.toDF("g", "c"), "g", "c").collect().head
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+      r.getAs[Long]("n_cats"), r.getAs[Long]("tv_num")) ==
+      ((3L, 2L, 3L, 6L)))
+    assert(r.getAs[Long]("tv_micro") == 500000L)
+    // identical distributions -> 0; disjoint supports -> exactly 1
+    val same = Seq((true, "x"), (false, "x"))
+    assert(Learn.tvDistance(same.toDF("g", "c"), "g", "c")
+      .collect().head.getAs[Long]("tv_micro") == 0L)
+    val disj = Seq((true, "x"), (false, "y"))
+    assert(Learn.tvDistance(disj.toDF("g", "c"), "g", "c")
+      .collect().head.getAs[Long]("tv_micro") == 1000000L)
+  }
+
+  test("gwetAC1: textbook panel, dropped items, single-category null") {
+    // 4 complete items: (y,y),(y,y),(y,n),(n,n) + 1 dropped (1 rating)
+    // n=4 a=3 m_y=5 m_n=3 K=2: pen=5*3+3*5=30
+    // num = 4*4*1*3-30 = 18; den = 4*16*1-30 = 34 -> floor(18e6/34)
+    val rows = Seq((1L, 0L, "y"), (1L, 1L, "y"), (2L, 0L, "y"),
+      (2L, 1L, "y"), (3L, 0L, "y"), (3L, 1L, "n"), (4L, 0L, "n"),
+      (4L, 1L, "n"), (5L, 0L, "y"))
+    val r = Learn.gwetAC1(rows.toDF("i", "r", "c"), "i", "r", "c")
+      .collect().head
+    assert((r.getAs[Long]("n_items"), r.getAs[Long]("agree"),
+      r.getAs[Long]("k_cats"), r.getAs[Long]("pe_num"),
+      r.getAs[Long]("dropped_items")) == ((4L, 3L, 2L, 30L, 1L)))
+    assert(r.getAs[Long]("ac1_micro") == 529411L)
+    // all raters always say the same single category -> K=1 -> NULL
+    val uni = Seq((1L, 0L, "y"), (1L, 1L, "y"))
+    val ru = Learn.gwetAC1(uni.toDF("i", "r", "c"), "i", "r", "c")
+      .collect().head
+    assert(ru.isNullAt(ru.fieldIndex("ac1_micro")))
+    // kappa-paradox regime: AC1 stays high where kappa collapses
+    // 9 items (y,y), 1 item (y,n): po=0.9, skewed prevalence
+    val skew = (1L to 9L).flatMap(i => Seq((i, 0L, "y"), (i, 1L, "y"))) ++
+      Seq((10L, 0L, "y"), (10L, 1L, "n"))
+    val rk = Learn.gwetAC1(skew.toDF("i", "r", "c"), "i", "r", "c")
+      .collect().head
+    assert(rk.getAs[Long]("ac1_micro") > 850000L)
+  }
 }

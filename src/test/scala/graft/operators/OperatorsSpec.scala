@@ -1261,6 +1261,62 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(err.getMessage.contains("clamp"))
   }
+
+  test("cohortRetention: hand triangle, offset-0 self-check, dup collapse") {
+    import spark.implicits._
+    def ts(day: Int, h: Int = 0) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(1970, 1, 1, h, 0).plusDays(day.toLong))
+    // u1: days 0 and 8 (periods 0,1); u2: day 1 (period 0);
+    // u3: days 14 and 15 (both period 2 -> distinct collapses)
+    val rows = Seq((1L, ts(0)), (1L, ts(8)), (2L, ts(1)),
+      (3L, ts(14)), (3L, ts(15)), (3L, ts(15, 6)))
+    val got = Relational.cohortRetention(rows.toDF("u", "t"), "u", "t", 7)
+      .collect().map(r => (r.getAs[Long]("cohort"),
+        r.getAs[Long]("period_offset")) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Long]("retained_micro")))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((2L, 2L, 1000000L)),
+      (0L, 1L) -> ((1L, 2L, 500000L)),
+      (2L, 0L) -> ((1L, 1L, 1000000L))))
+    // offset 0 is always exactly 10^6 — the structural self-check
+    assert(got.collect { case ((_, 0L), (_, _, m)) => m }
+      .forall(_ == 1000000L))
+  }
+
+  test("attribution: first/last/linear credits, window edge, remainder") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // user 1: ch1@10, ch2@20, conv@25 (k=2: linear 500/500)
+    // user 2: ch1@5 (OUT of 60s window? no - in), conv@30; plus a
+    //   touch AFTER the conversion (ignored) and one older than the
+    //   window (ignored)
+    val rows = Seq(
+      (1L, ts(10), 100L, "touch", "ch1"), (1L, ts(20), 101L, "touch", "ch2"),
+      (1L, ts(25), 102L, "conv", null),
+      (2L, ts(5), 200L, "touch", "ch1"), (2L, ts(30), 201L, "conv", null),
+      (2L, ts(31), 202L, "touch", "ch2"),          // after conv
+      (2L, ts(-100), 203L, "touch", "ch2"))        // beyond lookback
+      .toDF("u", "t", "id", "typ", "ch")
+    val got = Relational.attribution(rows, "u", "t", "id", "typ", "ch",
+        "conv", lookbackSeconds = 60L)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("first_touch"), r.getAs[Long]("last_touch"),
+          r.getAs[Long]("linear_milli"), r.getAs[Long]("n_touches")))).toMap
+    assert(got("ch1") == ((2L, 1L, 1500L, 2L)))
+    assert(got("ch2") == ((0L, 1L, 500L, 1L)))
+    // largest-remainder: k=3 -> 334+333+333, earliest gets the extra
+    val three = Seq(
+      (9L, ts(1), 1L, "touch", "a"), (9L, ts(2), 2L, "touch", "b"),
+      (9L, ts(3), 3L, "touch", "c"), (9L, ts(4), 4L, "conv", null))
+      .toDF("u", "t", "id", "typ", "ch")
+    val g3 = Relational.attribution(three, "u", "t", "id", "typ", "ch",
+        "conv", 60L).collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Long]("linear_milli"))
+      .toMap
+    assert(g3 == Map("a" -> 334L, "b" -> 333L, "c" -> 333L))
+    assert(g3.values.sum == 1000L)
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

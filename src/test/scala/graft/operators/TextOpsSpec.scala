@@ -1308,4 +1308,35 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // system-only: vacuous alternation, but n_turns < 2 fails it
     assert(!v(6L) && got(6L).getAs[Boolean]("alternates"))
   }
+
+  test("nucleusCut: minimal covering prefix, tie order, p=1000 keeps all") {
+    import spark.implicits._
+    // counts a:5 b:3 c:1 d:1 (total 10); p=0.8 -> keep {a,b}
+    // (mass before c is 8/10 >= 0.8 -> c excluded)
+    val rows = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")
+    val df = rows.map(t => ("g", t)).toDF("grp", "tok")
+    val got = TextOps.nucleusCut(df, "grp", "tok", 800L)
+      .collect().map(r => r.getAs[String]("token") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("cum")))).toMap
+    assert(got == Map("a" -> ((1L, 5L)), "b" -> ((2L, 8L))))
+    // p=1000 keeps the whole vocabulary
+    assert(TextOps.nucleusCut(df, "grp", "tok", 1000L).count() == 4L)
+    // the top token is ALWAYS kept, even at p=1 milli
+    val top1 = TextOps.nucleusCut(df, "grp", "tok", 1L)
+      .collect().map(_.getAs[String]("token"))
+    assert(top1.toSeq == Seq("a"))
+    // equal counts break by token asc: y:2 x:2 at p covering one
+    // token -> x survives (rank 1), y cut
+    val tie = Seq("x", "x", "y", "y").map(t => ("g", t)).toDF("grp", "tok")
+    val t1 = TextOps.nucleusCut(tie, "grp", "tok", 500L)
+      .collect().map(_.getAs[String]("token"))
+    assert(t1.toSeq == Seq("x"))
+    // groups are independent
+    val two = (rows.map(t => ("g1", t)) ++ Seq(("g2", "z")))
+      .toDF("grp", "tok")
+    val g2 = TextOps.nucleusCut(two, "grp", "tok", 800L)
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[String]("token")))
+    assert(g2.count(_._1 == "g2") == 1 && g2.count(_._1 == "g1") == 2)
+  }
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Planar integer geometry — the geo-enrichment primitives that can
+  * be EXACT (integer cross products, no trig, no floats), for points
+  * already projected/quantized onto an integer grid (the
+  * [[Relational.gridDistanceJoin]] coordinate contract).
+  *
+  * Reference shape: geofencing a 100 TB event log against a handful
+  * of region polygons — the polygon set is driver-side tiny and
+  * BAKES INTO THE EXPRESSION (pure codegen'd comparisons per point,
+  * zero exchange, zero join); the points stay distributed. */
+object Geo {
+
+  /** Point-in-CONVEX-polygon test as one boolean Column of exact
+    * integer arithmetic: orient the polygon counter-clockwise (the
+    * signed shoelace area decides — computed at plan time on the
+    * driver), then the point is inside iff EVERY edge's cross
+    * product (b−a)×(p−a) is ≥ 0 (boundary counts inside).
+    *
+    * Coordinates must be integers with |v| ≤ ~10⁹ so the cross
+    * products stay inside BIGINT (|cross| ≤ 2·(2·10⁹)² ≈ 8·10¹⁸ —
+    * checked loudly at plan time). Exact: no epsilon, no float, and
+    * the oracle replays each edge's inequality verbatim. */
+  def convexContains(x: Column, y: Column,
+      polygon: Seq[(Long, Long)]): Column = {
+    require(polygon.length >= 3,
+      s"polygon needs >= 3 vertices, got ${polygon.length}")
+    val bound = 1100000000L
+    require(polygon.forall(v => math.abs(v._1) <= bound &&
+      math.abs(v._2) <= bound),
+      s"polygon coordinates must be |v| <= $bound for exact BIGINT crosses")
+    // signed doubled area via the shoelace sum: > 0 = CCW
+    val area2 = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.length)
+      x1 * y2 - x2 * y1
+    }.sum
+    require(area2 != 0L, "degenerate polygon (zero area)")
+    val ccw = if (area2 > 0) polygon else polygon.reverse
+    // convexity check: every consecutive turn must be a left turn
+    // (>= 0 allows collinear vertices)
+    val convex = ccw.indices.forall { i =>
+      val (ax, ay) = ccw(i)
+      val (bx, by) = ccw((i + 1) % ccw.length)
+      val (cx, cy) = ccw((i + 2) % ccw.length)
+      (bx - ax) * (cy - ay) - (cx - ax) * (by - ay) >= 0L
+    }
+    require(convex, "polygon is not convex")
+    ccw.indices.map { i =>
+      val (ax, ay) = ccw(i)
+      val (bx, by) = ccw((i + 1) % ccw.length)
+      // (b-a) x (p-a) >= 0, expanded with driver-side constants so
+      // the per-row work is two multiplies and an add
+      (lit(bx - ax) * (y - lit(ay)) - lit(by - ay) * (x - lit(ax))) >= 0L
+    }.reduce(_ && _)
+  }
+
+  /** Tag each point row with membership booleans for a named set of
+    * convex regions — the geofence enrichment: one projection, all
+    * regions' tests codegen'd inline, zero exchange. */
+  def geofence(df: DataFrame, xCol: String, yCol: String,
+      regions: Map[String, Seq[(Long, Long)]]): DataFrame =
+    regions.toSeq.sortBy(_._1).foldLeft(df) { case (acc, (name, poly)) =>
+      acc.withColumn(s"in_$name",
+        convexContains(col(xCol).cast("long"), col(yCol).cast("long"), poly))
+    }
+}

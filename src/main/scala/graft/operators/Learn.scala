@@ -2282,6 +2282,39 @@ object Learn {
         col("ac1_micro"))
   }
 
+  /** Concentration indices of a categorical distribution — the
+    * "is one domain/source/language eating the corpus" monitors,
+    * both EXACT rationals (no logs, unlike Shannon entropy — these
+    * are the diversity numbers that replay engine-to-engine):
+    *   HHI      = Σ (n_c/N)²            (Herfindahl–Hirschman)
+    *   Simpson  = Σ n_c(n_c−1) / (N(N−1))   (collision probability,
+    *              the unbiased finite-sample form)
+    * emitted as floored micro lanes plus the exact integer
+    * components (n, n_cats, sum_sq = Σn_c², coll_num = Σn_c(n_c−1)).
+    * DECIMAL(38,0) holds 10⁶·Σn_c² to N ≈ 10¹⁶. Shape: one
+    * category-grain aggregate + one scalar aggregate. */
+  def concentration(df: DataFrame, catCol: String): DataFrame =
+    df.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("__nc"))
+      .agg(coalesce(sum(col("__nc")), lit(0L)).as("n"),
+        count(lit(1)).as("n_cats"),
+        coalesce(sum(expr("CAST(__nc AS DECIMAL(38,0)) * __nc")),
+          lit(0).cast("decimal(38,0)")).as("__ss"),
+        coalesce(sum(expr("CAST(__nc AS DECIMAL(38,0)) * (__nc - 1)")),
+          lit(0).cast("decimal(38,0)")).as("__cn"))
+      .withColumn("sum_sq", col("__ss").cast("long"))
+      .withColumn("coll_num", col("__cn").cast("long"))
+      .withColumn("hhi_micro", when(col("n") > 0, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __ss)
+          |  div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"""
+          .stripMargin)))
+      .withColumn("simpson_micro", when(col("n") > 1, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * __cn)
+          |  div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"""
+          .stripMargin)))
+      .select("n", "n_cats", "sum_sq", "coll_num", "hhi_micro",
+        "simpson_micro")
+
   /** Bradley–Terry preference-strength fitting, EXACT bounded-round
     * MM — the model behind every pairwise-preference leaderboard
     * (RLHF comparison data, arena-style model rankings, judge

@@ -2279,6 +2279,41 @@ object Relational {
         "CAST((1000000 * n_active) div cohort_size AS BIGINT)"))
   }
 
+  /** Session transition census — the first-order Markov structure
+    * of an event log: per key, order events by (ts, id) (a total
+    * order) and count every adjacent (from_type → to_type) step,
+    * with the row-conditional transition rate as an exact milli
+    * lane:
+    *   cond_milli = ⌊1000·n(from,to) / Σ_to' n(from,to')⌋
+    * The behavioral-analytics twin of the text bigram LM (q97):
+    * same census, event grain instead of token grain.
+    *
+    * Shape: one key-partitioned window (the row-scale exchange),
+    * one (from,to) hash aggregate, and a from-grain window at
+    * TYPE-VOCABULARY grain for the denominators. */
+  def transitionCensus(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__id").asc)
+    val steps = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).as("__k"), unix_micros(col(tsCol)).as("__ts"),
+        col(idCol).cast("long").as("__id"),
+        col(typeCol).cast("string").as("__t"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col("__t").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("from_type"))
+    steps
+      .withColumn("from_total", sum(col("n")).over(wf))
+      .withColumn("cond_milli",
+        expr("CAST((1000 * n) div from_total AS BIGINT)"))
+  }
+
   /** Multi-touch attribution over an event log — credit each
     * conversion to the marketing/touch events that preceded it
     * within `lookbackSeconds`, under the three standard policies at

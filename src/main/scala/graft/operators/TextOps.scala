@@ -2943,4 +2943,83 @@ object TextOps {
       // per group, but the ORACLE side rides HUGEINT — keep parity
       .filter(expr(s"CAST(1000 AS DECIMAL(38,0)) * (cum - cnt) < CAST($pMilli AS DECIMAL(38,0)) * total"))
   }
+
+  /** Vocabulary growth census (the empirical Heaps-law curve): for
+    * each id threshold k in `grid`, the number of distinct tokens
+    * whose FIRST occurrence (by document id order) lies at id ≤ k,
+    * plus how many documents that prefix holds — the "how fast does
+    * new vocabulary arrive as the corpus grows" planning number for
+    * tokenizer/vocab sizing. All lanes exact integers.
+    *
+    * Shape: one token-grain min-id aggregate (the row-scale
+    * exchange), then each token meets the BROADCAST grid (|grid| ≤
+    * dozens) in a nested-loop that emits ≤ |grid| skinny rows per
+    * token — never a row-grain sort or a per-k rescan. */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      grid: Seq[Long]): DataFrame = {
+    require(grid.nonEmpty && grid.size <= 64,
+      s"grid must have 1..64 thresholds, got ${grid.size}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gridDf = grid.distinct.sorted.toDF("k")
+    val base = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__d"),
+        lower(col(textCol)).as("__x"))
+    val firstDoc = base
+      .select(col("__d"), explode(graft.functions.tokens(col("__x")))
+        .as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(min(col("__d")).as("__fd"))
+    val vocabAt = firstDoc
+      .join(broadcast(gridDf), col("__fd") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("vocab"))
+    val docsAt = base.select(col("__d")).distinct()
+      .join(broadcast(gridDf), col("__d") <= col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_docs"))
+    docsAt.join(vocabAt, Seq("k"), "left")
+      .select(col("k"), col("n_docs"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
+  }
+
+  /** Credential/secret scan — the "did a key leak into the training
+    * corpus" gate beside [[redactPii]]'s contact-info masks. Counts
+    * per document, all from RE2-safe patterns (the oracle engine's
+    * regex dialect is the constraint: no lookarounds):
+    *   - n_aws_keys: AWS access-key ids `AKIA[0-9A-Z]{16}`;
+    *   - n_pem: PEM private-key headers;
+    *   - n_hex32: maximal hex runs ≥ 32 chars (API-secret shaped —
+    *     a COUNT lane only: long hashes are common in honest text);
+    *   - n_luhn_valid: maximal digit runs of 13–19 digits that pass
+    *     the Luhn checksum (payment-card shaped) — the checksum is
+    *     evaluated in-plan by a higher-order fold over the reversed
+    *     digits (runs are ≤ 19 chars, so the nested-lambda
+    *     re-evaluation cost is bounded — the minhash O(w²) trap
+    *     does not bite at this width);
+    *   - has_secret: the high-precision trio (aws | pem | luhn).
+    * Row-local, zero exchange; maximal-run extraction (`[0-9]+`,
+    * `[0-9a-fA-F]+`) has identical semantics in Java regex and RE2,
+    * unlike bounded-repetition matches inside longer runs. */
+  def secretScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+        regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long").as("n_aws_keys"),
+        regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
+          .cast("long").as("n_pem"),
+        expr(s"""CAST(size(filter(regexp_extract_all($textCol,
+               |  '[0-9a-fA-F]+', 0), r -> length(r) >= 32)) AS BIGINT)"""
+          .stripMargin).as("n_hex32"),
+        expr(s"""CAST(size(filter(regexp_extract_all($textCol, '[0-9]+', 0),
+               |  r -> length(r) >= 13 AND length(r) <= 19 AND
+               |    aggregate(sequence(1, length(r)), 0, (acc, i) ->
+               |      acc + CASE WHEN i % 2 = 1
+               |        THEN CAST(substring(reverse(r), i, 1) AS INT)
+               |        ELSE CASE
+               |          WHEN 2 * CAST(substring(reverse(r), i, 1) AS INT) > 9
+               |          THEN 2 * CAST(substring(reverse(r), i, 1) AS INT) - 9
+               |          ELSE 2 * CAST(substring(reverse(r), i, 1) AS INT)
+               |        END END) % 10 = 0)) AS BIGINT)""".stripMargin)
+          .as("n_luhn_valid"))
+      .withColumn("has_secret",
+        col("n_aws_keys") > 0 || col("n_pem") > 0 || col("n_luhn_valid") > 0)
+  }
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class GeoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val square = Seq((0L, 0L), (10L, 0L), (10L, 10L), (0L, 10L))
+
+  test("convexContains: interior, boundary, exterior — exact, no epsilon") {
+    val pts = Seq((1L, 5L, 5L), (2L, 0L, 5L), (3L, 10L, 10L),
+      (4L, 11L, 5L), (5L, -1L, 0L), (6L, 0L, 0L))
+      .toDF("id", "x", "y")
+    val got = pts.withColumn("in",
+        Geo.convexContains(col("x"), col("y"), square))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("in")).toMap
+    assert(got == Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> false, 5L -> false, 6L -> true))
+  }
+
+  test("convexContains: CW input auto-orients; triangle edge arithmetic") {
+    // same square, clockwise order — must behave identically
+    val cw = square.reverse
+    val pts = Seq((1L, 5L, 5L), (2L, 11L, 5L)).toDF("id", "x", "y")
+    val got = pts.withColumn("in", Geo.convexContains(col("x"), col("y"), cw))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("in")).toMap
+    assert(got == Map(1L -> true, 2L -> false))
+    // a skinny triangle: (0,0)(4,1)(8,2) is degenerate-collinear ->
+    // zero area -> refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Geo.convexContains(lit(1L), lit(1L),
+        Seq((0L, 0L), (4L, 1L), (8L, 2L)))
+    }
+    assert(err.getMessage.contains("degenerate"))
+    // non-convex (dart) refused loudly
+    val err2 = intercept[IllegalArgumentException] {
+      Geo.convexContains(lit(1L), lit(1L),
+        Seq((0L, 0L), (10L, 0L), (2L, 2L), (0L, 10L)))
+    }
+    assert(err2.getMessage.contains("convex"))
+  }
+
+  test("geofence: multiple regions tag independently, zero exchange") {
+    val regions = Map(
+      "low" -> Seq((0L, 0L), (5L, 0L), (5L, 5L), (0L, 5L)),
+      "all" -> square)
+    val pts = Seq((1L, 2L, 2L), (2L, 7L, 7L)).toDF("id", "x", "y")
+    val out = Geo.geofence(pts, "x", "y", regions)
+    val got = out.collect().map(r => r.getLong(0) ->
+      ((r.getAs[Boolean]("in_low"), r.getAs[Boolean]("in_all")))).toMap
+    assert(got == Map(1L -> ((true, true)), 2L -> ((false, true))))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"geofence must not shuffle:\n$plan")
+  }
+}

@@ -1418,4 +1418,28 @@ class LearnSpec extends SparkTestBase {
       .collect().head
     assert(rk.getAs[Long]("ac1_micro") > 850000L)
   }
+
+  test("concentration: hand HHI/Simpson, uniform vs point mass, n=1 guard") {
+    // a,a,a,b: N=4 sum_sq=10 coll=6 -> HHI=10/16, Simpson=6/12
+    val r = Learn.concentration(Seq("a", "a", "a", "b").toDF("c"), "c")
+      .collect().head
+    assert((r.getAs[Long]("n"), r.getAs[Long]("n_cats"),
+      r.getAs[Long]("sum_sq"), r.getAs[Long]("coll_num")) ==
+      ((4L, 2L, 10L, 6L)))
+    assert(r.getAs[Long]("hhi_micro") == 625000L)
+    assert(r.getAs[Long]("simpson_micro") == 500000L)
+    // point mass -> both exactly 1
+    val p = Learn.concentration(Seq("x", "x").toDF("c"), "c").collect().head
+    assert(p.getAs[Long]("hhi_micro") == 1000000L &&
+      p.getAs[Long]("simpson_micro") == 1000000L)
+    // uniform over 4 -> HHI = 1/4; Simpson = 0 (no collision possible)
+    val u = Learn.concentration(Seq("a", "b", "c", "d").toDF("c"), "c")
+      .collect().head
+    assert(u.getAs[Long]("hhi_micro") == 250000L &&
+      u.getAs[Long]("simpson_micro") == 0L)
+    // n=1: Simpson undefined (N-1 = 0) -> NULL, HHI = 1
+    val one = Learn.concentration(Seq("z").toDF("c"), "c").collect().head
+    assert(one.getAs[Long]("hhi_micro") == 1000000L &&
+      one.isNullAt(one.fieldIndex("simpson_micro")))
+  }
 }

@@ -1317,6 +1317,33 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(g3 == Map("a" -> 334L, "b" -> 333L, "c" -> 333L))
     assert(g3.values.sum == 1000L)
   }
+
+  test("transitionCensus: per-key adjacency, conditional milli, key isolation") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // u1: a,b,a,c -> a->b, b->a, a->c; u2: b,a -> b->a
+    val rows = Seq((1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"),
+      (1L, ts(3), 12L, "a"), (1L, ts(4), 13L, "c"),
+      (2L, ts(1), 20L, "b"), (2L, ts(2), 21L, "a"))
+      .toDF("u", "t", "id", "typ")
+    val got = Relational.transitionCensus(rows, "u", "t", "id", "typ")
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("from_total"),
+          r.getAs[Long]("cond_milli")))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 2L, 500L)),
+      ("a", "c") -> ((1L, 2L, 500L)),
+      ("b", "a") -> ((2L, 2L, 1000L))))
+    // the LAST event of one key never chains into another key
+    assert(!got.contains(("c", "b")))
+    // same-timestamp events order by id (total order)
+    val tie = Seq((3L, ts(5), 1L, "x"), (3L, ts(5), 2L, "y"))
+      .toDF("u", "t", "id", "typ")
+    val t2 = Relational.transitionCensus(tie, "u", "t", "id", "typ")
+      .collect()
+    assert(t2.length == 1 && t2.head.getAs[String]("from_type") == "x")
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

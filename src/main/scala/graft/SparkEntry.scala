@@ -3658,6 +3658,48 @@ object SparkEntry {
         "user_id", "ts", "event_id", "event_type")
         .orderBy(col("from_type"), col("to_type"))),
 
+    // q416: sample-ratio-mismatch check — arms derived from
+    // event_id deciles (actual split ~500/400/100 milli) against a
+    // DELIBERATELY wrong 450/450/100 design, so the chi2 lanes are
+    // non-trivial; 'mystery' rows (none here) would land in the
+    // unexpected lane.
+    "q416_srm" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(
+        expr("""CASE WHEN event_id % 10 < 5 THEN 'control'
+               |  WHEN event_id % 10 < 9 THEN 'treatment'
+               |  ELSE 'holdout' END""".stripMargin).as("arm"))
+      operators.Learn.srmCheck(e, "arm",
+          Map("control" -> 450L, "treatment" -> 450L, "holdout" -> 100L))
+        .orderBy(col("arm"))
+    }),
+
+    // q417: winnowing fingerprints (the MOSS algorithm) over the
+    // document corpus — the md5-spine hash, the rightmost-min fold,
+    // and the distinct picks all replay list-op-for-list-op in SQL.
+    "q417_winnow" -> ((s, dir) =>
+      operators.Dedup.winnowFingerprints(
+        Tables.documents(s, dir).filter(col("doc_id") < 50),
+        "doc_id", "text", k = 5, w = 4)
+        .orderBy(col("doc_id"), col("pos"), col("fingerprint"))),
+
+    // q418: bounded-round label propagation over the q383 quadratic
+    // graph, seeds every 40th doc with 3 rotating labels; 3
+    // synchronous rounds unrolled verbatim in the oracle (the q174
+    // k-core precedent). Unreached nodes coalesce to '' so the gate
+    // row set is NULL-free.
+    "q418_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val e = docs.select(col("doc_id").as("s"),
+        ((col("doc_id") * col("doc_id") + 7) % 200).as("t"))
+      val seeds = docs.filter(col("doc_id") % 40 === 0)
+        .select(col("doc_id").as("id"),
+          expr("CAST((doc_id div 40) % 3 AS STRING)").as("lab"))
+      operators.Graph.labelPropagation(e, "s", "t", seeds, "id", "lab",
+          rounds = 3)
+        .withColumn("label", coalesce(col("label"), lit("")))
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10595,6 +10637,107 @@ object SparkEntry {
         |  CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_type)
         |    AS BIGINT) AS cond_milli
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // q416: the design table (all arms, even zero-observed), the
+    // cleared-denominator chi2 terms, the per-term floors summed.
+    "q416_srm" ->
+      """WITH obs AS (SELECT CASE WHEN event_id % 10 < 5 THEN 'control'
+        |      WHEN event_id % 10 < 9 THEN 'treatment'
+        |      ELSE 'holdout' END AS arm
+        |  FROM events),
+        |o AS (SELECT arm, COUNT(*) AS n FROM obs GROUP BY arm),
+        |design AS (SELECT * FROM (VALUES ('control', 450), ('holdout', 100),
+        |    ('treatment', 450)) d(arm, expected_milli)),
+        |j AS (SELECT d.arm, d.expected_milli, COALESCE(o.n, 0) AS n
+        |  FROM design d LEFT JOIN o USING (arm)),
+        |t AS (SELECT SUM(n) AS nn FROM j),
+        |terms AS (SELECT j.arm, j.n, j.expected_milli,
+        |    1000 * CAST(j.n AS HUGEINT)
+        |      - CAST(t.nn AS HUGEINT) * j.expected_milli AS num,
+        |    CASE WHEN t.nn > 0 THEN
+        |      CAST((1000000 * (1000 * CAST(j.n AS HUGEINT)
+        |          - CAST(t.nn AS HUGEINT) * j.expected_milli)
+        |        * (1000 * CAST(j.n AS HUGEINT)
+        |          - CAST(t.nn AS HUGEINT) * j.expected_milli))
+        |        // (1000 * CAST(t.nn AS HUGEINT) * j.expected_milli)
+        |        AS BIGINT) END AS term_micro
+        |  FROM j, t)
+        |SELECT arm, CAST(n AS BIGINT) AS n,
+        |  CAST(expected_milli AS BIGINT) AS expected_milli,
+        |  CAST(num AS BIGINT) AS num, term_micro,
+        |  CAST(SUM(term_micro) OVER () AS BIGINT) AS srm_micro,
+        |  CAST(0 AS BIGINT) AS unexpected_rows
+        |FROM terms ORDER BY arm""".stripMargin,
+
+    // q417: the winnowing chain replayed — md5-spine k-gram hashes,
+    // LEAST(w, len) windows, the left-fold rightmost-min, row-level
+    // DISTINCT standing in for array_distinct.
+    "q417_winnow" ->
+      """WITH base AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |  WHERE doc_id < 50 AND length(trim(lower(text))) > 0),
+        |hs AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+        |    list_transform(range(0, len(toks) - 5 + 1), i ->
+        |      CAST(('0x' || substring(md5(
+        |        array_to_string(toks[i+1:i+5], ' ')), 1, 8)) AS BIGINT))
+        |    ELSE [] END AS h FROM base),
+        |ww AS (SELECT doc_id, h, LEAST(4, len(h)) AS ew FROM hs
+        |  WHERE len(h) > 0),
+        |picks AS (SELECT doc_id,
+        |    list_transform(range(0, len(h) - ew + 1), j ->
+        |      list_reduce(list_transform(range(j, j + ew),
+        |        i -> {'p': CAST(i AS BIGINT), 'h': h[i+1]}),
+        |        (a, b) -> CASE WHEN b.h <= a.h THEN b ELSE a END)) AS ps
+        |  FROM ww),
+        |sel AS (SELECT doc_id, unnest(ps) AS f FROM picks)
+        |SELECT DISTINCT doc_id, CAST(f.p AS BIGINT) AS pos,
+        |  CAST(f.h AS BIGINT) AS fingerprint
+        |FROM sel ORDER BY doc_id, pos, fingerprint""".stripMargin,
+
+    // q418: three synchronous rounds unrolled; the argmax is
+    // ROW_NUMBER over (count DESC, label ASC) — the engine's
+    // min(struct(-count, label)) in window form.
+    "q418_label_prop" ->
+      """WITH e0 AS (SELECT doc_id AS s, (doc_id * doc_id + 7) % 200 AS t
+        |  FROM documents WHERE doc_id < 200),
+        |e1 AS (SELECT DISTINCT s, t FROM e0 WHERE s <> t),
+        |und AS (SELECT DISTINCT s, t FROM
+        |  (SELECT s, t FROM e1 UNION ALL SELECT t, s FROM e1)),
+        |nodes AS (SELECT DISTINCT s AS id FROM und),
+        |sd AS (SELECT doc_id AS id,
+        |    MIN(CAST((doc_id // 40) % 3 AS VARCHAR)) AS lab
+        |  FROM documents WHERE doc_id < 200 AND doc_id % 40 = 0
+        |  GROUP BY doc_id),
+        |l0 AS (SELECT n.id, sd.lab AS label FROM nodes n
+        |  LEFT JOIN sd ON sd.id = n.id),
+        |p1 AS (SELECT id, pick FROM (
+        |    SELECT u.s AS id, l.label AS pick, ROW_NUMBER() OVER (
+        |      PARTITION BY u.s ORDER BY COUNT(*) DESC, l.label) AS rn
+        |    FROM und u JOIN l0 l ON l.id = u.t WHERE l.label IS NOT NULL
+        |    GROUP BY u.s, l.label) WHERE rn = 1),
+        |l1 AS (SELECT n.id, COALESCE(sd.lab, p1.pick) AS label
+        |  FROM nodes n LEFT JOIN sd ON sd.id = n.id
+        |  LEFT JOIN p1 ON p1.id = n.id),
+        |p2 AS (SELECT id, pick FROM (
+        |    SELECT u.s AS id, l.label AS pick, ROW_NUMBER() OVER (
+        |      PARTITION BY u.s ORDER BY COUNT(*) DESC, l.label) AS rn
+        |    FROM und u JOIN l1 l ON l.id = u.t WHERE l.label IS NOT NULL
+        |    GROUP BY u.s, l.label) WHERE rn = 1),
+        |l2 AS (SELECT n.id, COALESCE(sd.lab, p2.pick) AS label
+        |  FROM nodes n LEFT JOIN sd ON sd.id = n.id
+        |  LEFT JOIN p2 ON p2.id = n.id),
+        |p3 AS (SELECT id, pick FROM (
+        |    SELECT u.s AS id, l.label AS pick, ROW_NUMBER() OVER (
+        |      PARTITION BY u.s ORDER BY COUNT(*) DESC, l.label) AS rn
+        |    FROM und u JOIN l2 l ON l.id = u.t WHERE l.label IS NOT NULL
+        |    GROUP BY u.s, l.label) WHERE rn = 1),
+        |l3 AS (SELECT n.id, COALESCE(sd.lab, p3.pick) AS label
+        |  FROM nodes n LEFT JOIN sd ON sd.id = n.id
+        |  LEFT JOIN p3 ON p3.id = n.id)
+        |SELECT l3.id, COALESCE(l3.label, '') AS label,
+        |  sd.id IS NOT NULL AS is_seed
+        |FROM l3 LEFT JOIN sd ON sd.id = l3.id ORDER BY l3.id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

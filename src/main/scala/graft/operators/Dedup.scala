@@ -972,4 +972,93 @@ private[graft] object CheckpointHygiene {
       }
     }(enc)
   }
+
+  /** Winnowing document fingerprints (Schleimer–Wilkerson–Aiken
+    * 2003 — the MOSS algorithm): the guarantee-bearing member of
+    * the near-dup family — any shared substring of at least
+    * w + k − 1 tokens is CAUGHT by a shared fingerprint (minhash
+    * gives probabilistic recall; winnowing gives a theorem).
+    * Per document: token k-grams → 63-bit hash (first 8 md5 hex
+    * digits — the seededHash spine, byte-replayable in SQL) →
+    * sliding windows of w consecutive hashes → keep each window's
+    * minimum, RIGHTMOST position on ties (the paper's robust
+    * variant is leftmost-of-equal-prior; rightmost-on-ties via a
+    * left fold with ≤ is the deterministic choice both engines
+    * replay) → distinct (pos, fingerprint) picks.
+    *
+    * Documents shorter than w+k−1 tokens but with ≥ 1 k-gram use
+    * one window over all their hashes (their global min), so every
+    * fingerprint-able doc emits ≥ 1 row; docs with < k tokens emit
+    * nothing.
+    *
+    * Shape: pure row-local array HOFs. The token and hash arrays
+    * are bound as LAMBDA VARIABLES (`transform(array(x), v -> …)`),
+    * not as intermediate columns — CollapseProject inlines a bound
+    * COLUMN into every lambda reference, silently re-tokenizing and
+    * re-hashing the whole document per fold step (the minhash
+    * O(w²) trap, observed live here: the parquet-backed plan went
+    * O(n²·w) md5 calls per row and 100×+ slower; a lambda variable
+    * is an optimizer barrier by construction, evaluated once per
+    * outer element). Each window then does an O(w) indexed fold;
+    * zero exchange. Downstream candidate pairs are a skinny
+    * (fingerprint, id) self-join — the LSH-bucket posture. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val toksSql = s"CASE WHEN length(trim(lower($textCol))) > 0 " +
+      s"THEN split(trim(lower($textCol)), '\\\\s+') " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END"
+    // one expression, two bind-once levels: tk (tokens), hs (hashes)
+    val picks = expr(
+      s"""flatten(transform(array($toksSql), tk ->
+         |  flatten(transform(array(
+         |    IF(size(tk) >= $k,
+         |      transform(sequence(0, size(tk) - $k),
+         |        i -> CAST(conv(substring(md5(
+         |          concat_ws(' ', slice(tk, i + 1, $k))), 1, 8), 16, 10)
+         |          AS BIGINT)),
+         |      CAST(array() AS ARRAY<BIGINT>))), hs ->
+         |    IF(size(hs) > 0,
+         |      array_distinct(transform(
+         |        sequence(0, size(hs) - least($w, size(hs))),
+         |        j -> aggregate(
+         |          sequence(j, j + least($w, size(hs)) - 1),
+         |          struct(CAST(-1 AS BIGINT) AS p,
+         |                 CAST(9223372036854775807 AS BIGINT) AS h),
+         |          (acc, i) -> IF(
+         |            element_at(hs, CAST(i + 1 AS INT)) <= acc.h,
+         |            struct(CAST(i AS BIGINT) AS p,
+         |                   element_at(hs, CAST(i + 1 AS INT)) AS h),
+         |            acc)))),
+         |      CAST(array() AS ARRAY<STRUCT<p: BIGINT, h: BIGINT>>))))))"""
+        .stripMargin)
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(picks).as("__f"))
+      .select(col(idCol), col("__f.p").as("pos"),
+        col("__f.h").as("fingerprint"))
+  }
+
+  /** Candidate near-dup pairs from shared winnowing fingerprints:
+    * group the skinny (fingerprint, id) table per fingerprint and
+    * emit each id pair with its shared-fingerprint count — by the
+    * winnowing guarantee, any pair sharing a ≥ w+k−1-token span
+    * appears here. Buckets are capped LOUDLY (`maxBucket`): a
+    * fingerprint shared by B docs yields B(B−1)/2 pairs, and an
+    * uncapped mega-bucket (boilerplate!) is the quadratic blowup
+    * every LSH-family operator in this repo refuses. */
+  def winnowPairs(fps: DataFrame, idCol: String,
+      maxBucket: Int = 64): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val sized = fps.select(col("fingerprint"), col(idCol).as("__id"))
+      .distinct()
+      .withColumn("__b", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fingerprint"))))
+      .filter(col("__b") <= maxBucket)
+    sized.as("a").join(sized.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+  }
 }

@@ -312,6 +312,63 @@ object Graph {
       .drop("__rn", "__rd", "__dv")
   }
 
+  /** Bounded-round SYNCHRONOUS label propagation — semi-supervised
+    * labeling over a link/similarity graph (spread a handful of
+    * human domain/quality labels to the unlabeled mass): seeds are
+    * CLAMPED; every round, each non-seed node takes the majority
+    * label among its neighbors' previous-round labels, ties broken
+    * by the SMALLEST label (a total order, so every round is
+    * deterministic and the whole schedule replays in SQL — the
+    * q174 k-core unroll precedent). Non-seeds recompute from
+    * scratch each round (synchronous update — no order dependence
+    * within a round); nodes that no labeled node reaches within
+    * `rounds` hops stay NULL.
+    *
+    * Shape: per round ONE neighbor join + ONE (node, label) count
+    * aggregate + the argmax-by-(count desc, label asc) as
+    * min(struct(−count, label)) — the PageRank posture, skinny
+    * rows, localCheckpoint per round (flat lineage). */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1,20], got $rounds")
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint(eager = true)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct()
+    val und = e.unionByName(e.select(col("t").as("s"), col("s").as("t")))
+      .distinct()
+    val nodes = und.select(col("s").as("id")).distinct()
+    val seed = seeds.select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("string").as("__seed"))
+      .filter(col("id").isNotNull && col("__seed").isNotNull)
+      .groupBy(col("id")).agg(min(col("__seed")).as("__seed"))
+    var labels = truncate(nodes.join(seed, Seq("id"), "left")
+      .select(col("id"), col("__seed").as("label")))
+    for (_ <- 1 to rounds) {
+      val picks = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("id").as("t"), col("label").as("__nl")), Seq("t"))
+        .groupBy(col("s").as("id"), col("__nl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("__c")).as("nc"), col("__nl").as("l")))
+          .as("__best"))
+        .select(col("id"), col("__best.l").as("__pick"))
+      labels = truncate(labels
+        .join(seed, Seq("id"), "left")
+        .join(picks, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("__seed"), col("__pick")).as("label")))
+    }
+    labels.join(seed, Seq("id"), "left")
+      .select(col("id"), col("label"), col("__seed").isNotNull.as("is_seed"))
+  }
+
   /** In/out degree per node over distinct edges — the cheap
     * link-structure profile (one aggregate each, outer-merged so
     * pure sources and pure sinks both appear). */

@@ -2315,6 +2315,59 @@ object Learn {
       .select("n", "n_cats", "sum_sq", "coll_num", "hhi_micro",
         "simpson_micro")
 
+  /** Sample-ratio-mismatch (SRM) check — the first thing to run on
+    * any A/B assignment log: does each arm's observed count match
+    * its DESIGNED allocation? Goodness-of-fit chi-square against
+    * fixed milli weights (Σw = 1000 enforced), EXACT via cleared
+    * denominators (the [[driftChi2]] staging):
+    *   num_c       = 1000·n_c − N·w_c
+    *   term_micro  = ⌊10⁶·num_c² / (1000·N·w_c)⌋
+    *   srm_micro   = Σ_c term_micro   (sum of per-term floors —
+    *                 deterministic in both engines; each floor is
+    *                 < 1 micro off, so the total is < |arms| micro
+    *                 off the real statistic)
+    * Rows arrive from the DESIGN side (a broadcast of the expected
+    * arms), so an arm with zero observations still gets its row —
+    * the worst SRM of all would otherwise be invisible. Observed
+    * rows in arms OUTSIDE the design are counted in
+    * `unexpected_rows` (a data bug lane) and excluded from N.
+    * DECIMAL(38,0) keeps num² exact to N ≈ 10¹⁶. Shape: one arm
+    * aggregate + broadcast scalars. */
+  def srmCheck(df: DataFrame, armCol: String,
+      expectedMilli: Map[String, Long]): DataFrame = {
+    require(expectedMilli.nonEmpty && expectedMilli.values.forall(_ > 0),
+      "expected weights must be positive")
+    require(expectedMilli.values.sum == 1000L,
+      s"expected milli weights must sum to 1000, got ${expectedMilli.values.sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val design = expectedMilli.toSeq.sortBy(_._1)
+      .toDF("arm", "expected_milli")
+    val obs = df.filter(col(armCol).isNotNull)
+      .select(col(armCol).cast("string").as("arm"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n"))
+    val joined = broadcast(design).join(obs, Seq("arm"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val scal = obs
+      .join(broadcast(design.select(col("arm"))), Seq("arm"), "left_anti")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("unexpected_rows"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    joined
+      .withColumn("__N", sum(col("n")).over(wAll))
+      .withColumn("num", expr(
+        "CAST(1000 AS DECIMAL(38,0)) * n - CAST(__N AS DECIMAL(38,0)) * expected_milli"))
+      .withColumn("term_micro", when(col("__N") > 0, expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * num * num)
+          |  div (CAST(1000 AS DECIMAL(38,0)) * __N * expected_milli)
+          |  AS BIGINT)""".stripMargin)))
+      .withColumn("srm_micro", sum(col("term_micro")).over(wAll))
+      .crossJoin(broadcast(scal))
+      .select(col("arm"), col("n"), col("expected_milli"),
+        col("num").cast("long").as("num"), col("term_micro"),
+        col("srm_micro"), col("unexpected_rows"))
+  }
+
   /** Bradley–Terry preference-strength fitting, EXACT bounded-round
     * MM — the model behind every pairwise-preference leaderboard
     * (RLHF comparison data, arena-style model rankings, judge

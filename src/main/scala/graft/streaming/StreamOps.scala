@@ -28,6 +28,10 @@ case class CusumPoint(key: Long, event_id: Long, ts_ms: Long,
 case class RateDecision(key: Long, event_id: Long, ts_ms: Long,
                         admitted: Int, tokens_milli: Long)
 
+/** One adjacency step emitted by [[StreamOps.transitionStream]]. */
+case class TransitionStep(key: Long, from_type: String, to_type: String,
+                          ts_ms: Long)
+
 /** transformWithState processor behind [[StreamOps.dedupKeepBestStream]]:
   * per fingerprint, value state (bestId, bestScore, nSeen,
   * registeredTimerTs) + one event-time timer at latest-arrival +
@@ -349,6 +353,51 @@ object StreamOps {
             p
           }
           state.update((gp, gn))
+          out.iterator
+      }
+  }
+
+  /** Streaming transition steps — the live twin of
+    * [[graft.operators.Relational.transitionCensus]]: per key,
+    * emit every adjacent (from_type → to_type) step the moment the
+    * successor event arrives; the downstream census is a windowed
+    * count over this stream. State per key is O(1): the last
+    * event's (ts, id, type). Each micro-batch folds its rows in
+    * (event-time, id) order, so an in-order stream matches the
+    * batch operator's step set row-for-row (the cusumStream
+    * contract; the StreamingSpec asserts stream == batch). A
+    * later-batch event with (ts, id) at-or-before the stored last
+    * event is DROPPED (monotone acceptance — the batch operator
+    * over the full log is the exact ground truth). Null key/ts/id/
+    * type rows are filtered (the cusumStream null contract). */
+  def transitionStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): Dataset[TransitionStep] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("t"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), TransitionStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var last = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransitionStep]
+          sorted.foreach { case (ts, id, ty) =>
+            if (last == null || ts > last._1 ||
+                (ts == last._1 && id > last._2)) {
+              if (last != null) out += TransitionStep(key, last._3, ty, ts)
+              last = (ts, id, ty)
+            }
+          }
+          if (last != null) state.update(last)
           out.iterator
       }
   }

@@ -635,4 +635,38 @@ class GraphSpec extends SparkTestBase {
       (0L, 2L), (0L, 3L)))
     assert(dup.getAs[Long]("m2") == 6L)
   }
+
+  test("labelPropagation: path spread, clamped seeds, smallest-label tie") {
+    import spark.implicits._
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val seeds = Seq((1L, "x"), (5L, "y")).toDF("id", "lab")
+    def run(rounds: Int) =
+      Graph.labelPropagation(path, "s", "t", seeds, "id", "lab", rounds)
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((Option(r.getAs[String]("label")), r.getAs[Boolean]("is_seed"))))
+        .toMap
+    // one round: only direct neighbors of seeds labeled
+    val r1 = run(1)
+    assert(r1(1L) == ((Some("x"), true)) && r1(5L) == ((Some("y"), true)))
+    assert(r1(2L) == ((Some("x"), false)) && r1(4L) == ((Some("y"), false)))
+    assert(r1(3L)._1.isEmpty)
+    // two rounds: node 3 sees x (from 2) and y (from 4) -> tie ->
+    // the SMALLEST label wins
+    val r2 = run(2)
+    assert(r2(3L) == ((Some("x"), false)))
+    // seeds never flip, whatever their neighborhood says
+    val hostile = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "t")
+    val s2 = Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "y"))
+      .toDF("id", "lab")
+    val h = Graph.labelPropagation(hostile, "s", "t", s2, "id", "lab", 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[String]("label")).toMap
+    assert(h(1L) == "x")
+    // duplicate seeds for one id: the smallest label is the clamp
+    val dupSeed = Seq((1L, "z"), (1L, "a")).toDF("id", "lab")
+    val d = Graph.labelPropagation(path, "s", "t", dupSeed, "id", "lab", 1)
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[String]("label"))).toMap
+    assert(d(1L) == Some("a") && d(2L) == Some("a"))
+  }
 }

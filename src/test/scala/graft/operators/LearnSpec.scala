@@ -1442,4 +1442,33 @@ class LearnSpec extends SparkTestBase {
     assert(one.getAs[Long]("hhi_micro") == 1000000L &&
       one.isNullAt(one.fieldIndex("simpson_micro")))
   }
+
+  test("srmCheck: hand chi2, zero-observed design arm, unexpected lane") {
+    // design 500/500, observed a:6 b:4 plus 2 rows in an unknown arm
+    val rows = (Seq.fill(6)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c"))
+      .toDF("arm")
+    val got = Learn.srmCheck(rows, "arm", Map("a" -> 500L, "b" -> 500L))
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(got.size == 2)
+    // num_a = 1000*6 - 10*500 = 1000; term = 1e6*1e6/(1000*10*500)
+    assert(got("a").getAs[Long]("n") == 6L &&
+      got("a").getAs[Long]("num") == 1000L &&
+      got("a").getAs[Long]("term_micro") == 200000L)
+    assert(got("b").getAs[Long]("num") == -1000L &&
+      got("b").getAs[Long]("term_micro") == 200000L)
+    assert(got("a").getAs[Long]("srm_micro") == 400000L)
+    assert(got("a").getAs[Long]("unexpected_rows") == 2L)
+    // a designed arm NOBODY reached still gets its row (the worst
+    // SRM must be visible)
+    val g2 = Learn.srmCheck(Seq("a").toDF("arm"), "arm",
+        Map("a" -> 500L, "b" -> 300L, "c" -> 200L))
+      .collect().map(r => r.getAs[String]("arm") -> r).toMap
+    assert(g2.size == 3 && g2("c").getAs[Long]("n") == 0L)
+    // N=1: terms 500000 + 300000 + 200000
+    assert(g2("a").getAs[Long]("srm_micro") == 1000000L)
+    // weights must sum to 1000
+    intercept[IllegalArgumentException] {
+      Learn.srmCheck(rows, "arm", Map("a" -> 600L, "b" -> 500L))
+    }
+  }
 }

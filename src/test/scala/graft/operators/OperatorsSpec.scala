@@ -1908,6 +1908,50 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // chunk of len 5 (under minLen, no interior boundary possible)
     assert(got(5L) == Seq((5L, 1L, 0L, 5L, "ab😀cd")))
   }
+
+  test("winnowFingerprints: guarantee, determinism, short-doc edges") {
+    import spark.implicits._
+    val common = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $common gamma"),
+      (2L, s"$common zeta eta theta iota"),
+      (3L, s"alpha beta $common gamma"),       // identical to 1
+      (4L, "one two three four"),              // < k tokens (k=5)
+      (5L, "one two three four five"))         // exactly k -> 1 kgram
+      .toDF("id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "id", "text", k = 5, w = 4)
+    val byId = fps.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("pos"),
+        r.getAs[Long]("fingerprint")))
+      .groupBy(_._1)
+    // identical docs -> identical (pos, fingerprint) sets
+    assert(byId(1L).map(t => (t._2, t._3)).toSet ==
+      byId(3L).map(t => (t._2, t._3)).toSet)
+    // the winnowing GUARANTEE: docs 1 and 2 share a 12-token span
+    // >= w+k-1 = 8 tokens -> they must share >= 1 fingerprint value
+    assert((byId(1L).map(_._3).toSet intersect
+      byId(2L).map(_._3).toSet).nonEmpty)
+    // < k tokens: nothing; == k tokens: exactly one pick at pos 0
+    assert(!byId.contains(4L))
+    assert(byId(5L).toSeq.map(t => t._2) == Seq(0L))
+    // fingerprint count never exceeds window count
+    val n1 = docs.filter($"id" === 1L).select(col("text")).head.getString(0)
+      .split("\\s+").length
+    assert(byId(1L).length <= n1 - 5 + 1 - 4 + 1)
+    // pair mining finds the planted near-dup and respects the cap
+    val pairs = Dedup.winnowPairs(fps, "id").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("shared_fingerprints")).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 1L)
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)))
+    // a fingerprint shared by MORE than maxBucket docs emits no pairs
+    val many = (1L to 10L).map(i => (i, s"alpha beta $common gamma"))
+      .toDF("id", "text")
+    val capped = Dedup.winnowPairs(
+      Dedup.winnowFingerprints(many, "id", "text", 5, 4), "id",
+      maxBucket = 4)
+    assert(capped.count() == 0L)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite with SparkTestBase {

@@ -912,4 +912,41 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed(2L)._3 && streamed(4L)._3)
     assert(!streamed(1L)._3 && !streamed(3L)._3 && !streamed(5L)._3)
   }
+
+  test("transitionStream: step set == batch census, cross-batch chaining") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // u1: a,b,a,c; u2: b,a — the RelationalSpec fixture
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:01"), 10L, "a"),
+      (1L, t("2024-01-01 00:00:02"), 11L, "b"),
+      (1L, t("2024-01-01 00:00:03"), 12L, "a"),
+      (1L, t("2024-01-01 00:00:04"), 13L, "c"),
+      (2L, t("2024-01-01 00:00:01"), 20L, "b"),
+      (2L, t("2024-01-01 00:00:02"), 21L, "a"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamOps.transitionStream(
+        stream.toDF().toDF("k", "ts", "id", "typ"), "k", "ts", "id", "typ")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("trans").start()
+    try {
+      // split MID-KEY so the last-event state must carry across
+      stream.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      // a late duplicate (at-or-before the stored last event) is
+      // DROPPED by the monotone-acceptance rule — no new step rows
+      stream.addData((1L, t("2024-01-01 00:00:03"), 12L, "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("trans").as[TransitionStep].collect()
+      .groupBy(s => (s.from_type, s.to_type)).view.mapValues(_.length.toLong)
+      .toMap
+    val batch = graft.operators.Relational.transitionCensus(
+        rows.toDF("k", "ts", "id", "typ"), "k", "ts", "id", "typ")
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) -> r.getAs[Long]("n")).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+  }
 }

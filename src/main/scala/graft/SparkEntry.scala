@@ -3700,6 +3700,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q419: column profiler over the events table — exact distincts
+    // via one Expand pass, native-order min/max rendered as strings
+    // (integer and string columns only: float renderings diverge
+    // across engines, documented in the operator).
+    "q419_profile" -> ((s, dir) =>
+      operators.Quality.profile(Tables.events(s, dir),
+        Seq("event_id", "user_id", "event_type", "props"))
+        .orderBy(col("col_name"))),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10738,6 +10747,33 @@ object SparkEntry {
         |SELECT l3.id, COALESCE(l3.label, '') AS label,
         |  sd.id IS NOT NULL AS is_seed
         |FROM l3 LEFT JOIN sd ON sd.id = l3.id ORDER BY l3.id""".stripMargin,
+
+    // q419: one UNION ALL branch per profiled column.
+    "q419_profile" ->
+      """SELECT 'event_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_null,
+        |  CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+        |  CAST(MIN(event_id) AS VARCHAR) AS min_value,
+        |  CAST(MAX(event_id) AS VARCHAR) AS max_value FROM events
+        |UNION ALL
+        |SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |  CAST(MIN(user_id) AS VARCHAR),
+        |  CAST(MAX(user_id) AS VARCHAR) FROM events
+        |UNION ALL
+        |SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT),
+        |  MIN(event_type), MAX(event_type) FROM events
+        |UNION ALL
+        |SELECT 'props', CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(COUNT(DISTINCT props) AS BIGINT),
+        |  MIN(props), MAX(props) FROM events
+        |ORDER BY col_name""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -263,4 +263,41 @@ object Quality {
         col(valueCol).isNull && col("__mode").isNotNull)
       .drop("__mode")
   }
+
+  /** Column profiler — the "what is actually in this table" first
+    * contact with any new data drop: one row per profiled column
+    * with row count, null count, EXACT distinct count, and native
+    * min/max rendered as strings (min/max are computed in the
+    * column's own type ordering, then cast — a string-cast-first
+    * profile would order '9' > '10').
+    *
+    * Shape: ONE aggregate pass over the table — all columns'
+    * statistics ride the same scan; the multiple exact
+    * count-distincts plan as Spark's Expand (data fans out
+    * #columns ×, one shuffle), which is the standard cost of an
+    * exact profile — cap the column list accordingly (≤ 32
+    * enforced; use approx_count_distinct lanes for wide tables).
+    * The single wide row is then unpivoted driver-free via stack().
+    * Caveat for oracle/pipeline use: avoid FLOAT columns in the
+    * profiled set when cross-engine string renderings matter
+    * (engines disagree on scientific notation). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.size <= 32,
+      s"profile 1..32 columns at a time, got ${cols.size}")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
+    wide.select(col("__n").as("n_rows"), expr(
+        s"""stack(${cols.size}, $stackArgs)
+           |  AS (col_name, n_null, n_distinct, min_value, max_value)"""
+          .stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
 }

@@ -114,4 +114,29 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(got(("<malformed>", "error")) == ((2L, 2L)))
     assert(!got.keySet.exists(_._1 == "$.a.b"))
   }
+
+  test("profile: nulls, exact distincts, native-order min/max, one row per col") {
+    import spark.implicits._
+    // id 9 vs 10 pins NATIVE ordering (string-cast-first would say
+    // max = '9')
+    val df = Seq[(java.lang.Long, String)]((9L, "a"), (10L, "a"),
+      (2L, null), (null, "b")).toDF("id", "s")
+    val got = Quality.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_value"),
+          r.getAs[String]("max_value")))).toMap
+    assert(got.size == 2)
+    assert(got("id") == ((4L, 1L, 3L, "2", "10")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    // empty table: zero counts, null min/max, rows still present
+    val empty = Quality.profile(df.filter(lit(false)), Seq("id"))
+      .collect().head
+    assert(empty.getAs[Long]("n_rows") == 0L &&
+      empty.getAs[Long]("n_distinct") == 0L &&
+      empty.isNullAt(empty.fieldIndex("min_value")))
+    intercept[IllegalArgumentException] {
+      Quality.profile(df, Seq.empty)
+    }
+  }
 }

@@ -3709,6 +3709,29 @@ object SparkEntry {
         Seq("event_id", "user_id", "event_type", "props"))
         .orderBy(col("col_name"))),
 
+    // q420: Monge–Elkan token-set similarity — each doc's leading
+    // 4-word phrase scored against its word-REVERSED accented
+    // variant (word order shouldn't hurt, per-token accents cost JW
+    // slack), both directions (the operator is asymmetric). Every
+    // per-token max rides DuckDB's own jaro_winkler_similarity —
+    // two codebases, one lattice of doubles, quantized identically.
+    "q420_monge_elkan" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          lower(concat_ws(" ",
+            slice(split(trim(col("text")), "\\s+"), 1, 4))).as("a"))
+        .withColumn("b", translate(
+          concat_ws(" ", reverse(split(col("a"), " "))),
+          "aeiou", "àéîöû"))
+        .filter(length(col("a")) > 0)
+      base.select(col("doc_id"), col("a"), col("b"),
+          graft.functions.monge_elkan_micro(col("a"), col("b"))
+            .as("me_micro"),
+          graft.functions.monge_elkan_micro(col("b"), col("a"))
+            .as("me_rev_micro"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10774,6 +10797,33 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT props) AS BIGINT),
         |  MIN(props), MAX(props) FROM events
         |ORDER BY col_name""".stripMargin,
+
+    // q420: DuckDB's OWN jaro_winkler_similarity inside the same
+    // token lattice — per-a-token max, floor to micro, integer mean.
+    "q420_monge_elkan" ->
+      """WITH base AS (SELECT doc_id,
+        |    lower(array_to_string(
+        |      string_split_regex(trim(text), '\s+')[1:4], ' ')) AS a
+        |  FROM documents WHERE doc_id < 300),
+        |p AS (SELECT doc_id, a,
+        |    translate(array_to_string(
+        |      list_reverse(string_split(a, ' ')), ' '),
+        |      'aeiou', 'àéîöû') AS b
+        |  FROM base WHERE length(a) > 0),
+        |t AS (SELECT doc_id, a, b, string_split(a, ' ') AS ta,
+        |    string_split(b, ' ') AS tb FROM p)
+        |SELECT doc_id, a, b,
+        |  CASE WHEN len(ta) > 0 AND len(tb) > 0 THEN
+        |    CAST(list_sum(list_transform(ta, x ->
+        |      CAST(FLOOR(1000000 * list_max(list_transform(tb, y ->
+        |        jaro_winkler_similarity(x, y)))) AS BIGINT)))
+        |      // len(ta) AS BIGINT) END AS me_micro,
+        |  CASE WHEN len(tb) > 0 AND len(ta) > 0 THEN
+        |    CAST(list_sum(list_transform(tb, x ->
+        |      CAST(FLOOR(1000000 * list_max(list_transform(ta, y ->
+        |        jaro_winkler_similarity(x, y)))) AS BIGINT)))
+        |      // len(tb) AS BIGINT) END AS me_rev_micro
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -364,6 +364,32 @@ package object functions {
   def lcs_length(a: Column, b: Column): Column =
     col2(LcsLength(bridge.toExpression(a), bridge.toExpression(b)))
 
+  /** Monge–Elkan token-set similarity in MICRO (BIGINT): for each
+    * token of `a`, the best [[jaro_winkler]] match in `b`'s tokens,
+    * quantized ⌊10⁶·max⌋ per a-token, then the exact integer mean
+    * (Σ div |a|). The hybrid name/title matcher of the linkage
+    * family (Monge & Elkan 1996): word order and extra tokens on
+    * the `b` side don't hurt, per-token typos cost only their JW
+    * slack. ASYMMETRIC by definition (score of `a` against `b`).
+    * NULL when either side has no tokens. O(|a|·|b|) ROW-LOCAL —
+    * bound the token counts upstream (names/titles, not documents).
+    * Cross-implementation-oracled against DuckDB's native
+    * `jaro_winkler_similarity` over the same token lattice (q420).
+    * Tokens: lowercased whitespace split (the house tokenizer);
+    * both token arrays live inside one expression tree as HOF
+    * inputs/lambda variables, so nothing re-splits per comparison
+    * (the CollapseProject inlining trap). */
+  def monge_elkan_micro(a: Column, b: Column): Column = {
+    val perAtoken = transform(array(tokens(lower(b))), tb =>
+      transform(tokens(lower(a)), ta =>
+        floor(array_max(transform(tb, t => jaro_winkler(ta, t)))
+          * lit(1000000L)).cast("long")))
+    val micros = element_at(perAtoken, 1)
+    when(size(micros) > 0 && size(element_at(array(tokens(lower(b))), 1)) > 0,
+      aggregate(micros, lit(0L), (acc, x) => acc + x) / size(micros))
+      .cast("long")
+  }
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("int")
 

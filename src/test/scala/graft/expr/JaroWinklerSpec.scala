@@ -114,4 +114,28 @@ class JaroWinklerSpec extends SparkTestBase {
     // ragged: engine nulls where DuckDB's native would error the query
     assert(h("ab", "abc") == null)
   }
+
+  test("monge_elkan_micro: identity, containment, asymmetry, empty -> null") {
+    import spark.implicits._
+    def me(a: String, b: String): Any = {
+      val r = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.monge_elkan_micro(col("a"), col("b")))
+        .collect().head
+      if (r.isNullAt(0)) null else r.getLong(0)
+    }
+    // identical phrases -> exactly 1.0
+    assert(me("paul johnson", "paul johnson") == 1000000L)
+    // word order doesn't hurt (every a-token finds its exact match)
+    assert(me("paul johnson", "johnson paul") == 1000000L)
+    // a's tokens contained in b -> 1.0 regardless of b's extras
+    assert(me("ab", "ab xyz qq") == 1000000L)
+    // ...but not the reverse: 'xyz' has no match in {'ab'} (jw = 0)
+    // mean of (1e6, 0, 0) over 3 tokens
+    assert(me("ab xyz qq", "ab") == 333333L)
+    // per-token typo costs only its JW slack: score strictly inside
+    val fuzzy = me("jonhson", "johnson").asInstanceOf[Long]
+    assert(fuzzy > 900000L && fuzzy < 1000000L)
+    // empty / whitespace-only sides -> null
+    assert(me("", "x") == null && me("x", "   ") == null)
+  }
 }

@@ -1471,4 +1471,54 @@ class LearnSpec extends SparkTestBase {
       Learn.srmCheck(rows, "arm", Map("a" -> 600L, "b" -> 500L))
     }
   }
+
+  test("cliffsDelta: randomized all-pairs brute-force parity, partition-stable") {
+    val rnd = new scala.util.Random(17)
+    // small value range -> heavy ties, both groups present
+    val rows = Seq.tabulate(160)(i =>
+      (i % 3 == 0, rnd.nextInt(12).toDouble / 2))
+    val g1 = rows.filter(_._1).map(v => math.floor(v._2 * 1000).toLong)
+    val g2 = rows.filterNot(_._1).map(v => math.floor(v._2 * 1000).toLong)
+    val gt = (for (a <- g1; b <- g2) yield if (a > b) 1L else 0L).sum
+    val lt = (for (a <- g1; b <- g2) yield if (a < b) 1L else 0L).sum
+    val expect = (if (gt >= lt) 1L else -1L) *
+      (1000000L * math.abs(gt - lt) / (g1.size.toLong * g2.size))
+    val df = rows.toDF("g", "v")
+    def got(d: org.apache.spark.sql.DataFrame) =
+      Learn.cliffsDelta(d, "g", "v").collect().head
+    val r = got(df)
+    assert((r.getAs[Long]("gt_pairs"), r.getAs[Long]("lt_pairs")) ==
+      ((gt, lt)))
+    assert(r.getAs[Long]("delta_micro") == expect)
+    // partitioning must not leak into any lane
+    assert(got(df.repartition(13)).toSeq == r.toSeq)
+  }
+
+  test("gwetAC1: randomized panels track the textbook formula") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 17
+      val rows = (1L to n.toLong).flatMap { i =>
+        val base = rnd.nextInt(4)
+        val r2 = if (rnd.nextInt(5) == 0) rnd.nextInt(4) else base
+        Seq((i, 0L, base.toString), (i, 1L, r2.toString))
+      }
+      val got = Learn.gwetAC1(rows.toDF("i", "r", "c"), "i", "r", "c")
+        .collect().head
+      // reference: double-precision AC1 from the definition
+      val byItem = rows.groupBy(_._1).values.toSeq
+      val agree = byItem.count(p => p.map(_._3).distinct.size == 1)
+      val cats = rows.map(_._3).distinct.sorted
+      val k = cats.size
+      val po = agree.toDouble / n
+      val pe = cats.map { c =>
+        val pi = rows.count(_._3 == c).toDouble / (2 * n)
+        pi * (1 - pi) / (k - 1)
+      }.sum
+      val ac1 = (po - pe) / (1 - pe)
+      val micro = got.getAs[Long]("ac1_micro")
+      assert(math.abs(micro - ac1 * 1e6) <= 2,
+        s"trial $trial: micro $micro vs double ${ac1 * 1e6}")
+    }
+  }
 }

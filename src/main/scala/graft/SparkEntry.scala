@@ -3732,6 +3732,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q421: two-group log-rank — even vs odd users' time-to-event
+    // over the event log, with 'error' rows as CENSORING (they hold
+    // the risk set without contributing events). Every staged floor
+    // replays division-for-division.
+    "q421_log_rank" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          floor(col("value")).cast("long").as("t"),
+          when(col("event_type") =!= "error", 1L).otherwise(0L).as("e"))
+      operators.Learn.logRank(e, "g", "t", "e")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10824,6 +10836,39 @@ object SparkEntry {
         |        jaro_winkler_similarity(x, y)))) AS BIGINT)))
         |      // len(tb) AS BIGINT) END AS me_rev_micro
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // q421: the risk table via a DESC running sum (suffix sums over
+    // the distinct-time grid), then the staged floors verbatim.
+    "q421_log_rank" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value) AS BIGINT) AS t,
+        |    CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END AS e
+        |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+        |s2 AS (SELECT * FROM s WHERE t >= 0),
+        |g AS (SELECT t, COUNT(*) AS ct,
+        |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS ct1,
+        |    SUM(e) AS dt, SUM(CASE WHEN g1 THEN e ELSE 0 END) AS dt1
+        |  FROM s2 GROUP BY t),
+        |r AS (SELECT t, dt, dt1,
+        |    SUM(ct) OVER (ORDER BY t DESC) AS n,
+        |    SUM(ct1) OVER (ORDER BY t DESC) AS n1 FROM g),
+        |f AS (SELECT * FROM r WHERE dt > 0),
+        |a AS (SELECT SUM(dt1) AS d1, SUM(dt) AS d_total,
+        |    SUM((1000000 * CAST(dt AS HUGEINT) * n1) // n) AS e1,
+        |    SUM((((((1000000 * CAST(dt AS HUGEINT) * n1) // n)
+        |      * (n - n1)) // n) * (n - dt)) // GREATEST(n - 1, 1)) AS v
+        |  FROM f)
+        |SELECT CAST(COALESCE(a.d1, 0) AS BIGINT) AS d1,
+        |  CAST(COALESCE(a.d_total, 0) AS BIGINT) AS d_total,
+        |  CAST(COALESCE(a.e1, 0) AS BIGINT) AS e1_micro,
+        |  CAST(COALESCE(a.v, 0) AS BIGINT) AS v_micro,
+        |  CAST(1000000 * CAST(COALESCE(a.d1, 0) AS HUGEINT)
+        |    - COALESCE(a.e1, 0) AS BIGINT) AS oe_micro,
+        |  CASE WHEN COALESCE(a.v, 0) > 0 THEN
+        |    CAST((ABS(1000000 * CAST(a.d1 AS HUGEINT) - a.e1)
+        |      * ABS(1000000 * CAST(a.d1 AS HUGEINT) - a.e1))
+        |      // a.v AS BIGINT) END AS chi2_micro
+        |FROM a""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -994,6 +994,75 @@ object Learn {
         col("__z.__surv").as("survival_milli"))
   }
 
+  /** Two-group log-rank test — "do the two survival curves differ",
+    * the inferential partner of [[kaplanMeier]] (retention A/B
+    * tests, time-to-churn, time-to-first-alarm): at each distinct
+    * EVENT time t, with n at risk (n₁ in group 1), d events
+    * (d₁ in group 1),
+    *   E₁ₜ = d·n₁/n,   Vₜ = d·(n₁/n)(1−n₁/n)(n−d)/(n−1)
+    * and the statistic is (Σd₁ − ΣE₁)²/ΣV. All lanes are floored
+    * integer micro with STAGED divisions (the driftChi2 discipline;
+    * each stage documented ≤ 10³³ in DECIMAL(38,0), good to
+    * n ≈ 10⁹ subjects):
+    *   e1_micro_t = ⌊10⁶·d·n₁ / n⌋
+    *   v_micro_t  = ⌊⌊⌊10⁶·d·n₁ / n⌋·(n−n₁) / n⌋·(n−d)
+    *                 / max(n−1, 1)⌋
+    *   oe_micro   = 10⁶·Σd₁ − Σe1_micro
+    *   chi2_micro = ⌊oe_micro² / Σv_micro⌋    (the 10⁶ scales
+    *                cancel: oe² carries 10¹², V carries 10⁶)
+    * Per-time floors sum (< |event times| micro off the real sums —
+    * deterministic in both engines, the srmCheck convention).
+    * Censored rows hold the risk set without contributing events.
+    *
+    * Shape: one (time)-grain aggregate carrying both groups' run
+    * and event counts, ONE suffix-sum window over the bounded
+    * distinct-time grid (the kaplanMeier spine contract), one
+    * scalar aggregate. */
+  def logRank(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: String): DataFrame = {
+    val g = df
+      .filter(col(timeCol).isNotNull && col(groupCol).isNotNull &&
+        col(eventCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        col(timeCol).cast("long").as("__t"),
+        col(eventCol).cast("long").as("__e"))
+      .filter(col("__t") >= 0)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__ct"),
+        sum(when(col("__g1"), 1L).otherwise(0L)).as("__ct1"),
+        sum(col("__e")).as("__dt"),
+        sum(when(col("__g1"), col("__e")).otherwise(0L)).as("__dt1"))
+    val w = Window.orderBy(col("__t"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val risk = g
+      .withColumn("__n", sum(col("__ct")).over(w))
+      .withColumn("__n1", sum(col("__ct1")).over(w))
+      .filter(col("__dt") > 0)
+    risk
+      .agg(coalesce(sum(col("__dt1")), lit(0L)).as("d1"),
+        coalesce(sum(col("__dt")), lit(0L)).as("d_total"),
+        coalesce(sum(expr(
+          """(CAST(1000000 AS DECIMAL(38,0)) * __dt * __n1) div __n""")),
+          lit(0L)).as("__e1"),
+        // staged so every div result fits BIGINT (ratios ≤ 1 keep
+        // each stage ≤ 10⁶·d) while every product runs in DECIMAL
+        coalesce(sum(expr(
+          """(CAST((CAST((CAST(1000000 AS DECIMAL(38,0)) * __dt * __n1)
+            |    div __n AS DECIMAL(38,0)) * (__n - __n1)) div __n
+            |  AS DECIMAL(38,0)) * (__n - __dt))
+            |  div GREATEST(__n - 1, 1)""".stripMargin)),
+          lit(0L)).as("__v"))
+      .withColumn("e1_micro", col("__e1").cast("long"))
+      .withColumn("v_micro", col("__v").cast("long"))
+      .withColumn("__oe", expr(
+        "CAST(1000000 AS DECIMAL(38,0)) * d1 - __e1"))
+      .withColumn("oe_micro", col("__oe").cast("long"))
+      .withColumn("chi2_micro", when(col("__v") > 0, expr(
+        "CAST((ABS(__oe) * ABS(__oe)) div __v AS BIGINT)")))
+      .select("d1", "d_total", "e1_micro", "v_micro", "oe_micro",
+        "chi2_micro")
+  }
+
   /** Split-conformal calibration + coverage audit — the
     * distribution-free "how wrong can the model be" wrapper: the
     * threshold is the k-th smallest calibration nonconformity score

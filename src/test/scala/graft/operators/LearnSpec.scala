@@ -1472,6 +1472,34 @@ class LearnSpec extends SparkTestBase {
     }
   }
 
+  test("logRank: hand risk table, censoring holds risk set, null guard") {
+    // g1: t=1 event, t=3 event; g0: t=2 event, t=4 CENSORED
+    // event-time table: t=1 (n=4,n1=2,d=1,d1=1), t=2 (n=3,n1=1,d=1),
+    // t=3 (n=2,n1=1,d=1,d1=1); censored t=4 row holds risk only
+    val rows = Seq((true, 1L, 1L), (true, 3L, 1L),
+      (false, 2L, 1L), (false, 4L, 0L))
+    val r = Learn.logRank(rows.toDF("g", "t", "e"), "g", "t", "e")
+      .collect().head
+    // e1 = 500000 + 333333 + 500000; staged v = 250000+222222+250000
+    assert((r.getAs[Long]("d1"), r.getAs[Long]("d_total"),
+      r.getAs[Long]("e1_micro"), r.getAs[Long]("v_micro")) ==
+      ((2L, 3L, 1333333L, 722222L)))
+    assert(r.getAs[Long]("oe_micro") == 666667L)
+    assert(r.getAs[Long]("chi2_micro") == 666667L * 666667L / 722222L)
+    // identical groups -> oe ~ 0 exactly (symmetric table)
+    val sym = Seq((true, 1L, 1L), (false, 1L, 1L),
+      (true, 2L, 1L), (false, 2L, 1L))
+    val rs = Learn.logRank(sym.toDF("g", "t", "e"), "g", "t", "e")
+      .collect().head
+    assert(rs.getAs[Long]("oe_micro") == 0L)
+    // no events at all -> V = 0 -> chi2 NULL, not a division blowup
+    val cens = Seq((true, 1L, 0L), (false, 2L, 0L))
+    val rc = Learn.logRank(cens.toDF("g", "t", "e"), "g", "t", "e")
+      .collect().head
+    assert(rc.getAs[Long]("d_total") == 0L &&
+      rc.isNullAt(rc.fieldIndex("chi2_micro")))
+  }
+
   test("cliffsDelta: randomized all-pairs brute-force parity, partition-stable") {
     val rnd = new scala.util.Random(17)
     // small value range -> heavy ties, both groups present

@@ -243,6 +243,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resize every image payload to a fixed target — the
+    * preprocessing step every vision-training pipeline runs before
+    * feature extraction or storage (thumbnailing, fixed-resolution
+    * model inputs): JDK-decode (PNG/JPEG/GIF/BMP), then a
+    * HAND-ROLLED center-aligned bilinear resample to exactly
+    * `width`×`height` (aspect is the CALLER's policy — fixed-size
+    * model inputs stretch; pre-crop upstream if letterboxing is
+    * wanted), re-encode as PNG (lossless, so a downstream decode
+    * sees precisely the scaled pixels). The resampler is explicit
+    * arithmetic rather than Graphics2D: the AWT rendering stack
+    * drags in a GraphicsEnvironment (headless containers without a
+    * desktop module break outright) and its interpolation is
+    * hint/JDK-dependent — a training pipeline wants the SAME pixels
+    * from every executor forever. Undecodable/null payloads yield
+    * a null output column
+    * — countable, never throwing (the decoder-family contract).
+    * Batched mapPartitions, row-local, zero exchange; output size
+    * is bounded by the target resolution regardless of input size,
+    * so the operator also acts as the payload-size normalizer
+    * before a shuffle. Codec output bytes are JDK-deterministic but
+    * not SQL-replayable — spec-verified (solid fills survive
+    * interpolation exactly), not oracle-gated. */
+  def resizeImages(df: DataFrame, idCol: String, binaryCol: String,
+      width: Int, height: Int, out: String = "resized",
+      batchSize: Int = 16): DataFrame = {
+    require(width >= 1 && height >= 1 && width.toLong * height <= 64000000L,
+      s"target must be >= 1x1 and <= 64MP, got ${width}x$height")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val scaled: Array[Byte] =
+            if (r.isNullAt(bi)) null
+            else try {
+              val img = javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bi)))
+              if (img == null) null
+              else {
+                val sw = img.getWidth; val sh = img.getHeight
+                val dst = new java.awt.image.BufferedImage(
+                  width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < height) {
+                  // center-aligned source coordinate, clamped
+                  val fy = (y + 0.5) * sh / height - 0.5
+                  val y0 = math.max(0, math.min(sh - 1, math.floor(fy).toInt))
+                  val y1 = math.min(sh - 1, y0 + 1)
+                  val wy = math.max(0.0, math.min(1.0, fy - y0))
+                  var x = 0
+                  while (x < width) {
+                    val fx = (x + 0.5) * sw / width - 0.5
+                    val x0 = math.max(0, math.min(sw - 1, math.floor(fx).toInt))
+                    val x1 = math.min(sw - 1, x0 + 1)
+                    val wx = math.max(0.0, math.min(1.0, fx - x0))
+                    val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+                    val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+                    def ch(shift: Int): Int = {
+                      def c(p: Int) = (p >> shift) & 0xFF
+                      val top = c(p00) * (1 - wx) + c(p10) * wx
+                      val bot = c(p01) * (1 - wx) + c(p11) * wx
+                      val v = top * (1 - wy) + bot * wy
+                      math.max(0, math.min(255, math.round(v).toInt))
+                    }
+                    dst.setRGB(x, y,
+                      (ch(16) << 16) | (ch(8) << 8) | ch(0))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
+            } catch { case _: Exception => null }
+          Row.fromSeq(r.toSeq :+ scaled)
+        }
+      }
+    }(enc)
+  }
+
   /** Encode one 16-bit mono PCM WAV per row — the audio sibling of
     * [[encodeSolidPng]]: a ±amp square wave at the row's sample rate
     * and frame count. POWER-OF-TWO amplitudes make the decoder's rms

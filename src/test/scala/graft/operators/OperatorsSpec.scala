@@ -2481,6 +2481,36 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3) == ("unknown", 3L))
   }
 
+  test("resizeImages: exact dims, solid fill survives bilinear, null-safe") {
+    val base = Seq((1L, 32, 20, 0xCC3366), (2L, 3, 3, 0x112233))
+      .toDF("id", "w", "h", "rgb")
+    val encoded = Multimodal.encodeSolidPng(base, "id", "w", "h", "rgb")
+    val resized = Multimodal.resizeImages(
+      encoded.select(col("id"), col("payload")), "id", "payload", 8, 6)
+    val got = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("resized")).toMap
+    // both payloads (down- AND up-scaled) land at exactly 8x6 with
+    // the solid color intact — bilinear over a constant field is
+    // the constant
+    for ((id, rgb) <- Seq(1L -> 0xCC3366, 2L -> 0x112233)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(got(id)))
+      assert(img.getWidth == 8 && img.getHeight == 6)
+      assert((img.getRGB(0, 0) & 0xFFFFFF) == rgb &&
+        (img.getRGB(7, 5) & 0xFFFFFF) == rgb, s"id $id color")
+    }
+    // corrupt and null payloads -> null output, never a throw
+    val bad = Seq((3L, Array[Byte](1, 2, 3)),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+    val rb = Multimodal.resizeImages(bad, "id", "payload", 8, 6)
+      .collect().map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(rb == Map(3L -> true, 4L -> true))
+    // guard: absurd targets refused at plan time
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeImages(bad, "id", "payload", 0, 6)
+    }
+  }
+
   test("extractFeatures: deterministic stub features, fixed dim, null-safe") {
     val df = Seq((1, "abc".getBytes), (2, "abc".getBytes), (3, null.asInstanceOf[Array[Byte]]))
       .toDF("id", "payload")

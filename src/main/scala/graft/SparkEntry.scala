@@ -3744,6 +3744,14 @@ object SparkEntry {
       operators.Learn.logRank(e, "g", "t", "e")
     }),
 
+    // q422: order-independent dataset content fingerprint over
+    // lineitem's key/flag columns — the snapshot-versioning gate;
+    // both commutative folds (XOR + DECIMAL sum) replay off the
+    // same md5 spine.
+    "q422_fingerprint" -> ((s, dir) =>
+      operators.Quality.datasetFingerprint(Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10869,6 +10877,22 @@ object SparkEntry {
         |      * ABS(1000000 * CAST(a.d1 AS HUGEINT) - a.e1))
         |      // a.v AS BIGINT) END AS chi2_micro
         |FROM a""".stripMargin,
+
+    // q422: the md5 row spine (chr(31) separator, '<NULL>'
+    // sentinel), 60-bit hex slice, both commutative folds.
+    "q422_fingerprint" ->
+      """WITH h AS (SELECT CAST(('0x' || substring(md5(
+        |    concat_ws(chr(31),
+        |      COALESCE(CAST(l_orderkey AS VARCHAR), '<NULL>'),
+        |      COALESCE(CAST(l_partkey AS VARCHAR), '<NULL>'),
+        |      COALESCE(CAST(l_suppkey AS VARCHAR), '<NULL>'),
+        |      COALESCE(l_returnflag, '<NULL>'))), 1, 15)) AS BIGINT) AS hh
+        |  FROM lineitem)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(bit_xor(hh), 0) AS BIGINT) AS xor_h,
+        |  CAST(COALESCE(SUM(CAST(hh AS HUGEINT)), 0) AS DECIMAL(38,0))
+        |    AS sum_h
+        |FROM h""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -281,6 +281,36 @@ object Quality {
     * Caveat for oracle/pipeline use: avoid FLOAT columns in the
     * profiled set when cross-engine string renderings matter
     * (engines disagree on scientific notation). */
+  /** Order-independent dataset content fingerprint — "is this the
+    * same data as yesterday's snapshot" answered in ONE aggregate
+    * with no sort and no row movement: per row, the first 15 md5
+    * hex digits (60 bits) of a null-sentineled string repr of the
+    * chosen columns, combined with the two classic commutative
+    * folds — XOR (order- and partition-independent, flips on any
+    * single-row change) and SUM in DECIMAL(38,0) (catches the
+    * multiset changes XOR can miss: a row added TWICE xors away,
+    * but sums don't). Equal fingerprints don't prove equality
+    * (60-bit birthday bound); unequal fingerprints PROVE a diff —
+    * the direction a version gate actually needs. The md5 spine
+    * replays byte-identically in SQL (the seededHash convention);
+    * keep float columns out of the column list (engine renderings
+    * diverge — the profile() caveat).
+    *
+    * Shape: row-local hashing inside the scan + one scalar
+    * aggregate; commutative folds mean map-side partials do almost
+    * all the work and the exchange carries one row per task. */
+  def datasetFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "datasetFingerprint needs at least one column")
+    val repr = concat_ws("\u001f",
+      cols.map(c => coalesce(col(c).cast("string"), lit("<NULL>"))): _*)
+    val rowH = conv(substring(md5(repr), 1, 15), 16, 10).cast("long")
+    df.select(rowH.as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("xor_h"),
+        coalesce(sum(col("__h").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("sum_h"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 32,
       s"profile 1..32 columns at a time, got ${cols.size}")

@@ -139,4 +139,35 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
       Quality.profile(df, Seq.empty)
     }
   }
+
+  test("datasetFingerprint: order/partition-invariant, diff-sensitive") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    def fp(d: org.apache.spark.sql.DataFrame) = {
+      val r = Quality.datasetFingerprint(d, Seq("id", "s")).collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"),
+        r.getAs[java.math.BigDecimal]("sum_h").toBigInteger)
+    }
+    val f0 = fp(base)
+    // row order and partitioning are invisible
+    assert(fp(base.orderBy(col("s").desc)) == f0)
+    assert(fp(base.repartition(7)) == f0)
+    // any single-row change flips both folds
+    val changed = Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("id", "s")
+    val f1 = fp(changed)
+    assert(f1._2 != f0._2 && f1._3 != f0._3)
+    // the documented XOR blind spot: adding a row TWICE xors away —
+    // but the SUM lane catches the multiset change
+    val doubled = base.unionAll(Seq((9L, "z"), (9L, "z")).toDF("id", "s"))
+    val f2 = fp(doubled)
+    assert(f2._2 == f0._2 && f2._3 != f0._3 && f2._1 == 5L)
+    // sentinel caveat pinned: a NULL cell and the literal '<NULL>'
+    // string collide by design (fingerprinting, not parsing)
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "s")
+    val withLit = Seq((1L, "<NULL>")).toDF("id", "s")
+    assert(fp(withNull) == fp(withLit))
+    // empty input: zero lanes, not nulls
+    assert(fp(base.filter(lit(false))) ==
+      ((0L, 0L, java.math.BigInteger.ZERO)))
+  }
 }

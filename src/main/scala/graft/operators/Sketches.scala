@@ -350,7 +350,7 @@ object Sketches {
   import org.apache.spark.sql.graft.bridge
   import graft.expr.{KllMergeAgg, KllSketchAgg}
 
-  private def kllAggCol(value: Column, k: Int): Column =
+  private[graft] def kllAggCol(value: Column, k: Int): Column =
     bridge.toColumn(KllSketchAgg(bridge.toExpression(value), k)
       .toAggregateExpression())
 

@@ -402,6 +402,38 @@ object StreamOps {
       }
   }
 
+  /** Windowed streaming QUANTILES via the KLL sketch aggregate —
+    * proof that the sketch-table family composes with Structured
+    * Streaming: [[graft.expr.KllSketchAgg]] is a real
+    * TypedImperativeAggregate, so the watermarked windowed
+    * aggregation keeps per-window state at ~KB of sketch (merged
+    * partially, map-side and cross-batch) rather than buffering
+    * values, and emits each window's sketch row once the watermark
+    * closes it (Append mode). Quantile reads happen on the emitted
+    * sketch rows — group-count-sized work, the batch kllQuantiles
+    * contract. Below the sketch's capacity (k) the quantiles are
+    * EXACT and the StreamingSpec asserts stream == batch on the
+    * same rows; above it the rank-error bound is the batch
+    * operator's own. */
+  def windowedQuantiles(df: DataFrame, tsCol: String, valueCol: String,
+      windowLen: String, ranks: Seq[Double],
+      watermarkDelay: String = "10 minutes",
+      k: Int = graft.expr.KllSketchAgg.DefaultK): DataFrame = {
+    require(ranks.nonEmpty && ranks.forall(r => r >= 0.0 && r <= 1.0),
+      s"ranks must be in [0,1], got $ranks")
+    val sketched = df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("__w"))
+      .agg(graft.operators.Sketches.kllAggCol(
+          col(valueCol).cast("double"), k).as("kll_sketch"),
+        count(col(valueCol)).as("partial_rows"))
+    val qCols = ranks.map { r =>
+      graft.operators.Sketches.kllQuantile(col("kll_sketch"), lit(r))
+        .as(s"q_${math.round(r * 1000)}")
+    }
+    sketched.select((col("__w.start").as("bucket_start") +:
+      col("partial_rows").as("rows") +: qCols): _*)
+  }
+
   /** Windowed OHLC — the streaming twin of
     * [[graft.operators.Relational.resampleOhlc]]: per (key, tumbling
     * window) open/high/low/close/count as ONE windowed aggregate with

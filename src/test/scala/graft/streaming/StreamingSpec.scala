@@ -398,6 +398,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("windowedQuantiles: KLL sketch state streams; exact below capacity == batch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // two 1-hour buckets, < k=200 values each -> sketch is EXACT
+    val evs = (0 until 60).map(i =>
+      Ev(t(f"2024-01-01 00:${i}%02d:00"), "x", i.toDouble)) ++
+      (0 until 30).map(i =>
+        Ev(t(f"2024-01-01 01:${i}%02d:00"), "x", (100 + i).toDouble))
+    val stream = MemoryStream[Ev]
+    val q = StreamOps.windowedQuantiles(stream.toDF(), "ts", "value",
+        "1 hour", Seq(0.5, 0.9))
+      .writeStream.outputMode("update").format("memory")
+      .queryName("wq").start()
+    try {
+      // split mid-bucket so sketch PARTIALS must merge across batches
+      stream.addData(evs.take(40): _*)
+      q.processAllAvailable()
+      stream.addData(evs.drop(40): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wq")
+      .groupBy($"bucket_start")
+      .agg(max(struct($"rows", $"q_500", $"q_900")).as("f"))
+      .select($"bucket_start", $"f.rows", $"f.q_500", $"f.q_900")
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // batch reference: same op over the same rows (watermark no-op)
+    val batch = StreamOps.windowedQuantiles(evs.toDF(), "ts", "value",
+        "1 hour", Seq(0.5, 0.9))
+      .collect().map(r => r.getTimestamp(0).toString ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // exact-mode sanity: below capacity the medians are the true ones
+    assert(streamed.values.map(_._1).toSet == Set(60L, 30L))
+    val h0 = streamed.minBy(_._1)._2
+    assert(h0._2 == 30.0 || h0._2 == 29.0) // inclusive median of 0..59
+  }
+
   test("funnelStream: cross-batch step progression, strict ordering, completion tombstone blocks re-entry") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

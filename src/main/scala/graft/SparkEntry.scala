@@ -3752,6 +3752,22 @@ object SparkEntry {
       operators.Quality.datasetFingerprint(Tables.lineitem(s, dir),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"))),
 
+    // q423: ordered t-closeness — per (event_type, user-bucket)
+    // class, the exact EMD between the class's coarsened value
+    // distribution and the global one; the sensitive attribute is
+    // pre-quantized (floor(value)) so the grid is bounded, exactly
+    // as the operator's contract prescribes.
+    "q423_t_closeness" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          pmod(col("user_id"), lit(5)).cast("long").as("ubucket"),
+          floor(col("value")).as("sv"))
+      operators.Privacy.tClosenessOrdered(e,
+          Seq("event_type", "ubucket"), "sv")
+        .orderBy(col("event_type"), col("ubucket"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10893,6 +10909,40 @@ object SparkEntry {
         |  CAST(COALESCE(SUM(CAST(hh AS HUGEINT)), 0) AS DECIMAL(38,0))
         |    AS sum_h
         |FROM h""".stripMargin,
+
+    // q423: classes x grid expansion; the class cumulative at each
+    // grid point is the running sum of its own per-value counts.
+    "q423_t_closeness" ->
+      """WITH s AS (SELECT event_type, user_id % 5 AS ubucket,
+        |    CAST(FLOOR(FLOOR(value) * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |gv AS (SELECT v, COUNT(*) AS g FROM s GROUP BY v),
+        |gt AS (SELECT COUNT(*) AS m, SUM(g) AS nglob FROM gv),
+        |gc AS (SELECT v, SUM(g) OVER (ORDER BY v) AS gcum FROM gv),
+        |cls AS (SELECT event_type, ubucket, COUNT(*) AS n
+        |  FROM s GROUP BY event_type, ubucket),
+        |cv AS (SELECT event_type, ubucket, v, COUNT(*) AS c
+        |  FROM s GROUP BY event_type, ubucket, v),
+        |ex AS (SELECT cls.event_type, cls.ubucket, cls.n,
+        |    gc.v, gc.gcum FROM cls CROSS JOIN gc),
+        |j AS (SELECT ex.*, COALESCE(cv.c, 0) AS c FROM ex
+        |  LEFT JOIN cv ON cv.event_type = ex.event_type
+        |    AND cv.ubucket = ex.ubucket AND cv.v = ex.v),
+        |ff AS (SELECT event_type, ubucket, n, v, gcum,
+        |    SUM(c) OVER (PARTITION BY event_type, ubucket
+        |      ORDER BY v) AS cfill FROM j),
+        |agg AS (SELECT event_type, ubucket, n,
+        |    CAST(SUM(ABS(CAST(cfill AS HUGEINT) * gt.nglob
+        |      - CAST(gcum AS HUGEINT) * n)) AS HUGEINT) AS emd
+        |  FROM ff, gt GROUP BY event_type, ubucket, n)
+        |SELECT agg.event_type, agg.ubucket, CAST(agg.n AS BIGINT) AS n,
+        |  CAST(agg.emd AS BIGINT) AS emd_num,
+        |  CASE WHEN gt.m >= 2 THEN
+        |    CAST((1000000 * agg.emd)
+        |      // (CAST(agg.n AS HUGEINT) * gt.nglob * (gt.m - 1)) AS BIGINT)
+        |  ELSE 0 END AS t_micro
+        |FROM agg, gt ORDER BY event_type, ubucket""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

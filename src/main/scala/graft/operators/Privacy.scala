@@ -183,4 +183,81 @@ object Privacy {
            |   div ((2 * $pNum - $den) * n)) END""".stripMargin)
         .cast("long"))
   }
+
+  /** t-closeness under the ORDERED ground metric — the companion of
+    * [[tCloseness]] (which uses the uniform categorical metric /
+    * TVD): for a NUMERIC sensitive attribute, Li et al.'s paper
+    * prescribes the ordered EMD, which catches what TVD structurally
+    * cannot — a class whose salaries are all shifted HIGH has small
+    * per-value overlaps (large TVD lanes everywhere in any case) but
+    * crucially EMD grows with the DISTANCE mass must travel, so
+    * "slightly high everywhere" and "extreme outliers" rank
+    * differently (the classic "all the small ZIP's salaries are
+    * high" attack).
+    * Per QI class, the ordered Earth-Mover's Distance between the
+    * class's and the global value distribution over the m-point
+    * global grid, EXACT over cleared denominators:
+    *   emd_num = Σᵢ |cumᵢ(class)·N − cumᵢ(global)·n|
+    *   t_micro = ⌊10⁶·emd_num / (n·N·(m−1))⌋      (m ≥ 2; the
+    *   1-value grid has zero distance by definition → t_micro 0)
+    * DECIMAL(38,0) lanes hold Σ to m·N² ≈ 10³⁸ (N·√m ≲ 10¹⁶).
+    *
+    * Shape: one global value census (prefix-summed on the BOUNDED
+    * quantized grid), one (class, value) census, then each class
+    * meets the grid via a classes×grid expansion with a
+    * forward-fill window for the class's cumulative between its own
+    * value points — the expansion IS t-closeness's cost
+    * (|classes|·m rows), so quantize the sensitive attribute to the
+    * grid you can afford (privacy releases do anyway). Null QI
+    * values form their own class (the [[suppress]] convention);
+    * null sensitive values are excluded. */
+  def tClosenessOrdered(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty,
+      "tClosenessOrdered needs at least one QI column")
+    val staged = df.filter(col(sensitiveCol).isNotNull)
+      .select(quasiCols.map(col) :+
+        floor(col(sensitiveCol) * 1000).cast("long").as("__v"): _*)
+    val grid = staged.groupBy(col("__v")).agg(count(lit(1)).as("__g"))
+    val wg = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+    val gridCum = grid
+      .withColumn("__gcum", sum(col("__g")).over(wg))
+      .crossJoin(broadcast(grid.agg(
+        coalesce(sum(col("__g")), lit(0L)).as("__N"),
+        count(lit(1)).as("__m"))))
+      .select(col("__v"), col("__gcum"), col("__N"), col("__m"))
+    val classes = staged.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val classVals = staged.groupBy(quasiCols.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .select(quasiCols.map(c => col(c).as(s"__qi_$c")) ++
+        Seq(col("__v").as("__v2"), col("__c")): _*)
+    // classes x grid expansion (broadcast grid: bounded by design);
+    // the class's CUMULATIVE count at each grid point is simply the
+    // running sum of its own per-value counts (absent values add 0),
+    // so one window does the forward fill
+    val qiKeys = quasiCols.map(c => col(c))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiKeys: _*).orderBy(col("__v"))
+    classes.join(broadcast(gridCum))
+      .join(classVals,
+        quasiCols.map(c => col(c) <=> col(s"__qi_$c")).reduce(_ && _) &&
+          col("__v") === col("__v2"), "left")
+      .drop(quasiCols.map(c => s"__qi_$c"): _*).drop("__v2")
+      .withColumn("__cfill", sum(coalesce(col("__c"), lit(0L))).over(wc))
+      .groupBy(quasiCols.map(col) :+ col("n"): _*)
+      .agg(coalesce(sum(expr(
+        "ABS(CAST(__cfill AS DECIMAL(38,0)) * __N - CAST(__gcum AS DECIMAL(38,0)) * n)")),
+        lit(0).cast("decimal(38,0)")).as("__emd"),
+        max(col("__N")).as("__N2"), max(col("__m")).as("__m2"))
+      .withColumn("t_micro", expr(
+        """CASE WHEN __m2 >= 2 THEN
+          |  CAST((CAST(1000000 AS DECIMAL(38,0)) * __emd)
+          |    div (CAST(n AS DECIMAL(38,0)) * __N2 * (__m2 - 1))
+          |    AS BIGINT)
+          |ELSE 0L END""".stripMargin))
+      .select(quasiCols.map(col) ++
+        Seq(col("n"), col("__emd").cast("long").as("emd_num"),
+          col("t_micro")): _*)
+  }
 }

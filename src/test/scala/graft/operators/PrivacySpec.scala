@@ -126,4 +126,40 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
       Privacy.randomizedResponse(df, "g", "id", "t", 4L, 2, 7L) // p=1
     }
   }
+
+  test("tClosenessOrdered: hand EMD, identical class -> 0, ordered shift") {
+    import spark.implicits._
+    // class A: {1,2}; class B: {3,3}; global (1,2,3) counts (1,1,2)
+    // cum grid: (1,2,4), N=4, m=3; both classes: emd_num = 6
+    // -> t = 6/(2*4*2) = 0.375
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 3.0))
+    val got = Privacy.tClosenessOrdered(rows.toDF("qi", "v"),
+        Seq("qi"), "v")
+      .collect().map(r => r.getAs[String]("qi") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("emd_num"),
+          r.getAs[Long]("t_micro")))).toMap
+    assert(got("A") == ((2L, 6L, 375000L)))
+    assert(got("B") == ((2L, 6L, 375000L)))
+    // a class identical to the global distribution scores exactly 0
+    val same = Seq(("X", 1.0), ("X", 2.0), ("Y", 1.0), ("Y", 2.0))
+    val g2 = Privacy.tClosenessOrdered(same.toDF("qi", "v"),
+        Seq("qi"), "v")
+      .collect().map(r => r.getAs[String]("qi") -> r.getAs[Long]("t_micro"))
+      .toMap
+    assert(g2 == Map("X" -> 0L, "Y" -> 0L))
+    // THE ordered-metric property the categorical TVD cannot see:
+    // shifting a class's mass FARTHER raises t even when per-value
+    // overlap (and thus TVD) is identical
+    val near = Seq(("N", 1.0), ("O", 2.0), ("O", 1.0), ("N", 2.0),
+      ("F", 1.0), ("F", 9.0))
+    val g3 = Privacy.tClosenessOrdered(near.toDF("qi", "v"),
+        Seq("qi"), "v")
+      .collect().map(r => r.getAs[String]("qi") -> r.getAs[Long]("t_micro"))
+      .toMap
+    assert(g3("F") > g3("N") && g3("F") > g3("O"))
+    // single-value grid: zero distance by definition
+    val one = Seq(("Z", 5.0), ("W", 5.0))
+    assert(Privacy.tClosenessOrdered(one.toDF("qi", "v"), Seq("qi"), "v")
+      .collect().forall(_.getAs[Long]("t_micro") == 0L))
+  }
 }

@@ -3768,6 +3768,18 @@ object SparkEntry {
         .orderBy(col("event_type"), col("ubucket"))
     }),
 
+    // q424: daily activity streaks per user over the event log.
+    "q424_streaks" -> ((s, dir) =>
+      operators.Relational.streaks(Tables.events(s, dir),
+        "user_id", "ts", 1).orderBy(col("user_id"))),
+
+    // q425: Hampel outlier filter over each user's value series —
+    // doubled-median lanes, windowed lists, every comparison integer.
+    "q425_hampel" -> ((s, dir) =>
+      operators.Relational.hampel(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "value", w = 3, kMilli = 3000L)
+        .orderBy(col("key"), col("ts_us"), col("id"))),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -10943,6 +10955,55 @@ object SparkEntry {
         |      // (CAST(agg.n AS HUGEINT) * gt.nglob * (gt.m - 1)) AS BIGINT)
         |  ELSE 0 END AS t_micro
         |FROM agg, gt ORDER BY event_type, ubucket""".stripMargin,
+
+    // q424: the islands trick (p − ROW_NUMBER constant on runs).
+    "q424_streaks" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS p
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT u, p,
+        |    p - ROW_NUMBER() OVER (PARTITION BY u ORDER BY p) AS isl
+        |  FROM a),
+        |runs AS (SELECT u, isl, COUNT(*) AS len, MAX(p) AS pend
+        |  FROM r GROUP BY u, isl),
+        |lastp AS (SELECT MAX(p) AS lp FROM a)
+        |SELECT u AS user_id,
+        |  CAST(SUM(len) AS BIGINT) AS n_active_periods,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks,
+        |  CAST(MAX(len) AS BIGINT) AS longest_streak,
+        |  CAST(COALESCE(MAX(CASE WHEN pend = lastp.lp THEN len END), 0)
+        |    AS BIGINT) AS current_streak
+        |FROM runs, lastp GROUP BY u ORDER BY u""".stripMargin,
+
+    // q425: windowed sorted lists, the doubled-median arithmetic
+    // replayed element-for-element.
+    "q425_hampel" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS ts_us,
+        |    event_id AS id, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL),
+        |w AS (SELECT k, ts_us, id, v,
+        |    list_sort(list(v) OVER (PARTITION BY k ORDER BY ts_us, id
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS win FROM s),
+        |m AS (SELECT k, ts_us, id, v, win, len(win) AS n,
+        |    CASE WHEN len(win) % 2 = 1
+        |      THEN 2 * win[CAST((len(win) + 1) // 2 AS INT)]
+        |      ELSE win[CAST(len(win) // 2 AS INT)]
+        |        + win[CAST(len(win) // 2 + 1 AS INT)] END AS med2
+        |  FROM w),
+        |d AS (SELECT m.*, list_sort(list_transform(win,
+        |    x -> ABS(2 * x - med2))) AS sd FROM m),
+        |f AS (SELECT k, ts_us, id, v AS value_milli, med2 AS med2_milli,
+        |    CASE WHEN n % 2 = 1 THEN 2 * sd[CAST((n + 1) // 2 AS INT)]
+        |      ELSE sd[CAST(n // 2 AS INT)] + sd[CAST(n // 2 + 1 AS INT)]
+        |    END AS mad4_milli
+        |  FROM d)
+        |SELECT k AS key, ts_us, id, value_milli,
+        |  CAST(med2_milli AS BIGINT) AS med2_milli,
+        |  CAST(mad4_milli AS BIGINT) AS mad4_milli,
+        |  2000 * ABS(2 * value_milli - med2_milli) > 3000 * mad4_milli
+        |    AS is_outlier
+        |FROM f ORDER BY key, ts_us, id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

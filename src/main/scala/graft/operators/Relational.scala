@@ -2314,6 +2314,100 @@ object Relational {
         expr("CAST((1000 * n) div from_total AS BIGINT)"))
   }
 
+  /** Hampel outlier filter — the rolling robust cousin of
+    * [[winsorize]] (which clamps against GLOBAL per-group rank
+    * bands; Hampel flags against each point's LOCAL neighborhood,
+    * so a level-shifted series doesn't condemn half its points):
+    * per key, over the centered window of ±w rows in (ts, id)
+    * order, flag values more than k·MAD from the window median.
+    * EXACT integer lanes via the doubled-median trick (2·median of
+    * n values is always an integer — the mannWhitneyU discipline):
+    *   med2  = doubled window median of milli values
+    *   mad4  = doubled median of |2v − med2|   (4× units)
+    *   outlier ⇔ 2000·|2v − med2| > k_milli·mad4
+    * A constant window (mad4 = 0) flags ANY deviation — the
+    * textbook Hampel convention. Boundary rows see their clamped
+    * (smaller) window, identically in both engines.
+    *
+    * Shape: ONE key-partitioned window whose state is the 2w+1
+    * VALUES (bounded by the parameter, not the data); the per-row
+    * sorts are O(w log w) on that constant-sized array. */
+  def hampel(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, w: Int = 3, kMilli: Long = 3000L): DataFrame = {
+    require(w >= 1 && w <= 1000, s"w must be in [1,1000], got $w")
+    require(kMilli >= 0, s"kMilli must be >= 0, got $kMilli")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ts_us"), col("id"))
+      .rowsBetween(-w, w)
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("id"),
+        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+      .withColumn("__win", sort_array(collect_list(col("value_milli"))
+        .over(win)))
+      .withColumn("__n", size(col("__win")))
+      .withColumn("med2_milli", expr(
+        """IF(__n % 2 = 1,
+          |  2L * element_at(__win, CAST((__n + 1) div 2 AS INT)),
+          |  element_at(__win, CAST(__n div 2 AS INT))
+          |    + element_at(__win, CAST(__n div 2 + 1 AS INT)))"""
+          .stripMargin))
+      // bind the sorted deviations once as a lambda variable (the
+      // winnowing CollapseProject lesson; here w is tiny, but the
+      // idiom costs nothing)
+      .withColumn("mad4_milli", expr(
+        """element_at(transform(array(
+          |  array_sort(transform(__win, x -> ABS(2L * x - med2_milli)))),
+          |  sd -> IF(__n % 2 = 1,
+          |    2L * element_at(sd, CAST((__n + 1) div 2 AS INT)),
+          |    element_at(sd, CAST(__n div 2 AS INT))
+          |      + element_at(sd, CAST(__n div 2 + 1 AS INT)))), 1)"""
+          .stripMargin))
+      .withColumn("is_outlier", expr(
+        s"2000L * ABS(2L * value_milli - med2_milli) > $kMilli * mad4_milli"))
+      .drop("__win", "__n")
+  }
+
+  /** Activity streaks — the engagement metric beside
+    * [[cohortRetention]]'s triangle: per user, consecutive-period
+    * runs of activity (integer epoch-day periods, the
+    * cohortRetention quantization), summarized as
+    *   n_active_periods · n_streaks · longest_streak ·
+    *   current_streak (the run touching the DATASET's last period —
+    *   0 if the user wasn't active then; "current" is relative to
+    *   the data, so the operator stays deterministic rather than
+    *   clock-dependent).
+    * Runs come from the classic islands trick: within a user,
+    * period − dense-rank is constant exactly on consecutive runs —
+    * one key-partitioned window at (user, period) grain, then two
+    * bounded aggregates. */
+  def streaks(df: DataFrame, userCol: String, tsCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val activity = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).cast("long").as("__u"),
+        expr(s"CAST(FLOOR(unix_timestamp($tsCol) / 86400) AS BIGINT) div ${periodDays}L")
+          .as("__p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("__p"))
+    val runs = activity
+      .withColumn("__isl", col("__p") - row_number().over(w))
+      .groupBy(col("__u"), col("__isl"))
+      .agg(count(lit(1)).as("__len"), max(col("__p")).as("__end"))
+    val lastP = activity.agg(max(col("__p")).as("__last"))
+    runs
+      .crossJoin(broadcast(lastP))
+      .groupBy(col("__u").as("user_id"))
+      .agg(sum(col("__len")).as("n_active_periods"),
+        count(lit(1)).as("n_streaks"),
+        max(col("__len")).as("longest_streak"),
+        coalesce(max(when(col("__end") === col("__last"), col("__len"))),
+          lit(0L)).as("current_streak"))
+  }
+
   /** Multi-touch attribution over an event log — credit each
     * conversion to the marketing/touch events that preceded it
     * within `lookbackSeconds`, under the three standard policies at

@@ -1318,6 +1318,64 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(g3.values.sum == 1000L)
   }
 
+  test("streaks: islands, current-streak anchoring, dup collapse") {
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(1970, 1, 1, 0, 0).plusDays(day.toLong))
+    // daily periods. u1: days 1,2,3, 5,6, 9 -> streaks 3,2,1;
+    // u2: days 8,9 -> streak 2 touching the last period (day 9);
+    // u3: day 2 twice (collapses) -> one streak of 1, not current
+    val rows = Seq(1L -> 1, 1L -> 2, 1L -> 3, 1L -> 5, 1L -> 6,
+      1L -> 9, 2L -> 8, 2L -> 9, 3L -> 2, 3L -> 2)
+      .map { case (u, d) => (u, ts(d)) }
+    val got = Relational.streaks(rows.toDF("u", "t"), "u", "t", 1)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_active_periods"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("longest_streak"),
+          r.getAs[Long]("current_streak")))).toMap
+    assert(got(1L) == ((6L, 3L, 3L, 1L)))  // day-9 run of 1 is current
+    assert(got(2L) == ((2L, 1L, 2L, 2L)))
+    assert(got(3L) == ((1L, 1L, 1L, 0L)))  // not active at the end
+  }
+
+  test("hampel: spike flagged, level shift spared, constant-window edge") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // a WIGGLY smooth series (nonzero local MAD — a flat series has
+    // MAD 0 and rightly flags any deviation) with one spike at id 4
+    val vals = Seq(10.0, 10.2, 10.4, 10.1, 99.0, 10.3, 10.2, 10.4)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, ts(i), i.toLong, v) }
+    val got = Relational.hampel(rows.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", w = 2, kMilli = 3000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(got(4L), "the spike must be flagged")
+    assert(got.filterKeys(_ != 4L).values.forall(!_),
+      s"only the spike flags: $got")
+    // a LEVEL SHIFT is not an outlier once the window is past the
+    // boundary — the property global winsorization gets wrong
+    val shift = (0 until 6).map(i => (2L, ts(i), i.toLong, 10.0)) ++
+      (6 until 12).map(i => (2L, ts(i), i.toLong, 50.0))
+    val g2 = Relational.hampel(shift.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", w = 2, kMilli = 3000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(!g2(2L) && !g2(9L), "deep inside each level: not outliers")
+    // constant window: mad4 = 0 -> any deviation flags (textbook).
+    // The deviant sits MID-SERIES: an edge deviant inflates its own
+    // two-point window's MAD and is inherently undetectable at w=1
+    // (the estimator's breakdown point), which is correct behavior.
+    val const = Seq((3L, ts(0), 0L, 5.0), (3L, ts(1), 1L, 5.0),
+      (3L, ts(2), 2L, 5.01), (3L, ts(3), 3L, 5.0), (3L, ts(4), 4L, 5.0))
+    val g3 = Relational.hampel(const.toDF("k", "t", "id", "v"),
+        "k", "t", "id", "v", w = 1, kMilli = 3000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Boolean]("is_outlier")).toMap
+    assert(!g3(0L) && !g3(1L) && !g3(3L) && !g3(4L))
+    assert(g3(2L), "deviation from a constant window flags")
+  }
+
   test("transitionCensus: per-key adjacency, conditional milli, key isolation") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(s * 1000L)

@@ -914,4 +914,43 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(operators.Learn.dispersionIndex(
       counts, "event_type", "c")) <= 2) // (type,user) agg + type agg
   }
+
+  test("r13 operators: exchange counts pin the documented shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    def plan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect(); df.queryExecution.executedPlan
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      countNodes(plan(df))(_.isInstanceOf[ShuffleExchangeLike])
+    val e = sources.Tables.events(spark, sf)
+    // one-aggregate stats: a single row-scale exchange (partial ->
+    // final of the same aggregate; broadcast sides don't shuffle)
+    val mc = e.select((pmod(col("event_id"), lit(10)) < 6).as("a"),
+      (pmod(col("event_id") * 3 + 1, lit(10)) < 6).as("b"))
+    assert(exchanges(operators.Learn.mcnemar(mc, "a", "b")) <= 1)
+    val tv = e.select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+      col("event_type"))
+    assert(exchanges(operators.Learn.tvDistance(tv, "g", "event_type")) <= 3)
+    assert(exchanges(operators.Learn.concentration(
+      sources.Tables.documents(spark, sf), "lang")) <= 2)
+    // winnowing: row-local until the explode; pairs are one
+    // fingerprint-keyed self-join — and NEVER a cartesian
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 30)
+    val fps = operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+    assert(exchanges(fps) == 0)
+    val pairsPlan = plan(operators.Dedup.winnowPairs(fps, "doc_id"))
+    assert(countNodes(pairsPlan)(p =>
+      p.isInstanceOf[CartesianProductExec] ||
+        p.isInstanceOf[BroadcastNestedLoopJoinExec]) == 0)
+    // secretScan / hampel / streaks shapes
+    assert(exchanges(operators.TextOps.secretScan(docs, "doc_id", "text"))
+      == 0)
+    assert(exchanges(operators.Relational.hampel(e, "user_id", "ts",
+      "event_id", "value")) <= 1) // the one key window exchange
+    assert(exchanges(operators.Relational.streaks(e, "user_id", "ts", 7))
+      <= 4) // distinct + key window + runs agg + final agg
+  }
 }

@@ -3780,6 +3780,17 @@ object SparkEntry {
         "user_id", "ts", "event_id", "value", w = 3, kMilli = 3000L)
         .orderBy(col("key"), col("ts_us"), col("id"))),
 
+    // q426: preference-transitivity audit over synthetic pairwise
+    // comparisons (event_id arithmetic yields a mix of transitive
+    // and cyclic majority triangles).
+    "q426_pref_cycles" -> ((s, dir) => {
+      val cmp = Tables.events(s, dir)
+        .select(pmod(col("event_id"), lit(50)).as("w"),
+          pmod(col("event_id") * 7 + 3, lit(50)).as("l"))
+        .filter(col("w") =!= col("l"))
+      operators.Learn.preferenceCycles(cmp, "w", "l")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11004,6 +11015,41 @@ object SparkEntry {
         |  2000 * ABS(2 * value_milli - med2_milli) > 3000 * mad4_milli
         |    AS is_outlier
         |FROM f ORDER BY key, ts_us, id""".stripMargin,
+
+    // q426: majority edges, the a<b<c triangle spine, both
+    // rotation classes via direction-presence joins.
+    "q426_pref_cycles" ->
+      """WITH c AS (SELECT event_id % 50 AS w, (event_id * 7 + 3) % 50 AS l
+        |  FROM events WHERE event_id % 50 <> (event_id * 7 + 3) % 50),
+        |p AS (SELECT LEAST(w, l) AS lo, GREATEST(w, l) AS hi,
+        |    SUM(CASE WHEN w < l THEN 1 ELSE 0 END) AS wlo,
+        |    SUM(CASE WHEN w > l THEN 1 ELSE 0 END) AS whi
+        |  FROM c GROUP BY 1, 2),
+        |e AS (SELECT CASE WHEN wlo > whi THEN lo ELSE hi END AS u,
+        |    CASE WHEN wlo > whi THEN hi ELSE lo END AS v
+        |  FROM p WHERE wlo <> whi),
+        |und AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM e),
+        |t AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |m AS (SELECT t.x, t.y, t.z,
+        |    d1.u IS NOT NULL AS dxy, d2.u IS NOT NULL AS dyz,
+        |    d3.u IS NOT NULL AS dxz
+        |  FROM t LEFT JOIN e d1 ON d1.u = t.x AND d1.v = t.y
+        |  LEFT JOIN e d2 ON d2.u = t.y AND d2.v = t.z
+        |  LEFT JOIN e d3 ON d3.u = t.x AND d3.v = t.z),
+        |tri AS (SELECT COUNT(*) AS n_triads,
+        |    COALESCE(SUM(CASE WHEN (dxy AND dyz AND NOT dxz)
+        |      OR (NOT dxy AND NOT dyz AND dxz) THEN 1 ELSE 0 END), 0)
+        |      AS n_cycles FROM m)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_pairs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |  CAST(tri.n_triads AS BIGINT) AS n_triads,
+        |  CAST(tri.n_cycles AS BIGINT) AS n_cycles,
+        |  CASE WHEN tri.n_triads > 0 THEN
+        |    CAST((1000000 * tri.n_cycles) // tri.n_triads AS BIGINT) END
+        |    AS cycle_micro
+        |FROM tri""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

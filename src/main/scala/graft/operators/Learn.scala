@@ -2437,6 +2437,79 @@ object Learn {
         col("srm_micro"), col("unexpected_rows"))
   }
 
+  /** Preference transitivity audit — the data-quality gate BEFORE
+    * [[bradleyTerry]] fits anything: BT (and every Elo-style
+    * leaderboard) assumes a latent total order, but real pairwise
+    * comparison data contains rock-paper-scissors cycles (rater
+    * disagreement, prompt-dependent strength), and fitting through
+    * them silently launders intransitivity into noise. Census:
+    *   n_pairs   — unordered pairs with ≥ 1 comparison
+    *   n_edges   — pairs with a strict majority direction (ties
+    *               carry no direction and drop — documented)
+    *   n_triads  — triples with all three majority edges present
+    *   n_cycles  — triads whose directions rotate (a→b→c→a)
+    *   cycle_micro = ⌊10⁶·n_cycles / n_triads⌋ (NULL when no triads)
+    * All exact integers. Shape: one (winner, loser)-grain census
+    * (the only row-scale exchange), then triangle enumeration on
+    * the EDGE table — joins at pair grain, counted once per triangle
+    * via the a<b<c spine for triads and the rotation-class minimum
+    * for cycles; never touches row-grain data again. */
+  def preferenceCycles(df: DataFrame, winnerCol: String,
+      loserCol: String): DataFrame = {
+    val pairs = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .select(col(winnerCol).cast("long").as("__w"),
+        col(loserCol).cast("long").as("__l"))
+      .groupBy(least(col("__w"), col("__l")).as("lo"),
+        greatest(col("__w"), col("__l")).as("hi"))
+      .agg(sum(when(col("__w") < col("__l"), 1L).otherwise(0L))
+        .as("__wins_lo"),
+        sum(when(col("__w") > col("__l"), 1L).otherwise(0L))
+          .as("__wins_hi"))
+    val edges = pairs
+      .filter(col("__wins_lo") =!= col("__wins_hi"))
+      .select(when(col("__wins_lo") > col("__wins_hi"), col("lo"))
+        .otherwise(col("hi")).as("u"),
+        when(col("__wins_lo") > col("__wins_hi"), col("hi"))
+          .otherwise(col("lo")).as("v"))
+    // undirected triangle spine: a<b<c with all three edges present
+    val und = edges.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+    val triads = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"), col("e3.a") === col("e1.a") &&
+        col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"),
+        col("e2.b").as("z"))
+    // a triangle is cyclic iff no vertex beats both others: with
+    // directions d(xy), d(yz), d(xz) over the a<b<c spine, the two
+    // rotations are exactly (x→y, y→z, z→x) and (y→x, z→y, x→z)
+    val dir = edges.select(col("u"), col("v"))
+    val marked = triads
+      .join(dir.select(col("u").as("x"), col("v").as("y"),
+        lit(1L).as("__dxy")), Seq("x", "y"), "left")
+      .join(dir.select(col("u").as("y"), col("v").as("z"),
+        lit(1L).as("__dyz")), Seq("y", "z"), "left")
+      .join(dir.select(col("u").as("x"), col("v").as("z"),
+        lit(1L).as("__dxz")), Seq("x", "z"), "left")
+      .withColumn("__cyc",
+        // forward rotation: x→y, y→z, z→x (i.e. NOT x→z);
+        // backward: y→x, z→y, x→z
+        when(col("__dxy").isNotNull && col("__dyz").isNotNull &&
+          col("__dxz").isNull, 1L)
+          .when(col("__dxy").isNull && col("__dyz").isNull &&
+            col("__dxz").isNotNull, 1L)
+          .otherwise(0L))
+    val tri = marked.agg(count(lit(1)).as("n_triads"),
+      coalesce(sum(col("__cyc")), lit(0L)).as("n_cycles"))
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
+      .withColumn("cycle_micro", when(col("n_triads") > 0, expr(
+        "CAST((1000000 * n_cycles) div n_triads AS BIGINT)")))
+  }
+
   /** Bradley–Terry preference-strength fitting, EXACT bounded-round
     * MM — the model behind every pairwise-preference leaderboard
     * (RLHF comparison data, arena-style model rankings, judge

@@ -1500,6 +1500,35 @@ class LearnSpec extends SparkTestBase {
       rc.isNullAt(rc.fieldIndex("chi2_micro")))
   }
 
+  test("preferenceCycles: RPS triad, both rotations, ties drop, transitive clean") {
+    def run(cmp: Seq[(Long, Long)]) = {
+      val r = Learn.preferenceCycles(cmp.toDF("w", "l"), "w", "l")
+        .collect().head
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("n_triads"), r.getAs[Long]("n_cycles"))
+    }
+    // rock-paper-scissors, each direction twice -> one cyclic triad
+    val rps = Seq((1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L),
+      (3L, 1L), (3L, 1L))
+    assert(run(rps) == ((3L, 3L, 1L, 1L)))
+    // the BACKWARD rotation is a cycle too
+    val back = Seq((2L, 1L), (3L, 2L), (1L, 3L))
+    assert(run(back) == ((3L, 3L, 1L, 1L)))
+    // transitive triangle: a triad, but no cycle
+    val trans = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(run(trans) == ((3L, 3L, 1L, 0L)))
+    // a TIED pair carries no direction: the triad dissolves
+    val tied = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L))
+    assert(run(tied) == ((3L, 2L, 0L, 0L)))
+    // cycle_micro: one cycle among two triads (add a transitive
+    // triangle sharing nothing) -> 500000
+    val mixed = rps ++ Seq((10L, 11L), (11L, 12L), (10L, 12L))
+    val r = Learn.preferenceCycles(mixed.toDF("w", "l"), "w", "l")
+      .collect().head
+    assert(r.getAs[Long]("n_triads") == 2L &&
+      r.getAs[Long]("cycle_micro") == 500000L)
+  }
+
   test("cliffsDelta: randomized all-pairs brute-force parity, partition-stable") {
     val rnd = new scala.util.Random(17)
     // small value range -> heavy ties, both groups present

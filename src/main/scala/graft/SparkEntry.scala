@@ -3791,6 +3791,14 @@ object SparkEntry {
       operators.Learn.preferenceCycles(cmp, "w", "l")
     }),
 
+    // q427: Kruskal–Wallis across the five event types' value
+    // distributions — the k-group rank test completing the
+    // MWU/KS/Cliff family; every staged floor replays.
+    "q427_kruskal_wallis" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select(col("event_type"), col("value"))
+      operators.Learn.kruskalWallis(e, "event_type", "value")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11050,6 +11058,43 @@ object SparkEntry {
         |    CAST((1000000 * tri.n_cycles) // tri.n_triads AS BIGINT) END
         |    AS cycle_micro
         |FROM tri""".stripMargin,
+
+    // q427: doubled global midranks, the two-stage floor chain, the
+    // tie-corrected lane with the shared power-of-ten reduction.
+    "q427_kruskal_wallis" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |r AS (SELECT v, COUNT(*) AS run FROM s GROUP BY v),
+        |c AS (SELECT v, run, SUM(run) OVER (ORDER BY v) AS cum FROM r),
+        |d AS (SELECT v, (cum - run + 1) + cum AS dmr, run FROM c),
+        |tt AS (SELECT CAST(COALESCE(SUM(CAST(run AS HUGEINT) * run * run
+        |    - run), 0) AS HUGEINT) AS tiet FROM d),
+        |gg AS (SELECT s.g, COUNT(*) AS nj,
+        |    CAST(SUM(CAST(d.dmr AS HUGEINT)) AS HUGEINT) AS r2
+        |  FROM s JOIN d USING (v) GROUP BY s.g),
+        |nn AS (SELECT COUNT(*) AS nt FROM s),
+        |t3 AS (SELECT CAST(SUM((3000000 * ((r2 * r2)
+        |      // (CAST(nj AS HUGEINT) * nn.nt))) // (nn.nt + 1))
+        |    AS HUGEINT) AS sum3
+        |  FROM gg, nn),
+        |h AS (SELECT CAST(nn.nt AS BIGINT) AS n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM gg) AS k_groups,
+        |    CAST(t3.sum3 - 3 * (CAST(nn.nt AS HUGEINT) + 1) * 1000000
+        |      AS BIGINT) AS h_micro,
+        |    CAST(tt.tiet AS BIGINT) AS tie_t,
+        |    CAST(nn.nt AS HUGEINT) * nn.nt * nn.nt - nn.nt AS cube,
+        |    tt.tiet AS tiet
+        |  FROM nn, t3, tt),
+        |dv AS (SELECT h.*, CAST('1' || REPEAT('0', GREATEST(0,
+        |    LENGTH(CAST(GREATEST(cube, 1) AS VARCHAR)) - 15))
+        |    AS HUGEINT) AS d FROM h)
+        |SELECT n, k_groups, h_micro, tie_t,
+        |  CASE WHEN cube - tiet > 0 AND (cube - tiet) // d > 0 THEN
+        |    (CASE WHEN h_micro >= 0 THEN 1 ELSE -1 END) *
+        |    CAST((CAST(ABS(h_micro) AS HUGEINT) * (cube // d))
+        |      // ((cube - tiet) // d) AS BIGINT) END AS h_corr_micro
+        |FROM dv""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

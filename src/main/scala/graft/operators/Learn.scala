@@ -2437,6 +2437,75 @@ object Learn {
         col("srm_micro"), col("unexpected_rows"))
   }
 
+  /** Kruskal–Wallis H — the k-GROUP generalization of
+    * [[mannWhitneyU]] (is ANY of the k snapshots/sources/model
+    * variants' score distributions shifted): with doubled global
+    * midranks R2ⱼ = Σ 2·midrank over group j (the value-grain
+    * machinery of [[spearmanRho]] — one run census, one prefix sum,
+    * never a row sort),
+    *   H = 3·Σⱼ R2ⱼ²/nⱼ / (N(N+1)) − 3(N+1)
+    * emitted as h_micro via staged floors whose every div result
+    * fits BIGINT to N ≈ 10⁹ (R2ⱼ ≤ 2nⱼN, so s1 ≤ 4nⱼN ≤ 4N²):
+    *   s1ⱼ = ⌊R2ⱼ² / (nⱼ·N)⌋,  t3ⱼ = ⌊3·10⁶·s1ⱼ / (N+1)⌋,
+    *   h_micro = Σt3ⱼ − 3(N+1)·10⁶
+    * plus the tie lanes: tie_t = Σ(t³−t) over tie groups and the
+    * corrected h_corr_micro = ⌊h_micro·(N³−N) / (N³−N − tie_t)⌋
+    * (shared power-of-ten reduction keeps the big cubes in range —
+    * the q381 idiom; all-tied data has zero denominator → NULL).
+    * Per-group floors sum — < k micro off the real statistic, the
+    * srmCheck convention. Shape: one value-grain census + one
+    * [[Relational.globalPrefixSum]] + one (group)-grain aggregate. */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__run"))
+    val dmr = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+        "__run", "__cum")
+      .select(col("__v"),
+        ((col("__cum") - col("__run") + 1L) + col("__cum")).as("__dmr"),
+        col("__run"))
+    val ties = dmr.agg(coalesce(sum(expr(
+      """CAST(__run AS DECIMAL(38,0)) * __run * __run - __run""")),
+      lit(0).cast("decimal(38,0)")).as("__T"))
+    val groups = staged.join(dmr.select(col("__v"), col("__dmr")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nj"),
+        coalesce(sum(col("__dmr").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("__r2"))
+    val scal = staged.agg(count(lit(1)).as("__N"))
+    groups
+      .crossJoin(broadcast(scal))
+      .select(col("__g"), col("__nj"), col("__N"), expr(
+        """CAST((CAST(3000000 AS DECIMAL(38,0)) *
+          |    CAST((__r2 * __r2)
+          |      div (CAST(__nj AS DECIMAL(38,0)) * __N) AS DECIMAL(38,0)))
+          |  div (__N + 1) AS DECIMAL(38,0))""".stripMargin).as("__t3"))
+      .agg(max(col("__N")).as("n"), count(lit(1)).as("k_groups"),
+        coalesce(sum(col("__t3")), lit(0).cast("decimal(38,0)"))
+          .as("__sum3"))
+      .crossJoin(broadcast(ties))
+      .withColumn("h_micro", expr(
+        """CAST(__sum3 - 3 * (CAST(n AS DECIMAL(38,0)) + 1) * 1000000
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("tie_t", col("__T").cast("long"))
+      .withColumn("__cube", expr(
+        "CAST(n AS DECIMAL(38,0)) * n * n - n"))
+      .withColumn("__dv", expr(
+        """CAST(CONCAT('1', REPEAT('0', GREATEST(0,
+          |  LENGTH(CAST(GREATEST(__cube, 1) AS STRING)) - 15)))
+          |  AS DECIMAL(38,0))""".stripMargin))
+      .withColumn("h_corr_micro", expr(
+        """CASE WHEN __cube - __T > 0 AND (__cube - __T) div __dv > 0 THEN
+          |  (CASE WHEN h_micro >= 0 THEN 1L ELSE -1L END) *
+          |  CAST((CAST(ABS(h_micro) AS DECIMAL(38,0)) * (__cube div __dv))
+          |    div ((__cube - __T) div __dv) AS BIGINT) END"""
+          .stripMargin))
+      .select("n", "k_groups", "h_micro", "tie_t", "h_corr_micro")
+  }
+
   /** Preference transitivity audit — the data-quality gate BEFORE
     * [[bradleyTerry]] fits anything: BT (and every Elo-style
     * leaderboard) assumes a latent total order, but real pairwise

@@ -1500,6 +1500,46 @@ class LearnSpec extends SparkTestBase {
       rc.isNullAt(rc.fieldIndex("chi2_micro")))
   }
 
+  test("kruskalWallis: hand floor chain, all-tied guard, tracks H at size") {
+    def run(rows: Seq[(String, Double)]) = {
+      val r = Learn.kruskalWallis(rows.toDF("g", "v"), "g", "v")
+        .collect().head
+      (r.getAs[Long]("n"), r.getAs[Long]("k_groups"),
+        r.getAs[Long]("h_micro"), r.getAs[Long]("tie_t"),
+        if (r.isNullAt(r.fieldIndex("h_corr_micro"))) null
+        else java.lang.Long.valueOf(r.getAs[Long]("h_corr_micro")))
+    }
+    // A:{1,2} B:{3} C:{4,5}: doubled ranks 2,4,6,8,10 -> floor chain
+    // s1 = (3,7,32), t3 = (1.5e6, 3.5e6, 16e6), h = 21e6 - 18e6
+    val hand = Seq("A" -> 1.0, "A" -> 2.0, "B" -> 3.0,
+      "C" -> 4.0, "C" -> 5.0)
+    assert(run(hand) == ((5L, 3L, 3000000L, 0L,
+      java.lang.Long.valueOf(3000000L))))
+    // every value tied: correction denominator hits zero -> NULL
+    val allTied = Seq("A" -> 7.0, "A" -> 7.0, "B" -> 7.0, "B" -> 7.0)
+    assert(run(allTied) == ((4L, 2L, -600000L, 60L, null)))
+    // at realistic size the floor chain tracks the textbook H
+    val rnd = new scala.util.Random(31)
+    val big = Seq.tabulate(240)(i =>
+      (s"g${i % 3}", rnd.nextInt(40).toDouble + (i % 3) * 2.0))
+    val got = run(big)
+    // reference double H over milli-quantized values with midranks
+    // (midrank = cumBefore + (c+1)/2)
+    val vals = big.map { case (g, v) => (g, math.floor(v * 1000).toLong) }
+    val n = vals.size
+    val cums = vals.map(_._2).groupBy(identity).view.mapValues(_.size)
+      .toSeq.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (v, c)) =>
+        (v, c.toLong, cum + c) }.drop(1)
+      .map { case (v, c, cum) => v -> ((cum - c) + (c + 1) / 2.0) }.toMap
+    val rsum = vals.groupBy(_._1).view.mapValues(vs =>
+      (vs.size, vs.map(x => cums(x._2)).sum)).toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      rsum.values.map { case (nj, rj) => rj * rj / nj }.sum - 3.0 * (n + 1)
+    assert(math.abs(got._3 - h * 1e6) < 3 * 3000000.0 / n * 3 + 50000,
+      s"h_micro ${got._3} vs double ${h * 1e6}")
+  }
+
   test("preferenceCycles: RPS triad, both rotations, ties drop, transitive clean") {
     def run(cmp: Seq[(Long, Long)]) = {
       val r = Learn.preferenceCycles(cmp.toDF("w", "l"), "w", "l")

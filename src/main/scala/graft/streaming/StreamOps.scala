@@ -32,6 +32,11 @@ case class RateDecision(key: Long, event_id: Long, ts_ms: Long,
 case class TransitionStep(key: Long, from_type: String, to_type: String,
                           ts_ms: Long)
 
+/** One verdict emitted by [[StreamOps.hampelStream]]. */
+case class HampelPoint(key: Long, ts_us: Long, id: Long,
+  value_milli: Long, med2_milli: Long, mad4_milli: Long,
+  is_outlier: Boolean)
+
 /** transformWithState processor behind [[StreamOps.dedupKeepBestStream]]:
   * per fingerprint, value state (bestId, bestScore, nSeen,
   * registeredTimerTs) + one event-time timer at latest-arrival +
@@ -398,6 +403,76 @@ object StreamOps {
             }
           }
           if (last != null) state.update(last)
+          out.iterator
+      }
+  }
+
+  /** Streaming Hampel filter — the live twin of
+    * [[graft.operators.Relational.hampel]]: per key, a row's
+    * verdict is emitted the moment its w-th SUCCESSOR arrives (the
+    * centered ±w window is then complete; earlier rows see their
+    * batch-identical clamped left context, so every emitted verdict
+    * equals the batch operator's row — the StreamingSpec asserts
+    * it). The final w rows of a key are never emittable on an
+    * unbounded stream — inherent to a centered filter, documented
+    * rather than approximated. State per key is the last ≤ 2w+1
+    * (ts, id, value) tuples — O(w), parameter-bounded. In-order
+    * contract and null filtering per [[cusumStream]]; the
+    * doubled-median/doubled-MAD arithmetic is the batch operator's,
+    * bit for bit. */
+  def hampelStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, w: Int = 3,
+      kMilli: Long = 3000L): Dataset[HampelPoint] = {
+    require(w >= 1 && w <= 1000, s"w must be in [1,1000], got $w")
+    require(kMilli >= 0, s"kMilli must be >= 0, got $kMilli")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def med2(sorted: Array[Long]): Long = {
+      val n = sorted.length
+      if (n % 2 == 1) 2L * sorted((n + 1) / 2 - 1)
+      else sorted(n / 2 - 1) + sorted(n / 2)
+    }
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(idCol).cast("long").as("id"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long, Long)], HampelPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var buf = state.getOption.getOrElse(Nil).toVector
+          val out = scala.collection.mutable.ArrayBuffer.empty[HampelPoint]
+          sorted.foreach { case (ts, id, v) =>
+            // monotone acceptance (the transitionStream contract)
+            if (buf.isEmpty || ts > buf.last._1 ||
+                (ts == buf.last._1 && id > buf.last._2)) {
+              buf = buf :+ ((ts, id, v))
+              if (buf.length > w) {
+                // the row w positions back now has its full right
+                // context; its left context is whatever the buffer
+                // holds (≤ w rows — the batch clamp, exactly)
+                val ci = buf.length - 1 - w
+                val lo = math.max(0, ci - w)
+                val win = buf.slice(lo, buf.length).map(_._3)
+                  .toArray.sorted
+                val m2 = med2(win)
+                val sd = win.map(x => math.abs(2L * x - m2)).sorted
+                val m4 = med2(sd)
+                val (cts, cid, cv) = buf(ci)
+                out += HampelPoint(key, cts, cid, cv, m2, m4,
+                  2000L * math.abs(2L * cv - m2) > kMilli * m4)
+              }
+              // keep only what future centers can still need
+              if (buf.length > 2 * w + 1) buf = buf.drop(buf.length - (2 * w + 1))
+            }
+          }
+          state.update(buf.toList)
           out.iterator
       }
   }

@@ -398,6 +398,54 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("hampelStream: emitted verdicts == batch hampel, w-delay contract") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val vals = Seq(10.0, 10.2, 10.4, 10.1, 99.0, 10.3, 10.2, 10.4,
+      10.1, 10.2)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (1L, t(f"2024-01-01 00:00:${i}%02d"), i.toLong, v) } ++
+      Seq((2L, t("2024-01-01 00:00:01"), 100L, 5.0),
+        (2L, t("2024-01-01 00:00:02"), 101L, 5.2),
+        (2L, t("2024-01-01 00:00:03"), 102L, 50.0),
+        (2L, t("2024-01-01 00:00:04"), 103L, 5.1),
+        (2L, t("2024-01-01 00:00:05"), 104L, 5.3))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val q = StreamOps.hampelStream(
+        stream.toDF().toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+        w = 2, kMilli = 3000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hamp").start()
+    try {
+      // split mid-key so the ring buffer must carry across batches
+      stream.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hamp").as[HampelPoint].collect()
+      .map(p => (p.key, p.id) ->
+        ((p.med2_milli, p.mad4_milli, p.is_outlier))).toMap
+    val batch = graft.operators.Relational.hampel(
+        rows.toDF("k", "ts", "id", "v"), "k", "ts", "id", "v",
+        w = 2, kMilli = 3000L)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Long]("id")) ->
+        ((r.getAs[Long]("med2_milli"), r.getAs[Long]("mad4_milli"),
+          r.getAs[Boolean]("is_outlier")))).toMap
+    // the stream emits exactly the rows with >= w successors; each
+    // emitted verdict is the batch row bit for bit
+    val expectedKeys = batch.keySet.filter { case (k, id) =>
+      val last = if (k == 1L) 9L else 104L
+      id <= last - 2
+    }
+    assert(streamed.keySet == expectedKeys,
+      s"emitted ${streamed.keySet} expected $expectedKeys")
+    streamed.foreach { case (k, v) =>
+      assert(batch(k) == v, s"row $k: stream $v != batch ${batch(k)}") }
+    // the spikes were flagged on the stream
+    assert(streamed((1L, 4L))._3 && streamed((2L, 102L))._3)
+  }
+
   test("windowedQuantiles: KLL sketch state streams; exact below capacity == batch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -3799,6 +3799,13 @@ object SparkEntry {
       operators.Learn.kruskalWallis(e, "event_type", "value")
     }),
 
+    // q428: per-document trigram novelty in corpus order over the
+    // first 400 documents.
+    "q428_ngram_novelty" -> ((s, dir) =>
+      operators.TextOps.ngramNovelty(
+        Tables.documents(s, dir).filter(col("doc_id") < 400),
+        "doc_id", "text", n = 3).orderBy(col("doc_id"))),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11095,6 +11102,29 @@ object SparkEntry {
         |    CAST((CAST(ABS(h_micro) AS HUGEINT) * (cube // d))
         |      // ((cube - tiet) // d) AS BIGINT) END AS h_corr_micro
         |FROM dv""".stripMargin,
+
+    // q428: trigram census + gram-grain first-doc minima, the
+    // novelty ratio floored.
+    "q428_ngram_novelty" ->
+      """WITH base AS (SELECT doc_id AS d,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |  WHERE doc_id < 400 AND length(trim(lower(text))) > 0),
+        |g AS (SELECT d, unnest(list_transform(
+        |    range(0, len(toks) - 3 + 1),
+        |    i -> array_to_string(toks[i+1:i+3], ' '))) AS gram
+        |  FROM base WHERE len(toks) >= 3),
+        |pd AS (SELECT d, gram, COUNT(*) AS occ FROM g GROUP BY d, gram),
+        |fd AS (SELECT gram, MIN(d) AS fdoc FROM pd GROUP BY gram)
+        |SELECT pd.d AS doc_id,
+        |  CAST(SUM(pd.occ) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+        |  CAST(SUM(CASE WHEN fd.fdoc = pd.d THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST((1000000 * SUM(CASE WHEN fd.fdoc = pd.d THEN 1 ELSE 0 END))
+        |    // COUNT(*) AS BIGINT) AS novelty_micro
+        |FROM pd JOIN fd USING (gram)
+        |GROUP BY pd.d ORDER BY pd.d""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -2981,6 +2981,46 @@ object TextOps {
         coalesce(col("vocab"), lit(0L)).as("vocab"))
   }
 
+  /** Per-document n-gram NOVELTY in corpus order — the "how much of
+    * this document is new material" curve ([[vocabGrowth]] is the
+    * corpus-level cumulative view; this is the per-doc derivative):
+    * an n-gram is novel to the document holding its FIRST occurrence
+    * by id order. Lanes per doc: n_grams (occurrences),
+    * n_distinct_grams, n_novel (distinct grams first seen here),
+    * novelty_micro = ⌊10⁶·n_novel / n_distinct_grams⌋. Near-dup docs
+    * score ≈ 0 the second time they appear — an ordering-aware dedup
+    * signal; a rising tail says the corpus is still finding new
+    * material. Docs with < n tokens emit no row (no grams to judge).
+    *
+    * Shape: one (id, gram) explode (the row-scale exchange), a
+    * gram-grain min-id aggregate, and a gram-keyed join back at
+    * distinct-(id, gram) grain — the vocabGrowth posture with the
+    * join replacing the broadcast grid. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1 && n <= 16, s"n must be in [1,16], got $n")
+    val grams = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("__d"),
+        graft.functions.tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      .select(col("__d"), explode(expr(
+        s"""transform(sequence(0, size(__toks) - $n),
+           |  i -> concat_ws(' ', slice(__toks, i + 1, $n)))"""
+          .stripMargin)).as("__gram"))
+    val perDoc = grams.groupBy(col("__d"), col("__gram"))
+      .agg(count(lit(1)).as("__occ"))
+    val firstDoc = perDoc.groupBy(col("__gram"))
+      .agg(min(col("__d")).as("__fd"))
+    perDoc.join(firstDoc, Seq("__gram"))
+      .groupBy(col("__d").as(idCol))
+      .agg(sum(col("__occ")).as("n_grams"),
+        count(lit(1)).as("n_distinct_grams"),
+        sum(when(col("__fd") === col("__d"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_micro", expr(
+        "CAST((1000000 * n_novel) div n_distinct_grams AS BIGINT)"))
+  }
+
   /** Credential/secret scan — the "did a key leak into the training
     * corpus" gate beside [[redactPii]]'s contact-info masks. Counts
     * per document, all from RE2-safe patterns (the oracle engine's

@@ -1356,6 +1356,31 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(empty.count() == 0L)
   }
 
+  test("ngramNovelty: first-occurrence credit, dup doc scores zero, short skip") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // bigrams: ab, bc, cd — all novel
+      (2L, "c d e"),              // cd (seen), de (novel) -> 1/2
+      (3L, "a b c d"),            // exact dup of 1 -> 0 novel
+      (4L, "x"))                  // < n tokens: no row
+      .toDF("id", "text")
+    val got = TextOps.ngramNovelty(docs, "id", "text", n = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct_grams"),
+          r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_micro"))))
+      .toMap
+    assert(got(1L) == ((3L, 3L, 3L, 1000000L)))
+    assert(got(2L) == ((2L, 2L, 1L, 500000L)))
+    assert(got(3L) == ((3L, 3L, 0L, 0L)))
+    assert(!got.contains(4L))
+    // repeated gram within one doc: occurrences vs distinct split
+    val rep = Seq((9L, "p q p q")).toDF("id", "text")
+    val r9 = TextOps.ngramNovelty(rep, "id", "text", 2).collect().head
+    // bigrams: pq, qp, pq -> 3 occurrences, 2 distinct, both novel
+    assert((r9.getAs[Long]("n_grams"), r9.getAs[Long]("n_distinct_grams"),
+      r9.getAs[Long]("n_novel")) == ((3L, 2L, 2L)))
+  }
+
   test("secretScan: luhn validity, maximal-run semantics, aws/pem/hex") {
     import spark.implicits._
     val rows = Seq(

@@ -3806,6 +3806,18 @@ object SparkEntry {
         Tables.documents(s, dir).filter(col("doc_id") < 400),
         "doc_id", "text", n = 3).orderBy(col("doc_id"))),
 
+    // q429: Friedman test — 5 synthetic "models" (event_id mod 5)
+    // scored on shared blocks (event_id div 5) with a mild
+    // treatment effect; the tail block is incomplete and drops.
+    "q429_friedman" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2997)
+        .select(expr("event_id div 5").as("block"),
+          pmod(col("event_id"), lit(5)).as("model"),
+          (col("value") + pmod(col("event_id"), lit(5)) * 0.5).as("score"))
+      operators.Learn.friedmanTest(e, "block", "model", "score", k = 5)
+        .orderBy(col("treatment"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11125,6 +11137,41 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS novelty_micro
         |FROM pd JOIN fd USING (gram)
         |GROUP BY pd.d ORDER BY pd.d""".stripMargin,
+
+    // q429: within-block doubled midranks (2*RANK + ties - 1), the
+    // KW-style staged floors, treatment-grain output.
+    "q429_friedman" ->
+      """WITH rated AS (SELECT event_id // 5 AS b,
+        |    CAST(event_id % 5 AS VARCHAR) AS t,
+        |    MIN(CAST(FLOOR((value + (event_id % 5) * 0.5) * 1000)
+        |      AS BIGINT)) AS v
+        |  FROM events WHERE event_id < 2997 AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sized AS (SELECT b, COUNT(*) AS m FROM rated GROUP BY b),
+        |full_b AS (SELECT b FROM sized WHERE m = 5),
+        |drp AS (SELECT COUNT(*) AS dropped_blocks FROM sized
+        |  WHERE m <> 5),
+        |kept AS (SELECT rated.* FROM rated JOIN full_b USING (b)),
+        |rk AS (SELECT b, t,
+        |    2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY b, v) - 1 AS dmr FROM kept),
+        |sums AS (SELECT t AS treatment,
+        |    CAST(SUM(CAST(dmr AS HUGEINT)) AS HUGEINT) AS r2
+        |  FROM rk GROUP BY t),
+        |bn AS (SELECT COUNT(*) AS bcnt FROM full_b),
+        |terms AS (SELECT treatment, r2,
+        |    (3000000 * ((r2 * r2) // (CAST(bn.bcnt AS HUGEINT) * 5))) // 6
+        |      AS t3
+        |  FROM sums, bn),
+        |chi AS (SELECT CAST(SUM(t3)
+        |      - 3 * CAST(bn.bcnt AS HUGEINT) * 6 * 1000000 AS BIGINT)
+        |      AS chi2_micro, bn.bcnt AS bcnt
+        |  FROM terms, bn GROUP BY bn.bcnt)
+        |SELECT terms.treatment, CAST(terms.r2 AS BIGINT) AS rank_sum2,
+        |  CAST(chi.bcnt AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k,
+        |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
+        |  chi.chi2_micro
+        |FROM terms, chi, drp ORDER BY terms.treatment""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

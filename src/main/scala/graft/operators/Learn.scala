@@ -2506,6 +2506,75 @@ object Learn {
       .select("n", "k_groups", "h_micro", "tie_t", "h_corr_micro")
   }
 
+  /** Friedman test — the WITHIN-BLOCK k-treatment rank test (the
+    * repeated-measures sibling of [[kruskalWallis]], and the right
+    * test for "k models scored on the SAME prompts": ranking within
+    * each prompt removes prompt difficulty, which KW would smear
+    * across groups). Blocks with other than exactly `k` treatments
+    * are DROPPED and counted (the [[krippendorffAlpha]] fixed-panel
+    * discipline; duplicate (block, treatment) rows collapse to one
+    * deterministic value — the smallest). Within-block ties take
+    * DOUBLED midranks: dmr = 2·rank_min + ties_at_value − 1.
+    * With R2ⱼ = Σ_blocks dmr over treatment j and b complete blocks:
+    *   χ²_F = 3·Σⱼ R2ⱼ² / (b·k(k+1)) − 3·b(k+1)
+    * via staged floors sized like [[kruskalWallis]]'s
+    * (s1ⱼ = ⌊R2ⱼ²/(b·k)⌋ ≤ 4bk fits BIGINT to b ≈ 10¹⁵/k²):
+    * chi2_micro = Σ⌊3·10⁶·s1ⱼ/(k+1)⌋ − 3b(k+1)·10⁶.
+    * Output is TREATMENT grain (rank sums are the per-model
+    * leaderboard) with the scalar lanes repeated per row — the
+    * srmCheck convention.
+    *
+    * Shape: block-grain windows (each partition is one block's ≤ k
+    * rows), one treatment-grain aggregate, broadcast scalars. */
+  def friedmanTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val rated = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
+    val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"))
+    val full = sized.filter(col("__m") === k.toLong).select(col("__b"))
+    val dropped = sized.filter(col("__m") =!= k.toLong)
+      .agg(count(lit(1)).as("dropped_blocks"))
+    val kept = rated.join(full, Seq("__b"), "left_semi")
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__v"))
+    val wTies = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"), col("__v"))
+    val ranked = kept
+      .withColumn("__rmin", rank().over(wRank).cast("long"))
+      .withColumn("__ce", count(lit(1)).over(wTies))
+      .withColumn("__dmr", lit(2L) * col("__rmin") + col("__ce") - 1L)
+    val sums = ranked.groupBy(col("__t").as("treatment"))
+      .agg(coalesce(sum(col("__dmr").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("__r2"))
+    val scal = full.agg(count(lit(1)).as("__bN"))
+    val terms = sums.crossJoin(broadcast(scal))
+      .withColumn("__t3", expr(
+        s"""CAST((CAST(3000000 AS DECIMAL(38,0)) *
+           |    CAST((__r2 * __r2)
+           |      div (CAST(__bN AS DECIMAL(38,0)) * $k) AS DECIMAL(38,0)))
+           |  div ${k + 1} AS DECIMAL(38,0))""".stripMargin))
+    val chi2 = terms.agg(
+      coalesce(sum(col("__t3")), lit(0).cast("decimal(38,0)")).as("__s3"),
+      max(col("__bN")).as("__b2"))
+      .select(expr(
+        s"""CAST(__s3 - 3 * CAST(__b2 AS DECIMAL(38,0)) * ${k + 1}
+           |  * 1000000 AS BIGINT)""".stripMargin).as("chi2_micro"),
+        col("__b2").as("n_blocks"))
+    terms
+      .select(col("treatment"), col("__r2").cast("long").as("rank_sum2"))
+      .crossJoin(broadcast(chi2))
+      .crossJoin(broadcast(dropped))
+      .withColumn("k", lit(k.toLong))
+      .select("treatment", "rank_sum2", "n_blocks", "k",
+        "dropped_blocks", "chi2_micro")
+  }
+
   /** Preference transitivity audit — the data-quality gate BEFORE
     * [[bradleyTerry]] fits anything: BT (and every Elo-style
     * leaderboard) assumes a latent total order, but real pairwise

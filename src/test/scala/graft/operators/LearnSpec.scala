@@ -1540,6 +1540,34 @@ class LearnSpec extends SparkTestBase {
       s"h_micro ${got._3} vs double ${h * 1e6}")
   }
 
+  test("friedmanTest: perfect ordering, within-block ties, dropped blocks") {
+    def run(rows: Seq[(Long, String, Double)]) = {
+      val out = Learn.friedmanTest(rows.toDF("b", "t", "v"),
+        "b", "t", "v", k = 3).collect()
+      (out.map(r => r.getAs[String]("treatment") ->
+        r.getAs[Long]("rank_sum2")).toMap,
+        out.head.getAs[Long]("n_blocks"),
+        out.head.getAs[Long]("dropped_blocks"),
+        out.head.getAs[Long]("chi2_micro"))
+    }
+    // A always best, C always worst across 3 blocks -> max chi2 = 6
+    val perfect = for (b <- 1L to 3L; (t, v) <- Seq("A" -> 1.0,
+      "B" -> 2.0, "C" -> 3.0)) yield (b, t, v + b)
+    assert(run(perfect.toSeq) ==
+      ((Map("A" -> 6L, "B" -> 12L, "C" -> 18L), 3L, 0L, 6000000L)))
+    // an incomplete block drops without disturbing the statistic
+    val withTail = perfect.toSeq ++ Seq((9L, "A", 1.0), (9L, "B", 2.0))
+    assert(run(withTail) ==
+      ((Map("A" -> 6L, "B" -> 12L, "C" -> 18L), 3L, 1L, 6000000L)))
+    // a within-block tie takes the doubled midrank (B=C -> dmr 5,5)
+    val tied = (for (b <- 1L to 2L; (t, v) <- Seq("A" -> 1.0,
+      "B" -> 2.0, "C" -> 3.0)) yield (b, t, v)) ++
+      Seq((3L, "A", 1.0), (3L, "B", 7.0), (3L, "C", 7.0))
+    val (sums, b2, d2, chi2) = run(tied.toSeq)
+    assert(sums == Map("A" -> 6L, "B" -> 13L, "C" -> 17L))
+    assert(b2 == 3L && d2 == 0L && chi2 == 4500000L)
+  }
+
   test("preferenceCycles: RPS triad, both rotations, ties drop, transitive clean") {
     def run(cmp: Seq[(Long, Long)]) = {
       val r = Learn.preferenceCycles(cmp.toDF("w", "l"), "w", "l")

@@ -3818,6 +3818,20 @@ object SparkEntry {
         .orderBy(col("treatment"))
     }),
 
+    // q430: Cochran's Q — the same 5 synthetic models' PASS/FAIL on
+    // shared blocks (a model- and item-dependent threshold keeps
+    // the 2x2x... table non-degenerate).
+    "q430_cochran_q" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2997)
+        .select(expr("event_id div 5").as("block"),
+          pmod(col("event_id"), lit(5)).as("model"),
+          (col("value") + pmod(col("event_id"), lit(5)) * 20.0 >
+            pmod(expr("event_id div 5"), lit(7)) * 30.0 + 200.0)
+            .as("passed"))
+      operators.Learn.cochranQ(e, "block", "model", "passed", k = 5)
+        .orderBy(col("treatment"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11172,6 +11186,40 @@ object SparkEntry {
         |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
         |  chi.chi2_micro
         |FROM terms, chi, drp ORDER BY terms.treatment""".stripMargin,
+
+    // q430: the pure Cochran rational over block/treatment censuses.
+    "q430_cochran_q" ->
+      """WITH rated AS (SELECT event_id // 5 AS b,
+        |    CAST(event_id % 5 AS VARCHAR) AS t,
+        |    MAX(CASE WHEN value + (event_id % 5) * 20.0 >
+        |      ((event_id // 5) % 7) * 30.0 + 200.0
+        |      THEN 1 ELSE 0 END) AS y
+        |  FROM events WHERE event_id < 2997 AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sized AS (SELECT b, COUNT(*) AS m FROM rated GROUP BY b),
+        |full_b AS (SELECT b FROM sized WHERE m = 5),
+        |drp AS (SELECT COUNT(*) AS dropped_blocks FROM sized
+        |  WHERE m <> 5),
+        |kept AS (SELECT rated.* FROM rated JOIN full_b USING (b)),
+        |tj AS (SELECT t AS treatment,
+        |    CAST(COALESCE(SUM(y), 0) AS BIGINT) AS passes
+        |  FROM kept GROUP BY t),
+        |rr AS (SELECT b, SUM(y) AS r FROM kept GROUP BY b),
+        |rs AS (SELECT COUNT(*) AS bcnt, CAST(SUM(r) AS HUGEINT) AS sr,
+        |    CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS sr2 FROM rr),
+        |ts AS (SELECT CAST(SUM(CAST(passes AS HUGEINT) * passes)
+        |      AS HUGEINT) AS st2,
+        |    CAST(SUM(passes) AS HUGEINT) AS st FROM tj),
+        |sc AS (SELECT rs.bcnt,
+        |    CASE WHEN 5 * rs.sr - rs.sr2 > 0 THEN
+        |      CAST((1000000 * (4 * (5 * ts.st2 - ts.st * ts.st)))
+        |        // (5 * rs.sr - rs.sr2) AS BIGINT) END AS q_micro
+        |  FROM rs, ts)
+        |SELECT tj.treatment, tj.passes,
+        |  CAST(sc.bcnt AS BIGINT) AS n_blocks, CAST(5 AS BIGINT) AS k,
+        |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
+        |  sc.q_micro
+        |FROM tj, sc, drp ORDER BY tj.treatment""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -2575,6 +2575,65 @@ object Learn {
         "dropped_blocks", "chi2_micro")
   }
 
+  /** Cochran's Q — the BINARY-outcome sibling of [[friedmanTest]]
+    * and the k-treatment generalization of [[mcnemar]] (k models'
+    * pass/fail on the SAME eval items): with b complete blocks,
+    * Tⱼ = passes of treatment j, Rᵢ = passes within block i,
+    *   Q = (k−1)·(k·ΣTⱼ² − (ΣT)²) / (k·ΣRᵢ − ΣRᵢ²)
+    * — a PURE rational, so q_micro is one sign-free floored
+    * division over DECIMAL(38,0) products (exact to b ≈ 10¹⁵/k).
+    * Blocks where every treatment agrees contribute nothing to the
+    * denominator; if ALL blocks agree the statistic is undefined →
+    * NULL. Fixed-panel discipline (non-k blocks drop and count).
+    * Output is treatment grain (Tⱼ is the pass leaderboard) with
+    * scalar lanes repeated — the [[friedmanTest]] convention.
+    *
+    * Shape: one (block, treatment) census, block- and
+    * treatment-grain aggregates, broadcast scalars. */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+      outcomeCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val rated = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(outcomeCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        col(outcomeCol).cast("boolean").cast("long").as("__y"))
+      .groupBy(col("__b"), col("__t")).agg(max(col("__y")).as("__y"))
+    val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"))
+    val full = sized.filter(col("__m") === k.toLong).select(col("__b"))
+    val dropped = sized.filter(col("__m") =!= k.toLong)
+      .agg(count(lit(1)).as("dropped_blocks"))
+    val kept = rated.join(full, Seq("__b"), "left_semi")
+    val tj = kept.groupBy(col("__t").as("treatment"))
+      .agg(coalesce(sum(col("__y")), lit(0L)).as("passes"))
+    val rows = kept.groupBy(col("__b"))
+      .agg(coalesce(sum(col("__y")), lit(0L)).as("__r"))
+      .agg(count(lit(1)).as("__bN"),
+        coalesce(sum(col("__r")), lit(0L)).as("__sr"),
+        coalesce(sum(expr("CAST(__r AS DECIMAL(38,0)) * __r")),
+          lit(0).cast("decimal(38,0)")).as("__sr2"))
+    val tstats = tj.agg(
+      coalesce(sum(expr("CAST(passes AS DECIMAL(38,0)) * passes")),
+        lit(0).cast("decimal(38,0)")).as("__st2"),
+      coalesce(sum(col("passes")), lit(0L)).as("__st"))
+    val scal = rows.crossJoin(broadcast(tstats))
+      .withColumn("__num", expr(
+        s"""${k - 1} * ($k * __st2
+           |  - CAST(__st AS DECIMAL(38,0)) * __st)""".stripMargin))
+      .withColumn("__den", expr(
+        s"CAST($k AS DECIMAL(38,0)) * __sr - __sr2"))
+      .select(col("__bN").as("n_blocks"),
+        when(col("__den") > 0, expr(
+          """CAST((CAST(1000000 AS DECIMAL(38,0)) * __num)
+            |  div __den AS BIGINT)""".stripMargin)).as("q_micro"))
+    tj.crossJoin(broadcast(scal))
+      .crossJoin(broadcast(dropped))
+      .withColumn("k", lit(k.toLong))
+      .select("treatment", "passes", "n_blocks", "k", "dropped_blocks",
+        "q_micro")
+  }
+
   /** Preference transitivity audit — the data-quality gate BEFORE
     * [[bradleyTerry]] fits anything: BT (and every Elo-style
     * leaderboard) assumes a latent total order, but real pairwise

@@ -1568,6 +1568,35 @@ class LearnSpec extends SparkTestBase {
     assert(b2 == 3L && d2 == 0L && chi2 == 4500000L)
   }
 
+  test("cochranQ: textbook 2x2x... table, all-agree NULL, dropped blocks") {
+    def run(rows: Seq[(Long, String, Boolean)]) = {
+      val out = Learn.cochranQ(rows.toDF("b", "t", "y"), "b", "t", "y",
+        k = 3).collect()
+      (out.map(r => r.getAs[String]("treatment") ->
+        r.getAs[Long]("passes")).toMap,
+        out.head.getAs[Long]("n_blocks"),
+        out.head.getAs[Long]("dropped_blocks"),
+        if (out.head.isNullAt(out.head.fieldIndex("q_micro"))) null
+        else java.lang.Long.valueOf(out.head.getAs[Long]("q_micro")))
+    }
+    // T=(3,2,1), R=(2,1,3,0): Q = 2*(3*14-36)/(18-14) = 3
+    val hand = Seq(
+      (1L, "A", true), (1L, "B", true), (1L, "C", false),
+      (2L, "A", true), (2L, "B", false), (2L, "C", false),
+      (3L, "A", true), (3L, "B", true), (3L, "C", true),
+      (4L, "A", false), (4L, "B", false), (4L, "C", false))
+    assert(run(hand) == ((Map("A" -> 3L, "B" -> 2L, "C" -> 1L),
+      4L, 0L, java.lang.Long.valueOf(3000000L))))
+    // every block unanimous -> zero denominator -> NULL
+    val agree = Seq((1L, "A", true), (1L, "B", true), (1L, "C", true),
+      (2L, "A", false), (2L, "B", false), (2L, "C", false))
+    assert(run(agree)._4 == null)
+    // incomplete block drops, statistic unchanged
+    val tail = hand ++ Seq((9L, "A", true))
+    assert(run(tail) == ((Map("A" -> 3L, "B" -> 2L, "C" -> 1L),
+      4L, 1L, java.lang.Long.valueOf(3000000L))))
+  }
+
   test("preferenceCycles: RPS triad, both rotations, ties drop, transitive clean") {
     def run(cmp: Seq[(Long, Long)]) = {
       val r = Learn.preferenceCycles(cmp.toDF("w", "l"), "w", "l")

@@ -385,9 +385,15 @@ package object functions {
         floor(array_max(transform(tb, t => jaro_winkler(ta, t)))
           * lit(1000000L)).cast("long")))
     val micros = element_at(perAtoken, 1)
+    // the documented exact integer mean, BY CONSTRUCTION: subtract
+    // the remainder first so the one double division is of an
+    // exactly-divisible pair (< 2^53) — its IEEE quotient is the
+    // exact integer, matching the DuckDB `//` oracle lane for every
+    // input, not just while the sum stays far from a rounding edge
+    val total = aggregate(micros, lit(0L), (acc, x) => acc + x)
+    val n = size(micros).cast("long")
     when(size(micros) > 0 && size(element_at(array(tokens(lower(b))), 1)) > 0,
-      aggregate(micros, lit(0L), (acc, x) => acc + x) / size(micros))
-      .cast("long")
+      ((total - pmod(total, n)) / n).cast("long"))
   }
 
   /** Hamming distance between two 64-bit hashes. */

@@ -405,9 +405,13 @@ private[graft] object CheckpointHygiene {
     * pair-generating groupBy buckets on exactly the shingles least
     * shared across the corpus — bucket sizes collapse instead of
     * exploding (the hot "the the the" shingle never generates a
-    * candidate). One vocabulary-sized rank table (the partition-less
-    * rank runs over the VOCAB aggregate, bounded like the q86
-    * vocabulary op, not over the corpus), skinny (id, shingle)
+    * candidate). The vocabulary-sized rank table is numbered via
+    * [[Relational.globalRowNumber]]'s two-pass spine — at 100 TB the
+    * shingle vocabulary is corpus-order, so a partition-less
+    * `row_number` over it would funnel the whole vocab through ONE
+    * task; the spine keeps every stage parallel (only the exact
+    * (df, shingle) total order matters to the prefix lemma, and the
+    * spine reproduces it rank-for-rank). Skinny (id, shingle)
     * shuffles, and a verify join against the one-row-per-doc set
     * store. */
   def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
@@ -418,10 +422,9 @@ private[graft] object CheckpointHygiene {
       shingles(col(textCol), shingleWidth).as("__payload"))
       .filter(size(col("__payload")) > 0)
     val toks = sets.select(col("__id"), explode(col("__payload")).as("__t"))
-    val rank = toks.groupBy(col("__t"))
-      .agg(count(lit(1)).as("__df"))
-      .withColumn("__rank", row_number().over(
-        Window.orderBy(col("__df"), col("__t"))))
+    val rank = Relational.globalRowNumber(
+        toks.groupBy(col("__t")).agg(count(lit(1)).as("__df")),
+        Seq(col("__df").asc, col("__t").asc), out = "__rank")
       .select(col("__t"), col("__rank"))
     val prefixes = toks.join(rank, Seq("__t"))
       .withColumn("__n", count(lit(1)).over(
@@ -978,8 +981,12 @@ private[graft] object CheckpointHygiene {
     * the near-dup family — any shared substring of at least
     * w + k − 1 tokens is CAUGHT by a shared fingerprint (minhash
     * gives probabilistic recall; winnowing gives a theorem).
-    * Per document: token k-grams → 63-bit hash (first 8 md5 hex
-    * digits — the seededHash spine, byte-replayable in SQL) →
+    * Per document: token k-grams → 60-bit hash (first 15 md5 hex
+    * digits — the seededHash/datasetFingerprint spine,
+    * byte-replayable in SQL; a narrower slice would inflate
+    * [[winnowPairs]]'s shared-fingerprint counts with birthday
+    * collisions at corpus scale — recall is guaranteed regardless,
+    * precision needs the width) →
     * sliding windows of w consecutive hashes → keep each window's
     * minimum, RIGHTMOST position on ties (the paper's robust
     * variant is leftmost-of-equal-prior; rightmost-on-ties via a
@@ -1015,7 +1022,7 @@ private[graft] object CheckpointHygiene {
          |    IF(size(tk) >= $k,
          |      transform(sequence(0, size(tk) - $k),
          |        i -> CAST(conv(substring(md5(
-         |          concat_ws(' ', slice(tk, i + 1, $k))), 1, 8), 16, 10)
+         |          concat_ws(' ', slice(tk, i + 1, $k))), 1, 15), 16, 10)
          |          AS BIGINT)),
          |      CAST(array() AS ARRAY<BIGINT>))), hs ->
          |    IF(size(hs) > 0,

@@ -21,8 +21,11 @@ object Geo {
     * product (b−a)×(p−a) is ≥ 0 (boundary counts inside).
     *
     * Coordinates must be integers with |v| ≤ ~10⁹ so the cross
-    * products stay inside BIGINT (|cross| ≤ 2·(2·10⁹)² ≈ 8·10¹⁸ —
-    * checked loudly at plan time). Exact: no epsilon, no float, and
+    * products stay inside BIGINT (|cross| ≤ 2·(2·10⁹)² ≈ 8·10¹⁸).
+    * BOTH sides are enforced: polygon vertices loudly at plan time,
+    * point columns loudly in-plan per row (a silent BIGINT wrap is
+    * non-ANSI and would return wrong containment with no error).
+    * NULL coordinates stay NULL. Exact: no epsilon, no float, and
     * the oracle replays each edge's inequality verbatim. */
   def convexContains(x: Column, y: Column,
       polygon: Seq[(Long, Long)]): Column = {
@@ -49,13 +52,23 @@ object Geo {
       (bx - ax) * (cy - ay) - (cx - ax) * (by - ay) >= 0L
     }
     require(convex, "polygon is not convex")
-    ccw.indices.map { i =>
+    val inside = ccw.indices.map { i =>
       val (ax, ay) = ccw(i)
       val (bx, by) = ccw((i + 1) % ccw.length)
       // (b-a) x (p-a) >= 0, expanded with driver-side constants so
       // the per-row work is two multiplies and an add
       (lit(bx - ax) * (y - lit(ay)) - lit(by - ay) * (x - lit(ax))) >= 0L
     }.reduce(_ && _)
+    // the point-side bound guard (the polygon side is require'd
+    // above): out-of-range coordinates raise instead of silently
+    // wrapping the BIGINT cross products
+    when(x.isNull || y.isNull, lit(null).cast("boolean"))
+      .when(abs(x) <= bound && abs(y) <= bound, inside)
+      .otherwise(raise_error(concat(
+        lit(s"convexContains: point coordinate exceeds |v| <= $bound" +
+          " (the BIGINT-exact bound): ("),
+        x.cast("string"), lit(", "), y.cast("string"), lit(")")))
+        .cast("boolean"))
   }
 
   /** Tag each point row with membership booleans for a named set of

@@ -964,9 +964,15 @@ object Learn {
     *
     * The corpus-sized work is ONE aggregate to the distinct-duration
     * grid; the reverse-cumulative risk window and the product fold
-    * run on that bounded grid (the spine contract), never on rows. */
+    * run on that bounded grid (the spine contract), never on rows.
+    * The contract is ENFORCED, not documentary: the fold passes the
+    * whole grid through one collect_list row, so a grid wider than
+    * `maxGrid` raises loudly in-plan (quantize durations — days,
+    * not micros — before calling) instead of silently building a
+    * corpus-sized single row. */
   def kaplanMeier(df: DataFrame, durationCol: String,
-      eventCol: String): DataFrame = {
+      eventCol: String, maxGrid: Int = 1 << 20): DataFrame = {
+    require(maxGrid > 0, s"maxGrid must be positive, got $maxGrid")
     val g = df.select(col(durationCol).cast("long").as("t"),
         col(eventCol).cast("long").as("e"))
       .filter(col("t").isNotNull && col("t") >= 0)
@@ -976,7 +982,18 @@ object Learn {
       .rowsBetween(0, Window.unboundedFollowing)
     val risk = g.withColumn("n_risk", sum(col("ct")).over(w))
     risk.agg(sort_array(collect_list(struct(col("t"), col("ct"),
-        col("dt"), col("n_risk")))).as("__s"))
+        col("dt"), col("n_risk")))).as("__s0"))
+      // the guard must live INSIDE the consumed column (the
+      // giniCoefficient discipline — a separate guard column would
+      // be pruned away unevaluated)
+      .withColumn("__s", when(size(col("__s0")) > maxGrid, raise_error(
+          concat(lit("kaplanMeier: distinct-duration grid has "),
+            size(col("__s0")).cast("string"),
+            lit(s" points > maxGrid=$maxGrid — quantize $durationCol" +
+              " to a bounded grid before calling")))
+          .cast("array<struct<t:bigint,ct:bigint,dt:bigint,n_risk:bigint>>"))
+        .otherwise(col("__s0")))
+      .drop("__s0")
       .withColumn("__surv", expr(
         """aggregate(__s,
           |  named_struct('s', cast(1000 as bigint),
@@ -2138,7 +2155,11 @@ object Learn {
         col(valueCol).isNotNull)
       .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
         col(valueCol).cast("string").as("__c"))
-      .dropDuplicates("__i", "__r") // one rating per (item, rater)
+      // one rating per (item, rater); conflicting duplicates collapse
+      // to the SMALLEST label (string order) — dropDuplicates would
+      // keep a partition-order-dependent row (the friedmanTest
+      // fixed-panel discipline)
+      .groupBy(col("__i"), col("__r")).agg(min(col("__c")).as("__c"))
     val sized = rated.groupBy(col("__i"))
       .agg(count(lit(1)).as("__mi"))
     val full = sized.filter(col("__mi") === m.toLong).select(col("__i"))
@@ -2319,7 +2340,11 @@ object Learn {
         col(valueCol).isNotNull)
       .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
         col(valueCol).cast("string").as("__c"))
-      .dropDuplicates("__i", "__r")
+      // conflicting duplicate (item, rater) rows collapse to the
+      // SMALLEST label (string order), deterministically — the
+      // friedmanTest/cochranQ fixed-panel discipline; dropDuplicates
+      // would keep a partition-order-dependent row
+      .groupBy(col("__i"), col("__r")).agg(min(col("__c")).as("__c"))
     val sized = rated.groupBy(col("__i")).agg(count(lit(1)).as("__mi"),
       countDistinct(col("__c")).as("__nc"))
     val full = sized.filter(col("__mi") === 2L)

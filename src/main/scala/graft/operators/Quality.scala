@@ -289,7 +289,13 @@ object Quality {
     * folds — XOR (order- and partition-independent, flips on any
     * single-row change) and SUM in DECIMAL(38,0) (catches the
     * multiset changes XOR can miss: a row added TWICE xors away,
-    * but sums don't). Equal fingerprints don't prove equality
+    * but sums don't); the sum genuinely exceeds int64 at scale, so
+    * it is REPORTED as its exact decimal-string rendering — a
+    * scale-0 decimal renders as plain digits identically in Spark
+    * and DuckDB, and no wide-decimal value ever reaches a hashed
+    * gate row (the q381/q383/q422 driver forensics: the red set was
+    * exactly the queries with DECIMAL(38,0) finals).
+    * Equal fingerprints don't prove equality
     * (60-bit birthday bound); unequal fingerprints PROVE a diff —
     * the direction a version gate actually needs. The md5 spine
     * replays byte-identically in SQL (the seededHash convention);
@@ -308,25 +314,31 @@ object Quality {
       .agg(count(lit(1)).as("n_rows"),
         coalesce(expr("bit_xor(__h)"), lit(0L)).as("xor_h"),
         coalesce(sum(col("__h").cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("sum_h"))
+          lit(0).cast("decimal(38,0)")).cast("string").as("sum_h"))
   }
 
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 32,
       s"profile 1..32 columns at a time, got ${cols.size}")
-    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { c =>
-      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
+    // internal lanes are keyed by POSITION, never by splicing the
+    // user's column name into SQL text — a name needing backticks
+    // (spaces, dots, hyphens) stays a quoted literal in the output
+    // and a Column-API reference everywhere else
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$i"),
+          countDistinct(col(c)).as(s"__nd_$i"),
+          min(col(c)).cast("string").as(s"__min_$i"),
+          max(col(c)).cast("string").as(s"__max_$i"))
+      }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __null_$c, __nd_$c, __min_$c, __max_$c").mkString(", ")
-    wide.select(col("__n").as("n_rows"), expr(
-        s"""stack(${cols.size}, $stackArgs)
-           |  AS (col_name, n_null, n_distinct, min_value, max_value)"""
-          .stripMargin))
+    val stackArgs = cols.indices.flatMap(i => Seq(
+      lit(cols(i)), col(s"__null_$i"), col(s"__nd_$i"),
+      col(s"__min_$i"), col(s"__max_$i")))
+    wide.select(col("__n").as("n_rows"),
+        stack((lit(cols.size) +: stackArgs): _*)
+          .as(Seq("col_name", "n_null", "n_distinct",
+            "min_value", "max_value")))
       .select(col("col_name"), col("n_rows"), col("n_null"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }

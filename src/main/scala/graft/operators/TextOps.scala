@@ -3040,15 +3040,20 @@ object TextOps {
     * `[0-9a-fA-F]+`) has identical semantics in Java regex and RE2,
     * unlike bounded-repetition matches inside longer runs. */
   def secretScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.select(col(idCol),
+    // re-project the text under a FIXED internal name before the expr
+    // lanes — the user's column name never gets spliced into SQL text,
+    // so names needing backticks (spaces, dots, hyphens) just work
+    // (the Column-API discipline of the rest of the repo)
+    val t = col("__txt")
+    df.select(col(idCol), col(textCol).as("__txt"))
+      .select(col(idCol),
         regexp_count(t, lit("AKIA[0-9A-Z]{16}")).cast("long").as("n_aws_keys"),
         regexp_count(t, lit("-----BEGIN [A-Z ]*PRIVATE KEY-----"))
           .cast("long").as("n_pem"),
-        expr(s"""CAST(size(filter(regexp_extract_all($textCol,
+        expr(s"""CAST(size(filter(regexp_extract_all(__txt,
                |  '[0-9a-fA-F]+', 0), r -> length(r) >= 32)) AS BIGINT)"""
           .stripMargin).as("n_hex32"),
-        expr(s"""CAST(size(filter(regexp_extract_all($textCol, '[0-9]+', 0),
+        expr(s"""CAST(size(filter(regexp_extract_all(__txt, '[0-9]+', 0),
                |  r -> length(r) >= 13 AND length(r) <= 19 AND
                |    aggregate(sequence(1, length(r)), 0, (acc, i) ->
                |      acc + CASE WHEN i % 2 = 1

@@ -29,4 +29,44 @@ class EntrySpec extends AnyFunSuite with SparkTestBase {
       }
     }
   }
+
+  // Gate-type policy (r13 verdict item 2, made structural): three
+  // consecutive rounds of driver-vs-local hash divergence were pinned
+  // to exactly the oracle queries emitting DECIMAL(38,0) in their
+  // final SELECT (q381/q383/q422 in r13; IEEE-double singles in r12).
+  // This lint FAILS when any oracle-checked query's final schema
+  // carries DoubleType/FloatType or DecimalType with precision > 18,
+  // unless the query is on the named whitelist below — each entry
+  // adjudicated in COVERAGE.md's raw-double finals audit (r13) with
+  // the cross-engine determinism argument recorded there. The same
+  // policy runs python-side in tools/compare_oracle.py (kept in sync
+  // by name).
+  test("gate-type policy: no unadjudicated double/float/wide-decimal finals") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.oracleSql.keys.toSeq.sorted.foreach { name =>
+      val fragile = SparkEntry.queries(name)(spark, sf).schema.fields
+        .collect {
+          case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+            f.dataType == org.apache.spark.sql.types.FloatType =>
+            s"${f.name}:${f.dataType.simpleString}"
+          case f@org.apache.spark.sql.types.StructField(_,
+              d: org.apache.spark.sql.types.DecimalType, _, _)
+            if d.precision > 18 =>
+            s"${f.name}:${f.dataType.simpleString}"
+        }
+      if (fragile.nonEmpty && !SparkEntry.gateTypeWhitelist.contains(name))
+        offenders += s"$name(${fragile.mkString(",")})"
+    }
+    assert(offenders.isEmpty,
+      s"""Oracle-checked queries with driver-fragile final types, not on
+         |SparkEntry.gateTypeWhitelist. Either gate on integer/string
+         |lanes instead, or adjudicate the determinism argument in
+         |COVERAGE.md and whitelist by name:
+         |${offenders.mkString("\n")}""".stripMargin)
+  }
+
+  test("gateTypeWhitelist carries no stale names") {
+    val stale = SparkEntry.gateTypeWhitelist -- SparkEntry.oracleSql.keySet
+    assert(stale.isEmpty, s"whitelisted but not oracle-checked: $stale")
+  }
 }

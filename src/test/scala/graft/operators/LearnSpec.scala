@@ -58,6 +58,20 @@ class LearnSpec extends SparkTestBase {
     assert(got(5L) == ((0L, 2L, 416L)))
   }
 
+  test("kaplanMeier: grid wider than maxGrid raises loudly in-plan") {
+    val wide = Seq.tabulate(10)(i => (i.toLong, 1L)).toDF("dur", "ev")
+    val ex = intercept[Exception] {
+      Learn.kaplanMeier(wide, "dur", "ev", maxGrid = 4).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("maxGrid=4")),
+      s"expected the loud grid guard, got: $ex")
+    // at the limit itself the fold still runs
+    assert(Learn.kaplanMeier(wide, "dur", "ev", maxGrid = 10).count() == 10L)
+  }
+
   test("trendSlopes: exact slope, negative trend, degenerate key") {
     def ts(h: Int) = new java.sql.Timestamp(3600L * 1000 * h)
     val rows = Seq(

@@ -145,8 +145,10 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
     def fp(d: org.apache.spark.sql.DataFrame) = {
       val r = Quality.datasetFingerprint(d, Seq("id", "s")).collect().head
+      // sum_h ships as the exact decimal-string rendering (the
+      // gate-type policy: no wide decimals in oracle finals)
       (r.getAs[Long]("n_rows"), r.getAs[Long]("xor_h"),
-        r.getAs[java.math.BigDecimal]("sum_h").toBigInteger)
+        new java.math.BigInteger(r.getAs[String]("sum_h")))
     }
     val f0 = fp(base)
     // row order and partitioning are invisible

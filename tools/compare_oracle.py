@@ -31,6 +31,58 @@ import pyarrow.dataset as ds
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+# Gate-type policy (r13 verdict: the driver-red set was EXACTLY the
+# oracle queries emitting DECIMAL(38,0) finals, zero counterexamples
+# in 427). Oracle-checked output may carry float/double or
+# decimal(p>18) finals ONLY if the query is named here — each name
+# adjudicated in COVERAGE.md's raw-double finals audit. Kept in sync
+# with SparkEntry.gateTypeWhitelist (EntrySpec lints the Scala side).
+GATE_TYPE_WHITELIST = {
+    # exact-DECIMAL money sums, one correctly-rounded final cast
+    "q01_pricing_summary", "q03_top_orders_by_revenue",
+    "q04_revenue_by_nation", "q10_rollup_lineitem", "q11_cube_orders",
+    "q12_running_totals", "q13_events_hourly", "q24_top_orders",
+    "q37_stream_windows", "q47_running_stats", "q51_window_range",
+    "q64_filtered_agg", "q70_unpivot", "q71_rows_frame",
+    "q91_global_row_number", "q214_asof_nearest", "q216_hot_cold_join",
+    "q245_bloom_pruned_join",
+    # the one adjudicated wide-decimal final (DECIMAL(38,4) money sum)
+    "q02_revenue_filter",
+    # parquet stored-double passthrough / min-max-first
+    "q07_grouped_topk", "q55_array_funcs", "q87_sq8_quantize",
+    "q135_forward_fill", "q255_winsorize",
+    # sqrt/correlation/division of exact integer lanes (<= 2^53)
+    "q20_jaccard_pairs", "q22_knn_cosine", "q49_embedding_neardups",
+    "q170_wav_metadata", "q171_containment_pairs", "q180_audio_energy",
+    "q190_kmv_sketch", "q197_embedding_moments", "q228_hard_negatives",
+    "q326_kendall", "q393_wilson",
+    # ratio-of-exact-integer-counts families
+    "q18_text_stats", "q34_quality_scores", "q57_window_ranks",
+    "q62_boilerplate_ratio", "q78_exact_percentiles",
+    "q92_repetition_stats", "q94_duplicate_spans", "q100_quality_gate",
+    "q105_gopher_rules", "q109_hashed_linear_score",
+    "q118_robust_outliers", "q133_fluency_tiers", "q172_vocab_coverage",
+    "q175_threshold_sweep", "q178_stupid_backoff", "q201_sb_doc_score",
+    "q217_twap",
+    # fixed rule-table scores (finite set of literal doubles)
+    "q21_enrich_sentiment", "q39_enrich_mappartitions",
+    "q72_golden_comments_replay",
+}
+
+def gate_type_check(name, sp):
+    """Fragile final types (float/double, decimal p>18) in the Spark
+    output of a NON-whitelisted oracle query → fail the sweep before
+    the driver can red it."""
+    if name in GATE_TYPE_WHITELIST:
+        return []
+    bad = []
+    for f in sp.schema:
+        if pa.types.is_floating(f.type):
+            bad.append(f"{f.name}: {f.type}")
+        elif pa.types.is_decimal(f.type) and f.type.precision > 18:
+            bad.append(f"{f.name}: {f.type}")
+    return bad
+
 def load_spark(outdir, name):
     return ds.dataset(f"{outdir}/{name}", format="parquet").to_table()
 
@@ -90,6 +142,21 @@ def fingerprint(rows):
         h.update(b"\x1e")
     return h.hexdigest()
 
+def col_fingerprints(tbl):
+    """Per-column sha256 over the column's SORTED stringified values
+    (r13 verdict item 3: whole-row fingerprints proved two lanes equal
+    locally but couldn't name WHICH cell the driver moved — a
+    per-column hash pins the moving column from artifacts alone)."""
+    pdf = tbl.to_pandas()
+    out = {}
+    for c in sorted(pdf.columns):
+        h = hashlib.sha256()
+        for v in sorted(str(v) for v in pdf[c]):
+            h.update(v.encode("utf-8", "backslashreplace"))
+            h.update(b"\x1e")
+        out[str(c)] = h.hexdigest()
+    return out
+
 def close(a, b):
     if a is None or b is None: return a is b
     if isinstance(a, float) and isinstance(b, float):
@@ -109,11 +176,13 @@ def main(sfdir, outdir, sweep_out=None):
                           "pyarrow": pa.__version__,
                           "pandas": pandas.__version__},
              "queries": {}}
-    def record(name, status, dks=None, sps=None):
+    def record(name, status, dks=None, sps=None, dk=None, sp=None):
         sweep["queries"][name] = {
             "status": status,
             "duck_fp": fingerprint(dks) if dks is not None else None,
-            "spark_fp": fingerprint(sps) if sps is not None else None}
+            "spark_fp": fingerprint(sps) if sps is not None else None,
+            "duck_col_fp": col_fingerprints(dk) if dk is not None else None,
+            "spark_col_fp": col_fingerprints(sp) if sp is not None else None}
     for name, sql in sorted(oracle.items()):
         try:
             dk = con.sql(sql).arrow()
@@ -125,6 +194,11 @@ def main(sfdir, outdir, sweep_out=None):
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}"); n_fail += 1
             record(name, f"spark_missing: {e}"); continue
+        gbad = gate_type_check(name, sp)
+        if gbad:
+            print(f"FAIL {name}: gate-type policy (driver-fragile final "
+                  f"type, not on GATE_TYPE_WHITELIST): {'; '.join(gbad)}")
+            n_fail += 1; record(name, "gate_type_policy"); continue
         # Driver-fidelity probe: the driver row-sorts via pandas
         # sort_values, which raises on unhashable cells (lists/arrays/
         # structs → numpy.ndarray/dict). Replicate it so array-typed
@@ -140,15 +214,15 @@ def main(sfdir, outdir, sweep_out=None):
         if tbad:
             print(f"FAIL {name}: result-type mismatch (uncast HUGEINT/DECIMAL "
                   f"reaches the driver hasher): {'; '.join(tbad)}")
-            n_fail += 1; record(name, "type_mismatch", dks, sps); continue
+            n_fail += 1; record(name, "type_mismatch", dks, sps, dk, sp); continue
         dc, dr = norm_rows(dk)
         sc, sr = norm_rows(sp)
         if dc != sc:
             print(f"FAIL {name}: columns duckdb={dc} spark={sc}")
-            n_fail += 1; record(name, "columns_differ", dks, sps); continue
+            n_fail += 1; record(name, "columns_differ", dks, sps, dk, sp); continue
         if len(dr) != len(sr):
             print(f"FAIL {name}: rows duckdb={len(dr)} spark={len(sr)}")
-            n_fail += 1; record(name, "rowcount_differ", dks, sps); continue
+            n_fail += 1; record(name, "rowcount_differ", dks, sps, dk, sp); continue
         exact = approx = bad = 0
         first_bad = None
         for r1, r2 in zip(dr, sr):
@@ -159,10 +233,10 @@ def main(sfdir, outdir, sweep_out=None):
                 if first_bad is None: first_bad = (r1, r2)
         if bad:
             print(f"FAIL {name}: {bad}/{len(dr)} rows differ; first: duck={first_bad[0]} spark={first_bad[1]}")
-            n_fail += 1; record(name, "values_differ", dks, sps)
+            n_fail += 1; record(name, "values_differ", dks, sps, dk, sp)
         elif approx:
             print(f"WARN {name}: {approx} rows only approx-equal (hash compare would FAIL)")
-            n_fail += 1; record(name, "approx_only", dks, sps)
+            n_fail += 1; record(name, "approx_only", dks, sps, dk, sp)
         else:
             # Driver-fidelity dtype probe: the driver hashes values AFTER
             # pandas conversion, where e.g. DuckDB HUGEINT (arrow
@@ -174,10 +248,10 @@ def main(sfdir, outdir, sweep_out=None):
                 fb = next(((a, b) for a, b in zip(dks, sps) if a != b), None)
                 print(f"FAIL {name}: values equal but driver-hash differs "
                       f"(pandas dtype, e.g. uncast HUGEINT); first: duck={fb[0]} spark={fb[1]}")
-                n_fail += 1; record(name, "driver_hash_differ", dks, sps)
+                n_fail += 1; record(name, "driver_hash_differ", dks, sps, dk, sp)
             else:
                 print(f"PASS {name}: {len(dr)} rows exact"); n_pass += 1
-                record(name, "pass", dks, sps)
+                record(name, "pass", dks, sps, dk, sp)
     print(f"\n{n_pass} pass / {n_fail} fail")
     if sweep_out:
         sweep["n_pass"], sweep["n_fail"] = n_pass, n_fail

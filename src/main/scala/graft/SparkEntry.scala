@@ -3836,6 +3836,34 @@ object SparkEntry {
         .orderBy(col("treatment"))
     }),
 
+    // q431: the ##db BI_RLE8 (run-length DIB) AVI lane — r13 verdict
+    // stretch 8. A solid-fill 8bpp frame RLE8-encodes to exactly
+    // 4·h + 2 bytes (one run pair + EOL per row, EOB once), so the
+    // whole census — chunk count incl. strl machinery, encoded frame
+    // bytes, strf geometry AND the compression tag — replays
+    // arithmetically in SQL. The decode half (decodeRle8 → wrapDib →
+    // JDK BMP codec, feature-identical to the uncompressed twin) is
+    // VideoSpec-pinned.
+    "q431_rle8_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(4))).as("nf"))
+      val built = operators.Video.buildStubRle8Avi(base, "doc_id", "nf")
+      operators.Video.aviFrames(
+        built.select(col("doc_id"), col("payload")), "doc_id", "payload")
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("valid"), 1L).otherwise(0L)).as("valid"),
+          max(col("n_chunks")).as("n_chunks"),
+          count(col("frame_idx")).as("n_frames"),
+          coalesce(sum(length(col("frame")).cast("long")), lit(0L))
+            .as("frame_bytes"),
+          max(col("width")).cast("long").as("width"),
+          max(col("height")).cast("long").as("height"),
+          max(col("bit_count")).cast("long").as("bit_count"),
+          max(col("compression")).cast("long").as("compression"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11273,6 +11301,22 @@ object SparkEntry {
         |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
         |  sc.q_micro
         |FROM tj, sc, drp ORDER BY tj.treatment""".stripMargin,
+
+    // q431: the RLE8 walk replayed — chunk count is the strl
+    // machinery + n frames (7 + n, the q403 shape); encoded frame
+    // bytes are the solid-fill closed form 4·h + 2 per frame.
+    "q431_rle8_census" ->
+      """WITH b AS (SELECT doc_id, 1 + doc_id % 4 AS nf,
+        |    3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(nf + 7 AS BIGINT) AS n_chunks,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * (4 * h + 2) AS BIGINT) AS frame_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(8 AS BIGINT) AS bit_count,
+        |  CAST(1 AS BIGINT) AS compression
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

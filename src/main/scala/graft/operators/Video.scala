@@ -190,11 +190,88 @@ object Video {
     buf.array()
   }
 
-  /** REAL frame decode for the two JVM-decodable payload kinds:
-    * `##dc` MJPEG (each payload a standalone JPEG, JDK codec) and —
-    * r13 — `##db` uncompressed BI_RGB DIB (raw pixel array
-    * reconstituted into a .bmp via [[wrapDib]] with the
-    * container-carried strf geometry, then the SAME JDK codec).
+  /** Decompress a BI_RLE8 (biCompression = 1) `##db` payload into the
+    * raw bottom-up 8 bpp pixel array [[wrapDib]] wraps — the Microsoft
+    * BMP run-length spec, all three record kinds: encoded runs
+    * (count, index), absolute blocks (0, 3..255 then literals padded
+    * to a word boundary), and the escapes end-of-line (0,0),
+    * end-of-bitmap (0,1), delta (0,2,dx,dy — skipped cells stay 0,
+    * the spec's defined fill). Any malformation — truncated record,
+    * run past the row edge, delta past the bitmap, missing EOB —
+    * returns null (undecodable, countable, never throwing). Top-down
+    * RLE (negative height) is invalid per spec → null. Work is
+    * bounded by input + output size; row-local. */
+  private[operators] def decodeRle8(data: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    if (data == null || w <= 0 || h <= 0) return null
+    val stride = (w + 3) / 4 * 4
+    if (stride.toLong * h > (1L << 28)) return null // 256 MiB frame guard
+    val out = new Array[Byte](stride * h)
+    var i = 0; var x = 0; var y = 0
+    while (true) {
+      if (i + 2 > data.length) return null // ran out before EOB
+      val b0 = data(i) & 0xFF; val b1 = data(i + 1) & 0xFF; i += 2
+      if (b0 > 0) { // encoded run
+        if (y >= h || x + b0 > w) return null
+        java.util.Arrays.fill(out, y * stride + x, y * stride + x + b0,
+          b1.toByte)
+        x += b0
+      } else if (b1 == 0) { // end of line
+        x = 0; y += 1
+        if (y > h) return null
+      } else if (b1 == 1) { // end of bitmap
+        return out
+      } else if (b1 == 2) { // delta
+        if (i + 2 > data.length) return null
+        x += data(i) & 0xFF; y += data(i + 1) & 0xFF; i += 2
+        if (x > w || y >= h) return null
+      } else { // absolute block of b1 literal pixels, word-padded
+        val pad = b1 & 1
+        if (y >= h || x + b1 > w || i + b1 + pad > data.length) return null
+        System.arraycopy(data, i, out, y * stride + x, b1)
+        x += b1; i += b1 + pad
+      }
+    }
+    null // unreachable
+  }
+
+  /** RLE8-compress a raw bottom-up 8 bpp pixel array (the fixture
+    * twin of [[decodeRle8]], maximal-run greedy: one encoded run per
+    * value change, EOL per row, EOB once) so specs and oracles can
+    * round-trip arbitrary content — a solid-fill w≤255 frame encodes
+    * to exactly 4·h + 2 bytes, which is what lets the q431 census
+    * replay arithmetically in SQL. */
+  private[operators] def encodeRle8(pixels: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val stride = (w + 3) / 4 * 4
+    require(pixels.length == stride * h,
+      s"raw 8bpp array must be stride*h = ${stride * h} bytes")
+    val out = new java.io.ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixels(y * stride + x)
+        var run = 1
+        while (x + run < w && run < 255 &&
+          pixels(y * stride + x + run) == v) run += 1
+        out.write(run); out.write(v & 0xFF)
+        x += run
+      }
+      out.write(0); out.write(0) // end of line
+      y += 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
+  /** REAL frame decode for the JVM-decodable payload kinds:
+    * `##dc` MJPEG (each payload a standalone JPEG, JDK codec),
+    * `##db` uncompressed BI_RGB DIB (raw pixel array reconstituted
+    * into a .bmp via [[wrapDib]] with the container-carried strf
+    * geometry, then the SAME JDK codec), and — r14 — `##db` BI_RLE8
+    * (run-length payload decompressed by [[decodeRle8]] first,
+    * then the same wrap).
     * Both land in the [[Multimodal.ImageIoDecoder]] feature vector
     * (w, h, aspect, mean RGB, luma). Other codecs, DIBs without a
     * usable strf, and corrupt frames yield null features —
@@ -206,7 +283,10 @@ object Video {
         bpp: java.lang.Integer, comp: java.lang.Long) =>
       if (fourcc != null && fourcc.endsWith("db")) {
         if (w == null || h == null || bpp == null || comp == null) null
-        else wrapDib(frame, w, h, bpp, comp)
+        else if (comp == 1L && bpp == 8) { // BI_RLE8 → raw, then wrap
+          val raw = decodeRle8(frame, w, h)
+          if (raw == null) null else wrapDib(raw, w, h, 8, 0L)
+        } else wrapDib(frame, w, h, bpp, comp)
       } else frame)
     val frames = aviFrames(df, idCol, binaryCol)
       .filter(col("valid") && col("frame").isNotNull)
@@ -278,9 +358,11 @@ object Video {
     * BITMAPINFOHEADER), so [[parse]] recovers the geometry and
     * [[decodeFrames]] exercises the wrapDib→ImageIO path. Each
     * payload must be a raw bottom-up BI_RGB pixel array of exactly
-    * stride(width,bpp)·height bytes. */
+    * stride(width,bpp)·height bytes — or, with `compression = 1`
+    * (BI_RLE8, r14), an [[encodeRle8]] run-length stream of any
+    * length. */
   def buildDibAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
-      bpp: Int = 24): Array[Byte] = {
+      bpp: Int = 24, compression: Int = 0): Array[Byte] = {
     val stride = ((width * bpp / 8) + 3) / 4 * 4
     val avih = java.nio.ByteBuffer.allocate(56)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -297,7 +379,7 @@ object Video {
     val strf = java.nio.ByteBuffer.allocate(40)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     strf.putInt(40).putInt(width).putInt(height).putShort(1)
-      .putShort(bpp.toShort).putInt(0).putInt(stride * height)
+      .putShort(bpp.toShort).putInt(compression).putInt(stride * height)
       .putInt(0).putInt(0).putInt(0).putInt(0)
     val w = new RiffWriter
     w.list("hdrl") { h =>
@@ -336,6 +418,36 @@ object Video {
           Array.fill[Byte](stride * h)(((id + j) % 251).toByte)
         }
         Row.fromSeq(r.toSeq :+ buildDibAvi(frames, w, h))
+      }
+    }(enc)
+  }
+
+  /** DataFrame-grain BI_RLE8 fixture (the [[buildStubDibAvi]]
+    * pattern at compression = 1): per row, nFrames solid-fill 8 bpp
+    * frames of geometry (3 + id mod 5) × (2 + id mod 3), frame j
+    * filled with index (id + j) mod 251, each run-length encoded by
+    * [[encodeRle8]]. A solid-fill row is one run pair + EOL, so every
+    * encoded frame is exactly 4·h + 2 bytes — the census AND (via the
+    * grayscale palette, gray = index) the decoded channel means
+    * replay arithmetically in SQL. */
+  def buildStubRle8Avi(df: DataFrame, idCol: String, nFramesCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii); val n = r.getLong(ni).toInt
+        val w = 3 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val stride = (w + 3) / 4 * 4
+        val frames = (0 until n).map { j =>
+          encodeRle8(Array.fill[Byte](stride * h)(((id + j) % 251).toByte),
+            w, h)
+        }
+        Row.fromSeq(r.toSeq :+ buildDibAvi(frames, w, h, bpp = 8,
+          compression = 1))
       }
     }(enc)
   }

@@ -128,4 +128,79 @@ class VideoSpec extends SparkTestBase {
     assert(img != null && img.getWidth == 8 && img.getHeight == 2 &&
       img.getRaster.getSample(0, 0, 0) == 50)
   }
+
+  test("decodeRle8: encode->decode round-trips, all record kinds, " +
+    "malformations null") {
+    val w = 7; val h = 3; val stride = (w + 3) / 4 * 4
+    // arbitrary (deterministic) content, pad cells zero so the padded
+    // arrays compare byte-equal after the round trip
+    val raw = Array.tabulate[Byte](stride * h)(i =>
+      if (i % stride < w) ((i * 37 + 11) % 251).toByte else 0)
+    val rt = Video.decodeRle8(Video.encodeRle8(raw, w, h), w, h)
+    assert(rt != null && rt.toSeq == raw.toSeq)
+    // hand-crafted stream: run(3,5) abs(3: 1,2,3 + pad) EOL
+    // delta(+1,+1) run(2,9) EOB — checks absolute word padding and
+    // the delta's zero-fill
+    val s = Array[Byte](3, 5, 0, 3, 1, 2, 3, 0, 0, 0,
+      0, 2, 1, 1, 2, 9, 0, 1)
+    val d = Video.decodeRle8(s, w, h)
+    assert(d != null)
+    assert(d.slice(0, 7).toSeq == Seq[Byte](5, 5, 5, 1, 2, 3, 0))
+    assert(d.slice(2 * stride, 2 * stride + 7).toSeq ==
+      Seq[Byte](0, 9, 9, 0, 0, 0, 0)) // delta skipped x=0, filled 0
+    // malformations: truncated, run past row edge, delta off-bitmap,
+    // missing EOB, top-down geometry
+    assert(Video.decodeRle8(Array[Byte](3), w, h) == null)
+    assert(Video.decodeRle8(Array[Byte](8, 1, 0, 1), w, h) == null)
+    assert(Video.decodeRle8(Array[Byte](0, 2, 9, 9, 0, 1), w, h) == null)
+    assert(Video.decodeRle8(Array[Byte](2, 4), w, h) == null)
+    assert(Video.decodeRle8(Array[Byte](0, 1), w, -h) == null)
+  }
+
+  test("RLE8 AVI lane: census carries compression=1, frames decode " +
+    "to the exact solid fill") {
+    val ids = Seq(3L, 7L, 11L)
+    val base = ids.toDF("doc_id")
+      .select(col("doc_id"), (lit(1L) + pmod(col("doc_id"), lit(3))).as("nf"))
+    val built = Video.buildStubRle8Avi(base, "doc_id", "nf")
+    val fr = Video.aviFrames(built.select(col("doc_id"), col("payload")),
+      "doc_id", "payload")
+    val census = fr.groupBy(col("doc_id"))
+      .agg(count(col("frame_idx")).as("nf"),
+        max(col("bit_count")).as("bpp"),
+        max(col("compression")).as("comp"),
+        sum(length(col("frame")).cast("long")).as("bytes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      val nf = 1 + id % 3
+      val hh = 2 + id % 3
+      assert(census(id) == ((nf, 8, 1L, nf * (4 * hh + 2))),
+        s"census($id) = ${census(id)}")
+    }
+    // decode half: the RLE8 lane must produce features byte-identical
+    // to the SAME pixel content through the uncompressed 8bpp DIB lane
+    // (exact solid-index means don't survive ImageIO's grayscale
+    // gamma conversion, so the twin is the pin — plus exact geometry)
+    val rawTwin = ids.map { id =>
+      val w8 = 3 + (id % 5).toInt; val h8 = 2 + (id % 3).toInt
+      val stride8 = (w8 + 3) / 4 * 4
+      val frames = (0 until (1 + id % 3).toInt).map(j =>
+        Array.fill[Byte](stride8 * h8)(((id + j) % 251).toByte))
+      (id, Video.buildDibAvi(frames, w8, h8, bpp = 8))
+    }.toDF("doc_id", "payload")
+    def featMap(df: org.apache.spark.sql.DataFrame) =
+      Video.decodeFrames(df, "doc_id", "payload")
+        .select(col("doc_id"), col("frame_idx"), col("features"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getSeq[Float](2))).toMap
+    val rle = featMap(built.select(col("doc_id"), col("payload")))
+    val twin = featMap(rawTwin)
+    assert(rle.nonEmpty && rle.values.forall(_ != null))
+    assert(rle == twin, s"rle=$rle twin=$twin")
+    rle.foreach { case ((id, _), f) =>
+      assert(f(0) == (3 + id % 5).toFloat && f(1) == (2 + id % 3).toFloat)
+    }
+  }
 }

@@ -3864,6 +3864,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q432: Jonckheere–Terpstra — four user cohorts ordered by
+    // user_id mod 4 (a synthetic "dose"), milli-quantized values;
+    // heavy ties from the quantization exercise the tie-corrected
+    // variance. Oracle computes JT2 by all-pairs over (group, value)
+    // RUNS — fine at sf0.01, while the engine side stays grid-shaped.
+    "q432_jonckheere" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 3000)
+        .select(pmod(col("user_id"), lit(4)).as("g"), col("value"))
+      operators.Learn.jonckheereTerpstra(e, "g", "value")
+    }),
+
+    // q433: Page's trend test — the q429 Friedman fixture re-asked
+    // as an ORDERED question (do the 5 synthetic models improve in
+    // index order?); the +0.5·model shift makes the trend real.
+    "q433_page_trend" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2997)
+        .select(expr("event_id div 5").as("block"),
+          pmod(col("event_id"), lit(5)).as("model"),
+          (col("value") + pmod(col("event_id"), lit(5)) * 0.5).as("score"))
+      operators.Learn.pageTrend(e, "block", "model", "score", k = 5)
+        .orderBy(col("treatment"))
+    }),
+
+    // q434: Kendall's W — 5 synthetic raters ranking a 40-item
+    // panel (item-dependent value formula keeps the consensus
+    // non-trivial); every rater covers the panel so dropped = 0,
+    // and the milli quantization produces real within-rater ties.
+    "q434_kendall_w" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 5000)
+        .select(pmod(col("event_id"), lit(5)).as("rater"),
+          expr("(event_id div 5) % 40").as("item"),
+          (col("value") + expr("(event_id div 5) % 40") * 2.0).as("score"))
+      operators.Learn.kendallW(e, "rater", "item", "score")
+        .orderBy(col("item"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11317,6 +11353,130 @@ object SparkEntry {
         |  CAST(8 AS BIGINT) AS bit_count,
         |  CAST(1 AS BIGINT) AS compression
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q432: JT2 by all-pairs over the (group, value) runs (oracle
+    // only — the engine is grid-shaped), mean and Lehmann variance
+    // from the group/tie censuses over one common denominator.
+    "q432_jonckheere" ->
+      """WITH s AS (SELECT user_id % 4 AS g,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 3000 AND value IS NOT NULL),
+        |r AS (SELECT g, v, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |jt AS (SELECT COALESCE(SUM(CASE
+        |      WHEN a.v < b.v THEN 2 * CAST(a.c AS HUGEINT) * b.c
+        |      WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * b.c
+        |      ELSE 0 END), 0) AS jt2
+        |  FROM r a JOIN r b ON a.g < b.g),
+        |gs AS (SELECT g, COUNT(*) AS n FROM s GROUP BY g),
+        |gg AS (SELECT COUNT(*) AS k, SUM(n) AS n,
+        |    SUM(CAST(n AS HUGEINT) * n) AS sn2,
+        |    SUM(CAST(n AS HUGEINT) * (n-1) * (2*n+5)) AS sg1,
+        |    SUM(CAST(n AS HUGEINT) * (n-1)) AS sg2,
+        |    SUM(CAST(n AS HUGEINT) * (n-1) * (n-2)) AS sg3 FROM gs),
+        |tv AS (SELECT v, COUNT(*) AS t FROM s GROUP BY v),
+        |tt AS (SELECT
+        |    COALESCE(SUM(CAST(t AS HUGEINT) * (t-1) * (2*t+5)), 0) AS st1,
+        |    COALESCE(SUM(CAST(t AS HUGEINT) * (t-1)), 0) AS st2,
+        |    COALESCE(SUM(CAST(t AS HUGEINT) * (t-1) * (t-2)), 0) AS st3
+        |  FROM tv)
+        |SELECT CAST(gg.n AS BIGINT) AS n, CAST(gg.k AS BIGINT) AS k_groups,
+        |  CAST(jt.jt2 AS BIGINT) AS jt2,
+        |  CAST((CAST(gg.n AS HUGEINT) * gg.n - gg.sn2) // 2 AS BIGINT)
+        |    AS e_jt2,
+        |  CASE WHEN gg.n >= 3 THEN CAST((1000000 *
+        |      ((CAST(gg.n AS HUGEINT) * (gg.n-1) * (2*gg.n+5)
+        |          - gg.sg1 - tt.st1)
+        |        * (CAST(gg.n AS HUGEINT) * (gg.n-1) * (gg.n-2))
+        |        + 2 * gg.sg3 * tt.st3
+        |        + 9 * (gg.n-2) * gg.sg2 * tt.st2))
+        |    // (72 * CAST(gg.n AS HUGEINT) * (gg.n-1) * (gg.n-2))
+        |    AS BIGINT) END AS var_micro
+        |FROM jt, gg, tt""".stripMargin,
+
+    // q433: the q429 ranking spine with an order-index lane and the
+    // closed-form Page mean/variance rationals.
+    "q433_page_trend" ->
+      """WITH rated AS (SELECT event_id // 5 AS b, event_id % 5 AS t,
+        |    MIN(CAST(FLOOR((value + (event_id % 5) * 0.5) * 1000)
+        |      AS BIGINT)) AS v
+        |  FROM events WHERE event_id < 2997 AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sized AS (SELECT b, COUNT(*) AS m FROM rated GROUP BY b),
+        |full_b AS (SELECT b FROM sized WHERE m = 5),
+        |drp AS (SELECT COUNT(*) AS dropped_blocks FROM sized
+        |  WHERE m <> 5),
+        |kept AS (SELECT rated.* FROM rated JOIN full_b USING (b)),
+        |rk AS (SELECT b, t,
+        |    2 * RANK() OVER (PARTITION BY b ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY b, v) - 1 AS dmr FROM kept),
+        |sums AS (SELECT t, CAST(SUM(CAST(dmr AS HUGEINT)) AS BIGINT)
+        |    AS rank_sum2 FROM rk GROUP BY t),
+        |idx AS (SELECT t, rank_sum2,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS order_idx
+        |  FROM sums),
+        |bn AS (SELECT COUNT(*) AS bcnt FROM full_b),
+        |sc AS (SELECT
+        |    CAST(SUM(CAST(order_idx AS HUGEINT) * rank_sum2) AS BIGINT)
+        |      AS l2,
+        |    CAST((SELECT bcnt FROM bn) AS BIGINT) AS n_blocks,
+        |    CAST((SELECT bcnt FROM bn) * 5 * 36 // 2 AS BIGINT) AS e_l2,
+        |    CAST((1000000 * CAST((SELECT bcnt FROM bn) AS HUGEINT)
+        |      * 25 * 6 * 24) // 36 AS BIGINT) AS var_micro
+        |  FROM idx)
+        |SELECT CAST(idx.t AS VARCHAR) AS treatment, idx.order_idx,
+        |  idx.rank_sum2, sc.n_blocks, CAST(5 AS BIGINT) AS k,
+        |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
+        |  sc.l2, sc.e_l2, sc.var_micro
+        |FROM idx, sc, drp ORDER BY treatment""".stripMargin,
+
+    // q434: within-rater doubled midranks, item rank sums, and the
+    // exact concordance rational (3·10⁶·S4 over m²(n³−n) − m·TT).
+    "q434_kendall_w" ->
+      """WITH rated AS (SELECT CAST(event_id % 5 AS VARCHAR) AS r,
+        |    CAST((event_id // 5) % 40 AS VARCHAR) AS i,
+        |    MIN(CAST(FLOOR((value + ((event_id // 5) % 40) * 2.0)
+        |      * 1000) AS BIGINT)) AS v
+        |  FROM events WHERE event_id < 5000 AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ni AS (SELECT COUNT(DISTINCT i) AS n_items FROM rated),
+        |sized AS (SELECT r, COUNT(*) AS m FROM rated GROUP BY r),
+        |full_r AS (SELECT r FROM sized, ni WHERE m = ni.n_items),
+        |drp AS (SELECT COUNT(*) AS dropped_raters FROM sized, ni
+        |  WHERE m <> ni.n_items),
+        |kept AS (SELECT rated.* FROM rated JOIN full_r USING (r)),
+        |rk AS (SELECT r, i,
+        |    2 * RANK() OVER (PARTITION BY r ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY r, v) - 1 AS dmr FROM kept),
+        |tt AS (SELECT COALESCE(SUM(CAST(t AS HUGEINT) * t * t - t), 0)
+        |    AS tie_tt
+        |  FROM (SELECT r, v, COUNT(*) AS t FROM kept GROUP BY 1, 2)),
+        |mr AS (SELECT COUNT(*) AS m FROM full_r),
+        |items AS (SELECT i AS item,
+        |    CAST(SUM(CAST(dmr AS HUGEINT)) AS BIGINT) AS rank_sum2
+        |  FROM rk GROUP BY i),
+        |s4 AS (SELECT COALESCE(SUM(
+        |      CAST(rank_sum2 - mr.m * (ni.n_items + 1) AS HUGEINT)
+        |      * (rank_sum2 - mr.m * (ni.n_items + 1))), 0) AS s4
+        |  FROM items, mr, ni),
+        |sc AS (SELECT ni.n_items, mr.m AS m_raters,
+        |    CAST(s4.s4 AS BIGINT) AS s4, CAST(tt.tie_tt AS BIGINT)
+        |      AS tie_tt,
+        |    CASE WHEN mr.m >= 1 AND ni.n_items >= 2 AND
+        |      CAST(mr.m AS HUGEINT) * mr.m *
+        |        (CAST(ni.n_items AS HUGEINT) * ni.n_items * ni.n_items
+        |          - ni.n_items) - mr.m * tt.tie_tt > 0 THEN
+        |      CAST((3000000 * s4.s4) //
+        |        (CAST(mr.m AS HUGEINT) * mr.m *
+        |          (CAST(ni.n_items AS HUGEINT) * ni.n_items * ni.n_items
+        |            - ni.n_items) - mr.m * tt.tie_tt) AS BIGINT) END
+        |      AS w_micro
+        |  FROM ni, mr, s4, tt)
+        |SELECT items.item, items.rank_sum2,
+        |  CAST(sc.n_items AS BIGINT) AS n_items,
+        |  CAST(sc.m_raters AS BIGINT) AS m_raters,
+        |  CAST(drp.dropped_raters AS BIGINT) AS dropped_raters,
+        |  sc.s4, sc.tie_tt, sc.w_micro
+        |FROM items, sc, drp ORDER BY item""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

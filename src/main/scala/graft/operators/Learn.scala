@@ -2659,6 +2659,244 @@ object Learn {
         "q_micro")
   }
 
+  /** Jonckheere–Terpstra test — the ORDERED-alternative k-group rank
+    * test ([[kruskalWallis]] asks "any group differs"; JT asks "do
+    * the groups TREND with their order" — the right test for dose-,
+    * size-, or version-ordered cohorts, e.g. model checkpoints or
+    * data-mix fractions). Group order is the ascending LONG cast of
+    * `groupCol`. With the DOUBLED statistic (ties count once,
+    * strict inequalities twice — integer by construction):
+    *   JT2 = Σ_{gᵢ<gⱼ} (2·#{x<y} + #{x=y}),  x∈gᵢ, y∈gⱼ
+    * plus the exact null-mean lane e_jt2 = (n² − Σnᵢ²)/2 and the
+    * tie-corrected null variance (Lehmann 1975's three-term form)
+    * floored once over the common denominator 72·n(n−1)(n−2):
+    *   var_micro = ⌊10⁶·(A·d₃ + 2B + 9(n−2)C) / (72·d₃)⌋
+    * with A = n(n−1)(2n+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtᵥ(tᵥ−1)(2tᵥ+5),
+    * B = Σnᵢ(nᵢ−1)(nᵢ−2)·Σtᵥ(tᵥ−1)(tᵥ−2), C = Σnᵢ(nᵢ−1)·Σtᵥ(tᵥ−1),
+    * d₃ = n(n−1)(n−2) (NULL when n < 3). Exact to n ≈ 2·10⁵
+    * (10⁶·2n⁶ inside DECIMAL(38,0)); values quantize to milli.
+    *
+    * Shape: NEVER all-pairs — (group, value)-run grain densified to
+    * the |V|·k grid (guarded by `maxGrid`, loud in-plan raise), one
+    * per-group cumulative window (k partitions over ≤|V| rows) and
+    * one per-value window (≤k rows each), then scalar aggregates. */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+      valueCol: String, maxGrid: Long = 1L << 22): DataFrame = {
+    require(maxGrid > 0, s"maxGrid must be positive, got $maxGrid")
+    val staged = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("long").as("__g"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val vals = runs.select(col("__v")).distinct()
+    val grps = runs.select(col("__g")).distinct()
+    val sizes = vals.agg(count(lit(1)).as("__nv"))
+      .crossJoin(grps.agg(count(lit(1)).as("__ng")))
+    val grid = vals.crossJoin(broadcast(grps))
+      .join(runs, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(sizes))
+      // guard INSIDE the consumed column (the kaplanMeier pattern)
+      .withColumn("__c", when(col("__nv") * col("__ng") > maxGrid,
+        raise_error(concat(lit("jonckheereTerpstra: value grid "),
+          col("__nv") * col("__ng"),
+          lit(s" cells > maxGrid=$maxGrid — quantize $valueCol coarser"))))
+        .otherwise(col("__c")))
+    val wBelow = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev = Window.partitionBy(col("__v")).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jt = grid
+      .withColumn("__below", coalesce(sum(col("__c")).over(wBelow), lit(0L)))
+      .withColumn("__A", coalesce(sum(col("__below")).over(wPrev), lit(0L)))
+      .withColumn("__B", coalesce(sum(col("__c")).over(wPrev), lit(0L)))
+      .agg(coalesce(sum(col("__c").cast("decimal(38,0)") *
+        (lit(2) * col("__A") + col("__B"))),
+        lit(0).cast("decimal(38,0)")).as("__jt2"))
+    val gstats = staged.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__k"),
+        coalesce(sum(col("__n")), lit(0L)).as("__N"),
+        coalesce(sum(expr("CAST(__n AS DECIMAL(38,0)) * __n")),
+          lit(0).cast("decimal(38,0)")).as("__sn2"),
+        coalesce(sum(expr(
+          "CAST(__n AS DECIMAL(38,0)) * (__n - 1) * (2 * __n + 5)")),
+          lit(0).cast("decimal(38,0)")).as("__sg1"),
+        coalesce(sum(expr("CAST(__n AS DECIMAL(38,0)) * (__n - 1)")),
+          lit(0).cast("decimal(38,0)")).as("__sg2"),
+        coalesce(sum(expr(
+          "CAST(__n AS DECIMAL(38,0)) * (__n - 1) * (__n - 2)")),
+          lit(0).cast("decimal(38,0)")).as("__sg3"))
+    val tstats = staged.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(expr(
+        "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (2 * __t + 5)")),
+        lit(0).cast("decimal(38,0)")).as("__st1"),
+        coalesce(sum(expr("CAST(__t AS DECIMAL(38,0)) * (__t - 1)")),
+          lit(0).cast("decimal(38,0)")).as("__st2"),
+        coalesce(sum(expr(
+          "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (__t - 2)")),
+          lit(0).cast("decimal(38,0)")).as("__st3"))
+    jt.crossJoin(broadcast(gstats)).crossJoin(broadcast(tstats))
+      .withColumn("__A0", expr(
+        """CAST(__N AS DECIMAL(38,0)) * (__N - 1) * (2 * __N + 5)
+          |  - __sg1 - __st1""".stripMargin))
+      .withColumn("__d3", expr(
+        "CAST(__N AS DECIMAL(38,0)) * (__N - 1) * (__N - 2)"))
+      .select(col("__N").as("n"), col("__k").as("k_groups"),
+        col("__jt2").cast("long").as("jt2"),
+        expr("""CAST((CAST(__N AS DECIMAL(38,0)) * __N - __sn2) div 2
+          |  AS BIGINT)""".stripMargin).as("e_jt2"),
+        expr("""CASE WHEN __N >= 3 THEN
+          |  CAST((1000000 * (__A0 * __d3 + 2 * __sg3 * __st3
+          |      + 9 * (__N - 2) * __sg2 * __st2))
+          |    div (72 * __d3) AS BIGINT) END""".stripMargin)
+          .as("var_micro"))
+  }
+
+  /** Page's trend test — the ORDERED-alternative sibling of
+    * [[friedmanTest]] (JT for independent groups, Page for the
+    * SAME blocks: "do k models scored on shared prompts improve in
+    * version order?"). Treatment order is the ascending LONG cast
+    * of `treatmentCol`. Doubled within-block midranks (the
+    * friedman dmr), R2ⱼ their per-treatment sums, and the doubled
+    * Page statistic (integer by construction):
+    *   L2 = Σⱼ j·R2ⱼ   (j = 1..k in treatment order)
+    * with exact null-mean lane e_l2 = b·k(k+1)²/2 and the no-tie
+    * null variance lane (ties only shrink it — documented):
+    *   var_micro = ⌊10⁶·b·k²(k+1)(k²−1)/36⌋.
+    * Fixed-panel discipline: non-k blocks drop and count; duplicate
+    * (block, treatment) rows collapse to the smallest value. Output
+    * is treatment grain (rank sums + their order index) with scalar
+    * lanes repeated — the [[friedmanTest]] convention.
+    *
+    * Shape: block-grain windows, one treatment-grain aggregate, a
+    * k-row ordering window (k ≤ 1000 by contract), broadcast
+    * scalars. */
+  def pageTrend(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val rated = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        // the trend NEEDS an order: non-numeric labels raise loudly
+        // rather than silently casting to null and dropping
+        when(col(treatmentCol).cast("long").isNull,
+          raise_error(concat(lit("pageTrend: treatment label '"),
+            col(treatmentCol).cast("string"),
+            lit("' is not numeric-castable — the ordered test needs " +
+              "numeric treatment order indexes"))))
+          .otherwise(col(treatmentCol).cast("long")).as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
+    val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"))
+    val full = sized.filter(col("__m") === k.toLong).select(col("__b"))
+    val dropped = sized.filter(col("__m") =!= k.toLong)
+      .agg(count(lit(1)).as("dropped_blocks"))
+    val kept = rated.join(full, Seq("__b"), "left_semi")
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTies = Window.partitionBy(col("__b"), col("__v"))
+    val sums = kept
+      .withColumn("__dmr", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - 1L)
+      .groupBy(col("__t"))
+      .agg(coalesce(sum(col("__dmr")), lit(0L)).as("rank_sum2"))
+    // k-row frame: the ordering window is bounded by the k contract
+    val wOrd = Window.orderBy(col("__t"))
+    val idx = sums.withColumn("order_idx",
+      row_number().over(wOrd).cast("long"))
+    val scal = idx.agg(coalesce(sum(col("order_idx") *
+        col("rank_sum2")), lit(0L)).as("l2"))
+      .crossJoin(broadcast(full.agg(count(lit(1)).as("n_blocks"))))
+      .select(col("l2"), col("n_blocks"),
+        expr(s"CAST(n_blocks * $k * ${k + 1} * ${k + 1} div 2 AS BIGINT)")
+          .as("e_l2"),
+        expr(s"""CAST((1000000 * CAST(n_blocks AS DECIMAL(38,0))
+          |  * $k * $k * ${k + 1} * (${k.toLong * k} - 1)) div 36
+          |  AS BIGINT)""".stripMargin).as("var_micro"))
+    idx
+      .select(col("__t").cast("string").as("treatment"),
+        col("order_idx"), col("rank_sum2"))
+      .crossJoin(broadcast(scal))
+      .crossJoin(broadcast(dropped))
+      .withColumn("k", lit(k.toLong))
+      .select("treatment", "order_idx", "rank_sum2", "n_blocks", "k",
+        "dropped_blocks", "l2", "e_l2", "var_micro")
+  }
+
+  /** Kendall's W (coefficient of concordance) — HOW MUCH do m raters
+    * agree on a ranking of n items (0 = random, 1 = unanimous): the
+    * effect-size companion of [[friedmanTest]] (same block-rank
+    * spine with raters as blocks) and the rank-based sibling of
+    * [[krippendorffAlpha]]. The panel is ALL distinct items; raters
+    * not covering the full panel drop and count (fixed-panel
+    * discipline; duplicate (rater, item) ratings collapse to the
+    * smallest value). Doubled within-rater midranks sum to R2ᵢ per
+    * item; with S4 = Σᵢ(R2ᵢ − m(n+1))² (= 4·S, integer) and the
+    * within-rater tie term TT = Σᵥ(tᵥ³−tᵥ):
+    *   w_micro = ⌊10⁶·3·S4 / (m²(n³−n) − m·TT)⌋  (NULL if n < 2 or
+    *   every rater ties everything). Exact while m²n³ ≲ 10³⁶.
+    * Output is item grain (R2ᵢ is the consensus leaderboard) with
+    * scalar lanes repeated — the [[friedmanTest]] convention.
+    *
+    * Shape: rater-grain windows, one item-grain aggregate,
+    * broadcast scalars; never all-pairs. */
+  def kendallW(df: DataFrame, raterCol: String, itemCol: String,
+      valueCol: String): DataFrame = {
+    val rated = df
+      .filter(col(raterCol).isNotNull && col(itemCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(raterCol).cast("string").as("__r"),
+        col(itemCol).cast("string").as("__i"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("__r"), col("__i")).agg(min(col("__v")).as("__v"))
+    val nI = rated.select(col("__i")).distinct()
+      .agg(count(lit(1)).as("__ni"))
+    val sized = rated.groupBy(col("__r")).agg(count(lit(1)).as("__m"))
+      .crossJoin(broadcast(nI))
+    val full = sized.filter(col("__m") === col("__ni")).select(col("__r"))
+    val dropped = sized.filter(col("__m") =!= col("__ni"))
+      .agg(count(lit(1)).as("dropped_raters"))
+    val kept = rated.join(full, Seq("__r"), "left_semi")
+    val wRank = Window.partitionBy(col("__r")).orderBy(col("__v"))
+    val wTies = Window.partitionBy(col("__r"), col("__v"))
+    val ranked = kept
+      .withColumn("__dmr", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - 1L)
+    val tt = ranked.groupBy(col("__r"), col("__v"))
+      .agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(expr(
+        "CAST(__t AS DECIMAL(38,0)) * __t * __t - __t")),
+        lit(0).cast("decimal(38,0)")).as("__tt"))
+    val mScal = full.agg(count(lit(1)).as("__mr"))
+    val items = ranked.groupBy(col("__i").as("item"))
+      .agg(coalesce(sum(col("__dmr")), lit(0L)).as("rank_sum2"))
+    val s4 = items.crossJoin(broadcast(mScal)).crossJoin(broadcast(nI))
+      .agg(coalesce(sum(expr(
+        """CAST(rank_sum2 - __mr * (__ni + 1) AS DECIMAL(38,0))
+          |  * (rank_sum2 - __mr * (__ni + 1))""".stripMargin)),
+        lit(0).cast("decimal(38,0)")).as("__s4"),
+        max(col("__mr")).as("m_raters"), max(col("__ni")).as("n_items"))
+    val scal = s4.crossJoin(broadcast(tt))
+      .select(col("n_items"), col("m_raters"),
+        col("__s4").cast("long").as("s4"),
+        col("__tt").cast("long").as("tie_tt"),
+        expr("""CASE WHEN m_raters >= 1 AND n_items >= 2 AND
+          |    CAST(m_raters AS DECIMAL(38,0)) * m_raters *
+          |      (CAST(n_items AS DECIMAL(38,0)) * n_items * n_items
+          |        - n_items) - m_raters * __tt > 0 THEN
+          |  CAST((3000000 * __s4) div
+          |    (CAST(m_raters AS DECIMAL(38,0)) * m_raters *
+          |      (CAST(n_items AS DECIMAL(38,0)) * n_items * n_items
+          |        - n_items) - m_raters * __tt) AS BIGINT) END"""
+          .stripMargin).as("w_micro"))
+    items.crossJoin(broadcast(scal)).crossJoin(broadcast(dropped))
+      .select("item", "rank_sum2", "n_items", "m_raters",
+        "dropped_raters", "s4", "tie_tt", "w_micro")
+  }
+
   /** Preference transitivity audit — the data-quality gate BEFORE
     * [[bradleyTerry]] fits anything: BT (and every Elo-style
     * leaderboard) assumes a latent total order, but real pairwise

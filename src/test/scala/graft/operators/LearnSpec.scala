@@ -1689,4 +1689,91 @@ class LearnSpec extends SparkTestBase {
         s"trial $trial: micro $micro vs double ${ac1 * 1e6}")
     }
   }
+
+  test("jonckheereTerpstra: hand pairs, tie-corrected variance, grid guard") {
+    // g0={1,2} g1={2,3} g2={4,5}: pair contributions 7+8+8 -> JT2=23
+    val rows = Seq((0L, 1.0), (0L, 2.0), (1L, 2.0), (1L, 3.0),
+      (2L, 4.0), (2L, 5.0))
+    val out = Learn.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("k_groups") == 3L)
+    assert(out.getAs[Long]("jt2") == 23L)
+    // e_jt2 = (36 - 12)/2; var = 438/72 + 0 + 12/240 = 6.1333...
+    assert(out.getAs[Long]("e_jt2") == 12L)
+    assert(out.getAs[Long]("var_micro") == 6133333L)
+    // n < 3 -> variance NULL, statistic still defined
+    val tiny = Learn.jonckheereTerpstra(
+      Seq((0L, 1.0), (1L, 2.0)).toDF("g", "v"), "g", "v").collect().head
+    assert(tiny.getAs[Long]("jt2") == 2L &&
+      tiny.isNullAt(tiny.fieldIndex("var_micro")))
+    // grid guard raises loudly
+    val err = intercept[Exception] {
+      Learn.jonckheereTerpstra(rows.toDF("g", "v"), "g", "v",
+        maxGrid = 2L).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("jonckheereTerpstra"))
+  }
+
+  test("pageTrend: perfect trend, dropped blocks, non-numeric raises") {
+    // 3 blocks, values 1<2<3 for treatments 0<1<2 -> L2 = 84
+    val perfect = for (b <- 1L to 3L; (t, v) <- Seq(0L -> 1.0,
+      1L -> 2.0, 2L -> 3.0)) yield (b, t, v + b)
+    val out = Learn.pageTrend(perfect.toDF("b", "t", "v"),
+      "b", "t", "v", k = 3).collect()
+    val sums = out.map(r => r.getAs[String]("treatment") ->
+      (r.getAs[Long]("order_idx"), r.getAs[Long]("rank_sum2"))).toMap
+    assert(sums == Map("0" -> ((1L, 6L)), "1" -> ((2L, 12L)),
+      "2" -> ((3L, 18L))))
+    val h = out.head
+    assert(h.getAs[Long]("l2") == 84L && h.getAs[Long]("e_l2") == 72L &&
+      h.getAs[Long]("n_blocks") == 3L &&
+      h.getAs[Long]("dropped_blocks") == 0L &&
+      h.getAs[Long]("var_micro") == 24000000L)
+    // incomplete block drops without disturbing the statistic
+    val tail = perfect ++ Seq((9L, 0L, 1.0))
+    val t2 = Learn.pageTrend(tail.toDF("b", "t", "v"),
+      "b", "t", "v", k = 3).collect().head
+    assert(t2.getAs[Long]("l2") == 84L &&
+      t2.getAs[Long]("dropped_blocks") == 1L)
+    // non-numeric treatment label raises loudly
+    val bad = Seq((1L, "A", 1.0), (1L, "B", 2.0), (1L, "C", 3.0))
+    val err = intercept[Exception] {
+      Learn.pageTrend(bad.toDF("b", "t", "v"), "b", "t", "v", k = 3)
+        .collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("pageTrend"))
+  }
+
+  test("kendallW: unanimity W=1, ties, dropped raters") {
+    // 3 raters agree on a<b<c exactly -> W = 1
+    val unanimous = for (r <- 1L to 3L; (i, v) <- Seq("a" -> 1.0,
+      "b" -> 2.0, "c" -> 3.0)) yield (r, i, v + r * 0.001)
+    val out = Learn.kendallW(unanimous.toDF("r", "i", "v"),
+      "r", "i", "v").collect()
+    val sums = out.map(r => r.getAs[String]("item") ->
+      r.getAs[Long]("rank_sum2")).toMap
+    assert(sums == Map("a" -> 6L, "b" -> 12L, "c" -> 18L))
+    val h = out.head
+    assert(h.getAs[Long]("n_items") == 3L &&
+      h.getAs[Long]("m_raters") == 3L &&
+      h.getAs[Long]("dropped_raters") == 0L &&
+      h.getAs[Long]("s4") == 72L && h.getAs[Long]("tie_tt") == 0L &&
+      h.getAs[Long]("w_micro") == 1000000L)
+    // rater 3 ties b=c: S4=62, TT=6 -> w = 186/198
+    val tied = (for (r <- 1L to 2L; (i, v) <- Seq("a" -> 1.0,
+      "b" -> 2.0, "c" -> 3.0)) yield (r, i, v)) ++
+      Seq((3L, "a", 1.0), (3L, "b", 2.0), (3L, "c", 2.0))
+    val t = Learn.kendallW(tied.toDF("r", "i", "v"), "r", "i", "v")
+      .collect().head
+    assert(t.getAs[Long]("s4") == 62L && t.getAs[Long]("tie_tt") == 6L &&
+      t.getAs[Long]("w_micro") == 939393L)
+    // a rater missing an item drops (and counts) without disturbing
+    val dropped = unanimous ++ Seq((9L, "a", 1.0), (9L, "b", 2.0))
+    val d = Learn.kendallW(dropped.toDF("r", "i", "v"), "r", "i", "v")
+      .collect().head
+    assert(d.getAs[Long]("m_raters") == 3L &&
+      d.getAs[Long]("dropped_raters") == 1L &&
+      d.getAs[Long]("w_micro") == 1000000L)
+  }
 }

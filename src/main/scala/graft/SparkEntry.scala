@@ -3900,6 +3900,26 @@ object SparkEntry {
         .orderBy(col("item"))
     }),
 
+    // q435: Mood's median test — the q432 cohorts through the
+    // coarsest location lens (above/below the exact global lower
+    // median); per-group χ² terms floor independently (documented).
+    "q435_mood_median" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(4)).as("g"), col("value"))
+      operators.Learn.moodMedianTest(e, "g", "value").orderBy(col("g"))
+    }),
+
+    // q436: per-user Mann–Kendall — is each user's value series
+    // drifting (the significance companion of q333's Theil–Sen);
+    // (ts, event_id) is the documented total order, raw-double
+    // comparisons keep both engines bit-identical.
+    "q436_mann_kendall" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 30000)
+      operators.Learn.mannKendall(e, "user_id",
+          unix_micros(col("ts")), col("event_id"), "value")
+        .orderBy(col("key"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11477,6 +11497,63 @@ object SparkEntry {
         |  CAST(drp.dropped_raters AS BIGINT) AS dropped_raters,
         |  sc.s4, sc.tie_tt, sc.w_micro
         |FROM items, sc, drp ORDER BY item""".stripMargin,
+
+    // q435: exact lower median from the cumulated value runs, then
+    // the per-group χ² terms with the SAME independent floors.
+    "q435_mood_median" ->
+      """WITH s AS (SELECT CAST(user_id % 4 AS VARCHAR) AS g,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |sc AS (SELECT COUNT(*) AS n FROM s),
+        |runs AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM runs),
+        |med AS (SELECT MIN(v) AS m FROM cum, sc WHERE cc >= (n + 1) // 2),
+        |grp AS (SELECT g, COUNT(*) AS nj,
+        |    SUM(CASE WHEN v > (SELECT m FROM med) THEN 1 ELSE 0 END) AS aj
+        |  FROM s GROUP BY g),
+        |ab AS (SELECT COALESCE(SUM(aj), 0) AS a FROM grp)
+        |SELECT grp.g, CAST(grp.nj AS BIGINT) AS n_j,
+        |  CAST(grp.aj AS BIGINT) AS above_j,
+        |  CASE WHEN ab.a > 0 AND sc.n - ab.a > 0 THEN
+        |    CAST((1000000 * CAST(grp.aj * sc.n - ab.a * grp.nj
+        |        AS HUGEINT) * (grp.aj * sc.n - ab.a * grp.nj))
+        |      // (CAST(grp.nj AS HUGEINT) * ab.a * (sc.n - ab.a))
+        |      AS BIGINT) END AS term_micro,
+        |  CAST(sc.n AS BIGINT) AS n, CAST(ab.a AS BIGINT) AS above_total,
+        |  (SELECT m FROM med) AS median_milli
+        |FROM grp, sc, ab ORDER BY g""".stripMargin,
+
+    // q436: S by all-pairs per user (oracle only — the engine runs
+    // Knight's merge sort), tie census variance, and the exact
+    // integer z² = 1.96² verdict.
+    "q436_mann_kendall" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS o,
+        |    event_id AS e, value AS x
+        |  FROM events WHERE event_id < 30000 AND value IS NOT NULL),
+        |p AS (SELECT a.k,
+        |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+        |      ELSE 0 END AS sg
+        |  FROM s a JOIN s b ON a.k = b.k
+        |    AND (a.o < b.o OR (a.o = b.o AND a.e < b.e))),
+        |agg AS (SELECT k, COALESCE(SUM(sg), 0) AS sv FROM p GROUP BY k),
+        |ns AS (SELECT k, COUNT(*) AS n FROM s GROUP BY k),
+        |tc AS (SELECT k, x, COUNT(*) AS t FROM s GROUP BY k, x),
+        |v18 AS (SELECT k,
+        |    SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS tv
+        |  FROM tc GROUP BY k),
+        |fin AS (SELECT ns.k, ns.n, COALESCE(agg.sv, 0) AS sv,
+        |    CAST(ns.n AS HUGEINT) * (ns.n - 1) * (2 * ns.n + 5)
+        |      - COALESCE(v18.tv, 0) AS var18
+        |  FROM ns LEFT JOIN agg ON ns.k = agg.k
+        |    LEFT JOIN v18 ON ns.k = v18.k)
+        |SELECT k AS key, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS s,
+        |  CAST(var18 AS BIGINT) AS var18,
+        |  CASE WHEN sv <> 0 AND var18 > 0 AND
+        |      180000 * CAST(ABS(sv) - 1 AS HUGEINT) * (ABS(sv) - 1)
+        |        > 38416 * var18
+        |    THEN CASE WHEN sv > 0 THEN 'inc' ELSE 'dec' END
+        |    ELSE 'none' END AS trend
+        |FROM fin ORDER BY key""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

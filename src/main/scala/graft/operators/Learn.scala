@@ -2897,6 +2897,125 @@ object Learn {
         "dropped_raters", "s4", "tie_tt", "w_micro")
   }
 
+  /** Mood's median test — the k-group location test that asks only
+    * "which side of the GLOBAL median does each observation fall"
+    * (maximally robust to outliers and monotone transforms; the
+    * coarse sibling of [[kruskalWallis]], and the right screen when
+    * values are heavy-tailed scores or clipped quantities). Values
+    * quantize to milli; the global median is the exact LOWER median
+    * (the value at position ⌈n/2⌉ — deterministic under ties, no
+    * averaging). Per group j with nⱼ rows and aⱼ strictly above the
+    * median, a = Σaⱼ, b = n − a, and dⱼ = aⱼ·n − a·nⱼ, the χ²
+    * contribution of group j is dⱼ²/(nⱼ·a·b); each term floors
+    * INDEPENDENTLY (documented — the oracle replays the same
+    * per-term floor):  term_micro = ⌊10⁶·dⱼ² / (nⱼ·a·b)⌋, NULL when
+    * a = 0 or b = 0. Output is group grain with scalar lanes
+    * repeated — the [[friedmanTest]] convention.
+    *
+    * Shape: one value-run aggregate + the two-pass
+    * [[Relational.globalPrefixSum]] spine for the median (never a
+    * partition-less window), one group-grain aggregate, broadcast
+    * scalars. */
+  def moodMedianTest(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+      "__c", "__cum")
+    val scal = staged.agg(count(lit(1)).as("__N"))
+    val med = cum.crossJoin(broadcast(scal))
+      // integer div — Column./ is DOUBLE division and would shift the
+      // cut to ceil(N/2)+1 on even N
+      .filter(col("__cum") >= expr("(__N + 1) div 2"))
+      .agg(min(col("__v")).as("__med"))
+    val groups = staged.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__nj"),
+        coalesce(sum(when(col("__v") > col("__med"), 1L).otherwise(0L)),
+          lit(0L)).as("__aj"))
+    val above = groups.agg(coalesce(sum(col("__aj")), lit(0L)).as("__a"))
+    groups.crossJoin(broadcast(above)).crossJoin(broadcast(scal))
+      .crossJoin(broadcast(med))
+      .select(col("__g").as("g"), col("__nj").as("n_j"),
+        col("__aj").as("above_j"),
+        expr("""CASE WHEN __a > 0 AND __N - __a > 0 THEN
+          |  CAST((1000000 * CAST(__aj * __N - __a * __nj
+          |      AS DECIMAL(38,0)) * (__aj * __N - __a * __nj))
+          |    div (CAST(__nj AS DECIMAL(38,0)) * __a * (__N - __a))
+          |    AS BIGINT) END""".stripMargin).as("term_micro"),
+        col("__N").as("n"), col("__a").as("above_total"),
+        col("__med").as("median_milli"))
+  }
+
+  /** Per-key Mann–Kendall trend test — "is this series monotonically
+    * drifting" for every key at once (the significance companion of
+    * [[theilSenSlopes]], which estimates the slope MK tests): with
+    * observations in time order (ties in `orderCol` broken by
+    * `tieCol` — a deterministic TOTAL order, documented),
+    *   S = Σ_{i<j} sgn(xⱼ − xᵢ)
+    * computed exactly as S = n(n−1)/2 − T − 2·D where D counts
+    * strict value inversions in time order (Knight's merge-sort, the
+    * [[kendallTau]] machinery — never all-pairs) and T the tied-value
+    * pairs; the tie-corrected null variance rides the integer lane
+    *   var18 = n(n−1)(2n+5) − Σᵥ tᵥ(tᵥ−1)(2tᵥ+5)   (= 18·Var(S))
+    * and the two-sided α = 0.05 normal verdict is the exact integer
+    * comparison 180000·(|S|−1)² > 38416·var18 (z² = 1.96², BigInt —
+    * no overflow at any key size): trend ∈ inc/dec/none. Values
+    * compare RAW (sign tests only — no arithmetic, so doubles are
+    * engine-exact). Key-grain state, the [[kendallTau]] posture. */
+  def mannKendall(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCol: Column, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long"), orderCol.cast("long"),
+        tieCol.cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val rows = it.map(t => (t._2, t._3, t._4)).toArray
+        java.util.Arrays.sort(rows, Ordering.Tuple3[Long, Long, Double]
+          .on((t: (Long, Long, Double)) => t))
+        val n = rows.length.toLong
+        val n0 = n * (n - 1) / 2
+        val tieCensus = rows.groupBy(_._3).valuesIterator
+          .map(_.length.toLong).toArray
+        val tPairs = tieCensus.iterator.map(t => t * (t - 1) / 2).sum
+        val var18 = n * (n - 1) * (2 * n + 5) -
+          tieCensus.iterator.map(t => t * (t - 1) * (2 * t + 5)).sum
+        // strict inversions of the value sequence in time order
+        val ys = rows.map(_._3)
+        val buf = new Array[Double](ys.length)
+        var inv = 0L
+        def merge(lo: Int, mid: Int, hi: Int): Unit = {
+          var i = lo; var j = mid; var o = lo
+          while (i < mid && j < hi) {
+            if (ys(j) < ys(i)) { inv += mid - i; buf(o) = ys(j); j += 1 }
+            else { buf(o) = ys(i); i += 1 }
+            o += 1
+          }
+          while (i < mid) { buf(o) = ys(i); i += 1; o += 1 }
+          while (j < hi) { buf(o) = ys(j); j += 1; o += 1 }
+          System.arraycopy(buf, lo, ys, lo, hi - lo)
+        }
+        def msort(lo: Int, hi: Int): Unit = if (hi - lo > 1) {
+          val mid = lo + (hi - lo) / 2
+          msort(lo, mid); msort(mid, hi); merge(lo, mid, hi)
+        }
+        msort(0, ys.length)
+        val s = n0 - tPairs - 2 * inv
+        val sig = s != 0L && var18 > 0L &&
+          BigInt(math.abs(s) - 1).pow(2) * 180000 >
+            BigInt(38416) * var18
+        val trend = if (!sig) "none" else if (s > 0) "inc" else "dec"
+        MannKendallRow(key, n, s, var18, trend)
+      }
+      .toDF()
+  }
+
   /** Preference transitivity audit — the data-quality gate BEFORE
     * [[bradleyTerry]] fits anything: BT (and every Elo-style
     * leaderboard) assumes a latent total order, but real pairwise
@@ -3764,3 +3883,7 @@ private[operators] case class IsotonicRow(key: Long, x: Long,
 /** [[Learn.theilSenSlopes]] per-key result row. */
 private[operators] case class TheilSenRow(key: Long, n: Long,
     n_slopes: Long, slope_micro: Option[Long])
+
+/** [[Learn.mannKendall]] per-key result row. */
+private[operators] case class MannKendallRow(key: Long, n: Long,
+    s: Long, var18: Long, trend: String)

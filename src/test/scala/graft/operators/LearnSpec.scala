@@ -1776,4 +1776,48 @@ class LearnSpec extends SparkTestBase {
       d.getAs[Long]("dropped_raters") == 1L &&
       d.getAs[Long]("w_micro") == 1000000L)
   }
+
+  test("moodMedianTest: exact lower median, per-group terms, degenerate NULL") {
+    // A={1,2,3} B={4,5,6}: lower median 3, a=b=3, both terms 3e6
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 4.0), ("B", 5.0), ("B", 6.0))
+    val out = Learn.moodMedianTest(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("A").getAs[Long]("n_j") == 3L &&
+      out("A").getAs[Long]("above_j") == 0L &&
+      out("A").getAs[Long]("term_micro") == 3000000L)
+    assert(out("B").getAs[Long]("above_j") == 3L &&
+      out("B").getAs[Long]("term_micro") == 3000000L)
+    assert(out("A").getAs[Long]("n") == 6L &&
+      out("A").getAs[Long]("above_total") == 3L &&
+      out("A").getAs[Long]("median_milli") == 3000L)
+    // all values equal -> nothing above the median -> terms NULL
+    val flat = Learn.moodMedianTest(
+      Seq(("A", 2.0), ("B", 2.0)).toDF("g", "v"), "g", "v").collect()
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("term_micro"))))
+  }
+
+  test("mannKendall: monotone verdicts, ties, order tiebreak") {
+    def run(rows: Seq[(Long, Long, Long, Double)]) =
+      Learn.mannKendall(rows.toDF("k", "o", "e", "v"), "k",
+        col("o"), col("e"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+            r.getAs[Long]("var18"), r.getAs[String]("trend")))).toMap
+    // key 1: strictly increasing n=10 -> S=45, significant inc;
+    // key 2: decreasing -> dec; key 3: n=3 too short -> none
+    val rows = (1L to 10L).map(i => (1L, i, i, i.toDouble)) ++
+      (1L to 10L).map(i => (2L, i, i, -i.toDouble)) ++
+      (1L to 3L).map(i => (3L, i, i, i.toDouble))
+    val got = run(rows)
+    assert(got(1L) == ((10L, 45L, 2250L, "inc")))
+    assert(got(2L) == ((10L, -45L, 2250L, "dec")))
+    assert(got(3L) == ((3L, 3L, 66L, "none")))
+    // tied values: series 1,1,2 -> S=2, var18 = 66 - 18 = 48
+    assert(run(Seq((4L, 1L, 1L, 1.0), (4L, 2L, 2L, 1.0),
+      (4L, 3L, 3L, 2.0)))(4L) == ((3L, 2L, 48L, "none")))
+    // duplicate order breaks by tie column: 5,3,4 -> two inversions
+    assert(run(Seq((5L, 1L, 1L, 5.0), (5L, 1L, 2L, 3.0),
+      (5L, 2L, 3L, 4.0)))(5L)._2 == -1L)
+  }
 }

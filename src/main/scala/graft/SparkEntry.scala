@@ -3920,6 +3920,43 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // q437: Simpson's-paradox audit — synthetic treatment whose
+    // per-stratum outcome rates run AGAINST the aggregate (treated
+    // rate rises with the stratum, control rate falls), so the flip
+    // lane is exercised for real; all signs are integer cross
+    // products.
+    "q437_simpson" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(3)).as("stratum"),
+          (pmod(col("event_id"), lit(2)) === 0).as("t"),
+          (pmod(expr("event_id div 2") + col("user_id") * 3, lit(10)) <
+            when(pmod(col("event_id"), lit(2)) === 0,
+              lit(3) + pmod(col("user_id"), lit(3)))
+              .otherwise(lit(6) - pmod(col("user_id"), lit(3))))
+            .as("y"))
+      operators.Quality.simpsonAudit(e, "t", "y", "stratum")
+        .orderBy(col("stratum"))
+    }),
+
+    // q438: per-user contribution capping (the DP-prep primitive) —
+    // each user keeps its deterministic md5-ranked 5 rows, then the
+    // event_type census shows the bounded-sensitivity aggregate
+    // next to the uncapped one.
+    "q438_cap_contributions" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+      val capped = operators.Privacy.capContributions(
+        e, "user_id", "event_id", k = 5, seed = 42L)
+      val cap = capped.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_capped"),
+          coalesce(sum(floor(col("value") * 1000).cast("long")), lit(0L))
+            .as("sum_milli_capped"))
+      val raw = e.filter(col("user_id").isNotNull).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"))
+      cap.join(raw, Seq("event_type"))
+        .select("event_type", "n_raw", "n_capped", "sum_milli_capped")
+        .orderBy(col("event_type"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11554,6 +11591,54 @@ object SparkEntry {
         |    THEN CASE WHEN sv > 0 THEN 'inc' ELSE 'dec' END
         |    ELSE 'none' END AS trend
         |FROM fin ORDER BY key""".stripMargin,
+
+    // q437: the 2x2 census per stratum + overall, signs as integer
+    // cross products, flip = nonzero opposite signs.
+    "q437_simpson" ->
+      """WITH s AS (SELECT CAST(user_id % 3 AS VARCHAR) AS stratum,
+        |    event_id % 2 = 0 AS t,
+        |    (event_id // 2 + user_id * 3) % 10 <
+        |      CASE WHEN event_id % 2 = 0 THEN 3 + user_id % 3
+        |        ELSE 6 - user_id % 3 END AS y
+        |  FROM events WHERE event_id < 20000),
+        |g AS (SELECT stratum,
+        |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN t AND y THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS a0
+        |  FROM s GROUP BY stratum),
+        |agg AS (SELECT CAST(SIGN(SUM(CASE WHEN t AND y THEN 1 ELSE 0 END)
+        |      * SUM(CASE WHEN NOT t THEN 1 ELSE 0 END)
+        |      - SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END)
+        |      * SUM(CASE WHEN t THEN 1 ELSE 0 END)) AS BIGINT)
+        |    AS agg_sign FROM s)
+        |SELECT g.stratum, g.n1, g.a1, g.n0, g.a0,
+        |  CAST(SIGN(g.a1 * g.n0 - g.a0 * g.n1) AS BIGINT) AS stratum_sign,
+        |  agg.agg_sign,
+        |  SIGN(g.a1 * g.n0 - g.a0 * g.n1) <> 0 AND agg.agg_sign <> 0
+        |    AND SIGN(g.a1 * g.n0 - g.a0 * g.n1) = -agg.agg_sign AS flipped
+        |FROM g, agg ORDER BY g.stratum""".stripMargin,
+
+    // q438: the same md5-ranked 5-row cap per user, then the
+    // event_type census beside the uncapped counts.
+    "q438_cap_contributions" ->
+      """WITH r AS (SELECT event_type, user_id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS vm,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY md5(CAST(event_id AS VARCHAR) || ':42'),
+        |        CAST(event_id AS VARCHAR)) AS rk
+        |  FROM events WHERE event_id < 20000 AND user_id IS NOT NULL),
+        |cap AS (SELECT event_type, COUNT(*) AS n_capped,
+        |    COALESCE(SUM(vm), 0) AS sum_milli_capped
+        |  FROM r WHERE rk <= 5 GROUP BY event_type),
+        |raw AS (SELECT event_type, COUNT(*) AS n_raw FROM r
+        |  GROUP BY event_type)
+        |SELECT cap.event_type, CAST(raw.n_raw AS BIGINT) AS n_raw,
+        |  CAST(cap.n_capped AS BIGINT) AS n_capped,
+        |  CAST(cap.sum_milli_capped AS BIGINT) AS sum_milli_capped
+        |FROM cap JOIN raw USING (event_type)
+        |ORDER BY cap.event_type""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

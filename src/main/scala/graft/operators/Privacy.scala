@@ -184,6 +184,32 @@ object Privacy {
         .cast("long"))
   }
 
+  /** Per-user contribution bounding — the universal PREPARATION step
+    * of every user-level differential-privacy release (and a skew
+    * killer in its own right): global sensitivity of a count/sum is
+    * unbounded until each user contributes at most k rows. Keeps a
+    * DETERMINISTIC, engine-independent k-subset per user: rows rank
+    * by (md5(id:seed), id) — the [[randomizedResponse]] seeded-hash
+    * family — so reruns, backfills, and the DuckDB oracle all select
+    * the SAME rows (a nondeterministic cap would make the release
+    * unauditable). Returns the capped rows with their `__rank`;
+    * aggregate downstream as usual — any per-user count is now ≤ k
+    * by construction.
+    *
+    * Shape: one keyed window (partitions are per-user row sets —
+    * user grain, never global), zero joins. */
+  def capContributions(df: DataFrame, userCol: String, idCol: String,
+      k: Int, seed: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(":" + seed))),
+        col(idCol).cast("string"))
+    df.filter(col(userCol).isNotNull && col(idCol).isNotNull)
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .filter(col("__rank") <= k.toLong)
+  }
+
   /** t-closeness under the ORDERED ground metric — the companion of
     * [[tCloseness]] (which uses the uniform categorical metric /
     * TVD): for a NUMERIC sensitive attribute, Li et al.'s paper

@@ -317,6 +317,49 @@ object Quality {
           lit(0).cast("decimal(38,0)")).cast("string").as("sum_h"))
   }
 
+  /** Simpson's-paradox audit — does the aggregate association between
+    * a binary treatment and a binary outcome REVERSE inside any
+    * stratum of a confounder ("model B wins overall but loses on
+    * every difficulty tier")? The classic aggregation trap every
+    * eval dashboard and A/B rollup should screen for before quoting
+    * a topline. Association signs are exact integer cross products —
+    * for counts (n₁, a₁) treated / (n₀, a₀) control, sign(a₁·n₀ −
+    * a₀·n₁) is the risk-difference sign with no division — so the
+    * audit is fully oracle-able. Output is stratum grain: the 2×2
+    * census, the stratum sign, the (repeated) aggregate sign, and
+    * `flipped` = both signs nonzero and opposite — a dataset is
+    * paradox-free iff no row flips.
+    *
+    * Shape: one stratum-grain aggregate + one broadcast scalar;
+    * row-scale data is touched exactly once. */
+  def simpsonAudit(df: DataFrame, treatCol: String, outcomeCol: String,
+      strataCol: String): DataFrame = {
+    val staged = df
+      .filter(col(treatCol).isNotNull && col(outcomeCol).isNotNull &&
+        col(strataCol).isNotNull)
+      .select(col(strataCol).cast("string").as("stratum"),
+        col(treatCol).cast("boolean").as("__t"),
+        col(outcomeCol).cast("boolean").as("__y"))
+    def census(g: org.apache.spark.sql.RelationalGroupedDataset) =
+      g.agg(sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("__t") && col("__y"), 1L).otherwise(0L)).as("a1"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n0"),
+        sum(when(!col("__t") && col("__y"), 1L).otherwise(0L)).as("a0"))
+    val strata = census(staged.groupBy(col("stratum")))
+      .withColumn("stratum_sign",
+        signum(col("a1") * col("n0") - col("a0") * col("n1"))
+          .cast("long"))
+    val agg = census(staged.groupBy())
+      .select(signum(col("a1") * col("n0") - col("a0") * col("n1"))
+        .cast("long").as("agg_sign"))
+    strata.crossJoin(broadcast(agg))
+      .withColumn("flipped", col("stratum_sign") =!= 0L &&
+        col("agg_sign") =!= 0L &&
+        col("stratum_sign") === -col("agg_sign"))
+      .select("stratum", "n1", "a1", "n0", "a0", "stratum_sign",
+        "agg_sign", "flipped")
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty && cols.size <= 32,
       s"profile 1..32 columns at a time, got ${cols.size}")

@@ -162,4 +162,28 @@ class PrivacySpec extends AnyFunSuite with SparkTestBase {
     assert(Privacy.tClosenessOrdered(one.toDF("qi", "v"), Seq("qi"), "v")
       .collect().forall(_.getAs[Long]("t_micro") == 0L))
   }
+
+  test("capContributions: deterministic md5-ranked k-subset per user") {
+    val rows = (1L to 10L).map(id => (7L, id)) ++
+      (11L to 12L).map(id => (8L, id))
+    val df = rows.toDF("u", "id")
+    def kept(seed: Long) = Privacy.capContributions(df, "u", "id", 3, seed)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("id"))).toSet
+    // the selection replays the md5(id:seed) order computed directly
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expect7 = (1L to 10L).sortBy(id => (md5hex(s"$id:42"), s"$id"))
+      .take(3).map((7L, _)).toSet
+    assert(kept(42L) == expect7 ++ Set((8L, 11L), (8L, 12L)))
+    // deterministic across runs; a different seed picks differently
+    assert(kept(42L) == kept(42L))
+    val expect7b = (1L to 10L).sortBy(id => (md5hex(s"$id:43"), s"$id"))
+      .take(3).map((7L, _)).toSet
+    assert(kept(43L) == expect7b ++ Set((8L, 11L), (8L, 12L)))
+    // per-user counts are bounded by k after capping
+    val counts = Privacy.capContributions(df, "u", "id", 3, 42L)
+      .groupBy("u").count().collect()
+      .map(r => r.getAs[Long]("u") -> r.getAs[Long]("count")).toMap
+    assert(counts == Map(7L -> 3L, 8L -> 2L))
+  }
 }

@@ -172,4 +172,29 @@ class QualitySpec extends AnyFunSuite with SparkTestBase {
     assert(fp(base.filter(lit(false))) ==
       ((0L, 0L, java.math.BigInteger.ZERO)))
   }
+
+  test("simpsonAudit: textbook reversal flips every stratum") {
+    // treated worse in BOTH strata, better overall (concentrated in
+    // the easy stratum): E 7/8 vs 2/2, H 0/2 vs 2/8, agg 7/10 vs 4/10
+    def rows(s: String, t: Boolean, y: Boolean, n: Int) =
+      Seq.fill(n)((s, t, y))
+    val df = (rows("E", true, true, 7) ++ rows("E", true, false, 1) ++
+      rows("E", false, true, 2) ++
+      rows("H", true, false, 2) ++ rows("H", false, true, 2) ++
+      rows("H", false, false, 6)).toDF("s", "t", "y")
+    val got = Quality.simpsonAudit(df, "t", "y", "s").collect()
+      .map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("a1"), r.getAs[Long]("n0"),
+          r.getAs[Long]("a0"), r.getAs[Long]("stratum_sign"),
+          r.getAs[Long]("agg_sign"), r.getAs[Boolean]("flipped")))).toMap
+    assert(got("E") == ((8L, 7L, 2L, 2L, -1L, 1L, true)))
+    assert(got("H") == ((2L, 0L, 8L, 2L, -1L, 1L, true)))
+    // zero-sign strata never flag: equal rates -> sign 0
+    val flat = (rows("Z", true, true, 1) ++ rows("Z", true, false, 1) ++
+      rows("Z", false, true, 1) ++ rows("Z", false, false, 1))
+      .toDF("s", "t", "y")
+    val z = Quality.simpsonAudit(flat, "t", "y", "s").collect().head
+    assert(z.getAs[Long]("stratum_sign") == 0L &&
+      !z.getAs[Boolean]("flipped"))
+  }
 }

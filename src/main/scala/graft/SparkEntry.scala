@@ -3957,6 +3957,31 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // q439: per-user maximum drawdown over the value series —
+    // running peak, worst peak-to-value drop, final value, and the
+    // first trough instant; all integer max/lag arithmetic.
+    "q439_max_drawdown" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 30000)
+      operators.Relational.maxDrawdown(e, "user_id", "ts", "event_id",
+        "value").orderBy(col("key"))
+    }),
+
+    // q440: SMA-variant RSI over the trailing 14 deltas per user —
+    // one exact rational per row, NULL until the frame fills.
+    "q440_rsi" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 5000)
+      operators.Relational.rsiSma(e, "user_id", "ts", "event_id",
+        "value", window = 14).orderBy(col("key"), col("ts_us"), col("seq"))
+    }),
+
+    // q441: SAX symbolization — 8-row PAA frames per user cut at the
+    // corpus's exact global value quartiles; frame-grain letters.
+    "q441_sax" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 30000)
+      operators.Relational.saxSymbols(e, "user_id", "ts", "event_id",
+        "value", paaSize = 8).orderBy(col("key"), col("frame"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11639,6 +11664,78 @@ object SparkEntry {
         |  CAST(cap.sum_milli_capped AS BIGINT) AS sum_milli_capped
         |FROM cap JOIN raw USING (event_type)
         |ORDER BY cap.event_type""".stripMargin,
+
+    // q439: running peak window, drawdown lanes, first-trough via
+    // the per-key max join, last value by reverse row number.
+    "q439_max_drawdown" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS o, event_id AS e,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 30000 AND value IS NOT NULL),
+        |w AS (SELECT k, o, e, v, MAX(v) OVER (PARTITION BY k
+        |    ORDER BY o, e ROWS UNBOUNDED PRECEDING) AS pk FROM s),
+        |d AS (SELECT *, pk - v AS dd FROM w),
+        |dm AS (SELECT k, MAX(dd) AS mdd FROM d GROUP BY k),
+        |lastv AS (SELECT k, v FROM (SELECT k, v, ROW_NUMBER() OVER
+        |    (PARTITION BY k ORDER BY o DESC, e DESC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |fin AS (SELECT d.k, CAST(COUNT(*) AS BIGINT) AS n,
+        |    MAX(d.pk) AS peak_milli, MAX(d.dd) AS max_drawdown_milli,
+        |    MIN(CASE WHEN d.dd = dm.mdd THEN d.o END) AS trough_ts_us
+        |  FROM d JOIN dm ON d.k = dm.k GROUP BY d.k)
+        |SELECT fin.k AS key, fin.n, fin.peak_milli, lastv.v AS last_milli,
+        |  fin.max_drawdown_milli, fin.trough_ts_us
+        |FROM fin JOIN lastv ON fin.k = lastv.k ORDER BY key""".stripMargin,
+
+    // q440: the same lag + bounded ROWS frame, one exact rational.
+    "q440_rsi" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS o, event_id AS e,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 5000 AND value IS NOT NULL),
+        |d AS (SELECT k, o, e, v,
+        |    v - LAG(v) OVER (PARTITION BY k ORDER BY o, e) AS dl FROM s),
+        |f AS (SELECT k, o, e, v,
+        |    COUNT(dl) OVER w AS nd,
+        |    COALESCE(SUM(GREATEST(dl, 0)) OVER w, 0) AS sg,
+        |    COALESCE(SUM(GREATEST(-dl, 0)) OVER w, 0) AS sl
+        |  FROM d WINDOW w AS (PARTITION BY k ORDER BY o, e
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |SELECT k AS key, o AS ts_us, e AS seq, v AS value_milli,
+        |  CAST(sg AS BIGINT) AS sum_gain_milli,
+        |  CAST(sl AS BIGINT) AS sum_loss_milli,
+        |  CASE WHEN nd >= 14 AND sg + sl > 0 THEN
+        |    CAST((100000 * sg) // (sg + sl) AS BIGINT) END AS rsi_milli
+        |FROM f ORDER BY key, ts_us, seq""".stripMargin,
+
+    // q441: global quartile cuts from cumulated value runs, 8-row
+    // frames per key, the SAME negative-safe floor division.
+    "q441_sax" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS o, event_id AS e,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 30000 AND value IS NOT NULL),
+        |sc AS (SELECT COUNT(*) AS n FROM s),
+        |runs AS (SELECT v, COUNT(*) AS c FROM s GROUP BY v),
+        |cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cc FROM runs),
+        |cuts AS (SELECT
+        |    MIN(CASE WHEN cc >= (n + 3) // 4 THEN v END) AS b1,
+        |    MIN(CASE WHEN cc >= (n + 1) // 2 THEN v END) AS b2,
+        |    MIN(CASE WHEN cc >= (3 * n + 3) // 4 THEN v END) AS b3
+        |  FROM cum, sc),
+        |fr AS (SELECT k,
+        |    (ROW_NUMBER() OVER (PARTITION BY k ORDER BY o, e) - 1) // 8
+        |      AS frame, o, v FROM s),
+        |g AS (SELECT k, frame, CAST(COUNT(*) AS BIGINT) AS n_in_frame,
+        |    SUM(v) AS sv, MIN(o) AS frame_start_us
+        |  FROM fr GROUP BY k, frame),
+        |p AS (SELECT k, frame, frame_start_us, n_in_frame,
+        |    CASE WHEN sv >= 0 THEN sv // n_in_frame
+        |      ELSE -((-sv + n_in_frame - 1) // n_in_frame) END
+        |      AS paa_milli FROM g)
+        |SELECT k AS key, CAST(frame AS BIGINT) AS frame, frame_start_us,
+        |  n_in_frame, CAST(paa_milli AS BIGINT) AS paa_milli,
+        |  CHR(97 + CASE WHEN paa_milli > b1 THEN 1 ELSE 0 END
+        |    + CASE WHEN paa_milli > b2 THEN 1 ELSE 0 END
+        |    + CASE WHEN paa_milli > b3 THEN 1 ELSE 0 END) AS letter
+        |FROM p, cuts ORDER BY key, frame""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -2181,6 +2181,136 @@ object Relational {
           .as("median_milli"))
   }
 
+  /** Per-key maximum drawdown — the canonical "how bad did it get"
+    * summary for any level series (loss curves, quality scores,
+    * account balances): max over time of (running peak − value),
+    * with the peak, the final value, and when the worst drawdown
+    * bottomed. Values are milli floors; everything else is integer
+    * max/lag arithmetic, so the summary is engine-exact. Frame
+    * order is (tsCol, seqCol) — a total order.
+    *
+    * Shape: one key-partitioned running-max window + one key-grain
+    * aggregate; no global window, no joins. */
+  def maxDrawdown(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key"))
+      .orderBy(col("ts_us"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).as("__seq"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .withColumn("__peak", max(col("__v")).over(w))
+      .withColumn("__dd", col("__peak") - col("__v"))
+      .withColumn("__ddmax",
+        max(col("__dd")).over(Window.partitionBy(col("key"))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        max(col("__peak")).as("peak_milli"),
+        max(struct(col("ts_us"), col("__seq"), col("__v")))
+          .getField("__v").as("last_milli"),
+        max(col("__dd")).as("max_drawdown_milli"),
+        // where the worst drawdown first bottomed (earliest instant
+        // attaining the max — deterministic under ties)
+        min(when(col("__dd") === col("__ddmax"), col("ts_us")))
+          .as("trough_ts_us"))
+  }
+
+  /** Per-key SMA-variant RSI (relative strength index) over the
+    * trailing `window` one-step deltas — the bounded momentum gauge
+    * (0..100) dashboards put beside [[ewmaMilli]]: gains vs losses
+    * over the lookback, as ONE exact rational
+    *   rsi_milli = ⌊100000·Σgains / (Σgains + Σlosses)⌋
+    * (the simple-average form — Wilder's recursive smoothing would
+    * compound float error; the SMA variant is standard and exact).
+    * NULL until `window` deltas exist and when the frame is flat
+    * (Σg + Σl = 0). Deltas of milli floors are integers, so both
+    * lanes replay bit-identically. Frame order is (tsCol, seqCol).
+    *
+    * Shape: one key-partitioned lag + one bounded ROWS frame per
+    * key; O(1) state per row, no joins. */
+  def rsiSma(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val wOrd = Window.partitionBy(col("key"))
+      .orderBy(col("ts_us"), col("seq"))
+    val wSum = wOrd.rowsBetween(-(window - 1L), Window.currentRow)
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).as("seq"),
+        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+      .withColumn("__d",
+        col("value_milli") - lag(col("value_milli"), 1).over(wOrd))
+      .withColumn("__nd", count(col("__d")).over(wSum))
+      .withColumn("sum_gain_milli",
+        coalesce(sum(greatest(col("__d"), lit(0L))).over(wSum), lit(0L)))
+      .withColumn("sum_loss_milli",
+        coalesce(sum(greatest(-col("__d"), lit(0L))).over(wSum), lit(0L)))
+      .withColumn("rsi_milli", when(
+        col("__nd") >= window.toLong &&
+          col("sum_gain_milli") + col("sum_loss_milli") > 0L,
+        expr("""(100000 * sum_gain_milli)
+          | div (sum_gain_milli + sum_loss_milli)""".stripMargin)))
+      .drop("__d", "__nd")
+  }
+
+  /** SAX symbolization (Lin et al. 2003, made exact) — compress each
+    * key's series into frame-grain SYMBOLS so motif mining, indexing,
+    * and cheap whole-corpus similarity run on letters instead of
+    * floats: consecutive `paaSize`-row frames (in (ts, seq) order)
+    * average to a PAA value, then discretize against the GLOBAL
+    * exact value quartiles (classic SAX z-normalizes per series and
+    * cuts at Gaussian breakpoints — IEEE all the way down; the exact
+    * variant cuts at the corpus's own lower-quartile VALUES from the
+    * [[globalPrefixSum]] run spine, which keeps every lane integer
+    * and the alphabet calibrated to the data actually seen):
+    * letter = a/b/c/d by how many breakpoints the frame's
+    * floor-divided PAA mean strictly exceeds.
+    *
+    * Shape: one value-run census + the two-pass prefix-sum spine for
+    * the three cut positions (never a partition-less window over
+    * rows), one keyed numbering window, one (key, frame) aggregate,
+    * broadcast breakpoints. */
+  def saxSymbols(df: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, paaSize: Int): DataFrame = {
+    require(paaSize >= 1, s"paaSize must be >= 1, got $paaSize")
+    val staged = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).as("__seq"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = globalPrefixSum(runs, Seq(col("__v").asc), "__c", "__cum")
+    val scal = staged.agg(count(lit(1)).as("__N"))
+    val cuts = cum.crossJoin(broadcast(scal))
+      .agg(
+        min(when(col("__cum") >= expr("(__N + 3) div 4"), col("__v")))
+          .as("b1"),
+        min(when(col("__cum") >= expr("(__N + 1) div 2"), col("__v")))
+          .as("b2"),
+        min(when(col("__cum") >= expr("(3 * __N + 3) div 4"), col("__v")))
+          .as("b3"))
+    val wOrd = Window.partitionBy(col("key"))
+      .orderBy(col("ts_us"), col("__seq"))
+    staged
+      .withColumn("__r", row_number().over(wOrd).cast("long") - 1L)
+      .withColumn("frame", expr(s"__r div $paaSize"))
+      .groupBy(col("key"), col("frame"))
+      .agg(count(lit(1)).as("n_in_frame"),
+        sum(col("__v")).as("__s"), min(col("ts_us")).as("frame_start_us"))
+      // floor division (negative-safe) so both engines agree
+      .withColumn("paa_milli", expr(
+        """CASE WHEN __s >= 0 THEN __s div n_in_frame
+          |  ELSE -((-__s + n_in_frame - 1) div n_in_frame) END"""
+          .stripMargin))
+      .crossJoin(broadcast(cuts))
+      .withColumn("letter", expr(
+        """CHR(97 + CASE WHEN paa_milli > b1 THEN 1 ELSE 0 END
+          |  + CASE WHEN paa_milli > b2 THEN 1 ELSE 0 END
+          |  + CASE WHEN paa_milli > b3 THEN 1 ELSE 0 END)""".stripMargin))
+      .select("key", "frame", "frame_start_us", "n_in_frame",
+        "paa_milli", "letter")
+  }
+
   /** Per-key resampling onto a regular epoch-aligned grid with LINEAR
     * interpolation — the irregular→regular bridge every time-series
     * consumer eventually needs (model features at fixed cadence,

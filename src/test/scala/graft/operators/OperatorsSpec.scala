@@ -1402,6 +1402,68 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     assert(t2.length == 1 && t2.head.getAs[String]("from_type") == "x")
   }
+  test("maxDrawdown: running peak, worst drop, first trough, last value") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 10,12,8,11,5,9: peaks 10,12..; drawdowns 0,0,4,1,7,3
+    val df = Seq(10.0, 12.0, 8.0, 11.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => (1L, ts(i.toLong), i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val r = Relational.maxDrawdown(df, "k", "ts", "seq", "v")
+      .collect().head
+    assert(r.getAs[Long]("n") == 6L &&
+      r.getAs[Long]("peak_milli") == 12000L &&
+      r.getAs[Long]("last_milli") == 9000L &&
+      r.getAs[Long]("max_drawdown_milli") == 7000L &&
+      r.getAs[Long]("trough_ts_us") == 4000000L)
+    // monotone series never draws down
+    val up = (1 to 4).map(i => (2L, ts(i.toLong), i.toLong, i.toDouble))
+      .toDF("k", "ts", "seq", "v")
+    assert(Relational.maxDrawdown(up, "k", "ts", "seq", "v")
+      .collect().head.getAs[Long]("max_drawdown_milli") == 0L)
+  }
+
+  test("rsiSma: exact rational after the frame fills, flat-frame NULL") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // 10,11,13,12,12: deltas 1,2,-1,0; window 3 fills at row 4
+    val df = Seq(10.0, 11.0, 13.0, 12.0, 12.0).zipWithIndex
+      .map { case (v, i) => (1L, ts(i.toLong), i.toLong, v) }
+      .toDF("k", "ts", "seq", "v")
+    val got = Relational.rsiSma(df, "k", "ts", "seq", "v", window = 3)
+      .orderBy("seq").collect()
+    assert(got.take(3).forall(r => r.isNullAt(r.fieldIndex("rsi_milli"))))
+    assert(got(3).getAs[Long]("sum_gain_milli") == 3000L &&
+      got(3).getAs[Long]("sum_loss_milli") == 1000L &&
+      got(3).getAs[Long]("rsi_milli") == 75000L)
+    assert(got(4).getAs[Long]("rsi_milli") == 66666L)
+    // constant series: frame full but flat -> NULL, not 0/0
+    val flat = (0 to 4).map(i => (2L, ts(i.toLong), i.toLong, 5.0))
+      .toDF("k", "ts", "seq", "v")
+    assert(Relational.rsiSma(flat, "k", "ts", "seq", "v", window = 3)
+      .collect().forall(r => r.isNullAt(r.fieldIndex("rsi_milli"))))
+  }
+
+  test("saxSymbols: global quartile cuts, frame letters, negative floor") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // global values 1..8 -> cuts at 2000/4000/6000; A frames paa
+    // 1500,3500 -> a,b; B frames 5500,7500 -> c,d
+    val df = ((1 to 4).map(i => ("A", ts(i.toLong), i.toLong, i.toDouble))
+      ++ (5 to 8).map(i => ("B", ts(i.toLong), i.toLong, i.toDouble)))
+      .toDF("k", "ts", "seq", "v")
+    val got = Relational.saxSymbols(df, "k", "ts", "seq", "v", paaSize = 2)
+      .collect().map(r => (r.getAs[String]("key"), r.getAs[Long]("frame"))
+        -> ((r.getAs[Long]("paa_milli"), r.getAs[String]("letter")))).toMap
+    assert(got == Map(("A", 0L) -> ((1500L, "a")), ("A", 1L) -> ((3500L, "b")),
+      ("B", 0L) -> ((5500L, "c")), ("B", 1L) -> ((7500L, "d"))))
+    // negative sums floor toward -inf (engine-agnostic division)
+    val neg = Seq(("C", ts(1), 1L, -1.0), ("C", ts(2), 2L, -2.0))
+      .toDF("k", "ts", "seq", "v")
+    val n = Relational.saxSymbols(neg, "k", "ts", "seq", "v", paaSize = 2)
+      .collect().head
+    assert(n.getAs[Long]("paa_milli") == -1500L)
+  }
 }
 
 class DedupSpec extends AnyFunSuite with SparkTestBase {

@@ -3982,6 +3982,36 @@ object SparkEntry {
         "value", paaSize = 8).orderBy(col("key"), col("frame"))
     }),
 
+    // q442: resource-allocation link prediction — the q371 candidate
+    // discipline with hub-discounted 1/deg(z) scoring on a denser
+    // mod-64 multigraph.
+    "q442_resource_alloc" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val edges = d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 7 + 3) % 64).as("dst"))
+        .unionByName(d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 3 + 1) % 64).as("dst")))
+        .unionByName(d.select((col("doc_id") * 5 % 64).as("src"),
+          ((col("doc_id") * 11 + 5) % 64).as("dst")))
+      operators.Graph.resourceAllocationScores(edges, "src", "dst",
+          minCommon = 2L)
+        .orderBy(col("a"), col("c"))
+    }),
+
+    // q443: two-hop neighborhood census on the same graph — exact
+    // friends-of-friends reach per node.
+    "q443_two_hop" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val edges = d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 7 + 3) % 64).as("dst"))
+        .unionByName(d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 3 + 1) % 64).as("dst")))
+        .unionByName(d.select((col("doc_id") * 5 % 64).as("src"),
+          ((col("doc_id") * 11 + 5) % 64).as("dst")))
+      operators.Graph.twoHopCensus(edges, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11736,6 +11766,63 @@ object SparkEntry {
         |    + CASE WHEN paa_milli > b2 THEN 1 ELSE 0 END
         |    + CASE WHEN paa_milli > b3 THEN 1 ELSE 0 END) AS letter
         |FROM p, cuts ORDER BY key, frame""".stripMargin,
+
+    // q442: wedge join carrying the center's degree; per-term
+    // 10^6 // deg floors sum to ra_micro.
+    "q442_resource_alloc" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 64 AS a, (doc_id * 7 + 3) % 64 AS b
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id % 64, (doc_id * 3 + 1) % 64
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id * 5 % 64, (doc_id * 11 + 5) % 64
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT lo AS n, hi AS m FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |  GROUP BY 1),
+        |p AS (SELECT x.n AS a, y.n AS c,
+        |    CAST(COUNT(*) AS BIGINT) AS common,
+        |    CAST(SUM(1000000 // dm.deg) AS BIGINT) AS ra_micro
+        |  FROM adj x JOIN adj y ON y.m = x.m AND x.n < y.n
+        |  JOIN deg dm ON dm.n = x.m
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.a, p.c, p.common, p.ra_micro FROM p
+        |WHERE NOT EXISTS
+        |  (SELECT 1 FROM e WHERE e.lo = p.a AND e.hi = p.c)
+        |ORDER BY p.a, p.c""".stripMargin,
+
+    // q443: one-hop union two-hop reach, distinct, self excluded.
+    "q443_two_hop" ->
+      """WITH raw AS (
+        |  SELECT doc_id % 64 AS a, (doc_id * 7 + 3) % 64 AS b
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id % 64, (doc_id * 3 + 1) % 64
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id * 5 % 64, (doc_id * 11 + 5) % 64
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM raw WHERE a <> b),
+        |adj AS (SELECT lo AS n, hi AS m FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |  GROUP BY 1),
+        |hop2 AS (SELECT x.n, y.n AS reach FROM adj x
+        |  JOIN adj y ON y.m = x.m WHERE x.n <> y.n),
+        |reach AS (SELECT DISTINCT n, reach FROM
+        |  (SELECT n, m AS reach FROM adj UNION ALL
+        |   SELECT n, reach FROM hop2)),
+        |cnt AS (SELECT n AS id, CAST(COUNT(*) AS BIGINT) AS n_within_2
+        |  FROM reach GROUP BY n)
+        |SELECT cnt.id, deg.deg, cnt.n_within_2
+        |FROM cnt JOIN deg ON deg.n = cnt.id ORDER BY cnt.id"""
+        .stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1249,6 +1249,92 @@ object Graph {
     out
   }
 
+  /** Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    * the degree-weighted sibling of [[commonNeighborScores]]: each
+    * common neighbor z contributes 1/deg(z), so a hub shared with
+    * everyone stops dominating the score (RA beats raw counts and
+    * Jaccard on most real graphs, and unlike Adamic–Adar's 1/log deg
+    * it needs no transcendental — the lane stays integer):
+    *   ra_micro = Σ_z∈N(a)∩N(c) ⌊10⁶ / deg(z)⌋
+    * (per-term floors, documented — deterministic and what the
+    * oracle replays; the error vs the real sum is < |common|·10⁻⁶).
+    * Same candidate discipline as the Jaccard scorer: distance-2
+    * wedge endpoints only (Σ deg² pair space, never |V|²), canonical
+    * a < c, existing edges anti-joined out, `minCommon` trims.
+    *
+    * One wedge self-join CARRYING the center's degree + one pair
+    * aggregate + one anti-join. */
+  def resourceAllocationScores(edges: DataFrame, srcCol: String,
+      dstCol: String, minCommon: Long = 1L): DataFrame = {
+    require(minCommon >= 1, "minCommon must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("lo").as("n"), col("hi").as("m"))
+      .unionByName(e.select(col("hi").as("n"), col("lo").as("m")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val adjD = adj.join(deg.select(col("n").as("m"),
+      col("deg").as("__dm")), Seq("m"))
+    val out = adjD.select(col("m").as("__mid"), col("n").as("a"),
+        col("__dm"))
+      .join(adjD.select(col("m").as("__mid"), col("n").as("c")), "__mid")
+      .filter(col("a") < col("c"))
+      .groupBy(col("a"), col("c"))
+      .agg(count(lit(1)).as("common"),
+        sum(expr("1000000 div __dm")).as("ra_micro"))
+      .filter(col("common") >= minCommon)
+      .join(e, col("a") === col("lo") && col("c") === col("hi"),
+        "left_anti")
+      .select(col("a"), col("c"), col("common"), col("ra_micro"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
+  /** Two-hop neighborhood census — |N≤₂(v)| per node (friends +
+    * friends-of-friends, self excluded): the standard reach/influence
+    * feature and the honest denominator for "what fraction of the
+    * graph can v touch in two steps". Exact distinct count via one
+    * adjacency self-join + one distinct — pair space Σ deg², the
+    * triangle/wedge cost (bounded-degree discipline: cap hubs
+    * upstream if Σ deg² is corpus-scale). Undirected deduped
+    * reading, like [[triangleCounts]]. */
+  def twoHopCensus(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("lo").as("n"), col("hi").as("m"))
+      .unionByName(e.select(col("hi").as("n"), col("lo").as("m")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val hop2 = adj.select(col("n"), col("m").as("__mid"))
+      .join(adj.select(col("m").as("__mid"), col("n").as("__reach")),
+        Seq("__mid"))
+      .select(col("n"), col("__reach"))
+      .filter(col("n") =!= col("__reach"))
+    val reach = adj.select(col("n"), col("m").as("__reach"))
+      .unionByName(hop2)
+      .distinct()
+      .groupBy(col("n").as("id"))
+      .agg(count(lit(1)).as("n_within_2"))
+    val out = reach
+      .join(deg.select(col("n").as("id"), col("deg")), Seq("id"))
+      .select(col("id"), col("deg"), col("n_within_2"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Longest path from the DAG's sources to every node — the
     * critical-path (CPM) primitive: with edge weights as task
     * durations, `dist(v)` is v's earliest start time and the global

@@ -669,4 +669,30 @@ class GraphSpec extends SparkTestBase {
         Option(r.getAs[String]("label"))).toMap
     assert(d(1L) == Some("a") && d(2L) == Some("a"))
   }
+
+  test("resourceAllocationScores: square and hub-discounted star") {
+    // square 1-2-3-4: non-edges (1,3),(2,4) share two deg-2 centers
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val got = Graph.resourceAllocationScores(sq, "s", "d", minCommon = 2L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("c")) ->
+        ((r.getAs[Long]("common"), r.getAs[Long]("ra_micro")))).toMap
+    assert(got == Map((1L, 3L) -> ((2L, 1000000L)),
+      (2L, 4L) -> ((2L, 1000000L))))
+    // star 0-{1,2,3} + edge 1-2: hub center deg 3 discounts to 333333;
+    // the existing edge (1,2) never appears
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L)).toDF("s", "d")
+    val g2 = Graph.resourceAllocationScores(star, "s", "d", minCommon = 1L)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("c")) ->
+        r.getAs[Long]("ra_micro")).toMap
+    assert(g2 == Map((1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
+  }
+
+  test("twoHopCensus: path graph reach, self excluded") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val got = Graph.twoHopCensus(path, "s", "d").collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_within_2")))).toMap
+    assert(got == Map(1L -> ((1L, 2L)), 2L -> ((2L, 3L)),
+      3L -> ((2L, 4L)), 4L -> ((2L, 3L)), 5L -> ((1L, 2L))))
+  }
 }

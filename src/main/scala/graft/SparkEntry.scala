@@ -4012,6 +4012,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q444: the QOI image lane — REAL spec encode of deterministic
+    // solid RGB images, REAL strict decode back; geometry and exact
+    // per-channel pixel sums replay arithmetically. INDEX/DIFF/LUMA
+    // chunk kinds and malformations are QoiSpec-pinned.
+    "q444_qoi_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Qoi.buildStubQoi(base, "doc_id")
+      operators.Qoi.qoiStats(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11823,6 +11835,23 @@ object SparkEntry {
         |SELECT cnt.id, deg.deg, cnt.n_within_2
         |FROM cnt JOIN deg ON deg.n = cnt.id ORDER BY cnt.id"""
         .stripMargin,
+
+    // q444: the solid-fill QOI construction replayed — geometry
+    // formulas and v·n_px channel sums (alpha is the constant 255).
+    "q444_qoi_census" ->
+      """WITH b AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h, doc_id % 256 AS cr,
+        |    (3 * doc_id + 1) % 256 AS cg, (5 * doc_id + 2) % 256 AS cb
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(cr * w * h AS BIGINT) AS sum_r,
+        |  CAST(cg * w * h AS BIGINT) AS sum_g,
+        |  CAST(cb * w * h AS BIGINT) AS sum_b,
+        |  CAST(255 * w * h AS BIGINT) AS sum_a
+        |FROM b ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Qoi]] — spec encoder/decoder round trips (all chunk kinds),
+  * strict-null malformations, and the DataFrame census. */
+class QoiSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def px(r: Int, g: Int, b: Int, a: Int = 255): Int =
+    (r << 24) | (g << 16) | (b << 8) | a
+
+  test("encode->decode round-trips arbitrary RGB and RGBA content") {
+    // deterministic noise hits RGB/LUMA/DIFF/INDEX/RUN paths
+    val w = 23; val h = 17
+    val rgb = Array.tabulate(w * h) { i =>
+      if (i % 11 == 3) px(7, 8, 9)                  // recurring -> INDEX
+      else if (i % 5 == 0 && i > 0) {
+        val prev = (i * 37) % 251
+        px(prev, (prev + 1) & 0xFF, prev)           // small deltas
+      } else px((i * 37) % 251, (i * 59 + 3) % 251, (i * 83 + 7) % 251)
+    }
+    val d1 = Qoi.decode(Qoi.encode(w, h, 3, rgb))
+    assert(d1 != null && d1.width == w && d1.height == h &&
+      d1.channels == 3)
+    assert(d1.pixels.toSeq == rgb.toSeq)
+    // RGBA with varying alpha exercises QOI_OP_RGBA
+    val rgba = Array.tabulate(w * h)(i =>
+      px((i * 37) % 251, (i * 59) % 251, (i * 83) % 251, (i * 29) % 251))
+    val d2 = Qoi.decode(Qoi.encode(w, h, 4, rgba))
+    assert(d2 != null && d2.channels == 4 && d2.pixels.toSeq == rgba.toSeq)
+    // long solid fill exercises 62-run chunking
+    val solid = Array.fill(130 * 3)(px(5, 6, 7))
+    val d3 = Qoi.decode(Qoi.encode(130, 3, 3, solid))
+    assert(d3 != null && d3.pixels.toSeq == solid.toSeq)
+  }
+
+  test("decode: hand-built chunk stream and strict malformations") {
+    // header + RGB(10,20,30), RUN(2), DIFF(+1,+1,+1), LUMA(dg=4,
+    // dr-dg=-2, db-dg=3) over a 1x6 image, then the end marker
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = { bos.write(v >>> 24); bos.write(v >>> 16)
+      bos.write(v >>> 8); bos.write(v) }
+    bos.write('q'); bos.write('o'); bos.write('i'); bos.write('f')
+    u32(6); u32(1); bos.write(3); bos.write(0)
+    bos.write(0xFE); bos.write(10); bos.write(20); bos.write(30)
+    bos.write(0xC0 | 1) // run 2
+    bos.write(0x40 | (3 << 4) | (3 << 2) | 3) // diff +1,+1,+1
+    bos.write(0x80 | (4 + 32)); bos.write(((-2 + 8) << 4) | (3 + 8))
+    bos.write(0x00 | ((11 * 3 + 21 * 5 + 31 * 7 + 255 * 11) % 64)) // INDEX
+    (1 to 7).foreach(_ => bos.write(0)); bos.write(1)
+    val good = bos.toByteArray
+    val img = Qoi.decode(good)
+    assert(img != null && img.width == 6)
+    assert(img.pixels.toSeq == Seq(px(10, 20, 30), px(10, 20, 30),
+      px(10, 20, 30), px(11, 21, 31), px(13, 25, 38), px(11, 21, 31)))
+    // malformations: bad magic, truncated, pixel overrun, bad marker
+    val badMagic = good.clone(); badMagic(0) = 'x'.toByte
+    assert(Qoi.decode(badMagic) == null)
+    assert(Qoi.decode(good.dropRight(1)) == null)
+    val overrun = good.clone(); overrun(18) = (0xC0 | 40).toByte
+    assert(Qoi.decode(overrun) == null)
+    val badEnd = good.clone(); badEnd(badEnd.length - 1) = 2
+    assert(Qoi.decode(badEnd) == null)
+    assert(Qoi.decode(Array.emptyByteArray) == null)
+  }
+
+  test("qoiStats: census over stub images, null row for junk") {
+    val base = Seq(3L, 10L, 77L).toDF("doc_id")
+    val built = Qoi.buildStubQoi(base, "doc_id")
+    val got = Qoi.qoiStats(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(3L, 10L, 77L).foreach { id =>
+      val r = got(id)
+      val w = 3 + id % 6; val h = 2 + id % 4; val n = w * h
+      assert(r.getAs[Long]("ok") == 1L && r.getAs[Long]("width") == w &&
+        r.getAs[Long]("height") == h && r.getAs[Long]("n_px") == n)
+      assert(r.getAs[Long]("sum_r") == (id % 256) * n &&
+        r.getAs[Long]("sum_g") == ((3 * id + 1) % 256) * n &&
+        r.getAs[Long]("sum_b") == ((5 * id + 2) % 256) * n &&
+        r.getAs[Long]("sum_a") == 255 * n)
+    }
+    val junk = Seq((1L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val j = Qoi.qoiStats(junk, "doc_id", "payload").collect().head
+    assert(j.getAs[Long]("ok") == 0L && j.isNullAt(j.fieldIndex("width")))
+  }
+}

@@ -4024,6 +4024,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q445: the netpbm lane — REAL P6 ramps (8-bit) and P5 16-bit
+    // grayscale ramps encoded then strictly re-decoded; geometry,
+    // maxval, and exact channel sums replay arithmetically (the P5
+    // branch over a small generate_series grid in the oracle).
+    "q445_pbm_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Netpbm.buildStubPbm(base, "doc_id")
+      operators.Netpbm.pbmStats(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11852,6 +11864,36 @@ object SparkEntry {
         |  CAST(cb * w * h AS BIGINT) AS sum_b,
         |  CAST(255 * w * h AS BIGINT) AS sum_a
         |FROM b ORDER BY id""".stripMargin,
+
+    // q445: even ids closed-form P6 ramp sums (x+c stays < 256 at
+    // w <= 8 — no wrap); odd ids replay the P5 grid cell by cell.
+    "q445_pbm_census" ->
+      """WITH b AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h FROM documents WHERE doc_id < 150),
+        |even AS (SELECT doc_id AS id, 'P6' AS format, w, h,
+        |    255 AS maxval,
+        |    h * (w * (w - 1) // 2 + 0 * w) AS sum_r,
+        |    h * (w * (w - 1) // 2 + 1 * w) AS sum_g,
+        |    h * (w * (w - 1) // 2 + 2 * w) AS sum_b
+        |  FROM b WHERE doc_id % 2 = 0),
+        |odd AS (SELECT b.doc_id AS id, 'P5' AS format, b.w, b.h,
+        |    1000 AS maxval,
+        |    SUM((7 * b.doc_id + x.x * y.y) % 1001) AS s
+        |  FROM b, generate_series(0, 7) AS x(x),
+        |    generate_series(0, 4) AS y(y)
+        |  WHERE b.doc_id % 2 = 1 AND x.x < b.w AND y.y < b.h
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |u AS (SELECT id, format, w, h, maxval, sum_r, sum_g, sum_b
+        |    FROM even
+        |  UNION ALL
+        |  SELECT id, format, w, h, maxval, s, s, s FROM odd)
+        |SELECT id, CAST(1 AS BIGINT) AS ok, format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(maxval AS BIGINT) AS maxval,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        |  CAST(sum_b AS BIGINT) AS sum_b
+        |FROM u ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

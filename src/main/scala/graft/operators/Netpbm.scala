@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** Binary netpbm (PGM `P5` grayscale / PPM `P6` RGB — the netpbm
+  * format family's raw variants): the simplest real image container
+  * in the wild (scientific tooling, scanner output, FFmpeg's default
+  * piping format), and like [[Qoi]] fully ownable on the JVM — an
+  * ASCII header (tokens separated by whitespace, `#` comments legal
+  * anywhere between them) followed by raw big-endian samples, 1 byte
+  * per sample for maxval < 256, 2 bytes up to 65535.
+  *
+  * Strict parse (the [[Qoi.decode]] discipline): bad magic, missing
+  * header tokens, maxval out of (0, 65535], short or LONG payloads,
+  * and oversize geometry all return null — countable, never
+  * throwing. */
+object Netpbm {
+
+  final case class PbmImage(format: String, width: Int, height: Int,
+      maxval: Int, samples: Array[Int])
+
+  private val MaxPixels = 1 << 26
+
+  def decode(data: Array[Byte]): PbmImage = {
+    if (data == null || data.length < 10) return null
+    if (data(0) != 'P' || (data(1) != '5' && data(1) != '6')) return null
+    val fmt = if (data(1) == '5') "P5" else "P6"
+    val nch = if (fmt == "P5") 1 else 3
+    var i = 2
+    def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+    // read the next ASCII decimal token, skipping whitespace and
+    // '#'-to-end-of-line comments (legal between any two tokens)
+    def token(): Long = {
+      while (i < data.length && (isWs(data(i)) || data(i) == '#')) {
+        if (data(i) == '#') {
+          while (i < data.length && data(i) != '\n') i += 1
+        } else i += 1
+      }
+      if (i >= data.length || data(i) < '0' || data(i) > '9') return -1L
+      var v = 0L
+      while (i < data.length && data(i) >= '0' && data(i) <= '9') {
+        v = v * 10 + (data(i) - '0')
+        if (v > Int.MaxValue) return -1L
+        i += 1
+      }
+      v
+    }
+    val w = token(); val h = token(); val maxval = token()
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 65535) return null
+    if (w * h > MaxPixels) return null
+    // exactly ONE whitespace byte separates the header from the raster
+    if (i >= data.length || !isWs(data(i))) return null
+    i += 1
+    val bytesPer = if (maxval < 256) 1 else 2
+    val n = (w * h).toInt * nch
+    if (data.length - i != n.toLong * bytesPer) return null
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      val v = if (bytesPer == 1) data(i) & 0xFF
+        else ((data(i) & 0xFF) << 8) | (data(i + 1) & 0xFF)
+      if (v > maxval) return null // spec: samples must not exceed maxval
+      out(k) = v
+      i += bytesPer; k += 1
+    }
+    PbmImage(fmt, w.toInt, h.toInt, maxval.toInt, out)
+  }
+
+  /** Raw-variant encoder (fixtures + round trips). */
+  def encode(fmt: String, width: Int, height: Int, maxval: Int,
+      samples: Array[Int]): Array[Byte] = {
+    require(fmt == "P5" || fmt == "P6", s"fmt $fmt")
+    require(width > 0 && height > 0, "geometry must be positive")
+    require(maxval > 0 && maxval <= 65535, s"maxval $maxval")
+    val nch = if (fmt == "P5") 1 else 3
+    require(samples.length == width * height * nch, "sample count")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"$fmt\n$width $height\n$maxval\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val two = maxval >= 256
+    samples.foreach { v =>
+      require(v >= 0 && v <= maxval, s"sample $v out of [0,$maxval]")
+      if (two) bos.write(v >>> 8)
+      bos.write(v & 0xFF)
+    }
+    bos.toByteArray
+  }
+
+  /** Decode census — format, geometry, maxval, and exact channel
+    * sums (gray images report the gray sum in all three lanes so the
+    * schema is stable). Row-local batched mapPartitions. */
+  def pbmStats(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("format", StringType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("maxval", LongType), StructField("n_px", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val img = if (row.isNullAt(bi)) null
+          else decode(row.getAs[Array[Byte]](bi))
+        if (img == null)
+          Row(id, 0L, null, null, null, null, null, null, null, null)
+        else {
+          val n = img.width.toLong * img.height
+          if (img.format == "P5") {
+            var s = 0L; var k = 0
+            while (k < img.samples.length) { s += img.samples(k); k += 1 }
+            Row(id, 1L, "P5", img.width.toLong, img.height.toLong,
+              img.maxval.toLong, n, s, s, s)
+          } else {
+            var sr = 0L; var sg = 0L; var sb = 0L; var k = 0
+            while (k < img.samples.length) {
+              sr += img.samples(k); sg += img.samples(k + 1)
+              sb += img.samples(k + 2); k += 3
+            }
+            Row(id, 1L, "P6", img.width.toLong, img.height.toLong,
+              img.maxval.toLong, n, sr, sg, sb)
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** DataFrame-grain fixture: even ids build P6 RGB ramps (sample
+    * (x + c) mod (maxval+1) at channel c with maxval 255), odd ids
+    * build 16-bit P5 gray ramps (maxval 1000, sample (7·id + x·y)
+    * mod 1001) — both with closed-form sums so the census replays
+    * arithmetically:
+    *   P6: Σ_channel c = Σ_{y<h} Σ_{x<w} (x + c) mod 256, w ≤ 8 so
+    *       no wrap: h·(w(w−1)/2 + c·w).
+    *   P5: Σ (7·id + x·y) mod 1001 — replayed per cell in SQL via a
+    *       small generate_series grid (w·h ≤ 48 cells). */
+  def buildStubPbm(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val w = 3 + (id % 6).toInt; val h = 2 + (id % 4).toInt
+        val bytes = if (id % 2 == 0) {
+          val px = Array.tabulate(w * h * 3) { k =>
+            val x = (k / 3) % w; val c = k % 3
+            (x + c) % 256
+          }
+          encode("P6", w, h, 255, px)
+        } else {
+          val px = Array.tabulate(w * h) { k =>
+            val x = k % w; val y = k / w
+            ((7 * id + x.toLong * y) % 1001).toInt
+          }
+          encode("P5", w, h, 1000, px)
+        }
+        Row.fromSeq(r.toSeq :+ bytes)
+      }
+    }(enc)
+  }
+}

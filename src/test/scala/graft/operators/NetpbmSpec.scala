@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Netpbm]] — P5/P6 raw round trips (8- and 16-bit), header
+  * comments, strict-null malformations, and the DataFrame census. */
+class NetpbmSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("encode->decode round-trips P6 8-bit and P5 16-bit") {
+    val rgb = Array.tabulate(5 * 4 * 3)(k => (k * 37) % 256)
+    val d1 = Netpbm.decode(Netpbm.encode("P6", 5, 4, 255, rgb))
+    assert(d1 != null && d1.format == "P6" && d1.width == 5 &&
+      d1.height == 4 && d1.maxval == 255)
+    assert(d1.samples.toSeq == rgb.toSeq)
+    val gray = Array.tabulate(7 * 3)(k => (k * 531) % 1001)
+    val d2 = Netpbm.decode(Netpbm.encode("P5", 7, 3, 1000, gray))
+    assert(d2 != null && d2.format == "P5" && d2.maxval == 1000)
+    assert(d2.samples.toSeq == gray.toSeq)
+  }
+
+  test("decode: comments between header tokens, strict malformations") {
+    // comments are legal between any two tokens
+    val withComments = ("P5 # raw gray\n# geometry next\n 2 # w\n" +
+      "2\n# maxval\n255\n").getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40)
+    val img = Netpbm.decode(withComments)
+    assert(img != null && img.width == 2 && img.height == 2 &&
+      img.samples.toSeq == Seq(10, 20, 30, 40))
+    val good = Netpbm.encode("P6", 2, 2, 255,
+      Array.tabulate(12)(_ % 256))
+    // bad magic, short raster, LONG raster, maxval 0, sample > maxval
+    val badMagic = good.clone(); badMagic(1) = '7'.toByte
+    assert(Netpbm.decode(badMagic) == null)
+    assert(Netpbm.decode(good.dropRight(1)) == null)
+    assert(Netpbm.decode(good :+ 0.toByte) == null)
+    assert(Netpbm.decode("P5 2 2 0\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4)) == null)
+    // a 16-bit sample exceeding maxval is refused
+    val over = Netpbm.encode("P5", 1, 1, 300, Array(299))
+    over(over.length - 2) = 0x7F.toByte // sample 0x7FFF > 300
+    over(over.length - 1) = 0xFF.toByte
+    assert(Netpbm.decode(over) == null)
+  }
+
+  test("pbmStats: mixed-format census, junk row nulls") {
+    val base = Seq(2L, 3L).toDF("doc_id") // one P6, one P5
+    val built = Netpbm.buildStubPbm(base, "doc_id")
+    val got = Netpbm.pbmStats(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    // id 2: P6 5x4 ramp, channel sums h*(w(w-1)/2 + c*w)
+    val r2 = got(2L)
+    assert(r2.getAs[String]("format") == "P6" &&
+      r2.getAs[Long]("width") == 5L && r2.getAs[Long]("height") == 4L)
+    assert(r2.getAs[Long]("sum_r") == 4L * 10 &&
+      r2.getAs[Long]("sum_g") == 4L * 15 &&
+      r2.getAs[Long]("sum_b") == 4L * 20)
+    // id 3: P5 6x5 grid, sum replayed directly
+    val r3 = got(3L)
+    val expect = (for (y <- 0 until 5; x <- 0 until 6)
+      yield (7 * 3 + x.toLong * y) % 1001).sum
+    assert(r3.getAs[String]("format") == "P5" &&
+      r3.getAs[Long]("maxval") == 1000L &&
+      r3.getAs[Long]("sum_r") == expect)
+    val junk = Seq((9L, "P9 junk".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val j = Netpbm.pbmStats(junk, "doc_id", "payload").collect().head
+    assert(j.getAs[Long]("ok") == 0L && j.isNullAt(j.fieldIndex("format")))
+  }
+}

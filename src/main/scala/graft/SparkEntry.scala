@@ -4036,6 +4036,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q446: the G.711 µ-law audio lane — telephony WAVs (fmt tag 7)
+    // REAL-decoded through the published piecewise-linear formula;
+    // the energy census replays the same integer bit ops in SQL.
+    "q446_mulaw_energy" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"), lit(8000).as("rate"),
+          (lit(30) + pmod(col("doc_id"), lit(20))).cast("int").as("nf"))
+      val built = operators.Multimodal.encodeMulawWav(base, "rate",
+        "nf", "doc_id")
+      operators.Multimodal.mulawEnergy(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11894,6 +11907,28 @@ object SparkEntry {
         |  CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
         |  CAST(sum_b AS BIGINT) AS sum_b
         |FROM u ORDER BY id""".stripMargin,
+
+    // q446: the published µ-law expansion replayed with integer bit
+    // ops per sample over a bounded sample grid.
+    "q446_mulaw_energy" ->
+      """WITH b AS (SELECT doc_id, 30 + doc_id % 20 AS n
+        |  FROM documents WHERE doc_id < 150),
+        |s AS (SELECT b.doc_id, b.n,
+        |    255 - (b.doc_id * 7 + k.k * 13) % 256 AS u
+        |  FROM b, generate_series(0, 49) AS k(k) WHERE k.k < b.n),
+        |p AS (SELECT doc_id, n,
+        |    CASE WHEN u >= 128 THEN 132 - t ELSE t - 132 END AS pcm
+        |  FROM (SELECT doc_id, n, u,
+        |      ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS t
+        |    FROM s))
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(pcm * pcm) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(pcm) AS BIGINT) AS min_pcm,
+        |  CAST(MAX(pcm) AS BIGINT) AS max_pcm
+        |FROM p GROUP BY doc_id, n ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

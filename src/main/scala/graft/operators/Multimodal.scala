@@ -500,6 +500,120 @@ object Multimodal {
       (col("sum_sq") > 0L).as("active"))
   }
 
+  /** G.711 µ-law byte → linear 16-bit PCM (ITU-T G.711, the
+    * telephony/callcenter-audio standard the PCM lane can't read):
+    * invert, split segment/mantissa, re-bias — the published
+    * piecewise-linear formula, pure integer:
+    *   u = ~b;  t = ((u & 0xF) << 3 | 0x84) << ((u >> 4) & 7)
+    *   pcm = (u & 0x80) != 0 ? 0x84 − t : t − 0x84
+    * Decoded magnitudes lie in [−8031·4, 8031·4]. */
+  private[operators] def mulawToPcm(b: Byte): Int = {
+    val u = (~b) & 0xFF
+    val t = (((u & 0xF) << 3) + 0x84) << ((u >> 4) & 7)
+    if ((u & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** Mono 8-bit µ-law WAV fixture (fmt tag 7): frame k carries byte
+    * (seed·7 + k·13) mod 256 — every decoded sample, and therefore
+    * the q446 energy census, replays arithmetically in SQL via the
+    * same published formula (integer bit ops exist in both
+    * engines). */
+  def encodeMulawWav(df: DataFrame, sampleRateCol: String,
+      nFramesCol: String, seedCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ri = inSchema.fieldIndex(sampleRateCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val si = inSchema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rate = r.getInt(ri); val n = r.getInt(ni)
+        val seed = r.getLong(si)
+        require(rate > 0 && n >= 0, s"bad WAV params: rate=$rate frames=$n")
+        val bb = java.nio.ByteBuffer.allocate(44 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(7).putShort(1) // µ-law, mono
+          .putInt(rate).putInt(rate).putShort(1).putShort(8)
+          .put("data".getBytes("US-ASCII")).putInt(n)
+        var k = 0
+        while (k < n) {
+          bb.put(((seed * 7 + k * 13) % 256).toByte)
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** Energy census through the REAL µ-law decode: parse the RIFF
+    * header strictly (fmt tag 7, mono, 8-bit — anything else is
+    * undecodable, null metrics, ok = 0), expand every byte via
+    * [[mulawToPcm]], and emit exact integer aggregates (n_samples,
+    * Σ|pcm|, Σpcm², min, max — sum of squares ≤ n·2³⁰, BIGINT-safe
+    * to n ≈ 8·10⁹ samples per file). Row-local batched
+    * mapPartitions — zero exchange. */
+  def mulawEnergy(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType), StructField("sum_sq", LongType),
+      StructField("min_pcm", LongType), StructField("max_pcm", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val d = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        var rate = -1; var dataOff = -1; var dataLen = -1
+        if (d != null && d.length >= 44 &&
+          new String(d, 0, 4, "US-ASCII") == "RIFF" &&
+          new String(d, 8, 4, "US-ASCII") == "WAVE") {
+          val bb = java.nio.ByteBuffer.wrap(d)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var o = 12
+          var fmtOk = false
+          while (o + 8 <= d.length && (dataOff < 0 || !fmtOk)) {
+            val cid = new String(d, o, 4, "US-ASCII")
+            val len = bb.getInt(o + 4)
+            if (len < 0 || o + 8 + len > d.length) { o = d.length }
+            else {
+              if (cid == "fmt " && len >= 16) {
+                val tag = bb.getShort(o + 8) & 0xFFFF
+                val ch = bb.getShort(o + 10) & 0xFFFF
+                val bits = bb.getShort(o + 22) & 0xFFFF
+                rate = bb.getInt(o + 12)
+                fmtOk = tag == 7 && ch == 1 && bits == 8 && rate > 0
+              } else if (cid == "data") { dataOff = o + 8; dataLen = len }
+              o += 8 + len + (len & 1)
+            }
+          }
+          if (fmtOk && dataOff >= 0) {
+            var sa = 0L; var sq = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var k = 0
+            while (k < dataLen) {
+              val p = mulawToPcm(d(dataOff + k)).toLong
+              sa += math.abs(p); sq += p * p
+              if (p < mn) mn = p; if (p > mx) mx = p
+              k += 1
+            }
+            if (dataLen == 0) Row(id, 1L, rate.toLong, 0L, 0L, 0L,
+              null, null)
+            else Row(id, 1L, rate.toLong, dataLen.toLong, sa, sq, mn, mx)
+          } else Row(id, 0L, null, null, null, null, null, null)
+        } else Row(id, 0L, null, null, null, null, null, null)
+      }
+    }(enc)
+  }
+
   /** Assemble INTERLEAVED image–text training sequences (the
     * MMC4/OBELICS document shape): text segments and media
     * references, each carrying a per-document position, merge into

@@ -2841,4 +2841,62 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(!got((3L, 1L))._8 && got((3L, 1L))._3.isEmpty) // bad cue no
     assert(!got((3L, 2L))._8)                             // end < start
   }
+
+  test("mulawToPcm: G.711 table anchors and JDK cross-check") {
+    // published anchors: 0x00 -> -32124, 0x80 -> +32124, 0xFF/0x7F -> 0
+    assert(Multimodal.mulawToPcm(0x00.toByte) == -32124)
+    assert(Multimodal.mulawToPcm(0x80.toByte) == 32124)
+    assert(Multimodal.mulawToPcm(0xFF.toByte) == 0)
+    assert(Multimodal.mulawToPcm(0x7F.toByte) == 0)
+    // cross-implementation: the JDK's own ULAW->PCM converter agrees
+    // on every byte value
+    val ulawFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1,
+      8000f, false)
+    val pcmFmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1,
+      2, 8000f, false)
+    val raw = Array.tabulate[Byte](256)(_.toByte)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), ulawFmt, raw.length.toLong)
+    val conv = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(pcmFmt, in)
+    val outBytes = conv.readAllBytes()
+    assert(outBytes.length == 512)
+    (0 until 256).foreach { i =>
+      val jdk = ((outBytes(2 * i) & 0xFF) |
+        (outBytes(2 * i + 1) << 8)).toShort.toInt
+      assert(jdk == Multimodal.mulawToPcm(i.toByte),
+        s"byte $i: jdk $jdk vs formula ${Multimodal.mulawToPcm(i.toByte)}")
+    }
+  }
+
+  test("mulawEnergy: census over the stub, non-mulaw WAV refused") {
+    val base = Seq((5L, 8000, 40), (6L, 8000, 0))
+      .toDF("doc_id", "rate", "nf")
+    val built = Multimodal.encodeMulawWav(base, "rate", "nf", "doc_id")
+    val got = Multimodal.mulawEnergy(built, "doc_id", "payload")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val expected = (0 until 40).map(k =>
+      Multimodal.mulawToPcm(((5 * 7 + k * 13) % 256).toByte).toLong)
+    val r5 = got(5L)
+    assert(r5.getAs[Long]("ok") == 1L &&
+      r5.getAs[Long]("sample_rate") == 8000L &&
+      r5.getAs[Long]("n_samples") == 40L &&
+      r5.getAs[Long]("sum_abs") == expected.map(math.abs).sum &&
+      r5.getAs[Long]("sum_sq") == expected.map(p => p * p).sum &&
+      r5.getAs[Long]("min_pcm") == expected.min &&
+      r5.getAs[Long]("max_pcm") == expected.max)
+    // zero-frame file: ok with empty census, null extrema
+    val r6 = got(6L)
+    assert(r6.getAs[Long]("ok") == 1L && r6.getAs[Long]("n_samples") == 0L
+      && r6.isNullAt(r6.fieldIndex("min_pcm")))
+    // a PCM (tag 1) WAV is NOT a µ-law payload: refused, ok = 0
+    val pcm = Multimodal.encodePcmWav(
+      Seq((8000, 10, 100)).toDF("rate", "nf", "amp"), "rate", "nf", "amp")
+    val j = Multimodal.mulawEnergy(
+      pcm.withColumn("doc_id", lit(9L)), "doc_id", "payload")
+      .collect().head
+    assert(j.getAs[Long]("ok") == 0L)
+  }
 }

@@ -4049,6 +4049,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q447: the GIF container walk — real GIF89a streams (GCT,
+    // per-frame graphics-control extensions, structurally-walked
+    // LZW sub-block chains) whose census is a closed form. Raster
+    // decode is out of scope by design (documented boundary; the
+    // pixel-exact lanes are QOI/netpbm).
+    "q447_gif_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Gif.buildStubGif(base, "doc_id")
+      operators.Gif.gifMeta(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11929,6 +11942,22 @@ object SparkEntry {
         |  CAST(MIN(pcm) AS BIGINT) AS min_pcm,
         |  CAST(MAX(pcm) AS BIGINT) AS max_pcm
         |FROM p GROUP BY doc_id, n ORDER BY id""".stripMargin,
+
+    // q447: the fixture's closed forms — geometry, the 4-entry GCT,
+    // one extension per frame, per-frame 4 + chunk data bytes.
+    "q447_gif_census" ->
+      """WITH b AS (SELECT doc_id, 10 + doc_id % 50 AS w,
+        |    5 + doc_id % 9 AS h, 1 + doc_id % 3 AS nf,
+        |    10 + doc_id % 7 AS chunk
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  'GIF89a' AS version,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS gct_entries,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf AS BIGINT) AS n_extensions,
+        |  CAST(nf * (4 + chunk) AS BIGINT) AS data_bytes
+        |FROM b ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

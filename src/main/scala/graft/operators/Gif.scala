@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** GIF container walk (GIF87a/GIF89a, the W3C/CompuServe spec) —
+  * metadata census WITHOUT LZW pixel decode (the [[Mp4]]/[[Video]]
+  * container-metadata posture; the raster boundary is documented,
+  * pixel-exact image lanes are [[Qoi]]/[[Netpbm]]): header version,
+  * logical screen geometry, global color table size, frame count
+  * (image descriptors, each with its optional local color table and
+  * LZW sub-block chain walked structurally), extension count, and
+  * total data-sub-block bytes.
+  *
+  * Strict walk: bad signature, truncated descriptors, sub-block
+  * chains running off the payload, unknown block introducers, or a
+  * missing trailer return null metrics (ok = 0) — countable, never
+  * throwing. */
+object Gif {
+
+  final case class GifMeta(version: String, width: Int, height: Int,
+      gctEntries: Int, nFrames: Int, nExtensions: Int, dataBytes: Long)
+
+  def parse(data: Array[Byte]): GifMeta = {
+    if (data == null || data.length < 14) return null
+    val sig = new String(data, 0, 6, "US-ASCII")
+    if (sig != "GIF87a" && sig != "GIF89a") return null
+    def u16(o: Int): Int = (data(o) & 0xFF) | ((data(o + 1) & 0xFF) << 8)
+    val w = u16(6); val h = u16(8)
+    val packed = data(10) & 0xFF
+    val gct = if ((packed & 0x80) != 0) 1 << ((packed & 0x7) + 1) else 0
+    var i = 13 + gct * 3
+    var frames = 0; var exts = 0; var dataBytes = 0L
+    // walk a (len, bytes)* 0-terminated sub-block chain
+    def subBlocks(): Boolean = {
+      var ok = false
+      var done = false
+      while (!done) {
+        if (i >= data.length) return false
+        val len = data(i) & 0xFF; i += 1
+        if (len == 0) { ok = true; done = true }
+        else {
+          if (i + len > data.length) return false
+          dataBytes += len; i += len
+        }
+      }
+      ok
+    }
+    while (true) {
+      if (i >= data.length) return null // no trailer
+      val b = data(i) & 0xFF; i += 1
+      b match {
+        case 0x3B => // trailer
+          return GifMeta(sig, w, h, gct, frames, exts, dataBytes)
+        case 0x21 => // extension: label + sub-blocks
+          if (i >= data.length) return null
+          i += 1
+          if (!subBlocks()) return null
+          exts += 1
+        case 0x2C => // image descriptor
+          if (i + 9 > data.length) return null
+          val fPacked = data(i + 8) & 0xFF
+          val lct = if ((fPacked & 0x80) != 0) 1 << ((fPacked & 0x7) + 1)
+            else 0
+          i += 9 + lct * 3
+          if (i >= data.length) return null
+          i += 1 // LZW minimum code size
+          if (!subBlocks()) return null
+          frames += 1
+        case _ => return null
+      }
+    }
+    null // unreachable
+  }
+
+  /** Census over a binary GIF column; null metrics when the walk
+    * refuses. Row-local batched mapPartitions — zero exchange. */
+  def gifMeta(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("version", StringType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("gct_entries", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_extensions", LongType),
+      StructField("data_bytes", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val m = if (row.isNullAt(bi)) null
+          else parse(row.getAs[Array[Byte]](bi))
+        if (m == null) Row(id, 0L, null, null, null, null, null, null, null)
+        else Row(id, 1L, m.version, m.width.toLong, m.height.toLong,
+          m.gctEntries.toLong, m.nFrames.toLong, m.nExtensions.toLong,
+          m.dataBytes)
+      }
+    }(enc)
+  }
+
+  /** Deterministic fixture: GIF89a, (10 + id mod 50) × (5 + id mod 9)
+    * screen, a 4-entry GCT, one graphics-control extension of 4 data
+    * bytes per frame, and (1 + id mod 3) frames whose LZW chains
+    * carry (10 + id mod 7) then 20 then … bytes — every census
+    * number is a closed form:
+    *   n_frames = 1 + id mod 3,  n_extensions = n_frames,
+    *   data_bytes = n_frames·(4 + (10 + id mod 7)). */
+  def buildStubGif(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val w = 10 + (id % 50).toInt; val h = 5 + (id % 9).toInt
+        val nf = 1 + (id % 3).toInt; val chunk = 10 + (id % 7).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("GIF89a".getBytes("US-ASCII"))
+        def u16(v: Int): Unit = { bos.write(v & 0xFF); bos.write(v >>> 8) }
+        u16(w); u16(h)
+        bos.write(0x80 | 0x01) // GCT present, 2^(1+1)=4 entries
+        bos.write(0); bos.write(0)
+        (0 until 4 * 3).foreach(k => bos.write((id + k).toInt & 0xFF))
+        (0 until nf).foreach { f =>
+          // graphics-control extension: label 0xF9, one 4-byte block
+          bos.write(0x21); bos.write(0xF9); bos.write(4)
+          bos.write(0); u16(10 * f); bos.write(0); bos.write(0)
+          // image descriptor (no LCT) + LZW min code + one chain
+          bos.write(0x2C); u16(0); u16(0); u16(w); u16(h); bos.write(0)
+          bos.write(2) // LZW minimum code size
+          bos.write(chunk)
+          (0 until chunk).foreach(k => bos.write((id + f + k).toInt & 0xFF))
+          bos.write(0)
+        }
+        bos.write(0x3B)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Gif]] — container walk over real and JDK-written GIFs, strict
+  * malformations, census closed forms. */
+class GifSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("parse: JDK-written GIF round-trips through the walk") {
+    // a REAL gif written by ImageIO — cross-implementation evidence
+    val img = new java.awt.image.BufferedImage(12, 7,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 12; y <- 0 until 7)
+      img.setRGB(x, y, ((x * 20) << 16) | ((y * 30) << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val m = Gif.parse(bos.toByteArray)
+    assert(m != null && m.width == 12 && m.height == 7 &&
+      m.nFrames == 1 && m.version == "GIF89a")
+    assert(m.dataBytes > 0)
+  }
+
+  test("parse: stub closed forms and strict malformations") {
+    val base = Seq(4L, 11L).toDF("doc_id")
+    val built = Gif.buildStubGif(base, "doc_id")
+    val got = Gif.gifMeta(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(4L, 11L).foreach { id =>
+      val r = got(id)
+      val nf = 1 + id % 3; val chunk = 10 + id % 7
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[String]("version") == "GIF89a" &&
+        r.getAs[Long]("width") == 10 + id % 50 &&
+        r.getAs[Long]("height") == 5 + id % 9 &&
+        r.getAs[Long]("gct_entries") == 4L &&
+        r.getAs[Long]("n_frames") == nf &&
+        r.getAs[Long]("n_extensions") == nf &&
+        r.getAs[Long]("data_bytes") == nf * (4 + chunk))
+    }
+    // malformations: bad signature, missing trailer, chain overrun
+    val good = Gif.buildStubGif(Seq(4L).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("payload")
+    val badSig = good.clone(); badSig(0) = 'X'.toByte
+    assert(Gif.parse(badSig) == null)
+    assert(Gif.parse(good.dropRight(1)) == null) // trailer gone
+    assert(Gif.parse(good.take(20)) == null)     // truncated mid-walk
+    assert(Gif.parse(null) == null)
+  }
+}

@@ -4062,6 +4062,16 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q448: Siegel–Tukey — even vs odd users' value SPREAD through
+    // zigzag extreme-inward ranks; event_id is the documented
+    // cross-boundary tiebreak.
+    "q448_siegel_tukey" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          col("value"), col("event_id"))
+      operators.Learn.siegelTukey(e, "g", "value", "event_id")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11958,6 +11968,36 @@ object SparkEntry {
         |  CAST(nf AS BIGINT) AS n_extensions,
         |  CAST(nf * (4 + chunk) AS BIGINT) AS data_bytes
         |FROM b ORDER BY id""".stripMargin,
+
+    // q448: the same closed-form zigzag over a global row number,
+    // then Mann–Whitney lanes and the cross-multiplied verdict.
+    "q448_siegel_tukey" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v, event_id AS e
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |sc AS (SELECT COUNT(*) AS n FROM s),
+        |p AS (SELECT g1, ROW_NUMBER() OVER (ORDER BY v, e) AS p FROM s),
+        |r AS (SELECT g1, CASE WHEN p <= (n + 1) // 2 THEN
+        |      CASE WHEN p % 2 = 1 THEN 2 * p - 1 ELSE 2 * p END
+        |    ELSE CASE WHEN (n + 1 - p) % 2 = 1 THEN 2 * (n + 1 - p)
+        |      ELSE 2 * (n + 1 - p) - 1 END END AS st
+        |  FROM p, sc),
+        |agg AS (SELECT
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(CASE WHEN g1 THEN st ELSE 0 END) AS BIGINT) AS r1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN st ELSE 0 END) AS BIGINT) AS r2
+        |  FROM r),
+        |fin AS (SELECT n1, n2, r1, r1 - n1 * (n1 + 1) // 2 AS u1, r2
+        |  FROM agg)
+        |SELECT n1, n2, r1, CAST(u1 AS BIGINT) AS u1,
+        |  CASE WHEN NOT (n1 > 0 AND n2 > 0 AND
+        |      30000 * CAST(2 * u1 - n1 * n2 AS HUGEINT)
+        |        * (2 * u1 - n1 * n2)
+        |      > 38416 * CAST(n1 AS HUGEINT) * n2 * (n1 + n2 + 1))
+        |    THEN 'none'
+        |    WHEN r1 * n2 < r2 * n1 THEN 'g1' ELSE 'g2' END AS dispersed
+        |FROM fin""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

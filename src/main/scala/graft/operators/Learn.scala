@@ -1994,6 +1994,65 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Siegel–Tukey dispersion test — do two groups differ in SPREAD
+    * around a common center (variance drift between model versions,
+    * annotator consistency, sensor jitter) without assuming any
+    * distribution: rank the POOLED sample from the extremes inward
+    * (most-extreme values get the lowest ranks — the zigzag
+    * 1, n, n−1, 2, 3, n−2 … assignment), then Mann–Whitney on the
+    * ranks; a significantly SMALLER rank sum means that group holds
+    * the extremes, i.e. is more dispersed. Ranks come from a closed
+    * form over the global position p (via [[Relational
+    * .globalRowNumber]] — never a partition-less window): with
+    * i = p on the left half and j = n+1−p on the right,
+    *   left: odd i → 2i−1, even i → 2i;
+    *   right: odd j → 2j, even j → 2j−1.
+    * The test assumes effectively-continuous data; ties across the
+    * group boundary break by the caller's `seqCol` (documented —
+    * deterministic, and the oracle replays the same total order).
+    * Verdict lanes stay integer: U₁ = R₁ − n₁(n₁+1)/2 and the
+    * two-sided α = 0.05 normal check
+    *   30000·(2U₁ − n₁n₂)² > 38416·n₁n₂(n+1)
+    * (z² = 1.96², cross-multiplied; DECIMAL(38,0) inside). */
+  def siegelTukey(df: DataFrame, groupCol: String, valueCol: String,
+      seqCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        col(seqCol).cast("long").as("__s"))
+    val pos = Relational.globalRowNumber(staged,
+      Seq(col("__v").asc, col("__s").asc), "__p")
+    val scal = staged.agg(count(lit(1)).as("__N"))
+    val ranked = pos.crossJoin(broadcast(scal))
+      .withColumn("__st", expr(
+        """CASE WHEN __p <= (__N + 1) div 2 THEN
+          |  CASE WHEN __p % 2 = 1 THEN 2 * __p - 1 ELSE 2 * __p END
+          |ELSE
+          |  CASE WHEN (__N + 1 - __p) % 2 = 1 THEN 2 * (__N + 1 - __p)
+          |    ELSE 2 * (__N + 1 - __p) - 1 END
+          |END""".stripMargin))
+    ranked.agg(
+      sum(when(col("__g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("__g1"), 1L).otherwise(0L)).as("n2"),
+      coalesce(sum(when(col("__g1"), col("__st")).otherwise(0L)),
+        lit(0L)).as("r1"),
+      coalesce(sum(when(!col("__g1"), col("__st")).otherwise(0L)),
+        lit(0L)).as("__r2"))
+      .withColumn("u1", expr("r1 - n1 * (n1 + 1) div 2"))
+      .withColumn("__sig", expr(
+        """n1 > 0 AND n2 > 0 AND
+          |  30000 * CAST(2 * u1 - n1 * n2 AS DECIMAL(38,0))
+          |    * (2 * u1 - n1 * n2)
+          |  > 38416 * CAST(n1 AS DECIMAL(38,0)) * n2 * (n1 + n2 + 1)"""
+          .stripMargin))
+      .withColumn("dispersed", expr(
+        """CASE WHEN NOT __sig THEN 'none'
+          |  WHEN r1 * n2 < __r2 * n1 THEN 'g1' ELSE 'g2' END"""
+          .stripMargin))
+      .select("n1", "n2", "r1", "u1", "dispersed")
+  }
+
   /** Spearman rank correlation — the monotone-association check
     * beside [[kendallTau]] (Spearman is Pearson over ranks; it is
     * what a feature-vs-label or judge-vs-judge monotonicity audit

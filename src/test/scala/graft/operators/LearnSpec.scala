@@ -1820,4 +1820,26 @@ class LearnSpec extends SparkTestBase {
     assert(run(Seq((5L, 1L, 1L, 5.0), (5L, 1L, 2L, 3.0),
       (5L, 2L, 3L, 4.0)))(5L)._2 == -1L)
   }
+
+  test("siegelTukey: zigzag ranks, extremes verdict, small-n none") {
+    // g1={0,100} holds both extremes of {0,49,50,51,100}: zigzag
+    // ranks 1,4,5,3,2 -> R1 = 3, U1 = 0, n too small for significance
+    val small = Seq((true, 0.0, 1L), (false, 49.0, 2L),
+      (false, 50.0, 3L), (false, 51.0, 4L), (true, 100.0, 5L))
+    val s = Learn.siegelTukey(small.toDF("g", "v", "e"), "g", "v", "e")
+      .collect().head
+    assert(s.getAs[Long]("n1") == 2L && s.getAs[Long]("n2") == 3L &&
+      s.getAs[Long]("r1") == 3L && s.getAs[Long]("u1") == 0L &&
+      s.getAs[String]("dispersed") == "none")
+    // 20 extreme g1 values around 21 central g2 values: R1 is the
+    // minimum possible (210), U1 = 0, and the verdict flags g1
+    val big = ((1 to 10).flatMap(i => Seq((true, 100.0 + i, 100L + i),
+      (true, -(100.0 + i), 200L + i))) ++
+      (-10 to 10).map(i => (false, i.toDouble, 300L + i)))
+    val b = Learn.siegelTukey(big.toDF("g", "v", "e"), "g", "v", "e")
+      .collect().head
+    assert(b.getAs[Long]("n1") == 20L && b.getAs[Long]("n2") == 21L &&
+      b.getAs[Long]("r1") == 210L && b.getAs[Long]("u1") == 0L &&
+      b.getAs[String]("dispersed") == "g1")
+  }
 }

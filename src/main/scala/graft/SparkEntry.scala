@@ -4072,6 +4072,15 @@ object SparkEntry {
       operators.Learn.siegelTukey(e, "g", "value", "event_id")
     }),
 
+    // q449: TextRank corpus keywords — PageRank over the word
+    // co-occurrence graph with the q148 integer recurrence; the
+    // oracle rebuilds the same graph on token STRINGS and unrolls
+    // the same three iterations.
+    "q449_textrank" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      operators.TextOps.textRank(d, "text", iterations = 3, topK = 50)
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -11998,6 +12007,45 @@ object SparkEntry {
         |    THEN 'none'
         |    WHEN r1 * n2 < r2 * n1 THEN 'g1' ELSE 'g2' END AS dispersed
         |FROM fin""".stripMargin,
+
+    // q449: the same co-occurrence graph on token strings, the q148
+    // unrolled integer PageRank, the same (pr DESC, token) top-50.
+    "q449_textrank" ->
+      """WITH base AS (SELECT list_filter(string_split_regex(
+        |      trim(lower(text)), '\s+'), x -> x <> '') AS l
+        |  FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+        |    AND length(trim(lower(text))) > 0),
+        |z AS (SELECT unnest(list_zip(l[1:length(l)-1], l[2:length(l)]))
+        |    AS p FROM base WHERE length(l) >= 2),
+        |pr_raw AS (SELECT p[1] AS a, p[2] AS b FROM z WHERE p[1] <> p[2]),
+        |und AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |  FROM pr_raw),
+        |e AS (SELECT lo AS src, hi AS dst FROM und
+        |  UNION ALL SELECT hi, lo FROM und),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |n AS (SELECT COUNT(*) AS c FROM nodes),
+        |deg AS (SELECT src, COUNT(*) AS dd FROM e GROUP BY src),
+        |pr0 AS (SELECT node, 1000000000000 // c AS pr FROM nodes, n),
+        |c1 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr0 p
+        |  JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr1 AS (SELECT node, (150000000000 // c)
+        |    + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes CROSS JOIN n LEFT JOIN c1 ON nodes.node = c1.dst),
+        |c2 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr1 p
+        |  JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr2 AS (SELECT node, (150000000000 // c)
+        |    + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes CROSS JOIN n LEFT JOIN c2 ON nodes.node = c2.dst),
+        |c3 AS (SELECT e.dst, SUM(p.pr // deg.dd) AS s FROM pr2 p
+        |  JOIN e ON p.node = e.src JOIN deg ON e.src = deg.src
+        |  GROUP BY e.dst),
+        |pr3 AS (SELECT node, (150000000000 // c)
+        |    + (85 * COALESCE(s, 0)) // 100 AS pr
+        |  FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
+        |SELECT node AS token, CAST(pr AS BIGINT) AS pr
+        |FROM pr3 ORDER BY pr DESC, token ASC LIMIT 50""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

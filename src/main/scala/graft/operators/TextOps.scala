@@ -3067,4 +3067,53 @@ object TextOps {
       .withColumn("has_secret",
         col("n_aws_keys") > 0 || col("n_pem") > 0 || col("n_luhn_valid") > 0)
   }
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus
+    * keywords as the PageRank of the word co-occurrence graph:
+    * adjacent lowercase whitespace tokens form undirected edges, and
+    * [[Graph.pageRankInt]]'s exact integer recurrence ranks the
+    * vocabulary (same floored lanes as the crawl ranks, so the
+    * oracle unrolls the identical iterations). A word is central
+    * when many distinct words co-occur with it — corpus-level
+    * keyword/topic surface, the graph-based complement of RAKE
+    * (q323) and TF-IDF.
+    *
+    * Node ids ride the 60-bit md5 spine (the [[Quality
+    * .datasetFingerprint]] convention — engine-replayable; collision
+    * odds are birthday-negligible below ~10⁸ vocab). Output: the
+    * `topK` tokens by (pr DESC, token ASC) — a deterministic total
+    * order.
+    *
+    * Shape: one row-local pair explode (adjacent zip, never a
+    * token×token product), one distinct on canonical pairs, then the
+    * pageRankInt joins; topK is a TakeOrdered, not a global sort. */
+  def textRank(df: DataFrame, textCol: String, iterations: Int = 3,
+      topK: Int = 50): DataFrame = {
+    require(topK >= 1 && topK <= 10000, s"topK $topK out of [1,10000]")
+    def tid(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(tokens(lower(col(textCol))).as("__l0"))
+      .select(expr("filter(__l0, x -> x <> '')").as("__l"))
+      .filter(size(col("__l")) >= 2)
+    val und = base
+      .select(expr("slice(__l, 1, size(__l) - 1)").as("__h"),
+        expr("slice(__l, 2, size(__l) - 1)").as("__t"))
+      .select(explode(arrays_zip(col("__h"), col("__t"))).as("__p"))
+      .select(col("__p.__h").as("a"), col("__p.__t").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+    val edges = und.select(tid(col("lo")).as("s"), tid(col("hi")).as("t"))
+      .unionByName(und.select(tid(col("hi")).as("s"),
+        tid(col("lo")).as("t")))
+    val names = und.select(col("lo").as("token"))
+      .unionByName(und.select(col("hi").as("token"))).distinct()
+      .withColumn("node", tid(col("token")))
+    Graph.pageRankInt(edges, "s", "t", iterations)
+      .join(names, Seq("node"))
+      .orderBy(col("pr").desc, col("token").asc)
+      .limit(topK)
+      .select(col("token"), col("pr"))
+  }
 }

@@ -1411,4 +1411,22 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(7L)._4 == 0L)
     assert(got(8L) == ((0L, 0L, 0L, 0L, false)))
   }
+
+  test("textRank: star hub ranks first, leaves tie alphabetically") {
+    // "b a c a d" -> undirected edges (a,b),(a,c),(a,d): a is the hub
+    val df = Seq("b a c a d").toDF("text")
+    val got = TextOps.textRank(df, "text", iterations = 3, topK = 10)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("pr")))
+    assert(got.head._1 == "a")
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c", "d"))
+    // the three leaves are structurally identical -> equal rank
+    assert(got.drop(1).map(_._2).distinct.size == 1)
+    // dedup + case-fold: repeated co-occurrence and case add nothing
+    val dup = Seq("B a C a d", "b A c").toDF("text")
+    val g2 = TextOps.textRank(dup, "text", iterations = 3, topK = 10)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("pr")))
+    assert(g2.toSeq == got.toSeq)
+    // topK truncates deterministically
+    assert(TextOps.textRank(df, "text", topK = 2).collect().length == 2)
+  }
 }

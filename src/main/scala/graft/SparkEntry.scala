@@ -4081,6 +4081,15 @@ object SparkEntry {
       operators.TextOps.textRank(d, "text", iterations = 3, topK = 50)
     }),
 
+    // q450: Hodges–Lehmann shift between even and odd users' values
+    // — the robust effect size behind q378's Mann–Whitney, as the
+    // exact lower median of the run-convolution difference grid.
+    "q450_hodges_lehmann" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"), col("value"))
+      operators.Learn.hodgesLehmannShift(e, "g", "value")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12046,6 +12055,30 @@ object SparkEntry {
         |  FROM nodes CROSS JOIN n LEFT JOIN c3 ON nodes.node = c3.dst)
         |SELECT node AS token, CAST(pr AS BIGINT) AS pr
         |FROM pr3 ORDER BY pr DESC, token ASC LIMIT 50""".stripMargin,
+
+    // q450: the same convolution on value runs, cumulated, lower
+    // median at position ceil(n1*n2/2).
+    "q450_hodges_lehmann" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |rx AS (SELECT v AS vx, COUNT(*) AS cx FROM s WHERE NOT g1
+        |  GROUP BY v),
+        |ry AS (SELECT v AS vy, COUNT(*) AS cy FROM s WHERE g1
+        |  GROUP BY v),
+        |d AS (SELECT vy - vx AS d, SUM(CAST(cx AS HUGEINT) * cy) AS c
+        |  FROM ry, rx GROUP BY vy - vx),
+        |cum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cc FROM d),
+        |sc AS (SELECT
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM s),
+        |hl AS (SELECT MIN(d) AS hl_shift_milli FROM cum, sc
+        |  WHERE cc >= (CAST(n1 AS HUGEINT) * n2 + 1) // 2)
+        |SELECT sc.n1, sc.n2, CAST(sc.n1 * sc.n2 AS BIGINT) AS k_pairs,
+        |  CASE WHEN sc.n1 > 0 AND sc.n2 > 0 THEN hl.hl_shift_milli END
+        |    AS hl_shift_milli
+        |FROM sc, hl""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1994,6 +1994,59 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Hodges–Lehmann two-sample shift estimator — THE robust "how
+    * much did the metric move" number (the point estimate behind
+    * [[mannWhitneyU]], 95% breakdown-free where a difference of
+    * means chases outliers): the median of all n₁·n₂ pairwise
+    * differences y − x. Never materializes pairs — on the milli
+    * grid the difference DISTRIBUTION is the convolution of the two
+    * groups' value RUNS (|Vx|·|Vy| skinny products, guarded by
+    * `maxGrid` with a loud in-plan raise — value-grid-bounded like
+    * [[jonckheereTerpstra]], independent of row count), prefix-
+    * summed once for the exact LOWER median (position ⌈n₁n₂/2⌉ —
+    * a value from the grid, deterministic under ties, no
+    * interpolation). */
+  def hodgesLehmannShift(df: DataFrame, groupCol: String,
+      valueCol: String, maxGrid: Long = 1L << 24): DataFrame = {
+    require(maxGrid > 0, s"maxGrid must be positive, got $maxGrid")
+    val staged = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val rx = staged.filter(!col("__g1")).groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cx"))
+      .select(col("__v").as("__vx"), col("__cx"))
+    val ry = staged.filter(col("__g1")).groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cy"))
+      .select(col("__v").as("__vy"), col("__cy"))
+    val sizes = rx.agg(count(lit(1)).as("__nvx"))
+      .crossJoin(ry.agg(count(lit(1)).as("__nvy")))
+    val diffs = ry.crossJoin(rx).crossJoin(broadcast(sizes))
+      .withColumn("__c", when(col("__nvx") * col("__nvy") > maxGrid,
+        raise_error(concat(lit("hodgesLehmannShift: difference grid "),
+          col("__nvx") * col("__nvy"),
+          lit(s" cells > maxGrid=$maxGrid — quantize $valueCol" +
+            " coarser"))))
+        .otherwise(col("__cx").cast("decimal(38,0)") * col("__cy")))
+      .groupBy((col("__vy") - col("__vx")).as("__d"))
+      .agg(coalesce(sum(col("__c")), lit(0).cast("decimal(38,0)"))
+        .as("__cd"))
+    val cum = Relational.globalPrefixSum(diffs, Seq(col("__d").asc),
+      "__cd", "__cum")
+    val scal = staged.agg(
+      sum(when(col("__g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("__g1"), 1L).otherwise(0L)).as("n2"))
+    val hl = cum.crossJoin(broadcast(scal))
+      .filter(col("__cum") >=
+        expr("(CAST(n1 AS DECIMAL(38,0)) * n2 + 1) div 2"))
+      .agg(min(col("__d")).as("hl_shift_milli"))
+    scal.crossJoin(broadcast(hl))
+      .select(col("n1"), col("n2"),
+        expr("n1 * n2").as("k_pairs"),
+        when(col("n1") > 0L && col("n2") > 0L, col("hl_shift_milli"))
+          .as("hl_shift_milli"))
+  }
+
   /** Siegel–Tukey dispersion test — do two groups differ in SPREAD
     * around a common center (variance drift between model versions,
     * annotator consistency, sensor jitter) without assuming any

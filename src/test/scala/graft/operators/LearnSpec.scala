@@ -1842,4 +1842,34 @@ class LearnSpec extends SparkTestBase {
       b.getAs[Long]("r1") == 210L && b.getAs[Long]("u1") == 0L &&
       b.getAs[String]("dispersed") == "g1")
   }
+
+  test("hodgesLehmannShift: pairwise-difference lower median, guards") {
+    // x={0,2}, y={10,20}: diffs 8,10,18,20 -> lower median 10
+    val rows = Seq((false, 0.0), (false, 2.0), (true, 10.0),
+      (true, 20.0))
+    val out = Learn.hodgesLehmannShift(rows.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 2L &&
+      out.getAs[Long]("k_pairs") == 4L &&
+      out.getAs[Long]("hl_shift_milli") == 10000L)
+    // pure shift of the SAME distribution: y = x + 7 recovers 7000
+    val shift = (1 to 5).map(i => (false, i.toDouble)) ++
+      (1 to 5).map(i => (true, i + 7.0))
+    val s = Learn.hodgesLehmannShift(shift.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(s.getAs[Long]("hl_shift_milli") == 7000L)
+    // one empty group: NULL estimate, zero pairs
+    val solo = Learn.hodgesLehmannShift(
+      Seq((true, 1.0), (true, 2.0)).toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(solo.getAs[Long]("k_pairs") == 0L &&
+      solo.isNullAt(solo.fieldIndex("hl_shift_milli")))
+    // difference-grid guard raises loudly
+    val err = intercept[Exception] {
+      Learn.hodgesLehmannShift(rows.toDF("g", "v"), "g", "v",
+        maxGrid = 2L).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("hodgesLehmannShift"))
+  }
 }

@@ -33,6 +33,9 @@ case class TransitionStep(key: Long, from_type: String, to_type: String,
                           ts_ms: Long)
 
 /** One verdict emitted by [[StreamOps.hampelStream]]. */
+case class SpaceSavingRow(key: Long, item: String, count: Long,
+    error: Long, rank: Int)
+
 case class HampelPoint(key: Long, ts_us: Long, id: Long,
   value_milli: Long, med2_milli: Long, mad4_milli: Long,
   is_outlier: Boolean)
@@ -781,6 +784,67 @@ object StreamOps {
     * than corrupting the total. Non-monetary callers that need full
     * float precision (and accept order-dependent low bits) pass
     * `quantizeScale = -1` for a raw double accumulator. */
+  /** Streaming space-saving heavy hitters (Metwally, Agrawal &
+    * El Abbadi 2005) — per-key top items with BOUNDED state on an
+    * unbounded stream: the summary holds at most `capacity`
+    * (item → count, error) entries; a new item past capacity evicts
+    * the minimum-count entry and inherits its count as `error`
+    * (deterministic eviction: smallest count, then lexicographically
+    * smallest item — documented, so replays produce the identical
+    * summary). The classic guarantee holds per entry:
+    * count ≥ true frequency ≥ count − error, and any item with true
+    * frequency > N/capacity is GUARANTEED present — the streaming
+    * twin of the batch CMS/heavy-hitter lanes (q153/q80).
+    *
+    * Each micro-batch folds rows in (ts, id) order (the
+    * [[cusumStream]] in-order contract) and emits the current top-k
+    * rows (count DESC, item ASC — a total order). State per key is
+    * O(capacity), parameter-bounded. Update-mode semantics: each
+    * batch re-emits the key's refreshed leaderboard. */
+  def spaceSavingStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, itemCol: String, capacity: Int,
+      k: Int): Dataset[SpaceSavingRow] = {
+    require(capacity >= 1 && capacity <= 100000,
+      s"capacity $capacity out of [1, 100000]")
+    require(k >= 1 && k <= capacity, s"k $k out of [1, $capacity]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(itemCol).cast("string").as("item"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, (Long, Long)], SpaceSavingRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[Map[String, (Long, Long)]]) =>
+          val sorted = rows.map(r => (r._2.getTime, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+          state.getOption.foreach(m ++= _)
+          sorted.foreach { case (_, _, item) =>
+            m.get(item) match {
+              case Some((c, e)) => m(item) = (c + 1, e)
+              case None if m.size < capacity => m(item) = (1L, 0L)
+              case None =>
+                val (evicted, (cMin, _)) = m.minBy { case (it, (c, _)) =>
+                  (c, it)
+                }
+                m.remove(evicted)
+                m(item) = (cMin + 1, cMin)
+            }
+          }
+          state.update(m.toMap)
+          m.toSeq.sortBy { case (it, (c, _)) => (-c, it) }.take(k)
+            .zipWithIndex.map { case ((it, (c, e)), i) =>
+              SpaceSavingRow(key, it, c, e, i + 1)
+            }.iterator
+      }
+  }
+
   def runningStats(df: DataFrame, quantizeScale: Int = 2): Dataset[TypeStats] = {
     val spark = df.sparkSession
     import spark.implicits._

@@ -999,6 +999,67 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!streamed(1L)._3 && !streamed(3L)._3 && !streamed(5L)._3)
   }
 
+  test("spaceSavingStream: bounded summary tracks the reference, " +
+    "guarantee holds") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // reference space-saving with the SAME deterministic eviction
+    def reference(items: Seq[String], capacity: Int)
+        : Map[String, (Long, Long)] = {
+      val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      items.foreach { it =>
+        m.get(it) match {
+          case Some((c, e)) => m(it) = (c + 1, e)
+          case None if m.size < capacity => m(it) = (1L, 0L)
+          case None =>
+            val (ev, (cMin, _)) = m.minBy { case (i2, (c, _)) => (c, i2) }
+            m.remove(ev); m(it) = (cMin + 1, cMin)
+        }
+      }
+      m.toMap
+    }
+    def topK(m: Map[String, (Long, Long)], k: Int) =
+      m.toSeq.sortBy { case (it, (c, _)) => (-c, it) }.take(k)
+        .zipWithIndex.map { case ((it, (c, e)), i) =>
+          (it, c, e, i + 1) }.toSet
+    // skewed stream: a×6, b×4, c×2, d×1, e×1 — capacity 3 must keep
+    // the heavy items (freq > 14/3) and churn the tail
+    val items = Seq("a", "b", "a", "c", "a", "b", "d", "a", "b", "c",
+      "a", "e", "b", "a")
+    val rows = items.zipWithIndex.map { case (it, i) =>
+      (1L, t(f"2024-01-01 00:00:${i + 1}%02d"), i.toLong + 1, it)
+    }
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamOps.spaceSavingStream(
+        stream.toDF().toDF("k", "ts", "id", "item"),
+        "k", "ts", "id", "item", capacity = 3, k = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ss").start()
+    val (batch1, batch2) = rows.splitAt(6)
+    try {
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ss").as[SpaceSavingRow].collect()
+      .map(r => (r.item, r.count, r.error, r.rank)).toSet
+    val expect = topK(reference(items.take(6), 3), 3) ++
+      topK(reference(items, 3), 3)
+    assert(got == expect, s"got $got expect $expect")
+    // classic guarantees on the final summary: count >= true freq
+    // >= count - error, and every item above N/capacity is present
+    val fin = reference(items, 3)
+    val truth = items.groupBy(identity).view.mapValues(_.length.toLong)
+    fin.foreach { case (it, (c, e)) =>
+      val f = truth.getOrElse(it, 0L)
+      assert(c >= f && f >= c - e, s"$it: c=$c e=$e f=$f")
+    }
+    truth.filter(_._2 > items.length / 3).keys
+      .foreach(it => assert(fin.contains(it), s"heavy $it missing"))
+    assert(fin.size <= 3)
+  }
+
   test("transitionStream: step set == batch census, cross-batch chaining") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -2826,8 +2826,10 @@ object Learn {
       .agg(coalesce(sum(col("__c").cast("decimal(38,0)") *
         (lit(2) * col("__A") + col("__B"))),
         lit(0).cast("decimal(38,0)")).as("__jt2"))
-    val gstats = staged.groupBy(col("__g"))
-      .agg(count(lit(1)).as("__n"))
+    // group/tie censuses derive from the RUNS table (runs-grain, one
+    // row-scale exchange total), never from a second pass over rows
+    val gstats = runs.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"))
       .agg(count(lit(1)).as("__k"),
         coalesce(sum(col("__n")), lit(0L)).as("__N"),
         coalesce(sum(expr("CAST(__n AS DECIMAL(38,0)) * __n")),
@@ -2840,8 +2842,8 @@ object Learn {
         coalesce(sum(expr(
           "CAST(__n AS DECIMAL(38,0)) * (__n - 1) * (__n - 2)")),
           lit(0).cast("decimal(38,0)")).as("__sg3"))
-    val tstats = staged.groupBy(col("__v"))
-      .agg(count(lit(1)).as("__t"))
+    val tstats = runs.groupBy(col("__v"))
+      .agg(sum(col("__c")).as("__t"))
       .agg(coalesce(sum(expr(
         "CAST(__t AS DECIMAL(38,0)) * (__t - 1) * (2 * __t + 5)")),
         lit(0).cast("decimal(38,0)")).as("__st1"),
@@ -3024,30 +3026,34 @@ object Learn {
     * a = 0 or b = 0. Output is group grain with scalar lanes
     * repeated — the [[friedmanTest]] convention.
     *
-    * Shape: one value-run aggregate + the two-pass
-    * [[Relational.globalPrefixSum]] spine for the median (never a
-    * partition-less window), one group-grain aggregate, broadcast
-    * scalars. */
+    * Shape: ONE row-scale exchange (the (group, value) runs); the
+    * global runs, the two-pass [[Relational.globalPrefixSum]] median
+    * spine (never a partition-less window), and the group censuses
+    * are all runs-grain; broadcast scalars. */
   def moodMedianTest(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
     val staged = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))
-    val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    // one row-scale exchange: the (group, value) runs; every other
+    // aggregate here is runs-grain
+    val gruns = staged.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val runs = gruns.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
     val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
       "__c", "__cum")
-    val scal = staged.agg(count(lit(1)).as("__N"))
+    val scal = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
     val med = cum.crossJoin(broadcast(scal))
       // integer div — Column./ is DOUBLE division and would shift the
       // cut to ceil(N/2)+1 on even N
       .filter(col("__cum") >= expr("(__N + 1) div 2"))
       .agg(min(col("__v")).as("__med"))
-    val groups = staged.crossJoin(broadcast(med))
+    val groups = gruns.crossJoin(broadcast(med))
       .groupBy(col("__g"))
-      .agg(count(lit(1)).as("__nj"),
-        coalesce(sum(when(col("__v") > col("__med"), 1L).otherwise(0L)),
-          lit(0L)).as("__aj"))
+      .agg(coalesce(sum(col("__c")), lit(0L)).as("__nj"),
+        coalesce(sum(when(col("__v") > col("__med"), col("__c"))
+          .otherwise(0L)), lit(0L)).as("__aj"))
     val above = groups.agg(coalesce(sum(col("__aj")), lit(0L)).as("__a"))
     groups.crossJoin(broadcast(above)).crossJoin(broadcast(scal))
       .crossJoin(broadcast(med))

@@ -953,4 +953,79 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(exchanges(operators.Relational.streaks(e, "user_id", "ts", 7))
       <= 4) // distinct + key window + runs agg + final agg
   }
+
+  test("r14 operators: exchange counts pin the documented shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def plan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect(); df.queryExecution.executedPlan
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      countNodes(plan(df))(_.isInstanceOf[ShuffleExchangeLike])
+    val e = sources.Tables.events(spark, sf)
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40).select(col("doc_id"))
+    // decode-lane operators are row-local end to end: zero exchange
+    assert(exchanges(operators.Qoi.qoiStats(
+      operators.Qoi.buildStubQoi(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    assert(exchanges(operators.Netpbm.pbmStats(
+      operators.Netpbm.buildStubPbm(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    assert(exchanges(operators.Gif.gifMeta(
+      operators.Gif.buildStubGif(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    val wav = operators.Multimodal.encodeMulawWav(
+      docs.select(col("doc_id"), lit(8000).as("r"), lit(20).as("n")),
+      "r", "n", "doc_id")
+    assert(exchanges(operators.Multimodal.mulawEnergy(
+      wav, "doc_id", "payload")) == 0)
+    // one-keyed-window operators: exactly the key exchange (plus the
+    // key-grain aggregate riding the same partitioning)
+    assert(exchanges(operators.Privacy.capContributions(
+      e, "user_id", "event_id", 5, 42L)) <= 1)
+    assert(exchanges(operators.Relational.rsiSma(
+      e, "user_id", "ts", "event_id", "value", 14)) <= 1)
+    assert(exchanges(operators.Relational.maxDrawdown(
+      e, "user_id", "ts", "event_id", "value")) <= 2)
+    // stratum-grain audits: the stratum aggregate + the broadcast
+    // scalar's own partial (never a row-scale second pass)
+    val sa = e.select((pmod(col("user_id"), lit(3))).cast("string")
+        .as("s2"), (pmod(col("event_id"), lit(2)) === 0).as("t"),
+      (col("value") > 200.0).as("y"))
+    assert(exchanges(operators.Quality.simpsonAudit(sa, "t", "y", "s2"))
+      <= 3)
+    // rank tests on value-run/grid spines: runs aggregate + spine
+    // passes + scalar partials — bounded, never row-scale repeats
+    val jt = e.select(pmod(col("user_id"), lit(4)).as("g"), col("value"))
+    val jtPlan = plan(operators.Learn.jonckheereTerpstra(jt, "g", "value"))
+    // ONE row-scale exchange (staged -> (g,v) runs); the other ~12 are
+    // runs/grid-grain (distincts, grid joins, the two spine windows,
+    // scalar partials) — bounded by the value grid, not the data
+    assert(countNodes(jtPlan)(_.isInstanceOf[ShuffleExchangeLike]) <= 14,
+      jtPlan.toString)
+    assert(countNodes(jtPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    val hl = e.select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+      col("value"), col("event_id"))
+    val hlPlan = plan(operators.Learn.hodgesLehmannShift(hl, "g", "value"))
+    // the run-convolution is a broadcast product of RUN tables, never
+    // a row-scale cartesian
+    assert(countNodes(hlPlan)(_.isInstanceOf[CartesianProductExec]) == 0,
+      hlPlan.toString)
+    // one row-scale exchange (the (g,v) runs); the rest is the
+    // prefix-sum median spine + runs-grain censuses
+    assert(exchanges(operators.Learn.moodMedianTest(jt, "g", "value"))
+      <= 13)
+    assert(exchanges(operators.Learn.siegelTukey(hl, "g", "value",
+      "event_id")) <= 8)
+    // graph pair: wedge joins + aggregates, no cartesian anywhere
+    val edges = docs.select((col("doc_id") % 16).as("s"),
+      ((col("doc_id") * 7 + 3) % 16).as("d"))
+    val raPlan = plan(operators.Graph.resourceAllocationScores(
+      edges, "s", "d"))
+    assert(countNodes(raPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    val thPlan = plan(operators.Graph.twoHopCensus(edges, "s", "d"))
+    assert(countNodes(thPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+  }
 }

@@ -4090,6 +4090,50 @@ object SparkEntry {
       operators.Learn.hodgesLehmannShift(e, "g", "value")
     }),
 
+    // q451: Cucconi joint location-scale — the q448 cohorts through
+    // one statistic that sees shift AND spread; all lanes rational
+    // (U and V share a common square-root denominator).
+    "q451_cucconi" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          col("value"), col("event_id"))
+      operators.Learn.cucconiTest(e, "g", "value", "event_id")
+    }),
+
+    // q452: two-sample Cramér–von Mises — the integrated-ecdf
+    // complement of q382's KS, Anderson's exact rank form from one
+    // prefix-sum pass.
+    "q452_cramer_von_mises" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          col("value"), col("event_id"))
+      operators.Learn.cramerVonMises(e, "g", "value", "event_id")
+    }),
+
+    // q453: Quade test — the q429 Friedman fixture with blocks
+    // WEIGHTED by their value range (doubled midranks from the
+    // range-run spine).
+    "q453_quade" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 2997)
+        .select(expr("event_id div 5").as("block"),
+          pmod(col("event_id"), lit(5)).as("model"),
+          (col("value") + pmod(col("event_id"), lit(5)) * 0.5).as("score"))
+      operators.Learn.quadeTest(e, "block", "model", "score", k = 5)
+        .orderBy(col("treatment"))
+    }),
+
+    // q454: Holm step-down FWER correction over a 20-hypothesis
+    // table (the q392 BH-FDR's family-wise sibling); pure integer
+    // micro lanes.
+    "q454_holm" -> ((s, dir) => {
+      val h = Tables.documents(s, dir).filter(col("doc_id") < 20)
+        .select(concat(lit("h"), col("doc_id")).as("hyp"),
+          pmod(col("doc_id") * col("doc_id") * 37 + col("doc_id") * 11,
+            lit(1000000)).as("p_micro"))
+      operators.Learn.holmAdjust(h, "hyp", "p_micro")
+        .orderBy(col("rank"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12079,6 +12123,144 @@ object SparkEntry {
         |  CASE WHEN sc.n1 > 0 AND sc.n2 > 0 THEN hl.hl_shift_milli END
         |    AS hl_shift_milli
         |FROM sc, hl""".stripMargin,
+
+    // q451: the same rank lanes over a global row number; every
+    // micro floor replayed with the identical sign-split.
+    "q451_cucconi" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v, event_id AS e
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |p AS (SELECT g1, ROW_NUMBER() OVER (ORDER BY v, e) AS r FROM s),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    COUNT(*) AS nn,
+        |    SUM(CASE WHEN g1 THEN r ELSE 0 END) AS r1,
+        |    SUM(CASE WHEN g1 THEN CAST(r AS HUGEINT) * r
+        |      ELSE 0 END) AS sq FROM p),
+        |f AS (SELECT n1, n2, nn, sq,
+        |    CAST(n1 AS HUGEINT) * (nn+1) * (nn+1)
+        |      - 2 * (nn+1) * CAST(r1 AS HUGEINT) + sq AS sqb FROM a),
+        |g AS (SELECT n1, n2,
+        |    6 * sq - CAST(n1 AS HUGEINT) * (nn+1) * (2*nn+1) AS x,
+        |    6 * sqb - CAST(n1 AS HUGEINT) * (nn+1) * (2*nn+1) AS y,
+        |    CAST(n1 AS HUGEINT) * n2 * (nn+1) * (2*nn+1)
+        |      * (8*nn+11) AS d5,
+        |    CAST(2*nn+1 AS HUGEINT) * (8*nn+11) AS q,
+        |    2 * (CAST(nn AS HUGEINT) * nn - 4)
+        |      - CAST(2*nn+1 AS HUGEINT) * (8*nn+11) AS pp FROM f),
+        |h AS (SELECT n1, n2, x, y, q, pp,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      CAST((5000000 * x * x) // d5 AS BIGINT) END AS u2,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      CAST((5000000 * y * y) // d5 AS BIGINT) END AS v2,
+        |    CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |      (CASE WHEN x * y >= 0 THEN 1 ELSE -1 END)
+        |      * CAST((5000000 * ABS(x * y)) // d5 AS BIGINT) END AS uv
+        |  FROM g)
+        |SELECT n1, n2, CAST(x AS BIGINT) AS x6, CAST(y AS BIGINT) AS y6,
+        |  u2 AS u2_micro, v2 AS v2_micro, uv AS uv_micro,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CASE WHEN q * q * CAST(u2 + v2 AS HUGEINT)
+        |        - 2 * pp * q * uv >= 0 THEN 1 ELSE -1 END)
+        |    * CAST(ABS(q * q * CAST(u2 + v2 AS HUGEINT)
+        |        - 2 * pp * q * uv)
+        |      // (2 * (q * q - pp * pp)) AS BIGINT) END AS c_micro
+        |FROM h""".stripMargin,
+
+    // q452: per-row (pooled rank − own-sample index)² via
+    // partitioned row numbers, one floored rational.
+    "q452_cramer_von_mises" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v, event_id AS e
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |p AS (SELECT g1, ROW_NUMBER() OVER (ORDER BY v, e) AS r,
+        |    ROW_NUMBER() OVER (PARTITION BY g1 ORDER BY v, e) AS i
+        |  FROM s),
+        |a AS (SELECT
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    COUNT(*) AS nn,
+        |    SUM(CASE WHEN g1 THEN CAST(r - i AS HUGEINT) * (r - i)
+        |      ELSE 0 END) AS s1,
+        |    SUM(CASE WHEN NOT g1 THEN CAST(r - i AS HUGEINT) * (r - i)
+        |      ELSE 0 END) AS s2 FROM p),
+        |f AS (SELECT n1, n2, nn,
+        |    CAST(n1 AS HUGEINT) * s1 + CAST(n2 AS HUGEINT) * s2 AS u
+        |  FROM a)
+        |SELECT n1, n2, CAST(u AS BIGINT) AS u,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CASE WHEN 6 * u - CAST(n1 AS HUGEINT) * n2
+        |        * (4 * CAST(n1 AS HUGEINT) * n2 - 1) >= 0
+        |      THEN 1 ELSE -1 END)
+        |    * CAST(ABS(1000000 * (6 * u - CAST(n1 AS HUGEINT) * n2
+        |        * (4 * CAST(n1 AS HUGEINT) * n2 - 1)))
+        |      // (6 * CAST(n1 AS HUGEINT) * n2 * nn) AS BIGINT) END
+        |    AS t_micro
+        |FROM f""".stripMargin,
+
+    // q453: the q429 ranking spine + range-run doubled midranks as
+    // block weights; scales cancel in the final rational.
+    "q453_quade" ->
+      """WITH rated AS (SELECT event_id // 5 AS b,
+        |    CAST(event_id % 5 AS VARCHAR) AS t,
+        |    MIN(CAST(FLOOR((value + (event_id % 5) * 0.5) * 1000)
+        |      AS BIGINT)) AS v
+        |  FROM events WHERE event_id < 2997 AND value IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sized AS (SELECT b, COUNT(*) AS m, MAX(v) - MIN(v) AS rng
+        |  FROM rated GROUP BY b),
+        |full_b AS (SELECT b, rng FROM sized WHERE m = 5),
+        |drp AS (SELECT COUNT(*) AS dropped_blocks FROM sized
+        |  WHERE m <> 5),
+        |rruns AS (SELECT rng, COUNT(*) AS c FROM full_b GROUP BY rng),
+        |rdmr AS (SELECT rng,
+        |    (SUM(c) OVER (ORDER BY rng) - c + 1)
+        |      + SUM(c) OVER (ORDER BY rng) AS q2 FROM rruns),
+        |blocks AS (SELECT full_b.b, rdmr.q2 FROM full_b
+        |  JOIN rdmr USING (rng)),
+        |kept AS (SELECT rated.*, blocks.q2 FROM rated
+        |  JOIN blocks ON rated.b = blocks.b),
+        |cells AS (SELECT b, t, q2,
+        |    CAST(q2 AS HUGEINT) * ((2 * RANK() OVER
+        |      (PARTITION BY b ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY b, v) - 1) - 6) AS s2
+        |  FROM kept),
+        |sums AS (SELECT t AS treatment, SUM(s2) AS sj FROM cells
+        |  GROUP BY t),
+        |aa AS (SELECT SUM(s2 * s2) AS a FROM cells),
+        |bn AS (SELECT COUNT(*) AS bcnt FROM full_b),
+        |sc AS (SELECT bn.bcnt AS n_blocks,
+        |    CASE WHEN CAST(bn.bcnt AS HUGEINT) * aa.a - bsum.s > 0 THEN
+        |      CAST((1000000 * (bn.bcnt - 1) * bsum.s)
+        |        // (CAST(bn.bcnt AS HUGEINT) * aa.a - bsum.s)
+        |        AS BIGINT) END AS f_micro
+        |  FROM bn, aa,
+        |    (SELECT SUM(CAST(sj AS HUGEINT) * sj) AS s FROM sums) bsum)
+        |SELECT sums.treatment, CAST(sums.sj AS BIGINT) AS s_j2,
+        |  CAST(sc.n_blocks AS BIGINT) AS n_blocks,
+        |  CAST(5 AS BIGINT) AS k,
+        |  CAST(drp.dropped_blocks AS BIGINT) AS dropped_blocks,
+        |  sc.f_micro
+        |FROM sums, sc, drp ORDER BY treatment""".stripMargin,
+
+    // q454: sort, cap, running max — the exact Holm staircase.
+    "q454_holm" ->
+      """WITH h AS (SELECT 'h' || doc_id AS id,
+        |    CAST((doc_id * doc_id * 37 + doc_id * 11) % 1000000
+        |      AS BIGINT) AS p_micro
+        |  FROM documents WHERE doc_id < 20),
+        |m AS (SELECT COUNT(*) AS m FROM h),
+        |r AS (SELECT id, p_micro,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY p_micro, id) AS BIGINT)
+        |      AS rank FROM h),
+        |adj AS (SELECT id, p_micro, rank,
+        |    MAX(LEAST((m.m - rank + 1) * p_micro, 1000000))
+        |      OVER (ORDER BY rank) AS adj_micro
+        |  FROM r, m)
+        |SELECT id, p_micro, rank, CAST(adj_micro AS BIGINT) AS adj_micro,
+        |  adj_micro <= 50000 AS reject_05
+        |FROM adj ORDER BY rank""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1994,6 +1994,252 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Cucconi test — the JOINT location-scale two-sample test (older
+    * and usually more powerful than the Lepage combination: one
+    * statistic catches "the new model is shifted AND noisier" that
+    * [[mannWhitneyU]] and [[siegelTukey]] each only half-see). With
+    * pooled ranks 1..N (ties broken by `seqCol` — the siegelTukey
+    * total-order contract) and S = Σ R², S̄ = Σ(N+1−R)² over group 1:
+    *   X = 6S − n₁(N+1)(2N+1),  Y = 6S̄ − n₁(N+1)(2N+1)
+    *   U² = 5X²/D₅, V² = 5Y²/D₅, UV = 5XY/D₅,
+    *     D₅ = n₁n₂(N+1)(2N+1)(8N+11)
+    *   C = (U² + V² − 2ρUV)/(2(1−ρ²)),
+    *     ρ = p/q, p = 2(N²−4) − q, q = (2N+1)(8N+11)
+    * — ALL rational (U and V share the same √D, so UV is exact).
+    * Gate lanes: the integer X/Y and the floored micros
+    * u2/v2/uv_micro (sign-split) plus c_micro composed from the
+    * floored micros by the documented formula
+    *   c_micro = (q²(u2+v2) − 2pq·uv) div (2(q²−p²))
+    * — deterministic in both engines (the oracle replays the same
+    * floors). Exact inside DECIMAL(38,0) to N ≈ 8·10⁵.
+    *
+    * Shape: the two-pass global row-number spine + one scalar
+    * aggregate; no partition-less row-scale window, no joins. */
+  def cucconiTest(df: DataFrame, groupCol: String, valueCol: String,
+      seqCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        col(seqCol).cast("long").as("__s"))
+    val pos = Relational.globalRowNumber(staged,
+      Seq(col("__v").asc, col("__s").asc), "__r")
+    val agg = pos.agg(
+      sum(when(col("__g1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("__g1"), 1L).otherwise(0L)).as("n2"),
+      count(lit(1)).as("__N"),
+      coalesce(sum(when(col("__g1"), col("__r"))), lit(0L)).as("__R1"),
+      coalesce(sum(when(col("__g1"),
+        col("__r").cast("decimal(38,0)") * col("__r"))),
+        lit(0).cast("decimal(38,0)")).as("__S"))
+    agg
+      // Σ(N+1−R)² over g1 = n1(N+1)² − 2(N+1)·ΣR + ΣR²
+      .withColumn("__Sb", expr(
+        """CAST(n1 AS DECIMAL(38,0)) * (__N + 1) * (__N + 1)
+          |  - 2 * (__N + 1) * CAST(__R1 AS DECIMAL(38,0)) + __S"""
+          .stripMargin))
+      .withColumn("__x", expr(
+        """6 * __S - CAST(n1 AS DECIMAL(38,0)) * (__N + 1)
+          |  * (2 * __N + 1)""".stripMargin))
+      .withColumn("__y", expr(
+        """6 * __Sb - CAST(n1 AS DECIMAL(38,0)) * (__N + 1)
+          |  * (2 * __N + 1)""".stripMargin))
+      .withColumn("__d5", expr(
+        """CAST(n1 AS DECIMAL(38,0)) * n2 * (__N + 1) * (2 * __N + 1)
+          |  * (8 * __N + 11)""".stripMargin))
+      .withColumn("__q", expr(
+        "CAST(2 * __N + 1 AS DECIMAL(38,0)) * (8 * __N + 11)"))
+      .withColumn("__p", expr(
+        "2 * (CAST(__N AS DECIMAL(38,0)) * __N - 4) - __q"))
+      .withColumn("u2_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  CAST((5000000 * __x * __x) div __d5 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("v2_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  CAST((5000000 * __y * __y) div __d5 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("uv_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  (CASE WHEN __x * __y >= 0 THEN 1L ELSE -1L END) *
+          |  CAST((5000000 * ABS(__x * __y)) div __d5 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("c_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  (CASE WHEN __q * __q * (u2_micro + v2_micro)
+          |      - 2 * __p * __q * uv_micro >= 0 THEN 1L ELSE -1L END) *
+          |  CAST(ABS(__q * __q * CAST(u2_micro + v2_micro
+          |        AS DECIMAL(38,0)) - 2 * __p * __q * uv_micro)
+          |    div (2 * (__q * __q - __p * __p)) AS BIGINT) END"""
+          .stripMargin))
+      .select(col("n1"), col("n2"),
+        col("__x").cast("long").as("x6"),
+        col("__y").cast("long").as("y6"),
+        col("u2_micro"), col("v2_micro"), col("uv_micro"),
+        col("c_micro"))
+  }
+
+  /** Two-sample Cramér–von Mises criterion — the WHOLE-DISTRIBUTION
+    * two-sample test (KS reacts to the single worst ecdf gap; CvM
+    * integrates the squared gap everywhere, catching diffuse drift
+    * KS under-weights). Anderson's exact rank form with the pooled
+    * (value, seq) total order (documented tiebreak): with rᵢ the
+    * pooled ranks of sample 1 (own-sample index i) and sⱼ of
+    * sample 2,
+    *   U = n₁·Σᵢ(rᵢ−i)² + n₂·Σⱼ(sⱼ−j)²
+    *   T = 6U − n₁n₂(4n₁n₂−1) over 6n₁n₂N, floored once:
+    *   t_micro = sgn·⌊10⁶·|6U − n₁n₂(4n₁n₂−1)| / (6n₁n₂N)⌋.
+    * The own-sample index never needs a per-group window: for a
+    * sample-1 row at pooled position r, r − i is EXACTLY the count
+    * of sample-2 rows before it — one inclusive prefix sum of the
+    * group indicator gives both differences.
+    *
+    * Shape: one [[Relational.globalPrefixSum]] pass + one scalar
+    * aggregate; no joins, no partition-less row window. */
+  def cramerVonMises(df: DataFrame, groupCol: String, valueCol: String,
+      seqCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        col(seqCol).cast("long").as("__s"))
+      .withColumn("__i1", when(col("__g1"), 1L).otherwise(0L))
+    val pos = Relational.globalPrefixSum(staged,
+      Seq(col("__v").asc, col("__s").asc), "__i1", "__c1")
+    pos.agg(
+      sum(col("__i1")).as("n1"),
+      sum(lit(1L) - col("__i1")).as("n2"),
+      count(lit(1)).as("__N"),
+      // g1 row: (r − i)² = (r − c1)²; g2 row: (s − j)² = c1²
+      coalesce(sum(when(col("__g1"),
+        expr("CAST(__r - __c1 AS DECIMAL(38,0)) * (__r - __c1)"))
+        .otherwise(expr("CAST(__c1 AS DECIMAL(38,0)) * __c1"))),
+        lit(0).cast("decimal(38,0)")).as("__s1x"),
+      coalesce(sum(when(col("__g1"),
+        expr("CAST(__r - __c1 AS DECIMAL(38,0)) * (__r - __c1)"))),
+        lit(0).cast("decimal(38,0)")).as("__sg1"))
+      .withColumn("__sg2", col("__s1x") - col("__sg1"))
+      .withColumn("__u", expr(
+        "CAST(n1 AS DECIMAL(38,0)) * __sg1 + CAST(n2 AS DECIMAL(38,0)) * __sg2"))
+      .withColumn("u", col("__u").cast("long"))
+      .withColumn("t_micro", expr(
+        """CASE WHEN n1 > 0 AND n2 > 0 THEN
+          |  (CASE WHEN 6 * __u - CAST(n1 AS DECIMAL(38,0)) * n2
+          |      * (4 * CAST(n1 AS DECIMAL(38,0)) * n2 - 1) >= 0
+          |    THEN 1L ELSE -1L END) *
+          |  CAST(ABS(1000000 * (6 * __u - CAST(n1 AS DECIMAL(38,0))
+          |      * n2 * (4 * CAST(n1 AS DECIMAL(38,0)) * n2 - 1)))
+          |    div (6 * CAST(n1 AS DECIMAL(38,0)) * n2 * __N)
+          |    AS BIGINT) END""".stripMargin))
+      .select("n1", "n2", "u", "t_micro")
+  }
+
+  /** Quade test — the block design test that WEIGHTS blocks by how
+    * much they discriminate ([[friedmanTest]] treats a block where
+    * all models score ~equal the same as one with huge spread;
+    * Quade ranks blocks by their value RANGE and weights their
+    * within-block ranks accordingly — usually more powerful at
+    * small k). Doubled lanes throughout: within-block dmr (the
+    * friedman spine), block-range doubled midranks Q2 from the
+    * value-run prefix-sum spine (never a block-scale window), and
+    *   S2ᵢⱼ = Q2ᵢ·(dmrᵢⱼ − (k+1)),  Sⱼ = Σᵢ S2ᵢⱼ,
+    *   f_micro = ⌊10⁶·(b−1)·ΣSⱼ² / (b·ΣS2² − ΣSⱼ²)⌋
+    * (scales cancel; NULL when every block is internally tied —
+    * zero denominator). Fixed-panel discipline as friedman. Output
+    * is treatment grain with scalar lanes repeated. */
+  def quadeTest(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k must be in [2,1000], got $k")
+    val rated = df
+      .filter(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"),
+        col(treatmentCol).cast("string").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
+    val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"),
+      (max(col("__v")) - min(col("__v"))).as("__rng"))
+    val full = sized.filter(col("__m") === k.toLong)
+      .select(col("__b"), col("__rng"))
+    val dropped = sized.filter(col("__m") =!= k.toLong)
+      .agg(count(lit(1)).as("dropped_blocks"))
+    // block-range doubled midranks from the RANGE-run spine (the
+    // kruskalWallis dmr construction — block count never funnels
+    // through one partition)
+    val rruns = full.groupBy(col("__rng")).agg(count(lit(1)).as("__c"))
+    val rdmr = Relational.globalPrefixSum(rruns, Seq(col("__rng").asc),
+        "__c", "__cum")
+      .select(col("__rng"),
+        ((col("__cum") - col("__c") + 1L) + col("__cum")).as("__q2"))
+    val blocks = full.join(rdmr, Seq("__rng")).select(col("__b"),
+      col("__q2"))
+    val kept = rated.join(blocks, Seq("__b"))
+    val wRank = Window.partitionBy(col("__b")).orderBy(col("__v"))
+    val wTies = Window.partitionBy(col("__b"), col("__v"))
+    val cells = kept
+      .withColumn("__dmr", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - 1L)
+      .withColumn("__s2", expr(
+        s"CAST(__q2 AS DECIMAL(38,0)) * (__dmr - ${k + 1})"))
+    val sums = cells.groupBy(col("__t").as("treatment"))
+      .agg(coalesce(sum(col("__s2")), lit(0).cast("decimal(38,0)"))
+        .as("__sj"))
+    val a = cells.agg(coalesce(sum(expr("__s2 * __s2")),
+      lit(0).cast("decimal(38,0)")).as("__a"))
+    val bn = full.agg(count(lit(1)).as("n_blocks"))
+    val scal = sums.agg(coalesce(sum(expr("__sj * __sj")),
+        lit(0).cast("decimal(38,0)")).as("__bsum"))
+      .crossJoin(broadcast(a)).crossJoin(broadcast(bn))
+      .select(col("n_blocks"),
+        expr(s"""CASE WHEN CAST(n_blocks AS DECIMAL(38,0)) * __a
+          |    - __bsum > 0 THEN
+          |  CAST((1000000 * (n_blocks - 1) * __bsum)
+          |    div (CAST(n_blocks AS DECIMAL(38,0)) * __a - __bsum)
+          |    AS BIGINT) END""".stripMargin).as("f_micro"))
+    sums
+      .select(col("treatment"), col("__sj").cast("long").as("s_j2"))
+      .crossJoin(broadcast(scal))
+      .crossJoin(broadcast(dropped))
+      .withColumn("k", lit(k.toLong))
+      .select("treatment", "s_j2", "n_blocks", "k", "dropped_blocks",
+        "f_micro")
+  }
+
+  /** Holm step-down multiple-testing correction — the uniformly-
+    * more-powerful drop-in for Bonferroni (and the FWER companion of
+    * the q392 Benjamini–Hochberg FDR lane): hypotheses sort by
+    * p ascending, raw adjusted p is (m−j+1)·pⱼ capped at 1, and the
+    * step-down running MAX makes the adjustments monotone. Micro
+    * lanes in, micro lanes out — pure integer arithmetic. Rejection
+    * at α = 0.05 is adj ≤ 50000.
+    *
+    * Shape: hypothesis grain — m is the number of TESTS (a design
+    * quantity, like srmCheck's arm table), so the ordering window is
+    * bounded by contract (require-guarded ≤ 10⁶), never data-sized. */
+  def holmAdjust(df: DataFrame, idCol: String, pMicroCol: String,
+      maxHypotheses: Long = 1000000L): DataFrame = {
+    val staged = df
+      .filter(col(idCol).isNotNull && col(pMicroCol).isNotNull)
+      .select(col(idCol).cast("string").as("id"),
+        col(pMicroCol).cast("long").as("p_micro"))
+    val m = staged.agg(count(lit(1)).as("__m"))
+    val w = Window.orderBy(col("p_micro"), col("id"))
+    val wMax = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.crossJoin(broadcast(m))
+      .withColumn("__m", when(col("__m") > maxHypotheses,
+        raise_error(concat(lit("holmAdjust: "), col("__m"),
+          lit(s" hypotheses > maxHypotheses=$maxHypotheses — this is" +
+            " a per-test table, not a per-row one"))))
+        .otherwise(col("__m")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("__raw",
+        least((col("__m") - col("rank") + 1L) * col("p_micro"),
+          lit(1000000L)))
+      .withColumn("adj_micro", max(col("__raw")).over(wMax))
+      .withColumn("reject_05", col("adj_micro") <= 50000L)
+      .select("id", "p_micro", "rank", "adj_micro", "reject_05")
+  }
+
   /** Hodges–Lehmann two-sample shift estimator — THE robust "how
     * much did the metric move" number (the point estimate behind
     * [[mannWhitneyU]], 95% breakdown-free where a difference of

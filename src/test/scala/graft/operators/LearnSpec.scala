@@ -1872,4 +1872,87 @@ class LearnSpec extends SparkTestBase {
     assert(err.getMessage != null &&
       err.getMessage.contains("hodgesLehmannShift"))
   }
+
+  test("cucconiTest: hand ranks, symmetric X=Y case, micro lanes") {
+    // g1={1,10} g2={5,6}: pooled ranks g1={1,4}, S=17, X=Y=12,
+    // D5=7740 -> u2=v2=uv=93023; q=387, p=-363 -> c_micro=1499995
+    val rows = Seq((true, 1.0, 1L), (false, 5.0, 2L), (false, 6.0, 3L),
+      (true, 10.0, 4L))
+    val out = Learn.cucconiTest(rows.toDF("g", "v", "e"), "g", "v", "e")
+      .collect().head
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 2L &&
+      out.getAs[Long]("x6") == 12L && out.getAs[Long]("y6") == 12L &&
+      out.getAs[Long]("u2_micro") == 93023L &&
+      out.getAs[Long]("v2_micro") == 93023L &&
+      out.getAs[Long]("uv_micro") == 93023L &&
+      out.getAs[Long]("c_micro") == 1499995L)
+    // one empty group: micro lanes NULL
+    val solo = Learn.cucconiTest(
+      Seq((true, 1.0, 1L), (true, 2.0, 2L)).toDF("g", "v", "e"),
+      "g", "v", "e").collect().head
+    assert(solo.isNullAt(solo.fieldIndex("c_micro")))
+  }
+
+  test("cramerVonMises: hand U and T, identical samples near zero") {
+    // g1={1,10} g2={5,6}: U = 2*(0+4) + 2*(1+1) = 12, T = 12/96
+    val rows = Seq((true, 1.0, 1L), (false, 5.0, 2L), (false, 6.0, 3L),
+      (true, 10.0, 4L))
+    val out = Learn.cramerVonMises(rows.toDF("g", "v", "e"),
+      "g", "v", "e").collect().head
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 2L &&
+      out.getAs[Long]("u") == 12L &&
+      out.getAs[Long]("t_micro") == 125000L)
+    // perfectly interleaved samples: T sits at its minimum (small)
+    val inter = (1 to 20).map(i => (i % 2 == 0, i.toDouble, i.toLong))
+    val t2 = Learn.cramerVonMises(inter.toDF("g", "v", "e"),
+      "g", "v", "e").collect().head.getAs[Long]("t_micro")
+    assert(math.abs(t2) < 50000L, s"interleaved t_micro $t2")
+  }
+
+  test("quadeTest: range-weighted blocks, hand f, balanced zero") {
+    // ranges 1,2,4 -> q2 = 2,4,6; b3 flips the winner:
+    // Sj = (-12, +12), A = 112 -> f = 2*288/48 = 12
+    val rows = Seq(
+      (1L, 0L, 1.0), (1L, 1L, 2.0),
+      (2L, 0L, 1.0), (2L, 1L, 3.0),
+      (3L, 0L, 4.0), (3L, 1L, 8.0))
+    // b3 must have range 4 and t1 winning: values 4, 8
+    val out = Learn.quadeTest(rows.toDF("b", "t", "v"), "b", "t", "v",
+      k = 2).collect()
+    val sums = out.map(r => r.getAs[String]("treatment") ->
+      r.getAs[Long]("s_j2")).toMap
+    assert(sums == Map("0" -> -12L, "1" -> 12L))
+    assert(out.head.getAs[Long]("n_blocks") == 3L &&
+      out.head.getAs[Long]("f_micro") == 12000000L)
+    // perfectly balanced wins -> Sj = 0, f = 0 (denominator > 0)
+    val bal = Seq((1L, 0L, 1.0), (1L, 1L, 2.0),
+      (2L, 0L, 1.0), (2L, 1L, 3.0),
+      (3L, 0L, 8.0), (3L, 1L, 4.0))
+    val b2 = Learn.quadeTest(bal.toDF("b", "t", "v"), "b", "t", "v",
+      k = 2).collect().head
+    assert(b2.getAs[Long]("f_micro") == 0L)
+  }
+
+  test("holmAdjust: staircase monotone, cap at 1, rejections") {
+    val hs = Seq(("a", 10L), ("b", 200L), ("c", 300L), ("d", 400000L))
+    val out = Learn.holmAdjust(hs.toDF("h", "p"), "h", "p")
+      .collect().map(r => r.getAs[String]("id") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("adj_micro"),
+          r.getAs[Boolean]("reject_05")))).toMap
+    assert(out("a") == ((1L, 40L, true)))
+    assert(out("b") == ((2L, 600L, true)))
+    assert(out("c") == ((3L, 600L, true))) // running max holds 600
+    assert(out("d") == ((4L, 400000L, false)))
+    // cap: big p times many hypotheses saturates at 1e6
+    val cap = Learn.holmAdjust(
+      Seq(("x", 900000L), ("y", 900001L)).toDF("h", "p"), "h", "p")
+      .collect().map(_.getAs[Long]("adj_micro")).toSet
+    assert(cap == Set(1000000L))
+    // hypothesis-count guard raises loudly
+    val err = intercept[Exception] {
+      Learn.holmAdjust(hs.toDF("h", "p"), "h", "p",
+        maxHypotheses = 2L).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("holmAdjust"))
+  }
 }

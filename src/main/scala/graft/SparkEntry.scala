@@ -4134,6 +4134,28 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // q455: the libpcap lane — capture-file triage census (packets,
+    // captured vs wire bytes, truncation, time span); payload decode
+    // is a documented boundary, the WARC-sibling posture.
+    "q455_pcap_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Pcap.buildStubPcap(base, "doc_id")
+      operators.Pcap.pcapMeta(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
+    // q456: the FLAC metadata lane — STREAMINFO geometry (rate,
+    // channels, depth, total samples) + the exact floored duration;
+    // frame decode out of scope (codec boundary).
+    "q456_flac_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Flac.buildStubFlac(base, "doc_id")
+      operators.Flac.flacMeta(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12261,6 +12283,45 @@ object SparkEntry {
         |SELECT id, p_micro, rank, CAST(adj_micro AS BIGINT) AS adj_micro,
         |  adj_micro <= 50000 AS reject_05
         |FROM adj ORDER BY rank""".stripMargin,
+
+    // q455: the fixture replayed over a bounded packet grid —
+    // orig 40 + (id+j) mod 60, incl capped at snaplen 96, span from
+    // the j-second + 7j-µs clock.
+    "q455_pcap_census" ->
+      """WITH b AS (SELECT doc_id, 1 + doc_id % 5 AS n
+        |  FROM documents WHERE doc_id < 150),
+        |p AS (SELECT b.doc_id, b.n, j.j,
+        |    40 + (b.doc_id + j.j) % 60 AS orig
+        |  FROM b, generate_series(0, 4) AS j(j) WHERE j.j < b.n),
+        |a AS (SELECT doc_id, MAX(n) AS n,
+        |    SUM(LEAST(orig, 96)) AS incl_bytes,
+        |    SUM(orig) AS orig_bytes,
+        |    SUM(CASE WHEN orig > 96 THEN 1 ELSE 0 END) AS n_trunc
+        |  FROM p GROUP BY doc_id)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(1 AS BIGINT) AS link_type, CAST(96 AS BIGINT) AS snap_len,
+        |  CAST(n AS BIGINT) AS n_packets,
+        |  CAST(incl_bytes AS BIGINT) AS incl_bytes,
+        |  CAST(orig_bytes AS BIGINT) AS orig_bytes,
+        |  CAST(n_trunc AS BIGINT) AS n_truncated,
+        |  CAST((n - 1) * 1000000 + (n - 1) * 7 AS BIGINT) AS span_us
+        |FROM a ORDER BY id""".stripMargin,
+
+    // q456: STREAMINFO closed forms + the floored duration.
+    "q456_flac_census" ->
+      """WITH b AS (SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+        |    1 + doc_id % 2 AS ch, 1000 * (1 + doc_id % 7) AS total,
+        |    20 + doc_id % 30 AS audio
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(total AS BIGINT) AS total_samples,
+        |  CAST(2 AS BIGINT) AS n_blocks,
+        |  CAST(audio AS BIGINT) AS audio_bytes,
+        |  CAST((1000 * total) // rate AS BIGINT) AS duration_ms
+        |FROM b ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

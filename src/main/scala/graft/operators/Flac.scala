@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** FLAC metadata walk (the xiph.org spec) — the lossless-audio
+  * sibling of the [[Id3]] lane: a speech/music corpus's FLAC headers
+  * carry the exact geometry (rate, channels, bit depth, total
+  * samples) an audio curation pass filters on, without touching a
+  * single compressed frame. `fLaC` magic, then metadata blocks
+  * (1-byte header: last-flag bit + 7-bit type, 3-byte big-endian
+  * length), the mandatory first STREAMINFO (type 0, 34 bytes) whose
+  * tail packs sample rate (20 bits), channels−1 (3), bits−1 (5) and
+  * total samples (36) across five bytes. Frame decode is out of
+  * scope (the codec-boundary posture).
+  *
+  * Strict walk: bad magic, a first block that is not STREAMINFO,
+  * truncated blocks, zero sample rate, or a walk past the payload
+  * return null metrics (ok = 0). */
+object Flac {
+
+  final case class FlacMeta(sampleRate: Long, channels: Long,
+      bitsPerSample: Long, totalSamples: Long, nBlocks: Long,
+      metaBytes: Long, audioBytes: Long)
+
+  def parse(data: Array[Byte]): FlacMeta = {
+    if (data == null || data.length < 4 + 4 + 34) return null
+    if (data(0) != 'f' || data(1) != 'L' || data(2) != 'a' ||
+      data(3) != 'C') return null
+    var i = 4
+    var nBlocks = 0L
+    var sr = -1L; var ch = -1L; var bps = -1L; var ts = -1L
+    var last = false
+    while (!last) {
+      if (i + 4 > data.length) return null
+      val h = data(i) & 0xFF
+      last = (h & 0x80) != 0
+      val typ = h & 0x7F
+      val len = ((data(i + 1) & 0xFF) << 16) |
+        ((data(i + 2) & 0xFF) << 8) | (data(i + 3) & 0xFF)
+      if (i + 4 + len > data.length) return null
+      if (nBlocks == 0L) {
+        // the spec mandates STREAMINFO first
+        if (typ != 0 || len != 34) return null
+        val o = i + 4 + 10 // skip blocksize/framesize fields
+        // 20 bits rate | 3 bits ch-1 | 5 bits bps-1 | 36 bits total
+        val b0 = data(o) & 0xFFL; val b1 = data(o + 1) & 0xFFL
+        val b2 = data(o + 2) & 0xFFL; val b3 = data(o + 3) & 0xFFL
+        val b4 = data(o + 4) & 0xFFL; val b5 = data(o + 5) & 0xFFL
+        val b6 = data(o + 6) & 0xFFL; val b7 = data(o + 7) & 0xFFL
+        sr = (b0 << 12) | (b1 << 4) | (b2 >> 4)
+        ch = ((b2 >> 1) & 0x7) + 1
+        bps = (((b2 & 0x1) << 4) | (b3 >> 4)) + 1
+        ts = ((b3 & 0xFL) << 32) | (b4 << 24) | (b5 << 16) |
+          (b6 << 8) | b7
+        if (sr <= 0) return null
+      }
+      nBlocks += 1
+      i += 4 + len
+    }
+    FlacMeta(sr, ch, bps, ts, nBlocks, i.toLong,
+      (data.length - i).toLong)
+  }
+
+  /** Census over a binary FLAC column, with the exact duration lane
+    * duration_ms = ⌊1000·total_samples / sample_rate⌋. Row-local
+    * batched mapPartitions — zero exchange. */
+  def flacMeta(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("sample_rate", LongType),
+      StructField("channels", LongType),
+      StructField("bits_per_sample", LongType),
+      StructField("total_samples", LongType),
+      StructField("n_blocks", LongType),
+      StructField("audio_bytes", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val m = if (row.isNullAt(bi)) null
+          else parse(row.getAs[Array[Byte]](bi))
+        if (m == null)
+          Row(id, 0L, null, null, null, null, null, null, null)
+        else Row(id, 1L, m.sampleRate, m.channels, m.bitsPerSample,
+          m.totalSamples, m.nBlocks, m.audioBytes,
+          1000L * m.totalSamples / m.sampleRate)
+      }
+    }(enc)
+  }
+
+  /** Deterministic fixture: STREAMINFO with rate 8000·(1 + id mod 3),
+    * (1 + id mod 2) channels, 16 bits, total samples
+    * 1000·(1 + id mod 7); plus one PADDING block of (id mod 9) bytes
+    * and (20 + id mod 30) trailing pseudo-audio bytes — every census
+    * number is a closed form. */
+  def buildStubFlac(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val rate = 8000L * (1 + id % 3)
+        val chan = 1 + (id % 2)
+        val total = 1000L * (1 + id % 7)
+        val pad = (id % 9).toInt
+        val audio = 20 + (id % 30).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write("fLaC".getBytes("US-ASCII"))
+        bos.write(0x00); bos.write(0); bos.write(0); bos.write(34)
+        val si = new Array[Byte](34)
+        // blocksize/framesize lanes zero; pack the 64-bit tail
+        si(10) = ((rate >> 12) & 0xFF).toByte
+        si(11) = ((rate >> 4) & 0xFF).toByte
+        si(12) = (((rate & 0xF) << 4) | ((chan - 1) << 1) |
+          ((16 - 1) >> 4)).toByte
+        si(13) = ((((16 - 1) & 0xF) << 4) | ((total >> 32) & 0xF)).toByte
+        si(14) = ((total >> 24) & 0xFF).toByte
+        si(15) = ((total >> 16) & 0xFF).toByte
+        si(16) = ((total >> 8) & 0xFF).toByte
+        si(17) = (total & 0xFF).toByte
+        bos.write(si)
+        bos.write(0x80 | 0x01) // last block: PADDING
+        bos.write(0); bos.write(pad >> 8); bos.write(pad & 0xFF)
+        (0 until pad).foreach(_ => bos.write(0))
+        (0 until audio).foreach(k => bos.write((id + k).toInt & 0xFF))
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+}

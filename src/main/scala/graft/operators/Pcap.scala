@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** libpcap capture-file walk (the tcpdump/Wireshark interchange
+  * format, public spec) — the network-data sibling of the WARC lane:
+  * crawl/security corpora ship as .pcap, and a census (packet count,
+  * wire vs captured bytes, time span, truncation) is the triage
+  * every ingest does before any protocol decode. 24-byte global
+  * header (magic selects LE/BE byte order and µs/ns tick unit),
+  * then 16-byte record headers (ts_sec, ts_frac, incl_len,
+  * orig_len) + captured bytes. Payload decode is out of scope by
+  * design (the GIF/video container posture).
+  *
+  * Strict walk: unknown magic, truncated headers, incl_len past the
+  * payload or past snaplen+4KiB sanity, and trailing garbage return
+  * null metrics (ok = 0) — countable, never throwing. */
+object Pcap {
+
+  final case class PcapMeta(byteOrderBig: Boolean, nanos: Boolean,
+      linkType: Long, snapLen: Long, nPackets: Long, inclBytes: Long,
+      origBytes: Long, nTruncated: Long, firstUs: Long, lastUs: Long)
+
+  def parse(data: Array[Byte]): PcapMeta = {
+    if (data == null || data.length < 24) return null
+    def u32(o: Int, big: Boolean): Long = {
+      if (o + 4 > data.length) return -1L
+      if (big)
+        ((data(o) & 0xFFL) << 24) | ((data(o + 1) & 0xFFL) << 16) |
+          ((data(o + 2) & 0xFFL) << 8) | (data(o + 3) & 0xFFL)
+      else
+        (data(o) & 0xFFL) | ((data(o + 1) & 0xFFL) << 8) |
+          ((data(o + 2) & 0xFFL) << 16) | ((data(o + 3) & 0xFFL) << 24)
+    }
+    val magicLe = u32(0, big = false)
+    val (big, nanos) = magicLe match {
+      case 0xA1B2C3D4L => (false, false)
+      case 0xA1B23C4DL => (false, true)
+      case 0xD4C3B2A1L => (true, false)
+      case 0x4D3CB2A1L => (true, true)
+      case _ => return null
+    }
+    val snap = u32(16, big)
+    val link = u32(20, big)
+    if (snap <= 0 || snap > (1L << 30)) return null
+    var i = 24
+    var n = 0L; var incl = 0L; var orig = 0L; var trunc = 0L
+    var first = Long.MaxValue; var last = Long.MinValue
+    while (i < data.length) {
+      if (i + 16 > data.length) return null
+      val sec = u32(i, big); val frac = u32(i + 4, big)
+      val il = u32(i + 8, big); val ol = u32(i + 12, big)
+      val us = sec * 1000000L + (if (nanos) frac / 1000L else frac)
+      if (il < 0 || ol < 0 || il > snap + 4096 ||
+        i + 16 + il > data.length) return null
+      n += 1; incl += il; orig += ol
+      if (il < ol) trunc += 1
+      if (us < first) first = us
+      if (us > last) last = us
+      i += 16 + il.toInt
+    }
+    PcapMeta(big, nanos, link, snap, n, incl, orig, trunc,
+      if (n == 0) 0L else first, if (n == 0) 0L else last)
+  }
+
+  /** Census over a binary pcap column; null metrics when the walk
+    * refuses. Row-local batched mapPartitions — zero exchange. */
+  def pcapMeta(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("link_type", LongType),
+      StructField("snap_len", LongType),
+      StructField("n_packets", LongType),
+      StructField("incl_bytes", LongType),
+      StructField("orig_bytes", LongType),
+      StructField("n_truncated", LongType),
+      StructField("span_us", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val m = if (row.isNullAt(bi)) null
+          else parse(row.getAs[Array[Byte]](bi))
+        if (m == null)
+          Row(id, 0L, null, null, null, null, null, null, null)
+        else Row(id, 1L, m.linkType, m.snapLen, m.nPackets, m.inclBytes,
+          m.origBytes, m.nTruncated,
+          if (m.nPackets == 0) 0L else m.lastUs - m.firstUs)
+      }
+    }(enc)
+  }
+
+  /** Deterministic fixture: little-endian µs pcap, Ethernet link
+    * (1), snaplen 96; (1 + id mod 5) packets, packet j at
+    * t = j seconds + j·7 µs with orig_len = 40 + (id + j) mod 60 and
+    * incl_len = min(orig, 96) (so ids with orig > 96 would
+    * truncate — orig ≤ 99 keeps arithmetic simple: truncated =
+    * count of j with 40 + (id+j) mod 60 > 96). Every census number
+    * is a closed form over a bounded j grid. */
+  def buildStubPcap(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val n = 1 + (id % 5).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def u32(v: Long): Unit = { bos.write((v & 0xFF).toInt)
+          bos.write(((v >> 8) & 0xFF).toInt)
+          bos.write(((v >> 16) & 0xFF).toInt)
+          bos.write(((v >> 24) & 0xFF).toInt) }
+        u32(0xA1B2C3D4L); u32(0x00040002L) // magic, version 2.4
+        u32(0); u32(0); u32(96); u32(1)    // tz, sigfigs, snap, link
+        (0 until n).foreach { j =>
+          val orig = 40 + ((id + j) % 60)
+          val incl = math.min(orig, 96L)
+          u32(j.toLong); u32(j * 7L); u32(incl); u32(orig)
+          (0 until incl.toInt).foreach(k => bos.write((id + j + k).toInt & 0xFF))
+        }
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }(enc)
+  }
+}

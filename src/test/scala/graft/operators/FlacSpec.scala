@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Flac]] — STREAMINFO bit unpacking, stub closed forms, strict
+  * malformations. */
+class FlacSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("parse: stub closed forms across rates/channels/durations") {
+    val ids = Seq(1L, 4L, 11L)
+    val built = Flac.buildStubFlac(ids.toDF("doc_id"), "doc_id")
+    val got = Flac.flacMeta(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    ids.foreach { id =>
+      val r = got(id)
+      val rate = 8000L * (1 + id % 3); val total = 1000L * (1 + id % 7)
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[Long]("sample_rate") == rate &&
+        r.getAs[Long]("channels") == 1 + id % 2 &&
+        r.getAs[Long]("bits_per_sample") == 16L &&
+        r.getAs[Long]("total_samples") == total &&
+        r.getAs[Long]("n_blocks") == 2L &&
+        r.getAs[Long]("audio_bytes") == 20 + id % 30 &&
+        r.getAs[Long]("duration_ms") == 1000L * total / rate)
+    }
+  }
+
+  test("parse: odd bit-boundary values unpack exactly, strict nulls") {
+    // 44100 Hz (not nibble-aligned), 6 channels, 24 bits, a total
+    // crossing the 32-bit boundary — every field straddles bytes
+    val si = new Array[Byte](34)
+    val rate = 44100L; val ch = 6L; val bps = 24L
+    val total = (5L << 32) | 0x12345678L
+    si(10) = ((rate >> 12) & 0xFF).toByte
+    si(11) = ((rate >> 4) & 0xFF).toByte
+    si(12) = (((rate & 0xF) << 4) | ((ch - 1) << 1) |
+      ((bps - 1) >> 4)).toByte
+    si(13) = ((((bps - 1) & 0xF) << 4) | ((total >> 32) & 0xF)).toByte
+    si(14) = ((total >> 24) & 0xFF).toByte
+    si(15) = ((total >> 16) & 0xFF).toByte
+    si(16) = ((total >> 8) & 0xFF).toByte
+    si(17) = (total & 0xFF).toByte
+    val good = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    val m = Flac.parse(good)
+    assert(m != null && m.sampleRate == rate && m.channels == ch &&
+      m.bitsPerSample == bps && m.totalSamples == total &&
+      m.nBlocks == 1L && m.audioBytes == 0L)
+    // malformations: bad magic, first block not STREAMINFO,
+    // truncated block, zero sample rate
+    val badMagic = good.clone(); badMagic(0) = 'F'.toByte
+    assert(Flac.parse(badMagic) == null)
+    val notSi = good.clone(); notSi(4) = (0x80 | 0x04).toByte
+    assert(Flac.parse(notSi) == null)
+    assert(Flac.parse(good.dropRight(1)) == null)
+    val zeroRate = good.clone()
+    // rate lives at payload offsets 10..12-high = file offsets 18..20
+    zeroRate(18) = 0; zeroRate(19) = 0
+    zeroRate(20) = (zeroRate(20) & 0x0F).toByte
+    assert(Flac.parse(zeroRate) == null)
+    assert(Flac.parse(null) == null)
+  }
+}

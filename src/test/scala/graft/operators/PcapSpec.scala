@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Pcap]] — capture walk: stub closed forms, all four magics,
+  * strict malformations. */
+class PcapSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def u32le(v: Long): Array[Byte] = Array(
+    (v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+    ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def u32be(v: Long): Array[Byte] = u32le(v).reverse
+
+  test("parse: stub closed forms and truncation accounting") {
+    val base = Seq(3L, 57L).toDF("doc_id") // id 57: residue 57 > 56 truncates
+    val built = Pcap.buildStubPcap(base, "doc_id")
+    val got = Pcap.pcapMeta(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    Seq(3L, 57L).foreach { id =>
+      val r = got(id)
+      val n = 1 + id % 5
+      val origs = (0 until n.toInt).map(j => 40 + (id + j) % 60)
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[Long]("link_type") == 1L &&
+        r.getAs[Long]("snap_len") == 96L &&
+        r.getAs[Long]("n_packets") == n &&
+        r.getAs[Long]("orig_bytes") == origs.sum &&
+        r.getAs[Long]("incl_bytes") == origs.map(math.min(_, 96L)).sum &&
+        r.getAs[Long]("n_truncated") == origs.count(_ > 96) &&
+        r.getAs[Long]("span_us") == (n - 1) * 1000000L + (n - 1) * 7L)
+    }
+    assert(got(57L).getAs[Long]("n_truncated") > 0L) // exercised
+  }
+
+  test("parse: big-endian and nanosecond magics, malformations") {
+    // one 10-byte packet at t = 2 s + 500 µs, big-endian µs file
+    val be = u32be(0xA1B2C3D4L) ++ u32be(0x00040002L) ++ u32be(0) ++
+      u32be(0) ++ u32be(64) ++ u32be(1) ++
+      u32be(2) ++ u32be(500) ++ u32be(10) ++ u32be(10) ++
+      Array.fill[Byte](10)(7)
+    val m = Pcap.parse(be)
+    assert(m != null && m.byteOrderBig && !m.nanos && m.nPackets == 1 &&
+      m.inclBytes == 10 && m.firstUs == 2000500L)
+    // little-endian NANOSECOND file: frac 500000 ns -> 500 µs
+    val ns = u32le(0xA1B23C4DL) ++ u32le(0x00040002L) ++ u32le(0) ++
+      u32le(0) ++ u32le(64) ++ u32le(1) ++
+      u32le(2) ++ u32le(500000) ++ u32le(10) ++ u32le(10) ++
+      Array.fill[Byte](10)(7)
+    val mn = Pcap.parse(ns)
+    assert(mn != null && mn.nanos && mn.firstUs == 2000500L)
+    // malformations: unknown magic, truncated record header, incl_len
+    // past the payload
+    assert(Pcap.parse(u32le(0xDEADBEEFL) ++ be.drop(4)) == null)
+    assert(Pcap.parse(be.dropRight(11)) == null)
+    val overrun = be.clone()
+    // inflate incl_len (offset 32, big-endian) past the buffer
+    overrun(35) = 99
+    assert(Pcap.parse(overrun) == null)
+    assert(Pcap.parse(null) == null)
+    // empty capture (header only) is valid with zero packets
+    val empty = Pcap.parse(be.take(24))
+    assert(empty != null && empty.nPackets == 0L)
+  }
+}

@@ -4156,6 +4156,17 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q457: the TGA lane — the third pixel-exact image codec (RLE
+    // packets that cross scanlines); the q444 color formulas ride
+    // the RLE path, so the census is the same arithmetic.
+    "q457_tga_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"))
+      val built = operators.Tga.buildStubTga(base, "doc_id")
+      operators.Tga.tgaStats(built, "doc_id", "payload")
+        .orderBy(col("id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12321,6 +12332,22 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_blocks,
         |  CAST(audio AS BIGINT) AS audio_bytes,
         |  CAST((1000 * total) // rate AS BIGINT) AS duration_ms
+        |FROM b ORDER BY id""".stripMargin,
+
+    // q457: the q444 solid-fill arithmetic under the TGA RLE path.
+    "q457_tga_census" ->
+      """WITH b AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |    2 + doc_id % 4 AS h, doc_id % 256 AS cr,
+        |    (3 * doc_id + 1) % 256 AS cg, (5 * doc_id + 2) % 256 AS cb
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(10 AS BIGINT) AS image_type,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(24 AS BIGINT) AS depth,
+        |  CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(cr * w * h AS BIGINT) AS sum_r,
+        |  CAST(cg * w * h AS BIGINT) AS sum_g,
+        |  CAST(cb * w * h AS BIGINT) AS sum_b
         |FROM b ORDER BY id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day

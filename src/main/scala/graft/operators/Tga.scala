@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.types._
+
+/** Truevision TGA codec (the public TGA 1.0/2.0 spec) — the third
+  * pixel-exact image lane beside [[Qoi]] and [[Netpbm]], and the one
+  * with CROSS-ROW run-length packets (texture/game-asset corpora
+  * still ship .tga): 18-byte header (id length, image type, 16-bit
+  * LE geometry, pixel depth, descriptor), then for RLE types a
+  * packet stream — header bit 7 selects run vs raw, count is
+  * (b & 0x7F) + 1, runs repeat ONE pixel and may span scanlines.
+  * Types 2/10 truecolor (BGR/BGRA) and 3/11 grayscale at 8/24/32
+  * bpp are decoded; color-mapped types are refused (a palette lane
+  * nothing real emits for training data).
+  *
+  * Strict decode (the [[Qoi.decode]] discipline): bad type/depth,
+  * truncated packets, pixel overrun, or leftover pixels return
+  * null. Bottom-up vs top-down (descriptor bit 5) only permutes
+  * rows — the census sums are order-free, and [[decode]] returns
+  * pixels in FILE order with the flag exposed. */
+object Tga {
+
+  final case class TgaImage(imageType: Int, width: Int, height: Int,
+      depth: Int, topDown: Boolean, pixels: Array[Int])
+
+  private val MaxPixels = 1 << 26
+
+  /** pixels(i) packs (r<<24 | g<<16 | b<<8 | a); gray maps to
+    * r = g = b = gray, a = 255 (or the alpha byte at 32 bpp). */
+  def decode(data: Array[Byte]): TgaImage = {
+    if (data == null || data.length < 18) return null
+    val idLen = data(0) & 0xFF
+    val cmapType = data(1) & 0xFF
+    val imgType = data(2) & 0xFF
+    if (cmapType != 0) return null
+    if (imgType != 2 && imgType != 3 && imgType != 10 && imgType != 11)
+      return null
+    def u16(o: Int): Int = (data(o) & 0xFF) | ((data(o + 1) & 0xFF) << 8)
+    val w = u16(12); val h = u16(14)
+    val depth = data(16) & 0xFF
+    val topDown = (data(17) & 0x20) != 0
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return null
+    val gray = imgType == 3 || imgType == 11
+    if (gray && depth != 8) return null
+    if (!gray && depth != 24 && depth != 32) return null
+    val bpp = depth / 8
+    var i = 18 + idLen
+    val n = w * h
+    val out = new Array[Int](n)
+    def px(o: Int): Int = {
+      if (gray) {
+        val g = data(o) & 0xFF
+        (g << 24) | (g << 16) | (g << 8) | 255
+      } else {
+        val b = data(o) & 0xFF; val g = data(o + 1) & 0xFF
+        val r = data(o + 2) & 0xFF
+        val a = if (bpp == 4) data(o + 3) & 0xFF else 255
+        (r << 24) | (g << 16) | (b << 8) | a
+      }
+    }
+    if (imgType == 2 || imgType == 3) { // uncompressed
+      if (i + n.toLong * bpp > data.length) return null
+      var p = 0
+      while (p < n) { out(p) = px(i); i += bpp; p += 1 }
+    } else { // RLE packets, runs may cross scanlines
+      var p = 0
+      while (p < n) {
+        if (i >= data.length) return null
+        val hd = data(i) & 0xFF; i += 1
+        val count = (hd & 0x7F) + 1
+        if (p + count > n) return null
+        if ((hd & 0x80) != 0) { // run: one pixel value
+          if (i + bpp > data.length) return null
+          val v = px(i); i += bpp
+          var k = 0
+          while (k < count) { out(p) = v; p += 1; k += 1 }
+        } else { // raw: count literal pixels
+          if (i + count.toLong * bpp > data.length) return null
+          var k = 0
+          while (k < count) { out(p) = px(i); i += bpp; p += 1; k += 1 }
+        }
+      }
+    }
+    TgaImage(imgType, w, h, depth, topDown, out)
+  }
+
+  /** Maximal-run RLE encoder (truecolor 24 bpp, bottom-up) for
+    * fixtures and round trips — a solid-fill image encodes to
+    * ⌈n/128⌉ run packets of 4 bytes each. */
+  def encodeRle24(width: Int, height: Int,
+      pixels: Array[Int]): Array[Byte] = {
+    require(width > 0 && height > 0, "geometry must be positive")
+    require(pixels.length == width * height, "pixel count mismatch")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(0); bos.write(0); bos.write(10) // no id, no cmap, RLE tc
+    (0 until 9).foreach(_ => bos.write(0))    // cmap spec + origin
+    bos.write(width & 0xFF); bos.write(width >>> 8)
+    bos.write(height & 0xFF); bos.write(height >>> 8)
+    bos.write(24); bos.write(0)
+    var p = 0
+    while (p < pixels.length) {
+      var run = 1
+      while (p + run < pixels.length && run < 128 &&
+        pixels(p + run) == pixels(p)) run += 1
+      bos.write(0x80 | (run - 1))
+      val v = pixels(p)
+      bos.write((v >>> 8) & 0xFF)  // B
+      bos.write((v >>> 16) & 0xFF) // G
+      bos.write((v >>> 24) & 0xFF) // R
+      p += run
+    }
+    bos.toByteArray
+  }
+
+  /** Decode census (the [[Qoi.qoiStats]] shape) — geometry plus
+    * exact per-channel sums; undecodable payloads null with ok = 0.
+    * Row-local batched mapPartitions — zero exchange. */
+  def tgaStats(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("image_type", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("depth", LongType), StructField("n_px", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        val img = if (row.isNullAt(bi)) null
+          else decode(row.getAs[Array[Byte]](bi))
+        if (img == null)
+          Row(id, 0L, null, null, null, null, null, null, null, null)
+        else {
+          var sr = 0L; var sg = 0L; var sb = 0L; var k = 0
+          while (k < img.pixels.length) {
+            val p = img.pixels(k)
+            sr += (p >>> 24) & 0xFF; sg += (p >>> 16) & 0xFF
+            sb += (p >>> 8) & 0xFF
+            k += 1
+          }
+          Row(id, 1L, img.imageType.toLong, img.width.toLong,
+            img.height.toLong, img.depth.toLong,
+            img.pixels.length.toLong, sr, sg, sb)
+        }
+      }
+    }(enc)
+  }
+
+  /** DataFrame-grain fixture: RLE truecolor solid fills with the
+    * [[Qoi.buildStubQoi]] geometry/color formulas, so the census is
+    * the same arithmetic with the RLE path underneath. */
+  def buildStubTga(df: DataFrame, idCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii)
+        val w = 3 + (id % 6).toInt; val h = 2 + (id % 4).toInt
+        val cr = (id % 256).toInt; val cg = ((3 * id + 1) % 256).toInt
+        val cb = ((5 * id + 2) % 256).toInt
+        val px = Array.fill(w * h)((cr << 24) | (cg << 16) | (cb << 8) | 255)
+        Row.fromSeq(r.toSeq :+ encodeRle24(w, h, px))
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** [[Tga]] — RLE/raw round trips (runs crossing scanlines),
+  * grayscale and 32-bit alpha paths, strict malformations. */
+class TgaSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def px(r: Int, g: Int, b: Int, a: Int = 255): Int =
+    (r << 24) | (g << 16) | (b << 8) | a
+
+  test("encodeRle24->decode round-trips, runs cross scanlines") {
+    // 5 wide: a 7-pixel run spans rows — TGA allows it, the decoder
+    // must too
+    val pixels = Array.fill(5 * 3)(px(1, 2, 3))
+    pixels(7) = px(9, 9, 9); pixels(8) = px(9, 9, 9)
+    val img = Tga.decode(Tga.encodeRle24(5, 3, pixels))
+    assert(img != null && img.width == 5 && img.height == 3 &&
+      img.imageType == 10 && img.depth == 24)
+    assert(img.pixels.toSeq == pixels.toSeq)
+    // arbitrary content (raw packets dominate) also round-trips
+    val noise = Array.tabulate(4 * 4)(i =>
+      px((i * 37) % 251, (i * 59) % 251, (i * 83) % 251))
+    assert(Tga.decode(Tga.encodeRle24(4, 4, noise)).pixels.toSeq ==
+      noise.toSeq)
+    // a >128-pixel solid run must chunk at 128
+    val big = Array.fill(130 * 2)(px(4, 5, 6))
+    assert(Tga.decode(Tga.encodeRle24(130, 2, big)).pixels.toSeq ==
+      big.toSeq)
+  }
+
+  test("decode: uncompressed truecolor/gray, 32-bit alpha, strict nulls") {
+    // hand-built type-2 (uncompressed BGR) 2x1: pixels (r10,g20,b30),
+    // (r40,g50,b60)
+    def header(t: Int, w: Int, h: Int, depth: Int) =
+      Array[Byte](0, 0, t.toByte, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+        (w & 0xFF).toByte, (w >> 8).toByte, (h & 0xFF).toByte,
+        (h >> 8).toByte, depth.toByte, 0)
+    val t2 = header(2, 2, 1, 24) ++
+      Array[Byte](30, 20, 10, 60, 50, 40)
+    val d2 = Tga.decode(t2)
+    assert(d2 != null && d2.pixels.toSeq ==
+      Seq(px(10, 20, 30), px(40, 50, 60)))
+    // type 3 grayscale
+    val t3 = header(3, 2, 1, 8) ++ Array[Byte](100, 101)
+    assert(Tga.decode(t3).pixels.toSeq ==
+      Seq(px(100, 100, 100), px(101, 101, 101)))
+    // type 10 with 32-bit pixels: alpha decodes
+    val t10 = header(10, 2, 1, 32) ++
+      Array[Byte](0x81.toByte, 3, 2, 1, 9) // run of 2: BGRA 3,2,1,9
+    assert(Tga.decode(t10).pixels.toSeq ==
+      Seq(px(1, 2, 3, 9), px(1, 2, 3, 9)))
+    // malformations: colormapped refused, bad depth, packet overrun,
+    // leftover/short pixels
+    val cmap = t2.clone(); cmap(1) = 1
+    assert(Tga.decode(cmap) == null)
+    val badDepth = t3.clone(); badDepth(16) = 24
+    assert(Tga.decode(badDepth) == null)
+    assert(Tga.decode(t2.dropRight(1)) == null)
+    val overrun = header(10, 2, 1, 24) ++
+      Array[Byte](0x87.toByte, 3, 2, 1) // run of 8 > 2 pixels
+    assert(Tga.decode(overrun) == null)
+    assert(Tga.decode(null) == null)
+  }
+
+  test("tgaStats: census matches the arithmetic, junk nulls") {
+    val built = Tga.buildStubTga(Seq(7L).toDF("doc_id"), "doc_id")
+    val r = Tga.tgaStats(built, "doc_id", "payload").collect().head
+    val w = 3 + 7 % 6; val h = 2 + 7 % 4; val n = w * h
+    assert(r.getAs[Long]("ok") == 1L && r.getAs[Long]("width") == w &&
+      r.getAs[Long]("n_px") == n &&
+      r.getAs[Long]("sum_r") == (7 % 256) * n &&
+      r.getAs[Long]("sum_g") == ((3 * 7 + 1) % 256) * n &&
+      r.getAs[Long]("sum_b") == ((5 * 7 + 2) % 256) * n)
+    val junk = Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload")
+    val j = Tga.tgaStats(junk, "doc_id", "payload").collect().head
+    assert(j.getAs[Long]("ok") == 0L && j.isNullAt(j.fieldIndex("width")))
+  }
+}

@@ -4167,6 +4167,20 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q458: NARA Soundex over leading words — the phonetic-blocking
+    // key beside the q219/q391 edit-distance family; the oracle runs
+    // the SAME six translate/regexp steps.
+    "q458_soundex" -> ((s, dir) => {
+      import graft.functions.soundex_nara
+      val w = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^\\s*([A-Za-z]+)", 1).as("w"))
+        .filter(length(col("w")) >= 2)
+      w.select(col("doc_id"), col("w"),
+        soundex_nara(col("w")).as("code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12349,6 +12363,37 @@ object SparkEntry {
         |  CAST(cg * w * h AS BIGINT) AS sum_g,
         |  CAST(cb * w * h AS BIGINT) AS sum_b
         |FROM b ORDER BY id""".stripMargin,
+
+    // q458: the identical six-step NARA pipeline (DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark defaults to).
+    "q458_soundex" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract(text, '^\s*([A-Za-z]+)', 1) AS w
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (SELECT doc_id, w,
+        |    upper(regexp_replace(w, '[^A-Za-z]', '', 'g')) AS s
+        |  FROM w WHERE length(w) >= 2),
+        |c AS (SELECT doc_id, w, s, substring(s, 1, 1) AS first,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(
+        |          translate(translate(s, 'HW', ''),
+        |            'BFPVCGJKQSXZDTLMNRAEIOUY',
+        |            '111122222222334556000000'),
+        |        '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+        |      '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+        |      '6+', '6', 'g') AS collapsed
+        |  FROM f),
+        |d AS (SELECT doc_id, w, s, first,
+        |    CASE WHEN first IN ('H', 'W') THEN collapsed
+        |      ELSE substring(collapsed, 2) END AS dropped
+        |  FROM c)
+        |SELECT doc_id, w,
+        |  CASE WHEN length(s) = 0 THEN NULL
+        |    ELSE first || rpad(substring(
+        |      regexp_replace(dropped, '0', '', 'g'), 1, 3), 3, '0') END
+        |    AS code
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -49,6 +49,34 @@ package object functions {
   def strip_accents(c: Column): Column =
     col2(StripAccents(bridge.toExpression(c)))
 
+  /** NARA-variant Soundex (the US National Archives rules, the ones
+    * genealogy indexes use) as a PURE translate/regexp pipeline — no
+    * codegen black box, and the exact same six steps express in any
+    * SQL engine, so the lane is genuinely cross-checkable (Spark's
+    * builtin `soundex` is a different variant with no replayable
+    * definition): (1) strip non-letters, upper; (2) DELETE H/W
+    * (letters separated by h/w code as one — the Ashcraft→A261
+    * rule); (3) code the full string (vowels→0); (4) collapse
+    * adjacent equal codes; (5) drop the first code (it belongs to
+    * the retained first letter — unless that letter was H/W, which
+    * step 2 already deleted); (6) strip 0s, pad/truncate to
+    * letter+3. Empty/letterless input → null. */
+  def soundex_nara(c: Column): Column = {
+    val s = upper(regexp_replace(c, "[^A-Za-z]", ""))
+    val first = substring(s, 1, 1)
+    val coded = translate(translate(s, "HW", ""),
+      "BFPVCGJKQSXZDTLMNRAEIOUY", "111122222222334556000000")
+    // collapse runs per digit — NO backreference, because the oracle
+    // engine's RE2 has none (the q411 Java-regex/RE2 parity rule)
+    val collapsed = (0 to 6).foldLeft(coded)((acc, d) =>
+      regexp_replace(acc, s"$d+", d.toString))
+    val dropped = when(first.isin("H", "W"), collapsed)
+      .otherwise(substring(collapsed, 2, 1 << 30))
+    when(length(s) === 0, lit(null).cast("string"))
+      .otherwise(concat(first,
+        rpad(substring(regexp_replace(dropped, "0", ""), 1, 3), 3, "0")))
+  }
+
   /** Arity guard for SQL function builders: `SELECT zorder2(x)` must
     * fail with a clean wrong-number-of-arguments analysis error naming
     * the function (as Spark builtins do), not an

@@ -213,4 +213,27 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       .select(zorder2(col("a"), col("b"))).head.getLong(0)
     assert(wide == refMorton(0x7FFFFFFFL, 0x7FFFFFFFL) && wide >= 0L)
   }
+
+  test("soundex_nara: the NARA reference examples") {
+    // the canonical National Archives test set, including the h/w
+    // separation rule (Ashcraft) and the adjacent-first-code rule
+    // (Pfister), plus an H-initial name and degenerate inputs
+    val cases = Seq(
+      "Robert" -> "R163", "Rupert" -> "R163",
+      "Ashcraft" -> "A261", "Ashcroft" -> "A261",
+      "Tymczak" -> "T522", "Pfister" -> "P236",
+      "Honeyman" -> "H555", "Jackson" -> "J250",
+      "WASHINGTON" -> "W252", "Lee" -> "L000",
+      "Gutierrez" -> "G362", "van-Dam" -> "V535")
+    val got = cases.map(_._1).toDF("w")
+      .select(col("w"), soundex_nara(col("w")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) =>
+      assert(got(w) == want, s"$w: got ${got(w)} want $want")
+    }
+    // letterless input -> null
+    val n = Seq("123 45!").toDF("w")
+      .select(soundex_nara(col("w"))).collect().head
+    assert(n.isNullAt(0))
+  }
 }

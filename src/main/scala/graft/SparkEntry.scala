@@ -4181,6 +4181,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q459: rich-club coefficient curve on a layered multigraph —
+    // three mod layers (64/32/8) make low-id nodes genuine hubs, so
+    // the curve has real structure; all counts from run-grain
+    // suffix sums.
+    "q459_rich_club" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val edges = d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 7 + 3) % 64).as("dst"))
+        .unionByName(d.select((col("doc_id") % 32).as("src"),
+          ((col("doc_id") * 3 + 1) % 32).as("dst")))
+        .unionByName(d.select((col("doc_id") % 8).as("src"),
+          ((col("doc_id") * 11 + 5) % 8).as("dst")))
+      operators.Graph.richClub(edges, "src", "dst").orderBy(col("k"))
+    }),
+
+    // q460: Allen interval-relation census over per-user event
+    // spans (duration from the event id, so every relation class
+    // is populated); the structural fingerprint of an interval
+    // table.
+    "q460_allen_census" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 3000)
+        .select(pmod(col("event_id"), lit(50)).as("k"), col("event_id"),
+          (pmod(expr("event_id div 50"), lit(12)) * 10L).as("s_us"))
+        .withColumn("e_us",
+          col("s_us") + 5L + pmod(col("event_id"), lit(9)) * 5L)
+      operators.Relational.allenCensus(e, "k", "event_id",
+          col("s_us"), col("e_us"))
+        .orderBy(col("relation"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12394,6 +12424,63 @@ object SparkEntry {
         |      regexp_replace(dropped, '0', '', 'g'), 1, 3), 3, '0') END
         |    AS code
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // q459: degrees, per-edge min degree, suffix sums over both run
+    // tables against the distinct-degree thresholds.
+    "q459_rich_club" ->
+      """WITH rawrc AS (
+        |  SELECT doc_id % 64 AS a, (doc_id * 7 + 3) % 64 AS b
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id % 32, (doc_id * 3 + 1) % 32
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id % 8, (doc_id * 11 + 5) % 8
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM rawrc WHERE a <> b),
+        |adj AS (SELECT lo AS n, hi AS m FROM e
+        |  UNION ALL SELECT hi, lo FROM e),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
+        |  GROUP BY 1),
+        |th AS (SELECT DISTINCT deg AS k FROM deg),
+        |nk AS (SELECT th.k, CAST(COUNT(*) AS BIGINT) AS n_k
+        |  FROM th JOIN deg ON deg.deg > th.k GROUP BY th.k),
+        |md AS (SELECT LEAST(dl.deg, dh.deg) AS md FROM e
+        |  JOIN deg dl ON dl.n = e.lo JOIN deg dh ON dh.n = e.hi),
+        |ek AS (SELECT th.k, CAST(COUNT(*) AS BIGINT) AS e_k
+        |  FROM th JOIN md ON md.md > th.k GROUP BY th.k)
+        |SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+        |  CASE WHEN nk.n_k >= 2 THEN
+        |    CAST((2000000 * COALESCE(ek.e_k, 0))
+        |      // (nk.n_k * (nk.n_k - 1)) AS BIGINT) END AS phi_micro
+        |FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k""".stripMargin,
+
+    // q460: the 13-way CASE over same-key ordered pairs.
+    "q460_allen_census" ->
+      """WITH s AS (SELECT event_id % 50 AS k, event_id AS id,
+        |    ((event_id // 50) % 12) * 10 AS st,
+        |    ((event_id // 50) % 12) * 10 + 5 + (event_id % 9) * 5 AS en
+        |  FROM events WHERE event_id < 3000),
+        |p AS (SELECT
+        |    CASE
+        |      WHEN a.st = b.st AND a.en = b.en THEN 'equals'
+        |      WHEN a.en < b.st THEN 'before'
+        |      WHEN b.en < a.st THEN 'after'
+        |      WHEN a.en = b.st THEN 'meets'
+        |      WHEN b.en = a.st THEN 'met_by'
+        |      WHEN a.st = b.st AND a.en < b.en THEN 'starts'
+        |      WHEN a.st = b.st THEN 'started_by'
+        |      WHEN a.en = b.en AND a.st > b.st THEN 'finishes'
+        |      WHEN a.en = b.en THEN 'finished_by'
+        |      WHEN a.st > b.st AND a.en < b.en THEN 'during'
+        |      WHEN a.st < b.st AND a.en > b.en THEN 'contains'
+        |      WHEN a.st < b.st THEN 'overlaps'
+        |      ELSE 'overlapped_by'
+        |    END AS relation
+        |  FROM s a JOIN s b ON a.k = b.k AND a.id < b.id)
+        |SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM p GROUP BY relation ORDER BY relation""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1335,6 +1335,55 @@ object Graph {
     out
   }
 
+  /** Rich-club coefficient curve — "do the hubs preferentially link
+    * to each other" (Zhou & Mondragón 2004): for each degree
+    * threshold k, the density of the subgraph induced by nodes of
+    * degree > k,
+    *   φ(k) = 2·E_k / (N_k(N_k − 1)),  phi_micro = ⌊10⁶·2E_k / …⌋
+    * (NULL when N_k < 2). Thresholds are the DISTINCT degree values
+    * (the curve only changes there), so the output is
+    * degree-spectrum grain. Never a per-threshold subgraph pass:
+    * one degree aggregate, one edge min-degree join, then BOTH
+    * counts come from suffix sums over degree/min-degree RUNS
+    * against the broadcast threshold list.
+    *
+    * Undirected deduped reading like [[triangleCounts]]. */
+  def richClub(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+      .persist()
+    val adj = e.select(col("lo").as("n"), col("hi").as("m"))
+      .unionByName(e.select(col("hi").as("n"), col("lo").as("m")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val thresholds = deg.select(col("deg").as("k")).distinct()
+    val degRuns = deg.groupBy(col("deg")).agg(count(lit(1)).as("__c"))
+    val emd = e
+      .join(deg.select(col("n").as("lo"), col("deg").as("__dl")), "lo")
+      .join(deg.select(col("n").as("hi"), col("deg").as("__dh")), "hi")
+      .select(least(col("__dl"), col("__dh")).as("__md"))
+      .groupBy(col("__md")).agg(count(lit(1)).as("__ce"))
+    val nk = degRuns.crossJoin(broadcast(thresholds))
+      .filter(col("deg") > col("k"))
+      .groupBy(col("k")).agg(sum(col("__c")).as("n_k"))
+    val ek = emd.crossJoin(broadcast(thresholds))
+      .filter(col("__md") > col("k"))
+      .groupBy(col("k")).agg(sum(col("__ce")).as("e_k"))
+    val out = nk.join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("e_k"))
+      .select(col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2L, expr(
+          "(2000000 * e_k) div (n_k * (n_k - 1))")).as("phi_micro"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Longest path from the DAG's sources to every node — the
     * critical-path (CPM) primitive: with edge weights as task
     * durations, `dist(v)` is v's earliest start time and the global

@@ -2311,6 +2311,53 @@ object Relational {
         "paa_milli", "letter")
   }
 
+  /** Allen interval-relation census — classify every same-key
+    * interval pair into Allen's 13 relations (the complete, mutually
+    * exclusive vocabulary of how two spans can relate: before /
+    * meets / overlaps / starts / during / finishes, their inverses,
+    * and equals). The census is the structural fingerprint of an
+    * interval table — a scheduling log dominated by `overlaps` and a
+    * session log dominated by `before` are different worlds, and
+    * joins ([[intervalJoin]]) or gap audits pick different plans for
+    * each. Pairs are ordered by `idCol` (a.id < b.id), so each pair
+    * counts once and the inverse relations are genuinely informative.
+    *
+    * Shape: one per-key self-join — pair count is Σ nₖ², the
+    * [[graft.operators.Learn.preferenceCycles]] bounded-key
+    * discipline (intervals per key fit an executor; cap upstream
+    * when a key is corpus-sized). Output is relation grain. */
+  def allenCensus(df: DataFrame, keyCol: String, idCol: String,
+      startCol: Column, endCol: Column): DataFrame = {
+    val base = df
+      .filter(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).as("__k"), col(idCol).cast("long").as("__id"),
+        startCol.cast("long").as("__s"), endCol.cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+        col("__s") <= col("__e"))
+    val a = base.select(col("__k"), col("__id").as("__ia"),
+      col("__s").as("__as"), col("__e").as("__ae"))
+    val b = base.select(col("__k"), col("__id").as("__ib"),
+      col("__s").as("__bs"), col("__e").as("__be"))
+    a.join(b, Seq("__k")).filter(col("__ia") < col("__ib"))
+      .withColumn("relation", expr(
+        """CASE
+          |  WHEN __as = __bs AND __ae = __be THEN 'equals'
+          |  WHEN __ae < __bs THEN 'before'
+          |  WHEN __be < __as THEN 'after'
+          |  WHEN __ae = __bs THEN 'meets'
+          |  WHEN __be = __as THEN 'met_by'
+          |  WHEN __as = __bs AND __ae < __be THEN 'starts'
+          |  WHEN __as = __bs THEN 'started_by'
+          |  WHEN __ae = __be AND __as > __bs THEN 'finishes'
+          |  WHEN __ae = __be THEN 'finished_by'
+          |  WHEN __as > __bs AND __ae < __be THEN 'during'
+          |  WHEN __as < __bs AND __ae > __be THEN 'contains'
+          |  WHEN __as < __bs THEN 'overlaps'
+          |  ELSE 'overlapped_by'
+          |END""".stripMargin))
+      .groupBy(col("relation")).agg(count(lit(1)).as("n"))
+  }
+
   /** Per-key resampling onto a regular epoch-aligned grid with LINEAR
     * interpolation — the irregular→regular bridge every time-series
     * consumer eventually needs (model features at fixed cadence,

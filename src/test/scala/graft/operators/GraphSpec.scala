@@ -687,6 +687,23 @@ class GraphSpec extends SparkTestBase {
     assert(g2 == Map((1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
   }
 
+  test("richClub: K4 plus pendant — exact curve, max threshold empty") {
+    // K4 on 1..4 (deg 3) + pendant 5 on node 1 (deg(1)=4, deg(5)=1)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("s", "d")
+    val got = Graph.richClub(e, "s", "d").collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("n_k"), r.getAs[Long]("e_k"),
+          if (r.isNullAt(r.fieldIndex("phi_micro"))) -1L
+          else r.getAs[Long]("phi_micro")))).toMap
+    // k=1: the 4 core nodes form a complete subgraph -> phi = 1
+    assert(got(1L) == ((4L, 6L, 1000000L)))
+    // k=3: only the hub remains -> density undefined
+    assert(got(3L) == ((1L, 0L, -1L)))
+    // k = max degree has nothing above it: no row
+    assert(!got.contains(4L) && got.size == 2)
+  }
+
   test("twoHopCensus: path graph reach, self excluded") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
     val got = Graph.twoHopCensus(path, "s", "d").collect()

@@ -1402,6 +1402,37 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     assert(t2.length == 1 && t2.head.getAs[String]("from_type") == "x")
   }
+  test("allenCensus: all 13 relations against a reference classifier") {
+    import spark.implicits._
+    def ref(as: Long, ae: Long, bs: Long, be: Long): String =
+      if (as == bs && ae == be) "equals"
+      else if (ae < bs) "before" else if (be < as) "after"
+      else if (ae == bs) "meets" else if (be == as) "met_by"
+      else if (as == bs && ae < be) "starts"
+      else if (as == bs) "started_by"
+      else if (ae == be && as > bs) "finishes"
+      else if (ae == be) "finished_by"
+      else if (as > bs && ae < be) "during"
+      else if (as < bs && ae > be) "contains"
+      else if (as < bs) "overlaps" else "overlapped_by"
+    // a small grid that hits every relation class at least once
+    val iv = (for (i <- 0L until 24L) yield
+      (i % 2, i, (i * 7) % 12, (i * 7) % 12 + 1 + (i * 5) % 9)) ++
+      Seq((9L, 100L, 0L, 10L), (9L, 101L, 0L, 10L), // equals
+        (9L, 102L, 10L, 20L), (9L, 103L, 0L, 5L),   // meets/started_by
+        (9L, 104L, 5L, 10L), (9L, 105L, 2L, 4L))    // finishes/during
+    val got = Relational.allenCensus(iv.toDF("k", "id", "s", "e"),
+        "k", "id", col("s"), col("e"))
+      .collect().map(r => r.getAs[String]("relation") ->
+        r.getAs[Long]("n")).toMap
+    val expect = iv.groupBy(_._1).values.flatMap { g =>
+      for (a <- g; b <- g if a._2 < b._2)
+        yield ref(a._3, a._4, b._3, b._4)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == expect, s"got $got expect $expect")
+    assert(got.keySet.size == 13, s"classes ${got.keySet}")
+  }
+
   test("maxDrawdown: running peak, worst drop, first trough, last value") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

@@ -4211,6 +4211,16 @@ object SparkEntry {
         .orderBy(col("relation"))
     }),
 
+    // q461: deterministic Poisson bootstrap — 40 reproducible
+    // replicates of the event-value mean from md5-drawn Poisson(1)
+    // weights; the oracle replays the identical draws.
+    "q461_poisson_bootstrap" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 5000)
+      operators.Learn.poissonBootstrap(e, "event_id", "value",
+          b = 40, seed = 7L)
+        .orderBy(col("rep"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12481,6 +12491,40 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.k = b.k AND a.id < b.id)
         |SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
         |FROM p GROUP BY relation ORDER BY relation""".stripMargin,
+
+    // q461: the identical md5 48-bit uniforms against the same
+    // fixed Poisson(1) CDF thresholds, one aggregate per replicate.
+    "q461_poisson_bootstrap" ->
+      """WITH s AS (SELECT CAST(event_id AS VARCHAR) AS id,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 5000 AND value IS NOT NULL),
+        |r AS (SELECT s.id, s.v, g.rep,
+        |    CAST(('0x' || substring(md5(s.id || ':' || g.rep || ':7'),
+        |      1, 12)) AS BIGINT) AS u
+        |  FROM s, generate_series(0, 39) AS g(rep)),
+        |w AS (SELECT rep, v,
+        |    (CASE WHEN u >= 103548857136060 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 207097714272121 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 258872142840152 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 276130285696162 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 280444821410164 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 281307728552965 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 281451546410098 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 281472091818260 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 281474659994280 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN u >= 281474945347172 THEN 1 ELSE 0 END)
+        |      AS wt
+        |  FROM r),
+        |agg AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(COALESCE(SUM(wt), 0) AS BIGINT) AS n_eff,
+        |    CAST(COALESCE(SUM(CAST(wt AS BIGINT) * v), 0) AS BIGINT)
+        |      AS sum_milli
+        |  FROM w GROUP BY rep)
+        |SELECT CAST(rep AS BIGINT) AS rep, n_rows, n_eff, sum_milli,
+        |  CASE WHEN n_eff > 0 THEN
+        |    CASE WHEN sum_milli >= 0 THEN sum_milli // n_eff
+        |      ELSE -((-sum_milli) // n_eff) END END AS mean_milli
+        |FROM agg ORDER BY rep""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

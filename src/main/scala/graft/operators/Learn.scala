@@ -1994,6 +1994,50 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Deterministic Poisson bootstrap — THE way to bootstrap a
+    * statistic at data scale (Chamandy et al., Google 2012): true
+    * resampling needs n draws with replacement per replicate
+    * (a global coordination no cluster wants); weighting each row
+    * independently with w ~ Poisson(1) is the standard streaming
+    * approximation, embarrassingly parallel and one aggregate per
+    * replicate. Here the draws are DETERMINISTIC — w comes from the
+    * md5(id:rep:seed) 48-bit uniform against the FIXED Poisson(1)
+    * inverse-CDF thresholds ⌊cdf·2⁴⁸⌋ (w capped at 10, tail mass
+    * < 10⁻⁷ — documented) — so replicates are reproducible,
+    * auditable, and oracle-replayable. Output is replicate grain:
+    * n_eff = Σw, sum_milli = Σw·v, and the floored replicate mean;
+    * downstream takes CI percentiles.
+    *
+    * Shape: rows × b map-side work (the bootstrap's inherent cost)
+    * into ONE replicate-grain aggregate with map-side partials. */
+  def poissonBootstrap(df: DataFrame, idCol: String, valueCol: String,
+      b: Int, seed: Long): DataFrame = {
+    require(b >= 1 && b <= 1000, s"b must be in [1,1000], got $b")
+    // ⌊CDF_Poisson(1)(k)·2^48⌋ for k = 0..9
+    val thresholds = Seq(103548857136060L, 207097714272121L,
+      258872142840152L, 276130285696162L, 280444821410164L,
+      281307728552965L, 281451546410098L, 281472091818260L,
+      281474659994280L, 281474945347172L)
+    val staged = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    staged
+      .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__u", conv(substring(md5(concat(col("__id"),
+        lit(":"), col("rep").cast("string"), lit(":" + seed))),
+        1, 12), 16, 10).cast("long"))
+      .withColumn("__w", thresholds.foldLeft(lit(0L))((acc, t) =>
+        acc + when(col("__u") >= t, 1L).otherwise(0L)))
+      .groupBy(col("rep").cast("long").as("rep"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(col("__w")), lit(0L)).as("n_eff"),
+        coalesce(sum(col("__w") * col("__v")), lit(0L)).as("sum_milli"))
+      .withColumn("mean_milli", when(col("n_eff") > 0L, expr(
+        """CASE WHEN sum_milli >= 0 THEN sum_milli div n_eff
+          |  ELSE -((-sum_milli) div n_eff) END""".stripMargin)))
+  }
+
   /** Cucconi test — the JOINT location-scale two-sample test (older
     * and usually more powerful than the Lepage combination: one
     * statistic catches "the new model is shifted AND noisier" that

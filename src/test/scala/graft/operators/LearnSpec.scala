@@ -1873,6 +1873,36 @@ class LearnSpec extends SparkTestBase {
       err.getMessage.contains("hodgesLehmannShift"))
   }
 
+  test("poissonBootstrap: deterministic draws, Poisson(1) statistics") {
+    val rows = (1L to 2000L).map(i => (i, (i % 100).toDouble))
+    val df = rows.toDF("id", "v")
+    val a = Learn.poissonBootstrap(df, "id", "v", b = 20, seed = 3L)
+      .collect().map(r => r.getAs[Long]("rep") ->
+        ((r.getAs[Long]("n_eff"), r.getAs[Long]("sum_milli"),
+          r.getAs[Long]("mean_milli")))).toMap
+    assert(a.size == 20)
+    // deterministic: an identical run reproduces every replicate
+    val a2 = Learn.poissonBootstrap(df, "id", "v", b = 20, seed = 3L)
+      .collect().map(r => r.getAs[Long]("rep") ->
+        ((r.getAs[Long]("n_eff"), r.getAs[Long]("sum_milli"),
+          r.getAs[Long]("mean_milli")))).toMap
+    assert(a == a2)
+    // a different seed draws differently
+    val b3 = Learn.poissonBootstrap(df, "id", "v", b = 20, seed = 4L)
+      .collect().map(r => r.getAs[Long]("rep") ->
+        r.getAs[Long]("n_eff")).toMap
+    assert((0L until 20L).exists(r => b3(r) != a(r)._1))
+    // Poisson(1): E[w] = 1, so n_eff tracks n within ~4 sigma
+    // (sigma = sqrt(n) ~ 45 at n = 2000)
+    a.values.foreach { case (nEff, _, _) =>
+      assert(math.abs(nEff - 2000L) < 180L, s"n_eff $nEff")
+    }
+    // replicate means bracket the true mean (49.5 -> 49500 milli)
+    val means = a.values.map(_._3).toSeq
+    assert(means.min < 49500L && means.max > 49500L,
+      s"means ${means.min}..${means.max}")
+  }
+
   test("cucconiTest: hand ranks, symmetric X=Y case, micro lanes") {
     // g1={1,10} g2={5,6}: pooled ranks g1={1,4}, S=17, X=Y=12,
     // D5=7740 -> u2=v2=uv=93023; q=387, p=-363 -> c_micro=1499995

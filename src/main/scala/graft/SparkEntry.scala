@@ -4221,6 +4221,35 @@ object SparkEntry {
         .orderBy(col("rep"))
     }),
 
+    // q462: two-sample Anderson–Darling — the tail-weighted member
+    // of the ecdf family beside q382 (KS) and q452 (CvM); per-term
+    // floors replay identically.
+    "q462_anderson_darling" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          col("value"), col("event_id"))
+      operators.Learn.andersonDarling(e, "g", "value", "event_id")
+    }),
+
+    // q463: energy distance — the metric-space two-sample statistic;
+    // all three pairwise-|Δ| sums are exact integers from cumulative
+    // run lanes, never a pairwise product.
+    "q463_energy_distance" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"), col("value"))
+      operators.Learn.energyDistance(e, "g", "value")
+    }),
+
+    // q464: per-user Pettitt changepoint — where each value series
+    // shifted level, rank-based; the location companion of q436's
+    // Mann–Kendall trend verdict.
+    "q464_pettitt" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 30000)
+      operators.Learn.pettittTest(e, "user_id",
+          unix_micros(col("ts")), col("event_id"), "value")
+        .orderBy(col("key"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12525,6 +12554,100 @@ object SparkEntry {
         |    CASE WHEN sum_milli >= 0 THEN sum_milli // n_eff
         |      ELSE -((-sum_milli) // n_eff) END END AS mean_milli
         |FROM agg ORDER BY rep""".stripMargin,
+
+    // q462: M_i from a running indicator sum, per-term floors at
+    // i = 1..N-1 with the identical denominators.
+    "q462_anderson_darling" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v, event_id AS e
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |sc AS (SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n2, COUNT(*) AS nn FROM s),
+        |p AS (SELECT ROW_NUMBER() OVER (ORDER BY v, e) AS i,
+        |    SUM(CASE WHEN g1 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY v, e ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM s),
+        |terms AS (SELECT i, m, sc.n1, sc.n2, sc.nn FROM p, sc
+        |  WHERE i < sc.nn)
+        |SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+        |  CASE WHEN MAX(n1) > 0 AND MAX(n2) > 0 THEN
+        |    CAST(COALESCE(SUM(
+        |      (1000000 * CAST(nn * m - n1 * i AS HUGEINT)
+        |        * (nn * m - n1 * i))
+        |      // (CAST(n1 AS HUGEINT) * n2 * i * (nn - i))), 0)
+        |      AS BIGINT) END AS ad_micro
+        |FROM terms""".stripMargin,
+
+    // q463: the three pairwise-|Δ| sums from cumulative run lanes
+    // (count and value-weighted sum per group), one common floor.
+    "q463_energy_distance" ->
+      """WITH s AS (SELECT user_id % 2 = 1 AS g1,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |runs AS (SELECT v,
+        |    CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS c2
+        |  FROM s GROUP BY v),
+        |cum AS (SELECT v, c1, c2,
+        |    SUM(c1) OVER w AS q1, SUM(c2) OVER w AS q2,
+        |    SUM(CAST(c1 AS HUGEINT) * v) OVER w AS t1,
+        |    SUM(CAST(c2 AS HUGEINT) * v) OVER w AS t2
+        |  FROM runs WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |agg AS (SELECT SUM(c1) AS n1, SUM(c2) AS n2,
+        |    COALESCE(SUM(CAST(c1 AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * (q1 - c1) - (t1 - CAST(c1
+        |        AS HUGEINT) * v))), 0) AS aa,
+        |    COALESCE(SUM(CAST(c2 AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * (q2 - c2) - (t2 - CAST(c2
+        |        AS HUGEINT) * v))), 0) AS bb,
+        |    COALESCE(SUM(CAST(c1 AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * (q2 - c2) - (t2 - CAST(c2
+        |        AS HUGEINT) * v))
+        |      + CAST(c2 AS HUGEINT)
+        |      * (CAST(v AS HUGEINT) * (q1 - c1) - (t1 - CAST(c1
+        |        AS HUGEINT) * v))), 0) AS ab
+        |  FROM cum)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(aa AS BIGINT) AS sum_aa, CAST(bb AS BIGINT) AS sum_bb,
+        |  CAST(ab AS BIGINT) AS sum_ab,
+        |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |    (CASE WHEN 2 * ab * n1 * n2 - 2 * aa * CAST(n2 AS HUGEINT)
+        |        * n2 - 2 * bb * CAST(n1 AS HUGEINT) * n1 >= 0
+        |      THEN 1 ELSE -1 END)
+        |    * CAST(ABS(1000 * (2 * ab * CAST(n1 AS HUGEINT) * n2
+        |        - 2 * aa * CAST(n2 AS HUGEINT) * n2
+        |        - 2 * bb * CAST(n1 AS HUGEINT) * n1))
+        |      // (CAST(n1 AS HUGEINT) * n1 * n2 * n2) AS BIGINT) END
+        |    AS e_micro
+        |FROM agg""".stripMargin,
+
+    // q464: per-key doubled midranks, running time sums, earliest
+    // max — the same two windows in SQL.
+    "q464_pettitt" ->
+      """WITH s AS (SELECT user_id AS k, epoch_us(ts) AS o,
+        |    event_id AS e, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 30000 AND value IS NOT NULL),
+        |r AS (SELECT k, o, e, v,
+        |    2 * RANK() OVER (PARTITION BY k ORDER BY v)
+        |      + COUNT(*) OVER (PARTITION BY k, v) - 1 AS dmr,
+        |    COUNT(*) OVER (PARTITION BY k) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY o, e) AS pos
+        |  FROM s),
+        |u AS (SELECT k, o, pos, n,
+        |    SUM(dmr) OVER (PARTITION BY k ORDER BY o, e
+        |      ROWS UNBOUNDED PRECEDING) - pos * (n + 1) AS u2
+        |  FROM r),
+        |m AS (SELECT k, MAX(ABS(u2)) AS k2 FROM u GROUP BY k)
+        |SELECT u.k AS key, CAST(MAX(u.n) AS BIGINT) AS n,
+        |  CAST(m.k2 AS BIGINT) AS k2,
+        |  MIN(CASE WHEN ABS(u.u2) = m.k2 THEN u.o END) AS cp_order,
+        |  CAST(MIN(CASE WHEN ABS(u.u2) = m.k2 THEN u.pos END)
+        |    AS BIGINT) AS cp_pos
+        |FROM u JOIN m ON u.k = m.k GROUP BY u.k, m.k2
+        |ORDER BY key""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

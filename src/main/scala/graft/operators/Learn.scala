@@ -2178,6 +2178,172 @@ object Learn {
       .select("n1", "n2", "u", "t_micro")
   }
 
+  /** Two-sample Anderson–Darling (the k=2 Scholz–Stephens form) —
+    * the tail-sensitive member of the ecdf-test family: KS sees the
+    * worst gap, [[cramerVonMises]] integrates it uniformly, AD
+    * up-weights the TAILS by 1/(i(N−i)) — the right screen when the
+    * drift that matters is out in the extremes (latency p99s, rare
+    * tokens, outlier scores). Exact rank form over the pooled
+    * (value, seq) total order: with M_i = sample-1 count among the
+    * first i pooled rows,
+    *   A² = (1/(n₁n₂)) Σ_{i=1}^{N−1} (N·M_i − n₁·i)² / (i(N−i))
+    * Each term floors INDEPENDENTLY at micro scale (documented —
+    * denominators vary per i, and the oracle replays the identical
+    * per-term floors):
+    *   ad_micro = Σᵢ ⌊10⁶·(N·Mᵢ − n₁·i)² / (n₁n₂·i·(N−i))⌋.
+    *
+    * Shape: one [[Relational.globalPrefixSum]] pass (M_i IS the
+    * prefix count of the group indicator) + one scalar aggregate. */
+  def andersonDarling(df: DataFrame, groupCol: String, valueCol: String,
+      seqCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        col(seqCol).cast("long").as("__s"))
+      .withColumn("__i1", when(col("__g1"), 1L).otherwise(0L))
+    val pos = Relational.globalPrefixSum(staged,
+      Seq(col("__v").asc, col("__s").asc), "__i1", "__m")
+    val scal = staged.agg(
+      sum(col("__i1")).as("__n1"),
+      sum(lit(1L) - col("__i1")).as("__n2"),
+      count(lit(1)).as("__N"))
+    pos.crossJoin(broadcast(scal))
+      .filter(col("__r") < col("__N")) // i = 1 .. N-1
+      .agg(max(col("__n1")).as("n1"), max(col("__n2")).as("n2"),
+        coalesce(sum(expr(
+          """CAST(1000000 * CAST(__N * __m - __n1 * __r
+            |    AS DECIMAL(38,0)) * (__N * __m - __n1 * __r)
+            |  div (CAST(__n1 AS DECIMAL(38,0)) * __n2 * __r
+            |    * (__N - __r)) AS BIGINT)""".stripMargin)),
+          lit(0L)).as("ad_micro"))
+      .select(col("n1"), col("n2"),
+        when(col("n1") > 0L && col("n2") > 0L, col("ad_micro"))
+          .as("ad_micro"))
+  }
+
+  /** Energy distance two-sample test (Székely & Rizzo) — the
+    * metric-space member of the family: where rank tests see order
+    * only, the E-statistic sees DISTANCES,
+    *   E = 2·AB/(n₁n₂) − AA/n₁² − BB/n₂²
+    * with AB = ΣΣ|x−y|, AA = ΣΣ|x−x′|, BB = ΣΣ|y−y′| — all three
+    * EXACT integers from value-run prefix sums (never a pairwise
+    * product): within one sorted run table, Σ pairwise |Δ| =
+    * Σ_k c_k·v_k·(2·cum_k − c_k − n) + tie-free closed form via
+    * cumulative counts and cumulative sums; the CROSS sum reuses
+    * the same cumulative lanes on the pooled grid. One sign-split
+    * floor over the common denominator n₁²n₂²:
+    *   e_micro = ⌊10³·2·(AB·n₁n₂ − AA·n₂² − BB·n₁²)/(n₁²n₂²)⌋
+    * (milli sums × 10³ = micro of the ORIGINAL value scale; |v| ≤ 10⁶ keeps Σ|Δ| ≤ N²·10⁹
+    * inside DECIMAL(38,0) to N ≈ 10¹⁴). */
+  def energyDistance(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("boolean").as("__g1"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v"))
+      .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__c1"),
+        sum(when(!col("__g1"), 1L).otherwise(0L)).as("__c2"))
+    // cumulative counts and value-weighted sums per group over the
+    // pooled sorted grid — one two-pass spine, reused by all three
+    // pairwise sums:  Σ_{i<j}|v_j − v_i| over a multiset =
+    // Σ_rows v·(cntBelow) − sumBelow  (computed at run grain)
+    val cum = Relational.globalPrefixSum(
+      Relational.globalPrefixSum(
+        Relational.globalPrefixSum(
+          Relational.globalPrefixSum(
+            runs.withColumn("__s1",
+              col("__c1").cast("decimal(38,0)") * col("__v"))
+                .withColumn("__s2",
+              col("__c2").cast("decimal(38,0)") * col("__v")),
+            Seq(col("__v").asc), "__c1", "__q1").drop("__r"),
+          Seq(col("__v").asc), "__c2", "__q2").drop("__r"),
+        Seq(col("__v").asc), "__s1", "__t1").drop("__r"),
+      Seq(col("__v").asc), "__s2", "__t2")
+    val agg = cum.agg(
+      coalesce(sum(col("__c1")), lit(0L)).as("n1"),
+      coalesce(sum(col("__c2")), lit(0L)).as("n2"),
+      // AA: for each run, pairs against STRICTLY-below same-group
+      // rows: c1·(v·below1 − sumBelow1); within-run ties add zero
+      coalesce(sum(expr(
+        """CAST(__c1 AS DECIMAL(38,0)) * (CAST(__v AS DECIMAL(38,0))
+          |  * (__q1 - __c1) - (__t1 - __s1))""".stripMargin)),
+        lit(0).cast("decimal(38,0)")).as("__aa"),
+      coalesce(sum(expr(
+        """CAST(__c2 AS DECIMAL(38,0)) * (CAST(__v AS DECIMAL(38,0))
+          |  * (__q2 - __c2) - (__t2 - __s2))""".stripMargin)),
+        lit(0).cast("decimal(38,0)")).as("__bb"),
+      // AB: group-1 rows against strictly-below group-2 rows, plus
+      // group-2 rows against at-or-below group-1 rows (ties land
+      // once, distance 0 contributes nothing either way)
+      coalesce(sum(expr(
+        """CAST(__c1 AS DECIMAL(38,0)) * (CAST(__v AS DECIMAL(38,0))
+          |  * (__q2 - __c2) - (__t2 - __s2))
+          |+ CAST(__c2 AS DECIMAL(38,0)) * (CAST(__v AS DECIMAL(38,0))
+          |  * (__q1 - __c1) - (__t1 - __s1))""".stripMargin)),
+        lit(0).cast("decimal(38,0)")).as("__ab"))
+    agg.select(col("n1"), col("n2"),
+      col("__aa").cast("long").as("sum_aa"),
+      col("__bb").cast("long").as("sum_bb"),
+      col("__ab").cast("long").as("sum_ab"),
+      expr("""CASE WHEN n1 > 0 AND n2 > 0 THEN
+        |  (CASE WHEN 2 * __ab * n1 * n2 - 2 * __aa
+        |      * CAST(n2 AS DECIMAL(38,0)) * n2 - 2 * __bb
+        |      * CAST(n1 AS DECIMAL(38,0)) * n1 >= 0
+        |    THEN 1L ELSE -1L END) *
+        |  CAST(ABS(1000 * (2 * __ab * CAST(n1 AS DECIMAL(38,0)) * n2
+        |      - 2 * __aa * CAST(n2 AS DECIMAL(38,0)) * n2
+        |      - 2 * __bb * CAST(n1 AS DECIMAL(38,0)) * n1))
+        |    div (CAST(n1 AS DECIMAL(38,0)) * n1 * n2 * n2)
+        |    AS BIGINT) END""".stripMargin).as("e_micro"))
+  }
+
+  /** Per-key Pettitt changepoint test — WHERE did the level shift
+    * (the rank-based, distribution-free complement of the CUSUM
+    * lanes, and the location companion of [[mannKendall]]'s trend
+    * verdict): for each prefix t of the key's series in (order,
+    * tiebreak) time order, the doubled statistic
+    *   U2_t = Σ_{i≤t} dmr_i − t·(n+1)
+    * (dmr = doubled midranks of the key's own values — U2 is exactly
+    * 2·U_t of the textbook, integer under ties), K2 = max_t |U2_t|,
+    * and the change point is the EARLIEST t attaining K2
+    * (deterministic under ties). Emitted per key with the n lane;
+    * consumers threshold K2 against the standard approximation
+    * p ≈ 2exp(−6K²/(n³+n²)) — kept out of the gate (transcendental).
+    *
+    * Shape: two keyed windows (value ranks, running time sum) + one
+    * key-grain aggregate — key-sized partitions, never global. */
+  def pettittTest(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCol: Column, valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
+        tieCol.cast("long").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val wRank = Window.partitionBy(col("key")).orderBy(col("__v"))
+    val wTies = Window.partitionBy(col("key"), col("__v"))
+    val wTime = Window.partitionBy(col("key"))
+      .orderBy(col("__o"), col("__t"))
+    val wKey = Window.partitionBy(col("key"))
+    val ranked = staged
+      .withColumn("__dmr", lit(2L) * rank().over(wRank).cast("long")
+        + count(lit(1)).over(wTies) - 1L)
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__pos", row_number().over(wTime).cast("long"))
+      .withColumn("__u2",
+        sum(col("__dmr")).over(wTime.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow))
+          - col("__pos") * (col("__n") + 1L))
+      .withColumn("__k2", max(abs(col("__u2"))).over(wKey))
+    ranked.groupBy(col("key"))
+      .agg(max(col("__n")).as("n"), max(col("__k2")).as("k2"),
+        min(when(abs(col("__u2")) === col("__k2"), col("__o")))
+          .as("cp_order"),
+        min(when(abs(col("__u2")) === col("__k2"), col("__pos")))
+          .as("cp_pos"))
+  }
+
   /** Quade test — the block design test that WEIGHTS blocks by how
     * much they discriminate ([[friedmanTest]] treats a block where
     * all models score ~equal the same as one with huge spread;

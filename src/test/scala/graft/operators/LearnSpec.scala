@@ -1873,6 +1873,60 @@ class LearnSpec extends SparkTestBase {
       err.getMessage.contains("hodgesLehmannShift"))
   }
 
+  test("andersonDarling: hand terms, tails weighted") {
+    // g1={1,10} g2={5,6}: terms at i=1..3 are 333333, 0, 333333
+    val rows = Seq((true, 1.0, 1L), (false, 5.0, 2L), (false, 6.0, 3L),
+      (true, 10.0, 4L))
+    val out = Learn.andersonDarling(rows.toDF("g", "v", "e"),
+      "g", "v", "e").collect().head
+    assert(out.getAs[Long]("n1") == 2L && out.getAs[Long]("n2") == 2L &&
+      out.getAs[Long]("ad_micro") == 666666L)
+    // interleaved identical-ish samples score far lower than a
+    // separated pair of the same sizes
+    def ad(rows: Seq[(Boolean, Double, Long)]) =
+      Learn.andersonDarling(rows.toDF("g", "v", "e"), "g", "v", "e")
+        .collect().head.getAs[Long]("ad_micro")
+    val inter = (1 to 40).map(i => (i % 2 == 0, i.toDouble, i.toLong))
+    val split = (1 to 40).map(i => (i <= 20, i.toDouble, i.toLong))
+    assert(ad(split) > 10L * ad(inter),
+      s"split ${ad(split)} vs inter ${ad(inter)}")
+  }
+
+  test("energyDistance: hand sums, pure shift, identical zero") {
+    // x={0,2} y={10,20}: AA=10000 BB=2000 AB=56000 (milli), E=22.0
+    val rows = Seq((false, 0.0), (false, 2.0), (true, 10.0),
+      (true, 20.0))
+    val out = Learn.energyDistance(rows.toDF("g", "v"), "g", "v")
+      .collect().head
+    assert(out.getAs[Long]("sum_aa") == 10000L &&
+      out.getAs[Long]("sum_bb") == 2000L &&
+      out.getAs[Long]("sum_ab") == 56000L &&
+      out.getAs[Long]("e_micro") == 22000000L)
+    // identical samples: E = 0 exactly
+    val same = Seq((false, 1.0), (false, 7.0), (true, 1.0), (true, 7.0))
+    assert(Learn.energyDistance(same.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Long]("e_micro") == 0L)
+    // ties inside a group contribute zero distance, not an error
+    val tied = Seq((false, 5.0), (false, 5.0), (true, 5.0))
+    assert(Learn.energyDistance(tied.toDF("g", "v"), "g", "v")
+      .collect().head.getAs[Long]("e_micro") == 0L)
+  }
+
+  test("pettittTest: level shift located, K2 exact under ties") {
+    // 1,1,1,5,5,5: dmr 4/10, U2 = -3,-6,-9,-6,-3,0 -> K2=9 at pos 3
+    val rows = (1 to 6).map(i =>
+      (1L, i.toLong, i.toLong, if (i <= 3) 1.0 else 5.0))
+    val out = Learn.pettittTest(rows.toDF("k", "o", "e", "v"), "k",
+      col("o"), col("e"), "v").collect().head
+    assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("k2") == 9L &&
+      out.getAs[Long]("cp_pos") == 3L &&
+      out.getAs[Long]("cp_order") == 3L)
+    // a constant series has K2 = 0 (every u2 is 0)
+    val flat = (1 to 5).map(i => (2L, i.toLong, i.toLong, 3.0))
+    assert(Learn.pettittTest(flat.toDF("k", "o", "e", "v"), "k",
+      col("o"), col("e"), "v").collect().head.getAs[Long]("k2") == 0L)
+  }
+
   test("poissonBootstrap: deterministic draws, Poisson(1) statistics") {
     val rows = (1L to 2000L).map(i => (i, (i % 100).toDouble))
     val df = rows.toDF("id", "v")

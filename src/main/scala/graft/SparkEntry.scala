@@ -4250,6 +4250,22 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // q465: partition quality — score a synthetic 4-way community
+    // labeling of the q442 multigraph: per-community conductance +
+    // one exact Newman modularity rational.
+    "q465_partition_quality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val edges = d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 7 + 3) % 64).as("dst"))
+        .unionByName(d.select((col("doc_id") % 64).as("src"),
+          ((col("doc_id") * 3 + 1) % 64).as("dst")))
+      val labels = s.range(0, 64).select(col("id"),
+        concat(lit("c"), pmod(col("id"), lit(4))).as("community"))
+      operators.Graph.partitionQuality(edges, "src", "dst",
+          labels, "id", "community")
+        .orderBy(col("community"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12648,6 +12664,49 @@ object SparkEntry {
         |    AS BIGINT) AS cp_pos
         |FROM u JOIN m ON u.k = m.k GROUP BY u.k, m.k2
         |ORDER BY key""".stripMargin,
+
+    // q465: edge-grain label joins, community censuses, the exact
+    // modularity rational over (2m)².
+    "q465_partition_quality" ->
+      """WITH rawpq AS (
+        |  SELECT doc_id % 64 AS a, (doc_id * 7 + 3) % 64 AS b
+        |  FROM documents WHERE doc_id < 500
+        |  UNION ALL
+        |  SELECT doc_id % 64, (doc_id * 3 + 1) % 64
+        |  FROM documents WHERE doc_id < 500),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS lo, GREATEST(a, b) AS hi
+        |      FROM rawpq WHERE a <> b),
+        |m AS (SELECT COUNT(*) AS m FROM e),
+        |t AS (SELECT 'c' || (lo % 4) AS cl, 'c' || (hi % 4) AS ch
+        |  FROM e),
+        |internal AS (SELECT cl AS community,
+        |    CAST(COUNT(*) AS BIGINT) AS internal
+        |  FROM t WHERE cl = ch GROUP BY cl),
+        |vol AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS volume
+        |  FROM (SELECT cl AS community FROM t
+        |    UNION ALL SELECT ch FROM t) GROUP BY community),
+        |comm AS (SELECT vol.community, COALESCE(internal.internal, 0)
+        |      AS internal, vol.volume,
+        |    vol.volume - 2 * COALESCE(internal.internal, 0) AS cut,
+        |    m.m
+        |  FROM vol LEFT JOIN internal USING (community), m),
+        |q AS (SELECT
+        |    (CASE WHEN SUM(4 * CAST(m AS HUGEINT) * internal
+        |        - CAST(volume AS HUGEINT) * volume) >= 0
+        |      THEN 1 ELSE -1 END)
+        |    * CAST(ABS(1000000 * SUM(4 * CAST(m AS HUGEINT) * internal
+        |        - CAST(volume AS HUGEINT) * volume))
+        |      // (4 * CAST(MAX(m) AS HUGEINT) * MAX(m)) AS BIGINT)
+        |      AS q_micro,
+        |    CAST(MAX(m) AS BIGINT) AS m_edges
+        |  FROM comm)
+        |SELECT comm.community, comm.internal, comm.volume, comm.cut,
+        |  CASE WHEN comm.volume > 0 AND 2 * comm.m - comm.volume > 0
+        |    THEN CAST((1000000 * comm.cut)
+        |      // LEAST(comm.volume, 2 * comm.m - comm.volume)
+        |      AS BIGINT) END AS conductance_micro,
+        |  q.q_micro, q.m_edges
+        |FROM comm, q ORDER BY comm.community""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

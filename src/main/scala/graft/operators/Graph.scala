@@ -1384,6 +1384,82 @@ object Graph {
     out
   }
 
+  /** Partition quality — score ANY node labeling (from
+    * [[connectedComponentsStar]], [[labelPropagation]], an external
+    * clustering, a tenant/domain column) against the graph it
+    * claims to partition: per community c, the internal edge count
+    * intᶜ, volume volᶜ = Σ deg, boundary cut cutᶜ = volᶜ − 2intᶜ,
+    * and conductance φᶜ = cutᶜ / min(volᶜ, 2m − volᶜ) (floored
+    * micro, NULL for a community owning everything or nothing);
+    * plus Newman modularity on every row's scalar lane, ONE exact
+    * rational over (2m)²:
+    *   q_micro = ⌊10⁶·Σᶜ(4m·intᶜ − volᶜ²) / (2m)²⌋  (sign-split).
+    * Unlabeled endpoints (no label row) form their own singleton
+    * communities via the node id (documented). Undirected deduped
+    * reading like [[triangleCounts]].
+    *
+    * Shape: two label joins at edge grain (the only row-scale
+    * work), then community-grain aggregates + a broadcast scalar. */
+  def partitionQuality(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("__a"),
+        col(dstCol).cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"),
+        greatest(col("__a"), col("__b")).as("hi"))
+      .distinct()
+      .persist()
+    val lab = labels.select(col(idCol).cast("long").as("__n"),
+      col(labelCol).cast("string").as("__l"))
+      .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
+    val nodes = e.select(col("lo").as("__n"))
+      .unionByName(e.select(col("hi").as("__n"))).distinct()
+    val nlab = nodes.join(lab, Seq("__n"), "left")
+      .select(col("__n"),
+        coalesce(col("__l"), concat(lit("__node_"), col("__n")))
+          .as("__c"))
+    val tagged = e
+      .join(nlab.select(col("__n").as("lo"), col("__c").as("__cl")),
+        Seq("lo"))
+      .join(nlab.select(col("__n").as("hi"), col("__c").as("__ch")),
+        Seq("hi"))
+    val m = e.agg(count(lit(1)).as("__m"))
+    val internal = tagged.filter(col("__cl") === col("__ch"))
+      .groupBy(col("__cl").as("community"))
+      .agg(count(lit(1)).as("internal"))
+    val vol = tagged.select(col("__cl").as("community"))
+      .unionByName(tagged.select(col("__ch").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("volume"))
+    val comm = vol.join(internal, Seq("community"), "left")
+      .na.fill(0L, Seq("internal"))
+      .crossJoin(broadcast(m))
+      .withColumn("cut", col("volume") - lit(2L) * col("internal"))
+      .withColumn("conductance_micro", when(
+        col("volume") > 0L && lit(2L) * col("__m") - col("volume") > 0L,
+        expr("""(1000000 * cut) div
+          |  LEAST(volume, 2 * __m - volume)""".stripMargin)))
+    val q = comm.agg(coalesce(sum(expr(
+      """4 * CAST(__m AS DECIMAL(38,0)) * internal
+        |  - CAST(volume AS DECIMAL(38,0)) * volume""".stripMargin)),
+      lit(0).cast("decimal(38,0)")).as("__num"),
+      max(col("__m")).as("__m"))
+      .select(expr(
+        """CASE WHEN __m > 0 THEN
+          |  (CASE WHEN __num >= 0 THEN 1L ELSE -1L END) *
+          |  CAST(ABS(1000000 * __num)
+          |    div (4 * CAST(__m AS DECIMAL(38,0)) * __m) AS BIGINT)
+          |END""".stripMargin).as("q_micro"),
+        col("__m").as("m_edges"))
+    val out = comm
+      .select(col("community"), col("internal"), col("volume"),
+        col("cut"), col("conductance_micro"))
+      .crossJoin(broadcast(q))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
+
   /** Longest path from the DAG's sources to every node — the
     * critical-path (CPM) primitive: with edge weights as task
     * durations, `dist(v)` is v's earliest start time and the global

@@ -704,6 +704,30 @@ class GraphSpec extends SparkTestBase {
     assert(!got.contains(4L) && got.size == 2)
   }
 
+  test("partitionQuality: two triangles + bridge, singletons, exact Q") {
+    // textbook: Q = 2*(3/7 - 1/4) = 0.357142...
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"),
+      (5L, "B"), (6L, "B")).toDF("id", "c")
+    val got = Graph.partitionQuality(e, "s", "d", lab, "id", "c")
+      .collect().map(r => r.getAs[String]("community") ->
+        ((r.getAs[Long]("internal"), r.getAs[Long]("volume"),
+          r.getAs[Long]("cut"), r.getAs[Long]("conductance_micro"),
+          r.getAs[Long]("q_micro")))).toMap
+    assert(got("A") == ((3L, 7L, 1L, 142857L, 357142L)))
+    assert(got("B") == ((3L, 7L, 1L, 142857L, 357142L)))
+    // unlabeled endpoints become singletons; all-singletons on one
+    // edge scores the textbook Q = -1/2
+    val solo = Graph.partitionQuality(
+      Seq((7L, 8L)).toDF("s", "d"), "s", "d",
+      Seq.empty[(Long, String)].toDF("id", "c"), "id", "c")
+      .collect()
+    assert(solo.length == 2 &&
+      solo.forall(_.getAs[Long]("q_micro") == -500000L) &&
+      solo.forall(_.getAs[Long]("conductance_micro") == 1000000L))
+  }
+
   test("twoHopCensus: path graph reach, self excluded") {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
     val got = Graph.twoHopCensus(path, "s", "d").collect()

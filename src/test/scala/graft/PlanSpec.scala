@@ -1027,5 +1027,30 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(countNodes(raPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
     val thPlan = plan(operators.Graph.twoHopCensus(edges, "s", "d"))
     assert(countNodes(thPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    // wave 2/3: format lanes stay zero-exchange; spine stats stay
+    // cartesian-free; the bootstrap is one replicate aggregate
+    assert(exchanges(operators.Pcap.pcapMeta(
+      operators.Pcap.buildStubPcap(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    assert(exchanges(operators.Flac.flacMeta(
+      operators.Flac.buildStubFlac(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    assert(exchanges(operators.Tga.tgaStats(
+      operators.Tga.buildStubTga(docs, "doc_id"), "doc_id", "payload"))
+      == 0)
+    val cucPlan = plan(operators.Learn.cucconiTest(hl, "g", "value",
+      "event_id"))
+    assert(countNodes(cucPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    val enPlan = plan(operators.Learn.energyDistance(hl, "g", "value"))
+    assert(countNodes(enPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    assert(exchanges(operators.Learn.pettittTest(e, "user_id",
+      unix_micros(col("ts")), col("event_id"), "value")) <= 2)
+    assert(exchanges(operators.Learn.poissonBootstrap(
+      e.filter(col("event_id") < 500), "event_id", "value", 5, 1L)) <= 1)
+    val pqPlan = plan(operators.Graph.partitionQuality(edges, "s", "d",
+      spark.range(0, 16).select(col("id"),
+        concat(lit("c"), pmod(col("id"), lit(2))).as("c")),
+      "id", "c"))
+    assert(countNodes(pqPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
   }
 }

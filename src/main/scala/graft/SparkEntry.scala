@@ -4084,9 +4084,14 @@ object SparkEntry {
     // q450: Hodges–Lehmann shift between even and odd users' values
     // — the robust effect size behind q378's Mann–Whitney, as the
     // exact lower median of the run-convolution difference grid.
+    // Values pre-quantize to whole units: the operator's grid guard
+    // is |Vx|·|Vy|-bounded and the milli grid would trip it at
+    // sf0.1 (the guard firing is the CONTRACT — coarsen, don't
+    // raise the cap).
     "q450_hodges_lehmann" -> ((s, dir) => {
       val e = Tables.events(s, dir).filter(col("event_id") < 20000)
-        .select((pmod(col("user_id"), lit(2)) === 1).as("g"), col("value"))
+        .select((pmod(col("user_id"), lit(2)) === 1).as("g"),
+          floor(col("value")).as("value"))
       operators.Learn.hodgesLehmannShift(e, "g", "value")
     }),
 
@@ -12236,7 +12241,7 @@ object SparkEntry {
     // median at position ceil(n1*n2/2).
     "q450_hodges_lehmann" ->
       """WITH s AS (SELECT user_id % 2 = 1 AS g1,
-        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |    CAST(FLOOR(FLOOR(value) * 1000) AS BIGINT) AS v
         |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
         |rx AS (SELECT v AS vx, COUNT(*) AS cx FROM s WHERE NOT g1
         |  GROUP BY v),

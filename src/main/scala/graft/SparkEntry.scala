@@ -4271,6 +4271,25 @@ object SparkEntry {
         .orderBy(col("community"))
     }),
 
+    // q466: correlation ratio η² — how much of `value` the event
+    // type explains; per-category terms floor independently (the
+    // mood discipline).
+    "q466_eta_squared" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+      operators.Learn.etaSquared(e, "event_type", "value")
+        .orderBy(col("category"))
+    }),
+
+    // q467: Cramér's V between event type and a synthetic user
+    // cohort — the categorical↔categorical association summary;
+    // per-cell floors + the q381 FLOOR(SQRT()) lane.
+    "q467_cramers_v" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(col("event_type"),
+          concat(lit("u"), pmod(col("user_id"), lit(5))).as("cohort"))
+      operators.Learn.cramersV(e, "event_type", "cohort")
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12712,6 +12731,66 @@ object SparkEntry {
         |      AS BIGINT) END AS conductance_micro,
         |  q.q_micro, q.m_edges
         |FROM comm, q ORDER BY comm.community""".stripMargin,
+
+    // q466: category sums in one pass, the same independent
+    // per-category floors, one final rational.
+    "q466_eta_squared" ->
+      """WITH s AS (SELECT event_type AS c,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |cats AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nc,
+        |    CAST(SUM(v) AS BIGINT) AS sc,
+        |    SUM(CAST(v AS HUGEINT) * v) AS q FROM s GROUP BY c),
+        |sc2 AS (SELECT CAST(SUM(nc) AS BIGINT) AS n,
+        |    CAST(SUM(sc) AS BIGINT) AS st, SUM(q) AS qq FROM cats),
+        |terms AS (SELECT cats.c, cats.nc, cats.sc,
+        |    (CAST(cats.sc AS HUGEINT) * sc2.n
+        |      - CAST(sc2.st AS HUGEINT) * cats.nc)
+        |    * (CAST(cats.sc AS HUGEINT) * sc2.n
+        |      - CAST(sc2.st AS HUGEINT) * cats.nc) // cats.nc AS term
+        |  FROM cats, sc2),
+        |eta AS (SELECT CASE WHEN CAST(sc2.n AS HUGEINT) * sc2.qq
+        |      - CAST(sc2.st AS HUGEINT) * sc2.st > 0 THEN
+        |    CAST((1000000 * (SELECT SUM(term) FROM terms))
+        |      // (CAST(sc2.n AS HUGEINT)
+        |        * (CAST(sc2.n AS HUGEINT) * sc2.qq
+        |          - CAST(sc2.st AS HUGEINT) * sc2.st)) AS BIGINT) END
+        |      AS eta2_micro
+        |  FROM sc2)
+        |SELECT terms.c AS category, terms.nc AS n_c,
+        |  terms.sc AS sum_milli, sc2.n, eta.eta2_micro
+        |FROM terms, sc2, eta ORDER BY category""".stripMargin,
+
+    // q467: contingency + derived margins, per-cell floors, the
+    // FLOOR(SQRT()) V lane.
+    "q467_cramers_v" ->
+      """WITH s AS (SELECT event_type AS a,
+        |    'u' || (user_id % 5) AS b
+        |  FROM events WHERE event_id < 20000),
+        |cont AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS nn
+        |  FROM s GROUP BY a, b),
+        |r AS (SELECT a, CAST(SUM(nn) AS BIGINT) AS rr FROM cont
+        |  GROUP BY a),
+        |c AS (SELECT b, CAST(SUM(nn) AS BIGINT) AS cc FROM cont
+        |  GROUP BY b),
+        |sc AS (SELECT CAST(SUM(nn) AS BIGINT) AS n,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS r_cats,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS c_cats
+        |  FROM cont),
+        |chi AS (SELECT COALESCE(SUM(
+        |    (1000000 * CAST(sc.n AS HUGEINT) * cont.nn * cont.nn)
+        |      // (CAST(r.rr AS HUGEINT) * c.cc)), 0) AS sumterms
+        |  FROM cont JOIN r USING (a) JOIN c USING (b), sc)
+        |SELECT sc.n, sc.r_cats, sc.c_cats,
+        |  CAST(chi.sumterms - 1000000 * CAST(sc.n AS HUGEINT)
+        |    AS BIGINT) AS chi2_micro,
+        |  CASE WHEN LEAST(sc.r_cats, sc.c_cats) >= 2 AND
+        |      chi.sumterms - 1000000 * CAST(sc.n AS HUGEINT) >= 0 THEN
+        |    CAST(FLOOR(SQRT(CAST(chi.sumterms
+        |        - 1000000 * CAST(sc.n AS HUGEINT) AS BIGINT)
+        |      // (sc.n * (LEAST(sc.r_cats, sc.c_cats) - 1))))
+        |      AS BIGINT) END AS v_milli
+        |FROM sc, chi""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1994,6 +1994,113 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Correlation ratio η² — "how much of this numeric column does
+    * that categorical column explain" (the ANOVA-style effect size
+    * every dataset profiler wants next to the q128 pair stats;
+    * chi-square families can't see numeric structure, Pearson can't
+    * see categories): η² = SS_between / SS_total over milli-
+    * quantized values,
+    *   SSB·n² = Σ_c (s_c·n − s·n_c)²/n_c,  SST·n = n·Σv² − s²
+    * — per-category terms floor INDEPENDENTLY (the [[moodMedianTest]]
+    * discipline, replayed identically by the oracle):
+    *   term_c = ⌊(s_c·n − s·n_c)² / n_c⌋
+    *   eta2_micro = ⌊10⁶·Σterm_c / (n·(n·Σv² − s²))⌋, NULL when the
+    * values are constant (zero SST). Output is category grain with
+    * scalar lanes repeated.
+    *
+    * Shape: ONE row-scale aggregate (category sums ride map-side
+    * partials; Σv² in the same pass), then category-grain math +
+    * broadcast scalars. */
+  def etaSquared(df: DataFrame, catCol: String,
+      valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(catCol).cast("string").as("__c"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val cats = staged.groupBy(col("__c"))
+      .agg(count(lit(1)).as("__nc"),
+        coalesce(sum(col("__v")), lit(0L)).as("__sc"),
+        coalesce(sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")),
+          lit(0).cast("decimal(38,0)")).as("__q"))
+    val scal = cats.agg(
+      coalesce(sum(col("__nc")), lit(0L)).as("__n"),
+      coalesce(sum(col("__sc")), lit(0L)).as("__s"),
+      coalesce(sum(col("__q")), lit(0).cast("decimal(38,0)"))
+        .as("__qq"))
+    val terms = cats.crossJoin(broadcast(scal))
+      .withColumn("term", expr(
+        """CAST((CAST(__sc AS DECIMAL(38,0)) * __n
+          |    - CAST(__s AS DECIMAL(38,0)) * __nc)
+          |  * (CAST(__sc AS DECIMAL(38,0)) * __n
+          |    - CAST(__s AS DECIMAL(38,0)) * __nc)
+          |  div __nc AS DECIMAL(38,0))""".stripMargin))
+    val eta = terms.agg(
+      coalesce(sum(col("term")), lit(0).cast("decimal(38,0)"))
+        .as("__ssb"),
+      max(col("__n")).as("__n2"), max(col("__s")).as("__s2"),
+      max(col("__qq")).as("__qq2"))
+      .select(expr(
+        """CASE WHEN CAST(__n2 AS DECIMAL(38,0)) * __qq2
+          |    - CAST(__s2 AS DECIMAL(38,0)) * __s2 > 0 THEN
+          |  CAST((1000000 * __ssb)
+          |    div (CAST(__n2 AS DECIMAL(38,0))
+          |      * (CAST(__n2 AS DECIMAL(38,0)) * __qq2
+          |        - CAST(__s2 AS DECIMAL(38,0)) * __s2)) AS BIGINT)
+          |END""".stripMargin)
+          .as("eta2_micro"))
+    cats.select(col("__c").as("category"), col("__nc").as("n_c"),
+        col("__sc").as("sum_milli"))
+      .crossJoin(broadcast(scal.select(col("__n").as("n"))))
+      .crossJoin(broadcast(eta))
+  }
+
+  /** Cramér's V — the symmetric categorical↔categorical association
+    * (the profiler companion of [[etaSquared]]; q260's per-term χ²
+    * ranks features, this SUMMARIZES one pair): over the (a, b)
+    * contingency counts with row sums rᵢ, column sums cⱼ,
+    *   χ² = Σᵢⱼ n·nᵢⱼ²/(rᵢcⱼ) − n
+    * with documented per-cell floors
+    *   chi2_micro = Σᵢⱼ ⌊10⁶·n·nᵢⱼ² / (rᵢcⱼ)⌋ − 10⁶·n,
+    * and V = √(χ²/(n·(min(R,C)−1))) through the q381 FLOOR(SQRT())
+    * lane: chi2_micro div (n·(k−1)) is exactly 10⁶·V² floored
+    * (≤ 10⁶ — double-exact, never within half-ulp of an integer
+    * boundary), so v_milli = FLOOR(SQRT(·)) = ⌊10³·V⌋ on any
+    * engine. NULL for a degenerate 1×C or R×1 table. One row:
+    * n, r_cats, c_cats, chi2_micro, v_milli.
+    *
+    * Shape: ONE row-scale aggregate (the (a, b) contingency); row
+    * and column sums derive from it (the [[jonckheereTerpstra]]
+    * runs discipline); scalars broadcast. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val staged = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+    val cont = staged.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val rows = cont.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
+    val cols2 = cont.groupBy(col("__b")).agg(sum(col("__n")).as("__cc"))
+    val scal = cont.agg(coalesce(sum(col("__n")), lit(0L)).as("n"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("r_cats"))))
+      .crossJoin(broadcast(cols2.agg(count(lit(1)).as("c_cats"))))
+    val chi = cont
+      .join(rows, Seq("__a")).join(cols2, Seq("__b"))
+      .crossJoin(broadcast(scal))
+      .agg(coalesce(sum(expr(
+        """(1000000 * CAST(n AS DECIMAL(38,0)) * __n * __n)
+          |  div (CAST(__r AS DECIMAL(38,0)) * __cc)""".stripMargin)),
+        lit(0).cast("decimal(38,0)")).as("__sumterms"))
+    scal.crossJoin(broadcast(chi))
+      .withColumn("chi2_micro", expr(
+        "CAST(__sumterms - 1000000 * CAST(n AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("v_milli", expr(
+        """CASE WHEN LEAST(r_cats, c_cats) >= 2 AND chi2_micro >= 0 THEN
+          |  CAST(FLOOR(SQRT(chi2_micro div
+          |    (n * (LEAST(r_cats, c_cats) - 1)))) AS BIGINT) END"""
+          .stripMargin))
+      .select("n", "r_cats", "c_cats", "chi2_micro", "v_milli")
+  }
+
   /** Deterministic Poisson bootstrap — THE way to bootstrap a
     * statistic at data scale (Chamandy et al., Google 2012): true
     * resampling needs n draws with replacement per replicate

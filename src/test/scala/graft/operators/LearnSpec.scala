@@ -1927,6 +1927,45 @@ class LearnSpec extends SparkTestBase {
       col("o"), col("e"), "v").collect().head.getAs[Long]("k2") == 0L)
   }
 
+  test("etaSquared: textbook ANOVA decomposition, constant NULL") {
+    // A={1,3} B={5,7}: SSB=16, SST=20 -> eta^2 = 0.8
+    val rows = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))
+    val out = Learn.etaSquared(rows.toDF("c", "v"), "c", "v")
+      .collect().map(r => r.getAs[String]("category") -> r).toMap
+    assert(out("A").getAs[Long]("n_c") == 2L &&
+      out("A").getAs[Long]("sum_milli") == 4000L &&
+      out("A").getAs[Long]("n") == 4L &&
+      out("A").getAs[Long]("eta2_micro") == 800000L)
+    // category explains nothing when means coincide
+    val flat = Seq(("A", 1.0), ("A", 3.0), ("B", 1.0), ("B", 3.0))
+    assert(Learn.etaSquared(flat.toDF("c", "v"), "c", "v")
+      .collect().head.getAs[Long]("eta2_micro") == 0L)
+    // constant values: zero SST -> NULL, not division by zero
+    val const = Seq(("A", 2.0), ("B", 2.0))
+    val c = Learn.etaSquared(const.toDF("c", "v"), "c", "v")
+      .collect().head
+    assert(c.isNullAt(c.fieldIndex("eta2_micro")))
+  }
+
+  test("cramersV: perfect association V=1, independence V=0") {
+    val perfect = Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))
+    val p = Learn.cramersV(perfect.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(p.getAs[Long]("n") == 10L && p.getAs[Long]("r_cats") == 2L &&
+      p.getAs[Long]("chi2_micro") == 10000000L &&
+      p.getAs[Long]("v_milli") == 1000L)
+    val indep = (for (a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 4) yield (a, b))
+    val i = Learn.cramersV(indep.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(i.getAs[Long]("chi2_micro") == 0L &&
+      i.getAs[Long]("v_milli") == 0L)
+    // degenerate 1xC table: V undefined
+    val deg = Seq(("x", "p"), ("x", "q"))
+    val d = Learn.cramersV(deg.toDF("a", "b"), "a", "b").collect().head
+    assert(d.isNullAt(d.fieldIndex("v_milli")))
+  }
+
   test("poissonBootstrap: deterministic draws, Poisson(1) statistics") {
     val rows = (1L to 2000L).map(i => (i, (i % 100).toDouble))
     val df = rows.toDF("id", "v")

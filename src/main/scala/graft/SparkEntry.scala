@@ -4290,6 +4290,13 @@ object SparkEntry {
       operators.Learn.cramersV(e, "event_type", "cohort")
     }),
 
+    // q468: robust location summary — exact lower median, MAD, and
+    // 5% trimmed mean from two run spines.
+    "q468_robust_location" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+      operators.Learn.robustLocation(e, "value", alphaMilli = 50L)
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12791,6 +12798,39 @@ object SparkEntry {
         |      // (sc.n * (LEAST(sc.r_cats, sc.c_cats) - 1))))
         |      AS BIGINT) END AS v_milli
         |FROM sc, chi""".stripMargin,
+
+    // q468: the same two run-spine selections + run-overlap trim.
+    "q468_robust_location" ->
+      """WITH s AS (SELECT CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |runs AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s
+        |  GROUP BY v),
+        |sc AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM runs),
+        |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cc FROM runs),
+        |med AS (SELECT MIN(v) AS m FROM cum, sc
+        |  WHERE cc >= (n + 1) // 2),
+        |dev AS (SELECT ABS(v - (SELECT m FROM med)) AS d,
+        |    SUM(c) AS c FROM runs GROUP BY 1),
+        |dcum AS (SELECT d, SUM(c) OVER (ORDER BY d) AS cc FROM dev),
+        |mad AS (SELECT MIN(d) AS mad FROM dcum, sc
+        |  WHERE cc >= (n + 1) // 2),
+        |tr AS (SELECT MAX((50 * sc.n) // 1000) AS k,
+        |    SUM(GREATEST(0, LEAST(cum.cc, sc.n - (50 * sc.n) // 1000)
+        |      - GREATEST(cum.cc - cum.c, (50 * sc.n) // 1000)))
+        |      AS nk,
+        |    SUM(CAST(GREATEST(0,
+        |        LEAST(cum.cc, sc.n - (50 * sc.n) // 1000)
+        |        - GREATEST(cum.cc - cum.c, (50 * sc.n) // 1000))
+        |      AS HUGEINT) * cum.v) AS sk
+        |  FROM cum, sc)
+        |SELECT sc.n, (SELECT m FROM med) AS median_milli,
+        |  (SELECT mad FROM mad) AS mad_milli,
+        |  CAST(tr.k AS BIGINT) AS trim_k,
+        |  CASE WHEN tr.nk > 0 THEN
+        |    (CASE WHEN tr.sk >= 0 THEN 1 ELSE -1 END)
+        |    * CAST(ABS(tr.sk) // tr.nk AS BIGINT) END
+        |    AS trimmed_mean_milli
+        |FROM sc, tr""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -1994,6 +1994,64 @@ object Learn {
       col("u2_doubled").cast("long").as("u2_doubled"), col("auc_micro"))
   }
 
+  /** Robust location summary — the three numbers a monitoring page
+    * should quote instead of mean/stddev when the data has tails:
+    * the exact LOWER median, the MAD (median absolute deviation —
+    * the robust scale), and the α-trimmed mean, all engine-exact on
+    * the milli grid:
+    *   median  — position ⌈n/2⌉ via cumulated value runs;
+    *   MAD     — the same selection over the |v − median| runs
+    *             (a second run table derived from the first);
+    *   trimmed — drop k = ⌊α_milli·n/1000⌋ rows from EACH end by
+    *             run-overlap arithmetic (kept = clamp(cum, k, n−k)),
+    *             one sign-split floored division.
+    * Output is one row: n, median_milli, mad_milli, trim_k,
+    * trimmed_mean_milli (NULL when everything trims away).
+    *
+    * Shape: one row-scale runs aggregate, then two
+    * [[Relational.globalPrefixSum]] spines (values, deviations) at
+    * run grain + broadcast scalars — never a partition-less
+    * row-scale window. */
+  def robustLocation(df: DataFrame, valueCol: String,
+      alphaMilli: Long = 50L): DataFrame = {
+    require(alphaMilli >= 0 && alphaMilli < 500,
+      s"alphaMilli must be in [0,500), got $alphaMilli")
+    val staged = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
+      "__c", "__cum")
+    val scal = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
+    val med = cum.crossJoin(broadcast(scal))
+      .filter(col("__cum") >= expr("(__N + 1) div 2"))
+      .agg(min(col("__v")).as("__med"))
+    val devRuns = runs.crossJoin(broadcast(med))
+      .groupBy(abs(col("__v") - col("__med")).as("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val devCum = Relational.globalPrefixSum(devRuns,
+      Seq(col("__d").asc), "__c", "__cum")
+    val mad = devCum.crossJoin(broadcast(scal))
+      .filter(col("__cum") >= expr("(__N + 1) div 2"))
+      .agg(min(col("__d")).as("__mad"))
+    val trimmed = cum.crossJoin(broadcast(scal))
+      .withColumn("__k", expr(s"($alphaMilli * __N) div 1000"))
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__cum"), col("__N") - col("__k"))
+          - greatest(col("__cum") - col("__c"), col("__k"))))
+      .agg(max(col("__k")).as("trim_k"),
+        coalesce(sum(col("__kept")), lit(0L)).as("__nk"),
+        coalesce(sum(col("__kept").cast("decimal(38,0)") * col("__v")),
+          lit(0).cast("decimal(38,0)")).as("__sk"))
+    scal.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+      .crossJoin(broadcast(trimmed))
+      .select(col("__N").as("n"), col("__med").as("median_milli"),
+        col("__mad").as("mad_milli"), col("trim_k"),
+        expr("""CASE WHEN __nk > 0 THEN
+          |  (CASE WHEN __sk >= 0 THEN 1L ELSE -1L END) *
+          |  CAST(ABS(__sk) div __nk AS BIGINT) END""".stripMargin)
+          .as("trimmed_mean_milli"))
+  }
+
   /** Correlation ratio η² — "how much of this numeric column does
     * that categorical column explain" (the ANOVA-style effect size
     * every dataset profiler wants next to the q128 pair stats;

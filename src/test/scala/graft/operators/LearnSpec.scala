@@ -1927,6 +1927,31 @@ class LearnSpec extends SparkTestBase {
       col("o"), col("e"), "v").collect().head.getAs[Long]("k2") == 0L)
   }
 
+  test("robustLocation: median/MAD/trim exact, outlier-immune") {
+    // 1..9 plus an outlier 1000: median 5 (pos 6 of 10 -> lower
+    // median = 5), MAD = lower median of |v-5| = {0..4,995} -> 2,
+    // trim 10% (k=1): keep positions 2..9 = values 2..9 -> mean 5.5
+    val rows = ((1 to 9).map(_.toDouble) :+ 1000.0).map(Tuple1(_))
+    val out = Learn.robustLocation(rows.toDF("v"), "v",
+      alphaMilli = 100L).collect().head
+    assert(out.getAs[Long]("n") == 10L &&
+      out.getAs[Long]("median_milli") == 5000L &&
+      out.getAs[Long]("mad_milli") == 2000L &&
+      out.getAs[Long]("trim_k") == 1L &&
+      out.getAs[Long]("trimmed_mean_milli") == 5500L)
+    // constant data: MAD 0, trimmed mean = the constant
+    val const = Seq.fill(6)(Tuple1(3.0))
+    val c = Learn.robustLocation(const.toDF("v"), "v").collect().head
+    assert(c.getAs[Long]("median_milli") == 3000L &&
+      c.getAs[Long]("mad_milli") == 0L &&
+      c.getAs[Long]("trimmed_mean_milli") == 3000L)
+    // negative values floor consistently
+    val neg = Seq(-1.5, -0.5, 0.5).map(Tuple1(_))
+    val nres = Learn.robustLocation(neg.toDF("v"), "v").collect().head
+    assert(nres.getAs[Long]("median_milli") == -500L &&
+      nres.getAs[Long]("trimmed_mean_milli") == -500L)
+  }
+
   test("etaSquared: textbook ANOVA decomposition, constant NULL") {
     // A={1,3} B={5,7}: SSB=16, SST=20 -> eta^2 = 0.8
     val rows = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))

@@ -2018,7 +2018,10 @@ object Learn {
       s"alphaMilli must be in [0,500), got $alphaMilli")
     val staged = df.filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol) * 1000).cast("long").as("__v"))
+    // run-grain and checkpointed: the two spines, the scalar, and
+    // the derived deviation runs all read it
     val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
       "__c", "__cum")
     val scal = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
@@ -2075,11 +2078,14 @@ object Learn {
       .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
       .select(col(catCol).cast("string").as("__c"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))
+    // category-grain and checkpointed: four consumers below would
+    // otherwise each replay the row-scale aggregate
     val cats = staged.groupBy(col("__c"))
       .agg(count(lit(1)).as("__nc"),
         coalesce(sum(col("__v")), lit(0L)).as("__sc"),
         coalesce(sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")),
           lit(0).cast("decimal(38,0)")).as("__q"))
+      .localCheckpoint()
     val scal = cats.agg(
       coalesce(sum(col("__nc")), lit(0L)).as("__n"),
       coalesce(sum(col("__sc")), lit(0L)).as("__s"),
@@ -2134,8 +2140,11 @@ object Learn {
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .select(col(aCol).cast("string").as("__a"),
         col(bCol).cast("string").as("__b"))
+    // contingency-grain and checkpointed: margins, scalars, and the
+    // chi2 join all read it — one row-scale pass, not four
     val cont = staged.groupBy(col("__a"), col("__b"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
     val rows = cont.groupBy(col("__a")).agg(sum(col("__n")).as("__r"))
     val cols2 = cont.groupBy(col("__b")).agg(sum(col("__n")).as("__cc"))
     val scal = cont.agg(coalesce(sum(col("__n")), lit(0L)).as("n"))

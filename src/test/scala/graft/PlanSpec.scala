@@ -1052,5 +1052,20 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
         concat(lit("c"), pmod(col("id"), lit(2))).as("c")),
       "id", "c"))
     assert(countNodes(pqPlan)(_.isInstanceOf[CartesianProductExec]) == 0)
+    // wave 4: association profilers are ONE row-scale aggregate plus
+    // category/contingency-grain math; robustLocation is one runs
+    // aggregate + two run-grain spines
+    assert(exchanges(operators.Learn.etaSquared(
+      e, "event_type", "value")) <= 3)
+    // the contingency is checkpointed, so the ONE row-scale pass is
+    // behind the checkpoint; everything counted here is R×C-grain
+    // margin/scalar/join traffic
+    assert(exchanges(operators.Learn.cramersV(
+      e.select(col("event_type"),
+        concat(lit("u"), pmod(col("user_id"), lit(5))).as("co")),
+      "event_type", "co")) <= 10)
+    // two run-grain spines (each a two-pass row-number + offsets)
+    // behind the checkpointed runs table — all run-grain traffic
+    assert(exchanges(operators.Learn.robustLocation(e, "value")) <= 15)
   }
 }

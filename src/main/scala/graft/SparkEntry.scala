@@ -11753,7 +11753,8 @@ object SparkEntry {
 
     // q432: JT2 by all-pairs over the (group, value) runs (oracle
     // only — the engine is grid-shaped), mean and Lehmann variance
-    // from the group/tie censuses over one common denominator.
+    // of the DOUBLED statistic (4x the classic Var, denominator 18
+    // not 72) from the censuses over one common denominator.
     "q432_jonckheere" ->
       """WITH s AS (SELECT user_id % 4 AS g,
         |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
@@ -11786,7 +11787,7 @@ object SparkEntry {
         |        * (CAST(gg.n AS HUGEINT) * (gg.n-1) * (gg.n-2))
         |        + 2 * gg.sg3 * tt.st3
         |        + 9 * (gg.n-2) * gg.sg2 * tt.st2))
-        |    // (72 * CAST(gg.n AS HUGEINT) * (gg.n-1) * (gg.n-2))
+        |    // (18 * CAST(gg.n AS HUGEINT) * (gg.n-1) * (gg.n-2))
         |    AS BIGINT) END AS var_micro
         |FROM jt, gg, tt""".stripMargin,
 
@@ -12530,8 +12531,8 @@ object SparkEntry {
         |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM adj
         |  GROUP BY 1),
         |th AS (SELECT DISTINCT deg AS k FROM deg),
-        |nk AS (SELECT th.k, CAST(COUNT(*) AS BIGINT) AS n_k
-        |  FROM th JOIN deg ON deg.deg > th.k GROUP BY th.k),
+        |nk AS (SELECT th.k, CAST(COUNT(deg.n) AS BIGINT) AS n_k
+        |  FROM th LEFT JOIN deg ON deg.deg > th.k GROUP BY th.k),
         |md AS (SELECT LEAST(dl.deg, dh.deg) AS md FROM e
         |  JOIN deg dl ON dl.n = e.lo JOIN deg dh ON dh.n = e.hi),
         |ek AS (SELECT th.k, CAST(COUNT(*) AS BIGINT) AS e_k

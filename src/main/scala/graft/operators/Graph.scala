@@ -1374,8 +1374,14 @@ object Graph {
     val ek = emd.crossJoin(broadcast(thresholds))
       .filter(col("__md") > col("k"))
       .groupBy(col("k")).agg(sum(col("__ce")).as("e_k"))
-    val out = nk.join(ek, Seq("k"), "left")
-      .na.fill(0L, Seq("e_k"))
+    // LEFT-join from the threshold spine, not from nk: thresholds
+    // with nobody above them (k = max degree, always present) would
+    // otherwise vanish from the group-by instead of reporting
+    // n_k = 0, silently dropping rows of the documented
+    // degree-spectrum grain (r14 advice).
+    val out = thresholds.join(nk, Seq("k"), "left")
+      .join(ek, Seq("k"), "left")
+      .na.fill(0L, Seq("n_k", "e_k"))
       .select(col("k"), col("n_k"), col("e_k"),
         when(col("n_k") >= 2L, expr(
           "(2000000 * e_k) div (n_k * (n_k - 1))")).as("phi_micro"))

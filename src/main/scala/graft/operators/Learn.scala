@@ -2477,14 +2477,18 @@ object Learn {
     * (the rank-based, distribution-free complement of the CUSUM
     * lanes, and the location companion of [[mannKendall]]'s trend
     * verdict): for each prefix t of the key's series in (order,
-    * tiebreak) time order, the doubled statistic
-    *   U2_t = Σ_{i≤t} dmr_i − t·(n+1)
-    * (dmr = doubled midranks of the key's own values — U2 is exactly
-    * 2·U_t of the textbook, integer under ties), K2 = max_t |U2_t|,
-    * and the change point is the EARLIEST t attaining K2
-    * (deterministic under ties). Emitted per key with the n lane;
-    * consumers threshold K2 against the standard approximation
-    * p ≈ 2exp(−6K²/(n³+n²)) — kept out of the gate (transcendental).
+    * tiebreak) time order, the statistic
+    *   U_t = Σ_{i≤t} dmr_i − t·(n+1)
+    * (dmr = doubled midranks of the key's own values; Σdmr − t(n+1)
+    * = 2Σmidrank − t(n+1) is EXACTLY the textbook U_t — NOT 2·U_t;
+    * the doubling lives in the midranks only, which is what keeps
+    * U_t integer under ties), K2 = max_t |U_t| (the __u2/k2 lane
+    * names record the doubled-MIDRANK construction, not a doubled
+    * statistic), and the change point is the EARLIEST t attaining
+    * K2 (deterministic under ties). Emitted per key with the n lane;
+    * consumers plug K = k2 DIRECTLY (no halving) into the standard
+    * approximation p ≈ 2exp(−6K²/(n³+n²)) — kept out of the gate
+    * (transcendental).
     *
     * Shape: two keyed windows (value ranks, running time sum) + one
     * key-grain aggregate — key-sized partitions, never global. */
@@ -3410,9 +3414,13 @@ object Learn {
     * strict inequalities twice — integer by construction):
     *   JT2 = Σ_{gᵢ<gⱼ} (2·#{x<y} + #{x=y}),  x∈gᵢ, y∈gⱼ
     * plus the exact null-mean lane e_jt2 = (n² − Σnᵢ²)/2 and the
-    * tie-corrected null variance (Lehmann 1975's three-term form)
-    * floored once over the common denominator 72·n(n−1)(n−2):
-    *   var_micro = ⌊10⁶·(A·d₃ + 2B + 9(n−2)C) / (72·d₃)⌋
+    * tie-corrected null variance OF THE DOUBLED STATISTIC —
+    * Var(JT2) = 4·Var(JT), so z² = 10⁶·(jt2−e_jt2)²/var_micro with
+    * NO factor-of-2 bookkeeping (the [[pageTrend]] convention; all
+    * three lanes ride the same doubling). Lehmann 1975's three-term
+    * form, floored once over the common denominator 18·n(n−1)(n−2)
+    * (= 72·d₃/4):
+    *   var_micro = ⌊10⁶·4·(A·d₃ + 2B + 9(n−2)C) / (72·d₃)⌋
     * with A = n(n−1)(2n+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σtᵥ(tᵥ−1)(2tᵥ+5),
     * B = Σnᵢ(nᵢ−1)(nᵢ−2)·Σtᵥ(tᵥ−1)(tᵥ−2), C = Σnᵢ(nᵢ−1)·Σtᵥ(tᵥ−1),
     * d₃ = n(n−1)(n−2) (NULL when n < 3). Exact to n ≈ 2·10⁵
@@ -3495,7 +3503,7 @@ object Learn {
         expr("""CASE WHEN __N >= 3 THEN
           |  CAST((1000000 * (__A0 * __d3 + 2 * __sg3 * __st3
           |      + 9 * (__N - 2) * __sg2 * __st2))
-          |    div (72 * __d3) AS BIGINT) END""".stripMargin)
+          |    div (18 * __d3) AS BIGINT) END""".stripMargin)
           .as("var_micro"))
   }
 
@@ -3718,7 +3726,15 @@ object Learn {
       tieCol: Column, valueCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(valueCol).isNotNull)
+    // full null-filter discipline (r14 advice): a null key / order /
+    // tie — or a non-castable one, which the long cast turns into
+    // null — would hit the non-nullable Long encoder and fail the
+    // job at runtime; filter on the CAST result so both cases drop,
+    // matching the pettittTest/kendallTau posture.
+    df.filter(col(valueCol).isNotNull &&
+        col(keyCol).cast("long").isNotNull &&
+        orderCol.cast("long").isNotNull &&
+        tieCol.cast("long").isNotNull)
       .select(col(keyCol).cast("long"), orderCol.cast("long"),
         tieCol.cast("long"), col(valueCol).cast("double"))
       .as[(Long, Long, Long, Double)]

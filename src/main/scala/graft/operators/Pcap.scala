@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * design (the GIF/video container posture).
   *
   * Strict walk: unknown magic, truncated headers, incl_len past the
-  * payload or past snaplen+4KiB sanity, and trailing garbage return
-  * null metrics (ok = 0) — countable, never throwing. */
+  * payload or past snaplen+4KiB sanity, a fractional-timestamp tick
+  * count at or past its unit bound (10^6 for us files, 10^9 for
+  * ns), and trailing garbage return null metrics (ok = 0) —
+  * countable, never throwing. */
 object Pcap {
 
   final case class PcapMeta(byteOrderBig: Boolean, nanos: Boolean,
@@ -52,6 +54,12 @@ object Pcap {
       if (i + 16 > data.length) return null
       val sec = u32(i, big); val frac = u32(i + 4, big)
       val il = u32(i + 8, big); val ol = u32(i + 12, big)
+      // the fractional field is a sub-second TICK COUNT: >= 10^6 for
+      // a us file (10^9 for ns) is malformed, and letting it through
+      // would silently skew first/last/span_us instead of refusing
+      // like every other malformation in this strict walk (r14
+      // advice)
+      if (frac >= (if (nanos) 1000000000L else 1000000L)) return null
       val us = sec * 1000000L + (if (nanos) frac / 1000L else frac)
       if (il < 0 || ol < 0 || il > snap + 4096 ||
         i + 16 + il > data.length) return null

@@ -687,7 +687,7 @@ class GraphSpec extends SparkTestBase {
     assert(g2 == Map((1L, 3L) -> 333333L, (2L, 3L) -> 333333L))
   }
 
-  test("richClub: K4 plus pendant — exact curve, max threshold empty") {
+  test("richClub: K4 plus pendant — exact curve, max threshold n_k=0") {
     // K4 on 1..4 (deg 3) + pendant 5 on node 1 (deg(1)=4, deg(5)=1)
     val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
       (3L, 4L), (1L, 5L)).toDF("s", "d")
@@ -700,8 +700,10 @@ class GraphSpec extends SparkTestBase {
     assert(got(1L) == ((4L, 6L, 1000000L)))
     // k=3: only the hub remains -> density undefined
     assert(got(3L) == ((1L, 0L, -1L)))
-    // k = max degree has nothing above it: no row
-    assert(!got.contains(4L) && got.size == 2)
+    // k = max degree has nothing above it: the row STAYS on the
+    // degree-spectrum grain with n_k = 0 (r14 advice — a consumer
+    // plotting the curve sees every distinct degree)
+    assert(got(4L) == ((0L, 0L, -1L)) && got.size == 3)
   }
 
   test("partitionQuality: two triangles + bridge, singletons, exact Q") {

@@ -1698,9 +1698,11 @@ class LearnSpec extends SparkTestBase {
       .collect().head
     assert(out.getAs[Long]("n") == 6L && out.getAs[Long]("k_groups") == 3L)
     assert(out.getAs[Long]("jt2") == 23L)
-    // e_jt2 = (36 - 12)/2; var = 438/72 + 0 + 12/240 = 6.1333...
+    // e_jt2 = (36 - 12)/2; Var(JT) = 438/72 + 0 + 12/240 = 6.1333...
+    // and the lane is Var(JT2) = 4*Var(JT) = 24.5333... (doubled
+    // statistic, doubled-consistent variance — the pageTrend rule)
     assert(out.getAs[Long]("e_jt2") == 12L)
-    assert(out.getAs[Long]("var_micro") == 6133333L)
+    assert(out.getAs[Long]("var_micro") == 24533333L)
     // n < 3 -> variance NULL, statistic still defined
     val tiny = Learn.jonckheereTerpstra(
       Seq((0L, 1.0), (1L, 2.0)).toDF("g", "v"), "g", "v").collect().head
@@ -1819,6 +1821,23 @@ class LearnSpec extends SparkTestBase {
     // duplicate order breaks by tie column: 5,3,4 -> two inversions
     assert(run(Seq((5L, 1L, 1L, 5.0), (5L, 1L, 2L, 3.0),
       (5L, 2L, 3L, 4.0)))(5L)._2 == -1L)
+    // null key / order / tie rows DROP under the filter discipline
+    // instead of detonating the non-nullable Long encoder (r14
+    // advice) — same verdict as the clean key-1 series above
+    val withNulls = Learn.mannKendall(
+      ((1L to 10L).map(i => (Option(1L), Option(i), Option(i),
+          Option(i.toDouble))) ++ Seq(
+        (None, Option(1L), Option(1L), Option(9.0)),
+        (Option(1L), None, Option(1L), Option(9.0)),
+        (Option(1L), Option(1L), None, Option(9.0))))
+        .toDF("k", "o", "e", "v"), "k", col("o"), col("e"), "v")
+      .collect().map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+          r.getAs[Long]("var18"), r.getAs[String]("trend")))).toMap
+    assert(withNulls.size == 1)
+    // the 10 clean rows give S=45 inc; key-1's two null-order/tie
+    // rows dropped (they'd otherwise add value 9.0 twice)
+    assert(withNulls(1L) == ((10L, 45L, 2250L, "inc")))
   }
 
   test("siegelTukey: zigzag ranks, extremes verdict, small-n none") {

@@ -61,6 +61,19 @@ class PcapSpec extends AnyFunSuite with SparkTestBase {
     overrun(35) = 99
     assert(Pcap.parse(overrun) == null)
     assert(Pcap.parse(null) == null)
+    // garbage fractional field: frac >= 10^6 in a us file (and
+    // >= 10^9 in an ns file) is refused, never silently folded into
+    // first/last/span (r14 advice)
+    val badFracUs = be.take(24) ++ u32be(2) ++ u32be(1000000) ++
+      u32be(10) ++ u32be(10) ++ Array.fill[Byte](10)(7)
+    assert(Pcap.parse(badFracUs) == null)
+    val badFracNs = ns.take(24) ++ u32le(2) ++ u32le(1000000000L) ++
+      u32le(10) ++ u32le(10) ++ Array.fill[Byte](10)(7)
+    assert(Pcap.parse(badFracNs) == null)
+    // one below the bound is still fine
+    val okFrac = be.take(24) ++ u32be(2) ++ u32be(999999) ++
+      u32be(10) ++ u32be(10) ++ Array.fill[Byte](10)(7)
+    assert(Pcap.parse(okFrac) != null)
     // empty capture (header only) is valid with zero packets
     val empty = Pcap.parse(be.take(24))
     assert(empty != null && empty.nPackets == 0L)

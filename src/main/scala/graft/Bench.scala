@@ -18,6 +18,36 @@ import org.apache.spark.sql.SparkSession
   * real data volumes, AQE runtime re-plans at real sizes — which r1
   * showed can inflate a single query by ~10× on a cold machine. */
 object Bench {
+  /** Fixed-work CPU calibration (r14 verdict item 1): a deterministic
+    * single-thread SplitMix64 loop whose wall-clock depends ONLY on
+    * how fast this VM executes scalar JVM code right now. Host-level
+    * VM slowdown inflates guest cpu-seconds together with wall, so
+    * the cpu<0.4*wall `load_suspect` heuristic is blind to it — r14
+    * shipped a ~1.7x suite-wide drift plus two 5x phantom spikes that
+    * only idle re-runs could disprove. Timing this loop at bench
+    * start AND end puts the machine's speed INSIDE the scoring
+    * artifact: cross-round comparisons divide by the calibration
+    * constant, and a mid-run load spike shows as cal[0] != cal[1].
+    * 2^28 iterations ~ 0.4 s on a healthy VM; the xor-fold into a
+    * printed guard defeats dead-code elimination. */
+  private def calibrate(iters: Long = 1L << 28): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      acc ^= z ^ (z >>> 31)
+      i += 1
+    }
+    val t = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.println("[bench] cal collision")
+    t
+  }
+
   def main(args: Array[String]): Unit = {
     // optional args: short query ids ("q304 q23") — time only those
     // (local iteration on a hot spot; the driver passes no args)
@@ -35,6 +65,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.LevenshteinThreshold.install(spark)
+
+    // JIT-warm the calibration loop once, then take the start sample
+    calibrate(1L << 22)
+    val cal0 = calibrate()
 
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
@@ -72,6 +106,7 @@ object Bench {
       name -> (if (e1.orElse(e2).isDefined) (-1.0, -1.0, e1.orElse(e2))
                else (math.min(t1, t2), cpu, None))
     }
+    val cal1 = calibrate()
     // ms precision keeps the line inside the driver's bounded tail
     // capture (the full-precision 61-query line overflowed it in r4);
     // if the query set grows past what 3 decimals fit, degrade to 2
@@ -147,7 +182,15 @@ object Bench {
       val cpuField =
         if (cpuTop.isEmpty) "" else cpuTop.mkString(""","cpu_top":{""", ",", "}")
       val total = results.values.collect { case (v, _, None) => v }.sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$floorField$omittedField"queries":$qs$errsField$suspectField$cpuField,"sf":"$sfDir"}"""
+      // in-band load evidence (r14 verdict item 1): the fixed-work
+      // calibration pair and the 1-minute system load ride the PARSED
+      // line (~45 chars), so a drifted round is adjudicable from the
+      // artifact alone — no idle re-run forensics needed
+      val calField = String.format(java.util.Locale.ROOT,
+        ",\"cal\":[%.2f,%.2f],\"sysload1m\":%.1f",
+        Double.box(cal0), Double.box(cal1),
+        Double.box(osBean.getSystemLoadAverage))
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$floorField$omittedField"queries":$qs$errsField$suspectField$cpuField$calField,"sf":"$sfDir"}"""
     }
     // load telemetry, stderr only (stdout is driver contract): per-query
     // process-CPU seconds next to wall seconds, plus the 1-minute system

@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.GraftSession
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import scala.collection.mutable.ArrayBuffer
+
+/** Ad-hoc q336 instrumentation (not part of the driver contract):
+  * counts Dataset actions (QueryExecutionListener funcName census)
+  * and Spark jobs for one SCC run on the tiny hand-traced fixture
+  * and on the q336 200-node functional graph at sf0.1.
+  *
+  * r15 findings recorded here for reproducibility: tiny fixture =
+  * 19 localCheckpoint actions, ZERO standalone counts (the observe
+  * fusion invariant, now pinned in PlanSpec); q336 = 30
+  * materializations -> ~265 AQE stage-jobs, wall dominated by
+  * per-job overhead at 200-node scale. Relaxation batch knee
+  * re-measured with the fused fingerprints: batch 2 -> 30 actions /
+  * ~10 s, batch 4 -> 20 actions but SLOWER (~11.5 s), batch 8 ->
+  * 16 actions / ~62 s (deeper self-referencing lineage per
+  * checkpoint explodes plan/AQE cost) — 2 stays the knee. */
+object SccProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(16, 16)
+    val acts = ArrayBuffer[String]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.listenerManager.register(new QueryExecutionListener {
+      def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        acts.synchronized { acts += funcName }
+      def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+        jobs.incrementAndGet()
+    })
+    // tiny fixture trace
+    import spark.implicits._
+    val tiny = Seq((1L,2L),(2L,1L),(2L,3L)).toDF("s","t")
+    graft.operators.Graph.stronglyConnectedComponents(tiny, "s", "t").count()
+    Thread.sleep(300)
+    Thread.sleep(500)
+    println("TINY actions=" + acts.synchronized { acts.groupBy(identity).view.mapValues(_.size).toMap } + " jobs=" + jobs.get)
+    acts.synchronized { acts.clear() }; jobs.set(0)
+    // q336 shape at sf0.1
+    val dir = "/root/testdata/sf0.1"
+    val e = graft.sources.Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id").as("s"), ((col("doc_id")*3+7)%200).as("t"))
+    val t0 = System.nanoTime()
+    graft.operators.Graph.stronglyConnectedComponents(e, "s", "t").count()
+    val t1 = System.nanoTime()
+    Thread.sleep(300)
+    Thread.sleep(500)
+    println("Q336 wall=" + (t1-t0)/1e9 + " actions=" + acts.synchronized { acts.groupBy(identity).view.mapValues(_.size).toMap } + " jobs=" + jobs.get)
+    spark.stop()
+  }
+}

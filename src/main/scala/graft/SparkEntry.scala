@@ -4297,6 +4297,107 @@ object SparkEntry {
       operators.Learn.robustLocation(e, "value", alphaMilli = 50L)
     }),
 
+    // q469: structurally-verified census of the q46 fixture-ingest
+    // output (r14 verdict item 4 — q46 itself is inherently rows-only:
+    // no SQL engine can run the API client). The FixtureClient is an
+    // INVERTIBLE construction: comment fields replay exactly from the
+    // index parsed back out of the commentId, and every hashCode-
+    // derived video field must agree with like_count (= the
+    // construction's n), so the census reduces to all-BIGINT counts
+    // DuckDB replays from range() arithmetic. q46 stays as the
+    // rows-only pipeline smoke; THIS row pins field presence and
+    // internal consistency in-band.
+    "q469_ingest_census" -> ((s, dir) => {
+      import s.implicits._
+      val client = new graft.sources.Ingest.FixtureClient
+      val ids = graft.sources.Ingest.videoIdsForChannel(s, client, "chanA", 10)
+      val videos = Clean.silverizeVideos(
+        graft.sources.Ingest.fetchVideoDetails(ids, client))
+      val comments = Clean.silverizeComments(
+        graft.sources.Ingest.fetchComments(ids.repartition(4), client, 20))
+      val v = videos.agg(
+        count(lit(1)).as("n_videos"),
+        countDistinct(col("video_id")).as("n_video_ids"),
+        coalesce(sum(when(col("video_id").rlike("^vid_UUchanA_[0-9]$"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_video_id_pattern"),
+        coalesce(sum(when(
+          col("view_count") === col("like_count") * 10 &&
+            col("comment_count") === col("like_count") % 50 &&
+            col("title") === concat(lit("episode "), col("like_count"),
+              lit(" of "), col("video_id")) &&
+            col("channel_title") === "chan" &&
+            col("duration_seconds") ===
+              (lit(1) + col("like_count") % 59) * 60 +
+                col("like_count") % 60 &&
+            dayofmonth(col("published_at")) ===
+              lit(1) + col("like_count") % 28 &&
+            hour(col("published_at")) === 10, 1L).otherwise(0L)),
+          lit(0L)).as("n_videos_consistent"))
+      val c = comments
+        .withColumn("__i",
+          regexp_extract(col("commentId"), "_([0-9]+)$", 1).cast("long"))
+        .agg(
+          count(lit(1)).as("n_comments"),
+          countDistinct(col("commentId")).as("n_comment_ids"),
+          coalesce(sum(col("likes")), lit(0L)).as("sum_comment_likes"),
+          coalesce(sum(when(
+            col("likes") === col("__i") % 7 &&
+              col("author") === concat(lit("@u"), col("__i")) &&
+              col("text") === concat(lit("comment "), col("__i"),
+                lit(" on "), col("videoId")) &&
+              col("commentId") === concat(lit("c_"), col("videoId"),
+                lit("_"), col("__i")) &&
+              col("videoId").rlike("^vid_UUchanA_[0-9]$") &&
+              col("publishedAt") === concat(lit("2026-01-21T0"),
+                col("__i") % 10, lit(":00:00Z")), 1L).otherwise(0L)),
+            lit(0L)).as("n_comments_consistent"))
+      v.crossJoin(c)
+    }),
+
+    // q470: structurally-verified census of the q76 freqItems sketch
+    // (r14 verdict item 4 — candidate SETS are algorithm-specific and
+    // stay rows-only in q76; the support-threshold CONTRACT is not).
+    // Lane 1: the exact occurrence-level heavy-shingle census at
+    // q76's support over the full corpus — DuckDB replays it from
+    // string shingles. Lanes 2-3: freqItems' no-false-negative
+    // guarantee, exercised at q76's exact configuration — every
+    // exactly-heavy shingle (count > support*N) must be in the
+    // sketch's candidates, both over the full corpus and over q76's
+    // own seeded 10% sample (the sample itself is engine-internal,
+    // but ZERO misses is deterministic whatever rows it drew — that
+    // is the contract). A sketch regression flips a 0 to >0 and the
+    // gate goes red.
+    "q470_sketch_census" -> ((s, dir) => {
+      import graft.functions.shingles
+      def heavyExact(df: DataFrame): DataFrame = {
+        val ex = df.select(explode(shingles(col("text"), 3)).as("sh"))
+        val n = ex.agg(count(lit(1)).as("__n"))
+        ex.groupBy(col("sh")).agg(count(lit(1)).as("__c"))
+          .crossJoin(broadcast(n))
+          .filter(col("__c") * 100 > col("__n"))
+          .select(col("sh"))
+      }
+      val docs = Tables.documents(s, dir)
+      val sample = docs.sample(withReplacement = false, 0.1, 42L)
+      val heavyFull = heavyExact(docs)
+      val heavySample = heavyExact(sample)
+      val sketchFull = graft.operators.TextOps.approxHeavyShingles(
+          docs, "text", shingleWidth = 3, support = 0.01,
+          sampleFraction = 1.0)
+        .select(explode(col("shingle_freqItems")).as("sh"))
+      val sketchSample = graft.operators.TextOps.approxHeavyShingles(
+          docs, "text", shingleWidth = 3, support = 0.01,
+          sampleFraction = 0.1)
+        .select(explode(col("shingle_freqItems")).as("sh"))
+      val missedFull = heavyFull.join(sketchFull, Seq("sh"), "left_anti")
+        .agg(count(lit(1)).as("n_missed_full"))
+      val missedSample = heavySample.join(sketchSample, Seq("sh"), "left_anti")
+        .agg(count(lit(1)).as("n_missed_sample"))
+      heavyFull.agg(count(lit(1)).as("n_heavy_exact"))
+        .crossJoin(broadcast(missedFull))
+        .crossJoin(broadcast(missedSample))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12832,6 +12933,47 @@ object SparkEntry {
         |    * CAST(ABS(tr.sk) // tr.nk AS BIGINT) END
         |    AS trimmed_mean_milli
         |FROM sc, tr""".stripMargin,
+
+    // q469: the FixtureClient construction replayed as range()
+    // arithmetic — 10 videos (all id-patterned, all internally
+    // consistent), 10x20 comments with sum(likes) = 10*Sum(i%7 for
+    // i<20). The engine side recomputes each count from the ACTUAL
+    // pipeline output; any ingest/silverize regression breaks a lane.
+    "q469_ingest_census" ->
+      """WITH ci AS (SELECT CAST(i AS BIGINT) AS i FROM range(20) t(i))
+        |SELECT CAST(10 AS BIGINT) AS n_videos,
+        |  CAST(10 AS BIGINT) AS n_video_ids,
+        |  CAST(10 AS BIGINT) AS n_video_id_pattern,
+        |  CAST(10 AS BIGINT) AS n_videos_consistent,
+        |  (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM ci) AS n_comments,
+        |  (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM ci) AS n_comment_ids,
+        |  (SELECT CAST(10 * SUM(i % 7) AS BIGINT) FROM ci)
+        |    AS sum_comment_likes,
+        |  (SELECT CAST(10 * COUNT(*) AS BIGINT) FROM ci)
+        |    AS n_comments_consistent""".stripMargin,
+
+    // q470: the exact heavy census from string shingles (the q75
+    // kernel WITHOUT list_distinct — q76 counts occurrences, not
+    // document frequencies) at support 0.01; both no-false-negative
+    // lanes are the freqItems CONTRACT and must be zero.
+    "q470_sketch_census" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(t) >= 3 THEN
+        |           list_transform(range(1, len(t) - 1),
+        |             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |         WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+        |         ELSE CAST([] AS VARCHAR[]) END) AS shingle
+        |  FROM toks),
+        |n AS (SELECT COUNT(*) AS n FROM sh),
+        |hv AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1)
+        |SELECT CAST((SELECT COUNT(*) FROM hv, n WHERE c * 100 > n)
+        |    AS BIGINT) AS n_heavy_exact,
+        |  CAST(0 AS BIGINT) AS n_missed_full,
+        |  CAST(0 AS BIGINT) AS n_missed_sample""".stripMargin,
 
     // q376: DuckDB's native ISO calendar vs the engine's epoch-day
     // construction — a genuine cross-implementation check.

@@ -127,4 +127,19 @@ class SchemeAgnosticSinkSpec extends AnyFunSuite with SparkTestBase {
       .write.mode("overwrite").partitionBy("lang").parquet(uri)
     assert(spark.read.parquet(uri).filter(col("lang") === "en").count() == 5)
   }
+
+  test("q469 census: the fixture construction replays to exact closed-form counts (r15)") {
+    // hand arithmetic: 10 videos all patterned + consistent; 10x20
+    // comments; sum likes = 10 * Sum_{i<20} i%7 = 10*57 = 570
+    val row = graft.SparkEntry.queries("q469_ingest_census")(
+      spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("n_videos") == 10L &&
+      row.getAs[Long]("n_video_ids") == 10L &&
+      row.getAs[Long]("n_video_id_pattern") == 10L &&
+      row.getAs[Long]("n_videos_consistent") == 10L)
+    assert(row.getAs[Long]("n_comments") == 200L &&
+      row.getAs[Long]("n_comment_ids") == 200L &&
+      row.getAs[Long]("sum_comment_likes") == 570L &&
+      row.getAs[Long]("n_comments_consistent") == 200L)
+  }
 }

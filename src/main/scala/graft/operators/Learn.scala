@@ -1103,13 +1103,24 @@ object Learn {
     def milli(df: DataFrame) = df.select(
       floor(col(scoreCol) * lit(1000)).cast("long").as("__s"))
     val scored = milli(cal)
-    val n = scored.agg(count(lit(1)).as("n_cal"))
-    val thr = scored
-      .withColumn("__rn", row_number().over(Window.orderBy(col("__s"))))
-      .crossJoin(broadcast(n))
-      .filter(col("__rn") === expr(s"((n_cal + 1) * $qm + 999) div 1000"))
-      .select(col("n_cal"), col("__rn").cast("long").as("k"),
-        col("__s").as("thr_milli"))
+    // rank-exact k-selection on the RUN-GRAIN prefix-sum spine (the
+    // robustLocation pattern): the r15 partition-less-window lint
+    // caught the original row_number().over(Window.orderBy(__s)) —
+    // a one-task funnel over the whole calibration slice, row-scale
+    // at 100 TB. Runs + two-pass prefix sums select the same
+    // quantized threshold with no bare window anywhere.
+    val runs = scored.groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val cum = graft.operators.Relational.globalPrefixSum(runs,
+      Seq(col("__s").asc), "__c", "__cc")
+    val n = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("n_cal"))
+    val thr = cum.crossJoin(broadcast(n))
+      .withColumn("__k", expr(s"((n_cal + 1) * $qm + 999) div 1000"))
+      .filter(col("__cc") >= col("__k"))
+      .groupBy(col("n_cal"), col("__k"))
+      .agg(min(col("__s")).as("thr_milli"))
+      .select(col("n_cal"), col("__k").cast("long").as("k"),
+        col("thr_milli"))
     milli(test).crossJoin(broadcast(thr))
       .groupBy(col("n_cal"), col("k"), col("thr_milli"))
       .agg(count(lit(1)).as("n_test"),

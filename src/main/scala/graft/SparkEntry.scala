@@ -4398,6 +4398,22 @@ object SparkEntry {
         .crossJoin(broadcast(missedSample))
     }),
 
+    // q471: BM25-scored top-k retrieval join — a fixed 5-query set
+    // (multi-term, overlapping vocabularies, one zero-match control)
+    // against the whole corpus through the grouped-top-k discipline;
+    // the q140 integer milli kernel makes every score cross-engine
+    // exact, and DuckDB replays the per-query ranking verbatim.
+    "q471_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq(
+        (1L, "spark hash"), (2L, "merge sort stream"),
+        (3L, "data pipeline quality"), (4L, "hash merge spark"),
+        (5L, "zzznonexistenttoken")).toDF("query_id", "qtext")
+      TextOps.bm25TopKJoin(Tables.documents(s, dir), "doc_id", "text",
+          queries, "query_id", "qtext", k = 5)
+        .orderBy(col("query"), col("rank"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -12933,6 +12949,48 @@ object SparkEntry {
         |    * CAST(ABS(tr.sk) // tr.nk AS BIGINT) END
         |    AS trimmed_mean_milli
         |FROM sc, tr""".stripMargin,
+
+    // q471: the q140 milli kernel + a VALUES query set + per-query
+    // ROW_NUMBER ranking — identical tie-break (score desc, doc asc).
+    "q471_bm25_topk" ->
+      """WITH q(query, qt) AS (VALUES
+        |    (1, 'spark hash'), (2, 'merge sort stream'),
+        |    (3, 'data pipeline quality'), (4, 'hash merge spark'),
+        |    (5, 'zzznonexistenttoken')),
+        |qterm AS (SELECT DISTINCT query,
+        |    unnest(string_split_regex(trim(lower(qt)), '\s+')) AS token
+        |  FROM q),
+        |qt2 AS (SELECT query, token FROM qterm WHERE token <> ''),
+        |tset AS (SELECT DISTINCT token FROM qt2),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       JOIN tset USING (token) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |per AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ((2*s.n - 2*dfreq.df + 1) *
+        |     ((44000000 * tf.tf) //
+        |      (20000 * tf.tf + 6000 +
+        |       18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |    // (2*dfreq.df + 1) AS m
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s),
+        |pq AS (SELECT qt2.query, per.doc_id,
+        |    SUM(per.m) AS bm25_milli
+        |  FROM qt2 JOIN per ON qt2.token = per.token
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query, doc_id, bm25_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY bm25_milli DESC, doc_id ASC) AS rank
+        |  FROM pq)
+        |SELECT CAST(query AS BIGINT) AS query,
+        |  CAST(doc_id AS BIGINT) AS doc,
+        |  CAST(bm25_milli AS BIGINT) AS bm25_milli,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 5 ORDER BY query, rank""".stripMargin,
 
     // q469: the FixtureClient construction replayed as range()
     // arithmetic — 10 videos (all id-patterned, all internally

@@ -270,6 +270,79 @@ object TextOps {
         coalesce(col("bm25_milli"), lit(0L)).as("bm25_milli"))
   }
 
+  /** BM25-scored top-k retrieval JOIN — the end-to-end query-side
+    * lane a training-data pipeline actually runs (r14 verdict item
+    * 6): a query SET (not one fixed term list) joins the corpus
+    * postings and each query gets its own top-k scored documents.
+    * "Mine the docs that look like each of these 10k seed prompts"
+    * is this operator; [[bm25]] is its single-query special case.
+    *
+    * Scoring is the [[bm25]] integer milli-lane (k1=1.2, b=0.75,
+    * Lucene idf in staged floor divisions — cross-engine exact, no
+    * transcendentals in the gate): per (query, doc), the sum of its
+    * matched terms' milli scores over DISTINCT query tokens. Only
+    * matching docs rank — retrieval semantics, unlike the scoring
+    * table's keep-zero-rows convention.
+    *
+    * 100 TB shape: the query set is broadcast-sized BY CONTRACT
+    * (maxQueries loud guard) — query tokens broadcast into the
+    * postings scan, so the corpus shuffles ONCE on (doc, token) for
+    * tf and once on token for df, never per query; per-(query, doc)
+    * scores aggregate on a (query, doc) key; the final cut is the
+    * GROUPED top-k discipline — a query-partitioned rank window the
+    * optimizer executes as WindowGroupLimit (per-partition heaps),
+    * never a score-all-docs global sort materialized anywhere. */
+  def bm25TopKJoin(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, maxQueries: Long = 100000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(maxQueries >= 1, s"maxQueries must be positive, got $maxQueries")
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    val qTerms = queries
+      // loud in-plan guard (the kaplanMeier pattern): the broadcast
+      // posture is only sound while the query set is dimension-sized
+      .crossJoin(broadcast(nq))
+      .select(when(col("__nq") > maxQueries,
+          raise_error(concat(lit("bm25TopKJoin: "), col("__nq"),
+            lit(s" queries > maxQueries=$maxQueries — shuffle-join the " +
+              "query side instead of broadcasting it"))))
+          .otherwise(col(queryIdCol).cast("long")).as("query"),
+        explode(array_distinct(
+          graft.functions.tokens(lower(col(queryTextCol))))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val toked = df.select(col(idCol).as("doc"),
+      graft.functions.tokens(lower(col(textCol))).as("__toks"))
+    val dl = toked.select(col("doc"),
+      size(col("__toks")).cast("long").as("dl"))
+    val termSet = qTerms.select(col("token")).distinct()
+    val tf = toked.select(col("doc"), explode(col("__toks")).as("token"))
+      .join(broadcast(termSet), Seq("token"))
+      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    val perTerm = tf.join(dfreq, Seq("token"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(scalars))
+      .select(col("doc"), col("token"),
+        expr("""((2*n - 2*df + 1) *
+               |  ((44000000 * tf) div
+               |   (20000 * tf + 6000 +
+               |    18 * ((1000000 * dl) div greatest(1L, (1000 * l) div n)))))
+               |div (2*df + 1)"""
+          .stripMargin.replace("\n", " ")).as("__m"))
+    val perQueryDoc = perTerm
+      .join(broadcast(qTerms), Seq("token"))
+      .groupBy(col("query"), col("doc"))
+      .agg(sum(col("__m")).as("bm25_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("bm25_milli").desc, col("doc").asc)
+    perQueryDoc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** BM25 served FROM the [[invertedIndex]] table instead of
     * rescanning text — the retrieval shape a deployment actually
     * runs: at 100 TB the corpus is tokenized ONCE into the index;

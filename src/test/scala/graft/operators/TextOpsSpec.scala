@@ -650,6 +650,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       "both variants agree doc1 beats doc2")
   }
 
+  test("bm25TopKJoin: hand corpus per-query ranks, dedup query tokens, guard (r15)") {
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    // df over the union term set {cat,dog,fish,zzz}: cat=1, dog=2,
+    // fish=1; milli terms from the bm25 hand trace above plus
+    // fish@doc2: tfm = 44000000//44000 = 1000, term = (5*1000)//3
+    val queries = Seq((10L, "cat dog"), (20L, "fish"), (30L, "zzz"),
+      (40L, "dog dog cat")).toDF("qid", "qt")
+    val got = TextOps.bm25TopKJoin(docs, "doc_id", "text",
+        queries, "qid", "qt", k = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("query"), r.getAs[Long]("doc")) ->
+        ((r.getAs[Long]("bm25_milli"), r.getAs[Long]("rank")))).toMap
+    assert(got((10L, 1L)) == ((2506L, 1L)) && got((10L, 2L)) == ((600L, 2L)))
+    assert(got((20L, 2L)) == ((1666L, 1L)))
+    // zero-match query produces NO rows (retrieval semantics)
+    assert(!got.keys.exists(_._1 == 30L))
+    // duplicate query tokens dedupe — identical to query 10
+    assert(got((40L, 1L)) == ((2506L, 1L)) && got((40L, 2L)) == ((600L, 2L)))
+    assert(got.size == 5)
+    // grouped top-k plans as a rank-limit (per-partition heaps),
+    // never a global sort of the scored table
+    val plan = TextOps.bm25TopKJoin(docs, "doc_id", "text",
+      queries, "qid", "qt", k = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the broadcast-posture guard is loud
+    val err = intercept[Exception] {
+      TextOps.bm25TopKJoin(docs, "doc_id", "text", queries, "qid", "qt",
+        k = 2, maxQueries = 3L).collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("bm25TopKJoin"))
+  }
+
   test("bm25: scalar aggregates are the only broadcasts; term filter reaches the scan side") {
     val docs = Tables.documents(spark, sf)
     val q = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "hash"))

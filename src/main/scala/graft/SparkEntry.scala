@@ -3864,6 +3864,35 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // q472: the ##db BI_RLE4 (4-bit run-length DIB) AVI lane —
+    // fourth pixel-exact image codec (r14 verdict stretch 7),
+    // completing the classic RLE family next to RLE8/QOI/TGA with
+    // genuinely different nibble-packing edge cases. A solid-fill
+    // frame encodes to the SAME 4·h + 2 closed form as RLE8 (one
+    // period-2 run pair + EOL per row, EOB once), so the census
+    // replays arithmetically; the decode half (decodeRle4 →
+    // expanded-8bpp wrapDib → JDK BMP codec) is VideoSpec-pinned
+    // nibble by nibble.
+    "q472_rle4_census" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"),
+          (lit(1L) + pmod(col("doc_id"), lit(4))).as("nf"))
+      val built = operators.Video.buildStubRle4Avi(base, "doc_id", "nf")
+      operators.Video.aviFrames(
+        built.select(col("doc_id"), col("payload")), "doc_id", "payload")
+        .groupBy(col("doc_id"))
+        .agg(max(when(col("valid"), 1L).otherwise(0L)).as("valid"),
+          max(col("n_chunks")).as("n_chunks"),
+          count(col("frame_idx")).as("n_frames"),
+          coalesce(sum(length(col("frame")).cast("long")), lit(0L))
+            .as("frame_bytes"),
+          max(col("width")).cast("long").as("width"),
+          max(col("height")).cast("long").as("height"),
+          max(col("bit_count")).cast("long").as("bit_count"),
+          max(col("compression")).cast("long").as("compression"))
+        .orderBy(col("doc_id"))
+    }),
+
     // q432: Jonckheere–Terpstra — four user cohorts ordered by
     // user_id mod 4 (a synthetic "dose"), milli-quantized values;
     // heavy ties from the quantization exercise the tie-corrected
@@ -11866,6 +11895,22 @@ object SparkEntry {
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(8 AS BIGINT) AS bit_count,
         |  CAST(1 AS BIGINT) AS compression
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q472: the RLE4 walk replayed — identical closed forms to q431
+    // (solid fill encodes to 4·h + 2 bytes in BOTH codecs), bit_count
+    // 4 and compression tag 2 pin that the 4-bit lane really ran.
+    "q472_rle4_census" ->
+      """WITH b AS (SELECT doc_id, 1 + doc_id % 4 AS nf,
+        |    3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 120)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS valid,
+        |  CAST(nf + 7 AS BIGINT) AS n_chunks,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(nf * (4 * h + 2) AS BIGINT) AS frame_bytes,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(4 AS BIGINT) AS bit_count,
+        |  CAST(2 AS BIGINT) AS compression
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // q432: JT2 by all-pairs over the (group, value) runs (oracle

@@ -235,6 +235,99 @@ object Video {
     null // unreachable
   }
 
+  /** Decompress a BI_RLE4 (biCompression = 2) `##db` payload — the
+    * 4-bit sibling of [[decodeRle8]] with the nibble-packing edge
+    * cases that make it a genuinely different codec: an encoded run
+    * (count, byte) paints count PIXELS ALTERNATING the byte's high
+    * and low nibbles (high first — a run of a solid colour packs it
+    * twice); an absolute block (0, 3..255) carries its pixels packed
+    * two per byte high-nibble-first, consuming ceil(n/2) bytes
+    * padded to a WORD boundary; escapes are the RLE8 trio (EOL,
+    * EOB, delta with zero-fill skips). Output is the EXPANDED 8 bpp
+    * bottom-up index array (one byte per pixel, values 0..15) ready
+    * for [[wrapDib]]'s grayscale-palette 8 bpp wrap — gray = index,
+    * the RLE8 lane's convention. Same strictness: any malformation
+    * returns null; same 256 MiB frame guard; row-local. */
+  private[operators] def decodeRle4(data: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    if (data == null || w <= 0 || h <= 0) return null
+    val stride = (w + 3) / 4 * 4
+    if (stride.toLong * h > (1L << 28)) return null // 256 MiB frame guard
+    val out = new Array[Byte](stride * h)
+    var i = 0; var x = 0; var y = 0
+    while (true) {
+      if (i + 2 > data.length) return null // ran out before EOB
+      val b0 = data(i) & 0xFF; val b1 = data(i + 1) & 0xFF; i += 2
+      if (b0 > 0) { // encoded run: alternate high/low nibble, high first
+        if (y >= h || x + b0 > w) return null
+        val hi = ((b1 >> 4) & 0xF).toByte; val lo = (b1 & 0xF).toByte
+        var j = 0
+        while (j < b0) {
+          out(y * stride + x + j) = if ((j & 1) == 0) hi else lo
+          j += 1
+        }
+        x += b0
+      } else if (b1 == 0) { // end of line
+        x = 0; y += 1
+        if (y > h) return null
+      } else if (b1 == 1) { // end of bitmap
+        return out
+      } else if (b1 == 2) { // delta
+        if (i + 2 > data.length) return null
+        x += data(i) & 0xFF; y += data(i + 1) & 0xFF; i += 2
+        if (x > w || y >= h) return null
+      } else { // absolute: b1 pixels packed 2/byte, word-padded
+        val nBytes = (b1 + 1) / 2
+        val padded = (nBytes + 1) / 2 * 2
+        if (y >= h || x + b1 > w || i + padded > data.length) return null
+        var j = 0
+        while (j < b1) {
+          val by = data(i + j / 2) & 0xFF
+          out(y * stride + x + j) =
+            (if ((j & 1) == 0) (by >> 4) & 0xF else by & 0xF).toByte
+          j += 1
+        }
+        x += b1; i += padded
+      }
+    }
+    null // unreachable
+  }
+
+  /** RLE4-compress an expanded 8 bpp index array (values 0..15,
+    * bottom-up, 4-byte stride) — the fixture twin of [[decodeRle4]],
+    * greedy over period-2 value patterns: one encoded run covers any
+    * a,b,a,b,... stretch (byte = a<<4 | b), so a solid-fill w<=255
+    * frame encodes to exactly 4*h + 2 bytes — the SAME closed form
+    * as [[encodeRle8]], which is what lets the q472 census replay
+    * arithmetically in SQL. */
+  private[operators] def encodeRle4(pixels: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    val stride = (w + 3) / 4 * 4
+    require(pixels.length == stride * h,
+      s"expanded 4bpp array must be stride*h = ${stride * h} bytes")
+    require(pixels.forall(p => p >= 0 && p <= 15),
+      "4bpp indices must be 0..15")
+    val out = new java.io.ByteArrayOutputStream()
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val a = pixels(y * stride + x)
+        val b = if (x + 1 < w) pixels(y * stride + x + 1) else a
+        var run = 1
+        while (x + run < w && run < 255 &&
+          pixels(y * stride + x + run) == (if ((run & 1) == 0) a else b))
+          run += 1
+        out.write(run); out.write(((a & 0xF) << 4) | (b & 0xF))
+        x += run
+      }
+      out.write(0); out.write(0) // end of line
+      y += 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
   /** RLE8-compress a raw bottom-up 8 bpp pixel array (the fixture
     * twin of [[decodeRle8]], maximal-run greedy: one encoded run per
     * value change, EOL per row, EOB once) so specs and oracles can
@@ -269,9 +362,10 @@ object Video {
     * `##dc` MJPEG (each payload a standalone JPEG, JDK codec),
     * `##db` uncompressed BI_RGB DIB (raw pixel array reconstituted
     * into a .bmp via [[wrapDib]] with the container-carried strf
-    * geometry, then the SAME JDK codec), and — r14 — `##db` BI_RLE8
-    * (run-length payload decompressed by [[decodeRle8]] first,
-    * then the same wrap).
+    * geometry, then the SAME JDK codec), `##db` BI_RLE8 (r14;
+    * run-length payload decompressed by [[decodeRle8]] first, then
+    * the same wrap), and `##db` BI_RLE4 (r15; [[decodeRle4]] expands
+    * the nibble stream to 8 bpp indices, then the same wrap).
     * Both land in the [[Multimodal.ImageIoDecoder]] feature vector
     * (w, h, aspect, mean RGB, luma). Other codecs, DIBs without a
     * usable strf, and corrupt frames yield null features —
@@ -285,6 +379,9 @@ object Video {
         if (w == null || h == null || bpp == null || comp == null) null
         else if (comp == 1L && bpp == 8) { // BI_RLE8 → raw, then wrap
           val raw = decodeRle8(frame, w, h)
+          if (raw == null) null else wrapDib(raw, w, h, 8, 0L)
+        } else if (comp == 2L && bpp == 4) { // BI_RLE4 → expanded 8bpp
+          val raw = decodeRle4(frame, w, h)
           if (raw == null) null else wrapDib(raw, w, h, 8, 0L)
         } else wrapDib(frame, w, h, bpp, comp)
       } else frame)
@@ -448,6 +545,35 @@ object Video {
         }
         Row.fromSeq(r.toSeq :+ buildDibAvi(frames, w, h, bpp = 8,
           compression = 1))
+      }
+    }(enc)
+  }
+
+  /** DataFrame-grain BI_RLE4 fixture (the [[buildStubRle8Avi]]
+    * pattern at compression = 2, bpp = 4): per row, nFrames
+    * solid-fill frames of geometry (3 + id mod 5) x (2 + id mod 3),
+    * frame j filled with 4-bit index (id + j) mod 16, each encoded
+    * by [[encodeRle4]] — exactly 4*h + 2 bytes per frame, so the
+    * census replays arithmetically in SQL; gray = index makes the
+    * decoded channel means replay too. */
+  def buildStubRle4Avi(df: DataFrame, idCol: String, nFramesCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(ii); val n = r.getLong(ni).toInt
+        val w = 3 + (id % 5).toInt; val h = 2 + (id % 3).toInt
+        val stride = (w + 3) / 4 * 4
+        val frames = (0 until n).map { j =>
+          encodeRle4(Array.fill[Byte](stride * h)(((id + j) % 16).toByte),
+            w, h)
+        }
+        Row.fromSeq(r.toSeq :+ buildDibAvi(frames, w, h, bpp = 4,
+          compression = 2))
       }
     }(enc)
   }

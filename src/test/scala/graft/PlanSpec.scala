@@ -1174,4 +1174,39 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       s"allowlist entries whose queries no longer plan a bare window " +
         s"(delete them): $stale")
   }
+
+  test("r15 operators: exchange counts pin the documented shapes") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def plan(df: org.apache.spark.sql.DataFrame) = {
+      df.collect(); df.queryExecution.executedPlan
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      countNodes(plan(df))(_.isInstanceOf[ShuffleExchangeLike])
+    import spark.implicits._
+    val docs = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 40).select(col("doc_id"))
+    // the RLE4 decode lane is row-local end to end: zero exchange
+    // (build -> container walk -> decodeRle4 -> JDK codec features)
+    val rle4 = operators.Video.buildStubRle4Avi(
+      docs.select(col("doc_id"), lit(2L).as("nf")), "doc_id", "nf")
+    assert(exchanges(operators.Video.decodeFrames(
+      rle4.select(col("doc_id"), col("payload")), "doc_id", "payload")) == 0)
+    // bm25TopKJoin: the query side broadcasts (guard + terms), so the
+    // ROW-SCALE exchanges are exactly four — tf's (doc, token)
+    // aggregate, df's token aggregate, the (query, doc) score
+    // aggregate, and the per-query rank window (dl broadcasts via
+    // AQE); everything else in the count is query-set-sized (two
+    // query-token distincts) or 1-row scalars (the guard + corpus
+    // stats) — and NOTHING scales with |queries|
+    val full = sources.Tables.documents(spark, sf)
+    val queries = Seq((1L, "spark hash"), (2L, "merge stream"))
+      .toDF("qid", "qt")
+    val topk = operators.TextOps.bm25TopKJoin(full, "doc_id", "text",
+      queries, "qid", "qt", k = 3)
+    assert(exchanges(topk) <= 12, plan(topk).toString)
+    val ep = plan(topk)
+    assert(countNodes(ep)(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.CartesianProductExec]) == 0)
+  }
 }

@@ -203,4 +203,90 @@ class VideoSpec extends SparkTestBase {
       assert(f(0) == (3 + id % 5).toFloat && f(1) == (2 + id % 3).toFloat)
     }
   }
+
+  test("decodeRle4: nibble round-trip, alternating runs, word-padded " +
+    "absolute blocks, malformations null (r15)") {
+    val w = 7; val h = 3; val stride = (w + 3) / 4 * 4
+    // arbitrary 4-bit content round-trips through the period-2 greedy
+    // encoder (pad cells zero for byte-equal comparison)
+    val raw = Array.tabulate[Byte](stride * h)(i =>
+      if (i % stride < w) ((i * 7 + 3) % 16).toByte else 0)
+    val rt = Video.decodeRle4(Video.encodeRle4(raw, w, h), w, h)
+    assert(rt != null && rt.toSeq == raw.toSeq)
+    // hand stream: run(3, 0x5A) paints 5,10,5 (ALTERNATING nibbles,
+    // odd run ends on the high one); abs(3: 0x12 0x34) = 1,2,3 (4th
+    // nibble dead, 2 bytes already word-aligned); run(1, 0xF0) = 15;
+    // EOL; delta(+1,+1) zero-fills the skip; run(2, 0x9B) = 9,11; EOB
+    val hand = Array[Byte](3, 0x5A.toByte, 0, 3, 0x12, 0x34, 1,
+      0xF0.toByte, 0, 0, 0, 2, 1, 1, 2, 0x9B.toByte, 0, 1)
+    val d = Video.decodeRle4(hand, w, h)
+    assert(d != null)
+    assert(d.slice(0, 7).toSeq == Seq[Byte](5, 10, 5, 1, 2, 3, 15))
+    assert(d.slice(stride, stride + 7).forall(_ == 0))
+    assert(d.slice(2 * stride, 2 * stride + 7).toSeq ==
+      Seq[Byte](0, 9, 11, 0, 0, 0, 0))
+    // abs(5: 0xAB 0xCD 0xE0 + pad byte) exercises the WORD padding:
+    // 5 nibbles -> 3 bytes -> 4 consumed; then run(2, 0x77)
+    val padded = Array[Byte](0, 5, 0xAB.toByte, 0xCD.toByte,
+      0xE0.toByte, 0x00, 2, 0x77, 0, 0, 0, 1)
+    val dp = Video.decodeRle4(padded, w, 1)
+    assert(dp != null &&
+      dp.slice(0, 7).toSeq == Seq[Byte](10, 11, 12, 13, 14, 7, 7))
+    // malformations: truncated record, run past row edge, delta
+    // off-bitmap, missing EOB, truncated absolute (3 data bytes left
+    // but 4 owed after padding), top-down geometry
+    assert(Video.decodeRle4(Array[Byte](3), w, h) == null)
+    assert(Video.decodeRle4(Array[Byte](8, 1, 0, 1), w, h) == null)
+    assert(Video.decodeRle4(Array[Byte](0, 2, 9, 9, 0, 1), w, h) == null)
+    assert(Video.decodeRle4(Array[Byte](2, 4), w, h) == null)
+    assert(Video.decodeRle4(Array[Byte](0, 5, 1, 2, 3), w, h) == null)
+    assert(Video.decodeRle4(Array[Byte](0, 1), w, -h) == null)
+  }
+
+  test("RLE4 AVI lane: census carries compression=2 bpp=4, frames " +
+    "decode feature-identical to the expanded 8bpp twin (r15)") {
+    val ids = Seq(3L, 7L, 11L)
+    val base = ids.toDF("doc_id")
+      .select(col("doc_id"), (lit(1L) + pmod(col("doc_id"), lit(3))).as("nf"))
+    val built = Video.buildStubRle4Avi(base, "doc_id", "nf")
+    val fr = Video.aviFrames(built.select(col("doc_id"), col("payload")),
+      "doc_id", "payload")
+    val census = fr.groupBy(col("doc_id"))
+      .agg(count(col("frame_idx")).as("nf"),
+        max(col("bit_count")).as("bpp"),
+        max(col("compression")).as("comp"),
+        sum(length(col("frame")).cast("long")).as("bytes"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    ids.foreach { id =>
+      val nf = 1 + id % 3
+      val hh = 2 + id % 3
+      assert(census(id) == ((nf, 4, 2L, nf * (4 * hh + 2))),
+        s"census($id) = ${census(id)}")
+    }
+    // decode half: RLE4 frames must be feature-identical to the SAME
+    // 4-bit index content shipped as an uncompressed 8bpp DIB (the
+    // RLE8 twin discipline — decodeRle4 expands to 8bpp, so the twin
+    // IS the same bytes through the other lane)
+    val rawTwin = ids.map { id =>
+      val w8 = 3 + (id % 5).toInt; val h8 = 2 + (id % 3).toInt
+      val stride8 = (w8 + 3) / 4 * 4
+      val frames = (0 until (1 + id % 3).toInt).map(j =>
+        Array.fill[Byte](stride8 * h8)(((id + j) % 16).toByte))
+      (id, Video.buildDibAvi(frames, w8, h8, bpp = 8))
+    }.toDF("doc_id", "payload")
+    def featMap(df: org.apache.spark.sql.DataFrame) =
+      Video.decodeFrames(df, "doc_id", "payload")
+        .select(col("doc_id"), col("frame_idx"), col("features"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (if (r.isNullAt(2)) null else r.getSeq[Float](2))).toMap
+    val rle = featMap(built.select(col("doc_id"), col("payload")))
+    val twin = featMap(rawTwin)
+    assert(rle.nonEmpty && rle.values.forall(_ != null))
+    assert(rle == twin, s"rle=$rle twin=$twin")
+    rle.foreach { case ((id, _), f) =>
+      assert(f(0) == (3 + id % 5).toFloat && f(1) == (2 + id % 3).toFloat)
+    }
+  }
 }

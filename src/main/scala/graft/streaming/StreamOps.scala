@@ -36,6 +36,11 @@ case class TransitionStep(key: Long, from_type: String, to_type: String,
 case class SpaceSavingRow(key: Long, item: String, count: Long,
     error: Long, rank: Int)
 
+/** Running per-key trend verdict emitted by
+  * [[StreamOps.mannKendallStream]] after each accepted event. */
+case class MannKendallPoint(key: Long, order: Long, tie: Long,
+    n: Long, s: Long, var18: Long, trend: String)
+
 case class HampelPoint(key: Long, ts_us: Long, id: Long,
   value_milli: Long, med2_milli: Long, mad4_milli: Long,
   is_outlier: Boolean)
@@ -361,6 +366,80 @@ object StreamOps {
             p
           }
           state.update((gp, gn))
+          out.iterator
+      }
+  }
+
+  /** Streaming Mann–Kendall — the live twin of
+    * [[graft.operators.Learn.mannKendall]] (r14 verdict stretch 8):
+    * per key, after every accepted event, the EXACT running trend
+    * verdict over the series so far — n, S, the tie-corrected
+    * var18 = 18·Var(S), and the same two-sided α=0.05 integer
+    * comparison — so the last emission per key equals the batch
+    * operator on the same log row-for-row, and every intermediate
+    * emission equals batch on that prefix (the parity spec pins
+    * both).
+    *
+    * Incremental exactness without pairs: when v arrives,
+    * S += #{prior < v} − #{prior > v}, and the tie term moves by
+    * term(t+1) − term(t) for v's own tie group — both read from a
+    * per-key value→count map, so state is VALUE-RUN bounded (distinct
+    * values per key, the run-grain discipline; quantize upstream if
+    * a key's values are all-distinct unbounded). Values compare RAW,
+    * matching batch's sign-test semantics.
+    *
+    * Ordering contract (the [[transitionStream]] posture): each
+    * micro-batch folds its rows in (order, tie) order; a later-batch
+    * event at-or-before the key's last accepted (order, tie) is
+    * DROPPED (monotone acceptance — batch over the full log is the
+    * ground truth for an in-order stream). Null key/order/tie/value
+    * rows are filtered (the cusumStream null contract). */
+  def mannKendallStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String): Dataset[MannKendallPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def term(t: Long): Long = t * (t - 1) * (2 * t + 5)
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Map[Double, Long]), MannKendallPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Double)],
+         state: GroupState[(Long, Long, Long, Long, Map[Double, Long])]) =>
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var (lastO, lastT, sStat, tieSum, counts) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0L, 0L,
+              Map.empty[Double, Long]))
+          val out = scala.collection.mutable.ArrayBuffer[MannKendallPoint]()
+          var n = counts.valuesIterator.sum
+          sorted.foreach { case (o, t, v) =>
+            val inOrder = o > lastO || (o == lastO && t > lastT)
+            if (inOrder) {
+              var less = 0L; var greater = 0L
+              counts.foreach { case (cv, c) =>
+                if (cv < v) less += c else if (cv > v) greater += c }
+              sStat += less - greater
+              val tOld = counts.getOrElse(v, 0L)
+              tieSum += term(tOld + 1) - term(tOld)
+              counts = counts.updated(v, tOld + 1)
+              n += 1
+              lastO = o; lastT = t
+              val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+              val sig = sStat != 0L && var18 > 0L &&
+                BigInt(math.abs(sStat) - 1).pow(2) * 180000 >
+                  BigInt(38416) * var18
+              val trend = if (!sig) "none" else if (sStat > 0) "inc" else "dec"
+              out += MannKendallPoint(key, o, t, n, sStat, var18, trend)
+            }
+          }
+          state.update((lastO, lastT, sStat, tieSum, counts))
           out.iterator
       }
   }

@@ -999,6 +999,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(!streamed(1L)._3 && !streamed(3L)._3 && !streamed(5L)._3)
   }
 
+  test("mannKendallStream: stream == batch on every prefix, cross-batch " +
+    "state, out-of-order drop (r15)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the LearnSpec fixture: key 1 strictly increasing (n=10, S=45,
+    // significant inc), key 2 decreasing, key 4 tied (1,1,2), key 5
+    // duplicate order broken by tie column
+    val rows = (1L to 10L).map(i => (1L, i, i, i.toDouble)) ++
+      (1L to 10L).map(i => (2L, i, i, -i.toDouble)) ++
+      Seq((4L, 1L, 1L, 1.0), (4L, 2L, 2L, 1.0), (4L, 3L, 3L, 2.0)) ++
+      Seq((5L, 1L, 1L, 5.0), (5L, 1L, 2L, 3.0), (5L, 2L, 3L, 4.0))
+    def batchOn(sub: Seq[(Long, Long, Long, Double)]) =
+      graft.operators.Learn.mannKendall(sub.toDF("k", "o", "e", "v"),
+          "k", col("o"), col("e"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("s"),
+            r.getAs[Long]("var18"), r.getAs[String]("trend")))).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.mannKendallStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("mks").start()
+    try {
+      // split MID-KEY so (S, tie census, counts) survive the gap
+      stream.addData(rows.take(5): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(5): _*)
+      q.processAllAvailable()
+      // out-of-order: order 3 <= key 1's last accepted 10 -> dropped
+      stream.addData((1L, 3L, 99L, 42.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mks").as[MannKendallPoint].collect()
+    // monotone acceptance: the late event emitted nothing
+    assert(!streamed.exists(p => p.key == 1L && p.tie == 99L))
+    assert(streamed.count(_.key == 1L) == 10)
+    // final emission per key == the batch verdict on the full log
+    val batch = batchOn(rows)
+    val finals = streamed.groupBy(_.key).map { case (k, ps) =>
+      val last = ps.maxBy(p => (p.order, p.tie))
+      k -> ((last.n, last.s, last.var18, last.trend))
+    }
+    assert(finals == batch, s"finals $finals != batch $batch")
+    // EVERY intermediate emission equals batch on that prefix — the
+    // strong exactness claim (spot-pin key 1 at n=3 and n=7)
+    for (cut <- Seq(3, 7)) {
+      val pre = batchOn(rows.take(cut))(1L)
+      val got = streamed.filter(_.key == 1L).find(_.n == cut).get
+      assert((got.n, got.s, got.var18, got.trend) == pre,
+        s"prefix $cut: $got != $pre")
+    }
+  }
+
   test("spaceSavingStream: bounded summary tracks the reference, " +
     "guarantee holds") {
     import spark.implicits._

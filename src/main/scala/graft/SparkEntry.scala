@@ -4443,6 +4443,53 @@ object SparkEntry {
         .orderBy(col("query"), col("rank"))
     }),
 
+    // q473: the q471 lane SERVED FROM the inverted index (the
+    // q140/q210 pairing applied to the top-k join): identical
+    // scoring tail, postings + doc-length sidecar instead of a text
+    // rescan; different query set and k so the gate is its own row.
+    "q473_bm25_topk_from_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      val queries = Seq(
+        (1L, "spark merge data"), (2L, "hash stream"),
+        (3L, "pipeline token quality"), (4L, "sort spark")
+      ).toDF("query_id", "qtext")
+      TextOps.bm25TopKJoinFromIndex(idx, docs.select(col("doc_id")),
+          "doc_id", queries, "query_id", "qtext", k = 8)
+        .orderBy(col("query"), col("rank"))
+    }),
+
+    // q474: hybrid retrieval — BM25 top-10 and brute-force cosine
+    // top-10 fused by reciprocal-rank fusion. RRF consumes only the
+    // RANKS, so the float cosine never reaches the gate: every lane
+    // is the BIGINT Σ⌊10⁶/(60+rank)⌋ both engines floor identically
+    // (the cosine RANKING itself is cross-engine deterministic — the
+    // q22 kernel is hash-exact at the driver).
+    "q474_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val bmQueries = Seq(
+        (0L, "spark hash"), (1L, "merge sort stream"),
+        (2L, "data pipeline quality"), (3L, "hash merge spark"),
+        (4L, "token count")).toDF("query_id", "qtext")
+      val bm = TextOps.bm25TopKJoin(Tables.documents(s, dir), "doc_id",
+          "text", bmQueries, "query_id", "qtext", k = 10)
+        .select(col("query"), col("doc"), col("rank"))
+      val emb = Tables.embeddings(s, dir)
+      val cosTop = Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5),
+        emb, "vec_id", "embedding", "vec_id", "embedding", 10)
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val cos = cosTop
+        .withColumn("rank", row_number().over(wc).cast("long"))
+        .select(col("query_id").as("query"),
+          col("neighbor_id").as("doc"), col("rank"))
+      Similarity.rrfFuse(bm.unionByName(cos), "query", "doc", "rank",
+          k = 10)
+        .orderBy(col("query"), col("rank"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -13036,6 +13083,113 @@ object SparkEntry {
         |  CAST(bm25_milli AS BIGINT) AS bm25_milli,
         |  CAST(rank AS BIGINT) AS rank
         |FROM rk WHERE rank <= 5 ORDER BY query, rank""".stripMargin,
+
+    // q473: the q471 SQL kernel at the q473 query set / k — the
+    // oracle replays from raw text; parity with the index-served
+    // engine side is the structural fact under test.
+    "q473_bm25_topk_from_index" ->
+      """WITH q(query, qt) AS (VALUES
+        |    (1, 'spark merge data'), (2, 'hash stream'),
+        |    (3, 'pipeline token quality'), (4, 'sort spark')),
+        |qterm AS (SELECT DISTINCT query,
+        |    unnest(string_split_regex(trim(lower(qt)), '\s+')) AS token
+        |  FROM q),
+        |qt2 AS (SELECT query, token FROM qterm WHERE token <> ''),
+        |tset AS (SELECT DISTINCT token FROM qt2),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       JOIN tset USING (token) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |per AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ((2*s.n - 2*dfreq.df + 1) *
+        |     ((44000000 * tf.tf) //
+        |      (20000 * tf.tf + 6000 +
+        |       18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |    // (2*dfreq.df + 1) AS m
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s),
+        |pq AS (SELECT qt2.query, per.doc_id,
+        |    SUM(per.m) AS bm25_milli
+        |  FROM qt2 JOIN per ON qt2.token = per.token
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query, doc_id, bm25_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY bm25_milli DESC, doc_id ASC) AS rank
+        |  FROM pq)
+        |SELECT CAST(query AS BIGINT) AS query,
+        |  CAST(doc_id AS BIGINT) AS doc,
+        |  CAST(bm25_milli AS BIGINT) AS bm25_milli,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 8 ORDER BY query, rank""".stripMargin,
+
+    // q474: both rankers replayed (the q471 BM25 kernel at k=10 and
+    // the q22 cosine kernel ranked to rn<=10), then the integer RRF
+    // fold — the float cosine exists only inside its ROW_NUMBER.
+    "q474_hybrid_rrf" ->
+      """WITH q(query, qt) AS (VALUES
+        |    (0, 'spark hash'), (1, 'merge sort stream'),
+        |    (2, 'data pipeline quality'), (3, 'hash merge spark'),
+        |    (4, 'token count')),
+        |qterm AS (SELECT DISTINCT query,
+        |    unnest(string_split_regex(trim(lower(qt)), '\s+')) AS token
+        |  FROM q),
+        |qt2 AS (SELECT query, token FROM qterm WHERE token <> ''),
+        |tset AS (SELECT DISTINCT token FROM qt2),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+        |       JOIN tset USING (token) GROUP BY 1, 2),
+        |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |per AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    ((2*s.n - 2*dfreq.df + 1) *
+        |     ((44000000 * tf.tf) //
+        |      (20000 * tf.tf + 6000 +
+        |       18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |    // (2*dfreq.df + 1) AS m
+        |  FROM tf JOIN dfreq USING (token) JOIN dl USING (doc_id), s),
+        |pq AS (SELECT qt2.query, per.doc_id, SUM(per.m) AS bm
+        |  FROM qt2 JOIN per ON qt2.token = per.token GROUP BY 1, 2),
+        |rkb AS (SELECT query, doc_id AS doc,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY bm DESC, doc_id ASC) AS rank FROM pq),
+        |qv AS (SELECT vec_id AS query_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        | SELECT qv.query_id, e.vec_id AS neighbor_id,
+        |  list_sum(list_transform(range(1, len(qv.qv) + 1),
+        |    i -> CAST(qv.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(range(1, len(qv.qv) + 1),
+        |       i -> CAST(qv.qv[i] AS DOUBLE) * CAST(qv.qv[i] AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    AS cosine
+        | FROM qv, embeddings e WHERE e.vec_id <> qv.query_id),
+        |rkc AS (SELECT query_id AS query, neighbor_id AS doc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        |  FROM scored),
+        |u AS (SELECT query, doc, rank FROM rkb WHERE rank <= 10
+        |  UNION ALL SELECT query, doc, rank FROM rkc WHERE rank <= 10),
+        |f AS (SELECT query, doc,
+        |    SUM(1000000 // (60 + rank)) AS rrf_micro,
+        |    COUNT(*) AS n_rankers
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query, doc, rrf_micro, n_rankers,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY rrf_micro DESC, doc ASC) AS rank FROM f)
+        |SELECT CAST(query AS BIGINT) AS query, CAST(doc AS BIGINT) AS doc,
+        |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+        |  CAST(n_rankers AS BIGINT) AS n_rankers,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 10 ORDER BY query, rank""".stripMargin,
 
     // q469: the FixtureClient construction replayed as range()
     // arithmetic — 10 videos (all id-patterned, all internally

@@ -51,6 +51,43 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009): given ONE stacked table of per-ranker
+    * top-k lists (query, doc, rank — rows from [[bruteForceTopK]],
+    * [[graft.operators.TextOps.bm25TopKJoin]], or any ranker the
+    * caller unions in), each (query, doc) scores
+    *   rrf_micro = Σ_rankers ⌊10⁶ / (kRrf + rank)⌋
+    * (kRrf = 60, the paper's constant; per-term floors make the lane
+    * BIGINT cross-engine exact — no floats anywhere), and each query
+    * keeps its fused top-k by (rrf_micro desc, doc asc). RRF needs
+    * only RANKS, never the rankers' incomparable raw scores — that
+    * is the whole point, and what makes a BM25+cosine hybrid
+    * oracle-able when the cosine itself is float.
+    *
+    * 100 TB shape: input is already top-k-per-ranker (|queries|·k·
+    * rankers rows, NEVER corpus-scale); one (query, doc) aggregate +
+    * the grouped top-k window (WindowGroupLimit). n_rankers rides
+    * along so consumers can tell consensus hits from single-ranker
+    * ones. */
+  def rrfFuse(ranks: DataFrame, queryCol: String, docCol: String,
+      rankCol: String, k: Int, kRrf: Long = 60L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    val fused = ranks
+      .select(col(queryCol).cast("long").as("query"),
+        col(docCol).cast("long").as("doc"),
+        col(rankCol).cast("long").as("__r"))
+      .filter(col("__r") >= 1L)
+      .groupBy(col("query"), col("doc"))
+      .agg(sum(expr(s"1000000 div ($kRrf + __r)")).as("rrf_micro"),
+        count(lit(1)).as("n_rankers"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("rrf_micro").desc, col("doc").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Hard-negative mining — the contrastive-training data assembler
     * (the DPR/Contriever recipe): for every query, the top-k corpus
     * items MOST similar to it that are NOT its known positives.

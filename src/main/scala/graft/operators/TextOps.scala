@@ -296,21 +296,8 @@ object TextOps {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, maxQueries: Long = 100000L): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
-    require(maxQueries >= 1, s"maxQueries must be positive, got $maxQueries")
-    val nq = queries.agg(count(lit(1)).as("__nq"))
-    val qTerms = queries
-      // loud in-plan guard (the kaplanMeier pattern): the broadcast
-      // posture is only sound while the query set is dimension-sized
-      .crossJoin(broadcast(nq))
-      .select(when(col("__nq") > maxQueries,
-          raise_error(concat(lit("bm25TopKJoin: "), col("__nq"),
-            lit(s" queries > maxQueries=$maxQueries — shuffle-join the " +
-              "query side instead of broadcasting it"))))
-          .otherwise(col(queryIdCol).cast("long")).as("query"),
-        explode(array_distinct(
-          graft.functions.tokens(lower(col(queryTextCol))))).as("token"))
-      .filter(col("token") =!= "")
-      .distinct()
+    val qTerms = queryTermTable(queries, queryIdCol, queryTextCol,
+      maxQueries, "bm25TopKJoin")
     val toked = df.select(col(idCol).as("doc"),
       graft.functions.tokens(lower(col(textCol))).as("__toks"))
     val dl = toked.select(col("doc"),
@@ -320,8 +307,68 @@ object TextOps {
       .join(broadcast(termSet), Seq("token"))
       .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    bm25TopKTail(qTerms, tf.join(dfreq, Seq("token")), dl, k)
+  }
+
+  /** [[bm25TopKJoin]] SERVED FROM the [[invertedIndex]] table — the
+    * deployment pairing of [[bm25FromIndex]]: the corpus is
+    * tokenized ONCE into the index, and every query set after that
+    * touches |terms| posting ranges plus the doc-length sidecar
+    * (here derived by one index aggregate + a left join over the
+    * `docs` id universe), never the text. Identical output to
+    * `bm25TopKJoin(corpus, ...)` by construction (shared
+    * [[bm25TopKTail]]; df = the index's token-grain doc_freq, dl =
+    * per-doc tf sum) — spec-pinned row-for-row, the q140/q210
+    * discipline. */
+  def bm25TopKJoinFromIndex(index: DataFrame, docs: DataFrame,
+      idCol: String, queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, k: Int,
+      maxQueries: Long = 100000L): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val qTerms = queryTermTable(queries, queryIdCol, queryTextCol,
+      maxQueries, "bm25TopKJoinFromIndex")
+    val dlIdx = index.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dl = docs.select(col(idCol).as("doc")).distinct()
+      .join(dlIdx, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("dl"), lit(0L)).as("dl"))
+    val termSet = qTerms.select(col("token")).distinct()
+    val tfdf = index.join(broadcast(termSet), Seq("token"))
+      .select(col("doc"), col("token"), col("tf"),
+        col("doc_freq").as("df"))
+    bm25TopKTail(qTerms, tfdf, dl, k)
+  }
+
+  /** Shared query-side staging for the top-k join family: (query,
+    * token) pairs, lower-cased, deduped, with the loud in-plan
+    * broadcast-posture guard (the kaplanMeier pattern) — sound only
+    * while the query set is dimension-sized. */
+  private def queryTermTable(queries: DataFrame, queryIdCol: String,
+      queryTextCol: String, maxQueries: Long, opName: String): DataFrame = {
+    require(maxQueries >= 1, s"maxQueries must be positive, got $maxQueries")
+    val nq = queries.agg(count(lit(1)).as("__nq"))
+    queries
+      .crossJoin(broadcast(nq))
+      .select(when(col("__nq") > maxQueries,
+          raise_error(concat(lit(s"$opName: "), col("__nq"),
+            lit(s" queries > maxQueries=$maxQueries — shuffle-join the " +
+              "query side instead of broadcasting it"))))
+          .otherwise(col(queryIdCol).cast("long")).as("query"),
+        explode(array_distinct(
+          graft.functions.tokens(lower(col(queryTextCol))))).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+  }
+
+  /** Shared scoring + ranking tail of the top-k join family: `tfdf`
+    * rows are (doc, token, tf, df), `dl` the doc universe — the
+    * [[scoreBm25]] integer milli kernel summed per (query, doc) over
+    * the broadcast (query, token) table, then the grouped top-k cut
+    * (per-query rank window -> WindowGroupLimit, never a global
+    * sort). */
+  private def bm25TopKTail(qTerms: DataFrame, tfdf: DataFrame,
+      dl: DataFrame, k: Int): DataFrame = {
     val scalars = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
-    val perTerm = tf.join(dfreq, Seq("token"))
+    val perTerm = tfdf
       .join(dl, Seq("doc"))
       .crossJoin(broadcast(scalars))
       .select(col("doc"), col("token"),

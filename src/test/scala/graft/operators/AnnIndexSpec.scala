@@ -208,4 +208,27 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     // sample is hash-ordered by id, not partition-dependent
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("rrfFuse: hand fusion — consensus beats single-ranker, ties break on doc, floors exact (r15)") {
+    import spark.implicits._
+    // ranker A: q1 -> docs 7(r1), 8(r2), 9(r3); ranker B: q1 -> 8(r1), 5(r2)
+    // rrf(60): doc8 = 1000000//61 + 1000000//62 = 16393 + 16129 = 32522
+    //          doc7 = 16393; doc5 = 16129; doc9 = 1000000//63 = 15873
+    val ranks = Seq((1L, 7L, 1L), (1L, 8L, 2L), (1L, 9L, 3L),
+      (1L, 8L, 1L), (1L, 5L, 2L)).toDF("q", "d", "r")
+    val got = graft.operators.Similarity.rrfFuse(ranks, "q", "d", "r", k = 3)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        ((r.getAs[Long]("rrf_micro"), r.getAs[Long]("n_rankers"),
+          r.getAs[Long]("rank")))).toMap
+    assert(got(8L) == ((32522L, 2L, 1L)), s"doc8: ${got.get(8L)}")
+    assert(got(7L) == ((16393L, 1L, 2L)))
+    assert(got(5L) == ((16129L, 1L, 3L)))
+    assert(!got.contains(9L) && got.size == 3) // k=3 cut drops doc9
+    // equal scores tie-break on doc asc: two rankers each rank a
+    // different doc first -> same 16393, doc 2 before doc 4
+    val tied = Seq((1L, 4L, 1L), (1L, 2L, 1L)).toDF("q", "d", "r")
+    val t = graft.operators.Similarity.rrfFuse(tied, "q", "d", "r", k = 2)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("rank")).toMap
+    assert(t == Map(2L -> 1L, 4L -> 2L))
+  }
 }

@@ -683,6 +683,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage != null && err.getMessage.contains("bm25TopKJoin"))
   }
 
+  test("bm25TopKJoinFromIndex equals bm25TopKJoin: the index serves the query set row-for-row (r15)") {
+    // hand corpus (the bm25TopKJoin fixture) AND the real sf corpus,
+    // both paths compared as full row sets — the q140/q210 discipline
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query"), r.getAs[Long]("doc")) ->
+        ((r.getAs[Long]("bm25_milli"), r.getAs[Long]("rank")))).toMap
+    val docs = Seq((1L, "cat dog cat"), (2L, "dog fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val queries = Seq((10L, "cat dog"), (20L, "fish"), (30L, "zzz"))
+      .toDF("qid", "qt")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    val scan = TextOps.bm25TopKJoin(docs, "doc_id", "text",
+      queries, "qid", "qt", k = 2)
+    val served = TextOps.bm25TopKJoinFromIndex(idx,
+      docs.select(col("doc_id")), "doc_id", queries, "qid", "qt", k = 2)
+    assert(pairs(scan) == pairs(served))
+    val corpus = Tables.documents(spark, sf)
+    val cq = Seq((1L, "spark hash"), (2L, "merge stream")).toDF("qid", "qt")
+    val cIdx = TextOps.invertedIndex(corpus, "doc_id", "text")
+    val cScan = TextOps.bm25TopKJoin(corpus, "doc_id", "text",
+      cq, "qid", "qt", k = 5)
+    val cServed = TextOps.bm25TopKJoinFromIndex(cIdx,
+      corpus.select(col("doc_id")), "doc_id", cq, "qid", "qt", k = 5)
+    val ps = pairs(cScan)
+    assert(ps.nonEmpty && ps == pairs(cServed))
+  }
+
   test("bm25: scalar aggregates are the only broadcasts; term filter reaches the scan side") {
     val docs = Tables.documents(spark, sf)
     val q = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "hash"))

@@ -4490,6 +4490,33 @@ object SparkEntry {
         .orderBy(col("query"), col("rank"))
     }),
 
+    // q475: Wald–Wolfowitz runs test per user cohort — the serial-
+    // clustering complement of q436's Mann–Kendall drift check (a
+    // sorted shard has few runs, an oscillating metric too many);
+    // median-dichotomized with at-median drops, every lane an exact
+    // integer rational.
+    "q475_runs_test" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(50)).as("k"), col("event_id"),
+          col("value"))
+      operators.Learn.runsTest(e, "k", col("event_id"), col("event_id"),
+          "value")
+        .orderBy(col("key"))
+    }),
+
+    // q476: Durbin–Watson lag-1 autocorrelation per user cohort —
+    // num/den both exact milli^2 sums, one floor; the independence
+    // companion of q475 (DW sees magnitude-weighted dragging, runs
+    // sees sign clustering).
+    "q476_durbin_watson" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(50)).as("k"), col("event_id"),
+          col("value"))
+      operators.Learn.durbinWatson(e, "k", col("event_id"),
+          col("event_id"), "value")
+        .orderBy(col("key"))
+    }),
+
     // q391: unrestricted Damerau–Levenshtein — a genuine
     // cross-IMPLEMENTATION oracle against DuckDB's native
     // damerau_levenshtein (the q219 discipline): reversal
@@ -13190,6 +13217,56 @@ object SparkEntry {
         |  CAST(n_rankers AS BIGINT) AS n_rankers,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 10 ORDER BY query, rank""".stripMargin,
+
+    // q475: median spine + sign lag + run census, every lane one
+    // exact floor over HUGEINT.
+    "q475_runs_test" ->
+      """WITH s AS (SELECT user_id % 50 AS key, event_id AS o,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |m AS (SELECT key, v AS med FROM (
+        |    SELECT key, v,
+        |      ROW_NUMBER() OVER (PARTITION BY key ORDER BY v, o) AS rn,
+        |      COUNT(*) OVER (PARTITION BY key) AS n0 FROM s) t
+        |  WHERE rn = (n0 + 1) // 2),
+        |g AS (SELECT s.key, o, (v > med) AS sg FROM s JOIN m USING (key)
+        |  WHERE v <> med),
+        |c AS (SELECT key, sg, CASE WHEN
+        |      LAG(sg) OVER (PARTITION BY key ORDER BY o) IS NULL OR
+        |      LAG(sg) OVER (PARTITION BY key ORDER BY o) <> sg
+        |    THEN 1 ELSE 0 END AS chg FROM g),
+        |a AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN sg THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT sg THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(chg) AS BIGINT) AS r
+        |  FROM c GROUP BY key)
+        |SELECT key, n, n1, n2, r,
+        |  CASE WHEN n > 0 THEN CAST((1000000 * (CAST(n AS HUGEINT)
+        |    + 2 * CAST(n1 AS HUGEINT) * n2)) // n AS BIGINT) END
+        |    AS e_r_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST((1000000 * (2 * CAST(n1 AS HUGEINT) * n2)
+        |      * (2 * CAST(n1 AS HUGEINT) * n2 - n))
+        |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
+        |    AS var_micro
+        |FROM a ORDER BY key""".stripMargin,
+
+    // q476: lag differences squared over milli lanes, one floor.
+    "q476_durbin_watson" ->
+      """WITH s AS (SELECT user_id % 50 AS key, event_id AS o,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |d AS (SELECT key, v,
+        |    v - LAG(v) OVER (PARTITION BY key ORDER BY o) AS df FROM s)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COALESCE(SUM(CAST(df AS HUGEINT) * df), 0) AS BIGINT)
+        |    AS num_milli2,
+        |  CAST(COALESCE(SUM(CAST(v AS HUGEINT) * v), 0) AS BIGINT)
+        |    AS den_milli2,
+        |  CASE WHEN COALESCE(SUM(CAST(v AS HUGEINT) * v), 0) > 0 THEN
+        |    CAST((1000000 * COALESCE(SUM(CAST(df AS HUGEINT) * df), 0))
+        |      // SUM(CAST(v AS HUGEINT) * v) AS BIGINT) END AS dw_micro
+        |FROM d GROUP BY key ORDER BY key""".stripMargin,
 
     // q469: the FixtureClient construction replayed as range()
     // arithmetic — 10 videos (all id-patterned, all internally

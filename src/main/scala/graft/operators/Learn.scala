@@ -3717,6 +3717,106 @@ object Learn {
         col("__med").as("median_milli"))
   }
 
+  /** Per-key Wald–Wolfowitz runs test — "is this ordered sequence
+    * RANDOM, or does it clump" (the shuffle-quality gate a training
+    * pipeline runs on shard orderings, interleave outputs, and
+    * residual signs — [[mannKendall]] asks about monotone DRIFT;
+    * runs asks about SERIAL clustering, which MK cannot see): per
+    * key, values milli-quantize, dichotomize against the key's own
+    * lower median (rows AT the median drop — the classic treatment),
+    * and in (order, tiebreak) order the lanes are
+    *   n1, n2  — above/below counts,  r — the number of runs,
+    *   e_r_micro   = ⌊10⁶·(n + 2n₁n₂) / n⌋        (= 10⁶·E[R])
+    *   var_micro   = ⌊10⁶·2n₁n₂(2n₁n₂−n) / (n²(n−1))⌋  (NULL n<2)
+    * — both exact single floors over DECIMAL(38,0) (n ≤ 10⁹ safe).
+    * Too-few-runs (r ≪ E[R]) means clumping/sorting; too-many means
+    * oscillation.
+    *
+    * Shape: one run-grain median spine per key (keyed windows over
+    * value runs), one lag window, one key-grain aggregate — key-sized
+    * partitions, never global. */
+  def runsTest(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCol: Column, valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
+        tieCol.cast("long").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val wKey = Window.partitionBy(col("key"))
+    val wRank = wKey.orderBy(col("__v"), col("__o"), col("__t"))
+    // lower median by rank over the key's own series
+    val med = staged
+      .withColumn("__rn", row_number().over(wRank).cast("long"))
+      .withColumn("__n0", count(lit(1)).over(wKey))
+      .filter(col("__rn") === expr("(__n0 + 1) div 2"))
+      .select(col("key"), col("__v").as("__med"))
+    val signs = staged.join(med, Seq("key"))
+      .filter(col("__v") =!= col("__med"))
+      .select(col("key"), col("__o"), col("__t"),
+        (col("__v") > col("__med")).as("__s"))
+    val wTime = wKey.orderBy(col("__o"), col("__t"))
+    signs
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(wTime).isNull ||
+          lag(col("__s"), 1).over(wTime) =!= col("__s"), 1L)
+          .otherwise(0L))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("__s"), 1L).otherwise(0L)), lit(0L))
+          .as("n1"),
+        coalesce(sum(when(!col("__s"), 1L).otherwise(0L)), lit(0L))
+          .as("n2"),
+        coalesce(sum(col("__chg")), lit(0L)).as("r"))
+      .select(col("key"), col("n"), col("n1"), col("n2"), col("r"),
+        expr("""CASE WHEN n > 0 THEN
+          |  CAST((1000000 * (CAST(n AS DECIMAL(38,0))
+          |    + 2 * CAST(n1 AS DECIMAL(38,0)) * n2)) div n AS BIGINT)
+          |END""".stripMargin).as("e_r_micro"),
+        expr("""CASE WHEN n >= 2 THEN
+          |  CAST((1000000 * (2 * CAST(n1 AS DECIMAL(38,0)) * n2)
+          |    * (2 * CAST(n1 AS DECIMAL(38,0)) * n2 - n))
+          |  div (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) AS BIGINT)
+          |END""".stripMargin).as("var_micro"))
+  }
+
+  /** Per-key Durbin–Watson statistic — lag-1 serial correlation of an
+    * ordered series ("are these residuals/metrics independent, or
+    * does each value drag the next"): with milli-quantized values in
+    * (order, tiebreak) order,
+    *   dw_micro = ⌊10⁶·Σ(vₜ−vₜ₋₁)² / Σvₜ²⌋   (NULL when Σv² = 0)
+    * — numerator and denominator both exact BIGINT sums of milli²
+    * terms in DECIMAL(38,0) (exact to ~10¹⁹ milli² mass per key),
+    * one floor at the end. DW ≈ 2·10⁶ means independence; → 0 means
+    * positive autocorrelation; → 4·10⁶ negative. The caller centers
+    * values (residuals) if the textbook statistic is wanted —
+    * documented, matching the engine's no-hidden-arithmetic posture.
+    *
+    * Shape: one keyed lag window + one key-grain aggregate. */
+  def durbinWatson(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCol: Column, valueCol: String): DataFrame = {
+    val staged = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
+        tieCol.cast("long").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val wTime = Window.partitionBy(col("key"))
+      .orderBy(col("__o"), col("__t"))
+    staged
+      .withColumn("__d", col("__v") - lag(col("__v"), 1).over(wTime))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(expr("CAST(__d AS DECIMAL(38,0)) * __d")),
+          lit(0).cast("decimal(38,0)")).as("__num"),
+        coalesce(sum(expr("CAST(__v AS DECIMAL(38,0)) * __v")),
+          lit(0).cast("decimal(38,0)")).as("__den"))
+      .select(col("key"), col("n"),
+        col("__num").cast("long").as("num_milli2"),
+        col("__den").cast("long").as("den_milli2"),
+        expr("""CASE WHEN __den > 0 THEN
+          |  CAST((1000000 * __num) div __den AS BIGINT)
+          |END""".stripMargin).as("dw_micro"))
+  }
+
   /** Per-key Mann–Kendall trend test — "is this series monotonically
     * drifting" for every key at once (the significance companion of
     * [[theilSenSlopes]], which estimates the slope MK tests): with

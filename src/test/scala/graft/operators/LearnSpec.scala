@@ -1840,6 +1840,59 @@ class LearnSpec extends SparkTestBase {
     assert(withNulls(1L) == ((10L, 45L, 2250L, "inc")))
   }
 
+  test("runsTest: hand runs, at-median drops, alternation extremes (r15)") {
+    def run(rows: Seq[(Long, Long, Double)]) =
+      Learn.runsTest(rows.toDF("k", "o", "v"), "k", col("o"), col("o"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+            r.getAs[Long]("r"), r.getAs[Long]("e_r_micro"),
+            r.getAs[Long]("var_micro")))).toMap
+    // key 1: values 1,1,2,2 -> lower median 1 (rank (4+1)//2 = 2);
+    // at-median rows (the two 1s) DROP -> n=2 all-above -> 1 run,
+    // n1=2, n2=0: E[R] = (2 + 0)/2 + 1 = 1 exactly, Var = 0
+    // key 2: 1,9,1,9,1,9 -> median 1 drops three -> 9s only: 1 run
+    // key 3: 1,9,2,8,3,7,4,6 -> lower median = rank-4 element = 4,
+    //   which IS present and drops -> 7 rows, signs -+-+-++ ->
+    //   6 runs, n1=4 above, n2=3 below: E[R] = (7 + 24)/7 ->
+    //   4428571; Var = 10^6*24*(24-7)/(49*6) = 1387755 (floor)
+    val got = run(
+      Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 2.0), (1L, 4L, 2.0)) ++
+      Seq((2L, 1L, 1.0), (2L, 2L, 9.0), (2L, 3L, 1.0), (2L, 4L, 9.0),
+        (2L, 5L, 1.0), (2L, 6L, 9.0)) ++
+      Seq((3L, 1L, 1.0), (3L, 2L, 9.0), (3L, 3L, 2.0), (3L, 4L, 8.0),
+        (3L, 5L, 3.0), (3L, 6L, 7.0), (3L, 7L, 4.0), (3L, 8L, 6.0)))
+    assert(got(1L) == ((2L, 2L, 0L, 1L, 1000000L, 0L)), s"k1 ${got(1L)}")
+    assert(got(2L) == ((3L, 3L, 0L, 1L, 1000000L, 0L)), s"k2 ${got(2L)}")
+    assert(got(3L) == ((7L, 4L, 3L, 6L, 4428571L, 1387755L)),
+      s"k3 ${got(3L)}")
+    // sorted sequence = minimal runs: 1..8 -> median 4 drops ->
+    // 3 below, 4 above in order -> exactly 2 runs (clumped verdict)
+    assert(run((1L to 8L).map(i => (9L, i, i.toDouble)))(9L)._4 == 2L)
+  }
+
+  test("durbinWatson: hand lags, constant series, independence scale (r15)") {
+    def run(rows: Seq[(Long, Long, Double)]) =
+      Learn.durbinWatson(rows.toDF("k", "o", "v"), "k", col("o"),
+          col("o"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("num_milli2"),
+            r.getAs[Long]("den_milli2"),
+            if (r.isNullAt(r.fieldIndex("dw_micro"))) -1L
+            else r.getAs[Long]("dw_micro")))).toMap
+    // key 1: milli 1000,3000,2000 -> diffs 2000,-1000 -> num = 5e6,
+    // den = 1+9+4 = 14e6 -> dw = 10^6*5/14 = 357142 (floor)
+    // key 2: constant zeros -> den 0 -> NULL
+    // key 3: perfect alternation -1,1,-1,1 -> num = 3*(2000^2)=12e6,
+    // den = 4e6 -> dw = 3000000 (toward 4e6 = negative autocorr)
+    val got = run(Seq((1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 3L, 2.0),
+      (2L, 1L, 0.0), (2L, 2L, 0.0),
+      (3L, 1L, -1.0), (3L, 2L, 1.0), (3L, 3L, -1.0), (3L, 4L, 1.0)))
+    assert(got(1L) == ((3L, 5000000L, 14000000L, 357142L)),
+      s"k1 ${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 0L, -1L)))
+    assert(got(3L) == ((4L, 12000000L, 4000000L, 3000000L)))
+  }
+
   test("siegelTukey: zigzag ranks, extremes verdict, small-n none") {
     // g1={0,100} holds both extremes of {0,49,50,51,100}: zigzag
     // ranks 1,4,5,3,2 -> R1 = 3, U1 = 0, n too small for significance

@@ -36,6 +36,11 @@ case class TransitionStep(key: Long, from_type: String, to_type: String,
 case class SpaceSavingRow(key: Long, item: String, count: Long,
     error: Long, rank: Int)
 
+/** Running per-key Durbin-Watson emitted by
+  * [[StreamOps.durbinWatsonStream]] after each accepted event. */
+case class DurbinWatsonPoint(key: Long, order: Long, tie: Long,
+    n: Long, num_milli2: Long, den_milli2: Long, dw_micro: Long)
+
 /** Running per-key trend verdict emitted by
   * [[StreamOps.mannKendallStream]] after each accepted event. */
 case class MannKendallPoint(key: Long, order: Long, tie: Long,
@@ -366,6 +371,56 @@ object StreamOps {
             p
           }
           state.update((gp, gn))
+          out.iterator
+      }
+  }
+
+  /** Streaming Durbin-Watson — the live twin of
+    * [[graft.operators.Learn.durbinWatson]] with O(1) per-key state
+    * (last value, n, num, den): after each accepted event the EXACT
+    * running lag-1 statistic over the series so far, so the final
+    * emission per key equals batch on the same log and every
+    * intermediate emission equals batch on that prefix. dw_micro is
+    * -1 while the den is still zero (the batch NULL — primitive
+    * encoder lanes can\'t carry null; documented). Ordering contract
+    * and null filter are the [[mannKendallStream]] posture. */
+  def durbinWatsonStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String): Dataset[DurbinWatsonPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Long, Long), DurbinWatsonPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long, Long)]) =>
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var (lastO, lastT, lastV, n, num, den) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[DurbinWatsonPoint]()
+          sorted.foreach { case (o, t, v) =>
+            if (o > lastO || (o == lastO && t > lastT)) {
+              if (n > 0) { val d = v - lastV; num += d * d }
+              den += v * v
+              n += 1
+              lastO = o; lastT = t; lastV = v
+              // BigInt for the scaled divide: num can hold ~10^13
+              // milli^2 before 10^6*num would wrap a Long (the lanes
+              // themselves stay Long, the batch operator's contract)
+              val dw = if (den > 0)
+                (BigInt(num) * 1000000 / BigInt(den)).toLong else -1L
+              out += DurbinWatsonPoint(key, o, t, n, num, den, dw)
+            }
+          }
+          state.update((lastO, lastT, lastV, n, num, den))
           out.iterator
       }
   }

@@ -1052,6 +1052,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("durbinWatsonStream: stream == batch on every prefix, O(1) state, " +
+    "cross-batch carry (r15)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the LearnSpec DW fixture: key 1 milli 1000,3000,2000; key 3
+    // perfect alternation
+    val rows = Seq((1L, 1L, 1L, 1.0), (1L, 2L, 2L, 3.0), (1L, 3L, 3L, 2.0),
+      (3L, 1L, 1L, -1.0), (3L, 2L, 2L, 1.0), (3L, 3L, 3L, -1.0),
+      (3L, 4L, 4L, 1.0))
+    def batchOn(sub: Seq[(Long, Long, Long, Double)]) =
+      graft.operators.Learn.durbinWatson(sub.toDF("k", "o", "e", "v"),
+          "k", col("o"), col("e"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("num_milli2"),
+            r.getAs[Long]("den_milli2"),
+            if (r.isNullAt(r.fieldIndex("dw_micro"))) -1L
+            else r.getAs[Long]("dw_micro")))).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.durbinWatsonStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dws").start()
+    try {
+      stream.addData(rows.take(2): _*) // split MID-key-1
+      q.processAllAvailable()
+      stream.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      stream.addData((1L, 1L, 1L, 99.0)) // late: at-or-before last -> drop
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dws").as[DurbinWatsonPoint].collect()
+    assert(streamed.count(_.key == 1L) == 3) // the late row emitted nothing
+    val batch = batchOn(rows)
+    val finals = streamed.groupBy(_.key).map { case (k, ps) =>
+      val last = ps.maxBy(p => (p.order, p.tie))
+      k -> ((last.n, last.num_milli2, last.den_milli2, last.dw_micro))
+    }
+    assert(finals == batch, s"finals $finals != batch $batch")
+    // prefix parity at key 1, n = 2
+    val pre = batchOn(rows.take(2))(1L)
+    val got = streamed.filter(_.key == 1L).find(_.n == 2L).get
+    assert((got.n, got.num_milli2, got.den_milli2, got.dw_micro) == pre)
+    // constant-zero series: batch NULL == stream -1 sentinel
+    assert(batchOn(Seq((7L, 1L, 1L, 0.0)))(7L)._4 == -1L)
+  }
+
   test("spaceSavingStream: bounded summary tracks the reference, " +
     "guarantee holds") {
     import spark.implicits._

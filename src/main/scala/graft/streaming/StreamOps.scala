@@ -473,17 +473,22 @@ object StreamOps {
             .getOrElse((Long.MinValue, Long.MinValue, 0L, 0L,
               Map.empty[Double, Long]))
           val out = scala.collection.mutable.ArrayBuffer[MannKendallPoint]()
-          var n = counts.valuesIterator.sum
+          // one mutable copy per BATCH (not one immutable copy per
+          // event): in-place updates inside the fold, frozen back to
+          // the encodable immutable Map once at state.update
+          val m = scala.collection.mutable.Map.empty[Double, Long]
+          m ++= counts
+          var n = m.valuesIterator.sum
           sorted.foreach { case (o, t, v) =>
             val inOrder = o > lastO || (o == lastO && t > lastT)
             if (inOrder) {
               var less = 0L; var greater = 0L
-              counts.foreach { case (cv, c) =>
+              m.foreach { case (cv, c) =>
                 if (cv < v) less += c else if (cv > v) greater += c }
               sStat += less - greater
-              val tOld = counts.getOrElse(v, 0L)
+              val tOld = m.getOrElse(v, 0L)
               tieSum += term(tOld + 1) - term(tOld)
-              counts = counts.updated(v, tOld + 1)
+              m.update(v, tOld + 1)
               n += 1
               lastO = o; lastT = t
               val var18 = n * (n - 1) * (2 * n + 5) - tieSum
@@ -494,7 +499,7 @@ object StreamOps {
               out += MannKendallPoint(key, o, t, n, sStat, var18, trend)
             }
           }
-          state.update((lastO, lastT, sStat, tieSum, counts))
+          state.update((lastO, lastT, sStat, tieSum, m.toMap))
           out.iterator
       }
   }

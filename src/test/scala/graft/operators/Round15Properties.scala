@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based checks for the round-15 row-local kernels — pure
+  * JVM, no SparkSession: BI_RLE4 encode∘decode identity over random
+  * content and geometry, and never-throw strict-walk fuzz on both
+  * RLE decoders and the pcap walk. */
+object Round15Properties extends Properties("graft.round15") {
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters)
+      : org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(100)
+
+  private val geometry: Gen[(Int, Int)] =
+    for (w <- Gen.choose(1, 12); h <- Gen.choose(1, 6)) yield (w, h)
+
+  /** random 4-bit content with zeroed stride-pad cells (the decoder's
+    * defined fill, so byte-equality is the right comparison) */
+  private def raw4(w: Int, h: Int): Gen[Array[Byte]] = {
+    val stride = (w + 3) / 4 * 4
+    Gen.listOfN(stride * h, Gen.choose(0, 15)).map { vs =>
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i % stride < w) v.toByte else 0: Byte
+      }.toArray
+    }
+  }
+
+  property("decodeRle4 ∘ encodeRle4 = id over random content/geometry") =
+    forAll(geometry.flatMap { case (w, h) =>
+      raw4(w, h).map(r => (w, h, r)) }) { case (w, h, raw) =>
+      val rt = Video.decodeRle4(Video.encodeRle4(raw, w, h), w, h)
+      rt != null && java.util.Arrays.equals(rt, raw)
+    }
+
+  // strict-walk fuzz: random bytes must decode to null or a
+  // well-formed frame — never throw, never a wrong-size array
+  private val garbage: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)
+
+  property("decodeRle4: random bytes never throw; size correct when accepted") =
+    forAll(geometry, garbage) { case ((w, h), bytes) =>
+      val d = Video.decodeRle4(bytes, w, h)
+      d == null || d.length == (w + 3) / 4 * 4 * h
+    }
+
+  property("decodeRle8: random bytes never throw; size correct when accepted") =
+    forAll(geometry, garbage) { case ((w, h), bytes) =>
+      val d = Video.decodeRle8(bytes, w, h)
+      d == null || d.length == (w + 3) / 4 * 4 * h
+    }
+
+  property("Pcap.parse: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val m = Pcap.parse(bytes)
+      m == null || m.nPackets >= 0L
+    }
+
+  // a VALID random capture parses exactly: build n packets with
+  // in-bound fracs and check the census closed forms
+  private val capture: Gen[(Int, Array[Byte], Long, Long)] =
+    for {
+      n <- Gen.choose(0, 6)
+      lens <- Gen.listOfN(n, Gen.choose(0, 40))
+      fracs <- Gen.listOfN(n, Gen.choose(0L, 999999L))
+    } yield {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u32(v: Long): Unit = { bos.write((v & 0xFF).toInt)
+        bos.write(((v >> 8) & 0xFF).toInt)
+        bos.write(((v >> 16) & 0xFF).toInt)
+        bos.write(((v >> 24) & 0xFF).toInt) }
+      u32(0xA1B2C3D4L); u32(0x00040002L); u32(0); u32(0); u32(96); u32(1)
+      lens.zip(fracs).zipWithIndex.foreach { case ((l, f), i) =>
+        u32(i + 1L); u32(f); u32(l.toLong); u32(l + 3L)
+        (0 until l).foreach(_ => bos.write(7))
+      }
+      (n, bos.toByteArray, lens.map(_.toLong).sum,
+        lens.map(_ + 3L).sum)
+    }
+
+  property("Pcap.parse: valid captures census exactly (incl. frac bound)") =
+    forAll(capture) { case (n, bytes, incl, orig) =>
+      val m = Pcap.parse(bytes)
+      m != null && m.nPackets == n.toLong && m.inclBytes == incl &&
+        m.origBytes == orig && m.nTruncated == n.toLong
+    }
+}

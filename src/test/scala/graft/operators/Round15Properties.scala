@@ -51,6 +51,39 @@ object Round15Properties extends Properties("graft.round15") {
       d == null || d.length == (w + 3) / 4 * 4 * h
     }
 
+  // the whole r14 strict-walk family: random bytes must return null
+  // (or a well-formed census), never throw — the same posture the
+  // r10 properties pinned for dechunk/exif/tar/zip
+  property("Qoi.decode: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Qoi.decode(bytes); d == null || d.width > 0
+    }
+
+  property("Tga.decode: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Tga.decode(bytes); d == null || d.width > 0
+    }
+
+  property("Netpbm.decode: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Netpbm.decode(bytes); d == null || d.width > 0
+    }
+
+  property("Gif.parse: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Gif.parse(bytes); d == null || d.width >= 0
+    }
+
+  property("Flac.parse: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Flac.parse(bytes); d == null || d.sampleRate >= 0
+    }
+
+  property("Proto.parse: random bytes never throw") =
+    forAll(garbage) { bytes =>
+      val d = Proto.parse(bytes); d == null || d.n_fields >= 0
+    }
+
   property("Pcap.parse: random bytes never throw") =
     forAll(garbage) { bytes =>
       val m = Pcap.parse(bytes)

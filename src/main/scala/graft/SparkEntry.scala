@@ -4504,6 +4504,18 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // q477: fixed-threshold (SPC) runs test — the q475 census
+    // against a target value instead of each key\'s median; the form
+    // with an exact O(1)-state streaming twin (parity spec-pinned).
+    "q477_runs_test_at" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(50)).as("k"), col("event_id"),
+          col("value"))
+      operators.Learn.runsTestAt(e, "k", col("event_id"),
+          col("event_id"), "value", thresholdMilli = 500L)
+        .orderBy(col("key"))
+    }),
+
     // q476: Durbin–Watson lag-1 autocorrelation per user cohort —
     // num/den both exact milli^2 sums, one floor; the independence
     // companion of q475 (DW sees magnitude-weighted dragging, runs
@@ -13231,6 +13243,32 @@ object SparkEntry {
         |  WHERE rn = (n0 + 1) // 2),
         |g AS (SELECT s.key, o, (v > med) AS sg FROM s JOIN m USING (key)
         |  WHERE v <> med),
+        |c AS (SELECT key, sg, CASE WHEN
+        |      LAG(sg) OVER (PARTITION BY key ORDER BY o) IS NULL OR
+        |      LAG(sg) OVER (PARTITION BY key ORDER BY o) <> sg
+        |    THEN 1 ELSE 0 END AS chg FROM g),
+        |a AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN sg THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN NOT sg THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(SUM(chg) AS BIGINT) AS r
+        |  FROM c GROUP BY key)
+        |SELECT key, n, n1, n2, r,
+        |  CASE WHEN n > 0 THEN CAST((1000000 * (CAST(n AS HUGEINT)
+        |    + 2 * CAST(n1 AS HUGEINT) * n2)) // n AS BIGINT) END
+        |    AS e_r_micro,
+        |  CASE WHEN n >= 2 THEN
+        |    CAST((1000000 * (2 * CAST(n1 AS HUGEINT) * n2)
+        |      * (2 * CAST(n1 AS HUGEINT) * n2 - n))
+        |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
+        |    AS var_micro
+        |FROM a ORDER BY key""".stripMargin,
+
+    // q477: the q475 kernel minus the median spine — fixed threshold.
+    "q477_runs_test_at" ->
+      """WITH s AS (SELECT user_id % 50 AS key, event_id AS o,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |g AS (SELECT key, o, (v > 500) AS sg FROM s WHERE v <> 500),
         |c AS (SELECT key, sg, CASE WHEN
         |      LAG(sg) OVER (PARTITION BY key ORDER BY o) IS NULL OR
         |      LAG(sg) OVER (PARTITION BY key ORDER BY o) <> sg

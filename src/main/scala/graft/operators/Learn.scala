@@ -3754,7 +3754,36 @@ object Learn {
       .filter(col("__v") =!= col("__med"))
       .select(col("key"), col("__o"), col("__t"),
         (col("__v") > col("__med")).as("__s"))
-    val wTime = wKey.orderBy(col("__o"), col("__t"))
+    runsCensusTail(signs)
+  }
+
+  /** [[runsTest]] against a FIXED reference value instead of each
+    * key's own median — the SPC form ("runs about the target"): rows
+    * AT the threshold drop exactly like at-median rows, and the lanes
+    * are identical. This is the variant with an exact O(1)-state
+    * streaming twin ([[graft.streaming.StreamOps.runsTestStream]]) —
+    * the median form can't stream exactly because every arrival
+    * re-ranks history. */
+  def runsTestAt(df: DataFrame, keyCol: String, orderCol: Column,
+      tieCol: Column, valueCol: String, thresholdMilli: Long): DataFrame = {
+    val signs = df
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
+        tieCol.cast("long").as("__t"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .filter(col("__v") =!= thresholdMilli)
+      .select(col("key"), col("__o"), col("__t"),
+        (col("__v") > thresholdMilli).as("__s"))
+    runsCensusTail(signs)
+  }
+
+  /** Shared census tail of the runs-test family: (key, __o, __t,
+    * __s) sign rows → run/above/below counts and the exact E[R] /
+    * Var(R) micro lanes. One keyed lag window + one key-grain
+    * aggregate. */
+  private def runsCensusTail(signs: DataFrame): DataFrame = {
+    val wTime = Window.partitionBy(col("key"))
+      .orderBy(col("__o"), col("__t"))
     signs
       .withColumn("__chg",
         when(lag(col("__s"), 1).over(wTime).isNull ||

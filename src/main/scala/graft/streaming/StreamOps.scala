@@ -36,6 +36,12 @@ case class TransitionStep(key: Long, from_type: String, to_type: String,
 case class SpaceSavingRow(key: Long, item: String, count: Long,
     error: Long, rank: Int)
 
+/** Running per-key runs census emitted by
+  * [[StreamOps.runsTestStream]] after each accepted non-threshold
+  * event. */
+case class RunsPoint(key: Long, order: Long, tie: Long, n: Long,
+    n1: Long, n2: Long, r: Long, e_r_micro: Long, var_micro: Long)
+
 /** Running per-key Durbin-Watson emitted by
   * [[StreamOps.durbinWatsonStream]] after each accepted event. */
 case class DurbinWatsonPoint(key: Long, order: Long, tie: Long,
@@ -371,6 +377,65 @@ object StreamOps {
             p
           }
           state.update((gp, gn))
+          out.iterator
+      }
+  }
+
+  /** Streaming runs test — the live twin of
+    * [[graft.operators.Learn.runsTestAt]] (the FIXED-threshold SPC
+    * form; the median form cannot stream exactly because every
+    * arrival re-ranks history): per key, O(1) state (last sign +
+    * the three counts), each accepted non-threshold event emits the
+    * exact running (n, n1, n2, r) census and E[R] / Var(R) micro
+    * lanes, so final == batch and every prefix == batch on that
+    * prefix. var_micro is -1 while n < 2 (the batch NULL; encoder
+    * lanes are primitive). Ordering contract and null filter are
+    * the [[mannKendallStream]] posture; rows AT the threshold drop
+    * without advancing state OR the acceptance cursor, matching the
+    * batch filter exactly. */
+  def runsTestStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String,
+      thresholdMilli: Long): Dataset[RunsPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Int, Long, Long, Long), RunsPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Int, Long, Long, Long)]) =>
+          // lastSign: -1 none yet, 0 below, 1 above
+          var (lastO, lastT, lastSign, n1, n2, r) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, -1, 0L, 0L, 0L))
+          val sorted = rows.map(x => (x._2, x._3, x._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val out = scala.collection.mutable.ArrayBuffer[RunsPoint]()
+          sorted.foreach { case (o, t, v) =>
+            if ((o > lastO || (o == lastO && t > lastT)) &&
+                v != thresholdMilli) {
+              val sign = if (v > thresholdMilli) 1 else 0
+              if (sign != lastSign) r += 1
+              if (sign == 1) n1 += 1 else n2 += 1
+              lastSign = sign
+              lastO = o; lastT = t
+              val n = n1 + n2
+              val eR = ((BigInt(n) + BigInt(2) * n1 * n2) * 1000000 /
+                BigInt(n)).toLong
+              val vr = if (n >= 2)
+                (BigInt(2) * n1 * n2 * (BigInt(2) * n1 * n2 - n) *
+                  1000000 / (BigInt(n) * n * (n - 1))).toLong
+              else -1L
+              out += RunsPoint(key, o, t, n, n1, n2, r, eR, vr)
+            }
+          }
+          state.update((lastO, lastT, lastSign, n1, n2, r))
           out.iterator
       }
   }

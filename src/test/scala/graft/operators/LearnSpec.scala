@@ -1868,6 +1868,14 @@ class LearnSpec extends SparkTestBase {
     // sorted sequence = minimal runs: 1..8 -> median 4 drops ->
     // 3 below, 4 above in order -> exactly 2 runs (clumped verdict)
     assert(run((1L to 8L).map(i => (9L, i, i.toDouble)))(9L)._4 == 2L)
+    // the fixed-threshold (SPC) form equals the median form when the
+    // threshold IS the median (shared census tail, r15)
+    val rows9 = (1L to 8L).map(i => (9L, i, i.toDouble))
+    val atMed = Learn.runsTestAt(rows9.toDF("k", "o", "v"), "k",
+        col("o"), col("o"), "v", thresholdMilli = 4000L)
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("n1"),
+        r.getAs[Long]("n2"), r.getAs[Long]("r"))).head
+    assert(atMed == ((7L, 4L, 3L, 2L)), s"atMed $atMed")
   }
 
   test("durbinWatson: hand lags, constant series, independence scale (r15)") {

@@ -1098,6 +1098,52 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(batchOn(Seq((7L, 1L, 1L, 0.0)))(7L)._4 == -1L)
   }
 
+  test("runsTestStream: stream == batch(runsTestAt) on every prefix, " +
+    "at-threshold drops, cross-batch carry (r15)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // threshold 500 milli: signs -,+,AT,-,-,+ for key 1 (the AT row
+    // value 0.5 drops in both lanes); key 2 all above
+    val rows = Seq((1L, 1L, 1L, 0.1), (1L, 2L, 2L, 0.9),
+      (1L, 3L, 3L, 0.5), (1L, 4L, 4L, 0.2), (1L, 5L, 5L, 0.3),
+      (1L, 6L, 6L, 0.8), (2L, 1L, 1L, 0.7), (2L, 2L, 2L, 0.9))
+    def batchOn(sub: Seq[(Long, Long, Long, Double)]) =
+      graft.operators.Learn.runsTestAt(sub.toDF("k", "o", "e", "v"),
+          "k", col("o"), col("e"), "v", thresholdMilli = 500L)
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+            r.getAs[Long]("r"), r.getAs[Long]("e_r_micro"),
+            if (r.isNullAt(r.fieldIndex("var_micro"))) -1L
+            else r.getAs[Long]("var_micro")))).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.runsTestStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v",
+        thresholdMilli = 500L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rts").start()
+    try {
+      stream.addData(rows.take(3): _*) // split right AT the drop row
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rts").as[RunsPoint].collect()
+    // the at-threshold row emitted nothing; key 1 emits 5 points
+    assert(streamed.count(_.key == 1L) == 5)
+    val batch = batchOn(rows)
+    val finals = streamed.groupBy(_.key).map { case (k, ps) =>
+      val last = ps.maxBy(p => (p.order, p.tie))
+      k -> ((last.n, last.n1, last.n2, last.r, last.e_r_micro,
+        last.var_micro))
+    }
+    assert(finals == batch, s"finals $finals != batch $batch")
+    // prefix parity at key 1 after 4 accepted events (orders 1,2,4,5)
+    val pre = batchOn(rows.take(5))(1L)
+    val got = streamed.filter(_.key == 1L).find(_.n == 4L).get
+    assert((got.n, got.n1, got.n2, got.r, got.e_r_micro,
+      got.var_micro) == pre)
+  }
+
   test("spaceSavingStream: bounded summary tracks the reference, " +
     "guarantee holds") {
     import spark.implicits._

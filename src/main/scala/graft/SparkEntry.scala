@@ -4504,6 +4504,22 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // q478: ray-casting point-in-polygon on a CONCAVE L-shape — the
+    // grid puts points inside both arms, inside the notch (outside!),
+    // on edges and vertices (half-open rule decides, both engines run
+    // the same division-free integer comparisons).
+    "q478_point_in_polygon" -> ((s, dir) => {
+      val l = Seq((0L, 0L), (40L, 0L), (40L, 20L), (20L, 20L),
+        (20L, 40L), (0L, 40L))
+      Tables.events(s, dir).filter(col("event_id") < 3000)
+        .select(col("event_id"),
+          pmod(col("event_id"), lit(50)).as("x"),
+          (pmod(expr("event_id div 50"), lit(50))).as("y"))
+        .withColumn("inside",
+          operators.Geo.pointInPolygon(col("x"), col("y"), l))
+        .orderBy(col("event_id"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13262,6 +13278,28 @@ object SparkEntry {
         |    // (CAST(n AS HUGEINT) * n * (n - 1)) AS BIGINT) END
         |    AS var_micro
         |FROM a ORDER BY key""".stripMargin,
+
+    // q478: the same half-open crossing count as edge VALUES — the
+    // inequality direction follows sign(y2-y1), multiplied out so no
+    // division exists in either lane.
+    "q478_point_in_polygon" ->
+      """WITH e(x1, y1, x2, y2) AS (VALUES
+        |    (0, 0, 40, 0), (40, 0, 40, 20), (40, 20, 20, 20),
+        |    (20, 20, 20, 40), (20, 40, 0, 40), (0, 40, 0, 0)),
+        |p AS (SELECT event_id, event_id % 50 AS x,
+        |    (event_id // 50) % 50 AS y
+        |  FROM events WHERE event_id < 3000),
+        |c AS (SELECT p.event_id, SUM(CASE WHEN y1 <> y2
+        |      AND ((y1 < y2 AND y1 <= y AND y < y2)
+        |        OR (y2 < y1 AND y2 <= y AND y < y1))
+        |      AND (CASE WHEN y2 > y1
+        |        THEN (x - x1) * (y2 - y1) < (y - y1) * (x2 - x1)
+        |        ELSE (x - x1) * (y2 - y1) > (y - y1) * (x2 - x1) END)
+        |    THEN 1 ELSE 0 END) AS cr
+        |  FROM p, e GROUP BY p.event_id)
+        |SELECT p.event_id, CAST(p.x AS BIGINT) AS x,
+        |  CAST(p.y AS BIGINT) AS y, (c.cr % 2 = 1) AS inside
+        |FROM p JOIN c USING (event_id) ORDER BY p.event_id""".stripMargin,
 
     // q477: the q475 kernel minus the median spine — fixed threshold.
     "q477_runs_test_at" ->

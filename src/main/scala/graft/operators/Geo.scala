@@ -71,6 +71,61 @@ object Geo {
         .cast("boolean"))
   }
 
+  /** Ray-casting point-in-polygon for ARBITRARY simple polygons —
+    * the non-convex complement of [[convexContains]] (real
+    * geofences are concave: coastlines, city limits, L-shaped
+    * campuses). Standard even-odd crossing count with the HALF-OPEN
+    * edge rule (y1 <= y < y2 on upward edges, y2 <= y < y1 on
+    * downward, horizontal edges never cross) — every point gets a
+    * deterministic verdict, shared-vertex double counting is
+    * impossible by construction, and a point exactly ON a
+    * non-horizontal right edge follows the strict `<` (documented;
+    * the rule, not an epsilon, decides boundaries). The crossing
+    * test is division-free: x < x_edge(y) is multiplied out to
+    * (x−x1)(y2−y1) <> (y−y1)(x2−x1) with the inequality direction
+    * following sign(y2−y1) — exact BIGINT, the [[convexContains]]
+    * bound discipline on both the vertex table (loud require) and
+    * the point columns (loud in-plan raise). NULLs stay NULL.
+    *
+    * Per row: |polygon| codegen'd integer comparisons, zero
+    * exchange — broadcastable to any scale like the convex form. */
+  def pointInPolygon(x: Column, y: Column,
+      polygon: Seq[(Long, Long)]): Column = {
+    require(polygon.length >= 3,
+      s"polygon needs >= 3 vertices, got ${polygon.length}")
+    val bound = 1100000000L
+    require(polygon.forall(v => math.abs(v._1) <= bound &&
+      math.abs(v._2) <= bound),
+      s"polygon coordinates must be |v| <= $bound for exact BIGINT crosses")
+    val area2 = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.length)
+      x1 * y2 - x2 * y1
+    }.sum
+    require(area2 != 0L, "degenerate polygon (zero area)")
+    val crossings = polygon.indices.map { i =>
+      val (x1, y1) = polygon(i)
+      val (x2, y2) = polygon((i + 1) % polygon.length)
+      if (y1 == y2) lit(0L)
+      else {
+        val spans =
+          if (y2 > y1) lit(y1) <= y && y < lit(y2)
+          else lit(y2) <= y && y < lit(y1)
+        val lhs = (x - lit(x1)) * lit(y2 - y1)
+        val rhs = (y - lit(y1)) * lit(x2 - x1)
+        val leftOf = if (y2 > y1) lhs < rhs else lhs > rhs
+        when(spans && leftOf, 1L).otherwise(0L)
+      }
+    }.reduce(_ + _)
+    when(x.isNull || y.isNull, lit(null).cast("boolean"))
+      .when(abs(x) <= bound && abs(y) <= bound, crossings % 2 === 1L)
+      .otherwise(raise_error(concat(
+        lit(s"pointInPolygon: point coordinate exceeds |v| <= $bound" +
+          " (the BIGINT-exact bound): ("),
+        x.cast("string"), lit(", "), y.cast("string"), lit(")")))
+        .cast("boolean"))
+  }
+
   /** Tag each point row with membership booleans for a named set of
     * convex regions — the geofence enrichment: one projection, all
     * regions' tests codegen'd inline, zero exchange. */

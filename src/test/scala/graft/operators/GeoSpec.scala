@@ -53,4 +53,49 @@ class GeoSpec extends SparkTestBase {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"geofence must not shuffle:\n$plan")
   }
+
+  test("pointInPolygon: concave L-shape — notch outside, half-open edges, guards (r15)") {
+    import spark.implicits._
+    // L: (0,0)-(40,0)-(40,20)-(20,20)-(20,40)-(0,40); notch = the
+    // open quadrant x>20, y>20
+    val l = Seq((0L, 0L), (40L, 0L), (40L, 20L), (20L, 20L),
+      (20L, 40L), (0L, 40L))
+    def in(x: Long, y: Long): Boolean =
+      Seq((x, y)).toDF("x", "y")
+        .select(Geo.pointInPolygon(col("x"), col("y"), l).as("i"))
+        .collect().head.getBoolean(0)
+    assert(in(10, 10) && in(30, 10) && in(10, 30)) // both arms + corner
+    assert(!in(30, 30) && !in(50, 10) && !in(10, 50)) // notch + outside
+    // half-open rule: bottom/left boundaries inside, top/right outside
+    assert(in(0, 10) && in(10, 0) && in(0, 0))
+    assert(!in(40, 10) && !in(10, 40) && !in(40, 20) && !in(20, 40))
+    // the concave corner (20,20) and (30,20) sit ON top-facing
+    // edges: the half-open rule resolves them OUTSIDE, same family
+    // as the top/right boundaries above; (20,10) is strict interior
+    assert(!in(20, 20) && in(20, 10) && !in(30, 20))
+    // nulls stay null; out-of-bound points raise loudly
+    val n = Seq((Option.empty[Long], Option(1L))).toDF("x", "y")
+      .select(Geo.pointInPolygon(col("x"), col("y"), l).as("i"))
+      .collect().head
+    assert(n.isNullAt(0))
+    val err = intercept[Exception] {
+      Seq((3000000000L, 1L)).toDF("x", "y")
+        .select(Geo.pointInPolygon(col("x"), col("y"), l).as("i"))
+        .collect()
+    }
+    assert(err.getMessage != null && err.getMessage.contains("pointInPolygon"))
+    // degenerate / tiny polygons refused at plan time
+    intercept[IllegalArgumentException] {
+      Geo.pointInPolygon(col("x"), col("y"), Seq((0L, 0L), (1L, 1L)))
+    }
+    // parity with convexContains on a convex polygon's INTERIOR
+    // (boundaries differ by design: >= vs half-open — documented)
+    val sq = Seq((0L, 0L), (20L, 0L), (20L, 20L), (0L, 20L))
+    val pts = for (x <- 1L to 19L by 3; y <- 1L to 19L by 3) yield (x, y)
+    val both = pts.toDF("x", "y")
+      .select(Geo.pointInPolygon(col("x"), col("y"), sq).as("a"),
+        Geo.convexContains(col("x"), col("y"), sq).as("b"))
+      .collect()
+    assert(both.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+  }
 }

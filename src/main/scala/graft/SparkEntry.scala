@@ -4520,6 +4520,18 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // q479: dwell-time census per user — the duration companion of
+    // the q14/q268 behavioral lanes; intervals charge to the state
+    // at their start, trailing open intervals reported not guessed.
+    "q479_dwell_times" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(200)).as("u"), col("ts"),
+          col("event_id"), col("event_type"))
+      operators.Relational.dwellTimes(e, "u", "ts", "event_id",
+          "event_type")
+        .orderBy(col("key"), col("state"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13300,6 +13312,25 @@ object SparkEntry {
         |SELECT p.event_id, CAST(p.x AS BIGINT) AS x,
         |  CAST(p.y AS BIGINT) AS y, (c.cr % 2 = 1) AS inside
         |FROM p JOIN c USING (event_id) ORDER BY p.event_id""".stripMargin,
+
+    // q479: LEAD over the same (ts, id) total order; epoch_us both
+    // sides.
+    "q479_dwell_times" ->
+      """WITH s AS (SELECT user_id % 200 AS key, epoch_us(ts) AS us,
+        |    event_id AS id, event_type AS state
+        |  FROM events WHERE event_id < 20000 AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL AND event_type IS NOT NULL),
+        |l AS (SELECT key, state, us,
+        |    LEAD(us) OVER (PARTITION BY key ORDER BY us, id) AS nxt
+        |  FROM s)
+        |SELECT key, state, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_intervals,
+        |  CAST(COALESCE(SUM(CASE WHEN nxt IS NOT NULL THEN nxt - us
+        |    ELSE 0 END), 0) AS BIGINT) AS dwell_us,
+        |  CAST(SUM(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_open
+        |FROM l GROUP BY key, state ORDER BY key, state""".stripMargin,
 
     // q477: the q475 kernel minus the median spine — fixed threshold.
     "q477_runs_test_at" ->

@@ -2456,6 +2456,47 @@ object Relational {
         "CAST((1000000 * n_active) div cohort_size AS BIGINT)"))
   }
 
+  /** Dwell-time census — how long does each key SPEND in each state
+    * (the duration companion of [[transitionCensus]], which counts
+    * steps but not time): per key, events order by (ts, id) (a total
+    * order) and the interval from each event to its successor is
+    * charged to the state AT the interval\'s start. Per (key, state):
+    *   n_events    — observations entering the state
+    *   n_intervals — closed intervals (successor exists)
+    *   dwell_us    — exact Σ(next_ts − ts) over closed intervals
+    *   n_open      — trailing events with no successor (their dwell
+    *                 is UNKNOWN, reported rather than guessed — a
+    *                 caller with a horizon can add it)
+    * All BIGINT; out-of-order duplicates are fine (the total order
+    * decides adjacency, matching transitionCensus exactly).
+    *
+    * Shape: one key-partitioned lead window (the row-scale
+    * exchange) + one (key, state) hash aggregate. */
+  def dwellTimes(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val staged = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("__us"),
+        col(idCol).cast("long").as("__id"),
+        col(typeCol).cast("string").as("state"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(col("__us").asc, col("__id").asc)
+    staged
+      .withColumn("__nxt", lead(col("__us"), 1).over(w))
+      .groupBy(col("key"), col("state"))
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(sum(when(col("__nxt").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_intervals"),
+        coalesce(sum(when(col("__nxt").isNotNull,
+          col("__nxt") - col("__us")).otherwise(0L)), lit(0L))
+          .as("dwell_us"),
+        coalesce(sum(when(col("__nxt").isNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_open"))
+  }
+
   /** Session transition census — the first-order Markov structure
     * of an event log: per key, order events by (ts, id) (a total
     * order) and count every adjacent (from_type → to_type) step,

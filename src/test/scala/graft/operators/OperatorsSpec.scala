@@ -1402,6 +1402,29 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       .collect()
     assert(t2.length == 1 && t2.head.getAs[String]("from_type") == "x")
   }
+  test("dwellTimes: hand intervals, state-at-start charging, open tails (r15)") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // key 1: a@0s -> b@10s -> a@25s -> (open a)
+    //   a: events 2, intervals: a@0(10s) + a@25(open) -> dwell 10s,
+    //      n_open 1; b: 1 event, interval 15s
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 00:00:10"), 2L, "b"),
+      (1L, t("2024-01-01 00:00:25"), 3L, "a"),
+      (2L, t("2024-01-01 00:00:00"), 4L, "x"))
+    val got = Relational.dwellTimes(rows.toDF("u", "ts", "id", "et"),
+        "u", "ts", "id", "et")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("state")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_intervals"),
+          r.getAs[Long]("dwell_us"), r.getAs[Long]("n_open")))).toMap
+    assert(got((1L, "a")) == ((2L, 1L, 10000000L, 1L)))
+    assert(got((1L, "b")) == ((1L, 1L, 15000000L, 0L)))
+    // a lone event is all-open: zero dwell, reported not guessed
+    assert(got((2L, "x")) == ((1L, 0L, 0L, 1L)))
+    assert(got.size == 3)
+  }
+
   test("allenCensus: all 13 relations against a reference classifier") {
     import spark.implicits._
     def ref(as: Long, ae: Long, bs: Long, be: Long): String =

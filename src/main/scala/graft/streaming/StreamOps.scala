@@ -36,6 +36,12 @@ case class TransitionStep(key: Long, from_type: String, to_type: String,
 case class SpaceSavingRow(key: Long, item: String, count: Long,
     error: Long, rank: Int)
 
+/** One CLOSED dwell interval emitted by
+  * [[StreamOps.dwellTimesStream]] the moment its successor event
+  * arrives. */
+case class DwellInterval(key: Long, state: String, start_us: Long,
+    end_us: Long, dwell_us: Long)
+
 /** Running per-key runs census emitted by
   * [[StreamOps.runsTestStream]] after each accepted non-threshold
   * event. */
@@ -377,6 +383,50 @@ object StreamOps {
             p
           }
           state.update((gp, gn))
+          out.iterator
+      }
+  }
+
+  /** Streaming dwell intervals — the live twin of
+    * [[graft.operators.Relational.dwellTimes]]: per key, O(1) state
+    * (the last event\'s ts/id/state), and each event CLOSES its
+    * predecessor\'s interval the moment it arrives — the interval
+    * charges to the state at its start, exactly the batch charging
+    * rule, so aggregating this stream per (key, state) equals the
+    * batch operator\'s closed lanes (n_intervals, dwell_us)
+    * row-for-row; the still-open tail is exactly what batch reports
+    * as n_open. The [[transitionStream]] with durations; ordering
+    * contract and null filter are that operator\'s posture. */
+  def dwellTimesStream(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): Dataset[DwellInterval] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(idCol).isNotNull && col(typeCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("us"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("ty"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), DwellInterval](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          var last: (Long, Long, String) = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[DwellInterval]
+          sorted.foreach { case (us, id, ty) =>
+            if (last == null || us > last._1 ||
+                (us == last._1 && id > last._2)) {
+              if (last != null)
+                out += DwellInterval(key, last._3, last._1, us,
+                  us - last._1)
+              last = (us, id, ty)
+            }
+          }
+          if (last != null) state.update(last)
           out.iterator
       }
   }

@@ -1144,6 +1144,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       got.var_micro) == pre)
   }
 
+  test("dwellTimesStream: aggregated stream == batch closed lanes, " +
+    "cross-batch interval close (r15)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // the batch dwellTimes fixture plus a second key's walk
+    val rows = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L, "a"),
+      (1L, t("2024-01-01 00:00:10"), 2L, "b"),
+      (1L, t("2024-01-01 00:00:25"), 3L, "a"),
+      (2L, t("2024-01-01 00:00:00"), 4L, "x"),
+      (2L, t("2024-01-01 00:00:07"), 5L, "x"))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val q = StreamOps.dwellTimesStream(
+        stream.toDF().toDF("u", "ts", "id", "et"), "u", "ts", "id", "et")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dwl").start()
+    try {
+      // split MID-key-1: the a@0s interval must close ACROSS the gap
+      stream.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dwl").as[DwellInterval].collect()
+    // exactly the three closed intervals; each charges to the state
+    // at its start and end - start == dwell
+    assert(streamed.length == 3 &&
+      streamed.forall(p => p.end_us - p.start_us == p.dwell_us))
+    assert(streamed.map(p => (p.key, p.state, p.dwell_us)).toSet ==
+      Set((1L, "a", 10000000L), (1L, "b", 15000000L),
+        (2L, "x", 7000000L)))
+    // aggregate == the batch operator's CLOSED lanes
+    val agg = streamed.groupBy(p => (p.key, p.state)).map { case (k, ps) =>
+      k -> ((ps.size.toLong, ps.map(_.dwell_us).sum))
+    }
+    val batch = graft.operators.Relational.dwellTimes(
+        rows.toDF("u", "ts", "id", "et"), "u", "ts", "id", "et")
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("state")) ->
+        ((r.getAs[Long]("n_intervals"), r.getAs[Long]("dwell_us"))))
+      .filter(_._2._1 > 0).toMap
+    assert(agg == batch, s"agg $agg != batch $batch")
+    // durations exact: a@0 closed by b@10 (10s), b@10 by a@25 (15s),
+    // x@0 by x@7 (7s)
+    assert(streamed.map(_.dwell_us).toSet ==
+      Set(10000000L, 15000000L, 7000000L))
+  }
+
   test("spaceSavingStream: bounded summary tracks the reference, " +
     "guarantee holds") {
     import spark.implicits._

@@ -1208,5 +1208,24 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     val ep = plan(topk)
     assert(countNodes(ep)(_.isInstanceOf[
       org.apache.spark.sql.execution.joins.CartesianProductExec]) == 0)
+    // the ordered-data QA family: one keyed window + one key-grain
+    // aggregate each (runsTest adds its per-key median spine) — a
+    // bounded handful of key-partitioned exchanges, never global
+    val e = sources.Tables.events(spark, sf)
+      .select(pmod(col("user_id"), lit(20)).as("k"), col("event_id"),
+        col("ts"), col("event_type"), col("value"))
+    assert(exchanges(operators.Learn.durbinWatson(e, "k",
+      col("event_id"), col("event_id"), "value")) <= 2)
+    assert(exchanges(operators.Learn.runsTestAt(e, "k",
+      col("event_id"), col("event_id"), "value", 500L)) <= 2)
+    assert(exchanges(operators.Learn.runsTest(e, "k",
+      col("event_id"), col("event_id"), "value")) <= 5)
+    assert(exchanges(operators.Relational.dwellTimes(e, "k", "ts",
+      "event_id", "event_type")) <= 2)
+    // point-in-polygon is a pure row-local projection: zero exchange
+    assert(exchanges(e.select(operators.Geo.pointInPolygon(
+      col("event_id") % 50, col("event_id") % 40,
+      Seq((0L, 0L), (40L, 0L), (40L, 20L), (20L, 20L), (20L, 40L),
+        (0L, 40L))).as("i"))) == 0)
   }
 }

@@ -4532,6 +4532,18 @@ object SparkEntry {
         .orderBy(col("key"), col("state"))
     }),
 
+    // q480: exact per-cohort quantile table (p25/p50/p90/p99) on the
+    // run-grain spine — the integer-exact complement of the
+    // interpolating percentile (q25 family), lower-quantile rank
+    // selection both engines replay verbatim.
+    "q480_exact_quantiles" -> ((s, dir) => {
+      val e = Tables.events(s, dir).filter(col("event_id") < 20000)
+        .select(pmod(col("user_id"), lit(20)).as("u"), col("value"))
+      operators.Learn.exactQuantiles(e, "u", "value",
+          Seq(250L, 500L, 900L, 990L))
+        .orderBy(col("group"), col("q_milli"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13331,6 +13343,24 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN nxt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_open
         |FROM l GROUP BY key, state ORDER BY key, state""".stripMargin,
+
+    // q480: runs + group cumulative + the ceil-rank filter, per q.
+    "q480_exact_quantiles" ->
+      """WITH s AS (SELECT CAST(user_id % 20 AS VARCHAR) AS grp,
+        |    CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        |  FROM events WHERE event_id < 20000 AND value IS NOT NULL),
+        |r AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM s
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT grp, v, c,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cc,
+        |    SUM(c) OVER (PARTITION BY grp) AS n FROM r),
+        |q(q_milli) AS (VALUES (250), (500), (900), (990))
+        |SELECT cu.grp AS "group", CAST(q.q_milli AS BIGINT) AS q_milli,
+        |  CAST(MAX(cu.n) AS BIGINT) AS n,
+        |  CAST(MIN(cu.v) AS BIGINT) AS value_milli
+        |FROM cu, q
+        |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // q477: the q475 kernel minus the median spine — fixed threshold.
     "q477_runs_test_at" ->

@@ -2066,6 +2066,46 @@ object Learn {
           .as("trimmed_mean_milli"))
   }
 
+  /** Exact per-group quantile table — the [[robustLocation]] median
+    * selection generalized to any quantile list and any group column
+    * (p50/p90/p99 SLO reporting, per-source length budgets): for
+    * each group and each q (milli), the LOWER quantile — the value
+    * at rank ⌈q·n/1000⌉ of the group\'s milli-quantized values —
+    * selected exactly on the run-grain cumulative spine, never by
+    * interpolation (Spark\'s `percentile` returns an interpolated
+    * DOUBLE; this is the integer-exact, cross-engine-replayable
+    * complement, and at 100 TB the runs table per group is the
+    * value-domain size, not the row count).
+    *
+    * Output grain: (group, q_milli) with n and value_milli lanes.
+    * Shape: one row-scale (group, value) runs aggregate, group-keyed
+    * cumulative windows, a broadcast quantile list, one final
+    * (group, q) aggregate — no partition-less window anywhere. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qMillis: Seq[Long]): DataFrame = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
+      s"qMillis must be non-empty with every q in [1,1000], got $qMillis")
+    require(qMillis.distinct.size == qMillis.size,
+      s"duplicate quantiles in $qMillis")
+    val staged = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("group"),
+        floor(col(valueCol) * 1000).cast("long").as("__v"))
+    val runs = staged.groupBy(col("group"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wg = Window.partitionBy(col("group"))
+    val cum = runs
+      .withColumn("__cc", sum(col("__c")).over(wg.orderBy(col("__v"))))
+      .withColumn("__n", sum(col("__c")).over(wg))
+    val qs = qMillis.sorted.map(q => lit(q)).toArray
+    cum
+      .select(col("group"), col("__v"), col("__cc"), col("__n"),
+        explode(array(qs: _*)).as("q_milli"))
+      .filter(col("__cc") >= expr("(q_milli * __n + 999) div 1000"))
+      .groupBy(col("group"), col("q_milli"))
+      .agg(max(col("__n")).as("n"), min(col("__v")).as("value_milli"))
+  }
+
   /** Correlation ratio η² — "how much of this numeric column does
     * that categorical column explain" (the ANOVA-style effect size
     * every dataset profiler wants next to the q128 pair stats;

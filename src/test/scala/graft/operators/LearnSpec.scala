@@ -1840,6 +1840,35 @@ class LearnSpec extends SparkTestBase {
     assert(withNulls(1L) == ((10L, 45L, 2250L, "inc")))
   }
 
+  test("exactQuantiles: lower-quantile ranks, ties, q extremes (r15)") {
+    // group A: milli 1000..10000 in 1000 steps (n=10): rank(q) =
+    // ceil(10q/1000) -> p250 = rank 3 = 3000, p500 = rank 5, p990 =
+    // rank 10 = 10000, p1 = rank 1 = 1000
+    // group B: 5x the value 7.0 -> every quantile = 7000
+    val rows = (1L to 10L).map(i => ("A", i.toDouble)) ++
+      (1 to 5).map(_ => ("B", 7.0))
+    val got = Learn.exactQuantiles(rows.toDF("g", "v"), "g", "v",
+        Seq(1L, 250L, 500L, 990L, 1000L))
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Long]("q_milli")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("value_milli")))).toMap
+    assert(got(("A", 1L)) == ((10L, 1000L)))
+    assert(got(("A", 250L)) == ((10L, 3000L)))
+    assert(got(("A", 500L)) == ((10L, 5000L)))
+    assert(got(("A", 990L)) == ((10L, 10000L)))
+    assert(got(("A", 1000L)) == ((10L, 10000L)))
+    assert(Seq(1L, 250L, 500L, 990L, 1000L).forall(q =>
+      got(("B", q)) == ((5L, 7000L))))
+    assert(got.size == 10)
+    // bad quantiles refused loudly
+    intercept[IllegalArgumentException] {
+      Learn.exactQuantiles(rows.toDF("g", "v"), "g", "v", Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      Learn.exactQuantiles(rows.toDF("g", "v"), "g", "v", Seq(500L, 500L))
+    }
+  }
+
   test("runsTest: hand runs, at-median drops, alternation extremes (r15)") {
     def run(rows: Seq[(Long, Long, Double)]) =
       Learn.runsTest(rows.toDF("k", "o", "v"), "k", col("o"), col("o"), "v")

@@ -209,6 +209,20 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
 
+  test("rrfFuse: input row order is irrelevant (r15)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7L)
+    val base = (1 to 40).map(i => ((i % 3).toLong, (i * 7 % 11).toLong,
+      (i % 5 + 1).toLong))
+    def fuse(rows: Seq[(Long, Long, Long)]) =
+      graft.operators.Similarity.rrfFuse(rows.toDF("q", "d", "r"),
+          "q", "d", "r", k = 4)
+        .collect().map(r => (r.getAs[Long]("query"), r.getAs[Long]("doc")) ->
+          ((r.getAs[Long]("rrf_micro"), r.getAs[Long]("rank")))).toMap
+    val a = fuse(base)
+    assert(a.nonEmpty && a == fuse(rng.shuffle(base)))
+  }
+
   test("rrfFuse: hand fusion — consensus beats single-ranker, ties break on doc, floors exact (r15)") {
     import spark.implicits._
     // ranker A: q1 -> docs 7(r1), 8(r2), 9(r3); ranker B: q1 -> 8(r1), 5(r2)

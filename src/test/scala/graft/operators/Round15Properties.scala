@@ -34,6 +34,23 @@ object Round15Properties extends Properties("graft.round15") {
       rt != null && java.util.Arrays.equals(rt, raw)
     }
 
+  /** random 8-bit content with zeroed pad cells */
+  private def raw8(w: Int, h: Int): Gen[Array[Byte]] = {
+    val stride = (w + 3) / 4 * 4
+    Gen.listOfN(stride * h, Gen.choose(0, 250)).map { vs =>
+      vs.zipWithIndex.map { case (v, i) =>
+        if (i % stride < w) v.toByte else 0: Byte
+      }.toArray
+    }
+  }
+
+  property("decodeRle8 ∘ encodeRle8 = id over random content/geometry") =
+    forAll(geometry.flatMap { case (w, h) =>
+      raw8(w, h).map(r => (w, h, r)) }) { case (w, h, raw) =>
+      val rt = Video.decodeRle8(Video.encodeRle8(raw, w, h), w, h)
+      rt != null && java.util.Arrays.equals(rt, raw)
+    }
+
   // strict-walk fuzz: random bytes must decode to null or a
   // well-formed frame — never throw, never a wrong-size array
   private val garbage: Gen[Array[Byte]] =

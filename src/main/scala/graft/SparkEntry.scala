@@ -4544,6 +4544,34 @@ object SparkEntry {
         .orderBy(col("group"), col("q_milli"))
     }),
 
+    // q481: incremental inverted-index maintenance — the identity
+    // census upsert(index(A), Δ, D) == index((A∖ids(Δ)∖D) ∪ Δ). A is
+    // the corpus WITHOUT the new-docs cohort and with STALE text
+    // (an appended marker token) for the re-ingest cohort; the delta
+    // re-ingests the true text and adds the new docs; the deletion
+    // list drops a third cohort. The oracle is a FROM-SCRATCH DuckDB
+    // rebuild of the merged corpus — every posting, position list,
+    // gap encode and token stat must equal an index that never saw
+    // the stale state (so the marker token must vanish entirely).
+    // Tokenization touches only the delta (plan-pinned: TextOpsSpec).
+    "q481_upsert_index" -> ((s, dir) => {
+      val u = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      val isNew = col("doc_id") % 7 === 3
+      val isRepl = col("doc_id") % 7 =!= 3 && col("doc_id") % 5 === 0
+      val isDel = col("doc_id") % 7 =!= 3 && col("doc_id") % 5 =!= 0 &&
+        col("doc_id") % 11 === 0
+      val a = u.filter(!isNew).select(col("doc_id"),
+        when(isRepl, concat(col("text"), lit(" stalemarker")))
+          .otherwise(col("text")).as("text"))
+      val delta = u.filter(isNew || isRepl)
+        .select(col("doc_id"), col("text"))
+      val deleted = u.filter(isDel).select(col("doc_id"))
+      operators.TextOps.upsertIndex(
+          operators.TextOps.invertedIndex(a, "doc_id", "text"),
+          delta, "doc_id", "text", deleted, "doc_id")
+        .orderBy(col("token"), col("doc"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13361,6 +13389,35 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q481: the q205 from-scratch index SQL over the MERGED corpus —
+    // new cohort present, re-ingest cohort at true text (no stale
+    // marker anywhere), deleted cohort absent. Equality proves the
+    // incremental merge byte-for-byte.
+    "q481_upsert_index" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 120
+        |    AND NOT (doc_id % 7 <> 3 AND doc_id % 5 <> 0
+        |      AND doc_id % 11 = 0)
+        |    AND length(trim(text)) > 0),
+        |tok AS (SELECT doc_id AS doc, CAST(u.i - 1 AS BIGINT) AS pos,
+        |    toks[CAST(u.i AS INT)] AS token
+        |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[CAST(u.i AS INT)] <> ''),
+        |post AS (SELECT token, doc, CAST(COUNT(*) AS BIGINT) AS tf,
+        |    list_sort(list(pos)) AS ps
+        |  FROM tok GROUP BY 1, 2),
+        |agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+        |    CAST(SUM(tf) AS BIGINT) AS total_tf FROM post GROUP BY 1)
+        |SELECT post.token, doc_freq, total_tf, doc, tf,
+        |  array_to_string(ps, ',') AS positions,
+        |  array_to_string(list_transform(range(1, len(ps) + 1),
+        |    i -> ps[CAST(i AS INT)] -
+        |      CASE WHEN i = 1 THEN 0 ELSE ps[CAST(i AS INT) - 1] END),
+        |    ',') AS positions_delta
+        |FROM post JOIN agg USING (token)
+        |ORDER BY token, doc""".stripMargin,
 
     // q477: the q475 kernel minus the median spine — fixed threshold.
     "q477_runs_test_at" ->

@@ -36,12 +36,16 @@ object Geo {
       math.abs(v._2) <= bound),
       s"polygon coordinates must be |v| <= $bound for exact BIGINT crosses")
     // signed doubled area via the shoelace sum: > 0 = CCW
+    // BigInt shoelace (r15 advice): at |v| <= 1.1e9 each cross term
+    // reaches ~2.4e18, so a Long sum over a handful of vertices can
+    // wrap and make this require unreliable; this runs driver-side
+    // once per plan, so exact arithmetic costs nothing.
     val area2 = polygon.indices.map { i =>
       val (x1, y1) = polygon(i)
       val (x2, y2) = polygon((i + 1) % polygon.length)
-      x1 * y2 - x2 * y1
+      BigInt(x1) * y2 - BigInt(x2) * y1
     }.sum
-    require(area2 != 0L, "degenerate polygon (zero area)")
+    require(area2 != 0, "degenerate polygon (zero area)")
     val ccw = if (area2 > 0) polygon else polygon.reverse
     // convexity check: every consecutive turn must be a left turn
     // (>= 0 allows collinear vertices)
@@ -49,7 +53,10 @@ object Geo {
       val (ax, ay) = ccw(i)
       val (bx, by) = ccw((i + 1) % ccw.length)
       val (cx, cy) = ccw((i + 2) % ccw.length)
-      (bx - ax) * (cy - ay) - (cx - ax) * (by - ay) >= 0L
+      // BigInt for the same reason as area2: the difference of two
+      // ~4.8e18 products can exceed Long range at the allowed bound
+      (BigInt(bx) - ax) * (BigInt(cy) - ay) -
+        (BigInt(cx) - ax) * (BigInt(by) - ay) >= 0
     }
     require(convex, "polygon is not convex")
     val inside = ccw.indices.map { i =>
@@ -97,12 +104,16 @@ object Geo {
     require(polygon.forall(v => math.abs(v._1) <= bound &&
       math.abs(v._2) <= bound),
       s"polygon coordinates must be |v| <= $bound for exact BIGINT crosses")
+    // BigInt shoelace (r15 advice): at |v| <= 1.1e9 each cross term
+    // reaches ~2.4e18, so a Long sum over a handful of vertices can
+    // wrap and make this require unreliable; this runs driver-side
+    // once per plan, so exact arithmetic costs nothing.
     val area2 = polygon.indices.map { i =>
       val (x1, y1) = polygon(i)
       val (x2, y2) = polygon((i + 1) % polygon.length)
-      x1 * y2 - x2 * y1
+      BigInt(x1) * y2 - BigInt(x2) * y1
     }.sum
-    require(area2 != 0L, "degenerate polygon (zero area)")
+    require(area2 != 0, "degenerate polygon (zero area)")
     val crossings = polygon.indices.map { i =>
       val (x1, y1) = polygon(i)
       val (x2, y2) = polygon((i + 1) % polygon.length)

@@ -3777,8 +3777,12 @@ object Learn {
     * partitions, never global. */
   def runsTest(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String): DataFrame = {
+    // r15 advice: null (or non-castable) order/tie values must DROP,
+    // not sort nulls-first into the run sequence — the r14 null-filter
+    // discipline, applied to all staged columns.
     val staged = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))
@@ -3807,7 +3811,8 @@ object Learn {
   def runsTestAt(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String, thresholdMilli: Long): DataFrame = {
     val signs = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))
@@ -3907,11 +3912,13 @@ object Learn {
     val spark = df.sparkSession
     import spark.implicits._
     // full null-filter discipline (r14 advice): a null key / order /
-    // tie — or a non-castable one, which the long cast turns into
-    // null — would hit the non-nullable Long encoder and fail the
-    // job at runtime; filter on the CAST result so both cases drop,
-    // matching the pettittTest/kendallTau posture.
-    df.filter(col(valueCol).isNotNull &&
+    // tie / value — or a non-castable one, which the cast turns into
+    // null — would hit the non-nullable encoder and fail the job at
+    // runtime; filter on the CAST result for ALL FOUR columns so
+    // both cases drop (r15 advice: the value lane needs the cast
+    // filter too — a non-castable string value is exactly the same
+    // failure class), matching the pettittTest/kendallTau posture.
+    df.filter(col(valueCol).cast("double").isNotNull &&
         col(keyCol).cast("long").isNotNull &&
         orderCol.cast("long").isNotNull &&
         tieCol.cast("long").isNotNull)

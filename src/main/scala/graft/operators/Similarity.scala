@@ -68,24 +68,27 @@ object Similarity {
     * rankers rows, NEVER corpus-scale); one (query, doc) aggregate +
     * the grouped top-k window (WindowGroupLimit). n_rankers rides
     * along so consumers can tell consensus hits from single-ranker
-    * ones. */
+    * ones.
+    *
+    * One kernel, two contracts: the aggregate+window tail IS
+    * [[graft.operators.Learn.rrfFuse]] — this form adds the
+    * long-cast id lanes and the (rank, n_rankers) column contract on
+    * top of it, so the Cormack fold has exactly one source of
+    * truth. */
   def rrfFuse(ranks: DataFrame, queryCol: String, docCol: String,
       rankCol: String, k: Int, kRrf: Long = 60L): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
-    require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
-    val fused = ranks
+    require(kRrf >= 1 && kRrf <= Int.MaxValue,
+      s"kRrf must be in [1, ${Int.MaxValue}], got $kRrf")
+    val cast = ranks
       .select(col(queryCol).cast("long").as("query"),
         col(docCol).cast("long").as("doc"),
         col(rankCol).cast("long").as("__r"))
-      .filter(col("__r") >= 1L)
-      .groupBy(col("query"), col("doc"))
-      .agg(sum(expr(s"1000000 div ($kRrf + __r)")).as("rrf_micro"),
-        count(lit(1)).as("n_rankers"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query"))
-      .orderBy(col("rrf_micro").desc, col("doc").asc)
-    fused.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    Learn.rrfFuse(cast, "query", "doc", "__r",
+        k = kRrf.toInt, topK = k)
+      .select(col("query"), col("doc"), col("rrf_micro"),
+        col("n_sources").as("n_rankers"),
+        col("fused_rank").cast("long").as("rank"))
   }
 
   /** Hard-negative mining — the contrastive-training data assembler

@@ -2507,25 +2507,98 @@ object TextOps {
     * range. Shape: one skinny posexplode (doc, pos, token), one
     * (doc, token) aggregate, one token-grain window for doc_freq —
     * no corpus-width shuffle beyond the posting aggregate itself. */
-  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withTokenStats(postingRows(df, idCol, textCol))
+
+  /** The tokenize→posting half of [[invertedIndex]]: one row per
+    * (token, doc) with tf and the formatted position lists, WITHOUT
+    * the token-grain doc_freq/total_tf stats. Shared verbatim by
+    * [[invertedIndex]] (whole corpus) and [[upsertIndex]] (delta
+    * only) so the posting construction has one source of truth. */
+  private def postingRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toked = df.select(col(idCol).as("doc"),
       posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "token")))
       .filter(col("token") =!= "")
-    val postings = toked.groupBy(col("token"), col("doc"))
+    toked.groupBy(col("token"), col("doc"))
       .agg(count(lit(1)).as("tf"),
         array_sort(collect_list(col("pos").cast("long"))).as("__ps"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
-    postings
-      .withColumn("doc_freq", count(lit(1)).over(w))
-      .withColumn("total_tf", sum(col("tf")).over(w))
-      .select(col("token"), col("doc_freq"), col("total_tf"),
-        col("doc"), col("tf"),
+      .select(col("token"), col("doc"), col("tf"),
         array_join(col("__ps"), ",").as("positions"),
         array_join(zip_with(col("__ps"),
             concat(array(lit(0L)),
               slice(col("__ps"), lit(1), size(col("__ps")) - 1)),
             (a, b) => a - b), ",").as("positions_delta"))
   }
+
+  /** The stats half of [[invertedIndex]]: token-grain doc_freq /
+    * total_tf windows over posting rows, emitting the canonical
+    * index column order. */
+  private def withTokenStats(postings: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("token"))
+    postings
+      .withColumn("doc_freq", count(lit(1)).over(w))
+      .withColumn("total_tf", sum(col("tf")).over(w))
+      .select(col("token"), col("doc_freq"), col("total_tf"),
+        col("doc"), col("tf"), col("positions"), col("positions_delta"))
+  }
+
+  /** Incremental inverted-index maintenance — the deployment lane the
+    * whole-corpus [[invertedIndex]] build lacks (r15 verdict item 1):
+    * merge a DELTA corpus (new documents plus re-ingested versions of
+    * existing ones) and a deletion list into an existing index
+    * WITHOUT re-tokenizing the corpus. Semantics are exactly
+    *   upsertIndex(invertedIndex(A), Δ, D) ==
+    *     invertedIndex((A ∖ ids(Δ) ∖ D) ∪ Δ)
+    * — a delta doc REPLACES any same-id document (its old postings
+    * drop before the new ones insert), a deleted id's postings drop,
+    * and a doc id in both Δ and D ends up present (the delta is the
+    * newer fact). The q481 oracle census pins this identity against
+    * a from-scratch DuckDB rebuild of the merged corpus.
+    *
+    * How it stays delta-sized: tokenization (the only text scan)
+    * touches ONLY `deltaDocs` — plan-pinned in TextOpsSpec: exactly
+    * one PosExplode in the whole merged plan, fed by the delta
+    * relation, never the indexed corpus. The index contributes
+    * posting ROWS only: removals are one anti-join against the
+    * delta-sized removed-id set (AQE broadcasts it), and
+    * doc_freq/total_tf recompute only at TOUCHED-token grain — a
+    * token is touched iff a posting of it was added or removed;
+    * every other index row passes through byte-identical with its
+    * stats intact (correct precisely because none of its postings
+    * changed). With the documented token-clustered index layout the
+    * touched-token semi-join prunes to touched buckets — the
+    * Maintenance.scala MERGE discipline applied to postings. */
+  def upsertIndex(index: DataFrame, deltaDocs: DataFrame, idCol: String,
+      textCol: String, deletedIds: DataFrame,
+      deletedIdCol: String): DataFrame = {
+    val deltaPost = postingRows(deltaDocs, idCol, textCol)
+    val removed = deletedIds.select(col(deletedIdCol).as("doc"))
+      .unionByName(deltaDocs.select(col(idCol).as("doc")))
+      .distinct()
+    val survivors = index.join(removed, Seq("doc"), "left_anti")
+    val touched = deltaPost.select(col("token"))
+      .unionByName(
+        index.join(removed, Seq("doc"), "left_semi").select(col("token")))
+      .distinct()
+    val untouched = survivors.join(touched, Seq("token"), "left_anti")
+      .select(col("token"), col("doc_freq"), col("total_tf"),
+        col("doc"), col("tf"), col("positions"), col("positions_delta"))
+    val recomputed = withTokenStats(
+      survivors.join(touched, Seq("token"), "left_semi")
+        .select(col("token"), col("doc"), col("tf"),
+          col("positions"), col("positions_delta"))
+        .unionByName(deltaPost))
+    untouched.unionByName(recomputed)
+  }
+
+  /** [[upsertIndex]] with no deletions — the pure ingest-partition
+    * merge (the reference's daily `ingest_date` overwrite model,
+    * function_app.py:72-73, re-expressed as index maintenance). */
+  def upsertIndex(index: DataFrame, deltaDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    upsertIndex(index, deltaDocs, idCol, textCol,
+      deltaDocs.select(col(idCol)).limit(0), idCol)
 
   /** Exact phrase matching SERVED FROM the positional inverted index
     * ([[invertedIndex]]) — the query-side counterpart of

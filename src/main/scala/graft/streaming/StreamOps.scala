@@ -523,8 +523,16 @@ object StreamOps {
           val out = scala.collection.mutable.ArrayBuffer[DurbinWatsonPoint]()
           sorted.foreach { case (o, t, v) =>
             if (o > lastO || (o == lastO && t > lastT)) {
-              if (n > 0) { val d = v - lastV; num += d * d }
-              den += v * v
+              // r15 advice: batch sums these in DECIMAL(38,0); the
+              // streaming lanes are Long by encoder contract, so a
+              // key whose milli² mass outgrows a Long must FAIL LOUD
+              // (ArithmeticException) rather than wrap and silently
+              // break the documented prefix-parity with batch.
+              if (n > 0) {
+                val d = Math.subtractExact(v, lastV)
+                num = Math.addExact(num, Math.multiplyExact(d, d))
+              }
+              den = Math.addExact(den, Math.multiplyExact(v, v))
               n += 1
               lastO = o; lastT = t; lastV = v
               // BigInt for the scaled divide: num can hold ~10^13

@@ -1489,4 +1489,119 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     // topK truncates deterministically
     assert(TextOps.textRank(df, "text", topK = 2).collect().length == 2)
   }
+
+  // --- upsertIndex: incremental inverted-index maintenance (r16) ---
+
+  private def indexRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("token"),
+      r.getAs[Long]("doc_freq"), r.getAs[Long]("total_tf"),
+      r.getAs[Long]("doc"), r.getAs[Long]("tf"),
+      r.getAs[String]("positions"), r.getAs[String]("positions_delta")))
+      .sortBy(t => (t._1, t._4)).toSeq
+
+  test("upsertIndex: identity vs from-scratch — new, replace, delete, delta-wins, vanish") {
+    // A: doc 1 untouched, doc 2 STALE (re-ingested in delta), doc 3
+    // deleted, doc 4 deleted AND re-ingested (delta wins), doc 5
+    // replaced by an EMPTY delta text (postings must vanish)
+    val a = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma stale stale"),
+      (3L, "delta beta"),
+      (4L, "epsilon old"),
+      (5L, "zeta beta")).toDF("doc_id", "text")
+    val delta = Seq(
+      (2L, "beta gamma fresh"),
+      (4L, "epsilon new"),
+      (5L, "  "),
+      (6L, "alpha omega")).toDF("doc_id", "text")
+    val deleted = Seq(3L, 4L, 99L).toDF("doc_id") // 99: absent id is a no-op
+    val got = TextOps.upsertIndex(
+      TextOps.invertedIndex(a, "doc_id", "text"),
+      delta, "doc_id", "text", deleted, "doc_id")
+    val merged = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "beta gamma fresh"),
+      (4L, "epsilon new"),
+      (6L, "alpha omega")).toDF("doc_id", "text")
+    val want = TextOps.invertedIndex(merged, "doc_id", "text")
+    assert(indexRows(got) == indexRows(want))
+    // the stale-only tokens vanished entirely
+    val toks = indexRows(got).map(_._1).toSet
+    assert(!toks.contains("stale") && !toks.contains("old") &&
+      !toks.contains("zeta"))
+    // untouched-token stats intact: alpha gained doc 6
+    assert(indexRows(got).filter(_._1 == "alpha").map(_._2).toSet == Set(2L))
+  }
+
+  test("upsertIndex: no-deletions overload == empty deletion list") {
+    val a = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val d = Seq((3L, "z w"), (1L, "x x")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(a, "doc_id", "text")
+    val got = TextOps.upsertIndex(idx, d, "doc_id", "text")
+    val want = TextOps.invertedIndex(
+      Seq((1L, "x x"), (2L, "y z"), (3L, "z w")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(indexRows(got) == indexRows(want))
+  }
+
+  test("upsertIndex plan pin: tokenization touches ONLY the delta (one PosExplode, index side scan-only)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_upsert_idx_").toString
+    val a = Tables.documents(spark, sf).filter(col("doc_id") < 40)
+    TextOps.invertedIndex(a, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+    val delta = Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 40 && col("doc_id") < 50)
+    val deleted = Seq(7L).toDF("doc_id")
+    val up = TextOps.upsertIndex(index, delta, "doc_id", "text",
+      deleted, "doc_id")
+    // every tokenize generator in the merged plan sits above the
+    // DELTA relation; the stored index feeds NO generator — the
+    // indexed corpus is never re-tokenized (its text is not even an
+    // input: only the index parquet is scanned). The delta-posting
+    // subtree is referenced by the touched/merge lanes (logical tree
+    // duplication); physically ReuseExchange dedupes its shuffle, and
+    // the delta is delta-sized by contract either way.
+    import org.apache.spark.sql.execution.datasources.{
+      HadoopFsRelation, LogicalRelation}
+    def scanPaths(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case l: LogicalRelation => l.relation }
+        .collect { case f: HadoopFsRelation =>
+          f.location.rootPaths.map(_.toString) }.flatten
+    val gens = up.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(gens.nonEmpty, "expected the delta tokenize generator")
+    gens.foreach { g =>
+      val paths = scanPaths(g.child)
+      assert(paths.nonEmpty && paths.forall(!_.contains(dir)),
+        s"a tokenize generator must read only the delta, scans: $paths")
+    }
+    // and the stored index IS an input (scanned, not rebuilt)
+    assert(scanPaths(up.queryExecution.optimizedPlan)
+      .exists(_.contains(dir)), "index parquet must be scanned")
+    // correctness at the same time: equals from-scratch on the union
+    val want = TextOps.invertedIndex(
+      Tables.documents(spark, sf)
+        .filter(col("doc_id") < 50 && col("doc_id") =!= 7L),
+      "doc_id", "text")
+    assert(indexRows(up) == indexRows(want))
+  }
+
+  test("upsertIndex composes: bm25FromIndex serves identically from a merged index") {
+    val all = Tables.documents(spark, sf).filter(col("doc_id") < 60)
+    val a = all.filter(col("doc_id") < 45)
+    val d = all.filter(col("doc_id") >= 45)
+    val merged = TextOps.upsertIndex(
+      TextOps.invertedIndex(a, "doc_id", "text"), d, "doc_id", "text")
+    val scratch = TextOps.invertedIndex(all, "doc_id", "text")
+    val terms = Seq("data", "model", "table")
+    val fromMerged = TextOps.bm25FromIndex(merged, all, "doc_id", terms)
+      .collect().toSet
+    val fromScratch = TextOps.bm25FromIndex(scratch, all, "doc_id", terms)
+      .collect().toSet
+    assert(fromMerged == fromScratch && fromMerged.nonEmpty)
+  }
 }

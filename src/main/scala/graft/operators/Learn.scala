@@ -2546,7 +2546,8 @@ object Learn {
   def pettittTest(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String): DataFrame = {
     val staged = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
+        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
         floor(col(valueCol) * 1000).cast("long").as("__v"))

@@ -58,6 +58,21 @@ case class DurbinWatsonPoint(key: Long, order: Long, tie: Long,
 case class MannKendallPoint(key: Long, order: Long, tie: Long,
     n: Long, s: Long, var18: Long, trend: String)
 
+/** Running per-key Pettitt changepoint emitted by
+  * [[StreamOps.pettittStream]] after each accepted event. */
+case class PettittPoint(key: Long, order: Long, tie: Long,
+    n: Long, k2: Long, cp_order: Long, cp_pos: Long)
+
+/** Running per-key EWMA state emitted by [[StreamOps.ewmaStream]]
+  * after each accepted event. */
+case class EwmaPoint(key: Long, order: Long, tie: Long, n: Long,
+    value_milli: Long, ewma_milli: Long)
+
+/** Running per-key Holt linear state emitted by
+  * [[StreamOps.holtStream]] after each accepted event. */
+case class HoltPoint(key: Long, order: Long, tie: Long, n: Long,
+    level_milli: Long, trend_milli: Long, forecast_milli: Long)
+
 case class HampelPoint(key: Long, ts_us: Long, id: Long,
   value_milli: Long, med2_milli: Long, mad4_milli: Long,
   is_outlier: Boolean)
@@ -623,6 +638,227 @@ object StreamOps {
             }
           }
           state.update((lastO, lastT, sStat, tieSum, m.toMap))
+          out.iterator
+      }
+  }
+
+  /** Streaming Pettitt changepoint — the live twin of
+    * [[graft.operators.Learn.pettittTest]] (the last changepoint twin,
+    * r15 verdict item 3): per key, after every accepted event, the
+    * EXACT (n, K2, cp_order, cp_pos) the batch operator would report
+    * on the series so far — final AND every prefix emission equal
+    * batch (the parity spec pins both across a mid-key batch split).
+    *
+    * Why the state is the RUN-COMPRESSED SERIES and not a value→count
+    * map: every arrival shifts every prefix's midranks by a
+    * prefix-DEPENDENT amount (+2 per earlier value above v, +1 per
+    * tie), so K2 = max_t |U_t| depends on the time ORDER — two
+    * orderings of one multiset have different U trajectories, and no
+    * count-only state can be exact. The minimal exact sufficient
+    * statistic is the series run-length-compressed by consecutive
+    * equal values: within a run U_t is LINEAR in t (each step adds
+    * dmr(v) − (n+1)), |linear| is convex, so per run only the two
+    * ENDPOINTS can attain the max — and when an interior point ties
+    * the max, an endpoint no later than it ties too, so evaluating
+    * first-then-last endpoint in time order also yields the batch
+    * EARLIEST-t tie rule. State per key: O(time-runs) ≤ O(n),
+    * collapsing to O(1) per flat segment — the SPC shape this test
+    * monitors. Per arrival: one O(distinct·log) midrank rebuild + one
+    * O(runs) walk, integer-exact with loud-overflow multiplies (the
+    * durbinWatsonStream Math.*Exact posture).
+    *
+    * Ordering contract and null filter are the [[mannKendallStream]]
+    * posture: per-batch (order, tie) fold, monotone acceptance,
+    * late rows dropped. */
+  def pettittStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String): Dataset[PettittPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, List[(Long, Long, Long, Long)]), PettittPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, List[(Long, Long, Long, Long)])]) =>
+          // runs: (value, length, orderOfFirst, orderOfLast) in time
+          // order — first/last is all a convex |linear| needs
+          var (lastO, lastT, stored) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue,
+              List.empty[(Long, Long, Long, Long)]))
+          val runs = scala.collection.mutable.ArrayBuffer.empty[
+            (Long, Long, Long, Long)]
+          runs ++= stored
+          val counts = scala.collection.mutable.Map.empty[Long, Long]
+          runs.foreach { r =>
+            counts.update(r._1, counts.getOrElse(r._1, 0L) + r._2) }
+          var n = counts.valuesIterator.sum
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PettittPoint]
+          sorted.foreach { case (o, t, v) =>
+            if (o > lastO || (o == lastO && t > lastT)) {
+              lastO = o; lastT = t
+              if (runs.nonEmpty && runs.last._1 == v) {
+                val r = runs.last
+                runs(runs.length - 1) = (r._1, r._2 + 1, r._3, o)
+              } else runs += ((v, 1L, o, o))
+              counts.update(v, counts.getOrElse(v, 0L) + 1L)
+              n += 1
+              // doubled midranks from the count census
+              val vals = counts.keys.toArray
+              java.util.Arrays.sort(vals)
+              val dmr = scala.collection.mutable.Map.empty[Long, Long]
+              var below = 0L
+              vals.foreach { x =>
+                val c = counts(x)
+                dmr.update(x, 2L * below + c + 1L)
+                below += c
+              }
+              // walk the runs: U_p = cumDmr(p) − p·(n+1); per run
+              // linear in p, endpoints first-then-last so equal-max
+              // ties resolve to the EARLIEST position (batch rule)
+              val np1 = n + 1L
+              var pos = 0L; var cumDmr = 0L
+              var bestAbs = -1L; var bestO = 0L; var bestPos = 0L
+              runs.foreach { case (rv, len, oF, oL) =>
+                val d = dmr(rv)
+                def consider(k: Long, ord: Long): Unit = {
+                  val p = pos + k
+                  val u = Math.subtractExact(
+                    Math.addExact(cumDmr, Math.multiplyExact(k, d)),
+                    Math.multiplyExact(p, np1))
+                  val a = Math.abs(u)
+                  if (a > bestAbs) { bestAbs = a; bestO = ord; bestPos = p }
+                }
+                consider(1L, oF)
+                if (len > 1L) consider(len, oL)
+                cumDmr = Math.addExact(cumDmr, Math.multiplyExact(len, d))
+                pos += len
+              }
+              out += PettittPoint(key, o, t, n, bestAbs, bestO, bestPos)
+            }
+          }
+          state.update((lastO, lastT, runs.toList))
+          out.iterator
+      }
+  }
+
+  /** Streaming EWMA — the live twin of
+    * [[graft.operators.Relational.ewmaMilli]]: per key, O(1) state
+    * (last accepted (order, tie), the smoother value), each accepted
+    * event emits the EXACT per-step-floored milli state
+    *   s₁ = v₁, sₜ = ⌊(α·vₜ + (1000−α)·sₜ₋₁)/1000⌋
+    * (Math.floorDiv — the batch operator's floor, with loud-overflow
+    * multiplies per the durbinWatsonStream posture), so every
+    * emission equals the batch trajectory row on the same log. Batch
+    * emits null-value rows with a null state without advancing the
+    * smoother; the stream filters them upstream — same trajectory,
+    * the null rows just don't re-emit (documented representation
+    * difference, the runsTestStream -1 precedent). Ordering contract
+    * is the [[mannKendallStream]] posture. */
+  def ewmaStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String,
+      alphaMilli: Long): Dataset[EwmaPoint] = {
+    require(alphaMilli >= 1 && alphaMilli <= 1000,
+      s"alphaMilli must be in [1,1000], got $alphaMilli")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = alphaMilli
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long)]) =>
+          var (lastO, lastT, n, s) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0L, 0L))
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaPoint]
+          sorted.foreach { case (o, t, v) =>
+            if (o > lastO || (o == lastO && t > lastT)) {
+              s = if (n == 0L) v
+                  else Math.floorDiv(
+                    Math.addExact(Math.multiplyExact(a, v),
+                      Math.multiplyExact(1000L - a, s)), 1000L)
+              n += 1
+              lastO = o; lastT = t
+              out += EwmaPoint(key, o, t, n, v, s)
+            }
+          }
+          state.update((lastO, lastT, n, s))
+          out.iterator
+      }
+  }
+
+  /** Streaming Holt linear smoothing — the live twin of
+    * [[graft.operators.Learn.holtLinear]]: per key, O(1) state
+    * (level, trend), each accepted event emits the EXACT
+    * truncating-division BIGINT walk
+    *   l_t = trunc((aNum·y_t + (aDen−aNum)·(l + b)) / aDen)
+    *   b_t = trunc((bNum·(l_t − l) + (bDen−bNum)·b) / bDen)
+    * seeded l₁ = y₁, b₁ = 0, plus forecast_milli = l + h·b — so the
+    * final emission per key equals the batch row on the same log and
+    * every prefix emission equals batch on that prefix (parity
+    * spec-pinned). Loud-overflow multiplies (durbinWatsonStream
+    * posture); ordering contract and null filter are the
+    * [[mannKendallStream]] posture (batch drops null values too). */
+  def holtStream(df: DataFrame, keyCol: String, orderCol: String,
+      tieCol: String, valueCol: String, aNum: Long, aDen: Long,
+      bNum: Long, bDen: Long, horizon: Long = 1L): Dataset[HoltPoint] = {
+    require(aDen > 0 && bDen > 0 && aNum >= 0 && aNum <= aDen &&
+      bNum >= 0 && bNum <= bDen, "gains must be rationals in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long").as("k"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long), HoltPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long, Long, Long, Long)]) =>
+          var (lastO, lastT, n, l, b) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue, 0L, 0L, 0L))
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltPoint]
+          sorted.foreach { case (o, t, y) =>
+            if (o > lastO || (o == lastO && t > lastT)) {
+              if (n == 0L) { l = y; b = 0L }
+              else {
+                val lp = l
+                l = Math.addExact(Math.multiplyExact(aNum, y),
+                  Math.multiplyExact(aDen - aNum,
+                    Math.addExact(l, b))) / aDen
+                b = Math.addExact(
+                  Math.multiplyExact(bNum, Math.subtractExact(l, lp)),
+                  Math.multiplyExact(bDen - bNum, b)) / bDen
+              }
+              n += 1
+              lastO = o; lastT = t
+              out += HoltPoint(key, o, t, n, l, b,
+                Math.addExact(l, Math.multiplyExact(horizon, b)))
+            }
+          }
+          state.update((lastO, lastT, n, l, b))
           out.iterator
       }
   }

@@ -1144,6 +1144,145 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       got.var_micro) == pre)
   }
 
+  test("pettittStream: stream == batch on EVERY prefix, run-compressed " +
+    "state, mid-key batch split, out-of-order drop (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // key 1: a level shift with ties and repeated-value runs (runs
+    // exercise the endpoint-only argmax); key 2: constant (flat run,
+    // K2 at earliest position); key 3: alternating extremes (every
+    // run length 1); key 5: duplicate order broken by tie
+    val rows =
+      Seq(1.0, 1.0, 2.0, 1.0, 1.0, 5.0, 5.0, 6.0, 5.0, 7.0)
+        .zipWithIndex.map { case (v, i) => (1L, i + 1L, i + 1L, v) } ++
+      (1L to 6L).map(i => (2L, i, i, 3.0)) ++
+      Seq(1.0, 9.0, 1.0, 9.0, 1.0).zipWithIndex
+        .map { case (v, i) => (3L, i + 1L, i + 1L, v) } ++
+      Seq((5L, 1L, 1L, 4.0), (5L, 1L, 2L, 2.0), (5L, 2L, 3L, 8.0))
+    def batchOn(sub: Seq[(Long, Long, Long, Double)]) =
+      graft.operators.Learn.pettittTest(sub.toDF("k", "o", "e", "v"),
+          "k", col("o"), col("e"), "v")
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("k2"),
+            r.getAs[Long]("cp_order"), r.getAs[Long]("cp_pos")))).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.pettittStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ptt").start()
+    try {
+      // split MID-key-1 so the run state crosses the gap
+      stream.addData(rows.take(6): _*)
+      q.processAllAvailable()
+      stream.addData(rows.drop(6): _*)
+      q.processAllAvailable()
+      // out-of-order: order 2 <= key 1's last accepted 10 -> dropped
+      stream.addData((1L, 2L, 99L, 42.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ptt").as[PettittPoint].collect()
+    assert(!streamed.exists(p => p.key == 1L && p.tie == 99L))
+    assert(streamed.count(_.key == 1L) == 10)
+    // final emission per key == the batch row on the full log
+    val batch = batchOn(rows)
+    val finals = streamed.groupBy(_.key).map { case (k, ps) =>
+      val last = ps.maxBy(p => (p.order, p.tie))
+      k -> ((last.n, last.k2, last.cp_order, last.cp_pos))
+    }
+    assert(finals == batch, s"finals $finals != batch $batch")
+    // EVERY intermediate emission equals batch on that prefix — for
+    // every key and every accepted prefix length (the strong claim)
+    for (key <- Seq(1L, 2L, 3L, 5L)) {
+      val keyRows = rows.filter(_._1 == key)
+      for (cut <- 1 to keyRows.length) {
+        val pre = batchOn(rows.filter(_._1 != key) ++ keyRows.take(cut))
+          .apply(key)
+        val got = streamed.filter(_.key == key).find(_.n == cut).get
+        assert((got.n, got.k2, got.cp_order, got.cp_pos) == pre,
+          s"key $key prefix $cut: $got != $pre")
+      }
+    }
+  }
+
+  test("ewmaStream: every emission == the batch trajectory row, " +
+    "mid-key batch split, negative floor, out-of-order drop (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // key 1 crosses zero (floor vs truncate visible); key 2 constant
+    val rows = Seq(
+      (1L, 1L, 1L, 5.0), (1L, 2L, 2L, -3.2), (1L, 3L, 3L, 7.7),
+      (1L, 4L, 4L, -0.4), (1L, 5L, 5L, 2.1),
+      (2L, 1L, 1L, 4.0), (2L, 2L, 2L, 4.0))
+    val batch = graft.operators.Relational.ewmaMilli(
+        rows.toDF("k", "o", "e", "v"), "k", Seq("o", "e"), "v",
+        alphaMilli = 300L)
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Long]("o")) ->
+        r.getAs[Long]("ewma_milli")).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.ewmaStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v",
+        alphaMilli = 300L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ewm").start()
+    try {
+      stream.addData(rows.take(3): _*) // split MID-key-1
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      stream.addData((1L, 2L, 99L, 100.0)) // late -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ewm").as[EwmaPoint].collect()
+    assert(!streamed.exists(_.tie == 99L))
+    assert(streamed.length == rows.length)
+    // EVERY emission equals the batch trajectory row on the full log
+    // (the recurrence is prefix-causal, so this IS prefix parity)
+    streamed.foreach { p =>
+      assert(p.ewma_milli == batch((p.key, p.order)),
+        s"$p != batch ${batch((p.key, p.order))}")
+    }
+  }
+
+  test("holtStream: stream == batch on EVERY prefix, coupled O(1) " +
+    "state across a mid-key split (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (1L, 1L, 1L, 10.0), (1L, 2L, 2L, 12.5), (1L, 3L, 3L, 15.1),
+      (1L, 4L, 4L, 13.9), (1L, 5L, 5L, 18.0),
+      (2L, 1L, 1L, -4.0), (2L, 2L, 2L, -6.5), (2L, 3L, 3L, -9.1))
+    def batchOn(sub: Seq[(Long, Long, Long, Double)]) =
+      graft.operators.Learn.holtLinear(sub.toDF("k", "o", "e", "v"),
+          "k", Seq("o", "e"), "v", aNum = 1L, aDen = 5L,
+          bNum = 3L, bDen = 10L, horizon = 2L)
+        .collect().map(r => r.getAs[Long]("key") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("level_milli"),
+            r.getAs[Long]("trend_milli"),
+            r.getAs[Long]("forecast_milli")))).toMap
+    val stream = MemoryStream[(Long, Long, Long, Double)]
+    val q = StreamOps.holtStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v",
+        aNum = 1L, aDen = 5L, bNum = 3L, bDen = 10L, horizon = 2L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hlt").start()
+    try {
+      stream.addData(rows.take(3): _*) // split MID-key-1
+      q.processAllAvailable()
+      stream.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hlt").as[HoltPoint].collect()
+    for (key <- Seq(1L, 2L)) {
+      val keyRows = rows.filter(_._1 == key)
+      for (cut <- 1 to keyRows.length) {
+        val pre = batchOn(keyRows.take(cut))(key)
+        val got = streamed.filter(_.key == key).find(_.n == cut).get
+        assert((got.n, got.level_milli, got.trend_milli,
+          got.forecast_milli) == pre, s"key $key prefix $cut: $got != $pre")
+      }
+    }
+  }
+
   test("dwellTimesStream: aggregated stream == batch closed lanes, " +
     "cross-batch interval close (r15)") {
     import spark.implicits._

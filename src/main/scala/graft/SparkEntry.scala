@@ -4572,6 +4572,32 @@ object SparkEntry {
         .orderBy(col("token"), col("doc"))
     }),
 
+    // q482: data-driven CONCAVE geofence join — polygons arrive as
+    // vertex ROWS (an L-shape whose notch must stay outside, plus a
+    // triangle), the broadcast edge table is built by the operator,
+    // and DuckDB replays the WHOLE construction: closing-edge
+    // derivation via LEAD/FIRST_VALUE, the half-open cross-multiplied
+    // crossing test, and the odd-parity verdict. Complements q340
+    // (convex fixtures, pre-built oracle edges) and q478 (plan-time
+    // literal polygon).
+    "q482_geofence_join" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.customer(s, dir).select(
+        col("c_custkey").as("id"),
+        expr("pmod(c_custkey * 7919, 60000)").as("x"),
+        expr("pmod(c_custkey * 4729, 30000)").as("y"))
+      val polys = Seq(
+        (1L, 0L, 0L, 0L), (1L, 1L, 40000L, 0L),
+        (1L, 2L, 40000L, 10000L), (1L, 3L, 10000L, 10000L),
+        (1L, 4L, 10000L, 25000L), (1L, 5L, 0L, 25000L),
+        (2L, 0L, 30000L, 12000L), (2L, 1L, 55000L, 12000L),
+        (2L, 2L, 42000L, 28000L))
+        .toDF("poly", "idx", "px", "py")
+      Relational.pointInPolygon(pts, "id", "x", "y",
+          polys, "poly", "idx", "px", "py")
+        .orderBy(col("id"), col("poly"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13389,6 +13415,40 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q482: the full construction replayed — closing edge from the
+    // vertex rows via LEAD/FIRST_VALUE, half-open crossings, parity.
+    "q482_geofence_join" ->
+      """WITH v(poly, idx, px, py) AS (VALUES
+        |  (1, 0, 0, 0), (1, 1, 40000, 0), (1, 2, 40000, 10000),
+        |  (1, 3, 10000, 10000), (1, 4, 10000, 25000),
+        |  (1, 5, 0, 25000),
+        |  (2, 0, 30000, 12000), (2, 1, 55000, 12000),
+        |  (2, 2, 42000, 28000)),
+        |e AS (SELECT poly, px AS x1, py AS y1,
+        |    COALESCE(LEAD(px) OVER (PARTITION BY poly ORDER BY idx),
+        |      FIRST_VALUE(px) OVER (PARTITION BY poly ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING)) AS x2,
+        |    COALESCE(LEAD(py) OVER (PARTITION BY poly ORDER BY idx),
+        |      FIRST_VALUE(py) OVER (PARTITION BY poly ORDER BY idx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND UNBOUNDED FOLLOWING)) AS y2
+        |  FROM v),
+        |pts AS (SELECT c_custkey AS id,
+        |    (c_custkey * 7919) % 60000 AS x,
+        |    (c_custkey * 4729) % 30000 AS y FROM customer),
+        |c AS (SELECT p.id, e.poly FROM pts p, e
+        |  WHERE ((e.y1 > p.y) <> (e.y2 > p.y))
+        |    AND CASE WHEN e.y2 > e.y1
+        |      THEN (p.x - e.x1) * (e.y2 - e.y1)
+        |        - (e.x2 - e.x1) * (p.y - e.y1) < 0
+        |      ELSE (p.x - e.x1) * (e.y2 - e.y1)
+        |        - (e.x2 - e.x1) * (p.y - e.y1) > 0 END)
+        |SELECT id, CAST(poly AS BIGINT) AS poly,
+        |  CAST(COUNT(*) AS BIGINT) AS n_crossings
+        |FROM c GROUP BY 1, 2 HAVING COUNT(*) % 2 = 1
+        |ORDER BY id, poly""".stripMargin,
 
     // q481: the q205 from-scratch index SQL over the MERGED corpus —
     // new cohort present, re-ingest cohort at true text (no stale

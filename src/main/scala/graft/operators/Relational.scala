@@ -625,11 +625,24 @@ object Relational {
   def pointInPolygon(points: DataFrame, idCol: String, xCol: String,
       yCol: String, polygons: DataFrame, polyCol: String, idxCol: String,
       pxCol: String, pyCol: String): DataFrame = {
+    // the Geo.pointInPolygon BIGINT-exact bound, enforced on BOTH
+    // data sides (here the vertices are rows, not plan-time literals,
+    // so the vertex guard is an in-plan raise too): a silent BIGINT
+    // wrap in the cross products would return wrong containment with
+    // no error (r15 verdict item 4 hardening)
+    val bound = 1100000000L
+    def guarded(c: Column, side: String): Column =
+      when(c.isNull || abs(c) <= bound, c)
+        .otherwise(raise_error(concat(
+          lit(s"pointInPolygon: $side coordinate exceeds |v| <= " +
+            s"$bound (the BIGINT-exact bound): "),
+          c.cast("string"))).cast("long"))
     val wOrd = Window.partitionBy(col("__poly")).orderBy(col("__idx"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val verts = polygons.select(col(polyCol).as("__poly"),
       col(idxCol).cast("long").as("__idx"),
-      col(pxCol).cast("long").as("x1"), col(pyCol).cast("long").as("y1"))
+      guarded(col(pxCol).cast("long"), "vertex").as("x1"),
+      guarded(col(pyCol).cast("long"), "vertex").as("y1"))
     val edges = verts
       .withColumn("x2", coalesce(
         lead(col("x1"), 1).over(Window.partitionBy(col("__poly"))
@@ -638,7 +651,8 @@ object Relational {
         lead(col("y1"), 1).over(Window.partitionBy(col("__poly"))
           .orderBy(col("__idx"))), first(col("y1")).over(wOrd)))
     val p = points.select(col(idCol).as("id"),
-      col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      guarded(col(xCol).cast("long"), "point").as("x"),
+      guarded(col(yCol).cast("long"), "point").as("y"))
     val lhs = (col("x") - col("x1")) * (col("y2") - col("y1")) -
       (col("x2") - col("x1")) * (col("y") - col("y1"))
     p.crossJoin(broadcast(edges))

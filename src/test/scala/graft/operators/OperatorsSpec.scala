@@ -963,6 +963,46 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
       (4L, 2L), (6L, 2L)))
   }
 
+  test("pointInPolygon: broadcast-edges plan pin + BIGINT bound guards (r16)") {
+    import spark.implicits._
+    val pts = Tables.customer(spark, sf).select(
+      col("c_custkey").as("id"),
+      expr("pmod(c_custkey * 7919, 60000)").as("x"),
+      expr("pmod(c_custkey * 4729, 30000)").as("y"))
+    val polys = Seq((1L, 0L, 0L, 0L), (1L, 1L, 40000L, 0L),
+      (1L, 2L, 40000L, 10000L), (1L, 3L, 10000L, 10000L),
+      (1L, 4L, 10000L, 25000L), (1L, 5L, 0L, 25000L))
+      .toDF("poly", "idx", "px", "py")
+    val q = Relational.pointInPolygon(pts, "id", "x", "y",
+      polys, "poly", "idx", "px", "py")
+    val plan = q.queryExecution.executedPlan.toString
+    // the edge table broadcasts; the row-scale points side is never
+    // shuffled for the join (no sort-merge, no cartesian) — the only
+    // exchange is the parity aggregate's, at matched-crossing grain
+    // behind a map-side partial aggregate
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast theta join, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"))
+    assert(q.count() > 0)
+    // point-side guard: out-of-bound coordinates raise, never wrap
+    val badPt = Seq((1L, 3000000000L, 5L)).toDF("id", "x", "y")
+    val e1 = intercept[Exception] {
+      Relational.pointInPolygon(badPt, "id", "x", "y",
+        polys, "poly", "idx", "px", "py").collect()
+    }
+    assert(e1.getMessage != null && e1.getMessage.contains("point"))
+    // vertex-side guard: the fence table is DATA here, so its bound
+    // is an in-plan raise too
+    val badPoly = Seq((1L, 0L, 0L, 0L), (1L, 1L, 4000000000L, 0L),
+      (1L, 2L, 0L, 9L)).toDF("poly", "idx", "px", "py")
+    val e2 = intercept[Exception] {
+      Relational.pointInPolygon(Seq((1L, 1L, 1L)).toDF("id", "x", "y"),
+        "id", "x", "y", badPoly, "poly", "idx", "px", "py").collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("vertex"))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

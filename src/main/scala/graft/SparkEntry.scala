@@ -4598,6 +4598,20 @@ object SparkEntry {
         .orderBy(col("id"), col("poly"))
     }),
 
+    // q483: WEIGHTED exact quantiles — the q480 spine with weights
+    // summed instead of counted: per language, where does 25/50/90/99
+    // percent of the token MASS sit on the document-length axis (the
+    // token-budget question a data-mixing pipeline asks; the
+    // unweighted form delegates to this kernel at weight 1).
+    "q483_weighted_quantiles" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("lang").as("g"), col("n_chars").as("len"),
+          graft.functions.token_count(col("text")).as("w"))
+      operators.Learn.exactQuantilesWeighted(d, "g", "len", col("w"),
+          Seq(250L, 500L, 900L, 990L))
+        .orderBy(col("group"), col("q_milli"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13411,6 +13425,30 @@ object SparkEntry {
         |q(q_milli) AS (VALUES (250), (500), (900), (990))
         |SELECT cu.grp AS "group", CAST(q.q_milli AS BIGINT) AS q_milli,
         |  CAST(MAX(cu.n) AS BIGINT) AS n,
+        |  CAST(MIN(cu.v) AS BIGINT) AS value_milli
+        |FROM cu, q
+        |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q483: the q480 rank machinery with SUM(w) runs; the weight is
+    // the q201-style whitespace token count, zero-weight docs absent.
+    "q483_weighted_quantiles" ->
+      """WITH s AS (SELECT lang AS grp,
+        |    CAST(n_chars * 1000 AS BIGINT) AS v,
+        |    CAST(CASE WHEN length(trim(text)) > 0
+        |      THEN len(string_split_regex(trim(text), '\s+'))
+        |      ELSE 0 END AS BIGINT) AS w
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+        |f AS (SELECT grp, v, w FROM s WHERE w > 0),
+        |r AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS c FROM f
+        |  GROUP BY 1, 2),
+        |cu AS (SELECT grp, v, c,
+        |    SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cc,
+        |    SUM(c) OVER (PARTITION BY grp) AS n FROM r),
+        |q(q_milli) AS (VALUES (250), (500), (900), (990))
+        |SELECT cu.grp AS "group", CAST(q.q_milli AS BIGINT) AS q_milli,
+        |  CAST(MAX(cu.n) AS BIGINT) AS total_weight,
         |  CAST(MIN(cu.v) AS BIGINT) AS value_milli
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000

@@ -2082,17 +2082,48 @@ object Learn {
     * cumulative windows, a broadcast quantile list, one final
     * (group, q) aggregate — no partition-less window anywhere. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      qMillis: Seq[Long]): DataFrame =
+    exactQuantilesWeighted(df, groupCol, valueCol, lit(1L), qMillis)
+      .withColumnRenamed("total_weight", "n")
+
+  /** [[exactQuantiles]] generalized to a WEIGHT column — the
+    * token-budget form a data-mixing pipeline actually asks for
+    * ("p90 of document length weighted by tokens": where does 90% of
+    * the token MASS sit, not 90% of the documents). Same run-grain
+    * cumulative spine with weights summed instead of counted: for
+    * each group and q (milli), the value at weighted rank
+    * ⌈q·W/1000⌉ where W = Σ weights. The unweighted form IS this
+    * kernel at weight 1 — one source of truth.
+    *
+    * Weight contract: weights cast to BIGINT; zero-weight rows are
+    * absent by definition and drop silently; a NEGATIVE weight would
+    * corrupt every downstream rank silently, so it RAISES in-plan
+    * (loud-guard discipline). Null weights drop with the null
+    * filter. Output grain: (group, q_milli) with total_weight and
+    * value_milli lanes. Shape identical to [[exactQuantiles]]: one
+    * row-scale (group, value) runs aggregate (weights map-side
+    * combine), group-keyed windows, broadcast quantile list. */
+  def exactQuantilesWeighted(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: Column,
       qMillis: Seq[Long]): DataFrame = {
     require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
       s"qMillis must be non-empty with every q in [1,1000], got $qMillis")
     require(qMillis.distinct.size == qMillis.size,
       s"duplicate quantiles in $qMillis")
     val staged = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        weightCol.cast("long").isNotNull)
       .select(col(groupCol).cast("string").as("group"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        weightCol.cast("long").as("__w0"))
+      .withColumn("__w", when(col("__w0") >= 0L, col("__w0"))
+        .otherwise(raise_error(concat(
+          lit("exactQuantilesWeighted: negative weight "),
+          col("__w0").cast("string"),
+          lit(" would silently corrupt ranks"))).cast("long")))
+      .filter(col("__w") > 0L)
     val runs = staged.groupBy(col("group"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__w")).as("__c"))
     val wg = Window.partitionBy(col("group"))
     val cum = runs
       .withColumn("__cc", sum(col("__c")).over(wg.orderBy(col("__v"))))
@@ -2103,7 +2134,8 @@ object Learn {
         explode(array(qs: _*)).as("q_milli"))
       .filter(col("__cc") >= expr("(q_milli * __n + 999) div 1000"))
       .groupBy(col("group"), col("q_milli"))
-      .agg(max(col("__n")).as("n"), min(col("__v")).as("value_milli"))
+      .agg(max(col("__n")).as("total_weight"),
+        min(col("__v")).as("value_milli"))
   }
 
   /** Correlation ratio η² — "how much of this numeric column does

@@ -1869,6 +1869,47 @@ class LearnSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantilesWeighted: replication equivalence, zero drop, " +
+    "negative raise, weight-1 == unweighted (r16)") {
+    val qs = Seq(250L, 500L, 900L, 990L)
+    // integer weights == row replication of the unweighted kernel
+    val weighted = Seq(("A", 1.0, 3L), ("A", 2.0, 1L), ("A", 5.0, 6L),
+      ("B", 4.0, 2L), ("B", 9.0, 0L)) // B's 9.0 has weight 0 -> absent
+    val replicated = weighted.flatMap { case (g, v, w) =>
+      Seq.fill(w.toInt)((g, v)) }
+    val gotW = Learn.exactQuantilesWeighted(
+        weighted.toDF("g", "v", "w"), "g", "v", col("w"), qs)
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Long]("q_milli")) ->
+        ((r.getAs[Long]("total_weight"), r.getAs[Long]("value_milli"))))
+      .toMap
+    val gotR = Learn.exactQuantiles(
+        replicated.toDF("g", "v"), "g", "v", qs)
+      .collect().map(r => (r.getAs[String]("group"),
+        r.getAs[Long]("q_milli")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("value_milli")))).toMap
+    assert(gotW == gotR, s"$gotW != $gotR")
+    // zero-weight 9.0 never surfaces even at q=990
+    assert(gotW(("B", 990L))._2 == 4000L)
+    // weight 1 everywhere == the unweighted operator exactly
+    val rows = (1L to 10L).map(i => ("A", i.toDouble, 1L))
+    val a = Learn.exactQuantilesWeighted(rows.toDF("g", "v", "w"),
+        "g", "v", col("w"), qs)
+      .withColumnRenamed("total_weight", "n").collect().toSet
+    val b = Learn.exactQuantiles(
+      rows.map(t => (t._1, t._2)).toDF("g", "v"), "g", "v", qs)
+      .collect().toSet
+    assert(a == b)
+    // a negative weight raises in-plan, never corrupts ranks
+    val err = intercept[Exception] {
+      Learn.exactQuantilesWeighted(
+        Seq(("A", 1.0, -2L)).toDF("g", "v", "w"), "g", "v", col("w"),
+        qs).collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("negative weight"))
+  }
+
   test("runsTest: hand runs, at-median drops, alternation extremes (r15)") {
     def run(rows: Seq[(Long, Long, Double)]) =
       Learn.runsTest(rows.toDF("k", "o", "v"), "k", col("o"), col("o"), "v")

@@ -4612,6 +4612,24 @@ object SparkEntry {
         .orderBy(col("group"), col("q_milli"))
     }),
 
+    // q484: MULTI-CHANNEL 16-bit linear PCM (µ-law q446 is mono
+    // telephony, q170/q180 are mono javax.sound; this is the
+    // interleaved stereo/multichannel studio form through an
+    // in-house strict RIFF walk): exact PER-CHANNEL energy census,
+    // every sample replayed arithmetically by the oracle.
+    "q484_pcm_energy" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id"),
+          (lit(8000) + pmod(col("doc_id"), lit(4)) * 4000).cast("int")
+            .as("rate"),
+          (lit(40) + pmod(col("doc_id"), lit(23))).cast("int").as("nf"),
+          (lit(1) + pmod(col("doc_id"), lit(3))).cast("int").as("nc"))
+      val built = operators.Multimodal.encodePcmWavMulti(base, "rate",
+        "nf", "nc", "doc_id")
+      operators.Multimodal.pcmEnergy(built, "doc_id", "payload")
+        .orderBy(col("id"), col("channel"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13429,6 +13447,30 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q484: the fixture's samples rebuilt arithmetically (the short
+    // round-trips exactly: values are already in [-32768, 32767]),
+    // per-channel aggregates from a frames x channels range-unnest.
+    "q484_pcm_energy" ->
+      """WITH b AS (SELECT doc_id, 8000 + (doc_id % 4) * 4000 AS rate,
+        |    40 + doc_id % 23 AS nf, 1 + doc_id % 3 AS nc
+        |  FROM documents WHERE doc_id < 150),
+        |s AS (SELECT b.doc_id, b.rate, b.nf, b.nc, c.c AS ch,
+        |    (b.doc_id * 7 + k.k * 13 + c.c * 31) % 65536 - 32768 AS pcm
+        |  FROM b, generate_series(0, 62) AS k(k),
+        |    generate_series(0, 7) AS c(c)
+        |  WHERE k.k < b.nf AND c.c < b.nc)
+        |SELECT doc_id AS id, CAST(1 AS BIGINT) AS ok,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(nc AS BIGINT) AS n_channels,
+        |  CAST(ch AS BIGINT) AS channel,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+        |  CAST(SUM(pcm * pcm) AS BIGINT) AS sum_sq,
+        |  CAST(MIN(pcm) AS BIGINT) AS min_pcm,
+        |  CAST(MAX(pcm) AS BIGINT) AS max_pcm
+        |FROM s GROUP BY doc_id, rate, nf, nc, ch
+        |ORDER BY id, channel""".stripMargin,
 
     // q483: the q480 rank machinery with SUM(w) runs; the weight is
     // the q201-style whitespace token count, zero-weight docs absent.

@@ -614,6 +614,145 @@ object Multimodal {
     }(enc)
   }
 
+  /** MULTI-CHANNEL 16-bit linear PCM WAV fixture (fmt tag 1) — the
+    * interleaved-channels complement of [[encodePcmWav]]'s mono
+    * square wave and [[encodeMulawWav]]'s mono µ-law: frame k,
+    * channel c carries the signed sample
+    *   ((seed·7 + k·13 + c·31) mod 65536) − 32768
+    * interleaved little-endian, so the [[pcmEnergy]] per-channel
+    * census replays arithmetically in SQL (range-unnest over
+    * frames × channels). */
+  def encodePcmWavMulti(df: DataFrame, sampleRateCol: String,
+      nFramesCol: String, nChannelsCol: String, seedCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ri = inSchema.fieldIndex(sampleRateCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val ci = inSchema.fieldIndex(nChannelsCol)
+    val si = inSchema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rate = r.getInt(ri); val n = r.getInt(ni)
+        val ch = r.getInt(ci); val seed = r.getLong(si)
+        require(rate > 0 && n >= 0 && ch >= 1 && ch <= 8,
+          s"bad WAV params: rate=$rate frames=$n channels=$ch")
+        val dataLen = n * ch * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+          .putInt(16).putShort(1).putShort(ch.toShort) // linear PCM
+          .putInt(rate).putInt(rate * ch * 2)
+          .putShort((ch * 2).toShort).putShort(16)
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var k = 0
+        while (k < n) {
+          var c = 0
+          while (c < ch) {
+            val v = ((seed * 7 + k * 13 + c * 31) % 65536L - 32768L).toShort
+            bb.putShort(v)
+            c += 1
+          }
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** PER-CHANNEL energy census through a strict in-house RIFF walk —
+    * the stereo/multi-channel complement of [[mulawEnergy]] and of
+    * the javax.sound mono lane ([[audioEnergyWindows]]): channel
+    * balance, dead-channel detection, the loudness pre-screen an
+    * audio-corpus pipeline runs before any model sees a clip.
+    * strict RIFF walk (fmt tag 1, 16-bit, 1..8 channels, rate > 0,
+    * data length an exact multiple of the block align — any
+    * malformation is REFUSED with ok = 0, never guessed at), then
+    * one row per channel with exact integer lanes (n_frames, Σ|pcm|,
+    * Σpcm², min, max — Σpcm² ≤ n·2³⁰, BIGINT-safe to ~8·10⁹ frames
+    * per file). Zero-frame files decode ok with 0 sums and null
+    * min/max (nothing to extremize). Row-local batched
+    * mapPartitions — zero exchange; never throws on arbitrary bytes
+    * (fuzz-pinned, the strict-walk family property). */
+  def pcmEnergy(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_channels", LongType),
+      StructField("channel", LongType),
+      StructField("n_frames", LongType),
+      StructField("sum_abs", LongType), StructField("sum_sq", LongType),
+      StructField("min_pcm", LongType), StructField("max_pcm", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(ii)
+        val bad = Seq(Row(id, 0L, null, null, null, null, null, null,
+          null, null))
+        val d = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        if (d == null || d.length < 44 ||
+          new String(d, 0, 4, "US-ASCII") != "RIFF" ||
+          new String(d, 8, 4, "US-ASCII") != "WAVE") bad
+        else {
+          val bb = java.nio.ByteBuffer.wrap(d)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var o = 12
+          var rate = -1; var ch = -1
+          var dataOff = -1; var dataLen = -1; var fmtOk = false
+          while (o + 8 <= d.length && (dataOff < 0 || !fmtOk)) {
+            val cid = new String(d, o, 4, "US-ASCII")
+            val len = bb.getInt(o + 4)
+            if (len < 0 || o + 8 + len > d.length) { o = d.length }
+            else {
+              if (cid == "fmt " && len >= 16) {
+                val tag = bb.getShort(o + 8) & 0xFFFF
+                ch = bb.getShort(o + 10) & 0xFFFF
+                val bits = bb.getShort(o + 22) & 0xFFFF
+                rate = bb.getInt(o + 12)
+                fmtOk = tag == 1 && ch >= 1 && ch <= 8 && bits == 16 &&
+                  rate > 0
+              } else if (cid == "data") { dataOff = o + 8; dataLen = len }
+              o += 8 + len + (len & 1)
+            }
+          }
+          if (!fmtOk || dataOff < 0 || dataLen % (ch * 2) != 0) bad
+          else {
+            val frames = dataLen / (ch * 2)
+            val sa = new Array[Long](ch); val sq = new Array[Long](ch)
+            val mn = Array.fill(ch)(Long.MaxValue)
+            val mx = Array.fill(ch)(Long.MinValue)
+            var k = 0
+            while (k < frames) {
+              var c = 0
+              while (c < ch) {
+                val p = bb.getShort(dataOff + (k * ch + c) * 2).toLong
+                sa(c) += math.abs(p); sq(c) += p * p
+                if (p < mn(c)) mn(c) = p
+                if (p > mx(c)) mx(c) = p
+                c += 1
+              }
+              k += 1
+            }
+            (0 until ch).map { c =>
+              if (frames == 0)
+                Row(id, 1L, rate.toLong, ch.toLong, c.toLong, 0L, 0L,
+                  0L, null, null)
+              else
+                Row(id, 1L, rate.toLong, ch.toLong, c.toLong,
+                  frames.toLong, sa(c), sq(c), mn(c), mx(c))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Assemble INTERLEAVED image–text training sequences (the
     * MMC4/OBELICS document shape): text segments and media
     * references, each carrying a per-document position, merge into

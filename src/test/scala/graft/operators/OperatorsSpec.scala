@@ -2993,4 +2993,57 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .collect().head
     assert(j.getAs[Long]("ok") == 0L)
   }
+
+  test("pcmEnergy: per-channel census over the multichannel stub, " +
+    "malformation refused, zero frames (r16)") {
+    val base = Seq((5L, 16000, 7, 3), (6L, 8000, 0, 2))
+      .toDF("doc_id", "rate", "nf", "nc")
+    val built = Multimodal.encodePcmWavMulti(base, "rate", "nf", "nc",
+      "doc_id")
+    val got = Multimodal.pcmEnergy(built, "doc_id", "payload")
+      .collect().map(r => (r.getAs[Long]("id"),
+        if (r.isNullAt(r.fieldIndex("channel"))) -1L
+        else r.getAs[Long]("channel")) -> r).toMap
+    // hand replay of the construction for doc 5, channel 1
+    def pcm(seed: Long, k: Int, c: Int): Long =
+      (seed * 7 + k * 13 + c * 31) % 65536L - 32768L
+    for (c <- 0 until 3) {
+      val xs = (0 until 7).map(k => pcm(5L, k, c))
+      val r = got((5L, c.toLong))
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[Long]("sample_rate") == 16000L &&
+        r.getAs[Long]("n_channels") == 3L &&
+        r.getAs[Long]("n_frames") == 7L &&
+        r.getAs[Long]("sum_abs") == xs.map(math.abs).sum &&
+        r.getAs[Long]("sum_sq") == xs.map(x => x * x).sum &&
+        r.getAs[Long]("min_pcm") == xs.min &&
+        r.getAs[Long]("max_pcm") == xs.max)
+    }
+    // zero frames: one row per channel, ok, 0 sums, null extrema
+    for (c <- 0 until 2) {
+      val r = got((6L, c.toLong))
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[Long]("n_frames") == 0L &&
+        r.isNullAt(r.fieldIndex("min_pcm")))
+    }
+    assert(got.size == 5)
+    // a µ-law (tag 7) payload is NOT linear PCM: refused, ok = 0
+    val ml = Multimodal.encodeMulawWav(
+      Seq((7L, 8000, 10)).toDF("doc_id", "rate", "nf"), "rate", "nf",
+      "doc_id")
+    val j = Multimodal.pcmEnergy(ml, "doc_id", "payload").collect()
+    assert(j.length == 1 && j.head.getAs[Long]("ok") == 0L)
+    // truncated data chunk (not a block-align multiple): refused
+    val torn = built.filter(col("doc_id") === 5L)
+      .select(col("doc_id"), expr("substring(payload, 1, 57)")
+        .as("payload")) // 44 header + 13 bytes: tears mid-frame
+    val t = Multimodal.pcmEnergy(torn, "doc_id", "payload").collect()
+    assert(t.length == 1 && t.head.getAs[Long]("ok") == 0L)
+    // random garbage never throws: ok = 0 (strict-walk posture)
+    val rnd = new scala.util.Random(42)
+    val junk = (1L to 50L).map(i => (i,
+      rnd.nextBytes(rnd.nextInt(200)))).toDF("doc_id", "payload")
+    val g = Multimodal.pcmEnergy(junk, "doc_id", "payload").collect()
+    assert(g.forall(_.getAs[Long]("ok") == 0L) && g.length == 50)
+  }
 }

@@ -4630,6 +4630,59 @@ object SparkEntry {
         .orderBy(col("id"), col("channel"))
     }),
 
+    // q485: CSV round-trip under a pinned RFC4180 dialect — the
+    // format every dataset still lands in, with every hazard
+    // injected: commas, doubled quotes, an embedded newline,
+    // leading/trailing spaces, NULL vs EMPTY-STRING distinction
+    // (write/read nullValue '\N'; Spark's default dialect collapses
+    // '' to null — measured, which is why the token is pinned).
+    // Write → read-back must hash-equal DuckDB's direct parquet
+    // read of the same quirk injection (the q250 ORC discipline).
+    "q485_csv_roundtrip" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_csv_").toString
+      Tables.documents(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          concat(lit(" a,\""), col("text"), lit("\"\nz, "))
+            .as("text"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("lang"),
+          when(col("doc_id") % 5 === 0, lit(""))
+            .otherwise(col("source")).as("source"),
+          col("n_chars"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+      s.read.schema(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING," +
+            " n_chars BIGINT")
+        .option("header", "true").option("escape", "\"")
+        .option("nullValue", "\\N").option("multiLine", "true")
+        .csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // q486: pseudo-relevance-feedback retrieval (Rocchio/RM1 query
+    // expansion) — the classic two-pass IR loop on the integer BM25
+    // kernel: top-3 feedback docs per query, top-4 new terms by
+    // summed tf (ties alphabetic), re-retrieve top-8 with the
+    // expanded term set. The oracle replays BOTH passes and the
+    // expansion choice from raw text.
+    "q486_prf_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+      val queries = Seq(
+        (1L, "spark hash"), (2L, "data quality"),
+        (3L, "merge stream pipeline")).toDF("query_id", "qtext")
+      TextOps.bm25PrfTopKJoin(idx, docs, "doc_id", queries,
+          "query_id", "qtext", kFeedback = 3, mExpand = 4, k = 8)
+        .orderBy(col("query"), col("rank"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13447,6 +13500,78 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q486: both BM25 passes + the expansion choice replayed — the
+    // q471 scoring SQL, feedback top-3, candidate terms by summed tf
+    // minus originals, top-4 ties-alphabetic, re-score, top-8.
+    "q486_prf_retrieval" ->
+      """WITH q(query, qt) AS (VALUES
+        |    (1, 'spark hash'), (2, 'data quality'),
+        |    (3, 'merge stream pipeline')),
+        |qt2 AS (SELECT DISTINCT query,
+        |    unnest(string_split_regex(trim(lower(qt)), '\s+')) AS token
+        |  FROM q),
+        |tok AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dl AS (SELECT d.doc_id,
+        |    CAST(COALESCE(t.c, 0) AS BIGINT) AS dl
+        |  FROM documents d LEFT JOIN
+        |    (SELECT doc_id, COUNT(*) AS c FROM tok GROUP BY 1) t
+        |    USING (doc_id)),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+        |tfa AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token <> '' GROUP BY 1, 2),
+        |dfa AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tfa GROUP BY 1),
+        |per AS (
+        |  SELECT tfa.doc_id, tfa.token,
+        |    ((2*s.n - 2*dfa.df + 1) *
+        |     ((44000000 * tfa.tf) //
+        |      (20000 * tfa.tf + 6000 +
+        |       18 * ((1000000 * dl.dl) // greatest(1, (1000 * s.l) // s.n)))))
+        |    // (2*dfa.df + 1) AS m
+        |  FROM tfa JOIN dfa USING (token) JOIN dl USING (doc_id), s),
+        |pq1 AS (SELECT qt2.query, per.doc_id,
+        |    SUM(per.m) AS bm
+        |  FROM qt2 JOIN per ON qt2.token = per.token GROUP BY 1, 2),
+        |fb AS (SELECT query, doc_id FROM (
+        |    SELECT query, doc_id, ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY bm DESC, doc_id ASC) AS r FROM pq1)
+        |  WHERE r <= 3),
+        |cand AS (SELECT fb.query, tfa.token, SUM(tfa.tf) AS ft
+        |  FROM fb JOIN tfa USING (doc_id)
+        |  LEFT JOIN qt2 ON qt2.query = fb.query
+        |    AND qt2.token = tfa.token
+        |  WHERE qt2.token IS NULL
+        |  GROUP BY 1, 2),
+        |exp AS (SELECT query, token FROM (
+        |    SELECT query, token, ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY ft DESC, token ASC) AS r FROM cand)
+        |  WHERE r <= 4),
+        |qt3 AS (SELECT query, token FROM qt2
+        |  UNION SELECT query, token FROM exp),
+        |pq2 AS (SELECT qt3.query, per.doc_id, SUM(per.m) AS bm25_milli
+        |  FROM qt3 JOIN per ON qt3.token = per.token GROUP BY 1, 2),
+        |rk AS (SELECT query, doc_id, bm25_milli,
+        |    ROW_NUMBER() OVER (PARTITION BY query
+        |      ORDER BY bm25_milli DESC, doc_id ASC) AS rank
+        |  FROM pq2)
+        |SELECT CAST(query AS BIGINT) AS query,
+        |  CAST(doc_id AS BIGINT) AS doc,
+        |  CAST(bm25_milli AS BIGINT) AS bm25_milli,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 8 ORDER BY query, rank""".stripMargin,
+
+    // q485: the same quirk injection straight off parquet — write →
+    // read-back must be the identity under the pinned dialect.
+    "q485_csv_roundtrip" ->
+      """SELECT doc_id,
+        |  ' a,"' || text || '"' || chr(10) || 'z, ' AS text,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE source END AS source,
+        |  n_chars
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
 
     // q484: the fixture's samples rebuilt arithmetically (the short
     // round-trips exactly: values are already in [-32768, 32767]),

@@ -390,6 +390,62 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Pseudo-relevance-feedback retrieval (Rocchio/RM1-style query
+    * expansion) — the classic two-pass IR loop, closing the
+    * retrieval family: pass 1 retrieves each query's `kFeedback`
+    * BM25 top docs FROM the index; the `mExpand` terms with the
+    * highest summed tf across those feedback docs (ties: token asc)
+    * that are NOT already query terms join the query with unit
+    * weight; pass 2 re-retrieves top `k` with the expanded term set.
+    * Everything stays on the integer milli BM25 kernel — ranks,
+    * floors and Σtf only, which is what keeps a feedback loop
+    * oracle-able end to end (q486 replays BOTH passes and the
+    * expansion choice verbatim).
+    *
+    * 100 TB shape: queries broadcast (the [[bm25TopKJoin]]
+    * maxQueries contract); the feedback doc set is |queries|·k —
+    * broadcast back into the index for candidate mining; both
+    * scoring passes touch only matched-term posting ranges plus the
+    * dl sidecar, never the text; top-k cuts are per-query rank
+    * windows (WindowGroupLimit), never a global sort. */
+  def bm25PrfTopKJoin(index: DataFrame, docs: DataFrame, idCol: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      kFeedback: Int, mExpand: Int, k: Int,
+      maxQueries: Long = 100000L): DataFrame = {
+    require(kFeedback >= 1 && kFeedback <= 1000,
+      s"kFeedback must be in [1,1000], got $kFeedback")
+    require(mExpand >= 1 && mExpand <= 64,
+      s"mExpand must be in [1,64], got $mExpand")
+    require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    val qTerms = queryTermTable(queries, queryIdCol, queryTextCol,
+      maxQueries, "bm25PrfTopKJoin")
+    val dlIdx = index.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    val dl = docs.select(col(idCol).as("doc")).distinct()
+      .join(dlIdx, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("dl"), lit(0L)).as("dl"))
+    def tfdfFor(terms: DataFrame) =
+      index.join(broadcast(terms.select(col("token")).distinct()),
+          Seq("token"))
+        .select(col("doc"), col("token"), col("tf"),
+          col("doc_freq").as("df"))
+    val feedback = bm25TopKTail(qTerms, tfdfFor(qTerms), dl, kFeedback)
+      .select(col("query"), col("doc"))
+    val cand = index.select(col("doc"), col("token"), col("tf"))
+      .join(broadcast(feedback), Seq("doc"))
+      .groupBy(col("query"), col("token"))
+      .agg(sum(col("tf")).as("__ft"))
+      .join(qTerms, Seq("query", "token"), "left_anti")
+    val wExp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("__ft").desc, col("token").asc)
+    val expansion = cand
+      .withColumn("__r", row_number().over(wExp))
+      .filter(col("__r") <= mExpand)
+      .select(col("query"), col("token"))
+    val qTerms2 = qTerms.unionByName(expansion)
+    bm25TopKTail(qTerms2, tfdfFor(qTerms2), dl, k)
+  }
+
   /** BM25 served FROM the [[invertedIndex]] table instead of
     * rescanning text — the retrieval shape a deployment actually
     * runs: at 100 TB the corpus is tokenized ONCE into the index;

@@ -68,6 +68,11 @@ case class PettittPoint(key: Long, order: Long, tie: Long,
 case class EwmaPoint(key: Long, order: Long, tie: Long, n: Long,
     value_milli: Long, ewma_milli: Long)
 
+/** One (quantile, value) lane of the running table emitted by
+  * [[StreamOps.exactQuantilesStream]] after each accepted event. */
+case class QuantilePoint(key: String, order: Long, tie: Long,
+    n: Long, q_milli: Long, value_milli: Long)
+
 /** Running per-key Holt linear state emitted by
   * [[StreamOps.holtStream]] after each accepted event. */
 case class HoltPoint(key: Long, order: Long, tie: Long, n: Long,
@@ -800,6 +805,82 @@ object StreamOps {
             }
           }
           state.update((lastO, lastT, n, s))
+          out.iterator
+      }
+  }
+
+  /** Streaming exact quantile table — the live twin of
+    * [[graft.operators.Learn.exactQuantiles]] (p50/p90/p99 SLO
+    * monitoring without sketch error): per group, after each
+    * accepted event, one row PER REQUESTED QUANTILE with the exact
+    * lower-quantile value over the series so far — the value at
+    * rank ⌈q·n/1000⌉ — so every emission equals the batch operator
+    * on that prefix (parity spec-pinned across a mid-key split).
+    *
+    * Why THIS member of the rank family streams exactly in
+    * O(distinct)-state where [[pettittStream]] needed the whole
+    * run-compressed series: a quantile is a function of the value
+    * COUNTS alone — arrival order never matters — so the value→count
+    * map is a sufficient statistic, and each arrival is one map
+    * update plus one sorted walk accumulating all quantiles at once.
+    * State is value-run bounded (the mannKendallStream discipline:
+    * quantize upstream if a group's values are all-distinct
+    * unbounded). Ordering contract and null filter are the
+    * [[mannKendallStream]] posture. */
+  def exactQuantilesStream(df: DataFrame, groupCol: String,
+      orderCol: String, tieCol: String, valueCol: String,
+      qMillis: Seq[Long]): Dataset[QuantilePoint] = {
+    require(qMillis.nonEmpty && qMillis.forall(q => q >= 1 && q <= 1000),
+      s"qMillis must be non-empty with every q in [1,1000], got $qMillis")
+    require(qMillis.distinct.size == qMillis.size,
+      s"duplicate quantiles in $qMillis")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qs = qMillis.sorted.toArray
+    df.filter(col(groupCol).isNotNull && col(orderCol).isNotNull &&
+        col(tieCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
+        col(orderCol).cast("long").as("o"),
+        col(tieCol).cast("long").as("t"),
+        floor(col(valueCol) * 1000).cast("long").as("v"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Map[Long, Long]), QuantilePoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[(Long, Long, Map[Long, Long])]) =>
+          var (lastO, lastT, counts) = state.getOption
+            .getOrElse((Long.MinValue, Long.MinValue,
+              Map.empty[Long, Long]))
+          val m = scala.collection.mutable.Map.empty[Long, Long]
+          m ++= counts
+          var n = m.valuesIterator.sum
+          val sorted = rows.map(r => (r._2, r._3, r._4))
+            .toArray.sortBy(t => (t._1, t._2))
+          val out = scala.collection.mutable.ArrayBuffer.empty[QuantilePoint]
+          sorted.foreach { case (o, t, v) =>
+            if (o > lastO || (o == lastO && t > lastT)) {
+              lastO = o; lastT = t
+              m.update(v, m.getOrElse(v, 0L) + 1L)
+              n += 1
+              // one sorted walk answers every quantile: rank(q) =
+              // ceil(q*n/1000), value = smallest v with cum >= rank
+              val vals = m.keys.toArray
+              java.util.Arrays.sort(vals)
+              var qi = 0; var cum = 0L; var vi = 0
+              while (qi < qs.length && vi < vals.length) {
+                cum += m(vals(vi))
+                while (qi < qs.length &&
+                    cum >= (qs(qi) * n + 999L) / 1000L) {
+                  out += QuantilePoint(key, o, t, n, qs(qi), vals(vi))
+                  qi += 1
+                }
+                vi += 1
+              }
+            }
+          }
+          state.update((lastO, lastT, m.toMap))
           out.iterator
       }
   }

@@ -1590,6 +1590,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRows(up) == indexRows(want))
   }
 
+  test("bm25PrfTopKJoin: expansion retrieves what pass 1 cannot, " +
+    "originals excluded from expansion, ties alphabetic (r16)") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "apple cherry"),
+      (3L, "banana damson"), (4L, "elder fig")).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+    val q = Seq((1L, "apple")).toDF("qid", "qt")
+    // pass 1 alone can never see doc 3 (no 'apple')
+    val direct = TextOps.bm25TopKJoinFromIndex(idx, docs, "doc_id",
+      q, "qid", "qt", k = 4).select("doc")
+      .collect().map(_.getLong(0)).toSet
+    assert(direct == Set(1L, 2L))
+    // feedback docs {1, 2} donate banana/cherry (tf 1 each, tie ->
+    // banana alphabetically first); mExpand = 1 adds ONLY banana,
+    // which retrieves doc 3; doc 4 stays unreachable
+    val prf = TextOps.bm25PrfTopKJoin(idx, docs, "doc_id", q, "qid",
+      "qt", kFeedback = 2, mExpand = 1, k = 4)
+      .collect().map(r => r.getAs[Long]("doc")).toSet
+    assert(prf == Set(1L, 2L, 3L), s"got $prf")
+    // the original term is never its own expansion: with mExpand = 2
+    // both banana and cherry join, 'apple' is not re-added (ranks
+    // would be unchanged if it were — pin via doc set: all of 1,2,3)
+    val prf2 = TextOps.bm25PrfTopKJoin(idx, docs, "doc_id", q, "qid",
+      "qt", kFeedback = 2, mExpand = 2, k = 4)
+      .collect().map(r => r.getAs[Long]("doc")).toSet
+    assert(prf2 == Set(1L, 2L, 3L))
+  }
+
   test("upsertIndex composes: bm25FromIndex serves identically from a merged index") {
     val all = Tables.documents(spark, sf).filter(col("doc_id") < 60)
     val a = all.filter(col("doc_id") < 45)

@@ -1243,6 +1243,53 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("exactQuantilesStream: every emission == batch exactQuantiles " +
+    "on that prefix, O(distinct) state across a mid-key split (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val qs = Seq(250L, 500L, 900L, 1000L)
+    // group A: values with ties and both directions; group B: constant
+    val rows = Seq(5.0, 1.0, 5.0, 3.0, 9.0, 1.0, 7.0)
+      .zipWithIndex.map { case (v, i) => ("A", i + 1L, i + 1L, v) } ++
+      (1L to 4L).map(i => ("B", i, i, 2.0))
+    def batchOn(sub: Seq[(String, Long, Long, Double)]) =
+      graft.operators.Learn.exactQuantiles(sub.toDF("g", "o", "e", "v"),
+          "g", "v", qs)
+        .collect().map(r => (r.getAs[String]("group"),
+          r.getAs[Long]("q_milli")) ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("value_milli")))).toMap
+    val stream = MemoryStream[(String, Long, Long, Double)]
+    val q = StreamOps.exactQuantilesStream(
+        stream.toDF().toDF("g", "o", "e", "v"), "g", "o", "e", "v", qs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("eqs").start()
+    try {
+      stream.addData(rows.take(4): _*) // split MID-group-A
+      q.processAllAvailable()
+      stream.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      stream.addData(("A", 2L, 99L, 42.0)) // late -> dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("eqs").as[QuantilePoint].collect()
+    assert(!streamed.exists(_.tie == 99L))
+    // every accepted event emitted exactly |qs| rows
+    assert(streamed.length == rows.length * qs.length)
+    // EVERY emission equals batch on that prefix, both groups
+    for (g <- Seq("A", "B")) {
+      val keyRows = rows.filter(_._1 == g)
+      for (cut <- 1 to keyRows.length) {
+        val pre = batchOn(rows.filterNot(_._1 == g) ++ keyRows.take(cut))
+        val got = streamed.filter(p => p.key == g && p.n == cut)
+        assert(got.length == qs.length)
+        got.foreach { p =>
+          assert((p.n, p.value_milli) == pre((g, p.q_milli)),
+            s"group $g prefix $cut q ${p.q_milli}: $p != ${pre((g, p.q_milli))}")
+        }
+      }
+    }
+  }
+
   test("holtStream: stream == batch on EVERY prefix, coupled O(1) " +
     "state across a mid-key split (r16)") {
     import spark.implicits._

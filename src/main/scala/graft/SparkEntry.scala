@@ -4674,7 +4674,15 @@ object SparkEntry {
     "q486_prf_retrieval" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
+      // checkpoint = the stored-index deployment shape: the operator
+      // reads its index input three times (two scoring passes +
+      // candidate mining) and without materialization the inline
+      // invertedIndex subtree replays per consumer. Measured at
+      // sf0.1 same-process: q486 3.9 s vs one-pass siblings q473
+      // 1.3 s / q471 1.7 s — the residual ~2.2x is the two-pass
+      // loop itself (pass 1 + candidate mining + pass 2), not waste.
       val idx = TextOps.invertedIndex(docs, "doc_id", "text")
+        .localCheckpoint()
       val queries = Seq(
         (1L, "spark hash"), (2L, "data quality"),
         (3L, "merge stream pipeline")).toDF("query_id", "qtext")

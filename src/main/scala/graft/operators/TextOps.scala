@@ -442,7 +442,12 @@ object TextOps {
       .withColumn("__r", row_number().over(wExp))
       .filter(col("__r") <= mExpand)
       .select(col("query"), col("token"))
-    val qTerms2 = qTerms.unionByName(expansion)
+    // query-sized and checkpointed (the etaSquared discipline): the
+    // expanded term table is referenced twice in pass 2 (term-set
+    // pruning + the scoring tail's broadcast), and each reference
+    // would otherwise replay the whole pass-1 chain including an
+    // index scan
+    val qTerms2 = qTerms.unionByName(expansion).localCheckpoint()
     bm25TopKTail(qTerms2, tfdfFor(qTerms2), dl, k)
   }
 

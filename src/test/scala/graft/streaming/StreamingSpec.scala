@@ -691,6 +691,59 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(new java.io.File(dir).listFiles().exists(_.getName == "ingest_date=2024-01-01"))
   }
 
+  test("foreachBatch index maintenance: streaming doc deltas keep the " +
+    "inverted index == from-scratch, tokenizing only each delta (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString
+    // seed corpus A -> stored index (versioned directories: each
+    // micro-batch merges into v(n+1), the swap a real deployment
+    // does with a table pointer)
+    val a = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "delta"))
+      .toDF("doc_id", "text")
+    TextOps.invertedIndex(a, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val v = version.get()
+          val idx = batch.sparkSession.read.parquet(s"$dir/v$v")
+          TextOps.upsertIndex(idx, batch, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+          version.incrementAndGet()
+        }
+        ()
+      }.start()
+    try {
+      // batch 1: new doc + a re-ingest of doc 2 (replaces postings)
+      stream.addData((4L, "alpha omega"), (2L, "beta epsilon"))
+      q.processAllAvailable()
+      // batch 2: another new doc
+      stream.addData((5L, "omega omega delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/v${version.get()}")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc"),
+        r.getAs[Long]("doc_freq"), r.getAs[Long]("total_tf"),
+        r.getAs[Long]("tf"), r.getAs[String]("positions")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = TextOps.invertedIndex(Seq(
+        (1L, "alpha beta"), (2L, "beta epsilon"), (3L, "delta"),
+        (4L, "alpha omega"), (5L, "omega omega delta"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc"),
+        r.getAs[Long]("doc_freq"), r.getAs[Long]("total_tf"),
+        r.getAs[Long]("tf"), r.getAs[String]("positions")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want)
+    assert(version.get() == 2)
+  }
+
   test("foreachBatch sketch maintenance: per-micro-batch HLL partials merge to the batch answer") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

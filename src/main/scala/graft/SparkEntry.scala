@@ -4691,6 +4691,32 @@ object SparkEntry {
         .orderBy(col("query"), col("rank"))
     }),
 
+    // q487: incremental connected components — the dedup-graph twin
+    // of q481's index upsert: a stored min-id labeling (closed-form
+    // star components, the deployment's labels TABLE) absorbs a
+    // delta that merges old components, hangs new nodes off old
+    // ones, and adds purely-new pairs; the fixpoint runs on the
+    // delta-projected label graph only. Oracle: from-scratch
+    // recursive-CTE closure over the UNION edge set (q169's SQL).
+    "q487_upsert_components" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir)
+      val base = d0.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("id"),
+          (col("doc_id") - col("doc_id") % 5).as("cluster"))
+      val delta = d0.filter(col("doc_id") < 40)
+        .select((col("doc_id") * 10 % 400).as("a"),
+          ((col("doc_id") * 35 + 5) % 400).as("b"))
+        .unionByName(d0.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 400).as("a"),
+            (col("doc_id") * 20 % 400).as("b")))
+        .unionByName(d0.filter(col("doc_id") < 5)
+          .select((col("doc_id") + 500).as("a"),
+            (col("doc_id") + 505).as("b")))
+      operators.Graph.upsertComponents(base, "id", "cluster",
+          delta, "a", "b")
+        .orderBy(col("id"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13508,6 +13534,34 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q487: from-scratch closure over base-star ∪ delta edges — the
+    // incremental merge must be bit-identical to never having had
+    // the stored labeling at all.
+    "q487_upsert_components" ->
+      """WITH RECURSIVE ids AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id < 400),
+        |a_e AS (SELECT id AS a, id - id % 5 AS b FROM ids),
+        |d1 AS (SELECT (doc_id * 10) % 400 AS a,
+        |    (doc_id * 35 + 5) % 400 AS b
+        |  FROM documents WHERE doc_id < 40),
+        |d2 AS (SELECT doc_id + 400 AS a, (doc_id * 20) % 400 AS b
+        |  FROM documents WHERE doc_id < 25),
+        |d3 AS (SELECT doc_id + 500 AS a, doc_id + 505 AS b
+        |  FROM documents WHERE doc_id < 5),
+        |alle AS (SELECT a, b FROM a_e UNION SELECT a, b FROM d1
+        |  UNION SELECT a, b FROM d2 UNION SELECT a, b FROM d3),
+        |e AS (SELECT a AS src, b AS dst FROM alle WHERE a <> b
+        |      UNION SELECT b, a FROM alle WHERE a <> b),
+        |n AS (SELECT a AS id FROM alle UNION SELECT b FROM alle),
+        |r AS (
+        |  SELECT src AS node, src AS reach FROM e
+        |  UNION
+        |  SELECT r.node, e.dst AS reach FROM r JOIN e ON e.src = r.reach)
+        |SELECT n.id, CAST(COALESCE(MIN(r.reach), n.id) AS BIGINT)
+        |  AS cluster
+        |FROM n LEFT JOIN r ON n.id = r.node
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     // q486: both BM25 passes + the expansion choice replayed — the
     // q471 scoring SQL, feedback top-3, candidate terms by summed tf

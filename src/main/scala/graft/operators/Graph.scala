@@ -575,6 +575,66 @@ object Graph {
     result
   }
 
+  /** Incremental connected components — the dedup-graph twin of
+    * [[graft.operators.TextOps.upsertIndex]] (r16): given an existing
+    * min-id labeling (the stored output of [[connectedComponentsStar]]
+    * / [[Dedup.connectedComponents]] over edge set A) and a DELTA of
+    * new edges (which may introduce brand-new nodes), produce the
+    * labeling of CC(A ∪ Δ) WITHOUT re-clustering the corpus.
+    *
+    * The standard super-node contraction: each existing component IS
+    * its label, so Δ edges project endpoints to labels (a new node's
+    * label is itself), components merge exactly where the projected
+    * Δ-sized label graph is connected, and the fixpoint runs on THAT
+    * graph only. Min-id labels are preserved by construction: an old
+    * label is the minimum of its component, so the min over merged
+    * old-labels/new-ids is the global min id of the merged set — the
+    * output is bit-identical to a from-scratch run (q487 oracle).
+    *
+    * ADDITIVE ONLY, loudly documented: edge DELETION can split a
+    * component, which no label-grain state can see — deletions
+    * require re-clustering the touched components (the same boundary
+    * every incremental-CC system documents). Dedup graphs only grow.
+    *
+    * 100 TB shape: the labels table is corpus-scale but is touched by
+    * exactly one broadcast join (the Δ-sized relabel mapping) and one
+    * left-anti (new-node detection against Δ endpoints — Δ-sized
+    * probe side); the fixpoint iterates over the Δ-projected graph,
+    * never the corpus. */
+  def upsertComponents(labels: DataFrame, idCol: String,
+      clusterCol: String, deltaPairs: DataFrame, idACol: String,
+      idBCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).cast("long").as("id"),
+      col(clusterCol).cast("long").as("cluster"))
+    val d = deltaPairs
+      .select(col(idACol).cast("long").as("a"),
+        col(idBCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // project Δ endpoints onto current labels (new node -> itself)
+    val proj = d
+      .join(lab.select(col("id").as("a"), col("cluster").as("__ca")),
+        Seq("a"), "left")
+      .join(lab.select(col("id").as("b"), col("cluster").as("__cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("__ca"), col("a")).as("pa"),
+        coalesce(col("__cb"), col("b")).as("pb"))
+    // fixpoint on the Δ-sized label graph only
+    val mapping = connectedComponentsStar(proj, "pa", "pb")
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("__from"), col("cluster").as("__to"))
+    val updatedOld = lab
+      .join(broadcast(mapping), col("cluster") === col("__from"), "left")
+      .select(col("id"),
+        coalesce(col("__to"), col("cluster")).as("cluster"))
+    val newNodes = d.select(col("a").as("id"))
+      .unionByName(d.select(col("b").as("id"))).distinct()
+      .join(lab.select(col("id")), Seq("id"), "left_anti")
+    val newLabeled = newNodes
+      .join(broadcast(mapping), col("id") === col("__from"), "left")
+      .select(col("id"), coalesce(col("__to"), col("id")).as("cluster"))
+    updatedOld.unionByName(newLabeled)
+  }
+
   /** k-core of the UNDIRECTED simple graph induced by `edges`
     * (direction, multiplicity, and self loops dropped) by bounded
     * PEELING (Matula–Beck 1983; the distributed bounded-round form

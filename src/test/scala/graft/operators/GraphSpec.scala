@@ -738,4 +738,36 @@ class GraphSpec extends SparkTestBase {
     assert(got == Map(1L -> ((1L, 2L)), 2L -> ((2L, 3L)),
       3L -> ((2L, 4L)), 4L -> ((2L, 3L)), 5L -> ((1L, 2L))))
   }
+
+  test("upsertComponents: identity vs from-scratch — chain merges, " +
+    "new-node bridge, purely-new pairs, no-op delta (r16)") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("cluster")).toMap
+    // base: components {1,2,3} (label 1), {10,11} (10), {20} (20),
+    // {30,31} (30)
+    val baseEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L),
+      (20L, 20L)).toDF("a", "b")
+    val base = Graph.connectedComponentsStar(baseEdges, "a", "b")
+    // delta: 11-20 and 20-31 CHAIN three old components; a NEW node
+    // 99 bridges old {1..} to old {10..} transitively via 100<->99,
+    // 99<->3, 100<->10; purely-new pair 200<->201
+    val delta = Seq((11L, 20L), (20L, 31L), (100L, 99L), (99L, 3L),
+      (100L, 10L), (200L, 201L)).toDF("a", "b")
+    val got = labelsOf(Graph.upsertComponents(base, "id", "cluster",
+      delta, "a", "b"))
+    val want = labelsOf(Graph.connectedComponentsStar(
+      baseEdges.unionByName(delta), "a", "b"))
+    assert(got == want, s"$got != $want")
+    // the chain collapsed {10,11,20,30,31} and the bridge pulled
+    // {1,2,3,99,100} and {10..} together: everything except the
+    // purely-new pair has min-id label 1
+    assert(got(31L) == 1L && got(99L) == 1L && got(100L) == 1L)
+    assert(got(200L) == 200L && got(201L) == 200L)
+    // a delta INSIDE one existing component changes nothing
+    val noop = labelsOf(Graph.upsertComponents(base, "id", "cluster",
+      Seq((1L, 3L)).toDF("a", "b"), "a", "b"))
+    assert(noop == labelsOf(base))
+  }
 }

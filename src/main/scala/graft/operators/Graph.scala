@@ -603,7 +603,7 @@ object Graph {
     * never the corpus. */
   def upsertComponents(labels: DataFrame, idCol: String,
       clusterCol: String, deltaPairs: DataFrame, idACol: String,
-      idBCol: String): DataFrame = {
+      idBCol: String, driverMaxEdges: Long = 5000000L): DataFrame = {
     val lab = labels.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("cluster"))
     val d = deltaPairs
@@ -618,10 +618,42 @@ object Graph {
         Seq("b"), "left")
       .select(coalesce(col("__ca"), col("a")).as("pa"),
         coalesce(col("__cb"), col("b")).as("pb"))
-    // fixpoint on the Δ-sized label graph only
-    val mapping = connectedComponentsStar(proj, "pa", "pb")
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as("__from"), col("cluster").as("__to"))
+    // solve the Δ-sized label graph: it is bounded BY CONTRACT (the
+    // delta is an ingest batch), so the default path is a driver-side
+    // union-find over the distinct projected edges — O(α·|Δ|), one
+    // collect of a bounded set (the house bounded-collect pattern,
+    // loud cap) instead of a multi-round distributed fixpoint whose
+    // per-round job overhead dwarfs a small graph (measured: the
+    // ccStar path costs ~3.4 s at q487's 70-edge delta, the
+    // union-find ~a scan). Past the cap, fall back to
+    // [[connectedComponentsStar]] — same labels by the shared min-id
+    // contract (spec-pinned equal).
+    val projEdges = proj.filter(col("pa") =!= col("pb")).distinct()
+    val nEdges = projEdges.count()
+    val mapping: DataFrame =
+      if (nEdges <= driverMaxEdges) {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nxt = parent.getOrElse(c, c); parent.update(c, r); c = nxt
+          }
+          r
+        }
+        projEdges.collect().foreach { row =>
+          val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+          if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+        }
+        val moved = parent.keysIterator
+          .map(n => (n, find(n))).filter { case (n, r) => n != r }.toSeq
+        val spark = labels.sparkSession
+        import spark.implicits._
+        moved.toDF("__from", "__to")
+      } else connectedComponentsStar(projEdges, "pa", "pb")
+        .filter(col("id") =!= col("cluster"))
+        .select(col("id").as("__from"), col("cluster").as("__to"))
     val updatedOld = lab
       .join(broadcast(mapping), col("cluster") === col("__from"), "left")
       .select(col("id"),

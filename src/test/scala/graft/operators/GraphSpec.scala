@@ -769,5 +769,10 @@ class GraphSpec extends SparkTestBase {
     val noop = labelsOf(Graph.upsertComponents(base, "id", "cluster",
       Seq((1L, 3L)).toDF("a", "b"), "a", "b"))
     assert(noop == labelsOf(base))
+    // the distributed fallback path (cap = 0 forces it) produces the
+    // SAME labels as the driver union-find default
+    val viaStar = labelsOf(Graph.upsertComponents(base, "id", "cluster",
+      delta, "a", "b", driverMaxEdges = 0L))
+    assert(viaStar == got)
   }
 }

@@ -4717,6 +4717,29 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // q488: chrF lanes — character n-gram clipped matches and exact
+    // milli P/R per order (n = 1..6, whitespace-stripped,
+    // case-preserving); the reference side is a deterministic
+    // perturbation (e→a) so partial overlap is guaranteed at every
+    // order. The character-level member of the BLEU/ROUGE family.
+    "q488_chrf_lanes" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("pid"), col("text").as("cand"),
+          translate(col("text"), "e", "a").as("ref"))
+      operators.TextOps.chrfLanes(p, "pid", "cand", "ref")
+        .orderBy(col("pair"), col("n"))
+    }),
+
+    // q489: pair-grain chrF2 — macro-averaged milli P/R over orders
+    // with grams on either side, then the single-floor F2.
+    "q489_chrf2" -> ((s, dir) => {
+      val p = Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id").as("pid"), col("text").as("cand"),
+          translate(col("text"), "e", "a").as("ref"))
+      operators.TextOps.chrF(p, "pid", "cand", "ref")
+        .orderBy(col("pair"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13534,6 +13557,78 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q488: char n-grams rebuilt by substr over a position unnest,
+    // clip join, totals from stripped lengths; every lane replayed.
+    "q488_chrf_lanes" ->
+      """WITH p AS (SELECT doc_id AS pair,
+        |    regexp_replace(text, '\s+', '', 'g') AS c,
+        |    regexp_replace(translate(text, 'e', 'a'), '\s+', '', 'g')
+        |      AS r
+        |  FROM documents WHERE doc_id < 100),
+        |o(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+        |cg AS (SELECT pair, n, substr(c, CAST(u.i AS INT), n) AS g,
+        |    COUNT(*) AS cc
+        |  FROM p, o, unnest(range(1, length(c) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (SELECT pair, n, substr(r, CAST(u.i AS INT), n) AS g,
+        |    COUNT(*) AS rc
+        |  FROM p, o, unnest(range(1, length(r) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |mm AS (SELECT pair, n, SUM(LEAST(cc, rc)) AS m
+        |  FROM cg JOIN rg USING (pair, n, g) GROUP BY 1, 2),
+        |b AS (SELECT pair, n,
+        |    GREATEST(length(c) - n + 1, 0) AS tc,
+        |    GREATEST(length(r) - n + 1, 0) AS tr FROM p, o)
+        |SELECT b.pair, CAST(b.n AS BIGINT) AS n,
+        |  CAST(COALESCE(mm.m, 0) AS BIGINT) AS m,
+        |  CAST(tc AS BIGINT) AS tc, CAST(tr AS BIGINT) AS tr,
+        |  CASE WHEN tc > 0 THEN
+        |    CAST((1000 * COALESCE(mm.m, 0)) // tc AS BIGINT) END
+        |    AS prec_milli,
+        |  CASE WHEN tr > 0 THEN
+        |    CAST((1000 * COALESCE(mm.m, 0)) // tr AS BIGINT) END
+        |    AS rec_milli
+        |FROM b LEFT JOIN mm USING (pair, n)
+        |ORDER BY pair, n""".stripMargin,
+
+    // q489: the q488 lanes macro-averaged, then the single-floor F2.
+    "q489_chrf2" ->
+      """WITH p AS (SELECT doc_id AS pair,
+        |    regexp_replace(text, '\s+', '', 'g') AS c,
+        |    regexp_replace(translate(text, 'e', 'a'), '\s+', '', 'g')
+        |      AS r
+        |  FROM documents WHERE doc_id < 100),
+        |o(n) AS (VALUES (1), (2), (3), (4), (5), (6)),
+        |cg AS (SELECT pair, n, substr(c, CAST(u.i AS INT), n) AS g,
+        |    COUNT(*) AS cc
+        |  FROM p, o, unnest(range(1, length(c) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |rg AS (SELECT pair, n, substr(r, CAST(u.i AS INT), n) AS g,
+        |    COUNT(*) AS rc
+        |  FROM p, o, unnest(range(1, length(r) - n + 2)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |mm AS (SELECT pair, n, SUM(LEAST(cc, rc)) AS m
+        |  FROM cg JOIN rg USING (pair, n, g) GROUP BY 1, 2),
+        |b AS (SELECT pair, n,
+        |    GREATEST(length(c) - n + 1, 0) AS tc,
+        |    GREATEST(length(r) - n + 1, 0) AS tr FROM p, o),
+        |lanes AS (SELECT b.pair, b.n, COALESCE(mm.m, 0) AS m, tc, tr
+        |  FROM b LEFT JOIN mm USING (pair, n)),
+        |f AS (SELECT pair, COUNT(*) AS n_orders,
+        |    SUM(CASE WHEN tc > 0 THEN (1000 * m) // tc ELSE 0 END)
+        |      AS sp,
+        |    SUM(CASE WHEN tr > 0 THEN (1000 * m) // tr ELSE 0 END)
+        |      AS sr
+        |  FROM lanes WHERE tc + tr > 0 GROUP BY 1)
+        |SELECT pair, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(sp // n_orders AS BIGINT) AS chrp_milli,
+        |  CAST(sr // n_orders AS BIGINT) AS chrr_milli,
+        |  CASE WHEN 4 * (sp // n_orders) + (sr // n_orders) > 0 THEN
+        |    CAST((5 * (sp // n_orders) * (sr // n_orders))
+        |      // (4 * (sp // n_orders) + (sr // n_orders)) AS BIGINT)
+        |  END AS chrf2_milli
+        |FROM f ORDER BY pair""".stripMargin,
 
     // q487: from-scratch closure over base-star ∪ delta edges — the
     // incremental merge must be bit-identical to never having had

@@ -2853,6 +2853,87 @@ object TextOps {
       .withColumn("brevity_ok", col("cand_tokens") >= col("ref_tokens"))
   }
 
+  /** chrF lanes (Popović 2015) — the character-level member of the
+    * MT/LLM eval family next to [[bleuLanes]] (word n-grams) and
+    * [[rougeN]] (clipped recall): per (pair, order n ∈ 1..maxN), the
+    * clipped character-n-gram match count and both totals, with
+    * exact milli precision/recall floors. The COUNTED QUANTITIES are
+    * defined exactly (the bleuLanes discipline): both sides strip
+    * ALL whitespace (`\s+` → "", the sacreBLEU default), grams are
+    * the `len−n+1` substrings of the stripped text, case preserved,
+    * matches clip at min(count_cand, count_ref) per gram. Orders
+    * where a side is shorter than n have total 0 and a NULL milli
+    * lane (nothing to divide).
+    *
+    * Physical shape: ONE tagged explode carries all orders (the
+    * bleuLanes shape); the stripped string binds as a LAMBDA
+    * VARIABLE so the regex strip evaluates once per row, not once
+    * per position (the CollapseProject inlining trap, documented in
+    * the winnowing post-mortem). Shuffles spread by pair. */
+  def chrfLanes(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 6): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN must be in [1,8], got $maxN")
+    val orders = 1 to maxN
+    def strip(c: Column): Column =
+      regexp_replace(coalesce(c, lit("")), "\\s+", "")
+    def tagged(c: Column): Column =
+      flatten(transform(array(strip(c)), s =>
+        flatten(array(orders.map(n =>
+          when(length(s) >= n,
+            transform(sequence(lit(1), length(s) - lit(n - 1)),
+              i => struct(lit(n).as("n"), s.substr(i, lit(n)).as("gram"))))
+            .otherwise(array().cast(
+              "array<struct<n:int,gram:string>>"))): _*))))
+    def side(c: String, out: String) = pairs
+      .select(col(pairCol).as("pair"), explode(tagged(col(c))).as("g"))
+      .groupBy(col("pair"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as(out))
+    val m = side(candCol, "__cc")
+      .join(side(refCol, "__cr"), Seq("pair", "n", "gram"))
+      .groupBy(col("pair"), col("n"))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("__m"))
+    val base = pairs
+      .select(col(pairCol).as("pair"),
+        length(strip(col(candCol))).cast("long").as("__lc"),
+        length(strip(col(refCol))).cast("long").as("__lr"))
+      .select(col("pair"), col("__lc"), col("__lr"),
+        explode(array(orders.map(lit): _*)).as("n"))
+      .select(col("pair"), col("n"),
+        greatest(col("__lc") - col("n") + 1L, lit(0L)).as("tc"),
+        greatest(col("__lr") - col("n") + 1L, lit(0L)).as("tr"))
+    base.join(m, Seq("pair", "n"), "left")
+      .select(col("pair"), col("n").cast("long").as("n"),
+        coalesce(col("__m"), lit(0L)).as("m"), col("tc"), col("tr"),
+        when(col("tc") > 0,
+          expr("(1000 * coalesce(__m, 0L)) div tc")).as("prec_milli"),
+        when(col("tr") > 0,
+          expr("(1000 * coalesce(__m, 0L)) div tr")).as("rec_milli"))
+  }
+
+  /** Pair-grain chrF2 from [[chrfLanes]] — the number a reviewer
+    * quotes: macro-averaged milli precision/recall over the orders
+    * where EITHER side has grams (tc + tr > 0; a too-short side
+    * contributes 0 to the average, the standard treatment), then
+    *   chrf2_milli = ⌊5·chrP·chrR / (4·chrP + chrR)⌋   (β = 2)
+    * — every stage a single integer floor, NULL when both averages
+    * are zero (nothing was generated or referenced). */
+  def chrF(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 6): DataFrame =
+    chrfLanes(pairs, pairCol, candCol, refCol, maxN)
+      .filter(col("tc") + col("tr") > 0)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("prec_milli"), lit(0L))).as("__sp"),
+        sum(coalesce(col("rec_milli"), lit(0L))).as("__sr"))
+      .select(col("pair"), col("n_orders"),
+        expr("__sp div n_orders").as("chrp_milli"),
+        expr("__sr div n_orders").as("chrr_milli"),
+        expr("""CASE WHEN 4 * (__sp div n_orders)
+          |  + (__sr div n_orders) > 0 THEN
+          |  (5 * (__sp div n_orders) * (__sr div n_orders))
+          |  div (4 * (__sp div n_orders) + (__sr div n_orders))
+          |END""".stripMargin).as("chrf2_milli"))
+
   def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")

@@ -1490,6 +1490,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(TextOps.textRank(df, "text", topK = 2).collect().length == 2)
   }
 
+  test("chrF: hand lanes — perfect match, order-2 miss, whitespace " +
+    "strip, empty side, F2 fold (r16)") {
+    val pairs = Seq(
+      (1L, "abc", "abc"),      // perfect through n=3
+      (2L, "ab", "ba"),        // unigrams match, bigram misses
+      (3L, "a b", "ab"),       // whitespace strips away
+      (4L, "", "xy")           // empty candidate
+    ).toDF("pid", "cand", "ref")
+    val lanes = TextOps.chrfLanes(pairs, "pid", "cand", "ref")
+      .collect().map(r => (r.getAs[Long]("pair"), r.getAs[Long]("n")) ->
+        ((r.getAs[Long]("m"), r.getAs[Long]("tc"), r.getAs[Long]("tr"))))
+      .toMap
+    assert(lanes((1L, 1L)) == ((3L, 3L, 3L)))
+    assert(lanes((1L, 3L)) == ((1L, 1L, 1L)))
+    assert(lanes((1L, 4L)) == ((0L, 0L, 0L)))
+    assert(lanes((2L, 1L)) == ((2L, 2L, 2L)))
+    assert(lanes((2L, 2L)) == ((0L, 1L, 1L)))
+    assert(lanes((3L, 2L)) == ((1L, 1L, 1L))) // "a b" -> "ab"
+    assert(lanes((4L, 1L)) == ((0L, 0L, 2L)))
+    val f = TextOps.chrF(pairs, "pid", "cand", "ref")
+      .collect().map(r => r.getAs[Long]("pair") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Long]("chrp_milli"),
+          r.getAs[Long]("chrr_milli"),
+          Option(r.getAs[java.lang.Long]("chrf2_milli"))))).toMap
+    assert(f(1L) == ((3L, 1000L, 1000L, Some(1000L))))
+    // pair 2: orders 1..2 in scope, P = R = (1000+0)/2 = 500,
+    // F2 = 5*500*500 / (4*500+500) = 500
+    assert(f(2L) == ((2L, 500L, 500L, Some(500L))))
+    assert(f(3L) == ((2L, 1000L, 1000L, Some(1000L))))
+    // pair 4: tc always 0 -> P=0; m=0 -> R=0; F2 undefined -> null
+    assert(f(4L) == ((2L, 0L, 0L, None)))
+  }
+
   // --- upsertIndex: incremental inverted-index maintenance (r16) ---
 
   private def indexRows(df: org.apache.spark.sql.DataFrame) =

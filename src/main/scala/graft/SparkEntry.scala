@@ -4740,6 +4740,30 @@ object SparkEntry {
         .orderBy(col("pair"))
     }),
 
+    // q490: vocabulary-drift census — the monitoring row computed
+    // BEFORE q481's index merge: how much of the ingest batch's
+    // token mass is unseen by the stored vocab. Tokenizes only the
+    // delta; the index contributes one distinct-vocab anti-join.
+    "q490_vocab_drift" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir)
+      val idx = operators.TextOps.invertedIndex(
+        d0.filter(col("doc_id") < 300), "doc_id", "text")
+      operators.TextOps.vocabDrift(idx,
+        d0.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "text")
+    }),
+
+    // q491: key-skew census — the pre-salting diagnostic: top-5 keys
+    // by row count with exact milli table share, n_rows/n_keys
+    // scalars riding along; the top-N cut is TakeOrderedAndProject,
+    // never a key-domain window.
+    "q491_key_skew" -> ((s, dir) => {
+      operators.Relational.keySkewCensus(
+          Tables.events(s, dir).select(col("event_type")),
+          "event_type", topN = 5)
+        .orderBy(col("rank"))
+    }),
+
     // q477: fixed-threshold (SPC) runs test — the q475 census
     // against a target value instead of each key\'s median; the form
     // with an exact O(1)-state streaming twin (parity spec-pinned).
@@ -13557,6 +13581,54 @@ object SparkEntry {
         |FROM cu, q
         |WHERE cu.cc >= (q.q_milli * cu.n + 999) // 1000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q490: both vocabularies rebuilt from text; the batch census
+    // and the anti-join replayed at token grain.
+    "q490_vocab_drift" ->
+      """WITH ad AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id < 300
+        |    AND length(trim(text)) > 0),
+        |av AS (SELECT DISTINCT toks[CAST(u.i AS INT)] AS token
+        |  FROM ad, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[CAST(u.i AS INT)] <> ''),
+        |dd AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 400
+        |    AND length(trim(text)) > 0),
+        |dt AS (SELECT toks[CAST(u.i AS INT)] AS token,
+        |    CAST(COUNT(*) AS BIGINT) AS occ
+        |  FROM dd, unnest(range(1, len(toks) + 1)) AS u(i)
+        |  WHERE toks[CAST(u.i AS INT)] <> '' GROUP BY 1),
+        |tot AS (SELECT
+        |    CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS n_occurrences,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens FROM dt),
+        |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new_tokens,
+        |    CAST(COALESCE(SUM(occ), 0) AS BIGINT) AS new_occurrences
+        |  FROM dt LEFT JOIN av ON dt.token = av.token
+        |  WHERE av.token IS NULL),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents WHERE doc_id >= 300 AND doc_id < 400)
+        |SELECT n_docs, n_occurrences, n_distinct_tokens, n_new_tokens,
+        |  new_occurrences,
+        |  CASE WHEN n_occurrences > 0 THEN
+        |    CAST((1000 * new_occurrences) // n_occurrences AS BIGINT)
+        |  END AS oov_milli
+        |FROM nd, tot, nv""".stripMargin,
+
+    // q491: counts, scalars, and the rank replayed; share as one
+    // exact floor.
+    "q491_key_skew" ->
+      """WITH c AS (SELECT event_type AS key,
+        |    CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |t AS (SELECT key, n,
+        |    ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rank
+        |  FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, n, n_rows, n_keys,
+        |  CAST((1000 * n) // n_rows AS BIGINT) AS share_milli
+        |FROM t, s WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     // q488: char n-grams rebuilt by substr over a position unnest,
     // clip join, totals from stripped lengths; every lane replayed.

@@ -663,6 +663,37 @@ object Relational {
       .filter(col("n_crossings") % 2 === 1)
   }
 
+  /** Key-skew census — the diagnostic a data engineer runs BEFORE
+    * choosing a shuffle strategy ("is this join key salt-worthy"):
+    * the top-`topN` keys by row count with their exact milli share
+    * of the table, plus scalar lanes (n_rows, n_keys) riding along.
+    * A max share near 1000 means one key owns the table (salt or
+    * broadcast); a flat top-N means hash partitioning is fine. NULL
+    * keys count as a key (they hash to one partition too — exactly
+    * the skew this census exists to catch).
+    *
+    * Shape: ONE row-scale hash aggregate at key grain (map-side
+    * combines), then key-grain scalars; the top-N cut is
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition heaps,
+    * never a key-domain-wide window) and only the ≤ topN survivors
+    * see the parameter-bounded rank window. */
+  def keySkewCensus(df: DataFrame, keyCol: String,
+      topN: Int = 10): DataFrame = {
+    require(topN >= 1 && topN <= 1000, s"topN must be in [1,1000], got $topN")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val scal = counts.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("key").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(scal))
+      .select(col("rank"), col("key"), col("n"), col("n_rows"),
+        col("n_keys"),
+        expr("(1000 * n) div n_rows").as("share_milli"))
+  }
+
   /** Functional-dependency audit: the lhs→rhs groups that VIOLATE
     * determinism (more than one rhs value for one lhs tuple) — the
     * schema-contract check profiling should run before anyone claims

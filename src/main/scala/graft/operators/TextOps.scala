@@ -2653,6 +2653,42 @@ object TextOps {
     untouched.unionByName(recomputed)
   }
 
+  /** Vocabulary-drift census of an ingest batch against a stored
+    * index — the monitoring row a deployment computes BEFORE calling
+    * [[upsertIndex]] ("is today's crawl suddenly 40% unseen tokens"
+    * = language shift, encoding breakage, or spam — all caught by
+    * one number). Batch-grain lanes, all exact BIGINT:
+    * n_docs, n_occurrences, n_distinct_tokens, n_new_tokens
+    * (distinct, absent from the index vocab), new_occurrences
+    * (occurrence mass carried by new tokens), oov_milli =
+    * ⌊1000·new_occurrences / n_occurrences⌋ (null on an empty batch).
+    *
+    * Shape: tokenize ONLY the delta (the [[upsertIndex]] contract);
+    * the index contributes its distinct-token vocab through one
+    * left-anti join at delta-token grain. */
+  def vocabDrift(index: DataFrame, deltaDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val post = postingRows(deltaDocs, idCol, textCol)
+      .select(col("token"), col("doc"), col("tf"))
+    val vocab = index.select(col("token")).distinct()
+    val perTok = post.groupBy(col("token"))
+      .agg(sum(col("tf")).as("__occ"))
+    val newTok = perTok.join(vocab, Seq("token"), "left_anti")
+    val docs = deltaDocs.agg(count(lit(1)).as("n_docs"))
+    val tot = perTok.agg(
+      coalesce(sum(col("__occ")), lit(0L)).as("n_occurrences"),
+      count(lit(1)).as("n_distinct_tokens"))
+    val nov = newTok.agg(count(lit(1)).as("n_new_tokens"),
+      coalesce(sum(col("__occ")), lit(0L)).as("new_occurrences"))
+    docs.crossJoin(tot).crossJoin(nov)
+      .select(col("n_docs"), col("n_occurrences"),
+        col("n_distinct_tokens"), col("n_new_tokens"),
+        col("new_occurrences"),
+        when(col("n_occurrences") > 0,
+          expr("(1000 * new_occurrences) div n_occurrences"))
+          .as("oov_milli"))
+  }
+
   /** [[upsertIndex]] with no deletions — the pure ingest-partition
     * merge (the reference's daily `ingest_date` overwrite model,
     * function_app.py:72-73, re-expressed as index maintenance). */

@@ -1155,7 +1155,8 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       "q421_log_rank" -> "event-time grid, the kaplanMeier grid discipline",
       "q423_t_closeness" -> "milli-quantized sensitive-value grid",
       "q433_page_trend" -> "k-row treatment panel (k <= 1000 contract)",
-      "q454_holm" -> "hypothesis table, maxHypotheses loud guard")
+      "q454_holm" -> "hypothesis table, maxHypotheses loud guard",
+      "q491_key_skew" -> "topN rows — rank window runs AFTER .limit(topN) (the q86 shape)")
     val offenders = scala.collection.mutable.SortedMap[String, Int]()
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
       val df = fn(spark, sf)

@@ -1003,6 +1003,23 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     assert(e2.getMessage != null && e2.getMessage.contains("vertex"))
   }
 
+  test("keySkewCensus: hand shares, null key counted, heap-limit plan (r16)") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq.fill(3)("warm") ++
+      Seq("cold") ++ Seq(null.asInstanceOf[String])).toDF("k")
+    val got = Relational.keySkewCensus(df, "k", topN = 2)
+    val rows = got.collect().map(r => r.getAs[Long]("rank") ->
+      ((Option(r.getAs[String]("key")), r.getAs[Long]("n"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("share_milli")))).toMap
+    assert(rows(1L) == ((Some("hot"), 6L, 11L, 4L, 545L)))
+    assert(rows(2L) == ((Some("warm"), 3L, 11L, 4L, 272L)))
+    assert(rows.size == 2)
+    // the top-N cut is per-partition heaps, never a key-domain window
+    assert(got.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
     import spark.implicits._
     val df = Seq(

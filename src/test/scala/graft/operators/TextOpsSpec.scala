@@ -1623,6 +1623,34 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRows(up) == indexRows(want))
   }
 
+  test("vocabDrift: OOV census hand case, empty batch, all-new batch (r16)") {
+    val idx = TextOps.invertedIndex(
+      Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // delta: alpha(2 occ, known), delta+epsilon(new), one empty doc
+    val delta = Seq((3L, "alpha alpha delta"), (4L, "epsilon"),
+      (5L, " ")).toDF("doc_id", "text")
+    val r = TextOps.vocabDrift(idx, delta, "doc_id", "text")
+      .collect().head
+    assert(r.getAs[Long]("n_docs") == 3L)
+    assert(r.getAs[Long]("n_occurrences") == 4L)
+    assert(r.getAs[Long]("n_distinct_tokens") == 3L)
+    assert(r.getAs[Long]("n_new_tokens") == 2L)
+    assert(r.getAs[Long]("new_occurrences") == 2L)
+    assert(r.getAs[Long]("oov_milli") == 500L)
+    // empty batch: zero lanes, null ratio
+    val e = TextOps.vocabDrift(idx,
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(e.getAs[Long]("n_occurrences") == 0L &&
+      e.isNullAt(e.fieldIndex("oov_milli")))
+    // an all-new batch reads 1000 exactly
+    val n = TextOps.vocabDrift(idx,
+      Seq((9L, "zeta eta")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(n.getAs[Long]("oov_milli") == 1000L)
+  }
+
   test("bm25PrfTopKJoin: expansion retrieves what pass 1 cannot, " +
     "originals excluded from expansion, ties alphabetic (r16)") {
     val docs = Seq(

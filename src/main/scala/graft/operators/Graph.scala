@@ -628,7 +628,12 @@ object Graph {
     // union-find ~a scan). Past the cap, fall back to
     // [[connectedComponentsStar]] — same labels by the shared min-id
     // contract (spec-pinned equal).
+    // delta-sized and checkpointed (the etaSquared discipline): the
+    // projection is consumed by two actions (the cap count and the
+    // union-find collect, or the fallback fixpoint) and each would
+    // otherwise replay the two corpus-scale label joins
     val projEdges = proj.filter(col("pa") =!= col("pb")).distinct()
+      .localCheckpoint()
     val nEdges = projEdges.count()
     val mapping: DataFrame =
       if (nEdges <= driverMaxEdges) {

@@ -70,7 +70,8 @@ object Geo {
     // above): out-of-range coordinates raise instead of silently
     // wrapping the BIGINT cross products
     when(x.isNull || y.isNull, lit(null).cast("boolean"))
-      .when(abs(x) <= bound && abs(y) <= bound, inside)
+      .when(x >= -bound && x <= bound &&
+        y >= -bound && y <= bound, inside)
       .otherwise(raise_error(concat(
         lit(s"convexContains: point coordinate exceeds |v| <= $bound" +
           " (the BIGINT-exact bound): ("),
@@ -129,7 +130,8 @@ object Geo {
       }
     }.reduce(_ + _)
     when(x.isNull || y.isNull, lit(null).cast("boolean"))
-      .when(abs(x) <= bound && abs(y) <= bound, crossings % 2 === 1L)
+      .when(x >= -bound && x <= bound &&
+        y >= -bound && y <= bound, crossings % 2 === 1L)
       .otherwise(raise_error(concat(
         lit(s"pointInPolygon: point coordinate exceeds |v| <= $bound" +
           " (the BIGINT-exact bound): ("),

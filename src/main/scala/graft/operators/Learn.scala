@@ -1466,7 +1466,7 @@ object Learn {
     val staged = df
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
-        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("value_milli"))
       .withColumn("__i", row_number().over(wOrd).cast("long"))
       .withColumn("__sl", sum(col("value_milli")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -1521,7 +1521,7 @@ object Learn {
     val w = Window.partitionBy(col("key"), col("season"))
     df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("ts_us"),
-        floor(col(valueCol) * 1000).cast("long").as("value_milli"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("value_milli"))
       .withColumn("season", expr("(ts_us div 3600000000) % 168"))
       .withColumn("n_in_season", count(lit(1)).over(w))
       .withColumn("__s", sum(col("value_milli")).over(w))
@@ -1719,7 +1719,7 @@ object Learn {
     df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"),
         unix_micros(col(tsCol)).as("__us"),
-        floor(col(valueCol) * 1000).cast("long").as("__y"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__y"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (key, it) =>
@@ -1930,7 +1930,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(idCol).isNotNull)
       .select(col(idCol).as("__id"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val cum = Relational.globalPrefixSum(staged,
       Seq(col("__v").asc, col("__id").asc), "__v", "__cum")
     cum.crossJoin(broadcast(cum.agg(count(lit(1)).as("__n"),
@@ -1977,7 +1977,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__v"))
       .agg(count(lit(1)).as("__run"),
         sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"))
@@ -2028,7 +2028,7 @@ object Learn {
     require(alphaMilli >= 0 && alphaMilli < 500,
       s"alphaMilli must be in [0,500), got $alphaMilli")
     val staged = df.filter(col(valueCol).isNotNull)
-      .select(floor(col(valueCol) * 1000).cast("long").as("__v"))
+      .select(floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     // run-grain and checkpointed: the two spines, the scalar, and
     // the derived deviation runs all read it
     val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
@@ -2111,10 +2111,11 @@ object Learn {
     require(qMillis.distinct.size == qMillis.size,
       s"duplicate quantiles in $qMillis")
     val staged = df
-      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
-        weightCol.cast("long").isNotNull)
+      .filter(col(groupCol).isNotNull &&
+        col(valueCol).try_cast("double").isNotNull &&
+        weightCol.try_cast("long").isNotNull)
       .select(col(groupCol).cast("string").as("group"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"),
         weightCol.cast("long").as("__w0"))
       .withColumn("__w", when(col("__w0") >= 0L, col("__w0"))
         .otherwise(raise_error(concat(
@@ -2160,7 +2161,7 @@ object Learn {
     val staged = df
       .filter(col(catCol).isNotNull && col(valueCol).isNotNull)
       .select(col(catCol).cast("string").as("__c"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     // category-grain and checkpointed: four consumers below would
     // otherwise each replay the row-scale aggregate
     val cats = staged.groupBy(col("__c"))
@@ -2278,7 +2279,7 @@ object Learn {
     val staged = df
       .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
       .select(col(idCol).cast("string").as("__id"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     staged
       .withColumn("rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__u", conv(substring(md5(concat(col("__id"),
@@ -2321,7 +2322,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"),
         col(seqCol).cast("long").as("__s"))
     val pos = Relational.globalRowNumber(staged,
       Seq(col("__v").asc, col("__s").asc), "__r")
@@ -2402,7 +2403,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"),
         col(seqCol).cast("long").as("__s"))
       .withColumn("__i1", when(col("__g1"), 1L).otherwise(0L))
     val pos = Relational.globalPrefixSum(staged,
@@ -2456,7 +2457,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"),
         col(seqCol).cast("long").as("__s"))
       .withColumn("__i1", when(col("__g1"), 1L).otherwise(0L))
     val pos = Relational.globalPrefixSum(staged,
@@ -2498,7 +2499,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__v"))
       .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__c1"),
         sum(when(!col("__g1"), 1L).otherwise(0L)).as("__c2"))
@@ -2578,11 +2579,13 @@ object Learn {
   def pettittTest(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String): DataFrame = {
     val staged = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
-        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
+      .filter(col(keyCol).isNotNull &&
+        col(valueCol).try_cast("double").isNotNull &&
+        orderCol.try_cast("long").isNotNull &&
+        tieCol.try_cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val wRank = Window.partitionBy(col("key")).orderBy(col("__v"))
     val wTies = Window.partitionBy(col("key"), col("__v"))
     val wTime = Window.partitionBy(col("key"))
@@ -2627,7 +2630,7 @@ object Learn {
         col(valueCol).isNotNull)
       .select(col(blockCol).as("__b"),
         col(treatmentCol).cast("string").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
       .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
     val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"),
       (max(col("__v")) - min(col("__v"))).as("__rng"))
@@ -2730,7 +2733,7 @@ object Learn {
     val staged = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val rx = staged.filter(!col("__g1")).groupBy(col("__v"))
       .agg(count(lit(1)).as("__cx"))
       .select(col("__v").as("__vx"), col("__cx"))
@@ -2790,7 +2793,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"),
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"),
         col(seqCol).cast("long").as("__s"))
     val pos = Relational.globalRowNumber(staged,
       Seq(col("__v").asc, col("__s").asc), "__p")
@@ -2921,7 +2924,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__v"))
       .agg(count(lit(1)).as("__run"),
         sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"))
@@ -3079,7 +3082,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__v"))
       .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__run1"),
         sum(when(col("__g1"), 0L).otherwise(1L)).as("__run2"))
@@ -3315,7 +3318,7 @@ object Learn {
     val staged = df
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__run"))
     val dmr = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
         "__run", "__cum")
@@ -3389,7 +3392,7 @@ object Learn {
         col(valueCol).isNotNull)
       .select(col(blockCol).as("__b"),
         col(treatmentCol).cast("string").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
       .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
     val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"))
     val full = sized.filter(col("__m") === k.toLong).select(col("__b"))
@@ -3520,7 +3523,7 @@ object Learn {
     val staged = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("long").as("__g"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val runs = staged.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
     val vals = runs.select(col("__v")).distinct()
@@ -3625,7 +3628,7 @@ object Learn {
             lit("' is not numeric-castable — the ordered test needs " +
               "numeric treatment order indexes"))))
           .otherwise(col(treatmentCol).cast("long")).as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
       .groupBy(col("__b"), col("__t")).agg(min(col("__v")).as("__v"))
     val sized = rated.groupBy(col("__b")).agg(count(lit(1)).as("__m"))
     val full = sized.filter(col("__m") === k.toLong).select(col("__b"))
@@ -3686,7 +3689,7 @@ object Learn {
         col(valueCol).isNotNull)
       .select(col(raterCol).cast("string").as("__r"),
         col(itemCol).cast("string").as("__i"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
       .groupBy(col("__r"), col("__i")).agg(min(col("__v")).as("__v"))
     val nI = rated.select(col("__i")).distinct()
       .agg(count(lit(1)).as("__ni"))
@@ -3757,7 +3760,7 @@ object Learn {
     val staged = df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     // one row-scale exchange: the (group, value) runs; every other
     // aggregate here is runs-grain
     val gruns = staged.groupBy(col("__g"), col("__v"))
@@ -3814,11 +3817,13 @@ object Learn {
     // not sort nulls-first into the run sequence — the r14 null-filter
     // discipline, applied to all staged columns.
     val staged = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
-        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
+      .filter(col(keyCol).isNotNull &&
+        col(valueCol).try_cast("double").isNotNull &&
+        orderCol.try_cast("long").isNotNull &&
+        tieCol.try_cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val wKey = Window.partitionBy(col("key"))
     val wRank = wKey.orderBy(col("__v"), col("__o"), col("__t"))
     // lower median by rank over the key's own series
@@ -3844,11 +3849,13 @@ object Learn {
   def runsTestAt(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String, thresholdMilli: Long): DataFrame = {
     val signs = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull &&
-        orderCol.cast("long").isNotNull && tieCol.cast("long").isNotNull)
+      .filter(col(keyCol).isNotNull &&
+        col(valueCol).try_cast("double").isNotNull &&
+        orderCol.try_cast("long").isNotNull &&
+        tieCol.try_cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
       .filter(col("__v") =!= thresholdMilli)
       .select(col("key"), col("__o"), col("__t"),
         (col("__v") > thresholdMilli).as("__s"))
@@ -3902,10 +3909,13 @@ object Learn {
   def durbinWatson(df: DataFrame, keyCol: String, orderCol: Column,
       tieCol: Column, valueCol: String): DataFrame = {
     val staged = df
-      .filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .filter(col(keyCol).isNotNull &&
+        col(valueCol).try_cast("double").isNotNull &&
+        orderCol.try_cast("long").isNotNull &&
+        tieCol.try_cast("long").isNotNull)
       .select(col(keyCol).as("key"), orderCol.cast("long").as("__o"),
         tieCol.cast("long").as("__t"),
-        floor(col(valueCol) * 1000).cast("long").as("__v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
     val wTime = Window.partitionBy(col("key"))
       .orderBy(col("__o"), col("__t"))
     staged
@@ -3951,10 +3961,10 @@ object Learn {
     // both cases drop (r15 advice: the value lane needs the cast
     // filter too — a non-castable string value is exactly the same
     // failure class), matching the pettittTest/kendallTau posture.
-    df.filter(col(valueCol).cast("double").isNotNull &&
-        col(keyCol).cast("long").isNotNull &&
-        orderCol.cast("long").isNotNull &&
-        tieCol.cast("long").isNotNull)
+    df.filter(col(valueCol).try_cast("double").isNotNull &&
+        col(keyCol).try_cast("long").isNotNull &&
+        orderCol.try_cast("long").isNotNull &&
+        tieCol.try_cast("long").isNotNull)
       .select(col(keyCol).cast("long"), orderCol.cast("long"),
         tieCol.cast("long"), col(valueCol).cast("double"))
       .as[(Long, Long, Long, Double)]
@@ -4568,7 +4578,7 @@ object Learn {
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select((col(keyCol).as("key") +:
         unix_micros(col(tsCol)).as("ts_us") +:
-        floor(col(valueCol) * 1000).cast("long").as("value_milli") +:
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("value_milli") +:
         tieBreak.map(col)): _*)
       .withColumn("season",
         pmod(expr("ts_us div 3600000000"), lit(24L)))
@@ -4607,7 +4617,7 @@ object Learn {
     val wIn = wOrd.rowsBetween(-(window - 1), Window.currentRow)
     df.filter(col(valueCol).isNotNull)
       .select((col(keyCol).as("key") +:
-        floor(col(valueCol) * 1000).cast("long").as("y") +:
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("y") +:
         orderCols.map(col)): _*)
       .withColumn("x", row_number().over(wOrd).cast("long"))
       .withColumn("__n", count(lit(1)).over(wIn))
@@ -4708,7 +4718,7 @@ object Learn {
     val ranked = df
       .filter(col(valueCol).isNotNull)
       .select((col(keyCol).as("key") +:
-        floor(col(valueCol) * 1000).cast("long").as("value_milli") +:
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("value_milli") +:
         orderCols.map(col)): _*)
       .withColumn("rank", row_number().over(w).cast("long"))
     val ref = ranked.groupBy(col("rank"))
@@ -4812,7 +4822,7 @@ object Learn {
     val in = df
       .filter(col(valueCol).isNotNull)
       .select((col(keyCol).as("__k") +:
-        floor(col(valueCol) * 1000).cast("long").as("__v") +:
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("__v") +:
         orderCols.map(col)): _*)
       .repartition(col("__k"))
       .sortWithinPartitions("__k", orderCols: _*)

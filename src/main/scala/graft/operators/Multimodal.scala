@@ -583,7 +583,9 @@ object Multimodal {
           while (o + 8 <= d.length && (dataOff < 0 || !fmtOk)) {
             val cid = new String(d, o, 4, "US-ASCII")
             val len = bb.getInt(o + 4)
-            if (len < 0 || o + 8 + len > d.length) { o = d.length }
+            // LONG bounds: a near-Int.MaxValue declared len would wrap
+            // o + 8 + len negative and bypass the guard (r16 review)
+            if (len < 0 || o.toLong + 8L + len > d.length) { o = d.length }
             else {
               if (cid == "fmt " && len >= 16) {
                 val tag = bb.getShort(o + 8) & 0xFFFF
@@ -636,9 +638,16 @@ object Multimodal {
       rows.map { r =>
         val rate = r.getInt(ri); val n = r.getInt(ni)
         val ch = r.getInt(ci); val seed = r.getLong(si)
-        require(rate > 0 && n >= 0 && ch >= 1 && ch <= 8,
-          s"bad WAV params: rate=$rate frames=$n channels=$ch")
-        val dataLen = n * ch * 2
+        require(rate > 0 && n >= 0 && ch >= 1 && ch <= 8 && seed >= 0,
+          s"bad WAV params: rate=$rate frames=$n channels=$ch seed=$seed" +
+            " (seed must be >= 0: the sample formula uses a true mod)")
+        // size the payload in LONG and cap it: n*ch*2 in Int wraps for
+        // large frame counts (negative alloc or a tiny buffer that
+        // then overflows on the first putShort) — r16 review
+        val dataLenL = n.toLong * ch * 2L
+        require(dataLenL <= (256L << 20),
+          s"payload would be $dataLenL bytes; cap is 256 MiB per file")
+        val dataLen = dataLenL.toInt
         val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
@@ -708,7 +717,11 @@ object Multimodal {
           while (o + 8 <= d.length && (dataOff < 0 || !fmtOk)) {
             val cid = new String(d, o, 4, "US-ASCII")
             val len = bb.getInt(o + 4)
-            if (len < 0 || o + 8 + len > d.length) { o = d.length }
+            // bounds in LONG: a declared len near Int.MaxValue makes
+            // o + 8 + len wrap negative and bypass the guard, then
+            // getShort throws on adversarial bytes — the exact
+            // never-throws violation the strict-walk contract forbids
+            if (len < 0 || o.toLong + 8L + len > d.length) { o = d.length }
             else {
               if (cid == "fmt " && len >= 16) {
                 val tag = bb.getShort(o + 8) & 0xFFFF

@@ -632,7 +632,7 @@ object Relational {
     // no error (r15 verdict item 4 hardening)
     val bound = 1100000000L
     def guarded(c: Column, side: String): Column =
-      when(c.isNull || abs(c) <= bound, c)
+      when(c.isNull || (c >= -bound && c <= bound), c)
         .otherwise(raise_error(concat(
           lit(s"pointInPolygon: $side coordinate exceeds |v| <= " +
             s"$bound (the BIGINT-exact bound): "),
@@ -684,8 +684,12 @@ object Relational {
       .agg(count(lit(1)).as("n"))
     val scal = counts.agg(coalesce(sum(col("n")), lit(0L)).as("n_rows"),
       count(lit(1)).as("n_keys"))
-    val top = counts.orderBy(col("n").desc, col("key").asc).limit(topN)
-    val w = Window.orderBy(col("n").desc, col("key").asc)
+    // NULLS LAST explicitly: Spark's asc default is nulls-first,
+    // DuckDB's is nulls-last — a count tie involving the null key
+    // would otherwise diverge from the oracle ordering (r16 review)
+    val top = counts
+      .orderBy(col("n").desc, col("key").asc_nulls_last).limit(topN)
+    val w = Window.orderBy(col("n").desc, col("key").asc_nulls_last)
     top
       .withColumn("rank", row_number().over(w).cast("long"))
       .crossJoin(broadcast(scal))

@@ -2634,8 +2634,22 @@ object TextOps {
       textCol: String, deletedIds: DataFrame,
       deletedIdCol: String): DataFrame = {
     val deltaPost = postingRows(deltaDocs, idCol, textCol)
-    val removed = deletedIds.select(col(deletedIdCol).as("doc"))
-      .unionByName(deltaDocs.select(col(idCol).as("doc")))
+    // duplicate ids WITHIN one delta are ambiguous (no version order
+    // exists to say which text wins) and would otherwise merge both
+    // versions' positions into one corrupt posting — refuse loudly
+    // (r16 review); sequential batches are how replacement is said.
+    val dupCensus = deltaDocs.groupBy(col(idCol).as("doc"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .agg(count(lit(1)).as("__dups"))
+    val removed = deltaDocs.select(col(idCol).as("doc"))
+      .crossJoin(broadcast(dupCensus))
+      .select(when(col("__dups") > 0,
+          raise_error(concat(lit("upsertIndex: "),
+            col("__dups").cast("string"),
+            lit(" duplicate doc ids within one delta batch — merge" +
+              " order is undefined; split into sequential batches"))))
+        .otherwise(col("doc")).as("doc"))
+      .unionByName(deletedIds.select(col(deletedIdCol).as("doc")))
       .distinct()
     val survivors = index.join(removed, Seq("doc"), "left_anti")
     val touched = deltaPost.select(col("token"))

@@ -380,8 +380,10 @@ object StreamOps {
     require(slackMilli >= 0 && hMilli > 0, "slack >= 0, h > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(valueMilliCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(tsCol).isNotNull &&
+        col(idCol).try_cast("long").isNotNull &&
+        col(valueMilliCol).try_cast("long").isNotNull)
       .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("id"),
         col(valueMilliCol).cast("long").as("v"))
@@ -421,8 +423,9 @@ object StreamOps {
       idCol: String, typeCol: String): Dataset[DwellInterval] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(typeCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(tsCol).isNotNull &&
+        col(idCol).try_cast("long").isNotNull && col(typeCol).isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         unix_micros(col(tsCol)).as("us"),
         col(idCol).cast("long").as("id"),
@@ -468,12 +471,14 @@ object StreamOps {
       thresholdMilli: Long): Dataset[RunsPoint] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[
@@ -523,12 +528,14 @@ object StreamOps {
       tieCol: String, valueCol: String): Dataset[DurbinWatsonPoint] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[
@@ -597,8 +604,10 @@ object StreamOps {
     val spark = df.sparkSession
     import spark.implicits._
     def term(t: Long): Long = t * (t - 1) * (2 * t + 5)
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
@@ -679,12 +688,14 @@ object StreamOps {
       tieCol: String, valueCol: String): Dataset[PettittPoint] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[
@@ -776,12 +787,14 @@ object StreamOps {
     val spark = df.sparkSession
     import spark.implicits._
     val a = alphaMilli
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long), EwmaPoint](
@@ -837,12 +850,14 @@ object StreamOps {
     val spark = df.sparkSession
     import spark.implicits._
     val qs = qMillis.sorted.toArray
-    df.filter(col(groupCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(groupCol).isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(groupCol).cast("string").as("g"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(String, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[
@@ -904,12 +919,14 @@ object StreamOps {
       bNum >= 0 && bNum <= bDen, "gains must be rationals in [0, 1]")
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(orderCol).isNotNull &&
-        col(tieCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(orderCol).try_cast("long").isNotNull &&
+        col(tieCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         col(orderCol).cast("long").as("o"),
         col(tieCol).cast("long").as("t"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long, Long), HoltPoint](
@@ -961,8 +978,9 @@ object StreamOps {
       idCol: String, typeCol: String): Dataset[TransitionStep] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(typeCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(tsCol).isNotNull &&
+        col(idCol).try_cast("long").isNotNull && col(typeCol).isNotNull)
       .select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("id"),
         col(typeCol).cast("string").as("t"))
@@ -1014,12 +1032,14 @@ object StreamOps {
       if (n % 2 == 1) 2L * sorted((n + 1) / 2 - 1)
       else sorted(n / 2 - 1) + sorted(n / 2)
     }
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(valueCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(tsCol).isNotNull &&
+        col(idCol).try_cast("long").isNotNull &&
+        col(valueCol).try_cast("double").isNotNull)
       .select(col(keyCol).cast("long").as("k"),
         unix_micros(col(tsCol)).as("ts_us"),
         col(idCol).cast("long").as("id"),
-        floor(col(valueCol) * 1000).cast("long").as("v"))
+        floor(col(valueCol).cast("double") * 1000).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, Long, Long)], HampelPoint](
@@ -1388,8 +1408,9 @@ object StreamOps {
     require(k >= 1 && k <= capacity, s"k $k out of [1, $capacity]")
     val spark = df.sparkSession
     import spark.implicits._
-    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
-        col(idCol).isNotNull && col(itemCol).isNotNull)
+    df.filter(col(keyCol).try_cast("long").isNotNull &&
+        col(tsCol).isNotNull &&
+        col(idCol).try_cast("long").isNotNull && col(itemCol).isNotNull)
       .select(col(keyCol).cast("long").as("key"), col(tsCol).as("ts"),
         col(idCol).cast("long").as("id"),
         col(itemCol).cast("string").as("item"))

@@ -1869,6 +1869,32 @@ class LearnSpec extends SparkTestBase {
     }
   }
 
+  test("rank-family batch ops: non-castable values DROP, never corrupt (r16)") {
+    // a string value column with one junk row: the cast filter must
+    // drop it (the mannKendall r15-advice discipline, applied to the
+    // whole family this round)
+    val rows = Seq((1L, 1L, "5.0"), (1L, 2L, "abc"), (1L, 3L, "7.0"),
+      (1L, 4L, "6.0")).toDF("k", "o", "v")
+    val clean = Seq((1L, 1L, 5.0), (1L, 3L, 7.0), (1L, 4L, 6.0))
+      .toDF("k", "o", "v")
+    def rt(df: org.apache.spark.sql.DataFrame) =
+      Learn.runsTestAt(df, "k", col("o"), col("o"), "v", 5500L)
+        .collect().map(_.toSeq).toSeq
+    assert(rt(rows) == rt(clean))
+    def pt(df: org.apache.spark.sql.DataFrame) =
+      Learn.pettittTest(df, "k", col("o"), col("o"), "v")
+        .collect().map(_.toSeq).toSeq
+    assert(pt(rows) == pt(clean))
+    def dw(df: org.apache.spark.sql.DataFrame) =
+      Learn.durbinWatson(df, "k", col("o"), col("o"), "v")
+        .collect().map(_.toSeq).toSeq
+    assert(dw(rows) == dw(clean))
+    def eq(df: org.apache.spark.sql.DataFrame) =
+      Learn.exactQuantiles(df.withColumnRenamed("k", "g"), "g", "v",
+        Seq(500L)).collect().map(_.toSeq).toSeq
+    assert(eq(rows) == eq(clean))
+  }
+
   test("exactQuantilesWeighted: replication equivalence, zero drop, " +
     "negative raise, weight-1 == unweighted (r16)") {
     val qs = Seq(250L, 500L, 900L, 990L)

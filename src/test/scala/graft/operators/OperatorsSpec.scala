@@ -1018,6 +1018,14 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
     // the top-N cut is per-partition heaps, never a key-domain window
     assert(got.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"))
+    // null-key count tie: NULLS LAST pinned (the DuckDB/oracle rule,
+    // not Spark's nulls-first asc default — r16 review)
+    val tie = (Seq.fill(2)("a") ++ Seq.fill(2)(null.asInstanceOf[String]))
+      .toDF("k")
+    val tr = Relational.keySkewCensus(tie, "k", topN = 2).collect()
+      .map(r => r.getAs[Long]("rank") -> Option(r.getAs[String]("key")))
+      .toMap
+    assert(tr == Map(1L -> Some("a"), 2L -> None))
   }
 
   test("fdViolations: null counts as a value, clean FDs emit nothing") {
@@ -3062,5 +3070,19 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       rnd.nextBytes(rnd.nextInt(200)))).toDF("doc_id", "payload")
     val g = Multimodal.pcmEnergy(junk, "doc_id", "payload").collect()
     assert(g.forall(_.getAs[Long]("ok") == 0L) && g.length == 50)
+    // adversarial declared chunk length near Int.MaxValue: the Long
+    // bounds check must refuse (a wrapped Int guard would accept and
+    // throw out-of-bounds mid-decode — r16 review)
+    val evil = java.nio.ByteBuffer.allocate(60)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    evil.put("RIFF".getBytes("US-ASCII")).putInt(52)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2147483616)
+    val ev = Multimodal.pcmEnergy(
+      Seq((1L, evil.array())).toDF("doc_id", "payload"),
+      "doc_id", "payload").collect()
+    assert(ev.length == 1 && ev.head.getAs[Long]("ok") == 0L)
   }
 }

@@ -1566,6 +1566,18 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(indexRows(got).filter(_._1 == "alpha").map(_._2).toSet == Set(2L))
   }
 
+  test("upsertIndex: duplicate doc ids within one delta refuse loudly (r16)") {
+    val idx = TextOps.invertedIndex(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), "doc_id", "text")
+    val dup = Seq((7L, "alpha beta"), (7L, "beta gamma"))
+      .toDF("doc_id", "text")
+    val err = intercept[Exception] {
+      TextOps.upsertIndex(idx, dup, "doc_id", "text").collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("duplicate doc ids"))
+  }
+
   test("upsertIndex: no-deletions overload == empty deletion list") {
     val a = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
     val d = Seq((3L, "z w"), (1L, "x x")).toDF("doc_id", "text")

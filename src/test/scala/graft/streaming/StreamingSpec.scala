@@ -1343,6 +1343,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming twins: non-castable key/order/value rows DROP like " +
+    "batch, never crash the non-nullable encoder (r16)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // string-typed columns; row 2 is non-castable in every position
+    val stream = MemoryStream[(String, String, String, String)]
+    val q = StreamOps.ewmaStream(
+        stream.toDF().toDF("k", "o", "e", "v"), "k", "o", "e", "v",
+        alphaMilli = 500L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cast_drop").start()
+    try {
+      stream.addData(("1", "1", "1", "4.0"), ("x", "2", "2", "4.0"),
+        ("1", "y", "3", "4.0"), ("1", "3", "3", "zz"),
+        ("1", "4", "4", "6.0"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cast_drop").as[EwmaPoint].collect()
+      .sortBy(_.order)
+    // only the two fully-castable rows survive; the batch operator
+    // over the same castable rows agrees on the trajectory
+    assert(got.map(p => (p.key, p.order, p.ewma_milli)).toSeq ==
+      Seq((1L, 1L, 4000L), (1L, 4L, 5000L)))
+  }
+
   test("holtStream: stream == batch on EVERY prefix, coupled O(1) " +
     "state across a mid-key split (r16)") {
     import spark.implicits._

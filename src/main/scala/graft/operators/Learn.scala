@@ -4845,9 +4845,16 @@ object Learn {
             val y = it.next().getLong(1)
             if (first) { l = y; b = 0L; first = false }
             else {
+              // loud-overflow multiplies (r16: the streaming twin's
+              // Math.*Exact posture — a wrapped Long would silently
+              // diverge from the documented BIGINT walk)
               val lp = l
-              l = fdiv(aNum * y + (aDen - aNum) * (l + b), aDen)
-              b = fdiv(bNum * (l - lp) + (bDen - bNum) * b, bDen)
+              l = fdiv(Math.addExact(Math.multiplyExact(aNum, y),
+                Math.multiplyExact(aDen - aNum, Math.addExact(l, b))),
+                aDen)
+              b = fdiv(Math.addExact(
+                Math.multiplyExact(bNum, Math.subtractExact(l, lp)),
+                Math.multiplyExact(bDen - bNum, b)), bDen)
             }
             n += 1
           }

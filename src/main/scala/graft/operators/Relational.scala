@@ -361,7 +361,9 @@ object Relational {
               else {
                 val v = r.getLong(vi)
                 s = if (!has) v
-                    else Math.floorDiv(a * v + (1000L - a) * s, 1000L)
+                    else Math.floorDiv(
+                      Math.addExact(Math.multiplyExact(a, v),
+                        Math.multiplyExact(1000L - a, s)), 1000L)
                 has = true
                 s
               }

@@ -257,6 +257,81 @@ private[graft] object CheckpointHygiene {
         minhash_jaccard(col("__sa"), col("__sb")).as("est_jaccard"))
   }
 
+  /** Incremental MinHash-LSH candidate generation — the dedup-side
+    * member of the r16 maintenance family ([[graft.operators.TextOps
+    * .upsertIndex]] for retrieval, [[graft.operators.Graph
+    * .upsertComponents]] for the cluster labeling; this one closes
+    * the loop: delta docs → NEW candidate pairs → upsertComponents):
+    * given a STORED signature table (one (id, sig) row per already-
+    * ingested doc — signatures are row-local, so the store IS the
+    * whole LSH state) and a delta corpus, emit exactly the candidate
+    * pairs a from-scratch [[minhashCandidates]] over the merged
+    * corpus would emit THAT INVOLVE at least one delta doc —
+    * spec-pinned identical, including the stop-bucket cap evaluated
+    * on the MERGED bucket membership (a bucket that crosses
+    * `maxBucket` when the delta lands is boilerplate and emits
+    * nothing, exactly the from-scratch verdict; historically emitted
+    * pairs from such a bucket stay emitted — candidates are a
+    * superset heuristic, the downstream exact-Jaccard threshold is
+    * the correctness gate either way).
+    *
+    * Replacement semantics match [[graft.operators.TextOps
+    * .upsertIndex]]: a delta id shadows its stored signature row.
+    *
+    * 100 TB shape: the delta is minhashed ONCE (the only text scan —
+    * plan-pinned: one minhash_text in the whole plan when the store
+    * is a table); the store contributes (a) a row-local band
+    * projection semi-join-pruned to TOUCHED buckets before its
+    * shuffle — delta-sized traffic, and (b) signature lookups for
+    * the surviving pair sides. Bucket caps observed, never silent
+    * (the [[capMetrics]] lane, family "minhash_delta"). */
+  def deltaCandidates(sigStore: DataFrame, sigIdCol: String,
+      sigCol: String, deltaDocs: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 64, bandCount: Int = 16,
+      shingleWidth: Int = 3, maxBucket: Int = 64,
+      label: String = ""): DataFrame = {
+    require(numHashes % bandCount == 0, "bandCount must divide numHashes")
+    // delta-sized and checkpointed (the etaSquared discipline): four
+    // consumers (shadowing, banding, both pair sides) would otherwise
+    // each re-minhash the delta
+    val deltaSig = deltaDocs.select(col(idCol).as("__id"),
+        minhash_text(col(textCol), shingleWidth, numHashes).as("__sig"))
+      .filter(col("__id").isNotNull)
+      .localCheckpoint()
+    val survivors = sigStore
+      .select(col(sigIdCol).as("__id"), col(sigCol).as("__sig"))
+      .join(deltaSig.select(col("__id")), Seq("__id"), "left_anti")
+    val allBands = survivors.withColumn("__new", lit(false))
+      .unionByName(deltaSig.withColumn("__new", lit(true)))
+      .select(col("__id"), col("__new"),
+        posexplode(band_hashes(col("__sig"), bandCount))
+          .as(Seq("__band", "__band_hash")))
+    val touched = allBands.filter(col("__new"))
+      .select(col("__band"), col("__band_hash")).distinct()
+    val buckets = allBands
+      .join(touched, Seq("__band", "__band_hash"), "left_semi")
+      .groupBy(col("__band"), col("__band_hash"))
+      .agg(collect_list(struct(col("__id"), col("__new"))).as("__items"))
+    val pairs = observeCap(buckets, "__items", maxBucket,
+        "minhash_delta", label)
+      .filter(size(col("__items")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("__items"), x =>
+        filter(transform(col("__items"), y =>
+            when(x.getField("__id") < y.getField("__id") &&
+              (x.getField("__new") || y.getField("__new")),
+              struct(x.getField("__id").as("id_a"),
+                y.getField("__id").as("id_b")))),
+          p => p.isNotNull)))).as("__p"))
+      .select(col("__p.id_a"), col("__p.id_b"))
+      .distinct()
+    val store2 = survivors.unionByName(deltaSig)
+    val a = store2.select(col("__id").as("id_a"), col("__sig").as("__sa"))
+    val b = store2.select(col("__id").as("id_b"), col("__sig").as("__sb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhash_jaccard(col("__sa"), col("__sb")).as("est_jaccard"))
+  }
+
   /** Near-duplicate pairs above a Jaccard threshold (MinHash-estimated). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.7, label: String = ""): DataFrame =

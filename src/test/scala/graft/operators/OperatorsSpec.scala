@@ -1588,6 +1588,103 @@ class RelationalSpec extends AnyFunSuite with SparkTestBase {
 class DedupSpec extends AnyFunSuite with SparkTestBase {
   import spark.implicits._
 
+  test("deltaCandidates: identical to from-scratch LSH on the merged " +
+    "corpus (delta-side pairs), replacement, cap crossing, " +
+    "delta-only minhash plan (r16)") {
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (10L, "completely different text about spark shuffles and joins"),
+      (20L, "a third topic entirely: audio codecs and waveforms"))
+      .toDF("doc_id", "text")
+    def sigsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+        graft.functions.minhash_text(col("text"), 3, 64).as("sig"))
+    // delta: a near-dup of doc 1 (new id), a unique doc, and a
+    // REPLACEMENT of stored doc 20 moved into doc 10's neighborhood
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again?"),
+      (101L, "nothing like anything stored before in any bucket"),
+      (20L, "completely different text about spark shuffles and more joins"))
+      .toDF("doc_id", "text")
+    val got = Dedup.deltaCandidates(sigsOf(a), "id", "sig", delta,
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val merged = a.filter(col("doc_id") =!= 20L).unionByName(delta)
+    val deltaIds = Set(100L, 101L, 20L)
+    val want = Dedup.minhashCandidates(merged, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .filter { case ((x, y), _) => deltaIds(x) || deltaIds(y) }.toMap
+    assert(got == want, s"$got != $want")
+    assert(want.nonEmpty &&
+      got.keys.exists { case (x, y) => x == 1L && y == 100L })
+    // cap crossing: the third identical doc pushes its bucket past
+    // maxBucket = 2 — boilerplate both ways, nothing emits
+    val many = (1L to 3L).map(i => (i, "same boilerplate text wall"))
+      .toDF("doc_id", "text")
+    val none = Dedup.deltaCandidates(
+      sigsOf(many.filter(col("doc_id") <= 2L)), "id", "sig",
+      many.filter(col("doc_id") === 3L), "doc_id", "text",
+      maxBucket = 2)
+    assert(none.count() == 0)
+    // plan pin over a STORED signature table: the final plan carries
+    // ZERO minhash_text — the store's signatures are consumed as DATA
+    // (parquet scan), never re-derived from text, and the delta's one
+    // minhash ran exactly once inside the eager delta-sized
+    // checkpoint (whose values the identity assertions above already
+    // pin); band_hashes appears for both sides as row-local
+    // projections
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_lsh_store_").toString
+    sigsOf(a).write.mode("overwrite").parquet(dir)
+    val plan = Dedup.deltaCandidates(spark.read.parquet(dir), "id",
+        "sig", delta, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    val n = "minhash_text".r.findAllIn(plan).length
+    assert(n == 0, s"a minhash_text re-derivation survives in the plan: $n")
+    assert("band_hashes".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("incremental dedup loop: deltaCandidates -> upsertComponents " +
+    "== from-scratch clustering on the merged corpus (r16)") {
+    val thr = 0.6
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (10L, "completely different text about spark shuffles and joins"),
+      (20L, "a third topic entirely: audio codecs and waveforms"))
+      .toDF("doc_id", "text")
+    val sigs = a.select(col("doc_id").as("id"),
+      graft.functions.minhash_text(col("text"), 3, 64).as("sig"))
+    val basePairs = Dedup.minhashCandidates(a, "doc_id", "text")
+      .filter(col("est_jaccard") >= thr)
+    val labels = Graph.connectedComponentsStar(basePairs, "id_a", "id_b")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again?"),
+      (101L, "completely different text about spark shuffles and joins!"))
+      .toDF("doc_id", "text")
+    val newPairs = Dedup.deltaCandidates(sigs, "id", "sig", delta,
+        "doc_id", "text")
+      .filter(col("est_jaccard") >= thr)
+    val got = Graph.upsertComponents(labels, "id", "cluster",
+        newPairs, "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("cluster")).toMap
+    val want = Graph.connectedComponentsStar(
+        Dedup.minhashCandidates(a.unionByName(delta), "doc_id", "text")
+          .filter(col("est_jaccard") >= thr), "id_a", "id_b")
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("cluster")).toMap
+    // every id the from-scratch clustering labels gets the SAME label
+    // from the incremental loop (the loop additionally keeps labels
+    // for ids with no surviving pairs — a superset, by design)
+    assert(want.nonEmpty && want.forall { case (id, c) =>
+      got.get(id).contains(c) }, s"$got vs $want")
+    // the near-dup families actually merged across the delta
+    assert(got(100L) == got(1L) && got(101L) == got(10L))
+  }
+
   test("exactDedup keeps one row per normalized text, smallest id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exactDedup(df, "id", "text").select("id").as[Long].collect().sorted

@@ -27,6 +27,28 @@ object SparkEntry {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** q485's scratch directory: DETERMINISTIC per input dir (repeat
+    * invocations overwrite one directory instead of leaking a fresh
+    * temp dir each call — r16 advice) and deleted by a once-registered
+    * JVM shutdown hook. Lives under java.io.tmpdir because the
+    * provided testdata dir is read-only. */
+  private val csvScratchRegistered =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def csvScratchDir(dir: String): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_csv_roundtrip_$slug").toString
+    if (csvScratchRegistered.putIfAbsent(path, path) == null)
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(path))
+      }
+    path
+  }
+
   /** The reference's committed golden outputs, re-used as test
     * fixtures AND as oracle ground truth for q72/q73 (absolute path:
     * both Spark and the driver's DuckDB read the same bytes). */
@@ -4639,8 +4661,13 @@ object SparkEntry {
     // Write → read-back must hash-equal DuckDB's direct parquet
     // read of the same quirk injection (the q250 ORC discipline).
     "q485_csv_roundtrip" -> ((s, dir) => {
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_csv_").toString
+      // deterministic scratch path (r16 advice): derived from the
+      // input dir, not a fresh createTempDirectory per call — repeat
+      // invocations reuse one directory via overwrite mode instead of
+      // leaking a new one each, and a shutdown hook deletes it. The
+      // provided `dir` itself is the read-only testdata tree, so the
+      // scratch must live under the JVM tmpdir.
+      val out = SparkEntry.csvScratchDir(dir)
       Tables.documents(s, dir).filter(col("doc_id") < 300)
         .select(col("doc_id"),
           concat(lit(" a,\""), col("text"), lit("\"\nz, "))

@@ -62,9 +62,12 @@ object Geo {
     val inside = ccw.indices.map { i =>
       val (ax, ay) = ccw(i)
       val (bx, by) = ccw((i + 1) % ccw.length)
-      // (b-a) x (p-a) >= 0, expanded with driver-side constants so
-      // the per-row work is two multiplies and an add
-      (lit(bx - ax) * (y - lit(ay)) - lit(by - ay) * (x - lit(ax))) >= 0L
+      // (b-a) x (p-a) >= 0, expanded with driver-side constants; the
+      // two products are COMPARED, never subtracted (r16 advice): each
+      // is <= 4b^2 ~ 4.84e18 < Long.MaxValue at the bound, but their
+      // difference can reach 8b^2 ~ 9.68e18 and wrap for guard-admitted
+      // extremes
+      lit(bx - ax) * (y - lit(ay)) >= lit(by - ay) * (x - lit(ax))
     }.reduce(_ && _)
     // the point-side bound guard (the polygon side is require'd
     // above): out-of-range coordinates raise instead of silently

@@ -655,11 +655,15 @@ object Relational {
     val p = points.select(col(idCol).as("id"),
       guarded(col(xCol).cast("long"), "point").as("x"),
       guarded(col(yCol).cast("long"), "point").as("y"))
-    val lhs = (col("x") - col("x1")) * (col("y2") - col("y1")) -
-      (col("x2") - col("x1")) * (col("y") - col("y1"))
+    // compare the two cross products WITHOUT subtracting (r16 advice):
+    // each product is <= 4b^2 ~ 4.84e18 < Long.MaxValue at the bound,
+    // but their difference can reach 8b^2 ~ 9.68e18 and wrap — the
+    // comparison form is overflow-free for every guard-admitted input
+    val cpA = (col("x") - col("x1")) * (col("y2") - col("y1"))
+    val cpB = (col("x2") - col("x1")) * (col("y") - col("y1"))
     p.crossJoin(broadcast(edges))
       .filter(((col("y1") > col("y")) =!= (col("y2") > col("y"))) &&
-        when(col("y2") > col("y1"), lhs < 0).otherwise(lhs > 0))
+        when(col("y2") > col("y1"), cpA < cpB).otherwise(cpA > cpB))
       .groupBy(col("id"), col("__poly").as("poly"))
       .agg(count(lit(1)).as("n_crossings"))
       .filter(col("n_crossings") % 2 === 1)

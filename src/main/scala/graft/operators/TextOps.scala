@@ -2633,7 +2633,6 @@ object TextOps {
   def upsertIndex(index: DataFrame, deltaDocs: DataFrame, idCol: String,
       textCol: String, deletedIds: DataFrame,
       deletedIdCol: String): DataFrame = {
-    val deltaPost = postingRows(deltaDocs, idCol, textCol)
     // duplicate ids WITHIN one delta are ambiguous (no version order
     // exists to say which text wins) and would otherwise merge both
     // versions' positions into one corrupt posting — refuse loudly
@@ -2641,14 +2640,28 @@ object TextOps {
     val dupCensus = deltaDocs.groupBy(col(idCol).as("doc"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
       .agg(count(lit(1)).as("__dups"))
+    def dupGuard(c: Column): Column =
+      when(col("__dups") > 0,
+        raise_error(concat(lit("upsertIndex: "),
+          col("__dups").cast("string"),
+          lit(" duplicate doc ids within one delta batch — merge" +
+            " order is undefined; split into sequential batches"))))
+        .otherwise(c)
+    // the guard rides the DELTA POSTING path (r16 advice): on an
+    // empty stored index AQE empty-relation propagation can prune the
+    // index-side anti/semi joins before the removed-branch guard ever
+    // evaluates, but every deltaPost row flows into the recomputed
+    // output — and corruption requires delta postings to exist, so a
+    // guard on deltaPost covers exactly the cases that can corrupt.
+    // dupCensus is a global aggregate (always 1 row), so the
+    // crossJoin below can never be empty-pruned.
+    val deltaPost = postingRows(deltaDocs, idCol, textCol)
+      .crossJoin(broadcast(dupCensus))
+      .select(col("token"), dupGuard(col("doc")).as("doc"),
+        col("tf"), col("positions"), col("positions_delta"))
     val removed = deltaDocs.select(col(idCol).as("doc"))
       .crossJoin(broadcast(dupCensus))
-      .select(when(col("__dups") > 0,
-          raise_error(concat(lit("upsertIndex: "),
-            col("__dups").cast("string"),
-            lit(" duplicate doc ids within one delta batch — merge" +
-              " order is undefined; split into sequential batches"))))
-        .otherwise(col("doc")).as("doc"))
+      .select(dupGuard(col("doc")).as("doc"))
       .unionByName(deletedIds.select(col(deletedIdCol).as("doc")))
       .distinct()
     val survivors = index.join(removed, Seq("doc"), "left_anti")

@@ -306,14 +306,32 @@ private[graft] object CheckpointHygiene {
       .select(col("__id"), col("__new"),
         posexplode(band_hashes(col("__sig"), bandCount))
           .as(Seq("__band", "__band_hash")))
+    val pairs = touchedBucketPairs(allBands, maxBucket,
+      "minhash_delta", label)
+    val store2 = survivors.unionByName(deltaSig)
+    val a = store2.select(col("__id").as("id_a"), col("__sig").as("__sa"))
+    val b = store2.select(col("__id").as("id_b"), col("__sig").as("__sb"))
+    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        minhash_jaccard(col("__sa"), col("__sb")).as("est_jaccard"))
+  }
+
+  /** The touched-bucket delta-pair machinery shared VERBATIM by
+    * [[deltaCandidates]] and [[deltaBandPairs]] — one source of truth
+    * for the incremental-LSH bucket semantics: buckets prune to those
+    * a delta row lands in, the stop-bucket cap is evaluated on the
+    * MERGED bucket membership (observable, never silent), and a pair
+    * emits iff ordered (id_a < id_b) and at least one side is new.
+    * Input rows: (__id, __new, __band, __band_hash). */
+  private def touchedBucketPairs(allBands: DataFrame, maxBucket: Int,
+      family: String, label: String): DataFrame = {
     val touched = allBands.filter(col("__new"))
       .select(col("__band"), col("__band_hash")).distinct()
     val buckets = allBands
       .join(touched, Seq("__band", "__band_hash"), "left_semi")
       .groupBy(col("__band"), col("__band_hash"))
       .agg(collect_list(struct(col("__id"), col("__new"))).as("__items"))
-    val pairs = observeCap(buckets, "__items", maxBucket,
-        "minhash_delta", label)
+    observeCap(buckets, "__items", maxBucket, family, label)
       .filter(size(col("__items")).between(2, maxBucket))
       .select(explode(flatten(transform(col("__items"), x =>
         filter(transform(col("__items"), y =>
@@ -324,12 +342,46 @@ private[graft] object CheckpointHygiene {
           p => p.isNotNull)))).as("__p"))
       .select(col("__p.id_a"), col("__p.id_b"))
       .distinct()
-    val store2 = survivors.unionByName(deltaSig)
-    val a = store2.select(col("__id").as("id_a"), col("__sig").as("__sa"))
-    val b = store2.select(col("__id").as("id_b"), col("__sig").as("__sb"))
-    pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        minhash_jaccard(col("__sa"), col("__sb")).as("est_jaccard"))
+  }
+
+  /** Hash-agnostic incremental LSH candidate pairs — the band-level
+    * core of [[deltaCandidates]] as a public operator: callers bring
+    * their OWN banding scheme as (id, band, band_hash) rows (minhash
+    * bands, simhash chunks, or any replayable hash lane) and get back
+    * the distinct candidate pairs involving at least one delta id,
+    * under replacement semantics (a delta id shadows every stored
+    * band row of the same id) and the merged-membership stop-bucket
+    * cap ([[capMetrics]] family "band_delta").
+    *
+    * Two jobs this does that [[deltaCandidates]] can't: (a) serve
+    * banding schemes beyond minhash without re-implementing the
+    * touched-bucket pruning/cap/extraction discipline, and (b) run
+    * the WHOLE incremental pipeline on an engine-replayable hash
+    * (e.g. md5-derived band keys), which is how the q496 oracle
+    * census rides the exact production code path — DuckDB replays
+    * bucket membership, cap crossing, and delta-pair extraction
+    * value-for-value (native minhash signatures are the one piece an
+    * external engine cannot rebuild; this core is everything else).
+    *
+    * 100 TB shape: identical to [[deltaCandidates]] — stored band
+    * rows prune to touched buckets BEFORE their shuffle (delta-sized
+    * traffic), the shadow anti-join probes with the delta-sized id
+    * set, bucket state is bounded by `maxBucket`. */
+  def deltaBandPairs(storeBands: DataFrame, storeIdCol: String,
+      storeBandCol: String, storeHashCol: String,
+      deltaBands: DataFrame, idCol: String, bandCol: String,
+      hashCol: String, maxBucket: Int = 64,
+      label: String = ""): DataFrame = {
+    val d = deltaBands.select(col(idCol).as("__id"),
+        col(bandCol).as("__band"), col(hashCol).as("__band_hash"))
+      .filter(col("__id").isNotNull)
+    val s = storeBands.select(col(storeIdCol).as("__id"),
+        col(storeBandCol).as("__band"), col(storeHashCol).as("__band_hash"))
+      .filter(col("__id").isNotNull)
+      .join(d.select(col("__id")).distinct(), Seq("__id"), "left_anti")
+    val allBands = s.withColumn("__new", lit(false))
+      .unionByName(d.withColumn("__new", lit(true)))
+    touchedBucketPairs(allBands, maxBucket, "band_delta", label)
   }
 
   /** Near-duplicate pairs above a Jaccard threshold (MinHash-estimated). */

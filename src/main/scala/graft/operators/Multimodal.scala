@@ -766,6 +766,160 @@ object Multimodal {
     }(enc)
   }
 
+  /** 24-bit uncompressed BMP fixture (BI_RGB) — the sixth strict-walk
+    * codec lane (WAV/PCM q484, µ-law, PNG, and the container walks):
+    * logical pixel (x, y) carries channel values
+    *   v(c) = (seed·31 + x·x·7 + y·13 + c·17) mod 256   (c: 0=B,1=G,2=R)
+    * stored as BGR triples with each ROW PADDED to a 4-byte boundary
+    * (the classic BMP trap — at width 3 the pad is 3 bytes of
+    * anything; we write zeros) and rows BOTTOM-UP when `topDown` is
+    * false (positive biHeight) or top-down when true (NEGATIVE
+    * biHeight, the spec's other legal orientation). Deterministic,
+    * so a DuckDB oracle replays every pixel arithmetically (q499). */
+  def encodeBmp24(df: DataFrame, widthCol: String, heightCol: String,
+      topDownCol: String, seedCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val wi = inSchema.fieldIndex(widthCol)
+    val hi = inSchema.fieldIndex(heightCol)
+    val ti = inSchema.fieldIndex(topDownCol)
+    val si = inSchema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val w = r.getInt(wi); val h = r.getInt(hi)
+        val td = r.getBoolean(ti); val seed = r.getLong(si)
+        // the 16384 bound keeps stride arithmetic trivially inside Int
+        require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384 && seed >= 0,
+          s"bad BMP params: w=$w h=$h seed=$seed")
+        val stride = (w * 3 + 3) & ~3
+        val dataLen = stride.toLong * h
+        require(dataLen <= (256L << 20),
+          s"pixel data would be $dataLen bytes; cap is 256 MiB")
+        val bb = java.nio.ByteBuffer.allocate(54 + dataLen.toInt)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte)
+          .putInt(54 + dataLen.toInt).putInt(0).putInt(54)   // file header
+          .putInt(40).putInt(w).putInt(if (td) -h else h)    // info header
+          .putShort(1).putShort(24).putInt(0)                // planes/bpp/BI_RGB
+          .putInt(dataLen.toInt).putInt(2835).putInt(2835)
+          .putInt(0).putInt(0)
+        var row = 0
+        while (row < h) {
+          // stored row index `row` holds logical y = h-1-row
+          // (bottom-up) or y = row (top-down)
+          val y = if (td) row else h - 1 - row
+          var x = 0
+          while (x < w) {
+            var c = 0
+            while (c < 3) {
+              bb.put(((seed * 31 + x.toLong * x * 7 + y.toLong * 13 +
+                c * 17) % 256).toByte)
+              c += 1
+            }
+            x += 1
+          }
+          var pad = w * 3
+          while (pad < stride) { bb.put(0.toByte); pad += 1 }
+          row += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** Per-image census through a strict in-house BMP walk — the image
+    * sibling of [[pcmEnergy]]'s audio lanes: exact per-channel sums
+    * and the LOGICAL-ORIGIN pixel, the lanes an image-corpus
+    * pre-screen runs (dead/blank frames, channel imbalance) with no
+    * codec dependency. Strict contract: 'BM' magic, a 40-byte
+    * BITMAPINFOHEADER, planes = 1, 24 bpp, BI_RGB only, width ≥ 1,
+    * height ≠ 0 (NEGATIVE height = top-down, handled, reported in
+    * the `topdown` lane), pixel array (at the declared offset, row
+    * stride padded to 4 bytes) fully inside the buffer — any
+    * malformation REFUSES with ok = 0, never guesses, never throws
+    * on arbitrary bytes (fuzz-pinned, the strict-walk family
+    * property; all offset arithmetic in LONG so a hostile header
+    * cannot wrap a bounds check).
+    *
+    * Lanes (one row per image, all BIGINT-exact): width, height
+    * (always positive), topdown flag, n_pixels, per-channel sums
+    * (sum_b/sum_g/sum_r — Σ ≤ 255·n, safe to ~7·10¹⁶ pixels), and
+    * the channel bytes of LOGICAL pixel (0,0) (origin_b/g/r) — a
+    * position-SENSITIVE lane, so a walk that botched bottom-up row
+    * order or the stride pad fails the oracle even though sums are
+    * order-blind. Row-local batched mapPartitions — zero exchange. */
+  def bmpStats(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("topdown", LongType), StructField("n_pixels", LongType),
+      StructField("sum_b", LongType), StructField("sum_g", LongType),
+      StructField("sum_r", LongType),
+      StructField("origin_b", LongType), StructField("origin_g", LongType),
+      StructField("origin_r", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(ii)
+        def bad = Row(id, 0L, null, null, null, null, null, null, null,
+          null, null, null)
+        val d = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        if (d == null || d.length < 54 || d(0) != 'B' || d(1) != 'M') bad
+        else {
+          val bb = java.nio.ByteBuffer.wrap(d)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val pixOff = bb.getInt(10)
+          val hdrSize = bb.getInt(14)
+          val w = bb.getInt(18)
+          val hRaw = bb.getInt(22)
+          val planes = bb.getShort(26) & 0xFFFF
+          val bpp = bb.getShort(28) & 0xFFFF
+          val comp = bb.getInt(30)
+          val td = hRaw < 0
+          // -Int.MinValue wraps; reject it with the h >= 1 check below
+          val h = if (hRaw == Int.MinValue) 0
+            else if (td) -hRaw else hRaw
+          if (hdrSize != 40 || planes != 1 || bpp != 24 || comp != 0 ||
+            w < 1 || h < 1 || pixOff < 54) bad
+          else {
+            val stride = ((w.toLong * 3 + 3) & ~3L)
+            if (pixOff.toLong + stride * h > d.length) bad
+            else {
+              val sums = new Array[Long](3)
+              var r0 = 0
+              while (r0 < h) {
+                val base = pixOff + r0 * stride
+                var x = 0
+                while (x < w) {
+                  var c = 0
+                  while (c < 3) {
+                    sums(c) += d((base + x * 3 + c).toInt) & 0xFF
+                    c += 1
+                  }
+                  x += 1
+                }
+                r0 += 1
+              }
+              // logical (0,0): stored row h-1 when bottom-up, row 0
+              // when top-down
+              val ob = (pixOff + (if (td) 0L else (h - 1L) * stride)).toInt
+              Row(id, 1L, w.toLong, h.toLong, if (td) 1L else 0L,
+                w.toLong * h, sums(0), sums(1), sums(2),
+                (d(ob) & 0xFF).toLong, (d(ob + 1) & 0xFF).toLong,
+                (d(ob + 2) & 0xFF).toLong)
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** Assemble INTERLEAVED image–text training sequences (the
     * MMC4/OBELICS document shape): text segments and media
     * references, each carrying a per-document position, merge into

@@ -719,6 +719,305 @@ object Similarity {
       Seq(col("cosine").desc, col("neighbor_id").asc), k)
   }
 
+  /** The coarse IVF assignment of a corpus as a clean (neighbor_id,
+    * list) table — the codes table of a PLAIN (non-PQ) inverted file,
+    * and the stored-mass input of [[ivfDriftCensus]]. One pass, pure
+    * expressions (the centroid model rides as a plan constant), no
+    * shuffle; null vectors land in sentinel list -1 (the
+    * [[withNearestCentroid]] contract). */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                coarse: Array[Array[Double]]): DataFrame =
+    withNearestCentroid(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        "__cv", coarse, "__list")
+      .select(col("neighbor_id"), col("__list").cast("int").as("list"))
+
+  /** The (neighbor_id, list, codes) inverted-file rows of a corpus
+    * under a FIXED model — the public face of [[ivfPqEncode]], in the
+    * clean column names [[AnnIndex]] persists. This is the table
+    * [[upsertIvf]] maintains and [[probeCodes]] serves from. */
+  def ivfPqCodes(corpus: DataFrame, idCol: String, vecCol: String,
+                 coarse: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], m: Int): DataFrame =
+    ivfPqEncode(corpus, idCol, vecCol, coarse, books, m)
+      .select(col("neighbor_id"), col("__list").cast("int").as("list"),
+        col("__codes").as("codes"))
+
+  /** Serve approximate top-k FROM a codes table ([[ivfPqCodes]] /
+    * [[upsertIvf]] output) under the model that built it — the
+    * in-memory twin of [[AnnIndex.probeIvfPq]], sharing the exact
+    * same [[ivfPqProbe]] pipeline (ADC candidate generation over
+    * codes, exact cosine re-rank fetching true vectors only for the
+    * |queries|·refine·k shortlist). */
+  def probeCodes(codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 queryId: String, queryVec: String,
+                 corpusId: String, corpusVec: String,
+                 k: Int, nprobe: Int, refine: Int,
+                 coarse: Array[Array[Double]],
+                 books: Array[Array[Array[Double]]], m: Int): DataFrame =
+    ivfPqProbe(
+      codes.select(col("neighbor_id"), col("list").cast("int").as("__list"),
+        col("codes").as("__codes")),
+      queries, corpus, queryId, queryVec, corpusId, corpusVec,
+      k, nprobe, refine, coarse, books, m)
+
+  /** Incremental IVF-PQ index maintenance — the similarity-search
+    * member of the incremental-maintenance family
+    * ([[graft.operators.TextOps.upsertIndex]] for retrieval,
+    * [[graft.operators.Graph.upsertComponents]] for cluster labels,
+    * [[Dedup.deltaCandidates]] for LSH candidates; r16 verdict item
+    * 1 closes the family here): merge a DELTA vector batch and a
+    * deletion list into a stored (neighbor_id, list, codes) table
+    * WITHOUT re-encoding the corpus and WITHOUT re-training.
+    * Semantics are exactly
+    *   upsertIvf(ivfPqCodes(A), Δ, D) ==
+    *     ivfPqCodes((A ∖ ids(Δ) ∖ D) ∪ Δ)
+    * under the SAME model — a delta id REPLACES its stored entry
+    * (the [[graft.operators.TextOps.upsertIndex]] replacement
+    * contract, vs [[AnnIndex.appendIvfPq]]'s documented
+    * caller-owns-uniqueness append), a deleted id's entry drops, and
+    * an id in both Δ and D ends up present (the delta is the newer
+    * fact). The q492 oracle census pins the identity against a
+    * from-scratch re-encode of the merged corpus, including
+    * [[probeCodes]] answers served from both states.
+    *
+    * Delta vectors are quantized by the STORED centroids/codebooks —
+    * the standard IVF trade ([[AnnIndex.appendIvfPq]] scaladoc); run
+    * [[ivfDriftCensus]] BEFORE this merge to see when accumulated
+    * drift says re-train.
+    *
+    * 100 TB shape: encoding (the only vector read) touches ONLY the
+    * delta — the stored corpus contributes code ROWS through one
+    * anti-join against the delta-sized removed-id set (AQE broadcasts
+    * it); with the [[AnnIndex]] list-partitioned layout the
+    * replacement rewrite prunes to the delta's touched lists.
+    * Duplicate ids WITHIN one delta are refused loudly (no version
+    * order exists; the upsertIndex discipline — the guard rides the
+    * delta-codes path, which is never empty-relation-pruned because
+    * the census aggregate always has exactly one row). */
+  def upsertIvf(storedCodes: DataFrame, deltaVectors: DataFrame,
+                idCol: String, vecCol: String,
+                deletedIds: DataFrame, deletedIdCol: String,
+                coarse: Array[Array[Double]],
+                books: Array[Array[Array[Double]]], m: Int): DataFrame = {
+    val dupCensus = deltaVectors.groupBy(col(idCol).as("neighbor_id"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+      .agg(count(lit(1)).as("__dups"))
+    def dupGuard(c: Column): Column =
+      when(col("__dups") > 0,
+        raise_error(concat(lit("upsertIvf: "),
+          col("__dups").cast("string"),
+          lit(" duplicate vector ids within one delta batch — merge" +
+            " order is undefined; split into sequential batches"))))
+        .otherwise(c)
+    val deltaCodes = ivfPqCodes(deltaVectors, idCol, vecCol, coarse, books, m)
+      .crossJoin(broadcast(dupCensus))
+      .select(dupGuard(col("neighbor_id")).as("neighbor_id"),
+        col("list"), col("codes"))
+    val removed = deltaVectors.select(col(idCol).as("neighbor_id"))
+      .unionByName(deletedIds.select(col(deletedIdCol).as("neighbor_id")))
+      .distinct()
+    storedCodes
+      .select(col("neighbor_id"), col("list").cast("int").as("list"),
+        col("codes"))
+      .join(removed, Seq("neighbor_id"), "left_anti")
+      .unionByName(deltaCodes)
+  }
+
+  /** ENGINE-EXACT coarse assignment on the µ-quantized lattice — the
+    * deterministic twin of [[ivfAssign]] for monitoring lanes: every
+    * element quantizes to ⌊10⁶·v⌋ BIGINT first (centroid elements
+    * likewise), per-centroid dot products and both squared norms are
+    * then EXACT integers, and the cosine each centroid competes with
+    * derives from those integers through correctly-rounded IEEE
+    * double ops (÷, √, ×) — bit-identical in any engine, so even an
+    * exact argmax TIE breaks the same way everywhere (first centroid
+    * index wins), which is what lets a DuckDB oracle replay the
+    * assignment value-for-value (q493). The float-kernel
+    * [[ivfAssign]] serves the index (its sums ride engine-specific
+    * accumulation order); this one serves the CENSUS, where a lane
+    * that can flip on summation order is not monitorable.
+    *
+    * One row per non-null, non-zero vector: (neighbor_id, list,
+    * cos_micro = ⌊10⁶·cos(qv, qc_list)⌋, err2_microsq =
+    * ‖qv − qc_list‖² exactly, in squared-µ units — equal to
+    * nv² + nc² − 2·dot, all BIGINT). Zero/null vectors drop (no
+    * cosine exists). Pure per-row plan-constant arithmetic — nlist·
+    * dim integer multiplies per row, no shuffle. */
+  def ivfAssignMicro(corpus: DataFrame, idCol: String, vecCol: String,
+                     coarse: Array[Array[Double]]): DataFrame = {
+    val qc: Array[Array[Long]] =
+      coarse.map(_.map(x => math.floor(x * 1e6).toLong))
+    require(qc.forall(r => r.exists(_ != 0L)),
+      "ivfAssignMicro: a centroid quantizes to the zero vector on the" +
+        " µ-lattice — no cosine exists to assign by")
+    val qcLit = typedLit(qc.map(_.toSeq).toSeq)
+    val qcN2 = typedLit(qc.map(r => r.map(x => x * x).sum).toSeq)
+    // qv and nv2 bind as LAMBDA VARIABLES (nested one-element
+    // transforms) so the quantize pass and the norm fold evaluate
+    // once per row, not once per centroid (the CollapseProject
+    // inlining trap, documented in the winnowing post-mortem)
+    val qvExpr = transform(col("__cv"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val rowStruct = flatten(transform(array(qvExpr), qv => {
+      val nv2Expr = aggregate(qv, lit(0L), (a, x) => a + x * x)
+      transform(array(nv2Expr), nv2 => {
+        val dots = transform(qcLit, c =>
+          aggregate(zip_with(qv, c, (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x))
+        val coses = zip_with(dots, qcN2, (d, n2) =>
+          d.cast("double") /
+            (sqrt(nv2.cast("double")) * sqrt(n2.cast("double"))))
+        val idx = (array_position(coses, array_max(coses)) - 1).cast("int")
+        when(nv2 > 0, struct(
+          idx.as("list"),
+          floor(element_at(coses, idx + 1) * lit(1000000L))
+            .cast("long").as("cos_micro"),
+          (nv2 + element_at(qcN2, idx + 1) -
+            lit(2L) * element_at(dots, idx + 1)).as("err2_microsq")))
+      })
+    }))
+    corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .filter(col("__cv").isNotNull)
+      .select(col("neighbor_id"), explode(rowStruct).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col("neighbor_id"), col("__r.list").as("list"),
+        col("__r.cos_micro").as("cos_micro"),
+        col("__r.err2_microsq").as("err2_microsq"))
+  }
+
+  /** IVF drift census — the monitoring row a deployment computes
+    * BEFORE [[upsertIvf]] (the vector twin of
+    * [[graft.operators.TextOps.vocabDrift]] before upsertIndex):
+    * per coarse list, how the delta's assignment mass compares to the
+    * stored index's, and how well the stored centroids still fit the
+    * delta. A delta whose mass redistributes across lists, or whose
+    * assignment cosine sags / quantization error grows vs earlier
+    * batches, is the re-train signal — the stored model was fit to a
+    * distribution the corpus has drifted away from.
+    *
+    * One row per list (a literal nlist-row spine, so empty lists are
+    * visible — a list the delta abandoned is itself a drift signal):
+    * stored_mass / delta_mass (exact counts; the stored side comes
+    * from the CODES table — no stored vector is ever read),
+    * stored_share_milli / delta_share_milli (⌊1000·mass/total⌋, null
+    * on an empty side), mean_cos_micro and mean_err2_microsq
+    * (integer means of [[ivfAssignMicro]]'s exact per-row lanes;
+    * null when the list got no delta). Delta assignment rides the
+    * µ-lattice ([[ivfAssignMicro]] scaladoc: a monitoring lane that
+    * can flip on summation order is not monitorable); null/zero
+    * delta vectors are excluded.
+    *
+    * Shape: one pass over the delta (plan-constant integer
+    * arithmetic), one list-grain aggregate per side, broadcast
+    * scalar totals — the stored codes table contributes one
+    * column-pruned count aggregate. */
+  def ivfDriftCensus(storedCodes: DataFrame, listCol: String,
+                     deltaVectors: DataFrame, idCol: String,
+                     vecCol: String,
+                     coarse: Array[Array[Double]]): DataFrame = {
+    val spark = storedCodes.sparkSession
+    import spark.implicits._
+    val nlist = coarse.length
+    val spine = (0 until nlist).map(_.toLong).toDF("list")
+    val stored = storedCodes
+      .groupBy(col(listCol).cast("long").as("list"))
+      .agg(count(lit(1)).as("stored_mass"))
+    val delta = ivfAssignMicro(deltaVectors, idCol, vecCol, coarse)
+      .select(col("list").cast("long").as("list"),
+        col("cos_micro").as("__cosq"), col("err2_microsq").as("__errq"))
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("delta_mass"),
+        sum(col("__cosq")).as("__cossum"),
+        sum(col("__errq")).as("__errsum"))
+    val totals = stored.agg(
+        coalesce(sum(col("stored_mass")), lit(0L)).as("__stot"))
+      .crossJoin(delta.agg(
+        coalesce(sum(col("delta_mass")), lit(0L)).as("__dtot")))
+    spine
+      .join(stored, Seq("list"), "left")
+      .join(delta, Seq("list"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("list"),
+        coalesce(col("stored_mass"), lit(0L)).as("stored_mass"),
+        coalesce(col("delta_mass"), lit(0L)).as("delta_mass"),
+        when(col("__stot") > 0, expr(
+          "(1000 * coalesce(stored_mass, 0L)) div __stot"))
+          .as("stored_share_milli"),
+        when(col("__dtot") > 0, expr(
+          "(1000 * coalesce(delta_mass, 0L)) div __dtot"))
+          .as("delta_share_milli"),
+        when(col("delta_mass") > 0, expr("__cossum div delta_mass"))
+          .as("mean_cos_micro"),
+        when(col("delta_mass") > 0, expr("__errsum div delta_mass"))
+          .as("mean_err2_microsq"))
+      .orderBy(col("list"))
+  }
+
+  /** Group-grain embedding-drift census — [[ivfDriftCensus]]'s
+    * label-space sibling and the exact vector twin of
+    * [[graft.operators.TextOps.vocabDrift]] (r16 verdict item 6):
+    * per group label, the milli cosine between the STORED corpus
+    * centroid and the DELTA batch centroid, with mass lanes riding
+    * along. A label whose delta centroid swings away from its stored
+    * centroid (cos_micro sagging from ~10⁶) means that slice of the
+    * ingest distribution moved — retrain/re-embed before the
+    * downstream ANN index quietly loses recall.
+    *
+    * Exactness contract (the q36 anchor discipline): every element
+    * quantizes to ⌊10⁶·v⌋ BIGINT first, centroids are represented by
+    * their exact integer SUM vectors (order-independent — never a
+    * float mean), and the cosine derives from three exact
+    * DECIMAL(38,0) quantities (the dot and both squared norms):
+    * cos_micro = ⌊10⁶ · dot / (√na · √nb)⌋ — integer-exact inputs
+    * through correctly-rounded IEEE double ops, bit-identical in any
+    * engine (q494 oracle replays the whole chain). Labels present on
+    * only one side carry null cosine lanes (nothing to compare —
+    * which is itself the signal: a brand-new or vanished label).
+    *
+    * Shape: one posexplode + (label, pos) aggregate per side (the
+    * [[centroids]] shape), a label-grain join, full outer so
+    * one-sided labels stay visible. */
+  def embeddingDrift(stored: DataFrame, delta: DataFrame,
+                     labelCol: String, vecCol: String): DataFrame = {
+    def sums(df: DataFrame, massName: String, prefix: String) = {
+      val q = df.select(col(labelCol).as("label"),
+          posexplode(transform(col(vecCol),
+            x => floor(x.cast("double") * lit(1000000L)).cast("long")))
+            .as(Seq("pos", "qv")))
+      val mass = df.filter(col(vecCol).isNotNull)
+        .groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).as(massName))
+      q.groupBy(col("label"), col("pos"))
+        .agg(sum(col("qv")).cast("decimal(38,0)").as("s"))
+        .groupBy(col("label"))
+        .agg(sum(col("s") * col("s")).as(s"${prefix}_norm2"),
+          array_sort(collect_list(struct(col("pos"), col("s"))))
+            .as(s"__${prefix}_vec"))
+        .join(mass, Seq("label"))
+    }
+    val a = sums(stored, "stored_mass", "stored")
+    val b = sums(delta, "delta_mass", "delta")
+    val dot = aggregate(
+      zip_with(col("__stored_vec"), col("__delta_vec"),
+        (x, y) => x.getField("s") * y.getField("s")),
+      lit(0).cast("decimal(38,0)"),
+      (acc, t) => (acc + t).cast("decimal(38,0)"))
+    a.join(b, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("stored_mass"), lit(0L)).as("stored_mass"),
+        coalesce(col("delta_mass"), lit(0L)).as("delta_mass"),
+        when(col("stored_norm2") > 0 && col("delta_norm2") > 0,
+          floor(lit(1000000L) *
+            (dot.cast("double") /
+              (sqrt(col("stored_norm2").cast("double")) *
+                sqrt(col("delta_norm2").cast("double")))))
+            .cast("long"))
+          .as("cos_micro"))
+      .orderBy(col("label"))
+  }
+
   /** Per-vector SQ8 scalar quantization — the storage compressor an
     * ANN index runs before writing a 100 TB embedding column (4 bytes
     * per float → 1 byte per code + one float scale per vector). Code

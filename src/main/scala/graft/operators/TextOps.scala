@@ -2997,6 +2997,85 @@ object TextOps {
           |  div (4 * (__sp div n_orders) + (__sr div n_orders))
           |END""".stripMargin).as("chrf2_milli"))
 
+  /** Corpus-grain chrF2 — the number actually quoted for a model or a
+    * dataset (r16 verdict item 5): clipped matches and totals sum
+    * over ALL pairs BEFORE any ratio (micro-average, the sacreBLEU
+    * convention — a macro mean of per-pair scores would let a
+    * hundred empty pairs drown one long document, which is exactly
+    * the bug micro-averaging exists to avoid). Lanes ride the q488
+    * [[chrfLanes]] machinery unchanged: per order, m/tc/tr become
+    * corpus sums, milli P/R floor from the summed integers, then the
+    * [[chrF]] macro-over-orders average and β=2 floor produce one
+    * corpus row (n_pairs, n_orders, chrp_milli, chrr_milli,
+    * chrf2_milli). Orders with no grams on either side across the
+    * whole corpus drop from the order average (the chrF rule at
+    * corpus grain). One extra order-grain aggregate over the q488
+    * lanes — nothing new shuffles at corpus scale. */
+  def chrfCorpus(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, maxN: Int = 6): DataFrame = {
+    val perOrder = chrfLanes(pairs, pairCol, candCol, refCol, maxN)
+      .groupBy(col("n"))
+      .agg(sum(col("m")).as("m"), sum(col("tc")).as("tc"),
+        sum(col("tr")).as("tr"))
+      .select(col("n"), col("m"), col("tc"), col("tr"),
+        when(col("tc") > 0, expr("(1000 * m) div tc")).as("prec_milli"),
+        when(col("tr") > 0, expr("(1000 * m) div tr")).as("rec_milli"))
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    perOrder
+      .filter(col("tc") + col("tr") > 0)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("prec_milli"), lit(0L))).as("__sp"),
+        sum(coalesce(col("rec_milli"), lit(0L))).as("__sr"))
+      .crossJoin(broadcast(nPairs))
+      // n_orders = 0 (empty/blank corpus) must yield null lanes, not
+      // an ANSI divide-by-zero
+      .select(col("n_pairs"), col("n_orders"),
+        when(col("n_orders") > 0, expr("__sp div n_orders"))
+          .as("chrp_milli"),
+        when(col("n_orders") > 0, expr("__sr div n_orders"))
+          .as("chrr_milli"),
+        when(col("n_orders") > 0, expr(
+          """CASE WHEN 4 * (__sp div n_orders)
+            |  + (__sr div n_orders) > 0 THEN
+            |  (5 * (__sp div n_orders) * (__sr div n_orders))
+            |  div (4 * (__sp div n_orders) + (__sr div n_orders))
+            |END""".stripMargin)).as("chrf2_milli"))
+  }
+
+  /** Corpus-grain BLEU lanes — [[bleuLanes]] micro-averaged the
+    * sacreBLEU way (r16 verdict item 5): per order, clipped matches
+    * and candidate totals sum over ALL pairs before the precision
+    * floor, and the brevity comparison uses the corpus-summed
+    * candidate/reference lengths (one short sentence does not
+    * penalize a corpus whose totals balance — the Papineni 2002
+    * definition). Same integer discipline as the pair lanes: exact
+    * milli precisions, the monotone product lane, and the summed
+    * length lanes + brevity_ok flag instead of the libm-unstable
+    * exp/4th-root (callers that want the float BLEU derive it from
+    * these exact lanes). One row out. */
+  def bleuCorpus(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    val l = bleuLanes(pairs, pairCol, candCol, refCol)
+    val orders = 1 to 4
+    // coalesce(.., 0): an empty corpus must census as zeros, not a
+    // row of null sums
+    val aggs = orders.flatMap(n => Seq(
+      coalesce(sum(col(s"m$n")), lit(0L)).as(s"m$n"),
+      coalesce(sum(col(s"t$n")), lit(0L)).as(s"t$n"))) ++ Seq(
+      coalesce(sum(col("cand_tokens")), lit(0L)).as("cand_tokens"),
+      coalesce(sum(col("ref_tokens")), lit(0L)).as("ref_tokens"))
+    val g = l.agg(count(lit(1)).as("n_pairs"), aggs: _*)
+    val withP = orders.foldLeft(g) { (df, n) =>
+      df.withColumn(s"p${n}_milli",
+        when(col(s"t$n") > 0, expr(s"(1000 * m$n) div t$n")))
+    }
+    withP
+      .withColumn("prod_milli4",
+        col("p1_milli") * col("p2_milli") * col("p3_milli") *
+          col("p4_milli"))
+      .withColumn("brevity_ok", col("cand_tokens") >= col("ref_tokens"))
+  }
+
   def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")

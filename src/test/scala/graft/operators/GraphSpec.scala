@@ -775,4 +775,45 @@ class GraphSpec extends SparkTestBase {
       delta, "a", "b", driverMaxEdges = 0L))
     assert(viaStar == got)
   }
+
+  test("deleteEdges: split case == from-scratch CC over A∖D with " +
+    "singleton keep; reversed + nonexistent deletes; untouched " +
+    "labels pass through; induced slice is touched-sized (r17)") {
+    import spark.implicits._
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("cluster")).toMap
+    // chains 1-2-3-4-5 and 10-11-12, plus an untouched pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val labels = Graph.connectedComponentsStar(edges, "a", "b")
+    // delete (3,4) -> split {1,2,3}/{4,5}; (11,10) REVERSED -> node
+    // 10 loses its last edge (singleton); (50,51) does not exist
+    val deleted = Seq((3L, 4L), (11L, 10L), (50L, 51L)).toDF("a", "b")
+    val got = labelsOf(Graph.deleteEdges(labels, "id", "cluster",
+      edges, "a", "b", deleted, "a", "b"))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      10L -> 10L, 11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L),
+      s"$got")
+    // the fixpoint input: ONLY surviving edges of the two touched
+    // components, canonical (greatest, least) — 20-21 never enters
+    val induced = Graph.deleteEdgesInduced(labels, "id", "cluster",
+        edges, "a", "b", deleted, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(induced == Set((2L, 1L), (3L, 2L), (5L, 4L), (12L, 11L)),
+      s"$induced")
+    // zero deletions: labels unchanged, induced EMPTY (no fixpoint
+    // work at all)
+    val noDel = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(labelsOf(Graph.deleteEdges(labels, "id", "cluster",
+      edges, "a", "b", noDel, "a", "b")) == labelsOf(labels))
+    assert(Graph.deleteEdgesInduced(labels, "id", "cluster",
+      edges, "a", "b", noDel, "a", "b").isEmpty)
+    // deleting EVERY edge of a component: all nodes become singletons
+    val all = labelsOf(Graph.deleteEdges(labels, "id", "cluster",
+      edges, "a", "b",
+      Seq((10L, 11L), (11L, 12L)).toDF("a", "b"), "a", "b"))
+    assert(all(10L) == 10L && all(11L) == 11L && all(12L) == 12L &&
+      all(1L) == 1L && all(5L) == 1L)
+  }
 }

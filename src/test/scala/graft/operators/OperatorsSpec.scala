@@ -1685,6 +1685,54 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got(100L) == got(1L) && got(101L) == got(10L))
   }
 
+  test("deltaBandPairs: pair-set parity with deltaCandidates on the " +
+    "same minhash bands; shadowing; merged-membership cap; every " +
+    "pair touches the delta (r17)") {
+    val a = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (10L, "completely different text about spark shuffles and joins"),
+      (20L, "a third topic entirely: audio codecs and waveforms"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again?"),
+      (101L, "nothing like anything stored before in any bucket"),
+      (20L, "completely different text about spark shuffles and more joins"))
+      .toDF("doc_id", "text")
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+          graft.functions.minhash_text(col("text"), 3, 64).as("sig"))
+        .select(col("id"),
+          posexplode(graft.functions.band_hashes(col("sig"), 16))
+            .as(Seq("band", "hash")))
+    val got = Dedup.deltaBandPairs(bandsOf(a), "id", "band", "hash",
+        bandsOf(delta), "id", "band", "hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = Dedup.deltaCandidates(
+        a.select(col("doc_id").as("id"),
+          graft.functions.minhash_text(col("text"), 3, 64).as("sig")),
+        "id", "sig", delta, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty, s"$got != $want")
+    // every emitted pair involves at least one delta id
+    val deltaIds = Set(100L, 101L, 20L)
+    assert(got.forall { case (x, y) => deltaIds(x) || deltaIds(y) })
+    // merged-membership cap: three identical docs cross maxBucket=2
+    val many = (1L to 3L).map(i => (i, "same boilerplate text wall"))
+      .toDF("doc_id", "text")
+    val none = Dedup.deltaBandPairs(
+      bandsOf(many.filter(col("doc_id") <= 2L)), "id", "band", "hash",
+      bandsOf(many.filter(col("doc_id") === 3L)), "id", "band", "hash",
+      maxBucket = 2)
+    assert(none.count() == 0)
+    // shadowing: a delta id drops the stored rows of the same id —
+    // id 20's STORED text would pair with nobody new, its DELTA text
+    // pairs with 10; no pair may reflect the stale banding (the pair
+    // (10, 20) must come from the delta text's buckets, which the
+    // parity assertion above already pins against from-scratch)
+    assert(got.contains((10L, 20L)))
+  }
+
   test("exactDedup keeps one row per normalized text, smallest id") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other")).toDF("id", "text")
     val got = Dedup.exactDedup(df, "id", "text").select("id").as[Long].collect().sorted
@@ -2687,6 +2735,174 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
       .as[(Long, Long, Double)].collect()
     assert(!got2.exists(_._2 == 0L))
   }
+
+  /** deterministic synthetic vector for the upsertIvf fixtures */
+  private def uivVec(seed: Long, dim: Int = 8): Seq[Float] =
+    Seq.tabulate(dim)(j =>
+      (((seed * 31 + j * j * 7 + 3) % 17 - 8) / 8.0).toFloat)
+
+  test("upsertIvf: identity vs from-scratch re-encode — replacement, " +
+    "deletion, new ids; probeCodes serves both states equal (r17)") {
+    val dim = 8; val m = 2
+    val coarse = Array.tabulate(4, dim)((c, p) =>
+      ((c * 3 + p) % 5 - 2) / 2.0)
+    val books = Array.tabulate(m, 4, dim / m)((mi, cc, p) =>
+      ((mi + cc * 2 + p) % 7 - 3) / 4.0)
+    // A carries STALE vectors (seed+1000) for the re-ingest cohort
+    val a = (1L to 20L).map(i =>
+      (i, if (i % 5 == 0) uivVec(i + 1000) else uivVec(i)))
+      .toDF("vec_id", "embedding")
+    val delta = ((1L to 20L).filter(_ % 5 == 0).map(i => (i, uivVec(i)))
+      ++ Seq((100L, uivVec(100L)), (101L, uivVec(101L))))
+      .toDF("vec_id", "embedding")
+    val deleted = Seq(3L, 7L, 999L).toDF("vec_id") // 999 absent: no-op
+    val mergedIds = ((1L to 20L).filterNot(Set(3L, 7L)) ++ Seq(100L, 101L))
+    val merged = mergedIds.map(i => (i, uivVec(i)))
+      .toDF("vec_id", "embedding")
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Int]("list"),
+          r.getAs[Seq[Int]]("codes").toList))).toMap
+    val stored = Similarity.ivfPqCodes(a, "vec_id", "embedding",
+      coarse, books, m)
+    val up = Similarity.upsertIvf(stored, delta, "vec_id", "embedding",
+      deleted, "vec_id", coarse, books, m)
+    val rb = Similarity.ivfPqCodes(merged, "vec_id", "embedding",
+      coarse, books, m)
+    val gotCodes = codesOf(up)
+    assert(gotCodes == codesOf(rb), "upserted codes != rebuilt codes")
+    assert(gotCodes.keySet == mergedIds.toSet)
+    // serving identity: probeCodes answers from both states agree
+    val q = merged.filter(col("vec_id") <= 2L)
+    def topk(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.probeCodes(codes, q, merged, "vec_id", "embedding",
+          "vec_id", "embedding", k = 3, nprobe = 4, refine = 2,
+          coarse, books, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t = topk(up)
+    assert(t == topk(rb) && t.nonEmpty)
+    // deleted ids serve from neither state
+    assert(!t.exists(p => p._2 == 3L || p._2 == 7L))
+  }
+
+  test("upsertIvf: duplicate delta ids refuse loudly even on an EMPTY " +
+    "stored index (the AQE empty-relation-pruning class, r16 advice)") {
+    val coarse = Array.tabulate(2, 8)((c, p) => (c + p % 3).toDouble)
+    val books = Array.tabulate(2, 2, 4)((mi, cc, p) =>
+      (mi + cc + p).toDouble)
+    val empty = Seq.empty[(Long, Int, Seq[Int])]
+      .toDF("neighbor_id", "list", "codes")
+    val dupDelta = Seq((1L, uivVec(1L)), (1L, uivVec(2L)))
+      .toDF("vec_id", "embedding")
+    val noDel = Seq.empty[Long].toDF("vec_id")
+    val ex = intercept[Exception] {
+      Similarity.upsertIvf(empty, dupDelta, "vec_id", "embedding",
+        noDel, "vec_id", coarse, books, 2).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("duplicate"),
+      s"wrong error: ${ex.getMessage}")
+  }
+
+  test("upsertIvf: plan never reads the stored corpus' vector file — " +
+    "encode touches only the delta (r17 plan pin)") {
+    val dim = 8; val m = 2
+    val coarse = Array.tabulate(2, dim)((c, p) => (c + p % 3 + 1).toDouble)
+    val books = Array.tabulate(m, 2, dim / m)((mi, cc, p) =>
+      (mi + cc + p).toDouble)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_uiv_").toString
+    val corpusDir = s"$base/corpus"; val codesDir = s"$base/codes"
+    val deltaDir = s"$base/delta"
+    (1L to 10L).map(i => (i, uivVec(i))).toDF("vec_id", "embedding")
+      .write.parquet(corpusDir)
+    Similarity.ivfPqCodes(spark.read.parquet(corpusDir), "vec_id",
+        "embedding", coarse, books, m)
+      .write.parquet(codesDir)
+    Seq((100L, uivVec(100L))).toDF("vec_id", "embedding")
+      .write.parquet(deltaDir)
+    val up = Similarity.upsertIvf(spark.read.parquet(codesDir),
+      spark.read.parquet(deltaDir), "vec_id", "embedding",
+      Seq.empty[Long].toDF("vec_id"), "vec_id", coarse, books, m)
+    up.count()
+    val plan = up.queryExecution.executedPlan.toString
+    assert(plan.contains(deltaDir), "delta scan missing from plan")
+    assert(!plan.contains(corpusDir),
+      s"stored corpus vector file is read by the upsert plan:\n$plan")
+  }
+
+  test("ivfAssignMicro: hand lanes, zero/null vectors drop, exact tie " +
+    "takes the FIRST centroid (r17)") {
+    // c0 == c1 manufactures an exact cosine tie; c2 is orthogonal
+    val coarse = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq(2.0f, 0.0f)), (2L, Seq(0.0f, 3.0f)),
+      (3L, Seq(0.0f, 0.0f)), (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfAssignMicro(rows, "vec_id", "embedding",
+        coarse)
+      .collect().map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Int]("list"), r.getAs[Long]("cos_micro"),
+          r.getAs[Long]("err2_microsq")))).toMap
+    // qv1 = (2e6, 0), qc0 = (1e6, 0): cos = 1.0 exactly,
+    // err2 = 4e12 + 1e12 - 2*2e12 = 1e12; tie with c1 -> list 0
+    assert(got(1L) == ((0, 1000000L, 1000000000000L)), s"${got(1L)}")
+    assert(got(2L)._1 == 2 && got(2L)._2 == 1000000L)
+    assert(!got.contains(3L) && !got.contains(4L) && got.size == 2)
+  }
+
+  test("ivfDriftCensus: masses, exact share floors, integer means, " +
+    "empty lists visible on the spine (r17)") {
+    val coarse = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val storedCodes = Seq((10L, 0), (11L, 0), (12L, 0), (13L, 1))
+      .toDF("neighbor_id", "list")
+    val delta = Seq(
+      (1L, Seq(2.0f, 0.0f)), (2L, Seq(4.0f, 0.0f)), (3L, Seq(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfDriftCensus(storedCodes, "list", delta,
+        "vec_id", "embedding", coarse)
+      .collect().map(r => r.getAs[Long]("list") ->
+        ((r.getAs[Long]("stored_mass"), r.getAs[Long]("delta_mass"),
+          Option(r.get(r.fieldIndex("stored_share_milli")))
+            .map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("delta_share_milli")))
+            .map(_.asInstanceOf[Long]),
+          Option(r.get(r.fieldIndex("mean_cos_micro")))
+            .map(_.asInstanceOf[Long])))).toMap
+    // shares: stored 3/4 and 1/4 -> 750/250; delta 2/3 and 1/3 ->
+    // 666/333; axis-aligned vectors have cos exactly 1.0
+    assert(got(0L) == ((3L, 2L, Some(750L), Some(666L), Some(1000000L))))
+    assert(got(1L) == ((1L, 1L, Some(250L), Some(333L), Some(1000000L))))
+    assert(got(2L) == ((0L, 0L, Some(0L), Some(0L), None)))
+    assert(got.size == 3)
+  }
+
+  test("embeddingDrift: identical sides cos ~ 1e6, opposed sides " +
+    "negative, one-sided labels carry null cos (r17)") {
+    val stored = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)),
+      ("b", Seq(1.0f, 0.0f)), ("gone", Seq(5.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val delta = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 4.0f)),
+      ("b", Seq(-2.0f, 0.0f)), ("new", Seq(9.0f, 9.0f)))
+      .toDF("label", "embedding")
+    val got = Similarity.embeddingDrift(stored, delta, "label",
+        "embedding")
+      .collect().map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("stored_mass"), r.getAs[Long]("delta_mass"),
+          Option(r.get(r.fieldIndex("cos_micro")))
+            .map(_.asInstanceOf[Long])))).toMap
+    // identical centroid sums: cos = 1.0 up to the one double chain
+    // (sqrt(x)*sqrt(x) may land an ulp under x) -> 999999 or 1000000
+    val aCos = got("a")._3.get
+    assert(got("a")._1 == 2L && got("a")._2 == 2L &&
+      (aCos == 999999L || aCos == 1000000L), s"$aCos")
+    // exactly opposed 1-d direction: cos = -1.0; floor(-1e6 - ulp)
+    val bCos = got("b")._3.get
+    assert(bCos == -1000000L || bCos == -1000001L, s"$bCos")
+    assert(got("gone") == ((1L, 0L, None)))
+    assert(got("new") == ((0L, 1L, None)))
+  }
 }
 
 class EnrichSpec extends AnyFunSuite with SparkTestBase {
@@ -3181,5 +3397,71 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Seq((1L, evil.array())).toDF("doc_id", "payload"),
       "doc_id", "payload").collect()
     assert(ev.length == 1 && ev.head.getAs[Long]("ok") == 0L)
+  }
+
+  test("encodeBmp24 -> bmpStats: hand sums, origin catches row order " +
+    "and stride pad, top-down twin, malformations refused, fuzz " +
+    "never throws (r17)") {
+    def v(seed: Long, x: Long, y: Long, c: Long) =
+      (seed * 31 + x * x * 7 + y * 13 + c * 17) % 256
+    // w=3 forces a 3-byte stride pad (9 -> 12); the top-down twin
+    // stores the SAME logical pixels in reversed row order
+    val base = Seq((1L, 3, 2, false, 5L), (2L, 3, 2, true, 5L))
+      .toDF("doc_id", "w", "h", "td", "seed")
+    val built = Multimodal.encodeBmp24(base, "w", "h", "td", "seed")
+    val lens = built.select(col("doc_id"),
+        octet_length(col("payload")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens(1L) == 54 + 12 * 2 && lens(2L) == 54 + 12 * 2)
+    val got = Multimodal.bmpStats(built, "doc_id", "payload").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    def sumC(c: Long) = (for { x <- 0L until 3L; y <- 0L until 2L }
+      yield v(5L, x, y, c)).sum
+    Seq(1L, 2L).foreach { id =>
+      val r = got(id)
+      assert(r.getAs[Long]("ok") == 1L && r.getAs[Long]("width") == 3L &&
+        r.getAs[Long]("height") == 2L && r.getAs[Long]("n_pixels") == 6L)
+      assert(r.getAs[Long]("topdown") == (if (id == 2L) 1L else 0L))
+      assert(r.getAs[Long]("sum_b") == sumC(0) &&
+        r.getAs[Long]("sum_g") == sumC(1) &&
+        r.getAs[Long]("sum_r") == sumC(2))
+      // the position-sensitive lane: logical (0,0) regardless of the
+      // stored row order
+      assert(r.getAs[Long]("origin_b") == v(5L, 0, 0, 0) &&
+        r.getAs[Long]("origin_g") == v(5L, 0, 0, 1) &&
+        r.getAs[Long]("origin_r") == v(5L, 0, 0, 2))
+    }
+    // malformations: each single-field corruption of a valid file
+    // refuses with ok = 0
+    val good = built.filter(col("doc_id") === 1L)
+      .select(col("payload")).head.getAs[Array[Byte]](0)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    val cases = Seq[(String, Array[Byte])](
+      "magic" -> patched(b => b(0) = 'X'.toByte),
+      "bpp32" -> patched(b => b(28) = 32.toByte),
+      "compressed" -> patched(b => b(30) = 1.toByte),
+      "planes" -> patched(b => b(26) = 2.toByte),
+      "hdrsize" -> patched(b => b(14) = 56.toByte),
+      "zero-width" -> patched { b =>
+        b(18) = 0; b(19) = 0; b(20) = 0; b(21) = 0 },
+      "hostile-pixoff" -> patched { b =>
+        b(10) = -1; b(11) = -1; b(12) = -1; b(13) = 0x7f },
+      "minvalue-height" -> patched { b =>
+        b(22) = 0; b(23) = 0; b(24) = 0; b(25) = 0x80.toByte },
+      "truncated" -> good.take(60))
+    cases.foreach { case (name, bytes) =>
+      val r = Multimodal.bmpStats(
+        Seq((1L, bytes)).toDF("doc_id", "payload"),
+        "doc_id", "payload").collect()
+      assert(r.length == 1 && r.head.getAs[Long]("ok") == 0L, name)
+    }
+    // random garbage never throws (strict-walk family property)
+    val rnd = new scala.util.Random(7)
+    val junk = (1L to 60L).map(i => (i,
+      rnd.nextBytes(rnd.nextInt(180)))).toDF("doc_id", "payload")
+    val g = Multimodal.bmpStats(junk, "doc_id", "payload").collect()
+    assert(g.forall(_.getAs[Long]("ok") == 0L) && g.length == 60)
   }
 }

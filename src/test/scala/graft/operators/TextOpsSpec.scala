@@ -1705,4 +1705,76 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().toSet
     assert(fromMerged == fromScratch && fromMerged.nonEmpty)
   }
+
+  test("chrfCorpus: micro-average equals hand-summed q488 lanes; " +
+    "empty corpus yields null lanes (r17)") {
+    val pairs = Seq(
+      (1L, "abc", "abc"), (2L, "ab", "ba"), (3L, "", "xy"))
+      .toDF("pid", "cand", "ref")
+    // hand-sum the per-(pair, n) lanes into corpus-order lanes
+    val lanes = TextOps.chrfLanes(pairs, "pid", "cand", "ref")
+      .collect().map(r => (r.getAs[Long]("n"),
+        (r.getAs[Long]("m"), r.getAs[Long]("tc"), r.getAs[Long]("tr"))))
+    val byN = lanes.groupBy(_._1).map { case (n, rs) =>
+      n -> ((rs.map(_._2._1).sum, rs.map(_._2._2).sum,
+        rs.map(_._2._3).sum)) }
+    val inScope = byN.filter { case (_, (_, tc, tr)) => tc + tr > 0 }
+    val sp = inScope.values.map { case (m, tc, _) =>
+      if (tc > 0) 1000 * m / tc else 0L }.sum
+    val sr = inScope.values.map { case (m, _, tr) =>
+      if (tr > 0) 1000 * m / tr else 0L }.sum
+    val nOrd = inScope.size.toLong
+    val r = TextOps.chrfCorpus(pairs, "pid", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Long]("n_orders") == nOrd)
+    assert(r.getAs[Long]("chrp_milli") == sp / nOrd)
+    assert(r.getAs[Long]("chrr_milli") == sr / nOrd)
+    val p = sp / nOrd; val q = sr / nOrd
+    val f2 = if (4 * p + q > 0) Some(5 * p * q / (4 * p + q)) else None
+    assert(Option(r.getAs[java.lang.Long]("chrf2_milli"))
+      .map(_.longValue) == f2)
+    // micro vs macro: the empty candidate dilutes totals, it does not
+    // contribute a zero SCORE — corpus recall uses summed tr
+    val empty = Seq.empty[(Long, String, String)].toDF("pid", "cand", "ref")
+    val e = TextOps.chrfCorpus(empty, "pid", "cand", "ref").collect()(0)
+    assert(e.getAs[Long]("n_pairs") == 0L &&
+      e.getAs[Long]("n_orders") == 0L &&
+      e.isNullAt(e.fieldIndex("chrp_milli")) &&
+      e.isNullAt(e.fieldIndex("chrf2_milli")))
+  }
+
+  test("bleuCorpus: equals hand-summed bleuLanes; corpus brevity from " +
+    "summed lengths, not per-pair flags (r17)") {
+    // pair 1's candidate is SHORTER than its reference (per-pair
+    // brevity false); pair 2's is longer; the sums balance to true
+    val pairs = Seq(
+      (1L, "the cat sat", "the cat sat down"),
+      (2L, "a big dog ran far away", "a big dog ran"))
+      .toDF("pid", "cand", "ref")
+    val perPair = TextOps.bleuLanes(pairs, "pid", "cand", "ref")
+      .collect()
+    assert(perPair.map(_.getAs[Boolean]("brevity_ok")).toSet ==
+      Set(true, false))
+    def sumOf(c: String) = perPair.map(_.getAs[Long](c)).sum
+    val r = TextOps.bleuCorpus(pairs, "pid", "cand", "ref").collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    (1 to 4).foreach { n =>
+      assert(r.getAs[Long](s"m$n") == sumOf(s"m$n"), s"m$n")
+      assert(r.getAs[Long](s"t$n") == sumOf(s"t$n"), s"t$n")
+      val t = sumOf(s"t$n")
+      val want = if (t > 0) Some(1000 * sumOf(s"m$n") / t) else None
+      assert(Option(r.getAs[java.lang.Long](s"p${n}_milli"))
+        .map(_.longValue) == want, s"p$n")
+    }
+    assert(r.getAs[Long]("cand_tokens") == sumOf("cand_tokens"))
+    assert(r.getAs[Long]("ref_tokens") == sumOf("ref_tokens"))
+    assert(r.getAs[Boolean]("brevity_ok") ==
+      (sumOf("cand_tokens") >= sumOf("ref_tokens")))
+    // empty corpus: zero counts, null precisions, no ANSI
+    // divide-by-zero
+    val empty = Seq.empty[(Long, String, String)].toDF("pid", "cand", "ref")
+    val e = TextOps.bleuCorpus(empty, "pid", "cand", "ref").collect()(0)
+    assert(e.getAs[Long]("n_pairs") == 0L && e.getAs[Long]("t1") == 0L &&
+      e.isNullAt(e.fieldIndex("p1_milli")))
+  }
 }

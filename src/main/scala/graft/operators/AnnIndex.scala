@@ -109,6 +109,42 @@ object AnnIndex {
       .parquet(s"$path/codes")
   }
 
+  /** REPLACEMENT-semantics upsert of a persisted index — the
+    * [[graft.operators.Similarity.upsertIvf]] contract applied to the
+    * on-disk layout (r17; [[appendIvfPq]] stays the documented
+    * caller-owns-uniqueness fast append): a delta id REPLACES its
+    * stored entry, `deletedIds` drop, an id in both ends up present
+    * (the delta is the newer fact), and duplicate ids WITHIN one
+    * delta refuse loudly (no version order exists). Composes the
+    * existing primitives in the only order that preserves
+    * replacement on disk:
+    *  1. tombstone ids(Δ) ∪ D ([[deleteIvfPq]]),
+    *  2. [[compactIvfPq]] — physically drops them (victims-only
+    *     partition rewrite) and clears the tombstones; skipping this
+    *     and appending directly would leave id-only tombstones that
+    *     swallow the NEW rows too,
+    *  3. [[appendIvfPq]] the delta (encoded under the STORED model —
+    *     run [[graft.operators.Similarity.ivfDriftCensus]] first to
+    *     see when drift says re-train).
+    * Cost: one delta-sized encode pass + rewrites of only the list
+    * partitions holding a replaced/deleted id. */
+  def upsertIvfPq(deltaRows: DataFrame, idCol: String, vecCol: String,
+                  path: String, deletedIds: DataFrame,
+                  deletedIdCol: String): Unit = {
+    val spark = deltaRows.sparkSession
+    val dups = deltaRows.groupBy(col(idCol))
+      .count().filter(col("count") > 1).limit(1).count()
+    require(dups == 0,
+      "upsertIvfPq: duplicate ids within one delta batch — merge" +
+        " order is undefined; split into sequential batches")
+    deleteIvfPq(
+      deltaRows.select(col(idCol))
+        .unionByName(deletedIds.select(col(deletedIdCol).as(idCol))),
+      idCol, path)
+    compactIvfPq(spark, path)
+    appendIvfPq(deltaRows, idCol, vecCol, path)
+  }
+
   /** Mark ids deleted WITHOUT touching the codes table: tombstone
     * rows append to `<path>/tombstones/` (id-only parquet — bytes per
     * delete), and [[probeIvfPq]] anti-joins them out until

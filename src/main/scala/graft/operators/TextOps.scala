@@ -3076,6 +3076,30 @@ object TextOps {
       .withColumn("brevity_ok", col("cand_tokens") >= col("ref_tokens"))
   }
 
+  /** Corpus-grain ROUGE-N — the third member of the micro-average
+    * family beside [[chrfCorpus]] and [[bleuCorpus]]: clipped
+    * overlap and both n-gram totals sum over ALL pairs before the
+    * recall/precision/F1 floors (one summary's length cannot drown
+    * the corpus number). One row: n_pairs, overlap, cand_ngrams,
+    * ref_ngrams, and the three milli floors (null on a zero
+    * denominator — empty corpora census as zeros, never divide). */
+  def rougeCorpus(pairs: DataFrame, pairCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame =
+    rougeN(pairs, pairCol, candCol, refCol, n)
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("overlap")), lit(0L)).as("overlap"),
+        coalesce(sum(col("cand_ngrams")), lit(0L)).as("cand_ngrams"),
+        coalesce(sum(col("ref_ngrams")), lit(0L)).as("ref_ngrams"))
+      .select(col("n_pairs"), col("overlap"), col("cand_ngrams"),
+        col("ref_ngrams"),
+        when(col("ref_ngrams") > 0,
+          expr("(1000 * overlap) div ref_ngrams")).as("recall_milli"),
+        when(col("cand_ngrams") > 0,
+          expr("(1000 * overlap) div cand_ngrams")).as("precision_milli"),
+        when(col("cand_ngrams") + col("ref_ngrams") > 0,
+          expr("(2000 * overlap) div (cand_ngrams + ref_ngrams)"))
+          .as("f1_milli"))
+
   def rougeN(pairs: DataFrame, pairCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1,8], got $n")

@@ -116,6 +116,61 @@ class AnnIndexSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("upsertIvfPq: persisted replacement — stale entries physically " +
+    "gone, deletions drop, probe equals a merged-corpus encode under " +
+    "the stored model; duplicate delta ids refuse (r17)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val vid = col("vec_id")
+    // A: everyone except the new cohort, with STALE (negated) vectors
+    // for the re-ingest cohort; Δ re-ingests true vectors + new ids;
+    // a third cohort deletes
+    val isNew = vid % 7 === 3
+    val isRepl = vid % 7 =!= 3 && vid % 5 === 0
+    val isDel = vid % 7 =!= 3 && vid % 5 =!= 0 && vid % 11 === 0
+    val a = emb.filter(!isNew).select(vid,
+      when(isRepl, transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")).as("embedding"))
+    val delta = emb.filter(isNew || isRepl).select(vid, col("embedding"))
+    val deleted = emb.filter(isDel).select(vid)
+    val merged = emb.filter(!isDel)
+    val path = tmp()
+    val model = AnnIndex.buildIvfPq(a, "vec_id", "embedding", path,
+      nlist = 8, m = 4, ksub = 16, maxTrainRows = 500)
+    AnnIndex.upsertIvfPq(delta, "vec_id", "embedding", path,
+      deleted, "vec_id")
+    // the codes table holds exactly the merged id set, one row each,
+    // and no tombstones linger (compaction ran inside the upsert)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == merged.count())
+    assert(codes.select(col("neighbor_id")).distinct().count() ==
+      merged.count())
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    // probe == one-shot encode of the TRUE merged corpus, same model
+    val q = merged.filter(vid < 10)
+    val persisted = AnnIndex.probeIvfPq(q, merged, path, "vec_id",
+        "embedding", "vec_id", "embedding", k = 5, nprobe = 3,
+        refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val oneShot = Similarity.ivfPqProbe(
+        Similarity.ivfPqEncode(merged, "vec_id", "embedding",
+          model.coarse, model.books, model.m),
+        q, merged, "vec_id", "embedding", "vec_id", "embedding",
+        5, 3, 4, model.coarse, model.books, model.m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(persisted == oneShot && persisted.nonEmpty)
+    // duplicate ids within one delta refuse loudly, index untouched
+    val before = spark.read.parquet(s"$path/codes").count()
+    intercept[IllegalArgumentException] {
+      AnnIndex.upsertIvfPq(
+        delta.limit(1).unionByName(delta.limit(1)), "vec_id",
+        "embedding", path, Seq.empty[Long].toDF("vec_id"), "vec_id")
+    }
+    assert(spark.read.parquet(s"$path/codes").count() == before)
+  }
+
   test("delete lifecycle: build → append → delete → probe excludes → compact → probe unchanged") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)

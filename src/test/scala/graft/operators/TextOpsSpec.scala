@@ -1743,6 +1743,32 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       e.isNullAt(e.fieldIndex("chrf2_milli")))
   }
 
+  test("rougeCorpus: equals hand-summed rougeN lanes; empty corpus " +
+    "zeros with null floors (r17)") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat down"),
+      (2L, "a b", "c d e"))
+      .toDF("pid", "cand", "ref")
+    val per = TextOps.rougeN(pairs, "pid", "cand", "ref", n = 2).collect()
+    def sumOf(c: String) = per.map(_.getAs[Long](c)).sum
+    val r = TextOps.rougeCorpus(pairs, "pid", "cand", "ref", n = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    assert(r.getAs[Long]("overlap") == sumOf("overlap"))
+    assert(r.getAs[Long]("cand_ngrams") == sumOf("cand_ngrams"))
+    assert(r.getAs[Long]("ref_ngrams") == sumOf("ref_ngrams"))
+    assert(r.getAs[Long]("recall_milli") ==
+      1000 * sumOf("overlap") / sumOf("ref_ngrams"))
+    assert(r.getAs[Long]("f1_milli") == 2000 * sumOf("overlap") /
+      (sumOf("cand_ngrams") + sumOf("ref_ngrams")))
+    val empty = Seq.empty[(Long, String, String)].toDF("pid", "cand", "ref")
+    val e = TextOps.rougeCorpus(empty, "pid", "cand", "ref", n = 2)
+      .collect()(0)
+    assert(e.getAs[Long]("n_pairs") == 0L &&
+      e.getAs[Long]("overlap") == 0L &&
+      e.isNullAt(e.fieldIndex("f1_milli")))
+  }
+
   test("bleuCorpus: equals hand-summed bleuLanes; corpus brevity from " +
     "summed lengths, not per-pair flags (r17)") {
     // pair 1's candidate is SHORTER than its reference (per-pair

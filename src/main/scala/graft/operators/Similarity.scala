@@ -877,9 +877,20 @@ object Similarity {
             lit(2L) * element_at(dots, idx + 1)).as("err2_microsq")))
       })
     }))
+    // a vector whose length differs from the centroids' would zip to
+    // null dots and emit a null-list row that silently skews the
+    // census totals — refuse loudly instead (dimension mismatch is a
+    // caller bug, never data)
+    val dim = qc(0).length
+    val dimGuard = when(size(col("__cv")) === dim, lit(true))
+      .otherwise(raise_error(concat(
+        lit("ivfAssignMicro: vector length "),
+        size(col("__cv")).cast("string"),
+        lit(s" != centroid dim $dim"))).cast("boolean"))
     corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .filter(col("__cv").isNotNull)
+      .filter(dimGuard)
       .select(col("neighbor_id"), explode(rowStruct).as("__r"))
       .filter(col("__r").isNotNull)
       .select(col("neighbor_id"), col("__r.list").as("list"),
@@ -989,8 +1000,11 @@ object Similarity {
       val mass = df.filter(col(vecCol).isNotNull)
         .groupBy(col(labelCol).as("label"))
         .agg(count(lit(1)).as(massName))
+      // cast BEFORE the sum: a Long sum can overflow at ~10¹³ rows of
+      // µ-quantized mass per (label, pos); decimal accumulates exactly
+      // (and DuckDB's SUM(BIGINT) returns HUGEINT, the same widening)
       q.groupBy(col("label"), col("pos"))
-        .agg(sum(col("qv")).cast("decimal(38,0)").as("s"))
+        .agg(sum(col("qv").cast("decimal(38,0)")).as("s"))
         .groupBy(col("label"))
         .agg(sum(col("s") * col("s")).as(s"${prefix}_norm2"),
           array_sort(collect_list(struct(col("pos"), col("s"))))

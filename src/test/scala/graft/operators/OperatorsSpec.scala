@@ -2848,6 +2848,14 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got(1L) == ((0, 1000000L, 1000000000000L)), s"${got(1L)}")
     assert(got(2L)._1 == 2 && got(2L)._2 == 1000000L)
     assert(!got.contains(3L) && !got.contains(4L) && got.size == 2)
+    // a vector whose length differs from the centroids' refuses
+    // loudly (it would otherwise skew census totals via null lists)
+    val badDim = Seq((9L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.ivfAssignMicro(badDim, "vec_id", "embedding", coarse)
+        .collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("centroid dim"))
   }
 
   test("ivfDriftCensus: masses, exact share floors, integer means, " +

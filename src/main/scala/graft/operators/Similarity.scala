@@ -1032,6 +1032,119 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+    * step between retrieval and consumption that every RAG/context
+    * assembler runs: greedily pick k documents maximizing
+    *   λ·relevance(d) − (1−λ)·max_{s∈selected} sim(d, s)
+    * so near-duplicate hits don't crowd the context window (the
+    * first pick is pure relevance — the max over an empty set is 0,
+    * the published convention). Ties break (score desc, doc asc),
+    * deterministic.
+    *
+    * Exactness contract (the [[ivfAssignMicro]] µ-lattice): relevance
+    * arrives as an INTEGER milli lane (the BM25/TF-IDF floors),
+    * vectors quantize to ⌊10⁶·v⌋, similarity is the micro cosine from
+    * exact integer dots/norms through correctly-rounded double ops,
+    * and the combined score is one integer nano lane
+    *   score_nano = λ_milli·rel_milli·1000 − (1000−λ_milli)·sim_micro
+    * — bit-identical in any engine, so the q501 oracle replays the
+    * whole greedy selection stage by stage. A zero-norm vector
+    * contributes similarity 0 (nothing to be redundant with).
+    *
+    * Shape: this re-ranks a BOUNDED per-query candidate list (a
+    * retrieval top-N — the serving contract; `maxCandidates` makes a
+    * violation fail loudly in-plan, never OOM a task), so the whole
+    * greedy loop is ONE hash aggregate (collect per query) plus
+    * row-local higher-order-function arithmetic — k·|cand|·|sel|·dim
+    * integer multiplies per query, no shuffle beyond the collect, no
+    * driver loop, no UDF. */
+  def mmrRerank(candidates: DataFrame, queryCol: String, docCol: String,
+                relMilliCol: String, vecCol: String, k: Int,
+                lambdaMilli: Long = 700L,
+                maxCandidates: Int = 256): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    require(lambdaMilli >= 0L && lambdaMilli <= 1000L,
+      s"lambdaMilli must be in [0,1000], got $lambdaMilli")
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
+    val quant = candidates.select(col(queryCol).as("query"),
+        col(docCol).cast("long").as("__doc"),
+        col(relMilliCol).cast("long").as("__rel"),
+        transform(col(vecCol),
+          x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+          .as("__qv"))
+      .filter(col("__doc").isNotNull && col("__rel").isNotNull)
+      .withColumn("__nv2",
+        coalesce(aggregate(col("__qv"), lit(0L), (a, x) => a + x * x),
+          lit(0L)))
+    val candType = "array<struct<doc:bigint,rel:bigint," +
+      "qv:array<bigint>,nv2:bigint>>"
+    val selType = "array<struct<rank:int,doc:bigint,rel:bigint," +
+      "qv:array<bigint>,nv2:bigint,score:bigint>>"
+    val grouped = quant.groupBy(col("query"))
+      .agg(collect_list(struct(col("__doc").as("doc"),
+        col("__rel").as("rel"), col("__qv").as("qv"),
+        col("__nv2").as("nv2"))).as("__cand"))
+      .select(col("query"),
+        when(size(col("__cand")) <= maxCandidates, col("__cand"))
+          .otherwise(raise_error(concat(
+            lit("mmrRerank: a query carries "),
+            size(col("__cand")).cast("string"),
+            lit(s" candidates > maxCandidates=$maxCandidates — this" +
+              " operator re-ranks a bounded retrieval top-N; cut" +
+              " upstream or raise the bound")))
+            .cast(candType)).as("__cand"))
+    def simMicro(a: Column, b: Column): Column = {
+      val dot = aggregate(
+        zip_with(a.getField("qv"), b.getField("qv"), (x, y) => x * y),
+        lit(0L), (acc, t) => acc + t)
+      when(a.getField("nv2") > 0 && b.getField("nv2") > 0,
+        floor(lit(1000000L) * (dot.cast("double") /
+          (sqrt(a.getField("nv2").cast("double")) *
+            sqrt(b.getField("nv2").cast("double"))))).cast("long"))
+        .otherwise(lit(0L))
+    }
+    def scoreOf(c: Column, sel: Column): Column = {
+      val maxSim = when(size(sel) === 0, lit(0L))
+        .otherwise(aggregate(sel, lit(-2000000L),
+          (m, s) => greatest(m, simMicro(c, s))))
+      lit(lambdaMilli) * c.getField("rel") * lit(1000L) -
+        lit(1000L - lambdaMilli) * maxSim
+    }
+    val zero = struct(
+      expr(s"CAST(array() AS $selType)").as("sel"),
+      col("__cand").as("rem"))
+    val stepped = aggregate(sequence(lit(1), lit(k)), zero, (st, _) => {
+      val sel = st.getField("sel"); val rem = st.getField("rem")
+      val withScore = transform(rem, c =>
+        struct(c.getField("doc").as("doc"), c.getField("rel").as("rel"),
+          c.getField("qv").as("qv"), c.getField("nv2").as("nv2"),
+          scoreOf(c, sel).as("score")))
+      val best = aggregate(withScore,
+        lit(null).cast("struct<doc:bigint,rel:bigint," +
+          "qv:array<bigint>,nv2:bigint,score:bigint>"),
+        (acc, c) => when(acc.isNull ||
+            c.getField("score") > acc.getField("score") ||
+            (c.getField("score") === acc.getField("score") &&
+              c.getField("doc") < acc.getField("doc")), c)
+          .otherwise(acc))
+      struct(
+        when(best.isNull, sel).otherwise(concat(sel, array(struct(
+          (size(sel) + 1).cast("int").as("rank"),
+          best.getField("doc").as("doc"), best.getField("rel").as("rel"),
+          best.getField("qv").as("qv"), best.getField("nv2").as("nv2"),
+          best.getField("score").as("score"))))).as("sel"),
+        when(best.isNull, rem).otherwise(
+          filter(rem, c => c.getField("doc") =!= best.getField("doc")))
+          .as("rem"))
+    })
+    grouped
+      .select(col("query"), explode(stepped.getField("sel")).as("__s"))
+      .select(col("query"), col("__s.rank").as("rank"),
+        col("__s.doc").as("doc"), col("__s.rel").as("rel_milli"),
+        col("__s.score").as("score_nano"))
+  }
+
   /** Per-vector SQ8 scalar quantization — the storage compressor an
     * ANN index runs before writing a 100 TB embedding column (4 bytes
     * per float → 1 byte per code + one float scale per vector). Code

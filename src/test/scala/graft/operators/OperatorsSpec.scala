@@ -2884,6 +2884,77 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(got.size == 3)
   }
 
+  /** driver replay of the exact integer MMR greedy (same double ops
+    * as the engine lanes — floor(1e6·dot/(√·√)) — so scores match
+    * bit-for-bit) */
+  private def mmrReplay(cands: Seq[(Long, Long, Seq[Float])], k: Int,
+      lam: Long): Seq[(Int, Long, Long)] = {
+    case class C(doc: Long, rel: Long, qv: Seq[Long], nv2: Long)
+    val cs = cands.map { case (d, r, v) =>
+      val qv = v.map(x => math.floor(x.toDouble * 1e6).toLong)
+      C(d, r, qv, qv.map(x => x * x).sum)
+    }
+    def sim(a: C, b: C): Long =
+      if (a.nv2 > 0 && b.nv2 > 0)
+        math.floor(1e6 * (a.qv.zip(b.qv).map { case (x, y) => x * y }.sum
+          .toDouble / (math.sqrt(a.nv2.toDouble) *
+            math.sqrt(b.nv2.toDouble)))).toLong
+      else 0L
+    var sel = Vector.empty[(C, Long)]
+    var rem = cs
+    while (sel.size < k && rem.nonEmpty) {
+      val scored = rem.map { c =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => sim(c, s._1)).max
+        (c, lam * c.rel * 1000L - (1000L - lam) * ms)
+      }
+      val best = scored.minBy { case (c, s) => (-s, c.doc) }
+      sel :+= best
+      rem = rem.filterNot(_.doc == best._1.doc)
+    }
+    sel.zipWithIndex.map { case ((c, s), i) => (i + 1, c.doc, s) }
+  }
+
+  test("mmrRerank: diversity beats a near-duplicate, lambda=1000 is " +
+    "pure relevance, short lists truncate, zero vectors score sim 0, " +
+    "cap refuses (r17)") {
+    val vecs = Seq(
+      (1L, 900L, Seq(1.0f, 0.0f)),
+      (2L, 880L, Seq(1.0f, 0.01f)),   // near-dup of doc 1
+      (3L, 500L, Seq(0.0f, 1.0f)),    // orthogonal, much lower rel
+      (4L, 870L, Seq(0.999f, 0.02f))) // another near-dup
+    val df = vecs.map { case (d, r, v) => (1, d, r, v) }
+      .toDF("query", "doc", "rel", "embedding")
+    def run(k: Int, lam: Long, mc: Int = 256) =
+      Similarity.mmrRerank(df, "query", "doc", "rel", "embedding",
+          k, lam, mc)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc"),
+          r.getAs[Long]("score_nano"))).toSeq
+    val got = run(3, 700L)
+    assert(got == mmrReplay(vecs, 3, 700L), s"$got")
+    // the diversity term actually flips the order: pure relevance
+    // would rank doc 2 second; MMR promotes the orthogonal doc 3
+    assert(got.map(_._2).take(2) == Seq(1L, 3L))
+    // lambda = 1000: similarity is ignored — pure rel desc, doc asc
+    assert(run(3, 1000L).map(_._2) == Seq(1L, 2L, 4L))
+    // k beyond the list: every candidate emits, ranks contiguous
+    assert(run(10, 700L).map(_._1) == Seq(1, 2, 3, 4))
+    // a zero vector is never "similar" to anything: with a rel above
+    // the near-dups' penalized scores it takes rank 2
+    val withZero = vecs :+ ((9L, 600L, Seq(0.0f, 0.0f)))
+    val gz = Similarity.mmrRerank(
+        withZero.map { case (d, r, v) => (1, d, r, v) }
+          .toDF("query", "doc", "rel", "embedding"),
+        "query", "doc", "rel", "embedding", 5, 700L)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("doc"),
+        r.getAs[Long]("score_nano"))).toSeq
+    assert(gz == mmrReplay(withZero, 5, 700L), s"$gz")
+    // bounded-candidates contract refuses loudly
+    val ex = intercept[Exception] { run(2, 700L, mc = 3) }
+    assert(ex.getMessage != null && ex.getMessage.contains("maxCandidates"))
+  }
+
   test("embeddingDrift: identical sides cos ~ 1e6, opposed sides " +
     "negative, one-sided labels carry null cos (r17)") {
     val stored = Seq(

@@ -725,22 +725,26 @@ object Graph {
     untouched.unionByName(respliced)
   }
 
-  /** The canonicalized edge set, REAL deletion set (semi-joined
-    * against A), and touched-label set of [[deleteEdges]] — split out
-    * so the induced-slice hook below has one source of truth. */
+  /** The row-local canonical edge projection (NO distinct — a global
+    * dedup of A would be a corpus-wide shuffle; [[deleteEdges]] only
+    * ever distincts the touched SLICE), the REAL deletion set
+    * (semi-joined against A's rows), and the touched-label set —
+    * split out so the induced-slice hook below has one source of
+    * truth. */
   private def deleteTouchedParts(lab: DataFrame, edges: DataFrame,
       edgeACol: String, edgeBCol: String, deleted: DataFrame,
       delACol: String, delBCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    def canonical(df: DataFrame, a: String, b: String): DataFrame = df
+    def canonRows(df: DataFrame, a: String, b: String): DataFrame = df
       .select(col(a).cast("long").as("__a"), col(b).cast("long").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
       .select(greatest(col("__a"), col("__b")).as("u"),
         least(col("__a"), col("__b")).as("v"))
-      .distinct()
-    val canon = canonical(edges, edgeACol, edgeBCol)
-    val del = canonical(deleted, delACol, delBCol)
+    val canon = canonRows(edges, edgeACol, edgeBCol)
+    // the delta side is ingest-sized: distinct is cheap there, and
+    // the existence semi-join probes A with it
+    val del = canonRows(deleted, delACol, delBCol).distinct()
       .join(canon, Seq("u", "v"), "left_semi")
     // both endpoints of a real edge share a stored label, so one
     // endpoint join names the touched component
@@ -751,17 +755,20 @@ object Graph {
   }
 
   /** The fixpoint input of [[deleteEdges]]: surviving edges of the
-    * touched components only. Package-visible so the spec can pin the
-    * touched-component-sized contract (and its content) directly. */
+    * touched components only — pruned BEFORE any distinct, so the
+    * only edge-set dedup shuffle is touched-slice-sized.
+    * Package-visible so the spec can pin the touched-component-sized
+    * contract (and its content) directly. */
   private[operators] def deleteTouchedInduced(lab: DataFrame,
       canon: DataFrame, del: DataFrame,
       touchedLabels: DataFrame): DataFrame = {
-    val survivors = canon.join(del, Seq("u", "v"), "left_anti")
     val touchedIds = lab
       .join(broadcast(touchedLabels), Seq("cluster"), "left_semi")
       .select(col("id"))
-    survivors
+    canon
       .join(touchedIds.withColumnRenamed("id", "u"), Seq("u"), "left_semi")
+      .distinct()
+      .join(del, Seq("u", "v"), "left_anti")
   }
 
   /** Spec-visible composition of [[deleteTouchedParts]] +

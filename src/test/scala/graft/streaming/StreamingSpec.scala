@@ -744,6 +744,136 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(version.get() == 2)
   }
 
+  test("foreachBatch monitoring loop: per-batch vocabDrift against the " +
+    "CURRENT index equals the batch operator, then the merge proceeds " +
+    "(the monitor-before-merge deployment shape, r17)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.TextOps
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_drift").toString
+    val a = Seq((1L, "alpha beta"), (2L, "beta gamma"))
+      .toDF("doc_id", "text")
+    TextOps.invertedIndex(a, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val driftRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Seq[Any])]()
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val v = version.get()
+          val idx = batch.sparkSession.read.parquet(s"$dir/v$v")
+          // the monitoring row rides BEFORE the merge — the gate a
+          // deployment alerts on when today's crawl is suddenly OOV
+          val d = TextOps.vocabDrift(idx, batch, "doc_id", "text")
+            .collect()(0)
+          driftRows.add((v, d.toSeq.toList))
+          TextOps.upsertIndex(idx, batch, "doc_id", "text")
+            .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+          version.incrementAndGet()
+        }
+        ()
+      }.start()
+    val b1 = Seq((3L, "beta omega omega"), (2L, "beta zeta"))
+    val b2 = Seq((4L, "alpha zeta theta"))
+    try {
+      stream.addData(b1: _*); q.processAllAvailable()
+      stream.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(version.get() == 2 && driftRows.size() == 2)
+    // replay each batch's census in batch-land against the exact
+    // index state the stream saw
+    val idx0 = TextOps.invertedIndex(a, "doc_id", "text")
+    val want0 = TextOps.vocabDrift(idx0, b1.toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0).toSeq.toList
+    val merged1 = Seq((1L, "alpha beta"), (2L, "beta zeta"),
+      (3L, "beta omega omega")).toDF("doc_id", "text")
+    val want1 = TextOps.vocabDrift(
+      TextOps.invertedIndex(merged1, "doc_id", "text"),
+      b2.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0).toSeq.toList
+    val got = driftRows.toArray.map(_.asInstanceOf[(Int, Seq[Any])])
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got == Seq(want0, want1), s"$got")
+    // sanity: batch 1 carried OOV mass (omega/zeta are new), and the
+    // loop's final index still equals from-scratch on the merged set
+    assert(want0(3).asInstanceOf[Long] > 0)
+    val fin = spark.read.parquet(s"$dir/v2")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc"),
+        r.getAs[Long]("tf"))).toSet
+    val scratch = TextOps.invertedIndex(
+        merged1.unionByName(b2.toDF("doc_id", "text")), "doc_id", "text")
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Long]("doc"),
+        r.getAs[Long]("tf"))).toSet
+    assert(fin == scratch)
+  }
+
+  test("foreachBatch ANN maintenance: per-batch ivfDriftCensus against " +
+    "the CURRENT codes + upsertIvf keep the index == from-scratch " +
+    "encode (r17)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.operators.Similarity
+    def vec(seed: Long): Seq[Float] = Seq.tabulate(8)(j =>
+      (((seed * 31 + j * j * 7 + 3) % 17 - 8) / 8.0).toFloat)
+    val coarse = Array.tabulate(4, 8)((c, p) => ((c * 3 + p) % 5 - 2) / 2.0)
+    val books = Array.tabulate(2, 4, 4)((mi, cc, p) =>
+      ((mi + cc * 2 + p) % 7 - 3) / 4.0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_ivf").toString
+    val a = (1L to 10L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    Similarity.ivfPqCodes(a, "vec_id", "embedding", coarse, books, 2)
+      .write.mode("overwrite").parquet(s"$dir/v0")
+    val version = new java.util.concurrent.atomic.AtomicInteger(0)
+    val censusRows =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val noDel = Seq.empty[Long].toDF("vec_id")
+    val q = stream.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val v = version.get()
+          val codes = batch.sparkSession.read.parquet(s"$dir/v$v")
+          val census = Similarity.ivfDriftCensus(codes, "list", batch,
+            "vec_id", "embedding", coarse)
+          censusRows.add((v, census.agg(
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("delta_mass")))
+            .collect()(0).getLong(0)))
+          Similarity.upsertIvf(codes, batch, "vec_id", "embedding",
+              noDel, "vec_id", coarse, books, 2)
+            .write.mode("overwrite").parquet(s"$dir/v${v + 1}")
+          version.incrementAndGet()
+        }
+        ()
+      }.start()
+    try {
+      // batch 1: a replacement (id 3 gets a NEW vector) + a new id
+      stream.addData((3L, vec(103L)), (11L, vec(11L)))
+      q.processAllAvailable()
+      stream.addData((12L, vec(12L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(version.get() == 2)
+    // the census saw every delta vector, per batch
+    assert(censusRows.toArray.map(_.asInstanceOf[(Int, Long)]).sortBy(_._1)
+      .map(_._2).toSeq == Seq(2L, 1L))
+    // final codes == one-shot encode of the merged corpus
+    def codesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("neighbor_id") ->
+        ((r.getAs[Int]("list"), r.getAs[Seq[Int]]("codes").toList))).toMap
+    val merged = ((1L to 10L).filter(_ != 3L).map(i => (i, vec(i)))
+      ++ Seq((3L, vec(103L)), (11L, vec(11L)), (12L, vec(12L))))
+      .toDF("vec_id", "embedding")
+    assert(codesOf(spark.read.parquet(s"$dir/v2")) ==
+      codesOf(Similarity.ivfPqCodes(merged, "vec_id", "embedding",
+        coarse, books, 2)))
+  }
+
   test("foreachBatch sketch maintenance: per-micro-batch HLL partials merge to the batch answer") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

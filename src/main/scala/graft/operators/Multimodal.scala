@@ -766,6 +766,174 @@ object Multimodal {
     }(enc)
   }
 
+  /** AIFF fixture (EA IFF 85 / AIFF-1.3) — the BIG-ENDIAN audio lane
+    * beside the little-endian RIFF/WAV family: FORM/AIFF container,
+    * COMM with the sample rate as an 80-bit IEEE EXTENDED float (the
+    * format's signature trap — sign+15-bit exponent, 64-bit mantissa
+    * with the leading 1 EXPLICIT), SSND with offset/blockSize
+    * preamble, samples interleaved big-endian int16. Frame k,
+    * channel c carries ((seed·7 + k·13 + c·31) mod 65536) − 32768 —
+    * the q484 formula, so the census oracle replays arithmetically. */
+  def encodeAiff(df: DataFrame, sampleRateCol: String, nFramesCol: String,
+      nChannelsCol: String, seedCol: String,
+      out: String = "payload"): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+ StructField(out, BinaryType))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ri = inSchema.fieldIndex(sampleRateCol)
+    val ni = inSchema.fieldIndex(nFramesCol)
+    val ci = inSchema.fieldIndex(nChannelsCol)
+    val si = inSchema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val rate = r.getInt(ri); val n = r.getInt(ni)
+        val ch = r.getInt(ci); val seed = r.getLong(si)
+        require(rate > 0 && n >= 0 && ch >= 1 && ch <= 8 && seed >= 0,
+          s"bad AIFF params: rate=$rate frames=$n channels=$ch seed=$seed")
+        val dataLenL = n.toLong * ch * 2L
+        require(dataLenL <= (256L << 20),
+          s"payload would be $dataLenL bytes; cap is 256 MiB per file")
+        val dataLen = dataLenL.toInt
+        // 12 (FORM hdr) + 8+18 (COMM) + 8+8+data (SSND)
+        val bb = java.nio.ByteBuffer.allocate(12 + 26 + 16 + dataLen)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataLen)
+          .put("AIFF".getBytes("US-ASCII"))
+        bb.put("COMM".getBytes("US-ASCII")).putInt(18)
+          .putShort(ch.toShort).putInt(n).putShort(16.toShort)
+        // 80-bit extended: exponent 16383 + floor(log2 r), mantissa =
+        // r normalized to the top bit (explicit leading 1)
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(rate.toLong)
+        bb.putShort((16383 + e).toShort)
+          .putLong(rate.toLong << (63 - e))
+        bb.put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen)
+          .putInt(0).putInt(0) // offset, blockSize
+        var k = 0
+        while (k < n) {
+          var c = 0
+          while (c < ch) {
+            bb.putShort(((seed * 7 + k * 13 + c * 31) % 65536L - 32768L)
+              .toShort)
+            c += 1
+          }
+          k += 1
+        }
+        Row.fromSeq(r.toSeq :+ bb.array())
+      }
+    }(enc)
+  }
+
+  /** Per-channel energy census through a strict AIFF walk — the
+    * big-endian sibling of [[pcmEnergy]] (same lane schema, so
+    * downstream loudness gates are format-agnostic). Strict contract:
+    * FORM/AIFF container, an 18+-byte COMM declaring 16-bit samples,
+    * 1..8 channels, and a sample rate whose 80-bit extended value is
+    * a positive INTEGER (sign bit 0, normalized mantissa, no bits
+    * shifted out — a fractional or denormal rate is refused, never
+    * rounded); an SSND whose blockSize is 0 and whose payload after
+    * the declared offset is exactly frames·channels·2 bytes (the
+    * declared COMM frame count must agree — two sources of truth
+    * must match, not be guessed between). Any malformation refuses
+    * with ok = 0; never throws on arbitrary bytes (all chunk-walk
+    * arithmetic in Long, fuzz-pinned). Row-local batched
+    * mapPartitions — zero exchange. */
+  def aiffEnergy(df: DataFrame, idCol: String,
+      binaryCol: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(Seq(
+      StructField("id", LongType), StructField("ok", LongType),
+      StructField("sample_rate", LongType),
+      StructField("n_channels", LongType),
+      StructField("channel", LongType),
+      StructField("n_frames", LongType),
+      StructField("sum_abs", LongType), StructField("sum_sq", LongType),
+      StructField("min_pcm", LongType), StructField("max_pcm", LongType)))
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val ii = inSchema.fieldIndex(idCol)
+    val bi = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.getLong(ii)
+        val bad = Seq(Row(id, 0L, null, null, null, null, null, null,
+          null, null))
+        val d = if (row.isNullAt(bi)) null else row.getAs[Array[Byte]](bi)
+        if (d == null || d.length < 12 ||
+          new String(d, 0, 4, "US-ASCII") != "FORM" ||
+          new String(d, 8, 4, "US-ASCII") != "AIFF") bad
+        else {
+          val bb = java.nio.ByteBuffer.wrap(d)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          var o = 12
+          var ch = -1; var declFrames = -1L; var rate = -1L
+          var commOk = false
+          var dataOff = -1L; var dataLen = -1L; var ssndOk = false
+          while (o + 8 <= d.length && (!commOk || !ssndOk)) {
+            val cid = new String(d, o, 4, "US-ASCII")
+            val len = bb.getInt(o + 4)
+            if (len < 0 || o.toLong + 8L + len > d.length) { o = d.length }
+            else {
+              if (cid == "COMM" && len >= 18 && !commOk) {
+                ch = bb.getShort(o + 8) & 0xFFFF
+                declFrames = bb.getInt(o + 10).toLong & 0xFFFFFFFFL
+                val bits = bb.getShort(o + 14) & 0xFFFF
+                val expRaw = bb.getShort(o + 16) & 0xFFFF
+                val mant = bb.getLong(o + 18)
+                // strict 80-bit extended -> positive integer rate:
+                // sign 0, normalized, every shifted-out bit zero
+                val e = (expRaw & 0x7FFF) - 16383
+                val signOk = (expRaw & 0x8000) == 0
+                if (signOk && e >= 0 && e <= 62 && mant < 0 /* top bit set */ &&
+                  (63 - e == 0 || (mant << (e + 1)) == 0L) &&
+                  bits == 16 && ch >= 1 && ch <= 8) {
+                  rate = mant >>> (63 - e)
+                  commOk = rate > 0
+                }
+              } else if (cid == "SSND" && len >= 8 && !ssndOk) {
+                val off = bb.getInt(o + 8).toLong & 0xFFFFFFFFL
+                val blk = bb.getInt(o + 12).toLong & 0xFFFFFFFFL
+                if (blk == 0 && off <= len - 8L) {
+                  dataOff = o + 16L + off
+                  dataLen = len - 8L - off
+                  ssndOk = true
+                }
+              }
+              o += 8 + len + (len & 1)
+            }
+          }
+          if (!commOk || !ssndOk || dataLen % (ch * 2) != 0 ||
+            declFrames != dataLen / (ch * 2)) bad
+          else {
+            val frames = (dataLen / (ch * 2)).toInt
+            val sa = new Array[Long](ch); val sq = new Array[Long](ch)
+            val mn = Array.fill(ch)(Long.MaxValue)
+            val mx = Array.fill(ch)(Long.MinValue)
+            var k = 0
+            while (k < frames) {
+              var c = 0
+              while (c < ch) {
+                val p = bb.getShort((dataOff + (k.toLong * ch + c) * 2)
+                  .toInt).toLong
+                sa(c) += math.abs(p); sq(c) += p * p
+                if (p < mn(c)) mn(c) = p
+                if (p > mx(c)) mx(c) = p
+                c += 1
+              }
+              k += 1
+            }
+            (0 until ch).map { c =>
+              if (frames == 0)
+                Row(id, 1L, rate, ch.toLong, c.toLong, 0L, 0L, 0L,
+                  null, null)
+              else
+                Row(id, 1L, rate, ch.toLong, c.toLong, frames.toLong,
+                  sa(c), sq(c), mn(c), mx(c))
+            }
+          }
+        }
+      }
+    }(enc)
+  }
+
   /** 24-bit uncompressed BMP fixture (BI_RGB) — the sixth strict-walk
     * codec lane (WAV/PCM q484, µ-law, PNG, and the container walks):
     * logical pixel (x, y) carries channel values

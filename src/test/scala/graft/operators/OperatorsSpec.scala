@@ -3478,6 +3478,70 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(ev.length == 1 && ev.head.getAs[Long]("ok") == 0L)
   }
 
+  test("encodeAiff -> aiffEnergy: hand census through the 80-bit " +
+    "extended rate, malformations refused, fuzz never throws (r17)") {
+    def pcm(seed: Long, k: Long, c: Long) =
+      (seed * 7 + k * 13 + c * 31) % 65536 - 32768
+    // 11025 is not a power of two: the extended-float mantissa
+    // normalization does real work
+    val base = Seq((5L, 11025, 4, 2), (6L, 8000, 0, 1))
+      .toDF("doc_id", "rate", "nf", "nc")
+      .select(col("doc_id"), col("rate").cast("int").as("rate"),
+        col("nf").cast("int").as("nf"), col("nc").cast("int").as("nc"))
+    val built = Multimodal.encodeAiff(base, "rate", "nf", "nc", "doc_id")
+    val got = Multimodal.aiffEnergy(built, "doc_id", "payload").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("channel")) -> r)
+      .toMap
+    for (c <- 0L until 2L) {
+      val r = got((5L, c))
+      val ps = (0L until 4L).map(k => pcm(5L, k, c))
+      assert(r.getAs[Long]("ok") == 1L &&
+        r.getAs[Long]("sample_rate") == 11025L &&
+        r.getAs[Long]("n_channels") == 2L &&
+        r.getAs[Long]("n_frames") == 4L)
+      assert(r.getAs[Long]("sum_abs") == ps.map(math.abs).sum &&
+        r.getAs[Long]("sum_sq") == ps.map(p => p * p).sum &&
+        r.getAs[Long]("min_pcm") == ps.min &&
+        r.getAs[Long]("max_pcm") == ps.max)
+    }
+    // zero frames: ok with zero sums and null extrema
+    val z = got((6L, 0L))
+    assert(z.getAs[Long]("ok") == 1L && z.getAs[Long]("n_frames") == 0L &&
+      z.isNullAt(z.fieldIndex("min_pcm")))
+    assert(got.size == 3)
+    // malformations: single-field corruptions refuse with ok = 0
+    val good = built.filter(col("doc_id") === 5L)
+      .select(col("payload")).head.getAs[Array[Byte]](0)
+    def patched(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = good.clone(); f(b); b
+    }
+    // layout: 12 FORM hdr | 8+18 COMM (ch@20, frames@22, bits@26,
+    // ext rate@28..37) | SSND hdr@38 (off@46, blk@50) | data@54
+    val cases = Seq[(String, Array[Byte])](
+      "magic" -> patched(b => b(8) = 'X'.toByte),
+      "bits8" -> patched { b => b(26) = 0; b(27) = 8 },
+      "neg-rate-sign" -> patched(b =>
+        b(28) = (b(28) | 0x80).toByte),
+      "fractional-rate" -> patched(b => b(37) = 1.toByte),
+      "denormal-mantissa" -> patched(b =>
+        b(30) = (b(30) & 0x7f).toByte),
+      "nonzero-blocksize" -> patched(b => b(53) = 4.toByte),
+      "frame-count-lies" -> patched(b => b(25) = 9.toByte),
+      "truncated" -> good.take(60))
+    cases.foreach { case (name, bytes) =>
+      val r = Multimodal.aiffEnergy(
+        Seq((1L, bytes)).toDF("doc_id", "payload"),
+        "doc_id", "payload").collect()
+      assert(r.length == 1 && r.head.getAs[Long]("ok") == 0L, name)
+    }
+    // random garbage never throws (strict-walk family property)
+    val rnd = new scala.util.Random(13)
+    val junk = (1L to 60L).map(i => (i,
+      rnd.nextBytes(rnd.nextInt(160)))).toDF("doc_id", "payload")
+    val g = Multimodal.aiffEnergy(junk, "doc_id", "payload").collect()
+    assert(g.forall(_.getAs[Long]("ok") == 0L) && g.length == 60)
+  }
+
   test("encodeBmp24 -> bmpStats: hand sums, origin catches row order " +
     "and stride pad, top-down twin, malformations refused, fuzz " +
     "never throws (r17)") {

@@ -1,0 +1,39 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` for named queries to files (dev tool,
+  * not part of the driver contract) — the optimization-round evidence
+  * trail (plans/rNN/<query>_<tag>.txt). Usage:
+  * `runMain graft.tools.PlanDump <outDir> <tag> <sfDir> <qid>...`
+  * qid may be the short "qNN" prefix or the full query name; with no
+  * qids, every declared query is dumped. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/r17")
+    val tag = args.lift(1).getOrElse("before")
+    val dir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+    val only: Set[String] = args.drop(3).toSet
+    val spark = graft.GraftSession.local(cores = 32, shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    val selected = if (only.isEmpty) graft.SparkEntry.queries
+      else graft.SparkEntry.queries.filter { case (k, _) =>
+        only(k.takeWhile(_ != '_')) || only(k) }
+    selected.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, dir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(outDir, s"${name}_$tag.txt"),
+          plan.getBytes(StandardCharsets.UTF_8))
+        println(s"[plandump] wrote $outDir/${name}_$tag.txt")
+      } catch {
+        case t: Throwable =>
+          println(s"[plandump] FAILED $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Disposable measurement harness for the optimization round (dev
+  * tool, not part of the driver contract). Edit, `runMain
+  * graft.tools.Scratch`, read the numbers, repeat. */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local(cores = 32, shufflePartitions = 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.plans.LevenshteinThreshold.install(spark)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def time[T](label: String)(f: => T): T = {
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[t] $label%-34s wall=${(System.nanoTime() - t0) / 1e9}%7.2f cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%7.2f")
+      r
+    }
+    def q(name: String, d: String = dir) = graft.SparkEntry.queries(name)(spark, d)
+    def warm(name: String): Unit =
+      try graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+
+    // ---- edit below ----
+    // fixed per-stage cpu probe: synthetic shuffles, no parquet
+    time("warm range")(spark.range(0, 1000).count())
+    time("range distinct 1")(spark.range(0, 1000).select(pmod(col("id"), lit(64)).as("k")).distinct().count())
+    time("range distinct 2")(spark.range(0, 1000).select(pmod(col("id"), lit(64)).as("k")).distinct().count())
+    time("range groupBy 1")(spark.range(0, 1000).select(pmod(col("id"), lit(64)).as("k")).groupBy("k").count().count())
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    time("distinct @4 parts")(spark.range(0, 1000).select(pmod(col("id"), lit(63)).as("k")).distinct().count())
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // parquet scan cost alone
+    time("documents scan count")(graft.sources.Tables.documents(spark, dir).count())
+    time("documents scan count2")(graft.sources.Tables.documents(spark, dir).count())
+    time("doc_id only count")(graft.sources.Tables.documents(spark, dir).select(col("doc_id")).filter(col("doc_id") < 500).count())
+
+    // decompose q465: where do the 32 cpu-s go?
+    val d = graft.sources.Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    val edges = d.select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 7 + 3) % 64).as("dst"))
+      .unionByName(d.select((col("doc_id") % 64).as("src"),
+        ((col("doc_id") * 3 + 1) % 64).as("dst")))
+    val labels = spark.range(0, 64).select(col("id"),
+      concat(lit("c"), pmod(col("id"), lit(4))).as("community"))
+    time("edges count")(edges.count())
+
+    // replicate partitionQuality internals
+    val e = edges
+      .select(col("src").cast("long").as("__a"), col("dst").cast("long").as("__b"))
+      .filter(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("lo"), greatest(col("__a"), col("__b")).as("hi"))
+      .distinct().persist()
+    time("e materialize")(e.count())
+    val lab = labels.select(col("id").cast("long").as("__n"), col("community").cast("string").as("__l"))
+      .groupBy(col("__n")).agg(min(col("__l")).as("__l"))
+    val nodes = e.select(col("lo").as("__n")).unionByName(e.select(col("hi").as("__n"))).distinct()
+    val nlab = nodes.join(lab, Seq("__n"), "left")
+      .select(col("__n"), coalesce(col("__l"), concat(lit("__node_"), col("__n"))).as("__c"))
+    time("nlab count")(nlab.count())
+    val tagged = e
+      .join(nlab.select(col("__n").as("lo"), col("__c").as("__cl")), Seq("lo"))
+      .join(nlab.select(col("__n").as("hi"), col("__c").as("__ch")), Seq("hi"))
+    time("tagged count")(tagged.count())
+    val m = e.agg(count(lit(1)).as("__m"))
+    val internal = tagged.filter(col("__cl") === col("__ch"))
+      .groupBy(col("__cl").as("community")).agg(count(lit(1)).as("internal"))
+    time("internal count")(internal.count())
+    val vol = tagged.select(col("__cl").as("community"))
+      .unionByName(tagged.select(col("__ch").as("community")))
+      .groupBy(col("community")).agg(count(lit(1)).as("volume"))
+    time("vol count")(vol.count())
+    val comm = vol.join(internal, Seq("community"), "left")
+      .na.fill(0L, Seq("internal"))
+      .crossJoin(broadcast(m))
+      .withColumn("cut", col("volume") - lit(2L) * col("internal"))
+      .withColumn("conductance_micro", when(
+        col("volume") > 0L && lit(2L) * col("__m") - col("volume") > 0L,
+        expr("""(1000000 * cut) div
+          |  LEAST(volume, 2 * __m - volume)""".stripMargin)))
+    time("comm count")(comm.count())
+    val qq = comm.agg(coalesce(sum(expr(
+      """4 * CAST(__m AS DECIMAL(38,0)) * internal
+        |  - CAST(volume AS DECIMAL(38,0)) * volume""".stripMargin)),
+      lit(0).cast("decimal(38,0)")).as("__num"),
+      max(col("__m")).as("__m"))
+      .select(expr(
+        """CASE WHEN __m > 0 THEN
+          |  (CASE WHEN __num >= 0 THEN 1L ELSE -1L END) *
+          |  CAST(ABS(1000000 * __num)
+          |    div (4 * CAST(__m AS DECIMAL(38,0)) * __m) AS BIGINT)
+          |END""".stripMargin).as("q_micro"),
+        col("__m").as("m_edges"))
+    time("qq count")(qq.count())
+    val out = comm
+      .select(col("community"), col("internal"), col("volume"),
+        col("cut"), col("conductance_micro"))
+      .crossJoin(broadcast(qq))
+    time("out count (no ckpt)")(out.count())
+    time("out localCheckpoint")(out.localCheckpoint())
+    spark.stop()
+  }
+}

@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-task fixed-cost matrix (dev tool): serializer x partitions. */
+object Scratch2 {
+  def main(args: Array[String]): Unit = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def run(label: String, serializer: String, parts: Int, extra: Map[String, String] = Map.empty): Unit = {
+      val b = SparkSession.builder()
+        .master("local[32]")
+        .appName("probe")
+        .config("spark.sql.shuffle.partitions", parts.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.serializer", serializer)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      extra.foreach { case (k, v) => b.config(k, v) }
+      val s = b.getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      // warm
+      (1 to 3).foreach(_ => s.range(0, 1000).select(pmod(col("id"), lit(64)).as("k")).distinct().count())
+      var w = 0.0; var c = 0.0
+      val n = 10
+      (1 to n).foreach { _ =>
+        val c0 = osBean.getProcessCpuTime
+        val t0 = System.nanoTime()
+        s.range(0, 1000).select(pmod(col("id"), lit(64)).as("k")).distinct().count()
+        w += (System.nanoTime() - t0) / 1e9
+        c += (osBean.getProcessCpuTime - c0) / 1e9
+      }
+      println(f"[m] $label%-44s avg wall=${w / n}%6.3f avg cpu=${c / n}%6.3f")
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+    val kryo = "org.apache.spark.serializer.KryoSerializer"
+    val javaSer = "org.apache.spark.serializer.JavaSerializer"
+    run("A1 default bypass", kryo, 32)
+    run("B1 bypass=0", kryo, 32, Map("spark.shuffle.sort.bypassMergeThreshold" -> "0"))
+    run("A2 default bypass", kryo, 32)
+    run("B2 bypass=0", kryo, 32, Map("spark.shuffle.sort.bypassMergeThreshold" -> "0"))
+    run("A3 default bypass", kryo, 32)
+    run("B3 bypass=0 +buf1m", kryo, 32, Map(
+      "spark.shuffle.sort.bypassMergeThreshold" -> "0",
+      "spark.shuffle.file.buffer" -> "1m"))
+  }
+}

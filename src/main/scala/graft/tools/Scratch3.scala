@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Config-matrix bench over real declared queries (dev tool).
+  * Interleave configs A/B/A/B to defeat machine drift; min-of-2 per
+  * query per pass, totals per pass. */
+object Scratch3 {
+  val queryIds = Seq("q336", "q148", "q449", "q208", "q465", "q166",
+    "q495", "q303", "q168", "q164", "q486", "q110")
+
+  def main(args: Array[String]): Unit = {
+    val dir = "/root/testdata/sf0.1"
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    def pass(label: String, extra: Map[String, String]): Unit = {
+      val b = graft.GraftSession.tune(
+        SparkSession.builder()
+          .master("local[32]")
+          .config("spark.sql.shuffle.partitions", "32")
+          .config("spark.ui.enabled", "false"))
+      extra.foreach { case (k, v) => b.config(k, v) }
+      val s = b.getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      graft.plans.LevenshteinThreshold.install(s)
+      val sel = graft.SparkEntry.queries.filter { case (k, _) =>
+        queryIds.contains(k.takeWhile(_ != '_')) }
+      // warm at sf0.001
+      sel.foreach { case (_, fn) =>
+        try fn(s, "/root/testdata/sf0.001").count() catch { case _: Throwable => () } }
+      var totW = 0.0; var totC = 0.0
+      val per = sel.map { case (name, fn) =>
+        def once(): (Double, Double) = {
+          val c0 = osBean.getProcessCpuTime; val t0 = System.nanoTime()
+          fn(s, dir).count()
+          ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+        }
+        val (w1, c1) = once(); val (w2, c2) = once()
+        val (w, c) = if (w1 <= w2) (w1, c1) else (w2, c2)
+        totW += w; totC += c
+        f"${name.takeWhile(_ != '_')}%s:$w%.2f"
+      }
+      println(f"[pass] $label%-28s total_wall=$totW%7.2f total_cpu=$totC%7.2f  ${per.mkString(" ")}")
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    val shj = Map("spark.sql.join.preferSortMergeJoin" -> "false")
+    val aqeShj = Map("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold" -> "67108864")
+    (1 to 2).foreach { i =>
+      pass(s"A$i base(bypass0)", Map.empty)
+      pass(s"B$i +preferSHJ", shj)
+      pass(s"C$i +aqeSHJ64m", aqeShj)
+    }
+  }
+}

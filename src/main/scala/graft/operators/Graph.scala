@@ -27,6 +27,32 @@ import org.apache.spark.sql.functions._
   * rankings are unaffected for host-filter use). */
 object Graph {
 
+  /** Materialize `df` into the cache for repeated per-iteration joins
+    * on `key`, and RETURN ITS ROW COUNT alongside. Above
+    * `spark.graft.keyedCache.minRows` (default 200k) the cache is
+    * re-laid-out hash(`key`) first, so every iteration's
+    * `state ⋈ edges` probe and every `groupBy(key)` aggregate read it
+    * with ZERO additional Exchange (guide §2.4) — at 100 TB that is
+    * `iterations` full-edge shuffles saved for one extra cache pass.
+    * Below the threshold the AQE-coalesced layout stands: a fixture-
+    * sized fixpoint reads its cache dozens of times, and pinning 32
+    * near-empty partitions costs more task launches than the (absent,
+    * broadcast-joined) exchanges could ever save — the partitioning
+    * derives from measured input size, never from a constant tuned
+    * for either local mode or the cluster. */
+  private[operators] def persistForKey(df: DataFrame, key: String): (DataFrame, Long) = {
+    val minRows = df.sparkSession.conf.getOption("spark.graft.keyedCache.minRows")
+      .map(_.toLong).getOrElse(200000L)
+    val base = df.persist()
+    val n = base.count()
+    if (n >= minRows) {
+      val keyed = base.repartition(col(key)).persist()
+      keyed.count()
+      base.unpersist()
+      (keyed, n)
+    } else (base, n)
+  }
+
   /** PageRank over the distinct (src, dst) edges of `edges`, with
     * damping `dampNum/dampDen` (default 85/100) and ranks in integer
     * units of `1/scale`: every node starts at `scale/|V|` units and
@@ -45,34 +71,43 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}] so damped sums cannot overflow, got $scale")
-    val e = edges
+    // cached once, hash(src)-keyed above the size threshold so the
+    // per-iteration join and the outdeg aggregate are exchange-free at
+    // scale (persistForKey) — read once per iteration
+    val (e, _) = persistForKey(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist() // read once per iteration
+      .distinct(), "src")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
-    val nDf = nodes.agg(count(lit(1)).as("__n")) // 1-row scalar: broadcast is right
+    // |V| as a driver long: the old per-iteration crossJoin(broadcast)
+    // of the 1-row count re-built a broadcast exchange in every
+    // checkpointed plan segment; a literal is free and floors the
+    // same way ((scale*15//100)//n — the oracle association)
+    val n = nodes.count()
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
     // teleport base, driver-exact integers: (scale·(dd−dn))/dd is an
-    // exact long here; only the /|V| floor happens as a column (the
-    // oracle spells the same association: (scale*15//100)//n)
+    // exact long, as is the /|V| floor (both operands nonnegative —
+    // same quotient as the old in-plan `div`). n = 0 (empty edge set)
+    // keeps the old behavior: nodes is empty, so the loop's frames are
+    // empty whatever the literals hold.
     val teleport = scale * (dampDen - dampNum) / dampDen
+    val initPr = if (n > 0) scale / n else 0L
+    val teleBase = if (n > 0) teleport / n else 0L
     // `div` (integral division), never `/`: long / long is DOUBLE
     // division in Spark, and floor(double) drifts from the true
     // BIGINT quotient once operands outgrow 2^53 — div is exact at
     // any scale, and it is what the DuckDB oracle's `//` computes
-    var pr = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"),
-        expr(s"CAST($scale AS BIGINT) div __n").as("pr"))
+    var pr = nodes.select(col("node"), lit(initPr).as("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(outdeg, "src")
         .select(col("dst"), expr("pr div __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes.crossJoin(broadcast(nDf))
+      pr = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
-          (expr(s"CAST($teleport AS BIGINT) div __n") +
+          (lit(teleBase) +
             expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
             .cast("long").as("pr"))
       if (i % 3 == 0 && i < iterations) {
@@ -116,13 +151,15 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
-    val e = edges
+    // cached once, hash(src)-keyed above the size threshold so the
+    // per-iteration join and the outw aggregate are exchange-free at
+    // scale (persistForKey)
+    val (e, _) = persistForKey(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
-      .persist()
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w")), "src")
     // guard failures must not leak the persisted edge table into the
     // CacheManager of a shared session (CorpusSpec asserts emptiness)
     try {
@@ -133,21 +170,25 @@ object Graph {
     } catch { case t: Throwable => e.unpersist(); throw t }
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
-    val nDf = nodes.agg(count(lit(1)).as("__n"))
+    // |V| as a driver long (non-zero: the empty case threw above) —
+    // the per-iteration crossJoin(broadcast(count)) re-built a
+    // broadcast exchange per checkpointed segment; same floors
+    val n = nodes.count()
     val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
     val teleport = scale * (dampDen - dampNum) / dampDen
-    var pr = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), expr(s"CAST($scale AS BIGINT) div __n").as("pr"))
+    val initPr = scale / n
+    val teleBase = teleport / n
+    var pr = nodes.select(col("node"), lit(initPr).as("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iterations) {
       val contrib = pr.join(e, pr("node") === e("src"))
         .join(outw, "src")
         .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes.crossJoin(broadcast(nDf))
+      pr = nodes
         .join(contrib, nodes("node") === contrib("dst"), "left")
         .select(nodes("node"),
-          (expr(s"CAST($teleport AS BIGINT) div __n") +
+          (lit(teleBase) +
             expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
             .cast("long").as("pr"))
       if (i % 3 == 0 && i < iterations) {
@@ -186,13 +227,14 @@ object Graph {
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < $dampNum < $dampDen")
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
-    val e = edges
+    // cached once, hash(src)-keyed above the size threshold (the
+    // pageRankWeightedInt rationale — persistForKey)
+    val (e, _) = persistForKey(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
-      .persist()
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w")), "src")
     try {
       val maxWRow = e.agg(max(col("__w"))).first()
       require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
@@ -428,9 +470,9 @@ object Graph {
       s"iterations must be in [1, 100], got $iterations")
     require(scale > 0 && scale <= 1000000000L,
       s"scale must be in (0, 1e9] so scale*rawScore stays in BIGINT, got $scale")
-    val e = edges
+    val (e, _) = persistForKey(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
+      .distinct(), "src")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // same no-leak rule as the weighted-PageRank guards: a failed
@@ -454,29 +496,44 @@ object Graph {
       // aggregate's subtree one join deep; this is also the standard
       // power-iteration posture at scale (the [[kCore]] lesson at
       // the score grain).
+      // each half-step's normalizer total is FUSED into the raw-score
+      // checkpoint via observe (the SCC truncateCounted pattern): the
+      // old broadcast(tot) both ran the raw aggregate's subtree twice
+      // (once for the broadcast job, once in the rebase plan) and paid
+      // a broadcast-exchange job per half-step; the observed sum rides
+      // the one materialization and rebases as a driver literal. A
+      // null observed sum (raw side empty) inlines as a null literal —
+      // `div null` was null before, identical.
+      def ckptSummed(df: DataFrame, sumCol: String): (DataFrame, Option[Long]) = {
+        val obs = org.apache.spark.sql.Observation()
+        val ck = df.observe(obs, sum(col(sumCol)).as("t")).localCheckpoint()
+        val t = Option(obs.get("t")).map(_.asInstanceOf[Long])
+        (ck, t)
+      }
+      // the total rebases as an inlined literal; SQL `div` keeps the
+      // exact BIGINT quotient (a null total — empty raw side — inlines
+      // as CAST(NULL AS BIGINT): `div NULL` was null before, identical)
+      def rebase(t: Option[Long]): String = {
+        val tSql = t.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
+        s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $tSql"
+      }
       for (_ <- 1 to iterations) {
-        val rawA = hub.join(e, hub("node") === e("src"))
-          .groupBy(col("dst")).agg(sum(col("hub")).as("__s"))
-        val totA = rawA.agg(sum(col("__s")).as("__t"))
-        auth = nodes.crossJoin(broadcast(totA))
+        val (rawA, totA) = ckptSummed(
+          hub.join(e, hub("node") === e("src"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("__s")), "__s")
+        auth = nodes
           .join(rawA, nodes("node") === rawA("dst"), "left")
-          .select(nodes("node"),
-            expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
-              .as("auth"))
-          .localCheckpoint()
+          .select(nodes("node"), expr(rebase(totA)).as("auth"))
         if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
-        lastA = auth
-        val rawH = auth.join(e, auth("node") === e("dst"))
-          .groupBy(col("src")).agg(sum(col("auth")).as("__s"))
-        val totH = rawH.agg(sum(col("__s")).as("__t"))
-        hub = nodes.crossJoin(broadcast(totH))
+        lastA = rawA
+        val (rawH, totH) = ckptSummed(
+          auth.join(e, auth("node") === e("dst"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("__s")), "__s")
+        hub = nodes
           .join(rawH, nodes("node") === rawH("src"), "left")
-          .select(nodes("node"),
-            expr(s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div __t")
-              .as("hub"))
-          .localCheckpoint()
+          .select(nodes("node"), expr(rebase(totH)).as("hub"))
         if (lastH != null) Dedup.CheckpointHygiene.free(lastH)
-        lastH = hub
+        lastH = rawH
       }
       val result = auth.join(hub, "node")
         .select(col("node"), col("auth"), col("hub"))
@@ -1098,28 +1155,38 @@ object Graph {
       sources: DataFrame, sourceCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1 && maxDepth <= 50,
       s"maxDepth must be in [1, 50], got $maxDepth")
-    val e = edges
+    // cached once (materialized inside persistForKey), hash(src)-keyed
+    // above the size threshold so every round's frontier ⋈ edges probe
+    // reads the cache with zero additional Exchange at scale
+    val (e, _) = persistForKey(edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
-      .distinct().persist()
-    e.count() // materialize once; every round reads the cached edges
-    var frontier = sources
+      .distinct(), "src")
+    // frontier size FUSED into each checkpoint via observe (the SCC
+    // truncateCounted pattern): the old per-round isEmpty was one
+    // whole extra job per round
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (ck, obs.get("n").asInstanceOf[Long])
+    }
+    var (frontier, frontierN) = ckptCounted(sources
       .select(col(sourceCol).cast("long").as("node")).distinct()
-      .withColumn("level", lit(0L))
-      .localCheckpoint()
+      .withColumn("level", lit(0L)))
     val parts = scala.collection.mutable.ArrayBuffer(frontier)
     var visited = frontier
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0) {
       depth += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("level", lit(depth.toLong))
-        .localCheckpoint()
+      val (next, nextN) = ckptCounted(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("level", lit(depth.toLong)))
       parts += next
       visited = visited.unionByName(next)
       frontier = next
+      frontierN = nextN
     }
     e.unpersist()
     parts.reduce(_ unionByName _)
@@ -1145,11 +1212,11 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // cached once (materialized inside persistForKey), hash(src)-keyed
+    // above the size threshold: zero per-round edge Exchange at scale
+    val (e, _) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
-        col(tsCol).cast("long").as("t"))
-      .persist()
-    e.count()
+        col(tsCol).cast("long").as("t")), "src")
     var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("arrival", lit(seedTs))
       .localCheckpoint()
@@ -1186,12 +1253,12 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 50,
       s"rounds must be in [1, 50], got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // cached once (materialized inside persistForKey), hash(src)-keyed
+    // above the size threshold: zero per-round edge Exchange at scale
+    val (e, _) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
-      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-      .persist()
-    e.count()
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")), "src")
     var dist = sources
       .select(col(sourceCol).cast("long").as("node")).distinct()
       .withColumn("dist", lit(0L))
@@ -1320,11 +1387,14 @@ object Graph {
       //    same-color edges — sound: any cross-class shortcut would
       //    contradict color minimality) landing ON the root id.
       val color = propagate(nodes, e, "color")
-      val sameColorRev = e
+      // materialized ONCE per peel round: propagate re-reads its edge
+      // frame every relaxation pair, and an un-truncated sameColorRev
+      // re-ran these two joins inside every one of those plans
+      val sameColorRev = truncate(e
         .join(color.select(col("id").as("s"), col("color").as("__cs")), "s")
         .join(color.select(col("id").as("t"), col("color").as("__ct")), "t")
         .filter(col("__cs") === col("__ct"))
-        .select(col("t").as("s"), col("s").as("t"))
+        .select(col("t").as("s"), col("s").as("t")))
       val back = propagate(nodes, sameColorRev, "bcolor")
       val scc = truncate(color.join(back, Seq("id"))
         .filter(col("color") === col("bcolor"))
@@ -1692,12 +1762,12 @@ object Graph {
   def longestPathDag(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, maxRounds: Int = 64): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // cached once (materialized inside persistForKey), hash(src)-keyed
+    // above the size threshold (the ssspBellmanFord twin)
+    val (e, _) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
-      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w"))
-      .persist()
-    e.count()
+      .groupBy(col("src"), col("dst")).agg(max(col("w")).as("w")), "src")
     var dist = e.select(col("src").as("node")).distinct()
       .join(e.select(col("dst").as("node")).distinct(), Seq("node"),
         "left_anti")

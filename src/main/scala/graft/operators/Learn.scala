@@ -4148,21 +4148,32 @@ object Learn {
         .union(terms.select(col("__b").as("item"), col("__t")))
         .groupBy(col("item"))
         .agg(sum(col("__t")).cast("decimal(38,0)").as("__d"))
+      // the normalizer total is FUSED into the round's checkpoint via
+      // observe (the SCC truncateCounted pattern): the old
+      // crossJoin(broadcast(tot)) ran `updated`'s subtree twice (once
+      // for the broadcast job, once in the checkpointed plan) and paid
+      // a broadcast exchange per round; the observed sum rebases as an
+      // inlined literal over the one materialization. Same DECIMAL(38,0)
+      // lane: sum(__p1) observed as DECIMAL cannot wrap, and the
+      // rebase SQL is unchanged but for the literal.
+      val obs = org.apache.spark.sql.Observation()
       val updated = cur.drop("p").join(denom, Seq("item"))
         .withColumn("__p1", greatest(lit(1L), expr(
           """CAST((CAST(1000000000 AS DECIMAL(38,0)) * w)
             |  div __d AS BIGINT)""".stripMargin)))
         .drop("__d")
-      val tot = updated.agg(
-        sum(col("__p1")).cast("decimal(38,0)").as("__tot"))
-      val next = updated.crossJoin(broadcast(tot))
+        .observe(obs, sum(col("__p1").cast("decimal(38,0)")).as("t"))
+        .localCheckpoint()
+      val totSql = Option(obs.get("t"))
+        .map(v => s"CAST('$v' AS DECIMAL(38,0))")
+        .getOrElse("CAST(NULL AS DECIMAL(38,0))")
+      val next = updated
         .withColumn("p", greatest(lit(1L), expr(
           s"""CAST((CAST(1000 AS DECIMAL(38,0)) * ${k} * __p1)
-             |  div __tot AS BIGINT)""".stripMargin)))
-        .drop("__p1", "__tot")
-        .localCheckpoint()
+             |  div $totSql AS BIGINT)""".stripMargin)))
+        .drop("__p1")
       if (prev != null) Dedup.CheckpointHygiene.free(prev)
-      prev = cur
+      prev = updated
       cur = next
     }
     pairs.unpersist()

@@ -1704,38 +1704,50 @@ object Graph {
       .select(col("__n"),
         coalesce(col("__l"), concat(lit("__node_"), col("__n")))
           .as("__c"))
+    // |E| observe-fused into the community aggregate's materialization
+    // (the SCC truncateCounted pattern). The old shape re-ran the
+    // edge-tagging joins in FOUR subtrees (internal, the two union
+    // arms of vol, and the modularity arm's recompute of comm): the
+    // endpoint grain computes volume AND internal in one aggregate —
+    // per edge both endpoints land once (volume), and an internal
+    // edge flags both (internal = flagged/2, exact: the sum is even
+    // by construction).
     val tagged = e
       .join(nlab.select(col("__n").as("lo"), col("__c").as("__cl")),
         Seq("lo"))
       .join(nlab.select(col("__n").as("hi"), col("__c").as("__ch")),
         Seq("hi"))
-    val m = e.agg(count(lit(1)).as("__m"))
-    val internal = tagged.filter(col("__cl") === col("__ch"))
-      .groupBy(col("__cl").as("community"))
-      .agg(count(lit(1)).as("internal"))
-    val vol = tagged.select(col("__cl").as("community"))
-      .unionByName(tagged.select(col("__ch").as("community")))
-      .groupBy(col("community")).agg(count(lit(1)).as("volume"))
-    val comm = vol.join(internal, Seq("community"), "left")
-      .na.fill(0L, Seq("internal"))
-      .crossJoin(broadcast(m))
+    val obsM = org.apache.spark.sql.Observation()
+    val commBase = tagged
+      .observe(obsM, count(lit(1)).as("m"))
+      .select(explode(array(
+        struct(col("__cl").as("community"), (col("__cl") === col("__ch"))
+          .cast("long").as("__int")),
+        struct(col("__ch").as("community"), (col("__cl") === col("__ch"))
+          .cast("long").as("__int")))).as("__e"))
+      .select(col("__e.community").as("community"), col("__e.__int"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("volume"),
+        expr("CAST(sum(__int) div 2 AS BIGINT)").as("internal"))
+      .localCheckpoint()
+    val m = obsM.get("m").asInstanceOf[Long]
+    val comm = commBase
       .withColumn("cut", col("volume") - lit(2L) * col("internal"))
       .withColumn("conductance_micro", when(
-        col("volume") > 0L && lit(2L) * col("__m") - col("volume") > 0L,
-        expr("""(1000000 * cut) div
-          |  LEAST(volume, 2 * __m - volume)""".stripMargin)))
+        col("volume") > 0L && lit(2L * m) - col("volume") > 0L,
+        expr(s"""(1000000 * cut) div
+          |  LEAST(volume, ${2L * m} - volume)""".stripMargin)))
     val q = comm.agg(coalesce(sum(expr(
-      """4 * CAST(__m AS DECIMAL(38,0)) * internal
+      s"""4 * CAST($m AS DECIMAL(38,0)) * internal
         |  - CAST(volume AS DECIMAL(38,0)) * volume""".stripMargin)),
-      lit(0).cast("decimal(38,0)")).as("__num"),
-      max(col("__m")).as("__m"))
+      lit(0).cast("decimal(38,0)")).as("__num"))
       .select(expr(
-        """CASE WHEN __m > 0 THEN
+        s"""CASE WHEN $m > 0 THEN
           |  (CASE WHEN __num >= 0 THEN 1L ELSE -1L END) *
           |  CAST(ABS(1000000 * __num)
-          |    div (4 * CAST(__m AS DECIMAL(38,0)) * __m) AS BIGINT)
+          |    div (4 * CAST($m AS DECIMAL(38,0)) * $m) AS BIGINT)
           |END""".stripMargin).as("q_micro"),
-        col("__m").as("m_edges"))
+        lit(m).as("m_edges"))
     val out = comm
       .select(col("community"), col("internal"), col("volume"),
         col("cut"), col("conductance_micro"))

@@ -2029,37 +2029,43 @@ object Learn {
       s"alphaMilli must be in [0,500), got $alphaMilli")
     val staged = df.filter(col(valueCol).isNotNull)
       .select(floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
-    // run-grain and checkpointed: the two spines, the scalar, and
-    // the derived deviation runs all read it
+    // run-grain and checkpointed: the two spines and the derived
+    // deviation runs all read it; N is observe-fused into the one
+    // materialization (the SCC truncateCounted pattern) and rebases
+    // every rank/trim cut as a literal — the old broadcast(scal) arms
+    // re-ran the runs aggregate per consumer
+    val obsN = org.apache.spark.sql.Observation()
     val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .observe(obsN, coalesce(sum(col("__c")), lit(0L)).as("N"))
       .localCheckpoint()
+    val n = obsN.get("N").asInstanceOf[Long]
+    val rank = (n + 1) / 2
+    val k = alphaMilli * n / 1000
     val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
       "__c", "__cum")
-    val scal = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
-    val med = cum.crossJoin(broadcast(scal))
-      .filter(col("__cum") >= expr("(__N + 1) div 2"))
-      .agg(min(col("__v")).as("__med"))
-    val devRuns = runs.crossJoin(broadcast(med))
+    // ONE pass over the cumulative spine yields the median AND the
+    // trimmed-mean lanes (they were two separate broadcast arms, each
+    // re-running the spine)
+    val medTrim = cum
+      .withColumn("__kept", greatest(lit(0L),
+        least(col("__cum"), lit(n - k))
+          - greatest(col("__cum") - col("__c"), lit(k))))
+      .agg(min(when(col("__cum") >= lit(rank), col("__v"))).as("__med"),
+        coalesce(sum(col("__kept")), lit(0L)).as("__nk"),
+        coalesce(sum(col("__kept").cast("decimal(38,0)") * col("__v")),
+          lit(0).cast("decimal(38,0)")).as("__sk"))
+    val devRuns = runs.crossJoin(broadcast(medTrim))
       .groupBy(abs(col("__v") - col("__med")).as("__d"))
       .agg(sum(col("__c")).as("__c"))
     val devCum = Relational.globalPrefixSum(devRuns,
       Seq(col("__d").asc), "__c", "__cum")
-    val mad = devCum.crossJoin(broadcast(scal))
-      .filter(col("__cum") >= expr("(__N + 1) div 2"))
+    val mad = devCum
+      .filter(col("__cum") >= lit(rank))
       .agg(min(col("__d")).as("__mad"))
-    val trimmed = cum.crossJoin(broadcast(scal))
-      .withColumn("__k", expr(s"($alphaMilli * __N) div 1000"))
-      .withColumn("__kept", greatest(lit(0L),
-        least(col("__cum"), col("__N") - col("__k"))
-          - greatest(col("__cum") - col("__c"), col("__k"))))
-      .agg(max(col("__k")).as("trim_k"),
-        coalesce(sum(col("__kept")), lit(0L)).as("__nk"),
-        coalesce(sum(col("__kept").cast("decimal(38,0)") * col("__v")),
-          lit(0).cast("decimal(38,0)")).as("__sk"))
-    scal.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
-      .crossJoin(broadcast(trimmed))
-      .select(col("__N").as("n"), col("__med").as("median_milli"),
-        col("__mad").as("mad_milli"), col("trim_k"),
+    medTrim.crossJoin(broadcast(mad))
+      .select(lit(n).as("n"), col("__med").as("median_milli"),
+        col("__mad").as("mad_milli"),
+        (if (n > 0) lit(k) else lit(null).cast("long")).as("trim_k"),
         expr("""CASE WHEN __nk > 0 THEN
           |  (CASE WHEN __sk >= 0 THEN 1L ELSE -1L END) *
           |  CAST(ABS(__sk) div __nk AS BIGINT) END""".stripMargin)
@@ -2500,25 +2506,25 @@ object Learn {
       .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("boolean").as("__g1"),
         floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
+    // run-grain and CHECKPOINTED: the spine materializes once instead
+    // of re-running the row-scale runs aggregate per consumer
     val runs = staged.groupBy(col("__v"))
       .agg(sum(when(col("__g1"), 1L).otherwise(0L)).as("__c1"),
         sum(when(!col("__g1"), 1L).otherwise(0L)).as("__c2"))
+      .localCheckpoint()
     // cumulative counts and value-weighted sums per group over the
-    // pooled sorted grid — one two-pass spine, reused by all three
-    // pairwise sums:  Σ_{i<j}|v_j − v_i| over a multiset =
+    // pooled sorted grid — all four lanes in ONE spine pass
+    // (globalPrefixSums), reused by all three pairwise sums:
+    // Σ_{i<j}|v_j − v_i| over a multiset =
     // Σ_rows v·(cntBelow) − sumBelow  (computed at run grain)
-    val cum = Relational.globalPrefixSum(
-      Relational.globalPrefixSum(
-        Relational.globalPrefixSum(
-          Relational.globalPrefixSum(
-            runs.withColumn("__s1",
-              col("__c1").cast("decimal(38,0)") * col("__v"))
-                .withColumn("__s2",
-              col("__c2").cast("decimal(38,0)") * col("__v")),
-            Seq(col("__v").asc), "__c1", "__q1").drop("__r"),
-          Seq(col("__v").asc), "__c2", "__q2").drop("__r"),
-        Seq(col("__v").asc), "__s1", "__t1").drop("__r"),
-      Seq(col("__v").asc), "__s2", "__t2")
+    val cum = Relational.globalPrefixSums(
+      runs.withColumn("__s1",
+          col("__c1").cast("decimal(38,0)") * col("__v"))
+        .withColumn("__s2",
+          col("__c2").cast("decimal(38,0)") * col("__v")),
+      Seq(col("__v").asc),
+      Seq("__c1" -> "__q1", "__c2" -> "__q2",
+        "__s1" -> "__t1", "__s2" -> "__t2"))
     val agg = cum.agg(
       coalesce(sum(col("__c1")), lit(0L)).as("n1"),
       coalesce(sum(col("__c2")), lit(0L)).as("n2"),
@@ -3761,35 +3767,47 @@ object Learn {
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).cast("string").as("__g"),
         floor(col(valueCol).cast("double") * 1000).cast("long").as("__v"))
-    // one row-scale exchange: the (group, value) runs; every other
-    // aggregate here is runs-grain
+    // one row-scale exchange: the (group, value) runs, CHECKPOINTED —
+    // every downstream aggregate is runs-grain, and before the
+    // checkpoint each broadcast arm (scal, med, above, final) re-ran
+    // the row-scale exchange from scratch (the q435 plan carried 124
+    // Exchanges for one row of output). N is observe-fused into the
+    // materialization (the SCC truncateCounted pattern) and rebases
+    // as a literal; integer div semantics unchanged — Column./ is
+    // DOUBLE division and would shift the cut to ceil(N/2)+1 on even N.
+    val obsN = org.apache.spark.sql.Observation()
     val gruns = staged.groupBy(col("__g"), col("__v"))
       .agg(count(lit(1)).as("__c"))
+      .observe(obsN, coalesce(sum(col("__c")), lit(0L)).as("N"))
+      .localCheckpoint()
+    val n = obsN.get("N").asInstanceOf[Long]
     val runs = gruns.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
     val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
       "__c", "__cum")
-    val scal = runs.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
-    val med = cum.crossJoin(broadcast(scal))
-      // integer div — Column./ is DOUBLE division and would shift the
-      // cut to ceil(N/2)+1 on even N
-      .filter(col("__cum") >= expr("(__N + 1) div 2"))
+    val med = cum
+      .filter(col("__cum") >= lit((n + 1) / 2))
       .agg(min(col("__v")).as("__med"))
+    // group-grain and checkpointed: read twice (above total + final);
+    // the above total is observe-fused the same way
+    val obsA = org.apache.spark.sql.Observation()
     val groups = gruns.crossJoin(broadcast(med))
       .groupBy(col("__g"))
       .agg(coalesce(sum(col("__c")), lit(0L)).as("__nj"),
         coalesce(sum(when(col("__v") > col("__med"), col("__c"))
-          .otherwise(0L)), lit(0L)).as("__aj"))
-    val above = groups.agg(coalesce(sum(col("__aj")), lit(0L)).as("__a"))
-    groups.crossJoin(broadcast(above)).crossJoin(broadcast(scal))
-      .crossJoin(broadcast(med))
+          .otherwise(0L)), lit(0L)).as("__aj"),
+        min(col("__med")).as("__med"))
+      .observe(obsA, coalesce(sum(col("__aj")), lit(0L)).as("A"))
+      .localCheckpoint()
+    val a = obsA.get("A").asInstanceOf[Long]
+    groups
       .select(col("__g").as("g"), col("__nj").as("n_j"),
         col("__aj").as("above_j"),
-        expr("""CASE WHEN __a > 0 AND __N - __a > 0 THEN
-          |  CAST((1000000 * CAST(__aj * __N - __a * __nj
-          |      AS DECIMAL(38,0)) * (__aj * __N - __a * __nj))
-          |    div (CAST(__nj AS DECIMAL(38,0)) * __a * (__N - __a))
+        expr(s"""CASE WHEN $a > 0 AND $n - $a > 0 THEN
+          |  CAST((1000000 * CAST(__aj * $n - $a * __nj
+          |      AS DECIMAL(38,0)) * (__aj * $n - $a * __nj))
+          |    div (CAST(__nj AS DECIMAL(38,0)) * $a * ($n - $a))
           |    AS BIGINT) END""".stripMargin).as("term_micro"),
-        col("__N").as("n"), col("__a").as("above_total"),
+        lit(n).as("n"), lit(a).as("above_total"),
         col("__med").as("median_milli"))
   }
 

@@ -1948,23 +1948,43 @@ object Relational {
     * ranks, Lorenz curves — anywhere "cumulative over everything"
     * must not funnel through one partition. */
   def globalPrefixSum(df: DataFrame, orderCols: Seq[Column],
-      valueCol: String, out: String): DataFrame = {
+      valueCol: String, out: String): DataFrame =
+    globalPrefixSums(df, orderCols, Seq(valueCol -> out))
+
+  /** N prefix sums over ONE global ordering in ONE spine pass — the
+    * multi-lane form of [[globalPrefixSum]]: one global row-number
+    * pass, one block-totals aggregate carrying every lane, one
+    * block-offset self-join, one in-block cumulative window computing
+    * every lane in a single WindowExec. Stacking the single-lane form
+    * N times re-sorts, re-ranks and re-materializes the spine N times
+    * for the SAME ordering (energyDistance stacked four). */
+  def globalPrefixSums(df: DataFrame, orderCols: Seq[Column],
+      valueOuts: Seq[(String, String)]): DataFrame = {
+    require(valueOuts.nonEmpty, "need at least one (valueCol, out) lane")
     val ranked = globalRowNumber(df, orderCols, "__r")
       .withColumn("__blk", expr("(__r - 1) div 1024"))
     val wIn = Window.partitionBy(col("__blk")).orderBy(col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    val totAggs = valueOuts.map { case (v, _) =>
+      sum(col(v)).as(s"__bw_$v") }
     val blkTotals = ranked.groupBy(col("__blk"))
-      .agg(sum(col(valueCol)).as("__bw"))
+      .agg(totAggs.head, totAggs.tail: _*)
+    val offAggs = valueOuts.map { case (v, _) =>
+      coalesce(sum(col(s"__w2_$v")), lit(0L)).as(s"__off_$v") }
     val blkOffsets = blkTotals.as("x").join(
-        blkTotals.select(col("__blk").as("__b2"), col("__bw").as("__w2")),
+        blkTotals.select(col("__blk").as("__b2") +:
+          valueOuts.map { case (v, _) =>
+            col(s"__bw_$v").as(s"__w2_$v") }: _*),
         col("__b2") < col("x.__blk"), "left")
       .groupBy(col("x.__blk"))
-      .agg(coalesce(sum(col("__w2")), lit(0L)).as("__off"))
-    ranked
-      .withColumn("__within", sum(col(valueCol)).over(wIn))
-      .join(broadcast(blkOffsets), Seq("__blk"))
-      .withColumn(out, col("__within") + col("__off"))
-      .drop("__blk", "__within", "__off")
+      .agg(offAggs.head, offAggs.tail: _*)
+    val withinCols = valueOuts.foldLeft(ranked) { case (d, (v, _)) =>
+      d.withColumn(s"__within_$v", sum(col(v)).over(wIn)) }
+    val joined = withinCols.join(broadcast(blkOffsets), Seq("__blk"))
+    val summed = valueOuts.foldLeft(joined) { case (d, (v, out)) =>
+      d.withColumn(out, col(s"__within_$v") + col(s"__off_$v")) }
+    summed.drop("__blk" +: valueOuts.flatMap { case (v, _) =>
+      Seq(s"__within_$v", s"__off_$v") }: _*)
   }
 
   /** Polygon area + centroid by the integer shoelace formula — the

@@ -592,6 +592,54 @@ object Graph {
     var ckpt = truncate(edges)
     edges = ckpt
     var prevCount = edges.count()
+    // Bounded-collect fast path (the upsertComponents pattern, r16):
+    // below the loud cap the whole log-round distributed fixpoint —
+    // each round two aggregates + two joins + a checkpoint + an
+    // except-emptiness probe, ~6 jobs — collapses to ONE collect of
+    // the deduped edge set and a driver union-find (union-by-min
+    // preserves min-id labels exactly); the node table stays
+    // DISTRIBUTED and takes the same final broadcast-join label
+    // assembly, so only the capped edge set ever reaches the driver.
+    // Past the cap the star alternation below runs unchanged (the
+    // 100 TB path; GraphSpec pins both paths label-identical).
+    val driverCap = pairs.sparkSession.conf
+      .getOption("spark.graft.driverGraph.maxEdges")
+      .map(_.toLong).getOrElse(5000000L)
+    if (prevCount <= driverCap) {
+      val parent = new java.util.HashMap[Long, java.lang.Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+        var c = x
+        while ({ val p = parent.get(c); p != null && p != c }) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      val collected = edges.collect()
+      val members = new java.util.HashSet[Long]()
+      collected.foreach { row =>
+        val u = row.getLong(0); val v = row.getLong(1)
+        members.add(u); members.add(v)
+        val ru = find(u); val rv = find(v)
+        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+      }
+      val stars = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val mit = members.iterator()
+      while (mit.hasNext) {
+        val x: Long = mit.next()
+        val r = find(x)
+        if (r != x) stars += ((x, r))
+      }
+      val starDf = pairs.sparkSession
+        .createDataFrame(stars.toSeq).toDF("id", "cluster")
+      val labels = nodes.join(broadcast(starDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      val result = labels.localCheckpoint()
+      Dedup.CheckpointHygiene.free(ckpt)
+      nodes.unpersist()
+      return result
+    }
     var converged = prevCount == 0L
     var round = 0
     while (round < maxRounds && !converged) {
@@ -1326,7 +1374,91 @@ object Graph {
       col(dstCol).cast("long").as("t")).distinct()
     var (nodes, remaining) = truncateCounted(raw.select(col("s").as("id"))
       .unionByName(raw.select(col("t").as("id"))).distinct())
-    var e = truncate(raw.filter(col("s") =!= col("t")))
+    var (e, eCount) = truncateCounted(raw.filter(col("s") =!= col("t")))
+    // Bounded-collect fast path (the upsertComponents / ccStar
+    // pattern): below the loud cap the whole peel × propagate job
+    // cascade — one eager checkpoint per relaxation PAIR, times two
+    // propagations, times the SCC-DAG peel depth — collapses to ONE
+    // collect of the deduped edge set and an iterative driver Tarjan
+    // (labels = min member id, exactly the distributed definition).
+    // The node table stays DISTRIBUTED and takes a broadcast-join
+    // label assembly (isolated nodes coalesce to their own id =
+    // singleton SCC). Past the cap the coloring loop below runs
+    // unchanged (the 100 TB path; GraphSpec pins both paths
+    // label-identical).
+    val driverCap = edges.sparkSession.conf
+      .getOption("spark.graft.driverGraph.maxEdges")
+      .map(_.toLong).getOrElse(5000000L)
+    if (eCount <= driverCap) {
+      val arr = e.collect()
+      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      arr.foreach { r =>
+        val s = r.getLong(0); val t = r.getLong(1)
+        var lst = adj.get(s)
+        if (lst == null) { lst = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(s, lst) }
+        lst += t
+        if (!adj.containsKey(t)) adj.put(t, scala.collection.mutable.ArrayBuffer.empty[Long])
+      }
+      // iterative Tarjan (explicit work stack — no JVM recursion limit)
+      val index = new java.util.HashMap[Long, Int]()
+      val low = new java.util.HashMap[Long, Int]()
+      val onStack = new java.util.HashSet[Long]()
+      val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sccOf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var counter = 0
+      val nit = adj.keySet().iterator()
+      while (nit.hasNext) {
+        val root: Long = nit.next()
+        if (!index.containsKey(root)) {
+          // work stack of (node, next child offset)
+          val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+          while (work.nonEmpty) {
+            val (v, ci) = work.remove(work.length - 1)
+            if (ci == 0) {
+              index.put(v, counter); low.put(v, counter); counter += 1
+              stack += v; onStack.add(v)
+            }
+            val kids = adj.get(v)
+            var i = ci
+            var descended = false
+            while (i < kids.length && !descended) {
+              val w = kids(i)
+              if (!index.containsKey(w)) {
+                work += ((v, i + 1)); work += ((w, 0)); descended = true
+              } else {
+                if (onStack.contains(w) && index.get(w) < low.get(v))
+                  low.put(v, index.get(w))
+                i += 1
+              }
+            }
+            if (!descended) {
+              if (low.get(v) == index.get(v)) {
+                // pop the SCC rooted at v; label = min member id
+                var j = stack.length - 1
+                var minId = Long.MaxValue
+                while (stack(j) != v) { minId = math.min(minId, stack(j)); j -= 1 }
+                minId = math.min(minId, v)
+                while (stack.length > j) {
+                  val m = stack.remove(stack.length - 1)
+                  onStack.remove(m)
+                  if (m != minId) sccOf += ((m, minId))
+                }
+              }
+              // propagate lowlink to the parent frame, if any
+              if (work.nonEmpty) {
+                val (p, _) = work(work.length - 1)
+                if (low.get(v) < low.get(p)) low.put(p, low.get(v))
+              }
+            }
+          }
+        }
+      }
+      val sccDf = edges.sparkSession
+        .createDataFrame(sccOf.toSeq).toDF("id", "scc0")
+      val out = nodes.join(broadcast(sccDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("scc0"), col("id")).as("scc"))
+      return truncate(out)
+    }
     var labels: DataFrame = null // accumulated (id, scc)
     var round = 0
     // min-label propagation to fixpoint along `ed` (s -> t), seeded

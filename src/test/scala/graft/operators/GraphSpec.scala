@@ -816,4 +816,42 @@ class GraphSpec extends SparkTestBase {
     assert(all(10L) == 10L && all(11L) == 11L && all(12L) == 12L &&
       all(1L) == 1L && all(5L) == 1L)
   }
+
+  test("r17 bounded-collect fast paths: SCC and ccStar label-identical to the forced distributed paths, cap crossing included") {
+    import spark.implicits._
+    def withCap[T](cap: String)(f: => T): T = {
+      spark.conf.set("spark.graft.driverGraph.maxEdges", cap)
+      try f finally spark.conf.unset("spark.graft.driverGraph.maxEdges")
+    }
+    // SCC: cycles, nested peels, tails, a long cycle, isolated via
+    // self-loop only — a shape with multi-round peel depth
+    val scc = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 6L),
+      (6L, 5L), (2L, 5L), (10L, 11L), (11L, 10L), (10L, 12L),
+      (12L, 13L), (13L, 12L), (40L, 40L)) ++
+      (20L until 30L).map(i => (i, if (i == 29L) 20L else i + 1)))
+      .toDF("s", "t")
+    def labs(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sccFast = labs(Graph.stronglyConnectedComponents(scc, "s", "t"))
+    val sccDist = withCap("0")(
+      labs(Graph.stronglyConnectedComponents(scc, "s", "t")))
+    assert(sccFast == sccDist, s"fast=$sccFast dist=$sccDist")
+    assert(sccFast(29L) == 20L && sccFast(40L) == 40L)
+    // ccStar: chain + merged pair + isolated self-pair
+    val cc = ((0L until 50L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 200L))).toDF("a", "b")
+    val ccFast = labs(Graph.connectedComponentsStar(cc, "a", "b"))
+    val ccDist = withCap("0")(
+      labs(Graph.connectedComponentsStar(cc, "a", "b")))
+    assert(ccFast == ccDist, s"fast=$ccFast dist=$ccDist")
+    assert(ccFast(50L) == 0L && ccFast(102L) == 100L && ccFast(200L) == 200L)
+    // cap crossing: a cap of exactly |E| takes the driver path, one
+    // below forces distributed — both identical (the loud boundary
+    // behaves, no off-by-one double-path divergence)
+    val atCap = withCap("13")(labs(Graph.stronglyConnectedComponents(
+      scc.filter(col("s") < 20), "s", "t")))
+    val below = withCap("11")(labs(Graph.stronglyConnectedComponents(
+      scc.filter(col("s") < 20), "s", "t")))
+    assert(atCap == below, s"cap boundary diverged: $atCap vs $below")
+  }
 }

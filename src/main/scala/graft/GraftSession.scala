@@ -28,16 +28,14 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.compression.codec", "zstd")
     .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-    // Shuffle writer: never the bypass-merge path. BypassMergeSortShuffleWriter
-    // opens (and lz4-wraps) one file PER REDUCE PARTITION per map task; at the
-    // engine's many-small-stage shapes that fixed cost dominates (measured
-    // A/B/A on a 1000-row distinct at 32 partitions: wall 0.36-0.67 s /
-    // 3.3-4.1 cpu-s with the default threshold 200 vs 0.23-0.33 s / 0.8-0.9
-    // cpu-s with the serialized writer). At production partition counts
-    // (> 200) the bypass path never engages, so 0 is scale-neutral: SQL
-    // shuffles use UnsafeRowSerializer (relocatable) and take the
-    // UnsafeShuffleWriter single-spill-file path at every scale.
-    .config("spark.shuffle.sort.bypassMergeThreshold", "0")
+    // Shuffle writer policy: Spark default (bypassMergeThreshold=200).
+    // r17 shipped bypassMergeThreshold=0 off a single-stage microbenchmark;
+    // the driver's full-suite bench at local[32]/sf0.1 regressed 220->349 s
+    // with cpu~wall on every blowup and the 8-core run BEATING 32 cores —
+    // the UnsafeShuffleWriter's per-task execution-memory appetite under
+    // 32-way concurrency is exactly that signature. Reverted per r17
+    // verdict item 1; any future shuffle-writer policy change must carry
+    // an A/B/A at driver settings (full suite, cold JVM).
     // keep the (test-only) metastore/warehouse out of the repo tree
     .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
     .config("javax.jdo.option.ConnectionURL",

@@ -27,6 +27,80 @@ import org.apache.spark.sql.functions._
   * rankings are unaffected for host-filter use). */
 object Graph {
 
+  /** Driver-side primitives for the bounded-collect graph fast paths.
+    *
+    * Heap bound (r17 verdict item 7): the cap is
+    * `spark.graft.driverGraph.maxEdges`, default 500,000 edges. At the
+    * cap the transient `collect()`ed Row array is ~50 MB and the
+    * persistent driver state is primitive arrays only — for ≤ 2·cap
+    * distinct nodes: one open-addressed long→int id map (2 arrays,
+    * ~24 B/node at 50% load), the long id table (8 B/node), and for
+    * Tarjan a CSR adjacency (4 B/edge + 4 B/node) plus four int/bool
+    * lanes (~13 B/node) — well under 100 MB total, orders of magnitude
+    * below any default driver heap. No boxed Rows, Longs or
+    * java.util.HashMaps survive past the single streaming pass over
+    * the collected rows (the r17 shape held multi-GB of boxed state at
+    * its 5M-row cap — guide §5: the driver is the bottleneck). */
+  private object DriverGraph {
+    def cap(spark: org.apache.spark.sql.SparkSession): Long =
+      spark.conf.getOption("spark.graft.driverGraph.maxEdges")
+        .map(_.toLong).getOrElse(500000L)
+
+    /** Open-addressed long→int map (linear probing, power-of-two
+      * capacity, ≤ 50% load) assigning DENSE int ids on first sight;
+      * `ids(dense)` recovers the original long. */
+    final class DenseIds(expectedKeys: Int) {
+      private var capBits = {
+        var b = 4
+        while ((1 << b) < expectedKeys * 2) b += 1
+        b
+      }
+      private var mask = (1 << capBits) - 1
+      private var keys = new Array[Long](mask + 1)
+      private var vals = new Array[Int](mask + 1)
+      java.util.Arrays.fill(vals, -1)
+      var n = 0
+      var ids = new Array[Long](math.max(expectedKeys, 16))
+      private def hash(k: Long): Int = {
+        // splitmix64 finalizer — well-spread for sequential ids
+        var z = k + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) & mask).toInt
+      }
+      private def grow(): Unit = {
+        val ok = keys; val ov = vals
+        capBits += 1; mask = (1 << capBits) - 1
+        keys = new Array[Long](mask + 1)
+        vals = new Array[Int](mask + 1)
+        java.util.Arrays.fill(vals, -1)
+        var i = 0
+        while (i < ok.length) {
+          if (ov(i) >= 0) {
+            var s = hash(ok(i))
+            while (vals(s) >= 0) s = (s + 1) & mask
+            keys(s) = ok(i); vals(s) = ov(i)
+          }
+          i += 1
+        }
+      }
+      /** dense id of `k`, inserting if absent */
+      def getOrAdd(k: Long): Int = {
+        var s = hash(k)
+        while (vals(s) >= 0) {
+          if (keys(s) == k) return vals(s)
+          s = (s + 1) & mask
+        }
+        if (2 * (n + 1) > mask + 1) { grow(); return getOrAdd(k) }
+        keys(s) = k; vals(s) = n
+        if (n >= ids.length) ids = java.util.Arrays.copyOf(ids, ids.length * 2)
+        ids(n) = k
+        n += 1
+        n - 1
+      }
+    }
+  }
+
   /** Materialize `df` into the cache for repeated per-iteration joins
     * on `key`, and RETURN ITS ROW COUNT alongside. Above
     * `spark.graft.keyedCache.minRows` (default 200k) the cache is
@@ -602,34 +676,52 @@ object Graph {
     // assembly, so only the capped edge set ever reaches the driver.
     // Past the cap the star alternation below runs unchanged (the
     // 100 TB path; GraphSpec pins both paths label-identical).
-    val driverCap = pairs.sparkSession.conf
-      .getOption("spark.graft.driverGraph.maxEdges")
-      .map(_.toLong).getOrElse(5000000L)
+    val driverCap = DriverGraph.cap(pairs.sparkSession)
     if (prevCount <= driverCap) {
-      val parent = new java.util.HashMap[Long, java.lang.Long]()
-      def find(x: Long): Long = {
+      // primitive union-find over DENSE int ids (r18: the r17 shape
+      // held a boxed HashMap[Long, java.lang.Long] — multi-GB at its
+      // old 5M cap; see DriverGraph's heap-bound note). Roots compare
+      // by ORIGINAL long id so min-id labels are preserved exactly.
+      val dense = new DriverGraph.DenseIds(
+        math.max(16L, math.min(prevCount * 2, 1L << 24)).toInt)
+      var parent = new Array[Int](16)
+      def find(x: Int): Int = {
         var r = x
-        while ({ val p = parent.get(r); p != null && p != r }) r = parent.get(r)
+        while (parent(r) != r) r = parent(r)
         var c = x
-        while ({ val p = parent.get(c); p != null && p != c }) {
-          val n = parent.get(c); parent.put(c, r); c = n
-        }
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
+      // dense ids are assigned sequentially, so a NEW key returns
+      // exactly `inited` — initialize its parent slot then, never
+      // re-touch an existing slot (a union may legitimately point it
+      // at dense id 0)
+      var inited = 0
+      def denseOf(k: Long): Int = {
+        val d = dense.getOrAdd(k)
+        if (d == inited) {
+          if (d >= parent.length)
+            parent = java.util.Arrays.copyOf(parent, parent.length * 2)
+          parent(d) = d
+          inited += 1
+        }
+        d
+      }
       val collected = edges.collect()
-      val members = new java.util.HashSet[Long]()
       collected.foreach { row =>
-        val u = row.getLong(0); val v = row.getLong(1)
-        members.add(u); members.add(v)
+        val u = denseOf(row.getLong(0)); val v = denseOf(row.getLong(1))
         val ru = find(u); val rv = find(v)
-        if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+        if (ru != rv) {
+          if (dense.ids(ru) < dense.ids(rv)) parent(rv) = ru
+          else parent(ru) = rv
+        }
       }
       val stars = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val mit = members.iterator()
-      while (mit.hasNext) {
-        val x: Long = mit.next()
-        val r = find(x)
-        if (r != x) stars += ((x, r))
+      var d = 0
+      while (d < dense.n) {
+        val r = find(d)
+        if (r != d) stars += ((dense.ids(d), dense.ids(r)))
+        d += 1
       }
       val starDf = pairs.sparkSession
         .createDataFrame(stars.toSeq).toDF("id", "cluster")
@@ -708,7 +800,7 @@ object Graph {
     * never the corpus. */
   def upsertComponents(labels: DataFrame, idCol: String,
       clusterCol: String, deltaPairs: DataFrame, idACol: String,
-      idBCol: String, driverMaxEdges: Long = 5000000L): DataFrame = {
+      idBCol: String, driverMaxEdges: Long = 500000L): DataFrame = {
     val lab = labels.select(col(idCol).cast("long").as("id"),
       col(clusterCol).cast("long").as("cluster"))
     val d = deltaPairs
@@ -1386,72 +1478,107 @@ object Graph {
     // singleton SCC). Past the cap the coloring loop below runs
     // unchanged (the 100 TB path; GraphSpec pins both paths
     // label-identical).
-    val driverCap = edges.sparkSession.conf
-      .getOption("spark.graft.driverGraph.maxEdges")
-      .map(_.toLong).getOrElse(5000000L)
+    val driverCap = DriverGraph.cap(edges.sparkSession)
     if (eCount <= driverCap) {
-      val arr = e.collect()
-      val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
-      arr.foreach { r =>
-        val s = r.getLong(0); val t = r.getLong(1)
-        var lst = adj.get(s)
-        if (lst == null) { lst = scala.collection.mutable.ArrayBuffer.empty[Long]; adj.put(s, lst) }
-        lst += t
-        if (!adj.containsKey(t)) adj.put(t, scala.collection.mutable.ArrayBuffer.empty[Long])
+      // primitive iterative Tarjan over DENSE int ids + CSR adjacency
+      // (r18: the r17 shape held boxed HashMaps/ArrayBuffers for
+      // adj/index/low/onStack — multi-GB at its old 5M cap; see
+      // DriverGraph's heap-bound note). Labels = min member ORIGINAL
+      // id, exactly the distributed definition.
+      val m = eCount.toInt
+      val dense = new DriverGraph.DenseIds(
+        math.max(16L, math.min(m.toLong * 2, 1L << 24)).toInt)
+      val es = new Array[Int](m)
+      val et = new Array[Int](m)
+      locally {
+        val arr = e.collect()
+        var i = 0
+        while (i < m) {
+          val r = arr(i)
+          es(i) = dense.getOrAdd(r.getLong(0))
+          et(i) = dense.getOrAdd(r.getLong(1))
+          i += 1
+        }
       }
-      // iterative Tarjan (explicit work stack — no JVM recursion limit)
-      val index = new java.util.HashMap[Long, Int]()
-      val low = new java.util.HashMap[Long, Int]()
-      val onStack = new java.util.HashSet[Long]()
-      val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val nN = dense.n
+      // CSR: offsets from out-degrees, then a fill pass
+      val off = new Array[Int](nN + 1)
+      var i = 0
+      while (i < m) { off(es(i) + 1) += 1; i += 1 }
+      i = 1
+      while (i <= nN) { off(i) += off(i - 1); i += 1 }
+      val tgt = new Array[Int](m)
+      val cursor = java.util.Arrays.copyOf(off, nN)
+      i = 0
+      while (i < m) { tgt(cursor(es(i))) = et(i); cursor(es(i)) += 1; i += 1 }
+      // Tarjan state, all primitive lanes
+      val index = new Array[Int](nN); java.util.Arrays.fill(index, -1)
+      val low = new Array[Int](nN)
+      val onStack = new Array[Boolean](nN)
+      val stack = new Array[Int](nN)
+      var stackTop = 0
+      // explicit work stack of (node, next child offset) packed in a long
+      var work = new Array[Long](1024)
+      var workTop = 0
+      def push(v: Int, ci: Int): Unit = {
+        if (workTop >= work.length)
+          work = java.util.Arrays.copyOf(work, work.length * 2)
+        work(workTop) = (v.toLong << 32) | (ci.toLong & 0xFFFFFFFFL)
+        workTop += 1
+      }
       val sccOf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var counter = 0
-      val nit = adj.keySet().iterator()
-      while (nit.hasNext) {
-        val root: Long = nit.next()
-        if (!index.containsKey(root)) {
-          // work stack of (node, next child offset)
-          val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
-          while (work.nonEmpty) {
-            val (v, ci) = work.remove(work.length - 1)
+      var root = 0
+      while (root < nN) {
+        if (index(root) < 0) {
+          push(root, 0)
+          while (workTop > 0) {
+            workTop -= 1
+            val packed = work(workTop)
+            val v = (packed >>> 32).toInt
+            val ci = (packed & 0xFFFFFFFFL).toInt
             if (ci == 0) {
-              index.put(v, counter); low.put(v, counter); counter += 1
-              stack += v; onStack.add(v)
+              index(v) = counter; low(v) = counter; counter += 1
+              stack(stackTop) = v; stackTop += 1; onStack(v) = true
             }
-            val kids = adj.get(v)
-            var i = ci
+            var k = off(v) + ci
+            val kEnd = off(v + 1)
             var descended = false
-            while (i < kids.length && !descended) {
-              val w = kids(i)
-              if (!index.containsKey(w)) {
-                work += ((v, i + 1)); work += ((w, 0)); descended = true
+            while (k < kEnd && !descended) {
+              val w = tgt(k)
+              if (index(w) < 0) {
+                push(v, k - off(v) + 1); push(w, 0); descended = true
               } else {
-                if (onStack.contains(w) && index.get(w) < low.get(v))
-                  low.put(v, index.get(w))
-                i += 1
+                if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+                k += 1
               }
             }
             if (!descended) {
-              if (low.get(v) == index.get(v)) {
-                // pop the SCC rooted at v; label = min member id
-                var j = stack.length - 1
-                var minId = Long.MaxValue
-                while (stack(j) != v) { minId = math.min(minId, stack(j)); j -= 1 }
-                minId = math.min(minId, v)
-                while (stack.length > j) {
-                  val m = stack.remove(stack.length - 1)
-                  onStack.remove(m)
-                  if (m != minId) sccOf += ((m, minId))
+              if (low(v) == index(v)) {
+                // pop the SCC rooted at v; label = min member ORIGINAL id
+                var j = stackTop - 1
+                var minId = dense.ids(v)
+                while (stack(j) != v) {
+                  val cand = dense.ids(stack(j))
+                  if (cand < minId) minId = cand
+                  j -= 1
+                }
+                while (stackTop > j) {
+                  stackTop -= 1
+                  val mm = stack(stackTop)
+                  onStack(mm) = false
+                  if (dense.ids(mm) != minId) sccOf += ((dense.ids(mm), minId))
                 }
               }
               // propagate lowlink to the parent frame, if any
-              if (work.nonEmpty) {
-                val (p, _) = work(work.length - 1)
-                if (low.get(v) < low.get(p)) low.put(p, low.get(v))
+              if (workTop > 0) {
+                val p = (work(workTop - 1) >>> 32).toInt
+                if (low(v) < low(p)) low(p) = low(v)
               }
             }
           }
         }
+        root += 1
       }
       val sccDf = edges.sparkSession
         .createDataFrame(sccOf.toSeq).toDF("id", "scc0")

@@ -1085,13 +1085,17 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     // beyond the test's own (the capped edge set reaching Tarjan).
     //
     // Distributed path (cap forced to 0): fixture 1->2, 2->1, 2->3
-    // hand-traces to EXACTLY 19 materializations: init nodes+edges
+    // hand-traces to EXACTLY 21 materializations: init nodes+edges
     // (2); peel round 0 on {1,2,3} — forward propagate init + 2
-    // fingerprint passes (3), backward same (3), scc truncate (1),
-    // surviving-nodes checkpoint (1), surviving-edges checkpoint (1);
-    // peel round 1 on {3} — forward init + 1 stable pass (2),
-    // backward same (2), scc (1), nodes (1), edges (1); final label
-    // truncate (1). Zero standalone counts/collects on either path.
+    // fingerprint passes (3), sameColorRev truncate (1, r17: the
+    // reversed same-color edge set is materialized once per peel
+    // round instead of re-running its two joins inside every backward
+    // relaxation pair), backward propagate init + 2 passes (3), scc
+    // truncate (1), surviving-nodes checkpoint (1), surviving-edges
+    // checkpoint (1); peel round 1 on {3} — forward init + 1 stable
+    // pass (2), sameColorRev (1), backward same (2), scc (1), nodes
+    // (1), edges (1); final label truncate (1). Zero standalone
+    // counts/collects on either path.
     def census(run: => Unit): Map[String, Int] = {
       val acts = scala.collection.mutable.ArrayBuffer[String]()
       val l = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -1136,7 +1140,7 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       val dist = census(run())
       assert(dist.getOrElse("count", 0) == 0, s"standalone counts: $dist")
       assert(dist.getOrElse("collect", 0) == 1, s"stray collects: $dist")
-      assert(dist.getOrElse("localCheckpoint", 0) == 19,
+      assert(dist.getOrElse("localCheckpoint", 0) == 21,
         s"distributed-path materialization census moved: $dist")
     } finally spark.conf.unset("spark.graft.driverGraph.maxEdges")
   }

@@ -146,11 +146,18 @@ object Graph {
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}] so damped sums cannot overflow, got $scale")
     // cached once, hash(src)-keyed above the size threshold so the
-    // per-iteration join and the outdeg aggregate are exchange-free at
-    // scale (persistForKey) — read once per iteration
-    val (e, _) = persistForKey(edges
+    // per-iteration join reads it exchange-free at scale
+    // (persistForKey). The OUT-DEGREE is denormalized onto the edge
+    // table at build (one static self-aggregate join — ReuseExchange
+    // collapses the two reads of the deduped set) instead of being a
+    // separate per-iteration join: `iterations` joins of the full
+    // edge stream against outdeg collapse into one build-time join
+    // (guide §2.4 — same quotients, pr div __deg is unchanged).
+    val dd = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .distinct(), "src")
+      .distinct()
+    val (e, _) = persistForKey(
+      dd.join(dd.groupBy("src").agg(count(lit(1)).as("__deg")), "src"), "src")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().persist()
     // |V| as a driver long: the old per-iteration crossJoin(broadcast)
@@ -158,7 +165,6 @@ object Graph {
     // checkpointed plan segment; a literal is free and floors the
     // same way ((scale*15//100)//n — the oracle association)
     val n = nodes.count()
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
     // teleport base, driver-exact integers: (scale·(dd−dn))/dd is an
     // exact long, as is the /|V| floor (both operands nonnegative —
     // same quotient as the old in-plan `div`). n = 0 (empty edge set)
@@ -174,15 +180,18 @@ object Graph {
     var pr = nodes.select(col("node"), lit(initPr).as("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iterations) {
-      val contrib = pr.join(e, pr("node") === e("src"))
-        .join(outdeg, "src")
+      // the dangling-node rebase rides the SAME aggregate as the edge
+      // contributions (a zero row per node unioned into the one
+      // hash(dst) exchange) instead of a second nodes ⋈ contrib join
+      // per iteration — one exchange, identical sums: absent inbound
+      // mass aggregates to exactly the old coalesce(__s, 0) (§2.4)
+      pr = pr.join(e, pr("node") === e("src"))
         .select(col("dst"), expr("pr div __deg").as("__c"))
+        .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
+        .select(col("dst").as("node"),
           (lit(teleBase) +
-            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+            expr(s"(CAST($dampNum AS BIGINT) * __s) div $dampDen"))
             .cast("long").as("pr"))
       if (i % 3 == 0 && i < iterations) {
         pr = pr.localCheckpoint()
@@ -194,7 +203,7 @@ object Graph {
     // materialize the final frame before releasing the inputs it reads
     val result = out.localCheckpoint()
     if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
-    e.unpersist(); nodes.unpersist(); outdeg.unpersist()
+    e.unpersist(); nodes.unpersist()
     result
   }
 
@@ -226,14 +235,19 @@ object Graph {
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
     // cached once, hash(src)-keyed above the size threshold so the
-    // per-iteration join and the outw aggregate are exchange-free at
-    // scale (persistForKey)
-    val (e, _) = persistForKey(edges
+    // per-iteration join reads it exchange-free at scale
+    // (persistForKey). The per-source weight TOTAL is denormalized
+    // onto the edge table at build (the pageRankInt rationale: one
+    // static self-aggregate join replaces `iterations` per-round
+    // joins; (pr·w) div totw is unchanged).
+    val ew = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w")), "src")
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+    val (e, _) = persistForKey(
+      ew.join(ew.groupBy("src").agg(sum(col("__w")).as("__totw")), "src"), "src")
     // guard failures must not leak the persisted edge table into the
     // CacheManager of a shared session (CorpusSpec asserts emptiness)
     try {
@@ -248,22 +262,21 @@ object Graph {
     // the per-iteration crossJoin(broadcast(count)) re-built a
     // broadcast exchange per checkpointed segment; same floors
     val n = nodes.count()
-    val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
     val teleport = scale * (dampDen - dampNum) / dampDen
     val initPr = scale / n
     val teleBase = teleport / n
     var pr = nodes.select(col("node"), lit(initPr).as("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iterations) {
-      val contrib = pr.join(e, pr("node") === e("src"))
-        .join(outw, "src")
+      // zero-row-per-node union instead of the per-iteration rebase
+      // join (the pageRankInt rationale — one hash(dst) exchange)
+      pr = pr.join(e, pr("node") === e("src"))
         .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
+        .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes
-        .join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
+        .select(col("dst").as("node"),
           (lit(teleBase) +
-            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+            expr(s"(CAST($dampNum AS BIGINT) * __s) div $dampDen"))
             .cast("long").as("pr"))
       if (i % 3 == 0 && i < iterations) {
         pr = pr.localCheckpoint()
@@ -273,7 +286,7 @@ object Graph {
     }
     val result = pr.localCheckpoint()
     if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
-    e.unpersist(); nodes.unpersist(); outw.unpersist()
+    e.unpersist(); nodes.unpersist()
     result
   }
 
@@ -302,50 +315,60 @@ object Graph {
     require(scale > 0 && scale <= Long.MaxValue / (dampDen * 2),
       s"scale must be in (0, ${Long.MaxValue / (dampDen * 2)}], got $scale")
     // cached once, hash(src)-keyed above the size threshold (the
-    // pageRankWeightedInt rationale — persistForKey)
-    val (e, _) = persistForKey(edges
+    // pageRankWeightedInt rationale — persistForKey, totw
+    // denormalized onto the edge table at build)
+    val ew = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
-      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w")), "src")
+      .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
+    val (e, _) = persistForKey(
+      ew.join(ew.groupBy("src").agg(sum(col("__w")).as("__totw")), "src"), "src")
     try {
       val maxWRow = e.agg(max(col("__w"))).first()
       require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
       require(scale <= Long.MaxValue / maxWRow.getLong(0),
         s"scale·maxWeight would overflow: scale=$scale maxW=${maxWRow.getLong(0)}")
     } catch { case t: Throwable => e.unpersist(); throw t }
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct().persist()
+    // the seed flag is denormalized onto the persisted NODE table once
+    // (the old shape re-joined seedSet against nodes in EVERY
+    // iteration's rebase — a static join, guide §2.4)
+    val nodesRaw = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
     val seedSet = seeds
       .select(col(seeds.columns.head).cast("long").as("node")).distinct()
-      .join(nodes, Seq("node"), "left_semi")
       .withColumn("__seed", lit(true))
-      .persist()
-    val nS = seedSet.count()
+    val nodes = nodesRaw
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), col("__seed")).persist()
+    val nS = nodes.filter(col("__seed").isNotNull).count()
     if (nS == 0) { // same no-leak rule as the edge guards above
-      e.unpersist(); nodes.unpersist(); seedSet.unpersist()
+      e.unpersist(); nodes.unpersist()
       throw new IllegalArgumentException("no seed is a node of the graph")
     }
-    val outw = e.groupBy("src").agg(sum(col("__w")).as("__totw")).persist()
     // driver-exact longs (floors of nonnegative quotients)
     val init = scale / nS
     val tele = (scale * (dampDen - dampNum) / dampDen) / nS
     def seedTerm(base: Long): Column =
       when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L))
-    var pr = nodes.join(seedSet, Seq("node"), "left")
-      .select(col("node"), seedTerm(init).as("pr"))
+    var pr = nodes.select(col("node"), seedTerm(init).as("pr"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iterations) {
-      val contrib = pr.join(e, pr("node") === e("src"))
-        .join(outw, "src")
-        .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
-        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      pr = nodes.join(seedSet, Seq("node"), "left")
-        .join(contrib, col("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (seedTerm(tele) +
-            expr(s"(CAST($dampNum AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $dampDen"))
+      // zero-row-per-node union instead of the per-iteration rebase
+      // join (the pageRankInt rationale): the node arm carries the
+      // per-node teleport constant as a second lane, max over the
+      // group recovers it (each group holds exactly one node row)
+      pr = pr.join(e, pr("node") === e("src"))
+        .select(col("dst"), expr("(pr * __w) div __totw").as("__c"),
+          lit(0L).as("__t"))
+        .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c"),
+          seedTerm(tele).as("__t")))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"),
+          max(col("__t")).as("__tm"))
+        .select(col("dst").as("node"),
+          (col("__tm") +
+            expr(s"(CAST($dampNum AS BIGINT) * __s) div $dampDen"))
             .cast("long").as("pr"))
       if (i % 3 == 0 && i < iterations) {
         pr = pr.localCheckpoint()
@@ -355,7 +378,7 @@ object Graph {
     }
     val result = pr.localCheckpoint()
     if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
-    e.unpersist(); nodes.unpersist(); seedSet.unpersist(); outw.unpersist()
+    e.unpersist(); nodes.unpersist()
     result
   }
 
@@ -591,26 +614,33 @@ object Graph {
         val tSql = t.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
         s"(CAST($scale AS BIGINT) * coalesce(__s, CAST(0 AS BIGINT))) div $tSql"
       }
+      // r18: the per-half-step nodes ⋈ raw rebase join is DEFERRED to
+      // one final outer join after the loop — a zero-in-degree node
+      // rebases to exactly (scale·0) div tot = 0 and contributes 0 to
+      // the next half-step's sums whether its row exists or not, so
+      // dropping the absent-node rows from the inner frames changes
+      // neither any group sum nor any normalizer total (the n > 0
+      // guard keeps every half-step's raw side non-empty, so totals
+      // are always defined and the final coalesce-to-0 is exact).
       for (_ <- 1 to iterations) {
         val (rawA, totA) = ckptSummed(
           hub.join(e, hub("node") === e("src"))
             .groupBy(col("dst")).agg(sum(col("hub")).as("__s")), "__s")
-        auth = nodes
-          .join(rawA, nodes("node") === rawA("dst"), "left")
-          .select(nodes("node"), expr(rebase(totA)).as("auth"))
+        auth = rawA.select(col("dst").as("node"), expr(rebase(totA)).as("auth"))
         if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
         lastA = rawA
         val (rawH, totH) = ckptSummed(
           auth.join(e, auth("node") === e("dst"))
             .groupBy(col("src")).agg(sum(col("auth")).as("__s")), "__s")
-        hub = nodes
-          .join(rawH, nodes("node") === rawH("src"), "left")
-          .select(nodes("node"), expr(rebase(totH)).as("hub"))
+        hub = rawH.select(col("src").as("node"), expr(rebase(totH)).as("hub"))
         if (lastH != null) Dedup.CheckpointHygiene.free(lastH)
         lastH = rawH
       }
-      val result = auth.join(hub, "node")
-        .select(col("node"), col("auth"), col("hub"))
+      val result = nodes
+        .join(auth, Seq("node"), "left")
+        .join(hub, Seq("node"), "left")
+        .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+          coalesce(col("hub"), lit(0L)).as("hub"))
         .localCheckpoint()
       if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
       if (lastH != null) Dedup.CheckpointHygiene.free(lastH)

@@ -2036,17 +2036,102 @@ object Learn {
     // re-ran the runs aggregate per consumer
     val obsN = org.apache.spark.sql.Observation()
     val runs = staged.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
-      .observe(obsN, coalesce(sum(col("__c")), lit(0L)).as("N"))
+      .observe(obsN, coalesce(sum(col("__c")), lit(0L)).as("N"),
+        count(lit(1)).as("R"))
       .localCheckpoint()
-    val n = obsN.get("N").asInstanceOf[Long]
+    val obsVals = obsN.get
+    val n = obsVals("N").asInstanceOf[Long]
+    val nRuns = obsVals("R").asInstanceOf[Long]
     val rank = (n + 1) / 2
     val k = alphaMilli * n / 1000
+    // Bounded-collect fast path (the driverGraph idiom — count-gated,
+    // loud conf, identical results, spec-pinned against the
+    // distributed path): below the cap the RUN table — value-domain-
+    // grain, two longs per row — is collected once and the three
+    // order-statistic selections run in exact driver arithmetic,
+    // collapsing two prefix-sum spines (each a sort checkpoint +
+    // offsets collect + window action cascade) into one collect. At
+    // the 200k default the collect is ~20 MB of rows, freed on
+    // return. Past the cap the distributed spine path runs unchanged
+    // (the 100 TB posture).
+    val runsCap = df.sparkSession.conf
+      .getOption("spark.graft.driverStats.maxRuns")
+      .map(_.toLong).getOrElse(200000L)
+    if (nRuns <= runsCap) {
+      val arr = runs.collect()
+      val vs = new Array[Long](arr.length)
+      val cs = new Array[Long](arr.length)
+      val idx = arr.indices.sortBy(i => arr(i).getLong(0))
+      var i = 0
+      while (i < idx.length) {
+        vs(i) = arr(idx(i)).getLong(0); cs(i) = arr(idx(i)).getLong(1)
+        i += 1
+      }
+      // one cumulative sweep: median selection + trimmed-mean lanes
+      var cum = 0L
+      var med: Option[Long] = None
+      var nk = 0L
+      var sk = BigInt(0)
+      i = 0
+      while (i < vs.length) {
+        val before = cum
+        cum += cs(i)
+        if (med.isEmpty && cum >= rank && n > 0) med = Some(vs(i))
+        val kept = math.max(0L, math.min(cum, n - k) - math.max(before, k))
+        if (kept > 0) { nk += kept; sk += BigInt(kept) * BigInt(vs(i)) }
+        i += 1
+      }
+      // MAD: runs of |v − med| (two monotone frontiers around the
+      // median merged by increasing deviation — no re-sort needed)
+      val mad: Option[Long] = med.map { m =>
+        // index of first v >= m
+        var lo = java.util.Arrays.binarySearch(vs, m)
+        if (lo < 0) lo = -lo - 1
+        var left = if (lo < vs.length && vs(lo) == m) lo - 1 else lo - 1
+        var right = if (lo < vs.length && vs(lo) == m) lo else lo
+        var dcum = 0L
+        var res = 0L
+        var found = false
+        while (!found && (left >= 0 || right < vs.length)) {
+          val dl = if (left >= 0) m - vs(left) else Long.MaxValue
+          val dr = if (right < vs.length) vs(right) - m else Long.MaxValue
+          if (dl <= dr) {
+            // equal deviations on both sides belong to ONE dev run
+            val d = dl
+            dcum += cs(left); left -= 1
+            if (dr == d) { dcum += cs(right); right += 1 }
+            if (dcum >= rank) { res = d; found = true }
+          } else {
+            dcum += cs(right); right += 1
+            if (dcum >= rank) { res = dr; found = true }
+          }
+        }
+        res
+      }
+      val trimmed: Option[Long] =
+        if (nk > 0) Some(((if (sk >= 0) BigInt(1) else BigInt(-1)) *
+          (sk.abs / nk)).toLong)
+        else None
+      def litOpt(v: Option[Long]): Column =
+        v.map(lit(_)).getOrElse(lit(null)).cast("long")
+      return staged.sparkSession.range(1)
+        .select(lit(n).as("n"), litOpt(med).as("median_milli"),
+          litOpt(mad).as("mad_milli"),
+          (if (n > 0) lit(k).cast("long") else lit(null).cast("long"))
+            .as("trim_k"),
+          litOpt(trimmed).as("trimmed_mean_milli"))
+    }
     val cum = Relational.globalPrefixSum(runs, Seq(col("__v").asc),
       "__c", "__cum")
     // ONE pass over the cumulative spine yields the median AND the
-    // trimmed-mean lanes (they were two separate broadcast arms, each
-    // re-running the spine)
-    val medTrim = cum
+    // trimmed-mean lanes; its 1-ROW result is pulled to the driver and
+    // every downstream reference becomes a literal (r18: as a
+    // broadcast arm this subtree — the whole value spine — re-executed
+    // once per consuming action: the deviation spine's checkpoint AND
+    // the final select each replayed it; a 3-field row is driver
+    // territory, guide §5 notwithstanding — it is the same posture as
+    // the observe-fused scalars everywhere else in this file)
+    val mtRow = cum
       .withColumn("__kept", greatest(lit(0L),
         least(col("__cum"), lit(n - k))
           - greatest(col("__cum") - col("__c"), lit(k))))
@@ -2054,22 +2139,40 @@ object Learn {
         coalesce(sum(col("__kept")), lit(0L)).as("__nk"),
         coalesce(sum(col("__kept").cast("decimal(38,0)") * col("__v")),
           lit(0).cast("decimal(38,0)")).as("__sk"))
-    val devRuns = runs.crossJoin(broadcast(medTrim))
-      .groupBy(abs(col("__v") - col("__med")).as("__d"))
-      .agg(sum(col("__c")).as("__c"))
-    val devCum = Relational.globalPrefixSum(devRuns,
-      Seq(col("__d").asc), "__c", "__cum")
-    val mad = devCum
-      .filter(col("__cum") >= lit(rank))
-      .agg(min(col("__d")).as("__mad"))
-    medTrim.crossJoin(broadcast(mad))
-      .select(lit(n).as("n"), col("__med").as("median_milli"),
-        col("__mad").as("mad_milli"),
-        (if (n > 0) lit(k) else lit(null).cast("long")).as("trim_k"),
-        expr("""CASE WHEN __nk > 0 THEN
-          |  (CASE WHEN __sk >= 0 THEN 1L ELSE -1L END) *
-          |  CAST(ABS(__sk) div __nk AS BIGINT) END""".stripMargin)
-          .as("trimmed_mean_milli"))
+      .first()
+    val med: Option[Long] =
+      if (mtRow.isNullAt(0)) None else Some(mtRow.getLong(0))
+    val nk = mtRow.getLong(1)
+    val sk = BigInt(mtRow.getDecimal(2).toBigInteger)
+    // trimmed mean as the same sign-split BIGINT floor, now in exact
+    // driver arithmetic (BigInt / on nonnegative operands == div)
+    val trimmed: Option[Long] =
+      if (nk > 0) Some(((if (sk >= 0) BigInt(1) else BigInt(-1)) *
+        (sk.abs / nk)).toLong)
+      else None
+    // deviation runs read the checkpointed runs table with the median
+    // inlined — no broadcast arm, no spine replay
+    val mad: Option[Long] = med.flatMap { m =>
+      val devRuns = runs
+        .groupBy(abs(col("__v") - lit(m)).as("__d"))
+        .agg(sum(col("__c")).as("__c"))
+      val devCum = Relational.globalPrefixSum(devRuns,
+        Seq(col("__d").asc), "__c", "__cum")
+      val madRow = devCum
+        .filter(col("__cum") >= lit(rank))
+        .agg(min(col("__d")).as("__mad"))
+        .first()
+      if (madRow.isNullAt(0)) None else Some(madRow.getLong(0))
+    }
+    // one row of driver literals — nothing left to execute
+    def litOpt(v: Option[Long]): Column =
+      v.map(lit(_)).getOrElse(lit(null)).cast("long")
+    staged.sparkSession.range(1)
+      .select(lit(n).as("n"), litOpt(med).as("median_milli"),
+        litOpt(mad).as("mad_milli"),
+        (if (n > 0) lit(k).cast("long") else lit(null).cast("long"))
+          .as("trim_k"),
+        litOpt(trimmed).as("trimmed_mean_milli"))
   }
 
   /** Exact per-group quantile table — the [[robustLocation]] median

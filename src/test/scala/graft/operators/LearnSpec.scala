@@ -2128,6 +2128,20 @@ class LearnSpec extends SparkTestBase {
       nres.getAs[Long]("trimmed_mean_milli") == -500L)
   }
 
+  test("robustLocation: bounded-collect fast path == forced-distributed spine path (r18)") {
+    // the driverGraph discipline: the count-gated driver selection and
+    // the prefix-sum spine path must agree row-for-row on data with
+    // ties, negatives and asymmetric tails — cap 0 forces the spines
+    def run(): org.apache.spark.sql.Row = Learn.robustLocation(
+      (Seq(-7.25, -7.25, -1.5, 0.0, 0.0, 0.0, 2.5, 2.5, 3.75, 100.0, 100.0)
+        .map(Tuple1(_))).toDF("v"), "v", alphaMilli = 150L).collect().head
+    val fast = run()
+    spark.conf.set("spark.graft.driverStats.maxRuns", "0")
+    val dist = try run()
+      finally spark.conf.unset("spark.graft.driverStats.maxRuns")
+    assert(fast == dist, s"fast=$fast dist=$dist")
+  }
+
   test("etaSquared: textbook ANOVA decomposition, constant NULL") {
     // A={1,3} B={5,7}: SSB=16, SST=20 -> eta^2 = 0.8
     val rows = Seq(("A", 1.0), ("A", 3.0), ("B", 5.0), ("B", 7.0))

@@ -101,6 +101,25 @@ object Graph {
     }
   }
 
+  /** Explicit broadcast hint for an iteration-state frame whose row
+    * count the kernel already KNOWS (an observe-fused census or the
+    * |V| driver literal). Checkpointed state frames carry no
+    * statistics, so the planner assumes them enormous and plans
+    * SortMergeJoin — re-SORTING the persisted edge cache every round
+    * (measured r18: q208's 1.2M-row edge cache sorted once per BFS
+    * round, ~0.5 s × 32 tasks × 4 rounds). Below
+    * `spark.graft.broadcastState.maxRows` (default 1,000,000 skinny
+    * rows ≈ 16–24 MB built) the hint restores the BroadcastHashJoin
+    * the statistics would have picked; above it the stats-less
+    * sort-merge posture stands unchanged (guide §3.1 — hint exactly
+    * when the engine, not the planner, knows a side is small). */
+  private def hintSmall(df: DataFrame, rows: Long): DataFrame = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.broadcastState.maxRows")
+      .map(_.toLong).getOrElse(1000000L)
+    if (rows >= 0 && rows <= cap) broadcast(df) else df
+  }
+
   /** Materialize `df` into the cache for repeated per-iteration joins
     * on `key`, and RETURN ITS ROW COUNT alongside. Above
     * `spark.graft.keyedCache.minRows` (default 200k) the cache is
@@ -185,7 +204,8 @@ object Graph {
       // hash(dst) exchange) instead of a second nodes ⋈ contrib join
       // per iteration — one exchange, identical sums: absent inbound
       // mass aggregates to exactly the old coalesce(__s, 0) (§2.4)
-      pr = pr.join(e, pr("node") === e("src"))
+      val prH = hintSmall(pr, n)
+      pr = prH.join(e, prH("node") === e("src"))
         .select(col("dst"), expr("pr div __deg").as("__c"))
         .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
@@ -270,7 +290,8 @@ object Graph {
     for (i <- 1 to iterations) {
       // zero-row-per-node union instead of the per-iteration rebase
       // join (the pageRankInt rationale — one hash(dst) exchange)
-      pr = pr.join(e, pr("node") === e("src"))
+      val prH = hintSmall(pr, n)
+      pr = prH.join(e, prH("node") === e("src"))
         .select(col("dst"), expr("(pr * __w) div __totw").as("__c"))
         .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
@@ -323,8 +344,11 @@ object Graph {
         col(weightCol).cast("long").as("__w"))
       .filter(col("__w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("__w")).as("__w"))
-    val (e, _) = persistForKey(
+    val (e, eCnt) = persistForKey(
       ew.join(ew.groupBy("src").agg(sum(col("__w")).as("__totw")), "src"), "src")
+    // |V| ≤ 2·|E| — a free upper bound for the per-iteration
+    // broadcast-state hint (hintSmall), conservative past the cap
+    val nV = 2 * eCnt
     try {
       val maxWRow = e.agg(max(col("__w"))).first()
       require(!maxWRow.isNullAt(0), "edge set is empty (or all weights <= 0)")
@@ -359,7 +383,8 @@ object Graph {
       // join (the pageRankInt rationale): the node arm carries the
       // per-node teleport constant as a second lane, max over the
       // group recovers it (each group holds exactly one node row)
-      pr = pr.join(e, pr("node") === e("src"))
+      val prH = hintSmall(pr, nV)
+      pr = prH.join(e, prH("node") === e("src"))
         .select(col("dst"), expr("(pr * __w) div __totw").as("__c"),
           lit(0L).as("__t"))
         .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("__c"),
@@ -623,14 +648,16 @@ object Graph {
       // guard keeps every half-step's raw side non-empty, so totals
       // are always defined and the final coalesce-to-0 is exact).
       for (_ <- 1 to iterations) {
+        val hubH = hintSmall(hub, n)
         val (rawA, totA) = ckptSummed(
-          hub.join(e, hub("node") === e("src"))
+          hubH.join(e, hubH("node") === e("src"))
             .groupBy(col("dst")).agg(sum(col("hub")).as("__s")), "__s")
         auth = rawA.select(col("dst").as("node"), expr(rebase(totA)).as("auth"))
         if (lastA != null) Dedup.CheckpointHygiene.free(lastA)
         lastA = rawA
+        val authH = hintSmall(auth, n)
         val (rawH, totH) = ckptSummed(
-          auth.join(e, auth("node") === e("dst"))
+          authH.join(e, authH("node") === e("dst"))
             .groupBy(col("src")).agg(sum(col("auth")).as("__s")), "__s")
         hub = rawH.select(col("src").as("node"), expr(rebase(totH)).as("hub"))
         if (lastH != null) Dedup.CheckpointHygiene.free(lastH)
@@ -1345,16 +1372,22 @@ object Graph {
       .withColumn("level", lit(0L)))
     val parts = scala.collection.mutable.ArrayBuffer(frontier)
     var visited = frontier
+    var visitedN = frontierN
     var depth = 0
     while (depth < maxDepth && frontierN > 0) {
       depth += 1
+      // both state sides carry their observe-fused counts, so the
+      // known-small sides broadcast (hintSmall) instead of the
+      // stats-less SMJ re-sorting the edge cache every round
+      val frontH = hintSmall(frontier, frontierN)
       val (next, nextN) = ckptCounted(
-        frontier.join(e, frontier("node") === e("src"))
+        frontH.join(e, frontH("node") === e("src"))
           .select(e("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
+          .join(hintSmall(visited, visitedN), Seq("node"), "left_anti")
           .withColumn("level", lit(depth.toLong)))
       parts += next
       visited = visited.unionByName(next)
+      visitedN += nextN
       frontier = next
       frontierN = nextN
     }
@@ -1384,15 +1417,16 @@ object Graph {
       s"rounds must be in [1, 50], got $rounds")
     // cached once (materialized inside persistForKey), hash(src)-keyed
     // above the size threshold: zero per-round edge Exchange at scale
-    val (e, _) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
+    val (e, eCnt) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(tsCol).cast("long").as("t")), "src")
     var arr = seeds.select(col(seedCol).cast("long").as("node")).distinct()
       .withColumn("arrival", lit(seedTs))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val relaxed = arr.join(e, arr("node") === e("src") &&
-          e("t") >= arr("arrival"))
+      val arrH = hintSmall(arr, 2 * eCnt)
+      val relaxed = arrH.join(e, arrH("node") === e("src") &&
+          e("t") >= arrH("arrival"))
         .select(e("dst").as("node"), e("t").as("arrival"))
       arr = arr.unionByName(relaxed)
         .groupBy(col("node"))
@@ -1425,7 +1459,7 @@ object Graph {
       s"rounds must be in [1, 50], got $rounds")
     // cached once (materialized inside persistForKey), hash(src)-keyed
     // above the size threshold: zero per-round edge Exchange at scale
-    val (e, _) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
+    val (e, eCnt) = persistForKey(edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"),
         col(weightCol).cast("long").as("w"))
       .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w")), "src")
@@ -1434,8 +1468,9 @@ object Graph {
       .withColumn("dist", lit(0L))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
-        .select(e("dst").as("node"), (dist("dist") + e("w")).as("dist"))
+      val distH = hintSmall(dist, 2 * eCnt)
+      val relaxed = distH.join(e, distH("node") === e("src"))
+        .select(e("dst").as("node"), (distH("dist") + e("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()

@@ -367,15 +367,24 @@ object TextOps {
     * sort). */
   private def bm25TopKTail(qTerms: DataFrame, tfdf: DataFrame,
       dl: DataFrame, k: Int): DataFrame = {
-    val scalars = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l"))
+    // the 1-row (n, Σdl) scalar pair rebases as driver literals (r18:
+    // as a broadcast arm it re-ran the dl subtree once per consuming
+    // action — the PRF loop consumes the tail three times)
+    val s = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("l")).first()
+    bm25TopKTailLit(qTerms, tfdf, dl, k, s.getLong(0),
+      if (s.isNullAt(1)) None else Some(s.getLong(1)))
+  }
+
+  private def bm25TopKTailLit(qTerms: DataFrame, tfdf: DataFrame,
+      dl: DataFrame, k: Int, n: Long, l: Option[Long]): DataFrame = {
+    val lSql = l.map(_.toString).getOrElse("CAST(NULL AS BIGINT)")
     val perTerm = tfdf
       .join(dl, Seq("doc"))
-      .crossJoin(broadcast(scalars))
       .select(col("doc"), col("token"),
-        expr("""((2*n - 2*df + 1) *
+        expr(s"""((2*$n - 2*df + 1) *
                |  ((44000000 * tf) div
                |   (20000 * tf + 6000 +
-               |    18 * ((1000000 * dl) div greatest(1L, (1000 * l) div n)))))
+               |    18 * ((1000000 * dl) div greatest(1L, (1000 * $lSql) div $n)))))
                |div (2*df + 1)"""
           .stripMargin.replace("\n", " ")).as("__m"))
     val perQueryDoc = perTerm
@@ -417,18 +426,33 @@ object TextOps {
     require(mExpand >= 1 && mExpand <= 64,
       s"mExpand must be in [1,64], got $mExpand")
     require(k >= 1 && k <= 1000, s"k must be in [1,1000], got $k")
+    // query-grain and checkpointed: referenced by the feedback tail's
+    // broadcast, the candidate anti-join AND the pass-2 union — each
+    // reference otherwise replays the tokenize + guard chain (r18)
     val qTerms = queryTermTable(queries, queryIdCol, queryTextCol,
-      maxQueries, "bm25PrfTopKJoin")
+      maxQueries, "bm25PrfTopKJoin").localCheckpoint()
     val dlIdx = index.groupBy(col("doc")).agg(sum(col("tf")).as("dl"))
+    // the doc-length sidecar is materialized ONCE (r18: both scoring
+    // passes read it; unmaterialized, each pass re-ran the index
+    // aggregate and the doc-universe scan) — this is the deployment
+    // shape the docstring promises (the sidecar lives beside the
+    // index), and its scalars rebase as literals inside the tails
+    val obsDl = org.apache.spark.sql.Observation()
     val dl = docs.select(col(idCol).as("doc")).distinct()
       .join(dlIdx, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("dl"), lit(0L)).as("dl"))
+      .observe(obsDl, count(lit(1)).as("n"), sum(col("dl")).as("l"))
+      .localCheckpoint()
+    val obsVals = obsDl.get
+    val nDl = obsVals("n").asInstanceOf[Long]
+    val lDl = Option(obsVals("l")).map(_.asInstanceOf[Long])
     def tfdfFor(terms: DataFrame) =
       index.join(broadcast(terms.select(col("token")).distinct()),
           Seq("token"))
         .select(col("doc"), col("token"), col("tf"),
           col("doc_freq").as("df"))
-    val feedback = bm25TopKTail(qTerms, tfdfFor(qTerms), dl, kFeedback)
+    val feedback = bm25TopKTailLit(qTerms, tfdfFor(qTerms), dl, kFeedback,
+        nDl, lDl)
       .select(col("query"), col("doc"))
     val cand = index.select(col("doc"), col("token"), col("tf"))
       .join(broadcast(feedback), Seq("doc"))
@@ -448,7 +472,7 @@ object TextOps {
     // would otherwise replay the whole pass-1 chain including an
     // index scan
     val qTerms2 = qTerms.unionByName(expansion).localCheckpoint()
-    bm25TopKTail(qTerms2, tfdfFor(qTerms2), dl, k)
+    bm25TopKTailLit(qTerms2, tfdfFor(qTerms2), dl, k, nDl, lDl)
   }
 
   /** BM25 served FROM the [[invertedIndex]] table instead of

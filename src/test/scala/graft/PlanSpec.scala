@@ -1252,4 +1252,56 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
       Seq((0L, 0L), (40L, 0L), (40L, 20L), (20L, 20L), (20L, 40L),
         (0L, 40L))).as("i"))) == 0)
   }
+
+  test("r18: join-kernel and pageRank exchange budgets survive conf drift") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      countNodes(df.queryExecution.executedPlan)(
+        _.isInstanceOf[ShuffleExchangeLike])
+    }
+    // r17 shipped a session-wide shuffle-writer conf that silently
+    // 20x'd these two shuffle-AVOIDANCE kernels at driver settings
+    // (q216 10.35 s, q245 14.64 s at sf0.1 — both sub-second in r16
+    // and again after the r18 revert). Pin the measured r18 whole-
+    // query exchange budgets so a conf or operator change that
+    // inflates the plan fails here instead of in a bench autopsy.
+    assert(exchanges(SparkEntry.queries("q216_hot_cold_join")(spark, sf)) <= 5)
+    assert(exchanges(
+      SparkEntry.queries("q245_bloom_pruned_join")(spark, sf)) <= 2)
+    // pageRankInt's iterations execute inside eager checkpoints, so
+    // the returned frame's plan is blind to them — census EVERY action
+    // the run fires (the SCC action-census technique, at exchange
+    // grain). Measured r18 shape on a sub-threshold graph: edge build
+    // (distinct + degree self-join) + node distinct + one hash(dst)
+    // aggregate exchange per iteration with the state side BROADCAST
+    // (hintSmall) — the r17 shape spent 3 joins + 1 agg per iteration.
+    val total = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit =
+        total.addAndGet(countNodes(qe.executedPlan)(
+          _.isInstanceOf[ShuffleExchangeLike]))
+      def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    val edges = sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id").as("s"), ((col("doc_id") * 7 + 3) % 100).as("t"))
+    spark.listenerManager.register(l)
+    try {
+      operators.Graph.pageRankInt(edges, "s", "t", iterations = 3).collect()
+      // QueryExecutionListener events are async: drain the bus
+      var seen = -1
+      var spins = 0
+      while (total.get != seen && spins < 100) {
+        seen = total.get; Thread.sleep(50); spins += 1
+      }
+    } finally spark.listenerManager.unregister(l)
+    assert(total.get <= 9,
+      s"pageRankInt(3 iters) exchange census grew: ${total.get}")
+  }
 }

@@ -113,7 +113,7 @@ object Graph {
     * the statistics would have picked; above it the stats-less
     * sort-merge posture stands unchanged (guide §3.1 — hint exactly
     * when the engine, not the planner, knows a side is small). */
-  private def hintSmall(df: DataFrame, rows: Long): DataFrame = {
+  private[operators] def hintSmall(df: DataFrame, rows: Long): DataFrame = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.broadcastState.maxRows")
       .map(_.toLong).getOrElse(1000000L)

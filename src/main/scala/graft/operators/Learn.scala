@@ -89,35 +89,47 @@ object Learn {
       s"iterations must be in [1,10000], got $iterations")
     require(lrNum > 0 && lrDen > 0, "learning rate must be positive")
     val spark = features.sparkSession
-    import org.apache.spark.storage.StorageLevel
     // presence semantics are part of the contract — enforce them here
     // (a duplicated (ex, feature) row would silently double that
     // feature's weight in the score); the distinct costs one exchange
-    // on a table that is persisted across all iterations anyway
-    val f = features.select(col("ex_id"), col("feature_id")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = labels.select(col("ex_id"), col("y").cast("long").as("__y"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val n = l.count() // the one driver scalar; also materializes l
+    // on a table that is persisted across all iterations anyway.
+    // r18: both training tables go through the keyed-cache layout
+    // (persistForKey, hash(ex_id) above the size threshold) and the
+    // dim-BOUNDED weights/gradient frames ride broadcast hints
+    // (hintSmall — checkpointed weight chains carry no stats, so the
+    // planner otherwise plans SortMergeJoin and re-sorts the cached
+    // feature table every iteration). Per-iteration row-scale
+    // exchanges: score agg + error join + gradient join + feature agg
+    // → at scale, ONE (the feature-grain gradient aggregate): the
+    // score aggregate and both ex_id joins reuse the keyed layout.
+    val (f, _) = Graph.persistForKey(
+      features.select(col("ex_id"), col("feature_id")).distinct(), "ex_id")
+    val (l, n) = Graph.persistForKey(
+      labels.select(col("ex_id"), col("y").cast("long").as("__y")), "ex_id")
     require(n > 0, "labels is empty")
     var weights = spark.range(dim)
       .select(col("id").as("feature_id"), lit(0L).as("weight"))
     var lastCkpt: DataFrame = null
     var sinceCkpt = 0
     for (_ <- 1 to iterations) {
-      val scores = f.join(weights, Seq("feature_id"))
+      val scores = f.join(Graph.hintSmall(weights, dim), Seq("feature_id"))
         .groupBy(col("ex_id")).agg(sum(col("weight")).as("__s"))
       val errs = scores.join(l, Seq("ex_id"))
         .select(col("ex_id"),
           (hardSigmoidMilli(col("__s")) - lit(1000L) * col("__y")).as("__e"))
       val grad = f.join(errs, Seq("ex_id"))
         .groupBy(col("feature_id")).agg(sum(col("__e")).as("__g"))
-      weights = weights.join(grad, Seq("feature_id"), "left")
+      weights = weights.join(Graph.hintSmall(grad, dim),
+          Seq("feature_id"), "left")
         .select(col("feature_id"),
           (col("weight") - coalesce(
             sdiv(col("__g") * lrNum, lit(n * lrDen)), lit(0L))).as("weight"))
+      // every iteration, not every 3 (r18): the weight table is
+      // dim-BOUNDED so the checkpoint is trivial, and the broadcast
+      // hint above would otherwise re-execute the un-truncated chain
+      // of every preceding iteration once per broadcast build
       sinceCkpt += 1
-      if (sinceCkpt >= 3) {
+      if (sinceCkpt >= 1) {
         val ckpt = weights.localCheckpoint() // eager: reads old blocks
         if (lastCkpt != null) Dedup.CheckpointHygiene.free(lastCkpt)
         lastCkpt = ckpt
